@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.SnapshotCatalog
+
+/** Command-line surface over [[graft.catalog.SnapshotCatalog]].
+  *
+  * The reference tool is operated entirely through per-stage CLIs
+  * (`/root/reference/1_collect_src_snapshots.py:100-109` ...
+  * `6_verify_data_integrity.py:213-235`); this is the equivalent operational
+  * entry point for the catalog layer itself — create/append/overwrite a
+  * versioned table from Parquet input, inspect its snapshot log, and read it
+  * back as of any snapshot.
+  *
+  * Usage:
+  * {{{
+  *   SnapCli create    <warehouse> <db> <table> <parquetPath> [partCol,...]
+  *   SnapCli append    <warehouse> <db> <table> <parquetPath>
+  *   SnapCli overwrite <warehouse> <db> <table> <parquetPath>
+  *   SnapCli tables    <warehouse> <db>
+  *   SnapCli snapshots <warehouse> <db> <table>
+  *   SnapCli files     <warehouse> <db> <table> <snapshotId>
+  *   SnapCli show      <warehouse> <db> <table> [snapshotId] [limit]
+  * }}}
+  */
+object SnapCli {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-snapcli")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) { System.err.println(usage); sys.exit(2) }
+    val cmd = args(0)
+    val spark = session()
+    try run(spark, cmd, args.drop(1))
+    catch {
+      case e: Exception =>
+        System.err.println(s"error: ${e.getMessage}")
+        sys.exit(1)
+    } finally spark.stop()
+  }
+
+  private def run(spark: SparkSession, cmd: String, a: Array[String]): Unit = cmd match {
+    case "create" =>
+      val Array(wh, db, table, path) = a.take(4)
+      val partCols = if (a.length > 4) a(4).split(",").toSeq else Seq.empty
+      val cat = new SnapshotCatalog(spark, wh)
+      val df = spark.read.parquet(path)
+      val created = cat.createTable(db, table, df.schema, partCols)
+      if (!created) println(s"table $db.$table already exists (IF NOT EXISTS)")
+      else {
+        val snap = cat.append(db, table, df)
+        println(s"created $db.$table snapshot=${snap.snapshotId} records=${snap.recordCount} files=${snap.files.size}")
+      }
+    case "append" | "overwrite" =>
+      val Array(wh, db, table, path) = a.take(4)
+      val cat = new SnapshotCatalog(spark, wh)
+      val df = spark.read.parquet(path)
+      val snap = if (cmd == "append") cat.append(db, table, df) else cat.overwrite(db, table, df)
+      println(s"$cmd $db.$table snapshot=${snap.snapshotId} records=${snap.recordCount} files=${snap.files.size}")
+    case "tables" =>
+      val Array(wh, db) = a.take(2)
+      new SnapshotCatalog(spark, wh).listTables(db).foreach(println)
+    case "snapshots" =>
+      val Array(wh, db, table) = a.take(3)
+      new SnapshotCatalog(spark, wh).snapshots(db, table)
+        .orderBy("committed_at").show(100, truncate = false)
+    case "files" =>
+      val Array(wh, db, table, id) = a.take(4)
+      new SnapshotCatalog(spark, wh).files(db, table, id.toLong).foreach(println)
+    case "show" =>
+      val Array(wh, db, table) = a.take(3)
+      val cat = new SnapshotCatalog(spark, wh)
+      val df = if (a.length > 3) cat.readAsOf(db, table, a(3).toLong) else cat.readLatest(db, table)
+      val limit = if (a.length > 4) a(4).toInt else 20
+      println(s"count=${df.count()}")
+      df.show(limit, truncate = false)
+    case other =>
+      System.err.println(s"unknown command: $other\n$usage")
+      sys.exit(2)
+  }
+
+  private val usage: String =
+    """usage: SnapCli <create|append|overwrite|tables|snapshots|files|show> <warehouse> <db> [args...]
+      |  create    <warehouse> <db> <table> <parquetPath> [partCol,...]
+      |  append    <warehouse> <db> <table> <parquetPath>
+      |  overwrite <warehouse> <db> <table> <parquetPath>
+      |  tables    <warehouse> <db>
+      |  snapshots <warehouse> <db> <table>
+      |  files     <warehouse> <db> <table> <snapshotId>
+      |  show      <warehouse> <db> <table> [snapshotId] [limit]""".stripMargin
+}
