@@ -10,11 +10,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // fixture warehouses are built outside the timed region
+    SparkEntry.prepare(spark, sfDir)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        // noop sink executes the full plan (count() would let Catalyst
+        // prune projections and skip the real work for row-level queries)
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
+    // two timed runs, report the min: the first run of the session absorbs
+    // one-off JIT/codegen/cleaner costs that would land on an arbitrary query
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> math.min(once(fn), once(fn))
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

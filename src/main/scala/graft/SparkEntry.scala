@@ -1,13 +1,435 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — the engine's query surface (SURVEY §2 inventory) with
+  * DuckDB-oracle SQL for every SQL-expressible operator.
+  *
+  * Portability rules (the driver hash-compares our parquet output against
+  * DuckDB's result, so values must match bit-for-bit):
+  *   - every integer output is BIGINT on both sides;
+  *   - money/metric doubles are scaled to integer cents with
+  *     `FLOOR(x * 100)`: the multiply and floor are IEEE-754-deterministic,
+  *     identical in any engine, and immune to round-half mode differences
+  *     (Spark rounds half-up, DuckDB half-even — ROUND is a trap);
+  *   - no Spark `hash`/`xxhash64` in oracle-checked queries (not
+  *     reproducible in DuckDB; the real checksum surface is exercised by
+  *     `IntegrityVerifier` inside q10 and asserted as booleans);
+  *   - every query ends in a deterministic ORDER BY.
+  */
 object SparkEntry {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read the raw int64 nanos and convert exactly
+    * (integer `div`, no double round-trip — nanos exceed 2^53). */
+  private def eventsT(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    T(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Money/metric double -> integer cents, deterministically. */
+  private def cents(c: Column): Column = floor(c * 100).cast("long")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q12_join_multi")(spark, "/root/testdata/sf0.001")
+
+  /** Pre-builds cached fixtures so Bench timings measure queries, not setup. */
+  def prepare(spark: SparkSession, dir: String): Unit = {
+    WarehouseFixture.forDir(spark, dir); ()
+  }
+
+  // -------------------------------------------------------------------
+  // queries
+  // -------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- reference-parity: scans, filters, projections (S1/P1/P2) ----
+
+    // TPC-H Q1-shaped pricing summary: the agg pattern of SURVEY §2.4.
+    "q01_pricing_summary" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1999-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("cnt_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("revenue_e4"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+            * (lit(100L) + cents(col("l_tax")))).as("charge_e6"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // predicate + projection pushdown to the parquet scan (P1/P2).
+    "q02_scan_filter_project" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .where(col("l_quantity") >= 49 &&
+          col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"),
+          col("l_shipdate").cast("date").as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- reference-parity: snapshot catalog surface (S2/S3/A5/E3) ----
+
+    // snapshots metadata table, chronological (S3 + O1; `1_collect_src_snapshots.py:61-70`).
+    "q03_snapshots_meta" -> ((s, dir) => {
+      WarehouseFixture.forDir(s, dir).src.snapshots("tpch", "orders")
+        .select(col("snapshot_id"),
+          col("operation"),
+          element_at(col("summary"), "record_count").cast("long").as("record_count"))
+        .orderBy("snapshot_id")
+    }),
+
+    // time-travel read of the pre-overwrite snapshot (S2; `5_migrate_tables_data.py:72-76`).
+    "q04_timetravel_asof" -> ((s, dir) => {
+      WarehouseFixture.forDir(s, dir).src.readAsOf("tpch", "orders", 2L)
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("o_totalprice"))).as("total_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
+
+    // current-state read after overwrite (S1; `6_verify_data_integrity.py:71`).
+    "q05_timetravel_latest" -> ((s, dir) => {
+      WarehouseFixture.forDir(s, dir).src.readLatest("tpch", "orders")
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+    }),
+
+    // as-of resolution as a window query over real data (A5 mapping):
+    // latest order per customer at a cutoff, row_number desc.
+    "q06_asof_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      T(s, dir, "orders")
+        .where(col("o_orderdate") <= lit("1998-01-01 00:00:00").cast("timestamp"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("last_orderkey"),
+          cents(col("o_totalprice")).as("last_total_cents"))
+        .orderBy("o_custkey")
+    }),
+
+    // portable whole-table fingerprint (A4 intent, DuckDB-checkable form).
+    "q07_checksum_portable" -> ((s, dir) => {
+      T(s, dir, "lineitem").agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_orderkey")).as("sum_orderkey"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        sum(cents(col("l_discount"))).as("sum_disc_cents"),
+        sum(length(col("l_returnflag")) + length(col("l_linestatus"))).cast("long").as("sum_flag_len"),
+        min(col("l_shipdate")).cast("date").as("min_ship"),
+        max(col("l_shipdate")).cast("date").as("max_ship"))
+    }),
+
+    // set difference (J2/§2.6): nations with customers but no suppliers.
+    "q08_except" -> ((s, dir) => {
+      T(s, dir, "customer").select(col("c_nationkey").cast("long").as("nationkey")).distinct()
+        .except(T(s, dir, "supplier").select(col("s_nationkey").cast("long").as("nationkey")).distinct())
+        .orderBy("nationkey")
+    }),
+
+    // per-snapshot file/row inventory (P1 intent: file enumeration,
+    // `2_collect_database_schema_info.py:219-224`).
+    "q09_files_enum" -> ((s, dir) => {
+      import s.implicits._
+      WarehouseFixture.forDir(s, dir).src.snapshotList("tpch", "orders")
+        .map(sn => (sn.snapshotId, sn.files.size.toLong, sn.recordCount))
+        .toDF("snapshot_id", "num_files", "record_count")
+        .orderBy("snapshot_id")
+    }),
+
+    // the full data plane: stage-5 migration + stage-6 integrity verdicts
+    // (E3; count+checksum equality surfaced as booleans).
+    "q10_migrate_verify" -> ((s, dir) => {
+      import s.implicits._
+      WarehouseFixture.forDir(s, dir).verification
+        .map(r => (r.tableName, r.sourceCount, r.targetCount, r.countsMatch, r.checksumMatch))
+        .toDF("table_name", "src_count", "dst_count", "counts_match", "checksum_match")
+        .orderBy("table_name")
+    }),
+
+    // ---- engine coverage: joins, aggregates, windows, set ops ----
+
+    // broadcast dim join (J1 mapping).
+    "q11_join_broadcast" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("orders_cnt"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // multi-way join: revenue per nation for one region + year (Q5 shape).
+    "q12_join_multi" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val o = T(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      val r = T(s, dir, "region").where(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("revenue_e4"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // left-semi / left-anti (J-exists mapping).
+    "q13_semi_anti" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).select(lit("with_orders").as("grp"), col("n"))
+      val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).select(lit("without_orders").as("grp"), col("n"))
+      withO.unionByName(withoutO).orderBy("grp")
+    }),
+
+    // top-k by aggregate (O2 mapping).
+    "q14_topk" -> ((s, dir) => {
+      T(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(cents(col("o_totalprice"))).as("spend_cents"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("spend_cents").desc, col("o_custkey"))
+        .limit(10)
+    }),
+
+    // distinct aggregation.
+    "q15_distinct_agg" -> ((s, dir) => {
+      T(s, dir, "supplier")
+        .join(broadcast(T(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(countDistinct(col("s_suppkey")).as("n_supp"),
+          count(lit(1)).as("n_rows"),
+          sum(cents(col("s_acctbal"))).as("bal_cents"))
+        .orderBy("n_name")
+    }),
+
+    // running window aggregate over an explicit ROWS frame.
+    "q16_window_running" -> ((s, dir) => {
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy("l_suppkey").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wr = Window.partitionBy("l_suppkey").orderBy(order: _*)
+      T(s, dir, "lineitem").where(col("l_suppkey") <= 3)
+        .select(col("l_suppkey"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          sum(col("l_quantity").cast("long")).over(w).as("running_qty"),
+          row_number().over(wr).cast("long").as("rn"))
+        .orderBy("l_suppkey", "rn")
+    }),
+
+    // tumbling time window over the events stream table (batch form; the
+    // Structured Streaming variant is exercised in StreamingSpec).
+    "q17_events_window" -> ((s, dir) => {
+      eventsT(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100).cast("long")).as("value_e2"))
+        .orderBy("event_type", "hour_ts")
+    }),
+
+    // set intersection.
+    "q18_intersect" -> ((s, dir) => {
+      T(s, dir, "customer").select(col("c_nationkey").cast("long").as("nationkey")).distinct()
+        .intersect(T(s, dir, "supplier").select(col("s_nationkey").cast("long").as("nationkey")).distinct())
+        .orderBy("nationkey")
+    }),
+
+    // rollup (grouping sets family).
+    "q19_rollup" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // scalar string functions (F-class coverage).
+    "q20_scalar_funcs" -> ((s, dir) => {
+      T(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        upper(col("n_name")).as("uname"),
+        substring(col("n_name"), 1, 3).as("pre3"),
+        length(col("n_name")).cast("long").as("name_len"),
+        concat(col("n_name"), lit("#"), col("n_nationkey").cast("string")).as("tagged"))
+        .orderBy("n_nationkey")
+    }))
+
+  // -------------------------------------------------------------------
+  // oracles
+  // -------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS cnt_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  CAST(sum(CAST(FLOOR(l_extendedprice*100) AS BIGINT) * (100 - CAST(FLOOR(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |  CAST(sum(CAST(FLOOR(l_extendedprice*100) AS BIGINT) * (100 - CAST(FLOOR(l_discount*100) AS BIGINT)) * (100 + CAST(FLOOR(l_tax*100) AS BIGINT))) AS BIGINT) AS charge_e6
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_scan_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(l_quantity AS BIGINT) AS qty, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_quantity >= 49 AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_snapshots_meta" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'create', CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'append', (SELECT CAST(count(*) AS BIGINT) FROM orders)),
+        |  (CAST(3 AS BIGINT), 'overwrite', (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderstatus = 'F'))
+        |) AS t(snapshot_id, operation, record_count) ORDER BY snapshot_id""".stripMargin,
+
+    "q04_timetravel_asof" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders""".stripMargin,
+
+    "q05_timetravel_latest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q06_asof_window" ->
+      """SELECT o_custkey, o_orderkey AS last_orderkey,
+        |  CAST(FLOOR(o_totalprice*100) AS BIGINT) AS last_total_cents
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders WHERE o_orderdate <= TIMESTAMP '1998-01-01 00:00:00') s
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q07_checksum_portable" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  CAST(sum(CAST(FLOOR(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  CAST(sum(length(l_returnflag) + length(l_linestatus)) AS BIGINT) AS sum_flag_len,
+        |  CAST(min(l_shipdate) AS DATE) AS min_ship,
+        |  CAST(max(l_shipdate) AS DATE) AS max_ship
+        |FROM lineitem""".stripMargin,
+
+    "q08_except" ->
+      """SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |EXCEPT
+        |SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q09_files_enum" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT), (SELECT CAST(count(*) AS BIGINT) FROM orders)),
+        |  (CAST(3 AS BIGINT), CAST(2 AS BIGINT), (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderstatus = 'F'))
+        |) AS t(snapshot_id, num_files, record_count) ORDER BY snapshot_id""".stripMargin,
+
+    "q10_migrate_verify" ->
+      """SELECT * FROM (VALUES
+        |  ('nation', (SELECT CAST(count(*) AS BIGINT) FROM nation),
+        |   (SELECT CAST(count(*) AS BIGINT) FROM nation), true, true),
+        |  ('orders', (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |   (SELECT CAST(count(*) AS BIGINT) FROM orders), true, true)
+        |) AS t(table_name, src_count, dst_count, counts_match, checksum_match)
+        |ORDER BY table_name""".stripMargin,
+
+    "q11_join_broadcast" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS orders_cnt,
+        |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q12_join_multi" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(FLOOR(l_extendedprice*100) AS BIGINT) * (100 - CAST(FLOOR(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q13_semi_anti" ->
+      """SELECT 'with_orders' AS grp, CAST(count(*) AS BIGINT) AS n FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'without_orders' AS grp, CAST(count(*) AS BIGINT) AS n FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY grp""".stripMargin,
+
+    "q14_topk" ->
+      """SELECT o_custkey,
+        |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY spend_cents DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "q15_distinct_agg" ->
+      """SELECT n_name, CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_supp,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(FLOOR(s_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q16_window_running" ->
+      """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty,
+        |  CAST(row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS rn
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q17_events_window" ->
+      """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS value_e2
+        |FROM events GROUP BY event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+        |ORDER BY event_type, hour_ts""".stripMargin,
+
+    "q18_intersect" ->
+      """SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |INTERSECT
+        |SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q19_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q20_scalar_funcs" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  upper(n_name) AS uname, substr(n_name, 1, 3) AS pre3,
+        |  CAST(length(n_name) AS BIGINT) AS name_len,
+        |  concat(n_name, '#', CAST(n_nationkey AS VARCHAR)) AS tagged
+        |FROM nation ORDER BY n_nationkey""".stripMargin)
 }

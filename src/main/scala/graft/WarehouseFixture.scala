@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.SnapshotCatalog
+import graft.stages.{IntegrityVerifier, Migrator, SchemaCapture, SnapshotCollector, AsOfResolver, DataVerificationResult}
+
+/** Deterministic snapshot-catalog fixture shared by the catalog-surface
+  * queries in [[SparkEntry]].
+  *
+  * Builds, once per (JVM, sfDir): a source warehouse containing
+  *   - `tpch.orders`: snapshot 1 `create` (empty) -> snapshot 2 `append`
+  *     (full orders, 2 files) -> snapshot 3 `overwrite` (only status-F
+  *     orders, 2 files) — the multi-snapshot history the reference's
+  *     time-travel surface exists for;
+  *   - `tpch.nation`: create -> append (1 file);
+  * then migrates the PRE-overwrite state (snapshot 2) into a destination
+  * warehouse via the stage-5 Migrator and integrity-verifies it (stage 6) —
+  * so every catalog query below runs against state produced by the actual
+  * pipeline, and the DuckDB oracles can predict it from the raw parquet.
+  *
+  * Everything is pinned deterministic: commit timestamps tick a fixed clock
+  * (2026-03-01 + 1h per commit), file counts are fixed by `repartition(n)`
+  * before each commit.
+  */
+object WarehouseFixture {
+
+  final case class Fixture(
+      src: SnapshotCatalog,
+      dst: SnapshotCatalog,
+      verification: Seq[DataVerificationResult])
+
+  private val cache = TrieMap.empty[String, Fixture]
+
+  def forDir(spark: SparkSession, sfDir: String): Fixture =
+    cache.getOrElseUpdate(sfDir, build(spark, sfDir))
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  private def newCat(spark: SparkSession): SnapshotCatalog = {
+    var tick = 0L
+    new SnapshotCatalog(spark, Files.createTempDirectory("graft_fixture_").toString,
+      clock = () => { tick += 1; Instant.parse("2026-03-01T00:00:00Z").plusSeconds(tick * 3600) })
+  }
+
+  private def build(spark: SparkSession, sfDir: String): Fixture = {
+    val src = newCat(spark)
+    val dst = newCat(spark)
+
+    val orders = table(spark, sfDir, "orders")
+    val nation = table(spark, sfDir, "nation")
+
+    src.createTable("tpch", "orders", orders.schema)                     // snap 1 @+1h
+    src.append("tpch", "orders", orders.repartition(2))                  // snap 2 @+2h: full
+    src.createTable("tpch", "nation", nation.schema)                     // snap 1 @+3h
+    src.append("tpch", "nation", nation.repartition(1))                  // snap 2 @+4h
+    src.overwrite("tpch", "orders",
+      orders.where(col("o_orderstatus") === "F").repartition(2))         // snap 3 @+5h: F-only
+
+    // pipeline stages 1-2-5-6 against the pre-overwrite cutoff (between the
+    // nation append @+4h and the orders overwrite @+5h)
+    val snaps = SnapshotCollector.run(src, "tpch")
+    val resolved = AsOfResolver.resolve(snaps, "2026-03-01T04:30:00Z")
+    val infos = SchemaCapture.run(src, "tpch", resolved)
+    Migrator.run(src, dst, infos)
+    val verification = IntegrityVerifier.run(src, dst, infos)
+    Fixture(src, dst, verification)
+  }
+}
