@@ -23,9 +23,14 @@ object Bench {
     }
     // two timed runs, report the min: the first run of the session absorbs
     // one-off JIT/codegen/cleaner costs that would land on an arbitrary query
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
-    }.toMap
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(n.matches) }
+      .map { case (name, fn) =>
+        val t = math.min(once(fn), once(fn))
+        System.err.println(f"[bench] $name $t%.2fs")
+        name -> t
+      }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
 /** Driver contract — the engine's query surface (SURVEY §2 inventory) with
   * DuckDB-oracle SQL for every SQL-expressible operator.
   *
@@ -271,6 +273,118 @@ object SparkEntry {
         length(col("n_name")).cast("long").as("name_len"),
         concat(col("n_name"), lit("#"), col("n_nationkey").cast("string")).as("tagged"))
         .orderBy("n_nationkey")
+    }),
+
+    // ---- LLM-data-pipeline extensions (north-star; SURVEY §2.9) ----
+
+    // exact dedup: one hash-partitioned aggregation on the content key.
+    "q21_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(T(s, dir, "documents"), "doc_id", Seq("text"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("dup_count")).as("n_docs"),
+          max(col("dup_count")).as("max_dup"))
+    }),
+
+    // per-language quality stats, integer-exact formulas.
+    "q22_text_stats" -> ((s, dir) => {
+      TextOps.textStats(T(s, dir, "documents"), col("text"), col("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_words")).as("sum_words"),
+          sum(col("n_stopwords")).as("sum_stopwords"),
+          sum(col("avg_wordlen_e4")).as("sum_awl_e4"))
+        .orderBy("lang")
+    }),
+
+    // n-gram-heuristic language id; the oracle reproduces the identical
+    // marker scoring, so the heuristic's OUTPUT is fully checked.
+    "q23_langid" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(TextOps.langIdColumn(col("text")).as("pred_lang"))
+        .groupBy("pred_lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("pred_lang")
+    }),
+
+    // MinHash+LSH near-dup candidates (Spark-hash-based; rows-only check —
+    // recall/precision asserted against brute force in OpsSpec).
+    "q24_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashCandidates(T(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dups at hamming<=3 (rows-only; OpsSpec-verified).
+    "q25_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // exact shingle-Jaccard near-dups >= 1/2, integer threshold arithmetic;
+    // full DuckDB oracle (O(n^2) on the oracle side, inverted-index join here).
+    "q26_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(T(s, dir, "documents"), "doc_id", "text", w = 5, num = 1, den = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // brute-force cosine top-10 for 5 query vectors (exact ANN baseline).
+    "q27_cosine_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.cosineTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed approximate top-k (the corpus-prune scale path;
+    // rows-only — recall vs brute force asserted in OpsSpec).
+    "q28_ann_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 10, dim = 64, nPlanes = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // multimodal: binary payload -> batched stub decode -> typed metadata.
+    "q29_multimodal_decode" -> ((s, dir) => {
+      Multimodal.decodeFeatures(s, Multimodal.toMedia(T(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("channels"))
+        .orderBy("doc_id")
+    }),
+
+    // sessionization by 30-min inactivity gap (batch form of the streaming
+    // stateful op; integer-microsecond arithmetic for portability).
+    "q30_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      eventsT(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            (unix_micros(col("ts")) - col("prev_us")) > 30L * 60L * 1000000L, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // embedding near-duplicate pairs within LSH buckets (rows-only).
+    "q31_embedding_neardup" -> ((s, dir) => {
+      Similarity.embeddingNearDup(T(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, minCosine = 0.35, nPlanes = 4)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // frame sampling over binary payloads (integer-div offsets; oracled).
+    "q32_frame_sample" -> ((s, dir) => {
+      Multimodal.frameSample(Multimodal.toMedia(T(s, dir, "documents")),
+        nFrames = 4, frameLen = 16)
+        .select(col("doc_id"), col("frame_idx"), col("offset"),
+          octet_length(col("frame_bytes")).cast("long").as("frame_len"))
+        .orderBy("doc_id", "frame_idx")
     }))
 
   // -------------------------------------------------------------------
@@ -431,5 +545,100 @@ object SparkEntry {
         |  upper(n_name) AS uname, substr(n_name, 1, 3) AS pre3,
         |  CAST(length(n_name) AS BIGINT) AS name_len,
         |  concat(n_name, '#', CAST(n_nationkey AS VARCHAR)) AS tagged
-        |FROM nation ORDER BY n_nationkey""".stripMargin)
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q21_dedup_exact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(max(c) AS BIGINT) AS max_dup
+        |FROM (SELECT text, count(*) AS c FROM documents GROUP BY text) g""".stripMargin,
+
+    "q22_text_stats" -> {
+      val stop = TextOps.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT lang,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+         |  CAST(len(list_filter(string_split(lower(text), ' '),
+         |       w -> list_contains($stop, w))) AS BIGINT) AS n_stopwords
+         |FROM documents),
+         |t2 AS (SELECT *, (n_chars - (n_words - 1)) * 10000 // n_words AS awl FROM t)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+         |  CAST(sum(n_stopwords) AS BIGINT) AS sum_stopwords,
+         |  CAST(sum(awl) AS BIGINT) AS sum_awl_e4
+         |FROM t2 GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "q23_langid" -> {
+      val score = TextOps.Markers.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), $lst)) AS BIGINT) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = TextOps.Markers.map(_._1)
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString("\n    ")
+      s"""WITH s AS (SELECT text,
+         |  CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS cjk,
+         |  $score
+         |FROM documents),
+         |b AS (SELECT *, $best AS best FROM s)
+         |SELECT CASE WHEN cjk * 5 >= length(text) THEN 'zh'
+         |    $cases
+         |    ELSE 'und' END AS pred_lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM b GROUP BY 1 ORDER BY pred_lang""".stripMargin
+    },
+
+    "q26_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')
+        |  )) AS shingles FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter_sz,
+        |  CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS union_sz
+        |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.shingles, b.shingles)) * 2 >=
+        |      1 * (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q27_cosine_topk" ->
+      """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rank
+        |  FROM embeddings e, q WHERE e.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+        |FROM sims WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q29_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 31) % 577 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q32_frame_sample" ->
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(f.frame_idx * greatest(n_bytes // 4, 1) AS BIGINT) AS offset,
+        |  CAST(least(16, greatest(n_bytes - f.frame_idx * greatest(n_bytes // 4, 1), 0)) AS BIGINT) AS frame_len
+        |FROM m, (SELECT unnest(range(0, 4)) AS frame_idx) f
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard (north-star surface; public algorithms —
+  * Broder's MinHash/shingling, Charikar's SimHash — composed from built-in
+  * Spark expressions; no reference counterpart).
+  *
+  * Scale posture (100 TB): all candidate generation is
+  * explode -> hash-partitioned groupBy/join on SHORT keys (band hashes,
+  * 16-bit chunks, shingles), never an all-pairs product. Signatures are
+  * computed row-local inside WholeStageCodegen (no UDFs). The only shuffles
+  * move (key, doc_id) pairs — bytes per doc, not documents.
+  */
+object Dedup {
+
+  // ---- exact ----
+
+  /** Exact dedup: representative (min id) + multiplicity per identical key.
+    * At scale this is one hash-partitioned aggregation on the dedup key. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  // ---- shingling ----
+
+  /** Distinct w-word shingles of `text` (the unit set for MinHash/Jaccard).
+    * Short docs (< w words) yield their full text as one shingle. Native
+    * kernel ([[graft.functions.WordShingles]]); semantically identical to
+    * the declarative
+    * `array_distinct(transform(sequence(1, greatest(n-w+1, 1)),
+    *   i -> array_join(slice(split(text, " "), i, w), " ")))`,
+    * which q26's DuckDB oracle still mirrors. */
+  def wordShingles(text: Column, w: Int): Column =
+    graft.functions.TextExprs.wordShingles(text, w)
+
+  // ---- MinHash + LSH ----
+
+  /** MinHash signature: min over shingles per hash function. Delegates to
+    * the native [[graft.functions.MinHashSignature]] expression — the
+    * declarative HOF form (`transform(seq, i -> array_min(transform(...)))`)
+    * costs numHashes x |shingles| interpreted lambda evals per row, which
+    * measured 300x slower at 5k docs. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    graft.functions.MinHashSignature.minhashSignature(shingles, numHashes)
+
+  /** LSH banding: (doc_id, band_idx, band_hash) — docs agreeing on ANY full
+    * band become candidates. bands*rowsPerBand must equal the signature
+    * length. The band hash is the shuffle key: candidates meet in a
+    * hash-partitioned self-join, so cost scales with collisions, not n². */
+  def lshBands(df: DataFrame, idCol: String, signature: Column,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = df.select(col(idCol).as("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    banded
+  }
+
+  /** Candidate near-dup pairs from MinHash LSH (id_a < id_b, distinct).
+    *
+    * The shingle set is materialized into its own projection before the
+    * signature is computed: the signature lambda references `shingles` once
+    * PER SEED, and Catalyst does not common-subexpression-eliminate inside
+    * lambda bodies — inlining the shingle construction there made the plan
+    * rebuild the shingle set numHashes times per row (observed: minutes vs
+    * seconds at 5k docs). CollapseProject keeps multi-referenced non-cheap
+    * aliases materialized, so two selects are load-bearing here. */
+  def minhashCandidates(df: DataFrame, idCol: String, text: Column,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val withShingles = df.select(col(idCol).as("doc_id"),
+      wordShingles(text, 5).as("shingles"))
+    val withSig = withShingles.select(col("doc_id"),
+      minhashSignature(col("shingles"), numHashes).as("sig"))
+    val banded = lshBands(withSig, "doc_id", col("sig"), bands, numHashes / bands)
+    val a = banded.toDF("id_a", "band_idx", "band_hash")
+    val b = banded.toDF("id_b", "band_idx", "band_hash")
+    a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  // ---- n-gram / shingle Jaccard ----
+
+  /** Exact Jaccard near-dup pairs at `num/den` threshold over w-word
+    * shingles. Candidates come from an inverted shingle index (explode +
+    * self-equi-join: perfect recall for any threshold > 0, since J > 0
+    * implies a shared shingle); the exact Jaccard test uses INTEGER
+    * cross-multiplication (inter*den >= num*union) — no float compare, so
+    * the DuckDB oracle matches bit-exactly. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 5, num: Int = 1, den: Int = 2): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      wordShingles(col(textCol), w).as("shingles"))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val cand = inv.toDF("id_a", "sh").join(inv.toDF("id_b", "sh"), Seq("sh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("long") - inter
+    withSets
+      .select(col("id_a"), col("id_b"), inter.as("inter_sz"), union.as("union_sz"))
+      .where(col("inter_sz") * den >= col("union_sz") * num)
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash over word hashes: per bit, sign of the sum of ±1 votes
+    * across tokens. Native kernel ([[graft.functions.SimHash64]]) — the
+    * equivalent `aggregate`/`zip_with` 64-lane vote fold runs interpreted
+    * per element and was ~10x slower. */
+  def simhashColumn(text: Column): Column =
+    graft.functions.TextExprs.simhash64(text)
+
+  /** SimHash near-dup candidates: docs sharing any 16-bit chunk of the
+    * signature (pigeonhole: hamming distance <= 3 guarantees a shared
+    * chunk). Exact hamming (bit_count of xor) filters candidates. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc_id"),
+      simhashColumn(col(textCol)).as("sig"))
+    val chunked = sigs.select(col("doc_id"), col("sig"), explode(array(
+      (0 until 4).map(i => struct(lit(i).as("chunk_idx"),
+        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("c"))
+      .select(col("doc_id"), col("sig"), col("c.chunk_idx"), col("c.chunk"))
+    val a = chunked.toDF("id_a", "sig_a", "chunk_idx", "chunk")
+    val b = chunked.toDF("id_b", "sig_b", "chunk_idx", "chunk")
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (north-star surface; no
+  * reference counterpart — derived from the public Spark API only).
+  *
+  * Everything here is built-in-expression composition — codegen'd, no UDFs,
+  * so the whole stage stays inside WholeStageCodegen and scales linearly
+  * with zero shuffles (pure per-row map work).
+  */
+object TextOps {
+
+  /** Portable word count: `length - length(replace(' ','')) + 1`. The same
+    * formula is used in the DuckDB oracles, so engine and oracle agree even
+    * on degenerate whitespace. */
+  def wordCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
+
+  /** Per-document quality/stat projection (all integer-exact for oracle
+    * portability; ratios are emitted as integer per-10k via `div`). */
+  def textStats(df: DataFrame, text: Column, keys: Column*): DataFrame = {
+    val words = wordCount(text)
+    val chars = length(text).cast("long")
+    val tokens = split(lower(text), " ")
+    val stopCnt = size(filter(tokens, t => array_contains(typedLit(StopWords), t))).cast("long")
+    df.select(keys ++ Seq(
+      chars.as("n_chars"),
+      words.as("n_words"),
+      // avg word length per 10k: (chars - spaces) * 10000 div words
+      ((chars - (words - 1)) * 10000L).as("_alpha10k"),
+      stopCnt.as("n_stopwords")): _*)
+      .withColumn("avg_wordlen_e4", expr("_alpha10k div n_words"))
+      .drop("_alpha10k")
+  }
+
+  /** High-frequency marker words per language (public-knowledge stopword
+    * lists, truncated). Kept tiny and literal so the identical heuristic is
+    * expressible in the DuckDB oracle. */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "los", "las", "que", "y", "en", "un", "una", "por"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "est", "dans", "pour", "qui", "sur"))
+
+  val StopWords: Seq[String] =
+    Markers.flatMap(_._2).distinct
+
+  /** N-gram-heuristic language identification, UDF-free.
+    *
+    * Score per language = number of DISTINCT marker words present in the
+    * token set; CJK scripts are detected by character-class density first.
+    * Ties break by the fixed language order above ('und' when all zero) —
+    * the DuckDB oracle reproduces the identical CASE chain, so this is a
+    * fully oracled operator even though it is a heuristic.
+    */
+  def langIdColumn(text: Column): Column = {
+    val tokens = array_distinct(split(lower(text), " "))
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")).cast("long")
+    val scores = Markers.map { case (lang, words) =>
+      lang -> size(array_intersect(tokens, typedLit(words))).cast("long")
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // CJK density >= 20% of chars -> zh, else argmax marker score (first wins)
+    val argmax = scores.foldRight(lit("und"): Column) { case ((lang, sc), elseCol) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(elseCol)
+    }
+    when(cjk * 5L >= length(text).cast("long"), lit("zh")).otherwise(argmax)
+  }
+
+  /** Rolling polynomial fingerprint over words (mod 2^31-1), for
+    * content-defined document identity. Pure expression fold; NOT oracled
+    * (no portable cross-engine hash) — validated in ScalaTest instead. */
+  def fingerprintColumn(text: Column): Column = {
+    val P = lit(2147483647L)
+    aggregate(split(text, " "), lit(0L),
+      (acc, w) => pmod(acc * 31L + pmod(xxhash64(w), P), P))
+  }
+}

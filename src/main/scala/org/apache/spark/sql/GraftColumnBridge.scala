@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark 4's `private[sql]` Column<->Expression conversion
+  * (Column wraps a ColumnNode since 4.0; the classic converter lives in
+  * `org.apache.spark.sql.classic.ExpressionUtils`). Extension libraries
+  * that ship custom Catalyst expressions conventionally host a small
+  * accessor in this package — cf. the public Qbeast/Chukonu-style
+  * `DatasetFactory` pattern. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+/** Streaming semantics vs their batch twins: the windowed agg must agree
+  * with q17's batch aggregation, and streaming sessionization must close
+  * the same sessions q30's lag/gap form counts. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // events.parquet is TIMESTAMP(NANOS); stream through a converted copy
+  private lazy val eventsDir: String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = Files.createTempDirectory("graft_events_").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming windowed agg matches the batch aggregation") {
+    val batchEvents = spark.read.parquet(eventsDir)
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(eventsDir)
+    val q = EventStream.windowedAgg(stream)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("win_out")
+      .select("window_start", "event_type", "n_events", "value_e2")
+      .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("value_e2"))
+      .select(col("window.start"), col("event_type"), col("n_events"), col("value_e2"))
+      .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming sessionization closes the same sessions as the batch lag/gap form") {
+    val closed = EventStream.runSessionizeBatch(spark, eventsDir,
+      spark.read.parquet(eventsDir).schema)
+    // batch truth: sessions per user via lag/gap (the q30 form), minus the
+    // final (still-open) session per user, which streaming hasn't emitted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val batchSessions = spark.read.parquet(eventsDir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          (unix_micros(col("ts")) - col("prev_us")) > 30L * 60L * 1000000L, 1L).otherwise(0L))
+      .groupBy("user_id").agg(sum("new_sess").as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+
+    val closedPerUser = closed.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    batchSessions.foreach { case (user, total) =>
+      val c = closedPerUser.getOrElse(user, 0L)
+      assert(c == total - 1, s"user $user: streaming closed $c, batch total $total (expected total-1)")
+    }
+    // event conservation: closed sessions' event counts never exceed user totals
+    val evTotals = spark.read.parquet(eventsDir).groupBy("user_id")
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    closed.groupBy("user_id").agg(sum("n_events").as("n")).as[(Long, Long)].collect()
+      .foreach { case (u, n) => assert(n <= evTotals(u)) }
+  }
+}
