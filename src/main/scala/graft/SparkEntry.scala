@@ -385,6 +385,52 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx"), col("offset"),
           octet_length(col("frame_bytes")).cast("long").as("frame_len"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // ---- table maintenance (Iceberg rewrite_data_files / expire_snapshots
+    //      equivalents on the snapshot catalog) ----
+
+    // compaction: 2 appends of 4 files each -> compact to 2 files; row
+    // counts must be untouched at every snapshot.
+    "q33_compact" -> ((s, dir) => {
+      import s.implicits._
+      WarehouseFixture.forDir(s, dir).src.snapshotList("maint", "orders_small")
+        .map(sn => (sn.snapshotId, sn.operation, sn.files.size.toLong, sn.recordCount))
+        .toDF("snapshot_id", "operation", "num_files", "record_count")
+        .orderBy("snapshot_id")
+    }),
+
+    // snapshot expiration: history of 3 -> keepLast=1; unreferenced files
+    // deleted, surviving snapshot keeps its id and exact data.
+    "q34_expire" -> ((s, dir) => {
+      import s.implicits._
+      val fx = WarehouseFixture.forDir(s, dir)
+      val remaining = fx.src.snapshotList("maint", "exp")
+      val cnt = fx.src.readLatest("maint", "exp").count()
+      Seq((remaining.size.toLong, remaining.head.snapshotId,
+        cnt, fx.expiredFileCount.toLong))
+        .toDF("n_snapshots", "surviving_id", "record_count", "deleted_files")
+    }),
+
+    // catalog listing (S4: the SHOW TABLES surface,
+    // `1_collect_src_snapshots.py:49-56`).
+    "q35_list_tables" -> ((s, dir) => {
+      import s.implicits._
+      WarehouseFixture.forDir(s, dir).src.listTables("tpch")
+        .toDF("table_name").orderBy("table_name")
+    }),
+
+    // structured describe (S5: the DESCRIBE TABLE EXTENDED surface,
+    // `2_collect_database_schema_info.py:162-214`, without string parsing).
+    "q36_describe" -> ((s, dir) => {
+      import s.implicits._
+      val fx = WarehouseFixture.forDir(s, dir)
+      val info = graft.stages.SchemaCapture.captureTable(fx.src, "tpch", "orders",
+        fx.src.currentSnapshot("tpch", "orders").snapshotId).get
+      info.columns.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.name, c.colType) }
+        .toDF("ordinal", "column_name", "col_type")
+        .orderBy("ordinal")
     }))
 
   // -------------------------------------------------------------------
@@ -640,5 +686,33 @@ object SparkEntry {
         |  CAST(f.frame_idx * greatest(n_bytes // 4, 1) AS BIGINT) AS offset,
         |  CAST(least(16, greatest(n_bytes - f.frame_idx * greatest(n_bytes // 4, 1), 0)) AS BIGINT) AS frame_len
         |FROM m, (SELECT unnest(range(0, 4)) AS frame_idx) f
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q33_compact" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'create', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'append', CAST(4 AS BIGINT), (SELECT CAST(count(*) AS BIGINT) FROM orders)),
+        |  (CAST(3 AS BIGINT), 'append', CAST(8 AS BIGINT), (SELECT CAST(2 * count(*) AS BIGINT) FROM orders)),
+        |  (CAST(4 AS BIGINT), 'compact', CAST(2 AS BIGINT), (SELECT CAST(2 * count(*) AS BIGINT) FROM orders))
+        |) AS t(snapshot_id, operation, num_files, record_count)
+        |ORDER BY snapshot_id""".stripMargin,
+
+    "q34_expire" ->
+      """SELECT CAST(1 AS BIGINT) AS n_snapshots, CAST(3 AS BIGINT) AS surviving_id,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderstatus = 'F') AS record_count,
+        |  CAST(2 AS BIGINT) AS deleted_files""".stripMargin,
+
+    "q35_list_tables" ->
+      """SELECT * FROM (VALUES ('nation'), ('orders')) AS t(table_name)
+        |ORDER BY table_name""".stripMargin,
+
+    "q36_describe" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'o_orderkey', 'BIGINT'),
+        |  (CAST(1 AS BIGINT), 'o_custkey', 'BIGINT'),
+        |  (CAST(2 AS BIGINT), 'o_orderstatus', 'STRING'),
+        |  (CAST(3 AS BIGINT), 'o_totalprice', 'DOUBLE'),
+        |  (CAST(4 AS BIGINT), 'o_orderdate', 'TIMESTAMP_NTZ'),
+        |  (CAST(5 AS BIGINT), 'o_orderpriority', 'STRING')
+        |) AS t(ordinal, column_name, col_type) ORDER BY ordinal""".stripMargin)
 }

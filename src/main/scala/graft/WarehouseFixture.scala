@@ -34,7 +34,8 @@ object WarehouseFixture {
   final case class Fixture(
       src: SnapshotCatalog,
       dst: SnapshotCatalog,
-      verification: Seq[DataVerificationResult])
+      verification: Seq[DataVerificationResult],
+      expiredFileCount: Int)
 
   private val cache = TrieMap.empty[String, Fixture]
 
@@ -71,6 +72,21 @@ object WarehouseFixture {
     val infos = SchemaCapture.run(src, "tpch", resolved)
     Migrator.run(src, dst, infos)
     val verification = IntegrityVerifier.run(src, dst, infos)
-    Fixture(src, dst, verification)
+
+    // maintenance surface, in its own namespace so the tpch pipeline state
+    // above stays exactly as the q03..q10 oracles predict:
+    // - maint.orders_small: 2 appends of 4 files each, then compact -> 2
+    src.createTable("maint", "orders_small", orders.schema)
+    src.append("maint", "orders_small", orders.repartition(4))
+    src.append("maint", "orders_small", orders.repartition(4))
+    src.compact("maint", "orders_small", numFiles = 2)
+    // - maint.exp: create/append/overwrite history, then expire all but last
+    src.createTable("maint", "exp", orders.schema)
+    src.append("maint", "exp", orders.repartition(2))
+    src.overwrite("maint", "exp",
+      orders.where(col("o_orderstatus") === "F").repartition(1))
+    val expDeleted = src.expireSnapshots("maint", "exp", keepLast = 1)
+
+    Fixture(src, dst, verification, expDeleted)
   }
 }

@@ -326,6 +326,47 @@ final class SnapshotCatalog(
     snap
   }
 
+  // ---- maintenance (the "table maintenance" half of the Iceberg surface:
+  // rewrite_data_files / expire_snapshots equivalents) ----
+
+  /** Compaction: rewrite the CURRENT snapshot's data into `numFiles` files
+    * and commit it as operation `compact`. Data is bit-identical (same rows,
+    * fewer/larger files); prior snapshots remain time-travelable. This is
+    * the many-small-files remedy the reference's own test setup generated
+    * files for ("Generate Large Small Parquet Files",
+    * `/root/reference/3_create_dst_tables.py:41`) but never implemented.
+    *
+    * Uses `repartition` (one shuffle) rather than `coalesce`: coalesce is
+    * capped by the scan's partition count, which for many-small-files
+    * inputs can be 1 (all files fit one split) — the output file count
+    * would then depend on data volume. Compaction rewrites every byte
+    * anyway, so the shuffle is the cost of choosing the layout.
+    */
+  def compact(db: String, table: String, numFiles: Int): Snapshot = {
+    val current = readLatest(db, table)
+    commit(db, table, current.repartition(numFiles), "compact")
+  }
+
+  /** Snapshot expiration: keep only the most recent `keepLast` snapshots,
+    * delete log entries and any data files no surviving snapshot
+    * references (Iceberg `expire_snapshots` semantics — bounds storage
+    * growth from overwrite/compact chains). Returns deleted file count. */
+  def expireSnapshots(db: String, table: String, keepLast: Int): Int = {
+    require(keepLast >= 1, "must keep at least one snapshot")
+    val log = snapshotList(db, table)
+    if (log.size <= keepLast) return 0
+    val (expired, kept) = log.splitAt(log.size - keepLast)
+    val keptFiles = kept.flatMap(_.files).toSet
+    val root = tablePath(db, table)
+    val doomed = expired.flatMap(_.files).distinct.filterNot(keptFiles.contains)
+    doomed.foreach { f =>
+      val p = root.resolve(f)
+      if (Files.exists(p)) Files.delete(p)
+    }
+    writeLog(db, table, kept)
+    doomed.size
+  }
+
   // ---- io helpers ----
 
   private def listParquetFiles(dir: Path): Seq[Path] =

@@ -87,6 +87,14 @@ object SnapCli {
       val limit = if (a.length > 4) a(4).toInt else 20
       println(s"count=${df.count()}")
       df.show(limit, truncate = false)
+    case "compact" =>
+      val Array(wh, db, table, n) = a.take(4)
+      val snap = new SnapshotCatalog(spark, wh).compact(db, table, n.toInt)
+      println(s"compact $db.$table snapshot=${snap.snapshotId} files=${snap.files.size} records=${snap.recordCount}")
+    case "expire" =>
+      val Array(wh, db, table, keep) = a.take(4)
+      val deleted = new SnapshotCatalog(spark, wh).expireSnapshots(db, table, keep.toInt)
+      println(s"expire $db.$table deleted_files=$deleted")
     case other =>
       System.err.println(s"unknown command: $other\n$usage")
       sys.exit(2)
@@ -100,5 +108,7 @@ object SnapCli {
       |  tables    <warehouse> <db>
       |  snapshots <warehouse> <db> <table>
       |  files     <warehouse> <db> <table> <snapshotId>
-      |  show      <warehouse> <db> <table> [snapshotId] [limit]""".stripMargin
+      |  show      <warehouse> <db> <table> [snapshotId] [limit]
+      |  compact   <warehouse> <db> <table> <numFiles>
+      |  expire    <warehouse> <db> <table> <keepLast>""".stripMargin
 }

@@ -151,6 +151,48 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(back.count() == 1)
   }
 
+  test("compact rewrites current state into the requested file count, history intact") {
+    val cat = freshCatalog()
+    val df = spark.range(0, 1000).toDF("id")
+    cat.createTable("db", "c", df.schema)
+    cat.append("db", "c", df.repartition(6))
+    val compacted = cat.compact("db", "c", numFiles = 2)
+    assert(compacted.operation == "compact")
+    assert(compacted.files.size == 2)
+    assert(compacted.recordCount == 1000)
+    assert(cat.readLatest("db", "c").agg(sum(col("id"))).head.getLong(0) == 499500L)
+    // pre-compaction snapshot still readable with its 6 files
+    assert(cat.readAsOf("db", "c", 2L).count() == 1000)
+    assert(cat.snapshotAt("db", "c", 2L).files.size == 6)
+  }
+
+  test("expireSnapshots deletes only unreferenced files and keeps data") {
+    val cat = freshCatalog()
+    val df = spark.range(0, 100).toDF("id")
+    cat.createTable("db", "e", df.schema)
+    cat.append("db", "e", df.repartition(3))                    // snap 2: 3 files
+    cat.overwrite("db", "e", df.limit(10).repartition(1))       // snap 3: 1 file
+    val deleted = cat.expireSnapshots("db", "e", keepLast = 1)
+    assert(deleted == 3, "the 3 files owned only by snapshot 2")
+    val log = cat.snapshotList("db", "e")
+    assert(log.map(_.snapshotId) == Seq(3L), "surviving snapshot keeps its id")
+    assert(cat.readLatest("db", "e").count() == 10)
+    intercept[NoSuchElementException] { cat.readAsOf("db", "e", 2L) }
+    // expiring down to the same count is a no-op
+    assert(cat.expireSnapshots("db", "e", keepLast = 1) == 0)
+  }
+
+  test("expire after append keeps shared files (append chains share files)") {
+    val cat = freshCatalog()
+    val df = spark.range(0, 50).toDF("id")
+    cat.createTable("db", "sh", df.schema)
+    cat.append("db", "sh", df.repartition(2))   // snap 2: files A
+    cat.append("db", "sh", df.repartition(2))   // snap 3: files A + B
+    val deleted = cat.expireSnapshots("db", "sh", keepLast = 1)
+    assert(deleted == 0, "all of snap 2's files are still referenced by snap 3")
+    assert(cat.readLatest("db", "sh").count() == 100)
+  }
+
   test("drop table removes it from the listing") {
     val cat = freshCatalog()
     val df = Seq((1L, "a")).toDF("id", "name")
