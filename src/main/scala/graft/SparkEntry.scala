@@ -431,6 +431,19 @@ object SparkEntry {
         .map { case (c, i) => (i.toLong, c.name, c.colType) }
         .toDF("ordinal", "column_name", "col_type")
         .orderBy("ordinal")
+    }),
+
+    // partitioned table scan through time travel: the filter on the
+    // partition column prunes to the o_orderstatus=F directories (the
+    // PARTITIONED BY capability the reference records but drops,
+    // `3_create_dst_tables.py:84-89`; PartitionFilters asserted in tests).
+    "q37_partition_pruning" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      fx.src.readLatest("maint", "orders_part")
+        .where(col("o_orderstatus") === "F")
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("o_totalprice"))).as("total_cents"),
+          countDistinct(col("o_custkey")).as("n_cust"))
     }))
 
   // -------------------------------------------------------------------
@@ -714,5 +727,11 @@ object SparkEntry {
         |  (CAST(3 AS BIGINT), 'o_totalprice', 'DOUBLE'),
         |  (CAST(4 AS BIGINT), 'o_orderdate', 'TIMESTAMP_NTZ'),
         |  (CAST(5 AS BIGINT), 'o_orderpriority', 'STRING')
-        |) AS t(ordinal, column_name, col_type) ORDER BY ordinal""".stripMargin)
+        |) AS t(ordinal, column_name, col_type) ORDER BY ordinal""".stripMargin,
+
+    "q37_partition_pruning" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin)
 }

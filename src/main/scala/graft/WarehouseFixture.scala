@@ -87,6 +87,12 @@ object WarehouseFixture {
       orders.where(col("o_orderstatus") === "F").repartition(1))
     val expDeleted = src.expireSnapshots("maint", "exp", keepLast = 1)
 
+    // - maint.orders_part: Hive-partitioned by o_orderstatus (the partition
+    //   spec the reference records but never applies; we apply it)
+    src.createTable("maint", "orders_part", orders.schema,
+      partitionCols = Seq("o_orderstatus"))
+    src.append("maint", "orders_part", orders)
+
     Fixture(src, dst, verification, expDeleted)
   }
 }

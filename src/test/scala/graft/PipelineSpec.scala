@@ -127,6 +127,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.count == c.count && a.checksum != c.checksum)
   }
 
+  test("q37: partition filter reaches the scan as a PartitionFilter (pruning, not row filter)") {
+    val fx = WarehouseFixture.forDir(spark, sf)
+    val plan = fx.src.readLatest("maint", "orders_part")
+      .where(col("o_orderstatus") === "F")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"expected partition pruning in:\n${plan.take(2000)}")
+  }
+
   test("resolveDF window form agrees with driver-side resolution") {
     val src = newCat()
     val nation = spark.read.parquet(s"$sf/nation.parquet")
