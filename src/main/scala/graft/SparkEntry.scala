@@ -444,6 +444,75 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(cents(col("o_totalprice"))).as("total_cents"),
           countDistinct(col("o_custkey")).as("n_cust"))
+    }),
+
+    // ---- additional canonical shapes ----
+
+    // outer join + two-level aggregation (TPC-H Q13 shape): distribution of
+    // customers by order count, including zero-order customers.
+    "q38_outerjoin_hist" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders")) // count(col): nulls excluded
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders")
+    }),
+
+    // correlated-max semantics (TPC-H Q2 shape): suppliers whose balance is
+    // the maximum of their nation, via a window max (scale-friendly form of
+    // the correlated subquery the oracle states directly).
+    "q39_correlated_max" -> ((s, dir) => {
+      val w = Window.partitionBy("s_nationkey")
+      T(s, dir, "supplier")
+        .withColumn("max_bal", max(cents(col("s_acctbal"))).over(w))
+        .where(cents(col("s_acctbal")) === col("max_bal"))
+        .select(col("s_suppkey"), col("s_nationkey").cast("long").as("s_nationkey"),
+          cents(col("s_acctbal")).as("bal_cents"))
+        .orderBy("s_nationkey", "s_suppkey")
+    }),
+
+    // LIKE + IN-list predicates on strings.
+    "q40_like_in" -> ((s, dir) => {
+      T(s, dir, "part")
+        .where(col("p_type").like("%AND%") &&
+          col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size").cast("long").as("p_size"))
+        .orderBy("p_partkey")
+    }),
+
+    // conditional aggregation pivot: events per type as columns, by day.
+    "q41_case_pivot" -> ((s, dir) => {
+      eventsT(s, dir)
+        .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day_ts"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+          sum(when(!col("event_type").isin("click", "view"), 1L).otherwise(0L)).as("n_other"))
+        .orderBy("day_ts")
+    }),
+
+    // calendar rollup: monthly revenue (date_trunc month).
+    "q42_monthly_rollup" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_ts"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("month_ts")
+    }),
+
+    // the spark.sql surface itself: SQL text over registered temp views —
+    // the engine accepts the same ANSI SQL the oracle runs.
+    "q43_sql_surface" -> ((s, dir) => {
+      T(s, dir, "nation").createOrReplaceTempView("nation_v")
+      T(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+      s.sql(
+        """SELECT n.n_name, CAST(count(s.s_suppkey) AS BIGINT) AS n_supp
+          |FROM nation_v n LEFT JOIN supplier_v s ON n.n_nationkey = s.s_nationkey
+          |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
     }))
 
   // -------------------------------------------------------------------
@@ -733,5 +802,45 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
-        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin)
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q38_outerjoin_hist" ->
+      """SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers FROM (
+        |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey) g
+        |GROUP BY n_orders ORDER BY n_orders""".stripMargin,
+
+    "q39_correlated_max" ->
+      """SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |  CAST(FLOOR(s_acctbal*100) AS BIGINT) AS bal_cents
+        |FROM supplier s
+        |WHERE CAST(FLOOR(s_acctbal*100) AS BIGINT) = (
+        |  SELECT max(CAST(FLOOR(s2.s_acctbal*100) AS BIGINT)) FROM supplier s2
+        |  WHERE s2.s_nationkey = s.s_nationkey)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+
+    "q40_like_in" ->
+      """SELECT p_partkey, p_brand, p_type, CAST(p_size AS BIGINT) AS p_size
+        |FROM part
+        |WHERE p_type LIKE '%AND%' AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q41_case_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type NOT IN ('click', 'view') THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+        |FROM events GROUP BY 1 ORDER BY day_ts""".stripMargin,
+
+    "q42_monthly_rollup" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_ts,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY month_ts""".stripMargin,
+
+    "q43_sql_surface" ->
+      """SELECT n.n_name, CAST(count(s.s_suppkey) AS BIGINT) AS n_supp
+        |FROM nation n LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
 }
