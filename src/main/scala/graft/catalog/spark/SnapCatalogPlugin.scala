@@ -1,0 +1,185 @@
+package graft.catalog.spark
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.{Snapshot, SnapshotCatalog}
+
+/** Spark V2 `TableCatalog` over [[graft.catalog.SnapshotCatalog]] — gives
+  * the engine the reference's exact SQL operating surface without an
+  * Iceberg runtime:
+  *
+  * {{{
+  *   spark.sql.catalog.snapcat           = graft.catalog.spark.SnapCatalogPlugin
+  *   spark.sql.catalog.snapcat.warehouse = /path/to/warehouse
+  *
+  *   SHOW TABLES IN snapcat.db                      -- 1_collect_src_snapshots.py:52
+  *   SELECT * FROM snapcat.db.t                     -- current state
+  *   SELECT * FROM snapcat.db.t VERSION AS OF 2     -- snapshot-id time travel
+  *   SELECT * FROM snapcat.db.t TIMESTAMP AS OF '...'  -- as-of-timestamp
+  *   CREATE NAMESPACE snapcat.db2                   -- 3_create_dst_tables.py:73-77
+  *   CREATE TABLE snapcat.db2.t (c INT)             -- 3_create_dst_tables.py:79-92
+  * }}}
+  *
+  * Reads delegate to Spark's own vectorized Parquet `FileTable` over the
+  * snapshot's file list, so pushdown/pruning/codegen are stock. Writes go
+  * through the library API (`SnapshotCatalog.append/overwrite`) — the SQL
+  * write path is intentionally not wired in this round.
+  */
+class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def cat: SnapshotCatalog = new SnapshotCatalog(spark, warehouse)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  // ---- namespaces ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    cat.listNamespaces().map(db => Array(db)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (cat.namespaceExists(namespace.head)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (namespace.length != 1 || !cat.namespaceExists(namespace.head))
+      throw new NoSuchNamespaceException(namespace)
+    Map("location" -> s"$warehouse/${namespace.head}").asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1, "snapcat namespaces are single-level")
+    cat.createNamespace(namespace.head)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!cat.namespaceExists(namespace.head)) return false
+    val tables = cat.listTables(namespace.head)
+    if (tables.nonEmpty && !cascade)
+      throw new IllegalStateException(s"namespace ${namespace.head} is not empty")
+    tables.foreach(t => cat.dropTable(namespace.head, t))
+    true
+  }
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.length != 1 || !cat.namespaceExists(namespace.head))
+      throw new NoSuchNamespaceException(namespace)
+    cat.listTables(namespace.head).map(t => Identifier.of(namespace, t)).toArray
+  }
+
+  private def snapshotTable(ident: Identifier, snap: Snapshot): Table = {
+    val db = ident.namespace().head
+    val table = ident.name()
+    val root = java.nio.file.Paths.get(warehouse, db, table)
+    val files = snap.files.map(f => root.resolve(f).toString)
+    val meta = cat.meta(db, table)
+    // Hive-style partition dirs resolve via basePath; multi-snapshot-dir
+    // file lists of PARTITIONED tables can't share one basePath — compact
+    // first (compaction rewrites into a single snapshot dir).
+    val opts: Map[String, String] =
+      if (meta.partitionCols.isEmpty || snap.files.isEmpty) Map.empty
+      else {
+        val dirs = snap.files.map(_.split("/").take(2).mkString("/")).distinct
+        if (dirs.size > 1) throw new UnsupportedOperationException(
+          s"partitioned table $db.$table spans ${dirs.size} snapshot dirs; " +
+            "run compact() to consolidate before SQL reads")
+        Map("basePath" -> root.resolve(dirs.head).toString)
+      }
+    if (files.isEmpty) {
+      // empty table: serve schema with an empty file list
+      ParquetTable(s"$catalogName.$db.$table", spark,
+        new CaseInsensitiveStringMap(opts.asJava), Nil,
+        Some(snap.schema), classOf[ParquetFileFormat])
+    } else {
+      ParquetTable(s"$catalogName.$db.$table", spark,
+        new CaseInsensitiveStringMap(opts.asJava), files,
+        Some(snap.schema), classOf[ParquetFileFormat])
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    checkExists(ident)
+    snapshotTable(ident, cat.currentSnapshot(ident.namespace().head, ident.name()))
+  }
+
+  /** VERSION AS OF <snapshotId> (`5_migrate_tables_data.py:72-74` surface). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    checkExists(ident)
+    snapshotTable(ident,
+      cat.snapshotAt(ident.namespace().head, ident.name(), version.toLong))
+  }
+
+  /** TIMESTAMP AS OF — micros since epoch (Spark converts literals). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    checkExists(ident)
+    val ts = java.time.Instant.EPOCH.plusNanos(timestamp * 1000L)
+    val db = ident.namespace().head
+    val snap = cat.snapshotList(db, ident.name())
+      .filter(s => !java.time.Instant.parse(s.committedAt).isAfter(ts))
+      .maxByOption(_.snapshotId)
+      .getOrElse(throw new NoSuchTableException(ident))
+    snapshotTable(ident, snap)
+  }
+
+  private def checkExists(ident: Identifier): Unit = {
+    if (ident.namespace().length != 1 ||
+      !cat.tableExists(ident.namespace().head, ident.name()))
+      throw new NoSuchTableException(ident)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().length == 1 && cat.tableExists(ident.namespace().head, ident.name())
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(ident.namespace().length == 1, "snapcat namespaces are single-level")
+    val partCols = partitions.map { t =>
+      require(t.name == "identity", s"only identity partitioning supported, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    cat.createTable(ident.namespace().head, ident.name(), schema,
+      partCols.toSeq, properties.asScala.toMap)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE not supported; use the library API")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    cat.dropTable(ident.namespace().head, ident.name())
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE not supported")
+}

@@ -47,7 +47,8 @@ object SnapCli {
     try run(spark, cmd, args.drop(1))
     catch {
       case e: Exception =>
-        System.err.println(s"error: ${e.getMessage}")
+        val msg = Option(e.getMessage).filter(_.trim.nonEmpty).getOrElse(e.toString)
+        System.err.println(s"error: $msg")
         sys.exit(1)
     } finally spark.stop()
   }
@@ -95,6 +96,13 @@ object SnapCli {
       val Array(wh, db, table, keep) = a.take(4)
       val deleted = new SnapshotCatalog(spark, wh).expireSnapshots(db, table, keep.toInt)
       println(s"expire $db.$table deleted_files=$deleted")
+    case "sql" =>
+      // arbitrary SQL against the warehouse via the V2 catalog plugin:
+      // SnapCli sql <warehouse> "SELECT * FROM snapcat.db.t VERSION AS OF 2"
+      val Array(wh, query) = a.take(2)
+      spark.conf.set("spark.sql.catalog.snapcat", "graft.catalog.spark.SnapCatalogPlugin")
+      spark.conf.set("spark.sql.catalog.snapcat.warehouse", wh)
+      spark.sql(query).show(100, truncate = false)
     case other =>
       System.err.println(s"unknown command: $other\n$usage")
       sys.exit(2)
@@ -110,5 +118,6 @@ object SnapCli {
       |  files     <warehouse> <db> <table> <snapshotId>
       |  show      <warehouse> <db> <table> [snapshotId] [limit]
       |  compact   <warehouse> <db> <table> <numFiles>
-      |  expire    <warehouse> <db> <table> <keepLast>""".stripMargin
+      |  expire    <warehouse> <db> <table> <keepLast>
+      |  sql       <warehouse> "<query using snapcat.db.table>"""".stripMargin
 }

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.SnapshotCatalog
+
+/** SQL surface through the V2 TableCatalog plugin: the exact statements the
+  * reference issues (`SHOW TABLES IN cat.db`, snapshot-id time travel,
+  * `CREATE NAMESPACE`, `CREATE TABLE`) against our catalog. */
+class SnapCatalogPluginSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft_sqlcat_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, dir,
+      clock = () => { tick += 1; Instant.parse("2026-04-01T00:00:00Z").plusSeconds(tick * 3600) })
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    cat.createTable("db1", "nation", nation.schema)      // snap 1 @+1h
+    cat.append("db1", "nation", nation)                  // snap 2 @+2h
+    cat.overwrite("db1", "nation", nation.limit(5))      // snap 3 @+3h
+    spark.conf.set("spark.sql.catalog.snapcat", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapcat.warehouse", dir)
+    dir
+  }
+
+  test("SHOW TABLES and SELECT current state") {
+    wh
+    val tables = spark.sql("SHOW TABLES IN snapcat.db1").select("tableName")
+      .as[String].collect().toSeq
+    assert(tables == Seq("nation"))
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.db1.nation").head.getLong(0) == 5)
+  }
+
+  test("VERSION AS OF reads historic snapshots") {
+    wh
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.db1.nation VERSION AS OF 2").head.getLong(0) == 25)
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.db1.nation VERSION AS OF 3").head.getLong(0) == 5)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM snapcat.db1.nation VERSION AS OF 99").collect()
+    }
+    assert(e.getMessage.contains("99"))
+  }
+
+  test("TIMESTAMP AS OF resolves <= semantics") {
+    wh
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM snapcat.db1.nation TIMESTAMP AS OF '2026-04-01 02:30:00'")
+      .head.getLong(0) == 25, "between append and overwrite -> full snapshot")
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM snapcat.db1.nation TIMESTAMP AS OF '2026-04-01 12:00:00'")
+      .head.getLong(0) == 5)
+  }
+
+  test("predicate pushdown reaches the parquet scan through the plugin") {
+    wh
+    val df = spark.sql("SELECT n_name FROM snapcat.db1.nation VERSION AS OF 2 WHERE n_nationkey = 7")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_nationkey"), plan.take(1500))
+    assert(df.count() == 1)
+  }
+
+  test("CREATE NAMESPACE / CREATE TABLE / INSERT-free append via library interop") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.db2")
+    spark.sql("CREATE TABLE snapcat.db2.t2 (id BIGINT, flag STRING) PARTITIONED BY (flag)")
+    val cat = new SnapshotCatalog(spark, wh)
+    assert(cat.tableExists("db2", "t2"))
+    assert(cat.meta("db2", "t2").partitionCols == Seq("flag"))
+    // library write, SQL read — the interop the reference's dual-catalog
+    // sessions rely on (5_migrate_tables_data.py:27-37)
+    cat.append("db2", "t2", Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "flag"))
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.db2.t2 WHERE flag = 'a'").head.getLong(0) == 2)
+  }
+
+  test("unsupported DDL errors clearly") {
+    wh
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE snapcat.db1.nation ADD COLUMN extra INT")
+    }
+    assert(e.getMessage.toLowerCase.contains("not supported"))
+  }
+}
