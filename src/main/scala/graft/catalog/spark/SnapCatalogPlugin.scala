@@ -4,12 +4,15 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -96,6 +99,41 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces {
     cat.listTables(namespace.head).map(t => Identifier.of(namespace, t)).toArray
   }
 
+  /** Wraps the read-delegate [[ParquetTable]] and adds the SQL write path
+    * via the V1 write bridge: `InsertableRelation.insert` routes straight
+    * into the catalog's commit protocol, so `INSERT INTO` = `append` commit
+    * and `INSERT OVERWRITE` = `overwrite` commit — each SQL write is one
+    * new snapshot, exactly like the library API. */
+  private final class SnapTable(delegate: ParquetTable, db: String, table: String)
+      extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+    override def name(): String = delegate.name
+    override def schema(): StructType = delegate.schema
+    override def capabilities(): util.Set[TableCapability] = {
+      val caps = new util.HashSet[TableCapability](delegate.capabilities())
+      caps.add(TableCapability.V1_BATCH_WRITE)
+      caps.add(TableCapability.TRUNCATE)
+      caps
+    }
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      delegate.newScanBuilder(options)
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with SupportsTruncate {
+        private var overwriteAll = false
+        override def truncate(): WriteBuilder = { overwriteAll = true; this }
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, ignored: Boolean): Unit =
+                if (overwriteAll) cat.overwrite(db, table, data)
+                else cat.append(db, table, data)
+            }
+        }
+      }
+  }
+
   private def snapshotTable(ident: Identifier, snap: Snapshot): Table = {
     val db = ident.namespace().head
     val table = ident.name()
@@ -114,16 +152,11 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces {
             "run compact() to consolidate before SQL reads")
         Map("basePath" -> root.resolve(dirs.head).toString)
       }
-    if (files.isEmpty) {
-      // empty table: serve schema with an empty file list
-      ParquetTable(s"$catalogName.$db.$table", spark,
-        new CaseInsensitiveStringMap(opts.asJava), Nil,
-        Some(snap.schema), classOf[ParquetFileFormat])
-    } else {
-      ParquetTable(s"$catalogName.$db.$table", spark,
-        new CaseInsensitiveStringMap(opts.asJava), files,
-        Some(snap.schema), classOf[ParquetFileFormat])
-    }
+    val delegate = ParquetTable(s"$catalogName.$db.$table", spark,
+      new CaseInsensitiveStringMap(opts.asJava),
+      if (files.isEmpty) Nil else files,
+      Some(snap.schema), classOf[ParquetFileFormat])
+    new SnapTable(delegate, db, table)
   }
 
   override def loadTable(ident: Identifier): Table = {

@@ -78,6 +78,31 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS c FROM snapcat.db2.t2 WHERE flag = 'a'").head.getLong(0) == 2)
   }
 
+  test("INSERT INTO appends a snapshot; INSERT OVERWRITE replaces state") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbw")
+    spark.sql("CREATE TABLE IF NOT EXISTS snapcat.dbw.w (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO snapcat.dbw.w VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO snapcat.dbw.w VALUES (3, 'c')")
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbw.w").head.getLong(0) == 3)
+    spark.sql("INSERT OVERWRITE snapcat.dbw.w VALUES (9, 'z')")
+    assert(spark.sql("SELECT id FROM snapcat.dbw.w").as[Long].collect().toSeq == Seq(9L))
+    // every SQL write committed one snapshot; history stays time-travelable
+    val cat = new SnapshotCatalog(spark, wh)
+    assert(cat.snapshotList("dbw", "w").map(_.operation) ==
+      Seq("create", "append", "append", "overwrite"))
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbw.w VERSION AS OF 3").head.getLong(0) == 3)
+  }
+
+  test("CTAS creates and populates in one statement") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbw")
+    spark.sql(
+      """CREATE TABLE snapcat.dbw.nation_copy AS
+        |SELECT * FROM snapcat.db1.nation VERSION AS OF 2""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbw.nation_copy").head.getLong(0) == 25)
+  }
+
   test("unsupported DDL errors clearly") {
     wh
     val e = intercept[Exception] {
