@@ -159,7 +159,50 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces {
     new SnapTable(delegate, db, table)
   }
 
+  /** The `<table>.snapshots` metadata relation the reference scans
+    * (`spark.table("cat.db.t.snapshots")`, `1_collect_src_snapshots.py:61-62`)
+    * — resolved as identifier namespace [db, t] + name "snapshots" and
+    * served as a driver-local scan (the log is KB-sized metadata). */
+  private final class SnapshotsMetaTable(db: String, table: String)
+      extends Table with SupportsRead {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+    import org.apache.spark.sql.connector.read.{Batch, LocalScan, Scan}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+
+    private val tableSchema = StructType(Seq(
+      StructField("snapshot_id", LongType),
+      StructField("committed_at", TimestampType),
+      StructField("operation", StringType),
+      StructField("summary", MapType(StringType, StringType))))
+
+    override def name(): String = s"$catalogName.$db.$table.snapshots"
+    override def schema(): StructType = tableSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      () => new Scan with LocalScan {
+        override def readSchema(): StructType = tableSchema
+        override def rows(): Array[InternalRow] =
+          cat.snapshotList(db, table).map { s =>
+            val micros = java.time.Instant.parse(s.committedAt)
+            val ts = micros.getEpochSecond * 1000000L + micros.getNano / 1000L
+            val keys = s.summary.keys.toArray.map(k => UTF8String.fromString(k): Any)
+            val vals = s.summary.values.toArray.map(v => UTF8String.fromString(v): Any)
+            InternalRow(s.snapshotId, ts, UTF8String.fromString(s.operation),
+              ArrayBasedMapData(keys, vals))
+          }.toArray
+      }
+  }
+
   override def loadTable(ident: Identifier): Table = {
+    // metadata-table addressing: snapcat.db.t.snapshots
+    if (ident.namespace().length == 2 && ident.name() == "snapshots" &&
+      cat.tableExists(ident.namespace()(0), ident.namespace()(1))) {
+      return new SnapshotsMetaTable(ident.namespace()(0), ident.namespace()(1))
+    }
     checkExists(ident)
     snapshotTable(ident, cat.currentSnapshot(ident.namespace().head, ident.name()))
   }

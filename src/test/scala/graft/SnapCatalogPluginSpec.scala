@@ -103,6 +103,16 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbw.nation_copy").head.getLong(0) == 25)
   }
 
+  test(".snapshots metadata table serves the reference's stage-1 query shape") {
+    wh
+    // the exact access pattern of 1_collect_src_snapshots.py:61-70
+    val rows = spark.sql(
+      """SELECT snapshot_id, operation, CAST(summary['record_count'] AS BIGINT) AS records
+        |FROM snapcat.db1.nation.snapshots ORDER BY committed_at""".stripMargin)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows == Seq((1L, "create", 0L), (2L, "append", 25L), (3L, "overwrite", 5L)))
+  }
+
   test("unsupported DDL errors clearly") {
     wh
     val e = intercept[Exception] {
