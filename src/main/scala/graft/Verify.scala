@@ -24,20 +24,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // control chars in builder-authored SQL must be escaped or the
+    // driver's json.load fails and silently zeroes the round's correctness;
+    // graft.catalog.Json.write handles quote/backslash/all <0x20 chars.
+    val json = graft.catalog.Json.write(graft.catalog.JObj(
+      SparkEntry.oracleSql.toVector.map { case (k, v) =>
+        k -> (graft.catalog.JStr(v): graft.catalog.JValue) }))
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

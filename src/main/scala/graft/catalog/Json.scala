@@ -192,7 +192,7 @@ object Json {
     private def parseString(): String = {
       expect('"')
       val sb = new StringBuilder
-      while (peek != '"') {
+      while ({ require(!eof, "unexpected end of JSON input inside string"); peek != '"' }) {
         if (peek == '\\') {
           pos += 1
           peek match {

@@ -133,10 +133,24 @@ final class SnapshotCatalog(
 
   def createNamespace(db: String): Unit = Files.createDirectories(dbPath(db))
 
+  def dropNamespace(db: String): Unit = {
+    val p = dbPath(db)
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try stream.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+      finally stream.close()
+    }
+  }
+
+  private def withList[T](dir: Path)(f: Iterator[Path] => T): T = {
+    val stream = Files.list(dir)
+    try f(stream.iterator().asScala) finally stream.close()
+  }
+
   def listNamespaces(): Seq[String] =
     if (!Files.isDirectory(whPath)) Seq.empty
-    else Files.list(whPath).iterator().asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq.sorted
+    else withList(whPath)(_.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted)
 
   def namespaceExists(db: String): Boolean = Files.isDirectory(dbPath(db))
 
@@ -168,14 +182,16 @@ final class SnapshotCatalog(
 
   def listTables(db: String): Seq[String] =
     if (!Files.isDirectory(dbPath(db))) Seq.empty
-    else Files.list(dbPath(db)).iterator().asScala
-      .filter(p => Files.exists(p.resolve("table.json")))
-      .map(_.getFileName.toString).toSeq.sorted
+    else withList(dbPath(db))(_.filter(p => Files.exists(p.resolve("table.json")))
+      .map(_.getFileName.toString).toSeq.sorted)
 
   def dropTable(db: String, table: String): Unit = {
     val root = tablePath(db, table)
-    if (Files.exists(root))
-      Files.walk(root).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    if (Files.exists(root)) {
+      val stream = Files.walk(root)
+      try stream.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+      finally stream.close()
+    }
   }
 
   def meta(db: String, table: String): TableMeta =
@@ -371,22 +387,25 @@ final class SnapshotCatalog(
 
   private def listParquetFiles(dir: Path): Seq[Path] =
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.walk(dir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.toString)
+    else {
+      val stream = Files.walk(dir)
+      try stream.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+      finally stream.close()
+    }
 
-  private def writeLog(db: String, table: String, snaps: Seq[Snapshot]): Unit = {
-    val target = logPath(db, table)
-    Files.createDirectories(target.getParent)
-    val tmp = target.resolveSibling("log.json.tmp")
-    writeString(tmp, Json.writePretty(JArr(snaps.toVector.map(_.toJson))))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writeLog(db: String, table: String, snaps: Seq[Snapshot]): Unit =
+    writeString(logPath(db, table), Json.writePretty(JArr(snaps.toVector.map(_.toJson))))
 
+  /** All metadata writes are temp-then-atomic-rename: a crash mid-write
+    * must never leave a truncated log.json/table.json behind. */
   private def writeString(p: Path, s: String): Unit = {
     Files.createDirectories(p.getParent)
-    Files.writeString(p, s)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.writeString(tmp, s)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def readString(p: Path): String = Files.readString(p)

@@ -83,11 +83,13 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    require(namespace.length == 1, "snapcat namespaces are single-level")
     if (!cat.namespaceExists(namespace.head)) return false
     val tables = cat.listTables(namespace.head)
     if (tables.nonEmpty && !cascade)
       throw new IllegalStateException(s"namespace ${namespace.head} is not empty")
     tables.foreach(t => cat.dropTable(namespace.head, t))
+    cat.dropNamespace(namespace.head)
     true
   }
 
@@ -99,25 +101,28 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces {
     cat.listTables(namespace.head).map(t => Identifier.of(namespace, t)).toArray
   }
 
-  /** Wraps the read-delegate [[ParquetTable]] and adds the SQL write path
-    * via the V1 write bridge: `InsertableRelation.insert` routes straight
-    * into the catalog's commit protocol, so `INSERT INTO` = `append` commit
-    * and `INSERT OVERWRITE` = `overwrite` commit — each SQL write is one
-    * new snapshot, exactly like the library API. */
-  private final class SnapTable(delegate: ParquetTable, db: String, table: String)
+  /** Combines a lazily built read delegate ([[ParquetTable]]) with the SQL
+    * write path via the V1 write bridge: `InsertableRelation.insert` routes
+    * straight into the catalog's commit protocol, so `INSERT INTO` =
+    * `append` commit and `INSERT OVERWRITE` = `overwrite` commit — each SQL
+    * write is one new snapshot, exactly like the library API.
+    *
+    * The delegate is a thunk so read-path constraints (the partitioned
+    * multi-snapshot-dir basePath limitation) surface only when a SCAN is
+    * built — writes must keep working on a table whose current snapshot is
+    * temporarily unreadable via SQL. */
+  private final class SnapTable(tableName: String, tableSchema: StructType,
+      mkReadDelegate: () => ParquetTable, db: String, table: String)
       extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
-    override def name(): String = delegate.name
-    override def schema(): StructType = delegate.schema
-    override def capabilities(): util.Set[TableCapability] = {
-      val caps = new util.HashSet[TableCapability](delegate.capabilities())
-      caps.add(TableCapability.V1_BATCH_WRITE)
-      caps.add(TableCapability.TRUNCATE)
-      caps
-    }
+    override def name(): String = tableName
+    override def schema(): StructType = tableSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      delegate.newScanBuilder(options)
+      mkReadDelegate().newScanBuilder(options)
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder with SupportsTruncate {
@@ -138,25 +143,27 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces {
     val db = ident.namespace().head
     val table = ident.name()
     val root = java.nio.file.Paths.get(warehouse, db, table)
-    val files = snap.files.map(f => root.resolve(f).toString)
-    val meta = cat.meta(db, table)
-    // Hive-style partition dirs resolve via basePath; multi-snapshot-dir
-    // file lists of PARTITIONED tables can't share one basePath — compact
-    // first (compaction rewrites into a single snapshot dir).
-    val opts: Map[String, String] =
-      if (meta.partitionCols.isEmpty || snap.files.isEmpty) Map.empty
-      else {
-        val dirs = snap.files.map(_.split("/").take(2).mkString("/")).distinct
-        if (dirs.size > 1) throw new UnsupportedOperationException(
-          s"partitioned table $db.$table spans ${dirs.size} snapshot dirs; " +
-            "run compact() to consolidate before SQL reads")
-        Map("basePath" -> root.resolve(dirs.head).toString)
-      }
-    val delegate = ParquetTable(s"$catalogName.$db.$table", spark,
-      new CaseInsensitiveStringMap(opts.asJava),
-      if (files.isEmpty) Nil else files,
-      Some(snap.schema), classOf[ParquetFileFormat])
-    new SnapTable(delegate, db, table)
+    def mkDelegate(): ParquetTable = {
+      val files = snap.files.map(f => root.resolve(f).toString)
+      val meta = cat.meta(db, table)
+      // Hive-style partition dirs resolve via basePath; multi-snapshot-dir
+      // file lists of PARTITIONED tables can't share one basePath — compact
+      // first (compaction rewrites into a single snapshot dir). Read-path
+      // only: evaluated when a scan is built, never for writes.
+      val opts: Map[String, String] =
+        if (meta.partitionCols.isEmpty || snap.files.isEmpty) Map.empty
+        else {
+          val dirs = snap.files.map(_.split("/").take(2).mkString("/")).distinct
+          if (dirs.size > 1) throw new UnsupportedOperationException(
+            s"partitioned table $db.$table spans ${dirs.size} snapshot dirs; " +
+              "run compact() to consolidate before SQL reads")
+          Map("basePath" -> root.resolve(dirs.head).toString)
+        }
+      ParquetTable(s"$catalogName.$db.$table", spark,
+        new CaseInsensitiveStringMap(opts.asJava), files,
+        Some(snap.schema), classOf[ParquetFileFormat])
+    }
+    new SnapTable(s"$catalogName.$db.$table", snap.schema, () => mkDelegate(), db, table)
   }
 
   /** The `<table>.snapshots` metadata relation the reference scans
@@ -210,8 +217,11 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces {
   /** VERSION AS OF <snapshotId> (`5_migrate_tables_data.py:72-74` surface). */
   override def loadTable(ident: Identifier, version: String): Table = {
     checkExists(ident)
-    snapshotTable(ident,
-      cat.snapshotAt(ident.namespace().head, ident.name(), version.toLong))
+    val snapId = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"snapcat VERSION AS OF takes a numeric snapshot id, got '$version'")
+    }
+    snapshotTable(ident, cat.snapshotAt(ident.namespace().head, ident.name(), snapId))
   }
 
   /** TIMESTAMP AS OF — micros since epoch (Spark converts literals). */

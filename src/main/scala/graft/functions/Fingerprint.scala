@@ -22,14 +22,26 @@ import org.apache.spark.sql.types._
   */
 object Fingerprint {
 
-  /** Columns made hashable: MapType normalized to deterministic entry order. */
-  def hashableCols(df: DataFrame): Seq[Column] =
+  /** Columns made hashable: top-level MapType normalized to deterministic
+    * entry order; types with maps NESTED below the top level (struct/array
+    * of map) fall back to `to_json` — xxhash64 rejects any schema
+    * containing a map, and entry order inside parquet-read maps is the
+    * stored order, identical on both sides of a migration. */
+  def hashableCols(df: DataFrame): Seq[Column] = {
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
     df.schema.fields.toSeq.map { f =>
       f.dataType match {
         case _: MapType => sort_array(map_entries(col(f.name)))
-        case _          => col(f.name)
+        case dt if containsMap(dt) => to_json(col(f.name))
+        case _ => col(f.name)
       }
     }
+  }
 
   /** 64-bit commutative row-hash column over all columns. */
   def rowHash(df: DataFrame): Column = xxhash64(hashableCols(df): _*)

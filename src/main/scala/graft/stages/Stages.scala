@@ -53,7 +53,9 @@ object AsOfResolver {
     val target = Instant.parse(targetTs.replace("Z", "+00:00").replace("+00:00", "Z"))
     infos.flatMap { info =>
       val valid = info.snapshots.filter(s => !Instant.parse(s.committedAt).isAfter(target))
-      valid.maxByOption(s => Instant.parse(s.committedAt))
+      // ties on committed_at break to the HIGHER snapshot id (later commit
+      // wins), consistent with resolveDF and SnapshotCatalog.readAsOfTimestamp
+      valid.maxByOption(s => (Instant.parse(s.committedAt), s.snapshotId))
         .map(s => s"${info.database}.${info.tableName}" -> s.snapshotId)
     }.toMap
   }

@@ -37,9 +37,14 @@ object EventStream {
       session_end_us: Long, n_events: Long)
 
   /** Stateful sessionization (30-min inactivity gap) via
-    * flatMapGroupsWithState with processing-time timeout: emits a session
-    * when the gap closes it; state is one struct per active user. The batch
-    * twin (same semantics, oracle-checked) is q30_sessionize. */
+    * flatMapGroupsWithState: emits a session when a later event closes it;
+    * state is one struct per user seen. The batch twin (same semantics,
+    * oracle-checked) is q30_sessionize.
+    *
+    * NoTimeout keeps the final session of an idle user open indefinitely —
+    * a production deployment would use EventTimeTimeout + watermark to
+    * flush idle sessions and bound state to ACTIVE users; kept simple here
+    * so streaming output is exactly comparable to the batch form in tests. */
   def sessionize(spark: SparkSession, events: Dataset[Event],
       gapMinutes: Long = 30): Dataset[SessionOut] = {
     import spark.implicits._

@@ -136,6 +136,28 @@ class PipelineSpec extends AnyFunSuite {
       s"expected partition pruning in:\n${plan.take(2000)}")
   }
 
+  test("digest handles nested maps (struct/array of map)") {
+    val df = spark.sql(
+      """select 1L as id,
+        |       named_struct('m', map('k', 1)) as st,
+        |       array(map('a', 'b')) as am""".stripMargin)
+    val d1 = Fingerprint.digest(df)
+    assert(d1.count == 1)
+    val df2 = spark.sql(
+      """select 1L as id,
+        |       named_struct('m', map('k', 2)) as st,
+        |       array(map('a', 'b')) as am""".stripMargin)
+    assert(Fingerprint.digest(df2).checksum != d1.checksum, "nested-map change must alter checksum")
+  }
+
+  test("as-of tie on committed_at resolves to the higher snapshot id everywhere") {
+    val infos = Seq(SnapshotInfo("db", "t", Seq(
+      SnapshotRecord(1, "2026-02-01T00:00:00Z", "create", Map.empty),
+      SnapshotRecord(2, "2026-02-01T01:00:00Z", "append", Map.empty),
+      SnapshotRecord(3, "2026-02-01T01:00:00Z", "overwrite", Map.empty))))
+    assert(AsOfResolver.resolve(infos, "2026-02-01T01:00:00Z")("db.t") == 3L)
+  }
+
   test("resolveDF window form agrees with driver-side resolution") {
     val src = newCat()
     val nation = spark.read.parquet(s"$sf/nation.parquet")

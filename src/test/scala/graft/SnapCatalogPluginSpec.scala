@@ -113,6 +113,37 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(rows == Seq((1L, "create", 0L), (2L, "append", 25L), (3L, "overwrite", 5L)))
   }
 
+  test("partitioned table stays WRITABLE across multi-dir snapshots; compact unlocks reads") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbp")
+    spark.sql("CREATE TABLE snapcat.dbp.p (id BIGINT, flag STRING) PARTITIONED BY (flag)")
+    spark.sql("INSERT INTO snapcat.dbp.p VALUES (1, 'a')")
+    spark.sql("INSERT INTO snapcat.dbp.p VALUES (2, 'b')")   // 2 snapshot dirs now
+    spark.sql("INSERT INTO snapcat.dbp.p VALUES (3, 'a')")   // writes must still work
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM snapcat.dbp.p").collect()     // read is the constrained path
+    }
+    assert(e.getMessage.contains("compact"), e.getMessage)
+    new SnapshotCatalog(spark, wh).compact("dbp", "p", numFiles = 1)
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbp.p WHERE flag = 'a'").head.getLong(0) == 2)
+  }
+
+  test("DROP NAMESPACE removes the namespace, not just its tables") {
+    wh
+    spark.sql("CREATE NAMESPACE snapcat.db9")
+    assert(spark.sql("SHOW NAMESPACES IN snapcat").as[String].collect().contains("db9"))
+    spark.sql("DROP NAMESPACE snapcat.db9")
+    assert(!spark.sql("SHOW NAMESPACES IN snapcat").as[String].collect().contains("db9"))
+  }
+
+  test("non-numeric VERSION AS OF gets a clear error") {
+    wh
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM snapcat.db1.nation VERSION AS OF 'main'").collect()
+    }
+    assert(e.getMessage.contains("numeric snapshot id"), e.getMessage)
+  }
+
   test("unsupported DDL errors clearly") {
     wh
     val e = intercept[Exception] {
