@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Similarity, Skew, TextOps}
 
 /** Driver contract — the engine's query surface (SURVEY §2 inventory) with
   * DuckDB-oracle SQL for every SQL-expressible operator.
@@ -504,6 +504,30 @@ object SparkEntry {
         .orderBy("month_ts")
     }),
 
+    // token counting: whitespace words + BPE-ish regex tokens per language
+    // (the two token-budget estimators an LLM-data pipeline carries).
+    "q44_token_count" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("lang"),
+          TextOps.wordCount(col("text")).as("ws_tokens"),
+          TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("sum_ws_tokens"),
+          sum(col("bpe_tokens")).as("sum_bpe_tokens"))
+        .orderBy("lang")
+    }),
+
+    // skew-salted two-phase aggregation: hot keys (5 event types over the
+    // whole table) spread across salt buckets, partials merged; result must
+    // equal the plain GROUP BY the oracle states.
+    "q45_salted_agg" -> ((s, dir) => {
+      Skew.saltedSumCount(
+        eventsT(s, dir).withColumn("value_e2", floor(col("value") * 100).cast("long")),
+        Seq("event_type"), col("value_e2"), saltBuckets = 16)
+        .orderBy("event_type")
+    }),
+
     // the spark.sql surface itself: SQL text over registered temp views —
     // the engine accepts the same ANSI SQL the oracle runs.
     "q43_sql_surface" -> ((s, dir) => {
@@ -842,5 +866,17 @@ object SparkEntry {
     "q43_sql_surface" ->
       """SELECT n.n_name, CAST(count(s.s_suppkey) AS BIGINT) AS n_supp
         |FROM nation n LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey
-        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    "q44_token_count" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS sum_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS sum_bpe_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q45_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS sum_value,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -69,6 +69,16 @@ object TextOps {
     when(cjk * 5L >= length(text).cast("long"), lit("zh")).otherwise(argmax)
   }
 
+  /** BPE-ish tokenizer pattern: letter runs, digit runs, and single
+    * non-alphanumeric marks — the pre-tokenization shape BPE vocabularies
+    * split on. Character-class-only regex, identical under Java regex and
+    * RE2 (the DuckDB oracle uses the same pattern). */
+  val BpeTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Token count under the BPE-ish pattern (codegen'd regexp_count). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenPattern)).cast("long")
+
   /** Rolling polynomial fingerprint over words (mod 2^31-1), for
     * content-defined document identity. Pure expression fold; NOT oracled
     * (no portable cross-engine hash) — validated in ScalaTest instead. */
