@@ -518,6 +518,18 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // JSON scalar functions over the events.props payload column.
+    "q46_json_extract" -> ((s, dir) => {
+      eventsT(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // skew-salted two-phase aggregation: hot keys (5 event types over the
     // whole table) spread across salt buckets, partials merged; result must
     // equal the plain GROUP BY the oracle states.
@@ -878,5 +890,11 @@ object SparkEntry {
       """SELECT event_type,
         |  CAST(sum(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS sum_value,
         |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q46_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

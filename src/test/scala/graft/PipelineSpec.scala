@@ -136,6 +136,25 @@ class PipelineSpec extends AnyFunSuite {
       s"expected partition pruning in:\n${plan.take(2000)}")
   }
 
+  test("TableDigestAgg: order-insensitive, value-sensitive, multiplicity-sensitive") {
+    import graft.functions.TableDigestAgg
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    def digestOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(Fingerprint.rowHash(df).as("h")).as[Long]
+        .select(TableDigestAgg.digest128).head()
+    val a = digestOf(li)
+    assert(a.count == 6000)
+    assert(a == digestOf(li.orderBy(rand(11))), "order-insensitive")
+    val firstKey = li.agg(min("l_orderkey")).head.getLong(0)
+    val changed = li.withColumn("l_quantity",
+      when(col("l_orderkey") === firstKey, col("l_quantity") + 1).otherwise(col("l_quantity")))
+    assert(digestOf(changed) != a, "value-sensitive")
+    // duplicating a row changes the digest (XOR alone would cancel pairs)
+    val dup = li.unionByName(li.limit(1))
+    val d = digestOf(dup)
+    assert(d.count == 6001 && (d.sumLane != a.sumLane), "multiplicity-sensitive")
+  }
+
   test("digest handles nested maps (struct/array of map)") {
     val df = spark.sql(
       """select 1L as id,
