@@ -112,7 +112,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces {
     * built — writes must keep working on a table whose current snapshot is
     * temporarily unreadable via SQL. */
   private final class SnapTable(tableName: String, tableSchema: StructType,
-      mkReadDelegate: () => ParquetTable, db: String, table: String)
+      val mkReadDelegate: () => ParquetTable, db: String, table: String)
       extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
     override def name(): String = tableName
@@ -121,8 +121,24 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces {
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      mkReadDelegate().newScanBuilder(options)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      // the reference's exact reader API: spark.read.option("snapshot-id", id)
+      // .table(t) (`5_migrate_tables_data.py:72-74`) / "as_of_snapshot_id"
+      // (`2_collect_database_schema_info.py:151-153`) — reader options land
+      // here, so time travel works through DataFrameReader verbatim.
+      val requested = Option(options.get("snapshot-id"))
+        .orElse(Option(options.get("as_of_snapshot_id")))
+      requested match {
+        case Some(v) =>
+          val snapId = try v.toLong catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"snapshot-id option must be numeric, got '$v'")
+          }
+          snapshotTable(Identifier.of(Array(db), table), cat.snapshotAt(db, table, snapId))
+            .asInstanceOf[SnapTable].mkReadDelegate().newScanBuilder(options)
+        case None => mkReadDelegate().newScanBuilder(options)
+      }
+    }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder with SupportsTruncate {

@@ -144,6 +144,20 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(e.getMessage.contains("numeric snapshot id"), e.getMessage)
   }
 
+  test("spark.read.option(snapshot-id).table — the reference's literal reader API") {
+    wh
+    // 5_migrate_tables_data.py:72-74 verbatim call shape
+    val asOf2 = spark.read.option("snapshot-id", 2).table("snapcat.db1.nation")
+    assert(asOf2.count() == 25)
+    // 2_collect_database_schema_info.py:151-153 option alias
+    val asOf3 = spark.read.option("as_of_snapshot_id", "3").table("snapcat.db1.nation")
+    assert(asOf3.count() == 5)
+    val e = intercept[Exception] {
+      spark.read.option("snapshot-id", "zzz").table("snapcat.db1.nation").collect()
+    }
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+  }
+
   test("unsupported DDL errors clearly") {
     wh
     val e = intercept[Exception] {
