@@ -518,6 +518,20 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // CSV + JSON data sources (S-class source formats beyond parquet):
+    // round-trip a documents projection through both and re-aggregate;
+    // the oracle states the same result off the original parquet.
+    "q47_csv_json_sources" -> ((s, dir) => {
+      val (csvDir, jsonDir) = WarehouseFixture.csvJsonSources(s, dir)
+      val fromCsv = s.read.option("header", "true").option("inferSchema", "true").csv(csvDir)
+        .groupBy("lang").agg(count(lit(1)).as("n_csv"),
+          sum(col("n_chars").cast("long")).as("chars_csv"))
+      val fromJson = s.read.json(jsonDir)
+        .groupBy("lang").agg(count(lit(1)).as("n_json"),
+          sum(col("n_chars").cast("long")).as("chars_json"))
+      fromCsv.join(fromJson, Seq("lang")).orderBy("lang")
+    }),
+
     // JSON scalar functions over the events.props payload column.
     "q46_json_extract" -> ((s, dir) => {
       eventsT(s, dir)
@@ -891,6 +905,13 @@ object SparkEntry {
         |  CAST(sum(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS sum_value,
         |  CAST(count(*) AS BIGINT) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q47_csv_json_sources" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_csv,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_csv,
+        |  CAST(count(*) AS BIGINT) AS n_json,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_json
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q46_json_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

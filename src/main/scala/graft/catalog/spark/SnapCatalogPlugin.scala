@@ -112,8 +112,10 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces {
     * built — writes must keep working on a table whose current snapshot is
     * temporarily unreadable via SQL. */
   private final class SnapTable(tableName: String, tableSchema: StructType,
-      val mkReadDelegate: () => ParquetTable, db: String, table: String)
-      extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+      val mkReadDelegate: () => ParquetTable, db: String, table: String,
+      override val recordCount: Long)
+      extends Table with SupportsRead
+      with org.apache.spark.sql.connector.catalog.SupportsWrite with HasRecordCount {
 
     override def name(): String = tableName
     override def schema(): StructType = tableSchema
@@ -179,7 +181,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces {
         new CaseInsensitiveStringMap(opts.asJava), files,
         Some(snap.schema), classOf[ParquetFileFormat])
     }
-    new SnapTable(s"$catalogName.$db.$table", snap.schema, () => mkDelegate(), db, table)
+    new SnapTable(s"$catalogName.$db.$table", snap.schema, () => mkDelegate(), db, table,
+      snap.recordCount)
   }
 
   /** The `<table>.snapshots` metadata relation the reference scans

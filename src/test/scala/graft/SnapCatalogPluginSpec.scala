@@ -158,6 +158,23 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(e.getMessage.contains("numeric"), e.getMessage)
   }
 
+  test("unfiltered count(*) is served from snapshot metadata, not a scan") {
+    wh
+    val df = spark.sql("SELECT count(*) AS c FROM snapcat.db1.nation")
+    assert(df.head.getLong(0) == 5)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LocalRelation") && !optimized.contains("RelationV2"),
+      s"expected metadata-served count, got:\n$optimized")
+    // historic snapshot counts come from that snapshot's log entry
+    val dfv = spark.sql("SELECT count(*) AS c FROM snapcat.db1.nation VERSION AS OF 2")
+    assert(dfv.head.getLong(0) == 25)
+    assert(dfv.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+    // a filter disables the rewrite: plan keeps the scan, result stays exact
+    val filtered = spark.sql("SELECT count(*) AS c FROM snapcat.db1.nation WHERE n_nationkey > 2")
+    assert(filtered.queryExecution.optimizedPlan.toString.contains("RelationV2"))
+    assert(filtered.head.getLong(0) == 2)
+  }
+
   test("unsupported DDL errors clearly") {
     wh
     val e = intercept[Exception] {
