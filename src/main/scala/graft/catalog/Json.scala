@@ -195,6 +195,7 @@ object Json {
       while ({ require(!eof, "unexpected end of JSON input inside string"); peek != '"' }) {
         if (peek == '\\') {
           pos += 1
+          require(!eof, "unexpected end of JSON input inside escape sequence")
           peek match {
             case '"'  => sb.append('"'); pos += 1
             case '\\' => sb.append('\\'); pos += 1
@@ -205,6 +206,7 @@ object Json {
             case 'r'  => sb.append('\r'); pos += 1
             case 't'  => sb.append('\t'); pos += 1
             case 'u'  =>
+              require(pos + 5 <= s.length, "unexpected end of JSON input inside \\u escape")
               sb.append(Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar)
               pos += 5
             case c => throw new IllegalArgumentException(s"bad escape '\\$c' at offset $pos")

@@ -133,14 +133,14 @@ final class SnapshotCatalog(
 
   def createNamespace(db: String): Unit = Files.createDirectories(dbPath(db))
 
-  def dropNamespace(db: String): Unit = {
-    val p = dbPath(db)
+  def dropNamespace(db: String): Unit = deleteRecursively(dbPath(db))
+
+  private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val stream = Files.walk(p)
       try stream.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
       finally stream.close()
     }
-  }
 
   private def withList[T](dir: Path)(f: Iterator[Path] => T): T = {
     val stream = Files.list(dir)
@@ -185,14 +185,8 @@ final class SnapshotCatalog(
     else withList(dbPath(db))(_.filter(p => Files.exists(p.resolve("table.json")))
       .map(_.getFileName.toString).toSeq.sorted)
 
-  def dropTable(db: String, table: String): Unit = {
-    val root = tablePath(db, table)
-    if (Files.exists(root)) {
-      val stream = Files.walk(root)
-      try stream.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-      finally stream.close()
-    }
-  }
+  def dropTable(db: String, table: String): Unit =
+    deleteRecursively(tablePath(db, table))
 
   def meta(db: String, table: String): TableMeta =
     TableMeta.fromJson(Json.parse(readString(metaPath(db, table))).asInstanceOf[JObj])

@@ -85,11 +85,9 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     require(namespace.length == 1, "snapcat namespaces are single-level")
     if (!cat.namespaceExists(namespace.head)) return false
-    val tables = cat.listTables(namespace.head)
-    if (tables.nonEmpty && !cascade)
+    if (cat.listTables(namespace.head).nonEmpty && !cascade)
       throw new IllegalStateException(s"namespace ${namespace.head} is not empty")
-    tables.foreach(t => cat.dropTable(namespace.head, t))
-    cat.dropNamespace(namespace.head)
+    cat.dropNamespace(namespace.head) // recursive: removes tables + dir
     true
   }
 
@@ -193,7 +191,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces {
       extends Table with SupportsRead {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
-    import org.apache.spark.sql.connector.read.{Batch, LocalScan, Scan}
+    import org.apache.spark.sql.connector.read.{LocalScan, Scan}
     import org.apache.spark.sql.types._
     import org.apache.spark.unsafe.types.UTF8String
 

@@ -36,6 +36,11 @@ object Fingerprint {
     }
     df.schema.fields.toSeq.map { f =>
       f.dataType match {
+        // a map whose OWN key/value types contain maps can't go through
+        // sort_array(map_entries(...)) either (structs containing maps are
+        // unorderable) — to_json it like other nested-map shapes
+        case m: MapType if containsMap(m.keyType) || containsMap(m.valueType) =>
+          to_json(col(f.name))
         case _: MapType => sort_array(map_entries(col(f.name)))
         case dt if containsMap(dt) => to_json(col(f.name))
         case _ => col(f.name)

@@ -167,6 +167,9 @@ class PipelineSpec extends AnyFunSuite {
         |       named_struct('m', map('k', 2)) as st,
         |       array(map('a', 'b')) as am""".stripMargin)
     assert(Fingerprint.digest(df2).checksum != d1.checksum, "nested-map change must alter checksum")
+    // map-of-map column (top-level map with map values)
+    val mm = spark.sql("select 1L as id, map('outer', map('inner', 7)) as m")
+    assert(Fingerprint.digest(mm).count == 1)
   }
 
   test("as-of tie on committed_at resolves to the higher snapshot id everywhere") {

@@ -39,8 +39,12 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
 
   test("VERSION AS OF reads historic snapshots") {
     wh
-    assert(spark.sql("SELECT count(*) AS c FROM snapcat.db1.nation VERSION AS OF 2").head.getLong(0) == 25)
-    assert(spark.sql("SELECT count(*) AS c FROM snapcat.db1.nation VERSION AS OF 3").head.getLong(0) == 5)
+    // sum() not count(): MetadataCountRule would serve bare counts from the
+    // log — these assertions must exercise the historic file-list SCAN
+    assert(spark.sql("SELECT sum(n_nationkey) AS s, count(*) AS c FROM snapcat.db1.nation VERSION AS OF 2")
+      .head.getLong(1) == 25)
+    assert(spark.sql("SELECT sum(n_nationkey) AS s, count(*) AS c FROM snapcat.db1.nation VERSION AS OF 3")
+      .head.getLong(1) == 5)
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM snapcat.db1.nation VERSION AS OF 99").collect()
     }
@@ -49,12 +53,13 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
 
   test("TIMESTAMP AS OF resolves <= semantics") {
     wh
+    // sum forces the scan (see VERSION AS OF test note)
     assert(spark.sql(
-      "SELECT count(*) AS c FROM snapcat.db1.nation TIMESTAMP AS OF '2026-04-01 02:30:00'")
-      .head.getLong(0) == 25, "between append and overwrite -> full snapshot")
+      "SELECT sum(n_nationkey) AS s, count(*) AS c FROM snapcat.db1.nation TIMESTAMP AS OF '2026-04-01 02:30:00'")
+      .head.getLong(1) == 25, "between append and overwrite -> full snapshot")
     assert(spark.sql(
-      "SELECT count(*) AS c FROM snapcat.db1.nation TIMESTAMP AS OF '2026-04-01 12:00:00'")
-      .head.getLong(0) == 5)
+      "SELECT sum(n_nationkey) AS s, count(*) AS c FROM snapcat.db1.nation TIMESTAMP AS OF '2026-04-01 12:00:00'")
+      .head.getLong(1) == 5)
   }
 
   test("predicate pushdown reaches the parquet scan through the plugin") {
