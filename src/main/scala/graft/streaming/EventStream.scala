@@ -73,6 +73,15 @@ object EventStream {
       }
   }
 
+  /** Streaming exact deduplication: drop re-deliveries of the same
+    * event_id inside the watermark horizon. State holds one key per id seen
+    * within the horizon and is evicted as the watermark advances — the
+    * bounded-state streaming twin of `Dedup.exact`. */
+  def dedupeStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Count of sessions a batch of events closes + leaves open, via the
     * streaming path run synchronously over a file source. */
   def runSessionizeBatch(spark: SparkSession, eventsDir: String,

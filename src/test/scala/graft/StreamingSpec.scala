@@ -45,6 +45,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    // duplicate every event once (simulated at-least-once redelivery)
+    val dupDir = Files.createTempDirectory("graft_dup_").toString
+    val base = spark.read.parquet(eventsDir)
+    base.unionByName(base).coalesce(1).write.mode("overwrite").parquet(dupDir)
+
+    val stream = spark.readStream.schema(base.schema).parquet(dupDir)
+    val q = EventStream.dedupeStream(stream)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out")
+    assert(got.count() == base.count(), "each event exactly once")
+    assert(got.select("event_id").distinct().count() == base.count())
+  }
+
   test("streaming sessionization closes the same sessions as the batch lag/gap form") {
     val closed = EventStream.runSessionizeBatch(spark, eventsDir,
       spark.read.parquet(eventsDir).schema)
