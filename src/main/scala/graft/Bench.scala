@@ -12,14 +12,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // fixture warehouses are built outside the timed region
     SparkEntry.prepare(spark, sfDir)
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a failed query reports as -1 (never as a fast success) and is listed
+    // in "failed" — a regression that breaks a query must not read as a speedup
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
         // noop sink executes the full plan (count() would let Catalyst
         // prune projections and skip the real work for row-level queries)
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
     // two timed runs, report the min: the first run of the session absorbs
     // one-off JIT/codegen/cleaner costs that would land on an arbitrary query
@@ -27,14 +31,23 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(n.matches) }
       .map { case (name, fn) =>
-        val t = math.min(once(fn), once(fn))
-        System.err.println(f"[bench] $name $t%.2fs")
+        val t = (once(fn), once(fn)) match {
+          case (Right(a), Right(b)) => Right(math.min(a, b))
+          case (Left(err), _) => Left(err)
+          case (_, Left(err)) => Left(err)
+        }
+        t match {
+          case Right(v) => System.err.println(f"[bench] $name $v%.2fs")
+          case Left(err) => System.err.println(s"[bench] $name FAILED: $err")
+        }
         name -> t
-      }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

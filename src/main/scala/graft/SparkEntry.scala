@@ -163,10 +163,13 @@ object SparkEntry {
 
     // ---- engine coverage: joins, aggregates, windows, set ops ----
 
-    // broadcast dim join (J1 mapping).
+    // dim join (J1 mapping). No forced broadcast hint on customer: it grows
+    // linearly with SF, so AQE's runtime size check decides the strategy
+    // (broadcast at bench SFs, shuffle join at 100x) — a forced hint would
+    // OOM the driver at scale. Bounded dims (nation/region) keep hints.
     "q11_join_broadcast" -> ((s, dir) => {
       T(s, dir, "orders")
-        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("orders_cnt"),
           sum(cents(col("o_totalprice"))).as("total_cents"))
@@ -183,7 +186,7 @@ object SparkEntry {
       val n = T(s, dir, "nation")
       val r = T(s, dir, "region").where(col("r_name") === "ASIA")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey")) // AQE-sized: customer grows with SF
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
@@ -761,7 +764,7 @@ object SparkEntry {
          |  $score
          |FROM documents),
          |b AS (SELECT *, $best AS best FROM s)
-         |SELECT CASE WHEN cjk * 5 >= length(text) THEN 'zh'
+         |SELECT CASE WHEN cjk > 0 AND cjk * 5 >= length(text) THEN 'zh'
          |    $cases
          |    ELSE 'und' END AS pred_lang,
          |  CAST(count(*) AS BIGINT) AS n_docs

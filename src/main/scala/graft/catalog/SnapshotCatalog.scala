@@ -369,11 +369,15 @@ final class SnapshotCatalog(
     val keptFiles = kept.flatMap(_.files).toSet
     val root = tablePath(db, table)
     val doomed = expired.flatMap(_.files).distinct.filterNot(keptFiles.contains)
+    // commit the trimmed log FIRST (atomic rename), then delete unreferenced
+    // files — Iceberg-style ordering. A crash mid-delete leaves only harmless
+    // orphan files a re-run can sweep; the reverse order would leave live log
+    // entries pointing at deleted files (readAsOf -> FileNotFound).
+    writeLog(db, table, kept)
     doomed.foreach { f =>
       val p = root.resolve(f)
       if (Files.exists(p)) Files.delete(p)
     }
-    writeLog(db, table, kept)
     doomed.size
   }
 

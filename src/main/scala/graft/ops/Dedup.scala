@@ -71,6 +71,9 @@ object Dedup {
     * aliases materialized, so two selects are load-bearing here. */
   def minhashCandidates(df: DataFrame, idCol: String, text: Column,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands) — " +
+        "integer division would silently drop the trailing hash lanes")
     val withShingles = df.select(col(idCol).as("doc_id"),
       wordShingles(text, 5).as("shingles"))
     val withSig = withShingles.select(col("doc_id"),

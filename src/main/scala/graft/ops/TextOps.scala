@@ -66,7 +66,9 @@ object TextOps {
     val argmax = scores.foldRight(lit("und"): Column) { case ((lang, sc), elseCol) =>
       when(sc === best && best > 0, lit(lang)).otherwise(elseCol)
     }
-    when(cjk * 5L >= length(text).cast("long"), lit("zh")).otherwise(argmax)
+    // cjk > 0 guard: empty/whitespace-only text must fall through to 'und'
+    // (0 >= 0 would otherwise classify empty docs as 'zh')
+    when(cjk > 0 && cjk * 5L >= length(text).cast("long"), lit("zh")).otherwise(argmax)
   }
 
   /** BPE-ish tokenizer pattern: letter runs, digit runs, and single

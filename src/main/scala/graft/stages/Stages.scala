@@ -23,7 +23,10 @@ import graft.functions.Fingerprint
 object SnapshotCollector {
   def collectTable(cat: SnapshotCatalog, db: String, table: String): Option[SnapshotInfo] =
     Try {
-      val snaps = cat.snapshotList(db, table).sortBy(_.committedAt).map(s =>
+      // sort by snapshotId (commit order by construction) — NOT by the ISO
+      // string: Instant.toString omits .SSS for whole seconds and '.' < 'Z',
+      // so '…:00.123Z' would sort before '…:00Z' lexicographically
+      val snaps = cat.snapshotList(db, table).sortBy(_.snapshotId).map(s =>
         SnapshotRecord(s.snapshotId, s.committedAt, s.operation, s.summary))
       SnapshotInfo(db, table, snaps)
     } match {
@@ -50,7 +53,9 @@ object SnapshotCollector {
 object AsOfResolver {
 
   def resolve(infos: Seq[SnapshotInfo], targetTs: String): Map[String, Long] = {
-    val target = Instant.parse(targetTs.replace("Z", "+00:00").replace("+00:00", "Z"))
+    // OffsetDateTime accepts ANY ISO offset (Z, +00:00, +02:00, ...), like
+    // the reference's fromisoformat (`2_collect_database_schema_info.py:35`)
+    val target = java.time.OffsetDateTime.parse(targetTs).toInstant
     infos.flatMap { info =>
       val valid = info.snapshots.filter(s => !Instant.parse(s.committedAt).isAfter(target))
       // ties on committed_at break to the HIGHER snapshot id (later commit

@@ -111,10 +111,14 @@ class OpsSpec extends AnyFunSuite {
       (3L, "el perro y la casa que los gatos en"),
       (4L, "le chien et les chats dans une maison est"),
       (5L, "中文文本处理测试"),
-      (6L, "zzz qqq xxx")).toDF("id", "text")
+      (6L, "zzz qqq xxx"),
+      (7L, ""),
+      (8L, "   ")).toDF("id", "text")
     val got = df.select(col("id"), TextOps.langIdColumn(col("text")).as("lang"))
       .as[(Long, String)].collect().toMap
     assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "es" &&
       got(4L) == "fr" && got(5L) == "zh" && got(6L) == "und")
+    // empty/whitespace docs must be 'und', not 'zh' (0 >= 0 trap)
+    assert(got(7L) == "und" && got(8L) == "und")
   }
 }

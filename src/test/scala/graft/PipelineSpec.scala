@@ -180,6 +180,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(AsOfResolver.resolve(infos, "2026-02-01T01:00:00Z")("db.t") == 3L)
   }
 
+  test("as-of accepts any ISO offset, not just Z/+00:00") {
+    val infos = Seq(SnapshotInfo("db", "t", Seq(
+      SnapshotRecord(1, "2026-02-01T00:00:00Z", "create", Map.empty),
+      SnapshotRecord(2, "2026-02-01T01:00:00Z", "append", Map.empty))))
+    // 2026-02-01T02:30:00+02:00 == 00:30Z -> snapshot 1 only
+    assert(AsOfResolver.resolve(infos, "2026-02-01T02:30:00+02:00")("db.t") == 1L)
+    assert(AsOfResolver.resolve(infos, "2026-02-01T01:00:00+00:00")("db.t") == 2L)
+    assert(AsOfResolver.resolve(infos, "2026-01-31T20:00:00-05:00")("db.t") == 2L)
+  }
+
   test("resolveDF window form agrees with driver-side resolution") {
     val src = newCat()
     val nation = spark.read.parquet(s"$sf/nation.parquet")
