@@ -322,10 +322,12 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // exact shingle-Jaccard near-dups >= 1/2, integer threshold arithmetic;
-    // full DuckDB oracle (O(n^2) on the oracle side, inverted-index join here).
+    // exact shingle-Jaccard near-dups >= 1/2 among pairs sharing a rare
+    // (df<=1000) shingle, integer threshold arithmetic; full DuckDB oracle
+    // (the oracle mirrors the df cap, so the semantics are checked exactly).
     "q26_jaccard_pairs" -> ((s, dir) => {
-      Dedup.jaccardPairs(T(s, dir, "documents"), "doc_id", "text", w = 5, num = 1, den = 2)
+      Dedup.jaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+        w = 5, num = 1, den = 2, maxDocFreq = 1000)
         .orderBy("id_a", "id_b")
     }),
 
@@ -339,14 +341,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed approximate top-k (the corpus-prune scale path;
-    // rows-only — recall vs brute force asserted in OpsSpec).
+    // OR-amplified LSH approximate top-k (the corpus-prune scale path;
+    // recall vs brute force asserted in OpsSpec).
     "q28_ann_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.lshTopK(emb, "vec_id", "embedding",
         emb.where(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-        "qid", "qvec", k = 10, dim = 64, nPlanes = 4)
+        "qid", "qvec", k = 10, dim = 64, nPlanes = 8, nTables = 8)
         .orderBy("query_id", "rank")
     }),
 
@@ -373,10 +375,10 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
-    // embedding near-duplicate pairs within LSH buckets (rows-only).
+    // embedding near-duplicate pairs within OR-amplified LSH buckets.
     "q31_embedding_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDup(T(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, minCosine = 0.35, nPlanes = 4)
+        dim = 64, minCosine = 0.35, nPlanes = 8, nTables = 8)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     }),
@@ -777,12 +779,18 @@ object SparkEntry {
         |    range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
         |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')
         |  )) AS shingles FROM documents
-        |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |),
+        |inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM inv a JOIN rare r ON a.s = r.s JOIN inv b ON b.s = a.s
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT c.id_a, c.id_b,
         |  CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter_sz,
         |  CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS union_sz
-        |FROM sh a, sh b WHERE a.doc_id < b.doc_id
-        |  AND len(list_intersect(a.shingles, b.shingles)) * 2 >=
+        |FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |WHERE len(list_intersect(a.shingles, b.shingles)) * 2 >=
         |      1 * (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
         |ORDER BY id_a, id_b""".stripMargin,
 

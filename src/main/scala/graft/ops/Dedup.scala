@@ -90,16 +90,26 @@ object Dedup {
 
   /** Exact Jaccard near-dup pairs at `num/den` threshold over w-word
     * shingles. Candidates come from an inverted shingle index (explode +
-    * self-equi-join: perfect recall for any threshold > 0, since J > 0
-    * implies a shared shingle); the exact Jaccard test uses INTEGER
-    * cross-multiplication (inter*den >= num*union) — no float compare, so
-    * the DuckDB oracle matches bit-exactly. */
+    * self-equi-join), restricted to RARE shingles: shingles appearing in
+    * more than `maxDocFreq` documents are dropped from candidate
+    * generation. Without the cap, one boilerplate shingle shared by 1M
+    * docs emits df² ~ 10¹² candidate rows — the cap bounds the join at
+    * maxDocFreq² per shingle, and recall stays perfect for every pair
+    * sharing at least one rare shingle (pairs glued ONLY by boilerplate
+    * are the MinHash path's job). The exact Jaccard test uses INTEGER
+    * cross-multiplication (inter*den >= num*union) over the FULL shingle
+    * sets — no float compare, so the DuckDB oracle matches bit-exactly. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 5, num: Int = 1, den: Int = 2): DataFrame = {
+      w: Int = 5, num: Int = 1, den: Int = 2, maxDocFreq: Int = 1000): DataFrame = {
+    require(maxDocFreq >= 2, "maxDocFreq < 2 would drop every shared shingle")
     val sh = df.select(col(idCol).as("doc_id"),
       wordShingles(col(textCol), w).as("shingles"))
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val cand = inv.toDF("id_a", "sh").join(inv.toDF("id_b", "sh"), Seq("sh"))
+    // df-cap: same shuffle key as the self-join, one extra partial agg
+    val rare = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq).select("sh")
+    val invRare = inv.join(rare, Seq("sh"))
+    val cand = invRare.toDF("sh", "id_a").join(invRare.toDF("sh", "id_b"), Seq("sh"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val withSets = cand

@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (north-star surface): brute-force cosine
-  * top-k as the exact baseline, and random-hyperplane LSH bucketing as the
-  * approximate scale path.
+  * top-k as the exact baseline, and OR-amplified random-hyperplane LSH as
+  * the approximate scale path.
   *
   * Scale posture (100 TB of vectors):
   *   - queries are broadcast (small side of the product); the corpus is
@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
   *   - the top-k window (`row_number <= k` over query partitions) is
   *     executed by Spark's WindowGroupLimit as a per-partition running
   *     top-k — only k rows per partition per query survive the shuffle;
-  *   - the LSH variant prunes the corpus product to same-bucket candidates;
-  *     buckets are the shuffle key.
-  * All vector math is `zip_with`/`aggregate` over array columns in double —
-  * codegen'd, no UDFs.
+  *   - the LSH variant prunes the corpus product to same-bucket candidates
+  *     across `nTables` INDEPENDENT hash tables (OR-amplification):
+  *     per-table miss probability (1 - p^nPlanes) multiplies across tables,
+  *     so recall is 1-(1-p^b)^L while per-table bucket occupancy stays
+  *     n/2^b — raise nPlanes with log2(corpus) to keep buckets bounded
+  *     (b ≈ 20 at 10^9 vectors) and raise nTables to buy recall back.
+  *     A single table with few planes (the naive form) is quadratic in the
+  *     bucket and was rejected for scale.
+  * All vector math is compiled expressions in double — codegen'd, no UDFs.
   */
 object Similarity {
 
@@ -50,54 +55,107 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** Deterministic random hyperplanes (seeded), as a literal column. */
-  private def planes(dim: Int, nPlanes: Int, seed: Long): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim-index) — a two-round multiply-xor-shift integer mix kept inside
+    * unsigned-32-bit range so the arithmetic is EXACT in any engine with
+    * 64-bit integers. The DuckDB oracle recomputes the identical doubles,
+    * which is why this replaces `Random(seed).nextGaussian`: components are
+    * uniform on [-0.5, 0.5) rather than gaussian (direction bias toward cube
+    * diagonals is negligible at dim >= 32 and irrelevant to the sign test).
+    */
+  def planeComponent(tableIdx: Int, planeIdx: Int, i: Int, dim: Int, nPlanes: Int): Double = {
+    var h = (tableIdx.toLong * nPlanes + planeIdx) * dim + i + 1L
+    h = ((h ^ (h >>> 15)) * 486187739L) & 0xFFFFFFFFL
+    h = ((h ^ (h >>> 13)) * 368040263L) & 0xFFFFFFFFL
+    h = h ^ (h >>> 16)
+    h.toDouble / 4294967296.0 - 0.5
   }
 
-  /** Sign-of-projection LSH bucket id (Charikar hyperplane hashing):
-    * bit j = [v . plane_j >= 0]. Vectors in the same bucket are cosine-close
-    * with high probability. */
-  def lshBucket(vec: Column, dim: Int, nPlanes: Int = 16, seed: Long = 42L): Column = {
+  /** The hyperplanes of one hash table (driver-side; tiny). */
+  def planes(dim: Int, nPlanes: Int, tableIdx: Int): Seq[Seq[Double]] =
+    Seq.tabulate(nPlanes)(j => Seq.tabulate(dim)(i => planeComponent(tableIdx, j, i, dim, nPlanes)))
+
+  /** Sign-of-projection LSH bucket id (Charikar hyperplane hashing) for one
+    * table: bit j = [v . plane_j >= 0]. */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int, tableIdx: Int = 0): Column = {
     val v = toDouble(vec)
-    val ps = planes(dim, nPlanes, seed)
-    ps.zipWithIndex.map { case (p, j) =>
+    planes(dim, nPlanes, tableIdx).zipWithIndex.map { case (p, j) =>
       when(dot(v, typedLit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket,
-    * then exact cosine re-rank. Trades recall for a corpus-product prune —
-    * the scale path when the corpus no longer admits a full scan per query.
-    * Returns (query_id, neighbor_id, rank). */
+  /** (table_idx, bucket) pairs for all `nTables` hash tables, as an array
+    * column ready to explode. All nTables*nPlanes dot products are computed
+    * in one codegen'd projection per row — the corpus is scanned ONCE. */
+  def lshBuckets(vec: Column, dim: Int, nPlanes: Int, nTables: Int): Column =
+    array((0 until nTables).map(t =>
+      struct(lit(t).as("table_idx"), lshBucket(vec, dim, nPlanes, t).as("bucket"))): _*)
+
+  private def explodeBuckets(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int, nTables: Int, normName: String): DataFrame =
+    df.select(col(idCol), col(vecCol), norm(col(vecCol)).as(normName),
+      explode(lshBuckets(col(vecCol), dim, nPlanes, nTables)).as("tb"))
+      .select(col(idCol), col(vecCol), col(normName),
+        col("tb.table_idx").as("table_idx"), col("tb.bucket").as("bucket"))
+
+  /** XOR masks for multi-probe LSH: the zero mask plus every way to flip up
+    * to `maxFlips` of the `nPlanes` sign bits (Lv et al., multi-probe LSH).
+    * Probing is QUERY-side only, so the corpus keeps one bucket per table —
+    * probes multiply the broadcast query rows, never the corpus shuffle. */
+  def probeMasks(nPlanes: Int, maxFlips: Int): Seq[Long] = {
+    val one = if (maxFlips >= 1) (0 until nPlanes).map(1L << _) else Nil
+    val two = if (maxFlips >= 2)
+      for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
+        yield (1L << i) | (1L << j)
+    else Nil
+    0L +: (one ++ two)
+  }
+
+  /** Approximate top-k: candidates restricted to vectors whose bucket in ANY
+    * of the `nTables` hash tables (OR-amplification) matches the query's
+    * bucket up to `maxProbeFlips` flipped bits (multi-probe), then exact
+    * cosine re-rank. Per-table hit probability for a pair with bit-agreement
+    * p is sum_{f<=maxFlips} C(b,f) p^(b-f) (1-p)^f; missing all L tables is
+    * that complement to the Lth power. Returns (query_id, neighbor_id, rank). */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, dim: Int, nPlanes: Int = 8): DataFrame = {
-    val bucketed = corpus.select(col(corpusId), col(corpusVec),
-      norm(col(corpusVec)).as("_cn"), lshBucket(col(corpusVec), dim, nPlanes).as("bucket"))
-    val qb = queries.select(col(queryId), col(queryVec),
-      norm(col(queryVec)).as("_qn"), lshBucket(col(queryVec), dim, nPlanes).as("bucket"))
-    val sims = bucketed.join(broadcast(qb), Seq("bucket"))
+      k: Int, dim: Int, nPlanes: Int = 8, nTables: Int = 8,
+      maxProbeFlips: Int = 2): DataFrame = {
+    val c = explodeBuckets(corpus, corpusId, corpusVec, dim, nPlanes, nTables, "_cn")
+    val q0 = explodeBuckets(queries, queryId, queryVec, dim, nPlanes, nTables, "_qn")
+    val masks = probeMasks(nPlanes, maxProbeFlips)
+    val q = q0.select(col(queryId), col(queryVec), col("_qn"), col("table_idx"),
+      explode(transform(typedLit(masks), m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    // same (table, probed bucket) in any table -> candidate once
+    // (dropDuplicates collapses collisions BEFORE the dot products are paid)
+    val cand = c.join(broadcast(q), Seq("table_idx", "bucket"))
       .where(col(corpusId) =!= col(queryId))
-      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
-        (dot(col(corpusVec), col(queryVec)) / (col("_cn") * col("_qn"))).as("sim"))
+      .select(col(queryId), col(corpusId), col(corpusVec), col(queryVec),
+        col("_cn"), col("_qn"))
+      .dropDuplicates(queryId, corpusId)
+    val sims = cand.select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
+      (dot(col(corpusVec), col(queryVec)) / (col("_cn") * col("_qn"))).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** Embedding near-duplicate pairs: cosine >= threshold within LSH buckets
-    * (the embedding flavor of Dedup). */
+  /** Embedding near-duplicate pairs: cosine >= threshold among pairs that
+    * collide in ANY of the `nTables` LSH tables (the embedding flavor of
+    * Dedup). The exact cosine recheck makes the OUTPUT deterministic given
+    * the planes — LSH only affects recall, never precision. */
   def embeddingNearDup(corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, minCosine: Double, nPlanes: Int = 8): DataFrame = {
-    val b = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("_n"),
-      lshBucket(col(vecCol), dim, nPlanes).as("bucket"))
-    val a = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"), col("_n").as("n_a"))
-    val c = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"), col("_n").as("n_b"))
-    a.join(c, Seq("bucket"))
+      dim: Int, minCosine: Double, nPlanes: Int = 8, nTables: Int = 8): DataFrame = {
+    val b = explodeBuckets(corpus, idCol, vecCol, dim, nPlanes, nTables, "_n")
+    val a = b.select(col("table_idx"), col("bucket"),
+      col(idCol).as("id_a"), col(vecCol).as("v_a"), col("_n").as("n_a"))
+    val c = b.select(col("table_idx"), col("bucket"),
+      col(idCol).as("id_b"), col(vecCol).as("v_b"), col("_n").as("n_b"))
+    a.join(c, Seq("table_idx", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"), col("n_a"), col("n_b"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("sim"))
       .where(col("sim") >= minCosine)
