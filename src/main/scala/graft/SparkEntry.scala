@@ -309,14 +309,20 @@ object SparkEntry {
         .orderBy("pred_lang")
     }),
 
-    // MinHash+LSH near-dup candidates (Spark-hash-based; rows-only check —
-    // recall/precision asserted against brute force in OpsSpec).
+    // MinHash LSH candidates + exact Jaccard verification at 9/10 — the
+    // production dedup pipeline shape. The verified OUTPUT is the
+    // deterministic true-pair set, so the DuckDB oracle states it as plain
+    // all-pairs Jaccard (candidate recall at the threshold is total:
+    // miss probability <= (1-0.81)^32 per pair with 32 bands of 2 rows).
     "q24_minhash_pairs" -> ((s, dir) => {
-      Dedup.minhashCandidates(T(s, dir, "documents"), "doc_id", col("text"))
+      Dedup.minhashVerifiedPairs(T(s, dir, "documents"), "doc_id", "text",
+        w = 5, num = 9, den = 10, numHashes = 64, bands = 32)
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dups at hamming<=3 (rows-only; OpsSpec-verified).
+    // SimHash near-dups at hamming<=3. Chunk banding has perfect recall by
+    // pigeonhole, and the MD5-based token hash is engine-portable, so the
+    // DuckDB oracle recomputes the signatures and the exact pair set.
     "q25_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text")
         .orderBy("id_a", "id_b")
@@ -574,7 +580,110 @@ object SparkEntry {
   // oracles
   // -------------------------------------------------------------------
 
+  /** [[graft.ops.Similarity.planeComponent]] as DuckDB SQL — the mix is
+    * 64-bit-integer exact and the final division is by a power of two, so
+    * both engines produce bit-identical doubles. */
+  private def mixSql(k: String): String = {
+    val h1 = s"((xor($k, $k >> 15)) * 486187739) & 4294967295"
+    val h2 = s"((xor(($h1), ($h1) >> 13)) * 368040263) & 4294967295"
+    val h3 = s"xor(($h2), ($h2) >> 16)"
+    s"(($h3) / 4294967296.0 - 0.5)"
+  }
+
+  /** Shared LSH-replay CTEs for the q28/q31 oracles: hyperplanes from the
+    * integer mix, double-cast vectors, per-table sign buckets. DuckDB's
+    * list_inner_product sums element products left-to-right in double —
+    * the same op order as [[graft.functions.DotProduct]] — so the bucket
+    * signs (and cosine ranks) match Spark bit-for-bit. */
+  private def lshCtes(nPlanes: Int, nTables: Int, dim: Int): String = {
+    val comp = mixSql(s"CAST((t*$nPlanes + j)*$dim + i + 1 AS BIGINT)")
+    s"""planes AS (
+       |  SELECT t, j, list_transform(range(0, $dim), i -> $comp) AS p
+       |  FROM range(0, $nTables) tt(t), range(0, $nPlanes) jj(j)),
+       |vecs AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |buckets AS (
+       |  SELECT vec_id, t,
+       |    bit_or(CASE WHEN list_inner_product(v, p) >= 0
+       |           THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS bucket
+       |  FROM vecs, planes GROUP BY vec_id, t)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    // all-pairs exact Jaccard >= 9/10: the verified-pair output of the
+    // MinHash pipeline equals the true-pair set (recall argument at the
+    // queries entry), which DuckDB states with integer arithmetic.
+    "q24_minhash_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')
+        |  )) AS shingles FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter_sz,
+        |  CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS union_sz
+        |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.shingles, b.shingles)) * 10 >=
+        |      9 * (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // full simhash replay: MD5-nibble token hash -> per-bit votes ->
+    // signature -> all-pairs hamming <= 3 (bit 63 via the min-long literal;
+    // DuckDB raises on 1<<63).
+    "q25_simhash_pairs" ->
+      """WITH wt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
+        |v AS (
+        |  SELECT doc_id, b, sum(CASE WHEN
+        |      (((strpos('0123456789abcdef', substr(md5(wd), b // 4 + 1, 1)) - 1) >> (b % 4)) & 1) = 1
+        |    THEN 1 ELSE -1 END) AS vote
+        |  FROM wt, range(0, 64) r(b) GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id, bit_or(CASE WHEN vote > 0 THEN
+        |      (CASE WHEN b = 63 THEN (-9223372036854775807 - 1) ELSE (1::BIGINT << b) END)
+        |    ELSE 0 END) AS sig
+        |  FROM v GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sig a, sig b WHERE a.doc_id < b.doc_id
+        |  AND bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // full LSH replay: multi-probe candidate rule "bucket hamming <= 2 in
+    // any table" (equivalent to the query-side XOR-mask explode), then
+    // exact cosine re-rank with the identical float formula.
+    "q28_ann_lsh" ->
+      s"""WITH ${lshCtes(nPlanes = 8, nTables = 8, dim = 64)},
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM buckets q JOIN buckets c
+         |    ON q.t = c.t AND bit_count(xor(q.bucket, c.bucket)) <= 2
+         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |sims AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      list_inner_product(cv.v, qv.v) /
+         |        (sqrt(list_inner_product(cv.v, cv.v)) * sqrt(list_inner_product(qv.v, qv.v))) DESC,
+         |      neighbor_id) AS rank
+         |  FROM cand JOIN vecs cv ON cv.vec_id = neighbor_id
+         |            JOIN vecs qv ON qv.vec_id = query_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM sims WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // full LSH replay (exact bucket match, no probes), then the exact
+    // cosine >= 0.35 recheck with the identical float formula.
+    "q31_embedding_neardup" ->
+      s"""WITH ${lshCtes(nPlanes = 8, nTables = 8, dim = 64)},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+         |  WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b
+         |FROM cand JOIN vecs va ON va.vec_id = id_a JOIN vecs vb ON vb.vec_id = id_b
+         |WHERE list_inner_product(va.v, vb.v) /
+         |      (sqrt(list_inner_product(va.v, va.v)) * sqrt(list_inner_product(vb.v, vb.v))) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(count(*) AS BIGINT) AS cnt_rows,

@@ -1,7 +1,6 @@
 package graft.functions
 
 import scala.collection.mutable
-import scala.util.hashing.MurmurHash3
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -46,7 +45,14 @@ case class WordShingles(child: Expression, w: Int)
 
 /** 64-bit SimHash over space-separated tokens (Charikar): bit j of the
   * result is the sign of the sum over tokens of ±1 votes from bit j of the
-  * token's hash. */
+  * token's hash.
+  *
+  * The per-token hash is the first 8 bytes of standard MD5 (bit b = bit
+  * (b mod 4) of hex nibble b/4) — chosen over xxhash/murmur because MD5 is
+  * byte-identical in every engine, which makes the whole signature — and
+  * therefore the hamming-pair OUTPUT — recomputable by the DuckDB oracle.
+  * MD5 costs ~100ns/word vs ~5ns for xxhash; simhash candidate generation
+  * is shuffle-bound well before that matters. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -56,15 +62,18 @@ case class SimHash64(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
     val votes = new Array[Int](64)
+    val md = SimHash64.digest.get()
     var i = 0
     while (i < words.length) {
-      val b = words(i).getBytes("UTF-8")
-      val h = (MurmurHash3.bytesHash(b, 0).toLong << 32) |
-        (MurmurHash3.bytesHash(b, 1).toLong & 0xFFFFFFFFL)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
+      md.reset()
+      val d = md.digest(words(i).getBytes("UTF-8"))
+      var b = 0
+      while (b < 64) {
+        val c = b >> 2 // hex char index 0..15 (even = high nibble)
+        val byte = d(c >> 1) & 0xFF
+        val nib = if ((c & 1) == 0) (byte >>> 4) & 0xF else byte & 0xF
+        if (((nib >> (b & 3)) & 1) == 1) votes(b) += 1 else votes(b) -= 1
+        b += 1
       }
       i += 1
     }
@@ -79,6 +88,11 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
+}
+
+object SimHash64 {
+  private val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
 object TextExprs {

@@ -86,6 +86,36 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** The production LSH-dedup pipeline shape: MinHash candidates, then an
+    * EXACT integer-arithmetic Jaccard verification — so the output is the
+    * deterministic set of true pairs at `num/den`, independent of which
+    * hash family produced the candidates (the DuckDB oracle states it as
+    * plain all-pairs Jaccard). With bands=32 (rows-per-band 2) the
+    * per-pair miss probability at J >= 0.9 is (1 - J²)^32 <= 10^-23 —
+    * candidate recall is total for the verification threshold. */
+  def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 5, num: Int = 9, den: Int = 10,
+      numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      wordShingles(col(textCol), w).as("shingles"))
+    val cand = minhashCandidates(df, idCol, col(textCol), numHashes, bands)
+    verifyJaccard(cand, sh, num, den)
+  }
+
+  /** Exact Jaccard check of candidate (id_a, id_b) pairs against full
+    * shingle sets: integer cross-multiplication, no float compare. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+      num: Int, den: Int): DataFrame = {
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("long") - inter
+    withSets
+      .select(col("id_a"), col("id_b"), inter.as("inter_sz"), union.as("union_sz"))
+      .where(col("inter_sz") * den >= col("union_sz") * num)
+  }
+
   // ---- n-gram / shingle Jaccard ----
 
   /** Exact Jaccard near-dup pairs at `num/den` threshold over w-word
@@ -112,14 +142,7 @@ object Dedup {
     val cand = invRare.toDF("sh", "id_a").join(invRare.toDF("sh", "id_b"), Seq("sh"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val withSets = cand
-      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("long") - inter
-    withSets
-      .select(col("id_a"), col("id_b"), inter.as("inter_sz"), union.as("union_sz"))
-      .where(col("inter_sz") * den >= col("union_sz") * num)
+    verifyJaccard(cand, sh, num, den)
   }
 
   // ---- SimHash ----
