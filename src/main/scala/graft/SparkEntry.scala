@@ -565,6 +565,20 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // SQL DESCRIBE TABLE EXTENDED through the V2 catalog plugin: the exact
+    // surface the reference string-parses for partition spec and provider
+    // (`2_collect_database_schema_info.py:162-214`). Deterministic rows only
+    // (Location is a temp dir and is asserted separately in the spec).
+    "q48_describe_extended" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      s.conf.set("spark.sql.catalog.snapfix", "graft.catalog.spark.SnapCatalogPlugin")
+      s.conf.set("spark.sql.catalog.snapfix.warehouse", fx.src.warehouse)
+      s.sql("DESCRIBE TABLE EXTENDED snapfix.maint.orders_part")
+        .where(col("col_name").isin("# Partition Information", "Provider", "o_orderstatus"))
+        .select("col_name", "data_type").distinct()
+        .orderBy("col_name")
+    }),
+
     // the spark.sql surface itself: SQL text over registered temp views —
     // the engine accepts the same ANSI SQL the oracle runs.
     "q43_sql_surface" -> ((s, dir) => {
@@ -1008,6 +1022,13 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1 ORDER BY month_ts""".stripMargin,
+
+    "q48_describe_extended" ->
+      """SELECT * FROM (VALUES
+        |  ('# Partition Information', ''),
+        |  ('Provider', 'snapcat'),
+        |  ('o_orderstatus', 'string')
+        |) AS t(col_name, data_type) ORDER BY col_name""".stripMargin,
 
     "q43_sql_surface" ->
       """SELECT n.n_name, CAST(count(s.s_suppkey) AS BIGINT) AS n_supp

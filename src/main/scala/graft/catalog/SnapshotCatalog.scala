@@ -325,15 +325,77 @@ final class SnapshotCatalog(
     }
     val prevRows = math.max(prev.recordCount, 0L)
     val totalRows = if (operation == "append") prevRows + rows else rows
+    // Snapshot schema: an overwrite's file list is the new files only, so
+    // the frame's schema IS the table schema (RTAS semantics). An append's
+    // (or compact's) file list still contains OLDER files, so the table
+    // schema must be preserved — adopting the incoming frame's schema
+    // verbatim would let a non-nullable literal frame redeclare an evolved
+    // column NOT NULL and break reads of pre-evolution files (the
+    // vectorized reader refuses missing REQUIRED columns). Nullability is
+    // widened by the frame's, never narrowed.
+    val snapSchema = operation match {
+      case "append" | "compact" =>
+        val prevSchema = prev.schema
+        val missing = prevSchema.fieldNames.filterNot(df.schema.fieldNames.contains)
+        val extra = df.schema.fieldNames.filterNot(prevSchema.fieldNames.contains)
+        require(missing.isEmpty && extra.isEmpty,
+          s"append schema mismatch for $db.$table: missing=${missing.mkString(",")} " +
+            s"extra=${extra.mkString(",")}")
+        StructType(prevSchema.fields.map { f =>
+          f.copy(nullable = f.nullable || df.schema(f.name).nullable)
+        })
+      case _ => df.schema
+    }
     val snap = Snapshot(newId, clock().toString, operation,
       Map(
         "record_count" -> totalRows.toString,
         "added_records" -> rows.toString,
         "added_files" -> newFiles.size.toString,
         "total_files" -> allFiles.size.toString),
-      df.schema.toDDL, allFiles)
+      snapSchema.toDDL, allFiles)
     writeLog(db, table, log :+ snap)
     snap
+  }
+
+  /** Schema-evolution commit (Iceberg `ALTER TABLE ADD COLUMN` semantics):
+    * a new snapshot that KEEPS the previous snapshot's data files and
+    * record count but carries the evolved schema. Reads of the new
+    * snapshot null-fill columns absent from older parquet files (the
+    * stock reader's missing-column behavior); time travel to snapshots
+    * before the evolution serves the old schema, because every snapshot
+    * stores its own DDL. */
+  def evolveSchema(db: String, table: String, newSchema: StructType): Snapshot = {
+    val log = snapshotList(db, table)
+    val prev = log.last
+    val dropped = prev.schema.fieldNames.filterNot(newSchema.fieldNames.contains)
+    require(dropped.isEmpty,
+      s"evolveSchema is add/extend only; dropping ${dropped.mkString(",")} would orphan data")
+    val snap = Snapshot(prev.snapshotId + 1, clock().toString, "evolve",
+      prev.summary + ("added_records" -> "0", "added_files" -> "0"),
+      newSchema.toDDL, prev.files)
+    writeLog(db, table, log :+ snap)
+    snap
+  }
+
+  /** Update one table property (ALTER TABLE SET/UNSET TBLPROPERTIES). */
+  def setProperty(db: String, table: String, key: String, value: Option[String]): Unit = {
+    val tm = meta(db, table)
+    val props = value match {
+      case Some(v) => tm.properties + (key -> v)
+      case None    => tm.properties - key
+    }
+    writeString(metaPath(db, table), Json.writePretty(tm.copy(properties = props).toJson))
+  }
+
+  /** Replace the table-level spec (RTAS semantics: the replacing write may
+    * carry a different partition spec / properties). Snapshot history is
+    * untouched — unlike DROP+CREATE, time travel across the replace keeps
+    * working because data files and the log stay in place. */
+  def replaceTableSpec(db: String, table: String,
+      partitionCols: Seq[String], properties: Map[String, String]): Unit = {
+    require(tableExists(db, table), s"no such table: $db.$table")
+    writeString(metaPath(db, table),
+      Json.writePretty(TableMeta(db, table, partitionCols, properties).toJson))
   }
 
   // ---- maintenance (the "table maintenance" half of the Iceberg surface:

@@ -4,19 +4,20 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.catalog.{Snapshot, SnapshotCatalog}
+import graft.catalog.{Snapshot, SnapshotCatalog, TableMeta}
 
 /** Spark V2 `TableCatalog` over [[graft.catalog.SnapshotCatalog]] — gives
   * the engine the reference's exact SQL operating surface without an
@@ -35,11 +36,14 @@ import graft.catalog.{Snapshot, SnapshotCatalog}
   * }}}
   *
   * Reads delegate to Spark's own vectorized Parquet `FileTable` over the
-  * snapshot's file list, so pushdown/pruning/codegen are stock. Writes go
-  * through the library API (`SnapshotCatalog.append/overwrite`) — the SQL
-  * write path is intentionally not wired in this round.
+  * snapshot's file list, so pushdown/pruning/codegen are stock. Writes ride
+  * the V1 bridge into the snapshot commit protocol: INSERT INTO/OVERWRITE,
+  * CTAS and RTAS (`df.write.saveAsTable`, any mode — staged through
+  * [[StagingTableCatalog]], which keeps snapshot history across a replace),
+  * and `ALTER TABLE ADD COLUMN` commits an `evolve` snapshot.
   */
-class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces {
+class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -99,27 +103,87 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces {
     cat.listTables(namespace.head).map(t => Identifier.of(namespace, t)).toArray
   }
 
-  /** Combines a lazily built read delegate ([[ParquetTable]]) with the SQL
-    * write path via the V1 write bridge: `InsertableRelation.insert` routes
-    * straight into the catalog's commit protocol, so `INSERT INTO` =
-    * `append` commit and `INSERT OVERWRITE` = `overwrite` commit — each SQL
-    * write is one new snapshot, exactly like the library API.
-    *
-    * The delegate is a thunk so read-path constraints (the partitioned
-    * multi-snapshot-dir basePath limitation) surface only when a SCAN is
-    * built — writes must keep working on a table whose current snapshot is
-    * temporarily unreadable via SQL. */
-  private final class SnapTable(tableName: String, tableSchema: StructType,
-      val mkReadDelegate: () => ParquetTable, db: String, table: String,
-      override val recordCount: Long)
+  /** Write builder shared by live and staged tables: the V1 write bridge
+    * routes `InsertableRelation.insert` straight into the catalog's commit
+    * protocol, so `INSERT INTO`/append = `append` commit and
+    * `INSERT OVERWRITE`/overwrite-save = `overwrite` commit — each SQL
+    * write is one new snapshot, exactly like the library API. */
+  private final class SnapWriteBuilder(db: String, table: String,
+      startTruncated: Boolean) extends WriteBuilder with SupportsTruncate {
+    private var overwriteAll = startTruncated
+    override def truncate(): WriteBuilder = { overwriteAll = true; this }
+    override def build(): Write = new V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(data: DataFrame, ignored: Boolean): Unit =
+            if (overwriteAll) cat.overwrite(db, table, data)
+            else cat.append(db, table, data)
+        }
+    }
+  }
+
+  /** Read+write table over one snapshot. Reads delegate to Spark's own
+    * vectorized [[ParquetTable]] (scan built lazily, so read-path
+    * constraints never block writes); partition spec and table properties
+    * are exposed so SQL `DESCRIBE TABLE EXTENDED` shows the partitioning /
+    * provider / location rows the reference string-parses
+    * (`2_collect_database_schema_info.py:186-214`). */
+  private final class SnapTable(tableName: String, snap: Snapshot,
+      tableMeta: TableMeta, db: String, table: String)
       extends Table with SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsWrite with HasRecordCount {
 
+    override val recordCount: Long = snap.recordCount
     override def name(): String = tableName
-    override def schema(): StructType = tableSchema
+    override def schema(): StructType = snap.schema
+    override def partitioning(): Array[Transform] =
+      tableMeta.partitionCols.map(c => Expressions.identity(c)).toArray
+    override def properties(): util.Map[String, String] =
+      (tableMeta.properties ++ Map(
+        "provider" -> "snapcat",
+        "location" -> java.nio.file.Paths.get(warehouse, db, table).toString,
+        "current-snapshot-id" -> snap.snapshotId.toString,
+        "record-count" -> snap.recordCount.toString)).asJava
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+    /** Scan over THIS table's snapshot (reader options already resolved).
+      *
+      * Fast path: one [[ParquetTable]] over the snapshot's file list —
+      * stock vectorized scan, full pushdown. Hive-style partition dirs
+      * resolve via basePath; a PARTITIONED table whose file list spans
+      * several snapshot dirs (append after append) has no single basePath,
+      * so that shape reads through the library path (per-dir basePath
+      * groups, unioned — `SnapshotCatalog.readAsOf`) bridged as a V1 scan:
+      * always correct; scan-level pushdown is reduced on that shape until
+      * `compact()` rewrites into one dir. */
+    private[spark] def ownScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      val root = java.nio.file.Paths.get(warehouse, db, table)
+      val dirs = snap.files.map(_.split("/").take(2).mkString("/")).distinct
+      if (tableMeta.partitionCols.nonEmpty && dirs.size > 1) {
+        val snapSchema = snap.schema
+        val snapId = snap.snapshotId
+        () => new V1Scan {
+          override def readSchema(): StructType = snapSchema
+          override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+            (new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = context
+              override def schema: StructType = snapSchema
+              override def buildScan(): RDD[Row] = cat.readAsOf(db, table, snapId).rdd
+            }).asInstanceOf[T]
+        }
+      } else {
+        val opts: Map[String, String] =
+          if (tableMeta.partitionCols.isEmpty || snap.files.isEmpty) Map.empty
+          else Map("basePath" -> root.resolve(dirs.head).toString)
+        ParquetTable(tableName, spark,
+          new CaseInsensitiveStringMap(opts.asJava),
+          snap.files.map(f => root.resolve(f).toString),
+          Some(snap.schema), classOf[ParquetFileFormat])
+          .newScanBuilder(options)
+      }
+    }
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
       // the reference's exact reader API: spark.read.option("snapshot-id", id)
@@ -135,52 +199,19 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces {
               s"snapshot-id option must be numeric, got '$v'")
           }
           snapshotTable(Identifier.of(Array(db), table), cat.snapshotAt(db, table, snapId))
-            .asInstanceOf[SnapTable].mkReadDelegate().newScanBuilder(options)
-        case None => mkReadDelegate().newScanBuilder(options)
+            .asInstanceOf[SnapTable].ownScanBuilder(options)
+        case None => ownScanBuilder(options)
       }
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-      new WriteBuilder with SupportsTruncate {
-        private var overwriteAll = false
-        override def truncate(): WriteBuilder = { overwriteAll = true; this }
-        override def build(): Write = new V1Write {
-          override def toInsertableRelation: InsertableRelation =
-            new InsertableRelation {
-              override def insert(data: DataFrame, ignored: Boolean): Unit =
-                if (overwriteAll) cat.overwrite(db, table, data)
-                else cat.append(db, table, data)
-            }
-        }
-      }
+      new SnapWriteBuilder(db, table, startTruncated = false)
   }
 
   private def snapshotTable(ident: Identifier, snap: Snapshot): Table = {
     val db = ident.namespace().head
     val table = ident.name()
-    val root = java.nio.file.Paths.get(warehouse, db, table)
-    def mkDelegate(): ParquetTable = {
-      val files = snap.files.map(f => root.resolve(f).toString)
-      val meta = cat.meta(db, table)
-      // Hive-style partition dirs resolve via basePath; multi-snapshot-dir
-      // file lists of PARTITIONED tables can't share one basePath — compact
-      // first (compaction rewrites into a single snapshot dir). Read-path
-      // only: evaluated when a scan is built, never for writes.
-      val opts: Map[String, String] =
-        if (meta.partitionCols.isEmpty || snap.files.isEmpty) Map.empty
-        else {
-          val dirs = snap.files.map(_.split("/").take(2).mkString("/")).distinct
-          if (dirs.size > 1) throw new UnsupportedOperationException(
-            s"partitioned table $db.$table spans ${dirs.size} snapshot dirs; " +
-              "run compact() to consolidate before SQL reads")
-          Map("basePath" -> root.resolve(dirs.head).toString)
-        }
-      ParquetTable(s"$catalogName.$db.$table", spark,
-        new CaseInsensitiveStringMap(opts.asJava), files,
-        Some(snap.schema), classOf[ParquetFileFormat])
-    }
-    new SnapTable(s"$catalogName.$db.$table", snap.schema, () => mkDelegate(), db, table,
-      snap.recordCount)
+    new SnapTable(s"$catalogName.$db.$table", snap, cat.meta(db, table), db, table)
   }
 
   /** The `<table>.snapshots` metadata relation the reference scans
@@ -274,8 +305,94 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported; use the library API")
+  /** Schema evolution (ALTER TABLE ADD COLUMN / SET-UNSET TBLPROPERTIES).
+    * Adding a column commits an `evolve` snapshot — same data files, new
+    * schema; existing parquet files null-fill the new column on read, and
+    * time travel to pre-evolution snapshots serves the old schema (each
+    * snapshot stores its own DDL). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    checkExists(ident)
+    val db = ident.namespace().head
+    val table = ident.name()
+    var schema = cat.currentSnapshot(db, table).schema
+    var evolved = false
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"nested ADD COLUMN not supported: ${add.fieldNames.mkString(".")}")
+        require(add.isNullable,
+          "added columns must be nullable (pre-evolution files null-fill them)")
+        require(!schema.fieldNames.contains(add.fieldNames.head),
+          s"column already exists: ${add.fieldNames.head}")
+        schema = schema.add(StructField(add.fieldNames.head, add.dataType, nullable = true))
+        evolved = true
+      case sp: TableChange.SetProperty =>
+        cat.setProperty(db, table, sp.property, Some(sp.value))
+      case rp: TableChange.RemoveProperty =>
+        cat.setProperty(db, table, rp.property, None)
+      case other =>
+        throw new UnsupportedOperationException(s"ALTER TABLE change not supported: $other")
+    }
+    if (evolved) cat.evolveSchema(db, table, schema)
+    loadTable(ident)
+  }
+
+  // ---- staged writes: saveAsTable / CTAS / RTAS ----
+
+  private def v2ToStruct(columns: Array[Column]): StructType =
+    StructType(columns.map(c => StructField(c.name, c.dataType, c.nullable)))
+
+  /** Staged table whose data write commits through the snapshot protocol.
+    * `overwriteData` = RTAS shape: the write is an `overwrite` commit on the
+    * EXISTING table, so — unlike drop-and-recreate — snapshot history stays
+    * time-travelable across the replace (Iceberg RTAS semantics). */
+  private def staged(ident: Identifier, overwriteData: Boolean,
+      dropOnAbort: Boolean): StagedTable =
+    new StagedTable with org.apache.spark.sql.connector.catalog.SupportsWrite {
+      private val db = ident.namespace().head
+      private val table = ident.name()
+      override def name(): String = s"$catalogName.$db.$table"
+      override def schema(): StructType = cat.currentSnapshot(db, table).schema
+      override def partitioning(): Array[Transform] =
+        cat.meta(db, table).partitionCols.map(c => Expressions.identity(c)).toArray
+      override def capabilities(): util.Set[TableCapability] =
+        util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      override def commitStagedChanges(): Unit = ()
+      override def abortStagedChanges(): Unit =
+        if (dropOnAbort) cat.dropTable(db, table)
+      override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+        new SnapWriteBuilder(db, table, startTruncated = overwriteData)
+    }
+
+  /** CTAS / `df.write.saveAsTable` (create): the table is created up front
+    * and dropped again on abort, so a failed CTAS leaves no trace. */
+  override def stageCreate(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    createTable(ident, v2ToStruct(columns), partitions, properties)
+    staged(ident, overwriteData = false, dropOnAbort = true)
+  }
+
+  /** RTAS / `df.write.mode("overwrite").saveAsTable` on an existing table:
+    * ONE `overwrite` commit, history preserved. The replacing write may
+    * carry a new partition spec/properties — applied to table meta here;
+    * the new schema rides the overwrite commit itself. */
+  override def stageReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    checkExists(ident)
+    val partCols = partitions.map { t =>
+      require(t.name == "identity", s"only identity partitioning supported, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    cat.replaceTableSpec(ident.namespace().head, ident.name(),
+      partCols.toSeq, properties.asScala.toMap)
+    staged(ident, overwriteData = true, dropOnAbort = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    if (tableExists(ident)) stageReplace(ident, columns, partitions, properties)
+    else stageCreate(ident, columns, partitions, properties)
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false

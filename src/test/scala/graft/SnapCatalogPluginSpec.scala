@@ -118,19 +118,79 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(rows == Seq((1L, "create", 0L), (2L, "append", 25L), (3L, "overwrite", 5L)))
   }
 
-  test("partitioned table stays WRITABLE across multi-dir snapshots; compact unlocks reads") {
+  test("partitioned table is readable AND writable across multi-dir snapshots") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbp")
     spark.sql("CREATE TABLE snapcat.dbp.p (id BIGINT, flag STRING) PARTITIONED BY (flag)")
     spark.sql("INSERT INTO snapcat.dbp.p VALUES (1, 'a')")
     spark.sql("INSERT INTO snapcat.dbp.p VALUES (2, 'b')")   // 2 snapshot dirs now
-    spark.sql("INSERT INTO snapcat.dbp.p VALUES (3, 'a')")   // writes must still work
-    val e = intercept[Exception] {
-      spark.sql("SELECT * FROM snapcat.dbp.p").collect()     // read is the constrained path
-    }
-    assert(e.getMessage.contains("compact"), e.getMessage)
-    new SnapshotCatalog(spark, wh).compact("dbp", "p", numFiles = 1)
+    spark.sql("INSERT INTO snapcat.dbp.p VALUES (3, 'a')")   // 3 dirs
+    // multi-snapshot-dir partitioned reads route through the library path
+    // (per-dir basePath groups, unioned) — no compaction required
     assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbp.p WHERE flag = 'a'").head.getLong(0) == 2)
+    assert(spark.sql("SELECT sum(id) AS s FROM snapcat.dbp.p").head.getLong(0) == 6)
+    // compaction still upgrades the plan back to the single vectorized scan
+    new SnapshotCatalog(spark, wh).compact("dbp", "p", numFiles = 1)
+    val df = spark.sql("SELECT count(*) AS c FROM snapcat.dbp.p WHERE flag = 'a'")
+    assert(df.head.getLong(0) == 2)
+  }
+
+  test("df.write.saveAsTable: create-on-write, append, overwrite keep snapshot history") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbs")
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    df1.write.saveAsTable("snapcat.dbs.st")                      // CTAS shape
+    assert(spark.table("snapcat.dbs.st").count() == 2)
+    df1.write.mode("append").saveAsTable("snapcat.dbs.st")       // append
+    assert(spark.table("snapcat.dbs.st").count() == 4)
+    // the reference's literal write: mode("overwrite").saveAsTable
+    // (5_migrate_tables_data.py:80-83) -> ONE overwrite commit
+    Seq((9L, "z")).toDF("id", "name").write.mode("overwrite").saveAsTable("snapcat.dbs.st")
+    assert(spark.table("snapcat.dbs.st").as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    val ops = new SnapshotCatalog(spark, wh).snapshotList("dbs", "st").map(_.operation)
+    assert(ops == Seq("create", "append", "append", "overwrite"), ops.toString)
+    // history survives the replace: pre-overwrite snapshot still readable
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbs.st VERSION AS OF 3").head.getLong(0) == 4)
+  }
+
+  test("DESCRIBE TABLE EXTENDED shows partitioning, provider and location") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbd")
+    spark.sql("CREATE TABLE snapcat.dbd.d (id BIGINT, flag STRING) PARTITIONED BY (flag)")
+    val rows = spark.sql("DESCRIBE TABLE EXTENDED snapcat.dbd.d")
+      .select("col_name", "data_type").as[(String, String)].collect().toSeq
+    // the partition column is listed under the "# Partition Information"
+    // section header (the rows the reference parses at
+    // 2_collect_database_schema_info.py:186-197)
+    val partIdx = rows.indexWhere(_._1 == "# Partition Information")
+    assert(partIdx >= 0, rows.toString)
+    assert(rows.drop(partIdx).contains(("flag", "string")), rows.toString)
+    val byName = rows.toMap
+    assert(byName.get("Provider").contains("snapcat"))
+    assert(byName("Location").contains("/dbd/d"))
+  }
+
+  test("ALTER TABLE ADD COLUMN evolves schema; time travel crosses the boundary") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbe")
+    spark.sql("CREATE TABLE snapcat.dbe.e (id BIGINT)")
+    spark.sql("INSERT INTO snapcat.dbe.e VALUES (1), (2)")
+    spark.sql("ALTER TABLE snapcat.dbe.e ADD COLUMN score DOUBLE")
+    spark.sql("INSERT INTO snapcat.dbe.e VALUES (3, 1.5)")
+    // current read: old files null-fill the evolved column
+    val cur = spark.sql("SELECT id, score FROM snapcat.dbe.e ORDER BY id")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(cur == Seq((1L, None), (2L, None), (3L, Some(1.5))))
+    // pre-evolution snapshot serves the OLD schema
+    val old = spark.sql("SELECT * FROM snapcat.dbe.e VERSION AS OF 2")
+    assert(old.schema.fieldNames.toSeq == Seq("id"))
+    assert(old.count() == 2)
+    val ops = new SnapshotCatalog(spark, wh).snapshotList("dbe", "e").map(_.operation)
+    assert(ops == Seq("create", "append", "evolve", "append"))
+    // properties round-trip
+    spark.sql("ALTER TABLE snapcat.dbe.e SET TBLPROPERTIES ('k' = 'v')")
+    assert(spark.sql("DESCRIBE TABLE EXTENDED snapcat.dbe.e")
+      .where($"col_name" === "Table Properties").head.getString(1).contains("k=v"))
   }
 
   test("DROP NAMESPACE removes the namespace, not just its tables") {
@@ -183,8 +243,8 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
   test("unsupported DDL errors clearly") {
     wh
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE snapcat.db1.nation ADD COLUMN extra INT")
+      spark.sql("ALTER TABLE snapcat.db1.nation RENAME COLUMN n_name TO nn")
     }
-    assert(e.getMessage.toLowerCase.contains("not supported"))
+    assert(e.getMessage.toLowerCase.contains("not supported"), e.getMessage)
   }
 }
