@@ -579,6 +579,22 @@ object SparkEntry {
         .orderBy("col_name")
     }),
 
+    // metadata-served aggregates through the V2 catalog: unfiltered
+    // count/min/max answered from snapshot-summary column stats (recorded
+    // in the commit's own Observation pass) — an O(1) log lookup instead
+    // of a table scan; the rewrite itself is plan-asserted in the spec.
+    "q49_metadata_minmax" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      s.conf.set("spark.sql.catalog.snapfix", "graft.catalog.spark.SnapCatalogPlugin")
+      s.conf.set("spark.sql.catalog.snapfix.warehouse", fx.src.warehouse)
+      s.table("snapfix.tpch.orders").agg(
+        count(lit(1)).as("cnt"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        min(col("o_orderstatus")).as("min_status"),
+        max(col("o_totalprice")).as("max_price"))
+    }),
+
     // the spark.sql surface itself: SQL text over registered temp views —
     // the engine accepts the same ANSI SQL the oracle runs.
     "q43_sql_surface" -> ((s, dir) => {
@@ -1022,6 +1038,13 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1 ORDER BY month_ts""".stripMargin,
+
+    // fixture tpch.orders' current snapshot is the F-only overwrite
+    "q49_metadata_minmax" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_orderstatus) AS min_status, max(o_totalprice) AS max_price
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
 
     "q48_describe_extended" ->
       """SELECT * FROM (VALUES

@@ -1,0 +1,83 @@
+package graft.catalog
+
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-column min/max statistics carried in the snapshot summary
+  * (`min.<col>` / `max.<col>` keys) — the Iceberg-manifest-stats idea:
+  * computed in the SAME `Observation` pass as the commit's row count, so
+  * they cost zero extra scans, and served back by
+  * [[graft.catalog.spark.MetadataCountRule]] for unfiltered min/max/count
+  * aggregates (an O(1) log lookup instead of a 100-TB scan).
+  *
+  * Only types with engine-stable canonical string round-trips participate:
+  * integrals, float/double (`toString` round-trips exactly), and strings
+  * (compared in UTF-8 binary order, matching Spark's ordering). A column
+  * with all-null data simply has no stat (min/max ignore nulls).
+  */
+object ColumnStats {
+
+  def statable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case FloatType | DoubleType => true
+    case StringType => true
+    case _ => false
+  }
+
+  /** Observation metrics (`min.<col>` / `max.<col>` rows) -> summary keys.
+    * Null metrics (empty or all-null input) are dropped. */
+  def fromMetrics(cols: Seq[String], metrics: Map[String, Any]): Map[String, String] =
+    cols.flatMap { c =>
+      Seq(s"min.$c", s"max.$c").flatMap { k =>
+        metrics.get(k) match {
+          case Some(v) if v != null => Some(k -> v.toString)
+          case _ => None
+        }
+      }
+    }.toMap
+
+  /** Merge the previous snapshot's stats with a fresh append's: an append
+    * snapshot still references the previous files, so its bounds are the
+    * union's. A bound present on only ONE side survives only when the other
+    * side provably has no values (prev empty, or the fresh frame all-null);
+    * a previous snapshot WITH rows but WITHOUT a recorded stat yields no
+    * stat (a stale bound would be silently wrong). */
+  def merge(prevSummary: Map[String, String], fresh: Map[String, String],
+      schema: StructType, prevRowCount: Long): Map[String, String] = {
+    val cols = schema.fields.filter(f => statable(f.dataType))
+    cols.flatMap { f =>
+      Seq(("min." + f.name, true), ("max." + f.name, false)).flatMap { case (k, isMin) =>
+        (prevSummary.get(k), fresh.get(k)) match {
+          case (Some(p), Some(n)) =>
+            val takeP = if (isMin) !gt(f.dataType, p, n) else gt(f.dataType, p, n)
+            Some(k -> (if (takeP) p else n))
+          case (None, Some(n)) if prevRowCount == 0 => Some(k -> n)
+          case (Some(p), None) => Some(k -> p) // fresh frame all-null for the col
+          case _ => None
+        }
+      }
+    }.toMap
+  }
+
+  /** a > b under the column type's ordering (Spark semantics). */
+  private def gt(dt: DataType, a: String, b: String): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => a.toLong > b.toLong
+    case FloatType | DoubleType => a.toDouble > b.toDouble
+    case StringType =>
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) > 0
+    case other => throw new IllegalArgumentException(s"no ordering for $other")
+  }
+
+  /** Canonical string -> Catalyst INTERNAL value of the column type (for
+    * LocalRelation rows in the optimizer rewrite). */
+  def internalValue(dt: DataType, s: String): Option[Any] = dt match {
+    case ByteType    => Some(s.toByte)
+    case ShortType   => Some(s.toShort)
+    case IntegerType => Some(s.toInt)
+    case LongType    => Some(s.toLong)
+    case FloatType   => Some(s.toFloat)
+    case DoubleType  => Some(s.toDouble)
+    case StringType  => Some(UTF8String.fromString(s))
+    case _           => None
+  }
+}

@@ -306,16 +306,34 @@ final class SnapshotCatalog(
     val snapDirRel = s"data/s$newId"
     val snapDir = tablePath(db, table).resolve(s"data").resolve(s"s$newId")
 
-    // Count rows in the SAME pass as the write (reference does a separate
-    // full-scan count() before writing, `5_migrate_tables_data.py:76` — at
-    // 100 TB that second scan is the difference between one pass and two).
+    // Count rows AND per-column min/max in the SAME pass as the write (the
+    // reference does a separate full-scan count() before writing,
+    // `5_migrate_tables_data.py:76` — at 100 TB that second scan is the
+    // difference between one pass and two). The stats land in the snapshot
+    // summary and let MetadataCountRule serve unfiltered count/min/max
+    // straight from the log, Iceberg-manifest style.
+    val statCols = df.schema.fields.filter(f => ColumnStats.statable(f.dataType)).map(_.name)
     val obs = new Observation(s"commit_${db}_${table}_$newId")
-    val observed = df.observe(obs, count(lit(1)).as("rows"))
+    val statAggs = statCols.flatMap { c =>
+      Seq(min(col(s"`$c`")).as(s"min.$c"), max(col(s"`$c`")).as(s"max.$c"))
+    }
+    val observed = df.observe(obs, count(lit(1)).as("rows"), statAggs.toIndexedSeq: _*)
     val writer = observed.write.mode("overwrite")
     val partitioned =
       if (tm.partitionCols.nonEmpty) writer.partitionBy(tm.partitionCols: _*) else writer
     partitioned.parquet(snapDir.toString)
-    val rows = obs.get("rows").asInstanceOf[Long]
+    val metrics = obs.get
+    val rows = metrics("rows").asInstanceOf[Long]
+    // append/compact snapshots still contain the previous files, so their
+    // stats merge with the previous snapshot's (absent on either side ->
+    // absent: a stale bound would be silently wrong)
+    val freshStats = ColumnStats.fromMetrics(statCols.toIndexedSeq, metrics)
+    val stats = operation match {
+      case "append" | "compact" =>
+        ColumnStats.merge(prev.summary, freshStats, df.schema,
+          prevRowCount = math.max(prev.recordCount, 0L))
+      case _ => freshStats
+    }
 
     val newFiles = listParquetFiles(snapDir).map(p =>
       snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/'))
@@ -351,7 +369,7 @@ final class SnapshotCatalog(
         "record_count" -> totalRows.toString,
         "added_records" -> rows.toString,
         "added_files" -> newFiles.size.toString,
-        "total_files" -> allFiles.size.toString),
+        "total_files" -> allFiles.size.toString) ++ stats,
       snapSchema.toDDL, allFiles)
     writeLog(db, table, log :+ snap)
     snap

@@ -2,12 +2,15 @@ package graft.catalog.spark
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.types.DataType
+
+import graft.catalog.ColumnStats
 
 /** Table implementations that can answer an exact row count from metadata. */
 trait HasRecordCount {
@@ -15,26 +18,41 @@ trait HasRecordCount {
   def recordCount: Long
 }
 
-/** Metadata-served `count(*)`: rewrites an unfiltered, ungrouped COUNT over
-  * a snapcat table into a literal row from the snapshot log — the Iceberg
-  * manifest-count optimization (SURVEY §4: the reference leans on Iceberg
-  * serving `count()` from metadata at `5_migrate_tables_data.py:76`,
-  * `6_verify_data_integrity.py:74-75`). At 100 TB this turns a full scan
-  * into an O(1) log lookup.
+/** Table implementations that can answer per-column min/max from metadata
+  * (snapshot-summary `min.<col>` / `max.<col>` stats recorded at commit). */
+trait HasColumnStats {
+  /** Canonical stat string for a `min.<col>` / `max.<col>` key, if known. */
+  def columnStat(key: String): Option[String]
+}
+
+/** Metadata-served aggregates: rewrites an unfiltered, ungrouped
+  * COUNT/MIN/MAX-only aggregate over a snapcat table into a literal row
+  * from the snapshot log — the Iceberg manifest-stats optimization
+  * (SURVEY §4: the reference leans on Iceberg serving `count()` from
+  * metadata at `5_migrate_tables_data.py:76`, `6_verify_data_integrity
+  * .py:74-75`; min/max ride the same summary, recorded in the commit's
+  * own Observation pass). At 100 TB this turns a full scan into an O(1)
+  * log lookup.
   *
   * Deliberately surgical: fires only when
   *   - the aggregate has NO grouping expressions,
-  *   - EVERY output is an alias of `count(1)`/`count(*)` (no distinct, no
-  *     filter clause),
-  *   - the child is a BARE [[DataSourceV2Relation]] over a table exposing
-  *     [[HasRecordCount]] with a known count — any Filter/Project in
-  *     between means the count is no longer the table count, so the rule
-  *     leaves the plan alone.
+  *   - EVERY output is an alias of `count(1)`/`count(*)`, `min(col)` or
+  *     `max(col)` on a BARE column (no distinct, no filter clause, no
+  *     expression inside the aggregate),
+  *   - the child is a bare [[DataSourceV2Relation]] (or a filterless scan
+  *     relation) over a table exposing [[HasRecordCount]] — any
+  *     Filter in between means the aggregate is no longer table-wide,
+  *   - min/max columns resolve BY EXPRESSION ID to the relation's own
+  *     output (a rename in an intermediate Project can therefore never
+  *     alias one column's stats onto another), and their stats exist.
+  * If any single output is not servable the whole plan is left alone.
   */
 object MetadataCountRule extends Rule[LogicalPlan] {
 
-  private def isCountStar(e: AggregateExpression): Boolean = e match {
+  private def servableShape(e: AggregateExpression): Boolean = e match {
     case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _) => true
+    case AggregateExpression(Min(_: AttributeReference), Complete, false, None, _) => true
+    case AggregateExpression(Max(_: AttributeReference), Complete, false, None, _) => true
     case _ => false
   }
 
@@ -45,37 +63,64 @@ object MetadataCountRule extends Rule[LogicalPlan] {
     case agg: Aggregate
         if agg.groupingExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
           agg.aggregateExpressions.forall {
-            case Alias(ae: AggregateExpression, _) => isCountStar(ae)
+            case Alias(ae: AggregateExpression, _) => servableShape(ae)
             case _ => false
           } =>
-      metadataCount(agg.child) match {
-        case Some(n) =>
-          LocalRelation(agg.output.map(_.toAttribute),
-            Seq(InternalRow(Seq.fill(agg.aggregateExpressions.size)(n): _*)))
+      metadataTable(agg.child) match {
+        case Some((table, attrs)) =>
+          val values = agg.aggregateExpressions.map {
+            case Alias(ae: AggregateExpression, _) => serve(table, attrs, ae)
+            case _ => None
+          }
+          if (values.forall(_.isDefined))
+            LocalRelation(agg.output.map(_.toAttribute),
+              Seq(InternalRow(values.map(_.get): _*)))
+          else agg
         case None => agg
       }
   }
 
-  /** The table's metadata count, ONLY when the child is provably the whole
-    * table: a bare relation, or a scan relation whose scan carries zero
-    * pushed/partition/data filters (a consumed partition filter would make
-    * the table count wrong). */
-  private def metadataCount(child: LogicalPlan): Option[Long] = {
-    def fromRelation(rel: DataSourceV2Relation): Option[Long] = {
+  private def serve(table: HasRecordCount, attrs: Map[ExprId, (String, DataType)],
+      ae: AggregateExpression): Option[Any] = {
+    def stat(a: AttributeReference, kind: String): Option[Any] =
+      for {
+        (name, dt) <- attrs.get(a.exprId)
+        stats <- Some(table).collect { case s: HasColumnStats => s }
+        raw <- stats.columnStat(s"$kind.$name")
+        v <- ColumnStats.internalValue(dt, raw)
+      } yield v
+    ae.aggregateFunction match {
+      case Count(_) if table.recordCount >= 0 => Some(table.recordCount)
+      case Min(a: AttributeReference) => stat(a, "min")
+      case Max(a: AttributeReference) => stat(a, "max")
+      case _ => None
+    }
+  }
+
+  /** The table plus its output-attribute map, ONLY when the child is
+    * provably the whole table: a bare relation, or a scan relation whose
+    * scan carries zero pushed/partition/data filters (a consumed partition
+    * filter would make table-wide stats wrong). */
+  private def metadataTable(child: LogicalPlan)
+      : Option[(HasRecordCount, Map[ExprId, (String, DataType)])] = {
+    def fromRelation(rel: DataSourceV2Relation)
+        : Option[(HasRecordCount, Map[ExprId, (String, DataType)])] = {
       // reader options can redirect the SCAN to another snapshot
       // (spark.read.option("snapshot-id", ...)); the Table object still
-      // carries the CURRENT snapshot's count — never serve it then.
+      // carries the CURRENT snapshot's stats — never serve them then.
       val redirected = rel.options != null &&
         (rel.options.containsKey("snapshot-id") || rel.options.containsKey("as_of_snapshot_id"))
       rel.table match {
-        case h: HasRecordCount if !redirected && h.recordCount >= 0 => Some(h.recordCount)
+        case h: HasRecordCount if !redirected =>
+          Some((h, rel.output.map(a => a.exprId -> (a.name, a.dataType)).toMap))
         case _ => None
       }
     }
     child match {
-      // projections never change cardinality (ColumnPruning inserts one
-      // under the aggregate inside the same optimizer batch) — look through
-      case Project(_, grandchild) => metadataCount(grandchild)
+      // projections never change cardinality, and min/max attributes are
+      // resolved by exprId against the RELATION output (an alias introduced
+      // here has a fresh exprId and simply fails the lookup) — look through
+      case Project(_, grandchild) => metadataTable(grandchild)
       case rel: DataSourceV2Relation => fromRelation(rel)
       case DataSourceV2ScanRelation(rel, scan: ParquetScan, _, _, _)
           if scan.pushedFilters.isEmpty && scan.partitionFilters.isEmpty &&

@@ -131,9 +131,11 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
   private final class SnapTable(tableName: String, snap: Snapshot,
       tableMeta: TableMeta, db: String, table: String)
       extends Table with SupportsRead
-      with org.apache.spark.sql.connector.catalog.SupportsWrite with HasRecordCount {
+      with org.apache.spark.sql.connector.catalog.SupportsWrite
+      with HasRecordCount with HasColumnStats {
 
     override val recordCount: Long = snap.recordCount
+    override def columnStat(key: String): Option[String] = snap.summary.get(key)
     override def name(): String = tableName
     override def schema(): StructType = snap.schema
     override def partitioning(): Array[Transform] =

@@ -240,6 +240,36 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(filtered.head.getLong(0) == 2)
   }
 
+  test("unfiltered min/max are served from snapshot column stats, not a scan") {
+    wh
+    val df = spark.sql(
+      "SELECT count(*) AS c, min(n_nationkey) AS mn, max(n_nationkey) AS mx, max(n_name) AS mxn FROM snapcat.db1.nation")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LocalRelation") && !optimized.contains("RelationV2"),
+      s"expected metadata-served min/max, got:\n$optimized")
+    // current snapshot = overwrite with nation.limit(5) -> keys 0..4
+    val r = df.head
+    assert((r.getLong(0), r.getInt(1), r.getInt(2)) == ((5L, 0, 4)))
+    // the values must equal what a real scan computes
+    val scanned = spark.sql(
+      "SELECT max(n_name) AS mxn FROM snapcat.db1.nation WHERE n_nationkey >= 0").head.getString(0)
+    assert(r.getString(3) == scanned)
+    // historic snapshot serves ITS stats (full 25-nation append)
+    val hist = spark.sql(
+      "SELECT min(n_nationkey) AS mn, max(n_nationkey) AS mx FROM snapcat.db1.nation VERSION AS OF 2")
+    assert(hist.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+    assert((hist.head.getInt(0), hist.head.getInt(1)) == ((0, 24)))
+    // a filter disables the rewrite; result stays exact
+    val filtered = spark.sql(
+      "SELECT min(n_nationkey) AS mn FROM snapcat.db1.nation WHERE n_nationkey > 2")
+    assert(filtered.queryExecution.optimizedPlan.toString.contains("RelationV2"))
+    assert(filtered.head.getInt(0) == 3)
+    // a non-bare-column aggregate disables the rewrite; result stays exact
+    val expr = spark.sql("SELECT min(n_nationkey + 1) AS mn FROM snapcat.db1.nation")
+    assert(expr.queryExecution.optimizedPlan.toString.contains("RelationV2"))
+    assert(expr.head.getInt(0) == 1)
+  }
+
   test("unsupported DDL errors clearly") {
     wh
     val e = intercept[Exception] {
