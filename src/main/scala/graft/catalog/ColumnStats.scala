@@ -59,10 +59,12 @@ object ColumnStats {
     }.toMap
   }
 
-  /** a > b under the column type's ordering (Spark semantics). */
+  /** a > b under the column type's ordering (Spark semantics: NaN sorts
+    * LARGEST — primitive `>` would return false for NaN and silently flip
+    * merged bounds, so floats compare via java.lang.Double.compare). */
   private def gt(dt: DataType, a: String, b: String): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => a.toLong > b.toLong
-    case FloatType | DoubleType => a.toDouble > b.toDouble
+    case FloatType | DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble) > 0
     case StringType =>
       UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) > 0
     case other => throw new IllegalArgumentException(s"no ordering for $other")

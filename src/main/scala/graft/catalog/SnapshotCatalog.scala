@@ -330,8 +330,12 @@ final class SnapshotCatalog(
     val freshStats = ColumnStats.fromMetrics(statCols.toIndexedSeq, metrics)
     val stats = operation match {
       case "append" | "compact" =>
+        // recordCount passes through UNCLAMPED: -1 means unknown, and
+        // merge's prev-empty branch must only fire on a PROVABLY empty
+        // previous snapshot (clamping -1 to 0 would adopt fresh-only
+        // bounds over files that actually contain rows)
         ColumnStats.merge(prev.summary, freshStats, df.schema,
-          prevRowCount = math.max(prev.recordCount, 0L))
+          prevRowCount = prev.recordCount)
       case _ => freshStats
     }
 
@@ -359,6 +363,12 @@ final class SnapshotCatalog(
         require(missing.isEmpty && extra.isEmpty,
           s"append schema mismatch for $db.$table: missing=${missing.mkString(",")} " +
             s"extra=${extra.mkString(",")}")
+        val retyped = prevSchema.fields
+          .filterNot(f => f.dataType.sql == df.schema(f.name).dataType.sql)
+        require(retyped.isEmpty,
+          s"append type mismatch for $db.$table: " +
+            retyped.map(f => s"${f.name}: table=${f.dataType.sql} " +
+              s"frame=${df.schema(f.name).dataType.sql}").mkString(", "))
         StructType(prevSchema.fields.map { f =>
           f.copy(nullable = f.nullable || df.schema(f.name).nullable)
         })

@@ -201,4 +201,47 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     cat.dropTable("db", "gone")
     assert(cat.listTables("db").isEmpty)
   }
+
+  test("append rejects a frame that retypes an existing column") {
+    val cat = freshCatalog()
+    val df = Seq((1L, "a")).toDF("id", "name")
+    cat.createTable("db", "rt", df.schema)
+    cat.append("db", "rt", df)
+    val retyped = Seq((2, "b")).toDF("id", "name") // id: INT, table has BIGINT
+    val e = intercept[IllegalArgumentException] { cat.append("db", "rt", retyped) }
+    assert(e.getMessage.contains("type mismatch"))
+    assert(cat.readLatest("db", "rt").count() == 1, "failed append must not commit")
+  }
+}
+
+/** Pure unit tests for the stats-merge ordering edge cases (no Spark). */
+class ColumnStatsSpec extends AnyFunSuite {
+  import org.apache.spark.sql.types._
+
+  private val schema = StructType(Seq(StructField("d", DoubleType)))
+
+  test("NaN sorts largest in float merge (Spark ordering, not primitive >)") {
+    // prev snapshot observed max=NaN; fresh append maxes at 1.0. Spark's
+    // max() would keep NaN, so the merged bound must too.
+    val merged = ColumnStats.merge(
+      Map("max.d" -> "NaN", "min.d" -> "NaN"),
+      Map("max.d" -> "1.0", "min.d" -> "1.0"),
+      schema, prevRowCount = 5L)
+    assert(merged("max.d") == "NaN")
+    assert(merged("min.d") == "1.0", "NaN is the LARGEST value, never the min")
+  }
+
+  test("unknown prev rowcount (-1) never adopts fresh-only bounds") {
+    // prev has rows-unknown and no recorded stat: a fresh-side bound must
+    // NOT survive the merge (prev files may hold values outside it).
+    val merged = ColumnStats.merge(
+      Map.empty, Map("max.d" -> "1.0", "min.d" -> "0.5"),
+      schema, prevRowCount = -1L)
+    assert(merged.isEmpty)
+    // but a PROVABLY empty previous snapshot does adopt them
+    val adopted = ColumnStats.merge(
+      Map.empty, Map("max.d" -> "1.0", "min.d" -> "0.5"),
+      schema, prevRowCount = 0L)
+    assert(adopted == Map("max.d" -> "1.0", "min.d" -> "0.5"))
+  }
 }
