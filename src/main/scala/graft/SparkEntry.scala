@@ -595,6 +595,21 @@ object SparkEntry {
         max(col("o_totalprice")).as("max_price"))
     }),
 
+    // IVF ANN (the re-indexable scale path next to q28's LSH): coarse
+    // k-means quantizer trained on a deterministic id-sample in exact
+    // integer arithmetic, one-pass cell assignment, nprobe=3 of nlist=8
+    // cells probed, exact cosine re-rank. Fully replayed by the DuckDB
+    // oracle (training included) because every arithmetic step is
+    // IEEE-exact. Recall vs brute force asserted in OpsSpec.
+    "q50_ann_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 10, nlist = 8, nprobe = 3, iters = 2, sampleMod = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // the spark.sql surface itself: SQL text over registered temp views —
     // the engine accepts the same ANSI SQL the oracle runs.
     "q43_sql_surface" -> ((s, dir) => {
@@ -639,7 +654,67 @@ object SparkEntry {
        |  FROM vecs, planes GROUP BY vec_id, t)""".stripMargin
   }
 
+  /** One unrolled Lloyd's iteration for the q50 oracle: assign the sample
+    * to the nearest `prev` centroid (exact integer dists held in doubles),
+    * recompute floored per-dimension means, keep an empty cell's previous
+    * centroid — the same semantics as
+    * [[graft.ops.Similarity.trainIvfCentroids]]. */
+  private def ivfIterCtes(n: Int, prev: String, dim: Int): String =
+    s"""a$n AS (SELECT vec_id, q, cid FROM (
+       |    SELECT s.vec_id, s.q, c.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+       |        list_inner_product(s.q, s.q) + list_inner_product(c.c, c.c)
+       |        - 2.0*list_inner_product(s.q, c.c), c.cid) AS rn
+       |    FROM samp s, $prev c) WHERE rn = 1),
+       |m$n AS (SELECT cid, i, floor(sum(q[i]) / count(*)) AS val
+       |       FROM a$n, range(1, ${dim + 1}) r(i) GROUP BY cid, i),
+       |c$n AS (SELECT p.cid, coalesce(m.lst, p.c) AS c
+       |       FROM $prev p LEFT JOIN
+       |         (SELECT cid, list(val ORDER BY i) AS lst FROM m$n GROUP BY cid) m
+       |       USING (cid))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    // full IVF replay, TRAINING INCLUDED: the integer-grid quantization,
+    // both Lloyd's iterations, assignment, probing, and the cosine re-rank
+    // are all IEEE-exact, so DuckDB reproduces the trained index
+    // bit-for-bit from the base table alone.
+    "q50_ann_ivf" ->
+      s"""WITH iv AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    list_transform(embedding, x ->
+         |      floor((least(greatest(CAST(x AS DOUBLE), -2.0), 2.0) + 2.0) * 1048576.0)) AS q
+         |  FROM embeddings),
+         |samp AS (SELECT vec_id, q FROM iv WHERE vec_id % 3 = 0),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid, q AS c
+         |       FROM (SELECT vec_id, q FROM samp ORDER BY vec_id LIMIT 8)),
+         |${ivfIterCtes(1, "c0", 64)},
+         |${ivfIterCtes(2, "c1", 64)},
+         |cells AS (SELECT vec_id, cid FROM (
+         |    SELECT i.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY i.vec_id ORDER BY
+         |        list_inner_product(i.q, i.q) + list_inner_product(c.c, c.c)
+         |        - 2.0*list_inner_product(i.q, c.c), c.cid) AS rn
+         |    FROM iv i, c2 c) WHERE rn = 1),
+         |probes AS (SELECT vec_id, cid FROM (
+         |    SELECT i.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY i.vec_id ORDER BY
+         |        list_inner_product(i.q, i.q) + list_inner_product(c.c, c.c)
+         |        - 2.0*list_inner_product(i.q, c.c), c.cid) AS rn
+         |    FROM iv i, c2 c WHERE i.vec_id < 5) WHERE rn <= 3),
+         |cand AS (SELECT p.vec_id AS query_id, ce.vec_id AS neighbor_id
+         |         FROM probes p JOIN cells ce ON p.cid = ce.cid
+         |         WHERE ce.vec_id <> p.vec_id),
+         |sims AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      list_inner_product(cv.v, qv.v) /
+         |        (sqrt(list_inner_product(cv.v, cv.v)) * sqrt(list_inner_product(qv.v, qv.v))) DESC,
+         |      neighbor_id) AS rank
+         |  FROM cand JOIN iv cv ON cv.vec_id = neighbor_id
+         |            JOIN iv qv ON qv.vec_id = query_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM sims WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // all-pairs exact Jaccard >= 9/10: the verified-pair output of the
     // MinHash pipeline equals the true-pair set (recall argument at the

@@ -141,6 +141,117 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN: FAISS-style coarse quantizer + nprobe search
+  // ------------------------------------------------------------------
+
+  /** Quantize a float/double vector to a grid of exact-integer doubles:
+    * floor((clamp(x,-2,2) + 2) * 2^20). Every step is IEEE-exact (float to
+    * double widening, +2 on a 24-bit-mantissa value, power-of-two scale,
+    * floor), so any IEEE engine — the DuckDB oracle included — lands on the
+    * identical grid, which is what makes the k-means training below
+    * bit-reproducible. The +2 shift keeps components positive (floored
+    * means replay exactly); a constant shift leaves L2 distances unchanged.
+    */
+  def quantize(vec: Column): Column =
+    transform(vec, x =>
+      floor((least(greatest(x.cast("double"), lit(-2.0)), lit(2.0)) + lit(2.0)) * lit(1048576.0))
+        .cast("double"))
+
+  /** Coarse-quantizer training, FAISS-style: Lloyd's k-means over a
+    * deterministic id-sampled subset collected to the driver. The SAMPLE,
+    * not the corpus, bounds training cost (at 10^9+ vectors raise
+    * `sampleMod` so the sample stays ~10^5); the corpus is only touched by
+    * the single assignment pass in [[ivfTopK]]. All arithmetic is exact:
+    * integer-grid vectors, order-independent integer sums (< 2^53), floored
+    * means — so the centroids are a pure function of the data and the
+    * oracle can replay them. Init = the `nlist` lowest-id sample vectors;
+    * an empty cell keeps its previous centroid; ties assign the lowest cid.
+    */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int, sampleMod: Long): Seq[Array[Double]] = {
+    val samp = corpus.where(col(idCol) % sampleMod === 0)
+      .select(col(idCol), quantize(col(vecCol)).as("q"))
+      .orderBy(idCol)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(samp.length >= nlist,
+      s"sample (${samp.length}) smaller than nlist ($nlist): lower sampleMod")
+    val dim = samp.head.length
+    var cents = samp.take(nlist)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val cnts = new Array[Long](nlist)
+      samp.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nlist) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c } // strict < keeps lowest cid on ties
+          c += 1
+        }
+        cnts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(nlist) { c =>
+        if (cnts(c) == 0) cents(c)
+        else Array.tabulate(dim)(i => math.floor(sums(c)(i) / cnts(c)))
+      }
+    }
+    cents.toIndexedSeq
+  }
+
+  /** (dist, cid) structs for every centroid, as ONE codegen'd projection —
+    * dist = |q|^2 + |c|^2 - 2 q.c with |c|^2 folded to a driver-side
+    * literal, so assignment is nlist dot products per row, no join, no
+    * shuffle. Exact: every term is an integer < 2^51 held in a double. */
+  private def cellDists(vecQ: Column, cents: Seq[Array[Double]]): Column = {
+    val qq = dot(vecQ, vecQ)
+    array(cents.zipWithIndex.map { case (c, cid) =>
+      val c2 = c.map(x => x * x).sum
+      struct((qq + lit(c2) - lit(2.0) * dot(vecQ, typedLit(c.toSeq))).as("dist"),
+        lit(cid.toLong).as("cid"))
+    }: _*)
+  }
+
+  /** Nearest-centroid cell id (struct array_min = ORDER BY dist, cid). */
+  def ivfCell(vecQ: Column, cents: Seq[Array[Double]]): Column =
+    array_min(cellDists(vecQ, cents)).getField("cid")
+
+  /** The query's `nprobe` nearest cells (probing is query-side only; the
+    * corpus keeps exactly one cell per vector). */
+  def ivfProbes(vecQ: Column, cents: Seq[Array[Double]], nprobe: Int): Column =
+    transform(slice(array_sort(cellDists(vecQ, cents)), 1, nprobe), s => s.getField("cid"))
+
+  /** IVF approximate top-k: train the coarse quantizer on a driver-side
+    * sample, assign each corpus vector to ONE cell in a single scan, probe
+    * the query's `nprobe` nearest cells, exact-cosine re-rank the union.
+    * vs LSH: cells partition the corpus (a candidate pair appears at most
+    * once — no dropDuplicates pass), occupancy is ~n/nlist per cell, and
+    * the scanned fraction is nprobe/nlist, tunable per query without
+    * re-indexing. Scale nlist ~ sqrt(n) and sampleMod with corpus size.
+    * Returns (query_id, neighbor_id, rank). */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nlist: Int = 8, nprobe: Int = 3, iters: Int = 2,
+      sampleMod: Long = 3): DataFrame = {
+    val cents = trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters, sampleMod)
+    val c = corpus.select(col(corpusId), col(corpusVec), norm(col(corpusVec)).as("_cn"),
+      ivfCell(quantize(col(corpusVec)), cents).as("cell"))
+    val q = queries.select(col(queryId), col(queryVec), norm(col(queryVec)).as("_qn"),
+      explode(ivfProbes(quantize(col(queryVec)), cents, nprobe)).as("cell"))
+    val sims = c.join(broadcast(q), Seq("cell"))
+      .where(col(corpusId) =!= col(queryId))
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
+        (dot(col(corpusVec), col(queryVec)) / (col("_cn") * col("_qn"))).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold among pairs that
     * collide in ANY of the `nTables` LSH tables (the embedding flavor of
     * Dedup). The exact cosine recheck makes the OUTPUT deterministic given

@@ -65,6 +65,35 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("IVF ANN: one cell per vector, exact ranks, recall >= 0.5, deterministic") {
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", 10)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nlist = 8, iters = 2, sampleMod = 3)
+    // training is a pure function of the data (exact integer arithmetic)
+    val cents2 = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nlist = 8, iters = 2, sampleMod = 3)
+    assert(cents.map(_.toSeq) == cents2.map(_.toSeq), "k-means must be deterministic")
+    // cells partition the corpus: every vector lands in exactly one cell
+    val cellCounts = emb.select(Similarity.ivfCell(
+        Similarity.quantize(col("embedding")), cents).as("cell"))
+      .groupBy("cell").count().as[(Long, Long)].collect().toMap
+    assert(cellCounts.values.sum == emb.count())
+    assert(cellCounts.keys.forall(c => c >= 0 && c < 8))
+
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+      k = 10, nlist = 8, nprobe = 3, iters = 2, sampleMod = 3)
+      .as[(Long, Long, Long)].collect()
+    ivf.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length))
+    }
+    val recall = ivf.map(r => (r._1, r._2)).count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   test("embedding near-dup finds planted duplicates and only true ones") {
     // plant perturbed duplicates of 5 vectors (cosine ~ 1)
     val planted = emb.limit(5).select(
