@@ -53,23 +53,13 @@ object TextOps {
     * token set; CJK scripts are detected by character-class density first.
     * Ties break by the fixed language order above ('und' when all zero) —
     * the DuckDB oracle reproduces the identical CASE chain, so this is a
-    * fully oracled operator even though it is a heuristic.
+    * fully oracled operator even though it is a heuristic. Computed by the
+    * single-pass [[graft.functions.LangId]] kernel (one compiled walk per
+    * doc instead of ~6 interpreted array passes — langid runs over EVERY
+    * document, so this is the pipeline's hottest per-row loop at scale).
     */
-  def langIdColumn(text: Column): Column = {
-    val tokens = array_distinct(split(lower(text), " "))
-    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")).cast("long")
-    val scores = Markers.map { case (lang, words) =>
-      lang -> size(array_intersect(tokens, typedLit(words))).cast("long")
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // CJK density >= 20% of chars -> zh, else argmax marker score (first wins)
-    val argmax = scores.foldRight(lit("und"): Column) { case ((lang, sc), elseCol) =>
-      when(sc === best && best > 0, lit(lang)).otherwise(elseCol)
-    }
-    // cjk > 0 guard: empty/whitespace-only text must fall through to 'und'
-    // (0 >= 0 would otherwise classify empty docs as 'zh')
-    when(cjk > 0 && cjk * 5L >= length(text).cast("long"), lit("zh")).otherwise(argmax)
-  }
+  def langIdColumn(text: Column): Column =
+    graft.functions.TextExprs.langId(text, Markers)
 
   /** BPE-ish tokenizer pattern: letter runs, digit runs, and single
     * non-alphanumeric marks — the pre-tokenization shape BPE vocabularies
