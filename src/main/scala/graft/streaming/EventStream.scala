@@ -73,6 +73,59 @@ object EventStream {
       }
   }
 
+  /** Production sessionization: same 30-min-gap semantics as [[sessionize]]
+    * plus EventTimeTimeout — when the watermark passes an idle user's
+    * lastSeen + gap, the open session is FLUSHED and its state removed, so
+    * state size tracks currently-ACTIVE users instead of all users ever
+    * seen. That bound is what makes the operator runnable against an
+    * unbounded firehose: with NoTimeout, state grows with distinct user_ids
+    * forever (the one-session-per-idle-user leak the simple variant keeps
+    * for exact batch comparability in tests). */
+  def sessionizeWithTimeout(spark: SparkSession, events: Dataset[Event],
+      gapMinutes: Long = 30, watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastSeen + gap with no new events: the
+            // session can never be extended — flush it and drop the state
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start, s.lastSeen, s.nEvents))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              st match {
+                case null =>
+                  st = SessionState(us, us, 1L)
+                case s if us - s.lastSeen > gapUs =>
+                  out += SessionOut(userId, s.start, s.lastSeen, s.nEvents)
+                  st = SessionState(us, us, 1L)
+                case s =>
+                  st = s.copy(lastSeen = us, nEvents = s.nEvents + 1L)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              // must stay ahead of the current watermark (Spark rejects a
+              // timeout at/behind it — possible when a whole micro-batch
+              // is late data)
+              state.setTimeoutTimestamp(
+                math.max(st.lastSeen / 1000L + gapMinutes * 60L * 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact deduplication: drop re-deliveries of the same
     * event_id inside the watermark horizon. State holds one key per id seen
     * within the horizon and is evicted as the watermark advances — the

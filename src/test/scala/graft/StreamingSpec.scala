@@ -62,6 +62,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == base.count())
   }
 
+  test("EventTimeTimeout flushes an idle user's open session and drops its state") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = Files.createTempDirectory("graft_timeout_").toString
+    def writeEvents(name: String, rows: Seq[(Long, String, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // batch 1: user 1 has a 2-event session; user 99 drives the watermark
+    writeEvents("b1", Seq(
+      (1L, "2026-01-01 10:00:00", 1L, "click", 1.0),
+      (2L, "2026-01-01 10:05:00", 1L, "click", 1.0),
+      (3L, "2026-01-01 10:00:00", 99L, "click", 1.0)))
+
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStream.Event]
+    val q = EventStream.sessionizeWithTimeout(spark, stream).toDF()
+      .writeStream.format("memory").queryName("timeout_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    assert(spark.table("timeout_out").where(col("user_id") === 1L).isEmpty,
+      "session still open inside the watermark horizon")
+
+    // batch 2 advances the watermark hours past user 1's lastSeen + gap;
+    // batch 3 gives the engine a micro-batch in which the timeout fires.
+    // user 1 itself NEVER sends another event.
+    writeEvents("b2", Seq((4L, "2026-01-01 14:00:00", 99L, "click", 1.0)))
+    q.processAllAvailable()
+    writeEvents("b3", Seq((5L, "2026-01-01 14:01:00", 99L, "click", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val flushed = spark.table("timeout_out").where(col("user_id") === 1L)
+      .select("session_start_us", "session_end_us", "n_events")
+      .as[(Long, Long, Long)].collect().toSeq
+    val us = (s: String) => java.sql.Timestamp.valueOf(s).getTime * 1000L
+    assert(flushed == Seq((us("2026-01-01 10:00:00"), us("2026-01-01 10:05:00"), 2L)),
+      s"idle session must flush via timeout, got $flushed")
+    // user 99's first session closed by its own 14:00 event (gap rule)
+    assert(spark.table("timeout_out").where(col("user_id") === 99L).count() >= 1)
+  }
+
   test("streaming sessionization closes the same sessions as the batch lag/gap form") {
     val closed = EventStream.runSessionizeBatch(spark, eventsDir,
       spark.read.parquet(eventsDir).schema)
