@@ -39,23 +39,33 @@ object ColumnStats {
   /** Merge the previous snapshot's stats with a fresh append's: an append
     * snapshot still references the previous files, so its bounds are the
     * union's. A bound present on only ONE side survives only when the other
-    * side provably has no values (prev empty, or the fresh frame all-null);
-    * a previous snapshot WITH rows but WITHOUT a recorded stat yields no
-    * stat (a stale bound would be silently wrong). */
+    * side provably has no values: prev empty, prev all-null for the column
+    * (`nullcol.<col>` provenance recorded by `evolveSchema` — old files
+    * null-fill an evolved column), or the fresh frame all-null. A previous
+    * snapshot WITH rows but WITHOUT a recorded stat or provenance yields no
+    * stat (a stale bound would be silently wrong). The `nullcol` marker is
+    * carried forward while the column still has no values anywhere and
+    * dropped the moment a bound exists (the bound supersedes it). */
   def merge(prevSummary: Map[String, String], fresh: Map[String, String],
       schema: StructType, prevRowCount: Long): Map[String, String] = {
     val cols = schema.fields.filter(f => statable(f.dataType))
     cols.flatMap { f =>
-      Seq(("min." + f.name, true), ("max." + f.name, false)).flatMap { case (k, isMin) =>
-        (prevSummary.get(k), fresh.get(k)) match {
-          case (Some(p), Some(n)) =>
-            val takeP = if (isMin) !gt(f.dataType, p, n) else gt(f.dataType, p, n)
-            Some(k -> (if (takeP) p else n))
-          case (None, Some(n)) if prevRowCount == 0 => Some(k -> n)
-          case (Some(p), None) => Some(k -> p) // fresh frame all-null for the col
-          case _ => None
-        }
+      val prevAllNull = prevSummary.contains("nullcol." + f.name)
+      val bounds = Seq(("min." + f.name, true), ("max." + f.name, false)).flatMap {
+        case (k, isMin) =>
+          (prevSummary.get(k), fresh.get(k)) match {
+            case (Some(p), Some(n)) =>
+              val takeP = if (isMin) !gt(f.dataType, p, n) else gt(f.dataType, p, n)
+              Some(k -> (if (takeP) p else n))
+            case (None, Some(n)) if prevRowCount == 0 || prevAllNull => Some(k -> n)
+            case (Some(p), None) => Some(k -> p) // fresh frame all-null for the col
+            case _ => None
+          }
       }
+      val marker =
+        if (prevAllNull && bounds.isEmpty) Seq(("nullcol." + f.name) -> "true")
+        else Seq.empty
+      bounds ++ marker
     }.toMap
   }
 

@@ -306,6 +306,39 @@ final class SnapshotCatalog(
     val snapDirRel = s"data/s$newId"
     val snapDir = tablePath(db, table).resolve(s"data").resolve(s"s$newId")
 
+    // Snapshot schema — RESOLVED AND VALIDATED BEFORE the data write: the
+    // compatibility checks need only metadata, and a rejected append must
+    // not first burn a full (at 100 TB: very expensive) parquet write and
+    // leave orphaned files in data/s<newId>.
+    //
+    // An overwrite's file list is the new files only, so the frame's schema
+    // IS the table schema (RTAS semantics). An append's (or compact's) file
+    // list still contains OLDER files, so the table schema must be
+    // preserved — adopting the incoming frame's schema verbatim would let a
+    // non-nullable literal frame redeclare an evolved column NOT NULL and
+    // break reads of pre-evolution files (the vectorized reader refuses
+    // missing REQUIRED columns). Nullability is widened by the frame's,
+    // never narrowed.
+    val snapSchema = operation match {
+      case "append" | "compact" =>
+        val prevSchema = prev.schema
+        val missing = prevSchema.fieldNames.filterNot(df.schema.fieldNames.contains)
+        val extra = df.schema.fieldNames.filterNot(prevSchema.fieldNames.contains)
+        require(missing.isEmpty && extra.isEmpty,
+          s"append schema mismatch for $db.$table: missing=${missing.mkString(",")} " +
+            s"extra=${extra.mkString(",")}")
+        val retyped = prevSchema.fields
+          .filterNot(f => f.dataType.sql == df.schema(f.name).dataType.sql)
+        require(retyped.isEmpty,
+          s"append type mismatch for $db.$table: " +
+            retyped.map(f => s"${f.name}: table=${f.dataType.sql} " +
+              s"frame=${df.schema(f.name).dataType.sql}").mkString(", "))
+        StructType(prevSchema.fields.map { f =>
+          f.copy(nullable = f.nullable || df.schema(f.name).nullable)
+        })
+      case _ => df.schema
+    }
+
     // Count rows AND per-column min/max in the SAME pass as the write (the
     // reference does a separate full-scan count() before writing,
     // `5_migrate_tables_data.py:76` — at 100 TB that second scan is the
@@ -347,33 +380,6 @@ final class SnapshotCatalog(
     }
     val prevRows = math.max(prev.recordCount, 0L)
     val totalRows = if (operation == "append") prevRows + rows else rows
-    // Snapshot schema: an overwrite's file list is the new files only, so
-    // the frame's schema IS the table schema (RTAS semantics). An append's
-    // (or compact's) file list still contains OLDER files, so the table
-    // schema must be preserved — adopting the incoming frame's schema
-    // verbatim would let a non-nullable literal frame redeclare an evolved
-    // column NOT NULL and break reads of pre-evolution files (the
-    // vectorized reader refuses missing REQUIRED columns). Nullability is
-    // widened by the frame's, never narrowed.
-    val snapSchema = operation match {
-      case "append" | "compact" =>
-        val prevSchema = prev.schema
-        val missing = prevSchema.fieldNames.filterNot(df.schema.fieldNames.contains)
-        val extra = df.schema.fieldNames.filterNot(prevSchema.fieldNames.contains)
-        require(missing.isEmpty && extra.isEmpty,
-          s"append schema mismatch for $db.$table: missing=${missing.mkString(",")} " +
-            s"extra=${extra.mkString(",")}")
-        val retyped = prevSchema.fields
-          .filterNot(f => f.dataType.sql == df.schema(f.name).dataType.sql)
-        require(retyped.isEmpty,
-          s"append type mismatch for $db.$table: " +
-            retyped.map(f => s"${f.name}: table=${f.dataType.sql} " +
-              s"frame=${df.schema(f.name).dataType.sql}").mkString(", "))
-        StructType(prevSchema.fields.map { f =>
-          f.copy(nullable = f.nullable || df.schema(f.name).nullable)
-        })
-      case _ => df.schema
-    }
     val snap = Snapshot(newId, clock().toString, operation,
       Map(
         "record_count" -> totalRows.toString,
@@ -398,8 +404,18 @@ final class SnapshotCatalog(
     val dropped = prev.schema.fieldNames.filterNot(newSchema.fieldNames.contains)
     require(dropped.isEmpty,
       s"evolveSchema is add/extend only; dropping ${dropped.mkString(",")} would orphan data")
+    // Columns ADDED by this evolve have provably no values in any existing
+    // file (old parquet null-fills them), so mark them `nullcol.<col>` —
+    // the marker lets ColumnStats.merge adopt a later append's fresh
+    // bounds as exact instead of permanently dropping min/max for evolved
+    // columns (the "prev has rows but no stat" case is ambiguous WITHOUT
+    // provenance, provably-all-null WITH it).
+    val addedStatable = newSchema.fields
+      .filterNot(f => prev.schema.fieldNames.contains(f.name))
+      .filter(f => ColumnStats.statable(f.dataType))
+      .map(f => s"nullcol.${f.name}" -> "true")
     val snap = Snapshot(prev.snapshotId + 1, clock().toString, "evolve",
-      prev.summary + ("added_records" -> "0", "added_files" -> "0"),
+      prev.summary ++ addedStatable + ("added_records" -> "0", "added_files" -> "0"),
       newSchema.toDDL, prev.files)
     writeLog(db, table, log :+ snap)
     snap

@@ -318,6 +318,11 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     val table = ident.name()
     var schema = cat.currentSnapshot(db, table).schema
     var evolved = false
+    // Two-phase: VALIDATE the whole change list first, buffering property
+    // mutations — applying side effects while iterating would leave a
+    // statement mixing a property change with a failing AddColumn (or an
+    // unsupported change) partially applied.
+    val propOps = Seq.newBuilder[(String, Option[String])]
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -329,12 +334,13 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         schema = schema.add(StructField(add.fieldNames.head, add.dataType, nullable = true))
         evolved = true
       case sp: TableChange.SetProperty =>
-        cat.setProperty(db, table, sp.property, Some(sp.value))
+        propOps += ((sp.property, Some(sp.value)))
       case rp: TableChange.RemoveProperty =>
-        cat.setProperty(db, table, rp.property, None)
+        propOps += ((rp.property, None))
       case other =>
         throw new UnsupportedOperationException(s"ALTER TABLE change not supported: $other")
     }
+    propOps.result().foreach { case (k, v) => cat.setProperty(db, table, k, v) }
     if (evolved) cat.evolveSchema(db, table, schema)
     loadTable(ident)
   }
@@ -349,7 +355,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * EXISTING table, so — unlike drop-and-recreate — snapshot history stays
     * time-travelable across the replace (Iceberg RTAS semantics). */
   private def staged(ident: Identifier, overwriteData: Boolean,
-      dropOnAbort: Boolean): StagedTable =
+      onAbort: () => Unit): StagedTable =
     new StagedTable with org.apache.spark.sql.connector.catalog.SupportsWrite {
       private val db = ident.namespace().head
       private val table = ident.name()
@@ -360,8 +366,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       override def capabilities(): util.Set[TableCapability] =
         util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
       override def commitStagedChanges(): Unit = ()
-      override def abortStagedChanges(): Unit =
-        if (dropOnAbort) cat.dropTable(db, table)
+      override def abortStagedChanges(): Unit = onAbort()
       override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
         new SnapWriteBuilder(db, table, startTruncated = overwriteData)
     }
@@ -372,23 +377,32 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     createTable(ident, v2ToStruct(columns), partitions, properties)
-    staged(ident, overwriteData = false, dropOnAbort = true)
+    staged(ident, overwriteData = false,
+      onAbort = () => cat.dropTable(ident.namespace().head, ident.name()))
   }
 
   /** RTAS / `df.write.mode("overwrite").saveAsTable` on an existing table:
     * ONE `overwrite` commit, history preserved. The replacing write may
-    * carry a new partition spec/properties — applied to table meta here;
-    * the new schema rides the overwrite commit itself. */
+    * carry a new partition spec/properties — applied to table meta up front
+    * (the staged data write partitionBys against it), and RESTORED from the
+    * stashed old meta on abort: a failed RTAS must not leave the table with
+    * the new spec but the old data — the next append would partitionBy a
+    * column the data is not laid out (or doesn't even exist) under. The new
+    * schema rides the overwrite commit itself. */
   override def stageReplace(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
     checkExists(ident)
+    val db = ident.namespace().head
+    val table = ident.name()
     val partCols = partitions.map { t =>
       require(t.name == "identity", s"only identity partitioning supported, got $t")
       t.references.head.fieldNames.mkString(".")
     }
-    cat.replaceTableSpec(ident.namespace().head, ident.name(),
-      partCols.toSeq, properties.asScala.toMap)
-    staged(ident, overwriteData = true, dropOnAbort = false)
+    val oldMeta = cat.meta(db, table)
+    cat.replaceTableSpec(db, table, partCols.toSeq, properties.asScala.toMap)
+    staged(ident, overwriteData = true,
+      onAbort = () =>
+        cat.replaceTableSpec(db, table, oldMeta.partitionCols, oldMeta.properties))
   }
 
   override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],

@@ -169,12 +169,23 @@ object Similarity {
     * an empty cell keeps its previous centroid; ties assign the lowest cid.
     */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int, sampleMod: Long): Seq[Array[Double]] = {
+      nlist: Int, iters: Int, sampleMod: Long,
+      maxSample: Int = 200000): Seq[Array[Double]] = {
+    // The collect is BOUNDED by maxSample+1 rows (orderBy+limit plans as a
+    // distributed TakeOrdered, so at most that many rows ever reach the
+    // driver) — a sampleMod too small for the corpus fails with a clear
+    // error instead of materializing a corpus-sized sample and OOMing the
+    // driver. 200k rows x 64 dims x 8 B ~ 100 MB: ample for k-means, safe
+    // to hold. Scale sampleMod with the corpus so the sample stays under it.
     val samp = corpus.where(col(idCol) % sampleMod === 0)
       .select(col(idCol), quantize(col(vecCol)).as("q"))
       .orderBy(idCol)
+      .limit(maxSample + 1)
       .collect()
       .map(_.getSeq[Double](1).toArray)
+    require(samp.length <= maxSample,
+      s"IVF training sample exceeds maxSample=$maxSample rows: raise sampleMod " +
+        s"(currently $sampleMod) so the driver-side sample stays bounded")
     require(samp.length >= nlist,
       s"sample (${samp.length}) smaller than nlist ($nlist): lower sampleMod")
     val dim = samp.head.length

@@ -94,6 +94,17 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("IVF training sample is bounded: clear error instead of a driver OOM") {
+    // sampleMod too small for the cap -> the collect is limited to
+    // maxSample+1 rows and fails with guidance, never materializing the
+    // corpus on the driver
+    val e = intercept[IllegalArgumentException] {
+      Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        nlist = 2, iters = 1, sampleMod = 1, maxSample = 10)
+    }
+    assert(e.getMessage.contains("raise sampleMod"), e.getMessage)
+  }
+
   test("embedding near-dup finds planted duplicates and only true ones") {
     // plant perturbed duplicates of 5 vectors (cosine ~ 1)
     val planted = emb.limit(5).select(

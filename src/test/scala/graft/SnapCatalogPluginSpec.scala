@@ -270,6 +270,56 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(expr.head.getInt(0) == 1)
   }
 
+  test("aborted RTAS restores the previous partition spec and properties") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbr")
+    spark.sql("CREATE TABLE snapcat.dbr.r (id BIGINT, flag STRING) PARTITIONED BY (flag)")
+    spark.sql("INSERT INTO snapcat.dbr.r VALUES (1, 'a')")
+    val cat = new SnapshotCatalog(spark, wh)
+    val before = cat.meta("dbr", "r")
+    // a frame whose EXECUTION throws: stageReplace has already applied the
+    // new spec (the staged write partitionBys against it), so the abort
+    // path must restore the old meta — otherwise the table is left with
+    // the NEW spec over the OLD data and the next append partitionBys a
+    // column the data is not laid out under
+    val bad = spark.range(2).select($"id",
+      when($"id" < 0, lit("x")).otherwise(expr("raise_error('boom')")).as("name"))
+    intercept[Exception] {
+      bad.write.mode("overwrite").partitionBy("name").saveAsTable("snapcat.dbr.r")
+    }
+    val after = cat.meta("dbr", "r")
+    assert(after.partitionCols == before.partitionCols, after.toString)
+    assert(after.properties == before.properties)
+    // old data still readable under the restored spec
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbr.r WHERE flag = 'a'").head.getLong(0) == 1)
+  }
+
+  test("ALTER TABLE is all-or-nothing: failing change list applies nothing") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dba")
+    spark.sql("CREATE TABLE snapcat.dba.a (id BIGINT)")
+    // one V2 call carrying a property set AND a failing AddColumn: the
+    // property mutation must not be persisted (the plugin validates the
+    // whole change list before applying side effects)
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    val plugin = new graft.catalog.spark.SnapCatalogPlugin
+    plugin.initialize("snapx", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    intercept[Exception] {
+      plugin.alterTable(Identifier.of(Array("dba"), "a"),
+        TableChange.setProperty("p1", "v1"),
+        TableChange.addColumn(Array("id"), org.apache.spark.sql.types.LongType)) // duplicate
+    }
+    val cat = new SnapshotCatalog(spark, wh)
+    assert(!cat.meta("dba", "a").properties.contains("p1"),
+      "partial ALTER TABLE persisted a property from a failing statement")
+    // multi-column SQL ADD COLUMNS with one bad entry adds neither
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapcat.dba.a ADD COLUMNS (ok STRING, id BIGINT)")
+    }
+    assert(spark.table("snapcat.dba.a").schema.fieldNames.toSeq == Seq("id"))
+  }
+
   test("unsupported DDL errors clearly") {
     wh
     val e = intercept[Exception] {

@@ -211,6 +211,41 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { cat.append("db", "rt", retyped) }
     assert(e.getMessage.contains("type mismatch"))
     assert(cat.readLatest("db", "rt").count() == 1, "failed append must not commit")
+    // validation happens BEFORE the data write: a rejected append must not
+    // burn a full parquet write and leave orphaned files in data/s<newId>
+    val orphanDir = java.nio.file.Paths.get(cat.warehouse, "db", "rt", "data", "s3")
+    assert(!Files.exists(orphanDir),
+      s"rejected append left orphaned data files under $orphanDir")
+  }
+
+  test("evolved column regains exact min/max once an append populates it") {
+    val cat = freshCatalog()
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    cat.createTable("db", "ev", df.schema)
+    cat.append("db", "ev", df)
+    val evolved = new org.apache.spark.sql.types.StructType()
+      .add("id", "bigint").add("v", "bigint").add("score", "double")
+    cat.evolveSchema("db", "ev", evolved)
+    // evolve records provenance: the new column is provably all-null in
+    // every existing file
+    assert(cat.currentSnapshot("db", "ev").summary.get("nullcol.score").contains("true"))
+    // an all-null append keeps the marker (still no values anywhere)
+    cat.append("db", "ev",
+      Seq((3L, 30L)).toDF("id", "v").withColumn("score", lit(null).cast("double")))
+    val afterNull = cat.currentSnapshot("db", "ev").summary
+    assert(afterNull.get("nullcol.score").contains("true"))
+    assert(!afterNull.contains("min.score"))
+    // a populated append adopts the fresh bounds as EXACT (old files are
+    // provably null-only for the column) and drops the marker
+    cat.append("db", "ev",
+      Seq((4L, 40L, 1.5), (5L, 50L, 2.5)).toDF("id", "v", "score"))
+    val s = cat.currentSnapshot("db", "ev").summary
+    assert(s.get("min.score").contains("1.5"), s.toString)
+    assert(s.get("max.score").contains("2.5"), s.toString)
+    assert(!s.contains("nullcol.score"))
+    // the non-evolved columns merged across all four data snapshots
+    assert(s.get("min.id").contains("1"))
+    assert(s.get("max.id").contains("5"))
   }
 }
 
