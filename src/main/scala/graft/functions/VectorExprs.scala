@@ -46,8 +46,83 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `nTables` hyperplane-LSH bucket ids of a vector in ONE eval.
+  *
+  * The declarative form ([[graft.ops.Similarity.lshBucket]] per table)
+  * evaluates nTables x nPlanes separate [[DotProduct]] calls per row — 64
+  * expression evals, each re-reading the vector through ArrayData. This
+  * kernel reads the vector once and runs the whole plane bank in a tight
+  * loop over a precomputed component table (~32 KB at 8x8x64 — built once
+  * per executor, not per row).
+  *
+  * Bit-identical to the declarative form: components come from the same
+  * [[graft.ops.Similarity.planeComponent]] integer mix, and each projection
+  * accumulates x*y left-to-right in double exactly like [[DotProduct]], so
+  * the bucket signs — and therefore the q28/q31 DuckDB oracle replays —
+  * are unchanged.
+  */
+case class HyperplaneBuckets(child: Expression, dim: Int, nPlanes: Int, nTables: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  private def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // planes(t*nPlanes + j)(i) == Similarity.planeComponent(t, j, i, dim, nPlanes)
+  @transient private lazy val planeTable: Array[Array[Double]] =
+    Array.tabulate(nTables * nPlanes) { tj =>
+      Array.tabulate(dim) { i =>
+        var h = tj.toLong * dim + i + 1L
+        h = ((h ^ (h >>> 15)) * 486187739L) & 0xFFFFFFFFL
+        h = ((h ^ (h >>> 13)) * 368040263L) & 0xFFFFFFFFL
+        h = h ^ (h >>> 16)
+        h.toDouble / 4294967296.0 - 0.5
+      }
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val isFloat = childIsFloat
+    val n = math.min(a.numElements(), dim)
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Any](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var j = 0
+      while (j < nPlanes) {
+        val p = planeTable(t * nPlanes + j)
+        var acc = 0.0
+        i = 0
+        while (i < n) { acc += v(i) * p(i); i += 1 }
+        if (acc >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = java.lang.Long.valueOf(bucket)
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   def dotProduct(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def hyperplaneBuckets(vec: Column, dim: Int, nPlanes: Int, nTables: Int): Column =
+    GraftColumnBridge.column(
+      HyperplaneBuckets(GraftColumnBridge.expression(vec), dim, nPlanes, nTables))
 }

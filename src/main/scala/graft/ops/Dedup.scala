@@ -70,13 +70,20 @@ object Dedup {
     * seconds at 5k docs). CollapseProject keeps multi-referenced non-cheap
     * aliases materialized, so two selects are load-bearing here. */
   def minhashCandidates(df: DataFrame, idCol: String, text: Column,
+      numHashes: Int = 64, bands: Int = 16): DataFrame =
+    minhashCandidatesFromShingles(
+      df.select(col(idCol).as("doc_id"), wordShingles(text, 5).as("shingles")),
+      numHashes, bands)
+
+  /** Candidate generation from a pre-shingled (doc_id, shingles) frame —
+    * lets pipeline shapes that also need the shingle sets downstream (the
+    * verified-pair form) declare the shingle projection ONCE. */
+  def minhashCandidatesFromShingles(sh: DataFrame,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be a multiple of bands ($bands) — " +
         "integer division would silently drop the trailing hash lanes")
-    val withShingles = df.select(col(idCol).as("doc_id"),
-      wordShingles(text, 5).as("shingles"))
-    val withSig = withShingles.select(col("doc_id"),
+    val withSig = sh.select(col("doc_id"),
       minhashSignature(col("shingles"), numHashes).as("sig"))
     val banded = lshBands(withSig, "doc_id", col("sig"), bands, numHashes / bands)
     val a = banded.toDF("id_a", "band_idx", "band_hash")
@@ -98,7 +105,7 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 32): DataFrame = {
     val sh = df.select(col(idCol).as("doc_id"),
       wordShingles(col(textCol), w).as("shingles"))
-    val cand = minhashCandidates(df, idCol, col(textCol), numHashes, bands)
+    val cand = minhashCandidatesFromShingles(sh, numHashes, bands)
     verifyJaccard(cand, sh, num, den)
   }
 
@@ -135,10 +142,15 @@ object Dedup {
     val sh = df.select(col(idCol).as("doc_id"),
       wordShingles(col(textCol), w).as("shingles"))
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    // df-cap: same shuffle key as the self-join, one extra partial agg
-    val rare = inv.groupBy("sh").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDocFreq).select("sh")
-    val invRare = inv.join(rare, Seq("sh"))
+    // df-cap as a count-over-window on the shingle: ONE shuffle computes
+    // the doc frequency and leaves the stream hash-partitioned on `sh` —
+    // exactly the distribution the self-join needs, so no re-shuffle; and
+    // the two join sides are the same subplan, so the exchange executes
+    // once and is reused (vs groupBy+join: two extra scans of the index)
+    val wsh = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+    val invRare = inv.withColumn("df", count(lit(1)).over(wsh))
+      .where(col("df") <= maxDocFreq)
+      .select("sh", "doc_id")
     val cand = invRare.toDF("sh", "id_a").join(invRare.toDF("sh", "id_b"), Seq("sh"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

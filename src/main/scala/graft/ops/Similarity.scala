@@ -76,7 +76,9 @@ object Similarity {
     Seq.tabulate(nPlanes)(j => Seq.tabulate(dim)(i => planeComponent(tableIdx, j, i, dim, nPlanes)))
 
   /** Sign-of-projection LSH bucket id (Charikar hyperplane hashing) for one
-    * table: bit j = [v . plane_j >= 0]. */
+    * table: bit j = [v . plane_j >= 0]. Declarative reference form; the hot
+    * path uses the [[graft.functions.HyperplaneBuckets]] kernel, which is
+    * bit-identical (asserted in OpsSpec). */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int, tableIdx: Int = 0): Column = {
     val v = toDouble(vec)
     planes(dim, nPlanes, tableIdx).zipWithIndex.map { case (p, j) =>
@@ -84,19 +86,24 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
-  /** (table_idx, bucket) pairs for all `nTables` hash tables, as an array
-    * column ready to explode. All nTables*nPlanes dot products are computed
-    * in one codegen'd projection per row — the corpus is scanned ONCE. */
+  /** Bucket ids of all `nTables` hash tables as one array<long> — a single
+    * native eval per row ([[graft.functions.HyperplaneBuckets]]): the
+    * vector is read once and the whole plane bank runs as one compiled
+    * loop, vs nTables x nPlanes separate dot-product expression evals. */
   def lshBuckets(vec: Column, dim: Int, nPlanes: Int, nTables: Int): Column =
-    array((0 until nTables).map(t =>
-      struct(lit(t).as("table_idx"), lshBucket(vec, dim, nPlanes, t).as("bucket"))): _*)
+    graft.functions.VectorExprs.hyperplaneBuckets(vec, dim, nPlanes, nTables)
 
-  private def explodeBuckets(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, nPlanes: Int, nTables: Int, normName: String): DataFrame =
-    df.select(col(idCol), col(vecCol), norm(col(vecCol)).as(normName),
-      explode(lshBuckets(col(vecCol), dim, nPlanes, nTables)).as("tb"))
-      .select(col(idCol), col(vecCol), col(normName),
-        col("tb.table_idx").as("table_idx"), col("tb.bucket").as("bucket"))
+  /** (id, table_idx, bucket) rows — IDS ONLY, deliberately: candidate
+    * generation shuffles these skinny rows, never the vectors. The exact
+    * re-rank joins vectors back AFTER pair dedup, so each vector crosses
+    * the wire once per surviving pair side, not once per (table x probe)
+    * bucket row. */
+  private def explodeBucketIds(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int, nTables: Int): DataFrame =
+    df.select(col(idCol),
+      posexplode(lshBuckets(col(vecCol), dim, nPlanes, nTables)))
+      .withColumnRenamed("pos", "table_idx")
+      .withColumnRenamed("col", "bucket")
 
   /** XOR masks for multi-probe LSH: the zero mask plus every way to flip up
     * to `maxFlips` of the `nPlanes` sign bits (Lv et al., multi-probe LSH).
@@ -121,20 +128,26 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, dim: Int, nPlanes: Int = 8, nTables: Int = 8,
       maxProbeFlips: Int = 2): DataFrame = {
-    val c = explodeBuckets(corpus, corpusId, corpusVec, dim, nPlanes, nTables, "_cn")
-    val q0 = explodeBuckets(queries, queryId, queryVec, dim, nPlanes, nTables, "_qn")
+    val c = explodeBucketIds(corpus, corpusId, corpusVec, dim, nPlanes, nTables)
+    val q0 = explodeBucketIds(queries, queryId, queryVec, dim, nPlanes, nTables)
     val masks = probeMasks(nPlanes, maxProbeFlips)
-    val q = q0.select(col(queryId), col(queryVec), col("_qn"), col("table_idx"),
+    val q = q0.select(col(queryId), col("table_idx"),
       explode(transform(typedLit(masks), m => col("bucket").bitwiseXOR(m))).as("bucket"))
-    // same (table, probed bucket) in any table -> candidate once
-    // (dropDuplicates collapses collisions BEFORE the dot products are paid)
+    // same (table, probed bucket) in any table -> candidate once; the
+    // candidate stream is (query_id, corpus_id) PAIRS ONLY — dedup
+    // collapses multi-table/multi-probe collisions before any vector
+    // bytes move or any dot product is paid
     val cand = c.join(broadcast(q), Seq("table_idx", "bucket"))
       .where(col(corpusId) =!= col(queryId))
-      .select(col(queryId), col(corpusId), col(corpusVec), col(queryVec),
-        col("_cn"), col("_qn"))
+      .select(col(queryId), col(corpusId))
       .dropDuplicates(queryId, corpusId)
-    val sims = cand.select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
-      (dot(col(corpusVec), col(queryVec)) / (col("_cn") * col("_qn"))).as("sim"))
+    // exact re-rank: vectors join back per surviving pair — corpus side by
+    // id (norms computed once per row before the join), query side broadcast
+    val cv = corpus.select(col(corpusId), col(corpusVec), norm(col(corpusVec)).as("_cn"))
+    val qv = queries.select(col(queryId), col(queryVec), norm(col(queryVec)).as("_qn"))
+    val sims = cand.join(cv, Seq(corpusId)).join(broadcast(qv), Seq(queryId))
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
+        (dot(col(corpusVec), col(queryVec)) / (col("_cn") * col("_qn"))).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -269,15 +282,20 @@ object Similarity {
     * the planes — LSH only affects recall, never precision. */
   def embeddingNearDup(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, minCosine: Double, nPlanes: Int = 8, nTables: Int = 8): DataFrame = {
-    val b = explodeBuckets(corpus, idCol, vecCol, dim, nPlanes, nTables, "_n")
-    val a = b.select(col("table_idx"), col("bucket"),
-      col(idCol).as("id_a"), col(vecCol).as("v_a"), col("_n").as("n_a"))
-    val c = b.select(col("table_idx"), col("bucket"),
-      col(idCol).as("id_b"), col(vecCol).as("v_b"), col("_n").as("n_b"))
-    a.join(c, Seq("table_idx", "bucket"))
+    // candidate pairs are IDS ONLY through the bucket self-join (the two
+    // sides are the same subplan, so the bucket shuffle executes once and
+    // is reused); vectors join back only for deduped surviving pairs
+    val b = explodeBucketIds(corpus, idCol, vecCol, dim, nPlanes, nTables)
+    val a = b.select(col("table_idx"), col("bucket"), col(idCol).as("id_a"))
+    val c = b.select(col("table_idx"), col("bucket"), col(idCol).as("id_b"))
+    val pairs = a.join(c, Seq("table_idx", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"), col("n_a"), col("n_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val v = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("_n"))
+    pairs
+      .join(v.toDF("id_a", "v_a", "n_a"), Seq("id_a"))
+      .join(v.toDF("id_b", "v_b", "n_b"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("sim"))
       .where(col("sim") >= minCosine)

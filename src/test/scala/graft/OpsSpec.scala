@@ -94,6 +94,19 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("HyperplaneBuckets kernel is bit-identical to the declarative plane bank") {
+    // the q28/q31 oracles replay bucket signs in DuckDB from the SAME
+    // integer mix — the native kernel must agree with the declarative
+    // per-table form on every (vector, table)
+    val declared = emb.select(col("vec_id"), array(
+      (0 until 4).map(t => Similarity.lshBucket(col("embedding"), 64, 8, t)): _*).as("b"))
+    val native = emb.select(col("vec_id"),
+      Similarity.lshBuckets(col("embedding"), 64, 8, 4).as("b"))
+    val mismatches = declared.join(native.toDF("vec_id", "b2"), "vec_id")
+      .where(col("b") =!= col("b2")).count()
+    assert(mismatches == 0)
+  }
+
   test("IVF training sample is bounded: clear error instead of a driver OOM") {
     // sampleMod too small for the cap -> the collect is limited to
     // maxSample+1 rows and fails with guidance, never materializing the
