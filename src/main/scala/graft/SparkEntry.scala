@@ -610,6 +610,48 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // copy-on-write DELETE (Iceberg row-level surface): the fixture deleted
+    // all open ('O') orders; survivors aggregate per status, and the
+    // snapshot history (asserted in the spec) keeps the pre-delete state
+    // time-travelable.
+    "q51_delete_where" -> ((s, dir) => {
+      WarehouseFixture.forDir(s, dir).src.readLatest("maint", "orders_del")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // copy-on-write MERGE/upsert: matched keys replaced (F orders at
+    // doubled totals), unmatched source keys inserted (P orders shifted to
+    // new key space) — `MERGE .. WHEN MATCHED UPDATE SET * WHEN NOT MATCHED
+    // INSERT *`, stated relationally by the oracle.
+    "q52_merge_upsert" -> ((s, dir) => {
+      WarehouseFixture.forDir(s, dir).src.readLatest("maint", "orders_up")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("o_totalprice"))).as("total_cents"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // incremental (changes-between-snapshots) read: METADATA-resolved file
+    // diff of two log entries — the CDC consumer pays for the added rows
+    // only, never a table scan. Snapshot 2 -> 3 of orders_small added one
+    // full copy of orders.
+    "q53_incremental_read" -> ((s, dir) => {
+      WarehouseFixture.forDir(s, dir).src
+        .readIncremental("maint", "orders_small", fromId = 2, toId = 3)
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+    }),
+
+    // snapshot rollback: a NEW log entry re-pointing at snapshot 2's files
+    // (pure metadata, no data movement) — current state is the full table
+    // again even though an overwrite happened in between.
+    "q54_rollback" -> ((s, dir) => {
+      WarehouseFixture.forDir(s, dir).src.readLatest("maint", "orders_rb")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+    }),
+
     // the spark.sql surface itself: SQL text over registered temp views —
     // the engine accepts the same ANSI SQL the oracle runs.
     "q43_sql_surface" -> ((s, dir) => {
@@ -1053,6 +1095,38 @@ object SparkEntry {
         |  (CAST(4 AS BIGINT), 'compact', CAST(2 AS BIGINT), (SELECT CAST(2 * count(*) AS BIGINT) FROM orders))
         |) AS t(snapshot_id, operation, num_files, record_count)
         |ORDER BY snapshot_id""".stripMargin,
+
+    "q51_delete_where" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderstatus <> 'O'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the post-merge state, stated relationally: unmatched target rows
+    // as-is, matched keys at doubled totals, new keys inserted
+    "q52_merge_upsert" ->
+      """WITH merged AS (
+        |  SELECT * FROM orders WHERE o_orderstatus NOT IN ('F', 'P')
+        |  UNION ALL
+        |  SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderstatus = 'P'
+        |  UNION ALL
+        |  SELECT * REPLACE (o_orderkey + 4000000000 AS o_orderkey)
+        |  FROM orders WHERE o_orderstatus = 'P')
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q53_incremental_read" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM orders""".stripMargin,
+
+    "q54_rollback" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM orders""".stripMargin,
 
     "q34_expire" ->
       """SELECT CAST(1 AS BIGINT) AS n_snapshots, CAST(3 AS BIGINT) AS surviving_id,

@@ -107,6 +107,28 @@ object WarehouseFixture {
       partitionCols = Seq("o_orderstatus"))
     src.append("maint", "orders_part", orders)
 
+    // - row-level operations (Iceberg DELETE/MERGE surface, copy-on-write):
+    //   orders_del: DELETE the open orders; orders_up: matched F rows
+    //   replaced with doubled totals + new keys inserted (the canonical
+    //   MERGE shape); orders_rb: overwrite then roll back to the full state
+    src.createTable("maint", "orders_del", orders.schema)
+    src.append("maint", "orders_del", orders.repartition(2))
+    src.delete("maint", "orders_del", col("o_orderstatus") === "O")
+
+    src.createTable("maint", "orders_up", orders.schema)
+    src.append("maint", "orders_up", orders.repartition(2))
+    val upSource = orders.where(col("o_orderstatus") === "F")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(orders.where(col("o_orderstatus") === "P")
+        .withColumn("o_orderkey", col("o_orderkey") + 4000000000L))
+    src.upsert("maint", "orders_up", upSource, keys = Seq("o_orderkey"))
+
+    src.createTable("maint", "orders_rb", orders.schema)
+    src.append("maint", "orders_rb", orders.repartition(2))
+    src.overwrite("maint", "orders_rb",
+      orders.where(col("o_orderstatus") === "F").repartition(1))
+    src.rollback("maint", "orders_rb", toSnapshotId = 2)
+
     Fixture(src, dst, verification, expDeleted)
   }
 }

@@ -6,7 +6,7 @@ import java.util.Comparator
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Observation, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -252,13 +252,19 @@ final class SnapshotCatalog(
     */
   def readAsOf(db: String, table: String, snapshotId: Long): DataFrame = {
     val snap = snapshotAt(db, table, snapshotId)
-    val schema = snap.schema
-    if (snap.files.isEmpty) {
+    readFiles(db, table, snap.schema, snap.files)
+  }
+
+  /** Scan an explicit table-root-relative file list under `schema` —
+    * the shared read core of [[readAsOf]] and [[readIncremental]]. */
+  private def readFiles(db: String, table: String,
+      schema: StructType, files: Seq[String]): DataFrame = {
+    if (files.isEmpty) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
     val root = tablePath(db, table)
     // group files by owning snapshot dir (data/s<id>) for basePath correctness
-    val bySnapDir = snap.files.groupBy(f => f.split("/").take(2).mkString("/"))
+    val bySnapDir = files.groupBy(f => f.split("/").take(2).mkString("/"))
     val parts = bySnapDir.toSeq.sortBy(_._1).map { case (snapDir, fs) =>
       spark.read
         .schema(schema)
@@ -266,6 +272,29 @@ final class SnapshotCatalog(
         .parquet(fs.map(f => root.resolve(f).toString): _*)
     }
     parts.reduce(_.unionByName(_)).select(schema.fieldNames.map(col): _*)
+  }
+
+  /** Incremental (changes-between-snapshots) read: exactly the rows added
+    * in `(fromId, toId]` — Iceberg's incremental-append scan. Resolution is
+    * pure METADATA: the added files are the file-list difference of two log
+    * entries (appends only accumulate), so a CDC-style consumer pays for
+    * the new data only, never a table scan — at 100 TB that is the
+    * difference between reading a day's increment and re-reading the lake.
+    * Any non-append operation inside the range (overwrite/delete/compact
+    * rewrites; they change visibility of EXISTING rows) fails loudly rather
+    * than returning something that is not "the added rows". */
+  def readIncremental(db: String, table: String, fromId: Long, toId: Long): DataFrame = {
+    require(fromId <= toId, s"fromId $fromId > toId $toId")
+    val log = snapshotList(db, table)
+    val between = log.filter(s => s.snapshotId > fromId && s.snapshotId <= toId)
+    val nonAppend = between.filterNot(_.operation == "append")
+    require(nonAppend.isEmpty,
+      s"incremental read of $db.$table requires an append-only range: " +
+        nonAppend.map(s => s"${s.operation}@${s.snapshotId}").mkString(", ") +
+        " rewrite existing rows")
+    val fromFiles = snapshotAt(db, table, fromId).files.toSet
+    val to = snapshotAt(db, table, toId)
+    readFiles(db, table, to.schema, to.files.filterNot(fromFiles))
   }
 
   /** Latest snapshot with committed_at <= ts, i.e. the reference's stage-2
@@ -387,6 +416,79 @@ final class SnapshotCatalog(
         "added_files" -> newFiles.size.toString,
         "total_files" -> allFiles.size.toString) ++ stats,
       snapSchema.toDDL, allFiles)
+    writeLog(db, table, log :+ snap)
+    snap
+  }
+
+  // ---- row-level operations (Iceberg DELETE/UPDATE/MERGE surface,
+  // copy-on-write flavor) ----
+
+  /** Copy-on-write DELETE: commit a new snapshot without the rows matching
+    * `cond`. SQL three-valued logic: a row is deleted only when `cond` is
+    * TRUE — FALSE and NULL rows survive (`coalesce(cond, false)`). The
+    * rewrite runs through the normal commit pass, so the new snapshot's
+    * row count and column stats are EXACT (Observation on the surviving
+    * rows), and prior snapshots stay time-travelable. */
+  def delete(db: String, table: String, cond: Column): Snapshot = {
+    val cur = readLatest(db, table)
+    commit(db, table, cur.where(!coalesce(cond, lit(false))), "delete")
+  }
+
+  /** Copy-on-write UPDATE: `SET col = expr` for rows matching `cond`,
+    * identity for the rest. Assignments cast to the column's declared type
+    * (SQL UPDATE semantics); unknown columns are rejected before any data
+    * moves. */
+  def update(db: String, table: String, cond: Column,
+      set: Map[String, Column]): Snapshot = {
+    val cur = readLatest(db, table)
+    val schema = cur.schema
+    val unknown = set.keys.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"UPDATE of unknown columns: ${unknown.mkString(",")}")
+    val c = coalesce(cond, lit(false))
+    val updated = cur.select(schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(v) => when(c, v.cast(f.dataType)).otherwise(col(s"`${f.name}`")).as(f.name)
+        case None    => col(s"`${f.name}`")
+      }
+    }.toIndexedSeq: _*)
+    commit(db, table, updated, "update")
+  }
+
+  /** Copy-on-write MERGE (upsert): source rows REPLACE target rows sharing
+    * their key, and source rows with new keys are inserted — the
+    * `MERGE INTO t USING s ON keys WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    * MATCHED THEN INSERT *` shape. One anti-join (shuffle on the key) plus
+    * a union; the join is the irreducible cost of keyed reconciliation at
+    * any scale. Source must carry exactly the table's columns. */
+  def upsert(db: String, table: String, source: DataFrame, keys: Seq[String]): Snapshot = {
+    val cur = readLatest(db, table)
+    val cols = cur.schema.fieldNames.toSeq
+    require(source.schema.fieldNames.sorted.sameElements(cols.sorted),
+      s"upsert source columns ${source.schema.fieldNames.mkString(",")} " +
+        s"!= table columns ${cols.mkString(",")}")
+    val badKeys = keys.filterNot(cols.contains)
+    require(badKeys.isEmpty, s"upsert keys not in table: ${badKeys.mkString(",")}")
+    val kept = cur.join(source.select(keys.map(k => col(s"`$k`")): _*), keys, "left_anti")
+    commit(db, table, kept.unionByName(source.select(cols.map(c => col(s"`$c`")): _*)), "merge")
+  }
+
+  /** Roll the table back to an earlier snapshot's state (Iceberg
+    * `rollback_to_snapshot`): a NEW log entry that re-points at the target
+    * snapshot's files and schema — history is never rewritten, so the
+    * rolled-back-from state remains time-travelable and a bad rollback is
+    * itself rollback-able. Pure metadata; no data moves. */
+  def rollback(db: String, table: String, toSnapshotId: Long): Snapshot = {
+    val log = snapshotList(db, table)
+    val target = log.find(_.snapshotId == toSnapshotId).getOrElse(
+      throw new NoSuchElementException(
+        s"snapshot $toSnapshotId not found for $db.$table"))
+    val prev = log.last
+    require(prev.snapshotId != toSnapshotId,
+      s"table $db.$table is already at snapshot $toSnapshotId")
+    val snap = Snapshot(prev.snapshotId + 1, clock().toString, "rollback",
+      target.summary + ("rolled_back_to" -> toSnapshotId.toString,
+        "added_records" -> "0", "added_files" -> "0"),
+      target.schemaDdl, target.files)
     writeLog(db, table, log :+ snap)
     snap
   }

@@ -132,7 +132,21 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       tableMeta: TableMeta, db: String, table: String)
       extends Table with SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsWrite
+      with SupportsDelete
       with HasRecordCount with HasColumnStats {
+
+    /** SQL `DELETE FROM snapcat.db.t WHERE ...` — copy-on-write through the
+      * snapshot commit protocol (one `delete` snapshot; history stays
+      * time-travelable). Spark hands over the WHERE clause as V1 filters;
+      * anything it cannot translate to filters is rejected by Spark before
+      * reaching here, and [[FilterToColumn]] covers every V1 filter shape. */
+    override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+      filters.forall(FilterToColumn.translatable)
+    override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+      val cond = filters.map(FilterToColumn(_)).reduceOption(_ && _)
+        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      cat.delete(db, table, cond)
+    }
 
     override val recordCount: Long = snap.recordCount
     override def columnStat(key: String): Option[String] = snap.summary.get(key)
@@ -418,4 +432,48 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE not supported")
+}
+
+/** V1 `sources.Filter` -> `Column` translation for the copy-on-write
+  * DELETE path. Spark only offers filters it could translate FROM Catalyst,
+  * so this is total over the V1 filter algebra; `translatable` guards
+  * against future filter shapes (canDeleteWhere returns false and Spark
+  * raises a clear unsupported-delete error instead of a MatchError). */
+private[spark] object FilterToColumn {
+  import org.apache.spark.sql.functions.{col, lit, not}
+  import org.apache.spark.sql.sources._
+
+  private def c(attr: String): org.apache.spark.sql.Column = col(s"`$attr`")
+
+  def translatable(f: Filter): Boolean = f match {
+    case And(l, r) => translatable(l) && translatable(r)
+    case Or(l, r) => translatable(l) && translatable(r)
+    case Not(x) => translatable(x)
+    case _: EqualTo | _: EqualNullSafe | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In | _: IsNull | _: IsNotNull |
+         _: StringStartsWith | _: StringEndsWith | _: StringContains |
+         _: AlwaysTrue | _: AlwaysFalse => true
+    case _ => false
+  }
+
+  def apply(f: Filter): org.apache.spark.sql.Column = f match {
+    case EqualTo(a, v) => c(a) === lit(v)
+    case EqualNullSafe(a, v) => c(a) <=> lit(v)
+    case GreaterThan(a, v) => c(a) > lit(v)
+    case GreaterThanOrEqual(a, v) => c(a) >= lit(v)
+    case LessThan(a, v) => c(a) < lit(v)
+    case LessThanOrEqual(a, v) => c(a) <= lit(v)
+    case In(a, vs) => c(a).isin(vs.toIndexedSeq: _*)
+    case IsNull(a) => c(a).isNull
+    case IsNotNull(a) => c(a).isNotNull
+    case And(l, r) => apply(l) && apply(r)
+    case Or(l, r) => apply(l) || apply(r)
+    case Not(x) => not(apply(x))
+    case StringStartsWith(a, v) => c(a).startsWith(v)
+    case StringEndsWith(a, v) => c(a).endsWith(v)
+    case StringContains(a, v) => c(a).contains(v)
+    case _: AlwaysTrue => lit(true)
+    case _: AlwaysFalse => lit(false)
+    case other => throw new UnsupportedOperationException(s"untranslatable filter: $other")
+  }
 }

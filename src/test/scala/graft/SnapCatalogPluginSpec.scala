@@ -270,6 +270,24 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(expr.head.getInt(0) == 1)
   }
 
+  test("SQL DELETE FROM commits a copy-on-write delete snapshot") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbdel")
+    spark.sql("CREATE TABLE snapcat.dbdel.t (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO snapcat.dbdel.t VALUES (1, 'a'), (2, 'b'), (3, 'a'), (4, NULL)")
+    spark.sql("DELETE FROM snapcat.dbdel.t WHERE name = 'a'")
+    // NULL-name row survives (predicate is NULL, not TRUE)
+    assert(spark.sql("SELECT id FROM snapcat.dbdel.t ORDER BY id")
+      .as[Long].collect().toSeq == Seq(2L, 4L))
+    val cat = new SnapshotCatalog(spark, wh)
+    assert(cat.currentSnapshot("dbdel", "t").operation == "delete")
+    // pre-delete snapshot stays time-travelable through SQL
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbdel.t VERSION AS OF 2").head.getLong(0) == 4)
+    // compound predicates translate too
+    spark.sql("DELETE FROM snapcat.dbdel.t WHERE id > 1 AND id IN (2, 3)")
+    assert(spark.sql("SELECT id FROM snapcat.dbdel.t").as[Long].collect().toSeq == Seq(4L))
+  }
+
   test("aborted RTAS restores the previous partition spec and properties") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbr")

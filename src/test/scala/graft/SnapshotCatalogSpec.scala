@@ -218,6 +218,88 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       s"rejected append left orphaned data files under $orphanDir")
   }
 
+  test("delete keeps FALSE and NULL rows (SQL three-valued semantics)") {
+    val cat = freshCatalog()
+    val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]))
+      .toDF("id", "name")
+    cat.createTable("db", "del", df.schema)
+    cat.append("db", "del", df)
+    cat.delete("db", "del", col("name") === "a") // NULL name -> predicate NULL -> survives
+    assert(cat.readLatest("db", "del").select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    assert(cat.currentSnapshot("db", "del").operation == "delete")
+    // pre-delete state stays time-travelable
+    assert(cat.readAsOf("db", "del", 2).count() == 3)
+    // stats on the delete snapshot are EXACT for the surviving rows
+    assert(cat.currentSnapshot("db", "del").summary.get("min.id").contains("2"))
+  }
+
+  test("update casts assignments and rejects unknown columns") {
+    val cat = freshCatalog()
+    val df = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price")
+    cat.createTable("db", "up", df.schema)
+    cat.append("db", "up", df)
+    cat.update("db", "up", col("id") === 1L, Map("price" -> lit(99))) // int -> double cast
+    val rows = cat.readLatest("db", "up").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 99.0), (2L, 20.0)))
+    assert(cat.currentSnapshot("db", "up").operation == "update")
+    val e = intercept[IllegalArgumentException] {
+      cat.update("db", "up", lit(true), Map("nope" -> lit(1)))
+    }
+    assert(e.getMessage.contains("unknown columns"))
+  }
+
+  test("upsert replaces matched keys, inserts new ones, rejects bad source") {
+    val cat = freshCatalog()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    cat.createTable("db", "mg", df.schema)
+    cat.append("db", "mg", df)
+    cat.upsert("db", "mg", Seq((2L, "B2"), (3L, "c")).toDF("id", "name"), Seq("id"))
+    val rows = cat.readLatest("db", "mg").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    assert(cat.currentSnapshot("db", "mg").operation == "merge")
+    val e = intercept[IllegalArgumentException] {
+      cat.upsert("db", "mg", Seq((1L, "x", 0)).toDF("id", "name", "extra"), Seq("id"))
+    }
+    assert(e.getMessage.contains("columns"))
+  }
+
+  test("rollback re-points at an old snapshot without rewriting history") {
+    val cat = freshCatalog()
+    val df = (1L to 10L).toDF("id")
+    cat.createTable("db", "rb", df.schema)
+    cat.append("db", "rb", df)                        // snap 2
+    cat.overwrite("db", "rb", df.where($"id" <= 3))   // snap 3
+    cat.rollback("db", "rb", 2)                       // snap 4
+    assert(cat.readLatest("db", "rb").count() == 10)
+    assert(cat.snapshotList("db", "rb").map(_.operation) ==
+      Seq("create", "append", "overwrite", "rollback"))
+    // rolled-back-FROM state stays readable; rollback is itself metadata
+    assert(cat.readAsOf("db", "rb", 3).count() == 3)
+    assert(cat.currentSnapshot("db", "rb").summary.get("rolled_back_to").contains("2"))
+    // metadata-served count stays correct after rollback
+    assert(cat.recordCount("db", "rb", 4) == 10)
+    val e = intercept[IllegalArgumentException] { cat.rollback("db", "rb", 4) }
+    assert(e.getMessage.contains("already at"))
+  }
+
+  test("incremental read returns exactly the added rows; rewrites are rejected") {
+    val cat = freshCatalog()
+    val df1 = (1L to 5L).toDF("id")
+    val df2 = (6L to 8L).toDF("id")
+    cat.createTable("db", "inc", df1.schema)
+    cat.append("db", "inc", df1)   // snap 2
+    cat.append("db", "inc", df2)   // snap 3
+    assert(cat.readIncremental("db", "inc", 2, 3).as[Long].collect().sorted.toSeq ==
+      Seq(6L, 7L, 8L))
+    // full range from create
+    assert(cat.readIncremental("db", "inc", 1, 3).count() == 8)
+    // empty range is empty, not an error
+    assert(cat.readIncremental("db", "inc", 3, 3).count() == 0)
+    cat.overwrite("db", "inc", df1) // snap 4 rewrites visibility
+    val e = intercept[IllegalArgumentException] { cat.readIncremental("db", "inc", 2, 4) }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+  }
+
   test("evolved column regains exact min/max once an append populates it") {
     val cat = freshCatalog()
     val df = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
