@@ -644,6 +644,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
     }),
 
+    // file-level data skipping: per-file footer stats recorded at commit
+    // prove 3 of the 4 range-partitioned files unmatchable for this
+    // predicate, so they are never read (spec-asserted skip counts; the
+    // oracle checks the skip layer never changes RESULTS).
+    "q55_file_skipping" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      val snapId = fx.src.currentSnapshot("maint", "orders_bykey").snapshotId
+      fx.src.readWhere("maint", "orders_bykey", snapId, col("o_orderkey") <= 1000L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderstatus")
+    }),
+
     // snapshot rollback: a NEW log entry re-pointing at snapshot 2's files
     // (pure metadata, no data movement) — current state is the full table
     // again even though an overwrite happened in between.
@@ -1127,6 +1140,12 @@ object SparkEntry {
     "q54_rollback" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM orders""".stripMargin,
+
+    "q55_file_skipping" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey <= 1000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q34_expire" ->
       """SELECT CAST(1 AS BIGINT) AS n_snapshots, CAST(3 AS BIGINT) AS surviving_id,

@@ -123,6 +123,13 @@ object WarehouseFixture {
         .withColumn("o_orderkey", col("o_orderkey") + 4000000000L))
     src.upsert("maint", "orders_up", upSource, keys = Seq("o_orderkey"))
 
+    // - orders_bykey: range-partitioned files (disjoint o_orderkey ranges)
+    //   so per-file footer stats can prove whole files unmatchable — the
+    //   data-skipping demonstration table (q55)
+    src.createTable("maint", "orders_bykey", orders.schema)
+    src.append("maint", "orders_bykey",
+      orders.repartitionByRange(4, col("o_orderkey")))
+
     src.createTable("maint", "orders_rb", orders.schema)
     src.append("maint", "orders_rb", orders.repartition(2))
     src.overwrite("maint", "orders_rb",

@@ -69,6 +69,45 @@ object ColumnStats {
     }.toMap
   }
 
+  /** Snapshot-level stats for a PARTIAL-REWRITE commit (prune-aware
+    * delete/update): the carried files' exact per-file footer bounds fold
+    * with the rewrite's fresh Observation stats.
+    *
+    * Numeric bounds only: parquet footer bounds for binary/string columns
+    * may be writer-truncated — valid as outer bounds for pruning, but the
+    * snapshot summary serves min/max as EXACT answers
+    * (MetadataCountRule), so strings get no summary stats on these
+    * commits. A carried file missing a numeric bound must be provably
+    * all-null for the column (nulls == rows) or the column's stats are
+    * dropped. */
+  def mergeWithFileBounds(fresh: Map[String, String], carryFiles: Seq[String],
+      fileStats: Map[String, Map[String, String]], schema: StructType): Map[String, String] = {
+    schema.fields
+      .filter(f => statable(f.dataType) && f.dataType != StringType)
+      .flatMap { f =>
+        val perFile = carryFiles.map(fileStats.get)
+        if (perFile.exists(_.isEmpty)) Seq.empty // a carried file without stats
+        else {
+          val ms = perFile.flatten
+          val allNullOk = ms.forall { m =>
+            (m.contains(s"min.${f.name}") && m.contains(s"max.${f.name}")) ||
+              ((m.get(s"nulls.${f.name}"), m.get("rows")) match {
+                case (Some(n), Some(r)) => n == r
+                case _ => false
+              })
+          }
+          if (!allNullOk) Seq.empty
+          else {
+            val mins = ms.flatMap(_.get(s"min.${f.name}")) ++ fresh.get(s"min.${f.name}")
+            val maxs = ms.flatMap(_.get(s"max.${f.name}")) ++ fresh.get(s"max.${f.name}")
+            val minOut = mins.reduceOption((a, b) => if (gt(f.dataType, a, b)) b else a)
+            val maxOut = maxs.reduceOption((a, b) => if (gt(f.dataType, a, b)) a else b)
+            minOut.map(s"min.${f.name}" -> _).toSeq ++ maxOut.map(s"max.${f.name}" -> _)
+          }
+        }
+      }.toMap
+  }
+
   /** a > b under the column type's ordering (Spark semantics: NaN sorts
     * LARGEST — primitive `>` would return false for NaN and silently flip
     * merged bounds, so floats compare via java.lang.Double.compare). */

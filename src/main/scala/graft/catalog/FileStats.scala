@@ -1,0 +1,224 @@
+package graft.catalog
+
+import java.nio.file.Path
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-FILE column statistics — the Iceberg-manifest data-skipping layer.
+  *
+  * Harvested from the parquet FOOTER at commit time (a metadata-only read:
+  * a few KB per file, no data pages touched) and stored in the snapshot
+  * log, so scan planning can skip whole files whose [min,max] cannot
+  * satisfy the query predicate. At 100 TB this is the difference between
+  * scheduling 100k tasks and scheduling the 40 whose key range matches:
+  * the skip decision happens on the driver BEFORE any task exists, one
+  * tier above parquet's own executor-side row-group skipping (which still
+  * pays a task + footer read per file).
+  *
+  * Keys per file: `rows` (exact row count), and per statable column
+  * `min.<c>` / `max.<c>` / `nulls.<c>`. Numeric footer bounds are exact;
+  * STRING bounds may be writer-truncated, which keeps them VALID as outer
+  * bounds (truncation widens, never narrows) — so they are used for
+  * pruning but never served as exact answers.
+  */
+object FileStats {
+
+  /** Harvest the stats of one parquet file from its footer. Columns whose
+    * chunk statistics are absent/unusable in ANY row group simply get no
+    * min/max keys (missing stats disable pruning, never break it). */
+  def fromFooter(file: Path, schema: StructType, conf: Configuration): Map[String, String] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val out = Map.newBuilder[String, String]
+      out += ("rows" -> blocks.map(_.getRowCount).sum.toString)
+      schema.fields.filter(f => ColumnStats.statable(f.dataType)).foreach { f =>
+        val chunks = blocks.map(_.getColumns.asScala.find(_.getPath.toDotString == f.name))
+        // every row group must expose the column (partition columns and
+        // pre-evolution files don't have it -> no stats)
+        if (chunks.forall(_.isDefined)) {
+          val stats = chunks.flatten.map(c => (c.getStatistics, c.getValueCount))
+          val usable = stats.forall { case (s, _) => s != null && !s.isEmpty }
+          if (usable) {
+            if (stats.forall { case (s, _) => s.isNumNullsSet })
+              out += (s"nulls.${f.name}" -> stats.map(_._1.getNumNulls).sum.toString)
+            // chunks with values contribute bounds; chunks without must be
+            // PROVABLY all-null or the column's bounds are unknowable
+            val (withVals, empty) = stats.partition(_._1.hasNonNullValue)
+            val emptyProvable = empty.forall { case (s, vc) => s.isNumNullsSet && s.getNumNulls == vc }
+            if (withVals.nonEmpty && emptyProvable) {
+              val mins = withVals.map(s => canonical(f.dataType, s._1.genericGetMin.asInstanceOf[AnyRef]))
+              val maxs = withVals.map(s => canonical(f.dataType, s._1.genericGetMax.asInstanceOf[AnyRef]))
+              out += (s"min.${f.name}" -> mins.reduce((a, b) => if (lt(f.dataType, a, b)) a else b))
+              out += (s"max.${f.name}" -> maxs.reduce((a, b) => if (lt(f.dataType, a, b)) b else a))
+            }
+          }
+        }
+      }
+      out.result()
+    } finally reader.close()
+  }
+
+  /** Footer value -> the same canonical string [[ColumnStats]] uses. */
+  private def canonical(dt: DataType, v: AnyRef): String = (dt, v) match {
+    case (StringType, b: Binary) => b.toStringUsingUTF8
+    case _ => v.toString
+  }
+
+  private def lt(dt: DataType, a: String, b: String): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => a.toLong < b.toLong
+    case FloatType | DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble) < 0
+    case StringType => UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    case other => throw new IllegalArgumentException(s"no ordering for $other")
+  }
+
+  // ------------------------------------------------------------------
+  // pruning: may a file with these stats contain a row matching `pred`?
+  // ------------------------------------------------------------------
+
+  /** Conservative three-valued evaluation: `false` ONLY when the stats
+    * PROVE no row can match (safe to skip the file); any shape this
+    * evaluator does not understand — expressions on the value, casts of
+    * the COLUMN, UDFs — returns `true` (scan the file). Cast-wrapped
+    * LITERALS (the analyzer's type reconciliation, e.g. `id = CAST(150 AS
+    * BIGINT)`) are folded first so they still prune. */
+  def mayMatch(stats: Map[String, String], schema: StructType, pred: Expression): Boolean =
+    eval(stats, schema, foldLiterals(pred))
+
+  /** Fold foldable cast chains over literals to plain literals; leave
+    * everything else (incl. casts of attributes) untouched. */
+  private def foldLiterals(e: Expression): Expression = e match {
+    case l: Literal => l
+    case c: Cast if c.foldable =>
+      try Literal(c.eval(null), c.dataType) catch { case _: Exception => c }
+    case other => other.mapChildren(foldLiterals)
+  }
+
+  private def eval(stats: Map[String, String], schema: StructType, pred: Expression): Boolean = pred match {
+    case And(l, r) => mayMatch(stats, schema, l) && mayMatch(stats, schema, r)
+    case Or(l, r) => mayMatch(stats, schema, l) || mayMatch(stats, schema, r)
+    case EqualTo(a, Literal(v, _)) => mayEqual(stats, schema, a, v)
+    case EqualTo(Literal(v, _), a) => mayEqual(stats, schema, a, v)
+    case EqualNullSafe(a, l @ Literal(v, _)) =>
+      if (v == null) mayBeNull(stats, a) else mayEqual(stats, schema, a, v)
+    case EqualNullSafe(l @ Literal(v, _), a) =>
+      if (v == null) mayBeNull(stats, a) else mayEqual(stats, schema, a, v)
+    case GreaterThan(a, Literal(v, _)) => boundCheck(stats, schema, a, v, cmp => cmp > 0)
+    case GreaterThan(Literal(v, _), a) => boundCheck(stats, schema, a, v, cmp => cmp < 0)
+    case GreaterThanOrEqual(a, Literal(v, _)) => boundCheck(stats, schema, a, v, cmp => cmp >= 0)
+    case GreaterThanOrEqual(Literal(v, _), a) => boundCheck(stats, schema, a, v, cmp => cmp <= 0)
+    case LessThan(a, Literal(v, _)) => boundCheck(stats, schema, a, v, cmp => cmp < 0)
+    case LessThan(Literal(v, _), a) => boundCheck(stats, schema, a, v, cmp => cmp > 0)
+    case LessThanOrEqual(a, Literal(v, _)) => boundCheck(stats, schema, a, v, cmp => cmp <= 0)
+    case LessThanOrEqual(Literal(v, _), a) => boundCheck(stats, schema, a, v, cmp => cmp >= 0)
+    case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Literal(v, _) => mayEqual(stats, schema, a, v) }
+    case i: InSet => i.hset.exists(v => mayEqual(stats, schema, i.child, v))
+    case IsNull(a) => mayBeNull(stats, a)
+    case IsNotNull(a) => mayBeNotNull(stats, a)
+    case StartsWith(a, Literal(prefix: UTF8String, StringType)) =>
+      mayStartWith(stats, a, prefix.toString)
+    case _ => true
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: Attribute => Some(a.name)
+    case _ => None
+  }
+
+  private def field(schema: StructType, name: String): Option[StructField] =
+    schema.fields.find(_.name == name)
+
+  /** sign of (statValue - literal) in the column's order; None = can't
+    * compare (no pruning). */
+  private def compare(dt: DataType, statVal: String, litVal: Any): Option[Int] =
+    try {
+      (dt, litVal) match {
+        case (_, null) => None
+        case (StringType, u: UTF8String) =>
+          Some(UTF8String.fromString(statVal).compareTo(u))
+        case (StringType, _) => None
+        case (FloatType | DoubleType, _) =>
+          Some(java.lang.Double.compare(statVal.toDouble, litVal.toString.toDouble))
+        case _ =>
+          // integral column; literal may be any numeric — exact compare
+          Some(BigDecimal(statVal).compare(BigDecimal(litVal.toString)))
+      }
+    } catch { case _: NumberFormatException => None }
+
+  private def mayEqual(stats: Map[String, String], schema: StructType,
+      attr: Expression, v: Any): Boolean = {
+    if (v == null) return false // EqualTo(_, null) matches no row
+    if (!mayBeNotNull(stats, attr)) return false // provably all-null column
+    (for {
+      name <- attrName(attr)
+      f <- field(schema, name)
+      mn <- stats.get(s"min.$name"); cMin <- compare(f.dataType, mn, v)
+      mx <- stats.get(s"max.$name"); cMax <- compare(f.dataType, mx, v)
+    } yield cMin <= 0 && cMax >= 0).getOrElse(true)
+  }
+
+  /** keep the file iff SOME value x in [min,max] satisfies `test(sign(x - v))`
+    * — checked at the extremes (the predicate families here are monotone). */
+  private def boundCheck(stats: Map[String, String], schema: StructType,
+      attr: Expression, v: Any, test: Int => Boolean): Boolean = {
+    if (!mayBeNotNull(stats, attr)) return false // provably all-null column
+    (for {
+      name <- attrName(attr)
+      f <- field(schema, name)
+      mn <- stats.get(s"min.$name"); cMin <- compare(f.dataType, mn, v)
+      mx <- stats.get(s"max.$name"); cMax <- compare(f.dataType, mx, v)
+    } yield test(cMin) || test(cMax)).getOrElse(true)
+  }
+
+  private def mayBeNull(stats: Map[String, String], attr: Expression): Boolean =
+    (for {
+      name <- attrName(attr)
+      n <- stats.get(s"nulls.$name")
+    } yield n != "0").getOrElse(true)
+
+  private def mayBeNotNull(stats: Map[String, String], attr: Expression): Boolean =
+    (for {
+      name <- attrName(attr)
+      n <- stats.get(s"nulls.$name")
+      rows <- stats.get("rows")
+    } yield n != rows).getOrElse(true)
+
+  private def mayStartWith(stats: Map[String, String], attr: Expression,
+      prefix: String): Boolean = {
+    (for {
+      name <- attrName(attr)
+      mn <- stats.get(s"min.$name")
+      mx <- stats.get(s"max.$name")
+    } yield {
+      val u = UTF8String.fromString(prefix)
+      // s starts with prefix  =>  prefix <= s, and s < prefixSuccessor
+      val belowAll = UTF8String.fromString(mx).compareTo(u) < 0
+      val aboveAll = prefixSuccessor(prefix) match {
+        case Some(succ) => UTF8String.fromString(mn).compareTo(UTF8String.fromString(succ)) >= 0
+        case None => false
+      }
+      !(belowAll || aboveAll)
+    }).getOrElse(true)
+  }
+
+  /** Smallest string greater than every string with this prefix (last
+    * non-maximal char incremented, suffix dropped); None if all chars are
+    * at the maximum code unit. */
+  private def prefixSuccessor(prefix: String): Option[String] = {
+    val cs = prefix.toCharArray
+    var i = cs.length - 1
+    while (i >= 0 && cs(i) == Char.MaxValue) i -= 1
+    if (i < 0) None
+    else Some(new String(cs, 0, i) + (cs(i) + 1).toChar)
+  }
+}

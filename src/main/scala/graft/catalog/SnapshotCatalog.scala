@@ -25,10 +25,11 @@ import org.apache.spark.sql.types.StructType
 final case class Snapshot(
     snapshotId: Long,
     committedAt: String, // ISO-8601 UTC
-    operation: String,   // create | append | overwrite
+    operation: String,   // create | append | overwrite | ...
     summary: Map[String, String],
     schemaDdl: String,
-    files: Seq[String]) {
+    files: Seq[String],
+    fileStats: Map[String, Map[String, String]] = Map.empty) {
 
   def schema: StructType = StructType.fromDDL(schemaDdl)
   def recordCount: Long = summary.get("record_count").map(_.toLong).getOrElse(-1L)
@@ -39,7 +40,9 @@ final case class Snapshot(
     "operation"    -> Json.str(operation),
     "summary"      -> Json.fromStrMap(summary),
     "schema_ddl"   -> Json.str(schemaDdl),
-    "files"        -> JArr(files.toVector.map(JStr)))
+    "files"        -> JArr(files.toVector.map(JStr)),
+    "file_stats"   -> JObj(fileStats.toVector.sortBy(_._1)
+      .map { case (f, m) => f -> (Json.fromStrMap(m): JValue) }))
 }
 
 object Snapshot {
@@ -49,7 +52,11 @@ object Snapshot {
     operation = o.str("operation"),
     summary = o.strMap("summary"),
     schemaDdl = o.str("schema_ddl"),
-    files = o.arr("files").collect { case JStr(s) => s })
+    files = o.arr("files").collect { case JStr(s) => s },
+    fileStats = o.get("file_stats") match {
+      case Some(fs: JObj) => fs.fields.map { case (f, _) => f -> fs.strMap(f) }.toMap
+      case _ => Map.empty
+    })
 }
 
 /** Table-level metadata (everything that is not per-snapshot). Shape follows
@@ -274,6 +281,39 @@ final class SnapshotCatalog(
     parts.reduce(_.unionByName(_)).select(schema.fieldNames.map(col): _*)
   }
 
+  /** File-level data skipping: partition a snapshot's file list into
+    * (scan-worthy, provably-unmatchable) under `cond`, using the per-file
+    * footer stats recorded at commit time. Purely driver-side metadata —
+    * the decision happens BEFORE any Spark task exists. Files without
+    * recorded stats are always scanned (pruning degrades, never breaks). */
+  def pruneFiles(db: String, table: String, snapshotId: Long,
+      cond: Column): (Seq[String], Seq[String]) = {
+    val snap = snapshotAt(db, table, snapshotId)
+    val schema = snap.schema
+    // resolve the user Column against the snapshot schema (an unresolved
+    // Column is a lazy node tree, not catalyst) — analyze a filter over an
+    // empty frame and harvest its typed condition
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val preds = empty.where(cond).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    snap.files.partition(f =>
+      snap.fileStats.get(f).forall(st =>
+        preds.forall(FileStats.mayMatch(st, schema, _))))
+  }
+
+  /** Filtered read with file-level skipping: only files whose stats may
+    * satisfy `cond` are scanned; the predicate is then applied exactly (the
+    * skip layer affects which files are READ, never the result). */
+  def readWhere(db: String, table: String, snapshotId: Long, cond: Column): DataFrame = {
+    val snap = snapshotAt(db, table, snapshotId)
+    val (kept, _) = pruneFiles(db, table, snapshotId, cond)
+    readFiles(db, table, snap.schema, kept).where(cond)
+  }
+
+  def readLatestWhere(db: String, table: String, cond: Column): DataFrame =
+    readWhere(db, table, currentSnapshot(db, table).snapshotId, cond)
+
   /** Incremental (changes-between-snapshots) read: exactly the rows added
     * in `(fromId, toId]` — Iceberg's incremental-append scan. Resolution is
     * pure METADATA: the added files are the file-list difference of two log
@@ -326,7 +366,16 @@ final class SnapshotCatalog(
   def overwrite(db: String, table: String, df: DataFrame): Snapshot =
     commit(db, table, df, "overwrite")
 
-  private def commit(db: String, table: String, df: DataFrame, operation: String): Snapshot = {
+  /** `carryFiles` (partial-rewrite commits: prune-aware delete/update):
+    * files of the PREVIOUS snapshot that are provably untouched by the
+    * operation and carry over verbatim — the 100-TB posture for row-level
+    * ops: a DELETE whose predicate prunes to one file must rewrite one
+    * file, not the lake. Their per-file stats (`carryStats`) ride along;
+    * snapshot-level numeric min/max fold carried footer bounds with the
+    * rewrite's Observation stats. */
+  private def commit(db: String, table: String, df: DataFrame, operation: String,
+      carryFiles: Seq[String] = Seq.empty,
+      carryStats: Map[String, Map[String, String]] = Map.empty): Snapshot = {
     require(tableExists(db, table), s"no such table: $db.$table")
     val tm = meta(db, table)
     val log = snapshotList(db, table)
@@ -398,6 +447,8 @@ final class SnapshotCatalog(
         // bounds over files that actually contain rows)
         ColumnStats.merge(prev.summary, freshStats, df.schema,
           prevRowCount = prev.recordCount)
+      case _ if carryFiles.nonEmpty =>
+        ColumnStats.mergeWithFileBounds(freshStats, carryFiles, carryStats, df.schema)
       case _ => freshStats
     }
 
@@ -405,17 +456,37 @@ final class SnapshotCatalog(
       snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/'))
     val allFiles = operation match {
       case "append" => prev.files ++ newFiles
-      case _        => newFiles
+      case _        => carryFiles ++ newFiles
+    }
+    // Per-FILE stats from the freshly written footers (metadata-only reads,
+    // one per NEW file — the Iceberg-manifest data-skipping layer; see
+    // [[FileStats]]). Appends and partial rewrites carry the retained
+    // files' entries forward.
+    val conf = spark.sessionState.newHadoopConf()
+    val root = tablePath(db, table)
+    val newFileStats = newFiles.map(f =>
+      f -> FileStats.fromFooter(root.resolve(f), snapSchema, conf)).toMap
+    val allFileStats = operation match {
+      case "append" => prev.fileStats ++ newFileStats
+      case _ => carryStats.view.filterKeys(carryFiles.contains).toMap ++ newFileStats
     }
     val prevRows = math.max(prev.recordCount, 0L)
-    val totalRows = if (operation == "append") prevRows + rows else rows
+    val totalRows = operation match {
+      case "append" => prevRows + rows
+      case _ if carryFiles.nonEmpty =>
+        // carried rows come from per-file footer counts; a carried file
+        // without one makes the total honestly unknown (-1), never wrong
+        val carried = carryFiles.map(f => carryStats.get(f).flatMap(_.get("rows")).map(_.toLong))
+        if (carried.forall(_.isDefined)) carried.flatten.sum + rows else -1L
+      case _ => rows
+    }
     val snap = Snapshot(newId, clock().toString, operation,
       Map(
         "record_count" -> totalRows.toString,
         "added_records" -> rows.toString,
         "added_files" -> newFiles.size.toString,
         "total_files" -> allFiles.size.toString) ++ stats,
-      snapSchema.toDDL, allFiles)
+      snapSchema.toDDL, allFiles, allFileStats)
     writeLog(db, table, log :+ snap)
     snap
   }
@@ -425,33 +496,43 @@ final class SnapshotCatalog(
 
   /** Copy-on-write DELETE: commit a new snapshot without the rows matching
     * `cond`. SQL three-valued logic: a row is deleted only when `cond` is
-    * TRUE — FALSE and NULL rows survive (`coalesce(cond, false)`). The
-    * rewrite runs through the normal commit pass, so the new snapshot's
-    * row count and column stats are EXACT (Observation on the surviving
-    * rows), and prior snapshots stay time-travelable. */
+    * TRUE — FALSE and NULL rows survive (`coalesce(cond, false)`).
+    *
+    * PRUNE-AWARE: files whose footer stats prove they contain no matching
+    * row carry over VERBATIM (no read, no write — see [[FileStats]]); only
+    * candidate files are rewritten. A selective delete on a 100-TB table
+    * costs the candidate files, not the lake. Prior snapshots stay
+    * time-travelable. */
   def delete(db: String, table: String, cond: Column): Snapshot = {
-    val cur = readLatest(db, table)
-    commit(db, table, cur.where(!coalesce(cond, lit(false))), "delete")
+    val snap = currentSnapshot(db, table)
+    val (cands, untouched) = pruneFiles(db, table, snap.snapshotId, cond)
+    val rewrite = readFiles(db, table, snap.schema, cands)
+      .where(!coalesce(cond, lit(false)))
+    commit(db, table, rewrite, "delete",
+      carryFiles = untouched, carryStats = snap.fileStats)
   }
 
   /** Copy-on-write UPDATE: `SET col = expr` for rows matching `cond`,
     * identity for the rest. Assignments cast to the column's declared type
     * (SQL UPDATE semantics); unknown columns are rejected before any data
-    * moves. */
+    * moves. Prune-aware like [[delete]]: files that provably contain no
+    * matching row carry over without a rewrite. */
   def update(db: String, table: String, cond: Column,
       set: Map[String, Column]): Snapshot = {
-    val cur = readLatest(db, table)
-    val schema = cur.schema
+    val snap = currentSnapshot(db, table)
+    val schema = snap.schema
     val unknown = set.keys.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"UPDATE of unknown columns: ${unknown.mkString(",")}")
+    val (cands, untouched) = pruneFiles(db, table, snap.snapshotId, cond)
     val c = coalesce(cond, lit(false))
-    val updated = cur.select(schema.fields.map { f =>
+    val updated = readFiles(db, table, schema, cands).select(schema.fields.map { f =>
       set.get(f.name) match {
         case Some(v) => when(c, v.cast(f.dataType)).otherwise(col(s"`${f.name}`")).as(f.name)
         case None    => col(s"`${f.name}`")
       }
     }.toIndexedSeq: _*)
-    commit(db, table, updated, "update")
+    commit(db, table, updated, "update",
+      carryFiles = untouched, carryStats = snap.fileStats)
   }
 
   /** Copy-on-write MERGE (upsert): source rows REPLACE target rows sharing
@@ -488,7 +569,7 @@ final class SnapshotCatalog(
     val snap = Snapshot(prev.snapshotId + 1, clock().toString, "rollback",
       target.summary + ("rolled_back_to" -> toSnapshotId.toString,
         "added_records" -> "0", "added_files" -> "0"),
-      target.schemaDdl, target.files)
+      target.schemaDdl, target.files, target.fileStats)
     writeLog(db, table, log :+ snap)
     snap
   }
@@ -518,7 +599,7 @@ final class SnapshotCatalog(
       .map(f => s"nullcol.${f.name}" -> "true")
     val snap = Snapshot(prev.snapshotId + 1, clock().toString, "evolve",
       prev.summary ++ addedStatable + ("added_records" -> "0", "added_files" -> "0"),
-      newSchema.toDDL, prev.files)
+      newSchema.toDDL, prev.files, prev.fileStats)
     writeLog(db, table, log :+ snap)
     snap
   }

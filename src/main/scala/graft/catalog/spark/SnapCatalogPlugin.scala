@@ -193,11 +193,16 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         val opts: Map[String, String] =
           if (tableMeta.partitionCols.isEmpty || snap.files.isEmpty) Map.empty
           else Map("basePath" -> root.resolve(dirs.head).toString)
-        ParquetTable(tableName, spark,
+        // file-level data skipping in front of the stock vectorized scan:
+        // pushed filters prune the FILE LIST via per-file footer stats
+        // before tasks are planned (graft.catalog.FileStats)
+        val snapSchema = snap.schema
+        new org.apache.spark.sql.GraftPruningScanBuilder(spark, tableName,
+          snap.files.map(f => (root.resolve(f).toString, snap.fileStats.get(f))),
+          snapSchema,
           new CaseInsensitiveStringMap(opts.asJava),
-          snap.files.map(f => root.resolve(f).toString),
-          Some(snap.schema), classOf[ParquetFileFormat])
-          .newScanBuilder(options)
+          (stats, conjuncts) =>
+            conjuncts.forall(p => graft.catalog.FileStats.mayMatch(stats, snapSchema, p)))
       }
     }
 

@@ -1,0 +1,75 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A [[ScanBuilder]] that adds FILE-LEVEL data skipping in front of Spark's
+  * stock parquet scan: pushed-down filters are evaluated against per-file
+  * footer stats (recorded in the snapshot log at commit time) and files
+  * that provably cannot match are dropped from the scan's file list BEFORE
+  * any task is planned — Iceberg-manifest pruning, one tier above parquet's
+  * executor-side row-group skipping.
+  *
+  * Lives in this package because [[SupportsPushDownCatalystFilters]] (the
+  * interface `FileScanBuilder` uses for V2 filter pushdown) is
+  * `private[sql]`; same convention as [[GraftColumnBridge]]. Everything
+  * else delegates to the real [[ParquetTable]] scan builder over the
+  * pruned file list, so pushdown, column pruning, vectorization and codegen
+  * are exactly the stock parquet path.
+  *
+  * `files` maps each absolute file path to its recorded stats (None when
+  * the committing writer had none — those files are always scanned).
+  * `mayMatch(stats, conjuncts)` is the conservative skip test
+  * (graft.catalog.FileStats.mayMatch over every conjunct).
+  */
+class GraftPruningScanBuilder(
+    spark: SparkSession,
+    tableName: String,
+    files: Seq[(String, Option[Map[String, String]])],
+    schema: StructType,
+    options: CaseInsensitiveStringMap,
+    mayMatch: (Map[String, String], Seq[Expression]) => Boolean)
+  extends ScanBuilder
+  with SupportsPushDownCatalystFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var pushedExprs: Seq[Expression] = Nil
+  private var required: Option[StructType] = None
+
+  private def mkInner(paths: Seq[String]) =
+    ParquetTable(tableName, spark, options, paths, Some(schema), classOf[ParquetFileFormat])
+      .newScanBuilder(options)
+
+  // answers the pushdown protocol over the FULL file list (cheap: file
+  // index construction only); the pruned builder is built at build() time,
+  // when all conjuncts are known
+  private lazy val probe = mkInner(files.map(_._1))
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushedExprs = filters
+    probe.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(filters)
+  }
+
+  override def pushedFilters(): Array[Predicate] =
+    probe.asInstanceOf[SupportsPushDownCatalystFilters].pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = Some(requiredSchema)
+  }
+
+  override def build(): Scan = {
+    val kept = files.collect {
+      case (p, st) if st.forall(m => mayMatch(m, pushedExprs)) => p
+    }
+    val inner = mkInner(kept)
+    inner.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
+    required.foreach(inner.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns)
+    inner.build()
+  }
+}

@@ -270,6 +270,40 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(expr.head.getInt(0) == 1)
   }
 
+  test("SQL scans skip whole files via per-file footer stats") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbfs")
+    spark.sql("CREATE TABLE snapcat.dbfs.t (id BIGINT, name STRING)")
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.append("dbfs", "t", (1L to 100L).map(i => (i, s"a$i")).toDF("id", "name").repartition(1))
+    cat.append("dbfs", "t", (101L to 200L).map(i => (i, s"b$i")).toDF("id", "name").repartition(1))
+    cat.append("dbfs", "t", (201L to 300L).map(i => (i, s"c$i")).toDF("id", "name").repartition(1))
+
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.v2.FileScan
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.scan.asInstanceOf[FileScan].fileIndex.inputFiles.length
+      }.getOrElse(sys.error("no BatchScanExec in plan"))
+
+    // selective predicate plans ONE of the three files — the skip decision
+    // happens at plan time, before any task exists
+    val sel = spark.sql("SELECT name FROM snapcat.dbfs.t WHERE id = 150")
+    assert(scannedFiles(sel) == 1, sel.queryExecution.executedPlan.toString.take(800))
+    assert(sel.as[String].collect().toSeq == Seq("b150"))
+    // row-group pushdown is still the stock parquet path underneath
+    assert(sel.queryExecution.executedPlan.toString.contains("PushedFilters"))
+    // unselective predicate keeps all files
+    assert(scannedFiles(spark.sql("SELECT * FROM snapcat.dbfs.t WHERE id > 0")) == 3)
+    // provably-empty result plans zero files and still answers correctly
+    val none = spark.sql("SELECT * FROM snapcat.dbfs.t WHERE id = 999")
+    assert(scannedFiles(none) == 0)
+    assert(none.count() == 0)
+    // time travel prunes against THAT snapshot's stats
+    val tt = spark.sql("SELECT count(*) AS c FROM snapcat.dbfs.t VERSION AS OF 2 WHERE id = 50")
+    assert(tt.head.getLong(0) == 1)
+  }
+
   test("SQL DELETE FROM commits a copy-on-write delete snapshot") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbdel")

@@ -300,6 +300,88 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("append-only"), e.getMessage)
   }
 
+  test("per-file footer stats drive file-level data skipping") {
+    val cat = freshCatalog()
+    val schema = Seq((1L, Some("a"))).toDF("id", "name").schema
+    cat.createTable("db", "fs", schema)
+    // three appends with disjoint key ranges -> three files with disjoint
+    // [min,max] in the log
+    cat.append("db", "fs", (1L to 100L).map(i => (i, Some(s"a$i"))).toDF("id", "name").repartition(1))
+    cat.append("db", "fs", (101L to 200L).map(i => (i, Some(s"b$i"))).toDF("id", "name").repartition(1))
+    cat.append("db", "fs", (201L to 300L).map(i => (i, None: Option[String])).toDF("id", "name").repartition(1))
+    val snap = cat.currentSnapshot("db", "fs")
+    assert(snap.files.size == 3)
+    assert(snap.fileStats.size == 3, "every committed file gets footer stats")
+    assert(snap.fileStats.values.forall(_.get("rows").contains("100")))
+
+    // point lookup touches one file
+    val (kept, skipped) = cat.pruneFiles("db", "fs", snap.snapshotId, col("id") === 150L)
+    assert(kept.size == 1 && skipped.size == 2, s"kept=$kept skipped=$skipped")
+    // range scan
+    val (k2, s2) = cat.pruneFiles("db", "fs", snap.snapshotId, col("id") > 250L)
+    assert(k2.size == 1 && s2.size == 2)
+    // string equality prunes by [min,max] too
+    val (k3, _) = cat.pruneFiles("db", "fs", snap.snapshotId, col("name") === "b150")
+    assert(k3.size == 1)
+    // IS NULL prunes files with zero recorded nulls
+    val (k4, _) = cat.pruneFiles("db", "fs", snap.snapshotId, col("name").isNull)
+    assert(k4.size == 1)
+    // shapes the evaluator does not understand never prune
+    val (k5, _) = cat.pruneFiles("db", "fs", snap.snapshotId, col("id") % 7 === 0)
+    assert(k5.size == 3)
+    // the skip layer never changes results
+    assert(cat.readWhere("db", "fs", snap.snapshotId, col("id") === 150L)
+      .select("name").as[String].head() == "b150")
+    assert(cat.readLatestWhere("db", "fs", col("id") > 250L).count() == 50)
+    // conjunction with an ununderstood term still prunes on the known term
+    val (k6, _) = cat.pruneFiles("db", "fs", snap.snapshotId,
+      col("id") === 150L && col("name").contains("5"))
+    assert(k6.size == 1)
+  }
+
+  test("prune-aware delete/update rewrite only candidate files") {
+    val cat = freshCatalog()
+    val schema = Seq((1L, "a")).toDF("id", "name").schema
+    cat.createTable("db", "pd", schema)
+    cat.append("db", "pd", (1L to 100L).map(i => (i, s"a$i")).toDF("id", "name").repartition(1))
+    cat.append("db", "pd", (101L to 200L).map(i => (i, s"b$i")).toDF("id", "name").repartition(1))
+    cat.append("db", "pd", (201L to 300L).map(i => (i, s"c$i")).toDF("id", "name").repartition(1))
+    val before = cat.currentSnapshot("db", "pd")
+
+    // delete touches only the file whose range intersects the predicate
+    cat.delete("db", "pd", col("id") > 250L)
+    val afterDel = cat.currentSnapshot("db", "pd")
+    assert(afterDel.files.count(before.files.contains) == 2,
+      s"untouched files must carry over verbatim: ${afterDel.files}")
+    assert(cat.readLatest("db", "pd").count() == 250)
+    assert(afterDel.recordCount == 250, "carried footer rows + observed rewrite")
+    // numeric summary bounds fold carried footer bounds with the rewrite
+    assert(afterDel.summary.get("min.id").contains("1"))
+    assert(afterDel.summary.get("max.id").contains("250"))
+    // string bounds are dropped on partial rewrites (truncation-suspect)
+    assert(!afterDel.summary.contains("min.name"))
+    // per-file stats still cover the full final file list
+    assert(afterDel.files.forall(afterDel.fileStats.contains))
+
+    // update likewise carries non-matching files
+    cat.update("db", "pd", col("id") <= 100L, Map("name" -> lit("LOW")))
+    val afterUp = cat.currentSnapshot("db", "pd")
+    assert(afterUp.files.count(afterDel.files.contains) == 2)
+    assert(cat.readLatest("db", "pd").where($"name" === "LOW").count() == 100)
+    assert(cat.readLatest("db", "pd").count() == 250)
+    assert(afterUp.recordCount == 250)
+  }
+
+  test("q55 fixture: range-partitioned files really get skipped") {
+    val fx = WarehouseFixture.forDir(spark, "/root/testdata/sf0.001")
+    val snapId = fx.src.currentSnapshot("maint", "orders_bykey").snapshotId
+    val (kept, skipped) = fx.src.pruneFiles("maint", "orders_bykey", snapId,
+      col("o_orderkey") <= 1000L)
+    assert(kept.nonEmpty, "at least the lowest-range file must be scanned")
+    assert(skipped.nonEmpty,
+      s"disjoint-range files above the cutoff must be skipped (kept=$kept)")
+  }
+
   test("evolved column regains exact min/max once an append populates it") {
     val cat = freshCatalog()
     val df = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
