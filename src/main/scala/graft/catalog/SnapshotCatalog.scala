@@ -70,13 +70,16 @@ final case class TableMeta(
     database: String,
     tableName: String,
     partitionCols: Seq[String],
-    properties: Map[String, String]) {
+    properties: Map[String, String],
+    refs: Map[String, Long] = Map.empty) {
 
   def toJson: JObj = Json.obj(
     "database"       -> Json.str(database),
     "table_name"     -> Json.str(tableName),
     "partition_cols" -> JArr(partitionCols.toVector.map(JStr)),
-    "properties"     -> Json.fromStrMap(properties))
+    "properties"     -> Json.fromStrMap(properties),
+    "refs"           -> JObj(refs.toVector.sortBy(_._1)
+      .map { case (n, id) => n -> (Json.num(id): JValue) }))
 }
 
 object TableMeta {
@@ -84,7 +87,8 @@ object TableMeta {
     database = o.str("database"),
     tableName = o.str("table_name"),
     partitionCols = o.arr("partition_cols").collect { case JStr(s) => s },
-    properties = o.strMap("properties"))
+    properties = o.strMap("properties"),
+    refs = o.strMap("refs").map { case (k, v) => k -> v.toLong })
 }
 
 /** Snapshot-versioned Parquet table catalog — the engine's core.
@@ -621,9 +625,44 @@ final class SnapshotCatalog(
   def replaceTableSpec(db: String, table: String,
       partitionCols: Seq[String], properties: Map[String, String]): Unit = {
     require(tableExists(db, table), s"no such table: $db.$table")
+    val tm = meta(db, table) // refs survive the spec replace
     writeString(metaPath(db, table),
-      Json.writePretty(TableMeta(db, table, partitionCols, properties).toJson))
+      Json.writePretty(tm.copy(partitionCols = partitionCols, properties = properties).toJson))
   }
+
+  // ---- named snapshot references (Iceberg tags) ----
+
+  /** Tag a snapshot with a stable name (Iceberg `create_tag`): an
+    * IMMUTABLE named pointer usable wherever a snapshot id is — SQL
+    * `VERSION AS OF 'name'`, [[readTag]]. Tags protect nothing by
+    * themselves here ([[expireSnapshots]] counts positions, not refs), but
+    * make audit points addressable without copying data. Writable refs
+    * (branches) are out of scope — [[rollback]] covers the moving-pointer
+    * use case on the main lineage. */
+  def createTag(db: String, table: String, name: String, snapshotId: Long): Unit = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"tag name '$name' must not be empty or all-numeric (ambiguous with snapshot ids)")
+    snapshotAt(db, table, snapshotId) // must exist
+    val tm = meta(db, table)
+    require(!tm.refs.contains(name), s"tag '$name' already exists on $db.$table")
+    writeString(metaPath(db, table),
+      Json.writePretty(tm.copy(refs = tm.refs + (name -> snapshotId)).toJson))
+  }
+
+  def dropTag(db: String, table: String, name: String): Unit = {
+    val tm = meta(db, table)
+    require(tm.refs.contains(name), s"no such tag '$name' on $db.$table")
+    writeString(metaPath(db, table),
+      Json.writePretty(tm.copy(refs = tm.refs - name).toJson))
+  }
+
+  def resolveTag(db: String, table: String, name: String): Option[Long] =
+    meta(db, table).refs.get(name)
+
+  def readTag(db: String, table: String, name: String): DataFrame =
+    readAsOf(db, table, resolveTag(db, table, name).getOrElse(
+      throw new NoSuchElementException(
+        s"no such tag '$name' on $db.$table (tags: ${meta(db, table).refs.keys.toSeq.sorted.mkString(",") })")))
 
   // ---- maintenance (the "table maintenance" half of the Iceberg surface:
   // rewrite_data_files / expire_snapshots equivalents) ----
@@ -668,6 +707,46 @@ final class SnapshotCatalog(
       if (Files.exists(p)) Files.delete(p)
     }
     doomed.size
+  }
+
+  /** Delete data files no snapshot references (Iceberg
+    * `remove_orphan_files`): the debris of failed/aborted writes — a
+    * commit writes its data directory BEFORE the log rename, so a crash
+    * in between leaves files the log never adopted. Walks `data/`,
+    * deletes unreferenced parquet files plus writer marker files
+    * (_SUCCESS) of dead snapshot dirs, then removes empty dirs. Single
+    * writer assumed (as documented on the commit protocol): do not run
+    * concurrently with a write. Returns deleted data-file paths
+    * (table-root-relative). */
+  def removeOrphanFiles(db: String, table: String): Seq[String] = {
+    val referenced = snapshotList(db, table).flatMap(_.files).toSet
+    val root = tablePath(db, table)
+    val data = dataPath(db, table)
+    if (!Files.isDirectory(data)) return Seq.empty
+    val liveDirs = referenced.map(_.split("/").take(2).mkString("/"))
+    val deleted = Seq.newBuilder[String]
+    val walk = Files.walk(data)
+    try {
+      walk.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
+        val rel = root.relativize(p).toString.replace('\\', '/')
+        val name = p.getFileName.toString
+        val isData = name.endsWith(".parquet")
+        val inLiveDir = liveDirs.contains(rel.split("/").take(2).mkString("/"))
+        if (isData && !referenced.contains(rel)) {
+          Files.delete(p); deleted += rel
+        } else if (!isData && !inLiveDir) {
+          Files.delete(p) // writer markers of dead snapshot dirs
+        }
+      }
+    } finally walk.close()
+    // sweep now-empty snapshot dirs
+    val dirs = Files.walk(data)
+    try {
+      dirs.sorted(Comparator.reverseOrder[Path]()).iterator().asScala
+        .filter(p => Files.isDirectory(p) && p != data)
+        .foreach { p => if (!withList(p)(_.hasNext)) Files.delete(p) }
+    } finally dirs.close()
+    deleted.result()
   }
 
   // ---- io helpers ----

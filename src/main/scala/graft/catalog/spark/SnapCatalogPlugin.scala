@@ -283,14 +283,20 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     snapshotTable(ident, cat.currentSnapshot(ident.namespace().head, ident.name()))
   }
 
-  /** VERSION AS OF <snapshotId> (`5_migrate_tables_data.py:72-74` surface). */
+  /** VERSION AS OF <snapshotId | 'tag'> (`5_migrate_tables_data.py:72-74`
+    * surface, plus Iceberg named refs: a tag created via
+    * [[SnapshotCatalog.createTag]] resolves wherever a snapshot id does). */
   override def loadTable(ident: Identifier, version: String): Table = {
     checkExists(ident)
-    val snapId = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"snapcat VERSION AS OF takes a numeric snapshot id, got '$version'")
-    }
-    snapshotTable(ident, cat.snapshotAt(ident.namespace().head, ident.name(), snapId))
+    val db = ident.namespace().head
+    val table = ident.name()
+    val snapId = version.toLongOption
+      .orElse(cat.resolveTag(db, table, version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapcat VERSION AS OF takes a numeric snapshot id or a tag name; " +
+          s"'$version' is neither (tags: " +
+          cat.meta(db, table).refs.keys.toSeq.sorted.mkString(",") + ")"))
+    snapshotTable(ident, cat.snapshotAt(db, table, snapId))
   }
 
   /** TIMESTAMP AS OF — micros since epoch (Spark converts literals). */

@@ -201,6 +201,20 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(!spark.sql("SHOW NAMESPACES IN snapcat").as[String].collect().contains("db9"))
   }
 
+  test("VERSION AS OF resolves tag names through SQL") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.createTag("db1", "nation", "pre_overwrite", 2)
+    assert(spark.sql(
+      "SELECT sum(n_nationkey) AS s, count(*) AS c FROM snapcat.db1.nation VERSION AS OF 'pre_overwrite'")
+      .head.getLong(1) == 25)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM snapcat.db1.nation VERSION AS OF 'nope'").collect()
+    }
+    assert(e.getMessage.contains("tag"), e.getMessage)
+    cat.dropTag("db1", "nation", "pre_overwrite")
+  }
+
   test("non-numeric VERSION AS OF gets a clear error") {
     wh
     val e = intercept[Exception] {

@@ -194,6 +194,47 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(cat.readLatest("db", "sh").count() == 100)
   }
 
+  test("tags: named immutable snapshot refs resolve and survive spec replace") {
+    val cat = freshCatalog()
+    val df = (1L to 10L).toDF("id")
+    cat.createTable("db", "tg", df.schema)
+    cat.append("db", "tg", df)                       // snap 2
+    cat.createTag("db", "tg", "audit_2026q1", 2)
+    cat.overwrite("db", "tg", df.where($"id" <= 3))  // snap 3
+    assert(cat.readTag("db", "tg", "audit_2026q1").count() == 10)
+    assert(cat.resolveTag("db", "tg", "audit_2026q1").contains(2L))
+    // refs survive a replaceTableSpec (RTAS)
+    cat.replaceTableSpec("db", "tg", Seq.empty, Map("k" -> "v"))
+    assert(cat.resolveTag("db", "tg", "audit_2026q1").contains(2L))
+    // guard rails
+    intercept[IllegalArgumentException] { cat.createTag("db", "tg", "7", 2) }
+    intercept[IllegalArgumentException] { cat.createTag("db", "tg", "audit_2026q1", 3) }
+    intercept[NoSuchElementException] { cat.createTag("db", "tg", "ghost", 99) }
+    cat.dropTag("db", "tg", "audit_2026q1")
+    intercept[NoSuchElementException] { cat.readTag("db", "tg", "audit_2026q1") }
+  }
+
+  test("removeOrphanFiles deletes only unreferenced debris") {
+    val cat = freshCatalog()
+    val df = (1L to 10L).toDF("id")
+    cat.createTable("db", "orph", df.schema)
+    cat.append("db", "orph", df)
+    // simulate a crashed write: a data dir the log never adopted
+    val root = java.nio.file.Paths.get(cat.warehouse, "db", "orph")
+    val dead = root.resolve("data").resolve("s99")
+    Files.createDirectories(dead)
+    val liveFile = cat.currentSnapshot("db", "orph").files.head
+    Files.copy(root.resolve(liveFile), dead.resolve("leftover.parquet"))
+    Files.writeString(dead.resolve("_SUCCESS"), "")
+    val deleted = cat.removeOrphanFiles("db", "orph")
+    assert(deleted == Seq("data/s99/leftover.parquet"), deleted.toString)
+    assert(!Files.exists(dead), "emptied dead snapshot dir is swept")
+    // live data untouched, table still reads
+    assert(cat.readLatest("db", "orph").count() == 10)
+    // idempotent
+    assert(cat.removeOrphanFiles("db", "orph").isEmpty)
+  }
+
   test("drop table removes it from the listing") {
     val cat = freshCatalog()
     val df = Seq((1L, "a")).toDF("id", "name")
