@@ -657,6 +657,19 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // z-order-clustered table: the interleaved layout gives BOTH key
+    // columns tight per-file ranges, so this o_custkey predicate skips
+    // files even though the curve also clusters o_orderkey (spec-asserted
+    // skip counts; the oracle checks the rewrite + skip change no rows).
+    "q56_zorder_skip" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      val snapId = fx.src.currentSnapshot("maint", "orders_z").snapshotId
+      fx.src.readWhere("maint", "orders_z", snapId, col("o_custkey") <= 100L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderstatus")
+    }),
+
     // snapshot rollback: a NEW log entry re-pointing at snapshot 2's files
     // (pure metadata, no data movement) — current state is the full table
     // again even though an overwrite happened in between.
@@ -1145,6 +1158,12 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderkey <= 1000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q56_zorder_skip" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_custkey <= 100
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q34_expire" ->

@@ -130,6 +130,12 @@ object WarehouseFixture {
     src.append("maint", "orders_bykey",
       orders.repartitionByRange(4, col("o_orderkey")))
 
+    // - orders_z: z-order-clustered on (o_orderkey, o_custkey) so BOTH
+    //   key dimensions skip files (q56)
+    src.createTable("maint", "orders_z", orders.schema)
+    src.append("maint", "orders_z", orders.repartition(2))
+    src.compactZOrder("maint", "orders_z", Seq("o_orderkey", "o_custkey"), numFiles = 8)
+
     src.createTable("maint", "orders_rb", orders.schema)
     src.append("maint", "orders_rb", orders.repartition(2))
     src.overwrite("maint", "orders_rb",

@@ -685,6 +685,51 @@ final class SnapshotCatalog(
     commit(db, table, current.repartition(numFiles), "compact")
   }
 
+  /** Z-ORDER compaction (Iceberg `rewrite_data_files(strategy => 'sort',
+    * sort_order => 'zorder(...)')`): rewrite the current snapshot clustered
+    * on the interleaved bit representation of `cols`, so per-file [min,max]
+    * ranges become tight on EVERY z-column at once and [[pruneFiles]] can
+    * skip files for predicates on any of them — plain range compaction
+    * only ever helps its one sort column.
+    *
+    * Each column is linearly bucketed to 8 bits between the SNAPSHOT's own
+    * min/max (already in the summary from the commit Observation — no extra
+    * scan), buckets are bit-interleaved into the z-value, and one range
+    * shuffle on it lays files out along the curve. All per-row math is
+    * codegen'd builtins (`width_bucket`, shifts, masks).
+    */
+  def compactZOrder(db: String, table: String, cols: Seq[String], numFiles: Int): Snapshot = {
+    require(cols.size >= 2, "z-order needs at least two columns (use compact for one)")
+    val snap = currentSnapshot(db, table)
+    val schema = snap.schema
+    val bits = 8
+    val interleaved = cols.zipWithIndex.map { case (c, ci) =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $c"))
+      require(ColumnStats.statable(f.dataType) && f.dataType.typeName != "string",
+        s"z-order column $c must be numeric (got ${f.dataType.sql})")
+      val (mn, mx) = (snap.summary.get(s"min.$c"), snap.summary.get(s"max.$c")) match {
+        case (Some(a), Some(b)) => (a.toDouble, b.toDouble)
+        case _ => throw new IllegalStateException(
+          s"no snapshot stats for $c — commit through this catalog first")
+      }
+      // bucket 0..255 (width_bucket yields 1..n+1; clamp and shift to 0-based)
+      val bucket = least(greatest(
+        width_bucket(col(s"`$c`").cast("double"), lit(mn), lit(mx + 1e-9), lit(1 << bits)) - 1,
+        lit(0)), lit((1 << bits) - 1)).cast("long")
+      // spread this column's 8 bucket bits to every cols.size-th z bit
+      (0 until bits).map { b =>
+        shiftleft(shiftright(bucket, b).bitwiseAND(lit(1L)), b * cols.size + ci)
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val z = readLatest(db, table)
+      .withColumn("__z", interleaved)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    commit(db, table, z, "compact")
+  }
+
   /** Snapshot expiration: keep only the most recent `keepLast` snapshots,
     * delete log entries and any data files no surviving snapshot
     * references (Iceberg `expire_snapshots` semantics — bounds storage

@@ -194,6 +194,32 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(cat.readLatest("db", "sh").count() == 100)
   }
 
+  test("z-order compaction enables file skipping on every z column") {
+    val cat = freshCatalog()
+    val df = (0L until 10000L).map(i => (i % 100, i / 100)).toDF("x", "y")
+    cat.createTable("db", "zo", df.schema)
+    cat.append("db", "zo", df.repartition(4))
+    // hash-partitioned files span the full range of both columns: nothing skips
+    val before = cat.currentSnapshot("db", "zo").snapshotId
+    assert(cat.pruneFiles("db", "zo", before, col("x") === 5L)._2.isEmpty)
+
+    cat.compactZOrder("db", "zo", Seq("x", "y"), numFiles = 16)
+    val snap = cat.currentSnapshot("db", "zo")
+    assert(snap.operation == "compact")
+    assert(snap.files.size == 16)
+    // the z layout clusters BOTH dimensions: a point predicate on either
+    // column skips most files (a single-column sort would only help one)
+    val (_, sx) = cat.pruneFiles("db", "zo", snap.snapshotId, col("x") === 5L)
+    val (_, sy) = cat.pruneFiles("db", "zo", snap.snapshotId, col("y") === 5L)
+    assert(sx.size >= 8, s"x-skip only ${sx.size}/16")
+    assert(sy.size >= 8, s"y-skip only ${sy.size}/16")
+    // rewrite is bit-identical data
+    assert(cat.readLatest("db", "zo").count() == 10000)
+    assert(cat.readLatest("db", "zo").agg(sum($"x"), sum($"y")).head ==
+      df.agg(sum($"x"), sum($"y")).head)
+    assert(cat.readWhere("db", "zo", snap.snapshotId, col("x") === 5L).count() == 100)
+  }
+
   test("tags: named immutable snapshot refs resolve and survive spec replace") {
     val cat = freshCatalog()
     val df = (1L to 10L).toDF("id")
