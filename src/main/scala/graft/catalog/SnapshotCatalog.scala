@@ -557,6 +557,40 @@ final class SnapshotCatalog(
     commit(db, table, kept.unionByName(source.select(cols.map(c => col(s"`$c`")): _*)), "merge")
   }
 
+  /** Adopt a snapshot directory populated by an EXTERNAL V2 writer (the
+    * SQL row-level rewrite path: UPDATE / MERGE INTO / non-translatable
+    * DELETE run Spark's group-based copy-on-write plan, whose ReplaceData
+    * exec writes the full post-operation state into `data/s<newId>` via
+    * the stock parquet batch writer) as a full-replace commit. Row count
+    * and numeric min/max come from the freshly written footers — exact,
+    * no extra scan; string bounds are dropped (writer truncation makes
+    * them outer bounds only), mirroring partial-rewrite commits. */
+  def adoptRewrite(db: String, table: String, operation: String): Snapshot = {
+    val log = snapshotList(db, table)
+    val prev = log.last
+    val newId = prev.snapshotId + 1
+    val snapDirRel = s"data/s$newId"
+    val root = tablePath(db, table)
+    val snapDir = root.resolve("data").resolve(s"s$newId")
+    val schema = prev.schema
+    val newFiles = listParquetFiles(snapDir).map(p =>
+      snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/'))
+    val conf = spark.sessionState.newHadoopConf()
+    val fileStats = newFiles.map(f =>
+      f -> FileStats.fromFooter(root.resolve(f), schema, conf)).toMap
+    val rows = newFiles.map(f => fileStats(f)("rows").toLong).sum
+    val stats = ColumnStats.mergeWithFileBounds(Map.empty, newFiles, fileStats, schema)
+    val snap = Snapshot(newId, clock().toString, operation,
+      Map(
+        "record_count" -> rows.toString,
+        "added_records" -> rows.toString,
+        "added_files" -> newFiles.size.toString,
+        "total_files" -> newFiles.size.toString) ++ stats,
+      schema.toDDL, newFiles, fileStats)
+    writeLog(db, table, log :+ snap)
+    snap
+  }
+
   /** Roll the table back to an earlier snapshot's state (Iceberg
     * `rollback_to_snapshot`): a NEW log entry that re-points at the target
     * snapshot's files and schema — history is never rewritten, so the

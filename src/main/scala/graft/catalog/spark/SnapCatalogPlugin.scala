@@ -133,7 +133,40 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       extends Table with SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsWrite
       with SupportsDelete
+      with SupportsRowLevelOperations
       with HasRecordCount with HasColumnStats {
+
+    /** SQL UPDATE / MERGE INTO / non-filter-translatable DELETE: Spark's
+      * group-based copy-on-write rewrite. The operation's scan reads the
+      * FULL current snapshot and is deliberately stripped of runtime
+      * group filtering (see [[PlainBatchScan]]) — so ReplaceData writes
+      * the complete post-operation state, which [[RewriteWriteBuilder]]
+      * lands as one new snapshot via the stock V2 parquet batch writer
+      * plus a log adoption ([[SnapshotCatalog.adoptRewrite]]). History
+      * stays time-travelable like every other commit. */
+    override def newRowLevelOperationBuilder(
+        info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+        : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+      import org.apache.spark.sql.connector.write.RowLevelOperation
+      val opName = info.command match {
+        case RowLevelOperation.Command.UPDATE => "update"
+        case RowLevelOperation.Command.MERGE => "merge"
+        case RowLevelOperation.Command.DELETE => "delete"
+      }
+      () => new RowLevelOperation {
+        override def command: RowLevelOperation.Command = info.command
+        override def description(): String = s"snapcat copy-on-write $opName"
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          () => ownScanBuilder(options).build() match {
+            case v1: V1Scan => throw new UnsupportedOperationException(
+              s"SQL $opName on a partitioned multi-snapshot-dir table is not " +
+                "supported - run compact() first or use the library API")
+            case scan => new PlainBatchScan(scan)
+          }
+        override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
+          new RewriteWriteBuilder(db, table, opName, writeInfo)
+      }
+    }
 
     /** SQL `DELETE FROM snapcat.db.t WHERE ...` — copy-on-write through the
       * snapshot commit protocol (one `delete` snapshot; history stays
@@ -227,6 +260,59 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new SnapWriteBuilder(db, table, startTruncated = false)
+  }
+
+  /** A [[Scan]] exposing ONLY batch reading: the row-level rewrite reads
+    * through this so Spark's runtime group-filtering rule (which matches
+    * `SupportsRuntimeV2Filtering`) can never narrow the scan to matching
+    * files — the write REPLACES the whole table state, so the scan must
+    * produce it whole. */
+  private final class PlainBatchScan(delegate: Scan)
+      extends Scan {
+    override def readSchema(): org.apache.spark.sql.types.StructType = delegate.readSchema()
+    override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
+    override def description(): String =
+      s"snapcat full-snapshot rewrite scan over (${delegate.description()})"
+  }
+
+  /** V2 write for the row-level rewrite: delegates the data plane to the
+    * stock parquet batch writer aimed at the next snapshot directory, then
+    * adopts the written files as a log commit in BatchWrite.commit — the
+    * same write-data-then-rename-log protocol as every library commit, so
+    * a crash before commit leaves only an orphan dir
+    * ([[SnapshotCatalog.removeOrphanFiles]] sweeps it). */
+  private final class RewriteWriteBuilder(db: String, table: String,
+      opName: String, info: LogicalWriteInfo) extends WriteBuilder {
+    import org.apache.spark.sql.connector.write._
+    override def build(): Write = new Write {
+      override def description(): String = s"snapcat $opName rewrite"
+      override def toBatch: BatchWrite = {
+        val newId = cat.currentSnapshot(db, table).snapshotId + 1
+        val snapDir = java.nio.file.Paths.get(warehouse, db, table, "data", s"s$newId")
+        java.nio.file.Files.createDirectories(snapDir)
+        val inner = ParquetTable(s"$db.$table $opName rewrite", spark,
+          CaseInsensitiveStringMap.empty(), Seq(snapDir.toString),
+          Some(info.schema), classOf[ParquetFileFormat])
+          .newWriteBuilder(info).build().toBatch
+        new BatchWrite {
+          override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+            // ReplaceDataExec hands the writer the rewrite query's rows
+            // with the leading __row_operation marker column still
+            // attached; strip it down to the table schema before parquet
+            MarkerStrippingWriterFactory(inner.createBatchWriterFactory(p),
+              info.schema.fields.map(_.dataType))
+          override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+            inner.onDataWriterCommit(message)
+          override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            inner.commit(messages)
+            cat.adoptRewrite(db, table, opName)
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            inner.abort(messages)
+        }
+      }
+    }
   }
 
   private def snapshotTable(ident: Identifier, snap: Snapshot): Table = {
@@ -443,6 +529,40 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE not supported")
+}
+
+/** Executor-side row projection for the SQL row-level rewrite write:
+  * [[org.apache.spark.sql.execution.datasources.v2.ReplaceDataExec]]
+  * delivers the rewrite query's rows with Spark's leading
+  * `__row_operation` marker column still attached; the parquet writer
+  * underneath was built with the TABLE schema, so each row is projected
+  * down to the trailing `dataTypes.length` fields before writing. Rows
+  * already at table width (no marker) pass through untouched. */
+private final case class MarkerStrippingWriterFactory(
+    inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+    dataTypes: Array[org.apache.spark.sql.types.DataType])
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.write.DataWriter
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val delegate = inner.createWriter(partitionId, taskId)
+    new DataWriter[InternalRow] {
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+      private lazy val strip = UnsafeProjection.create(
+        dataTypes.zipWithIndex.map { case (dt, i) =>
+          BoundReference(i + 1, dt, nullable = true): org.apache.spark.sql.catalyst.expressions.Expression
+        }.toIndexedSeq)
+      override def write(row: InternalRow): Unit =
+        if (row.numFields == dataTypes.length + 1) delegate.write(strip(row))
+        else delegate.write(row)
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+        delegate.commit()
+      override def abort(): Unit = delegate.abort()
+      override def close(): Unit = delegate.close()
+    }
+  }
 }
 
 /** V1 `sources.Filter` -> `Column` translation for the copy-on-write

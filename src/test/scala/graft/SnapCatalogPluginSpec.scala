@@ -318,6 +318,65 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(tt.head.getLong(0) == 1)
   }
 
+  test("SQL UPDATE rewrites through the row-level operation path") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbup")
+    spark.sql("CREATE TABLE snapcat.dbup.t (id BIGINT, name STRING, score DOUBLE)")
+    spark.sql("INSERT INTO snapcat.dbup.t VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    spark.sql("UPDATE snapcat.dbup.t SET name = 'X', score = score * 10 WHERE id >= 2")
+    val rows = spark.sql("SELECT id, name, score FROM snapcat.dbup.t ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(rows == Seq((1L, "a", 1.0), (2L, "X", 20.0), (3L, "X", 30.0)))
+    val cat = new SnapshotCatalog(spark, wh)
+    assert(cat.currentSnapshot("dbup", "t").operation == "update")
+    // row count + numeric stats adopted from the rewrite's footers
+    assert(cat.currentSnapshot("dbup", "t").recordCount == 3)
+    assert(cat.currentSnapshot("dbup", "t").summary.get("max.score").contains("30.0"))
+    // pre-update state stays time-travelable
+    assert(spark.sql("SELECT name FROM snapcat.dbup.t VERSION AS OF 2 WHERE id = 2")
+      .head.getString(0) == "b")
+  }
+
+  test("SQL MERGE INTO upserts through the row-level operation path") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbmg")
+    spark.sql("CREATE TABLE snapcat.dbmg.t (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO snapcat.dbmg.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(
+      """MERGE INTO snapcat.dbmg.t t
+        |USING (SELECT * FROM VALUES (2, 'B2'), (3, 'c') AS s(id, name)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.name = s.name
+        |WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)""".stripMargin)
+    val rows = spark.sql("SELECT id, name FROM snapcat.dbmg.t ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    val cat = new SnapshotCatalog(spark, wh)
+    assert(cat.currentSnapshot("dbmg", "t").operation == "merge")
+    // WHEN MATCHED DELETE works too
+    spark.sql(
+      """MERGE INTO snapcat.dbmg.t t
+        |USING (SELECT * FROM VALUES (1, 'x') AS s(id, name)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT id FROM snapcat.dbmg.t ORDER BY id")
+      .as[Long].collect().toSeq == Seq(2L, 3L))
+  }
+
+  test("SQL DELETE with a non-translatable predicate uses the rewrite path") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbdx")
+    spark.sql("CREATE TABLE snapcat.dbdx.t (id BIGINT)")
+    spark.sql("INSERT INTO snapcat.dbdx.t VALUES (1), (2), (3), (4), (5), (6)")
+    // id % 2 = 0 has no V1 filter translation -> SupportsDelete.canDeleteWhere
+    // is never offered it; the plan falls back to the row-level rewrite
+    spark.sql("DELETE FROM snapcat.dbdx.t WHERE id % 2 = 0")
+    assert(spark.sql("SELECT id FROM snapcat.dbdx.t ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 3L, 5L))
+    val cat = new SnapshotCatalog(spark, wh)
+    assert(cat.currentSnapshot("dbdx", "t").operation == "delete")
+  }
+
   test("SQL DELETE FROM commits a copy-on-write delete snapshot") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbdel")
