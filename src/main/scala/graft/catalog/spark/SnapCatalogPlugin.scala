@@ -194,7 +194,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         "current-snapshot-id" -> snap.snapshotId.toString,
         "record-count" -> snap.recordCount.toString)).asJava
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_READ,
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
     /** Scan over THIS table's snapshot (reader options already resolved).
@@ -235,7 +235,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           snapSchema,
           new CaseInsensitiveStringMap(opts.asJava),
           (stats, conjuncts) =>
-            conjuncts.forall(p => graft.catalog.FileStats.mayMatch(stats, snapSchema, p)))
+            conjuncts.forall(p => graft.catalog.FileStats.mayMatch(stats, snapSchema, p)),
+          wrapScan = scan => new SnapStreamableScan(scan, db, table, opts, options))
       }
     }
 
@@ -260,6 +261,100 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new SnapWriteBuilder(db, table, startTruncated = false)
+  }
+
+  /** Batch scan wrapper adding a STREAMING personality: `toBatch`
+    * delegates to the stock pruned [[ParquetTable]] scan untouched, and
+    * `toMicroBatchStream` tails the table's APPEND commits (see
+    * [[SnapAppendStream]]), so `spark.readStream.table("snapcat.db.t")`
+    * works like Iceberg's incremental streaming read. Statistics are
+    * forwarded so AQE/join estimates keep working on the batch side. */
+  private final class SnapStreamableScan(delegate: Scan, db: String, table: String,
+      baseOpts: Map[String, String], options: CaseInsensitiveStringMap)
+      extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    override def readSchema(): StructType = delegate.readSchema()
+    override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
+    override def description(): String = delegate.description()
+    override def columnarSupportMode(): Scan.ColumnarSupportMode =
+      delegate.columnarSupportMode()
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+      delegate match {
+        case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+          s.estimateStatistics()
+        case _ => new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+          override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        }
+      }
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new SnapAppendStream(db, table, readSchema(), baseOpts, options)
+  }
+
+  /** Micro-batch tail of a table's APPEND commits: offsets are snapshot
+    * ids, and a batch (start, end] reads exactly the files those appends
+    * added — the streaming face of [[SnapshotCatalog.readIncremental]],
+    * resolved from pure metadata (file-list diff of two log entries; at
+    * 100 TB a trigger costs the day's increment, never a table scan).
+    * Non-append operations inside a range fail the stream loudly: an
+    * overwrite/delete/compact changes visibility of EXISTING rows, which
+    * an append stream cannot represent.
+    *
+    * Starts from the CURRENT snapshot by default (tail semantics);
+    * `.option("starting-snapshot-id", n)` backfills from an earlier
+    * snapshot first. */
+  private final class SnapAppendStream(db: String, table: String,
+      prunedSchema: StructType, baseOpts: Map[String, String],
+      options: CaseInsensitiveStringMap)
+      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+    import org.apache.spark.sql.connector.read.streaming.Offset
+
+    private case class SnapOffset(id: Long) extends Offset {
+      override def json(): String = id.toString
+    }
+
+    private def currentId: Long = cat.currentSnapshot(db, table).snapshotId
+
+    override def initialOffset(): Offset =
+      SnapOffset(Option(options.get("starting-snapshot-id")).map(_.toLong)
+        .getOrElse(currentId))
+    override def latestOffset(): Offset = SnapOffset(currentId)
+    override def deserializeOffset(json: String): Offset = SnapOffset(json.trim.toLong)
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
+
+    /** Pruned-schema batch over an explicit absolute-file list. */
+    private def batchFor(files: Seq[String]): Batch = {
+      val builder = ParquetTable(s"$db.$table stream", spark,
+        new CaseInsensitiveStringMap(baseOpts.asJava), files,
+        Some(cat.currentSnapshot(db, table).schema), classOf[ParquetFileFormat])
+        .newScanBuilder(new CaseInsensitiveStringMap(baseOpts.asJava))
+      builder.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+        .pruneColumns(prunedSchema)
+      builder.build().toBatch
+    }
+
+    override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+      val s = start.asInstanceOf[SnapOffset].id
+      val e = end.asInstanceOf[SnapOffset].id
+      if (s >= e) return Array.empty
+      val log = cat.snapshotList(db, table)
+      val between = log.filter(sn => sn.snapshotId > s && sn.snapshotId <= e)
+      val nonAppend = between.filterNot(_.operation == "append")
+      require(nonAppend.isEmpty,
+        s"streaming read of $db.$table hit non-append operations " +
+          nonAppend.map(sn => s"${sn.operation}@${sn.snapshotId}").mkString(", ") +
+          " - an append tail cannot represent rewritten visibility; restart " +
+          "the stream from the current snapshot")
+      val fromFiles = cat.snapshotAt(db, table, s).files.toSet
+      val added = cat.snapshotAt(db, table, e).files.filterNot(fromFiles)
+      val root = java.nio.file.Paths.get(warehouse, db, table)
+      batchFor(added.map(f => root.resolve(f).toString)).planInputPartitions()
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      batchFor(Seq.empty).createReaderFactory()
   }
 
   /** A [[Scan]] exposing ONLY batch reading: the row-level rewrite reads

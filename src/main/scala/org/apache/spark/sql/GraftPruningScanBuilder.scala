@@ -34,7 +34,8 @@ class GraftPruningScanBuilder(
     files: Seq[(String, Option[Map[String, String]])],
     schema: StructType,
     options: CaseInsensitiveStringMap,
-    mayMatch: (Map[String, String], Seq[Expression]) => Boolean)
+    mayMatch: (Map[String, String], Seq[Expression]) => Boolean,
+    wrapScan: Scan => Scan = identity)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
@@ -70,6 +71,6 @@ class GraftPruningScanBuilder(
     val inner = mkInner(kept)
     inner.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
     required.foreach(inner.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns)
-    inner.build()
+    wrapScan(inner.build())
   }
 }

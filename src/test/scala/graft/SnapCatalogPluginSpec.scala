@@ -293,11 +293,14 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     cat.append("dbfs", "t", (101L to 200L).map(i => (i, s"b$i")).toDF("id", "name").repartition(1))
     cat.append("dbfs", "t", (201L to 300L).map(i => (i, s"c$i")).toDF("id", "name").repartition(1))
 
+    import org.apache.spark.sql.execution.datasources.FilePartition
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-    import org.apache.spark.sql.execution.datasources.v2.FileScan
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.executedPlan.collectFirst {
-        case b: BatchScanExec => b.scan.asInstanceOf[FileScan].fileIndex.inputFiles.length
+        case b: BatchScanExec => b.inputPartitions.flatMap {
+          case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+          case _ => Seq.empty[String]
+        }.distinct.size
       }.getOrElse(sys.error("no BatchScanExec in plan"))
 
     // selective predicate plans ONE of the three files — the skip decision

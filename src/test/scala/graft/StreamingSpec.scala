@@ -133,4 +133,55 @@ class StreamingSpec extends AnyFunSuite {
     closed.groupBy("user_id").agg(sum("n_events").as("n")).as[(Long, Long)].collect()
       .foreach { case (u, n) => assert(n <= evTotals(u)) }
   }
+
+  test("streaming read tails snapcat table appends (metadata-resolved increments)") {
+    import java.time.Instant
+    import graft.catalog.SnapshotCatalog
+    val wh = Files.createTempDirectory("graft_tailwh_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, wh,
+      clock = () => { tick += 1; Instant.parse("2026-05-01T00:00:00Z").plusSeconds(tick * 60) })
+    val df0 = Seq((1L, "pre")).toDF("id", "tag")
+    cat.createTable("db", "tail", df0.schema)
+    cat.append("db", "tail", df0) // pre-stream state: NOT in tail output
+    spark.conf.set("spark.sql.catalog.snaptail", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snaptail.warehouse", wh)
+
+    val q = spark.readStream.table("snaptail.db.tail")
+      .writeStream.format("memory").queryName("snap_tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snap_tail").count() == 0, "tail starts at the current snapshot")
+      cat.append("db", "tail", Seq((2L, "a"), (3L, "a")).toDF("id", "tag"))
+      q.processAllAvailable()
+      cat.append("db", "tail", Seq((4L, "b")).toDF("id", "tag"))
+      q.processAllAvailable()
+      val got = spark.table("snap_tail").as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((2L, "a"), (3L, "a"), (4L, "b")), got.toString)
+    } finally q.stop()
+
+    // backfill from the beginning via starting-snapshot-id
+    val q2 = spark.readStream.option("starting-snapshot-id", "1")
+      .table("snaptail.db.tail")
+      .writeStream.format("memory").queryName("snap_tail_all").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("snap_tail_all").count() == 4, "backfill sees every appended row")
+    } finally q2.stop()
+
+    // a rewrite inside the tailed range fails the stream loudly
+    val q3 = spark.readStream.table("snaptail.db.tail")
+      .writeStream.format("memory").queryName("snap_tail_rw").outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      cat.overwrite("db", "tail", df0)
+      cat.append("db", "tail", Seq((9L, "z")).toDF("id", "tag"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+        q3.awaitTermination(10000)
+      }
+      assert(e.getMessage.contains("non-append") || e.getCause.getMessage.contains("non-append"),
+        e.getMessage)
+    } finally q3.stop()
+  }
 }
