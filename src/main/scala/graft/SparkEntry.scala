@@ -670,6 +670,31 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // near-dup CLUSTERS from verified pairs: Pregel-style min-label
+    // propagation (connected components) — the keep-one-per-cluster step a
+    // dedup pipeline actually ships (pairs alone overcount when A~B~C but
+    // A!~C); the DuckDB oracle recomputes components with a recursive
+    // transitive-closure CTE.
+    "q57_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+        w = 5, num = 1, den = 2, maxDocFreq = 1000).select("id_a", "id_b")
+      Dedup.clusters(pairs).orderBy("doc_id")
+    }),
+
+    // exact grouped percentiles over integer cents: quartile positions
+    // interpolate with exactly-representable fractions over integers <
+    // 2^52, so Spark's percentile() and DuckDB's quantile_cont() agree
+    // bit-for-bit (an arbitrary p would differ in the last ulp).
+    "q58_percentiles" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(cast(floor(o_totalprice*100) as bigint), 0.25d)").as("p25_cents"),
+          expr("percentile(cast(floor(o_totalprice*100) as bigint), 0.5d)").as("median_cents"),
+          expr("percentile(cast(floor(o_totalprice*100) as bigint), 0.75d)").as("p75_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // snapshot rollback: a NEW log entry re-pointing at snapshot 2's files
     // (pure metadata, no data movement) — current state is the full table
     // again even though an overwrite happened in between.
@@ -1165,6 +1190,42 @@ object SparkEntry {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_custkey <= 100
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // recursive transitive closure over the SAME verified pair set q26
+    // states; component rep = min reachable id (incl. self)
+    "q57_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')
+        |  )) AS shingles FROM documents
+        |),
+        |inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM inv a JOIN rare r ON a.s = r.s JOIN inv b ON b.s = a.s
+        |  WHERE a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |  WHERE len(list_intersect(a.shingles, b.shingles)) * 2 >=
+        |        1 * (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "q58_percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(CAST(FLOOR(o_totalprice*100) AS BIGINT), 0.25) AS p25_cents,
+        |  quantile_cont(CAST(FLOOR(o_totalprice*100) AS BIGINT), 0.5) AS median_cents,
+        |  quantile_cont(CAST(FLOOR(o_totalprice*100) AS BIGINT), 0.75) AS p75_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q34_expire" ->
       """SELECT CAST(1 AS BIGINT) AS n_snapshots, CAST(3 AS BIGINT) AS surviving_id,

@@ -157,6 +157,47 @@ object Dedup {
     verifyJaccard(cand, sh, num, den)
   }
 
+  // ---- near-dup clustering ----
+
+  /** Connected components over a near-dup pair list: every document in a
+    * pair maps to its component's MINIMUM id (the canonical
+    * keep-one-per-cluster step after candidate verification — pairs alone
+    * overcount when A~B and B~C but A!~C).
+    *
+    * Pregel-style min-label propagation: each round every node takes the
+    * min of its own label and its neighbors'; rounds needed = component
+    * diameter (near-dup clusters are shallow — a handful of rounds).
+    * Each round is one hash-partitioned join+agg on the edge list, and
+    * lineage is truncated per round (`localCheckpoint`) so the plan stays
+    * flat — the standard large-graph CC shape (use reliable checkpointing
+    * on a real cluster). Deterministic: pure min over an id set.
+    * Returns (doc_id, cluster_rep) for every doc appearing in a pair. */
+  def clusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("dlabel").as("nlabel"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      round += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash over word hashes: per bit, sign of the sum of ±1 votes

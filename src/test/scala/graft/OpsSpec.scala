@@ -94,6 +94,15 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("near-dup clustering: transitive closure with min representative") {
+    // chain 1-2-3 (needs >1 propagation round), a pair, and a triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("HyperplaneBuckets kernel is bit-identical to the declarative plane bank") {
     // the q28/q31 oracles replay bucket signs in DuckDB from the SAME
     // integer mix — the native kernel must agree with the declarative
