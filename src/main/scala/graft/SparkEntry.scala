@@ -543,6 +543,17 @@ object SparkEntry {
       fromCsv.join(fromJson, Seq("lang")).orderBy("lang")
     }),
 
+    // ORC source (the remaining columnar format Spark ships): same
+    // projection round-tripped through ORC; predicate pushdown and
+    // vectorized reading are the stock ORC path.
+    "q59_orc_source" -> ((s, dir) => {
+      s.read.orc(WarehouseFixture.orcSource(s, dir))
+        .where(col("n_chars") > 200L)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("chars_sum"))
+        .orderBy("lang")
+    }),
+
     // JSON scalar functions over the events.props payload column.
     "q46_json_extract" -> ((s, dir) => {
       eventsT(s, dir)
@@ -1324,6 +1335,12 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_json,
         |  CAST(sum(n_chars) AS BIGINT) AS chars_json
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q59_orc_source" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE n_chars > 200
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q46_json_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -42,19 +42,27 @@ object WarehouseFixture {
   def forDir(spark: SparkSession, sfDir: String): Fixture =
     cache.getOrElseUpdate(sfDir, build(spark, sfDir))
 
-  /** CSV/JSON copies of a documents projection, for the non-parquet source
-    * formats (built once per sfDir; deterministic single file). */
-  private val sourceCache = TrieMap.empty[String, (String, String)]
+  /** CSV/JSON/ORC copies of a documents projection, for the non-parquet
+    * source formats (built once per sfDir; deterministic single file). */
+  private val sourceCache = TrieMap.empty[String, (String, String, String)]
 
-  def csvJsonSources(spark: SparkSession, sfDir: String): (String, String) =
+  private def formatSources(spark: SparkSession, sfDir: String): (String, String, String) =
     sourceCache.getOrElseUpdate(sfDir, {
       val base = Files.createTempDirectory("graft_src_fmt_").toString
       val proj = table(spark, sfDir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       proj.coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$base/csv")
       proj.coalesce(1).write.mode("overwrite").json(s"$base/json")
-      (s"$base/csv", s"$base/json")
+      proj.coalesce(1).write.mode("overwrite").orc(s"$base/orc")
+      (s"$base/csv", s"$base/json", s"$base/orc")
     })
+
+  def csvJsonSources(spark: SparkSession, sfDir: String): (String, String) = {
+    val (c, j, _) = formatSources(spark, sfDir)
+    (c, j)
+  }
+
+  def orcSource(spark: SparkSession, sfDir: String): String = formatSources(spark, sfDir)._3
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

@@ -100,10 +100,39 @@ object SnapCli {
     case "sql" =>
       // arbitrary SQL against the warehouse via the V2 catalog plugin:
       // SnapCli sql <warehouse> "SELECT * FROM snapcat.db.t VERSION AS OF 2"
+      // (covers DELETE FROM / UPDATE / MERGE INTO via the same plugin)
       val Array(wh, query) = a.take(2)
       spark.conf.set("spark.sql.catalog.snapcat", "graft.catalog.spark.SnapCatalogPlugin")
       spark.conf.set("spark.sql.catalog.snapcat.warehouse", wh)
       spark.sql(query).show(100, truncate = false)
+    case "rollback" =>
+      val Array(wh, db, table, id) = a.take(4)
+      val snap = new SnapshotCatalog(spark, wh).rollback(db, table, id.toLong)
+      println(s"rollback $db.$table snapshot=${snap.snapshotId} " +
+        s"rolled_back_to=${snap.summary("rolled_back_to")} records=${snap.recordCount}")
+    case "tag" =>
+      val Array(wh, db, table, name, id) = a.take(5)
+      new SnapshotCatalog(spark, wh).createTag(db, table, name, id.toLong)
+      println(s"tagged $db.$table snapshot=$id as '$name'")
+    case "tags" =>
+      val Array(wh, db, table) = a.take(3)
+      new SnapshotCatalog(spark, wh).meta(db, table).refs.toSeq.sortBy(_._1)
+        .foreach { case (n, id) => println(s"$n\t$id") }
+    case "incremental" =>
+      val Array(wh, db, table, from, to) = a.take(5)
+      val df = new SnapshotCatalog(spark, wh).readIncremental(db, table, from.toLong, to.toLong)
+      println(s"count=${df.count()}")
+      df.show(20, truncate = false)
+    case "orphans" =>
+      val Array(wh, db, table) = a.take(3)
+      val deleted = new SnapshotCatalog(spark, wh).removeOrphanFiles(db, table)
+      println(s"removed ${deleted.size} orphan files")
+      deleted.foreach(println)
+    case "zorder" =>
+      val Array(wh, db, table, cols, n) = a.take(5)
+      val snap = new SnapshotCatalog(spark, wh)
+        .compactZOrder(db, table, cols.split(",").toSeq, n.toInt)
+      println(s"zorder $db.$table snapshot=${snap.snapshotId} files=${snap.files.size}")
     case other =>
       System.err.println(s"unknown command: $other\n$usage")
       sys.exit(2)
@@ -120,5 +149,11 @@ object SnapCli {
       |  show      <warehouse> <db> <table> [snapshotId] [limit]
       |  compact   <warehouse> <db> <table> <numFiles>
       |  expire    <warehouse> <db> <table> <keepLast>
-      |  sql       <warehouse> "<query using snapcat.db.table>"""".stripMargin
+      |  rollback  <warehouse> <db> <table> <snapshotId>
+      |  tag       <warehouse> <db> <table> <name> <snapshotId>
+      |  tags      <warehouse> <db> <table>
+      |  incremental <warehouse> <db> <table> <fromId> <toId>
+      |  orphans   <warehouse> <db> <table>
+      |  zorder    <warehouse> <db> <table> <col1,col2[,...]> <numFiles>
+      |  sql       <warehouse> "<query using snapcat.db.table>"  (incl. DELETE/UPDATE/MERGE)""".stripMargin
 }
