@@ -82,30 +82,43 @@ object ColumnStats {
     * dropped. */
   def mergeWithFileBounds(fresh: Map[String, String], carryFiles: Seq[String],
       fileStats: Map[String, Map[String, String]], schema: StructType): Map[String, String] = {
-    schema.fields
-      .filter(f => statable(f.dataType) && f.dataType != StringType)
-      .flatMap { f =>
-        val perFile = carryFiles.map(fileStats.get)
-        if (perFile.exists(_.isEmpty)) Seq.empty // a carried file without stats
-        else {
-          val ms = perFile.flatten
-          val allNullOk = ms.forall { m =>
-            (m.contains(s"min.${f.name}") && m.contains(s"max.${f.name}")) ||
-              ((m.get(s"nulls.${f.name}"), m.get("rows")) match {
-                case (Some(n), Some(r)) => n == r
-                case _ => false
-              })
-          }
-          if (!allNullOk) Seq.empty
-          else {
-            val mins = ms.flatMap(_.get(s"min.${f.name}")) ++ fresh.get(s"min.${f.name}")
-            val maxs = ms.flatMap(_.get(s"max.${f.name}")) ++ fresh.get(s"max.${f.name}")
-            val minOut = mins.reduceOption((a, b) => if (gt(f.dataType, a, b)) b else a)
-            val maxOut = maxs.reduceOption((a, b) => if (gt(f.dataType, a, b)) a else b)
-            minOut.map(s"min.${f.name}" -> _).toSeq ++ maxOut.map(s"max.${f.name}" -> _)
-          }
+    val perFile = carryFiles.map(fileStats.get)
+    val allCarriedHaveStats = !perFile.exists(_.isEmpty)
+    val ms = perFile.flatten
+    def provablyAllNull(m: Map[String, String], col: String): Boolean =
+      (m.get(s"nulls.$col"), m.get("rows")) match {
+        case (Some(n), Some(r)) => n == r
+        case _ => false
+      }
+    schema.fields.filter(f => statable(f.dataType)).flatMap { f =>
+      if (!allCarriedHaveStats) Seq.empty // a carried file without stats
+      else if (f.dataType == StringType) {
+        // footer string bounds may be writer-truncated: never serve them as
+        // exact — but DO carry the provable-all-null marker, so a later
+        // append can still adopt its fresh bounds as exact
+        if (!fresh.contains(s"min.${f.name}") && ms.forall(provablyAllNull(_, f.name)))
+          Seq(s"nullcol.${f.name}" -> "true")
+        else Seq.empty
+      } else {
+        val allNullOk = ms.forall { m =>
+          (m.contains(s"min.${f.name}") && m.contains(s"max.${f.name}")) ||
+            provablyAllNull(m, f.name)
         }
-      }.toMap
+        if (!allNullOk) Seq.empty
+        else {
+          val mins = ms.flatMap(_.get(s"min.${f.name}")) ++ fresh.get(s"min.${f.name}")
+          val maxs = ms.flatMap(_.get(s"max.${f.name}")) ++ fresh.get(s"max.${f.name}")
+          val minOut = mins.reduceOption((a, b) => if (gt(f.dataType, a, b)) b else a)
+          val maxOut = maxs.reduceOption((a, b) => if (gt(f.dataType, a, b)) a else b)
+          val bounds = minOut.map(s"min.${f.name}" -> _).toSeq ++
+            maxOut.map(s"max.${f.name}" -> _)
+          // numeric column provably empty everywhere -> keep provenance
+          if (bounds.isEmpty && ms.forall(provablyAllNull(_, f.name)))
+            Seq(s"nullcol.${f.name}" -> "true")
+          else bounds
+        }
+      }
+    }.toMap
   }
 
   /** a > b under the column type's ordering (Spark semantics: NaN sorts

@@ -444,7 +444,7 @@ final class SnapshotCatalog(
     // absent: a stale bound would be silently wrong)
     val freshStats = ColumnStats.fromMetrics(statCols.toIndexedSeq, metrics)
     val stats = operation match {
-      case "append" | "compact" =>
+      case "append" =>
         // recordCount passes through UNCLAMPED: -1 means unknown, and
         // merge's prev-empty branch must only fire on a PROVABLY empty
         // previous snapshot (clamping -1 to 0 would adopt fresh-only
@@ -453,6 +453,16 @@ final class SnapshotCatalog(
           prevRowCount = prev.recordCount)
       case _ if carryFiles.nonEmpty =>
         ColumnStats.mergeWithFileBounds(freshStats, carryFiles, carryStats, df.schema)
+      // compact rewrites the FULL current state through the Observation
+      // pass, so fresh stats are exact and complete — taking them (not
+      // merging) makes compact() the recovery action that restores summary
+      // bounds a partial rewrite conservatively dropped. Null-column
+      // provenance survives: compact preserves data, so a column marked
+      // provably-all-null stays so (and fresh can have no bounds for it).
+      case "compact" =>
+        freshStats ++ prev.summary.view.filterKeys(k =>
+          k.startsWith("nullcol.") &&
+            !freshStats.contains("min." + k.stripPrefix("nullcol."))).toMap
       case _ => freshStats
     }
 
@@ -551,6 +561,14 @@ final class SnapshotCatalog(
     require(source.schema.fieldNames.sorted.sameElements(cols.sorted),
       s"upsert source columns ${source.schema.fieldNames.mkString(",")} " +
         s"!= table columns ${cols.mkString(",")}")
+    // types too: the merge commit adopts the frame's schema, so a mistyped
+    // source would silently retype the table via union widening
+    val retyped = cur.schema.fields.filterNot(f =>
+      source.schema(f.name).dataType.sql == f.dataType.sql)
+    require(retyped.isEmpty,
+      s"upsert type mismatch for $db.$table: " + retyped.map(f =>
+        s"${f.name}: table=${f.dataType.sql} source=${source.schema(f.name).dataType.sql}")
+        .mkString(", "))
     val badKeys = keys.filterNot(cols.contains)
     require(badKeys.isEmpty, s"upsert keys not in table: ${badKeys.mkString(",")}")
     val kept = cur.join(source.select(keys.map(k => col(s"`$k`")): _*), keys, "left_anti")

@@ -221,6 +221,14 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
               override def schema: StructType = snapSchema
               override def buildScan(): RDD[Row] = cat.readAsOf(db, table, snapId).rdd
             }).asInstanceOf[T]
+          // MICRO_BATCH_READ is a table-level capability; this scan shape
+          // (partitioned, multiple snapshot dirs) cannot stream — say so
+          // instead of the default bare UnsupportedOperationException
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+            throw new UnsupportedOperationException(
+              s"streaming read of PARTITIONED table $db.$table is not supported - " +
+                "stream an unpartitioned table or use readIncremental")
         }
       } else {
         val opts: Map[String, String] =
@@ -236,7 +244,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           new CaseInsensitiveStringMap(opts.asJava),
           (stats, conjuncts) =>
             conjuncts.forall(p => graft.catalog.FileStats.mayMatch(stats, snapSchema, p)),
-          wrapScan = scan => new SnapStreamableScan(scan, db, table, opts, options))
+          wrapScan = scan => new SnapStreamableScan(scan, db, table,
+            partitioned = tableMeta.partitionCols.nonEmpty, opts, options))
       }
     }
 
@@ -269,8 +278,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * [[SnapAppendStream]]), so `spark.readStream.table("snapcat.db.t")`
     * works like Iceberg's incremental streaming read. Statistics are
     * forwarded so AQE/join estimates keep working on the batch side. */
-  private final class SnapStreamableScan(delegate: Scan, db: String, table: String,
-      baseOpts: Map[String, String], options: CaseInsensitiveStringMap)
+  private final class SnapStreamableScan(val delegate: Scan, db: String, table: String,
+      partitioned: Boolean, baseOpts: Map[String, String], options: CaseInsensitiveStringMap)
       extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     override def readSchema(): StructType = delegate.readSchema()
@@ -287,8 +296,22 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
         }
       }
-    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+      // new appends land in NEW snapshot dirs, whose Hive partition dirs
+      // would need a per-batch basePath — unsupported shape, fail clearly
+      if (partitioned) throw new UnsupportedOperationException(
+        s"streaming read of PARTITIONED table $db.$table is not supported - " +
+          "stream an unpartitioned table or use readIncremental")
       new SnapAppendStream(db, table, readSchema(), baseOpts, options)
+    }
+    // canonicalized-plan equality delegates to the stock scan's structural
+    // equality, so a self-join's two identical snapcat scans still
+    // canonicalize equal and ReuseExchange/scan-reuse keep working
+    override def equals(other: Any): Boolean = other match {
+      case s: SnapStreamableScan => delegate == s.delegate
+      case _ => false
+    }
+    override def hashCode(): Int = delegate.hashCode()
   }
 
   /** Micro-batch tail of a table's APPEND commits: offsets are snapshot
@@ -317,8 +340,15 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     private def currentId: Long = cat.currentSnapshot(db, table).snapshotId
 
     override def initialOffset(): Offset =
-      SnapOffset(Option(options.get("starting-snapshot-id")).map(_.toLong)
-        .getOrElse(currentId))
+      SnapOffset(Option(options.get("starting-snapshot-id")) match {
+        case None => currentId
+        case Some(v) =>
+          val id = v.toLongOption.getOrElse(throw new IllegalArgumentException(
+            s"starting-snapshot-id must be numeric, got '$v'"))
+          // must name a real log entry: a typo'd future id would otherwise
+          // make the tail silently empty forever (latest < start)
+          cat.snapshotAt(db, table, id).snapshotId
+      })
     override def latestOffset(): Offset = SnapOffset(currentId)
     override def deserializeOffset(json: String): Offset = SnapOffset(json.trim.toLong)
     override def commit(end: Offset): Unit = ()
@@ -384,6 +414,17 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       override def toBatch: BatchWrite = {
         val newId = cat.currentSnapshot(db, table).snapshotId + 1
         val snapDir = java.nio.file.Paths.get(warehouse, db, table, "data", s"s$newId")
+        // clear debris from a previously crashed rewrite attempt: the dir is
+        // unreferenced by any snapshot (newId never committed), and
+        // adoptRewrite adopts whatever parquet lands here — stale files
+        // must not ride along (the library path gets this from
+        // mode("overwrite"); this is the V2 equivalent)
+        if (java.nio.file.Files.exists(snapDir)) {
+          val walk = java.nio.file.Files.walk(snapDir)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(java.nio.file.Files.delete(_))
+          finally walk.close()
+        }
         java.nio.file.Files.createDirectories(snapDir)
         val inner = ParquetTable(s"$db.$table $opName rewrite", spark,
           CaseInsensitiveStringMap.empty(), Seq(snapDir.toString),

@@ -321,6 +321,40 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(tt.head.getLong(0) == 1)
   }
 
+  test("row-level rewrite clears debris from a crashed prior attempt") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbcr")
+    spark.sql("CREATE TABLE snapcat.dbcr.t (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO snapcat.dbcr.t VALUES (1, 'a'), (2, 'b')")
+    // simulate a crashed earlier rewrite: stale parquet already sits in the
+    // NEXT snapshot dir (s3) that the coming UPDATE will claim
+    val cat = new SnapshotCatalog(spark, wh)
+    val root = java.nio.file.Paths.get(wh, "dbcr", "t")
+    val dead = root.resolve("data").resolve("s3")
+    Files.createDirectories(dead)
+    Files.copy(root.resolve(cat.currentSnapshot("dbcr", "t").files.head),
+      dead.resolve("stale.parquet"))
+    spark.sql("UPDATE snapcat.dbcr.t SET name = 'X' WHERE id = 1")
+    // the stale file must NOT have been adopted into the commit
+    assert(spark.table("snapcat.dbcr.t").count() == 2)
+    assert(cat.currentSnapshot("dbcr", "t").recordCount == 2)
+  }
+
+  test("streaming a partitioned table fails with a clear error") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbsp")
+    spark.sql("CREATE TABLE snapcat.dbsp.p (id BIGINT, flag STRING) PARTITIONED BY (flag)")
+    spark.sql("INSERT INTO snapcat.dbsp.p VALUES (1, 'a')")
+    val e = intercept[Exception] {
+      spark.readStream.table("snapcat.dbsp.p")
+        .writeStream.format("memory").queryName("p_tail").start()
+        .processAllAvailable()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(String.valueOf(_)).toSeq
+    assert(chain(e).exists(_.contains("PARTITIONED")), chain(e).mkString("\n"))
+  }
+
   test("SQL UPDATE rewrites through the row-level operation path") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbup")

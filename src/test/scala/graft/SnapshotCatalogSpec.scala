@@ -328,6 +328,30 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       cat.upsert("db", "mg", Seq((1L, "x", 0)).toDF("id", "name", "extra"), Seq("id"))
     }
     assert(e.getMessage.contains("columns"))
+    // a mistyped source must not silently retype the table via union widening
+    val e2 = intercept[IllegalArgumentException] {
+      cat.upsert("db", "mg", Seq(("1", "x")).toDF("id", "name"), Seq("id"))
+    }
+    assert(e2.getMessage.contains("type mismatch"), e2.getMessage)
+    assert(cat.currentSnapshot("db", "mg").schema("id").dataType.sql == "BIGINT")
+  }
+
+  test("compact restores summary bounds a partial rewrite dropped") {
+    val cat = freshCatalog()
+    val df = Seq((1L, "a"), (2L, "b"), (300L, "z")).toDF("id", "name")
+    cat.createTable("db", "rec", df.schema)
+    cat.append("db", "rec", (1L to 100L).map(i => (i, s"a$i")).toDF("id", "name").repartition(1))
+    cat.append("db", "rec", (201L to 300L).map(i => (i, s"c$i")).toDF("id", "name").repartition(1))
+    assert(cat.currentSnapshot("db", "rec").summary.contains("min.name"))
+    // prune-aware delete: one file carried -> string bounds conservatively dropped
+    cat.delete("db", "rec", col("id") > 250L)
+    assert(!cat.currentSnapshot("db", "rec").summary.contains("min.name"))
+    // compact rewrites everything through the Observation pass -> exact
+    // bounds come back for every column, strings included
+    cat.compact("db", "rec", numFiles = 2)
+    val s = cat.currentSnapshot("db", "rec").summary
+    assert(s.get("min.name").contains("a1"), s.toString)
+    assert(s.get("min.id").contains("1") && s.get("max.id").contains("250"))
   }
 
   test("rollback re-points at an old snapshot without rewriting history") {
