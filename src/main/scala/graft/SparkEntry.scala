@@ -543,6 +543,17 @@ object SparkEntry {
       fromCsv.join(fromJson, Seq("lang")).orderBy("lang")
     }),
 
+    // corpus n-gram analytics: top document-frequency bigrams — the
+    // boilerplate-detection scan a dedup pipeline runs before choosing its
+    // df-cap (explode -> one hash-partitioned count -> top-k).
+    "q60_ngram_topk" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(explode(Dedup.wordShingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("bigram"))
+        .limit(20)
+    }),
+
     // ORC source (the remaining columnar format Spark ships): same
     // projection round-tripped through ORC; predicate pushdown and
     // vectorized reading are the stock ORC path.
@@ -1341,6 +1352,17 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM documents WHERE n_chars > 200
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q60_ngram_topk" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')
+        |  )) AS shingles FROM documents),
+        |inv AS (SELECT unnest(shingles) AS bigram FROM sh)
+        |SELECT bigram, CAST(count(*) AS BIGINT) AS df
+        |FROM inv GROUP BY bigram
+        |ORDER BY df DESC, bigram LIMIT 20""".stripMargin,
 
     "q46_json_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -359,9 +359,12 @@ final class SnapshotCatalog(
 
   // ---- writes / commits ----
 
-  /** Append commit: new snapshot = previous files + newly written files. */
-  def append(db: String, table: String, df: DataFrame): Snapshot =
-    commit(db, table, df, "append")
+  /** Append commit: new snapshot = previous files + newly written files.
+    * `extraSummary` entries ride the commit's own atomic log write (e.g. a
+    * streaming sink's epoch tag for exactly-once replay detection). */
+  def append(db: String, table: String, df: DataFrame,
+      extraSummary: Map[String, String] = Map.empty): Snapshot =
+    commit(db, table, df, "append", extraSummary = extraSummary)
 
   /** Overwrite commit: new snapshot = newly written files only — the write
     * mode of the migration data plane (`5_migrate_tables_data.py:80-83`).
@@ -379,7 +382,8 @@ final class SnapshotCatalog(
     * rewrite's Observation stats. */
   private def commit(db: String, table: String, df: DataFrame, operation: String,
       carryFiles: Seq[String] = Seq.empty,
-      carryStats: Map[String, Map[String, String]] = Map.empty): Snapshot = {
+      carryStats: Map[String, Map[String, String]] = Map.empty,
+      extraSummary: Map[String, String] = Map.empty): Snapshot = {
     require(tableExists(db, table), s"no such table: $db.$table")
     val tm = meta(db, table)
     val log = snapshotList(db, table)
@@ -499,7 +503,7 @@ final class SnapshotCatalog(
         "record_count" -> totalRows.toString,
         "added_records" -> rows.toString,
         "added_files" -> newFiles.size.toString,
-        "total_files" -> allFiles.size.toString) ++ stats,
+        "total_files" -> allFiles.size.toString) ++ stats ++ extraSummary,
       snapSchema.toDDL, allFiles, allFileStats)
     writeLog(db, table, log :+ snap)
     snap

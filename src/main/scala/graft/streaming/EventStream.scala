@@ -16,6 +16,32 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** EXACTLY-ONCE streaming sink into a snapshot-catalog table, the
+    * `foreachBatch` way (how production Spark pipelines fed Iceberg for
+    * years before native streaming writes): each micro-batch appends one
+    * snapshot, and the epoch id is recorded in the snapshot summary so a
+    * REPLAYED batch (failure/restart redelivery — foreachBatch is
+    * at-least-once) is detected and skipped instead of appended twice.
+    * Pair with `spark.readStream.table("snapcat.db.t")` on the other side
+    * for an end-to-end streaming table pipeline.
+    *
+    * {{{
+    *   stream.writeStream.foreachBatch(
+    *     EventStream.appendEpoch(cat, "db", "t") _).start()
+    * }}}
+    */
+  def appendEpoch(cat: graft.catalog.SnapshotCatalog, db: String, table: String)(
+      batch: DataFrame, epochId: Long): Unit = {
+    val already = cat.snapshotList(db, table)
+      .flatMap(_.summary.get("stream_epoch")).map(_.toLong)
+    if (already.contains(epochId)) return // replayed batch: drop, don't double-append
+    // the epoch rides the commit's own summary (ONE atomic log rename):
+    // a crash leaves either no snapshot or an epoch-tagged one — never an
+    // untagged append a replay would duplicate
+    cat.append(db, table, batch, Map("stream_epoch" -> epochId.toString))
+    ()
+  }
+
   /** Tumbling-window counts/sums with a watermark for late data:
     * readStream -> withWatermark -> window agg (append mode capable). */
   def windowedAgg(events: DataFrame, window_ : String = "1 hour",

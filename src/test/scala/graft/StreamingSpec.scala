@@ -184,4 +184,45 @@ class StreamingSpec extends AnyFunSuite {
         e.getMessage)
     } finally q3.stop()
   }
+
+  test("streaming sink appends epoch-tagged snapshots; replays are dropped") {
+    import java.time.Instant
+    import graft.catalog.SnapshotCatalog
+    val wh = Files.createTempDirectory("graft_sinkwh_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, wh,
+      clock = () => { tick += 1; Instant.parse("2026-06-01T00:00:00Z").plusSeconds(tick * 60) })
+    val schema = Seq((1L, "x")).toDF("id", "tag").schema
+    cat.createTable("db", "sink", schema)
+
+    // drive micro-batches through a real memory-source stream
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = source.toDF().toDF("id", "tag")
+      .writeStream
+      .foreachBatch(EventStream.appendEpoch(cat, "db", "sink") _)
+      .start()
+    try {
+      source.addData((1L, "a"), (2L, "a"))
+      q.processAllAvailable()
+      source.addData((3L, "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(cat.readLatest("db", "sink").count() == 3)
+    val epochs = cat.snapshotList("db", "sink").flatMap(_.summary.get("stream_epoch"))
+    assert(epochs.distinct.size == 2, epochs.toString)
+
+    // a REPLAYED epoch (at-least-once redelivery) must not double-append
+    EventStream.appendEpoch(cat, "db", "sink")(Seq((9L, "dup")).toDF("id", "tag"), 0L)
+    assert(cat.readLatest("db", "sink").count() == 3, "replayed epoch 0 was re-appended")
+    // and the appended snapshots tail straight back out through readStream
+    spark.conf.set("spark.sql.catalog.snapsink", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapsink.warehouse", wh)
+    val q2 = spark.readStream.option("starting-snapshot-id", "1").table("snapsink.db.sink")
+      .writeStream.format("memory").queryName("sink_roundtrip").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("sink_roundtrip").count() == 3)
+    } finally q2.stop()
+  }
 }
