@@ -641,12 +641,21 @@ final class SnapshotCatalog(
     * stock reader's missing-column behavior); time travel to snapshots
     * before the evolution serves the old schema, because every snapshot
     * stores its own DDL. */
-  def evolveSchema(db: String, table: String, newSchema: StructType): Snapshot = {
+  def evolveSchema(db: String, table: String, newSchema: StructType,
+      allowDrop: Boolean = false): Snapshot = {
     val log = snapshotList(db, table)
     val prev = log.last
     val dropped = prev.schema.fieldNames.filterNot(newSchema.fieldNames.contains)
-    require(dropped.isEmpty,
-      s"evolveSchema is add/extend only; dropping ${dropped.mkString(",")} would orphan data")
+    // Dropping a column is SAFE with name-based mapping: readers project
+    // the narrower schema and simply never read the column's pages (data
+    // files are untouched; time travel to pre-drop snapshots still serves
+    // it). It IS destructive at the logical level, so it must be asked for.
+    require(dropped.isEmpty || allowDrop,
+      s"evolveSchema: dropping ${dropped.mkString(",")} requires allowDrop=true " +
+        "(reads of the current snapshot will no longer see the column)")
+    val partCols = meta(db, table).partitionCols.filter(dropped.contains)
+    require(partCols.isEmpty,
+      s"cannot drop partition column(s): ${partCols.mkString(",")}")
     // Columns ADDED by this evolve have provably no values in any existing
     // file (old parquet null-fills them), so mark them `nullcol.<col>` —
     // the marker lets ColumnStats.merge adopt a later append's fresh

@@ -565,6 +565,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     val table = ident.name()
     var schema = cat.currentSnapshot(db, table).schema
     var evolved = false
+    var droppedAny = false
     // Two-phase: VALIDATE the whole change list first, buffering property
     // mutations — applying side effects while iterating would leave a
     // statement mixing a property change with a failing AddColumn (or an
@@ -580,15 +581,26 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           s"column already exists: ${add.fieldNames.head}")
         schema = schema.add(StructField(add.fieldNames.head, add.dataType, nullable = true))
         evolved = true
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"nested DROP COLUMN not supported: ${del.fieldNames.mkString(".")}")
+        require(schema.fieldNames.contains(del.fieldNames.head),
+          s"no such column: ${del.fieldNames.head}")
+        schema = StructType(schema.fields.filterNot(_.name == del.fieldNames.head))
+        evolved = true
+        droppedAny = true
       case sp: TableChange.SetProperty =>
         propOps += ((sp.property, Some(sp.value)))
       case rp: TableChange.RemoveProperty =>
         propOps += ((rp.property, None))
       case other =>
+        // RENAME COLUMN stays unsupported by design: name-based column
+        // mapping cannot re-bind existing files to a new name (that is
+        // what Iceberg field-ids buy); add+backfill+drop is the safe path
         throw new UnsupportedOperationException(s"ALTER TABLE change not supported: $other")
     }
     propOps.result().foreach { case (k, v) => cat.setProperty(db, table, k, v) }
-    if (evolved) cat.evolveSchema(db, table, schema)
+    if (evolved) cat.evolveSchema(db, table, schema, allowDrop = droppedAny)
     loadTable(ident)
   }
 

@@ -193,6 +193,44 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
       .where($"col_name" === "Table Properties").head.getString(1).contains("k=v"))
   }
 
+  test("ALTER TABLE DROP COLUMN narrows the schema; time travel keeps the old one") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbdc")
+    spark.sql("CREATE TABLE snapcat.dbdc.t (id BIGINT, note STRING)")
+    spark.sql("INSERT INTO snapcat.dbdc.t VALUES (1, 'keep?'), (2, 'nope')")
+    spark.sql("ALTER TABLE snapcat.dbdc.t DROP COLUMN note")
+    val cur = spark.table("snapcat.dbdc.t")
+    assert(cur.schema.fieldNames.toSeq == Seq("id"))
+    assert(cur.count() == 2)
+    // files untouched: the pre-drop snapshot still serves the column
+    val old = spark.sql("SELECT * FROM snapcat.dbdc.t VERSION AS OF 2")
+    assert(old.schema.fieldNames.toSeq == Seq("id", "note"))
+    assert(old.where($"note" === "nope").count() == 1)
+    // appends after the drop use the narrow schema
+    spark.sql("INSERT INTO snapcat.dbdc.t VALUES (3)")
+    assert(spark.table("snapcat.dbdc.t").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // partition columns cannot be dropped
+    spark.sql("CREATE TABLE snapcat.dbdc.p (id BIGINT, flag STRING) PARTITIONED BY (flag)")
+    val e = intercept[Exception] { spark.sql("ALTER TABLE snapcat.dbdc.p DROP COLUMN flag") }
+    assert(e.getMessage.contains("partition"), e.getMessage)
+  }
+
+  test("SQL UPDATE works on a partitioned single-dir table; appends still mix") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbpu")
+    spark.sql("CREATE TABLE snapcat.dbpu.p (id BIGINT, flag STRING) PARTITIONED BY (flag)")
+    spark.sql("INSERT INTO snapcat.dbpu.p VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    // rewrite lands flat files with the partition column as data — reads
+    // resolve it from file content instead of dir names
+    spark.sql("UPDATE snapcat.dbpu.p SET flag = 'z' WHERE id = 2")
+    assert(spark.sql("SELECT flag FROM snapcat.dbpu.p WHERE id = 2").head.getString(0) == "z")
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbpu.p WHERE flag = 'a'").head.getLong(0) == 2)
+    // a later partitionBy append mixes hive-laid and flat snapshot dirs
+    spark.sql("INSERT INTO snapcat.dbpu.p VALUES (4, 'a')")
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbpu.p WHERE flag = 'a'").head.getLong(0) == 3)
+    assert(spark.sql("SELECT sum(id) AS s FROM snapcat.dbpu.p").head.getLong(0) == 10)
+  }
+
   test("DROP NAMESPACE removes the namespace, not just its tables") {
     wh
     spark.sql("CREATE NAMESPACE snapcat.db9")
