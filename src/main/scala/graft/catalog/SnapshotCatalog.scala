@@ -383,8 +383,7 @@ final class SnapshotCatalog(
   private def commit(db: String, table: String, df: DataFrame, operation: String,
       carryFiles: Seq[String] = Seq.empty,
       carryStats: Map[String, Map[String, String]] = Map.empty,
-      extraSummary: Map[String, String] = Map.empty): Snapshot = {
-    require(tableExists(db, table), s"no such table: $db.$table")
+      extraSummary: Map[String, String] = Map.empty): Snapshot = withTableLock(db, table) {
     val tm = meta(db, table)
     val log = snapshotList(db, table)
     val prev = log.last
@@ -521,7 +520,7 @@ final class SnapshotCatalog(
     * candidate files are rewritten. A selective delete on a 100-TB table
     * costs the candidate files, not the lake. Prior snapshots stay
     * time-travelable. */
-  def delete(db: String, table: String, cond: Column): Snapshot = {
+  def delete(db: String, table: String, cond: Column): Snapshot = withTableLock(db, table) {
     val snap = currentSnapshot(db, table)
     val (cands, untouched) = pruneFiles(db, table, snap.snapshotId, cond)
     val rewrite = readFiles(db, table, snap.schema, cands)
@@ -536,7 +535,7 @@ final class SnapshotCatalog(
     * moves. Prune-aware like [[delete]]: files that provably contain no
     * matching row carry over without a rewrite. */
   def update(db: String, table: String, cond: Column,
-      set: Map[String, Column]): Snapshot = {
+      set: Map[String, Column]): Snapshot = withTableLock(db, table) {
     val snap = currentSnapshot(db, table)
     val schema = snap.schema
     val unknown = set.keys.filterNot(schema.fieldNames.contains)
@@ -559,7 +558,8 @@ final class SnapshotCatalog(
     * MATCHED THEN INSERT *` shape. One anti-join (shuffle on the key) plus
     * a union; the join is the irreducible cost of keyed reconciliation at
     * any scale. Source must carry exactly the table's columns. */
-  def upsert(db: String, table: String, source: DataFrame, keys: Seq[String]): Snapshot = {
+  def upsert(db: String, table: String, source: DataFrame,
+      keys: Seq[String]): Snapshot = withTableLock(db, table) {
     val cur = readLatest(db, table)
     val cols = cur.schema.fieldNames.toSeq
     require(source.schema.fieldNames.sorted.sameElements(cols.sorted),
@@ -587,7 +587,8 @@ final class SnapshotCatalog(
     * and numeric min/max come from the freshly written footers — exact,
     * no extra scan; string bounds are dropped (writer truncation makes
     * them outer bounds only), mirroring partial-rewrite commits. */
-  def adoptRewrite(db: String, table: String, operation: String): Snapshot = {
+  def adoptRewrite(db: String, table: String,
+      operation: String): Snapshot = withTableLock(db, table) {
     val log = snapshotList(db, table)
     val prev = log.last
     val newId = prev.snapshotId + 1
@@ -618,7 +619,8 @@ final class SnapshotCatalog(
     * snapshot's files and schema — history is never rewritten, so the
     * rolled-back-from state remains time-travelable and a bad rollback is
     * itself rollback-able. Pure metadata; no data moves. */
-  def rollback(db: String, table: String, toSnapshotId: Long): Snapshot = {
+  def rollback(db: String, table: String,
+      toSnapshotId: Long): Snapshot = withTableLock(db, table) {
     val log = snapshotList(db, table)
     val target = log.find(_.snapshotId == toSnapshotId).getOrElse(
       throw new NoSuchElementException(
@@ -642,7 +644,7 @@ final class SnapshotCatalog(
     * before the evolution serves the old schema, because every snapshot
     * stores its own DDL. */
   def evolveSchema(db: String, table: String, newSchema: StructType,
-      allowDrop: Boolean = false): Snapshot = {
+      allowDrop: Boolean = false): Snapshot = withTableLock(db, table) {
     val log = snapshotList(db, table)
     val prev = log.last
     val dropped = prev.schema.fieldNames.filterNot(newSchema.fieldNames.contains)
@@ -674,7 +676,8 @@ final class SnapshotCatalog(
   }
 
   /** Update one table property (ALTER TABLE SET/UNSET TBLPROPERTIES). */
-  def setProperty(db: String, table: String, key: String, value: Option[String]): Unit = {
+  def setProperty(db: String, table: String, key: String,
+      value: Option[String]): Unit = withTableLock(db, table) {
     val tm = meta(db, table)
     val props = value match {
       case Some(v) => tm.properties + (key -> v)
@@ -688,8 +691,8 @@ final class SnapshotCatalog(
     * untouched — unlike DROP+CREATE, time travel across the replace keeps
     * working because data files and the log stay in place. */
   def replaceTableSpec(db: String, table: String,
-      partitionCols: Seq[String], properties: Map[String, String]): Unit = {
-    require(tableExists(db, table), s"no such table: $db.$table")
+      partitionCols: Seq[String],
+      properties: Map[String, String]): Unit = withTableLock(db, table) {
     val tm = meta(db, table) // refs survive the spec replace
     writeString(metaPath(db, table),
       Json.writePretty(tm.copy(partitionCols = partitionCols, properties = properties).toJson))
@@ -704,7 +707,8 @@ final class SnapshotCatalog(
     * make audit points addressable without copying data. Writable refs
     * (branches) are out of scope — [[rollback]] covers the moving-pointer
     * use case on the main lineage. */
-  def createTag(db: String, table: String, name: String, snapshotId: Long): Unit = {
+  def createTag(db: String, table: String, name: String,
+      snapshotId: Long): Unit = withTableLock(db, table) {
     require(name.nonEmpty && !name.forall(_.isDigit),
       s"tag name '$name' must not be empty or all-numeric (ambiguous with snapshot ids)")
     snapshotAt(db, table, snapshotId) // must exist
@@ -714,7 +718,7 @@ final class SnapshotCatalog(
       Json.writePretty(tm.copy(refs = tm.refs + (name -> snapshotId)).toJson))
   }
 
-  def dropTag(db: String, table: String, name: String): Unit = {
+  def dropTag(db: String, table: String, name: String): Unit = withTableLock(db, table) {
     val tm = meta(db, table)
     require(tm.refs.contains(name), s"no such tag '$name' on $db.$table")
     writeString(metaPath(db, table),
@@ -745,7 +749,7 @@ final class SnapshotCatalog(
     * would then depend on data volume. Compaction rewrites every byte
     * anyway, so the shuffle is the cost of choosing the layout.
     */
-  def compact(db: String, table: String, numFiles: Int): Snapshot = {
+  def compact(db: String, table: String, numFiles: Int): Snapshot = withTableLock(db, table) {
     val current = readLatest(db, table)
     commit(db, table, current.repartition(numFiles), "compact")
   }
@@ -763,7 +767,8 @@ final class SnapshotCatalog(
     * shuffle on it lays files out along the curve. All per-row math is
     * codegen'd builtins (`width_bucket`, shifts, masks).
     */
-  def compactZOrder(db: String, table: String, cols: Seq[String], numFiles: Int): Snapshot = {
+  def compactZOrder(db: String, table: String, cols: Seq[String],
+      numFiles: Int): Snapshot = withTableLock(db, table) {
     require(cols.size >= 2, "z-order needs at least two columns (use compact for one)")
     val snap = currentSnapshot(db, table)
     val schema = snap.schema
@@ -799,7 +804,7 @@ final class SnapshotCatalog(
     * delete log entries and any data files no surviving snapshot
     * references (Iceberg `expire_snapshots` semantics — bounds storage
     * growth from overwrite/compact chains). Returns deleted file count. */
-  def expireSnapshots(db: String, table: String, keepLast: Int): Int = {
+  def expireSnapshots(db: String, table: String, keepLast: Int): Int = withTableLock(db, table) {
     require(keepLast >= 1, "must keep at least one snapshot")
     val log = snapshotList(db, table)
     if (log.size <= keepLast) return 0
@@ -828,7 +833,7 @@ final class SnapshotCatalog(
     * writer assumed (as documented on the commit protocol): do not run
     * concurrently with a write. Returns deleted data-file paths
     * (table-root-relative). */
-  def removeOrphanFiles(db: String, table: String): Seq[String] = {
+  def removeOrphanFiles(db: String, table: String): Seq[String] = withTableLock(db, table) {
     val referenced = snapshotList(db, table).flatMap(_.files).toSet
     val root = tablePath(db, table)
     val data = dataPath(db, table)
@@ -859,6 +864,45 @@ final class SnapshotCatalog(
     deleted.result()
   }
 
+  // ---- commit mutual exclusion ----
+
+  /** Serialize read-modify-write cycles on a table's log/meta under an OS
+    * file lock (`_snapshots/LOCK`): two concurrent appenders both reading
+    * log tail N and both renaming a log with snapshot N+1 would silently
+    * lose one commit — the rename is atomic, the cycle is not. A JVM-wide
+    * monitor per lock path backs the file lock because FileLock is held
+    * per-PROCESS (a second acquire in the same JVM throws
+    * OverlappingFileLockException instead of waiting).
+    *
+    * Scope: real mutual exclusion on one host or a POSIX-locking shared
+    * filesystem — the library's deployment shape. Iceberg's equivalent for
+    * object stores is the catalog's atomic compare-and-swap; plugging a
+    * lock service in here is a deliberate extension point, not a redesign.
+    */
+  private def withTableLock[T](db: String, table: String)(body: => T): T = {
+    require(tableExists(db, table), s"no such table: $db.$table")
+    val lockPath = tablePath(db, table).resolve("_snapshots").resolve("LOCK")
+    val key = lockPath.toAbsolutePath.toString
+    // reentrant per thread: a compound op (delete = prune + commit) holds
+    // the lock across both, and the nested commit must not re-acquire
+    // (FileLock would throw OverlappingFileLockException)
+    if (SnapshotCatalog.heldLocks.get().contains(key)) return body
+    Files.createDirectories(lockPath.getParent)
+    val monitor = SnapshotCatalog.lockMonitors.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        SnapshotCatalog.heldLocks.get().add(key)
+        try body finally {
+          SnapshotCatalog.heldLocks.get().remove(key)
+          lock.release()
+        }
+      } finally ch.close()
+    }
+  }
+
   // ---- io helpers ----
 
   private def listParquetFiles(dir: Path): Seq[Path] =
@@ -885,4 +929,13 @@ final class SnapshotCatalog(
   }
 
   private def readString(p: Path): String = Files.readString(p)
+}
+
+object SnapshotCatalog {
+  /** JVM-wide per-lock-path monitors backing [[withTableLock]]. */
+  private val lockMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** Lock paths held by the current thread (reentrancy). */
+  private val heldLocks: ThreadLocal[java.util.HashSet[String]] =
+    ThreadLocal.withInitial(() => new java.util.HashSet[String]())
 }

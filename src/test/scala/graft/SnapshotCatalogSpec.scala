@@ -220,6 +220,29 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(cat.readWhere("db", "zo", snap.snapshotId, col("x") === 5L).count() == 100)
   }
 
+  test("concurrent appenders never lose a commit (table lock)") {
+    val cat = freshCatalog()
+    cat.createTable("db", "cc", Seq(1L).toDF("id").schema)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { t =>
+      new Thread(() => {
+        try {
+          // separate catalog instances, same warehouse: the file lock (not
+          // shared driver state) must serialize the read-modify-write
+          val c = new SnapshotCatalog(spark, cat.warehouse)
+          (1 to 3).foreach(i => c.append("db", "cc", Seq(t * 100L + i).toDF("id")))
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.isEmpty, failures.toString)
+    // without the lock, racing appenders both write snapshot N+1 and one
+    // commit silently vanishes
+    assert(cat.snapshotList("db", "cc").size == 13, "create + 12 appends")
+    assert(cat.readLatest("db", "cc").count() == 12)
+  }
+
   test("tags: named immutable snapshot refs resolve and survive spec replace") {
     val cat = freshCatalog()
     val df = (1L to 10L).toDF("id")
