@@ -703,17 +703,34 @@ object SparkEntry {
       Dedup.clusters(pairs).orderBy("doc_id")
     }),
 
-    // exact grouped percentiles over integer cents: quartile positions
+    // exact grouped percentiles over integer cents, SCALE-SOUND: Spark's
+    // percentile() buffers every group's values in executor memory — fine
+    // at sf0.1, an OOM at 100 TB. This computes the identical quantiles
+    // via a sort-based window rank: one shuffle-sort per group, pick the
+    // two boundary rows per quartile, interpolate. Quartile positions
     // interpolate with exactly-representable fractions over integers <
-    // 2^52, so Spark's percentile() and DuckDB's quantile_cont() agree
-    // bit-for-bit (an arbitrary p would differ in the last ulp).
+    // 2^52, so the result matches DuckDB's quantile_cont bit-for-bit.
     "q58_percentiles" -> ((s, dir) => {
-      T(s, dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(
-          expr("percentile(cast(floor(o_totalprice*100) as bigint), 0.25d)").as("p25_cents"),
-          expr("percentile(cast(floor(o_totalprice*100) as bigint), 0.5d)").as("median_cents"),
-          expr("percentile(cast(floor(o_totalprice*100) as bigint), 0.75d)").as("p75_cents"))
+      import org.apache.spark.sql.expressions.Window
+      val cents = floor(col("o_totalprice") * 100).cast("long").cast("double")
+      val w = Window.partitionBy("o_orderstatus").orderBy("c")
+      val wAll = Window.partitionBy("o_orderstatus")
+      val ranked = T(s, dir, "orders")
+        .select(col("o_orderstatus"), cents.as("c"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+      def quantile(p: Double): Column = {
+        val pos = (col("n") - 1) * p
+        val lo = floor(pos) + 1 // row_number is 1-based
+        val hi = ceil(pos) + 1
+        val frac = pos - floor(pos)
+        sum(when(col("rn") === lo, (lit(1.0) - frac) * col("c")).otherwise(0.0) +
+          when(col("rn") === hi && hi =!= lo, frac * col("c")).otherwise(0.0))
+      }
+      ranked.groupBy("o_orderstatus")
+        .agg(quantile(0.25).as("p25_cents"),
+          quantile(0.5).as("median_cents"),
+          quantile(0.75).as("p75_cents"))
         .orderBy("o_orderstatus")
     }),
 
