@@ -543,6 +543,28 @@ object SparkEntry {
       fromCsv.join(fromJson, Seq("lang")).orderBy("lang")
     }),
 
+    // the CURATION PIPELINE capstone: language gate -> quality gate ->
+    // exact dedup -> per-language yield, composed from the engine's own
+    // operators in ONE declarative plan (filters push to the scan, one
+    // dedup shuffle, one final agg) — the end-to-end shape a training-data
+    // pipeline runs nightly, fully stated in SQL by the oracle.
+    "q61_curation_pipeline" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val gated = docs
+        .withColumn("pred_lang", TextOps.langIdColumn(col("text")))
+        .where(col("pred_lang").isin("en", "de", "fr"))
+        .where(col("n_chars") >= 200L && col("n_chars") <= 20000L)
+      // exact dedup on the text: keep the minimum doc_id per identical body
+      val kept = gated
+        .groupBy("text", "pred_lang")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+      kept.groupBy("pred_lang")
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("copies") - 1).as("dropped_dups"),
+          sum(length(col("text")).cast("long")).as("kept_chars"))
+        .orderBy("pred_lang")
+    }),
+
     // corpus n-gram analytics: top document-frequency bigrams — the
     // boilerplate-detection scan a dedup pipeline runs before choosing its
     // df-cap (explode -> one hash-partitioned count -> top-k).
@@ -1117,6 +1139,36 @@ object SparkEntry {
          |    ELSE 'und' END AS pred_lang,
          |  CAST(count(*) AS BIGINT) AS n_docs
          |FROM b GROUP BY 1 ORDER BY pred_lang""".stripMargin
+    },
+
+    "q61_curation_pipeline" -> {
+      // same language-ID replay as q23's oracle, then the curation gates
+      val score = TextOps.Markers.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), $lst)) AS BIGINT) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = TextOps.Markers.map(_._1)
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString("\n    ")
+      s"""WITH s AS (SELECT doc_id, text, n_chars,
+         |  CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS cjk,
+         |  $score
+         |FROM documents),
+         |b AS (SELECT *, $best AS best FROM s),
+         |langed AS (SELECT doc_id, text, n_chars,
+         |  CASE WHEN cjk > 0 AND cjk * 5 >= length(text) THEN 'zh'
+         |    $cases
+         |    ELSE 'und' END AS pred_lang FROM b),
+         |gated AS (SELECT * FROM langed
+         |  WHERE pred_lang IN ('en', 'de', 'fr')
+         |    AND n_chars BETWEEN 200 AND 20000),
+         |kept AS (SELECT text, pred_lang, min(doc_id) AS keep_id,
+         |    CAST(count(*) AS BIGINT) AS copies
+         |  FROM gated GROUP BY text, pred_lang)
+         |SELECT pred_lang, CAST(count(*) AS BIGINT) AS kept_docs,
+         |  CAST(sum(copies - 1) AS BIGINT) AS dropped_dups,
+         |  CAST(sum(length(text)) AS BIGINT) AS kept_chars
+         |FROM kept GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
     },
 
     "q26_jaccard_pairs" ->
