@@ -502,7 +502,12 @@ final class SnapshotCatalog(
         "record_count" -> totalRows.toString,
         "added_records" -> rows.toString,
         "added_files" -> newFiles.size.toString,
-        "total_files" -> allFiles.size.toString) ++ stats ++ extraSummary,
+        "total_files" -> allFiles.size.toString) ++ stats
+        // streaming-sink high-water marks survive EVERY commit kind (a
+        // compact/overwrite between stream batches must not reopen the
+        // replay window); the committing batch's own tag overrides
+        ++ prev.summary.view.filterKeys(_.startsWith("stream-epoch.")).toMap
+        ++ extraSummary,
       snapSchema.toDDL, allFiles, allFileStats)
     writeLog(db, table, log :+ snap)
     snap
@@ -587,14 +592,14 @@ final class SnapshotCatalog(
     * and numeric min/max come from the freshly written footers — exact,
     * no extra scan; string bounds are dropped (writer truncation makes
     * them outer bounds only), mirroring partial-rewrite commits. */
-  def adoptRewrite(db: String, table: String,
-      operation: String): Snapshot = withTableLock(db, table) {
+  def adoptRewrite(db: String, table: String, operation: String,
+      dataDirName: String): Snapshot = withTableLock(db, table) {
     val log = snapshotList(db, table)
     val prev = log.last
     val newId = prev.snapshotId + 1
-    val snapDirRel = s"data/s$newId"
+    val snapDirRel = s"data/$dataDirName"
     val root = tablePath(db, table)
-    val snapDir = root.resolve("data").resolve(s"s$newId")
+    val snapDir = root.resolve("data").resolve(dataDirName)
     val schema = prev.schema
     val newFiles = listParquetFiles(snapDir).map(p =>
       snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/'))
@@ -608,7 +613,8 @@ final class SnapshotCatalog(
         "record_count" -> rows.toString,
         "added_records" -> rows.toString,
         "added_files" -> newFiles.size.toString,
-        "total_files" -> newFiles.size.toString) ++ stats,
+        "total_files" -> newFiles.size.toString) ++ stats
+        ++ prev.summary.view.filterKeys(_.startsWith("stream-epoch.")).toMap,
       schema.toDDL, newFiles, fileStats)
     writeLog(db, table, log :+ snap)
     snap
@@ -629,8 +635,13 @@ final class SnapshotCatalog(
     require(prev.snapshotId != toSnapshotId,
       s"table $db.$table is already at snapshot $toSnapshotId")
     val snap = Snapshot(prev.snapshotId + 1, clock().toString, "rollback",
-      target.summary + ("rolled_back_to" -> toSnapshotId.toString,
-        "added_records" -> "0", "added_files" -> "0"),
+      target.summary
+        // the rolled-back-FROM head carries the streaming high-water
+        // marks; losing them to the older summary would reopen the
+        // replay window
+        ++ prev.summary.view.filterKeys(_.startsWith("stream-epoch.")).toMap
+        + ("rolled_back_to" -> toSnapshotId.toString,
+          "added_records" -> "0", "added_files" -> "0"),
       target.schemaDdl, target.files, target.fileStats)
     writeLog(db, table, log :+ snap)
     snap
@@ -658,6 +669,21 @@ final class SnapshotCatalog(
     val partCols = meta(db, table).partitionCols.filter(dropped.contains)
     require(partCols.isEmpty,
       s"cannot drop partition column(s): ${partCols.mkString(",")}")
+    // Re-ADDING a name that current data files physically contain is
+    // unsafe under NAME-BASED mapping: the old values would resurface in
+    // the "new" column (and a different type would break the reader
+    // outright), and the nullcol provenance below would be a lie. Iceberg
+    // dodges this with field-ids; here the safe path is compact() first
+    // (the rewrite lands files under the post-drop schema).
+    val added = newSchema.fieldNames.filterNot(prev.schema.fieldNames.contains)
+    val curFiles = prev.files.toSet
+    val resurfacing = added.filter(name =>
+      log.exists(s => s.schema.fieldNames.contains(name) &&
+        s.files.exists(curFiles.contains)))
+    require(resurfacing.isEmpty,
+      s"cannot re-add previously dropped column(s) ${resurfacing.mkString(",")}: " +
+        "current data files still contain them under name-based mapping - " +
+        "run compact() first to rewrite files under the post-drop schema")
     // Columns ADDED by this evolve have provably no values in any existing
     // file (old parquet null-fills them), so mark them `nullcol.<col>` —
     // the marker lets ColumnStats.merge adopt a later append's fresh
@@ -882,7 +908,11 @@ final class SnapshotCatalog(
   private def withTableLock[T](db: String, table: String)(body: => T): T = {
     require(tableExists(db, table), s"no such table: $db.$table")
     val lockPath = tablePath(db, table).resolve("_snapshots").resolve("LOCK")
-    val key = lockPath.toAbsolutePath.toString
+    // normalize: "wh" and "./wh" must map to ONE monitor, or two catalog
+    // instances would bypass the JVM monitor and the second FileLock on
+    // the same file would throw OverlappingFileLockException (symlinked
+    // warehouse spellings remain the caller's responsibility)
+    val key = lockPath.toAbsolutePath.normalize().toString
     // reentrant per thread: a compound op (delete = prune + commit) holds
     // the lock across both, and the nested commit must not re-acquire
     // (FileLock would throw OverlappingFileLockException)

@@ -412,19 +412,13 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     override def build(): Write = new Write {
       override def description(): String = s"snapcat $opName rewrite"
       override def toBatch: BatchWrite = {
-        val newId = cat.currentSnapshot(db, table).snapshotId + 1
-        val snapDir = java.nio.file.Paths.get(warehouse, db, table, "data", s"s$newId")
-        // clear debris from a previously crashed rewrite attempt: the dir is
-        // unreferenced by any snapshot (newId never committed), and
-        // adoptRewrite adopts whatever parquet lands here — stale files
-        // must not ride along (the library path gets this from
-        // mode("overwrite"); this is the V2 equivalent)
-        if (java.nio.file.Files.exists(snapDir)) {
-          val walk = java.nio.file.Files.walk(snapDir)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(java.nio.file.Files.delete(_))
-          finally walk.close()
-        }
+        // a FRESH uniquely-named dir per write attempt: no collision with a
+        // concurrent commit's data dir (dir naming needs no lock), no
+        // debris from a crashed earlier attempt to clean up (orphan dirs
+        // are removeOrphanFiles' job), and adoptRewrite atomically claims
+        // the next snapshot id under the table lock at commit time
+        val dirName = s"rw-${java.util.UUID.randomUUID().toString.take(12)}"
+        val snapDir = java.nio.file.Paths.get(warehouse, db, table, "data", dirName)
         java.nio.file.Files.createDirectories(snapDir)
         val inner = ParquetTable(s"$db.$table $opName rewrite", spark,
           CaseInsensitiveStringMap.empty(), Seq(snapDir.toString),
@@ -442,7 +436,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             inner.commit(messages)
-            cat.adoptRewrite(db, table, opName)
+            cat.adoptRewrite(db, table, opName, dirName)
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             inner.abort(messages)

@@ -19,26 +19,32 @@ object EventStream {
   /** EXACTLY-ONCE streaming sink into a snapshot-catalog table, the
     * `foreachBatch` way (how production Spark pipelines fed Iceberg for
     * years before native streaming writes): each micro-batch appends one
-    * snapshot, and the epoch id is recorded in the snapshot summary so a
-    * REPLAYED batch (failure/restart redelivery — foreachBatch is
+    * snapshot carrying the sink's epoch HIGH-WATER MARK in the summary,
+    * so a REPLAYED batch (failure/restart redelivery — foreachBatch is
     * at-least-once) is detected and skipped instead of appended twice.
-    * Pair with `spark.readStream.table("snapcat.db.t")` on the other side
-    * for an end-to-end streaming table pipeline.
+    *
+    * The mark is per-`sinkId` (epoch ids are only unique per streaming
+    * query — two queries feeding one table must use distinct sinkIds, and
+    * a query restarted with a FRESH checkpoint is a reprocess: give it a
+    * new sinkId). Every commit kind carries the marks forward, so a
+    * compact/overwrite/expire between batches never reopens the replay
+    * window, and the check reads only the CURRENT snapshot's summary —
+    * O(1) per trigger, epochs being monotonic per query. The mark rides
+    * the commit's own atomic log rename: a crash leaves either no
+    * snapshot or a marked one, never an unmarked append a replay would
+    * duplicate.
     *
     * {{{
     *   stream.writeStream.foreachBatch(
-    *     EventStream.appendEpoch(cat, "db", "t") _).start()
+    *     EventStream.appendEpoch(cat, "db", "t", "ingestA") _).start()
     * }}}
     */
-  def appendEpoch(cat: graft.catalog.SnapshotCatalog, db: String, table: String)(
-      batch: DataFrame, epochId: Long): Unit = {
-    val already = cat.snapshotList(db, table)
-      .flatMap(_.summary.get("stream_epoch")).map(_.toLong)
-    if (already.contains(epochId)) return // replayed batch: drop, don't double-append
-    // the epoch rides the commit's own summary (ONE atomic log rename):
-    // a crash leaves either no snapshot or an epoch-tagged one — never an
-    // untagged append a replay would duplicate
-    cat.append(db, table, batch, Map("stream_epoch" -> epochId.toString))
+  def appendEpoch(cat: graft.catalog.SnapshotCatalog, db: String, table: String,
+      sinkId: String = "default")(batch: DataFrame, epochId: Long): Unit = {
+    val key = s"stream-epoch.$sinkId"
+    val last = cat.currentSnapshot(db, table).summary.get(key).map(_.toLong)
+    if (last.exists(epochId <= _)) return // replayed batch: drop, don't double-append
+    cat.append(db, table, batch, Map(key -> epochId.toString))
     ()
   }
 

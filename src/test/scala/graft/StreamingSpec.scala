@@ -200,7 +200,7 @@ class StreamingSpec extends AnyFunSuite {
     val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val q = source.toDF().toDF("id", "tag")
       .writeStream
-      .foreachBatch(EventStream.appendEpoch(cat, "db", "sink") _)
+      .foreachBatch(EventStream.appendEpoch(cat, "db", "sink", "qA") _)
       .start()
     try {
       source.addData((1L, "a"), (2L, "a"))
@@ -209,13 +209,13 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
     assert(cat.readLatest("db", "sink").count() == 3)
-    val epochs = cat.snapshotList("db", "sink").flatMap(_.summary.get("stream_epoch"))
-    assert(epochs.distinct.size == 2, epochs.toString)
+    // the CURRENT snapshot carries the sink's high-water mark
+    assert(cat.currentSnapshot("db", "sink").summary.get("stream-epoch.qA").contains("1"))
 
     // a REPLAYED epoch (at-least-once redelivery) must not double-append
-    EventStream.appendEpoch(cat, "db", "sink")(Seq((9L, "dup")).toDF("id", "tag"), 0L)
+    EventStream.appendEpoch(cat, "db", "sink", "qA")(Seq((9L, "dup")).toDF("id", "tag"), 0L)
     assert(cat.readLatest("db", "sink").count() == 3, "replayed epoch 0 was re-appended")
-    // and the appended snapshots tail straight back out through readStream
+    // the appended snapshots tail straight back out through readStream
     spark.conf.set("spark.sql.catalog.snapsink", "graft.catalog.spark.SnapCatalogPlugin")
     spark.conf.set("spark.sql.catalog.snapsink.warehouse", wh)
     val q2 = spark.readStream.option("starting-snapshot-id", "1").table("snapsink.db.sink")
@@ -224,5 +224,12 @@ class StreamingSpec extends AnyFunSuite {
       q2.processAllAvailable()
       assert(spark.table("sink_roundtrip").count() == 3)
     } finally q2.stop()
+    // the mark survives a compact between batches (no reopened window)
+    cat.compact("db", "sink", numFiles = 1)
+    EventStream.appendEpoch(cat, "db", "sink", "qA")(Seq((9L, "dup")).toDF("id", "tag"), 1L)
+    assert(cat.readLatest("db", "sink").count() == 3, "replay after compact was re-appended")
+    // a DIFFERENT sink feeding the same table keeps its own epochs
+    EventStream.appendEpoch(cat, "db", "sink", "qB")(Seq((10L, "other")).toDF("id", "tag"), 0L)
+    assert(cat.readLatest("db", "sink").count() == 4, "second sink's epoch 0 was dropped")
   }
 }
