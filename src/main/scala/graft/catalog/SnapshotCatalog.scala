@@ -189,6 +189,41 @@ final class SnapshotCatalog(
     true
   }
 
+  /** Bucketed table (storage-partitioned-join surface): rows carry a
+    * derived `__bucket = pmod(bucketCol, nBuckets)` column laid out in
+    * Hive-style dirs, and the bucket spec rides the table properties so
+    * the SQL plugin can report `bucket(n, col)` partitioning and plan
+    * co-bucketed joins WITHOUT a shuffle (see
+    * [[graft.catalog.spark.BucketedScan]]). Write through
+    * [[appendBucketed]]; `compact()` preserves the layout (partitionBy
+    * rides the recorded partition column). */
+  def createBucketedTable(db: String, table: String, schema: StructType,
+      bucketCol: String, nBuckets: Int): Boolean = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val f = schema.fields.find(_.name == bucketCol).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $bucketCol"))
+    require(Seq("TINYINT", "SMALLINT", "INT", "BIGINT").contains(f.dataType.sql),
+      s"bucket column must be integral (pmod bucketing), got ${f.dataType.sql}")
+    createTable(db, table,
+      schema.add(org.apache.spark.sql.types.StructField("__bucket",
+        org.apache.spark.sql.types.IntegerType, nullable = true)),
+      partitionCols = Seq("__bucket"),
+      properties = Map("bucket.col" -> bucketCol, "bucket.n" -> nBuckets.toString))
+  }
+
+  /** Append to a bucketed table: derives `__bucket` from the recorded
+    * spec — callers never see the layout column. */
+  def appendBucketed(db: String, table: String, df: DataFrame): Snapshot = {
+    val tm = meta(db, table)
+    val (bCol, n) = (tm.properties.get("bucket.col"), tm.properties.get("bucket.n")) match {
+      case (Some(c), Some(nn)) => (c, nn.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"$db.$table is not bucketed - create it with createBucketedTable")
+    }
+    append(db, table,
+      df.withColumn("__bucket", pmod(col(s"`$bCol`").cast("long"), lit(n.toLong)).cast("int")))
+  }
+
   def tableExists(db: String, table: String): Boolean = Files.exists(metaPath(db, table))
 
   def listTables(db: String): Seq[String] =

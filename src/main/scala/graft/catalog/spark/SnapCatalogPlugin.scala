@@ -43,7 +43,18 @@ import graft.catalog.{Snapshot, SnapshotCatalog, TableMeta}
   * and `ALTER TABLE ADD COLUMN` commits an `evolve` snapshot.
   */
 class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog
+    with FunctionCatalog {
+
+  // ---- functions (the bucket transform both SPJ join sides resolve) ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") BucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -185,8 +196,15 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     override def columnStat(key: String): Option[String] = snap.summary.get(key)
     override def name(): String = tableName
     override def schema(): StructType = snap.schema
-    override def partitioning(): Array[Transform] =
-      tableMeta.partitionCols.map(c => Expressions.identity(c)).toArray
+    private def bucketSpec: Option[(String, Int)] =
+      (tableMeta.properties.get("bucket.col"), tableMeta.properties.get("bucket.n")) match {
+        case (Some(c), Some(n)) => Some((c, n.toInt))
+        case _ => None
+      }
+    override def partitioning(): Array[Transform] = bucketSpec match {
+      case Some((c, n)) => Array(Expressions.bucket(n, c))
+      case None => tableMeta.partitionCols.map(c => Expressions.identity(c)).toArray
+    }
     override def properties(): util.Map[String, String] =
       (tableMeta.properties ++ Map(
         "provider" -> "snapcat",
@@ -244,8 +262,32 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           new CaseInsensitiveStringMap(opts.asJava),
           (stats, conjuncts) =>
             conjuncts.forall(p => graft.catalog.FileStats.mayMatch(stats, snapSchema, p)),
-          wrapScan = scan => new SnapStreamableScan(scan, db, table,
-            partitioned = tableMeta.partitionCols.nonEmpty, opts, options))
+          wrapScan = scan => bucketSpec match {
+            // bucketed table: report key-grouped partitioning and emit one
+            // keyed partition group per __bucket=b dir, so co-bucketed
+            // joins plan with zero exchanges (SPJ)
+            case Some((bCol, n)) =>
+              def bucketBatch(b: Int): org.apache.spark.sql.connector.read.Batch = {
+                val files = snap.files.filter(_.contains(s"/__bucket=$b/"))
+                  .map(f => root.resolve(f).toString)
+                if (files.isEmpty) return new org.apache.spark.sql.connector.read.Batch {
+                  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+                    Array.empty
+                  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+                    throw new IllegalStateException("empty bucket has no reader")
+                }
+                val builder = ParquetTable(s"$tableName b$b", spark,
+                  new CaseInsensitiveStringMap(opts.asJava), files,
+                  Some(snapSchema), classOf[ParquetFileFormat])
+                  .newScanBuilder(new CaseInsensitiveStringMap(opts.asJava))
+                builder.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+                  .pruneColumns(scan.readSchema())
+                builder.build().toBatch
+              }
+              new BucketedScan(scan, n, Expressions.bucket(n, bCol), bucketBatch)
+            case None => new SnapStreamableScan(scan, db, table,
+              partitioned = tableMeta.partitionCols.nonEmpty, opts, options)
+          })
       }
     }
 

@@ -520,6 +520,42 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(spark.table("snapcat.dba.a").schema.fieldNames.toSeq == Seq("id"))
   }
 
+  test("co-bucketed tables join WITHOUT a shuffle (storage-partitioned join)") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    import spark.implicits._
+    val facts = (1L to 200L).map(k => (k, s"f$k")).toDF("k", "fv")
+    val dims = (1L to 50L).map(k => (k, s"d$k")).toDF("k", "dv")
+    cat.createBucketedTable("dbb", "facts", facts.schema, bucketCol = "k", nBuckets = 4)
+    cat.createBucketedTable("dbb", "dims", dims.schema, bucketCol = "k", nBuckets = 4)
+    cat.appendBucketed("dbb", "facts", facts)
+    cat.appendBucketed("dbb", "dims", dims)
+
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a non-broadcast join
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = spark.sql(
+        """SELECT f.k, f.fv, d.dv FROM snapcat.dbb.facts f
+          |JOIN snapcat.dbb.dims d ON f.k = d.k""".stripMargin)
+      val rows = joined.as[(Long, String, String)].collect().sortBy(_._1)
+      assert(rows.length == 50)
+      assert(rows.head == ((1L, "f1", "d1")) && rows.last == ((50L, "f50", "d50")))
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"expected a storage-partitioned join with zero exchanges, got:\n" +
+          joined.queryExecution.executedPlan.toString.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("unsupported DDL errors clearly") {
     wh
     val e = intercept[Exception] {
