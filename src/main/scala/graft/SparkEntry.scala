@@ -543,6 +543,22 @@ object SparkEntry {
       fromCsv.join(fromJson, Seq("lang")).orderBy("lang")
     }),
 
+    // storage-partitioned join: both sides bucketed pmod(custkey, 4), so
+    // with V2 bucketing enabled the join plans with zero exchanges (the
+    // no-shuffle plan is spec-asserted; the oracle checks rows).
+    "q62_bucketed_join" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      s.conf.set("spark.sql.catalog.snapfix", "graft.catalog.spark.SnapCatalogPlugin")
+      s.conf.set("spark.sql.catalog.snapfix.warehouse", fx.src.warehouse)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql(
+        """SELECT c.c_mktsegment, count(*) AS cnt, sum(o.o_orderkey) AS key_sum
+          |FROM snapfix.spj.orders_b o
+          |JOIN snapfix.spj.customer_b c ON o.o_custkey = c.c_custkey
+          |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+        .select(col("c_mktsegment"), col("cnt"), col("key_sum").cast("long").as("key_sum"))
+    }),
+
     // the CURATION PIPELINE capstone: language gate -> quality gate ->
     // exact dedup -> per-language yield, composed from the engine's own
     // operators in ONE declarative plan (filters push to the scan, one
@@ -1421,6 +1437,12 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM documents WHERE n_chars > 200
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q62_bucketed_join" ->
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
 
     "q60_ngram_topk" ->
       """WITH sh AS (

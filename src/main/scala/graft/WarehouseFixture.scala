@@ -144,6 +144,16 @@ object WarehouseFixture {
     src.append("maint", "orders_z", orders.repartition(2))
     src.compactZOrder("maint", "orders_z", Seq("o_orderkey", "o_custkey"), numFiles = 8)
 
+    // - spj.*: co-bucketed orders/customer for the storage-partitioned
+    //   join query (q62) — both bucketed pmod(custkey, 4)
+    val customer = table(spark, sfDir, "customer")
+    src.createBucketedTable("spj", "orders_b", orders.schema,
+      bucketCol = "o_custkey", nBuckets = 4)
+    src.appendBucketed("spj", "orders_b", orders)
+    src.createBucketedTable("spj", "customer_b", customer.schema,
+      bucketCol = "c_custkey", nBuckets = 4)
+    src.appendBucketed("spj", "customer_b", customer)
+
     src.createTable("maint", "orders_rb", orders.schema)
     src.append("maint", "orders_rb", orders.repartition(2))
     src.overwrite("maint", "orders_rb",
