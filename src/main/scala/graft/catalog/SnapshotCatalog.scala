@@ -211,18 +211,24 @@ final class SnapshotCatalog(
       properties = Map("bucket.col" -> bucketCol, "bucket.n" -> nBuckets.toString))
   }
 
-  /** Append to a bucketed table: derives `__bucket` from the recorded
-    * spec — callers never see the layout column. */
-  def appendBucketed(db: String, table: String, df: DataFrame): Snapshot = {
+  /** Derive the `__bucket` layout column from a bucketed table's recorded
+    * spec (no-op if the frame already carries it). */
+  def bucketize(db: String, table: String, df: DataFrame): DataFrame = {
     val tm = meta(db, table)
     val (bCol, n) = (tm.properties.get("bucket.col"), tm.properties.get("bucket.n")) match {
       case (Some(c), Some(nn)) => (c, nn.toInt)
       case _ => throw new IllegalArgumentException(
         s"$db.$table is not bucketed - create it with createBucketedTable")
     }
-    append(db, table,
-      df.withColumn("__bucket", pmod(col(s"`$bCol`").cast("long"), lit(n.toLong)).cast("int")))
+    if (df.columns.contains("__bucket")) df
+    else df.withColumn("__bucket",
+      pmod(col(s"`$bCol`").cast("long"), lit(n.toLong)).cast("int"))
   }
+
+  /** Append to a bucketed table: derives `__bucket` from the recorded
+    * spec — callers never see the layout column. */
+  def appendBucketed(db: String, table: String, df: DataFrame): Snapshot =
+    append(db, table, bucketize(db, table, df))
 
   def tableExists(db: String, table: String): Boolean = Files.exists(metaPath(db, table))
 

@@ -126,9 +126,14 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     override def build(): Write = new V1Write {
       override def toInsertableRelation: InsertableRelation =
         new InsertableRelation {
-          override def insert(data: DataFrame, ignored: Boolean): Unit =
-            if (overwriteAll) cat.overwrite(db, table, data)
-            else cat.append(db, table, data)
+          override def insert(data: DataFrame, ignored: Boolean): Unit = {
+            // bucketed tables hide their __bucket layout column from the
+            // SQL schema; every write derives it here
+            val bucketed = cat.meta(db, table).properties.contains("bucket.col")
+            val frame = if (bucketed) cat.bucketize(db, table, data) else data
+            if (overwriteAll) cat.overwrite(db, table, frame)
+            else cat.append(db, table, frame)
+          }
         }
     }
   }
@@ -164,6 +169,13 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         case RowLevelOperation.Command.MERGE => "merge"
         case RowLevelOperation.Command.DELETE => "delete"
       }
+      // the rewrite write uses the SQL-visible schema, which for bucketed
+      // tables excludes __bucket — the adopted files would lose the
+      // layout and silently vanish from bucketed scans
+      if (tableMeta.properties.contains("bucket.col"))
+        throw new UnsupportedOperationException(
+          s"SQL $opName on BUCKETED table $db.$table is not supported - " +
+            "use the library delete/update/upsert (they preserve the bucket layout)")
       () => new RowLevelOperation {
         override def command: RowLevelOperation.Command = info.command
         override def description(): String = s"snapcat copy-on-write $opName"
@@ -195,7 +207,13 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     override val recordCount: Long = snap.recordCount
     override def columnStat(key: String): Option[String] = snap.summary.get(key)
     override def name(): String = tableName
-    override def schema(): StructType = snap.schema
+    // bucketed tables hide the derived __bucket layout column from SQL:
+    // users CREATE/INSERT/SELECT base columns only (writes re-derive it,
+    // scans prune it) — the Iceberg hidden-partitioning UX
+    override def schema(): StructType = bucketSpec match {
+      case Some(_) => StructType(snap.schema.fields.filterNot(_.name == "__bucket"))
+      case None => snap.schema
+    }
     private def bucketSpec: Option[(String, Int)] =
       (tableMeta.properties.get("bucket.col"), tableMeta.properties.get("bucket.n")) match {
         case (Some(c), Some(n)) => Some((c, n.toInt))
@@ -581,11 +599,27 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     require(ident.namespace().length == 1, "snapcat namespaces are single-level")
+    val db = ident.namespace().head
+    // CREATE TABLE ... PARTITIONED BY (bucket(n, col)) -> bucketed table
+    // (SQL writes derive __bucket in the write builder; co-bucketed joins
+    // then plan shuffle-free, see BucketedScan)
+    partitions match {
+      case Array(t) if t.name == "bucket" =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(s"bucket transform without count: $t"))
+        val colName = t.references.head.fieldNames.mkString(".")
+        cat.createBucketedTable(db, ident.name(), schema, colName, n)
+        return loadTable(ident)
+      case _ => ()
+    }
     val partCols = partitions.map { t =>
-      require(t.name == "identity", s"only identity partitioning supported, got $t")
+      require(t.name == "identity",
+        s"only identity or bucket(n, col) partitioning supported, got $t")
       t.references.head.fieldNames.mkString(".")
     }
-    cat.createTable(ident.namespace().head, ident.name(), schema,
+    cat.createTable(db, ident.name(), schema,
       partCols.toSeq, properties.asScala.toMap)
     loadTable(ident)
   }

@@ -556,6 +556,30 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed SQL lifecycle: CREATE PARTITIONED BY bucket, INSERT, hidden layout") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbbq")
+    spark.sql("CREATE TABLE snapcat.dbbq.t (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO snapcat.dbbq.t VALUES (1, 'a'), (2, 'b'), (9, 'c')")
+    // the derived __bucket layout column is hidden from SQL
+    assert(spark.table("snapcat.dbbq.t").schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(spark.sql("SELECT k, v FROM snapcat.dbbq.t ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b"), (9L, "c")))
+    // but the data really is laid out in bucket dirs (1 -> b1, 9 -> b1, 2 -> b2)
+    val cat = new SnapshotCatalog(spark, wh)
+    assert(cat.currentSnapshot("dbbq", "t").files.nonEmpty)
+    assert(cat.currentSnapshot("dbbq", "t").files.forall(_.contains("__bucket=")))
+    // the V2 rewrite path would lose the layout: rejected with guidance
+    val e = intercept[Exception] {
+      spark.sql("UPDATE snapcat.dbbq.t SET v = 'x' WHERE k = 1")
+    }
+    assert(e.getMessage.contains("BUCKETED"), e.getMessage)
+    // library row-level ops preserve the layout
+    cat.delete("dbbq", "t", col("k") === 2L)
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbbq.t").head.getLong(0) == 2)
+    assert(cat.currentSnapshot("dbbq", "t").files.forall(_.contains("__bucket=")))
+  }
+
   test("unsupported DDL errors clearly") {
     wh
     val e = intercept[Exception] {
