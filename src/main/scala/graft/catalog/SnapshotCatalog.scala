@@ -198,17 +198,21 @@ final class SnapshotCatalog(
     * [[appendBucketed]]; `compact()` preserves the layout (partitionBy
     * rides the recorded partition column). */
   def createBucketedTable(db: String, table: String, schema: StructType,
-      bucketCol: String, nBuckets: Int): Boolean = {
+      bucketCol: String, nBuckets: Int,
+      properties: Map[String, String] = Map.empty): Boolean = {
     require(nBuckets > 0, "nBuckets must be positive")
     val f = schema.fields.find(_.name == bucketCol).getOrElse(
       throw new IllegalArgumentException(s"no such column: $bucketCol"))
-    require(Seq("TINYINT", "SMALLINT", "INT", "BIGINT").contains(f.dataType.sql),
-      s"bucket column must be integral (pmod bucketing), got ${f.dataType.sql}")
+    // BIGINT only: the V2 bucket function declares a LONG input, so Spark's
+    // function-resolution casts line up exactly with the write-side pmod
+    require(f.dataType.sql == "BIGINT",
+      s"bucket column must be BIGINT (pmod bucketing), got ${f.dataType.sql}")
     createTable(db, table,
       schema.add(org.apache.spark.sql.types.StructField("__bucket",
         org.apache.spark.sql.types.IntegerType, nullable = true)),
       partitionCols = Seq("__bucket"),
-      properties = Map("bucket.col" -> bucketCol, "bucket.n" -> nBuckets.toString))
+      properties = properties ++
+        Map("bucket.col" -> bucketCol, "bucket.n" -> nBuckets.toString))
   }
 
   /** Derive the `__bucket` layout column from a bucketed table's recorded
@@ -220,9 +224,12 @@ final class SnapshotCatalog(
       case _ => throw new IllegalArgumentException(
         s"$db.$table is not bucketed - create it with createBucketedTable")
     }
+    // NULL keys land in bucket 0 (coalesce): a null never matches an
+    // equi-join anyway, and the alternative — Hive's default-partition
+    // dir — is invisible to the per-bucket scan and silently loses rows
     if (df.columns.contains("__bucket")) df
     else df.withColumn("__bucket",
-      pmod(col(s"`$bCol`").cast("long"), lit(n.toLong)).cast("int"))
+      coalesce(pmod(col(s"`$bCol`").cast("long"), lit(n.toLong)), lit(0L)).cast("int"))
   }
 
   /** Append to a bucketed table: derives `__bucket` from the recorded
@@ -707,9 +714,15 @@ final class SnapshotCatalog(
     require(dropped.isEmpty || allowDrop,
       s"evolveSchema: dropping ${dropped.mkString(",")} requires allowDrop=true " +
         "(reads of the current snapshot will no longer see the column)")
-    val partCols = meta(db, table).partitionCols.filter(dropped.contains)
+    val tm = meta(db, table)
+    val partCols = tm.partitionCols.filter(dropped.contains)
     require(partCols.isEmpty,
       s"cannot drop partition column(s): ${partCols.mkString(",")}")
+    val bucketSrc = tm.properties.get("bucket.col").filter(dropped.contains)
+    require(bucketSrc.isEmpty,
+      s"cannot drop bucket source column ${bucketSrc.mkString(",")}: " +
+        "writes derive the layout from it and the table reports bucket " +
+        "partitioning over it")
     // Re-ADDING a name that current data files physically contain is
     // unsafe under NAME-BASED mapping: the old values would resurface in
     // the "new" column (and a different type would break the reader

@@ -30,7 +30,10 @@ object BucketFunction extends UnboundFunction {
   override def description(): String = "bucket(n, col): pmod(col, n) bucket id"
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.fields.length == 2,
-      s"bucket expects (numBuckets INT, value integral), got $inputType")
+      s"bucket expects (numBuckets INT, value BIGINT), got $inputType")
+    require(inputType.fields(1).dataType == LongType,
+      s"bucket value must be BIGINT, got ${inputType.fields(1).dataType.sql} " +
+        "(createBucketedTable enforces BIGINT keys for exactly this reason)")
     new ScalarFunction[Integer] {
       override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
       override def resultType(): DataType = IntegerType
@@ -70,11 +73,13 @@ final case class BucketUnwrappingReaderFactory(inner: PartitionReaderFactory)
   * `bucket(n, srcCol)`. `bucketBatches(b)` must return the parquet Batch
   * scanning exactly bucket b's files (pruned/pushed like any other scan). */
 final class BucketedScan(
-    template: Scan,
-    nBuckets: Int,
+    val template: Scan,
+    val nBuckets: Int,
     transform: org.apache.spark.sql.connector.expressions.Transform,
+    tableLabel: String,
     bucketBatches: Int => Batch)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = template.readSchema()
   override def description(): String =
@@ -91,4 +96,29 @@ final class BucketedScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     BucketUnwrappingReaderFactory(template.toBatch.createReaderFactory())
+
+  // AQE/join estimates keep working on the bucketed path too
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    template match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new UnsupportedOperationException(
+      s"streaming read of BUCKETED table $tableLabel is not supported - " +
+        "use readIncremental")
+
+  // canonicalized-plan equality via the stock scan's structural equality:
+  // self-joins of a bucketed table keep exchange/scan reuse
+  override def equals(other: Any): Boolean = other match {
+    case s: BucketedScan => template == s.template && nBuckets == s.nBuckets
+    case _ => false
+  }
+  override def hashCode(): Int = template.hashCode() * 31 + nBuckets
 }

@@ -169,13 +169,6 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         case RowLevelOperation.Command.MERGE => "merge"
         case RowLevelOperation.Command.DELETE => "delete"
       }
-      // the rewrite write uses the SQL-visible schema, which for bucketed
-      // tables excludes __bucket — the adopted files would lose the
-      // layout and silently vanish from bucketed scans
-      if (tableMeta.properties.contains("bucket.col"))
-        throw new UnsupportedOperationException(
-          s"SQL $opName on BUCKETED table $db.$table is not supported - " +
-            "use the library delete/update/upsert (they preserve the bucket layout)")
       () => new RowLevelOperation {
         override def command: RowLevelOperation.Command = info.command
         override def description(): String = s"snapcat copy-on-write $opName"
@@ -186,8 +179,19 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
                 "supported - run compact() first or use the library API")
             case scan => new PlainBatchScan(scan)
           }
-        override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
+        override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder = {
+          // guard HERE, not at builder construction: a translatable SQL
+          // DELETE is downgraded to the layout-preserving deleteWhere path
+          // before any write is built — only a real rewrite (UPDATE/MERGE/
+          // complex DELETE) would write the SQL-visible schema, which for
+          // bucketed tables lacks __bucket and would silently drop the
+          // adopted files from every bucketed scan
+          if (tableMeta.properties.contains("bucket.col"))
+            throw new UnsupportedOperationException(
+              s"SQL $opName rewrite on BUCKETED table $db.$table is not supported - " +
+                "use the library delete/update/upsert (they preserve the bucket layout)")
           new RewriteWriteBuilder(db, table, opName, writeInfo)
+        }
       }
     }
 
@@ -247,15 +251,21 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       val root = java.nio.file.Paths.get(warehouse, db, table)
       val dirs = snap.files.map(_.split("/").take(2).mkString("/")).distinct
       if (tableMeta.partitionCols.nonEmpty && dirs.size > 1) {
-        val snapSchema = snap.schema
+        // the SQL-VISIBLE schema: bucketed tables hide __bucket, and the
+        // V1 bridge must agree with the relation schema or reads of a
+        // bucketed table with >1 snapshot dir fail on arity (SPJ itself
+        // degrades on this shape until compact() consolidates — documented)
+        val visibleSchema = schema()
         val snapId = snap.snapshotId
         () => new V1Scan {
-          override def readSchema(): StructType = snapSchema
+          override def readSchema(): StructType = visibleSchema
           override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
             (new BaseRelation with TableScan {
               override def sqlContext: SQLContext = context
-              override def schema: StructType = snapSchema
-              override def buildScan(): RDD[Row] = cat.readAsOf(db, table, snapId).rdd
+              override def schema: StructType = visibleSchema
+              override def buildScan(): RDD[Row] = cat.readAsOf(db, table, snapId)
+                .select(visibleSchema.fieldNames.map(n =>
+                  org.apache.spark.sql.functions.col(s"`$n`")).toIndexedSeq: _*).rdd
             }).asInstanceOf[T]
           // MICRO_BATCH_READ is a table-level capability; this scan shape
           // (partitioned, multiple snapshot dirs) cannot stream — say so
@@ -280,29 +290,29 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           new CaseInsensitiveStringMap(opts.asJava),
           (stats, conjuncts) =>
             conjuncts.forall(p => graft.catalog.FileStats.mayMatch(stats, snapSchema, p)),
-          wrapScan = scan => bucketSpec match {
+          wrapScan = (scan, keptFiles, pushedExprs, requiredSchema) => bucketSpec match {
             // bucketed table: report key-grouped partitioning and emit one
             // keyed partition group per __bucket=b dir, so co-bucketed
-            // joins plan with zero exchanges (SPJ)
+            // joins plan with zero exchanges (SPJ). Per-bucket batches
+            // rebuild from the PRUNED file list with the SAME pushed
+            // filters and column pruning — the data-skipping layer stays
+            // live on the bucketed path.
             case Some((bCol, n)) =>
               def bucketBatch(b: Int): org.apache.spark.sql.connector.read.Batch = {
-                val files = snap.files.filter(_.contains(s"/__bucket=$b/"))
-                  .map(f => root.resolve(f).toString)
+                val files = keptFiles.filter(_.contains(s"/__bucket=$b/"))
                 if (files.isEmpty) return new org.apache.spark.sql.connector.read.Batch {
                   override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
                     Array.empty
                   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
                     throw new IllegalStateException("empty bucket has no reader")
                 }
-                val builder = ParquetTable(s"$tableName b$b", spark,
-                  new CaseInsensitiveStringMap(opts.asJava), files,
-                  Some(snapSchema), classOf[ParquetFileFormat])
-                  .newScanBuilder(new CaseInsensitiveStringMap(opts.asJava))
-                builder.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
-                  .pruneColumns(scan.readSchema())
-                builder.build().toBatch
+                org.apache.spark.sql.GraftScanUtils.parquetBatchFor(spark,
+                  s"$tableName b$b", files, snapSchema,
+                  new CaseInsensitiveStringMap(opts.asJava),
+                  pushedExprs, requiredSchema)
               }
-              new BucketedScan(scan, n, Expressions.bucket(n, bCol), bucketBatch)
+              new BucketedScan(scan, n, Expressions.bucket(n, bCol),
+                s"$catalogName.$db.$table", bucketBatch)
             case None => new SnapStreamableScan(scan, db, table,
               partitioned = tableMeta.partitionCols.nonEmpty, opts, options)
           })

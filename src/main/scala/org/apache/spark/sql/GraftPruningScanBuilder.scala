@@ -28,6 +28,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `mayMatch(stats, conjuncts)` is the conservative skip test
   * (graft.catalog.FileStats.mayMatch over every conjunct).
   */
+/** Bridge-side helper: build a pushed-down, column-pruned parquet Batch
+  * over an explicit file list (the per-bucket sub-scans of
+  * graft.catalog.spark.BucketedScan — [[SupportsPushDownCatalystFilters]]
+  * is `private[sql]`, so the replay of pushed filters must happen here). */
+object GraftScanUtils {
+  def parquetBatchFor(spark: SparkSession, name: String, files: Seq[String],
+      schema: StructType, options: CaseInsensitiveStringMap,
+      pushed: Seq[Expression],
+      required: Option[StructType]): org.apache.spark.sql.connector.read.Batch = {
+    val builder = ParquetTable(name, spark, options, files, Some(schema),
+      classOf[ParquetFileFormat]).newScanBuilder(options)
+    builder.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushed)
+    required.foreach(builder.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns)
+    builder.build().toBatch
+  }
+}
+
 class GraftPruningScanBuilder(
     spark: SparkSession,
     tableName: String,
@@ -35,7 +52,11 @@ class GraftPruningScanBuilder(
     schema: StructType,
     options: CaseInsensitiveStringMap,
     mayMatch: (Map[String, String], Seq[Expression]) => Boolean,
-    wrapScan: Scan => Scan = identity)
+    // (scan, keptFiles, pushedFilters, requiredSchema) — lets wrappers
+    // (bucketed scans) rebuild sub-scans WITHOUT losing the file pruning
+    // and pushdown this builder computed
+    wrapScan: (Scan, Seq[String], Seq[Expression], Option[StructType]) => Scan =
+      (s, _, _, _) => s)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
@@ -71,6 +92,6 @@ class GraftPruningScanBuilder(
     val inner = mkInner(kept)
     inner.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
     required.foreach(inner.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns)
-    wrapScan(inner.build())
+    wrapScan(inner.build(), kept, pushedExprs, required)
   }
 }

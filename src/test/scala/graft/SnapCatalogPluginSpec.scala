@@ -569,11 +569,31 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     val cat = new SnapshotCatalog(spark, wh)
     assert(cat.currentSnapshot("dbbq", "t").files.nonEmpty)
     assert(cat.currentSnapshot("dbbq", "t").files.forall(_.contains("__bucket=")))
+    // NULL keys land in bucket 0 and stay VISIBLE to bucketed reads
+    spark.sql("INSERT INTO snapcat.dbbq.t VALUES (NULL, 'n')")
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbbq.t").head.getLong(0) == 4)
+    // a second append spans snapshot dirs: reads stay correct (SPJ itself
+    // needs compact() on that shape) and the hidden column stays hidden
+    assert(spark.table("snapcat.dbbq.t").schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(spark.sql("SELECT sum(k) AS s FROM snapcat.dbbq.t").head.getLong(0) == 12)
     // the V2 rewrite path would lose the layout: rejected with guidance
+    // (on this multi-dir shape the scan-side guard fires first; both
+    // messages guide the user)
     val e = intercept[Exception] {
       spark.sql("UPDATE snapcat.dbbq.t SET v = 'x' WHERE k = 1")
     }
-    assert(e.getMessage.contains("BUCKETED"), e.getMessage)
+    assert(e.getMessage.contains("BUCKETED") || e.getMessage.contains("compact() first"),
+      e.getMessage)
+    // ...but a TRANSLATABLE SQL DELETE rides the layout-preserving
+    // deleteWhere path and works
+    spark.sql("DELETE FROM snapcat.dbbq.t WHERE k = 9")
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbbq.t").head.getLong(0) == 3)
+    assert(cat.currentSnapshot("dbbq", "t").files.forall(_.contains("__bucket=")))
+    // dropping the bucket source column would brick the table: rejected
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE snapcat.dbbq.t DROP COLUMN k")
+    }
+    assert(e2.getMessage.contains("bucket source"), e2.getMessage)
     // library row-level ops preserve the layout
     cat.delete("dbbq", "t", col("k") === 2L)
     assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbbq.t").head.getLong(0) == 2)
