@@ -123,8 +123,9 @@ object ColumnStats {
 
   /** a > b under the column type's ordering (Spark semantics: NaN sorts
     * LARGEST — primitive `>` would return false for NaN and silently flip
-    * merged bounds, so floats compare via java.lang.Double.compare). */
-  private def gt(dt: DataType, a: String, b: String): Boolean = dt match {
+    * merged bounds, so floats compare via java.lang.Double.compare).
+    * Shared with [[FileStats]]' footer-bound folding. */
+  private[catalog] def gt(dt: DataType, a: String, b: String): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => a.toLong > b.toLong
     case FloatType | DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble) > 0
     case StringType =>

@@ -74,12 +74,8 @@ object FileStats {
     case _ => v.toString
   }
 
-  private def lt(dt: DataType, a: String, b: String): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType => a.toLong < b.toLong
-    case FloatType | DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble) < 0
-    case StringType => UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
-    case other => throw new IllegalArgumentException(s"no ordering for $other")
-  }
+  private def lt(dt: DataType, a: String, b: String): Boolean =
+    ColumnStats.gt(dt, b, a) // one canonical ordering for all stat folding
 
   // ------------------------------------------------------------------
   // pruning: may a file with these stats contain a row matching `pred`?

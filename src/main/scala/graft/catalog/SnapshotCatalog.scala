@@ -73,6 +73,13 @@ final case class TableMeta(
     properties: Map[String, String],
     refs: Map[String, Long] = Map.empty) {
 
+  /** (source column, bucket count) when this is a bucketed table. */
+  def bucketSpec: Option[(String, Int)] =
+    (properties.get("bucket.col"), properties.get("bucket.n")) match {
+      case (Some(c), Some(n)) => Some((c, n.toInt))
+      case _ => None
+    }
+
   def toJson: JObj = Json.obj(
     "database"       -> Json.str(database),
     "table_name"     -> Json.str(tableName),
@@ -218,12 +225,9 @@ final class SnapshotCatalog(
   /** Derive the `__bucket` layout column from a bucketed table's recorded
     * spec (no-op if the frame already carries it). */
   def bucketize(db: String, table: String, df: DataFrame): DataFrame = {
-    val tm = meta(db, table)
-    val (bCol, n) = (tm.properties.get("bucket.col"), tm.properties.get("bucket.n")) match {
-      case (Some(c), Some(nn)) => (c, nn.toInt)
-      case _ => throw new IllegalArgumentException(
-        s"$db.$table is not bucketed - create it with createBucketedTable")
-    }
+    val (bCol, n) = meta(db, table).bucketSpec.getOrElse(
+      throw new IllegalArgumentException(
+        s"$db.$table is not bucketed - create it with createBucketedTable"))
     // NULL keys land in bucket 0 (coalesce): a null never matches an
     // equi-join anyway, and the alternative — Hive's default-partition
     // dir — is invisible to the per-bucket scan and silently loses rows
@@ -554,7 +558,7 @@ final class SnapshotCatalog(
         // streaming-sink high-water marks survive EVERY commit kind (a
         // compact/overwrite between stream batches must not reopen the
         // replay window); the committing batch's own tag overrides
-        ++ prev.summary.view.filterKeys(_.startsWith("stream-epoch.")).toMap
+        ++ streamEpochTags(prev.summary)
         ++ extraSummary,
       snapSchema.toDDL, allFiles, allFileStats)
     writeLog(db, table, log :+ snap)
@@ -662,7 +666,7 @@ final class SnapshotCatalog(
         "added_records" -> rows.toString,
         "added_files" -> newFiles.size.toString,
         "total_files" -> newFiles.size.toString) ++ stats
-        ++ prev.summary.view.filterKeys(_.startsWith("stream-epoch.")).toMap,
+        ++ streamEpochTags(prev.summary),
       schema.toDDL, newFiles, fileStats)
     writeLog(db, table, log :+ snap)
     snap
@@ -687,7 +691,7 @@ final class SnapshotCatalog(
         // the rolled-back-FROM head carries the streaming high-water
         // marks; losing them to the older summary would reopen the
         // replay window
-        ++ prev.summary.view.filterKeys(_.startsWith("stream-epoch.")).toMap
+        ++ streamEpochTags(prev.summary)
         + ("rolled_back_to" -> toSnapshotId.toString,
           "added_records" -> "0", "added_files" -> "0"),
       target.schemaDdl, target.files, target.fileStats)
@@ -943,6 +947,11 @@ final class SnapshotCatalog(
     } finally dirs.close()
     deleted.result()
   }
+
+  /** The streaming-sink high-water marks of a summary (carried forward by
+    * every commit kind — see [[graft.streaming.EventStream.appendEpoch]]). */
+  private def streamEpochTags(summary: Map[String, String]): Map[String, String] =
+    summary.view.filterKeys(_.startsWith("stream-epoch.")).toMap
 
   // ---- commit mutual exclusion ----
 

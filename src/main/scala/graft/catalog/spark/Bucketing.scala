@@ -49,6 +49,27 @@ object BucketFunction extends UnboundFunction {
   }
 }
 
+/** Shared scan defaults (stateless). */
+private[spark] object ScanDefaults {
+  val unknownStatistics: org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  /** A batch with nothing to read (empty buckets). */
+  val emptyBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = Array.empty
+    override def createReaderFactory(): PartitionReaderFactory =
+      throw new IllegalStateException("empty batch has no reader")
+  }
+  def statisticsOf(scan: Scan): org.apache.spark.sql.connector.read.Statistics =
+    scan match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => unknownStatistics
+    }
+}
+
 /** One bucket's worth of a parquet scan's input partitions, keyed so
   * Spark's key-grouped planning can line both join sides up. */
 final case class BucketKeyedPartition(bucketId: Int, delegate: InputPartition)
@@ -99,14 +120,7 @@ final class BucketedScan(
 
   // AQE/join estimates keep working on the bucketed path too
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    template match {
-      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-        s.estimateStatistics()
-      case _ => new org.apache.spark.sql.connector.read.Statistics {
-        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
-        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
-      }
-    }
+    ScanDefaults.statisticsOf(template)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =

@@ -129,7 +129,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           override def insert(data: DataFrame, ignored: Boolean): Unit = {
             // bucketed tables hide their __bucket layout column from the
             // SQL schema; every write derives it here
-            val bucketed = cat.meta(db, table).properties.contains("bucket.col")
+            val bucketed = cat.meta(db, table).bucketSpec.isDefined
             val frame = if (bucketed) cat.bucketize(db, table, data) else data
             if (overwriteAll) cat.overwrite(db, table, frame)
             else cat.append(db, table, frame)
@@ -186,7 +186,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           // complex DELETE) would write the SQL-visible schema, which for
           // bucketed tables lacks __bucket and would silently drop the
           // adopted files from every bucketed scan
-          if (tableMeta.properties.contains("bucket.col"))
+          if (tableMeta.bucketSpec.isDefined)
             throw new UnsupportedOperationException(
               s"SQL $opName rewrite on BUCKETED table $db.$table is not supported - " +
                 "use the library delete/update/upsert (they preserve the bucket layout)")
@@ -218,11 +218,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       case Some(_) => StructType(snap.schema.fields.filterNot(_.name == "__bucket"))
       case None => snap.schema
     }
-    private def bucketSpec: Option[(String, Int)] =
-      (tableMeta.properties.get("bucket.col"), tableMeta.properties.get("bucket.n")) match {
-        case (Some(c), Some(n)) => Some((c, n.toInt))
-        case _ => None
-      }
+    private def bucketSpec: Option[(String, Int)] = tableMeta.bucketSpec
     override def partitioning(): Array[Transform] = bucketSpec match {
       case Some((c, n)) => Array(Expressions.bucket(n, c))
       case None => tableMeta.partitionCols.map(c => Expressions.identity(c)).toArray
@@ -300,12 +296,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             case Some((bCol, n)) =>
               def bucketBatch(b: Int): org.apache.spark.sql.connector.read.Batch = {
                 val files = keptFiles.filter(_.contains(s"/__bucket=$b/"))
-                if (files.isEmpty) return new org.apache.spark.sql.connector.read.Batch {
-                  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
-                    Array.empty
-                  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
-                    throw new IllegalStateException("empty bucket has no reader")
-                }
+                if (files.isEmpty) return ScanDefaults.emptyBatch
                 org.apache.spark.sql.GraftScanUtils.parquetBatchFor(spark,
                   s"$tableName b$b", files, snapSchema,
                   new CaseInsensitiveStringMap(opts.asJava),
@@ -358,14 +349,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     override def columnarSupportMode(): Scan.ColumnarSupportMode =
       delegate.columnarSupportMode()
     override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-      delegate match {
-        case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-          s.estimateStatistics()
-        case _ => new org.apache.spark.sql.connector.read.Statistics {
-          override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
-          override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
-        }
-      }
+      ScanDefaults.statisticsOf(delegate)
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
       // new appends land in NEW snapshot dirs, whose Hive partition dirs
       // would need a per-batch basePath — unsupported shape, fail clearly
