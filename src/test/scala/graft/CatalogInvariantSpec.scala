@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.SnapshotCatalog
+
+/** Randomized INVARIANT harness over the commit protocol: drive random
+  * operation sequences (append / overwrite / delete / update / upsert /
+  * compact / z-order / rollback / evolve) against a live catalog and after
+  * EVERY commit assert the properties the engine's metadata answers stand
+  * on. A summary bound that drifts from the data is served as a WRONG
+  * metadata-only answer at scale, so these checks are exactness, not
+  * sanity:
+  *
+  *  - `record_count` equals the actual scan count (or is honestly -1);
+  *  - `min.<c>`/`max.<c>` in the summary equal the scanned min/max;
+  *  - every file in the log exists on disk;
+  *  - time travel to every retained snapshot reproduces ITS recorded count.
+  *
+  * Fixed seed: failures replay deterministically.
+  */
+class CatalogInvariantSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def frame(rng: Random, n: Int): DataFrame = {
+    val base = rng.nextInt(1000).toLong
+    (0 until n).map(i => (base + i, rng.nextInt(100).toLong, s"v${rng.nextInt(50)}"))
+      .toDF("id", "score", "name")
+  }
+
+  private def checkInvariants(cat: SnapshotCatalog, db: String, t: String): Unit = {
+    val snap = cat.currentSnapshot(db, t)
+    val data = cat.readLatest(db, t)
+    val actual = data.agg(
+      count(lit(1)), min("id"), max("id"), min("score"), max("score"),
+      min("name"), max("name")).head
+
+    if (snap.recordCount >= 0)
+      assert(snap.recordCount == actual.getLong(0),
+        s"record_count=${snap.recordCount} actual=${actual.getLong(0)} op=${snap.operation}")
+    def bound(key: String, idx: Int): Unit =
+      snap.summary.get(key).foreach { v =>
+        val a = if (actual.isNullAt(idx)) null else actual.get(idx).toString
+        assert(v == a, s"$key=$v actual=$a op=${snap.operation} summary=${snap.summary}")
+      }
+    bound("min.id", 1); bound("max.id", 2)
+    bound("min.score", 3); bound("max.score", 4)
+    bound("min.name", 5); bound("max.name", 6)
+
+    val root = Paths.get(cat.warehouse, db, t)
+    snap.files.foreach(f => assert(Files.exists(root.resolve(f)), s"missing file $f"))
+
+    // time travel to the three most recent retained snapshots (bounded so
+    // the harness stays fast; every snapshot gets covered across steps)
+    cat.snapshotList(db, t).takeRight(3).foreach { s =>
+      if (s.recordCount >= 0)
+        assert(cat.readAsOf(db, t, s.snapshotId).count() == s.recordCount,
+          s"time travel to ${s.snapshotId} (${s.operation}) count drifted")
+    }
+  }
+
+  /** Align a random frame to the table's CURRENT schema (evolve adds
+    * columns mid-sequence; appends must carry them, null-filled). */
+  private def conform(cat: SnapshotCatalog, db: String, t: String,
+      df: DataFrame): DataFrame = {
+    val schema = cat.currentSnapshot(db, t).schema
+    val widened = schema.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    widened.select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+  }
+
+  test("random operation sequences preserve metadata exactness") {
+    val rng = new Random(20260812L)
+    (1 to 3).foreach { trial =>
+      var tick = 0L
+      val cat = new SnapshotCatalog(spark,
+        Files.createTempDirectory(s"graft_inv_$trial").toString,
+        clock = () => { tick += 1; Instant.parse("2026-07-01T00:00:00Z").plusSeconds(tick) })
+      val t = "t"
+      cat.createTable("db", t, frame(rng, 1).schema)
+      cat.append("db", t, frame(rng, 40))
+      checkInvariants(cat, "db", t)
+      (1 to 8).foreach { _ =>
+        rng.nextInt(9) match {
+          case 0 => cat.append("db", t, conform(cat, "db", t, frame(rng, 10 + rng.nextInt(40))))
+          case 1 => cat.overwrite("db", t, conform(cat, "db", t, frame(rng, 10 + rng.nextInt(40))))
+          case 2 => cat.delete("db", t, col("score") < (rng.nextInt(60).toLong + 20L))
+          case 3 => cat.update("db", t, col("score") > 50L,
+            Map("name" -> lit(s"upd${rng.nextInt(10)}")))
+          case 4 =>
+            val src = conform(cat, "db", t, frame(rng, 10).dropDuplicates("id"))
+            cat.upsert("db", t, src, Seq("id"))
+          case 5 => cat.compact("db", t, 1 + rng.nextInt(3))
+          case 6 =>
+            // z-order needs summary bounds for its grid (absent right
+            // after a rollback to the empty create snapshot)
+            val s = cat.currentSnapshot("db", t).summary
+            if (s.contains("min.id") && s.contains("min.score"))
+              cat.compactZOrder("db", t, Seq("id", "score"), 1 + rng.nextInt(3))
+          case 7 =>
+            val ids = cat.snapshotList("db", t).map(_.snapshotId)
+            val target = ids(rng.nextInt(ids.size))
+            if (target != ids.last) cat.rollback("db", t, target)
+          case 8 =>
+            val cur = cat.currentSnapshot("db", t).schema
+            val name = s"extra${cur.fieldNames.length}"
+            if (!cur.fieldNames.contains(name))
+              cat.evolveSchema("db", t, cur.add(name, "double"))
+        }
+        checkInvariants(cat, "db", t)
+      }
+    }
+  }
+}
