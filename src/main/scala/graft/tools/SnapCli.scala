@@ -133,6 +133,22 @@ object SnapCli {
       val snap = new SnapshotCatalog(spark, wh)
         .compactZOrder(db, table, cols.split(",").toSeq, n.toInt)
       println(s"zorder $db.$table snapshot=${snap.snapshotId} files=${snap.files.size}")
+    case "bucket-create" =>
+      val Array(wh, db, table, path, bucketCol, n) = a.take(6)
+      val cat = new SnapshotCatalog(spark, wh)
+      val df = spark.read.parquet(path)
+      val created = cat.createBucketedTable(db, table, df.schema, bucketCol, n.toInt)
+      if (!created) println(s"table $db.$table already exists (IF NOT EXISTS)")
+      else {
+        val snap = cat.appendBucketed(db, table, df)
+        println(s"bucket-created $db.$table bucket($n,$bucketCol) " +
+          s"snapshot=${snap.snapshotId} records=${snap.recordCount}")
+      }
+    case "bucket-append" =>
+      val Array(wh, db, table, path) = a.take(4)
+      val cat = new SnapshotCatalog(spark, wh)
+      val snap = cat.appendBucketed(db, table, spark.read.parquet(path))
+      println(s"bucket-append $db.$table snapshot=${snap.snapshotId} records=${snap.recordCount}")
     case other =>
       System.err.println(s"unknown command: $other\n$usage")
       sys.exit(2)
@@ -155,5 +171,7 @@ object SnapCli {
       |  incremental <warehouse> <db> <table> <fromId> <toId>
       |  orphans   <warehouse> <db> <table>
       |  zorder    <warehouse> <db> <table> <col1,col2[,...]> <numFiles>
+      |  bucket-create <warehouse> <db> <table> <parquetPath> <bucketCol> <nBuckets>
+      |  bucket-append <warehouse> <db> <table> <parquetPath>
       |  sql       <warehouse> "<query using snapcat.db.table>"  (incl. DELETE/UPDATE/MERGE)""".stripMargin
 }
