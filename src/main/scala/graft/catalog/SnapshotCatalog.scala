@@ -639,15 +639,34 @@ final class SnapshotCatalog(
   /** Adopt a snapshot directory populated by an EXTERNAL V2 writer (the
     * SQL row-level rewrite path: UPDATE / MERGE INTO / non-translatable
     * DELETE run Spark's group-based copy-on-write plan, whose ReplaceData
-    * exec writes the full post-operation state into `data/s<newId>` via
-    * the stock parquet batch writer) as a full-replace commit. Row count
-    * and numeric min/max come from the freshly written footers — exact,
-    * no extra scan; string bounds are dropped (writer truncation makes
-    * them outer bounds only), mirroring partial-rewrite commits. */
+    * exec writes the post-operation state into `data/<dir>` via the stock
+    * parquet batch writer) as a rewrite commit. Row count and numeric
+    * min/max come from the freshly written footers — exact, no extra scan;
+    * string bounds are dropped (writer truncation makes them outer bounds
+    * only), mirroring partial-rewrite commits.
+    *
+    * `carryFiles` makes the adoption PARTIAL: files of the snapshot the
+    * rewrite scan read that were provably untouched by the operation (see
+    * [[pruneFiles]]) carry over verbatim with their stats — the 100-TB
+    * posture for SQL row-level ops, matching the library delete/update.
+    * `expectSnapshotId` guards against a concurrent commit landing between
+    * the rewrite's scan and this adoption: the carried file list was
+    * computed against that snapshot, so a moved table fails the statement
+    * instead of silently resurrecting or dropping rows. */
   def adoptRewrite(db: String, table: String, operation: String,
-      dataDirName: String): Snapshot = withTableLock(db, table) {
+      dataDirName: String,
+      carryFiles: Seq[String] = Seq.empty,
+      carryStats: Map[String, Map[String, String]] = Map.empty,
+      expectSnapshotId: Option[Long] = None): Snapshot = withTableLock(db, table) {
     val log = snapshotList(db, table)
     val prev = log.last
+    expectSnapshotId.foreach(id => require(prev.snapshotId == id,
+      s"concurrent commit on $db.$table: the rewrite read snapshot $id but " +
+        s"the table is now at ${prev.snapshotId}; retry the statement"))
+    val missingCarry = carryFiles.filterNot(prev.files.contains)
+    require(missingCarry.isEmpty,
+      s"carry files not in current snapshot of $db.$table: " +
+        missingCarry.take(3).mkString(","))
     val newId = prev.snapshotId + 1
     val snapDirRel = s"data/$dataDirName"
     val root = tablePath(db, table)
@@ -656,18 +675,25 @@ final class SnapshotCatalog(
     val newFiles = listParquetFiles(snapDir).map(p =>
       snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/'))
     val conf = spark.sessionState.newHadoopConf()
-    val fileStats = newFiles.map(f =>
+    val newFileStats = newFiles.map(f =>
       f -> FileStats.fromFooter(root.resolve(f), schema, conf)).toMap
-    val rows = newFiles.map(f => fileStats(f)("rows").toLong).sum
-    val stats = ColumnStats.mergeWithFileBounds(Map.empty, newFiles, fileStats, schema)
+    val newRows = newFiles.map(f => newFileStats(f)("rows").toLong).sum
+    val carriedStats = carryStats.view.filterKeys(carryFiles.contains).toMap
+    val allFiles = carryFiles ++ newFiles
+    val allFileStats = carriedStats ++ newFileStats
+    // carried rows come from per-file footer counts; a carried file without
+    // one makes the total honestly unknown (-1), never wrong
+    val carriedRows = carryFiles.map(f => carriedStats.get(f).flatMap(_.get("rows")).map(_.toLong))
+    val rows = if (carriedRows.forall(_.isDefined)) carriedRows.flatten.sum + newRows else -1L
+    val stats = ColumnStats.mergeWithFileBounds(Map.empty, allFiles, allFileStats, schema)
     val snap = Snapshot(newId, clock().toString, operation,
       Map(
         "record_count" -> rows.toString,
-        "added_records" -> rows.toString,
+        "added_records" -> newRows.toString,
         "added_files" -> newFiles.size.toString,
-        "total_files" -> newFiles.size.toString) ++ stats
+        "total_files" -> allFiles.size.toString) ++ stats
         ++ streamEpochTags(prev.summary),
-      schema.toDDL, newFiles, fileStats)
+      schema.toDDL, allFiles, allFileStats)
     writeLog(db, table, log :+ snap)
     snap
   }

@@ -172,12 +172,63 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       () => new RowLevelOperation {
         override def command: RowLevelOperation.Command = info.command
         override def description(): String = s"snapcat copy-on-write $opName"
+        // set at scan build() time, read at write commit time: the snapshot
+        // the rewrite scan was planned against and the files of it that the
+        // operation provably cannot touch (they carry over un-rewritten)
+        @volatile private var rewriteCarry: Option[(Long, Seq[String])] = None
+
+        /** The rewrite's scan, FILE granularity: Spark's group-based scan
+          * planning pushes the operation's condition here
+          * (`GroupBasedRowLevelOperationScanPlanning` -> `pushFilters`) but
+          * keeps the FULL condition in the rewrite query — so the filters
+          * may only narrow WHICH files are rewritten, never which rows a
+          * kept file contributes. Footer-stat pruning ([[SnapshotCatalog
+          * .pruneFiles]], the same layer the library delete/update use)
+          * splits the snapshot's files into rewrite candidates (scanned,
+          * post-operation state rewritten) and provably-untouched carries —
+          * a `UPDATE ... WHERE id = 5` on a 100-TB table rewrites the files
+          * whose stats admit id=5, not the lake. */
         override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-          () => ownScanBuilder(options).build() match {
-            case v1: V1Scan => throw new UnsupportedOperationException(
-              s"SQL $opName on a partitioned multi-snapshot-dir table is not " +
-                "supported - run compact() first or use the library API")
-            case scan => new PlainBatchScan(scan)
+          new ScanBuilder
+            with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+            private var pushable = Array.empty[org.apache.spark.sql.sources.Filter]
+            override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+                : Array[org.apache.spark.sql.sources.Filter] = {
+              pushable = filters.filter(FilterToColumn.translatable)
+              filters // ALL residual: the rewrite query must keep the condition
+            }
+            override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+              pushable
+            override def build(): Scan = ownScanBuilder(options).build() match {
+              case _: V1Scan => throw new UnsupportedOperationException(
+                s"SQL $opName on a partitioned multi-snapshot-dir table is not " +
+                  "supported - run compact() first or use the library API")
+              case fullScan =>
+                val cond = pushable.map(FilterToColumn(_)).reduceOption(_ && _)
+                val untouched = cond match {
+                  case None => Seq.empty[String]
+                  case Some(c) => cat.pruneFiles(db, table, snap.snapshotId, c)._2
+                }
+                rewriteCarry = Some((snap.snapshotId, untouched))
+                if (untouched.isEmpty) new PlainBatchScan(fullScan)
+                else {
+                  val root = java.nio.file.Paths.get(warehouse, db, table)
+                  val cands = snap.files.filterNot(untouched.contains)
+                  val dirs = snap.files.map(_.split("/").take(2).mkString("/")).distinct
+                  val opts: Map[String, String] =
+                    if (tableMeta.partitionCols.isEmpty) Map.empty
+                    else Map("basePath" -> root.resolve(dirs.head).toString)
+                  // stock vectorized scan over the candidate files, NO row
+                  // filters (every row of a candidate file must reach the
+                  // rewrite query) and no column pruning (full table schema)
+                  val inner = ParquetTable(s"$tableName $opName candidates", spark,
+                    new CaseInsensitiveStringMap(opts.asJava),
+                    cands.map(f => root.resolve(f).toString),
+                    Some(snap.schema), classOf[ParquetFileFormat])
+                    .newScanBuilder(new CaseInsensitiveStringMap(opts.asJava)).build()
+                  new PlainBatchScan(inner)
+                }
+            }
           }
         override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder = {
           // guard HERE, not at builder construction: a translatable SQL
@@ -190,7 +241,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             throw new UnsupportedOperationException(
               s"SQL $opName rewrite on BUCKETED table $db.$table is not supported - " +
                 "use the library delete/update/upsert (they preserve the bucket layout)")
-          new RewriteWriteBuilder(db, table, opName, writeInfo)
+          new RewriteWriteBuilder(db, table, opName, writeInfo,
+            () => rewriteCarry, snap.fileStats)
         }
       }
     }
@@ -461,7 +513,9 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * a crash before commit leaves only an orphan dir
     * ([[SnapshotCatalog.removeOrphanFiles]] sweeps it). */
   private final class RewriteWriteBuilder(db: String, table: String,
-      opName: String, info: LogicalWriteInfo) extends WriteBuilder {
+      opName: String, info: LogicalWriteInfo,
+      carry: () => Option[(Long, Seq[String])],
+      scanFileStats: Map[String, Map[String, String]]) extends WriteBuilder {
     import org.apache.spark.sql.connector.write._
     override def build(): Write = new Write {
       override def description(): String = s"snapcat $opName rewrite"
@@ -490,7 +544,16 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             inner.commit(messages)
-            cat.adoptRewrite(db, table, opName, dirName)
+            carry() match {
+              // partial adoption: untouched files carry over verbatim, and
+              // the pinned snapshot id fails the commit if a concurrent
+              // write moved the table under the rewrite
+              case Some((snapId, untouched)) =>
+                cat.adoptRewrite(db, table, opName, dirName,
+                  carryFiles = untouched, carryStats = scanFileStats,
+                  expectSnapshotId = Some(snapId))
+              case None => cat.adoptRewrite(db, table, opName, dirName)
+            }
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             inner.abort(messages)

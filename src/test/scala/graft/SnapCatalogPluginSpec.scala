@@ -412,6 +412,71 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
       .head.getString(0) == "b")
   }
 
+  test("SQL UPDATE rewrites only the files whose stats admit the condition") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbfg")
+    spark.sql("CREATE TABLE snapcat.dbfg.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO snapcat.dbfg.t VALUES (1, 'a'), (2, 'b')") // s2: ids 1-2
+    spark.sql("INSERT INTO snapcat.dbfg.t VALUES (10, 'c'), (11, 'd')") // s3: ids 10-11
+    spark.sql("INSERT INTO snapcat.dbfg.t VALUES (20, 'e'), (21, 'f')") // s4: ids 20-21
+    val cat = new SnapshotCatalog(spark, wh)
+    val before = cat.currentSnapshot("dbfg", "t")
+    spark.sql("UPDATE snapcat.dbfg.t SET v = 'X' WHERE id = 10")
+    val after = cat.currentSnapshot("dbfg", "t")
+    // files whose footer stats exclude id=10 carry over VERBATIM (no
+    // rewrite); only files whose [min.id, max.id] admits 10 are rewritten
+    val candidates = before.files.filter { f =>
+      val st = before.fileStats(f)
+      st("min.id").toLong <= 10L && 10L <= st("max.id").toLong
+    }
+    val untouchedBefore = before.files.filterNot(candidates.contains)
+    assert(candidates.nonEmpty && untouchedBefore.nonEmpty)
+    assert(untouchedBefore.forall(after.files.contains))
+    assert(candidates.forall(f => !after.files.contains(f)))
+    assert(after.files.exists(_.startsWith("data/rw-")))
+    // data correct, count exact, carried per-file stats intact
+    assert(spark.sql("SELECT v FROM snapcat.dbfg.t WHERE id = 10").head.getString(0) == "X")
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbfg.t WHERE v <> 'X'")
+      .head.getLong(0) == 5)
+    assert(after.recordCount == 6)
+    assert(untouchedBefore.forall(after.fileStats.contains))
+    assert(after.summary.get("min.id").contains("1"))
+    assert(after.summary.get("max.id").contains("21"))
+  }
+
+  test("complex SQL DELETE prunes files via its translatable conjunct") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbfd")
+    spark.sql("CREATE TABLE snapcat.dbfd.t (id BIGINT)")
+    spark.sql("INSERT INTO snapcat.dbfd.t VALUES (1), (2)") // s2
+    spark.sql("INSERT INTO snapcat.dbfd.t VALUES (20), (21)") // s3
+    val cat = new SnapshotCatalog(spark, wh)
+    val before = cat.currentSnapshot("dbfd", "t")
+    // id % 2 = 1 is untranslatable -> row-level rewrite; the pushable
+    // id >= 20 conjunct still prunes the s2 files out of the rewrite
+    spark.sql("DELETE FROM snapcat.dbfd.t WHERE id >= 20 AND id % 2 = 1")
+    val after = cat.currentSnapshot("dbfd", "t")
+    assert(spark.sql("SELECT id FROM snapcat.dbfd.t ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 20L))
+    val s2Files = before.files.filter(_.startsWith("data/s2/"))
+    assert(s2Files.nonEmpty && s2Files.forall(after.files.contains))
+    assert(!after.files.exists(_.startsWith("data/s3/")))
+  }
+
+  test("adoptRewrite refuses a carry computed against a moved snapshot") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbcc")
+    spark.sql("CREATE TABLE snapcat.dbcc.t (id BIGINT)")
+    spark.sql("INSERT INTO snapcat.dbcc.t VALUES (1)")
+    val cat = new SnapshotCatalog(spark, wh)
+    val cur = cat.currentSnapshot("dbcc", "t").snapshotId
+    val err = intercept[IllegalArgumentException] {
+      cat.adoptRewrite("dbcc", "t", "update", "rw-bogus",
+        expectSnapshotId = Some(cur - 1))
+    }
+    assert(err.getMessage.contains("concurrent commit"))
+  }
+
   test("SQL MERGE INTO upserts through the row-level operation path") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbmg")
