@@ -667,6 +667,54 @@ final class SnapshotCatalog(
     require(missingCarry.isEmpty,
       s"carry files not in current snapshot of $db.$table: " +
         missingCarry.take(3).mkString(","))
+    adoptDir(db, table, operation, dataDirName, carryFiles, carryStats,
+      Map.empty, log)
+  }
+
+  /** Commit a data directory populated by the NATIVE streaming write
+    * (`df.writeStream.toTable("snapcat.db.t")`, see the plugin's
+    * `SnapStreamingWrite`) with exactly-once semantics: the sink's epoch
+    * HIGH-WATER MARK rides the snapshot summary (`stream-epoch.<sinkId>`,
+    * shared with [[graft.streaming.EventStream.appendEpoch]]), and a
+    * replayed epoch (restart redelivery) returns None and deletes its
+    * already-written files instead of committing twice. Append mode
+    * carries every current file; complete mode (`operation = "overwrite"`)
+    * replaces table state each epoch, as streaming aggregations require. */
+  def adoptStreaming(db: String, table: String, operation: String,
+      dataDirName: String, writeSchema: StructType,
+      sinkId: String, epochId: Long): Option[Snapshot] = withTableLock(db, table) {
+    require(operation == "append" || operation == "overwrite",
+      s"streaming adoption must be append or overwrite, got $operation")
+    val log = snapshotList(db, table)
+    val prev = log.last
+    val key = s"stream-epoch.$sinkId"
+    if (prev.summary.get(key).exists(epochId <= _.toLong)) {
+      // replayed batch: drop the duplicate files, don't double-commit
+      deleteRecursively(tablePath(db, table).resolve("data").resolve(dataDirName))
+      None
+    } else {
+      val missing = prev.schema.fieldNames.filterNot(writeSchema.fieldNames.contains)
+      val extra = writeSchema.fieldNames.filterNot(prev.schema.fieldNames.contains)
+      require(missing.isEmpty && extra.isEmpty,
+        s"streaming write schema mismatch for $db.$table: " +
+          s"missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
+      val (carry, carrySt) =
+        if (operation == "append") (prev.files, prev.fileStats)
+        else (Seq.empty[String], Map.empty[String, Map[String, String]])
+      Some(adoptDir(db, table, operation, dataDirName, carry, carrySt,
+        Map(key -> epochId.toString), log))
+    }
+  }
+
+  /** Shared adoption core (lock already held): list the external writer's
+    * files, fold footer stats with the carried files', commit one log
+    * entry. */
+  private def adoptDir(db: String, table: String, operation: String,
+      dataDirName: String, carryFiles: Seq[String],
+      carryStats: Map[String, Map[String, String]],
+      extraSummary: Map[String, String],
+      log: Seq[Snapshot]): Snapshot = {
+    val prev = log.last
     val newId = prev.snapshotId + 1
     val snapDirRel = s"data/$dataDirName"
     val root = tablePath(db, table)
@@ -692,7 +740,8 @@ final class SnapshotCatalog(
         "added_records" -> newRows.toString,
         "added_files" -> newFiles.size.toString,
         "total_files" -> allFiles.size.toString) ++ stats
-        ++ streamEpochTags(prev.summary),
+        ++ streamEpochTags(prev.summary)
+        ++ extraSummary,
       schema.toDDL, allFiles, allFileStats)
     writeLog(db, table, log :+ snap)
     snap

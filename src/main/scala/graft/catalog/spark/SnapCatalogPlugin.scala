@@ -120,7 +120,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * `INSERT OVERWRITE`/overwrite-save = `overwrite` commit — each SQL
     * write is one new snapshot, exactly like the library API. */
   private final class SnapWriteBuilder(db: String, table: String,
-      startTruncated: Boolean) extends WriteBuilder with SupportsTruncate {
+      startTruncated: Boolean, info: LogicalWriteInfo)
+      extends WriteBuilder with SupportsTruncate {
     private var overwriteAll = startTruncated
     override def truncate(): WriteBuilder = { overwriteAll = true; this }
     override def build(): Write = new V1Write {
@@ -135,6 +136,84 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             else cat.append(db, table, frame)
           }
         }
+      // NATIVE streaming personality: append mode appends one epoch-tagged
+      // snapshot per micro-batch; complete mode (Spark calls truncate())
+      // overwrites table state per epoch (streaming aggregation sink)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        if (cat.meta(db, table).bucketSpec.isDefined)
+          throw new UnsupportedOperationException(
+            s"streaming write to BUCKETED table $db.$table is not supported - " +
+              "bucket derivation is a batch-plan step; use foreachBatch with " +
+              "the library append")
+        new SnapStreamingWrite(db, table,
+          if (overwriteAll) "overwrite" else "append", info)
+      }
+    }
+  }
+
+  /** Exactly-once native streaming sink (`df.writeStream.toTable(
+    * "snapcat.db.t")`): each micro-batch's rows land in a fresh uniquely
+    * named data dir via the stock V2 parquet batch writer, and the driver's
+    * epoch commit adopts them as ONE snapshot carrying the epoch high-water
+    * mark ([[SnapshotCatalog.adoptStreaming]]) — a replayed epoch after a
+    * restart is detected there and dropped, upgrading Spark's at-least-once
+    * sink contract to exactly-once, the same protocol as the foreachBatch
+    * sink ([[graft.streaming.EventStream.appendEpoch]]) without user code.
+    *
+    * Micro-batch triggers are serial, so the factory->commit handoff of the
+    * per-epoch writer is a single slot; the sink id defaults to the
+    * streaming query id (stable across restarts from one checkpoint) and
+    * can be overridden with `.option("sinkId", ...)` when two queries feed
+    * one table. */
+  private final class SnapStreamingWrite(db: String, table: String,
+      operation: String, info: LogicalWriteInfo)
+      extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+    import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+    import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+    private val sinkId =
+      Option(info.options.get("sinkId")).getOrElse(info.queryId())
+    @volatile private var pending: Option[(BatchWrite, String)] = None
+
+    // the inner FileBatchWrite runs the hadoop commit protocol, which does
+    // its own task-commit arbitration — letting the V2 coordinator also
+    // authorize attempts makes the two disagree and deny every task commit
+    override def useCommitCoordinator(): Boolean = false
+
+    override def createStreamingWriterFactory(p: PhysicalWriteInfo)
+        : StreamingDataWriterFactory = {
+      val dirName = s"se-${java.util.UUID.randomUUID().toString.take(12)}"
+      val snapDir = java.nio.file.Paths.get(warehouse, db, table, "data", dirName)
+      java.nio.file.Files.createDirectories(snapDir)
+      // a FRESH batch write per epoch: distinct write job ids keep part-file
+      // names collision-free across epochs, and an abandoned epoch's dir is
+      // orphan-dir debris removeOrphanFiles sweeps
+      val inner = ParquetTable(s"$db.$table stream epoch", spark,
+        CaseInsensitiveStringMap.empty(), Seq(snapDir.toString),
+        Some(info.schema), classOf[ParquetFileFormat])
+        .newWriteBuilder(info).build().toBatch
+      pending = Some((inner, dirName))
+      val batchFactory = inner.createBatchWriterFactory(p)
+      new StreamingDataWriterFactory {
+        override def createWriter(partitionId: Int, taskId: Long,
+            epochId: Long): DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+          batchFactory.createWriter(partitionId, taskId)
+      }
+    }
+
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      val (inner, dirName) = pending.getOrElse(throw new IllegalStateException(
+        s"streaming commit of $db.$table epoch $epochId without a writer factory"))
+      pending = None
+      inner.commit(messages)
+      cat.adoptStreaming(db, table, operation, dirName, info.schema, sinkId, epochId)
+      ()
+    }
+
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      pending.foreach(_._1.abort(messages))
+      pending = None
     }
   }
 
@@ -283,7 +362,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         "record-count" -> snap.recordCount.toString)).asJava
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.STREAMING_WRITE)
 
     /** Scan over THIS table's snapshot (reader options already resolved).
       *
@@ -382,7 +462,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-      new SnapWriteBuilder(db, table, startTruncated = false)
+      new SnapWriteBuilder(db, table, startTruncated = false, info)
   }
 
   /** Batch scan wrapper adding a STREAMING personality: `toBatch`
@@ -754,7 +834,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       override def commitStagedChanges(): Unit = ()
       override def abortStagedChanges(): Unit = onAbort()
       override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-        new SnapWriteBuilder(db, table, startTruncated = overwriteData)
+        new SnapWriteBuilder(db, table, startTruncated = overwriteData, info)
     }
 
   /** CTAS / `df.write.saveAsTable` (create): the table is created up front

@@ -149,6 +149,25 @@ object SnapCli {
       val cat = new SnapshotCatalog(spark, wh)
       val snap = cat.appendBucketed(db, table, spark.read.parquet(path))
       println(s"bucket-append $db.$table snapshot=${snap.snapshotId} records=${snap.recordCount}")
+    case "stream-ingest" =>
+      // native streaming sink drive: tail a parquet DIRECTORY as a stream
+      // and land each micro-batch as one epoch-tagged snapshot via
+      // df.writeStream.toTable (exactly-once; see SnapStreamingWrite)
+      val Array(wh, db, table, dir) = a.take(4)
+      spark.conf.set("spark.sql.catalog.snapcat", "graft.catalog.spark.SnapCatalogPlugin")
+      spark.conf.set("spark.sql.catalog.snapcat.warehouse", wh)
+      val schema = spark.read.parquet(dir).schema
+      val ckpt = java.nio.file.Files.createTempDirectory("snapcli_ckpt_").toString
+      val q = spark.readStream.schema(schema).parquet(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .toTable(s"snapcat.$db.$table")
+      q.processAllAvailable()
+      q.stop()
+      val cat = new SnapshotCatalog(spark, wh)
+      val cur = cat.currentSnapshot(db, table)
+      println(s"stream-ingest $db.$table snapshot=${cur.snapshotId} " +
+        s"records=${cur.recordCount} " +
+        s"epochs=${cur.summary.view.filterKeys(_.startsWith("stream-epoch.")).toMap}")
     case other =>
       System.err.println(s"unknown command: $other\n$usage")
       sys.exit(2)
@@ -173,5 +192,6 @@ object SnapCli {
       |  zorder    <warehouse> <db> <table> <col1,col2[,...]> <numFiles>
       |  bucket-create <warehouse> <db> <table> <parquetPath> <bucketCol> <nBuckets>
       |  bucket-append <warehouse> <db> <table> <parquetPath>
+      |  stream-ingest <warehouse> <db> <table> <parquetDir>  (native writeStream.toTable)
       |  sql       <warehouse> "<query using snapcat.db.table>"  (incl. DELETE/UPDATE/MERGE)""".stripMargin
 }

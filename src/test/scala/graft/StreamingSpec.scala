@@ -185,6 +185,101 @@ class StreamingSpec extends AnyFunSuite {
     } finally q3.stop()
   }
 
+  test("native writeStream.toTable appends one epoch-tagged snapshot per batch") {
+    import java.time.Instant
+    import graft.catalog.SnapshotCatalog
+    val wh = Files.createTempDirectory("graft_nswh_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, wh,
+      clock = () => { tick += 1; Instant.parse("2026-07-01T00:00:00Z").plusSeconds(tick * 60) })
+    cat.createTable("db", "nsink", Seq((1L, "x")).toDF("id", "tag").schema)
+    spark.conf.set("spark.sql.catalog.snapns", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapns.warehouse", wh)
+
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("graft_nsck_").toString
+    val q = source.toDF().toDF("id", "tag")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("snapns.db.nsink")
+    try {
+      source.addData((1L, "a"), (2L, "a"))
+      q.processAllAvailable()
+      source.addData((3L, "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(cat.readLatest("db", "nsink").count() == 3)
+    val snaps = cat.snapshotList("db", "nsink")
+    assert(snaps.count(_.operation == "append") == 2)
+    // the epoch high-water mark rides the current snapshot's summary under
+    // the streaming query's own id
+    val cur = cat.currentSnapshot("db", "nsink")
+    assert(cur.summary.keys.exists(_.startsWith("stream-epoch.")))
+    // the native sink's snapshots tail back out through readStream
+    val q2 = spark.readStream.option("starting-snapshot-id", "1").table("snapns.db.nsink")
+      .writeStream.format("memory").queryName("ns_roundtrip").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("ns_roundtrip").count() == 3)
+    } finally q2.stop()
+  }
+
+  test("adoptStreaming drops a replayed epoch and deletes its files") {
+    import graft.catalog.SnapshotCatalog
+    val wh = Files.createTempDirectory("graft_rpwh_").toString
+    val cat = new SnapshotCatalog(spark, wh)
+    val df = Seq((1L, "a")).toDF("id", "tag")
+    cat.createTable("db", "rp", df.schema)
+    val root = java.nio.file.Paths.get(wh, "db", "rp", "data")
+
+    def writeEpochDir(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "tag").coalesce(1).write.parquet(root.resolve(name).toString)
+
+    writeEpochDir("se-one", Seq((1L, "a"), (2L, "a")))
+    assert(cat.adoptStreaming("db", "rp", "append", "se-one", df.schema, "q1", 0L).isDefined)
+    assert(cat.readLatest("db", "rp").count() == 2)
+    // same epoch again (restart redelivery): dropped, files cleaned up
+    writeEpochDir("se-two", Seq((9L, "dup")))
+    assert(cat.adoptStreaming("db", "rp", "append", "se-two", df.schema, "q1", 0L).isEmpty)
+    assert(cat.readLatest("db", "rp").count() == 2)
+    assert(!java.nio.file.Files.exists(root.resolve("se-two")))
+    // next epoch goes through; a different sink id keeps its own marks
+    writeEpochDir("se-three", Seq((3L, "b")))
+    assert(cat.adoptStreaming("db", "rp", "append", "se-three", df.schema, "q1", 1L).isDefined)
+    writeEpochDir("se-four", Seq((4L, "c")))
+    assert(cat.adoptStreaming("db", "rp", "append", "se-four", df.schema, "q2", 0L).isDefined)
+    assert(cat.readLatest("db", "rp").count() == 4)
+    assert(cat.currentSnapshot("db", "rp").summary.get("stream-epoch.q1").contains("1"))
+    assert(cat.currentSnapshot("db", "rp").summary.get("stream-epoch.q2").contains("0"))
+  }
+
+  test("complete-mode streaming aggregation overwrites table state per epoch") {
+    import graft.catalog.SnapshotCatalog
+    val wh = Files.createTempDirectory("graft_cmwh_").toString
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.createTable("db", "agg", Seq(("x", 1L)).toDF("tag", "n").schema)
+    spark.conf.set("spark.sql.catalog.snapcm", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapcm.warehouse", wh)
+
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("graft_cmck_").toString
+    val q = source.toDF().toDF("id", "tag")
+      .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .toTable("snapcm.db.agg")
+    try {
+      source.addData((1L, "a"), (2L, "a"))
+      q.processAllAvailable()
+      source.addData((3L, "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = cat.readLatest("db", "agg").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L), got.toString)
+    assert(cat.currentSnapshot("db", "agg").operation == "overwrite")
+  }
+
   test("streaming sink appends epoch-tagged snapshots; replays are dropped") {
     import java.time.Instant
     import graft.catalog.SnapshotCatalog
