@@ -59,6 +59,68 @@ object Snapshot {
     })
 }
 
+/** Immutable per-snapshot manifest shard: the data files ONE snapshot added
+  * (appends) or its full rewritten state (overwrite/rewrite commits), with
+  * their per-file footer stats. Snapshots reference shards by file name and
+  * an append REUSES the previous snapshot's shard list plus one new shard,
+  * so commit metadata cost is O(files added), never O(history × files) —
+  * the Iceberg manifest idea re-expressed for this catalog. Shards are
+  * write-once (never mutated after the pointer-log rename adopts them),
+  * which is what makes the JVM-wide parse cache sound. */
+final case class Manifest(
+    files: Seq[String],
+    fileStats: Map[String, Map[String, String]]) {
+  def toJson: JObj = Json.obj(
+    "files" -> JArr(files.toVector.map(JStr)),
+    "file_stats" -> JObj(fileStats.toVector.sortBy(_._1)
+      .map { case (f, m) => f -> (Json.fromStrMap(m): JValue) }))
+}
+
+object Manifest {
+  val empty: Manifest = Manifest(Seq.empty, Map.empty)
+  def fromJson(o: JObj): Manifest = Manifest(
+    files = o.arr("files").collect { case JStr(s) => s },
+    fileStats = o.get("file_stats") match {
+      case Some(fs: JObj) => fs.fields.map { case (f, _) => f -> fs.strMap(f) }.toMap
+      case _ => Map.empty
+    })
+}
+
+/** Pointer-log entry (log format v2): everything O(columns)-sized about a
+  * snapshot — id, timestamp, operation, summary stats, schema DDL — plus
+  * the ordered manifest shards whose concatenation IS the snapshot's file
+  * list. The pointer log stays KB-sized regardless of table file count, so
+  * metadata questions (`snapshots()`, record counts, streaming epoch
+  * high-water checks, as-of resolution) never open a manifest. */
+final case class SnapshotEntry(
+    snapshotId: Long,
+    committedAt: String,
+    operation: String,
+    summary: Map[String, String],
+    schemaDdl: String,
+    manifests: Seq[String]) {
+
+  def schema: StructType = StructType.fromDDL(schemaDdl)
+
+  def toJson: JObj = Json.obj(
+    "snapshot_id"  -> Json.num(snapshotId),
+    "committed_at" -> Json.str(committedAt),
+    "operation"    -> Json.str(operation),
+    "summary"      -> Json.fromStrMap(summary),
+    "schema_ddl"   -> Json.str(schemaDdl),
+    "manifests"    -> JArr(manifests.toVector.map(JStr)))
+}
+
+object SnapshotEntry {
+  def fromJson(o: JObj): SnapshotEntry = SnapshotEntry(
+    snapshotId = o.long("snapshot_id"),
+    committedAt = o.str("committed_at"),
+    operation = o.str("operation"),
+    summary = o.strMap("summary"),
+    schemaDdl = o.str("schema_ddl"),
+    manifests = o.arr("manifests").collect { case JStr(s) => s })
+}
+
 /** Table-level metadata (everything that is not per-snapshot). Shape follows
   * the reference's `TableInfo` dataclass
   * (`/root/reference/2_collect_database_schema_info.py:10-19`): partition
@@ -107,14 +169,25 @@ object TableMeta {
   *
   * Layout: {{{
   *   <warehouse>/<db>/<table>/table.json                    table meta
-  *   <warehouse>/<db>/<table>/_snapshots/log.json           snapshot log
+  *   <warehouse>/<db>/<table>/_snapshots/log.json           pointer log (v2)
+  *   <warehouse>/<db>/<table>/_snapshots/m<id>.json         manifest shards
   *   <warehouse>/<db>/<table>/data/s<id>/[part=dirs/]*.parquet
   * }}}
   *
   * Scale design (100 TB posture):
-  *   - Only METADATA ever touches the driver: the snapshot log is a few KB
+  *   - Only METADATA ever touches the driver: the pointer log is a few KB
   *     regardless of table size; data moves exclusively through
   *     `spark.read.parquet -> df.write.parquet` cluster-side.
+  *   - The log is SHARDED Iceberg-manifest style: `log.json` holds one
+  *     small pointer entry per snapshot (summary + ordered manifest names);
+  *     each `m<id>.json` holds the files one snapshot ADDED. An append
+  *     writes one shard of O(new files) and rewrites only the KB pointer
+  *     log — never the table's accumulated file history (a monolithic log
+  *     rewrites ~N²/2 file entries over N appends; at 10⁵–10⁶ files that
+  *     is gigabytes per commit). Rollback and schema evolution reuse prior
+  *     shards verbatim: pure pointer commits, zero O(files) writes.
+  *   - Shards are write-once, so resolution caches them process-wide: one
+  *     parse per shard per JVM no matter how many reads resolve it.
   *   - Time-travel resolution is file-list construction on the driver (one
   *     log lookup), after which Spark plans a plain vectorized Parquet scan
   *     with full pushdown/pruning — no custom read path to de-optimize.
@@ -151,7 +224,10 @@ final class SnapshotCatalog(
 
   def createNamespace(db: String): Unit = Files.createDirectories(dbPath(db))
 
-  def dropNamespace(db: String): Unit = deleteRecursively(dbPath(db))
+  def dropNamespace(db: String): Unit = {
+    SnapshotCatalog.purgeManifestCache(dbPath(db))
+    deleteRecursively(dbPath(db))
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
@@ -189,10 +265,10 @@ final class SnapshotCatalog(
     Files.createDirectories(dataPath(db, table))
     Files.createDirectories(logPath(db, table).getParent)
     writeString(metaPath(db, table), Json.writePretty(TableMeta(db, table, partitionCols, properties).toJson))
-    val snap = Snapshot(1L, clock().toString, "create",
+    SnapshotCatalog.purgeManifestCache(tablePath(db, table))
+    writeEntries(db, table, Seq(SnapshotEntry(1L, clock().toString, "create",
       Map("record_count" -> "0", "added_files" -> "0", "total_files" -> "0"),
-      schema.toDDL, Seq.empty)
-    writeLog(db, table, Seq(snap))
+      schema.toDDL, Seq.empty)))
     true
   }
 
@@ -248,28 +324,139 @@ final class SnapshotCatalog(
     else withList(dbPath(db))(_.filter(p => Files.exists(p.resolve("table.json")))
       .map(_.getFileName.toString).toSeq.sorted)
 
-  def dropTable(db: String, table: String): Unit =
+  def dropTable(db: String, table: String): Unit = {
+    SnapshotCatalog.purgeManifestCache(tablePath(db, table))
     deleteRecursively(tablePath(db, table))
+  }
 
   def meta(db: String, table: String): TableMeta =
     TableMeta.fromJson(Json.parse(readString(metaPath(db, table))).asInstanceOf[JObj])
 
-  // ---- snapshot log ----
+  // ---- snapshot log (format v2: pointer entries + manifest shards) ----
 
-  def snapshotList(db: String, table: String): Seq[Snapshot] = {
+  import SnapshotCatalog.{LegacyLog, LogRepr, V2Log}
+
+  private def loadRepr(db: String, table: String): LogRepr = {
     val p = logPath(db, table)
     require(Files.exists(p), s"no such table: $db.$table (missing ${p})")
     Json.parse(readString(p)) match {
-      case JArr(vs) => vs.map(v => Snapshot.fromJson(v.asInstanceOf[JObj]))
+      case JArr(vs) => LegacyLog(vs.map(v => Snapshot.fromJson(v.asInstanceOf[JObj])))
+      case o: JObj  => V2Log(o.arr("entries").map(v => SnapshotEntry.fromJson(v.asInstanceOf[JObj])))
       case other    => throw new IllegalStateException(s"bad snapshot log: $other")
     }
   }
 
-  def currentSnapshot(db: String, table: String): Snapshot = snapshotList(db, table).last
+  /** O(pointer log) metadata view of every snapshot — NEVER opens a
+    * manifest. For a legacy log the `manifests` field is synthesized empty
+    * and must not be interpreted (materialize via [[snapshotAt]] instead);
+    * every caller here consumes only id/timestamp/operation/summary/schema.
+    */
+  private def entryMeta(db: String, table: String): Seq[SnapshotEntry] =
+    loadRepr(db, table) match {
+      case V2Log(es) => es
+      case LegacyLog(snaps) => snaps.map(s => SnapshotEntry(
+        s.snapshotId, s.committedAt, s.operation, s.summary, s.schemaDdl, Seq.empty))
+    }
+
+  private def manifestName(id: Long): String = s"m$id.json"
+  private def manifestPath(db: String, table: String, name: String): Path =
+    tablePath(db, table).resolve("_snapshots").resolve(name)
+
+  private def loadManifest(db: String, table: String, name: String): Manifest = {
+    val p = manifestPath(db, table, name).toAbsolutePath.normalize()
+    val key = p.toString
+    val cached = SnapshotCatalog.manifestCache.get(key)
+    if (cached != null) cached
+    else {
+      // racing parses of the same immutable shard are harmless (last put wins)
+      val m = Manifest.fromJson(Json.parse(readString(p)).asInstanceOf[JObj])
+      SnapshotCatalog.manifestCache.put(key, m)
+      m
+    }
+  }
+
+  /** Resolve a pointer entry to the full [[Snapshot]] view: concatenate its
+    * manifest shards (file order is manifest order — an append's files come
+    * after every carried file, exactly the monolithic log's order). */
+  private def materialize(db: String, table: String, e: SnapshotEntry): Snapshot = {
+    val ms = e.manifests.map(loadManifest(db, table, _))
+    Snapshot(e.snapshotId, e.committedAt, e.operation, e.summary, e.schemaDdl,
+      ms.flatMap(_.files),
+      ms.foldLeft(Map.empty[String, Map[String, String]])(_ ++ _.fileStats))
+  }
+
+  def snapshotList(db: String, table: String): Seq[Snapshot] =
+    loadRepr(db, table) match {
+      case LegacyLog(snaps) => snaps
+      case V2Log(es)        => es.map(materialize(db, table, _))
+    }
+
+  def currentSnapshot(db: String, table: String): Snapshot =
+    loadRepr(db, table) match {
+      case LegacyLog(snaps) => snaps.last
+      case V2Log(es)        => materialize(db, table, es.last)
+    }
 
   def snapshotAt(db: String, table: String, snapshotId: Long): Snapshot =
-    snapshotList(db, table).find(_.snapshotId == snapshotId).getOrElse(
-      throw new NoSuchElementException(s"snapshot $snapshotId not found for $db.$table"))
+    loadRepr(db, table) match {
+      case LegacyLog(snaps) => snaps.find(_.snapshotId == snapshotId).getOrElse(
+        throw new NoSuchElementException(s"snapshot $snapshotId not found for $db.$table"))
+      case V2Log(es) => es.find(_.snapshotId == snapshotId)
+        .map(materialize(db, table, _)).getOrElse(
+          throw new NoSuchElementException(s"snapshot $snapshotId not found for $db.$table"))
+    }
+
+  // ---- snapshot-log write helpers (call only under the table lock) ----
+
+  /** The v2 entries of a table, migrating a legacy monolithic log in place
+    * first (one full-state shard per legacy snapshot — a one-time O(total)
+    * cost that every later commit's O(new files) write pays back). */
+  private def entriesForWrite(db: String, table: String): Seq[SnapshotEntry] =
+    loadRepr(db, table) match {
+      case V2Log(es) => es
+      case LegacyLog(snaps) =>
+        val entries = snaps.map { s =>
+          val name = manifestName(s.snapshotId)
+          if (s.files.nonEmpty) writeManifest(db, table, name, Manifest(s.files, s.fileStats))
+          SnapshotEntry(s.snapshotId, s.committedAt, s.operation, s.summary,
+            s.schemaDdl, if (s.files.nonEmpty) Seq(name) else Seq.empty)
+        }
+        writeEntries(db, table, entries)
+        entries
+    }
+
+  private def writeManifest(db: String, table: String, name: String, m: Manifest): Unit = {
+    val p = manifestPath(db, table, name)
+    writeString(p, Json.writePretty(m.toJson))
+    SnapshotCatalog.manifestCache.put(p.toAbsolutePath.normalize().toString, m)
+  }
+
+  private def writeEntries(db: String, table: String, entries: Seq[SnapshotEntry]): Unit =
+    writeString(logPath(db, table), Json.writePretty(Json.obj(
+      "format_version" -> Json.num(2L),
+      "entries"        -> JArr(entries.toVector.map(_.toJson)))))
+
+  /** Commit one snapshot: write its delta shard — the ONLY O(files)
+    * metadata write — then atomically rename the pointer log over.
+    * `reuse` names manifest shards carried verbatim from an earlier entry;
+    * `delta` holds exactly the files this snapshot introduces beyond them
+    * (call sites construct `snap.files` as reuse-materialized ++ delta, so
+    * the two views agree by construction). A crash between the shard write
+    * and the log rename leaves an unreferenced `m<id>.json` that the next
+    * same-id commit simply overwrites — never a dangling pointer. */
+  private def commitSnapshot(db: String, table: String, entries: Seq[SnapshotEntry],
+      snap: Snapshot, reuse: Seq[String], delta: Manifest): Snapshot = {
+    val manifests =
+      if (delta.files.isEmpty) reuse
+      else {
+        val name = manifestName(snap.snapshotId)
+        writeManifest(db, table, name, delta)
+        reuse :+ name
+      }
+    writeEntries(db, table, entries :+ SnapshotEntry(snap.snapshotId, snap.committedAt,
+      snap.operation, snap.summary, snap.schemaDdl, manifests))
+    snap
+  }
 
   /** The `<table>.snapshots` metadata table as a DataFrame — the relation
     * stage 1 scans and sorts (`1_collect_src_snapshots.py:61-70`). Columns:
@@ -279,8 +466,8 @@ final class SnapshotCatalog(
     */
   def snapshots(db: String, table: String): DataFrame = {
     import spark.implicits._
-    snapshotList(db, table)
-      .map(s => (s.snapshotId, s.committedAt, s.operation, s.summary))
+    entryMeta(db, table) // pointer log only — no manifest opens
+      .map(e => (e.snapshotId, e.committedAt, e.operation, e.summary))
       .toDF("snapshot_id", "committed_at_iso", "operation", "summary")
       .withColumn("committed_at", to_timestamp(col("committed_at_iso")))
       .select("snapshot_id", "committed_at", "operation", "summary")
@@ -381,8 +568,9 @@ final class SnapshotCatalog(
     * than returning something that is not "the added rows". */
   def readIncremental(db: String, table: String, fromId: Long, toId: Long): DataFrame = {
     require(fromId <= toId, s"fromId $fromId > toId $toId")
-    val log = snapshotList(db, table)
-    val between = log.filter(s => s.snapshotId > fromId && s.snapshotId <= toId)
+    // operation check is pointer-log-only; just the two endpoints materialize
+    val between = entryMeta(db, table)
+      .filter(s => s.snapshotId > fromId && s.snapshotId <= toId)
     val nonAppend = between.filterNot(_.operation == "append")
     require(nonAppend.isEmpty,
       s"incremental read of $db.$table requires an append-only range: " +
@@ -396,7 +584,7 @@ final class SnapshotCatalog(
   /** Latest snapshot with committed_at <= ts, i.e. the reference's stage-2
     * as-of resolution (`2_collect_database_schema_info.py:43-53`). */
   def readAsOfTimestamp(db: String, table: String, ts: Instant): DataFrame = {
-    val snap = snapshotList(db, table)
+    val snap = entryMeta(db, table) // as-of resolution never opens a manifest
       .filter(s => !Instant.parse(s.committedAt).isAfter(ts))
       .maxByOption(_.snapshotId)
       .getOrElse(throw new NoSuchElementException(
@@ -407,7 +595,9 @@ final class SnapshotCatalog(
   /** O(1) metadata-served row count (Iceberg-manifest style; cf. summary
     * population at `1_collect_src_snapshots.py:69`). */
   def recordCount(db: String, table: String, snapshotId: Long): Long =
-    snapshotAt(db, table, snapshotId).recordCount
+    entryMeta(db, table).find(_.snapshotId == snapshotId).getOrElse(
+      throw new NoSuchElementException(s"snapshot $snapshotId not found for $db.$table"))
+      .summary.get("record_count").map(_.toLong).getOrElse(-1L)
 
   // ---- writes / commits ----
 
@@ -437,8 +627,9 @@ final class SnapshotCatalog(
       carryStats: Map[String, Map[String, String]] = Map.empty,
       extraSummary: Map[String, String] = Map.empty): Snapshot = withTableLock(db, table) {
     val tm = meta(db, table)
-    val log = snapshotList(db, table)
-    val prev = log.last
+    val entries = entriesForWrite(db, table)
+    val prevEntry = entries.last
+    val prev = materialize(db, table, prevEntry)
     val newId = prev.snapshotId + 1
     val snapDirRel = s"data/s$newId"
     val snapDir = tablePath(db, table).resolve(s"data").resolve(s"s$newId")
@@ -561,8 +752,13 @@ final class SnapshotCatalog(
         ++ streamEpochTags(prev.summary)
         ++ extraSummary,
       snapSchema.toDDL, allFiles, allFileStats)
-    writeLog(db, table, log :+ snap)
-    snap
+    // append reuses every prior shard and writes O(new files) metadata; a
+    // rewrite's state is its own single shard (its cost is the rewrite's)
+    val (reuse, delta) = operation match {
+      case "append" => (prevEntry.manifests, Manifest(newFiles, newFileStats))
+      case _        => (Seq.empty[String], Manifest(allFiles, allFileStats))
+    }
+    commitSnapshot(db, table, entries, snap, reuse, delta)
   }
 
   // ---- row-level operations (Iceberg DELETE/UPDATE/MERGE surface,
@@ -658,8 +854,9 @@ final class SnapshotCatalog(
       carryFiles: Seq[String] = Seq.empty,
       carryStats: Map[String, Map[String, String]] = Map.empty,
       expectSnapshotId: Option[Long] = None): Snapshot = withTableLock(db, table) {
-    val log = snapshotList(db, table)
-    val prev = log.last
+    val entries = entriesForWrite(db, table)
+    val prevEntry = entries.last
+    val prev = materialize(db, table, prevEntry)
     expectSnapshotId.foreach(id => require(prev.snapshotId == id,
       s"concurrent commit on $db.$table: the rewrite read snapshot $id but " +
         s"the table is now at ${prev.snapshotId}; retry the statement"))
@@ -668,7 +865,7 @@ final class SnapshotCatalog(
       s"carry files not in current snapshot of $db.$table: " +
         missingCarry.take(3).mkString(","))
     adoptDir(db, table, operation, dataDirName, carryFiles, carryStats,
-      Map.empty, log)
+      Map.empty, entries, prevEntry, prev)
   }
 
   /** Commit a data directory populated by the NATIVE streaming write
@@ -685,14 +882,16 @@ final class SnapshotCatalog(
       sinkId: String, epochId: Long): Option[Snapshot] = withTableLock(db, table) {
     require(operation == "append" || operation == "overwrite",
       s"streaming adoption must be append or overwrite, got $operation")
-    val log = snapshotList(db, table)
-    val prev = log.last
+    val entries = entriesForWrite(db, table)
+    val prevEntry = entries.last
     val key = s"stream-epoch.$sinkId"
-    if (prev.summary.get(key).exists(epochId <= _.toLong)) {
-      // replayed batch: drop the duplicate files, don't double-commit
+    if (prevEntry.summary.get(key).exists(epochId <= _.toLong)) {
+      // replayed batch (detected from the pointer log alone): drop the
+      // duplicate files, don't double-commit
       deleteRecursively(tablePath(db, table).resolve("data").resolve(dataDirName))
       None
     } else {
+      val prev = materialize(db, table, prevEntry)
       val missing = prev.schema.fieldNames.filterNot(writeSchema.fieldNames.contains)
       val extra = writeSchema.fieldNames.filterNot(prev.schema.fieldNames.contains)
       require(missing.isEmpty && extra.isEmpty,
@@ -702,7 +901,7 @@ final class SnapshotCatalog(
         if (operation == "append") (prev.files, prev.fileStats)
         else (Seq.empty[String], Map.empty[String, Map[String, String]])
       Some(adoptDir(db, table, operation, dataDirName, carry, carrySt,
-        Map(key -> epochId.toString), log))
+        Map(key -> epochId.toString), entries, prevEntry, prev))
     }
   }
 
@@ -713,8 +912,8 @@ final class SnapshotCatalog(
       dataDirName: String, carryFiles: Seq[String],
       carryStats: Map[String, Map[String, String]],
       extraSummary: Map[String, String],
-      log: Seq[Snapshot]): Snapshot = {
-    val prev = log.last
+      entries: Seq[SnapshotEntry], prevEntry: SnapshotEntry,
+      prev: Snapshot): Snapshot = {
     val newId = prev.snapshotId + 1
     val snapDirRel = s"data/$dataDirName"
     val root = tablePath(db, table)
@@ -743,8 +942,14 @@ final class SnapshotCatalog(
         ++ streamEpochTags(prev.summary)
         ++ extraSummary,
       schema.toDDL, allFiles, allFileStats)
-    writeLog(db, table, log :+ snap)
-    snap
+    // a FULL carry (streaming append epochs) reuses every prior shard and
+    // writes O(new files); a partial carry (prune-aware SQL rewrite) is a
+    // state-defining shard of its own — proportional to the rewrite itself
+    val (reuse, delta) =
+      if (carryFiles.nonEmpty && carryFiles == prev.files)
+        (prevEntry.manifests, Manifest(newFiles, newFileStats))
+      else (Seq.empty[String], Manifest(allFiles, allFileStats))
+    commitSnapshot(db, table, entries, snap, reuse, delta)
   }
 
   /** Roll the table back to an earlier snapshot's state (Iceberg
@@ -754,24 +959,26 @@ final class SnapshotCatalog(
     * itself rollback-able. Pure metadata; no data moves. */
   def rollback(db: String, table: String,
       toSnapshotId: Long): Snapshot = withTableLock(db, table) {
-    val log = snapshotList(db, table)
-    val target = log.find(_.snapshotId == toSnapshotId).getOrElse(
+    val entries = entriesForWrite(db, table)
+    val targetEntry = entries.find(_.snapshotId == toSnapshotId).getOrElse(
       throw new NoSuchElementException(
         s"snapshot $toSnapshotId not found for $db.$table"))
-    val prev = log.last
-    require(prev.snapshotId != toSnapshotId,
+    val prevEntry = entries.last
+    require(prevEntry.snapshotId != toSnapshotId,
       s"table $db.$table is already at snapshot $toSnapshotId")
-    val snap = Snapshot(prev.snapshotId + 1, clock().toString, "rollback",
+    val target = materialize(db, table, targetEntry)
+    val snap = Snapshot(prevEntry.snapshotId + 1, clock().toString, "rollback",
       target.summary
         // the rolled-back-FROM head carries the streaming high-water
         // marks; losing them to the older summary would reopen the
         // replay window
-        ++ streamEpochTags(prev.summary)
+        ++ streamEpochTags(prevEntry.summary)
         + ("rolled_back_to" -> toSnapshotId.toString,
           "added_records" -> "0", "added_files" -> "0"),
       target.schemaDdl, target.files, target.fileStats)
-    writeLog(db, table, log :+ snap)
-    snap
+    // pure pointer commit: re-point at the target's shards, write no O(files)
+    // metadata at all — rollback of a petabyte table is a KB rename
+    commitSnapshot(db, table, entries, snap, targetEntry.manifests, Manifest.empty)
   }
 
   /** Schema-evolution commit (Iceberg `ALTER TABLE ADD COLUMN` semantics):
@@ -783,8 +990,9 @@ final class SnapshotCatalog(
     * stores its own DDL. */
   def evolveSchema(db: String, table: String, newSchema: StructType,
       allowDrop: Boolean = false): Snapshot = withTableLock(db, table) {
-    val log = snapshotList(db, table)
-    val prev = log.last
+    val entries = entriesForWrite(db, table)
+    val prevEntry = entries.last
+    val prev = materialize(db, table, prevEntry)
     val dropped = prev.schema.fieldNames.filterNot(newSchema.fieldNames.contains)
     // Dropping a column is SAFE with name-based mapping: readers project
     // the narrower schema and simply never read the column's pages (data
@@ -810,9 +1018,11 @@ final class SnapshotCatalog(
     // (the rewrite lands files under the post-drop schema).
     val added = newSchema.fieldNames.filterNot(prev.schema.fieldNames.contains)
     val curFiles = prev.files.toSet
+    // the schema probe is pointer-only; only schema-matching historical
+    // snapshots (rare) materialize their file lists
     val resurfacing = added.filter(name =>
-      log.exists(s => s.schema.fieldNames.contains(name) &&
-        s.files.exists(curFiles.contains)))
+      entries.exists(e => e.schema.fieldNames.contains(name) &&
+        materialize(db, table, e).files.exists(curFiles.contains)))
     require(resurfacing.isEmpty,
       s"cannot re-add previously dropped column(s) ${resurfacing.mkString(",")}: " +
         "current data files still contain them under name-based mapping - " +
@@ -830,8 +1040,8 @@ final class SnapshotCatalog(
     val snap = Snapshot(prev.snapshotId + 1, clock().toString, "evolve",
       prev.summary ++ addedStatable + ("added_records" -> "0", "added_files" -> "0"),
       newSchema.toDDL, prev.files, prev.fileStats)
-    writeLog(db, table, log :+ snap)
-    snap
+    // pure pointer commit: same shards, new schema DDL on the entry
+    commitSnapshot(db, table, entries, snap, prevEntry.manifests, Manifest.empty)
   }
 
   /** Update one table property (ALTER TABLE SET/UNSET TBLPROPERTIES). */
@@ -965,17 +1175,28 @@ final class SnapshotCatalog(
     * growth from overwrite/compact chains). Returns deleted file count. */
   def expireSnapshots(db: String, table: String, keepLast: Int): Int = withTableLock(db, table) {
     require(keepLast >= 1, "must keep at least one snapshot")
-    val log = snapshotList(db, table)
-    if (log.size <= keepLast) return 0
-    val (expired, kept) = log.splitAt(log.size - keepLast)
-    val keptFiles = kept.flatMap(_.files).toSet
+    val entries = entriesForWrite(db, table)
+    if (entries.size <= keepLast) return 0
+    val (expired, kept) = entries.splitAt(entries.size - keepLast)
+    val keptFiles = kept.flatMap(materialize(db, table, _).files).toSet
     val root = tablePath(db, table)
-    val doomed = expired.flatMap(_.files).distinct.filterNot(keptFiles.contains)
+    val doomed = expired.flatMap(materialize(db, table, _).files)
+      .distinct.filterNot(keptFiles.contains)
+    // manifest shards referenced only by expired entries go too — shard
+    // garbage must not outlive the pointer entries that own it
+    val keptManifests = kept.flatMap(_.manifests).toSet
+    val doomedManifests = expired.flatMap(_.manifests)
+      .distinct.filterNot(keptManifests.contains)
     // commit the trimmed log FIRST (atomic rename), then delete unreferenced
     // files — Iceberg-style ordering. A crash mid-delete leaves only harmless
     // orphan files a re-run can sweep; the reverse order would leave live log
     // entries pointing at deleted files (readAsOf -> FileNotFound).
-    writeLog(db, table, kept)
+    writeEntries(db, table, kept)
+    doomedManifests.foreach { name =>
+      val p = manifestPath(db, table, name)
+      SnapshotCatalog.manifestCache.remove(p.toAbsolutePath.normalize().toString)
+      if (Files.exists(p)) Files.delete(p)
+    }
     doomed.foreach { f =>
       val p = root.resolve(f)
       if (Files.exists(p)) Files.delete(p)
@@ -1083,9 +1304,6 @@ final class SnapshotCatalog(
       finally stream.close()
     }
 
-  private def writeLog(db: String, table: String, snaps: Seq[Snapshot]): Unit =
-    writeString(logPath(db, table), Json.writePretty(JArr(snaps.toVector.map(_.toJson))))
-
   /** All metadata writes are temp-then-atomic-rename: a crash mid-write
     * must never leave a truncated log.json/table.json behind. */
   private def writeString(p: Path, s: String): Unit = {
@@ -1100,10 +1318,39 @@ final class SnapshotCatalog(
 }
 
 object SnapshotCatalog {
+  /** The two on-disk log formats. v1 (a bare JSON array of full snapshots,
+    * rounds 1-3) is read transparently and migrated to v2 on the first
+    * write; v2 is the sharded format described in the class doc. */
+  private sealed trait LogRepr
+  private final case class LegacyLog(snaps: Seq[Snapshot]) extends LogRepr
+  private final case class V2Log(entries: Seq[SnapshotEntry]) extends LogRepr
+
   /** JVM-wide per-lock-path monitors backing [[withTableLock]]. */
   private val lockMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   /** Lock paths held by the current thread (reentrancy). */
   private val heldLocks: ThreadLocal[java.util.HashSet[String]] =
     ThreadLocal.withInitial(() => new java.util.HashSet[String]())
+
+  /** JVM-wide parsed-manifest LRU, keyed by absolute shard path. Sound
+    * because shards are write-once; bounded so a long-lived session over
+    * many tables can't accumulate every shard it ever resolved. Entries
+    * under a table are purged on drop/recreate (same path, new content is
+    * otherwise impossible by the write-once rule — EXCEPT when the whole
+    * table directory is deleted and rebuilt). */
+  private val manifestCache: java.util.Map[String, Manifest] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Manifest](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Manifest]): Boolean = size() > 1024
+      })
+
+  /** Drop cached shards under `dir` (table/namespace drop or re-create). */
+  private[graft] def purgeManifestCache(dir: Path): Unit = {
+    val prefix = dir.toAbsolutePath.normalize().toString + java.io.File.separator
+    manifestCache.synchronized {
+      val it = manifestCache.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+    }
+  }
 }
