@@ -4,16 +4,15 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -278,35 +277,67 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             }
             override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
               pushable
-            override def build(): Scan = ownScanBuilder(options).build() match {
-              case _: V1Scan => throw new UnsupportedOperationException(
-                s"SQL $opName on a partitioned multi-snapshot-dir table is not " +
-                  "supported - run compact() first or use the library API")
-              case fullScan =>
-                val cond = pushable.map(FilterToColumn(_)).reduceOption(_ && _)
-                val untouched = cond match {
-                  case None => Seq.empty[String]
-                  case Some(c) => cat.pruneFiles(db, table, snap.snapshotId, c)._2
+            override def build(): Scan = {
+              // guard at SCAN build, not builder construction: a
+              // translatable SQL DELETE is downgraded to the
+              // layout-preserving deleteWhere path before this scan is ever
+              // built — only a real rewrite reaches here, and a bucketed
+              // rewrite would both expose the hidden __bucket column to
+              // Spark's output-attribute mapping and drop the layout
+              if (tableMeta.bucketSpec.isDefined)
+                throw new UnsupportedOperationException(
+                  s"SQL $opName rewrite on BUCKETED table $db.$table is not supported - " +
+                    "use the library delete/update/upsert (they preserve the bucket layout)")
+              val fullScan = ownScanBuilder(options).build()
+              val cond = pushable.map(FilterToColumn(_)).reduceOption(_ && _)
+              val untouched = cond match {
+                case None => Seq.empty[String]
+                case Some(c) => cat.pruneFiles(db, table, snap.snapshotId, c)._2
+              }
+              rewriteCarry = Some((snap.snapshotId, untouched))
+              if (untouched.isEmpty) new PlainBatchScan(fullScan)
+              else {
+                val root = java.nio.file.Paths.get(warehouse, db, table)
+                val cands = snap.files.filterNot(untouched.contains)
+                // stock vectorized scan over the candidate files, NO row
+                // filters (every row of a candidate file must reach the
+                // rewrite query) and no column pruning (full table schema);
+                // candidates spanning several PARTITIONED snapshot dirs get
+                // one sub-scan per dir (each with its own basePath), same
+                // assembly as every other read of that shape
+                def scanFor(name: String, fs: Seq[String],
+                    basePathDir: Option[String]): Scan = {
+                  val opts: Map[String, String] = basePathDir match {
+                    case Some(d) => Map("basePath" -> root.resolve(d).toString)
+                    case None => Map.empty
+                  }
+                  org.apache.spark.sql.GraftScanUtils.parquetScanFor(spark, name,
+                    fs.map(f => root.resolve(f).toString), snap.schema,
+                    new CaseInsensitiveStringMap(opts.asJava), Nil, None)
                 }
-                rewriteCarry = Some((snap.snapshotId, untouched))
-                if (untouched.isEmpty) new PlainBatchScan(fullScan)
-                else {
-                  val root = java.nio.file.Paths.get(warehouse, db, table)
-                  val cands = snap.files.filterNot(untouched.contains)
-                  val dirs = snap.files.map(_.split("/").take(2).mkString("/")).distinct
-                  val opts: Map[String, String] =
-                    if (tableMeta.partitionCols.isEmpty) Map.empty
-                    else Map("basePath" -> root.resolve(dirs.head).toString)
-                  // stock vectorized scan over the candidate files, NO row
-                  // filters (every row of a candidate file must reach the
-                  // rewrite query) and no column pruning (full table schema)
-                  val inner = ParquetTable(s"$tableName $opName candidates", spark,
-                    new CaseInsensitiveStringMap(opts.asJava),
-                    cands.map(f => root.resolve(f).toString),
-                    Some(snap.schema), classOf[ParquetFileFormat])
-                    .newScanBuilder(new CaseInsensitiveStringMap(opts.asJava)).build()
-                  new PlainBatchScan(inner)
-                }
+                val inner =
+                  if (tableMeta.partitionCols.isEmpty)
+                    scanFor(s"$tableName $opName candidates", cands, None)
+                  else {
+                    val byDir = cands.groupBy(_.split("/").take(2).mkString("/"))
+                      .toSeq.sortBy(_._1)
+                    byDir match {
+                      // every file provably untouched: the rewrite scan is
+                      // EMPTY (carried files alone define the new state)
+                      case Seq() =>
+                        scanFor(s"$tableName $opName candidates", Seq.empty, None)
+                      case Seq((d, fs)) =>
+                        scanFor(s"$tableName $opName candidates", fs, Some(d))
+                      case many =>
+                        val subs = many.map { case (d, fs) =>
+                          scanFor(s"$tableName $opName candidates $d", fs, Some(d))
+                        }
+                        new UnionDirScan(subs.head, subs,
+                          s"$catalogName.$db.$table $opName")
+                    }
+                  }
+                new PlainBatchScan(inner)
+              }
             }
           }
         override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder = {
@@ -367,79 +398,95 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
 
     /** Scan over THIS table's snapshot (reader options already resolved).
       *
-      * Fast path: one [[ParquetTable]] over the snapshot's file list —
-      * stock vectorized scan, full pushdown. Hive-style partition dirs
-      * resolve via basePath; a PARTITIONED table whose file list spans
-      * several snapshot dirs (append after append) has no single basePath,
-      * so that shape reads through the library path (per-dir basePath
-      * groups, unioned — `SnapshotCatalog.readAsOf`) bridged as a V1 scan:
-      * always correct; scan-level pushdown is reduced on that shape until
-      * `compact()` rewrites into one dir. */
+      * One [[GraftPruningScanBuilder]] (file-level data skipping from
+      * footer stats, then Spark's stock vectorized parquet scan — full
+      * pushdown/pruning/codegen) for every shape. Hive-style partition
+      * dirs resolve via basePath; a PARTITIONED table whose file list
+      * spans several snapshot dirs (append after append) has no single
+      * basePath, so that shape assembles ONE PUSHED+PRUNED SUB-SCAN PER
+      * DIR (each with its own basePath) and concatenates their input
+      * partitions ([[UnionDirScan]] / [[UnionBatch]]) — scan-level
+      * pushdown stays live, unlike the round-3 V1 TableScan bridge this
+      * replaces. Bucketed tables get the same per-dir treatment inside
+      * each bucket's batch, so storage-partitioned joins survive appends
+      * (no more compact()-before-SPJ requirement). */
     private[spark] def ownScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
       val root = java.nio.file.Paths.get(warehouse, db, table)
       val dirs = snap.files.map(_.split("/").take(2).mkString("/")).distinct
-      if (tableMeta.partitionCols.nonEmpty && dirs.size > 1) {
-        // the SQL-VISIBLE schema: bucketed tables hide __bucket, and the
-        // V1 bridge must agree with the relation schema or reads of a
-        // bucketed table with >1 snapshot dir fail on arity (SPJ itself
-        // degrades on this shape until compact() consolidates — documented)
-        val visibleSchema = schema()
-        val snapId = snap.snapshotId
-        () => new V1Scan {
-          override def readSchema(): StructType = visibleSchema
-          override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
-            (new BaseRelation with TableScan {
-              override def sqlContext: SQLContext = context
-              override def schema: StructType = visibleSchema
-              override def buildScan(): RDD[Row] = cat.readAsOf(db, table, snapId)
-                .select(visibleSchema.fieldNames.map(n =>
-                  org.apache.spark.sql.functions.col(s"`$n`")).toIndexedSeq: _*).rdd
-            }).asInstanceOf[T]
-          // MICRO_BATCH_READ is a table-level capability; this scan shape
-          // (partitioned, multiple snapshot dirs) cannot stream — say so
-          // instead of the default bare UnsupportedOperationException
-          override def toMicroBatchStream(checkpointLocation: String)
-              : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-            throw new UnsupportedOperationException(
-              s"streaming read of PARTITIONED table $db.$table is not supported - " +
-                "stream an unpartitioned table or use readIncremental")
+      val partitioned = tableMeta.partitionCols.nonEmpty
+      val multiDir = partitioned && dirs.size > 1
+      // a dir is hive-laid when its files sit under name=value partition
+      // dirs; rewrite dirs are FLAT (partition cols in file content).
+      // Mixed layouts make partition filters only advisorily enforceable
+      // on the flat dirs — see allResidual below.
+      val mixedLayout = multiDir && {
+        val layouts = snap.files.groupBy(_.split("/").take(2).mkString("/"))
+          .values.map(_.exists(_.split("/").drop(2).exists(_.contains("="))))
+        layouts.toSet.size > 1
+      }
+      val rootPrefix = root.toString + java.io.File.separator
+      // relative snapshot dir of an absolute file path (wrapScan callbacks
+      // receive absolute paths)
+      def dirOf(abs: String): String =
+        abs.stripPrefix(rootPrefix).split("/").take(2).mkString("/")
+      def dirOpts(dir: String): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(
+          Map("basePath" -> root.resolve(dir).toString).asJava)
+      val opts: Map[String, String] =
+        if (!partitioned || snap.files.isEmpty) Map.empty
+        else Map("basePath" -> root.resolve(dirs.head).toString)
+      val snapSchema = snap.schema
+      // per-dir pushed+pruned stock sub-scans over a kept-file subset —
+      // the assembly unit for multi-dir unions and bucket batches
+      def dirScans(name: String, files: Seq[String],
+          pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+          required: Option[StructType]): Seq[Scan] =
+        files.groupBy(dirOf).toSeq.sortBy(_._1).map { case (d, fs) =>
+          org.apache.spark.sql.GraftScanUtils.parquetScanFor(spark, s"$name $d",
+            fs, snapSchema, dirOpts(d), pushed, required)
         }
-      } else {
-        val opts: Map[String, String] =
-          if (tableMeta.partitionCols.isEmpty || snap.files.isEmpty) Map.empty
-          else Map("basePath" -> root.resolve(dirs.head).toString)
-        // file-level data skipping in front of the stock vectorized scan:
-        // pushed filters prune the FILE LIST via per-file footer stats
-        // before tasks are planned (graft.catalog.FileStats)
-        val snapSchema = snap.schema
-        new org.apache.spark.sql.GraftPruningScanBuilder(spark, tableName,
-          snap.files.map(f => (root.resolve(f).toString, snap.fileStats.get(f))),
-          snapSchema,
-          new CaseInsensitiveStringMap(opts.asJava),
-          (stats, conjuncts) =>
-            conjuncts.forall(p => graft.catalog.FileStats.mayMatch(stats, snapSchema, p)),
-          wrapScan = (scan, keptFiles, pushedExprs, requiredSchema) => bucketSpec match {
-            // bucketed table: report key-grouped partitioning and emit one
-            // keyed partition group per __bucket=b dir, so co-bucketed
-            // joins plan with zero exchanges (SPJ). Per-bucket batches
-            // rebuild from the PRUNED file list with the SAME pushed
-            // filters and column pruning — the data-skipping layer stays
-            // live on the bucketed path.
-            case Some((bCol, n)) =>
-              def bucketBatch(b: Int): org.apache.spark.sql.connector.read.Batch = {
-                val files = keptFiles.filter(_.contains(s"/__bucket=$b/"))
-                if (files.isEmpty) return ScanDefaults.emptyBatch
+      new org.apache.spark.sql.GraftPruningScanBuilder(spark, tableName,
+        snap.files.map(f => (root.resolve(f).toString, snap.fileStats.get(f))),
+        snapSchema,
+        new CaseInsensitiveStringMap(opts.asJava),
+        (stats, conjuncts) =>
+          conjuncts.forall(p => graft.catalog.FileStats.mayMatch(stats, snapSchema, p)),
+        // multi-dir: the template builder negotiates pushdown over ONE
+        // dir's files (a single-basePath subset); wrapScan re-plans the
+        // full kept list per dir below
+        planFiles = if (multiDir) _.filter(f => dirOf(f) == dirs.head) else identity,
+        allResidual = mixedLayout,
+        wrapScan = (scan, keptFiles, pushedExprs, requiredSchema) => bucketSpec match {
+          // bucketed table: report key-grouped partitioning and emit one
+          // keyed partition group per __bucket=b, so co-bucketed joins
+          // plan with zero exchanges (SPJ). Per-bucket batches rebuild
+          // from the PRUNED file list with the SAME pushed filters and
+          // column pruning — the data-skipping layer stays live, and a
+          // bucket's files may span snapshot dirs (per-dir batches union).
+          case Some((bCol, n)) =>
+            def bucketBatch(b: Int): org.apache.spark.sql.connector.read.Batch = {
+              val files = keptFiles.filter(_.contains(s"/__bucket=$b/"))
+              if (files.isEmpty) ScanDefaults.emptyBatch
+              else if (!multiDir)
                 org.apache.spark.sql.GraftScanUtils.parquetBatchFor(spark,
                   s"$tableName b$b", files, snapSchema,
                   new CaseInsensitiveStringMap(opts.asJava),
                   pushedExprs, requiredSchema)
-              }
-              new BucketedScan(scan, n, Expressions.bucket(n, bCol),
-                s"$catalogName.$db.$table", bucketBatch)
-            case None => new SnapStreamableScan(scan, db, table,
-              partitioned = tableMeta.partitionCols.nonEmpty, opts, options)
-          })
-      }
+              else new UnionBatch(
+                dirScans(s"$tableName b$b", files, pushedExprs, requiredSchema)
+                  .map(_.toBatch))
+            }
+            new BucketedScan(scan, n, Expressions.bucket(n, bCol),
+              s"$catalogName.$db.$table", bucketBatch)
+          case None if multiDir =>
+            val union = new UnionDirScan(scan,
+              dirScans(tableName, keptFiles, pushedExprs, requiredSchema),
+              s"$catalogName.$db.$table")
+            new SnapStreamableScan(union, db, table, partitioned = true,
+              opts, options)
+          case None => new SnapStreamableScan(scan, db, table,
+            partitioned = partitioned, opts, options)
+        })
     }
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

@@ -33,16 +33,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * graft.catalog.spark.BucketedScan — [[SupportsPushDownCatalystFilters]]
   * is `private[sql]`, so the replay of pushed filters must happen here). */
 object GraftScanUtils {
-  def parquetBatchFor(spark: SparkSession, name: String, files: Seq[String],
+  /** Pushed-down, column-pruned stock parquet [[Scan]] over an explicit
+    * file list — the building block for per-bucket sub-scans AND per-dir
+    * union scans (partitioned tables spanning several snapshot dirs). */
+  def parquetScanFor(spark: SparkSession, name: String, files: Seq[String],
       schema: StructType, options: CaseInsensitiveStringMap,
       pushed: Seq[Expression],
-      required: Option[StructType]): org.apache.spark.sql.connector.read.Batch = {
+      required: Option[StructType]): Scan = {
     val builder = ParquetTable(name, spark, options, files, Some(schema),
       classOf[ParquetFileFormat]).newScanBuilder(options)
     builder.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushed)
     required.foreach(builder.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns)
-    builder.build().toBatch
+    builder.build()
   }
+
+  def parquetBatchFor(spark: SparkSession, name: String, files: Seq[String],
+      schema: StructType, options: CaseInsensitiveStringMap,
+      pushed: Seq[Expression],
+      required: Option[StructType]): org.apache.spark.sql.connector.read.Batch =
+    parquetScanFor(spark, name, files, schema, options, pushed, required).toBatch
 }
 
 class GraftPruningScanBuilder(
@@ -53,10 +62,25 @@ class GraftPruningScanBuilder(
     options: CaseInsensitiveStringMap,
     mayMatch: (Map[String, String], Seq[Expression]) => Boolean,
     // (scan, keptFiles, pushedFilters, requiredSchema) — lets wrappers
-    // (bucketed scans) rebuild sub-scans WITHOUT losing the file pruning
-    // and pushdown this builder computed
+    // (bucketed scans, per-dir union scans) rebuild sub-scans WITHOUT
+    // losing the file pruning and pushdown this builder computed
     wrapScan: (Scan, Seq[String], Seq[Expression], Option[StructType]) => Scan =
-      (s, _, _, _) => s)
+      (s, _, _, _) => s,
+    // restricts which files the INNER (template) builder is constructed
+    // over — a partitioned table spanning several snapshot dirs has no
+    // single basePath, so its template builds over one dir's files (it only
+    // negotiates pushdown/pruning and provides readSchema) while wrapScan
+    // receives the FULL kept list to assemble per-dir sub-scans
+    planFiles: Seq[String] => Seq[String] = identity,
+    // report EVERY filter as a post-scan residual. Required when snapshot
+    // dirs have MIXED layouts (hive-laid appends + flat rewrite dirs): a
+    // hive-laid template would report partition filters as consumed, but a
+    // flat sub-scan stores the partition column in file CONTENT and can
+    // only apply the filter advisorily — Spark must keep exact evaluation
+    // above the scan (which also keeps the filter's columns in the read
+    // schema). Sub-scans still consume the pushed filters internally for
+    // partition-dir pruning and row-group skipping.
+    allResidual: Boolean = false)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
@@ -68,14 +92,15 @@ class GraftPruningScanBuilder(
     ParquetTable(tableName, spark, options, paths, Some(schema), classOf[ParquetFileFormat])
       .newScanBuilder(options)
 
-  // answers the pushdown protocol over the FULL file list (cheap: file
+  // answers the pushdown protocol over the plannable file list (cheap: file
   // index construction only); the pruned builder is built at build() time,
   // when all conjuncts are known
-  private lazy val probe = mkInner(files.map(_._1))
+  private lazy val probe = mkInner(planFiles(files.map(_._1)))
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushedExprs = filters
-    probe.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(filters)
+    val residual = probe.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(filters)
+    if (allResidual) filters else residual
   }
 
   override def pushedFilters(): Array[Predicate] =
@@ -89,7 +114,7 @@ class GraftPruningScanBuilder(
     val kept = files.collect {
       case (p, st) if st.forall(m => mayMatch(m, pushedExprs)) => p
     }
-    val inner = mkInner(kept)
+    val inner = mkInner(planFiles(kept))
     inner.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
     required.foreach(inner.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns)
     wrapScan(inner.build(), kept, pushedExprs, required)

@@ -125,14 +125,46 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     spark.sql("INSERT INTO snapcat.dbp.p VALUES (1, 'a')")
     spark.sql("INSERT INTO snapcat.dbp.p VALUES (2, 'b')")   // 2 snapshot dirs now
     spark.sql("INSERT INTO snapcat.dbp.p VALUES (3, 'a')")   // 3 dirs
-    // multi-snapshot-dir partitioned reads route through the library path
-    // (per-dir basePath groups, unioned) — no compaction required
-    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbp.p WHERE flag = 'a'").head.getLong(0) == 2)
+    // multi-snapshot-dir partitioned reads assemble one pushed+pruned V2
+    // sub-scan per dir (UnionDirScan) — no compaction required, and the
+    // plan keeps scan-level pushdown (the round-3 V1 bridge lost it)
+    val filtered = spark.sql("SELECT count(*) AS c FROM snapcat.dbp.p WHERE flag = 'a'")
+    assert(filtered.head.getLong(0) == 2)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(!plan.contains("RowDataSourceScan"), plan.take(1500)) // no V1 bridge
+    assert(plan.contains("BatchScan"), plan.take(1500))
     assert(spark.sql("SELECT sum(id) AS s FROM snapcat.dbp.p").head.getLong(0) == 6)
-    // compaction still upgrades the plan back to the single vectorized scan
+    // compaction still consolidates back to the single vectorized scan
     new SnapshotCatalog(spark, wh).compact("dbp", "p", numFiles = 1)
     val df = spark.sql("SELECT count(*) AS c FROM snapcat.dbp.p WHERE flag = 'a'")
     assert(df.head.getLong(0) == 2)
+  }
+
+  test("SQL UPDATE and MERGE work on a partitioned MULTI-dir table") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbpm")
+    spark.sql("CREATE TABLE snapcat.dbpm.p (id BIGINT, flag STRING) PARTITIONED BY (flag)")
+    spark.sql("INSERT INTO snapcat.dbpm.p VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO snapcat.dbpm.p VALUES (3, 'a'), (4, 'c')") // 2 snapshot dirs
+    // the rewrite scan unions per-dir candidate sub-scans — previously
+    // rejected with "run compact() first"
+    spark.sql("UPDATE snapcat.dbpm.p SET flag = 'z' WHERE id IN (2, 3)")
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbpm.p WHERE flag = 'z'")
+      .head.getLong(0) == 2)
+    assert(spark.sql("SELECT sum(id) AS s FROM snapcat.dbpm.p").head.getLong(0) == 10)
+    // MERGE over the (now again multi-dir) shape: one more append first
+    spark.sql("INSERT INTO snapcat.dbpm.p VALUES (5, 'a')")
+    spark.sql(
+      """MERGE INTO snapcat.dbpm.p t USING (SELECT CAST(5 AS BIGINT) AS id, 'm' AS flag
+        |UNION ALL SELECT CAST(6 AS BIGINT), 'm') s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbpm.p WHERE flag = 'm'")
+      .head.getLong(0) == 2)
+    assert(spark.sql("SELECT sum(id) AS s FROM snapcat.dbpm.p").head.getLong(0) == 21)
+    // complex DELETE (non-translatable predicate) on the multi-dir shape
+    spark.sql("DELETE FROM snapcat.dbpm.p WHERE id % 2 = 0")
+    assert(spark.sql("SELECT sum(id) AS s FROM snapcat.dbpm.p").head.getLong(0) == 9)
   }
 
   test("df.write.saveAsTable: create-on-write, append, overwrite keep snapshot history") {
@@ -603,18 +635,27 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      val joined = spark.sql(
-        """SELECT f.k, f.fv, d.dv FROM snapcat.dbb.facts f
-          |JOIN snapcat.dbb.dims d ON f.k = d.k""".stripMargin)
-      val rows = joined.as[(Long, String, String)].collect().sortBy(_._1)
-      assert(rows.length == 50)
-      assert(rows.head == ((1L, "f1", "d1")) && rows.last == ((50L, "f50", "d50")))
-      val shuffles = joined.queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      def assertSpj(expectRows: Int): Unit = {
+        val joined = spark.sql(
+          """SELECT f.k, f.fv, d.dv FROM snapcat.dbb.facts f
+            |JOIN snapcat.dbb.dims d ON f.k = d.k""".stripMargin)
+        val rows = joined.as[(Long, String, String)].collect().sortBy(_._1)
+        assert(rows.length == expectRows)
+        assert(rows.head == ((1L, "f1", "d1")) && rows.last == ((50L, "f50", "d50")))
+        val shuffles = joined.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(shuffles.isEmpty,
+          s"expected a storage-partitioned join with zero exchanges, got:\n" +
+            joined.queryExecution.executedPlan.toString.take(2000))
       }
-      assert(shuffles.isEmpty,
-        s"expected a storage-partitioned join with zero exchanges, got:\n" +
-          joined.queryExecution.executedPlan.toString.take(2000))
+      assertSpj(expectRows = 50)
+      // a second append puts facts across TWO snapshot dirs: each bucket's
+      // batch unions per-dir sub-scans, so SPJ survives appends (round 3
+      // required compact() first on this shape)
+      cat.appendBucketed("dbb", "facts",
+        (301L to 320L).map(k => (k, s"f$k")).toDF("k", "fv"))
+      assertSpj(expectRows = 50)
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
@@ -637,18 +678,15 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     // NULL keys land in bucket 0 and stay VISIBLE to bucketed reads
     spark.sql("INSERT INTO snapcat.dbbq.t VALUES (NULL, 'n')")
     assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbbq.t").head.getLong(0) == 4)
-    // a second append spans snapshot dirs: reads stay correct (SPJ itself
-    // needs compact() on that shape) and the hidden column stays hidden
+    // a second append spans snapshot dirs: reads stay correct (per-dir
+    // bucket batches union) and the hidden column stays hidden
     assert(spark.table("snapcat.dbbq.t").schema.fieldNames.toSeq == Seq("k", "v"))
     assert(spark.sql("SELECT sum(k) AS s FROM snapcat.dbbq.t").head.getLong(0) == 12)
     // the V2 rewrite path would lose the layout: rejected with guidance
-    // (on this multi-dir shape the scan-side guard fires first; both
-    // messages guide the user)
     val e = intercept[Exception] {
       spark.sql("UPDATE snapcat.dbbq.t SET v = 'x' WHERE k = 1")
     }
-    assert(e.getMessage.contains("BUCKETED") || e.getMessage.contains("compact() first"),
-      e.getMessage)
+    assert(e.getMessage.contains("BUCKETED"), e.getMessage)
     // ...but a TRANSLATABLE SQL DELETE rides the layout-preserving
     // deleteWhere path and works
     spark.sql("DELETE FROM snapcat.dbbq.t WHERE k = 9")
