@@ -43,7 +43,19 @@ object SparkEntry {
 
   /** Pre-builds cached fixtures so Bench timings measure queries, not setup. */
   def prepare(spark: SparkSession, dir: String): Unit = {
-    WarehouseFixture.forDir(spark, dir); ()
+    // Session settings individual queries rely on, set ONCE up front so
+    // every query sees identical session state regardless of execution
+    // order. The bench runs the map alphabetically and a mid-run conf flip
+    // is a measurement-interference source (the r3 q43/q44 "regressions"
+    // reproduced at r2 speed in isolation — shared-session noise, not
+    // code). The per-query conf.sets remain as idempotent guards for
+    // callers that invoke a query without prepare().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val fx = WarehouseFixture.forDir(spark, dir)
+    spark.conf.set("spark.sql.catalog.snapfix", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapfix.warehouse", fx.src.warehouse)
+    ()
   }
 
   // -------------------------------------------------------------------
@@ -741,34 +753,91 @@ object SparkEntry {
       Dedup.clusters(pairs).orderBy("doc_id")
     }),
 
-    // exact grouped percentiles over integer cents, SCALE-SOUND: Spark's
-    // percentile() buffers every group's values in executor memory — fine
-    // at sf0.1, an OOM at 100 TB. This computes the identical quantiles
-    // via a sort-based window rank: one shuffle-sort per group, pick the
-    // two boundary rows per quartile, interpolate. Quartile positions
+    // exact grouped percentiles over integer cents, SCALE-SOUND twice over:
+    // Spark's percentile() buffers every group's values in executor memory
+    // (OOM at 100 TB), and a per-group window sort funnels each group
+    // through ONE task (a 3-value group column sends a third of the table
+    // through a single straggler). This is histogram SELECTION instead:
+    // (0) per-group min/max — one column-pruned agg scan;
+    // (1) one hash-partitioned (group, bucket) count pass — map-side
+    //     combined, ≤ groups×1024 rows to the driver (KB);
+    // (2) row_number ONLY inside the ≤ 2 buckets per quartile that contain
+    //     a target rank (each ~1/1024 of a group), reading just those rows.
+    // No full-table shuffle or sort at any point; every pass is fully
+    // parallel. Deterministic width_bucket assignment (NOT a sampled range
+    // partitioner: the count pass and the pick pass must agree on
+    // placement across separate executions). Quartile positions
     // interpolate with exactly-representable fractions over integers <
     // 2^52, so the result matches DuckDB's quantile_cont bit-for-bit.
     "q58_percentiles" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val cents = floor(col("o_totalprice") * 100).cast("long").cast("double")
-      val w = Window.partitionBy("o_orderstatus").orderBy("c")
-      val wAll = Window.partitionBy("o_orderstatus")
-      val ranked = T(s, dir, "orders")
-        .select(col("o_orderstatus"), cents.as("c"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wAll))
-      def quantile(p: Double): Column = {
-        val pos = (col("n") - 1) * p
-        val lo = floor(pos) + 1 // row_number is 1-based
-        val hi = ceil(pos) + 1
-        val frac = pos - floor(pos)
-        sum(when(col("rn") === lo, (lit(1.0) - frac) * col("c")).otherwise(0.0) +
-          when(col("rn") === hi && hi =!= lo, frac * col("c")).otherwise(0.0))
+      val qs = Seq(0.25, 0.5, 0.75)
+      val nB = 1024
+      val data = T(s, dir, "orders")
+        .select(col("o_orderstatus").as("g"),
+          floor(col("o_totalprice") * 100).cast("long").cast("double").as("c"))
+        .where(col("c").isNotNull)
+      val bounds = data.groupBy("g").agg(min("c").as("mn"), max("c").as("mx"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val bucketCol = bounds.foldLeft(lit(null).cast("int")) {
+        case (acc, (g, (mn, mx))) => when(col("g") === g,
+          least(greatest(width_bucket(col("c"), lit(mn), lit(mx + 1.0), lit(nB)),
+            lit(1)), lit(nB)).cast("int")).otherwise(acc)
       }
-      ranked.groupBy("o_orderstatus")
-        .agg(quantile(0.25).as("p25_cents"),
-          quantile(0.5).as("median_cents"),
-          quantile(0.75).as("p75_cents"))
+      val hist = data.withColumn("b", bucketCol).groupBy("g", "b").count()
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      // driver: locate each quartile's boundary ranks in their buckets
+      // (state is O(groups × buckets) counts — scale-independent)
+      final case class Pick(g: String, b: Int, localRank: Long, globalRank: Long)
+      val groups = bounds.keys.toSeq.sorted
+      val perGroup = groups.map { g =>
+        val bs = (1 to nB).map(b => b -> hist.getOrElse((g, b), 0L))
+        val n = bs.map(_._2).sum
+        def locate(rank: Long): Pick = {
+          var cum = 0L
+          var res: Pick = null
+          val it = bs.iterator
+          while (res == null && it.hasNext) {
+            val (b, cnt) = it.next()
+            if (rank <= cum + cnt) res = Pick(g, b, rank - cum, rank) else cum += cnt
+          }
+          if (res == null)
+            throw new IllegalStateException(s"rank $rank beyond group size $cum")
+          res
+        }
+        val ranks = qs.flatMap { p =>
+          val pos = (n - 1) * p
+          Seq(math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1)
+        }.distinct
+        g -> (n, ranks.map(locate))
+      }.toMap
+      val picks = perGroup.values.flatMap(_._2).toSeq
+      val neededKeys = picks.map(p => s"${p.g}#${p.b}").distinct
+      val w = Window.partitionBy("g", "b").orderBy("c")
+      val picked = data.withColumn("b", bucketCol)
+        .where(concat_ws("#", col("g"), col("b")).isin(neededKeys: _*))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn").isin(picks.map(_.localRank).distinct: _*))
+        .select("g", "b", "rn", "c").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2).toLong) -> r.getDouble(3))
+        .toMap
+      def valueAt(g: String, rank: Long): Double = {
+        val p = perGroup(g)._2.find(_.globalRank == rank).get
+        picked((g, p.b, p.localRank))
+      }
+      import s.implicits._
+      groups.map { g =>
+        val n = perGroup(g)._1
+        def quantile(p: Double): Double = {
+          val pos = (n - 1) * p
+          val lo = math.floor(pos).toLong + 1 // ranks are 1-based
+          val hi = math.ceil(pos).toLong + 1
+          val frac = pos - math.floor(pos)
+          // same arithmetic shape as quantile_cont: (1-frac)·lo + frac·hi
+          (1.0 - frac) * valueAt(g, lo) + (if (hi != lo) frac * valueAt(g, hi) else 0.0)
+        }
+        (g, quantile(0.25), quantile(0.5), quantile(0.75))
+      }.toDF("o_orderstatus", "p25_cents", "median_cents", "p75_cents")
         .orderBy("o_orderstatus")
     }),
 

@@ -185,13 +185,15 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("dlabel").as("nlabel"))
+      // carry the OLD label through the checkpoint so convergence is a
+      // count over the already-materialized blocks — the check used to be
+      // its own join+shuffle job per round, doubling the hot loop's cost
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .where(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("label") =!= col("old")).count()
+      labels = next.select("id", "label")
       round += 1
     }
     require(changed == 0, s"label propagation did not converge in $maxRounds rounds")

@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Target driver-side IVF training-sample size when `sampleMod` is
+    * derived (see [[ivfTopK]]): ~100k rows ≈ 50 MB of 64-dim vectors —
+    * ample for a coarse quantizer, safely under the hard
+    * `maxSample` bound `trainIvfCentroids` enforces. */
+  val IvfTargetSample: Long = 100000L
+
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
   /** Native compiled dot (double accumulation, handles float/double arrays)
@@ -260,8 +266,20 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nlist: Int = 8, nprobe: Int = 3, iters: Int = 2,
-      sampleMod: Long = 3): DataFrame = {
-    val cents = trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters, sampleMod)
+      sampleMod: Long = 0): DataFrame = {
+    // sampleMod <= 0 means DERIVE from the corpus size so the driver-side
+    // training sample stays ~IvfTargetSample rows without the caller tuning
+    // anything (a fixed small default meant "collect a third of the corpus"
+    // — an OOM waiting for any corpus past a few hundred thousand rows).
+    // One count job; the sampling stays a deterministic pure function of
+    // the corpus, so an oracle replaying training derives the same mod.
+    val mod =
+      if (sampleMod > 0) sampleMod
+      else {
+        val n = corpus.select(col(corpusId)).count()
+        math.max(1L, (n + IvfTargetSample - 1) / IvfTargetSample)
+      }
+    val cents = trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters, mod)
     val c = corpus.select(col(corpusId), col(corpusVec), norm(col(corpusVec)).as("_cn"),
       ivfCell(quantize(col(corpusVec)), cents).as("cell"))
     val q = queries.select(col(queryId), col(queryVec), norm(col(queryVec)).as("_qn"),
