@@ -482,10 +482,9 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             val union = new UnionDirScan(scan,
               dirScans(tableName, keptFiles, pushedExprs, requiredSchema),
               s"$catalogName.$db.$table")
-            new SnapStreamableScan(union, db, table, partitioned = true,
-              opts, options)
+            new SnapStreamableScan(union, db, table, partitioned = true, options)
           case None => new SnapStreamableScan(scan, db, table,
-            partitioned = partitioned, opts, options)
+            partitioned = partitioned, options)
         })
     }
 
@@ -519,7 +518,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * works like Iceberg's incremental streaming read. Statistics are
     * forwarded so AQE/join estimates keep working on the batch side. */
   private final class SnapStreamableScan(val delegate: Scan, db: String, table: String,
-      partitioned: Boolean, baseOpts: Map[String, String], options: CaseInsensitiveStringMap)
+      partitioned: Boolean, options: CaseInsensitiveStringMap)
       extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     override def readSchema(): StructType = delegate.readSchema()
@@ -529,14 +528,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       delegate.columnarSupportMode()
     override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
       ScanDefaults.statisticsOf(delegate)
-    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-      // new appends land in NEW snapshot dirs, whose Hive partition dirs
-      // would need a per-batch basePath — unsupported shape, fail clearly
-      if (partitioned) throw new UnsupportedOperationException(
-        s"streaming read of PARTITIONED table $db.$table is not supported - " +
-          "stream an unpartitioned table or use readIncremental")
-      new SnapAppendStream(db, table, readSchema(), baseOpts, options)
-    }
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new SnapAppendStream(db, table, readSchema(), partitioned, options)
     // canonicalized-plan equality delegates to the stock scan's structural
     // equality, so a self-join's two identical snapcat scans still
     // canonicalize equal and ReuseExchange/scan-reuse keep working
@@ -560,7 +553,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * `.option("starting-snapshot-id", n)` backfills from an earlier
     * snapshot first. */
   private final class SnapAppendStream(db: String, table: String,
-      prunedSchema: StructType, baseOpts: Map[String, String],
+      prunedSchema: StructType, partitioned: Boolean,
       options: CaseInsensitiveStringMap)
       extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
     import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
@@ -588,11 +581,11 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     override def stop(): Unit = ()
 
     /** Pruned-schema batch over an explicit absolute-file list. */
-    private def batchFor(files: Seq[String]): Batch = {
-      val builder = ParquetTable(s"$db.$table stream", spark,
-        new CaseInsensitiveStringMap(baseOpts.asJava), files,
+    private def batchFor(opts: Map[String, String], files: Seq[String]): Batch = {
+      val cism = new CaseInsensitiveStringMap(opts.asJava)
+      val builder = ParquetTable(s"$db.$table stream", spark, cism, files,
         Some(cat.currentSnapshot(db, table).schema), classOf[ParquetFileFormat])
-        .newScanBuilder(new CaseInsensitiveStringMap(baseOpts.asJava))
+        .newScanBuilder(cism)
       builder.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
         .pruneColumns(prunedSchema)
       builder.build().toBatch
@@ -613,11 +606,25 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       val fromFiles = cat.snapshotAt(db, table, s).files.toSet
       val added = cat.snapshotAt(db, table, e).files.filterNot(fromFiles)
       val root = java.nio.file.Paths.get(warehouse, db, table)
-      batchFor(added.map(f => root.resolve(f).toString)).planInputPartitions()
+      // PARTITIONED tables: each appended snapshot dir is hive-laid, so the
+      // batch assembles per dir with that dir's basePath (same per-dir
+      // treatment as the batch read path) and every planned partition
+      // carries its own reader factory — the stream-level factory exists
+      // before these dirs do
+      val byDir =
+        if (partitioned) added.groupBy(_.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+        else Seq("" -> added)
+      byDir.flatMap { case (dir, fs) =>
+        val opts: Map[String, String] =
+          if (partitioned) Map("basePath" -> root.resolve(dir).toString)
+          else Map.empty
+        val b = batchFor(opts, fs.map(f => root.resolve(f).toString))
+        val factory = b.createReaderFactory()
+        b.planInputPartitions().map(p => CarriedFactoryPartition(p, factory))
+      }.toArray
     }
 
-    override def createReaderFactory(): PartitionReaderFactory =
-      batchFor(Seq.empty).createReaderFactory()
+    override def createReaderFactory(): PartitionReaderFactory = CarryingReaderFactory
   }
 
   /** A [[Scan]] exposing ONLY batch reading: the row-level rewrite reads

@@ -79,11 +79,13 @@ private[spark] final class UnionDirScan(
     }
   }
 
+  // unreachable through the plugin (SnapStreamableScan owns the streaming
+  // personality, including partitioned tails); defensive for direct use
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     throw new UnsupportedOperationException(
-      s"streaming read of PARTITIONED table $label is not supported - " +
-        "stream an unpartitioned table or use readIncremental")
+      s"UnionDirScan of $label has no streaming personality - " +
+        "stream through the table scan")
 
   // canonicalized-plan equality via the stock sub-scans' structural
   // equality, so self-joins of this shape keep exchange/scan reuse
@@ -167,4 +169,33 @@ private[spark] final class UnionBatch(batches: Seq[Batch]) extends Batch {
     batches.flatMap(_.planInputPartitions()).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     batches.headOption.getOrElse(ScanDefaults.emptyBatch).createReaderFactory()
+}
+
+/** An input partition that carries the reader factory of the batch that
+  * planned it. A micro-batch stream creates its reader factory ONCE but
+  * plans batches over dirs that do not exist yet at stream start (each
+  * append lands a new snapshot dir whose hive partition dirs need their
+  * own basePath) — so each planned batch ships its own factory inside its
+  * partitions and the stream-level factory just unwraps
+  * ([[CarryingReaderFactory]]). Factories are Serializable by contract;
+  * they ride to executors with the partition exactly as they would
+  * task-serialized from a batch scan. */
+private[spark] final case class CarriedFactoryPartition(
+    delegate: InputPartition,
+    factory: PartitionReaderFactory) extends InputPartition {
+  override def preferredLocations(): Array[String] = delegate.preferredLocations()
+}
+
+private[spark] object CarryingReaderFactory extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): CarriedFactoryPartition =
+    p.asInstanceOf[CarriedFactoryPartition]
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val c = unwrap(p); c.factory.createReader(c.delegate)
+  }
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val c = unwrap(p); c.factory.createColumnarReader(c.delegate)
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val c = unwrap(p); c.factory.supportColumnarReads(c.delegate)
+  }
 }

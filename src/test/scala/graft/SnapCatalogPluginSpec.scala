@@ -410,19 +410,24 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(cat.currentSnapshot("dbcr", "t").recordCount == 2)
   }
 
-  test("streaming a partitioned table fails with a clear error") {
+  test("streaming read tails a PARTITIONED table (per-dir hive batches)") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbsp")
     spark.sql("CREATE TABLE snapcat.dbsp.p (id BIGINT, flag STRING) PARTITIONED BY (flag)")
-    spark.sql("INSERT INTO snapcat.dbsp.p VALUES (1, 'a')")
-    val e = intercept[Exception] {
-      spark.readStream.table("snapcat.dbsp.p")
-        .writeStream.format("memory").queryName("p_tail").start()
-        .processAllAvailable()
-    }
-    def chain(t: Throwable): Seq[String] =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(String.valueOf(_)).toSeq
-    assert(chain(e).exists(_.contains("PARTITIONED")), chain(e).mkString("\n"))
+    spark.sql("INSERT INTO snapcat.dbsp.p VALUES (1, 'a')") // pre-stream: not tailed
+    val q = spark.readStream.table("snapcat.dbsp.p")
+      .writeStream.format("memory").queryName("p_tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("p_tail").count() == 0, "tail starts at the current snapshot")
+      // one trigger covering TWO appended snapshot dirs, partition values
+      // resolved from each dir's own hive layout
+      spark.sql("INSERT INTO snapcat.dbsp.p VALUES (2, 'b'), (3, 'a')")
+      spark.sql("INSERT INTO snapcat.dbsp.p VALUES (4, 'c')")
+      q.processAllAvailable()
+      val got = spark.table("p_tail").as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((2L, "b"), (3L, "a"), (4L, "c")), got.toString)
+    } finally q.stop()
   }
 
   test("SQL UPDATE rewrites through the row-level operation path") {
