@@ -329,6 +329,41 @@ final class SnapshotCatalog(
     deleteRecursively(tablePath(db, table))
   }
 
+  /** Rename (and/or move across namespaces) — a metadata-only operation.
+    * Every path recorded in manifests is table-relative ("data/s3/x.parquet"),
+    * so the whole table is ONE directory rename: O(1) regardless of data
+    * size, the property that makes rename viable at 100 TB. The meta file is
+    * rewritten first (under the table lock, atomically) so a crash between
+    * the two steps leaves a readable table at the OLD identifier whose
+    * embedded names are stale but harmless (they are display-only; all path
+    * resolution keys off the directory). */
+  def renameTable(db: String, table: String, newDb: String, newTable: String): Unit =
+    withTableLock(db, table) {
+      require(namespaceExists(newDb), s"no such namespace: $newDb")
+      require(!tableExists(newDb, newTable),
+        s"table already exists: $newDb.$newTable")
+      val m = meta(db, table)
+      writeString(metaPath(db, table),
+        Json.writePretty(m.copy(database = newDb, tableName = newTable).toJson))
+      SnapshotCatalog.purgeManifestCache(tablePath(db, table))
+      Files.move(tablePath(db, table), tablePath(newDb, newTable),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+
+  // ---- namespace properties ----
+
+  private def nsMetaPath(db: String): Path = dbPath(db).resolve("_namespace.json")
+
+  def namespaceProperties(db: String): Map[String, String] =
+    if (!Files.exists(nsMetaPath(db))) Map.empty
+    else Json.parse(readString(nsMetaPath(db))).asInstanceOf[JObj].strMap("properties")
+
+  def setNamespaceProperties(db: String, props: Map[String, String]): Unit = {
+    require(namespaceExists(db), s"no such namespace: $db")
+    writeString(nsMetaPath(db),
+      Json.writePretty(Json.obj("properties" -> Json.fromStrMap(props))))
+  }
+
   def meta(db: String, table: String): TableMeta =
     TableMeta.fromJson(Json.parse(readString(metaPath(db, table))).asInstanceOf[JObj])
 

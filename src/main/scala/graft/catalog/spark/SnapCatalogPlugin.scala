@@ -83,18 +83,39 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (namespace.length != 1 || !cat.namespaceExists(namespace.head))
       throw new NoSuchNamespaceException(namespace)
-    Map("location" -> s"$warehouse/${namespace.head}").asJava
+    (cat.namespaceProperties(namespace.head) +
+      ("location" -> s"$warehouse/${namespace.head}")).asJava
   }
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
     require(namespace.length == 1, "snapcat namespaces are single-level")
     cat.createNamespace(namespace.head)
+    // persist user properties; "location" is derived, never stored
+    val props = metadata.asScala.toMap - "location"
+    if (props.nonEmpty) cat.setNamespaceProperties(namespace.head, props)
   }
 
+  /** SET/UNSET PROPERTIES on a namespace. Two-phase like alterTable: the
+    * whole change list is validated before any property is persisted, so a
+    * statement mixing a supported and an unsupported change mutates
+    * nothing. */
   override def alterNamespace(namespace: Array[String],
-      changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+      changes: NamespaceChange*): Unit = {
+    if (namespace.length != 1 || !cat.namespaceExists(namespace.head))
+      throw new NoSuchNamespaceException(namespace)
+    changes.foreach {
+      case _: NamespaceChange.SetProperty | _: NamespaceChange.RemoveProperty => ()
+      case other => throw new UnsupportedOperationException(
+        s"ALTER NAMESPACE change not supported: $other")
+    }
+    val props = changes.foldLeft(cat.namespaceProperties(namespace.head)) {
+      case (acc, set: NamespaceChange.SetProperty) => acc + (set.property -> set.value)
+      case (acc, rm: NamespaceChange.RemoveProperty) => acc - rm.property
+      case (acc, _) => acc
+    }
+    cat.setNamespaceProperties(namespace.head, props - "location")
+  }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     require(namespace.length == 1, "snapcat namespaces are single-level")
@@ -936,8 +957,16 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     true
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE not supported")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(oldIdent.namespace().length == 1 && newIdent.namespace().length == 1,
+      "snapcat namespaces are single-level")
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    if (!cat.namespaceExists(newIdent.namespace().head))
+      throw new NoSuchNamespaceException(newIdent.namespace())
+    cat.renameTable(oldIdent.namespace().head, oldIdent.name(),
+      newIdent.namespace().head, newIdent.name())
+  }
 }
 
 /** Executor-side row projection for the SQL row-level rewrite write:

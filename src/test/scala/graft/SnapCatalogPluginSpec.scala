@@ -715,4 +715,61 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("not supported"), e.getMessage)
   }
+
+  test("RENAME TABLE moves identity, keeps history, and crosses namespaces") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    cat.createTable("db1", "ren_src", nation.schema)
+    cat.append("db1", "ren_src", nation)                 // snap 2
+    cat.overwrite("db1", "ren_src", nation.limit(3))     // snap 3
+
+    // the RENAME TO target is resolved inside the source's catalog — Spark
+    // rejects a catalog-qualified target before it reaches the plugin
+    spark.sql("ALTER TABLE snapcat.db1.ren_src RENAME TO db1.ren_dst")
+    assert(!cat.tableExists("db1", "ren_src"))
+    // full history (not just current state) survives the rename: time
+    // travel against the NEW identifier reaches the pre-rename snapshots
+    assert(spark.sql("SELECT sum(n_nationkey) AS s, count(*) AS c FROM snapcat.db1.ren_dst VERSION AS OF 2")
+      .head.getLong(1) == 25)
+    assert(spark.table("snapcat.db1.ren_dst").count() == 3)
+    // and the renamed table stays writable (meta names were rewritten)
+    cat.append("db1", "ren_dst", nation.limit(2))
+    assert(spark.table("snapcat.db1.ren_dst").count() == 5)
+
+    // cross-namespace move
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.ren_ns")
+    spark.sql("ALTER TABLE snapcat.db1.ren_dst RENAME TO ren_ns.ren_dst")
+    assert(spark.table("snapcat.ren_ns.ren_dst").count() == 5)
+    assert(cat.meta("ren_ns", "ren_dst").database == "ren_ns")
+
+    // clear errors on both failure shapes
+    val missing = intercept[Exception] {
+      spark.sql("ALTER TABLE snapcat.db1.no_such RENAME TO db1.x")
+    }
+    assert(missing.getMessage.toLowerCase.contains("cannot be found"), missing.getMessage)
+    cat.createTable("db1", "ren_clash", nation.schema)
+    val clash = intercept[Exception] {
+      spark.sql("ALTER TABLE snapcat.ren_ns.ren_dst RENAME TO db1.ren_clash")
+    }
+    assert(clash.getMessage.toLowerCase.contains("exists"), clash.getMessage)
+  }
+
+  test("ALTER NAMESPACE SET/UNSET PROPERTIES round-trips and is all-or-nothing") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.nsprops COMMENT 'raw zone'")
+    // 'owner'/'comment'/'location' are parser-reserved namespace property
+    // names in Spark — exercise ordinary user properties
+    spark.sql("ALTER NAMESPACE snapcat.nsprops SET PROPERTIES ('team' = 'etl', 'tier' = 'bronze')")
+    val desc = spark.sql("DESCRIBE NAMESPACE EXTENDED snapcat.nsprops").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("Properties").contains("team") && desc("Properties").contains("etl"), desc)
+    spark.sql("ALTER NAMESPACE snapcat.nsprops UNSET PROPERTIES ('tier')")
+    val cat = new SnapshotCatalog(spark, wh)
+    assert(cat.namespaceProperties("nsprops").get("team").contains("etl"))
+    assert(!cat.namespaceProperties("nsprops").contains("tier"))
+    // location is derived from the warehouse layout, never persisted state
+    assert(spark.sql("DESCRIBE NAMESPACE snapcat.nsprops").collect()
+      .exists(r => r.getString(0) == "Location" && r.getString(1).contains("nsprops")))
+  }
 }
