@@ -317,6 +317,38 @@ final class SnapshotCatalog(
   def appendBucketed(db: String, table: String, df: DataFrame): Snapshot =
     append(db, table, bucketize(db, table, df))
 
+  /** Re-lay a FLAT external-writer data dir (the SQL row-level rewrite's
+    * ReplaceData output, or a native streaming epoch — both write the
+    * visible schema, no layout column) into the bucketed table's hive
+    * `__bucket=b/` layout: read the flat files back, derive `__bucket`,
+    * write one file per occupied bucket, drop the flat dir. Returns the
+    * hive-laid dir's name for adoption.
+    *
+    * Cost: ONE extra write of only the freshly rewritten subset — carried
+    * (untouched) files never move, so an `UPDATE ... WHERE k = 5` on a
+    * 100-TB bucketed table re-lays the few candidate files' worth of rows,
+    * not the lake. That bounded second pass is what keeps
+    * storage-partitioned joins valid across SQL rewrites instead of
+    * rejecting them. */
+  def relayoutBucketed(db: String, table: String, flatDirName: String): String = {
+    val (_, n) = meta(db, table).bucketSpec.getOrElse(
+      throw new IllegalArgumentException(
+        s"$db.$table is not bucketed - nothing to re-lay"))
+    val visible = org.apache.spark.sql.types.StructType(
+      currentSnapshot(db, table).schema.fields.filterNot(_.name == "__bucket"))
+    val flatDir = dataPath(db, table).resolve(flatDirName)
+    val outName = s"$flatDirName-b"
+    val outDir = dataPath(db, table).resolve(outName)
+    // explicit schema: an empty rewrite output (all rows deleted) must read
+    // as an empty frame, not an infer-schema failure
+    val flat = spark.read.schema(visible).parquet(flatDir.toString)
+    bucketize(db, table, flat)
+      .repartition(n, col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(outDir.toString)
+    deleteRecursively(flatDir)
+    outName
+  }
+
   def tableExists(db: String, table: String): Boolean = Files.exists(metaPath(db, table))
 
   def listTables(db: String): Seq[String] =

@@ -98,7 +98,8 @@ final class BucketedScan(
     val nBuckets: Int,
     transform: org.apache.spark.sql.connector.expressions.Transform,
     tableLabel: String,
-    bucketBatches: Int => Batch)
+    bucketBatches: Int => Batch,
+    microBatch: Option[String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -122,11 +123,13 @@ final class BucketedScan(
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     ScanDefaults.statisticsOf(template)
 
+  // streaming tail: supplied by the plugin (reads appended files flat with
+  // the visible schema — the bucket layout is a batch-scan concern)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    throw new UnsupportedOperationException(
+    microBatch.getOrElse(throw new UnsupportedOperationException(
       s"streaming read of BUCKETED table $tableLabel is not supported - " +
-        "use readIncremental")
+        "use readIncremental"))(checkpointLocation)
 
   // canonicalized-plan equality via the stock scan's structural equality:
   // self-joins of a bucketed table keep exchange/scan reuse

@@ -160,15 +160,10 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       // snapshot per micro-batch; complete mode (Spark calls truncate())
       // overwrites table state per epoch (streaming aggregation sink)
       override def toStreaming
-          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-        if (cat.meta(db, table).bucketSpec.isDefined)
-          throw new UnsupportedOperationException(
-            s"streaming write to BUCKETED table $db.$table is not supported - " +
-              "bucket derivation is a batch-plan step; use foreachBatch with " +
-              "the library append")
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new SnapStreamingWrite(db, table,
-          if (overwriteAll) "overwrite" else "append", info)
-      }
+          if (overwriteAll) "overwrite" else "append", info,
+          bucketed = cat.meta(db, table).bucketSpec.isDefined)
     }
   }
 
@@ -187,7 +182,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * can be overridden with `.option("sinkId", ...)` when two queries feed
     * one table. */
   private final class SnapStreamingWrite(db: String, table: String,
-      operation: String, info: LogicalWriteInfo)
+      operation: String, info: LogicalWriteInfo, bucketed: Boolean = false)
       extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
     import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, PhysicalWriteInfo, WriterCommitMessage}
     import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -227,7 +222,20 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         s"streaming commit of $db.$table epoch $epochId without a writer factory"))
       pending = None
       inner.commit(messages)
-      cat.adoptStreaming(db, table, operation, dirName, info.schema, sinkId, epochId)
+      // bucketed table: the epoch wrote the visible schema flat; re-lay
+      // into __bucket=b/ before adoption (a replayed epoch re-lays then
+      // gets dropped — one wasted driver-side job per restart recovery,
+      // correctness unchanged)
+      if (bucketed) {
+        val laid = cat.relayoutBucketed(db, table, dirName)
+        cat.adoptStreaming(db, table, operation, laid,
+          StructType(info.schema.fields :+ StructField("__bucket",
+            org.apache.spark.sql.types.IntegerType, nullable = true)),
+          sinkId, epochId)
+      } else {
+        cat.adoptStreaming(db, table, operation, dirName, info.schema,
+          sinkId, epochId)
+      }
       ()
     }
 
@@ -299,27 +307,27 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
               pushable
             override def build(): Scan = {
-              // guard at SCAN build, not builder construction: a
-              // translatable SQL DELETE is downgraded to the
-              // layout-preserving deleteWhere path before this scan is ever
-              // built — only a real rewrite reaches here, and a bucketed
-              // rewrite would both expose the hidden __bucket column to
-              // Spark's output-attribute mapping and drop the layout
-              if (tableMeta.bucketSpec.isDefined)
-                throw new UnsupportedOperationException(
-                  s"SQL $opName rewrite on BUCKETED table $db.$table is not supported - " +
-                    "use the library delete/update/upsert (they preserve the bucket layout)")
-              val fullScan = ownScanBuilder(options).build()
+              val bucketed = tableMeta.bucketSpec.isDefined
               val cond = pushable.map(FilterToColumn(_)).reduceOption(_ && _)
               val untouched = cond match {
                 case None => Seq.empty[String]
                 case Some(c) => cat.pruneFiles(db, table, snap.snapshotId, c)._2
               }
               rewriteCarry = Some((snap.snapshotId, untouched))
-              if (untouched.isEmpty) new PlainBatchScan(fullScan)
+              if (untouched.isEmpty && !bucketed)
+                new PlainBatchScan(ownScanBuilder(options).build())
               else {
                 val root = java.nio.file.Paths.get(warehouse, db, table)
                 val cands = snap.files.filterNot(untouched.contains)
+                // BUCKETED rewrite: the operation table's schema is the
+                // SQL-visible one (no __bucket), so the candidate files are
+                // scanned FLAT — no basePath means the __bucket=b layout
+                // dirs resolve to nothing and the scan emits exactly the
+                // visible columns; the write side re-derives the layout
+                // ([[SnapshotCatalog.relayoutBucketed]])
+                val scanSchema =
+                  if (bucketed) StructType(snap.schema.fields.filterNot(_.name == "__bucket"))
+                  else snap.schema
                 // stock vectorized scan over the candidate files, NO row
                 // filters (every row of a candidate file must reach the
                 // rewrite query) and no column pruning (full table schema);
@@ -333,11 +341,11 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
                     case None => Map.empty
                   }
                   org.apache.spark.sql.GraftScanUtils.parquetScanFor(spark, name,
-                    fs.map(f => root.resolve(f).toString), snap.schema,
+                    fs.map(f => root.resolve(f).toString), scanSchema,
                     new CaseInsensitiveStringMap(opts.asJava), Nil, None)
                 }
                 val inner =
-                  if (tableMeta.partitionCols.isEmpty)
+                  if (bucketed || tableMeta.partitionCols.isEmpty)
                     scanFor(s"$tableName $opName candidates", cands, None)
                   else {
                     val byDir = cands.groupBy(_.split("/").take(2).mkString("/"))
@@ -361,20 +369,10 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
               }
             }
           }
-        override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder = {
-          // guard HERE, not at builder construction: a translatable SQL
-          // DELETE is downgraded to the layout-preserving deleteWhere path
-          // before any write is built — only a real rewrite (UPDATE/MERGE/
-          // complex DELETE) would write the SQL-visible schema, which for
-          // bucketed tables lacks __bucket and would silently drop the
-          // adopted files from every bucketed scan
-          if (tableMeta.bucketSpec.isDefined)
-            throw new UnsupportedOperationException(
-              s"SQL $opName rewrite on BUCKETED table $db.$table is not supported - " +
-                "use the library delete/update/upsert (they preserve the bucket layout)")
+        override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
           new RewriteWriteBuilder(db, table, opName, writeInfo,
-            () => rewriteCarry, snap.fileStats)
-        }
+            () => rewriteCarry, snap.fileStats,
+            bucketed = tableMeta.bucketSpec.isDefined)
       }
     }
 
@@ -498,7 +496,15 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
                   .map(_.toBatch))
             }
             new BucketedScan(scan, n, Expressions.bucket(n, bCol),
-              s"$catalogName.$db.$table", bucketBatch)
+              s"$catalogName.$db.$table", bucketBatch,
+              // streaming tail of a bucketed table: appended files read
+              // FLAT (no basePath -> __bucket= dirs resolve to nothing)
+              // against the visible schema — __bucket is derivable, never
+              // part of stream output
+              microBatch = Some(_ => new SnapAppendStream(db, table,
+                scan.readSchema(), partitioned = false, options,
+                tableSchema = Some(StructType(
+                  snapSchema.fields.filterNot(_.name == "__bucket"))))))
           case None if multiDir =>
             val union = new UnionDirScan(scan,
               dirScans(tableName, keptFiles, pushedExprs, requiredSchema),
@@ -575,7 +581,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * snapshot first. */
   private final class SnapAppendStream(db: String, table: String,
       prunedSchema: StructType, partitioned: Boolean,
-      options: CaseInsensitiveStringMap)
+      options: CaseInsensitiveStringMap,
+      tableSchema: Option[StructType] = None)
       extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
     import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
     import org.apache.spark.sql.connector.read.streaming.Offset
@@ -605,7 +612,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     private def batchFor(opts: Map[String, String], files: Seq[String]): Batch = {
       val cism = new CaseInsensitiveStringMap(opts.asJava)
       val builder = ParquetTable(s"$db.$table stream", spark, cism, files,
-        Some(cat.currentSnapshot(db, table).schema), classOf[ParquetFileFormat])
+        Some(tableSchema.getOrElse(cat.currentSnapshot(db, table).schema)),
+        classOf[ParquetFileFormat])
         .newScanBuilder(cism)
       builder.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
         .pruneColumns(prunedSchema)
@@ -670,7 +678,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
   private final class RewriteWriteBuilder(db: String, table: String,
       opName: String, info: LogicalWriteInfo,
       carry: () => Option[(Long, Seq[String])],
-      scanFileStats: Map[String, Map[String, String]]) extends WriteBuilder {
+      scanFileStats: Map[String, Map[String, String]],
+      bucketed: Boolean = false) extends WriteBuilder {
     import org.apache.spark.sql.connector.write._
     override def build(): Write = new Write {
       override def description(): String = s"snapcat $opName rewrite"
@@ -699,15 +708,20 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             inner.commit(messages)
+            // bucketed table: the rewrite wrote the visible schema flat;
+            // re-lay just this dir into __bucket=b/ before adoption so the
+            // committed snapshot keeps storage-partitioned joins valid
+            val adoptDir = if (bucketed)
+              cat.relayoutBucketed(db, table, dirName) else dirName
             carry() match {
               // partial adoption: untouched files carry over verbatim, and
               // the pinned snapshot id fails the commit if a concurrent
               // write moved the table under the rewrite
               case Some((snapId, untouched)) =>
-                cat.adoptRewrite(db, table, opName, dirName,
+                cat.adoptRewrite(db, table, opName, adoptDir,
                   carryFiles = untouched, carryStats = scanFileStats,
                   expectSnapshotId = Some(snapId))
-              case None => cat.adoptRewrite(db, table, opName, dirName)
+              case None => cat.adoptRewrite(db, table, opName, adoptDir)
             }
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -687,11 +687,12 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     // bucket batches union) and the hidden column stays hidden
     assert(spark.table("snapcat.dbbq.t").schema.fieldNames.toSeq == Seq("k", "v"))
     assert(spark.sql("SELECT sum(k) AS s FROM snapcat.dbbq.t").head.getLong(0) == 12)
-    // the V2 rewrite path would lose the layout: rejected with guidance
-    val e = intercept[Exception] {
-      spark.sql("UPDATE snapcat.dbbq.t SET v = 'x' WHERE k = 1")
-    }
-    assert(e.getMessage.contains("BUCKETED"), e.getMessage)
+    // SQL UPDATE rides the rewrite path; its output is re-laid into
+    // __bucket=b/ dirs before adoption, so the layout survives
+    spark.sql("UPDATE snapcat.dbbq.t SET v = 'x' WHERE k = 1")
+    assert(spark.sql("SELECT v FROM snapcat.dbbq.t WHERE k = 1").head.getString(0) == "x")
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbbq.t").head.getLong(0) == 4)
+    assert(cat.currentSnapshot("dbbq", "t").files.forall(_.contains("__bucket=")))
     // ...but a TRANSLATABLE SQL DELETE rides the layout-preserving
     // deleteWhere path and works
     spark.sql("DELETE FROM snapcat.dbbq.t WHERE k = 9")
@@ -706,6 +707,59 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     cat.delete("dbbq", "t", col("k") === 2L)
     assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbbq.t").head.getLong(0) == 2)
     assert(cat.currentSnapshot("dbbq", "t").files.forall(_.contains("__bucket=")))
+  }
+
+  test("SQL MERGE on a BUCKETED table re-lays its output; SPJ survives the rewrite") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    val facts = (1L to 100L).map(k => (k, s"f$k")).toDF("k", "fv")
+    val dims = (1L to 30L).map(k => (k, s"d$k")).toDF("k", "dv")
+    cat.createBucketedTable("dbrw", "facts", facts.schema, bucketCol = "k", nBuckets = 4)
+    cat.createBucketedTable("dbrw", "dims", dims.schema, bucketCol = "k", nBuckets = 4)
+    cat.appendBucketed("dbrw", "facts", facts)
+    cat.appendBucketed("dbrw", "dims", dims)
+
+    // MERGE rides the group-based rewrite: upserts land, layout survives
+    spark.sql(
+      """MERGE INTO snapcat.dbrw.facts t
+        |USING (SELECT * FROM VALUES (1L, 'updated'), (999L, 'inserted') AS s(k, fv)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.fv = s.fv
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT fv FROM snapcat.dbrw.facts WHERE k = 1").head.getString(0) == "updated")
+    assert(spark.sql("SELECT fv FROM snapcat.dbrw.facts WHERE k = 999").head.getString(0) == "inserted")
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbrw.facts").head.getLong(0) == 101)
+    assert(cat.currentSnapshot("dbrw", "facts").files.forall(_.contains("__bucket=")),
+      cat.currentSnapshot("dbrw", "facts").files.mkString("\n"))
+
+    // non-translatable DELETE takes the rewrite path too (rlike defeats
+    // the filter translator), and the re-laid output keeps the layout
+    spark.sql("DELETE FROM snapcat.dbrw.facts WHERE fv RLIKE 'f1[02]$'")
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbrw.facts").head.getLong(0) == 99)
+    assert(cat.currentSnapshot("dbrw", "facts").files.forall(_.contains("__bucket=")))
+
+    // the rewritten table still storage-partition-joins with ZERO exchanges
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = spark.sql(
+        """SELECT f.k, f.fv, d.dv FROM snapcat.dbrw.facts f
+          |JOIN snapcat.dbrw.dims d ON f.k = d.k""".stripMargin)
+      assert(joined.count() == 28) // k=10,12 deleted from facts
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        "expected zero exchanges after the bucketed rewrite, got:\n" +
+          joined.queryExecution.executedPlan.toString.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("unsupported DDL errors clearly") {

@@ -224,6 +224,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("native writeStream.toTable on a BUCKETED table re-lays each epoch") {
+    import graft.catalog.SnapshotCatalog
+    val wh = Files.createTempDirectory("graft_bswh_").toString
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.createBucketedTable("db", "bsink",
+      Seq((1L, "x")).toDF("k", "tag").schema, bucketCol = "k", nBuckets = 4)
+    spark.conf.set("spark.sql.catalog.snapbs", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapbs.warehouse", wh)
+
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("graft_bsck_").toString
+    val q = source.toDF().toDF("k", "tag")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("snapbs.db.bsink")
+    try {
+      source.addData((1L, "a"), (2L, "a"), (5L, "b"))
+      q.processAllAvailable()
+      source.addData((6L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // rows landed, every committed file is in the hive bucket layout, and
+    // the hidden column stays hidden from SQL
+    assert(cat.readLatest("db", "bsink").count() == 4)
+    val cur = cat.currentSnapshot("db", "bsink")
+    assert(cur.files.nonEmpty && cur.files.forall(_.contains("__bucket=")),
+      cur.files.mkString("\n"))
+    assert(spark.table("snapbs.db.bsink").schema.fieldNames.toSeq == Seq("k", "tag"))
+    assert(spark.sql("SELECT sum(k) AS s FROM snapbs.db.bsink").head.getLong(0) == 14)
+    // epoch high-water mark rides the summary (exactly-once protocol)
+    assert(cur.summary.keys.exists(_.startsWith("stream-epoch.")))
+    // and the bucketed table tails back OUT through readStream too — the
+    // stream reads appended files flat (visible schema, no layout column)
+    val q2 = spark.readStream.option("starting-snapshot-id", "1").table("snapbs.db.bsink")
+      .writeStream.format("memory").queryName("bs_roundtrip").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("bs_roundtrip").schema.fieldNames.toSeq == Seq("k", "tag"))
+      assert(spark.table("bs_roundtrip").count() == 4)
+    } finally q2.stop()
+  }
+
   test("adoptStreaming drops a replayed epoch and deletes its files") {
     import graft.catalog.SnapshotCatalog
     val wh = Files.createTempDirectory("graft_rpwh_").toString
