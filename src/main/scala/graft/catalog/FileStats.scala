@@ -218,3 +218,73 @@ object FileStats {
     else Some(new String(cs, 0, i) + (cs(i) + 1).toChar)
   }
 }
+
+/** BUCKET pruning for bucketed tables: a predicate that pins the bucket
+  * key to literals (`k = 19`, `k IN (3, 7)`) admits only the buckets those
+  * values pmod into — every file in any other `__bucket=b/` dir is
+  * provably unmatchable, no footer stats needed. min/max stats almost
+  * never exclude anything on a pmod-distributed key (each bucket's file
+  * spans the full key range), so at 100 TB this is what turns a point
+  * UPDATE or lookup on a bucketed table from "scan/rewrite every bucket"
+  * into "touch 1/n of the candidate files". */
+object BucketPruning {
+
+  /** The set of bucket ids rows matching ALL `conjuncts` can live in;
+    * None = unconstrained (every bucket may match). Sound, never complete:
+    * any shape not understood contributes no constraint. */
+  def admissible(conjuncts: Seq[Expression], bucketCol: String,
+      nBuckets: Int): Option[Set[Int]] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    def isKey(e: Expression): Boolean = e match {
+      case a: Attribute => a.name == bucketCol
+      case _ => false
+    }
+    // NULL keys land in bucket 0 on write; `k = lit` / `k IN (...)` never
+    // match null, so a null literal contributes no admissible bucket
+    def bucketOf(v: Any): Option[Int] = v match {
+      case l: Long => Some((((l % nBuckets) + nBuckets) % nBuckets).toInt)
+      case i: Int => bucketOf(i.toLong)
+      case s: Short => bucketOf(s.toLong)
+      case b: Byte => bucketOf(b.toLong)
+      case _ => None // null or non-integral: no conclusion from this value
+    }
+    val sets = conjuncts.flatMap(split).map(foldLiterals).flatMap {
+      case EqualTo(a, Literal(v, _)) if isKey(a) && v != null =>
+        bucketOf(v).map(Set(_))
+      case EqualTo(Literal(v, _), a) if isKey(a) && v != null =>
+        bucketOf(v).map(Set(_))
+      case EqualNullSafe(a, Literal(v, _)) if isKey(a) =>
+        if (v == null) Some(Set(0)) else bucketOf(v).map(Set(_))
+      case EqualNullSafe(Literal(v, _), a) if isKey(a) =>
+        if (v == null) Some(Set(0)) else bucketOf(v).map(Set(_))
+      case IsNull(a) if isKey(a) => Some(Set(0))
+      case In(a, vs) if isKey(a) && vs.forall(_.isInstanceOf[Literal]) =>
+        val bs = vs.collect { case Literal(v, _) if v != null => bucketOf(v) }
+        // every non-null value must map cleanly or the IN gives no bound
+        if (bs.nonEmpty && bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+      case i: InSet if isKey(i.child) =>
+        val bs = i.hset.toSeq.filter(_ != null).map(bucketOf)
+        if (bs.nonEmpty && bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+      case _ => None
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
+  /** Bucket id a committed file's path encodes, None when un-laid. */
+  def bucketIdOf(path: String): Option[Int] =
+    BucketDirRe.findFirstMatchIn(path).map(_.group(1).toInt)
+
+  private val BucketDirRe = "__bucket=(\\d+)/".r
+
+  // same literal folding the stat evaluator applies (analyzer-inserted
+  // casts around literals must not defeat the match)
+  private def foldLiterals(e: Expression): Expression = e match {
+    case l: Literal => l
+    case c: Cast if c.foldable =>
+      try Literal(c.eval(null), c.dataType) catch { case _: Exception => c }
+    case other => other.mapChildren(foldLiterals)
+  }
+}

@@ -607,9 +607,16 @@ final class SnapshotCatalog(
     val preds = empty.where(cond).queryExecution.analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
+    // bucketed tables: a predicate pinning the bucket key to literals
+    // admits only those keys' buckets — prunes by the __bucket=b/ path
+    // alone, where min/max can't help (every bucket spans the key range)
+    val buckets = meta(db, table).bucketSpec.flatMap { case (bCol, n) =>
+      BucketPruning.admissible(preds, bCol, n)
+    }
     snap.files.partition(f =>
-      snap.fileStats.get(f).forall(st =>
-        preds.forall(FileStats.mayMatch(st, schema, _))))
+      buckets.forall(adm => BucketPruning.bucketIdOf(f).forall(adm.contains)) &&
+        snap.fileStats.get(f).forall(st =>
+          preds.forall(FileStats.mayMatch(st, schema, _))))
   }
 
   /** Filtered read with file-level skipping: only files whose stats may

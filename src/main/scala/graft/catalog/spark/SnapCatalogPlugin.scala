@@ -475,6 +475,16 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         // full kept list per dir below
         planFiles = if (multiDir) _.filter(f => dirOf(f) == dirs.head) else identity,
         allResidual = mixedLayout,
+        // bucket-key equality prunes whole __bucket=b/ dirs before any
+        // footer-stat check — min/max can't exclude on a pmod key
+        keepByPath = bucketSpec match {
+          case Some((bCol, n)) => conjuncts => {
+            val adm = graft.catalog.BucketPruning.admissible(conjuncts, bCol, n)
+            p => adm.forall(s =>
+              graft.catalog.BucketPruning.bucketIdOf(p).forall(s.contains))
+          }
+          case None => _ => _ => true
+        },
         wrapScan = (scan, keptFiles, pushedExprs, requiredSchema) => bucketSpec match {
           // bucketed table: report key-grouped partitioning and emit one
           // keyed partition group per __bucket=b, so co-bucketed joins

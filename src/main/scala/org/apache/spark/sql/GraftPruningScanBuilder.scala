@@ -80,7 +80,11 @@ class GraftPruningScanBuilder(
     // above the scan (which also keeps the filter's columns in the read
     // schema). Sub-scans still consume the pushed filters internally for
     // partition-dir pruning and row-group skipping.
-    allResidual: Boolean = false)
+    allResidual: Boolean = false,
+    // path-level skip test, computed once per build from the pushed
+    // conjuncts (bucketed tables prune whole __bucket=b/ dirs on
+    // bucket-key equality — graft.catalog.BucketPruning)
+    keepByPath: Seq[Expression] => String => Boolean = _ => _ => true)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
@@ -111,8 +115,9 @@ class GraftPruningScanBuilder(
   }
 
   override def build(): Scan = {
+    val pathOk = keepByPath(pushedExprs)
     val kept = files.collect {
-      case (p, st) if st.forall(m => mayMatch(m, pushedExprs)) => p
+      case (p, st) if pathOk(p) && st.forall(m => mayMatch(m, pushedExprs)) => p
     }
     val inner = mkInner(planFiles(kept))
     inner.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)

@@ -762,6 +762,46 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket-key equality prunes whole buckets from scans and rewrites") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    val rows = (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+    cat.createBucketedTable("dbbp", "t", rows.schema, bucketCol = "k", nBuckets = 4)
+    cat.appendBucketed("dbbp", "t", rows)
+    val snapId = cat.currentSnapshot("dbbp", "t").snapshotId
+    val before = cat.currentSnapshot("dbbp", "t").files.toSet
+    assert((0 to 3).forall(b => before.exists(_.contains(s"__bucket=$b/"))), before)
+
+    // pruneFiles: k = 19 can only live in bucket pmod(19,4) = 3 — every
+    // other bucket's file is untouchable by PATH alone (min/max spans the
+    // full key range in every bucket, so stats alone could prune nothing)
+    val (cands, untouched) = cat.pruneFiles("dbbp", "t", snapId, col("k") === 19L)
+    assert(cands.nonEmpty && cands.forall(_.contains("__bucket=3/")), cands)
+    // every other bucket's file pruned by path; footer min/max may prune
+    // MORE (within bucket 3), never less
+    assert(before.filterNot(_.contains("__bucket=3/")).subsetOf(untouched.toSet))
+    // IN pins a bucket SET
+    val (cands2, _) = cat.pruneFiles("dbbp", "t", snapId, col("k").isin(1L, 2L))
+    assert(cands2.forall(f => f.contains("__bucket=1/") || f.contains("__bucket=2/")), cands2)
+
+    // end-to-end through SQL: the UPDATE rewrites ONLY bucket 3; the other
+    // three buckets' files carry over byte-identical (same paths)
+    spark.sql("UPDATE snapcat.dbbp.t SET v = 'x' WHERE k = 19")
+    val after = cat.currentSnapshot("dbbp", "t").files.toSet
+    assert(before.filterNot(_.contains("__bucket=3/")).subsetOf(after),
+      s"untouched buckets must carry verbatim:\nbefore=$before\nafter=$after")
+    // every freshly written file belongs to bucket 3 — nothing outside the
+    // admissible bucket was rewritten
+    val fresh = after -- before
+    assert(fresh.nonEmpty && fresh.forall(_.contains("__bucket=3/")), fresh)
+    assert(spark.sql("SELECT v FROM snapcat.dbbp.t WHERE k = 19").head.getString(0) == "x")
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbbp.t").head.getLong(0) == 100)
+    // a filtered read sees every surviving row (pruning is advisory for
+    // candidates, never for results)
+    assert(spark.sql("SELECT count(*) AS c FROM snapcat.dbbp.t WHERE k IN (19, 20, 21)")
+      .head.getLong(0) == 3)
+  }
+
   test("unsupported DDL errors clearly") {
     wh
     val e = intercept[Exception] {
