@@ -593,6 +593,30 @@ object SparkEntry {
         .orderBy("pred_lang")
     }),
 
+    // deterministic train/val/test split: hash-threshold assignment on a
+    // stable key (md5 prefix, bit-portable) — unlike rand(), a retried
+    // task, a backfill, or another engine re-derives IDENTICAL membership;
+    // pure per-row projection, no shuffle at any scale.
+    "q63_hash_split" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .withColumn("split",
+          ops.Sampling.assignSplit(col("doc_id"), trainFrac = 0.8, valFrac = 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("chars_sum"))
+        .orderBy("split")
+    }),
+
+    // per-stratum deterministic downsample (corpus rebalance): the head
+    // language keeps 25%, tail languages keep everything — ONE per-row
+    // hash filter, no groupBy/join/second pass.
+    "q64_stratified_sample" -> ((s, dir) => {
+      ops.Sampling.stratifiedSample(T(s, dir, "documents"),
+          col("lang"), col("doc_id"), rates = Map("en" -> 0.25))
+        .groupBy("lang").agg(count(lit(1)).as("kept"))
+        .orderBy("lang")
+    }),
+
     // corpus n-gram analytics: top document-frequency bigrams — the
     // boilerplate-detection scan a dedup pipeline runs before choosing its
     // df-cap (explode -> one hash-partitioned count -> top-k).
@@ -1512,6 +1536,28 @@ object SparkEntry {
         |  CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
+    // thresholds are exact 2^32-ths of the md5-prefix space:
+    // 0.8*2^32=3435973836, 0.9*2^32=3865470566, 0.25*2^32=1073741824
+    "q63_hash_split" ->
+      """WITH h AS (
+        |  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hp,
+        |         n_chars
+        |  FROM documents)
+        |SELECT CASE WHEN hp < 3435973836 THEN 'train'
+        |            WHEN hp < 3865470566 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q64_stratified_sample" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS kept
+        |FROM (SELECT lang,
+        |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hp
+        |      FROM documents)
+        |WHERE hp < CASE WHEN lang = 'en' THEN 1073741824 ELSE 4294967296 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q60_ngram_topk" ->
       """WITH sh AS (

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `rand()`-based sampling is a liability at 100 TB: a retried task
+  * re-rolls its rows (a re-run of a failed stage silently changes the
+  * sample), a backfill draws a different subset than the original run, and
+  * train/val membership can drift between pipeline versions. Every
+  * operator here instead derives its decision from a HASH of a stable key
+  * column — the same row lands on the same side of every split, forever,
+  * on any engine (md5 is bit-portable, unlike Spark's Murmur3 `hash()`),
+  * which also makes the operators oracle-checkable in DuckDB.
+  *
+  * All decisions are per-row projections (no shuffle, no state): at
+  * 100 TB a split/sample is a narrow map over the scan, and Catalyst
+  * pushes the sample filter below wide plans wherever legal.
+  */
+object Sampling {
+
+  /** 2^32 — the sample space of [[hashPoint]]. */
+  val Space: Long = 1L << 32
+
+  /** Deterministic point in [0, 2^32) for a key: the first 8 hex chars of
+    * md5(key as string). Uniform for any key distribution (cryptographic
+    * avalanche), reproducible across engines and runs. */
+  def hashPoint(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Assign each row to train/val/test by fraction of the hash space.
+    * Fractions are taken as exact 2^32-ths, so engine float rounding can
+    * never flip a boundary row. */
+  def assignSplit(key: Column, trainFrac: Double, valFrac: Double): Column = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1,
+      s"bad split fractions: train=$trainFrac val=$valFrac")
+    val t = (trainFrac * Space).toLong
+    val v = ((trainFrac + valFrac) * Space).toLong
+    val p = hashPoint(key)
+    when(p < t, "train").when(p < v, "val").otherwise("test")
+  }
+
+  /** Keep a deterministic ~`frac` of rows (hash-threshold filter). */
+  def sample(df: DataFrame, key: Column, frac: Double): DataFrame =
+    df.where(hashPoint(key) < (frac * Space).toLong)
+
+  /** Per-stratum deterministic downsample: each stratum value keeps its
+    * own fraction (absent strata keep `defaultFrac`). The common corpus
+    * rebalance — "keep 10% of English, all of the tail languages" — as one
+    * per-row filter, no groupBy, no join, no second pass. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+      rates: Map[String, Double], defaultFrac: Double = 1.0): DataFrame = {
+    val threshold = rates.foldLeft(lit((defaultFrac * Space).toLong)) {
+      case (acc, (value, frac)) =>
+        when(stratum === value, lit((frac * Space).toLong)).otherwise(acc)
+    }
+    df.where(hashPoint(key) < threshold)
+  }
+}

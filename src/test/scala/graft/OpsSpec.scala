@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** Brute-force ground-truth checks for the operators whose outputs the
   * DuckDB oracle cannot reproduce (Spark-hash-based LSH/MinHash/SimHash,
@@ -184,5 +184,38 @@ class OpsSpec extends AnyFunSuite {
       got(4L) == "fr" && got(5L) == "zh" && got(6L) == "und")
     // empty/whitespace docs must be 'und', not 'zh' (0 >= 0 trap)
     assert(got(7L) == "und" && got(8L) == "und")
+  }
+
+  test("hash split is deterministic, total, and close to its fractions") {
+    val assigned = docs.select(col("doc_id"),
+      Sampling.assignSplit(col("doc_id"), 0.8, 0.1).as("split"))
+    val again = docs.select(col("doc_id"),
+      Sampling.assignSplit(col("doc_id"), 0.8, 0.1).as("split"))
+    // exact determinism: two evaluations agree row-for-row
+    assert(assigned.except(again).isEmpty && again.except(assigned).isEmpty)
+    val byS = assigned.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val total = byS.values.sum
+    assert(total == docs.count(), "every row gets exactly one split")
+    // 500 docs: binomial(500, .8) stays well inside +-10pp
+    assert(math.abs(byS("train").toDouble / total - 0.8) < 0.1, byS)
+    assert(byS.keySet == Set("train", "val", "test"), byS)
+  }
+
+  test("stratified sample applies per-stratum rates and keeps tail strata whole") {
+    val before = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = Sampling.stratifiedSample(docs, col("lang"), col("doc_id"),
+        rates = Map("en" -> 0.25))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // non-'en' strata keep every row (default rate 1.0 covers the space)
+    before.foreach { case (lang, n) =>
+      if (lang != "en") assert(kept.getOrElse(lang, 0L) == n, s"$lang lost rows")
+    }
+    // 'en' keeps roughly a quarter, and is a strict subset
+    val enFrac = kept.getOrElse("en", 0L).toDouble / before("en")
+    assert(enFrac > 0.05 && enFrac < 0.5, s"en kept $enFrac of rows")
+    // the sample is a SUBSET (filter semantics, no row invented)
+    assert(Sampling.stratifiedSample(docs, col("lang"), col("doc_id"),
+      rates = Map("en" -> 0.25)).except(docs).isEmpty)
   }
 }
