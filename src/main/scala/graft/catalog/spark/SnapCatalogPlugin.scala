@@ -785,11 +785,92 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       }
   }
 
+  /** The remaining Iceberg-style metadata relations: `db.t.files` (current
+    * snapshot's file inventory + per-file stats — the data-skipping layer
+    * made queryable), `db.t.refs` (tags), `db.t.history` (linear snapshot
+    * lineage). All driver-local scans over KB-sized log metadata, like
+    * `.snapshots`; none touches data files. */
+  private final class InventoryMetaTable(db: String, table: String, kind: String)
+      extends Table with SupportsRead {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+    import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+
+    private val tableSchema = kind match {
+      case "files" => StructType(Seq(
+        StructField("file_path", StringType, nullable = false),
+        StructField("snapshot_dir", StringType, nullable = false),
+        StructField("bucket", IntegerType),
+        StructField("record_count", LongType),
+        StructField("stats", MapType(StringType, StringType))))
+      case "refs" => StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("type", StringType, nullable = false),
+        StructField("snapshot_id", LongType, nullable = false)))
+      case "history" => StructType(Seq(
+        StructField("made_current_at", TimestampType),
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("parent_id", LongType),
+        StructField("is_current", BooleanType, nullable = false)))
+    }
+
+    override def name(): String = s"$catalogName.$db.$table.$kind"
+    override def schema(): StructType = tableSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+
+    private def micros(iso: String): Long = {
+      val t = java.time.Instant.parse(iso)
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+    }
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      () => new Scan with LocalScan {
+        override def readSchema(): StructType = tableSchema
+        override def rows(): Array[InternalRow] = kind match {
+          case "files" =>
+            val snap = cat.currentSnapshot(db, table)
+            snap.files.sorted.map { f =>
+              val st = snap.fileStats.getOrElse(f, Map.empty)
+              InternalRow(
+                UTF8String.fromString(f),
+                UTF8String.fromString(f.split("/").take(2).mkString("/")),
+                graft.catalog.BucketPruning.bucketIdOf(f).map(Int.box).orNull,
+                st.get("rows").map(r => Long.box(r.toLong)).orNull,
+                ArrayBasedMapData(
+                  st.keys.toArray.map(k => UTF8String.fromString(k): Any),
+                  st.values.toArray.map(v => UTF8String.fromString(v): Any)))
+            }.toArray
+          case "refs" =>
+            cat.meta(db, table).refs.toSeq.sortBy(_._1).map { case (n, id) =>
+              InternalRow(UTF8String.fromString(n),
+                UTF8String.fromString("tag"), id)
+            }.toArray
+          case "history" =>
+            val snaps = cat.snapshotList(db, table)
+            val current = snaps.map(_.snapshotId).max
+            snaps.map { s =>
+              InternalRow(micros(s.committedAt), s.snapshotId,
+                if (s.snapshotId > 1) Long.box(s.snapshotId - 1) else null,
+                s.snapshotId == current)
+            }.toArray
+        }
+      }
+  }
+
+  private val metaTableKinds = Set("snapshots", "files", "refs", "history")
+
   override def loadTable(ident: Identifier): Table = {
-    // metadata-table addressing: snapcat.db.t.snapshots
-    if (ident.namespace().length == 2 && ident.name() == "snapshots" &&
+    // metadata-table addressing: snapcat.db.t.{snapshots,files,refs,history}
+    // (unambiguous: namespaces are single-level, so a 2-level namespace can
+    // only be a metadata address)
+    if (ident.namespace().length == 2 && metaTableKinds(ident.name()) &&
       cat.tableExists(ident.namespace()(0), ident.namespace()(1))) {
-      return new SnapshotsMetaTable(ident.namespace()(0), ident.namespace()(1))
+      val (db, table) = (ident.namespace()(0), ident.namespace()(1))
+      return if (ident.name() == "snapshots") new SnapshotsMetaTable(db, table)
+      else new InventoryMetaTable(db, table, ident.name())
     }
     checkExists(ident)
     snapshotTable(ident, cat.currentSnapshot(ident.namespace().head, ident.name()))

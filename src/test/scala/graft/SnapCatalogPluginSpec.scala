@@ -810,6 +810,45 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("not supported"), e.getMessage)
   }
 
+  test("files/refs/history metadata tables serve the log without touching data") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    cat.createTable("db1", "meta_t", nation.schema)
+    cat.append("db1", "meta_t", nation)            // snap 2
+    cat.append("db1", "meta_t", nation.limit(5))   // snap 3
+    cat.createTag("db1", "meta_t", "v1", 2L)
+
+    // .files: current snapshot's inventory with per-file stats
+    val files = spark.sql(
+      "SELECT file_path, snapshot_dir, record_count FROM snapcat.db1.meta_t.files ORDER BY file_path")
+      .collect()
+    assert(files.length == cat.currentSnapshot("db1", "meta_t").files.size)
+    assert(files.map(_.getLong(2)).sum == 30, "footer row counts add up")
+    assert(files.forall(r => r.getString(0).startsWith(r.getString(1))))
+
+    // .refs: the tag surface
+    val refs = spark.sql("SELECT name, type, snapshot_id FROM snapcat.db1.meta_t.refs").collect()
+    assert(refs.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      == Seq(("v1", "tag", 2L)))
+
+    // .history: linear lineage, exactly one current
+    val hist = spark.sql(
+      "SELECT snapshot_id, parent_id, is_current FROM snapcat.db1.meta_t.history ORDER BY snapshot_id")
+      .collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(hist.head.isNullAt(1) && hist.last.getLong(1) == 2L)
+    assert(hist.count(_.getBoolean(2)) == 1 && hist.last.getBoolean(2))
+
+    // a bucketed table's .files exposes the bucket ids
+    val bdf = (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v")
+    cat.createBucketedTable("db1", "meta_b", bdf.schema, bucketCol = "k", nBuckets = 4)
+    cat.appendBucketed("db1", "meta_b", bdf)
+    val buckets = spark.sql("SELECT DISTINCT bucket FROM snapcat.db1.meta_b.files ORDER BY bucket")
+      .collect().map(_.getInt(0)).toSeq
+    assert(buckets == Seq(0, 1, 2, 3))
+  }
+
   test("RENAME TABLE moves identity, keeps history, and crosses namespaces") {
     wh
     val cat = new SnapshotCatalog(spark, wh)
