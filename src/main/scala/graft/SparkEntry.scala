@@ -803,8 +803,11 @@ object SparkEntry {
         .where(col("c").isNotNull)
       val bounds = data.groupBy("g").agg(min("c").as("mn"), max("c").as("mx"))
         .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      // null-safe group match (<=>): a NULL group value is a group like any
+      // other — plain === would leave its rows with a NULL bucket and NPE
+      // in the histogram collect
       val bucketCol = bounds.foldLeft(lit(null).cast("int")) {
-        case (acc, (g, (mn, mx))) => when(col("g") === g,
+        case (acc, (g, (mn, mx))) => when(col("g") <=> lit(g),
           least(greatest(width_bucket(col("c"), lit(mn), lit(mx + 1.0), lit(nB)),
             lit(1)), lit(nB)).cast("int")).otherwise(acc)
       }
@@ -813,7 +816,8 @@ object SparkEntry {
       // driver: locate each quartile's boundary ranks in their buckets
       // (state is O(groups × buckets) counts — scale-independent)
       final case class Pick(g: String, b: Int, localRank: Long, globalRank: Long)
-      val groups = bounds.keys.toSeq.sorted
+      // Option ordering: a NULL group sorts first instead of NPE-ing sorted
+      val groups = bounds.keys.toSeq.sortBy(Option(_))
       val perGroup = groups.map { g =>
         val bs = (1 to nB).map(b => b -> hist.getOrElse((g, b), 0L))
         val n = bs.map(_._2).sum
@@ -836,10 +840,14 @@ object SparkEntry {
         g -> (n, ranks.map(locate))
       }.toMap
       val picks = perGroup.values.flatMap(_._2).toSeq
-      val neededKeys = picks.map(p => s"${p.g}#${p.b}").distinct
+      // sentinel for the NULL group in the string join key (concat_ws
+      // SKIPS nulls, which would collapse "null#5" to "5")
+      def gkey(g: String): String = if (g == null) " null" else g
+      val neededKeys = picks.map(p => s"${gkey(p.g)}#${p.b}").distinct
       val w = Window.partitionBy("g", "b").orderBy("c")
       val picked = data.withColumn("b", bucketCol)
-        .where(concat_ws("#", col("g"), col("b")).isin(neededKeys: _*))
+        .where(concat_ws("#", coalesce(col("g"), lit(" null")), col("b"))
+          .isin(neededKeys: _*))
         .withColumn("rn", row_number().over(w))
         .where(col("rn").isin(picks.map(_.localRank).distinct: _*))
         .select("g", "b", "rn", "c").collect()
@@ -1541,7 +1549,7 @@ object SparkEntry {
     // 0.8*2^32=3435973836, 0.9*2^32=3865470566, 0.25*2^32=1073741824
     "q63_hash_split" ->
       """WITH h AS (
-        |  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hp,
+        |  SELECT CAST(concat('0x', substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 8)) AS BIGINT) AS hp,
         |         n_chars
         |  FROM documents)
         |SELECT CASE WHEN hp < 3435973836 THEN 'train'
@@ -1554,7 +1562,7 @@ object SparkEntry {
     "q64_stratified_sample" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS kept
         |FROM (SELECT lang,
-        |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hp
+        |        CAST(concat('0x', substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 8)) AS BIGINT) AS hp
         |      FROM documents)
         |WHERE hp < CASE WHEN lang = 'en' THEN 1073741824 ELSE 4294967296 END
         |GROUP BY lang ORDER BY lang""".stripMargin,

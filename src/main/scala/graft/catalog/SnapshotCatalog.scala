@@ -425,6 +425,12 @@ final class SnapshotCatalog(
         s.snapshotId, s.committedAt, s.operation, s.summary, s.schemaDdl, Seq.empty))
     }
 
+  /** POINTER-LOG view of the snapshot history: id / timestamp / operation /
+    * summary / schema, without materializing any manifest shard — the
+    * O(KB) read for callers that never look at file lists (metadata
+    * tables, the streaming tail's append-only check). */
+  def entryLog(db: String, table: String): Seq[SnapshotEntry] = entryMeta(db, table)
+
   private def manifestName(id: Long): String = s"m$id.json"
   private def manifestPath(db: String, table: String, name: String): Path =
     tablePath(db, table).resolve("_snapshots").resolve(name)
@@ -1315,6 +1321,20 @@ final class SnapshotCatalog(
         .filter(p => Files.isDirectory(p) && p != data)
         .foreach { p => if (!withList(p)(_.hasNext)) Files.delete(p) }
     } finally dirs.close()
+    // sweep orphan manifest shards too: a crash between a shard write and
+    // the pointer-log rename (or between an expire's log write and its
+    // shard deletions) leaves m<id>.json files no entry references — each
+    // can be O(files) sized, and nothing else ever reclaims them
+    val referencedShards = entryMeta(db, table).flatMap(_.manifests).toSet
+    val snapsDir = logPath(db, table).getParent
+    withList(snapsDir)(_.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("m") && n.endsWith(".json") && !referencedShards.contains(n)
+    }.toSeq).foreach { p =>
+      SnapshotCatalog.manifestCache.remove(p.toAbsolutePath.normalize().toString)
+      Files.delete(p)
+      deleted += root.relativize(p).toString.replace('\\', '/')
+    }
     deleted.result()
   }
 
@@ -1357,6 +1377,20 @@ final class SnapshotCatalog(
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
       try {
         val lock = ch.lock()
+        // re-check under the lock: a renameTable/dropTable that held it
+        // moved/removed the table while we were blocked — fail with a
+        // clear error and sweep the skeleton the open above recreated
+        // (an empty _snapshots/ + LOCK under the stale path)
+        if (!tableExists(db, table)) {
+          lock.release()
+          try {
+            Files.deleteIfExists(lockPath)
+            Files.deleteIfExists(lockPath.getParent)        // _snapshots if empty
+            Files.deleteIfExists(lockPath.getParent.getParent) // table dir if empty
+          } catch { case _: java.io.IOException => () }
+          throw new IllegalStateException(
+            s"table $db.$table was concurrently dropped or renamed")
+        }
         SnapshotCatalog.heldLocks.get().add(key)
         try body finally {
           SnapshotCatalog.heldLocks.get().remove(key)

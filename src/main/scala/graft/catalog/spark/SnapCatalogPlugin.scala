@@ -105,6 +105,14 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     if (namespace.length != 1 || !cat.namespaceExists(namespace.head))
       throw new NoSuchNamespaceException(namespace)
     changes.foreach {
+      // 'location' is derived from the warehouse layout — reject loudly
+      // rather than silently accepting-and-discarding the change
+      case set: NamespaceChange.SetProperty if set.property == "location" =>
+        throw new UnsupportedOperationException(
+          "namespace 'location' is derived from the warehouse layout and cannot be set")
+      case rm: NamespaceChange.RemoveProperty if rm.property == "location" =>
+        throw new UnsupportedOperationException(
+          "namespace 'location' is derived from the warehouse layout and cannot be unset")
       case _: NamespaceChange.SetProperty | _: NamespaceChange.RemoveProperty => ()
       case other => throw new UnsupportedOperationException(
         s"ALTER NAMESPACE change not supported: $other")
@@ -601,7 +609,9 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       override def json(): String = id.toString
     }
 
-    private def currentId: Long = cat.currentSnapshot(db, table).snapshotId
+    // pointer-log read: latestOffset runs EVERY trigger — it must never
+    // materialize a manifest
+    private def currentId: Long = cat.entryLog(db, table).last.snapshotId
 
     override def initialOffset(): Offset =
       SnapOffset(Option(options.get("starting-snapshot-id")) match {
@@ -610,8 +620,11 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           val id = v.toLongOption.getOrElse(throw new IllegalArgumentException(
             s"starting-snapshot-id must be numeric, got '$v'"))
           // must name a real log entry: a typo'd future id would otherwise
-          // make the tail silently empty forever (latest < start)
-          cat.snapshotAt(db, table, id).snapshotId
+          // make the tail silently empty forever (latest < start) —
+          // existence check from the pointer log alone
+          require(cat.entryLog(db, table).exists(_.snapshotId == id),
+            s"no snapshot $id in $db.$table")
+          id
       })
     override def latestOffset(): Offset = SnapOffset(currentId)
     override def deserializeOffset(json: String): Offset = SnapOffset(json.trim.toLong)
@@ -622,7 +635,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     private def batchFor(opts: Map[String, String], files: Seq[String]): Batch = {
       val cism = new CaseInsensitiveStringMap(opts.asJava)
       val builder = ParquetTable(s"$db.$table stream", spark, cism, files,
-        Some(tableSchema.getOrElse(cat.currentSnapshot(db, table).schema)),
+        Some(tableSchema.getOrElse(cat.entryLog(db, table).last.schema)),
         classOf[ParquetFileFormat])
         .newScanBuilder(cism)
       builder.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
@@ -634,8 +647,11 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       val s = start.asInstanceOf[SnapOffset].id
       val e = end.asInstanceOf[SnapOffset].id
       if (s >= e) return Array.empty
-      val log = cat.snapshotList(db, table)
-      val between = log.filter(sn => sn.snapshotId > s && sn.snapshotId <= e)
+      // append-only check needs id/operation only — pointer log, no
+      // manifest materialization (only the two endpoint snapshots below
+      // pay for their file lists)
+      val between = cat.entryLog(db, table)
+        .filter(sn => sn.snapshotId > s && sn.snapshotId <= e)
       val nonAppend = between.filterNot(_.operation == "append")
       require(nonAppend.isEmpty,
         s"streaming read of $db.$table hit non-append operations " +
@@ -774,7 +790,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       () => new Scan with LocalScan {
         override def readSchema(): StructType = tableSchema
         override def rows(): Array[InternalRow] =
-          cat.snapshotList(db, table).map { s =>
+          // pointer log only — never materializes manifest file lists
+          cat.entryLog(db, table).map { s =>
             val micros = java.time.Instant.parse(s.committedAt)
             val ts = micros.getEpochSecond * 1000000L + micros.getNano / 1000L
             val keys = s.summary.keys.toArray.map(k => UTF8String.fromString(k): Any)
@@ -849,7 +866,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
                 UTF8String.fromString("tag"), id)
             }.toArray
           case "history" =>
-            val snaps = cat.snapshotList(db, table)
+            val snaps = cat.entryLog(db, table) // pointer log, no manifests
             val current = snaps.map(_.snapshotId).max
             snaps.map { s =>
               InternalRow(micros(s.committedAt), s.snapshotId,

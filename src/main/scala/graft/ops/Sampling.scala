@@ -25,10 +25,14 @@ object Sampling {
 
   /** Deterministic point in [0, 2^32) for a key: the first 8 hex chars of
     * md5(key as string). Uniform for any key distribution (cryptographic
-    * avalanche), reproducible across engines and runs. */
+    * avalanche), reproducible across engines and runs. NULL keys hash as
+    * the empty string (colliding with a genuine "" key — acceptable for a
+    * sampling decision): a NULL must land in a deterministic split/sample
+    * like every other row, not silently vanish from filters (`NULL < t` is
+    * NULL) or pile into the last split branch. */
   def hashPoint(key: Column): Column =
-    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long")
+    conv(substring(md5(coalesce(key.cast("string"), lit(""))
+      .cast("binary")), 1, 8), 16, 10).cast("long")
 
   /** Assign each row to train/val/test by fraction of the hash space.
     * Fractions are taken as exact 2^32-ths, so engine float rounding can

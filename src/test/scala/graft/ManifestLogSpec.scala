@@ -144,4 +144,19 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ms(3).size == 1 && ms(3).head == "m4.json")
     assert(cat.readLatest("db", "t").as[(Long, String)].collect().toSet == Set((1L, "a")))
   }
+
+  test("removeOrphanFiles sweeps manifest shards no entry references") {
+    val cat = newCat()
+    cat.createTable("db", "t", Seq((1L, "a")).toDF("id", "v").schema)
+    cat.append("db", "t", Seq((1L, "a")).toDF("id", "v"))
+    // crash debris: a shard written whose pointer-log rename never landed
+    val stray = snapDir(cat, "db", "t").resolve("m999.json")
+    Files.writeString(stray, """{"files": ["data/s999/x.parquet"], "file_stats": {}}""")
+    val deleted = cat.removeOrphanFiles("db", "t")
+    assert(deleted.exists(_.endsWith("m999.json")), deleted)
+    assert(!Files.exists(stray))
+    // referenced shards survive and the table still reads
+    assert(cat.readLatest("db", "t").count() == 1L)
+    assert(cat.removeOrphanFiles("db", "t").isEmpty)
+  }
 }

@@ -218,4 +218,19 @@ class OpsSpec extends AnyFunSuite {
     assert(Sampling.stratifiedSample(docs, col("lang"), col("doc_id"),
       rates = Map("en" -> 0.25)).except(docs).isEmpty)
   }
+
+  test("sampling treats NULL keys as rows, not as filter-dropped") {
+    val withNulls = Seq((Some(1L), "en"), (None, "en"), (None, "de"))
+      .toDF("id", "lang")
+    // a NULL key gets a deterministic split like any other row — never the
+    // silent otherwise-branch pileup of `when(NULL < t)`
+    val splits = withNulls.select(Sampling.assignSplit(col("id"), 0.8, 0.1).as("s"))
+      .as[String].collect()
+    assert(splits.forall(Set("train", "val", "test")), splits.toSeq)
+    assert(splits(1) == splits(2), "both null keys hash identically")
+    // a keep-everything stratum keeps its null-key rows too
+    val kept = Sampling.stratifiedSample(withNulls, col("lang"), col("id"),
+      rates = Map("en" -> 1.0))
+    assert(kept.count() == 3, "defaultFrac=1.0 must keep null-key rows")
+  }
 }

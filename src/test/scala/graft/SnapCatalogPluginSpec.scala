@@ -904,5 +904,12 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     // location is derived from the warehouse layout, never persisted state
     assert(spark.sql("DESCRIBE NAMESPACE snapcat.nsprops").collect()
       .exists(r => r.getString(0) == "Location" && r.getString(1).contains("nsprops")))
+    // ...and trying to SET it fails loudly instead of silently no-opping
+    // (SET LOCATION reaches the plugin as a SetProperty("location") change;
+    // the SET PROPERTIES spelling is already parser-rejected)
+    val e = intercept[Exception] {
+      spark.sql("ALTER NAMESPACE snapcat.nsprops SET LOCATION '/elsewhere'")
+    }
+    assert(e.getMessage.contains("derived"), e.getMessage)
   }
 }
