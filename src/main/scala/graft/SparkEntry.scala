@@ -842,11 +842,11 @@ object SparkEntry {
       val picks = perGroup.values.flatMap(_._2).toSeq
       // sentinel for the NULL group in the string join key (concat_ws
       // SKIPS nulls, which would collapse "null#5" to "5")
-      def gkey(g: String): String = if (g == null) " null" else g
+      def gkey(g: String): String = if (g == null) "\u0000null" else g
       val neededKeys = picks.map(p => s"${gkey(p.g)}#${p.b}").distinct
       val w = Window.partitionBy("g", "b").orderBy("c")
       val picked = data.withColumn("b", bucketCol)
-        .where(concat_ws("#", coalesce(col("g"), lit(" null")), col("b"))
+        .where(concat_ws("#", coalesce(col("g"), lit("\u0000null")), col("b"))
           .isin(neededKeys: _*))
         .withColumn("rn", row_number().over(w))
         .where(col("rn").isin(picks.map(_.localRank).distinct: _*))
