@@ -617,6 +617,108 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // as-of join (the kdb / pandas merge_asof / DuckDB ASOF JOIN surface):
+    // each click adopts the latest view by the same user at or before it.
+    // ONE shuffle — tagged union + running last_value — never an
+    // inequality join (see TemporalJoin.asOfJoin's scale note).
+    "q65_asof_join" -> ((s, dir) => {
+      val ev = eventsT(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("click_us"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_eid"),
+          unix_micros(col("ts")).as("view_us"))
+      ops.TemporalJoin.asOfJoin(clicks, views, Seq("user_id"),
+          leftTs = "click_us", rightTs = "view_us",
+          rightValueCols = Seq("view_us"), rightTiebreak = Some("view_eid"))
+        .select(col("event_id"), col("click_us"), col("view_us"),
+          (col("click_us") - col("view_us")).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
+    // point-in-interval range join: clicks landing in each view's
+    // one-hour attribution window — the binned equi-join rewrite (each
+    // side shuffles once on (user, hour-bin); no theta-join blowup).
+    "q66_range_join" -> ((s, dir) => {
+      val ev = eventsT(s, dir)
+      val hourUs = 3600000000L
+      val iv = ev.where(col("event_type") === "view")
+        .select(col("event_id").as("iv_id"), col("user_id"),
+          unix_micros(col("ts")).as("win_start"),
+          (unix_micros(col("ts")) + hourUs).as("win_end"))
+      val pts = ev.where(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("click_us"),
+          cents(col("value")).as("v_e2"))
+      val pairs = ops.TemporalJoin.pointIntervalJoin(pts, iv, Seq("user_id"),
+        pointTs = "click_us", startCol = "win_start", endCol = "win_end",
+        binWidth = hourUs, pointValueCols = Seq("v_e2"))
+      val counts = pairs.groupBy("iv_id")
+        .agg(count(lit(1)).as("n_in"), sum(col("v_e2")).as("sum_v_e2"))
+      iv.select("iv_id").join(counts, Seq("iv_id"), "left")
+        .select(col("iv_id"),
+          coalesce(col("n_in"), lit(0L)).as("n_in"),
+          coalesce(col("sum_v_e2"), lit(0L)).as("sum_v_e2"))
+        .orderBy("iv_id")
+    }),
+
+    // CUBE grouping sets with grouping() provenance columns.
+    "q67_cube" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+          count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("price_cents"))
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n", "price_cents")
+        .orderBy(col("g_status"), col("g_prio"),
+          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // UNPIVOT: wide per-flag measures melted to (measure, value) rows via
+    // the native Dataset.unpivot (no UNION ALL re-scan of the input).
+    "q68_unpivot" -> ((s, dir) => {
+      T(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("cnt"), col("price_cents")), "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    }),
+
+    // analytic-function battery: lag/lead/ntile/percent_rank in one
+    // window pass (one shuffle on the partition key, single sort).
+    "q69_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, dir, "orders").where(col("o_custkey") <= 50)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast("long").as("rn"),
+          lag("price_cents", 1).over(w).as("prev_cents"),
+          lead("price_cents", 1).over(w).as("next_cents"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          floor(percent_rank().over(w) * 1000000).cast("long").as("pr_e6"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Gopher/RefinedWeb-style repetition quality gates: top-word share and
+    // duplicate-bigram share per doc, rolled up per language. ZERO-shuffle
+    // per-doc histograms (sorted-array fold inside the row, see
+    // TextOps.wordRepetition) — the corpus never re-keys.
+    "q70_repetition" -> ((s, dir) => {
+      TextOps.wordRepetition(T(s, dir, "documents"), Seq("doc_id", "lang"), "text")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("sum_words"),
+          sum(col("top_word_count")).as("sum_top_word"),
+          sum(col("n_bigrams")).as("sum_bigrams"),
+          sum(col("dup_bigram_count")).as("sum_dup_bigrams"),
+          sum(when(col("top_word_count") * 5 > col("n_words"), 1L).otherwise(0L))
+            .as("n_flagged"))
+        .orderBy("lang")
+    }),
+
     // corpus n-gram analytics: top document-frequency bigrams — the
     // boilerplate-detection scan a dedup pipeline runs before choosing its
     // df-cap (explode -> one hash-partitioned count -> top-k).
@@ -1582,5 +1684,87 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the oracle states as-of as the correlated argmax DuckDB decorrelates;
+    // only the matched TIMESTAMP is emitted (not a payload), so exact-tie
+    // views cannot make the comparison nondeterministic
+    "q65_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, CAST(c.us AS BIGINT) AS click_us,
+        |  CAST((SELECT max(v.us) FROM v WHERE v.user_id = c.user_id AND v.us <= c.us)
+        |    AS BIGINT) AS view_us,
+        |  CAST(c.us - (SELECT max(v.us) FROM v WHERE v.user_id = c.user_id AND v.us <= c.us)
+        |    AS BIGINT) AS gap_us
+        |FROM c ORDER BY c.event_id""".stripMargin,
+
+    "q66_range_join" ->
+      """WITH v AS (SELECT event_id AS iv_id, user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS v_e2
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.iv_id, CAST(count(c.us) AS BIGINT) AS n_in,
+        |  CAST(coalesce(sum(c.v_e2), 0) AS BIGINT) AS sum_v_e2
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |  AND c.us >= v.us AND c.us < v.us + 3600000000
+        |GROUP BY v.iv_id ORDER BY v.iv_id""".stripMargin,
+
+    "q67_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q68_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+        |UNION ALL SELECT l_returnflag, 'cnt', cnt FROM a
+        |UNION ALL SELECT l_returnflag, 'price_cents', price_cents FROM a
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q69_window_funcs" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders WHERE o_custkey <= 50)
+        |SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  lag(price_cents, 1) OVER w AS prev_cents,
+        |  lead(price_cents, 1) OVER w AS next_cents,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(FLOOR((percent_rank() OVER w) * 1000000) AS BIGINT) AS pr_e6
+        |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q70_repetition" ->
+      """WITH wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |wg AS (SELECT doc_id, tok, count(*) AS c FROM wx GROUP BY doc_id, tok),
+        |dw AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    CAST(max(c) AS BIGINT) AS top_c FROM wg GROUP BY doc_id),
+        |bl AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM bl WHERE len(ws) >= 2),
+        |bgc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg),
+        |db AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bg
+        |  FROM bgc GROUP BY doc_id)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dw.n_words) AS BIGINT) AS sum_words,
+        |  CAST(sum(dw.top_c) AS BIGINT) AS sum_top_word,
+        |  CAST(sum(coalesce(db.n_bg, 0)) AS BIGINT) AS sum_bigrams,
+        |  CAST(sum(coalesce(db.dup_bg, 0)) AS BIGINT) AS sum_dup_bigrams,
+        |  CAST(sum(CASE WHEN dw.top_c * 5 > dw.n_words THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged
+        |FROM documents d JOIN dw USING (doc_id) LEFT JOIN db USING (doc_id)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
 }

@@ -71,6 +71,56 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(BpeTokenPattern)).cast("long")
 
+  /** Per-document word-repetition metrics — the Gopher/RefinedWeb-style
+    * repetition quality signals (most-frequent-word share, duplicate
+    * word-bigram share) that gate repetitious machine-generated text out of
+    * a training corpus.
+    *
+    * Output: `idCols…, n_words, top_word_count, n_bigrams, dup_bigram_count`
+    * (all BIGINT; a doc's duplicate-bigram share = dup_bigram_count /
+    * n_bigrams, kept as integers for oracle portability).
+    *
+    * 100-TB shape: ZERO shuffles. The alternative — explode tokens +
+    * groupBy(doc, token) — re-keys the entire token stream through one
+    * shuffle whose volume is the corpus itself. Here each document's
+    * histogram questions are answered inside its own row: sort the token
+    * array, then a single `aggregate` fold counts the longest run (= top
+    * word count) and the singleton runs (= n - singletons duplicates).
+    * `ArrayAggregate` is interpreted (no codegen), but per-row CPU beats a
+    * corpus-sized shuffle at any real scale, and rows parallelize
+    * embarrassingly. */
+  def wordRepetition(df: DataFrame, idCols: Seq[String], textCol: String): DataFrame = {
+    // longest run in a sorted array = max multiplicity
+    val topRun =
+      """aggregate(array_sort(_ws),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+        |  (a, x) -> named_struct(
+        |    'prev', x,
+        |    'run',  IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L),
+        |    'best', GREATEST(a.best, IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L))),
+        |  a -> a.best)""".stripMargin
+    // tokens living in runs of length > 1 = n - (number of singleton runs)
+    val singles =
+      """aggregate(array_sort(_bg),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'singles', 0L),
+        |  (a, x) -> named_struct(
+        |    'prev', x,
+        |    'run',  IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L),
+        |    'singles', IF(a.prev IS NOT NULL AND x = a.prev, a.singles,
+        |                  a.singles + IF(a.run = 1L, 1L, 0L))),
+        |  a -> a.singles + IF(a.run = 1L, 1L, 0L))""".stripMargin
+    df.select(idCols.map(c => col(s"`$c`")) :+ split(col(s"`$textCol`"), " ").as("_ws"): _*)
+      .withColumn("_bg", expr(
+        """CASE WHEN size(_ws) >= 2
+          |  THEN transform(sequence(0, size(_ws) - 2), i -> concat(_ws[i], ' ', _ws[i + 1]))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .select(idCols.map(c => col(s"`$c`")) ++ Seq(
+        size(col("_ws")).cast("long").as("n_words"),
+        expr(topRun).as("top_word_count"),
+        size(col("_bg")).cast("long").as("n_bigrams"),
+        (size(col("_bg")).cast("long") - expr(singles)).as("dup_bigram_count")): _*)
+  }
+
   /** Rolling polynomial fingerprint over words (mod 2^31-1), for
     * content-defined document identity. Pure expression fold; NOT oracled
     * (no portable cross-engine hash) — validated in ScalaTest instead. */

@@ -233,4 +233,86 @@ class OpsSpec extends AnyFunSuite {
       rates = Map("en" -> 1.0))
     assert(kept.count() == 3, "defaultFrac=1.0 must keep null-key rows")
   }
+
+  test("asOfJoin: backward match, exact-ts inclusive, ties, nulls, no-predecessor") {
+    import graft.ops.TemporalJoin
+    val left = Seq((1L, "k1", 100L), (2L, "k1", 50L), (3L, "k2", 10L),
+        (4L, null.asInstanceOf[String], 99L))
+      .toDF("lid", "k", "lts")
+    val right = Seq((10L, "k1", 100L, "at100"), (11L, "k1", 60L, "at60"),
+        (12L, "k1", 100L, "at100b"), // exact-ts tie: higher tiebreak wins
+        (13L, "k2", 20L, "late"),    // after the only k2 left row
+        (14L, null.asInstanceOf[String], 1L, "nullkey"),
+        (15L, "k1", -5L, "neg"))
+      .toDF("rid", "k", "rts", "payload")
+    val out = TemporalJoin.asOfJoin(left, right, Seq("k"), "lts", "rts",
+        rightValueCols = Seq("payload"), rightTiebreak = Some("rid"))
+      .select("lid", "payload").as[(Long, String)].collect().toMap
+    assert(out(1L) == "at100b", "right row AT left ts matches; rid tie -> last")
+    assert(out(2L) == "neg", "latest rts <= 50 is -5")
+    assert(out(3L) == null, "k2's only right row is in the future")
+    assert(out(4L) == null, "NULL keys never match (SQL join semantics)")
+    // left row count is preserved exactly (left-outer shape)
+    assert(out.size == 4)
+  }
+
+  test("pointIntervalJoin: end-exclusive, bin-boundary exactness, empty intervals") {
+    import graft.ops.TemporalJoin
+    val pts = Seq(("k", 0L), ("k", 99L), ("k", 100L), ("k", 199L), ("k", 200L), ("k", 1000L))
+      .toDF("k", "pts")
+    val ivs = Seq((1L, "k", 0L, 100L),   // [0,100): catches 0,99 — not 100
+        (2L, "k", 100L, 200L),           // [100,200): catches 100,199
+        (3L, "k", 50L, 50L),             // empty interval: nothing
+        (4L, "k", 150L, 250L))           // spans a bin boundary: 199,200
+      .toDF("iv", "k", "lo", "hi")
+    val got = TemporalJoin.pointIntervalJoin(pts, ivs, Seq("k"), "pts", "lo", "hi",
+        binWidth = 100L)
+      .select("iv", "pts").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L), (1L, 99L), (2L, 100L), (2L, 199L), (4L, 199L), (4L, 200L)))
+    // each qualifying pair appears exactly once (a point is in ONE bin)
+    val cnt = TemporalJoin.pointIntervalJoin(pts, ivs, Seq("k"), "pts", "lo", "hi",
+        binWidth = 7L).select("iv", "pts").as[(Long, Long)].collect()
+    assert(cnt.length == cnt.toSet.size && cnt.toSet == got, "odd binWidth changes nothing")
+  }
+
+  test("pointIntervalJoin fails loudly past maxBinsPerInterval") {
+    import graft.ops.TemporalJoin
+    val pts = Seq(("k", 5L)).toDF("k", "pts")
+    val ivs = Seq(("k", 0L, 100000L)).toDF("k", "lo", "hi")
+    val e = intercept[Exception] {
+      TemporalJoin.pointIntervalJoin(pts, ivs, Seq("k"), "pts", "lo", "hi",
+        binWidth = 10L, maxBinsPerInterval = 16).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("wordRepetition matches a brute-force histogram on real docs") {
+    val got = TextOps.wordRepetition(docs.limit(40), Seq("doc_id"), "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val truth = docs.limit(40).select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val ws = text.split(" ", -1).toSeq
+        val bg = if (ws.size >= 2) ws.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty
+        val wc = ws.groupBy(identity).map(_._2.size)
+        val bc = bg.groupBy(identity).map(_._2.size)
+        id -> ((ws.size.toLong, wc.max.toLong, bg.size.toLong,
+          bc.filter(_ > 1).sum.toLong))
+      }.toMap
+    assert(got.keySet == truth.keySet)
+    truth.foreach { case (id, t) =>
+      assert(got(id) == t, s"doc $id: got ${got(id)}, want $t") }
+  }
+
+  test("wordRepetition degenerate docs: empty text and single word") {
+    val d = Seq((1L, ""), (2L, "solo"), (3L, "a a a a")).toDF("id", "text")
+    val m = TextOps.wordRepetition(d, Seq("id"), "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // split("") -> [""]: one (empty) word, zero bigrams
+    assert(m(1L) == ((1L, 1L, 0L, 0L)))
+    assert(m(2L) == ((1L, 1L, 0L, 0L)))
+    // "a a a a": 4 words all same; 3 bigrams all "a a" -> all duplicated
+    assert(m(3L) == ((4L, 4L, 3L, 3L)))
+  }
 }
