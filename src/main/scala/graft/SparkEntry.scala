@@ -719,6 +719,24 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // sequence packing (concat-then-chunk, the GPT pretraining recipe):
+    // per-language token streams cut into 2048-token context chunks; docs
+    // straddle boundaries. Streams are the parallelism unit (see
+    // Packing.packChunks) — one window pass per stream, no global sort.
+    "q71_sequence_pack" -> ((s, dir) => {
+      val window = 2048L
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.bpeTokenCount(col("text")).as("toks"))
+      ops.Packing.packChunks(toks, Seq("lang"), "doc_id", col("toks"), window)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("total_tokens"),
+          (max(col("first_chunk") + col("n_chunks"))).as("n_chunks"),
+          sum(when(col("n_chunks") > 1, 1L).otherwise(0L)).as("n_straddling"))
+        .orderBy("lang")
+    }),
+
     // corpus n-gram analytics: top document-frequency bigrams — the
     // boilerplate-detection scan a dedup pipeline runs before choosing its
     // df-cap (explode -> one hash-partitioned count -> top-k).
@@ -1745,6 +1763,24 @@ object SparkEntry {
         |  CAST(FLOOR((percent_rank() OVER w) * 1000000) AS BIGINT) AS pr_e6
         |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q71_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (SELECT lang, toks,
+        |    sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS tok_start
+        |  FROM t),
+        |p AS (SELECT lang, toks, tok_start // 2048 AS first_chunk,
+        |    CASE WHEN toks = 0 THEN 0
+        |         ELSE (tok_start + toks - 1) // 2048 - tok_start // 2048 + 1 END AS n_chunks
+        |  FROM c)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  CAST(max(first_chunk + n_chunks) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q70_repetition" ->
       """WITH wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

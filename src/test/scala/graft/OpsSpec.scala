@@ -286,6 +286,24 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("packChunks: hand-replayed offsets, boundary straddles, zero-token docs, stream isolation") {
+    import graft.ops.Packing
+    val d = Seq((1L, "a", 100L), (2L, "a", 2000L), (3L, "a", 50L), (4L, "a", 0L),
+        (5L, "a", 5000L), (10L, "b", 2048L), (11L, "b", 1L))
+      .toDF("id", "st", "toks")
+    val out = Packing.packChunks(d, Seq("st"), "id", col("toks"), 2048L)
+      .select("id", "tok_start", "first_chunk", "n_chunks")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((0L, 0L, 1L)))
+    assert(out(2L) == ((100L, 0L, 2L)), "tokens 100..2099 straddle the 2048 boundary")
+    assert(out(3L) == ((2100L, 1L, 1L)))
+    assert(out(4L) == ((2150L, 1L, 0L)), "a zero-token doc occupies no chunk")
+    assert(out(5L) == ((2150L, 1L, 3L)), "tokens 2150..7149 span chunks 1..3")
+    // stream b restarts at offset 0 — streams are independent
+    assert(out(10L) == ((0L, 0L, 1L)), "exactly window tokens fill exactly one chunk")
+    assert(out(11L) == ((2048L, 1L, 1L)))
+  }
+
   test("wordRepetition matches a brute-force histogram on real docs") {
     val got = TextOps.wordRepetition(docs.limit(40), Seq("doc_id"), "text")
       .as[(Long, Long, Long, Long, Long)].collect()
