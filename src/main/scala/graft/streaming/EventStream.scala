@@ -158,6 +158,35 @@ object EventStream {
       }
   }
 
+  /** Stream-stream attribution join — the unbounded twin of
+    * [[graft.ops.TemporalJoin.pointIntervalJoin]]: every click by a user
+    * within `windowMinutes` after (inclusive) one of their views, INNER and
+    * end-exclusive, exactly the batch operator's semantics.
+    *
+    * Both sides carry watermarks and the join condition bounds event-time
+    * distance, which is what lets Spark EVICT state: a buffered view can
+    * only ever match clicks in `[view_ts, view_ts + window)`, so once the
+    * click watermark passes that horizon the view is dropped — state holds
+    * ~window+watermark of stream, never unbounded history. Without the
+    * range condition Spark would (correctly) refuse to plan an inner
+    * stream-stream join with append output. */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+      windowMinutes: Long = 60, watermark: String = "2 hours"): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("click_user_id"), col("ts").as("click_ts"),
+        floor(col("value") * 100).cast("long").as("v_e2"))
+      .withWatermark("click_ts", watermark)
+    v.join(c, expr(
+      s"""user_id = click_user_id AND
+         |click_ts >= view_ts AND
+         |click_ts < view_ts + interval $windowMinutes minutes""".stripMargin))
+      .select(col("view_id"), col("user_id"), col("click_id"),
+        col("view_ts"), col("click_ts"), col("v_e2"))
+  }
+
   /** Streaming exact deduplication: drop re-deliveries of the same
     * event_id inside the watermark horizon. State holds one key per id seen
     * within the horizon and is evicted as the watermark advances — the

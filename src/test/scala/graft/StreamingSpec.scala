@@ -45,6 +45,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream attribution join matches the batch pointIntervalJoin") {
+    val batchEvents = spark.read.parquet(eventsDir)
+    val views = spark.readStream.schema(batchEvents.schema).parquet(eventsDir)
+      .where(col("event_type") === "view")
+    val clicks = spark.readStream.schema(batchEvents.schema).parquet(eventsDir)
+      .where(col("event_type") === "click")
+    val q = EventStream.attributionJoin(views, clicks)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_out")
+      .select("view_id", "click_id").as[(Long, Long)].collect().toSet
+
+    val hourUs = 3600000000L
+    val iv = batchEvents.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        unix_micros(col("ts")).as("win_start"),
+        (unix_micros(col("ts")) + hourUs).as("win_end"))
+    val pts = batchEvents.where(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("click_us"),
+        col("event_id").as("click_id"))
+    val batch = graft.ops.TemporalJoin.pointIntervalJoin(pts, iv, Seq("user_id"),
+        pointTs = "click_us", startCol = "win_start", endCol = "win_end",
+        binWidth = hourUs, pointValueCols = Seq("click_id"))
+      .select("view_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "testdata should produce at least one attribution pair")
+    assert(streamed == batch)
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     // duplicate every event once (simulated at-least-once redelivery)
     val dupDir = Files.createTempDirectory("graft_dup_").toString
