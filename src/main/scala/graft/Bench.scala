@@ -7,6 +7,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // 71 queries x several codegen stages each blows far past the default
+      // 100-entry generated-code cache; evictions make LATER queries
+      // re-compile (and re-JIT) code they already ran, so measured time
+      // depends on session position (q22: 0.49s alone vs 1.1-1.3s after 20
+      // neighbors — same commit, same plan). Size the cache for the suite.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
