@@ -737,6 +737,18 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // write-audit-publish: the snapshots metadata table of a table that
+    // staged two batches — one published after audit, one discarded.
+    // Staged snapshots are invisible to current-state readers but recorded
+    // (flagged) in history; publish/discard are pure pointer commits.
+    "q72_wap" -> ((s, dir) => {
+      WarehouseFixture.forDir(s, dir).src.snapshots("maint", "orders_wap")
+        .select(col("snapshot_id"), col("operation"),
+          element_at(col("summary"), "record_count").cast("long").as("record_count"),
+          coalesce(element_at(col("summary"), "wap.staged"), lit("false")).as("staged"))
+        .orderBy("snapshot_id")
+    }),
+
     // corpus n-gram analytics: top document-frequency bigrams — the
     // boilerplate-detection scan a dedup pipeline runs before choosing its
     // df-cap (explode -> one hash-partitioned count -> top-k).
@@ -1763,6 +1775,21 @@ object SparkEntry {
         |  CAST(FLOOR((percent_rank() OVER w) * 1000000) AS BIGINT) AS pr_e6
         |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q72_wap" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) c FROM orders),
+        |f AS (SELECT CAST(count(*) AS BIGINT) c FROM orders WHERE o_orderstatus = 'F'),
+        |o AS (SELECT CAST(count(*) AS BIGINT) c FROM orders WHERE o_orderstatus = 'O')
+        |SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'create', CAST(0 AS BIGINT), 'false'),
+        |  (CAST(2 AS BIGINT), 'append', (SELECT c FROM n), 'false'),
+        |  (CAST(3 AS BIGINT), 'append', (SELECT c FROM n) + (SELECT c FROM f), 'true'),
+        |  (CAST(4 AS BIGINT), 'publish', (SELECT c FROM n) + (SELECT c FROM f), 'false'),
+        |  (CAST(5 AS BIGINT), 'append',
+        |    (SELECT c FROM n) + (SELECT c FROM f) + (SELECT c FROM o), 'true'),
+        |  (CAST(6 AS BIGINT), 'discard', (SELECT c FROM n) + (SELECT c FROM f), 'false')
+        |) AS t(snapshot_id, operation, record_count, staged)
+        |ORDER BY snapshot_id""".stripMargin,
 
     "q71_sequence_pack" ->
       """WITH t AS (SELECT doc_id, lang,

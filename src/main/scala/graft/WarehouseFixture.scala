@@ -160,6 +160,18 @@ object WarehouseFixture {
       orders.where(col("o_orderstatus") === "F").repartition(1))
     src.rollback("maint", "orders_rb", toSnapshotId = 2)
 
+    // - maint.orders_wap: one full write-audit-publish cycle (stage the
+    //   F batch, audit passes -> publish) and one failed audit (stage the
+    //   O batch -> discard); q72 asserts the whole visibility history
+    src.createTable("maint", "orders_wap", orders.schema)                // 1
+    src.append("maint", "orders_wap", orders.repartition(1))             // 2
+    val stF = src.stageAppend("maint", "orders_wap",
+      orders.where(col("o_orderstatus") === "F").repartition(1))         // 3 staged
+    src.publishStaged("maint", "orders_wap", stF.snapshotId)             // 4
+    val stO = src.stageAppend("maint", "orders_wap",
+      orders.where(col("o_orderstatus") === "O").repartition(1))         // 5 staged
+    src.discardStaged("maint", "orders_wap", stO.snapshotId)             // 6
+
     Fixture(src, dst, verification, expDeleted)
   }
 }

@@ -464,10 +464,34 @@ final class SnapshotCatalog(
       case V2Log(es)        => es.map(materialize(db, table, _))
     }
 
+  // ---- write-audit-publish visibility ----
+
+  /** A staged (write-audit-publish) snapshot: committed durably, fully
+    * addressable by id, but INVISIBLE to current-state readers until
+    * published. Marked in the summary so the flag rides the atomic log
+    * write and shows up in the `snapshots` metadata table. */
+  private def isStagedEntry(e: SnapshotEntry): Boolean =
+    e.summary.get("wap.staged").contains("true")
+
+  /** The last PUBLISHED entry — what "current table state" means
+    * everywhere. A staged tail is skipped; interior staged entries (already
+    * published or discarded via their successor pointer commits) are
+    * skipped the same way. The create entry is never staged, so this total
+    * function needs no fallback. */
+  private def publishedEntry(entries: Seq[SnapshotEntry]): SnapshotEntry =
+    entries.reverse.find(e => !isStagedEntry(e)).getOrElse(
+      throw new IllegalStateException("corrupt log: no published snapshot"))
+
+  /** Id of the current (published) snapshot, pointer-log only — the read
+    * the streaming tail's every-trigger `latestOffset` makes: staged
+    * snapshots must not leak into streams before their audit passes. */
+  def currentSnapshotId(db: String, table: String): Long =
+    publishedEntry(entryMeta(db, table)).snapshotId
+
   def currentSnapshot(db: String, table: String): Snapshot =
     loadRepr(db, table) match {
-      case LegacyLog(snaps) => snaps.last
-      case V2Log(es)        => materialize(db, table, es.last)
+      case LegacyLog(snaps) => snaps.last // legacy logs predate staging
+      case V2Log(es)        => materialize(db, table, publishedEntry(es))
     }
 
   def snapshotAt(db: String, table: String, snapshotId: Long): Snapshot =
@@ -648,10 +672,14 @@ final class SnapshotCatalog(
     * than returning something that is not "the added rows". */
   def readIncremental(db: String, table: String, fromId: Long, toId: Long): DataFrame = {
     require(fromId <= toId, s"fromId $fromId > toId $toId")
-    // operation check is pointer-log-only; just the two endpoints materialize
+    // operation check is pointer-log-only; just the two endpoints
+    // materialize. WAP publish/discard pointer commits are append-or-
+    // nothing relative to published visibility, so the endpoint file diff
+    // stays exact across them; true rewrites stay rejected.
     val between = entryMeta(db, table)
       .filter(s => s.snapshotId > fromId && s.snapshotId <= toId)
-    val nonAppend = between.filterNot(_.operation == "append")
+    val nonAppend = between.filterNot(s =>
+      s.operation == "append" || s.operation == "publish" || s.operation == "discard")
     require(nonAppend.isEmpty,
       s"incremental read of $db.$table requires an append-only range: " +
         nonAppend.map(s => s"${s.operation}@${s.snapshotId}").mkString(", ") +
@@ -708,6 +736,7 @@ final class SnapshotCatalog(
       extraSummary: Map[String, String] = Map.empty): Snapshot = withTableLock(db, table) {
     val tm = meta(db, table)
     val entries = entriesForWrite(db, table)
+    requireNoPendingStage(db, table, entries)
     val prevEntry = entries.last
     val prev = materialize(db, table, prevEntry)
     val newId = prev.snapshotId + 1
@@ -935,6 +964,7 @@ final class SnapshotCatalog(
       carryStats: Map[String, Map[String, String]] = Map.empty,
       expectSnapshotId: Option[Long] = None): Snapshot = withTableLock(db, table) {
     val entries = entriesForWrite(db, table)
+    requireNoPendingStage(db, table, entries)
     val prevEntry = entries.last
     val prev = materialize(db, table, prevEntry)
     expectSnapshotId.foreach(id => require(prev.snapshotId == id,
@@ -963,6 +993,7 @@ final class SnapshotCatalog(
     require(operation == "append" || operation == "overwrite",
       s"streaming adoption must be append or overwrite, got $operation")
     val entries = entriesForWrite(db, table)
+    requireNoPendingStage(db, table, entries)
     val prevEntry = entries.last
     val key = s"stream-epoch.$sinkId"
     if (prevEntry.summary.get(key).exists(epochId <= _.toLong)) {
@@ -1040,6 +1071,7 @@ final class SnapshotCatalog(
   def rollback(db: String, table: String,
       toSnapshotId: Long): Snapshot = withTableLock(db, table) {
     val entries = entriesForWrite(db, table)
+    requireNoPendingStage(db, table, entries)
     val targetEntry = entries.find(_.snapshotId == toSnapshotId).getOrElse(
       throw new NoSuchElementException(
         s"snapshot $toSnapshotId not found for $db.$table"))
@@ -1061,6 +1093,77 @@ final class SnapshotCatalog(
     commitSnapshot(db, table, entries, snap, targetEntry.manifests, Manifest.empty)
   }
 
+  // ---- write-audit-publish (Iceberg's WAP pattern, single-lineage form) ----
+
+  private def requireNoPendingStage(db: String, table: String,
+      entries: Seq[SnapshotEntry]): Unit =
+    require(!isStagedEntry(entries.last),
+      s"$db.$table has a pending staged snapshot ${entries.last.snapshotId}: " +
+        "publishStaged or discardStaged it before committing anything else")
+
+  /** Stage an append for audit: a durable, complete append snapshot whose
+    * `wap.staged=true` summary flag makes it INVISIBLE to every
+    * current-state reader (library reads, SQL, the streaming tail's
+    * offsets) while remaining fully addressable by id — the audit job
+    * time-travels to the returned snapshot id (`readAsOf` / SQL `VERSION
+    * AS OF`), validates, then [[publishStaged]] or [[discardStaged]].
+    *
+    * This is the data-quality gate a training-data pipeline puts in front
+    * of its lake: bad batches never become visible, yet the audit runs
+    * against real committed files — publish is a pure pointer commit, so
+    * nothing is rewritten when the audit passes. Single-lineage
+    * discipline replaces Iceberg's cherry-pick: at most ONE staged
+    * snapshot may be pending and every other commit path refuses while it
+    * is (clear error, no silent reordering). */
+  def stageAppend(db: String, table: String, df: DataFrame,
+      extraSummary: Map[String, String] = Map.empty): Snapshot =
+    append(db, table, df, extraSummary + ("wap.staged" -> "true"))
+
+  /** Publish a staged snapshot: one pointer-log entry re-pointing current
+    * state at the staged snapshot's manifests — O(KB) regardless of data
+    * size, the property that makes audit-then-publish free at 100 TB. */
+  def publishStaged(db: String, table: String,
+      snapshotId: Long): Snapshot = withTableLock(db, table) {
+    val entries = entriesForWrite(db, table)
+    val staged = entries.last
+    require(isStagedEntry(staged) && staged.snapshotId == snapshotId,
+      s"snapshot $snapshotId is not the pending staged snapshot of $db.$table" +
+        (if (isStagedEntry(staged)) s" (pending is ${staged.snapshotId})" else ""))
+    val full = materialize(db, table, staged)
+    val snap = Snapshot(staged.snapshotId + 1, clock().toString, "publish",
+      full.summary - "wap.staged" +
+        ("wap.source" -> snapshotId.toString,
+          "added_records" -> "0", "added_files" -> "0"),
+      staged.schemaDdl, full.files, full.fileStats)
+    commitSnapshot(db, table, entries, snap, staged.manifests, Manifest.empty)
+  }
+
+  /** Discard a staged snapshot: a pointer commit restoring the published
+    * head as current. The staged snapshot stays in history (addressable
+    * for post-mortems) until [[expireSnapshots]] collects it — and expire
+    * reclaims its data files then, since no surviving state references
+    * them. */
+  def discardStaged(db: String, table: String,
+      snapshotId: Long): Snapshot = withTableLock(db, table) {
+    val entries = entriesForWrite(db, table)
+    val staged = entries.last
+    require(isStagedEntry(staged) && staged.snapshotId == snapshotId,
+      s"snapshot $snapshotId is not the pending staged snapshot of $db.$table" +
+        (if (isStagedEntry(staged)) s" (pending is ${staged.snapshotId})" else ""))
+    val headEntry = publishedEntry(entries)
+    val head = materialize(db, table, headEntry)
+    val snap = Snapshot(staged.snapshotId + 1, clock().toString, "discard",
+      head.summary
+        // the staged append carried the streaming high-water marks
+        // forward; the restored head's copy is identical by construction,
+        // but take the staged tail's to keep the invariant local
+        ++ streamEpochTags(staged.summary)
+        + ("wap.discarded" -> snapshotId.toString,
+          "added_records" -> "0", "added_files" -> "0"),
+      headEntry.schemaDdl, head.files, head.fileStats)
+    commitSnapshot(db, table, entries, snap, headEntry.manifests, Manifest.empty)
+  }
+
   /** Schema-evolution commit (Iceberg `ALTER TABLE ADD COLUMN` semantics):
     * a new snapshot that KEEPS the previous snapshot's data files and
     * record count but carries the evolved schema. Reads of the new
@@ -1071,6 +1174,7 @@ final class SnapshotCatalog(
   def evolveSchema(db: String, table: String, newSchema: StructType,
       allowDrop: Boolean = false): Snapshot = withTableLock(db, table) {
     val entries = entriesForWrite(db, table)
+    requireNoPendingStage(db, table, entries)
     val prevEntry = entries.last
     val prev = materialize(db, table, prevEntry)
     val dropped = prev.schema.fieldNames.filterNot(newSchema.fieldNames.contains)
@@ -1256,6 +1360,9 @@ final class SnapshotCatalog(
   def expireSnapshots(db: String, table: String, keepLast: Int): Int = withTableLock(db, table) {
     require(keepLast >= 1, "must keep at least one snapshot")
     val entries = entriesForWrite(db, table)
+    // an expire that kept ONLY a staged tail would leave a table with no
+    // published state; resolve the pending audit first
+    requireNoPendingStage(db, table, entries)
     if (entries.size <= keepLast) return 0
     val (expired, kept) = entries.splitAt(entries.size - keepLast)
     val keptFiles = kept.flatMap(materialize(db, table, _).files).toSet

@@ -610,8 +610,10 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     }
 
     // pointer-log read: latestOffset runs EVERY trigger — it must never
-    // materialize a manifest
-    private def currentId: Long = cat.entryLog(db, table).last.snapshotId
+    // materialize a manifest. The PUBLISHED head, not the raw log tail: a
+    // WAP-staged snapshot must not leak into the stream before its audit
+    // passes (its rows arrive at publish time, via the endpoint file diff)
+    private def currentId: Long = cat.currentSnapshotId(db, table)
 
     override def initialOffset(): Offset =
       SnapOffset(Option(options.get("starting-snapshot-id")) match {
@@ -652,7 +654,13 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       // pay for their file lists)
       val between = cat.entryLog(db, table)
         .filter(sn => sn.snapshotId > s && sn.snapshotId <= e)
-      val nonAppend = between.filterNot(_.operation == "append")
+      // publish/discard are WAP pointer commits: relative to the PUBLISHED
+      // lineage offsets walk, their effect is append-or-nothing, and the
+      // endpoint file diff below yields exactly the visible-added files
+      // (publish surfaces the staged append's files; discard surfaces
+      // none). True rewrites stay rejected.
+      val nonAppend = between.filterNot(sn =>
+        sn.operation == "append" || sn.operation == "publish" || sn.operation == "discard")
       require(nonAppend.isEmpty,
         s"streaming read of $db.$table hit non-append operations " +
           nonAppend.map(sn => s"${sn.operation}@${sn.snapshotId}").mkString(", ") +

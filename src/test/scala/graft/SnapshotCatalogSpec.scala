@@ -525,6 +525,104 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(s.get("min.id").contains("1"))
     assert(s.get("max.id").contains("5"))
   }
+  test("WAP: staged snapshot is invisible until published, addressable by id") {
+    val cat = freshCatalog()
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val batch = Seq((3L, "c")).toDF("id", "name")
+    cat.createTable("db", "w", base.schema)
+    cat.append("db", "w", base) // snap 2
+    val staged = cat.stageAppend("db", "w", batch) // snap 3, staged
+    assert(staged.snapshotId == 3L)
+    // invisible to every current-state reader
+    assert(cat.currentSnapshot("db", "w").snapshotId == 2L)
+    assert(cat.currentSnapshotId("db", "w") == 2L)
+    assert(cat.readLatest("db", "w").count() == 2)
+    // but fully addressable for the audit
+    assert(cat.readAsOf("db", "w", 3L).count() == 3)
+    // metadata table shows it, flagged
+    assert(cat.snapshotList("db", "w").last.summary.get("wap.staged").contains("true"))
+
+    // every other commit path refuses while the stage is pending
+    val e1 = intercept[IllegalArgumentException](cat.append("db", "w", batch))
+    assert(e1.getMessage.contains("staged"))
+    intercept[IllegalArgumentException](cat.overwrite("db", "w", batch))
+    intercept[IllegalArgumentException](cat.delete("db", "w", col("id") === 1L))
+    intercept[IllegalArgumentException](cat.compact("db", "w", 1))
+    intercept[IllegalArgumentException](cat.rollback("db", "w", 2L))
+    intercept[IllegalArgumentException](cat.expireSnapshots("db", "w", keepLast = 1))
+    intercept[IllegalArgumentException](cat.stageAppend("db", "w", batch))
+
+    // publish: pure pointer commit — no new manifest shard is written
+    val shardsBefore = Files.list(java.nio.file.Paths.get(cat.warehouse, "db", "w", "_snapshots"))
+      .filter(p => p.getFileName.toString.startsWith("m")).count()
+    val pub = cat.publishStaged("db", "w", 3L)
+    val shardsAfter = Files.list(java.nio.file.Paths.get(cat.warehouse, "db", "w", "_snapshots"))
+      .filter(p => p.getFileName.toString.startsWith("m")).count()
+    assert(shardsAfter == shardsBefore, "publish must write zero O(files) metadata")
+    assert(pub.operation == "publish" && pub.snapshotId == 4L)
+    assert(cat.readLatest("db", "w").count() == 3)
+    assert(cat.recordCount("db", "w", 4L) == 3L)
+    assert(pub.summary.get("wap.source").contains("3"))
+    // normal commits work again
+    cat.append("db", "w", Seq((4L, "d")).toDF("id", "name"))
+    assert(cat.readLatest("db", "w").count() == 4)
+  }
+
+  test("WAP: discard restores the published head; expire reclaims the staged files") {
+    val cat = freshCatalog()
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    cat.createTable("db", "w", base.schema)
+    cat.append("db", "w", base) // snap 2
+    val staged = cat.stageAppend("db", "w", Seq((3L, "bad")).toDF("id", "name")) // snap 3
+    // wrong-id guards
+    intercept[IllegalArgumentException](cat.publishStaged("db", "w", 2L))
+    intercept[IllegalArgumentException](cat.discardStaged("db", "w", 2L))
+    val disc = cat.discardStaged("db", "w", 3L) // snap 4
+    assert(disc.operation == "discard" && cat.readLatest("db", "w").count() == 2)
+    assert(cat.currentSnapshotId("db", "w") == 4L)
+    // nothing staged pending anymore: publish/discard refuse, commits work
+    intercept[IllegalArgumentException](cat.publishStaged("db", "w", 3L))
+    cat.append("db", "w", Seq((5L, "e")).toDF("id", "name")) // snap 5
+    assert(cat.readLatest("db", "w").count() == 3)
+    // the discarded batch stays addressable for post-mortem until expire
+    assert(cat.readAsOf("db", "w", 3L).count() == 3)
+    val stagedFiles = cat.files("db", "w", 3L).filterNot(cat.files("db", "w", 2L).toSet)
+    assert(stagedFiles.nonEmpty)
+    cat.expireSnapshots("db", "w", keepLast = 2)
+    stagedFiles.foreach(f =>
+      assert(!Files.exists(java.nio.file.Paths.get(f)), s"expire must reclaim $f"))
+  }
+
+  test("WAP: staged rows reach a snapcat stream only at publish; discarded rows never") {
+    val cat = freshCatalog()
+    // register this catalog for SQL streaming
+    spark.conf.set("spark.sql.catalog.wapcat", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.wapcat.warehouse", cat.warehouse)
+    val base = Seq((1L, "a")).toDF("id", "name")
+    cat.createTable("db", "ws", base.schema)
+    cat.append("db", "ws", base)
+    val q = spark.readStream.option("starting-snapshot-id", "1").table("wapcat.db.ws")
+      .writeStream.format("memory").queryName("wap_tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("wap_tail").count() == 1)
+      val st = cat.stageAppend("db", "ws", Seq((2L, "staged")).toDF("id", "name"))
+      q.processAllAvailable()
+      // staged rows must NOT leak before the audit passes
+      assert(spark.table("wap_tail").count() == 1)
+      cat.publishStaged("db", "ws", st.snapshotId)
+      q.processAllAvailable()
+      assert(spark.table("wap_tail").as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "staged")))
+      // a discarded stage contributes nothing, and the stream keeps working
+      val st2 = cat.stageAppend("db", "ws", Seq((9L, "bad")).toDF("id", "name"))
+      cat.discardStaged("db", "ws", st2.snapshotId)
+      cat.append("db", "ws", Seq((3L, "c")).toDF("id", "name"))
+      q.processAllAvailable()
+      assert(spark.table("wap_tail").as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "staged"), (3L, "c")))
+    } finally q.stop()
+  }
 }
 
 /** Pure unit tests for the stats-merge ordering edge cases (no Spark). */
