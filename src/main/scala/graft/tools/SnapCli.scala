@@ -149,6 +149,25 @@ object SnapCli {
       val cat = new SnapshotCatalog(spark, wh)
       val snap = cat.appendBucketed(db, table, spark.read.parquet(path))
       println(s"bucket-append $db.$table snapshot=${snap.snapshotId} records=${snap.recordCount}")
+    case "stage" =>
+      // write-audit-publish: land a batch as a STAGED snapshot (invisible
+      // until `publish`); audit it with `show <db> <table> <stagedId>`
+      val Array(wh, db, table, path) = a.take(4)
+      val cat = new SnapshotCatalog(spark, wh)
+      val snap = cat.stageAppend(db, table, spark.read.parquet(path))
+      println(s"staged $db.$table snapshot=${snap.snapshotId} " +
+        s"records=${snap.summary("added_records")} (current stays " +
+        s"${cat.currentSnapshotId(db, table)}; publish or discard ${snap.snapshotId})")
+    case "publish" =>
+      val Array(wh, db, table, id) = a.take(4)
+      val snap = new SnapshotCatalog(spark, wh).publishStaged(db, table, id.toLong)
+      println(s"published $db.$table snapshot=${snap.snapshotId} " +
+        s"source=${snap.summary("wap.source")} records=${snap.recordCount}")
+    case "discard" =>
+      val Array(wh, db, table, id) = a.take(4)
+      val snap = new SnapshotCatalog(spark, wh).discardStaged(db, table, id.toLong)
+      println(s"discarded staged ${snap.summary("wap.discarded")} of $db.$table; " +
+        s"current snapshot=${snap.snapshotId} records=${snap.recordCount}")
     case "stream-ingest" =>
       // native streaming sink drive: tail a parquet DIRECTORY as a stream
       // and land each micro-batch as one epoch-tagged snapshot via
@@ -192,6 +211,9 @@ object SnapCli {
       |  zorder    <warehouse> <db> <table> <col1,col2[,...]> <numFiles>
       |  bucket-create <warehouse> <db> <table> <parquetPath> <bucketCol> <nBuckets>
       |  bucket-append <warehouse> <db> <table> <parquetPath>
+      |  stage     <warehouse> <db> <table> <parquetPath>   (write-audit-publish)
+      |  publish   <warehouse> <db> <table> <stagedId>
+      |  discard   <warehouse> <db> <table> <stagedId>
       |  stream-ingest <warehouse> <db> <table> <parquetDir>  (native writeStream.toTable)
       |  sql       <warehouse> "<query using snapcat.db.table>"  (incl. DELETE/UPDATE/MERGE)""".stripMargin
 }

@@ -275,6 +275,44 @@ class OpsSpec extends AnyFunSuite {
     assert(cnt.length == cnt.toSet.size && cnt.toSet == got, "odd binWidth changes nothing")
   }
 
+  test("temporal joins agree with brute force on 300 random rows") {
+    import graft.ops.TemporalJoin
+    val rnd = new scala.util.Random(42)
+    val keys = Array("a", "b", "c", "d")
+    val left = (1 to 150).map(i =>
+      (i.toLong, keys(rnd.nextInt(keys.length)), rnd.nextInt(100).toLong))
+    val right = (1 to 150).map(i =>
+      (i.toLong + 1000, keys(rnd.nextInt(keys.length)), rnd.nextInt(100).toLong))
+    val lDf = left.toDF("lid", "k", "lts")
+    val rDf = right.toDF("rid", "k", "rts")
+
+    // as-of: per left row, max rts <= lts; tie -> max rid
+    val asofGot = TemporalJoin.asOfJoin(lDf, rDf, Seq("k"), "lts", "rts",
+        rightValueCols = Seq("rid"), rightTiebreak = Some("rid"))
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    left.foreach { case (lid, k, lts) =>
+      val cands = right.filter(r => r._2 == k && r._3 <= lts)
+      val want = if (cands.isEmpty) None
+        else Some(cands.maxBy(r => (r._3, r._1))._1)
+      assert(asofGot(lid) == want, s"asof lid=$lid k=$k lts=$lts")
+    }
+
+    // range: pairs with lts in [rts, rts+13), several odd bin widths
+    for (bw <- Seq(1L, 7L, 13L, 64L)) {
+      val iv = rDf.withColumn("lo", col("rts")).withColumn("hi", col("rts") + 13L)
+      val got = TemporalJoin.pointIntervalJoin(lDf, iv, Seq("k"), "lts", "lo", "hi",
+          binWidth = bw, pointValueCols = Seq("lid"))
+        .select("rid", "lid").as[(Long, Long)].collect().sorted.toSeq
+      val want = (for {
+        (rid, rk, rts) <- right
+        (lid, lk, lts) <- left
+        if lk == rk && lts >= rts && lts < rts + 13
+      } yield (rid, lid)).sorted
+      assert(got == want, s"range join mismatch at binWidth=$bw")
+    }
+  }
+
   test("pointIntervalJoin fails loudly past maxBinsPerInterval") {
     import graft.ops.TemporalJoin
     val pts = Seq(("k", 5L)).toDF("k", "pts")
