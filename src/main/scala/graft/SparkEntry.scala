@@ -749,6 +749,22 @@ object SparkEntry {
         .orderBy("snapshot_id")
     }),
 
+    // calendar-function battery: extract fields, date arithmetic, month
+    // boundaries — all codegen'd builtins, engine-portable by value.
+    "q73_datetime_funcs" -> ((s, dir) => {
+      T(s, dir, "orders").where(col("o_orderkey") <= 200)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+        .select(col("o_orderkey"), col("d"),
+          year(col("d")).cast("long").as("y"),
+          quarter(col("d")).cast("long").as("q"),
+          month(col("d")).cast("long").as("m"),
+          dayofmonth(col("d")).cast("long").as("dom"),
+          date_add(col("d"), 30).as("d_plus30"),
+          last_day(col("d")).as("month_end"),
+          datediff(lit("1998-12-31").cast("date"), col("d")).cast("long").as("days_to_ref"))
+        .orderBy("o_orderkey")
+    }),
+
     // corpus n-gram analytics: top document-frequency bigrams — the
     // boilerplate-detection scan a dedup pipeline runs before choosing its
     // df-cap (explode -> one hash-partitioned count -> top-k).
@@ -1775,6 +1791,18 @@ object SparkEntry {
         |  CAST(FLOOR((percent_rank() OVER w) * 1000000) AS BIGINT) AS pr_e6
         |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q73_datetime_funcs" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS q,
+        |  CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+        |  CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT) AS dom,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS d_plus30,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT)
+        |    AS days_to_ref
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
 
     "q72_wap" ->
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) c FROM orders),
