@@ -765,6 +765,78 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // benchmark decontamination: flag training docs whose word 3-grams
+    // overlap the held-out benchmark slice (doc_id % 97 == 0). The
+    // benchmark n-gram set is tiny by construction -> broadcast; the
+    // corpus side explodes per-row and aggregates per doc with map-side
+    // combine — the corpus shingle stream never shuffles.
+    "q74_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 97 === 0)
+      val corpus = docs.where(col("doc_id") % 97 =!= 0)
+      ops.Decontaminate.overlapCounts(corpus, Seq("doc_id", "lang"), "text",
+          bench, "text", n = 3)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_shingles")).as("sum_shingles"),
+          sum(col("n_overlap")).as("sum_overlap"),
+          sum(when(col("n_overlap") * 20 >= col("n_shingles"), 1L).otherwise(0L))
+            .as("n_contaminated"))
+        .orderBy("lang")
+    }),
+
+    // PII/pattern scrub: ordered regex redaction with per-rule match
+    // counts — pure per-row codegen'd regexp work, no shuffle; at 100 TB
+    // scrubbing rides the scan. The digit rule fires on this corpus; the
+    // email rule proves a non-matching rule passes text through intact
+    // (real PII patterns are spec-tested against literal strings).
+    "q75_pii_scrub" -> ((s, dir) => {
+      val rules = Seq(
+        TextOps.ScrubRule("email",
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+        TextOps.ScrubRule("num", "[0-9]+", "<NUM>"))
+      TextOps.scrub(eventsT(s, dir), "props", rules)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("n_email")).as("n_emails"),
+          sum(col("n_num")).as("n_nums"),
+          sum(length(col("props")).cast("long")).as("chars_in"),
+          sum(length(col("scrubbed")).cast("long")).as("chars_out"))
+        .orderBy("event_type")
+    }),
+
+    // deterministic epoch mixing: head sources upweighted 2.5x, two tail
+    // sources downsampled to 0.4x, the rest 1.0x. Copies are
+    // exact-in-expectation and reproducible (hash-membership fractional
+    // copy, see Sampling.resampleWeighted) — a narrow per-row explode, no
+    // shuffle until the output agg.
+    "q76_domain_mix" -> ((s, dir) => {
+      val weight = when(col("source").isin("src0", "src1", "src2"), 2.5)
+        .when(col("source").isin("src3", "src4"), 0.4)
+        .otherwise(1.0)
+      ops.Sampling.resampleWeighted(T(s, dir, "documents"), col("doc_id"), weight)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("chars_out"),
+          max(col("copy_idx")).as("max_copy"))
+        .orderBy("source")
+    }),
+
+    // per-domain token-budget selection: keep the best documents per
+    // language (quality = length, ties by doc_id) until a 15k-char budget
+    // fills — greedy prefix, ONE window pass, groups are the parallelism
+    // unit (see Curation.selectToBudget's scale note).
+    "q79_token_budget" -> ((s, dir) => {
+      ops.Curation.selectToBudget(T(s, dir, "documents"), Seq("lang"), "doc_id",
+          quality = col("n_chars"), tokens = col("n_chars"), budget = 15000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars").cast("long")).as("chars_kept"),
+          max(col("rank")).as("last_rank"))
+        .orderBy("lang")
+    }),
+
     // corpus n-gram analytics: top document-frequency bigrams — the
     // boilerplate-detection scan a dedup pipeline runs before choosing its
     // df-cap (explode -> one hash-partitioned count -> top-k).
@@ -1836,6 +1908,64 @@ object SparkEntry {
         |  CAST(max(first_chunk + n_chunks) AS BIGINT) AS n_chunks,
         |  CAST(sum(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
         |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q74_decontaminate" ->
+      """WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, lang, list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS grams FROM ws),
+        |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, lang, CAST(len(grams) AS BIGINT) AS n_sh,
+        |    unnest(grams) AS gram FROM sh WHERE doc_id % 97 <> 0),
+        |ov AS (SELECT corp.doc_id, corp.lang, max(corp.n_sh) AS n_sh,
+        |    CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ov
+        |  FROM corp LEFT JOIN bench b ON corp.gram = b.gram
+        |  GROUP BY corp.doc_id, corp.lang)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_sh) AS BIGINT) AS sum_shingles,
+        |  CAST(sum(n_ov) AS BIGINT) AS sum_overlap,
+        |  CAST(sum(CASE WHEN n_ov * 20 >= n_sh THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated
+        |FROM ov GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q75_pii_scrub" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(len(regexp_extract_all(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))) AS BIGINT) AS n_emails,
+        |  CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_nums,
+        |  CAST(sum(length(props)) AS BIGINT) AS chars_in,
+        |  CAST(sum(length(regexp_replace(regexp_replace(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g'))) AS BIGINT) AS chars_out
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q76_domain_mix" ->
+      """WITH d AS (SELECT source, doc_id, n_chars,
+        |    CAST(CASE WHEN source IN ('src0','src1','src2') THEN 2.5
+        |         WHEN source IN ('src3','src4') THEN 0.4 ELSE 1.0 END AS DOUBLE) AS w,
+        |    CAST(concat('0x', substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 8)) AS BIGINT) AS hp
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_chars,
+        |    CAST(floor(w) AS BIGINT) +
+        |      CASE WHEN hp < CAST(floor((w - floor(w)) * 4294967296.0) AS BIGINT)
+        |           THEN 1 ELSE 0 END AS copies
+        |  FROM d)
+        |SELECT source, CAST(sum(copies) AS BIGINT) AS n_copies,
+        |  CAST(count(CASE WHEN copies > 0 THEN 1 END) AS BIGINT) AS n_docs,
+        |  CAST(sum(copies * n_chars) AS BIGINT) AS chars_out,
+        |  CAST(max(copies) - 1 AS BIGINT) AS max_copy
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q79_token_budget" ->
+      """WITH r AS (SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank,
+        |    sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+        |  CAST(max(rank) AS BIGINT) AS last_rank
+        |FROM r WHERE cum <= 15000 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q70_repetition" ->
       """WITH wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

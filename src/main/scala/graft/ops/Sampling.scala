@@ -62,4 +62,35 @@ object Sampling {
     }
     df.where(hashPoint(key) < threshold)
   }
+
+  /** Deterministic weighted resampling — the pretraining "epoch mixing"
+    * materialization: emit each row `floor(weight)` times, plus one more
+    * copy iff `hashPoint(key)` lands below the weight's fractional part of
+    * the hash space, so a domain weighted 2.4 sees every document twice and
+    * a deterministic ~40% of them a third time. Expected copies = weight
+    * EXACTLY; membership of the fractional copy is stable across retries,
+    * backfills, and engines (same md5 hash as every sampler here), unlike
+    * `rand()`-based mixing where a re-run silently reshuffles epochs.
+    *
+    * Weights below 1 downsample (rows may emit zero copies); `copy_idx`
+    * (0-based) distinguishes repeats so downstream packing/shuffling can
+    * spread copies apart.
+    *
+    * 100-TB shape: a narrow per-row `explode(sequence(...))` — no shuffle,
+    * no state; output volume is the mixed corpus size, which is the
+    * irreducible cost of materialized mixing. (For weights that are all
+    * integers the sequence is constant-folded per row; fractional weights
+    * add one hash comparison.) */
+  def resampleWeighted(df: DataFrame, key: Column, weight: Column): DataFrame = {
+    val base = floor(weight).cast("long")
+    // fractional-part threshold in exact 2^32-ths, floored (not cast) so
+    // the oracle's floor() agrees bit-for-bit
+    val extraThreshold = floor((weight - floor(weight)) * lit(Space.toDouble)).cast("long")
+    val copies = base + when(hashPoint(key) < extraThreshold, 1L).otherwise(0L)
+    // copies = 0 -> NULL sequence -> explode drops the row (weight < 1
+    // downsampling); explicit step so sequence(0, -1) can never infer a
+    // descending range
+    df.withColumn("copy_idx",
+      explode(when(copies > lit(0L), sequence(lit(0L), copies - 1, lit(1L)))))
+  }
 }

@@ -121,6 +121,45 @@ object TextOps {
         (size(col("_bg")).cast("long") - expr(singles)).as("dup_bigram_count")): _*)
   }
 
+  /** One redaction rule: every match of `pattern` is replaced by
+    * `replacement`, and the match count is emitted as `n_<name>`.
+    * Patterns must stay in the portable regex subset (character classes,
+    * bounded repetition — no lookaround, no backreferences) so the same
+    * pattern means the same thing under Java regex and RE2/DuckDB, keeping
+    * scrub queries oracle-checkable. */
+  final case class ScrubRule(name: String, pattern: String, replacement: String)
+
+  /** Default PII redaction set (email, IPv4, long digit runs — the
+    * account-number / phone-ish catch-all). Order matters and is applied
+    * as given: IPv4 before bare digit runs, so an address is one `<IP>`,
+    * not four `<NUM>`s. */
+  val PiiRules: Seq[ScrubRule] = Seq(
+    ScrubRule("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ScrubRule("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ScrubRule("digits", "[0-9][0-9][0-9][0-9][0-9][0-9]+", "<NUM>"))
+
+  /** Apply `rules` in order to `textCol`: emits the fully redacted text as
+    * `<outCol>` plus one `n_<rule>` match count per rule (counted against
+    * the text state AFTER all earlier rules applied, so counts sum to the
+    * number of redaction tokens inserted — no double counting when a later
+    * pattern is a substring shape of an earlier one).
+    *
+    * 100-TB shape: a pure per-row projection of codegen'd `regexp_replace`
+    * / `regexp_count` — no shuffle, no UDF; scrubbing rides the scan. */
+  def scrub(df: DataFrame, textCol: String, rules: Seq[ScrubRule],
+      outCol: String = "scrubbed"): DataFrame = {
+    require(rules.nonEmpty, "scrub needs at least one rule")
+    val names = rules.map(_.name)
+    require(names.distinct == names, s"duplicate rule names: ${names.mkString(",")}")
+    val (redacted, counts) =
+      rules.foldLeft((col(s"`$textCol`"), Seq.empty[Column])) {
+        case ((txt, cnts), r) =>
+          (regexp_replace(txt, r.pattern, r.replacement),
+            cnts :+ regexp_count(txt, lit(r.pattern)).cast("long").as(s"n_${r.name}"))
+      }
+    df.withColumns((names.map("n_" + _) :+ outCol).zip(counts :+ redacted.as(outCol)).toMap)
+  }
+
   /** Rolling polynomial fingerprint over words (mod 2^31-1), for
     * content-defined document identity. Pure expression fold; NOT oracled
     * (no portable cross-engine hash) — validated in ScalaTest instead. */

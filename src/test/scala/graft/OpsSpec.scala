@@ -371,4 +371,99 @@ class OpsSpec extends AnyFunSuite {
     // "a a a a": 4 words all same; 3 bigrams all "a a" -> all duplicated
     assert(m(3L) == ((4L, 4L, 3L, 3L)))
   }
+
+  test("scrub: PII rules redact in order, count per rule, pass non-matches through") {
+    val d = Seq(
+      (1L, "mail alice@example.com and bob.smith@corp.co.uk end"),
+      (2L, "host 192.168.0.1 acct 1234567 short 123"),
+      (3L, "clean text with no pii at all")).toDF("id", "text")
+    val out = TextOps.scrub(d, "text", TextOps.PiiRules)
+      .select("id", "n_email", "n_ipv4", "n_digits", "scrubbed")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L)._1 == 2L && out(1L)._4 ==
+      "mail <EMAIL> and <EMAIL> end")
+    // the IP is ONE <IP> (ipv4 runs before the digit rule), 1234567 is a
+    // long digit run, 123 is too short to be one
+    assert(out(2L) == ((0L, 1L, 1L, "host <IP> acct <NUM> short 123")))
+    assert(out(3L) == ((0L, 0L, 0L, "clean text with no pii at all")))
+  }
+
+  test("scrub counts later rules on already-redacted text (no double counting)") {
+    // after the ipv4 rule rewrites the address, the digit rule must not
+    // also fire on its octets
+    val d = Seq((1L, "10.0.0.1 123456")).toDF("id", "text")
+    val r = TextOps.scrub(d, "text", TextOps.PiiRules)
+      .select("n_ipv4", "n_digits").as[(Long, Long)].head()
+    assert(r == ((1L, 1L)))
+  }
+
+  test("decontaminate: exact overlap counts and clean() drops exactly the flagged docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // contains bench 3-grams
+      (2L, "totally unrelated words compose this sentence"),
+      (3L, "quick brown fox again here")).toDF("id", "text")
+    val bench = Seq((10L, "a quick brown fox jumps high")).toDF("bid", "btext")
+    val got = ops.Decontaminate.overlapCounts(corpus, Seq("id"), "text", bench, "btext", n = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: 7 distinct 3-grams, of which "quick brown fox", "brown fox jumps" hit
+    assert(got(1L) == ((7L, 2L)))
+    assert(got(2L)._2 == 0L)
+    // doc 3: "quick brown fox" hits
+    assert(got(3L) == ((3L, 1L)))
+    val kept = ops.Decontaminate.clean(corpus, Seq("id"), "text", bench, "btext",
+      n = 3, minOverlap = 2L).select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("resampleWeighted: integer weights copy exactly, fractional are deterministic, <1 downsamples") {
+    val d = (0L until 400L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    // integer weight: every row exactly twice, copy_idx 0 and 1
+    val twice = Sampling.resampleWeighted(d, col("id"), lit(2.0))
+      .groupBy("id").agg(count(lit(1)).as("n"), array_sort(collect_list("copy_idx")).as("idx"))
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(twice.length == 400 && twice.forall(r => r._2 == 2L && r._3 == Seq(0L, 1L)))
+    // fractional: copies per row in {floor, floor+1}, total near expectation
+    val mixed = Sampling.resampleWeighted(d, col("id"), lit(1.4))
+    val total = mixed.count()
+    assert(total > 400 * 1.4 - 60 && total < 400 * 1.4 + 60, s"total=$total")
+    // deterministic: an identical second run emits the identical multiset
+    val again = Sampling.resampleWeighted(d, col("id"), lit(1.4))
+    assert(mixed.select("id", "copy_idx").except(again.select("id", "copy_idx")).isEmpty)
+    // weight < 1: strict subset, zero-copy rows vanish
+    val down = Sampling.resampleWeighted(d, col("id"), lit(0.3))
+    val downIds = down.select("id").as[Long].collect()
+    assert(downIds.length < 400 && downIds.length > 400 * 0.3 - 60)
+    assert(down.select("copy_idx").as[Long].collect().forall(_ == 0L))
+    // the fractional members agree with the hash-threshold sampler
+    val sampled = Sampling.sample(d, col("id"), 0.3).select("id").as[Long].collect().toSet
+    assert(downIds.toSet == sampled)
+  }
+
+  test("selectToBudget: greedy prefix, deterministic ties, loud on negative tokens") {
+    val d = Seq(
+      // group g1, quality = tok: ranked 900, 300, 300 (tie by id), 100
+      ("g1", 1L, 300L), ("g1", 2L, 900L), ("g1", 3L, 300L), ("g1", 4L, 100L),
+      ("g2", 5L, 50L)).toDF("g", "id", "tok")
+    val kept = ops.Curation.selectToBudget(d, Seq("g"), "id",
+        quality = col("tok"), tokens = col("tok"), budget = 1500L)
+      .select("g", "id", "rank", "cum_tokens")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    // g1 prefix: 900 (id2) + 300 (id1, tie-break id asc) + 300 (id3) = 1500
+    // fits; 100 would push to 1600 -> dropped
+    assert(kept.map(r => (r._1, r._2)).toSeq ==
+      Seq(("g1", 2L), ("g1", 1L), ("g1", 3L), ("g2", 5L)))
+    assert(kept.filter(_._1 == "g1").map(_._4).toSeq == Seq(900L, 1200L, 1500L))
+    // greedy prefix: a head doc larger than budget blocks its whole group
+    val blocked = ops.Curation.selectToBudget(d, Seq("g"), "id",
+        quality = col("tok"), tokens = col("tok"), budget = 200L)
+      .select("g").as[String].collect()
+    assert(blocked.toSeq == Seq("g2"))
+    val neg = Seq(("g1", 1L, -5L)).toDF("g", "id", "tok")
+    val e = intercept[Exception] {
+      ops.Curation.selectToBudget(neg, Seq("g"), "id",
+        quality = col("tok"), tokens = col("tok"), budget = 10L).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
