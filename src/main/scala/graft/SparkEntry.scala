@@ -435,6 +435,29 @@ object SparkEntry {
         .toDF("n_snapshots", "surviving_id", "record_count", "deleted_files")
     }),
 
+    // TARGETED bin-pack compaction (Iceberg rewrite_data_files): only the
+    // 6 small files fold into one output; the larger file carries over
+    // verbatim — the steady-state maintenance op that costs the debris,
+    // never the lake (a full compact() at 100 TB rewrites 100 TB).
+    "q77_binpack" -> ((s, dir) => {
+      import s.implicits._
+      WarehouseFixture.forDir(s, dir).src.snapshotList("maint", "orders_bin")
+        .map(sn => (sn.snapshotId, sn.operation, sn.files.size.toLong, sn.recordCount))
+        .toDF("snapshot_id", "operation", "num_files", "record_count")
+        .orderBy("snapshot_id")
+    }),
+
+    // `db.t.partitions` metadata table: per-partition row counts served
+    // ENTIRELY from the snapshot log's per-file footer stats — answering
+    // "how big is each partition" without scheduling a single task.
+    "q78_partitions" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      s.conf.set("spark.sql.catalog.snapfix", "graft.catalog.spark.SnapCatalogPlugin")
+      s.conf.set("spark.sql.catalog.snapfix.warehouse", fx.src.warehouse)
+      s.sql("SELECT `partition`, record_count FROM snapfix.maint.orders_part.partitions")
+        .orderBy("partition")
+    }),
+
     // catalog listing (S4: the SHOW TABLES surface,
     // `1_collect_src_snapshots.py:49-56`).
     "q35_list_tables" -> ((s, dir) => {
@@ -1908,6 +1931,23 @@ object SparkEntry {
         |  CAST(max(first_chunk + n_chunks) AS BIGINT) AS n_chunks,
         |  CAST(sum(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
         |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q77_binpack" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) c FROM orders)
+        |SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'create',  CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'append',  CAST(6 AS BIGINT), (SELECT c FROM n)),
+        |  (CAST(3 AS BIGINT), 'append',  CAST(7 AS BIGINT),
+        |    CAST(2 * (SELECT c FROM n) AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'rewrite', CAST(2 AS BIGINT),
+        |    CAST(2 * (SELECT c FROM n) AS BIGINT))
+        |) AS t(snapshot_id, operation, num_files, record_count)
+        |ORDER BY snapshot_id""".stripMargin,
+
+    "q78_partitions" ->
+      """SELECT concat('o_orderstatus=', o_orderstatus) AS partition,
+        |  CAST(count(*) AS BIGINT) AS record_count
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q74_decontaminate" ->
       """WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),

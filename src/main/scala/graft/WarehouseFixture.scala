@@ -160,6 +160,19 @@ object WarehouseFixture {
       orders.where(col("o_orderstatus") === "F").repartition(1))
     src.rollback("maint", "orders_rb", toSnapshotId = 2)
 
+    // - maint.orders_bin: 6 small files + 1 larger one, then a TARGETED
+    //   bin-pack rewrite: the threshold is the big file's own size, so the
+    //   6 smalls fold into one output and the big file carries verbatim
+    //   (q77 asserts the history; the spec asserts byte-identical carry)
+    src.createTable("maint", "orders_bin", orders.schema)
+    src.append("maint", "orders_bin", orders.repartition(6))
+    val binBig = src.append("maint", "orders_bin", orders.repartition(1))
+    val binBigBytes = binBig.files.filterNot(
+        src.snapshotAt("maint", "orders_bin", binBig.snapshotId - 1).files.toSet)
+      .map(f => binBig.fileStats(f)("bytes").toLong).min
+    src.rewriteSmallFiles("maint", "orders_bin",
+      smallBytes = binBigBytes, targetBytes = Long.MaxValue / 4)
+
     // - maint.orders_wap: one full write-audit-publish cycle (stage the
     //   F batch, audit passes -> publish) and one failed audit (stage the
     //   O batch -> discard); q72 asserts the whole visibility history

@@ -35,12 +35,15 @@ object FileStats {
     * chunk statistics are absent/unusable in ANY row group simply get no
     * min/max keys (missing stats disable pruning, never break it). */
   def fromFooter(file: Path, schema: StructType, conf: Configuration): Map[String, String] = {
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), conf))
+    val inputFile = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), conf)
+    val reader = ParquetFileReader.open(inputFile)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val out = Map.newBuilder[String, String]
       out += ("rows" -> blocks.map(_.getRowCount).sum.toString)
+      // on-disk size, for bin-pack maintenance (rewriteSmallFiles) — the
+      // same length the open() already stat'ed, no extra filesystem call
+      out += ("bytes" -> inputFile.getLength.toString)
       schema.fields.filter(f => ColumnStats.statable(f.dataType)).foreach { f =>
         val chunks = blocks.map(_.getColumns.asScala.find(_.getPath.toDotString == f.name))
         // every row group must expose the column (partition columns and

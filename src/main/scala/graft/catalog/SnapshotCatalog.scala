@@ -1307,6 +1307,44 @@ final class SnapshotCatalog(
     commit(db, table, current.repartition(numFiles), "compact")
   }
 
+  /** TARGETED small-file compaction (Iceberg `rewrite_data_files` bin-pack
+    * strategy): rewrite only the current snapshot's files smaller than
+    * `smallBytes`, coalescing them into ~`targetBytes` outputs; every file
+    * at or above the threshold carries over VERBATIM with its stats.
+    *
+    * This — not [[compact]] — is the steady-state maintenance op at 100 TB:
+    * a streaming sink or frequent small appends leave a daily tail of tiny
+    * files, and folding them in costs the debris, never the lake. A full
+    * `compact()` of a 100-TB table rewrites 100 TB; `rewriteSmallFiles`
+    * rewrites the few GB that need it. File sizes come from the `bytes`
+    * footer stat recorded at commit time (pointer-log metadata, no
+    * filesystem listing); files committed before size recording fall back
+    * to one `stat` each, on the driver, still zero data reads.
+    *
+    * Returns None (no commit) when fewer than two files are below the
+    * threshold — rewriting one small file into one small file is churn. */
+  def rewriteSmallFiles(db: String, table: String, smallBytes: Long,
+      targetBytes: Long): Option[Snapshot] = withTableLock(db, table) {
+    require(smallBytes > 0 && targetBytes > 0,
+      s"thresholds must be positive: smallBytes=$smallBytes targetBytes=$targetBytes")
+    val snap = currentSnapshot(db, table)
+    val root = tablePath(db, table)
+    def sizeOf(f: String): Long =
+      snap.fileStats.get(f).flatMap(_.get("bytes")).map(_.toLong)
+        .getOrElse(Files.size(root.resolve(f)))
+    val (small, big) = snap.files.partition(sizeOf(_) < smallBytes)
+    if (small.size < 2) None
+    else {
+      val totalSmall = small.map(sizeOf).sum
+      val nOut = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
+      // readFiles keeps partition columns live (per-snapshot-dir basePath),
+      // and commit() re-partitionBys them, so hive/bucket layouts survive
+      val rewrite = readFiles(db, table, snap.schema, small).repartition(nOut)
+      Some(commit(db, table, rewrite, "rewrite",
+        carryFiles = big, carryStats = snap.fileStats))
+    }
+  }
+
   /** Z-ORDER compaction (Iceberg `rewrite_data_files(strategy => 'sort',
     * sort_order => 'zorder(...)')`): rewrite the current snapshot clustered
     * on the interleaved bit representation of `cols`, so per-file [min,max]

@@ -813,8 +813,9 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
   /** The remaining Iceberg-style metadata relations: `db.t.files` (current
     * snapshot's file inventory + per-file stats — the data-skipping layer
     * made queryable), `db.t.refs` (tags), `db.t.history` (linear snapshot
-    * lineage). All driver-local scans over KB-sized log metadata, like
-    * `.snapshots`; none touches data files. */
+    * lineage), `db.t.partitions` (per-partition file/row counts from the
+    * recorded footer stats). All driver-local scans over KB-sized log
+    * metadata, like `.snapshots`; none touches data files. */
   private final class InventoryMetaTable(db: String, table: String, kind: String)
       extends Table with SupportsRead {
     import org.apache.spark.sql.catalyst.InternalRow
@@ -839,6 +840,10 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         StructField("snapshot_id", LongType, nullable = false),
         StructField("parent_id", LongType),
         StructField("is_current", BooleanType, nullable = false)))
+      case "partitions" => StructType(Seq(
+        StructField("partition", StringType), // null for an unpartitioned table
+        StructField("file_count", LongType, nullable = false),
+        StructField("record_count", LongType))) // null if any file lacks a row count
     }
 
     override def name(): String = s"$catalogName.$db.$table.$kind"
@@ -881,11 +886,28 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
                 if (s.snapshotId > 1) Long.box(s.snapshotId - 1) else null,
                 s.snapshotId == current)
             }.toArray
+          case "partitions" =>
+            // per-partition file/row inventory, served ENTIRELY from the
+            // snapshot log's per-file stats (Iceberg's `partitions` table):
+            // the partition value is the hive path between the snapshot dir
+            // and the file name, so values merge across snapshot dirs
+            val snap = cat.currentSnapshot(db, table)
+            snap.files.groupBy { f =>
+              val segs = f.split("/")
+              segs.drop(2).dropRight(1).mkString("/")
+            }.toSeq.sortBy(_._1).map { case (part, fs) =>
+              val rows = fs.map(f =>
+                snap.fileStats.get(f).flatMap(_.get("rows")).map(_.toLong))
+              InternalRow(
+                if (part.isEmpty) null else UTF8String.fromString(part),
+                fs.size.toLong,
+                if (rows.forall(_.isDefined)) Long.box(rows.flatten.sum) else null)
+            }.toArray
         }
       }
   }
 
-  private val metaTableKinds = Set("snapshots", "files", "refs", "history")
+  private val metaTableKinds = Set("snapshots", "files", "refs", "history", "partitions")
 
   override def loadTable(ident: Identifier): Table = {
     // metadata-table addressing: snapcat.db.t.{snapshots,files,refs,history}

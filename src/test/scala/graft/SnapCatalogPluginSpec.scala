@@ -849,6 +849,30 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(buckets == Seq(0, 1, 2, 3))
   }
 
+  test(".partitions metadata table serves per-partition counts from the log alone") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    val df = (1L to 90L).map(i => (i, if (i % 3 == 0) "A" else "B")).toDF("id", "par")
+    cat.createTable("db1", "part_m", df.schema, partitionCols = Seq("par"))
+    cat.append("db1", "part_m", df)
+    // second append: partition values must MERGE across snapshot dirs
+    cat.append("db1", "part_m", df.where(col("par") === "A"))
+    val rows = spark.sql(
+      "SELECT `partition`, file_count, record_count FROM snapcat.db1.part_m.partitions ORDER BY `partition`")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(r => (r._1, r._3)).toSeq ==
+      Seq(("par=A", 60L), ("par=B", 60L)), rows.mkString(","))
+    // par=A holds files from both snapshot dirs
+    assert(rows.head._2 >= 2)
+
+    // unpartitioned table: one NULL-partition row covering everything
+    cat.createTable("db1", "part_u", df.schema)
+    cat.append("db1", "part_u", df)
+    val u = spark.sql(
+      "SELECT `partition`, record_count FROM snapcat.db1.part_u.partitions").collect()
+    assert(u.length == 1 && u.head.isNullAt(0) && u.head.getLong(1) == 90L)
+  }
+
   test("RENAME TABLE moves identity, keeps history, and crosses namespaces") {
     wh
     val cat = new SnapshotCatalog(spark, wh)

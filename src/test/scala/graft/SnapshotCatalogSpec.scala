@@ -377,6 +377,57 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(s.get("min.id").contains("1") && s.get("max.id").contains("250"))
   }
 
+  test("rewriteSmallFiles folds only sub-threshold files; big files carry verbatim") {
+    val cat = freshCatalog()
+    val small = (1L to 40L).map(i => (i, s"s$i")).toDF("id", "name")
+    val big = (1001L to 3000L).map(i => (i, s"b$i" * 20)).toDF("id", "name")
+    cat.createTable("db", "bin", small.schema)
+    cat.append("db", "bin", small.repartition(4))
+    cat.append("db", "bin", big.repartition(1))
+    val before = cat.currentSnapshot("db", "bin")
+    val root = java.nio.file.Paths.get(cat.warehouse, "db", "bin")
+    val sizeOf = before.files.map(f =>
+      f -> java.nio.file.Files.size(root.resolve(f))).toMap
+    val bigFiles = before.files.filter(f => sizeOf(f) == sizeOf.values.max)
+    assert(bigFiles.size == 1 && before.files.size == 5)
+    // every recorded `bytes` stat matches the filesystem
+    before.files.foreach(f =>
+      assert(before.fileStats(f)("bytes").toLong == sizeOf(f)))
+
+    val snap = cat.rewriteSmallFiles("db", "bin",
+      smallBytes = sizeOf(bigFiles.head), targetBytes = Long.MaxValue / 4).get
+    assert(snap.operation == "rewrite")
+    // the big file carries VERBATIM: same relative path, same stats map
+    assert(snap.files.contains(bigFiles.head))
+    assert(snap.fileStats(bigFiles.head) == before.fileStats(bigFiles.head))
+    // the 4 small files are gone from the current state, folded into one
+    assert(snap.files.size == 2, snap.files.toString)
+    assert(snap.recordCount == 2040L)
+    // data is bit-identical and history remains time-travelable
+    assert(cat.readLatest("db", "bin").as[(Long, String)].collect().sorted
+      === cat.readAsOf("db", "bin", before.snapshotId).as[(Long, String)].collect().sorted)
+    // no-op cases commit nothing: one (or zero) small files is churn
+    assert(cat.rewriteSmallFiles("db", "bin", smallBytes = 1L,
+      targetBytes = 1L << 30).isEmpty)
+    assert(cat.currentSnapshot("db", "bin").snapshotId == snap.snapshotId)
+  }
+
+  test("rewriteSmallFiles preserves hive partition layout") {
+    val cat = freshCatalog()
+    val df = (1L to 60L).map(i => (i, if (i % 2 == 0) "E" else "O")).toDF("id", "par")
+    cat.createTable("db", "pbin", df.schema, partitionCols = Seq("par"))
+    cat.append("db", "pbin", df.repartition(3))
+    cat.append("db", "pbin", df.withColumn("id", col("id") + 100L).repartition(3))
+    val snap = cat.rewriteSmallFiles("db", "pbin",
+      smallBytes = Long.MaxValue / 4, targetBytes = Long.MaxValue / 4).get
+    // outputs land under par=E/ par=O/ dirs and read back partition-complete
+    assert(snap.files.forall(f => f.contains("par=E/") || f.contains("par=O/")),
+      snap.files.toString)
+    val got = cat.readLatest("db", "pbin").groupBy("par").count()
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("E" -> 60L, "O" -> 60L))
+  }
+
   test("rollback re-points at an old snapshot without rewriting history") {
     val cat = freshCatalog()
     val df = (1L to 10L).toDF("id")
