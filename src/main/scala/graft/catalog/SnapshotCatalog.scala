@@ -533,6 +533,38 @@ final class SnapshotCatalog(
       "format_version" -> Json.num(2L),
       "entries"        -> JArr(entries.toVector.map(_.toJson)))))
 
+  /** Manifest plan for a carry commit (partial rewrites: prune-aware
+    * delete/update, bin-pack rewrites, SQL rewrite adoption; full carries:
+    * streaming append epochs): previous shards whose files are ALL carried
+    * are REUSED by name — pure pointer references, no metadata rewrite —
+    * and only the carried files of partially-retained shards plus the new
+    * files land in the delta shard. Commit metadata cost is
+    * O(rewrite + touched shards), never O(table): a DELETE pruned to one
+    * file of a 10⁵-file table re-lists that file's shard-mates, not the
+    * lake. (Shard loads here hit the process-wide cache — materialize()
+    * already opened them to build the prev snapshot.)
+    *
+    * Returns (reused shard names, delta manifest, snapshot file list,
+    * snapshot file stats) with the file list in MATERIALIZATION order
+    * (reused shards first, delta last) so the recorded snapshot and a later
+    * materialize() agree element-for-element. */
+  private def planCarryManifests(db: String, table: String, prevEntry: SnapshotEntry,
+      carryFiles: Seq[String], carryStats: Map[String, Map[String, String]],
+      newFiles: Seq[String], newFileStats: Map[String, Map[String, String]])
+    : (Seq[String], Manifest, Seq[String], Map[String, Map[String, String]]) = {
+    val carrySet = carryFiles.toSet
+    val shards = prevEntry.manifests.map(n => n -> loadManifest(db, table, n))
+    val full = shards.filter(_._2.files.forall(carrySet))
+    val reusedFiles = full.flatMap(_._2.files)
+    val reusedSet = reusedFiles.toSet
+    val leftover = carryFiles.filterNot(reusedSet)
+    val delta = Manifest(leftover ++ newFiles,
+      carryStats.view.filterKeys(leftover.contains).toMap ++ newFileStats)
+    (full.map(_._1), delta,
+      reusedFiles ++ delta.files,
+      full.flatMap(_._2.fileStats).toMap ++ delta.fileStats)
+  }
+
   /** Commit one snapshot: write its delta shard — the ONLY O(files)
     * metadata write — then atomically rename the pointer log over.
     * `reuse` names manifest shards carried verbatim from an earlier entry;
@@ -823,10 +855,6 @@ final class SnapshotCatalog(
 
     val newFiles = listParquetFiles(snapDir).map(p =>
       snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/'))
-    val allFiles = operation match {
-      case "append" => prev.files ++ newFiles
-      case _        => carryFiles ++ newFiles
-    }
     // Per-FILE stats from the freshly written footers (metadata-only reads,
     // one per NEW file — the Iceberg-manifest data-skipping layer; see
     // [[FileStats]]). Appends and partial rewrites carry the retained
@@ -835,9 +863,15 @@ final class SnapshotCatalog(
     val root = tablePath(db, table)
     val newFileStats = newFiles.map(f =>
       f -> FileStats.fromFooter(root.resolve(f), snapSchema, conf)).toMap
-    val allFileStats = operation match {
-      case "append" => prev.fileStats ++ newFileStats
-      case _ => carryStats.view.filterKeys(carryFiles.contains).toMap ++ newFileStats
+    // append reuses every prior shard and writes O(new files) metadata; a
+    // carry commit reuses every UNTOUCHED shard (see planCarryManifests);
+    // a clean rewrite's state is its own single shard
+    val (reuse, delta, allFiles, allFileStats) = operation match {
+      case "append" =>
+        (prevEntry.manifests, Manifest(newFiles, newFileStats),
+          prev.files ++ newFiles, prev.fileStats ++ newFileStats)
+      case _ => planCarryManifests(db, table, prevEntry,
+        carryFiles, carryStats, newFiles, newFileStats)
     }
     val prevRows = math.max(prev.recordCount, 0L)
     val totalRows = operation match {
@@ -861,12 +895,6 @@ final class SnapshotCatalog(
         ++ streamEpochTags(prev.summary)
         ++ extraSummary,
       snapSchema.toDDL, allFiles, allFileStats)
-    // append reuses every prior shard and writes O(new files) metadata; a
-    // rewrite's state is its own single shard (its cost is the rewrite's)
-    val (reuse, delta) = operation match {
-      case "append" => (prevEntry.manifests, Manifest(newFiles, newFileStats))
-      case _        => (Seq.empty[String], Manifest(allFiles, allFileStats))
-    }
     commitSnapshot(db, table, entries, snap, reuse, delta)
   }
 
@@ -1036,12 +1064,14 @@ final class SnapshotCatalog(
     val newFileStats = newFiles.map(f =>
       f -> FileStats.fromFooter(root.resolve(f), schema, conf)).toMap
     val newRows = newFiles.map(f => newFileStats(f)("rows").toLong).sum
-    val carriedStats = carryStats.view.filterKeys(carryFiles.contains).toMap
-    val allFiles = carryFiles ++ newFiles
-    val allFileStats = carriedStats ++ newFileStats
+    // a FULL carry (streaming append epochs) reuses every prior shard; a
+    // partial carry (prune-aware SQL rewrite) reuses every untouched shard
+    // and delta-lists only the rewrite plus its shard-mates
+    val (reuse, delta, allFiles, allFileStats) = planCarryManifests(
+      db, table, prevEntry, carryFiles, carryStats, newFiles, newFileStats)
     // carried rows come from per-file footer counts; a carried file without
     // one makes the total honestly unknown (-1), never wrong
-    val carriedRows = carryFiles.map(f => carriedStats.get(f).flatMap(_.get("rows")).map(_.toLong))
+    val carriedRows = carryFiles.map(f => carryStats.get(f).flatMap(_.get("rows")).map(_.toLong))
     val rows = if (carriedRows.forall(_.isDefined)) carriedRows.flatten.sum + newRows else -1L
     val stats = ColumnStats.mergeWithFileBounds(Map.empty, allFiles, allFileStats, schema)
     val snap = Snapshot(newId, clock().toString, operation,
@@ -1053,13 +1083,6 @@ final class SnapshotCatalog(
         ++ streamEpochTags(prev.summary)
         ++ extraSummary,
       schema.toDDL, allFiles, allFileStats)
-    // a FULL carry (streaming append epochs) reuses every prior shard and
-    // writes O(new files); a partial carry (prune-aware SQL rewrite) is a
-    // state-defining shard of its own — proportional to the rewrite itself
-    val (reuse, delta) =
-      if (carryFiles.nonEmpty && carryFiles == prev.files)
-        (prevEntry.manifests, Manifest(newFiles, newFileStats))
-      else (Seq.empty[String], Manifest(allFiles, allFileStats))
     commitSnapshot(db, table, entries, snap, reuse, delta)
   }
 

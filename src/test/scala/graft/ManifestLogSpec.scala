@@ -133,16 +133,42 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(cat.readLatest("db", "t").count() == 2L)
   }
 
-  test("streaming full-carry adoption reuses shards; partial rewrite self-contains") {
+  test("partial rewrite reuses untouched shards; delta lists only the rewrite") {
     val cat = newCat()
     cat.createTable("db", "t", Seq((1L, "a")).toDF("id", "v").schema)
     cat.append("db", "t", Seq((1L, "a")).toDF("id", "v"))
     cat.append("db", "t", Seq((2L, "b")).toDF("id", "v"))
-    // library DELETE prunes to candidate files → partial carry → own shard
+    // library DELETE prunes to candidate files → the untouched append's
+    // shard is REUSED by name; the delta shard holds only the rewrite
     cat.delete("db", "t", org.apache.spark.sql.functions.col("id") === 2L)
     val ms = entryManifests(logObj(cat, "db", "t"))
-    assert(ms(3).size == 1 && ms(3).head == "m4.json")
+    assert(ms(3) == Seq("m2.json", "m4.json"), ms.toString)
     assert(cat.readLatest("db", "t").as[(Long, String)].collect().toSet == Set((1L, "a")))
+  }
+
+  test("carry-commit metadata cost is O(touched shards), not O(table)") {
+    val cat = newCat()
+    cat.createTable("db", "t", Seq((1L, "a")).toDF("id", "v").schema)
+    // 4 appends with disjoint id ranges -> 4 shards with disjoint bounds
+    (0 to 3).foreach { k =>
+      val lo = k * 100L + 1
+      cat.append("db", "t",
+        (lo to lo + 9).map(i => (i, s"v$i")).toDF("id", "v").repartition(1))
+    }
+    val before = cat.currentSnapshot("db", "t") // s5: m2..m5
+    assert(entryManifests(logObj(cat, "db", "t")).last ==
+      Seq("m2.json", "m3.json", "m4.json", "m5.json"))
+    // a delete pruned (via footer stats) to the LAST shard's file reuses
+    // the other three shards verbatim and delta-lists one file
+    val snap = cat.delete("db", "t", org.apache.spark.sql.functions.col("id") === 305L)
+    val ms = entryManifests(logObj(cat, "db", "t")).last
+    assert(ms == Seq("m2.json", "m3.json", "m4.json", "m6.json"), ms.toString)
+    assert(manifestFiles(cat, "db", "t", "m6.json").size == 1)
+    // materialization order matches the recorded snapshot exactly
+    assert(cat.snapshotAt("db", "t", snap.snapshotId).files == snap.files)
+    assert(cat.readLatest("db", "t").count() == 39L)
+    // time travel to the pre-delete state is untouched
+    assert(cat.readAsOf("db", "t", before.snapshotId).count() == 40L)
   }
 
   test("removeOrphanFiles sweeps manifest shards no entry references") {
