@@ -1020,6 +1020,21 @@ object SparkEntry {
       Dedup.clusters(pairs).orderBy("doc_id")
     }),
 
+    // dedup RETENTION: the action behind the clusters — drop every
+    // near-duplicate except the cluster's min-id representative, then the
+    // corpus-level yield per language. Clusters run over the PAIRS only;
+    // the corpus is touched by exactly one anti-join.
+    "q80_dedup_retention" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        w = 5, num = 1, den = 2, maxDocFreq = 1000).select("id_a", "id_b")
+      Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars").cast("long")).as("chars_kept"))
+        .orderBy("lang")
+    }),
+
     // exact grouped percentiles over integer cents, SCALE-SOUND twice over:
     // Spark's percentile() buffers every group's values in executor memory
     // (OOM at 100 TB), and a per-group window sort funnels each group
@@ -1670,6 +1685,38 @@ object SparkEntry {
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "q80_dedup_retention" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')
+        |  )) AS shingles FROM documents
+        |),
+        |inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM inv a JOIN rare r ON a.s = r.s JOIN inv b ON b.s = a.s
+        |  WHERE a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |  WHERE len(list_intersect(a.shingles, b.shingles)) * 2 >=
+        |        1 * (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |losers AS (
+        |  SELECT src AS doc_id FROM reach GROUP BY src
+        |  HAVING least(src, min(dst)) <> src)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM documents d WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q58_percentiles" ->
       """SELECT o_orderstatus,

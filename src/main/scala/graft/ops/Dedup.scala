@@ -200,6 +200,25 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 
+  /** The dedup RETENTION action: drop every near-duplicate except one
+    * representative per cluster. `pairs` is any candidate-pair frame
+    * (`id_a`,`id_b` — minhash/simhash/jaccard/embedding output); clusters
+    * are their transitive closure and the kept representative is the
+    * cluster's minimum id (deterministic: re-runs and backfills keep the
+    * SAME survivor — no "first seen wins" order dependence). Documents in
+    * no pair pass through untouched.
+    *
+    * 100-TB shape: [[clusters]] runs over the PAIRS (a small fraction of
+    * the corpus), then ONE broadcast-or-hash anti-join removes the losers
+    * from the corpus — the corpus itself is never re-keyed more than once. */
+  def dropNearDuplicates(corpus: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val losers = clusters(pairs)
+      .where(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash over word hashes: per bit, sign of the sum of ±1 votes

@@ -372,6 +372,15 @@ class OpsSpec extends AnyFunSuite {
     assert(m(3L) == ((4L, 4L, 3L, 3L)))
   }
 
+  test("dropNearDuplicates keeps one min-id representative per transitive cluster") {
+    val corpus = (1L to 10L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    // cluster {1,2,3} via a transitive chain, cluster {7,9}; rest untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("id_a", "id_b")
+    val kept = ops.Dedup.dropNearDuplicates(corpus, "id", pairs)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L, 8L, 10L))
+  }
+
   test("scrub: PII rules redact in order, count per rule, pass non-matches through") {
     val d = Seq(
       (1L, "mail alice@example.com and bob.smith@corp.co.uk end"),
