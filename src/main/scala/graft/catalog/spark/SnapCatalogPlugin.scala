@@ -493,6 +493,13 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           }
           case None => _ => _ => true
         },
+        // runtime (DPP) re-pruning on partition columns: a broadcast
+        // fact⋈filtered-dim join narrows this scan to the matching
+        // partitions' files AFTER planning. Bucketed tables are excluded —
+        // their scan reports KeyGroupedPartitioning (SPJ), which a wrapper
+        // would hide, and SPJ joins don't take DPP filters anyway.
+        runtimeFilterCols =
+          if (bucketSpec.isDefined) Nil else tableMeta.partitionCols,
         wrapScan = (scan, keptFiles, pushedExprs, requiredSchema) => bucketSpec match {
           // bucketed table: report key-grouped partitioning and emit one
           // keyed partition group per __bucket=b, so co-bucketed joins

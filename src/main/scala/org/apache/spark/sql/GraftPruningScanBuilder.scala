@@ -1,8 +1,9 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.connector.expressions.{Expressions, LiteralValue, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -84,7 +85,16 @@ class GraftPruningScanBuilder(
     // path-level skip test, computed once per build from the pushed
     // conjuncts (bucketed tables prune whole __bucket=b/ dirs on
     // bucket-key equality — graft.catalog.BucketPruning)
-    keepByPath: Seq[Expression] => String => Boolean = _ => _ => true)
+    keepByPath: Seq[Expression] => String => Boolean = _ => _ => true,
+    // columns eligible for RUNTIME re-pruning (dynamic partition pruning:
+    // a broadcast join's build-side key values arrive as an IN predicate
+    // after planning). Non-empty => build() returns a
+    // [[SupportsRuntimeV2Filtering]] scan that re-runs the whole file-skip
+    // stack (bucket paths, footer stats, partition-dir file index) with
+    // the runtime conjuncts added. Iceberg's convention: partition-level
+    // columns only — a runtime IN list can be large, and per-file stat
+    // checks against it should stay a driver triviality.
+    runtimeFilterCols: Seq[String] = Nil)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
@@ -114,14 +124,144 @@ class GraftPruningScanBuilder(
     required = Some(requiredSchema)
   }
 
-  override def build(): Scan = {
-    val pathOk = keepByPath(pushedExprs)
+  /** One full build of the pruned, pushed, wrapped scan with `extra`
+    * conjuncts (runtime filters) added to every skip tier: bucket-path
+    * pruning, footer-stat skipping, the inner file index (which prunes
+    * hive partition dirs on partition-column conjuncts), and the wrapper's
+    * per-dir sub-scans. `extra` filters are exact conjuncts of the query
+    * (a DPP IN-set over the join's build side), so pushing them into the
+    * data plane is always sound — Spark re-evaluates the join above. */
+  private[sql] def buildWith(extra: Seq[Expression]): Scan = {
+    val all = pushedExprs ++ extra
+    val pathOk = keepByPath(all)
     val kept = files.collect {
-      case (p, st) if pathOk(p) && st.forall(m => mayMatch(m, pushedExprs)) => p
+      case (p, st) if pathOk(p) && st.forall(m => mayMatch(m, all)) => p
     }
     val inner = mkInner(planFiles(kept))
-    inner.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushedExprs)
+    inner.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(all)
     required.foreach(inner.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns)
-    wrapScan(inner.build(), kept, pushedExprs, required)
+    wrapScan(inner.build(), kept, all, required)
+  }
+
+  override def build(): Scan = {
+    val base = buildWith(Nil)
+    if (runtimeFilterCols.isEmpty) base
+    else new GraftRuntimeFilteredScan(this, base, runtimeFilterCols, schema)
+  }
+}
+
+/** Scan wrapper implementing RUNTIME file pruning
+  * ([[SupportsRuntimeV2Filtering]], the DSv2 dynamic-partition-pruning
+  * contract): when a broadcast join's build side is selective, Spark hands
+  * the scan the join key's value set as an `IN` predicate AFTER planning,
+  * and the scan re-prunes — at 100 TB, a fact⋈filtered-dim join reads the
+  * dim's matching partitions' files instead of the whole fact table.
+  *
+  * The wrapper re-runs [[GraftPruningScanBuilder.buildWith]] with the
+  * runtime conjuncts, so every skip tier participates: hive partition-dir
+  * pruning (via the stock file index), footer-stat file skipping, and
+  * per-dir union sub-scans. `toBatch` returns ONE stable [[Batch]] whose
+  * planning delegates to the current (possibly re-pruned) scan at call
+  * time — [[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]]
+  * memoizes `scan.toBatch` BEFORE runtime filters arrive and re-plans
+  * partitions on that same object afterwards.
+  *
+  * Untranslatable predicates contribute no pruning (sound: the join above
+  * re-evaluates everything). Statistics and plan-equality delegate to the
+  * initial scan so AQE estimates and exchange/scan reuse are unaffected. */
+private[sql] final class GraftRuntimeFilteredScan(
+    builder: GraftPruningScanBuilder,
+    private[sql] val initial: Scan,
+    cols: Seq[String],
+    schema: StructType)
+  extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+
+  @volatile private var current: Scan = initial
+
+  override def readSchema(): StructType = current.readSchema()
+  override def description(): String = s"runtime-filterable (${initial.description()})"
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    current.columnarSupportMode()
+
+  override def filterAttributes(): Array[NamedReference] =
+    cols.map(Expressions.column).toArray
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val exprs = predicates.toSeq.flatMap(toCatalyst)
+    if (exprs.nonEmpty) current = builder.buildWith(exprs)
+  }
+
+  // stable across the pre-/post-filter boundary; both members read
+  // `current` at call time so partitions and reader factory always come
+  // from the same underlying scan state
+  private val stableBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      current.toBatch.planInputPartitions()
+    override def createReaderFactory(): PartitionReaderFactory =
+      current.toBatch.createReaderFactory()
+  }
+  override def toBatch: Batch = stableBatch
+
+  // streaming personality passes through (runtime filters are a batch-join
+  // concept; `current eq initial` on every streaming path)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    current.toMicroBatchStream(checkpointLocation)
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    initial match {
+      case s: SupportsReportStatistics => s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
+    }
+
+  override def equals(other: Any): Boolean = other match {
+    case s: GraftRuntimeFilteredScan => initial == s.initial
+    case _ => false
+  }
+  override def hashCode(): Int = initial.hashCode()
+
+  /** V2 runtime predicate -> catalyst conjunct the skip tiers understand.
+    * Only the shapes Spark's DPP translation emits (`IN` over one column's
+    * literal values; `=` defensively) on a single-part column whose literal
+    * types match the column — anything else translates to None (no
+    * pruning). */
+  private def toCatalyst(p: Predicate): Option[Expression] = {
+    def attr(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[AttributeReference] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        schema.fields.find(_.name == r.fieldNames().head)
+          .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+      case _ => None
+    }
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression): Option[Literal] =
+      e match {
+        case l: LiteralValue[_] => Some(Literal(l.value, l.dataType))
+        case _ => None
+      }
+    p.name() match {
+      case "IN" if p.children().nonEmpty =>
+        for {
+          a <- attr(p.children().head)
+          ls <- Some(p.children().tail.toSeq.map(lit))
+          if ls.nonEmpty && ls.forall(_.exists(_.dataType.sameType(a.dataType)))
+        } yield In(a, ls.map(_.get))
+      case "=" => p.children() match {
+        case Array(l, r) =>
+          (attr(l), lit(r)) match {
+            case (Some(a), Some(v)) if v.dataType.sameType(a.dataType) =>
+              Some(EqualTo(a, v))
+            case _ => (attr(r), lit(l)) match {
+              case (Some(a), Some(v)) if v.dataType.sameType(a.dataType) =>
+                Some(EqualTo(a, v))
+              case _ => None
+            }
+          }
+        case _ => None
+      }
+      case _ => None
+    }
   }
 }

@@ -391,6 +391,106 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(tt.head.getLong(0) == 1)
   }
 
+  test("runtime filter() re-prunes a partitioned scan to the matching files") {
+    wh
+    import org.apache.spark.sql.GraftTestV2
+    import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.createTable("dbrf", "f", Seq((1L, "a")).toDF("id", "flag").schema,
+      partitionCols = Seq("flag"))
+    // one append, three hive partition dirs in one snapshot dir
+    cat.append("dbrf", "f",
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "a")).toDF("id", "flag").coalesce(1))
+
+    def files(b: org.apache.spark.sql.connector.read.Batch): Set[String] =
+      b.planInputPartitions().flatMap {
+        case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+        case _ => Seq.empty[String]
+      }.toSet
+
+    val scan = spark.table("snapcat.dbrf.f").queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b.scan }.get
+    val rf = scan.asInstanceOf[SupportsRuntimeV2Filtering]
+    assert(rf.filterAttributes().map(_.fieldNames().head).toSeq == Seq("flag"))
+    val before = files(scan.toBatch)
+    assert(before.size == 3, before.toString)
+
+    // the DPP shape: IN over the build side's key values, arriving after
+    // planning — the SAME stable Batch must re-plan to the matching files
+    rf.filter(Array(GraftTestV2.inPredicate("flag", StringType,
+      UTF8String.fromString("a"))))
+    val after = files(scan.toBatch)
+    assert(after.size == 1, after.toString)
+    assert(after.head.contains("flag=a"), after.toString)
+
+    // a predicate shape the translator doesn't understand prunes NOTHING
+    // (sound fallback) — rebuild from the original scan state first
+    val scan2 = spark.table("snapcat.dbrf.f").queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b.scan }.get
+    scan2.asInstanceOf[SupportsRuntimeV2Filtering].filter(
+      Array(GraftTestV2.opaquePredicate("ALWAYS_TRUE")))
+    assert(files(scan2.toBatch).size == 3)
+  }
+
+  test("runtime filter() narrows a MULTI-dir partitioned scan per sub-scan") {
+    wh
+    import org.apache.spark.sql.GraftTestV2
+    import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbrfm")
+    spark.sql("CREATE TABLE snapcat.dbrfm.f (id BIGINT, flag STRING) PARTITIONED BY (flag)")
+    spark.sql("INSERT INTO snapcat.dbrfm.f VALUES (1, 'a')")
+    spark.sql("INSERT INTO snapcat.dbrfm.f VALUES (2, 'b')") // second snapshot dir
+
+    val scan = spark.table("snapcat.dbrfm.f").queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b.scan }.get
+    val before = scan.toBatch.planInputPartitions().length
+    assert(before == 2, s"expected one partition per dir, got $before")
+    scan.asInstanceOf[SupportsRuntimeV2Filtering].filter(Array(
+      GraftTestV2.inPredicate("flag", StringType, UTF8String.fromString("a"))))
+    val after = scan.toBatch.planInputPartitions().length
+    assert(after == 1, s"runtime filter should drop the flag=b dir's sub-scan, got $after")
+  }
+
+  test("broadcast join injects dynamic partition pruning into the snapcat scan") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.createTable("dbdpp", "fact",
+      Seq((1L, "a", 1.0)).toDF("id", "flag", "v").schema, partitionCols = Seq("flag"))
+    cat.append("dbdpp", "fact", (1L to 60L).map(i =>
+      (i, Seq("a", "b", "c")(i.toInt % 3), i * 1.0)).toDF("id", "flag", "v"))
+    cat.createTable("dbdpp", "dim", Seq(("a", "keep")).toDF("flag", "label").schema)
+    cat.append("dbdpp", "dim",
+      Seq(("a", "keep"), ("b", "drop"), ("c", "drop")).toDF("flag", "label"))
+
+    val saved = spark.conf.getOption("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val joined = spark.sql(
+        """SELECT /*+ BROADCAST(d) */ sum(f.id) AS s
+          |FROM snapcat.dbdpp.fact f JOIN snapcat.dbdpp.dim d ON f.flag = d.flag
+          |WHERE d.label = 'keep'""".stripMargin)
+      val expect = (1L to 60L).filter(_ % 3 == 0).sum // flag 'a' <=> i%3==0
+      assert(joined.head.getLong(0) == expect)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"expected a dynamic pruning runtime filter on the fact scan:\n${plan.take(2000)}")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", v)
+        case None => spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      }
+    }
+  }
+
   test("row-level rewrite clears debris from a crashed prior attempt") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbcr")
