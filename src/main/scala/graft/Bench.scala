@@ -13,6 +13,9 @@ object Bench {
       // depends on session position (q22: 0.49s alone vs 1.1-1.3s after 20
       // neighbors — same commit, same plan). Size the cache for the suite.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // the library's intended session shape: metadata-served aggregates +
+      // SQL-registered kernel functions
+      .config("spark.sql.extensions", "graft.catalog.spark.GraftSparkExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1148,6 +1148,21 @@ object SparkEntry {
         """SELECT n.n_name, CAST(count(s.s_suppkey) AS BIGINT) AS n_supp
           |FROM nation_v n LEFT JOIN supplier_v s ON n.n_nationkey = s.s_nationkey
           |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+    }),
+
+    // SQL surface of the native kernels (GraftSqlFunctions): the same
+    // compiled Catalyst expressions the Column API uses, callable from
+    // plain SQL — no UDF wrapper, identical per-row cost and semantics.
+    // register() is idempotent; sessions built with
+    // spark.sql.extensions=GraftSparkExtensions already have them.
+    "q81_sql_functions" -> ((s, dir) => {
+      graft.catalog.spark.GraftSqlFunctions.register(s)
+      T(s, dir, "documents").createOrReplaceTempView("docs_fn_v")
+      s.sql(
+        """SELECT graft_lang_id(text) AS pred_lang,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  sum(graft_bpe_token_count(text)) AS sum_bpe_tokens
+          |FROM docs_fn_v GROUP BY 1 ORDER BY pred_lang""".stripMargin)
     }))
 
   // -------------------------------------------------------------------
@@ -1513,6 +1528,29 @@ object SparkEntry {
          |    $cases
          |    ELSE 'und' END AS pred_lang,
          |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM b GROUP BY 1 ORDER BY pred_lang""".stripMargin
+    },
+
+    "q81_sql_functions" -> {
+      // q23's langid replay + q44's BPE-token replay, grouped by PREDICTED
+      // language — the oracle checks the SQL-registered kernels end to end
+      val score = TextOps.Markers.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), $lst)) AS BIGINT) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = TextOps.Markers.map(_._1)
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString("\n    ")
+      s"""WITH s AS (SELECT text,
+         |  CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS cjk,
+         |  $score
+         |FROM documents),
+         |b AS (SELECT *, $best AS best FROM s)
+         |SELECT CASE WHEN cjk > 0 AND cjk * 5 >= length(text) THEN 'zh'
+         |    $cases
+         |    ELSE 'und' END AS pred_lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS sum_bpe_tokens
          |FROM b GROUP BY 1 ORDER BY pred_lang""".stripMargin
     },
 

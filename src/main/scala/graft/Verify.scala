@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // micros (not INT96) so DuckDB/pyarrow read identical timestamp values
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // the library's intended session shape: metadata-served aggregates +
+      // SQL-registered kernel functions
+      .config("spark.sql.extensions", "graft.catalog.spark.GraftSparkExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -134,6 +134,84 @@ object MetadataCountRule extends Rule[LogicalPlan] {
 /** Session extensions entry point:
   * `spark.sql.extensions=graft.catalog.spark.GraftSparkExtensions`. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => MetadataCountRule)
+    GraftSqlFunctions.all.foreach(e.injectFunction)
+  }
+}
+
+/** SQL registration for the native Catalyst kernels: every kernel the
+  * library exposes as a `Column` function is also callable from plain SQL
+  * (`SELECT graft_simhash64(text) FROM …`) — the same compiled expression,
+  * no UDF wrapper, so SQL users get identical semantics AND identical
+  * per-row cost. Arity and literal-argument errors surface at analysis
+  * time with the function name, like built-ins. */
+object GraftSqlFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, RegExpCount}
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  import graft.functions.{DotProduct, HyperplaneBuckets, LangId, MinHashSignature, SimHash64, WordShingles}
+
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name expects $n argument(s), got ${args.length}")
+
+  /** A literal Int argument (analysis-time parameters like shingle width
+    * must fold — a per-row width has no kernel). */
+  private def intLit(name: String, arg: String, e: Expression): Int =
+    if (e.foldable && e.dataType == IntegerType && e.eval() != null)
+      e.eval().asInstanceOf[Int]
+    else throw new IllegalArgumentException(
+      s"$name: $arg must be a literal INT, got ${e.sql}")
+
+  private def fn(name: String, usage: String)(builder: FunctionBuilder)
+      : (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(GraftSqlFunctions.getClass.getName, null, name, usage, ""),
+      builder)
+
+  /** Idempotent imperative registration for sessions built without
+    * `spark.sql.extensions` (e.g. a notebook session the user can't
+    * rebuild). Same builders as the extension path. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    fn("graft_simhash64", "graft_simhash64(text) - 64-bit SimHash over word hashes") { args =>
+      arity("graft_simhash64", args, 1); SimHash64(args.head)
+    },
+    fn("graft_lang_id", "graft_lang_id(text) - marker-word language id (en/de/es/fr/cjk/und)") { args =>
+      arity("graft_lang_id", args, 1); LangId(args.head, graft.ops.TextOps.Markers)
+    },
+    fn("graft_word_shingles", "graft_word_shingles(text, w) - w-word shingles") { args =>
+      arity("graft_word_shingles", args, 2)
+      WordShingles(args.head, intLit("graft_word_shingles", "w", args(1)))
+    },
+    fn("graft_minhash_signature", "graft_minhash_signature(shingles, n) - n-lane MinHash signature") { args =>
+      arity("graft_minhash_signature", args, 2)
+      MinHashSignature(args.head, intLit("graft_minhash_signature", "n", args(1)))
+    },
+    fn("graft_dot", "graft_dot(a, b) - dot product of two numeric arrays") { args =>
+      arity("graft_dot", args, 2); DotProduct(args.head, args(1))
+    },
+    fn("graft_hyperplane_buckets",
+      "graft_hyperplane_buckets(vec, dim, nplanes, ntables) - LSH bucket ids") { args =>
+      arity("graft_hyperplane_buckets", args, 4)
+      HyperplaneBuckets(args.head,
+        intLit("graft_hyperplane_buckets", "dim", args(1)),
+        intLit("graft_hyperplane_buckets", "nplanes", args(2)),
+        intLit("graft_hyperplane_buckets", "ntables", args(3)))
+    },
+    fn("graft_bpe_token_count",
+      "graft_bpe_token_count(text) - token count under the BPE-ish pretokenizer pattern") { args =>
+      arity("graft_bpe_token_count", args, 1)
+      Cast(RegExpCount(args.head,
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(graft.ops.TextOps.BpeTokenPattern))),
+        LongType)
+    })
 }

@@ -168,6 +168,46 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL-registered kernel functions match their Column forms exactly") {
+    graft.catalog.spark.GraftSqlFunctions.register(spark)
+    docs.limit(200).createOrReplaceTempView("fn_docs")
+    emb.limit(100).createOrReplaceTempView("fn_emb")
+
+    // text kernels: SQL call == Column call, row for row
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_simhash64(text) AS sh, graft_lang_id(text) AS lg,
+        |  graft_bpe_token_count(text) AS bpe,
+        |  size(graft_word_shingles(text, 3)) AS nsh,
+        |  size(graft_minhash_signature(graft_word_shingles(text, 3), 16)) AS nmh
+        |FROM fn_docs""".stripMargin)
+    val viaCol = spark.table("fn_docs").select(col("doc_id"),
+      graft.functions.TextExprs.simhash64(col("text")).as("sh"),
+      ops.TextOps.langIdColumn(col("text")).as("lg"),
+      ops.TextOps.bpeTokenCount(col("text")).as("bpe"),
+      size(graft.functions.TextExprs.wordShingles(col("text"), 3)).as("nsh"),
+      size(graft.functions.MinHashSignature.minhashSignature(
+        graft.functions.TextExprs.wordShingles(col("text"), 3), 16)).as("nmh"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+
+    // vector kernels over the embeddings table
+    val dotSql = spark.sql(
+      "SELECT vec_id, graft_dot(embedding, embedding) AS d FROM fn_emb")
+    val dotCol = spark.table("fn_emb").select(col("vec_id"),
+      graft.functions.VectorExprs.dotProduct(col("embedding"), col("embedding")).as("d"))
+    assert(dotSql.exceptAll(dotCol).isEmpty && dotCol.exceptAll(dotSql).isEmpty)
+    val hb = spark.sql(
+      "SELECT graft_hyperplane_buckets(embedding, 64, 8, 2) AS b FROM fn_emb LIMIT 1")
+    assert(hb.head.getSeq[Long](0).length == 2)
+
+    // analysis-time errors carry the function name: wrong arity and a
+    // non-literal width are caught before any job runs
+    val e1 = intercept[Exception](spark.sql("SELECT graft_simhash64('a', 'b')"))
+    assert(e1.getMessage.contains("graft_simhash64"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_word_shingles(text, doc_id) FROM fn_docs"))
+    assert(e2.getMessage.contains("literal INT"), e2.getMessage)
+  }
+
   test("langid column agrees with markers on constructed texts") {
     val df = Seq(
       (1L, "the cat and the dog went to the house"),
