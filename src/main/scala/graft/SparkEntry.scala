@@ -1163,6 +1163,29 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n_docs,
           |  sum(graft_bpe_token_count(text)) AS sum_bpe_tokens
           |FROM docs_fn_v GROUP BY 1 ORDER BY pred_lang""".stripMargin)
+    }),
+
+    // dynamic partition pruning through the snapshot catalog: a broadcast
+    // join against a filtered dim hands the fact scan the surviving join
+    // keys at RUNTIME (SupportsRuntimeV2Filtering), so only the matching
+    // hive partition's files are read — the 100-TB fact⋈dim shape. The
+    // file-level effect is plan-asserted in SnapCatalogPluginSpec; here the
+    // row results ride the correctness gate.
+    "q82_dpp_join" -> ((s, dir) => {
+      import s.implicits._
+      val fx = WarehouseFixture.forDir(s, dir)
+      s.conf.set("spark.sql.catalog.snapfix", "graft.catalog.spark.SnapCatalogPlugin")
+      s.conf.set("spark.sql.catalog.snapfix.warehouse", fx.src.warehouse)
+      Seq(("F", "keep"), ("O", "drop"), ("P", "drop")).toDF("st", "label")
+        .createOrReplaceTempView("status_dim_v")
+      s.sql(
+        """SELECT /*+ BROADCAST(d) */ f.o_orderstatus,
+          |  CAST(count(*) AS BIGINT) AS n_orders,
+          |  sum(f.o_orderkey) AS key_sum
+          |FROM snapfix.maint.orders_part f
+          |JOIN status_dim_v d ON f.o_orderstatus = d.st
+          |WHERE d.label = 'keep'
+          |GROUP BY f.o_orderstatus ORDER BY f.o_orderstatus""".stripMargin)
     }))
 
   // -------------------------------------------------------------------
@@ -1553,6 +1576,13 @@ object SparkEntry {
          |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS sum_bpe_tokens
          |FROM b GROUP BY 1 ORDER BY pred_lang""".stripMargin
     },
+
+    "q82_dpp_join" ->
+      """WITH dim AS (SELECT * FROM (VALUES ('F','keep'),('O','drop'),('P','drop')) AS t(st, label))
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders JOIN dim ON o_orderstatus = st WHERE label = 'keep'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q61_curation_pipeline" -> {
       // same language-ID replay as q23's oracle, then the curation gates

@@ -185,14 +185,22 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("dlabel").as("nlabel"))
-      // carry the OLD label through the checkpoint so convergence is a
-      // count over the already-materialized blocks — the check used to be
-      // its own join+shuffle job per round, doubling the hot loop's cost
+      // convergence detection rides the checkpoint job itself: an
+      // Observation on the changed-row count is populated by the SAME
+      // action that materializes the round (`localCheckpoint` runs through
+      // withAction), so each round is ONE job — the check used to be its
+      // own join+shuffle job, doubling the hot loop's cost
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$round")
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("_old"))
+        .observe(obs, sum(when(col("label") =!= col("_old"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint()
-      changed = next.where(col("label") =!= col("old")).count()
+      changed = obs.get("changed") match {
+        case n: Long => n
+        case _ => 0L // null metric (empty frame): no rows changed
+      }
       labels = next.select("id", "label")
       round += 1
     }
