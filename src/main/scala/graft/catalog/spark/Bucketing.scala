@@ -99,7 +99,9 @@ final class BucketedScan(
     transform: org.apache.spark.sql.connector.expressions.Transform,
     tableLabel: String,
     bucketBatches: Int => Batch,
-    microBatch: Option[String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
+    microBatch: Option[String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None,
+    stats: Scan => org.apache.spark.sql.connector.read.Statistics =
+      ScanDefaults.statisticsOf)
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -121,7 +123,7 @@ final class BucketedScan(
 
   // AQE/join estimates keep working on the bucketed path too
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    ScanDefaults.statisticsOf(template)
+    stats(template)
 
   // streaming tail: supplied by the plugin (reads appended files flat with
   // the visible schema — the bucket layout is a batch-scan concern)

@@ -399,6 +399,62 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
 
     override val recordCount: Long = snap.recordCount
     override def columnStat(key: String): Option[String] = snap.summary.get(key)
+
+    /** Snapshot-exact V2 statistics, served from metadata alone: numRows
+      * from the log's record_count, numeric column min/max from the
+      * commit-time Observation summary, null counts folded from per-file
+      * footer stats. These flow through `transformV2Stats` into catalyst
+      * ColumnStat, so CBO join ordering / filter selectivity get exact
+      * inputs without any scan (the optimizer's 100-TB diet: estimates
+      * come from the log, never the lake). sizeInBytes stays the
+      * delegate's estimate — it models decompressed in-memory width. */
+    private[spark] def snapV2Statistics(delegate: Scan)
+        : org.apache.spark.sql.connector.read.Statistics = {
+      import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+      val base = ScanDefaults.statisticsOf(delegate)
+      val colStats: util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+          ColumnStatistics] = {
+        val m = new util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
+          ColumnStatistics]()
+        // per-column null counts: exact only when EVERY live file recorded
+        // footer stats (a single statless file means unknown, not zero)
+        val perFile = snap.files.map(snap.fileStats.get)
+        val allStats = perFile.nonEmpty && !perFile.exists(_.isEmpty)
+        snap.schema.fields.filter(f => graft.catalog.ColumnStats.statable(f.dataType))
+          .foreach { f =>
+            val isNumeric = f.dataType != org.apache.spark.sql.types.StringType
+            val mn = if (isNumeric) snap.summary.get(s"min.${f.name}")
+              .flatMap(graft.catalog.ColumnStats.internalValue(f.dataType, _)) else None
+            val mx = if (isNumeric) snap.summary.get(s"max.${f.name}")
+              .flatMap(graft.catalog.ColumnStats.internalValue(f.dataType, _)) else None
+            val nulls: Option[Long] =
+              if (!allStats) None
+              else perFile.flatten.foldLeft(Option(0L)) { (acc, st) =>
+                for (a <- acc; n <- st.get(s"nulls.${f.name}")) yield a + n.toLong
+              }
+            if (mn.isDefined || mx.isDefined || nulls.isDefined)
+              m.put(Expressions.column(f.name), new ColumnStatistics {
+                override def min(): java.util.Optional[Object] =
+                  mn.map(_.asInstanceOf[Object]).fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
+                override def max(): java.util.Optional[Object] =
+                  mx.map(_.asInstanceOf[Object]).fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
+                override def nullCount(): java.util.OptionalLong =
+                  nulls.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+              })
+          }
+        m
+      }
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
+        override def numRows(): java.util.OptionalLong =
+          if (snap.recordCount >= 0) java.util.OptionalLong.of(snap.recordCount)
+          else base.numRows()
+        override def columnStats(): util.Map[
+            org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics] =
+          colStats
+      }
+    }
+
     override def name(): String = tableName
     // bucketed tables hide the derived __bucket layout column from SQL:
     // users CREATE/INSERT/SELECT base columns only (writes re-derive it,
@@ -529,14 +585,16 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
               microBatch = Some(_ => new SnapAppendStream(db, table,
                 scan.readSchema(), partitioned = false, options,
                 tableSchema = Some(StructType(
-                  snapSchema.fields.filterNot(_.name == "__bucket"))))))
+                  snapSchema.fields.filterNot(_.name == "__bucket"))))),
+              stats = snapV2Statistics)
           case None if multiDir =>
             val union = new UnionDirScan(scan,
               dirScans(tableName, keptFiles, pushedExprs, requiredSchema),
               s"$catalogName.$db.$table")
-            new SnapStreamableScan(union, db, table, partitioned = true, options)
+            new SnapStreamableScan(union, db, table, partitioned = true, options,
+              stats = snapV2Statistics)
           case None => new SnapStreamableScan(scan, db, table,
-            partitioned = partitioned, options)
+            partitioned = partitioned, options, stats = snapV2Statistics)
         })
     }
 
@@ -570,7 +628,9 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * works like Iceberg's incremental streaming read. Statistics are
     * forwarded so AQE/join estimates keep working on the batch side. */
   private final class SnapStreamableScan(val delegate: Scan, db: String, table: String,
-      partitioned: Boolean, options: CaseInsensitiveStringMap)
+      partitioned: Boolean, options: CaseInsensitiveStringMap,
+      stats: Scan => org.apache.spark.sql.connector.read.Statistics =
+        ScanDefaults.statisticsOf)
       extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     override def readSchema(): StructType = delegate.readSchema()
@@ -579,7 +639,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     override def columnarSupportMode(): Scan.ColumnarSupportMode =
       delegate.columnarSupportMode()
     override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-      ScanDefaults.statisticsOf(delegate)
+      stats(delegate)
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
       new SnapAppendStream(db, table, readSchema(), partitioned, options)
     // canonicalized-plan equality delegates to the stock scan's structural

@@ -491,6 +491,34 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     }
   }
 
+  test("scan statistics are snapshot-exact and carry column min/max/nulls") {
+    wh
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val cat = new SnapshotCatalog(spark, wh)
+    val data = Seq((Some(5L), "x"), (Some(17L), "y"), (None, "z")).toDF("id", "name")
+    cat.createTable("dbst", "t", data.schema)
+    cat.append("dbst", "t", data)
+
+    val scan = spark.table("snapcat.dbst.t").queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b.scan }.get
+    val st = scan.asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    assert(st.numRows().getAsLong == 3, "exact row count from the log")
+    val byName = st.columnStats().entrySet().iterator()
+    var idStats: Option[org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = None
+    while (byName.hasNext) {
+      val e = byName.next()
+      if (e.getKey.describe() == "id") idStats = Some(e.getValue)
+    }
+    assert(idStats.isDefined, st.columnStats().toString)
+    assert(idStats.get.min().get() == 5L && idStats.get.max().get() == 17L)
+    assert(idStats.get.nullCount().getAsLong == 1L)
+
+    // catalyst plan statistics see the exact row count (CBO input surface)
+    val planStats = spark.table("snapcat.dbst.t").queryExecution.optimizedPlan.stats
+    assert(planStats.rowCount.contains(BigInt(3)), planStats.toString)
+  }
+
   test("row-level rewrite clears debris from a crashed prior attempt") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbcr")
