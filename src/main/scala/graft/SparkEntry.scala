@@ -1186,6 +1186,21 @@ object SparkEntry {
           |JOIN status_dim_v d ON f.o_orderstatus = d.st
           |WHERE d.label = 'keep'
           |GROUP BY f.o_orderstatus ORDER BY f.o_orderstatus""".stripMargin)
+    }),
+
+    // manifests metadata table: the shard-reuse ledger of the sharded
+    // snapshot log (one row per live shard; appends reuse prior shards, a
+    // compact starts a fresh full-state shard). orders_small's history is
+    // create -> append(4 files) -> append(4 files) -> compact(2 files), so
+    // the inventory is fully deterministic and the oracle restates it with
+    // row counts tied to the orders table.
+    "q83_manifests" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      s.conf.set("spark.sql.catalog.snapfix", "graft.catalog.spark.SnapCatalogPlugin")
+      s.conf.set("spark.sql.catalog.snapfix.warehouse", fx.src.warehouse)
+      s.sql(
+        """SELECT path, file_count, record_count, added_snapshot_id, referenced_by
+          |FROM snapfix.maint.orders_small.manifests ORDER BY path""".stripMargin)
     }))
 
   // -------------------------------------------------------------------
@@ -1583,6 +1598,18 @@ object SparkEntry {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders JOIN dim ON o_orderstatus = st WHERE label = 'keep'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q83_manifests" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM orders)
+        |SELECT t.path, CAST(t.fc AS BIGINT) AS file_count,
+        |  CAST(t.rc AS BIGINT) AS record_count,
+        |  CAST(t.sid AS BIGINT) AS added_snapshot_id,
+        |  CAST(t.rb AS BIGINT) AS referenced_by
+        |FROM (VALUES
+        |  ('m2.json', 4, (SELECT c FROM n), 2, 2),
+        |  ('m3.json', 4, (SELECT c FROM n), 3, 1),
+        |  ('m4.json', 2, (SELECT 2*c FROM n), 4, 1)) AS t(path, fc, rc, sid, rb)
+        |ORDER BY t.path""".stripMargin,
 
     "q61_curation_pipeline" -> {
       // same language-ID replay as q23's oracle, then the curation gates

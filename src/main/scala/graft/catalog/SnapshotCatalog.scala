@@ -86,6 +86,16 @@ object Manifest {
     })
 }
 
+/** One live manifest shard's inventory row (`manifests` metadata table):
+  * `recordCount` is None when any file in the shard lacks a footer row
+  * count; `referencedBy` counts the log entries reusing the shard. */
+final case class ManifestInfo(
+    name: String,
+    fileCount: Int,
+    recordCount: Option[Long],
+    addedSnapshotId: Long,
+    referencedBy: Int)
+
 /** Pointer-log entry (log format v2): everything O(columns)-sized about a
   * snapshot — id, timestamp, operation, summary stats, schema DDL — plus
   * the ordered manifest shards whose concatenation IS the snapshot's file
@@ -462,6 +472,34 @@ final class SnapshotCatalog(
     loadRepr(db, table) match {
       case LegacyLog(snaps) => snaps
       case V2Log(es)        => es.map(materialize(db, table, _))
+    }
+
+  /** Per-shard manifest inventory (the `manifests` metadata table): one row
+    * per live shard with its file count, row count (when every file in the
+    * shard recorded a footer row count), the id of the first snapshot
+    * referencing it, and how many log entries reference it — the shard-reuse
+    * accounting that makes append metadata O(added files). Opens each live
+    * shard once (cache-served after the first read); a legacy v1 log has no
+    * shards and reports empty. */
+  def manifestInventory(db: String, table: String): Seq[ManifestInfo] =
+    loadRepr(db, table) match {
+      case LegacyLog(_) => Seq.empty
+      case V2Log(es) =>
+        val firstRef = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        val refCount = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+        es.foreach { e =>
+          e.manifests.foreach { m =>
+            if (!firstRef.contains(m)) firstRef(m) = e.snapshotId
+            refCount(m) += 1
+          }
+        }
+        firstRef.toSeq.map { case (name, addedBy) =>
+          val m = loadManifest(db, table, name)
+          val rows = m.files.map(f => m.fileStats.get(f).flatMap(_.get("rows")).map(_.toLong))
+          ManifestInfo(name, m.files.size,
+            if (rows.nonEmpty && rows.forall(_.isDefined)) Some(rows.flatten.sum) else None,
+            addedBy, refCount(name))
+        }
     }
 
   // ---- write-audit-publish visibility ----
@@ -1420,12 +1458,38 @@ final class SnapshotCatalog(
     * growth from overwrite/compact chains). Returns deleted file count. */
   def expireSnapshots(db: String, table: String, keepLast: Int): Int = withTableLock(db, table) {
     require(keepLast >= 1, "must keep at least one snapshot")
+    expireOldest(db, table, keepOldest = entries => entries.size - keepLast)
+  }
+
+  /** Time-based retention (Iceberg `expire_snapshots(older_than => ts)`):
+    * expire every snapshot committed AT OR BEFORE `olderThan`, always
+    * keeping at least the `keepLast` most recent regardless of age — a
+    * retention sweep must never leave the table without a current state.
+    * Returns deleted data-file count, like [[expireSnapshots]]. */
+  def expireSnapshotsOlderThan(db: String, table: String, olderThan: Instant,
+      keepLast: Int = 1): Int = withTableLock(db, table) {
+    require(keepLast >= 1, "must keep at least one snapshot")
+    expireOldest(db, table, keepOldest = { entries =>
+      val byAge = entries.indexWhere(e => Instant.parse(e.committedAt).isAfter(olderThan))
+      val aged = if (byAge < 0) entries.size else byAge
+      math.min(aged, entries.size - keepLast)
+    })
+  }
+
+  /** Shared expire body: drop the oldest `keepOldest(entries)` entries, then
+    * GC data files and manifest shards nothing kept references. Commit the
+    * trimmed log FIRST (atomic rename), delete after — Iceberg's ordering: a
+    * crash mid-delete leaves only orphans a re-run can sweep, never live log
+    * entries pointing at deleted files. */
+  private def expireOldest(db: String, table: String,
+      keepOldest: Seq[SnapshotEntry] => Int): Int = {
     val entries = entriesForWrite(db, table)
     // an expire that kept ONLY a staged tail would leave a table with no
     // published state; resolve the pending audit first
     requireNoPendingStage(db, table, entries)
-    if (entries.size <= keepLast) return 0
-    val (expired, kept) = entries.splitAt(entries.size - keepLast)
+    val n = keepOldest(entries)
+    if (n <= 0) return 0
+    val (expired, kept) = entries.splitAt(n)
     val keptFiles = kept.flatMap(materialize(db, table, _).files).toSet
     val root = tablePath(db, table)
     val doomed = expired.flatMap(materialize(db, table, _).files)

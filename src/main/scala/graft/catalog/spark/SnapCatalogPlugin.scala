@@ -911,6 +911,12 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         StructField("partition", StringType), // null for an unpartitioned table
         StructField("file_count", LongType, nullable = false),
         StructField("record_count", LongType))) // null if any file lacks a row count
+      case "manifests" => StructType(Seq(
+        StructField("path", StringType, nullable = false),
+        StructField("file_count", LongType, nullable = false),
+        StructField("record_count", LongType), // null if any file lacks a row count
+        StructField("added_snapshot_id", LongType, nullable = false),
+        StructField("referenced_by", LongType, nullable = false)))
     }
 
     override def name(): String = s"$catalogName.$db.$table.$kind"
@@ -970,11 +976,23 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
                 fs.size.toLong,
                 if (rows.forall(_.isDefined)) Long.box(rows.flatten.sum) else null)
             }.toArray
+          case "manifests" =>
+            // shard-reuse accounting (Iceberg's `manifests` table): one row
+            // per live shard, served from the pointer log + shard cache
+            cat.manifestInventory(db, table).map { mi =>
+              InternalRow(
+                UTF8String.fromString(mi.name),
+                mi.fileCount.toLong,
+                mi.recordCount.map(Long.box).orNull,
+                mi.addedSnapshotId,
+                mi.referencedBy.toLong)
+            }.toArray
         }
       }
   }
 
-  private val metaTableKinds = Set("snapshots", "files", "refs", "history", "partitions")
+  private val metaTableKinds =
+    Set("snapshots", "files", "refs", "history", "partitions", "manifests")
 
   override def loadTable(ident: Identifier): Table = {
     // metadata-table addressing: snapcat.db.t.{snapshots,files,refs,history}

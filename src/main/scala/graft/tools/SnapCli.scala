@@ -97,6 +97,13 @@ object SnapCli {
       val Array(wh, db, table, keep) = a.take(4)
       val deleted = new SnapshotCatalog(spark, wh).expireSnapshots(db, table, keep.toInt)
       println(s"expire $db.$table deleted_files=$deleted")
+    case "expire-older-than" =>
+      // SnapCli expire-older-than <wh> <db> <t> <ISO instant> [keepLast]
+      val Array(wh, db, table, cutoff) = a.take(4)
+      val keep = if (a.length > 4) a(4).toInt else 1
+      val deleted = new SnapshotCatalog(spark, wh)
+        .expireSnapshotsOlderThan(db, table, java.time.Instant.parse(cutoff), keep)
+      println(s"expire-older-than $db.$table deleted_files=$deleted")
     case "sql" =>
       // arbitrary SQL against the warehouse via the V2 catalog plugin:
       // SnapCli sql <warehouse> "SELECT * FROM snapcat.db.t VERSION AS OF 2"

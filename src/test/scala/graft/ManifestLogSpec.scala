@@ -133,6 +133,47 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(cat.readLatest("db", "t").count() == 2L)
   }
 
+  test("manifestInventory reports shard reuse, row counts, first reference") {
+    val cat = newCat()
+    cat.createTable("db", "t", Seq((1L, "a")).toDF("id", "v").schema)
+    cat.append("db", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)) // m2
+    cat.append("db", "t", Seq((3L, "c")).toDF("id", "v").coalesce(1))            // m3
+    val inv = cat.manifestInventory("db", "t")
+    assert(inv.map(_.name) == Seq("m2.json", "m3.json"))
+    val m2 = inv.find(_.name == "m2.json").get
+    assert(m2.fileCount == 1 && m2.recordCount.contains(2L))
+    assert(m2.addedSnapshotId == 2L)
+    assert(m2.referencedBy == 2, "m2 is reused by snapshot 3's entry")
+    val m3 = inv.find(_.name == "m3.json").get
+    assert(m3.recordCount.contains(1L) && m3.addedSnapshotId == 3L && m3.referencedBy == 1)
+  }
+
+  test("expireSnapshotsOlderThan expires by commit time, always keeping the head") {
+    var tick = 0L
+    val dir = Files.createTempDirectory("graft_mlog_").toString
+    val base = java.time.Instant.parse("2026-05-01T00:00:00Z")
+    val cat = new SnapshotCatalog(spark, dir,
+      clock = () => { tick += 1; base.plusSeconds(tick * 3600) })
+    cat.createTable("db", "t", Seq((1L, "a")).toDF("id", "v").schema) // +1h
+    cat.append("db", "t", Seq((1L, "a")).toDF("id", "v"))             // +2h
+    cat.append("db", "t", Seq((2L, "b")).toDF("id", "v"))             // +3h
+    cat.append("db", "t", Seq((3L, "c")).toDF("id", "v"))             // +4h
+
+    // nothing is old enough: no-op
+    assert(cat.expireSnapshotsOlderThan("db", "t", base) == 0)
+    // cutoff at +2h expires snapshots 1 and 2 (<= cutoff), keeps 3 and 4
+    val deleted = cat.expireSnapshotsOlderThan("db", "t", base.plusSeconds(2 * 3600))
+    assert(cat.entryLog("db", "t").map(_.snapshotId) == Seq(3L, 4L))
+    assert(deleted >= 0) // snapshot 3 carries snapshot 2's files: they survive
+    assert(cat.readLatest("db", "t").count() == 3L)
+    // a cutoff beyond the head still keeps the last snapshot
+    cat.expireSnapshotsOlderThan("db", "t", base.plusSeconds(100 * 3600))
+    assert(cat.entryLog("db", "t").map(_.snapshotId) == Seq(4L))
+    assert(cat.readLatest("db", "t").count() == 3L)
+    // time travel to the expired range now fails loudly
+    intercept[Exception](cat.readAsOf("db", "t", 2L).collect())
+  }
+
   test("partial rewrite reuses untouched shards; delta lists only the rewrite") {
     val cat = newCat()
     cat.createTable("db", "t", Seq((1L, "a")).toDF("id", "v").schema)

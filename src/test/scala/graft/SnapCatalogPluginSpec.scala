@@ -491,6 +491,19 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     }
   }
 
+  test(".manifests metadata table shows shard reuse from the pointer log") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.createTable("dbmf", "t", Seq((1L, "a")).toDF("id", "v").schema)
+    cat.append("dbmf", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    cat.append("dbmf", "t", Seq((3L, "c")).toDF("id", "v").coalesce(1))
+    val rows = spark.sql(
+      """SELECT path, file_count, record_count, added_snapshot_id, referenced_by
+        |FROM snapcat.dbmf.t.manifests ORDER BY path""".stripMargin)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(("m2.json", 1L, 2L, 2L, 2L), ("m3.json", 1L, 1L, 3L, 1L)), rows.toString)
+  }
+
   test("scan statistics are snapshot-exact and carry column min/max/nulls") {
     wh
     import org.apache.spark.sql.connector.read.SupportsReportStatistics
