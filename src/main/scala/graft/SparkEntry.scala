@@ -1201,6 +1201,18 @@ object SparkEntry {
       s.sql(
         """SELECT path, file_count, record_count, added_snapshot_id, referenced_by
           |FROM snapfix.maint.orders_small.manifests ORDER BY path""".stripMargin)
+    }),
+
+    // row-level changelog (CDC view): the fixture's orders_del history is
+    // create(1) -> append(2) -> DELETE open orders(3); the changelog of
+    // (2,3] is exactly the 'O' rows as deletes — computed from the
+    // file-granular diff (carried files never read) + one exceptAll over
+    // the churn. Rows the prune-aware delete merely rewrote cancel out.
+    "q84_changelog" -> ((s, dir) => {
+      WarehouseFixture.forDir(s, dir).src.readChangelog("maint", "orders_del", 2L, 3L)
+        .groupBy("_change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("_change_type", "o_orderstatus")
     }))
 
   // -------------------------------------------------------------------
@@ -1610,6 +1622,13 @@ object SparkEntry {
         |  ('m3.json', 4, (SELECT c FROM n), 3, 1),
         |  ('m4.json', 2, (SELECT 2*c FROM n), 4, 1)) AS t(path, fc, rc, sid, rb)
         |ORDER BY t.path""".stripMargin,
+
+    "q84_changelog" ->
+      """SELECT 'delete' AS _change_type, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q61_curation_pipeline" -> {
       // same language-ID replay as q23's oracle, then the curation gates

@@ -759,6 +759,48 @@ final class SnapshotCatalog(
     readFiles(db, table, to.schema, to.files.filterNot(fromFiles))
   }
 
+  /** Row-level changelog between two snapshots (Iceberg
+    * `create_changelog_view`): every row visible at `toId` but not at
+    * `fromId` tagged `insert`, every row visible at `fromId` but not at
+    * `toId` tagged `delete` (an UPDATE appears as its delete + insert).
+    * Unlike [[readIncremental]] this handles EVERY operation —
+    * overwrite, delete, update, merge, compact — because it diffs row
+    * MULTISETS, not operations.
+    *
+    * 100-TB shape, two tiers of pruning:
+    *  1. FILE-granular: files present in both snapshots carry over and are
+    *     never read (prune-aware rewrites + manifest carry keep this set
+    *     large — a one-file DELETE reads one old file + its rewrite, not
+    *     the lake). The diff touches only changed files.
+    *  2. ROW-granular: `exceptAll` over the changed files' rows — one
+    *     hash-partitioned anti-semantics shuffle whose volume is the
+    *     churn, not the table. Rows merely MOVED by a compact/z-order
+    *     rewrite cancel out exactly (multiset semantics).
+    *
+    * Requires an identical visible schema at both endpoints — a changelog
+    * across a schema evolution has no single row type; fail loudly. */
+  def readChangelog(db: String, table: String, fromId: Long, toId: Long): DataFrame = {
+    require(fromId <= toId, s"fromId $fromId > toId $toId")
+    val from = snapshotAt(db, table, fromId)
+    val to = snapshotAt(db, table, toId)
+    // nullability normalized: rewrites relax NOT NULL (parquet read-back),
+    // which changes no row's identity — only names/types split the row type
+    def norm(s: StructType): String = s.toDDL.replace(" NOT NULL", "")
+    require(norm(from.schema) == norm(to.schema),
+      s"changelog of $db.$table requires one schema at both endpoints: " +
+        s"snapshot $fromId is <${from.schema.toDDL}>, $toId is <${to.schema.toDDL}>")
+    val fromFiles = from.files.toSet
+    val toFiles = to.files.toSet
+    val removed = from.files.filterNot(toFiles) // in from, gone at to
+    val added = to.files.filterNot(fromFiles)   // new at to
+    val removedRows = readFiles(db, table, from.schema, removed)
+    val addedRows = readFiles(db, table, to.schema, added)
+    import org.apache.spark.sql.functions.lit
+    addedRows.exceptAll(removedRows).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        removedRows.exceptAll(addedRows).withColumn("_change_type", lit("delete")))
+  }
+
   /** Latest snapshot with committed_at <= ts, i.e. the reference's stage-2
     * as-of resolution (`2_collect_database_schema_info.py:43-53`). */
   def readAsOfTimestamp(db: String, table: String, ts: Instant): DataFrame = {

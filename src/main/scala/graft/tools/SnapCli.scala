@@ -125,6 +125,12 @@ object SnapCli {
       val Array(wh, db, table) = a.take(3)
       new SnapshotCatalog(spark, wh).meta(db, table).refs.toSeq.sortBy(_._1)
         .foreach { case (n, id) => println(s"$n\t$id") }
+    case "changelog" =>
+      // SnapCli changelog <wh> <db> <t> <fromId> <toId> [limit]
+      val Array(wh, db, table, from, to) = a.take(5)
+      val limit = if (a.length > 5) a(5).toInt else 50
+      new SnapshotCatalog(spark, wh).readChangelog(db, table, from.toLong, to.toLong)
+        .show(limit, truncate = false)
     case "incremental" =>
       val Array(wh, db, table, from, to) = a.take(5)
       val df = new SnapshotCatalog(spark, wh).readIncremental(db, table, from.toLong, to.toLong)

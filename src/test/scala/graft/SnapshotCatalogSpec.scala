@@ -674,6 +674,38 @@ class SnapshotCatalogSpec extends AnyFunSuite {
         Set((1L, "a"), (2L, "staged"), (3L, "c")))
     } finally q.stop()
   }
+
+  test("readChangelog: row-level +/- across deletes, updates, appends; compact is silent") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, Files.createTempDirectory("graft_cdc_").toString)
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+    cat.createTable("db", "t", rows.toDF("id", "v").schema)              // 1
+    cat.append("db", "t", rows.toDF("id", "v").repartition(2))           // 2
+    cat.delete("db", "t", col("id") === 2L)                              // 3
+    cat.update("db", "t", col("id") === 3L, Map("v" -> lit("C")))        // 4
+    cat.append("db", "t", Seq((5L, "e")).toDF("id", "v"))                // 5
+    cat.compact("db", "t", numFiles = 1)                                 // 6
+
+    def cl(from: Long, to: Long): Set[(Long, String, String)] =
+      cat.readChangelog("db", "t", from, to)
+        .select("id", "v", "_change_type").as[(Long, String, String)].collect().toSet
+
+    assert(cl(2, 3) == Set((2L, "b", "delete")), "delete emits the deleted row only")
+    assert(cl(3, 4) == Set((3L, "c", "delete"), (3L, "C", "insert")),
+      "update is delete+insert")
+    assert(cl(4, 5) == Set((5L, "e", "insert")), "append is inserts only")
+    assert(cl(5, 6).isEmpty, "compact moves rows without changing visibility")
+    // a multi-operation range composes: net change from 2 to 6
+    assert(cl(2, 6) == Set((2L, "b", "delete"), (3L, "c", "delete"),
+      (3L, "C", "insert"), (5L, "e", "insert")))
+    assert(cl(2, 2).isEmpty)
+    // schema evolution across the range fails loudly
+    cat.evolveSchema("db", "t",
+      cat.currentSnapshot("db", "t").schema.add("w", "string"))          // 7
+    val e = intercept[IllegalArgumentException](cat.readChangelog("db", "t", 6, 7))
+    assert(e.getMessage.contains("schema"), e.getMessage)
+  }
+
 }
 
 /** Pure unit tests for the stats-merge ordering edge cases (no Spark). */
