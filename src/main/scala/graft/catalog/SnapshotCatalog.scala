@@ -899,7 +899,25 @@ final class SnapshotCatalog(
     val statAggs = statCols.flatMap { c =>
       Seq(min(col(s"`$c`")).as(s"min.$c"), max(col(s"`$c`")).as(s"max.$c"))
     }
-    val observed = df.observe(obs, count(lit(1)).as("rows"), statAggs.toIndexedSeq: _*)
+    // Declared sort order (`write.sort-order` = "c1,c2", Iceberg's table
+    // sort order): range-cluster every library commit's output on the sort
+    // columns so per-file footer bounds are DISJOINT on the leading column
+    // — file skipping on it becomes systematic instead of incidental, and
+    // parquet gets sorted pages (better encodings, row-group pruning). One
+    // extra range shuffle per commit, opt-in by property. compact() flows
+    // through here too, so it doubles as the re-cluster action (SQL
+    // row-level rewrites bypass this layout; compact restores it).
+    val laid = tm.properties.get("write.sort-order") match {
+      case Some(spec) if spec.trim.nonEmpty =>
+        val sortCols = spec.split(",").map(_.trim).filter(_.nonEmpty)
+        val unknown = sortCols.filterNot(df.schema.fieldNames.contains)
+        require(unknown.isEmpty,
+          s"write.sort-order of $db.$table names unknown columns: ${unknown.mkString(",")}")
+        val exprs = sortCols.map(c => col(s"`$c`"))
+        df.repartitionByRange(exprs.toIndexedSeq: _*).sortWithinPartitions(exprs.toIndexedSeq: _*)
+      case _ => df
+    }
+    val observed = laid.observe(obs, count(lit(1)).as("rows"), statAggs.toIndexedSeq: _*)
     val writer = observed.write.mode("overwrite")
     val partitioned =
       if (tm.partitionCols.nonEmpty) writer.partitionBy(tm.partitionCols: _*) else writer

@@ -675,6 +675,45 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("write.sort-order range-clusters commits: disjoint file bounds, systematic skipping") {
+    val cat = freshCatalog()
+    // deliberately scrambled input across 4 partitions
+    val df = spark.range(0, 4000).toDF("id")
+      .withColumn("id", (col("id") * 2654435761L) % 4000)
+      .repartition(4)
+    cat.createTable("db", "s", df.schema)
+    cat.setProperty("db", "s", "write.sort-order", Some("id"))
+    // AQE rightly coalesces a 4000-row range shuffle to one partition in
+    // production; hold it open here so several files exist to skip between
+    val saved = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val snap = try cat.append("db", "s", df)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", saved)
+    assert(snap.files.size > 1, "range shuffle must produce several files")
+
+    // per-file id ranges are pairwise DISJOINT (the clustering contract)
+    val bounds = snap.files.map { f =>
+      val st = snap.fileStats(f)
+      (st("min.id").toLong, st("max.id").toLong)
+    }.sortBy(_._1)
+    bounds.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping file bounds: $bounds")
+      case _ =>
+    }
+    // a point predicate prunes to exactly one candidate file
+    val (cands, untouched) = cat.pruneFiles("db", "s", snap.snapshotId, col("id") === 1234L)
+    assert(cands.size == 1 && untouched.size == snap.files.size - 1, s"cands=$cands")
+    // data unchanged by the re-layout
+    assert(cat.readLatest("db", "s").agg(sum(col("id"))).head.getLong(0)
+      == (0L until 4000L).map(i => (i * 2654435761L) % 4000).sum)
+
+    // unknown sort column fails BEFORE any data write
+    cat.setProperty("db", "s", "write.sort-order", Some("nope"))
+    val e = intercept[IllegalArgumentException](
+      cat.append("db", "s", df.limit(1)))
+    assert(e.getMessage.contains("nope"), e.getMessage)
+  }
+
   test("readChangelog: row-level +/- across deletes, updates, appends; compact is silent") {
     import spark.implicits._
     val cat = new SnapshotCatalog(spark, Files.createTempDirectory("graft_cdc_").toString)
