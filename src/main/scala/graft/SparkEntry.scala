@@ -1203,6 +1203,17 @@ object SparkEntry {
           |FROM snapfix.maint.orders_small.manifests ORDER BY path""".stripMargin)
     }),
 
+    // zero-copy adoption (Iceberg add_files; the migration data plane
+    // without the rewrite): the fixture adopted externally-written F-order
+    // parquet by RENAME — per-file cost one footer read. The adopted files
+    // read back exactly; footer stats make them skippable like any commit's.
+    "q85_adopt" -> ((s, dir) => {
+      WarehouseFixture.forDir(s, dir).src.readLatest("maint", "orders_adopt")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderstatus")
+    }),
+
     // row-level changelog (CDC view): the fixture's orders_del history is
     // create(1) -> append(2) -> DELETE open orders(3); the changelog of
     // (2,3] is exactly the 'O' rows as deletes — computed from the
@@ -1622,6 +1633,12 @@ object SparkEntry {
         |  ('m3.json', 4, (SELECT c FROM n), 3, 1),
         |  ('m4.json', 2, (SELECT 2*c FROM n), 4, 1)) AS t(path, fc, rc, sid, rb)
         |ORDER BY t.path""".stripMargin,
+
+    "q85_adopt" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q84_changelog" ->
       """SELECT 'delete' AS _change_type, o_orderstatus,

@@ -115,6 +115,14 @@ object WarehouseFixture {
       partitionCols = Seq("o_orderstatus"))
     src.append("maint", "orders_part", orders)
 
+    // - maint.orders_adopt: zero-copy adoption — externally-written parquet
+    //   joins the table by rename (adoptFiles), never a rewrite
+    src.createTable("maint", "orders_adopt", orders.schema)
+    val adoptSrc = Files.createTempDirectory("graft_adopt_src_")
+    orders.where(col("o_orderstatus") === "F").repartition(2)
+      .write.mode("overwrite").parquet(adoptSrc.toString)
+    src.adoptFiles("maint", "orders_adopt", adoptSrc, "append")
+
     // - row-level operations (Iceberg DELETE/MERGE surface, copy-on-write):
     //   orders_del: DELETE the open orders; orders_up: matched F rows
     //   replaced with doubled totals + new keys inserted (the canonical

@@ -835,6 +835,120 @@ final class SnapshotCatalog(
   def overwrite(db: String, table: String, df: DataFrame): Snapshot =
     commit(db, table, df, "overwrite")
 
+  /** ZERO-COPY file adoption (Iceberg `add_files`; the migration data plane
+    * without the rewrite): move externally-written parquet files into the
+    * table as ONE commit. Per-file cost is a same-filesystem RENAME plus one
+    * footer read — never a data scan or rewrite. The reference migrates by
+    * re-reading and re-writing every table (`5_migrate_tables_data.py:80-83`);
+    * at 100 TB adoption is the difference between hours of I/O and a
+    * metadata operation.
+    *
+    * `operation`: "append" (adopted files join the current state) or
+    * "overwrite" (they become the state). Schema compatibility is checked
+    * from the files' OWN footers before any move — a failure leaves the
+    * source dir untouched. Hive-laid source dirs keep their layout (the
+    * adopted dir becomes a normal snapshot dir). Snapshot-summary bounds:
+    * numeric min/max fold from footer bounds; strings get none (writer
+    * truncation would break metadata-served exactness); on append, a bound
+    * survives only when BOTH sides have one. Declared sort orders do not
+    * re-lay adopted files (that is the point); run compact() to re-cluster. */
+  def adoptFiles(db: String, table: String, srcDir: Path,
+      operation: String = "append"): Snapshot = withTableLock(db, table) {
+    require(operation == "append" || operation == "overwrite",
+      s"adoptFiles operation must be append|overwrite, got '$operation'")
+    val entries = entriesForWrite(db, table)
+    requireNoPendingStage(db, table, entries)
+    val prevEntry = entries.last
+    val prev = materialize(db, table, prevEntry)
+    val newId = prev.snapshotId + 1
+    val src = listParquetFiles(srcDir)
+    require(src.nonEmpty, s"no parquet files to adopt under $srcDir")
+
+    // schema gate from the files' own footers, BEFORE any move (names +
+    // types; nullability relaxed — parquet read-back is nullable anyway)
+    val incoming = spark.read.parquet(srcDir.toString).schema
+    val prevSchema = prev.schema
+    val missing = prevSchema.fieldNames.filterNot(incoming.fieldNames.contains)
+    val extra = incoming.fieldNames.filterNot(prevSchema.fieldNames.contains)
+    require(missing.isEmpty && extra.isEmpty,
+      s"adopt schema mismatch for $db.$table: missing=${missing.mkString(",")} " +
+        s"extra=${extra.mkString(",")}")
+    val retyped = prevSchema.fields
+      .filterNot(f => f.dataType.sql == incoming(f.name).dataType.sql)
+    require(retyped.isEmpty,
+      s"adopt type mismatch for $db.$table: " +
+        retyped.map(f => s"${f.name}: table=${f.dataType.sql} " +
+          s"adopted=${incoming(f.name).dataType.sql}").mkString(", "))
+    val snapSchema = operation match {
+      case "append" => StructType(prevSchema.fields.map(_.copy(nullable = true)))
+      case _        => StructType(incoming.fields.map(_.copy(nullable = true)))
+    }
+
+    val snapDirRel = s"data/s$newId"
+    val snapDir = tablePath(db, table).resolve("data").resolve(s"s$newId")
+    // preserve the source's relative layout (hive partition dirs survive)
+    val moved = src.map { p =>
+      val dst = snapDir.resolve(srcDir.relativize(p).toString)
+      Files.createDirectories(dst.getParent)
+      Files.move(p, dst)
+      dst
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val root = tablePath(db, table)
+    val newFiles = moved.map(p =>
+      snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/')).sorted
+    val newFileStats = newFiles.map(f =>
+      f -> FileStats.fromFooter(root.resolve(f), snapSchema, conf)).toMap
+
+    val rowsPerFile = newFiles.map(f => newFileStats(f).get("rows").map(_.toLong))
+    val rows = if (rowsPerFile.forall(_.isDefined)) rowsPerFile.flatten.sum else -1L
+    // adopted-set bounds from footers (numeric-only, exact)
+    val adopted = ColumnStats.mergeWithFileBounds(
+      Map.empty, newFiles, newFileStats, snapSchema)
+    val stats = operation match {
+      case "overwrite" => adopted
+      case _ =>
+        // append: fold only where BOTH sides have exact bounds — unlike a
+        // frame append, an adopted file set is never provably all-null for
+        // a column the footer didn't bound, so one-sided bounds must drop
+        snapSchema.fields.filter(f => ColumnStats.statable(f.dataType)).flatMap { f =>
+          Seq(s"min.${f.name}" -> true, s"max.${f.name}" -> false).flatMap {
+            case (k, isMin) =>
+              (prev.summary.get(k), adopted.get(k)) match {
+                case (Some(p), Some(n)) =>
+                  val takeP = if (isMin) !ColumnStats.gt(f.dataType, p, n)
+                  else ColumnStats.gt(f.dataType, p, n)
+                  Some(k -> (if (takeP) p else n))
+                case _ => None
+              }
+          }
+        }.toMap
+    }
+    val (reuse, delta, allFiles, allFileStats) = operation match {
+      case "append" =>
+        (prevEntry.manifests, Manifest(newFiles, newFileStats),
+          prev.files ++ newFiles, prev.fileStats ++ newFileStats)
+      case _ =>
+        (Seq.empty[String], Manifest(newFiles, newFileStats), newFiles,
+          newFileStats)
+    }
+    val prevRows = prev.recordCount
+    val totalRows = operation match {
+      case "append" => if (prevRows >= 0 && rows >= 0) prevRows + rows else -1L
+      case _        => rows
+    }
+    val snap = Snapshot(newId, clock().toString, operation,
+      Map(
+        "record_count" -> totalRows.toString,
+        "added_records" -> rows.toString,
+        "added_files" -> newFiles.size.toString,
+        "total_files" -> allFiles.size.toString,
+        "adopted" -> "true") ++ stats
+        ++ streamEpochTags(prev.summary),
+      snapSchema.toDDL, allFiles, allFileStats)
+    commitSnapshot(db, table, entries, snap, reuse, delta)
+  }
+
   /** `carryFiles` (partial-rewrite commits: prune-aware delete/update):
     * files of the PREVIOUS snapshot that are provably untouched by the
     * operation and carry over verbatim — the 100-TB posture for row-level

@@ -125,6 +125,15 @@ object SnapCli {
       val Array(wh, db, table) = a.take(3)
       new SnapshotCatalog(spark, wh).meta(db, table).refs.toSeq.sortBy(_._1)
         .foreach { case (n, id) => println(s"$n\t$id") }
+    case "adopt" =>
+      // SnapCli adopt <wh> <db> <t> <srcDir> [append|overwrite] — zero-copy
+      // migration: externally-written parquet joins the table by RENAME
+      val Array(wh, db, table, srcDir) = a.take(4)
+      val op = if (a.length > 4) a(4) else "append"
+      val snap = new SnapshotCatalog(spark, wh)
+        .adoptFiles(db, table, java.nio.file.Paths.get(srcDir), op)
+      println(s"adopt $db.$table snapshot=${snap.snapshotId} " +
+        s"files=${snap.summary("added_files")} records=${snap.summary("added_records")}")
     case "changelog" =>
       // SnapCli changelog <wh> <db> <t> <fromId> <toId> [limit]
       val Array(wh, db, table, from, to) = a.take(5)

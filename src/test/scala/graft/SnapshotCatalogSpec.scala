@@ -675,6 +675,51 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("adoptFiles: zero-copy adoption by rename, exact stats, schema gate pre-move") {
+    val cat = freshCatalog()
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    cat.createTable("db", "ad", d1.schema)
+    cat.append("db", "ad", d1)
+
+    // externally-written parquet (two files)
+    val ext = Files.createTempDirectory("graft_ext_")
+    Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("id", "name")
+      .repartition(2).write.mode("overwrite").parquet(ext.toString)
+    import scala.jdk.CollectionConverters._
+    val snap = cat.adoptFiles("db", "ad", ext, "append")
+
+    assert(snap.operation == "append" && snap.summary("adopted") == "true")
+    assert(snap.recordCount == 5, "footer row counts sum exactly")
+    assert(cat.readLatest("db", "ad").count() == 5)
+    // the source files MOVED (no copy): source dir has no parquet left
+    assert(!Files.walk(ext).iterator().asScala.exists(_.toString.endsWith(".parquet")))
+    // numeric bounds folded from footers merge with the previous summary
+    assert(snap.summary("min.id") == "1" && snap.summary("max.id") == "30")
+    // string bounds drop on adoption-append (adopted side has no exact bound)
+    assert(!snap.summary.contains("min.name"))
+    // per-file footer stats recorded -> file skipping works on adopted files
+    val (cands, _) = cat.pruneFiles("db", "ad", snap.snapshotId, col("id") === 20L)
+    assert(cands.size < snap.files.size, s"cands=$cands")
+    // incremental read sees the adopted rows as a plain append
+    assert(cat.readIncremental("db", "ad", 2L, 3L).count() == 3)
+
+    // adopt-overwrite replaces state; history stays time-travelable
+    val ext2 = Files.createTempDirectory("graft_ext2_")
+    Seq((99L, "q")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(ext2.toString)
+    val ow = cat.adoptFiles("db", "ad", ext2, "overwrite")
+    assert(ow.operation == "overwrite" && cat.readLatest("db", "ad").count() == 1)
+    assert(cat.readAsOf("db", "ad", snap.snapshotId).count() == 5)
+
+    // schema mismatch fails BEFORE any move — the bad source dir is intact
+    val bad = Files.createTempDirectory("graft_extbad_")
+    Seq((1L, 2.5)).toDF("id", "score").write.mode("overwrite").parquet(bad.toString)
+    val e = intercept[IllegalArgumentException](cat.adoptFiles("db", "ad", bad))
+    assert(e.getMessage.contains("mismatch"), e.getMessage)
+    assert(Files.walk(bad).iterator().asScala.exists(_.toString.endsWith(".parquet")),
+      "failed adoption must leave the source untouched")
+  }
+
   test("write.sort-order range-clusters commits: disjoint file bounds, systematic skipping") {
     val cat = freshCatalog()
     // deliberately scrambled input across 4 partitions
