@@ -172,6 +172,60 @@ case class LangId(child: Expression, markers: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/** One-pass repetition-gate statistics (Gopher/RefinedWeb quality signals):
+  * `struct(n_words, top_word_count, n_bigrams, dup_bigram_count)` over a
+  * space-separated text. Replaces two interpreted `aggregate` folds over
+  * `array_sort`ed token/bigram arrays (plus the array materializations)
+  * with ONE compiled walk and two per-row hash maps — the maps are bounded
+  * by the document's own token count, and no token array ever reaches the
+  * row buffer. Semantics match the declarative form exactly (empty text
+  * splits to [""] like Spark's `split(text, " ")`; `dup_bigram_count`
+  * counts every occurrence of bigrams with multiplicity >= 2). */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("top_word_count", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("dup_bigram_count", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val wc = new java.util.HashMap[String, Long]()
+    var top = 0L
+    var i = 0
+    while (i < toks.length) {
+      val c = wc.getOrDefault(toks(i), 0L) + 1L
+      wc.put(toks(i), c)
+      if (c > top) top = c
+      i += 1
+    }
+    val nBigrams = if (toks.length >= 2) (toks.length - 1).toLong else 0L
+    var dup = 0L
+    if (nBigrams > 0) {
+      val bc = new java.util.HashMap[String, Long]()
+      i = 0
+      while (i < toks.length - 1) {
+        val bg = toks(i) + " " + toks(i + 1)
+        bc.put(bg, bc.getOrDefault(bg, 0L) + 1L)
+        i += 1
+      }
+      val it = bc.values().iterator()
+      while (it.hasNext) {
+        val v = it.next()
+        if (v > 1L) dup += v
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length.toLong, top, nBigrams, dup))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
 object TextExprs {
   def wordShingles(text: Column, w: Int): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(text), w))
@@ -180,4 +234,6 @@ object TextExprs {
     GraftColumnBridge.column(LangId(GraftColumnBridge.expression(text), markers))
   def simhash64(text: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(text)))
+  def repetitionStats(text: Column): Column =
+    GraftColumnBridge.column(RepetitionStats(GraftColumnBridge.expression(text)))
 }

@@ -90,35 +90,18 @@ object TextOps {
     * corpus-sized shuffle at any real scale, and rows parallelize
     * embarrassingly. */
   def wordRepetition(df: DataFrame, idCols: Seq[String], textCol: String): DataFrame = {
-    // longest run in a sorted array = max multiplicity
-    val topRun =
-      """aggregate(array_sort(_ws),
-        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
-        |  (a, x) -> named_struct(
-        |    'prev', x,
-        |    'run',  IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L),
-        |    'best', GREATEST(a.best, IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L))),
-        |  a -> a.best)""".stripMargin
-    // tokens living in runs of length > 1 = n - (number of singleton runs)
-    val singles =
-      """aggregate(array_sort(_bg),
-        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'singles', 0L),
-        |  (a, x) -> named_struct(
-        |    'prev', x,
-        |    'run',  IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L),
-        |    'singles', IF(a.prev IS NOT NULL AND x = a.prev, a.singles,
-        |                  a.singles + IF(a.run = 1L, 1L, 0L))),
-        |  a -> a.singles + IF(a.run = 1L, 1L, 0L))""".stripMargin
-    df.select(idCols.map(c => col(s"`$c`")) :+ split(col(s"`$textCol`"), " ").as("_ws"): _*)
-      .withColumn("_bg", expr(
-        """CASE WHEN size(_ws) >= 2
-          |  THEN transform(sequence(0, size(_ws) - 2), i -> concat(_ws[i], ' ', _ws[i + 1]))
-          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+    // ONE compiled pass per row ([[graft.functions.RepetitionStats]]): the
+    // former declarative form — two interpreted `aggregate` folds over
+    // array_sort'ed token and bigram arrays — evaluated lambdas per element
+    // and materialized both arrays per row. Semantics are identical (the
+    // q70 oracle and the brute-force spec pin them).
+    df.select(idCols.map(c => col(s"`$c`")) :+
+        graft.functions.TextExprs.repetitionStats(col(s"`$textCol`")).as("_rs"): _*)
       .select(idCols.map(c => col(s"`$c`")) ++ Seq(
-        size(col("_ws")).cast("long").as("n_words"),
-        expr(topRun).as("top_word_count"),
-        size(col("_bg")).cast("long").as("n_bigrams"),
-        (size(col("_bg")).cast("long") - expr(singles)).as("dup_bigram_count")): _*)
+        col("_rs.n_words").as("n_words"),
+        col("_rs.top_word_count").as("top_word_count"),
+        col("_rs.n_bigrams").as("n_bigrams"),
+        col("_rs.dup_bigram_count").as("dup_bigram_count")): _*)
   }
 
   /** One redaction rule: every match of `pattern` is replaced by
