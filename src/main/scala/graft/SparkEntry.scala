@@ -1203,6 +1203,18 @@ object SparkEntry {
           |FROM snapfix.maint.orders_small.manifests ORDER BY path""".stripMargin)
     }),
 
+    // deterministic training-export shuffle: the corpus ordered by a
+    // seed-salted md5 — a reproducible pseudo-random permutation (retries,
+    // backfills, engines agree; new seed = new epoch order). The query pins
+    // the permutation's head: the 100 (hash, doc_id) pairs that sort first.
+    "q86_shuffle_export" -> ((s, dir) => {
+      ops.Sampling.shuffleDeterministic(T(s, dir, "documents"), col("doc_id"), seed = 42L)
+        .select(col("doc_id"),
+          ops.Sampling.hashPoint(
+            concat(col("doc_id").cast("string"), lit(":"), lit("42"))).as("h"))
+        .limit(100)
+    }),
+
     // zero-copy adoption (Iceberg add_files; the migration data plane
     // without the rewrite): the fixture adopted externally-written F-order
     // parquet by RENAME — per-file cost one footer read. The adopted files
@@ -1633,6 +1645,12 @@ object SparkEntry {
         |  ('m3.json', 4, (SELECT c FROM n), 3, 1),
         |  ('m4.json', 2, (SELECT 2*c FROM n), 4, 1)) AS t(path, fc, rc, sid, rb)
         |ORDER BY t.path""".stripMargin,
+
+    "q86_shuffle_export" ->
+      """SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT) AS h
+        |FROM documents
+        |ORDER BY h, doc_id LIMIT 100""".stripMargin,
 
     "q85_adopt" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,

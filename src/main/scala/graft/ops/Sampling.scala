@@ -50,6 +50,19 @@ object Sampling {
   def sample(df: DataFrame, key: Column, frac: Double): DataFrame =
     df.where(hashPoint(key) < (frac * Space).toLong)
 
+  /** Deterministic global shuffle for a training export: order the corpus
+    * by a seed-salted hash of the key — a reproducible pseudo-random
+    * permutation (same seed -> same order across runs, retries, and
+    * engines; a different seed -> an independent permutation per epoch).
+    * One range-shuffle (`orderBy`: sampled range partitioner +
+    * per-partition sort — every task busy, no single reducer); downstream
+    * writers preserve the order within each output file. Hash ties break
+    * by the key itself, so the order is total and stable. */
+  def shuffleDeterministic(df: DataFrame, key: Column, seed: Long): DataFrame =
+    df.orderBy(
+      hashPoint(concat(key.cast("string"), lit(":"), lit(seed.toString))).asc,
+      key.asc)
+
   /** Per-stratum deterministic downsample: each stratum value keeps its
     * own fraction (absent strata keep `defaultFrac`). The common corpus
     * rebalance — "keep 10% of English, all of the tail languages" — as one

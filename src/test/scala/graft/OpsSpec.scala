@@ -259,6 +259,19 @@ class OpsSpec extends AnyFunSuite {
       rates = Map("en" -> 0.25)).except(docs).isEmpty)
   }
 
+  test("shuffleDeterministic: reproducible permutation; a new seed reorders") {
+    val d = docs.limit(300).select("doc_id")
+    def order(seed: Long): Seq[Long] =
+      Sampling.shuffleDeterministic(d, col("doc_id"), seed)
+        .select("doc_id").as[Long].collect().toSeq
+    val o1 = order(7L)
+    assert(o1 == order(7L), "same seed must reproduce the same order")
+    val o2 = order(8L)
+    assert(o1 != o2, "a new seed must give a different permutation")
+    assert(o1.sorted == o2.sorted, "permutation: same rows either way")
+    assert(o1 != o1.sorted, "the order must not be the natural key order")
+  }
+
   test("sampling treats NULL keys as rows, not as filter-dropped") {
     val withNulls = Seq((Some(1L), "en"), (None, "en"), (None, "de"))
       .toDF("id", "lang")
