@@ -549,13 +549,17 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           }
           case None => _ => _ => true
         },
-        // runtime (DPP) re-pruning on partition columns: a broadcast
-        // fact⋈filtered-dim join narrows this scan to the matching
-        // partitions' files AFTER planning. Bucketed tables are excluded —
-        // their scan reports KeyGroupedPartitioning (SPJ), which a wrapper
-        // would hide, and SPJ joins don't take DPP filters anyway.
+        // runtime (DPP) re-pruning: a broadcast fact⋈filtered-dim join
+        // narrows this scan to the matching partitions' files AFTER
+        // planning. Partition columns on hive-laid tables; the bucket key
+        // on bucketed tables (a runtime IN on it prunes whole __bucket=b/
+        // dirs via BucketPruning — the wrapper forwards the scan's
+        // KeyGroupedPartitioning so storage-partitioned joins still plan).
+        // (the hidden __bucket layout column is not in the SQL-visible
+        // schema — the DPP rule resolves filterAttributes against it, so
+        // only the bucket SOURCE column may be advertised)
         runtimeFilterCols =
-          if (bucketSpec.isDefined) Nil else tableMeta.partitionCols,
+          tableMeta.partitionCols.filterNot(_ == "__bucket") ++ bucketSpec.map(_._1),
         wrapScan = (scan, keptFiles, pushedExprs, requiredSchema) => bucketSpec match {
           // bucketed table: report key-grouped partitioning and emit one
           // keyed partition group per __bucket=b, so co-bucketed joins

@@ -174,7 +174,8 @@ private[sql] final class GraftRuntimeFilteredScan(
     private[sql] val initial: Scan,
     cols: Seq[String],
     schema: StructType)
-  extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+  extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   @volatile private var current: Scan = initial
 
@@ -182,6 +183,20 @@ private[sql] final class GraftRuntimeFilteredScan(
   override def description(): String = s"runtime-filterable (${initial.description()})"
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     current.columnarSupportMode()
+
+  // forwarded so a BUCKETED delegate keeps its KeyGroupedPartitioning
+  // (storage-partitioned joins). Runtime filtering only ever REMOVES
+  // buckets, so filtered partitions stay HasPartitionKey with a subset of
+  // the original values — exactly what BatchScanExec's post-filter checks
+  // require. Plain scans report UnknownPartitioning, which the planner
+  // treats the same as not reporting at all.
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = current match {
+    case p: org.apache.spark.sql.connector.read.SupportsReportPartitioning =>
+      p.outputPartitioning()
+    case _ =>
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+  }
 
   override def filterAttributes(): Array[NamedReference] =
     cols.map(Expressions.column).toArray

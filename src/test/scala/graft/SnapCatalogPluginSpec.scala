@@ -460,6 +460,37 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(after == 1, s"runtime filter should drop the flag=b dir's sub-scan, got $after")
   }
 
+  test("runtime filter on the bucket key drops whole buckets, SPJ partitioning intact") {
+    wh
+    import org.apache.spark.sql.GraftTestV2
+    import org.apache.spark.sql.connector.read.{SupportsReportPartitioning, SupportsRuntimeV2Filtering}
+    import org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.types.LongType
+
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.createBucketedTable("dbrb", "f",
+      Seq((1L, "x")).toDF("k", "v").schema, "k", nBuckets = 4)
+    cat.appendBucketed("dbrb", "f", (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v"))
+
+    val scan = spark.table("snapcat.dbrb.f").queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b.scan }.get
+    // the wrapper must still report the bucket partitioning (SPJ contract)
+    assert(scan.asInstanceOf[SupportsReportPartitioning].outputPartitioning()
+      .isInstanceOf[KeyGroupedPartitioning])
+    val before = scan.toBatch.planInputPartitions().length
+    assert(before > 1, s"expected several bucket partitions, got $before")
+    // runtime IN pinning the bucket key to one value -> one bucket survives
+    scan.asInstanceOf[SupportsRuntimeV2Filtering].filter(Array(
+      GraftTestV2.inPredicate("k", LongType, Long.box(7L))))
+    val after = scan.toBatch.planInputPartitions()
+    assert(after.length < before,
+      s"bucket pruning must drop buckets: $before -> ${after.length}")
+    // surviving partitions still carry their bucket key (HasPartitionKey)
+    assert(after.forall(_.isInstanceOf[
+      org.apache.spark.sql.connector.read.HasPartitionKey]))
+  }
+
   test("broadcast join injects dynamic partition pruning into the snapcat scan") {
     wh
     val cat = new SnapshotCatalog(spark, wh)
