@@ -152,7 +152,7 @@ object GraftSqlFunctions {
   import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, RegExpCount}
   import org.apache.spark.sql.types.{IntegerType, LongType}
 
-  import graft.functions.{DotProduct, HyperplaneBuckets, LangId, MinHashSignature, SimHash64, WordShingles}
+  import graft.functions.{DotProduct, HyperplaneBuckets, LangId, MinHashSignature, RepetitionStats, SimHash64, WordShingles}
 
   private def arity(name: String, args: Seq[Expression], n: Int): Unit =
     if (args.length != n) throw new IllegalArgumentException(
@@ -205,6 +205,10 @@ object GraftSqlFunctions {
         intLit("graft_hyperplane_buckets", "dim", args(1)),
         intLit("graft_hyperplane_buckets", "nplanes", args(2)),
         intLit("graft_hyperplane_buckets", "ntables", args(3)))
+    },
+    fn("graft_repetition_stats",
+      "graft_repetition_stats(text) - struct(n_words, top_word_count, n_bigrams, dup_bigram_count)") { args =>
+      arity("graft_repetition_stats", args, 1); RepetitionStats(args.head)
     },
     fn("graft_bpe_token_count",
       "graft_bpe_token_count(text) - token count under the BPE-ish pretokenizer pattern") { args =>

@@ -178,7 +178,8 @@ class OpsSpec extends AnyFunSuite {
       """SELECT doc_id, graft_simhash64(text) AS sh, graft_lang_id(text) AS lg,
         |  graft_bpe_token_count(text) AS bpe,
         |  size(graft_word_shingles(text, 3)) AS nsh,
-        |  size(graft_minhash_signature(graft_word_shingles(text, 3), 16)) AS nmh
+        |  size(graft_minhash_signature(graft_word_shingles(text, 3), 16)) AS nmh,
+        |  graft_repetition_stats(text).top_word_count AS topw
         |FROM fn_docs""".stripMargin)
     val viaCol = spark.table("fn_docs").select(col("doc_id"),
       graft.functions.TextExprs.simhash64(col("text")).as("sh"),
@@ -186,7 +187,9 @@ class OpsSpec extends AnyFunSuite {
       ops.TextOps.bpeTokenCount(col("text")).as("bpe"),
       size(graft.functions.TextExprs.wordShingles(col("text"), 3)).as("nsh"),
       size(graft.functions.MinHashSignature.minhashSignature(
-        graft.functions.TextExprs.wordShingles(col("text"), 3), 16)).as("nmh"))
+        graft.functions.TextExprs.wordShingles(col("text"), 3), 16)).as("nmh"),
+      graft.functions.TextExprs.repetitionStats(col("text"))
+        .getField("top_word_count").as("topw"))
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
 
     // vector kernels over the embeddings table
