@@ -910,8 +910,22 @@ final class SnapshotCatalog(
       case _ =>
         // append: fold only where BOTH sides have exact bounds — unlike a
         // frame append, an adopted file set is never provably all-null for
-        // a column the footer didn't bound, so one-sided bounds must drop
+        // a column the footer didn't bound, so one-sided bounds must drop.
+        // EXCEPTIONS mirroring ColumnStats.merge: an adopted-side bound
+        // survives alone when the previous snapshot provably contributes
+        // nothing (zero rows — the create-then-adopt migration path — or
+        // an all-null evolved column); a prev-side bound survives alone
+        // when the ADOPTED files are provably all-null for the column.
         snapSchema.fields.filter(f => ColumnStats.statable(f.dataType)).flatMap { f =>
+          val prevEmpty = prev.recordCount == 0 ||
+            prev.summary.contains(s"nullcol.${f.name}")
+          val adoptedAllNull = newFiles.forall { nf =>
+            val st = newFileStats(nf)
+            (st.get(s"nulls.${f.name}"), st.get("rows")) match {
+              case (Some(n), Some(r)) => n == r
+              case _ => false
+            }
+          }
           Seq(s"min.${f.name}" -> true, s"max.${f.name}" -> false).flatMap {
             case (k, isMin) =>
               (prev.summary.get(k), adopted.get(k)) match {
@@ -919,6 +933,8 @@ final class SnapshotCatalog(
                   val takeP = if (isMin) !ColumnStats.gt(f.dataType, p, n)
                   else ColumnStats.gt(f.dataType, p, n)
                   Some(k -> (if (takeP) p else n))
+                case (None, Some(n)) if prevEmpty => Some(k -> n)
+                case (Some(p), None) if adoptedAllNull => Some(k -> p)
                 case _ => None
               }
           }

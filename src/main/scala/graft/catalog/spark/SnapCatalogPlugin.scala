@@ -407,43 +407,21 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       * ColumnStat, so CBO join ordering / filter selectivity get exact
       * inputs without any scan (the optimizer's 100-TB diet: estimates
       * come from the log, never the lake). sizeInBytes stays the
-      * delegate's estimate — it models decompressed in-memory width. */
-    private[spark] def snapV2Statistics(delegate: Scan)
+      * delegate's estimate — it models decompressed in-memory width.
+      *
+      * `exact=false` (the scan has pushed filters and/or runtime-pruned
+      * files) falls back to the delegate ENTIRELY: the snapshot's
+      * table-wide rowCount/min/max would be an exact-LOOKING overcount for
+      * a filtered scan (e.g. CBO declining a broadcast for a side that is
+      * actually tiny), while the delegate's size-based estimate tracks the
+      * pruned file set. Computed once per table (lazy) — the null-count
+      * fold is O(files x columns) and constant per snapshot. */
+    private[spark] def snapV2Statistics(delegate: Scan, exact: Boolean)
         : org.apache.spark.sql.connector.read.Statistics = {
       import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
       val base = ScanDefaults.statisticsOf(delegate)
-      val colStats: util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
-          ColumnStatistics] = {
-        val m = new util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
-          ColumnStatistics]()
-        // per-column null counts: exact only when EVERY live file recorded
-        // footer stats (a single statless file means unknown, not zero)
-        val perFile = snap.files.map(snap.fileStats.get)
-        val allStats = perFile.nonEmpty && !perFile.exists(_.isEmpty)
-        snap.schema.fields.filter(f => graft.catalog.ColumnStats.statable(f.dataType))
-          .foreach { f =>
-            val isNumeric = f.dataType != org.apache.spark.sql.types.StringType
-            val mn = if (isNumeric) snap.summary.get(s"min.${f.name}")
-              .flatMap(graft.catalog.ColumnStats.internalValue(f.dataType, _)) else None
-            val mx = if (isNumeric) snap.summary.get(s"max.${f.name}")
-              .flatMap(graft.catalog.ColumnStats.internalValue(f.dataType, _)) else None
-            val nulls: Option[Long] =
-              if (!allStats) None
-              else perFile.flatten.foldLeft(Option(0L)) { (acc, st) =>
-                for (a <- acc; n <- st.get(s"nulls.${f.name}")) yield a + n.toLong
-              }
-            if (mn.isDefined || mx.isDefined || nulls.isDefined)
-              m.put(Expressions.column(f.name), new ColumnStatistics {
-                override def min(): java.util.Optional[Object] =
-                  mn.map(_.asInstanceOf[Object]).fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
-                override def max(): java.util.Optional[Object] =
-                  mx.map(_.asInstanceOf[Object]).fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
-                override def nullCount(): java.util.OptionalLong =
-                  nulls.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
-              })
-          }
-        m
-      }
+      if (!exact) return base
+      val colStats = tableColStats
       new org.apache.spark.sql.connector.read.Statistics {
         override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
         override def numRows(): java.util.OptionalLong =
@@ -453,6 +431,45 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics] =
           colStats
       }
+    }
+
+    private lazy val tableColStats: util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+      val m = new util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
+        ColumnStatistics]()
+      // per-column null counts: exact only when EVERY live file recorded
+      // footer stats (a single statless file means unknown, not zero)
+      val perFile = snap.files.map(snap.fileStats.get)
+      val allStats = perFile.nonEmpty && !perFile.exists(_.isEmpty)
+      val fileMaps = if (allStats) perFile.flatten else Seq.empty
+      snap.schema.fields.filter(f => graft.catalog.ColumnStats.statable(f.dataType))
+        .foreach { f =>
+          val isNumeric = f.dataType != org.apache.spark.sql.types.StringType
+          val mn = if (isNumeric) snap.summary.get(s"min.${f.name}")
+            .flatMap(graft.catalog.ColumnStats.internalValue(f.dataType, _)) else None
+          val mx = if (isNumeric) snap.summary.get(s"max.${f.name}")
+            .flatMap(graft.catalog.ColumnStats.internalValue(f.dataType, _)) else None
+          var nulls: Option[Long] = if (allStats) Some(0L) else None
+          val it = fileMaps.iterator
+          while (nulls.isDefined && it.hasNext) { // short-circuit on unknown
+            nulls = it.next().get(s"nulls.${f.name}") match {
+              case Some(n) => nulls.map(_ + n.toLong)
+              case None => None
+            }
+          }
+          if (mn.isDefined || mx.isDefined || nulls.isDefined)
+            m.put(Expressions.column(f.name), new ColumnStatistics {
+              override def min(): java.util.Optional[Object] =
+                mn.map(_.asInstanceOf[Object]).fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
+              override def max(): java.util.Optional[Object] =
+                mx.map(_.asInstanceOf[Object]).fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
+              override def nullCount(): java.util.OptionalLong =
+                nulls.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+            })
+        }
+      m
     }
 
     override def name(): String = tableName
@@ -560,7 +577,12 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         // only the bucket SOURCE column may be advertised)
         runtimeFilterCols =
           tableMeta.partitionCols.filterNot(_ == "__bucket") ++ bucketSpec.map(_._1),
-        wrapScan = (scan, keptFiles, pushedExprs, requiredSchema) => bucketSpec match {
+        wrapScan = (scan, keptFiles, pushedExprs, requiredSchema) => {
+          // snapshot-exact statistics are only honest for an UNFILTERED
+          // scan of the full file list; any pushed/runtime conjunct means
+          // the delegate's size-tracking estimate is the right one
+          val exactStats = pushedExprs.isEmpty && keptFiles.size == snap.files.size
+          bucketSpec match {
           // bucketed table: report key-grouped partitioning and emit one
           // keyed partition group per __bucket=b, so co-bucketed joins
           // plan with zero exchanges (SPJ). Per-bucket batches rebuild
@@ -590,15 +612,17 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
                 scan.readSchema(), partitioned = false, options,
                 tableSchema = Some(StructType(
                   snapSchema.fields.filterNot(_.name == "__bucket"))))),
-              stats = snapV2Statistics)
+              stats = snapV2Statistics(_, exactStats))
           case None if multiDir =>
             val union = new UnionDirScan(scan,
               dirScans(tableName, keptFiles, pushedExprs, requiredSchema),
               s"$catalogName.$db.$table")
             new SnapStreamableScan(union, db, table, partitioned = true, options,
-              stats = snapV2Statistics)
+              stats = snapV2Statistics(_, exactStats))
           case None => new SnapStreamableScan(scan, db, table,
-            partitioned = partitioned, options, stats = snapV2Statistics)
+            partitioned = partitioned, options,
+            stats = snapV2Statistics(_, exactStats))
+        }
         })
     }
 

@@ -57,11 +57,23 @@ object Sampling {
     * One range-shuffle (`orderBy`: sampled range partitioner +
     * per-partition sort — every task busy, no single reducer); downstream
     * writers preserve the order within each output file. Hash ties break
-    * by the key itself, so the order is total and stable. */
-  def shuffleDeterministic(df: DataFrame, key: Column, seed: Long): DataFrame =
+    * by the key, then by EVERY remaining column, so the order is total on
+    * any distinguishable rows even under duplicate keys (fully identical
+    * rows are interchangeable — any order of them is the same output). */
+  def shuffleDeterministic(df: DataFrame, key: Column, seed: Long): DataFrame = {
+    // tiebreak columns must be sort-orderable (maps are not)
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
+      case _ => true
+    }
+    val rest = df.schema.fields.filter(f => orderable(f.dataType))
+      .map(f => col(s"`${f.name}`").asc)
     df.orderBy(
-      hashPoint(concat(key.cast("string"), lit(":"), lit(seed.toString))).asc,
-      key.asc)
+      hashPoint(concat(key.cast("string"), lit(":"), lit(seed.toString))).asc +:
+        key.asc +: rest.toIndexedSeq: _*)
+  }
 
   /** Per-stratum deterministic downsample: each stratum value keeps its
     * own fraction (absent strata keep `defaultFrac`). The common corpus

@@ -561,6 +561,16 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     // catalyst plan statistics see the exact row count (CBO input surface)
     val planStats = spark.table("snapcat.dbst.t").queryExecution.optimizedPlan.stats
     assert(planStats.rowCount.contains(BigInt(3)), planStats.toString)
+
+    // a FILTERED scan must NOT report the table-wide exact count — the
+    // snapshot rowCount would be an exact-looking overcount for the pruned
+    // scan; the delegate's size-tracking estimate takes over
+    val filtered = spark.sql("SELECT * FROM snapcat.dbst.t WHERE id = 5")
+      .queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b.scan }.get
+    val fst = filtered.asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    assert(!fst.numRows().isPresent || fst.numRows().getAsLong != 3,
+      "filtered scan must not claim the unfiltered row count")
   }
 
   test("row-level rewrite clears debris from a crashed prior attempt") {

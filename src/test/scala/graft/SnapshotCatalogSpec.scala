@@ -703,6 +703,17 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     // incremental read sees the adopted rows as a plain append
     assert(cat.readIncremental("db", "ad", 2L, 3L).count() == 3)
 
+    // create-then-adopt (the canonical migration path): the empty previous
+    // snapshot contributes nothing, so the adopted footer bounds stand
+    val cat2 = freshCatalog()
+    cat2.createTable("db", "ad0", d1.schema)
+    val ext0 = Files.createTempDirectory("graft_ext0_")
+    Seq((7L, "h"), (9L, "i")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(ext0.toString)
+    val s0 = cat2.adoptFiles("db", "ad0", ext0, "append")
+    assert(s0.summary("min.id") == "7" && s0.summary("max.id") == "9",
+      s"adopting over an empty table must keep the footer bounds: ${s0.summary}")
+
     // adopt-overwrite replaces state; history stays time-travelable
     val ext2 = Files.createTempDirectory("graft_ext2_")
     Seq((99L, "q")).toDF("id", "name").coalesce(1)
