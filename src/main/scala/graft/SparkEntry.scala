@@ -1203,6 +1203,18 @@ object SparkEntry {
           |FROM snapfix.maint.orders_small.manifests ORDER BY path""".stripMargin)
     }),
 
+    // declared sort order: the fixture table was committed under
+    // write.sort-order=o_orderkey, so its files carry DISJOINT key ranges
+    // and this range predicate plans only the overlapping files (the skip
+    // counts are spec-asserted; content equality rides the oracle).
+    "q87_sorted_table" -> ((s, dir) => {
+      WarehouseFixture.forDir(s, dir).src.readLatestWhere("maint", "orders_sorted",
+        col("o_orderkey") >= 100 && col("o_orderkey") < 500)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderstatus")
+    }),
+
     // deterministic training-export shuffle: the corpus ordered by a
     // seed-salted md5 — a reproducible pseudo-random permutation (retries,
     // backfills, engines agree; new seed = new epoch order). The query pins
@@ -1645,6 +1657,12 @@ object SparkEntry {
         |  ('m3.json', 4, (SELECT c FROM n), 3, 1),
         |  ('m4.json', 2, (SELECT 2*c FROM n), 4, 1)) AS t(path, fc, rc, sid, rb)
         |ORDER BY t.path""".stripMargin,
+
+    "q87_sorted_table" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 500
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q86_shuffle_export" ->
       """SELECT doc_id,

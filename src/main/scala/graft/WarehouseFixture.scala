@@ -123,6 +123,12 @@ object WarehouseFixture {
       .write.mode("overwrite").parquet(adoptSrc.toString)
     src.adoptFiles("maint", "orders_adopt", adoptSrc, "append")
 
+    // - maint.orders_sorted: declared sort order — every commit
+    //   range-clusters on o_orderkey so per-file bounds are disjoint
+    src.createTable("maint", "orders_sorted", orders.schema)
+    src.setProperty("maint", "orders_sorted", "write.sort-order", Some("o_orderkey"))
+    src.append("maint", "orders_sorted", orders.repartition(4))
+
     // - row-level operations (Iceberg DELETE/MERGE surface, copy-on-write):
     //   orders_del: DELETE the open orders; orders_up: matched F rows
     //   replaced with doubled totals + new keys inserted (the canonical
