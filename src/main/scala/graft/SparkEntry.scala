@@ -28,18 +28,19 @@ object SparkEntry {
 
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read the raw int64 nanos and convert exactly
-    * (integer `div`, no double round-trip — nanos exceed 2^53). */
-  private def eventsT(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * (integer `div`, no double round-trip — nanos exceed 2^53). Requires
+    * `spark.sql.legacy.parquet.nanosAsLong` — set once by [[prepare]]. */
+  private def eventsT(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Money/metric double -> integer cents, deterministically. */
   private def cents(c: Column): Column = floor(c * 100).cast("long")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    prepare(spark, "/root/testdata/sf0.001")
     queries("q12_join_multi")(spark, "/root/testdata/sf0.001")
+  }
 
   /** Pre-builds cached fixtures so Bench timings measure queries, not setup. */
   def prepare(spark: SparkSession, dir: String): Unit = {
@@ -48,8 +49,8 @@ object SparkEntry {
     // order. The bench runs the map alphabetically and a mid-run conf flip
     // is a measurement-interference source (the r3 q43/q44 "regressions"
     // reproduced at r2 speed in isolation — shared-session noise, not
-    // code). The per-query conf.sets remain as idempotent guards for
-    // callers that invoke a query without prepare().
+    // code). prepare() is therefore REQUIRED before invoking `queries`
+    // directly — Verify, Bench and entry() all call it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     val fx = WarehouseFixture.forDir(spark, dir)
@@ -452,8 +453,6 @@ object SparkEntry {
     // "how big is each partition" without scheduling a single task.
     "q78_partitions" -> ((s, dir) => {
       val fx = WarehouseFixture.forDir(s, dir)
-      s.conf.set("spark.sql.catalog.snapfix", "graft.catalog.spark.SnapCatalogPlugin")
-      s.conf.set("spark.sql.catalog.snapfix.warehouse", fx.src.warehouse)
       s.sql("SELECT `partition`, record_count FROM snapfix.maint.orders_part.partitions")
         .orderBy("partition")
     }),
@@ -583,9 +582,6 @@ object SparkEntry {
     // no-shuffle plan is spec-asserted; the oracle checks rows).
     "q62_bucketed_join" -> ((s, dir) => {
       val fx = WarehouseFixture.forDir(s, dir)
-      s.conf.set("spark.sql.catalog.snapfix", "graft.catalog.spark.SnapCatalogPlugin")
-      s.conf.set("spark.sql.catalog.snapfix.warehouse", fx.src.warehouse)
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.sql(
         """SELECT c.c_mktsegment, count(*) AS cnt, sum(o.o_orderkey) AS key_sum
           |FROM snapfix.spj.orders_b o
@@ -910,8 +906,6 @@ object SparkEntry {
     // (Location is a temp dir and is asserted separately in the spec).
     "q48_describe_extended" -> ((s, dir) => {
       val fx = WarehouseFixture.forDir(s, dir)
-      s.conf.set("spark.sql.catalog.snapfix", "graft.catalog.spark.SnapCatalogPlugin")
-      s.conf.set("spark.sql.catalog.snapfix.warehouse", fx.src.warehouse)
       s.sql("DESCRIBE TABLE EXTENDED snapfix.maint.orders_part")
         .where(col("col_name").isin("# Partition Information", "Provider", "o_orderstatus"))
         .select("col_name", "data_type").distinct()
@@ -924,8 +918,6 @@ object SparkEntry {
     // of a table scan; the rewrite itself is plan-asserted in the spec.
     "q49_metadata_minmax" -> ((s, dir) => {
       val fx = WarehouseFixture.forDir(s, dir)
-      s.conf.set("spark.sql.catalog.snapfix", "graft.catalog.spark.SnapCatalogPlugin")
-      s.conf.set("spark.sql.catalog.snapfix.warehouse", fx.src.warehouse)
       s.table("snapfix.tpch.orders").agg(
         count(lit(1)).as("cnt"),
         min(col("o_orderkey")).as("min_key"),
@@ -1174,8 +1166,6 @@ object SparkEntry {
     "q82_dpp_join" -> ((s, dir) => {
       import s.implicits._
       val fx = WarehouseFixture.forDir(s, dir)
-      s.conf.set("spark.sql.catalog.snapfix", "graft.catalog.spark.SnapCatalogPlugin")
-      s.conf.set("spark.sql.catalog.snapfix.warehouse", fx.src.warehouse)
       Seq(("F", "keep"), ("O", "drop"), ("P", "drop")).toDF("st", "label")
         .createOrReplaceTempView("status_dim_v")
       s.sql(
@@ -1196,8 +1186,6 @@ object SparkEntry {
     // row counts tied to the orders table.
     "q83_manifests" -> ((s, dir) => {
       val fx = WarehouseFixture.forDir(s, dir)
-      s.conf.set("spark.sql.catalog.snapfix", "graft.catalog.spark.SnapCatalogPlugin")
-      s.conf.set("spark.sql.catalog.snapfix.warehouse", fx.src.warehouse)
       s.sql(
         """SELECT path, file_count, record_count, added_snapshot_id, referenced_by
           |FROM snapfix.maint.orders_small.manifests ORDER BY path""".stripMargin)

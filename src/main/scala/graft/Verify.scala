@@ -22,6 +22,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session settings + cached fixtures the queries rely on (the per-query
+    // conf guards were removed — prepare() is the one place session state
+    // is established)
+    SparkEntry.prepare(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
