@@ -952,6 +952,19 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // MERGE-ON-READ delete (Iceberg v2 position deletes): the fixture
+    // committed two stacked position-delete files — all open ('O') orders,
+    // then every key divisible by 10 — without rewriting ANY data file
+    // (shape asserted in MorDeleteSpec; a 1-row GDPR delete on a 100-TB
+    // table commits KB of positions, not rewritten files). The read
+    // anti-joins the broadcast delete set over covered files only.
+    "q88_mor_delete" -> ((s, dir) => {
+      WarehouseFixture.forDir(s, dir).src.readLatest("maint", "orders_mor")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderstatus")
+    }),
+
     // copy-on-write MERGE/upsert: matched keys replaced (F orders at
     // doubled totals), unmatched source keys inserted (P orders shifted to
     // new key space) — `MERGE .. WHEN MATCHED UPDATE SET * WHEN NOT MATCHED
@@ -1772,6 +1785,13 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderstatus <> 'O'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // merged visibility after the two stacked position-delete commits
+    "q88_mor_delete" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderstatus <> 'O' AND o_orderkey % 10 <> 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // the post-merge state, stated relationally: unmatched target rows

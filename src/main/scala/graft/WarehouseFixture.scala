@@ -137,6 +137,15 @@ object WarehouseFixture {
     src.append("maint", "orders_del", orders.repartition(2))
     src.delete("maint", "orders_del", col("o_orderstatus") === "O")
 
+    // - orders_mor: MERGE-ON-READ deletes — two STACKED position-delete
+    //   commits (no data file rewritten; the commit shape is asserted in
+    //   MorDeleteSpec). Reads merge the recorded positions lazily; q88
+    //   oracles the merged result
+    src.createTable("maint", "orders_mor", orders.schema)
+    src.append("maint", "orders_mor", orders.repartition(2))
+    src.deleteMoR("maint", "orders_mor", col("o_orderstatus") === "O")
+    src.deleteMoR("maint", "orders_mor", col("o_orderkey") % 10 === 0)
+
     src.createTable("maint", "orders_up", orders.schema)
     src.append("maint", "orders_up", orders.repartition(2))
     val upSource = orders.where(col("o_orderstatus") === "F")

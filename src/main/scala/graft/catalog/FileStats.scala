@@ -31,6 +31,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object FileStats {
 
+  /** The parquet schema (MessageType) of one file's footer — a metadata-
+    * only read. Used by file adoption to prove a source directory is
+    * schema-HOMOGENEOUS before any file moves: a merged directory read
+    * samples one footer plus partition inference and would pass a dir
+    * where some files lack a column (those rows read back NULL — silent
+    * corruption for a migration path). */
+  def footerSchema(file: Path, conf: Configuration): org.apache.parquet.schema.MessageType = {
+    val inputFile = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), conf)
+    val reader = ParquetFileReader.open(inputFile)
+    try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+  }
+
   /** Harvest the stats of one parquet file from its footer. Columns whose
     * chunk statistics are absent/unusable in ANY row group simply get no
     * min/max keys (missing stats disable pruning, never break it). */

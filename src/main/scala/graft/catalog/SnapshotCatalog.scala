@@ -29,20 +29,25 @@ final case class Snapshot(
     summary: Map[String, String],
     schemaDdl: String,
     files: Seq[String],
-    fileStats: Map[String, Map[String, String]] = Map.empty) {
+    fileStats: Map[String, Map[String, String]] = Map.empty,
+    deleteFiles: Seq[DeleteFile] = Seq.empty) {
 
   def schema: StructType = StructType.fromDDL(schemaDdl)
   def recordCount: Long = summary.get("record_count").map(_.toLong).getOrElse(-1L)
 
   def toJson: JObj = Json.obj(
-    "snapshot_id"  -> Json.num(snapshotId),
-    "committed_at" -> Json.str(committedAt),
-    "operation"    -> Json.str(operation),
-    "summary"      -> Json.fromStrMap(summary),
-    "schema_ddl"   -> Json.str(schemaDdl),
-    "files"        -> JArr(files.toVector.map(JStr)),
-    "file_stats"   -> JObj(fileStats.toVector.sortBy(_._1)
-      .map { case (f, m) => f -> (Json.fromStrMap(m): JValue) }))
+    (Vector(
+      "snapshot_id"  -> (Json.num(snapshotId): JValue),
+      "committed_at" -> (Json.str(committedAt): JValue),
+      "operation"    -> (Json.str(operation): JValue),
+      "summary"      -> (Json.fromStrMap(summary): JValue),
+      "schema_ddl"   -> (Json.str(schemaDdl): JValue),
+      "files"        -> (JArr(files.toVector.map(JStr)): JValue),
+      "file_stats"   -> (JObj(fileStats.toVector.sortBy(_._1)
+        .map { case (f, m) => f -> (Json.fromStrMap(m): JValue) }): JValue)) ++
+      (if (deleteFiles.isEmpty) Vector.empty
+       else Vector("delete_files" ->
+         (JArr(deleteFiles.toVector.map(_.toJson: JValue)): JValue)))): _*)
 }
 
 object Snapshot {
@@ -56,6 +61,38 @@ object Snapshot {
     fileStats = o.get("file_stats") match {
       case Some(fs: JObj) => fs.fields.map { case (f, _) => f -> fs.strMap(f) }.toMap
       case _ => Map.empty
+    },
+    deleteFiles = o.get("delete_files") match {
+      case Some(JArr(vs)) => vs.map(v => DeleteFile.fromJson(v.asInstanceOf[JObj]))
+      case _ => Seq.empty
+    })
+}
+
+/** One POSITION-DELETE file (Iceberg v2 merge-on-read): a parquet file of
+  * `(_file STRING, _pos BIGINT)` rows marking individual data-file rows
+  * dead. `path` is table-root-relative (`deletes/s<id>/...parquet`);
+  * `covers` maps each referenced data file to its EXACT position count in
+  * this delete file (recorded at delete-commit time from the written
+  * positions themselves). Exact coverage is what keeps everything
+  * metadata-served under merge-on-read: reads anti-join ONLY covered
+  * files, partial rewrites decide shard carry and visible-row counts
+  * without opening a delete file, and `record_count` stays exact. Delete
+  * files are write-once, like data files. */
+final case class DeleteFile(path: String, covers: Map[String, Long]) {
+  /** Total dead positions in this delete file. */
+  def rows: Long = covers.values.sum
+  def toJson: JObj = Json.obj(
+    "path"   -> Json.str(path),
+    "covers" -> JObj(covers.toVector.sortBy(_._1)
+      .map { case (f, n) => f -> (Json.num(n): JValue) }))
+}
+
+object DeleteFile {
+  def fromJson(o: JObj): DeleteFile = DeleteFile(
+    path = o.str("path"),
+    covers = {
+      val c = o.obj("covers")
+      c.fields.map { case (f, _) => f -> c.long(f) }.toMap
     })
 }
 
@@ -108,17 +145,21 @@ final case class SnapshotEntry(
     operation: String,
     summary: Map[String, String],
     schemaDdl: String,
-    manifests: Seq[String]) {
+    manifests: Seq[String],
+    deletes: Seq[String] = Seq.empty) {
 
   def schema: StructType = StructType.fromDDL(schemaDdl)
 
   def toJson: JObj = Json.obj(
-    "snapshot_id"  -> Json.num(snapshotId),
-    "committed_at" -> Json.str(committedAt),
-    "operation"    -> Json.str(operation),
-    "summary"      -> Json.fromStrMap(summary),
-    "schema_ddl"   -> Json.str(schemaDdl),
-    "manifests"    -> JArr(manifests.toVector.map(JStr)))
+    (Vector(
+      "snapshot_id"  -> (Json.num(snapshotId): JValue),
+      "committed_at" -> (Json.str(committedAt): JValue),
+      "operation"    -> (Json.str(operation): JValue),
+      "summary"      -> (Json.fromStrMap(summary): JValue),
+      "schema_ddl"   -> (Json.str(schemaDdl): JValue),
+      "manifests"    -> (JArr(manifests.toVector.map(JStr)): JValue)) ++
+      (if (deletes.isEmpty) Vector.empty
+       else Vector("deletes" -> (JArr(deletes.toVector.map(JStr)): JValue)))): _*)
 }
 
 object SnapshotEntry {
@@ -128,7 +169,11 @@ object SnapshotEntry {
     operation = o.str("operation"),
     summary = o.strMap("summary"),
     schemaDdl = o.str("schema_ddl"),
-    manifests = o.arr("manifests").collect { case JStr(s) => s })
+    manifests = o.arr("manifests").collect { case JStr(s) => s },
+    deletes = o.get("deletes") match {
+      case Some(JArr(vs)) => vs.collect { case JStr(s) => s }
+      case _ => Seq.empty
+    })
 }
 
 /** Table-level metadata (everything that is not per-snapshot). Shape follows
@@ -458,6 +503,49 @@ final class SnapshotCatalog(
     }
   }
 
+  // ---- position-delete shards (merge-on-read; Iceberg v2 delete files) ----
+
+  private def deleteShardName(id: Long): String = s"d$id.json"
+
+  /** Parse one write-once delete shard (`d<id>.json` — the [[DeleteFile]]
+    * entries one MoR delete commit added), via the same process-wide cache
+    * discipline as data manifests. */
+  private def loadDeleteShard(db: String, table: String, name: String): Seq[DeleteFile] = {
+    val p = manifestPath(db, table, name).toAbsolutePath.normalize()
+    val key = p.toString
+    val cached = SnapshotCatalog.deleteShardCache.get(key)
+    if (cached != null) cached
+    else {
+      val entries = Json.parse(readString(p)).asInstanceOf[JObj].arr("entries")
+        .map(v => DeleteFile.fromJson(v.asInstanceOf[JObj]))
+      SnapshotCatalog.deleteShardCache.put(key, entries)
+      entries
+    }
+  }
+
+  private def writeDeleteShard(db: String, table: String, name: String,
+      entries: Seq[DeleteFile]): Unit = {
+    val p = manifestPath(db, table, name)
+    writeString(p, Json.writePretty(Json.obj(
+      "entries" -> JArr(entries.toVector.map(_.toJson: JValue)))))
+    SnapshotCatalog.deleteShardCache.put(p.toAbsolutePath.normalize().toString,
+      entries.toVector)
+  }
+
+  /** Delete shards of `prevEntry` still relevant when only `carryFiles`
+    * of its data files survive a partial rewrite: a shard carries over iff
+    * any of its entries covers a carried file (entries whose covered files
+    * were all rewritten are dead — the rewrite read MERGED rows, so their
+    * positions refer to files the new snapshot no longer lists). */
+  private def carryDeleteShards(db: String, table: String,
+      prevEntry: SnapshotEntry, carryFiles: Seq[String]): Seq[String] =
+    if (prevEntry.deletes.isEmpty || carryFiles.isEmpty) Seq.empty
+    else {
+      val carrySet = carryFiles.toSet
+      prevEntry.deletes.filter(n =>
+        loadDeleteShard(db, table, n).exists(_.covers.keysIterator.exists(carrySet)))
+    }
+
   /** Resolve a pointer entry to the full [[Snapshot]] view: concatenate its
     * manifest shards (file order is manifest order — an append's files come
     * after every carried file, exactly the monolithic log's order). */
@@ -465,7 +553,8 @@ final class SnapshotCatalog(
     val ms = e.manifests.map(loadManifest(db, table, _))
     Snapshot(e.snapshotId, e.committedAt, e.operation, e.summary, e.schemaDdl,
       ms.flatMap(_.files),
-      ms.foldLeft(Map.empty[String, Map[String, String]])(_ ++ _.fileStats))
+      ms.foldLeft(Map.empty[String, Map[String, String]])(_ ++ _.fileStats),
+      e.deletes.flatMap(loadDeleteShard(db, table, _)))
   }
 
   def snapshotList(db: String, table: String): Seq[Snapshot] =
@@ -608,11 +697,15 @@ final class SnapshotCatalog(
     * `reuse` names manifest shards carried verbatim from an earlier entry;
     * `delta` holds exactly the files this snapshot introduces beyond them
     * (call sites construct `snap.files` as reuse-materialized ++ delta, so
-    * the two views agree by construction). A crash between the shard write
-    * and the log rename leaves an unreferenced `m<id>.json` that the next
-    * same-id commit simply overwrites — never a dangling pointer. */
+    * the two views agree by construction). `deletes` names the position-
+    * delete shards live at this snapshot — REQUIRED at every call site (a
+    * defaulted empty here would silently resurrect merge-on-read-deleted
+    * rows on any pointer commit). A crash between the shard write and the
+    * log rename leaves an unreferenced `m<id>.json` that the next same-id
+    * commit simply overwrites — never a dangling pointer. */
   private def commitSnapshot(db: String, table: String, entries: Seq[SnapshotEntry],
-      snap: Snapshot, reuse: Seq[String], delta: Manifest): Snapshot = {
+      snap: Snapshot, reuse: Seq[String], delta: Manifest,
+      deletes: Seq[String]): Snapshot = {
     val manifests =
       if (delta.files.isEmpty) reuse
       else {
@@ -621,7 +714,7 @@ final class SnapshotCatalog(
         reuse :+ name
       }
     writeEntries(db, table, entries :+ SnapshotEntry(snap.snapshotId, snap.committedAt,
-      snap.operation, snap.summary, snap.schemaDdl, manifests))
+      snap.operation, snap.summary, snap.schemaDdl, manifests, deletes))
     snap
   }
 
@@ -669,7 +762,7 @@ final class SnapshotCatalog(
     */
   def readAsOf(db: String, table: String, snapshotId: Long): DataFrame = {
     val snap = snapshotAt(db, table, snapshotId)
-    readFiles(db, table, snap.schema, snap.files)
+    readVisible(db, table, snap, snap.files)
   }
 
   /** Scan an explicit table-root-relative file list under `schema` —
@@ -689,6 +782,122 @@ final class SnapshotCatalog(
         .parquet(fs.map(f => root.resolve(f).toString): _*)
     }
     parts.reduce(_.unionByName(_)).select(schema.fieldNames.map(col): _*)
+  }
+
+  // ---- merge-on-read: position-delete application ----
+
+  /** Column names the MoR machinery appends to a scan; double-underscored
+    * and dropped before any user-visible frame. */
+  private val MorFileCol = "__graft_mor_file"
+  private val MorPosCol = "__graft_mor_pos"
+
+  private def deleteFileSchema: StructType =
+    StructType.fromDDL("_file STRING, _pos BIGINT")
+
+  /** Table-root-relative path of the scanned file, derived from
+    * `_metadata.file_path` at RUNTIME with `locate` on the absolute root —
+    * the same expression computes the key on the delete-write side and the
+    * read side, so the two agree regardless of how the filesystem renders
+    * the scheme prefix (`file:/...` vs `file:///...`). */
+  private def morRelPath(db: String, table: String): Column = {
+    val marker = tablePath(db, table).toAbsolutePath.normalize().toString + "/"
+    val fp = col("_metadata.file_path")
+    fp.substr(locate(marker, fp) + lit(marker.length), lit(Int.MaxValue))
+  }
+
+  /** [[readFiles]] plus the merge-on-read identity columns: each row tagged
+    * with its table-root-relative file path and its row ordinal within the
+    * file (`_metadata.row_index` — generated by the vectorized reader from
+    * row-group offsets, zero scan overhead). */
+  private def readFilesWithPos(db: String, table: String,
+      schema: StructType, files: Seq[String]): DataFrame = {
+    val outCols = schema.fieldNames.map(n => col(s"`$n`")) ++
+      Seq(col(MorFileCol), col(MorPosCol))
+    if (files.isEmpty) {
+      val withMeta = StructType(schema.fields ++
+        StructType.fromDDL(s"$MorFileCol STRING, $MorPosCol BIGINT").fields)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], withMeta)
+    }
+    val root = tablePath(db, table)
+    val bySnapDir = files.groupBy(f => f.split("/").take(2).mkString("/"))
+    val parts = bySnapDir.toSeq.sortBy(_._1).map { case (snapDir, fs) =>
+      spark.read
+        .schema(schema)
+        .option("basePath", root.resolve(snapDir).toString)
+        .parquet(fs.map(f => root.resolve(f).toString): _*)
+        .withColumn(MorFileCol, morRelPath(db, table))
+        .withColumn(MorPosCol, col("_metadata.row_index"))
+    }
+    parts.reduce(_.unionByName(_)).select(outCols.toIndexedSeq: _*)
+  }
+
+  /** Delete entries of `snap` relevant to a file subset (exact coverage —
+    * recorded per data file at delete-commit time). */
+  private def liveDeletesFor(snap: Snapshot, files: Seq[String]): Seq[DeleteFile] = {
+    if (snap.deleteFiles.isEmpty) Seq.empty
+    else {
+      val s = files.toSet
+      snap.deleteFiles.filter(_.covers.keysIterator.exists(s))
+    }
+  }
+
+  /** Dead (position-deleted) rows among `files` under `deletes` — exact,
+    * pure metadata (per-file counts recorded at delete commit). */
+  private def deadRows(deletes: Seq[DeleteFile], files: Seq[String]): Long =
+    if (deletes.isEmpty) 0L
+    else {
+      val s = files.toSet
+      deletes.iterator.map(_.covers.view.filterKeys(s).values.sum).sum
+    }
+
+  /** Above this many recorded positions the delete set stops being
+    * broadcast and the anti-join shuffles both sides — the crossover where
+    * shipping the set to every executor costs more than one exchange. */
+  private val MorBroadcastRows = 4L << 20
+
+  /** Anti-join a position-tagged scan against the given delete files. The
+    * delete set is tiny relative to the table in every sane MoR workload
+    * (that is the point of the format), so it broadcasts by default: the
+    * table side never shuffles, the merge is a map-side hash lookup. */
+  private def antiJoinDeletes(db: String, table: String, scanned: DataFrame,
+      deletes: Seq[DeleteFile]): DataFrame = {
+    val root = tablePath(db, table)
+    val del = spark.read.schema(deleteFileSchema)
+      .parquet(deletes.map(d => root.resolve(d.path).toString): _*)
+    val sized = if (deletes.map(_.rows).sum <= MorBroadcastRows) broadcast(del) else del
+    scanned.join(sized,
+      scanned(MorFileCol) === sized("_file") && scanned(MorPosCol) === sized("_pos"),
+      "left_anti")
+  }
+
+  /** The VISIBLE rows of `files` under `snap`: covered files are scanned
+    * with position identity and anti-joined against the relevant delete
+    * files; uncovered files take the plain vectorized scan untouched. The
+    * merge-on-read tax is scoped to exactly the files deletes touch —
+    * on a 100-TB table with a few GDPR deletes, everything else reads as
+    * if the feature did not exist. */
+  private def readVisible(db: String, table: String, snap: Snapshot,
+      files: Seq[String]): DataFrame = {
+    val live = liveDeletesFor(snap, files)
+    if (live.isEmpty) return readFiles(db, table, snap.schema, files)
+    val covered = live.flatMap(_.covers.keys).toSet
+    val (dirty, clean) = files.partition(covered.contains)
+    val merged = antiJoinDeletes(db, table,
+      readFilesWithPos(db, table, snap.schema, dirty), live)
+      .select(snap.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+    if (clean.isEmpty) merged
+    else readFiles(db, table, snap.schema, clean).unionByName(merged)
+  }
+
+  /** Position-tagged VISIBLE rows — the delete-writer's scan: candidates
+    * with their (file, pos) identity, rows already dead under `snap`'s
+    * delete files merged out (a re-delete must neither duplicate a
+    * position nor double-decrement the count). */
+  private def readVisibleWithPos(db: String, table: String, snap: Snapshot,
+      files: Seq[String]): DataFrame = {
+    val scanned = readFilesWithPos(db, table, snap.schema, files)
+    val live = liveDeletesFor(snap, files)
+    if (live.isEmpty) scanned else antiJoinDeletes(db, table, scanned, live)
   }
 
   /** File-level data skipping: partition a snapshot's file list into
@@ -725,7 +934,7 @@ final class SnapshotCatalog(
   def readWhere(db: String, table: String, snapshotId: Long, cond: Column): DataFrame = {
     val snap = snapshotAt(db, table, snapshotId)
     val (kept, _) = pruneFiles(db, table, snapshotId, cond)
-    readFiles(db, table, snap.schema, kept).where(cond)
+    readVisible(db, table, snap, kept).where(cond)
   }
 
   def readLatestWhere(db: String, table: String, cond: Column): DataFrame =
@@ -791,10 +1000,20 @@ final class SnapshotCatalog(
         s"snapshot $fromId is <${from.schema.toDDL}>, $toId is <${to.schema.toDDL}>")
     val fromFiles = from.files.toSet
     val toFiles = to.files.toSet
-    val removed = from.files.filterNot(toFiles) // in from, gone at to
-    val added = to.files.filterNot(fromFiles)   // new at to
-    val removedRows = readFiles(db, table, from.schema, removed)
-    val addedRows = readFiles(db, table, to.schema, added)
+    // merge-on-read: a data file PRESENT at both endpoints still changed if
+    // the set of delete files covering it changed (new positions dead). Such
+    // files join both sides' reads — each side applies its own endpoint's
+    // deletes, and exceptAll cancels the surviving rows exactly.
+    def coverage(s: Snapshot): Map[String, Set[String]] =
+      s.deleteFiles.flatMap(d => d.covers.keys.map(_ -> d.path))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (covFrom, covTo) = (coverage(from), coverage(to))
+    def deletesChanged(f: String): Boolean =
+      covFrom.getOrElse(f, Set.empty) != covTo.getOrElse(f, Set.empty)
+    val removed = from.files.filter(f => !toFiles(f) || deletesChanged(f))
+    val added = to.files.filter(f => !fromFiles(f) || deletesChanged(f))
+    val removedRows = readVisible(db, table, from, removed)
+    val addedRows = readVisible(db, table, to, added)
     import org.apache.spark.sql.functions.lit
     addedRows.exceptAll(removedRows).withColumn("_change_type", lit("insert"))
       .unionByName(
@@ -864,8 +1083,9 @@ final class SnapshotCatalog(
     val src = listParquetFiles(srcDir)
     require(src.nonEmpty, s"no parquet files to adopt under $srcDir")
 
-    // schema gate from the files' own footers, BEFORE any move (names +
-    // types; nullability relaxed — parquet read-back is nullable anyway)
+    // schema gate, BEFORE any move: the merged directory read checks names
+    // + types against the table (nullability relaxed — parquet read-back is
+    // nullable anyway)…
     val incoming = spark.read.parquet(srcDir.toString).schema
     val prevSchema = prev.schema
     val missing = prevSchema.fieldNames.filterNot(incoming.fieldNames.contains)
@@ -879,6 +1099,20 @@ final class SnapshotCatalog(
       s"adopt type mismatch for $db.$table: " +
         retyped.map(f => s"${f.name}: table=${f.dataType.sql} " +
           s"adopted=${incoming(f.name).dataType.sql}").mkString(", "))
+    // …and a per-file footer pass proves the directory HOMOGENEOUS: the
+    // merged read samples one footer plus partition inference, so a dir
+    // where some files lack (or retype) a column would pass it and those
+    // files would silently read back NULL after adoption. Every footer
+    // must agree structurally with the first — heterogeneous sources are
+    // refused while still fully intact.
+    val conf = spark.sessionState.newHadoopConf()
+    val footers = src.map(p => p -> FileStats.footerSchema(p, conf))
+    val divergent = footers.filterNot(_._2 == footers.head._2)
+    require(divergent.isEmpty,
+      s"adopt schema divergence under $srcDir: ${divergent.size} file(s) differ " +
+        s"from ${src.head.getFileName} (e.g. ${divergent.head._1.getFileName}: " +
+        s"<${divergent.head._2}> vs <${footers.head._2}>); " +
+        "adoption requires a schema-homogeneous directory")
     val snapSchema = operation match {
       case "append" => StructType(prevSchema.fields.map(_.copy(nullable = true)))
       case _        => StructType(incoming.fields.map(_.copy(nullable = true)))
@@ -886,19 +1120,16 @@ final class SnapshotCatalog(
 
     val snapDirRel = s"data/s$newId"
     val snapDir = tablePath(db, table).resolve("data").resolve(s"s$newId")
-    // preserve the source's relative layout (hive partition dirs survive)
-    val moved = src.map { p =>
-      val dst = snapDir.resolve(srcDir.relativize(p).toString)
-      Files.createDirectories(dst.getParent)
-      Files.move(p, dst)
-      dst
-    }
-    val conf = spark.sessionState.newHadoopConf()
     val root = tablePath(db, table)
-    val newFiles = moved.map(p =>
-      snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/')).sorted
-    val newFileStats = newFiles.map(f =>
-      f -> FileStats.fromFooter(root.resolve(f), snapSchema, conf)).toMap
+    // per-file stats read from the SOURCE paths, before any rename: a
+    // corrupt footer aborts the adoption with the source dir untouched
+    // (stats-after-move left the only copy stranded in an unreferenced
+    // data/s<id> dir on failure)
+    val relBySrc = src.map(p =>
+      p -> (snapDirRel + "/" + srcDir.relativize(p).toString.replace('\\', '/'))).toMap
+    val newFileStats = src.map(p =>
+      relBySrc(p) -> FileStats.fromFooter(p, snapSchema, conf)).toMap
+    val newFiles = src.map(relBySrc).sorted
 
     val rowsPerFile = newFiles.map(f => newFileStats(f).get("rows").map(_.toLong))
     val rows = if (rowsPerFile.forall(_.isDefined)) rowsPerFile.flatten.sum else -1L
@@ -953,6 +1184,23 @@ final class SnapshotCatalog(
       case "append" => if (prevRows >= 0 && rows >= 0) prevRows + rows else -1L
       case _        => rows
     }
+    // adopted files join (append) or replace (overwrite) the data file set;
+    // existing merge-on-read delete files keep covering the carried files
+    // on append and die with the replaced state on overwrite
+    val (deleteShards, carriedDeletes) = operation match {
+      case "append" => (prevEntry.deletes, prev.deleteFiles)
+      case _        => (Seq.empty[String], Seq.empty[DeleteFile])
+    }
+    // the renames are the LAST fallible step before the log commit: every
+    // footer was already validated and harvested from the source paths, so
+    // a failure up to here leaves the source dir fully intact (and a crash
+    // mid-move leaves recoverable orphans, never the only copy stranded
+    // behind a half-validated commit)
+    src.foreach { p =>
+      val dst = snapDir.resolve(srcDir.relativize(p).toString)
+      Files.createDirectories(dst.getParent)
+      Files.move(p, dst)
+    }
     val snap = Snapshot(newId, clock().toString, operation,
       Map(
         "record_count" -> totalRows.toString,
@@ -961,8 +1209,8 @@ final class SnapshotCatalog(
         "total_files" -> allFiles.size.toString,
         "adopted" -> "true") ++ stats
         ++ streamEpochTags(prev.summary),
-      snapSchema.toDDL, allFiles, allFileStats)
-    commitSnapshot(db, table, entries, snap, reuse, delta)
+      snapSchema.toDDL, allFiles, allFileStats, carriedDeletes)
+    commitSnapshot(db, table, entries, snap, reuse, delta, deleteShards)
   }
 
   /** `carryFiles` (partial-rewrite commits: prune-aware delete/update):
@@ -1101,29 +1349,48 @@ final class SnapshotCatalog(
       case _ => planCarryManifests(db, table, prevEntry,
         carryFiles, carryStats, newFiles, newFileStats)
     }
+    // merge-on-read delete shards: an append cannot be covered by existing
+    // deletes, so prior shards carry wholesale; a partial rewrite keeps the
+    // shards still covering a CARRIED file (rewritten candidates were read
+    // MERGED, so their positions die with the files); a full rewrite
+    // (overwrite/compact/merge) materializes every delete — none carry
+    val deleteShards = operation match {
+      case "append" => prevEntry.deletes
+      case _        => carryDeleteShards(db, table, prevEntry, carryFiles)
+    }
+    val carriedDeletes = deleteShards.flatMap(loadDeleteShard(db, table, _))
+    val carriedDead = deadRows(carriedDeletes, carryFiles)
     val prevRows = math.max(prev.recordCount, 0L)
     val totalRows = operation match {
       case "append" => prevRows + rows
       case _ if carryFiles.nonEmpty =>
-        // carried rows come from per-file footer counts; a carried file
-        // without one makes the total honestly unknown (-1), never wrong
+        // carried rows come from per-file footer counts minus their exact
+        // position-deleted dead rows; a carried file without a footer count
+        // makes the total honestly unknown (-1), never wrong
         val carried = carryFiles.map(f => carryStats.get(f).flatMap(_.get("rows")).map(_.toLong))
-        if (carried.forall(_.isDefined)) carried.flatten.sum + rows else -1L
+        if (carried.forall(_.isDefined)) carried.flatten.sum - carriedDead + rows else -1L
       case _ => rows
     }
+    // carried footer bounds are OUTER bounds once any carried file has dead
+    // rows (the min/max row may be deleted) — metadata-served min/max must
+    // drop rather than overstate; compact() recomputes them exactly
+    val honestStats =
+      if (carriedDead > 0)
+        stats.view.filterKeys(k => !k.startsWith("min.") && !k.startsWith("max.")).toMap
+      else stats
     val snap = Snapshot(newId, clock().toString, operation,
       Map(
         "record_count" -> totalRows.toString,
         "added_records" -> rows.toString,
         "added_files" -> newFiles.size.toString,
-        "total_files" -> allFiles.size.toString) ++ stats
+        "total_files" -> allFiles.size.toString) ++ honestStats
         // streaming-sink high-water marks survive EVERY commit kind (a
         // compact/overwrite between stream batches must not reopen the
         // replay window); the committing batch's own tag overrides
         ++ streamEpochTags(prev.summary)
         ++ extraSummary,
-      snapSchema.toDDL, allFiles, allFileStats)
-    commitSnapshot(db, table, entries, snap, reuse, delta)
+      snapSchema.toDDL, allFiles, allFileStats, carriedDeletes)
+    commitSnapshot(db, table, entries, snap, reuse, delta, deleteShards)
   }
 
   // ---- row-level operations (Iceberg DELETE/UPDATE/MERGE surface,
@@ -1141,10 +1408,101 @@ final class SnapshotCatalog(
   def delete(db: String, table: String, cond: Column): Snapshot = withTableLock(db, table) {
     val snap = currentSnapshot(db, table)
     val (cands, untouched) = pruneFiles(db, table, snap.snapshotId, cond)
-    val rewrite = readFiles(db, table, snap.schema, cands)
+    // candidates read VISIBLE (existing merge-on-read deletes applied):
+    // a copy-on-write rewrite over a MoR table must not resurrect rows
+    val rewrite = readVisible(db, table, snap, cands)
       .where(!coalesce(cond, lit(false)))
     commit(db, table, rewrite, "delete",
       carryFiles = untouched, carryStats = snap.fileStats)
+  }
+
+  /** MERGE-ON-READ DELETE (Iceberg v2 position-delete semantics): commit
+    * the rows matching `cond` as DEAD POSITIONS — parquet files of
+    * `(_file, _pos)` pairs under `deletes/s<id>/` plus one KB-sized
+    * `d<id>.json` shard — without rewriting a single data file. This is
+    * the 100-TB answer to frequent small deletes (GDPR erasure, late-data
+    * retraction): a copy-on-write delete rewrites every file containing a
+    * match (write amplification ∝ file size × match spread), while this
+    * commit's cost is O(matched rows). Reads merge lazily ([[readVisible]]:
+    * covered files anti-join a broadcast delete set, untouched files scan
+    * clean); [[compact]] is the materialize step that folds deletes into
+    * data files and restores summary min/max bounds.
+    *
+    * Exactness invariants: the candidate scan applies EXISTING deletes
+    * first, so re-deleting a dead row neither duplicates a position nor
+    * double-decrements `record_count`; per-data-file position counts are
+    * recorded in the shard, so every later carry/visible-row computation
+    * is pure metadata; summary min/max drop when rows actually died (the
+    * extremum row may be gone — absent is honest, wrong is not).
+    *
+    * SQL three-valued logic matches [[delete]]: rows where `cond` is TRUE
+    * die; FALSE and NULL survive. No reference cite exists — the
+    * reference's only write is a full overwrite
+    * (`/root/reference/5_migrate_tables_data.py:80-83`); semantics follow
+    * Iceberg v2 merge-on-read. */
+  def deleteMoR(db: String, table: String, cond: Column): Snapshot = withTableLock(db, table) {
+    val entries = entriesForWrite(db, table)
+    requireNoPendingStage(db, table, entries)
+    val prevEntry = entries.last
+    val prev = materialize(db, table, prevEntry)
+    val newId = prev.snapshotId + 1
+    // footer-stat pruning scopes the position scan to candidate files,
+    // exactly like the CoW path — a selective delete scans the candidates,
+    // not the lake (and files it provably cannot touch are never read)
+    val (cands, _) = pruneFiles(db, table, prev.snapshotId, cond)
+    val delDirRel = s"deletes/s$newId"
+    val delDir = tablePath(db, table).resolve("deletes").resolve(s"s$newId")
+    readVisibleWithPos(db, table, prev, cands)
+      .where(coalesce(cond, lit(false)))
+      .select(col(MorFileCol).as("_file"), col(MorPosCol).as("_pos"))
+      // narrow write: filter+project of the scan, no shuffle; within-task
+      // sort gives the positions run-length-friendly parquet layout
+      .sortWithinPartitions("_file", "_pos")
+      .write.mode("overwrite").parquet(delDir.toString)
+    // exact per-(delete file, data file) position counts, read back from
+    // the just-written set itself — MB at most (the delete set is the
+    // operation's OUTPUT, already paid for); this is what keeps
+    // record_count and every later carry computation metadata-exact
+    val written = listParquetFiles(delDir)
+    val relOf = written.map(p => p.getFileName.toString ->
+      (delDirRel + "/" + delDir.relativize(p).toString.replace('\\', '/'))).toMap
+    val counts =
+      if (written.isEmpty) Array.empty[Row]
+      else spark.read.schema(deleteFileSchema).parquet(delDir.toString)
+        .groupBy(col("_metadata.file_path").as("__dpath"), col("_file"))
+        .count().collect()
+    val fileEntries = counts.groupBy(_.getString(0)).toSeq.map { case (dpath, rs) =>
+      val name = dpath.substring(dpath.lastIndexOf('/') + 1)
+      DeleteFile(relOf(name), rs.map(r => r.getString(1) -> r.getLong(2)).toMap)
+    }.sortBy(_.path)
+    val deleted = fileEntries.map(_.rows).sum
+    if (fileEntries.isEmpty) deleteRecursively(delDir)
+    else {
+      // empty part files (tasks that matched nothing) hold no positions —
+      // sweep them rather than carrying pointerless entries forever
+      val live = fileEntries.map(_.path).toSet
+      written.filterNot(p => live(relOf(p.getFileName.toString))).foreach(Files.delete)
+      writeDeleteShard(db, table, deleteShardName(newId), fileEntries)
+    }
+    val shards =
+      if (fileEntries.isEmpty) prevEntry.deletes
+      else prevEntry.deletes :+ deleteShardName(newId)
+    val prevRows = prev.recordCount
+    val carriedSummary =
+      if (deleted == 0) prev.summary
+      else prev.summary.view.filterKeys(k =>
+        !k.startsWith("min.") && !k.startsWith("max.")).toMap
+    val snap = Snapshot(newId, clock().toString, "delete",
+      carriedSummary ++ Map(
+        "record_count" -> (if (prevRows >= 0) (prevRows - deleted).toString else "-1"),
+        "added_records" -> "0",
+        "added_files" -> "0",
+        "deleted_records" -> deleted.toString,
+        "total_files" -> prev.files.size.toString,
+        "delete_files" -> (prev.deleteFiles.size + fileEntries.size).toString),
+      prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles ++ fileEntries)
+    // pure pointer commit on the data side: every manifest shard reuses
+    commitSnapshot(db, table, entries, snap, prevEntry.manifests, Manifest.empty, shards)
   }
 
   /** Copy-on-write UPDATE: `SET col = expr` for rows matching `cond`,
@@ -1160,7 +1518,7 @@ final class SnapshotCatalog(
     require(unknown.isEmpty, s"UPDATE of unknown columns: ${unknown.mkString(",")}")
     val (cands, untouched) = pruneFiles(db, table, snap.snapshotId, cond)
     val c = coalesce(cond, lit(false))
-    val updated = readFiles(db, table, schema, cands).select(schema.fields.map { f =>
+    val updated = readVisible(db, table, snap, cands).select(schema.fields.map { f =>
       set.get(f.name) match {
         case Some(v) => when(c, v.cast(f.dataType)).otherwise(col(s"`${f.name}`")).as(f.name)
         case None    => col(s"`${f.name}`")
@@ -1226,6 +1584,14 @@ final class SnapshotCatalog(
     expectSnapshotId.foreach(id => require(prev.snapshotId == id,
       s"concurrent commit on $db.$table: the rewrite read snapshot $id but " +
         s"the table is now at ${prev.snapshotId}; retry the statement"))
+    // the SQL group-based rewrite scan reads data files RAW (stock V2
+    // parquet batches) — over live position deletes it would resurrect
+    // dead rows into the rewritten state. The plugin rejects row-level SQL
+    // on such tables before planning; this guard keeps the invariant for
+    // any other caller.
+    require(prev.deleteFiles.isEmpty,
+      s"adoptRewrite on $db.$table with live merge-on-read delete files " +
+        "would resurrect deleted rows: compact() the table first")
     val missingCarry = carryFiles.filterNot(prev.files.contains)
     require(missingCarry.isEmpty,
       s"carry files not in current snapshot of $db.$table: " +
@@ -1297,11 +1663,24 @@ final class SnapshotCatalog(
     // and delta-lists only the rewrite plus its shard-mates
     val (reuse, delta, allFiles, allFileStats) = planCarryManifests(
       db, table, prevEntry, carryFiles, carryStats, newFiles, newFileStats)
-    // carried rows come from per-file footer counts; a carried file without
-    // one makes the total honestly unknown (-1), never wrong
+    // merge-on-read delete shards still covering a carried file ride along
+    // (streaming appends carry the full file set; adoptRewrite requires no
+    // live deletes, so the partial-carry path never sees them)
+    val deleteShards = carryDeleteShards(db, table, prevEntry, carryFiles)
+    val carriedDeletes = deleteShards.flatMap(loadDeleteShard(db, table, _))
+    val carriedDead = deadRows(carriedDeletes, carryFiles)
+    // carried rows come from per-file footer counts minus their recorded
+    // position-deleted dead rows; a carried file without a footer count
+    // makes the total honestly unknown (-1), never wrong
     val carriedRows = carryFiles.map(f => carryStats.get(f).flatMap(_.get("rows")).map(_.toLong))
-    val rows = if (carriedRows.forall(_.isDefined)) carriedRows.flatten.sum + newRows else -1L
-    val stats = ColumnStats.mergeWithFileBounds(Map.empty, allFiles, allFileStats, schema)
+    val rows = if (carriedRows.forall(_.isDefined)) carriedRows.flatten.sum - carriedDead + newRows
+      else -1L
+    val folded = ColumnStats.mergeWithFileBounds(Map.empty, allFiles, allFileStats, schema)
+    // footer bounds are OUTER bounds once carried files have dead rows
+    val stats =
+      if (carriedDead > 0)
+        folded.view.filterKeys(k => !k.startsWith("min.") && !k.startsWith("max.")).toMap
+      else folded
     val snap = Snapshot(newId, clock().toString, operation,
       Map(
         "record_count" -> rows.toString,
@@ -1310,8 +1689,8 @@ final class SnapshotCatalog(
         "total_files" -> allFiles.size.toString) ++ stats
         ++ streamEpochTags(prev.summary)
         ++ extraSummary,
-      schema.toDDL, allFiles, allFileStats)
-    commitSnapshot(db, table, entries, snap, reuse, delta)
+      schema.toDDL, allFiles, allFileStats, carriedDeletes)
+    commitSnapshot(db, table, entries, snap, reuse, delta, deleteShards)
   }
 
   /** Roll the table back to an earlier snapshot's state (Iceberg
@@ -1338,10 +1717,12 @@ final class SnapshotCatalog(
         ++ streamEpochTags(prevEntry.summary)
         + ("rolled_back_to" -> toSnapshotId.toString,
           "added_records" -> "0", "added_files" -> "0"),
-      target.schemaDdl, target.files, target.fileStats)
-    // pure pointer commit: re-point at the target's shards, write no O(files)
-    // metadata at all — rollback of a petabyte table is a KB rename
-    commitSnapshot(db, table, entries, snap, targetEntry.manifests, Manifest.empty)
+      target.schemaDdl, target.files, target.fileStats, target.deleteFiles)
+    // pure pointer commit: re-point at the target's shards (data AND
+    // position-delete), write no O(files) metadata at all — rollback of a
+    // petabyte table is a KB rename
+    commitSnapshot(db, table, entries, snap, targetEntry.manifests, Manifest.empty,
+      targetEntry.deletes)
   }
 
   // ---- write-audit-publish (Iceberg's WAP pattern, single-lineage form) ----
@@ -1385,8 +1766,9 @@ final class SnapshotCatalog(
       full.summary - "wap.staged" +
         ("wap.source" -> snapshotId.toString,
           "added_records" -> "0", "added_files" -> "0"),
-      staged.schemaDdl, full.files, full.fileStats)
-    commitSnapshot(db, table, entries, snap, staged.manifests, Manifest.empty)
+      staged.schemaDdl, full.files, full.fileStats, full.deleteFiles)
+    commitSnapshot(db, table, entries, snap, staged.manifests, Manifest.empty,
+      staged.deletes)
   }
 
   /** Discard a staged snapshot: a pointer commit restoring the published
@@ -1411,8 +1793,9 @@ final class SnapshotCatalog(
         ++ streamEpochTags(staged.summary)
         + ("wap.discarded" -> snapshotId.toString,
           "added_records" -> "0", "added_files" -> "0"),
-      headEntry.schemaDdl, head.files, head.fileStats)
-    commitSnapshot(db, table, entries, snap, headEntry.manifests, Manifest.empty)
+      headEntry.schemaDdl, head.files, head.fileStats, head.deleteFiles)
+    commitSnapshot(db, table, entries, snap, headEntry.manifests, Manifest.empty,
+      headEntry.deletes)
   }
 
   /** Schema-evolution commit (Iceberg `ALTER TABLE ADD COLUMN` semantics):
@@ -1474,9 +1857,10 @@ final class SnapshotCatalog(
       .map(f => s"nullcol.${f.name}" -> "true")
     val snap = Snapshot(prev.snapshotId + 1, clock().toString, "evolve",
       prev.summary ++ addedStatable + ("added_records" -> "0", "added_files" -> "0"),
-      newSchema.toDDL, prev.files, prev.fileStats)
-    // pure pointer commit: same shards, new schema DDL on the entry
-    commitSnapshot(db, table, entries, snap, prevEntry.manifests, Manifest.empty)
+      newSchema.toDDL, prev.files, prev.fileStats, prev.deleteFiles)
+    // pure pointer commit: same shards (data and delete), new schema DDL
+    commitSnapshot(db, table, entries, snap, prevEntry.manifests, Manifest.empty,
+      prevEntry.deletes)
   }
 
   /** Update one table property (ALTER TABLE SET/UNSET TBLPROPERTIES). */
@@ -1588,9 +1972,10 @@ final class SnapshotCatalog(
     else {
       val totalSmall = small.map(sizeOf).sum
       val nOut = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
-      // readFiles keeps partition columns live (per-snapshot-dir basePath),
-      // and commit() re-partitionBys them, so hive/bucket layouts survive
-      val rewrite = readFiles(db, table, snap.schema, small).repartition(nOut)
+      // readVisible keeps partition columns live (per-snapshot-dir basePath)
+      // and merges any position deletes on the rewritten files; commit()
+      // re-partitionBys, so hive/bucket layouts survive
+      val rewrite = readVisible(db, table, snap, small).repartition(nOut)
       Some(commit(db, table, rewrite, "rewrite",
         carryFiles = big, carryStats = snap.fileStats))
     }
@@ -1680,15 +2065,25 @@ final class SnapshotCatalog(
     val n = keepOldest(entries)
     if (n <= 0) return 0
     val (expired, kept) = entries.splitAt(n)
-    val keptFiles = kept.flatMap(materialize(db, table, _).files).toSet
+    val keptSnaps = kept.map(materialize(db, table, _))
+    val expiredSnaps = expired.map(materialize(db, table, _))
+    val keptFiles = keptSnaps.flatMap(_.files).toSet
     val root = tablePath(db, table)
-    val doomed = expired.flatMap(materialize(db, table, _).files)
+    val doomed = expiredSnaps.flatMap(_.files)
       .distinct.filterNot(keptFiles.contains)
-    // manifest shards referenced only by expired entries go too — shard
-    // garbage must not outlive the pointer entries that own it
+    // position-delete files follow the same rule: reclaim those only
+    // expired snapshots reference
+    val keptDeletes = keptSnaps.flatMap(_.deleteFiles.map(_.path)).toSet
+    val doomedDeletes = expiredSnaps.flatMap(_.deleteFiles.map(_.path))
+      .distinct.filterNot(keptDeletes.contains)
+    // manifest + delete shards referenced only by expired entries go too —
+    // shard garbage must not outlive the pointer entries that own it
     val keptManifests = kept.flatMap(_.manifests).toSet
     val doomedManifests = expired.flatMap(_.manifests)
       .distinct.filterNot(keptManifests.contains)
+    val keptDelShards = kept.flatMap(_.deletes).toSet
+    val doomedDelShards = expired.flatMap(_.deletes)
+      .distinct.filterNot(keptDelShards.contains)
     // commit the trimmed log FIRST (atomic rename), then delete unreferenced
     // files — Iceberg-style ordering. A crash mid-delete leaves only harmless
     // orphan files a re-run can sweep; the reverse order would leave live log
@@ -1699,7 +2094,12 @@ final class SnapshotCatalog(
       SnapshotCatalog.manifestCache.remove(p.toAbsolutePath.normalize().toString)
       if (Files.exists(p)) Files.delete(p)
     }
-    doomed.foreach { f =>
+    doomedDelShards.foreach { name =>
+      val p = manifestPath(db, table, name)
+      SnapshotCatalog.deleteShardCache.remove(p.toAbsolutePath.normalize().toString)
+      if (Files.exists(p)) Files.delete(p)
+    }
+    (doomedDeletes ++ doomed).foreach { f =>
       val p = root.resolve(f)
       if (Files.exists(p)) Files.delete(p)
     }
@@ -1716,44 +2116,54 @@ final class SnapshotCatalog(
     * concurrently with a write. Returns deleted data-file paths
     * (table-root-relative). */
   def removeOrphanFiles(db: String, table: String): Seq[String] = withTableLock(db, table) {
-    val referenced = snapshotList(db, table).flatMap(_.files).toSet
+    val snaps = snapshotList(db, table)
     val root = tablePath(db, table)
-    val data = dataPath(db, table)
-    if (!Files.isDirectory(data)) return Seq.empty
-    val liveDirs = referenced.map(_.split("/").take(2).mkString("/"))
     val deleted = Seq.newBuilder[String]
-    val walk = Files.walk(data)
-    try {
-      walk.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
-        val rel = root.relativize(p).toString.replace('\\', '/')
-        val name = p.getFileName.toString
-        val isData = name.endsWith(".parquet")
-        val inLiveDir = liveDirs.contains(rel.split("/").take(2).mkString("/"))
-        if (isData && !referenced.contains(rel)) {
-          Files.delete(p); deleted += rel
-        } else if (!isData && !inLiveDir) {
-          Files.delete(p) // writer markers of dead snapshot dirs
+    // data/ and deletes/ follow the same sweep: a crashed MoR delete
+    // leaves unadopted position files exactly like a crashed write leaves
+    // unadopted data files
+    def sweep(dirTop: Path, referenced: Set[String]): Unit = {
+      if (!Files.isDirectory(dirTop)) return
+      val liveDirs = referenced.map(_.split("/").take(2).mkString("/"))
+      val walk = Files.walk(dirTop)
+      try {
+        walk.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
+          val rel = root.relativize(p).toString.replace('\\', '/')
+          val name = p.getFileName.toString
+          val isData = name.endsWith(".parquet")
+          val inLiveDir = liveDirs.contains(rel.split("/").take(2).mkString("/"))
+          if (isData && !referenced.contains(rel)) {
+            Files.delete(p); deleted += rel
+          } else if (!isData && !inLiveDir) {
+            Files.delete(p) // writer markers of dead snapshot dirs
+          }
         }
-      }
-    } finally walk.close()
-    // sweep now-empty snapshot dirs
-    val dirs = Files.walk(data)
-    try {
-      dirs.sorted(Comparator.reverseOrder[Path]()).iterator().asScala
-        .filter(p => Files.isDirectory(p) && p != data)
-        .foreach { p => if (!withList(p)(_.hasNext)) Files.delete(p) }
-    } finally dirs.close()
-    // sweep orphan manifest shards too: a crash between a shard write and
-    // the pointer-log rename (or between an expire's log write and its
-    // shard deletions) leaves m<id>.json files no entry references — each
-    // can be O(files) sized, and nothing else ever reclaims them
-    val referencedShards = entryMeta(db, table).flatMap(_.manifests).toSet
+      } finally walk.close()
+      // sweep now-empty snapshot dirs
+      val dirs = Files.walk(dirTop)
+      try {
+        dirs.sorted(Comparator.reverseOrder[Path]()).iterator().asScala
+          .filter(p => Files.isDirectory(p) && p != dirTop)
+          .foreach { p => if (!withList(p)(_.hasNext)) Files.delete(p) }
+      } finally dirs.close()
+    }
+    sweep(dataPath(db, table), snaps.flatMap(_.files).toSet)
+    sweep(root.resolve("deletes"), snaps.flatMap(_.deleteFiles.map(_.path)).toSet)
+    // sweep orphan manifest + delete shards too: a crash between a shard
+    // write and the pointer-log rename (or between an expire's log write
+    // and its shard deletions) leaves m<id>.json / d<id>.json files no
+    // entry references — each can be O(files) sized, and nothing else ever
+    // reclaims them
+    val em = entryMeta(db, table)
+    val referencedShards = (em.flatMap(_.manifests) ++ em.flatMap(_.deletes)).toSet
     val snapsDir = logPath(db, table).getParent
     withList(snapsDir)(_.filter { p =>
       val n = p.getFileName.toString
-      n.startsWith("m") && n.endsWith(".json") && !referencedShards.contains(n)
+      (n.startsWith("m") || n.startsWith("d")) && n.endsWith(".json") &&
+        !referencedShards.contains(n)
     }.toSeq).foreach { p =>
       SnapshotCatalog.manifestCache.remove(p.toAbsolutePath.normalize().toString)
+      SnapshotCatalog.deleteShardCache.remove(p.toAbsolutePath.normalize().toString)
       Files.delete(p)
       deleted += root.relativize(p).toString.replace('\\', '/')
     }
@@ -1875,11 +2285,24 @@ object SnapshotCatalog {
             e: java.util.Map.Entry[String, Manifest]): Boolean = size() > 1024
       })
 
+  /** Parsed position-delete shards (`d<id>.json`), same write-once cache
+    * discipline as data manifests. */
+  private val deleteShardCache: java.util.Map[String, Vector[DeleteFile]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Vector[DeleteFile]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Vector[DeleteFile]]): Boolean = size() > 1024
+      })
+
   /** Drop cached shards under `dir` (table/namespace drop or re-create). */
   private[graft] def purgeManifestCache(dir: Path): Unit = {
     val prefix = dir.toAbsolutePath.normalize().toString + java.io.File.separator
     manifestCache.synchronized {
       val it = manifestCache.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+    }
+    deleteShardCache.synchronized {
+      val it = deleteShardCache.keySet().iterator()
       while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
     }
   }

@@ -1,6 +1,6 @@
 package graft.catalog.spark
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
@@ -23,6 +23,71 @@ trait HasRecordCount {
 trait HasColumnStats {
   /** Canonical stat string for a `min.<col>` / `max.<col>` key, if known. */
   def columnStat(key: String): Option[String]
+}
+
+/** V2 tables whose effective snapshot may carry merge-on-read position
+  * deletes. [[MorReadRule]] consults this to swap a raw scan relation for
+  * the merged read. `snapshotId` is the reader-option time-travel override
+  * (`spark.read.option("snapshot-id", ...)`), if any. */
+trait MorMergeable {
+  /** True when the effective snapshot has live position-delete files. */
+  def morHasDeletes(snapshotId: Option[Long]): Boolean
+  /** Resolved logical plan of the MERGED read — covered data files
+    * anti-joined against the delete set, visible columns in table order. */
+  def morMergedPlan(snapshotId: Option[Long]): LogicalPlan
+}
+
+/** Merge-on-read enforcement for the SQL surface: a scan relation over a
+  * snapcat table whose snapshot carries position-delete files is replaced
+  * (at analysis time, so the WHOLE optimizer still runs over the result —
+  * filters push into the underlying parquet scans, the broadcast anti-join
+  * plans like any join) by the library's merged read, re-aliased to the
+  * relation's original attribute ids so parent operators resolve
+  * untouched. Tables without live deletes pass through and keep the stock
+  * V2 scan path — the MoR tax exists only where deletes exist.
+  *
+  * Row-level DML targets are exempt: a translatable `DELETE FROM` must
+  * stay a bare relation for the metadata-delete planner path (the MoR
+  * route lives in `deleteWhere` itself), and group-based rewrite scans use
+  * `RowLevelOperationTable`, which never implements [[MorMergeable]] (such
+  * plans are rejected at scan build over live deletes). Subqueries and
+  * MERGE sources over MoR tables DO merge — they are plain reads. */
+class MorReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def snapIdOf(rel: DataSourceV2Relation): Option[Long] =
+    Option(rel.options).flatMap(o =>
+      Option(o.get("snapshot-id")).orElse(Option(o.get("as_of_snapshot_id"))))
+      // non-numeric values pass through untouched so the scan builder's
+      // friendly "must be numeric" error stays the one the user sees
+      .flatMap(_.toLongOption)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // DML write targets, by reference identity: they must keep their
+    // relation shape for the row-level planners even when readable
+    val protectedRels = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreachWithSubqueries {
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
+        protectedRels.add(d.table)
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+        protectedRels.add(u.table)
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+        protectedRels.add(m.targetTable)
+      case r: org.apache.spark.sql.catalyst.plans.logical.ReplaceData =>
+        protectedRels.add(r.originalTable)
+      case _ =>
+    }
+    plan.transformUpWithSubqueries {
+      case rel: DataSourceV2Relation if !protectedRels.contains(rel) &&
+          rel.table.isInstanceOf[MorMergeable] &&
+          rel.table.asInstanceOf[MorMergeable].morHasDeletes(snapIdOf(rel)) =>
+        val merged = rel.table.asInstanceOf[MorMergeable].morMergedPlan(snapIdOf(rel))
+        val byName = merged.output.map(a => a.name -> a).toMap
+        Project(rel.output.map(o =>
+          Alias(byName(o.name), o.name)(exprId = o.exprId, qualifier = o.qualifier)),
+          merged)
+    }
+  }
 }
 
 /** Metadata-served aggregates: rewrites an unfiltered, ungrouped
@@ -136,6 +201,7 @@ object MetadataCountRule extends Rule[LogicalPlan] {
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => MetadataCountRule)
+    e.injectPostHocResolutionRule(s => new MorReadRule(s))
     GraftSqlFunctions.all.foreach(e.injectFunction)
   }
 }

@@ -265,7 +265,28 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       with org.apache.spark.sql.connector.catalog.SupportsWrite
       with SupportsDelete
       with SupportsRowLevelOperations
-      with HasRecordCount with HasColumnStats {
+      with HasRecordCount with HasColumnStats with MorMergeable {
+
+    /** Effective snapshot of a read: the reader-option time-travel
+      * override, or this table's own. */
+    private def morSnap(snapshotId: Option[Long]): Snapshot =
+      snapshotId.filter(_ != snap.snapshotId)
+        .map(cat.snapshotAt(db, table, _)).getOrElse(snap)
+
+    override def morHasDeletes(snapshotId: Option[Long]): Boolean =
+      morSnap(snapshotId).deleteFiles.nonEmpty
+
+    /** The merged read (position deletes anti-joined), projected to the
+      * SQL-visible columns — [[MorReadRule]] swaps this in for the raw
+      * relation. Built on the library read path, whose V1 parquet
+      * relations keep full pushdown/pruning once the optimizer runs over
+      * the substituted plan. */
+    override def morMergedPlan(snapshotId: Option[Long]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+      val visible = schema().fieldNames
+      cat.readAsOf(db, table, morSnap(snapshotId).snapshotId)
+        .select(visible.map(n => org.apache.spark.sql.functions.col(s"`$n`")).toIndexedSeq: _*)
+        .queryExecution.analyzed
+    }
 
     /** SQL UPDATE / MERGE INTO / non-filter-translatable DELETE: Spark's
       * group-based copy-on-write rewrite. The operation's scan reads the
@@ -303,7 +324,17 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           * post-operation state rewritten) and provably-untouched carries —
           * a `UPDATE ... WHERE id = 5` on a 100-TB table rewrites the files
           * whose stats admit id=5, not the lake. */
-        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+          // the group-based rewrite scan reads candidate files RAW (full
+          // stock parquet batches) — over live position deletes it would
+          // resurrect dead rows into the rewritten state. Refuse loudly;
+          // translatable DELETEs never get here (the metadata-delete
+          // downgrade routes them to deleteWhere first).
+          require(snap.deleteFiles.isEmpty,
+            s"$opName on $catalogName.$db.$table: group-based row-level SQL " +
+              "over live merge-on-read delete files would resurrect deleted " +
+              "rows; compact() the table first (or use the library " +
+              "delete/update, which merge)")
           new ScanBuilder
             with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
             private var pushable = Array.empty[org.apache.spark.sql.sources.Filter]
@@ -377,6 +408,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
               }
             }
           }
+        }
         override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
           new RewriteWriteBuilder(db, table, opName, writeInfo,
             () => rewriteCarry, snap.fileStats,
@@ -384,17 +416,23 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       }
     }
 
-    /** SQL `DELETE FROM snapcat.db.t WHERE ...` — copy-on-write through the
-      * snapshot commit protocol (one `delete` snapshot; history stays
-      * time-travelable). Spark hands over the WHERE clause as V1 filters;
-      * anything it cannot translate to filters is rejected by Spark before
-      * reaching here, and [[FilterToColumn]] covers every V1 filter shape. */
+    /** SQL `DELETE FROM snapcat.db.t WHERE ...` — through the snapshot
+      * commit protocol; history stays time-travelable. COPY-ON-WRITE by
+      * default (matching candidates rewritten); `write.delete.mode =
+      * merge-on-read` on the table routes to position-delete commits
+      * ([[SnapshotCatalog.deleteMoR]]) — O(matched rows), no data-file
+      * rewrite, the Iceberg v2 table-property switch. Spark hands over the
+      * WHERE clause as V1 filters; anything it cannot translate to filters
+      * goes down the group-based rewrite path instead, and
+      * [[FilterToColumn]] covers every V1 filter shape. */
     override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
       filters.forall(FilterToColumn.translatable)
     override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
       val cond = filters.map(FilterToColumn(_)).reduceOption(_ && _)
         .getOrElse(org.apache.spark.sql.functions.lit(true))
-      cat.delete(db, table, cond)
+      if (tableMeta.properties.get("write.delete.mode").contains("merge-on-read"))
+        cat.deleteMoR(db, table, cond)
+      else cat.delete(db, table, cond)
     }
 
     override val recordCount: Long = snap.recordCount

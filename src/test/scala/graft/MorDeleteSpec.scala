@@ -1,0 +1,250 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog._
+
+/** Merge-on-read position deletes (Iceberg v2 semantics): a DELETE that
+  * commits O(matched rows) of (file, pos) metadata instead of rewriting
+  * data files. Asserts the commit SHAPE (no data files written), read
+  * merging everywhere (library, SQL, time travel, changelog), exactness of
+  * metadata-served counts, fold-in via compact(), and GC. */
+class MorDeleteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCatalog(): SnapshotCatalog = {
+    val dir = Files.createTempDirectory("graft_mor_").toString
+    var tick = 0L
+    new SnapshotCatalog(spark, dir,
+      clock = () => { tick += 1; Instant.parse("2026-05-01T00:00:00Z").plusSeconds(tick * 3600) })
+  }
+
+  private def nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+
+  /** create + append nation (25 rows, n_nationkey 0..24) -> snapshot 2. */
+  private def withNation(cat: SnapshotCatalog): Unit = {
+    cat.createTable("db", "nation", nation.schema)
+    cat.append("db", "nation", nation)
+  }
+
+  test("MoR delete writes no data files, reads merge, time travel exact") {
+    val cat = freshCatalog()
+    withNation(cat)
+    val before = cat.currentSnapshot("db", "nation")
+    val snap = cat.deleteMoR("db", "nation", col("n_nationkey") < 5)
+    // commit shape: data files untouched, delete shard + parquet present
+    assert(snap.files == before.files, "a MoR delete must not touch data files")
+    assert(snap.deleteFiles.nonEmpty)
+    assert(snap.deleteFiles.map(_.rows).sum == 5)
+    assert(snap.summary("deleted_records") == "5")
+    assert(snap.summary("record_count") == "20")
+    val root = Paths.get(cat.warehouse, "db", "nation")
+    assert(Files.exists(root.resolve("_snapshots").resolve(s"d${snap.snapshotId}.json")))
+    assert(snap.deleteFiles.forall(d => Files.exists(root.resolve(d.path))))
+    // exact per-file coverage: covers point at real data files of the snapshot
+    assert(snap.deleteFiles.flatMap(_.covers.keys).toSet.subsetOf(snap.files.toSet))
+    // reads merge
+    val keys = cat.readLatest("db", "nation").select("n_nationkey").as[Int].collect().sorted
+    assert(keys.toSeq == (5 to 24))
+    // O(1) metadata count stays exact
+    assert(cat.recordCount("db", "nation", snap.snapshotId) == 20)
+    // summary min/max dropped (the min row is dead; absent is honest)
+    assert(!snap.summary.contains("min.n_nationkey"))
+    // time travel to the pre-delete snapshot is untouched
+    assert(cat.readAsOf("db", "nation", before.snapshotId).count() == 25)
+  }
+
+  test("re-delete of dead rows neither duplicates positions nor double-counts") {
+    val cat = freshCatalog()
+    withNation(cat)
+    cat.deleteMoR("db", "nation", col("n_nationkey") < 5)
+    val snap = cat.deleteMoR("db", "nation", col("n_nationkey") < 7) // overlaps 0..4
+    assert(snap.summary("deleted_records") == "2", "only rows 5,6 newly die")
+    assert(snap.summary("record_count") == "18")
+    assert(snap.deleteFiles.map(_.rows).sum == 7)
+    assert(cat.readLatest("db", "nation").count() == 18)
+  }
+
+  test("no-match MoR delete is a pointer-only commit (no shard, no dir)") {
+    val cat = freshCatalog()
+    withNation(cat)
+    val snap = cat.deleteMoR("db", "nation", col("n_nationkey") > 1000)
+    assert(snap.deleteFiles.isEmpty)
+    assert(snap.summary("record_count") == "25")
+    assert(snap.summary.contains("min.n_nationkey"), "no rows died - bounds keep")
+    assert(!Files.exists(Paths.get(cat.warehouse, "db", "nation", "deletes",
+      s"s${snap.snapshotId}")))
+    assert(cat.readLatest("db", "nation").count() == 25)
+  }
+
+  test("append after MoR delete: deletes keep applying to old files only") {
+    val cat = freshCatalog()
+    withNation(cat)
+    cat.deleteMoR("db", "nation", col("n_nationkey") < 5)
+    val snap = cat.append("db", "nation", nation.limit(5)) // re-add keys 0..4 as NEW rows
+    assert(snap.summary("record_count") == "25")
+    val counts = cat.readLatest("db", "nation").groupBy("n_nationkey").count()
+      .as[(Int, Long)].collect().toMap
+    assert((0 to 4).forall(k => counts(k) == 1), "re-appended keys appear exactly once")
+    assert(cat.readLatest("db", "nation").count() == 25)
+  }
+
+  test("CoW delete and update over live MoR deletes never resurrect") {
+    val cat = freshCatalog()
+    withNation(cat)
+    cat.deleteMoR("db", "nation", col("n_nationkey") < 5) // 20 live
+    val afterCow = cat.delete("db", "nation", col("n_nationkey") >= 20) // kills 20..24
+    assert(afterCow.summary("record_count") == "15")
+    val keys = cat.readLatest("db", "nation").select("n_nationkey").as[Int].collect().sorted
+    assert(keys.toSeq == (5 to 19), "rows 0..4 must not resurrect through the rewrite")
+    val upd = cat.update("db", "nation", col("n_nationkey") === 10,
+      Map("n_name" -> lit("X")))
+    assert(upd.summary("record_count") == "15")
+    assert(cat.readLatest("db", "nation").where(col("n_name") === "X").count() == 1)
+    assert(cat.readLatest("db", "nation").count() == 15)
+  }
+
+  test("compact() materializes deletes and restores summary bounds") {
+    val cat = freshCatalog()
+    withNation(cat)
+    cat.deleteMoR("db", "nation", col("n_nationkey") < 5)
+    val compacted = cat.compact("db", "nation", 1)
+    assert(compacted.deleteFiles.isEmpty, "compact folds deletes into data files")
+    assert(compacted.summary("record_count") == "20")
+    assert(compacted.summary("min.n_nationkey") == "5", "bounds recomputed exactly")
+    assert(compacted.summary("max.n_nationkey") == "24")
+    assert(cat.readLatest("db", "nation").count() == 20)
+    // the delete entry no longer rides the current log entry
+    assert(cat.entryLog("db", "nation").last.deletes.isEmpty)
+  }
+
+  test("changelog across a MoR delete is row-exact") {
+    val cat = freshCatalog()
+    withNation(cat)
+    val from = cat.currentSnapshot("db", "nation").snapshotId
+    val to = cat.deleteMoR("db", "nation", col("n_nationkey") < 3).snapshotId
+    val changes = cat.readChangelog("db", "nation", from, to)
+      .select("_change_type", "n_nationkey").as[(String, Int)].collect().sorted
+    assert(changes.toSeq == Seq(("delete", 0), ("delete", 1), ("delete", 2)))
+  }
+
+  test("rollback and schema evolution carry the delete set") {
+    val cat = freshCatalog()
+    withNation(cat)
+    val deleted = cat.deleteMoR("db", "nation", col("n_nationkey") < 5)
+    // evolve: add a column; deletes must still apply
+    val evolved = cat.evolveSchema("db", "nation",
+      org.apache.spark.sql.types.StructType(nation.schema.fields :+
+        org.apache.spark.sql.types.StructField("extra", org.apache.spark.sql.types.LongType)))
+    assert(evolved.deleteFiles == deleted.deleteFiles)
+    assert(cat.readLatest("db", "nation").count() == 20)
+    // rollback to the pre-delete snapshot resurrects (by design), rollback
+    // back to the delete snapshot re-applies
+    cat.rollback("db", "nation", deleted.snapshotId - 1)
+    assert(cat.readLatest("db", "nation").count() == 25)
+    cat.rollback("db", "nation", deleted.snapshotId)
+    assert(cat.readLatest("db", "nation").count() == 20)
+  }
+
+  test("expire + orphan sweep reclaim delete files and shards") {
+    val cat = freshCatalog()
+    withNation(cat)
+    val del = cat.deleteMoR("db", "nation", col("n_nationkey") < 5)
+    val root = Paths.get(cat.warehouse, "db", "nation")
+    val delParquet = del.deleteFiles.map(d => root.resolve(d.path))
+    cat.compact("db", "nation", 1)
+    // orphan debris: a crashed MoR delete's unadopted dir + shard
+    val stray = root.resolve("deletes").resolve("s99")
+    Files.createDirectories(stray)
+    Files.copy(delParquet.head, stray.resolve("stray.parquet"))
+    Files.writeString(root.resolve("_snapshots").resolve("d99.json"), "{\"entries\":[]}")
+    val swept = cat.removeOrphanFiles("db", "nation")
+    assert(swept.exists(_.contains("deletes/s99")), "crashed delete debris swept")
+    assert(swept.exists(_.endsWith("d99.json")))
+    assert(delParquet.forall(Files.exists(_)), "referenced delete files survive the sweep")
+    // expiring history reclaims the delete files + shard of expired snapshots
+    cat.expireSnapshots("db", "nation", keepLast = 1)
+    assert(delParquet.forall(!Files.exists(_)), "expired delete files reclaimed")
+    assert(!Files.exists(root.resolve("_snapshots").resolve(s"d${del.snapshotId}.json")))
+    assert(cat.readLatest("db", "nation").count() == 20)
+  }
+
+  test("partitioned table: MoR delete + pruned read stay exact") {
+    val cat = freshCatalog()
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    cat.createTable("db", "orders_p", orders.schema, partitionCols = Seq("o_orderstatus"))
+    cat.append("db", "orders_p", orders)
+    val total = orders.count()
+    val fCount = orders.where(col("o_orderstatus") === "F").count()
+    val snap = cat.deleteMoR("db", "orders_p", col("o_orderstatus") === "F")
+    assert(snap.files == cat.snapshotAt("db", "orders_p", snap.snapshotId - 1).files)
+    assert(snap.summary("record_count").toLong == total - fCount)
+    assert(cat.readLatest("db", "orders_p").where(col("o_orderstatus") === "F").count() == 0)
+    assert(cat.readLatest("db", "orders_p").count() == total - fCount)
+    // prune-scoped read through readWhere still merges
+    assert(cat.readLatestWhere("db", "orders_p", col("o_orderstatus") === "O").count() ==
+      orders.where(col("o_orderstatus") === "O").count())
+  }
+
+  test("SQL: write.delete.mode=merge-on-read routes DELETE, reads merge, rewrites refuse") {
+    val cat = freshCatalog()
+    withNation(cat)
+    cat.setProperty("db", "nation", "write.delete.mode", Some("merge-on-read"))
+    spark.conf.set("spark.sql.catalog.morsql", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.morsql.warehouse", cat.warehouse)
+    val before = cat.currentSnapshot("db", "nation")
+    spark.sql("DELETE FROM morsql.db.nation WHERE n_nationkey < 5")
+    val after = cat.currentSnapshot("db", "nation")
+    assert(after.files == before.files, "SQL DELETE took the position-delete path")
+    assert(after.deleteFiles.map(_.rows).sum == 5)
+    // SQL reads merge (the MorReadRule path), including aggregates and joins
+    val r = spark.sql(
+      "SELECT count(*) AS c, min(n_nationkey) AS mn FROM morsql.db.nation").head()
+    assert(r.getLong(0) == 20 && r.getInt(1) == 5)
+    assert(spark.sql("SELECT * FROM morsql.db.nation WHERE n_nationkey < 7").count() == 2)
+    // time travel: pre-delete snapshot unmerged, delete snapshot merged
+    assert(spark.sql(
+      s"SELECT sum(n_nationkey) AS s FROM morsql.db.nation VERSION AS OF ${before.snapshotId}")
+      .head.getLong(0) == (0 to 24).sum)
+    assert(spark.sql(
+      s"SELECT sum(n_nationkey) AS s FROM morsql.db.nation VERSION AS OF ${after.snapshotId}")
+      .head.getLong(0) == (5 to 24).sum)
+    // a subquery over the MoR table merges too (it is a plain read)
+    assert(spark.sql(
+      """SELECT count(*) AS c FROM morsql.db.nation a
+        |WHERE a.n_nationkey IN (SELECT n_nationkey FROM morsql.db.nation)""".stripMargin)
+      .head.getLong(0) == 20)
+    // group-based row-level SQL over live deletes refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("UPDATE morsql.db.nation SET n_name = 'X' WHERE n_nationkey = 10")
+    }
+    assert(e.getMessage.contains("merge-on-read"), s"got: ${e.getMessage}")
+    // second MoR delete through SQL still works (translatable downgrade)
+    spark.sql("DELETE FROM morsql.db.nation WHERE n_nationkey < 7")
+    assert(spark.sql("SELECT count(*) AS c FROM morsql.db.nation").head.getLong(0) == 18)
+    // after compact() the table rewrites normally again
+    cat.compact("db", "nation", 1)
+    spark.sql("UPDATE morsql.db.nation SET n_name = 'X' WHERE n_nationkey = 10")
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM morsql.db.nation WHERE n_name = 'X'").head.getLong(0) == 1)
+  }
+
+  test("readIncremental refuses ranges containing a MoR delete") {
+    val cat = freshCatalog()
+    withNation(cat)
+    val from = cat.currentSnapshot("db", "nation").snapshotId
+    cat.deleteMoR("db", "nation", col("n_nationkey") < 5)
+    cat.append("db", "nation", nation.limit(3))
+    val to = cat.currentSnapshot("db", "nation").snapshotId
+    val e = intercept[IllegalArgumentException] {
+      cat.readIncremental("db", "nation", from, to).collect()
+    }
+    assert(e.getMessage.contains("delete"))
+  }
+}
