@@ -188,7 +188,8 @@ final case class TableMeta(
     tableName: String,
     partitionCols: Seq[String],
     properties: Map[String, String],
-    refs: Map[String, Long] = Map.empty) {
+    refs: Map[String, Long] = Map.empty,
+    branches: Map[String, Long] = Map.empty) {
 
   /** (source column, bucket count) when this is a bucketed table. */
   def bucketSpec: Option[(String, Int)] =
@@ -203,6 +204,8 @@ final case class TableMeta(
     "partition_cols" -> JArr(partitionCols.toVector.map(JStr)),
     "properties"     -> Json.fromStrMap(properties),
     "refs"           -> JObj(refs.toVector.sortBy(_._1)
+      .map { case (n, id) => n -> (Json.num(id): JValue) }),
+    "branches"       -> JObj(branches.toVector.sortBy(_._1)
       .map { case (n, id) => n -> (Json.num(id): JValue) }))
 }
 
@@ -212,7 +215,11 @@ object TableMeta {
     tableName = o.str("table_name"),
     partitionCols = o.arr("partition_cols").collect { case JStr(s) => s },
     properties = o.strMap("properties"),
-    refs = o.strMap("refs").map { case (k, v) => k -> v.toLong })
+    refs = o.strMap("refs").map { case (k, v) => k -> v.toLong },
+    branches = (o.get("branches") match {
+      case Some(_: JObj) => o.strMap("branches")
+      case _ => Map.empty[String, String]
+    }).map { case (k, v) => k -> v.toLong })
 }
 
 /** Snapshot-versioned Parquet table catalog — the engine's core.
@@ -600,13 +607,20 @@ final class SnapshotCatalog(
   private def isStagedEntry(e: SnapshotEntry): Boolean =
     e.summary.get("wap.staged").contains("true")
 
+  /** A commit made TO A NAMED BRANCH (`branch.ref` in its summary): fully
+    * addressable by id, listed in history, but never the published state —
+    * the same invisibility discipline as a staged snapshot, generalized to
+    * long-lived multi-commit lineages. */
+  private def isBranchEntry(e: SnapshotEntry): Boolean =
+    e.summary.contains("branch.ref")
+
   /** The last PUBLISHED entry — what "current table state" means
-    * everywhere. A staged tail is skipped; interior staged entries (already
-    * published or discarded via their successor pointer commits) are
-    * skipped the same way. The create entry is never staged, so this total
-    * function needs no fallback. */
+    * everywhere. Staged and branch-commit entries are skipped (a staged
+    * snapshot is, in effect, a one-commit anonymous branch; named branch
+    * commits reach main only through [[fastForward]]). The create entry is
+    * never staged or branched, so this total function needs no fallback. */
   private def publishedEntry(entries: Seq[SnapshotEntry]): SnapshotEntry =
-    entries.reverse.find(e => !isStagedEntry(e)).getOrElse(
+    entries.reverse.find(e => !isStagedEntry(e) && !isBranchEntry(e)).getOrElse(
       throw new IllegalStateException("corrupt log: no published snapshot"))
 
   /** Id of the current (published) snapshot, pointer-log only — the read
@@ -1077,9 +1091,9 @@ final class SnapshotCatalog(
       s"adoptFiles operation must be append|overwrite, got '$operation'")
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
-    val prevEntry = entries.last
+    val prevEntry = publishedEntry(entries)
     val prev = materialize(db, table, prevEntry)
-    val newId = prev.snapshotId + 1
+    val newId = entries.last.snapshotId + 1
     val src = listParquetFiles(srcDir)
     require(src.nonEmpty, s"no parquet files to adopt under $srcDir")
 
@@ -1223,13 +1237,17 @@ final class SnapshotCatalog(
   private def commit(db: String, table: String, df: DataFrame, operation: String,
       carryFiles: Seq[String] = Seq.empty,
       carryStats: Map[String, Map[String, String]] = Map.empty,
-      extraSummary: Map[String, String] = Map.empty): Snapshot = withTableLock(db, table) {
+      extraSummary: Map[String, String] = Map.empty,
+      base: Option[SnapshotEntry] = None): Snapshot = withTableLock(db, table) {
     val tm = meta(db, table)
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
-    val prevEntry = entries.last
+    // `base` re-bases the commit on a BRANCH HEAD instead of the published
+    // head (appendBranch); the log TAIL may be a branch commit, which must
+    // never become a main commit's parent. Ids stay globally monotone.
+    val prevEntry = base.getOrElse(publishedEntry(entries))
     val prev = materialize(db, table, prevEntry)
-    val newId = prev.snapshotId + 1
+    val newId = entries.last.snapshotId + 1
     val snapDirRel = s"data/s$newId"
     val snapDir = tablePath(db, table).resolve(s"data").resolve(s"s$newId")
 
@@ -1443,9 +1461,9 @@ final class SnapshotCatalog(
   def deleteMoR(db: String, table: String, cond: Column): Snapshot = withTableLock(db, table) {
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
-    val prevEntry = entries.last
+    val prevEntry = publishedEntry(entries)
     val prev = materialize(db, table, prevEntry)
-    val newId = prev.snapshotId + 1
+    val newId = entries.last.snapshotId + 1
     // footer-stat pruning scopes the position scan to candidate files,
     // exactly like the CoW path — a selective delete scans the candidates,
     // not the lake (and files it provably cannot touch are never read)
@@ -1579,7 +1597,7 @@ final class SnapshotCatalog(
       expectSnapshotId: Option[Long] = None): Snapshot = withTableLock(db, table) {
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
-    val prevEntry = entries.last
+    val prevEntry = publishedEntry(entries)
     val prev = materialize(db, table, prevEntry)
     expectSnapshotId.foreach(id => require(prev.snapshotId == id,
       s"concurrent commit on $db.$table: the rewrite read snapshot $id but " +
@@ -1616,7 +1634,7 @@ final class SnapshotCatalog(
       s"streaming adoption must be append or overwrite, got $operation")
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
-    val prevEntry = entries.last
+    val prevEntry = publishedEntry(entries)
     val key = s"stream-epoch.$sinkId"
     if (prevEntry.summary.get(key).exists(epochId <= _.toLong)) {
       // replayed batch (detected from the pointer log alone): drop the
@@ -1647,7 +1665,7 @@ final class SnapshotCatalog(
       extraSummary: Map[String, String],
       entries: Seq[SnapshotEntry], prevEntry: SnapshotEntry,
       prev: Snapshot): Snapshot = {
-    val newId = prev.snapshotId + 1
+    val newId = entries.last.snapshotId + 1
     val snapDirRel = s"data/$dataDirName"
     val root = tablePath(db, table)
     val snapDir = root.resolve("data").resolve(dataDirName)
@@ -1705,16 +1723,20 @@ final class SnapshotCatalog(
     val targetEntry = entries.find(_.snapshotId == toSnapshotId).getOrElse(
       throw new NoSuchElementException(
         s"snapshot $toSnapshotId not found for $db.$table"))
-    val prevEntry = entries.last
-    require(prevEntry.snapshotId != toSnapshotId,
+    require(publishedEntry(entries).snapshotId != toSnapshotId,
       s"table $db.$table is already at snapshot $toSnapshotId")
+    // a branch commit's summary marker would make the rollback entry itself
+    // invisible to published readers — branch states publish via fastForward
+    require(!isBranchEntry(targetEntry),
+      s"snapshot $toSnapshotId is a branch commit " +
+        s"(branch '${targetEntry.summary("branch.ref")}'): use fastForward to publish it")
     val target = materialize(db, table, targetEntry)
-    val snap = Snapshot(prevEntry.snapshotId + 1, clock().toString, "rollback",
+    val snap = Snapshot(entries.last.snapshotId + 1, clock().toString, "rollback",
       target.summary
         // the rolled-back-FROM head carries the streaming high-water
         // marks; losing them to the older summary would reopen the
         // replay window
-        ++ streamEpochTags(prevEntry.summary)
+        ++ streamEpochTags(publishedEntry(entries).summary)
         + ("rolled_back_to" -> toSnapshotId.toString,
           "added_records" -> "0", "added_files" -> "0"),
       target.schemaDdl, target.files, target.fileStats, target.deleteFiles)
@@ -1746,7 +1768,10 @@ final class SnapshotCatalog(
     * nothing is rewritten when the audit passes. Single-lineage
     * discipline replaces Iceberg's cherry-pick: at most ONE staged
     * snapshot may be pending and every other commit path refuses while it
-    * is (clear error, no silent reordering). */
+    * is (clear error, no silent reordering). A staged snapshot is, in
+    * effect, a one-commit anonymous branch — for multi-commit audited
+    * lineages use [[createBranch]]/[[appendBranch]]/[[fastForward]], which
+    * generalize this pattern without the single-pending restriction. */
   def stageAppend(db: String, table: String, df: DataFrame,
       extraSummary: Map[String, String] = Map.empty): Snapshot =
     append(db, table, df, extraSummary + ("wap.staged" -> "true"))
@@ -1809,7 +1834,7 @@ final class SnapshotCatalog(
       allowDrop: Boolean = false): Snapshot = withTableLock(db, table) {
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
-    val prevEntry = entries.last
+    val prevEntry = publishedEntry(entries)
     val prev = materialize(db, table, prevEntry)
     val dropped = prev.schema.fieldNames.filterNot(newSchema.fieldNames.contains)
     // Dropping a column is SAFE with name-based mapping: readers project
@@ -1855,7 +1880,7 @@ final class SnapshotCatalog(
       .filterNot(f => prev.schema.fieldNames.contains(f.name))
       .filter(f => ColumnStats.statable(f.dataType))
       .map(f => s"nullcol.${f.name}" -> "true")
-    val snap = Snapshot(prev.snapshotId + 1, clock().toString, "evolve",
+    val snap = Snapshot(entries.last.snapshotId + 1, clock().toString, "evolve",
       prev.summary ++ addedStatable + ("added_records" -> "0", "added_files" -> "0"),
       newSchema.toDDL, prev.files, prev.fileStats, prev.deleteFiles)
     // pure pointer commit: same shards (data and delete), new schema DDL
@@ -1890,11 +1915,9 @@ final class SnapshotCatalog(
 
   /** Tag a snapshot with a stable name (Iceberg `create_tag`): an
     * IMMUTABLE named pointer usable wherever a snapshot id is — SQL
-    * `VERSION AS OF 'name'`, [[readTag]]. Tags protect nothing by
-    * themselves here ([[expireSnapshots]] counts positions, not refs), but
-    * make audit points addressable without copying data. Writable refs
-    * (branches) are out of scope — [[rollback]] covers the moving-pointer
-    * use case on the main lineage. */
+    * `VERSION AS OF 'name'`, [[readTag]]. Named refs (tags and branches)
+    * PROTECT their target from [[expireSnapshots]]; dropping the ref
+    * releases it. For WRITABLE refs see [[createBranch]]. */
   def createTag(db: String, table: String, name: String,
       snapshotId: Long): Unit = withTableLock(db, table) {
     require(name.nonEmpty && !name.forall(_.isDigit),
@@ -1902,6 +1925,8 @@ final class SnapshotCatalog(
     snapshotAt(db, table, snapshotId) // must exist
     val tm = meta(db, table)
     require(!tm.refs.contains(name), s"tag '$name' already exists on $db.$table")
+    require(!tm.branches.contains(name),
+      s"'$name' is already a branch on $db.$table (tags and branches share the VERSION AS OF namespace)")
     writeString(metaPath(db, table),
       Json.writePretty(tm.copy(refs = tm.refs + (name -> snapshotId)).toJson))
   }
@@ -1920,6 +1945,117 @@ final class SnapshotCatalog(
     readAsOf(db, table, resolveTag(db, table, name).getOrElse(
       throw new NoSuchElementException(
         s"no such tag '$name' on $db.$table (tags: ${meta(db, table).refs.keys.toSeq.sorted.mkString(",") })")))
+
+  // ---- branches (Iceberg branch refs: writable named lineages) ----
+
+  /** Create a named BRANCH at `fromSnapshotId` (default: the published
+    * head) — a movable ref that [[appendBranch]] advances with commits
+    * INVISIBLE to main until [[fastForward]] publishes them. The
+    * generalization of write-audit-publish from one staged snapshot to a
+    * long-lived audited lineage: an ingestion job writes batches to an
+    * `audit` branch for days, validation reads the branch, and main
+    * adopts the whole lineage as one O(KB) pointer commit. Branch commits
+    * share the table's snapshot-id space and data directory; no data is
+    * copied at create (same property that makes tags free). */
+  def createBranch(db: String, table: String, name: String,
+      fromSnapshotId: Option[Long] = None): Unit = withTableLock(db, table) {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"branch name '$name' must not be empty or all-numeric (ambiguous with snapshot ids)")
+    val entries = entriesForWrite(db, table)
+    val from = fromSnapshotId.getOrElse(publishedEntry(entries).snapshotId)
+    require(entries.exists(_.snapshotId == from),
+      s"snapshot $from not found for $db.$table")
+    val tm = meta(db, table)
+    require(!tm.branches.contains(name), s"branch '$name' already exists on $db.$table")
+    require(!tm.refs.contains(name),
+      s"'$name' is already a tag on $db.$table (tags and branches share the VERSION AS OF namespace)")
+    writeString(metaPath(db, table),
+      Json.writePretty(tm.copy(branches = tm.branches + (name -> from)).toJson))
+  }
+
+  def dropBranch(db: String, table: String, name: String): Unit = withTableLock(db, table) {
+    val tm = meta(db, table)
+    require(tm.branches.contains(name), s"no such branch '$name' on $db.$table")
+    writeString(metaPath(db, table),
+      Json.writePretty(tm.copy(branches = tm.branches - name).toJson))
+  }
+
+  def resolveBranch(db: String, table: String, name: String): Option[Long] =
+    meta(db, table).branches.get(name)
+
+  /** Append a frame TO A BRANCH: a normal append commit based on the
+    * branch head (schema checks, Observation stats, manifest reuse — the
+    * full commit machinery), marked `branch.ref`/`branch.parent` in its
+    * summary so published readers skip it, then the branch pointer moves.
+    * Main's state and the branch evolve independently; both stay
+    * time-travelable. */
+  def appendBranch(db: String, table: String, name: String, df: DataFrame,
+      extraSummary: Map[String, String] = Map.empty): Snapshot = withTableLock(db, table) {
+    val headId = resolveBranch(db, table, name).getOrElse(
+      throw new NoSuchElementException(s"no such branch '$name' on $db.$table"))
+    val entries = entriesForWrite(db, table)
+    val baseEntry = entries.find(_.snapshotId == headId).getOrElse(
+      throw new IllegalStateException(
+        s"branch '$name' points at expired snapshot $headId of $db.$table"))
+    val snap = commit(db, table, df, "append",
+      extraSummary = extraSummary ++ Map(
+        "branch.ref" -> name, "branch.parent" -> headId.toString),
+      base = Some(baseEntry))
+    val tm = meta(db, table)
+    writeString(metaPath(db, table),
+      Json.writePretty(tm.copy(branches = tm.branches + (name -> snap.snapshotId)).toJson))
+    snap
+  }
+
+  /** Current state of a branch (its head snapshot). */
+  def readBranch(db: String, table: String, name: String): DataFrame =
+    readAsOf(db, table, resolveBranch(db, table, name).getOrElse(
+      throw new NoSuchElementException(s"no such branch '$name' on $db.$table " +
+        s"(branches: ${meta(db, table).branches.keys.toSeq.sorted.mkString(",")})")))
+
+  /** FAST-FORWARD main to a branch head (Iceberg `fast_forward(main, b)`):
+    * one pointer commit re-pointing the published state at the branch
+    * head's manifests — O(KB) regardless of how much data the branch
+    * accumulated, which is what makes audit-then-adopt free at 100 TB.
+    * Requires the published head to be an ANCESTOR of the branch head
+    * (walked over the recorded `branch.parent` links): if main advanced
+    * since the fork, adopting the branch would silently drop main's
+    * commits — fail loudly instead (merge by hand, or re-branch). The
+    * branch ref itself stays where it is, like a published WAP stage. */
+  def fastForward(db: String, table: String, name: String): Snapshot = withTableLock(db, table) {
+    val entries = entriesForWrite(db, table)
+    requireNoPendingStage(db, table, entries)
+    val headId = resolveBranch(db, table, name).getOrElse(
+      throw new NoSuchElementException(s"no such branch '$name' on $db.$table"))
+    val published = publishedEntry(entries)
+    require(headId != published.snapshotId,
+      s"branch '$name' is already at the published head of $db.$table")
+    @annotation.tailrec
+    def reachesPublished(id: Long): Boolean =
+      if (id == published.snapshotId) true
+      else entries.find(_.snapshotId == id) match {
+        case Some(e) => e.summary.get("branch.parent") match {
+          case Some(p) => reachesPublished(p.toLong)
+          case None => false // hit a main-lineage snapshot that is not the head
+        }
+        case None => false // ancestry expired
+      }
+    require(reachesPublished(headId),
+      s"cannot fast-forward $db.$table to branch '$name': the published head " +
+        s"${published.snapshotId} is not an ancestor of the branch head $headId " +
+        "(main advanced since the fork, or the fork ancestry was expired)")
+    val branchEntry = entries.find(_.snapshotId == headId).get
+    val target = materialize(db, table, branchEntry)
+    val snap = Snapshot(entries.last.snapshotId + 1, clock().toString, "fastforward",
+      target.summary -- Seq("branch.ref", "branch.parent")
+        // main's stream high-water marks are the authoritative ones
+        ++ streamEpochTags(target.summary) ++ streamEpochTags(published.summary)
+        + ("branch.forwarded" -> name,
+          "added_records" -> "0", "added_files" -> "0"),
+      branchEntry.schemaDdl, target.files, target.fileStats, target.deleteFiles)
+    commitSnapshot(db, table, entries, snap, branchEntry.manifests, Manifest.empty,
+      branchEntry.deletes)
+  }
 
   // ---- maintenance (the "table maintenance" half of the Iceberg surface:
   // rewrite_data_files / expire_snapshots equivalents) ----
@@ -2064,7 +2200,18 @@ final class SnapshotCatalog(
     requireNoPendingStage(db, table, entries)
     val n = keepOldest(entries)
     if (n <= 0) return 0
-    val (expired, kept) = entries.splitAt(n)
+    // named refs PROTECT their targets (Iceberg retention semantics for
+    // refs): a tagged audit point or a live branch head must survive any
+    // positional retention sweep — dropping the ref is the explicit act
+    // that releases the snapshot
+    val tm = meta(db, table)
+    val protectedIds = tm.refs.values.toSet ++ tm.branches.values.toSet
+    val (expired, kept0) = {
+      val (e, k) = entries.splitAt(n)
+      val (rescued, reallyExpired) = e.partition(x => protectedIds(x.snapshotId))
+      (reallyExpired, rescued ++ k)
+    }
+    val kept = kept0.sortBy(_.snapshotId)
     val keptSnaps = kept.map(materialize(db, table, _))
     val expiredSnaps = expired.map(materialize(db, table, _))
     val keptFiles = keptSnaps.flatMap(_.files).toSet

@@ -1013,16 +1013,22 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
                   st.values.toArray.map(v => UTF8String.fromString(v): Any)))
             }.toArray
           case "refs" =>
-            cat.meta(db, table).refs.toSeq.sortBy(_._1).map { case (n, id) =>
-              InternalRow(UTF8String.fromString(n),
-                UTF8String.fromString("tag"), id)
-            }.toArray
+            val tm = cat.meta(db, table)
+            (tm.refs.toSeq.map { case (n, id) => (n, "tag", id) } ++
+              tm.branches.toSeq.map { case (n, id) => (n, "branch", id) })
+              .sortBy(_._1).map { case (n, kind, id) =>
+                InternalRow(UTF8String.fromString(n),
+                  UTF8String.fromString(kind), id)
+              }.toArray
           case "history" =>
             val snaps = cat.entryLog(db, table) // pointer log, no manifests
             val current = snaps.map(_.snapshotId).max
             snaps.map { s =>
-              InternalRow(micros(s.committedAt), s.snapshotId,
-                if (s.snapshotId > 1) Long.box(s.snapshotId - 1) else null,
+              // branch commits record their true parent; main-lineage
+              // entries are linear
+              val parent = s.summary.get("branch.parent").map(p => Long.box(p.toLong))
+                .getOrElse(if (s.snapshotId > 1) Long.box(s.snapshotId - 1) else null)
+              InternalRow(micros(s.committedAt), s.snapshotId, parent,
                 s.snapshotId == current)
             }.toArray
           case "partitions" =>
@@ -1074,19 +1080,23 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     snapshotTable(ident, cat.currentSnapshot(ident.namespace().head, ident.name()))
   }
 
-  /** VERSION AS OF <snapshotId | 'tag'> (`5_migrate_tables_data.py:72-74`
-    * surface, plus Iceberg named refs: a tag created via
-    * [[SnapshotCatalog.createTag]] resolves wherever a snapshot id does). */
+  /** VERSION AS OF <snapshotId | 'tag' | 'branch'>
+    * (`5_migrate_tables_data.py:72-74` surface, plus Iceberg named refs:
+    * tags and branch heads resolve wherever a snapshot id does — branch
+    * reads are `VERSION AS OF 'branchname'`). */
   override def loadTable(ident: Identifier, version: String): Table = {
     checkExists(ident)
     val db = ident.namespace().head
     val table = ident.name()
     val snapId = version.toLongOption
       .orElse(cat.resolveTag(db, table, version))
+      .orElse(cat.resolveBranch(db, table, version))
       .getOrElse(throw new IllegalArgumentException(
-        s"snapcat VERSION AS OF takes a numeric snapshot id or a tag name; " +
-          s"'$version' is neither (tags: " +
-          cat.meta(db, table).refs.keys.toSeq.sorted.mkString(",") + ")"))
+        s"snapcat VERSION AS OF takes a numeric snapshot id, a tag or a " +
+          s"branch name; '$version' is none (tags: " +
+          cat.meta(db, table).refs.keys.toSeq.sorted.mkString(",") +
+          "; branches: " +
+          cat.meta(db, table).branches.keys.toSeq.sorted.mkString(",") + ")"))
     snapshotTable(ident, cat.snapshotAt(db, table, snapId))
   }
 

@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog._
+
+/** Named branches (Iceberg branch refs): writable lineages invisible to
+  * main until fast-forwarded — the generalization of write-audit-publish
+  * to long-lived multi-commit audits. */
+class BranchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCatalog(): SnapshotCatalog = {
+    val dir = Files.createTempDirectory("graft_br_").toString
+    var tick = 0L
+    new SnapshotCatalog(spark, dir,
+      clock = () => { tick += 1; Instant.parse("2026-06-01T00:00:00Z").plusSeconds(tick * 3600) })
+  }
+
+  private def base(cat: SnapshotCatalog): Unit = {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    cat.createTable("db", "t", df.schema)
+    cat.append("db", "t", df) // snap 2 (published head)
+  }
+
+  test("branch commits stay invisible to main; both lineages time-travel") {
+    val cat = freshCatalog()
+    base(cat)
+    cat.createBranch("db", "t", "audit")
+    assert(cat.resolveBranch("db", "t", "audit").contains(2L))
+    val b1 = cat.appendBranch("db", "t", "audit", Seq((3L, "c")).toDF("id", "name")) // snap 3
+    val b2 = cat.appendBranch("db", "t", "audit", Seq((4L, "d")).toDF("id", "name")) // snap 4
+    assert(b1.summary("branch.ref") == "audit" && b1.summary("branch.parent") == "2")
+    assert(b2.summary("branch.parent") == "3")
+    assert(cat.resolveBranch("db", "t", "audit").contains(4L))
+    // main is untouched: published head, reads, record count
+    assert(cat.currentSnapshotId("db", "t") == 2L)
+    assert(cat.readLatest("db", "t").count() == 2)
+    // the branch accumulates
+    assert(cat.readBranch("db", "t", "audit").select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(cat.recordCount("db", "t", 4L) == 4L)
+    // main can advance independently (no pending-stage style blocking)
+    cat.append("db", "t", Seq((9L, "z")).toDF("id", "name")) // snap 5
+    assert(cat.readLatest("db", "t").count() == 3)
+    assert(cat.readBranch("db", "t", "audit").count() == 4)
+  }
+
+  test("fastForward publishes the branch as a pointer commit; divergence refuses") {
+    val cat = freshCatalog()
+    base(cat)
+    cat.createBranch("db", "t", "audit")
+    cat.appendBranch("db", "t", "audit", Seq((3L, "c")).toDF("id", "name")) // snap 3
+    cat.appendBranch("db", "t", "audit", Seq((4L, "d")).toDF("id", "name")) // snap 4
+    val ff = cat.fastForward("db", "t", "audit") // snap 5
+    assert(ff.operation == "fastforward")
+    assert(ff.summary("branch.forwarded") == "audit")
+    assert(!ff.summary.contains("branch.ref"), "the published entry must be visible")
+    assert(ff.summary("record_count") == "4")
+    assert(cat.currentSnapshotId("db", "t") == 5L)
+    assert(cat.readLatest("db", "t").select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L, 4L))
+    // pure pointer commit: the fastforward entry reuses the branch head's
+    // manifest shards verbatim
+    val entries = cat.entryLog("db", "t")
+    assert(entries.last.manifests == entries.find(_.snapshotId == 4L).get.manifests)
+    // divergence: branch forked before main advanced -> refuse
+    cat.createBranch("db", "t", "fix", fromSnapshotId = Some(2L))
+    cat.appendBranch("db", "t", "fix", Seq((7L, "x")).toDF("id", "name"))
+    val e = intercept[IllegalArgumentException] { cat.fastForward("db", "t", "fix") }
+    assert(e.getMessage.contains("not an ancestor"))
+    // already-current branch refuses too
+    cat.createBranch("db", "t", "noop")
+    val e2 = intercept[IllegalArgumentException] { cat.fastForward("db", "t", "noop") }
+    assert(e2.getMessage.contains("already at the published head"))
+  }
+
+  test("refs protect from expiry; dropped branch releases its snapshots") {
+    val cat = freshCatalog()
+    base(cat)
+    cat.createBranch("db", "t", "keepme") // at snap 2
+    val b = cat.appendBranch("db", "t", "keepme", Seq((3L, "c")).toDF("id", "name")) // 3
+    cat.append("db", "t", Seq((4L, "d")).toDF("id", "name")) // snap 4
+    cat.append("db", "t", Seq((5L, "e")).toDF("id", "name")) // snap 5
+    cat.expireSnapshots("db", "t", keepLast = 1)
+    // the branch HEAD survives (ref-protected); interior ancestry releases
+    // — safe, because snapshots are self-contained (the head's file list
+    // still references every live file, so GC keeps them)
+    val ids = cat.entryLog("db", "t").map(_.snapshotId)
+    assert(ids == Seq(3L, 5L), s"got $ids")
+    assert(cat.readBranch("db", "t", "keepme").count() == 3)
+    assert(cat.readLatest("db", "t").count() == 4)
+    // dropping the branch releases its snapshots to the next sweep
+    cat.dropBranch("db", "t", "keepme")
+    cat.expireSnapshots("db", "t", keepLast = 1)
+    val after = cat.entryLog("db", "t").map(_.snapshotId)
+    assert(after == Seq(5L), s"got $after")
+    val branchOnly = b.files.filterNot(cat.snapshotAt("db", "t", 5L).files.toSet)
+    branchOnly.foreach { f =>
+      assert(!Files.exists(java.nio.file.Paths.get(cat.warehouse, "db", "t", f)),
+        s"released branch file $f must be reclaimed")
+    }
+  }
+
+  test("guards: name collisions, rollback to branch commits, WAP interplay") {
+    val cat = freshCatalog()
+    base(cat)
+    cat.createBranch("db", "t", "b1")
+    intercept[IllegalArgumentException] { cat.createBranch("db", "t", "b1") }
+    intercept[IllegalArgumentException] { cat.createTag("db", "t", "b1", 2L) }
+    cat.createTag("db", "t", "tg", 2L)
+    intercept[IllegalArgumentException] { cat.createBranch("db", "t", "tg") }
+    intercept[IllegalArgumentException] { cat.createBranch("db", "t", "42") }
+    val bc = cat.appendBranch("db", "t", "b1", Seq((3L, "c")).toDF("id", "name"))
+    intercept[IllegalArgumentException] { cat.rollback("db", "t", bc.snapshotId) }
+    // a pending WAP stage blocks branch commits like every other commit
+    cat.stageAppend("db", "t", Seq((8L, "s")).toDF("id", "name"))
+    intercept[IllegalArgumentException] {
+      cat.appendBranch("db", "t", "b1", Seq((9L, "x")).toDF("id", "name"))
+    }
+    intercept[IllegalArgumentException] { cat.fastForward("db", "t", "b1") }
+  }
+
+  test("SQL: VERSION AS OF 'branch' reads the branch head; refs table lists it") {
+    val cat = freshCatalog()
+    base(cat)
+    cat.createBranch("db", "t", "audit")
+    cat.appendBranch("db", "t", "audit", Seq((3L, "c")).toDF("id", "name"))
+    spark.conf.set("spark.sql.catalog.brcat", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.brcat.warehouse", cat.warehouse)
+    assert(spark.sql("SELECT sum(id) AS s FROM brcat.db.t VERSION AS OF 'audit'")
+      .head.getLong(0) == 6L)
+    assert(spark.sql("SELECT sum(id) AS s FROM brcat.db.t").head.getLong(0) == 3L,
+      "main SQL reads must not see branch commits")
+    val refs = spark.sql("SELECT name, type, snapshot_id FROM brcat.db.t.refs ORDER BY name")
+      .as[(String, String, Long)].collect().toSeq
+    assert(refs == Seq(("audit", "branch", 3L)))
+    // history records the true branch parent
+    val parents = spark.sql(
+      "SELECT snapshot_id, parent_id FROM brcat.db.t.history ORDER BY snapshot_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(parents(3L).contains(2L))
+  }
+
+  test("branch of a MoR-deleted table carries the delete set; fastForward preserves it") {
+    val cat = freshCatalog()
+    val df = spark.range(10).select(col("id"), (col("id") * 2).as("v"))
+    cat.createTable("db", "m", df.schema)
+    cat.append("db", "m", df)
+    cat.deleteMoR("db", "m", col("id") < 3) // snap 3: 7 live rows
+    cat.createBranch("db", "m", "aud")
+    cat.appendBranch("db", "m", "aud", spark.range(10, 12)
+      .select(col("id"), (col("id") * 2).as("v"))) // snap 4 on branch
+    assert(cat.readBranch("db", "m", "aud").count() == 9, "deletes apply on the branch")
+    assert(cat.readLatest("db", "m").count() == 7)
+    val ff = cat.fastForward("db", "m", "aud")
+    assert(ff.deleteFiles.nonEmpty)
+    assert(cat.readLatest("db", "m").count() == 9)
+    assert(cat.readLatest("db", "m").where(col("id") < 3).count() == 0)
+  }
+}
