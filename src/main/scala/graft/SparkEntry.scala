@@ -965,6 +965,30 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // TYPE WIDENING (int->bigint, float->double as a pointer commit): the
+    // fixture created orders_widen narrow, widened it, appended wide rows.
+    // Old files serve through the vectorized reader's upcast — zero
+    // rewrite; this aggregate spans both file generations.
+    "q89_type_widening" -> ((s, dir) => {
+      WarehouseFixture.forDir(s, dir).src.readLatest("maint", "orders_widen")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // NESTED schema evolution: info.disc added mid-history; files written
+    // before the evolve null-fill the nested field at scan time (sum
+    // ignores them), files after carry real values.
+    "q90_nested_evolution" -> ((s, dir) => {
+      WarehouseFixture.forDir(s, dir).src.readLatest("maint", "orders_nested")
+        .select(col("o_orderkey"), col("info.st").as("st"), col("info.disc").as("disc"))
+        .groupBy("st")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"),
+          sum(col("disc")).as("disc_sum"))
+        .orderBy("st")
+    }),
+
     // copy-on-write MERGE/upsert: matched keys replaced (F orders at
     // doubled totals), unmatched source keys inserted (P orders shifted to
     // new key space) — `MERGE .. WHEN MATCHED UPDATE SET * WHEN NOT MATCHED
@@ -1786,6 +1810,30 @@ object SparkEntry {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderstatus <> 'O'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the widened history replayed: narrow generation (values as float-
+    // rounded ints) plus the wide generation
+    "q89_type_widening" ->
+      """WITH widened AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS st,
+        |    CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS p FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 4000000000, o_orderstatus, o_totalprice FROM orders)
+        |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM widened GROUP BY st ORDER BY st""".stripMargin,
+
+    // pre-evolve rows carry NULL disc (sum skips), post-evolve rows k % 7
+    "q90_nested_evolution" ->
+      """WITH nested AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(NULL AS BIGINT) AS disc FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 4000000000, o_orderstatus, o_orderkey % 7 FROM orders)
+        |SELECT st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, CAST(sum(disc) AS BIGINT) AS disc_sum
+        |FROM nested GROUP BY st ORDER BY st""".stripMargin,
 
     // merged visibility after the two stacked position-delete commits
     "q88_mor_delete" ->

@@ -146,6 +146,37 @@ object WarehouseFixture {
     src.deleteMoR("maint", "orders_mor", col("o_orderstatus") === "O")
     src.deleteMoR("maint", "orders_mor", col("o_orderkey") % 10 === 0)
 
+    // - orders_widen: TYPE-WIDENING history — created narrow (int key,
+    //   float price), widened to (bigint, double) via a pointer commit,
+    //   then appended wide rows. Old files read through the parquet
+    //   upcast; q89 oracles the mixed history
+    val ow = orders.select(col("o_orderkey").cast("int").as("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice").cast("float").as("o_totalprice"))
+    src.createTable("maint", "orders_widen", ow.schema)
+    src.append("maint", "orders_widen", ow.repartition(2))
+    src.evolveSchema("maint", "orders_widen",
+      graft.catalog.SchemaEvolve.widenAt(
+        graft.catalog.SchemaEvolve.widenAt(ow.schema,
+          Seq("o_orderkey"), org.apache.spark.sql.types.LongType),
+        Seq("o_totalprice"), org.apache.spark.sql.types.DoubleType))
+    src.append("maint", "orders_widen", orders.select(
+      (col("o_orderkey") + 4000000000L).as("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice")).repartition(2))
+
+    // - orders_nested: NESTED struct evolution — info struct gains a
+    //   `disc` field mid-history; old files null-fill it (q90)
+    val onn = orders.select(col("o_orderkey"),
+      struct(col("o_orderstatus").as("st"), col("o_totalprice").as("tp")).as("info"))
+    src.createTable("maint", "orders_nested", onn.schema)
+    src.append("maint", "orders_nested", onn.repartition(2))
+    src.evolveSchema("maint", "orders_nested",
+      graft.catalog.SchemaEvolve.addAt(onn.schema,
+        Seq("info", "disc"), org.apache.spark.sql.types.LongType))
+    src.append("maint", "orders_nested", orders.select(
+      (col("o_orderkey") + 4000000000L).as("o_orderkey"),
+      struct(col("o_orderstatus").as("st"), col("o_totalprice").as("tp"),
+        (col("o_orderkey") % 7).as("disc")).as("info")).repartition(2))
+
     src.createTable("maint", "orders_up", orders.schema)
     src.append("maint", "orders_up", orders.repartition(2))
     val upSource = orders.where(col("o_orderstatus") === "F")

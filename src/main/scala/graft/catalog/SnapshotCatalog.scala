@@ -1899,6 +1899,31 @@ final class SnapshotCatalog(
     writeString(metaPath(db, table), Json.writePretty(tm.copy(properties = props).toJson))
   }
 
+  /** PARTITION SPEC EVOLUTION (Iceberg `ALTER TABLE ... WRITE ORDERED/
+    * PARTITIONED BY` spirit): change the partition spec of an EXISTING
+    * table. The new spec applies to NEW snapshots' writes only — existing
+    * data keeps its layout and is never rewritten (at 100 TB a re-layout
+    * is a compact-sized job you schedule deliberately, not a DDL side
+    * effect). Reads already assemble one per-directory sub-scan with its
+    * own `basePath`, so mixed-layout histories resolve every partition
+    * column — from directory names where hive-laid, from data pages where
+    * not — and predicates stay exact across the change (spec-asserted).
+    * Bucketed tables are refused: the bucket layout is load-bearing for
+    * storage-partitioned joins. */
+  def evolvePartitionSpec(db: String, table: String,
+      partitionCols: Seq[String]): Unit = withTableLock(db, table) {
+    val tm = meta(db, table)
+    require(tm.bucketSpec.isEmpty,
+      s"cannot change the partition spec of bucketed table $db.$table")
+    require(partitionCols != tm.partitionCols,
+      s"$db.$table is already partitioned by (${partitionCols.mkString(",")})")
+    val schema = currentSnapshot(db, table).schema
+    val unknown = partitionCols.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"partition columns not in schema: ${unknown.mkString(",")}")
+    writeString(metaPath(db, table),
+      Json.writePretty(tm.copy(partitionCols = partitionCols).toJson))
+  }
+
   /** Replace the table-level spec (RTAS semantics: the replacing write may
     * carry a different partition spec / properties). Snapshot history is
     * untouched — unlike DROP+CREATE, time travel across the replace keeps

@@ -16,7 +16,7 @@ import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.catalog.{Snapshot, SnapshotCatalog, TableMeta}
+import graft.catalog.{SchemaEvolve, Snapshot, SnapshotCatalog, TableMeta}
 
 /** Spark V2 `TableCatalog` over [[graft.catalog.SnapshotCatalog]] — gives
   * the engine the reference's exact SQL operating surface without an
@@ -554,13 +554,16 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       val partitioned = tableMeta.partitionCols.nonEmpty
       val multiDir = partitioned && dirs.size > 1
       // a dir is hive-laid when its files sit under name=value partition
-      // dirs; rewrite dirs are FLAT (partition cols in file content).
-      // Mixed layouts make partition filters only advisorily enforceable
-      // on the flat dirs — see allResidual below.
+      // dirs; rewrite dirs are FLAT (partition cols in file content), and
+      // partition-spec evolution leaves dirs hive-laid on DIFFERENT keys.
+      // Any layout mix makes partition filters only advisorily enforceable
+      // per dir — see allResidual below. Compared by the SET of hive keys
+      // per dir ({} for flat), so A=-dirs vs B=-dirs count as mixed.
       val mixedLayout = multiDir && {
-        val layouts = snap.files.groupBy(_.split("/").take(2).mkString("/"))
-          .values.map(_.exists(_.split("/").drop(2).exists(_.contains("="))))
-        layouts.toSet.size > 1
+        val sigs = snap.files.groupBy(_.split("/").take(2).mkString("/"))
+          .values.map(_.flatMap(_.split("/").drop(2)
+            .filter(_.contains("=")).map(_.takeWhile(_ != '='))).toSet)
+        sigs.toSet.size > 1
       }
       val rootPrefix = root.toString + java.io.File.separator
       // relative snapshot dir of an absolute file path (wrapScan callbacks
@@ -1168,22 +1171,24 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     val propOps = Seq.newBuilder[(String, Option[String])]
     changes.foreach {
       case add: TableChange.AddColumn =>
-        require(add.fieldNames.length == 1,
-          s"nested ADD COLUMN not supported: ${add.fieldNames.mkString(".")}")
         require(add.isNullable,
           "added columns must be nullable (pre-evolution files null-fill them)")
-        require(!schema.fieldNames.contains(add.fieldNames.head),
-          s"column already exists: ${add.fieldNames.head}")
-        schema = schema.add(StructField(add.fieldNames.head, add.dataType, nullable = true))
+        schema = SchemaEvolve.addAt(schema, add.fieldNames.toIndexedSeq, add.dataType)
         evolved = true
       case del: TableChange.DeleteColumn =>
-        require(del.fieldNames.length == 1,
-          s"nested DROP COLUMN not supported: ${del.fieldNames.mkString(".")}")
-        require(schema.fieldNames.contains(del.fieldNames.head),
-          s"no such column: ${del.fieldNames.head}")
-        schema = StructType(schema.fields.filterNot(_.name == del.fieldNames.head))
+        schema = SchemaEvolve.dropAt(schema, del.fieldNames.toIndexedSeq)
         evolved = true
-        droppedAny = true
+        // top-level drops narrow the visible schema (evolveSchema's
+        // explicit-consent gate); nested drops rewrite a column TYPE and
+        // never remove a top-level name
+        if (del.fieldNames.length == 1) droppedAny = true
+      case uc: TableChange.UpdateColumnType =>
+        // safe WIDENING only (int family upward, float->double, decimal
+        // precision growth): old files read through the parquet reader's
+        // upcast, so no data rewrite is needed; anything lossy or
+        // reader-breaking is refused
+        schema = SchemaEvolve.widenAt(schema, uc.fieldNames.toIndexedSeq, uc.newDataType)
+        evolved = true
       case sp: TableChange.SetProperty =>
         propOps += ((sp.property, Some(sp.value)))
       case rp: TableChange.RemoveProperty =>

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog._
+
+/** Schema + partition-spec evolution beyond add/drop-column: safe type
+  * WIDENING (old files read through the parquet upcast — no rewrite),
+  * NESTED struct field add/drop, and partition-spec changes that apply to
+  * new snapshots only. */
+class EvolutionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCatalog(): SnapshotCatalog = {
+    val dir = Files.createTempDirectory("graft_evo_").toString
+    var tick = 0L
+    new SnapshotCatalog(spark, dir,
+      clock = () => { tick += 1; Instant.parse("2026-07-01T00:00:00Z").plusSeconds(tick * 3600) })
+  }
+
+  private def sqlCat(cat: SnapshotCatalog, name: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", cat.warehouse)
+  }
+
+  test("type widening: int->long / float->double across a file history") {
+    val cat = freshCatalog()
+    val narrow = Seq((1, 1.5f), (2, 2.5f)).toDF("k", "v")
+    cat.createTable("db", "w", narrow.schema)
+    cat.append("db", "w", narrow) // snap 2: files under (int, float)
+    sqlCat(cat, "evo")
+    spark.sql("ALTER TABLE evo.db.w ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE evo.db.w ALTER COLUMN v TYPE DOUBLE")
+    // widened appends land under the new types
+    cat.append("db", "w", Seq((5000000000L, 9.25)).toDF("k", "v"))
+    val cur = cat.currentSnapshot("db", "w")
+    assert(cur.schema("k").dataType == LongType && cur.schema("v").dataType == DoubleType)
+    // OLD files read through the reader upcast - no rewrite happened
+    val rows = cat.readLatest("db", "w").as[(Long, Double)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 1.5), (2L, 2.5), (5000000000L, 9.25)))
+    // SQL agg over the mixed history
+    assert(spark.sql("SELECT sum(k) AS s FROM evo.db.w").head.getLong(0) == 5000000003L)
+    // time travel serves the PRE-widening schema
+    assert(cat.snapshotAt("db", "w", 2L).schema("k").dataType == IntegerType)
+    assert(cat.readAsOf("db", "w", 2L).schema("k").dataType == IntegerType)
+    // file-skipping stats recorded under int still prune under long
+    val (kept, skipped) = cat.pruneFiles("db", "w", cur.snapshotId, col("k") > 4000000000L)
+    assert(skipped.nonEmpty, "old files must prune for an out-of-range long predicate")
+    assert(cat.readLatestWhere("db", "w", col("k") > 4000000000L).count() == 1)
+  }
+
+  test("type widening: unsafe changes refuse loudly") {
+    val cat = freshCatalog()
+    val df = Seq((1L, "a", 2.5)).toDF("k", "s", "d")
+    cat.createTable("db", "u", df.schema)
+    cat.append("db", "u", df)
+    sqlCat(cat, "evo2")
+    // two refusal layers: Spark's analyzer pre-gates plainly-invalid
+    // changes (narrowing, string/numeric crossings) with
+    // NOT_SUPPORTED_CHANGE_COLUMN before the catalog ever sees them...
+    for (stmt <- Seq(
+      "ALTER TABLE evo2.db.u ALTER COLUMN k TYPE INT",      // narrowing
+      "ALTER TABLE evo2.db.u ALTER COLUMN s TYPE BIGINT",   // crossing
+      "ALTER TABLE evo2.db.u ALTER COLUMN d TYPE FLOAT")) { // narrowing
+      val e = intercept[Exception] { spark.sql(stmt) }
+      assert(e.getMessage.contains("unsafe type change") ||
+        e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), s"$stmt -> ${e.getMessage}")
+    }
+    // ...and the catalog refuses upcasts Spark would allow but old parquet
+    // files cannot serve losslessly (long -> double drops precision)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE evo2.db.u ALTER COLUMN k TYPE DOUBLE")
+    }
+    assert(e2.getMessage.contains("unsafe type change"), e2.getMessage)
+    // the failed statements committed nothing
+    assert(cat.currentSnapshot("db", "u").operation == "append")
+  }
+
+  test("nested struct field add/drop with null-fill across history") {
+    val cat = freshCatalog()
+    val df = spark.range(3).select(col("id"),
+      struct(col("id").cast("string").as("name"), (col("id") * 2).as("score")).as("info"))
+    cat.createTable("db", "n", df.schema)
+    cat.append("db", "n", df) // snap 2
+    sqlCat(cat, "evo3")
+    spark.sql("ALTER TABLE evo3.db.n ADD COLUMN info.flag BIGINT")
+    // old files null-fill the nested field; new files carry it
+    cat.append("db", "n", spark.range(3, 5).select(col("id"),
+      struct(col("id").cast("string").as("name"), (col("id") * 2).as("score"),
+        (col("id") % 2).as("flag")).as("info")))
+    val got = spark.sql(
+      "SELECT id, info.flag AS f FROM evo3.db.n ORDER BY id")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got == Seq((0L, None), (1L, None), (2L, None), (3L, Some(1L)), (4L, Some(0L))))
+    // nested drop: the column disappears from current reads, survives in history
+    spark.sql("ALTER TABLE evo3.db.n DROP COLUMN info.score")
+    val fields = cat.currentSnapshot("db", "n").schema("info")
+      .dataType.asInstanceOf[StructType].fieldNames.toSeq
+    assert(fields == Seq("name", "flag"))
+    assert(spark.sql("SELECT sum(info.flag) AS s FROM evo3.db.n").head.getLong(0) == 1L)
+    assert(cat.readAsOf("db", "n", 2L).select("info.score").count() == 3)
+    // guards: non-struct parent, missing parent, last-field drop
+    intercept[Exception] { spark.sql("ALTER TABLE evo3.db.n ADD COLUMN id.sub INT") }
+    intercept[Exception] { spark.sql("ALTER TABLE evo3.db.n ADD COLUMN ghost.sub INT") }
+    spark.sql("ALTER TABLE evo3.db.n DROP COLUMN info.flag")
+    val e = intercept[Exception] { spark.sql("ALTER TABLE evo3.db.n DROP COLUMN info.name") }
+    assert(e.getMessage.contains("last field"))
+  }
+
+  test("partition spec evolution: new spec for new snapshots, exact mixed reads") {
+    val cat = freshCatalog()
+    val a = Seq((1L, "x", "p1"), (2L, "y", "p2"), (3L, "x", "p1")).toDF("id", "cat", "part")
+    cat.createTable("db", "p", a.schema, partitionCols = Seq("part"))
+    cat.append("db", "p", a) // snap 2: hive-laid on part=
+    cat.evolvePartitionSpec("db", "p", Seq("cat"))
+    val b = Seq((4L, "x", "p3"), (5L, "y", "p3")).toDF("id", "cat", "part")
+    cat.append("db", "p", b) // snap 3: hive-laid on cat=
+    val snap = cat.currentSnapshot("db", "p")
+    // layouts really differ on disk
+    assert(snap.files.exists(_.contains("part=")) && snap.files.exists(_.contains("cat=")))
+    // full read exact across the mixed layout
+    assert(cat.readLatest("db", "p").select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L, 5L))
+    // predicates on OLD and NEW partition columns both stay exact
+    assert(cat.readLatestWhere("db", "p", col("part") === "p1").count() == 2)
+    assert(cat.readLatestWhere("db", "p", col("cat") === "y").count() == 2)
+    // SQL across the mixed layout, filters on both layouts' keys
+    sqlCat(cat, "evo4")
+    assert(spark.sql("SELECT sum(id) AS s FROM evo4.db.p WHERE part = 'p3'")
+      .head.getLong(0) == 9L)
+    assert(spark.sql("SELECT sum(id) AS s FROM evo4.db.p WHERE cat = 'x'")
+      .head.getLong(0) == 8L)
+    // the table now reports the evolved spec
+    assert(cat.meta("db", "p").partitionCols == Seq("cat"))
+    // guards
+    intercept[IllegalArgumentException] { cat.evolvePartitionSpec("db", "p", Seq("ghost")) }
+    intercept[IllegalArgumentException] { cat.evolvePartitionSpec("db", "p", Seq("cat")) }
+  }
+}
