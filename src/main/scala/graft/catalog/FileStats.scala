@@ -31,6 +31,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object FileStats {
 
+  /** Exact row count of one parquet file from its footer — a metadata-only
+    * read (KB), no data pages touched. */
+  def rowCountFromFooter(file: org.apache.hadoop.fs.Path, conf: Configuration): Long = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally reader.close()
+  }
+
   /** The parquet schema (MessageType) of one file's footer — a metadata-
     * only read. Used by file adoption to prove a source directory is
     * schema-HOMOGENEOUS before any file moves: a merged directory read

@@ -272,7 +272,8 @@ object TableMeta {
 final class SnapshotCatalog(
     val spark: SparkSession,
     val warehouse: String,
-    clock: () => Instant = () => Instant.now()) {
+    clock: () => Instant = () => Instant.now(),
+    mutex: CommitMutex = FileLockCommitMutex) {
 
   private def whPath: Path = Paths.get(warehouse)
   private def dbPath(db: String): Path = whPath.resolve(db)
@@ -2349,58 +2350,41 @@ final class SnapshotCatalog(
 
   // ---- commit mutual exclusion ----
 
-  /** Serialize read-modify-write cycles on a table's log/meta under an OS
-    * file lock (`_snapshots/LOCK`): two concurrent appenders both reading
-    * log tail N and both renaming a log with snapshot N+1 would silently
-    * lose one commit — the rename is atomic, the cycle is not. A JVM-wide
-    * monitor per lock path backs the file lock because FileLock is held
-    * per-PROCESS (a second acquire in the same JVM throws
-    * OverlappingFileLockException instead of waiting).
-    *
-    * Scope: real mutual exclusion on one host or a POSIX-locking shared
-    * filesystem — the library's deployment shape. Iceberg's equivalent for
-    * object stores is the catalog's atomic compare-and-swap; plugging a
-    * lock service in here is a deliberate extension point, not a redesign.
-    */
+  /** Serialize read-modify-write cycles on a table's log/meta: two
+    * concurrent appenders both reading log tail N and both publishing a
+    * log with snapshot N+1 would silently lose one commit — the publish
+    * is atomic, the cycle is not. The actual exclusion mechanism is the
+    * constructor-injected [[CommitMutex]] (default: OS file lock on
+    * `_snapshots/LOCK` + JVM monitor); this method is the catalog's ONLY
+    * call site, so an object-store deployment swaps the primitive —
+    * conditional-put CAS with retry — without touching a commit path.
+    * COMMITS.md documents the protocol and the mapping. */
   private def withTableLock[T](db: String, table: String)(body: => T): T = {
     require(tableExists(db, table), s"no such table: $db.$table")
     val lockPath = tablePath(db, table).resolve("_snapshots").resolve("LOCK")
-    // normalize: "wh" and "./wh" must map to ONE monitor, or two catalog
-    // instances would bypass the JVM monitor and the second FileLock on
-    // the same file would throw OverlappingFileLockException (symlinked
-    // warehouse spellings remain the caller's responsibility)
+    // normalize: "wh" and "./wh" must map to ONE mutex key, or two catalog
+    // instances would race each other (symlinked warehouse spellings
+    // remain the caller's responsibility)
     val key = lockPath.toAbsolutePath.normalize().toString
     // reentrant per thread: a compound op (delete = prune + commit) holds
     // the lock across both, and the nested commit must not re-acquire
-    // (FileLock would throw OverlappingFileLockException)
     if (SnapshotCatalog.heldLocks.get().contains(key)) return body
-    Files.createDirectories(lockPath.getParent)
-    val monitor = SnapshotCatalog.lockMonitors.computeIfAbsent(key, _ => new Object)
-    monitor.synchronized {
-      val ch = java.nio.channels.FileChannel.open(lockPath,
-        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        // re-check under the lock: a renameTable/dropTable that held it
-        // moved/removed the table while we were blocked — fail with a
-        // clear error and sweep the skeleton the open above recreated
-        // (an empty _snapshots/ + LOCK under the stale path)
-        if (!tableExists(db, table)) {
-          lock.release()
-          try {
-            Files.deleteIfExists(lockPath)
-            Files.deleteIfExists(lockPath.getParent)        // _snapshots if empty
-            Files.deleteIfExists(lockPath.getParent.getParent) // table dir if empty
-          } catch { case _: java.io.IOException => () }
-          throw new IllegalStateException(
-            s"table $db.$table was concurrently dropped or renamed")
-        }
-        SnapshotCatalog.heldLocks.get().add(key)
-        try body finally {
-          SnapshotCatalog.heldLocks.get().remove(key)
-          lock.release()
-        }
-      } finally ch.close()
+    mutex.withLock(key, lockPath) {
+      // re-check under the lock: a renameTable/dropTable that held it
+      // moved/removed the table while we were blocked — fail with a
+      // clear error and sweep the skeleton the lock acquisition recreated
+      // (an empty _snapshots/ + LOCK under the stale path)
+      if (!tableExists(db, table)) {
+        try {
+          Files.deleteIfExists(lockPath)
+          Files.deleteIfExists(lockPath.getParent)        // _snapshots if empty
+          Files.deleteIfExists(lockPath.getParent.getParent) // table dir if empty
+        } catch { case _: java.io.IOException => () }
+        throw new IllegalStateException(
+          s"table $db.$table was concurrently dropped or renamed")
+      }
+      SnapshotCatalog.heldLocks.get().add(key)
+      try body finally SnapshotCatalog.heldLocks.get().remove(key)
     }
   }
 
@@ -2437,9 +2421,6 @@ object SnapshotCatalog {
   private final case class LegacyLog(snaps: Seq[Snapshot]) extends LogRepr
   private final case class V2Log(entries: Seq[SnapshotEntry]) extends LogRepr
 
-  /** JVM-wide per-lock-path monitors backing [[withTableLock]]. */
-  private val lockMonitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   /** Lock paths held by the current thread (reentrancy). */
   private val heldLocks: ThreadLocal[java.util.HashSet[String]] =
     ThreadLocal.withInitial(() => new java.util.HashSet[String]())

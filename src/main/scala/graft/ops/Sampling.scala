@@ -57,19 +57,26 @@ object Sampling {
     * One range-shuffle (`orderBy`: sampled range partitioner +
     * per-partition sort — every task busy, no single reducer); downstream
     * writers preserve the order within each output file. Hash ties break
-    * by the key, then by EVERY remaining column, so the order is total on
-    * any distinguishable rows even under duplicate keys (fully identical
-    * rows are interchangeable — any order of them is the same output). */
+    * by the key, then by EVERY remaining column — non-orderable columns
+    * (maps, and arrays/structs containing them) participate through their
+    * JSON rendering, which is a pure function of the stored row, so the
+    * permutation is TOTAL on all distinguishable rows, metadata maps
+    * included (fully identical rows are interchangeable — any order of
+    * them is the same output). */
   def shuffleDeterministic(df: DataFrame, key: Column, seed: Long): DataFrame = {
-    // tiebreak columns must be sort-orderable (maps are not)
     def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => false
       case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
       case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
       case _ => true
     }
-    val rest = df.schema.fields.filter(f => orderable(f.dataType))
-      .map(f => col(s"`${f.name}`").asc)
+    val rest = df.schema.fields.map { f =>
+      if (orderable(f.dataType)) col(s"`${f.name}`").asc
+      // maps have no sort order; their JSON rendering (a pure function of
+      // the stored row) does — rows differing only in a metadata map
+      // still order reproducibly
+      else to_json(col(s"`${f.name}`")).asc
+    }
     df.orderBy(
       hashPoint(concat(key.cast("string"), lit(":"), lit(seed.toString))).asc +:
         key.asc +: rest.toIndexedSeq: _*)

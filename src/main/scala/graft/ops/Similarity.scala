@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.catalog.MetadataRowCount
+
 /** Embedding similarity search (north-star surface): brute-force cosine
   * top-k as the exact baseline, and OR-amplified random-hyperplane LSH as
   * the approximate scale path.
@@ -271,12 +273,16 @@ object Similarity {
     // training sample stays ~IvfTargetSample rows without the caller tuning
     // anything (a fixed small default meant "collect a third of the corpus"
     // — an OOM waiting for any corpus past a few hundred thousand rows).
-    // One count job; the sampling stays a deterministic pure function of
-    // the corpus, so an oracle replaying training derives the same mod.
+    // The size comes from METADATA when the corpus is a catalog table or a
+    // bare parquet scan (log record_count / footer row counts — no Spark
+    // job at all); only an already-transformed corpus pays one count job.
+    // Either way the mod is the same pure function of the corpus, so an
+    // oracle replaying training derives it identically.
     val mod =
       if (sampleMod > 0) sampleMod
       else {
-        val n = corpus.select(col(corpusId)).count()
+        val n = MetadataRowCount.exact(corpus)
+          .getOrElse(corpus.select(col(corpusId)).count())
         math.max(1L, (n + IvfTargetSample - 1) / IvfTargetSample)
       }
     val cents = trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters, mod)

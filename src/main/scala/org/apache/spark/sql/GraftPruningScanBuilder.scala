@@ -178,6 +178,11 @@ private[sql] final class GraftRuntimeFilteredScan(
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   @volatile private var current: Scan = initial
+  // every translated runtime predicate seen so far: filter() may be
+  // invoked more than once (one broadcast join per filter attribute), and
+  // rebuilding from only the LATEST call would silently drop the earlier
+  // calls' pruning
+  @volatile private var accumulated: Seq[Expression] = Nil
 
   override def readSchema(): StructType = current.readSchema()
   override def description(): String = s"runtime-filterable (${initial.description()})"
@@ -201,19 +206,34 @@ private[sql] final class GraftRuntimeFilteredScan(
   override def filterAttributes(): Array[NamedReference] =
     cols.map(Expressions.column).toArray
 
-  override def filter(predicates: Array[Predicate]): Unit = {
+  override def filter(predicates: Array[Predicate]): Unit = synchronized {
     val exprs = predicates.toSeq.flatMap(toCatalyst)
-    if (exprs.nonEmpty) current = builder.buildWith(exprs)
+    if (exprs.nonEmpty) {
+      // rebuild with the UNION of every call's predicates, so a second
+      // filter() (another joined dimension) narrows further instead of
+      // discarding the first call's pruning
+      accumulated = accumulated ++ exprs
+      current = builder.buildWith(accumulated)
+    }
   }
 
-  // stable across the pre-/post-filter boundary; both members read
-  // `current` at call time so partitions and reader factory always come
-  // from the same underlying scan state
+  // stable across the pre-/post-filter boundary; the scan captured at
+  // partition-planning time also serves the reader factory, so the two
+  // always come from the SAME underlying scan state even if a late
+  // filter() lands between the calls (results were correct either way —
+  // the join re-evaluates — but a mismatched pair could silently regress
+  // pruning)
   private val stableBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      current.toBatch.planInputPartitions()
-    override def createReaderFactory(): PartitionReaderFactory =
-      current.toBatch.createReaderFactory()
+    @volatile private var planned: Scan = _
+    override def planInputPartitions(): Array[InputPartition] = {
+      val c = current
+      planned = c
+      c.toBatch.planInputPartitions()
+    }
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val c = planned
+      (if (c != null) c else current).toBatch.createReaderFactory()
+    }
   }
   override def toBatch: Batch = stableBatch
 

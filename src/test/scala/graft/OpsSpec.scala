@@ -531,4 +531,28 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("MetadataRowCount: footer/log-served counts, transformed frames decline") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // a bare parquet scan (and any cardinality-preserving projection of
+    // it) answers from footers - this is what lets ivfTopK's derived
+    // sample rate skip its count job
+    val n = graft.catalog.MetadataRowCount.exact(df)
+    assert(n.contains(df.count()))
+    assert(graft.catalog.MetadataRowCount.exact(df.select("vec_id")) == n)
+    // cardinality-changing plans must decline (a wrong count here would
+    // silently mistrain the IVF quantizer)
+    assert(graft.catalog.MetadataRowCount.exact(
+      df.where(col("vec_id") > 10)).isEmpty)
+    assert(graft.catalog.MetadataRowCount.exact(df.limit(3)).isEmpty)
+    // a snapcat table answers O(1) from the snapshot log
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrc_").toString
+    val cat = new graft.catalog.SnapshotCatalog(spark, dir)
+    val small = df.limit(7)
+    cat.createTable("db", "e", small.schema)
+    cat.append("db", "e", small)
+    spark.conf.set("spark.sql.catalog.mrccat", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.mrccat.warehouse", dir)
+    assert(graft.catalog.MetadataRowCount.exact(spark.table("mrccat.db.e")).contains(7L))
+  }
 }
