@@ -790,13 +790,17 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       // pay for their file lists)
       val between = cat.entryLog(db, table)
         .filter(sn => sn.snapshotId > s && sn.snapshotId <= e)
-      // publish/discard are WAP pointer commits: relative to the PUBLISHED
-      // lineage offsets walk, their effect is append-or-nothing, and the
-      // endpoint file diff below yields exactly the visible-added files
-      // (publish surfaces the staged append's files; discard surfaces
-      // none). True rewrites stay rejected.
+      // publish/discard/fastforward are pointer commits: relative to the
+      // PUBLISHED lineage offsets walk, their effect is append-or-nothing
+      // (publish surfaces the staged append's files, fastForward the
+      // branch's appended files — its ancestor requirement guarantees the
+      // published head never rewrote in between — and discard surfaces
+      // none), so the endpoint file diff below yields exactly the
+      // visible-added files. True rewrites (and MoR deletes, which
+      // retract visibility) stay rejected.
       val nonAppend = between.filterNot(sn =>
-        sn.operation == "append" || sn.operation == "publish" || sn.operation == "discard")
+        sn.operation == "append" || sn.operation == "publish" ||
+          sn.operation == "discard" || sn.operation == "fastforward")
       require(nonAppend.isEmpty,
         s"streaming read of $db.$table hit non-append operations " +
           nonAppend.map(sn => s"${sn.operation}@${sn.snapshotId}").mkString(", ") +

@@ -147,6 +147,35 @@ class BranchSpec extends AnyFunSuite {
     assert(parents(3L).contains(2L))
   }
 
+  test("streams: branch rows reach a snapcat tail only at fastForward") {
+    val cat = freshCatalog()
+    spark.conf.set("spark.sql.catalog.brstream", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.brstream.warehouse", cat.warehouse)
+    val seed = Seq((1L, "a")).toDF("id", "name")
+    cat.createTable("db", "bs", seed.schema)
+    cat.append("db", "bs", seed)
+    val q = spark.readStream.option("starting-snapshot-id", "1").table("brstream.db.bs")
+      .writeStream.format("memory").queryName("br_tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("br_tail").count() == 1)
+      cat.createBranch("db", "bs", "audit")
+      cat.appendBranch("db", "bs", "audit", Seq((2L, "b")).toDF("id", "name"))
+      q.processAllAvailable()
+      // branch commits must NOT leak into the published tail
+      assert(spark.table("br_tail").count() == 1)
+      cat.fastForward("db", "bs", "audit")
+      q.processAllAvailable()
+      // fastForward is append-exact relative to the published lineage:
+      // exactly the branch's rows arrive, and the stream keeps working
+      assert(spark.table("br_tail").as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b")))
+      cat.append("db", "bs", Seq((3L, "c")).toDF("id", "name"))
+      q.processAllAvailable()
+      assert(spark.table("br_tail").count() == 3)
+    } finally q.stop()
+  }
+
   test("branch of a MoR-deleted table carries the delete set; fastForward preserves it") {
     val cat = freshCatalog()
     val df = spark.range(10).select(col("id"), (col("id") * 2).as("v"))
