@@ -989,6 +989,18 @@ object SparkEntry {
         .orderBy("st")
     }),
 
+    // MERGE-ON-READ update: open-P orders repriced by position-delete +
+    // re-insert in ONE commit — no candidate data file rewritten (shape
+    // asserted in MorDeleteSpec); the read merges positions and the
+    // appended copies.
+    "q91_mor_update" -> ((s, dir) => {
+      WarehouseFixture.forDir(s, dir).src.readLatest("maint", "orders_morup")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // copy-on-write MERGE/upsert: matched keys replaced (F orders at
     // doubled totals), unmatched source keys inserted (P orders shifted to
     // new key space) — `MERGE .. WHEN MATCHED UPDATE SET * WHEN NOT MATCHED
@@ -1834,6 +1846,15 @@ object SparkEntry {
         |SELECT st, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(k) AS BIGINT) AS key_sum, CAST(sum(disc) AS BIGINT) AS disc_sum
         |FROM nested GROUP BY st ORDER BY st""".stripMargin,
+
+    // the MoR update restated relationally: P orders at doubled totals
+    "q91_mor_update" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(floor((CASE WHEN o_orderstatus = 'P'
+        |    THEN o_totalprice * 2 ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // merged visibility after the two stacked position-delete commits
     "q88_mor_delete" ->

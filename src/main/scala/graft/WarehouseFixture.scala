@@ -177,6 +177,14 @@ object WarehouseFixture {
       struct(col("o_orderstatus").as("st"), col("o_totalprice").as("tp"),
         (col("o_orderkey") % 7).as("disc")).as("info")).repartition(2))
 
+    // - orders_morup: MERGE-ON-READ update — matched rows die as
+    //   positions, updated copies append; one commit, no candidate
+    //   rewrite (q91)
+    src.createTable("maint", "orders_morup", orders.schema)
+    src.append("maint", "orders_morup", orders.repartition(2))
+    src.updateMoR("maint", "orders_morup", col("o_orderstatus") === "P",
+      Map("o_totalprice" -> (col("o_totalprice") * 2)))
+
     src.createTable("maint", "orders_up", orders.schema)
     src.append("maint", "orders_up", orders.repartition(2))
     val upSource = orders.where(col("o_orderstatus") === "F")

@@ -1469,40 +1469,10 @@ final class SnapshotCatalog(
     // exactly like the CoW path — a selective delete scans the candidates,
     // not the lake (and files it provably cannot touch are never read)
     val (cands, _) = pruneFiles(db, table, prev.snapshotId, cond)
-    val delDirRel = s"deletes/s$newId"
-    val delDir = tablePath(db, table).resolve("deletes").resolve(s"s$newId")
-    readVisibleWithPos(db, table, prev, cands)
-      .where(coalesce(cond, lit(false)))
-      .select(col(MorFileCol).as("_file"), col(MorPosCol).as("_pos"))
-      // narrow write: filter+project of the scan, no shuffle; within-task
-      // sort gives the positions run-length-friendly parquet layout
-      .sortWithinPartitions("_file", "_pos")
-      .write.mode("overwrite").parquet(delDir.toString)
-    // exact per-(delete file, data file) position counts, read back from
-    // the just-written set itself — MB at most (the delete set is the
-    // operation's OUTPUT, already paid for); this is what keeps
-    // record_count and every later carry computation metadata-exact
-    val written = listParquetFiles(delDir)
-    val relOf = written.map(p => p.getFileName.toString ->
-      (delDirRel + "/" + delDir.relativize(p).toString.replace('\\', '/'))).toMap
-    val counts =
-      if (written.isEmpty) Array.empty[Row]
-      else spark.read.schema(deleteFileSchema).parquet(delDir.toString)
-        .groupBy(col("_metadata.file_path").as("__dpath"), col("_file"))
-        .count().collect()
-    val fileEntries = counts.groupBy(_.getString(0)).toSeq.map { case (dpath, rs) =>
-      val name = dpath.substring(dpath.lastIndexOf('/') + 1)
-      DeleteFile(relOf(name), rs.map(r => r.getString(1) -> r.getLong(2)).toMap)
-    }.sortBy(_.path)
+    val fileEntries = writePositionDeletes(db, table, newId,
+      readVisibleWithPos(db, table, prev, cands)
+        .where(coalesce(cond, lit(false))))
     val deleted = fileEntries.map(_.rows).sum
-    if (fileEntries.isEmpty) deleteRecursively(delDir)
-    else {
-      // empty part files (tasks that matched nothing) hold no positions —
-      // sweep them rather than carrying pointerless entries forever
-      val live = fileEntries.map(_.path).toSet
-      written.filterNot(p => live(relOf(p.getFileName.toString))).foreach(Files.delete)
-      writeDeleteShard(db, table, deleteShardName(newId), fileEntries)
-    }
     val shards =
       if (fileEntries.isEmpty) prevEntry.deletes
       else prevEntry.deletes :+ deleteShardName(newId)
@@ -1522,6 +1492,141 @@ final class SnapshotCatalog(
       prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles ++ fileEntries)
     // pure pointer commit on the data side: every manifest shard reuses
     commitSnapshot(db, table, entries, snap, prevEntry.manifests, Manifest.empty, shards)
+  }
+
+  /** Write the position-delete files for one MoR commit: `matched` must be
+    * a position-tagged frame (carries [[MorFileCol]]/[[MorPosCol]]) of the
+    * rows to kill. Writes `deletes/s<newId>/`, reads EXACT per-(delete
+    * file, data file) position counts back from the just-written set (MB
+    * at most — the delete set is the operation's output, already paid
+    * for; exact coverage is what keeps record_count and every later carry
+    * computation metadata-only), sweeps empty part files, and persists the
+    * `d<newId>.json` shard. Returns the shard's entries (empty = nothing
+    * matched; the dir is removed and no shard is written). */
+  private def writePositionDeletes(db: String, table: String, newId: Long,
+      matched: DataFrame): Seq[DeleteFile] = {
+    val delDirRel = s"deletes/s$newId"
+    val delDir = tablePath(db, table).resolve("deletes").resolve(s"s$newId")
+    matched
+      .select(col(MorFileCol).as("_file"), col(MorPosCol).as("_pos"))
+      // narrow write: filter+project of the scan, no shuffle; within-task
+      // sort gives the positions run-length-friendly parquet layout
+      .sortWithinPartitions("_file", "_pos")
+      .write.mode("overwrite").parquet(delDir.toString)
+    val written = listParquetFiles(delDir)
+    val relOf = written.map(p => p.getFileName.toString ->
+      (delDirRel + "/" + delDir.relativize(p).toString.replace('\\', '/'))).toMap
+    val counts =
+      if (written.isEmpty) Array.empty[Row]
+      else spark.read.schema(deleteFileSchema).parquet(delDir.toString)
+        .groupBy(col("_metadata.file_path").as("__dpath"), col("_file"))
+        .count().collect()
+    val fileEntries = counts.groupBy(_.getString(0)).toSeq.map { case (dpath, rs) =>
+      val name = dpath.substring(dpath.lastIndexOf('/') + 1)
+      DeleteFile(relOf(name), rs.map(r => r.getString(1) -> r.getLong(2)).toMap)
+    }.sortBy(_.path)
+    if (fileEntries.isEmpty) deleteRecursively(delDir)
+    else {
+      // empty part files (tasks that matched nothing) hold no positions —
+      // sweep them rather than carrying pointerless entries forever
+      val live = fileEntries.map(_.path).toSet
+      written.filterNot(p => live(relOf(p.getFileName.toString))).foreach(Files.delete)
+      writeDeleteShard(db, table, deleteShardName(newId), fileEntries)
+    }
+    fileEntries
+  }
+
+  /** MERGE-ON-READ UPDATE: matched rows die as POSITIONS and their updated
+    * copies append as new data files — ONE snapshot carrying both a delete
+    * shard and a delta manifest (Iceberg v2 MoR update semantics:
+    * update = position delete + re-insert). Write amplification is
+    * O(matched rows), not O(files containing a match): a single-row column
+    * fix on a 100-TB table commits one tiny delete file and one tiny data
+    * file where the CoW [[update]] rewrites every candidate file.
+    *
+    * Semantics match [[update]]: `SET col = expr` for rows where `cond` is
+    * TRUE (FALSE/NULL rows untouched); assignments cast to the declared
+    * column type; unknown columns rejected before any data moves.
+    * `record_count` is unchanged by construction (every killed position
+    * re-inserts exactly once) and stays metadata-exact; summary min/max
+    * drop when rows moved (an updated value may exceed the old bounds and
+    * the dead originals may have held them) — compact() restores both the
+    * bounds and the clustering. Bucketed tables refuse (their layout
+    * derives from row values; use the CoW path, which re-lays). The
+    * candidate scan applies EXISTING deletes first, so chained MoR
+    * operations never resurrect or double-kill. Library-only: SQL UPDATE
+    * keeps the group-based CoW plan (and refuses over live deletes). */
+  def updateMoR(db: String, table: String, cond: Column,
+      set: Map[String, Column]): Snapshot = withTableLock(db, table) {
+    val entries = entriesForWrite(db, table)
+    requireNoPendingStage(db, table, entries)
+    val prevEntry = publishedEntry(entries)
+    val prev = materialize(db, table, prevEntry)
+    val newId = entries.last.snapshotId + 1
+    val tm = meta(db, table)
+    require(tm.bucketSpec.isEmpty,
+      s"updateMoR on bucketed table $db.$table is unsupported (the bucket " +
+        "layout derives from row values); use update() — it re-lays buckets")
+    val schema = prev.schema
+    val unknown = set.keys.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"UPDATE of unknown columns: ${unknown.mkString(",")}")
+    val (cands, _) = pruneFiles(db, table, prev.snapshotId, cond)
+    val matched = readVisibleWithPos(db, table, prev, cands)
+      .where(coalesce(cond, lit(false)))
+    // pass 1: the matched rows' positions become a delete shard
+    val fileEntries = writePositionDeletes(db, table, newId, matched)
+    val deleted = fileEntries.map(_.rows).sum
+    if (fileEntries.isEmpty) {
+      // nothing matched: pointer-only commit, mirror of a no-match delete
+      val snap = Snapshot(newId, clock().toString, "update",
+        prev.summary ++ Map(
+          "record_count" -> prev.recordCount.toString,
+          "added_records" -> "0", "added_files" -> "0",
+          "deleted_records" -> "0",
+          "total_files" -> prev.files.size.toString),
+        prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles)
+      return commitSnapshot(db, table, entries, snap, prevEntry.manifests,
+        Manifest.empty, prevEntry.deletes)
+    }
+    // pass 2: the updated copies append as new data files (partition
+    // layout honored; declared sort order intentionally skipped — like the
+    // SQL rewrites, compact() is the re-cluster action)
+    val snapDirRel = s"data/s$newId"
+    val snapDir = tablePath(db, table).resolve("data").resolve(s"s$newId")
+    val updated = matched.select(schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(v) => v.cast(f.dataType).as(f.name)
+        case None    => col(s"`${f.name}`")
+      }
+    }.toIndexedSeq: _*)
+    val writer = updated.write.mode("overwrite")
+    (if (tm.partitionCols.nonEmpty) writer.partitionBy(tm.partitionCols: _*) else writer)
+      .parquet(snapDir.toString)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = tablePath(db, table)
+    val newFiles = listParquetFiles(snapDir).map(p =>
+      snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/'))
+    val newFileStats = newFiles.map(f =>
+      f -> FileStats.fromFooter(root.resolve(f), schema, conf)).toMap
+    val added = newFiles.map(f => newFileStats(f).get("rows").map(_.toLong))
+    // every killed position re-inserts exactly once — assert the invariant
+    // from the two writes' own footers rather than assuming it
+    require(added.forall(_.isDefined) && added.flatten.sum == deleted,
+      s"updateMoR invariant violated on $db.$table: $deleted positions " +
+        s"deleted but ${added.flatten.sum} rows re-inserted")
+    val snap = Snapshot(newId, clock().toString, "update",
+      prev.summary.view.filterKeys(k =>
+        !k.startsWith("min.") && !k.startsWith("max.")).toMap ++ Map(
+        "record_count" -> prev.recordCount.toString,
+        "added_records" -> deleted.toString,
+        "added_files" -> newFiles.size.toString,
+        "deleted_records" -> deleted.toString,
+        "total_files" -> (prev.files.size + newFiles.size).toString,
+        "delete_files" -> (prev.deleteFiles.size + fileEntries.size).toString),
+      prev.schemaDdl, prev.files ++ newFiles, prev.fileStats ++ newFileStats,
+      prev.deleteFiles ++ fileEntries)
+    commitSnapshot(db, table, entries, snap, prevEntry.manifests,
+      Manifest(newFiles, newFileStats), prevEntry.deletes :+ deleteShardName(newId))
   }
 
   /** Copy-on-write UPDATE: `SET col = expr` for rows matching `cond`,

@@ -235,6 +235,69 @@ class MorDeleteSpec extends AnyFunSuite {
       "SELECT count(*) AS c FROM morsql.db.nation WHERE n_name = 'X'").head.getLong(0) == 1)
   }
 
+  test("updateMoR: position-delete + re-insert in one commit, no candidate rewrite") {
+    val cat = freshCatalog()
+    withNation(cat)
+    val before = cat.currentSnapshot("db", "nation")
+    val snap = cat.updateMoR("db", "nation", col("n_nationkey") < 3,
+      Map("n_name" -> lit("REDACTED"), "n_regionkey" -> lit(null)))
+    // commit shape: ALL previous data files still present (none rewritten),
+    // plus a small delta of re-inserted copies, plus a delete shard
+    assert(before.files.forall(snap.files.contains))
+    val delta = snap.files.filterNot(before.files.toSet)
+    assert(delta.nonEmpty && snap.deleteFiles.map(_.rows).sum == 3)
+    assert(snap.summary("record_count") == "25", "update keeps the row count")
+    assert(snap.summary("deleted_records") == "3" && snap.summary("added_records") == "3")
+    // reads: exactly one copy per key, updated where matched
+    val rows = cat.readLatest("db", "nation")
+      .select("n_nationkey", "n_name").as[(Int, String)].collect()
+    assert(rows.length == 25)
+    assert(rows.filter(_._1 < 3).forall(_._2 == "REDACTED"))
+    assert(rows.count(_._2 == "REDACTED") == 3)
+    // time travel: pre-update snapshot untouched
+    assert(cat.readAsOf("db", "nation", before.snapshotId)
+      .where(col("n_name") === "REDACTED").count() == 0)
+    // changelog: 3 deletes (old values) + 3 inserts (new values)
+    val ch = cat.readChangelog("db", "nation", before.snapshotId, snap.snapshotId)
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    assert(ch == Map("delete" -> 3L, "insert" -> 3L))
+    // chained MoR ops stay exact: delete one of the updated rows
+    val d = cat.deleteMoR("db", "nation", col("n_nationkey") === 1)
+    assert(d.summary("deleted_records") == "1" && d.summary("record_count") == "24")
+    assert(cat.readLatest("db", "nation").where(col("n_nationkey") === 1).count() == 0)
+    // compact folds everything back to plain files
+    val c = cat.compact("db", "nation", 1)
+    assert(c.deleteFiles.isEmpty && c.summary("record_count") == "24")
+    // no-match update is a pointer-only commit
+    val noop = cat.updateMoR("db", "nation", col("n_nationkey") > 999,
+      Map("n_name" -> lit("X")))
+    assert(noop.summary("deleted_records") == "0" && noop.files == c.files)
+    // guards: unknown column, partitioned tables work, bucketed refuse
+    intercept[IllegalArgumentException] {
+      cat.updateMoR("db", "nation", lit(true), Map("ghost" -> lit(1)))
+    }
+  }
+
+  test("updateMoR on a partitioned table moves rows across partitions") {
+    val cat = freshCatalog()
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    cat.createTable("db", "op", orders.schema, partitionCols = Seq("o_orderstatus"))
+    cat.append("db", "op", orders)
+    val total = orders.count()
+    val pCount = orders.where(col("o_orderstatus") === "P").count()
+    // reclassify P -> F: positions die in P dirs, copies land in F dirs
+    val snap = cat.updateMoR("db", "op", col("o_orderstatus") === "P",
+      Map("o_orderstatus" -> lit("F")))
+    assert(snap.summary("deleted_records").toLong == pCount)
+    assert(snap.summary("record_count").toLong == total)
+    assert(cat.readLatest("db", "op").where(col("o_orderstatus") === "P").count() == 0)
+    assert(cat.readLatest("db", "op").where(col("o_orderstatus") === "F").count() ==
+      orders.where(col("o_orderstatus").isin("F", "P")).count())
+    assert(snap.files.exists(f => f.contains("o_orderstatus=F") &&
+      f.startsWith(s"data/s${snap.snapshotId}/")), "copies land hive-laid under the new value")
+  }
+
   test("readIncremental refuses ranges containing a MoR delete") {
     val cat = freshCatalog()
     withNation(cat)
