@@ -190,6 +190,48 @@ object SnapCli {
       val snap = new SnapshotCatalog(spark, wh).discardStaged(db, table, id.toLong)
       println(s"discarded staged ${snap.summary("wap.discarded")} of $db.$table; " +
         s"current snapshot=${snap.snapshotId} records=${snap.recordCount}")
+    case "delete-mor" =>
+      // merge-on-read DELETE: positions committed, no data file rewritten
+      // SnapCli delete-mor <wh> <db> <t> "<sql condition>"
+      val Array(wh, db, table, cond) = a.take(4)
+      val snap = new SnapshotCatalog(spark, wh)
+        .deleteMoR(db, table, org.apache.spark.sql.functions.expr(cond))
+      println(s"delete-mor $db.$table snapshot=${snap.snapshotId} " +
+        s"deleted=${snap.summary("deleted_records")} records=${snap.recordCount} " +
+        s"delete_files=${snap.deleteFiles.size}")
+    case "branch" =>
+      // SnapCli branch <wh> <db> <t> <name> [fromSnapshotId]
+      val Array(wh, db, table, name) = a.take(4)
+      val cat = new SnapshotCatalog(spark, wh)
+      cat.createBranch(db, table, name,
+        if (a.length > 4) Some(a(4).toLong) else None)
+      println(s"branch '$name' of $db.$table at snapshot " +
+        cat.resolveBranch(db, table, name).get)
+    case "branch-append" =>
+      // SnapCli branch-append <wh> <db> <t> <name> <parquetPath>
+      val Array(wh, db, table, name, path) = a.take(5)
+      val snap = new SnapshotCatalog(spark, wh)
+        .appendBranch(db, table, name, spark.read.parquet(path))
+      println(s"branch-append '$name' of $db.$table snapshot=${snap.snapshotId} " +
+        s"records=${snap.recordCount} (published state unchanged)")
+    case "branches" =>
+      val Array(wh, db, table) = a.take(3)
+      new SnapshotCatalog(spark, wh).meta(db, table).branches.toSeq.sortBy(_._1)
+        .foreach { case (n, id) => println(s"$n\t$id") }
+    case "fastforward" =>
+      // SnapCli fastforward <wh> <db> <t> <branch>
+      val Array(wh, db, table, name) = a.take(4)
+      val snap = new SnapshotCatalog(spark, wh).fastForward(db, table, name)
+      println(s"fastforward $db.$table to branch '$name': snapshot=" +
+        s"${snap.snapshotId} records=${snap.recordCount}")
+    case "evolve-partition" =>
+      // SnapCli evolve-partition <wh> <db> <t> <col1,col2|-> ('-' = unpartition)
+      val Array(wh, db, table, cols) = a.take(4)
+      val spec = if (cols == "-") Seq.empty[String]
+        else cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      new SnapshotCatalog(spark, wh).evolvePartitionSpec(db, table, spec)
+      println(s"evolve-partition $db.$table -> (${spec.mkString(",")}) " +
+        "(new snapshots only; existing layout kept)")
     case "stream-ingest" =>
       // native streaming sink drive: tail a parquet DIRECTORY as a stream
       // and land each micro-batch as one epoch-tagged snapshot via
@@ -236,6 +278,12 @@ object SnapCli {
       |  stage     <warehouse> <db> <table> <parquetPath>   (write-audit-publish)
       |  publish   <warehouse> <db> <table> <stagedId>
       |  discard   <warehouse> <db> <table> <stagedId>
+      |  delete-mor <warehouse> <db> <table> "<sql condition>"  (merge-on-read positions)
+      |  branch        <warehouse> <db> <table> <name> [fromId]
+      |  branch-append <warehouse> <db> <table> <name> <parquetPath>
+      |  branches      <warehouse> <db> <table>
+      |  fastforward   <warehouse> <db> <table> <branch>
+      |  evolve-partition <warehouse> <db> <table> <col1,col2|->
       |  stream-ingest <warehouse> <db> <table> <parquetDir>  (native writeStream.toTable)
       |  sql       <warehouse> "<query using snapcat.db.table>"  (incl. DELETE/UPDATE/MERGE)""".stripMargin
 }
