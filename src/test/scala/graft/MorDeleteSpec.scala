@@ -298,6 +298,46 @@ class MorDeleteSpec extends AnyFunSuite {
       f.startsWith(s"data/s${snap.snapshotId}/")), "copies land hive-laid under the new value")
   }
 
+  test("merged SQL plan shape: pushdown reaches the parquet scans, delete set broadcasts") {
+    val cat = freshCatalog()
+    withNation(cat)
+    cat.deleteMoR("db", "nation", col("n_nationkey") < 5)
+    spark.conf.set("spark.sql.catalog.morplan", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.morplan.warehouse", cat.warehouse)
+    val df = spark.sql("SELECT n_name FROM morplan.db.nation WHERE n_nationkey >= 10")
+    val phys = df.queryExecution.executedPlan.toString
+    // the user predicate must reach the file scan as a pushed filter (the
+    // relation swap happens at ANALYSIS time precisely so the optimizer
+    // can still push through the anti-join's left side)
+    assert(phys.contains("GreaterThanOrEqual(n_nationkey,10)"),
+      s"predicate not pushed:\n$phys")
+    // the delete set joins as a BROADCAST anti join - the table side never
+    // shuffles for the merge
+    assert(phys.contains("BroadcastHashJoin") && phys.contains("LeftAnti"),
+      s"no broadcast anti join:\n$phys")
+    assert(df.count() == 15)
+    // clean scan shortcut: after compact there is no join at all
+    cat.compact("db", "nation", 1)
+    val phys2 = spark.sql("SELECT n_name FROM morplan.db.nation WHERE n_nationkey >= 10")
+      .queryExecution.executedPlan.toString
+    assert(!phys2.contains("LeftAnti"), s"compacted table still pays the merge:\n$phys2")
+  }
+
+  test("bucketed table: library MoR delete merges across __bucket dirs") {
+    val cat = freshCatalog()
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    cat.createBucketedTable("db", "ob", orders.schema, bucketCol = "o_custkey", nBuckets = 4)
+    cat.appendBucketed("db", "ob", orders)
+    val total = orders.count()
+    val dead = orders.where(col("o_orderkey") % 3 === 0).count()
+    val snap = cat.deleteMoR("db", "ob", col("o_orderkey") % 3 === 0)
+    assert(snap.files == cat.snapshotAt("db", "ob", snap.snapshotId - 1).files)
+    assert(snap.summary("record_count").toLong == total - dead)
+    assert(cat.readLatest("db", "ob").count() == total - dead)
+    assert(cat.readLatest("db", "ob").where(col("o_orderkey") % 3 === 0).count() == 0)
+  }
+
   test("readIncremental refuses ranges containing a MoR delete") {
     val cat = freshCatalog()
     withNation(cat)
