@@ -1014,6 +1014,19 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // MERGE-ON-READ upsert: q52's merge shape committed as positions +
+    // delta (O(matched + source), the CoW path's full-table rewrite
+    // avoided — the steady-state CDC ingest at 100 TB). Same oracle
+    // restatement as q52.
+    "q92_mor_merge" -> ((s, dir) => {
+      WarehouseFixture.forDir(s, dir).src.readLatest("maint", "orders_upmor")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("o_totalprice"))).as("total_cents"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderstatus")
+    }),
+
     // incremental (changes-between-snapshots) read: METADATA-resolved file
     // diff of two log entries — the CDC consumer pays for the added rows
     // only, never a table scan. Snapshot 2 -> 3 of orders_small added one
@@ -1866,6 +1879,23 @@ object SparkEntry {
     // the post-merge state, stated relationally: unmatched target rows
     // as-is, matched keys at doubled totals, new keys inserted
     "q52_merge_upsert" ->
+      """WITH merged AS (
+        |  SELECT * FROM orders WHERE o_orderstatus NOT IN ('F', 'P')
+        |  UNION ALL
+        |  SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderstatus = 'P'
+        |  UNION ALL
+        |  SELECT * REPLACE (o_orderkey + 4000000000 AS o_orderkey)
+        |  FROM orders WHERE o_orderstatus = 'P')
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // identical post-merge state, reached merge-on-read
+    "q92_mor_merge" ->
       """WITH merged AS (
         |  SELECT * FROM orders WHERE o_orderstatus NOT IN ('F', 'P')
         |  UNION ALL

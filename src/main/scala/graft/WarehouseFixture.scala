@@ -193,6 +193,13 @@ object WarehouseFixture {
         .withColumn("o_orderkey", col("o_orderkey") + 4000000000L))
     src.upsert("maint", "orders_up", upSource, keys = Seq("o_orderkey"))
 
+    // - orders_upmor: the SAME merge shape committed MERGE-ON-READ —
+    //   matched keys die as positions, the source appends as the delta;
+    //   no target file rewritten (q92 restates it with q52's oracle)
+    src.createTable("maint", "orders_upmor", orders.schema)
+    src.append("maint", "orders_upmor", orders.repartition(2))
+    src.upsertMoR("maint", "orders_upmor", upSource, keys = Seq("o_orderkey"))
+
     // - orders_bykey: range-partitioned files (disjoint o_orderkey ranges)
     //   so per-file footer stats can prove whole files unmatchable — the
     //   data-skipping demonstration table (q55)

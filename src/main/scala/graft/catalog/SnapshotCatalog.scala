@@ -1652,6 +1652,122 @@ final class SnapshotCatalog(
       carryFiles = untouched, carryStats = snap.fileStats)
   }
 
+  /** MERGE-ON-READ MERGE/upsert: source rows REPLACE target rows sharing
+    * their key and new-key rows insert — same semantics as [[upsert]],
+    * committed as ONE snapshot of (position-delete shard for the matched
+    * target rows) + (delta manifest holding exactly the source rows).
+    * Cost is O(matched + source): the copy-on-write [[upsert]] rewrites
+    * the WHOLE table (its anti-join output is a full-state commit), which
+    * at 100 TB makes a 100-row CDC upsert cost the lake — this is the
+    * steady-state keyed-ingest path.
+    *
+    * The matched-position scan is scoped two ways: footer-stat pruning on
+    * the SOURCE key range for a single-column key (one tiny agg over the
+    * source — files whose [min,max] cannot contain any source key are
+    * never read), then a semi-join against the distinct source keys (AQE
+    * broadcasts the small side). Existing deletes apply first, so chained
+    * MoR operations never double-kill. Source must carry exactly the
+    * table's columns (same gate as [[upsert]]); bucketed tables refuse
+    * (layout derives from row values — the CoW path re-lays). */
+  def upsertMoR(db: String, table: String, source: DataFrame,
+      keys: Seq[String]): Snapshot = withTableLock(db, table) {
+    val entries = entriesForWrite(db, table)
+    requireNoPendingStage(db, table, entries)
+    val prevEntry = publishedEntry(entries)
+    val prev = materialize(db, table, prevEntry)
+    val newId = entries.last.snapshotId + 1
+    val tm = meta(db, table)
+    require(tm.bucketSpec.isEmpty,
+      s"upsertMoR on bucketed table $db.$table is unsupported (the bucket " +
+        "layout derives from row values); use upsert()")
+    val schema = prev.schema
+    val cols = schema.fieldNames.toSeq
+    require(source.schema.fieldNames.sorted.sameElements(cols.sorted),
+      s"upsert source columns ${source.schema.fieldNames.mkString(",")} " +
+        s"!= table columns ${cols.mkString(",")}")
+    val retyped = schema.fields.filterNot(f =>
+      source.schema(f.name).dataType.sql == f.dataType.sql)
+    require(retyped.isEmpty,
+      s"upsert type mismatch for $db.$table: " + retyped.map(f =>
+        s"${f.name}: table=${f.dataType.sql} source=${source.schema(f.name).dataType.sql}")
+        .mkString(", "))
+    val badKeys = keys.filterNot(cols.contains)
+    require(badKeys.isEmpty, s"upsert keys not in table: ${badKeys.mkString(",")}")
+    // candidate scope: for a single statable key, the source's [min,max]
+    // (one tiny agg) bounds which target files can possibly match
+    val cands = keys match {
+      case Seq(k) if ColumnStats.statable(schema(k).dataType) =>
+        val mm = source.agg(min(col(s"`$k`")).as("mn"), max(col(s"`$k`")).as("mx")).head()
+        if (mm.isNullAt(0)) Seq.empty // empty/all-null source matches nothing
+        else pruneFiles(db, table, prev.snapshotId,
+          col(s"`$k`") >= lit(mm.get(0)) && col(s"`$k`") <= lit(mm.get(1)))._1
+      case _ => prev.files
+    }
+    // pass 1: positions of target rows whose key appears in the source
+    val srcKeys = source.select(keys.map(k => col(s"`$k`")): _*).dropDuplicates()
+    val matched = readVisibleWithPos(db, table, prev, cands)
+      .join(srcKeys, keys, "left_semi")
+    val fileEntries = writePositionDeletes(db, table, newId, matched)
+    val deleted = fileEntries.map(_.rows).sum
+    // pass 2: ALL source rows append as the delta (replacements + inserts)
+    val snapDirRel = s"data/s$newId"
+    val snapDir = tablePath(db, table).resolve("data").resolve(s"s$newId")
+    val writer = source.select(cols.map(c => col(s"`$c`")): _*)
+      .write.mode("overwrite")
+    (if (tm.partitionCols.nonEmpty) writer.partitionBy(tm.partitionCols: _*) else writer)
+      .parquet(snapDir.toString)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = tablePath(db, table)
+    val newFiles = listParquetFiles(snapDir).map(p =>
+      snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/'))
+    val newFileStats = newFiles.map(f =>
+      f -> FileStats.fromFooter(root.resolve(f), schema, conf)).toMap
+    val addedRows = newFiles.map(f => newFileStats(f).get("rows").map(_.toLong))
+    val added = if (addedRows.forall(_.isDefined)) addedRows.flatten.sum else -1L
+    val prevRows = prev.recordCount
+    val total = if (prevRows >= 0 && added >= 0) prevRows - deleted + added else -1L
+    val shards =
+      if (fileEntries.isEmpty) prevEntry.deletes
+      else prevEntry.deletes :+ deleteShardName(newId)
+    // bounds: dead rows may have HELD an extremum (drop everything when
+    // deleted > 0); inserted rows may EXTEND one (fold prev bounds with
+    // the new files' footer bounds — a bound survives only when both
+    // sides have one). compact() recomputes exactly either way.
+    val nonBounds = prev.summary.view.filterKeys(k =>
+      !k.startsWith("min.") && !k.startsWith("max.")).toMap
+    val foldedSummary =
+      if (deleted > 0) nonBounds
+      else {
+        val newBounds = ColumnStats.mergeWithFileBounds(
+          Map.empty, newFiles, newFileStats, schema)
+        nonBounds ++ schema.fields.filter(f => ColumnStats.statable(f.dataType))
+          .flatMap { f =>
+            Seq((s"min.${f.name}", true), (s"max.${f.name}", false)).flatMap {
+              case (k, isMin) =>
+                (prev.summary.get(k), newBounds.get(k)) match {
+                  case (Some(p), Some(n)) =>
+                    val takeP = if (isMin) !ColumnStats.gt(f.dataType, p, n)
+                    else ColumnStats.gt(f.dataType, p, n)
+                    Some(k -> (if (takeP) p else n))
+                  case _ => None
+                }
+            }
+          }
+      }
+    val snap = Snapshot(newId, clock().toString, "merge",
+      foldedSummary ++ Map(
+        "record_count" -> total.toString,
+        "added_records" -> added.toString,
+        "added_files" -> newFiles.size.toString,
+        "deleted_records" -> deleted.toString,
+        "total_files" -> (prev.files.size + newFiles.size).toString,
+        "delete_files" -> (prev.deleteFiles.size + fileEntries.size).toString),
+      prev.schemaDdl, prev.files ++ newFiles, prev.fileStats ++ newFileStats,
+      prev.deleteFiles ++ fileEntries)
+    commitSnapshot(db, table, entries, snap, prevEntry.manifests,
+      Manifest(newFiles, newFileStats), shards)
+  }
+
   /** Copy-on-write MERGE (upsert): source rows REPLACE target rows sharing
     * their key, and source rows with new keys are inserted — the
     * `MERGE INTO t USING s ON keys WHEN MATCHED THEN UPDATE SET * WHEN NOT

@@ -338,6 +338,36 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(cat.readLatest("db", "ob").where(col("o_orderkey") % 3 === 0).count() == 0)
   }
 
+  test("upsertMoR: matched keys replace via positions, new keys insert, no table rewrite") {
+    val cat = freshCatalog()
+    withNation(cat) // keys 0..24
+    val before = cat.currentSnapshot("db", "nation")
+    val source = nation.where(col("n_nationkey") >= 20)
+      .withColumn("n_name", lit("UPD"))
+      .unionByName(nation.limit(3)
+        .withColumn("n_nationkey", col("n_nationkey") + 100))
+    val snap = cat.upsertMoR("db", "nation", source, keys = Seq("n_nationkey"))
+    // commit shape: every previous data file survives; delta + delete shard
+    assert(before.files.forall(snap.files.contains), "upsertMoR must not rewrite")
+    assert(snap.summary("deleted_records") == "5" && snap.summary("added_records") == "8")
+    assert(snap.summary("record_count") == "28")
+    val rows = cat.readLatest("db", "nation")
+      .select("n_nationkey", "n_name").as[(Int, String)].collect()
+    assert(rows.length == 28)
+    assert(rows.count(_._2 == "UPD") == 5)
+    assert(rows.filter(_._1 >= 100).map(_._1).sorted.toSeq == Seq(100, 101, 102))
+    assert(rows.groupBy(_._1).forall(_._2.length == 1), "exactly one row per key")
+    // pure-insert merge on a compacted table FOLDS bounds (inserted keys
+    // may extend them; stale-narrow bounds would be served as exact)
+    cat.compact("db", "nation", 1)
+    val ins = cat.upsertMoR("db", "nation",
+      nation.limit(1).withColumn("n_nationkey", col("n_nationkey") + 500),
+      keys = Seq("n_nationkey"))
+    assert(ins.summary("deleted_records") == "0")
+    assert(ins.summary("max.n_nationkey") == "500", s"got ${ins.summary.get("max.n_nationkey")}")
+    assert(cat.readLatest("db", "nation").count() == 29)
+  }
+
   test("readIncremental refuses ranges containing a MoR delete") {
     val cat = freshCatalog()
     withNation(cat)
