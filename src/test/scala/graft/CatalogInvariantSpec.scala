@@ -13,7 +13,8 @@ import graft.catalog.SnapshotCatalog
 
 /** Randomized INVARIANT harness over the commit protocol: drive random
   * operation sequences (append / overwrite / delete / update / upsert /
-  * compact / z-order / rollback / evolve) against a live catalog and after
+  * their merge-on-read flavors / compact / z-order / rollback / evolve)
+  * against a live catalog and after
   * EVERY commit assert the properties the engine's metadata answers stand
   * on. A summary bound that drifts from the data is served as a WRONG
   * metadata-only answer at scale, so these checks are exactness, not
@@ -57,6 +58,8 @@ class CatalogInvariantSpec extends AnyFunSuite {
 
     val root = Paths.get(cat.warehouse, db, t)
     snap.files.foreach(f => assert(Files.exists(root.resolve(f)), s"missing file $f"))
+    snap.deleteFiles.foreach(d =>
+      assert(Files.exists(root.resolve(d.path)), s"missing delete file ${d.path}"))
 
     // time travel to the three most recent retained snapshots (bounded so
     // the harness stays fast; every snapshot gets covered across steps)
@@ -91,7 +94,7 @@ class CatalogInvariantSpec extends AnyFunSuite {
       cat.append("db", t, frame(rng, 40))
       checkInvariants(cat, "db", t)
       (1 to 8).foreach { _ =>
-        rng.nextInt(9) match {
+        rng.nextInt(12) match {
           case 0 => cat.append("db", t, conform(cat, "db", t, frame(rng, 10 + rng.nextInt(40))))
           case 1 => cat.overwrite("db", t, conform(cat, "db", t, frame(rng, 10 + rng.nextInt(40))))
           case 2 => cat.delete("db", t, col("score") < (rng.nextInt(60).toLong + 20L))
@@ -116,6 +119,12 @@ class CatalogInvariantSpec extends AnyFunSuite {
             val name = s"extra${cur.fieldNames.length}"
             if (!cur.fieldNames.contains(name))
               cat.evolveSchema("db", t, cur.add(name, "double"))
+          case 9 => cat.deleteMoR("db", t, col("score") < (rng.nextInt(40).toLong + 10L))
+          case 10 => cat.updateMoR("db", t, col("score") > (40L + rng.nextInt(40)),
+            Map("name" -> lit(s"mor${rng.nextInt(10)}")))
+          case 11 =>
+            val src = conform(cat, "db", t, frame(rng, 10).dropDuplicates("id"))
+            cat.upsertMoR("db", t, src, Seq("id"))
         }
         checkInvariants(cat, "db", t)
       }
