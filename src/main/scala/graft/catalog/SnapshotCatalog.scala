@@ -68,23 +68,43 @@ object Snapshot {
     })
 }
 
-/** One POSITION-DELETE file (Iceberg v2 merge-on-read): a parquet file of
-  * `(_file STRING, _pos BIGINT)` rows marking individual data-file rows
-  * dead. `path` is table-root-relative (`deletes/s<id>/...parquet`);
-  * `covers` maps each referenced data file to its EXACT position count in
-  * this delete file (recorded at delete-commit time from the written
-  * positions themselves). Exact coverage is what keeps everything
-  * metadata-served under merge-on-read: reads anti-join ONLY covered
-  * files, partial rewrites decide shard carry and visible-row counts
-  * without opening a delete file, and `record_count` stays exact. Delete
+/** One DELETE file (Iceberg v2 merge-on-read), either flavor:
+  *
+  *  - POSITION delete (`eqCols` empty): parquet of `(_file STRING,
+  *    _pos BIGINT)` rows marking individual data-file rows dead.
+  *    `covers` maps each referenced data file to its EXACT position
+  *    count (recorded at delete-commit time from the written positions
+  *    themselves) — which is what keeps everything metadata-served:
+  *    reads anti-join ONLY covered files, partial rewrites decide shard
+  *    carry and visible-row counts without opening a delete file, and
+  *    `record_count` stays exact.
+  *  - EQUALITY delete (`eqCols` set): parquet of key tuples over those
+  *    columns; any covered row matching a tuple (null-safe equality) is
+  *    dead. Committing one never scans the corpus at all — the CDC/
+  *    streaming-writer shape — at the cost of exactness: per-file dead
+  *    counts are unknowable, so `covers` values are 0 and the table's
+  *    `record_count` goes honestly unknown until compact() materializes.
+  *
+  * `path` is table-root-relative (`deletes/s<id>/...parquet`); delete
   * files are write-once, like data files. */
-final case class DeleteFile(path: String, covers: Map[String, Long]) {
-  /** Total dead positions in this delete file. */
-  def rows: Long = covers.values.sum
+final case class DeleteFile(path: String, covers: Map[String, Long],
+    eqCols: Seq[String] = Seq.empty, eqTuples: Long = 0L) {
+  /** Position-delete file? (else equality delete.) */
+  def isPositional: Boolean = eqCols.isEmpty
+  /** Rows in the delete file: dead positions for a position delete, key
+    * tuples for an equality delete (used for broadcast sizing; an eq
+    * file's DEAD-row count is unknowable without a scan — that is the
+    * trade the format makes). */
+  def rows: Long = if (isPositional) covers.values.sum else eqTuples
   def toJson: JObj = Json.obj(
-    "path"   -> Json.str(path),
-    "covers" -> JObj(covers.toVector.sortBy(_._1)
-      .map { case (f, n) => f -> (Json.num(n): JValue) }))
+    (Vector(
+      "path"   -> (Json.str(path): JValue),
+      "covers" -> (JObj(covers.toVector.sortBy(_._1)
+        .map { case (f, n) => f -> (Json.num(n): JValue) }): JValue)) ++
+      (if (eqCols.isEmpty) Vector.empty
+       else Vector(
+         "eq_cols" -> (JArr(eqCols.toVector.map(JStr)): JValue),
+         "eq_tuples" -> (Json.num(eqTuples): JValue)))): _*)
 }
 
 object DeleteFile {
@@ -93,7 +113,12 @@ object DeleteFile {
     covers = {
       val c = o.obj("covers")
       c.fields.map { case (f, _) => f -> c.long(f) }.toMap
-    })
+    },
+    eqCols = o.get("eq_cols") match {
+      case Some(JArr(vs)) => vs.collect { case JStr(s) => s }
+      case _ => Seq.empty
+    },
+    eqTuples = o.get("eq_tuples").collect { case JNum(n) => n.toLong }.getOrElse(0L))
 }
 
 /** Immutable per-snapshot manifest shard: the data files ONE snapshot added
@@ -856,33 +881,54 @@ final class SnapshotCatalog(
     }
   }
 
-  /** Dead (position-deleted) rows among `files` under `deletes` — exact,
-    * pure metadata (per-file counts recorded at delete commit). */
-  private def deadRows(deletes: Seq[DeleteFile], files: Seq[String]): Long =
-    if (deletes.isEmpty) 0L
+  /** Dead rows among `files` under `deletes` — exact, pure metadata
+    * (per-file counts recorded at position-delete commit). `None` when any
+    * relevant delete is an EQUALITY delete: its dead count is unknowable
+    * without a scan, so row-count math must go honestly unknown. */
+  private def deadRows(deletes: Seq[DeleteFile], files: Seq[String]): Option[Long] =
+    if (deletes.isEmpty) Some(0L)
     else {
       val s = files.toSet
-      deletes.iterator.map(_.covers.view.filterKeys(s).values.sum).sum
+      val relevant = deletes.filter(_.covers.keysIterator.exists(s))
+      if (relevant.exists(!_.isPositional)) None
+      else Some(relevant.iterator.map(_.covers.view.filterKeys(s).values.sum).sum)
     }
 
-  /** Above this many recorded positions the delete set stops being
-    * broadcast and the anti-join shuffles both sides — the crossover where
-    * shipping the set to every executor costs more than one exchange. */
+  /** Above this many recorded rows the delete set stops being broadcast
+    * and the anti-join shuffles both sides — the crossover where shipping
+    * the set to every executor costs more than one exchange. */
   private val MorBroadcastRows = 4L << 20
 
-  /** Anti-join a position-tagged scan against the given delete files. The
-    * delete set is tiny relative to the table in every sane MoR workload
-    * (that is the point of the format), so it broadcasts by default: the
-    * table side never shuffles, the merge is a map-side hash lookup. */
+  /** Anti-join a position-tagged scan against the given delete files:
+    * ONE join over the unioned position files, then one join per distinct
+    * equality-column set (null-safe equality — an eq tuple with NULLs
+    * kills NULL-keyed rows, Iceberg semantics). Delete sets are tiny
+    * relative to the table in every sane MoR workload (that is the point
+    * of the format), so each set broadcasts by default: the table side
+    * never shuffles, the merge is a map-side hash lookup. */
   private def antiJoinDeletes(db: String, table: String, scanned: DataFrame,
       deletes: Seq[DeleteFile]): DataFrame = {
     val root = tablePath(db, table)
-    val del = spark.read.schema(deleteFileSchema)
-      .parquet(deletes.map(d => root.resolve(d.path).toString): _*)
-    val sized = if (deletes.map(_.rows).sum <= MorBroadcastRows) broadcast(del) else del
-    scanned.join(sized,
-      scanned(MorFileCol) === sized("_file") && scanned(MorPosCol) === sized("_pos"),
-      "left_anti")
+    def sized(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= MorBroadcastRows) broadcast(df) else df
+    val (pos, eq) = deletes.partition(_.isPositional)
+    var out = scanned
+    if (pos.nonEmpty) {
+      val del = spark.read.schema(deleteFileSchema)
+        .parquet(pos.map(d => root.resolve(d.path).toString): _*)
+      val d = sized(del, pos.map(_.rows).sum)
+      out = out.join(d,
+        out(MorFileCol) === d("_file") && out(MorPosCol) === d("_pos"), "left_anti")
+    }
+    eq.groupBy(_.eqCols).toSeq.sortBy(_._1.mkString(",")).foreach { case (cols, fs) =>
+      val keys = spark.read
+        .parquet(fs.map(d => root.resolve(d.path).toString): _*)
+        .dropDuplicates(cols)
+      val d = sized(keys, fs.map(_.rows).sum)
+      val cond = cols.map(c => out(s"`$c`") <=> d(s"`$c`")).reduce(_ && _)
+      out = out.join(d, cond, "left_anti")
+    }
+    out
   }
 
   /** The VISIBLE rows of `files` under `snap`: covered files are scanned
@@ -1379,22 +1425,26 @@ final class SnapshotCatalog(
     }
     val carriedDeletes = deleteShards.flatMap(loadDeleteShard(db, table, _))
     val carriedDead = deadRows(carriedDeletes, carryFiles)
-    val prevRows = math.max(prev.recordCount, 0L)
     val totalRows = operation match {
-      case "append" => prevRows + rows
+      // an unknown previous count (equality deletes, statless adoption)
+      // must propagate as unknown, never clamp to zero
+      case "append" => if (prev.recordCount >= 0) prev.recordCount + rows else -1L
       case _ if carryFiles.nonEmpty =>
         // carried rows come from per-file footer counts minus their exact
         // position-deleted dead rows; a carried file without a footer count
-        // makes the total honestly unknown (-1), never wrong
+        // (or an equality delete, whose dead count is unknowable) makes the
+        // total honestly unknown (-1), never wrong
         val carried = carryFiles.map(f => carryStats.get(f).flatMap(_.get("rows")).map(_.toLong))
-        if (carried.forall(_.isDefined)) carried.flatten.sum - carriedDead + rows else -1L
+        if (carried.forall(_.isDefined) && carriedDead.isDefined)
+          carried.flatten.sum - carriedDead.get + rows
+        else -1L
       case _ => rows
     }
-    // carried footer bounds are OUTER bounds once any carried file has dead
-    // rows (the min/max row may be deleted) — metadata-served min/max must
-    // drop rather than overstate; compact() recomputes them exactly
+    // carried footer bounds are OUTER bounds once any carried file has (or
+    // may have) dead rows — metadata-served min/max must drop rather than
+    // overstate; compact() recomputes them exactly
     val honestStats =
-      if (carriedDead > 0)
+      if (!carriedDead.contains(0L))
         stats.view.filterKeys(k => !k.startsWith("min.") && !k.startsWith("max.")).toMap
       else stats
     val snap = Snapshot(newId, clock().toString, operation,
@@ -1492,6 +1542,104 @@ final class SnapshotCatalog(
       prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles ++ fileEntries)
     // pure pointer commit on the data side: every manifest shard reuses
     commitSnapshot(db, table, entries, snap, prevEntry.manifests, Manifest.empty, shards)
+  }
+
+  /** EQUALITY DELETE (Iceberg v2): commit `keys` — a frame of key tuples
+    * over `keys.columns` — as an equality-delete file; any current row
+    * matching a tuple (null-safe equality) is dead at read time. The
+    * corpus is NEVER scanned: the only work is writing the (small) key
+    * frame and one tiny agg over it for footer-stat candidate scoping —
+    * the streaming-CDC writer shape, where even the position scan of
+    * [[deleteMoR]] is too much. Appends after this commit are untouched
+    * (coverage is pinned to the files present now), matching Iceberg's
+    * sequence-number scoping.
+    *
+    * The trade is exactness: how many rows actually die is unknowable
+    * without a scan, so `record_count` and summary bounds go honestly
+    * UNKNOWN (-1 / dropped) until [[compact]] materializes the deletes
+    * and recomputes both. Prefer [[deleteMoR]] when the candidate scan is
+    * affordable — it keeps every metadata answer exact. */
+  def deleteMoREq(db: String, table: String, keys: DataFrame): Snapshot = withTableLock(db, table) {
+    val entries = entriesForWrite(db, table)
+    requireNoPendingStage(db, table, entries)
+    val prevEntry = publishedEntry(entries)
+    val prev = materialize(db, table, prevEntry)
+    val newId = entries.last.snapshotId + 1
+    val schema = prev.schema
+    val eqCols = keys.schema.fieldNames.toSeq
+    require(eqCols.nonEmpty, "equality delete needs at least one key column")
+    val unknown = eqCols.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"equality-delete columns not in table: ${unknown.mkString(",")}")
+    val retyped = eqCols.filterNot(c =>
+      keys.schema(c).dataType.sql == schema(c).dataType.sql)
+    require(retyped.isEmpty,
+      s"equality-delete type mismatch: " + retyped.map(c =>
+        s"$c: table=${schema(c).dataType.sql} keys=${keys.schema(c).dataType.sql}")
+        .mkString(", "))
+    // candidate coverage: footer-stat range scoping over the KEY frame
+    // only (one tiny agg — the corpus stays untouched); multi-column keys
+    // cover every current file
+    val covers = eqCols match {
+      case Seq(k) if ColumnStats.statable(schema(k).dataType) =>
+        val mm = keys.agg(min(col(s"`$k`")).as("mn"), max(col(s"`$k`")).as("mx"),
+          count(lit(1)).as("n"), count(col(s"`$k`")).as("nk")).head()
+        if (mm.getLong(2) == 0) Seq.empty // empty key frame: nothing dies
+        else if (mm.isNullAt(0)) prev.files // all-null keys: stats can't scope
+        else {
+          val ranged = pruneFiles(db, table, prev.snapshotId,
+            col(s"`$k`") >= lit(mm.get(0)) && col(s"`$k`") <= lit(mm.get(1)))._1
+          // null keys match null-keyed rows anywhere — widen to all files
+          if (mm.getLong(3) < mm.getLong(2)) prev.files else ranged
+        }
+      case _ => prev.files
+    }
+    if (covers.isEmpty) {
+      val snap = Snapshot(newId, clock().toString, "delete",
+        prev.summary ++ Map(
+          "record_count" -> prev.recordCount.toString,
+          "added_records" -> "0", "added_files" -> "0",
+          "deleted_records" -> "0",
+          "total_files" -> prev.files.size.toString),
+        prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles)
+      return commitSnapshot(db, table, entries, snap, prevEntry.manifests,
+        Manifest.empty, prevEntry.deletes)
+    }
+    val delDirRel = s"deletes/s$newId"
+    val delDir = tablePath(db, table).resolve("deletes").resolve(s"s$newId")
+    keys.dropDuplicates(eqCols).coalesce(1)
+      .write.mode("overwrite").parquet(delDir.toString)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = tablePath(db, table)
+    val written = listParquetFiles(delDir)
+    val fileEntries = written.map { p =>
+      val rel = delDirRel + "/" + delDir.relativize(p).toString.replace('\\', '/')
+      DeleteFile(rel, covers.map(_ -> 0L).toMap, eqCols,
+        FileStats.rowCountFromFooter(new org.apache.hadoop.fs.Path(p.toUri), conf))
+    }.filter(_.eqTuples > 0)
+    if (fileEntries.isEmpty) {
+      deleteRecursively(delDir)
+      val snap = Snapshot(newId, clock().toString, "delete",
+        prev.summary ++ Map(
+          "record_count" -> prev.recordCount.toString,
+          "added_records" -> "0", "added_files" -> "0",
+          "deleted_records" -> "0",
+          "total_files" -> prev.files.size.toString),
+        prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles)
+      return commitSnapshot(db, table, entries, snap, prevEntry.manifests,
+        Manifest.empty, prevEntry.deletes)
+    }
+    writeDeleteShard(db, table, deleteShardName(newId), fileEntries)
+    val snap = Snapshot(newId, clock().toString, "delete",
+      prev.summary.view.filterKeys(k =>
+        !k.startsWith("min.") && !k.startsWith("max.")).toMap ++ Map(
+        "record_count" -> "-1", // unknowable without a scan — never guessed
+        "added_records" -> "0", "added_files" -> "0",
+        "deleted_records" -> "-1",
+        "total_files" -> prev.files.size.toString,
+        "delete_files" -> (prev.deleteFiles.size + fileEntries.size).toString),
+      prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles ++ fileEntries)
+    commitSnapshot(db, table, entries, snap, prevEntry.manifests, Manifest.empty,
+      prevEntry.deletes :+ deleteShardName(newId))
   }
 
   /** Write the position-delete files for one MoR commit: `matched` must be
@@ -1911,14 +2059,16 @@ final class SnapshotCatalog(
     val carriedDead = deadRows(carriedDeletes, carryFiles)
     // carried rows come from per-file footer counts minus their recorded
     // position-deleted dead rows; a carried file without a footer count
-    // makes the total honestly unknown (-1), never wrong
+    // (or an equality delete) makes the total honestly unknown (-1)
     val carriedRows = carryFiles.map(f => carryStats.get(f).flatMap(_.get("rows")).map(_.toLong))
-    val rows = if (carriedRows.forall(_.isDefined)) carriedRows.flatten.sum - carriedDead + newRows
+    val rows =
+      if (carriedRows.forall(_.isDefined) && carriedDead.isDefined)
+        carriedRows.flatten.sum - carriedDead.get + newRows
       else -1L
     val folded = ColumnStats.mergeWithFileBounds(Map.empty, allFiles, allFileStats, schema)
-    // footer bounds are OUTER bounds once carried files have dead rows
+    // footer bounds are OUTER bounds once carried files may have dead rows
     val stats =
-      if (carriedDead > 0)
+      if (!carriedDead.contains(0L))
         folded.view.filterKeys(k => !k.startsWith("min.") && !k.startsWith("max.")).toMap
       else folded
     val snap = Snapshot(newId, clock().toString, operation,

@@ -199,6 +199,19 @@ object SnapCli {
       println(s"delete-mor $db.$table snapshot=${snap.snapshotId} " +
         s"deleted=${snap.summary("deleted_records")} records=${snap.recordCount} " +
         s"delete_files=${snap.deleteFiles.size}")
+    case "delete-eq" =>
+      // EQUALITY delete: zero-corpus-scan GDPR-by-key
+      // SnapCli delete-eq <wh> <db> <t> <keyCol> <v1,v2,...>
+      val Array(wh, db, table, keyCol, vals) = a.take(5)
+      val cat = new SnapshotCatalog(spark, wh)
+      val dt = cat.currentSnapshot(db, table).schema(keyCol).dataType
+      import spark.implicits._
+      val keys = vals.split(",").toSeq.toDF(keyCol)
+        .select(org.apache.spark.sql.functions.col(keyCol).cast(dt).as(keyCol))
+      val snap = cat.deleteMoREq(db, table, keys)
+      println(s"delete-eq $db.$table snapshot=${snap.snapshotId} " +
+        s"keys=${snap.deleteFiles.lastOption.map(_.eqTuples).getOrElse(0L)} " +
+        s"records=${snap.recordCount} (unknown=-1 until compact)")
     case "branch" =>
       // SnapCli branch <wh> <db> <t> <name> [fromSnapshotId]
       val Array(wh, db, table, name) = a.take(4)
@@ -279,6 +292,7 @@ object SnapCli {
       |  publish   <warehouse> <db> <table> <stagedId>
       |  discard   <warehouse> <db> <table> <stagedId>
       |  delete-mor <warehouse> <db> <table> "<sql condition>"  (merge-on-read positions)
+      |  delete-eq  <warehouse> <db> <table> <keyCol> <v1,v2,...>  (equality delete, no scan)
       |  branch        <warehouse> <db> <table> <name> [fromId]
       |  branch-append <warehouse> <db> <table> <name> <parquetPath>
       |  branches      <warehouse> <db> <table>

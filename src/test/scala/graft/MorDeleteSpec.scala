@@ -368,6 +368,68 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(cat.readLatest("db", "nation").count() == 29)
   }
 
+  test("equality delete: zero-corpus-scan commit, appends-after untouched, honest unknowns") {
+    val cat = freshCatalog()
+    withNation(cat) // keys 0..24
+    val before = cat.currentSnapshot("db", "nation")
+    val snap = cat.deleteMoREq("db", "nation",
+      Seq(0, 1, 2).toDF("n_nationkey"))
+    // commit shape: no data files touched, one eq-delete file recorded
+    assert(snap.files == before.files)
+    assert(snap.deleteFiles.exists(d => !d.isPositional && d.eqTuples == 3))
+    // exactness surrendered honestly: count unknown until materialized
+    assert(snap.recordCount == -1L)
+    assert(!snap.summary.contains("min.n_nationkey"))
+    // reads merge by key
+    assert(cat.readLatest("db", "nation").count() == 22)
+    assert(cat.readLatest("db", "nation").where(col("n_nationkey") < 3).count() == 0)
+    // rows appended AFTER the eq delete are untouched even with dead keys
+    cat.append("db", "nation", nation.limit(2)) // re-add keys 0,1 as new rows
+    val counts = cat.readLatest("db", "nation").groupBy("n_nationkey").count()
+      .as[(Int, Long)].collect().toMap
+    assert(counts(0) == 1 && counts(1) == 1 && !counts.contains(2))
+    assert(cat.readLatest("db", "nation").count() == 24)
+    // stacking: a position delete over the eq-merged view stays exact
+    val pos = cat.deleteMoR("db", "nation", col("n_nationkey") === 3)
+    assert(pos.summary("deleted_records") == "1")
+    assert(cat.readLatest("db", "nation").count() == 23)
+    // compact materializes everything and restores exact metadata
+    val c = cat.compact("db", "nation", 1)
+    assert(c.deleteFiles.isEmpty && c.recordCount == 23L)
+    assert(c.summary("min.n_nationkey") == "0")
+    // SQL reads merge too (plugin path; count is an honest scan)
+    spark.conf.set("spark.sql.catalog.eqcat", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.eqcat.warehouse", cat.warehouse)
+    assert(spark.sql("SELECT count(*) AS c FROM eqcat.db.nation").head.getLong(0) == 23)
+    // guards: unknown column, type mismatch
+    intercept[IllegalArgumentException] {
+      cat.deleteMoREq("db", "nation", Seq(1).toDF("ghost"))
+    }
+    intercept[IllegalArgumentException] {
+      cat.deleteMoREq("db", "nation", Seq("x").toDF("n_nationkey"))
+    }
+    // empty key frame: pointer-only no-op
+    val noop = cat.deleteMoREq("db", "nation",
+      Seq.empty[Int].toDF("n_nationkey"))
+    assert(noop.deleteFiles.isEmpty && noop.recordCount == 23L)
+  }
+
+  test("equality delete: null-safe key matching and multi-column keys") {
+    val cat = freshCatalog()
+    val df = Seq((Some(1L), "a", "x"), (None, "b", "y"), (Some(3L), "a", "z"),
+      (Some(4L), "c", "w")).toDF("id", "grp", "v")
+    cat.createTable("db", "e", df.schema)
+    cat.append("db", "e", df)
+    // null key tuple kills the null-keyed row (Iceberg null-safe equality)
+    cat.deleteMoREq("db", "e", Seq[Option[Long]](None).toDF("id"))
+    assert(cat.readLatest("db", "e").count() == 3)
+    assert(cat.readLatest("db", "e").where(col("id").isNull).count() == 0)
+    // multi-column key: only the exact (id, grp) pair dies
+    cat.deleteMoREq("db", "e", Seq((3L, "a")).toDF("id", "grp"))
+    val left = cat.readLatest("db", "e").select("id").as[Long].collect().sorted
+    assert(left.toSeq == Seq(1L, 4L))
+  }
+
   test("readIncremental refuses ranges containing a MoR delete") {
     val cat = freshCatalog()
     withNation(cat)
