@@ -2600,9 +2600,21 @@ final class SnapshotCatalog(
     // named refs PROTECT their targets (Iceberg retention semantics for
     // refs): a tagged audit point or a live branch head must survive any
     // positional retention sweep — dropping the ref is the explicit act
-    // that releases the snapshot
+    // that releases the snapshot. A branch head additionally protects its
+    // recorded parent CHAIN of branch commits: expiring an interior link
+    // would make a still-legitimate fastForward unable to prove ancestry.
     val tm = meta(db, table)
-    val protectedIds = tm.refs.values.toSet ++ tm.branches.values.toSet
+    val byId = entries.map(e => e.snapshotId -> e).toMap
+    def branchChain(id: Long, acc: Set[Long]): Set[Long] = byId.get(id) match {
+      case Some(e) if e.summary.contains("branch.ref") && !acc(id) =>
+        branchChain(e.summary("branch.parent").toLong, acc + id)
+      case _ => acc
+    }
+    // …and the PUBLISHED head always survives: a positional tail made of
+    // branch commits alone would otherwise leave the table stateless
+    val protectedIds = tm.refs.values.toSet ++
+      tm.branches.values.flatMap(h => branchChain(h, Set.empty) + h).toSet +
+      publishedEntry(entries).snapshotId
     val (expired, kept0) = {
       val (e, k) = entries.splitAt(n)
       val (rescued, reallyExpired) = e.partition(x => protectedIds(x.snapshotId))

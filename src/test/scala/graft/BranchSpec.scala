@@ -107,6 +107,23 @@ class BranchSpec extends AnyFunSuite {
     }
   }
 
+  test("expire keeps a multi-commit branch's parent chain fastForward-able") {
+    val cat = freshCatalog()
+    base(cat) // snap 2 published
+    cat.createBranch("db", "t", "long")
+    cat.appendBranch("db", "t", "long", Seq((3L, "c")).toDF("id", "name")) // 3
+    cat.appendBranch("db", "t", "long", Seq((4L, "d")).toDF("id", "name")) // 4
+    cat.appendBranch("db", "t", "long", Seq((5L, "e")).toDF("id", "name")) // 5
+    cat.expireSnapshots("db", "t", keepLast = 1)
+    // interior branch links (3, 4) survive via the head's parent chain —
+    // without them a still-legitimate fastForward could not prove ancestry
+    val ids = cat.entryLog("db", "t").map(_.snapshotId)
+    assert(ids.containsSlice(Seq(3L, 4L, 5L)), s"chain broken: $ids")
+    val ff = cat.fastForward("db", "t", "long")
+    assert(cat.readLatest("db", "t").count() == 5)
+    assert(ff.summary("record_count") == "5")
+  }
+
   test("guards: name collisions, rollback to branch commits, WAP interplay") {
     val cat = freshCatalog()
     base(cat)
