@@ -528,7 +528,11 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         "provider" -> "snapcat",
         "location" -> java.nio.file.Paths.get(warehouse, db, table).toString,
         "current-snapshot-id" -> snap.snapshotId.toString,
-        "record-count" -> snap.recordCount.toString)).asJava
+        "record-count" -> snap.recordCount.toString) ++
+        // surfaced only when live, so DESCRIBE shows the MoR state at a
+        // glance without widening the default property set
+        (if (snap.deleteFiles.isEmpty) Map.empty[String, String]
+         else Map("delete-files" -> snap.deleteFiles.size.toString))).asJava
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,

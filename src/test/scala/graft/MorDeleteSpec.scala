@@ -430,6 +430,58 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(left.toSeq == Seq(1L, 4L))
   }
 
+  test("randomized: stacked MoR deletes reproduce progressive filtering, value-exact") {
+    val rng = new scala.util.Random(20260813L)
+    val cat = freshCatalog()
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    cat.createTable("db", "r", orders.schema)
+    cat.append("db", "r", orders.repartition(3))
+    var expected = orders
+    (1 to 5).foreach { i =>
+      val cond = rng.nextInt(3) match {
+        case 0 => col("o_orderkey") % (2 + rng.nextInt(5)) === rng.nextInt(2)
+        case 1 => col("o_custkey") < (rng.nextInt(800) + 100)
+        case 2 => col("o_orderstatus") === Seq("O", "F", "P")(rng.nextInt(3))
+      }
+      cat.deleteMoR("db", "r", cond)
+      expected = expected.where(!coalesce(cond, lit(false)))
+      val got = cat.readLatest("db", "r")
+      // value-exact, not just count-exact: the visible multiset equals the
+      // progressively filtered base (exceptAll both ways is empty)
+      assert(got.count() == expected.count(), s"step $i count")
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        s"step $i rows diverged")
+      assert(cat.currentSnapshot("db", "r").recordCount == expected.count())
+    }
+    // and the whole stack folds into one clean state
+    val c = cat.compact("db", "r", 2)
+    assert(c.deleteFiles.isEmpty && c.recordCount == expected.count())
+  }
+
+  test("reader-option time travel (snapshot-id) merges per effective snapshot") {
+    val cat = freshCatalog()
+    withNation(cat)
+    val pre = cat.currentSnapshot("db", "nation").snapshotId
+    val del = cat.deleteMoR("db", "nation", col("n_nationkey") < 5).snapshotId
+    cat.append("db", "nation", nation.limit(2)) // current moves past the delete
+    spark.conf.set("spark.sql.catalog.moropt", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.moropt.warehouse", cat.warehouse)
+    // the reference's literal reader API redirects the scan; the MoR rule
+    // must key the merge off the EFFECTIVE snapshot, not the table's own
+    assert(spark.read.option("snapshot-id", pre.toString)
+      .table("moropt.db.nation").count() == 25, "pre-delete snapshot unmerged")
+    assert(spark.read.option("snapshot-id", del.toString)
+      .table("moropt.db.nation").count() == 20, "delete snapshot merged")
+    assert(spark.table("moropt.db.nation").count() == 22)
+    // DESCRIBE-visible MoR state
+    assert(spark.table("moropt.db.nation").count() == 22)
+    val props = spark.sql("DESCRIBE TABLE EXTENDED moropt.db.nation")
+      .where(col("col_name") === "Table Properties").select("data_type")
+      .as[String].head()
+    assert(props.contains("delete-files=1"), props)
+  }
+
   test("readIncremental refuses ranges containing a MoR delete") {
     val cat = freshCatalog()
     withNation(cat)
