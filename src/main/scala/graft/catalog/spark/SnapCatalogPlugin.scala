@@ -974,7 +974,9 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         StructField("snapshot_dir", StringType, nullable = false),
         StructField("bucket", IntegerType),
         StructField("record_count", LongType),
-        StructField("stats", MapType(StringType, StringType))))
+        StructField("stats", MapType(StringType, StringType)),
+        // Iceberg's content tier: data | position-deletes | equality-deletes
+        StructField("content", StringType, nullable = false)))
       case "refs" => StructType(Seq(
         StructField("name", StringType, nullable = false),
         StructField("type", StringType, nullable = false),
@@ -1012,7 +1014,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         override def rows(): Array[InternalRow] = kind match {
           case "files" =>
             val snap = cat.currentSnapshot(db, table)
-            snap.files.sorted.map { f =>
+            val dataRows = snap.files.sorted.map { f =>
               val st = snap.fileStats.getOrElse(f, Map.empty)
               InternalRow(
                 UTF8String.fromString(f),
@@ -1021,8 +1023,28 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
                 st.get("rows").map(r => Long.box(r.toLong)).orNull,
                 ArrayBasedMapData(
                   st.keys.toArray.map(k => UTF8String.fromString(k): Any),
-                  st.values.toArray.map(v => UTF8String.fromString(v): Any)))
-            }.toArray
+                  st.values.toArray.map(v => UTF8String.fromString(v): Any)),
+                UTF8String.fromString("data"))
+            }
+            // merge-on-read delete files inventory alongside the data tier
+            // (record_count = recorded positions / key tuples; eq files
+            // carry their key columns in stats)
+            val delRows = snap.deleteFiles.sortBy(_.path).map { d =>
+              val st: Map[String, String] =
+                if (d.isPositional) Map.empty
+                else Map("eq_cols" -> d.eqCols.mkString(","))
+              InternalRow(
+                UTF8String.fromString(d.path),
+                UTF8String.fromString(d.path.split("/").take(2).mkString("/")),
+                null,
+                Long.box(d.rows),
+                ArrayBasedMapData(
+                  st.keys.toArray.map(k => UTF8String.fromString(k): Any),
+                  st.values.toArray.map(v => UTF8String.fromString(v): Any)),
+                UTF8String.fromString(
+                  if (d.isPositional) "position-deletes" else "equality-deletes"))
+            }
+            (dataRows ++ delRows).toArray
           case "refs" =>
             val tm = cat.meta(db, table)
             (tm.refs.toSeq.map { case (n, id) => (n, "tag", id) } ++

@@ -480,6 +480,13 @@ class MorDeleteSpec extends AnyFunSuite {
       .where(col("col_name") === "Table Properties").select("data_type")
       .as[String].head()
     assert(props.contains("delete-files=1"), props)
+    // the files metadata table inventories the delete tier (Iceberg's
+    // content column): one positional delete file of 5 recorded positions
+    val delTier = spark.sql("SELECT record_count FROM moropt.db.nation.files " +
+      "WHERE content = 'position-deletes'").as[Long].collect()
+    assert(delTier.toSeq == Seq(5L), s"got ${delTier.toSeq}")
+    assert(spark.sql("SELECT count(*) AS c FROM moropt.db.nation.files " +
+      "WHERE content = 'data'").head.getLong(0) > 0)
   }
 
   test("readIncremental refuses ranges containing a MoR delete") {
