@@ -50,6 +50,25 @@ object FileStats {
     try reader.getFooter.getFileMetaData.getSchema finally reader.close()
   }
 
+  /** Canonical name->type signature of a footer schema, insensitive to
+    * field ORDER and repetition flavor (required vs optional): the
+    * homogeneity question for adoption is "would every file's columns read
+    * back as the same types under the name-based parquet read" — field
+    * order differs legitimately across writers, and a required column reads
+    * fine through an optional binding. Only a missing or re-TYPED column is
+    * the silent-NULL/corruption hazard the gate exists for. Nested groups
+    * canonicalize recursively with sorted children. */
+  def footerTypeMap(schema: org.apache.parquet.schema.GroupType): Map[String, String] = {
+    def sig(t: org.apache.parquet.schema.Type): String =
+      if (t.isPrimitive) {
+        val p = t.asPrimitiveType
+        p.getPrimitiveTypeName.toString +
+          Option(p.getLogicalTypeAnnotation).map("/" + _.toString).getOrElse("")
+      } else t.asGroupType.getFields.asScala
+        .map(f => f.getName + ":" + sig(f)).sorted.mkString("{", ",", "}")
+    schema.getFields.asScala.map(f => f.getName -> sig(f)).toMap
+  }
+
   /** Harvest the stats of one parquet file from its footer. Columns whose
     * chunk statistics are absent/unusable in ANY row group simply get no
     * min/max keys (missing stats disable pruning, never break it). */

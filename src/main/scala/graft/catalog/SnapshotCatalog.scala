@@ -1163,11 +1163,14 @@ final class SnapshotCatalog(
     // …and a per-file footer pass proves the directory HOMOGENEOUS: the
     // merged read samples one footer plus partition inference, so a dir
     // where some files lack (or retype) a column would pass it and those
-    // files would silently read back NULL after adoption. Every footer
-    // must agree structurally with the first — heterogeneous sources are
-    // refused while still fully intact.
+    // files would silently read back NULL after adoption. The comparison is
+    // a name->type MAP ([[FileStats.footerTypeMap]]) — field order and
+    // required/optional flavor differ legitimately across writers and the
+    // name-based parquet read handles both; only a missing or re-typed
+    // column is the silent-NULL hazard. Heterogeneous sources are refused
+    // while still fully intact.
     val conf = spark.sessionState.newHadoopConf()
-    val footers = src.map(p => p -> FileStats.footerSchema(p, conf))
+    val footers = src.map(p => p -> FileStats.footerTypeMap(FileStats.footerSchema(p, conf)))
     val divergent = footers.filterNot(_._2 == footers.head._2)
     require(divergent.isEmpty,
       s"adopt schema divergence under $srcDir: ${divergent.size} file(s) differ " +
@@ -2540,8 +2543,22 @@ final class SnapshotCatalog(
         s"z-order column $c must be numeric (got ${f.dataType.sql})")
       val (mn, mx) = (snap.summary.get(s"min.$c"), snap.summary.get(s"max.$c")) match {
         case (Some(a), Some(b)) => (a.toDouble, b.toDouble)
-        case _ => throw new IllegalStateException(
-          s"no snapshot stats for $c — commit through this catalog first")
+        case _ =>
+          // merge-on-read delete/update commits drop summary bounds (the
+          // extremum row may be dead — absent is honest). For BUCKETING a
+          // range is all that's needed, and per-file footer bounds are
+          // OUTER bounds of the live rows: a slightly-wide range only
+          // coarsens buckets, it never mis-clusters — so z-order right
+          // after MoR DML works (and this compact is exactly the operation
+          // that restores exact summary bounds).
+          val mins = snap.files.flatMap(f =>
+            snap.fileStats.get(f).flatMap(_.get(s"min.$c"))).map(_.toDouble)
+          val maxs = snap.files.flatMap(f =>
+            snap.fileStats.get(f).flatMap(_.get(s"max.$c"))).map(_.toDouble)
+          if (mins.nonEmpty && maxs.nonEmpty) (mins.min, maxs.max)
+          else throw new IllegalStateException(
+            s"no usable bounds for $c (no snapshot stats and no per-file " +
+              "footer bounds) — commit through this catalog first")
       }
       // bucket 0..255 (width_bucket yields 1..n+1; clamp and shift to 0-based)
       val bucket = least(greatest(

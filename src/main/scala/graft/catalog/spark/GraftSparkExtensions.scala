@@ -63,18 +63,27 @@ class MorReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // DML write targets, by reference identity: they must keep their
-    // relation shape for the row-level planners even when readable
+    // relation shape for the row-level planners even when readable.
+    // An aliased target (`DELETE FROM t AS x`, `MERGE INTO t x`) wraps the
+    // relation in SubqueryAlias, so protect every relation REACHABLE from
+    // the target subtree, not just the root node — the target is only ever
+    // a (possibly aliased) relation, never a join, so this cannot
+    // over-protect a source read.
     val protectedRels = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    def protectAll(target: LogicalPlan): Unit = target.foreach {
+      case rel: DataSourceV2Relation => protectedRels.add(rel)
+      case _ =>
+    }
     plan.foreachWithSubqueries {
       case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
-        protectedRels.add(d.table)
+        protectAll(d.table)
       case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
-        protectedRels.add(u.table)
+        protectAll(u.table)
       case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
-        protectedRels.add(m.targetTable)
+        protectAll(m.targetTable)
       case r: org.apache.spark.sql.catalyst.plans.logical.ReplaceData =>
-        protectedRels.add(r.originalTable)
+        protectAll(r.originalTable)
       case _ =>
     }
     plan.transformUpWithSubqueries {

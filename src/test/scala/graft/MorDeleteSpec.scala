@@ -235,6 +235,26 @@ class MorDeleteSpec extends AnyFunSuite {
       "SELECT count(*) AS c FROM morsql.db.nation WHERE n_name = 'X'").head.getLong(0) == 1)
   }
 
+  test("SQL: ALIASED DELETE target stays bare and routes to the MoR path") {
+    val cat = freshCatalog()
+    withNation(cat)
+    cat.setProperty("db", "nation", "write.delete.mode", Some("merge-on-read"))
+    spark.conf.set("spark.sql.catalog.moral", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.moral.warehouse", cat.warehouse)
+    val before = cat.currentSnapshot("db", "nation")
+    // `DELETE FROM t x` wraps the relation in SubqueryAlias — MorReadRule
+    // must still protect it (not swap in the merged read, which would break
+    // the row-level planner) so the translatable delete downgrades to the
+    // metadata path and lands as a position-delete commit
+    spark.sql("DELETE FROM moral.db.nation x WHERE x.n_nationkey < 5")
+    val after = cat.currentSnapshot("db", "nation")
+    assert(after.files == before.files, "aliased SQL DELETE took the position-delete path")
+    assert(after.deleteFiles.map(_.rows).sum == 5)
+    // and an aliased delete over the now-LIVE deletes still routes
+    spark.sql("DELETE FROM moral.db.nation AS y WHERE y.n_nationkey < 7")
+    assert(spark.sql("SELECT count(*) AS c FROM moral.db.nation").head.getLong(0) == 18)
+  }
+
   test("updateMoR: position-delete + re-insert in one commit, no candidate rewrite") {
     val cat = freshCatalog()
     withNation(cat)

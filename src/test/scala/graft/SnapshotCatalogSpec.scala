@@ -731,6 +731,60 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       "failed adoption must leave the source untouched")
   }
 
+  test("adoptFiles: field order / repetition differences are homogeneous; retypes refuse") {
+    val cat = freshCatalog()
+    val d1 = Seq((1L, "a")).toDF("id", "name")
+    cat.createTable("db", "adr", d1.schema)
+    // two writers, same name->type columns, DIFFERENT field order — the
+    // name-based parquet read handles this fine, so adoption must too
+    val ext = Files.createTempDirectory("graft_extord_")
+    Seq((10L, "x")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(ext.resolve("a").toString)
+    Seq(("y", 20L)).toDF("name", "id").select("name", "id").coalesce(1)
+      .write.mode("overwrite").parquet(ext.resolve("b").toString)
+    import scala.jdk.CollectionConverters._
+    def parquets(p: java.nio.file.Path) =
+      Files.walk(p).iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    val flat = Files.createTempDirectory("graft_extflat_")
+    parquets(ext).zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, flat.resolve(s"part-$i.parquet"))
+    }
+    val snap = cat.adoptFiles("db", "adr", flat, "append")
+    assert(snap.recordCount == 2)
+    assert(cat.readLatest("db", "adr").select("id").as[Long].collect().toSet == Set(10L, 20L))
+
+    // a RE-TYPED column across files is the real silent-NULL hazard: refuse
+    val bad = Files.createTempDirectory("graft_extmix_")
+    Seq((30L, "z")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(bad.resolve("a").toString)
+    Seq(("31", "w")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(bad.resolve("b").toString)
+    val badFlat = Files.createTempDirectory("graft_extmixflat_")
+    parquets(bad).zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, badFlat.resolve(s"part-$i.parquet"))
+    }
+    val e = intercept[Exception](cat.adoptFiles("db", "adr", badFlat, "append"))
+    assert(e.getMessage.contains("divergence") || e.getMessage.contains("mismatch"),
+      e.getMessage)
+  }
+
+  test("compactZOrder works right after MoR DML via per-file footer bounds") {
+    val cat = freshCatalog()
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("k", (col("id") * 37) % 1000)
+    cat.createTable("db", "zm", df.schema)
+    cat.append("db", "zm", df.repartition(2))
+    // MoR delete drops the summary bounds — z-order must fall back to the
+    // per-file footer bounds (outer bounds: fine for bucketing) instead of
+    // refusing with a commit-through-this-catalog error
+    cat.deleteMoR("db", "zm", col("id") < 100)
+    val z = cat.compactZOrder("db", "zm", Seq("id", "k"), numFiles = 4)
+    assert(z.deleteFiles.isEmpty, "z-order compact folds the deletes in")
+    assert(z.summary("record_count") == "900")
+    assert(z.summary("min.id") == "100", "exact bounds restored by the rewrite")
+    assert(cat.readLatest("db", "zm").count() == 900)
+  }
+
   test("write.sort-order range-clusters commits: disjoint file bounds, systematic skipping") {
     val cat = freshCatalog()
     // deliberately scrambled input across 4 partitions
