@@ -406,22 +406,22 @@ final class SnapshotCatalog(
     append(db, table, bucketize(db, table, df))
 
   /** Re-lay a FLAT external-writer data dir (the SQL row-level rewrite's
-    * ReplaceData output, or a native streaming epoch — both write the
-    * visible schema, no layout column) into the bucketed table's hive
-    * `__bucket=b/` layout: read the flat files back, derive `__bucket`,
-    * write one file per occupied bucket, drop the flat dir. Returns the
-    * hive-laid dir's name for adoption.
+    * ReplaceData / delta output, or a native streaming epoch — all write
+    * the visible schema, no layout dirs) into the table's hive partition
+    * layout: read the flat files back, derive `__bucket` when bucketed,
+    * write `partitionBy` the table's partition columns, drop the flat dir.
+    * No-op (returns the dir unchanged) on unpartitioned tables. Returns
+    * the hive-laid dir's name for adoption.
     *
     * Cost: ONE extra write of only the freshly rewritten subset — carried
     * (untouched) files never move, so an `UPDATE ... WHERE k = 5` on a
     * 100-TB bucketed table re-lays the few candidate files' worth of rows,
-    * not the lake. That bounded second pass is what keeps
-    * storage-partitioned joins valid across SQL rewrites instead of
-    * rejecting them. */
-  def relayoutBucketed(db: String, table: String, flatDirName: String): String = {
-    val (_, n) = meta(db, table).bucketSpec.getOrElse(
-      throw new IllegalArgumentException(
-        s"$db.$table is not bucketed - nothing to re-lay"))
+    * not the lake. That bounded second pass is what keeps partition
+    * pruning and storage-partitioned joins valid across SQL rewrites
+    * instead of rejecting them. */
+  def relayoutLaid(db: String, table: String, flatDirName: String): String = {
+    val tm = meta(db, table)
+    if (tm.partitionCols.isEmpty) return flatDirName
     val visible = org.apache.spark.sql.types.StructType(
       currentSnapshot(db, table).schema.fields.filterNot(_.name == "__bucket"))
     val flatDir = dataPath(db, table).resolve(flatDirName)
@@ -430,11 +430,23 @@ final class SnapshotCatalog(
     // explicit schema: an empty rewrite output (all rows deleted) must read
     // as an empty frame, not an infer-schema failure
     val flat = spark.read.schema(visible).parquet(flatDir.toString)
-    bucketize(db, table, flat)
-      .repartition(n, col("__bucket"))
-      .write.mode("overwrite").partitionBy("__bucket").parquet(outDir.toString)
+    val laid = tm.bucketSpec match {
+      // one file per occupied bucket; plain partitions keep the writer's
+      // task parallelism (partitionBy splits per task per dir)
+      case Some((_, n)) => bucketize(db, table, flat).repartition(n, col("__bucket"))
+      case None         => flat
+    }
+    laid.write.mode("overwrite").partitionBy(tm.partitionCols: _*)
+      .parquet(outDir.toString)
     deleteRecursively(flatDir)
     outName
+  }
+
+  /** Former name of [[relayoutLaid]] scoped to bucketed tables. */
+  def relayoutBucketed(db: String, table: String, flatDirName: String): String = {
+    require(meta(db, table).bucketSpec.isDefined,
+      s"$db.$table is not bucketed - nothing to re-lay")
+    relayoutLaid(db, table, flatDirName)
   }
 
   def tableExists(db: String, table: String): Boolean = Files.exists(metaPath(db, table))
@@ -828,8 +840,8 @@ final class SnapshotCatalog(
 
   /** Column names the MoR machinery appends to a scan; double-underscored
     * and dropped before any user-visible frame. */
-  private val MorFileCol = "__graft_mor_file"
-  private val MorPosCol = "__graft_mor_pos"
+  private val MorFileCol = SnapshotCatalog.MorFileCol
+  private val MorPosCol = SnapshotCatalog.MorPosCol
 
   private def deleteFileSchema: StructType =
     StructType.fromDDL("_file STRING, _pos BIGINT")
@@ -980,13 +992,58 @@ final class SnapshotCatalog(
     // bucketed tables: a predicate pinning the bucket key to literals
     // admits only those keys' buckets — prunes by the __bucket=b/ path
     // alone, where min/max can't help (every bucket spans the key range)
-    val buckets = meta(db, table).bucketSpec.flatMap { case (bCol, n) =>
+    val tm = meta(db, table)
+    val buckets = tm.bucketSpec.flatMap { case (bCol, n) =>
       BucketPruning.admissible(preds, bCol, n)
     }
-    snap.files.partition(f =>
+    // hive-laid files carry partition VALUES in the path, not the footer
+    // (partitionBy drops the column from the file): parse `col=value`
+    // segments into exact min=max bounds so partition predicates prune by
+    // directory — at 100 TB, `WHERE day = X` must plan only day=X's files
+    val partCols = tm.partitionCols.toSet
+    def pathStats(f: String): Map[String, String] =
+      if (partCols.isEmpty) Map.empty
+      else f.split('/').iterator.flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i <= 0) Iterator.empty
+        else {
+          val k = seg.substring(0, i)
+          val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.substring(i + 1))
+          if (partCols.contains(k) && schema.fieldNames.contains(k) &&
+              v != "__HIVE_DEFAULT_PARTITION__")
+            Iterator(s"min.$k" -> v, s"max.$k" -> v)
+          else Iterator.empty
+        }
+      }.toMap
+    snap.files.partition { f =>
+      val st = snap.fileStats.getOrElse(f, Map.empty) ++ pathStats(f)
       buckets.forall(adm => BucketPruning.bucketIdOf(f).forall(adm.contains)) &&
-        snap.fileStats.get(f).forall(st =>
-          preds.forall(FileStats.mayMatch(st, schema, _))))
+        (st.isEmpty || preds.forall(FileStats.mayMatch(st, schema, _)))
+    }
+  }
+
+  /** The SQL SupportsDelta rewrite's candidate scan: position-tagged
+    * VISIBLE rows of the snapshot (existing merge-on-read deletes merged
+    * out, rows carrying [[SnapshotCatalog.MorFileCol]]/[[SnapshotCatalog
+    * .MorPosCol]] identity), optionally scoped by footer-stat file pruning
+    * on the DML condition. Pruning here is a pure scan-cost optimization —
+    * the delta commit only ADDS delete positions and data files, so files
+    * the condition provably cannot touch are simply never read (the
+    * 100-TB posture: `UPDATE ... WHERE id = 5` scans the files whose
+    * stats admit id=5, not the lake). A condition that fails to resolve
+    * against the table schema (defensive: the rule passes only
+    * target-attribute conditions) degrades to a full candidate list. */
+  def readDeltaScan(db: String, table: String, snapshotId: Long,
+      cond: Option[Column]): DataFrame = {
+    val snap = snapshotAt(db, table, snapshotId)
+    val files = cond match {
+      case Some(c) =>
+        try pruneFiles(db, table, snapshotId, c)._1
+        catch { case scala.util.control.NonFatal(_) => snap.files }
+      case None => snap.files
+    }
+    readVisibleWithPos(db, table, snap, files)
   }
 
   /** Filtered read with file-level skipping: only files whose stats may
@@ -1715,10 +1772,9 @@ final class SnapshotCatalog(
     val prev = materialize(db, table, prevEntry)
     val newId = entries.last.snapshotId + 1
     val tm = meta(db, table)
-    require(tm.bucketSpec.isEmpty,
-      s"updateMoR on bucketed table $db.$table is unsupported (the bucket " +
-        "layout derives from row values); use update() — it re-lays buckets")
     val schema = prev.schema
+    require(!set.contains("__bucket"),
+      "__bucket is the derived layout column — assign the bucket source column instead")
     val unknown = set.keys.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"UPDATE of unknown columns: ${unknown.mkString(",")}")
     val (cands, _) = pruneFiles(db, table, prev.snapshotId, cond)
@@ -1744,12 +1800,19 @@ final class SnapshotCatalog(
     // SQL rewrites, compact() is the re-cluster action)
     val snapDirRel = s"data/s$newId"
     val snapDir = tablePath(db, table).resolve("data").resolve(s"s$newId")
-    val updated = matched.select(schema.fields.map { f =>
+    val updated0 = matched.select(schema.fields.map { f =>
       set.get(f.name) match {
         case Some(v) => v.cast(f.dataType).as(f.name)
         case None    => col(s"`${f.name}`")
       }
     }.toIndexedSeq: _*)
+    // BUCKETED table: re-derive __bucket for the updated copies — the
+    // update may have MOVED a row's bucket source value, and a stale
+    // layout value would silently mis-bucket the re-insert (breaking
+    // bucket pruning and storage-partitioned joins for that row)
+    val updated =
+      if (tm.bucketSpec.isDefined) bucketize(db, table, updated0.drop("__bucket"))
+      else updated0
     val writer = updated.write.mode("overwrite")
     (if (tm.partitionCols.nonEmpty) writer.partitionBy(tm.partitionCols: _*) else writer)
       .parquet(snapDir.toString)
@@ -1828,15 +1891,16 @@ final class SnapshotCatalog(
     val prev = materialize(db, table, prevEntry)
     val newId = entries.last.snapshotId + 1
     val tm = meta(db, table)
-    require(tm.bucketSpec.isEmpty,
-      s"upsertMoR on bucketed table $db.$table is unsupported (the bucket " +
-        "layout derives from row values); use upsert()")
     val schema = prev.schema
-    val cols = schema.fieldNames.toSeq
+    // bucketed tables: the caller-facing column set excludes the derived
+    // __bucket layout column — the delta re-derives it below, so the
+    // bucket invariant survives the MoR path like it does appendBucketed
+    val cols = schema.fieldNames.toSeq.filterNot(
+      c => c == "__bucket" && tm.bucketSpec.isDefined)
     require(source.schema.fieldNames.sorted.sameElements(cols.sorted),
       s"upsert source columns ${source.schema.fieldNames.mkString(",")} " +
         s"!= table columns ${cols.mkString(",")}")
-    val retyped = schema.fields.filterNot(f =>
+    val retyped = schema.fields.filter(f => cols.contains(f.name)).filterNot(f =>
       source.schema(f.name).dataType.sql == f.dataType.sql)
     require(retyped.isEmpty,
       s"upsert type mismatch for $db.$table: " + retyped.map(f =>
@@ -1860,11 +1924,14 @@ final class SnapshotCatalog(
       .join(srcKeys, keys, "left_semi")
     val fileEntries = writePositionDeletes(db, table, newId, matched)
     val deleted = fileEntries.map(_.rows).sum
-    // pass 2: ALL source rows append as the delta (replacements + inserts)
+    // pass 2: ALL source rows append as the delta (replacements + inserts);
+    // bucketed tables derive the layout column so the delta lands in
+    // __bucket=b/ dirs like every appendBucketed commit
     val snapDirRel = s"data/s$newId"
     val snapDir = tablePath(db, table).resolve("data").resolve(s"s$newId")
-    val writer = source.select(cols.map(c => col(s"`$c`")): _*)
-      .write.mode("overwrite")
+    val delta0 = source.select(cols.map(c => col(s"`$c`")): _*)
+    val delta = if (tm.bucketSpec.isDefined) bucketize(db, table, delta0) else delta0
+    val writer = delta.write.mode("overwrite")
     (if (tm.partitionCols.nonEmpty) writer.partitionBy(tm.partitionCols: _*) else writer)
       .parquet(snapDir.toString)
     val conf = spark.sessionState.newHadoopConf()
@@ -1880,32 +1947,165 @@ final class SnapshotCatalog(
     val shards =
       if (fileEntries.isEmpty) prevEntry.deletes
       else prevEntry.deletes :+ deleteShardName(newId)
-    // bounds: dead rows may have HELD an extremum (drop everything when
-    // deleted > 0); inserted rows may EXTEND one (fold prev bounds with
-    // the new files' footer bounds — a bound survives only when both
-    // sides have one). compact() recomputes exactly either way.
+    val foldedSummary = foldDeltaBounds(prev, schema, newFiles, newFileStats, deleted)
+    val snap = Snapshot(newId, clock().toString, "merge",
+      foldedSummary ++ Map(
+        "record_count" -> total.toString,
+        "added_records" -> added.toString,
+        "added_files" -> newFiles.size.toString,
+        "deleted_records" -> deleted.toString,
+        "total_files" -> (prev.files.size + newFiles.size).toString,
+        "delete_files" -> (prev.deleteFiles.size + fileEntries.size).toString),
+      prev.schemaDdl, prev.files ++ newFiles, prev.fileStats ++ newFileStats,
+      prev.deleteFiles ++ fileEntries)
+    commitSnapshot(db, table, entries, snap, prevEntry.manifests,
+      Manifest(newFiles, newFileStats), shards)
+  }
+
+  /** Snapshot-summary bounds after a MoR delta commit: dead rows may have
+    * HELD an extremum (drop all bounds when `deleted` > 0 — absent is
+    * honest, wrong is not; compact() recomputes exactly); a pure-insert
+    * delta folds the new files' footer bounds with the previous summary (a
+    * bound survives only when both sides have one). */
+  private def foldDeltaBounds(prev: Snapshot, schema: StructType,
+      newFiles: Seq[String], newFileStats: Map[String, Map[String, String]],
+      deleted: Long): Map[String, String] = {
     val nonBounds = prev.summary.view.filterKeys(k =>
       !k.startsWith("min.") && !k.startsWith("max.")).toMap
-    val foldedSummary =
-      if (deleted > 0) nonBounds
-      else {
-        val newBounds = ColumnStats.mergeWithFileBounds(
-          Map.empty, newFiles, newFileStats, schema)
-        nonBounds ++ schema.fields.filter(f => ColumnStats.statable(f.dataType))
-          .flatMap { f =>
-            Seq((s"min.${f.name}", true), (s"max.${f.name}", false)).flatMap {
-              case (k, isMin) =>
-                (prev.summary.get(k), newBounds.get(k)) match {
-                  case (Some(p), Some(n)) =>
-                    val takeP = if (isMin) !ColumnStats.gt(f.dataType, p, n)
-                    else ColumnStats.gt(f.dataType, p, n)
-                    Some(k -> (if (takeP) p else n))
-                  case _ => None
-                }
-            }
+    if (deleted > 0) nonBounds
+    else {
+      val newBounds = ColumnStats.mergeWithFileBounds(
+        Map.empty, newFiles, newFileStats, schema)
+      nonBounds ++ schema.fields.filter(f => ColumnStats.statable(f.dataType))
+        .flatMap { f =>
+          Seq((s"min.${f.name}", true), (s"max.${f.name}", false)).flatMap {
+            case (k, isMin) =>
+              (prev.summary.get(k), newBounds.get(k)) match {
+                case (Some(p), Some(n)) =>
+                  val takeP = if (isMin) !ColumnStats.gt(f.dataType, p, n)
+                  else ColumnStats.gt(f.dataType, p, n)
+                  Some(k -> (if (takeP) p else n))
+                case _ => None
+              }
           }
+        }
+    }
+  }
+
+  /** Commit the output of the SQL SupportsDelta rewrite (UPDATE / MERGE /
+    * non-translatable DELETE routed merge-on-read): `deleteDirName` holds
+    * task-written position-delete parquet (`_file`, `_pos`), `dataDirName`
+    * task-written inserted/updated rows. `dataFiles`/`deleteFiles` are the
+    * bare names listed in WINNING task attempts' commit messages — the
+    * only files adopted; anything else in either dir is a zombie attempt's
+    * leftovers and is swept before adoption (tasks write directly, no
+    * rename-based commit protocol — the object-store posture). ONE
+    * snapshot carries the delete shard and the delta manifest, mirroring
+    * [[updateMoR]]/[[upsertMoR]]: cost is O(matched + inserted), no data
+    * file rewritten.
+    *
+    * Exactness: per-(delete file, data file) position counts read back
+    * from the just-written delete set (MB at most — the set is the
+    * operation's own output); inserted rows from the fresh footers; both
+    * keep `record_count` metadata-exact. `expectSnapshotId` guards against
+    * a concurrent commit landing between the rewrite's scan and this
+    * adoption (the positions were computed against that snapshot — a moved
+    * table fails the statement rather than mis-targeting deletes).
+    * Bucketed tables re-lay the flat insert delta into `__bucket=b/` dirs
+    * before adoption, so the bucket invariant survives SQL MoR DML. */
+  def adoptDelta(db: String, table: String, operation: String,
+      dataDirName: String, dataFiles: Seq[String],
+      deleteDirName: String, deleteFiles: Seq[String],
+      expectSnapshotId: Long): Snapshot = withTableLock(db, table) {
+    val entries = entriesForWrite(db, table)
+    requireNoPendingStage(db, table, entries)
+    val prevEntry = publishedEntry(entries)
+    val prev = materialize(db, table, prevEntry)
+    require(prev.snapshotId == expectSnapshotId,
+      s"concurrent commit on $db.$table: the delta rewrite read snapshot " +
+        s"$expectSnapshotId but the table is now at ${prev.snapshotId}; " +
+        "retry the statement")
+    val newId = entries.last.snapshotId + 1
+    val root = tablePath(db, table)
+    val schema = prev.schema
+    val conf = spark.sessionState.newHadoopConf()
+    val tm = meta(db, table)
+
+    // sweep zombie-attempt strays FIRST: only message-listed files exist
+    // when the bucketed re-layout (which reads the whole dir) runs
+    def sweep(dir: Path, keep: Set[String]): Unit =
+      listParquetFiles(dir).filterNot(p => keep(p.getFileName.toString))
+        .foreach(Files.delete(_))
+    val dataDir0 = root.resolve("data").resolve(dataDirName)
+    val delDir = root.resolve("deletes").resolve(deleteDirName)
+    sweep(dataDir0, dataFiles.toSet)
+    sweep(delDir, deleteFiles.toSet)
+
+    // inserts: partitioned/bucketed tables re-lay the flat delta into
+    // their hive layout so pruning and SPJ hold over the new snapshot
+    val laidDataDir =
+      if (tm.partitionCols.nonEmpty && dataFiles.nonEmpty)
+        relayoutLaid(db, table, dataDirName)
+      else dataDirName
+    val dataDir = root.resolve("data").resolve(laidDataDir)
+    val newFiles = listParquetFiles(dataDir).map(p =>
+      s"data/$laidDataDir/" + dataDir.relativize(p).toString.replace('\\', '/'))
+      .sorted
+    if (newFiles.isEmpty) deleteRecursively(dataDir)
+    val newFileStats = newFiles.map(f =>
+      f -> FileStats.fromFooter(root.resolve(f), schema, conf)).toMap
+    val addedPerFile = newFiles.map(f => newFileStats(f).get("rows").map(_.toLong))
+    val added = if (addedPerFile.forall(_.isDefined)) addedPerFile.flatten.sum else -1L
+
+    // position deletes: exact per-(delete file, data file) counts read
+    // back from the just-written set — the same bookkeeping as
+    // writePositionDeletes
+    val written = listParquetFiles(delDir)
+    val fileEntries =
+      if (written.isEmpty) { deleteRecursively(delDir); Seq.empty[DeleteFile] }
+      else {
+        val relOf = written.map(p => p.getFileName.toString ->
+          (s"deletes/$deleteDirName/" + delDir.relativize(p).toString.replace('\\', '/'))).toMap
+        val counts = spark.read.schema(deleteFileSchema).parquet(delDir.toString)
+          .groupBy(col("_metadata.file_path").as("__dpath"), col("_file"))
+          .count().collect()
+        val es = counts.groupBy(_.getString(0)).toSeq.map { case (dpath, rs) =>
+          val name = dpath.substring(dpath.lastIndexOf('/') + 1)
+          DeleteFile(relOf(name), rs.map(r => r.getString(1) -> r.getLong(2)).toMap)
+        }.sortBy(_.path)
+        if (es.isEmpty) deleteRecursively(delDir)
+        else writeDeleteShard(db, table, deleteShardName(newId), es)
+        es
       }
-    val snap = Snapshot(newId, clock().toString, "merge",
+    val deleted = fileEntries.map(_.rows).sum
+    // every recorded position must target a file of the scanned snapshot —
+    // anything else means the rewrite scan and this commit disagree
+    val foreign = fileEntries.flatMap(_.covers.keys).distinct
+      .filterNot(prev.files.contains)
+    require(foreign.isEmpty,
+      s"delta commit on $db.$table records deletes against unknown files: " +
+        foreign.take(3).mkString(","))
+
+    if (newFiles.isEmpty && fileEntries.isEmpty) {
+      // nothing matched and nothing inserted: pointer-only commit
+      deleteRecursively(dataDir)
+      val snap = Snapshot(newId, clock().toString, operation,
+        prev.summary ++ Map(
+          "record_count" -> prev.recordCount.toString,
+          "added_records" -> "0", "added_files" -> "0",
+          "deleted_records" -> "0",
+          "total_files" -> prev.files.size.toString),
+        prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles)
+      return commitSnapshot(db, table, entries, snap, prevEntry.manifests,
+        Manifest.empty, prevEntry.deletes)
+    }
+    val prevRows = prev.recordCount
+    val total = if (prevRows >= 0 && added >= 0) prevRows - deleted + added else -1L
+    val foldedSummary = foldDeltaBounds(prev, schema, newFiles, newFileStats, deleted)
+    val shards =
+      if (fileEntries.isEmpty) prevEntry.deletes
+      else prevEntry.deletes :+ deleteShardName(newId)
+    val snap = Snapshot(newId, clock().toString, operation,
       foldedSummary ++ Map(
         "record_count" -> total.toString,
         "added_records" -> added.toString,
@@ -2814,6 +3014,15 @@ final class SnapshotCatalog(
 }
 
 object SnapshotCatalog {
+  /** Merge-on-read row-identity column names: every position-tagged read
+    * ([[SnapshotCatalog.readDeltaScan]], the delete-writer scans) exposes
+    * the scanned row's table-root-relative file path and in-file ordinal
+    * under these names. Public because the SQL plugin surfaces them as V2
+    * METADATA COLUMNS — the row id of the SupportsDelta rewrite (Iceberg's
+    * `_file`/`_pos` equivalent). */
+  val MorFileCol = "__graft_mor_file"
+  val MorPosCol = "__graft_mor_pos"
+
   /** The two on-disk log formats. v1 (a bare JSON array of full snapshots,
     * rounds 1-3) is read transparently and migrated to v2 on the first
     * write; v2 is the sharded format described in the class doc. */

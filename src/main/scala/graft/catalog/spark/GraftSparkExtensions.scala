@@ -99,6 +99,72 @@ class MorReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/** Scan substitution for the SupportsDelta row-level SQL path: the rewrite
+  * plan ([[org.apache.spark.sql.catalyst.plans.logical.WriteDelta]] —
+  * produced by Spark's RewriteUpdateTable / RewriteMergeIntoTable /
+  * RewriteDeleteFromTable during analysis when the table hands out a
+  * [[graft.catalog.spark.SnapDeltaOperation]]) reads the target through a
+  * V2 relation that must emit each row's (file, position) identity. The
+  * stock parquet V2 scan cannot; the library's merged position-tagged read
+  * can — so this rule swaps the relation for that plan AT THE END OF
+  * ANALYSIS, re-aliased to the relation's attribute ids. The whole
+  * optimizer still runs over the result: the DML condition pushes into the
+  * substituted V1 parquet scans, the anti-join against live delete files
+  * broadcasts, and Spark's own MergeRows / split-update machinery (action
+  * ordering, cardinality checks) operates untouched on top.
+  *
+  * Candidate scoping: the rewrite's static condition (UPDATE/DELETE WHERE)
+  * is rebound by NAME and handed to footer-stat file pruning — files that
+  * provably contain no match are never scanned. Conditions with
+  * subqueries or nondeterminism degrade to the full candidate list
+  * (pruning is an optimization; the query itself applies the exact
+  * condition either way). */
+class MorDeltaScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{Expression, KnownNotNull, SubqueryExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.WriteDelta
+
+  import graft.catalog.spark.{MorDeltaRoutable => Routable}
+
+  /** The DML condition as a name-bound Column usable for file pruning, or
+    * None when it cannot scope files (always-true, subquery, nondet). */
+  private def usableCond(e: Expression): Option[org.apache.spark.sql.Column] = e match {
+    case Literal(true, org.apache.spark.sql.types.BooleanType) => None
+    case _ if e.exists(_.isInstanceOf[SubqueryExpression]) => None
+    case _ if !e.deterministic => None
+    case _ =>
+      val byName = e.transform {
+        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      }
+      Some(org.apache.spark.sql.GraftColumnBridge.column(byName))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case wd: WriteDelta =>
+      val cond = usableCond(wd.condition)
+      val newQuery = wd.query.transformUp {
+        case rel: DataSourceV2Relation if org.apache.spark.sql.GraftColumnBridge
+            .rowLevelOperation(rel.table).exists(_.isInstanceOf[Routable]) =>
+          val op = org.apache.spark.sql.GraftColumnBridge
+            .rowLevelOperation(rel.table).get.asInstanceOf[Routable]
+          val merged = op.deltaScanPlan(cond)
+          val byName = merged.output.map(a => a.name -> a).toMap
+          Project(rel.output.map { o =>
+            val child = byName.getOrElse(o.name, throw new IllegalStateException(
+              s"merged delta scan lacks column ${o.name}: has " +
+                merged.output.map(_.name).mkString(",")))
+            // row-id attrs are declared non-nullable; the merged plan's
+            // expressions (substr over file_path, row_index) are provably
+            // non-null per row — assert it so the plan's nullability
+            // matches the rewrite's projections
+            val typed = if (!o.nullable && child.nullable) KnownNotNull(child) else child
+            Alias(typed, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+          }, merged)
+      }
+      if (newQuery eq wd.query) wd else wd.copy(query = newQuery)
+  }
+}
+
 /** Metadata-served aggregates: rewrites an unfiltered, ungrouped
   * COUNT/MIN/MAX-only aggregate over a snapcat table into a literal row
   * from the snapshot log — the Iceberg manifest-stats optimization
@@ -211,6 +277,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => MetadataCountRule)
     e.injectPostHocResolutionRule(s => new MorReadRule(s))
+    e.injectPostHocResolutionRule(s => new MorDeltaScanRule(s))
     GraftSqlFunctions.all.foreach(e.injectFunction)
   }
 }

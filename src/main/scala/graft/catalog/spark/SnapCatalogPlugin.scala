@@ -265,7 +265,31 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       with org.apache.spark.sql.connector.catalog.SupportsWrite
       with SupportsDelete
       with SupportsRowLevelOperations
+      with SupportsMetadataColumns
       with HasRecordCount with HasColumnStats with MorMergeable {
+
+    /** The merge-on-read row identity, exposed as V2 metadata columns so
+      * the SupportsDelta rewrite can resolve its row id against the
+      * relation (Iceberg's `_file`/`_pos` equivalent). Served only by the
+      * substituted merged scan ([[MorDeltaScanRule]]) — selecting them in a
+      * plain query over a table WITHOUT live deletes is unsupported (the
+      * stock V2 parquet scan cannot emit positions) and fails at planning
+      * rather than returning wrong data. */
+    override def metadataColumns(): Array[MetadataColumn] = Array(
+      new MetadataColumn {
+        override def name(): String = SnapshotCatalog.MorFileCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "table-root-relative data file path (MoR row id)"
+      },
+      new MetadataColumn {
+        override def name(): String = SnapshotCatalog.MorPosCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "row ordinal within its data file (MoR row id)"
+      })
 
     /** Effective snapshot of a read: the reader-option time-travel
       * override, or this table's own. */
@@ -305,6 +329,20 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         case RowLevelOperation.Command.MERGE => "merge"
         case RowLevelOperation.Command.DELETE => "delete"
       }
+      // MERGE-ON-READ routing (SupportsDelta): chosen whenever the snapshot
+      // carries live delete files (the group-based CoW scan would resurrect
+      // dead rows; the delta path merges them and commits position deletes)
+      // or the table opted in via write.<op>.mode = merge-on-read. Requires
+      // the session extensions — MorDeltaScanRule substitutes the merged
+      // candidate scan; without it, fall through to the CoW path (which
+      // refuses loudly over live deletes).
+      val deltaRuleActive = spark.sessionState.analyzer.postHocResolutionRules
+        .exists(_.isInstanceOf[MorDeltaScanRule])
+      val wantsDelta = snap.deleteFiles.nonEmpty ||
+        tableMeta.properties.get(s"write.$opName.mode").contains("merge-on-read")
+      if (wantsDelta && deltaRuleActive)
+        return () => new SnapDeltaOperation(spark, warehouse, db, table,
+          snap.snapshotId, info.command, opName, schema())
       () => new RowLevelOperation {
         override def command: RowLevelOperation.Command = info.command
         override def description(): String = s"snapcat copy-on-write $opName"

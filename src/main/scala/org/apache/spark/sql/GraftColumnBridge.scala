@@ -11,4 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The row-level operation inside a rewrite plan's relation, if the
+    * relation's table is the analyzer's (private[sql])
+    * `RowLevelOperationTable` wrapper — lets extension rules recognize
+    * their own operations without naming the wrapper type. */
+  def rowLevelOperation(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.connector.write.RowLevelOperation] = t match {
+    case r: org.apache.spark.sql.connector.write.RowLevelOperationTable => Some(r.operation)
+    case _ => None
+  }
 }

@@ -192,7 +192,7 @@ class MorDeleteSpec extends AnyFunSuite {
       orders.where(col("o_orderstatus") === "O").count())
   }
 
-  test("SQL: write.delete.mode=merge-on-read routes DELETE, reads merge, rewrites refuse") {
+  test("SQL: write.delete.mode=merge-on-read routes DELETE, reads merge, rewrites go delta") {
     val cat = freshCatalog()
     withNation(cat)
     cat.setProperty("db", "nation", "write.delete.mode", Some("merge-on-read"))
@@ -220,19 +220,22 @@ class MorDeleteSpec extends AnyFunSuite {
       """SELECT count(*) AS c FROM morsql.db.nation a
         |WHERE a.n_nationkey IN (SELECT n_nationkey FROM morsql.db.nation)""".stripMargin)
       .head.getLong(0) == 20)
-    // group-based row-level SQL over live deletes refuses loudly
-    val e = intercept[Exception] {
-      spark.sql("UPDATE morsql.db.nation SET n_name = 'X' WHERE n_nationkey = 10")
-    }
-    assert(e.getMessage.contains("merge-on-read"), s"got: ${e.getMessage}")
+    // row-level SQL over live deletes routes the SupportsDelta path (r6):
+    // no compact needed, no data file rewritten, counts stay exact
+    spark.sql("UPDATE morsql.db.nation SET n_name = 'X' WHERE n_nationkey = 10")
+    val u = cat.currentSnapshot("db", "nation")
+    assert(after.files.forall(u.files.contains), "UPDATE rewrote no data file")
+    assert(u.operation == "update" && u.summary("record_count") == "20")
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM morsql.db.nation WHERE n_name = 'X'").head.getLong(0) == 1)
     // second MoR delete through SQL still works (translatable downgrade)
     spark.sql("DELETE FROM morsql.db.nation WHERE n_nationkey < 7")
     assert(spark.sql("SELECT count(*) AS c FROM morsql.db.nation").head.getLong(0) == 18)
-    // after compact() the table rewrites normally again
+    // after compact() the table takes the copy-on-write rewrite again
     cat.compact("db", "nation", 1)
-    spark.sql("UPDATE morsql.db.nation SET n_name = 'X' WHERE n_nationkey = 10")
+    spark.sql("UPDATE morsql.db.nation SET n_name = 'Y' WHERE n_nationkey = 10")
     assert(spark.sql(
-      "SELECT count(*) AS c FROM morsql.db.nation WHERE n_name = 'X'").head.getLong(0) == 1)
+      "SELECT count(*) AS c FROM morsql.db.nation WHERE n_name = 'Y'").head.getLong(0) == 1)
   }
 
   test("SQL: ALIASED DELETE target stays bare and routes to the MoR path") {
@@ -296,6 +299,52 @@ class MorDeleteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       cat.updateMoR("db", "nation", lit(true), Map("ghost" -> lit(1)))
     }
+  }
+
+  test("updateMoR/upsertMoR on BUCKETED tables keep the bucket invariant") {
+    val cat = freshCatalog()
+    val rows = (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+    cat.createBucketedTable("db", "bk", rows.schema, bucketCol = "k", nBuckets = 4)
+    cat.appendBucketed("db", "bk", rows)
+    val before = cat.currentSnapshot("db", "bk")
+
+    // MoR update: the re-inserted copy lands in its key's bucket dir
+    val up = cat.updateMoR("db", "bk", col("k") === 19L, Map("v" -> lit("x")))
+    assert(before.files.forall(up.files.contains), "no data file rewritten")
+    val delta = up.files.filterNot(before.files.toSet)
+    assert(delta.nonEmpty && delta.forall(_.contains("__bucket=3/")),
+      s"pmod(19,4)=3 — delta must land in bucket 3: $delta")
+    assert(cat.readLatest("db", "bk").where(col("k") === 19L)
+      .select("v").as[String].head() == "x")
+
+    // an update that MOVES the bucket source value re-derives __bucket
+    val mv = cat.updateMoR("db", "bk", col("k") === 19L, Map("k" -> lit(21L)))
+    val mvDelta = mv.files.filterNot(up.files.toSet)
+    assert(mvDelta.nonEmpty && mvDelta.forall(_.contains("__bucket=1/")),
+      s"pmod(21,4)=1 — moved row must re-bucket: $mvDelta")
+    assert(cat.readLatest("db", "bk").where(col("k") === 21L).count() == 2,
+      "the moved copy joins the existing k=21 row")
+    // bucket-key pruning still holds on the post-MoR snapshot
+    val (cands, _) = cat.pruneFiles("db", "bk", mv.snapshotId, col("k") === 21L)
+    assert(cands.nonEmpty && cands.forall(_.contains("__bucket=1/")), cands.toString)
+
+    // MoR upsert: caller passes the VISIBLE columns (no __bucket); the
+    // delta is bucketized and record_count stays exact
+    val src = Seq((2L, "updated"), (999L, "inserted")).toDF("k", "v")
+    val us = cat.upsertMoR("db", "bk", src, keys = Seq("k"))
+    assert(us.summary("record_count") == "101")
+    assert(us.files.forall(_.contains("__bucket=")), "every file stays bucket-laid")
+    val usDelta = us.files.filterNot(mv.files.toSet)
+    assert(usDelta.forall(f => f.contains("__bucket=2/") || f.contains("__bucket=3/")),
+      s"pmod(2,4)=2, pmod(999,4)=3: $usDelta")
+    assert(cat.readLatest("db", "bk").where(col("k") === 2L)
+      .select("v").as[String].head() == "updated")
+    assert(cat.readLatest("db", "bk").count() == 101)
+
+    // compact folds the deletes; the layout survives and SPJ works again
+    val c = cat.compact("db", "bk", 4)
+    assert(c.deleteFiles.isEmpty && c.summary("record_count") == "101")
+    assert(c.files.forall(_.contains("__bucket=")))
   }
 
   test("updateMoR on a partitioned table moves rows across partitions") {
