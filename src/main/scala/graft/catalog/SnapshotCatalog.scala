@@ -1759,11 +1759,13 @@ final class SnapshotCatalog(
     * re-inserts exactly once) and stays metadata-exact; summary min/max
     * drop when rows moved (an updated value may exceed the old bounds and
     * the dead originals may have held them) — compact() restores both the
-    * bounds and the clustering. Bucketed tables refuse (their layout
-    * derives from row values; use the CoW path, which re-lays). The
-    * candidate scan applies EXISTING deletes first, so chained MoR
-    * operations never resurrect or double-kill. Library-only: SQL UPDATE
-    * keeps the group-based CoW plan (and refuses over live deletes). */
+    * bounds and the clustering. Bucketed tables re-derive `__bucket` for
+    * the re-inserted copies, so the bucket invariant (and storage-
+    * partitioned joins over it) survives the MoR path. The candidate scan
+    * applies EXISTING deletes first, so chained MoR operations never
+    * resurrect or double-kill. SQL UPDATE over a table with live deletes
+    * routes through the delta writer ([[graft.catalog.spark.SnapDeltaOperation]])
+    * and commits the same position-delta shape. */
   def updateMoR(db: String, table: String, cond: Column,
       set: Map[String, Column]): Snapshot = withTableLock(db, table) {
     val entries = entriesForWrite(db, table)
@@ -1881,8 +1883,8 @@ final class SnapshotCatalog(
     * never read), then a semi-join against the distinct source keys (AQE
     * broadcasts the small side). Existing deletes apply first, so chained
     * MoR operations never double-kill. Source must carry exactly the
-    * table's columns (same gate as [[upsert]]); bucketed tables refuse
-    * (layout derives from row values — the CoW path re-lays). */
+    * table's columns (same gate as [[upsert]]); bucketed tables derive
+    * `__bucket` for the delta so the layout invariant survives. */
   def upsertMoR(db: String, table: String, source: DataFrame,
       keys: Seq[String]): Snapshot = withTableLock(db, table) {
     val entries = entriesForWrite(db, table)

@@ -101,7 +101,11 @@ final class BucketedScan(
     bucketBatches: Int => Batch,
     microBatch: Option[String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None,
     stats: Scan => org.apache.spark.sql.connector.read.Statistics =
-      ScanDefaults.statisticsOf)
+      ScanDefaults.statisticsOf,
+    // live MoR deletes: bucket batches carry per-partition factories
+    // (reader-level merge, see MorScanMerge) instead of sharing the
+    // template's — partitions are CarriedFactoryPartition then
+    readerFactoryOverride: Option[PartitionReaderFactory] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -119,7 +123,8 @@ final class BucketedScan(
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    BucketUnwrappingReaderFactory(template.toBatch.createReaderFactory())
+    BucketUnwrappingReaderFactory(
+      readerFactoryOverride.getOrElse(template.toBatch.createReaderFactory()))
 
   // AQE/join estimates keep working on the bucketed path too
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -297,8 +297,20 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       snapshotId.filter(_ != snap.snapshotId)
         .map(cat.snapshotAt(db, table, _)).getOrElse(snap)
 
-    override def morHasDeletes(snapshotId: Option[Long]): Boolean =
-      morSnap(snapshotId).deleteFiles.nonEmpty
+    /** Can the V2 scan itself merge this snapshot's deletes (reader-level,
+      * [[MorScanMerge]])? Bucketed tables with purely POSITIONAL deletes:
+      * the in-scan merge keeps KeyGroupedPartitioning alive so
+      * storage-partitioned joins stay exchange-free over live deletes.
+      * Equality deletes fall back to the logical rewrite — their key
+      * columns need not survive column pruning into the read schema. */
+    private def scanMergesDeletes(s: Snapshot): Boolean =
+      tableMeta.bucketSpec.isDefined && s.deleteFiles.nonEmpty &&
+        s.deleteFiles.forall(_.isPositional)
+
+    override def morHasDeletes(snapshotId: Option[Long]): Boolean = {
+      val s = morSnap(snapshotId)
+      s.deleteFiles.nonEmpty && !scanMergesDeletes(s)
+    }
 
     /** The merged read (position deletes anti-joined), projected to the
       * SQL-visible columns — [[MorReadRule]] swaps this in for the raw
@@ -612,6 +624,13 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       // receive absolute paths)
       def dirOf(abs: String): String =
         abs.stripPrefix(rootPrefix).split("/").take(2).mkString("/")
+      // serializable form of the session's hadoop conf for reader-level
+      // MoR merging (tasks open delete shards themselves; Configuration
+      // is not serializable, a string map is)
+      lazy val hadoopConfMap: Map[String, String] = {
+        val c = spark.sessionState.newHadoopConf()
+        c.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+      }
       def dirOpts(dir: String): CaseInsensitiveStringMap =
         new CaseInsensitiveStringMap(
           Map("basePath" -> root.resolve(dir).toString).asJava)
@@ -673,20 +692,74 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           // column pruning — the data-skipping layer stays live, and a
           // bucket's files may span snapshot dirs (per-dir batches union).
           case Some((bCol, n)) =>
-            def bucketBatch(b: Int): org.apache.spark.sql.connector.read.Batch = {
-              val files = keptFiles.filter(_.contains(s"/__bucket=$b/"))
-              if (files.isEmpty) ScanDefaults.emptyBatch
-              else if (!multiDir)
+            // reader-level MoR merge (MorScanMerge): when live deletes are
+            // all positional, covered files read through a row-indexed
+            // sub-scan whose tasks drop dead positions — the scan keeps
+            // its KeyGroupedPartitioning, so SPJ survives MoR DML
+            val morLive =
+              if (scanMergesDeletes(snap)) snap.deleteFiles else Seq.empty
+            val coveredRel = morLive.flatMap(_.covers.keys).toSet
+            def relOf(abs: String): String = abs.stripPrefix(rootPrefix)
+            def shardsFor(rel: String): Seq[String] =
+              morLive.filter(_.covers.contains(rel))
+                .map(d => root.resolve(d.path).toString)
+            def cleanBatch(label: String, files: Seq[String])
+                : org.apache.spark.sql.connector.read.Batch =
+              if (!multiDir)
                 org.apache.spark.sql.GraftScanUtils.parquetBatchFor(spark,
-                  s"$tableName b$b", files, snapSchema,
+                  label, files, snapSchema,
                   new CaseInsensitiveStringMap(opts.asJava),
                   pushedExprs, requiredSchema)
               else new UnionBatch(
-                dirScans(s"$tableName b$b", files, pushedExprs, requiredSchema)
-                  .map(_.toBatch))
+                dirScans(label, files, pushedExprs, requiredSchema).map(_.toBatch))
+            def bucketBatch(b: Int): org.apache.spark.sql.connector.read.Batch = {
+              val files = keptFiles.filter(_.contains(s"/__bucket=$b/"))
+              if (files.isEmpty) ScanDefaults.emptyBatch
+              else if (coveredRel.isEmpty) cleanBatch(s"$tableName b$b", files)
+              else {
+                // mixed batch: every partition carries its own factory and
+                // the whole scan reads row-based (uniform-columnar rule)
+                val (dirty, clean) = files.partition(f => coveredRel.contains(relOf(f)))
+                val cleanParts: Seq[InputPartition] =
+                  if (clean.isEmpty) Seq.empty
+                  else {
+                    val cb = cleanBatch(s"$tableName b$b", clean)
+                    val f = RowOnlyReaderFactory(cb.createReaderFactory())
+                    cb.planInputPartitions().toSeq
+                      .map(p => CarriedFactoryPartition(p, f))
+                  }
+                val idxField = org.apache.spark.sql.types.StructField(
+                  MorScanMerge.RowIdxCol,
+                  org.apache.spark.sql.types.LongType, nullable = true)
+                val schemaIdx = StructType(snapSchema.fields :+ idxField)
+                val reqIdx = Some(StructType(
+                  requiredSchema.getOrElse(scan.readSchema()).fields
+                    .filterNot(_.name == MorScanMerge.RowIdxCol) :+ idxField))
+                val dirtyParts: Seq[InputPartition] =
+                  dirty.groupBy(dirOf).toSeq.sortBy(_._1).flatMap { case (d, fs) =>
+                    val ds = org.apache.spark.sql.GraftScanUtils.parquetScanFor(
+                      spark, s"$tableName mor b$b $d", fs, schemaIdx,
+                      dirOpts(d), pushedExprs, reqIdx)
+                    val batch = ds.toBatch
+                    val f = new MorMergingReaderFactory(
+                      batch.createReaderFactory(), ds.readSchema(),
+                      scan.readSchema().fieldNames, hadoopConfMap)
+                    MorScanMerge.perFilePartitions(
+                      batch.planInputPartitions(), rootPrefix, shardsFor)
+                      .map(p => CarriedFactoryPartition(p, f)).toSeq
+                  }
+                val all = (cleanParts ++ dirtyParts).toArray
+                new org.apache.spark.sql.connector.read.Batch {
+                  override def planInputPartitions(): Array[InputPartition] = all
+                  override def createReaderFactory(): PartitionReaderFactory =
+                    CarryingReaderFactory
+                }
+              }
             }
             new BucketedScan(scan, n, Expressions.bucket(n, bCol),
               s"$catalogName.$db.$table", bucketBatch,
+              readerFactoryOverride =
+                if (coveredRel.isEmpty) None else Some(CarryingReaderFactory),
               // streaming tail of a bucketed table: appended files read
               // FLAT (no basePath -> __bucket= dirs resolve to nothing)
               // against the visible schema — __bucket is derivable, never

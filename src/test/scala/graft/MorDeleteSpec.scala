@@ -407,6 +407,51 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(cat.readLatest("db", "ob").where(col("o_orderkey") % 3 === 0).count() == 0)
   }
 
+  test("bucketed table: SQL read merges IN-SCAN (reader-level, value-exact, pruned)") {
+    // the reader-level merge path (MorScanMerge): SQL reads of a bucketed
+    // table with live position deletes keep the single key-grouped
+    // BatchScan (no logical anti-join rewrite) and covered files drop dead
+    // positions inside the partition reader. Values must be exact across
+    // multi-dir file lists, splits of covered/clean files, pruning, and
+    // reader-option time travel.
+    val dir = Files.createTempDirectory("graft_morscan_").toString
+    val cat = new SnapshotCatalog(spark, dir)
+    spark.conf.set("spark.sql.catalog.morsc", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.morsc.warehouse", dir)
+    val rows = (1L to 500L).map(k => (k, k % 97, s"v$k")).toDF("k", "grp", "v")
+    cat.createBucketedTable("db", "sb", rows.schema, bucketCol = "k", nBuckets = 4)
+    cat.appendBucketed("db", "sb", rows)
+    cat.appendBucketed("db", "sb",
+      (501L to 600L).map(k => (k, k % 97, s"v$k")).toDF("k", "grp", "v"))
+    val before = cat.currentSnapshot("db", "sb")
+    cat.deleteMoR("db", "sb", col("k") % 7 === 0) // kills across both dirs
+    val after = cat.currentSnapshot("db", "sb")
+    assert(after.files == before.files, "position delete adds no data files")
+
+    val expect = (1L to 600L).filterNot(_ % 7 == 0)
+    // the plan stays ONE key-grouped batch scan — no Union, no anti-join
+    val q = spark.sql("SELECT k FROM morsc.db.sb")
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.size == 1 && scans.head.scan.description().contains("bucketed("),
+      s"expected the bucketed V2 scan, got:\n${q.queryExecution.executedPlan.toString.take(800)}")
+    assert(q.as[Long].collect().sorted.toSeq == expect)
+    // pruning: a bucket-key equality still reads one bucket's files and
+    // merges exactly (21 % 7 == 0 -> dead; 22 survives)
+    assert(spark.sql("SELECT count(*) AS n FROM morsc.db.sb WHERE k = 21").head.getLong(0) == 0)
+    assert(spark.sql("SELECT v FROM morsc.db.sb WHERE k = 22").head.getString(0) == "v22")
+    // projection narrower than the delete's needs: column pruning holds
+    assert(spark.sql("SELECT sum(grp) AS s FROM morsc.db.sb").head.getLong(0) ==
+      expect.map(_ % 97).sum)
+    // reader-option time travel: pre-delete snapshot reads unmerged
+    assert(spark.read.option("snapshot-id", before.snapshotId.toString)
+      .table("morsc.db.sb").count() == 600)
+    // post-delete snapshot id resolves the merged read
+    assert(spark.read.option("snapshot-id", after.snapshotId.toString)
+      .table("morsc.db.sb").count() == expect.size.toLong)
+  }
+
   test("upsertMoR: matched keys replace via positions, new keys insert, no table rewrite") {
     val cat = freshCatalog()
     withNation(cat) // keys 0..24

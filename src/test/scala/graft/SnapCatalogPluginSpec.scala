@@ -843,6 +843,13 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
       cat.appendBucketed("dbb", "facts",
         (301L to 320L).map(k => (k, s"f$k")).toDF("k", "fv"))
       assertSpj(expectRows = 50)
+      // MoR DML over the bucketed table: the delete-set anti-join
+      // broadcasts (preserving the scan's key-grouped partitioning) and
+      // the re-inserted copies land back in __bucket dirs — SPJ must
+      // survive with zero exchanges over the merged read
+      cat.updateMoR("dbb", "facts", col("k") === 10L,
+        Map("fv" -> lit("f10")))
+      assertSpj(expectRows = 50)
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
