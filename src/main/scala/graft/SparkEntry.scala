@@ -1027,6 +1027,20 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // SQL row-level DML over LIVE MoR deletes (SupportsDelta delta writes,
+    // r6): delete-as-positions, then SQL UPDATE + MERGE with NO compact
+    // between — each statement reads the merged state and commits
+    // (position delete shard + insert delta) as one snapshot; no data file
+    // is ever rewritten (shape asserted in SqlDeltaDmlSpec). The oracle
+    // restates the three-commit history relationally.
+    "q93_sql_delta_dml" -> ((s, dir) => {
+      WarehouseFixture.forDir(s, dir).src.readLatest("maint", "orders_sqldml")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // incremental (changes-between-snapshots) read: METADATA-resolved file
     // diff of two log entries — the CDC consumer pays for the added rows
     // only, never a table scan. Snapshot 2 -> 3 of orders_small added one
@@ -1909,6 +1923,25 @@ object SparkEntry {
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the three delta commits restated: %10 keys dead, P totals doubled,
+    // keys 1/2 zeroed by the merge, one fresh 'X' row inserted
+    "q93_sql_delta_dml" ->
+      """WITH alive AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+        |upd AS (SELECT * REPLACE (CASE WHEN o_orderstatus = 'P'
+        |  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice) FROM alive),
+        |merged AS (
+        |  SELECT * REPLACE (CAST(0.0 AS DOUBLE) AS o_totalprice) FROM upd
+        |  WHERE o_orderkey IN (1, 2)
+        |  UNION ALL
+        |  SELECT * FROM upd WHERE o_orderkey NOT IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(4000000001 AS BIGINT), CAST(0 AS BIGINT), 'X',
+        |    CAST(123.0 AS DOUBLE), TIMESTAMP '2026-01-01 00:00:00', '0-NEW')
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q53_incremental_read" ->

@@ -200,6 +200,34 @@ object WarehouseFixture {
     src.append("maint", "orders_upmor", orders.repartition(2))
     src.upsertMoR("maint", "orders_upmor", upSource, keys = Seq("o_orderkey"))
 
+    // - orders_sqldml: SQL row-level DML over LIVE MoR deletes (the
+    //   SupportsDelta delta-write path, r6): %10 keys die as positions,
+    //   then SQL UPDATE doubles P totals and SQL MERGE zeroes keys 1,2
+    //   and inserts a fresh key — three commits, NO compact between, no
+    //   data file rewritten (shape asserted in SqlDeltaDmlSpec); q93
+    //   oracles the merged end state
+    src.createTable("maint", "orders_sqldml", orders.schema)
+    src.append("maint", "orders_sqldml", orders.repartition(2))
+    src.deleteMoR("maint", "orders_sqldml", col("o_orderkey") % 10 === 0)
+    spark.conf.set("spark.sql.catalog.snapdml", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapdml.warehouse", src.warehouse)
+    spark.sql(
+      """UPDATE snapdml.maint.orders_sqldml
+        |SET o_totalprice = o_totalprice * 2 WHERE o_orderstatus = 'P'""".stripMargin)
+    spark.sql(
+      """MERGE INTO snapdml.maint.orders_sqldml t
+        |USING (SELECT * FROM VALUES
+        |    (CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE)),
+        |    (CAST(2 AS BIGINT), CAST(0.0 AS DOUBLE)),
+        |    (CAST(4000000001 AS BIGINT), CAST(123.0 AS DOUBLE))
+        |  AS v(k, p)) s
+        |ON t.o_orderkey = s.k
+        |WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+        |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority)
+        |  VALUES (s.k, CAST(0 AS BIGINT), 'X', s.p,
+        |    TIMESTAMP'2026-01-01 00:00:00', '0-NEW')""".stripMargin)
+
     // - orders_bykey: range-partitioned files (disjoint o_orderkey ranges)
     //   so per-file footer stats can prove whole files unmatchable — the
     //   data-skipping demonstration table (q55)
