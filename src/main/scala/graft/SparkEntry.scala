@@ -1041,6 +1041,23 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // incremental read across MERGE-ON-READ DML (r6): the range spans a
+    // position delete + delta UPDATE + delta MERGE, and serves exactly the
+    // rows ADDED in the range that are still visible at its end — the
+    // update's post-image P copies (minus keys the merge re-killed), the
+    // merge's zeroed copies of keys 1/2, and the inserted row. Resolution
+    // stays metadata-only (endpoint file diff); deletes of pre-range rows
+    // are changelog's job.
+    "q94_incremental_across_dml" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      val toId = fx.src.currentSnapshot("maint", "orders_sqldml").snapshotId
+      fx.src.readIncremental("maint", "orders_sqldml", fromId = 2, toId = toId)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // incremental (changes-between-snapshots) read: METADATA-resolved file
     // diff of two log entries — the CDC consumer pays for the added rows
     // only, never a table scan. Snapshot 2 -> 3 of orders_small added one
@@ -1924,6 +1941,25 @@ object SparkEntry {
         |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the range's append-delta restated: the UPDATE's doubled-P copies
+    // (keys 1/2 excluded when P — the merge re-killed them), the MERGE's
+    // zeroed copies of keys 1/2, and the inserted 'X' row
+    "q94_incremental_across_dml" ->
+      """WITH alive AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+        |upd_delta AS (SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)
+        |  FROM alive WHERE o_orderstatus = 'P' AND o_orderkey NOT IN (1, 2)),
+        |mrg_delta AS (
+        |  SELECT * REPLACE (CAST(0.0 AS DOUBLE) AS o_totalprice) FROM alive
+        |  WHERE o_orderkey IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(4000000001 AS BIGINT), CAST(0 AS BIGINT), 'X',
+        |    CAST(123.0 AS DOUBLE), TIMESTAMP '2026-01-01 00:00:00', '0-NEW'),
+        |delta AS (SELECT * FROM upd_delta UNION ALL SELECT * FROM mrg_delta)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM delta GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // the three delta commits restated: %10 keys dead, P totals doubled,
     // keys 1/2 zeroed by the merge, one fresh 'X' row inserted

@@ -1058,32 +1058,41 @@ final class SnapshotCatalog(
   def readLatestWhere(db: String, table: String, cond: Column): DataFrame =
     readWhere(db, table, currentSnapshot(db, table).snapshotId, cond)
 
-  /** Incremental (changes-between-snapshots) read: exactly the rows added
-    * in `(fromId, toId]` — Iceberg's incremental-append scan. Resolution is
-    * pure METADATA: the added files are the file-list difference of two log
-    * entries (appends only accumulate), so a CDC-style consumer pays for
-    * the new data only, never a table scan — at 100 TB that is the
-    * difference between reading a day's increment and re-reading the lake.
-    * Any non-append operation inside the range (overwrite/delete/compact
-    * rewrites; they change visibility of EXISTING rows) fails loudly rather
-    * than returning something that is not "the added rows". */
+  /** Incremental (changes-between-snapshots) read: the rows ADDED in
+    * `(fromId, toId]` that are still visible at `toId` — Iceberg's
+    * incremental-append scan, extended across merge-on-read commits.
+    * Resolution is pure METADATA: the added files are the file-list
+    * difference of the two endpoint log entries (data files are
+    * write-once, so a file of `fromId` missing at `toId` proves a rewrite
+    * happened in between, and conversely `from ⊆ to` proves every
+    * in-range commit only ADDED files: appends, WAP publishes, and the
+    * whole MoR family — position/equality deletes, delta UPDATE/MERGE —
+    * whose "changes" are new delta files plus delete metadata). A
+    * CDC-style consumer pays for the new data only, never a table scan —
+    * at 100 TB that is the difference between reading a day's increment
+    * and re-reading the lake.
+    *
+    * Semantics across MoR commits: added files read MERGED under `toId`'s
+    * delete set, so a row appended then deleted inside the range is never
+    * served, and an updateMoR/upsertMoR delta serves the post-image (the
+    * Kafka-compaction upsert shape). Deletes of PRE-RANGE rows are not
+    * representable in an append delta — consumers that need them use
+    * [[readChangelog]], which emits tagged delete rows. Ranges containing
+    * a true rewrite (overwrite, copy-on-write DELETE/UPDATE, compact,
+    * rollback) still fail loudly: rewritten files would double-serve
+    * surviving old rows. */
   def readIncremental(db: String, table: String, fromId: Long, toId: Long): DataFrame = {
     require(fromId <= toId, s"fromId $fromId > toId $toId")
-    // operation check is pointer-log-only; just the two endpoints
-    // materialize. WAP publish/discard pointer commits are append-or-
-    // nothing relative to published visibility, so the endpoint file diff
-    // stays exact across them; true rewrites stay rejected.
-    val between = entryMeta(db, table)
-      .filter(s => s.snapshotId > fromId && s.snapshotId <= toId)
-    val nonAppend = between.filterNot(s =>
-      s.operation == "append" || s.operation == "publish" || s.operation == "discard")
-    require(nonAppend.isEmpty,
-      s"incremental read of $db.$table requires an append-only range: " +
-        nonAppend.map(s => s"${s.operation}@${s.snapshotId}").mkString(", ") +
-        " rewrite existing rows")
     val fromFiles = snapshotAt(db, table, fromId).files.toSet
     val to = snapshotAt(db, table, toId)
-    readFiles(db, table, to.schema, to.files.filterNot(fromFiles))
+    val toFiles = to.files.toSet
+    val removed = fromFiles.diff(toFiles)
+    require(removed.isEmpty,
+      s"incremental read of $db.$table ($fromId, $toId]: the range rewrote " +
+        s"existing rows (${removed.size} file(s) of snapshot $fromId are gone " +
+        s"at $toId, e.g. ${removed.take(2).mkString(", ")}) - an append delta " +
+        "cannot represent a rewrite; use readChangelog for exact row diffs")
+    readVisible(db, table, to, to.files.filterNot(fromFiles))
   }
 
   /** Row-level changelog between two snapshots (Iceberg

@@ -127,11 +127,15 @@ class MorDeltaScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import graft.catalog.spark.{MorDeltaRoutable => Routable}
 
   /** The DML condition as a name-bound Column usable for file pruning, or
-    * None when it cannot scope files (always-true, subquery, nondet). */
-  private def usableCond(e: Expression): Option[org.apache.spark.sql.Column] = e match {
+    * None when it cannot scope files (always-true, subquery, nondet, or
+    * referencing non-target attributes — a MERGE's ON clause names source
+    * columns the table scan cannot resolve). */
+  private def usableCond(e: Expression,
+      rel: DataSourceV2Relation): Option[org.apache.spark.sql.Column] = e match {
     case Literal(true, org.apache.spark.sql.types.BooleanType) => None
     case _ if e.exists(_.isInstanceOf[SubqueryExpression]) => None
     case _ if !e.deterministic => None
+    case _ if !e.references.subsetOf(rel.outputSet) => None
     case _ =>
       val byName = e.transform {
         case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
@@ -141,13 +145,12 @@ class MorDeltaScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case wd: WriteDelta =>
-      val cond = usableCond(wd.condition)
       val newQuery = wd.query.transformUp {
         case rel: DataSourceV2Relation if org.apache.spark.sql.GraftColumnBridge
             .rowLevelOperation(rel.table).exists(_.isInstanceOf[Routable]) =>
           val op = org.apache.spark.sql.GraftColumnBridge
             .rowLevelOperation(rel.table).get.asInstanceOf[Routable]
-          val merged = op.deltaScanPlan(cond)
+          val merged = op.deltaScanPlan(usableCond(wd.condition, rel))
           val byName = merged.output.map(a => a.name -> a).toMap
           Project(rel.output.map { o =>
             val child = byName.getOrElse(o.name, throw new IllegalStateException(

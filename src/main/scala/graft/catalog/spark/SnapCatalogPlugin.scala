@@ -900,30 +900,47 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       val s = start.asInstanceOf[SnapOffset].id
       val e = end.asInstanceOf[SnapOffset].id
       if (s >= e) return Array.empty
-      // append-only check needs id/operation only — pointer log, no
-      // manifest materialization (only the two endpoint snapshots below
-      // pay for their file lists)
-      val between = cat.entryLog(db, table)
-        .filter(sn => sn.snapshotId > s && sn.snapshotId <= e)
-      // publish/discard/fastforward are pointer commits: relative to the
-      // PUBLISHED lineage offsets walk, their effect is append-or-nothing
-      // (publish surfaces the staged append's files, fastForward the
-      // branch's appended files — its ancestor requirement guarantees the
-      // published head never rewrote in between — and discard surfaces
-      // none), so the endpoint file diff below yields exactly the
-      // visible-added files. True rewrites (and MoR deletes, which
-      // retract visibility) stay rejected.
-      val nonAppend = between.filterNot(sn =>
-        sn.operation == "append" || sn.operation == "publish" ||
-          sn.operation == "discard" || sn.operation == "fastforward")
-      require(nonAppend.isEmpty,
-        s"streaming read of $db.$table hit non-append operations " +
-          nonAppend.map(sn => s"${sn.operation}@${sn.snapshotId}").mkString(", ") +
+      // Only the two endpoint snapshots materialize. Data files are
+      // write-once, so `from ⊆ to` proves every in-range commit only
+      // ADDED files: appends, WAP publish/discard, fastForward (its
+      // ancestor requirement guarantees the published head never rewrote
+      // in between), and the MoR family — position deletes and delta
+      // UPDATE/MERGE, whose churn is new delta files plus delete
+      // metadata. The batch serves the added files MERGED under the END
+      // snapshot's deletes: a row appended and deleted inside ONE batch
+      // range is never emitted; a delete landing in a LATER range is
+      // skipped (the row was already emitted — a stream cannot retract;
+      // exact retractions are readChangelog's job). True rewrites
+      // (overwrite, CoW DELETE/UPDATE, compact, rollback) still refuse.
+      val toSnap = cat.snapshotAt(db, table, e)
+      val fromFiles = cat.snapshotAt(db, table, s).files.toSet
+      val gone = fromFiles.diff(toSnap.files.toSet)
+      require(gone.isEmpty,
+        s"streaming read of $db.$table ($s, $e]: the range rewrote existing " +
+          s"rows (${gone.size} file(s) gone, e.g. ${gone.take(2).mkString(", ")})" +
           " - an append tail cannot represent rewritten visibility; restart " +
           "the stream from the current snapshot")
-      val fromFiles = cat.snapshotAt(db, table, s).files.toSet
-      val added = cat.snapshotAt(db, table, e).files.filterNot(fromFiles)
+      val added = toSnap.files.filterNot(fromFiles)
+      // deletes at `e` covering files added in-range merge READER-LEVEL
+      // (MorScanMerge; positional only — equality deletes' key columns
+      // need not survive column pruning, and CDC eq-deletes target
+      // pre-range rows in every sane workload)
+      val liveDeletes = toSnap.deleteFiles.filter(d =>
+        added.exists(d.covers.contains))
+      require(liveDeletes.forall(_.isPositional),
+        s"streaming read of $db.$table ($s, $e]: EQUALITY delete files " +
+          "cover in-range appends; compact() the table or restart the " +
+          "stream from the current snapshot")
+      val coveredRel = liveDeletes.flatMap(_.covers.keys).toSet
       val root = java.nio.file.Paths.get(warehouse, db, table)
+      val rootPrefix = root.toString + java.io.File.separator
+      def shardsFor(rel: String): Seq[String] =
+        liveDeletes.filter(_.covers.contains(rel))
+          .map(d => root.resolve(d.path).toString)
+      lazy val confMap: Map[String, String] = {
+        val c = spark.sessionState.newHadoopConf()
+        c.iterator().asScala.map(en => en.getKey -> en.getValue).toMap
+      }
       // PARTITIONED tables: each appended snapshot dir is hive-laid, so the
       // batch assembles per dir with that dir's basePath (same per-dir
       // treatment as the batch read path) and every planned partition
@@ -936,9 +953,41 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         val opts: Map[String, String] =
           if (partitioned) Map("basePath" -> root.resolve(dir).toString)
           else Map.empty
-        val b = batchFor(opts, fs.map(f => root.resolve(f).toString))
-        val factory = b.createReaderFactory()
-        b.planInputPartitions().map(p => CarriedFactoryPartition(p, factory))
+        val (dirty, clean) = fs.partition(coveredRel.contains)
+        val cleanParts: Array[InputPartition] =
+          if (clean.isEmpty) Array.empty
+          else {
+            val b = batchFor(opts, clean.map(f => root.resolve(f).toString))
+            val f0 = b.createReaderFactory()
+            // uniform-columnar rule: a micro-batch mixing merged (row-only)
+            // and clean partitions must read row-based everywhere
+            val factory = if (coveredRel.isEmpty) f0 else RowOnlyReaderFactory(f0)
+            b.planInputPartitions().map(p => CarriedFactoryPartition(p, factory))
+          }
+        val dirtyParts: Array[InputPartition] =
+          if (dirty.isEmpty) Array.empty
+          else {
+            val base = tableSchema.getOrElse(cat.entryLog(db, table).last.schema)
+            val idxField = StructField(MorScanMerge.RowIdxCol,
+              org.apache.spark.sql.types.LongType, nullable = true)
+            val schemaIdx = StructType(
+              base.fields.filterNot(_.name == MorScanMerge.RowIdxCol) :+ idxField)
+            val reqIdx = StructType(
+              prunedSchema.fields.filterNot(_.name == MorScanMerge.RowIdxCol) :+ idxField)
+            val cism = new CaseInsensitiveStringMap(opts.asJava)
+            val builder = ParquetTable(s"$db.$table stream mor", spark, cism,
+              dirty.map(f => root.resolve(f).toString), Some(schemaIdx),
+              classOf[ParquetFileFormat]).newScanBuilder(cism)
+            builder.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+              .pruneColumns(reqIdx)
+            val scan = builder.build()
+            val b = scan.toBatch
+            val mf = new MorMergingReaderFactory(b.createReaderFactory(),
+              scan.readSchema(), prunedSchema.fieldNames, confMap)
+            MorScanMerge.perFilePartitions(b.planInputPartitions(), rootPrefix, shardsFor)
+              .map(p => CarriedFactoryPartition(p, mf))
+          }
+        cleanParts ++ dirtyParts
       }.toArray
     }
 

@@ -603,16 +603,41 @@ class MorDeleteSpec extends AnyFunSuite {
       "WHERE content = 'data'").head.getLong(0) > 0)
   }
 
-  test("readIncremental refuses ranges containing a MoR delete") {
+  test("readIncremental serves the exact append-delta across MoR commits") {
+    // pre-r6 a range containing a MoR delete refused; now the endpoint
+    // file-diff rule serves added files merged under the END snapshot's
+    // deletes: a row appended then deleted inside the range is never
+    // served, delta UPDATEs serve post-images, true rewrites still refuse
     val cat = freshCatalog()
-    withNation(cat)
+    withNation(cat) // snap2: 25 rows, n_nationkey 0..24
     val from = cat.currentSnapshot("db", "nation").snapshotId
-    cat.deleteMoR("db", "nation", col("n_nationkey") < 5)
-    cat.append("db", "nation", nation.limit(3))
-    val to = cat.currentSnapshot("db", "nation").snapshotId
+    cat.deleteMoR("db", "nation", col("n_nationkey") < 5)     // snap3
+    cat.append("db", "nation", nation.where(col("n_nationkey") < 3)) // snap4
+    val to4 = cat.currentSnapshot("db", "nation").snapshotId
+    // (2,4]: the delete covers only pre-range files -> delta = the append
+    assert(cat.readIncremental("db", "nation", from, to4)
+      .select("n_nationkey").as[Int].collect().sorted.toSeq == Seq(0, 1, 2))
+    // a delete of an IN-RANGE appended row is merged out of the delta
+    cat.deleteMoR("db", "nation", col("n_nationkey") === 1)   // snap5 (both files)
+    val to5 = cat.currentSnapshot("db", "nation").snapshotId
+    assert(cat.readIncremental("db", "nation", from, to5)
+      .select("n_nationkey").as[Int].collect().sorted.toSeq == Seq(0, 2))
+    // an in-range MoR update serves the post-image copies
+    cat.updateMoR("db", "nation", col("n_nationkey") === 2,
+      Map("n_name" -> lit("ZZ")))                             // snap6
+    val to6 = cat.currentSnapshot("db", "nation").snapshotId
+    val got = cat.readIncremental("db", "nation", from, to6)
+      .select("n_nationkey", "n_name").as[(Int, String)].collect().sortBy(_._1).toSeq
+    // key 2's ORIGINAL copy died at snap3 (< 5): only the re-appended one
+    // matches the update, and the delta serves its post-image
+    assert(got.map(_._1) == Seq(0, 2), got.toString)
+    assert(got.count(_._2 == "ZZ") == 1, got.toString)
+    // a rewrite inside the range still refuses, with the file-diff proof
+    cat.compact("db", "nation", numFiles = 1)
+    val to7 = cat.currentSnapshot("db", "nation").snapshotId
     val e = intercept[IllegalArgumentException] {
-      cat.readIncremental("db", "nation", from, to).collect()
+      cat.readIncremental("db", "nation", from, to7)
     }
-    assert(e.getMessage.contains("delete"))
+    assert(e.getMessage.contains("rewrote existing rows"), e.getMessage)
   }
 }

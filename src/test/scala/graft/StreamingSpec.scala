@@ -210,9 +210,51 @@ class StreamingSpec extends AnyFunSuite {
         q3.processAllAvailable()
         q3.awaitTermination(10000)
       }
-      assert(e.getMessage.contains("non-append") || e.getCause.getMessage.contains("non-append"),
-        e.getMessage)
+      assert(e.getMessage.contains("rewrote existing") ||
+        e.getCause.getMessage.contains("rewrote existing"), e.getMessage)
     } finally q3.stop()
+  }
+
+  test("stream tails across MoR deletes: merged in-range, later deletes skipped") {
+    import java.time.Instant
+    import graft.catalog.SnapshotCatalog
+    val wh = Files.createTempDirectory("graft_tailmor_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, wh,
+      clock = () => { tick += 1; Instant.parse("2026-05-01T00:00:00Z").plusSeconds(tick * 60) })
+    val df0 = Seq((1L, "pre")).toDF("id", "tag")
+    cat.createTable("db", "tmor", df0.schema)
+    cat.append("db", "tmor", df0) // snap2, before the stream
+    spark.conf.set("spark.sql.catalog.snaptm", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snaptm.warehouse", wh)
+
+    val q = spark.readStream.table("snaptm.db.tmor")
+      .writeStream.format("memory").queryName("tmor_tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      cat.append("db", "tmor", Seq((10L, "a"), (11L, "a"), (12L, "a")).toDF("id", "tag"))
+      q.processAllAvailable() // batch emits 10,11,12
+      // a LATER MoR delete of an already-emitted row cannot retract it:
+      // the batch range (snap3, snap4] adds no files -> empty, no failure
+      cat.deleteMoR("db", "tmor", col("id") === 11L)
+      q.processAllAvailable()
+      // the tail keeps going across the delete
+      cat.append("db", "tmor", Seq((13L, "b")).toDF("id", "tag"))
+      q.processAllAvailable()
+      val got = spark.table("tmor_tail").as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(got.map(_._1) == Seq(10L, 11L, 12L, 13L), got.toString)
+    } finally q.stop()
+
+    // a fresh stream whose FIRST batch spans the whole history serves the
+    // net rows: append+delete inside one batch range merge reader-level
+    val q2 = spark.readStream.option("starting-snapshot-id", "1")
+      .table("snaptm.db.tmor")
+      .writeStream.format("memory").queryName("tmor_all").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("tmor_all").as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(got.map(_._1) == Seq(1L, 10L, 12L, 13L), got.toString) // 11 dead
+    } finally q2.stop()
   }
 
   test("native writeStream.toTable appends one epoch-tagged snapshot per batch") {
