@@ -948,8 +948,21 @@ final class SnapshotCatalog(
     * files; uncovered files take the plain vectorized scan untouched. The
     * merge-on-read tax is scoped to exactly the files deletes touch —
     * on a 100-TB table with a few GDPR deletes, everything else reads as
-    * if the feature did not exist. */
+    * if the feature did not exist.
+    *
+    * First merged read of an EQUALITY-delete snapshot also triggers the
+    * lazy [[backfillEqCount]] (the bounded materialization the zero-scan
+    * delete skipped) so `record_count` and metadata-served `count(*)`
+    * come back exact — see the backfill's scaladoc for the race story. */
   private def readVisible(db: String, table: String, snap: Snapshot,
+      files: Seq[String]): DataFrame = {
+    if (snap.recordCount < 0 && snap.deleteFiles.exists(!_.isPositional))
+      try backfillEqCount(db, table, snap.snapshotId)
+      catch { case scala.util.control.NonFatal(_) => () } // reads never fail on a stats repair
+    readVisibleRaw(db, table, snap, files)
+  }
+
+  private def readVisibleRaw(db: String, table: String, snap: Snapshot,
       files: Seq[String]): DataFrame = {
     val live = liveDeletesFor(snap, files)
     if (live.isEmpty) return readFiles(db, table, snap.schema, files)
@@ -1709,6 +1722,87 @@ final class SnapshotCatalog(
       prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles ++ fileEntries)
     commitSnapshot(db, table, entries, snap, prevEntry.manifests, Manifest.empty,
       prevEntry.deletes :+ deleteShardName(newId))
+  }
+
+  /** Lazy EXACT-COUNT backfill for an equality-delete history.
+    * [[deleteMoREq]] never scans the corpus, so it commits
+    * `record_count = -1` (honest unknown) — which also disables
+    * metadata-served `count(*)` ([[graft.catalog.spark.MetadataCountRule]])
+    * for every later snapshot whose arithmetic chains off it. This runs
+    * the bounded materialization the delete skipped, once:
+    *
+    *  - files NOT covered by an eq delete never scan — their visible
+    *    counts are footer rows minus recorded position-delete coverage,
+    *    all metadata already in the manifest;
+    *  - only eq-covered files read (merged), one count job scoped the
+    *    same way the delete's own candidate scoping was;
+    *  - the exact count is written back into the pointer-log summary
+    *    UNDER THE COMMIT LOCK, then forward-propagated through every
+    *    later entry whose `prev + added - deleted` becomes decidable
+    *    (appends and position deletes propagate; a later eq delete stops
+    *    the chain until its own backfill). The eq entry's
+    *    `deleted_records` is also repaired when the previous count is
+    *    known.
+    *
+    * Races: a concurrent backfill is idempotent (the log re-read under
+    * the lock shows `record_count >= 0` and the write is skipped); a
+    * commit landing between compute and write-back is safe because the
+    * amendment targets the snapshot id it computed against, never
+    * "current" — the new commit's own entry is then repaired by the
+    * propagation pass of the NEXT backfill or read. Returns the exact
+    * count for `snapshotId`. */
+  def backfillEqCount(db: String, table: String, snapshotId: Long): Long = {
+    val snap = snapshotAt(db, table, snapshotId)
+    if (snap.recordCount >= 0) return snap.recordCount
+    val eqCovered = snap.deleteFiles.filterNot(_.isPositional)
+      .flatMap(_.covers.keys).toSet
+    // metadata tier: footer rows minus position-dead, per uncovered file;
+    // files lacking recorded footer rows degrade to the scan tier
+    val (metaDecided, scanFiles0) = snap.files.partition(f =>
+      !eqCovered.contains(f) && snap.fileStats.get(f).exists(_.contains("rows")))
+    val posDead = deadRows(snap.deleteFiles.filter(_.isPositional), metaDecided)
+      .getOrElse(0L) // positional covers are always exact
+    val metaCount = metaDecided.iterator
+      .map(f => snap.fileStats(f)("rows").toLong).sum - posDead
+    val scanned =
+      if (scanFiles0.isEmpty) 0L
+      else readVisibleRaw(db, table, snap, scanFiles0).count()
+    val exact = metaCount + scanned
+    withTableLock(db, table) {
+      val entries = entryMeta(db, table)
+      val idx = entries.indexWhere(_.snapshotId == snapshotId)
+      if (idx >= 0 && entries(idx).summary.get("record_count").contains("-1")) {
+        val prevCount = (if (idx > 0) entries(idx - 1).summary.get("record_count")
+          else None).map(_.toLong).filter(_ >= 0)
+        var amended = entries.updated(idx, entries(idx).copy(summary =
+          entries(idx).summary ++ Map("record_count" -> exact.toString) ++
+            prevCount.map(p => "deleted_records" -> (p - exact).toString)))
+        // forward propagation: repair the -1 tail while each entry's own
+        // added/deleted arithmetic is decidable
+        var prev = exact
+        var i = idx + 1
+        var decidable = true
+        while (i < amended.length && decidable) {
+          val e = amended(i)
+          val rc = e.summary.get("record_count").map(_.toLong)
+          if (rc.exists(_ >= 0)) prev = rc.get
+          else {
+            val add = e.summary.get("added_records").map(_.toLong).filter(_ >= 0)
+            val del = e.summary.get("deleted_records").map(_.toLong).filter(_ >= 0)
+            (add, del) match {
+              case (Some(a), Some(d)) =>
+                prev = prev + a - d
+                amended = amended.updated(i, e.copy(summary =
+                  e.summary + ("record_count" -> prev.toString)))
+              case _ => decidable = false // a later eq delete: its own backfill's job
+            }
+          }
+          i += 1
+        }
+        writeEntries(db, table, amended)
+      }
+    }
+    exact
   }
 
   /** Write the position-delete files for one MoR commit: `matched` must be

@@ -497,6 +497,12 @@ class MorDeleteSpec extends AnyFunSuite {
     // reads merge by key
     assert(cat.readLatest("db", "nation").count() == 22)
     assert(cat.readLatest("db", "nation").where(col("n_nationkey") < 3).count() == 0)
+    // r6: the first merged read BACKFILLED the exact count into the log —
+    // snapshots metadata is exact again (so metadata-served count(*)
+    // works) and the eq entry's deleted_records is repaired from the
+    // known previous count
+    assert(cat.recordCount("db", "nation", snap.snapshotId) == 22L)
+    assert(cat.currentSnapshot("db", "nation").summary("deleted_records") == "3")
     // rows appended AFTER the eq delete are untouched even with dead keys
     cat.append("db", "nation", nation.limit(2)) // re-add keys 0,1 as new rows
     val counts = cat.readLatest("db", "nation").groupBy("n_nationkey").count()
@@ -526,6 +532,32 @@ class MorDeleteSpec extends AnyFunSuite {
     val noop = cat.deleteMoREq("db", "nation",
       Seq.empty[Int].toDF("n_nationkey"))
     assert(noop.deleteFiles.isEmpty && noop.recordCount == 23L)
+  }
+
+  test("equality delete: count backfill races safely with commits (CommitMutex)") {
+    val cat = freshCatalog()
+    withNation(cat) // 25 rows
+    val eq = cat.deleteMoREq("db", "nation", Seq(0, 1, 2).toDF("n_nationkey"))
+    assert(eq.recordCount == -1L)
+    // backfill and an append race: the write-back targets the eq snapshot
+    // id under the table lock and forward-propagates, so EITHER ordering
+    // converges to the same exact chain
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(cat.backfillEqCount("db", "nation", eq.snapshotId))
+    val f2 = Future(cat.append("db", "nation", nation.limit(4)))
+    assert(Await.result(f1, 120.seconds) == 22L)
+    Await.result(f2, 120.seconds)
+    assert(cat.recordCount("db", "nation", eq.snapshotId) == 22L)
+    // the append's entry is exact whichever side won the lock first
+    // (computed from a repaired prev, or repaired by the propagation);
+    // a second read settles any -1 the race left behind
+    cat.readLatest("db", "nation").count()
+    assert(cat.currentSnapshot("db", "nation").recordCount == 26L)
+    // double-backfill is idempotent
+    assert(cat.backfillEqCount("db", "nation", eq.snapshotId) == 22L)
+    assert(cat.readLatest("db", "nation").count() == 26)
   }
 
   test("equality delete: null-safe key matching and multi-column keys") {
