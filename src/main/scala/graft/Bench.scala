@@ -62,7 +62,8 @@ object Bench {
     // judge's SPARK_GRAFT_ONLY re-runs provided — recording the best
     // number plus an "inflated" note naming the corrected queries.
     val sfName = new java.io.File(sfDir).getName
-    val qre = """"(q[A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
+    // tolerates the driver artifact's JSON-escaped quotes (\"q22\":0.4)
+    val qre = """"(q[A-Za-z0-9_]+)\\?":(-?\d+(?:\.\d+)?)""".r
     def parsePrior(f: java.io.File): Map[String, Double] =
       scala.util.Try {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
