@@ -1594,7 +1594,34 @@ final class SnapshotCatalog(
   def deleteMoR(db: String, table: String, cond: Column): Snapshot = withTableLock(db, table) {
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
-    val prevEntry = publishedEntry(entries)
+    deleteMoRFrom(db, table, entries, publishedEntry(entries), cond, Map.empty)
+  }
+
+  /** MoR delete ON A BRANCH (the audit-lineage DML): position deletes
+    * based at the branch head, committed branch-marked (invisible to main
+    * until [[fastForward]]) with the ref advanced — the same pointer-
+    * commit cost as [[deleteMoR]]. SQL reaches this through the
+    * `snapcat.db.t.branch_<name>` write identifier (Iceberg's branch-write
+    * convention). */
+  def deleteMoRBranch(db: String, table: String, name: String,
+      cond: Column): Snapshot = withTableLock(db, table) {
+    val headId = resolveBranch(db, table, name).getOrElse(
+      throw new NoSuchElementException(s"no such branch '$name' on $db.$table"))
+    val entries = entriesForWrite(db, table)
+    val baseEntry = entries.find(_.snapshotId == headId).getOrElse(
+      throw new IllegalStateException(
+        s"branch '$name' points at expired snapshot $headId of $db.$table"))
+    val snap = deleteMoRFrom(db, table, entries, baseEntry, cond,
+      Map("branch.ref" -> name, "branch.parent" -> headId.toString))
+    val tm = meta(db, table)
+    writeString(metaPath(db, table),
+      Json.writePretty(tm.copy(branches = tm.branches + (name -> snap.snapshotId)).toJson))
+    snap
+  }
+
+  private def deleteMoRFrom(db: String, table: String, entries: Seq[SnapshotEntry],
+      prevEntry: SnapshotEntry, cond: Column,
+      extraSummary: Map[String, String]): Snapshot = {
     val prev = materialize(db, table, prevEntry)
     val newId = entries.last.snapshotId + 1
     // footer-stat pruning scopes the position scan to candidate files,
@@ -1620,7 +1647,8 @@ final class SnapshotCatalog(
         "added_files" -> "0",
         "deleted_records" -> deleted.toString,
         "total_files" -> prev.files.size.toString,
-        "delete_files" -> (prev.deleteFiles.size + fileEntries.size).toString),
+        "delete_files" -> (prev.deleteFiles.size + fileEntries.size).toString) ++
+        extraSummary,
       prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles ++ fileEntries)
     // pure pointer commit on the data side: every manifest shard reuses
     commitSnapshot(db, table, entries, snap, prevEntry.manifests, Manifest.empty, shards)

@@ -260,7 +260,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * provider / location rows the reference string-parses
     * (`2_collect_database_schema_info.py:186-214`). */
   private final class SnapTable(tableName: String, snap: Snapshot,
-      tableMeta: TableMeta, db: String, table: String)
+      tableMeta: TableMeta, db: String, table: String,
+      branch: Option[String] = None)
       extends Table with SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsWrite
       with SupportsDelete
@@ -350,8 +351,11 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       // refuses loudly over live deletes).
       val deltaRuleActive = spark.sessionState.analyzer.postHocResolutionRules
         .exists(_.isInstanceOf[MorDeltaScanRule])
-      val wantsDelta = snap.deleteFiles.nonEmpty ||
-        tableMeta.properties.get(s"write.$opName.mode").contains("merge-on-read")
+      // branch targets never take the delta or CoW rewrite paths — both
+      // commit to MAIN; translatable branch DELETEs route to deleteWhere
+      // (deleteMoRBranch) and everything else refuses at scan build below
+      val wantsDelta = branch.isEmpty && (snap.deleteFiles.nonEmpty ||
+        tableMeta.properties.get(s"write.$opName.mode").contains("merge-on-read"))
       if (wantsDelta && deltaRuleActive)
         return () => new SnapDeltaOperation(spark, warehouse, db, table,
           snap.snapshotId, info.command, opName, schema())
@@ -375,6 +379,14 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           * a `UPDATE ... WHERE id = 5` on a 100-TB table rewrites the files
           * whose stats admit id=5, not the lake. */
         override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+          // the group-based rewrite commits to MAIN — a branch target must
+          // never reach it (translatable branch DELETEs were already
+          // routed to deleteWhere/deleteMoRBranch by the downgrade)
+          require(branch.isEmpty,
+            s"$opName on branch '${branch.getOrElse("")}' of " +
+              s"$catalogName.$db.$table: branch DML covers DELETE and INSERT; " +
+              "fastForward then rewrite on main, or use the library " +
+              "updateMoR/upsertMoR")
           // the group-based rewrite scan reads candidate files RAW (full
           // stock parquet batches) — over live position deletes it would
           // resurrect dead rows into the rewritten state. Refuse loudly;
@@ -480,9 +492,16 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
       val cond = filters.map(FilterToColumn(_)).reduceOption(_ && _)
         .getOrElse(org.apache.spark.sql.functions.lit(true))
-      if (tableMeta.properties.get("write.delete.mode").contains("merge-on-read"))
-        cat.deleteMoR(db, table, cond)
-      else cat.delete(db, table, cond)
+      branch match {
+        // branch-scoped SQL DELETE (`DELETE FROM cat.db.t.branch_<name>`):
+        // always merge-on-read — a pointer commit on the audit lineage,
+        // invisible to main until fastForward publishes it
+        case Some(b) => cat.deleteMoRBranch(db, table, b, cond)
+        case None =>
+          if (tableMeta.properties.get("write.delete.mode").contains("merge-on-read"))
+            cat.deleteMoR(db, table, cond)
+          else cat.delete(db, table, cond)
+      }
     }
 
     override val recordCount: Long = snap.recordCount
@@ -802,7 +821,24 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-      new SnapWriteBuilder(db, table, startTruncated = false, info)
+      branch match {
+        case Some(b) => new WriteBuilder with SupportsTruncate {
+          override def truncate(): WriteBuilder = throw new UnsupportedOperationException(
+            s"INSERT OVERWRITE of branch '$b' is not supported - append to the " +
+              "branch or overwrite main and re-branch")
+          override def build(): Write = new V1Write {
+            override def toInsertableRelation: InsertableRelation =
+              new InsertableRelation {
+                override def insert(data: DataFrame, ignored: Boolean): Unit = {
+                  val bucketed = cat.meta(db, table).bucketSpec.isDefined
+                  val frame = if (bucketed) cat.bucketize(db, table, data) else data
+                  cat.appendBranch(db, table, b, frame)
+                }
+              }
+          }
+        }
+        case None => new SnapWriteBuilder(db, table, startTruncated = false, info)
+      }
   }
 
   /** Batch scan wrapper adding a STREAMING personality: `toBatch`
@@ -1268,6 +1304,20 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       val (db, table) = (ident.namespace()(0), ident.namespace()(1))
       return if (ident.name() == "snapshots") new SnapshotsMetaTable(db, table)
       else new InventoryMetaTable(db, table, ident.name())
+    }
+    // branch-write addressing (Iceberg's convention): snapcat.db.t.branch_x
+    // reads AND writes the branch head — `DELETE FROM snapcat.db.t.branch_x`
+    // commits a branch-marked MoR delete, `INSERT INTO` appends to the
+    // branch, both invisible to main until fastForward
+    if (ident.namespace().length == 2 && ident.name().startsWith("branch_") &&
+      cat.tableExists(ident.namespace()(0), ident.namespace()(1))) {
+      val (db, table) = (ident.namespace()(0), ident.namespace()(1))
+      val name = ident.name().stripPrefix("branch_")
+      val headId = cat.resolveBranch(db, table, name).getOrElse(
+        throw new NoSuchTableException(ident))
+      return new SnapTable(s"$catalogName.$db.$table.branch_$name",
+        cat.snapshotAt(db, table, headId), cat.meta(db, table), db, table,
+        branch = Some(name))
     }
     checkExists(ident)
     snapshotTable(ident, cat.currentSnapshot(ident.namespace().head, ident.name()))

@@ -209,4 +209,55 @@ class BranchSpec extends AnyFunSuite {
     assert(cat.readLatest("db", "m").count() == 9)
     assert(cat.readLatest("db", "m").where(col("id") < 3).count() == 0)
   }
+
+  test("SQL: branch-scoped DML via the branch_<name> write identifier") {
+    // DELETE FROM cat.db.t.branch_audit / INSERT INTO ... (the Iceberg
+    // branch-write convention): commits land branch-marked and invisible
+    // to main; fastForward publishes the whole audited lineage
+    val cat = freshCatalog()
+    val df = (1L to 10L).map(k => (k, s"n$k")).toDF("id", "name")
+    cat.createTable("db", "bd", df.schema)
+    cat.append("db", "bd", df) // snap 2, published
+    cat.createBranch("db", "bd", "audit")
+    spark.conf.set("spark.sql.catalog.brdml", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.brdml.warehouse", cat.warehouse)
+
+    // branch DELETE: a MoR pointer commit on the audit lineage
+    spark.sql("DELETE FROM brdml.db.bd.branch_audit WHERE id <= 3")
+    // branch INSERT: appendBranch through SQL
+    spark.sql("INSERT INTO brdml.db.bd.branch_audit VALUES (100L, 'new')")
+    // the branch identifier READS the branch head (merged)
+    assert(spark.sql("SELECT count(*) AS n FROM brdml.db.bd.branch_audit")
+      .head.getLong(0) == 8) // 10 - 3 + 1
+    assert(spark.sql("SELECT count(*) AS n FROM brdml.db.bd.branch_audit WHERE id <= 3")
+      .head.getLong(0) == 0)
+    // VERSION AS OF 'audit' agrees with the identifier route
+    assert(spark.sql("SELECT count(*) AS n FROM brdml.db.bd VERSION AS OF 'audit'")
+      .head.getLong(0) == 8)
+    // main is untouched by both commits
+    assert(spark.sql("SELECT count(*) AS n FROM brdml.db.bd").head.getLong(0) == 10)
+    assert(cat.readLatest("db", "bd").count() == 10)
+    // the branch delete committed position deletes, no data-file rewrite
+    val head = cat.snapshotAt("db", "bd",
+      cat.resolveBranch("db", "bd", "audit").get)
+    assert(head.summary.get("branch.ref").contains("audit"))
+    assert(cat.snapshotAt("db", "bd", 2).files.forall(head.files.contains))
+
+    // fastForward publishes: main now serves the audited state
+    cat.fastForward("db", "bd", "audit")
+    assert(spark.sql("SELECT count(*) AS n FROM brdml.db.bd").head.getLong(0) == 8)
+    assert(spark.sql("SELECT count(*) AS n FROM brdml.db.bd WHERE id <= 3")
+      .head.getLong(0) == 0)
+
+    // guards: unknown branch; UPDATE/MERGE on a branch refuse with a hint
+    val e1 = intercept[Exception] {
+      spark.sql("DELETE FROM brdml.db.bd.branch_ghost WHERE id = 1")
+    }
+    assert(e1.getMessage.toLowerCase.contains("table or view not found") ||
+      e1.getMessage.contains("branch_ghost"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE brdml.db.bd.branch_audit SET name = 'x' WHERE id = 5")
+    }
+    assert(e2.getMessage.contains("branch DML covers DELETE and INSERT"), e2.getMessage)
+  }
 }
