@@ -25,6 +25,15 @@ trait HasColumnStats {
   def columnStat(key: String): Option[String]
 }
 
+/** Table implementations whose content is identified by a stable token
+  * that CHANGES whenever the visible data changes (table + snapshot id
+  * here). Derived-artifact caches (e.g. IVF coarse-quantizer centroids)
+  * key on it: a new snapshot yields a new token, so stale artifacts are
+  * never served. */
+trait HasSnapshotIdentity {
+  def snapshotIdentity: String
+}
+
 /** V2 tables whose effective snapshot may carry merge-on-read position
   * deletes. [[MorReadRule]] consults this to swap a raw scan relation for
   * the merged read. `snapshotId` is the reader-option time-travel override

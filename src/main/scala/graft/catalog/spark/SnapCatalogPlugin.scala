@@ -267,7 +267,10 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       with SupportsDelete
       with SupportsRowLevelOperations
       with SupportsMetadataColumns
-      with HasRecordCount with HasColumnStats with MorMergeable {
+      with HasRecordCount with HasColumnStats with MorMergeable
+      with HasSnapshotIdentity {
+
+    override def snapshotIdentity: String = s"$tableName@${snap.snapshotId}"
 
     /** The merge-on-read row identity, exposed as V2 metadata columns so
       * the SupportsDelta rewrite can resolve its row id against the

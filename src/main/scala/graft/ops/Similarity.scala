@@ -34,6 +34,57 @@ object Similarity {
     * `maxSample` bound `trainIvfCentroids` enforces. */
   val IvfTargetSample: Long = 100000L
 
+  /** Process-wide coarse-quantizer cache: repeated IVF queries over the
+    * SAME corpus content reuse the trained centroids instead of paying
+    * the training collect per invocation. Keyed by a CONTENT identity —
+    * a snapcat table's `table@snapshotId` token ([[graft.catalog.spark
+    * .HasSnapshotIdentity]]) or a parquet scan's file list + bytes — plus
+    * every training parameter, so a new snapshot, an overwritten corpus
+    * dir, or different (nlist, iters, mod) can never serve stale
+    * centroids. Corpora whose identity is unprovable (arbitrary
+    * transformed frames) simply retrain, today's behavior. Centroids are
+    * a pure function of (content, params) — at most a few KB per entry;
+    * a persistent deployment would spill this map to a table-property /
+    * sidecar keyed the same way. */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Array[Double]]]
+
+  /** Content-identity token of a corpus frame, when provable from the
+    * plan: a bare (projected) scan of a snapcat table or a parquet
+    * directory. */
+  private[graft] def corpusIdentity(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Project(exprs, child) if exprs.forall(_.deterministic) => strip(child)
+      case a: SubqueryAlias => strip(a.child)
+      case other => other
+    }
+    strip(df.queryExecution.analyzed) match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: graft.catalog.spark.HasSnapshotIdentity
+            if r.options == null || (!r.options.containsKey("snapshot-id") &&
+              !r.options.containsKey("as_of_snapshot_id")) =>
+          Some(s"snap:${t.snapshotIdentity}")
+        case _ => None
+      }
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val files = fs.location.inputFiles
+          if (files.isEmpty) None
+          else Some(s"fs:${java.util.Arrays.hashCode(
+            files.sorted.asInstanceOf[Array[AnyRef]])}:${fs.location.sizeInBytes}:${files.length}")
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Test hook: number of coarse-quantizer trainings actually run. */
+  @volatile private[graft] var ivfTrainings: Long = 0L
+  private[graft] def ivfTrainingCount: Long = ivfTrainings
+
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
   /** Native compiled dot (double accumulation, handles float/double arrays)
@@ -285,7 +336,17 @@ object Similarity {
           .getOrElse(corpus.select(col(corpusId)).count())
         math.max(1L, (n + IvfTargetSample - 1) / IvfTargetSample)
       }
-    val cents = trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters, mod)
+    // centroid reuse: a provable corpus identity + identical params means
+    // identical centroids (training is deterministic) — serve the cache,
+    // zero training collects on repeat invocations; see centroidCache
+    val cacheKey = corpusIdentity(corpus)
+      .map(id => s"$id|$corpusId|$corpusVec|$nlist|$iters|$mod")
+    val cents = cacheKey.flatMap(centroidCache.get).getOrElse {
+      val trained = trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters, mod)
+      ivfTrainings += 1
+      cacheKey.foreach(centroidCache.put(_, trained))
+      trained
+    }
     val c = corpus.select(col(corpusId), col(corpusVec), norm(col(corpusVec)).as("_cn"),
       ivfCell(quantize(col(corpusVec)), cents).as("cell"))
     val q = queries.select(col(queryId), col(queryVec), norm(col(queryVec)).as("_qn"),

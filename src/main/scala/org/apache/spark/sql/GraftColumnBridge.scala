@@ -12,6 +12,11 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Drain the SparkListener bus (private[spark]) — lets specs assert
+    * "zero jobs ran during construction" without sleeping. */
+  def waitListenerBus(spark: SparkSession, timeoutMs: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** The row-level operation inside a rewrite plan's relation, if the
     * relation's table is the analyzer's (private[sql])
     * `RowLevelOperationTable` wrapper — lets extension rules recognize

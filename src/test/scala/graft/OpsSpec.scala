@@ -94,6 +94,62 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("IVF centroids cache per corpus content; snapshots invalidate (zero re-train)") {
+    // bind ONE frame: emb is a def, and a fresh spark.read.parquet inside
+    // the listener window runs a file-listing job that is not ivfTopK's
+    val corpus = emb
+    val queries = corpus.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(c, "vec_id", "embedding", queries, "qid", "qvec",
+        k = 5, nlist = 8, nprobe = 3, iters = 2, sampleMod = 7)
+    val t0 = Similarity.ivfTrainingCount
+    val r1 = run(corpus).as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(Similarity.ivfTrainingCount == t0 + 1, "first invocation trains")
+    // SECOND invocation over the same parquet corpus: the cached
+    // centroids serve — zero training collects, listener-asserted (no
+    // Spark job may start during plan CONSTRUCTION)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // drain events still queued from the first invocation — they would
+    // otherwise deliver to the new listener and read as fresh jobs
+    org.apache.spark.sql.GraftColumnBridge.waitListenerBus(spark, 10000)
+    spark.sparkContext.addSparkListener(listener)
+    val df2 =
+      try {
+        val d = run(corpus)
+        org.apache.spark.sql.GraftColumnBridge.waitListenerBus(spark, 10000)
+        assert(jobs.get() == 0,
+          s"second invocation must run ZERO jobs at construction, ran ${jobs.get()}")
+        d
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(Similarity.ivfTrainingCount == t0 + 1, "second invocation reuses centroids")
+    assert(df2.as[(Long, Long, Long)].collect().sorted.toSeq == r1, "identical results")
+    // an UNPROVABLE corpus identity (filtered frame) must retrain, never
+    // serve another corpus's centroids
+    run(corpus.where(col("vec_id") >= 0)).collect()
+    assert(Similarity.ivfTrainingCount == t0 + 2)
+    // snapcat-table corpus: identity is table@snapshot — an append moves
+    // the snapshot and invalidates
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfc_").toString
+    val cat = new graft.catalog.SnapshotCatalog(spark, dir)
+    cat.createTable("db", "vecs", emb.select("vec_id", "embedding").schema)
+    cat.append("db", "vecs", emb.select("vec_id", "embedding"))
+    spark.conf.set("spark.sql.catalog.ivfc", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.ivfc.warehouse", dir)
+    val t1 = Similarity.ivfTrainingCount
+    run(spark.table("ivfc.db.vecs")).collect()
+    run(spark.table("ivfc.db.vecs")).collect()
+    assert(Similarity.ivfTrainingCount == t1 + 1, "same snapshot: one training")
+    cat.append("db", "vecs", emb.select("vec_id", "embedding").limit(3))
+    run(spark.table("ivfc.db.vecs")).collect()
+    assert(Similarity.ivfTrainingCount == t1 + 2, "new snapshot: retrained")
+  }
+
   test("near-dup clustering: transitive closure with min representative") {
     // chain 1-2-3 (needs >1 propagation round), a pair, and a triangle
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
