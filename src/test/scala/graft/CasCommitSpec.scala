@@ -94,16 +94,35 @@ class CasCommitSpec extends AnyFunSuite {
   test("contention is observable and bounded: conflicts happened, retries resolved them") {
     val store = new InMemoryObjectStore
     val mutex = new CasCommitMutex
-    val threads = (1 to 4).map { t =>
-      new Thread(() => (1 to 5).foreach(i => commitOnce(store, mutex, s"t$t-$i")))
+    // DETERMINISTIC contention (the free-for-all above may or may not
+    // collide under the scheduler): both writers rendezvous after reading
+    // the same log state and before publishing, so exactly one conditional
+    // put must lose; the mutex's retry loop then lands the loser cleanly.
+    // Only the FIRST attempt per thread is gated — a retry runs free, so
+    // the barrier can't deadlock against an already-finished winner.
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val firstAttempt = ThreadLocal.withInitial[java.lang.Boolean](() => true)
+    val lockPath = Paths.get("/tmp/unused-cas-lock")
+    def commitGated(payload: String): Unit = mutex.withLock("t", lockPath) {
+      val cur = store.get("log.json")
+      val entries = cur.map(o => new String(o.bytes, UTF_8).split("\n").toSeq
+        .filter(_.nonEmpty)).getOrElse(Seq.empty)
+      store.put(s"m${entries.size + 1}-$payload.json", payload.getBytes(UTF_8))
+      if (firstAttempt.get()) {
+        firstAttempt.set(false)
+        barrier.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      store.putIf("log.json",
+        (entries :+ s"${entries.size + 1}:$payload").mkString("\n").getBytes(UTF_8),
+        cur.map(_.etag))
     }
+    val threads = (1 to 2).map(t => new Thread(() => commitGated(s"t$t")))
     threads.foreach(_.start())
     threads.foreach(_.join())
     val log = new String(store.get("log.json").get.bytes, UTF_8).split("\n")
-    assert(log.length == 20)
-    // with 4 writers and no lock, at least one conditional put must have
-    // lost a race (the loop's reason to exist); every loss was retried to
-    // success — 20 commits, 20 log entries
-    assert(store.conflicts > 0, "expected observable contention")
+    assert(log.length == 2, log.toSeq.toString)
+    // exactly one loser, retried to success — both payloads in the log
+    assert(store.conflicts == 1, s"expected exactly one conflict, got ${store.conflicts}")
+    assert((1 to 2).forall(t => log.exists(_.endsWith(s"t$t"))), log.toSeq.toString)
   }
 }

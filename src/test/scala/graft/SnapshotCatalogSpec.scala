@@ -462,7 +462,7 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(cat.readIncremental("db", "inc", 3, 3).count() == 0)
     cat.overwrite("db", "inc", df1) // snap 4 rewrites visibility
     val e = intercept[IllegalArgumentException] { cat.readIncremental("db", "inc", 2, 4) }
-    assert(e.getMessage.contains("append-only"), e.getMessage)
+    assert(e.getMessage.contains("use readChangelog"), e.getMessage)
   }
 
   test("per-file footer stats drive file-level data skipping") {
