@@ -43,7 +43,27 @@ import graft.catalog.{SchemaEvolve, Snapshot, SnapshotCatalog, TableMeta}
   */
 class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     with StagingTableCatalog
-    with FunctionCatalog {
+    with FunctionCatalog
+    with ProcedureCatalog {
+
+  // ---- procedures (`CALL snapcat.system.<proc>(...)` — SnapProcedures) ----
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      SnapProcedures.all(cat).keys.toArray.sorted
+        .map(n => Identifier.of(Array("system"), n))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new IllegalArgumentException(
+        s"procedures live in the 'system' namespace: CALL $catalogName.system.${ident.name()}(...)")
+    SnapProcedures.all(cat).getOrElse(ident.name(),
+      throw new IllegalArgumentException(
+        s"no such procedure '${ident.name()}'; available: " +
+          SnapProcedures.all(cat).keys.toSeq.sorted.mkString(", ")))
+  }
 
   // ---- functions (the bucket transform both SPJ join sides resolve) ----
 

@@ -1,0 +1,226 @@
+package graft.catalog.spark
+
+import java.nio.file.Paths
+import java.time.Instant
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.catalog.SnapshotCatalog
+
+/** The SQL maintenance surface: `CALL snapcat.system.<proc>(...)` through
+  * Spark 4's DSv2 `ProcedureCatalog`. The procedure set mirrors the shape
+  * of Iceberg's published Spark procedures (`rewrite_data_files`,
+  * `expire_snapshots`, `remove_orphan_files`, `rollback_to_snapshot`,
+  * `create_tag`/`create_branch`, `fast_forward`, `add_files` — public API
+  * surface, reimplemented over this catalog's own verbs), so the entire
+  * maintenance lifecycle runs from SQL without dropping to the library.
+  *
+  * Each procedure is ONE existing [[SnapshotCatalog]] verb behind the same
+  * CommitMutex as the library path — no new commit semantics here, only a
+  * SQL door to the audited ones. Results come back as rows through
+  * [[LocalScan]] (driver-local, KB-sized: snapshot ids, reclaimed counts,
+  * orphan paths), so `spark.sql("CALL ...")` yields a DataFrame the caller
+  * can assert on or join into an ops report. Scale posture: every verb's
+  * heavy lifting (rewrites, sweeps) is the catalog's already-distributed
+  * implementation; the procedure layer itself never touches data.
+  *
+  * Reference cite: the reference drives maintenance from operator-run CLI
+  * scripts (e.g. `6_*.py` verification passes); a SQL-native surface is
+  * what its users would reach for on a warehouse they can only speak SQL
+  * to.
+  */
+object SnapProcedures {
+
+  /** Declarative procedure: parameters, result schema, and a body from the
+    * bound argument row to result rows. `bind` ignores the caller-supplied
+    * input type — Spark's ProcedureArgumentCoercion casts arguments to the
+    * declared parameter types before `call` runs. */
+  private final class Proc(
+      procName: String,
+      procDescription: String,
+      val params: Seq[ProcedureParameter],
+      resultSchema: StructType,
+      body: InternalRow => Seq[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procDescription
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false // every call commits/sweeps
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val out = body(input).toArray
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = out
+        override def description(): String = s"graft procedure $procName"
+      }
+      java.util.List.of(scan).iterator()
+    }
+  }
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def inDefault(name: String, dt: DataType, sql: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(sql).build()
+
+  /** `table` arguments are 'db.table' strings — the procedure namespace is
+    * `system`, so the target table can't ride the identifier itself. */
+  private def dbTable(input: InternalRow, ordinal: Int): (String, String) = {
+    require(!input.isNullAt(ordinal), "table argument must not be null")
+    val s = input.getUTF8String(ordinal).toString
+    s.split('.') match {
+      case Array(db, t) if db.nonEmpty && t.nonEmpty => (db, t)
+      case _ => throw new IllegalArgumentException(
+        s"table argument must be 'db.table', got '$s'")
+    }
+  }
+
+  private def str(input: InternalRow, ordinal: Int): Option[String] =
+    if (input.isNullAt(ordinal)) None else Some(input.getUTF8String(ordinal).toString)
+
+  private def row(values: Any*): InternalRow = new GenericInternalRow(values.toArray)
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private val snapshotResult = StructType(Seq(
+    StructField("snapshot_id", LongType, nullable = true),
+    StructField("operation", StringType, nullable = false)))
+
+  /** Build the procedure set against a catalog instance. A fresh seq per
+    * call keeps the closures bound to the caller's warehouse. */
+  def all(cat: => SnapshotCatalog): Map[String, UnboundProcedure] = {
+    def proc(name: String, description: String, params: Seq[ProcedureParameter],
+        result: StructType)(body: InternalRow => Seq[InternalRow]): (String, UnboundProcedure) =
+      name -> new Proc(name, description, params, result, body)
+
+    Map(
+      proc("compact",
+        "rewrite the current snapshot into num_files files (folds MoR deletes, recomputes stats)",
+        Seq(in("table", StringType), inDefault("num_files", IntegerType, "1")),
+        snapshotResult) { input =>
+        val (db, t) = dbTable(input, 0)
+        val snap = cat.compact(db, t, input.getInt(1))
+        Seq(row(snap.snapshotId, utf8("compact")))
+      },
+
+      proc("zorder",
+        "rewrite the current snapshot z-ordered on the given comma-separated columns",
+        Seq(in("table", StringType), in("columns", StringType),
+          inDefault("num_files", IntegerType, "1")),
+        snapshotResult) { input =>
+        val (db, t) = dbTable(input, 0)
+        val cols = str(input, 1).getOrElse(
+          throw new IllegalArgumentException("columns must not be null"))
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val snap = cat.compactZOrder(db, t, cols, input.getInt(2))
+        Seq(row(snap.snapshotId, utf8("zorder")))
+      },
+
+      proc("rewrite_small_files",
+        "bin-pack only sub-threshold files into ~target_bytes outputs; large files carry verbatim",
+        Seq(in("table", StringType), in("small_bytes", LongType),
+          in("target_bytes", LongType)),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = true),
+          StructField("rewritten", BooleanType, nullable = false)))) { input =>
+        val (db, t) = dbTable(input, 0)
+        cat.rewriteSmallFiles(db, t, input.getLong(1), input.getLong(2)) match {
+          case Some(snap) => Seq(row(snap.snapshotId, true))
+          case None       => Seq(row(null, false)) // <2 small files: no commit
+        }
+      },
+
+      proc("expire_snapshots",
+        "drop old snapshots (count- or time-based) and GC unreferenced files; refs always survive",
+        Seq(in("table", StringType), inDefault("keep_last", IntegerType, "1"),
+          inDefault("older_than", StringType, "NULL")),
+        StructType(Seq(
+          StructField("deleted_data_files", IntegerType, nullable = false)))) { input =>
+        val (db, t) = dbTable(input, 0)
+        val keepLast = input.getInt(1)
+        val deleted = str(input, 2) match {
+          case Some(ts) => cat.expireSnapshotsOlderThan(db, t, Instant.parse(ts), keepLast)
+          case None     => cat.expireSnapshots(db, t, keepLast)
+        }
+        Seq(row(deleted))
+      },
+
+      proc("remove_orphan_files",
+        "delete files under the table root no snapshot references (crashed-write debris)",
+        Seq(in("table", StringType)),
+        StructType(Seq(
+          StructField("orphan_path", StringType, nullable = false)))) { input =>
+        val (db, t) = dbTable(input, 0)
+        cat.removeOrphanFiles(db, t).map(p => row(utf8(p)))
+      },
+
+      proc("rollback",
+        "re-point the table at an earlier snapshot without rewriting history",
+        Seq(in("table", StringType), in("snapshot_id", LongType)),
+        snapshotResult) { input =>
+        val (db, t) = dbTable(input, 0)
+        val snap = cat.rollback(db, t, input.getLong(1))
+        Seq(row(snap.snapshotId, utf8("rollback")))
+      },
+
+      proc("create_tag",
+        "name a snapshot (default: the current one) for VERSION AS OF reads and expiry protection",
+        Seq(in("table", StringType), in("name", StringType),
+          inDefault("snapshot_id", LongType, "NULL")),
+        StructType(Seq(
+          StructField("ref", StringType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false)))) { input =>
+        val (db, t) = dbTable(input, 0)
+        val tag = str(input, 1).getOrElse(
+          throw new IllegalArgumentException("tag name must not be null"))
+        val id = if (input.isNullAt(2)) cat.currentSnapshotId(db, t) else input.getLong(2)
+        cat.createTag(db, t, tag, id)
+        Seq(row(utf8(tag), id))
+      },
+
+      proc("create_branch",
+        "open a writable branch from a snapshot (default: the current one)",
+        Seq(in("table", StringType), in("name", StringType),
+          inDefault("from_snapshot_id", LongType, "NULL")),
+        StructType(Seq(
+          StructField("ref", StringType, nullable = false),
+          StructField("from_snapshot_id", LongType, nullable = false)))) { input =>
+        val (db, t) = dbTable(input, 0)
+        val branch = str(input, 1).getOrElse(
+          throw new IllegalArgumentException("branch name must not be null"))
+        val from = if (input.isNullAt(2)) None else Some(input.getLong(2))
+        cat.createBranch(db, t, branch, from)
+        Seq(row(utf8(branch), from.getOrElse(cat.currentSnapshotId(db, t))))
+      },
+
+      proc("fast_forward",
+        "publish a branch head to main as an O(KB) pointer commit (ancestry-checked)",
+        Seq(in("table", StringType), in("branch", StringType)),
+        snapshotResult) { input =>
+        val (db, t) = dbTable(input, 0)
+        val branch = str(input, 1).getOrElse(
+          throw new IllegalArgumentException("branch name must not be null"))
+        val snap = cat.fastForward(db, t, branch)
+        Seq(row(snap.snapshotId, utf8("fast_forward")))
+      },
+
+      proc("adopt_files",
+        "adopt externally-written parquet by same-FS rename (zero copy); mode append|overwrite",
+        Seq(in("table", StringType), in("source_dir", StringType),
+          inDefault("mode", StringType, "'append'")),
+        snapshotResult) { input =>
+        val (db, t) = dbTable(input, 0)
+        val src = str(input, 1).getOrElse(
+          throw new IllegalArgumentException("source_dir must not be null"))
+        val mode = str(input, 2).getOrElse("append")
+        val snap = cat.adoptFiles(db, t, Paths.get(src), mode)
+        Seq(row(snap.snapshotId, utf8("adopt_files")))
+      }
+    )
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.SnapshotCatalog
+
+/** `CALL proccat.system.<proc>(...)` — the DSv2 ProcedureCatalog surface
+  * (SnapProcedures): every maintenance verb reachable from SQL, result
+  * rows asserted, error shapes loud. */
+class ProcedureSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft_proc_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, dir,
+      clock = () => { tick += 1; Instant.parse("2026-05-01T00:00:00Z").plusSeconds(tick * 3600) })
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    cat.createTable("db", "nation", nation.schema)   // snap 1 @+1h
+    cat.append("db", "nation", nation)               // snap 2 @+2h
+    cat.append("db", "nation", nation.limit(3))      // snap 3 @+3h
+    spark.conf.set("spark.sql.catalog.proccat", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.proccat.warehouse", dir)
+    dir
+  }
+  private def cat = new SnapshotCatalog(spark, wh)
+
+  test("compact: named args, defaulted num_files, result row, effect") {
+    val before = cat.currentSnapshotId("db", "nation")
+    val res = spark.sql("CALL proccat.system.compact(table => 'db.nation')").collect()
+    assert(res.length == 1)
+    assert(res.head.getLong(0) == before + 1)
+    assert(res.head.getString(1) == "compact")
+    assert(cat.currentSnapshot("db", "nation").files.size == 1)
+    assert(spark.sql("SELECT sum(n_nationkey) AS s FROM proccat.db.nation")
+      .head.getLong(0) == 300 + 0 + 1 + 2) // 25 keys + dup of first 3
+  }
+
+  test("rollback: positional args re-point at an old snapshot") {
+    wh
+    val t = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    cat.createTable("db", "rb", t.schema)
+    cat.append("db", "rb", t)                       // snap 2
+    cat.append("db", "rb", Seq((3L, "c")).toDF("id", "v")) // snap 3
+    val res = spark.sql("CALL proccat.system.rollback('db.rb', 2)").collect()
+    assert(res.head.getString(1) == "rollback")
+    assert(spark.sql("SELECT count(*) AS c, sum(id) AS s FROM proccat.db.rb")
+      .head.getLong(1) == 3L)
+  }
+
+  test("expire_snapshots: count-based and time-based (older_than)") {
+    wh
+    val t = Seq(1L).toDF("id")
+    cat.createTable("db", "exp", t.schema)
+    cat.append("db", "exp", t)
+    cat.append("db", "exp", Seq(2L).toDF("id"))
+    cat.overwrite("db", "exp", Seq(9L).toDF("id")) // strands earlier files
+    val res = spark.sql(
+      "CALL proccat.system.expire_snapshots(table => 'db.exp', keep_last => 1)").collect()
+    assert(res.head.getInt(0) >= 2, s"expected >=2 files reclaimed, got ${res.head.getInt(0)}")
+    assert(cat.snapshotList("db", "exp").size == 1)
+    // time-based: everything is younger than the cutoff -> nothing expires
+    val t2 = spark.sql(
+      "CALL proccat.system.expire_snapshots(table => 'db.exp', older_than => '1999-01-01T00:00:00Z')")
+      .collect()
+    assert(t2.head.getInt(0) == 0)
+  }
+
+  test("remove_orphan_files returns the swept debris paths") {
+    wh
+    val t = Seq(1L).toDF("id")
+    cat.createTable("db", "orph", t.schema)
+    cat.append("db", "orph", t)
+    val debris = Paths.get(wh, "db", "orph", "data", "s99")
+    Files.createDirectories(debris)
+    Files.write(debris.resolve("part-orphan.snappy.parquet"), Array[Byte](1, 2, 3))
+    val res = spark.sql("CALL proccat.system.remove_orphan_files('db.orph')").collect()
+    assert(res.map(_.getString(0)).exists(_.contains("part-orphan")), res.toSeq.toString)
+    assert(!Files.exists(debris.resolve("part-orphan.snappy.parquet")))
+    assert(spark.sql("SELECT sum(id) AS s FROM proccat.db.orph").head.getLong(0) == 1L)
+  }
+
+  test("create_tag defaults to the current snapshot; VERSION AS OF reads it") {
+    wh
+    val t = Seq(1L, 2L).toDF("id")
+    cat.createTable("db", "tagd", t.schema)
+    cat.append("db", "tagd", t) // snap 2 = current
+    val res = spark.sql("CALL proccat.system.create_tag('db.tagd', 'golden')").collect()
+    assert(res.head.getString(0) == "golden" && res.head.getLong(1) == 2L)
+    cat.append("db", "tagd", Seq(3L).toDF("id"))
+    assert(spark.sql("SELECT sum(id) AS s FROM proccat.db.tagd VERSION AS OF 'golden'")
+      .head.getLong(0) == 3L)
+  }
+
+  test("create_branch + fast_forward publish a branch head as a pointer commit") {
+    wh
+    val t = Seq(1L).toDF("id")
+    cat.createTable("db", "brp", t.schema)
+    cat.append("db", "brp", t)
+    spark.sql("CALL proccat.system.create_branch('db.brp', 'audit')").collect()
+    cat.appendBranch("db", "brp", "audit", Seq(7L).toDF("id"))
+    // invisible on main until published
+    assert(spark.sql("SELECT sum(id) AS s FROM proccat.db.brp").head.getLong(0) == 1L)
+    val ff = spark.sql("CALL proccat.system.fast_forward('db.brp', 'audit')").collect()
+    assert(ff.head.getString(1) == "fast_forward")
+    assert(spark.sql("SELECT sum(id) AS s FROM proccat.db.brp").head.getLong(0) == 8L)
+  }
+
+  test("rewrite_small_files: no-op below two small files reports rewritten=false") {
+    wh
+    val t = Seq(1L).toDF("id")
+    cat.createTable("db", "rsf", t.schema)
+    cat.append("db", "rsf", t) // one file only
+    val res = spark.sql(
+      "CALL proccat.system.rewrite_small_files('db.rsf', 1048576, 134217728)").collect()
+    assert(res.head.isNullAt(0) && !res.head.getBoolean(1))
+    // two tiny appends -> a real bin-pack commit
+    cat.append("db", "rsf", Seq(2L).toDF("id"))
+    val res2 = spark.sql(
+      "CALL proccat.system.rewrite_small_files('db.rsf', 1048576, 134217728)").collect()
+    assert(!res2.head.isNullAt(0) && res2.head.getBoolean(1))
+    assert(spark.sql("SELECT sum(id) AS s FROM proccat.db.rsf").head.getLong(0) == 3L)
+  }
+
+  test("adopt_files: zero-copy adoption through SQL") {
+    wh
+    val ext = Files.createTempDirectory("graft_proc_adopt_").toString
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(ext)
+    val schema = spark.read.parquet(ext).schema
+    cat.createTable("db", "adp", schema)
+    val res = spark.sql(
+      s"CALL proccat.system.adopt_files('db.adp', '$ext')").collect()
+    assert(res.head.getString(1) == "adopt_files")
+    assert(spark.sql("SELECT count(*) AS c, sum(id) AS s FROM proccat.db.adp")
+      .head.getLong(1) == 3L)
+  }
+
+  test("error shapes: unknown procedure, wrong namespace, malformed table") {
+    wh
+    // Spark wraps loadProcedure failures as FAILED_TO_LOAD_ROUTINE with the
+    // full identifier; our explanatory message rides the cause chain
+    val unknown = intercept[Exception] {
+      spark.sql("CALL proccat.system.no_such_proc('db.nation')").collect()
+    }
+    assert(unknown.getMessage.contains("no_such_proc"), unknown.getMessage)
+    val badNs = intercept[Exception] {
+      spark.sql("CALL proccat.other.compact('db.nation')").collect()
+    }
+    assert(badNs.getMessage.contains("other"), badNs.getMessage)
+    val badTable = intercept[Exception] {
+      spark.sql("CALL proccat.system.compact('nodots')").collect()
+    }
+    assert(badTable.getMessage.contains("db.table"), badTable.getMessage)
+  }
+}
