@@ -26,12 +26,23 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     s.read.parquet(s"$dir/$n.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read the raw int64 nanos and convert exactly
-    * (integer `div`, no double round-trip — nanos exceed 2^53). Requires
-    * `spark.sql.legacy.parquet.nanosAsLong` — set once by [[prepare]]. */
-  private def eventsT(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events.parquet has shipped with two physical `ts` encodings across
+    * driver generations: TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * only serves as raw int64 under `spark.sql.legacy.parquet.nanosAsLong`
+    * (set once by [[prepare]]) — and plain TIMESTAMP(MICROS). Normalize
+    * both to session-TZ TIMESTAMP so every downstream query sees one type:
+    * int64 nanos convert by integer `div` (no double round-trip — nanos
+    * exceed 2^53); micros (read as NTZ) cast, which in the UTC session is
+    * the identical instant the nanos path produced. */
+  private def eventsT(s: SparkSession, dir: String): DataFrame = {
+    val raw = T(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Money/metric double -> integer cents, deterministically. */
   private def cents(c: Column): Column = floor(c * 100).cast("long")

@@ -14,13 +14,20 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  // events.parquet is TIMESTAMP(NANOS); stream through a converted copy
+  // events.parquet's ts has shipped as both TIMESTAMP(NANOS) (int64 under
+  // nanosAsLong) and TIMESTAMP(MICROS); stream through a copy normalized
+  // to session-TZ TIMESTAMP either way
   private lazy val eventsDir: String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = Files.createTempDirectory("graft_events_").toString
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val conv = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    conv.coalesce(1).write.mode("overwrite").parquet(dir)
     dir
   }
 
