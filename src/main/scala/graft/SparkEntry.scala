@@ -1069,6 +1069,25 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // incremental read across a SCHEDULED COMPACTION (r7): the range spans
+    // a MoR delete, a compact() that materializes it and rewrites every
+    // file, and a post-compact append. The file-diff shortcut is unusable
+    // (compact outputs re-home old rows), so the read degrades to the
+    // changelog's INSERT side — one exceptAll over the changed files,
+    // under which the compact's moved rows cancel exactly and ONLY the
+    // post-compact append survives. The refusal this replaces was the last
+    // functional gap on a CDC consumer's happy path: production tables
+    // compact on a schedule.
+    "q95_incremental_across_compact" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      val toId = fx.src.currentSnapshot("maint", "orders_inc").snapshotId
+      fx.src.readIncremental("maint", "orders_inc", fromId = 2, toId = toId)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // incremental (changes-between-snapshots) read: METADATA-resolved file
     // diff of two log entries — the CDC consumer pays for the added rows
     // only, never a table scan. Snapshot 2 -> 3 of orders_small added one
@@ -1971,6 +1990,16 @@ object SparkEntry {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM delta GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // only the key-shifted post-compact F append survives the insert-side
+    // diff: the compact's moved rows cancel, the %10 deletes are
+    // pre-range retractions (changelog's job, not an append delta's)
+    "q95_incremental_across_compact" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(o_orderkey + 4000000000) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // the three delta commits restated: %10 keys dead, P totals doubled,
     // keys 1/2 zeroed by the merge, one fresh 'X' row inserted

@@ -228,6 +228,22 @@ object WarehouseFixture {
         |  VALUES (s.k, CAST(0 AS BIGINT), 'X', s.p,
         |    TIMESTAMP'2026-01-01 00:00:00', '0-NEW')""".stripMargin)
 
+    // - orders_inc: the scheduled-compaction CDC shape (r7) — append the
+    //   full table, MoR-delete the %10 keys, compact (materializes the
+    //   deletes and rewrites EVERY file), then append a key-shifted F
+    //   batch. readIncremental across the compact serves exactly the
+    //   post-compact append — the rewrite's moved rows cancel under the
+    //   changelog-insert-side diff (q95); the streaming tail treats the
+    //   compact as a no-op (StreamingSpec)
+    src.createTable("maint", "orders_inc", orders.schema)               // 1
+    src.append("maint", "orders_inc", orders.repartition(2))            // 2
+    src.deleteMoR("maint", "orders_inc", col("o_orderkey") % 10 === 0)  // 3
+    src.compact("maint", "orders_inc", numFiles = 2)                    // 4
+    src.append("maint", "orders_inc",
+      orders.where(col("o_orderstatus") === "F")
+        .withColumn("o_orderkey", col("o_orderkey") + 4000000000L)
+        .repartition(2))                                                // 5
+
     // - orders_bykey: range-partitioned files (disjoint o_orderkey ranges)
     //   so per-file footer stats can prove whole files unmatchable — the
     //   data-skipping demonstration table (q55)

@@ -667,6 +667,16 @@ final class SnapshotCatalog(
   def currentSnapshotId(db: String, table: String): Long =
     publishedEntry(entryMeta(db, table)).snapshotId
 
+  /** The PUBLISHED main lineage: every entry that was ever the published
+    * head, in commit order — staged entries (their files surface at their
+    * `publish` commit) and branch commits (they reach main only through
+    * fastForward) excluded. This is the sequence whose consecutive
+    * file-list diffs define "what each commit did to main" — the
+    * streaming tail walks it to classify in-range commits. Pointer-log
+    * only; no manifest is opened. */
+  def mainLineage(db: String, table: String): Seq[SnapshotEntry] =
+    entryMeta(db, table).filter(e => !isStagedEntry(e) && !isBranchEntry(e))
+
   def currentSnapshot(db: String, table: String): Snapshot =
     loadRepr(db, table) match {
       case LegacyLog(snaps) => snaps.last // legacy logs predate staging
@@ -1090,22 +1100,71 @@ final class SnapshotCatalog(
     * served, and an updateMoR/upsertMoR delta serves the post-image (the
     * Kafka-compaction upsert shape). Deletes of PRE-RANGE rows are not
     * representable in an append delta — consumers that need them use
-    * [[readChangelog]], which emits tagged delete rows. Ranges containing
-    * a true rewrite (overwrite, copy-on-write DELETE/UPDATE, compact,
-    * rollback) still fail loudly: rewritten files would double-serve
-    * surviving old rows. */
+    * [[readChangelog]], which emits tagged delete rows.
+    *
+    * Ranges containing a REWRITE (compact, z-order, overwrite, copy-on-
+    * write DELETE/UPDATE, rollback) no longer refuse: production tables
+    * compact on a schedule, and a CDC consumer whose range happens to
+    * span one must not error. The file-diff shortcut is unusable there
+    * (rewrite outputs re-home old rows), so the read degrades to the
+    * changelog's INSERT side — rows visible at `toId` but not at
+    * `fromId`, one `exceptAll` over the CHANGED files only, under which
+    * rows merely moved by the rewrite cancel exactly (multiset
+    * semantics). Cost is churn-sized: a compact that rewrote N bytes
+    * makes the increment read O(N), never a manual fallback; the
+    * zero-rewrite fast path stays pure metadata. Note the multiset
+    * consequence: a range that both MoR-deletes a pre-range row and
+    * appends an IDENTICAL row nets to zero served copies (row identity is
+    * by value; the changelog view is the exact-diff tool). */
   def readIncremental(db: String, table: String, fromId: Long, toId: Long): DataFrame = {
     require(fromId <= toId, s"fromId $fromId > toId $toId")
-    val fromFiles = snapshotAt(db, table, fromId).files.toSet
+    val from = snapshotAt(db, table, fromId)
     val to = snapshotAt(db, table, toId)
+    val fromFiles = from.files.toSet
     val toFiles = to.files.toSet
-    val removed = fromFiles.diff(toFiles)
-    require(removed.isEmpty,
-      s"incremental read of $db.$table ($fromId, $toId]: the range rewrote " +
-        s"existing rows (${removed.size} file(s) of snapshot $fromId are gone " +
-        s"at $toId, e.g. ${removed.take(2).mkString(", ")}) - an append delta " +
-        "cannot represent a rewrite; use readChangelog for exact row diffs")
-    readVisible(db, table, to, to.files.filterNot(fromFiles))
+    if (fromFiles.diff(toFiles).isEmpty)
+      readVisible(db, table, to, to.files.filterNot(fromFiles))
+    else {
+      requireOneSchema(db, table, "incremental read", from, to)
+      val (removed, added) = changedFileSets(from, to)
+      readVisible(db, table, to, added)
+        .exceptAll(readVisible(db, table, from, removed))
+    }
+  }
+
+  /** Both endpoints must share one visible row type (nullability
+    * normalized: rewrites relax NOT NULL on parquet read-back, which
+    * changes no row's identity) — a row diff across a schema evolution
+    * has no single row type; fail loudly. */
+  private def requireOneSchema(db: String, table: String, what: String,
+      from: Snapshot, to: Snapshot): Unit = {
+    def norm(s: StructType): String = s.toDDL.replace(" NOT NULL", "")
+    require(norm(from.schema) == norm(to.schema),
+      s"$what of $db.$table requires one schema at both endpoints: " +
+        s"snapshot ${from.snapshotId} is <${from.schema.toDDL}>, " +
+        s"${to.snapshotId} is <${to.schema.toDDL}>")
+  }
+
+  /** The files whose VISIBLE rows may differ between two snapshots — the
+    * file-granular pruning tier shared by [[readChangelog]] and the
+    * rewrite-tolerant [[readIncremental]] path: files present at both
+    * endpoints under an UNCHANGED delete coverage carry over and are
+    * never read, so the row diff touches only the churn. */
+  private def changedFileSets(from: Snapshot, to: Snapshot): (Seq[String], Seq[String]) = {
+    val fromFiles = from.files.toSet
+    val toFiles = to.files.toSet
+    // merge-on-read: a data file PRESENT at both endpoints still changed if
+    // the set of delete files covering it changed (new positions dead). Such
+    // files join both sides' reads — each side applies its own endpoint's
+    // deletes, and exceptAll cancels the surviving rows exactly.
+    def coverage(s: Snapshot): Map[String, Set[String]] =
+      s.deleteFiles.flatMap(d => d.covers.keys.map(_ -> d.path))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (covFrom, covTo) = (coverage(from), coverage(to))
+    def deletesChanged(f: String): Boolean =
+      covFrom.getOrElse(f, Set.empty) != covTo.getOrElse(f, Set.empty)
+    (from.files.filter(f => !toFiles(f) || deletesChanged(f)),
+      to.files.filter(f => !fromFiles(f) || deletesChanged(f)))
   }
 
   /** Row-level changelog between two snapshots (Iceberg
@@ -1132,26 +1191,8 @@ final class SnapshotCatalog(
     require(fromId <= toId, s"fromId $fromId > toId $toId")
     val from = snapshotAt(db, table, fromId)
     val to = snapshotAt(db, table, toId)
-    // nullability normalized: rewrites relax NOT NULL (parquet read-back),
-    // which changes no row's identity — only names/types split the row type
-    def norm(s: StructType): String = s.toDDL.replace(" NOT NULL", "")
-    require(norm(from.schema) == norm(to.schema),
-      s"changelog of $db.$table requires one schema at both endpoints: " +
-        s"snapshot $fromId is <${from.schema.toDDL}>, $toId is <${to.schema.toDDL}>")
-    val fromFiles = from.files.toSet
-    val toFiles = to.files.toSet
-    // merge-on-read: a data file PRESENT at both endpoints still changed if
-    // the set of delete files covering it changed (new positions dead). Such
-    // files join both sides' reads — each side applies its own endpoint's
-    // deletes, and exceptAll cancels the surviving rows exactly.
-    def coverage(s: Snapshot): Map[String, Set[String]] =
-      s.deleteFiles.flatMap(d => d.covers.keys.map(_ -> d.path))
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val (covFrom, covTo) = (coverage(from), coverage(to))
-    def deletesChanged(f: String): Boolean =
-      covFrom.getOrElse(f, Set.empty) != covTo.getOrElse(f, Set.empty)
-    val removed = from.files.filter(f => !toFiles(f) || deletesChanged(f))
-    val added = to.files.filter(f => !fromFiles(f) || deletesChanged(f))
+    requireOneSchema(db, table, "changelog", from, to)
+    val (removed, added) = changedFileSets(from, to)
     val removedRows = readVisible(db, table, from, removed)
     val addedRows = readVisible(db, table, to, added)
     import org.apache.spark.sql.functions.lit

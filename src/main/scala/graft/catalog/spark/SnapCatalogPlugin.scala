@@ -898,11 +898,15 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
   /** Micro-batch tail of a table's APPEND commits: offsets are snapshot
     * ids, and a batch (start, end] reads exactly the files those appends
     * added — the streaming face of [[SnapshotCatalog.readIncremental]],
-    * resolved from pure metadata (file-list diff of two log entries; at
-    * 100 TB a trigger costs the day's increment, never a table scan).
-    * Non-append operations inside a range fail the stream loudly: an
-    * overwrite/delete/compact changes visibility of EXISTING rows, which
-    * an append stream cannot represent.
+    * resolved from pure metadata (per-commit file-list diffs over the
+    * published lineage; at 100 TB a trigger costs the day's increment,
+    * never a table scan). Row-preserving rewrites in range — compact,
+    * z-order, bin-pack — are NO-OPS to the stream: their outputs are
+    * skipped and swallowed in-range appends serve from their original
+    * write-once files, so a table that compacts on a schedule never
+    * breaks its consumers. True rewrites (overwrite, CoW DELETE/UPDATE,
+    * rollback) still fail the stream loudly: they change visibility of
+    * EXISTING rows, which an append stream cannot represent.
     *
     * Starts from the CURRENT snapshot by default (tail semantics);
     * `.option("starting-snapshot-id", n)` backfills from an earlier
@@ -959,43 +963,79 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       val s = start.asInstanceOf[SnapOffset].id
       val e = end.asInstanceOf[SnapOffset].id
       if (s >= e) return Array.empty
-      // Only the two endpoint snapshots materialize. Data files are
-      // write-once, so `from ⊆ to` proves every in-range commit only
-      // ADDED files: appends, WAP publish/discard, fastForward (its
-      // ancestor requirement guarantees the published head never rewrote
-      // in between), and the MoR family — position deletes and delta
-      // UPDATE/MERGE, whose churn is new delta files plus delete
-      // metadata. The batch serves the added files MERGED under the END
-      // snapshot's deletes: a row appended and deleted inside ONE batch
-      // range is never emitted; a delete landing in a LATER range is
-      // skipped (the row was already emitted — a stream cannot retract;
-      // exact retractions are readChangelog's job). True rewrites
-      // (overwrite, CoW DELETE/UPDATE, compact, rollback) still refuse.
+      // The batch walks the PUBLISHED lineage commit by commit and emits
+      // the files each APPEND-family commit added: appends, WAP publish
+      // (the staged files surface there), fastForward, and the MoR family
+      // — position deletes and delta UPDATE/MERGE, whose churn is new
+      // delta files plus delete metadata. Commits that REMOVE files split
+      // two ways:
+      //  - "compact" (compact / z-order / bin-pack — the row-preserving
+      //    rewrites): treated as a NO-OP. Its outputs only re-home rows
+      //    already accounted for, so they are never emitted; in-range
+      //    appends it swallowed still serve from their ORIGINAL files
+      //    (data files are write-once and survive on disk until
+      //    expireSnapshots, which refuses to collect a range a live
+      //    stream could still need only by the retention the operator
+      //    chose), with delete coverage FROZEN at the pre-compact
+      //    snapshot — exactly the dead set the compact materialized away.
+      //    A mid-stream compaction is therefore invisible to consumers.
+      //  - anything else (overwrite, CoW DELETE/UPDATE, rollback): refuse
+      //    loudly — those change visibility of rows already emitted, which
+      //    an append tail cannot retract (readChangelog's job).
+      // Emitted files otherwise merge under the END snapshot's deletes: a
+      // row appended and deleted inside ONE batch range is never emitted;
+      // a delete landing in a LATER range (or after an in-range compact
+      // re-homed the row) is skipped — the row was already served. The
+      // walk materializes each in-range lineage entry (manifest-shard
+      // reads, O(commits in range) — a trigger typically spans one).
       val toSnap = cat.snapshotAt(db, table, e)
-      val fromFiles = cat.snapshotAt(db, table, s).files.toSet
-      val gone = fromFiles.diff(toSnap.files.toSet)
-      require(gone.isEmpty,
-        s"streaming read of $db.$table ($s, $e]: the range rewrote existing " +
-          s"rows (${gone.size} file(s) gone, e.g. ${gone.take(2).mkString(", ")})" +
-          " - an append tail cannot represent rewritten visibility; restart " +
-          "the stream from the current snapshot")
-      val added = toSnap.files.filterNot(fromFiles)
-      // deletes at `e` covering files added in-range merge READER-LEVEL
-      // (MorScanMerge; positional only — equality deletes' key columns
-      // need not survive column pruning, and CDC eq-deletes target
-      // pre-range rows in every sane workload)
-      val liveDeletes = toSnap.deleteFiles.filter(d =>
-        added.exists(d.covers.contains))
+      val inRange = cat.mainLineage(db, table)
+        .filter(en => en.snapshotId > s && en.snapshotId <= e)
+      var prevSnap = cat.snapshotAt(db, table, s)
+      var prevFiles = prevSnap.files.toSet
+      val emit = scala.collection.mutable.ArrayBuffer.empty[String]
+      val emitSet = scala.collection.mutable.HashSet.empty[String]
+      val frozenCov = scala.collection.mutable.HashMap
+        .empty[String, Seq[graft.catalog.DeleteFile]]
+      for (en <- inRange) {
+        val snap = cat.snapshotAt(db, table, en.snapshotId)
+        val files = snap.files.toSet
+        val goneHere = prevFiles.diff(files)
+        if (goneHere.nonEmpty) {
+          require(snap.operation == "compact",
+            s"streaming read of $db.$table ($s, $e]: commit ${en.snapshotId} " +
+              s"(${snap.operation}) rewrote existing rows (${goneHere.size} " +
+              s"file(s) gone, e.g. ${goneHere.take(2).mkString(", ")}) - an " +
+              "append tail cannot represent rewritten visibility; restart " +
+              "the stream from the current snapshot")
+          for (f <- goneHere if emitSet.contains(f))
+            frozenCov(f) = prevSnap.deleteFiles.filter(_.covers.contains(f))
+        } else if (snap.operation != "compact") {
+          val addedHere = snap.files.filterNot(prevFiles)
+          emit ++= addedHere
+          emitSet ++= addedHere
+        }
+        prevSnap = snap
+        prevFiles = files
+      }
+      val added = emit.toSeq
+      // deletes covering emitted files merge READER-LEVEL (MorScanMerge;
+      // positional only — equality deletes' key columns need not survive
+      // column pruning, and CDC eq-deletes target pre-range rows in every
+      // sane workload); coverage comes from the END snapshot unless a
+      // compact froze it earlier
+      def covFor(rel: String): Seq[graft.catalog.DeleteFile] =
+        frozenCov.getOrElse(rel, toSnap.deleteFiles.filter(_.covers.contains(rel)))
+      val liveDeletes = added.flatMap(covFor).distinct
       require(liveDeletes.forall(_.isPositional),
         s"streaming read of $db.$table ($s, $e]: EQUALITY delete files " +
           "cover in-range appends; compact() the table or restart the " +
           "stream from the current snapshot")
-      val coveredRel = liveDeletes.flatMap(_.covers.keys).toSet
+      val coveredRel = added.filter(f => covFor(f).nonEmpty).toSet
       val root = java.nio.file.Paths.get(warehouse, db, table)
       val rootPrefix = root.toString + java.io.File.separator
       def shardsFor(rel: String): Seq[String] =
-        liveDeletes.filter(_.covers.contains(rel))
-          .map(d => root.resolve(d.path).toString)
+        covFor(rel).map(d => root.resolve(d.path).toString)
       lazy val confMap: Map[String, String] = {
         val c = spark.sessionState.newHadoopConf()
         c.iterator().asScala.map(en => en.getKey -> en.getValue).toMap

@@ -447,7 +447,7 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already at"))
   }
 
-  test("incremental read returns exactly the added rows; rewrites are rejected") {
+  test("incremental read returns exactly the added rows; rewrites degrade to row-diff") {
     val cat = freshCatalog()
     val df1 = (1L to 5L).toDF("id")
     val df2 = (6L to 8L).toDF("id")
@@ -460,9 +460,22 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(cat.readIncremental("db", "inc", 1, 3).count() == 8)
     // empty range is empty, not an error
     assert(cat.readIncremental("db", "inc", 3, 3).count() == 0)
+    // r7: a rewrite in range degrades to the changelog's INSERT side
+    // instead of refusing — an overwrite BACK to snap 2's rows nets no
+    // additions (moved rows cancel under the multiset diff)…
     cat.overwrite("db", "inc", df1) // snap 4 rewrites visibility
-    val e = intercept[IllegalArgumentException] { cat.readIncremental("db", "inc", 2, 4) }
-    assert(e.getMessage.contains("use readChangelog"), e.getMessage)
+    assert(cat.readIncremental("db", "inc", 2, 4).count() == 0)
+    // …an overwrite introducing fresh rows serves exactly those…
+    cat.overwrite("db", "inc", Seq(100L, 101L).toDF("id")) // snap 5
+    assert(cat.readIncremental("db", "inc", 2, 5).as[Long].collect().sorted.toSeq ==
+      Seq(100L, 101L))
+    // …and the canonical production shape — append, scheduled compact,
+    // append — serves exactly the in-range appends
+    cat.append("db", "inc", df2)          // snap 6
+    cat.compact("db", "inc", numFiles = 1) // snap 7
+    cat.append("db", "inc", df1)          // snap 8
+    assert(cat.readIncremental("db", "inc", 5, 8).as[Long].collect().sorted.toSeq ==
+      (df1.as[Long].collect() ++ df2.as[Long].collect()).sorted.toSeq)
   }
 
   test("per-file footer stats drive file-level data skipping") {

@@ -264,6 +264,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("stream survives a mid-stream compact: row-preserving rewrites are no-ops") {
+    import java.time.Instant
+    import graft.catalog.SnapshotCatalog
+    val wh = Files.createTempDirectory("graft_tailcmp_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, wh,
+      clock = () => { tick += 1; Instant.parse("2026-05-01T00:00:00Z").plusSeconds(tick * 60) })
+    val df0 = Seq((1L, "pre")).toDF("id", "tag")
+    cat.createTable("db", "tcmp", df0.schema)
+    cat.append("db", "tcmp", df0) // snap2, before the stream
+    spark.conf.set("spark.sql.catalog.snapcmp", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapcmp.warehouse", wh)
+
+    val q = spark.readStream.table("snapcmp.db.tcmp")
+      .writeStream.format("memory").queryName("tcmp_tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      cat.append("db", "tcmp", Seq((10L, "a"), (11L, "a"), (12L, "a")).toDF("id", "tag"))
+      q.processAllAvailable() // emits 10,11,12
+      // a scheduled compaction between triggers is INVISIBLE: its outputs
+      // re-home already-emitted rows, so the next batch emits nothing and
+      // the stream does not fail
+      cat.compact("db", "tcmp", numFiles = 1) // snap4
+      q.processAllAvailable()
+      cat.append("db", "tcmp", Seq((13L, "b")).toDF("id", "tag")) // snap5
+      q.processAllAvailable()
+      val got = spark.table("tcmp_tail").as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(got.map(_._1) == Seq(10L, 11L, 12L, 13L), got.toString)
+    } finally q.stop()
+
+    // the hard shape, all inside ONE batch range: append, MoR delete of
+    // one appended row, compact (which swallows the appended files and
+    // materializes the delete), then another append — committed while no
+    // stream is polling so a fresh stream's first batch spans them all.
+    // The swallowed files serve from their ORIGINAL write-once parquet
+    // with delete coverage frozen at the pre-compact snapshot: 14 stays
+    // dead, 15 and 16 are emitted, the compact outputs are never read.
+    cat.append("db", "tcmp", Seq((14L, "c"), (15L, "c")).toDF("id", "tag")) // snap6
+    cat.deleteMoR("db", "tcmp", col("id") === 14L)                          // snap7
+    cat.compact("db", "tcmp", numFiles = 1)                                 // snap8
+    cat.append("db", "tcmp", Seq((16L, "d")).toDF("id", "tag"))             // snap9
+    val q2 = spark.readStream.option("starting-snapshot-id", "5")
+      .table("snapcmp.db.tcmp")
+      .writeStream.format("memory").queryName("tcmp_hard").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("tcmp_hard").as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(got.map(_._1) == Seq(15L, 16L), got.toString)
+    } finally q2.stop()
+
+    // a backfill whose first batch spans the WHOLE history (two compacts,
+    // one MoR delete) serves the net appended rows exactly once
+    val q3 = spark.readStream.option("starting-snapshot-id", "1")
+      .table("snapcmp.db.tcmp")
+      .writeStream.format("memory").queryName("tcmp_all").outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      val got = spark.table("tcmp_all").as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(got.map(_._1) == Seq(1L, 10L, 11L, 12L, 13L, 15L, 16L), got.toString)
+    } finally q3.stop()
+  }
+
   test("native writeStream.toTable appends one epoch-tagged snapshot per batch") {
     import java.time.Instant
     import graft.catalog.SnapshotCatalog
