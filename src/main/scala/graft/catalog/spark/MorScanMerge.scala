@@ -10,8 +10,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.execution.datasources.FilePartition
-import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.sql.types.{Decimal, StructType}
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarArray, ColumnarBatch, ColumnarMap}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** READER-LEVEL merge-on-read for the bucketed V2 scan (the Iceberg
   * `DeleteFilter` design, re-expressed for Spark's DSv2): position deletes
@@ -35,12 +36,17 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   *    parquet — the Iceberg executor-side pattern: no driver collect, no
   *    broadcast, row-group + record skipping on the shard's `_file` column
   *    (shards are written sorted by `(_file, _pos)`);
-  *  - the whole scan degrades to ROW-based reads while deletes are live
-  *    (Spark requires uniform columnar support across a batch, and a
-  *    filtered partition cannot cheaply emit ColumnarBatch) — the parquet
-  *    reader is still vectorized inside, only the columnar handoff is
-  *    lost; compact() restores it. Equality deletes keep the logical
-  *    rewrite (their key columns need not be in the read schema).
+  *  - the columnar handoff SURVIVES live deletes (r7): a merged partition
+  *    reads the inner vectorized batches and re-exposes each through a
+  *    SELECTION VECTOR — dead ordinals dropped, surviving ones remapped by
+  *    [[SelectedColumnVector]] with zero copying (batches with no dead
+  *    rows re-project the inner vectors directly). `supportColumnarReads`
+  *    therefore stays uniformly whatever the stock parquet factory
+  *    reports, so whole-stage codegen keeps consuming ColumnarBatch over
+  *    a bucketed fact table with a 100-row delete — previously one tiny
+  *    delete de-vectorized every scan until compact(). Equality deletes
+  *    keep the logical rewrite (their key columns need not be in the
+  *    read schema).
   */
 object MorScanMerge {
   /** Spark's reserved temporary column name: a NULLABLE BIGINT field of
@@ -102,9 +108,12 @@ final case class MorFilePartition(relFile: String, shards: Seq[String],
 }
 
 /** Reader factory applying position deletes in-task: reads the row-idx
-  * sub-scan's rows, drops rows whose index is dead, projects the output
-  * back to the scan's visible column order (`perm` maps output ordinal to
-  * sub-scan ordinal). `confMap` rebuilds a hadoop Configuration task-side
+  * sub-scan, drops rows whose index is dead, projects the output back to
+  * the scan's visible column order (`perm` maps output ordinal to
+  * sub-scan ordinal). Columnar support mirrors the inner factory's: a
+  * columnar merged read filters each inner ColumnarBatch through a
+  * selection vector ([[SelectedColumnVector]]); the row path keeps the
+  * per-row skip. `confMap` rebuilds a hadoop Configuration task-side
   * (Configuration itself is not serializable). */
 final class MorMergingReaderFactory(
     inner: PartitionReaderFactory,
@@ -115,13 +124,18 @@ final class MorMergingReaderFactory(
   private val idxOrd = dirtySchema.fieldIndex(MorScanMerge.RowIdxCol)
   private val perm = outNames.map(dirtySchema.fieldIndex)
 
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  private def deadFor(mp: MorFilePartition): java.util.HashSet[java.lang.Long] = {
+    val conf = new Configuration(false)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    MorScanMerge.deadPositions(mp.shards, mp.relFile, conf)
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(p.asInstanceOf[MorFilePartition].delegate)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val mp = p.asInstanceOf[MorFilePartition]
-    val conf = new Configuration(false)
-    confMap.foreach { case (k, v) => conf.set(k, v) }
-    val dead = MorScanMerge.deadPositions(mp.shards, mp.relFile, conf)
+    val dead = deadFor(mp)
     val r = inner.createReader(mp.delegate)
     val proj = UnsafeProjection.create(perm.map(i =>
       BoundReference(i, dirtySchema(i).dataType, dirtySchema(i).nullable)).toIndexedSeq)
@@ -139,19 +153,92 @@ final class MorMergingReaderFactory(
     }
   }
 
-  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
-    throw new UnsupportedOperationException("MoR-merged partitions are row-based")
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val mp = p.asInstanceOf[MorFilePartition]
+    val dead = deadFor(mp)
+    val r = inner.createColumnarReader(mp.delegate)
+    new PartitionReader[ColumnarBatch] {
+      private var out: ColumnarBatch = _
+      override def next(): Boolean = {
+        while (r.next()) {
+          val b = r.get()
+          val n = b.numRows()
+          val idx = b.column(idxOrd)
+          // one pass over the row-index vector builds the selection; a
+          // batch with nothing dead re-projects the inner vectors with
+          // ZERO copying and zero per-access indirection (the common case
+          // once most of a covered file's row groups are clean)
+          val sel = new Array[Int](n)
+          var k = 0
+          var i = 0
+          while (i < n) {
+            if (!dead.contains(idx.getLong(i))) { sel(k) = i; k += 1 }
+            i += 1
+          }
+          if (k > 0) {
+            val cols: Array[ColumnVector] =
+              if (k == n) perm.map(o => b.column(o))
+              else {
+                val s = java.util.Arrays.copyOf(sel, k)
+                perm.map(o => new SelectedColumnVector(b.column(o), s): ColumnVector)
+              }
+            out = new ColumnarBatch(cols, k)
+            return true
+          }
+          // fully-dead batch: keep pulling
+        }
+        false
+      }
+      override def get(): ColumnarBatch = out
+      override def close(): Unit = r.close()
+    }
+  }
 }
 
-/** Forces row-based reads on a stock factory — the uniform-columnar rule:
-  * a batch mixing merged (row-only) and clean partitions must report
-  * row-based support everywhere; the parquet reader stays vectorized
-  * internally, only the columnar handoff is dropped. */
-final case class RowOnlyReaderFactory(inner: PartitionReaderFactory)
-    extends PartitionReaderFactory {
-  override def supportColumnarReads(p: InputPartition): Boolean = false
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    inner.createReader(p)
-  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
-    throw new UnsupportedOperationException("row-only factory")
+/** A [[ColumnVector]] view through a selection vector: output ordinal `i`
+  * reads the wrapped vector's ordinal `sel(i)`. This is how a MoR-merged
+  * partition stays columnar under live deletes — the Iceberg/Arrow
+  * selection-vector idea applied to Spark's vectorized handoff: no
+  * buffer is copied, dead rows simply become unreachable. Struct children
+  * wrap lazily with the SAME selection (parquet struct children share the
+  * parent's ordinals); arrays/maps delegate whole — their offsets live in
+  * the returned [[ColumnarArray]]/[[ColumnarMap]] against the INNER
+  * child, which stays unwrapped. Lifecycle: the inner reader owns the
+  * buffers, so `close()` is a no-op. */
+final class SelectedColumnVector(inner: ColumnVector, sel: Array[Int])
+    extends ColumnVector(inner.dataType) {
+  private[this] val childCache =
+    new java.util.HashMap[Integer, SelectedColumnVector]()
+  override def close(): Unit = ()
+  // conservative: the selection may have dropped every null, but hasNull
+  // is only a fast-path hint — isNullAt stays exact
+  override def hasNull: Boolean = inner.hasNull
+  override def numNulls(): Int = {
+    var n = 0
+    var i = 0
+    while (i < sel.length) { if (inner.isNullAt(sel(i))) n += 1; i += 1 }
+    n
+  }
+  override def isNullAt(i: Int): Boolean = inner.isNullAt(sel(i))
+  override def getBoolean(i: Int): Boolean = inner.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = inner.getByte(sel(i))
+  override def getShort(i: Int): Short = inner.getShort(sel(i))
+  override def getInt(i: Int): Int = inner.getInt(sel(i))
+  override def getLong(i: Int): Long = inner.getLong(sel(i))
+  override def getFloat(i: Int): Float = inner.getFloat(sel(i))
+  override def getDouble(i: Int): Double = inner.getDouble(sel(i))
+  override def getArray(i: Int): ColumnarArray = inner.getArray(sel(i))
+  override def getMap(i: Int): ColumnarMap = inner.getMap(sel(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int): Decimal =
+    inner.getDecimal(sel(i), precision, scale)
+  override def getUTF8String(i: Int): UTF8String = inner.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = inner.getBinary(sel(i))
+  override def getChild(ordinal: Int): ColumnVector = {
+    var c = childCache.get(ordinal)
+    if (c == null) {
+      c = new SelectedColumnVector(inner.getChild(ordinal), sel)
+      childCache.put(ordinal, c)
+    }
+    c
+  }
 }

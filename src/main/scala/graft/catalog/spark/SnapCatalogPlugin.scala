@@ -759,14 +759,17 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
               if (files.isEmpty) ScanDefaults.emptyBatch
               else if (coveredRel.isEmpty) cleanBatch(s"$tableName b$b", files)
               else {
-                // mixed batch: every partition carries its own factory and
-                // the whole scan reads row-based (uniform-columnar rule)
+                // mixed batch: every partition carries its own factory.
+                // Columnar support stays UNIFORM without forcing row reads
+                // (r7): merged partitions filter dead ordinals inside the
+                // ColumnarBatch via a selection vector, so both factories
+                // report whatever the stock parquet reader reports
                 val (dirty, clean) = files.partition(f => coveredRel.contains(relOf(f)))
                 val cleanParts: Seq[InputPartition] =
                   if (clean.isEmpty) Seq.empty
                   else {
                     val cb = cleanBatch(s"$tableName b$b", clean)
-                    val f = RowOnlyReaderFactory(cb.createReaderFactory())
+                    val f = cb.createReaderFactory()
                     cb.planInputPartitions().toSeq
                       .map(p => CarriedFactoryPartition(p, f))
                   }
@@ -1057,10 +1060,10 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           if (clean.isEmpty) Array.empty
           else {
             val b = batchFor(opts, clean.map(f => root.resolve(f).toString))
-            val f0 = b.createReaderFactory()
-            // uniform-columnar rule: a micro-batch mixing merged (row-only)
-            // and clean partitions must read row-based everywhere
-            val factory = if (coveredRel.isEmpty) f0 else RowOnlyReaderFactory(f0)
+            // merged partitions stay columnar via selection vectors (r7),
+            // so clean partitions keep the stock factory untouched and
+            // columnar support is uniform either way
+            val factory = b.createReaderFactory()
             b.planInputPartitions().map(p => CarriedFactoryPartition(p, factory))
           }
         val dirtyParts: Array[InputPartition] =

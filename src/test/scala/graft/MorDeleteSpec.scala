@@ -436,6 +436,11 @@ class MorDeleteSpec extends AnyFunSuite {
     }
     assert(scans.size == 1 && scans.head.scan.description().contains("bucketed("),
       s"expected the bucketed V2 scan, got:\n${q.queryExecution.executedPlan.toString.take(800)}")
+    // r7: the merged scan stays COLUMNAR — dead ordinals filter inside the
+    // ColumnarBatch through selection vectors, so a live delete no longer
+    // de-vectorizes the whole scan until compact()
+    assert(scans.head.supportsColumnar,
+      "merged bucketed scan must keep the columnar handoff under live deletes")
     assert(q.as[Long].collect().sorted.toSeq == expect)
     // pruning: a bucket-key equality still reads one bucket's files and
     // merges exactly (21 % 7 == 0 -> dead; 22 survives)

@@ -835,6 +835,13 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
         assert(shuffles.isEmpty,
           s"expected a storage-partitioned join with zero exchanges, got:\n" +
             joined.queryExecution.executedPlan.toString.take(2000))
+        // r7: both sides keep the COLUMNAR handoff, live deletes included
+        // (merged partitions filter dead ordinals via selection vectors)
+        val scans = joined.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }
+        assert(scans.size == 2 && scans.forall(_.supportsColumnar),
+          "SPJ scans must stay columnar: " + scans.map(_.supportsColumnar))
       }
       assertSpj(expectRows = 50)
       // a second append puts facts across TWO snapshot dirs: each bucket's
