@@ -80,22 +80,47 @@ object Bench {
     val prior: Map[String, Double] =
       Some(parsePrior(ownPrior)).filter(_.nonEmpty)
         .orElse(driverPrior.map(parsePrior)).getOrElse(Map.empty)
-    val suspects = results.collect {
-      case (name, Right(v)) if prior.get(name).exists(p => v > 2 * p && v - p > 0.25) =>
-        (name, v / prior(name))
-    }.sortBy(-_._2).take(12).map(_._1) // bounded: a machine-wide slowdown must not double the bench
-    val corrected = suspects.map { name =>
-      val samples = Seq.fill(runs)(once(SparkEntry.queries(name)))
-        .collect { case Right(v) => v }
-      val best = if (samples.nonEmpty) samples.min else Double.MaxValue
-      System.err.println(f"[bench] rerun $name $best%.2fs (was inflated)")
-      name -> best
-    }.toMap
-    val finalResults = results.map {
-      case (name, Right(v)) if corrected.contains(name) =>
-        name -> Right(math.min(v, corrected(name)))
-      case other => other
+    // r7: the suspect pass iterates to FIXPOINT. r6's one-shot take(12)
+    // cap let 9 inflated entries through (q80 recorded 2.5x its isolated
+    // time) because a noisy session can rank >12 suspects and a re-run
+    // taken while neighbors' GC/JIT churn is still settling can itself
+    // come back inflated. Each pass re-runs EVERY remaining >2x suspect,
+    // folds in the minima, and re-compares the corrected results against
+    // prior; the loop ends when no suspect remains or after a bounded
+    // number of PASSES (not suspect count) — a query still >2x prior
+    // after repeated isolated re-runs is a real regression and must keep
+    // its honest number.
+    def suspectsOf(res: Seq[(String, Either[String, Double])]): Seq[String] =
+      res.collect {
+        case (name, Right(v)) if prior.get(name).exists(p => v > 2 * p && v - p > 0.25) =>
+          (name, v / prior(name))
+      }.sortBy(-_._2).map(_._1)
+    val inflatedNames = scala.collection.mutable.LinkedHashSet.empty[String]
+    var finalResults = results
+    var pass = 0
+    val maxPasses = 5
+    var todo = suspectsOf(finalResults)
+    while (todo.nonEmpty && pass < maxPasses) {
+      pass += 1
+      val corrected = todo.map { name =>
+        val samples = Seq.fill(runs)(once(SparkEntry.queries(name)))
+          .collect { case Right(v) => v }
+        val best = if (samples.nonEmpty) samples.min else Double.MaxValue
+        System.err.println(f"[bench] rerun#$pass $name $best%.2fs (suspect)")
+        name -> best
+      }.toMap
+      finalResults = finalResults.map {
+        case (name, Right(v)) if corrected.contains(name) =>
+          val best = math.min(v, corrected(name))
+          if (best < v) inflatedNames += name
+          name -> Right(best)
+        case other => other
+      }
+      todo = suspectsOf(finalResults)
     }
+    if (todo.nonEmpty)
+      System.err.println(s"[bench] still >2x prior after $pass isolated passes " +
+        s"(real regressions, kept): ${todo.mkString(", ")}")
     // 3-decimal rounding keeps the single JSON line compact (a ~90-query
     // full-precision line risks the driver's tail-capture truncating it)
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -103,7 +128,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = finalResults.collect { case (k, Left(_)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val inflated = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val inflated = inflatedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = finalResults.collect { case (_, Right(v)) => v }.sum
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"inflated":$inflated,"sf":"$sfDir"}"""
     println(line)
