@@ -46,6 +46,78 @@ final class CasCommitMutex(maxRetries: Int = 50, baseBackoffMs: Long = 1)
 final class CommitConflictException(key: String, msg: String)
     extends RuntimeException(s"commit conflict on $key: $msg")
 
+/** Where a table's POINTER LOG lives and what its commit point is — the
+  * second half of the object-store seam (the [[CommitMutex]] decides how
+  * bodies exclude/retry; this decides how the log read observes an etag
+  * and how the log write is made conditional on it). The catalog's
+  * `loadRepr`/`writeEntries` are the only call sites.
+  *
+  * Contract: `read` returns the content WITH the etag the caller must
+  * present to replace it; `writeIf(expected = None)` is create-if-absent
+  * (If-None-Match:*), `Some(e)` is replace-iff-current-etag-is-e
+  * (If-Match). A failed precondition throws [[CommitConflictException]] —
+  * exactly what [[CasCommitMutex]] retries on. */
+trait PointerLogStore {
+  def read(key: String): Option[(String, Long)]
+  def writeIf(key: String, content: String, expected: Option[Long]): Long
+  def delete(key: String): Unit
+  /** Move a key (table rename). Default: copy + delete. */
+  def migrate(oldKey: String, newKey: String): Unit =
+    read(oldKey).foreach { case (txt, _) =>
+      writeIf(newKey, txt, None); delete(oldKey)
+    }
+  /** True when `writeIf` actually enforces its precondition — the signal
+    * for the catalog to mint ATTEMPT-UNIQUE artifact names, because
+    * optimistic commit bodies run concurrently and a losing attempt's
+    * data dir / manifest shard must never collide with the winner's. */
+  def conditional: Boolean
+}
+
+/** Default: the pointer log is a filesystem file, written temp-then-
+  * atomic-rename. The etag precondition is NOT enforced — exclusion comes
+  * from the serializing [[FileLockCommitMutex]], so behavior (and every
+  * deterministic `data/s<id>` path) is unchanged from prior rounds. */
+object FilePointerLogStore extends PointerLogStore {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+  override def read(key: String): Option[(String, Long)] = {
+    val p = Paths.get(key)
+    if (Files.exists(p)) Some((Files.readString(p), 0L)) else None
+  }
+  override def writeIf(key: String, content: String, expected: Option[Long]): Long = {
+    val p = Paths.get(key)
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    0L
+  }
+  override def delete(key: String): Unit =
+    Files.deleteIfExists(Paths.get(key))
+  // the table rename moved the whole directory, log file included
+  override def migrate(oldKey: String, newKey: String): Unit = ()
+  override def conditional: Boolean = false
+}
+
+/** The pointer log as an object-store key with conditional-put commits:
+  * `read` surfaces the store's etag, `writeIf` IS the commit point
+  * (S3 If-Match / GCS ifGenerationMatch / Azure If-Match). Pair with
+  * [[CasCommitMutex]] so a lost race re-runs the commit body against the
+  * winner's log. Data files and manifest/delete shards stay write-once
+  * plain objects (modeled here by the filesystem) — only the mutable
+  * pointer needs CAS, which is precisely Iceberg's object-store commit
+  * shape. */
+final class ObjectStorePointerLogStore(store: InMemoryObjectStore)
+    extends PointerLogStore {
+  import java.nio.charset.StandardCharsets.UTF_8
+  override def read(key: String): Option[(String, Long)] =
+    store.get(key).map(o => (new String(o.bytes, UTF_8), o.etag))
+  override def writeIf(key: String, content: String, expected: Option[Long]): Long =
+    store.putIf(key, content.getBytes(UTF_8), expected)
+  override def delete(key: String): Unit = store.deleteKey(key)
+  override def conditional: Boolean = true
+}
+
 /** In-memory model of an S3-class object store: unversioned plain PUTs
   * for write-once data/shard objects, conditional puts (compare-and-swap
   * on a monotonically increasing etag) for the pointer log. The
@@ -93,6 +165,7 @@ final class InMemoryObjectStore {
       }
     }
 
+  def deleteKey(key: String): Unit = objects.remove(key)
   def keys: Seq[String] = objects.keySet.toSeq.sorted
   def size: Int = objects.size
 }

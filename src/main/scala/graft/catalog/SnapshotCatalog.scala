@@ -298,7 +298,8 @@ final class SnapshotCatalog(
     val spark: SparkSession,
     val warehouse: String,
     clock: () => Instant = () => Instant.now(),
-    mutex: CommitMutex = FileLockCommitMutex) {
+    mutex: CommitMutex = FileLockCommitMutex,
+    log: PointerLogStore = FilePointerLogStore) {
 
   private def whPath: Path = Paths.get(warehouse)
   private def dbPath(db: String): Path = whPath.resolve(db)
@@ -314,6 +315,11 @@ final class SnapshotCatalog(
 
   def dropNamespace(db: String): Unit = {
     SnapshotCatalog.purgeManifestCache(dbPath(db))
+    listTables(db).foreach { t =>
+      val key = logKey(db, t)
+      log.delete(key)
+      SnapshotCatalog.observedLogEtag.get().remove(key)
+    }
     deleteRecursively(dbPath(db))
   }
 
@@ -458,6 +464,9 @@ final class SnapshotCatalog(
 
   def dropTable(db: String, table: String): Unit = {
     SnapshotCatalog.purgeManifestCache(tablePath(db, table))
+    val key = logKey(db, table)
+    log.delete(key)
+    SnapshotCatalog.observedLogEtag.get().remove(key)
     deleteRecursively(tablePath(db, table))
   }
 
@@ -480,6 +489,10 @@ final class SnapshotCatalog(
       SnapshotCatalog.purgeManifestCache(tablePath(db, table))
       Files.move(tablePath(db, table), tablePath(newDb, newTable),
         StandardCopyOption.ATOMIC_MOVE)
+      // object-store log: the pointer key embeds the table path, so the
+      // rename migrates it (file default: the move above carried the file)
+      log.migrate(logKey(db, table), logKey(newDb, newTable))
+      SnapshotCatalog.observedLogEtag.get().remove(logKey(db, table))
     }
 
   // ---- namespace properties ----
@@ -503,13 +516,46 @@ final class SnapshotCatalog(
 
   import SnapshotCatalog.{LegacyLog, LogRepr, V2Log}
 
+  /** Key of a table's pointer log in the [[PointerLogStore]] (absolute
+    * normalized path string — the one spelling two catalog instances over
+    * one warehouse agree on). */
+  private def logKey(db: String, table: String): String =
+    logPath(db, table).toAbsolutePath.normalize().toString
+
+  /** Suffix for per-snapshot artifact names (data dirs, manifest shards,
+    * delete shards/dirs), minted once per commit attempt per artifact.
+    * Empty under the serialized file-lock default, so the deterministic
+    * `data/s<id>` / `m<id>.json` paths stay byte-stable. Under a
+    * CONDITIONAL pointer log, optimistic commit bodies run concurrently
+    * and racers claim the SAME next snapshot id — unique names turn a
+    * losing attempt's writes into pure orphan debris (removeOrphanFiles
+    * territory) instead of letting them clobber artifacts the winner just
+    * published under the same name. */
+  private def attemptTag(): String =
+    if (!log.conditional) ""
+    else "-" + java.util.UUID.randomUUID().toString.take(8)
+
   private def loadRepr(db: String, table: String): LogRepr = {
-    val p = logPath(db, table)
-    require(Files.exists(p), s"no such table: $db.$table (missing ${p})")
-    Json.parse(readString(p)) match {
-      case JArr(vs) => LegacyLog(vs.map(v => Snapshot.fromJson(v.asInstanceOf[JObj])))
-      case o: JObj  => V2Log(o.arr("entries").map(v => SnapshotEntry.fromJson(v.asInstanceOf[JObj])))
-      case other    => throw new IllegalStateException(s"bad snapshot log: $other")
+    val key = logKey(db, table)
+    log.read(key) match {
+      case None =>
+        // self-healing etag bookkeeping: a drop/recreate must not leave a
+        // stale expectation behind for this thread
+        SnapshotCatalog.observedLogEtag.get().remove(key)
+        throw new IllegalArgumentException(
+          s"requirement failed: no such table: $db.$table (missing ${logPath(db, table)})")
+      case Some((txt, etag)) =>
+        // remember the etag this thread's state derives from: the NEXT
+        // writeEntries presents it as the If-Match precondition. Commit
+        // bodies re-read at their top (the CommitMutex contract), so
+        // last-read-wins is exactly "the state the commit was computed
+        // from" — under the file-lock default the value is unused.
+        SnapshotCatalog.observedLogEtag.get().put(key, etag)
+        Json.parse(txt) match {
+          case JArr(vs) => LegacyLog(vs.map(v => Snapshot.fromJson(v.asInstanceOf[JObj])))
+          case o: JObj  => V2Log(o.arr("entries").map(v => SnapshotEntry.fromJson(v.asInstanceOf[JObj])))
+          case other    => throw new IllegalStateException(s"bad snapshot log: $other")
+        }
     }
   }
 
@@ -550,7 +596,7 @@ final class SnapshotCatalog(
 
   // ---- position-delete shards (merge-on-read; Iceberg v2 delete files) ----
 
-  private def deleteShardName(id: Long): String = s"d$id.json"
+  private def deleteShardName(id: Long, tag: String = ""): String = s"d$id$tag.json"
 
   /** Parse one write-once delete shard (`d<id>.json` — the [[DeleteFile]]
     * entries one MoR delete commit added), via the same process-wide cache
@@ -717,10 +763,22 @@ final class SnapshotCatalog(
     SnapshotCatalog.manifestCache.put(p.toAbsolutePath.normalize().toString, m)
   }
 
-  private def writeEntries(db: String, table: String, entries: Seq[SnapshotEntry]): Unit =
-    writeString(logPath(db, table), Json.writePretty(Json.obj(
+  /** Publish the pointer log — the COMMIT POINT of every write path. The
+    * etag observed by this thread's last log read rides as the write
+    * precondition: under the conditional object-store log a racer that
+    * moved the pointer makes this throw [[CommitConflictException]], which
+    * [[CasCommitMutex]] catches to re-run the whole commit body against
+    * the winner's log; under the file default the precondition is moot
+    * (the file lock already serialized us) and the write is the same
+    * temp+atomic-rename as ever. */
+  private def writeEntries(db: String, table: String, entries: Seq[SnapshotEntry]): Unit = {
+    val key = logKey(db, table)
+    val expected = Option(SnapshotCatalog.observedLogEtag.get().get(key)).map(_.longValue)
+    val newEtag = log.writeIf(key, Json.writePretty(Json.obj(
       "format_version" -> Json.num(2L),
-      "entries"        -> JArr(entries.toVector.map(_.toJson)))))
+      "entries"        -> JArr(entries.toVector.map(_.toJson)))), expected)
+    SnapshotCatalog.observedLogEtag.get().put(key, newEtag)
+  }
 
   /** Manifest plan for a carry commit (partial rewrites: prune-aware
     * delete/update, bin-pack rewrites, SQL rewrite adoption; full carries:
@@ -771,7 +829,9 @@ final class SnapshotCatalog(
     val manifests =
       if (delta.files.isEmpty) reuse
       else {
-        val name = manifestName(snap.snapshotId)
+        // attempt-unique under a conditional pointer log: a racing loser
+        // must not overwrite the shard the winner just published by name
+        val name = s"m${snap.snapshotId}${attemptTag()}.json"
         writeManifest(db, table, name, delta)
         reuse :+ name
       }
@@ -1302,8 +1362,9 @@ final class SnapshotCatalog(
       case _        => StructType(incoming.fields.map(_.copy(nullable = true)))
     }
 
-    val snapDirRel = s"data/s$newId"
-    val snapDir = tablePath(db, table).resolve("data").resolve(s"s$newId")
+    val tag = attemptTag()
+    val snapDirRel = s"data/s$newId$tag"
+    val snapDir = tablePath(db, table).resolve("data").resolve(s"s$newId$tag")
     val root = tablePath(db, table)
     // per-file stats read from the SOURCE paths, before any rename: a
     // corrupt footer aborts the adoption with the source dir untouched
@@ -1418,8 +1479,9 @@ final class SnapshotCatalog(
     val prevEntry = base.getOrElse(publishedEntry(entries))
     val prev = materialize(db, table, prevEntry)
     val newId = entries.last.snapshotId + 1
-    val snapDirRel = s"data/s$newId"
-    val snapDir = tablePath(db, table).resolve(s"data").resolve(s"s$newId")
+    val tag = attemptTag()
+    val snapDirRel = s"data/s$newId$tag"
+    val snapDir = tablePath(db, table).resolve(s"data").resolve(s"s$newId$tag")
 
     // Snapshot schema — RESOLVED AND VALIDATED BEFORE the data write: the
     // compatibility checks need only metadata, and a rejected append must
@@ -1665,17 +1727,18 @@ final class SnapshotCatalog(
       extraSummary: Map[String, String]): Snapshot = {
     val prev = materialize(db, table, prevEntry)
     val newId = entries.last.snapshotId + 1
+    val tag = attemptTag()
     // footer-stat pruning scopes the position scan to candidate files,
     // exactly like the CoW path — a selective delete scans the candidates,
     // not the lake (and files it provably cannot touch are never read)
     val (cands, _) = pruneFiles(db, table, prev.snapshotId, cond)
     val fileEntries = writePositionDeletes(db, table, newId,
       readVisibleWithPos(db, table, prev, cands)
-        .where(coalesce(cond, lit(false))))
+        .where(coalesce(cond, lit(false))), tag)
     val deleted = fileEntries.map(_.rows).sum
     val shards =
       if (fileEntries.isEmpty) prevEntry.deletes
-      else prevEntry.deletes :+ deleteShardName(newId)
+      else prevEntry.deletes :+ deleteShardName(newId, tag)
     val prevRows = prev.recordCount
     val carriedSummary =
       if (deleted == 0) prev.summary
@@ -1716,6 +1779,7 @@ final class SnapshotCatalog(
     val prevEntry = publishedEntry(entries)
     val prev = materialize(db, table, prevEntry)
     val newId = entries.last.snapshotId + 1
+    val tag = attemptTag()
     val schema = prev.schema
     val eqCols = keys.schema.fieldNames.toSeq
     require(eqCols.nonEmpty, "equality delete needs at least one key column")
@@ -1755,8 +1819,8 @@ final class SnapshotCatalog(
       return commitSnapshot(db, table, entries, snap, prevEntry.manifests,
         Manifest.empty, prevEntry.deletes)
     }
-    val delDirRel = s"deletes/s$newId"
-    val delDir = tablePath(db, table).resolve("deletes").resolve(s"s$newId")
+    val delDirRel = s"deletes/s$newId$tag"
+    val delDir = tablePath(db, table).resolve("deletes").resolve(s"s$newId$tag")
     keys.dropDuplicates(eqCols).coalesce(1)
       .write.mode("overwrite").parquet(delDir.toString)
     val conf = spark.sessionState.newHadoopConf()
@@ -1779,7 +1843,7 @@ final class SnapshotCatalog(
       return commitSnapshot(db, table, entries, snap, prevEntry.manifests,
         Manifest.empty, prevEntry.deletes)
     }
-    writeDeleteShard(db, table, deleteShardName(newId), fileEntries)
+    writeDeleteShard(db, table, deleteShardName(newId, tag), fileEntries)
     val snap = Snapshot(newId, clock().toString, "delete",
       prev.summary.view.filterKeys(k =>
         !k.startsWith("min.") && !k.startsWith("max.")).toMap ++ Map(
@@ -1790,7 +1854,7 @@ final class SnapshotCatalog(
         "delete_files" -> (prev.deleteFiles.size + fileEntries.size).toString),
       prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles ++ fileEntries)
     commitSnapshot(db, table, entries, snap, prevEntry.manifests, Manifest.empty,
-      prevEntry.deletes :+ deleteShardName(newId))
+      prevEntry.deletes :+ deleteShardName(newId, tag))
   }
 
   /** Lazy EXACT-COUNT backfill for an equality-delete history.
@@ -1884,9 +1948,9 @@ final class SnapshotCatalog(
     * `d<newId>.json` shard. Returns the shard's entries (empty = nothing
     * matched; the dir is removed and no shard is written). */
   private def writePositionDeletes(db: String, table: String, newId: Long,
-      matched: DataFrame): Seq[DeleteFile] = {
-    val delDirRel = s"deletes/s$newId"
-    val delDir = tablePath(db, table).resolve("deletes").resolve(s"s$newId")
+      matched: DataFrame, tag: String): Seq[DeleteFile] = {
+    val delDirRel = s"deletes/s$newId$tag"
+    val delDir = tablePath(db, table).resolve("deletes").resolve(s"s$newId$tag")
     matched
       .select(col(MorFileCol).as("_file"), col(MorPosCol).as("_pos"))
       // narrow write: filter+project of the scan, no shuffle; within-task
@@ -1911,7 +1975,7 @@ final class SnapshotCatalog(
       // sweep them rather than carrying pointerless entries forever
       val live = fileEntries.map(_.path).toSet
       written.filterNot(p => live(relOf(p.getFileName.toString))).foreach(Files.delete)
-      writeDeleteShard(db, table, deleteShardName(newId), fileEntries)
+      writeDeleteShard(db, table, deleteShardName(newId, tag), fileEntries)
     }
     fileEntries
   }
@@ -1945,6 +2009,7 @@ final class SnapshotCatalog(
     val prevEntry = publishedEntry(entries)
     val prev = materialize(db, table, prevEntry)
     val newId = entries.last.snapshotId + 1
+    val tag = attemptTag()
     val tm = meta(db, table)
     val schema = prev.schema
     require(!set.contains("__bucket"),
@@ -1955,7 +2020,7 @@ final class SnapshotCatalog(
     val matched = readVisibleWithPos(db, table, prev, cands)
       .where(coalesce(cond, lit(false)))
     // pass 1: the matched rows' positions become a delete shard
-    val fileEntries = writePositionDeletes(db, table, newId, matched)
+    val fileEntries = writePositionDeletes(db, table, newId, matched, tag)
     val deleted = fileEntries.map(_.rows).sum
     if (fileEntries.isEmpty) {
       // nothing matched: pointer-only commit, mirror of a no-match delete
@@ -1972,8 +2037,8 @@ final class SnapshotCatalog(
     // pass 2: the updated copies append as new data files (partition
     // layout honored; declared sort order intentionally skipped — like the
     // SQL rewrites, compact() is the re-cluster action)
-    val snapDirRel = s"data/s$newId"
-    val snapDir = tablePath(db, table).resolve("data").resolve(s"s$newId")
+    val snapDirRel = s"data/s$newId$tag"
+    val snapDir = tablePath(db, table).resolve("data").resolve(s"s$newId$tag")
     val updated0 = matched.select(schema.fields.map { f =>
       set.get(f.name) match {
         case Some(v) => v.cast(f.dataType).as(f.name)
@@ -2014,7 +2079,7 @@ final class SnapshotCatalog(
       prev.schemaDdl, prev.files ++ newFiles, prev.fileStats ++ newFileStats,
       prev.deleteFiles ++ fileEntries)
     commitSnapshot(db, table, entries, snap, prevEntry.manifests,
-      Manifest(newFiles, newFileStats), prevEntry.deletes :+ deleteShardName(newId))
+      Manifest(newFiles, newFileStats), prevEntry.deletes :+ deleteShardName(newId, tag))
   }
 
   /** Copy-on-write UPDATE: `SET col = expr` for rows matching `cond`,
@@ -2064,6 +2129,7 @@ final class SnapshotCatalog(
     val prevEntry = publishedEntry(entries)
     val prev = materialize(db, table, prevEntry)
     val newId = entries.last.snapshotId + 1
+    val tag = attemptTag()
     val tm = meta(db, table)
     val schema = prev.schema
     // bucketed tables: the caller-facing column set excludes the derived
@@ -2096,13 +2162,13 @@ final class SnapshotCatalog(
     val srcKeys = source.select(keys.map(k => col(s"`$k`")): _*).dropDuplicates()
     val matched = readVisibleWithPos(db, table, prev, cands)
       .join(srcKeys, keys, "left_semi")
-    val fileEntries = writePositionDeletes(db, table, newId, matched)
+    val fileEntries = writePositionDeletes(db, table, newId, matched, tag)
     val deleted = fileEntries.map(_.rows).sum
     // pass 2: ALL source rows append as the delta (replacements + inserts);
     // bucketed tables derive the layout column so the delta lands in
     // __bucket=b/ dirs like every appendBucketed commit
-    val snapDirRel = s"data/s$newId"
-    val snapDir = tablePath(db, table).resolve("data").resolve(s"s$newId")
+    val snapDirRel = s"data/s$newId$tag"
+    val snapDir = tablePath(db, table).resolve("data").resolve(s"s$newId$tag")
     val delta0 = source.select(cols.map(c => col(s"`$c`")): _*)
     val delta = if (tm.bucketSpec.isDefined) bucketize(db, table, delta0) else delta0
     val writer = delta.write.mode("overwrite")
@@ -2120,7 +2186,7 @@ final class SnapshotCatalog(
     val total = if (prevRows >= 0 && added >= 0) prevRows - deleted + added else -1L
     val shards =
       if (fileEntries.isEmpty) prevEntry.deletes
-      else prevEntry.deletes :+ deleteShardName(newId)
+      else prevEntry.deletes :+ deleteShardName(newId, tag)
     val foldedSummary = foldDeltaBounds(prev, schema, newFiles, newFileStats, deleted)
     val snap = Snapshot(newId, clock().toString, "merge",
       foldedSummary ++ Map(
@@ -2200,6 +2266,7 @@ final class SnapshotCatalog(
         s"$expectSnapshotId but the table is now at ${prev.snapshotId}; " +
         "retry the statement")
     val newId = entries.last.snapshotId + 1
+    val tag = attemptTag()
     val root = tablePath(db, table)
     val schema = prev.schema
     val conf = spark.sessionState.newHadoopConf()
@@ -2248,7 +2315,7 @@ final class SnapshotCatalog(
           DeleteFile(relOf(name), rs.map(r => r.getString(1) -> r.getLong(2)).toMap)
         }.sortBy(_.path)
         if (es.isEmpty) deleteRecursively(delDir)
-        else writeDeleteShard(db, table, deleteShardName(newId), es)
+        else writeDeleteShard(db, table, deleteShardName(newId, tag), es)
         es
       }
     val deleted = fileEntries.map(_.rows).sum
@@ -2278,7 +2345,7 @@ final class SnapshotCatalog(
     val foldedSummary = foldDeltaBounds(prev, schema, newFiles, newFileStats, deleted)
     val shards =
       if (fileEntries.isEmpty) prevEntry.deletes
-      else prevEntry.deletes :+ deleteShardName(newId)
+      else prevEntry.deletes :+ deleteShardName(newId, tag)
     val snap = Snapshot(newId, clock().toString, operation,
       foldedSummary ++ Map(
         "record_count" -> total.toString,
@@ -3207,6 +3274,14 @@ object SnapshotCatalog {
   /** Lock paths held by the current thread (reentrancy). */
   private val heldLocks: ThreadLocal[java.util.HashSet[String]] =
     ThreadLocal.withInitial(() => new java.util.HashSet[String]())
+
+  /** Per-thread pointer-log etags, keyed by log key: the etag the thread's
+    * last read of that log observed, presented by the next [[PointerLogStore
+    * .writeIf]] as its If-Match precondition. Thread-local because a commit
+    * body is single-threaded and re-reads state at its top — "my last read"
+    * is exactly "the state my commit derives from". */
+  private val observedLogEtag: ThreadLocal[java.util.HashMap[String, java.lang.Long]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, java.lang.Long]())
 
   /** JVM-wide parsed-manifest LRU, keyed by absolute shard path. Sound
     * because shards are write-once; bounded so a long-lived session over

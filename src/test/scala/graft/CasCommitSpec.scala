@@ -5,7 +5,7 @@ import java.nio.file.Paths
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.catalog.{CasCommitMutex, CommitConflictException, InMemoryObjectStore}
+import graft.catalog.{CasCommitMutex, CommitConflictException, InMemoryObjectStore, ObjectStorePointerLogStore, SnapshotCatalog}
 
 /** The object-store commit loop (COMMITS.md §"Object-store mapping")
   * exercised end-to-end against the in-memory conditional-put store:
@@ -124,5 +124,91 @@ class CasCommitSpec extends AnyFunSuite {
     // exactly one loser, retried to success — both payloads in the log
     assert(store.conflicts == 1, s"expected exactly one conflict, got ${store.conflicts}")
     assert((1 to 2).forall(t => log.exists(_.endsWith(s"t$t"))), log.toSeq.toString)
+  }
+
+  // ---- the same protocol THROUGH SnapshotCatalog (r7): the pointer log
+  // rides the ObjectStorePointerLogStore, commits are CasCommitMutex
+  // optimistic bodies, data/manifest artifacts are attempt-unique ----
+
+  test("catalog-level: 4 racing appenders over the object-store log lose no commits") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_caswh_").toString
+    val store = new InMemoryObjectStore
+    // each writer gets its OWN catalog instance — they share nothing but
+    // the store (the pointer log) and the warehouse dir (the data plane),
+    // exactly the multi-driver object-store deployment shape
+    def mk() = new SnapshotCatalog(spark, wh,
+      mutex = new CasCommitMutex, log = new ObjectStorePointerLogStore(store))
+    val cat0 = mk()
+    cat0.createNamespace("db")
+    cat0.createTable("db", "t", Seq((1L, "x")).toDF("id", "v").schema)
+    val writers = 4
+    val appendsEach = 3
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to writers).map { w =>
+      new Thread(() => {
+        try {
+          val cat = mk()
+          for (i <- 1 to appendsEach)
+            cat.append("db", "t", Seq((w * 100L + i, s"w$w-$i")).toDF("id", "v"))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
+    // no lost commit: every append is a distinct sequential snapshot
+    val head = cat0.currentSnapshot("db", "t")
+    assert(head.snapshotId == 1 + writers * appendsEach,
+      s"expected ${1 + writers * appendsEach}, got ${head.snapshotId}")
+    val ids = cat0.readLatest("db", "t").select("id").as[Long].collect().sorted.toSeq
+    val expect = (for (w <- 1 to writers; i <- 1 to appendsEach) yield w * 100L + i).sorted
+    assert(ids == expect, s"lost rows: got ${ids.size}, want ${expect.size}")
+    // losing attempts left only ORPHAN debris (attempt-unique dirs no
+    // entry references); the sweeper reclaims them without touching state
+    cat0.removeOrphanFiles("db", "t")
+    assert(cat0.readLatest("db", "t").select("id").as[Long].collect().sorted.toSeq == expect)
+    assert(cat0.recordCount("db", "t", head.snapshotId) == writers * appendsEach)
+  }
+
+  test("catalog-level: crash between data write and log publish leaves orphans only") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_caswh2_").toString
+    val store = new InMemoryObjectStore
+    val healthy = new SnapshotCatalog(spark, wh,
+      mutex = new CasCommitMutex, log = new ObjectStorePointerLogStore(store))
+    healthy.createNamespace("db")
+    healthy.createTable("db", "t", Seq((1L, "x")).toDF("id", "v").schema)
+    healthy.append("db", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val before = healthy.currentSnapshot("db", "t")
+    // a writer that dies AFTER the data write, AT the publish: its
+    // conditional put never happens (non-conflict failure, so the CAS
+    // loop must NOT retry it — the process is gone)
+    val inner = new ObjectStorePointerLogStore(store)
+    val crashing = new graft.catalog.PointerLogStore {
+      override def read(key: String) = inner.read(key)
+      override def delete(key: String): Unit = inner.delete(key)
+      override def conditional: Boolean = true
+      override def writeIf(key: String, content: String, expected: Option[Long]): Long =
+        throw new RuntimeException("simulated crash before publish")
+    }
+    val dying = new SnapshotCatalog(spark, wh,
+      mutex = new CasCommitMutex, log = crashing)
+    val e = intercept[RuntimeException] {
+      dying.append("db", "t", Seq((99L, "dead")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("simulated crash"), e.getMessage)
+    // nothing visible changed: same head, same rows, through a clean reader
+    val after = healthy.currentSnapshot("db", "t")
+    assert(after.snapshotId == before.snapshotId && after.files == before.files)
+    assert(healthy.readLatest("db", "t").count() == 2)
+    // the crashed attempt's parquet is on disk as unreferenced debris —
+    // the orphan sweep reclaims it and the table is untouched
+    val removed = healthy.removeOrphanFiles("db", "t")
+    assert(removed.exists(_.endsWith(".parquet")),
+      s"expected orphaned data parquet, swept: $removed")
+    assert(healthy.readLatest("db", "t").count() == 2)
   }
 }
