@@ -779,6 +779,18 @@ object SparkEntry {
         .orderBy("snapshot_id")
     }),
 
+    // write-audit-publish WITHOUT LEAVING SQL (r7): write.wap.enabled
+    // arms staging, INSERT INTO stages, CALL system.publish_staged /
+    // discard_staged decide — the q72 cycle through the SQL-only route.
+    // The oracle restates the end state: orders plus the published F
+    // batch, the discarded O batch invisible.
+    "q96_wap_sql" -> ((s, dir) => {
+      WarehouseFixture.forDir(s, dir).src.readLatest("maint", "orders_wapsql")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderstatus")
+    }),
+
     // calendar-function battery: extract fields, date arithmetic, month
     // boundaries — all codegen'd builtins, engine-portable by value.
     "q73_datetime_funcs" -> ((s, dir) => {
@@ -2343,6 +2355,17 @@ object SparkEntry {
         |  (CAST(6 AS BIGINT), 'discard', (SELECT c FROM n) + (SELECT c FROM f), 'false')
         |) AS t(snapshot_id, operation, record_count, staged)
         |ORDER BY snapshot_id""".stripMargin,
+
+    // end state of the SQL-only WAP cycle: every order once, plus the
+    // published F copy; the discarded O copy never became visible
+    "q96_wap_sql" ->
+      """WITH st AS (
+        |  SELECT o_orderstatus, o_orderkey FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM st GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q71_sequence_pack" ->
       """WITH t AS (SELECT doc_id, lang,

@@ -244,6 +244,22 @@ object WarehouseFixture {
         .withColumn("o_orderkey", col("o_orderkey") + 4000000000L)
         .repartition(2))                                                // 5
 
+    // - orders_wapsql: the full write-audit-publish cycle WITHOUT LEAVING
+    //   SQL (r7): write.wap.enabled arms staging, INSERT INTO stages the F
+    //   batch (invisible until audited), CALL publish_staged lands it as a
+    //   pointer commit; the O batch stages and CALL discard_staged rejects
+    //   it. q96 oracles the end state = orders + the published F copy
+    src.createTable("maint", "orders_wapsql", orders.schema)
+    src.append("maint", "orders_wapsql", orders.repartition(1))
+    spark.sql("ALTER TABLE snapdml.maint.orders_wapsql " +
+      "SET TBLPROPERTIES('write.wap.enabled'='true')")
+    spark.sql("INSERT INTO snapdml.maint.orders_wapsql " +
+      s"SELECT * FROM parquet.`$sfDir/orders.parquet` WHERE o_orderstatus = 'F'")
+    spark.sql("CALL snapdml.system.publish_staged('maint.orders_wapsql')")
+    spark.sql("INSERT INTO snapdml.maint.orders_wapsql " +
+      s"SELECT * FROM parquet.`$sfDir/orders.parquet` WHERE o_orderstatus = 'O'")
+    spark.sql("CALL snapdml.system.discard_staged('maint.orders_wapsql')")
+
     // - orders_bykey: range-partitioned files (disjoint o_orderkey ranges)
     //   so per-file footer stats can prove whole files unmatchable — the
     //   data-skipping demonstration table (q55)

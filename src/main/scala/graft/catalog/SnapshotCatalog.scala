@@ -2571,6 +2571,15 @@ final class SnapshotCatalog(
       s"$db.$table has a pending staged snapshot ${entries.last.snapshotId}: " +
         "publishStaged or discardStaged it before committing anything else")
 
+  /** Id of the pending staged (WAP) snapshot, if any — pointer-log only.
+    * The SQL `publish_staged`/`discard_staged` procedures default their
+    * snapshot_id argument through this, so the audit job never has to
+    * scrape the snapshots table for the wap.staged flag. */
+  def pendingStagedId(db: String, table: String): Option[Long] = {
+    val last = entryMeta(db, table).last
+    if (isStagedEntry(last)) Some(last.snapshotId) else None
+  }
+
   /** Stage an append for audit: a durable, complete append snapshot whose
     * `wap.staged=true` summary flag makes it INVISIBLE to every
     * current-state reader (library reads, SQL, the streaming tail's

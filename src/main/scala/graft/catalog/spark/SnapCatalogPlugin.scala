@@ -178,9 +178,15 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           override def insert(data: DataFrame, ignored: Boolean): Unit = {
             // bucketed tables hide their __bucket layout column from the
             // SQL schema; every write derives it here
-            val bucketed = cat.meta(db, table).bucketSpec.isDefined
-            val frame = if (bucketed) cat.bucketize(db, table, data) else data
+            val tm = cat.meta(db, table)
+            val frame = if (tm.bucketSpec.isDefined) cat.bucketize(db, table, data) else data
             if (overwriteAll) cat.overwrite(db, table, frame)
+            // write-audit-publish from SQL (Iceberg's write.wap.enabled
+            // pattern): with the property set, INSERT INTO commits a
+            // STAGED snapshot — durable, addressable by id, invisible to
+            // every current-state reader until CALL system.publish_staged
+            else if (tm.properties.get("write.wap.enabled").contains("true"))
+              cat.stageAppend(db, table, frame)
             else cat.append(db, table, frame)
           }
         }

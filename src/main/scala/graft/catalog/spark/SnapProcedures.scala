@@ -17,9 +17,12 @@ import graft.catalog.SnapshotCatalog
   * Spark 4's DSv2 `ProcedureCatalog`. The procedure set mirrors the shape
   * of Iceberg's published Spark procedures (`rewrite_data_files`,
   * `expire_snapshots`, `remove_orphan_files`, `rollback_to_snapshot`,
-  * `create_tag`/`create_branch`, `fast_forward`, `add_files` — public API
-  * surface, reimplemented over this catalog's own verbs), so the entire
-  * maintenance lifecycle runs from SQL without dropping to the library.
+  * `create_tag`/`create_branch`, `fast_forward`, `add_files`, plus the
+  * WAP pair `publish_staged`/`discard_staged` — public API surface,
+  * reimplemented over this catalog's own verbs), so the entire
+  * maintenance lifecycle AND the write-audit-publish cycle (staging armed
+  * by the `write.wap.enabled` table property on INSERT) run from SQL
+  * without dropping to the library.
   *
   * Each procedure is ONE existing [[SnapshotCatalog]] verb behind the same
   * CommitMutex as the library path — no new commit semantics here, only a
@@ -207,6 +210,30 @@ object SnapProcedures {
           throw new IllegalArgumentException("branch name must not be null"))
         val snap = cat.fastForward(db, t, branch)
         Seq(row(snap.snapshotId, utf8("fast_forward")))
+      },
+
+      proc("publish_staged",
+        "make the pending staged (WAP) snapshot the published state - an O(KB) pointer commit",
+        Seq(in("table", StringType), inDefault("snapshot_id", LongType, "NULL")),
+        snapshotResult) { input =>
+        val (db, t) = dbTable(input, 0)
+        val id = if (input.isNullAt(1)) cat.pendingStagedId(db, t).getOrElse(
+          throw new IllegalArgumentException(s"no pending staged snapshot on $db.$t"))
+        else input.getLong(1)
+        val snap = cat.publishStaged(db, t, id)
+        Seq(row(snap.snapshotId, utf8("publish_staged")))
+      },
+
+      proc("discard_staged",
+        "reject the pending staged (WAP) snapshot - restores the published head as current",
+        Seq(in("table", StringType), inDefault("snapshot_id", LongType, "NULL")),
+        snapshotResult) { input =>
+        val (db, t) = dbTable(input, 0)
+        val id = if (input.isNullAt(1)) cat.pendingStagedId(db, t).getOrElse(
+          throw new IllegalArgumentException(s"no pending staged snapshot on $db.$t"))
+        else input.getLong(1)
+        val snap = cat.discardStaged(db, t, id)
+        Seq(row(snap.snapshotId, utf8("discard_staged")))
       },
 
       proc("adopt_files",

@@ -139,6 +139,43 @@ class ProcedureSpec extends AnyFunSuite {
       .head.getLong(1) == 3L)
   }
 
+  test("write-audit-publish never leaves SQL: property-staged INSERT, publish, discard") {
+    wh
+    val t = Seq((1L, "base")).toDF("id", "v")
+    cat.createTable("db", "wapq", t.schema)
+    cat.append("db", "wapq", t) // snap 2: published base state
+    // arm staging from SQL (Iceberg's write.wap.enabled pattern)
+    spark.sql("ALTER TABLE proccat.db.wapq SET TBLPROPERTIES('write.wap.enabled'='true')")
+    spark.sql("INSERT INTO proccat.db.wapq VALUES (2, 'good')") // snap 3, STAGED
+    // staged rows are invisible to every current-state read…
+    assert(spark.sql("SELECT count(*) AS c FROM proccat.db.wapq").head.getLong(0) == 1L)
+    // …but the audit job can time-travel to the staged id and validate
+    val staged = cat.pendingStagedId("db", "wapq").get
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM proccat.db.wapq VERSION AS OF $staged")
+      .head.getLong(0) == 2L)
+    // audit passes -> publish via CALL; snapshot_id defaults to the pending
+    val pub = spark.sql("CALL proccat.system.publish_staged('db.wapq')").collect()
+    assert(pub.head.getString(1) == "publish_staged")
+    assert(spark.sql("SELECT count(*) AS c FROM proccat.db.wapq").head.getLong(0) == 2L)
+    // a second staged batch fails its audit -> discard restores the head
+    spark.sql("INSERT INTO proccat.db.wapq VALUES (3, 'bad')")
+    assert(spark.sql("SELECT count(*) AS c FROM proccat.db.wapq").head.getLong(0) == 2L)
+    val disc = spark.sql("CALL proccat.system.discard_staged('db.wapq')").collect()
+    assert(disc.head.getString(1) == "discard_staged")
+    assert(spark.sql("SELECT id FROM proccat.db.wapq ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    // with nothing pending, the defaulted call fails loudly
+    val none = intercept[Exception] {
+      spark.sql("CALL proccat.system.publish_staged('db.wapq')").collect()
+    }
+    assert(none.getMessage.contains("no pending staged"), none.getMessage)
+    // disarm: plain INSERT publishes directly again
+    spark.sql("ALTER TABLE proccat.db.wapq UNSET TBLPROPERTIES('write.wap.enabled')")
+    spark.sql("INSERT INTO proccat.db.wapq VALUES (4, 'direct')")
+    assert(spark.sql("SELECT count(*) AS c FROM proccat.db.wapq").head.getLong(0) == 3L)
+  }
+
   test("error shapes: unknown procedure, wrong namespace, malformed table") {
     wh
     // Spark wraps loadProcedure failures as FAILED_TO_LOAD_ROUTINE with the
