@@ -43,11 +43,68 @@ object Similarity {
     * dir, or different (nlist, iters, mod) can never serve stale
     * centroids. Corpora whose identity is unprovable (arbitrary
     * transformed frames) simply retrain, today's behavior. Centroids are
-    * a pure function of (content, params) — at most a few KB per entry;
-    * a persistent deployment would spill this map to a table-property /
-    * sidecar keyed the same way. */
+    * a pure function of (content, params) — at most a few KB per entry.
+    * Cross-SESSION persistence (r7): set `spark.graft.ivf.centroidDir` to
+    * a writable directory and every trained quantizer is also spilled
+    * there as a tiny JSON sidecar keyed by the same content identity; a
+    * NEW driver loads instead of retraining, and the content-addressed
+    * key preserves the invalidation story (a new snapshot is a new key —
+    * stale sidecars are just never read again, GC-able by mtime). */
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Array[Double]]]
+
+  /** Test hook: drop the in-memory quantizer cache, simulating a fresh
+    * driver (the sidecar layer is what must then serve). */
+  private[graft] def clearCentroidCacheForTest(): Unit = centroidCache.clear()
+
+  private def sidecarDir(df: DataFrame): Option[java.nio.file.Path] =
+    df.sparkSession.conf.getOption("spark.graft.ivf.centroidDir")
+      .filter(_.nonEmpty).map(java.nio.file.Paths.get(_))
+
+  /** Sidecar file of a cache key: name = sha-1 of the key (keys embed
+    * file-list hashes and are not filename-safe); the FULL key is stored
+    * inside and re-checked on load, so a hash collision degrades to a
+    * retrain, never to wrong centroids. */
+  private def sidecarPath(dir: java.nio.file.Path, key: String): java.nio.file.Path = {
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    dir.resolve(s"ivf-$sha.json")
+  }
+
+  private def loadSidecarCentroids(df: DataFrame, key: String): Option[Seq[Array[Double]]] =
+    sidecarDir(df).flatMap { dir =>
+      val p = sidecarPath(dir, key)
+      if (!java.nio.file.Files.exists(p)) None
+      else scala.util.Try {
+        val o = graft.catalog.Json.parse(java.nio.file.Files.readString(p))
+          .asInstanceOf[graft.catalog.JObj]
+        if (o.str("key") != key) None // collision: retrain honestly
+        else Some(o.arr("centroids").map {
+          case graft.catalog.JArr(vs) =>
+            vs.map { case graft.catalog.JNum(d) => d }.toArray
+          case other => throw new IllegalStateException(s"bad centroid row: $other")
+        })
+      }.toOption.flatten // unreadable/corrupt sidecar: retrain, never fail the query
+    }
+
+  private def writeSidecarCentroids(df: DataFrame, key: String,
+      cents: Seq[Array[Double]]): Unit =
+    sidecarDir(df).foreach { dir =>
+      scala.util.Try {
+        java.nio.file.Files.createDirectories(dir)
+        val json = graft.catalog.Json.write(graft.catalog.Json.obj(
+          "key" -> graft.catalog.Json.str(key),
+          "centroids" -> graft.catalog.JArr(cents.toVector.map(c =>
+            graft.catalog.JArr(c.toVector.map(graft.catalog.Json.num)): graft.catalog.JValue))))
+        val p = sidecarPath(dir, key)
+        val tmp = p.resolveSibling(p.getFileName.toString + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        java.nio.file.Files.writeString(tmp, json)
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } // best-effort: a read-only dir must not fail the query
+    }
 
   /** Content-identity token of a corpus frame, when provable from the
     * plan: a bare (projected) scan of a snapcat table or a parquet
@@ -341,10 +398,20 @@ object Similarity {
     // zero training collects on repeat invocations; see centroidCache
     val cacheKey = corpusIdentity(corpus)
       .map(id => s"$id|$corpusId|$corpusVec|$nlist|$iters|$mod")
-    val cents = cacheKey.flatMap(centroidCache.get).getOrElse {
+    val cents = cacheKey.flatMap(k =>
+      centroidCache.get(k).orElse {
+        // fresh driver, same corpus: the sidecar (if configured) serves
+        // with zero training collects; warm the in-memory tier
+        val fromDisk = loadSidecarCentroids(corpus, k)
+        fromDisk.foreach(centroidCache.put(k, _))
+        fromDisk
+      }).getOrElse {
       val trained = trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters, mod)
       ivfTrainings += 1
-      cacheKey.foreach(centroidCache.put(_, trained))
+      cacheKey.foreach { k =>
+        centroidCache.put(k, trained)
+        writeSidecarCentroids(corpus, k, trained)
+      }
       trained
     }
     val c = corpus.select(col(corpusId), col(corpusVec), norm(col(corpusVec)).as("_cn"),

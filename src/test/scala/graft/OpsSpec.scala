@@ -150,6 +150,39 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.ivfTrainingCount == t1 + 2, "new snapshot: retrained")
   }
 
+  test("IVF centroids persist across drivers via the sidecar dir") {
+    val corpus = emb
+    val queries = corpus.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def run() =
+      Similarity.ivfTopK(corpus, "vec_id", "embedding", queries, "qid", "qvec",
+        k = 5, nlist = 8, nprobe = 3, iters = 2, sampleMod = 11)
+    val side = java.nio.file.Files.createTempDirectory("graft_ivfside_").toString
+    spark.conf.set("spark.graft.ivf.centroidDir", side)
+    try {
+      Similarity.clearCentroidCacheForTest()
+      val t0 = Similarity.ivfTrainingCount
+      val r1 = run().as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(Similarity.ivfTrainingCount == t0 + 1, "cold: trains and spills")
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(side)).count() == 1,
+        "one sidecar written")
+      // FRESH DRIVER simulated: the in-memory tier is gone, only the
+      // sidecar remains — the second invocation must load, not retrain
+      Similarity.clearCentroidCacheForTest()
+      val r2 = run().as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(Similarity.ivfTrainingCount == t0 + 1,
+        "sidecar serves a fresh driver with zero training collects")
+      assert(r2 == r1, "persisted centroids reproduce the exact results")
+      // a corrupt sidecar degrades to a retrain, never a failure
+      Similarity.clearCentroidCacheForTest()
+      java.nio.file.Files.list(java.nio.file.Paths.get(side)).forEach(p =>
+        java.nio.file.Files.writeString(p, "{not json"))
+      val r3 = run().as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(Similarity.ivfTrainingCount == t0 + 2, "corrupt sidecar: retrains")
+      assert(r3 == r1)
+    } finally spark.conf.unset("spark.graft.ivf.centroidDir")
+  }
+
   test("near-dup clustering: transitive closure with min representative") {
     // chain 1-2-3 (needs >1 propagation round), a pair, and a triangle
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
