@@ -168,17 +168,39 @@ object Dedup {
     * min of its own label and its neighbors'; rounds needed = component
     * diameter (near-dup clusters are shallow — a handful of rounds).
     * Each round is one hash-partitioned join+agg on the edge list, and
-    * lineage is truncated per round (`localCheckpoint`) so the plan stays
-    * flat — the standard large-graph CC shape (use reliable checkpointing
-    * on a real cluster). Deterministic: pure min over an id set.
-    * Returns (doc_id, cluster_rep) for every doc appearing in a pair. */
-  def clusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    * lineage is truncated per round so the plan stays flat — the standard
+    * large-graph CC shape. Deterministic: pure min over an id set.
+    * Returns (doc_id, cluster_rep) for every doc appearing in a pair.
+    *
+    * Round materialization has two modes:
+    *  - default (`checkpointDir = None`): `localCheckpoint` — blocks live
+    *    on executors; fastest, but an executor loss mid-computation kills
+    *    the lineage-truncated frame (fine on local mode and short jobs);
+    *  - RELIABLE (`checkpointDir = Some(dir)`): each round ping-pongs
+    *    through parquet under `dir` (two alternating files — bounded
+    *    scratch, not one per round), so every round survives any executor
+    *    loss and the job resumes from storage like Iceberg/GraphX
+    *    reliable checkpointing. ~One extra write+read per round — the
+    *    right trade on a 1000-executor cluster where losing a round of a
+    *    deep component propagation costs more than the IO. The observed
+    *    convergence count rides the SAME materializing action in both
+    *    modes (one job per round). */
+  def clusters(pairs: DataFrame, maxRounds: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val session = pairs.sparkSession
+    def materialize(df: DataFrame, name: String): DataFrame = checkpointDir match {
+      case None => df.localCheckpoint()
+      case Some(dir) =>
+        val path = s"$dir/$name.parquet"
+        df.write.mode("overwrite").parquet(path)
+        session.read.parquet(path)
+    }
+    val edges = materialize(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
+      "cc-edges")
+    var labels = materialize(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")),
+      "cc-labels-init")
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -191,12 +213,12 @@ object Dedup {
       // withAction), so each round is ONE job — the check used to be its
       // own join+shuffle job, doubling the hot loop's cost
       val obs = new org.apache.spark.sql.Observation(s"cc_round_$round")
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = materialize(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           col("label").as("_old"))
-        .observe(obs, sum(when(col("label") =!= col("_old"), 1L).otherwise(0L)).as("changed"))
-        .localCheckpoint()
+        .observe(obs, sum(when(col("label") =!= col("_old"), 1L).otherwise(0L)).as("changed")),
+        s"cc-labels-${round % 2}") // ping-pong: round N reads N-1's file, never its own
       changed = obs.get("changed") match {
         case n: Long => n
         case _ => 0L // null metric (empty frame): no rows changed
@@ -220,8 +242,8 @@ object Dedup {
     * the corpus), then ONE broadcast-or-hash anti-join removes the losers
     * from the corpus — the corpus itself is never re-keyed more than once. */
   def dropNearDuplicates(corpus: DataFrame, idCol: String,
-      pairs: DataFrame): DataFrame = {
-    val losers = clusters(pairs)
+      pairs: DataFrame, checkpointDir: Option[String] = None): DataFrame = {
+    val losers = clusters(pairs, checkpointDir = checkpointDir)
       .where(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id").as(idCol))
     corpus.join(losers, Seq(idCol), "left_anti")

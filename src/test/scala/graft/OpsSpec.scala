@@ -190,6 +190,26 @@ class OpsSpec extends AnyFunSuite {
     val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // RELIABLE checkpointing (r7): rounds ping-pong through parquet under
+    // a scratch dir — survives executor loss on a real cluster — and the
+    // label assignment is identical; the scratch footprint is bounded
+    // (edges + init + two alternating round files, never one per round)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ccckpt_").toString
+    val reliable = Dedup.clusters(pairs, checkpointDir = Some(ckpt))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == got, "reliable-checkpoint mode must assign identical clusters")
+    val scratch = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(ckpt))
+        .iterator().asScala.map(_.getFileName.toString).toSet
+    }
+    assert(scratch.subsetOf(Set("cc-edges.parquet", "cc-labels-init.parquet",
+      "cc-labels-0.parquet", "cc-labels-1.parquet")), scratch.toString)
+    // retention through the reliable path keeps the same survivors
+    val corpus = Seq(1L, 2L, 3L, 10L, 11L, 42L).toDF("id")
+    val kept = Dedup.dropNearDuplicates(corpus, "id", pairs, Some(ckpt))
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 10L, 42L), kept.toString)
   }
 
   test("HyperplaneBuckets kernel is bit-identical to the declarative plane bank") {
