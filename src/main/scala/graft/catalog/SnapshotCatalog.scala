@@ -1162,20 +1162,29 @@ final class SnapshotCatalog(
     * representable in an append delta — consumers that need them use
     * [[readChangelog]], which emits tagged delete rows.
     *
-    * Ranges containing a REWRITE (compact, z-order, overwrite, copy-on-
-    * write DELETE/UPDATE, rollback) no longer refuse: production tables
+    * Ranges containing a REWRITE no longer refuse: production tables
     * compact on a schedule, and a CDC consumer whose range happens to
-    * span one must not error. The file-diff shortcut is unusable there
-    * (rewrite outputs re-home old rows), so the read degrades to the
-    * changelog's INSERT side — rows visible at `toId` but not at
-    * `fromId`, one `exceptAll` over the CHANGED files only, under which
-    * rows merely moved by the rewrite cancel exactly (multiset
-    * semantics). Cost is churn-sized: a compact that rewrote N bytes
-    * makes the increment read O(N), never a manual fallback; the
-    * zero-rewrite fast path stays pure metadata. Note the multiset
-    * consequence: a range that both MoR-deletes a pre-range row and
-    * appends an IDENTICAL row nets to zero served copies (row identity is
-    * by value; the changelog view is the exact-diff tool). */
+    * span one must not error. Two tiers:
+    *
+    *  - ROW-PRESERVING rewrites in range (compact / z-order / bin-pack,
+    *    all op "compact") resolve by a PURE-METADATA walk of the
+    *    published lineage, the same shape as the streaming tail: each
+    *    append-family commit's added files serve from their ORIGINAL
+    *    write-once parquet (even when a later compact swallowed them),
+    *    with delete coverage frozen at the pre-compact snapshot — the
+    *    exact dead set the compact materialized. Cost stays the
+    *    increment, never the rewrite: a 100-TB compact between two
+    *    appends adds zero read cost to the appends' delta.
+    *  - TRUE rewrites (overwrite, CoW DELETE/UPDATE, rollback) — and the
+    *    one compact corner the walk cannot prove exact (a delete-file
+    *    commit landing AFTER a compact that swallowed in-range appends:
+    *    its positions target the re-homed copies) — degrade to the
+    *    changelog's INSERT side: rows visible at `toId` but not at
+    *    `fromId`, one `exceptAll` over the CHANGED files only. Cost is
+    *    churn-sized; note the multiset consequence there: a range that
+    *    both deletes a pre-range row and appends an IDENTICAL row nets
+    *    to zero served copies (the changelog view is the exact-diff
+    *    tool). */
   def readIncremental(db: String, table: String, fromId: Long, toId: Long): DataFrame = {
     require(fromId <= toId, s"fromId $fromId > toId $toId")
     val from = snapshotAt(db, table, fromId)
@@ -1184,12 +1193,68 @@ final class SnapshotCatalog(
     val toFiles = to.files.toSet
     if (fromFiles.diff(toFiles).isEmpty)
       readVisible(db, table, to, to.files.filterNot(fromFiles))
-    else {
+    else appendDeltaAcrossCompacts(db, table, fromId, toId, to).getOrElse {
       requireOneSchema(db, table, "incremental read", from, to)
       val (removed, added) = changedFileSets(from, to)
       readVisible(db, table, to, added)
         .exceptAll(readVisible(db, table, from, removed))
     }
+  }
+
+  /** Metadata-only append-delta across row-preserving rewrites: walk the
+    * published lineage over `(fromId, toId]`, emit the files each
+    * append-family commit added, treat "compact" commits as no-ops (their
+    * outputs only re-home rows already accounted for), and read emitted
+    * files under delete coverage frozen at their last pre-compact
+    * snapshot. Returns None — caller falls back to the exact row diff —
+    * when the range contains a non-row-preserving rewrite, or a
+    * delete-file commit after a compact that swallowed emitted files
+    * (those positions target re-homed copies the walk reads from the
+    * originals). Mirrors [[graft.catalog.spark.SnapCatalogPlugin]]'s
+    * streaming walk; the batch form adds the delete-after-compact
+    * exactness guard a one-shot read can afford. */
+  private def appendDeltaAcrossCompacts(db: String, table: String,
+      fromId: Long, toId: Long, to: Snapshot): Option[DataFrame] = {
+    val inRange = mainLineage(db, table)
+      .filter(e => e.snapshotId > fromId && e.snapshotId <= toId)
+    var prev = snapshotAt(db, table, fromId)
+    var prevFiles = prev.files.toSet
+    val emit = scala.collection.mutable.ArrayBuffer.empty[String]
+    val emitSet = scala.collection.mutable.HashSet.empty[String]
+    val frozen = scala.collection.mutable.HashMap.empty[String, Seq[DeleteFile]]
+    var swallowedEmitted = false
+    for (en <- inRange) {
+      val snap = snapshotAt(db, table, en.snapshotId)
+      val files = snap.files.toSet
+      val removed = prevFiles.diff(files)
+      if (removed.nonEmpty) {
+        if (snap.operation != "compact") return None
+        for (f <- removed if emitSet(f))
+          frozen(f) = prev.deleteFiles.filter(_.covers.contains(f))
+        if (removed.exists(emitSet)) swallowedEmitted = true
+      } else if (snap.operation != "compact") {
+        val added = snap.files.filterNot(prevFiles)
+        emit ++= added
+        emitSet ++= added
+      }
+      if (swallowedEmitted && {
+        val prevShards = prev.deleteFiles.map(_.path).toSet
+        snap.deleteFiles.exists(d => !prevShards(d.path))
+      }) return None
+      prev = snap
+      prevFiles = files
+    }
+    // one synthetic snapshot view: emitted files under their per-file
+    // coverage (frozen for swallowed files, `to`'s otherwise). A delete
+    // file in the union never misapplies: it reaches a non-frozen emitted
+    // file only if it survived to `to` covering it, and a frozen file's
+    // shard covering a still-live file survives at `to` too (shard carry
+    // keeps shards whose covered files carry).
+    val covUnion = emit.toSeq
+      .flatMap(f => frozen.getOrElse(f, to.deleteFiles.filter(_.covers.contains(f))))
+      .groupBy(_.path).map(_._2.head).toSeq
+    Some(readVisible(db, table,
+      to.copy(files = emit.toSeq, deleteFiles = covUnion), emit.toSeq))
   }
 
   /** Both endpoints must share one visible row type (nullability

@@ -669,15 +669,25 @@ class MorDeleteSpec extends AnyFunSuite {
     // matches the update, and the delta serves its post-image
     assert(got.map(_._1) == Seq(0, 2), got.toString)
     assert(got.count(_._2 == "ZZ") == 1, got.toString)
-    // r7: a rewrite inside the range no longer refuses — the read degrades
-    // to the changelog's INSERT side (one exceptAll over the changed
-    // files). The re-appended copy of key 0 is identical BY VALUE to the
-    // pre-range copy the delete killed, so multiset diffing nets it to
-    // zero; only the updated post-image of key 2 survives.
+    // r7: a compact inside the range no longer refuses — the lineage walk
+    // serves the in-range appends from their ORIGINAL write-once files
+    // with delete coverage frozen pre-compact: the surviving appended
+    // copy of key 0 and the update's post-image of key 2, exactly the
+    // "rows added in range still visible at to" contract, zero extra read
+    // cost for the compact itself.
     cat.compact("db", "nation", numFiles = 1)
     val to7 = cat.currentSnapshot("db", "nation").snapshotId
     val across = cat.readIncremental("db", "nation", from, to7)
+      .select("n_nationkey", "n_name").as[(Int, String)].collect().sortBy(_._1).toSeq
+    assert(across == Seq((0, "NATION_0"), (2, "ZZ")), across.toString)
+    // a DELETE landing AFTER the swallowing compact targets re-homed
+    // copies the walk cannot see — the exactness guard degrades to the
+    // changelog's insert side (where key 0's identical re-append cancels
+    // against the pre-range copy under multiset diffing)
+    cat.deleteMoR("db", "nation", col("n_nationkey") === 0) // snap8
+    val to8 = cat.currentSnapshot("db", "nation").snapshotId
+    val guarded = cat.readIncremental("db", "nation", from, to8)
       .select("n_nationkey", "n_name").as[(Int, String)].collect().toSeq
-    assert(across == Seq((2, "ZZ")), across.toString)
+    assert(guarded == Seq((2, "ZZ")), guarded.toString)
   }
 }
