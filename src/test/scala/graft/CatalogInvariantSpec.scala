@@ -83,12 +83,33 @@ class CatalogInvariantSpec extends AnyFunSuite {
   }
 
   test("random operation sequences preserve metadata exactness") {
-    val rng = new Random(20260812L)
-    (1 to 3).foreach { trial =>
+    runTrials(new Random(20260812L), trial => {
       var tick = 0L
-      val cat = new SnapshotCatalog(spark,
+      new SnapshotCatalog(spark,
         Files.createTempDirectory(s"graft_inv_$trial").toString,
         clock = () => { tick += 1; Instant.parse("2026-07-01T00:00:00Z").plusSeconds(tick) })
+    })
+  }
+
+  test("random operation sequences over the CAS object-store log are behavior-identical") {
+    // the whole op mix (CoW + MoR DML, compact/zorder, rollback, evolve)
+    // through ObjectStorePointerLogStore + CasCommitMutex with
+    // attempt-unique artifact names: every metadata-exactness invariant
+    // must hold exactly as under the file-lock default
+    runTrials(new Random(20260812L), trial => {
+      var tick = 0L
+      new SnapshotCatalog(spark,
+        Files.createTempDirectory(s"graft_invcas_$trial").toString,
+        clock = () => { tick += 1; Instant.parse("2026-07-01T00:00:00Z").plusSeconds(tick) },
+        mutex = new graft.catalog.CasCommitMutex,
+        log = new graft.catalog.ObjectStorePointerLogStore(
+          new graft.catalog.InMemoryObjectStore))
+    })
+  }
+
+  private def runTrials(rng: Random, mkCat: Int => SnapshotCatalog): Unit = {
+    (1 to 3).foreach { trial =>
+      val cat = mkCat(trial)
       val t = "t"
       cat.createTable("db", t, frame(rng, 1).schema)
       cat.append("db", t, frame(rng, 40))

@@ -470,11 +470,18 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(cat.readIncremental("db", "inc", 2, 5).as[Long].collect().sorted.toSeq ==
       Seq(100L, 101L))
     // …and the canonical production shape — append, scheduled compact,
-    // append — serves exactly the in-range appends
+    // append — serves exactly the in-range appends, resolved METADATA-ONLY
+    // (the lineage walk, not a row diff: no Except in the plan, and only
+    // the two appends' files are scanned)
     cat.append("db", "inc", df2)          // snap 6
     cat.compact("db", "inc", numFiles = 1) // snap 7
     cat.append("db", "inc", df1)          // snap 8
-    assert(cat.readIncremental("db", "inc", 5, 8).as[Long].collect().sorted.toSeq ==
+    val walk = cat.readIncremental("db", "inc", 5, 8)
+    assert(!walk.queryExecution.analyzed.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Except]),
+      "compact-only ranges must use the lineage walk, not the exceptAll diff:\n" +
+        walk.queryExecution.analyzed.toString.take(500))
+    assert(walk.as[Long].collect().sorted.toSeq ==
       (df1.as[Long].collect() ++ df2.as[Long].collect()).sorted.toSeq)
   }
 
