@@ -791,6 +791,22 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // the row-level changelog as a SQL-readable RELATION (r7): the
+    // `db.t.changes` metadata table serves readChangelog through reader
+    // options — CDC consumers who only speak SQL get tagged row diffs.
+    // Range (2, current] of orders_inc spans a MoR delete, a compact, and
+    // an append: inserts = the key-shifted F batch, deletes = the %10
+    // keys, the compact's moved rows cancel exactly.
+    "q97_changes_sql" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      val toId = fx.src.currentSnapshot("maint", "orders_inc").snapshotId
+      s.read.option("from-snapshot-id", "2").option("to-snapshot-id", toId.toString)
+        .table("snapdml.maint.orders_inc.changes")
+        .groupBy("_change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("_change_type", "o_orderstatus")
+    }),
+
     // calendar-function battery: extract fields, date arithmetic, month
     // boundaries — all codegen'd builtins, engine-portable by value.
     "q73_datetime_funcs" -> ((s, dir) => {
@@ -2002,6 +2018,21 @@ object SparkEntry {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM delta GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the exact multiset diff of the same range, tagged: inserts are the
+    // shifted F batch, deletes are the %10 keys the MoR delete killed
+    "q97_changes_sql" ->
+      """WITH ch AS (
+        |  SELECT 'insert' AS _change_type, o_orderstatus,
+        |    o_orderkey + 4000000000 AS k
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT 'delete' AS _change_type, o_orderstatus, o_orderkey AS k
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT _change_type, o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM ch GROUP BY _change_type, o_orderstatus
+        |ORDER BY _change_type, o_orderstatus""".stripMargin,
 
     // only the key-shifted post-compact F append survives the insert-side
     // diff: the compact's moved rows cancel, the %10 deletes are

@@ -46,6 +46,37 @@ trait MorMergeable {
   def morMergedPlan(snapshotId: Option[Long]): LogicalPlan
 }
 
+/** Implemented by the plugin's `db.t.changes` metadata table: the
+  * row-level changelog (readChangelog) exposed as a READABLE RELATION,
+  * Iceberg-changelog-view style. The relation swaps for the changelog
+  * plan at analysis time ([[ChangelogReadRule]]) because the diff is an
+  * arbitrary plan (file-pruned reads + exceptAll), not a V2 file scan. */
+trait ChangelogViewable {
+  def changelogPlan(fromId: Option[Long], toId: Option[Long]): LogicalPlan
+}
+
+/** Swaps `db.t.changes` relations for the changelog plan, carrying the
+  * reader's `from-snapshot-id`/`to-snapshot-id` options (defaults: table
+  * creation → current). Runs post-hoc like [[MorReadRule]], so the whole
+  * optimizer applies to the substituted diff — consumer filters push into
+  * its underlying parquet scans. */
+class ChangelogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  private def idOpt(rel: DataSourceV2Relation, key: String): Option[Long] =
+    Option(rel.options).flatMap(o => Option(o.get(key))).map(v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"$key must be a numeric snapshot id, got '$v'")))
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      case rel: DataSourceV2Relation if rel.table.isInstanceOf[ChangelogViewable] =>
+        val diff = rel.table.asInstanceOf[ChangelogViewable].changelogPlan(
+          idOpt(rel, "from-snapshot-id"), idOpt(rel, "to-snapshot-id"))
+        val byName = diff.output.map(a => a.name -> a).toMap
+        Project(rel.output.map(o =>
+          Alias(byName(o.name), o.name)(exprId = o.exprId, qualifier = o.qualifier)),
+          diff)
+    }
+}
+
 /** Merge-on-read enforcement for the SQL surface: a scan relation over a
   * snapcat table whose snapshot carries position-delete files is replaced
   * (at analysis time, so the WHOLE optimizer still runs over the result —
@@ -290,6 +321,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => MetadataCountRule)
     e.injectPostHocResolutionRule(s => new MorReadRule(s))
     e.injectPostHocResolutionRule(s => new MorDeltaScanRule(s))
+    e.injectPostHocResolutionRule(s => new ChangelogReadRule(s))
     GraftSqlFunctions.all.foreach(e.injectFunction)
   }
 }

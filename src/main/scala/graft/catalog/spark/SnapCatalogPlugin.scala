@@ -1364,8 +1364,43 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       }
   }
 
+  /** The `db.t.changes` relation: row-level changelog between two
+    * snapshots (Iceberg `create_changelog_view` as a READABLE TABLE) —
+    * every visible column plus `_change_type` ('insert' | 'delete'; an
+    * UPDATE appears as its delete + insert pair). Range via reader
+    * options `from-snapshot-id`/`to-snapshot-id` (defaults: table
+    * creation → current snapshot). The scan itself never executes — the
+    * diff is file-pruned reads + exceptAll, an arbitrary plan, so
+    * [[GraftSparkExtensions]]' ChangelogReadRule swaps the relation at
+    * analysis time; reading without the extensions fails with guidance. */
+  private final class ChangesMetaTable(db: String, table: String)
+      extends Table with SupportsRead with ChangelogViewable {
+    private val tableSchema = StructType(
+      cat.currentSnapshot(db, table).schema.fields.filterNot(_.name == "__bucket") :+
+        StructField("_change_type", org.apache.spark.sql.types.StringType,
+          nullable = false))
+    override def name(): String = s"$catalogName.$db.$table.changes"
+    override def schema(): StructType = tableSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def changelogPlan(fromId: Option[Long],
+        toId: Option[Long]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+      val from = fromId.getOrElse(cat.entryLog(db, table).head.snapshotId)
+      val to = toId.getOrElse(cat.currentSnapshotId(db, table))
+      val diff = cat.readChangelog(db, table, from, to)
+      // bucketed tables hide the derived __bucket layout column from SQL
+      val visible = diff.select(tableSchema.fieldNames.map(n =>
+        org.apache.spark.sql.functions.col(s"`$n`")).toIndexedSeq: _*)
+      visible.queryExecution.analyzed
+    }
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      throw new UnsupportedOperationException(
+        s"$name() is served by the GraftSparkExtensions changelog rule - set " +
+          "spark.sql.extensions=graft.catalog.spark.GraftSparkExtensions")
+  }
+
   private val metaTableKinds =
-    Set("snapshots", "files", "refs", "history", "partitions", "manifests")
+    Set("snapshots", "files", "refs", "history", "partitions", "manifests", "changes")
 
   override def loadTable(ident: Identifier): Table = {
     // metadata-table addressing: snapcat.db.t.{snapshots,files,refs,history}
@@ -1375,6 +1410,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       cat.tableExists(ident.namespace()(0), ident.namespace()(1))) {
       val (db, table) = (ident.namespace()(0), ident.namespace()(1))
       return if (ident.name() == "snapshots") new SnapshotsMetaTable(db, table)
+      else if (ident.name() == "changes") new ChangesMetaTable(db, table)
       else new InventoryMetaTable(db, table, ident.name())
     }
     // branch-write addressing (Iceberg's convention): snapcat.db.t.branch_x

@@ -212,6 +212,24 @@ object SnapProcedures {
         Seq(row(snap.snapshotId, utf8("fast_forward")))
       },
 
+      proc("create_changelog_view",
+        "register a temp view of row-level changes between two snapshots (_change_type tagged)",
+        Seq(in("table", StringType), in("view_name", StringType),
+          inDefault("from_snapshot_id", LongType, "NULL"),
+          inDefault("to_snapshot_id", LongType, "NULL")),
+        StructType(Seq(
+          StructField("view_name", StringType, nullable = false)))) { input =>
+        val (db, t) = dbTable(input, 0)
+        val view = str(input, 1).getOrElse(
+          throw new IllegalArgumentException("view_name must not be null"))
+        val from = if (input.isNullAt(2)) cat.entryLog(db, t).head.snapshotId
+          else input.getLong(2)
+        val to = if (input.isNullAt(3)) cat.currentSnapshotId(db, t)
+          else input.getLong(3)
+        cat.readChangelog(db, t, from, to).createOrReplaceTempView(view)
+        Seq(row(utf8(view)))
+      },
+
       proc("publish_staged",
         "make the pending staged (WAP) snapshot the published state - an O(KB) pointer commit",
         Seq(in("table", StringType), inDefault("snapshot_id", LongType, "NULL")),

@@ -139,6 +139,23 @@ class ProcedureSpec extends AnyFunSuite {
       .head.getLong(1) == 3L)
   }
 
+  test("create_changelog_view: row diffs queryable as a temp view from SQL") {
+    wh
+    val t = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    cat.createTable("db", "chv", t.schema)
+    cat.append("db", "chv", t)                              // 2
+    cat.delete("db", "chv",
+      org.apache.spark.sql.functions.col("id") === 1L)      // 3 (CoW rewrite)
+    cat.append("db", "chv", Seq((9L, "z")).toDF("id", "v")) // 4
+    val res = spark.sql(
+      "CALL proccat.system.create_changelog_view('db.chv', 'chv_changes', 2, 4)").collect()
+    assert(res.head.getString(0) == "chv_changes")
+    val rows = spark.sql(
+      "SELECT _change_type, id FROM chv_changes ORDER BY _change_type, id")
+      .as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("delete", 1L), ("insert", 9L)), rows.toString)
+  }
+
   test("write-audit-publish never leaves SQL: property-staged INSERT, publish, discard") {
     wh
     val t = Seq((1L, "base")).toDF("id", "v")

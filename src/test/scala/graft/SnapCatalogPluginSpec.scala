@@ -863,6 +863,41 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     }
   }
 
+  test("db.t.changes relation serves the row-level changelog (options + defaults)") {
+    wh
+    import java.time.Instant
+    val dir = java.nio.file.Files.createTempDirectory("graft_chg_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, dir,
+      clock = () => { tick += 1; Instant.parse("2026-06-01T00:00:00Z").plusSeconds(tick) })
+    spark.conf.set("spark.sql.catalog.chg", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.chg.warehouse", dir)
+    val t0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    cat.createTable("db", "tc", t0.schema)          // 1
+    cat.append("db", "tc", t0)                      // 2
+    cat.deleteMoR("db", "tc", col("id") === 2L)     // 3
+    cat.append("db", "tc", Seq((4L, "d")).toDF("id", "v")) // 4
+    // defaults: creation -> current, pure SQL
+    val full = spark.sql(
+      "SELECT _change_type, id FROM chg.db.tc.changes ORDER BY _change_type, id")
+      .as[(String, Long)].collect().toSeq
+    assert(full == Seq(("insert", 1L), ("insert", 3L), ("insert", 4L)), full.toString)
+    // explicit range over the delete: the killed row comes back tagged
+    val ranged = spark.read.option("from-snapshot-id", "2")
+      .option("to-snapshot-id", "4").table("chg.db.tc.changes")
+      .select("_change_type", "id").as[(String, Long)].collect().sorted.toSeq
+    assert(ranged == Seq(("delete", 2L), ("insert", 4L)), ranged.toString)
+    // agrees with the library changelog exactly
+    val lib = cat.readChangelog("db", "tc", 2, 4)
+      .select("_change_type", "id").as[(String, Long)].collect().sorted.toSeq
+    assert(ranged == lib)
+    // bad option fails loudly
+    val e = intercept[Exception] {
+      spark.read.option("from-snapshot-id", "xyz").table("chg.db.tc.changes").collect()
+    }
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+  }
+
   test("bucketed SQL lifecycle: CREATE PARTITIONED BY bucket, INSERT, hidden layout") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbbq")
