@@ -195,6 +195,95 @@ final class MorMergingReaderFactory(
   }
 }
 
+/** CDC delete-side reader: emits ONLY the rows a commit's NEW delete
+  * shards killed — the inverse of [[MorMergingReaderFactory]]'s filter —
+  * as pre-image rows tagged with a constant `_change_type` column. This
+  * is what makes a STREAMING changelog computable from per-file scans:
+  * a position-delete commit's retracted rows are exactly its shard
+  * positions read back from the (write-once) data file, no table diff
+  * needed. `out` is the pruned output schema; fields it names that are
+  * not in `dirtySchema` must be the tag column. Row-based by design —
+  * CDC streams are consumed row-wise. */
+final class DeadRowsReaderFactory(
+    inner: PartitionReaderFactory,
+    dirtySchema: StructType,
+    out: StructType,
+    tagCol: String,
+    tag: String,
+    confMap: Map[String, String]) extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val idxOrd = dirtySchema.fieldIndex(MorScanMerge.RowIdxCol)
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val mp = p.asInstanceOf[MorFilePartition]
+    val conf = new Configuration(false)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    val dead = MorScanMerge.deadPositions(mp.shards, mp.relFile, conf)
+    val r = inner.createReader(mp.delegate)
+    val proj = UnsafeProjection.create(out.fields.map { f =>
+      if (f.name == tagCol)
+        Literal(UTF8String.fromString(tag), org.apache.spark.sql.types.StringType)
+      else {
+        val i = dirtySchema.fieldIndex(f.name)
+        BoundReference(i, dirtySchema(i).dataType, dirtySchema(i).nullable)
+      }
+    }.toIndexedSeq)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (r.next()) {
+          val row = r.get()
+          if (dead.contains(row.getLong(idxOrd))) { cur = row; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = proj(cur)
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    throw new UnsupportedOperationException("CDC delete partitions are row-based")
+}
+
+/** CDC insert-side reader: passes the inner rows through, re-projected to
+  * `out` with the constant `_change_type` tag appended. */
+final class TaggingReaderFactory(
+    inner: PartitionReaderFactory,
+    dataSchema: StructType,
+    out: StructType,
+    tagCol: String,
+    tag: String) extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = inner.createReader(p)
+    val proj = UnsafeProjection.create(out.fields.map { f =>
+      if (f.name == tagCol)
+        Literal(UTF8String.fromString(tag), org.apache.spark.sql.types.StringType)
+      else {
+        val i = dataSchema.fieldIndex(f.name)
+        BoundReference(i, dataSchema(i).dataType, dataSchema(i).nullable)
+      }
+    }.toIndexedSeq)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = proj(r.get())
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    throw new UnsupportedOperationException("CDC insert partitions are row-based")
+}
+
 /** A [[ColumnVector]] view through a selection vector: output ordinal `i`
   * reads the wrapped vector's ordinal `sel(i)`. This is how a MoR-merged
   * partition stays columnar under live deletes — the Iceberg/Arrow

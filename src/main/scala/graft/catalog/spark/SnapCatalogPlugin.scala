@@ -1102,6 +1102,149 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     override def createReaderFactory(): PartitionReaderFactory = CarryingReaderFactory
   }
 
+  /** Micro-batch CDC tail (`spark.readStream.table("snapcat.db.t.changes")`):
+    * emits each commit's ROW-LEVEL changes tagged `_change_type`, computed
+    * from per-file scans only — never a table diff:
+    *  - append-family commits: added files read raw, tagged `insert`;
+    *  - MoR position-delete / delta UPDATE / MERGE commits: the commit's
+    *    NEW delete shards' positions read back from their (write-once)
+    *    covered data files as PRE-IMAGE rows tagged `delete`
+    *    ([[DeadRowsReaderFactory]] — an update emits its delete + insert
+    *    pair in one batch, the CDC contract), plus any delta files as
+    *    inserts;
+    *  - compact / z-order: no-ops (moved rows cancel);
+    *  - equality deletes and true rewrites (overwrite, CoW DML, rollback)
+    *    refuse loudly — their retractions are not enumerable from
+    *    per-file metadata; consumers use the batch `db.t.changes` diff.
+    * Offsets advance ONE published commit per trigger
+    * (SupportsAdmissionControl), so batch boundaries ARE commit
+    * boundaries and consumers get commit-ordered changes without an
+    * ordinal column. Row-based by design (CDC is consumed row-wise). */
+  private final class SnapChangesStream(db: String, table: String,
+      prunedSchema: StructType, visibleSchema: StructType, partitioned: Boolean,
+      options: CaseInsensitiveStringMap)
+      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan => _}
+    import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+    private case class ChgOffset(id: Long) extends Offset {
+      override def json(): String = id.toString
+    }
+    private val TagCol = "_change_type"
+    private def lineage = cat.mainLineage(db, table)
+
+    override def initialOffset(): Offset =
+      ChgOffset(Option(options.get("starting-snapshot-id")) match {
+        case None => cat.currentSnapshotId(db, table)
+        case Some(v) =>
+          val id = v.toLongOption.getOrElse(throw new IllegalArgumentException(
+            s"starting-snapshot-id must be numeric, got '$v'"))
+          require(cat.entryLog(db, table).exists(_.snapshotId == id),
+            s"no snapshot $id in $db.$table")
+          id
+      })
+    // one published commit per trigger: batch boundary = commit boundary
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val s = start.asInstanceOf[ChgOffset].id
+      val head = cat.currentSnapshotId(db, table)
+      lineage.find(e => e.snapshotId > s && e.snapshotId <= head)
+        .map(e => ChgOffset(e.snapshotId)).getOrElse(start)
+    }
+    override def latestOffset(): Offset =
+      throw new IllegalStateException("latestOffset(start, limit) is the entry point")
+    override def deserializeOffset(json: String): Offset = ChgOffset(json.trim.toLong)
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
+
+    override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+      val s = start.asInstanceOf[ChgOffset].id
+      val e = end.asInstanceOf[ChgOffset].id
+      if (s >= e) return Array.empty
+      val root = java.nio.file.Paths.get(warehouse, db, table)
+      val rootPrefix = root.toString + java.io.File.separator
+      val dataCols = StructType(prunedSchema.fields.filterNot(_.name == TagCol))
+      lazy val confMap: Map[String, String] = {
+        val c = spark.sessionState.newHadoopConf()
+        c.iterator().asScala.map(en => en.getKey -> en.getValue).toMap
+      }
+      def byDir(files: Seq[String]): Seq[(Map[String, String], Seq[String])] =
+        (if (partitioned) files.groupBy(_.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
+         else Seq("" -> files)).map { case (dir, fs) =>
+          (if (partitioned) Map("basePath" -> root.resolve(dir).toString)
+           else Map.empty[String, String]) -> fs
+        }
+      def insertParts(added: Seq[String]): Seq[InputPartition] =
+        byDir(added).flatMap { case (opts, fs) =>
+          val cism = new CaseInsensitiveStringMap(opts.asJava)
+          val builder = ParquetTable(s"$db.$table changes ins", spark, cism,
+            fs.map(f => root.resolve(f).toString), Some(visibleSchema),
+            classOf[ParquetFileFormat]).newScanBuilder(cism)
+          builder.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+            .pruneColumns(dataCols)
+          val scan = builder.build()
+          val b = scan.toBatch
+          val f = new TaggingReaderFactory(b.createReaderFactory(),
+            scan.readSchema(), prunedSchema, TagCol, "insert")
+          b.planInputPartitions().toSeq.map(p => CarriedFactoryPartition(p, f))
+        }
+      def deleteParts(newShards: Seq[graft.catalog.DeleteFile]): Seq[InputPartition] = {
+        val covered = newShards.flatMap(_.covers.keys).distinct.sorted
+        def shardsFor(rel: String): Seq[String] =
+          newShards.filter(_.covers.contains(rel))
+            .map(d => root.resolve(d.path).toString)
+        val idxField = StructField(MorScanMerge.RowIdxCol,
+          org.apache.spark.sql.types.LongType, nullable = true)
+        byDir(covered).flatMap { case (opts, fs) =>
+          val cism = new CaseInsensitiveStringMap(opts.asJava)
+          val schemaIdx = StructType(visibleSchema.fields :+ idxField)
+          val builder = ParquetTable(s"$db.$table changes del", spark, cism,
+            fs.map(f => root.resolve(f).toString), Some(schemaIdx),
+            classOf[ParquetFileFormat]).newScanBuilder(cism)
+          builder.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+            .pruneColumns(StructType(dataCols.fields :+ idxField))
+          val scan = builder.build()
+          val b = scan.toBatch
+          val f = new DeadRowsReaderFactory(b.createReaderFactory(),
+            scan.readSchema(), prunedSchema, TagCol, "delete", confMap)
+          MorScanMerge.perFilePartitions(b.planInputPartitions(), rootPrefix, shardsFor)
+            .toSeq.map(p => CarriedFactoryPartition(p, f))
+        }
+      }
+      val inRange = lineage.filter(en => en.snapshotId > s && en.snapshotId <= e)
+      var prevSnap = cat.snapshotAt(db, table, s)
+      var prevFiles = prevSnap.files.toSet
+      val parts = Seq.newBuilder[InputPartition]
+      for (en <- inRange) {
+        val snap = cat.snapshotAt(db, table, en.snapshotId)
+        val files = snap.files.toSet
+        val removed = prevFiles.diff(files)
+        if (removed.nonEmpty) {
+          require(snap.operation == "compact",
+            s"changes stream of $db.$table: commit ${en.snapshotId} " +
+              s"(${snap.operation}) rewrote existing rows - its retractions " +
+              "are not enumerable per-file; use the batch db.t.changes diff " +
+              "and restart the stream from the current snapshot")
+          // compact: moved rows cancel — nothing to emit
+        } else if (snap.operation != "compact") {
+          val prevShards = prevSnap.deleteFiles.map(_.path).toSet
+          val newShards = snap.deleteFiles.filterNot(d => prevShards(d.path))
+          require(newShards.forall(_.isPositional),
+            s"changes stream of $db.$table: commit ${en.snapshotId} added " +
+              "EQUALITY delete files - dead rows are not enumerable without " +
+              "a key join; use the batch db.t.changes diff")
+          parts ++= deleteParts(newShards)
+          parts ++= insertParts(snap.files.filterNot(prevFiles))
+        }
+        prevSnap = snap
+        prevFiles = files
+      }
+      parts.result().toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory = CarryingReaderFactory
+  }
+
   /** A [[Scan]] exposing ONLY batch reading: the row-level rewrite reads
     * through this so Spark's runtime group-filtering rule (which matches
     * `SupportsRuntimeV2Filtering`) can never narrow the scan to matching
@@ -1382,7 +1525,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     override def name(): String = s"$catalogName.$db.$table.changes"
     override def schema(): StructType = tableSchema
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_READ)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
     override def changelogPlan(fromId: Option[Long],
         toId: Option[Long]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
       val from = fromId.getOrElse(cat.entryLog(db, table).head.snapshotId)
@@ -1393,10 +1536,32 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         org.apache.spark.sql.functions.col(s"`$n`")).toIndexedSeq: _*)
       visible.queryExecution.analyzed
     }
-    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      throw new UnsupportedOperationException(
-        s"$name() is served by the GraftSparkExtensions changelog rule - set " +
-          "spark.sql.extensions=graft.catalog.spark.GraftSparkExtensions")
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      val visibleSchema = StructType(
+        cat.currentSnapshot(db, table).schema.fields.filterNot(_.name == "__bucket"))
+      val partitioned = cat.meta(db, table).partitionCols.exists(_ != "__bucket")
+      new ScanBuilder
+          with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+        private var pruned: StructType = tableSchema
+        override def pruneColumns(req: StructType): Unit = pruned = req
+        override def build(): org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.Scan {
+            override def readSchema(): StructType = pruned
+            // batch reads are swapped at analysis time (ChangelogReadRule);
+            // reaching toBatch means the extensions are not installed
+            override def toBatch: org.apache.spark.sql.connector.read.Batch =
+              throw new UnsupportedOperationException(
+                s"$name() batch reads are served by the GraftSparkExtensions " +
+                  "changelog rule - set spark.sql.extensions=" +
+                  "graft.catalog.spark.GraftSparkExtensions")
+            override def toMicroBatchStream(checkpointLocation: String)
+                : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+              new SnapChangesStream(db, table, pruned, visibleSchema,
+                partitioned, options)
+            override def description(): String = s"$name CDC"
+          }
+      }
+    }
   }
 
   private val metaTableKinds =

