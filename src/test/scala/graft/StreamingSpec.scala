@@ -376,6 +376,24 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("rewrote existing") ||
       e.getCause.getMessage.contains("rewrote existing"), e.getMessage)
+
+    // hive-partitioned table: both sides resolve partition values through
+    // per-dir basePath reads — the pre-image delete carries the partition
+    // column even though the parquet file does not store it
+    val pf = Seq((1L, "x", "p1"), (2L, "y", "p2")).toDF("id", "v", "part")
+    cat.createTable("db", "cdcp", pf.schema, partitionCols = Seq("part"))
+    cat.append("db", "cdcp", pf)                       // 2
+    cat.deleteMoR("db", "cdcp", col("id") === 2L)      // 3
+    val q3 = spark.readStream.option("starting-snapshot-id", "1")
+      .table("snapcdc.db.cdcp.changes")
+      .writeStream.format("memory").queryName("cdcp_tail").outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      val got = spark.table("cdcp_tail").select("_change_type", "id", "part")
+        .as[(String, Long, String)].collect().sortBy(r => (r._2, r._1)).toSeq
+      assert(got == Seq(("insert", 1L, "p1"), ("delete", 2L, "p2"),
+        ("insert", 2L, "p2")), got.toString)
+    } finally q3.stop()
   }
 
   test("native writeStream.toTable appends one epoch-tagged snapshot per batch") {
