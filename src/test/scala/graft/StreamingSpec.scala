@@ -396,6 +396,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q3.stop()
   }
 
+  test("CDC stream resumes from its checkpoint without duplicates or gaps") {
+    import java.time.Instant
+    import graft.catalog.SnapshotCatalog
+    val wh = Files.createTempDirectory("graft_cdcrs_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, wh,
+      clock = () => { tick += 1; Instant.parse("2026-05-01T00:00:00Z").plusSeconds(tick * 60) })
+    val df0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    cat.createTable("db", "rs", df0.schema)
+    cat.append("db", "rs", df0) // snap2
+    spark.conf.set("spark.sql.catalog.snapcdr", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapcdr.warehouse", wh)
+    val ckpt = Files.createTempDirectory("graft_cdcrs_ck_").toString
+    val out = Files.createTempDirectory("graft_cdcrs_out_").toString
+    def drain(): Unit = {
+      val q = spark.readStream.option("starting-snapshot-id", "1")
+        .table("snapcdr.db.rs.changes")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // emits snap2's inserts, checkpoint at offset 2
+    cat.deleteMoR("db", "rs", col("id") === 1L)            // 3
+    cat.append("db", "rs", Seq((3L, "c")).toDF("id", "v")) // 4
+    drain() // MUST resume at 2: the delete + insert arrive exactly once
+    val got = spark.read.parquet(out).select("_change_type", "id")
+      .as[(String, Long)].collect().sortBy(r => (r._2, r._1)).toSeq
+    assert(got == Seq(("delete", 1L), ("insert", 1L),
+      ("insert", 2L), ("insert", 3L)), got.toString)
+  }
+
   test("native writeStream.toTable appends one epoch-tagged snapshot per batch") {
     import java.time.Instant
     import graft.catalog.SnapshotCatalog
