@@ -1838,7 +1838,8 @@ final class SnapshotCatalog(
     * UNKNOWN (-1 / dropped) until [[compact]] materializes the deletes
     * and recomputes both. Prefer [[deleteMoR]] when the candidate scan is
     * affordable — it keeps every metadata answer exact. */
-  def deleteMoREq(db: String, table: String, keys: DataFrame): Snapshot = withTableLock(db, table) {
+  def deleteMoREq(db: String, table: String, keys: DataFrame,
+      extraSummary: Map[String, String] = Map.empty): Snapshot = withTableLock(db, table) {
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
     val prevEntry = publishedEntry(entries)
@@ -1879,7 +1880,7 @@ final class SnapshotCatalog(
           "record_count" -> prev.recordCount.toString,
           "added_records" -> "0", "added_files" -> "0",
           "deleted_records" -> "0",
-          "total_files" -> prev.files.size.toString),
+          "total_files" -> prev.files.size.toString) ++ extraSummary,
         prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles)
       return commitSnapshot(db, table, entries, snap, prevEntry.manifests,
         Manifest.empty, prevEntry.deletes)
@@ -1903,7 +1904,7 @@ final class SnapshotCatalog(
           "record_count" -> prev.recordCount.toString,
           "added_records" -> "0", "added_files" -> "0",
           "deleted_records" -> "0",
-          "total_files" -> prev.files.size.toString),
+          "total_files" -> prev.files.size.toString) ++ extraSummary,
         prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles)
       return commitSnapshot(db, table, entries, snap, prevEntry.manifests,
         Manifest.empty, prevEntry.deletes)
@@ -1916,7 +1917,8 @@ final class SnapshotCatalog(
         "added_records" -> "0", "added_files" -> "0",
         "deleted_records" -> "-1",
         "total_files" -> prev.files.size.toString,
-        "delete_files" -> (prev.deleteFiles.size + fileEntries.size).toString),
+        "delete_files" -> (prev.deleteFiles.size + fileEntries.size).toString) ++
+        extraSummary,
       prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles ++ fileEntries)
     commitSnapshot(db, table, entries, snap, prevEntry.manifests, Manifest.empty,
       prevEntry.deletes :+ deleteShardName(newId, tag))
@@ -2188,7 +2190,8 @@ final class SnapshotCatalog(
     * table's columns (same gate as [[upsert]]); bucketed tables derive
     * `__bucket` for the delta so the layout invariant survives. */
   def upsertMoR(db: String, table: String, source: DataFrame,
-      keys: Seq[String]): Snapshot = withTableLock(db, table) {
+      keys: Seq[String],
+      extraSummary: Map[String, String] = Map.empty): Snapshot = withTableLock(db, table) {
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
     val prevEntry = publishedEntry(entries)
@@ -2260,7 +2263,8 @@ final class SnapshotCatalog(
         "added_files" -> newFiles.size.toString,
         "deleted_records" -> deleted.toString,
         "total_files" -> (prev.files.size + newFiles.size).toString,
-        "delete_files" -> (prev.deleteFiles.size + fileEntries.size).toString),
+        "delete_files" -> (prev.deleteFiles.size + fileEntries.size).toString) ++
+        extraSummary,
       prev.schemaDdl, prev.files ++ newFiles, prev.fileStats ++ newFileStats,
       prev.deleteFiles ++ fileEntries)
     commitSnapshot(db, table, entries, snap, prevEntry.manifests,

@@ -48,6 +48,49 @@ object EventStream {
     ()
   }
 
+  /** Exactly-once CDC APPLY sink: a foreachBatch handler that applies a
+    * `_change_type`-tagged change feed (the `db.t.changes` stream shape)
+    * to a KEYED downstream table — the consuming half of the CDC loop:
+    *
+    *   spark.readStream.table("snapcat.db.src.changes").writeStream
+    *     .foreachBatch(EventStream.applyCdcEpoch(cat, "db", "dst",
+    *       keys = Seq("id")) _).start()
+    *
+    * Per epoch: inserts (which include every update's post-image) apply
+    * through [[graft.catalog.SnapshotCatalog.upsertMoR]] — matched keys
+    * die as positions, O(changed) write amplification — and keys deleted
+    * WITHOUT a same-epoch re-insert drop via the zero-scan equality
+    * delete (the streaming-CDC writer shape; the lazy count backfill
+    * restores metadata exactness on first read). Replay protection rides
+    * the same stream-epoch high-water marks as [[appendEpoch]], recorded
+    * on the epoch's LAST commit; a crash between the delete and upsert
+    * commits replays the whole epoch, which is idempotent BY VALUE
+    * (re-deleting dead keys and re-upserting identical rows reproduce the
+    * same state — only orphan churn, reclaimed by maintenance). Assumes
+    * at most one live row per key on the target, the premise of keyed CDC. */
+  def applyCdcEpoch(cat: graft.catalog.SnapshotCatalog, db: String, table: String,
+      keys: Seq[String], sinkId: String = "cdc")(batch: DataFrame, epochId: Long): Unit = {
+    val tagKey = s"stream-epoch.$sinkId"
+    val last = cat.currentSnapshot(db, table).summary.get(tagKey).map(_.toLong)
+    if (last.exists(epochId <= _)) return // replayed epoch: drop
+    val tag = Map(tagKey -> epochId.toString)
+    val keyCols = keys.map(k => col(s"`$k`"))
+    val inserts = batch.where(col("_change_type") === "insert").drop("_change_type")
+    // a delete followed by a same-epoch re-insert of the key is an UPDATE:
+    // the upsert's position-delete handles it; only keys that stay dead
+    // need the equality delete
+    val deadKeys = batch.where(col("_change_type") === "delete")
+      .select(keyCols: _*)
+      .join(inserts.select(keyCols: _*), keys, "left_anti")
+      .dropDuplicates()
+    val hasInserts = !inserts.isEmpty
+    val hasDeletes = !deadKeys.isEmpty
+    if (hasDeletes)
+      cat.deleteMoREq(db, table, deadKeys, if (hasInserts) Map.empty else tag)
+    if (hasInserts) cat.upsertMoR(db, table, inserts, keys, tag)
+    ()
+  }
+
   /** Tumbling-window counts/sums with a watermark for late data:
     * readStream -> withWatermark -> window agg (append mode capable). */
   def windowedAgg(events: DataFrame, window_ : String = "1 hour",

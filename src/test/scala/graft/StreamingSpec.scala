@@ -428,6 +428,50 @@ class StreamingSpec extends AnyFunSuite {
       ("insert", 2L), ("insert", 3L)), got.toString)
   }
 
+  test("CDC apply sink: a .changes feed replicates a keyed table exactly-once") {
+    import java.time.Instant
+    import graft.catalog.SnapshotCatalog
+    val wh = Files.createTempDirectory("graft_cdcap_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, wh,
+      clock = () => { tick += 1; Instant.parse("2026-05-01T00:00:00Z").plusSeconds(tick * 60) })
+    val df0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    cat.createTable("db", "s", df0.schema)
+    cat.append("db", "s", df0) // snap2
+    cat.createTable("db", "d", df0.schema)
+    spark.conf.set("spark.sql.catalog.snapap", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapap.warehouse", wh)
+    val ckpt = Files.createTempDirectory("graft_cdcap_ck_").toString
+    def drain(): Unit = {
+      val q = spark.readStream.option("starting-snapshot-id", "1")
+        .table("snapap.db.s.changes")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(graft.streaming.EventStream.applyCdcEpoch(
+          cat, "db", "d", keys = Seq("id")) _)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def state(t: String): Seq[(Long, String)] =
+      cat.readLatest("db", t).as[(Long, String)].collect().sortBy(_._1).toSeq
+    drain()
+    assert(state("d") == Seq((1L, "a"), (2L, "b")), state("d").toString)
+    // source churn: keyed delete, update (delete+insert pair in one
+    // commit), fresh insert — the replica must converge to the source
+    cat.deleteMoR("db", "s", col("id") === 1L)                      // 3
+    cat.updateMoR("db", "s", col("id") === 2L, Map("v" -> lit("B"))) // 4
+    cat.append("db", "s", Seq((3L, "c")).toDF("id", "v"))            // 5
+    drain()
+    assert(state("d") == state("s"), s"replica ${state("d")} != source ${state("s")}")
+    assert(state("d") == Seq((2L, "B"), (3L, "c")))
+    // restart with the same checkpoint and no new source commits: the
+    // replayed epoch is dropped by the high-water mark — no state change,
+    // no extra commit on the target
+    val head = cat.currentSnapshot("db", "d").snapshotId
+    drain()
+    assert(cat.currentSnapshot("db", "d").snapshotId == head, "replayed epoch re-applied")
+    assert(state("d") == Seq((2L, "B"), (3L, "c")))
+  }
+
   test("native writeStream.toTable appends one epoch-tagged snapshot per batch") {
     import java.time.Instant
     import graft.catalog.SnapshotCatalog
