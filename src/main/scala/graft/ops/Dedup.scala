@@ -186,7 +186,8 @@ object Dedup {
     *    convergence count rides the SAME materializing action in both
     *    modes (one job per round). */
   def clusters(pairs: DataFrame, maxRounds: Int = 50,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      driverMaxPairs: Long = 2000000L): DataFrame = {
     val session = pairs.sparkSession
     def materialize(df: DataFrame, name: String): DataFrame = checkpointDir match {
       case None => df.localCheckpoint()
@@ -198,6 +199,49 @@ object Dedup {
     val edges = materialize(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
       "cc-edges")
+    // SMALL-GRAPH shortcut, measured AFTER the one unavoidable pipeline
+    // materialization above (count/collect here read the checkpoint, not
+    // the candidate-generation pipeline): near-dup pair graphs are
+    // usually a tiny fraction of the corpus, and the propagation loop
+    // pays ~R jobs of fixed overhead regardless of size. When the edge
+    // count fits a HARD driver bound (2 x 2M directed edges ≈ 64 MB of
+    // longs — the same bounded-materialization discipline as the IVF
+    // training sample), one collect + union-find replaces the loop;
+    // graphs past the bound keep the distributed propagation, the only
+    // option at scale. Integral same-typed ids only (the driver's min
+    // must equal the engine's).
+    val idTypes = pairs.schema.fields.map(_.dataType).toSeq
+    val integral = idTypes.distinct.size == 1 && idTypes.forall(t =>
+      t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType)
+    if (integral && driverMaxPairs > 0 && edges.count() <= 2 * driverMaxPairs) {
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // second pass pins every member to its component MINIMUM — the same
+      // output contract as the propagation loop
+      val repOf = scala.collection.mutable.HashMap.empty[Long, Long]
+      parent.keys.foreach { n =>
+        val r = find(n)
+        repOf(r) = math.min(repOf.getOrElse(r, n), n)
+      }
+      import session.implicits._
+      val out = parent.keys.toSeq.map(n => (n, repOf(find(n)))).toDF("doc_id", "cluster_rep")
+      return out.select(col("doc_id").cast(idTypes.head).as("doc_id"),
+        col("cluster_rep").cast(idTypes.head).as("cluster_rep"))
+    }
     var labels = materialize(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")),
       "cc-labels-init")

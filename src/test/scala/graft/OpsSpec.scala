@@ -190,12 +190,18 @@ class OpsSpec extends AnyFunSuite {
     val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // the bounded driver union-find shortcut (default for small pair
+    // graphs) and the distributed propagation loop assign IDENTICAL labels
+    val distributed = Dedup.clusters(pairs, driverMaxPairs = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed == got, "shortcut and propagation must agree")
     // RELIABLE checkpointing (r7): rounds ping-pong through parquet under
     // a scratch dir — survives executor loss on a real cluster — and the
     // label assignment is identical; the scratch footprint is bounded
-    // (edges + init + two alternating round files, never one per round)
+    // (edges + init + two alternating round files, never one per round).
+    // driverMaxPairs = 0 forces the distributed path under test.
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ccckpt_").toString
-    val reliable = Dedup.clusters(pairs, checkpointDir = Some(ckpt))
+    val reliable = Dedup.clusters(pairs, checkpointDir = Some(ckpt), driverMaxPairs = 0)
       .as[(Long, Long)].collect().toMap
     assert(reliable == got, "reliable-checkpoint mode must assign identical clusters")
     val scratch = {
