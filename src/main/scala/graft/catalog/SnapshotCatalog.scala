@@ -1520,7 +1520,20 @@ final class SnapshotCatalog(
         "adopted" -> "true") ++ stats
         ++ streamEpochTags(prev.summary),
       snapSchema.toDDL, allFiles, allFileStats, carriedDeletes)
-    commitSnapshot(db, table, entries, snap, reuse, delta, deleteShards)
+    try commitSnapshot(db, table, entries, snap, reuse, delta, deleteShards)
+    catch {
+      case e: CommitConflictException =>
+        // optimistic (CAS) commit lost the race AFTER the renames: move
+        // the files BACK so the mutex's body re-run finds the source dir
+        // exactly as the caller left it — without this, the retry would
+        // see an empty srcDir and fail, with the only copy stranded in an
+        // unreferenced attempt dir
+        src.foreach { p =>
+          val dst = snapDir.resolve(srcDir.relativize(p).toString)
+          if (Files.exists(dst)) Files.move(dst, p)
+        }
+        throw e
+    }
   }
 
   /** `carryFiles` (partial-rewrite commits: prune-aware delete/update):

@@ -172,6 +172,54 @@ class CasCommitSpec extends AnyFunSuite {
     assert(cat0.recordCount("db", "t", head.snapshotId) == writers * appendsEach)
   }
 
+  test("catalog-level: adoptFiles retries a lost CAS race with the source dir restored") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_caswh3_").toString
+    val store = new InMemoryObjectStore
+    val inner = new ObjectStorePointerLogStore(store)
+    // loses exactly one conditional put (after arming), then behaves —
+    // the shape of a real racer winning between our read and our publish
+    val failNext = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val flaky = new graft.catalog.PointerLogStore {
+      override def read(key: String) = inner.read(key)
+      override def delete(key: String): Unit = inner.delete(key)
+      override def conditional: Boolean = true
+      override def writeIf(key: String, content: String, expected: Option[Long]): Long =
+        if (failNext.compareAndSet(true, false))
+          throw new CommitConflictException(key, "simulated lost race")
+        else inner.writeIf(key, content, expected)
+    }
+    val cat = new SnapshotCatalog(spark, wh,
+      mutex = new CasCommitMutex, log = flaky)
+    cat.createNamespace("db")
+    val ext = java.nio.file.Files.createTempDirectory("graft_casadopt_")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(ext.toString)
+    cat.createTable("db", "ad", spark.read.parquet(ext.toString).schema)
+    failNext.set(true)
+    // the first attempt renames the source files into its attempt dir,
+    // loses the conditional put, moves them BACK, and the mutex re-runs
+    // the body against the fresh log — the adoption must land exactly once
+    val snap = cat.adoptFiles("db", "ad", ext, "append")
+    assert(snap.summary("record_count") == "2")
+    assert(cat.readLatest("db", "ad").as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "x"), (2L, "y")))
+    // the source parquet was consumed by the SUCCESSFUL attempt only
+    // (_SUCCESS / .crc sidecars legitimately stay behind)
+    val leftover = {
+      val s = java.nio.file.Files.list(ext)
+      try {
+        val it = s.iterator()
+        var acc = List.empty[String]
+        while (it.hasNext) acc ::= it.next().getFileName.toString
+        acc
+      } finally s.close()
+    }
+    assert(!leftover.exists(_.endsWith(".parquet")),
+      s"source parquet must be adopted exactly once, left: $leftover")
+  }
+
   test("catalog-level: crash between data write and log publish leaves orphans only") {
     val spark = TestSpark.spark
     import spark.implicits._
