@@ -3010,6 +3010,65 @@ final class SnapshotCatalog(
     commit(db, table, current.repartition(numFiles), "compact")
   }
 
+  /** Consolidate POSITION-delete files without touching data (Iceberg
+    * `rewrite_position_delete_files`): the steady-state CDC writer leaves
+    * one tiny delete file per commit, and every merged read of a covered
+    * file opens all of its covering shards — at 100 TB that is thousands
+    * of KB-sized objects on the hot path. This folds every positional
+    * delete file into one sorted, deduplicated set (cost: the DELETE
+    * data, never the table), recomputes exact per-file coverage, and
+    * commits a snapshot with the SAME data files. Equality-delete files
+    * carry verbatim (their key semantics cannot merge with positions).
+    * The commit rides operation "compact": row-preserving by definition,
+    * so incremental walks, the streaming tail, and the CDC stream all
+    * treat it as the no-op it is. Returns None when there is nothing to
+    * fold (fewer than two positional delete files). Old delete parquet
+    * stays referenced by history until expire, then sweeps as usual. */
+  def compactDeleteFiles(db: String, table: String): Option[Snapshot] =
+    withTableLock(db, table) {
+      val entries = entriesForWrite(db, table)
+      requireNoPendingStage(db, table, entries)
+      val prevEntry = publishedEntry(entries)
+      val prev = materialize(db, table, prevEntry)
+      val (pos, eq) = prev.deleteFiles.partition(_.isPositional)
+      if (pos.size < 2) return None
+      val newId = entries.last.snapshotId + 1
+      val tag = attemptTag()
+      val root = tablePath(db, table)
+      val delDirRel = s"deletes/s$newId$tag"
+      val delDir = root.resolve("deletes").resolve(s"s$newId$tag")
+      spark.read.schema(deleteFileSchema)
+        .parquet(pos.map(d => root.resolve(d.path).toString): _*)
+        .dropDuplicates("_file", "_pos")
+        .repartition(1)
+        .sortWithinPartitions("_file", "_pos")
+        .write.mode("overwrite").parquet(delDir.toString)
+      val written = listParquetFiles(delDir)
+      val relOf = written.map(p => p.getFileName.toString ->
+        (delDirRel + "/" + delDir.relativize(p).toString.replace('\\', '/'))).toMap
+      val counts = spark.read.schema(deleteFileSchema).parquet(delDir.toString)
+        .groupBy(col("_metadata.file_path").as("__dpath"), col("_file"))
+        .count().collect()
+      val consolidated = counts.groupBy(_.getString(0)).toSeq.map { case (dpath, rs) =>
+        val name = dpath.substring(dpath.lastIndexOf('/') + 1)
+        DeleteFile(relOf(name), rs.map(r => r.getString(1) -> r.getLong(2)).toMap)
+      }.sortBy(_.path)
+      val newDeletes = consolidated ++ eq
+      val shardName = deleteShardName(newId, tag)
+      writeDeleteShard(db, table, shardName, newDeletes)
+      val snap = Snapshot(newId, clock().toString, "compact",
+        prev.summary ++ Map(
+          "record_count" -> prev.recordCount.toString,
+          "added_records" -> "0", "added_files" -> "0",
+          "deleted_records" -> "0",
+          "total_files" -> prev.files.size.toString,
+          "delete_files" -> newDeletes.size.toString,
+          "rewritten_delete_files" -> pos.size.toString),
+        prev.schemaDdl, prev.files, prev.fileStats, newDeletes)
+      Some(commitSnapshot(db, table, entries, snap, prevEntry.manifests,
+        Manifest.empty, Seq(shardName)))
+    }
+
   /** TARGETED small-file compaction (Iceberg `rewrite_data_files` bin-pack
     * strategy): rewrite only the current snapshot's files smaller than
     * `smallBytes`, coalescing them into ~`targetBytes` outputs; every file

@@ -138,6 +138,20 @@ object SnapProcedures {
         }
       },
 
+      proc("rewrite_position_deletes",
+        "fold all positional delete files into one sorted deduplicated set; data files untouched",
+        Seq(in("table", StringType)),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = true),
+          StructField("rewritten_delete_files", IntegerType, nullable = false)))) { input =>
+        val (db, t) = dbTable(input, 0)
+        cat.compactDeleteFiles(db, t) match {
+          case Some(s) => Seq(row(s.snapshotId,
+            s.summary("rewritten_delete_files").toInt))
+          case None => Seq(row(null, 0)) // <2 positional delete files
+        }
+      },
+
       proc("expire_snapshots",
         "drop old snapshots (count- or time-based) and GC unreferenced files; refs always survive",
         Seq(in("table", StringType), inDefault("keep_last", IntegerType, "1"),

@@ -139,6 +139,35 @@ class ProcedureSpec extends AnyFunSuite {
       .head.getLong(1) == 3L)
   }
 
+  test("rewrite_position_deletes folds stacked delete files; reads identical") {
+    wh
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    cat.createTable("db", "rpd", nation.schema)
+    cat.append("db", "rpd", nation)
+    import org.apache.spark.sql.functions.col
+    cat.deleteMoR("db", "rpd", col("n_nationkey") % 5 === 0)  // shard 1
+    cat.deleteMoR("db", "rpd", col("n_nationkey") === 1)      // shard 2
+    cat.deleteMoR("db", "rpd", col("n_nationkey") === 7)      // shard 3
+    val before = cat.readLatest("db", "rpd")
+      .select("n_nationkey").as[Int].collect().sorted.toSeq
+    val pre = cat.currentSnapshot("db", "rpd")
+    assert(pre.deleteFiles.count(_.isPositional) == 3)
+    val res = spark.sql(
+      "CALL proccat.system.rewrite_position_deletes('db.rpd')").collect()
+    assert(res.head.getInt(1) == 3, res.toSeq.toString)
+    val post = cat.currentSnapshot("db", "rpd")
+    // one consolidated positional delete file, same data files, exact count
+    assert(post.deleteFiles.count(_.isPositional) == 1)
+    assert(post.files == pre.files)
+    assert(post.recordCount == pre.recordCount)
+    assert(cat.readLatest("db", "rpd")
+      .select("n_nationkey").as[Int].collect().sorted.toSeq == before)
+    // nothing left to fold: no-op result row
+    val again = spark.sql(
+      "CALL proccat.system.rewrite_position_deletes('db.rpd')").collect()
+    assert(again.head.isNullAt(0) && again.head.getInt(1) == 0)
+  }
+
   test("create_changelog_view: row diffs queryable as a temp view from SQL") {
     wh
     val t = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
