@@ -135,9 +135,24 @@ object Bench {
     // full-precision self-owned artifact: next round's prior (the
     // driver's copy is head-truncated and sf0.1-only). A SPARK_GRAFT_ONLY
     // subset run must never clobber a full prior with its fragment.
-    if (only.isEmpty)
+    // The PRIOR keeps the best-known per-query FLOOR (min of this run and
+    // the previous prior): it exists to detect session-noise inflation,
+    // and comparing against a previous noisy session would let noise
+    // ratchet upward — the printed line above stays this run's honest
+    // numbers. Queries no longer in the suite drop from the floor.
+    if (only.isEmpty) {
+      val floor = finalResults.map {
+        case (k, Right(v)) =>
+          k -> Right(prior.get(k).map(math.min(_, v)).getOrElse(v))
+        case other => other
+      }
+      val fq = floor.map { case (k, v) => s"\"" + k + "\":" + v.fold(_ => "-1.0", fmt) }
+        .mkString("{", ",", "}")
+      val ftotal = floor.collect { case (_, Right(v)) => v }.sum
+      val floorLine = s"""{"metric":"total","value":${fmt(ftotal)},"unit":"sec","queries":$fq,"failed":$failed,"inflated":$inflated,"sf":"$sfDir"}"""
       scala.util.Try(java.nio.file.Files.write(ownPrior.toPath,
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        floorLine.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    }
     spark.stop()
   }
 }
