@@ -396,6 +396,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q3.stop()
   }
 
+  test("CDC over a bucketed table: batch relation and stream hide __bucket") {
+    import java.time.Instant
+    import graft.catalog.SnapshotCatalog
+    val wh = Files.createTempDirectory("graft_cdcbk_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, wh,
+      clock = () => { tick += 1; Instant.parse("2026-05-01T00:00:00Z").plusSeconds(tick * 60) })
+    val df0 = Seq((1L, "a"), (2L, "b"), (9L, "c")).toDF("id", "v")
+    cat.createBucketedTable("db", "bk", df0.schema, bucketCol = "id", nBuckets = 4)
+    cat.appendBucketed("db", "bk", df0)                 // 2
+    cat.deleteMoR("db", "bk", col("id") === 9L)         // 3
+    spark.conf.set("spark.sql.catalog.snapbk", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapbk.warehouse", wh)
+    // batch relation: visible columns + tag only, no __bucket leak
+    val rel = spark.read.option("from-snapshot-id", "1").table("snapbk.db.bk.changes")
+    assert(rel.schema.fieldNames.toSeq == Seq("id", "v", "_change_type"),
+      rel.schema.fieldNames.toSeq.toString)
+    val batchRows = rel.select("_change_type", "id")
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(batchRows == Seq(("insert", 1L), ("insert", 2L)), batchRows.toString)
+    // stream: pre-image delete read from the __bucket=…/ file, tag exact
+    val q = spark.readStream.option("starting-snapshot-id", "1")
+      .table("snapbk.db.bk.changes")
+      .writeStream.format("memory").queryName("bk_tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("bk_tail").select("_change_type", "id", "v")
+        .as[(String, Long, String)].collect().sortBy(r => (r._2, r._1)).toSeq
+      assert(got == Seq(("insert", 1L, "a"), ("insert", 2L, "b"),
+        ("delete", 9L, "c"), ("insert", 9L, "c")), got.toString)
+    } finally q.stop()
+  }
+
   test("CDC stream resumes from its checkpoint without duplicates or gaps") {
     import java.time.Instant
     import graft.catalog.SnapshotCatalog
