@@ -55,6 +55,42 @@ object MorScanMerge {
     * (`ParquetRowIndexUtil.findRowIndexColumnIndexInSchema`). */
   val RowIdxCol = "_tmp_metadata_row_index"
 
+  /** Key-value set of one EQUALITY-delete parquet file (single-column
+    * form): the normalized key values plus whether a NULL key tuple is
+    * present (null-safe equality — a null key kills null-keyed rows).
+    * Values normalize to Long (int32/int64) or String (binary/UTF8), the
+    * same normalization the reader applies to scanned rows, so matching
+    * is type-exact. Executor-side, bounded by the eq file's tuple count
+    * (the CDC key frame — KBs). */
+  def eqKeyValues(path: String, conf: Configuration): (java.util.HashSet[AnyRef], Boolean) = {
+    val set = new java.util.HashSet[AnyRef]()
+    var hasNull = false
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(path))
+      .withConf(conf).build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val field = g.getType.getFields.get(0)
+        if (g.getFieldRepetitionCount(0) == 0) hasNull = true
+        else {
+          val prim = field.asPrimitiveType().getPrimitiveTypeName
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+          val v: AnyRef = prim match {
+            case INT32  => java.lang.Long.valueOf(g.getInteger(0, 0).toLong)
+            case INT64  => java.lang.Long.valueOf(g.getLong(0, 0))
+            case BINARY => g.getString(0, 0)
+            case other => throw new IllegalStateException(
+              s"unsupported equality-delete key type $other in $path")
+          }
+          set.add(v)
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    (set, hasNull)
+  }
+
   /** Dead positions of one data file, read from its covering delete
     * shards — executor-side, bounded by that file's dead-row count. */
   def deadPositions(shards: Seq[String], relFile: String,
@@ -83,15 +119,20 @@ object MorScanMerge {
     * chunks, tagged with the file's table-root-relative path and covering
     * shards. Splits of a file may stay in separate partitions (row
     * indexes are absolute). Files not in `shardsFor`'s domain keep flowing
-    * too (empty shard list = nothing dead). */
+    * too (empty shard list = nothing dead). `eqShardsFor` lists the
+    * EQUALITY-delete files covering a file as (absolute path, key column)
+    * pairs — single-column form, applied value-wise in the reader. */
   def perFilePartitions(parts: Array[InputPartition], rootPrefix: String,
-      shardsFor: String => Seq[String]): Array[InputPartition] =
+      shardsFor: String => Seq[String],
+      eqShardsFor: String => Seq[(String, String)] = _ => Seq.empty)
+      : Array[InputPartition] =
     parts.flatMap {
       case fp: FilePartition =>
         fp.files.groupBy(_.filePath.toPath.toUri.getPath).toSeq.sortBy(_._1)
           .map { case (abs, fs) =>
             val rel = abs.stripPrefix(rootPrefix)
-            MorFilePartition(rel, shardsFor(rel), FilePartition(fp.index, fs))
+            MorFilePartition(rel, shardsFor(rel), FilePartition(fp.index, fs),
+              eqShardsFor(rel))
           }
       case other =>
         throw new IllegalStateException(
@@ -100,10 +141,12 @@ object MorScanMerge {
 }
 
 /** One covered file's chunk(s): the delegate partition reads this file
-  * only, and `shards` are the delete-shard parquet files whose `covers`
-  * include it. */
+  * only, `shards` are the position-delete parquet files whose `covers`
+  * include it, and `eqShards` the covering single-column equality-delete
+  * files as (path, key column). */
 final case class MorFilePartition(relFile: String, shards: Seq[String],
-    delegate: InputPartition) extends InputPartition {
+    delegate: InputPartition,
+    eqShards: Seq[(String, String)] = Seq.empty) extends InputPartition {
   override def preferredLocations(): Array[String] = delegate.preferredLocations()
 }
 
@@ -124,10 +167,59 @@ final class MorMergingReaderFactory(
   private val idxOrd = dirtySchema.fieldIndex(MorScanMerge.RowIdxCol)
   private val perm = outNames.map(dirtySchema.fieldIndex)
 
-  private def deadFor(mp: MorFilePartition): java.util.HashSet[java.lang.Long] = {
+  private def hadoopConf: Configuration = {
     val conf = new Configuration(false)
     confMap.foreach { case (k, v) => conf.set(k, v) }
-    MorScanMerge.deadPositions(mp.shards, mp.relFile, conf)
+    conf
+  }
+
+  private def deadFor(mp: MorFilePartition): java.util.HashSet[java.lang.Long] =
+    MorScanMerge.deadPositions(mp.shards, mp.relFile, hadoopConf)
+
+  /** One loaded equality-delete matcher: key ordinal in the sub-scan
+    * schema, its Spark type (drives row/vector value normalization to the
+    * same Long/String domain [[MorScanMerge.eqKeyValues]] produced), the
+    * key set, and the null-key flag. */
+  private final case class EqMatch(ord: Int,
+      dt: org.apache.spark.sql.types.DataType,
+      set: java.util.HashSet[AnyRef], hasNull: Boolean)
+
+  private def eqFor(mp: MorFilePartition): Seq[EqMatch] =
+    if (mp.eqShards.isEmpty) Seq.empty
+    else {
+      val conf = hadoopConf
+      mp.eqShards.map { case (path, keyCol) =>
+        val (set, hasNull) = MorScanMerge.eqKeyValues(path, conf)
+        EqMatch(dirtySchema.fieldIndex(keyCol), dirtySchema(keyCol).dataType,
+          set, hasNull)
+      }
+    }
+
+  private def eqDeadRow(eqs: Seq[EqMatch], row: InternalRow): Boolean = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    eqs.exists { m =>
+      if (row.isNullAt(m.ord)) m.hasNull
+      else m.dt match {
+        case IntegerType => m.set.contains(java.lang.Long.valueOf(row.getInt(m.ord).toLong))
+        case LongType    => m.set.contains(java.lang.Long.valueOf(row.getLong(m.ord)))
+        case StringType  => m.set.contains(row.getUTF8String(m.ord).toString)
+        case other => throw new IllegalStateException(s"unsupported eq key type $other")
+      }
+    }
+  }
+
+  private def eqDeadVec(eqs: Seq[EqMatch], b: ColumnarBatch, i: Int): Boolean = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    eqs.exists { m =>
+      val v = b.column(m.ord)
+      if (v.isNullAt(i)) m.hasNull
+      else m.dt match {
+        case IntegerType => m.set.contains(java.lang.Long.valueOf(v.getInt(i).toLong))
+        case LongType    => m.set.contains(java.lang.Long.valueOf(v.getLong(i)))
+        case StringType  => m.set.contains(v.getUTF8String(i).toString)
+        case other => throw new IllegalStateException(s"unsupported eq key type $other")
+      }
+    }
   }
 
   override def supportColumnarReads(p: InputPartition): Boolean =
@@ -136,6 +228,7 @@ final class MorMergingReaderFactory(
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val mp = p.asInstanceOf[MorFilePartition]
     val dead = deadFor(mp)
+    val eqs = eqFor(mp)
     val r = inner.createReader(mp.delegate)
     val proj = UnsafeProjection.create(perm.map(i =>
       BoundReference(i, dirtySchema(i).dataType, dirtySchema(i).nullable)).toIndexedSeq)
@@ -144,7 +237,9 @@ final class MorMergingReaderFactory(
       override def next(): Boolean = {
         while (r.next()) {
           val row = r.get()
-          if (!dead.contains(row.getLong(idxOrd))) { cur = row; return true }
+          if (!dead.contains(row.getLong(idxOrd)) && !eqDeadRow(eqs, row)) {
+            cur = row; return true
+          }
         }
         false
       }
@@ -156,6 +251,7 @@ final class MorMergingReaderFactory(
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
     val mp = p.asInstanceOf[MorFilePartition]
     val dead = deadFor(mp)
+    val eqs = eqFor(mp)
     val r = inner.createColumnarReader(mp.delegate)
     new PartitionReader[ColumnarBatch] {
       private var out: ColumnarBatch = _
@@ -172,7 +268,8 @@ final class MorMergingReaderFactory(
           var k = 0
           var i = 0
           while (i < n) {
-            if (!dead.contains(idx.getLong(i))) { sel(k) = i; k += 1 }
+            if (!dead.contains(idx.getLong(i)) &&
+                (eqs.isEmpty || !eqDeadVec(eqs, b, i))) { sel(k) = i; k += 1 }
             i += 1
           }
           if (k > 0) {

@@ -331,11 +331,22 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       * [[MorScanMerge]])? Bucketed tables with purely POSITIONAL deletes:
       * the in-scan merge keeps KeyGroupedPartitioning alive so
       * storage-partitioned joins stay exchange-free over live deletes.
-      * Equality deletes fall back to the logical rewrite — their key
-      * columns need not survive column pruning into the read schema. */
+      * Equality deletes merge in-scan too (r7) when SINGLE-key over an
+      * int/long/string column — the streaming-CDC key shapes; the merge
+      * force-includes the key column into the sub-scan and matches
+      * normalized values task-side. Multi-column or exotic-typed keys
+      * fall back to the logical rewrite, which is always correct. */
+    private def eqMergeableInScan(s: Snapshot, d: graft.catalog.DeleteFile): Boolean =
+      d.eqCols.size == 1 && s.schema.fieldNames.contains(d.eqCols.head) &&
+        (s.schema(d.eqCols.head).dataType match {
+          case org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.StringType => true
+          case _ => false
+        })
     private def scanMergesDeletes(s: Snapshot): Boolean =
       tableMeta.bucketSpec.isDefined && s.deleteFiles.nonEmpty &&
-        s.deleteFiles.forall(_.isPositional)
+        s.deleteFiles.forall(d => d.isPositional || eqMergeableInScan(s, d))
 
     override def morHasDeletes(snapshotId: Option[Long]): Boolean = {
       val s = morSnap(snapshotId)
@@ -741,16 +752,26 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           // bucket's files may span snapshot dirs (per-dir batches union).
           case Some((bCol, n)) =>
             // reader-level MoR merge (MorScanMerge): when live deletes are
-            // all positional, covered files read through a row-indexed
-            // sub-scan whose tasks drop dead positions — the scan keeps
-            // its KeyGroupedPartitioning, so SPJ survives MoR DML
+            // positional or in-scan-mergeable equality deletes (single
+            // supported key column, r7), covered files read through a
+            // row-indexed sub-scan whose tasks drop dead rows — the scan
+            // keeps its KeyGroupedPartitioning, so SPJ survives MoR DML
             val morLive =
               if (scanMergesDeletes(snap)) snap.deleteFiles else Seq.empty
             val coveredRel = morLive.flatMap(_.covers.keys).toSet
             def relOf(abs: String): String = abs.stripPrefix(rootPrefix)
             def shardsFor(rel: String): Seq[String] =
-              morLive.filter(_.covers.contains(rel))
+              morLive.filter(d => d.isPositional && d.covers.contains(rel))
                 .map(d => root.resolve(d.path).toString)
+            def eqShardsFor(rel: String): Seq[(String, String)] =
+              morLive.filter(d => !d.isPositional && d.covers.contains(rel))
+                .map(d => (root.resolve(d.path).toString, d.eqCols.head))
+            // eq key columns must survive into the sub-scan even when the
+            // projection pruned them (the merge matches on their values);
+            // they stay out of the OUTER read schema, so the permutation
+            // drops them after filtering
+            val eqKeyCols = morLive.filterNot(_.isPositional)
+              .flatMap(_.eqCols).distinct
             def cleanBatch(label: String, files: Seq[String])
                 : org.apache.spark.sql.connector.read.Batch =
               if (!multiDir)
@@ -783,9 +804,13 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
                   MorScanMerge.RowIdxCol,
                   org.apache.spark.sql.types.LongType, nullable = true)
                 val schemaIdx = StructType(snapSchema.fields :+ idxField)
+                val reqBase = requiredSchema.getOrElse(scan.readSchema()).fields
+                  .filterNot(_.name == MorScanMerge.RowIdxCol)
+                val missingEqKeys = eqKeyCols
+                  .filterNot(c => reqBase.exists(_.name == c))
+                  .map(c => snapSchema(c))
                 val reqIdx = Some(StructType(
-                  requiredSchema.getOrElse(scan.readSchema()).fields
-                    .filterNot(_.name == MorScanMerge.RowIdxCol) :+ idxField))
+                  (reqBase ++ missingEqKeys) :+ idxField))
                 val dirtyParts: Seq[InputPartition] =
                   dirty.groupBy(dirOf).toSeq.sortBy(_._1).flatMap { case (d, fs) =>
                     val ds = org.apache.spark.sql.GraftScanUtils.parquetScanFor(
@@ -796,7 +821,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
                       batch.createReaderFactory(), ds.readSchema(),
                       scan.readSchema().fieldNames, hadoopConfMap)
                     MorScanMerge.perFilePartitions(
-                      batch.planInputPartitions(), rootPrefix, shardsFor)
+                      batch.planInputPartitions(), rootPrefix, shardsFor,
+                      eqShardsFor)
                       .map(p => CarriedFactoryPartition(p, f)).toSeq
                   }
                 val all = (cleanParts ++ dirtyParts).toArray

@@ -457,6 +457,86 @@ class MorDeleteSpec extends AnyFunSuite {
       .table("morsc.db.sb").count() == expect.size.toLong)
   }
 
+  test("bucketed table: EQUALITY deletes merge in-scan; SPJ and columnar survive") {
+    val dir = Files.createTempDirectory("graft_eqscan_").toString
+    val cat = new SnapshotCatalog(spark, dir)
+    spark.conf.set("spark.sql.catalog.eqsc", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.eqsc.warehouse", dir)
+    val rows = (1L to 300L).map(k => (k, k % 17, s"v$k")).toDF("k", "grp", "v")
+    cat.createBucketedTable("db", "eb", rows.schema, bucketCol = "k", nBuckets = 4)
+    cat.appendBucketed("db", "eb", rows)
+    // stacked MIXED deletes: an equality key frame (incl. a NULL key — it
+    // must match nothing here, rows have no null keys) and a positional
+    // delete, both live at once
+    cat.deleteMoREq("db", "eb",
+      Seq(Some(3L), Some(7L), Some(250L), None).toDF("k"))
+    cat.deleteMoR("db", "eb", col("k") % 100 === 0)
+    val expect = (1L to 300L).filterNot(k => Set(3L, 7L, 250L)(k) || k % 100 == 0)
+
+    // the equivalence oracle: the SQL in-scan merge must agree with the
+    // library's logical merge exactly
+    val lib = cat.readLatest("db", "eb").select("k").as[Long].collect().sorted.toSeq
+    assert(lib == expect)
+    val q = spark.sql("SELECT k FROM eqsc.db.eb")
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.size == 1 && scans.head.scan.description().contains("bucketed("),
+      s"expected ONE bucketed V2 scan (in-scan eq merge), got:\n" +
+        q.queryExecution.executedPlan.toString.take(800))
+    assert(scans.head.supportsColumnar, "eq-merged scan must stay columnar")
+    assert(q.as[Long].collect().sorted.toSeq == expect)
+    // projection that prunes the key column away: the merge force-includes
+    // it into the sub-scan and still filters exactly
+    assert(spark.sql("SELECT sum(grp) AS s FROM eqsc.db.eb").head.getLong(0) ==
+      expect.map(_ % 17).sum)
+    // SPJ against a co-bucketed dim keeps zero exchanges over the merged read
+    val dims = (1L to 50L).map(k => (k, s"d$k")).toDF("k", "dv")
+    cat.createBucketedTable("db", "ed", dims.schema, bucketCol = "k", nBuckets = 4)
+    cat.appendBucketed("db", "ed", dims)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = spark.sql(
+        "SELECT f.k, d.dv FROM eqsc.db.eb f JOIN eqsc.db.ed d ON f.k = d.k")
+      val got = joined.as[(Long, String)].collect().map(_._1).sorted.toSeq
+      assert(got == expect.filter(_ <= 50L), got.toString)
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty, "SPJ must survive live equality deletes:\n" +
+        joined.queryExecution.executedPlan.toString.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // a MULTI-column equality delete is not in-scan-mergeable: the read
+    // falls back to the logical rewrite and stays value-exact
+    cat.deleteMoREq("db", "eb", Seq((5L, 5L)).toDF("k", "grp"))
+    val expect2 = expect.filterNot(_ == 5L)
+    assert(spark.sql("SELECT k FROM eqsc.db.eb").as[Long].collect().sorted.toSeq
+      == expect2)
+    assert(cat.readLatest("db", "eb").select("k").as[Long].collect().sorted.toSeq
+      == expect2)
+    // randomized equivalence: random key frames, SQL in-scan == library
+    val rng = new scala.util.Random(42)
+    cat.compact("db", "eb", 2) // reset to a clean base
+    var alive = expect2.toSet
+    (1 to 3).foreach { _ =>
+      val kill = Seq.fill(8)(rng.between(1L, 301L)).distinct
+      cat.deleteMoREq("db", "eb", kill.toDF("k"))
+      alive = alive -- kill
+      val sqlRead = spark.sql("SELECT k FROM eqsc.db.eb").as[Long].collect().sorted.toSeq
+      val libRead = cat.readLatest("db", "eb").select("k").as[Long].collect().sorted.toSeq
+      assert(sqlRead == libRead, "in-scan eq merge diverged from the logical path")
+      assert(sqlRead == alive.toSeq.sorted, sqlRead.take(10).toString)
+    }
+  }
+
   test("upsertMoR: matched keys replace via positions, new keys insert, no table rewrite") {
     val cat = freshCatalog()
     withNation(cat) // keys 0..24
