@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is the real thing — binary payload column, typed
   * output schema, batched iteration (the Scala-native analogue of
   * `mapInPandas` batch processing), partition-parallel, nothing on the
-  * driver. The byte-level DECODE itself is a deterministic STUB (this
-  * container has no image/audio codecs); swap `decodeStub` for a codec
-  * call and everything else stands.
+  * driver. [[decodeImages]] is a REAL decoder for the formats the JDK
+  * ships codecs for (PNG/JPEG/BMP/GIF via ImageIO — executable right
+  * here); `decodeStub` remains the deterministic stand-in for formats
+  * the container lacks (webp/avif/video/audio) and is what the q29
+  * oracle replays byte-exactly.
   */
 object Multimodal {
 
@@ -58,6 +60,70 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // batch boundary = where a real codec would amortize setup
         batch.iterator.map(decodeStub)
+      }
+    }
+  }
+
+  final case class ImageFeatures(
+      doc_id: Long,
+      modality: String,
+      n_bytes: Long,
+      decoded: Boolean,
+      width: Long,
+      height: Long,
+      channels: Long,
+      feature: Array[Float])
+
+  /** REAL image decode via the JDK's built-in ImageIO — PNG, JPEG, BMP,
+    * and GIF need NO external codecs, so this path is genuinely
+    * executable in this container (the `decodeStub` caveat applies only
+    * to formats the JDK lacks: webp/avif/video/audio). Per image:
+    * dimensions and channel count from the decoded raster plus a
+    * deterministic 8-bin grayscale histogram feature (normalized counts
+    * — the classic cheap dedup/quality signal). Payloads ImageIO cannot
+    * parse (non-image bytes, exotic containers) degrade to
+    * `decoded = false` with the stub's pseudo-metadata instead of
+    * failing the batch — a corrupt image in a 100-TB crawl must never
+    * kill the job. Same batched `mapPartitions` shape as
+    * [[decodeFeatures]]: partition-parallel, codec setup amortized per
+    * batch, nothing on the driver. */
+  def decodeImages(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 256): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) {
+            val s = decodeStub(r)
+            ImageFeatures(r.doc_id, r.modality, s.n_bytes, decoded = false,
+              s.width, s.height, s.channels, s.feature)
+          } else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val hist = new Array[Float](8)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = (((rgb >> 16) & 0xFF) * 299 +
+                  ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+                hist(math.min(7, lum >> 5)) += 1f
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h).toFloat
+            var i = 0
+            while (i < 8) { hist(i) /= n; i += 1 }
+            ImageFeatures(r.doc_id, r.modality, r.payload.length.toLong,
+              decoded = true, w.toLong, h.toLong,
+              channels = img.getColorModel.getNumComponents.toLong,
+              feature = hist)
+          }
+        }
       }
     }
   }

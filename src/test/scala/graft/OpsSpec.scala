@@ -283,6 +283,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal REAL image decode: JDK ImageIO, exact metadata, graceful fallback") {
+    // real PNGs generated in-test (ImageIO writes AND reads PNG with the
+    // JDK's built-in codec — no external libraries): known dimensions and
+    // a solid color per image make every decoded field exactly checkable
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, "image", png(32, 16, 0xFFFFFF)),  // white: all luminance in bin 7
+      (2L, "image", png(8, 8, 0x000000)),    // black: all in bin 0
+      (3L, "image", "not an image".getBytes("UTF-8"))) // fallback
+      .toDF("doc_id", "modality", "payload")
+    val got = Multimodal.decodeImages(spark, media, batchSize = 2)
+      .collect().sortBy(_.doc_id)
+    val white = got(0)
+    assert(white.decoded && white.width == 32 && white.height == 16 &&
+      white.channels == 3, white.toString)
+    assert(white.feature(7) == 1f && white.feature.take(7).forall(_ == 0f))
+    val black = got(1)
+    assert(black.decoded && black.width == 8 && black.height == 8)
+    assert(black.feature(0) == 1f)
+    // a corrupt payload degrades to the stub's pseudo-metadata, flagged —
+    // one bad image in a crawl must never fail the batch
+    val bad = got(2)
+    assert(!bad.decoded && bad.n_bytes == 12L && bad.feature.length == 8)
+  }
+
   test("SQL-registered kernel functions match their Column forms exactly") {
     graft.catalog.spark.GraftSqlFunctions.register(spark)
     docs.limit(200).createOrReplaceTempView("fn_docs")
