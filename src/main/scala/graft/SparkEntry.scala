@@ -807,6 +807,40 @@ object SparkEntry {
         .orderBy("_change_type", "o_orderstatus")
     }),
 
+    // REAL image decode, oracle-gated (r7): deterministic solid-color
+    // PNGs are ENCODED cluster-side (JDK ImageIO writer) from doc_id
+    // arithmetic, then DECODED by Multimodal.decodeImages (JDK ImageIO
+    // reader — real codec work, not the stub), and the aggregate of the
+    // decoded metadata is replayed by the oracle from the same
+    // arithmetic: a mis-decoded dimension, channel count, or histogram
+    // bin hash-mismatches. Solid gray level g puts the whole luminance
+    // histogram in bin g/32, read back via array_position(feature, 1.0).
+    "q98_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select("doc_id").where(col("doc_id") < 500)
+        .as[Long].map { id =>
+          val w = 8 + (id % 16).toInt
+          val h = 8 + ((id * 3) % 16).toInt
+          val g = ((id * 37) % 256).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, "image", bos.toByteArray)
+        }.toDF("doc_id", "modality", "payload")
+      graft.ops.Multimodal.decodeImages(s, media).toDF()
+        .where(col("decoded"))
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          (expr("array_position(feature, CAST(1.0 AS FLOAT))") - 1L).as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("cnt"), sum(col("width")).as("w_sum"),
+          sum(col("height")).as("h_sum"), sum(col("channels")).as("ch_sum"))
+        .orderBy("bin")
+    }),
+
     // calendar-function battery: extract fields, date arithmetic, month
     // boundaries — all codegen'd builtins, engine-portable by value.
     "q73_datetime_funcs" -> ((s, dir) => {
@@ -2018,6 +2052,22 @@ object SparkEntry {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM delta GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the oracle replays the image-generation arithmetic the cluster-side
+    // decode must reproduce: solid gray g=(id*37)%256 lands the whole
+    // luminance histogram in bin g/32; dimensions from the same id math
+    "q98_image_decode" ->
+      """WITH gen AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 16 AS w,
+        |    8 + (doc_id * 3) % 16 AS h,
+        |    ((doc_id * 37) % 256) // 32 AS bin
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(w) AS BIGINT) AS w_sum,
+        |  CAST(sum(h) AS BIGINT) AS h_sum,
+        |  CAST(count(*) * 3 AS BIGINT) AS ch_sum
+        |FROM gen GROUP BY bin ORDER BY bin""".stripMargin,
 
     // the exact multiset diff of the same range, tagged: inserts are the
     // shifted F batch, deletes are the %10 keys the MoR delete killed
