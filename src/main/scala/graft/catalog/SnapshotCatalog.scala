@@ -522,6 +522,13 @@ final class SnapshotCatalog(
   private def logKey(db: String, table: String): String =
     logPath(db, table).toAbsolutePath.normalize().toString
 
+  /** Canonical mutex key of a table — the same spelling [[withTableLock]]
+    * registers in [[SnapshotCatalog.heldLocks]], so [[loadRepr]] can tell
+    * "am I inside a commit body for THIS table" (the etag-pinning rule). */
+  private def lockKeyOf(db: String, table: String): String =
+    tablePath(db, table).resolve("_snapshots").resolve("LOCK")
+      .toAbsolutePath.normalize().toString
+
   /** Suffix for per-snapshot artifact names (data dirs, manifest shards,
     * delete shards/dirs), minted once per commit attempt per artifact.
     * Empty under the serialized file-lock default, so the deterministic
@@ -542,15 +549,29 @@ final class SnapshotCatalog(
         // self-healing etag bookkeeping: a drop/recreate must not leave a
         // stale expectation behind for this thread
         SnapshotCatalog.observedLogEtag.get().remove(key)
+        SnapshotCatalog.pinnedEtagKeys.get().remove(key)
         throw new IllegalArgumentException(
           s"requirement failed: no such table: $db.$table (missing ${logPath(db, table)})")
       case Some((txt, etag)) =>
         // remember the etag this thread's state derives from: the NEXT
-        // writeEntries presents it as the If-Match precondition. Commit
-        // bodies re-read at their top (the CommitMutex contract), so
-        // last-read-wins is exactly "the state the commit was computed
-        // from" — under the file-lock default the value is unused.
-        SnapshotCatalog.observedLogEtag.get().put(key, etag)
+        // writeEntries presents it as the If-Match precondition. Under the
+        // file-lock default the value is unused. Inside a commit body the
+        // etag is PINNED at the body's FIRST read: compound bodies re-read
+        // the log mid-flight (pruneFiles -> snapshotAt, changelog walks),
+        // and if a racer published between the top read and that refresh,
+        // last-read-wins would advance the observed etag past the racer —
+        // writeEntries' If-Match would then pass while publishing an
+        // entries list computed WITHOUT the racer's commit (a silent lost
+        // update). Pinning makes the precondition "the state the body's
+        // FIRST read derived from", so any interleaved racer forces a
+        // CommitConflictException and a clean whole-body retry.
+        val inBody = SnapshotCatalog.heldLocks.get().contains(lockKeyOf(db, table))
+        val pinned = SnapshotCatalog.pinnedEtagKeys.get()
+        if (!inBody) SnapshotCatalog.observedLogEtag.get().put(key, etag)
+        else if (!pinned.contains(key)) {
+          SnapshotCatalog.observedLogEtag.get().put(key, etag)
+          pinned.add(key)
+        } // else: mid-body refresh — keep the etag the body derives from
         Json.parse(txt) match {
           case JArr(vs) => LegacyLog(vs.map(v => Snapshot.fromJson(v.asInstanceOf[JObj])))
           case o: JObj  => V2Log(o.arr("entries").map(v => SnapshotEntry.fromJson(v.asInstanceOf[JObj])))
@@ -3375,7 +3396,15 @@ final class SnapshotCatalog(
           s"table $db.$table was concurrently dropped or renamed")
       }
       SnapshotCatalog.heldLocks.get().add(key)
-      try body finally SnapshotCatalog.heldLocks.get().remove(key)
+      // fresh etag derivation per body ATTEMPT: this closure re-runs on a
+      // CasCommitMutex conflict retry, and the retry's top read must
+      // re-pin against the winner's log (a stale pin would conflict
+      // forever); see the pinning rule in loadRepr
+      SnapshotCatalog.pinnedEtagKeys.get().remove(logKey(db, table))
+      try body finally {
+        SnapshotCatalog.heldLocks.get().remove(key)
+        SnapshotCatalog.pinnedEtagKeys.get().remove(logKey(db, table))
+      }
     }
   }
 
@@ -3432,6 +3461,15 @@ object SnapshotCatalog {
     * is exactly "the state my commit derives from". */
   private val observedLogEtag: ThreadLocal[java.util.HashMap[String, java.lang.Long]] =
     ThreadLocal.withInitial(() => new java.util.HashMap[String, java.lang.Long]())
+
+  /** Log keys whose observed etag is PINNED for the duration of the
+    * current commit-body attempt (see loadRepr): the first in-body read
+    * pins; mid-body refreshes must not advance the etag past a racer's
+    * publish, or the If-Match precondition would mask a lost update.
+    * Cleared per body attempt by withTableLock (so CAS retries re-pin
+    * against the winner's log). */
+  private val pinnedEtagKeys: ThreadLocal[java.util.HashSet[String]] =
+    ThreadLocal.withInitial(() => new java.util.HashSet[String]())
 
   /** JVM-wide parsed-manifest LRU, keyed by absolute shard path. Sound
     * because shards are write-once; bounded so a long-lived session over
