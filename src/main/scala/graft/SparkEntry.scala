@@ -807,6 +807,27 @@ object SparkEntry {
         .orderBy("_change_type", "o_orderstatus")
     }),
 
+    // streaming CDC across EQUALITY-delete commits (r8): the `.changes`
+    // STREAM (run synchronously to a memory sink) serves a history whose
+    // middle two commits are zero-scan eq deletes — one single-key, one
+    // COMPOSITE-key — the commits the engine's own CDC apply sink writes.
+    // Pre-images enumerate from the write-once covered files; the second
+    // delete's pre-images exclude rows the first already killed. The
+    // oracle replays the whole feed from the raw orders parquet.
+    "q99_changes_stream_eq" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      val _ = fx.src // fixture built; snapdml catalog registered
+      val q = s.readStream.option("starting-snapshot-id", "1")
+        .table("snapdml.maint.orders_cdceq.changes")
+        .writeStream.format("memory").queryName("q99_feed")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q99_feed")
+        .groupBy("_change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("_change_type", "o_orderstatus")
+    }),
+
     // REAL image decode, oracle-gated (r7): deterministic solid-color
     // PNGs are ENCODED cluster-side (JDK ImageIO writer) from doc_id
     // arithmetic, then DECODED by Multimodal.decodeImages (JDK ImageIO
@@ -2082,6 +2103,28 @@ object SparkEntry {
         |SELECT _change_type, o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(k) AS BIGINT) AS key_sum
         |FROM ch GROUP BY _change_type, o_orderstatus
+        |ORDER BY _change_type, o_orderstatus""".stripMargin,
+
+    // the full streamed feed restated: inserts from both appends, the
+    // %10-key eq delete's pre-images, and the composite-key delete's
+    // pre-images (alive F rows with %7 keys not already %10-killed)
+    "q99_changes_stream_eq" ->
+      """WITH feed AS (
+        |  SELECT 'insert' AS _change_type, o_orderstatus, o_orderkey AS k
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'delete', o_orderstatus, o_orderkey
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 'delete', o_orderstatus, o_orderkey
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderstatus = 'F'
+        |    AND o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT 'insert', o_orderstatus, o_orderkey + 4000000000
+        |  FROM orders WHERE o_orderstatus = 'F')
+        |SELECT _change_type, o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM feed GROUP BY _change_type, o_orderstatus
         |ORDER BY _change_type, o_orderstatus""".stripMargin,
 
     // only the key-shifted post-compact F append survives the insert-side

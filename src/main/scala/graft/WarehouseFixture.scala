@@ -302,6 +302,26 @@ object WarehouseFixture {
     src.rewriteSmallFiles("maint", "orders_bin",
       smallBytes = binBigBytes, targetBytes = Long.MaxValue / 4)
 
+    // - orders_cdceq: the streaming-CDC-across-equality-deletes shape
+    //   (r8) — append the full table, a single-key eq delete (%10 keys),
+    //   a COMPOSITE-key eq delete ((key, status) tuples: %7 F rows), then
+    //   a key-shifted F append. The `.changes` STREAM serves all four
+    //   commits (q99): eq-killed pre-images enumerate from the write-once
+    //   covered files, the second eq delete's pre-images exclude rows the
+    //   first already killed (alive-at-parent filtering)
+    src.createTable("maint", "orders_cdceq", orders.schema)             // 1
+    src.append("maint", "orders_cdceq", orders.repartition(2))          // 2
+    src.deleteMoREq("maint", "orders_cdceq",
+      orders.where(col("o_orderkey") % 10 === 0)
+        .select("o_orderkey").distinct())                               // 3
+    src.deleteMoREq("maint", "orders_cdceq",
+      orders.where(col("o_orderkey") % 7 === 0 && col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderstatus").distinct())              // 4
+    src.append("maint", "orders_cdceq",
+      orders.where(col("o_orderstatus") === "F")
+        .withColumn("o_orderkey", col("o_orderkey") + 4000000000L)
+        .repartition(2))                                                // 5
+
     // - maint.orders_wap: one full write-audit-publish cycle (stage the
     //   F batch, audit passes -> publish) and one failed audit (stage the
     //   O batch -> discard); q72 asserts the whole visibility history

@@ -55,40 +55,47 @@ object MorScanMerge {
     * (`ParquetRowIndexUtil.findRowIndexColumnIndexInSchema`). */
   val RowIdxCol = "_tmp_metadata_row_index"
 
-  /** Key-value set of one EQUALITY-delete parquet file (single-column
-    * form): the normalized key values plus whether a NULL key tuple is
-    * present (null-safe equality — a null key kills null-keyed rows).
-    * Values normalize to Long (int32/int64) or String (binary/UTF8), the
-    * same normalization the reader applies to scanned rows, so matching
-    * is type-exact. Executor-side, bounded by the eq file's tuple count
-    * (the CDC key frame — KBs). */
-  def eqKeyValues(path: String, conf: Configuration): (java.util.HashSet[AnyRef], Boolean) = {
-    val set = new java.util.HashSet[AnyRef]()
-    var hasNull = false
+  /** Key-tuple set of one EQUALITY-delete parquet file, generalized to
+    * COMPOSITE keys (r8 — (tenant_id, row_id)-shaped CDC keys merge
+    * in-scan too): each record becomes one normalized tuple over `cols`,
+    * null elements included (null-safe equality — a null key component
+    * kills rows whose component is null). Values normalize to Long
+    * (int32/int64) or String (binary/UTF8), the same normalization
+    * [[EqMatcher]] applies to scanned rows, so matching is type-exact.
+    * Tuples are `java.util.ArrayList` for element-wise equals/hashCode.
+    * Executor-side, bounded by the eq file's tuple count (the CDC key
+    * frame — KBs). */
+  def eqKeyTuples(path: String, cols: Seq[String], conf: Configuration)
+      : java.util.HashSet[java.util.ArrayList[AnyRef]] = {
+    val set = new java.util.HashSet[java.util.ArrayList[AnyRef]]()
     val reader = ParquetReader
       .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(path))
       .withConf(conf).build()
     try {
       var g = reader.read()
       while (g != null) {
-        val field = g.getType.getFields.get(0)
-        if (g.getFieldRepetitionCount(0) == 0) hasNull = true
-        else {
-          val prim = field.asPrimitiveType().getPrimitiveTypeName
-          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-          val v: AnyRef = prim match {
-            case INT32  => java.lang.Long.valueOf(g.getInteger(0, 0).toLong)
-            case INT64  => java.lang.Long.valueOf(g.getLong(0, 0))
-            case BINARY => g.getString(0, 0)
-            case other => throw new IllegalStateException(
-              s"unsupported equality-delete key type $other in $path")
+        val t = new java.util.ArrayList[AnyRef](cols.length)
+        cols.foreach { c =>
+          val fi = g.getType.getFieldIndex(c)
+          if (g.getFieldRepetitionCount(fi) == 0) t.add(null)
+          else {
+            val prim = g.getType.getFields.get(fi).asPrimitiveType().getPrimitiveTypeName
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+            val v: AnyRef = prim match {
+              case INT32  => java.lang.Long.valueOf(g.getInteger(fi, 0).toLong)
+              case INT64  => java.lang.Long.valueOf(g.getLong(fi, 0))
+              case BINARY => g.getString(fi, 0)
+              case other => throw new IllegalStateException(
+                s"unsupported equality-delete key type $other in $path")
+            }
+            t.add(v)
           }
-          set.add(v)
         }
+        set.add(t)
         g = reader.read()
       }
     } finally reader.close()
-    (set, hasNull)
+    set
   }
 
   /** Dead positions of one data file, read from its covering delete
@@ -120,11 +127,16 @@ object MorScanMerge {
     * shards. Splits of a file may stay in separate partitions (row
     * indexes are absolute). Files not in `shardsFor`'s domain keep flowing
     * too (empty shard list = nothing dead). `eqShardsFor` lists the
-    * EQUALITY-delete files covering a file as (absolute path, key column)
-    * pairs — single-column form, applied value-wise in the reader. */
+    * EQUALITY-delete files covering a file as (absolute path, key columns)
+    * pairs — composite keys supported, applied tuple-wise in the reader.
+    * `newEqShardsFor` carries a SECOND eq set per file, used only by the
+    * CDC pre-image reader ([[EqDeadRowsReaderFactory]]): the commit's NEW
+    * eq shards, matched positively while `eqShardsFor`'s prior coverage
+    * filters to rows still alive before the commit. */
   def perFilePartitions(parts: Array[InputPartition], rootPrefix: String,
       shardsFor: String => Seq[String],
-      eqShardsFor: String => Seq[(String, String)] = _ => Seq.empty)
+      eqShardsFor: String => Seq[(String, Seq[String])] = _ => Seq.empty,
+      newEqShardsFor: String => Seq[(String, Seq[String])] = _ => Seq.empty)
       : Array[InputPartition] =
     parts.flatMap {
       case fp: FilePartition =>
@@ -132,21 +144,85 @@ object MorScanMerge {
           .map { case (abs, fs) =>
             val rel = abs.stripPrefix(rootPrefix)
             MorFilePartition(rel, shardsFor(rel), FilePartition(fp.index, fs),
-              eqShardsFor(rel))
+              eqShardsFor(rel), newEqShardsFor(rel))
           }
       case other =>
         throw new IllegalStateException(
           s"expected FilePartition from the parquet batch, got ${other.getClass}")
     }
+
+  /** One loaded equality-delete matcher over a sub-scan schema: key
+    * ordinals, their Spark types (drive row/vector value normalization to
+    * the same Long/String domain [[eqKeyTuples]] produced), and the key
+    * tuple set. The probe tuple is REUSED across rows (single-threaded
+    * per partition reader; `HashSet.contains` does not retain its
+    * argument), so the per-row cost is normalization + one hash lookup,
+    * no allocation. */
+  final class EqMatcher(ords: Array[Int],
+      dts: Array[org.apache.spark.sql.types.DataType],
+      set: java.util.HashSet[java.util.ArrayList[AnyRef]]) extends Serializable {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    private[this] val probe = {
+      val p = new java.util.ArrayList[AnyRef](ords.length)
+      var i = 0; while (i < ords.length) { p.add(null); i += 1 }
+      p
+    }
+    def deadRow(row: InternalRow): Boolean = {
+      var i = 0
+      while (i < ords.length) {
+        val o = ords(i)
+        probe.set(i,
+          if (row.isNullAt(o)) null
+          else dts(i) match {
+            case IntegerType => java.lang.Long.valueOf(row.getInt(o).toLong)
+            case LongType    => java.lang.Long.valueOf(row.getLong(o))
+            case StringType  => row.getUTF8String(o).toString
+            case other => throw new IllegalStateException(s"unsupported eq key type $other")
+          })
+        i += 1
+      }
+      set.contains(probe)
+    }
+    def deadVec(b: ColumnarBatch, row: Int): Boolean = {
+      var i = 0
+      while (i < ords.length) {
+        val v = b.column(ords(i))
+        probe.set(i,
+          if (v.isNullAt(row)) null
+          else dts(i) match {
+            case IntegerType => java.lang.Long.valueOf(v.getInt(row).toLong)
+            case LongType    => java.lang.Long.valueOf(v.getLong(row))
+            case StringType  => v.getUTF8String(row).toString
+            case other => throw new IllegalStateException(s"unsupported eq key type $other")
+          })
+        i += 1
+      }
+      set.contains(probe)
+    }
+  }
+
+  /** Load the [[EqMatcher]]s for one file's covering eq shards, resolving
+    * key ordinals/types against `schema` (the sub-scan's schema — key
+    * columns are force-included there by every caller). */
+  def eqMatchersFor(shards: Seq[(String, Seq[String])], schema: StructType,
+      conf: Configuration): Seq[EqMatcher] =
+    shards.map { case (path, cols) =>
+      new EqMatcher(cols.map(schema.fieldIndex).toArray,
+        cols.map(c => schema(c).dataType).toArray,
+        eqKeyTuples(path, cols, conf))
+    }
 }
 
 /** One covered file's chunk(s): the delegate partition reads this file
   * only, `shards` are the position-delete parquet files whose `covers`
-  * include it, and `eqShards` the covering single-column equality-delete
-  * files as (path, key column). */
+  * include it, and `eqShards` the covering equality-delete files as
+  * (path, key columns) — composite keys supported. `newEqShards` is the
+  * CDC pre-image reader's positive-match set (a commit's NEW eq shards);
+  * empty everywhere else. */
 final case class MorFilePartition(relFile: String, shards: Seq[String],
     delegate: InputPartition,
-    eqShards: Seq[(String, String)] = Seq.empty) extends InputPartition {
+    eqShards: Seq[(String, Seq[String])] = Seq.empty,
+    newEqShards: Seq[(String, Seq[String])] = Seq.empty) extends InputPartition {
   override def preferredLocations(): Array[String] = delegate.preferredLocations()
 }
 
@@ -176,51 +252,15 @@ final class MorMergingReaderFactory(
   private def deadFor(mp: MorFilePartition): java.util.HashSet[java.lang.Long] =
     MorScanMerge.deadPositions(mp.shards, mp.relFile, hadoopConf)
 
-  /** One loaded equality-delete matcher: key ordinal in the sub-scan
-    * schema, its Spark type (drives row/vector value normalization to the
-    * same Long/String domain [[MorScanMerge.eqKeyValues]] produced), the
-    * key set, and the null-key flag. */
-  private final case class EqMatch(ord: Int,
-      dt: org.apache.spark.sql.types.DataType,
-      set: java.util.HashSet[AnyRef], hasNull: Boolean)
-
-  private def eqFor(mp: MorFilePartition): Seq[EqMatch] =
+  private def eqFor(mp: MorFilePartition): Seq[MorScanMerge.EqMatcher] =
     if (mp.eqShards.isEmpty) Seq.empty
-    else {
-      val conf = hadoopConf
-      mp.eqShards.map { case (path, keyCol) =>
-        val (set, hasNull) = MorScanMerge.eqKeyValues(path, conf)
-        EqMatch(dirtySchema.fieldIndex(keyCol), dirtySchema(keyCol).dataType,
-          set, hasNull)
-      }
-    }
+    else MorScanMerge.eqMatchersFor(mp.eqShards, dirtySchema, hadoopConf)
 
-  private def eqDeadRow(eqs: Seq[EqMatch], row: InternalRow): Boolean = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-    eqs.exists { m =>
-      if (row.isNullAt(m.ord)) m.hasNull
-      else m.dt match {
-        case IntegerType => m.set.contains(java.lang.Long.valueOf(row.getInt(m.ord).toLong))
-        case LongType    => m.set.contains(java.lang.Long.valueOf(row.getLong(m.ord)))
-        case StringType  => m.set.contains(row.getUTF8String(m.ord).toString)
-        case other => throw new IllegalStateException(s"unsupported eq key type $other")
-      }
-    }
-  }
+  private def eqDeadRow(eqs: Seq[MorScanMerge.EqMatcher], row: InternalRow): Boolean =
+    eqs.exists(_.deadRow(row))
 
-  private def eqDeadVec(eqs: Seq[EqMatch], b: ColumnarBatch, i: Int): Boolean = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-    eqs.exists { m =>
-      val v = b.column(m.ord)
-      if (v.isNullAt(i)) m.hasNull
-      else m.dt match {
-        case IntegerType => m.set.contains(java.lang.Long.valueOf(v.getInt(i).toLong))
-        case LongType    => m.set.contains(java.lang.Long.valueOf(v.getLong(i)))
-        case StringType  => m.set.contains(v.getUTF8String(i).toString)
-        case other => throw new IllegalStateException(s"unsupported eq key type $other")
-      }
-    }
-  }
+  private def eqDeadVec(eqs: Seq[MorScanMerge.EqMatcher], b: ColumnarBatch, i: Int): Boolean =
+    eqs.exists(_.deadVec(b, i))
 
   override def supportColumnarReads(p: InputPartition): Boolean =
     inner.supportColumnarReads(p.asInstanceOf[MorFilePartition].delegate)
@@ -335,6 +375,70 @@ final class DeadRowsReaderFactory(
         while (r.next()) {
           val row = r.get()
           if (dead.contains(row.getLong(idxOrd))) { cur = row; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = proj(cur)
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    throw new UnsupportedOperationException("CDC delete partitions are row-based")
+}
+
+/** CDC pre-image reader for EQUALITY-delete commits (r8): emits the rows
+  * a commit's NEW eq-delete shards killed — rows of the covered
+  * (write-once) data files that were ALIVE at the commit's parent
+  * snapshot (not position-dead, not matched by a prior eq shard) and
+  * match one of the NEW shards' key tuples — tagged `delete`. This is
+  * what lets a `.changes` stream serve the commits the engine's own CDC
+  * apply sink writes ([[graft.streaming.EventStream.applyCdcEpoch]]'s
+  * zero-scan `deleteMoREq`), so a replica table can itself be a CDC
+  * source (cascaded replication). Coverage is exact because data files
+  * are write-once and eq coverage is pinned at commit time to the files
+  * present then — later appends are never covered. Work per partition is
+  * one covered-file scan + KB-bounded shard loads, the same posture as
+  * [[DeadRowsReaderFactory]]. */
+final class EqDeadRowsReaderFactory(
+    inner: PartitionReaderFactory,
+    dirtySchema: StructType,
+    out: StructType,
+    tagCol: String,
+    tag: String,
+    confMap: Map[String, String]) extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val idxOrd = dirtySchema.fieldIndex(MorScanMerge.RowIdxCol)
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val mp = p.asInstanceOf[MorFilePartition]
+    val conf = new Configuration(false)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    // prior coverage = alive-at-parent filter; new shards = positive match
+    val priorDead = MorScanMerge.deadPositions(mp.shards, mp.relFile, conf)
+    val priorEqs = MorScanMerge.eqMatchersFor(mp.eqShards, dirtySchema, conf)
+    val newEqs = MorScanMerge.eqMatchersFor(mp.newEqShards, dirtySchema, conf)
+    val r = inner.createReader(mp.delegate)
+    val proj = UnsafeProjection.create(out.fields.map { f =>
+      if (f.name == tagCol)
+        Literal(UTF8String.fromString(tag), org.apache.spark.sql.types.StringType)
+      else {
+        val i = dirtySchema.fieldIndex(f.name)
+        BoundReference(i, dirtySchema(i).dataType, dirtySchema(i).nullable)
+      }
+    }.toIndexedSeq)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (r.next()) {
+          val row = r.get()
+          if (!priorDead.contains(row.getLong(idxOrd)) &&
+              !priorEqs.exists(_.deadRow(row)) &&
+              newEqs.exists(_.deadRow(row))) { cur = row; return true }
         }
         false
       }

@@ -331,19 +331,21 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       * [[MorScanMerge]])? Bucketed tables with purely POSITIONAL deletes:
       * the in-scan merge keeps KeyGroupedPartitioning alive so
       * storage-partitioned joins stay exchange-free over live deletes.
-      * Equality deletes merge in-scan too (r7) when SINGLE-key over an
-      * int/long/string column — the streaming-CDC key shapes; the merge
-      * force-includes the key column into the sub-scan and matches
-      * normalized values task-side. Multi-column or exotic-typed keys
-      * fall back to the logical rewrite, which is always correct. */
+      * Equality deletes merge in-scan too — COMPOSITE keys included (r8,
+      * the (tenant_id, row_id) CDC shape) — when every key column is an
+      * int/long/string table column; the merge force-includes the key
+      * columns into the sub-scan and matches normalized tuples task-side.
+      * Exotic-typed keys fall back to the logical rewrite, which is
+      * always correct. */
     private def eqMergeableInScan(s: Snapshot, d: graft.catalog.DeleteFile): Boolean =
-      d.eqCols.size == 1 && s.schema.fieldNames.contains(d.eqCols.head) &&
-        (s.schema(d.eqCols.head).dataType match {
-          case org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.LongType |
-               org.apache.spark.sql.types.StringType => true
-          case _ => false
-        })
+      d.eqCols.nonEmpty && d.eqCols.forall(c =>
+        s.schema.fieldNames.contains(c) &&
+          (s.schema(c).dataType match {
+            case org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.StringType => true
+            case _ => false
+          }))
     private def scanMergesDeletes(s: Snapshot): Boolean =
       tableMeta.bucketSpec.isDefined && s.deleteFiles.nonEmpty &&
         s.deleteFiles.forall(d => d.isPositional || eqMergeableInScan(s, d))
@@ -763,9 +765,9 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             def shardsFor(rel: String): Seq[String] =
               morLive.filter(d => d.isPositional && d.covers.contains(rel))
                 .map(d => root.resolve(d.path).toString)
-            def eqShardsFor(rel: String): Seq[(String, String)] =
+            def eqShardsFor(rel: String): Seq[(String, Seq[String])] =
               morLive.filter(d => !d.isPositional && d.covers.contains(rel))
-                .map(d => (root.resolve(d.path).toString, d.eqCols.head))
+                .map(d => (root.resolve(d.path).toString, d.eqCols))
             // eq key columns must survive into the sub-scan even when the
             // projection pruned them (the merge matches on their values);
             // they stay out of the OUTER read schema, so the permutation
@@ -1139,9 +1141,17 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     *    pair in one batch, the CDC contract), plus any delta files as
     *    inserts;
     *  - compact / z-order: no-ops (moved rows cancel);
-    *  - equality deletes and true rewrites (overwrite, CoW DML, rollback)
-    *    refuse loudly — their retractions are not enumerable from
-    *    per-file metadata; consumers use the batch `db.t.changes` diff.
+    *  - EQUALITY-delete commits (r8 — what the engine's own CDC apply
+    *    sink writes): dead pre-images ARE enumerable because data files
+    *    are write-once and eq coverage is pinned at commit time — each
+    *    covered file is scanned once, rows alive at the parent snapshot
+    *    that match the NEW shards' key tuples emit tagged `delete`
+    *    ([[EqDeadRowsReaderFactory]]); so a replica table built by
+    *    `applyCdcEpoch` can itself serve a changes stream (cascaded
+    *    replication);
+    *  - true rewrites (overwrite, CoW DML, rollback) refuse loudly —
+    *    their retractions are not enumerable from per-file metadata;
+    *    consumers use the batch `db.t.changes` diff.
     * Offsets advance ONE published commit per trigger
     * (SupportsAdmissionControl), so batch boundaries ARE commit
     * boundaries and consumers get commit-ordered changes without an
@@ -1237,6 +1247,46 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             .toSeq.map(p => CarriedFactoryPartition(p, f))
         }
       }
+      // pre-images of one commit's NEW equality-delete shards: scan the
+      // covered (write-once) files once, keep rows ALIVE at the commit's
+      // parent (not position-dead, not matched by a PRIOR eq shard) that
+      // match a NEW shard's key tuples. Prior + new key columns are
+      // force-included into the sub-scan (the projection may have pruned
+      // them); the output projection drops them again.
+      def eqDeleteParts(newEq: Seq[graft.catalog.DeleteFile],
+          prev: graft.catalog.Snapshot): Seq[InputPartition] = {
+        val covered = newEq.flatMap(_.covers.keys).distinct.sorted
+        val prevPos = prev.deleteFiles.filter(_.isPositional)
+        val prevEq = prev.deleteFiles.filterNot(_.isPositional)
+        def posShardsFor(rel: String): Seq[String] =
+          prevPos.filter(_.covers.contains(rel)).map(d => root.resolve(d.path).toString)
+        def prevEqFor(rel: String): Seq[(String, Seq[String])] =
+          prevEq.filter(_.covers.contains(rel)).map(d => (root.resolve(d.path).toString, d.eqCols))
+        def newEqFor(rel: String): Seq[(String, Seq[String])] =
+          newEq.filter(_.covers.contains(rel)).map(d => (root.resolve(d.path).toString, d.eqCols))
+        val idxField = StructField(MorScanMerge.RowIdxCol,
+          org.apache.spark.sql.types.LongType, nullable = true)
+        val eqKeyCols = (newEq ++ prevEq).flatMap(_.eqCols).distinct
+        byDir(covered).flatMap { case (opts, fs) =>
+          val cism = new CaseInsensitiveStringMap(opts.asJava)
+          val schemaIdx = StructType(visibleSchema.fields :+ idxField)
+          val builder = ParquetTable(s"$db.$table changes eqdel", spark, cism,
+            fs.map(f => root.resolve(f).toString), Some(schemaIdx),
+            classOf[ParquetFileFormat]).newScanBuilder(cism)
+          val missingKeys = eqKeyCols
+            .filterNot(c => dataCols.fieldNames.contains(c))
+            .map(c => visibleSchema(c))
+          builder.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+            .pruneColumns(StructType((dataCols.fields ++ missingKeys) :+ idxField))
+          val scan = builder.build()
+          val b = scan.toBatch
+          val f = new EqDeadRowsReaderFactory(b.createReaderFactory(),
+            scan.readSchema(), prunedSchema, TagCol, "delete", confMap)
+          MorScanMerge.perFilePartitions(b.planInputPartitions(), rootPrefix,
+            posShardsFor, prevEqFor, newEqFor)
+            .toSeq.map(p => CarriedFactoryPartition(p, f))
+        }
+      }
       val inRange = lineage.filter(en => en.snapshotId > s && en.snapshotId <= e)
       var prevSnap = cat.snapshotAt(db, table, s)
       var prevFiles = prevSnap.files.toSet
@@ -1255,11 +1305,25 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         } else if (snap.operation != "compact") {
           val prevShards = prevSnap.deleteFiles.map(_.path).toSet
           val newShards = snap.deleteFiles.filterNot(d => prevShards(d.path))
-          require(newShards.forall(_.isPositional),
-            s"changes stream of $db.$table: commit ${en.snapshotId} added " +
-              "EQUALITY delete files - dead rows are not enumerable without " +
-              "a key join; use the batch db.t.changes diff")
-          parts ++= deleteParts(newShards)
+          val (newPos, newEq) = newShards.partition(_.isPositional)
+          if (newEq.nonEmpty) {
+            // key tuples are enumerable for int/long/string key columns
+            // (the CDC key shapes); anything else refuses actionably
+            val bad = newEq.flatMap(_.eqCols).distinct.filterNot(c =>
+              visibleSchema.fieldNames.contains(c) &&
+                (visibleSchema(c).dataType match {
+                  case org.apache.spark.sql.types.IntegerType |
+                       org.apache.spark.sql.types.LongType |
+                       org.apache.spark.sql.types.StringType => true
+                  case _ => false
+                }))
+            require(bad.isEmpty,
+              s"changes stream of $db.$table: commit ${en.snapshotId} added " +
+                s"EQUALITY delete files over non-enumerable key column(s) " +
+                s"${bad.mkString(",")} - use the batch db.t.changes diff")
+            parts ++= eqDeleteParts(newEq, prevSnap)
+          }
+          parts ++= deleteParts(newPos)
           parts ++= insertParts(snap.files.filterNot(prevFiles))
         }
         prevSnap = snap

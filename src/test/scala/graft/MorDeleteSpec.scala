@@ -514,22 +514,59 @@ class MorDeleteSpec extends AnyFunSuite {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
-    // a MULTI-column equality delete is not in-scan-mergeable: the read
-    // falls back to the logical rewrite and stays value-exact
-    cat.deleteMoREq("db", "eb", Seq((5L, 5L)).toDF("k", "grp"))
+    // a MULTI-column (composite-key) equality delete merges in-scan too
+    // (r8): the plan stays the single columnar bucketed scan, and a tuple
+    // whose second component mismatches must kill nothing (tuple-wise
+    // matching, not per-column)
+    cat.deleteMoREq("db", "eb",
+      Seq((5L, 5L), (9L, 999L)).toDF("k", "grp")) // 9's grp is 9 -> no match
     val expect2 = expect.filterNot(_ == 5L)
-    assert(spark.sql("SELECT k FROM eqsc.db.eb").as[Long].collect().sorted.toSeq
-      == expect2)
+    val q2 = spark.sql("SELECT k FROM eqsc.db.eb")
+    val scans2 = q2.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans2.size == 1 && scans2.head.scan.description().contains("bucketed("),
+      s"multi-col eq delete must stay in-scan:\n" +
+        q2.queryExecution.executedPlan.toString.take(800))
+    assert(scans2.head.supportsColumnar, "multi-col eq merge must stay columnar")
+    assert(q2.as[Long].collect().sorted.toSeq == expect2)
     assert(cat.readLatest("db", "eb").select("k").as[Long].collect().sorted.toSeq
       == expect2)
-    // randomized equivalence: random key frames, SQL in-scan == library
+    // SPJ stays exchange-free with composite-key eq deletes live — the
+    // r8 point: (tenant_id, row_id)-keyed CDC must not re-shuffle the
+    // bucketed fact scans the in-scan merge protects
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined2 = spark.sql(
+        "SELECT f.k, d.dv FROM eqsc.db.eb f JOIN eqsc.db.ed d ON f.k = d.k")
+      assert(joined2.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "SPJ must survive live multi-column equality deletes")
+      assert(joined2.as[(Long, String)].collect().map(_._1).sorted.toSeq ==
+        expect2.filter(_ <= 50L))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // randomized equivalence: alternating single- and composite-key
+    // frames, SQL in-scan == library logical path
     val rng = new scala.util.Random(42)
     cat.compact("db", "eb", 2) // reset to a clean base
     var alive = expect2.toSet
-    (1 to 3).foreach { _ =>
-      val kill = Seq.fill(8)(rng.between(1L, 301L)).distinct
-      cat.deleteMoREq("db", "eb", kill.toDF("k"))
-      alive = alive -- kill
+    (1 to 4).foreach { i =>
+      if (i % 2 == 1) {
+        val kill = Seq.fill(8)(rng.between(1L, 301L)).distinct
+        cat.deleteMoREq("db", "eb", kill.toDF("k"))
+        alive = alive -- kill
+      } else {
+        // half real (k, k%17) tuples, half mismatched (kill nothing)
+        val ks = Seq.fill(8)(rng.between(1L, 301L)).distinct
+        val (real, decoy) = ks.splitAt(ks.size / 2)
+        cat.deleteMoREq("db", "eb",
+          (real.map(k => (k, k % 17)) ++ decoy.map(k => (k, k % 17 + 100)))
+            .toDF("k", "grp"))
+        alive = alive -- real
+      }
       val sqlRead = spark.sql("SELECT k FROM eqsc.db.eb").as[Long].collect().sorted.toSeq
       val libRead = cat.readLatest("db", "eb").select("k").as[Long].collect().sorted.toSeq
       assert(sqlRead == libRead, "in-scan eq merge diverged from the logical path")

@@ -505,6 +505,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(state("d") == Seq((2L, "B"), (3L, "c")))
   }
 
+  test("cascaded CDC: a replica built by the apply sink serves its own .changes stream") {
+    // The r8 closure of the CDC loop: source --.changes--> applyCdcEpoch
+    // replica --.changes--> second replica. The apply sink writes
+    // EQUALITY-delete commits (zero-scan deleteMoREq) that the changes
+    // stream previously refused; EqDeadRowsReaderFactory enumerates
+    // their pre-images from the write-once covered files, so replication
+    // cascades to depth 2 and the replica's feed replays the source's
+    // row-for-row.
+    import java.time.Instant
+    import graft.catalog.SnapshotCatalog
+    val wh = Files.createTempDirectory("graft_cdccas_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, wh,
+      clock = () => { tick += 1; Instant.parse("2026-05-01T00:00:00Z").plusSeconds(tick * 60) })
+    val df0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    cat.createTable("db", "cs", df0.schema)
+    cat.append("db", "cs", df0) // snap2
+    cat.createTable("db", "cd", df0.schema)
+    cat.createTable("db", "cdd", df0.schema)
+    spark.conf.set("spark.sql.catalog.snapcas", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapcas.warehouse", wh)
+    val ckptS = Files.createTempDirectory("graft_cdccas_ck1_").toString
+    val ckptD = Files.createTempDirectory("graft_cdccas_ck2_").toString
+    def drain(src: String, dst: String, ckpt: String): Unit = {
+      val q = spark.readStream.option("starting-snapshot-id", "1")
+        .table(s"snapcas.db.$src.changes")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(graft.streaming.EventStream.applyCdcEpoch(
+          cat, "db", dst, keys = Seq("id")) _)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def state(t: String): Seq[(Long, String)] =
+      cat.readLatest("db", t).as[(Long, String)].collect().sortBy(_._1).toSeq
+    drain("cs", "cd", ckptS)
+    drain("cd", "cdd", ckptD)
+    assert(state("cdd") == Seq((1L, "a"), (2L, "b")), state("cdd").toString)
+    // source churn: a keyed delete (becomes an EQ-delete commit on cd —
+    // no same-epoch re-insert), an update, a fresh insert
+    cat.deleteMoR("db", "cs", col("id") === 1L)                       // 3
+    cat.updateMoR("db", "cs", col("id") === 2L, Map("v" -> lit("B"))) // 4
+    cat.append("db", "cs", Seq((3L, "c")).toDF("id", "v"))            // 5
+    drain("cs", "cd", ckptS)
+    // the replica now carries a live equality-delete commit — the exact
+    // shape the changes stream refused before r8
+    assert(cat.currentSnapshot("db", "cd").deleteFiles.exists(!_.isPositional),
+      "expected applyCdcEpoch to have written an equality-delete commit")
+    drain("cd", "cdd", ckptD)
+    assert(state("cd") == state("cs"), s"depth-1 ${state("cd")} != ${state("cs")}")
+    assert(state("cdd") == state("cs"), s"depth-2 ${state("cdd")} != ${state("cs")}")
+    assert(state("cdd") == Seq((2L, "B"), (3L, "c")))
+    // feed equivalence: the replica's FULL .changes stream replays the
+    // source's feed as the same row multiset (epoch batching differs;
+    // rows must not)
+    def feed(t: String, name: String): Seq[(String, Long, String)] = {
+      val q = spark.readStream.option("starting-snapshot-id", "1")
+        .table(s"snapcas.db.$t.changes")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).select("_change_type", "id", "v")
+        .as[(String, Long, String)].collect().sortBy(r => (r._2, r._1, r._3)).toSeq
+    }
+    val srcFeed = feed("cs", "cas_src_feed")
+    val repFeed = feed("cd", "cas_rep_feed")
+    assert(repFeed == srcFeed, s"replica feed $repFeed != source feed $srcFeed")
+    assert(srcFeed == Seq(("delete", 1L, "a"), ("insert", 1L, "a"),
+      ("delete", 2L, "b"), ("insert", 2L, "B"), ("insert", 2L, "b"),
+      ("insert", 3L, "c")), srcFeed.toString)
+  }
+
   test("native writeStream.toTable appends one epoch-tagged snapshot per batch") {
     import java.time.Instant
     import graft.catalog.SnapshotCatalog
