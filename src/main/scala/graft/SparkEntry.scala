@@ -807,6 +807,22 @@ object SparkEntry {
         .orderBy("_change_type", "o_orderstatus")
     }),
 
+    // changelog ACROSS ADDITIVE SCHEMA EVOLUTION (r8): the range spans a
+    // MoR delete AND an ADD COLUMN; the diff serves in the evolved
+    // schema — pre-evolution pre-image deletes null-fill o_disc, the
+    // wide append's inserts carry it. Previously refused with
+    // requireOneSchema; now only incompatible changes refuse.
+    "q100_changelog_evolution" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      val toId = fx.src.currentSnapshot("maint", "orders_evo").snapshotId
+      s.read.option("from-snapshot-id", "2").option("to-snapshot-id", toId.toString)
+        .table("snapdml.maint.orders_evo.changes")
+        .groupBy("_change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"),
+          sum(col("o_disc")).as("disc_sum"))
+        .orderBy("_change_type", "o_orderstatus")
+    }),
+
     // streaming CDC across EQUALITY-delete commits (r8): the `.changes`
     // STREAM (run synchronously to a memory sink) serves a history whose
     // middle two commits are zero-scan eq deletes — one single-key, one
@@ -2103,6 +2119,23 @@ object SparkEntry {
         |SELECT _change_type, o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(k) AS BIGINT) AS key_sum
         |FROM ch GROUP BY _change_type, o_orderstatus
+        |ORDER BY _change_type, o_orderstatus""".stripMargin,
+
+    // the evolved-schema changelog restated: %10 pre-images delete with
+    // NULL o_disc, the wide F append inserts with its computed o_disc
+    "q100_changelog_evolution" ->
+      """WITH feed AS (
+        |  SELECT 'delete' AS _change_type, o_orderstatus, o_orderkey AS k,
+        |    CAST(NULL AS BIGINT) AS disc
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 'insert', o_orderstatus, o_orderkey + 4000000000,
+        |    (o_orderkey + 4000000000) % 7
+        |  FROM orders WHERE o_orderstatus = 'F')
+        |SELECT _change_type, o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(sum(disc) AS BIGINT) AS disc_sum
+        |FROM feed GROUP BY _change_type, o_orderstatus
         |ORDER BY _change_type, o_orderstatus""".stripMargin,
 
     // the full streamed feed restated: inserts from both appends, the

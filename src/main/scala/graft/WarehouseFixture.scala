@@ -302,6 +302,23 @@ object WarehouseFixture {
     src.rewriteSmallFiles("maint", "orders_bin",
       smallBytes = binBigBytes, targetBytes = Long.MaxValue / 4)
 
+    // - orders_evo: changelog ACROSS ADDITIVE SCHEMA EVOLUTION (r8) —
+    //   append, MoR-delete the %10 keys (so the diff's exceptAll branch
+    //   engages), ADD COLUMN o_disc, then append a wide key-shifted F
+    //   batch. The changelog (2, current] serves the diff in the evolved
+    //   schema: pre-evolution pre-images null-fill o_disc (q100)
+    src.createTable("maint", "orders_evo", orders.schema)               // 1
+    src.append("maint", "orders_evo", orders.repartition(2))            // 2
+    src.deleteMoR("maint", "orders_evo", col("o_orderkey") % 10 === 0)  // 3
+    src.evolveSchema("maint", "orders_evo",
+      graft.catalog.SchemaEvolve.addAt(orders.schema,
+        Seq("o_disc"), org.apache.spark.sql.types.LongType))            // 4
+    src.append("maint", "orders_evo",
+      orders.where(col("o_orderstatus") === "F")
+        .withColumn("o_orderkey", col("o_orderkey") + 4000000000L)
+        .withColumn("o_disc", col("o_orderkey") % 7)
+        .repartition(2))                                                // 5
+
     // - orders_cdceq: the streaming-CDC-across-equality-deletes shape
     //   (r8) — append the full table, a single-key eq delete (%10 keys),
     //   a COMPOSITE-key eq delete ((key, status) tuples: %7 F rows), then

@@ -1215,10 +1215,10 @@ final class SnapshotCatalog(
     if (fromFiles.diff(toFiles).isEmpty)
       readVisible(db, table, to, to.files.filterNot(fromFiles))
     else appendDeltaAcrossCompacts(db, table, fromId, toId, to).getOrElse {
-      requireOneSchema(db, table, "incremental read", from, to)
+      val fromAligned = alignEndpoints(db, table, "incremental read", from, to)
       val (removed, added) = changedFileSets(from, to)
       readVisible(db, table, to, added)
-        .exceptAll(readVisible(db, table, from, removed))
+        .exceptAll(readVisible(db, table, fromAligned, removed))
     }
   }
 
@@ -1278,17 +1278,53 @@ final class SnapshotCatalog(
       to.copy(files = emit.toSeq, deleteFiles = covUnion), emit.toSeq))
   }
 
-  /** Both endpoints must share one visible row type (nullability
-    * normalized: rewrites relax NOT NULL on parquet read-back, which
-    * changes no row's identity) — a row diff across a schema evolution
-    * has no single row type; fail loudly. */
-  private def requireOneSchema(db: String, table: String, what: String,
-      from: Snapshot, to: Snapshot): Unit = {
+  /** Can rows written under `from` be SERVED under `to` by the
+    * name-based parquet read — added columns null-filled, dropped columns
+    * simply not projected, widened types upcast at scan (recursively
+    * through structs/arrays/maps)? This is exactly the set of evolutions
+    * [[SchemaEvolve]]'s own DDL can produce, i.e. the histories
+    * readLatest already serves across. */
+  private def servableEvolution(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = (from, to) match {
+    case (f: StructType, t: StructType) =>
+      f.fields.forall { ff =>
+        t.fields.find(_.name == ff.name) match {
+          case Some(tf) => servableEvolution(ff.dataType, tf.dataType)
+          case None     => true // dropped: old pages are never projected
+        }
+      }
+    case (f: org.apache.spark.sql.types.ArrayType,
+          t: org.apache.spark.sql.types.ArrayType) =>
+      servableEvolution(f.elementType, t.elementType)
+    case (f: org.apache.spark.sql.types.MapType,
+          t: org.apache.spark.sql.types.MapType) =>
+      servableEvolution(f.keyType, t.keyType) &&
+        servableEvolution(f.valueType, t.valueType)
+    case (f, t) => f == t || SchemaEvolve.isSafeWidening(f, t)
+  }
+
+  /** Endpoint alignment for cross-snapshot row diffs (r8): identical
+    * visible schemas (nullability normalized: rewrites relax NOT NULL on
+    * parquet read-back, which changes no row's identity) pass through; an
+    * ADDITIVE/WIDENING evolution between the endpoints serves the diff in
+    * the `to` schema — the from-side files re-read under it, added
+    * columns null-filling and widened types upcasting exactly as
+    * readLatest serves pre-evolution files (Iceberg's changelog
+    * behavior). Only an INCOMPATIBLE change (narrowing, type crossing,
+    * drop-then-retype) still fails loudly — a row diff across one has no
+    * servable row type. */
+  private def alignEndpoints(db: String, table: String, what: String,
+      from: Snapshot, to: Snapshot): Snapshot = {
     def norm(s: StructType): String = s.toDDL.replace(" NOT NULL", "")
-    require(norm(from.schema) == norm(to.schema),
-      s"$what of $db.$table requires one schema at both endpoints: " +
-        s"snapshot ${from.snapshotId} is <${from.schema.toDDL}>, " +
-        s"${to.snapshotId} is <${to.schema.toDDL}>")
+    if (norm(from.schema) == norm(to.schema)) from
+    else {
+      require(servableEvolution(from.schema, to.schema),
+        s"$what of $db.$table spans an incompatible schema change: " +
+          s"snapshot ${from.snapshotId} is <${from.schema.toDDL}>, " +
+          s"${to.snapshotId} is <${to.schema.toDDL}> (only additive/widening " +
+          "evolution is servable; restart from the current snapshot)")
+      from.copy(schemaDdl = to.schemaDdl)
+    }
   }
 
   /** The files whose VISIBLE rows may differ between two snapshots — the
@@ -1331,15 +1367,16 @@ final class SnapshotCatalog(
     *     churn, not the table. Rows merely MOVED by a compact/z-order
     *     rewrite cancel out exactly (multiset semantics).
     *
-    * Requires an identical visible schema at both endpoints — a changelog
-    * across a schema evolution has no single row type; fail loudly. */
+    * Ranges spanning an ADDITIVE/WIDENING schema evolution serve the diff
+    * in the `to` schema ([[alignEndpoints]]); only incompatible changes
+    * fail loudly. */
   def readChangelog(db: String, table: String, fromId: Long, toId: Long): DataFrame = {
     require(fromId <= toId, s"fromId $fromId > toId $toId")
     val from = snapshotAt(db, table, fromId)
     val to = snapshotAt(db, table, toId)
-    requireOneSchema(db, table, "changelog", from, to)
+    val fromAligned = alignEndpoints(db, table, "changelog", from, to)
     val (removed, added) = changedFileSets(from, to)
-    val removedRows = readVisible(db, table, from, removed)
+    val removedRows = readVisible(db, table, fromAligned, removed)
     val addedRows = readVisible(db, table, to, added)
     import org.apache.spark.sql.functions.lit
     addedRows.exceptAll(removedRows).withColumn("_change_type", lit("insert"))

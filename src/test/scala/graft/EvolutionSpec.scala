@@ -113,6 +113,76 @@ class EvolutionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("last field"))
   }
 
+  test("changelog + incremental + changes stream span an additive evolution") {
+    // r8: a CDC range spanning the engine's OWN DDL (ADD COLUMN, type
+    // widening) serves the diff in the `to` schema — pre-evolution
+    // pre-images null-fill added columns, widened values upcast — instead
+    // of refusing; only an incompatible change (drop-then-retype) still
+    // fails, actionably.
+    val cat = freshCatalog()
+    val df0 = Seq((1L, "a"), (2L, "b"), (10L, "k")).toDF("id", "v")
+    cat.createTable("db", "ev", df0.schema)                    // 1
+    cat.append("db", "ev", df0)                                // 2
+    cat.deleteMoR("db", "ev", col("id") === 10L)               // 3: coverage change
+    cat.evolveSchema("db", "ev",
+      SchemaEvolve.addAt(df0.schema, Seq("n"), LongType))      // 4: ADD COLUMN
+    cat.append("db", "ev", Seq((3L, "c", 30L)).toDF("id", "v", "n")) // 5
+    // changelog across the evolution: served in the TO schema, the
+    // pre-evolution delete pre-image null-fills n
+    val ch = cat.readChangelog("db", "ev", 2, 5)
+      .select("_change_type", "id", "v", "n")
+      .as[(String, Long, String, Option[Long])].collect().sortBy(r => (r._2, r._1)).toSeq
+    assert(ch == Seq(("insert", 3L, "c", Some(30L)), ("delete", 10L, "k", None)),
+      ch.toString)
+    // incremental across the evolution (the exceptAll fallback branch —
+    // coverage changed in range)
+    val inc = cat.readIncremental("db", "ev", 2, 5)
+      .select("id", "n").as[(Long, Option[Long])].collect().toSeq
+    assert(inc == Seq((3L, Some(30L))), inc.toString)
+    // the changes STREAM across the evolution: old commits' rows serve
+    // under the current schema (n null-filled), the evolution commit
+    // itself is a no-op batch
+    sqlCat(cat, "evo5")
+    val q = spark.readStream.option("starting-snapshot-id", "1")
+      .table("evo5.db.ev.changes")
+      .writeStream.format("memory").queryName("evo_feed").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val feed = spark.table("evo_feed")
+      .select("_change_type", "id", "v", "n")
+      .as[(String, Long, String, Option[Long])].collect()
+      .sortBy(r => (r._2, r._1)).toSeq
+    assert(feed == Seq(("insert", 1L, "a", None), ("insert", 2L, "b", None),
+      ("insert", 3L, "c", Some(30L)), ("delete", 10L, "k", None),
+      ("insert", 10L, "k", None)), feed.toString)
+    // WIDENING endpoints: narrow files' pre-images upcast in the diff
+    val n0 = Seq((1, 1.5f), (2, 2.5f)).toDF("k", "v")
+    cat.createTable("db", "ev2", n0.schema)                     // 1
+    cat.append("db", "ev2", n0)                                 // 2
+    cat.evolveSchema("db", "ev2",
+      SchemaEvolve.widenAt(SchemaEvolve.widenAt(n0.schema,
+        Seq("k"), LongType), Seq("v"), DoubleType))             // 3
+    cat.deleteMoR("db", "ev2", col("k") === 1L)                 // 4
+    val ch2 = cat.readChangelog("db", "ev2", 2, 4)
+      .select("_change_type", "k", "v").as[(String, Long, Double)].collect().toSeq
+    assert(ch2 == Seq(("delete", 1L, 1.5d)), ch2.toString)
+    // INCOMPATIBLE endpoints (drop then re-add retyped): refuse, actionably
+    val d0 = Seq((1L, "x")).toDF("id", "s")
+    cat.createTable("db", "ev3", d0.schema)                     // 1
+    cat.append("db", "ev3", d0)                                 // 2
+    cat.evolveSchema("db", "ev3",
+      SchemaEvolve.dropAt(d0.schema, Seq("s")), allowDrop = true) // 3
+    cat.compact("db", "ev3", 1)            // 4: files rewritten post-drop
+    cat.evolveSchema("db", "ev3",
+      SchemaEvolve.addAt(StructType(Seq(StructField("id", LongType))),
+        Seq("s"), LongType))                                    // 5: s STRING->BIGINT
+    cat.append("db", "ev3", Seq((2L, 20L)).toDF("id", "s"))     // 6
+    val e = intercept[IllegalArgumentException] {
+      cat.readChangelog("db", "ev3", 2,
+        cat.currentSnapshot("db", "ev3").snapshotId).collect()
+    }
+    assert(e.getMessage.contains("incompatible schema change"), e.getMessage)
+  }
+
   test("partition spec evolution: new spec for new snapshots, exact mixed reads") {
     val cat = freshCatalog()
     val a = Seq((1L, "x", "p1"), (2L, "y", "p2"), (3L, "x", "p1")).toDF("id", "cat", "part")

@@ -868,11 +868,18 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(cl(2, 6) == Set((2L, "b", "delete"), (3L, "c", "delete"),
       (3L, "C", "insert"), (5L, "e", "insert")))
     assert(cl(2, 2).isEmpty)
-    // schema evolution across the range fails loudly
+    // ADDITIVE schema evolution across the range serves in the TO schema
+    // (r8): the evolution commit itself changes no rows, and a range
+    // spanning it emits pre-evolution rows with the added column null
     cat.evolveSchema("db", "t",
       cat.currentSnapshot("db", "t").schema.add("w", "string"))          // 7
-    val e = intercept[IllegalArgumentException](cat.readChangelog("db", "t", 6, 7))
-    assert(e.getMessage.contains("schema"), e.getMessage)
+    assert(cat.readChangelog("db", "t", 6, 7).isEmpty,
+      "the evolution commit alone changes no rows")
+    val evolved = cat.readChangelog("db", "t", 4, 7)
+    assert(evolved.schema.fieldNames.contains("w"), "diff serves in the TO schema")
+    assert(evolved.select("id", "w", "_change_type")
+      .as[(Long, Option[String], String)].collect().toSet ==
+      Set((5L, None, "insert")), "pre-evolution insert null-fills w")
   }
 
 }
