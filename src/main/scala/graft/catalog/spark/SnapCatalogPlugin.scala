@@ -932,6 +932,27 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     override def hashCode(): Int = delegate.hashCode()
   }
 
+  /** Resolve a STREAM's checkpointed start offset to its snapshot,
+    * surfacing expiry actionably (r8): `expireSnapshots` may have removed
+    * the snapshot a resumed checkpoint's high-water points at, and the
+    * raw not-found error gives an operator nothing to act on. The message
+    * names the earliest retained snapshot and both recovery paths. */
+  private def resolveStreamStart(db: String, table: String, id: Long,
+      what: String): Snapshot =
+    try cat.snapshotAt(db, table, id)
+    catch {
+      case _: NoSuchElementException =>
+        val retained = cat.entryLog(db, table).map(_.snapshotId)
+        throw new IllegalStateException(
+          s"$what of $db.$table: checkpointed offset points at snapshot $id, " +
+            s"which has been EXPIRED (earliest retained: " +
+            s"${retained.headOption.getOrElse(-1L)}, current head: " +
+            s"${retained.lastOption.getOrElse(-1L)}). Restart the stream " +
+            "from the current snapshot with a FRESH checkpoint, or full-" +
+            "backfill first (batch-read the table, then stream from the " +
+            "snapshot that read served)")
+    }
+
   /** Micro-batch tail of a table's APPEND commits: offsets are snapshot
     * ids, and a batch (start, end] reads exactly the files those appends
     * added — the streaming face of [[SnapshotCatalog.readIncremental]],
@@ -1028,12 +1049,16 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       val toSnap = cat.snapshotAt(db, table, e)
       val inRange = cat.mainLineage(db, table)
         .filter(en => en.snapshotId > s && en.snapshotId <= e)
-      var prevSnap = cat.snapshotAt(db, table, s)
+      var prevSnap = resolveStreamStart(db, table, s, "streaming read")
       var prevFiles = prevSnap.files.toSet
       val emit = scala.collection.mutable.ArrayBuffer.empty[String]
       val emitSet = scala.collection.mutable.HashSet.empty[String]
       val frozenCov = scala.collection.mutable.HashMap
         .empty[String, Seq[graft.catalog.DeleteFile]]
+      // outputs of in-range compacts that re-homed EMITTED rows: a later
+      // delete covering one of these is invisible to the frozen-coverage
+      // reads of the originals — the one exactness hole the walk has
+      val tainted = scala.collection.mutable.HashSet.empty[String]
       for (en <- inRange) {
         val snap = cat.snapshotAt(db, table, en.snapshotId)
         val files = snap.files.toSet
@@ -1047,10 +1072,33 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
               "the stream from the current snapshot")
           for (f <- goneHere if emitSet.contains(f))
             frozenCov(f) = prevSnap.deleteFiles.filter(_.covers.contains(f))
+          if (goneHere.exists(f => emitSet.contains(f) || tainted.contains(f)))
+            tainted ++= files.diff(prevFiles) // this compact's outputs
         } else if (snap.operation != "compact") {
           val addedHere = snap.files.filterNot(prevFiles)
           emit ++= addedHere
           emitSet ++= addedHere
+        }
+        // delete-after-compact guard (the stream face of the batch
+        // appendDeltaAcrossCompacts exactness rule, r8): a delete commit
+        // whose NEW shards cover a tainted compact output kills rows this
+        // stream serves from their ORIGINAL files under coverage frozen
+        // BEFORE the delete — a row appended and deleted inside this
+        // range would be emitted, violating the never-emitted guarantee.
+        // Deletes covering live originals (frozen later or covered at
+        // `e`) and deletes of purely pre-range compact outputs stay
+        // exact and keep flowing. The batch path silently falls back to
+        // the exact row diff; a stream cannot, so fail loudly.
+        if (tainted.nonEmpty) {
+          val prevShards = prevSnap.deleteFiles.map(_.path).toSet
+          val newShards = snap.deleteFiles.filterNot(d => prevShards(d.path))
+          if (newShards.exists(_.covers.keysIterator.exists(tainted)))
+            throw new IllegalStateException(
+              s"streaming read of $db.$table ($s, $e]: commit ${en.snapshotId} " +
+                "added delete files after an in-range compact swallowed " +
+                "emitted appends - frozen coverage cannot prove those rows' " +
+                "visibility; restart the stream from the current snapshot " +
+                "(or consume the batch db.t.changes diff for this range)")
         }
         prevSnap = snap
         prevFiles = files
@@ -1288,7 +1336,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         }
       }
       val inRange = lineage.filter(en => en.snapshotId > s && en.snapshotId <= e)
-      var prevSnap = cat.snapshotAt(db, table, s)
+      var prevSnap = resolveStreamStart(db, table, s, "changes stream")
       var prevFiles = prevSnap.files.toSet
       val parts = Seq.newBuilder[InputPartition]
       for (en <- inRange) {

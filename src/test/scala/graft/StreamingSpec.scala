@@ -505,6 +505,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(state("d") == Seq((2L, "B"), (3L, "c")))
   }
 
+  test("stream fails loudly when a delete lands after an in-range compact") {
+    // The delete-after-compact exactness hole (r8): a compact inside a
+    // batch range swallows emitted appends and freezes their coverage;
+    // a LATER in-range delete targets the re-homed copies, which frozen
+    // coverage cannot see — the batch path falls back to the exact row
+    // diff, a stream must refuse actionably instead of emitting rows that
+    // were appended AND deleted inside the range.
+    import graft.catalog.SnapshotCatalog
+    val wh = Files.createTempDirectory("graft_dac_").toString
+    val cat = new SnapshotCatalog(spark, wh)
+    val df0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    cat.createTable("db", "dac", df0.schema)
+    cat.append("db", "dac", df0) // 2
+    spark.conf.set("spark.sql.catalog.snapdac", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapdac.warehouse", wh)
+    val ckpt = Files.createTempDirectory("graft_dac_ck_").toString
+    val out = Files.createTempDirectory("graft_dac_out_").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table("snapdac.db.dac")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // checkpoint at offset 2
+    cat.append("db", "dac", Seq((3L, "c"), (4L, "d")).toDF("id", "v")) // 3
+    cat.compact("db", "dac", numFiles = 1)                             // 4 swallows 3's files
+    cat.deleteMoR("db", "dac", col("id") === 3L)                       // 5 targets re-homed copy
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { drain() }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("after an in-range compact"), msg)
+    assert(msg.contains("restart the stream"), msg)
+  }
+
+  test("resume from an expired snapshot surfaces an actionable error; re-checkpoint recovers") {
+    import graft.catalog.SnapshotCatalog
+    val wh = Files.createTempDirectory("graft_exp_").toString
+    val cat = new SnapshotCatalog(spark, wh)
+    val df0 = Seq((1L, "a")).toDF("id", "v")
+    cat.createTable("db", "ex", df0.schema)
+    cat.append("db", "ex", df0) // 2
+    spark.conf.set("spark.sql.catalog.snapex", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapex.warehouse", wh)
+    val ckpt = Files.createTempDirectory("graft_exp_ck_").toString
+    val out = Files.createTempDirectory("graft_exp_out_").toString
+    def drain(ck: String): Unit = {
+      val q = spark.readStream.table("snapex.db.ex")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ck).option("path", out)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain(ckpt) // checkpoint high-water = snapshot 2
+    cat.append("db", "ex", Seq((2L, "b")).toDF("id", "v")) // 3
+    cat.append("db", "ex", Seq((3L, "c")).toDF("id", "v")) // 4
+    cat.expireSnapshots("db", "ex", keepLast = 1)          // snapshot 2 gone
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { drain(ckpt) }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("EXPIRED"), msg)
+    assert(msg.contains("FRESH checkpoint"), msg)
+    // recovery: a fresh checkpoint tails from the current snapshot
+    val ckpt2 = Files.createTempDirectory("graft_exp_ck2_").toString
+    drain(ckpt2)
+    cat.append("db", "ex", Seq((4L, "d")).toDF("id", "v"))
+    drain(ckpt2)
+    val got = spark.read.parquet(out.toString).select("id").as[Long].collect().sorted.toSeq
+    // the recovered stream tails from the current snapshot and delivers
+    // the post-recovery append (the pre-expiry backlog is the backfill's
+    // job, as the error message directs)
+    assert(got == Seq(4L), got.toString)
+  }
+
   test("cascaded CDC: a replica built by the apply sink serves its own .changes stream") {
     // The r8 closure of the CDC loop: source --.changes--> applyCdcEpoch
     // replica --.changes--> second replica. The apply sink writes
