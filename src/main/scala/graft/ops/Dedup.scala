@@ -206,7 +206,8 @@ object Dedup {
     // pays ~R jobs of fixed overhead regardless of size. When the edge
     // count fits a HARD driver bound (2 x 2M directed edges ≈ 64 MB of
     // longs — the same bounded-materialization discipline as the IVF
-    // training sample), one collect + union-find replaces the loop;
+    // training sample), one streamed primitive-array ingest + union-find
+    // replaces the loop;
     // graphs past the bound keep the distributed propagation, the only
     // option at scale. Integral same-typed ids only (the driver's min
     // must equal the engine's).
@@ -214,9 +215,24 @@ object Dedup {
     val integral = idTypes.distinct.size == 1 && idTypes.forall(t =>
       t == org.apache.spark.sql.types.LongType ||
         t == org.apache.spark.sql.types.IntegerType)
-    if (integral && driverMaxPairs > 0 && edges.count() <= 2 * driverMaxPairs) {
-      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nDirected = edges.count()
+    if (integral && driverMaxPairs > 0 && nDirected <= 2 * driverMaxPairs &&
+        nDirected <= Int.MaxValue) {
+      // primitive-array ingest, NOT collect(): collect materializes every
+      // edge as a schema-carrying Row (two boxed Longs + object headers,
+      // ~40x the 16 payload bytes — hundreds of MB transient at the 4M
+      // bound). toLocalIterator streams one partition of Rows at a time
+      // into two pre-sized Array[Long]s, so peak driver footprint is the
+      // ~64 MB of longs the bound was sized for plus a single partition.
+      val srcA = new Array[Long](nDirected.toInt)
+      val dstA = new Array[Long](nDirected.toInt)
+      val it = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .toLocalIterator()
+      var nEdges = 0
+      while (it.hasNext) {
+        val r = it.next()
+        srcA(nEdges) = r.getLong(0); dstA(nEdges) = r.getLong(1); nEdges += 1
+      }
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -225,10 +241,13 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      es.foreach { case (a, b) =>
+      var ei = 0
+      while (ei < nEdges) {
+        val a = srcA(ei); val b = dstA(ei)
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
+        val ra = find(a); val rb = find(b)
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        ei += 1
       }
       // second pass pins every member to its component MINIMUM — the same
       // output contract as the propagation loop

@@ -103,17 +103,55 @@ object Multimodal {
           } else {
             val (w, h) = (img.getWidth, img.getHeight)
             val hist = new Array[Float](8)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                val lum = (((rgb >> 16) & 0xFF) * 299 +
-                  ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
-                hist(math.min(7, lum >> 5)) += 1f
-                x += 1
+            // Row-wise raster reads, not per-pixel getRGB(x,y): each
+            // per-pixel call pays sync + bounds + tile lookup + a boxed
+            // ColorModel conversion — 2-5x of the decode cost on
+            // megapixel crawl images. For the standard sRGB layouts
+            // (what ImageIO actually produces for PNG/JPEG/BMP:
+            // 3BYTE_BGR / 4BYTE_ABGR / INT_RGB / INT_ARGB) the stored
+            // components ARE getRGB's components (non-premultiplied
+            // sRGB, band order R,G,B[,A] regardless of byte layout), so
+            // reading the raster directly is bit-identical by
+            // construction. Everything else (palette GIFs, gray — where
+            // gray->sRGB is NOT the identity) goes through bulk
+            // row-getRGB: same ColorModel semantics, call overhead
+            // amortized across the row.
+            import java.awt.image.BufferedImage._
+            val fastBands = img.getType match {
+              case TYPE_3BYTE_BGR | TYPE_INT_RGB   => 3
+              case TYPE_4BYTE_ABGR | TYPE_INT_ARGB => 4
+              case _                               => 0
+            }
+            if (fastBands > 0) {
+              val raster = img.getRaster
+              val row = new Array[Int](w * fastBands)
+              var y = 0
+              while (y < h) {
+                raster.getPixels(0, y, w, 1, row)
+                var x = 0
+                while (x < w) {
+                  val o = x * fastBands
+                  val lum = (row(o) * 299 + row(o + 1) * 587 + row(o + 2) * 114) / 1000
+                  hist(math.min(7, lum >> 5)) += 1f
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+            } else {
+              val row = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                img.getRGB(0, y, w, 1, row, 0, w)
+                var x = 0
+                while (x < w) {
+                  val rgb = row(x)
+                  val lum = (((rgb >> 16) & 0xFF) * 299 +
+                    ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+                  hist(math.min(7, lum >> 5)) += 1f
+                  x += 1
+                }
+                y += 1
+              }
             }
             val n = (w.toLong * h).toFloat
             var i = 0

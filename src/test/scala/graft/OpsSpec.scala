@@ -315,6 +315,34 @@ class OpsSpec extends AnyFunSuite {
     assert(!bad.decoded && bad.n_bytes == 12L && bad.feature.length == 8)
   }
 
+  test("image decode: raster fast path bit-identical to the ColorModel path") {
+    // the same pixel content encoded as PNG (decodes to a standard sRGB
+    // layout -> raster fast path) and as GIF (decodes to a palette image
+    // -> bulk-getRGB ColorModel fallback; palette entries store the exact
+    // sRGB ints, so both encodings carry identical pixels). A histogram
+    // mismatch means one of the two read paths diverged from getRGB
+    // semantics.
+    def encode(fmt: String, px: (Int, Int) => Int): Array[Byte] = {
+      val (w, h) = (37, 23) // odd sizes: no stride/padding luck
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // <=256 distinct colors so GIF is lossless: gray ramp from a cheap PRNG
+    val px = (x: Int, y: Int) => { val g = (x * 31 + y * 97) % 256; (g << 16) | (g << 8) | g }
+    val media = Seq(
+      (1L, "image", encode("png", px)),
+      (2L, "image", encode("gif", px))).toDF("doc_id", "modality", "payload")
+    val got = Multimodal.decodeImages(spark, media, batchSize = 2)
+      .collect().sortBy(_.doc_id)
+    assert(got.forall(_.decoded))
+    assert(got(0).feature.toSeq == got(1).feature.toSeq,
+      s"png=${got(0).feature.toSeq} gif=${got(1).feature.toSeq}")
+  }
+
   test("SQL-registered kernel functions match their Column forms exactly") {
     graft.catalog.spark.GraftSqlFunctions.register(spark)
     docs.limit(200).createOrReplaceTempView("fn_docs")
