@@ -57,53 +57,67 @@ object Similarity {
     * driver (the sidecar layer is what must then serve). */
   private[graft] def clearCentroidCacheForTest(): Unit = centroidCache.clear()
 
-  private def sidecarDir(df: DataFrame): Option[java.nio.file.Path] =
-    df.sparkSession.conf.getOption("spark.graft.ivf.centroidDir")
-      .filter(_.nonEmpty).map(java.nio.file.Paths.get(_))
+  /** Per-session override of WHERE sidecars live — the deployment hook
+    * for catalogs whose warehouse is an object store
+    * ([[graft.catalog.ObjectStorePointerLogStore]]): no shared
+    * filesystem exists there, so artifact persistence must ride the
+    * same store, via [[graft.catalog.ObjectSidecarStore]]. Weak keys:
+    * a GC'd session drops its registration. Takes precedence over the
+    * `spark.graft.ivf.centroidDir` filesystem conf. */
+  private val sessionSidecarStores = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      graft.catalog.SidecarStore]())
 
-  /** Sidecar file of a cache key: name = sha-1 of the key (keys embed
-    * file-list hashes and are not filename-safe); the FULL key is stored
-    * inside and re-checked on load, so a hash collision degrades to a
-    * retrain, never to wrong centroids. */
-  private def sidecarPath(dir: java.nio.file.Path, key: String): java.nio.file.Path = {
+  def useSidecarStore(spark: org.apache.spark.sql.SparkSession,
+      store: graft.catalog.SidecarStore): Unit =
+    sessionSidecarStores.put(spark, store)
+
+  /** Drop a session's registration (falls back to the filesystem conf). */
+  def clearSidecarStore(spark: org.apache.spark.sql.SparkSession): Unit =
+    sessionSidecarStores.remove(spark)
+
+  private def sidecarStore(df: DataFrame): Option[graft.catalog.SidecarStore] =
+    Option(sessionSidecarStores.get(df.sparkSession)).orElse(
+      df.sparkSession.conf.getOption("spark.graft.ivf.centroidDir")
+        .filter(_.nonEmpty)
+        .map(d => new graft.catalog.FileSidecarStore(java.nio.file.Paths.get(d))))
+
+  /** Sidecar name of a cache key: sha-1 of the key (keys embed file-list
+    * hashes and are not name-safe); the FULL key is stored inside and
+    * re-checked on load, so a hash collision degrades to a retrain,
+    * never to wrong centroids. */
+  private def sidecarName(key: String): String = {
     val sha = java.security.MessageDigest.getInstance("SHA-1")
       .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
-    dir.resolve(s"ivf-$sha.json")
+    s"ivf-$sha.json"
   }
 
   private def loadSidecarCentroids(df: DataFrame, key: String): Option[Seq[Array[Double]]] =
-    sidecarDir(df).flatMap { dir =>
-      val p = sidecarPath(dir, key)
-      if (!java.nio.file.Files.exists(p)) None
-      else scala.util.Try {
-        val o = graft.catalog.Json.parse(java.nio.file.Files.readString(p))
-          .asInstanceOf[graft.catalog.JObj]
-        if (o.str("key") != key) None // collision: retrain honestly
-        else Some(o.arr("centroids").map {
-          case graft.catalog.JArr(vs) =>
-            vs.map { case graft.catalog.JNum(d) => d }.toArray
-          case other => throw new IllegalStateException(s"bad centroid row: $other")
-        })
+    sidecarStore(df).flatMap { st =>
+      scala.util.Try {
+        st.read(sidecarName(key)).flatMap { txt =>
+          val o = graft.catalog.Json.parse(txt).asInstanceOf[graft.catalog.JObj]
+          if (o.str("key") != key) None // collision: retrain honestly
+          else Some(o.arr("centroids").map {
+            case graft.catalog.JArr(vs) =>
+              vs.map { case graft.catalog.JNum(d) => d }.toArray
+            case other => throw new IllegalStateException(s"bad centroid row: $other")
+          })
+        }
       }.toOption.flatten // unreadable/corrupt sidecar: retrain, never fail the query
     }
 
   private def writeSidecarCentroids(df: DataFrame, key: String,
       cents: Seq[Array[Double]]): Unit =
-    sidecarDir(df).foreach { dir =>
+    sidecarStore(df).foreach { st =>
       scala.util.Try {
-        java.nio.file.Files.createDirectories(dir)
         val json = graft.catalog.Json.write(graft.catalog.Json.obj(
           "key" -> graft.catalog.Json.str(key),
           "centroids" -> graft.catalog.JArr(cents.toVector.map(c =>
             graft.catalog.JArr(c.toVector.map(graft.catalog.Json.num)): graft.catalog.JValue))))
-        val p = sidecarPath(dir, key)
-        val tmp = p.resolveSibling(p.getFileName.toString + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-        java.nio.file.Files.writeString(tmp, json)
-        java.nio.file.Files.move(tmp, p,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } // best-effort: a read-only dir must not fail the query
+        st.write(sidecarName(key), json)
+      } // best-effort: a read-only deployment must not fail the query
     }
 
   /** Content-identity token of a corpus frame, when provable from the

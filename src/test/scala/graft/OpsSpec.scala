@@ -183,6 +183,41 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ivf.centroidDir")
   }
 
+  test("IVF centroids persist across drivers on the object-store deployment") {
+    // the ObjectStorePointerLogStore catalog shape: the warehouse IS the
+    // store and no shared filesystem exists, so centroid sidecars must
+    // ride the same store — via the SidecarStore seam, not a path conf
+    val store = new graft.catalog.InMemoryObjectStore
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfos_").toString
+    val cat = new graft.catalog.SnapshotCatalog(spark, wh,
+      mutex = new graft.catalog.CasCommitMutex,
+      log = new graft.catalog.ObjectStorePointerLogStore(store))
+    cat.createTable("db", "vecs", emb.select("vec_id", "embedding").schema)
+    cat.append("db", "vecs", emb.select("vec_id", "embedding"))
+    val corpus = cat.readLatest("db", "vecs")
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def run() =
+      Similarity.ivfTopK(corpus, "vec_id", "embedding", queries, "qid", "qvec",
+        k = 5, nlist = 8, nprobe = 3, iters = 2, sampleMod = 11)
+    Similarity.useSidecarStore(spark, new graft.catalog.ObjectSidecarStore(store))
+    try {
+      Similarity.clearCentroidCacheForTest()
+      val t0 = Similarity.ivfTrainingCount
+      val r1 = run().as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(Similarity.ivfTrainingCount == t0 + 1, "cold: trains, spills to the store")
+      // FRESH DRIVER simulated: in-memory tier gone AND a brand-new
+      // SidecarStore instance over the same object store — exactly what
+      // a new driver on this deployment constructs
+      Similarity.clearCentroidCacheForTest()
+      Similarity.useSidecarStore(spark, new graft.catalog.ObjectSidecarStore(store))
+      val r2 = run().as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(Similarity.ivfTrainingCount == t0 + 1,
+        "store-resident sidecar serves a fresh driver with zero training collects")
+      assert(r2 == r1, "persisted centroids reproduce the exact results")
+    } finally Similarity.clearSidecarStore(spark)
+  }
+
   test("near-dup clustering: transitive closure with min representative") {
     // chain 1-2-3 (needs >1 propagation round), a pair, and a triangle
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
