@@ -84,15 +84,19 @@ object Bench {
     // cap let 9 inflated entries through (q80 recorded 2.5x its isolated
     // time) because a noisy session can rank >12 suspects and a re-run
     // taken while neighbors' GC/JIT churn is still settling can itself
-    // come back inflated. Each pass re-runs EVERY remaining >2x suspect,
+    // come back inflated. Each pass re-runs EVERY remaining suspect,
     // folds in the minima, and re-compares the corrected results against
     // prior; the loop ends when no suspect remains or after a bounded
-    // number of PASSES (not suspect count) — a query still >2x prior
+    // number of PASSES (not suspect count) — a query still over prior
     // after repeated isolated re-runs is a real regression and must keep
     // its honest number.
+    // r8: trigger at 1.35x of prior, not 2x — the r7 2x trigger left
+    // 1.3-2x session-noise residue in the artifact (q97 recorded 1.60x,
+    // q98 1.44x of their isolated times and were never re-run). The
+    // 0.25s absolute floor stays so micro-queries don't churn the pass.
     def suspectsOf(res: Seq[(String, Either[String, Double])]): Seq[String] =
       res.collect {
-        case (name, Right(v)) if prior.get(name).exists(p => v > 2 * p && v - p > 0.25) =>
+        case (name, Right(v)) if prior.get(name).exists(p => v > 1.35 * p && v - p > 0.25) =>
           (name, v / prior(name))
       }.sortBy(-_._2).map(_._1)
     val inflatedNames = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -119,7 +123,7 @@ object Bench {
       todo = suspectsOf(finalResults)
     }
     if (todo.nonEmpty)
-      System.err.println(s"[bench] still >2x prior after $pass isolated passes " +
+      System.err.println(s"[bench] still >1.35x prior after $pass isolated passes " +
         s"(real regressions, kept): ${todo.mkString(", ")}")
     // 3-decimal rounding keeps the single JSON line compact (a ~90-query
     // full-precision line risks the driver's tail-capture truncating it)
@@ -141,6 +145,13 @@ object Bench {
     // ratchet upward — the printed line above stays this run's honest
     // numbers. Queries no longer in the suite drop from the floor.
     if (only.isEmpty) {
+      // the HONEST run line, full-precision, committed beside the floor:
+      // the driver's per-round capture head-truncates the printed line,
+      // which made r7's honest total unrecoverable from the repo alone.
+      // This file is this run's numbers verbatim — never min-folded.
+      scala.util.Try(java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"BENCH_RUN_$sfName.json"),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       val floor = finalResults.map {
         case (k, Right(v)) =>
           k -> Right(prior.get(k).map(math.min(_, v)).getOrElse(v))

@@ -1415,8 +1415,9 @@ final class SnapshotCatalog(
     * mode of the migration data plane (`5_migrate_tables_data.py:80-83`).
     * Prior snapshots stay readable (their files are never deleted), which is
     * exactly what keeps time travel valid. */
-  def overwrite(db: String, table: String, df: DataFrame): Snapshot =
-    commit(db, table, df, "overwrite")
+  def overwrite(db: String, table: String, df: DataFrame,
+      extraSummary: Map[String, String] = Map.empty): Snapshot =
+    commit(db, table, df, "overwrite", extraSummary = extraSummary)
 
   /** ZERO-COPY file adoption (Iceberg `add_files`; the migration data plane
     * without the rewrite): move externally-written parquet files into the
@@ -2740,6 +2741,16 @@ final class SnapshotCatalog(
   def stageAppend(db: String, table: String, df: DataFrame,
       extraSummary: Map[String, String] = Map.empty): Snapshot =
     append(db, table, df, extraSummary + ("wap.staged" -> "true"))
+
+  /** Stage an OVERWRITE for audit — same gate as [[stageAppend]], for the
+    * replace-the-table write shape (Iceberg stages overwrites under WAP
+    * too). The staged entry carries the would-be replacement state in
+    * full; current readers keep serving the pre-overwrite head until
+    * [[publishStaged]] re-points at it (a pure pointer commit), and
+    * [[discardStaged]] restores the head as if the overwrite never ran. */
+  def stageOverwrite(db: String, table: String, df: DataFrame,
+      extraSummary: Map[String, String] = Map.empty): Snapshot =
+    overwrite(db, table, df, extraSummary + ("wap.staged" -> "true"))
 
   /** Publish a staged snapshot: one pointer-log entry re-pointing current
     * state at the staged snapshot's manifests — O(KB) regardless of data

@@ -180,13 +180,18 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             // SQL schema; every write derives it here
             val tm = cat.meta(db, table)
             val frame = if (tm.bucketSpec.isDefined) cat.bucketize(db, table, data) else data
-            if (overwriteAll) cat.overwrite(db, table, frame)
             // write-audit-publish from SQL (Iceberg's write.wap.enabled
-            // pattern): with the property set, INSERT INTO commits a
-            // STAGED snapshot — durable, addressable by id, invisible to
-            // every current-state reader until CALL system.publish_staged
-            else if (tm.properties.get("write.wap.enabled").contains("true"))
-              cat.stageAppend(db, table, frame)
+            // pattern): with the property set, INSERT INTO — and INSERT
+            // OVERWRITE, which replaces MORE state and needs the audit
+            // gate at least as much — commits a STAGED snapshot: durable,
+            // addressable by id, invisible to every current-state reader
+            // until CALL system.publish_staged
+            val wap = tm.properties.get("write.wap.enabled").contains("true")
+            if (overwriteAll) {
+              if (wap) cat.stageOverwrite(db, table, frame)
+              else cat.overwrite(db, table, frame)
+            }
+            else if (wap) cat.stageAppend(db, table, frame)
             else cat.append(db, table, frame)
           }
         }

@@ -222,6 +222,33 @@ class ProcedureSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS c FROM proccat.db.wapq").head.getLong(0) == 3L)
   }
 
+  test("INSERT OVERWRITE stages under write.wap.enabled too") {
+    // an overwrite replaces MORE state than an append, so bypassing the
+    // audit gate there (what the plugin did before) would let exactly the
+    // most destructive SQL write skip write-audit-publish
+    wh
+    import spark.implicits._
+    val t = Seq((1L, "base"), (2L, "base")).toDF("id", "v")
+    cat.createTable("db", "wapo", t.schema)
+    cat.append("db", "wapo", t)
+    spark.sql("ALTER TABLE proccat.db.wapo SET TBLPROPERTIES('write.wap.enabled'='true')")
+    spark.sql("INSERT OVERWRITE proccat.db.wapo VALUES (9, 'replacement')")
+    // pre-overwrite state keeps serving until the audit publishes…
+    assert(spark.sql("SELECT count(*) AS c FROM proccat.db.wapo").head.getLong(0) == 2L)
+    val staged = cat.pendingStagedId("db", "wapo").get
+    assert(spark.sql(
+      s"SELECT v FROM proccat.db.wapo VERSION AS OF $staged")
+      .as[String].collect().toSeq == Seq("replacement"))
+    spark.sql("CALL proccat.system.publish_staged('db.wapo')").collect()
+    assert(spark.sql("SELECT id FROM proccat.db.wapo")
+      .as[Long].collect().toSeq == Seq(9L))
+    // a failed-audit overwrite discards back to the published head
+    spark.sql("INSERT OVERWRITE proccat.db.wapo VALUES (777, 'bad')")
+    spark.sql("CALL proccat.system.discard_staged('db.wapo')").collect()
+    assert(spark.sql("SELECT id FROM proccat.db.wapo")
+      .as[Long].collect().toSeq == Seq(9L))
+  }
+
   test("error shapes: unknown procedure, wrong namespace, malformed table") {
     wh
     // Spark wraps loadProcedure failures as FAILED_TO_LOAD_ROUTINE with the
