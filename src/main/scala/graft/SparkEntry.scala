@@ -823,6 +823,21 @@ object SparkEntry {
         .orderBy("_change_type", "o_orderstatus")
     }),
 
+    // per-file BLOOM data skipping (r8): point lookups through a
+    // bloom-armed table whose two files fully OVERLAP in o_orderkey
+    // range (evens/odds) — min/max can never exclude a file there, so
+    // any skipping is the bloom sidecars' (file counts asserted in
+    // BloomSkippingSpec); this oracles that the bloom-armed read path
+    // returns exactly the right rows, absent keys contributing nothing.
+    "q101_bloom_point_lookup" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      val snapId = fx.src.currentSnapshot("maint", "orders_bloom").snapshotId
+      fx.src.readWhere("maint", "orders_bloom", snapId,
+        col("o_orderkey").isin(2L, 7L, 32L, 33L, 4000000123L))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // streaming CDC across EQUALITY-delete commits (r8): the `.changes`
     // STREAM (run synchronously to a memory sink) serves a history whose
     // middle two commits are zero-scan eq deletes — one single-key, one
@@ -2137,6 +2152,11 @@ object SparkEntry {
         |  CAST(sum(disc) AS BIGINT) AS disc_sum
         |FROM feed GROUP BY _change_type, o_orderstatus
         |ORDER BY _change_type, o_orderstatus""".stripMargin,
+
+    "q101_bloom_point_lookup" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey IN (2, 7, 32, 33, 4000000123)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // the full streamed feed restated: inserts from both appends, the
     // %10-key eq delete's pre-images, and the composite-key delete's

@@ -267,6 +267,18 @@ object WarehouseFixture {
     src.append("maint", "orders_bykey",
       orders.repartitionByRange(4, col("o_orderkey")))
 
+    // - orders_bloom: bloom-armed point-lookup table (r8) — two appends
+    //   with fully OVERLAPPING o_orderkey ranges (evens/odds), so min/max
+    //   bounds can never exclude a file and only the per-file bloom
+    //   sidecars skip (q101; the skip itself is asserted in
+    //   BloomSkippingSpec — the oracle proves result exactness)
+    src.createTable("maint", "orders_bloom", orders.schema,
+      properties = Map(graft.catalog.BloomStats.PropCols -> "o_orderkey"))
+    src.append("maint", "orders_bloom",
+      orders.where(col("o_orderkey") % 2 === 0).repartition(1))
+    src.append("maint", "orders_bloom",
+      orders.where(col("o_orderkey") % 2 === 1).repartition(1))
+
     // - orders_z: z-order-clustered on (o_orderkey, o_custkey) so BOTH
     //   key dimensions skip files (q56)
     src.createTable("maint", "orders_z", orders.schema)

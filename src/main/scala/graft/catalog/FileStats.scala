@@ -127,9 +127,19 @@ object FileStats {
     * evaluator does not understand — expressions on the value, casts of
     * the COLUMN, UDFs — returns `true` (scan the file). Cast-wrapped
     * LITERALS (the analyzer's type reconciliation, e.g. `id = CAST(150 AS
-    * BIGINT)`) are folded first so they still prune. */
-  def mayMatch(stats: Map[String, String], schema: StructType, pred: Expression): Boolean =
-    eval(stats, schema, foldLiterals(pred))
+    * BIGINT)`) are folded first so they still prune.
+    *
+    * `blooms` resolves a `bloom.<col>` sidecar path from the stats map to
+    * its loaded filter (see [[BloomStats]]) — consulted ONLY on equality/
+    * IN shapes, AFTER min/max fails to disprove, so the (cached) sidecar
+    * read is paid exactly where it can still skip. The default resolver
+    * loads nothing: min/max behavior is unchanged for callers without a
+    * table root in hand. Bloom negatives are exact (no false negatives by
+    * construction), so skipping on one is as sound as a min/max skip. */
+  def mayMatch(stats: Map[String, String], schema: StructType, pred: Expression,
+      blooms: String => Option[org.apache.spark.util.sketch.BloomFilter] =
+        _ => None): Boolean =
+    eval(stats, schema, foldLiterals(pred), blooms)
 
   /** Fold foldable cast chains over literals to plain literals; leave
     * everything else (incl. casts of attributes) untouched. */
@@ -140,15 +150,16 @@ object FileStats {
     case other => other.mapChildren(foldLiterals)
   }
 
-  private def eval(stats: Map[String, String], schema: StructType, pred: Expression): Boolean = pred match {
-    case And(l, r) => mayMatch(stats, schema, l) && mayMatch(stats, schema, r)
-    case Or(l, r) => mayMatch(stats, schema, l) || mayMatch(stats, schema, r)
-    case EqualTo(a, Literal(v, _)) => mayEqual(stats, schema, a, v)
-    case EqualTo(Literal(v, _), a) => mayEqual(stats, schema, a, v)
+  private def eval(stats: Map[String, String], schema: StructType, pred: Expression,
+      blooms: String => Option[org.apache.spark.util.sketch.BloomFilter]): Boolean = pred match {
+    case And(l, r) => mayMatch(stats, schema, l, blooms) && mayMatch(stats, schema, r, blooms)
+    case Or(l, r) => mayMatch(stats, schema, l, blooms) || mayMatch(stats, schema, r, blooms)
+    case EqualTo(a, Literal(v, _)) => mayEqual(stats, schema, a, v, blooms)
+    case EqualTo(Literal(v, _), a) => mayEqual(stats, schema, a, v, blooms)
     case EqualNullSafe(a, l @ Literal(v, _)) =>
-      if (v == null) mayBeNull(stats, a) else mayEqual(stats, schema, a, v)
+      if (v == null) mayBeNull(stats, a) else mayEqual(stats, schema, a, v, blooms)
     case EqualNullSafe(l @ Literal(v, _), a) =>
-      if (v == null) mayBeNull(stats, a) else mayEqual(stats, schema, a, v)
+      if (v == null) mayBeNull(stats, a) else mayEqual(stats, schema, a, v, blooms)
     case GreaterThan(a, Literal(v, _)) => boundCheck(stats, schema, a, v, cmp => cmp > 0)
     case GreaterThan(Literal(v, _), a) => boundCheck(stats, schema, a, v, cmp => cmp < 0)
     case GreaterThanOrEqual(a, Literal(v, _)) => boundCheck(stats, schema, a, v, cmp => cmp >= 0)
@@ -158,8 +169,8 @@ object FileStats {
     case LessThanOrEqual(a, Literal(v, _)) => boundCheck(stats, schema, a, v, cmp => cmp <= 0)
     case LessThanOrEqual(Literal(v, _), a) => boundCheck(stats, schema, a, v, cmp => cmp >= 0)
     case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists { case Literal(v, _) => mayEqual(stats, schema, a, v) }
-    case i: InSet => i.hset.exists(v => mayEqual(stats, schema, i.child, v))
+      vs.exists { case Literal(v, _) => mayEqual(stats, schema, a, v, blooms) }
+    case i: InSet => i.hset.exists(v => mayEqual(stats, schema, i.child, v, blooms))
     case IsNull(a) => mayBeNull(stats, a)
     case IsNotNull(a) => mayBeNotNull(stats, a)
     case StartsWith(a, Literal(prefix: UTF8String, StringType)) =>
@@ -193,15 +204,25 @@ object FileStats {
     } catch { case _: NumberFormatException => None }
 
   private def mayEqual(stats: Map[String, String], schema: StructType,
-      attr: Expression, v: Any): Boolean = {
+      attr: Expression, v: Any,
+      blooms: String => Option[org.apache.spark.util.sketch.BloomFilter]): Boolean = {
     if (v == null) return false // EqualTo(_, null) matches no row
     if (!mayBeNotNull(stats, attr)) return false // provably all-null column
-    (for {
+    val byBounds = (for {
       name <- attrName(attr)
       f <- field(schema, name)
       mn <- stats.get(s"min.$name"); cMin <- compare(f.dataType, mn, v)
       mx <- stats.get(s"max.$name"); cMax <- compare(f.dataType, mx, v)
     } yield cMin <= 0 && cMax >= 0).getOrElse(true)
+    if (!byBounds) return false
+    // bounds can't disprove — a per-file bloom still can (point-lookup
+    // skipping on unsorted high-cardinality keys; see BloomStats)
+    (for {
+      name <- attrName(attr)
+      f <- field(schema, name)
+      sidecar <- stats.get(s"bloom.$name")
+      bf <- blooms(sidecar)
+    } yield BloomStats.mightContain(bf, f.dataType, v)).getOrElse(true)
   }
 
   /** keep the file iff SOME value x in [min,max] satisfies `test(sign(x - v))`

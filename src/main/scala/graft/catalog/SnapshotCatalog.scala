@@ -1123,7 +1123,8 @@ final class SnapshotCatalog(
     snap.files.partition { f =>
       val st = snap.fileStats.getOrElse(f, Map.empty) ++ pathStats(f)
       buckets.forall(adm => BucketPruning.bucketIdOf(f).forall(adm.contains)) &&
-        (st.isEmpty || preds.forall(FileStats.mayMatch(st, schema, _)))
+        (st.isEmpty || preds.forall(FileStats.mayMatch(st, schema, _,
+          rel => BloomStats.load(tablePath(db, table).resolve(rel)))))
     }
   }
 
@@ -1401,6 +1402,30 @@ final class SnapshotCatalog(
     entryMeta(db, table).find(_.snapshotId == snapshotId).getOrElse(
       throw new NoSuchElementException(s"snapshot $snapshotId not found for $db.$table"))
       .summary.get("record_count").map(_.toLong).getOrElse(-1L)
+
+  /** Fold per-file BLOOM sidecar pointers into freshly harvested file
+    * stats when the table opted in (`write.bloom.columns`) — one extra
+    * column-scan job over the commit's NEW files only, never the table;
+    * see [[BloomStats]] for the full design. Partition columns are
+    * excluded (the path prunes them exactly); a property naming an
+    * unknown or unsupported column fails the commit loudly. */
+  private def withBloomStats(db: String, table: String,
+      newFileStats: Map[String, Map[String, String]],
+      schema: StructType): Map[String, Map[String, String]] = {
+    val tm = meta(db, table)
+    val cols = BloomStats.columnsOf(tm.properties)
+      .filterNot(tm.partitionCols.contains)
+    if (cols.isEmpty || newFileStats.isEmpty) return newFileStats
+    val rowsOf = newFileStats.flatMap { case (f, st) =>
+      st.get("rows").map(f -> _.toLong) }
+    val fpp = tm.properties.get(BloomStats.PropFpp).map(_.toDouble)
+      .getOrElse(BloomStats.DefaultFpp)
+    val maxBytes = tm.properties.get(BloomStats.PropMaxBytes).map(_.toLong)
+      .getOrElse(BloomStats.DefaultMaxBytes)
+    val extra = BloomStats.build(spark, tablePath(db, table),
+      newFileStats.keys.toSeq, schema, cols, rowsOf, fpp, maxBytes)
+    newFileStats.map { case (f, st) => f -> (st ++ extra.getOrElse(f, Map.empty)) }
+  }
 
   // ---- writes / commits ----
 
@@ -1724,8 +1749,9 @@ final class SnapshotCatalog(
     // files' entries forward.
     val conf = spark.sessionState.newHadoopConf()
     val root = tablePath(db, table)
-    val newFileStats = newFiles.map(f =>
-      f -> FileStats.fromFooter(root.resolve(f), snapSchema, conf)).toMap
+    val newFileStats = withBloomStats(db, table, newFiles.map(f =>
+      f -> FileStats.fromFooter(root.resolve(f), snapSchema, conf)).toMap,
+      snapSchema)
     // append reuses every prior shard and writes O(new files) metadata; a
     // carry commit reuses every UNTOUCHED shard (see planCarryManifests);
     // a clean rewrite's state is its own single shard
@@ -2198,8 +2224,8 @@ final class SnapshotCatalog(
     val root = tablePath(db, table)
     val newFiles = listParquetFiles(snapDir).map(p =>
       snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/'))
-    val newFileStats = newFiles.map(f =>
-      f -> FileStats.fromFooter(root.resolve(f), schema, conf)).toMap
+    val newFileStats = withBloomStats(db, table, newFiles.map(f =>
+      f -> FileStats.fromFooter(root.resolve(f), schema, conf)).toMap, schema)
     val added = newFiles.map(f => newFileStats(f).get("rows").map(_.toLong))
     // every killed position re-inserts exactly once — assert the invariant
     // from the two writes' own footers rather than assuming it
@@ -2318,8 +2344,8 @@ final class SnapshotCatalog(
     val root = tablePath(db, table)
     val newFiles = listParquetFiles(snapDir).map(p =>
       snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/'))
-    val newFileStats = newFiles.map(f =>
-      f -> FileStats.fromFooter(root.resolve(f), schema, conf)).toMap
+    val newFileStats = withBloomStats(db, table, newFiles.map(f =>
+      f -> FileStats.fromFooter(root.resolve(f), schema, conf)).toMap, schema)
     val addedRows = newFiles.map(f => newFileStats(f).get("rows").map(_.toLong))
     val added = if (addedRows.forall(_.isDefined)) addedRows.flatten.sum else -1L
     val prevRows = prev.recordCount
@@ -2434,8 +2460,8 @@ final class SnapshotCatalog(
       s"data/$laidDataDir/" + dataDir.relativize(p).toString.replace('\\', '/'))
       .sorted
     if (newFiles.isEmpty) deleteRecursively(dataDir)
-    val newFileStats = newFiles.map(f =>
-      f -> FileStats.fromFooter(root.resolve(f), schema, conf)).toMap
+    val newFileStats = withBloomStats(db, table, newFiles.map(f =>
+      f -> FileStats.fromFooter(root.resolve(f), schema, conf)).toMap, schema)
     val addedPerFile = newFiles.map(f => newFileStats(f).get("rows").map(_.toLong))
     val added = if (addedPerFile.forall(_.isDefined)) addedPerFile.flatten.sum else -1L
 
@@ -2628,8 +2654,8 @@ final class SnapshotCatalog(
     val newFiles = listParquetFiles(snapDir).map(p =>
       snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/'))
     val conf = spark.sessionState.newHadoopConf()
-    val newFileStats = newFiles.map(f =>
-      f -> FileStats.fromFooter(root.resolve(f), schema, conf)).toMap
+    val newFileStats = withBloomStats(db, table, newFiles.map(f =>
+      f -> FileStats.fromFooter(root.resolve(f), schema, conf)).toMap, schema)
     val newRows = newFiles.map(f => newFileStats(f)("rows").toLong).sum
     // a FULL carry (streaming append epochs) reuses every prior shard; a
     // partial carry (prune-aware SQL rewrite) reuses every untouched shard

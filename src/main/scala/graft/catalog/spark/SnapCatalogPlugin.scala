@@ -718,7 +718,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         snapSchema,
         new CaseInsensitiveStringMap(opts.asJava),
         (stats, conjuncts) =>
-          conjuncts.forall(p => graft.catalog.FileStats.mayMatch(stats, snapSchema, p)),
+          conjuncts.forall(p => graft.catalog.FileStats.mayMatch(stats, snapSchema, p,
+            rel => graft.catalog.BloomStats.load(root.resolve(rel)))),
         // multi-dir: the template builder negotiates pushdown over ONE
         // dir's files (a single-basePath subset); wrapScan re-plans the
         // full kept list per dir below

@@ -139,6 +139,30 @@ class PruningPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("mayMatch stays SOUND with blooms: a bloomed skip never drops a matching row") {
+    // real BloomFilters built from the file's actual values through the
+    // SAME canonicalization the commit-time builder uses (putValue); the
+    // probe side sees catalyst literals (UTF8String boxes). Soundness
+    // here is exactly bloom no-false-negatives + canonicalization
+    // agreement between the two sides — the property a hash mismatch
+    // (e.g. int literal vs long column) would break silently.
+    check(Prop.forAll(genFile, genPred) { (f, pred) =>
+      import org.apache.spark.util.sketch.BloomFilter
+      val bx = BloomFilter.create(64, 0.03)
+      f.xs.flatten.foreach(v => graft.catalog.BloomStats.putValue(bx, LongType, v))
+      val bs = BloomFilter.create(64, 0.03)
+      f.ss.flatten.foreach(v => graft.catalog.BloomStats.putValue(bs, StringType, v))
+      val stats = statsOf(f) + ("bloom.x" -> "x", "bloom.s" -> "s")
+      val blooms: String => Option[BloomFilter] =
+        { case "x" => Some(bx); case "s" => Some(bs); case _ => None }
+      val skip = !FileStats.mayMatch(stats, schema, pred, blooms)
+      val anyRowMatches = f.xs.zip(f.ss).exists { case (x, s) =>
+        rowMatches(x, s, pred).contains(true)
+      }
+      Prop(!(skip && anyRowMatches)) :| s"stats=$stats pred=$pred bloomed-skip dropped a match"
+    })
+  }
+
   test("merge bounds contain every value from both sides") {
     val dSchema = StructType(Seq(StructField("d", DoubleType)))
     val genVals = Gen.nonEmptyListOf(Gen.chooseNum(-100, 100).map(_ / 4.0))
