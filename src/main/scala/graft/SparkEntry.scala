@@ -838,6 +838,23 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // EXACT duplicate-SPAN detection (r8; Lee et al. 2021 substring
+    // dedup, k-gram-anchor distributed form): maximal runs of >=8
+    // tokens duplicated anywhere in the corpus — the tier document-level
+    // dedup cannot see. The oracle replays the same anchors/merge from
+    // gram STRINGS; the engine shuffles only 64-bit gram hashes.
+    "q102_duplicate_spans" -> ((s, dir) =>
+      graft.ops.SpanDedup.duplicateSpans(
+          T(s, dir, "documents"), "doc_id", "text", minTokens = 8)
+        .orderBy("doc_id", "span_start")),
+
+    // ...and the scrub: every document re-emitted with ALL duplicated
+    // spans removed (docs without one pass through token-identically)
+    "q103_span_scrub" -> ((s, dir) =>
+      graft.ops.SpanDedup.scrubDuplicateSpans(
+          T(s, dir, "documents"), "doc_id", "text", minTokens = 8)
+        .orderBy("doc_id")),
+
     // streaming CDC across EQUALITY-delete commits (r8): the `.changes`
     // STREAM (run synchronously to a memory sink) serves a history whose
     // middle two commits are zero-scan eq deletes — one single-key, one
@@ -2157,6 +2174,69 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey IN (2, 7, 32, 33, 4000000123)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // duplicated >=8-token spans from gram STRINGS (the engine anchors on
+    // xxhash64 of the same grams); 1-based DuckDB positions shift to the
+    // engine's 0-based start / exclusive end
+    "q102_duplicate_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, u.i AS pos, array_to_string(ts[u.i:u.i+7], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS u(i)
+        |), marked AS (
+        |  SELECT doc_id, pos FROM grams
+        |  WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(*) > 1)
+        |), w AS (
+        |  SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM marked
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM w)
+        |SELECT doc_id, CAST(min(pos) - 1 AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 7 AS BIGINT) AS span_end
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    "q103_span_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, u.i AS pos, array_to_string(ts[u.i:u.i+7], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS u(i)
+        |), marked AS (
+        |  SELECT doc_id, pos FROM grams
+        |  WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(*) > 1)
+        |), w AS (
+        |  SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM marked
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM w
+        |), spans AS (
+        |  SELECT doc_id, min(pos) AS sp, max(pos) + 7 AS ep
+        |  FROM isl GROUP BY doc_id, island
+        |), toku AS (
+        |  SELECT doc_id, u.i AS pos, ts[u.i] AS tok
+        |  FROM toks, unnest(generate_series(1, len(ts))) AS u(i)
+        |), keep AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM toku t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.sp AND s.ep)
+        |), agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS t2
+        |  FROM keep GROUP BY doc_id)
+        |SELECT k.doc_id, coalesce(a.t2, '') AS text_scrubbed
+        |FROM toks k LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // the full streamed feed restated: inserts from both appends, the
     // %10-key eq delete's pre-images, and the composite-key delete's

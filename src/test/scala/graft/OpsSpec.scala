@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, SpanDedup, TextOps}
 
 /** Brute-force ground-truth checks for the operators whose outputs the
   * DuckDB oracle cannot reproduce (Spark-hash-based LSH/MinHash/SimHash,
@@ -216,6 +216,52 @@ class OpsSpec extends AnyFunSuite {
         "store-resident sidecar serves a fresh driver with zero training collects")
       assert(r2 == r1, "persisted centroids reproduce the exact results")
     } finally Similarity.clearSidecarStore(spark)
+  }
+
+  test("duplicate spans: exact boundaries, merging, within-doc repeats, scrub") {
+    // hand-computable corpus, k=3:
+    //  - docs 1 and 2 share the 5-token run "a b c d e" (at positions
+    //    1..5 and 0..4): anchors at every start merge to ONE maximal span
+    //  - doc 3 repeats "x y z" WITHIN itself -> both occurrences marked
+    //  - doc 4 shares nothing 3 tokens long
+    val corpus = Seq(
+      (1L, "q a b c d e r s"),
+      (2L, "a b c d e t u"),
+      (3L, "x y z m n x y z"),
+      (4L, "p q r entirely different tokens here")
+    ).toDF("doc_id", "text")
+    val spans = SpanDedup.duplicateSpans(corpus, "doc_id", "text", minTokens = 3)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(spans == Seq(
+      (1L, 1L, 6L),  // "a b c d e" at tokens 1..5 (end-exclusive 6)
+      (2L, 0L, 5L),
+      (3L, 0L, 3L), (3L, 5L, 8L)), spans.toString)
+
+    val scrubbed = SpanDedup.scrubDuplicateSpans(corpus, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toMap
+    assert(scrubbed(1L) == "q r s")
+    assert(scrubbed(2L) == "t u")
+    assert(scrubbed(3L) == "m n")
+    // untouched doc passes through token-identically
+    assert(scrubbed(4L) == "p q r entirely different tokens here")
+
+    // ADJACENT duplicated spans merge when their anchors touch: doc 10
+    // and 11 share "a b c"; doc 10 and 12 share "d e f"; in doc 10 the
+    // two runs are contiguous -> one merged span covering both
+    val corpus2 = Seq(
+      (10L, "a b c d e f"),
+      (11L, "z a b c z2"),
+      (12L, "y d e f y2")).toDF("doc_id", "text")
+    val spans2 = SpanDedup.duplicateSpans(corpus2, "doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(spans2 == Seq((10L, 0L, 6L), (11L, 1L, 4L), (12L, 1L, 4L)),
+      spans2.toString)
+
+    // multi-space / leading-whitespace normalization matches the oracle's
+    val messy = Seq((20L, "  a   b c "), (21L, "a b c")).toDF("doc_id", "text")
+    val spansM = SpanDedup.duplicateSpans(messy, "doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(spansM == Seq((20L, 0L, 3L), (21L, 0L, 3L)), spansM.toString)
   }
 
   test("near-dup clustering: transitive closure with min representative") {
