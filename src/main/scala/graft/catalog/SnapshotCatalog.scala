@@ -2730,6 +2730,50 @@ final class SnapshotCatalog(
       targetEntry.deletes)
   }
 
+  /** Backfill/refresh BLOOM sidecars for the current snapshot's files
+    * without rewriting any data (the bloom face of Iceberg's
+    * `rewrite_manifests`-class maintenance): adopted files and files
+    * written before `write.bloom.columns` was set carry no blooms — this
+    * runs ONE column-scan job over exactly those files, writes their
+    * sidecars, and lands ONE stats-only commit (same file list, same
+    * delete shards, augmented per-file stats; one full manifest shard,
+    * O(files) metadata like any rewrite-manifests). Row-identical by
+    * construction, so changelog/incremental/streaming all see it as a
+    * no-op — no files added or removed.
+    *
+    * Returns None when nothing is missing a bloom (no commit). */
+  def rebuildBlooms(db: String, table: String): Option[Snapshot] = withTableLock(db, table) {
+    val tm = meta(db, table)
+    val cols = BloomStats.columnsOf(tm.properties)
+      .filterNot(tm.partitionCols.contains)
+    require(cols.nonEmpty,
+      s"rebuildBlooms($db.$table): set ${BloomStats.PropCols} first")
+    val entries = entriesForWrite(db, table)
+    requireNoPendingStage(db, table, entries)
+    val prevEntry = publishedEntry(entries)
+    val prev = materialize(db, table, prevEntry)
+    val missing = prev.files.filter(f =>
+      cols.exists(c => !prev.fileStats.getOrElse(f, Map.empty).contains(s"bloom.$c")))
+    if (missing.isEmpty) return None
+    val rowsOf = missing.flatMap(f =>
+      prev.fileStats.getOrElse(f, Map.empty).get("rows").map(f -> _.toLong)).toMap
+    val fpp = tm.properties.get(BloomStats.PropFpp).map(_.toDouble)
+      .getOrElse(BloomStats.DefaultFpp)
+    val maxBytes = tm.properties.get(BloomStats.PropMaxBytes).map(_.toLong)
+      .getOrElse(BloomStats.DefaultMaxBytes)
+    val extra = BloomStats.build(spark, tablePath(db, table), missing,
+      prev.schema, cols, rowsOf, fpp, maxBytes)
+    val newStats = prev.fileStats.map { case (f, st) =>
+      f -> (st ++ extra.getOrElse(f, Map.empty)) }
+    val newId = entries.last.snapshotId + 1
+    val snap = Snapshot(newId, clock().toString, "rebuild_blooms",
+      prev.summary + ("added_records" -> "0", "added_files" -> "0",
+        "bloomed_files" -> extra.size.toString),
+      prevEntry.schemaDdl, prev.files, newStats, prev.deleteFiles)
+    Some(commitSnapshot(db, table, entries, snap, Seq.empty,
+      Manifest(prev.files, newStats), prevEntry.deletes))
+  }
+
   // ---- write-audit-publish (Iceberg's WAP pattern, single-lineage form) ----
 
   private def requireNoPendingStage(db: String, table: String,

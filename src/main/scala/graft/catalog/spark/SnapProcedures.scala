@@ -152,6 +152,19 @@ object SnapProcedures {
         }
       },
 
+      proc("rebuild_blooms",
+        "backfill bloom sidecars for files lacking them (adopted / pre-property); stats-only commit, no data rewritten",
+        Seq(in("table", StringType)),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = true),
+          StructField("bloomed_files", IntegerType, nullable = false)))) { input =>
+        val (db, t) = dbTable(input, 0)
+        cat.rebuildBlooms(db, t) match {
+          case Some(s) => Seq(row(s.snapshotId, s.summary("bloomed_files").toInt))
+          case None    => Seq(row(null, 0)) // every file already bloomed
+        }
+      },
+
       proc("expire_snapshots",
         "drop old snapshots (count- or time-based) and GC unreferenced files; refs always survive",
         Seq(in("table", StringType), inDefault("keep_last", IntegerType, "1"),

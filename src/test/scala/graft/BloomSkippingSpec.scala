@@ -116,6 +116,49 @@ class BloomSkippingSpec extends AnyFunSuite {
       .as[String].collect().toSeq == Seq("updated"))
   }
 
+  test("rebuild_blooms backfills adopted files without rewriting data") {
+    val (cat, dir) = freshCat()
+    val schema = Seq((0L, "s")).toDF("id", "tag").schema
+    cat.createTable("db", "ad", schema,
+      properties = Map(BloomStats.PropCols -> "id"))
+    // adoption is zero-copy BY DESIGN — no data read, so no blooms
+    val srcDir = Files.createTempDirectory("graft_bloom_adopt_")
+    (0L until 60L by 2).map(i => (i, s"t$i")).toDF("id", "tag")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+    cat.adoptFiles("db", "ad", srcDir, "append")
+    val srcDir2 = Files.createTempDirectory("graft_bloom_adopt2_")
+    (1L until 60L by 2).map(i => (i, s"t$i")).toDF("id", "tag")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir2.toString)
+    cat.adoptFiles("db", "ad", srcDir2, "append")
+    val preSnap = cat.currentSnapshot("db", "ad").snapshotId
+    assert(cat.snapshotAt("db", "ad", preSnap).fileStats.values
+      .forall(m => !m.contains("bloom.id")))
+    val (keptPre, _) = cat.pruneFiles("db", "ad", preSnap, col("id") === 4L)
+    assert(keptPre.size == 2, "no blooms yet: both files plan")
+
+    // backfill: one scan job over exactly the unbloomed files, one
+    // stats-only commit — the file list must be IDENTICAL
+    val snap = cat.rebuildBlooms("db", "ad").get
+    assert(snap.operation == "rebuild_blooms" &&
+      snap.summary("bloomed_files") == "2")
+    assert(snap.files == cat.snapshotAt("db", "ad", preSnap).files,
+      "stats-only commit must not touch the file list")
+    val (kept, skipped) = cat.pruneFiles("db", "ad", snap.snapshotId, col("id") === 4L)
+    assert(kept.size == 1 && skipped.size == 1, s"kept=$kept")
+    assert(cat.readWhere("db", "ad", snap.snapshotId, col("id") === 4L)
+      .as[(Long, String)].collect().toSeq == Seq((4L, "t4")))
+    // idempotent: everything bloomed -> no new commit
+    assert(cat.rebuildBlooms("db", "ad").isEmpty)
+    // row-identical commit: incremental consumers see NOTHING across it
+    assert(cat.readIncremental("db", "ad", preSnap, snap.snapshotId).count() == 0)
+
+    // the SQL CALL face drives the same path
+    spark.conf.set("spark.sql.catalog.bloomp", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.bloomp.warehouse", dir)
+    val r = spark.sql("CALL bloomp.system.rebuild_blooms('db.ad')").collect()
+    assert(r.head.isNullAt(0) && r.head.getInt(1) == 0)
+  }
+
   test("partitioned table: partition column excluded, content column bloomed") {
     val (cat, _) = freshCat()
     val df = (0L until 40L).map(i => (i, s"k${i % 4}")).toDF("id", "part")
