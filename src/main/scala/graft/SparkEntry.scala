@@ -855,6 +855,19 @@ object SparkEntry {
           T(s, dir, "documents"), "doc_id", "text", minTokens = 8)
         .orderBy("doc_id")),
 
+    // smoothed bigram LM quality scoring (r8; the CCNet/KenLM perplexity
+    // filter, Wenzek et al. 2020): even-id documents train the reference
+    // model, odd-id documents score against it. Count columns are
+    // integer-exact; the log-likelihood sum quantizes at 1e-4 so
+    // cross-engine fp summation order cannot flip the compare.
+    "q104_bigram_lm_score" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      graft.ops.TextOps.bigramLmScore(
+          d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", addK = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // streaming CDC across EQUALITY-delete commits (r8): the `.changes`
     // STREAM (run synchronously to a memory sink) serves a history whose
     // middle two commits are zero-scan eq deletes — one single-key, one
@@ -2237,6 +2250,31 @@ object SparkEntry {
         |  FROM keep GROUP BY doc_id)
         |SELECT k.doc_id, coalesce(a.t2, '') AS text_scrubbed
         |FROM toks k LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q104_bigram_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), tr AS (SELECT ts FROM toks WHERE doc_id % 2 = 0),
+        |uni AS (
+        |  SELECT u.w AS w1, count(*) AS c1 FROM tr, unnest(ts) AS u(w) GROUP BY 1
+        |), v AS (SELECT count(*) AS vv FROM uni),
+        |bi AS (
+        |  SELECT ts[u.i] AS w1, ts[u.i + 1] AS w2, count(*) AS c2
+        |  FROM tr, unnest(generate_series(1, len(ts) - 1)) AS u(i) GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT doc_id, ts[u.i] AS w1, ts[u.i + 1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        |  WHERE doc_id % 2 = 1
+        |), j AS (
+        |  SELECT s.doc_id, coalesce(b.c2, 0) AS c2, coalesce(un.c1, 0) AS c1
+        |  FROM sc s LEFT JOIN bi b USING (w1, w2) LEFT JOIN uni un USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CASE WHEN c2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov_bigrams,
+        |  CAST(floor(sum(ln((c2 + 0.5) / (c1 + 0.5 * (SELECT vv FROM v)))) * 10000)
+        |    AS BIGINT) AS logprob_q
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the full streamed feed restated: inserts from both appends, the
     // %10-key eq delete's pre-images, and the composite-key delete's

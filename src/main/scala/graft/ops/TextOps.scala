@@ -143,6 +143,54 @@ object TextOps {
     df.withColumns((names.map("n_" + _) :+ outCol).zip(counts :+ redacted.as(outCol)).toMap)
   }
 
+  /** Smoothed bigram language-model scoring — the CCNet/KenLM-style
+    * perplexity filter (Wenzek et al. 2020), distributed: train
+    * add-k-smoothed bigram probabilities on a REFERENCE corpus, score
+    * every candidate document by its summed per-bigram log-likelihood.
+    * Strongly negative scores (relative to length) mark text unlike the
+    * reference — the classic crawl-curation quality gate.
+    *
+    * 100-TB shape: the unigram/bigram count tables stay DISTRIBUTED (an
+    * open-vocab model must never broadcast) — scoring is two shuffle
+    * joins on word keys plus one per-document aggregation; stop-word
+    * skew on the join keys is AQE's bread and butter. The vocabulary
+    * size is the single driver-side scalar.
+    *
+    * Output: (doc_id, n_bigrams, oov_bigrams, logprob_q). The counts are
+    * integer-exact; `logprob_q` floors the log-likelihood sum at 1e-4 so
+    * cross-engine summation-order noise (~1 ulp per term) cannot flip an
+    * oracle compare. Documents under two tokens are not scored. */
+  def bigramLmScore(train: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, addK: Double = 0.5): DataFrame = {
+    def toks(c: Column): Column = filter(split(c, "\\s+"), t => t =!= lit(""))
+    def bigramsOf(df: DataFrame, extra: Seq[Column]): DataFrame = df
+      .withColumn("n", size(col("ts")))
+      .where(col("n") >= 2)
+      .select(extra :+ explode(sequence(lit(1), col("n") - 1)).as("i") :+ col("ts"): _*)
+      .select(extra :+ element_at(col("ts"), col("i")).as("w1") :+
+        element_at(col("ts"), col("i") + 1).as("w2"): _*)
+    val trainToks = train.select(toks(col(textCol)).as("ts"))
+    val uni = trainToks.select(explode(col("ts")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.count() // |V|: the one driver scalar
+    val bi = bigramsOf(trainToks, Seq.empty)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val scoreBi = bigramsOf(
+      docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("ts")),
+      Seq(col("doc_id")))
+    scoreBi.join(bi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .select(col("doc_id"),
+        coalesce(col("c2"), lit(0L)).as("c2"),
+        coalesce(col("c1"), lit(0L)).as("c1"))
+      .withColumn("term",
+        log((col("c2") + addK) / (col("c1") + lit(addK * vocab))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2") === 0L, 1L).otherwise(0L)).as("oov_bigrams"),
+        floor(sum(col("term")) * 1e4).cast("long").as("logprob_q"))
+  }
+
   /** Rolling polynomial fingerprint over words (mod 2^31-1), for
     * content-defined document identity. Pure expression fold; NOT oracled
     * (no portable cross-engine hash) — validated in ScalaTest instead. */

@@ -264,6 +264,20 @@ class OpsSpec extends AnyFunSuite {
     assert(spansM == Seq((20L, 0L, 3L), (21L, 0L, 3L)), spansM.toString)
   }
 
+  test("bigram LM score: hand-computed add-k likelihoods, OOV, quantization") {
+    // train "a b a c": uni a:2 b:1 c:1 (V=3); bi (a,b):1 (b,a):1 (a,c):1
+    val train = Seq((100L, "a b a c")).toDF("doc_id", "text")
+    // score "a b x": (a,b) seen -> ln((1+.5)/(2+.5*3)); (b,x) OOV ->
+    // ln((0+.5)/(1+.5*3))
+    val docsDf = Seq((1L, "a b x"), (2L, "a")).toDF("doc_id", "text")
+    val got = TextOps.bigramLmScore(train, docsDf, "doc_id", "text", addK = 0.5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val expected = math.floor(
+      (math.log(1.5 / 3.5) + math.log(0.5 / 2.5)) * 1e4).toLong
+    assert(got == Seq((1L, 2L, 1L, expected)), got.toString)
+    // doc 2 has <2 tokens: not scored — never a fake perfect score
+  }
+
   test("near-dup clustering: transitive closure with min representative") {
     // chain 1-2-3 (needs >1 propagation round), a pair, and a triangle
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
