@@ -91,6 +91,114 @@ object EventStream {
     ()
   }
 
+  /** Exactly-once streaming NEAR-DUP dedup sink: a foreachBatch handler
+    * that admits into an accumulating corpus table only documents that
+    * near-duplicate neither the corpus so far nor an earlier row of the
+    * same batch — the streaming face of the batch MinHash-LSH dedup
+    * ([[graft.ops.Dedup]]), for ingest pipelines that must drop dups at
+    * arrival time rather than in a nightly sweep.
+    *
+    *   docsStream.writeStream.foreachBatch(
+    *     EventStream.dedupEpoch(cat, "db", "corpus", "doc_id", "text") _)
+    *
+    * State is two snapshot tables, auto-created: the corpus itself and a
+    * NARROW bands side table `<corpus>__bands` (doc_id, band_idx,
+    * band_hash — ~3 longs per band row, a ~1% inverted index over the
+    * text) appended in lockstep. Per epoch:
+    *   1. within-batch near-dups drop via the exact-verified batch
+    *      pipeline (min-id representative);
+    *   2. the batch's band signatures probe the bands table — candidate
+    *      cost scales with band collisions, never corpus pairs;
+    *   3. candidates verify EXACTLY (set-Jaccard >= num/den) against the
+    *      corpus text of only the candidate ids — a point lookup that
+    *      rides bloom/minmax file skipping when the candidate set is
+    *      small enough to inline (arm the corpus with
+    *      `write.bloom.columns=<idCol>` to make it sublinear);
+    *   4. survivors' bands append, then survivors append, each commit
+    *      carrying the epoch high-water mark of ITS table.
+    *
+    * Replay/crash protocol (foreachBatch is at-least-once): each table
+    * skips epochs at-or-below its own mark, and the bands append lands
+    * FIRST — a crash between the two leaves band rows whose ids are
+    * absent from the corpus, which the exact-verify inner join ignores
+    * (candidates against a missing corpus row vanish), so the replay
+    * re-admits the same survivors; the orphan band rows are harmless
+    * duplicates a compact of the bands table sweeps. */
+  def dedupEpoch(cat: graft.catalog.SnapshotCatalog, db: String, corpus: String,
+      idCol: String, textCol: String, sinkId: String = "dedup",
+      w: Int = 5, num: Int = 9, den: Int = 10,
+      numHashes: Int = 64, bands: Int = 32,
+      maxInlineLookup: Int = 10000)(batch: DataFrame, epochId: Long): Unit = {
+    import graft.ops.Dedup
+    val bandsTable = corpus + "__bands"
+    val tagKey = s"stream-epoch.$sinkId"
+    if (!cat.tableExists(db, corpus)) cat.createTable(db, corpus, batch.schema)
+    val mark = cat.currentSnapshot(db, corpus).summary.get(tagKey).map(_.toLong)
+    if (mark.exists(epochId <= _)) return // replayed epoch: drop
+
+    // 1) within-batch dedup, exact-verified, min-id representative
+    val pairs = Dedup.minhashVerifiedPairs(batch, idCol, textCol,
+      w, num, den, numHashes, bands)
+    val batchU = Dedup.dropNearDuplicates(batch, idCol, pairs).cache()
+    try {
+      val sh = batchU.select(col(idCol).as("doc_id"),
+        Dedup.wordShingles(col(textCol), w).as("shingles"))
+      val sig = sh.select(col("doc_id"),
+        Dedup.minhashSignature(col("shingles"), numHashes).as("sig"))
+      val batchBands = Dedup.lshBands(sig, "doc_id", col("sig"),
+        bands, numHashes / bands)
+
+      // 2) probe the accumulated bands index
+      val dropIds: DataFrame =
+        if (!cat.tableExists(db, bandsTable))
+          batchU.select(col(idCol)).limit(0)
+        else {
+          val stateBands = cat.readLatest(db, bandsTable)
+            .toDF("state_id", "band_idx", "band_hash")
+          val cand = batchBands.toDF("batch_id", "band_idx", "band_hash")
+            .join(stateBands, Seq("band_idx", "band_hash"))
+            .where(col("state_id") =!= col("batch_id"))
+            .select("batch_id", "state_id").distinct()
+          // 3) exact verify against ONLY the candidate corpus rows; a
+          // small candidate set inlines as literals so the corpus read
+          // file-skips (bloom/minmax), a large one degrades to a semi-join
+          val candIdVals = cand.select(col("state_id")).distinct()
+            .limit(maxInlineLookup + 1).collect().map(_.get(0)).toSeq
+          val snapId = cat.currentSnapshot(db, corpus).snapshotId
+          val candRows: DataFrame =
+            if (candIdVals.isEmpty) cat.readLatest(db, corpus).limit(0)
+            else if (candIdVals.size <= maxInlineLookup)
+              cat.readWhere(db, corpus, snapId, col(idCol).isin(candIdVals: _*))
+            else cat.readLatest(db, corpus)
+              .join(cand.select(col("state_id")).distinct(),
+                col(idCol) === col("state_id"), "left_semi")
+          val bSh = sh.select(col("doc_id").as("batch_id"),
+            array_distinct(col("shingles")).as("bsh"))
+          val sSh = candRows.select(col(idCol).as("state_id"),
+            array_distinct(Dedup.wordShingles(col(textCol), w)).as("ssh"))
+          cand.join(bSh, "batch_id").join(sSh, "state_id")
+            .where(size(array_intersect(col("bsh"), col("ssh"))) * den >=
+              size(array_union(col("bsh"), col("ssh"))) * num)
+            .select(col("batch_id").as(idCol)).distinct()
+        }
+
+      // 4) survivors: bands first, then corpus (see crash protocol above)
+      val survivors = batchU.join(dropIds, Seq(idCol), "left_anti").cache()
+      try {
+        val survBands = batchBands
+          .join(survivors.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+        if (!cat.tableExists(db, bandsTable))
+          cat.createTable(db, bandsTable, survBands.schema)
+        val bandsMark = cat.currentSnapshot(db, bandsTable)
+          .summary.get(tagKey).map(_.toLong)
+        if (!bandsMark.exists(epochId <= _))
+          cat.append(db, bandsTable, survBands, Map(tagKey -> epochId.toString))
+        cat.append(db, corpus, survivors, Map(tagKey -> epochId.toString))
+      } finally survivors.unpersist()
+    } finally batchU.unpersist()
+    ()
+  }
+
   /** Tumbling-window counts/sums with a watermark for late data:
     * readStream -> withWatermark -> window agg (append mode capable). */
   def windowedAgg(events: DataFrame, window_ : String = "1 hour",

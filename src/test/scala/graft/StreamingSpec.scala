@@ -784,6 +784,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(cat.currentSnapshot("db", "agg").operation == "overwrite")
   }
 
+  test("streaming near-dup dedup sink admits only novel documents") {
+    import graft.catalog.SnapshotCatalog
+    val wh = Files.createTempDirectory("graft_ddwh_").toString
+    val cat = new SnapshotCatalog(spark, wh)
+    // long shared prefixes so 5-word shingles overlap at jaccard >= 0.9
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    def nearDup(tail: String) = s"$base $tail"
+
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = source.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(EventStream.dedupEpoch(cat, "db", "corpus", "doc_id", "text") _)
+      .start()
+    try {
+      // epoch 0: two distinct docs plus a WITHIN-BATCH near-dup of doc 1
+      source.addData((1L, nearDup("a")), (2L, "completely different words " +
+        (100 to 140).map(i => s"w$i").mkString(" ")), (3L, nearDup("b")))
+      q.processAllAvailable()
+      // epoch 1: a near-dup of doc 1 (cross-epoch, via the bands index),
+      // plus a genuinely new doc
+      source.addData((10L, nearDup("c")),
+        (11L, "another fresh batch " + (200 to 240).map(i => s"v$i").mkString(" ")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = cat.readLatest("db", "corpus").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 11L), s"kept=$kept")
+    // the bands index tracks exactly the admitted docs
+    assert(cat.readLatest("db", "corpus__bands").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 11L))
+
+    // replayed epoch: no double-admit, no state change
+    EventStream.dedupEpoch(cat, "db", "corpus", "doc_id", "text")(
+      Seq((99L, nearDup("z"))).toDF("doc_id", "text"), 0L)
+    assert(cat.readLatest("db", "corpus").count() == 3)
+
+    // crash protocol: band rows whose corpus row is missing (a crash
+    // between the two appends) must not block re-admission — simulate by
+    // appending orphan bands for an id the corpus lacks, then admit a
+    // doc that collides with NOTHING textually
+    val orphan = Seq((500L, 0, 123456)).toDF("doc_id", "band_idx", "band_hash")
+    cat.append("db", "corpus__bands", orphan)
+    EventStream.dedupEpoch(cat, "db", "corpus", "doc_id", "text")(
+      Seq((20L, "post crash doc " + (300 to 340).map(i => s"u$i").mkString(" ")))
+        .toDF("doc_id", "text"), 5L)
+    assert(cat.readLatest("db", "corpus").select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 11L, 20L))
+  }
+
   test("streaming sink appends epoch-tagged snapshots; replays are dropped") {
     import java.time.Instant
     import graft.catalog.SnapshotCatalog
