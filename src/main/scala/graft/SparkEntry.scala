@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1093,6 +1095,22 @@ object SparkEntry {
         emb.where(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         "qid", "qvec", k = 10, nlist = 8, nprobe = 3, iters = 2, sampleMod = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ ANN (r8): the same coarse index as q50 (so the q50 oracle
+    // replay states the answer), candidates scored from m-BYTE product-
+    // quantization codes via compiled ADC kernels, exact re-rank of the
+    // shortlist. `refine=500` COVERS the probed cells at the correctness
+    // and bench scales, making the output the exact in-cell top-k —
+    // production tunes refine down (recall/IO trade spec'd in OpsSpec).
+    "q105_ann_ivfpq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 10, nlist = 8, nprobe = 3, iters = 2, sampleMod = 3,
+        m = 16, refine = 500)
         .orderBy("query_id", "rank")
     }),
 
@@ -2776,4 +2794,10 @@ object SparkEntry {
         |    AS n_flagged
         |FROM documents d JOIN dw USING (doc_id) LEFT JOIN db USING (doc_id)
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
+    // q105 shares q50's oracle VERBATIM: identical coarse index params
+    // (nlist/nprobe/iters/sampleMod), and the PQ path's covering refine
+    // makes its result the exact top-k within the probed cells — which is
+    // precisely what the q50 replay computes. PQ codebooks cannot affect
+    // the answer, only which shortlist the exact re-rank sees.
+    .pipe(m => m + ("q105_ann_ivfpq" -> m("q50_ann_ivf")))
 }

@@ -320,8 +320,25 @@ object Similarity {
     // error instead of materializing a corpus-sized sample and OOMing the
     // driver. 200k rows x 64 dims x 8 B ~ 100 MB: ample for k-means, safe
     // to hold. Scale sampleMod with the corpus so the sample stays under it.
+    val samp = collectTrainingSample(corpus, idCol, vecCol, sampleMod,
+      maxSample, raw = false)
+    require(samp.length >= nlist,
+      s"sample (${samp.length}) smaller than nlist ($nlist): lower sampleMod")
+    lloydKMeans(samp, nlist, iters, floorMeans = true).toIndexedSeq
+  }
+
+  /** Bounded deterministic driver-side training sample. `raw = false`
+    * quantizes to the exact integer grid (coarse-quantizer training must
+    * be oracle-replayable); `raw = true` keeps the true double values
+    * (PQ codebooks need no replay — the shortlist re-ranks exactly). The
+    * collect is BOUNDED by maxSample+1 rows (orderBy+limit plans as a
+    * distributed TakeOrdered). */
+  private def collectTrainingSample(corpus: DataFrame, idCol: String,
+      vecCol: String, sampleMod: Long, maxSample: Int,
+      raw: Boolean): Array[Array[Double]] = {
+    val proj = if (raw) toDouble(col(vecCol)) else quantize(col(vecCol))
     val samp = corpus.where(col(idCol) % sampleMod === 0)
-      .select(col(idCol), quantize(col(vecCol)).as("q"))
+      .select(col(idCol), proj.as("q"))
       .orderBy(idCol)
       .limit(maxSample + 1)
       .collect()
@@ -329,17 +346,25 @@ object Similarity {
     require(samp.length <= maxSample,
       s"IVF training sample exceeds maxSample=$maxSample rows: raise sampleMod " +
         s"(currently $sampleMod) so the driver-side sample stays bounded")
-    require(samp.length >= nlist,
-      s"sample (${samp.length}) smaller than nlist ($nlist): lower sampleMod")
+    samp
+  }
+
+  /** Lloyd's k-means, shared by the coarse quantizer and the per-subspace
+    * PQ codebooks. Init = the kCents lowest-id sample vectors; strict <
+    * keeps the lowest centroid id on ties; an empty cell keeps its
+    * previous centroid. `floorMeans` floors each mean to the integer grid
+    * (the bit-reproducibility rule of the coarse path). */
+  private[graft] def lloydKMeans(samp: Array[Array[Double]], kCents: Int,
+      iters: Int, floorMeans: Boolean): Array[Array[Double]] = {
     val dim = samp.head.length
-    var cents = samp.take(nlist)
+    var cents = samp.take(kCents)
     for (_ <- 0 until iters) {
-      val sums = Array.fill(nlist)(new Array[Double](dim))
-      val cnts = new Array[Long](nlist)
+      val sums = Array.fill(kCents)(new Array[Double](dim))
+      val cnts = new Array[Long](kCents)
       samp.foreach { v =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
-        while (c < nlist) {
+        while (c < kCents) {
           var d = 0.0; var i = 0
           while (i < dim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
           if (d < bestD) { bestD = d; best = c } // strict < keeps lowest cid on ties
@@ -349,12 +374,14 @@ object Similarity {
         var i = 0
         while (i < dim) { sums(best)(i) += v(i); i += 1 }
       }
-      cents = Array.tabulate(nlist) { c =>
+      cents = Array.tabulate(kCents) { c =>
         if (cnts(c) == 0) cents(c)
-        else Array.tabulate(dim)(i => math.floor(sums(c)(i) / cnts(c)))
+        else if (floorMeans)
+          Array.tabulate(dim)(i => math.floor(sums(c)(i) / cnts(c)))
+        else Array.tabulate(dim)(i => sums(c)(i) / cnts(c))
       }
     }
-    cents.toIndexedSeq
+    cents
   }
 
   /** (dist, cid) structs for every centroid, as ONE codegen'd projection —
@@ -379,6 +406,50 @@ object Similarity {
   def ivfProbes(vecQ: Column, cents: Seq[Array[Double]], nprobe: Int): Column =
     transform(slice(array_sort(cellDists(vecQ, cents)), 1, nprobe), s => s.getField("cid"))
 
+  /** `sampleMod <= 0` means DERIVE from the corpus size so the driver-side
+    * training sample stays ~[[IvfTargetSample]] rows without the caller
+    * tuning anything (a fixed small default meant "collect a third of the
+    * corpus" — an OOM waiting for any corpus past a few hundred thousand
+    * rows). The size comes from METADATA when the corpus is a catalog
+    * table or a bare parquet scan (log record_count / footer row counts —
+    * no Spark job at all); only an already-transformed corpus pays one
+    * count job. Either way the mod is the same pure function of the
+    * corpus, so an oracle replaying training derives it identically. */
+  private def deriveSampleMod(corpus: DataFrame, corpusId: String,
+      sampleMod: Long): Long =
+    if (sampleMod > 0) sampleMod
+    else {
+      val n = MetadataRowCount.exact(corpus)
+        .getOrElse(corpus.select(col(corpusId)).count())
+      math.max(1L, (n + IvfTargetSample - 1) / IvfTargetSample)
+    }
+
+  /** Coarse centroids through the full reuse stack: a provable corpus
+    * identity + identical params means identical centroids (training is
+    * deterministic) — serve the in-memory cache, then the sidecar store,
+    * then train (and warm both tiers); see [[centroidCache]]. */
+  private def coarseCentroids(corpus: DataFrame, corpusId: String,
+      corpusVec: String, nlist: Int, iters: Int, mod: Long): Seq[Array[Double]] = {
+    val cacheKey = corpusIdentity(corpus)
+      .map(id => s"$id|$corpusId|$corpusVec|$nlist|$iters|$mod")
+    cacheKey.flatMap(k =>
+      centroidCache.get(k).orElse {
+        // fresh driver, same corpus: the sidecar (if configured) serves
+        // with zero training collects; warm the in-memory tier
+        val fromDisk = loadSidecarCentroids(corpus, k)
+        fromDisk.foreach(centroidCache.put(k, _))
+        fromDisk
+      }).getOrElse {
+      val trained = trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters, mod)
+      ivfTrainings += 1
+      cacheKey.foreach { k =>
+        centroidCache.put(k, trained)
+        writeSidecarCentroids(corpus, k, trained)
+      }
+      trained
+    }
+  }
+
   /** IVF approximate top-k: train the coarse quantizer on a driver-side
     * sample, assign each corpus vector to ONE cell in a single scan, probe
     * the query's `nprobe` nearest cells, exact-cosine re-rank the union.
@@ -400,34 +471,8 @@ object Similarity {
     // job at all); only an already-transformed corpus pays one count job.
     // Either way the mod is the same pure function of the corpus, so an
     // oracle replaying training derives it identically.
-    val mod =
-      if (sampleMod > 0) sampleMod
-      else {
-        val n = MetadataRowCount.exact(corpus)
-          .getOrElse(corpus.select(col(corpusId)).count())
-        math.max(1L, (n + IvfTargetSample - 1) / IvfTargetSample)
-      }
-    // centroid reuse: a provable corpus identity + identical params means
-    // identical centroids (training is deterministic) — serve the cache,
-    // zero training collects on repeat invocations; see centroidCache
-    val cacheKey = corpusIdentity(corpus)
-      .map(id => s"$id|$corpusId|$corpusVec|$nlist|$iters|$mod")
-    val cents = cacheKey.flatMap(k =>
-      centroidCache.get(k).orElse {
-        // fresh driver, same corpus: the sidecar (if configured) serves
-        // with zero training collects; warm the in-memory tier
-        val fromDisk = loadSidecarCentroids(corpus, k)
-        fromDisk.foreach(centroidCache.put(k, _))
-        fromDisk
-      }).getOrElse {
-      val trained = trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters, mod)
-      ivfTrainings += 1
-      cacheKey.foreach { k =>
-        centroidCache.put(k, trained)
-        writeSidecarCentroids(corpus, k, trained)
-      }
-      trained
-    }
+    val mod = deriveSampleMod(corpus, corpusId, sampleMod)
+    val cents = coarseCentroids(corpus, corpusId, corpusVec, nlist, iters, mod)
     val c = corpus.select(col(corpusId), col(corpusVec), norm(col(corpusVec)).as("_cn"),
       ivfCell(quantize(col(corpusVec)), cents).as("cell"))
     val q = queries.select(col(queryId), col(queryVec), norm(col(queryVec)).as("_qn"),
@@ -438,6 +483,76 @@ object Similarity {
         (dot(col(corpusVec), col(queryVec)) / (col("_cn") * col("_qn"))).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** IVF-PQ approximate top-k (Jégou et al. 2011; the FAISS IVFPQ shape):
+    * [[ivfTopK]]'s candidate pass reads the FULL vector of every row in
+    * every probed cell — at 10^9+ rows the scan is vector-IO-bound. Here
+    * the probed cells are scored from m-BYTE product-quantization codes
+    * via per-query ADC lookup tables (compiled kernels, [[graft.functions
+    * .PqExprs]]): candidate IO drops d*4/m-fold (32x at d=64, m=8), and
+    * only the top `k*refine` shortlist per query loads true vectors for
+    * an EXACT cosine re-rank — so the final ranking is exact over the
+    * shortlist, and recall is governed by (nprobe, refine), both tunable
+    * per query without re-encoding.
+    *
+    * Training: coarse centroids ride the same cache/sidecar reuse stack
+    * as [[ivfTopK]]; PQ codebooks train per-subspace (Lloyd, 256 entries)
+    * on the same BOUNDED driver sample — raw doubles, since codebooks
+    * need no oracle replay (the shortlist re-ranks exactly). Encoding is
+    * one corpus scan.
+    *
+    * Returns (query_id, neighbor_id, rank). */
+  def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nlist: Int = 8, nprobe: Int = 3, iters: Int = 2,
+      sampleMod: Long = 0, m: Int = 8, pqIters: Int = 3,
+      refine: Int = 4): DataFrame = {
+    val mod = deriveSampleMod(corpus, corpusId, sampleMod)
+    val cents = coarseCentroids(corpus, corpusId, corpusVec, nlist, iters, mod)
+    val samp = collectTrainingSample(corpus, corpusId, corpusVec, mod,
+      maxSample = 200000, raw = true)
+    val dim = samp.head.length
+    require(dim % m == 0, s"vector dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    val nCents = math.min(256, samp.length)
+    val books = (0 until m).map { j =>
+      lloydKMeans(samp.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)),
+        nCents, pqIters, floorMeans = false).toSeq
+    }
+    val cb = graft.functions.PqExprs.codebooksOf(books)
+    import graft.functions.PqFunctions._
+    // candidate pass: (id, cell, m-byte code, norm) — never the vector
+    val c = corpus.select(col(corpusId),
+      ivfCell(quantize(col(corpusVec)), cents).as("cell"),
+      pqEncode(toDouble(col(corpusVec)), cb, nCents).as("code"),
+      norm(col(corpusVec)).as("_cn"))
+    val q = queries.select(col(queryId), norm(col(queryVec)).as("_qn"),
+        pqLut(toDouble(col(queryVec)), cb).as("lut"),
+        quantize(col(queryVec)).as("_qq"))
+      .withColumn("cell", explode(ivfProbes(col("_qq"), cents, nprobe)))
+      .select(col(queryId), col("cell"), col("lut"), col("_qn"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col(corpusId) =!= col(queryId))
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
+        (pqAdc(col("code"), col("lut")) / (col("_cn") * col("_qn"))).as("asim"))
+    val wa = Window.partitionBy("query_id").orderBy(col("asim").desc, col("neighbor_id"))
+    val shortlist = scored
+      .withColumn("ar", row_number().over(wa)).where(col("ar") <= k * refine)
+      .select("query_id", "neighbor_id")
+    // exact re-rank of the byte-scored shortlist only
+    val cv = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("_cvec"), norm(col(corpusVec)).as("_cn"))
+    val qv = queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("_qvec"), norm(col(queryVec)).as("_qn"))
+    val exact = shortlist.join(cv, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("_cvec"), col("_qvec")) / (col("_cn") * col("_qn"))).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }

@@ -183,6 +183,45 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ivf.centroidDir")
   }
 
+  test("IVF-PQ ANN: byte-coded candidates, exact shortlist re-rank, full-probe exactness") {
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", 10)
+      .as[(Long, Long, Long)].collect().toSet
+
+    // probe EVERY cell with a refine that covers the whole corpus: the
+    // shortlist is then total, so the exact re-rank must reproduce brute
+    // force RANK FOR RANK — any divergence is a bug in the encode/ADC/
+    // re-rank plumbing, not an approximation artifact
+    val full = Similarity.ivfPqTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+      k = 10, nlist = 8, nprobe = 8, iters = 2, sampleMod = 3, m = 8, refine = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full == brute, s"missing=${brute -- full} extra=${full -- brute}")
+
+    // the tuned configuration (partial probes, tight refine, dense
+    // codebooks: dsub=4 with a full-corpus training sample) keeps exact
+    // contiguous ranks and real recall — synthetic random embeddings are
+    // the WORST case for ADC (neighbors barely separated), so the bound
+    // is falsifiable but not tight
+    val pq = Similarity.ivfPqTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+      k = 10, nlist = 8, nprobe = 3, iters = 2, sampleMod = 1, m = 16, refine = 4)
+      .as[(Long, Long, Long)].collect()
+    pq.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length))
+    }
+    val bruteIds = brute.map(r => (r._1, r._2))
+    val recall = pq.map(r => (r._1, r._2)).count(bruteIds.contains).toDouble / bruteIds.size
+    assert(recall >= 0.5, s"IVF-PQ recall too low: $recall")
+
+    // codes really are m bytes
+    val cb = graft.functions.PqExprs.codebooksOf(
+      (0 until 8).map(_ => (0 until 4).map(i => Array.fill(8)(i.toDouble)).toSeq))
+    val code = emb.limit(3).select(graft.functions.PqFunctions.pqEncode(
+      Similarity.toDouble(col("embedding")), cb, 4).as("c"))
+      .collect().map(_.getAs[Array[Byte]]("c"))
+    assert(code.forall(_.length == 8))
+  }
+
   test("IVF centroids persist across drivers on the object-store deployment") {
     // the ObjectStorePointerLogStore catalog shape: the warehouse IS the
     // store and no shared filesystem exists, so centroid sidecars must
