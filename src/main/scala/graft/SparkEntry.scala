@@ -857,6 +857,34 @@ object SparkEntry {
           T(s, dir, "documents"), "doc_id", "text", minTokens = 8)
         .orderBy("doc_id")),
 
+    // REAL audio decode, oracle-gated (r8; the q98 pattern for sound):
+    // deterministic 8-segment constant-amplitude PCM WAVs are ENCODED
+    // cluster-side (JDK javax.sound writer) from doc_id arithmetic, then
+    // DECODED by Multimodal.decodeAudio (JDK codec — real decode work).
+    // A constant-a segment's RMS is exactly a, so the argmax segment
+    // normalizes to exactly 1.0f — the oracle replays peak and argmax
+    // bin from the same id arithmetic; any mis-decoded rate/frame/
+    // amplitude hash-mismatches.
+    "q106_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select("doc_id").where(col("doc_id") < 300)
+        .as[Long].map { id =>
+          val samples = Array.tabulate(1000) { f =>
+            val seg = f / 125
+            (100 + ((id * 31 + seg * 17) % 900)).toShort
+          }
+          (id, "audio", graft.ops.Multimodal.wavPcm16Mono(8000, samples))
+        }.toDF("doc_id", "modality", "payload")
+      graft.ops.Multimodal.decodeAudio(s, media).toDF()
+        .where(col("decoded"))
+        .select(col("doc_id"), col("peak_abs"), col("n_frames"), col("duration_ms"),
+          (expr("array_position(feature, CAST(1.0 AS FLOAT))") - 1L).as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("cnt"), sum("peak_abs").as("peak_sum"),
+          sum("n_frames").as("frames_sum"), sum("duration_ms").as("ms_sum"))
+        .orderBy("bin")
+    }),
+
     // smoothed bigram LM quality scoring (r8; the CCNet/KenLM perplexity
     // filter, Wenzek et al. 2020): even-id documents train the reference
     // model, odd-id documents score against it. Count columns are
@@ -2268,6 +2296,24 @@ object SparkEntry {
         |  FROM keep GROUP BY doc_id)
         |SELECT k.doc_id, coalesce(a.t2, '') AS text_scrubbed
         |FROM toks k LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // replays the audio generation arithmetic the cluster-side decode
+    // must reproduce: per (doc, segment) amplitude a = 100+(id*31+s*17)%900,
+    // peak = max_s a, argmax bin = lowest s attaining it
+    "q106_audio_decode" ->
+      """WITH gen AS (
+        |  SELECT doc_id, r.s, 100 + (doc_id * 31 + r.s * 17) % 900 AS a
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d, range(0, 8) r(s)
+        |), pk AS (SELECT doc_id, max(a) AS peak FROM gen GROUP BY doc_id),
+        |am AS (
+        |  SELECT g.doc_id, min(g.s) AS bin
+        |  FROM gen g JOIN pk USING (doc_id) WHERE g.a = pk.peak GROUP BY g.doc_id)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pk.peak) AS BIGINT) AS peak_sum,
+        |  CAST(count(*) * 1000 AS BIGINT) AS frames_sum,
+        |  CAST(count(*) * 125 AS BIGINT) AS ms_sum
+        |FROM am JOIN pk USING (doc_id)
+        |GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q104_bigram_lm_score" ->
       """WITH toks AS (

@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is the real thing — binary payload column, typed
   * output schema, batched iteration (the Scala-native analogue of
   * `mapInPandas` batch processing), partition-parallel, nothing on the
-  * driver. [[decodeImages]] is a REAL decoder for the formats the JDK
-  * ships codecs for (PNG/JPEG/BMP/GIF via ImageIO — executable right
-  * here); `decodeStub` remains the deterministic stand-in for formats
-  * the container lacks (webp/avif/video/audio) and is what the q29
+  * driver. [[decodeImages]] and [[decodeAudio]] are REAL decoders for
+  * the formats the JDK ships codecs for (PNG/JPEG/BMP/GIF via ImageIO;
+  * WAV/AIFF/AU PCM via javax.sound — executable right here);
+  * `decodeStub` remains the deterministic stand-in for codecs the
+  * container lacks (webp/avif/mp3/aac/video) and is what the q29
   * oracle replays byte-exactly.
   */
 object Multimodal {
@@ -164,6 +165,128 @@ object Multimodal {
         }
       }
     }
+  }
+
+  final case class AudioFeatures(
+      doc_id: Long,
+      modality: String,
+      n_bytes: Long,
+      decoded: Boolean,
+      sample_rate: Long,
+      channels: Long,
+      n_frames: Long,
+      duration_ms: Long,
+      peak_abs: Long,
+      feature: Array[Float])
+
+  /** REAL audio decode via the JDK's built-in `javax.sound.sampled`
+    * stack — WAV/AIFF/AU PCM need NO external codecs, so this path is
+    * genuinely executable in this container (the `decodeStub` caveat now
+    * applies only to compressed codecs the JDK lacks: mp3/aac/ogg/
+    * video). Per clip: format metadata (sample rate, channels, frame
+    * count, duration) plus a deterministic 8-segment temporal energy
+    * profile — per-segment RMS of the channel-mixed signal normalized by
+    * the clip's peak (the classic cheap silence/clipping/structure
+    * signal), and the integer peak amplitude. PCM signed 16-bit (either
+    * endianness) and unsigned 8-bit decode; payloads the JDK cannot
+    * parse degrade to `decoded = false` instead of failing the batch.
+    * Same batched `mapPartitions` shape as [[decodeImages]]. */
+  def decodeAudio(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 256): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val undecoded = AudioFeatures(r.doc_id, r.modality,
+            r.payload.length.toLong, decoded = false, 0L, 0L, 0L, 0L, 0L,
+            new Array[Float](8))
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            val fmt = ais.getFormat
+            val enc = fmt.getEncoding
+            val bits = fmt.getSampleSizeInBits
+            val pcmOk =
+              (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16) ||
+                (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+            if (!pcmOk) undecoded
+            else {
+              val bytes = ais.readAllBytes()
+              val ch = fmt.getChannels
+              val frameSize = fmt.getFrameSize
+              val n = bytes.length / frameSize
+              if (n == 0) undecoded
+              else {
+                val big = fmt.isBigEndian
+                // 8 temporal segments: sum of squares of the channel-mixed
+                // sample, plus the global peak |sample| over every channel
+                val sumSq = new Array[Double](8)
+                val segN = new Array[Long](8)
+                var peak = 0L
+                var f = 0
+                while (f < n) {
+                  val seg = math.min(7, (f * 8L / n).toInt)
+                  var mix = 0.0
+                  var c = 0
+                  while (c < ch) {
+                    val off = f * frameSize + c * (bits / 8)
+                    val v: Int =
+                      if (bits == 16) {
+                        val b0 = bytes(off) & 0xFF; val b1 = bytes(off + 1) & 0xFF
+                        val raw = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+                        (raw << 16) >> 16 // sign-extend
+                      } else (bytes(off) & 0xFF) - 128
+                    if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+                    mix += v
+                    c += 1
+                  }
+                  mix /= ch
+                  sumSq(seg) += mix * mix
+                  segN(seg) += 1
+                  f += 1
+                }
+                val feat = new Array[Float](8)
+                var s = 0
+                while (s < 8) {
+                  val rms = if (segN(s) == 0) 0.0 else math.sqrt(sumSq(s) / segN(s))
+                  feat(s) = if (peak == 0) 0f else (rms / peak).toFloat
+                  s += 1
+                }
+                AudioFeatures(r.doc_id, r.modality, r.payload.length.toLong,
+                  decoded = true,
+                  sample_rate = fmt.getSampleRate.toLong,
+                  channels = ch.toLong,
+                  n_frames = n.toLong,
+                  duration_ms = n.toLong * 1000L / fmt.getSampleRate.toLong,
+                  peak_abs = peak,
+                  feature = feat)
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => undecoded }
+        }
+      }
+    }
+  }
+
+  /** PCM16 mono WAV bytes through the JDK's own writer — the fixture
+    * generator for the real-decode gates (the audio twin of the q98
+    * in-test PNG encode). */
+  def wavPcm16Mono(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(i * 2) = (samples(i) & 0xFF).toByte
+      bytes(i * 2 + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Frame sampling: emit n evenly spaced byte-window "frames" per payload

@@ -449,6 +449,48 @@ class OpsSpec extends AnyFunSuite {
     assert(!bad.decoded && bad.n_bytes == 12L && bad.feature.length == 8)
   }
 
+  test("multimodal REAL audio decode: JDK WAV codec, exact metadata, graceful fallback") {
+    // 8 segments x 250 frames of CONSTANT amplitude per segment: RMS of a
+    // constant-a segment is exactly a (a^2 exact in double, sqrt of a
+    // perfect square exact), so feature(s) = a_s / peak with the argmax
+    // bin EXACTLY 1.0f — every decoded field is hand-checkable
+    val amps = Array[Short](100, 900, 300, 500, 250, 700, 150, 400)
+    val samples = amps.flatMap(a => Array.fill(250)(a))
+    val wav = Multimodal.wavPcm16Mono(8000, samples)
+    // stereo, both channels identical: mix == the mono signal
+    val stereoBytes = samples.flatMap(s =>
+      Array((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte,
+        (s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte))
+    val sfmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val sbos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(stereoBytes), sfmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, sbos)
+    val media = Seq(
+      (1L, "audio", wav),
+      (2L, "audio", sbos.toByteArray),
+      (3L, "audio", "not audio at all".getBytes("UTF-8")))
+      .toDF("doc_id", "modality", "payload")
+    val got = Multimodal.decodeAudio(spark, media, batchSize = 2)
+      .collect().sortBy(_.doc_id)
+    val mono = got(0)
+    assert(mono.decoded && mono.sample_rate == 8000 && mono.channels == 1 &&
+      mono.n_frames == 2000 && mono.duration_ms == 250 && mono.peak_abs == 900,
+      mono.toString)
+    assert(mono.feature(1) == 1.0f, "argmax segment must normalize to exactly 1")
+    amps.zipWithIndex.foreach { case (a, s) =>
+      assert(mono.feature(s) == (a.toDouble / 900.0).toFloat,
+        s"segment $s: ${mono.feature(s)}")
+    }
+    val stereo = got(1)
+    assert(stereo.decoded && stereo.channels == 2 && stereo.n_frames == 2000 &&
+      stereo.peak_abs == 900 && stereo.feature.toSeq == mono.feature.toSeq,
+      stereo.toString)
+    val bad = got(2)
+    assert(!bad.decoded && bad.n_bytes == 16L)
+  }
+
   test("image decode: raster fast path bit-identical to the ColorModel path") {
     // the same pixel content encoded as PNG (decodes to a standard sRGB
     // layout -> raster fast path) and as GIF (decodes to a palette image
