@@ -857,6 +857,17 @@ object SparkEntry {
           T(s, dir, "documents"), "doc_id", "text", minTokens = 8)
         .orderBy("doc_id")),
 
+    // SEMANTIC dedup (r8; Abbas et al. 2023 SemDeDup): coarse-quantizer
+    // cells bound the pairwise comparison, cosine>=0.35 components keep
+    // their min id. Same index params as q50, so the oracle replays the
+    // cells bit-for-bit, then the pair graph + components recursively.
+    "q107_semdedup" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.semDedup(emb, "vec_id", "embedding", tau = 0.35,
+        nlist = 8, iters = 2, sampleMod = 3)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
     // REAL audio decode, oracle-gated (r8; the q98 pattern for sound):
     // deterministic 8-segment constant-amplitude PCM WAVs are ENCODED
     // cluster-side (JDK javax.sound writer) from doc_id arithmetic, then
@@ -2296,6 +2307,47 @@ object SparkEntry {
         |  FROM keep GROUP BY doc_id)
         |SELECT k.doc_id, coalesce(a.t2, '') AS text_scrubbed
         |FROM toks k LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // SemDeDup replay: q50's exact IVF cell replay -> within-cell cosine
+    // pair graph at 0.35 -> recursive components -> survivors = ids that
+    // are their own component minimum (isolated ids never enter `reach`
+    // and survive trivially)
+    "q107_semdedup" ->
+      s"""WITH RECURSIVE iv AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    list_transform(embedding, x ->
+         |      floor((least(greatest(CAST(x AS DOUBLE), -2.0), 2.0) + 2.0) * 1048576.0)) AS q
+         |  FROM embeddings),
+         |samp AS (SELECT vec_id, q FROM iv WHERE vec_id % 3 = 0),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid, q AS c
+         |       FROM (SELECT vec_id, q FROM samp ORDER BY vec_id LIMIT 8)),
+         |${ivfIterCtes(1, "c0", 64)},
+         |${ivfIterCtes(2, "c1", 64)},
+         |cells AS (SELECT vec_id, cid FROM (
+         |    SELECT i.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY i.vec_id ORDER BY
+         |        list_inner_product(i.q, i.q) + list_inner_product(c.c, c.c)
+         |        - 2.0*list_inner_product(i.q, c.c), c.cid) AS rn
+         |    FROM iv i, c2 c) WHERE rn = 1),
+         |pairs AS (
+         |  SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+         |  FROM cells ca JOIN cells cb ON ca.cid = cb.cid AND ca.vec_id < cb.vec_id
+         |  JOIN iv a ON a.vec_id = ca.vec_id JOIN iv b ON b.vec_id = cb.vec_id
+         |  WHERE list_inner_product(a.v, b.v) /
+         |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.35),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |losers AS (
+         |  SELECT src AS vec_id FROM reach GROUP BY src
+         |  HAVING least(src, min(dst)) <> src)
+         |SELECT vec_id FROM iv
+         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+         |ORDER BY vec_id""".stripMargin,
 
     // replays the audio generation arithmetic the cluster-side decode
     // must reproduce: per (doc, segment) amplitude a = 100+(id*31+s*17)%900,

@@ -557,6 +557,44 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** SEMANTIC deduplication (Abbas et al. 2023, "SemDeDup": documents
+    * whose EMBEDDINGS nearly coincide are redundant even when their text
+    * differs — the semantic tier above MinHash): cluster the corpus with
+    * the coarse quantizer, compare pairs WITHIN each cell only (the
+    * cluster bounds the quadratic — occupancy ~n/nlist, so nlist scales
+    * as n/target_cell just like IVF), keep one representative per
+    * connected component of the cosine>=tau graph. Representative = the
+    * component's MINIMUM id (deterministic and engine-portable — the
+    * paper's keep-farthest-from-centroid is a policy variant a caller
+    * can express over [[Dedup.clusters]] directly).
+    *
+    * 100-TB shape: one corpus scan assigns cells; the self-join shuffles
+    * each vector once by cell id; component resolution and the final
+    * anti-join ride [[Dedup.clusters]]/[[Dedup.dropNearDuplicates]]
+    * (bounded driver shortcut or distributed propagation). Pairs whose
+    * near-dups straddle a cell boundary are missed — the approximation
+    * SemDeDup itself makes; raise nlist for cost, lower for recall.
+    *
+    * Returns the SURVIVING rows of `corpus` (schema preserved). */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      tau: Double, nlist: Int = 8, iters: Int = 2,
+      sampleMod: Long = 0): DataFrame = {
+    val mod = deriveSampleMod(corpus, idCol, sampleMod)
+    val cents = coarseCentroids(corpus, idCol, vecCol, nlist, iters, mod)
+    val c = corpus.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("_n"),
+      ivfCell(quantize(col(vecCol)), cents).as("cell"))
+    val a = c.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("_va"), col("_n").as("_na"))
+    val b = c.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("_vb"), col("_n").as("_nb"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")) >= tau)
+      .select("id_a", "id_b")
+    Dedup.dropNearDuplicates(corpus, idCol, pairs)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold among pairs that
     * collide in ANY of the `nTables` LSH tables (the embedding flavor of
     * Dedup). The exact cosine recheck makes the OUTPUT deterministic given

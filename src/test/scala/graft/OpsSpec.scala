@@ -222,6 +222,48 @@ class OpsSpec extends AnyFunSuite {
     assert(code.forall(_.length == 8))
   }
 
+  test("SemDeDup: within-cell cosine components keep the min id (brute-force truth)") {
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nlist = 8, iters = 2, sampleMod = 3)
+    val cells = emb.select(col("vec_id"), Similarity.ivfCell(
+        Similarity.quantize(col("embedding")), cents).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = cells.keys.toSeq.sorted
+    val pairs = for {
+      i <- ids; j <- ids
+      if i < j && cells(i) == cells(j) && cos(vecs(i), vecs(j)) >= 0.35
+    } yield (i, j)
+    assert(pairs.nonEmpty, "testdata should contain within-cell near-dups at 0.35")
+    // brute union-find, min representative
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val losers = parent.keys.filter(n => find(n) != n).toSet
+    val expected = ids.toSet -- losers
+
+    val got = Similarity.semDedup(emb, "vec_id", "embedding", tau = 0.35,
+      nlist = 8, iters = 2, sampleMod = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("IVF centroids persist across drivers on the object-store deployment") {
     // the ObjectStorePointerLogStore catalog shape: the warehouse IS the
     // store and no shared filesystem exists, so centroid sidecars must
