@@ -2774,6 +2774,32 @@ final class SnapshotCatalog(
       Manifest(prev.files, newStats), prevEntry.deletes))
   }
 
+  /** Consolidate the current snapshot's manifest SHARDS into one
+    * (Iceberg `rewrite_manifests`): a long append lineage accumulates one
+    * shard per commit — the design that makes each commit O(its own
+    * files) — so materializing the snapshot eventually pays O(commits)
+    * shard opens. This writes the full current file list + stats as ONE
+    * shard and lands a stats-only pointer commit: same files, same
+    * delete shards, row-identical, so incremental/changelog/streaming
+    * consumers see nothing across it. Older snapshots keep resolving
+    * their original shards (time travel untouched); expire reclaims
+    * shards no surviving snapshot references. Returns None when the
+    * current snapshot already rides a single shard. */
+  def rewriteManifests(db: String, table: String): Option[Snapshot] = withTableLock(db, table) {
+    val entries = entriesForWrite(db, table)
+    requireNoPendingStage(db, table, entries)
+    val prevEntry = publishedEntry(entries)
+    if (prevEntry.manifests.size <= 1) return None
+    val prev = materialize(db, table, prevEntry)
+    val newId = entries.last.snapshotId + 1
+    val snap = Snapshot(newId, clock().toString, "rewrite_manifests",
+      prev.summary + ("added_records" -> "0", "added_files" -> "0",
+        "rewritten_manifests" -> prevEntry.manifests.size.toString),
+      prevEntry.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles)
+    Some(commitSnapshot(db, table, entries, snap, Seq.empty,
+      Manifest(prev.files, prev.fileStats), prevEntry.deletes))
+  }
+
   // ---- write-audit-publish (Iceberg's WAP pattern, single-lineage form) ----
 
   private def requireNoPendingStage(db: String, table: String,

@@ -152,6 +152,20 @@ object SnapProcedures {
         }
       },
 
+      proc("rewrite_manifests",
+        "consolidate the current snapshot's manifest shards into one; stats-only commit, no data rewritten",
+        Seq(in("table", StringType)),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = true),
+          StructField("rewritten_manifests", IntegerType, nullable = false)))) { input =>
+        val (db, t) = dbTable(input, 0)
+        cat.rewriteManifests(db, t) match {
+          case Some(s) => Seq(row(s.snapshotId,
+            s.summary("rewritten_manifests").toInt))
+          case None => Seq(row(null, 0)) // already a single shard
+        }
+      },
+
       proc("rebuild_blooms",
         "backfill bloom sidecars for files lacking them (adopted / pre-property); stats-only commit, no data rewritten",
         Seq(in("table", StringType)),

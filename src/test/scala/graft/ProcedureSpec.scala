@@ -222,6 +222,41 @@ class ProcedureSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS c FROM proccat.db.wapq").head.getLong(0) == 3L)
   }
 
+  test("rewrite_manifests consolidates shards; history and consumers unaffected") {
+    wh
+    import spark.implicits._
+    val t = Seq((1L, "a")).toDF("id", "v")
+    cat.createTable("db", "rm", t.schema)
+    (0 until 4).foreach(i =>
+      cat.append("db", "rm", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val pre = cat.currentSnapshot("db", "rm").snapshotId
+    def currentShards(): Seq[String] = {
+      val log = graft.catalog.Json.parse(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(wh, "db", "rm", "_snapshots", "log.json")))
+        .asInstanceOf[graft.catalog.JObj]
+      log.arr("entries").last.asInstanceOf[graft.catalog.JObj]
+        .arr("manifests").collect { case graft.catalog.JStr(s) => s }
+    }
+    assert(currentShards().size == 4, "one delta shard per append")
+
+    val r = spark.sql("CALL proccat.system.rewrite_manifests('db.rm')").collect()
+    assert(r.head.getInt(1) == 4)
+    assert(currentShards().size == 1, "current snapshot rides ONE shard")
+    // row-identical: same data, history intact, nothing for consumers
+    assert(cat.readLatest("db", "rm").as[(Long, String)].collect().sorted.toSeq
+      == (0 until 4).map(i => (i.toLong, s"v$i")))
+    assert(cat.readAsOf("db", "rm", pre).count() == 4)
+    assert(cat.readIncremental("db", "rm", pre,
+      cat.currentSnapshot("db", "rm").snapshotId).count() == 0)
+    // idempotent: already one shard -> no commit
+    val r2 = spark.sql("CALL proccat.system.rewrite_manifests('db.rm')").collect()
+    assert(r2.head.isNullAt(0) && r2.head.getInt(1) == 0)
+    // appends after the rewrite go back to one delta shard on top
+    cat.append("db", "rm", Seq((9L, "v9")).toDF("id", "v"))
+    assert(currentShards().size == 2)
+    assert(cat.readLatest("db", "rm").count() == 5)
+  }
+
   test("INSERT OVERWRITE stages under write.wap.enabled too") {
     // an overwrite replaces MORE state than an append, so bypassing the
     // audit gate there (what the plugin did before) would let exactly the
