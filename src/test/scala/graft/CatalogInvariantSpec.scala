@@ -115,7 +115,7 @@ class CatalogInvariantSpec extends AnyFunSuite {
       cat.append("db", t, frame(rng, 40))
       checkInvariants(cat, "db", t)
       (1 to 8).foreach { _ =>
-        rng.nextInt(12) match {
+        rng.nextInt(14) match {
           case 0 => cat.append("db", t, conform(cat, "db", t, frame(rng, 10 + rng.nextInt(40))))
           case 1 => cat.overwrite("db", t, conform(cat, "db", t, frame(rng, 10 + rng.nextInt(40))))
           case 2 => cat.delete("db", t, col("score") < (rng.nextInt(60).toLong + 20L))
@@ -146,6 +146,15 @@ class CatalogInvariantSpec extends AnyFunSuite {
           case 11 =>
             val src = conform(cat, "db", t, frame(rng, 10).dropDuplicates("id"))
             cat.upsertMoR("db", t, src, Seq("id"))
+          // r8 stats-only maintenance commits: row-identical by contract,
+          // so every invariant must hold verbatim across them
+          case 12 => cat.rewriteManifests("db", t)
+          case 13 =>
+            if (!cat.meta("db", t).properties.contains(
+                graft.catalog.BloomStats.PropCols))
+              cat.setProperty("db", t,
+                graft.catalog.BloomStats.PropCols, Some("id"))
+            cat.rebuildBlooms("db", t)
         }
         checkInvariants(cat, "db", t)
       }
