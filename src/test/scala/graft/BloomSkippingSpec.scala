@@ -104,6 +104,17 @@ class BloomSkippingSpec extends AnyFunSuite {
     assert(skipped.nonEmpty, s"bloom should skip odd-id files: kept=$kept")
     assert(spark.sql("SELECT tag FROM bloomc.db.ev WHERE id = 42")
       .as[String].collect().toSeq == Seq("t42"))
+    // PLAN-level proof on the SQL path: the point lookup's planned scan
+    // carries only the file whose bloom admits the key — the skip happens
+    // at planning, before any task exists
+    val scan = spark.sql("SELECT tag FROM bloomc.db.ev WHERE id = 42")
+      .queryExecution.executedPlan
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.get
+    val planned = scan.toBatch.planInputPartitions().length
+    assert(planned == 1, s"bloom skip must reach the planned scan: $planned partitions")
+
     // a MoR UPDATE writes new files through the DML path — they must
     // bloom too, and the lookup stays exact
     spark.sql("UPDATE bloomc.db.ev SET tag = 'updated' WHERE id = 42")
