@@ -868,6 +868,33 @@ object SparkEntry {
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
+    // DSIR importance resampling (r8; Xie et al. 2023): %10==0 docs are
+    // the TARGET domain, the rest the raw pool; hashed-unigram+bigram
+    // bucket models, add-0.5 smoothing, Gumbel top-64 without
+    // replacement. Portable md5 buckets + md5-derived Gumbel noise +
+    // 1e-4-quantized sums make the full selector replayable in SQL.
+    "q108_dsir_resample" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      graft.ops.Dsir.resample(
+          d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0),
+          "doc_id", "text", k = 64)
+        .orderBy(col("key_q").desc, col("doc_id"))
+    }),
+
+    // fastText-shape quality scoring (r8; Joulin et al. 2016): hashed
+    // bag-of-ngrams logistic margin under EXPLICIT weights (w_b from
+    // Knuth-hash arithmetic on the bucket id — the frozen-model
+    // deployment path; training is spec-gated). Per-doc logits quantize
+    // at 1e-4; the oracle replays buckets, normalization, and weights.
+    "q109_quality_score" -> ((s, dir) => {
+      val m = graft.ops.QualityClassifier.Model(4096,
+        Array.tabulate(4096)(b => (((b.toLong * 2654435761L) % 1000L) - 500L) / 1000.0),
+        bias = 0.25)
+      graft.ops.QualityClassifier.score(
+          T(s, dir, "documents").where(col("doc_id") < 2000), "doc_id", "text", m)
+        .orderBy("doc_id")
+    }),
+
     // REAL audio decode, oracle-gated (r8; the q98 pattern for sound):
     // deterministic 8-segment constant-amplitude PCM WAVs are ENCODED
     // cluster-side (JDK javax.sound writer) from doc_id arithmetic, then
@@ -2348,6 +2375,75 @@ object SparkEntry {
          |SELECT vec_id FROM iv
          |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
          |ORDER BY vec_id""".stripMargin,
+
+    // DSIR replayed end-to-end: md5 buckets over unigrams+bigrams, add-k
+    // bucket models, per-doc quantized log-weight, md5-derived Gumbel
+    // noise, top-64 by (key_q, doc_id)
+    "q108_dsir_resample" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, u.w AS g FROM toks, unnest(ts) AS u(w)
+        |  UNION ALL
+        |  SELECT doc_id, ts[u.i] || ' ' || ts[u.i + 1]
+        |  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        |), gb AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+        |  FROM grams
+        |), tgt AS (
+        |  SELECT b, count(*) AS ct FROM gb WHERE doc_id % 10 = 0 GROUP BY b
+        |), rawb AS (
+        |  SELECT b, count(*) AS cr FROM gb WHERE doc_id % 10 <> 0 GROUP BY b
+        |), nt AS (SELECT coalesce(sum(ct), 0) AS n FROM tgt),
+        |nr AS (SELECT coalesce(sum(cr), 0) AS n FROM rawb),
+        |docb AS (
+        |  SELECT doc_id, b, count(*) AS cnt FROM gb WHERE doc_id % 10 <> 0
+        |  GROUP BY doc_id, b
+        |), w AS (
+        |  SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_grams,
+        |    CAST(floor(sum(d.cnt *
+        |      (ln((coalesce(t.ct, 0) + 0.5) / ((SELECT n FROM nt) + 0.5 * 4096))
+        |       - ln((r.cr + 0.5) / ((SELECT n FROM nr) + 0.5 * 4096)))) * 10000)
+        |      AS BIGINT) AS logw_q
+        |  FROM docb d LEFT JOIN tgt t USING (b) JOIN rawb r USING (b)
+        |  GROUP BY d.doc_id
+        |), keyed AS (
+        |  SELECT doc_id, n_grams, logw_q,
+        |    CAST(floor((logw_q / 10000.0 -
+        |      ln(-ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))
+        |        AS BIGINT) + 0.5) / 4294967296.0))) * 10000) AS BIGINT) AS key_q
+        |  FROM w)
+        |SELECT doc_id, n_grams, logw_q, key_q FROM keyed
+        |ORDER BY key_q DESC, doc_id LIMIT 64""".stripMargin,
+
+    // fastText-shape scoring replay: same buckets, x = cnt/n_grams,
+    // w_b = ((b*2654435761) % 1000 - 500)/1000, bias 0.25
+    "q109_quality_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+        |  FROM documents WHERE doc_id < 2000
+        |), grams AS (
+        |  SELECT doc_id, u.w AS g FROM toks, unnest(ts) AS u(w)
+        |  UNION ALL
+        |  SELECT doc_id, ts[u.i] || ' ' || ts[u.i + 1]
+        |  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        |), gb AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+        |  FROM grams
+        |), docb AS (
+        |  SELECT doc_id, b, count(*) AS cnt FROM gb GROUP BY doc_id, b
+        |), n AS (SELECT doc_id, sum(cnt) AS ng FROM docb GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(floor((CAST(sum(d.cnt * ((((d.b * 2654435761) % 1000) - 500) * 1000))
+        |      AS DOUBLE) / (max(n.ng) * 1e6) + 0.25) * 10000)
+        |    AS BIGINT) AS logit_q
+        |FROM docb d JOIN n USING (doc_id)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // replays the audio generation arithmetic the cluster-side decode
     // must reproduce: per (doc, segment) amplitude a = 100+(id*31+s*17)%900,

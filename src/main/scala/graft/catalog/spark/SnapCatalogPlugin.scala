@@ -979,9 +979,10 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       prunedSchema: StructType, partitioned: Boolean,
       options: CaseInsensitiveStringMap,
       tableSchema: Option[StructType] = None)
-      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
     import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
-    import org.apache.spark.sql.connector.read.streaming.Offset
+    import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
     private case class SnapOffset(id: Long) extends Offset {
       override def json(): String = id.toString
@@ -1007,6 +1008,20 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           id
       })
     override def latestOffset(): Offset = SnapOffset(currentId)
+    // Trigger.AvailableNow ("catch up on everything published, then
+    // stop" — the incremental-batch deployment shape): the head is
+    // PINNED once at query start, so commits landing while the catch-up
+    // runs belong to the NEXT run and the query provably terminates.
+    // Without the native interface Spark refuses AvailableNow on custom
+    // DSv2 sources (the generic wrapper is gated to built-ins).
+    @volatile private var availableNowCap: Option[Long] = None
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowCap = Some(currentId)
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+      SnapOffset(availableNowCap.fold(currentId)(c => math.min(currentId, c)))
+    // progress reporting sees the TRUE head even when the cap holds a
+    // run short of it (Spark surfaces the lag in StreamingQueryProgress)
+    override def reportLatestOffset(): Offset = SnapOffset(currentId)
     override def deserializeOffset(json: String): Offset = SnapOffset(json.trim.toLong)
     override def commit(end: Offset): Unit = ()
     override def stop(): Unit = ()
@@ -1214,7 +1229,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       prunedSchema: StructType, visibleSchema: StructType, partitioned: Boolean,
       options: CaseInsensitiveStringMap)
       extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
     import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan => _}
     import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
@@ -1234,13 +1249,23 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             s"no snapshot $id in $db.$table")
           id
       })
+    // Trigger.AvailableNow: pin the head at query start; the
+    // one-commit-per-trigger admission below then drains commit by
+    // commit up to the pinned head and stops — CDC catch-up as a
+    // terminating batch job, batch boundaries still commit boundaries.
+    @volatile private var availableNowCap: Option[Long] = None
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowCap = Some(cat.currentSnapshotId(db, table))
     // one published commit per trigger: batch boundary = commit boundary
     override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
       val s = start.asInstanceOf[ChgOffset].id
-      val head = cat.currentSnapshotId(db, table)
+      val trueHead = cat.currentSnapshotId(db, table)
+      val head = availableNowCap.fold(trueHead)(c => math.min(trueHead, c))
       lineage.find(e => e.snapshotId > s && e.snapshotId <= head)
         .map(e => ChgOffset(e.snapshotId)).getOrElse(start)
     }
+    override def reportLatestOffset(): Offset =
+      ChgOffset(cat.currentSnapshotId(db, table))
     override def latestOffset(): Offset =
       throw new IllegalStateException("latestOffset(start, limit) is the entry point")
     override def deserializeOffset(json: String): Offset = ChgOffset(json.trim.toLong)

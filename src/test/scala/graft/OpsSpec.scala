@@ -948,4 +948,66 @@ class OpsSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.mrccat.warehouse", dir)
     assert(graft.catalog.MetadataRowCount.exact(spark.table("mrccat.db.e")).contains(7L))
   }
+
+  test("DSIR: on-target docs out-weigh off-target docs; resample favors them") {
+    import graft.ops.Dsir
+    // target speaks {alpha beta}; raw is a mix of on-target and
+    // off-target docs plus id parity markers
+    val target = (0 until 20).map(i => (i.toLong, "alpha beta alpha beta alpha"))
+      .toDF("doc_id", "text")
+    val raw = ((0 until 30).map(i => (i.toLong, "alpha beta alpha beta")) ++
+      (100 until 130).map(i => (i.toLong, "zulu yankee zulu yankee")))
+      .toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(raw, target, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(w.size == 60)
+    // 4 tokens -> 4 unigrams + 3 bigrams
+    assert(w(0L)._1 == 7L && w(100L)._1 == 7L)
+    val onW = w(0L)._2; val offW = w(100L)._2
+    assert(onW > offW, s"on-target logw_q $onW should exceed off-target $offW")
+    // every on-target doc shares one weight, every off-target the other
+    assert((0 until 30).forall(i => w(i.toLong)._2 == onW))
+    assert((100 until 130).forall(i => w((i).toLong)._2 == offW))
+
+    // resampling at low temperature is dominated by the weight gap:
+    // all k winners are on-target; same seed redraws the same set
+    val s1 = Dsir.resample(raw, target, "doc_id", "text", k = 10,
+      temperature = 0.05).select("doc_id").as[Long].collect().toSet
+    assert(s1.size == 10 && s1.forall(_ < 100L), s1.toString)
+    val s2 = Dsir.resample(raw, target, "doc_id", "text", k = 10,
+      temperature = 0.05).select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "same seed must redraw the same sample")
+    // a different seed permutes the Gumbel noise -> generally a
+    // different winning subset of the equal-weight on-target pool
+    val s3 = Dsir.resample(raw, target, "doc_id", "text", k = 10,
+      temperature = 0.05, seed = 7L).select("doc_id").as[Long].collect().toSet
+    assert(s3.size == 10 && s3 != s1, "seed must steer the draw")
+  }
+
+  test("quality classifier: separable corpus trains to zero error, loss decreases") {
+    import graft.ops.QualityClassifier
+    val labeled = ((0 until 40).map(i =>
+        (i.toLong, s"delightful prose sample number token$i", 1.0)) ++
+      (100 until 140).map(i =>
+        (i.toLong, s"garbage spam junk noise token$i", 0.0)))
+      .toDF("doc_id", "text", "label")
+    val zero = QualityClassifier.Model(256, new Array[Double](256), 0.0)
+    val l0 = QualityClassifier.loss(labeled, "doc_id", "text", "label", zero)
+    val m = QualityClassifier.train(labeled, "doc_id", "text", "label",
+      buckets = 256, iters = 40, lr = 2.0, l2 = 0.0)
+    val l1 = QualityClassifier.loss(labeled, "doc_id", "text", "label", m)
+    assert(l1 < l0, s"training must reduce loss: $l0 -> $l1")
+    val scored = QualityClassifier.score(labeled, "doc_id", "text", m)
+      .join(labeled.select(col("doc_id"), col("label")), "doc_id")
+      .select("logit_q", "label").as[(Long, Double)].collect()
+    assert(scored.length == 80)
+    assert(scored.forall { case (z, y) => (z > 0) == (y == 1.0) },
+      "separable corpus must train to zero training error")
+    // scoring is deterministic given a frozen model
+    val again = QualityClassifier.score(labeled, "doc_id", "text", m)
+      .select("doc_id", "logit_q").as[(Long, Long)].collect().toSet
+    val first = QualityClassifier.score(labeled, "doc_id", "text", m)
+      .select("doc_id", "logit_q").as[(Long, Long)].collect().toSet
+    assert(again == first)
+  }
 }

@@ -881,4 +881,73 @@ class StreamingSpec extends AnyFunSuite {
     EventStream.appendEpoch(cat, "db", "sink", "qB")(Seq((10L, "other")).toDF("id", "tag"), 0L)
     assert(cat.readLatest("db", "sink").count() == 4, "second sink's epoch 0 was dropped")
   }
+
+  test("Trigger.AvailableNow drains the append tail, terminates, and resumes on the delta") {
+    import java.time.Instant
+    import graft.catalog.SnapshotCatalog
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = Files.createTempDirectory("graft_anwh_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, wh,
+      clock = () => { tick += 1; Instant.parse("2026-05-01T00:00:00Z").plusSeconds(tick * 60) })
+    val df0 = Seq((1L, "a"), (2L, "a")).toDF("id", "tag")
+    cat.createTable("db", "an", df0.schema)
+    cat.append("db", "an", df0)                                  // 2
+    cat.append("db", "an", Seq((3L, "b")).toDF("id", "tag"))     // 3
+    spark.conf.set("spark.sql.catalog.snapan", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapan.warehouse", wh)
+
+    val out = Files.createTempDirectory("graft_anout_").toString
+    val ckpt = Files.createTempDirectory("graft_anckpt_").toString
+    // "catch up, then stop": the query must terminate BY ITSELF — no
+    // processAllAvailable/stop — which only works because the source
+    // implements SupportsTriggerAvailableNow natively (Spark refuses the
+    // generic wrapper for custom DSv2 sources)
+    def runOnce(): Unit = {
+      val q = spark.readStream.option("starting-snapshot-id", "1")
+        .table("snapan.db.an")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).outputMode("append").start()
+      assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 3, "first run drains the full backfill")
+
+    cat.append("db", "an", Seq((4L, "c"), (5L, "c")).toDF("id", "tag")) // 4
+    runOnce() // same checkpoint: only the delta
+    val got = spark.read.parquet(out).select("id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 2L, 3L, 4L, 5L), got.toString)
+  }
+
+  test("Trigger.AvailableNow on .changes drains commit-per-batch and terminates") {
+    import java.time.Instant
+    import graft.catalog.SnapshotCatalog
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = Files.createTempDirectory("graft_anchg_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, wh,
+      clock = () => { tick += 1; Instant.parse("2026-05-01T00:00:00Z").plusSeconds(tick * 60) })
+    val df0 = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("id", "tag")
+    cat.createTable("db", "anc", df0.schema)
+    cat.append("db", "anc", df0)                                 // 2
+    cat.deleteMoR("db", "anc", col("id") === 2L)                 // 3
+    cat.append("db", "anc", Seq((4L, "y")).toDF("id", "tag"))    // 4
+    spark.conf.set("spark.sql.catalog.snapanc", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapanc.warehouse", wh)
+
+    val q = spark.readStream.option("starting-snapshot-id", "1")
+      .table("snapanc.db.anc.changes")
+      .writeStream.format("memory").queryName("an_changes")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    assert(q.awaitTermination(120000), "AvailableNow .changes query did not self-terminate")
+    val got = spark.table("an_changes").select("_change_type", "id")
+      .as[(String, Long)].collect().sortBy(r => (r._2, r._1)).toSeq
+    assert(got == Seq(("delete", 2L), ("insert", 2L),
+      ("insert", 1L), ("insert", 3L), ("insert", 4L)).sortBy(r => (r._2, r._1)), got.toString)
+    // the one-commit-per-trigger admission survives under AvailableNow:
+    // three data commits -> at least three non-empty micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      q.recentProgress.map(_.numInputRows).mkString(","))
+  }
 }
