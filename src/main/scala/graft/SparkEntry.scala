@@ -895,6 +895,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // distributed BPE (r8; Sennrich et al. 2016): merges learned from the
+    // DISTINCT-WORD frequency table of the training half (iterative
+    // argmax — deterministic via lexicographic tie-break, but not
+    // SQL-expressible, so spec-gated in BpeSpec; driver records the
+    // rows-only check here), then per-doc token counts via dictionary
+    // join with novel-word merge application.
+    "q110_bpe_tokenize" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val (merges, dict) = graft.ops.Bpe.train(
+        d.where(col("doc_id") < 300), "text", numMerges = 10)
+      val out = graft.ops.Bpe.tokenCounts(
+          d.where(col("doc_id") >= 300 && col("doc_id") < 600),
+          "doc_id", "text", merges, dict)
+        .agg(count(lit(1)).as("n_docs"), sum("n_words").as("words"),
+          sum("n_tokens").as("tokens"))
+      dict.unpersist()
+      out
+    }),
+
     // REAL audio decode, oracle-gated (r8; the q98 pattern for sound):
     // deterministic 8-segment constant-amplitude PCM WAVs are ENCODED
     // cluster-side (JDK javax.sound writer) from doc_id arithmetic, then

@@ -1689,6 +1689,21 @@ final class SnapshotCatalog(
     val statAggs = statCols.flatMap { c =>
       Seq(min(col(s"`$c`")).as(s"min.$c"), max(col(s"`$c`")).as(s"max.$c"))
     }
+    // NDV sketches ride the SAME observation pass (zero extra scan over
+    // the commit's new rows); see [[NdvStats]] for union/carry semantics.
+    // A property naming an unknown/unsupported column fails loudly, like
+    // blooms.
+    val ndvCols = NdvStats.columnsOf(tm.properties)
+    ndvCols.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"${NdvStats.PropCols} of $db.$table names unknown column '$c'"))
+      require(NdvStats.supported(f.dataType),
+        s"${NdvStats.PropCols}: column '$c' has unsupported type ${f.dataType.sql} " +
+          "(int/long/string/binary only)")
+    }
+    val ndvLgK = NdvStats.lgKOf(tm.properties)
+    val ndvAggs = ndvCols.map(c =>
+      expr(s"hll_sketch_agg(`$c`, $ndvLgK)").as(s"ndvsk.$c"))
     // Declared sort order (`write.sort-order` = "c1,c2", Iceberg's table
     // sort order): range-cluster every library commit's output on the sort
     // columns so per-file footer bounds are DISJOINT on the leading column
@@ -1707,7 +1722,8 @@ final class SnapshotCatalog(
         df.repartitionByRange(exprs.toIndexedSeq: _*).sortWithinPartitions(exprs.toIndexedSeq: _*)
       case _ => df
     }
-    val observed = laid.observe(obs, count(lit(1)).as("rows"), statAggs.toIndexedSeq: _*)
+    val observed = laid.observe(obs, count(lit(1)).as("rows"),
+      (statAggs.toIndexedSeq ++ ndvAggs): _*)
     val writer = observed.write.mode("overwrite")
     val partitioned =
       if (tm.partitionCols.nonEmpty) writer.partitionBy(tm.partitionCols: _*) else writer
@@ -1795,12 +1811,46 @@ final class SnapshotCatalog(
       if (!carriedDead.contains(0L))
         stats.view.filterKeys(k => !k.startsWith("min.") && !k.startsWith("max.")).toMap
       else stats
+    // NDV: union this commit's fresh sketches per [[NdvStats]] — full
+    // rewrites (overwrite/compact observe the whole state) take fresh
+    // alone; appends and partial rewrites union with the parent sidecar
+    // (partial-rewrite unions are upper bounds: rewritten rows stay in
+    // the parent sketch). An append onto an unsketched non-empty history
+    // emits NOTHING (absent beats undercounted) until analyze_ndv
+    // bootstraps.
+    val ndvSummary: Map[String, String] =
+      if (ndvCols.isEmpty) Map.empty
+      else {
+        val root = tablePath(db, table)
+        val freshNdv = ndvCols.map { c =>
+          c -> Option(metrics(s"ndvsk.$c")).map(_.asInstanceOf[Array[Byte]])
+            .getOrElse(NdvStats.emptySketch(ndvLgK))
+        }.toMap
+        def unionParent: Option[Map[String, Array[Byte]]] =
+          if (prev.recordCount == 0L) Some(freshNdv)
+          else prev.summary.get("ndv.snapshot").map(_.toLong)
+            .flatMap(id => NdvStats.loadSidecar(root, id))
+            .filter(par => ndvCols.forall(par.contains))
+            .map(par => ndvCols.map(c =>
+              c -> NdvStats.union(ndvLgK, Seq(par(c), freshNdv(c)))).toMap)
+        val unioned = operation match {
+          case "append" => unionParent
+          case _ if carryFiles.nonEmpty => unionParent
+          case _ => Some(freshNdv) // overwrite / compact: full state observed
+        }
+        unioned.fold(Map.empty[String, String]) { sk =>
+          NdvStats.writeSidecar(root, newId, sk)
+          sk.map { case (c, b) =>
+            s"ndv.$c" -> NdvStats.estimate(b).toString } +
+            ("ndv.snapshot" -> newId.toString)
+        }
+      }
     val snap = Snapshot(newId, clock().toString, operation,
       Map(
         "record_count" -> totalRows.toString,
         "added_records" -> rows.toString,
         "added_files" -> newFiles.size.toString,
-        "total_files" -> allFiles.size.toString) ++ honestStats
+        "total_files" -> allFiles.size.toString) ++ honestStats ++ ndvSummary
         // streaming-sink high-water marks survive EVERY commit kind (a
         // compact/overwrite between stream batches must not reopen the
         // replay window); the committing batch's own tag overrides
@@ -2772,6 +2822,61 @@ final class SnapshotCatalog(
       prevEntry.schemaDdl, prev.files, newStats, prev.deleteFiles)
     Some(commitSnapshot(db, table, entries, snap, Seq.empty,
       Manifest(prev.files, newStats), prevEntry.deletes))
+  }
+
+  /** Compute per-column NDV sketches from the CURRENT live rows — the
+    * `ANALYZE` action (Iceberg's `analyze_table` writing Puffin theta
+    * sketches; here HLL sidecars, see [[NdvStats]]). One scan of the
+    * MERGED state (MoR deletes applied), so the estimates are exact-scope
+    * for the current snapshot — this is both the bootstrap for tables
+    * armed mid-history and the refresh that resets delete-carried upper
+    * bounds or update-staled estimates. Lands as a stats-only commit
+    * (identical files and delete shards, summary gains `ndv.*`), so
+    * incremental/changelog/streaming consumers see nothing.
+    *
+    * `columns` defaults to `write.ndv.columns`, else every supported
+    * column. Returns None for an empty column set resolution. */
+  def analyzeNdv(db: String, table: String,
+      columns: Seq[String] = Seq.empty): Option[Snapshot] = withTableLock(db, table) {
+    val tm = meta(db, table)
+    val entries = entriesForWrite(db, table)
+    requireNoPendingStage(db, table, entries)
+    val prevEntry = publishedEntry(entries)
+    val prev = materialize(db, table, prevEntry)
+    val visible = prev.schema.fields.filterNot(f =>
+      tm.bucketSpec.isDefined && f.name == "__bucket")
+    val cols =
+      (if (columns.nonEmpty) columns
+       else {
+         val armed = NdvStats.columnsOf(tm.properties)
+         if (armed.nonEmpty) armed
+         else visible.filter(f => NdvStats.supported(f.dataType)).map(_.name).toSeq
+       }).distinct
+    cols.foreach { c =>
+      val f = visible.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"analyzeNdv($db.$table): unknown column '$c'"))
+      require(NdvStats.supported(f.dataType),
+        s"analyzeNdv($db.$table): column '$c' has unsupported type ${f.dataType.sql}")
+    }
+    if (cols.isEmpty) return None
+    val lgK = NdvStats.lgKOf(tm.properties)
+    val aggs = cols.map(c => expr(s"hll_sketch_agg(`$c`, $lgK)").as(c))
+    val row = readAsOf(db, table, prev.snapshotId)
+      .agg(aggs.head, aggs.tail: _*).head()
+    val sketches = cols.zipWithIndex.map { case (c, i) =>
+      c -> Option(row.get(i)).map(_.asInstanceOf[Array[Byte]])
+        .getOrElse(NdvStats.emptySketch(lgK))
+    }.toMap
+    val newId = entries.last.snapshotId + 1
+    NdvStats.writeSidecar(tablePath(db, table), newId, sketches)
+    val snap = Snapshot(newId, clock().toString, "analyze_ndv",
+      prev.summary + ("added_records" -> "0", "added_files" -> "0") ++
+        sketches.map { case (c, b) =>
+          s"ndv.$c" -> NdvStats.estimate(b).toString } +
+        ("ndv.snapshot" -> newId.toString),
+      prevEntry.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles)
+    Some(commitSnapshot(db, table, entries, snap, Seq.empty,
+      Manifest(prev.files, prev.fileStats), prevEntry.deletes))
   }
 
   /** Consolidate the current snapshot's manifest SHARDS into one

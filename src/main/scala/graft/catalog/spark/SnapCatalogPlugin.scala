@@ -613,7 +613,10 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
               case None => None
             }
           }
-          if (mn.isDefined || mx.isDefined || nulls.isDefined)
+          // NDV from the commit-time HLL union (see NdvStats): the input
+          // CBO's join-cardinality and selectivity math actually keys on
+          val ndv = snap.summary.get(s"ndv.${f.name}").map(_.toLong)
+          if (mn.isDefined || mx.isDefined || nulls.isDefined || ndv.isDefined)
             m.put(Expressions.column(f.name), new ColumnStatistics {
               override def min(): java.util.Optional[Object] =
                 mn.map(_.asInstanceOf[Object]).fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
@@ -621,6 +624,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
                 mx.map(_.asInstanceOf[Object]).fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
               override def nullCount(): java.util.OptionalLong =
                 nulls.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+              override def distinctCount(): java.util.OptionalLong =
+                ndv.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
             })
         }
       m

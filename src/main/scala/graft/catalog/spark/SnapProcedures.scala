@@ -179,6 +179,26 @@ object SnapProcedures {
         }
       },
 
+      proc("analyze_ndv",
+        "compute per-column NDV sketches from the current live rows (one merged scan); stats-only commit feeding CBO distinctCount",
+        Seq(in("table", StringType), inDefault("columns", StringType, "NULL")),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = true),
+          StructField("column", StringType, nullable = true),
+          StructField("ndv", LongType, nullable = true)))) { input =>
+        val (db, t) = dbTable(input, 0)
+        val cols = str(input, 1).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        cat.analyzeNdv(db, t, cols) match {
+          case Some(s) =>
+            s.summary.toSeq.filter(_._1.startsWith("ndv."))
+              .filterNot(_._1 == "ndv.snapshot").sortBy(_._1)
+              .map { case (k, v) =>
+                row(s.snapshotId, utf8(k.stripPrefix("ndv.")), v.toLong) }
+          case None => Seq(row(null, null, null)) // no analyzable columns
+        }
+      },
+
       proc("expire_snapshots",
         "drop old snapshots (count- or time-based) and GC unreferenced files; refs always survive",
         Seq(in("table", StringType), inDefault("keep_last", IntegerType, "1"),

@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training + encoding (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") — the
+  * "train the tokenizer on the corpus" step of an LLM data pipeline,
+  * re-expressed in the form that scales.
+  *
+  * The textbook algorithm mutates a word-frequency dictionary in memory.
+  * The scalable observation (already in the original paper) is that BPE
+  * never needs the corpus after one pass: merges are learned from the
+  * DISTINCT-WORD frequency table, which is orders of magnitude smaller
+  * than 100 TB of text and stays a DataFrame here — never collected.
+  * Each merge round is two bounded jobs on that table:
+  *   1. count adjacent symbol pairs weighted by word frequency (explode +
+  *      one hash agg, map-side combined), take the argmax — the ONLY
+  *      driver value per round, one (pair, count) row;
+  *   2. apply the merge to every word's symbol array — a pure projection
+  *      (higher-order `aggregate` fold, left-to-right greedy like the
+  *      reference implementation).
+  * Lineage is re-materialized every few rounds (localCheckpoint, or a
+  * parquet ping-pong under `checkpointDir` for cluster reliability — the
+  * Dedup.clusters discipline), so T merges never build a T-deep plan.
+  *
+  * Encoding never re-runs BPE over the corpus either: the trained state
+  * IS a dictionary (distinct word -> final symbols), and encoding a
+  * document is explode + join against it + reassemble. Words unseen at
+  * training time get the merge procedure applied to exactly the NEW
+  * distinct words (a table bounded by the novel vocabulary, not the
+  * corpus). Ties in pair counts break lexicographically — training is
+  * deterministic on any engine and any partitioning. */
+object Bpe {
+
+  /** End-of-word sentinel (the paper's `</w>`): distinguishes "est" the
+    * suffix from "est" the word and makes encodings reversible. A control
+    * char rather than literal "</w>" so corpus text can never fabricate
+    * the marker by merging (a corpus containing U+0001 is the caller's
+    * pre-cleaning problem, as with any sentinel scheme). */
+  val Eow = "\u0001"
+
+  private def toks(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= lit(""))
+
+  /** Distinct-word frequency table `(w, freq, syms)` — chars + sentinel. */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", initialSyms(col("w")))
+
+  private def initialSyms(w: Column): Column =
+    concat(filter(split(w, ""), s => s =!= lit("")), array(lit(Eow)))
+
+  /** One greedy left-to-right merge pass of the adjacent pair (a, b) over
+    * a symbol array, as a fold: "aaa" under (a,a) becomes ["aa","a"],
+    * matching the reference implementation. */
+  private[ops] def applyMerge(syms: Column, a: String, b: String): Column = {
+    val merged = lit(a + b)
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+        .otherwise(concat(acc, array(s))))
+  }
+
+  /** Adjacent-pair counts of a word table, weighted by word frequency. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words.where(size(col("syms")) >= 2)
+      .select(col("freq"), explode(
+        zip_with(slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("freq").as("cnt"))
+
+  /** Learn up to `numMerges` merges. Returns the ordered merge list and
+    * the final dictionary `(w, freq, syms)` (cached). Stops early when no
+    * pair reaches `minFreq`. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+      minFreq: Long = 2L, checkpointEvery: Int = 8): (Seq[(String, String)], DataFrame) = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    var words = wordTable(docs, textCol).cache()
+    words.count() // materialize before the loop
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var rounds = 0
+    var done = false
+    while (rounds < numMerges && !done) {
+      // argmax pair: ONE driver row; lexicographic tie-break makes
+      // training independent of partitioning and engine
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      top.headOption.filter(_.getLong(2) >= minFreq) match {
+        case None => done = true
+        case Some(r) =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          merges += ((a, b))
+          val next = words.withColumn("syms", applyMerge(col("syms"), a, b))
+          // bound the lineage: re-materialize every few rounds
+          val bounded =
+            if ((rounds + 1) % checkpointEvery == 0) next.localCheckpoint(true)
+            else next.cache()
+          bounded.count()
+          words.unpersist()
+          words = bounded
+      }
+      rounds += 1
+    }
+    (merges.toSeq, words)
+  }
+
+  /** Apply an ordered merge list to a word table — the encode path for
+    * words the training dictionary has never seen (bounded by the NOVEL
+    * vocabulary, never the corpus). */
+  def applyMerges(words: DataFrame, merges: Seq[(String, String)],
+      checkpointEvery: Int = 8): DataFrame =
+    merges.zipWithIndex.foldLeft(words) { case (df, ((a, b), i)) =>
+      val next = df.withColumn("syms", applyMerge(col("syms"), a, b))
+      if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(true) else next
+    }
+
+  /** Per-document BPE token counts via the dictionary: explode words,
+    * join the trained dictionary (novel words get the merges applied
+    * first), sum token counts. Returns `(idCol, n_words, n_tokens)`;
+    * docs with no tokens are absent. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], dict: DataFrame): DataFrame = {
+    val docWords = docs.select(col(idCol).as("doc_id"),
+      explode(toks(col(textCol))).as("w"))
+    val known = dict.select(col("w"), size(col("syms")).as("n_tokens"))
+    // novel words: the distinct set absent from the dictionary
+    val novel = docWords.select("w").distinct()
+      .join(known.select("w"), Seq("w"), "left_anti")
+      .withColumn("syms", initialSyms(col("w")))
+    val novelEncoded = applyMerges(novel, merges)
+      .select(col("w"), size(col("syms")).as("n_tokens"))
+    docWords.join(known.unionByName(novelEncoded), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_tokens").as("n_tokens"))
+  }
+
+  /** Full token sequence per document (order-preserving): posexplode
+    * words, dictionary-join, re-flatten sorted by position. The heavy
+    * variant — used by sequence packing / export, not by counting. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], dict: DataFrame): DataFrame = {
+    val docWords = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+    val known = dict.select(col("w"), col("syms"))
+    val novel = docWords.select("w").distinct()
+      .join(known.select("w"), Seq("w"), "left_anti")
+      .withColumn("syms", initialSyms(col("w")))
+    val all = known.unionByName(applyMerges(novel, merges).select("w", "syms"))
+    docWords.join(all, Seq("w"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("syms")))).as("ps"))
+      .select(col("doc_id"), flatten(col("ps.syms")).as("tokens"))
+  }
+}
