@@ -895,6 +895,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher quality-rule battery (r8; Rae et al. 2021 A1.1): integer
+    // metrics + cross-multiplied thresholds, so the pass verdict is
+    // bit-exact on any engine. minWords=8 fits the synthetic corpus.
+    "q111_gopher_rules" -> ((s, dir) =>
+      graft.ops.TextOps.gopherRules(T(s, dir, "documents"),
+          "doc_id", "text", minWords = 8L)
+        .orderBy("doc_id")),
+
     // distributed BPE (r8; Sennrich et al. 2016): merges learned from the
     // DISTINCT-WORD frequency table of the training half (iterative
     // argmax — deterministic via lexicographic tie-break, but not
@@ -2437,6 +2445,33 @@ object SparkEntry {
         |  FROM w)
         |SELECT doc_id, n_grams, logw_q, key_q FROM keyed
         |ORDER BY key_q DESC, doc_id LIMIT 64""".stripMargin,
+
+    // Gopher rules replay: same integer metrics, same cross-multiplied
+    // thresholds
+    "q111_gopher_rules" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(ts, t -> len(t))), 0) AS BIGINT)
+        |      AS sum_word_len,
+        |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+        |      AS alpha_words,
+        |    CAST(len(list_filter(ts, t -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], lower(t)))) AS BIGINT)
+        |      AS stop_words,
+        |    CAST(len(regexp_extract_all(text, '#')) +
+        |      len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS symbols
+        |  FROM toks)
+        |SELECT doc_id, n_words, sum_word_len, alpha_words, stop_words, symbols,
+        |  (n_words >= 8 AND n_words <= 100000 AND
+        |   sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10 AND
+        |   alpha_words * 5 >= n_words * 4 AND stop_words >= 2 AND
+        |   symbols * 10 < n_words) AS passes
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // fastText-shape scoring replay: same buckets, x = cnt/n_grams,
     // w_b = ((b*2654435761) % 1000 - 500)/1000, bias 0.25

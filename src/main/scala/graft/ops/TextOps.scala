@@ -71,6 +71,50 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(BpeTokenPattern)).cast("long")
 
+  /** The Gopher quality-rule battery (Rae et al. 2021, appendix A1.1 —
+    * the document-level heuristics every production corpus pipeline runs
+    * before the learned filters): word count bounds, mean word length
+    * bounds, alphabetic-word fraction, stop-word presence, and symbol
+    * density. One narrow projection per row — no shuffle, no state; at
+    * 100 TB the gate rides the scan.
+    *
+    * All metrics are INTEGER (`sum_word_len` instead of mean; fraction
+    * thresholds applied by cross-multiplication), so both the metrics
+    * and the pass verdict are bit-exact on any engine — no float
+    * boundary can flip a document's fate between a run and its backfill.
+    *
+    * Output: `doc_id, n_words, sum_word_len, alpha_words, stop_words,
+    * symbols, passes` where `passes` =
+    *   minWords <= n_words <= maxWords
+    *   AND 3*n_words <= sum_word_len <= 10*n_words   (mean in [3,10])
+    *   AND 5*alpha_words >= 4*n_words                 (>=80% alphabetic)
+    *   AND stop_words >= 2
+    *   AND 10*symbols < n_words                       (<10% #/ellipsis)
+    * Empty docs fail (n_words below any sane minimum). */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val stops = Array("the", "be", "to", "of", "and", "that", "have", "with")
+    val ts = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+    df.select(
+        col(idCol).as("doc_id"),
+        size(ts).cast("long").as("n_words"),
+        coalesce(aggregate(transform(ts, t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x), lit(0L)).as("sum_word_len"),
+        size(filter(ts, t => t.rlike("[A-Za-z]"))).cast("long").as("alpha_words"),
+        size(filter(ts, t =>
+          array_contains(array(stops.map(lit).toIndexedSeq: _*), lower(t))))
+          .cast("long").as("stop_words"),
+        (regexp_count(col(textCol), lit("#")) +
+          regexp_count(col(textCol), lit("\\.\\.\\."))).cast("long").as("symbols"))
+      .withColumn("passes",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("sum_word_len") >= col("n_words") * 3L &&
+        col("sum_word_len") <= col("n_words") * 10L &&
+        col("alpha_words") * 5L >= col("n_words") * 4L &&
+        col("stop_words") >= 2L &&
+        col("symbols") * 10L < col("n_words"))
+  }
+
   /** Per-document word-repetition metrics — the Gopher/RefinedWeb-style
     * repetition quality signals (most-frequent-word share, duplicate
     * word-bigram share) that gate repetitious machine-generated text out of

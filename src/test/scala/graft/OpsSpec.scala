@@ -984,6 +984,22 @@ class OpsSpec extends AnyFunSuite {
     assert(s3.size == 10 && s3 != s1, "seed must steer the draw")
   }
 
+  test("gopher rules: hand-computed metrics and integer-exact thresholds") {
+    import graft.ops.TextOps
+    val d = Seq(
+      (1L, "the cat and dog ran with great speed"), // passes all five rules
+      (2L, "aa bb"),                                // too short
+      (3L, "the cat and dog ran with # # spd..."))  // symbols + alpha fail
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRules(d, "doc_id", "text", minWords = 8L)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 8L, 29L, 8L, 3L, 0L, true)), got(1L).toString)
+    assert(got(2L) == ((2L, 2L, 4L, 2L, 0L, 0L, false)))
+    // 9 words (the two '#' and 'spd...' count as words), 2 '#' + 1 '...'
+    assert(got(3L)._6 == 3L && !got(3L)._7, got(3L).toString)
+  }
+
   test("quality classifier: separable corpus trains to zero error, loss decreases") {
     import graft.ops.QualityClassifier
     val labeled = ((0 until 40).map(i =>
