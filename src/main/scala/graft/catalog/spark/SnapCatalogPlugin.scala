@@ -1022,8 +1022,32 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     @volatile private var availableNowCap: Option[Long] = None
     override def prepareForTriggerAvailableNow(): Unit =
       availableNowCap = Some(currentId)
-    override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-      SnapOffset(availableNowCap.fold(currentId)(c => math.min(currentId, c)))
+    // `max-commits-per-trigger` bounds how far one micro-batch may
+    // advance past `start` — the backfill throttle: a tail resumed after
+    // a long gap (or an AvailableNow catch-up over months of commits)
+    // otherwise serves the WHOLE gap as one giant batch. Commits are the
+    // admission unit (same as the changes stream), so a bound of k costs
+    // at most k commits' files per trigger. Counted over the PUBLISHED
+    // lineage — id gaps from staged/branch commits don't burn budget.
+    private val maxCommitsPerTrigger: Option[Int] =
+      Option(options.get("max-commits-per-trigger")).map { v =>
+        val k = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"max-commits-per-trigger must be numeric, got '$v'"))
+        require(k > 0, s"max-commits-per-trigger must be positive, got $k")
+        k
+      }
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val head = availableNowCap.fold(currentId)(c => math.min(currentId, c))
+      maxCommitsPerTrigger match {
+        case None => SnapOffset(head)
+        case Some(k) =>
+          val s = start.asInstanceOf[SnapOffset].id
+          val inRange = cat.mainLineage(db, table)
+            .filter(e => e.snapshotId > s && e.snapshotId <= head)
+          if (inRange.isEmpty) SnapOffset(math.max(s, head))
+          else SnapOffset(inRange.take(k).last.snapshotId)
+      }
+    }
     // progress reporting sees the TRUE head even when the cap holds a
     // run short of it (Spark surfaces the lag in StreamingQueryProgress)
     override def reportLatestOffset(): Offset = SnapOffset(currentId)

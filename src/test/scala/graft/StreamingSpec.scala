@@ -920,6 +920,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L, 3L, 4L, 5L), got.toString)
   }
 
+  test("max-commits-per-trigger throttles a backfill to commit-sized batches") {
+    import java.time.Instant
+    import graft.catalog.SnapshotCatalog
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = Files.createTempDirectory("graft_mct_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, wh,
+      clock = () => { tick += 1; Instant.parse("2026-05-01T00:00:00Z").plusSeconds(tick * 60) })
+    val df0 = Seq((1L, "a")).toDF("id", "tag")
+    cat.createTable("db", "mct", df0.schema)
+    cat.append("db", "mct", df0)                                  // 2
+    cat.append("db", "mct", Seq((2L, "b")).toDF("id", "tag"))     // 3
+    cat.append("db", "mct", Seq((3L, "c")).toDF("id", "tag"))     // 4
+    spark.conf.set("spark.sql.catalog.snapmct", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapmct.warehouse", wh)
+
+    val q = spark.readStream
+      .option("starting-snapshot-id", "1")
+      .option("max-commits-per-trigger", "1")
+      .table("snapmct.db.mct")
+      .writeStream.format("memory").queryName("mct_out")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    assert(q.awaitTermination(120000), "throttled AvailableNow must still terminate")
+    val got = spark.table("mct_out").select("id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 2L, 3L), got.toString)
+    // three appends, one commit per trigger -> three non-empty batches
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+      q.recentProgress.map(_.numInputRows).mkString(","))
+
+    // a bad value fails loudly at stream construction
+    val e = intercept[Exception] {
+      spark.readStream.option("max-commits-per-trigger", "0")
+        .table("snapmct.db.mct")
+        .writeStream.format("memory").queryName("mct_bad")
+        .outputMode("append").start().processAllAvailable()
+    }
+    assert(e.getMessage.contains("max-commits-per-trigger") ||
+      e.getCause != null, e.getMessage)
+  }
+
   test("Trigger.AvailableNow on .changes drains commit-per-batch and terminates") {
     import java.time.Instant
     import graft.catalog.SnapshotCatalog
