@@ -1845,12 +1845,20 @@ final class SnapshotCatalog(
             ("ndv.snapshot" -> newId.toString)
         }
       }
+    // analyze_histogram output carries across row-preserving and
+    // row-adding commits (a histogram is approximate by nature; CBO
+    // prefers a stale shape over none) — but NOT across overwrite, which
+    // replaces the data wholesale. Re-run analyze_histogram to refresh.
+    val histCarry = operation match {
+      case "overwrite" => Map.empty[String, String]
+      case _ => prev.summary.view.filterKeys(_.startsWith("hist.")).toMap
+    }
     val snap = Snapshot(newId, clock().toString, operation,
       Map(
         "record_count" -> totalRows.toString,
         "added_records" -> rows.toString,
         "added_files" -> newFiles.size.toString,
-        "total_files" -> allFiles.size.toString) ++ honestStats ++ ndvSummary
+        "total_files" -> allFiles.size.toString) ++ honestStats ++ ndvSummary ++ histCarry
         // streaming-sink high-water marks survive EVERY commit kind (a
         // compact/overwrite between stream batches must not reopen the
         // replay window); the committing batch's own tag overrides
@@ -2874,6 +2882,94 @@ final class SnapshotCatalog(
         sketches.map { case (c, b) =>
           s"ndv.$c" -> NdvStats.estimate(b).toString } +
         ("ndv.snapshot" -> newId.toString),
+      prevEntry.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles)
+    Some(commitSnapshot(db, table, entries, snap, Seq.empty,
+      Manifest(prev.files, prev.fileStats), prevEntry.deletes))
+  }
+
+  /** Equi-height histograms for CBO filter/join selectivity — the last
+    * piece of the optimizer's ColumnStat (min/max/nullCount/NDV are
+    * already served from the log; histograms let selectivity estimation
+    * see SKEW, which a uniform [min,max] assumption cannot). Two explicit
+    * scans per call — the ANALYZE trade, always operator-initiated:
+    *   1. one pass computing every column's `bins+1` percentile
+    *      boundaries (approx, accuracy 10k);
+    *   2. one pass per column counting rows + approx NDV per bin
+    *      (<= `bins` result rows each).
+    * Stored as a compact `hist.<col>` summary JSON (KBs; lo/hi/ndv per
+    * bin + the measured per-bin height), served through the DSv2
+    * `ColumnStatistics.histogram` interface, which Spark converts to
+    * catalyst `Histogram` for `FilterEstimation`/`JoinEstimation`.
+    * Carry semantics match NDV: row-level commits carry the histogram
+    * (approximate is CBO's native condition); re-run to refresh.
+    * Numeric columns only (catalyst histograms are double-valued).
+    * Constant columns (fewer than 2 distinct boundaries) are skipped. */
+  def analyzeHistogram(db: String, table: String,
+      columns: Seq[String] = Seq.empty, bins: Int = 64): Option[Snapshot] =
+    withTableLock(db, table) {
+    require(bins >= 2 && bins <= 1024, s"bins must be in [2,1024], got $bins")
+    val tm = meta(db, table)
+    val entries = entriesForWrite(db, table)
+    requireNoPendingStage(db, table, entries)
+    val prevEntry = publishedEntry(entries)
+    val prev = materialize(db, table, prevEntry)
+    def numeric(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.ShortType | _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.DoubleType | _: org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
+    val visible = prev.schema.fields.filterNot(f =>
+      tm.bucketSpec.isDefined && f.name == "__bucket")
+    val cols =
+      (if (columns.nonEmpty) columns
+       else visible.filter(f => numeric(f.dataType)).map(_.name).toSeq).distinct
+    cols.foreach { c =>
+      val f = visible.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"analyzeHistogram($db.$table): unknown column '$c'"))
+      require(numeric(f.dataType),
+        s"analyzeHistogram($db.$table): column '$c' has non-numeric type ${f.dataType.sql}")
+    }
+    if (cols.isEmpty) return None
+    val df = readAsOf(db, table, prev.snapshotId)
+    val pcts = (0 to bins).map(i => i.toDouble / bins)
+    val pctAggs = cols.map(c => expr(
+      s"percentile_approx(CAST(`$c` AS DOUBLE), array(${pcts.mkString(",")}), 10000)").as(c))
+    val bRow = df.agg(pctAggs.head, pctAggs.tail: _*).head()
+    val histJson = cols.zipWithIndex.flatMap { case (c, i) =>
+      if (bRow.isNullAt(i)) None // all-null column: no histogram
+      else {
+        val bounds = bRow.getSeq[Double](i).distinct.sorted
+        if (bounds.length < 2) None // constant column
+        else {
+          // pass 2: per-bin row count + approx NDV. Bin of x = number of
+          // INTERIOR boundaries <= x (clamped), so bins partition exactly.
+          val interior = bounds.slice(1, bounds.length - 1)
+          val v = col(s"`$c`").cast("double")
+          val binOf =
+            if (interior.isEmpty) lit(0)
+            else interior.map(b => when(v >= b, 1).otherwise(0)).reduce(_ + _)
+          val perBin = df.where(v.isNotNull)
+            .groupBy(binOf.as("bin"))
+            .agg(count(lit(1)).as("rows"), approx_count_distinct(s"`$c`").as("ndv"))
+            .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+          val total = perBin.values.map(_._1).sum
+          val nBins = bounds.length - 1
+          val binArr = (0 until nBins).map { b =>
+            val (_, ndv) = perBin.getOrElse(b, (0L, 0L))
+            JArr(Vector(JNum(bounds(b)), JNum(bounds(b + 1)),
+              JNum(math.max(ndv, if (perBin.contains(b)) 1L else 0L).toDouble)))
+          }
+          Some(s"hist.$c" -> Json.write(JObj(Vector(
+            "h" -> JNum(total.toDouble / nBins),
+            "b" -> JArr(binArr.toVector)))))
+        }
+      }
+    }.toMap
+    if (histJson.isEmpty) return None
+    val newId = entries.last.snapshotId + 1
+    val snap = Snapshot(newId, clock().toString, "analyze_histogram",
+      prev.summary + ("added_records" -> "0", "added_files" -> "0") ++ histJson,
       prevEntry.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles)
     Some(commitSnapshot(db, table, entries, snap, Seq.empty,
       Manifest(prev.files, prev.fileStats), prevEntry.deletes))

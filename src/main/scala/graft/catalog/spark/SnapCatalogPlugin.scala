@@ -616,7 +616,30 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           // NDV from the commit-time HLL union (see NdvStats): the input
           // CBO's join-cardinality and selectivity math actually keys on
           val ndv = snap.summary.get(s"ndv.${f.name}").map(_.toLong)
-          if (mn.isDefined || mx.isDefined || nulls.isDefined || ndv.isDefined)
+          // equi-height histogram from analyze_histogram: selectivity
+          // estimation sees skew instead of assuming uniform [min,max]
+          val hist: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
+            snap.summary.get(s"hist.${f.name}").flatMap { json =>
+              try {
+                val o = graft.catalog.Json.parse(json).asInstanceOf[graft.catalog.JObj]
+                val h = o("h").asInstanceOf[graft.catalog.JNum].value
+                val bs = o.arr("b").map { bv =>
+                  val t = bv.asInstanceOf[graft.catalog.JArr].values
+                  new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                    override def lo(): Double = t(0).asInstanceOf[graft.catalog.JNum].value
+                    override def hi(): Double = t(1).asInstanceOf[graft.catalog.JNum].value
+                    override def ndv(): Long = t(2).asInstanceOf[graft.catalog.JNum].value.toLong
+                  }
+                }.toArray
+                Some(new org.apache.spark.sql.connector.read.colstats.Histogram {
+                  override def height(): Double = h
+                  override def bins(): Array[
+                    org.apache.spark.sql.connector.read.colstats.HistogramBin] = bs
+                })
+              } catch { case _: Exception => None } // malformed -> no histogram
+            }
+          if (mn.isDefined || mx.isDefined || nulls.isDefined ||
+              ndv.isDefined || hist.isDefined)
             m.put(Expressions.column(f.name), new ColumnStatistics {
               override def min(): java.util.Optional[Object] =
                 mn.map(_.asInstanceOf[Object]).fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
@@ -626,6 +649,10 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
                 nulls.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
               override def distinctCount(): java.util.OptionalLong =
                 ndv.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                hist.fold(java.util.Optional.empty[
+                  org.apache.spark.sql.connector.read.colstats.Histogram]())(java.util.Optional.of)
             })
         }
       m

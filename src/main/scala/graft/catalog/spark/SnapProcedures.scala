@@ -199,6 +199,29 @@ object SnapProcedures {
         }
       },
 
+      proc("analyze_histogram",
+        "compute equi-height per-column histograms from the current live rows (two scans); stats-only commit feeding CBO selectivity",
+        Seq(in("table", StringType), inDefault("columns", StringType, "NULL"),
+          inDefault("bins", IntegerType, "64")),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = true),
+          StructField("column", StringType, nullable = true),
+          StructField("bins", IntegerType, nullable = true)))) { input =>
+        val (db, t) = dbTable(input, 0)
+        val cols = str(input, 1).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val bins = input.getInt(2)
+        cat.analyzeHistogram(db, t, cols, bins) match {
+          case Some(s) =>
+            s.summary.toSeq.filter(_._1.startsWith("hist.")).sortBy(_._1)
+              .map { case (k, v) =>
+                val nb = graft.catalog.Json.parse(v)
+                  .asInstanceOf[graft.catalog.JObj].arr("b").size
+                row(s.snapshotId, utf8(k.stripPrefix("hist.")), nb) }
+          case None => Seq(row(null, null, null))
+        }
+      },
+
       proc("expire_snapshots",
         "drop old snapshots (count- or time-based) and GC unreferenced files; refs always survive",
         Seq(in("table", StringType), inDefault("keep_last", IntegerType, "1"),

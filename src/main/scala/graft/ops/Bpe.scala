@@ -81,8 +81,11 @@ object Bpe {
       minFreq: Long = 2L, checkpointEvery: Int = 8): (Seq[(String, String)], DataFrame) = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     var words = wordTable(docs, textCol).cache()
-    words.count() // materialize before the loop
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // the PARENT stays cached until the next round's argmax job has
+    // materialized the child (a job runs every round anyway — the argmax
+    // IS the materializer, so no per-round count() job is spent on it)
+    var parent: Option[org.apache.spark.sql.DataFrame] = None
     var rounds = 0
     var done = false
     while (rounds < numMerges && !done) {
@@ -91,6 +94,7 @@ object Bpe {
       val top = pairCounts(words)
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
+      parent.foreach(_.unpersist()); parent = None
       top.headOption.filter(_.getLong(2) >= minFreq) match {
         case None => done = true
         case Some(r) =>
@@ -98,15 +102,22 @@ object Bpe {
           merges += ((a, b))
           val next = words.withColumn("syms", applyMerge(col("syms"), a, b))
           // bound the lineage: re-materialize every few rounds
-          val bounded =
-            if ((rounds + 1) % checkpointEvery == 0) next.localCheckpoint(true)
-            else next.cache()
-          bounded.count()
-          words.unpersist()
-          words = bounded
+          // (localCheckpoint(true) is eager — it cuts lineage with its
+          // own job; plain cache materializes lazily under the next
+          // argmax)
+          if ((rounds + 1) % checkpointEvery == 0) {
+            val cp = next.localCheckpoint(true) // eager: parent read NOW
+            words.unpersist()
+            words = cp
+            parent = None
+          } else {
+            parent = Some(words)
+            words = next.cache()
+          }
       }
       rounds += 1
     }
+    parent.foreach(_.unpersist())
     (merges.toSeq, words)
   }
 

@@ -72,20 +72,26 @@ object Dsir {
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 4096, addK: Double = 0.5): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // Each corpus is gram-exploded exactly ONCE: the raw side's bucket
+    // model and total both derive from the per-doc skeleton (cached — it
+    // is corpus-bounded in (doc, bucket) keys, far smaller than the gram
+    // stream), the target model from its own cached <=B-row table. The
+    // only driver materializations are two single-row totals.
     val tgtB = grams(target.select(col(textCol)), Seq.empty, textCol)
       .select(bucketOf(col("g"), buckets).as("b"))
       .groupBy("b").agg(count(lit(1)).as("ct"))
-    val rawG = grams(raw.select(col(idCol).as("doc_id"), col(textCol)),
+      .cache()
+    val docB = grams(raw.select(col(idCol).as("doc_id"), col(textCol)),
       Seq("doc_id"), textCol)
       .select(col("doc_id"), bucketOf(col("g"), buckets).as("b"))
-    val rawB = rawG.groupBy("b").agg(count(lit(1)).as("cr"))
-    // the ONLY driver materialization: two single-row totals (bounded by
-    // construction — a sum over a <=B-row table)
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val rawB = docB.groupBy("b").agg(sum("cnt").as("cr"))
     val nT = tgtB.agg(coalesce(sum("ct"), lit(0L))).head.getLong(0)
     val nR = rawB.agg(coalesce(sum("cr"), lit(0L))).head.getLong(0)
     val denomT = lit(nT + addK * buckets)
     val denomR = lit(nR + addK * buckets)
-    rawG.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+    val out = docB
       // model tables are bucket-bounded: broadcast, so the per-doc
       // skeleton never re-shuffles. Target-unseen buckets score from
       // smoothing alone (left join, coalesce 0); every scored bucket is
@@ -98,6 +104,7 @@ object Dsir {
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_grams"),
         floor(sum(col("term")) * 1e4).cast("long").as("logw_q"))
+    out
   }
 
   /** Draw `k` raw documents without replacement, importance-weighted: the

@@ -100,6 +100,50 @@ class NdvSpec extends AnyFunSuite {
     assert(close(s.summary("ndv.s").toLong, 1000L))
   }
 
+  test("analyze_histogram: equi-height bins see skew; carry + overwrite-reset; CBO + SQL") {
+    val (cat, wh) = freshCat()
+    // heavy skew: 0..99 uniform plus 900 extra rows at id=5
+    val rows = (0 until 100).map(_.toLong) ++ Seq.fill(900)(5L)
+    val a = rows.map(i => (i, s"v$i")).toDF("id", "v")
+    cat.createTable("db", "h", a.schema)
+    cat.append("db", "h", a)
+    val s = cat.analyzeHistogram("db", "h", bins = 8).get
+    val json = graft.catalog.Json.parse(s.summary("hist.id"))
+      .asInstanceOf[graft.catalog.JObj]
+    val bins = json.arr("b").map(_.asInstanceOf[graft.catalog.JArr].values)
+    assert(bins.nonEmpty && bins.size <= 8, s"got ${bins.size} bins")
+    // equi-height: the skewed value compresses its bin's [lo, hi] span —
+    // the first bin must end at (or before) the skew point
+    val firstHi = bins.head(1).asInstanceOf[graft.catalog.JNum].value
+    assert(firstHi <= 5.0 + 1e-9, s"first bin hi=$firstHi should hug the skew at 5")
+    // v is non-numeric: no histogram for it
+    assert(!s.summary.contains("hist.v"))
+
+    // carries across append, resets on overwrite
+    cat.append("db", "h", Seq((200L, "x")).toDF("id", "v"))
+    assert(cat.currentSnapshot("db", "h").summary.contains("hist.id"))
+    cat.overwrite("db", "h", Seq((1L, "y")).toDF("id", "v"))
+    assert(!cat.currentSnapshot("db", "h").summary.contains("hist.id"),
+      "overwrite replaces the data wholesale; a carried histogram would be wrong")
+    // a constant column yields NO histogram (and no empty commit)
+    assert(cat.analyzeHistogram("db", "h", bins = 4).isEmpty)
+
+    // optimizer + SQL surfaces, on real data again
+    cat.overwrite("db", "h", a)
+    cat.analyzeHistogram("db", "h", bins = 4)
+    spark.conf.set("spark.sql.catalog.histcat", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.histcat.warehouse", wh)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val st = spark.table("histcat.db.h").queryExecution.optimizedPlan.stats
+        .attributeStats.find(_._1.name == "id").map(_._2)
+      assert(st.flatMap(_.histogram).isDefined, s"optimizer must see the histogram: $st")
+      val called = spark.sql("CALL histcat.system.analyze_histogram('db.h', 'id', 8)")
+        .collect()
+      assert(called.length == 1 && called(0).getString(1) == "id", called.mkString(","))
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("CBO serves distinctCount from the log; SQL CALL analyze_ndv works") {
     val (cat, wh) = freshCat()
     val a = (0 until 600).map(i => (i.toLong, s"k${i % 12}")).toDF("id", "k")
