@@ -895,6 +895,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // versioned SQL views (r8): a nested pair of views — status slice,
+    // then per-customer aggregate — created through the catalog (replace
+    // = idempotent per run, history append-only) and read through PLAIN
+    // SQL via the extensions' substitution rule. Late-binding: the view
+    // body re-resolves against the fixture's current snapshot. The
+    // oracle replays both view bodies inline over the raw parquet.
+    "q112_versioned_view" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      fx.src.createView("tpch", "orders_f",
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM snapdml.tpch.orders",
+        replace = fx.src.viewExists("tpch", "orders_f"))
+      fx.src.createView("tpch", "cust_f_totals",
+        "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
+          "CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents " +
+          "FROM snapdml.tpch.orders_f GROUP BY o_custkey",
+        replace = fx.src.viewExists("tpch", "cust_f_totals"))
+      s.sql("SELECT o_custkey, n_orders, cents FROM snapdml.tpch.cust_f_totals " +
+        "WHERE n_orders >= 2 ORDER BY o_custkey")
+    }),
+
     // Gopher quality-rule battery (r8; Rae et al. 2021 A1.1): integer
     // metrics + cross-multiplied thresholds, so the pass verdict is
     // bit-exact on any engine. minWords=8 fits the synthetic corpus.
@@ -2445,6 +2465,15 @@ object SparkEntry {
         |  FROM w)
         |SELECT doc_id, n_grams, logw_q, key_q FROM keyed
         |ORDER BY key_q DESC, doc_id LIMIT 64""".stripMargin,
+
+    // the nested views replayed inline: latest tpch.orders is the 'F'
+    // slice of the raw table (same as q05)
+    "q112_versioned_view" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_custkey HAVING count(*) >= 2
+        |ORDER BY o_custkey""".stripMargin,
 
     // Gopher rules replay: same integer metrics, same cross-multiplied
     // thresholds

@@ -208,6 +208,44 @@ object SnapshotEntry {
   * records partition columns but never applies them
   * (`/root/reference/3_create_dst_tables.py:84-89`) — we apply them on write.
   */
+/** One historical definition of a SQL view (Iceberg view-spec version). */
+final case class ViewVersion(version: Int, timestampUtc: String, sql: String,
+    columnAliases: Seq[String], schemaDdl: String) {
+  def toJson: JObj = JObj(Vector(
+    "version" -> JNum(version.toDouble),
+    "ts" -> JStr(timestampUtc),
+    "sql" -> JStr(sql),
+    "aliases" -> JArr(columnAliases.map(a => JStr(a): JValue).toVector),
+    "schema" -> JStr(schemaDdl)))
+}
+object ViewVersion {
+  def fromJson(o: JObj): ViewVersion = ViewVersion(
+    o.long("version").toInt, o.str("ts"), o.str("sql"),
+    o.arr("aliases").map(_.asInstanceOf[JStr].value),
+    o.str("schema"))
+}
+
+/** A view's full document: current version pointer + append-only history
+  * + properties. */
+final case class ViewMeta(current: Int, versions: Seq[ViewVersion],
+    properties: Map[String, String]) {
+  def currentVersion: ViewVersion = versions.find(_.version == current)
+    .getOrElse(throw new IllegalStateException(
+      s"view document corrupt: current=$current absent from history"))
+  def toJson: JObj = JObj(Vector(
+    "current" -> JNum(current.toDouble),
+    "versions" -> JArr(versions.map(_.toJson: JValue).toVector),
+    "properties" -> JObj(properties.toVector.sortBy(_._1)
+      .map { case (k, v) => k -> (JStr(v): JValue) })))
+}
+object ViewMeta {
+  def fromJson(o: JObj): ViewMeta = ViewMeta(
+    o.long("current").toInt,
+    o.arr("versions").map(v => ViewVersion.fromJson(v.asInstanceOf[JObj])),
+    o.obj("properties").fields.map { case (k, v) =>
+      k -> v.asInstanceOf[JStr].value }.toMap)
+}
+
 final case class TableMeta(
     database: String,
     tableName: String,
@@ -2973,6 +3011,158 @@ final class SnapshotCatalog(
       prevEntry.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles)
     Some(commitSnapshot(db, table, entries, snap, Seq.empty,
       Manifest(prev.files, prev.fileStats), prevEntry.deletes))
+  }
+
+  // ---- versioned SQL views (the Iceberg VIEW spec shape, metastore-free) ----
+
+  private def viewsDir(db: String): Path = dbPath(db).resolve("_views")
+  private def viewMarker(db: String, name: String): Path =
+    viewsDir(db).resolve(name + ".view")
+  private def viewKey(db: String, name: String): String =
+    viewsDir(db).resolve(name + ".json").toAbsolutePath.normalize().toString
+
+  def viewExists(db: String, name: String): Boolean =
+    log.read(viewKey(db, name)).isDefined
+
+  def listViews(db: String): Seq[String] =
+    if (!Files.isDirectory(viewsDir(db))) Seq.empty
+    else withList(viewsDir(db))(_.filter(_.getFileName.toString.endsWith(".view"))
+      .map(_.getFileName.toString.stripSuffix(".view")).toSeq.sorted)
+
+  def loadView(db: String, name: String): Option[ViewMeta] =
+    log.read(viewKey(db, name)).map { case (txt, _) =>
+      ViewMeta.fromJson(Json.parse(txt).asInstanceOf[JObj]) }
+
+  /** Create (or, with `replace=true`, version-bump) a SQL view. The view
+    * document is a FULL VERSION HISTORY — every definition the view ever
+    * had, with its timestamp — exactly the Iceberg view spec's versioning
+    * model, stored through the same CAS pointer-log seam as table commits
+    * (concurrent replaces lose cleanly, never silently clobber).
+    *
+    * The body is ANALYZED here (Spark resolves every referenced relation
+    * and derives the schema), so a typo'd reference fails at CREATE, not
+    * at first read; a replace additionally walks the stored view graph
+    * reachable from the new body and refuses a definition that would make
+    * the view reach itself — resolution-time cycles are impossible by
+    * induction. Views are late-binding (the SQL re-resolves per query, so
+    * schema evolution of underlying tables flows through — the Iceberg
+    * behavior); the schema recorded per version is the shape AT
+    * DEFINITION TIME, for introspection. */
+  def createView(db: String, name: String, sql: String,
+      columnAliases: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty,
+      replace: Boolean = false): ViewMeta = {
+    createNamespace(db)
+    require(name.nonEmpty && !name.contains('/') && !name.contains('.'),
+      s"bad view name '$name'")
+    // analysis gate: resolves references + derives the definition schema.
+    // Column aliases apply positionally, like CREATE VIEW v(a, b) AS.
+    val analyzed = spark.sql(sql)
+    require(columnAliases.isEmpty || columnAliases.length == analyzed.schema.length,
+      s"view $db.$name: ${columnAliases.length} column aliases for " +
+        s"${analyzed.schema.length} query columns")
+    val schema =
+      if (columnAliases.isEmpty) analyzed.schema
+      else org.apache.spark.sql.types.StructType(
+        analyzed.schema.fields.zip(columnAliases).map { case (f, a) => f.copy(name = a) })
+    if (replace) requireAcyclic(db, name, sql)
+    val key = viewKey(db, name)
+    val lockPath = viewsDir(db).resolve(name + ".LOCK")
+    mutex.withLock(lockPath.toAbsolutePath.normalize().toString, lockPath) {
+      val existing = log.read(key)
+      require(replace || existing.isEmpty, s"view $db.$name already exists")
+      val (meta, etag) = existing match {
+        case Some((txt, e)) =>
+          (ViewMeta.fromJson(Json.parse(txt).asInstanceOf[JObj]), Some(e))
+        case None => (ViewMeta(0, Vector.empty, Map.empty), None)
+      }
+      val v = meta.versions.map(_.version).maxOption.getOrElse(0) + 1
+      val next = ViewMeta(v,
+        meta.versions :+ ViewVersion(v, clock().toString, sql,
+          columnAliases, schema.toDDL),
+        meta.properties ++ properties)
+      log.writeIf(key, Json.write(next.toJson), etag)
+      Files.createDirectories(viewsDir(db))
+      if (!Files.exists(viewMarker(db, name))) Files.createFile(viewMarker(db, name))
+      next
+    }
+  }
+
+  /** Re-point a view at one of its HISTORICAL versions — Iceberg's view
+    * rollback, recorded as a NEW version carrying the old SQL (history is
+    * append-only; an audit never loses what the view said in between). */
+  def restoreView(db: String, name: String, version: Int): ViewMeta = {
+    val meta = loadView(db, name).getOrElse(
+      throw new NoSuchElementException(s"no such view: $db.$name"))
+    val target = meta.versions.find(_.version == version).getOrElse(
+      throw new IllegalArgumentException(
+        s"view $db.$name has no version $version " +
+          s"(have: ${meta.versions.map(_.version).mkString(",")})"))
+    createView(db, name, target.sql, target.columnAliases, Map.empty, replace = true)
+  }
+
+  def dropView(db: String, name: String): Boolean = {
+    val existed = viewExists(db, name)
+    log.delete(viewKey(db, name))
+    Files.deleteIfExists(viewMarker(db, name))
+    existed
+  }
+
+  def setViewProperties(db: String, name: String,
+      set: Map[String, String], remove: Seq[String]): ViewMeta = {
+    val key = viewKey(db, name)
+    val lockPath = viewsDir(db).resolve(name + ".LOCK")
+    mutex.withLock(lockPath.toAbsolutePath.normalize().toString, lockPath) {
+      val (txt, etag) = log.read(key).getOrElse(
+        throw new NoSuchElementException(s"no such view: $db.$name"))
+      val meta = ViewMeta.fromJson(Json.parse(txt).asInstanceOf[JObj])
+      val next = meta.copy(properties = meta.properties ++ set -- remove)
+      log.writeIf(key, Json.write(next.toJson), Some(etag))
+      next
+    }
+  }
+
+  def renameView(db: String, name: String, toDb: String, toName: String): Unit = {
+    // explicit copy+delete, NOT log.migrate: the file store's migrate is
+    // a no-op by design (a TABLE rename moves the whole directory, log
+    // included) — a view's document doesn't live in a moved directory
+    val (txt, _) = log.read(viewKey(db, name)).getOrElse(
+      throw new NoSuchElementException(s"no such view: $db.$name"))
+    require(!viewExists(toDb, toName), s"view $toDb.$toName already exists")
+    createNamespace(toDb)
+    log.writeIf(viewKey(toDb, toName), txt, None)
+    log.delete(viewKey(db, name))
+    Files.createDirectories(viewsDir(toDb))
+    if (!Files.exists(viewMarker(toDb, toName))) Files.createFile(viewMarker(toDb, toName))
+    Files.deleteIfExists(viewMarker(db, name))
+  }
+
+  /** Views the new `sql` for `db.name` reaches, transitively, must not
+    * include `db.name` itself. Walks STORED definitions (parser-level
+    * relation harvest), so the check is metadata-only. */
+  private def requireAcyclic(db: String, name: String, sql: String): Unit = {
+    def refsOf(s: String): Seq[(String, String)] = {
+      val plan = spark.sessionState.sqlParser.parsePlan(s)
+      plan.collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          u.multipartIdentifier match {
+            case Seq(d, n) => Some((d, n))
+            case Seq(_, d, n) => Some((d, n))
+            case Seq(n) => Some((db, n))
+            case _ => None
+          }
+      }.flatten
+    }
+    val seen = scala.collection.mutable.Set.empty[(String, String)]
+    def walk(refs: Seq[(String, String)]): Unit = refs.foreach { case (d, n) =>
+      if ((d, n) == (db, name))
+        throw new IllegalArgumentException(
+          s"replacing view $db.$name with this definition would make it " +
+            "reference itself (directly or through other views)")
+      if (seen.add((d, n)))
+        loadView(d, n).foreach(m => walk(refsOf(m.currentVersion.sql)))
+    }
+    walk(refsOf(sql))
   }
 
   /** Consolidate the current snapshot's manifest SHARDS into one

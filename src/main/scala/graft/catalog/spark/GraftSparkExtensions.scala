@@ -314,11 +314,74 @@ object MetadataCountRule extends Rule[LogicalPlan] {
   }
 }
 
+/** Makes `SELECT ... FROM <graftcat>.db.v` resolve when `v` is a
+  * versioned VIEW in a [[SnapCatalogPlugin]] catalog. Spark 4.1 ships
+  * the DSv2 `ViewCatalog` API but no analyzer integration, so without
+  * this rule a view reference dies as TABLE_OR_VIEW_NOT_FOUND (Iceberg
+  * carries equivalent extension rules for the same gap). The stored SQL
+  * is parsed and substituted in place (late-binding: underlying schema
+  * evolution flows through on the next query); later analyzer passes
+  * resolve the body, including nested views through this same rule.
+  * Cycles cannot arise from same-catalog definitions — create/replace
+  * walks the stored view graph and refuses self-reachability; a cycle
+  * smuggled ACROSS catalogs surfaces as the analyzer's max-iteration
+  * error. DML onto a view stays unresolved (tables only). */
+class ViewSubstitutionRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedSubqueryColumnAliases}
+  import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+
+  private def substitute(u: UnresolvedRelation): Option[LogicalPlan] = {
+    val cm = spark.sessionState.catalogManager
+    val (catName, db, name) = u.multipartIdentifier match {
+      case Seq(c, d, n) if cm.isCatalogRegistered(c) => (c, d, n)
+      case Seq(d, n) => (cm.currentCatalog.name(), d, n)
+      case Seq(n) if cm.currentNamespace.length == 1 =>
+        (cm.currentCatalog.name(), cm.currentNamespace.head, n)
+      case _ => return None
+    }
+    cm.catalog(catName) match {
+      case p: SnapCatalogPlugin =>
+        p.snapViews.loadView(db, name).map { vm =>
+          val cur = vm.currentVersion
+          val body = spark.sessionState.sqlParser.parsePlan(cur.sql)
+          val aliased =
+            if (cur.columnAliases.isEmpty) body
+            else UnresolvedSubqueryColumnAliases(cur.columnAliases, body)
+          SubqueryAlias(Seq(catName, db, name), aliased)
+        }
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, MergeIntoTable, UpdateTable}
+    // DML targets must stay tables — collect them BEFORE substituting
+    // (transformUp rewrites children first, so a guard on the statement
+    // node alone would arrive too late)
+    def targetOf(t: LogicalPlan): Seq[Seq[String]] = t match {
+      case u: UnresolvedRelation => Seq(u.multipartIdentifier)
+      case _ => Nil
+    }
+    val writeTargets: Set[Seq[String]] = plan.collect {
+      case i: InsertIntoStatement => targetOf(i.table)
+      case d: DeleteFromTable => targetOf(d.table)
+      case up: UpdateTable => targetOf(up.table)
+      case m: MergeIntoTable => targetOf(m.targetTable)
+    }.flatten.toSet
+    plan.transformUpWithSubqueries {
+      case u: UnresolvedRelation
+          if !u.isStreaming && !writeTargets(u.multipartIdentifier) =>
+        substitute(u).getOrElse(u)
+    }
+  }
+}
+
 /** Session extensions entry point:
   * `spark.sql.extensions=graft.catalog.spark.GraftSparkExtensions`. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => MetadataCountRule)
+    e.injectResolutionRule(s => new ViewSubstitutionRule(s))
     e.injectPostHocResolutionRule(s => new MorReadRule(s))
     e.injectPostHocResolutionRule(s => new MorDeltaScanRule(s))
     e.injectPostHocResolutionRule(s => new ChangelogReadRule(s))

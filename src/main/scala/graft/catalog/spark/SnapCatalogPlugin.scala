@@ -44,7 +44,95 @@ import graft.catalog.{SchemaEvolve, Snapshot, SnapshotCatalog, TableMeta}
 class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     with StagingTableCatalog
     with FunctionCatalog
-    with ProcedureCatalog {
+    with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
+
+  // ---- versioned SQL views (Iceberg view-spec shape) ----
+  //
+  // Spark 4.1 ships the DSv2 ViewCatalog API but no analyzer integration
+  // (no V2 CREATE VIEW DDL, no view resolution — Iceberg carries its own
+  // extension rules for the same reason). So: this catalog implements the
+  // API faithfully, [[GraftSparkExtensions.ViewSubstitutionRule]] makes
+  // plain `SELECT ... FROM cat.db.v` resolve, and the write surface rides
+  // `CALL system.create_view / drop_view / restore_view / show_views /
+  // view_versions`. Writes TO a view are not supported (DML targets must
+  // be tables).
+
+  /** The extensions' substitution rule reaches the underlying catalog
+    * through this accessor. */
+  private[spark] def snapViews: SnapshotCatalog = cat
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    namespace.toSeq match {
+      case Seq(db) => cat.listViews(db).map(n => Identifier.of(Array(db), n)).toArray
+      case _ => Array.empty
+    }
+
+  override def viewExists(ident: Identifier): Boolean = ident.namespace() match {
+    case Array(db) => cat.viewExists(db, ident.name())
+    case _ => false
+  }
+
+  override def loadView(ident: Identifier): org.apache.spark.sql.connector.catalog.View = {
+    val db = ident.namespace() match {
+      case Array(d) => d
+      case _ => throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    }
+    val vm = cat.loadView(db, ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    val cur = vm.currentVersion
+    new org.apache.spark.sql.connector.catalog.View {
+      override def name(): String = s"$catalogName.$db.${ident.name()}"
+      override def query(): String = cur.sql
+      override def currentCatalog(): String = catalogName
+      override def currentNamespace(): Array[String] = Array(db)
+      override def schema(): StructType = StructType.fromDDL(cur.schemaDdl)
+      override def queryColumnNames(): Array[String] = Array.empty
+      override def columnAliases(): Array[String] = cur.columnAliases.toArray
+      override def columnComments(): Array[String] = Array.empty
+      override def properties(): util.Map[String, String] =
+        (vm.properties + ("current-version" -> vm.current.toString)).asJava
+    }
+  }
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val db = info.ident().namespace() match {
+      case Array(d) => d
+      case ns => throw new IllegalArgumentException(
+        s"views live one namespace deep, got ${ns.mkString(".")}")
+    }
+    if (cat.viewExists(db, info.ident().name()))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident())
+    cat.createView(db, info.ident().name(), info.sql(),
+      info.columnAliases().toSeq, info.properties().asScala.toMap)
+    loadView(info.ident())
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val db = ident.namespace()(0)
+    val set = changes.collect {
+      case s: ViewChange.SetProperty => s.property() -> s.value() }.toMap
+    val remove = changes.collect {
+      case r: ViewChange.RemoveProperty => r.property() }
+    cat.setViewProperties(db, ident.name(), set, remove)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean = ident.namespace() match {
+    case Array(db) => cat.dropView(db, ident.name())
+    case _ => false
+  }
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    (from.namespace(), to.namespace()) match {
+      case (Array(fd), Array(td)) => cat.renameView(fd, from.name(), td, to.name())
+      case _ => throw new IllegalArgumentException("views live one namespace deep")
+    }
+  }
 
   // ---- procedures (`CALL snapcat.system.<proc>(...)` — SnapProcedures) ----
 

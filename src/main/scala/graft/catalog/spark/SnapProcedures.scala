@@ -179,6 +179,71 @@ object SnapProcedures {
         }
       },
 
+      proc("create_view",
+        "create (or with replace=true, version-bump) a versioned SQL view; body analyzed now, cycles refused",
+        Seq(in("view", StringType), in("sql", StringType),
+          inDefault("replace", BooleanType, "false"),
+          inDefault("column_aliases", StringType, "NULL")),
+        StructType(Seq(
+          StructField("view", StringType, nullable = false),
+          StructField("version", IntegerType, nullable = false)))) { input =>
+        val (db, v) = dbTable(input, 0)
+        val sql = str(input, 1).getOrElse(
+          throw new IllegalArgumentException("sql must not be null"))
+        val replace = !input.isNullAt(2) && input.getBoolean(2)
+        val aliases = str(input, 3).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val meta = cat.createView(db, v, sql, aliases, Map.empty, replace)
+        Seq(row(utf8(s"$db.$v"), meta.current))
+      },
+
+      proc("drop_view",
+        "drop a versioned SQL view (its whole history)",
+        Seq(in("view", StringType)),
+        StructType(Seq(StructField("dropped", BooleanType, nullable = false)))) { input =>
+        val (db, v) = dbTable(input, 0)
+        Seq(row(cat.dropView(db, v)))
+      },
+
+      proc("restore_view",
+        "re-point a view at a historical version (recorded as a NEW version; history is append-only)",
+        Seq(in("view", StringType), in("version", IntegerType)),
+        StructType(Seq(
+          StructField("view", StringType, nullable = false),
+          StructField("version", IntegerType, nullable = false)))) { input =>
+        val (db, v) = dbTable(input, 0)
+        val meta = cat.restoreView(db, v, input.getInt(1))
+        Seq(row(utf8(s"$db.$v"), meta.current))
+      },
+
+      proc("show_views",
+        "list the versioned SQL views of a namespace",
+        Seq(in("namespace", StringType)),
+        StructType(Seq(
+          StructField("view", StringType, nullable = false),
+          StructField("current_version", IntegerType, nullable = false)))) { input =>
+        val db = str(input, 0).getOrElse(
+          throw new IllegalArgumentException("namespace must not be null"))
+        cat.listViews(db).flatMap(n => cat.loadView(db, n).map(m =>
+          row(utf8(s"$db.$n"), m.current)))
+      },
+
+      proc("view_versions",
+        "a view's full version history (Iceberg view-spec versioning)",
+        Seq(in("view", StringType)),
+        StructType(Seq(
+          StructField("version", IntegerType, nullable = false),
+          StructField("created_at", StringType, nullable = false),
+          StructField("is_current", BooleanType, nullable = false),
+          StructField("sql", StringType, nullable = false)))) { input =>
+        val (db, v) = dbTable(input, 0)
+        val meta = cat.loadView(db, v).getOrElse(
+          throw new NoSuchElementException(s"no such view: $db.$v"))
+        meta.versions.sortBy(_.version).map(ver =>
+          row(ver.version, utf8(ver.timestampUtc),
+            ver.version == meta.current, utf8(ver.sql)))
+      },
+
       proc("analyze_ndv",
         "compute per-column NDV sketches from the current live rows (one merged scan); stats-only commit feeding CBO distinctCount",
         Seq(in("table", StringType), inDefault("columns", StringType, "NULL")),

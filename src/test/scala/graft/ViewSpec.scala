@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.SnapshotCatalog
+
+/** Versioned SQL views (Iceberg view-spec shape): create/replace keeps a
+  * full version history through the CAS pointer-log seam; plain SQL
+  * SELECT resolves through the extensions' substitution rule (Spark 4.1
+  * has the ViewCatalog API but no analyzer integration of its own). */
+class ViewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCat(): (SnapshotCatalog, String) = {
+    val wh = Files.createTempDirectory("graft_view_").toString
+    var tick = 0L
+    (new SnapshotCatalog(spark, wh, clock = () =>
+      { tick += 1; Instant.parse("2026-07-01T00:00:00Z").plusSeconds(tick * 60) }), wh)
+  }
+
+  private def register(wh: String, name: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+  }
+
+  test("create, SELECT through plain SQL, late binding, version history, restore") {
+    val (cat, wh) = freshCat()
+    register(wh, "vcat")
+    val a = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "x", 30L)).toDF("id", "tag", "v")
+    cat.createTable("db", "base", a.schema)
+    cat.append("db", "base", a)
+
+    cat.createView("db", "xs", "SELECT id, v FROM vcat.db.base WHERE tag = 'x'")
+    // plain SQL resolves the view via the substitution rule
+    val got = spark.sql("SELECT * FROM vcat.db.xs ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L), (3L, 30L)), got.toString)
+
+    // LATE binding: new rows in the base table flow through on next query
+    cat.append("db", "base", Seq((4L, "x", 40L)).toDF("id", "tag", "v"))
+    assert(spark.sql("SELECT count(*) AS c FROM vcat.db.xs").as[Long].head() == 3L)
+
+    // replace bumps the version and keeps history
+    cat.createView("db", "xs", "SELECT id FROM vcat.db.base WHERE tag = 'y'",
+      replace = true)
+    assert(spark.sql("SELECT * FROM vcat.db.xs").as[Long].collect().toSeq == Seq(2L))
+    val hist = spark.sql("CALL vcat.system.view_versions('db.xs')")
+      .collect().map(r => (r.getInt(0), r.getBoolean(2))).toSeq
+    assert(hist == Seq((1, false), (2, true)), hist.toString)
+
+    // restore re-points at v1 SQL as a NEW version 3
+    val restored = spark.sql("CALL vcat.system.restore_view('db.xs', 1)").collect()
+    assert(restored(0).getInt(1) == 3)
+    assert(spark.sql("SELECT count(*) AS c FROM vcat.db.xs").as[Long].head() == 3L)
+  }
+
+  test("nested views resolve; replace-to-cycle refuses; DML on a view refuses") {
+    val (cat, wh) = freshCat()
+    register(wh, "vnest")
+    val a = Seq((1L, 5L), (2L, 6L)).toDF("id", "v")
+    cat.createTable("db", "t", a.schema)
+    cat.append("db", "t", a)
+    cat.createView("db", "v1", "SELECT id, v * 2 AS v2 FROM vnest.db.t")
+    cat.createView("db", "v2", "SELECT sum(v2) AS s FROM vnest.db.v1")
+    assert(spark.sql("SELECT s FROM vnest.db.v2").as[Long].head() == 22L)
+
+    // v1 -> v2 -> v1 would be a cycle: the replace refuses
+    val e = intercept[IllegalArgumentException] {
+      cat.createView("db", "v1", "SELECT s AS x FROM vnest.db.v2", replace = true)
+    }
+    assert(e.getMessage.contains("reference itself"), e.getMessage)
+    // ...and the view still serves its old definition
+    assert(spark.sql("SELECT s FROM vnest.db.v2").as[Long].head() == 22L)
+
+    // views are not write targets
+    val w = intercept[Exception] {
+      spark.sql("INSERT INTO vnest.db.v1 VALUES (9, 9)")
+    }
+    assert(w.getMessage.toLowerCase.contains("not found") ||
+      w.getMessage.toLowerCase.contains("view"), w.getMessage)
+  }
+
+  test("SQL-only lifecycle: create_view with aliases, show_views, drop_view") {
+    val (cat, wh) = freshCat()
+    register(wh, "vsql")
+    val a = Seq((1L, 2L)).toDF("x", "y")
+    cat.createTable("db", "t2", a.schema)
+    cat.append("db", "t2", a)
+    spark.sql(
+      "CALL vsql.system.create_view('db.pair', 'SELECT x, y FROM vsql.db.t2', false, 'a,b')")
+    val got = spark.sql("SELECT a, b FROM vsql.db.pair").as[(Long, Long)].head()
+    assert(got == ((1L, 2L)))
+    val shown = spark.sql("CALL vsql.system.show_views('db')")
+      .collect().map(_.getString(0)).toSeq
+    assert(shown == Seq("db.pair"), shown.toString)
+    assert(spark.sql("CALL vsql.system.drop_view('db.pair')").collect()(0).getBoolean(0))
+    assert(spark.sql("CALL vsql.system.show_views('db')").count() == 0)
+    // a typo'd body fails at CREATE (analysis gate), not at first read
+    val e = intercept[Exception] {
+      spark.sql("CALL vsql.system.create_view('db.bad', 'SELECT zz FROM vsql.db.t2', false, NULL)")
+    }
+    assert(e.getMessage.contains("zz") || e.getMessage.contains("UNRESOLVED"), e.getMessage)
+  }
+
+  test("ViewCatalog API surface: loadView metadata, rename, properties") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewChange}
+    val (cat, wh) = freshCat()
+    register(wh, "vapi")
+    val a = Seq((1L, "p")).toDF("id", "s")
+    cat.createTable("db", "t3", a.schema)
+    cat.append("db", "t3", a)
+    cat.createView("db", "vv", "SELECT id FROM vapi.db.t3",
+      properties = Map("comment" -> "ids only"))
+    val plugin = spark.sessionState.catalogManager.catalog("vapi")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.ViewCatalog]
+    val ident = Identifier.of(Array("db"), "vv")
+    assert(plugin.viewExists(ident))
+    val v = plugin.loadView(ident)
+    assert(v.query().contains("SELECT id"))
+    assert(v.properties().get("comment") == "ids only")
+    assert(v.schema().fieldNames.toSeq == Seq("id"))
+    plugin.alterView(ident, ViewChange.setProperty("owner", "ops"))
+    assert(plugin.loadView(ident).properties().get("owner") == "ops")
+    plugin.renameView(ident, Identifier.of(Array("db"), "vv2"))
+    assert(!plugin.viewExists(ident))
+    assert(spark.sql("SELECT id FROM vapi.db.vv2").as[Long].head() == 1L)
+    assert(plugin.listViews("db").map(_.name()).toSeq == Seq("vv2"))
+  }
+}
