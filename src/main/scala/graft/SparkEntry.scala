@@ -915,6 +915,27 @@ object SparkEntry {
         "WHERE n_orders >= 2 ORDER BY o_custkey")
     }),
 
+    // Unicode NFC normalization (r8): decomposed sequences are BUILT
+    // cluster-side from doc_id arithmetic (combining acute/grave after
+    // ASCII letters — a denormalized corpus in miniature), then folded by
+    // the compiled kernel; the oracle rebuilds the same strings with
+    // chr() and replays nfc_normalize. Composition shrinks char length
+    // (e + U+0301 -> é), which the length column proves engine-exactly.
+    "q113_nfc_normalize" -> ((s, dir) => {
+      val d = T(s, dir, "documents").where(col("doc_id") < 400)
+      val raw = concat(
+        lit("e"), lit("\u0301"),                        // -> é
+        when(col("doc_id") % 2 === 0, concat(lit("a"), lit("\u0300")))
+          .otherwise(lit("o")),                         // -> à | o
+        substring(col("text"), 1, 24))
+      d.select(col("doc_id"),
+          graft.ops.TextOps.normalize(raw).as("norm"))
+        .select(col("doc_id"),
+          length(col("norm")).as("n_chars_norm"),
+          md5(col("norm").cast("binary")).as("h"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher quality-rule battery (r8; Rae et al. 2021 A1.1): integer
     // metrics + cross-multiplied thresholds, so the pass verdict is
     // bit-exact on any engine. minWords=8 fits the synthetic corpus.
@@ -2465,6 +2486,20 @@ object SparkEntry {
         |  FROM w)
         |SELECT doc_id, n_grams, logw_q, key_q FROM keyed
         |ORDER BY key_q DESC, doc_id LIMIT 64""".stripMargin,
+
+    // NFC replay: same decomposed construction via chr(), DuckDB's
+    // nfc_normalize, same md5-of-utf8 digest
+    "q113_nfc_normalize" ->
+      """SELECT doc_id,
+        |  CAST(length(n) AS BIGINT) AS n_chars_norm,
+        |  md5(n) AS h
+        |FROM (
+        |  SELECT doc_id, nfc_normalize(
+        |    'e' || chr(769) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'a' || chr(768) ELSE 'o' END) ||
+        |    substr(text, 1, 24)) AS n
+        |  FROM documents WHERE doc_id < 400)
+        |ORDER BY doc_id""".stripMargin,
 
     // the nested views replayed inline: latest tpch.orders is the 'F'
     // slice of the raw table (same as q05)

@@ -399,9 +399,9 @@ object GraftSqlFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
   import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, RegExpCount}
-  import org.apache.spark.sql.types.{IntegerType, LongType}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
-  import graft.functions.{DotProduct, HyperplaneBuckets, LangId, MinHashSignature, RepetitionStats, SimHash64, WordShingles}
+  import graft.functions.{DeflateSize, DotProduct, HyperplaneBuckets, LangId, MinHashSignature, RepetitionStats, SimHash64, UnicodeNormalize, WordShingles}
 
   private def arity(name: String, args: Seq[Expression], n: Int): Unit =
     if (args.length != n) throw new IllegalArgumentException(
@@ -458,6 +458,23 @@ object GraftSqlFunctions {
     fn("graft_repetition_stats",
       "graft_repetition_stats(text) - struct(n_words, top_word_count, n_bigrams, dup_bigram_count)") { args =>
       arity("graft_repetition_stats", args, 1); RepetitionStats(args.head)
+    },
+    fn("graft_normalize",
+      "graft_normalize(text, form) - Unicode normalization (NFC/NFD/NFKC/NFKD)") { args =>
+      arity("graft_normalize", args, 2)
+      val form = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, StringType) if v != null =>
+          v.toString.toUpperCase
+        case other => throw new IllegalArgumentException(
+          s"graft_normalize: form must be a literal string, got ${other.sql}")
+      }
+      require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+        s"graft_normalize: form must be NFC/NFD/NFKC/NFKD, got $form")
+      UnicodeNormalize(args.head, form)
+    },
+    fn("graft_deflate_size",
+      "graft_deflate_size(text) - zlib level-6 compressed byte count (compression-ratio quality signal)") { args =>
+      arity("graft_deflate_size", args, 1); DeflateSize(args.head)
     },
     fn("graft_bpe_token_count",
       "graft_bpe_token_count(text) - token count under the BPE-ish pretokenizer pattern") { args =>

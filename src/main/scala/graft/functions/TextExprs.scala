@@ -226,6 +226,57 @@ case class RepetitionStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode normalization (java.text.Normalizer): the corpus-cleaning
+  * pass that folds visually-identical byte sequences together BEFORE
+  * hashing/dedup/tokenization — "e"+COMBINING ACUTE and precomposed "é"
+  * must not be two different shingles, two different dedup keys, or two
+  * BPE symbol sequences. `form` is NFC/NFD/NFKC/NFKD (NFC default; NFKC
+  * additionally folds compatibility forms — ligatures, fullwidth — the
+  * aggressive choice for training corpora). Deterministic and
+  * engine-portable (Unicode normalization is specified byte-exactly),
+  * so the DuckDB oracle replays it with nfc_normalize. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+  private val f = java.text.Normalizer.Form.valueOf(form)
+  override def dataType: DataType = StringType
+  override def prettyName: String = s"${form.toLowerCase}_normalize"
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, f)) input // fast path: no alloc
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
+/** Deflate (zlib, fixed level 6) size of the UTF-8 bytes — the
+  * compression-ratio quality signal (Gopher/RefinedWeb): boilerplate and
+  * machine-generated repetition compress far better than prose, so
+  * `byte_length / deflate_size` is a cheap one-pass repetition gate that
+  * catches structures n-gram measures miss. The caller computes the
+  * ratio (two integers stay oracle-friendly); exact byte counts are
+  * zlib-version-dependent, so this signal is spec-gated by ORDERING
+  * properties (repetitive < prose < random), never exact-value-compared
+  * across engines. */
+case class DeflateSize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "deflate_size"
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+  override protected def withNewChildInternal(newChild: Expression): DeflateSize =
+    copy(child = newChild)
+}
+
 object TextExprs {
   def wordShingles(text: Column, w: Int): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(text), w))
@@ -236,4 +287,8 @@ object TextExprs {
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(text)))
   def repetitionStats(text: Column): Column =
     GraftColumnBridge.column(RepetitionStats(GraftColumnBridge.expression(text)))
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    GraftColumnBridge.column(UnicodeNormalize(GraftColumnBridge.expression(text), form))
+  def deflateSize(text: Column): Column =
+    GraftColumnBridge.column(DeflateSize(GraftColumnBridge.expression(text)))
 }

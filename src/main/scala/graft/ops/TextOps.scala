@@ -235,6 +235,21 @@ object TextOps {
         floor(sum(col("term")) * 1e4).cast("long").as("logprob_q"))
   }
 
+  /** Unicode normalization (NFC default; NFKC folds compatibility forms
+    * too) — run it BEFORE hashing/dedup/tokenization so visually-equal
+    * byte sequences are one key. Compiled kernel, oracle-portable
+    * (normalization is specified byte-exactly; DuckDB replays with
+    * nfc_normalize). */
+  def normalize(text: Column, form: String = "NFC"): Column =
+    graft.functions.TextExprs.unicodeNormalize(text, form)
+
+  /** zlib level-6 compressed byte count — with `length(text)` it yields
+    * the compression-ratio quality gate (boilerplate compresses far
+    * better than prose). Spec-gated by ordering properties; exact counts
+    * are zlib-build-dependent. */
+  def deflateSize(text: Column): Column =
+    graft.functions.TextExprs.deflateSize(text)
+
   /** Rolling polynomial fingerprint over words (mod 2^31-1), for
     * content-defined document identity. Pure expression fold; NOT oracled
     * (no portable cross-engine hash) — validated in ScalaTest instead. */

@@ -1000,6 +1000,37 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L)._6 == 3L && !got(3L)._7, got(3L).toString)
   }
 
+  test("unicode normalize: composition, NFKC folding, fast path; deflate ordering") {
+    import graft.ops.TextOps
+    val d = Seq(
+      (1L, "éclair"),        // decomposed é -> composed
+      (2L, "café"),           // already NFC: fast path, unchanged
+      (3L, "ﬁle ＡＢ"))       // ﬁ ligature + fullwidth: NFKC folds
+      .toDF("id", "t")
+    val nfc = d.select(col("id"), TextOps.normalize(col("t")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(nfc(1L) == "\u00e9clair" && nfc(1L).length == 6)
+    assert(nfc(2L) == "caf\u00e9")
+    assert(nfc(3L) == "\uFB01le \uFF21\uFF22", "NFC must NOT fold compatibility forms")
+    val nfkc = d.select(col("id"), TextOps.normalize(col("t"), "NFKC").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(nfkc(3L) == "file AB", nfkc(3L))
+
+    // compression signal: repetition < prose < high-entropy, and
+    // deterministic across runs (fixed level, one zlib build)
+    val texts = Seq(
+      (1L, "spam " * 200),
+      (2L, "the quick brown fox jumps over the lazy dog and keeps going " * 16),
+      (3L, (0 until 1000).map(i => ((i * 2654435761L) % 93 + 33).toChar).mkString))
+      .toDF("id", "t")
+    val sizes = texts.select(col("id"), TextOps.deflateSize(col("t")).as("z"))
+      .as[(Long, Long)].collect().toMap
+    assert(sizes(1L) < sizes(2L) && sizes(2L) < sizes(3L), sizes.toString)
+    val again = texts.select(col("id"), TextOps.deflateSize(col("t")).as("z"))
+      .as[(Long, Long)].collect().toMap
+    assert(again == sizes)
+  }
+
   test("quality classifier: separable corpus trains to zero error, loss decreases") {
     import graft.ops.QualityClassifier
     val labeled = ((0 until 40).map(i =>
