@@ -3051,20 +3051,25 @@ final class SnapshotCatalog(
   def createView(db: String, name: String, sql: String,
       columnAliases: Seq[String] = Seq.empty,
       properties: Map[String, String] = Map.empty,
-      replace: Boolean = false): ViewMeta = {
+      replace: Boolean = false,
+      presetSchema: Option[StructType] = None): ViewMeta = {
     createNamespace(db)
     require(name.nonEmpty && !name.contains('/') && !name.contains('.'),
       s"bad view name '$name'")
     // analysis gate: resolves references + derives the definition schema.
     // Column aliases apply positionally, like CREATE VIEW v(a, b) AS.
-    val analyzed = spark.sql(sql)
-    require(columnAliases.isEmpty || columnAliases.length == analyzed.schema.length,
-      s"view $db.$name: ${columnAliases.length} column aliases for " +
-        s"${analyzed.schema.length} query columns")
-    val schema =
-      if (columnAliases.isEmpty) analyzed.schema
-      else org.apache.spark.sql.types.StructType(
-        analyzed.schema.fields.zip(columnAliases).map { case (f, a) => f.copy(name = a) })
+    // `presetSchema` is the materialized-view path: its body was already
+    // analyzed PINNED (and may use 2-part names no session catalog
+    // resolves), so the derived schema arrives instead.
+    val schema = presetSchema.getOrElse {
+        val analyzed = spark.sql(sql)
+        require(columnAliases.isEmpty || columnAliases.length == analyzed.schema.length,
+          s"view $db.$name: ${columnAliases.length} column aliases for " +
+            s"${analyzed.schema.length} query columns")
+        if (columnAliases.isEmpty) analyzed.schema
+        else org.apache.spark.sql.types.StructType(
+          analyzed.schema.fields.zip(columnAliases).map { case (f, a) => f.copy(name = a) })
+      }
     if (replace) requireAcyclic(db, name, sql)
     val key = viewKey(db, name)
     val lockPath = viewsDir(db).resolve(name + ".LOCK")
@@ -3102,10 +3107,14 @@ final class SnapshotCatalog(
   }
 
   def dropView(db: String, name: String): Boolean = {
-    val existed = viewExists(db, name)
+    val doc = loadView(db, name)
+    // a materialized view owns its backing table: dropping the view
+    // drops the stored results too
+    doc.flatMap(_.properties.get("materialized"))
+      .filter(tableExists(db, _)).foreach(dropTable(db, _))
     log.delete(viewKey(db, name))
     Files.deleteIfExists(viewMarker(db, name))
-    existed
+    doc.isDefined
   }
 
   def setViewProperties(db: String, name: String,
@@ -3135,6 +3144,164 @@ final class SnapshotCatalog(
     Files.createDirectories(viewsDir(toDb))
     if (!Files.exists(viewMarker(toDb, toName))) Files.createFile(viewMarker(toDb, toName))
     Files.deleteIfExists(viewMarker(db, name))
+  }
+
+  // ---- materialized views (stored results + incremental refresh) ----
+
+  /** Backing-table name of a materialized view. */
+  def mvTableName(name: String): String = s"__mv_$name"
+
+  /** Parser-level harvest of the base TABLES a view body references in
+    * THIS catalog: (db, table) pairs that exist as tables here. A
+    * referenced graft VIEW disqualifies nothing at creation but forces
+    * full refresh (its own bases are invisible to the high-water map). */
+  private def baseTablesOf(db: String, sql: String): Seq[(String, String)] = {
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    plan.collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        u.multipartIdentifier match {
+          case Seq(d, n) => Some((d, n))
+          case Seq(_, d, n) => Some((d, n))
+          case Seq(n) => Some((db, n))
+          case _ => None
+        }
+    }.flatten.distinct.filter { case (d, t) => tableExists(d, t) }
+  }
+
+  /** The view body with every base-table relation swapped for a PINNED
+    * snapshot read (analyzed subplan; `__bucket` layout columns hidden to
+    * match the SQL surface) — materialization and refresh both run
+    * against exactly the snapshots the high-water map records, so a
+    * commit racing the refresh query can never be half-seen. */
+  private def pinnedBody(db: String, sql: String,
+      pins: Map[(String, String), Long]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    val swapped = plan.transform {
+      case u: UnresolvedRelation =>
+        val dt = u.multipartIdentifier match {
+          case Seq(d, n) => Some((d, n))
+          case Seq(_, d, n) => Some((d, n))
+          case Seq(n) => Some((db, n))
+          case _ => None
+        }
+        dt.flatMap(k => pins.get(k)) match {
+          case Some(pin) =>
+            val (d, t) = dt.get
+            val base = readAsOf(d, t, pin)
+            val visible = meta(d, t).bucketSpec match {
+              case Some(_) => base.drop("__bucket")
+              case None => base
+            }
+            SubqueryAlias(Seq(d, t),
+              visible.queryExecution.analyzed)
+          case None => u
+        }
+    }
+    org.apache.spark.sql.GraftColumnBridge.ofRows(spark, swapped)
+  }
+
+  /** Create (or replace) a MATERIALIZED view: the body runs ONCE against
+    * pinned base snapshots into a backing table (`__mv_<name>`), the view
+    * document records the body + per-base snapshot high-waters, and SQL
+    * reads of the view serve the TABLE (the substitution rule redirects).
+    * [[refreshMaterializedView]] brings it forward — incrementally when
+    * the shape allows. Same versioned document as plain views: replace
+    * keeps history. */
+  def createMaterializedView(db: String, name: String, sql: String,
+      replace: Boolean = false): ViewMeta = {
+    val bases = baseTablesOf(db, sql)
+    require(bases.nonEmpty,
+      s"materialized view $db.$name references no table of this catalog")
+    val pins = bases.map { case (d, t) => (d, t) -> currentSnapshotId(d, t) }.toMap
+    val out = pinnedBody(db, sql, pins)
+    val mvT = mvTableName(name)
+    if (!tableExists(db, mvT)) createTable(db, mvT, out.schema)
+    overwrite(db, mvT, out)
+    val props = Map("materialized" -> mvT) ++
+      pins.map { case ((d, t), id) => s"mv.base.$d.$t" -> id.toString }
+    // analysis already happened through pinnedBody (pinned form);
+    // createView records its derived schema and does the cycle walk
+    createView(db, name, sql, Seq.empty, props, replace,
+      presetSchema = Some(out.schema))
+  }
+
+  /** Refresh a materialized view. Returns (mode, rowsAdded):
+    *  - `"fresh"`: every base already at its high-water — zero work;
+    *  - `"incremental"`: single-base project/filter body over an
+    *    append-family lineage range — the body runs over ONLY the
+    *    incremental delta ([[readIncremental]], compaction-transparent)
+    *    and APPENDS to the backing table: refresh cost is the day's
+    *    increment, never the view;
+    *  - `"full"`: anything else (joins/aggregates, multi-base, deletes or
+    *    rewrites in range, view-over-view) — re-run and overwrite.
+    * Either way the backing table lands snapshot-consistent with the new
+    * high-waters (bases pinned during the query). */
+  def refreshMaterializedView(db: String, name: String): (String, Long) = {
+    val docMeta = loadView(db, name).getOrElse(
+      throw new NoSuchElementException(s"no such view: $db.$name"))
+    val mvT = docMeta.properties.getOrElse("materialized",
+      throw new IllegalArgumentException(s"$db.$name is not a materialized view"))
+    val sql = docMeta.currentVersion.sql
+    val bases = baseTablesOf(db, sql)
+    val from = bases.map { case (d, t) =>
+      (d, t) -> docMeta.properties.get(s"mv.base.$d.$t").map(_.toLong) }.toMap
+    val cur = bases.map { case (d, t) => (d, t) -> currentSnapshotId(d, t) }.toMap
+    if (bases.forall(b => from(b).contains(cur(b)))) return ("fresh", 0L)
+
+    def projectFilterOnly: Boolean = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, SubqueryAlias}
+      spark.sessionState.sqlParser.parsePlan(sql).collect {
+        case p => p match {
+          case _: Project | _: Filter | _: SubqueryAlias | _: UnresolvedRelation => true
+          case _ => false
+        }
+      }.forall(identity)
+    }
+    val appendOnlyOps = Set("append", "compact", "rewrite_manifests",
+      "rebuild_blooms", "analyze_ndv", "analyze_histogram")
+    def appendOnlyRange(d: String, t: String, lo: Long, hi: Long): Boolean =
+      mainLineage(d, t).filter(e => e.snapshotId > lo && e.snapshotId <= hi)
+        .forall(e => appendOnlyOps(e.operation))
+
+    val mode =
+      if (bases.size == 1 && from(bases.head).isDefined && projectFilterOnly &&
+          appendOnlyRange(bases.head._1, bases.head._2,
+            from(bases.head).get, cur(bases.head)))
+        "incremental"
+      else "full"
+    val added = mode match {
+      case "incremental" =>
+        val (d, t) = bases.head
+        val delta = readIncremental(d, t, from((d, t)).get, cur((d, t)))
+        val visible = meta(d, t).bucketSpec match {
+          case Some(_) => delta.drop("__bucket")
+          case None => delta
+        }
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+        import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+        val swapped = spark.sessionState.sqlParser.parsePlan(sql).transform {
+          // only the BASE relation swaps (a temp view or function table
+          // reference elsewhere in the body must stay what it is)
+          case u: UnresolvedRelation if (u.multipartIdentifier match {
+            case Seq(bd, bn) => (bd, bn) == ((d, t))
+            case Seq(_, bd, bn) => (bd, bn) == ((d, t))
+            case Seq(bn) => (db, bn) == ((d, t))
+            case _ => false
+          }) =>
+            SubqueryAlias(Seq(d, t), visible.queryExecution.analyzed)
+        }
+        val out = org.apache.spark.sql.GraftColumnBridge.ofRows(spark, swapped)
+        append(db, mvT, out).summary.get("added_records").map(_.toLong).getOrElse(-1L)
+      case _ =>
+        val out = pinnedBody(db, sql, cur)
+        overwrite(db, mvT, out).summary.get("added_records").map(_.toLong).getOrElse(-1L)
+    }
+    setViewProperties(db, name,
+      cur.map { case ((d, t), id) => s"mv.base.$d.$t" -> id.toString }, Seq.empty)
+    (mode, added)
   }
 
   /** Views the new `sql` for `db.name` reaches, transitively, must not

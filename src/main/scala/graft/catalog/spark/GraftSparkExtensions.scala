@@ -342,12 +342,20 @@ class ViewSubstitutionRule(spark: SparkSession) extends Rule[LogicalPlan] {
     cm.catalog(catName) match {
       case p: SnapCatalogPlugin =>
         p.snapViews.loadView(db, name).map { vm =>
-          val cur = vm.currentVersion
-          val body = spark.sessionState.sqlParser.parsePlan(cur.sql)
-          val aliased =
-            if (cur.columnAliases.isEmpty) body
-            else UnresolvedSubqueryColumnAliases(cur.columnAliases, body)
-          SubqueryAlias(Seq(catName, db, name), aliased)
+          vm.properties.get("materialized") match {
+            // a MATERIALIZED view reads its backing TABLE (refresh keeps
+            // it current); the SQL body never re-runs on the read path
+            case Some(mvTable) =>
+              SubqueryAlias(Seq(catName, db, name),
+                UnresolvedRelation(Seq(catName, db, mvTable)))
+            case None =>
+              val cur = vm.currentVersion
+              val body = spark.sessionState.sqlParser.parsePlan(cur.sql)
+              val aliased =
+                if (cur.columnAliases.isEmpty) body
+                else UnresolvedSubqueryColumnAliases(cur.columnAliases, body)
+              SubqueryAlias(Seq(catName, db, name), aliased)
+          }
         }
       case _ => None
     }

@@ -197,6 +197,34 @@ object SnapProcedures {
         Seq(row(utf8(s"$db.$v"), meta.current))
       },
 
+      proc("create_materialized_view",
+        "materialize a view body into a backing table with per-base snapshot high-waters; reads serve the table",
+        Seq(in("view", StringType), in("sql", StringType),
+          inDefault("replace", BooleanType, "false")),
+        StructType(Seq(
+          StructField("view", StringType, nullable = false),
+          StructField("version", IntegerType, nullable = false),
+          StructField("backing_table", StringType, nullable = false)))) { input =>
+        val (db, v) = dbTable(input, 0)
+        val sql = str(input, 1).getOrElse(
+          throw new IllegalArgumentException("sql must not be null"))
+        val replace = !input.isNullAt(2) && input.getBoolean(2)
+        val meta = cat.createMaterializedView(db, v, sql, replace)
+        Seq(row(utf8(s"$db.$v"), meta.current,
+          utf8(s"$db.${cat.mvTableName(v)}")))
+      },
+
+      proc("refresh_materialized_view",
+        "bring a materialized view forward: 'incremental' appends just the base delta when the shape allows, else 'full' rebuild",
+        Seq(in("view", StringType)),
+        StructType(Seq(
+          StructField("mode", StringType, nullable = false),
+          StructField("rows_added", LongType, nullable = false)))) { input =>
+        val (db, v) = dbTable(input, 0)
+        val (mode, rows) = cat.refreshMaterializedView(db, v)
+        Seq(row(utf8(mode), rows))
+      },
+
       proc("drop_view",
         "drop a versioned SQL view (its whole history)",
         Seq(in("view", StringType)),

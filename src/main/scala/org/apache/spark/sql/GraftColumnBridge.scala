@@ -12,6 +12,13 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** DataFrame from a logical plan (`Dataset.ofRows` is private[sql]) —
+    * lets the materialized-view refresher run a stored view body with a
+    * relation surgically swapped for an incremental delta plan. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Drain the SparkListener bus (private[spark]) — lets specs assert
     * "zero jobs ran during construction" without sleeping. */
   def waitListenerBus(spark: SparkSession, timeoutMs: Long): Unit =

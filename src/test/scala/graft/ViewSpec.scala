@@ -107,6 +107,59 @@ class ViewSpec extends AnyFunSuite {
     assert(e.getMessage.contains("zz") || e.getMessage.contains("UNRESOLVED"), e.getMessage)
   }
 
+  test("materialized view: reads serve the table; incremental refresh appends the delta") {
+    val (cat, wh) = freshCat()
+    register(wh, "mvcat")
+    val a = (0 until 100).map(i => (i.toLong, s"t${i % 4}", i * 10L)).toDF("id", "tag", "v")
+    cat.createTable("db", "base", a.schema)
+    cat.append("db", "base", a)
+
+    spark.sql("CALL mvcat.system.create_materialized_view('db.t0s', " +
+      "'SELECT id, v FROM mvcat.db.base WHERE tag = ''t0''', false)")
+    assert(spark.sql("SELECT count(*) AS c FROM mvcat.db.t0s").as[Long].head() == 25L)
+    // the read plan hits the BACKING TABLE, not the base (materialized:
+    // a base append is invisible until refresh — unlike the live view)
+    cat.append("db", "base", Seq((100L, "t0", 1000L)).toDF("id", "tag", "v"))
+    assert(spark.sql("SELECT count(*) AS c FROM mvcat.db.t0s").as[Long].head() == 25L,
+      "materialized reads must serve the stored results, not re-run the body")
+
+    // refresh: single-base project/filter over an append-only range ->
+    // INCREMENTAL (backing table gets an append commit, not a rebuild)
+    val mvSnaps0 = cat.snapshotList("db", "__mv_t0s").size
+    val r1 = spark.sql("CALL mvcat.system.refresh_materialized_view('db.t0s')")
+      .collect()(0)
+    assert(r1.getString(0) == "incremental" && r1.getLong(1) == 1L, r1.toString)
+    assert(spark.sql("SELECT count(*) AS c FROM mvcat.db.t0s").as[Long].head() == 26L)
+    assert(cat.snapshotList("db", "__mv_t0s").size == mvSnaps0 + 1)
+    assert(cat.currentSnapshot("db", "__mv_t0s").operation == "append")
+
+    // fresh: nothing to do
+    val r2 = spark.sql("CALL mvcat.system.refresh_materialized_view('db.t0s')").collect()(0)
+    assert(r2.getString(0) == "fresh" && r2.getLong(1) == 0L)
+
+    // a DELETE in the base forces a FULL rebuild (append-only range broken)
+    cat.deleteMoR("db", "base", col("id") === 0L)
+    val r3 = spark.sql("CALL mvcat.system.refresh_materialized_view('db.t0s')").collect()(0)
+    assert(r3.getString(0) == "full", r3.toString)
+    assert(spark.sql("SELECT count(*) AS c FROM mvcat.db.t0s").as[Long].head() == 25L)
+    // result agrees with running the body directly
+    assert(spark.sql("SELECT sum(v) FROM mvcat.db.t0s").as[Long].head() ==
+      spark.sql("SELECT sum(v) FROM mvcat.db.base WHERE tag = 't0'").as[Long].head())
+
+    // an AGGREGATE body is never incremental
+    spark.sql("CALL mvcat.system.create_materialized_view('db.tagsum', " +
+      "'SELECT tag, sum(v) AS sv FROM mvcat.db.base GROUP BY tag', false)")
+    cat.append("db", "base", Seq((101L, "t1", 7L)).toDF("id", "tag", "v"))
+    val r4 = spark.sql("CALL mvcat.system.refresh_materialized_view('db.tagsum')").collect()(0)
+    assert(r4.getString(0) == "full", r4.toString)
+    assert(spark.sql("SELECT sv FROM mvcat.db.tagsum WHERE tag = 't1'").as[Long].head() ==
+      spark.sql("SELECT sum(v) FROM mvcat.db.base WHERE tag = 't1'").as[Long].head())
+
+    // dropping the MV drops the backing table too
+    spark.sql("CALL mvcat.system.drop_view('db.t0s')")
+    assert(!cat.tableExists("db", "__mv_t0s"))
+  }
+
   test("ViewCatalog API surface: loadView metadata, rename, properties") {
     import org.apache.spark.sql.connector.catalog.{Identifier, ViewChange}
     val (cat, wh) = freshCat()
