@@ -915,6 +915,22 @@ object SparkEntry {
         "WHERE n_orders >= 2 ORDER BY o_custkey")
     }),
 
+    // materialized view (r8): the body runs once against pinned base
+    // snapshots into a backing table; the SQL read serves the TABLE via
+    // the substitution redirect. The oracle replays the body + the
+    // consumer aggregation inline over the raw parquet (latest
+    // tpch.orders = the 'F' slice, as q05 establishes).
+    "q114_materialized_view" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      fx.src.createMaterializedView("tpch", "big_orders",
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM tpch.orders " +
+          "WHERE o_totalprice > 100000",
+        replace = fx.src.viewExists("tpch", "big_orders"))
+      s.sql("SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_big, " +
+        "CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM snapdml.tpch.big_orders GROUP BY o_custkey ORDER BY o_custkey")
+    }),
+
     // Unicode NFC normalization (r8): decomposed sequences are BUILT
     // cluster-side from doc_id arithmetic (combining acute/grave after
     // ASCII letters — a denormalized corpus in miniature), then folded by
@@ -2486,6 +2502,14 @@ object SparkEntry {
         |  FROM w)
         |SELECT doc_id, n_grams, logw_q, key_q FROM keyed
         |ORDER BY key_q DESC, doc_id LIMIT 64""".stripMargin,
+
+    // MV replay: F-slice, price filter, consumer aggregation inline
+    "q114_materialized_view" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_big,
+        |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // NFC replay: same decomposed construction via chr(), DuckDB's
     // nfc_normalize, same md5-of-utf8 digest
