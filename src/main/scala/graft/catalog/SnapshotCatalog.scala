@@ -498,7 +498,11 @@ final class SnapshotCatalog(
   def listTables(db: String): Seq[String] =
     if (!Files.isDirectory(dbPath(db))) Seq.empty
     else withList(dbPath(db))(_.filter(p => Files.exists(p.resolve("table.json")))
-      .map(_.getFileName.toString).toSeq.sorted)
+      .map(_.getFileName.toString)
+      // materialized-view backing tables are INTERNAL: they surface as
+      // their view (listViews), not as tables — still loadable by name
+      .filterNot(_.startsWith("__mv_"))
+      .toSeq.sorted)
 
   def dropTable(db: String, table: String): Unit = {
     SnapshotCatalog.purgeManifestCache(tablePath(db, table))
