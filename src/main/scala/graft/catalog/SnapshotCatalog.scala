@@ -1766,7 +1766,18 @@ final class SnapshotCatalog(
     }
     val observed = laid.observe(obs, count(lit(1)).as("rows"),
       (statAggs.toIndexedSeq ++ ndvAggs): _*)
-    val writer = observed.write.mode("overwrite")
+    // `write.target-records-per-file` caps file size on every library
+    // commit (Iceberg's write.target-file-size-bytes, expressed in rows
+    // — deterministic where byte targets depend on encoder state): the
+    // writer rolls to a new file at the cap, so one fat task can't
+    // produce a 10-GB file that defeats parallel planning downstream.
+    // Acts as a CAP on top of the task layout: compact(numFiles=n) still
+    // yields n files unless a file would exceed the cap.
+    val writer = tm.properties.get("write.target-records-per-file") match {
+      case Some(n) => observed.write.mode("overwrite")
+        .option("maxRecordsPerFile", n.toLong)
+      case None => observed.write.mode("overwrite")
+    }
     val partitioned =
       if (tm.partitionCols.nonEmpty) writer.partitionBy(tm.partitionCols: _*) else writer
     partitioned.parquet(snapDir.toString)
@@ -3420,6 +3431,21 @@ final class SnapshotCatalog(
     require(isStagedEntry(staged) && staged.snapshotId == snapshotId,
       s"snapshot $snapshotId is not the pending staged snapshot of $db.$table" +
         (if (isStagedEntry(staged)) s" (pending is ${staged.snapshotId})" else ""))
+    // DECLARATIVE EXPECTATIONS (the Delta-Live-Tables shape wired into
+    // WAP): `expect.<name>` table properties hold boolean SQL predicates
+    // over the table's rows; the publish gate refuses to surface a
+    // staged snapshot whose visible state violates one. All predicates
+    // evaluate in ONE scan of the staged state; violations stay staged
+    // (fix and re-stage, or discard) with per-expectation counts in the
+    // error. auditExpectations() runs the same battery standalone.
+    val violations = auditExpectations(db, table, snapshotId)
+    if (violations.exists(_._2 > 0)) {
+      val bad = violations.filter(_._2 > 0)
+        .map { case (n, c) => s"$n ($c rows)" }.mkString(", ")
+      throw new IllegalStateException(
+        s"publish of $db.$table snapshot $snapshotId refused: " +
+          s"expectation(s) violated: $bad. Fix and re-stage, or discard.")
+    }
     val full = materialize(db, table, staged)
     val snap = Snapshot(staged.snapshotId + 1, clock().toString, "publish",
       full.summary - "wap.staged" +
@@ -3428,6 +3454,27 @@ final class SnapshotCatalog(
       staged.schemaDdl, full.files, full.fileStats, full.deleteFiles)
     commitSnapshot(db, table, entries, snap, staged.manifests, Manifest.empty,
       staged.deletes)
+  }
+
+  /** Evaluate every `expect.<name>` property predicate against the table
+    * state as of `snapshotId` (default: current). Returns
+    * (expectation, violating-row count) pairs — empty when no
+    * expectations are declared. ONE scan total: the predicates fold into
+    * a single aggregation over the snapshot read. */
+  def auditExpectations(db: String, table: String,
+      snapshotId: Long = -1L): Seq[(String, Long)] = {
+    val exps = meta(db, table).properties.toSeq
+      .filter(_._1.startsWith("expect."))
+      .map { case (k, v) => k.stripPrefix("expect.") -> v }
+      .sortBy(_._1)
+    if (exps.isEmpty) return Seq.empty
+    val id = if (snapshotId >= 0) snapshotId else currentSnapshot(db, table).snapshotId
+    val df = readAsOf(db, table, id)
+    val aggs = exps.map { case (n, sql) =>
+      sum(when(!coalesce(expr(sql), lit(false)), 1L).otherwise(0L)).as(n) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    exps.zipWithIndex.map { case ((n, _), i) =>
+      n -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
   }
 
   /** Discard a staged snapshot: a pointer commit restoring the published

@@ -197,6 +197,17 @@ object SnapProcedures {
         Seq(row(utf8(s"$db.$v"), meta.current))
       },
 
+      proc("audit_table",
+        "evaluate expect.<name> table-property predicates against a snapshot (default current); one scan, per-expectation violation counts",
+        Seq(in("table", StringType), inDefault("snapshot_id", LongType, "NULL")),
+        StructType(Seq(
+          StructField("expectation", StringType, nullable = false),
+          StructField("violations", LongType, nullable = false)))) { input =>
+        val (db, t) = dbTable(input, 0)
+        val id = if (input.isNullAt(1)) -1L else input.getLong(1)
+        cat.auditExpectations(db, t, id).map { case (n, c) => row(utf8(n), c) }
+      },
+
       proc("create_materialized_view",
         "materialize a view body into a backing table with per-base snapshot high-waters; reads serve the table",
         Seq(in("view", StringType), in("sql", StringType),
