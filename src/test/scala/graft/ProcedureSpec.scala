@@ -306,43 +306,43 @@ class ProcedureSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val c = cat
     val a = Seq((1L, 50L), (2L, 60L)).toDF("id", "score")
-    c.createTable("db", "exp", a.schema, properties = Map(
+    c.createTable("db", "wapexp", a.schema, properties = Map(
       "write.wap.enabled" -> "true",
       "expect.score_positive" -> "score > 0",
       "expect.id_not_null" -> "id IS NOT NULL"))
-    c.append("db", "exp", a) // direct pre-WAP seed? staged — publish it
+    c.append("db", "wapexp", a) // direct pre-WAP seed? staged — publish it
     // (wap.enabled stages library appends too? library append commits
     // directly; only the SQL INSERT path stages. Seed is published.)
-    assert(c.readLatest("db", "exp").count() == 2)
+    assert(c.readLatest("db", "wapexp").count() == 2)
 
     // clean staged batch publishes
-    val st1 = c.stageAppend("db", "exp", Seq((3L, 70L)).toDF("id", "score"))
-    spark.sql(s"CALL proccat.system.publish_staged('db.exp', ${st1.snapshotId})")
-    assert(c.readLatest("db", "exp").count() == 3)
+    val st1 = c.stageAppend("db", "wapexp", Seq((3L, 70L)).toDF("id", "score"))
+    spark.sql(s"CALL proccat.system.publish_staged('db.wapexp', ${st1.snapshotId})")
+    assert(c.readLatest("db", "wapexp").count() == 3)
 
     // a violating batch is REFUSED at publish with per-expectation counts
-    val st2 = c.stageAppend("db", "exp",
+    val st2 = c.stageAppend("db", "wapexp",
       Seq((4L, -5L), (5L, -6L)).toDF("id", "score"))
     val e = intercept[Exception] {
-      spark.sql(s"CALL proccat.system.publish_staged('db.exp', ${st2.snapshotId})")
+      spark.sql(s"CALL proccat.system.publish_staged('db.wapexp', ${st2.snapshotId})")
     }
     assert(e.getMessage.contains("score_positive") &&
       e.getMessage.contains("2 rows"), e.getMessage)
     // still staged, table unchanged; audit of the staged snapshot shows both
-    assert(c.readLatest("db", "exp").count() == 3)
+    assert(c.readLatest("db", "wapexp").count() == 3)
     val audit = spark.sql(
-        s"CALL proccat.system.audit_table('db.exp', ${st2.snapshotId})")
+        s"CALL proccat.system.audit_table('db.wapexp', ${st2.snapshotId})")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(audit == Map("id_not_null" -> 0L, "score_positive" -> 2L), audit.toString)
     // current snapshot audits clean
-    val cur = spark.sql("CALL proccat.system.audit_table('db.exp')")
+    val cur = spark.sql("CALL proccat.system.audit_table('db.wapexp')")
       .collect().map(r => r.getLong(1)).sum
     assert(cur == 0L)
     // discard clears the lane; a fixed batch publishes
-    c.discardStaged("db", "exp", st2.snapshotId)
-    val st3 = c.stageAppend("db", "exp", Seq((4L, 5L)).toDF("id", "score"))
-    spark.sql(s"CALL proccat.system.publish_staged('db.exp', ${st3.snapshotId})")
-    assert(c.readLatest("db", "exp").count() == 4)
+    c.discardStaged("db", "wapexp", st2.snapshotId)
+    val st3 = c.stageAppend("db", "wapexp", Seq((4L, 5L)).toDF("id", "score"))
+    spark.sql(s"CALL proccat.system.publish_staged('db.wapexp', ${st3.snapshotId})")
+    assert(c.readLatest("db", "wapexp").count() == 4)
   }
 
   test("write.target-records-per-file caps file size on every commit") {
