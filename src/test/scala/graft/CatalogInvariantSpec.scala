@@ -115,7 +115,7 @@ class CatalogInvariantSpec extends AnyFunSuite {
       cat.append("db", t, frame(rng, 40))
       checkInvariants(cat, "db", t)
       (1 to 8).foreach { _ =>
-        rng.nextInt(14) match {
+        rng.nextInt(16) match {
           case 0 => cat.append("db", t, conform(cat, "db", t, frame(rng, 10 + rng.nextInt(40))))
           case 1 => cat.overwrite("db", t, conform(cat, "db", t, frame(rng, 10 + rng.nextInt(40))))
           case 2 => cat.delete("db", t, col("score") < (rng.nextInt(60).toLong + 20L))
@@ -155,6 +155,12 @@ class CatalogInvariantSpec extends AnyFunSuite {
               cat.setProperty("db", t,
                 graft.catalog.BloomStats.PropCols, Some("id"))
             cat.rebuildBlooms("db", t)
+          // r8-cont stats-only commits: NDV + histogram analysis must
+          // also be invisible to every invariant
+          case 14 => cat.analyzeNdv("db", t, Seq("id"))
+          case 15 =>
+            // needs at least two distinct boundary values to emit
+            cat.analyzeHistogram("db", t, Seq("score"), bins = 4)
         }
         checkInvariants(cat, "db", t)
       }
