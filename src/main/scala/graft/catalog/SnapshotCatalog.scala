@@ -1720,6 +1720,25 @@ final class SnapshotCatalog(
       case _ => df.schema
     }
 
+    // `expect.mode=commit`: validate the INCOMING frame before any bytes
+    // land (one extra pass over the NEW rows only — the opt-in
+    // validated-write trade; the WAP publish gate stays the default
+    // enforcement point). append/overwrite only: compact re-observes
+    // PRE-EXISTING rows, and maintenance must never brick on data that
+    // predates the expectation. Streaming sinks inherit this for free —
+    // their epochs commit through append().
+    if (tm.properties.get("expect.mode").contains("commit") &&
+        (operation == "append" || operation == "overwrite")) {
+      val exps = expectationsOf(db, table)
+      val bad =
+        if (exps.isEmpty) Seq.empty
+        else expectationViolations(df, exps).filter(_._2 > 0)
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"$operation to $db.$table refused (expect.mode=commit): " +
+            bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+    }
+
     // Count rows AND per-column min/max in the SAME pass as the write (the
     // reference does a separate full-scan count() before writing,
     // `5_migrate_tables_data.py:76` — at 100 TB that second scan is the
@@ -3456,25 +3475,36 @@ final class SnapshotCatalog(
       staged.deletes)
   }
 
-  /** Evaluate every `expect.<name>` property predicate against the table
-    * state as of `snapshotId` (default: current). Returns
-    * (expectation, violating-row count) pairs — empty when no
-    * expectations are declared. ONE scan total: the predicates fold into
-    * a single aggregation over the snapshot read. */
-  def auditExpectations(db: String, table: String,
-      snapshotId: Long = -1L): Seq[(String, Long)] = {
-    val exps = meta(db, table).properties.toSeq
+  /** A table's `expect.<name>` predicates, name-sorted (`expect.mode` is
+    * the enforcement-point switch, not a predicate). */
+  private def expectationsOf(db: String, table: String): Seq[(String, String)] =
+    meta(db, table).properties.toSeq
       .filter(_._1.startsWith("expect."))
+      .filterNot(_._1 == "expect.mode")
       .map { case (k, v) => k.stripPrefix("expect.") -> v }
       .sortBy(_._1)
-    if (exps.isEmpty) return Seq.empty
-    val id = if (snapshotId >= 0) snapshotId else currentSnapshot(db, table).snapshotId
-    val df = readAsOf(db, table, id)
+
+  /** Violating-row counts of `exps` over an arbitrary frame — ONE
+    * aggregation pass, however many expectations. */
+  private def expectationViolations(df: DataFrame,
+      exps: Seq[(String, String)]): Seq[(String, Long)] = {
     val aggs = exps.map { case (n, sql) =>
       sum(when(!coalesce(expr(sql), lit(false)), 1L).otherwise(0L)).as(n) }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     exps.zipWithIndex.map { case ((n, _), i) =>
       n -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
+  }
+
+  /** Evaluate every `expect.<name>` property predicate against the table
+    * state as of `snapshotId` (default: current). Returns
+    * (expectation, violating-row count) pairs — empty when no
+    * expectations are declared. */
+  def auditExpectations(db: String, table: String,
+      snapshotId: Long = -1L): Seq[(String, Long)] = {
+    val exps = expectationsOf(db, table)
+    if (exps.isEmpty) return Seq.empty
+    val id = if (snapshotId >= 0) snapshotId else currentSnapshot(db, table).snapshotId
+    expectationViolations(readAsOf(db, table, id), exps)
   }
 
   /** Discard a staged snapshot: a pointer commit restoring the published

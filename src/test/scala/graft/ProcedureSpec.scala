@@ -345,6 +345,42 @@ class ProcedureSpec extends AnyFunSuite {
     assert(c.readLatest("db", "wapexp").count() == 4)
   }
 
+  test("expect.mode=commit refuses a violating frame BEFORE any write; streaming inherits") {
+    import org.apache.spark.sql.functions._
+    val c = cat
+    val a = Seq((1L, 10L)).toDF("id", "score")
+    c.createTable("db", "expc", a.schema, properties = Map(
+      "expect.mode" -> "commit",
+      "expect.score_positive" -> "score > 0"))
+    c.append("db", "expc", a)
+    val before = c.currentSnapshotId("db", "expc")
+    val e = intercept[IllegalStateException] {
+      c.append("db", "expc", Seq((2L, -1L)).toDF("id", "score"))
+    }
+    assert(e.getMessage.contains("score_positive") &&
+      e.getMessage.contains("expect.mode=commit"), e.getMessage)
+    // refused BEFORE any bytes landed: same snapshot, no new data dir
+    assert(c.currentSnapshotId("db", "expc") == before)
+    assert(c.readLatest("db", "expc").count() == 1)
+    // the streaming sink commits through append(): a violating epoch
+    // fails the same way, a clean one lands
+    val bad = intercept[IllegalStateException] {
+      graft.streaming.EventStream.appendEpoch(c, "db", "expc", "q")(
+        Seq((3L, -9L)).toDF("id", "score"), 0L)
+    }
+    assert(bad.getMessage.contains("score_positive"))
+    graft.streaming.EventStream.appendEpoch(c, "db", "expc", "q")(
+      Seq((3L, 9L)).toDF("id", "score"), 1L)
+    assert(c.readLatest("db", "expc").count() == 2)
+    // compact never re-validates pre-existing rows (maintenance must not
+    // brick): drop the property guard first to plant a legacy violation
+    c.setProperty("db", "expc", "expect.mode", None)
+    c.append("db", "expc", Seq((4L, -2L)).toDF("id", "score"))
+    c.setProperty("db", "expc", "expect.mode", Some("commit"))
+    c.compact("db", "expc", numFiles = 1)
+    assert(c.readLatest("db", "expc").count() == 3)
+  }
+
   test("write.target-records-per-file caps file size on every commit") {
     import org.apache.spark.sql.functions._
     val c = cat
