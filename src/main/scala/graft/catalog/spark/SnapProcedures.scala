@@ -197,6 +197,40 @@ object SnapProcedures {
         Seq(row(utf8(s"$db.$v"), meta.current))
       },
 
+      proc("maintain",
+        "one-call steady-state maintenance: bin-pack small files, fold delete shards, consolidate manifests, expire old snapshots, sweep orphans",
+        Seq(in("table", StringType),
+          inDefault("small_bytes", LongType, "33554432"),      // 32 MB
+          inDefault("target_bytes", LongType, "134217728"),    // 128 MB
+          inDefault("keep_last", IntegerType, "5")),
+        StructType(Seq(
+          StructField("action", StringType, nullable = false),
+          StructField("detail", StringType, nullable = false)))) { input =>
+        val (db, t) = dbTable(input, 0)
+        val small = input.getLong(1)
+        val target = input.getLong(2)
+        val keep = input.getInt(3)
+        // ORDER MATTERS: bin-pack before delete-shard folding would
+        // re-home covered rows; folding first keeps coverage exact, then
+        // the pack sees the folded state; manifests consolidate the
+        // final shape; expire + orphan sweep reclaim everything the
+        // preceding commits stranded.
+        val folded = cat.compactDeleteFiles(db, t)
+          .map(s => s"folded to snapshot ${s.snapshotId}").getOrElse("nothing to fold")
+        val packed = cat.rewriteSmallFiles(db, t, small, target)
+          .map(s => s"packed to snapshot ${s.snapshotId}").getOrElse("no small files")
+        val manifests = cat.rewriteManifests(db, t)
+          .map(s => s"rewritten at snapshot ${s.snapshotId}").getOrElse("single shard already")
+        val expired = s"${cat.expireSnapshots(db, t, keep)} data files reclaimed"
+        val orphans = s"${cat.removeOrphanFiles(db, t).size} orphan files swept"
+        Seq(
+          row(utf8("rewrite_position_deletes"), utf8(folded)),
+          row(utf8("rewrite_small_files"), utf8(packed)),
+          row(utf8("rewrite_manifests"), utf8(manifests)),
+          row(utf8("expire_snapshots"), utf8(expired)),
+          row(utf8("remove_orphan_files"), utf8(orphans)))
+      },
+
       proc("audit_table",
         "evaluate expect.<name> table-property predicates against a snapshot (default current); one scan, per-expectation violation counts",
         Seq(in("table", StringType), inDefault("snapshot_id", LongType, "NULL")),

@@ -345,6 +345,28 @@ class ProcedureSpec extends AnyFunSuite {
     assert(c.readLatest("db", "wapexp").count() == 4)
   }
 
+  test("maintain: one call runs the full steady-state battery; reads identical") {
+    import org.apache.spark.sql.functions._
+    val c = cat
+    val a = (0 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    c.createTable("db", "mnt", a.schema)
+    c.append("db", "mnt", a.repartition(4))
+    c.append("db", "mnt", (200 until 220).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    c.deleteMoR("db", "mnt", col("id") % 7 === 0)
+    c.deleteMoR("db", "mnt", col("id") === 3L)
+    val before = c.readLatest("db", "mnt").select("id").as[Long].collect().sorted.toSeq
+    val res = spark.sql("CALL proccat.system.maintain('db.mnt', keep_last => 1)")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(res.keySet == Set("rewrite_position_deletes", "rewrite_small_files",
+      "rewrite_manifests", "expire_snapshots", "remove_orphan_files"), res.toString)
+    assert(res("rewrite_position_deletes").contains("folded"), res.toString)
+    val after = c.readLatest("db", "mnt").select("id").as[Long].collect().sorted.toSeq
+    assert(after == before, "maintenance must be row-invisible")
+    assert(c.snapshotList("db", "mnt").size == 1, "expire kept only the head")
+    assert(c.currentSnapshot("db", "mnt").deleteFiles.isEmpty ||
+      c.currentSnapshot("db", "mnt").deleteFiles.count(_.isPositional) <= 1)
+  }
+
   test("expect.mode=commit refuses a violating frame BEFORE any write; streaming inherits") {
     import org.apache.spark.sql.functions._
     val c = cat
