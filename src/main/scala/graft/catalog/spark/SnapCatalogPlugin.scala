@@ -1720,6 +1720,17 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         StructField("record_count", LongType), // null if any file lacks a row count
         StructField("added_snapshot_id", LongType, nullable = false),
         StructField("referenced_by", LongType, nullable = false)))
+      // every file any RETAINED snapshot references (Iceberg's all_files,
+      // deduplicated): the storage-debugging view — what expire would or
+      // would not reclaim. O(snapshots) manifest materializations,
+      // driver-local metadata only.
+      case "all_files" => StructType(Seq(
+        StructField("file_path", StringType, nullable = false),
+        StructField("content", StringType, nullable = false),
+        StructField("record_count", LongType),
+        StructField("first_snapshot_id", LongType, nullable = false),
+        StructField("last_snapshot_id", LongType, nullable = false),
+        StructField("ref_count", LongType, nullable = false)))
     }
 
     override def name(): String = s"$catalogName.$db.$table.$kind"
@@ -1787,6 +1798,31 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
                 .getOrElse(if (s.snapshotId > 1) Long.box(s.snapshotId - 1) else null)
               InternalRow(micros(s.committedAt), s.snapshotId, parent,
                 s.snapshotId == current)
+            }.toArray
+          case "all_files" =>
+            val refs = scala.collection.mutable.LinkedHashMap
+              .empty[(String, String), (Option[Long], Long, Long, Long)]
+            cat.entryLog(db, table).foreach { e =>
+              val snap = cat.snapshotAt(db, table, e.snapshotId)
+              val files =
+                snap.files.map { f => (f, "data",
+                  snap.fileStats.getOrElse(f, Map.empty)
+                    .get("rows").map(_.toLong)) } ++
+                snap.deleteFiles.map { d => (d.path,
+                  if (d.isPositional) "position-deletes" else "equality-deletes",
+                  Some(d.rows)) }
+              files.foreach { case (f, content, rows) =>
+                refs.get((f, content)) match {
+                  case Some((r, first, _, n)) =>
+                    refs((f, content)) = (r, first, e.snapshotId, n + 1)
+                  case None =>
+                    refs((f, content)) = (rows, e.snapshotId, e.snapshotId, 1L)
+                }
+              }
+            }
+            refs.toSeq.sortBy(_._1).map { case ((f, content), (rows, first, last, n)) =>
+              InternalRow(UTF8String.fromString(f), UTF8String.fromString(content),
+                rows.map(Long.box).orNull, first, last, n)
             }.toArray
           case "partitions" =>
             // per-partition file/row inventory, served ENTIRELY from the
@@ -1878,7 +1914,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
   }
 
   private val metaTableKinds =
-    Set("snapshots", "files", "refs", "history", "partitions", "manifests", "changes")
+    Set("snapshots", "files", "refs", "history", "partitions", "manifests",
+      "changes", "all_files")
 
   override def loadTable(ident: Identifier): Table = {
     // metadata-table addressing: snapcat.db.t.{snapshots,files,refs,history}

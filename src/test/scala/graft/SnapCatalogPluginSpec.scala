@@ -535,6 +535,29 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(rows == Seq(("m2.json", 1L, 2L, 2L, 2L), ("m3.json", 1L, 1L, 3L, 1L)), rows.toString)
   }
 
+  test(".all_files metadata table: every retained snapshot's files, deduped with ref spans") {
+    wh
+    import org.apache.spark.sql.functions.col
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.createTable("dbaf", "t", Seq((1L, "a")).toDF("id", "v").schema)
+    cat.append("dbaf", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)) // s2
+    cat.append("dbaf", "t", Seq((3L, "c")).toDF("id", "v").coalesce(1))            // s3
+    cat.deleteMoR("dbaf", "t", col("id") === 1L)                                   // s4
+    cat.overwrite("dbaf", "t", Seq((9L, "z")).toDF("id", "v").coalesce(1))         // s5
+    val rows = spark.sql(
+      """SELECT content, first_snapshot_id, last_snapshot_id, ref_count
+        |FROM snapcat.dbaf.t.all_files ORDER BY file_path""".stripMargin)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // first append's file: referenced by s2, s3, s4; second by s3, s4;
+    // the overwrite file by s5 only; the delete shard by s4 (its
+    // _deletes/ path sorts after data/)
+    assert(rows == Seq(
+      ("data", 2L, 4L, 3L), ("data", 3L, 4L, 2L),
+      ("data", 5L, 5L, 1L), ("position-deletes", 4L, 4L, 1L)), rows.toString)
+    // the CURRENT .files view sees only the overwrite's file
+    assert(spark.sql("SELECT count(*) FROM snapcat.dbaf.t.files").head.getLong(0) == 1L)
+  }
+
   test("scan statistics are snapshot-exact and carry column min/max/nulls") {
     wh
     import org.apache.spark.sql.connector.read.SupportsReportStatistics
