@@ -1682,8 +1682,9 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * snapshot's file inventory + per-file stats — the data-skipping layer
     * made queryable), `db.t.refs` (tags), `db.t.history` (linear snapshot
     * lineage), `db.t.partitions` (per-partition file/row counts from the
-    * recorded footer stats). All driver-local scans over KB-sized log
-    * metadata, like `.snapshots`; none touches data files. */
+    * recorded footer stats), `db.t.all_files` (every retained snapshot's
+    * files with reference spans). All driver-local scans over KB-sized
+    * log metadata, like `.snapshots`; none touches data files. */
   private final class InventoryMetaTable(db: String, table: String, kind: String)
       extends Table with SupportsRead {
     import org.apache.spark.sql.catalyst.InternalRow
