@@ -330,36 +330,96 @@ class ViewSubstitutionRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedSubqueryColumnAliases}
   import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
 
-  private def substitute(u: UnresolvedRelation): Option[LogicalPlan] = {
+  private def resolveParts(parts: Seq[String])
+      : Option[(String, String, String)] = {
     val cm = spark.sessionState.catalogManager
-    val (catName, db, name) = u.multipartIdentifier match {
-      case Seq(c, d, n) if cm.isCatalogRegistered(c) => (c, d, n)
-      case Seq(d, n) => (cm.currentCatalog.name(), d, n)
+    parts match {
+      case Seq(c, d, n) if cm.isCatalogRegistered(c) => Some((c, d, n))
+      case Seq(d, n) => Some((cm.currentCatalog.name(), d, n))
       case Seq(n) if cm.currentNamespace.length == 1 =>
-        (cm.currentCatalog.name(), cm.currentNamespace.head, n)
-      case _ => return None
-    }
-    cm.catalog(catName) match {
-      case p: SnapCatalogPlugin =>
-        p.snapViews.loadView(db, name).map { vm =>
-          vm.properties.get("materialized") match {
-            // a MATERIALIZED view reads its backing TABLE (refresh keeps
-            // it current); the SQL body never re-runs on the read path
-            case Some(mvTable) =>
-              SubqueryAlias(Seq(catName, db, name),
-                UnresolvedRelation(Seq(catName, db, mvTable)))
-            case None =>
-              val cur = vm.currentVersion
-              val body = spark.sessionState.sqlParser.parsePlan(cur.sql)
-              val aliased =
-                if (cur.columnAliases.isEmpty) body
-                else UnresolvedSubqueryColumnAliases(cur.columnAliases, body)
-              SubqueryAlias(Seq(catName, db, name), aliased)
-          }
-        }
+        Some((cm.currentCatalog.name(), cm.currentNamespace.head, n))
       case _ => None
     }
   }
+
+  private def bodyPlan(catName: String, db: String, name: String,
+      ver: graft.catalog.ViewVersion): LogicalPlan = {
+    val body = spark.sessionState.sqlParser.parsePlan(ver.sql)
+    val aliased =
+      if (ver.columnAliases.isEmpty) body
+      else UnresolvedSubqueryColumnAliases(ver.columnAliases, body)
+    SubqueryAlias(Seq(catName, db, name), aliased)
+  }
+
+  private def substitute(u: UnresolvedRelation): Option[LogicalPlan] =
+    resolveParts(u.multipartIdentifier).flatMap { case (catName, db, name) =>
+      spark.sessionState.catalogManager.catalog(catName) match {
+        case p: SnapCatalogPlugin =>
+          p.snapViews.loadView(db, name).map { vm =>
+            vm.properties.get("materialized") match {
+              // a MATERIALIZED view reads its backing TABLE (refresh keeps
+              // it current); the SQL body never re-runs on the read path
+              case Some(mvTable) =>
+                SubqueryAlias(Seq(catName, db, name),
+                  UnresolvedRelation(Seq(catName, db, mvTable)))
+              case None => bodyPlan(catName, db, name, vm.currentVersion)
+            }
+          }
+        case _ => None
+      }
+    }
+
+  /** `VERSION AS OF n` / `TIMESTAMP AS OF ts` on a VIEW time-travels the
+    * DEFINITION: the named (or as-of-time latest) historical version's
+    * body evaluates LIVE against today's data — "what would last
+    * quarter's metric definition say now". (The data-as-of question
+    * belongs to the underlying tables' own time travel.) Works for
+    * materialized views too — their historical definitions re-run live. */
+  private def substituteAt(parts: Seq[String], version: Option[String],
+      tsExpr: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[LogicalPlan] =
+    resolveParts(parts).flatMap { case (catName, db, name) =>
+      spark.sessionState.catalogManager.catalog(catName) match {
+        case p: SnapCatalogPlugin =>
+          p.snapViews.loadView(db, name).map { vm =>
+            val target = (version, tsExpr) match {
+              case (Some(v), _) =>
+                val vn = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+                  s"view $db.$name: VERSION AS OF must be a numeric view version, got '$v'"))
+                vm.versions.find(_.version == vn).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"view $db.$name has no version $vn " +
+                      s"(have: ${vm.versions.map(_.version).mkString(",")})"))
+              case (None, Some(e)) =>
+                val asOf = e.eval() match {
+                  case l: java.lang.Long => // timestamp-typed: micros
+                    java.time.Instant.ofEpochSecond(
+                      l / 1000000L, (l % 1000000L) * 1000L)
+                  case s: org.apache.spark.unsafe.types.UTF8String =>
+                    val str = s.toString
+                    try java.time.Instant.parse(str)
+                    catch { case _: Exception =>
+                      // "yyyy-MM-dd HH:mm:ss" read in the session zone
+                      java.time.LocalDateTime.parse(str.replace(' ', 'T'))
+                        .atZone(java.time.ZoneId.of(
+                          spark.sessionState.conf.sessionLocalTimeZone)).toInstant
+                    }
+                  case other => throw new IllegalArgumentException(
+                    s"view $db.$name: TIMESTAMP AS OF must fold to a timestamp, got $other")
+                }
+                vm.versions.filter(v =>
+                    !java.time.Instant.parse(v.timestampUtc).isAfter(asOf))
+                  .sortBy(_.version).lastOption.getOrElse(
+                    throw new IllegalArgumentException(
+                      s"view $db.$name: no version existed at $asOf " +
+                        s"(first: ${vm.versions.head.timestampUtc})"))
+              case _ => vm.currentVersion
+            }
+            bodyPlan(catName, db, name, target)
+          }
+        case _ => None
+      }
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, MergeIntoTable, UpdateTable}
@@ -377,6 +437,9 @@ class ViewSubstitutionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case m: MergeIntoTable => targetOf(m.targetTable)
     }.flatten.toSet
     plan.transformUpWithSubqueries {
+      case rtt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+          u: UnresolvedRelation, ts, ver) if !u.isStreaming =>
+        substituteAt(u.multipartIdentifier, ver, ts).getOrElse(rtt)
       case u: UnresolvedRelation
           if !u.isStreaming && !writeTargets(u.multipartIdentifier) =>
         substitute(u).getOrElse(u)

@@ -160,6 +160,40 @@ class ViewSpec extends AnyFunSuite {
     assert(!cat.tableExists("db", "__mv_t0s"))
   }
 
+  test("VERSION/TIMESTAMP AS OF on a view time-travels the DEFINITION, evaluated live") {
+    val (cat, wh) = freshCat() // clock ticks +60s per call from 2026-07-01T00:00Z
+    register(wh, "vtt")
+    val a = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    cat.createTable("db", "t", a.schema)
+    cat.append("db", "t", a)
+    cat.createView("db", "m", "SELECT sum(v) AS metric FROM vtt.db.t")          // v1
+    cat.createView("db", "m", "SELECT sum(v) * 2 AS metric FROM vtt.db.t",
+      replace = true)                                                           // v2
+    assert(spark.sql("SELECT metric FROM vtt.db.m").as[Long].head() == 60L)
+    // the OLD definition, evaluated against TODAY's data
+    assert(spark.sql("SELECT metric FROM vtt.db.m VERSION AS OF 1")
+      .as[Long].head() == 30L)
+    // ...including data that arrived after the replace (live evaluation)
+    cat.append("db", "t", Seq((3L, 5L)).toDF("id", "v"))
+    assert(spark.sql("SELECT metric FROM vtt.db.m VERSION AS OF 1")
+      .as[Long].head() == 35L)
+    // timestamp between v1 and v2 resolves the version current THEN
+    val ts = java.time.Instant.parse(
+      cat.loadView("db", "m").get.versions.head.timestampUtc).plusSeconds(1)
+    assert(spark.sql(s"SELECT metric FROM vtt.db.m TIMESTAMP AS OF '$ts'")
+      .as[Long].head() == 35L)
+    // bad version / pre-creation timestamp fail loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT metric FROM vtt.db.m VERSION AS OF 9").collect()
+    }
+    assert(e.getMessage.contains("no version 9"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT metric FROM vtt.db.m TIMESTAMP AS OF '2020-01-01T00:00:00Z'")
+        .collect()
+    }
+    assert(e2.getMessage.contains("no version existed"), e2.getMessage)
+  }
+
   test("view documents ride the CAS pointer-log seam: object-store deployment works") {
     import graft.catalog.{CasCommitMutex, InMemoryObjectStore, ObjectStorePointerLogStore}
     val wh = Files.createTempDirectory("graft_viewcas_").toString
