@@ -915,6 +915,31 @@ object SparkEntry {
         "WHERE n_orders >= 2 ORDER BY o_custkey")
     }),
 
+    // the MODERN curation pipeline composed end-to-end (r8 capstone):
+    // NFC-normalize -> Gopher rule gate -> frozen-classifier quality
+    // threshold -> DSIR importance resampling of the survivors toward
+    // the target domain. Every stage is individually oracle-proven
+    // (q113/q111/q109/q108); this gate proves the COMPOSITION — the
+    // DuckDB replay chains the same four stages over the raw parquet.
+    "q115_curation_pipeline" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.TextOps.normalize(col("text")).as("text"))
+      val gated = graft.ops.TextOps.gopherRules(d, "doc_id", "text", minWords = 8L)
+        .where(col("passes")).select("doc_id")
+      val m = graft.ops.QualityClassifier.Model(4096,
+        Array.tabulate(4096)(b => (((b.toLong * 2654435761L) % 1000L) - 500L) / 1000.0),
+        bias = 0.25)
+      val quality = graft.ops.QualityClassifier.score(
+          d.join(gated, "doc_id"), "doc_id", "text", m)
+        .where(col("logit_q") >= 2500L).select("doc_id")
+      val pool = d.join(quality, "doc_id")
+      graft.ops.Dsir.resample(
+          pool.where(col("doc_id") % 10 =!= 0),
+          d.where(col("doc_id") % 10 === 0),
+          "doc_id", "text", k = 32)
+        .orderBy(col("key_q").desc, col("doc_id"))
+    }),
+
     // materialized view (r8): the body runs once against pinned base
     // snapshots into a backing table; the SQL read serves the TABLE via
     // the substitution redirect. The oracle replays the body + the
@@ -2502,6 +2527,70 @@ object SparkEntry {
         |  FROM w)
         |SELECT doc_id, n_grams, logw_q, key_q FROM keyed
         |ORDER BY key_q DESC, doc_id LIMIT 64""".stripMargin,
+
+    // capstone replay: the four stages chained — nfc_normalize, integer
+    // Gopher gate, integer-exact classifier threshold, then the DSIR
+    // selector whose raw model is built from the surviving pool
+    "q115_curation_pipeline" ->
+      """WITH docs AS (
+        |  SELECT doc_id, nfc_normalize(text) AS text FROM documents
+        |), toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+        |  FROM docs
+        |), gop AS (
+        |  SELECT doc_id, ts FROM toks
+        |  WHERE len(ts) >= 8 AND len(ts) <= 100000
+        |    AND coalesce(list_sum(list_transform(ts, t -> len(t))), 0) >= len(ts) * 3
+        |    AND coalesce(list_sum(list_transform(ts, t -> len(t))), 0) <= len(ts) * 10
+        |    AND len(list_filter(ts, t -> regexp_matches(t, '[A-Za-z]'))) * 5 >= len(ts) * 4
+        |    AND len(list_filter(ts, t -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], lower(t)))) >= 2
+        |    AND (len(regexp_extract_all(text, '#')) +
+        |         len(regexp_extract_all(text, '\.\.\.'))) * 10 < len(ts)
+        |), grams AS (
+        |  SELECT doc_id, u.w AS g FROM toks, unnest(ts) AS u(w)
+        |  UNION ALL
+        |  SELECT doc_id, ts[u.i] || ' ' || ts[u.i + 1]
+        |  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        |), gb AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+        |  FROM grams
+        |), docb AS (
+        |  SELECT doc_id, b, count(*) AS cnt FROM gb GROUP BY doc_id, b
+        |), n AS (SELECT doc_id, sum(cnt) AS ng FROM docb GROUP BY doc_id),
+        |quality AS (
+        |  SELECT d.doc_id FROM docb d JOIN n USING (doc_id)
+        |  JOIN gop USING (doc_id)
+        |  GROUP BY d.doc_id, n.ng
+        |  HAVING CAST(floor((CAST(sum(d.cnt * ((((d.b * 2654435761) % 1000) - 500)
+        |    * 1000)) AS DOUBLE) / (n.ng * 1e6) + 0.25) * 10000) AS BIGINT) >= 2500
+        |), pool AS (
+        |  SELECT doc_id FROM quality WHERE doc_id % 10 <> 0
+        |), tgt AS (
+        |  SELECT b, count(*) AS ct FROM gb WHERE doc_id % 10 = 0 GROUP BY b
+        |), rawb AS (
+        |  SELECT g.b, count(*) AS cr FROM gb g JOIN pool USING (doc_id) GROUP BY g.b
+        |), nt AS (SELECT coalesce(sum(ct), 0) AS n FROM tgt),
+        |nr AS (SELECT coalesce(sum(cr), 0) AS n FROM rawb),
+        |pdocb AS (SELECT d.* FROM docb d JOIN pool USING (doc_id)),
+        |w AS (
+        |  SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_grams,
+        |    CAST(floor(sum(d.cnt *
+        |      (ln((coalesce(t.ct, 0) + 0.5) / ((SELECT n FROM nt) + 0.5 * 4096))
+        |       - ln((r.cr + 0.5) / ((SELECT n FROM nr) + 0.5 * 4096)))) * 10000)
+        |      AS BIGINT) AS logw_q
+        |  FROM pdocb d LEFT JOIN tgt t USING (b) JOIN rawb r USING (b)
+        |  GROUP BY d.doc_id
+        |), keyed AS (
+        |  SELECT doc_id, n_grams, logw_q,
+        |    CAST(floor((logw_q / 10000.0 -
+        |      ln(-ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))
+        |        AS BIGINT) + 0.5) / 4294967296.0))) * 10000) AS BIGINT) AS key_q
+        |  FROM w)
+        |SELECT doc_id, n_grams, logw_q, key_q FROM keyed
+        |ORDER BY key_q DESC, doc_id LIMIT 32""".stripMargin,
 
     // MV replay: F-slice, price filter, consumer aggregation inline
     "q114_materialized_view" ->
