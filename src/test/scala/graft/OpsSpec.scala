@@ -984,6 +984,25 @@ class OpsSpec extends AnyFunSuite {
     assert(s3.size == 10 && s3 != s1, "seed must steer the draw")
   }
 
+  test("DSIR / classifier plans: model tables BROADCAST, no sort-merge or cartesian") {
+    import graft.ops.{Dsir, QualityClassifier}
+    val target = docs.where(col("doc_id") % 10 === 0)
+    val raw = docs.where(col("doc_id") % 10 =!= 0)
+    val wPlan = Dsir.importanceWeights(raw, target, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the <=4096-row bucket models must join broadcast — a sort-merge
+    // here would re-shuffle the per-doc skeleton at corpus scale
+    assert(wPlan.contains("BroadcastHashJoin"), wPlan.take(2000))
+    assert(!wPlan.contains("SortMergeJoin"), "model join must not shuffle the skeleton")
+    assert(!wPlan.contains("CartesianProduct"))
+
+    val m = QualityClassifier.Model(256, new Array[Double](256), 0.0)
+    val sPlan = QualityClassifier.score(docs, "doc_id", "text", m)
+      .queryExecution.executedPlan.toString
+    assert(sPlan.contains("BroadcastHashJoin"), sPlan.take(2000))
+    assert(!sPlan.contains("CartesianProduct"))
+  }
+
   test("gopher rules: hand-computed metrics and integer-exact thresholds") {
     import graft.ops.TextOps
     val d = Seq(
