@@ -3055,6 +3055,23 @@ final class SnapshotCatalog(
   private def viewKey(db: String, name: String): String =
     viewsDir(db).resolve(name + ".json").toAbsolutePath.normalize().toString
 
+  /** Exclusive view-document rights, reentrant per thread (a compound op
+    * — materialized-view create or refresh — holds it across its table
+    * commits, and the nested createView/setViewProperties must not
+    * re-acquire). Lock ORDER is always view -> table: every compound
+    * view op takes this first, so it can never deadlock against a table
+    * commit. */
+  private def withViewLock[T](db: String, name: String)(body: => T): T = {
+    Files.createDirectories(viewsDir(db))
+    val lockPath = viewsDir(db).resolve(name + ".LOCK")
+    val key = lockPath.toAbsolutePath.normalize().toString
+    if (SnapshotCatalog.heldLocks.get().contains(key)) return body
+    mutex.withLock(key, lockPath) {
+      SnapshotCatalog.heldLocks.get().add(key)
+      try body finally SnapshotCatalog.heldLocks.get().remove(key)
+    }
+  }
+
   def viewExists(db: String, name: String): Boolean =
     log.read(viewKey(db, name)).isDefined
 
@@ -3106,8 +3123,7 @@ final class SnapshotCatalog(
       }
     if (replace) requireAcyclic(db, name, sql)
     val key = viewKey(db, name)
-    val lockPath = viewsDir(db).resolve(name + ".LOCK")
-    mutex.withLock(lockPath.toAbsolutePath.normalize().toString, lockPath) {
+    withViewLock(db, name) {
       val existing = log.read(key)
       require(replace || existing.isEmpty, s"view $db.$name already exists")
       val (meta, etag) = existing match {
@@ -3154,8 +3170,7 @@ final class SnapshotCatalog(
   def setViewProperties(db: String, name: String,
       set: Map[String, String], remove: Seq[String]): ViewMeta = {
     val key = viewKey(db, name)
-    val lockPath = viewsDir(db).resolve(name + ".LOCK")
-    mutex.withLock(lockPath.toAbsolutePath.normalize().toString, lockPath) {
+    withViewLock(db, name) {
       val (txt, etag) = log.read(key).getOrElse(
         throw new NoSuchElementException(s"no such view: $db.$name"))
       val meta = ViewMeta.fromJson(Json.parse(txt).asInstanceOf[JObj])
@@ -3244,7 +3259,7 @@ final class SnapshotCatalog(
     * the shape allows. Same versioned document as plain views: replace
     * keeps history. */
   def createMaterializedView(db: String, name: String, sql: String,
-      replace: Boolean = false): ViewMeta = {
+      replace: Boolean = false): ViewMeta = withViewLock(db, name) {
     val bases = baseTablesOf(db, sql)
     require(bases.nonEmpty,
       s"materialized view $db.$name references no table of this catalog")
@@ -3272,7 +3287,10 @@ final class SnapshotCatalog(
     *    rewrites in range, view-over-view) — re-run and overwrite.
     * Either way the backing table lands snapshot-consistent with the new
     * high-waters (bases pinned during the query). */
-  def refreshMaterializedView(db: String, name: String): (String, Long) = {
+  def refreshMaterializedView(db: String, name: String): (String, Long) = withViewLock(db, name) {
+    // the WHOLE refresh holds the view lock: two concurrent refreshes
+    // would otherwise both read the same high-water and double-append
+    // the same incremental delta
     val docMeta = loadView(db, name).getOrElse(
       throw new NoSuchElementException(s"no such view: $db.$name"))
     val mvT = docMeta.properties.getOrElse("materialized",
