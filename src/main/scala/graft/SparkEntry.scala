@@ -940,6 +940,39 @@ object SparkEntry {
         .orderBy(col("key_q").desc, col("doc_id"))
     }),
 
+    // INCREMENTAL aggregate-MV maintenance (r9): a count/sum/min/max
+    // GROUP BY body materializes over HALF the orders, the other half
+    // lands as an append, and the refresh must take the
+    // `incremental_agg` path — the delta re-aggregates and MERGES
+    // group-wise into the backing table via a keyed upsert (O(delta +
+    // touched groups), never the corpus; the self-maintainable
+    // aggregate set of the view-maintenance literature). The query
+    // REQUIRES the mode (a silent full rebuild fails the gate), and the
+    // oracle replays the whole-table aggregation — any merge slip
+    // (double-counted group, stale min/max) hash-mismatches.
+    "q116_mv_agg_incremental" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      val cat = fx.src
+      // idempotent per run: own table + MV, never touching shared tables
+      if (cat.viewExists("maint", "ostats")) cat.dropView("maint", "ostats")
+      if (cat.tableExists("maint", "mvagg_orders")) cat.dropTable("maint", "mvagg_orders")
+      val orders = T(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      cat.createTable("maint", "mvagg_orders", orders.schema)
+      cat.append("maint", "mvagg_orders", orders.where(col("o_orderkey") % 2 === 0))
+      cat.createMaterializedView("maint", "ostats",
+        "SELECT o_orderstatus, count(*) AS n, sum(cents) AS sum_cents, " +
+          "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key " +
+          "FROM maint.mvagg_orders GROUP BY o_orderstatus")
+      cat.append("maint", "mvagg_orders", orders.where(col("o_orderkey") % 2 === 1))
+      val (mode, _) = cat.refreshMaterializedView("maint", "ostats")
+      require(mode == "incremental_agg",
+        s"aggregate MV refresh must merge incrementally, took '$mode'")
+      s.sql("SELECT o_orderstatus, n, sum_cents, min_key, max_key " +
+        "FROM snapdml.maint.ostats ORDER BY o_orderstatus")
+    }),
+
     // materialized view (r8): the body runs once against pinned base
     // snapshots into a backing table; the SQL read serves the TABLE via
     // the substitution redirect. The oracle replays the body + the
@@ -1056,6 +1089,10 @@ object SparkEntry {
       val fx = WarehouseFixture.forDir(s, dir)
       val _ = fx.src // fixture built; snapdml catalog registered
       val q = s.readStream.option("starting-snapshot-id", "1")
+        // catch-up aggregation: order-insensitive, so drain the whole
+        // backlog in ONE micro-batch (per-commit batching — the default,
+        // what a CDC apply sink needs — is exercised by StreamingSpec)
+        .option("max-commits-per-trigger", "1000000")
         .table("snapdml.maint.orders_cdceq.changes")
         .writeStream.format("memory").queryName("q99_feed")
         .outputMode("append").start()
@@ -2531,6 +2568,15 @@ object SparkEntry {
     // capstone replay: the four stages chained — nfc_normalize, integer
     // Gopher gate, integer-exact classifier threshold, then the DSIR
     // selector whose raw model is built from the surviving pool
+    // the merged MV must equal the whole-table aggregation
+    "q116_mv_agg_incremental" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q115_curation_pipeline" ->
       """WITH docs AS (
         |  SELECT doc_id, nfc_normalize(text) AS text FROM documents

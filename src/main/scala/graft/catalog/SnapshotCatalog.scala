@@ -353,11 +353,17 @@ final class SnapshotCatalog(
 
   def dropNamespace(db: String): Unit = {
     SnapshotCatalog.purgeManifestCache(dbPath(db))
-    listTables(db).foreach { t =>
+    // the RAW listing: MV backing tables (`__mv_*`) are hidden from the
+    // user-facing listTables but their pointer-log keys + observed-etag
+    // entries still need purging before the directory goes — a
+    // non-directory log backend would otherwise keep stale CAS state
+    // (ADVICE r8). Same for every view document.
+    listTablesRaw(db).foreach { t =>
       val key = logKey(db, t)
       log.delete(key)
       SnapshotCatalog.observedLogEtag.get().remove(key)
     }
+    listViews(db).foreach { v => log.delete(viewKey(db, v)) }
     deleteRecursively(dbPath(db))
   }
 
@@ -391,6 +397,9 @@ final class SnapshotCatalog(
       partitionCols: Seq[String] = Seq.empty,
       properties: Map[String, String] = Map.empty): Boolean = {
     if (tableExists(db, table)) return false
+    require(!viewExists(db, table),
+      s"cannot create table $db.$table: a view with that name exists " +
+        "(one object would silently shadow the other)")
     val unknown = partitionCols.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"partition columns not in schema: ${unknown.mkString(",")}")
     createNamespace(db)
@@ -496,12 +505,18 @@ final class SnapshotCatalog(
   def tableExists(db: String, table: String): Boolean = Files.exists(metaPath(db, table))
 
   def listTables(db: String): Seq[String] =
+    // materialized-view backing tables are INTERNAL: they surface as
+    // their view (listViews), not as tables — still loadable by name
+    listTablesRaw(db).filterNot(_.startsWith("__mv_"))
+
+  /** EVERY physical table in the namespace, MV backing tables included —
+    * the listing namespace-lifecycle code must use (drop/emptiness), so
+    * hidden `__mv_*` state is never leaked past a namespace drop nor
+    * mistaken for emptiness. */
+  private[graft] def listTablesRaw(db: String): Seq[String] =
     if (!Files.isDirectory(dbPath(db))) Seq.empty
     else withList(dbPath(db))(_.filter(p => Files.exists(p.resolve("table.json")))
       .map(_.getFileName.toString)
-      // materialized-view backing tables are INTERNAL: they surface as
-      // their view (listViews), not as tables — still loadable by name
-      .filterNot(_.startsWith("__mv_"))
       .toSeq.sorted)
 
   def dropTable(db: String, table: String): Unit = {
@@ -525,6 +540,8 @@ final class SnapshotCatalog(
       require(namespaceExists(newDb), s"no such namespace: $newDb")
       require(!tableExists(newDb, newTable),
         s"table already exists: $newDb.$newTable")
+      require(!viewExists(newDb, newTable),
+        s"view already exists: $newDb.$newTable")
       val m = meta(db, table)
       writeString(metaPath(db, table),
         Json.writePretty(m.copy(database = newDb, tableName = newTable).toJson))
@@ -3107,13 +3124,28 @@ final class SnapshotCatalog(
     createNamespace(db)
     require(name.nonEmpty && !name.contains('/') && !name.contains('.'),
       s"bad view name '$name'")
+    require(!tableExists(db, name),
+      s"cannot create view $db.$name: a table with that name exists " +
+        "(one object would silently shadow the other)")
+    // a view body must be a QUERY. Parse FIRST and refuse commands/DML —
+    // the old `spark.sql(body)` analysis gate eagerly EXECUTED a command
+    // body ('DROP TABLE x' dropped the table at CREATE VIEW time;
+    // ADVICE r8). Only then analyze the parsed plan lazily.
+    val parsedBody = spark.sessionState.sqlParser.parsePlan(sql)
+    require(!parsedBody.exists(p =>
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] ||
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement] ||
+        // CALL parses to `Call`, which is not a Command but runs AT
+        // ANALYSIS — this marker trait is exactly "executes eagerly"
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.ExecutableDuringAnalysis]),
+      s"view $db.$name: body must be a query, not a command/DML statement")
     // analysis gate: resolves references + derives the definition schema.
     // Column aliases apply positionally, like CREATE VIEW v(a, b) AS.
     // `presetSchema` is the materialized-view path: its body was already
     // analyzed PINNED (and may use 2-part names no session catalog
     // resolves), so the derived schema arrives instead.
     val schema = presetSchema.getOrElse {
-        val analyzed = spark.sql(sql)
+        val analyzed = org.apache.spark.sql.GraftColumnBridge.ofRows(spark, parsedBody)
         require(columnAliases.isEmpty || columnAliases.length == analyzed.schema.length,
           s"view $db.$name: ${columnAliases.length} column aliases for " +
             s"${analyzed.schema.length} query columns")
@@ -3187,6 +3219,7 @@ final class SnapshotCatalog(
     val (txt, _) = log.read(viewKey(db, name)).getOrElse(
       throw new NoSuchElementException(s"no such view: $db.$name"))
     require(!viewExists(toDb, toName), s"view $toDb.$toName already exists")
+    require(!tableExists(toDb, toName), s"table $toDb.$toName already exists")
     createNamespace(toDb)
     log.writeIf(viewKey(toDb, toName), txt, None)
     log.delete(viewKey(db, name))
@@ -3200,13 +3233,50 @@ final class SnapshotCatalog(
   /** Backing-table name of a materialized view. */
   def mvTableName(name: String): String = s"__mv_$name"
 
+  /** `true` iff the parsed plan carries any subquery EXPRESSION
+    * (scalar/IN/EXISTS) anywhere — those reference relations that
+    * `collect`/`transform` would never visit, so every MV decision that
+    * walks a body must either descend with the `WithSubqueries`
+    * traversals or refuse the shape (ADVICE r8). */
+  private def hasSubqueryExpr(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    plan.exists(_.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
+
+  /** `true` iff the PARSED (pre-analysis) plan carries an aggregate or
+    * window function expression. A global aggregate (`SELECT count(*)
+    * FROM t` — no GROUP BY) parses as a plain Project; the ANALYZER is
+    * what inserts the Aggregate node — so a node-type walk alone
+    * misclassifies it as row-local, and an "incremental" MV refresh
+    * would APPEND a second total row instead of merging. Window
+    * functions are whole-table too. Both must force the full/merge
+    * paths. */
+  private def hasAggOrWindowExpr(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{UnresolvedWindowExpression, WindowExpression}
+    plan.exists(_.expressions.exists(_.exists {
+      case _: WindowExpression | _: UnresolvedWindowExpression => true
+      case f: UnresolvedFunction =>
+        f.nameParts.length == 1 && FunctionRegistry.builtin
+          .lookupFunction(FunctionIdentifier(
+            f.nameParts.head.toLowerCase(java.util.Locale.ROOT)))
+          .exists(info => info.getGroup == "agg_funcs")
+      case _ => false
+    }))
+  }
+
   /** Parser-level harvest of the base TABLES a view body references in
-    * THIS catalog: (db, table) pairs that exist as tables here. A
-    * referenced graft VIEW disqualifies nothing at creation but forces
-    * full refresh (its own bases are invisible to the high-water map). */
+    * THIS catalog: (db, table) pairs that exist as tables here —
+    * INCLUDING relations inside subquery expressions
+    * (`collectWithSubqueries`), so `WHERE x > (SELECT max(y) FROM u)`
+    * pins `u` too. A referenced graft VIEW disqualifies nothing at
+    * creation but forces full refresh (its own bases are invisible to
+    * the high-water map). */
   private def baseTablesOf(db: String, sql: String): Seq[(String, String)] = {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
-    plan.collect {
+    plan.collectWithSubqueries {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
         u.multipartIdentifier match {
           case Seq(d, n) => Some((d, n))
@@ -3227,7 +3297,10 @@ final class SnapshotCatalog(
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
-    val swapped = plan.transform {
+    // transformUpWithSubqueries: a base referenced only inside a scalar/
+    // IN/EXISTS subquery pins too — otherwise a commit racing the
+    // refresh could be half-seen through the subquery (ADVICE r8)
+    val swapped = plan.transformUpWithSubqueries {
       case u: UnresolvedRelation =>
         val dt = u.multipartIdentifier match {
           case Seq(d, n) => Some((d, n))
@@ -3276,6 +3349,98 @@ final class SnapshotCatalog(
       presetSchema = Some(out.schema))
   }
 
+  /** The merge recipe for an incrementally-maintainable AGGREGATE view
+    * body: which output positions are group keys and which are mergeable
+    * aggregates (by function name). Derived from the PARSED body, matched
+    * positionally against the backing table's schema. */
+  private final case class AggShape(keyPos: Seq[Int], aggPos: Seq[(Int, String)])
+
+  /** Classify a view body as an incrementally-maintainable aggregation:
+    * a single `Aggregate` (or `Distinct`) whose input is project/filter
+    * over one relation, whose grouping expressions are plain columns, and
+    * whose outputs are those columns plus `count`/`sum`/`min`/`max`
+    * aggregates (no DISTINCT aggregates, no subqueries). These merge
+    * against the stored results group-wise — the classic self-maintainable
+    * aggregate set under insert-only deltas (view-maintenance literature;
+    * `avg` et al. refuse — they are not self-maintainable without
+    * decomposition, and `full` stays correct). A top-level ORDER BY is
+    * ignored (tables are unordered; the full path discards it too). */
+  private def aggIncrementalShape(sql: String): Option[AggShape] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, LogicalPlan, Project, Sort, SubqueryAlias}
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    if (hasSubqueryExpr(parsed)) return None
+    def pfOnly(p: LogicalPlan): Boolean = p.collect {
+      case n => n match {
+        case _: Project | _: Filter | _: SubqueryAlias | _: UnresolvedRelation => true
+        case _ => false
+      }
+    }.forall(identity)
+    val top = parsed match { case s: Sort => s.child; case p => p }
+    top match {
+      case Aggregate(groupExprs, aggExprs, child, _) if pfOnly(child) =>
+        val keyNames = groupExprs.map {
+          case a: UnresolvedAttribute => a.nameParts.last
+          case _ => return None // expression keys: not recognized, stay full
+        }.toSet
+        val mergeable = Set("count", "sum", "min", "max")
+        def strip(e: Expression): Expression = e match {
+          case Alias(c, _) => c
+          case UnresolvedAlias(c, _) => c
+          case c => c
+        }
+        val roles = aggExprs.zipWithIndex.map { case (ne: NamedExpression, i) =>
+          strip(ne) match {
+            case a: UnresolvedAttribute if keyNames(a.nameParts.last) => Left(i)
+            case f: UnresolvedFunction if !f.isDistinct && f.filter.isEmpty &&
+                f.nameParts.length == 1 &&
+                mergeable(f.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+              Right(i -> f.nameParts.head.toLowerCase(java.util.Locale.ROOT))
+            case _ => return None
+          }
+        }
+        val shape = AggShape(roles.collect { case Left(i) => i },
+          roles.collect { case Right(p) => p })
+        // every grouping column must be carried in the output (it is the
+        // upsert key), and there must be something to merge
+        if (shape.keyPos.size == keyNames.size && shape.aggPos.nonEmpty) Some(shape)
+        else None
+      case Distinct(child) if pfOnly(child) =>
+        // SELECT DISTINCT …: every column is a key, nothing merges — the
+        // delta's distinct rows upsert keyed on ALL columns (idempotent)
+        child match {
+          case Project(ps, _) if !ps.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedStar]) =>
+            Some(AggShape((0 until ps.length).toList, Seq.empty))
+          case _ => None // star width is unknowable pre-analysis
+        }
+      case Project(ps, child) if pfOnly(child) && ps.nonEmpty =>
+        // GLOBAL aggregate: `SELECT count(*), sum(v) FROM t` parses as a
+        // Project of aggregate functions (the analyzer inserts the
+        // Aggregate). Every output must be a mergeable aggregate; the
+        // merge is then a single-row fold with no keys.
+        val mergeable = Set("count", "sum", "min", "max")
+        def strip2(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : org.apache.spark.sql.catalyst.expressions.Expression = e match {
+          case Alias(c, _) => c
+          case UnresolvedAlias(c, _) => c
+          case c => c
+        }
+        val aggs = ps.zipWithIndex.map { case (p, i) =>
+          strip2(p) match {
+            case f: UnresolvedFunction if !f.isDistinct && f.filter.isEmpty &&
+                f.nameParts.length == 1 &&
+                mergeable(f.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+              i -> f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+            case _ => return None
+          }
+        }
+        Some(AggShape(Seq.empty, aggs))
+      case _ => None
+    }
+  }
+
   /** Refresh a materialized view. Returns (mode, rowsAdded):
     *  - `"fresh"`: every base already at its high-water — zero work;
     *  - `"incremental"`: single-base project/filter body over an
@@ -3283,6 +3448,13 @@ final class SnapshotCatalog(
     *    incremental delta ([[readIncremental]], compaction-transparent)
     *    and APPENDS to the backing table: refresh cost is the day's
     *    increment, never the view;
+    *  - `"incremental_agg"`: single-base GROUP BY body whose aggregates
+    *    are all count/sum/min/max (or SELECT DISTINCT), over an
+    *    append-only range — the body runs over ONLY the delta and the
+    *    per-group partials MERGE into the backing table via a keyed
+    *    upsert: refresh cost is O(delta + touched groups), never the
+    *    corpus. Falls back to full if the delta produces a NULL group
+    *    key (null keys don't equality-match through the upsert path);
     *  - `"full"`: anything else (joins/aggregates, multi-base, deletes or
     *    rewrites in range, view-over-view) — re-run and overwrite.
     * Either way the backing table lands snapshot-consistent with the new
@@ -3305,7 +3477,16 @@ final class SnapshotCatalog(
     def projectFilterOnly: Boolean = {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
       import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, SubqueryAlias}
-      spark.sessionState.sqlParser.parsePlan(sql).collect {
+      val plan = spark.sessionState.sqlParser.parsePlan(sql)
+      // a subquery expression disqualifies incremental outright: the
+      // delta-substitution identity `Q(old ∪ delta) = Q(old) ∪ Q(delta)`
+      // only holds for row-local bodies, and a subquery's result can
+      // change when ONLY its own base moved (ADVICE r8 — force full).
+      // So does an aggregate/window EXPRESSION: a global aggregate or a
+      // windowed select parses as a plain Project (no Aggregate/Window
+      // node until analysis), and appending its delta result would be
+      // wrong — those route to incremental_agg or full
+      !hasSubqueryExpr(plan) && !hasAggOrWindowExpr(plan) && plan.collect {
         case p => p match {
           case _: Project | _: Filter | _: SubqueryAlias | _: UnresolvedRelation => true
           case _ => false
@@ -3318,38 +3499,94 @@ final class SnapshotCatalog(
       mainLineage(d, t).filter(e => e.snapshotId > lo && e.snapshotId <= hi)
         .forall(e => appendOnlyOps(e.operation))
 
-    val mode =
-      if (bases.size == 1 && from(bases.head).isDefined && projectFilterOnly &&
-          appendOnlyRange(bases.head._1, bases.head._2,
-            from(bases.head).get, cur(bases.head)))
-        "incremental"
+    /** The body with the base relation swapped for the incremental delta
+      * — shared by both incremental modes. */
+    def bodyOverDelta(): DataFrame = {
+      val (d, t) = bases.head
+      val delta = readIncremental(d, t, from((d, t)).get, cur((d, t)))
+      val visible = meta(d, t).bucketSpec match {
+        case Some(_) => delta.drop("__bucket")
+        case None => delta
+      }
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+      import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+      // WithSubqueries for defense in depth — both incremental modes
+      // refuse subquery bodies, so this never fires on one
+      val swapped = spark.sessionState.sqlParser.parsePlan(sql).transformUpWithSubqueries {
+        // only the BASE relation swaps (a temp view or function table
+        // reference elsewhere in the body must stay what it is)
+        case u: UnresolvedRelation if (u.multipartIdentifier match {
+          case Seq(bd, bn) => (bd, bn) == ((d, t))
+          case Seq(_, bd, bn) => (bd, bn) == ((d, t))
+          case Seq(bn) => (db, bn) == ((d, t))
+          case _ => false
+        }) =>
+          SubqueryAlias(Seq(d, t), visible.queryExecution.analyzed)
+      }
+      org.apache.spark.sql.GraftColumnBridge.ofRows(spark, swapped)
+    }
+    def runFull(): Long = {
+      val out = pinnedBody(db, sql, cur)
+      overwrite(db, mvT, out).summary.get("added_records").map(_.toLong).getOrElse(-1L)
+    }
+
+    val singleAppendOnlyBase = bases.size == 1 && from(bases.head).isDefined &&
+      appendOnlyRange(bases.head._1, bases.head._2,
+        from(bases.head).get, cur(bases.head))
+    var mode =
+      if (!singleAppendOnlyBase) "full"
+      else if (projectFilterOnly) "incremental"
+      else if (aggIncrementalShape(sql).isDefined) "incremental_agg"
       else "full"
     val added = mode match {
       case "incremental" =>
-        val (d, t) = bases.head
-        val delta = readIncremental(d, t, from((d, t)).get, cur((d, t)))
-        val visible = meta(d, t).bucketSpec match {
-          case Some(_) => delta.drop("__bucket")
-          case None => delta
+        append(db, mvT, bodyOverDelta())
+          .summary.get("added_records").map(_.toLong).getOrElse(-1L)
+      case "incremental_agg" =>
+        val shape = aggIncrementalShape(sql).get
+        val deltaAgg = bodyOverDelta()
+        val names = deltaAgg.schema.fieldNames
+        val keyNames = shape.keyPos.map(names)
+        // null group keys do not equality-match through the upsert's
+        // delete path — a null-keyed group would duplicate. Rare (and a
+        // one-small-job probe over the delta's GROUPS, not the delta):
+        // fall back to the always-correct full rebuild.
+        val nullKeyed = keyNames.nonEmpty &&
+          !deltaAgg.where(keyNames.map(k => col(s"`$k`").isNull).reduce(_ || _))
+            .isEmpty
+        if (nullKeyed) { mode = "full"; runFull() }
+        else if (shape.aggPos.isEmpty) {
+          // DISTINCT body: delta rows upsert keyed on every column
+          upsertMoR(db, mvT, deltaAgg, keyNames)
+            .summary.get("added_records").map(_.toLong).getOrElse(-1L)
+        } else {
+          // merge each delta group against its stored partial: count/sum
+          // add (sum stays NULL only if both sides are), min/max fold via
+          // least/greatest (null-skipping) — the self-maintainable merge
+          val backing = readLatest(db, mvT)
+          val cond = keyNames.map(k =>
+            deltaAgg(s"`$k`") <=> backing(s"`$k`")).reduceOption(_ && _)
+            .getOrElse(lit(true)) // global aggregate: single-row "join"
+          val joined = deltaAgg.join(backing, cond, "left")
+          val outCols = names.zipWithIndex.map { case (n, i) =>
+            val d = deltaAgg(s"`$n`"); val o = backing(s"`$n`")
+            if (shape.keyPos.contains(i)) d.as(n)
+            else shape.aggPos.find(_._1 == i).get._2 match {
+              case "count" => (coalesce(o, lit(0L)) + d).as(n)
+              case "sum"   => coalesce(o + d, o, d).as(n)
+              case "min"   => least(o, d).as(n)
+              case "max"   => greatest(o, d).as(n)
+            }
+          }
+          val merged = joined.select(outCols.toSeq: _*)
+          if (keyNames.isEmpty) // global aggregate: one row, overwrite
+            overwrite(db, mvT, merged)
+              .summary.get("added_records").map(_.toLong).getOrElse(-1L)
+          else
+            upsertMoR(db, mvT, merged, keyNames)
+              .summary.get("added_records").map(_.toLong).getOrElse(-1L)
         }
-        import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-        import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
-        val swapped = spark.sessionState.sqlParser.parsePlan(sql).transform {
-          // only the BASE relation swaps (a temp view or function table
-          // reference elsewhere in the body must stay what it is)
-          case u: UnresolvedRelation if (u.multipartIdentifier match {
-            case Seq(bd, bn) => (bd, bn) == ((d, t))
-            case Seq(_, bd, bn) => (bd, bn) == ((d, t))
-            case Seq(bn) => (db, bn) == ((d, t))
-            case _ => false
-          }) =>
-            SubqueryAlias(Seq(d, t), visible.queryExecution.analyzed)
-        }
-        val out = org.apache.spark.sql.GraftColumnBridge.ofRows(spark, swapped)
-        append(db, mvT, out).summary.get("added_records").map(_.toLong).getOrElse(-1L)
-      case _ =>
-        val out = pinnedBody(db, sql, cur)
-        overwrite(db, mvT, out).summary.get("added_records").map(_.toLong).getOrElse(-1L)
+      case _ => runFull()
     }
     setViewProperties(db, name,
       cur.map { case ((d, t), id) => s"mv.base.$d.$t" -> id.toString }, Seq.empty)
@@ -3362,7 +3599,9 @@ final class SnapshotCatalog(
   private def requireAcyclic(db: String, name: String, sql: String): Unit = {
     def refsOf(s: String): Seq[(String, String)] = {
       val plan = spark.sessionState.sqlParser.parsePlan(s)
-      plan.collect {
+      // collectWithSubqueries: a cycle routed through a scalar/IN/EXISTS
+      // subquery is still a cycle
+      plan.collectWithSubqueries {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
           u.multipartIdentifier match {
             case Seq(d, n) => Some((d, n))

@@ -236,7 +236,11 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     require(namespace.length == 1, "snapcat namespaces are single-level")
     if (!cat.namespaceExists(namespace.head)) return false
-    if (cat.listTables(namespace.head).nonEmpty && !cascade)
+    // RAW table listing + views: a namespace holding only a materialized
+    // view (whose `__mv_*` backing table is hidden from listTables) is
+    // NOT empty — non-cascade drop must refuse it (ADVICE r8)
+    if ((cat.listTablesRaw(namespace.head).nonEmpty ||
+         cat.listViews(namespace.head).nonEmpty) && !cascade)
       throw new IllegalStateException(s"namespace ${namespace.head} is not empty")
     cat.dropNamespace(namespace.head) // recursive: removes tables + dir
     true
@@ -1400,13 +1404,29 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     @volatile private var availableNowCap: Option[Long] = None
     override def prepareForTriggerAvailableNow(): Unit =
       availableNowCap = Some(cat.currentSnapshotId(db, table))
-    // one published commit per trigger: batch boundary = commit boundary
+    // one published commit per trigger BY DEFAULT: batch boundary =
+    // commit boundary, so a CDC apply sink sees each commit's changes as
+    // its own atomic batch (ordering between an insert and a later
+    // delete of the same key is carried by the batch sequence). A
+    // catch-up consumer that doesn't need per-commit batches (an
+    // aggregator, a backfill into an order-insensitive sink) can raise
+    // `max-commits-per-trigger` to drain k commits per micro-batch —
+    // the range planner below already walks commit-by-commit inside the
+    // batch, so pre-image semantics are identical, just co-batched.
+    private val maxCommitsPerTrigger: Int =
+      Option(options.get("max-commits-per-trigger")).map { v =>
+        val k = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"max-commits-per-trigger must be numeric, got '$v'"))
+        require(k > 0, s"max-commits-per-trigger must be positive, got $k")
+        k
+      }.getOrElse(1)
     override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
       val s = start.asInstanceOf[ChgOffset].id
       val trueHead = cat.currentSnapshotId(db, table)
       val head = availableNowCap.fold(trueHead)(c => math.min(trueHead, c))
-      lineage.find(e => e.snapshotId > s && e.snapshotId <= head)
-        .map(e => ChgOffset(e.snapshotId)).getOrElse(start)
+      val inRange = lineage.filter(e => e.snapshotId > s && e.snapshotId <= head)
+      if (inRange.isEmpty) start
+      else ChgOffset(inRange.take(maxCommitsPerTrigger).last.snapshotId)
     }
     override def reportLatestOffset(): Offset =
       ChgOffset(cat.currentSnapshotId(db, table))

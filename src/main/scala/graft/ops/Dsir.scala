@@ -72,39 +72,46 @@ object Dsir {
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 4096, addK: Double = 0.5): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    // Each corpus is gram-exploded exactly ONCE: the raw side's bucket
-    // model and total both derive from the per-doc skeleton (cached — it
-    // is corpus-bounded in (doc, bucket) keys, far smaller than the gram
-    // stream), the target model from its own cached <=B-row table. The
-    // only driver materializations are two single-row totals.
+    // ONE fully-lazy plan, zero caches, zero mid-plan driver collects.
+    // The corpus totals nT/nR ride the plan itself: nT as a broadcast
+    // 1-row aggregate cross-joined onto every output row (so a
+    // target-UNSEEN bucket still smooths against the full target total),
+    // nR as a whole-frame window sum over the bucket-bounded (<=B-row)
+    // raw model it inner-joins from. This removes the two `.head`
+    // barrier jobs the old shape paid plus the `.cache()` pair it could
+    // never safely unpersist (a long-lived session leaked both
+    // permanently; ADVICE r8). The target model's and raw skeleton's
+    // shuffle exchanges each appear twice in the plan — Spark's
+    // ReuseExchange dedupes identical exchanges, so each gram explosion
+    // still runs once.
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val tgtB = grams(target.select(col(textCol)), Seq.empty, textCol)
       .select(bucketOf(col("g"), buckets).as("b"))
       .groupBy("b").agg(count(lit(1)).as("ct"))
-      .cache()
+    val tgtTot = tgtB.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
     val docB = grams(raw.select(col(idCol).as("doc_id"), col(textCol)),
       Seq("doc_id"), textCol)
       .select(col("doc_id"), bucketOf(col("g"), buckets).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
-      .cache()
     val rawB = docB.groupBy("b").agg(sum("cnt").as("cr"))
-    val nT = tgtB.agg(coalesce(sum("ct"), lit(0L))).head.getLong(0)
-    val nR = rawB.agg(coalesce(sum("cr"), lit(0L))).head.getLong(0)
-    val denomT = lit(nT + addK * buckets)
-    val denomR = lit(nR + addK * buckets)
-    val out = docB
-      // model tables are bucket-bounded: broadcast, so the per-doc
-      // skeleton never re-shuffles. Target-unseen buckets score from
-      // smoothing alone (left join, coalesce 0); every scored bucket is
-      // by construction present in the raw model (inner join).
+      .withColumn("nr", sum("cr").over(all))
+    // model tables are bucket-bounded: broadcast, so the per-doc
+    // skeleton never re-shuffles. Target-unseen buckets score from
+    // smoothing alone (left join, coalesce 0); every scored bucket is
+    // by construction present in the raw model (inner join).
+    docB
       .join(broadcast(tgtB), Seq("b"), "left")
+      .crossJoin(broadcast(tgtTot))
       .join(broadcast(rawB), Seq("b"))
       .withColumn("term", col("cnt") *
-        (log((coalesce(col("ct"), lit(0L)) + addK) / denomT) -
-         log((col("cr") + addK) / denomR)))
+        (log((coalesce(col("ct"), lit(0L)) + addK) /
+             (col("nt") + lit(addK * buckets))) -
+         log((col("cr") + addK) /
+             (col("nr") + lit(addK * buckets)))))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_grams"),
         floor(sum(col("term")) * 1e4).cast("long").as("logw_q"))
-    out
   }
 
   /** Draw `k` raw documents without replacement, importance-weighted: the

@@ -984,6 +984,20 @@ class OpsSpec extends AnyFunSuite {
     assert(s3.size == 10 && s3 != s1, "seed must steer the draw")
   }
 
+  test("DSIR holds no cached state: repeated use in a long session leaks nothing") {
+    import graft.ops.Dsir
+    val target = docs.where(col("doc_id") % 10 === 0)
+    val raw = docs.where(col("doc_id") % 10 =!= 0)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // two full materializations — the r8 shape left 2 cached frames PER
+    // CALL pinned forever (ADVICE r8); the lazy single-plan shape must
+    // leave the persistence registry exactly as it found it
+    Dsir.resample(raw, target, "doc_id", "text", k = 5).collect()
+    Dsir.importanceWeights(raw, target, "doc_id", "text").count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"DSIR leaked cached RDDs: $leaked")
+  }
+
   test("DSIR / classifier plans: model tables BROADCAST, no sort-merge or cartesian") {
     import graft.ops.{Dsir, QualityClassifier}
     val target = docs.where(col("doc_id") % 10 === 0)

@@ -396,6 +396,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q3.stop()
   }
 
+  test("CDC catch-up with max-commits-per-trigger drains multi-commit batches, same feed") {
+    import java.time.Instant
+    import graft.catalog.SnapshotCatalog
+    val wh = Files.createTempDirectory("graft_cdcmc_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, wh,
+      clock = () => { tick += 1; Instant.parse("2026-05-02T00:00:00Z").plusSeconds(tick * 60) })
+    val df0 = Seq((1L, "a"), (2L, "a")).toDF("id", "tag")
+    cat.createTable("db", "mc", df0.schema)
+    cat.append("db", "mc", df0)                                        // 2
+    cat.append("db", "mc", Seq((3L, "b"), (4L, "b")).toDF("id", "tag")) // 3
+    cat.deleteMoR("db", "mc", col("id") === 1L)                         // 4
+    cat.append("db", "mc", Seq((5L, "c")).toDF("id", "tag"))            // 5
+    spark.conf.set("spark.sql.catalog.snapmc", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.snapmc.warehouse", wh)
+
+    def drain(qn: String, opts: Map[String, String]): (Seq[(String, Long, String)], Long) = {
+      var r = spark.readStream.option("starting-snapshot-id", "1")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.table("snapmc.db.mc.changes")
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table(qn).select("_change_type", "id", "tag")
+          .as[(String, Long, String)].collect().sortBy(t => (t._2, t._1)).toSeq
+        // number of non-empty micro-batches actually processed
+        val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+        (rows, batches)
+      } finally q.stop()
+    }
+    val (perCommit, nPer) = drain("mc_default", Map.empty)
+    val (coarse, nCoarse) = drain("mc_coarse",
+      Map("max-commits-per-trigger" -> "1000"))
+    // identical feed content either way — co-batching changes boundaries,
+    // never rows (the range planner walks commit-by-commit internally)
+    assert(perCommit == coarse, s"$perCommit vs $coarse")
+    assert(perCommit.count(_._1 == "delete") == 1 && perCommit.size == 6, perCommit.toString)
+    // default = one commit per trigger (4 data commits); coarse = ONE batch
+    assert(nPer == 4L, s"default should process 4 per-commit batches, got $nPer")
+    assert(nCoarse == 1L, s"coarse catch-up should drain in one batch, got $nCoarse")
+  }
+
   test("CDC over a bucketed table: batch relation and stream hide __bucket") {
     import java.time.Instant
     import graft.catalog.SnapshotCatalog

@@ -146,12 +146,13 @@ class ViewSpec extends AnyFunSuite {
     assert(spark.sql("SELECT sum(v) FROM mvcat.db.t0s").as[Long].head() ==
       spark.sql("SELECT sum(v) FROM mvcat.db.base WHERE tag = 't0'").as[Long].head())
 
-    // an AGGREGATE body is never incremental
+    // an AGGREGATE body with mergeable functions refreshes via the r9
+    // group-wise merge path (incremental_agg), value-identical to full
     spark.sql("CALL mvcat.system.create_materialized_view('db.tagsum', " +
       "'SELECT tag, sum(v) AS sv FROM mvcat.db.base GROUP BY tag', false)")
     cat.append("db", "base", Seq((101L, "t1", 7L)).toDF("id", "tag", "v"))
     val r4 = spark.sql("CALL mvcat.system.refresh_materialized_view('db.tagsum')").collect()(0)
-    assert(r4.getString(0) == "full", r4.toString)
+    assert(r4.getString(0) == "incremental_agg", r4.toString)
     assert(spark.sql("SELECT sv FROM mvcat.db.tagsum WHERE tag = 't1'").as[Long].head() ==
       spark.sql("SELECT sum(v) FROM mvcat.db.base WHERE tag = 't1'").as[Long].head())
 
@@ -244,5 +245,207 @@ class ViewSpec extends AnyFunSuite {
     assert(!plugin.viewExists(ident))
     assert(spark.sql("SELECT id FROM vapi.db.vv2").as[Long].head() == 1L)
     assert(plugin.listViews("db").map(_.name()).toSeq == Seq("vv2"))
+  }
+
+  test("MV with a subquery body: subquery base pins, refresh is full and never stale-fresh") {
+    val (cat, wh) = freshCat()
+    register(wh, "vsub")
+    val t = Seq(1L, 5L, 9L, 13L).toDF("a")
+    val u = Seq(4L).toDF("x")
+    cat.createTable("db", "t", t.schema); cat.append("db", "t", t)
+    cat.createTable("db", "u", u.schema); cat.append("db", "u", u)
+
+    cat.createMaterializedView("db", "big",
+      "SELECT a FROM vsub.db.t WHERE a > (SELECT max(x) FROM vsub.db.u)")
+    assert(spark.sql("SELECT a FROM vsub.db.big ORDER BY a").as[Long].collect().toSeq ==
+      Seq(5L, 9L, 13L))
+    // the subquery's base is harvested + pinned like any other base
+    val props = cat.loadView("db", "big").get.properties
+    assert(props.contains("mv.base.db.t") && props.contains("mv.base.db.u"),
+      props.toString)
+
+    // ONLY the subquery base moves: the refresh must see it (not "fresh")
+    // and must re-run FULL (delta-substitution is invalid under a subquery)
+    cat.append("db", "u", Seq(8L).toDF("x"))
+    val (mode1, _) = cat.refreshMaterializedView("db", "big")
+    assert(mode1 == "full", s"expected full refresh when subquery base moved, got $mode1")
+    assert(spark.sql("SELECT a FROM vsub.db.big ORDER BY a").as[Long].collect().toSeq ==
+      Seq(9L, 13L))
+
+    // an append-only range on the MAIN base alone still refuses
+    // incremental: the body carries a subquery expression
+    cat.append("db", "t", Seq(20L).toDF("a"))
+    val (mode2, _) = cat.refreshMaterializedView("db", "big")
+    assert(mode2 == "full", s"subquery bodies must never take the incremental path, got $mode2")
+    assert(spark.sql("SELECT a FROM vsub.db.big ORDER BY a").as[Long].collect().toSeq ==
+      Seq(9L, 13L, 20L))
+
+    // a cycle routed THROUGH a subquery expression still refuses
+    cat.createView("db", "other", "SELECT a AS b FROM vsub.db.big")
+    val e = intercept[IllegalArgumentException] {
+      cat.createView("db", "big",
+        "SELECT a FROM vsub.db.t WHERE a > (SELECT max(b) FROM vsub.db.other)",
+        replace = true)
+    }
+    assert(e.getMessage.contains("reference itself"), e.getMessage)
+  }
+
+  test("createView refuses command/DML bodies WITHOUT executing them") {
+    val (cat, wh) = freshCat()
+    register(wh, "vcmd")
+    val a = Seq((1L, 2L)).toDF("id", "v")
+    cat.createTable("db", "prey", a.schema)
+    cat.append("db", "prey", a)
+    for (body <- Seq(
+        "DROP TABLE vcmd.db.prey",
+        "INSERT INTO vcmd.db.prey VALUES (9, 9)",
+        "DELETE FROM vcmd.db.prey WHERE id = 1",
+        "CALL vcmd.system.expire_snapshots('db.prey', 1)")) {
+      val e = intercept[IllegalArgumentException] {
+        cat.createView("db", "evil", body)
+      }
+      assert(e.getMessage.contains("must be a query"), s"$body -> ${e.getMessage}")
+    }
+    // nothing executed: table intact, row intact, no view created
+    assert(cat.tableExists("db", "prey"))
+    assert(spark.sql("SELECT v FROM vcmd.db.prey").as[Long].collect().toSeq == Seq(2L))
+    assert(!cat.viewExists("db", "evil"))
+  }
+
+  test("view/table name collisions refuse in both directions; rename checks too") {
+    val (cat, wh) = freshCat()
+    register(wh, "vcol")
+    val a = Seq(1L).toDF("id")
+    cat.createTable("db", "obj", a.schema); cat.append("db", "obj", a)
+    // view over an existing table name: refused
+    val e1 = intercept[IllegalArgumentException] {
+      cat.createView("db", "obj", "SELECT 1 AS one")
+    }
+    assert(e1.getMessage.contains("a table with that name exists"), e1.getMessage)
+    // table over an existing view name: refused
+    cat.createView("db", "vw", "SELECT id FROM vcol.db.obj")
+    val e2 = intercept[IllegalArgumentException] {
+      cat.createTable("db", "vw", a.schema)
+    }
+    assert(e2.getMessage.contains("a view with that name exists"), e2.getMessage)
+    // rename paths land on occupied names: refused
+    cat.createTable("db", "obj2", a.schema)
+    intercept[IllegalArgumentException] {
+      cat.renameTable("db", "obj2", "db", "vw")
+    }
+    cat.createView("db", "vw2", "SELECT id FROM vcol.db.obj")
+    intercept[IllegalArgumentException] {
+      cat.renameView("db", "vw2", "db", "obj")
+    }
+  }
+
+  test("aggregate MV: append-only deltas MERGE group-wise (incremental_agg), O(delta) not O(corpus)") {
+    val (cat, wh) = freshCat()
+    register(wh, "vagg")
+    val a = (0 until 120).map(i => (i.toLong, s"g${i % 3}", (i * 7 % 50).toLong))
+      .toDF("id", "grp", "v")
+    cat.createTable("db", "base", a.schema)
+    cat.append("db", "base", a)
+    cat.createMaterializedView("db", "stats",
+      "SELECT grp, count(*) AS n, sum(v) AS sv, min(v) AS mn, max(v) AS mx " +
+        "FROM vagg.db.base GROUP BY grp")
+    def expect() = spark.sql(
+      "SELECT grp, count(*) AS n, sum(v) AS sv, min(v) AS mn, max(v) AS mx " +
+        "FROM vagg.db.base GROUP BY grp ORDER BY grp")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    def got() = spark.sql("SELECT * FROM vagg.db.stats ORDER BY grp")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got() == expect())
+
+    // delta touches one existing group (new min candidate 1, new max 99)
+    // and creates a brand-new group
+    cat.append("db", "base",
+      Seq((200L, "g0", 1L), (201L, "g0", 99L), (202L, "gNEW", 5L))
+        .toDF("id", "grp", "v"))
+    val backingSnaps0 = cat.snapshotList("db", "__mv_stats").size
+    val (m1, _) = cat.refreshMaterializedView("db", "stats")
+    assert(m1 == "incremental_agg", m1)
+    assert(got() == expect())
+    // the backing commit is an UPSERT (MoR), not an overwrite rebuild
+    assert(cat.currentSnapshot("db", "__mv_stats").operation == "merge",
+      cat.currentSnapshot("db", "__mv_stats").operation)
+    assert(cat.snapshotList("db", "__mv_stats").size == backingSnaps0 + 1)
+
+    // fresh short-circuits; a base DELETE forces full (min/max not
+    // maintainable under retraction)
+    assert(cat.refreshMaterializedView("db", "stats")._1 == "fresh")
+    cat.deleteMoR("db", "base", col("id") === 201L)
+    val (m2, _) = cat.refreshMaterializedView("db", "stats")
+    assert(m2 == "full", m2)
+    assert(got() == expect())
+
+    // a NULL group key in the delta falls back to full (upsert keys
+    // cannot equality-match null), result still exact
+    cat.append("db", "base",
+      Seq((300L, null.asInstanceOf[String], 7L)).toDF("id", "grp", "v"))
+    val (m3, _) = cat.refreshMaterializedView("db", "stats")
+    assert(m3 == "full", m3)
+    assert(spark.sql("SELECT n FROM vagg.db.stats WHERE grp IS NULL")
+      .as[Long].head() == 1L)
+
+    // an avg body is NOT self-maintainable: always full
+    cat.createMaterializedView("db", "avgv",
+      "SELECT grp, avg(v) AS av FROM vagg.db.base GROUP BY grp")
+    cat.append("db", "base", Seq((400L, "g1", 10L)).toDF("id", "grp", "v"))
+    assert(cat.refreshMaterializedView("db", "avgv")._1 == "full")
+
+    // GLOBAL aggregate (no GROUP BY): single-row merge, still incremental
+    cat.createMaterializedView("db", "tot",
+      "SELECT count(*) AS n, sum(v) AS sv FROM vagg.db.base")
+    cat.append("db", "base", Seq((500L, "g2", 3L)).toDF("id", "grp", "v"))
+    val (m4, _) = cat.refreshMaterializedView("db", "tot")
+    assert(m4 == "incremental_agg", m4)
+    assert(spark.sql("SELECT n, sv FROM vagg.db.tot").as[(Long, Long)].head() ==
+      spark.sql("SELECT count(*) AS n, sum(v) AS sv FROM vagg.db.base")
+        .as[(Long, Long)].head())
+
+    // a WINDOW-function body is whole-table: never plain-incremental
+    // (it parses as a Project — the misclassification would append
+    // re-numbered delta rows), always full
+    cat.createMaterializedView("db", "ranked",
+      "SELECT id, row_number() OVER (ORDER BY id) AS rn FROM vagg.db.base")
+    cat.append("db", "base", Seq((450L, "g1", 4L)).toDF("id", "grp", "v"))
+    assert(cat.refreshMaterializedView("db", "ranked")._1 == "full")
+    assert(spark.sql("SELECT count(*) FROM vagg.db.ranked").as[Long].head() ==
+      spark.sql("SELECT count(*) FROM vagg.db.base").as[Long].head())
+
+    // SELECT DISTINCT: delta rows upsert keyed on all columns
+    cat.createMaterializedView("db", "grps",
+      "SELECT DISTINCT grp FROM vagg.db.base WHERE grp IS NOT NULL")
+    cat.append("db", "base",
+      Seq((600L, "g0", 1L), (601L, "gOTHER", 2L)).toDF("id", "grp", "v"))
+    val (m5, _) = cat.refreshMaterializedView("db", "grps")
+    assert(m5 == "incremental_agg", m5)
+    assert(spark.sql("SELECT grp FROM vagg.db.grps ORDER BY grp")
+      .as[String].collect().toSeq ==
+      Seq("g0", "g1", "g2", "gNEW", "gOTHER"))
+  }
+
+  test("namespace lifecycle sees MV backing tables: emptiness + log cleanup") {
+    val (cat, wh) = freshCat()
+    register(wh, "vns")
+    val a = Seq((1L, 10L)).toDF("id", "v")
+    cat.createTable("ns9", "base", a.schema)
+    cat.append("ns9", "base", a)
+    cat.createMaterializedView("ns9", "mv", "SELECT v FROM vns.ns9.base")
+    cat.dropTable("ns9", "base")
+    // only the MV remains; its backing table is hidden from listTables —
+    // but the namespace is NOT empty, so a non-cascade drop must refuse
+    assert(cat.listTables("ns9").isEmpty)
+    assert(cat.listTablesRaw("ns9") == Seq("__mv_mv"))
+    val err = intercept[IllegalStateException] {
+      spark.sql("DROP NAMESPACE vns.ns9")
+    }
+    assert(err.getMessage.contains("not empty"), err.getMessage)
+    // cascade drops everything, view document included
+    spark.sql("DROP NAMESPACE vns.ns9 CASCADE")
+    assert(!cat.namespaceExists("ns9"))
+    assert(!cat.viewExists("ns9", "mv"))
+    assert(cat.listTablesRaw("ns9").isEmpty)
   }
 }
