@@ -973,6 +973,57 @@ object SparkEntry {
         "FROM snapdml.maint.ostats ORDER BY o_orderstatus")
     }),
 
+    // VARIANT ingestion + shredded extraction (r9): semi-structured JSON
+    // is BUILT deterministically from events columns, parsed into Spark
+    // 4's VariantType (the open binary-JSON column type), then typed
+    // fields extract back out via variant_get paths — nested object,
+    // array index, and a try_variant_get miss. The aggregate proves the
+    // encode->shred round-trip by value: the oracle computes the same
+    // numbers straight from the source columns, so any variant
+    // mis-extraction (wrong path, wrong cast, lost row) hash-mismatches.
+    "q117_variant_shred" -> ((s, dir) => {
+      val e = T(s, dir, "events").where(col("event_id") <= 2000)
+      val js = concat(
+        lit("{\"t\":\""), col("event_type"),
+        lit("\",\"m\":{\"k\":"), get_json_object(col("props"), "$.k"),
+        lit(",\"c\":"), floor(col("value") * 100).cast("long").cast("string"),
+        lit("},\"a\":["), (col("event_id") % 7).cast("string"),
+        lit(","), (col("event_id") % 11).cast("string"), lit("]}"))
+      e.select(col("event_type"), parse_json(js).as("v"))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.m.k", "long").as("k"),
+          variant_get(col("v"), "$.m.c", "long").as("c"),
+          variant_get(col("v"), "$.a[1]", "long").as("a1"),
+          try_variant_get(col("v"), "$.zz", "long").as("zz"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), sum("c").as("sum_c"),
+          sum("a1").as("sum_a1"), count(col("zz")).as("n_zz"))
+        .orderBy("event_type")
+    }),
+
+    // Okapi BM25 lexical retrieval (r9; Robertson & Spärck Jones):
+    // query docs' 48-char prefixes rank the corpus through an inverted
+    // postings index — query terms BROADCAST onto the postings, top-k
+    // per query via rank window. k1=1.5/b=0.75 chosen exactly binary-
+    // representable so both engines fold identical doubles; scores
+    // quantize at 1e-4 (q104 discipline).
+    "q118_bm25_retrieval" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val q = d.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), substring(col("text"), 1, 48).as("qtext"))
+      graft.ops.Retrieval.bm25TopK(d, "doc_id", "text", q, "qid", "qtext",
+          k = 10, k1 = 1.5, b = 0.75)
+        .orderBy("query_id", "rank")
+    }),
+
+    // per-source TF-IDF keyword extraction (r9): the terms that
+    // CHARACTERIZE each crawl source — frequent inside, rare across.
+    // One explode + term-bounded broadcast stats; top-5 per source.
+    "q119_tfidf_terms" -> ((s, dir) =>
+      graft.ops.Retrieval.tfIdfTopTerms(
+          T(s, dir, "documents"), "source", "text", k = 5)
+        .orderBy("group", "rank")),
+
     // materialized view (r8): the body runs once against pinned base
     // snapshots into a backing table; the SQL read serves the TABLE via
     // the substitution redirect. The oracle replays the body + the
@@ -2568,6 +2619,72 @@ object SparkEntry {
     // capstone replay: the four stages chained — nfc_normalize, integer
     // Gopher gate, integer-exact classifier threshold, then the DSIR
     // selector whose raw model is built from the surviving pool
+    // the variant round-trip must equal direct column arithmetic
+    "q117_variant_shred" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+        |  CAST(sum(event_id % 11) AS BIGINT) AS sum_a1,
+        |  CAST(0 AS BIGINT) AS n_zz
+        |FROM events WHERE event_id <= 2000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q118_bm25_retrieval" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), post AS (
+        |  SELECT doc_id, len(ts) AS dl, u.term AS term, count(*) AS tf
+        |  FROM tok, unnest(ts) AS u(term) GROUP BY 1, 2, 3
+        |), dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+        |        FROM (SELECT DISTINCT doc_id, dl FROM post)),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    list_filter(regexp_split_to_array(lower(substr(text, 1, 48)), '\s+'),
+        |      t -> t <> '') AS ts
+        |  FROM documents WHERE doc_id < 5
+        |), qterm AS (
+        |  SELECT DISTINCT query_id, u.term FROM q, unnest(ts) AS u(term)
+        |), scored AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |    CAST(floor(sum(
+        |      ln(1 + (t.n_docs - d.df + 0.5) / (d.df + 0.5)) * (p.tf * 2.5) /
+        |      (p.tf + 1.5 * (0.25 + 0.75 * p.dl / t.avgdl))) * 10000) AS BIGINT) AS score_q
+        |  FROM qterm qt JOIN dfreq d USING (term) JOIN post p USING (term), tot t
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT query_id, doc_id, score_q,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_q DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, doc_id, score_q, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q119_tfidf_terms" ->
+      """WITH terms AS (
+        |  SELECT source AS "group", u.term AS term, count(*) AS tf
+        |  FROM (SELECT source,
+        |          list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |            t -> t <> '') AS ts
+        |        FROM documents), unnest(ts) AS u(term)
+        |  GROUP BY 1, 2
+        |), gf AS (SELECT term, count(*) AS gf FROM terms GROUP BY 1),
+        |ng AS (SELECT count(DISTINCT "group") AS n_groups FROM terms),
+        |scored AS (
+        |  SELECT t."group", t.term, t.tf,
+        |    CAST(floor(t.tf * ln(CAST(n.n_groups AS DOUBLE) / g.gf) * 10000)
+        |      AS BIGINT) AS tfidf_q
+        |  FROM terms t JOIN gf g USING (term), ng n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY "group"
+        |    ORDER BY tfidf_q DESC, term) AS rank FROM scored)
+        |SELECT "group", term, CAST(tf AS BIGINT) AS tf, tfidf_q,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY "group", rank""".stripMargin,
+
     // the merged MV must equal the whole-table aggregation
     "q116_mv_agg_incremental" ->
       """SELECT o_orderstatus,

@@ -1090,4 +1090,67 @@ class OpsSpec extends AnyFunSuite {
       .select("doc_id", "logit_q").as[(Long, Long)].collect().toSet
     assert(again == first)
   }
+
+  test("BM25: hand-computed scores on a tiny corpus; query terms score once") {
+    import graft.ops.Retrieval
+    val corpus = Seq(
+      (1L, "apple banana apple"),   // dl=3, tf(apple)=2
+      (2L, "apple cherry"),         // dl=2
+      (3L, "banana banana banana"), // dl=3
+      (4L, "durian elder fig")      // dl=3, shares nothing with the query
+    ).toDF("doc_id", "text")
+    val q = Seq((10L, "apple apple banana")).toDF("qid", "qtext") // dup term
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text", q, "qid", "qtext",
+        k = 10, k1 = 1.5, b = 0.75)
+      .select("query_id", "doc_id", "score_q", "rank")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4).toSeq
+    // N=4, avgdl=11/4; idf(apple: df=2)=ln(1+2.5/2.5)=ln2;
+    // idf(banana: df=2)=ln2. Hand-fold per doc:
+    def s(tf: Long, dl: Long, df: Long): Double =
+      math.log(1.0 + (4 - df + 0.5) / (df + 0.5)) * (tf * 2.5) /
+        (tf + 1.5 * (0.25 + 0.75 * dl / 2.75))
+    val exp = Map(
+      1L -> math.floor((s(2, 3, 2) + s(1, 3, 2)) * 1e4).toLong, // apple + banana
+      2L -> math.floor(s(1, 2, 2) * 1e4).toLong,                // apple only
+      3L -> math.floor(s(3, 3, 2) * 1e4).toLong)                // banana only
+    assert(got.map(_._2).toSet == Set(1L, 2L, 3L), got.toString) // doc 4 absent
+    got.foreach { case (qid, d, sc, _) =>
+      assert(qid == 10L && sc == exp(d), s"doc $d: got $sc expected ${exp(d)}")
+    }
+    // ranks: strictly by quantized score desc (doc1 carries both terms)
+    assert(got.map(_._2) == exp.toSeq.sortBy(e => (-e._2, e._1)).map(_._1))
+  }
+
+  test("BM25 / TF-IDF plans: query+stats broadcast, postings never re-shuffle wide") {
+    import graft.ops.Retrieval
+    val q = docs.where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), substring(col("text"), 1, 48).as("qtext"))
+    val bPlan = Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan.take(2000))
+    assert(!bPlan.contains("SortMergeJoin"),
+      "query-term join must broadcast, not shuffle the postings")
+    assert(!bPlan.contains("CartesianProduct"))
+    // WindowGroupLimit pushes the per-query top-k below the final sort
+    assert(bPlan.contains("WindowGroupLimit"), bPlan.take(2000))
+
+    val tPlan = Retrieval.tfIdfTopTerms(docs, "source", "text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(tPlan.contains("BroadcastHashJoin"), tPlan.take(2000))
+    assert(!tPlan.contains("SortMergeJoin"))
+    assert(!tPlan.contains("CartesianProduct"))
+
+    // tf-idf sanity: a term present in every group scores exactly 0; a
+    // group-exclusive term scores positive and ranks first
+    val tiny = Seq(("s1", "common rare1"), ("s2", "common rare2"))
+      .toDF("source", "text")
+    val t = Retrieval.tfIdfTopTerms(tiny, "source", "text", k = 5)
+      .select("group", "term", "tfidf_q", "rank")
+      .as[(String, String, Long, Long)].collect()
+    val byTerm = t.map(r => (r._1, r._2) -> r._3).toMap
+    assert(byTerm(("s1", "common")) == 0L && byTerm(("s2", "common")) == 0L)
+    assert(byTerm(("s1", "rare1")) == math.floor(math.log(2.0) * 1e4).toLong)
+    assert(t.filter(_._4 == 1L).map(r => r._1 -> r._2).toSet ==
+      Set("s1" -> "rare1", "s2" -> "rare2"))
+  }
 }
