@@ -1024,6 +1024,35 @@ object SparkEntry {
           T(s, dir, "documents"), "source", "text", k = 5)
         .orderBy("group", "rank")),
 
+    // HIDDEN time-transform partitioning (r9; Iceberg's signature
+    // model): events lay out under day(ts)-derived `__pt=N/` dirs the
+    // user never sees; a timestamp range on the SOURCE column must plan
+    // only the window's directories — the query REQUIRES that pruning
+    // actually happened (kept < total files), then the SQL aggregate
+    // over the pruned scan must equal the oracle's full-table replay.
+    "q120_hidden_partitioning" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      val cat = fx.src
+      if (!cat.tableExists("maint", "events_daily")) {
+        val ev = T(s, dir, "events").select("event_id", "ts", "event_type", "value")
+        cat.createTransformPartitionedTable("maint", "events_daily", ev.schema,
+          "ts", "day")
+        cat.appendTransformed("maint", "events_daily", ev)
+      }
+      val snap = cat.currentSnapshot("maint", "events_daily")
+      val kept = cat.pruneFiles("maint", "events_daily", snap.snapshotId,
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))._1.size
+      require(kept < snap.files.size,
+        s"hidden partitioning must prune the scan: kept $kept of ${snap.files.size}")
+      s.sql("SELECT event_type, count(*) AS n, " +
+        "sum(CAST(FLOOR(value*100) AS BIGINT)) AS cents " +
+        "FROM snapdml.maint.events_daily " +
+        "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-15 00:00:00' " +
+        "GROUP BY event_type ORDER BY event_type")
+    }),
+
     // materialized view (r8): the body runs once against pinned base
     // snapshots into a backing table; the SQL read serves the TABLE via
     // the substitution redirect. The oracle replays the body + the
@@ -2619,6 +2648,15 @@ object SparkEntry {
     // capstone replay: the four stages chained — nfc_normalize, integer
     // Gopher gate, integer-exact classifier threshold, then the DSIR
     // selector whose raw model is built from the surviving pool
+    // the pruned day-window scan must equal the full-table replay
+    "q120_hidden_partitioning" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // the variant round-trip must equal direct column arithmetic
     "q117_variant_shred" ->
       """SELECT event_type,

@@ -350,3 +350,144 @@ object BucketPruning {
     case other => other.mapChildren(foldLiterals)
   }
 }
+
+/** HIDDEN time-transform partitioning (Iceberg's signature model: the
+  * table is laid out by `hour(ts)`/`day(ts)` but users only ever query
+  * the SOURCE timestamp column — the engine derives the layout value on
+  * write and maps timestamp predicates to partition-directory ranges on
+  * read). The derived column is `__pt` = floor(epoch_seconds / unit),
+  * UTC-fixed (pure epoch arithmetic, no session-timezone calendar), laid
+  * out as hive `__pt=N/` dirs exactly like identity partitions.
+  *
+  * At 100 TB this is what turns `WHERE ts >= yesterday` from a lake scan
+  * into planning two days' directories — WITHOUT the user ever knowing a
+  * partition column exists (the classic hive mistake this model fixes:
+  * nobody forgets to also filter the derived day column, because there
+  * isn't one to forget). */
+object TimeTransform {
+
+  /** The hidden layout column. */
+  val Col = "__pt"
+
+  val Kinds: Set[String] = Set("hour", "day")
+
+  def unitSeconds(kind: String): Long = kind match {
+    case "hour" => 3600L
+    case "day"  => 86400L
+    case other  => throw new IllegalArgumentException(
+      s"unsupported partition transform '$other' (supported: hour, day)")
+  }
+
+  /** Partition value of an epoch-MICROS timestamp (catalyst's literal
+    * representation): floor division, so pre-1970 instants land in the
+    * correct (negative) unit. */
+  def ptOfMicros(kind: String, micros: Long): Long =
+    Math.floorDiv(micros, unitSeconds(kind) * 1000000L)
+
+  /** Write-side derivation: `floor(seconds / unit)`. The timestamp casts
+    * to DOUBLE seconds — exact for any realistic instant (|sec| < 2^52),
+    * and an exact multiple of the unit divides to an exact integer, so
+    * boundary instants land on the right side deterministically. */
+  def ptColumn(kind: String, ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    // TIMESTAMP_NTZ has no direct double cast: go through TIMESTAMP
+    // (no-op for an LTZ column; NTZ interprets in the session zone — UTC
+    // in this library's documented deployment shape, matching the UTC
+    // micros the pruning side reads from NTZ literals)
+    floor(ts.cast("timestamp").cast("double") /
+      lit(unitSeconds(kind).toDouble)).cast("long")
+  }
+
+  /** Partition value a committed file's path encodes, None when un-laid
+    * (a pre-adoption flat file prunes conservatively: always kept). */
+  def ptIdOf(path: String): Option[Long] =
+    PtDirRe.findFirstMatchIn(path).map(_.group(1).toLong)
+
+  private val PtDirRe = "__pt=(-?\\d+)/".r
+
+  /** The inclusive `__pt` interval rows matching ALL `conjuncts` can live
+    * in; (None, None) sides are unconstrained. Sound, never complete: any
+    * predicate shape not understood contributes no bound (boundary
+    * instants resolve to the unit CONTAINING them, which over-admits by
+    * at most one directory — never excludes a matching file). */
+  def admissibleRange(conjuncts: Seq[Expression], srcCol: String,
+      kind: String): (Option[Long], Option[Long]) = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    def isKey(e: Expression): Boolean = e match {
+      case a: Attribute => a.name == srcCol
+      // the analyzer reconciles NTZ-column-vs-LTZ-literal by casting the
+      // COLUMN between timestamp flavors — still the same key
+      case c: Cast if (c.dataType == TimestampType ||
+          c.dataType == TimestampNTZType) => isKey(c.child)
+      case _ => false
+    }
+    // TIMESTAMP and TIMESTAMP_NTZ literals both carry epoch micros (NTZ
+    // interpreted as UTC — consistent with ptColumn's derivation in a
+    // UTC session, the library's documented deployment shape)
+    object TsLit {
+      def unapply(e: Expression): Option[Long] = e match {
+        case Literal(l: Long, TimestampType) => Some(l)
+        case Literal(l: Long, TimestampNTZType) => Some(l)
+        case _ => None
+      }
+    }
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    def raiseLo(p: Long): Unit = lo = Some(lo.fold(p)(math.max(_, p)))
+    def lowerHi(p: Long): Unit = hi = Some(hi.fold(p)(math.min(_, p)))
+    // strict `ts < X` at an exact unit boundary excludes X's whole unit
+    // (`ts < midnight` must not plan that day's directory); anywhere
+    // inside a unit it degrades to the containing unit, which is sound
+    def strictHi(m: Long): Long = {
+      val u = unitSeconds(kind) * 1000000L
+      if (Math.floorMod(m, u) == 0L) ptOfMicros(kind, m) - 1
+      else ptOfMicros(kind, m)
+    }
+    conjuncts.flatMap(split).map(foldLits).foreach {
+      case GreaterThanOrEqual(a, TsLit(m)) if isKey(a) =>
+        raiseLo(ptOfMicros(kind, m))
+      case GreaterThan(a, TsLit(m)) if isKey(a) =>
+        raiseLo(ptOfMicros(kind, m))
+      case LessThanOrEqual(a, TsLit(m)) if isKey(a) =>
+        lowerHi(ptOfMicros(kind, m))
+      case LessThan(a, TsLit(m)) if isKey(a) =>
+        lowerHi(strictHi(m))
+      // reversed operand order: lit OP col
+      case GreaterThanOrEqual(TsLit(m), a) if isKey(a) =>
+        lowerHi(ptOfMicros(kind, m))
+      case GreaterThan(TsLit(m), a) if isKey(a) =>
+        lowerHi(strictHi(m))
+      case LessThanOrEqual(TsLit(m), a) if isKey(a) =>
+        raiseLo(ptOfMicros(kind, m))
+      case LessThan(TsLit(m), a) if isKey(a) =>
+        raiseLo(ptOfMicros(kind, m))
+      case EqualTo(a, TsLit(m)) if isKey(a) =>
+        raiseLo(ptOfMicros(kind, m)); lowerHi(ptOfMicros(kind, m))
+      case EqualTo(TsLit(m), a) if isKey(a) =>
+        raiseLo(ptOfMicros(kind, m)); lowerHi(ptOfMicros(kind, m))
+      case In(a, vs) if isKey(a) && vs.nonEmpty &&
+          vs.forall(v => TsLit.unapply(v).isDefined) =>
+        val ms = vs.flatMap(TsLit.unapply)
+        raiseLo(ptOfMicros(kind, ms.min)); lowerHi(ptOfMicros(kind, ms.max))
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
+  /** Keep decision for one file path under an admissible range. */
+  def admits(range: (Option[Long], Option[Long]), path: String): Boolean = {
+    val (lo, hi) = range
+    ptIdOf(path).forall(p => lo.forall(p >= _) && hi.forall(p <= _))
+  }
+
+  // analyzer-inserted casts around literals must not defeat the match
+  private def foldLits(e: Expression): Expression = e match {
+    case l: Literal => l
+    case c: Cast if c.foldable =>
+      try Literal(c.eval(null), c.dataType) catch { case _: Exception => c }
+    case other => other.mapChildren(foldLits)
+  }
+}

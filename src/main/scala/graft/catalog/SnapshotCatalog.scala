@@ -261,6 +261,22 @@ final case class TableMeta(
       case _ => None
     }
 
+  /** (source column, transform kind) when this table is HIDDEN-partitioned
+    * by a time transform of a timestamp column (`hour`/`day`/`month`) —
+    * the Iceberg hidden-partitioning model: the user queries the SOURCE
+    * column, the layout rides a derived `__pt` directory column. */
+  def transformSpec: Option[(String, String)] =
+    (properties.get("transform.col"), properties.get("transform.kind")) match {
+      case (Some(c), Some(k)) => Some((c, k))
+      case _ => None
+    }
+
+  /** Layout columns derived by the engine, hidden from the SQL-visible
+    * schema (`__bucket` for bucketed tables, `__pt` for transform-
+    * partitioned ones). */
+  def hiddenCols: Set[String] =
+    bucketSpec.map(_ => "__bucket").toSet ++ transformSpec.map(_ => "__pt").toSet
+
   def toJson: JObj = Json.obj(
     "database"       -> Json.str(database),
     "table_name"     -> Json.str(tableName),
@@ -458,6 +474,58 @@ final class SnapshotCatalog(
   def appendBucketed(db: String, table: String, df: DataFrame): Snapshot =
     append(db, table, bucketize(db, table, df))
 
+  /** HIDDEN-partitioned table by a TIME TRANSFORM of a timestamp column
+    * (Iceberg's hidden partitioning): rows lay out under `__pt=N/` dirs
+    * where `__pt = floor(epoch_seconds(tsCol) / unit)` (`kind` = `hour` |
+    * `day`), but the SQL surface never shows `__pt` — users filter the
+    * SOURCE column and [[pruneFiles]] maps timestamp ranges to directory
+    * ranges. Write through [[appendTransformed]] (or SQL INSERT — every
+    * write path derives the layout column). */
+  def createTransformPartitionedTable(db: String, table: String,
+      schema: StructType, tsCol: String, kind: String,
+      properties: Map[String, String] = Map.empty): Boolean = {
+    require(TimeTransform.Kinds(kind),
+      s"unsupported partition transform '$kind' (supported: ${TimeTransform.Kinds.mkString(", ")})")
+    val f = schema.fields.find(_.name == tsCol).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $tsCol"))
+    require(f.dataType.sql == "TIMESTAMP" || f.dataType.sql == "TIMESTAMP_NTZ",
+      s"transform column must be TIMESTAMP or TIMESTAMP_NTZ, got ${f.dataType.sql}")
+    createTable(db, table,
+      schema.add(org.apache.spark.sql.types.StructField(TimeTransform.Col,
+        org.apache.spark.sql.types.LongType, nullable = true)),
+      partitionCols = Seq(TimeTransform.Col),
+      properties = properties ++
+        Map("transform.col" -> tsCol, "transform.kind" -> kind))
+  }
+
+  /** Derive the `__pt` layout column from a transform-partitioned table's
+    * recorded spec (no-op if the frame already carries it). NULL
+    * timestamps land in partition 0 — like the bucket path, a null never
+    * matches a range predicate, and hive's default-partition dir would be
+    * invisible to the dir pruner. */
+  def transformize(db: String, table: String, df: DataFrame): DataFrame = {
+    val (tsCol, kind) = meta(db, table).transformSpec.getOrElse(
+      throw new IllegalArgumentException(
+        s"$db.$table is not transform-partitioned - create it with " +
+          "createTransformPartitionedTable"))
+    if (df.columns.contains(TimeTransform.Col)) df
+    else df.withColumn(TimeTransform.Col,
+      coalesce(TimeTransform.ptColumn(kind, col(s"`$tsCol`")), lit(0L)))
+  }
+
+  /** Append to a transform-partitioned table: derives `__pt` from the
+    * recorded spec — callers never see the layout column. */
+  def appendTransformed(db: String, table: String, df: DataFrame): Snapshot =
+    append(db, table, transformize(db, table, df))
+
+  /** Derive whatever hidden layout columns this table's specs require —
+    * the single entry every SQL/MoR write path funnels through. */
+  def deriveLayout(db: String, table: String, df: DataFrame): DataFrame = {
+    val tm = meta(db, table)
+    val b = if (tm.bucketSpec.isDefined) bucketize(db, table, df) else df
+    if (tm.transformSpec.isDefined) transformize(db, table, b) else b
+  }
+
   /** Re-lay a FLAT external-writer data dir (the SQL row-level rewrite's
     * ReplaceData / delta output, or a native streaming epoch — all write
     * the visible schema, no layout dirs) into the table's hive partition
@@ -475,8 +543,9 @@ final class SnapshotCatalog(
   def relayoutLaid(db: String, table: String, flatDirName: String): String = {
     val tm = meta(db, table)
     if (tm.partitionCols.isEmpty) return flatDirName
+    val hidden = tm.hiddenCols
     val visible = org.apache.spark.sql.types.StructType(
-      currentSnapshot(db, table).schema.fields.filterNot(_.name == "__bucket"))
+      currentSnapshot(db, table).schema.fields.filterNot(f => hidden(f.name)))
     val flatDir = dataPath(db, table).resolve(flatDirName)
     val outName = s"$flatDirName-b"
     val outDir = dataPath(db, table).resolve(outName)
@@ -487,7 +556,7 @@ final class SnapshotCatalog(
       // one file per occupied bucket; plain partitions keep the writer's
       // task parallelism (partitionBy splits per task per dir)
       case Some((_, n)) => bucketize(db, table, flat).repartition(n, col("__bucket"))
-      case None         => flat
+      case None         => deriveLayout(db, table, flat) // __pt when transformed
     }
     laid.write.mode("overwrite").partitionBy(tm.partitionCols: _*)
       .parquet(outDir.toString)
@@ -1159,6 +1228,12 @@ final class SnapshotCatalog(
     val buckets = tm.bucketSpec.flatMap { case (bCol, n) =>
       BucketPruning.admissible(preds, bCol, n)
     }
+    // hidden time-transform partitioning: timestamp range predicates on
+    // the SOURCE column map to `__pt=N/` directory ranges — at 100 TB,
+    // `WHERE ts >= yesterday` must plan two days' dirs, not the lake
+    val ptRange = tm.transformSpec.map { case (tsCol, kind) =>
+      TimeTransform.admissibleRange(preds, tsCol, kind)
+    }
     // hive-laid files carry partition VALUES in the path, not the footer
     // (partitionBy drops the column from the file): parse `col=value`
     // segments into exact min=max bounds so partition predicates prune by
@@ -1182,6 +1257,7 @@ final class SnapshotCatalog(
     snap.files.partition { f =>
       val st = snap.fileStats.getOrElse(f, Map.empty) ++ pathStats(f)
       buckets.forall(adm => BucketPruning.bucketIdOf(f).forall(adm.contains)) &&
+        ptRange.forall(TimeTransform.admits(_, f)) &&
         (st.isEmpty || preds.forall(FileStats.mayMatch(st, schema, _,
           rel => BloomStats.load(tablePath(db, table).resolve(rel)))))
     }
@@ -2324,8 +2400,8 @@ final class SnapshotCatalog(
     val tag = attemptTag()
     val tm = meta(db, table)
     val schema = prev.schema
-    require(!set.contains("__bucket"),
-      "__bucket is the derived layout column — assign the bucket source column instead")
+    require(tm.hiddenCols.forall(h => !set.contains(h)),
+      "__bucket/__pt are derived layout columns — assign the source column instead")
     val unknown = set.keys.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"UPDATE of unknown columns: ${unknown.mkString(",")}")
     val (cands, _) = pruneFiles(db, table, prev.snapshotId, cond)
@@ -2361,9 +2437,8 @@ final class SnapshotCatalog(
     // update may have MOVED a row's bucket source value, and a stale
     // layout value would silently mis-bucket the re-insert (breaking
     // bucket pruning and storage-partitioned joins for that row)
-    val updated =
-      if (tm.bucketSpec.isDefined) bucketize(db, table, updated0.drop("__bucket"))
-      else updated0
+    val updated = deriveLayout(db, table,
+      updated0.drop(tm.hiddenCols.toSeq: _*))
     val writer = updated.write.mode("overwrite")
     (if (tm.partitionCols.nonEmpty) writer.partitionBy(tm.partitionCols: _*) else writer)
       .parquet(snapDir.toString)
@@ -2448,8 +2523,7 @@ final class SnapshotCatalog(
     // bucketed tables: the caller-facing column set excludes the derived
     // __bucket layout column — the delta re-derives it below, so the
     // bucket invariant survives the MoR path like it does appendBucketed
-    val cols = schema.fieldNames.toSeq.filterNot(
-      c => c == "__bucket" && tm.bucketSpec.isDefined)
+    val cols = schema.fieldNames.toSeq.filterNot(tm.hiddenCols)
     require(source.schema.fieldNames.sorted.sameElements(cols.sorted),
       s"upsert source columns ${source.schema.fieldNames.mkString(",")} " +
         s"!= table columns ${cols.mkString(",")}")
@@ -2483,7 +2557,7 @@ final class SnapshotCatalog(
     val snapDirRel = s"data/s$newId$tag"
     val snapDir = tablePath(db, table).resolve("data").resolve(s"s$newId$tag")
     val delta0 = source.select(cols.map(c => col(s"`$c`")): _*)
-    val delta = if (tm.bucketSpec.isDefined) bucketize(db, table, delta0) else delta0
+    val delta = deriveLayout(db, table, delta0)
     val writer = delta.write.mode("overwrite")
     (if (tm.partitionCols.nonEmpty) writer.partitionBy(tm.partitionCols: _*) else writer)
       .parquet(snapDir.toString)
@@ -2940,8 +3014,7 @@ final class SnapshotCatalog(
     requireNoPendingStage(db, table, entries)
     val prevEntry = publishedEntry(entries)
     val prev = materialize(db, table, prevEntry)
-    val visible = prev.schema.fields.filterNot(f =>
-      tm.bucketSpec.isDefined && f.name == "__bucket")
+    val visible = prev.schema.fields.filterNot(f => tm.hiddenCols(f.name))
     val cols =
       (if (columns.nonEmpty) columns
        else {
@@ -3008,8 +3081,7 @@ final class SnapshotCatalog(
            _: org.apache.spark.sql.types.DoubleType | _: org.apache.spark.sql.types.FloatType => true
       case _ => false
     }
-    val visible = prev.schema.fields.filterNot(f =>
-      tm.bucketSpec.isDefined && f.name == "__bucket")
+    val visible = prev.schema.fields.filterNot(f => tm.hiddenCols(f.name))
     val cols =
       (if (columns.nonEmpty) columns
        else visible.filter(f => numeric(f.dataType)).map(_.name).toSeq).distinct
@@ -3312,10 +3384,7 @@ final class SnapshotCatalog(
           case Some(pin) =>
             val (d, t) = dt.get
             val base = readAsOf(d, t, pin)
-            val visible = meta(d, t).bucketSpec match {
-              case Some(_) => base.drop("__bucket")
-              case None => base
-            }
+            val visible = base.drop(meta(d, t).hiddenCols.toSeq: _*)
             SubqueryAlias(Seq(d, t),
               visible.queryExecution.analyzed)
           case None => u
@@ -3504,10 +3573,7 @@ final class SnapshotCatalog(
     def bodyOverDelta(): DataFrame = {
       val (d, t) = bases.head
       val delta = readIncremental(d, t, from((d, t)).get, cur((d, t)))
-      val visible = meta(d, t).bucketSpec match {
-        case Some(_) => delta.drop("__bucket")
-        case None => delta
-      }
+      val visible = delta.drop(meta(d, t).hiddenCols.toSeq: _*)
       import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
       import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
       // WithSubqueries for defense in depth — both incremental modes

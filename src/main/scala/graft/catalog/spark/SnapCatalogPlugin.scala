@@ -271,7 +271,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             // bucketed tables hide their __bucket layout column from the
             // SQL schema; every write derives it here
             val tm = cat.meta(db, table)
-            val frame = if (tm.bucketSpec.isDefined) cat.bucketize(db, table, data) else data
+            val frame = cat.deriveLayout(db, table, data)
             // write-audit-publish from SQL (Iceberg's write.wap.enabled
             // pattern): with the property set, INSERT INTO — and INSERT
             // OVERWRITE, which replaces MORE state and needs the audit
@@ -294,7 +294,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new SnapStreamingWrite(db, table,
           if (overwriteAll) "overwrite" else "append", info,
-          bucketed = cat.meta(db, table).bucketSpec.isDefined)
+          laidHidden = cat.meta(db, table).hiddenCols.nonEmpty)
     }
   }
 
@@ -313,7 +313,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * can be overridden with `.option("sinkId", ...)` when two queries feed
     * one table. */
   private final class SnapStreamingWrite(db: String, table: String,
-      operation: String, info: LogicalWriteInfo, bucketed: Boolean = false)
+      operation: String, info: LogicalWriteInfo, laidHidden: Boolean = false)
       extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
     import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, PhysicalWriteInfo, WriterCommitMessage}
     import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -353,15 +353,20 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         s"streaming commit of $db.$table epoch $epochId without a writer factory"))
       pending = None
       inner.commit(messages)
-      // bucketed table: the epoch wrote the visible schema flat; re-lay
-      // into __bucket=b/ before adoption (a replayed epoch re-lays then
-      // gets dropped — one wasted driver-side job per restart recovery,
-      // correctness unchanged)
-      if (bucketed) {
-        val laid = cat.relayoutBucketed(db, table, dirName)
-        cat.adoptStreaming(db, table, operation, laid,
-          StructType(info.schema.fields :+ StructField("__bucket",
+      // bucketed/transform-partitioned table: the epoch wrote the visible
+      // schema flat; re-lay into the hidden layout dirs before adoption
+      // (a replayed epoch re-lays then gets dropped — one wasted
+      // driver-side job per restart recovery, correctness unchanged)
+      if (laidHidden) {
+        val laid = cat.relayoutLaid(db, table, dirName)
+        val tm = cat.meta(db, table)
+        val hiddenFields = Seq(
+          tm.bucketSpec.map(_ => StructField("__bucket",
             org.apache.spark.sql.types.IntegerType, nullable = true)),
+          tm.transformSpec.map(_ => StructField(graft.catalog.TimeTransform.Col,
+            org.apache.spark.sql.types.LongType, nullable = true))).flatten
+        cat.adoptStreaming(db, table, operation, laid,
+          StructType(info.schema.fields ++ hiddenFields),
           sinkId, epochId)
       } else {
         cat.adoptStreaming(db, table, operation, dirName, info.schema,
@@ -548,13 +553,14 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
               pushable
             override def build(): Scan = {
               val bucketed = tableMeta.bucketSpec.isDefined
+              val laidHidden = tableMeta.hiddenCols.nonEmpty
               val cond = pushable.map(FilterToColumn(_)).reduceOption(_ && _)
               val untouched = cond match {
                 case None => Seq.empty[String]
                 case Some(c) => cat.pruneFiles(db, table, snap.snapshotId, c)._2
               }
               rewriteCarry = Some((snap.snapshotId, untouched))
-              if (untouched.isEmpty && !bucketed)
+              if (untouched.isEmpty && !laidHidden)
                 new PlainBatchScan(ownScanBuilder(options).build())
               else {
                 val root = java.nio.file.Paths.get(warehouse, db, table)
@@ -566,7 +572,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
                 // visible columns; the write side re-derives the layout
                 // ([[SnapshotCatalog.relayoutBucketed]])
                 val scanSchema =
-                  if (bucketed) StructType(snap.schema.fields.filterNot(_.name == "__bucket"))
+                  if (laidHidden) StructType(snap.schema.fields.filterNot(f =>
+                    tableMeta.hiddenCols(f.name)))
                   else snap.schema
                 // stock vectorized scan over the candidate files, NO row
                 // filters (every row of a candidate file must reach the
@@ -613,7 +620,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
           new RewriteWriteBuilder(db, table, opName, writeInfo,
             () => rewriteCarry, snap.fileStats,
-            bucketed = tableMeta.bucketSpec.isDefined)
+            laidHidden = tableMeta.hiddenCols.nonEmpty)
       }
     }
 
@@ -751,17 +758,25 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     }
 
     override def name(): String = tableName
-    // bucketed tables hide the derived __bucket layout column from SQL:
-    // users CREATE/INSERT/SELECT base columns only (writes re-derive it,
-    // scans prune it) — the Iceberg hidden-partitioning UX
-    override def schema(): StructType = bucketSpec match {
-      case Some(_) => StructType(snap.schema.fields.filterNot(_.name == "__bucket"))
-      case None => snap.schema
+    // bucketed/transform-partitioned tables hide their derived layout
+    // columns (__bucket/__pt) from SQL: users CREATE/INSERT/SELECT base
+    // columns only (writes re-derive them, scans prune them) — the
+    // Iceberg hidden-partitioning UX
+    override def schema(): StructType = {
+      val hidden = tableMeta.hiddenCols
+      if (hidden.isEmpty) snap.schema
+      else StructType(snap.schema.fields.filterNot(f => hidden(f.name)))
     }
     private def bucketSpec: Option[(String, Int)] = tableMeta.bucketSpec
     override def partitioning(): Array[Transform] = bucketSpec match {
       case Some((c, n)) => Array(Expressions.bucket(n, c))
-      case None => tableMeta.partitionCols.map(c => Expressions.identity(c)).toArray
+      case None => tableMeta.transformSpec match {
+        // report the TRANSFORM (days(ts)/hours(ts)), not the hidden col —
+        // what DESCRIBE shows and what Iceberg reports for the same spec
+        case Some((c, "day"))  => Array(Expressions.days(c))
+        case Some((c, "hour")) => Array(Expressions.hours(c))
+        case _ => tableMeta.partitionCols.map(c => Expressions.identity(c)).toArray
+      }
     }
     override def properties(): util.Map[String, String] =
       (tableMeta.properties ++ Map(
@@ -857,7 +872,15 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             p => adm.forall(s =>
               graft.catalog.BucketPruning.bucketIdOf(p).forall(s.contains))
           }
-          case None => _ => _ => true
+          // hidden time-transform partitioning: timestamp ranges on the
+          // SOURCE column prune whole __pt=N/ dirs before any footer read
+          case None => tableMeta.transformSpec match {
+            case Some((tsCol, kind)) => conjuncts => {
+              val r = graft.catalog.TimeTransform.admissibleRange(conjuncts, tsCol, kind)
+              p => graft.catalog.TimeTransform.admits(r, p)
+            }
+            case None => _ => _ => true
+          }
         },
         // runtime (DPP) re-pruning: a broadcast fact⋈filtered-dim join
         // narrows this scan to the matching partitions' files AFTER
@@ -869,7 +892,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         // schema — the DPP rule resolves filterAttributes against it, so
         // only the bucket SOURCE column may be advertised)
         runtimeFilterCols =
-          tableMeta.partitionCols.filterNot(_ == "__bucket") ++ bucketSpec.map(_._1),
+          tableMeta.partitionCols.filterNot(tableMeta.hiddenCols) ++ bucketSpec.map(_._1),
         wrapScan = (scan, keptFiles, pushedExprs, requiredSchema) => {
           // snapshot-exact statistics are only honest for an UNFILTERED
           // scan of the full file list; any pushed/runtime conjunct means
@@ -975,8 +998,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
               // part of stream output
               microBatch = Some(_ => new SnapAppendStream(db, table,
                 scan.readSchema(), partitioned = false, options,
-                tableSchema = Some(StructType(
-                  snapSchema.fields.filterNot(_.name == "__bucket"))))),
+                tableSchema = Some(StructType(snapSchema.fields.filterNot(f =>
+                  tableMeta.hiddenCols(f.name)))))),
               stats = snapV2Statistics(_, exactStats))
           case None if multiDir =>
             val union = new UnionDirScan(scan,
@@ -1020,9 +1043,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             override def toInsertableRelation: InsertableRelation =
               new InsertableRelation {
                 override def insert(data: DataFrame, ignored: Boolean): Unit = {
-                  val bucketed = cat.meta(db, table).bucketSpec.isDefined
-                  val frame = if (bucketed) cat.bucketize(db, table, data) else data
-                  cat.appendBranch(db, table, b, frame)
+                  cat.appendBranch(db, table, b, cat.deriveLayout(db, table, data))
                 }
               }
           }
@@ -1601,7 +1622,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       opName: String, info: LogicalWriteInfo,
       carry: () => Option[(Long, Seq[String])],
       scanFileStats: Map[String, Map[String, String]],
-      bucketed: Boolean = false) extends WriteBuilder {
+      laidHidden: Boolean = false) extends WriteBuilder {
     import org.apache.spark.sql.connector.write._
     override def build(): Write = new Write {
       override def description(): String = s"snapcat $opName rewrite"
@@ -1630,11 +1651,12 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             inner.commit(messages)
-            // bucketed table: the rewrite wrote the visible schema flat;
-            // re-lay just this dir into __bucket=b/ before adoption so the
-            // committed snapshot keeps storage-partitioned joins valid
-            val adoptDir = if (bucketed)
-              cat.relayoutBucketed(db, table, dirName) else dirName
+            // bucketed/transform-partitioned table: the rewrite wrote the
+            // visible schema flat; re-lay just this dir into its hidden
+            // layout dirs before adoption so storage-partitioned joins /
+            // dir pruning stay valid over the committed snapshot
+            val adoptDir = if (laidHidden)
+              cat.relayoutLaid(db, table, dirName) else dirName
             carry() match {
               // partial adoption: untouched files carry over verbatim, and
               // the pinned snapshot id fails the commit if a concurrent
@@ -1889,7 +1911,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
   private final class ChangesMetaTable(db: String, table: String)
       extends Table with SupportsRead with ChangelogViewable {
     private val tableSchema = StructType(
-      cat.currentSnapshot(db, table).schema.fields.filterNot(_.name == "__bucket") :+
+      cat.currentSnapshot(db, table).schema.fields
+        .filterNot(f => cat.meta(db, table).hiddenCols(f.name)) :+
         StructField("_change_type", org.apache.spark.sql.types.StringType,
           nullable = false))
     override def name(): String = s"$catalogName.$db.$table.changes"
@@ -1908,8 +1931,10 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
       val visibleSchema = StructType(
-        cat.currentSnapshot(db, table).schema.fields.filterNot(_.name == "__bucket"))
-      val partitioned = cat.meta(db, table).partitionCols.exists(_ != "__bucket")
+        cat.currentSnapshot(db, table).schema.fields
+          .filterNot(f => cat.meta(db, table).hiddenCols(f.name)))
+      val partitioned = cat.meta(db, table).partitionCols
+        .exists(c => !cat.meta(db, table).hiddenCols(c))
       new ScanBuilder
           with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
         private var pruned: StructType = tableSchema
@@ -2024,11 +2049,22 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         val colName = t.references.head.fieldNames.mkString(".")
         cat.createBucketedTable(db, ident.name(), schema, colName, n)
         return loadTable(ident)
+      // CREATE TABLE ... PARTITIONED BY (days(ts) | hours(ts)) -> HIDDEN
+      // time-transform partitioning: writes derive __pt, reads prune
+      // timestamp ranges to __pt=N/ dirs, and the user never sees the
+      // layout column (the Iceberg hidden-partitioning UX)
+      case Array(t) if t.name == "days" || t.name == "hours" =>
+        val kind = if (t.name == "days") "day" else "hour"
+        val colName = t.references.head.fieldNames.mkString(".")
+        cat.createTransformPartitionedTable(db, ident.name(), schema, colName,
+          kind, properties.asScala.toMap - "provider" - "owner" - "location")
+        return loadTable(ident)
       case _ => ()
     }
     val partCols = partitions.map { t =>
       require(t.name == "identity",
-        s"only identity or bucket(n, col) partitioning supported, got $t")
+        s"only identity, bucket(n, col), days(ts), or hours(ts) " +
+          s"partitioning supported, got $t")
       t.references.head.fieldNames.mkString(".")
     }
     cat.createTable(db, ident.name(), schema,

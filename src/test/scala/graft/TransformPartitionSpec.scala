@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{SnapshotCatalog, TimeTransform}
+
+/** HIDDEN time-transform partitioning (Iceberg's signature model): the
+  * table lays out under `__pt=N/` dirs derived from `day(ts)`/`hour(ts)`,
+  * the SQL surface never shows `__pt`, and timestamp predicates on the
+  * SOURCE column prune whole directories. */
+class TransformPartitionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCat(): (SnapshotCatalog, String) = {
+    val wh = Files.createTempDirectory("graft_tp_").toString
+    var tick = 0L
+    (new SnapshotCatalog(spark, wh, clock = () =>
+      { tick += 1; Instant.parse("2026-08-01T00:00:00Z").plusSeconds(tick * 60) }), wh)
+  }
+
+  private def ts(day: Int, hour: Int = 0): java.sql.Timestamp =
+    java.sql.Timestamp.from(Instant.parse(
+      f"2024-01-$day%02dT$hour%02d:00:00Z"))
+
+  // 4 days x 6 rows
+  private def rows = (0 until 24).map { i =>
+    (i.toLong, ts(1 + i / 6, i % 6), s"v$i")
+  }.toDF("id", "t", "tag")
+
+  test("layout, derivation, and visible-schema hiding") {
+    val (cat, wh) = freshCat()
+    cat.createTransformPartitionedTable("db", "ev", rows.schema, "t", "day")
+    cat.appendTransformed("db", "ev", rows)
+    // hive dirs per day: 2024-01-01 = epoch day 19723
+    val dirs = Files.list(java.nio.file.Paths.get(wh, "db", "ev", "data", "s2"))
+      .iterator(); val names = scala.collection.mutable.Set.empty[String]
+    while (dirs.hasNext) names += dirs.next().getFileName.toString
+    assert((19723 to 19726).forall(d => names.contains(s"__pt=$d")), names.toString)
+
+    // library read materializes __pt; values match floorDiv arithmetic
+    val got = cat.readLatest("db", "ev").select("id", "__pt")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 24)
+    assert((0 until 24).forall(i => got(i.toLong) == 19723L + i / 6), got.toString)
+
+    // SQL hides __pt entirely
+    spark.conf.set("spark.sql.catalog.tpcat", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.tpcat.warehouse", wh)
+    assert(spark.table("tpcat.db.ev").columns.toSeq == Seq("id", "t", "tag"))
+    assert(spark.sql("SELECT count(*) FROM tpcat.db.ev").as[Long].head() == 24L)
+    // DESCRIBE reports the TRANSFORM, not the hidden column
+    val parts = spark.sessionState.catalogManager.catalog("tpcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "ev"))
+      .partitioning().map(_.toString).toSeq
+    assert(parts == Seq("days(t)"), parts.toString)
+  }
+
+  test("timestamp range predicates prune whole day directories") {
+    val (cat, _) = freshCat()
+    cat.createTransformPartitionedTable("db", "ev", rows.schema, "t", "day")
+    cat.appendTransformed("db", "ev", rows.repartition(1))
+    val snap = cat.currentSnapshot("db", "ev")
+    // one file per occupied day dir (repartition(1) -> partitionBy splits)
+    assert(snap.files.size == 4, snap.files.toString)
+
+    def kept(cond: org.apache.spark.sql.Column): Seq[String] =
+      cat.pruneFiles("db", "ev", snap.snapshotId, cond)._1
+
+    // a 2-day window keeps exactly 2 dirs' files
+    val midRange = kept(col("t") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+      col("t") < lit("2024-01-04 00:00:00").cast("timestamp"))
+    assert(midRange.size == 2, midRange.toString)
+    assert(midRange.forall(f => f.contains("__pt=19724") || f.contains("__pt=19725")),
+      midRange.toString)
+    // boundary instant inside a day over-admits that day only (sound)
+    val eq = kept(col("t") === lit("2024-01-03 02:00:00").cast("timestamp"))
+    assert(eq.size == 1 && eq.head.contains("__pt=19725"), eq.toString)
+    // un-prunable predicate (modulo is opaque to stats + dirs) keeps all
+    assert(kept(col("id") % 2 === 0).size == 4)
+    // results stay exact after pruning
+    assert(cat.readLatestWhere("db", "ev",
+        col("t") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+        col("t") < lit("2024-01-04 00:00:00").cast("timestamp"))
+      .count() == 12L)
+  }
+
+  test("SQL lifecycle: CREATE PARTITIONED BY days(ts), INSERT derives, reads prune") {
+    val (cat, wh) = freshCat()
+    spark.conf.set("spark.sql.catalog.tpsql", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.tpsql.warehouse", wh)
+    spark.sql("CREATE TABLE tpsql.db.ev (id BIGINT, t TIMESTAMP, tag STRING) " +
+      "PARTITIONED BY (days(t))")
+    assert(cat.meta("db", "ev").transformSpec.contains(("t", "day")))
+    rows.createOrReplaceTempView("tp_rows")
+    spark.sql("INSERT INTO tpsql.db.ev SELECT * FROM tp_rows")
+    // the insert derived __pt and laid out day dirs
+    assert(cat.currentSnapshot("db", "ev").files
+      .forall(_.contains("__pt=")), cat.currentSnapshot("db", "ev").files.toString)
+    // SQL range query answers exactly; the scan plans only matching days
+    val n = spark.sql("SELECT count(*) FROM tpsql.db.ev " +
+      "WHERE t >= TIMESTAMP '2024-01-02 00:00:00' " +
+      "AND t < TIMESTAMP '2024-01-04 00:00:00'").as[Long].head()
+    assert(n == 12L)
+    val scanDesc = spark.sql("SELECT * FROM tpsql.db.ev " +
+      "WHERE t >= TIMESTAMP '2024-01-02 00:00:00' " +
+      "AND t < TIMESTAMP '2024-01-04 00:00:00'")
+      .queryExecution.executedPlan.toString
+    // neither excluded day's directory appears in the planned scan
+    assert(!scanDesc.contains("__pt=19723") && !scanDesc.contains("__pt=19726"),
+      scanDesc.take(3000))
+  }
+
+  test("MoR delete + upsert keep the layout; compact preserves day dirs") {
+    val (cat, _) = freshCat()
+    cat.createTransformPartitionedTable("db", "ev", rows.schema, "t", "day")
+    cat.appendTransformed("db", "ev", rows)
+    cat.deleteMoR("db", "ev", col("id") === 3L)
+    assert(cat.readLatest("db", "ev").count() == 23L)
+    // upsert: replacement + a brand-new row land under their day dirs
+    cat.upsertMoR("db", "ev",
+      Seq((0L, ts(1, 0), "VXX"), (99L, ts(9, 1), "NEW")).toDF("id", "t", "tag"),
+      keys = Seq("id"))
+    val after = cat.readLatest("db", "ev")
+    assert(after.count() == 24L)
+    assert(after.where(col("id") === 0L).select("tag").as[String].head() == "VXX")
+    assert(cat.currentSnapshot("db", "ev").files.exists(_.contains("__pt=19731")),
+      "new row's day dir missing: " + cat.currentSnapshot("db", "ev").files)
+    // compact folds deletes and keeps the hive layout
+    cat.compact("db", "ev", numFiles = 1)
+    val files = cat.currentSnapshot("db", "ev").files
+    assert(files.forall(_.contains("__pt=")), files.toString)
+    assert(cat.readLatest("db", "ev").count() == 24L)
+    assert(cat.readLatest("db", "ev").where(col("id") === 3L).count() == 0L)
+  }
+
+  test("hour transform, pre-1970 floor, and creation guards") {
+    val (cat, _) = freshCat()
+    val hr = (0 until 6).map(i => (i.toLong, ts(1, i % 3), s"h$i"))
+      .toDF("id", "t", "tag")
+    cat.createTransformPartitionedTable("db", "hr", hr.schema, "t", "hour")
+    cat.appendTransformed("db", "hr", hr)
+    val pts = cat.readLatest("db", "hr").select("__pt").distinct()
+      .as[Long].collect().toSet
+    assert(pts == Set(19723L * 24, 19723L * 24 + 1, 19723L * 24 + 2), pts.toString)
+
+    // floor semantics: a pre-1970 instant lands in the NEGATIVE day
+    assert(TimeTransform.ptOfMicros("day", -1L) == -1L)
+    assert(TimeTransform.ptOfMicros("day", 0L) == 0L)
+
+    intercept[IllegalArgumentException] {
+      cat.createTransformPartitionedTable("db", "bad", hr.schema, "tag", "day")
+    }
+    intercept[IllegalArgumentException] {
+      cat.createTransformPartitionedTable("db", "bad", hr.schema, "t", "week")
+    }
+  }
+}
