@@ -1024,6 +1024,33 @@ object SparkEntry {
           T(s, dir, "documents"), "source", "text", k = 5)
         .orderBy("group", "rank")),
 
+    // ROW LINEAGE (r9; the Iceberg-v3 identity model, opt-in via
+    // row.lineage=true): two deterministic single-file appends claim
+    // contiguous id ranges, then a COMPACT rewrites every file — and the
+    // ids must come back bit-identical (rewrites materialize identity
+    // physically; re-minting would break every downstream incremental
+    // consumer keyed on row identity). The oracle replays the assignment
+    // arithmetic: ids are rank-within-append plus the prior high-water.
+    "q121_row_lineage" -> ((s, dir) => {
+      val fx = WarehouseFixture.forDir(s, dir)
+      val cat = fx.src
+      if (!cat.tableExists("maint", "lineage_orders")) {
+        val o = T(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+        cat.createTable("maint", "lineage_orders", o.schema,
+          properties = Map("row.lineage" -> "true"))
+        cat.append("maint", "lineage_orders",
+          o.where(col("o_orderkey") % 2 === 0)
+            .repartition(1).sortWithinPartitions("o_orderkey"))
+        cat.append("maint", "lineage_orders",
+          o.where(col("o_orderkey") % 2 === 1)
+            .repartition(1).sortWithinPartitions("o_orderkey"))
+        cat.compact("maint", "lineage_orders", numFiles = 3)
+      }
+      cat.readWithRowIds("maint", "lineage_orders")
+        .select(col("o_orderkey"), col("_row_id"))
+        .orderBy("o_orderkey")
+    }),
+
     // HIDDEN time-transform partitioning (r9; Iceberg's signature
     // model): events lay out under day(ts)-derived `__pt=N/` dirs the
     // user never sees; a timestamp range on the SOURCE column must plan
@@ -2648,6 +2675,22 @@ object SparkEntry {
     // capstone replay: the four stages chained — nfc_normalize, integer
     // Gopher gate, integer-exact classifier threshold, then the DSIR
     // selector whose raw model is built from the surviving pool
+    // id = rank within its append + the prior append's high-water;
+    // compact in the query must not change a single value
+    "q121_row_lineage" ->
+      """WITH evens AS (
+        |  SELECT o_orderkey,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |), n AS (SELECT count(*) AS c FROM evens),
+        |odds AS (
+        |  SELECT o_orderkey,
+        |    (SELECT c FROM n) + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT o_orderkey, CAST(rid AS BIGINT) AS _row_id
+        |FROM (SELECT * FROM evens UNION ALL SELECT * FROM odds)
+        |ORDER BY o_orderkey""".stripMargin,
+
     // the pruned day-window scan must equal the full-table replay
     "q120_hidden_partitioning" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -975,18 +975,53 @@ final class SnapshotCatalog(
   private def commitSnapshot(db: String, table: String, entries: Seq[SnapshotEntry],
       snap: Snapshot, reuse: Seq[String], delta: Manifest,
       deletes: Seq[String]): Snapshot = {
+    // ROW LINEAGE (opt-in `row.lineage=true`, the Iceberg-v3 model): every
+    // commit claims a contiguous row-id range [next-row-id, next') and
+    // each NEW data file records its `first_row_id` — a row's stable
+    // identity is then first_row_id + its position in the (write-once)
+    // file, assigned once and carried for the row's whole life. Commits
+    // whose files MATERIALIZE ids physically (`rid_materialized`, the
+    // compact path: rewritten rows carry their original ids in a hidden
+    // __rid column) are skipped — rewriting must never re-mint identity.
+    // This funnel is the only place data files enter the log, so the
+    // assignment is total by construction.
+    val (delta2, snap2) =
+      if (!meta(db, table).properties.get("row.lineage").contains("true") ||
+          delta.files.isEmpty) (delta, snap)
+      else {
+        val base = entries.reverseIterator
+          .flatMap(_.summary.get("next-row-id")).nextOption()
+          .map(_.toLong).getOrElse(0L)
+        var next = base
+        val assigned = delta.files.sorted.map { f =>
+          val st = delta.fileStats.getOrElse(f, Map.empty)
+          if (st.contains("first_row_id") || st.get("rid_materialized").contains("true"))
+            f -> st
+          else st.get("rows") match {
+            case Some(r) =>
+              val out = f -> (st + ("first_row_id" -> next.toString))
+              next += r.toLong; out
+            case None => f -> st // no row count: no identity (degrades, never breaks)
+          }
+        }.toMap
+        val summary2 = snap.summary +
+          ("first-row-id" -> base.toString) + ("next-row-id" -> next.toString)
+        (Manifest(delta.files, assigned),
+          snap.copy(summary = summary2,
+            fileStats = snap.fileStats ++ assigned))
+      }
     val manifests =
-      if (delta.files.isEmpty) reuse
+      if (delta2.files.isEmpty) reuse
       else {
         // attempt-unique under a conditional pointer log: a racing loser
         // must not overwrite the shard the winner just published by name
-        val name = s"m${snap.snapshotId}${attemptTag()}.json"
-        writeManifest(db, table, name, delta)
+        val name = s"m${snap2.snapshotId}${attemptTag()}.json"
+        writeManifest(db, table, name, delta2)
         reuse :+ name
       }
-    writeEntries(db, table, entries :+ SnapshotEntry(snap.snapshotId, snap.committedAt,
-      snap.operation, snap.summary, snap.schemaDdl, manifests, deletes))
-    snap
+    writeEntries(db, table, entries :+ SnapshotEntry(snap2.snapshotId, snap2.committedAt,
+      snap2.operation, snap2.summary, snap2.schemaDdl, manifests, deletes))
+    snap2
   }
 
   /** The `<table>.snapshots` metadata table as a DataFrame — the relation
@@ -1203,6 +1238,52 @@ final class SnapshotCatalog(
     val scanned = readFilesWithPos(db, table, snap.schema, files)
     val live = liveDeletesFor(snap, files)
     if (live.isEmpty) scanned else antiJoinDeletes(db, table, scanned, live)
+  }
+
+  /** `true` when `row.lineage=true` is set on the table — the opt-in
+    * Iceberg-v3 row-identity model (see [[commitSnapshot]]). */
+  def rowLineageEnabled(db: String, table: String): Boolean =
+    meta(db, table).properties.get("row.lineage").contains("true")
+
+  /** VISIBLE rows of `files` with their stable row identity materialized
+    * in a `__rid` column: `coalesce(physical __rid, first_row_id + pos)`.
+    * The physical column exists only in files a REWRITE produced (compact/
+    * z-order/bin-pack write it so rewritten rows keep the identity their
+    * original file assigned); everything else derives from the per-file
+    * `first_row_id` recorded at commit plus the row's position. The frid
+    * side is one METADATA-sized broadcast (file -> base id), never a
+    * shuffle of the data. */
+  private def readVisibleWithRid(db: String, table: String, snap: Snapshot,
+      files: Seq[String]): DataFrame = {
+    val schemaPlus = StructType(snap.schema.fields :+
+      org.apache.spark.sql.types.StructField("__rid",
+        org.apache.spark.sql.types.LongType, nullable = true))
+    val scanned = readFilesWithPos(db, table, schemaPlus, files)
+    val live = liveDeletesFor(snap, files)
+    val merged = if (live.isEmpty) scanned else antiJoinDeletes(db, table, scanned, live)
+    val fridRows = files.flatMap(f =>
+      snap.fileStats.get(f).flatMap(_.get("first_row_id")).map(v => (f, v.toLong)))
+    val fridDf = spark.createDataFrame(fridRows).toDF("__frid_file", "__frid_base")
+    merged.join(broadcast(fridDf),
+        merged(MorFileCol) === fridDf("__frid_file"), "left")
+      .withColumn("__rid", coalesce(col("`__rid`"), col("__frid_base") + col(MorPosCol)))
+      .select((snap.schema.fieldNames.map(n => col(s"`$n`")) :+ col("`__rid`"))
+        .toIndexedSeq: _*)
+  }
+
+  /** The current snapshot's visible rows plus `_row_id` — each row's
+    * STABLE identity under `row.lineage=true`: assigned once when the row
+    * first entered the table and preserved across compaction/z-order/
+    * bin-pack (rewrites materialize it physically) and MoR deletes
+    * (surviving rows keep theirs). MoR updates/upserts follow
+    * delete+insert semantics: the post-image is a new row with a new id. */
+  def readWithRowIds(db: String, table: String): DataFrame = {
+    require(rowLineageEnabled(db, table),
+      s"$db.$table does not track row lineage - create it with " +
+        "property row.lineage=true")
+    val snap = currentSnapshot(db, table)
+    readVisibleWithRid(db, table, snap, snap.files)
+      .withColumnRenamed("__rid", "_row_id")
   }
 
   /** File-level data skipping: partition a snapshot's file list into
@@ -1793,11 +1874,17 @@ final class SnapshotCatalog(
     // break reads of pre-evolution files (the vectorized reader refuses
     // missing REQUIRED columns). Nullability is widened by the frame's,
     // never narrowed.
+    // `__rid` is the row-lineage identity a REWRITE materializes into its
+    // output files (see [[commitSnapshot]]): it rides the parquet write
+    // but never enters the TABLE schema — explicit-schema reads simply
+    // ignore the extra physical column
+    val hasRid = df.columns.contains("__rid")
     val snapSchema = operation match {
       case "append" | "compact" =>
         val prevSchema = prev.schema
         val missing = prevSchema.fieldNames.filterNot(df.schema.fieldNames.contains)
-        val extra = df.schema.fieldNames.filterNot(prevSchema.fieldNames.contains)
+        val extra = df.schema.fieldNames
+          .filterNot(prevSchema.fieldNames.contains).filterNot(_ == "__rid")
         require(missing.isEmpty && extra.isEmpty,
           s"append schema mismatch for $db.$table: missing=${missing.mkString(",")} " +
             s"extra=${extra.mkString(",")}")
@@ -1810,7 +1897,7 @@ final class SnapshotCatalog(
         StructType(prevSchema.fields.map { f =>
           f.copy(nullable = f.nullable || df.schema(f.name).nullable)
         })
-      case _ => df.schema
+      case _ => StructType(df.schema.fields.filterNot(_.name == "__rid"))
     }
 
     // `expect.mode=commit`: validate the INCOMING frame before any bytes
@@ -1838,7 +1925,8 @@ final class SnapshotCatalog(
     // difference between one pass and two). The stats land in the snapshot
     // summary and let MetadataCountRule serve unfiltered count/min/max
     // straight from the log, Iceberg-manifest style.
-    val statCols = df.schema.fields.filter(f => ColumnStats.statable(f.dataType)).map(_.name)
+    val statCols = df.schema.fields.filter(f => ColumnStats.statable(f.dataType))
+      .map(_.name).filterNot(_ == "__rid")
     val obs = new Observation(s"commit_${db}_${table}_$newId")
     val statAggs = statCols.flatMap { c =>
       Seq(min(col(s"`$c`")).as(s"min.$c"), max(col(s"`$c`")).as(s"max.$c"))
@@ -1930,9 +2018,14 @@ final class SnapshotCatalog(
     // files' entries forward.
     val conf = spark.sessionState.newHadoopConf()
     val root = tablePath(db, table)
-    val newFileStats = withBloomStats(db, table, newFiles.map(f =>
+    val newFileStats0 = withBloomStats(db, table, newFiles.map(f =>
       f -> FileStats.fromFooter(root.resolve(f), snapSchema, conf)).toMap,
       snapSchema)
+    // files carrying materialized row ids are marked so the lineage
+    // funnel never re-mints identity for rewritten rows
+    val newFileStats =
+      if (!hasRid) newFileStats0
+      else newFileStats0.view.mapValues(_ + ("rid_materialized" -> "true")).toMap
     // append reuses every prior shard and writes O(new files) metadata; a
     // carry commit reuses every UNTOUCHED shard (see planCarryManifests);
     // a clean rewrite's state is its own single shard
@@ -4133,7 +4226,13 @@ final class SnapshotCatalog(
     * anyway, so the shuffle is the cost of choosing the layout.
     */
   def compact(db: String, table: String, numFiles: Int): Snapshot = withTableLock(db, table) {
-    val current = readLatest(db, table)
+    // lineage tables: the rewrite carries each row's __rid so compaction
+    // preserves identity (Iceberg v3's materialize-on-rewrite)
+    val current =
+      if (rowLineageEnabled(db, table)) {
+        val snap = currentSnapshot(db, table)
+        readVisibleWithRid(db, table, snap, snap.files)
+      } else readLatest(db, table)
     commit(db, table, current.repartition(numFiles), "compact")
   }
 
@@ -4229,7 +4328,10 @@ final class SnapshotCatalog(
       // readVisible keeps partition columns live (per-snapshot-dir basePath)
       // and merges any position deletes on the rewritten files; commit()
       // re-partitionBys, so hive/bucket layouts survive
-      val rewrite = readVisible(db, table, snap, small).repartition(nOut)
+      val smallRows =
+        if (rowLineageEnabled(db, table)) readVisibleWithRid(db, table, snap, small)
+        else readVisible(db, table, snap, small)
+      val rewrite = smallRows.repartition(nOut)
       Some(commit(db, table, rewrite, "rewrite",
         carryFiles = big, carryStats = snap.fileStats))
     }
@@ -4287,7 +4389,11 @@ final class SnapshotCatalog(
         shiftleft(shiftright(bucket, b).bitwiseAND(lit(1L)), b * cols.size + ci)
       }.reduce((a, b) => a.bitwiseOR(b))
     }.reduce((a, b) => a.bitwiseOR(b))
-    val z = readLatest(db, table)
+    val base =
+      if (rowLineageEnabled(db, table))
+        readVisibleWithRid(db, table, snap, snap.files)
+      else readLatest(db, table)
+    val z = base
       .withColumn("__z", interleaved)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -989,13 +989,18 @@ class OpsSpec extends AnyFunSuite {
     val target = docs.where(col("doc_id") % 10 === 0)
     val raw = docs.where(col("doc_id") % 10 =!= 0)
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    // two full materializations — the r8 shape left 2 cached frames PER
-    // CALL pinned forever (ADVICE r8); the lazy single-plan shape must
-    // leave the persistence registry exactly as it found it
+    // the r8 shape left 2 cached frames PER CALL pinned forever (ADVICE
+    // r8); the generational discipline holds at most ONE generation
+    // between calls, and releaseCache() returns the registry to exactly
+    // its starting state
     Dsir.resample(raw, target, "doc_id", "text", k = 5).collect()
     Dsir.importanceWeights(raw, target, "doc_id", "text").count()
+    Dsir.resample(raw, target, "doc_id", "text", k = 3).collect()
+    val held = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(held.size <= 2, s"more than one DSIR generation cached: $held")
+    Dsir.releaseCache()
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(leaked.isEmpty, s"DSIR leaked cached RDDs: $leaked")
+    assert(leaked.isEmpty, s"DSIR leaked cached RDDs past release: $leaked")
   }
 
   test("DSIR / classifier plans: model tables BROADCAST, no sort-merge or cartesian") {
