@@ -49,6 +49,28 @@ object SparkEntry {
   /** Money/metric double -> integer cents, deterministically. */
   private def cents(c: Column): Column = floor(c * 100).cast("long")
 
+  /** Row-lineage fixture shared by q121/q122 (either may run first):
+    * two deterministic single-file appends (evens then odds, sorted) and
+    * one full compact — ids are therefore rank arithmetic, and the
+    * compact proves rewrites preserve them. */
+  private def lineageOrdersFixture(s: SparkSession,
+      dir: String): graft.catalog.SnapshotCatalog = {
+    val cat = WarehouseFixture.forDir(s, dir).src
+    if (!cat.tableExists("maint", "lineage_orders")) {
+      val o = T(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      cat.createTable("maint", "lineage_orders", o.schema,
+        properties = Map("row.lineage" -> "true"))
+      cat.append("maint", "lineage_orders",
+        o.where(col("o_orderkey") % 2 === 0)
+          .repartition(1).sortWithinPartitions("o_orderkey"))
+      cat.append("maint", "lineage_orders",
+        o.where(col("o_orderkey") % 2 === 1)
+          .repartition(1).sortWithinPartitions("o_orderkey"))
+      cat.compact("maint", "lineage_orders", numFiles = 3)
+    }
+    cat
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     prepare(spark, "/root/testdata/sf0.001")
@@ -1032,23 +1054,22 @@ object SparkEntry {
     // consumer keyed on row identity). The oracle replays the assignment
     // arithmetic: ids are rank-within-append plus the prior high-water.
     "q121_row_lineage" -> ((s, dir) => {
-      val fx = WarehouseFixture.forDir(s, dir)
-      val cat = fx.src
-      if (!cat.tableExists("maint", "lineage_orders")) {
-        val o = T(s, dir, "orders").select("o_orderkey", "o_orderstatus")
-        cat.createTable("maint", "lineage_orders", o.schema,
-          properties = Map("row.lineage" -> "true"))
-        cat.append("maint", "lineage_orders",
-          o.where(col("o_orderkey") % 2 === 0)
-            .repartition(1).sortWithinPartitions("o_orderkey"))
-        cat.append("maint", "lineage_orders",
-          o.where(col("o_orderkey") % 2 === 1)
-            .repartition(1).sortWithinPartitions("o_orderkey"))
-        cat.compact("maint", "lineage_orders", numFiles = 3)
-      }
+      val cat = lineageOrdersFixture(s, dir)
       cat.readWithRowIds("maint", "lineage_orders")
         .select(col("o_orderkey"), col("_row_id"))
         .orderBy("o_orderkey")
+    }),
+
+    // ...and the SQL surface for the same identity: `db.t.rows` swaps at
+    // analysis time for the lineage read, so plain SQL aggregates over
+    // `_row_id` like any column — grouped id sums replayed by the oracle
+    // from the same rank arithmetic.
+    "q122_rows_sql" -> ((s, dir) => {
+      lineageOrdersFixture(s, dir)
+      s.sql("SELECT o_orderstatus, count(*) AS n, sum(_row_id) AS id_sum, " +
+        "min(_row_id) AS id_min, max(_row_id) AS id_max " +
+        "FROM snapdml.maint.lineage_orders.rows " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")
     }),
 
     // HIDDEN time-transform partitioning (r9; Iceberg's signature
@@ -2675,6 +2696,24 @@ object SparkEntry {
     // capstone replay: the four stages chained — nfc_normalize, integer
     // Gopher gate, integer-exact classifier threshold, then the DSIR
     // selector whose raw model is built from the surviving pool
+    // same id arithmetic, aggregated per status through the SQL relation
+    "q122_rows_sql" ->
+      """WITH evens AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |), n AS (SELECT count(*) AS c FROM evens),
+        |odds AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    (SELECT c FROM n) + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |al AS (SELECT * FROM evens UNION ALL SELECT * FROM odds)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(rid) AS BIGINT) AS id_sum,
+        |  CAST(min(rid) AS BIGINT) AS id_min,
+        |  CAST(max(rid) AS BIGINT) AS id_max
+        |FROM al GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     // id = rank within its append + the prior append's high-water;
     // compact in the query must not change a single value
     "q121_row_lineage" ->

@@ -1959,9 +1959,43 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** `db.t.rows` — the row-LINEAGE relation: every visible row plus its
+    * stable `_row_id` (see [[SnapshotCatalog.readWithRowIds]]), readable
+    * from plain SQL. Rides the same analysis-time relation swap as
+    * `.changes` (the plan is file reads + a metadata broadcast join, not
+    * a V2 file scan). Requires `row.lineage=true` on the table. */
+  private final class RowsMetaTable(db: String, table: String)
+      extends Table with SupportsRead with ChangelogViewable {
+    private val tableSchema = StructType(
+      cat.currentSnapshot(db, table).schema.fields
+        .filterNot(f => cat.meta(db, table).hiddenCols(f.name)) :+
+        StructField("_row_id", org.apache.spark.sql.types.LongType,
+          nullable = true))
+    override def name(): String = s"$catalogName.$db.$table.rows"
+    override def schema(): StructType = tableSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def changelogPlan(fromId: Option[Long],
+        toId: Option[Long]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+      val visible = cat.readWithRowIds(db, table)
+        .select(tableSchema.fieldNames.map(n =>
+          org.apache.spark.sql.functions.col(s"`$n`")).toIndexedSeq: _*)
+      visible.queryExecution.analyzed
+    }
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      () => new org.apache.spark.sql.connector.read.Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          throw new UnsupportedOperationException(
+            s"$name() reads are served by the GraftSparkExtensions " +
+              "relation swap - set spark.sql.extensions=" +
+              "graft.catalog.spark.GraftSparkExtensions")
+      }
+  }
+
   private val metaTableKinds =
     Set("snapshots", "files", "refs", "history", "partitions", "manifests",
-      "changes", "all_files")
+      "changes", "all_files", "rows")
 
   override def loadTable(ident: Identifier): Table = {
     // metadata-table addressing: snapcat.db.t.{snapshots,files,refs,history}
@@ -1972,6 +2006,14 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       val (db, table) = (ident.namespace()(0), ident.namespace()(1))
       return if (ident.name() == "snapshots") new SnapshotsMetaTable(db, table)
       else if (ident.name() == "changes") new ChangesMetaTable(db, table)
+      else if (ident.name() == "rows") {
+        if (!cat.rowLineageEnabled(db, table))
+          throw new UnsupportedOperationException(
+            s"$catalogName.$db.$table.rows: the table does not track row " +
+              "lineage - ALTER TABLE ... SET TBLPROPERTIES" +
+              "('row.lineage'='true') and ids assign from the next commit")
+        new RowsMetaTable(db, table)
+      }
       else new InventoryMetaTable(db, table, ident.name())
     }
     // branch-write addressing (Iceberg's convention): snapcat.db.t.branch_x

@@ -113,6 +113,28 @@ class RowLineageSpec extends AnyFunSuite {
     assert(up.values.forall(_ < next))
   }
 
+  test("SQL surface: db.t.rows serves _row_id; refuses on untracked tables") {
+    val (cat, wh) = freshCat()
+    lineageTable(cat, "sq")
+    cat.append("db", "sq", (0L until 6L).map(k => (k, s"a$k")).toDF("k", "v")
+      .repartition(1).sortWithinPartitions("k"))
+    cat.deleteMoR("db", "sq", col("k") === 2L)
+    spark.conf.set("spark.sql.catalog.rlcat", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.rlcat.warehouse", wh)
+    val got = spark.sql("SELECT k, _row_id FROM rlcat.db.sq.rows ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L), (1L, 1L), (3L, 3L), (4L, 4L), (5L, 5L)), got.toString)
+    // aggregations and filters compose over the relation like any table
+    assert(spark.sql("SELECT max(_row_id) FROM rlcat.db.sq.rows WHERE k >= 3")
+      .as[Long].head() == 5L)
+
+    cat.createTable("db", "plain2", Seq((0L, "x")).toDF("k", "v").schema)
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("SELECT * FROM rlcat.db.plain2.rows").collect()
+    }
+    assert(e.getMessage.contains("row.lineage"), e.getMessage)
+  }
+
   test("lineage is opt-in; reads refuse on untracked tables") {
     val (cat, _) = freshCat()
     cat.createTable("db", "plain", Seq((0L, "x")).toDF("k", "v").schema)
