@@ -986,8 +986,19 @@ final class SnapshotCatalog(
     // This funnel is the only place data files enter the log, so the
     // assignment is total by construction.
     val (delta2, snap2) =
-      if (!meta(db, table).properties.get("row.lineage").contains("true") ||
-          delta.files.isEmpty) (delta, snap)
+      if (!meta(db, table).properties.get("row.lineage").contains("true"))
+        (delta, snap)
+      else if (delta.files.isEmpty) {
+        // no new data — still CARRY the high-water onto this entry:
+        // expire trims old log entries, and if every surviving entry
+        // lacked next-row-id the base would reset to 0 and re-mint ids
+        // (silent identity corruption). Every lineage-table commit
+        // therefore stamps the running value.
+        val base = entries.reverseIterator
+          .flatMap(_.summary.get("next-row-id")).nextOption()
+          .map(_.toLong).getOrElse(0L)
+        (delta, snap.copy(summary = snap.summary + ("next-row-id" -> base.toString)))
+      }
       else {
         val base = entries.reverseIterator
           .flatMap(_.summary.get("next-row-id")).nextOption()

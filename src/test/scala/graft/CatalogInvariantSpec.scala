@@ -58,6 +58,23 @@ class CatalogInvariantSpec extends AnyFunSuite {
 
     val root = Paths.get(cat.warehouse, db, t)
     snap.files.foreach(f => assert(Files.exists(root.resolve(f)), s"missing file $f"))
+
+    // row lineage: every visible row has an id, ids never collide, and
+    // none exceeds the claimed high-water (re-minting or range reuse
+    // after any op interleaving would break all three)
+    if (cat.rowLineageEnabled(db, t)) {
+      val rids = cat.readWithRowIds(db, t).select("_row_id")
+      assert(rids.where(col("_row_id").isNull).isEmpty,
+        s"null row ids after ${snap.operation}")
+      val n = rids.count(); val d = rids.distinct().count()
+      assert(n == d, s"duplicate row ids after ${snap.operation}: $n rows, $d distinct")
+      snap.summary.get("next-row-id").map(_.toLong).foreach { next =>
+        val mx = rids.agg(max("_row_id")).head
+        if (!mx.isNullAt(0))
+          assert(mx.getLong(0) < next,
+            s"row id ${mx.getLong(0)} >= high-water $next after ${snap.operation}")
+      }
+    }
     snap.deleteFiles.foreach(d =>
       assert(Files.exists(root.resolve(d.path)), s"missing delete file ${d.path}"))
 
@@ -111,7 +128,11 @@ class CatalogInvariantSpec extends AnyFunSuite {
     (1 to 3).foreach { trial =>
       val cat = mkCat(trial)
       val t = "t"
-      cat.createTable("db", t, frame(rng, 1).schema)
+      // the WHOLE op mix runs over a row-lineage table: identity
+      // invariants (unique, non-null, below the high-water) must hold
+      // across every CoW/MoR/rewrite/rollback/expire interleaving
+      cat.createTable("db", t, frame(rng, 1).schema,
+        properties = Map("row.lineage" -> "true"))
       cat.append("db", t, frame(rng, 40))
       checkInvariants(cat, "db", t)
       (1 to 8).foreach { _ =>

@@ -175,4 +175,96 @@ class PruningPropertySpec extends AnyFunSuite {
         s"merged=$merged all=[${all.min},${all.max}]"
     })
   }
+
+  // ---- hidden time-transform partitioning: directory pruning soundness
+
+  /** Abstract timestamp predicate over one column — rendered BOTH as the
+    * catalyst conjuncts [[graft.catalog.TimeTransform.admissibleRange]]
+    * consumes and as a direct Scala evaluator, so the property needs no
+    * Spark session. */
+  private sealed trait TsPred
+  private case class TsGe(m: Long) extends TsPred
+  private case class TsGt(m: Long) extends TsPred
+  private case class TsLe(m: Long) extends TsPred
+  private case class TsLt(m: Long) extends TsPred
+  private case class TsEq(m: Long) extends TsPred
+  private case class TsIn(ms: List[Long]) extends TsPred
+
+  private val tsAttr = AttributeReference("ts", TimestampType)()
+  private def tsLit(m: Long) = Literal(m, TimestampType)
+  private def toExpr(p: TsPred, flip: Boolean): Expression = p match {
+    // flip renders the literal-on-the-left spelling of the same predicate
+    case TsGe(m) => if (flip) LessThanOrEqual(tsLit(m), tsAttr) else GreaterThanOrEqual(tsAttr, tsLit(m))
+    case TsGt(m) => if (flip) LessThan(tsLit(m), tsAttr) else GreaterThan(tsAttr, tsLit(m))
+    case TsLe(m) => if (flip) GreaterThanOrEqual(tsLit(m), tsAttr) else LessThanOrEqual(tsAttr, tsLit(m))
+    case TsLt(m) => if (flip) GreaterThan(tsLit(m), tsAttr) else LessThan(tsAttr, tsLit(m))
+    case TsEq(m) => if (flip) EqualTo(tsLit(m), tsAttr) else EqualTo(tsAttr, tsLit(m))
+    case TsIn(ms) => In(tsAttr, ms.map(tsLit))
+  }
+  private def holds(p: TsPred, m: Long): Boolean = p match {
+    case TsGe(b) => m >= b
+    case TsGt(b) => m > b
+    case TsLe(b) => m <= b
+    case TsLt(b) => m < b
+    case TsEq(b) => m == b
+    case TsIn(bs) => bs.contains(m)
+  }
+
+  // micros clustered around unit boundaries — the exact-boundary algebra
+  // (ts < midnight excludes the day; ts >= midnight starts it) is where
+  // an off-by-one would hide
+  private val dayU = 86400L * 1000000L
+  private val genMicros: Gen[Long] = for {
+    day <- Gen.chooseNum(-3L, 3L)
+    off <- Gen.frequency(
+      3 -> Gen.const(0L),
+      2 -> Gen.oneOf(Seq(-1L, 1L)),
+      5 -> Gen.chooseNum(-dayU + 1, dayU - 1))
+  } yield day * dayU + off
+  private val genTsPred: Gen[TsPred] = Gen.oneOf(
+    genMicros.map(TsGe.apply), genMicros.map(TsGt.apply), genMicros.map(TsLe.apply),
+    genMicros.map(TsLt.apply), genMicros.map(TsEq.apply),
+    Gen.nonEmptyListOf(genMicros).map(l => TsIn(l.take(4))))
+
+  test("transform dir pruning never excludes a matching row's partition") {
+    import graft.catalog.TimeTransform
+    val genCase = for {
+      kind <- Gen.oneOf("day", "hour")
+      nPreds <- Gen.chooseNum(1, 3)
+      preds <- Gen.listOfN(nPreds, genTsPred)
+      flip <- Gen.oneOf(true, false)
+      rows <- Gen.nonEmptyListOf(genMicros)
+    } yield (kind, preds, flip, rows)
+    check(Prop.forAll(genCase) { c =>
+      val (kind, preds, flip, rows) = c
+      val conjuncts = preds.map(toExpr(_, flip))
+      val range = TimeTransform.admissibleRange(conjuncts, "ts", kind)
+      // boundary values of the predicates themselves are the adversarial
+      // rows — always include them and their neighbors
+      val probe = rows ++ preds.flatMap {
+        case TsGe(m) => Seq(m - 1, m, m + 1); case TsGt(m) => Seq(m - 1, m, m + 1)
+        case TsLe(m) => Seq(m - 1, m, m + 1); case TsLt(m) => Seq(m - 1, m, m + 1)
+        case TsEq(m) => Seq(m); case TsIn(ms) => ms
+      }
+      val bad = probe.filter(m => preds.forall(holds(_, m))).filterNot { m =>
+        val path = s"data/s1/__pt=${TimeTransform.ptOfMicros(kind, m)}/f.parquet"
+        TimeTransform.admits(range, path)
+      }
+      Prop(bad.isEmpty) :| s"kind=$kind range=$range excluded matching rows at $bad"
+    })
+  }
+
+  test("un-laid paths and un-prunable predicates always admit") {
+    import graft.catalog.TimeTransform
+    // a flat (pre-adoption) file has no __pt dir: always kept
+    val r = TimeTransform.admissibleRange(
+      Seq(GreaterThanOrEqual(tsAttr, tsLit(dayU))), "ts", "day")
+    assert(TimeTransform.admits(r, "data/s1/part-0001.parquet"))
+    // predicates on OTHER columns contribute no constraint
+    val other = AttributeReference("x", LongType)()
+    val r2 = TimeTransform.admissibleRange(
+      Seq(GreaterThan(other, Literal(5L, LongType))), "ts", "day")
+    assert(r2 == (None, None))
+    assert(TimeTransform.admits(r2, "data/s1/__pt=-99/f.parquet"))
+  }
 }

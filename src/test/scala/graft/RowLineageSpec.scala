@@ -135,6 +135,25 @@ class RowLineageSpec extends AnyFunSuite {
     assert(e.getMessage.contains("row.lineage"), e.getMessage)
   }
 
+  test("the id high-water survives snapshot EXPIRY: ids never re-mint") {
+    val (cat, _) = freshCat()
+    lineageTable(cat, "ex")
+    cat.append("db", "ex", (0L until 8L).map(k => (k, s"a$k")).toDF("k", "v")
+      .repartition(1).sortWithinPartitions("k"))                 // ids 0..7
+    // data-less commits after the append: each must CARRY next-row-id,
+    // because expiry may leave only them in the log
+    cat.deleteMoR("db", "ex", col("k") === 0L)
+    cat.deleteMoR("db", "ex", col("k") === 1L)
+    cat.expireSnapshots("db", "ex", keepLast = 2) // the append entry is gone
+    assert(cat.currentSnapshot("db", "ex")
+      .summary.get("next-row-id").contains("8"),
+      cat.currentSnapshot("db", "ex").summary.toString)
+    cat.append("db", "ex", Seq((100L, "new")).toDF("k", "v"))
+    val got = ids(cat, "ex")
+    assert(got(100L) == 8L, s"ids must continue from the high-water: $got")
+    assert(got.values.toSet.size == got.size)
+  }
+
   test("lineage is opt-in; reads refuse on untracked tables") {
     val (cat, _) = freshCat()
     cat.createTable("db", "plain", Seq((0L, "x")).toDF("k", "v").schema)
