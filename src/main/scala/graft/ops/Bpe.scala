@@ -74,12 +74,85 @@ object Bpe {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum("freq").as("cnt"))
 
+  // content-addressed MERGE cache (the IVF-centroid discipline,
+  // Similarity.corpusIdentity): the learned merge list of a provable
+  // corpus identity is tiny, deterministic (lexicographic tie-break),
+  // and expensive to re-derive — numMerges driver-argmax rounds. The
+  // in-memory tier serves repeated trainings in one driver; the optional
+  // sidecar (`spark.graft.bpe.mergesDir`, SHA-1-keyed JSON with the full
+  // key re-checked on load) survives driver restarts. A cache hit still
+  // rebuilds the DICTIONARY — one distributed applyMerges pass, no
+  // argmax rounds.
+  private val mergeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+
+  /** Test hook: number of full merge trainings actually run. */
+  @volatile private[graft] var bpeTrainings: Long = 0L
+
+  /** Test hook: drop the in-memory merge tier (simulates a fresh driver;
+    * the sidecar tier, if configured, still serves). */
+  private[graft] def clearMergeCache(): Unit = mergeCache.clear()
+
+  private def sidecarStore(df: DataFrame): Option[graft.catalog.SidecarStore] =
+    df.sparkSession.conf.getOption("spark.graft.bpe.mergesDir")
+      .filter(_.nonEmpty)
+      .map(d => new graft.catalog.FileSidecarStore(java.nio.file.Paths.get(d)))
+
+  private def sidecarName(key: String): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"bpe-$sha.json"
+  }
+
+  private def loadSidecarMerges(df: DataFrame, key: String): Option[Seq[(String, String)]] =
+    sidecarStore(df).flatMap { st =>
+      scala.util.Try {
+        st.read(sidecarName(key)).flatMap { txt =>
+          val o = graft.catalog.Json.parse(txt).asInstanceOf[graft.catalog.JObj]
+          if (o.str("key") != key) None // collision: retrain honestly
+          else Some(o.arr("merges").map { v =>
+            val p = v.asInstanceOf[graft.catalog.JArr].values
+            (p(0).asInstanceOf[graft.catalog.JStr].value,
+             p(1).asInstanceOf[graft.catalog.JStr].value)
+          }.toSeq)
+        }
+      }.toOption.flatten // corrupt sidecar degrades to a retrain
+    }
+
+  private def writeSidecarMerges(df: DataFrame, key: String,
+      merges: Seq[(String, String)]): Unit =
+    sidecarStore(df).foreach { st =>
+      try st.write(sidecarName(key), graft.catalog.Json.write(graft.catalog.Json.obj(
+        "key" -> graft.catalog.Json.str(key),
+        "merges" -> graft.catalog.JArr(merges.toVector.map { case (a, b) =>
+          graft.catalog.JArr(Vector(graft.catalog.JStr(a), graft.catalog.JStr(b)))
+        }))))
+      catch { case scala.util.control.NonFatal(_) => () } // read-only FS: best-effort
+    }
+
   /** Learn up to `numMerges` merges. Returns the ordered merge list and
     * the final dictionary `(w, freq, syms)` (cached). Stops early when no
-    * pair reaches `minFreq`. */
+    * pair reaches `minFreq`. Trainings over a provably content-identical
+    * corpus with the same parameters serve from the merge cache (memory,
+    * then sidecar) — the dictionary rebuilds in one distributed pass. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
       minFreq: Long = 2L, checkpointEvery: Int = 8): (Seq[(String, String)], DataFrame) = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val cacheKey = Similarity.corpusIdentity(docs)
+      .map(id => s"bpe:$id|$textCol|$numMerges|$minFreq")
+    cacheKey.flatMap(k => mergeCache.get(k).orElse {
+      val fromDisk = loadSidecarMerges(docs, k)
+      fromDisk.foreach(mergeCache.put(k, _))
+      fromDisk
+    }) match {
+      case Some(merges) =>
+        val dict = applyMerges(wordTable(docs, textCol), merges, checkpointEvery)
+          .cache()
+        return (merges, dict)
+      case None => ()
+    }
+    bpeTrainings += 1
     var words = wordTable(docs, textCol).cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     // the PARENT stays cached until the next round's argmax job has
@@ -118,6 +191,10 @@ object Bpe {
       rounds += 1
     }
     parent.foreach(_.unpersist())
+    cacheKey.foreach { k =>
+      mergeCache.put(k, merges.toSeq)
+      writeSidecarMerges(docs, k, merges.toSeq)
+    }
     (merges.toSeq, words)
   }
 

@@ -121,18 +121,42 @@ object Similarity {
     }
 
   /** Content-identity token of a corpus frame, when provable from the
-    * plan: a bare (projected) scan of a snapcat table or a parquet
-    * directory. */
+    * plan: a (projected, deterministically filtered) scan of a snapcat
+    * table or a parquet directory. Deterministic FILTERS fold into the
+    * token via their canonicalized semantic hash, so `docs.where(id <
+    * 300)` is cacheable and distinct from `docs.where(id < 500)`. */
   private[graft] def corpusIdentity(df: DataFrame): Option[String] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    val filterHashes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // name-normalized condition hash: a FRESH analysis of the same query
+    // text mints new expression ids, so semanticHash would differ per
+    // call and defeat the cache — attribute NAMES are the stable identity
+    // over a fixed base relation
+    def condHash(cond: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      cond.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+      }.sql.hashCode
     def strip(p: LogicalPlan): LogicalPlan = p match {
       case Project(exprs, child) if exprs.forall(_.deterministic) => strip(child)
+      case Filter(cond, child) if cond.deterministic =>
+        filterHashes += condHash(cond); strip(child)
       case a: SubqueryAlias => strip(a.child)
       case other => other
     }
-    strip(df.queryExecution.analyzed) match {
+    def withFilters(id: String): String =
+      if (filterHashes.isEmpty) id
+      else s"$id|flt:${filterHashes.sorted.mkString(",")}"
+    strip2(strip(df.queryExecution.analyzed)).map(withFilters)
+  }
+
+  private def strip2(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    p match {
       case r: DataSourceV2Relation => r.table match {
         case t: graft.catalog.spark.HasSnapshotIdentity
             if r.options == null || (!r.options.containsKey("snapshot-id") &&

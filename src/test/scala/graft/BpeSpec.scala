@@ -68,4 +68,38 @@ class BpeSpec extends AnyFunSuite {
     assert(syms("aaa") == Seq("aa", "a", w))
     assert(syms("aaaa") == Seq("aa", "aa", w))
   }
+
+  test("merge cache: identical provable corpus retrains zero times; sidecar survives a fresh driver") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpec_").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/corpus.parquet")
+    val docs = spark.read.parquet(s"$dir/corpus.parquet").where(col("doc_id") >= 0)
+    spark.conf.set("spark.graft.bpe.mergesDir", s"$dir/sidecar")
+    try {
+      Bpe.clearMergeCache()
+      val t0 = Bpe.bpeTrainings
+      val (m1, d1) = Bpe.train(docs, "text", numMerges = 5)
+      assert(Bpe.bpeTrainings == t0 + 1)
+      d1.unpersist()
+      // same provable identity + params: zero new trainings, same merges,
+      // dictionary rebuilt equal
+      val (m2, d2) = Bpe.train(docs, "text", numMerges = 5)
+      assert(Bpe.bpeTrainings == t0 + 1, "cache hit must not retrain")
+      assert(m2 == m1)
+      assert(d2.select("w", "syms").as[(String, Seq[String])].collect().toMap ==
+        Bpe.train(corpus, "text", numMerges = 5)._2
+          .select("w", "syms").as[(String, Seq[String])].collect().toMap)
+      d2.unpersist()
+      // DIFFERENT filter => different identity => retrains
+      Bpe.train(spark.read.parquet(s"$dir/corpus.parquet").where(col("doc_id") >= 1),
+        "text", numMerges = 5)._2.unpersist()
+      assert(Bpe.bpeTrainings == t0 + 3, // +1 for the local-corpus train above
+        s"distinct filtered corpus must retrain, got ${Bpe.bpeTrainings - t0}")
+      // fresh driver simulation: memory tier dropped, sidecar serves
+      Bpe.clearMergeCache()
+      val (m3, d3) = Bpe.train(docs, "text", numMerges = 5)
+      assert(Bpe.bpeTrainings == t0 + 3, "sidecar must serve a fresh driver")
+      assert(m3 == m1)
+      d3.unpersist()
+    } finally spark.conf.unset("spark.graft.bpe.mergesDir")
+  }
 }
