@@ -139,6 +139,31 @@ class TransformPartitionSpec extends AnyFunSuite {
     assert(cat.readLatest("db", "ev").where(col("id") === 3L).count() == 0L)
   }
 
+  test("streaming tail and CDC stream hide __pt and serve appends exactly") {
+    val (cat, wh) = freshCat()
+    cat.createTransformPartitionedTable("db", "st", rows.schema, "t", "day")
+    cat.appendTransformed("db", "st", rows.where(col("id") < 12))
+    spark.conf.set("spark.sql.catalog.tpst", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.tpst.warehouse", wh)
+    val q = spark.readStream.option("starting-snapshot-id", "1")
+      .table("tpst.db.st")
+      .writeStream.format("memory").queryName("tp_tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      cat.appendTransformed("db", "st", rows.where(col("id") >= 12))
+      q.processAllAvailable()
+      val got = spark.table("tp_tail")
+      assert(got.columns.toSeq == Seq("id", "t", "tag"), got.columns.toSeq.toString)
+      assert(got.count() == 24L)
+      assert(got.select(sum("id")).as[Long].head() == (0 until 24).sum.toLong)
+    } finally q.stop()
+    // CDC relation over the same history: all inserts, __pt hidden
+    val chg = spark.sql(
+      "SELECT _change_type, count(*) AS n FROM tpst.db.st.changes GROUP BY 1")
+      .as[(String, Long)].collect().toMap
+    assert(chg == Map("insert" -> 24L), chg.toString)
+  }
+
   test("hour transform, pre-1970 floor, and creation guards") {
     val (cat, _) = freshCat()
     val hr = (0 until 6).map(i => (i.toLong, ts(1, i % 3), s"h$i"))
