@@ -1046,6 +1046,30 @@ object SparkEntry {
           T(s, dir, "documents"), "source", "text", k = 5)
         .orderBy("group", "rank")),
 
+    // CCNet-style perplexity bucketing (r9; Wenzek et al. 2020): the
+    // q104 bigram-LM scores normalize per bigram and split into
+    // head/middle/tail TERTILES within each source — the published
+    // "keep the head, maybe the middle, drop the tail" curation gate.
+    // ntile ties break on doc_id, so the bucketing is deterministic and
+    // the oracle replays it exactly. Scale shape: one window pass
+    // partitioned by source — no global sort, no driver state.
+    "q123_ccnet_buckets" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val scored = graft.ops.TextOps.bigramLmScore(
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", addK = 0.5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(col("nq").desc, col("doc_id").asc)
+      scored.join(d.select("doc_id", "source"), "doc_id")
+        .where(col("n_bigrams") > 0)
+        .withColumn("nq",
+          floor(col("logprob_q").cast("double") / col("n_bigrams")).cast("long"))
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+        .select("doc_id", "source", "nq", "bucket")
+        .orderBy("doc_id")
+    }),
+
     // ROW LINEAGE (r9; the Iceberg-v3 identity model, opt-in via
     // row.lineage=true): two deterministic single-file appends claim
     // contiguous id ranges, then a COMPACT rewrites every file — and the
@@ -2976,6 +3000,41 @@ object SparkEntry {
         |  CAST(count(*) * 125 AS BIGINT) AS ms_sum
         |FROM am JOIN pk USING (doc_id)
         |GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // the q104 scoring replay + per-source tertile assignment
+    "q123_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), tr AS (SELECT ts FROM toks WHERE doc_id % 2 = 0),
+        |uni AS (
+        |  SELECT u.w AS w1, count(*) AS c1 FROM tr, unnest(ts) AS u(w) GROUP BY 1
+        |), v AS (SELECT count(*) AS vv FROM uni),
+        |bi AS (
+        |  SELECT ts[u.i] AS w1, ts[u.i + 1] AS w2, count(*) AS c2
+        |  FROM tr, unnest(generate_series(1, len(ts) - 1)) AS u(i) GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT doc_id, ts[u.i] AS w1, ts[u.i + 1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        |  WHERE doc_id % 2 = 1
+        |), j AS (
+        |  SELECT s.doc_id, coalesce(b.c2, 0) AS c2, coalesce(un.c1, 0) AS c1
+        |  FROM sc s LEFT JOIN bi b USING (w1, w2) LEFT JOIN uni un USING (w1)),
+        |scored AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(floor(sum(ln((c2 + 0.5) / (c1 + 0.5 * (SELECT vv FROM v)))) * 10000)
+        |      AS BIGINT) AS logprob_q
+        |  FROM j GROUP BY doc_id),
+        |nrm AS (
+        |  SELECT s.doc_id, d.source,
+        |    CAST(floor(CAST(s.logprob_q AS DOUBLE) / s.n_bigrams) AS BIGINT) AS nq
+        |  FROM scored s JOIN documents d USING (doc_id)
+        |  WHERE s.n_bigrams > 0)
+        |SELECT doc_id, source, nq,
+        |  CAST(ntile(3) OVER (PARTITION BY source
+        |    ORDER BY nq DESC, doc_id) AS BIGINT) AS bucket
+        |FROM nrm ORDER BY doc_id""".stripMargin,
 
     "q104_bigram_lm_score" ->
       """WITH toks AS (
