@@ -99,12 +99,15 @@ object Retrieval {
     val terms = docs
       .select(col(groupCol).as("group"), explode(toks(col(textCol))).as("term"))
       .groupBy("group", "term").agg(count(lit(1)).as("tf"))
-    // group-frequency per term (term-bounded) and total group count
-    // (1 row): both broadcast onto the group-term skeleton
+    // group-frequency per term is VOCABULARY-sized — one row per distinct
+    // term in the corpus, easily 10^8-10^9 on a web crawl (typos, URLs,
+    // code) — so it must NOT be force-broadcast: both sides are already
+    // keyed by `term`, a plain equi-join lets AQE pick broadcast only
+    // when gf actually fits. The total group count IS 1 row: broadcast.
     val gf = terms.groupBy("term").agg(count(lit(1)).as("gf"))
     val ng = terms.select("group").distinct().agg(count(lit(1)).as("n_groups"))
     val scored = terms
-      .join(broadcast(gf), "term")
+      .join(gf, "term")
       .crossJoin(broadcast(ng))
       .withColumn("tfidf_q",
         floor(col("tf") * log(col("n_groups").cast("double") / col("gf")) * 1e4)

@@ -121,34 +121,46 @@ object Similarity {
     }
 
   /** Content-identity token of a corpus frame, when provable from the
-    * plan: a (projected, deterministically filtered) scan of a snapcat
+    * plan: a (column-pruned, deterministically filtered) scan of a snapcat
     * table or a parquet directory. Deterministic FILTERS fold into the
-    * token via their canonicalized semantic hash, so `docs.where(id <
-    * 300)` is cacheable and distinct from `docs.where(id < 500)`. */
+    * token via their name-normalized SQL text, so `docs.where(id < 300)`
+    * is cacheable and distinct from `docs.where(id < 500)`.
+    *
+    * SOUNDNESS: only Projects that are pure column pruning/reorder — every
+    * projection a bare [[org.apache.spark.sql.catalyst.expressions
+    * .AttributeReference]] — are stripped. A computed or even merely
+    * ALIASED projection (`select(normalize(text).as("text"))`, or a rename
+    * a later filter's name-normalized text would then mis-bind) transforms
+    * the content and therefore yields `None`: the caches must retrain
+    * honestly rather than serve another corpus's artifacts. */
   private[graft] def corpusIdentity(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-    val filterHashes = scala.collection.mutable.ArrayBuffer.empty[Int]
-    // name-normalized condition hash: a FRESH analysis of the same query
+    val filterConds = scala.collection.mutable.ArrayBuffer.empty[String]
+    // name-normalized condition TEXT: a FRESH analysis of the same query
     // text mints new expression ids, so semanticHash would differ per
     // call and defeat the cache — attribute NAMES are the stable identity
-    // over a fixed base relation
-    def condHash(cond: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    // over a fixed base relation. The full normalized SQL (not a 32-bit
+    // hash of it) goes into the key: predicates are short, and embedding
+    // the text makes the sidecar's full-key recheck actually able to
+    // distinguish two different filters — a hashCode collision inside the
+    // key would be invisible to any downstream recheck.
+    def condText(cond: org.apache.spark.sql.catalyst.expressions.Expression): String =
       cond.transform {
-        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        case a: AttributeReference =>
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
-      }.sql.hashCode
+      }.sql
     def strip(p: LogicalPlan): LogicalPlan = p match {
-      case Project(exprs, child) if exprs.forall(_.deterministic) => strip(child)
+      case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+        strip(child)
       case Filter(cond, child) if cond.deterministic =>
-        filterHashes += condHash(cond); strip(child)
+        filterConds += condText(cond); strip(child)
       case a: SubqueryAlias => strip(a.child)
       case other => other
     }
     def withFilters(id: String): String =
-      if (filterHashes.isEmpty) id
-      else s"$id|flt:${filterHashes.sorted.mkString(",")}"
+      if (filterConds.isEmpty) id
+      else s"$id|flt:${filterConds.sorted.mkString(";")}"
     strip2(strip(df.queryExecution.analyzed)).map(withFilters)
   }
 

@@ -94,10 +94,25 @@ class BpeSpec extends AnyFunSuite {
         "text", numMerges = 5)._2.unpersist()
       assert(Bpe.bpeTrainings == t0 + 3, // +1 for the local-corpus train above
         s"distinct filtered corpus must retrain, got ${Bpe.bpeTrainings - t0}")
+      // content-TRANSFORMING projection with the SAME column name: a
+      // derived corpus (think normalize(text).as("text")) must NEVER
+      // serve the raw corpus's merges — its identity is unprovable
+      Bpe.train(docs.select(col("doc_id"), upper(col("text")).as("text")),
+        "text", numMerges = 5)._2.unpersist()
+      assert(Bpe.bpeTrainings == t0 + 4,
+        "content-transforming projection must retrain, not hit the raw corpus's cache")
+      // a bare RENAME is also content-identity-breaking for the key
+      // (a later filter's name-normalized text would mis-bind): retrain
+      Bpe.train(docs.select(col("doc_id"), col("text").as("body")),
+        "body", numMerges = 5)._2.unpersist()
+      assert(Bpe.bpeTrainings == t0 + 5, "renamed column must retrain")
+      // pure column pruning/reorder preserves content: still a cache hit
+      Bpe.train(docs.select("text", "doc_id"), "text", numMerges = 5)._2.unpersist()
+      assert(Bpe.bpeTrainings == t0 + 5, "column pruning/reorder must still hit")
       // fresh driver simulation: memory tier dropped, sidecar serves
       Bpe.clearMergeCache()
       val (m3, d3) = Bpe.train(docs, "text", numMerges = 5)
-      assert(Bpe.bpeTrainings == t0 + 3, "sidecar must serve a fresh driver")
+      assert(Bpe.bpeTrainings == t0 + 5, "sidecar must serve a fresh driver")
       assert(m3 == m1)
       d3.unpersist()
     } finally spark.conf.unset("spark.graft.bpe.mergesDir")

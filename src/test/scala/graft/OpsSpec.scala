@@ -129,10 +129,21 @@ class OpsSpec extends AnyFunSuite {
       } finally spark.sparkContext.removeSparkListener(listener)
     assert(Similarity.ivfTrainingCount == t0 + 1, "second invocation reuses centroids")
     assert(df2.as[(Long, Long, Long)].collect().sorted.toSeq == r1, "identical results")
-    // an UNPROVABLE corpus identity (filtered frame) must retrain, never
-    // serve another corpus's centroids
+    // a DIFFERENT (filtered) corpus identity must retrain, never serve
+    // another corpus's centroids
     run(corpus.where(col("vec_id") >= 0)).collect()
     assert(Similarity.ivfTrainingCount == t0 + 2)
+    // content-TRANSFORMING projection with the SAME column name: a
+    // derived corpus must never serve the raw corpus's centroids — its
+    // identity is unprovable, so it retrains
+    run(corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0d)).as("embedding"))).collect()
+    assert(Similarity.ivfTrainingCount == t0 + 3,
+      "content-transforming projection must retrain")
+    // pure column pruning/reorder preserves content: still a cache hit
+    run(corpus.select("embedding", "vec_id")).collect()
+    assert(Similarity.ivfTrainingCount == t0 + 3,
+      "column pruning/reorder must still hit the cache")
     // snapcat-table corpus: identity is table@snapshot — an append moves
     // the snapshot and invalidates
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfc_").toString
@@ -1139,10 +1150,19 @@ class OpsSpec extends AnyFunSuite {
     // WindowGroupLimit pushes the per-query top-k below the final sort
     assert(bPlan.contains("WindowGroupLimit"), bPlan.take(2000))
 
-    val tPlan = Retrieval.tfIdfTopTerms(docs, "source", "text", k = 5)
-      .queryExecution.executedPlan.toString
-    assert(tPlan.contains("BroadcastHashJoin"), tPlan.take(2000))
-    assert(!tPlan.contains("SortMergeJoin"))
+    // tf-idf: the group-frequency side is VOCABULARY-sized (one row per
+    // distinct corpus term) — a FORCED broadcast there OOMs at crawl
+    // scale. Assert the only broadcast hint in the plan is the 1-row
+    // group-count totals; the gf join is left to AQE (which picks
+    // broadcast only when gf actually fits).
+    val tDf = Retrieval.tfIdfTopTerms(docs, "source", "text", k = 5)
+    val hints = tDf.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 1, s"exactly the n_groups hint expected, got ${hints.size}")
+    assert(hints.head.child.output.map(_.name) == Seq("n_groups"),
+      s"only the 1-row totals may be force-broadcast, got ${hints.head.child.output}")
+    val tPlan = tDf.queryExecution.executedPlan.toString
     assert(!tPlan.contains("CartesianProduct"))
 
     // tf-idf sanity: a term present in every group scores exactly 0; a
