@@ -71,6 +71,31 @@ object SparkEntry {
     cat
   }
 
+  /** Row-lineage CDC fixture (q124): the q121 append shape (evens then
+    * odds, sorted, single-file — ids are rank arithmetic), then a MoR
+    * delete of `key % 100 == 7` and a MoR update of `key % 100 == 11`
+    * whose post-images must carry their pre-images' ids through the
+    * changelog. */
+  private def lineageCdcFixture(s: SparkSession,
+      dir: String): graft.catalog.SnapshotCatalog = {
+    val cat = WarehouseFixture.forDir(s, dir).src
+    if (!cat.tableExists("maint", "lineage_cdc")) {
+      val o = T(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      cat.createTable("maint", "lineage_cdc", o.schema,
+        properties = Map("row.lineage" -> "true"))
+      cat.append("maint", "lineage_cdc",
+        o.where(col("o_orderkey") % 2 === 0)
+          .repartition(1).sortWithinPartitions("o_orderkey"))
+      cat.append("maint", "lineage_cdc",
+        o.where(col("o_orderkey") % 2 === 1)
+          .repartition(1).sortWithinPartitions("o_orderkey"))
+      cat.deleteMoR("maint", "lineage_cdc", col("o_orderkey") % 100 === 7)
+      cat.updateMoR("maint", "lineage_cdc", col("o_orderkey") % 100 === 11,
+        Map("o_orderstatus" -> lit("X")))
+    }
+    cat
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     prepare(spark, "/root/testdata/sf0.001")
@@ -1094,6 +1119,23 @@ object SparkEntry {
         "min(_row_id) AS id_min, max(_row_id) AS id_max " +
         "FROM snapdml.maint.lineage_orders.rows " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    }),
+
+    // ROW LINEAGE THROUGH CDC (r10): the changelog over a MoR delete +
+    // MoR update range carries each pre/post-image's stable `_row_id` —
+    // the dying row serves its id, and the update's post-image carries
+    // the SAME id as its pre-image (Iceberg-v3: identity survives
+    // updates precisely so a CDC consumer can correlate them). The
+    // oracle replays every id by the append rank arithmetic.
+    "q124_changelog_rid" -> ((s, dir) => {
+      val cat = lineageCdcFixture(s, dir)
+      val base = cat.entryLog("maint", "lineage_cdc")
+        .filter(_.operation == "append").map(_.snapshotId).max
+      val head = cat.currentSnapshotId("maint", "lineage_cdc")
+      cat.readChangelog("maint", "lineage_cdc", base, head)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("_row_id"), col("_change_type"))
+        .orderBy("o_orderkey", "_change_type")
     }),
 
     // HIDDEN time-transform partitioning (r9; Iceberg's signature
@@ -2737,6 +2779,30 @@ object SparkEntry {
         |  CAST(min(rid) AS BIGINT) AS id_min,
         |  CAST(max(rid) AS BIGINT) AS id_max
         |FROM al GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the changelog's images replayed by the same rank arithmetic: the
+    // %100==7 rows die with their ids, the %100==11 rows emit a delete
+    // (original status) + insert (status 'X') pair SHARING one id
+    "q124_changelog_rid" ->
+      """WITH evens AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |), n AS (SELECT count(*) AS c FROM evens),
+        |odds AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    (SELECT c FROM n) + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |al AS (SELECT * FROM evens UNION ALL SELECT * FROM odds),
+        |img AS (
+        |  SELECT o_orderkey, o_orderstatus, rid, 'delete' AS _change_type
+        |  FROM al WHERE o_orderkey % 100 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, rid, 'delete' FROM al WHERE o_orderkey % 100 = 11
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X', rid, 'insert' FROM al WHERE o_orderkey % 100 = 11)
+        |SELECT o_orderkey, o_orderstatus, CAST(rid AS BIGINT) AS _row_id, _change_type
+        |FROM img ORDER BY o_orderkey, _change_type""".stripMargin,
 
     // id = rank within its append + the prior append's high-water;
     // compact in the query must not change a single value

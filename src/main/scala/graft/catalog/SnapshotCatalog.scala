@@ -1265,6 +1265,17 @@ final class SnapshotCatalog(
     * side is one METADATA-sized broadcast (file -> base id), never a
     * shuffle of the data. */
   private def readVisibleWithRid(db: String, table: String, snap: Snapshot,
+      files: Seq[String]): DataFrame =
+    readVisibleWithPosAndRid(db, table, snap, files)
+      .select((snap.schema.fieldNames.map(n => col(s"`$n`")) :+ col("`__rid`"))
+        .toIndexedSeq: _*)
+
+  /** [[readVisibleWithRid]] keeping the `(file, pos)` identity columns —
+    * the MoR UPDATE/MERGE writer's scan when lineage is on: the positions
+    * feed the delete shard while `__rid` rides into the post-image so an
+    * updated row KEEPS its identity (Iceberg-v3 semantics: update never
+    * re-mints). */
+  private def readVisibleWithPosAndRid(db: String, table: String, snap: Snapshot,
       files: Seq[String]): DataFrame = {
     val schemaPlus = StructType(snap.schema.fields :+
       org.apache.spark.sql.types.StructField("__rid",
@@ -1278,16 +1289,18 @@ final class SnapshotCatalog(
     merged.join(broadcast(fridDf),
         merged(MorFileCol) === fridDf("__frid_file"), "left")
       .withColumn("__rid", coalesce(col("`__rid`"), col("__frid_base") + col(MorPosCol)))
-      .select((snap.schema.fieldNames.map(n => col(s"`$n`")) :+ col("`__rid`"))
-        .toIndexedSeq: _*)
+      .select((snap.schema.fieldNames.map(n => col(s"`$n`")) ++
+        Seq(col(MorFileCol), col(MorPosCol), col("`__rid`"))).toIndexedSeq: _*)
   }
 
   /** The current snapshot's visible rows plus `_row_id` — each row's
     * STABLE identity under `row.lineage=true`: assigned once when the row
     * first entered the table and preserved across compaction/z-order/
-    * bin-pack (rewrites materialize it physically) and MoR deletes
-    * (surviving rows keep theirs). MoR updates/upserts follow
-    * delete+insert semantics: the post-image is a new row with a new id. */
+    * bin-pack (rewrites materialize it physically), MoR deletes
+    * (surviving rows keep theirs), MoR updates (the post-image carries
+    * the pre-image's id physically), and the upsert's update half (a
+    * source row whose key matched inherits the dying row's id; new-key
+    * rows mint fresh ids) — the full Iceberg-v3 identity contract. */
   def readWithRowIds(db: String, table: String): DataFrame = {
     require(rowLineageEnabled(db, table),
       s"$db.$table does not track row lineage - create it with " +
@@ -1604,8 +1617,20 @@ final class SnapshotCatalog(
     val to = snapshotAt(db, table, toId)
     val fromAligned = alignEndpoints(db, table, "changelog", from, to)
     val (removed, added) = changedFileSets(from, to)
-    val removedRows = readVisible(db, table, fromAligned, removed)
-    val addedRows = readVisible(db, table, to, added)
+    // ROW LINEAGE: the diff carries each pre/post-image's stable `_row_id`
+    // (Iceberg v3's reason for carrying ids through updates — a CDC
+    // consumer correlates a row's delete and re-insert by identity, not
+    // by value). The id joins the multiset identity, which SHARPENS the
+    // diff: a moved row (compact) still cancels (same id), while a
+    // delete + value-identical re-insert of a DIFFERENT row now shows as
+    // the delete/insert pair it really is.
+    val lineage = rowLineageEnabled(db, table)
+    def rows(snap: Snapshot, files: Seq[String]): DataFrame =
+      if (lineage) readVisibleWithRid(db, table, snap, files)
+        .withColumnRenamed("__rid", "_row_id")
+      else readVisible(db, table, snap, files)
+    val removedRows = rows(fromAligned, removed)
+    val addedRows = rows(to, added)
     import org.apache.spark.sql.functions.lit
     addedRows.exceptAll(removedRows).withColumn("_change_type", lit("insert"))
       .unionByName(
@@ -2509,8 +2534,14 @@ final class SnapshotCatalog(
     val unknown = set.keys.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"UPDATE of unknown columns: ${unknown.mkString(",")}")
     val (cands, _) = pruneFiles(db, table, prev.snapshotId, cond)
-    val matched = readVisibleWithPos(db, table, prev, cands)
-      .where(coalesce(cond, lit(false)))
+    // ROW LINEAGE: scan WITH each matched row's stable id so the updated
+    // copy can carry it — Iceberg-v3 semantics, an update preserves
+    // identity (the post-image is the same row, changed)
+    val lineage = rowLineageEnabled(db, table)
+    val matched =
+      (if (lineage) readVisibleWithPosAndRid(db, table, prev, cands)
+       else readVisibleWithPos(db, table, prev, cands))
+        .where(coalesce(cond, lit(false)))
     // pass 1: the matched rows' positions become a delete shard
     val fileEntries = writePositionDeletes(db, table, newId, matched, tag)
     val deleted = fileEntries.map(_.rows).sum
@@ -2531,12 +2562,12 @@ final class SnapshotCatalog(
     // SQL rewrites, compact() is the re-cluster action)
     val snapDirRel = s"data/s$newId$tag"
     val snapDir = tablePath(db, table).resolve("data").resolve(s"s$newId$tag")
-    val updated0 = matched.select(schema.fields.map { f =>
+    val updated0 = matched.select((schema.fields.map { f =>
       set.get(f.name) match {
         case Some(v) => v.cast(f.dataType).as(f.name)
         case None    => col(s"`${f.name}`")
       }
-    }.toIndexedSeq: _*)
+    } ++ (if (lineage) Seq(col("`__rid`")) else Nil)).toIndexedSeq: _*)
     // BUCKETED table: re-derive __bucket for the updated copies — the
     // update may have MOVED a row's bucket source value, and a stale
     // layout value would silently mis-bucket the re-insert (breaking
@@ -2550,8 +2581,13 @@ final class SnapshotCatalog(
     val root = tablePath(db, table)
     val newFiles = listParquetFiles(snapDir).map(p =>
       snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/'))
+    // lineage: every post-image row carries its original id in the
+    // physical __rid column — mark the files so the commit funnel never
+    // re-mints (the same contract as compact's rewrite outputs)
+    val ridMark: Map[String, String] =
+      if (lineage) Map("rid_materialized" -> "true") else Map.empty
     val newFileStats = withBloomStats(db, table, newFiles.map(f =>
-      f -> FileStats.fromFooter(root.resolve(f), schema, conf)).toMap, schema)
+      f -> (FileStats.fromFooter(root.resolve(f), schema, conf) ++ ridMark)).toMap, schema)
     val added = newFiles.map(f => newFileStats(f).get("rows").map(_.toLong))
     // every killed position re-inserts exactly once — assert the invariant
     // from the two writes' own footers rather than assuming it
@@ -2651,8 +2687,11 @@ final class SnapshotCatalog(
     }
     // pass 1: positions of target rows whose key appears in the source
     val srcKeys = source.select(keys.map(k => col(s"`$k`")): _*).dropDuplicates()
-    val matched = readVisibleWithPos(db, table, prev, cands)
-      .join(srcKeys, keys, "left_semi")
+    val lineage = rowLineageEnabled(db, table)
+    val matched =
+      (if (lineage) readVisibleWithPosAndRid(db, table, prev, cands)
+       else readVisibleWithPos(db, table, prev, cands))
+        .join(srcKeys, keys, "left_semi")
     val fileEntries = writePositionDeletes(db, table, newId, matched, tag)
     val deleted = fileEntries.map(_.rows).sum
     // pass 2: ALL source rows append as the delta (replacements + inserts);
@@ -2660,7 +2699,27 @@ final class SnapshotCatalog(
     // __bucket=b/ dirs like every appendBucketed commit
     val snapDirRel = s"data/s$newId$tag"
     val snapDir = tablePath(db, table).resolve("data").resolve(s"s$newId$tag")
-    val delta0 = source.select(cols.map(c => col(s"`$c`")): _*)
+    val delta0 = {
+      val src = source.select(cols.map(c => col(s"`$c`")): _*)
+      if (!lineage) src
+      else {
+        // ROW LINEAGE (Iceberg-v3 upsert split): a source row whose key
+        // MATCHED inherits the dying row's identity — it is an update,
+        // not a new row — while NEW-key rows leave __rid null and the
+        // commit funnel's first_row_id claim mints their fresh ids via
+        // coalesce(__rid, first_row_id + pos) on the read side. Keys
+        // with several dying rows inherit the smallest id
+        // (deterministic); keys DUPLICATED in the source take fresh ids
+        // for every copy — inheriting one id N times would mint
+        // duplicate identities. The extra aggregate re-walks only the
+        // pruned candidate scan, already key-range-bounded above.
+        val dying = matched.groupBy(keys.map(k => col(s"`$k`")): _*)
+          .agg(min(col("`__rid`")).as("__rid"))
+        val uniqueSrcKeys = src.groupBy(keys.map(k => col(s"`$k`")): _*)
+          .agg(count(lit(1)).as("__cnt")).where(col("__cnt") === 1).drop("__cnt")
+        src.join(dying.join(uniqueSrcKeys, keys, "left_semi"), keys, "left")
+      }
+    }
     val delta = deriveLayout(db, table, delta0)
     val writer = delta.write.mode("overwrite")
     (if (tm.partitionCols.nonEmpty) writer.partitionBy(tm.partitionCols: _*) else writer)

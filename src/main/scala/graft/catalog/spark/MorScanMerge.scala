@@ -211,6 +211,27 @@ object MorScanMerge {
         cols.map(c => schema(c).dataType).toArray,
         eqKeyTuples(path, cols, conf))
     }
+
+  /** The stable row-id expression of one file's rows for a CDC reader:
+    * `coalesce(physical __rid, first_row_id + row_index)` — the same
+    * identity [[graft.catalog.SnapshotCatalog]]'s `readVisibleWithRid`
+    * serves, computed task-side from the file's frid base (metadata the
+    * driver resolved at planning). A file with neither a physical `__rid`
+    * column nor a recorded base yields null (identity degrades, never
+    * breaks). `dirtySchema` must carry both `__rid` and [[RowIdxCol]]. */
+  def ridExpr(dirtySchema: StructType, relFile: String,
+      frids: Map[String, Long]): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, BoundReference, Coalesce, Literal}
+    import org.apache.spark.sql.types.LongType
+    val idxOrd = dirtySchema.fieldIndex(RowIdxCol)
+    val physOrd = dirtySchema.fieldIndex("__rid")
+    val derived = frids.get(relFile) match {
+      case Some(b) =>
+        new Add(Literal(b, LongType), BoundReference(idxOrd, LongType, nullable = true))
+      case None => Literal(null, LongType)
+    }
+    Coalesce(Seq(BoundReference(physOrd, LongType, nullable = true), derived))
+  }
 }
 
 /** One covered file's chunk(s): the delegate partition reads this file
@@ -347,7 +368,9 @@ final class DeadRowsReaderFactory(
     out: StructType,
     tagCol: String,
     tag: String,
-    confMap: Map[String, String]) extends PartitionReaderFactory {
+    confMap: Map[String, String],
+    ridCol: Option[String] = None,
+    frids: Map[String, Long] = Map.empty) extends PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.expressions.Literal
   import org.apache.spark.unsafe.types.UTF8String
 
@@ -364,6 +387,8 @@ final class DeadRowsReaderFactory(
     val proj = UnsafeProjection.create(out.fields.map { f =>
       if (f.name == tagCol)
         Literal(UTF8String.fromString(tag), org.apache.spark.sql.types.StringType)
+      else if (ridCol.contains(f.name))
+        MorScanMerge.ridExpr(dirtySchema, mp.relFile, frids)
       else {
         val i = dirtySchema.fieldIndex(f.name)
         BoundReference(i, dirtySchema(i).dataType, dirtySchema(i).nullable)
@@ -406,7 +431,9 @@ final class EqDeadRowsReaderFactory(
     out: StructType,
     tagCol: String,
     tag: String,
-    confMap: Map[String, String]) extends PartitionReaderFactory {
+    confMap: Map[String, String],
+    ridCol: Option[String] = None,
+    frids: Map[String, Long] = Map.empty) extends PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.expressions.Literal
   import org.apache.spark.unsafe.types.UTF8String
 
@@ -426,6 +453,8 @@ final class EqDeadRowsReaderFactory(
     val proj = UnsafeProjection.create(out.fields.map { f =>
       if (f.name == tagCol)
         Literal(UTF8String.fromString(tag), org.apache.spark.sql.types.StringType)
+      else if (ridCol.contains(f.name))
+        MorScanMerge.ridExpr(dirtySchema, mp.relFile, frids)
       else {
         val i = dirtySchema.fieldIndex(f.name)
         BoundReference(i, dirtySchema(i).dataType, dirtySchema(i).nullable)
@@ -472,6 +501,48 @@ final class TaggingReaderFactory(
       else {
         val i = dataSchema.fieldIndex(f.name)
         BoundReference(i, dataSchema(i).dataType, dataSchema(i).nullable)
+      }
+    }.toIndexedSeq)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = proj(r.get())
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    throw new UnsupportedOperationException("CDC insert partitions are row-based")
+}
+
+/** CDC insert-side reader for ROW-LINEAGE tables: like
+  * [[TaggingReaderFactory]] but fed one-file-per-partition
+  * ([[MorFilePartition]], empty shard lists) so each task can compute its
+  * rows' stable `_row_id` via [[MorScanMerge.ridExpr]] — the id a
+  * `readWithRowIds` of the committed snapshot would serve, emitted with
+  * the insert image so a CDC consumer keys on identity from day one. */
+final class RidTaggingReaderFactory(
+    inner: PartitionReaderFactory,
+    dirtySchema: StructType,
+    out: StructType,
+    tagCol: String,
+    tag: String,
+    ridCol: String,
+    frids: Map[String, Long]) extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val mp = p.asInstanceOf[MorFilePartition]
+    val r = inner.createReader(mp.delegate)
+    val proj = UnsafeProjection.create(out.fields.map { f =>
+      if (f.name == tagCol)
+        Literal(UTF8String.fromString(tag), org.apache.spark.sql.types.StringType)
+      else if (f.name == ridCol)
+        MorScanMerge.ridExpr(dirtySchema, mp.relFile, frids)
+      else {
+        val i = dirtySchema.fieldIndex(f.name)
+        BoundReference(i, dirtySchema(i).dataType, dirtySchema(i).nullable)
       }
     }.toIndexedSeq)
     new PartitionReader[InternalRow] {

@@ -1396,7 +1396,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * ordinal column. Row-based by design (CDC is consumed row-wise). */
   private final class SnapChangesStream(db: String, table: String,
       prunedSchema: StructType, visibleSchema: StructType, partitioned: Boolean,
-      options: CaseInsensitiveStringMap)
+      options: CaseInsensitiveStringMap, lineageRid: Boolean = false)
       extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
       with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
     import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan => _}
@@ -1463,7 +1463,20 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       if (s >= e) return Array.empty
       val root = java.nio.file.Paths.get(warehouse, db, table)
       val rootPrefix = root.toString + java.io.File.separator
-      val dataCols = StructType(prunedSchema.fields.filterNot(_.name == TagCol))
+      // ROW LINEAGE: when the table tracks it and the consumer kept the
+      // `_row_id` column, every image computes its stable id task-side
+      // (coalesce(physical __rid, first_row_id + row_index)); the frid
+      // bases resolve from per-file commit metadata at planning
+      val RidCol = "_row_id"
+      val ridOn = lineageRid && prunedSchema.fieldNames.contains(RidCol)
+      val ridPhysField = StructField("__rid",
+        org.apache.spark.sql.types.LongType, nullable = true)
+      def fridsOf(snap: graft.catalog.Snapshot, files: Seq[String]): Map[String, Long] =
+        if (!ridOn) Map.empty
+        else files.flatMap(f => snap.fileStats.get(f)
+          .flatMap(_.get("first_row_id")).map(f -> _.toLong)).toMap
+      val dataCols = StructType(prunedSchema.fields.filterNot(f =>
+        f.name == TagCol || (ridOn && f.name == RidCol)))
       lazy val confMap: Map[String, String] = {
         val c = spark.sessionState.newHadoopConf()
         c.iterator().asScala.map(en => en.getKey -> en.getValue).toMap
@@ -1474,21 +1487,42 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           (if (partitioned) Map("basePath" -> root.resolve(dir).toString)
            else Map.empty[String, String]) -> fs
         }
-      def insertParts(added: Seq[String]): Seq[InputPartition] =
+      def insertParts(added: Seq[String], frids: Map[String, Long]): Seq[InputPartition] =
         byDir(added).flatMap { case (opts, fs) =>
           val cism = new CaseInsensitiveStringMap(opts.asJava)
-          val builder = ParquetTable(s"$db.$table changes ins", spark, cism,
-            fs.map(f => root.resolve(f).toString), Some(visibleSchema),
-            classOf[ParquetFileFormat]).newScanBuilder(cism)
-          builder.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
-            .pruneColumns(dataCols)
-          val scan = builder.build()
-          val b = scan.toBatch
-          val f = new TaggingReaderFactory(b.createReaderFactory(),
-            scan.readSchema(), prunedSchema, TagCol, "insert")
-          b.planInputPartitions().toSeq.map(p => CarriedFactoryPartition(p, f))
+          if (!ridOn) {
+            val builder = ParquetTable(s"$db.$table changes ins", spark, cism,
+              fs.map(f => root.resolve(f).toString), Some(visibleSchema),
+              classOf[ParquetFileFormat]).newScanBuilder(cism)
+            builder.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+              .pruneColumns(dataCols)
+            val scan = builder.build()
+            val b = scan.toBatch
+            val f = new TaggingReaderFactory(b.createReaderFactory(),
+              scan.readSchema(), prunedSchema, TagCol, "insert")
+            b.planInputPartitions().toSeq.map(p => CarriedFactoryPartition(p, f))
+          } else {
+            // lineage: per-file partitions (the rid base is per-file) over
+            // a sub-scan carrying the physical __rid + row-index columns
+            val idxField = StructField(MorScanMerge.RowIdxCol,
+              org.apache.spark.sql.types.LongType, nullable = true)
+            val schemaIdx = StructType(
+              (visibleSchema.fields :+ ridPhysField) :+ idxField)
+            val builder = ParquetTable(s"$db.$table changes ins", spark, cism,
+              fs.map(f => root.resolve(f).toString), Some(schemaIdx),
+              classOf[ParquetFileFormat]).newScanBuilder(cism)
+            builder.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+              .pruneColumns(StructType((dataCols.fields :+ ridPhysField) :+ idxField))
+            val scan = builder.build()
+            val b = scan.toBatch
+            val f = new RidTaggingReaderFactory(b.createReaderFactory(),
+              scan.readSchema(), prunedSchema, TagCol, "insert", RidCol, frids)
+            MorScanMerge.perFilePartitions(b.planInputPartitions(), rootPrefix,
+              _ => Seq.empty).toSeq.map(p => CarriedFactoryPartition(p, f))
+          }
         }
-      def deleteParts(newShards: Seq[graft.catalog.DeleteFile]): Seq[InputPartition] = {
+      def deleteParts(newShards: Seq[graft.catalog.DeleteFile],
+          frids: Map[String, Long]): Seq[InputPartition] = {
         val covered = newShards.flatMap(_.covers.keys).distinct.sorted
         def shardsFor(rel: String): Seq[String] =
           newShards.filter(_.covers.contains(rel))
@@ -1497,16 +1531,19 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           org.apache.spark.sql.types.LongType, nullable = true)
         byDir(covered).flatMap { case (opts, fs) =>
           val cism = new CaseInsensitiveStringMap(opts.asJava)
-          val schemaIdx = StructType(visibleSchema.fields :+ idxField)
+          val schemaIdx = StructType((visibleSchema.fields ++
+            (if (ridOn) Seq(ridPhysField) else Nil)) :+ idxField)
           val builder = ParquetTable(s"$db.$table changes del", spark, cism,
             fs.map(f => root.resolve(f).toString), Some(schemaIdx),
             classOf[ParquetFileFormat]).newScanBuilder(cism)
           builder.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
-            .pruneColumns(StructType(dataCols.fields :+ idxField))
+            .pruneColumns(StructType((dataCols.fields ++
+              (if (ridOn) Seq(ridPhysField) else Nil)) :+ idxField))
           val scan = builder.build()
           val b = scan.toBatch
           val f = new DeadRowsReaderFactory(b.createReaderFactory(),
-            scan.readSchema(), prunedSchema, TagCol, "delete", confMap)
+            scan.readSchema(), prunedSchema, TagCol, "delete", confMap,
+            if (ridOn) Some(RidCol) else None, frids)
           MorScanMerge.perFilePartitions(b.planInputPartitions(), rootPrefix, shardsFor)
             .toSeq.map(p => CarriedFactoryPartition(p, f))
         }
@@ -1533,7 +1570,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         val eqKeyCols = (newEq ++ prevEq).flatMap(_.eqCols).distinct
         byDir(covered).flatMap { case (opts, fs) =>
           val cism = new CaseInsensitiveStringMap(opts.asJava)
-          val schemaIdx = StructType(visibleSchema.fields :+ idxField)
+          val schemaIdx = StructType((visibleSchema.fields ++
+            (if (ridOn) Seq(ridPhysField) else Nil)) :+ idxField)
           val builder = ParquetTable(s"$db.$table changes eqdel", spark, cism,
             fs.map(f => root.resolve(f).toString), Some(schemaIdx),
             classOf[ParquetFileFormat]).newScanBuilder(cism)
@@ -1541,11 +1579,14 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             .filterNot(c => dataCols.fieldNames.contains(c))
             .map(c => visibleSchema(c))
           builder.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
-            .pruneColumns(StructType((dataCols.fields ++ missingKeys) :+ idxField))
+            .pruneColumns(StructType((dataCols.fields ++ missingKeys ++
+              (if (ridOn) Seq(ridPhysField) else Nil)) :+ idxField))
           val scan = builder.build()
           val b = scan.toBatch
           val f = new EqDeadRowsReaderFactory(b.createReaderFactory(),
-            scan.readSchema(), prunedSchema, TagCol, "delete", confMap)
+            scan.readSchema(), prunedSchema, TagCol, "delete", confMap,
+            if (ridOn) Some(RidCol) else None,
+            fridsOf(prev, covered))
           MorScanMerge.perFilePartitions(b.planInputPartitions(), rootPrefix,
             posShardsFor, prevEqFor, newEqFor)
             .toSeq.map(p => CarriedFactoryPartition(p, f))
@@ -1587,8 +1628,10 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
                 s"${bad.mkString(",")} - use the batch db.t.changes diff")
             parts ++= eqDeleteParts(newEq, prevSnap)
           }
-          parts ++= deleteParts(newPos)
-          parts ++= insertParts(snap.files.filterNot(prevFiles))
+          parts ++= deleteParts(newPos,
+            fridsOf(prevSnap, newPos.flatMap(_.covers.keys).distinct))
+          val added = snap.files.filterNot(prevFiles)
+          parts ++= insertParts(added, fridsOf(snap, added))
         }
         prevSnap = snap
         prevFiles = files
@@ -1910,9 +1953,15 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * analysis time; reading without the extensions fails with guidance. */
   private final class ChangesMetaTable(db: String, table: String)
       extends Table with SupportsRead with ChangelogViewable {
+    // row-lineage tables carry each pre/post-image's stable `_row_id`
+    // through the CDC surface (Iceberg v3: consumers correlate a row's
+    // delete and re-insert by identity, not value)
+    private val withRid = cat.rowLineageEnabled(db, table)
     private val tableSchema = StructType(
-      cat.currentSnapshot(db, table).schema.fields
-        .filterNot(f => cat.meta(db, table).hiddenCols(f.name)) :+
+      (cat.currentSnapshot(db, table).schema.fields
+        .filterNot(f => cat.meta(db, table).hiddenCols(f.name)) ++
+        (if (withRid) Seq(StructField("_row_id",
+          org.apache.spark.sql.types.LongType, nullable = true)) else Nil)) :+
         StructField("_change_type", org.apache.spark.sql.types.StringType,
           nullable = false))
     override def name(): String = s"$catalogName.$db.$table.changes"
@@ -1952,7 +2001,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             override def toMicroBatchStream(checkpointLocation: String)
                 : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
               new SnapChangesStream(db, table, pruned, visibleSchema,
-                partitioned, options)
+                partitioned, options, lineageRid = withRid)
             override def description(): String = s"$name CDC"
           }
       }

@@ -90,7 +90,7 @@ class RowLineageSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap == withNew, "bin-pack must preserve identity")
   }
 
-  test("MoR delete keeps survivors' ids; upsert post-image is a new row id") {
+  test("MoR delete keeps survivors' ids; update/upsert PRESERVE identity (v3)") {
     val (cat, _) = freshCat()
     lineageTable(cat, "m")
     cat.append("db", "m", (0L until 10L).map(k => (k, s"a$k")).toDF("k", "v")
@@ -103,14 +103,100 @@ class RowLineageSpec extends AnyFunSuite {
     cat.upsertMoR("db", "m", Seq((7L, "UPDATED"), (50L, "NEW")).toDF("k", "v"),
       keys = Seq("k"))
     val up = ids(cat, "m")
-    // delete+insert semantics: the post-image gets a fresh id from the
-    // claimed range; identity transfer needs writer support (documented)
-    assert(up(7L) >= 10L && up(50L) >= 10L && up(7L) != up(50L), up.toString)
+    // Iceberg-v3 upsert split: the matched post-image INHERITS the dying
+    // row's identity (it is an update), the new-key row mints fresh
+    assert(up(7L) == 7L, s"matched post-image must inherit id 7: $up")
+    assert(up(50L) >= 10L, s"new-key row must mint a fresh id: $up")
     assert(up.values.toSet.size == up.size, "ids stay unique")
+    assert(cat.readLatest("db", "m").where(col("k") === 7L)
+      .select("v").as[String].head() == "UPDATED")
 
     // uniqueness + density: all ids distinct, none exceeds the high-water
     val next = cat.currentSnapshot("db", "m").summary("next-row-id").toLong
     assert(up.values.forall(_ < next))
+
+    // updateMoR: every matched row's post-image keeps its own id
+    cat.updateMoR("db", "m", col("k") === 5L, Map("v" -> lit("patched")))
+    val upd = ids(cat, "m")
+    assert(upd == up, s"update must move values, never identity: $upd vs $up")
+    assert(cat.readLatest("db", "m").where(col("k") === 5L)
+      .select("v").as[String].head() == "patched")
+
+    // identity survives a compact OVER the preserved post-images
+    cat.compact("db", "m", numFiles = 1)
+    assert(ids(cat, "m") == upd, "compact after update/upsert keeps ids")
+
+    // DUPLICATE source keys take fresh ids for every copy — inheriting
+    // one id twice would mint duplicate identities
+    cat.upsertMoR("db", "m", Seq((4L, "d1"), (4L, "d2")).toDF("k", "v"),
+      keys = Seq("k"))
+    val rows = cat.readWithRowIds("db", "m").select("k", "_row_id")
+      .as[(Long, Long)].collect().toSeq
+    val k4 = rows.filter(_._1 == 4L).map(_._2)
+    assert(k4.size == 2 && k4.distinct.size == 2 && !k4.contains(4L),
+      s"dup-key copies must all mint fresh: $k4")
+    assert(rows.map(_._2).distinct.size == rows.size, "global id uniqueness")
+  }
+
+  test("changelog carries _row_id: deletes serve the dying id, updates keep it") {
+    val (cat, wh) = freshCat()
+    lineageTable(cat, "cl")
+    cat.append("db", "cl", (0L until 6L).map(k => (k, s"a$k")).toDF("k", "v")
+      .repartition(1).sortWithinPartitions("k")) // snap 2: ids 0..5
+    val base = cat.currentSnapshotId("db", "cl")
+    cat.deleteMoR("db", "cl", col("k") === 2L)
+    cat.upsertMoR("db", "cl", Seq((4L, "U"), (50L, "N")).toDF("k", "v"),
+      keys = Seq("k"))
+    val head = cat.currentSnapshotId("db", "cl")
+    val diff = cat.readChangelog("db", "cl", base, head)
+      .select("k", "_row_id", "_change_type")
+      .as[(Long, Long, String)].collect().toSeq
+    val dels = diff.filter(_._3 == "delete").map(r => r._1 -> r._2).toMap
+    val ins = diff.filter(_._3 == "insert").map(r => r._1 -> r._2).toMap
+    assert(dels == Map(2L -> 2L, 4L -> 4L), s"dying pre-images carry their ids: $diff")
+    // the upsert's update half carries id 4 on BOTH images — the
+    // correlation Iceberg v3 carries identity for; the new row is fresh
+    assert(ins(4L) == 4L, s"post-image keeps the pre-image id: $diff")
+    assert(ins(50L) >= 6L, diff.toString)
+
+    // the SQL `.changes` relation serves the same, with _row_id in schema
+    spark.conf.set("spark.sql.catalog.rlcg", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.rlcg.warehouse", wh)
+    val sqlDiff = spark.read
+      .option("from-snapshot-id", base).option("to-snapshot-id", head)
+      .table("rlcg.db.cl.changes")
+      .select("k", "_row_id", "_change_type")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(sqlDiff.toSet == diff.toSet, s"$sqlDiff vs $diff")
+  }
+
+  test(".changes STREAM serves _row_id per commit (insert and delete images)") {
+    val (cat, wh) = freshCat()
+    lineageTable(cat, "cs")
+    cat.append("db", "cs", (0L until 5L).map(k => (k, s"a$k")).toDF("k", "v")
+      .repartition(1).sortWithinPartitions("k")) // ids 0..4, before stream
+    spark.conf.set("spark.sql.catalog.rlcs", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.rlcs.warehouse", wh)
+    val q = spark.readStream.table("rlcs.db.cs.changes")
+      .writeStream.format("memory").queryName("cs_chg").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      cat.append("db", "cs", Seq((10L, "n1"), (11L, "n2")).toDF("k", "v")
+        .repartition(1).sortWithinPartitions("k")) // ids 5,6
+      q.processAllAvailable()
+      cat.deleteMoR("db", "cs", col("k") === 1L) // dying id 1
+      q.processAllAvailable()
+      cat.updateMoR("db", "cs", col("k") === 10L, Map("v" -> lit("patched")))
+      q.processAllAvailable()
+      val got = spark.table("cs_chg").select("k", "_row_id", "_change_type")
+        .as[(Long, Long, String)].collect().toSeq.sorted
+      assert(got == Seq(
+        (1L, 1L, "delete"),                        // dying pre-image's id
+        (10L, 5L, "delete"), (10L, 5L, "insert"),  // update: both images, SAME id
+        (10L, 5L, "insert"),                       // original append image
+        (11L, 6L, "insert")
+      ).sorted, got.toString)
+    } finally q.stop()
   }
 
   test("SQL surface: db.t.rows serves _row_id; refuses on untracked tables") {
