@@ -1167,6 +1167,35 @@ object SparkEntry {
         "GROUP BY event_type ORDER BY event_type")
     }),
 
+    // MONTH-granularity hidden partitioning (r10): orders lay out under
+    // months(o_orderdate) — CALENDAR units (28-31 days, leap years), not
+    // the constant-length floor division of q120. The query REQUIRES
+    // that a 5-month window pruned the scan to at most 5 month dirs
+    // (kept < total), then the monthly aggregate over the pruned scan
+    // must equal the oracle's full-table replay.
+    "q125_month_partitioning" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (!cat.tableExists("maint", "orders_monthly")) {
+        val o = T(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+        cat.createTransformPartitionedTable("maint", "orders_monthly",
+          o.schema, "o_orderdate", "month")
+        cat.appendTransformed("maint", "orders_monthly", o.repartition(1))
+      }
+      val snap = cat.currentSnapshot("maint", "orders_monthly")
+      val kept = cat.pruneFiles("maint", "orders_monthly", snap.snapshotId,
+        col("o_orderdate") >= lit("1996-02-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))._1.size
+      require(kept < snap.files.size && kept <= 5,
+        s"month partitioning must prune to the window: kept $kept of ${snap.files.size}")
+      s.sql("SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mon, count(*) AS n, " +
+        "sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS cents " +
+        "FROM snapdml.maint.orders_monthly " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-02-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' " +
+        "GROUP BY mon ORDER BY mon")
+    }),
+
     // materialized view (r8): the body runs once against pinned base
     // snapshots into a backing table; the SQL read serves the TABLE via
     // the substitution redirect. The oracle replays the body + the
@@ -2819,6 +2848,16 @@ object SparkEntry {
         |SELECT o_orderkey, CAST(rid AS BIGINT) AS _row_id
         |FROM (SELECT * FROM evens UNION ALL SELECT * FROM odds)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the pruned month-window scan must equal the full-table replay
+    "q125_month_partitioning" ->
+      """SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mon,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-02-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY mon ORDER BY mon""".stripMargin,
 
     // the pruned day-window scan must equal the full-table replay
     "q120_hidden_partitioning" ->

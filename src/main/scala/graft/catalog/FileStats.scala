@@ -369,33 +369,66 @@ object TimeTransform {
   /** The hidden layout column. */
   val Col = "__pt"
 
-  val Kinds: Set[String] = Set("hour", "day")
+  val Kinds: Set[String] = Set("hour", "day", "month", "year")
 
+  /** Constant-length units only — `month`/`year` are CALENDAR arithmetic
+    * (28–31-day months, leap years) and take the [[ptOfMicros]] calendar
+    * path instead; asking for their "unit seconds" is a bug. */
   def unitSeconds(kind: String): Long = kind match {
     case "hour" => 3600L
     case "day"  => 86400L
     case other  => throw new IllegalArgumentException(
-      s"unsupported partition transform '$other' (supported: hour, day)")
+      s"transform '$other' has no constant unit length")
   }
 
   /** Partition value of an epoch-MICROS timestamp (catalyst's literal
-    * representation): floor division, so pre-1970 instants land in the
-    * correct (negative) unit. */
-  def ptOfMicros(kind: String, micros: Long): Long =
-    Math.floorDiv(micros, unitSeconds(kind) * 1000000L)
+    * representation). `hour`/`day`: floor division, so pre-1970 instants
+    * land in the correct (negative) unit. `month`/`year`: the UTC
+    * calendar decomposition (Iceberg's transform semantics — months
+    * since 1970-01, years since 1970), which floor division cannot
+    * express because the unit length varies. */
+  def ptOfMicros(kind: String, micros: Long): Long = kind match {
+    case "hour" | "day" =>
+      Math.floorDiv(micros, unitSeconds(kind) * 1000000L)
+    case "month" | "year" =>
+      // floorDiv so a pre-1970 instant maps to the second CONTAINING it
+      // (the truncated-toward-zero quotient would shift it one forward)
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), 0, java.time.ZoneOffset.UTC)
+      if (kind == "month") (ldt.getYear - 1970).toLong * 12L + (ldt.getMonthValue - 1)
+      else (ldt.getYear - 1970).toLong
+    case other => throw new IllegalArgumentException(
+      s"unsupported partition transform '$other' (supported: ${Kinds.mkString(", ")})")
+  }
 
-  /** Write-side derivation: `floor(seconds / unit)`. The timestamp casts
-    * to DOUBLE seconds — exact for any realistic instant (|sec| < 2^52),
-    * and an exact multiple of the unit divides to an exact integer, so
-    * boundary instants land on the right side deterministically. */
+  /** Write-side derivation. `hour`/`day`: `floor(seconds / unit)` — the
+    * timestamp casts to DOUBLE seconds (exact for any realistic instant,
+    * |sec| < 2^52), and an exact multiple of the unit divides to an exact
+    * integer, so boundary instants land on the right side
+    * deterministically. `month`/`year`: calendar decomposition via
+    * `year()`/`month()`. Session-timezone dependence (guarded by the
+    * catalog's create/derive paths): the hour/day path is TZ-independent
+    * for TIMESTAMP (epoch seconds) but reads NTZ through a session-zone
+    * cast; the month/year path is TZ-independent for NTZ (calendar
+    * fields are literal) but reads TIMESTAMP through the session-zone
+    * calendar. */
   def ptColumn(kind: String, ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    // TIMESTAMP_NTZ has no direct double cast: go through TIMESTAMP
-    // (no-op for an LTZ column; NTZ interprets in the session zone — UTC
-    // in this library's documented deployment shape, matching the UTC
-    // micros the pruning side reads from NTZ literals)
-    floor(ts.cast("timestamp").cast("double") /
-      lit(unitSeconds(kind).toDouble)).cast("long")
+    kind match {
+      case "hour" | "day" =>
+        // TIMESTAMP_NTZ has no direct double cast: go through TIMESTAMP
+        // (no-op for an LTZ column; NTZ interprets in the session zone —
+        // UTC in this library's documented deployment shape, matching the
+        // UTC micros the pruning side reads from NTZ literals)
+        floor(ts.cast("timestamp").cast("double") /
+          lit(unitSeconds(kind).toDouble)).cast("long")
+      case "month" =>
+        ((year(ts) - lit(1970)).cast("long") * lit(12L) +
+          (month(ts) - lit(1)).cast("long")).cast("long")
+      case "year" => (year(ts) - lit(1970)).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform '$other' (supported: ${Kinds.mkString(", ")})")
+    }
   }
 
   /** Partition value a committed file's path encodes, None when un-laid
@@ -438,14 +471,12 @@ object TimeTransform {
     var hi: Option[Long] = None
     def raiseLo(p: Long): Unit = lo = Some(lo.fold(p)(math.max(_, p)))
     def lowerHi(p: Long): Unit = hi = Some(hi.fold(p)(math.min(_, p)))
-    // strict `ts < X` at an exact unit boundary excludes X's whole unit
-    // (`ts < midnight` must not plan that day's directory); anywhere
-    // inside a unit it degrades to the containing unit, which is sound
-    def strictHi(m: Long): Long = {
-      val u = unitSeconds(kind) * 1000000L
-      if (Math.floorMod(m, u) == 0L) ptOfMicros(kind, m) - 1
-      else ptOfMicros(kind, m)
-    }
+    // strict `ts < X` admits at most the unit containing X - 1µs: at an
+    // exact unit boundary that excludes X's whole unit (`ts < midnight`
+    // must not plan that day's directory); anywhere inside a unit it
+    // degrades to the containing unit, which is sound. Phrased through
+    // ptOfMicros so it is exact for CALENDAR units (month/year) too.
+    def strictHi(m: Long): Long = ptOfMicros(kind, m - 1)
     conjuncts.flatMap(split).map(foldLits).foreach {
       case GreaterThanOrEqual(a, TsLit(m)) if isKey(a) =>
         raiseLo(ptOfMicros(kind, m))

@@ -476,11 +476,13 @@ final class SnapshotCatalog(
 
   /** HIDDEN-partitioned table by a TIME TRANSFORM of a timestamp column
     * (Iceberg's hidden partitioning): rows lay out under `__pt=N/` dirs
-    * where `__pt = floor(epoch_seconds(tsCol) / unit)` (`kind` = `hour` |
-    * `day`), but the SQL surface never shows `__pt` — users filter the
-    * SOURCE column and [[pruneFiles]] maps timestamp ranges to directory
-    * ranges. Write through [[appendTransformed]] (or SQL INSERT — every
-    * write path derives the layout column). */
+    * where `__pt = floor(epoch_seconds(tsCol) / unit)` for `kind` =
+    * `hour` | `day`, or the UTC calendar ordinal (months since 1970-01 /
+    * years since 1970) for `kind` = `month` | `year` — but the SQL
+    * surface never shows `__pt`: users filter the SOURCE column and
+    * [[pruneFiles]] maps timestamp ranges to directory ranges. Write
+    * through [[appendTransformed]] (or SQL INSERT — every write path
+    * derives the layout column). */
   def createTransformPartitionedTable(db: String, table: String,
       schema: StructType, tsCol: String, kind: String,
       properties: Map[String, String] = Map.empty): Boolean = {
@@ -490,12 +492,39 @@ final class SnapshotCatalog(
       throw new IllegalArgumentException(s"no such column: $tsCol"))
     require(f.dataType.sql == "TIMESTAMP" || f.dataType.sql == "TIMESTAMP_NTZ",
       s"transform column must be TIMESTAMP or TIMESTAMP_NTZ, got ${f.dataType.sql}")
+    requireUtcForTransform(f.dataType, kind)
     createTable(db, table,
       schema.add(org.apache.spark.sql.types.StructField(TimeTransform.Col,
         org.apache.spark.sql.types.LongType, nullable = true)),
       partitionCols = Seq(TimeTransform.Col),
       properties = properties ++
         Map("transform.col" -> tsCol, "transform.kind" -> kind))
+  }
+
+  /** Refuse the (column flavor, transform kind) combinations whose
+    * write-side derivation reads the SESSION time zone while the pruning
+    * side reads raw UTC micros — in a non-UTC session that skew silently
+    * EXCLUDES directories containing matching rows (wrong results, not
+    * just missed pruning). TZ-dependent cells of the matrix: NTZ columns
+    * under hour/day (the cast to TIMESTAMP interprets in the session
+    * zone) and TIMESTAMP columns under month/year (`year()`/`month()`
+    * decompose in the session calendar). The complementary cells are
+    * TZ-independent and pass in any session. */
+  private def requireUtcForTransform(
+      dt: org.apache.spark.sql.types.DataType, kind: String): Unit = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val tzDependent = dt match {
+      case TimestampNTZType => kind == "hour" || kind == "day"
+      case TimestampType    => kind == "month" || kind == "year"
+      case _                => false
+    }
+    if (tzDependent) {
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
+        s"$kind(${dt.sql}) hidden partitioning derives the layout through " +
+          s"the session time zone but prunes in UTC - a '$tz' session would " +
+          "silently mis-prune; set spark.sql.session.timeZone=UTC")
+    }
   }
 
   /** Derive the `__pt` layout column from a transform-partitioned table's
@@ -509,8 +538,12 @@ final class SnapshotCatalog(
         s"$db.$table is not transform-partitioned - create it with " +
           "createTransformPartitionedTable"))
     if (df.columns.contains(TimeTransform.Col)) df
-    else df.withColumn(TimeTransform.Col,
-      coalesce(TimeTransform.ptColumn(kind, col(s"`$tsCol`")), lit(0L)))
+    else {
+      df.schema.fields.find(_.name == tsCol)
+        .foreach(f => requireUtcForTransform(f.dataType, kind))
+      df.withColumn(TimeTransform.Col,
+        coalesce(TimeTransform.ptColumn(kind, col(s"`$tsCol`")), lit(0L)))
+    }
   }
 
   /** Append to a transform-partitioned table: derives `__pt` from the

@@ -771,10 +771,12 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     override def partitioning(): Array[Transform] = bucketSpec match {
       case Some((c, n)) => Array(Expressions.bucket(n, c))
       case None => tableMeta.transformSpec match {
-        // report the TRANSFORM (days(ts)/hours(ts)), not the hidden col —
-        // what DESCRIBE shows and what Iceberg reports for the same spec
-        case Some((c, "day"))  => Array(Expressions.days(c))
-        case Some((c, "hour")) => Array(Expressions.hours(c))
+        // report the TRANSFORM (days(ts)/hours(ts)/...), not the hidden
+        // col — what DESCRIBE shows and what Iceberg reports
+        case Some((c, "day"))   => Array(Expressions.days(c))
+        case Some((c, "hour"))  => Array(Expressions.hours(c))
+        case Some((c, "month")) => Array(Expressions.months(c))
+        case Some((c, "year"))  => Array(Expressions.years(c))
         case _ => tableMeta.partitionCols.map(c => Expressions.identity(c)).toArray
       }
     }
@@ -2140,12 +2142,12 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         val colName = t.references.head.fieldNames.mkString(".")
         cat.createBucketedTable(db, ident.name(), schema, colName, n)
         return loadTable(ident)
-      // CREATE TABLE ... PARTITIONED BY (days(ts) | hours(ts)) -> HIDDEN
-      // time-transform partitioning: writes derive __pt, reads prune
-      // timestamp ranges to __pt=N/ dirs, and the user never sees the
-      // layout column (the Iceberg hidden-partitioning UX)
-      case Array(t) if t.name == "days" || t.name == "hours" =>
-        val kind = if (t.name == "days") "day" else "hour"
+      // CREATE TABLE ... PARTITIONED BY (days(ts)|hours(ts)|months(ts)|
+      // years(ts)) -> HIDDEN time-transform partitioning: writes derive
+      // __pt, reads prune timestamp ranges to __pt=N/ dirs, and the user
+      // never sees the layout column (the Iceberg hidden-partitioning UX)
+      case Array(t) if Set("days", "hours", "months", "years")(t.name) =>
+        val kind = t.name.stripSuffix("s")
         val colName = t.references.head.fieldNames.mkString(".")
         cat.createTransformPartitionedTable(db, ident.name(), schema, colName,
           kind, properties.asScala.toMap - "provider" - "owner" - "location")
@@ -2154,8 +2156,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     }
     val partCols = partitions.map { t =>
       require(t.name == "identity",
-        s"only identity, bucket(n, col), days(ts), or hours(ts) " +
-          s"partitioning supported, got $t")
+        s"only identity, bucket(n, col), days(ts), hours(ts), months(ts), " +
+          s"or years(ts) partitioning supported, got $t")
       t.references.head.fieldNames.mkString(".")
     }
     cat.createTable(db, ident.name(), schema,

@@ -185,4 +185,104 @@ class TransformPartitionSpec extends AnyFunSuite {
       cat.createTransformPartitionedTable("db", "bad", hr.schema, "t", "week")
     }
   }
+
+  test("month/year transforms: calendar arithmetic, leap/pre-1970 edges, pruning") {
+    // calendar ordinals, hand-checked (months since 1970-01 / years
+    // since 1970; floorDiv semantics put pre-1970 instants in the unit
+    // CONTAINING them)
+    def mic(s: String): Long = Instant.parse(s).toEpochMilli * 1000L
+    assert(TimeTransform.ptOfMicros("month", mic("2024-01-15T12:00:00Z")) == 648L)
+    assert(TimeTransform.ptOfMicros("month", mic("2024-02-29T23:59:59Z")) == 649L,
+      "leap day lands in February")
+    assert(TimeTransform.ptOfMicros("month", mic("2024-03-01T00:00:00Z")) == 650L)
+    assert(TimeTransform.ptOfMicros("month", mic("1969-12-31T23:59:59Z")) == -1L,
+      "pre-1970 instant lands in the month containing it")
+    assert(TimeTransform.ptOfMicros("month", mic("1969-07-01T00:00:00Z")) == -6L)
+    assert(TimeTransform.ptOfMicros("year", mic("2024-06-01T00:00:00Z")) == 54L)
+    assert(TimeTransform.ptOfMicros("year", mic("1969-01-01T00:00:00Z")) == -1L)
+    assert(TimeTransform.ptOfMicros("year", mic("1970-01-01T00:00:00Z")) == 0L)
+
+    val (cat, wh) = freshCat()
+    val mrows = Seq(
+      (1L, "2024-01-05T03:00:00Z"), (2L, "2024-01-25T03:00:00Z"),
+      (3L, "2024-02-10T03:00:00Z"), (4L, "2024-02-29T03:00:00Z"),
+      (5L, "2024-03-01T00:00:00Z"), (6L, "2024-04-11T03:00:00Z"))
+      .map { case (i, s) => (i, java.sql.Timestamp.from(Instant.parse(s))) }
+      .toDF("id", "t")
+    cat.createTransformPartitionedTable("db", "mo", mrows.schema, "t", "month")
+    cat.appendTransformed("db", "mo", mrows.repartition(1))
+    // write-side derivation matches the calendar ordinal
+    val pts = cat.readLatest("db", "mo").select("id", "__pt")
+      .as[(Long, Long)].collect().toMap
+    assert(pts == Map(1L -> 648L, 2L -> 648L, 3L -> 649L, 4L -> 649L,
+      5L -> 650L, 6L -> 651L), pts.toString)
+
+    val snap = cat.currentSnapshot("db", "mo")
+    assert(snap.files.size == 4, snap.files.toString) // one per month dir
+    def kept(cond: org.apache.spark.sql.Column): Seq[String] =
+      cat.pruneFiles("db", "mo", snap.snapshotId, cond)._1
+    // a Feb window prunes to exactly the Feb dir — calendar month length
+    // (leap 2024: Feb 29 included) handled exactly
+    val feb = kept(col("t") >= lit("2024-02-01 00:00:00").cast("timestamp") &&
+      col("t") < lit("2024-03-01 00:00:00").cast("timestamp"))
+    assert(feb.size == 1 && feb.forall(_.contains("__pt=649")), feb.toString)
+    // strict upper bound AT a month boundary excludes the boundary month
+    val janOnly = kept(col("t") < lit("2024-02-01 00:00:00").cast("timestamp"))
+    assert(janOnly.size == 1 && janOnly.forall(_.contains("__pt=648")), janOnly.toString)
+    // one microsecond past the boundary admits February
+    val febIn = kept(col("t") < lit("2024-02-01 00:00:00.000001").cast("timestamp"))
+    assert(febIn.size == 2, febIn.toString)
+
+    // SQL lifecycle: months(ts) parses, DESCRIBE reports it, reads prune
+    spark.conf.set("spark.sql.catalog.tpmo", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.tpmo.warehouse", wh)
+    spark.sql("CREATE TABLE tpmo.db.mo2 (id BIGINT, t TIMESTAMP) " +
+      "PARTITIONED BY (months(t))")
+    spark.sql("INSERT INTO tpmo.db.mo2 SELECT id, t FROM tpmo.db.mo")
+    assert(spark.table("tpmo.db.mo2").columns.toSeq == Seq("id", "t"))
+    val parts = spark.sessionState.catalogManager.catalog("tpmo")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "mo2"))
+      .partitioning().map(_.toString).toSeq
+    assert(parts == Seq("months(t)"), parts.toString)
+    assert(spark.sql("SELECT count(*) FROM tpmo.db.mo2 WHERE " +
+      "t >= TIMESTAMP '2024-02-01 00:00:00' AND t < TIMESTAMP '2024-03-01 00:00:00'")
+      .as[Long].head() == 2L)
+
+    // year granularity
+    val yrows = Seq((1L, "1969-06-01T00:00:00Z"), (2L, "2023-12-31T23:59:59Z"),
+      (3L, "2024-01-01T00:00:00Z"))
+      .map { case (i, s) => (i, java.sql.Timestamp.from(Instant.parse(s))) }
+      .toDF("id", "t")
+    cat.createTransformPartitionedTable("db", "yr", yrows.schema, "t", "year")
+    cat.appendTransformed("db", "yr", yrows.repartition(1))
+    assert(cat.readLatest("db", "yr").select("id", "__pt")
+      .as[(Long, Long)].collect().toMap ==
+      Map(1L -> -1L, 2L -> 53L, 3L -> 54L))
+  }
+
+  test("session-timezone guard: TZ-dependent derivations refuse off UTC") {
+    val (cat, _) = freshCat()
+    val ltz = Seq((1L, java.sql.Timestamp.from(Instant.parse("2024-01-05T03:00:00Z"))))
+      .toDF("id", "t")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      // month(TIMESTAMP) decomposes in the session calendar: refuse
+      val e = intercept[IllegalArgumentException] {
+        cat.createTransformPartitionedTable("db", "g1", ltz.schema, "t", "month")
+      }
+      assert(e.getMessage.contains("timeZone"), e.getMessage)
+      // hour/day on TIMESTAMP is epoch arithmetic - TZ-independent, fine
+      cat.createTransformPartitionedTable("db", "g2", ltz.schema, "t", "day")
+      // NTZ under hour/day casts through the session zone: refuse
+      val ntz = ltz.withColumn("t", col("t").cast("timestamp_ntz"))
+      val e2 = intercept[IllegalArgumentException] {
+        cat.createTransformPartitionedTable("db", "g3", ntz.schema, "t", "day")
+      }
+      assert(e2.getMessage.contains("timeZone"), e2.getMessage)
+      // NTZ under month/year reads literal calendar fields: fine
+      cat.createTransformPartitionedTable("db", "g4", ntz.schema, "t", "month")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
