@@ -1196,6 +1196,32 @@ object SparkEntry {
         "GROUP BY mon ORDER BY mon")
     }),
 
+    // TRUNCATE[W] hidden partitioning (r10): part lays out under
+    // truncate[7](p_brand) prefix dirs ("Brand#1".."Brand#5") — string
+    // dir values, the non-time half of Iceberg's transform set. The
+    // query REQUIRES a brand-family prefix predicate pruned the scan
+    // (kept < total), then the per-brand aggregate over the pruned scan
+    // must equal the oracle's full-table replay.
+    "q126_truncate_partitioning" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (!cat.tableExists("maint", "part_brand")) {
+        val p = T(s, dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+        cat.createTruncatePartitionedTable("maint", "part_brand",
+          p.schema, "p_brand", 7)
+        cat.appendTransformed("maint", "part_brand", p.repartition(1))
+      }
+      val snap = cat.currentSnapshot("maint", "part_brand")
+      val kept = cat.pruneFiles("maint", "part_brand", snap.snapshotId,
+        col("p_brand").startsWith("Brand#2"))._1.size
+      require(kept < snap.files.size,
+        s"truncate partitioning must prune the scan: kept $kept of ${snap.files.size}")
+      s.sql("SELECT p_brand, count(*) AS n, " +
+        "sum(CAST(FLOOR(p_retailprice*100) AS BIGINT)) AS cents " +
+        "FROM snapdml.maint.part_brand " +
+        "WHERE p_brand LIKE 'Brand#2%' " +
+        "GROUP BY p_brand ORDER BY p_brand")
+    }),
+
     // materialized view (r8): the body runs once against pinned base
     // snapshots into a backing table; the SQL read serves the TABLE via
     // the substitution redirect. The oracle replays the body + the
@@ -2848,6 +2874,14 @@ object SparkEntry {
         |SELECT o_orderkey, CAST(rid AS BIGINT) AS _row_id
         |FROM (SELECT * FROM evens UNION ALL SELECT * FROM odds)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the pruned brand-prefix scan must equal the full-table replay
+    "q126_truncate_partitioning" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(FLOOR(p_retailprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM part
+        |WHERE p_brand LIKE 'Brand#2%'
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     // the pruned month-window scan must equal the full-table replay
     "q125_month_partitioning" ->

@@ -515,10 +515,170 @@ object TimeTransform {
   }
 
   // analyzer-inserted casts around literals must not defeat the match
-  private def foldLits(e: Expression): Expression = e match {
+  private[catalog] def foldLits(e: Expression): Expression = e match {
     case l: Literal => l
     case c: Cast if c.foldable =>
       try Literal(c.eval(null), c.dataType) catch { case _: Exception => c }
     case other => other.mapChildren(foldLits)
+  }
+}
+
+/** Iceberg's `truncate[W]` hidden-partitioning transform on integral and
+  * string columns: rows lay out under `__pt=<truncated>/` dirs where the
+  * truncated value is `v - (v mod W)` for int/long (floored, so negative
+  * values truncate DOWNWARD — the Iceberg spec) and the first `W`
+  * characters for strings. The user never sees `__pt`; equality/IN/range
+  * predicates on the SOURCE column prune whole directories because
+  * truncation is ORDER-PRESERVING (monotone non-decreasing) in both
+  * domains — `v >= L` implies `trunc(v) >= trunc(L)`, so a source-range
+  * predicate maps to a truncated-range dir predicate soundly.
+  *
+  * The classic use: `truncate[4](part.p_brand)` groups the brand prefix,
+  * `truncate[1000000](order_id)` bins a monotone key into million-row
+  * dirs — prefix lookups and id ranges plan only their bins at 100 TB. */
+object TruncateTransform {
+
+  /** Kinds string recorded in `transform.kind`. */
+  val Kind = "truncate"
+
+  def truncLong(v: Long, w: Long): Long = v - Math.floorMod(v, w)
+
+  def truncStr(s: String, w: Int): String =
+    if (s.length <= w) s else s.substring(0, w)
+
+  /** Write-side derivation of the layout value. Int/long: `v - pmod(v,
+    * W)` (exact integer arithmetic, floor semantics for negatives).
+    * String: `substring(1, W)`. */
+  def ptColumn(dt: org.apache.spark.sql.types.DataType, width: Int,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    dt match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType =>
+        (c.cast("long") - pmod(c.cast("long"), lit(width.toLong))).cast("long")
+      case org.apache.spark.sql.types.StringType => substring(c, 1, width)
+      case other => throw new IllegalArgumentException(
+        s"truncate transform supports INT/BIGINT/STRING columns, got ${other.sql}")
+    }
+  }
+
+  /** The `__pt` dir token of a committed file path (hive-unescaped), None
+    * when un-laid — a pre-adoption flat file prunes conservatively. */
+  def ptTokenOf(path: String): Option[String] =
+    PtTokRe.findFirstMatchIn(path).map(m =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(m.group(1)))
+
+  private val PtTokRe = "__pt=([^/]+)/".r
+
+  /** Hive's null/empty sentinel: rows whose source value was NULL (or
+    * the empty string) land here. Always KEPT — a null never matches a
+    * predicate so over-admission is the sound direction, and a genuine
+    * empty-string value must stay reachable for `col = ''`. */
+  private val DefaultPart = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Keep-decision function over `__pt` dir tokens for the conjuncts of a
+    * pruning predicate. Sound, never complete: unrecognized predicate
+    * shapes contribute no constraint; un-laid files and the hive default
+    * partition always keep. */
+  def admissible(conjuncts: Seq[Expression], srcCol: String, width: Int,
+      dt: org.apache.spark.sql.types.DataType): String => Boolean = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    def isKey(e: Expression): Boolean = e match {
+      case a: Attribute => a.name == srcCol
+      case c: Cast => isKey(c.child) // widening casts the analyzer inserts
+      case _ => false
+    }
+    object LongLit {
+      def unapply(e: Expression): Option[Long] = e match {
+        case Literal(i: Int, IntegerType) => Some(i.toLong)
+        case Literal(l: Long, LongType) => Some(l)
+        case _ => None
+      }
+    }
+    object StrLit {
+      def unapply(e: Expression): Option[String] = e match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          Some(s.toString)
+        case _ => None
+      }
+    }
+    val preds = conjuncts.flatMap(split).map(TimeTransform.foldLits)
+    dt match {
+      case IntegerType | LongType =>
+        val w = width.toLong
+        var lo: Option[Long] = None
+        var hi: Option[Long] = None
+        var inSet: Option[Set[Long]] = None
+        def raiseLo(p: Long): Unit = lo = Some(lo.fold(p)(math.max(_, p)))
+        def lowerHi(p: Long): Unit = hi = Some(hi.fold(p)(math.min(_, p)))
+        preds.foreach {
+          case GreaterThanOrEqual(a, LongLit(v)) if isKey(a) => raiseLo(truncLong(v, w))
+          case GreaterThan(a, LongLit(v)) if isKey(a) => raiseLo(truncLong(v, w))
+          case LessThanOrEqual(a, LongLit(v)) if isKey(a) => lowerHi(truncLong(v, w))
+          // strict `v < X` at an exact bin boundary excludes X's bin
+          case LessThan(a, LongLit(v)) if isKey(a) => lowerHi(truncLong(v - 1, w))
+          case GreaterThanOrEqual(LongLit(v), a) if isKey(a) => lowerHi(truncLong(v, w))
+          case GreaterThan(LongLit(v), a) if isKey(a) => lowerHi(truncLong(v - 1, w))
+          case LessThanOrEqual(LongLit(v), a) if isKey(a) => raiseLo(truncLong(v, w))
+          case LessThan(LongLit(v), a) if isKey(a) => raiseLo(truncLong(v, w))
+          case EqualTo(a, LongLit(v)) if isKey(a) =>
+            raiseLo(truncLong(v, w)); lowerHi(truncLong(v, w))
+          case EqualTo(LongLit(v), a) if isKey(a) =>
+            raiseLo(truncLong(v, w)); lowerHi(truncLong(v, w))
+          case In(a, vs) if isKey(a) && vs.nonEmpty &&
+              vs.forall(v => LongLit.unapply(v).isDefined) =>
+            val s = vs.flatMap(LongLit.unapply).map(truncLong(_, w)).toSet
+            inSet = Some(inSet.fold(s)(_ intersect s))
+          case _ => ()
+        }
+        tok =>
+          tok == DefaultPart || tok.toLongOption.forall(p =>
+            lo.forall(p >= _) && hi.forall(p <= _) && inSet.forall(_.contains(p)))
+      case StringType =>
+        var lo: Option[String] = None
+        var hi: Option[String] = None
+        var inSet: Option[Set[String]] = None
+        def raiseLo(p: String): Unit = lo = Some(lo.fold(p)(Ordering[String].max(_, p)))
+        def lowerHi(p: String): Unit = hi = Some(hi.fold(p)(Ordering[String].min(_, p)))
+        preds.foreach {
+          // truncation is monotone: v >= L  =>  trunc(v) >= trunc(L)
+          // (strict bounds keep the closed truncated bound — one extra
+          // dir class at most, sound)
+          case GreaterThanOrEqual(a, StrLit(v)) if isKey(a) => raiseLo(truncStr(v, width))
+          case GreaterThan(a, StrLit(v)) if isKey(a) => raiseLo(truncStr(v, width))
+          case LessThanOrEqual(a, StrLit(v)) if isKey(a) => lowerHi(truncStr(v, width))
+          case LessThan(a, StrLit(v)) if isKey(a) => lowerHi(truncStr(v, width))
+          case GreaterThanOrEqual(StrLit(v), a) if isKey(a) => lowerHi(truncStr(v, width))
+          case GreaterThan(StrLit(v), a) if isKey(a) => lowerHi(truncStr(v, width))
+          case LessThanOrEqual(StrLit(v), a) if isKey(a) => raiseLo(truncStr(v, width))
+          case LessThan(StrLit(v), a) if isKey(a) => raiseLo(truncStr(v, width))
+          case EqualTo(a, StrLit(v)) if isKey(a) =>
+            raiseLo(truncStr(v, width)); lowerHi(truncStr(v, width))
+          case EqualTo(StrLit(v), a) if isKey(a) =>
+            raiseLo(truncStr(v, width)); lowerHi(truncStr(v, width))
+          // StartsWith prefix shorter than W constrains the dir RANGE
+          // (all W-char tokens extending it — tokens are <= W chars, so
+          // prefix + ￿-padding to W is a tight sound upper bound);
+          // a prefix >= W pins the dir exactly
+          case StartsWith(a, StrLit(v)) if isKey(a) =>
+            if (v.length >= width) {
+              raiseLo(truncStr(v, width)); lowerHi(truncStr(v, width))
+            } else { raiseLo(v); lowerHi(v + "￿".* (width - v.length)) }
+          case In(a, vs) if isKey(a) && vs.nonEmpty &&
+              vs.forall(v => StrLit.unapply(v).isDefined) =>
+            val s = vs.flatMap(StrLit.unapply).map(truncStr(_, width)).toSet
+            inSet = Some(inSet.fold(s)(_ intersect s))
+          case _ => ()
+        }
+        tok =>
+          tok == DefaultPart ||
+            (lo.forall(tok >= _) && hi.forall(tok <= _) && inSet.forall(_.contains(tok)))
+      case _ => _ => true // unsupported type: never created, but degrade safely
+    }
   }
 }

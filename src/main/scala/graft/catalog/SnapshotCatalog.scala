@@ -262,14 +262,19 @@ final case class TableMeta(
     }
 
   /** (source column, transform kind) when this table is HIDDEN-partitioned
-    * by a time transform of a timestamp column (`hour`/`day`/`month`) —
-    * the Iceberg hidden-partitioning model: the user queries the SOURCE
+    * by a transform — a time transform (`hour`/`day`/`month`/`year`) of a
+    * timestamp column or `truncate` of an int/long/string column — the
+    * Iceberg hidden-partitioning model: the user queries the SOURCE
     * column, the layout rides a derived `__pt` directory column. */
   def transformSpec: Option[(String, String)] =
     (properties.get("transform.col"), properties.get("transform.kind")) match {
       case (Some(c), Some(k)) => Some((c, k))
       case _ => None
     }
+
+  /** Truncation width when `transformSpec`'s kind is `truncate`. */
+  def transformWidth: Option[Int] =
+    properties.get("transform.width").map(_.toInt)
 
   /** Layout columns derived by the engine, hidden from the SQL-visible
     * schema (`__bucket` for bucketed tables, `__pt` for transform-
@@ -527,18 +532,58 @@ final class SnapshotCatalog(
     }
   }
 
+  /** HIDDEN-partitioned table by Iceberg's `truncate[width]` transform of
+    * an int/long/string column: rows lay out under `__pt=<truncated>/`
+    * dirs (`v - (v mod W)` for integrals — floor semantics, negative
+    * values bin downward; the first `W` characters for strings), the SQL
+    * surface never shows `__pt`, and equality/IN/range/prefix predicates
+    * on the SOURCE column prune whole bins ([[TruncateTransform]]). */
+  def createTruncatePartitionedTable(db: String, table: String,
+      schema: StructType, srcCol: String, width: Int,
+      properties: Map[String, String] = Map.empty): Boolean = {
+    require(width > 0, s"truncate width must be positive, got $width")
+    val f = schema.fields.find(_.name == srcCol).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $srcCol"))
+    val ptType: org.apache.spark.sql.types.DataType = f.dataType match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => org.apache.spark.sql.types.LongType
+      case org.apache.spark.sql.types.StringType => org.apache.spark.sql.types.StringType
+      case other => throw new IllegalArgumentException(
+        s"truncate transform supports INT/BIGINT/STRING columns, got ${other.sql}")
+    }
+    createTable(db, table,
+      schema.add(org.apache.spark.sql.types.StructField(TimeTransform.Col,
+        ptType, nullable = true)),
+      partitionCols = Seq(TimeTransform.Col),
+      properties = properties ++ Map("transform.col" -> srcCol,
+        "transform.kind" -> TruncateTransform.Kind,
+        "transform.width" -> width.toString))
+  }
+
   /** Derive the `__pt` layout column from a transform-partitioned table's
     * recorded spec (no-op if the frame already carries it). NULL
-    * timestamps land in partition 0 — like the bucket path, a null never
-    * matches a range predicate, and hive's default-partition dir would be
-    * invisible to the dir pruner. */
+    * timestamps land in partition 0 and NULL truncate sources in the
+    * empty/default partition — like the bucket path, a null never matches
+    * a predicate, and the pruner always keeps the default dir. */
   def transformize(db: String, table: String, df: DataFrame): DataFrame = {
-    val (tsCol, kind) = meta(db, table).transformSpec.getOrElse(
+    val tm = meta(db, table)
+    val (tsCol, kind) = tm.transformSpec.getOrElse(
       throw new IllegalArgumentException(
         s"$db.$table is not transform-partitioned - create it with " +
           "createTransformPartitionedTable"))
     if (df.columns.contains(TimeTransform.Col)) df
-    else {
+    else if (kind == TruncateTransform.Kind) {
+      val width = tm.transformWidth.getOrElse(throw new IllegalStateException(
+        s"$db.$table: truncate transform without transform.width"))
+      val dt = df.schema.fields.find(_.name == tsCol).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $tsCol"))
+      val fallback = dt match {
+        case org.apache.spark.sql.types.StringType => lit("")
+        case _ => lit(0L)
+      }
+      df.withColumn(TimeTransform.Col,
+        coalesce(TruncateTransform.ptColumn(dt, width, col(s"`$tsCol`")), fallback))
+    } else {
       df.schema.fields.find(_.name == tsCol)
         .foreach(f => requireUtcForTransform(f.dataType, kind))
       df.withColumn(TimeTransform.Col,
@@ -1366,11 +1411,20 @@ final class SnapshotCatalog(
     val buckets = tm.bucketSpec.flatMap { case (bCol, n) =>
       BucketPruning.admissible(preds, bCol, n)
     }
-    // hidden time-transform partitioning: timestamp range predicates on
-    // the SOURCE column map to `__pt=N/` directory ranges — at 100 TB,
-    // `WHERE ts >= yesterday` must plan two days' dirs, not the lake
-    val ptRange = tm.transformSpec.map { case (tsCol, kind) =>
-      TimeTransform.admissibleRange(preds, tsCol, kind)
+    // hidden transform partitioning: predicates on the SOURCE column map
+    // to `__pt=<v>/` directory constraints — at 100 TB, `WHERE ts >=
+    // yesterday` (or `WHERE brand LIKE 'BR42%'` under truncate) must
+    // plan the matching dirs, not the lake
+    val ptKeep: Option[String => Boolean] = tm.transformSpec.map {
+      case (srcCol, kind) if kind == TruncateTransform.Kind =>
+        val width = tm.transformWidth.getOrElse(1)
+        val dt = schema.fields.find(_.name == srcCol).map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.StringType)
+        val adm = TruncateTransform.admissible(preds, srcCol, width, dt)
+        (f: String) => TruncateTransform.ptTokenOf(f).forall(adm)
+      case (tsCol, kind) =>
+        val r = TimeTransform.admissibleRange(preds, tsCol, kind)
+        (f: String) => TimeTransform.admits(r, f)
     }
     // hive-laid files carry partition VALUES in the path, not the footer
     // (partitionBy drops the column from the file): parse `col=value`
@@ -1395,7 +1449,7 @@ final class SnapshotCatalog(
     snap.files.partition { f =>
       val st = snap.fileStats.getOrElse(f, Map.empty) ++ pathStats(f)
       buckets.forall(adm => BucketPruning.bucketIdOf(f).forall(adm.contains)) &&
-        ptRange.forall(TimeTransform.admits(_, f)) &&
+        ptKeep.forall(_(f)) &&
         (st.isEmpty || preds.forall(FileStats.mayMatch(st, schema, _,
           rel => BloomStats.load(tablePath(db, table).resolve(rel)))))
     }

@@ -363,8 +363,15 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         val hiddenFields = Seq(
           tm.bucketSpec.map(_ => StructField("__bucket",
             org.apache.spark.sql.types.IntegerType, nullable = true)),
+          // __pt's type follows the transform: LONG for time/integral
+          // truncate, STRING for string truncate — read it off the
+          // committed snapshot schema rather than re-deriving
           tm.transformSpec.map(_ => StructField(graft.catalog.TimeTransform.Col,
-            org.apache.spark.sql.types.LongType, nullable = true))).flatten
+            cat.currentSnapshot(db, table).schema.fields
+              .find(_.name == graft.catalog.TimeTransform.Col)
+              .map(_.dataType)
+              .getOrElse(org.apache.spark.sql.types.LongType),
+            nullable = true))).flatten
         cat.adoptStreaming(db, table, operation, laid,
           StructType(info.schema.fields ++ hiddenFields),
           sinkId, epochId)
@@ -771,12 +778,16 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     override def partitioning(): Array[Transform] = bucketSpec match {
       case Some((c, n)) => Array(Expressions.bucket(n, c))
       case None => tableMeta.transformSpec match {
-        // report the TRANSFORM (days(ts)/hours(ts)/...), not the hidden
-        // col — what DESCRIBE shows and what Iceberg reports
+        // report the TRANSFORM (days(ts)/truncate(4, c)/...), not the
+        // hidden col — what DESCRIBE shows and what Iceberg reports
         case Some((c, "day"))   => Array(Expressions.days(c))
         case Some((c, "hour"))  => Array(Expressions.hours(c))
         case Some((c, "month")) => Array(Expressions.months(c))
         case Some((c, "year"))  => Array(Expressions.years(c))
+        case Some((c, graft.catalog.TruncateTransform.Kind)) =>
+          Array(Expressions.apply("truncate",
+            Expressions.literal(tableMeta.transformWidth.getOrElse(1)),
+            Expressions.column(c)))
         case _ => tableMeta.partitionCols.map(c => Expressions.identity(c)).toArray
       }
     }
@@ -874,9 +885,18 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             p => adm.forall(s =>
               graft.catalog.BucketPruning.bucketIdOf(p).forall(s.contains))
           }
-          // hidden time-transform partitioning: timestamp ranges on the
-          // SOURCE column prune whole __pt=N/ dirs before any footer read
+          // hidden transform partitioning: predicates on the SOURCE
+          // column prune whole __pt=<v>/ dirs before any footer read
           case None => tableMeta.transformSpec match {
+            case Some((srcCol, kind))
+                if kind == graft.catalog.TruncateTransform.Kind => conjuncts => {
+              val width = tableMeta.transformWidth.getOrElse(1)
+              val dt = snap.schema.fields.find(_.name == srcCol)
+                .map(_.dataType).getOrElse(org.apache.spark.sql.types.StringType)
+              val adm = graft.catalog.TruncateTransform
+                .admissible(conjuncts, srcCol, width, dt)
+              p => graft.catalog.TruncateTransform.ptTokenOf(p).forall(adm)
+            }
             case Some((tsCol, kind)) => conjuncts => {
               val r = graft.catalog.TimeTransform.admissibleRange(conjuncts, tsCol, kind)
               p => graft.catalog.TimeTransform.admits(r, p)
@@ -2152,12 +2172,24 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         cat.createTransformPartitionedTable(db, ident.name(), schema, colName,
           kind, properties.asScala.toMap - "provider" - "owner" - "location")
         return loadTable(ident)
+      // CREATE TABLE ... PARTITIONED BY (truncate(4, col)) — Iceberg's
+      // truncate transform; either argument order accepted
+      case Array(t) if t.name == "truncate" =>
+        val w = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"truncate transform without width: $t"))
+        val colName = t.references.head.fieldNames.mkString(".")
+        cat.createTruncatePartitionedTable(db, ident.name(), schema, colName,
+          w, properties.asScala.toMap - "provider" - "owner" - "location")
+        return loadTable(ident)
       case _ => ()
     }
     val partCols = partitions.map { t =>
       require(t.name == "identity",
         s"only identity, bucket(n, col), days(ts), hours(ts), months(ts), " +
-          s"or years(ts) partitioning supported, got $t")
+          s"years(ts), or truncate(w, col) partitioning supported, got $t")
       t.references.head.fieldNames.mkString(".")
     }
     cat.createTable(db, ident.name(), schema,

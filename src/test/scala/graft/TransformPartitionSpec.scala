@@ -261,6 +261,77 @@ class TransformPartitionSpec extends AnyFunSuite {
       Map(1L -> -1L, 2L -> 53L, 3L -> 54L))
   }
 
+  test("truncate[W] transform: long binning, string prefixes, dir pruning") {
+    import graft.catalog.TruncateTransform
+    // Iceberg floor semantics: negatives truncate DOWNWARD
+    assert(TruncateTransform.truncLong(17L, 5L) == 15L)
+    assert(TruncateTransform.truncLong(-1L, 5L) == -5L)
+    assert(TruncateTransform.truncLong(-5L, 5L) == -5L)
+    assert(TruncateTransform.truncStr("abcdef", 4) == "abcd")
+    assert(TruncateTransform.truncStr("ab", 4) == "ab")
+
+    val (cat, wh) = freshCat()
+    // LONG binning: ids 0..49 in bins of 10
+    val lrows = (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+    cat.createTruncatePartitionedTable("db", "tl", lrows.schema, "id", 10)
+    cat.appendTransformed("db", "tl", lrows.repartition(1))
+    val snapL = cat.currentSnapshot("db", "tl")
+    assert(snapL.files.size == 5, snapL.files.toString) // one per bin dir
+    def keptL(cond: org.apache.spark.sql.Column): Seq[String] =
+      cat.pruneFiles("db", "tl", snapL.snapshotId, cond)._1
+    val eq = keptL(col("id") === 23L)
+    assert(eq.size == 1 && eq.forall(_.contains("__pt=20")), eq.toString)
+    val rng = keptL(col("id") >= 15L && col("id") < 30L)
+    assert(rng.size == 2, rng.toString) // bins 10 and 20; strict <30 excludes bin 30
+    val inp = keptL(col("id").isin(3L, 47L))
+    assert(inp.size == 2 &&
+      inp.forall(f => f.contains("__pt=0") || f.contains("__pt=40")), inp.toString)
+
+    // STRING prefixes: brands bin by 4-char prefix; nulls land default
+    val srows = Seq((1L, "BR41x"), (2L, "BR41y"), (3L, "BR42a"),
+      (4L, "CZ10"), (5L, null.asInstanceOf[String])).toDF("id", "brand")
+    cat.createTruncatePartitionedTable("db", "ts", srows.schema, "brand", 4)
+    cat.appendTransformed("db", "ts", srows.repartition(1))
+    val snapS = cat.currentSnapshot("db", "ts")
+    def keptS(cond: org.apache.spark.sql.Column): Seq[String] =
+      cat.pruneFiles("db", "ts", snapS.snapshotId, cond)._1
+    val sEq = keptS(col("brand") === "BR41x")
+    assert(sEq.forall(f => f.contains("__pt=BR41") || f.contains("DEFAULT")), sEq.toString)
+    assert(sEq.size < snapS.files.size, s"$sEq of ${snapS.files}")
+    // prefix (LIKE 'BR%') constrains the dir range; the default dir stays
+    val sPre = keptS(col("brand").startsWith("BR"))
+    assert(!sPre.exists(_.contains("__pt=CZ10")), sPre.toString)
+    // reads stay exact over the pruned scan (null row only in the full read)
+    assert(cat.readLatestWhere("db", "ts", col("brand").startsWith("BR41"))
+      .count() == 2L)
+    assert(cat.readLatest("db", "ts").count() == 5L)
+
+    // SQL lifecycle: truncate(4, brand) parses, DESCRIBE reports, reads work
+    spark.conf.set("spark.sql.catalog.tptr", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.tptr.warehouse", wh)
+    spark.sql("CREATE TABLE tptr.db.ts2 (id BIGINT, brand STRING) " +
+      "PARTITIONED BY (truncate(4, brand))")
+    spark.sql("INSERT INTO tptr.db.ts2 SELECT id, brand FROM tptr.db.ts")
+    assert(spark.table("tptr.db.ts2").columns.toSeq == Seq("id", "brand"))
+    val parts = spark.sessionState.catalogManager.catalog("tptr")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "ts2"))
+      .partitioning().map(_.toString).toSeq
+    assert(parts.head.contains("truncate"), parts.toString)
+    assert(spark.sql("SELECT count(*) FROM tptr.db.ts2 WHERE brand = 'BR41x'")
+      .as[Long].head() == 1L)
+    assert(spark.sql("SELECT count(*) FROM tptr.db.ts2").as[Long].head() == 5L)
+
+    // guards: non-truncatable type, bad width
+    intercept[IllegalArgumentException] {
+      cat.createTruncatePartitionedTable("db", "bad",
+        Seq((1.0, "x")).toDF("d", "tag").schema, "d", 4)
+    }
+    intercept[IllegalArgumentException] {
+      cat.createTruncatePartitionedTable("db", "bad", lrows.schema, "id", 0)
+    }
+  }
+
   test("session-timezone guard: TZ-dependent derivations refuse off UTC") {
     val (cat, _) = freshCat()
     val ltz = Seq((1L, java.sql.Timestamp.from(Instant.parse("2024-01-05T03:00:00Z"))))
