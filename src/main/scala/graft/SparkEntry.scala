@@ -1020,6 +1020,39 @@ object SparkEntry {
         "FROM snapdml.maint.ostats ORDER BY o_orderstatus")
     }),
 
+    // RETRACTABLE aggregate MV (r10): a count/sum/avg body materializes
+    // with hidden sum+count partial columns, so MoR DELETES and UPDATES
+    // in the refresh range MERGE — Q(new) = Q(old) + Q(ins) - Q(del),
+    // O(churn + touched groups) — instead of rebuilding the corpus. avg
+    // recomputes exactly from its partials (exact long sums; the same
+    // double division both engines perform). The query REQUIRES the
+    // merge path, then the oracle replays the post-churn aggregate from
+    // scratch.
+    "q127_mv_agg_retract" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "rstats")) cat.dropView("maint", "rstats")
+      if (cat.tableExists("maint", "mvret_orders")) cat.dropTable("maint", "mvret_orders")
+      val orders = T(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      cat.createTable("maint", "mvret_orders", orders.schema)
+      cat.append("maint", "mvret_orders", orders)
+      cat.createMaterializedView("maint", "rstats",
+        "SELECT o_orderstatus, count(*) AS n, sum(cents) AS sum_cents, " +
+          "avg(cents) AS avg_cents FROM maint.mvret_orders GROUP BY o_orderstatus")
+      // churn IN RANGE: a delete and an update — the refresh must
+      // retract both pre-images through the partials, never rebuild
+      cat.deleteMoR("maint", "mvret_orders", col("o_orderkey") % 10 === 3)
+      cat.updateMoR("maint", "mvret_orders", col("o_orderkey") % 10 === 4,
+        Map("cents" -> lit(0L)))
+      val (mode, _) = cat.refreshMaterializedView("maint", "rstats")
+      require(mode == "incremental_agg",
+        s"retractable MV must merge under deletes/updates, took '$mode'")
+      s.sql("SELECT o_orderstatus, n, sum_cents, " +
+        "CAST(FLOOR(avg_cents) AS BIGINT) AS avg_floor " +
+        "FROM snapdml.maint.rstats ORDER BY o_orderstatus")
+    }),
+
     // VARIANT ingestion + shredded extraction (r9): semi-structured JSON
     // is BUILT deterministically from events columns, parsed into Spark
     // 4's VariantType (the open binary-JSON column type), then typed
@@ -2976,6 +3009,21 @@ object SparkEntry {
         |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // post-churn aggregate replayed from scratch: %10==3 rows retracted,
+    // %10==4 rows' cents updated to 0 — every value must equal the
+    // partial-merged view exactly
+    "q127_mv_agg_retract" ->
+      """WITH rem AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN 0
+        |         ELSE CAST(FLOOR(o_totalprice*100) AS BIGINT) END AS cents
+        |  FROM orders WHERE o_orderkey % 10 <> 3
+        |)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(FLOOR(avg(cents)) AS BIGINT) AS avg_floor
+        |FROM rem GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q115_curation_pipeline" ->
       """WITH docs AS (

@@ -3615,10 +3615,14 @@ final class SnapshotCatalog(
     * against exactly the snapshots the high-water map records, so a
     * commit racing the refresh query can never be half-seen. */
   private def pinnedBody(db: String, sql: String,
+      pins: Map[(String, String), Long]): org.apache.spark.sql.DataFrame =
+    pinnedBodyPlan(db, spark.sessionState.sqlParser.parsePlan(sql), pins)
+
+  private def pinnedBodyPlan(db: String,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       pins: Map[(String, String), Long]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
-    val plan = spark.sessionState.sqlParser.parsePlan(sql)
     // transformUpWithSubqueries: a base referenced only inside a scalar/
     // IN/EXISTS subquery pins too — otherwise a commit racing the
     // refresh could be half-seen through the subquery (ADVICE r8)
@@ -3656,7 +3660,26 @@ final class SnapshotCatalog(
     require(bases.nonEmpty,
       s"materialized view $db.$name references no table of this catalog")
     val pins = bases.map { case (d, t) => (d, t) -> currentSnapshotId(d, t) }.toMap
-    val out = pinnedBody(db, sql, pins)
+    // retractable aggregate bodies (count/sum/avg only) materialize
+    // AUGMENTED: the backing table carries the hidden partial columns
+    // that make the view maintainable under deletes and make avg
+    // incrementally refreshable ([[augmentedAggPlan]]); the view's
+    // recorded schema (and every SQL read through the redirect) stays
+    // the visible outputs only
+    val shapeOpt = aggIncrementalShape(sql).filter(_.retractable)
+    val out0 = shapeOpt match {
+      case Some(sh) => pinnedBodyPlan(db, augmentedAggPlan(sql, sh), pins)
+      case None => pinnedBody(db, sql, pins)
+    }
+    // a body whose own outputs collide with the partial namespace cannot
+    // augment — fall back to the plain materialization (full refreshes)
+    val out =
+      if (shapeOpt.isDefined &&
+          out0.schema.fieldNames.distinct.length != out0.schema.fieldNames.length)
+        pinnedBody(db, sql, pins)
+      else out0
+    val partials = out.schema.fieldNames.filter(_.startsWith("__mv_")).toSeq
+    val visibleOut = if (partials.isEmpty) out else out.drop(partials: _*)
     val mvT = mvTableName(name)
     if (!tableExists(db, mvT)) createTable(db, mvT, out.schema)
     overwrite(db, mvT, out)
@@ -3665,14 +3688,67 @@ final class SnapshotCatalog(
     // analysis already happened through pinnedBody (pinned form);
     // createView records its derived schema and does the cycle walk
     createView(db, name, sql, Seq.empty, props, replace,
-      presetSchema = Some(out.schema))
+      presetSchema = Some(visibleOut.schema))
   }
 
   /** The merge recipe for an incrementally-maintainable AGGREGATE view
     * body: which output positions are group keys and which are mergeable
-    * aggregates (by function name). Derived from the PARSED body, matched
-    * positionally against the backing table's schema. */
-  private final case class AggShape(keyPos: Seq[Int], aggPos: Seq[(Int, String)])
+    * aggregates (by function name), plus the parsed aggregate calls
+    * themselves (needed to AUGMENT the body with partial columns).
+    * Derived from the PARSED body, matched positionally against the
+    * backing table's schema. */
+  private final case class AggShape(keyPos: Seq[Int], aggPos: Seq[(Int, String)],
+      aggFns: Map[Int, org.apache.spark.sql.catalyst.analysis.UnresolvedFunction]) {
+    /** count/sum/avg only — the family maintainable under BOTH inserts
+      * and deletes once partials are stored (avg decomposes to
+      * sum+count; a stored count(*) partial detects group death).
+      * min/max stay append-only: a deleted row may have held the
+      * extremum. */
+    def retractable: Boolean = aggPos.nonEmpty &&
+      aggPos.forall(p => Set("count", "sum", "avg")(p._2))
+  }
+
+  // hidden partial columns an augmented aggregate-MV backing table
+  // carries alongside the visible outputs (never served through the
+  // view redirect): group row count, per-sum non-null counts, per-avg
+  // sum+count decompositions
+  private val MvPartialRows = "__mv_n"
+  private def mvPartialSum(i: Int) = s"__mv_s$i"
+  private def mvPartialCnt(i: Int) = s"__mv_c$i"
+
+  /** The parsed body with the partial columns APPENDED to its aggregate
+    * list: `count(1) AS __mv_n`, per `sum(x)` a `count(x) AS __mv_c<i>`,
+    * per `avg(x)` its `sum(x) AS __mv_s<i>` + `count(x) AS __mv_c<i>`
+    * decomposition. The partials make the count/sum/avg family
+    * self-maintainable under deletes: merged sums go NULL exactly when
+    * the merged non-null count hits zero, avg recomputes as s/c, and a
+    * group whose `__mv_n` reaches zero is deleted from the backing. */
+  private def augmentedAggPlan(sql: String, shape: AggShape)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Sort}
+    def fn(name: String, arg: org.apache.spark.sql.catalyst.expressions.Expression) =
+      UnresolvedFunction(Seq(name), Seq(arg), isDistinct = false)
+    val extras: Seq[NamedExpression] =
+      Alias(fn("count", Literal(1)), MvPartialRows)() +: shape.aggPos.flatMap {
+        case (i, "sum") =>
+          Seq(Alias(fn("count", shape.aggFns(i).arguments.head), mvPartialCnt(i))())
+        case (i, "avg") =>
+          val arg = shape.aggFns(i).arguments.head
+          Seq(Alias(fn("sum", arg), mvPartialSum(i))(),
+            Alias(fn("count", arg), mvPartialCnt(i))())
+        case _ => Seq.empty
+      }
+    def aug(p: LogicalPlan): LogicalPlan = p match {
+      case a: Aggregate => a.copy(aggregateExpressions = a.aggregateExpressions ++ extras)
+      // global-aggregate form: parses as a Project of aggregate calls
+      case pr: Project => pr.copy(projectList = pr.projectList ++ extras)
+      case s: Sort => s.copy(child = aug(s.child))
+      case other => other
+    }
+    aug(spark.sessionState.sqlParser.parsePlan(sql))
+  }
 
   /** Classify a view body as an incrementally-maintainable aggregation:
     * a single `Aggregate` (or `Distinct`) whose input is project/filter
@@ -3697,30 +3773,34 @@ final class SnapshotCatalog(
       }
     }.forall(identity)
     val top = parsed match { case s: Sort => s.child; case p => p }
+    // count/sum/min/max merge directly; avg joins via the sum+count
+    // partial decomposition ([[augmentedAggPlan]])
+    val mergeable = Set("count", "sum", "min", "max", "avg")
+    def strip(e: Expression): Expression = e match {
+      case Alias(c, _) => c
+      case UnresolvedAlias(c, _) => c
+      case c => c
+    }
     top match {
       case Aggregate(groupExprs, aggExprs, child, _) if pfOnly(child) =>
         val keyNames = groupExprs.map {
           case a: UnresolvedAttribute => a.nameParts.last
           case _ => return None // expression keys: not recognized, stay full
         }.toSet
-        val mergeable = Set("count", "sum", "min", "max")
-        def strip(e: Expression): Expression = e match {
-          case Alias(c, _) => c
-          case UnresolvedAlias(c, _) => c
-          case c => c
-        }
+        val fns = scala.collection.mutable.Map.empty[Int, UnresolvedFunction]
         val roles = aggExprs.zipWithIndex.map { case (ne: NamedExpression, i) =>
           strip(ne) match {
             case a: UnresolvedAttribute if keyNames(a.nameParts.last) => Left(i)
             case f: UnresolvedFunction if !f.isDistinct && f.filter.isEmpty &&
                 f.nameParts.length == 1 &&
                 mergeable(f.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+              fns(i) = f
               Right(i -> f.nameParts.head.toLowerCase(java.util.Locale.ROOT))
             case _ => return None
           }
         }
         val shape = AggShape(roles.collect { case Left(i) => i },
-          roles.collect { case Right(p) => p })
+          roles.collect { case Right(p) => p }, fns.toMap)
         // every grouping column must be carried in the output (it is the
         // upsert key), and there must be something to merge
         if (shape.keyPos.size == keyNames.size && shape.aggPos.nonEmpty) Some(shape)
@@ -3731,7 +3811,7 @@ final class SnapshotCatalog(
         child match {
           case Project(ps, _) if !ps.exists(
               _.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedStar]) =>
-            Some(AggShape((0 until ps.length).toList, Seq.empty))
+            Some(AggShape((0 until ps.length).toList, Seq.empty, Map.empty))
           case _ => None // star width is unknowable pre-analysis
         }
       case Project(ps, child) if pfOnly(child) && ps.nonEmpty =>
@@ -3739,23 +3819,18 @@ final class SnapshotCatalog(
         // Project of aggregate functions (the analyzer inserts the
         // Aggregate). Every output must be a mergeable aggregate; the
         // merge is then a single-row fold with no keys.
-        val mergeable = Set("count", "sum", "min", "max")
-        def strip2(e: org.apache.spark.sql.catalyst.expressions.Expression)
-            : org.apache.spark.sql.catalyst.expressions.Expression = e match {
-          case Alias(c, _) => c
-          case UnresolvedAlias(c, _) => c
-          case c => c
-        }
+        val fns = scala.collection.mutable.Map.empty[Int, UnresolvedFunction]
         val aggs = ps.zipWithIndex.map { case (p, i) =>
-          strip2(p) match {
+          strip(p) match {
             case f: UnresolvedFunction if !f.isDistinct && f.filter.isEmpty &&
                 f.nameParts.length == 1 &&
                 mergeable(f.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+              fns(i) = f
               i -> f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
             case _ => return None
           }
         }
-        Some(AggShape(Seq.empty, aggs))
+        Some(AggShape(Seq.empty, aggs, fns.toMap))
       case _ => None
     }
   }
@@ -3818,17 +3893,17 @@ final class SnapshotCatalog(
       mainLineage(d, t).filter(e => e.snapshotId > lo && e.snapshotId <= hi)
         .forall(e => appendOnlyOps(e.operation))
 
-    /** The body with the base relation swapped for the incremental delta
-      * — shared by both incremental modes. */
-    def bodyOverDelta(): DataFrame = {
+    /** The body (or an augmented plan) with the base relation swapped for
+      * an arbitrary replacement frame — shared by every incremental
+      * mode. */
+    def bodyOver(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        rows: DataFrame): DataFrame = {
       val (d, t) = bases.head
-      val delta = readIncremental(d, t, from((d, t)).get, cur((d, t)))
-      val visible = delta.drop(meta(d, t).hiddenCols.toSeq: _*)
       import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
       import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
-      // WithSubqueries for defense in depth — both incremental modes
-      // refuse subquery bodies, so this never fires on one
-      val swapped = spark.sessionState.sqlParser.parsePlan(sql).transformUpWithSubqueries {
+      // WithSubqueries for defense in depth — every incremental mode
+      // refuses subquery bodies, so this never fires on one
+      val swapped = plan.transformUpWithSubqueries {
         // only the BASE relation swaps (a temp view or function table
         // reference elsewhere in the body must stay what it is)
         case u: UnresolvedRelation if (u.multipartIdentifier match {
@@ -3837,29 +3912,158 @@ final class SnapshotCatalog(
           case Seq(bn) => (db, bn) == ((d, t))
           case _ => false
         }) =>
-          SubqueryAlias(Seq(d, t), visible.queryExecution.analyzed)
+          SubqueryAlias(Seq(d, t), rows.queryExecution.analyzed)
       }
       org.apache.spark.sql.GraftColumnBridge.ofRows(spark, swapped)
     }
+    def incrementalDelta(): DataFrame = {
+      val (d, t) = bases.head
+      readIncremental(d, t, from((d, t)).get, cur((d, t)))
+        .drop(meta(d, t).hiddenCols.toSeq: _*)
+    }
+    def bodyOverDelta(): DataFrame =
+      bodyOver(spark.sessionState.sqlParser.parsePlan(sql), incrementalDelta())
+
+    val shapeOpt = aggIncrementalShape(sql)
+    // an AUGMENTED backing (created from a retractable count/sum/avg
+    // body) carries the partial columns that make the merge exact under
+    // deletes; pre-augmentation MVs keep the legacy append-only merge
+    val backingHasPartials = tableExists(db, mvT) &&
+      currentSnapshot(db, mvT).schema.fieldNames.contains(MvPartialRows)
     def runFull(): Long = {
-      val out = pinnedBody(db, sql, cur)
+      val out = shapeOpt.filter(_.retractable) match {
+        case Some(sh) if backingHasPartials =>
+          pinnedBodyPlan(db, augmentedAggPlan(sql, sh), cur)
+        case _ => pinnedBody(db, sql, cur)
+      }
       overwrite(db, mvT, out).summary.get("added_records").map(_.toLong).getOrElse(-1L)
     }
 
-    val singleAppendOnlyBase = bases.size == 1 && from(bases.head).isDefined &&
-      appendOnlyRange(bases.head._1, bases.head._2,
-        from(bases.head).get, cur(bases.head))
+    val singleBase = bases.size == 1 && from(bases.head).isDefined
+    val appendOnly = singleBase && appendOnlyRange(bases.head._1, bases.head._2,
+      from(bases.head).get, cur(bases.head))
+
+    /** Partial-backed merge of the retractable (count/sum/avg) family:
+      * insert AND delete row sets of the range fold into the stored
+      * partials — `Q(new) = Q(old) + Q(ins) - Q(del)`, the classic
+      * view-maintenance identity, valid for the distributive family.
+      * Append-only ranges take the cheaper [[readIncremental]] plus-side
+      * only; any other range diffs via [[readChangelog]] (churn-sized,
+      * op-agnostic: MoR deletes, updates, upserts, even overwrites all
+      * retract exactly). Sums go NULL exactly when their merged non-null
+      * count hits zero, avg recomputes as s/c, and groups whose row
+      * count reaches zero are DELETED from the backing. Returns None on
+      * the edges the merge cannot serve (null group keys in the delta;
+      * an un-diffable range) — the caller falls back to full. */
+    def mergePartials(shape: AggShape): Option[Long] = {
+      val (d, t) = bases.head
+      val (lo, hi) = (from((d, t)).get, cur((d, t)))
+      val augPlan = augmentedAggPlan(sql, shape)
+      val hidden = meta(d, t).hiddenCols.toSeq
+      val (insRows, delRowsOpt) =
+        if (appendOnly) (incrementalDelta(), None)
+        else {
+          val chg = try readChangelog(d, t, lo, hi) catch {
+            case scala.util.control.NonFatal(_) => return None // un-diffable range
+          }
+          val clean = chg.drop(hidden: _*).drop("_row_id")
+          (clean.where(col("_change_type") === "insert").drop("_change_type"),
+            Some(clean.where(col("_change_type") === "delete").drop("_change_type")))
+        }
+      val plus = bodyOver(augPlan, insRows)
+      val names = plus.schema.fieldNames
+      val keyNames = shape.keyPos.map(names)
+      val aggKind = shape.aggPos.toMap
+      def nullKeyed(f: DataFrame): Boolean = keyNames.nonEmpty &&
+        !f.where(keyNames.map(k => col(s"`$k`").isNull).reduce(_ || _)).isEmpty
+      val minusOpt = delRowsOpt.map(bodyOver(augPlan, _))
+      if (nullKeyed(plus) || minusOpt.exists(nullKeyed)) return None
+      // NET per-group contribution: plus full-outer minus, every
+      // aggregate/partial column as (p - m) with 0-coalescing; avg
+      // outputs carry a placeholder (recomputed from partials below)
+      val net = minusOpt match {
+        case None =>
+          plus.select(names.zipWithIndex.map { case (n, i) =>
+            if (aggKind.get(i).contains("avg")) lit(null).cast(plus.schema(i).dataType).as(n)
+            else col(s"`$n`").as(n)
+          }.toIndexedSeq: _*)
+        case Some(minus) =>
+          val m = minus.select(names.map(n => col(s"`$n`").as(s"__m_$n")).toIndexedSeq: _*)
+          val cond = keyNames.map(k => plus(s"`$k`") <=> m(s"`__m_$k`"))
+            .reduceOption(_ && _).getOrElse(lit(true))
+          plus.join(m, cond, "full_outer").select(names.zipWithIndex.map { case (n, i) =>
+            val p = col(s"`$n`"); val mm = col(s"`__m_$n`")
+            if (shape.keyPos.contains(i)) coalesce(p, mm).as(n)
+            else if (aggKind.get(i).contains("avg"))
+              lit(null).cast(plus.schema(i).dataType).as(n)
+            else (coalesce(p, lit(0)) - coalesce(mm, lit(0))).cast(plus.schema(i).dataType).as(n)
+          }.toIndexedSeq: _*)
+      }
+      // merge net against the stored state; every column exact by
+      // partial bookkeeping
+      val backing = readLatest(db, mvT)
+      val cond = keyNames.map(k => net(s"`$k`") <=> backing(s"`$k`"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val joined = net.join(backing, cond, "left")
+      def mergedPartial(n: String) =
+        (coalesce(backing(s"`$n`"), lit(0)) + coalesce(net(s"`$n`"), lit(0)))
+      val outCols = names.zipWithIndex.map { case (n, i) =>
+        if (shape.keyPos.contains(i)) net(s"`$n`").as(n)
+        else if (n.startsWith("__mv_")) mergedPartial(n).cast(plus.schema(i).dataType).as(n)
+        else aggKind(i) match {
+          case "count" => mergedPartial(n).cast(plus.schema(i).dataType).as(n)
+          case "sum" =>
+            when(mergedPartial(mvPartialCnt(i)) > 0,
+              (coalesce(backing(s"`$n`"), lit(0)) + coalesce(net(s"`$n`"), lit(0))))
+              .otherwise(lit(null)).cast(plus.schema(i).dataType).as(n)
+          case "avg" =>
+            when(mergedPartial(mvPartialCnt(i)) > 0,
+              mergedPartial(mvPartialSum(i)) / mergedPartial(mvPartialCnt(i)))
+              .otherwise(lit(null)).cast(plus.schema(i).dataType).as(n)
+        }
+      }
+      val merged = joined.select(outCols.toIndexedSeq: _*)
+      if (keyNames.isEmpty) {
+        // global aggregate: exactly one row, always present
+        Some(overwrite(db, mvT, merged)
+          .summary.get("added_records").map(_.toLong).getOrElse(-1L))
+      } else {
+        // group death: a merged row count of zero means SQL would not
+        // produce the group — delete it from the backing
+        val mergedC = merged.cache()
+        try {
+          val dead = mergedC.where(col(MvPartialRows) <= 0)
+            .select(keyNames.map(k => col(s"`$k`")): _*)
+          val alive = mergedC.where(col(MvPartialRows) > 0)
+          if (!dead.isEmpty) deleteMoREq(db, mvT, dead)
+          Some(upsertMoR(db, mvT, alive, keyNames)
+            .summary.get("added_records").map(_.toLong).getOrElse(-1L))
+        } finally { mergedC.unpersist(); () }
+      }
+    }
+
     var mode =
-      if (!singleAppendOnlyBase) "full"
-      else if (projectFilterOnly) "incremental"
-      else if (aggIncrementalShape(sql).isDefined) "incremental_agg"
+      if (!singleBase) "full"
+      else if (appendOnly && projectFilterOnly) "incremental"
+      // partial-backed count/sum/avg family: maintainable under ANY
+      // range the changelog can diff (deletes/updates retract)
+      else if (shapeOpt.exists(_.retractable) && backingHasPartials) "incremental_agg"
+      // legacy merge (min/max shapes, DISTINCT, pre-augmentation
+      // backings): append-only ranges, no avg
+      else if (appendOnly && shapeOpt.isDefined &&
+        !shapeOpt.get.aggPos.exists(_._2 == "avg")) "incremental_agg"
       else "full"
     val added = mode match {
       case "incremental" =>
         append(db, mvT, bodyOverDelta())
           .summary.get("added_records").map(_.toLong).getOrElse(-1L)
+      case "incremental_agg" if shapeOpt.exists(_.retractable) && backingHasPartials =>
+        mergePartials(shapeOpt.get) match {
+          case Some(n) => n
+          case None => mode = "full"; runFull()
+        }
       case "incremental_agg" =>
-        val shape = aggIncrementalShape(sql).get
+        val shape = shapeOpt.get
         val deltaAgg = bodyOverDelta()
         val names = deltaAgg.schema.fieldNames
         val keyNames = shape.keyPos.map(names)

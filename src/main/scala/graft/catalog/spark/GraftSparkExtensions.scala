@@ -358,10 +358,19 @@ class ViewSubstitutionRule(spark: SparkSession) extends Rule[LogicalPlan] {
           p.snapViews.loadView(db, name).map { vm =>
             vm.properties.get("materialized") match {
               // a MATERIALIZED view reads its backing TABLE (refresh keeps
-              // it current); the SQL body never re-runs on the read path
+              // it current); the SQL body never re-runs on the read path.
+              // The read projects to the view's RECORDED schema — an
+              // augmented aggregate backing carries hidden __mv_ partial
+              // columns (sum/count decompositions for delete-retraction)
+              // that must never surface through the view
               case Some(mvTable) =>
+                val visible = org.apache.spark.sql.types.StructType
+                  .fromDDL(vm.currentVersion.schemaDdl).fieldNames
                 SubqueryAlias(Seq(catName, db, name),
-                  UnresolvedRelation(Seq(catName, db, mvTable)))
+                  org.apache.spark.sql.catalyst.plans.logical.Project(
+                    visible.toIndexedSeq.map(n =>
+                      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(n))),
+                    UnresolvedRelation(Seq(catName, db, mvTable))))
               case None => bodyPlan(catName, db, name, vm.currentVersion)
             }
           }

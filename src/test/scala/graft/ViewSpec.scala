@@ -388,11 +388,20 @@ class ViewSpec extends AnyFunSuite {
     assert(spark.sql("SELECT n FROM vagg.db.stats WHERE grp IS NULL")
       .as[Long].head() == 1L)
 
-    // an avg body is NOT self-maintainable: always full
+    // an avg body decomposes to sum+count partials (r10): refreshes
+    // INCREMENTALLY and equals the full recompute exactly (long sums
+    // are exact; the division is the same double division avg performs)
     cat.createMaterializedView("db", "avgv",
-      "SELECT grp, avg(v) AS av FROM vagg.db.base GROUP BY grp")
+      "SELECT grp, avg(v) AS av FROM vagg.db.base WHERE grp IS NOT NULL GROUP BY grp")
     cat.append("db", "base", Seq((400L, "g1", 10L)).toDF("id", "grp", "v"))
-    assert(cat.refreshMaterializedView("db", "avgv")._1 == "full")
+    assert(cat.refreshMaterializedView("db", "avgv")._1 == "incremental_agg")
+    assert(spark.sql("SELECT grp, av FROM vagg.db.avgv ORDER BY grp")
+      .as[(String, Double)].collect().toSeq ==
+      spark.sql("SELECT grp, avg(v) AS av FROM vagg.db.base " +
+        "WHERE grp IS NOT NULL GROUP BY grp ORDER BY grp")
+        .as[(String, Double)].collect().toSeq)
+    // the hidden partial columns never surface through the view
+    assert(spark.table("vagg.db.avgv").columns.toSeq == Seq("grp", "av"))
 
     // GLOBAL aggregate (no GROUP BY): single-row merge, still incremental
     cat.createMaterializedView("db", "tot",
@@ -424,6 +433,81 @@ class ViewSpec extends AnyFunSuite {
     assert(spark.sql("SELECT grp FROM vagg.db.grps ORDER BY grp")
       .as[String].collect().toSeq ==
       Seq("g0", "g1", "g2", "gNEW", "gOTHER"))
+  }
+
+  test("retractable aggregate MV: deletes/updates in range MERGE, groups die exactly") {
+    val (cat, wh) = freshCat()
+    register(wh, "vret")
+    val a = (0 until 90).map(i => (i.toLong, s"g${i % 3}", (i % 10).toLong))
+      .toDF("id", "grp", "v")
+    cat.createTable("db", "base", a.schema)
+    cat.append("db", "base", a)
+    // count/sum/avg body + count(*): the retractable family
+    cat.createMaterializedView("db", "agg",
+      "SELECT grp, count(*) AS n, sum(v) AS sv, avg(v) AS av " +
+        "FROM vret.db.base GROUP BY grp")
+    def expect() = spark.sql(
+      "SELECT grp, count(*) AS n, sum(v) AS sv, avg(v) AS av " +
+        "FROM vret.db.base GROUP BY grp ORDER BY grp")
+      .as[(String, Long, Option[Long], Option[Double])].collect().toSeq
+    def got() = spark.sql("SELECT * FROM vret.db.agg ORDER BY grp")
+      .as[(String, Long, Option[Long], Option[Double])].collect().toSeq
+    assert(got() == expect())
+    assert(spark.table("vret.db.agg").columns.toSeq == Seq("grp", "n", "sv", "av"),
+      "partial columns must never surface through the view")
+
+    // a MoR DELETE in range: merges (retraction), never full
+    cat.deleteMoR("db", "base", col("v") >= 8L) // kills rows across groups
+    val (m1, _) = cat.refreshMaterializedView("db", "agg")
+    assert(m1 == "incremental_agg", s"delete in range must merge, got $m1")
+    assert(got() == expect())
+    // the backing commit was a merge, not a rebuild
+    assert(cat.currentSnapshot("db", "__mv_agg").operation == "merge")
+
+    // a MoR UPDATE in range retracts the pre-image and adds the post
+    cat.updateMoR("db", "base", col("id") === 5L, Map("v" -> lit(0L)))
+    val (m2, _) = cat.refreshMaterializedView("db", "agg")
+    assert(m2 == "incremental_agg", s"update in range must merge, got $m2")
+    assert(got() == expect())
+
+    // GROUP DEATH: delete every g1 row — the group must vanish from the
+    // view exactly as SQL drops it, via the liveness partial
+    cat.deleteMoR("db", "base", col("grp") === "g1")
+    val (m3, _) = cat.refreshMaterializedView("db", "agg")
+    assert(m3 == "incremental_agg", s"group-killing delete must merge, got $m3")
+    assert(got() == expect())
+    assert(!got().exists(_._1 == "g1"), got().toString)
+
+    // a group resurrects later with fresh arithmetic
+    cat.append("db", "base", Seq((900L, "g1", 4L)).toDF("id", "grp", "v"))
+    val (m4, _) = cat.refreshMaterializedView("db", "agg")
+    assert(m4 == "incremental_agg", m4)
+    assert(got() == expect())
+
+    // all-null sum edge: a group whose remaining v are all null reports
+    // sum NULL / avg NULL, count alive (the __mv_c partial, not a guess)
+    val withNulls = Seq((950L, "gz", Some(3L)), (951L, "gz", None))
+      .toDF("id", "grp", "v")
+    cat.append("db", "base", withNulls)
+    assert(cat.refreshMaterializedView("db", "agg")._1 == "incremental_agg")
+    assert(got() == expect())
+    cat.deleteMoR("db", "base", col("id") === 950L) // only the null-v row remains
+    assert(cat.refreshMaterializedView("db", "agg")._1 == "incremental_agg")
+    assert(got() == expect())
+    val gz = spark.sql("SELECT n, sv, av FROM vret.db.agg WHERE grp = 'gz'")
+      .as[(Long, Option[Long], Option[Double])].head()
+    assert(gz == ((1L, None, None)), gz.toString)
+
+    // null group key arriving in the delta still falls back to full
+    cat.append("db", "base", Seq((980L, null.asInstanceOf[String], 1L)).toDF("id", "grp", "v"))
+    assert(cat.refreshMaterializedView("db", "agg")._1 == "full")
+    assert(got() == expect())
+
+    // min/max bodies remain append-only: a delete still forces full
+    cat.createMaterializedView("db", "mm",
+      "SELECT grp, min(v) AS mn FROM vret.db.base GROUP BY grp")
+    cat.deleteMoR("db", "base", col("id") === 900L)
+    assert(cat.refreshMaterializedView("db", "mm")._1 == "full")
   }
 
   test("namespace lifecycle sees MV backing tables: emptiness + log cleanup") {
