@@ -1303,13 +1303,19 @@ object SparkEntry {
     // distributed BPE (r8; Sennrich et al. 2016): merges learned from the
     // DISTINCT-WORD frequency table of the training half (iterative
     // argmax — deterministic via lexicographic tie-break, but not
-    // SQL-expressible, so spec-gated in BpeSpec; driver records the
-    // rows-only check here), then per-doc token counts via dictionary
-    // join with novel-word merge application.
+    // SQL-expressible: the LEARNING stays spec-gated in BpeSpec's
+    // hand-computed reference walk), then per-doc token counts via
+    // dictionary join with novel-word merge application. The ENCODE path
+    // is oracle-gated (r10): the learned merges embed into the oracle as
+    // literals and DuckDB replays the greedy left-to-right merge fold
+    // over the target half — string `replace` over a sentinel-delimited
+    // symbol string IS the greedy non-overlapping pass — so a wrong
+    // dictionary join, novel-word walk, or count hash-mismatches.
     "q110_bpe_tokenize" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       val (merges, dict) = graft.ops.Bpe.train(
         d.where(col("doc_id") < 300), "text", numMerges = 10)
+      bpeLearnedMerges = Some(merges)
       val out = graft.ops.Bpe.tokenCounts(
           d.where(col("doc_id") >= 300 && col("doc_id") < 600),
           "doc_id", "text", merges, dict)
@@ -2069,7 +2075,53 @@ object SparkEntry {
        |         (SELECT cid, list(val ORDER BY i) AS lst FROM m$n GROUP BY cid) m
        |       USING (cid))""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** Merges q110 learned this run — training is iterative argmax (not
+    * SQL-expressible; spec-gated), but once learned the tiny ordered
+    * merge list embeds into the ORACLE as literals so DuckDB can replay
+    * the encode path independently. Set by q110; None when it didn't
+    * run (the driver then records its rows-only check as before). */
+  @volatile private var bpeLearnedMerges: Option[Seq[(String, String)]] = None
+
+  /** q110's oracle, built from the learned merges: each word becomes a
+    * chr(2)-delimited symbol string (chars + the chr(1) end-of-word
+    * sentinel — the corpus is control-char-free, verified at gen time),
+    * and each merge (a,b) applies as `replace(s, a·sep·b·sep, ab·sep)` —
+    * string replace scans left-to-right non-overlapping, which IS the
+    * greedy merge fold ("aaa" under (a,a) -> [aa, a]). Token count =
+    * the number of remaining separators. */
+  private def bpeOracleSql(merges: Seq[(String, String)]): String = {
+    // SQL literal of a symbol, splicing the U+0001 sentinel through
+    // chr(1) so the oracle text stays printable
+    def lit(sym: String): String =
+      sym.split(graft.ops.Bpe.Eow, -1).map(p => "'" + p.replace("'", "''") + "'")
+        .mkString(" || chr(1) || ")
+    val base = "regexp_replace(w, '(?s)(.)', '\\1' || chr(2), 'g') || chr(1) || chr(2)"
+    val folded = merges.foldLeft(base) { case (e, (a, b)) =>
+      s"replace($e, ${lit(a)} || chr(2) || ${lit(b)} || chr(2), ${lit(a + b)} || chr(2))"
+    }
+    s"""WITH tgt AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id >= 300 AND doc_id < 600
+       |), words AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS w
+       |  FROM tgt
+       |), dw AS (SELECT DISTINCT w FROM words),
+       |enc AS (SELECT w, $folded AS s FROM dw),
+       |wtok AS (
+       |  SELECT w, (length(s) - length(replace(s, chr(2), ''))) AS n_tokens FROM enc
+       |), per_doc AS (
+       |  SELECT doc_id, count(*) AS n_words, sum(n_tokens) AS n_tokens
+       |  FROM words JOIN wtok USING (w) GROUP BY doc_id
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS words,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens
+       |FROM per_doc""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] =
+    bpeLearnedMerges.map(m => Map("q110_bpe_tokenize" -> bpeOracleSql(m)))
+      .getOrElse(Map.empty) ++ Map(
 
     // full IVF replay, TRAINING INCLUDED: the integer-grid quantization,
     // both Lloyd's iterations, assignment, probing, and the cosine re-rank

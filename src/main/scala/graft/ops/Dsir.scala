@@ -107,17 +107,24 @@ object Dsir {
       .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
     // plan-aware generation swap: a REPEATED computation over the same
     // inputs (a retried stage, an iterating notebook) keeps the live
-    // generation and rides its cache; different inputs release it first
+    // generation and rides its cache; different inputs swap it out. The
+    // swap is a COMPARE-AND-SET, not check-then-act: two concurrent
+    // calls race to install their generation, the loser unpersists its
+    // own frames (recompute-only — results never depend on the cache)
+    // and the displaced generation is unpersisted exactly once, by the
+    // winner, so nothing leaks past releaseCache (ADVICE r9).
     val prev = generation.get()
+    def quietUnpersist(dfs: Seq[DataFrame]): Unit = dfs.foreach(df =>
+      try { df.unpersist(); () } catch { case scala.util.control.NonFatal(_) => () })
     val (tgtB, docB) =
       if (prev.size == 2 &&
           prev(0).queryExecution.analyzed.sameResult(tgtB0.queryExecution.analyzed) &&
           prev(1).queryExecution.analyzed.sameResult(docB0.queryExecution.analyzed))
         (prev(0), prev(1))
       else {
-        releaseCache()
         val t = tgtB0.cache(); val d = docB0.cache()
-        generation.set(Seq(t, d))
+        if (generation.compareAndSet(prev, Seq(t, d))) quietUnpersist(prev)
+        else quietUnpersist(Seq(t, d)) // lost the race: this call recomputes
         (t, d)
       }
     val rawB = docB.groupBy("b").agg(sum("cnt").as("cr"))
