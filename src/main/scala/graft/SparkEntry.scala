@@ -1032,9 +1032,9 @@ object SparkEntry {
       val cat = WarehouseFixture.forDir(s, dir).src
       if (cat.viewExists("maint", "rstats")) cat.dropView("maint", "rstats")
       if (cat.tableExists("maint", "mvret_orders")) cat.dropTable("maint", "mvret_orders")
-      val orders = T(s, dir, "orders").select(
-        col("o_orderkey"), col("o_orderstatus"),
-        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val orders = T(s, dir, "orders").where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
       cat.createTable("maint", "mvret_orders", orders.schema)
       cat.append("maint", "mvret_orders", orders)
       cat.createMaterializedView("maint", "rstats",
@@ -1043,7 +1043,7 @@ object SparkEntry {
       // churn IN RANGE: a delete and an update — the refresh must
       // retract both pre-images through the partials, never rebuild
       cat.deleteMoR("maint", "mvret_orders", col("o_orderkey") % 10 === 3)
-      cat.updateMoR("maint", "mvret_orders", col("o_orderkey") % 10 === 4,
+      cat.updateMoR("maint", "mvret_orders", col("o_orderkey") % 10 === 5,
         Map("cents" -> lit(0L)))
       val (mode, _) = cat.refreshMaterializedView("maint", "rstats")
       require(mode == "incremental_agg",
@@ -3068,9 +3068,9 @@ object SparkEntry {
     "q127_mv_agg_retract" ->
       """WITH rem AS (
         |  SELECT o_orderstatus,
-        |    CASE WHEN o_orderkey % 10 = 4 THEN 0
+        |    CASE WHEN o_orderkey % 10 = 5 THEN 0
         |         ELSE CAST(FLOOR(o_totalprice*100) AS BIGINT) END AS cents
-        |  FROM orders WHERE o_orderkey % 10 <> 3
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 10 <> 3
         |)
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
