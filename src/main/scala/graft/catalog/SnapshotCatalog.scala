@@ -1063,6 +1063,11 @@ final class SnapshotCatalog(
     // __rid column) are skipped — rewriting must never re-mint identity.
     // This funnel is the only place data files enter the log, so the
     // assignment is total by construction.
+    // `lineage.id-floor` (set by writers that carry EXPLICIT ids, e.g.
+    // the CDC apply sink replicating a source table's identity): the
+    // high-water advances to at least the floor, so a later NORMAL
+    // append can never mint an id that collides with a replicated one
+    val idFloor = snap.summary.get("lineage.id-floor").map(_.toLong).getOrElse(0L)
     val (delta2, snap2) =
       if (!meta(db, table).properties.get("row.lineage").contains("true"))
         (delta, snap)
@@ -1075,13 +1080,14 @@ final class SnapshotCatalog(
         val base = entries.reverseIterator
           .flatMap(_.summary.get("next-row-id")).nextOption()
           .map(_.toLong).getOrElse(0L)
-        (delta, snap.copy(summary = snap.summary + ("next-row-id" -> base.toString)))
+        (delta, snap.copy(summary =
+          snap.summary + ("next-row-id" -> math.max(base, idFloor).toString)))
       }
       else {
         val base = entries.reverseIterator
           .flatMap(_.summary.get("next-row-id")).nextOption()
           .map(_.toLong).getOrElse(0L)
-        var next = base
+        var next = math.max(base, idFloor)
         val assigned = delta.files.sorted.map { f =>
           val st = delta.fileStats.getOrElse(f, Map.empty)
           if (st.contains("first_row_id") || st.get("rid_materialized").contains("true"))
@@ -1094,7 +1100,8 @@ final class SnapshotCatalog(
           }
         }.toMap
         val summary2 = snap.summary +
-          ("first-row-id" -> base.toString) + ("next-row-id" -> next.toString)
+          ("first-row-id" -> math.max(base, idFloor).toString) +
+          ("next-row-id" -> next.toString)
         (Manifest(delta.files, assigned),
           snap.copy(summary = summary2,
             fileStats = snap.fileStats ++ assigned))
@@ -2738,7 +2745,8 @@ final class SnapshotCatalog(
     * `__bucket` for the delta so the layout invariant survives. */
   def upsertMoR(db: String, table: String, source: DataFrame,
       keys: Seq[String],
-      extraSummary: Map[String, String] = Map.empty): Snapshot = withTableLock(db, table) {
+      extraSummary: Map[String, String] = Map.empty,
+      explicitRids: Boolean = false): Snapshot = withTableLock(db, table) {
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
     val prevEntry = publishedEntry(entries)
@@ -2747,12 +2755,26 @@ final class SnapshotCatalog(
     val tag = attemptTag()
     val tm = meta(db, table)
     val schema = prev.schema
+    // EXPLICIT row identity (`explicitRids`): the source carries each
+    // row's id in a `__rid` column — the CDC apply sink replicating a
+    // lineage source table's identity onto a replica. The delta writes
+    // __rid physically (files marked rid_materialized, the rewrite
+    // contract), and the commit advances the replica's id high-water
+    // past the largest replicated id so a later NORMAL append can never
+    // collide.
+    if (explicitRids) {
+      require(rowLineageEnabled(db, table),
+        s"explicit-rid upsert requires row.lineage=true on $db.$table")
+      require(source.columns.contains("__rid"),
+        "explicit-rid upsert source must carry a __rid column")
+    }
+    val srcVisible = if (explicitRids) source.drop("__rid") else source
     // bucketed tables: the caller-facing column set excludes the derived
     // __bucket layout column — the delta re-derives it below, so the
     // bucket invariant survives the MoR path like it does appendBucketed
     val cols = schema.fieldNames.toSeq.filterNot(tm.hiddenCols)
-    require(source.schema.fieldNames.sorted.sameElements(cols.sorted),
-      s"upsert source columns ${source.schema.fieldNames.mkString(",")} " +
+    require(srcVisible.schema.fieldNames.sorted.sameElements(cols.sorted),
+      s"upsert source columns ${srcVisible.schema.fieldNames.mkString(",")} " +
         s"!= table columns ${cols.mkString(",")}")
     val retyped = schema.fields.filter(f => cols.contains(f.name)).filterNot(f =>
       source.schema(f.name).dataType.sql == f.dataType.sql)
@@ -2787,8 +2809,12 @@ final class SnapshotCatalog(
     val snapDirRel = s"data/s$newId$tag"
     val snapDir = tablePath(db, table).resolve("data").resolve(s"s$newId$tag")
     val delta0 = {
-      val src = source.select(cols.map(c => col(s"`$c`")): _*)
-      if (!lineage) src
+      val src = srcVisible.select(cols.map(c => col(s"`$c`")): _*)
+      if (explicitRids)
+        // replicated identity: the caller's __rid wins verbatim — no
+        // inherit join, no fresh minting (files marked below)
+        source.select((cols.map(c => col(s"`$c`")) :+ col("`__rid`")): _*)
+      else if (!lineage) src
       else {
         // ROW LINEAGE (Iceberg-v3 upsert split): a source row whose key
         // MATCHED inherits the dying row's identity — it is an update,
@@ -2815,8 +2841,10 @@ final class SnapshotCatalog(
     val root = tablePath(db, table)
     val newFiles = listParquetFiles(snapDir).map(p =>
       snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/'))
+    val ridMark: Map[String, String] =
+      if (explicitRids) Map("rid_materialized" -> "true") else Map.empty
     val newFileStats = withBloomStats(db, table, newFiles.map(f =>
-      f -> FileStats.fromFooter(root.resolve(f), schema, conf)).toMap, schema)
+      f -> (FileStats.fromFooter(root.resolve(f), schema, conf) ++ ridMark)).toMap, schema)
     val addedRows = newFiles.map(f => newFileStats(f).get("rows").map(_.toLong))
     val added = if (addedRows.forall(_.isDefined)) addedRows.flatten.sum else -1L
     val prevRows = prev.recordCount
@@ -2824,6 +2852,14 @@ final class SnapshotCatalog(
     val shards =
       if (fileEntries.isEmpty) prevEntry.deletes
       else prevEntry.deletes :+ deleteShardName(newId, tag)
+    // explicit ids: advance the replica's id high-water past the largest
+    // replicated id (one tiny agg over the source, the CDC batch)
+    val floorSummary: Map[String, String] =
+      if (!explicitRids) Map.empty
+      else source.agg(max(col("`__rid`"))).head() match {
+        case r if r.isNullAt(0) => Map.empty
+        case r => Map("lineage.id-floor" -> (r.getLong(0) + 1L).toString)
+      }
     val foldedSummary = foldDeltaBounds(prev, schema, newFiles, newFileStats, deleted)
     val snap = Snapshot(newId, clock().toString, "merge",
       foldedSummary ++ Map(
@@ -2833,7 +2869,7 @@ final class SnapshotCatalog(
         "deleted_records" -> deleted.toString,
         "total_files" -> (prev.files.size + newFiles.size).toString,
         "delete_files" -> (prev.deleteFiles.size + fileEntries.size).toString) ++
-        extraSummary,
+        floorSummary ++ extraSummary,
       prev.schemaDdl, prev.files ++ newFiles, prev.fileStats ++ newFileStats,
       prev.deleteFiles ++ fileEntries)
     commitSnapshot(db, table, entries, snap, prevEntry.manifests,

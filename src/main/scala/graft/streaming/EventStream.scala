@@ -75,7 +75,20 @@ object EventStream {
     if (last.exists(epochId <= _)) return // replayed epoch: drop
     val tag = Map(tagKey -> epochId.toString)
     val keyCols = keys.map(k => col(s"`$k`"))
-    val inserts = batch.where(col("_change_type") === "insert").drop("_change_type")
+    // CASCADED ROW LINEAGE: when the source feed carries `_row_id` (a
+    // row.lineage source's .changes stream) and the replica tracks
+    // lineage too, each applied post-image KEEPS the source row's
+    // identity — the replica's ids ARE the source's, so a consumer can
+    // correlate rows across the whole replication chain (and the
+    // replica's own .changes stream re-serves the same ids). A
+    // non-lineage replica simply drops the column.
+    val preserveIds = batch.columns.contains("_row_id") &&
+      cat.rowLineageEnabled(db, table)
+    val ins0 = batch.where(col("_change_type") === "insert").drop("_change_type")
+    val inserts =
+      if (preserveIds) ins0.withColumnRenamed("_row_id", "__rid")
+      else if (batch.columns.contains("_row_id")) ins0.drop("_row_id")
+      else ins0
     // a delete followed by a same-epoch re-insert of the key is an UPDATE:
     // the upsert's position-delete handles it; only keys that stay dead
     // need the equality delete
@@ -87,7 +100,8 @@ object EventStream {
     val hasDeletes = !deadKeys.isEmpty
     if (hasDeletes)
       cat.deleteMoREq(db, table, deadKeys, if (hasInserts) Map.empty else tag)
-    if (hasInserts) cat.upsertMoR(db, table, inserts, keys, tag)
+    if (hasInserts)
+      cat.upsertMoR(db, table, inserts, keys, tag, explicitRids = preserveIds)
     ()
   }
 

@@ -199,6 +199,51 @@ class RowLineageSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cascaded replication preserves identity: apply sink writes source ids") {
+    val (cat, wh) = freshCat()
+    lineageTable(cat, "src")
+    cat.createTable("db", "replica",
+      Seq((0L, "x")).toDF("k", "v").schema,
+      properties = Map("row.lineage" -> "true"))
+    cat.append("db", "src", (0L until 6L).map(k => (k, s"a$k")).toDF("k", "v")
+      .repartition(1).sortWithinPartitions("k")) // ids 0..5
+    spark.conf.set("spark.sql.catalog.rlcas", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.rlcas.warehouse", wh)
+    val q = spark.readStream
+      .option("starting-snapshot-id", "1").table("rlcas.db.src.changes")
+      .writeStream.foreachBatch(
+        graft.streaming.EventStream.applyCdcEpoch(cat, "db", "replica",
+          keys = Seq("k")) _)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(ids(cat, "replica") == ids(cat, "src"),
+        s"replica ids must BE the source ids: ${ids(cat, "replica")} vs ${ids(cat, "src")}")
+      // churn flows through with identity intact: an update keeps its id,
+      // a delete removes it, on BOTH tables
+      cat.updateMoR("db", "src", col("k") === 2L, Map("v" -> lit("patched")))
+      cat.deleteMoR("db", "src", col("k") === 4L)
+      q.processAllAvailable()
+      assert(ids(cat, "replica") == ids(cat, "src"), s"${ids(cat, "replica")}")
+      assert(cat.readLatest("db", "replica").where(col("k") === 2L)
+        .select("v").as[String].head() == "patched")
+      // the REPLICA's own id high-water advanced past the replicated
+      // ids: a direct append to it mints a non-colliding fresh id
+      cat.append("db", "replica", Seq((100L, "local")).toDF("k", "v"))
+      val rep = ids(cat, "replica")
+      assert(rep(100L) >= 6L, s"local append must mint past the floor: $rep")
+      assert(rep.values.toSet.size == rep.size, "no id collisions")
+      // and the replica itself serves a changes stream with those ids —
+      // the CASCADE: a third tier would key on the same identity
+      val diff = cat.readChangelog("db", "replica", 1L,
+          cat.currentSnapshotId("db", "replica"))
+        .where(col("_change_type") === "insert")
+        .select("k", "_row_id").as[(Long, Long)].collect().toMap
+      assert(diff.view.filterKeys(_ != 100L).toMap ==
+        ids(cat, "src"), s"cascade tier serves source ids: $diff")
+    } finally q.stop()
+  }
+
   test("SQL surface: db.t.rows serves _row_id; refuses on untracked tables") {
     val (cat, wh) = freshCat()
     lineageTable(cat, "sq")
