@@ -1096,6 +1096,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // HYBRID retrieval via Reciprocal Rank Fusion (r10; Cormack et al.
+    // 2009): BM25 lexical top-20 and embedding-cosine semantic top-20
+    // fuse rank-wise — integer-quantized 1/(60+rank) contributions sum
+    // exactly, so the fused ranking is bit-identical on any engine. The
+    // id spaces align by construction (doc_id == vec_id), the join a
+    // real RAG corpus maintains between its text and embedding tables.
+    "q128_hybrid_rrf" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val e = T(s, dir, "embeddings")
+      val qd = d.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), substring(col("text"), 1, 48).as("qtext"))
+      val lex = graft.ops.Retrieval.bm25TopK(d, "doc_id", "text",
+          qd, "qid", "qtext", k = 20, k1 = 1.5, b = 0.75)
+        .select("query_id", "doc_id", "rank")
+      val qe = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val sem = graft.ops.Similarity.cosineTopK(e, "vec_id", "embedding",
+          qe, "qid", "qvec", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq(lex, sem), k = 60, topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // per-source TF-IDF keyword extraction (r9): the terms that
     // CHARACTERIZE each crawl source — frequent inside, rare across.
     // One explode + term-bounded broadcast stats; top-5 per source.
@@ -2997,6 +3020,61 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_zz
         |FROM events WHERE event_id <= 2000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // both rankings replayed in full (the q118 BM25 pipeline at k=20 +
+    // the q27 cosine ranking at k=20), then the integer-quantized RRF
+    // fold — the fused ranking must match rank for rank
+    "q128_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), post AS (
+        |  SELECT doc_id, len(ts) AS dl, u.term AS term, count(*) AS tf
+        |  FROM tok, unnest(ts) AS u(term) GROUP BY 1, 2, 3
+        |), dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+        |        FROM (SELECT DISTINCT doc_id, dl FROM post)),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    list_filter(regexp_split_to_array(lower(substr(text, 1, 48)), '\s+'),
+        |      t -> t <> '') AS ts
+        |  FROM documents WHERE doc_id < 5
+        |), qterm AS (
+        |  SELECT DISTINCT query_id, u.term FROM q, unnest(ts) AS u(term)
+        |), scored AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |    CAST(floor(sum(
+        |      ln(1 + (t.n_docs - d.df + 0.5) / (d.df + 0.5)) * (p.tf * 2.5) /
+        |      (p.tf + 1.5 * (0.25 + 0.75 * p.dl / t.avgdl))) * 10000) AS BIGINT) AS score_q
+        |  FROM qterm qt JOIN dfreq d USING (term) JOIN post p USING (term), tot t
+        |  GROUP BY 1, 2
+        |), lex AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_q DESC, doc_id) AS rank
+        |  FROM scored
+        |), qv AS (SELECT * FROM embeddings WHERE vec_id < 5),
+        |sem AS (
+        |  SELECT qv.vec_id AS query_id, e.vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY qv.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding, qv.embedding) DESC, e.vec_id) AS rank
+        |  FROM embeddings e, qv WHERE e.vec_id <> qv.vec_id
+        |), uni AS (
+        |  SELECT query_id, doc_id, rank FROM lex WHERE rank <= 20
+        |  UNION ALL
+        |  SELECT query_id, doc_id, rank FROM sem WHERE rank <= 20
+        |), fused AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(sum(CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT)) AS BIGINT) AS rrf_q
+        |  FROM uni GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT query_id, doc_id, rrf_q,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_q DESC, doc_id) AS rank
+        |  FROM fused)
+        |SELECT query_id, doc_id, rrf_q, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q118_bm25_retrieval" ->
       """WITH tok AS (

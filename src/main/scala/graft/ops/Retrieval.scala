@@ -118,4 +118,38 @@ object Retrieval {
       .where(col("rank") <= k)
       .select("group", "term", "tf", "tfidf_q", "rank")
   }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009) — the
+    * standard hybrid-retrieval combiner: fuse N per-query rankings (e.g.
+    * BM25 lexical + embedding-cosine semantic) into one, scoring each
+    * (query, doc) as `sum_systems 1/(k + rank)`. Rank-based, so the
+    * systems' incomparable score scales never need calibration — the
+    * reason RRF is the default fusion in production hybrid search.
+    *
+    * Every input frame carries `(query_id, doc_id, rank)`; a document
+    * absent from a system simply contributes nothing. Scale shape: the
+    * inputs are already top-k-bounded per query, so the union + one
+    * (query, doc) aggregation + a rank window move O(queries * k *
+    * systems) rows — never the corpus.
+    *
+    * Engine-portable by construction: each contribution quantizes to the
+    * INTEGER `floor(1e9 / (k + rank))` before summing, so the fused
+    * score is an exact integer sum — no floating summation order, no
+    * cross-engine drift — and ties break on doc_id. Returns
+    * `(query_id, doc_id, rrf_q, rank)`, rank 1..topK per query. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 0, s"k must be non-negative, got $k")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val unioned = rankings.map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_.unionByName(_))
+    val fused = unioned
+      .withColumn("c",
+        floor(lit(1000000000.0) / (lit(k.toLong) + col("rank"))).cast("long"))
+      .groupBy("query_id", "doc_id").agg(sum("c").as("rrf_q"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_q").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+  }
 }

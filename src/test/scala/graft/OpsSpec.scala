@@ -1137,6 +1137,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_._2) == exp.toSeq.sortBy(e => (-e._2, e._1)).map(_._1))
   }
 
+  test("RRF fusion: hand-computed integer contributions, consensus wins") {
+    import graft.ops.Retrieval
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val sem = Seq((1L, 11L, 1L), (1L, 13L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(lex, sem), k = 60, topK = 10)
+      .select("query_id", "doc_id", "rrf_q", "rank")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4).toSeq
+    def c(r: Long) = math.floor(1e9 / (60 + r)).toLong
+    // doc 11 appears in BOTH systems (ranks 2 and 1): consensus outranks
+    // either system's solo #1
+    val exp = Seq(
+      (1L, 11L, c(2) + c(1), 1L),
+      (1L, 10L, c(1), 2L),
+      (1L, 13L, c(2), 3L),
+      (1L, 12L, c(3), 4L))
+    assert(got == exp, got.toString)
+    // single-system fusion is a stable pass-through of the ranking
+    val solo = Retrieval.rrfFuse(Seq(lex), k = 60, topK = 2)
+      .select("doc_id", "rank").as[(Long, Long)].collect().sortBy(_._2).toSeq
+    assert(solo == Seq((10L, 1L), (11L, 2L)), solo.toString)
+  }
+
   test("BM25 / TF-IDF plans: query+stats broadcast, postings never re-shuffle wide") {
     import graft.ops.Retrieval
     val q = docs.where(col("doc_id") < 5)
