@@ -1177,6 +1177,21 @@ object SparkEntry {
         "GROUP BY o_orderstatus ORDER BY o_orderstatus")
     }),
 
+    // _last_updated_snapshot_id (r10; Iceberg v3's second lineage
+    // field): every row carries the snapshot that last touched it —
+    // fresh files default to their commit, rewrites materialize the
+    // values physically. Over the q121 fixture (append evens @2, odds
+    // @3, then compact @4) the compact must be INVISIBLE: evens still
+    // say 2, odds still say 3, and the ids replay by rank arithmetic.
+    "q129_rows_last_updated" -> ((s, dir) => {
+      lineageOrdersFixture(s, dir)
+      s.sql("SELECT o_orderkey % 2 AS par, count(*) AS n, " +
+        "min(_last_updated_snapshot_id) AS lu_min, " +
+        "max(_last_updated_snapshot_id) AS lu_max, " +
+        "sum(_row_id) AS id_sum " +
+        "FROM snapdml.maint.lineage_orders.rows GROUP BY par ORDER BY par")
+    }),
+
     // ROW LINEAGE THROUGH CDC (r10): the changelog over a MoR delete +
     // MoR update range carries each pre/post-image's stable `_row_id` —
     // the dying row serves its id, and the update's post-image carries
@@ -2942,6 +2957,26 @@ object SparkEntry {
         |  CAST(min(rid) AS BIGINT) AS id_min,
         |  CAST(max(rid) AS BIGINT) AS id_max
         |FROM al GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // evens appended at snapshot 2, odds at 3, compact at 4 preserves:
+    // last-updated is constant per parity, ids replay by rank
+    "q129_rows_last_updated" ->
+      """WITH evens AS (
+        |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |), n AS (SELECT count(*) AS c FROM evens),
+        |odds AS (
+        |  SELECT o_orderkey,
+        |    (SELECT c FROM n) + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |al AS (
+        |  SELECT o_orderkey % 2 AS par, rid,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 3 END AS lu
+        |  FROM (SELECT * FROM evens UNION ALL SELECT * FROM odds))
+        |SELECT CAST(par AS BIGINT) AS par, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(lu) AS BIGINT) AS lu_min, CAST(max(lu) AS BIGINT) AS lu_max,
+        |  CAST(sum(rid) AS BIGINT) AS id_sum
+        |FROM al GROUP BY par ORDER BY par""".stripMargin,
 
     // the changelog's images replayed by the same rank arithmetic: the
     // %100==7 rows die with their ids, the %100==11 rows emit a delete

@@ -1089,7 +1089,13 @@ final class SnapshotCatalog(
           .map(_.toLong).getOrElse(0L)
         var next = math.max(base, idFloor)
         val assigned = delta.files.sorted.map { f =>
-          val st = delta.fileStats.getOrElse(f, Map.empty)
+          // every NEW file of a lineage table also records the snapshot
+          // that added it — the per-file default for each row's
+          // `_last_updated_snapshot_id` (Iceberg v3's second lineage
+          // field): rows in a fresh file were last touched by THIS
+          // commit; rewrites materialize the older values physically
+          val st = delta.fileStats.getOrElse(f, Map.empty) +
+            ("added_snapshot_id" -> snap.snapshotId.toString)
           if (st.contains("first_row_id") || st.get("rid_materialized").contains("true"))
             f -> st
           else st.get("rows") match {
@@ -1355,27 +1361,56 @@ final class SnapshotCatalog(
       .select((snap.schema.fieldNames.map(n => col(s"`$n`")) :+ col("`__rid`"))
         .toIndexedSeq: _*)
 
+  /** Visible rows with BOTH lineage columns — `__rid` (stable identity)
+    * and `__rseq` (the snapshot that last touched the row: physical
+    * where a rewrite materialized it, the file's `added_snapshot_id`
+    * otherwise). The rewrite paths read through this so compaction
+    * preserves both fields. */
+  private def readVisibleWithRidSeq(db: String, table: String, snap: Snapshot,
+      files: Seq[String]): DataFrame =
+    readVisibleWithPosAndRid(db, table, snap, files)
+      .select((snap.schema.fieldNames.map(n => col(s"`$n`")) ++
+        Seq(col("`__rid`"), col("`__rseq`"))).toIndexedSeq: _*)
+
   /** [[readVisibleWithRid]] keeping the `(file, pos)` identity columns —
     * the MoR UPDATE/MERGE writer's scan when lineage is on: the positions
     * feed the delete shard while `__rid` rides into the post-image so an
     * updated row KEEPS its identity (Iceberg-v3 semantics: update never
-    * re-mints). */
+    * re-mints). Also derives `__rseq`, each row's LAST-UPDATED snapshot
+    * (Iceberg v3's `_last_updated_sequence_number` shape): physical
+    * `__rseq` where a rewrite materialized it, else the containing
+    * file's `added_snapshot_id` — a fresh file's rows were last touched
+    * by the commit that added it. Both defaults ride ONE metadata-sized
+    * broadcast (file -> (first_row_id, added_snapshot_id)). */
   private def readVisibleWithPosAndRid(db: String, table: String, snap: Snapshot,
       files: Seq[String]): DataFrame = {
-    val schemaPlus = StructType(snap.schema.fields :+
+    val schemaPlus = StructType(snap.schema.fields ++ Seq(
       org.apache.spark.sql.types.StructField("__rid",
-        org.apache.spark.sql.types.LongType, nullable = true))
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("__rseq",
+        org.apache.spark.sql.types.LongType, nullable = true)))
     val scanned = readFilesWithPos(db, table, schemaPlus, files)
     val live = liveDeletesFor(snap, files)
     val merged = if (live.isEmpty) scanned else antiJoinDeletes(db, table, scanned, live)
-    val fridRows = files.flatMap(f =>
-      snap.fileStats.get(f).flatMap(_.get("first_row_id")).map(v => (f, v.toLong)))
-    val fridDf = spark.createDataFrame(fridRows).toDF("__frid_file", "__frid_base")
+    val fridRows = files.flatMap { f =>
+      val st = snap.fileStats.getOrElse(f, Map.empty)
+      val frid = st.get("first_row_id").map(_.toLong)
+      val added = st.get("added_snapshot_id").map(_.toLong)
+      if (frid.isEmpty && added.isEmpty) None
+      else Some((f, frid.getOrElse(-1L), frid.isDefined,
+        added.getOrElse(-1L), added.isDefined))
+    }
+    val fridDf = spark.createDataFrame(fridRows)
+      .toDF("__frid_file", "__frid_base", "__frid_set", "__fadd", "__fadd_set")
     merged.join(broadcast(fridDf),
         merged(MorFileCol) === fridDf("__frid_file"), "left")
-      .withColumn("__rid", coalesce(col("`__rid`"), col("__frid_base") + col(MorPosCol)))
+      .withColumn("__rid", coalesce(col("`__rid`"),
+        when(col("__frid_set"), col("__frid_base") + col(MorPosCol))))
+      .withColumn("__rseq", coalesce(col("`__rseq`"),
+        when(col("__fadd_set"), col("__fadd"))))
       .select((snap.schema.fieldNames.map(n => col(s"`$n`")) ++
-        Seq(col(MorFileCol), col(MorPosCol), col("`__rid`"))).toIndexedSeq: _*)
+        Seq(col(MorFileCol), col(MorPosCol), col("`__rid`"), col("`__rseq`")))
+        .toIndexedSeq: _*)
   }
 
   /** The current snapshot's visible rows plus `_row_id` — each row's
@@ -1391,8 +1426,9 @@ final class SnapshotCatalog(
       s"$db.$table does not track row lineage - create it with " +
         "property row.lineage=true")
     val snap = currentSnapshot(db, table)
-    readVisibleWithRid(db, table, snap, snap.files)
+    readVisibleWithRidSeq(db, table, snap, snap.files)
       .withColumnRenamed("__rid", "_row_id")
+      .withColumnRenamed("__rseq", "_last_updated_snapshot_id")
   }
 
   /** File-level data skipping: partition a snapshot's file list into
@@ -2004,17 +2040,19 @@ final class SnapshotCatalog(
     // break reads of pre-evolution files (the vectorized reader refuses
     // missing REQUIRED columns). Nullability is widened by the frame's,
     // never narrowed.
-    // `__rid` is the row-lineage identity a REWRITE materializes into its
-    // output files (see [[commitSnapshot]]): it rides the parquet write
-    // but never enters the TABLE schema — explicit-schema reads simply
-    // ignore the extra physical column
+    // `__rid`/`__rseq` are the row-lineage identity + last-updated
+    // fields a REWRITE materializes into its output files (see
+    // [[commitSnapshot]]): they ride the parquet write but never enter
+    // the TABLE schema — explicit-schema reads simply ignore the extra
+    // physical columns
+    val lineageCols = Set("__rid", "__rseq")
     val hasRid = df.columns.contains("__rid")
     val snapSchema = operation match {
       case "append" | "compact" =>
         val prevSchema = prev.schema
         val missing = prevSchema.fieldNames.filterNot(df.schema.fieldNames.contains)
         val extra = df.schema.fieldNames
-          .filterNot(prevSchema.fieldNames.contains).filterNot(_ == "__rid")
+          .filterNot(prevSchema.fieldNames.contains).filterNot(lineageCols)
         require(missing.isEmpty && extra.isEmpty,
           s"append schema mismatch for $db.$table: missing=${missing.mkString(",")} " +
             s"extra=${extra.mkString(",")}")
@@ -2027,7 +2065,7 @@ final class SnapshotCatalog(
         StructType(prevSchema.fields.map { f =>
           f.copy(nullable = f.nullable || df.schema(f.name).nullable)
         })
-      case _ => StructType(df.schema.fields.filterNot(_.name == "__rid"))
+      case _ => StructType(df.schema.fields.filterNot(f => lineageCols(f.name)))
     }
 
     // `expect.mode=commit`: validate the INCOMING frame before any bytes
@@ -2056,7 +2094,7 @@ final class SnapshotCatalog(
     // summary and let MetadataCountRule serve unfiltered count/min/max
     // straight from the log, Iceberg-manifest style.
     val statCols = df.schema.fields.filter(f => ColumnStats.statable(f.dataType))
-      .map(_.name).filterNot(_ == "__rid")
+      .map(_.name).filterNot(lineageCols)
     val obs = new Observation(s"commit_${db}_${table}_$newId")
     val statAggs = statCols.flatMap { c =>
       Seq(min(col(s"`$c`")).as(s"min.$c"), max(col(s"`$c`")).as(s"max.$c"))
@@ -4628,7 +4666,7 @@ final class SnapshotCatalog(
     val current =
       if (rowLineageEnabled(db, table)) {
         val snap = currentSnapshot(db, table)
-        readVisibleWithRid(db, table, snap, snap.files)
+        readVisibleWithRidSeq(db, table, snap, snap.files)
       } else readLatest(db, table)
     commit(db, table, current.repartition(numFiles), "compact")
   }
@@ -4726,7 +4764,7 @@ final class SnapshotCatalog(
       // and merges any position deletes on the rewritten files; commit()
       // re-partitionBys, so hive/bucket layouts survive
       val smallRows =
-        if (rowLineageEnabled(db, table)) readVisibleWithRid(db, table, snap, small)
+        if (rowLineageEnabled(db, table)) readVisibleWithRidSeq(db, table, snap, small)
         else readVisible(db, table, snap, small)
       val rewrite = smallRows.repartition(nOut)
       Some(commit(db, table, rewrite, "rewrite",
@@ -4788,7 +4826,7 @@ final class SnapshotCatalog(
     }.reduce((a, b) => a.bitwiseOR(b))
     val base =
       if (rowLineageEnabled(db, table))
-        readVisibleWithRid(db, table, snap, snap.files)
+        readVisibleWithRidSeq(db, table, snap, snap.files)
       else readLatest(db, table)
     val z = base
       .withColumn("__z", interleaved)

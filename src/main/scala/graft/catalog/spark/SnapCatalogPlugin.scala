@@ -2039,9 +2039,11 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       extends Table with SupportsRead with ChangelogViewable {
     private val tableSchema = StructType(
       cat.currentSnapshot(db, table).schema.fields
-        .filterNot(f => cat.meta(db, table).hiddenCols(f.name)) :+
+        .filterNot(f => cat.meta(db, table).hiddenCols(f.name)) ++ Seq(
         StructField("_row_id", org.apache.spark.sql.types.LongType,
-          nullable = true))
+          nullable = true),
+        StructField("_last_updated_snapshot_id",
+          org.apache.spark.sql.types.LongType, nullable = true)))
     override def name(): String = s"$catalogName.$db.$table.rows"
     override def schema(): StructType = tableSchema
     override def capabilities(): util.Set[TableCapability] =

@@ -199,6 +199,57 @@ class RowLineageSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("_last_updated_snapshot_id: fresh at write, moves on update, survives compact") {
+    val (cat, _) = freshCat()
+    lineageTable(cat, "lu")
+    cat.append("db", "lu", (0L until 4L).map(k => (k, s"a$k")).toDF("k", "v")
+      .repartition(1).sortWithinPartitions("k"))
+    val s1 = cat.currentSnapshotId("db", "lu")
+    cat.append("db", "lu", Seq((10L, "b")).toDF("k", "v"))
+    val s2 = cat.currentSnapshotId("db", "lu")
+    def lus(): Map[Long, Long] =
+      cat.readWithRowIds("db", "lu").select("k", "_last_updated_snapshot_id")
+        .as[(Long, Long)].collect().toMap
+    val base = lus()
+    assert((0L until 4L).forall(base(_) == s1), base.toString)
+    assert(base(10L) == s2, base.toString)
+
+    // a MoR delete leaves survivors' last-updated untouched
+    cat.deleteMoR("db", "lu", col("k") === 1L)
+    assert(lus() == base - 1L, lus().toString)
+
+    // an update moves ONLY the touched row's last-updated to the update
+    // commit (its _row_id stays, proven elsewhere)
+    cat.updateMoR("db", "lu", col("k") === 2L, Map("v" -> lit("patched")))
+    val sUpd = cat.currentSnapshotId("db", "lu")
+    val afterUpd = lus()
+    assert(afterUpd(2L) == sUpd, afterUpd.toString)
+    assert(afterUpd - 2L == base - 1L - 2L, afterUpd.toString)
+
+    // compact materializes the values physically: nothing moves
+    cat.compact("db", "lu", numFiles = 1)
+    assert(lus() == afterUpd, lus().toString)
+    // and a post-compact update still moves just its row
+    cat.updateMoR("db", "lu", col("k") === 3L, Map("v" -> lit("again")))
+    val sUpd2 = cat.currentSnapshotId("db", "lu")
+    val afterUpd2 = lus()
+    assert(afterUpd2(3L) == sUpd2 && afterUpd2(2L) == sUpd, afterUpd2.toString)
+
+    // upsert: matched post-image AND new row stamp the merge commit
+    cat.upsertMoR("db", "lu", Seq((0L, "U"), (50L, "N")).toDF("k", "v"),
+      keys = Seq("k"))
+    val sM = cat.currentSnapshotId("db", "lu")
+    val afterUp = lus()
+    assert(afterUp(0L) == sM && afterUp(50L) == sM, afterUp.toString)
+
+    // identity stays decoupled from last-updated through the upsert
+    val ids = cat.readWithRowIds("db", "lu")
+      .select("k", "_row_id", "_last_updated_snapshot_id")
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, r, l) => k -> ((r, l)) }.toMap
+    assert(ids(0L) == ((0L, sM)), ids.toString)
+  }
+
   test("cascaded replication preserves identity: apply sink writes source ids") {
     val (cat, wh) = freshCat()
     lineageTable(cat, "src")
