@@ -1096,6 +1096,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // RAG document CHUNKING (r10): sliding word windows of 32 with
+    // 8-word overlap — the fixed-size splitter with overlap every
+    // embedding pipeline runs before indexing. Row-local (no shuffle);
+    // the oracle replays windowing, word counts, and the exact chunk
+    // text, so an off-by-one in stride/slice hash-mismatches.
+    "q130_rag_chunking" -> ((s, dir) =>
+      graft.ops.TextOps.chunkDocuments(
+          T(s, dir, "documents"), "doc_id", "text",
+          windowWords = 32, overlapWords = 8)
+        .orderBy("doc_id", "chunk_idx")),
+
     // HYBRID retrieval via Reciprocal Rank Fusion (r10; Cormack et al.
     // 2009): BM25 lexical top-20 and embedding-cosine semantic top-20
     // fuse rank-wise — integer-quantized 1/(60+rank) contributions sum
@@ -3055,6 +3066,27 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_zz
         |FROM events WHERE event_id <= 2000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the window/stride/slice arithmetic replayed exactly, chunk text
+    // compared verbatim
+    "q130_rag_chunking" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, ts,
+        |    1 + CAST(ceil(greatest(len(ts) - 32, 0) / 24.0) AS INT) AS nc
+        |  FROM tok WHERE len(ts) > 0
+        |), ix AS (
+        |  SELECT doc_id, ts, unnest(range(0, nc)) AS ci FROM d
+        |), ch AS (
+        |  SELECT doc_id, ci AS chunk_idx, ts[ci*24 + 1 : ci*24 + 32] AS w FROM ix
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  array_to_string(w, ' ') AS chunk_text
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // both rankings replayed in full (the q118 BM25 pipeline at k=20 +
     // the q27 cosine ranking at k=20), then the integer-quantized RRF

@@ -258,4 +258,47 @@ object TextOps {
     aggregate(split(text, " "), lit(0L),
       (acc, w) => pmod(acc * 31L + pmod(xxhash64(w), P), P))
   }
+
+  /** Sliding-window DOCUMENT CHUNKING — the RAG-ingest splitter: each
+    * document becomes overlapping word windows of `windowWords` words
+    * advancing by `windowWords - overlapWords` (the fixed-size splitter
+    * with overlap every embedding pipeline runs before indexing; overlap
+    * keeps sentences that straddle a boundary retrievable from both
+    * sides).
+    *
+    * Returns `(idCol, chunk_idx, n_words, chunk_text)`: chunk_idx is
+    * 0-based document order, the last window may be shorter, documents
+    * with no tokens produce no chunks, and a document at most
+    * `windowWords` long is exactly one chunk. Deterministic and
+    * engine-replayable by construction (pure word arithmetic).
+    *
+    * Scale shape: one compiled projection — tokenize once, window count
+    * by integer arithmetic, `transform(sequence(...))` slices the token
+    * array per window, posexplode. No shuffle at all: chunking is
+    * row-local, so 100 TB of documents chunk at full scan parallelism,
+    * and the (doc, chunk) output feeds straight into the embedding /
+    * dedup / indexing stages partition-parallel. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int, overlapWords: Int): DataFrame = {
+    require(windowWords > 0, s"windowWords must be positive, got $windowWords")
+    require(overlapWords >= 0 && overlapWords < windowWords,
+      s"overlapWords must be in [0, windowWords), got $overlapWords")
+    val stride = windowWords - overlapWords
+    val ts = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+    // windows starting at 0, stride s, until the document is covered:
+    // 1 + ceil(max(0, len - window) / stride) — exact in double for any
+    // realistic document length
+    val nChunks = (lit(1) +
+      ceil(greatest(size(col("__ts")) - windowWords, lit(0)).cast("double") /
+        stride.toDouble)).cast("int")
+    df.select(col(idCol), ts.as("__ts"))
+      .where(size(col("__ts")) > 0)
+      .select(col(idCol), col("__ts"),
+        transform(sequence(lit(0), nChunks - 1), i =>
+          slice(col("__ts"), i * stride + 1, lit(windowWords))).as("__ws"))
+      .select(col(idCol), posexplode(col("__ws")).as(Seq("chunk_idx", "__w")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("__w")).cast("long").as("n_words"),
+        array_join(col("__w"), " ").as("chunk_text"))
+  }
 }

@@ -1137,6 +1137,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_._2) == exp.toSeq.sortBy(e => (-e._2, e._1)).map(_._1))
   }
 
+  test("chunking: windows, overlap, short-doc and boundary edges by hand") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 words
+      (2L, "x y z"),               // shorter than one window
+      (3L, "p q r s"),             // exactly one window
+      (4L, " "),                   // no tokens: absent
+      (5L, "m n o p q")            // len 5, window 4, stride 2 -> 2 chunks? ceil(1/2)=1 -> 2 chunks
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkDocuments(docs, "doc_id", "text",
+        windowWords = 4, overlapWords = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val exp = Seq(
+      // doc 1: starts 0,2,4,6 -> 1 + ceil(6/2) = 4 chunks
+      (1L, 0L, 4L, "a b c d"), (1L, 1L, 4L, "c d e f"),
+      (1L, 2L, 4L, "e f g h"), (1L, 3L, 4L, "g h i j"),
+      (2L, 0L, 3L, "x y z"),
+      (3L, 0L, 4L, "p q r s"),
+      (5L, 0L, 4L, "m n o p"), (5L, 1L, 3L, "o p q"))
+    assert(got == exp, got.toString)
+    // every word is covered; consecutive chunks overlap by exactly 2
+    // where a successor exists
+    assert(!got.exists(_._1 == 4L), "token-free docs produce no chunks")
+    intercept[IllegalArgumentException] {
+      TextOps.chunkDocuments(docs, "doc_id", "text", 4, 4)
+    }
+  }
+
   test("RRF fusion: hand-computed integer contributions, consensus wins") {
     import graft.ops.Retrieval
     val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
