@@ -2013,7 +2013,8 @@ final class SnapshotCatalog(
       carryFiles: Seq[String] = Seq.empty,
       carryStats: Map[String, Map[String, String]] = Map.empty,
       extraSummary: Map[String, String] = Map.empty,
-      base: Option[SnapshotEntry] = None): Snapshot = withTableLock(db, table) {
+      base: Option[SnapshotEntry] = None,
+      ridMixed: Boolean = false): Snapshot = withTableLock(db, table) {
     val tm = meta(db, table)
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
@@ -2190,9 +2191,14 @@ final class SnapshotCatalog(
       f -> FileStats.fromFooter(root.resolve(f), snapSchema, conf)).toMap,
       snapSchema)
     // files carrying materialized row ids are marked so the lineage
-    // funnel never re-mints identity for rewritten rows
+    // funnel never re-mints identity for rewritten rows. A MIXED frame
+    // (`ridMixed` — the CoW upsert: retained rows carry physical ids,
+    // source rows have null __rid) must NOT mark: the funnel then claims
+    // a first_row_id range and the read side's coalesce(physical,
+    // frid + pos) serves retained ids physically and mints fresh ones
+    // for the new rows
     val newFileStats =
-      if (!hasRid) newFileStats0
+      if (!hasRid || ridMixed) newFileStats0
       else newFileStats0.view.mapValues(_ + ("rid_materialized" -> "true")).toMap
     // append reuses every prior shard and writes O(new files) metadata; a
     // carry commit reuses every UNTOUCHED shard (see planCarryManifests);
@@ -2310,9 +2316,14 @@ final class SnapshotCatalog(
     val snap = currentSnapshot(db, table)
     val (cands, untouched) = pruneFiles(db, table, snap.snapshotId, cond)
     // candidates read VISIBLE (existing merge-on-read deletes applied):
-    // a copy-on-write rewrite over a MoR table must not resurrect rows
-    val rewrite = readVisible(db, table, snap, cands)
-      .where(!coalesce(cond, lit(false)))
+    // a copy-on-write rewrite over a MoR table must not resurrect rows.
+    // Lineage tables read WITH their identity + last-updated columns so
+    // the rewrite materializes them — survivors keep both (v3: a delete
+    // must not re-mint the rows it did NOT touch)
+    val rewrite =
+      (if (rowLineageEnabled(db, table)) readVisibleWithRidSeq(db, table, snap, cands)
+       else readVisible(db, table, snap, cands))
+        .where(!coalesce(cond, lit(false)))
     commit(db, table, rewrite, "delete",
       carryFiles = untouched, carryStats = snap.fileStats)
   }
@@ -2754,12 +2765,22 @@ final class SnapshotCatalog(
     require(unknown.isEmpty, s"UPDATE of unknown columns: ${unknown.mkString(",")}")
     val (cands, untouched) = pruneFiles(db, table, snap.snapshotId, cond)
     val c = coalesce(cond, lit(false))
-    val updated = readVisible(db, table, snap, cands).select(schema.fields.map { f =>
+    val lineage = rowLineageEnabled(db, table)
+    val base =
+      if (lineage) readVisibleWithRidSeq(db, table, snap, cands)
+      else readVisible(db, table, snap, cands)
+    // lineage: every rewritten row KEEPS its id (matched rows are the
+    // same rows, changed; unmatched rows were merely rehomed); matched
+    // rows NULL their materialized last-updated so the read side falls
+    // to the file default — this commit — while unmatched keep theirs
+    val updated = base.select((schema.fields.map { f =>
       set.get(f.name) match {
         case Some(v) => when(c, v.cast(f.dataType)).otherwise(col(s"`${f.name}`")).as(f.name)
         case None    => col(s"`${f.name}`")
       }
-    }.toIndexedSeq: _*)
+    } ++ (if (lineage) Seq(col("`__rid`"),
+      when(c, lit(null).cast("long")).otherwise(col("`__rseq`")).as("__rseq"))
+    else Nil)).toIndexedSeq: _*)
     commit(db, table, updated, "update",
       carryFiles = untouched, carryStats = snap.fileStats)
   }
@@ -3080,14 +3101,18 @@ final class SnapshotCatalog(
     * any scale. Source must carry exactly the table's columns. */
   def upsert(db: String, table: String, source: DataFrame,
       keys: Seq[String]): Snapshot = withTableLock(db, table) {
-    val cur = readLatest(db, table)
-    val cols = cur.schema.fieldNames.toSeq
+    val lineage = rowLineageEnabled(db, table)
+    val snap = currentSnapshot(db, table)
+    val cur =
+      if (lineage) readVisibleWithRidSeq(db, table, snap, snap.files)
+      else readLatest(db, table)
+    val cols = cur.schema.fieldNames.toSeq.filterNot(Set("__rid", "__rseq"))
     require(source.schema.fieldNames.sorted.sameElements(cols.sorted),
       s"upsert source columns ${source.schema.fieldNames.mkString(",")} " +
         s"!= table columns ${cols.mkString(",")}")
     // types too: the merge commit adopts the frame's schema, so a mistyped
     // source would silently retype the table via union widening
-    val retyped = cur.schema.fields.filterNot(f =>
+    val retyped = cur.schema.fields.filter(f => cols.contains(f.name)).filterNot(f =>
       source.schema(f.name).dataType.sql == f.dataType.sql)
     require(retyped.isEmpty,
       s"upsert type mismatch for $db.$table: " + retyped.map(f =>
@@ -3095,8 +3120,27 @@ final class SnapshotCatalog(
         .mkString(", "))
     val badKeys = keys.filterNot(cols.contains)
     require(badKeys.isEmpty, s"upsert keys not in table: ${badKeys.mkString(",")}")
-    val kept = cur.join(source.select(keys.map(k => col(s"`$k`")): _*), keys, "left_anti")
-    commit(db, table, kept.unionByName(source.select(cols.map(c => col(s"`$c`")): _*)), "merge")
+    val srcKeys = source.select(keys.map(k => col(s"`$k`")): _*).dropDuplicates()
+    val kept = cur.join(srcKeys, keys, "left_anti")
+    val src0 = source.select(cols.map(c => col(s"`$c`")): _*)
+    val incoming =
+      if (!lineage) src0
+      else {
+        // the MoR-upsert identity split, full-state flavor: matched keys
+        // inherit the smallest dying id (unique source keys only — dup
+        // copies must each mint fresh), new keys leave __rid null; the
+        // MIXED commit (ridMixed) then lets the funnel claim a range so
+        // coalesce(physical, frid + pos) serves retained ids AND mints
+        // the fresh ones. Source rows null __rseq — last touched NOW.
+        val dying = cur.join(srcKeys, keys, "left_semi")
+          .groupBy(keys.map(k => col(s"`$k`")): _*)
+          .agg(min(col("`__rid`")).as("__rid"))
+        val uniqueSrcKeys = src0.groupBy(keys.map(k => col(s"`$k`")): _*)
+          .agg(count(lit(1)).as("__cnt")).where(col("__cnt") === 1).drop("__cnt")
+        src0.join(dying.join(uniqueSrcKeys, keys, "left_semi"), keys, "left")
+          .withColumn("__rseq", lit(null).cast("long"))
+      }
+    commit(db, table, kept.unionByName(incoming), "merge", ridMixed = lineage)
   }
 
   /** Adopt a snapshot directory populated by an EXTERNAL V2 writer (the

@@ -63,10 +63,11 @@ class CatalogInvariantSpec extends AnyFunSuite {
     // none exceeds the claimed high-water (re-minting or range reuse
     // after any op interleaving would break all three)
     if (cat.rowLineageEnabled(db, t)) {
-      val rids = cat.readWithRowIds(db, t).select("_row_id")
+      val rids = cat.readWithRowIds(db, t)
+        .select("_row_id", "_last_updated_snapshot_id")
       assert(rids.where(col("_row_id").isNull).isEmpty,
         s"null row ids after ${snap.operation}")
-      val n = rids.count(); val d = rids.distinct().count()
+      val n = rids.count(); val d = rids.select("_row_id").distinct().count()
       assert(n == d, s"duplicate row ids after ${snap.operation}: $n rows, $d distinct")
       snap.summary.get("next-row-id").map(_.toLong).foreach { next =>
         val mx = rids.agg(max("_row_id")).head
@@ -74,6 +75,14 @@ class CatalogInvariantSpec extends AnyFunSuite {
           assert(mx.getLong(0) < next,
             s"row id ${mx.getLong(0)} >= high-water $next after ${snap.operation}")
       }
+      // last-updated: never null, never from the future — any op
+      // interleaving that forged or lost freshness breaks one of these
+      assert(rids.where(col("_last_updated_snapshot_id").isNull).isEmpty,
+        s"null last-updated after ${snap.operation}")
+      val mxLu = rids.agg(max("_last_updated_snapshot_id")).head
+      if (!mxLu.isNullAt(0))
+        assert(mxLu.getLong(0) <= snap.snapshotId,
+          s"last-updated ${mxLu.getLong(0)} > current ${snap.snapshotId}")
     }
     snap.deleteFiles.foreach(d =>
       assert(Files.exists(root.resolve(d.path)), s"missing delete file ${d.path}"))

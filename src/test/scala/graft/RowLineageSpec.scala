@@ -199,6 +199,40 @@ class RowLineageSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("COPY-ON-WRITE delete/update/upsert preserve identity like their MoR twins") {
+    val (cat, _) = freshCat()
+    lineageTable(cat, "cw")
+    cat.append("db", "cw", (0L until 8L).map(k => (k, s"a$k")).toDF("k", "v")
+      .repartition(1).sortWithinPartitions("k")) // ids 0..7
+    val base = ids(cat, "cw")
+
+    // CoW delete rewrites candidate files: survivors keep their ids
+    cat.delete("db", "cw", col("k") === 3L)
+    val afterDel = ids(cat, "cw")
+    assert(afterDel == base - 3L, s"CoW delete must not re-mint: $afterDel")
+
+    // CoW update rewrites candidates: matched AND unmatched keep ids;
+    // only the matched row's last-updated moves
+    cat.update("db", "cw", col("k") === 5L, Map("v" -> lit("patched")))
+    val sU = cat.currentSnapshotId("db", "cw")
+    assert(ids(cat, "cw") == afterDel, s"CoW update must not re-mint")
+    val lu = cat.readWithRowIds("db", "cw")
+      .select("k", "_last_updated_snapshot_id").as[(Long, Long)].collect().toMap
+    assert(lu(5L) == sU && lu(6L) != sU, lu.toString)
+
+    // CoW upsert (full-state merge): retained rows keep ids, the matched
+    // post-image inherits, the new key mints fresh
+    cat.upsert("db", "cw", Seq((7L, "UP"), (90L, "NEW")).toDF("k", "v"),
+      keys = Seq("k"))
+    val up = ids(cat, "cw")
+    assert(up(7L) == 7L, s"CoW upsert matched row must inherit: $up")
+    assert(up(90L) >= 8L, s"new key mints fresh: $up")
+    assert((up - 7L - 90L) == (afterDel - 7L), "retained rows untouched")
+    assert(up.values.toSet.size == up.size, "ids stay unique")
+    val next = cat.currentSnapshot("db", "cw").summary("next-row-id").toLong
+    assert(up.values.forall(_ < next))
+  }
+
   test("_last_updated_snapshot_id: fresh at write, moves on update, survives compact") {
     val (cat, _) = freshCat()
     lineageTable(cat, "lu")
