@@ -1096,6 +1096,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // distributed PCA over embeddings (r10): ONE moment pass (per-
+    // partition (n, sum, gram) accumulators, fixed-size reduce — the
+    // driver holds O(d²) doubles, never vectors), deterministic
+    // driver-side power iteration, then a row-local compiled projection
+    // against LITERAL components. Learning is spec-gated (eigenvectors
+    // aren't SQL); the projection oracle embeds the learned components
+    // (the BPE-oracle discipline) so DuckDB replays every projected
+    // value exactly.
+    "q131_pca_embed" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val m = graft.ops.Pca.train(e, "embedding", k = 4)
+      pcaLearned = Some(m)
+      graft.ops.Pca.project(e, "embedding", m)
+        .select((col("vec_id") +: (0 until 4).map(j =>
+          floor(col(s"pc$j") * 1e4).cast("long").as(s"pc${j}_q"))): _*)
+        .orderBy("vec_id")
+    }),
+
     // RAG document CHUNKING (r10): sliding word windows of 32 with
     // 8-word overlap — the fixed-size splitter with overlap every
     // embedding pipeline runs before indexing. Row-local (no shuffle);
@@ -2168,8 +2186,29 @@ object SparkEntry {
        |FROM per_doc""".stripMargin
   }
 
+  /** PCA model q131 learned this run — the projection oracle embeds its
+    * components/offsets as literals (see [[bpeLearnedMerges]]). */
+  @volatile private var pcaLearned: Option[graft.ops.Pca.PcaModel] = None
+
+  /** q131's oracle: `pc_j = inner(CAST(x AS DOUBLE[]), c_j) - <mean·c_j>`
+    * with the learned component arrays spliced verbatim — both engines
+    * then run the identical sequence of f64 multiply-adds, so the
+    * quantized projections match bit-for-bit. */
+  private def pcaOracleSql(m: graft.ops.Pca.PcaModel): String = {
+    def arr(c: Array[Double]): String =
+      "[" + c.map(_.toString).mkString(", ") + "]"
+    val cols = m.components.indices.map { j =>
+      s"CAST(floor((list_inner_product(CAST(embedding AS DOUBLE[]), " +
+        s"${arr(m.components(j))}) - (${m.meanOffset(j)})) * 10000) AS BIGINT) " +
+        s"AS pc${j}_q"
+    }.mkString(", ")
+    s"SELECT vec_id, $cols FROM embeddings ORDER BY vec_id"
+  }
+
   def oracleSql: Map[String, String] =
     bpeLearnedMerges.map(m => Map("q110_bpe_tokenize" -> bpeOracleSql(m)))
+      .getOrElse(Map.empty) ++
+    pcaLearned.map(m => Map("q131_pca_embed" -> pcaOracleSql(m)))
       .getOrElse(Map.empty) ++ Map(
 
     // full IVF replay, TRAINING INCLUDED: the integer-grid quantization,

@@ -1166,6 +1166,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PCA: recovers a planted direction, components orthonormal, projection exact") {
+    import graft.ops.Pca
+    // points on the line t * (3,4)/5 + mean, exact arithmetic
+    val mean = Array(10.0, -2.0)
+    val pts = (-8 to 8).map { t =>
+      (t.toLong, Seq((mean(0) + 0.6 * t).toFloat, (mean(1) + 0.8 * t).toFloat))
+    }.toDF("id", "vec")
+    val m = Pca.train(pts, "vec", k = 2, iters = 200)
+    assert(math.abs(m.mean(0) - 10.0) < 1e-4 && math.abs(m.mean(1) + 2.0) < 1e-4,
+      m.mean.toSeq.toString)
+    val c0 = m.components(0)
+    assert(math.abs(c0(0) - 0.6) < 1e-6 && math.abs(c0(1) - 0.8) < 1e-6,
+      s"top component must be the planted direction: ${c0.toSeq}")
+    // unit + orthogonal; variance concentrated in the first component
+    assert(math.abs(Pca.dot(c0, c0) - 1.0) < 1e-9)
+    assert(math.abs(Pca.dot(c0, m.components(1))) < 1e-6)
+    assert(m.eigenvalues(0) > 10 * math.max(m.eigenvalues(1), 1e-12),
+      m.eigenvalues.toString)
+    // projection: pc0 = t exactly (up to float32 input rounding), pc1 ~ 0
+    val proj = Pca.project(pts, "vec", m)
+      .select(col("id"), col("pc0"), col("pc1"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    proj.foreach { case (t, p0, p1) =>
+      assert(math.abs(p0 - t) < 1e-4, s"t=$t pc0=$p0")
+      assert(math.abs(p1) < 1e-4, s"t=$t pc1=$p1")
+    }
+  }
+
   test("RRF fusion: hand-computed integer contributions, consensus wins") {
     import graft.ops.Retrieval
     val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
