@@ -4816,6 +4816,32 @@ final class SnapshotCatalog(
     }
   }
 
+  /** SCOPED compaction (Iceberg `rewrite_data_files(where => ...)`): fold
+    * only the files whose stats/layout ADMIT `cond` — the operational
+    * shape for partition-scoped maintenance ("compact yesterday's
+    * partition") where a whole-table [[compact]] would rewrite the lake.
+    * Selection is file-granular ([[pruneFiles]] — footer stats, bucket
+    * dirs, hidden-transform dirs all participate); admitted files
+    * rewrite into `numFiles` outputs with their deletes materialized and
+    * lineage columns carried, everything else carries verbatim with its
+    * stats. Row-preserving by construction (commits as "compact", so
+    * incremental/streaming consumers see a no-op). Returns None when
+    * fewer than two files are admitted — nothing worth folding. */
+  def compactWhere(db: String, table: String, cond: Column,
+      numFiles: Int): Option[Snapshot] = withTableLock(db, table) {
+    require(numFiles >= 1, s"numFiles must be positive, got $numFiles")
+    val snap = currentSnapshot(db, table)
+    val (cands, untouched) = pruneFiles(db, table, snap.snapshotId, cond)
+    if (cands.size < 2) None
+    else {
+      val rows =
+        if (rowLineageEnabled(db, table)) readVisibleWithRidSeq(db, table, snap, cands)
+        else readVisible(db, table, snap, cands)
+      Some(commit(db, table, rows.repartition(numFiles), "compact",
+        carryFiles = untouched, carryStats = snap.fileStats))
+    }
+  }
+
   /** Z-ORDER compaction (Iceberg `rewrite_data_files(strategy => 'sort',
     * sort_order => 'zorder(...)')`): rewrite the current snapshot clustered
     * on the interleaved bit representation of `cols`, so per-file [min,max]

@@ -138,6 +138,25 @@ object SnapProcedures {
         }
       },
 
+      proc("compact_where",
+        "rewrite only the files the SQL predicate admits (footer stats + " +
+          "bucket/transform dirs select them) into num_files outputs; " +
+          "everything else carries verbatim - partition-scoped maintenance",
+        Seq(in("table", StringType), in("predicate", StringType),
+          inDefault("num_files", IntegerType, "1")),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = true),
+          StructField("rewritten", BooleanType, nullable = false)))) { input =>
+        val (db, t) = dbTable(input, 0)
+        val pred = str(input, 1).getOrElse(
+          throw new IllegalArgumentException("predicate must not be null"))
+        cat.compactWhere(db, t, org.apache.spark.sql.functions.expr(pred),
+          input.getInt(2)) match {
+          case Some(snap) => Seq(row(snap.snapshotId, true))
+          case None       => Seq(row(null, false)) // <2 admitted files
+        }
+      },
+
       proc("rewrite_position_deletes",
         "fold all positional delete files into one sorted deduplicated set; data files untouched",
         Seq(in("table", StringType)),

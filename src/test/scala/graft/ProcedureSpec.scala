@@ -110,6 +110,52 @@ class ProcedureSpec extends AnyFunSuite {
     assert(spark.sql("SELECT sum(id) AS s FROM proccat.db.brp").head.getLong(0) == 8L)
   }
 
+  test("compact_where: scoped rewrite folds only admitted files, rest carry verbatim") {
+    wh
+    import org.apache.spark.sql.functions._
+    // day-transform-partitioned lineage table: three days, several small
+    // appends each — "compact yesterday's partition" is THE use case
+    def ts(day: Int, h: Int) = java.sql.Timestamp.from(
+      Instant.parse(f"2024-03-0$day%dT$h%02d:00:00Z"))
+    val rows = (0 until 18).map(i => (i.toLong, ts(1 + i / 6, i % 6)))
+      .toDF("id", "t")
+    cat.createTransformPartitionedTable("db", "cw", rows.schema, "t", "day",
+      properties = Map("row.lineage" -> "true"))
+    (0 until 3).foreach { b => // 3 appends x 3 day dirs = 9 files
+      cat.appendTransformed("db", "cw",
+        rows.where(col("id") % 3 === b).repartition(1))
+    }
+    val before = cat.currentSnapshot("db", "cw")
+    assert(before.files.size == 9, before.files.toString)
+    val idsBefore = cat.readWithRowIds("db", "cw").select("id", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    val rowsBefore = cat.readLatest("db", "cw").drop("__pt")
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+
+    val res = spark.sql("CALL proccat.system.compact_where(" +
+      "table => 'db.cw', " +
+      "predicate => 't >= TIMESTAMP \\'2024-03-02 00:00:00\\' AND " +
+      "t < TIMESTAMP \\'2024-03-03 00:00:00\\'', num_files => 1)").collect()
+    assert(res.head.getBoolean(1), res.mkString(","))
+    val after = cat.currentSnapshot("db", "cw")
+    // day-2's three files folded into one; days 1 and 3 carried VERBATIM
+    val carried = before.files.filter(f => !f.contains("__pt=19784"))
+    assert(carried.forall(after.files.contains), s"${after.files}")
+    assert(after.files.count(_.contains("__pt=19784")) == 1, after.files.toString)
+    assert(after.files.size == 7, after.files.toString)
+    // rows identical, identity preserved through the scoped rewrite
+    assert(cat.readLatest("db", "cw").drop("__pt")
+      .as[(Long, java.sql.Timestamp)].collect().toSet == rowsBefore)
+    assert(cat.readWithRowIds("db", "cw").select("id", "_row_id")
+      .as[(Long, Long)].collect().toMap == idsBefore, "scoped compact re-minted ids")
+
+    // nothing admitted (or a single file): no commit, rewritten=false
+    val none = spark.sql("CALL proccat.system.compact_where(" +
+      "table => 'db.cw', predicate => 't >= TIMESTAMP \\'2030-01-01 00:00:00\\'')").collect()
+    assert(!none.head.getBoolean(1))
+    assert(cat.currentSnapshotId("db", "cw") == after.snapshotId)
+  }
+
   test("rewrite_small_files: no-op below two small files reports rewritten=false") {
     wh
     val t = Seq(1L).toDF("id")
