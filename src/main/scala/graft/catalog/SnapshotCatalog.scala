@@ -1767,6 +1767,67 @@ final class SnapshotCatalog(
         removedRows.exceptAll(addedRows).withColumn("_change_type", lit("delete")))
   }
 
+  /** EXACT per-commit change sets of a range, enumerated from METADATA —
+    * the cheap extraction tier under [[readChangelog]]'s value diff: for
+    * ranges whose commits only ADD data files and positional-delete
+    * shards (append family + the whole MoR DML family; compacts are
+    * row-preserving no-ops), the inserted rows are exactly the added
+    * files read raw and the deleted rows are exactly the new shards'
+    * positions read back from their (write-once) covered files — cost is
+    * the churn, never a two-sided multiset diff. Returns None — caller
+    * falls back to the changelog — when the range contains a true
+    * rewrite (overwrite / CoW DML / rollback), an EQUALITY-delete commit
+    * (its pre-images need scan-side evaluation), or a schema change.
+    * A row appended then deleted inside the range appears in BOTH sets
+    * (exact per-commit semantics, not a net diff) — consumers folding
+    * `+ins −del` cancel it, matching `Q(old) + Q(ins) − Q(del)`. */
+  private def changeSetsAcrossRange(db: String, table: String,
+      fromId: Long, toId: Long): Option[(DataFrame, DataFrame)] = {
+    val from = snapshotAt(db, table, fromId)
+    val schema = from.schema
+    val inRange = mainLineage(db, table)
+      .filter(e => e.snapshotId > fromId && e.snapshotId <= toId)
+    var prev = from
+    var prevFiles = prev.files.toSet
+    val ins = Seq.newBuilder[DataFrame]
+    val dels = Seq.newBuilder[DataFrame]
+    val root = tablePath(db, table)
+    for (en <- inRange) {
+      val snap = snapshotAt(db, table, en.snapshotId)
+      if (snap.schemaDdl != prev.schemaDdl) return None // evolution: changelog aligns
+      val files = snap.files.toSet
+      if (prevFiles.diff(files).nonEmpty && snap.operation != "compact")
+        return None // true rewrite: retractions are not enumerable
+      if (snap.operation != "compact") {
+        val prevShards = prev.deleteFiles.map(_.path).toSet
+        val newShards = snap.deleteFiles.filterNot(d => prevShards(d.path))
+        val (pos, eq) = newShards.partition(_.isPositional)
+        if (eq.nonEmpty) return None // eq pre-images need scan-side eval
+        if (pos.nonEmpty) {
+          // pre-images: the new shards' positions, read back from their
+          // covered files, restricted to rows ALIVE before this commit
+          val covered = pos.flatMap(_.covers.keys).distinct.sorted
+          val newDead = spark.read.schema(deleteFileSchema)
+            .parquet(pos.map(d => root.resolve(d.path).toString): _*)
+          val alive = readVisibleWithPos(db, table, prev, covered)
+          dels += alive.join(newDead,
+            alive(MorFileCol) === newDead("_file") &&
+              alive(MorPosCol) === newDead("_pos"), "left_semi")
+            .select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+        }
+        val added = snap.files.filterNot(prevFiles)
+        if (added.nonEmpty) ins += readFiles(db, table, schema, added)
+      }
+      prev = snap
+      prevFiles = files
+    }
+    def unionAll(fs: Seq[DataFrame]): DataFrame = fs match {
+      case Seq() => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case some  => some.reduce(_.unionByName(_))
+    }
+    Some((unionAll(ins.result()), unionAll(dels.result())))
+  }
+
   /** Latest snapshot with committed_at <= ts, i.e. the reference's stage-2
     * as-of resolution (`2_collect_database_schema_info.py:43-53`). */
   def readAsOfTimestamp(db: String, table: String, ts: Instant): DataFrame = {
@@ -4080,13 +4141,20 @@ final class SnapshotCatalog(
       val hidden = meta(d, t).hiddenCols.toSeq
       val (insRows, delRowsOpt) =
         if (appendOnly) (incrementalDelta(), None)
-        else {
-          val chg = try readChangelog(d, t, lo, hi) catch {
-            case scala.util.control.NonFatal(_) => return None // un-diffable range
-          }
-          val clean = chg.drop(hidden: _*).drop("_row_id")
-          (clean.where(col("_change_type") === "insert").drop("_change_type"),
-            Some(clean.where(col("_change_type") === "delete").drop("_change_type")))
+        else changeSetsAcrossRange(d, t, lo, hi) match {
+          // MoR-family range: exact per-commit sets from metadata — the
+          // cost is the churn, no two-sided multiset diff
+          case Some((i, dl)) =>
+            (i.drop(hidden: _*), Some(dl.drop(hidden: _*)))
+          // true rewrites / eq-deletes / evolution: the changelog's
+          // value diff handles every operation
+          case None =>
+            val chg = try readChangelog(d, t, lo, hi) catch {
+              case scala.util.control.NonFatal(_) => return None // un-diffable range
+            }
+            val clean = chg.drop(hidden: _*).drop("_row_id")
+            (clean.where(col("_change_type") === "insert").drop("_change_type"),
+              Some(clean.where(col("_change_type") === "delete").drop("_change_type")))
         }
       val plus = bodyOver(augPlan, insRows)
       val names = plus.schema.fieldNames

@@ -498,6 +498,21 @@ class ViewSpec extends AnyFunSuite {
       .as[(Long, Option[Long], Option[Double])].head()
     assert(gz == ((1L, None, None)), gz.toString)
 
+    // an in-range COMPACT is transparent to the metadata change-set walk
+    // (row-preserving: moved rows are neither inserts nor deletes)
+    cat.deleteMoR("db", "base", col("id") === 0L)
+    cat.compact("db", "base", numFiles = 1)
+    cat.append("db", "base", Seq((960L, "g0", 2L)).toDF("id", "grp", "v"))
+    assert(cat.refreshMaterializedView("db", "agg")._1 == "incremental_agg")
+    assert(got() == expect())
+
+    // an EQUALITY-delete commit in range: the metadata walk declines
+    // (pre-images need scan-side eval) and the changelog fallback still
+    // merges — mode stays incremental_agg, values exact
+    cat.deleteMoREq("db", "base", Seq(Tuple1(2L)).toDF("id"))
+    assert(cat.refreshMaterializedView("db", "agg")._1 == "incremental_agg")
+    assert(got() == expect())
+
     // null group key arriving in the delta still falls back to full
     cat.append("db", "base", Seq((980L, null.asInstanceOf[String], 1L)).toDF("id", "grp", "v"))
     assert(cat.refreshMaterializedView("db", "agg")._1 == "full")
