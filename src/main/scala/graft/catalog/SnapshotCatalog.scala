@@ -1790,7 +1790,7 @@ final class SnapshotCatalog(
     var prev = from
     var prevFiles = prev.files.toSet
     val ins = Seq.newBuilder[DataFrame]
-    val dels = Seq.newBuilder[DataFrame]
+    val posShards = Seq.newBuilder[DeleteFile]
     val root = tablePath(db, table)
     for (en <- inRange) {
       val snap = snapshotAt(db, table, en.snapshotId)
@@ -1803,29 +1803,38 @@ final class SnapshotCatalog(
         val newShards = snap.deleteFiles.filterNot(d => prevShards(d.path))
         val (pos, eq) = newShards.partition(_.isPositional)
         if (eq.nonEmpty) return None // eq pre-images need scan-side eval
-        if (pos.nonEmpty) {
-          // pre-images: the new shards' positions, read back from their
-          // covered files, restricted to rows ALIVE before this commit
-          val covered = pos.flatMap(_.covers.keys).distinct.sorted
-          val newDead = spark.read.schema(deleteFileSchema)
-            .parquet(pos.map(d => root.resolve(d.path).toString): _*)
-          val alive = readVisibleWithPos(db, table, prev, covered)
-          dels += alive.join(newDead,
-            alive(MorFileCol) === newDead("_file") &&
-              alive(MorPosCol) === newDead("_pos"), "left_semi")
-            .select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
-        }
+        posShards ++= pos
         val added = snap.files.filterNot(prevFiles)
         if (added.nonEmpty) ins += readFiles(db, table, schema, added)
       }
       prev = snap
       prevFiles = files
     }
+    // pre-images of EVERY in-range positional shard in ONE scan: the
+    // delete writer only ever kills VISIBLE rows, so in-range shards hold
+    // disjoint positions and each targeted row was alive at `from` (or
+    // lives in an in-range-added file `from`'s coverage cannot touch) —
+    // visibility at `from` plus one semi-join is exact, no per-commit
+    // walk of overlapping covered files
+    val allPos = posShards.result()
+    val dels =
+      if (allPos.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else {
+        val covered = allPos.flatMap(_.covers.keys).distinct.sorted
+        val newDead = spark.read.schema(deleteFileSchema)
+          .parquet(allPos.map(d => root.resolve(d.path).toString): _*)
+        val alive = readVisibleWithPos(db, table, from, covered)
+        alive.join(newDead,
+          alive(MorFileCol) === newDead("_file") &&
+            alive(MorPosCol) === newDead("_pos"), "left_semi")
+          .select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+      }
     def unionAll(fs: Seq[DataFrame]): DataFrame = fs match {
       case Seq() => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       case some  => some.reduce(_.unionByName(_))
     }
-    Some((unionAll(ins.result()), unionAll(dels.result())))
+    Some((unionAll(ins.result()), dels))
   }
 
   /** Latest snapshot with committed_at <= ts, i.e. the reference's stage-2
@@ -4156,14 +4165,23 @@ final class SnapshotCatalog(
             (clean.where(col("_change_type") === "insert").drop("_change_type"),
               Some(clean.where(col("_change_type") === "delete").drop("_change_type")))
         }
-      val plus = bodyOver(augPlan, insRows)
+      // the aggregated partials are GROUP-sized (touched groups only) but
+      // their plans re-execute for the null-key probe, the net join, and
+      // the merge materialization — cache them for the refresh's scope so
+      // the churn scans run once (unpersisted in the finally below)
+      val plus = bodyOver(augPlan, insRows).cache()
       val names = plus.schema.fieldNames
       val keyNames = shape.keyPos.map(names)
       val aggKind = shape.aggPos.toMap
       def nullKeyed(f: DataFrame): Boolean = keyNames.nonEmpty &&
         !f.where(keyNames.map(k => col(s"`$k`").isNull).reduce(_ || _)).isEmpty
-      val minusOpt = delRowsOpt.map(bodyOver(augPlan, _))
-      if (nullKeyed(plus) || minusOpt.exists(nullKeyed)) return None
+      val minusOpt = delRowsOpt.map(bodyOver(augPlan, _).cache())
+      def releasePartials(): Unit = {
+        plus.unpersist(); minusOpt.foreach(_.unpersist()); ()
+      }
+      if (nullKeyed(plus) || minusOpt.exists(nullKeyed)) {
+        releasePartials(); return None
+      }
       // NET per-group contribution: plus full-outer minus, every
       // aggregate/partial column as (p - m) with 0-coalescing; avg
       // outputs carry a placeholder (recomputed from partials below)
@@ -4211,8 +4229,9 @@ final class SnapshotCatalog(
       val merged = joined.select(outCols.toIndexedSeq: _*)
       if (keyNames.isEmpty) {
         // global aggregate: exactly one row, always present
-        Some(overwrite(db, mvT, merged)
+        try Some(overwrite(db, mvT, merged)
           .summary.get("added_records").map(_.toLong).getOrElse(-1L))
+        finally releasePartials()
       } else {
         // group death: a merged row count of zero means SQL would not
         // produce the group — delete it from the backing
@@ -4221,10 +4240,10 @@ final class SnapshotCatalog(
           val dead = mergedC.where(col(MvPartialRows) <= 0)
             .select(keyNames.map(k => col(s"`$k`")): _*)
           val alive = mergedC.where(col(MvPartialRows) > 0)
-          if (!dead.isEmpty) deleteMoREq(db, mvT, dead)
+          if (minusOpt.isDefined && !dead.isEmpty) deleteMoREq(db, mvT, dead)
           Some(upsertMoR(db, mvT, alive, keyNames)
             .summary.get("added_records").map(_.toLong).getOrElse(-1L))
-        } finally { mergedC.unpersist(); () }
+        } finally { mergedC.unpersist(); releasePartials() }
       }
     }
 
