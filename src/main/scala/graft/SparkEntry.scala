@@ -1267,6 +1267,46 @@ object SparkEntry {
         "GROUP BY event_type ORDER BY event_type")
     }),
 
+    // SCOPED compaction (r10): over the q125 month-partitioned fixture,
+    // compact exactly ONE month's small files. The query REQUIRES the
+    // rewrite was scoped (only that month's dir changed, everything else
+    // carried verbatim), then the aggregate over the compacted table
+    // must equal the oracle's raw replay — the rewrite moved bytes, not
+    // rows.
+    "q132_compact_where" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (!cat.tableExists("maint", "orders_cw")) {
+        val o = T(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+        cat.createTransformPartitionedTable("maint", "orders_cw",
+          o.schema, "o_orderdate", "month")
+        // two appends: every month dir holds >= 2 files, so the scoped
+        // rewrite has something to fold in its window
+        cat.appendTransformed("maint", "orders_cw",
+          o.where(col("o_orderkey") % 2 === 0).repartition(1))
+        cat.appendTransformed("maint", "orders_cw",
+          o.where(col("o_orderkey") % 2 === 1).repartition(1))
+        val before = cat.currentSnapshot("maint", "orders_cw")
+        val snap = cat.compactWhere("maint", "orders_cw",
+          col("o_orderdate") >= lit("1997-03-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01 00:00:00").cast("timestamp"),
+          numFiles = 1).getOrElse(
+            throw new IllegalStateException("scoped compact must fold the window"))
+        // March 1997 = month ordinal (1997-1970)*12 + 2 = 326
+        val untouched = before.files.filterNot(_.contains("__pt=326"))
+        require(untouched.forall(snap.files.contains) &&
+          snap.files.count(_.contains("__pt=326")) == 1 &&
+          snap.files.size == before.files.size - 1,
+          s"rewrite must be scoped to the month: ${before.files.size} -> ${snap.files.size}")
+      }
+      s.sql("SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mon, " +
+        "count(*) AS n, sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS cents " +
+        "FROM snapdml.maint.orders_cw " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-02-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1997-05-01 00:00:00' " +
+        "GROUP BY mon ORDER BY mon")
+    }),
+
     // MONTH-granularity hidden partitioning (r10): orders lay out under
     // months(o_orderdate) — CALENDAR units (28-31 days, leap years), not
     // the constant-length floor division of q120. The query REQUIRES
@@ -3075,6 +3115,17 @@ object SparkEntry {
         |FROM part
         |WHERE p_brand LIKE 'Brand#2%'
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // the compacted window's rows must be byte-for-byte the raw rows —
+    // the scoped rewrite moved bytes, never values
+    "q132_compact_where" ->
+      """SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mon,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-02-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-05-01 00:00:00'
+        |GROUP BY mon ORDER BY mon""".stripMargin,
 
     // the pruned month-window scan must equal the full-table replay
     "q125_month_partitioning" ->

@@ -4150,7 +4150,12 @@ final class SnapshotCatalog(
       val hidden = meta(d, t).hiddenCols.toSeq
       val (insRows, delRowsOpt) =
         if (appendOnly) (incrementalDelta(), None)
-        else changeSetsAcrossRange(d, t, lo, hi) match {
+        else (try changeSetsAcrossRange(d, t, lo, hi) catch {
+          // an expired range endpoint (or any unreadable history) is the
+          // changelog fallback's problem — and if that throws too, the
+          // refresh falls to full below
+          case scala.util.control.NonFatal(_) => None
+        }) match {
           // MoR-family range: exact per-commit sets from metadata — the
           // cost is the churn, no two-sided multiset diff
           case Some((i, dl)) =>

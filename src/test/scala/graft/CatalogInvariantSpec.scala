@@ -145,7 +145,7 @@ class CatalogInvariantSpec extends AnyFunSuite {
       cat.append("db", t, frame(rng, 40))
       checkInvariants(cat, "db", t)
       (1 to 8).foreach { _ =>
-        rng.nextInt(16) match {
+        rng.nextInt(17) match {
           case 0 => cat.append("db", t, conform(cat, "db", t, frame(rng, 10 + rng.nextInt(40))))
           case 1 => cat.overwrite("db", t, conform(cat, "db", t, frame(rng, 10 + rng.nextInt(40))))
           case 2 => cat.delete("db", t, col("score") < (rng.nextInt(60).toLong + 20L))
@@ -191,6 +191,10 @@ class CatalogInvariantSpec extends AnyFunSuite {
           case 15 =>
             // needs at least two distinct boundary values to emit
             cat.analyzeHistogram("db", t, Seq("score"), bins = 4)
+          // r10 scoped compaction: row-preserving by contract, so every
+          // invariant (incl. identity stability) must hold across it
+          case 16 => cat.compactWhere("db", t,
+            col("score") < (rng.nextInt(80).toLong + 20L), 1 + rng.nextInt(2))
         }
         checkInvariants(cat, "db", t)
       }
