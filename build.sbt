@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The container's default locale is POSIX (ASCII filenames); hidden
+// partition dirs may carry non-ASCII tokens (__pt=<string prefix>), so
+// the forked test/run JVMs need a UTF-8 filename encoding — sun.jnu
+// follows the process locale and ignores -D overrides.
+Test / envVars += "LC_ALL" -> "C.UTF-8"
+run / envVars += "LC_ALL" -> "C.UTF-8"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

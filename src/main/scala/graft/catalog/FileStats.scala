@@ -269,15 +269,28 @@ object FileStats {
     }).getOrElse(true)
   }
 
-  /** Smallest string greater than every string with this prefix (last
-    * non-maximal char incremented, suffix dropped); None if all chars are
-    * at the maximum code unit. */
+  /** A string greater (in UTF-8 byte order) than every string with this
+    * prefix: last non-maximal CODE POINT incremented, suffix dropped;
+    * None if every code point is U+10FFFF. Works on code points, not
+    * UTF-16 chars — a char-level increment can land in the surrogate gap
+    * (U+D7FF+1 = U+D800), which `UTF8String.fromString` mangles to `?`
+    * (0x3F), collapsing the bound below the prefix itself and pruning
+    * matching files. An increment landing in D800–DFFF jumps to U+E000
+    * (the next valid scalar — looser but sound). */
   private def prefixSuccessor(prefix: String): Option[String] = {
-    val cs = prefix.toCharArray
-    var i = cs.length - 1
-    while (i >= 0 && cs(i) == Char.MaxValue) i -= 1
+    val cps = prefix.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= 0x10FFFF) i -= 1
     if (i < 0) None
-    else Some(new String(cs, 0, i) + (cs(i) + 1).toChar)
+    else {
+      val n0 = cps(i) + 1
+      val n = if (n0 >= 0xD800 && n0 <= 0xDFFF) 0xE000 else n0
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < i) { sb.appendCodePoint(cps(j)); j += 1 }
+      sb.appendCodePoint(n)
+      Some(sb.toString)
+    }
   }
 }
 
@@ -401,31 +414,47 @@ object TimeTransform {
       s"unsupported partition transform '$other' (supported: ${Kinds.mkString(", ")})")
   }
 
-  /** Write-side derivation. `hour`/`day`: `floor(seconds / unit)` — the
-    * timestamp casts to DOUBLE seconds (exact for any realistic instant,
-    * |sec| < 2^52), and an exact multiple of the unit divides to an exact
-    * integer, so boundary instants land on the right side
-    * deterministically. `month`/`year`: calendar decomposition via
-    * `year()`/`month()`. Session-timezone dependence (guarded by the
-    * catalog's create/derive paths): the hour/day path is TZ-independent
-    * for TIMESTAMP (epoch seconds) but reads NTZ through a session-zone
-    * cast; the month/year path is TZ-independent for NTZ (calendar
-    * fields are literal) but reads TIMESTAMP through the session-zone
-    * calendar. */
-  def ptColumn(kind: String, ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  /** Write-side derivation, TIME-ZONE-INDEPENDENT in every (column
+    * flavor, kind) cell so the layout always matches the UTC-fixed
+    * [[ptOfMicros]] the pruning side computes, regardless of
+    * `spark.sql.session.timeZone`:
+    *
+    *  - `hour`/`day` on TIMESTAMP: `floor(epoch_seconds / unit)` — pure
+    *    epoch arithmetic (the DOUBLE cast is exact for |sec| < 2^52 and
+    *    an exact unit multiple divides to an exact integer, so boundary
+    *    instants land deterministically).
+    *  - `hour`/`day` on TIMESTAMP_NTZ: the NTZ wall time is read AS UTC
+    *    (matching the pruner, which reads NTZ literals' raw micros) via
+    *    literal calendar fields — `datediff(date(ts), 1970-01-01)` for
+    *    the day ordinal, `* 24 + hour(ts)` for hours. An NTZ→DATE cast
+    *    and `hour()` on NTZ are literal field reads, never a session-zone
+    *    conversion (the old `cast("timestamp")` route was session-zoned
+    *    and had to be refused off UTC).
+    *  - `month`/`year` on TIMESTAMP: decompose the UTC wall clock —
+    *    `convert_timezone('UTC', ts)` yields the NTZ wall time in UTC
+    *    (absolute instant in, target zone explicit; the session zone
+    *    never participates), then `year()`/`month()` read literal fields.
+    *  - `month`/`year` on TIMESTAMP_NTZ: `year()`/`month()` are already
+    *    literal field reads. */
+  def ptColumn(kind: String, ts: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
+    val isNtz = dt == TimestampNTZType
     kind match {
       case "hour" | "day" =>
-        // TIMESTAMP_NTZ has no direct double cast: go through TIMESTAMP
-        // (no-op for an LTZ column; NTZ interprets in the session zone —
-        // UTC in this library's documented deployment shape, matching the
-        // UTC micros the pruning side reads from NTZ literals)
-        floor(ts.cast("timestamp").cast("double") /
-          lit(unitSeconds(kind).toDouble)).cast("long")
-      case "month" =>
-        ((year(ts) - lit(1970)).cast("long") * lit(12L) +
-          (month(ts) - lit(1)).cast("long")).cast("long")
-      case "year" => (year(ts) - lit(1970)).cast("long")
+        if (isNtz) {
+          val dayPt = datediff(ts.cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long")
+          if (kind == "day") dayPt
+          else dayPt * lit(24L) + hour(ts).cast("long")
+        } else floor(ts.cast("double") / lit(unitSeconds(kind).toDouble))
+          .cast("long")
+      case "month" | "year" =>
+        val wall = if (isNtz) ts else convert_timezone(lit("UTC"), ts)
+        if (kind == "month")
+          ((year(wall) - lit(1970)).cast("long") * lit(12L) +
+            (month(wall) - lit(1)).cast("long")).cast("long")
+        else (year(wall) - lit(1970)).cast("long")
       case other => throw new IllegalArgumentException(
         s"unsupported partition transform '$other' (supported: ${Kinds.mkString(", ")})")
     }
@@ -543,8 +572,26 @@ object TruncateTransform {
 
   def truncLong(v: Long, w: Long): Long = v - Math.floorMod(v, w)
 
-  def truncStr(s: String, w: Int): String =
-    if (s.length <= w) s else s.substring(0, w)
+  /** First `w` CODE POINTS — must match the write side exactly: Spark's
+    * `substring(c, 1, w)` counts code points on `UTF8String`, not UTF-16
+    * code units, so a java `substring(0, w)` would split surrogate pairs
+    * and disagree with the stored `__pt` token for supplementary-plane
+    * text (emoji, CJK-B). */
+  def truncStr(s: String, w: Int): String = {
+    if (s.codePointCount(0, s.length) <= w) s
+    else s.substring(0, s.offsetByCodePoints(0, w))
+  }
+
+  /** Comparator matching Spark's string order: `UTF8String` compares
+    * UTF-8 BYTES (= code-point order), while Java `String.compareTo`
+    * compares UTF-16 code units — the two disagree above the BMP
+    * (surrogate code units 0xD800–0xDFFF sort below U+E000–U+FFFF in
+    * UTF-16 but all supplementary code points sort above every BMP char
+    * in UTF-8). All keep-decisions against the source predicate MUST use
+    * this order or non-BMP directories get silently dropped. */
+  private def u8cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   /** Write-side derivation of the layout value. Int/long: `v - pmod(v,
     * W)` (exact integer arithmetic, floor semantics for negatives).
@@ -640,15 +687,20 @@ object TruncateTransform {
           tok == DefaultPart || tok.toLongOption.forall(p =>
             lo.forall(p >= _) && hi.forall(p <= _) && inSet.forall(_.contains(p)))
       case StringType =>
+        // all bounds compared in UTF-8 byte order (u8cmp) — Spark's
+        // string order — never Java's UTF-16 code-unit order
         var lo: Option[String] = None
         var hi: Option[String] = None
         var inSet: Option[Set[String]] = None
-        def raiseLo(p: String): Unit = lo = Some(lo.fold(p)(Ordering[String].max(_, p)))
-        def lowerHi(p: String): Unit = hi = Some(hi.fold(p)(Ordering[String].min(_, p)))
+        var prefixes: List[String] = Nil
+        def raiseLo(p: String): Unit =
+          lo = Some(lo.fold(p)(cur => if (u8cmp(cur, p) >= 0) cur else p))
+        def lowerHi(p: String): Unit =
+          hi = Some(hi.fold(p)(cur => if (u8cmp(cur, p) <= 0) cur else p))
         preds.foreach {
-          // truncation is monotone: v >= L  =>  trunc(v) >= trunc(L)
-          // (strict bounds keep the closed truncated bound — one extra
-          // dir class at most, sound)
+          // truncation is monotone in code-point order: v >= L  =>
+          // trunc(v) >= trunc(L) (strict bounds keep the closed truncated
+          // bound — one extra dir class at most, sound)
           case GreaterThanOrEqual(a, StrLit(v)) if isKey(a) => raiseLo(truncStr(v, width))
           case GreaterThan(a, StrLit(v)) if isKey(a) => raiseLo(truncStr(v, width))
           case LessThanOrEqual(a, StrLit(v)) if isKey(a) => lowerHi(truncStr(v, width))
@@ -661,14 +713,16 @@ object TruncateTransform {
             raiseLo(truncStr(v, width)); lowerHi(truncStr(v, width))
           case EqualTo(StrLit(v), a) if isKey(a) =>
             raiseLo(truncStr(v, width)); lowerHi(truncStr(v, width))
-          // StartsWith prefix shorter than W constrains the dir RANGE
-          // (all W-char tokens extending it — tokens are <= W chars, so
-          // prefix + ￿-padding to W is a tight sound upper bound);
-          // a prefix >= W pins the dir exactly
+          // StartsWith: a prefix with >= W code points pins the dir
+          // exactly (the token IS the first W cps of any matching value).
+          // A shorter prefix means every matching value's token EXTENDS
+          // it — enforce the prefix directly rather than a padded upper
+          // bound (U+FFFF padding is unsound in UTF-8 order: "a𐀀"
+          // extends "a" yet exceeds "a￿").
           case StartsWith(a, StrLit(v)) if isKey(a) =>
-            if (v.length >= width) {
+            if (v.codePointCount(0, v.length) >= width) {
               raiseLo(truncStr(v, width)); lowerHi(truncStr(v, width))
-            } else { raiseLo(v); lowerHi(v + "￿".* (width - v.length)) }
+            } else prefixes ::= v
           case In(a, vs) if isKey(a) && vs.nonEmpty &&
               vs.forall(v => StrLit.unapply(v).isDefined) =>
             val s = vs.flatMap(StrLit.unapply).map(truncStr(_, width)).toSet
@@ -677,7 +731,8 @@ object TruncateTransform {
         }
         tok =>
           tok == DefaultPart ||
-            (lo.forall(tok >= _) && hi.forall(tok <= _) && inSet.forall(_.contains(tok)))
+            (lo.forall(u8cmp(tok, _) >= 0) && hi.forall(u8cmp(tok, _) <= 0) &&
+              inSet.forall(_.contains(tok)) && prefixes.forall(tok.startsWith(_)))
       case _ => _ => true // unsupported type: never created, but degrade safely
     }
   }

@@ -497,39 +497,12 @@ final class SnapshotCatalog(
       throw new IllegalArgumentException(s"no such column: $tsCol"))
     require(f.dataType.sql == "TIMESTAMP" || f.dataType.sql == "TIMESTAMP_NTZ",
       s"transform column must be TIMESTAMP or TIMESTAMP_NTZ, got ${f.dataType.sql}")
-    requireUtcForTransform(f.dataType, kind)
     createTable(db, table,
       schema.add(org.apache.spark.sql.types.StructField(TimeTransform.Col,
         org.apache.spark.sql.types.LongType, nullable = true)),
       partitionCols = Seq(TimeTransform.Col),
       properties = properties ++
         Map("transform.col" -> tsCol, "transform.kind" -> kind))
-  }
-
-  /** Refuse the (column flavor, transform kind) combinations whose
-    * write-side derivation reads the SESSION time zone while the pruning
-    * side reads raw UTC micros — in a non-UTC session that skew silently
-    * EXCLUDES directories containing matching rows (wrong results, not
-    * just missed pruning). TZ-dependent cells of the matrix: NTZ columns
-    * under hour/day (the cast to TIMESTAMP interprets in the session
-    * zone) and TIMESTAMP columns under month/year (`year()`/`month()`
-    * decompose in the session calendar). The complementary cells are
-    * TZ-independent and pass in any session. */
-  private def requireUtcForTransform(
-      dt: org.apache.spark.sql.types.DataType, kind: String): Unit = {
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    val tzDependent = dt match {
-      case TimestampNTZType => kind == "hour" || kind == "day"
-      case TimestampType    => kind == "month" || kind == "year"
-      case _                => false
-    }
-    if (tzDependent) {
-      val tz = spark.conf.get("spark.sql.session.timeZone")
-      require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
-        s"$kind(${dt.sql}) hidden partitioning derives the layout through " +
-          s"the session time zone but prunes in UTC - a '$tz' session would " +
-          "silently mis-prune; set spark.sql.session.timeZone=UTC")
-    }
   }
 
   /** HIDDEN-partitioned table by Iceberg's `truncate[width]` transform of
@@ -584,10 +557,10 @@ final class SnapshotCatalog(
       df.withColumn(TimeTransform.Col,
         coalesce(TruncateTransform.ptColumn(dt, width, col(s"`$tsCol`")), fallback))
     } else {
-      df.schema.fields.find(_.name == tsCol)
-        .foreach(f => requireUtcForTransform(f.dataType, kind))
+      val dt = df.schema.fields.find(_.name == tsCol).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $tsCol"))
       df.withColumn(TimeTransform.Col,
-        coalesce(TimeTransform.ptColumn(kind, col(s"`$tsCol`")), lit(0L)))
+        coalesce(TimeTransform.ptColumn(kind, col(s"`$tsCol`"), dt), lit(0L)))
     }
   }
 

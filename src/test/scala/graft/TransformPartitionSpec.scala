@@ -332,28 +332,113 @@ class TransformPartitionSpec extends AnyFunSuite {
     }
   }
 
-  test("session-timezone guard: TZ-dependent derivations refuse off UTC") {
+  test("non-UTC sessions: every (flavor, kind) cell derives and prunes in UTC") {
     val (cat, _) = freshCat()
-    val ltz = Seq((1L, java.sql.Timestamp.from(Instant.parse("2024-01-05T03:00:00Z"))))
-      .toDF("id", "t")
     val prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try {
-      // month(TIMESTAMP) decomposes in the session calendar: refuse
-      val e = intercept[IllegalArgumentException] {
-        cat.createTransformPartitionedTable("db", "g1", ltz.schema, "t", "month")
-      }
-      assert(e.getMessage.contains("timeZone"), e.getMessage)
-      // hour/day on TIMESTAMP is epoch arithmetic - TZ-independent, fine
-      cat.createTransformPartitionedTable("db", "g2", ltz.schema, "t", "day")
-      // NTZ under hour/day casts through the session zone: refuse
-      val ntz = ltz.withColumn("t", col("t").cast("timestamp_ntz"))
-      val e2 = intercept[IllegalArgumentException] {
-        cat.createTransformPartitionedTable("db", "g3", ntz.schema, "t", "day")
-      }
-      assert(e2.getMessage.contains("timeZone"), e2.getMessage)
-      // NTZ under month/year reads literal calendar fields: fine
-      cat.createTransformPartitionedTable("db", "g4", ntz.schema, "t", "month")
+      // TIMESTAMP under month: 2024-02-01T02:30Z is February in UTC but
+      // Jan 31 21:30 on the New-York wall clock — the derivation must
+      // read the UTC calendar, not the session calendar
+      val mrows = Seq(
+        (1L, "2024-01-31T23:30:00Z"), // Jan in both calendars
+        (2L, "2024-02-01T02:30:00Z"), // Feb UTC, Jan NY — the skew cell
+        (3L, "2024-03-05T12:00:00Z"))
+        .map { case (i, s) => (i, java.sql.Timestamp.from(Instant.parse(s))) }
+        .toDF("id", "t")
+      cat.createTransformPartitionedTable("db", "m", mrows.schema, "t", "month")
+      cat.appendTransformed("db", "m", mrows.repartition(1))
+      val pts = cat.readLatest("db", "m").select("id", "__pt")
+        .as[(Long, Long)].collect().toMap
+      assert(pts == Map(1L -> 648L, 2L -> 649L, 3L -> 650L), pts.toString)
+      // pruning maps a UTC-February window to exactly the Feb dir
+      val snap = cat.currentSnapshot("db", "m")
+      val febPred =
+        col("t") >= lit(java.sql.Timestamp.from(Instant.parse("2024-02-01T00:00:00Z"))) &&
+        col("t") < lit(java.sql.Timestamp.from(Instant.parse("2024-03-01T00:00:00Z")))
+      val feb = cat.pruneFiles("db", "m", snap.snapshotId, febPred)._1
+      assert(feb.size == 1 && feb.head.contains("__pt=649"), feb.toString)
+      assert(cat.readLatestWhere("db", "m", febPred)
+        .select("id").as[Long].collect().toSeq == Seq(2L))
+
+      // TIMESTAMP_NTZ under day: the wall time IS the partition key
+      // (read as UTC micros, matching the pruner's literal handling) —
+      // no session-zone cast may slip in
+      val ntz = Seq((1L, "2024-01-01T05:00:00"), (2L, "2024-01-02T01:00:00"))
+        .toDF("id", "s")
+        .withColumn("t", col("s").cast("timestamp_ntz")).drop("s")
+      cat.createTransformPartitionedTable("db", "d", ntz.schema, "t", "day")
+      cat.appendTransformed("db", "d", ntz.repartition(1))
+      assert(cat.readLatest("db", "d").select("id", "__pt")
+        .as[(Long, Long)].collect().toMap == Map(1L -> 19723L, 2L -> 19724L))
+
+      // TIMESTAMP_NTZ under hour
+      cat.createTransformPartitionedTable("db", "h", ntz.schema, "t", "hour")
+      cat.appendTransformed("db", "h", ntz.repartition(1))
+      assert(cat.readLatest("db", "h").select("id", "__pt")
+        .as[(Long, Long)].collect().toMap ==
+        Map(1L -> (19723L * 24 + 5), 2L -> (19724L * 24 + 1)))
+
+      // TIMESTAMP under day (epoch arithmetic, was always TZ-free)
+      cat.createTransformPartitionedTable("db", "ld", mrows.schema, "t", "day")
+      cat.appendTransformed("db", "ld", mrows.repartition(1))
+      assert(cat.readLatest("db", "ld").select("id", "__pt")
+        .as[(Long, Long)].collect().toMap ==
+        Map(1L -> 19753L, 2L -> 19754L, 3L -> 19787L))
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("truncate[W] strings: UTF-8 order and code-point widths above the BMP") {
+    import graft.catalog.TruncateTransform
+    val supp = new String(Character.toChars(0x10000)) // U+10000, surrogate pair
+    // truncation counts CODE POINTS (matching Spark's substring) — a
+    // UTF-16 substring would split the pair
+    assert(TruncateTransform.truncStr("a" + supp + "bc", 2) == "a" + supp)
+    assert(TruncateTransform.truncStr(supp + supp + supp, 2) == supp + supp)
+    assert(TruncateTransform.truncStr("￿q", 2) == "￿q")
+
+    val (cat, _) = freshCat()
+    val rows = Seq(
+      (1L, "a" + supp + "zzz"), // token "a𐀀": extends prefix "a", above "a￿" in UTF-8
+      (2L, supp + "xy"),        // token "𐀀x": above U+FFFF in UTF-8, below in UTF-16
+      (3L, "￿q"),          // token "￿q": straddles the boundary from below
+      (4L, "bb"))               // plain BMP control row
+      .toDF("id", "s")
+    cat.createTruncatePartitionedTable("db", "sp", rows.schema, "s", 2)
+    cat.appendTransformed("db", "sp", rows.repartition(1))
+    val snap = cat.currentSnapshot("db", "sp")
+    assert(snap.files.size == 4, snap.files.toString)
+    def kept(cond: org.apache.spark.sql.Column): Seq[String] =
+      cat.pruneFiles("db", "sp", snap.snapshotId, cond)._1
+
+    // LIKE 'a%': the dir holding "a𐀀…" must be kept (the old padded
+    // upper bound "a￿" silently dropped it)
+    assert(kept(col("s").startsWith("a")).exists(_.contains("__pt=a")),
+      kept(col("s").startsWith("a")).toString)
+    assert(cat.readLatestWhere("db", "sp", col("s").startsWith("a"))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+
+    // s >= '￿': in UTF-8 byte order the supplementary dir sorts ABOVE
+    // U+FFFF (UTF-16 code-unit order puts it below → wrongly pruned)
+    val geRes = cat.readLatestWhere("db", "sp", col("s") >= "￿")
+      .select("id").as[Long].collect().toSet
+    assert(geRes == Set(2L, 3L), geRes.toString)
+    // and the pruner still prunes: the pure-BMP "bb" dir is excluded
+    val geKept = kept(col("s") >= "￿")
+    assert(!geKept.exists(_.contains("__pt=bb")), geKept.toString)
+
+    // the reverse direction: s <= '￿' keeps BMP rows, excludes the
+    // supplementary dir, and reads stay exact
+    val leRes = cat.readLatestWhere("db", "sp", col("s") <= "￿")
+      .select("id").as[Long].collect().toSet
+    assert(leRes == Set(1L, 4L), leRes.toString)
+    assert(!kept(col("s") <= "￿").exists(_.contains(s"__pt=$supp")),
+      kept(col("s") <= "￿").toString)
+
+    // equality on a supplementary-prefixed value plans only its dir
+    val eqKept = kept(col("s") === (supp + "xy"))
+    assert(eqKept.size <= 2, eqKept.toString) // its dir (+ default at most)
+    assert(cat.readLatestWhere("db", "sp", col("s") === (supp + "xy"))
+      .count() == 1L)
   }
 }
