@@ -96,6 +96,38 @@ object SparkEntry {
     cat
   }
 
+  /** SQL-delta lineage fixture (q133): the q121 append shape (evens then
+    * odds, sorted, single-file — ids are rank arithmetic), then a SQL
+    * UPDATE through the plugin catalog. The update routes the
+    * SupportsDelta path (lineage tables always do) and every matched
+    * post-image must carry its pre-image's id — Iceberg-v3 identity
+    * across the SQL surface, not just the DataFrame API. */
+  private def lineageSqlFixture(s: SparkSession,
+      dir: String): graft.catalog.SnapshotCatalog = {
+    val cat = WarehouseFixture.forDir(s, dir).src
+    if (!cat.tableExists("maint", "lineage_sqldml")) {
+      val o = T(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      cat.createTable("maint", "lineage_sqldml", o.schema,
+        properties = Map("row.lineage" -> "true"))
+      cat.append("maint", "lineage_sqldml",
+        o.where(col("o_orderkey") % 2 === 0)
+          .repartition(1).sortWithinPartitions("o_orderkey"))
+      cat.append("maint", "lineage_sqldml",
+        o.where(col("o_orderkey") % 2 === 1)
+          .repartition(1).sortWithinPartitions("o_orderkey"))
+      val before = cat.currentSnapshot("maint", "lineage_sqldml")
+      s.sql("UPDATE snapdml.maint.lineage_sqldml SET o_orderstatus = 'X' " +
+        "WHERE o_orderkey % 100 = 11")
+      // the gate REQUIRES the delta shape: a position delta, never a
+      // rewrite (a rewrite would re-mint the very ids the oracle replays)
+      val after = cat.currentSnapshot("maint", "lineage_sqldml")
+      require(after.operation == "update" &&
+        before.files.forall(after.files.contains),
+        s"SQL UPDATE on a lineage table must commit a delta: ${after.operation}")
+    }
+    cat
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     prepare(spark, "/root/testdata/sf0.001")
@@ -1053,6 +1085,37 @@ object SparkEntry {
         "FROM snapdml.maint.rstats ORDER BY o_orderstatus")
     }),
 
+    // RETRACTABLE min/max MV (r11): a KEYED min/max body now merges
+    // under deletes too, via the extremum-death probe — a deleted value
+    // strictly inside the range folds arithmetically; only groups whose
+    // stored extremum actually died recompute, from the base restricted
+    // to exactly those group keys. The query kills the global-max row
+    // (guaranteed extremum death for its group) plus a middling batch,
+    // REQUIRES the merge path, then the oracle replays min/max/count
+    // from scratch.
+    "q134_mv_minmax_retract" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "mmstats")) cat.dropView("maint", "mmstats")
+      if (cat.tableExists("maint", "mvmm_orders")) cat.dropTable("maint", "mvmm_orders")
+      val orders = T(s, dir, "orders").where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      cat.createTable("maint", "mvmm_orders", orders.schema)
+      cat.append("maint", "mvmm_orders", orders)
+      cat.createMaterializedView("maint", "mmstats",
+        "SELECT o_orderstatus, min(cents) AS min_cents, max(cents) AS max_cents, " +
+          "count(*) AS n FROM maint.mvmm_orders GROUP BY o_orderstatus")
+      val maxCents = cat.readLatest("maint", "mvmm_orders")
+        .agg(max("cents")).head.getLong(0)
+      cat.deleteMoR("maint", "mvmm_orders", col("cents") === maxCents)
+      cat.deleteMoR("maint", "mvmm_orders", col("o_orderkey") % 10 === 4)
+      val (mode, _) = cat.refreshMaterializedView("maint", "mmstats")
+      require(mode == "incremental_agg",
+        s"min/max MV must merge under deletes (extremum-death probe), took '$mode'")
+      s.sql("SELECT o_orderstatus, min_cents, max_cents, n " +
+        "FROM snapdml.maint.mmstats ORDER BY o_orderstatus")
+    }),
+
     // VARIANT ingestion + shredded extraction (r9): semi-structured JSON
     // is BUILT deterministically from events columns, parsed into Spark
     // 4's VariantType (the open binary-JSON column type), then typed
@@ -1236,6 +1299,17 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("_row_id"), col("_change_type"))
         .orderBy("o_orderkey", "_change_type")
+    }),
+
+    // SQL UPDATE preserves row identity (r11): the update runs through
+    // the plugin's SupportsDelta path, the post-images carry their
+    // pre-images' physical __rid, and the oracle replays EVERY id by the
+    // q121 rank arithmetic — any re-minted id hash-mismatches.
+    "q133_sql_update_rid" -> ((s, dir) => {
+      val cat = lineageSqlFixture(s, dir)
+      cat.readWithRowIds("maint", "lineage_sqldml")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("_row_id"))
+        .orderBy("o_orderkey")
     }),
 
     // HIDDEN time-transform partitioning (r9; Iceberg's signature
@@ -1943,17 +2017,24 @@ object SparkEntry {
         .select(col("o_orderstatus").as("g"),
           floor(col("o_totalprice") * 100).cast("long").cast("double").as("c"))
         .where(col("c").isNotNull)
-      val bounds = data.groupBy("g").agg(min("c").as("mn"), max("c").as("mx"))
+      val boundsDf = data.groupBy("g").agg(min("c").as("__mn"), max("c").as("__mx"))
+      val bounds = boundsDf
         .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-      // null-safe group match (<=>): a NULL group value is a group like any
-      // other — plain === would leave its rows with a NULL bucket and NPE
-      // in the histogram collect
-      val bucketCol = bounds.foldLeft(lit(null).cast("int")) {
-        case (acc, (g, (mn, mx))) => when(col("g") <=> lit(g),
-          least(greatest(width_bucket(col("c"), lit(mn), lit(mx + 1.0), lit(nB)),
-            lit(1)), lit(nB)).cast("int")).otherwise(acc)
-      }
-      val hist = data.withColumn("b", bucketCol).groupBy("g", "b").count()
+      // bucket assignment via a BROADCAST join on the bounds frame — an
+      // O(groups) when-chain literal fold would blow up codegen and
+      // driver state at high group cardinality; the join costs one
+      // broadcast of the group-sized bounds table regardless. Null-safe
+      // group match (<=>): a NULL group value is a group like any other —
+      // plain === would leave its rows with a NULL bucket and NPE in the
+      // histogram collect.
+      val bucketed = data
+        .join(broadcast(boundsDf.withColumnRenamed("g", "__bg")),
+          col("g") <=> col("__bg"), "inner")
+        .withColumn("b", least(greatest(
+          width_bucket(col("c"), col("__mn"), col("__mx") + lit(1.0), lit(nB)),
+          lit(1)), lit(nB)).cast("int"))
+        .select("g", "c", "b")
+      val hist = bucketed.groupBy("g", "b").count()
         .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
       // driver: locate each quartile's boundary ranks in their buckets
       // (state is O(groups × buckets) counts — scale-independent)
@@ -1987,7 +2068,7 @@ object SparkEntry {
       def gkey(g: String): String = if (g == null) "\u0000null" else g
       val neededKeys = picks.map(p => s"${gkey(p.g)}#${p.b}").distinct
       val w = Window.partitionBy("g", "b").orderBy("c")
-      val picked = data.withColumn("b", bucketCol)
+      val picked = bucketed
         .where(concat_ws("#", coalesce(col("g"), lit("\u0000null")), col("b"))
           .isin(neededKeys: _*))
         .withColumn("rn", row_number().over(w))
@@ -3092,6 +3173,25 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderstatus, CAST(rid AS BIGINT) AS _row_id, _change_type
         |FROM img ORDER BY o_orderkey, _change_type""".stripMargin,
 
+    // every row's id replayed by rank arithmetic ACROSS a SQL UPDATE:
+    // the %100==11 post-images show status 'X' with their ORIGINAL ids
+    "q133_sql_update_rid" ->
+      """WITH evens AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |), n AS (SELECT count(*) AS c FROM evens),
+        |odds AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    (SELECT c FROM n) + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |al AS (SELECT * FROM evens UNION ALL SELECT * FROM odds)
+        |SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 100 = 11 THEN 'X' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  CAST(rid AS BIGINT) AS _row_id
+        |FROM al ORDER BY o_orderkey""".stripMargin,
+
     // id = rank within its append + the prior append's high-water;
     // compact in the query must not change a single value
     "q121_row_lineage" ->
@@ -3311,6 +3411,24 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(FLOOR(avg(cents)) AS BIGINT) AS avg_floor
         |FROM rem GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // post-churn min/max replayed from scratch: the global-max row and
+    // the %10==4 batch are retracted; any group whose stored extremum
+    // died must show the recomputed value exactly
+    "q134_mv_minmax_retract" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |), surv AS (
+        |  SELECT * FROM base
+        |  WHERE cents <> (SELECT max(cents) FROM base)
+        |    AND o_orderkey % 10 <> 4
+        |)
+        |SELECT o_orderstatus, CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM surv GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q115_curation_pipeline" ->
       """WITH docs AS (

@@ -595,8 +595,18 @@ final class SnapshotCatalog(
     val tm = meta(db, table)
     if (tm.partitionCols.isEmpty) return flatDirName
     val hidden = tm.hiddenCols
-    val visible = org.apache.spark.sql.types.StructType(
+    val visible0 = org.apache.spark.sql.types.StructType(
       currentSnapshot(db, table).schema.fields.filterNot(f => hidden(f.name)))
+    // lineage tables: the flat delta may carry a physical __rid column
+    // (the SQL delta writer's preserved identities) — read and re-write
+    // it so the re-layout never re-mints. Files without the column read
+    // null (the fresh-insert shape), which the read side's
+    // coalesce(physical, first_row_id + pos) resolves correctly.
+    val visible =
+      if (rowLineageEnabled(db, table))
+        visible0.add(org.apache.spark.sql.types.StructField("__rid",
+          org.apache.spark.sql.types.LongType, nullable = true))
+      else visible0
     val flatDir = dataPath(db, table).resolve(flatDirName)
     val outName = s"$flatDirName-b"
     val outDir = dataPath(db, table).resolve(outName)
@@ -1491,7 +1501,13 @@ final class SnapshotCatalog(
         catch { case scala.util.control.NonFatal(_) => snap.files }
       case None => snap.files
     }
-    readVisibleWithPos(db, table, snap, files)
+    // lineage tables additionally serve each candidate row's stable
+    // `__rid` (requested by the operation as a metadata attribute): the
+    // SQL UPDATE/MERGE writer carries it into the re-inserted post-image
+    // so SQL delta DML preserves identity exactly like updateMoR/upsertMoR
+    if (rowLineageEnabled(db, table))
+      readVisibleWithPosAndRid(db, table, snap, files)
+    else readVisibleWithPos(db, table, snap, files)
   }
 
   /** Filtered read with file-level skipping: only files whose stats may
@@ -1742,19 +1758,22 @@ final class SnapshotCatalog(
 
   /** EXACT per-commit change sets of a range, enumerated from METADATA —
     * the cheap extraction tier under [[readChangelog]]'s value diff: for
-    * ranges whose commits only ADD data files and positional-delete
-    * shards (append family + the whole MoR DML family; compacts are
-    * row-preserving no-ops), the inserted rows are exactly the added
-    * files read raw and the deleted rows are exactly the new shards'
-    * positions read back from their (write-once) covered files — cost is
-    * the churn, never a two-sided multiset diff. Returns None — caller
-    * falls back to the changelog — when the range contains a true
-    * rewrite (overwrite / CoW DML / rollback), an EQUALITY-delete commit
-    * (its pre-images need scan-side evaluation), or a schema change.
-    * A row appended then deleted inside the range appears in BOTH sets
-    * (exact per-commit semantics, not a net diff) — consumers folding
-    * `+ins −del` cancel it, matching `Q(old) + Q(ins) − Q(del)`. */
-  private def changeSetsAcrossRange(db: String, table: String,
+    * ranges whose commits only ADD data files and delete shards (append
+    * family + the whole MoR DML family; compacts are row-preserving
+    * no-ops), the inserted rows are exactly the added files read raw and
+    * the deleted rows are exactly the new shards' pre-images — positions
+    * read back from their (write-once) covered files, equality tuples
+    * evaluated against the rows VISIBLE at the eq commit's parent — cost
+    * is the churn (plus one covered-file visibility scan per eq commit),
+    * never a two-sided multiset diff. Returns None — caller falls back
+    * to the changelog — when the range contains a true rewrite
+    * (overwrite / CoW DML), a ROLLBACK (detected as removed data files
+    * OR removed delete shards: rolling back a MoR-delete-only commit
+    * keeps the file set identical while resurrecting rows), or a schema
+    * change. A row appended then deleted inside the range appears in
+    * BOTH sets (exact per-commit semantics, not a net diff) — consumers
+    * folding `+ins −del` cancel it, matching `Q(old) + Q(ins) − Q(del)`. */
+  private[graft] def changeSetsAcrossRange(db: String, table: String,
       fromId: Long, toId: Long): Option[(DataFrame, DataFrame)] = {
     val from = snapshotAt(db, table, fromId)
     val schema = from.schema
@@ -1764,19 +1783,47 @@ final class SnapshotCatalog(
     var prevFiles = prev.files.toSet
     val ins = Seq.newBuilder[DataFrame]
     val posShards = Seq.newBuilder[DeleteFile]
+    val eqDels = Seq.newBuilder[DataFrame]
     val root = tablePath(db, table)
     for (en <- inRange) {
       val snap = snapshotAt(db, table, en.snapshotId)
       if (snap.schemaDdl != prev.schemaDdl) return None // evolution: changelog aligns
+      if (snap.operation == "rollback") return None // resurrections not enumerable
       val files = snap.files.toSet
       if (prevFiles.diff(files).nonEmpty && snap.operation != "compact")
         return None // true rewrite: retractions are not enumerable
       if (snap.operation != "compact") {
+        val snapShards = snap.deleteFiles.map(_.path).toSet
+        // a non-compact commit that DROPS a delete shard (rollback of a
+        // MoR-delete-only commit re-pointing at the parent's shard list)
+        // resurrects rows the insert set cannot represent — decline
+        if (prev.deleteFiles.exists(d => !snapShards(d.path))) return None
         val prevShards = prev.deleteFiles.map(_.path).toSet
         val newShards = snap.deleteFiles.filterNot(d => prevShards(d.path))
         val (pos, eq) = newShards.partition(_.isPositional)
-        if (eq.nonEmpty) return None // eq pre-images need scan-side eval
         posShards ++= pos
+        if (eq.nonEmpty) {
+          // EQUALITY-delete pre-images, exactly: rows VISIBLE at this
+          // commit's parent (`prev` — all earlier in-range deletes and
+          // adds applied) within the shard's pinned coverage, matching
+          // any key tuple null-safely. One merged scan of the covered
+          // files per eq commit — churn-sized, no changelog diff.
+          eq.groupBy(_.eqCols.toList).foreach { case (cols, shards) =>
+            val covered = shards.flatMap(_.covers.keys).distinct.sorted
+            if (covered.nonEmpty) {
+              val tupleSchema = StructType(cols.map(c => schema(c)).toArray)
+              val tuples = spark.read.schema(tupleSchema)
+                .parquet(shards.map(s => root.resolve(s.path).toString): _*)
+                .dropDuplicates(cols)
+                .select(cols.map(c => col(s"`$c`").as(s"__eq_$c")): _*)
+              val alive = readVisible(db, table, prev, covered)
+              val cond = cols.map(c => alive(s"`$c`") <=> tuples(s"`__eq_$c`"))
+                .reduce(_ && _)
+              eqDels += alive.join(tuples, cond, "left_semi")
+                .select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+            }
+          }
+        }
         val added = snap.files.filterNot(prevFiles)
         if (added.nonEmpty) ins += readFiles(db, table, schema, added)
       }
@@ -1790,24 +1837,23 @@ final class SnapshotCatalog(
     // visibility at `from` plus one semi-join is exact, no per-commit
     // walk of overlapping covered files
     val allPos = posShards.result()
-    val dels =
-      if (allPos.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    def unionAll(fs: Seq[DataFrame]): DataFrame = fs match {
+      case Seq() => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case some  => some.reduce(_.unionByName(_))
+    }
+    val posDels =
+      if (allPos.isEmpty) Seq.empty[DataFrame]
       else {
         val covered = allPos.flatMap(_.covers.keys).distinct.sorted
         val newDead = spark.read.schema(deleteFileSchema)
           .parquet(allPos.map(d => root.resolve(d.path).toString): _*)
         val alive = readVisibleWithPos(db, table, from, covered)
-        alive.join(newDead,
+        Seq(alive.join(newDead,
           alive(MorFileCol) === newDead("_file") &&
             alive(MorPosCol) === newDead("_pos"), "left_semi")
-          .select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+          .select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*))
       }
-    def unionAll(fs: Seq[DataFrame]): DataFrame = fs match {
-      case Seq() => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      case some  => some.reduce(_.unionByName(_))
-    }
-    Some((unionAll(ins.result()), dels))
+    Some((unionAll(ins.result()), unionAll(posDels ++ eqDels.result())))
   }
 
   /** Latest snapshot with committed_at <= ts, i.e. the reference's stage-2
@@ -3821,7 +3867,8 @@ final class SnapshotCatalog(
     require(bases.nonEmpty,
       s"materialized view $db.$name references no table of this catalog")
     val pins = bases.map { case (d, t) => (d, t) -> currentSnapshotId(d, t) }.toMap
-    // retractable aggregate bodies (count/sum/avg only) materialize
+    // retractable aggregate bodies (count/sum/avg, plus keyed min/max
+    // since r11) materialize
     // AUGMENTED: the backing table carries the hidden partial columns
     // that make the view maintainable under deletes and make avg
     // incrementally refreshable ([[augmentedAggPlan]]); the view's
@@ -3859,14 +3906,20 @@ final class SnapshotCatalog(
     * Derived from the PARSED body, matched positionally against the
     * backing table's schema. */
   private final case class AggShape(keyPos: Seq[Int], aggPos: Seq[(Int, String)],
-      aggFns: Map[Int, org.apache.spark.sql.catalyst.analysis.UnresolvedFunction]) {
-    /** count/sum/avg only — the family maintainable under BOTH inserts
-      * and deletes once partials are stored (avg decomposes to
-      * sum+count; a stored count(*) partial detects group death).
-      * min/max stay append-only: a deleted row may have held the
-      * extremum. */
+      aggFns: Map[Int, org.apache.spark.sql.catalyst.analysis.UnresolvedFunction],
+      keyBase: Map[Int, String] = Map.empty) {
+    /** The family maintainable under BOTH inserts and deletes once
+      * partials are stored: count/sum/avg merge arithmetically (avg
+      * decomposes to sum+count; the stored count(*) partial detects
+      * group death), and KEYED min/max merge via the extremum-death
+      * probe — a deleted value strictly above the candidate min (below
+      * the candidate max) cannot move it, so only groups whose extremum
+      * actually died recompute, from the base restricted to those keys.
+      * GLOBAL min/max stay non-retractable (the one "group" would
+      * recompute over the whole base — that IS the full refresh). */
     def retractable: Boolean = aggPos.nonEmpty &&
-      aggPos.forall(p => Set("count", "sum", "avg")(p._2))
+      aggPos.forall(p => Set("count", "sum", "avg")(p._2) ||
+        (keyPos.nonEmpty && Set("min", "max")(p._2)))
   }
 
   // hidden partial columns an augmented aggregate-MV backing table
@@ -3949,9 +4002,11 @@ final class SnapshotCatalog(
           case _ => return None // expression keys: not recognized, stay full
         }.toSet
         val fns = scala.collection.mutable.Map.empty[Int, UnresolvedFunction]
+        val keyBases = scala.collection.mutable.Map.empty[Int, String]
         val roles = aggExprs.zipWithIndex.map { case (ne: NamedExpression, i) =>
           strip(ne) match {
-            case a: UnresolvedAttribute if keyNames(a.nameParts.last) => Left(i)
+            case a: UnresolvedAttribute if keyNames(a.nameParts.last) =>
+              keyBases(i) = a.nameParts.last; Left(i)
             case f: UnresolvedFunction if !f.isDistinct && f.filter.isEmpty &&
                 f.nameParts.length == 1 &&
                 mergeable(f.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
@@ -3961,7 +4016,7 @@ final class SnapshotCatalog(
           }
         }
         val shape = AggShape(roles.collect { case Left(i) => i },
-          roles.collect { case Right(p) => p }, fns.toMap)
+          roles.collect { case Right(p) => p }, fns.toMap, keyBases.toMap)
         // every grouping column must be carried in the output (it is the
         // upsert key), and there must be something to merge
         if (shape.keyPos.size == keyNames.size && shape.aggPos.nonEmpty) Some(shape)
@@ -4086,9 +4141,10 @@ final class SnapshotCatalog(
       bodyOver(spark.sessionState.sqlParser.parsePlan(sql), incrementalDelta())
 
     val shapeOpt = aggIncrementalShape(sql)
-    // an AUGMENTED backing (created from a retractable count/sum/avg
-    // body) carries the partial columns that make the merge exact under
-    // deletes; pre-augmentation MVs keep the legacy append-only merge
+    // an AUGMENTED backing (created from a retractable count/sum/avg/
+    // keyed-min/max body) carries the partial columns that make the
+    // merge exact under deletes; pre-augmentation MVs keep the legacy
+    // append-only merge
     val backingHasPartials = tableExists(db, mvT) &&
       currentSnapshot(db, mvT).schema.fieldNames.contains(MvPartialRows)
     def runFull(): Long = {
@@ -4104,9 +4160,10 @@ final class SnapshotCatalog(
     val appendOnly = singleBase && appendOnlyRange(bases.head._1, bases.head._2,
       from(bases.head).get, cur(bases.head))
 
-    /** Partial-backed merge of the retractable (count/sum/avg) family:
-      * insert AND delete row sets of the range fold into the stored
-      * partials — `Q(new) = Q(old) + Q(ins) - Q(del)`, the classic
+    /** Partial-backed merge of the retractable family (count/sum/avg,
+      * plus keyed min/max via the extremum-death probe): insert AND
+      * delete row sets of the range fold into the stored partials —
+      * `Q(new) = Q(old) + Q(ins) - Q(del)`, the classic
       * view-maintenance identity, valid for the distributive family.
       * Append-only ranges take the cheaper [[readIncremental]] plus-side
       * only; any other range diffs via [[readChangelog]] (churn-sized,
@@ -4129,11 +4186,12 @@ final class SnapshotCatalog(
           // refresh falls to full below
           case scala.util.control.NonFatal(_) => None
         }) match {
-          // MoR-family range: exact per-commit sets from metadata — the
-          // cost is the churn, no two-sided multiset diff
+          // MoR-family range (positional AND equality deletes): exact
+          // per-commit sets from metadata — the cost is the churn, no
+          // two-sided multiset diff
           case Some((i, dl)) =>
             (i.drop(hidden: _*), Some(dl.drop(hidden: _*)))
-          // true rewrites / eq-deletes / evolution: the changelog's
+          // true rewrites / rollbacks / evolution: the changelog's
           // value diff handles every operation
           case None =>
             val chg = try readChangelog(d, t, lo, hi) catch {
@@ -4145,41 +4203,53 @@ final class SnapshotCatalog(
         }
       // the aggregated partials are GROUP-sized (touched groups only) but
       // their plans re-execute for the null-key probe, the net join, and
-      // the merge materialization — cache them for the refresh's scope so
-      // the churn scans run once (unpersisted in the finally below)
-      val plus = bodyOver(augPlan, insRows).cache()
+      // the merge materialization — cache them for the refresh's scope.
+      // EVERYTHING past the cache() calls runs under one try/finally: an
+      // exception mid-merge (a failed probe job, an analysis error) must
+      // not leak the cached frames for the session.
+      val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def cached(f: DataFrame): DataFrame = { val c = f.cache(); caches += c; c }
+      def releasePartials(): Unit = { caches.foreach(_.unpersist()); () }
+      try {
+      val plus = cached(bodyOver(augPlan, insRows))
       val names = plus.schema.fieldNames
       val keyNames = shape.keyPos.map(names)
       val aggKind = shape.aggPos.toMap
+      // min/max outputs: merged via the extremum-death probe (keyed only)
+      val mm = shape.aggPos.filter(p => p._2 == "min" || p._2 == "max")
+      if (mm.nonEmpty && keyNames.isEmpty) return None // global min/max: full
+      def mvDel(i: Int) = s"__mvdel_$i"
+      def mvNeed(i: Int) = s"__mvneed_$i"
       def nullKeyed(f: DataFrame): Boolean = keyNames.nonEmpty &&
         !f.where(keyNames.map(k => col(s"`$k`").isNull).reduce(_ || _)).isEmpty
-      val minusOpt = delRowsOpt.map(bodyOver(augPlan, _).cache())
-      def releasePartials(): Unit = {
-        plus.unpersist(); minusOpt.foreach(_.unpersist()); ()
-      }
-      if (nullKeyed(plus) || minusOpt.exists(nullKeyed)) {
-        releasePartials(); return None
-      }
+      val minusOpt = delRowsOpt.map(f => cached(bodyOver(augPlan, f)))
+      if (nullKeyed(plus) || minusOpt.exists(nullKeyed)) return None
       // NET per-group contribution: plus full-outer minus, every
       // aggregate/partial column as (p - m) with 0-coalescing; avg
-      // outputs carry a placeholder (recomputed from partials below)
+      // outputs carry a placeholder (recomputed from partials below);
+      // min/max carry the INSERT-side extremum plus a `__mvdel_<i>`
+      // column holding the delete-side extremum for the probe
       val net = minusOpt match {
         case None =>
-          plus.select(names.zipWithIndex.map { case (n, i) =>
+          plus.select((names.zipWithIndex.map { case (n, i) =>
             if (aggKind.get(i).contains("avg")) lit(null).cast(plus.schema(i).dataType).as(n)
             else col(s"`$n`").as(n)
-          }.toIndexedSeq: _*)
+          } ++ mm.map { case (i, _) =>
+            lit(null).cast(plus.schema(i).dataType).as(mvDel(i)) }).toIndexedSeq: _*)
         case Some(minus) =>
           val m = minus.select(names.map(n => col(s"`$n`").as(s"__m_$n")).toIndexedSeq: _*)
           val cond = keyNames.map(k => plus(s"`$k`") <=> m(s"`__m_$k`"))
             .reduceOption(_ && _).getOrElse(lit(true))
-          plus.join(m, cond, "full_outer").select(names.zipWithIndex.map { case (n, i) =>
-            val p = col(s"`$n`"); val mm = col(s"`__m_$n`")
-            if (shape.keyPos.contains(i)) coalesce(p, mm).as(n)
+          plus.join(m, cond, "full_outer").select((names.zipWithIndex.map { case (n, i) =>
+            val p = col(s"`$n`"); val mmc = col(s"`__m_$n`")
+            if (shape.keyPos.contains(i)) coalesce(p, mmc).as(n)
             else if (aggKind.get(i).contains("avg"))
               lit(null).cast(plus.schema(i).dataType).as(n)
-            else (coalesce(p, lit(0)) - coalesce(mm, lit(0))).cast(plus.schema(i).dataType).as(n)
-          }.toIndexedSeq: _*)
+            else if (aggKind.get(i).exists(k => k == "min" || k == "max"))
+              p.as(n) // insert-side extremum (null when group only deleted from)
+            else (coalesce(p, lit(0)) - coalesce(mmc, lit(0))).cast(plus.schema(i).dataType).as(n)
+          } ++ mm.map { case (i, _) =>
+            col(s"`__m_${names(i)}`").as(mvDel(i)) }).toIndexedSeq: _*)
       }
       // merge net against the stored state; every column exact by
       // partial bookkeeping
@@ -4189,6 +4259,20 @@ final class SnapshotCatalog(
       val joined = net.join(backing, cond, "left")
       def mergedPartial(n: String) =
         (coalesce(backing(s"`$n`"), lit(0)) + coalesce(net(s"`$n`"), lit(0)))
+      // min/max candidate: null-skipping fold of the stored extremum and
+      // the insert-side extremum. A deleted value STRICTLY beyond the
+      // candidate cannot move it (every deleted row existed, so its value
+      // never undercuts the true extremum) — the group needs a recompute
+      // only when a deleted value TIES the candidate (extremum death)
+      def mmCand(i: Int, kind: String) = {
+        val s = backing(s"`${names(i)}`"); val p = net(s"`${names(i)}`")
+        if (kind == "min") least(s, p) else greatest(s, p)
+      }
+      def mmNeed(i: Int, kind: String) = {
+        val del = net(s"`${mvDel(i)}`"); val cand = mmCand(i, kind)
+        del.isNotNull && (cand.isNull ||
+          (if (kind == "min") del <= cand else del >= cand))
+      }
       val outCols = names.zipWithIndex.map { case (n, i) =>
         if (shape.keyPos.contains(i)) net(s"`$n`").as(n)
         else if (n.startsWith("__mv_")) mergedPartial(n).cast(plus.schema(i).dataType).as(n)
@@ -4202,27 +4286,76 @@ final class SnapshotCatalog(
             when(mergedPartial(mvPartialCnt(i)) > 0,
               mergedPartial(mvPartialSum(i)) / mergedPartial(mvPartialCnt(i)))
               .otherwise(lit(null)).cast(plus.schema(i).dataType).as(n)
+          case k @ ("min" | "max") => mmCand(i, k).as(n) // recompute splice below
         }
-      }
-      val merged = joined.select(outCols.toIndexedSeq: _*)
+      } ++ mm.map { case (i, k) => mmNeed(i, k).as(mvNeed(i)) }
+      val merged0 = joined.select(outCols.toIndexedSeq: _*)
+      // EXTREMUM-DEATH SPLICE: groups where a deleted value tied the
+      // min/max candidate recompute those columns from the base
+      // restricted to exactly those group keys — O(affected groups), a
+      // single filtered pass, never the corpus, and only when deletes
+      // actually touched an extremum
+      val needNames = mm.map { case (i, _) => mvNeed(i) }
+      val merged: DataFrame =
+        if (mm.isEmpty) merged0
+        else if (minusOpt.isEmpty) merged0.drop(needNames: _*)
+        else {
+          val m0 = cached(merged0)
+          val needAny = needNames.map(col).reduce(_ || _)
+          val affected = m0.where(needAny && col(MvPartialRows) > 0)
+            .select(keyNames.map(k => col(s"`$k`")).toIndexedSeq: _*)
+          if (affected.isEmpty) m0.drop(needNames: _*)
+          else {
+            val (d2, t2) = bases.head
+            val baseKeyNames = shape.keyPos.map(i =>
+              shape.keyBase.getOrElse(i, names(i)))
+            // few affected groups (the common shape): an exact key
+            // predicate rides the footer-stat file skipping; otherwise a
+            // semi-join restriction (one pass, still group-bounded rows)
+            val few = affected.limit(65).collect()
+            val restricted = (if (few.length <= 64 && few.nonEmpty) {
+              try {
+                val pred = few.map(r => baseKeyNames.indices.map(j =>
+                  col(s"`${baseKeyNames(j)}`") <=> lit(r.get(j))).reduce(_ && _))
+                  .reduce(_ || _)
+                Some(readWhere(d2, t2, hi, pred))
+              } catch { case scala.util.control.NonFatal(_) => None }
+            } else None).getOrElse {
+              val aff = affected.toDF(baseKeyNames: _*)
+              readAsOf(d2, t2, hi).join(aff, baseKeyNames.toIndexedSeq, "left_semi")
+            }.drop(hidden: _*)
+            val rec = bodyOver(augPlan, restricted)
+            val recSel = rec.select((keyNames.map(k =>
+              col(s"`$k`").as(s"__r_$k")) ++ mm.map { case (i, _) =>
+              col(s"`${names(i)}`").as(s"__r_v$i") }).toIndexedSeq: _*)
+            val jc = keyNames.map(k => m0(s"`$k`") <=> recSel(s"`__r_$k`"))
+              .reduce(_ && _)
+            m0.join(recSel, jc, "left").select(names.zipWithIndex.map { case (n, i) =>
+              aggKind.get(i) match {
+                case Some(k) if k == "min" || k == "max" =>
+                  when(col(s"`${mvNeed(i)}`"), col(s"`__r_v$i`"))
+                    .otherwise(m0(s"`$n`")).as(n)
+                case _ => m0(s"`$n`").as(n)
+              }
+            }.toIndexedSeq: _*)
+          }
+        }
       if (keyNames.isEmpty) {
         // global aggregate: exactly one row, always present
-        try Some(overwrite(db, mvT, merged)
+        Some(overwrite(db, mvT, merged)
           .summary.get("added_records").map(_.toLong).getOrElse(-1L))
-        finally releasePartials()
       } else {
         // group death: a merged row count of zero means SQL would not
         // produce the group — delete it from the backing
-        val mergedC = merged.cache()
-        try {
-          val dead = mergedC.where(col(MvPartialRows) <= 0)
-            .select(keyNames.map(k => col(s"`$k`")): _*)
-          val alive = mergedC.where(col(MvPartialRows) > 0)
-          if (minusOpt.isDefined && !dead.isEmpty) deleteMoREq(db, mvT, dead)
-          Some(upsertMoR(db, mvT, alive, keyNames)
-            .summary.get("added_records").map(_.toLong).getOrElse(-1L))
-        } finally { mergedC.unpersist(); releasePartials() }
+        val mergedC = cached(merged)
+        val dead = mergedC.where(col(MvPartialRows) <= 0)
+          .select(keyNames.map(k => col(s"`$k`")): _*)
+        val alive = mergedC.where(col(MvPartialRows) > 0)
+        if (minusOpt.isDefined && !dead.isEmpty) deleteMoREq(db, mvT, dead)
+        Some(upsertMoR(db, mvT, alive, keyNames)
+          .summary.get("added_records").map(_.toLong).getOrElse(-1L))
       }
+      } finally releasePartials()
     }
 
     var mode =

@@ -414,21 +414,45 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       * plain query over a table WITHOUT live deletes is unsupported (the
       * stock V2 parquet scan cannot emit positions) and fails at planning
       * rather than returning wrong data. */
-    override def metadataColumns(): Array[MetadataColumn] = Array(
-      new MetadataColumn {
-        override def name(): String = SnapshotCatalog.MorFileCol
-        override def dataType(): org.apache.spark.sql.types.DataType =
-          org.apache.spark.sql.types.StringType
-        override def isNullable: Boolean = false
-        override def comment(): String = "table-root-relative data file path (MoR row id)"
-      },
-      new MetadataColumn {
-        override def name(): String = SnapshotCatalog.MorPosCol
+    override def metadataColumns(): Array[MetadataColumn] = {
+      val base: Array[MetadataColumn] = Array(
+        new MetadataColumn {
+          override def name(): String = SnapshotCatalog.MorFileCol
+          override def dataType(): org.apache.spark.sql.types.DataType =
+            org.apache.spark.sql.types.StringType
+          override def isNullable: Boolean = false
+          override def comment(): String = "table-root-relative data file path (MoR row id)"
+        },
+        new MetadataColumn {
+          override def name(): String = SnapshotCatalog.MorPosCol
+          override def dataType(): org.apache.spark.sql.types.DataType =
+            org.apache.spark.sql.types.LongType
+          override def isNullable: Boolean = false
+          override def comment(): String = "row ordinal within its data file (MoR row id)"
+        })
+      // row-lineage tables also expose the stable row id: the delta
+      // rewrite requests it (requiredMetadataAttributes) so SQL
+      // UPDATE/MERGE can carry identity into the post-image. Like the
+      // MoR id columns, it is served only by the substituted merged scan.
+      if (!lineageOn) base
+      else base :+ new MetadataColumn {
+        override def name(): String = "__rid"
         override def dataType(): org.apache.spark.sql.types.DataType =
           org.apache.spark.sql.types.LongType
-        override def isNullable: Boolean = false
-        override def comment(): String = "row ordinal within its data file (MoR row id)"
-      })
+        override def isNullable: Boolean = true
+        override def comment(): String = "stable row id (Iceberg-v3 row lineage)"
+        // the delta rewrite NULLIFIES metadata attrs on update/reinsert
+        // rows unless the column opts out — identity must ride the
+        // split-update's REINSERT half into the writer intact
+        override def metadataInJSON(): String =
+          """{"__preserve_on_delete": true,
+            | "__preserve_on_update": true,
+            | "__preserve_on_reinsert": true}""".stripMargin
+      }
+    }
+
+    private def lineageOn: Boolean =
+      tableMeta.properties.get("row.lineage").contains("true")
 
     /** Effective snapshot of a read: the reader-option time-travel
       * override, or this table's own. */
@@ -504,12 +528,16 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         .exists(_.isInstanceOf[MorDeltaScanRule])
       // branch targets never take the delta or CoW rewrite paths — both
       // commit to MAIN; translatable branch DELETEs route to deleteWhere
-      // (deleteMoRBranch) and everything else refuses at scan build below
+      // (deleteMoRBranch) and everything else refuses at scan build below.
+      // Row-lineage tables ALWAYS route delta: it is the identity-
+      // preserving path (the CoW rewrite re-reads candidate files raw and
+      // would re-mint every rewritten row's id).
       val wantsDelta = branch.isEmpty && (snap.deleteFiles.nonEmpty ||
-        tableMeta.properties.get(s"write.$opName.mode").contains("merge-on-read"))
+        tableMeta.properties.get(s"write.$opName.mode").contains("merge-on-read") ||
+        lineageOn)
       if (wantsDelta && deltaRuleActive)
         return () => new SnapDeltaOperation(spark, warehouse, db, table,
-          snap.snapshotId, info.command, opName, schema())
+          snap.snapshotId, info.command, opName, schema(), lineageOn)
       () => new RowLevelOperation {
         override def command: RowLevelOperation.Command = info.command
         override def description(): String = s"snapcat copy-on-write $opName"

@@ -57,7 +57,7 @@ final class SnapDeltaOperation(
     spark: SparkSession, warehouse: String,
     db: String, table: String, snapshotId: Long,
     cmd: RowLevelOperation.Command, opName: String,
-    tableSchema: StructType)
+    tableSchema: StructType, lineage: Boolean)
     extends RowLevelOperation with SupportsDelta with MorDeltaRoutable {
 
   private def cat = new SnapshotCatalog(spark, warehouse)
@@ -69,11 +69,20 @@ final class SnapDeltaOperation(
     Array(Expressions.column(SnapshotCatalog.MorFileCol),
       Expressions.column(SnapshotCatalog.MorPosCol))
 
-  /** Updates split into DELETE + INSERT op rows: that IS the commit shape
-    * (position delete + re-inserted copy), so no writer-side translation. */
+  /** Updates split into DELETE + REINSERT op rows: that IS the commit
+    * shape (position delete + re-inserted copy), so no writer-side
+    * translation — and the reinsert half still receives the pre-image's
+    * METADATA row, which is how identity survives the split. */
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
-  override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
+  /** Row-lineage tables thread each candidate row's stable id through
+    * the rewrite as a metadata attribute: the substituted merged scan
+    * serves `__rid` (coalesce(physical, first_row_id + pos)) and the
+    * writer materializes it into the re-inserted post-image, so a SQL
+    * UPDATE/MERGE preserves row identity per Iceberg v3 exactly like the
+    * DataFrame-API updateMoR/upsertMoR paths. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    if (lineage) Array(Expressions.column("__rid")) else Array.empty
 
   override def deltaScanPlan(cond: Option[Column]): LogicalPlan =
     cat.readDeltaScan(db, table, snapshotId, cond).queryExecution.analyzed
@@ -88,7 +97,7 @@ final class SnapDeltaOperation(
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
         new SnapDeltaWrite(spark, warehouse, db, table, opName,
-          snapshotId, info, tableSchema)
+          snapshotId, info, tableSchema, lineage)
     }
 }
 
@@ -104,7 +113,8 @@ final class SnapDeltaOperation(
 private final class SnapDeltaWrite(
     spark: SparkSession, warehouse: String,
     db: String, table: String, opName: String, snapshotId: Long,
-    info: LogicalWriteInfo, tableSchema: StructType) extends DeltaWrite {
+    info: LogicalWriteInfo, tableSchema: StructType,
+    lineage: Boolean) extends DeltaWrite {
 
   override def description(): String = s"snapcat $opName delta write"
 
@@ -113,9 +123,19 @@ private final class SnapDeltaWrite(
     private val dataDirName = s"sd-$uid"
     private val delDirName = s"sd-$uid"
     // a pure DELETE has no row projection — writers then never open a row
-    // file, but the schema must still exist for the factory
-    private val rowSchema: StructType =
-      if (info.schema().fields.isEmpty) tableSchema else info.schema()
+    // file, but the schema must still exist for the factory.
+    // Lineage tables append a physical `__rid` column: REINSERTED rows
+    // (the update split's post-images) carry their pre-image's id, fresh
+    // INSERTs write null — the commit funnel then claims a first_row_id
+    // range for the file (the MIXED shape, never `rid_materialized`) and
+    // the read side's coalesce(physical, frid + pos) serves preserved
+    // ids for updates and mints fresh ones for inserts.
+    private val rowSchema: StructType = {
+      val base = if (info.schema().fields.isEmpty) tableSchema else info.schema()
+      if (lineage) base.add(org.apache.spark.sql.types.StructField("__rid",
+        org.apache.spark.sql.types.LongType, nullable = true))
+      else base
+    }
     private val delSchema: StructType = StructType.fromDDL("_file STRING, _pos BIGINT")
 
     /** Hadoop conf prepared for [[ParquetWriteSupport]] exactly like
@@ -149,7 +169,7 @@ private final class SnapDeltaWrite(
       Files.createDirectories(dataDir)
       Files.createDirectories(delDir)
       SnapDeltaWriterFactory(dataDir.toString, delDir.toString,
-        writeConf(rowSchema), writeConf(delSchema))
+        writeConf(rowSchema), writeConf(delSchema), lineage)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -183,10 +203,12 @@ private final case class SnapDeltaCommitMessage(
 
 private final case class SnapDeltaWriterFactory(
     dataDir: String, delDir: String,
-    rowConf: SerializableConfiguration, delConf: SerializableConfiguration)
+    rowConf: SerializableConfiguration, delConf: SerializableConfiguration,
+    lineage: Boolean)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new SnapDeltaWriter(dataDir, delDir, rowConf, delConf, partitionId, taskId)
+    new SnapDeltaWriter(dataDir, delDir, rowConf, delConf, partitionId, taskId,
+      lineage)
 }
 
 /** Task-side delta writer: op rows fan out to two lazily opened parquet
@@ -199,13 +221,26 @@ private final case class SnapDeltaWriterFactory(
 private final class SnapDeltaWriter(
     dataDir: String, delDir: String,
     rowConf: SerializableConfiguration, delConf: SerializableConfiguration,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long, lineage: Boolean)
     extends DeltaWriter[InternalRow] {
 
   private var rowWriter: ParquetOutputWriter = _
   private var rowFile: String = _
   private var delWriter: ParquetOutputWriter = _
   private var delFile: String = _
+
+  // lineage: the written row = (projected row, __rid) — reusable shells;
+  // ParquetWriteSupport consumes values during write, so reuse is safe
+  private val ridCell =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+  private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+
+  /** The metadata projection carries exactly
+    * [[SnapDeltaOperation.requiredMetadataAttributes]] — `__rid` at
+    * ordinal 0 when lineage is on. */
+  private def ridOf(meta: InternalRow): Any =
+    if (meta == null || meta.numFields == 0 || meta.isNullAt(0)) null
+    else meta.getLong(0)
 
   private def open(dir: String, conf: SerializableConfiguration,
       suffix: String): (ParquetOutputWriter, String) = {
@@ -227,14 +262,24 @@ private final class SnapDeltaWriter(
     delWriter.write(id)
   }
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
-    delete(meta, id); insert(row)
+    delete(meta, id); writeRow(row, ridOf(meta))
   }
-  override def reinsert(meta: InternalRow, row: InternalRow): Unit = insert(row)
-  override def insert(row: InternalRow): Unit = {
+  override def reinsert(meta: InternalRow, row: InternalRow): Unit =
+    // the update split's post-image: inherits the pre-image's identity
+    writeRow(row, ridOf(meta))
+  override def insert(row: InternalRow): Unit =
+    // a genuinely NEW row: null __rid, the commit funnel mints its id
+    writeRow(row, null)
+
+  private def writeRow(row: InternalRow, rid: Any): Unit = {
     if (rowWriter == null) {
       val (w, n) = open(dataDir, rowConf, ""); rowWriter = w; rowFile = n
     }
-    rowWriter.write(row)
+    if (!lineage) rowWriter.write(row)
+    else {
+      ridCell.update(0, rid)
+      rowWriter.write(joined.apply(row, ridCell))
+    }
   }
 
   override def commit(): WriterCommitMessage = {

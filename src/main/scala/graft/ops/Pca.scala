@@ -40,10 +40,18 @@ object Pca {
     acc
   }
 
+  /** Hard ceiling on the embedding dimension: the per-partition gram
+    * accumulator is d² doubles (32 MB at d=2048, and every executor
+    * holds one per task) — beyond this, per-partition moments stop being
+    * "small fixed-size state" and the one-pass design needs a blocked
+    * formulation instead. Refuse loudly rather than OOM an executor. */
+  val MaxDim = 2048
+
   /** One-pass moment statistics + driver-side eigendecomposition.
     * `iters` power-iteration steps per component (default converges far
     * past double precision for well-separated spectra). Null vectors are
-    * skipped; ragged dimensions refuse loudly. */
+    * skipped; ragged dimensions refuse loudly; d is capped at [[MaxDim]]
+    * (see there). */
   def train(corpus: DataFrame, vecCol: String, k: Int, iters: Int = 100): PcaModel = {
     require(k > 0, s"k must be positive, got $k")
     val spark = corpus.sparkSession
@@ -53,9 +61,30 @@ object Pca {
     val d = vecs.head(1).headOption.map(_.length).getOrElse(
       throw new IllegalArgumentException(s"no vectors in $vecCol"))
     require(k <= d, s"k=$k exceeds dimension $d")
-    // per-partition moment accumulators, combined by a fixed-size reduce:
-    // the ONLY driver materialization is (1 + d + d*d) doubles
-    val (n, sum, gram) = vecs.mapPartitions { it =>
+    require(d <= MaxDim,
+      s"embedding dimension $d exceeds Pca.MaxDim=$MaxDim: the per-partition " +
+        s"gram accumulator is d² doubles (${d.toLong * d * 8 / (1 << 20)} MB " +
+        "at this d) - reduce the dimension upstream (e.g. slice or pre-project) " +
+        "or raise the design to a blocked covariance pass")
+    def combine(a: (Long, Array[Double], Array[Double]),
+        b: (Long, Array[Double], Array[Double])): (Long, Array[Double], Array[Double]) = {
+      val s = new Array[Double](d)
+      val g = new Array[Double](d * d)
+      var i = 0
+      while (i < d) { s(i) = a._2(i) + b._2(i); i += 1 }
+      i = 0
+      while (i < d * d) { g(i) = a._3(i) + b._3(i); i += 1 }
+      (a._1 + b._1, s, g)
+    }
+    // per-partition moment accumulators, combined in a FIXED BINARY TREE
+    // keyed by partition index (pair idx with idx^1 each round): every
+    // reduceByKey key holds at most TWO accumulators, and two-operand
+    // double addition is commutative, so the floating-point sums — and
+    // hence the learned components — are bit-identical across runs
+    // regardless of task completion order (a plain reduce combines in
+    // arrival order and is not). The driver only ever materializes the
+    // final (1 + d + d*d) doubles.
+    var acc = vecs.rdd.mapPartitionsWithIndex { (idx, it) =>
       var cnt = 0L
       val s = new Array[Double](d)
       val g = new Array[Double](d * d)
@@ -71,15 +100,19 @@ object Pca {
           i += 1
         }
       }
-      Iterator.single((cnt, s, g))
-    }.reduce { (a, b) =>
-      val s = new Array[Double](d)
-      val g = new Array[Double](d * d)
-      var i = 0
-      while (i < d) { s(i) = a._2(i) + b._2(i); i += 1 }
-      i = 0
-      while (i < d * d) { g(i) = a._3(i) + b._3(i); i += 1 }
-      (a._1 + b._1, s, g)
+      Iterator.single((idx, (cnt, s, g)))
+    }
+    var width = math.max(1, acc.getNumPartitions)
+    while (width > 1) {
+      width = (width + 1) / 2
+      acc = acc.map { case (i, v) => (i / 2, v) }
+        .reduceByKey(combine _, math.max(1, width))
+    }
+    val (n, sum, gram) = acc.values.collect() match {
+      case Array(one) => one
+      case Array() => (0L, new Array[Double](d), new Array[Double](d * d))
+      case many => many.foldLeft((0L, new Array[Double](d),
+        new Array[Double](d * d)))(combine) // defensive; width loop makes 1
     }
     require(n > 1, s"PCA needs at least 2 vectors, got $n")
     val mean = sum.map(_ / n)

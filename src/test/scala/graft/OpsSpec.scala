@@ -1194,6 +1194,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PCA guards: ragged and oversized dimensions refuse; training is run-stable") {
+    import graft.ops.Pca
+    // ragged vectors refuse loudly (wrapped in Spark's task failure)
+    val ragged = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "vec")
+    val e = intercept[Exception] { Pca.train(ragged, "vec", k = 1) }
+    assert(e.getMessage != null, "ragged must fail")
+    // a dimension beyond MaxDim refuses BEFORE any distributed pass (the
+    // per-partition gram would be d² doubles per task)
+    val wide = Seq((1L, Seq.fill(Pca.MaxDim + 1)(1.0f)),
+      (2L, Seq.fill(Pca.MaxDim + 1)(2.0f))).toDF("id", "vec")
+    val e2 = intercept[IllegalArgumentException] { Pca.train(wide, "vec", k = 1) }
+    assert(e2.getMessage.contains("MaxDim"), e2.getMessage)
+    // bit-stable training: the moment pass combines partition accumulators
+    // in a fixed binary tree, so repeated runs over a many-partition,
+    // shuffled corpus learn IDENTICAL doubles (a task-completion-order
+    // reduce would drift in the last ulps)
+    val pts = (0 until 500).map { i =>
+      (i.toLong, Seq((math.sin(i * 0.37) * 5).toFloat,
+        (math.cos(i * 0.91) * 3).toFloat, (i % 7).toFloat))
+    }.toDF("id", "vec").repartition(13)
+    val m1 = Pca.train(pts, "vec", k = 2)
+    val m2 = Pca.train(pts, "vec", k = 2)
+    assert(m1.mean.toSeq == m2.mean.toSeq, "mean must be bit-identical")
+    assert(m1.components.map(_.toSeq) == m2.components.map(_.toSeq),
+      "components must be bit-identical across runs")
+    assert(m1.eigenvalues == m2.eigenvalues)
+  }
+
   test("RRF fusion: hand-computed integer contributions, consensus wins") {
     import graft.ops.Retrieval
     val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))

@@ -233,6 +233,85 @@ class RowLineageSpec extends AnyFunSuite {
     assert(up.values.forall(_ < next))
   }
 
+  test("SQL UPDATE / MERGE / DELETE preserve identity (delta route on lineage)") {
+    val (cat, wh) = freshCat()
+    lineageTable(cat, "sq")
+    cat.append("db", "sq", (0L until 10L).map(k => (k, s"a$k")).toDF("k", "v")
+      .repartition(1).sortWithinPartitions("k")) // ids 0..9
+    spark.conf.set("spark.sql.catalog.rlsq", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.rlsq.warehouse", wh)
+    val base = ids(cat, "sq")
+
+    // SQL UPDATE (no live deletes — lineage alone must route the
+    // identity-preserving delta path, never the re-minting CoW rewrite)
+    spark.sql("UPDATE rlsq.db.sq SET v = 'X' WHERE k % 3 = 1")
+    val s1 = cat.currentSnapshot("db", "sq")
+    assert(s1.operation == "update", s1.operation)
+    val afterU = ids(cat, "sq")
+    assert(afterU == base, s"SQL UPDATE must not re-mint: $afterU vs $base")
+    assert(spark.sql("SELECT count(*) FROM rlsq.db.sq WHERE v = 'X'")
+      .head.getLong(0) == 3L)
+    // the post-images' last-updated moved; untouched rows kept theirs
+    val lu = cat.readWithRowIds("db", "sq")
+      .select("k", "_last_updated_snapshot_id").as[(Long, Long)].collect().toMap
+    assert(lu(1L) == s1.snapshotId && lu(2L) != s1.snapshotId, lu.toString)
+
+    // SQL MERGE: matched rows inherit, fresh keys mint above the
+    // high-water, ids stay globally unique
+    val hw = cat.currentSnapshot("db", "sq").summary("next-row-id").toLong
+    spark.sql(
+      """MERGE INTO rlsq.db.sq t
+        |USING (SELECT * FROM VALUES (2L, 'merged'), (50L, 'new')
+        |  AS s(k, v)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val afterM = ids(cat, "sq")
+    assert(afterM(2L) == base(2L), s"merged row must inherit its id: $afterM")
+    assert(afterM(50L) >= hw, s"new key must mint above $hw: $afterM")
+    assert((afterM - 50L) == afterU, "untouched rows keep their ids")
+    assert(afterM.values.toSet.size == afterM.size, "global uniqueness")
+
+    // the changelog correlates the SQL update's images by ONE shared id
+    val chg = cat.readChangelog("db", "sq",
+        s1.snapshotId - 1, s1.snapshotId)
+      .select("k", "_row_id", "_change_type")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(chg.filter(_._3 == "delete").map(r => r._1 -> r._2).toMap ==
+      Map(1L -> base(1L), 4L -> base(4L), 7L -> base(7L)), chg.toString)
+    assert(chg.filter(_._3 == "insert").map(r => r._1 -> r._2).toMap ==
+      Map(1L -> base(1L), 4L -> base(4L), 7L -> base(7L)), chg.toString)
+
+    // non-translatable SQL DELETE keeps survivors' ids
+    spark.sql("DELETE FROM rlsq.db.sq WHERE v RLIKE '^a0$'") // kills k=0 only
+    val afterD = ids(cat, "sq")
+    assert(!afterD.contains(0L) && afterD(3L) == base(3L), afterD.toString)
+
+    // identity survives a compact over the SQL-updated state
+    cat.compact("db", "sq", numFiles = 1)
+    assert(ids(cat, "sq") == afterD, "compact keeps SQL-preserved ids")
+  }
+
+  test("SQL delta DML on a PARTITIONED lineage table keeps ids through re-layout") {
+    val (cat, wh) = freshCat()
+    val rows = (0L until 12L).map(k => (k, s"a$k", k % 3)).toDF("k", "v", "g")
+    cat.createTable("db", "pq", rows.schema, partitionCols = Seq("g"),
+      properties = Map("row.lineage" -> "true"))
+    cat.append("db", "pq", rows.repartition(1).sortWithinPartitions("k"))
+    spark.conf.set("spark.sql.catalog.rlpq", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.rlpq.warehouse", wh)
+    val base = cat.readWithRowIds("db", "pq").select("k", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    // the delta's insert files re-lay into g=.. dirs — __rid must ride
+    spark.sql("UPDATE rlpq.db.pq SET v = 'X' WHERE k = 4")
+    val after = cat.readWithRowIds("db", "pq").select("k", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    assert(after == base, s"partitioned SQL UPDATE must not re-mint: $after vs $base")
+    assert(spark.sql("SELECT v FROM rlpq.db.pq WHERE k = 4").head.getString(0) == "X")
+    assert(cat.currentSnapshot("db", "pq").files.forall(_.contains("g=")),
+      cat.currentSnapshot("db", "pq").files.toString)
+  }
+
   test("_last_updated_snapshot_id: fresh at write, moves on update, survives compact") {
     val (cat, _) = freshCat()
     lineageTable(cat, "lu")

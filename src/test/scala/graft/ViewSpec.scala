@@ -371,12 +371,14 @@ class ViewSpec extends AnyFunSuite {
       cat.currentSnapshot("db", "__mv_stats").operation)
     assert(cat.snapshotList("db", "__mv_stats").size == backingSnaps0 + 1)
 
-    // fresh short-circuits; a base DELETE forces full (min/max not
-    // maintainable under retraction)
+    // fresh short-circuits; a base DELETE now MERGES even with min/max
+    // in the body (r11): id=201 held g0's max (99) — extremum death —
+    // so that group's min/max recompute from the base, everything else
+    // merges arithmetically
     assert(cat.refreshMaterializedView("db", "stats")._1 == "fresh")
     cat.deleteMoR("db", "base", col("id") === 201L)
     val (m2, _) = cat.refreshMaterializedView("db", "stats")
-    assert(m2 == "full", m2)
+    assert(m2 == "incremental_agg", m2)
     assert(got() == expect())
 
     // a NULL group key in the delta falls back to full (upsert keys
@@ -506,10 +508,32 @@ class ViewSpec extends AnyFunSuite {
     assert(cat.refreshMaterializedView("db", "agg")._1 == "incremental_agg")
     assert(got() == expect())
 
-    // an EQUALITY-delete commit in range: the metadata walk declines
-    // (pre-images need scan-side eval) and the changelog fallback still
-    // merges — mode stays incremental_agg, values exact
+    // an EQUALITY-delete commit in range now takes the METADATA path
+    // (r11): changeSetsAcrossRange evaluates the recorded tuples against
+    // rows visible at the eq commit's parent — no changelog diff job —
+    // and the merge stays exact
+    val eqLo = cat.currentSnapshotId("db", "base")
     cat.deleteMoREq("db", "base", Seq(Tuple1(2L)).toDF("id"))
+    val eqHi = cat.currentSnapshotId("db", "base")
+    val eqSets = cat.changeSetsAcrossRange("db", "base", eqLo, eqHi)
+    assert(eqSets.isDefined, "eq-delete range must resolve from metadata")
+    val (eqIns, eqDel) = eqSets.get
+    assert(eqIns.isEmpty && eqDel.select("id").as[Long].collect().toSeq == Seq(2L),
+      "eq pre-images must enumerate exactly the killed rows")
+    assert(cat.refreshMaterializedView("db", "agg")._1 == "incremental_agg")
+    assert(got() == expect())
+
+    // a ROLLBACK in range (of a MoR-delete-only commit — the file set
+    // stays identical, only the delete shard vanishes) must NOT pass the
+    // metadata walk as a no-op: the resurrected rows would be lost.
+    // changeSetsAcrossRange declines; the refresh stays exact via the
+    // changelog value diff
+    val rbLo = cat.currentSnapshotId("db", "base")
+    cat.deleteMoR("db", "base", col("id") === 960L) // a LIVE row dies
+    cat.rollback("db", "base", rbLo)               // ...and resurrects
+    val rbHi = cat.currentSnapshotId("db", "base")
+    assert(cat.changeSetsAcrossRange("db", "base", rbLo, rbHi).isEmpty,
+      "a shard-dropping rollback must decline the metadata walk")
     assert(cat.refreshMaterializedView("db", "agg")._1 == "incremental_agg")
     assert(got() == expect())
 
@@ -518,11 +542,88 @@ class ViewSpec extends AnyFunSuite {
     assert(cat.refreshMaterializedView("db", "agg")._1 == "full")
     assert(got() == expect())
 
-    // min/max bodies remain append-only: a delete still forces full
+    // KEYED min/max bodies are retractable too (r11): deletes merge,
+    // recomputing only groups whose extremum died
     cat.createMaterializedView("db", "mm",
       "SELECT grp, min(v) AS mn FROM vret.db.base GROUP BY grp")
     cat.deleteMoR("db", "base", col("id") === 900L)
-    assert(cat.refreshMaterializedView("db", "mm")._1 == "full")
+    assert(cat.refreshMaterializedView("db", "mm")._1 == "incremental_agg")
+    assert(spark.sql("SELECT grp, mn FROM vret.db.mm ORDER BY grp")
+      .as[(String, Option[Long])].collect().toSeq ==
+      spark.sql("SELECT grp, min(v) AS mn FROM vret.db.base GROUP BY grp ORDER BY grp")
+        .as[(String, Option[Long])].collect().toSeq)
+  }
+
+  test("min/max MV retraction: extremum-death recompute, non-extremum merges") {
+    val (cat, wh) = freshCat()
+    register(wh, "vmm")
+    val a = Seq(
+      (1L, "g0", 10L), (2L, "g0", 20L), (3L, "g0", 30L),
+      (4L, "g1", 5L), (5L, "g1", 5L), (6L, "g1", 50L),
+      (7L, "g2", 100L)).toDF("id", "grp", "v")
+    cat.createTable("db", "base", a.schema)
+    cat.append("db", "base", a)
+    cat.createMaterializedView("db", "mm",
+      "SELECT grp, min(v) AS mn, max(v) AS mx, count(*) AS n " +
+        "FROM vmm.db.base GROUP BY grp")
+    def expect() = spark.sql(
+      "SELECT grp, min(v) AS mn, max(v) AS mx, count(*) AS n " +
+        "FROM vmm.db.base GROUP BY grp ORDER BY grp")
+      .as[(String, Option[Long], Option[Long], Long)].collect().toSeq
+    def got() = spark.sql("SELECT * FROM vmm.db.mm ORDER BY grp")
+      .as[(String, Option[Long], Option[Long], Long)].collect().toSeq
+    assert(got() == expect())
+    assert(spark.table("vmm.db.mm").columns.toSeq == Seq("grp", "mn", "mx", "n"))
+
+    // NON-extremum delete (g0's middle value): pure arithmetic merge
+    cat.deleteMoR("db", "base", col("id") === 2L)
+    assert(cat.refreshMaterializedView("db", "mm")._1 == "incremental_agg")
+    assert(got() == expect())
+
+    // extremum DEATH: g0's min (10) dies — that group recomputes, min
+    // moves to 30; g1/g2 untouched
+    cat.deleteMoR("db", "base", col("id") === 1L)
+    assert(cat.refreshMaterializedView("db", "mm")._1 == "incremental_agg")
+    assert(got() == expect())
+    assert(got().find(_._1 == "g0").get._2.contains(30L), got().toString)
+
+    // DUPLICATED extremum: g1's min 5 exists twice; deleting ONE copy
+    // ties the candidate (recompute) and the min correctly STAYS 5
+    cat.deleteMoR("db", "base", col("id") === 4L)
+    assert(cat.refreshMaterializedView("db", "mm")._1 == "incremental_agg")
+    assert(got() == expect())
+    assert(got().find(_._1 == "g1").get._2.contains(5L), got().toString)
+
+    // UPDATE that moves an extremum: pre-image retracts (death) and the
+    // post-image inserts — both min and max stay exact
+    cat.updateMoR("db", "base", col("id") === 6L, Map("v" -> lit(1L)))
+    assert(cat.refreshMaterializedView("db", "mm")._1 == "incremental_agg")
+    assert(got() == expect())
+    assert(got().find(_._1 == "g1").get._2.contains(1L), got().toString)
+
+    // insert below the stored min + delete of the old min in ONE range:
+    // candidate comes from the insert side, recompute still exact
+    cat.append("db", "base", Seq((10L, "g2", 7L)).toDF("id", "grp", "v"))
+    cat.deleteMoR("db", "base", col("id") === 7L) // g2's 100 dies
+    assert(cat.refreshMaterializedView("db", "mm")._1 == "incremental_agg")
+    assert(got() == expect())
+    assert(got().find(_._1 == "g2").get == (("g2", Some(7L), Some(7L), 1L)), got().toString)
+
+    // GROUP DEATH alongside extremum logic: delete every g0 row
+    cat.deleteMoR("db", "base", col("grp") === "g0")
+    assert(cat.refreshMaterializedView("db", "mm")._1 == "incremental_agg")
+    assert(got() == expect())
+    assert(!got().exists(_._1 == "g0"), got().toString)
+
+    // GLOBAL min/max stays non-retractable: a delete forces full
+    cat.createMaterializedView("db", "gmm",
+      "SELECT min(v) AS mn, max(v) AS mx FROM vmm.db.base")
+    cat.deleteMoR("db", "base", col("id") === 10L)
+    assert(cat.refreshMaterializedView("db", "gmm")._1 == "full")
+    assert(spark.sql("SELECT mn, mx FROM vmm.db.gmm")
+      .as[(Option[Long], Option[Long])].head() ==
+      spark.sql("SELECT min(v) AS mn, max(v) AS mx FROM vmm.db.base")
+        .as[(Option[Long], Option[Long])].head())
   }
 
   test("namespace lifecycle sees MV backing tables: emptiness + log cleanup") {
