@@ -2010,89 +2010,12 @@ object SparkEntry {
     // interpolate with exactly-representable fractions over integers <
     // 2^52, so the result matches DuckDB's quantile_cont bit-for-bit.
     "q58_percentiles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val qs = Seq(0.25, 0.5, 0.75)
-      val nB = 1024
-      val data = T(s, dir, "orders")
-        .select(col("o_orderstatus").as("g"),
-          floor(col("o_totalprice") * 100).cast("long").cast("double").as("c"))
-        .where(col("c").isNotNull)
-      val boundsDf = data.groupBy("g").agg(min("c").as("__mn"), max("c").as("__mx"))
-      val bounds = boundsDf
-        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-      // bucket assignment via a BROADCAST join on the bounds frame — an
-      // O(groups) when-chain literal fold would blow up codegen and
-      // driver state at high group cardinality; the join costs one
-      // broadcast of the group-sized bounds table regardless. Null-safe
-      // group match (<=>): a NULL group value is a group like any other —
-      // plain === would leave its rows with a NULL bucket and NPE in the
-      // histogram collect.
-      val bucketed = data
-        .join(broadcast(boundsDf.withColumnRenamed("g", "__bg")),
-          col("g") <=> col("__bg"), "inner")
-        .withColumn("b", least(greatest(
-          width_bucket(col("c"), col("__mn"), col("__mx") + lit(1.0), lit(nB)),
-          lit(1)), lit(nB)).cast("int"))
-        .select("g", "c", "b")
-      val hist = bucketed.groupBy("g", "b").count()
-        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
-      // driver: locate each quartile's boundary ranks in their buckets
-      // (state is O(groups × buckets) counts — scale-independent)
-      final case class Pick(g: String, b: Int, localRank: Long, globalRank: Long)
-      // Option ordering: a NULL group sorts first instead of NPE-ing sorted
-      val groups = bounds.keys.toSeq.sortBy(Option(_))
-      val perGroup = groups.map { g =>
-        val bs = (1 to nB).map(b => b -> hist.getOrElse((g, b), 0L))
-        val n = bs.map(_._2).sum
-        def locate(rank: Long): Pick = {
-          var cum = 0L
-          var res: Pick = null
-          val it = bs.iterator
-          while (res == null && it.hasNext) {
-            val (b, cnt) = it.next()
-            if (rank <= cum + cnt) res = Pick(g, b, rank - cum, rank) else cum += cnt
-          }
-          if (res == null)
-            throw new IllegalStateException(s"rank $rank beyond group size $cum")
-          res
-        }
-        val ranks = qs.flatMap { p =>
-          val pos = (n - 1) * p
-          Seq(math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1)
-        }.distinct
-        g -> (n, ranks.map(locate))
-      }.toMap
-      val picks = perGroup.values.flatMap(_._2).toSeq
-      // sentinel for the NULL group in the string join key (concat_ws
-      // SKIPS nulls, which would collapse "null#5" to "5")
-      def gkey(g: String): String = if (g == null) "\u0000null" else g
-      val neededKeys = picks.map(p => s"${gkey(p.g)}#${p.b}").distinct
-      val w = Window.partitionBy("g", "b").orderBy("c")
-      val picked = bucketed
-        .where(concat_ws("#", coalesce(col("g"), lit("\u0000null")), col("b"))
-          .isin(neededKeys: _*))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn").isin(picks.map(_.localRank).distinct: _*))
-        .select("g", "b", "rn", "c").collect()
-        .map(r => (r.getString(0), r.getInt(1), r.getInt(2).toLong) -> r.getDouble(3))
-        .toMap
-      def valueAt(g: String, rank: Long): Double = {
-        val p = perGroup(g)._2.find(_.globalRank == rank).get
-        picked((g, p.b, p.localRank))
-      }
-      import s.implicits._
-      groups.map { g =>
-        val n = perGroup(g)._1
-        def quantile(p: Double): Double = {
-          val pos = (n - 1) * p
-          val lo = math.floor(pos).toLong + 1 // ranks are 1-based
-          val hi = math.ceil(pos).toLong + 1
-          val frac = pos - math.floor(pos)
-          // same arithmetic shape as quantile_cont: (1-frac)·lo + frac·hi
-          (1.0 - frac) * valueAt(g, lo) + (if (hi != lo) frac * valueAt(g, hi) else 0.0)
-        }
-        (g, quantile(0.25), quantile(0.5), quantile(0.75))
-      }.toDF("o_orderstatus", "p25_cents", "median_cents", "p75_cents")
+      graft.ops.Percentiles.groupedQuantiles(
+        T(s, dir, "orders").select(col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").cast("double").as("cents")),
+        groupCol = "o_orderstatus", valueCol = "cents",
+        qs = Seq(0.25, 0.5, 0.75),
+        outNames = Seq("p25_cents", "median_cents", "p75_cents"))
         .orderBy("o_orderstatus")
     }),
 

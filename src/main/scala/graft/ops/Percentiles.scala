@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+
+/** EXACT grouped quantiles at scale without a per-group full sort — the
+  * histogram-then-pick design (the q58 rewrite, factored out so callers
+  * and the high-cardinality gate share one implementation):
+  *
+  *  1. one pass computes per-group min/max bounds;
+  *  2. one pass histograms each group's values into `nBuckets` equi-width
+  *     buckets — bucket assignment is a BROADCAST JOIN against the
+  *     group-sized bounds frame (never an O(groups) literal fold, which
+  *     would blow up codegen and the driver at high cardinality);
+  *  3. the driver locates each quantile's boundary RANKS inside their
+  *     buckets from the O(groups × occupied-buckets) counts;
+  *  4. one final pass sorts ONLY the picked (group, bucket) cells — a
+  *     tiny fraction of the data — and serves the boundary values, which
+  *     interpolate exactly like SQL `quantile_cont` (type-7).
+  *
+  * Driver state is O(groups × quantiles) picks plus the histogram counts
+  * — never row data. Cost is three scans and a window over the picked
+  * cells only; a naive `percentile()` aggregate buffers every group's
+  * values in executor memory, which dies at 100 TB group sizes.
+  *
+  * Values ride DOUBLEs: exact for integer-cents-style inputs below 2^52,
+  * so results match DuckDB's `quantile_cont` bit-for-bit there. */
+object Percentiles {
+
+  /** Exact grouped quantiles of `valueCol` (numeric, cast to double)
+    * per `groupCol` (string; NULL is a group like any other). Returns
+    * one row per group: `groupCol, outNames...` with `outNames(i)` =
+    * the `qs(i)` quantile. */
+  def groupedQuantiles(input: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double], outNames: Seq[String], nBuckets: Int = 1024): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0,1]: $qs")
+    require(outNames.length == qs.length,
+      s"${outNames.length} output names for ${qs.length} quantiles")
+    require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
+    val spark = input.sparkSession
+    val nB = nBuckets
+    val data = input
+      .select(col(s"`$groupCol`").cast("string").as("g"),
+        col(s"`$valueCol`").cast("double").as("c"))
+      .where(col("c").isNotNull)
+    val boundsDf = data.groupBy("g").agg(min("c").as("__mn"), max("c").as("__mx"))
+    val bounds = boundsDf
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // null-safe group match (<=>): a NULL group value must still get a
+    // bucket — plain === would leave its rows NULL-bucketed and NPE in
+    // the histogram collect
+    val bucketed = data
+      .join(broadcast(boundsDf.withColumnRenamed("g", "__bg")),
+        col("g") <=> col("__bg"), "inner")
+      .withColumn("b", least(greatest(
+        width_bucket(col("c"), col("__mn"), col("__mx") + lit(1.0), lit(nB)),
+        lit(1)), lit(nB)).cast("int"))
+      .select("g", "c", "b")
+    val hist = bucketed.groupBy("g", "b").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // driver: locate each quantile's boundary ranks in their buckets
+    final case class Pick(g: String, b: Int, localRank: Long, globalRank: Long)
+    // Option ordering: a NULL group sorts first instead of NPE-ing sorted
+    val groups = bounds.keys.toSeq.sortBy(Option(_))
+    val perGroup = groups.map { g =>
+      val bs = (1 to nB).map(b => b -> hist.getOrElse((g, b), 0L))
+      val n = bs.map(_._2).sum
+      def locate(rank: Long): Pick = {
+        var cum = 0L
+        var res: Pick = null
+        val it = bs.iterator
+        while (res == null && it.hasNext) {
+          val (b, cnt) = it.next()
+          if (rank <= cum + cnt) res = Pick(g, b, rank - cum, rank) else cum += cnt
+        }
+        if (res == null)
+          throw new IllegalStateException(s"rank $rank beyond group size $cum")
+        res
+      }
+      val ranks = qs.flatMap { p =>
+        val pos = (n - 1) * p
+        Seq(math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1)
+      }.distinct
+      g -> (n, ranks.map(locate))
+    }.toMap
+    val picks = perGroup.values.flatMap(_._2).toSeq
+    // sentinel for the NULL group in the string join key (concat_ws
+    // SKIPS nulls, which would collapse "null#5" to "5"). The isin lists
+    // compile to InSet hash probes above the conversion threshold — no
+    // O(groups) expression tree.
+    def gkey(g: String): String = if (g == null) "\u0000null" else g
+    val neededKeys = picks.map(p => s"${gkey(p.g)}#${p.b}").distinct
+    val w = Window.partitionBy("g", "b").orderBy("c")
+    val picked = bucketed
+      .where(concat_ws("#", coalesce(col("g"), lit("\u0000null")), col("b"))
+        .isin(neededKeys: _*))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn").isin(picks.map(_.localRank).distinct: _*))
+      .select("g", "b", "rn", "c").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2).toLong) -> r.getDouble(3))
+      .toMap
+    def valueAt(g: String, rank: Long): Double = {
+      val p = perGroup(g)._2.find(_.globalRank == rank).get
+      picked((g, p.b, p.localRank))
+    }
+    val out = groups.map { g =>
+      val n = perGroup(g)._1
+      val vals = qs.map { p =>
+        val pos = (n - 1) * p
+        val lo = math.floor(pos).toLong + 1 // ranks are 1-based
+        val hi = math.ceil(pos).toLong + 1
+        val frac = pos - math.floor(pos)
+        // same arithmetic shape as quantile_cont: (1-frac)·lo + frac·hi
+        (1.0 - frac) * valueAt(g, lo) + (if (hi != lo) frac * valueAt(g, hi) else 0.0)
+      }
+      Row.fromSeq(g +: vals)
+    }
+    val schema = StructType(StructField(groupCol, StringType, nullable = true) +:
+      outNames.map(n => StructField(n, DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1), schema)
+  }
+}

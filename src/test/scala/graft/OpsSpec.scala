@@ -1194,6 +1194,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped percentiles at 10k groups: joined plan completes, values exact") {
+    import graft.ops.Percentiles
+    // 10,000 groups x 20 values each — the cardinality that would blow up
+    // an O(groups) when-chain bucket fold; the broadcast-join design
+    // completes and stays exact
+    val rows = (0 until 10000).flatMap { g =>
+      (0 until 20).map(i => (f"g$g%05d", (g + i * 3).toDouble))
+    }.toDF("g", "v")
+    val got = Percentiles.groupedQuantiles(rows, "g", "v",
+      Seq(0.5), Seq("med"), nBuckets = 64)
+    assert(got.count() == 10000)
+    // hand-checked medians: sorted values are g, g+3, ..., g+57 →
+    // median = (v10 + v11)/2 = g + 28.5
+    val sample = got.where(col("g").isin("g00000", "g04999", "g09999"))
+      .as[(String, Double)].collect().toMap
+    assert(sample == Map("g00000" -> 28.5, "g04999" -> 5027.5, "g09999" -> 10027.5),
+      sample.toString)
+    // exact across EVERY group vs Spark's exact percentile aggregate
+    val exp = rows.groupBy("g").agg(expr("percentile(v, 0.5)").as("med2"))
+      .withColumnRenamed("g", "g2")
+    val bad = got.join(exp, col("g") === col("g2"))
+      .where(abs(col("med") - col("med2")) > 1e-9)
+    assert(bad.isEmpty, bad.collect().take(3).mkString(","))
+  }
+
   test("PCA guards: ragged and oversized dimensions refuse; training is run-stable") {
     import graft.ops.Pca
     // ragged vectors refuse loudly (wrapped in Spark's task failure)
