@@ -1097,7 +1097,7 @@ object SparkEntry {
       val cat = WarehouseFixture.forDir(s, dir).src
       if (cat.viewExists("maint", "mmstats")) cat.dropView("maint", "mmstats")
       if (cat.tableExists("maint", "mvmm_orders")) cat.dropTable("maint", "mvmm_orders")
-      val orders = T(s, dir, "orders").where(col("o_orderkey") % 2 === 0)
+      val orders = T(s, dir, "orders").where(col("o_orderkey") % 4 === 0)
         .select(col("o_orderkey"), col("o_orderstatus"),
           floor(col("o_totalprice") * 100).cast("long").as("cents"))
       cat.createTable("maint", "mvmm_orders", orders.schema)
@@ -1107,8 +1107,8 @@ object SparkEntry {
           "count(*) AS n FROM maint.mvmm_orders GROUP BY o_orderstatus")
       val maxCents = cat.readLatest("maint", "mvmm_orders")
         .agg(max("cents")).head.getLong(0)
-      cat.deleteMoR("maint", "mvmm_orders", col("cents") === maxCents)
-      cat.deleteMoR("maint", "mvmm_orders", col("o_orderkey") % 10 === 4)
+      cat.deleteMoR("maint", "mvmm_orders",
+        col("cents") === maxCents || col("o_orderkey") % 10 === 4)
       val (mode, _) = cat.refreshMaterializedView("maint", "mmstats")
       require(mode == "incremental_agg",
         s"min/max MV must merge under deletes (extremum-death probe), took '$mode'")
@@ -3342,7 +3342,7 @@ object SparkEntry {
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus,
         |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS cents
-        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  FROM orders WHERE o_orderkey % 4 = 0
         |), surv AS (
         |  SELECT * FROM base
         |  WHERE cents <> (SELECT max(cents) FROM base)

@@ -46,19 +46,38 @@ object Percentiles {
       .select(col(s"`$groupCol`").cast("string").as("g"),
         col(s"`$valueCol`").cast("double").as("c"))
       .where(col("c").isNotNull)
-    val boundsDf = data.groupBy("g").agg(min("c").as("__mn"), max("c").as("__mx"))
-    val bounds = boundsDf
+    val bounds = data.groupBy("g").agg(min("c").as("__mn"), max("c").as("__mx"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    // null-safe group match (<=>): a NULL group value must still get a
-    // bucket — plain === would leave its rows NULL-bucketed and NPE in
-    // the histogram collect
-    val bucketed = data
-      .join(broadcast(boundsDf.withColumnRenamed("g", "__bg")),
-        col("g") <=> col("__bg"), "inner")
-      .withColumn("b", least(greatest(
-        width_bucket(col("c"), col("__mn"), col("__mx") + lit(1.0), lit(nB)),
-        lit(1)), lit(nB)).cast("int"))
-      .select("g", "c", "b")
+    // Bucket assignment, two regimes. FEW groups (the common analytic
+    // shape): inline the collected bounds as a literal CASE fold — no
+    // broadcast exchange on either downstream job, the cheapest plan.
+    // MANY groups: a BROADCAST JOIN against a locally-rebuilt bounds
+    // frame (the aggregate must not re-execute when the join
+    // materializes) — an O(groups) literal fold would blow up codegen
+    // and the driver. Null-safe group match (<=>) in both: a NULL group
+    // value must still get a bucket — plain === would leave its rows
+    // NULL-bucketed and NPE in the histogram collect.
+    val bucketed =
+      if (bounds.size <= 16) {
+        val bucketCol = bounds.foldLeft(lit(null).cast("int")) {
+          case (acc, (g, (mn, mx))) => when(col("g") <=> lit(g),
+            least(greatest(width_bucket(col("c"), lit(mn), lit(mx + 1.0), lit(nB)),
+              lit(1)), lit(nB)).cast("int")).otherwise(acc)
+        }
+        data.withColumn("b", bucketCol).select("g", "c", "b")
+      } else {
+        val boundsLocal = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            bounds.toSeq.map { case (g, (mn, mx)) => Row(g, mn, mx) }, 1),
+          StructType(Seq(StructField("__bg", StringType, nullable = true),
+            StructField("__mn", DoubleType, nullable = false),
+            StructField("__mx", DoubleType, nullable = false))))
+        data.join(broadcast(boundsLocal), col("g") <=> col("__bg"), "inner")
+          .withColumn("b", least(greatest(
+            width_bucket(col("c"), col("__mn"), col("__mx") + lit(1.0), lit(nB)),
+            lit(1)), lit(nB)).cast("int"))
+          .select("g", "c", "b")
+      }
     val hist = bucketed.groupBy("g", "b").count()
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     // driver: locate each quantile's boundary ranks in their buckets
