@@ -1116,6 +1116,71 @@ object SparkEntry {
         "FROM snapdml.maint.mmstats ORDER BY o_orderstatus")
     }),
 
+    // MERGE WHEN NOT MATCHED BY SOURCE (r11): the full three-clause SQL
+    // MERGE — matched update, not-matched insert, and not-matched-by-
+    // source rows conditionally deleted or updated — commits through the
+    // SupportsDelta position-delta path (the query REQUIRES no data file
+    // was rewritten), and the oracle replays the whole reconciliation
+    // from the raw tables.
+    "q136_merge_not_matched_by_source" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (!cat.tableExists("maint", "nms_orders")) {
+        val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        cat.createTable("maint", "nms_orders", o.schema)
+        cat.append("maint", "nms_orders", o.where(col("o_orderkey") % 2 === 0))
+        cat.createTable("maint", "nms_src", o.schema)
+        cat.append("maint", "nms_src", o.where(col("o_orderkey") % 3 === 0)
+          .withColumn("cents", col("cents") * 2))
+        cat.setProperty("maint", "nms_orders", "write.merge.mode",
+          Some("merge-on-read"))
+        val before = cat.currentSnapshot("maint", "nms_orders")
+        s.sql(
+          """MERGE INTO snapdml.maint.nms_orders t
+            |USING snapdml.maint.nms_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET cents = s.cents
+            |WHEN NOT MATCHED THEN INSERT *
+            |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 5 = 0 THEN DELETE
+            |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'Z'""".stripMargin)
+        val after = cat.currentSnapshot("maint", "nms_orders")
+        require(after.operation == "merge" &&
+          before.files.forall(after.files.contains),
+          "NMBS merge must commit a position delta, not a rewrite")
+      }
+      s.sql("SELECT o_orderstatus, count(*) AS n, sum(cents) AS sum_cents " +
+        "FROM snapdml.maint.nms_orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    }),
+
+    // TWO-BASE JOIN MV refreshes incrementally (r11): an inner-join
+    // body over append-only ranges on both sides maintains by the
+    // classic identity ΔA ⋈ B' ∪ A ⋈ ΔB — each term joins a churn-sized
+    // delta against one full side and APPENDS, never |A| × |B|. The
+    // query REQUIRES the incremental_join path after both sides moved,
+    // then the oracle replays the join aggregate from the raw tables.
+    "q135_mv_join_incremental" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (!cat.viewExists("maint", "jstats")) {
+        val cust = T(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        val ord = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        cat.createTable("maint", "jmv_cust", cust.schema)
+        cat.createTable("maint", "jmv_ord", ord.schema)
+        cat.append("maint", "jmv_cust", cust.where(col("c_custkey") % 2 === 0))
+        cat.append("maint", "jmv_ord", ord.where(col("o_orderkey") % 3 === 0))
+        cat.createMaterializedView("maint", "jstats",
+          "SELECT c.c_mktsegment AS seg, o.o_orderkey AS okey, o.cents AS cents " +
+            "FROM maint.jmv_cust c JOIN maint.jmv_ord o ON c.c_custkey = o.o_custkey")
+        cat.append("maint", "jmv_cust", cust.where(col("c_custkey") % 2 === 1))
+        cat.append("maint", "jmv_ord", ord.where(col("o_orderkey") % 3 === 1))
+        val (mode, _) = cat.refreshMaterializedView("maint", "jstats")
+        require(mode == "incremental_join",
+          s"two-base join MV must refresh incrementally, took '$mode'")
+      }
+      s.sql("SELECT seg, count(*) AS n, sum(cents) AS sum_cents " +
+        "FROM snapdml.maint.jstats GROUP BY seg ORDER BY seg")
+    }),
+
     // VARIANT ingestion + shredded extraction (r9): semi-structured JSON
     // is BUILT deterministically from events columns, parsed into Spark
     // 4's VariantType (the open binary-JSON column type), then typed
@@ -3334,6 +3399,40 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(FLOOR(avg(cents)) AS BIGINT) AS avg_floor
         |FROM rem GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the three-clause reconciliation replayed relationally: matched
+    // keys take the doubled source cents, source-only keys insert,
+    // target-only keys die on %5 or restamp status 'Z'
+    "q136_merge_not_matched_by_source" ->
+      """WITH t0 AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |src AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    2 * CAST(FLOOR(o_totalprice*100) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |fin AS (
+        |  SELECT t0.k, t0.st, src.c FROM t0 JOIN src ON t0.k = src.k
+        |  UNION ALL
+        |  SELECT src.k, src.st, src.c FROM src LEFT JOIN t0 ON src.k = t0.k
+        |  WHERE t0.k IS NULL
+        |  UNION ALL
+        |  SELECT t0.k, 'Z', t0.c FROM t0 LEFT JOIN src ON t0.k = src.k
+        |  WHERE src.k IS NULL AND t0.k % 5 <> 0
+        |)
+        |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS sum_cents
+        |FROM fin GROUP BY st ORDER BY st""".stripMargin,
+
+    // the incrementally-maintained join state must equal the from-scratch
+    // join over exactly the appended unions
+    "q135_mv_join_incremental" ->
+      """SELECT c.c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(FLOOR(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |WHERE o.o_orderkey % 3 IN (0, 1)
+        |GROUP BY seg ORDER BY seg""".stripMargin,
 
     // post-churn min/max replayed from scratch: the global-max row and
     // the %10==4 batch are retracted; any group whose stored extremum

@@ -4109,28 +4109,70 @@ final class SnapshotCatalog(
       mainLineage(d, t).filter(e => e.snapshotId > lo && e.snapshotId <= hi)
         .forall(e => appendOnlyOps(e.operation))
 
-    /** The body (or an augmented plan) with the base relation swapped for
-      * an arbitrary replacement frame — shared by every incremental
-      * mode. */
-    def bodyOver(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        rows: DataFrame): DataFrame = {
-      val (d, t) = bases.head
+    /** Identifier key of a body relation reference, db-defaulted. */
+    def relKey(u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation)
+        : Option[(String, String)] = u.multipartIdentifier match {
+      case Seq(bd, bn) => Some((bd, bn))
+      case Seq(_, bd, bn) => Some((bd, bn))
+      case Seq(bn) => Some((db, bn))
+      case _ => None
+    }
+
+    /** The body (or an augmented plan) with each listed base relation
+      * swapped for its replacement frame — shared by every incremental
+      * mode (single-base modes pass one entry; the join mode passes
+      * both sides). */
+    def bodyOverBases(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        repl: Map[(String, String), DataFrame]): DataFrame = {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
       import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
       // WithSubqueries for defense in depth — every incremental mode
       // refuses subquery bodies, so this never fires on one
       val swapped = plan.transformUpWithSubqueries {
-        // only the BASE relation swaps (a temp view or function table
+        // only the BASE relations swap (a temp view or function table
         // reference elsewhere in the body must stay what it is)
-        case u: UnresolvedRelation if (u.multipartIdentifier match {
-          case Seq(bd, bn) => (bd, bn) == ((d, t))
-          case Seq(_, bd, bn) => (bd, bn) == ((d, t))
-          case Seq(bn) => (db, bn) == ((d, t))
-          case _ => false
-        }) =>
-          SubqueryAlias(Seq(d, t), rows.queryExecution.analyzed)
+        case u: UnresolvedRelation if relKey(u).exists(repl.contains) =>
+          val k = relKey(u).get
+          SubqueryAlias(Seq(k._1, k._2), repl(k).queryExecution.analyzed)
       }
       org.apache.spark.sql.GraftColumnBridge.ofRows(spark, swapped)
+    }
+    def bodyOver(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        rows: DataFrame): DataFrame = bodyOverBases(plan, Map(bases.head -> rows))
+
+    /** TWO-BASE INNER-JOIN body shape: project/filter over exactly one
+      * INNER join of exactly two distinct base-table relations, no
+      * aggregates/windows/subqueries. Returns the two relation keys in
+      * plan order when the shape holds. Outer joins refuse — a new row
+      * on one side can RETRACT the other side's null-extended row, which
+      * an insert-only delta cannot express. */
+    def joinBodyBases: Option[Seq[(String, String)]] = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, Project, Sort, SubqueryAlias}
+      import org.apache.spark.sql.catalyst.plans.{Inner, NaturalJoin, UsingJoin}
+      val plan = spark.sessionState.sqlParser.parsePlan(sql)
+      if (hasSubqueryExpr(plan) || hasAggOrWindowExpr(plan)) return None
+      val top = plan match { case s: Sort => s.child; case p => p }
+      var joins = 0
+      var ok = true
+      val rels = Seq.newBuilder[(String, String)]
+      top.foreach {
+        case j: Join =>
+          joins += 1
+          j.joinType match {
+            case Inner | UsingJoin(Inner, _) | NaturalJoin(Inner) => ()
+            case _ => ok = false
+          }
+        case u: UnresolvedRelation => relKey(u) match {
+          case Some(k) => rels += k
+          case None => ok = false
+        }
+        case _: Project | _: Filter | _: SubqueryAlias | _: Sort => ()
+        case _ => ok = false
+      }
+      val rs = rels.result()
+      if (ok && joins == 1 && rs.length == 2 && rs(0) != rs(1)) Some(rs)
+      else None
     }
     def incrementalDelta(): DataFrame = {
       val (d, t) = bases.head
@@ -4358,8 +4400,16 @@ final class SnapshotCatalog(
       } finally releasePartials()
     }
 
+    // two-base inner-join bodies over append-only ranges on BOTH sides
+    // maintain incrementally: ΔA ⋈ B' ∪ A ⋈ ΔB (see the mode case)
+    val joinIncremental = bases.size == 2 &&
+      bases.forall(b => from(b).isDefined) &&
+      joinBodyBases.exists(ks => ks.toSet == bases.toSet) &&
+      bases.forall(b => appendOnlyRange(b._1, b._2, from(b).get, cur(b)))
+
     var mode =
-      if (!singleBase) "full"
+      if (joinIncremental) "incremental_join"
+      else if (!singleBase) "full"
       else if (appendOnly && projectFilterOnly) "incremental"
       // partial-backed count/sum/avg family: maintainable under ANY
       // range the changelog can diff (deletes/updates retract)
@@ -4372,6 +4422,32 @@ final class SnapshotCatalog(
     val added = mode match {
       case "incremental" =>
         append(db, mvT, bodyOverDelta())
+          .summary.get("added_records").map(_.toLong).getOrElse(-1L)
+      case "incremental_join" =>
+        // the classic inner-join maintenance identity under insert-only
+        // deltas: Q(A+ΔA, B+ΔB) = Q(A,B) + Q(ΔA, B+ΔB) + Q(A, ΔB) —
+        // multiset-exact because projections/filters are row-local and
+        // distribute over the union. Each term joins a CHURN-sized delta
+        // against one full side (the irreducible cost of incremental
+        // join maintenance; AQE broadcasts the delta side when it fits),
+        // and the result APPENDS — refresh cost is the day's increments,
+        // never |A| × |B|.
+        val Seq(a, b) = bases
+        val plan = spark.sessionState.sqlParser.parsePlan(sql)
+        def hid(x: (String, String)) = meta(x._1, x._2).hiddenCols.toSeq
+        def deltaOf(x: (String, String)) =
+          readIncremental(x._1, x._2, from(x).get, cur(x)).drop(hid(x): _*)
+        val parts = Seq.newBuilder[DataFrame]
+        if (from(a).get != cur(a))
+          parts += bodyOverBases(plan, Map(
+            a -> deltaOf(a),
+            b -> readAsOf(b._1, b._2, cur(b)).drop(hid(b): _*)))
+        if (from(b).get != cur(b))
+          parts += bodyOverBases(plan, Map(
+            a -> readAsOf(a._1, a._2, from(a).get).drop(hid(a): _*),
+            b -> deltaOf(b)))
+        // not fresh, so at least one side moved
+        append(db, mvT, parts.result().reduce(_.unionByName(_)))
           .summary.get("added_records").map(_.toLong).getOrElse(-1L)
       case "incremental_agg" if shapeOpt.exists(_.retractable) && backingHasPartials =>
         mergePartials(shapeOpt.get) match {

@@ -116,6 +116,38 @@ class SqlDeltaDmlSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT v FROM $c.db.a WHERE k = 7").head.getLong(0) == 0L)
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: delete and update actions, delta shape") {
+    val (cat, c) = freshCatalog("sdl5")
+    val rows = (1L to 20L).map(k => (k, s"n$k")).toDF("k", "v")
+    cat.createTable("db", "nms", rows.schema)
+    cat.append("db", "nms", rows)
+    cat.deleteMoR("db", "nms", col("k") === 1L) // live deletes: delta route
+    val live = cat.currentSnapshot("db", "nms")
+
+    // the full three-clause MERGE: matched update, not-matched insert,
+    // and not-matched-by-source rows (k not in {2,3,30}) conditionally
+    // deleted (k > 15) or marked stale
+    spark.sql(
+      s"""MERGE INTO $c.db.nms t
+         |USING (SELECT * FROM VALUES (2L, 'U2'), (3L, 'U3'), (30L, 'NEW')
+         |  AS s(k, v)) s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.k > 15 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'""".stripMargin)
+    val after = cat.currentSnapshot("db", "nms")
+    assert(live.files.forall(after.files.contains), "no data file rewritten")
+    assert(after.operation == "merge")
+    // survivors: 2..15 (k=1 was dead) + 30; 16..20 deleted by-source
+    assert(spark.sql(s"SELECT count(*) FROM $c.db.nms").head.getLong(0) == 15L)
+    val vals = spark.sql(s"SELECT k, v FROM $c.db.nms ORDER BY k")
+      .as[(Long, String)].collect().toMap
+    assert(vals(2L) == "U2" && vals(3L) == "U3" && vals(30L) == "NEW", vals.toString)
+    assert((4L to 15L).forall(k => vals(k) == "stale"), vals.toString)
+    assert(!(16L to 20L).exists(vals.contains), vals.toString)
+  }
+
   test("write.<op>.mode=merge-on-read opts a CLEAN table into the delta path") {
     val (cat, c) = freshCatalog("sdl3")
     val rows = (1L to 50L).map(k => (k, s"n$k")).toDF("k", "v")

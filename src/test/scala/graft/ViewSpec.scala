@@ -626,6 +626,76 @@ class ViewSpec extends AnyFunSuite {
         .as[(Option[Long], Option[Long])].head())
   }
 
+  test("two-base JOIN MV: append-only deltas refresh as incremental_join") {
+    val (cat, wh) = freshCat()
+    register(wh, "vjn")
+    val cust = Seq((1L, "ann"), (2L, "bob"), (3L, "cat")).toDF("k", "name")
+    val ord = Seq((1L, 10L), (1L, 20L), (2L, 30L), (9L, 99L)).toDF("k", "v")
+    cat.createTable("db", "cust", cust.schema)
+    cat.createTable("db", "ord", ord.schema)
+    cat.append("db", "cust", cust)
+    cat.append("db", "ord", ord)
+    cat.createMaterializedView("db", "jv",
+      "SELECT c.k AS k, c.name AS name, o.v AS v " +
+        "FROM vjn.db.cust c JOIN vjn.db.ord o ON c.k = o.k WHERE o.v > 5")
+    def expect() = spark.sql(
+      "SELECT c.k AS k, c.name AS name, o.v AS v " +
+        "FROM vjn.db.cust c JOIN vjn.db.ord o ON c.k = o.k WHERE o.v > 5 " +
+        "ORDER BY k, v").as[(Long, String, Long)].collect().toSeq
+    def got() = spark.sql("SELECT * FROM vjn.db.jv ORDER BY k, v")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got() == expect())
+
+    // ΔB only: new orders join the full customer side
+    cat.append("db", "ord", Seq((2L, 40L), (3L, 7L)).toDF("k", "v"))
+    val (m1, _) = cat.refreshMaterializedView("db", "jv")
+    assert(m1 == "incremental_join", m1)
+    assert(got() == expect())
+    assert(cat.currentSnapshot("db", "__mv_jv").operation == "append",
+      "join-incremental refresh must append, not rebuild")
+
+    // ΔA only: a new customer picks up her pre-existing orders (k=9
+    // was dangling until now)
+    cat.append("db", "cust", Seq((9L, "zed")).toDF("k", "name"))
+    val (m2, _) = cat.refreshMaterializedView("db", "jv")
+    assert(m2 == "incremental_join", m2)
+    assert(got() == expect())
+
+    // BOTH sides move in one range: the ΔA x ΔB cross term must appear
+    // exactly once (ΔA joins B', A_old joins ΔB)
+    cat.append("db", "cust", Seq((5L, "eve")).toDF("k", "name"))
+    cat.append("db", "ord", Seq((5L, 50L), (1L, 60L), (9L, 90L)).toDF("k", "v"))
+    val (m3, _) = cat.refreshMaterializedView("db", "jv")
+    assert(m3 == "incremental_join", m3)
+    assert(got() == expect())
+
+    // fresh short-circuits; a DELETE in range forces full, still exact
+    assert(cat.refreshMaterializedView("db", "jv")._1 == "fresh")
+    cat.deleteMoR("db", "ord", col("v") === 30L)
+    val (m4, _) = cat.refreshMaterializedView("db", "jv")
+    assert(m4 == "full", m4)
+    assert(got() == expect())
+
+    // an OUTER-join body never takes the join-incremental path (a new
+    // right row would retract a null-extended left row)
+    cat.createMaterializedView("db", "ljv",
+      "SELECT c.k AS k, o.v AS v FROM vjn.db.cust c " +
+        "LEFT JOIN vjn.db.ord o ON c.k = o.k")
+    cat.append("db", "ord", Seq((3L, 70L)).toDF("k", "v"))
+    assert(cat.refreshMaterializedView("db", "ljv")._1 == "full")
+    assert(spark.sql("SELECT * FROM vjn.db.ljv ORDER BY k, v")
+      .as[(Long, Option[Long])].collect().toSeq ==
+      spark.sql("SELECT c.k AS k, o.v AS v FROM vjn.db.cust c " +
+        "LEFT JOIN vjn.db.ord o ON c.k = o.k ORDER BY k, v")
+        .as[(Long, Option[Long])].collect().toSeq)
+
+    // a SELF-join body stays full (the delta algebra needs distinct sides)
+    cat.createMaterializedView("db", "sjv",
+      "SELECT a.k AS k FROM vjn.db.ord a JOIN vjn.db.ord b ON a.k = b.k")
+    cat.append("db", "ord", Seq((8L, 80L)).toDF("k", "v"))
+    assert(cat.refreshMaterializedView("db", "sjv")._1 == "full")
+  }
+
   test("namespace lifecycle sees MV backing tables: emptiness + log cleanup") {
     val (cat, wh) = freshCat()
     register(wh, "vns")
