@@ -1181,6 +1181,38 @@ object SparkEntry {
         "FROM snapdml.maint.jstats GROUP BY seg ORDER BY seg")
     }),
 
+    // AGGREGATE-OVER-JOIN MV (r11): the fact-dim rollup — GROUP BY over
+    // an inner join of two bases — maintains incrementally under append-
+    // only ranges: the augmented aggregate runs over the JOIN DELTA
+    // (ΔA ⋈ B' ∪ A ⋈ ΔB) and the per-group partials merge into the
+    // backing, count/sum arithmetic + min/max least/greatest folds. The
+    // query REQUIRES the incremental_join_agg path after both sides
+    // moved, then the oracle replays the rollup from the raw tables.
+    "q137_mv_join_agg" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (!cat.viewExists("maint", "jarollup")) {
+        val cust = T(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        val ord = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        cat.createTable("maint", "ja_cust", cust.schema)
+        cat.createTable("maint", "ja_ord", ord.schema)
+        cat.append("maint", "ja_cust", cust.where(col("c_custkey") % 2 === 0))
+        cat.append("maint", "ja_ord", ord.where(col("o_orderkey") % 3 === 0))
+        cat.createMaterializedView("maint", "jarollup",
+          "SELECT c.c_mktsegment AS seg, count(*) AS n, sum(o.cents) AS sum_cents, " +
+            "min(o.cents) AS min_cents, max(o.cents) AS max_cents " +
+            "FROM maint.ja_cust c JOIN maint.ja_ord o ON c.c_custkey = o.o_custkey " +
+            "GROUP BY c.c_mktsegment")
+        cat.append("maint", "ja_cust", cust.where(col("c_custkey") % 2 === 1))
+        cat.append("maint", "ja_ord", ord.where(col("o_orderkey") % 3 === 1))
+        val (mode, _) = cat.refreshMaterializedView("maint", "jarollup")
+        require(mode == "incremental_join_agg",
+          s"aggregate-over-join MV must merge incrementally, took '$mode'")
+      }
+      s.sql("SELECT seg, n, sum_cents, min_cents, max_cents " +
+        "FROM snapdml.maint.jarollup ORDER BY seg")
+    }),
+
     // VARIANT ingestion + shredded extraction (r9): semi-structured JSON
     // is BUILT deterministically from events columns, parsed into Spark
     // 4's VariantType (the open binary-JSON column type), then typed
@@ -3424,6 +3456,17 @@ object SparkEntry {
         |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(c) AS BIGINT) AS sum_cents
         |FROM fin GROUP BY st ORDER BY st""".stripMargin,
+
+    // the incrementally-merged rollup must equal the from-scratch join
+    // aggregate over exactly the appended unions
+    "q137_mv_join_agg" ->
+      """SELECT c.c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(FLOOR(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(min(CAST(FLOOR(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS min_cents,
+        |  CAST(max(CAST(FLOOR(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |WHERE o.o_orderkey % 3 IN (0, 1)
+        |GROUP BY seg ORDER BY seg""".stripMargin,
 
     // the incrementally-maintained join state must equal the from-scratch
     // join over exactly the appended unions

@@ -3803,17 +3803,54 @@ final class SnapshotCatalog(
     * pins `u` too. A referenced graft VIEW disqualifies nothing at
     * creation but forces full refresh (its own bases are invisible to
     * the high-water map). */
+  /** Identifier key of a body relation reference, db-defaulted. */
+  private def relKeyOf(db: String,
+      u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation)
+      : Option[(String, String)] = u.multipartIdentifier match {
+    case Seq(d, n) => Some((d, n))
+    case Seq(_, d, n) => Some((d, n))
+    case Seq(n) => Some((db, n))
+    case _ => None
+  }
+
   private def baseTablesOf(db: String, sql: String): Seq[(String, String)] = {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
     plan.collectWithSubqueries {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-        u.multipartIdentifier match {
-          case Seq(d, n) => Some((d, n))
-          case Seq(_, d, n) => Some((d, n))
-          case Seq(n) => Some((db, n))
-          case _ => None
-        }
+        relKeyOf(db, u)
     }.flatten.distinct.filter { case (d, t) => tableExists(d, t) }
+  }
+
+  /** Is `p` a project/filter tree over exactly ONE INNER join of exactly
+    * TWO base relations? (The join-incremental body family: outer joins
+    * refuse — a new row on one side can RETRACT the other side's
+    * null-extended row, which insert-only delta algebra cannot express.)
+    * Returns the two relation keys in plan order. */
+  private def innerJoinShape(db: String,
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[Seq[(String, String)]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, Project, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.{Inner, NaturalJoin, UsingJoin}
+    var joins = 0
+    var ok = true
+    val rels = Seq.newBuilder[(String, String)]
+    p.foreach {
+      case j: Join =>
+        joins += 1
+        j.joinType match {
+          case Inner | UsingJoin(Inner, _) | NaturalJoin(Inner) => ()
+          case _ => ok = false
+        }
+      case u: UnresolvedRelation => relKeyOf(db, u) match {
+        case Some(k) => rels += k
+        case None => ok = false
+      }
+      case _: Project | _: Filter | _: SubqueryAlias => ()
+      case _ => ok = false
+    }
+    val rs = rels.result()
+    if (ok && joins == 1 && rs.length == 2 && rs(0) != rs(1)) Some(rs) else None
   }
 
   /** The view body with every base-table relation swapped for a PINNED
@@ -3874,7 +3911,7 @@ final class SnapshotCatalog(
     // incrementally refreshable ([[augmentedAggPlan]]); the view's
     // recorded schema (and every SQL read through the redirect) stays
     // the visible outputs only
-    val shapeOpt = aggIncrementalShape(sql).filter(_.retractable)
+    val shapeOpt = aggIncrementalShape(db, sql).filter(_.retractable)
     val out0 = shapeOpt match {
       case Some(sh) => pinnedBodyPlan(db, augmentedAggPlan(sql, sh), pins)
       case None => pinnedBody(db, sql, pins)
@@ -3974,7 +4011,7 @@ final class SnapshotCatalog(
     * `avg` et al. refuse — they are not self-maintainable without
     * decomposition, and `full` stays correct). A top-level ORDER BY is
     * ignored (tables are unordered; the full path discards it too). */
-  private def aggIncrementalShape(sql: String): Option[AggShape] = {
+  private def aggIncrementalShape(db: String, sql: String): Option[AggShape] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, NamedExpression}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, LogicalPlan, Project, Sort, SubqueryAlias}
@@ -3996,7 +4033,12 @@ final class SnapshotCatalog(
       case c => c
     }
     top match {
-      case Aggregate(groupExprs, aggExprs, child, _) if pfOnly(child) =>
+      // the aggregate's input may be project/filter over ONE relation
+      // (the single-base family) or over one INNER join of two bases
+      // (the fact-dim rollup — its delta is the join delta, merged by
+      // the identical partial machinery)
+      case Aggregate(groupExprs, aggExprs, child, _)
+          if pfOnly(child) || innerJoinShape(db, child).isDefined =>
         val keyNames = groupExprs.map {
           case a: UnresolvedAttribute => a.nameParts.last
           case _ => return None // expression keys: not recognized, stay full
@@ -4109,15 +4151,6 @@ final class SnapshotCatalog(
       mainLineage(d, t).filter(e => e.snapshotId > lo && e.snapshotId <= hi)
         .forall(e => appendOnlyOps(e.operation))
 
-    /** Identifier key of a body relation reference, db-defaulted. */
-    def relKey(u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation)
-        : Option[(String, String)] = u.multipartIdentifier match {
-      case Seq(bd, bn) => Some((bd, bn))
-      case Seq(_, bd, bn) => Some((bd, bn))
-      case Seq(bn) => Some((db, bn))
-      case _ => None
-    }
-
     /** The body (or an augmented plan) with each listed base relation
       * swapped for its replacement frame — shared by every incremental
       * mode (single-base modes pass one entry; the join mode passes
@@ -4131,8 +4164,8 @@ final class SnapshotCatalog(
       val swapped = plan.transformUpWithSubqueries {
         // only the BASE relations swap (a temp view or function table
         // reference elsewhere in the body must stay what it is)
-        case u: UnresolvedRelation if relKey(u).exists(repl.contains) =>
-          val k = relKey(u).get
+        case u: UnresolvedRelation if relKeyOf(db, u).exists(repl.contains) =>
+          val k = relKeyOf(db, u).get
           SubqueryAlias(Seq(k._1, k._2), repl(k).queryExecution.analyzed)
       }
       org.apache.spark.sql.GraftColumnBridge.ofRows(spark, swapped)
@@ -4140,39 +4173,63 @@ final class SnapshotCatalog(
     def bodyOver(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         rows: DataFrame): DataFrame = bodyOverBases(plan, Map(bases.head -> rows))
 
-    /** TWO-BASE INNER-JOIN body shape: project/filter over exactly one
-      * INNER join of exactly two distinct base-table relations, no
-      * aggregates/windows/subqueries. Returns the two relation keys in
-      * plan order when the shape holds. Outer joins refuse — a new row
-      * on one side can RETRACT the other side's null-extended row, which
-      * an insert-only delta cannot express. */
+    /** TWO-BASE INNER-JOIN body shape (no aggregates/windows/subqueries)
+      * — see [[innerJoinShape]]. */
     def joinBodyBases: Option[Seq[(String, String)]] = {
-      import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-      import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, Project, Sort, SubqueryAlias}
-      import org.apache.spark.sql.catalyst.plans.{Inner, NaturalJoin, UsingJoin}
+      import org.apache.spark.sql.catalyst.plans.logical.Sort
       val plan = spark.sessionState.sqlParser.parsePlan(sql)
       if (hasSubqueryExpr(plan) || hasAggOrWindowExpr(plan)) return None
-      val top = plan match { case s: Sort => s.child; case p => p }
-      var joins = 0
-      var ok = true
-      val rels = Seq.newBuilder[(String, String)]
-      top.foreach {
-        case j: Join =>
-          joins += 1
-          j.joinType match {
-            case Inner | UsingJoin(Inner, _) | NaturalJoin(Inner) => ()
-            case _ => ok = false
-          }
-        case u: UnresolvedRelation => relKey(u) match {
-          case Some(k) => rels += k
-          case None => ok = false
-        }
-        case _: Project | _: Filter | _: SubqueryAlias | _: Sort => ()
-        case _ => ok = false
+      innerJoinShape(db, plan match { case s: Sort => s.child; case p => p })
+    }
+
+    /** AGGREGATE-over-INNER-JOIN body: `GROUP BY` over exactly one inner
+      * join of the two bases — the fact-dim rollup MV. Under append-only
+      * ranges the aggregate's INPUT delta is the join delta (ΔA ⋈ B' ∪
+      * A ⋈ ΔB), so the partial-merge machinery applies unchanged. */
+    def joinAggBodyOk: Boolean = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Sort}
+      val plan = spark.sessionState.sqlParser.parsePlan(sql)
+      if (hasSubqueryExpr(plan)) return false
+      (plan match { case s: Sort => s.child; case p => p }) match {
+        case Aggregate(_, _, child, _) =>
+          innerJoinShape(db, child).exists(_.toSet == bases.toSet)
+        case _ => false
       }
-      val rs = rels.result()
-      if (ok && joins == 1 && rs.length == 2 && rs(0) != rs(1)) Some(rs)
-      else None
+    }
+
+    /** The AUGMENTED aggregate evaluated over the JOIN DELTA: the
+      * aggregate node's child is replaced by the UNION of the two
+      * substituted join terms, so ONE aggregation computes the delta's
+      * partials and the group-wise merge below applies untouched. */
+    def joinAggPlus(shape: AggShape): DataFrame = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Sort, SubqueryAlias, Union}
+      val agg = (augmentedAggPlan(sql, shape) match {
+        case s: Sort => s.child
+        case p => p
+      }).asInstanceOf[Aggregate]
+      val Seq(a, b) = bases
+      def hid(x: (String, String)) = meta(x._1, x._2).hiddenCols.toSeq
+      def deltaOf(x: (String, String)) =
+        readIncremental(x._1, x._2, from(x).get, cur(x)).drop(hid(x): _*)
+      def subst(child: LogicalPlan,
+          repl: Map[(String, String), DataFrame]): LogicalPlan =
+        child.transformUpWithSubqueries {
+          case u: UnresolvedRelation if relKeyOf(db, u).exists(repl.contains) =>
+            val k = relKeyOf(db, u).get
+            SubqueryAlias(Seq(k._1, k._2), repl(k).queryExecution.analyzed)
+        }
+      val parts = Seq.newBuilder[LogicalPlan]
+      if (from(a).get != cur(a))
+        parts += subst(agg.child, Map(a -> deltaOf(a),
+          b -> readAsOf(b._1, b._2, cur(b)).drop(hid(b): _*)))
+      if (from(b).get != cur(b))
+        parts += subst(agg.child, Map(
+          a -> readAsOf(a._1, a._2, from(a).get).drop(hid(a): _*),
+          b -> deltaOf(b)))
+      val ps = parts.result()
+      val child = if (ps.size == 1) ps.head else Union(ps.head, ps(1))
+      org.apache.spark.sql.GraftColumnBridge.ofRows(spark, agg.copy(child = child))
     }
     def incrementalDelta(): DataFrame = {
       val (d, t) = bases.head
@@ -4182,7 +4239,7 @@ final class SnapshotCatalog(
     def bodyOverDelta(): DataFrame =
       bodyOver(spark.sessionState.sqlParser.parsePlan(sql), incrementalDelta())
 
-    val shapeOpt = aggIncrementalShape(sql)
+    val shapeOpt = aggIncrementalShape(db, sql)
     // an AUGMENTED backing (created from a retractable count/sum/avg/
     // keyed-min/max body) carries the partial columns that make the
     // merge exact under deletes; pre-augmentation MVs keep the legacy
@@ -4215,13 +4272,19 @@ final class SnapshotCatalog(
       * count reaches zero are DELETED from the backing. Returns None on
       * the edges the merge cannot serve (null group keys in the delta;
       * an un-diffable range) — the caller falls back to full. */
-    def mergePartials(shape: AggShape): Option[Long] = {
-      val (d, t) = bases.head
-      val (lo, hi) = (from((d, t)).get, cur((d, t)))
+    def mergePartials(shape: AggShape,
+        plusOnly: Option[DataFrame] = None): Option[Long] = {
       val augPlan = augmentedAggPlan(sql, shape)
-      val hidden = meta(d, t).hiddenCols.toSeq
-      val (insRows, delRowsOpt) =
-        if (appendOnly) (incrementalDelta(), None)
+      // single-base deltas extract here; the join-agg caller hands a
+      // pre-built plus frame (the aggregate over the join delta) and has
+      // no delete side (append-only ranges only)
+      val (insRowsOpt, delRowsOpt): (Option[DataFrame], Option[DataFrame]) =
+        if (plusOnly.isDefined) (None, None)
+        else {
+        val (d, t) = bases.head
+        val (lo, hi) = (from((d, t)).get, cur((d, t)))
+        val hidden = meta(d, t).hiddenCols.toSeq
+        if (appendOnly) (Some(incrementalDelta()), None)
         else (try changeSetsAcrossRange(d, t, lo, hi) catch {
           // an expired range endpoint (or any unreadable history) is the
           // changelog fallback's problem — and if that throws too, the
@@ -4232,7 +4295,7 @@ final class SnapshotCatalog(
           // per-commit sets from metadata — the cost is the churn, no
           // two-sided multiset diff
           case Some((i, dl)) =>
-            (i.drop(hidden: _*), Some(dl.drop(hidden: _*)))
+            (Some(i.drop(hidden: _*)), Some(dl.drop(hidden: _*)))
           // true rewrites / rollbacks / evolution: the changelog's
           // value diff handles every operation
           case None =>
@@ -4240,8 +4303,9 @@ final class SnapshotCatalog(
               case scala.util.control.NonFatal(_) => return None // un-diffable range
             }
             val clean = chg.drop(hidden: _*).drop("_row_id")
-            (clean.where(col("_change_type") === "insert").drop("_change_type"),
+            (Some(clean.where(col("_change_type") === "insert").drop("_change_type")),
               Some(clean.where(col("_change_type") === "delete").drop("_change_type")))
+        }
         }
       // the aggregated partials are GROUP-sized (touched groups only) but
       // their plans re-execute for the null-key probe, the net join, and
@@ -4253,7 +4317,7 @@ final class SnapshotCatalog(
       def cached(f: DataFrame): DataFrame = { val c = f.cache(); caches += c; c }
       def releasePartials(): Unit = { caches.foreach(_.unpersist()); () }
       try {
-      val plus = cached(bodyOver(augPlan, insRows))
+      val plus = cached(plusOnly.getOrElse(bodyOver(augPlan, insRowsOpt.get)))
       val names = plus.schema.fieldNames
       val keyNames = shape.keyPos.map(names)
       val aggKind = shape.aggPos.toMap
@@ -4348,7 +4412,11 @@ final class SnapshotCatalog(
             .select(keyNames.map(k => col(s"`$k`")).toIndexedSeq: _*)
           if (affected.isEmpty) m0.drop(needNames: _*)
           else {
+            // single-base only: a delete range never reaches here for the
+            // join-agg caller (its minusOpt is always None)
             val (d2, t2) = bases.head
+            val hi = cur((d2, t2))
+            val hidden = meta(d2, t2).hiddenCols.toSeq
             val baseKeyNames = shape.keyPos.map(i =>
               shape.keyBase.getOrElse(i, names(i)))
             // few affected groups (the common shape): an exact key
@@ -4402,13 +4470,19 @@ final class SnapshotCatalog(
 
     // two-base inner-join bodies over append-only ranges on BOTH sides
     // maintain incrementally: ΔA ⋈ B' ∪ A ⋈ ΔB (see the mode case)
-    val joinIncremental = bases.size == 2 &&
+    val bothAppendOnly = bases.size == 2 &&
       bases.forall(b => from(b).isDefined) &&
-      joinBodyBases.exists(ks => ks.toSet == bases.toSet) &&
       bases.forall(b => appendOnlyRange(b._1, b._2, from(b).get, cur(b)))
+    val joinIncremental = bothAppendOnly &&
+      joinBodyBases.exists(ks => ks.toSet == bases.toSet)
+    // GROUP BY over the join: the aggregate's input delta is the join
+    // delta; the partial-merge machinery applies unchanged
+    val joinAggIncremental = bothAppendOnly && !joinIncremental &&
+      shapeOpt.exists(_.retractable) && backingHasPartials && joinAggBodyOk
 
     var mode =
       if (joinIncremental) "incremental_join"
+      else if (joinAggIncremental) "incremental_join_agg"
       else if (!singleBase) "full"
       else if (appendOnly && projectFilterOnly) "incremental"
       // partial-backed count/sum/avg family: maintainable under ANY
@@ -4449,6 +4523,14 @@ final class SnapshotCatalog(
         // not fresh, so at least one side moved
         append(db, mvT, parts.result().reduce(_.unionByName(_)))
           .summary.get("added_records").map(_.toLong).getOrElse(-1L)
+      case "incremental_join_agg" =>
+        // fact-dim rollup: the augmented aggregate runs over the UNION
+        // of the two join-delta terms, then the per-group partials merge
+        // into the backing exactly like the single-base path
+        mergePartials(shapeOpt.get, plusOnly = Some(joinAggPlus(shapeOpt.get))) match {
+          case Some(n) => n
+          case None => mode = "full"; runFull()
+        }
       case "incremental_agg" if shapeOpt.exists(_.retractable) && backingHasPartials =>
         mergePartials(shapeOpt.get) match {
           case Some(n) => n

@@ -696,6 +696,58 @@ class ViewSpec extends AnyFunSuite {
     assert(cat.refreshMaterializedView("db", "sjv")._1 == "full")
   }
 
+  test("aggregate-over-join MV: fact-dim rollup merges as incremental_join_agg") {
+    val (cat, wh) = freshCat()
+    register(wh, "vja")
+    val dim = Seq((1L, "s1"), (2L, "s1"), (3L, "s2")).toDF("k", "seg")
+    val fact = Seq((1L, 10L), (2L, 20L), (3L, 30L), (7L, 70L)).toDF("k", "v")
+    cat.createTable("db", "dim", dim.schema)
+    cat.createTable("db", "fact", fact.schema)
+    cat.append("db", "dim", dim)
+    cat.append("db", "fact", fact)
+    cat.createMaterializedView("db", "rollup",
+      "SELECT d.seg AS seg, count(*) AS n, sum(f.v) AS sv, min(f.v) AS mn " +
+        "FROM vja.db.dim d JOIN vja.db.fact f ON d.k = f.k GROUP BY d.seg")
+    def expect() = spark.sql(
+      "SELECT d.seg AS seg, count(*) AS n, sum(f.v) AS sv, min(f.v) AS mn " +
+        "FROM vja.db.dim d JOIN vja.db.fact f ON d.k = f.k GROUP BY d.seg " +
+        "ORDER BY seg").as[(String, Long, Long, Long)].collect().toSeq
+    def got() = spark.sql("SELECT * FROM vja.db.rollup ORDER BY seg")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got() == expect())
+    assert(spark.table("vja.db.rollup").columns.toSeq == Seq("seg", "n", "sv", "mn"),
+      "partials must never surface")
+
+    // Δfact only: new fact rows roll into existing segments
+    cat.append("db", "fact", Seq((1L, 5L), (3L, 3L)).toDF("k", "v"))
+    val (m1, _) = cat.refreshMaterializedView("db", "rollup")
+    assert(m1 == "incremental_join_agg", m1)
+    assert(got() == expect())
+    assert(cat.currentSnapshot("db", "__mv_rollup").operation == "merge",
+      "join-agg refresh must merge group-wise, not rebuild")
+
+    // Δdim only: a new dim key picks up its DANGLING fact rows (k=7) —
+    // and births a brand-new group
+    cat.append("db", "dim", Seq((7L, "s3")).toDF("k", "seg"))
+    val (m2, _) = cat.refreshMaterializedView("db", "rollup")
+    assert(m2 == "incremental_join_agg", m2)
+    assert(got() == expect())
+
+    // both sides move in one range: cross term counted exactly once
+    cat.append("db", "dim", Seq((8L, "s2")).toDF("k", "seg"))
+    cat.append("db", "fact", Seq((8L, 80L), (7L, 7L)).toDF("k", "v"))
+    val (m3, _) = cat.refreshMaterializedView("db", "rollup")
+    assert(m3 == "incremental_join_agg", m3)
+    assert(got() == expect())
+
+    // a delete in range forces full (join retraction is not expressible
+    // by the insert-only delta algebra), still exact
+    cat.deleteMoR("db", "fact", col("v") === 20L)
+    val (m4, _) = cat.refreshMaterializedView("db", "rollup")
+    assert(m4 == "full", m4)
+    assert(got() == expect())
+  }
+
   test("namespace lifecycle sees MV backing tables: emptiness + log cleanup") {
     val (cat, wh) = freshCat()
     register(wh, "vns")
