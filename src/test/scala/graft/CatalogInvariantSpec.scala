@@ -114,7 +114,7 @@ class CatalogInvariantSpec extends AnyFunSuite {
       new SnapshotCatalog(spark,
         Files.createTempDirectory(s"graft_inv_$trial").toString,
         clock = () => { tick += 1; Instant.parse("2026-07-01T00:00:00Z").plusSeconds(tick) })
-    })
+    }, sqlOk = true)
   }
 
   test("random operation sequences over the CAS object-store log are behavior-identical") {
@@ -133,10 +133,20 @@ class CatalogInvariantSpec extends AnyFunSuite {
     })
   }
 
-  private def runTrials(rng: Random, mkCat: Int => SnapshotCatalog): Unit = {
+  private def runTrials(rng: Random, mkCat: Int => SnapshotCatalog,
+      sqlOk: Boolean = false): Unit = {
     (1 to 3).foreach { trial =>
       val cat = mkCat(trial)
       val t = "t"
+      // SQL DML rides a per-trial plugin catalog over the same warehouse
+      // (file-backed trials only: the plugin constructs its own catalog
+      // instance, which cannot see a trial's in-memory object store)
+      val cname = s"invsql_t$trial"
+      if (sqlOk) {
+        spark.conf.set(s"spark.sql.catalog.$cname",
+          "graft.catalog.spark.SnapCatalogPlugin")
+        spark.conf.set(s"spark.sql.catalog.$cname.warehouse", cat.warehouse)
+      }
       // the WHOLE op mix runs over a row-lineage table: identity
       // invariants (unique, non-null, below the high-water) must hold
       // across every CoW/MoR/rewrite/rollback/expire interleaving
@@ -145,7 +155,7 @@ class CatalogInvariantSpec extends AnyFunSuite {
       cat.append("db", t, frame(rng, 40))
       checkInvariants(cat, "db", t)
       (1 to 8).foreach { _ =>
-        rng.nextInt(17) match {
+        rng.nextInt(19) match {
           case 0 => cat.append("db", t, conform(cat, "db", t, frame(rng, 10 + rng.nextInt(40))))
           case 1 => cat.overwrite("db", t, conform(cat, "db", t, frame(rng, 10 + rng.nextInt(40))))
           case 2 => cat.delete("db", t, col("score") < (rng.nextInt(60).toLong + 20L))
@@ -195,6 +205,27 @@ class CatalogInvariantSpec extends AnyFunSuite {
           // invariant (incl. identity stability) must hold across it
           case 16 => cat.compactWhere("db", t,
             col("score") < (rng.nextInt(80).toLong + 20L), 1 + rng.nextInt(2))
+          // r11 SQL delta DML on the lineage table: identity invariants
+          // must hold across the SupportsDelta route too (file-backed
+          // trials; the CAS trial maps these to the API twins so RNG
+          // consumption — and thus the op sequence — stays identical)
+          case 17 =>
+            val cut = 40L + rng.nextInt(40)
+            val tag = rng.nextInt(10)
+            if (sqlOk)
+              spark.sql(s"UPDATE $cname.db.t SET name = 'sql$tag' " +
+                s"WHERE score > $cut")
+            else cat.updateMoR("db", t, col("score") > cut,
+              Map("name" -> lit(s"sql$tag")))
+          case 18 =>
+            val src = conform(cat, "db", t, frame(rng, 8).dropDuplicates("id"))
+            if (sqlOk) {
+              src.createOrReplaceTempView("inv_sql_src")
+              spark.sql(s"MERGE INTO $cname.db.t tt USING inv_sql_src s " +
+                "ON tt.id = s.id " +
+                "WHEN MATCHED THEN UPDATE SET * " +
+                "WHEN NOT MATCHED THEN INSERT *")
+            } else cat.upsertMoR("db", t, src, Seq("id"))
         }
         checkInvariants(cat, "db", t)
       }

@@ -117,7 +117,7 @@ class SqlDeltaDmlSpec extends AnyFunSuite {
   }
 
   test("MERGE WHEN NOT MATCHED BY SOURCE: delete and update actions, delta shape") {
-    val (cat, c) = freshCatalog("sdl5")
+    val (cat, c) = freshCatalog("sdl8")
     val rows = (1L to 20L).map(k => (k, s"n$k")).toDF("k", "v")
     cat.createTable("db", "nms", rows.schema)
     cat.append("db", "nms", rows)
