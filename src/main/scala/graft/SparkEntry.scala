@@ -1116,6 +1116,33 @@ object SparkEntry {
         "FROM snapdml.maint.mmstats ORDER BY o_orderstatus")
     }),
 
+    // COLUMN DEFAULT VALUES (r11, the Iceberg-v3 defaults model): ALTER
+    // TABLE ADD COLUMN ... DEFAULT freezes an INITIAL default that
+    // pre-evolution files serve on read (Spark's parquet readers fill
+    // EXISTS_DEFAULT for physically-missing columns — never a data
+    // rewrite), while INSERTs that omit the column take the CURRENT
+    // default. The oracle replays the whole pre/post-evolution state
+    // from the raw rows.
+    "q138_column_defaults" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (!cat.tableExists("maint", "def_orders")) {
+        val o = T(s, dir, "orders").select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        s.sql("CREATE TABLE snapdml.maint.def_orders (o_orderkey BIGINT, cents BIGINT)")
+        o.where(col("o_orderkey") % 2 === 0).createOrReplaceTempView("def_ev")
+        s.sql("INSERT INTO snapdml.maint.def_orders SELECT * FROM def_ev")
+        s.sql("ALTER TABLE snapdml.maint.def_orders " +
+          "ADD COLUMN region STRING DEFAULT 'emea'")
+        o.where(col("o_orderkey") % 2 === 1)
+          .withColumn("region", when(col("o_orderkey") % 4 === 1, lit("apac")))
+          .createOrReplaceTempView("def_od")
+        s.sql("INSERT INTO snapdml.maint.def_orders SELECT * FROM def_od")
+      }
+      s.sql("SELECT coalesce(region, 'none') AS region, count(*) AS n, " +
+        "sum(cents) AS sum_cents FROM snapdml.maint.def_orders " +
+        "GROUP BY 1 ORDER BY 1")
+    }),
+
     // MERGE WHEN NOT MATCHED BY SOURCE (r11): the full three-clause SQL
     // MERGE — matched update, not-matched insert, and not-matched-by-
     // source rows conditionally deleted or updated — commits through the
@@ -3431,6 +3458,18 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(FLOOR(avg(cents)) AS BIGINT) AS avg_floor
         |FROM rem GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the evolved state replayed from the raw rows: evens predate the
+    // column (initial default 'emea'), odds carry apac-or-null explicitly
+    "q138_column_defaults" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice*100) AS BIGINT) AS c,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'emea'
+        |         WHEN o_orderkey % 4 = 1 THEN 'apac' ELSE NULL END AS region
+        |  FROM orders)
+        |SELECT coalesce(region, 'none') AS region,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sum_cents
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the three-clause reconciliation replayed relationally: matched
     // keys take the doubled source cents, source-only keys insert,

@@ -1158,17 +1158,45 @@ final class SnapshotCatalog(
 
   /** Scan an explicit table-root-relative file list under `schema` —
     * the shared read core of [[readAsOf]] and [[readIncremental]]. */
+  /** Attach recorded COLUMN-DEFAULT metadata (Iceberg-v3 initial/write
+    * defaults, stored as `default.current.<col>` / `default.exists.<col>`
+    * table properties) onto a read/serve schema. Spark's parquet readers
+    * natively honor `EXISTS_DEFAULT` field metadata: a file physically
+    * MISSING the column serves the frozen initial default instead of
+    * null, while files that carry the column (including explicit nulls
+    * written after the ALTER) read raw — exactly the v3 initial-default
+    * contract, with zero per-row engine code. `CURRENT_DEFAULT` rides
+    * along so the analyzer fills INSERTs that omit the column. */
+  private[graft] def withDefaultMeta(db: String, table: String,
+      schema: StructType): StructType = {
+    val props = meta(db, table).properties
+    if (!props.keysIterator.exists(_.startsWith("default."))) return schema
+    StructType(schema.fields.map { f =>
+      val cur = props.get(s"default.current.${f.name}")
+      val ex = props.get(s"default.exists.${f.name}")
+      if (cur.isEmpty && ex.isEmpty) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        cur.foreach(mb.putString("CURRENT_DEFAULT", _))
+        ex.foreach(mb.putString("EXISTS_DEFAULT", _))
+        f.copy(metadata = mb.build())
+      }
+    })
+  }
+
   private def readFiles(db: String, table: String,
       schema: StructType, files: Seq[String]): DataFrame = {
     if (files.isEmpty) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
     val root = tablePath(db, table)
+    val readSchema = withDefaultMeta(db, table, schema)
     // group files by owning snapshot dir (data/s<id>) for basePath correctness
     val bySnapDir = files.groupBy(f => f.split("/").take(2).mkString("/"))
     val parts = bySnapDir.toSeq.sortBy(_._1).map { case (snapDir, fs) =>
       spark.read
-        .schema(schema)
+        .schema(readSchema)
         .option("basePath", root.resolve(snapDir).toString)
         .parquet(fs.map(f => root.resolve(f).toString): _*)
     }
@@ -1210,10 +1238,11 @@ final class SnapshotCatalog(
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], withMeta)
     }
     val root = tablePath(db, table)
+    val readSchema = withDefaultMeta(db, table, schema)
     val bySnapDir = files.groupBy(f => f.split("/").take(2).mkString("/"))
     val parts = bySnapDir.toSeq.sortBy(_._1).map { case (snapDir, fs) =>
       spark.read
-        .schema(schema)
+        .schema(readSchema)
         .option("basePath", root.resolve(snapDir).toString)
         .parquet(fs.map(f => root.resolve(f).toString): _*)
         .withColumn(MorFileCol, morRelPath(db, table))

@@ -47,6 +47,16 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
+  /** Column DEFAULT values are first-class (Iceberg-v3 defaults):
+    * `CREATE TABLE (c INT DEFAULT 5)`, `ALTER TABLE ADD COLUMN ... DEFAULT`,
+    * and `ALTER COLUMN ... SET/DROP DEFAULT` all work — the analyzer
+    * fills INSERTs from CURRENT_DEFAULT and reads serve the frozen
+    * EXISTS_DEFAULT for pre-evolution files. */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   // ---- versioned SQL views (Iceberg view-spec shape) ----
   //
   // Spark 4.1 ships the DSv2 ViewCatalog API but no analyzer integration
@@ -799,8 +809,14 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     // Iceberg hidden-partitioning UX
     override def schema(): StructType = {
       val hidden = tableMeta.hiddenCols
-      if (hidden.isEmpty) snap.schema
-      else StructType(snap.schema.fields.filterNot(f => hidden(f.name)))
+      val visible =
+        if (hidden.isEmpty) snap.schema
+        else StructType(snap.schema.fields.filterNot(f => hidden(f.name)))
+      // column-default metadata rides the served schema: CURRENT_DEFAULT
+      // lets the analyzer fill INSERTs that omit the column, and
+      // EXISTS_DEFAULT makes the parquet readers serve the frozen
+      // initial default for files written before the column existed
+      cat.withDefaultMeta(db, table, visible)
     }
     private def bucketSpec: Option[(String, Int)] = tableMeta.bucketSpec
     override def partitioning(): Array[Transform] = bucketSpec match {
@@ -883,7 +899,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       val opts: Map[String, String] =
         if (!partitioned || snap.files.isEmpty) Map.empty
         else Map("basePath" -> root.resolve(dirs.head).toString)
-      val snapSchema = snap.schema
+      val snapSchema = cat.withDefaultMeta(db, table, snap.schema)
       // per-dir pushed+pruned stock sub-scans over a kept-file subset —
       // the assembly unit for multi-dir unions and bucket batches
       def dirScans(name: String, files: Seq[String],
@@ -2029,9 +2045,9 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       visible.queryExecution.analyzed
     }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-      val visibleSchema = StructType(
+      val visibleSchema = cat.withDefaultMeta(db, table, StructType(
         cat.currentSnapshot(db, table).schema.fields
-          .filterNot(f => cat.meta(db, table).hiddenCols(f.name)))
+          .filterNot(f => cat.meta(db, table).hiddenCols(f.name))))
       val partitioned = cat.meta(db, table).partitionCols
         .exists(c => !cat.meta(db, table).hiddenCols(c))
       new ScanBuilder
@@ -2222,10 +2238,40 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           s"years(ts), or truncate(w, col) partitioning supported, got $t")
       t.references.head.fieldNames.mkString(".")
     }
-    cat.createTable(db, ident.name(), schema,
-      partCols.toSeq, properties.asScala.toMap)
+    cat.createTable(db, ident.name(), stripDefaultMeta(schema),
+      partCols.toSeq, properties.asScala.toMap ++ defaultProps(schema))
     loadTable(ident)
   }
+
+  /** Default metadata must NOT reach the stored schema: `toDDL` would
+    * emit the DEFAULT clause and the DDL-string round-trip (`fromDDL`)
+    * cannot parse it back — properties are the storage, metadata is the
+    * serving surface. */
+  private def stripDefaultMeta(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (!f.metadata.contains("CURRENT_DEFAULT") &&
+          !f.metadata.contains("EXISTS_DEFAULT")) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .remove("CURRENT_DEFAULT").remove("EXISTS_DEFAULT").build())
+    })
+
+  /** Column-default metadata arriving on a CREATE TABLE schema (the
+    * analyzer encodes `c INT DEFAULT 5` as CURRENT_DEFAULT/EXISTS_DEFAULT
+    * field metadata), extracted into table properties — the DDL-string
+    * schema storage cannot carry field metadata. */
+  private def defaultProps(schema: StructType): Map[String, String] =
+    schema.fields.flatMap { f =>
+      val cur =
+        if (f.metadata.contains("CURRENT_DEFAULT"))
+          Some(s"default.current.${f.name}" -> f.metadata.getString("CURRENT_DEFAULT"))
+        else None
+      val ex =
+        if (f.metadata.contains("EXISTS_DEFAULT"))
+          Some(s"default.exists.${f.name}" -> f.metadata.getString("EXISTS_DEFAULT"))
+        else None
+      cur ++ ex
+    }.toMap
 
   /** Schema evolution (ALTER TABLE ADD COLUMN / SET-UNSET TBLPROPERTIES).
     * Adding a column commits an `evolve` snapshot — same data files, new
@@ -2250,6 +2296,25 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           "added columns must be nullable (pre-evolution files null-fill them)")
         schema = SchemaEvolve.addAt(schema, add.fieldNames.toIndexedSeq, add.dataType)
         evolved = true
+        Option(add.defaultValue()).foreach { dv =>
+          require(add.fieldNames.length == 1,
+            "column DEFAULT is supported on top-level columns only")
+          val name = add.fieldNames.head
+          // the INITIAL (exists) default freezes NOW as a folded constant:
+          // rows in files that predate the column serve it forever,
+          // regardless of later SET DEFAULT changes (Iceberg v3 initial-
+          // default semantics). Folding via Spark's own machinery keeps
+          // expression defaults (e.g. DEFAULT 2 + 3) constant at read.
+          val curMeta = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", dv.getSql).build()
+          val folded = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .constantFoldCurrentDefaultsToExistDefaults(
+              StructType(Seq(StructField(name, add.dataType, add.isNullable, curMeta))),
+              "ALTER TABLE ADD COLUMN")
+          propOps += ((s"default.current.$name", Some(dv.getSql)))
+          propOps += ((s"default.exists.$name",
+            Some(folded.head.metadata.getString("EXISTS_DEFAULT"))))
+        }
       case del: TableChange.DeleteColumn =>
         schema = SchemaEvolve.dropAt(schema, del.fieldNames.toIndexedSeq)
         evolved = true
@@ -2268,6 +2333,17 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         propOps += ((sp.property, Some(sp.value)))
       case rp: TableChange.RemoveProperty =>
         propOps += ((rp.property, None))
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        // ALTER COLUMN ... SET/DROP DEFAULT mutates the CURRENT (write)
+        // default only — the frozen initial default, if any, keeps
+        // serving pre-evolution rows
+        require(ud.fieldNames.length == 1,
+          "column DEFAULT is supported on top-level columns only")
+        val name = ud.fieldNames.head
+        require(schema.fieldNames.contains(name), s"no such column: $name")
+        val sql = Option(ud.newCurrentDefault()).map(_.getSql)
+          .orElse(Option(ud.newDefaultValue()).filter(_.nonEmpty))
+        propOps += ((s"default.current.$name", sql))
       case other =>
         // RENAME COLUMN stays unsupported by design: name-based column
         // mapping cannot re-bind existing files to a new name (that is

@@ -212,4 +212,74 @@ class EvolutionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { cat.evolvePartitionSpec("db", "p", Seq("ghost")) }
     intercept[IllegalArgumentException] { cat.evolvePartitionSpec("db", "p", Seq("cat")) }
   }
+
+  test("column DEFAULT values: create, add-with-default, set/drop default") {
+    val cat = freshCatalog()
+    sqlCat(cat, "evdef")
+
+    // CREATE TABLE with a DEFAULT: INSERTs that omit the column (or say
+    // DEFAULT) fill it; explicit values win
+    spark.sql("CREATE TABLE evdef.db.d (k BIGINT, region STRING DEFAULT 'emea')")
+    spark.sql("INSERT INTO evdef.db.d (k) VALUES (1)")
+    spark.sql("INSERT INTO evdef.db.d VALUES (2, DEFAULT), (3, 'apac')")
+    assert(spark.sql("SELECT k, region FROM evdef.db.d ORDER BY k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "emea"), (2L, "emea"), (3L, "apac")))
+
+    // ALTER TABLE ADD COLUMN ... DEFAULT: rows in PRE-EVOLUTION files
+    // serve the frozen initial default (not null) through SQL AND the
+    // library read; post-evolution explicit NULLs stay null
+    val base = Seq((10L, "a"), (11L, "b")).toDF("k", "v")
+    cat.createTable("db", "t", base.schema)
+    cat.append("db", "t", base) // files WITHOUT the column
+    spark.sql("ALTER TABLE evdef.db.t ADD COLUMN score BIGINT DEFAULT 7")
+    assert(spark.sql("SELECT k, score FROM evdef.db.t ORDER BY k")
+      .as[(Long, Option[Long])].collect().toSeq ==
+      Seq((10L, Some(7L)), (11L, Some(7L))),
+      "pre-evolution rows must serve the initial default")
+    assert(cat.readLatest("db", "t").select("k", "score")
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq ==
+      Seq((10L, Some(7L)), (11L, Some(7L))),
+      "the library read path must serve it too")
+    spark.sql("INSERT INTO evdef.db.t (k, v) VALUES (12, 'c')") // current default
+    spark.sql("INSERT INTO evdef.db.t VALUES (13, 'd', NULL)")  // explicit null
+    assert(spark.sql("SELECT k, score FROM evdef.db.t ORDER BY k")
+      .as[(Long, Option[Long])].collect().toSeq ==
+      Seq((10L, Some(7L)), (11L, Some(7L)), (12L, Some(7L)), (13L, None)),
+      "explicit NULL written after the ALTER must stay null")
+
+    // SET DEFAULT changes the WRITE default only — pre-evolution rows
+    // keep serving the frozen initial default
+    spark.sql("ALTER TABLE evdef.db.t ALTER COLUMN score SET DEFAULT 99")
+    spark.sql("INSERT INTO evdef.db.t (k, v) VALUES (14, 'e')")
+    assert(spark.sql("SELECT k, score FROM evdef.db.t ORDER BY k")
+      .as[(Long, Option[Long])].collect().toSeq ==
+      Seq((10L, Some(7L)), (11L, Some(7L)), (12L, Some(7L)), (13L, None),
+        (14L, Some(99L))))
+
+    // DROP DEFAULT: new INSERTs omitting the column go null; old rows
+    // still serve the initial default
+    spark.sql("ALTER TABLE evdef.db.t ALTER COLUMN score DROP DEFAULT")
+    spark.sql("INSERT INTO evdef.db.t (k, v) VALUES (15, 'f')")
+    val fin = spark.sql("SELECT k, score FROM evdef.db.t ORDER BY k")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(fin == Seq((10L, Some(7L)), (11L, Some(7L)), (12L, Some(7L)),
+      (13L, None), (14L, Some(99L)), (15L, None)), fin.toString)
+
+    // defaults survive MoR deletes (the merged read path) and compact
+    cat.deleteMoR("db", "t", col("k") === 11L)
+    assert(spark.sql("SELECT k, score FROM evdef.db.t WHERE k = 10")
+      .as[(Long, Option[Long])].head() == ((10L, Some(7L))))
+    cat.compact("db", "t", numFiles = 1)
+    assert(spark.sql("SELECT k, score FROM evdef.db.t ORDER BY k")
+      .as[(Long, Option[Long])].collect().toSeq ==
+      Seq((10L, Some(7L)), (12L, Some(7L)), (13L, None), (14L, Some(99L)),
+        (15L, None)),
+      "compact must MATERIALIZE the defaults it read (rewritten files carry them)")
+
+    // an expression default folds to a constant at ALTER time
+    spark.sql("ALTER TABLE evdef.db.t ADD COLUMN bonus BIGINT DEFAULT 2 + 3")
+    assert(spark.sql("SELECT bonus FROM evdef.db.t WHERE k = 10")
+      .as[Option[Long]].head() == Some(5L))
+  }
 }
