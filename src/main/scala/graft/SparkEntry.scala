@@ -1116,6 +1116,39 @@ object SparkEntry {
         "FROM snapdml.maint.mmstats ORDER BY o_orderstatus")
     }),
 
+    // DISTINCT-aggregate MV retraction (r11): count/sum(DISTINCT x)
+    // maintain through a per-(group, value) copy-count SIDECAR — the
+    // refresh folds the churn's value counts into the sidecar and
+    // re-derives the distinct outputs for ONLY the touched groups
+    // (O(distinct values) auxiliary state, the known-minimal for exact
+    // distinct maintenance). The query REQUIRES the merge path under a
+    // delete+insert range; the oracle replays the survivors from raw.
+    "q139_mv_distinct_retract" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "dvstats")) cat.dropView("maint", "dvstats")
+      if (cat.tableExists("maint", "mvdv_orders")) cat.dropTable("maint", "mvdv_orders")
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      cat.createTable("maint", "mvdv_orders", base.schema)
+      cat.append("maint", "mvdv_orders", base.where(col("o_orderkey") % 3 === 0))
+      cat.createMaterializedView("maint", "dvstats",
+        "SELECT o_orderstatus, count(DISTINCT o_custkey) AS cust_d, " +
+          "sum(DISTINCT cents) AS sum_d, count(*) AS n " +
+          "FROM maint.mvdv_orders GROUP BY o_orderstatus")
+      // one range carrying BOTH a MoR delete and an append: copies of
+      // shared custkeys retract (some die, some survive elsewhere) and
+      // new distinct values arrive
+      cat.deleteMoR("maint", "mvdv_orders", col("o_orderkey") % 5 === 0)
+      cat.append("maint", "mvdv_orders",
+        base.where(col("o_orderkey") % 3 === 1 && col("o_orderkey") % 7 === 0))
+      val (mode, _) = cat.refreshMaterializedView("maint", "dvstats")
+      require(mode == "incremental_agg",
+        s"distinct MV must merge via the sidecar, took '$mode'")
+      s.sql("SELECT o_orderstatus, cust_d, sum_d, n " +
+        "FROM snapdml.maint.dvstats ORDER BY o_orderstatus")
+    }),
+
     // COLUMN DEFAULT VALUES (r11, the Iceberg-v3 defaults model): ALTER
     // TABLE ADD COLUMN ... DEFAULT freezes an INITIAL default that
     // pre-evolution files serve on read (Spark's parquet readers fill
@@ -3515,6 +3548,25 @@ object SparkEntry {
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |WHERE o.o_orderkey % 3 IN (0, 1)
         |GROUP BY seg ORDER BY seg""".stripMargin,
+
+    // post-churn distinct aggregates replayed from scratch over exactly
+    // the surviving + appended rows: the sidecar-merged counts must
+    // equal the raw distinct state
+    "q139_mv_distinct_retract" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_custkey,
+        |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders
+        |), state AS (
+        |  SELECT * FROM base
+        |  WHERE (o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0)
+        |     OR (o_orderkey % 3 = 1 AND o_orderkey % 7 = 0)
+        |)
+        |SELECT o_orderstatus,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS cust_d,
+        |  CAST(sum(DISTINCT cents) AS BIGINT) AS sum_d,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // post-churn min/max replayed from scratch: the global-max row and
     // the %10==4 batch are retracted; any group whose stored extremum

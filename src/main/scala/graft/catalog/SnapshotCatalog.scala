@@ -3748,10 +3748,13 @@ final class SnapshotCatalog(
 
   def dropView(db: String, name: String): Boolean = {
     val doc = loadView(db, name)
-    // a materialized view owns its backing table: dropping the view
-    // drops the stored results too
+    // a materialized view owns its backing table (and any distinct-agg
+    // sidecars): dropping the view drops the stored results too
     doc.flatMap(_.properties.get("materialized"))
       .filter(tableExists(db, _)).foreach(dropTable(db, _))
+    doc.toSeq.flatMap(_.properties.collect {
+      case (k, t) if k.startsWith("mv.dv.") => t
+    }).distinct.filter(tableExists(db, _)).foreach(dropTable(db, _))
     log.delete(viewKey(db, name))
     Files.deleteIfExists(viewMarker(db, name))
     doc.isDefined
@@ -3947,17 +3950,40 @@ final class SnapshotCatalog(
     }
     // a body whose own outputs collide with the partial namespace cannot
     // augment — fall back to the plain materialization (full refreshes)
-    val out =
-      if (shapeOpt.isDefined &&
-          out0.schema.fieldNames.distinct.length != out0.schema.fieldNames.length)
-        pinnedBody(db, sql, pins)
-      else out0
+    val augOk = shapeOpt.isDefined &&
+      out0.schema.fieldNames.distinct.length == out0.schema.fieldNames.length
+    val out = if (shapeOpt.isDefined && !augOk) pinnedBody(db, sql, pins) else out0
     val partials = out.schema.fieldNames.filter(_.startsWith("__mv_")).toSeq
     val visibleOut = if (partials.isEmpty) out else out.drop(partials: _*)
     val mvT = mvTableName(name)
     if (!tableExists(db, mvT)) createTable(db, mvT, out.schema)
     overwrite(db, mvT, out)
-    val props = Map("materialized" -> mvT) ++
+    // DISTINCT-aggregate sidecars: one per distinct ARGUMENT (positions
+    // sharing an argument share the state), populated at the same pins
+    // as the backing. Stale sidecars of a replaced definition drop first
+    // so a shape change never leaves hidden state behind.
+    listTablesRaw(db).filter(_.startsWith(s"__mv_${name}__dv"))
+      .foreach(dropTable(db, _))
+    val dvProps: Map[String, String] = shapeOpt match {
+      case Some(sh) if augOk && sh.distinctPos.nonEmpty =>
+        sh.distinctPos.groupBy { case (i, _) => sh.aggFns(i).arguments.head.sql }
+          .values.flatMap { ps =>
+            val lead = ps.map(_._1).min
+            val t = mvDvTableName(name, lead)
+            val frame = pinnedBodyPlan(db, distinctSidecarPlan(sql, sh, lead), pins)
+            // a group key colliding with the sidecar's own columns makes
+            // the state unaddressable — skip (refreshes stay full)
+            if (frame.schema.fieldNames.distinct.length !=
+                frame.schema.fieldNames.length) Seq.empty
+            else {
+              createTable(db, t, frame.schema)
+              overwrite(db, t, frame)
+              ps.map { case (i, _) => s"mv.dv.$i" -> t }
+            }
+          }.toMap
+      case _ => Map.empty
+    }
+    val props = Map("materialized" -> mvT) ++ dvProps ++
       pins.map { case ((d, t), id) => s"mv.base.$d.$t" -> id.toString }
     // analysis already happened through pinnedBody (pinned form);
     // createView records its derived schema and does the cycle walk
@@ -3982,10 +4008,20 @@ final class SnapshotCatalog(
       * the candidate max) cannot move it, so only groups whose extremum
       * actually died recompute, from the base restricted to those keys.
       * GLOBAL min/max stay non-retractable (the one "group" would
-      * recompute over the whole base — that IS the full refresh). */
+      * recompute over the whole base — that IS the full refresh).
+      * DISTINCT count/sum/avg (r11) are retractable through the
+      * per-(group, value) copy-count sidecar: the refresh folds the
+      * delta's value counts into the sidecar and re-derives the distinct
+      * outputs for ONLY the touched groups — O(distinct values) state,
+      * the known-minimal auxiliary for exact distinct maintenance
+      * (self-maintainable-view literature). Global distinct is fine too:
+      * its recompute reads the sidecar, never the base. */
     def retractable: Boolean = aggPos.nonEmpty &&
       aggPos.forall(p => Set("count", "sum", "avg")(p._2) ||
-        (keyPos.nonEmpty && Set("min", "max")(p._2)))
+        (keyPos.nonEmpty && Set("min", "max")(p._2)) ||
+        Set("count_distinct", "sum_distinct", "avg_distinct")(p._2))
+    /** Output positions carrying DISTINCT aggregates, with their kinds. */
+    def distinctPos: Seq[(Int, String)] = aggPos.filter(_._2.endsWith("_distinct"))
   }
 
   // hidden partial columns an augmented aggregate-MV backing table
@@ -4028,6 +4064,49 @@ final class SnapshotCatalog(
       case other => other
     }
     aug(spark.sessionState.sqlParser.parsePlan(sql))
+  }
+
+  /** Sidecar table name for the DISTINCT aggregate at output position
+    * `i` of materialized view `name`. Starts with `__mv_` so the raw
+    * listing hides it exactly like the backing table. */
+  private def mvDvTableName(name: String, i: Int): String = s"__mv_${name}__dv$i"
+  private val MvDvValue = "__mv_v"
+
+  /** The per-(group, value) COPY-COUNT sidecar body for the DISTINCT
+    * aggregate at position `pos`: the view body's Aggregate re-grouped by
+    * (group keys, distinct argument) counting copies, with NULL argument
+    * rows filtered out (DISTINCT aggregates ignore them — and the filter
+    * keeps the sidecar at exactly the state the outputs need). The
+    * distinct outputs re-derive from this state group-locally:
+    * `count(DISTINCT x)` = row count, `sum(DISTINCT x)` = sum(value),
+    * `avg(DISTINCT x)` = avg(value). Sidecar size is O(distinct
+    * (group, value) pairs) — the irreducible auxiliary state for exact
+    * distinct maintenance; deltas fold in churn-sized. */
+  private def distinctSidecarPlan(sql: String, shape: AggShape, pos: Int)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{Alias, IsNotNull, Literal, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project, Sort}
+    val arg = shape.aggFns(pos).arguments.head
+    val cnt = Alias(UnresolvedFunction(Seq("count"), Seq(Literal(1)),
+      isDistinct = false), MvPartialRows)()
+    (spark.sessionState.sqlParser.parsePlan(sql) match {
+      case s: Sort => s.child
+      case p => p
+    }) match {
+      case a: Aggregate =>
+        val keyOuts: Seq[NamedExpression] =
+          shape.keyPos.map(i => a.aggregateExpressions(i))
+        Aggregate(a.groupingExpressions :+ arg,
+          keyOuts ++ Seq(Alias(arg, MvDvValue)(), cnt),
+          Filter(IsNotNull(arg), a.child))
+      case pr: Project => // global-aggregate form (Project of agg calls)
+        Aggregate(Seq(arg), Seq(Alias(arg, MvDvValue)(), cnt),
+          Filter(IsNotNull(arg), pr.child))
+      case other =>
+        throw new IllegalStateException(
+          s"distinct sidecar over a non-aggregate body: ${other.nodeName}")
+    }
   }
 
   /** Classify a view body as an incrementally-maintainable aggregation:
@@ -4083,6 +4162,17 @@ final class SnapshotCatalog(
                 mergeable(f.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
               fns(i) = f
               Right(i -> f.nameParts.head.toLowerCase(java.util.Locale.ROOT))
+            // DISTINCT aggregates (r11): count/sum/avg(DISTINCT x) are
+            // maintainable from a per-(group, value) copy-count SIDECAR
+            // ([[distinctSidecarPlan]]) — kinds tagged `*_distinct` so
+            // every merge path can tell them apart; min/max(DISTINCT) IS
+            // min/max (duplicates cannot move an extremum)
+            case f: UnresolvedFunction if f.isDistinct && f.filter.isEmpty &&
+                f.nameParts.length == 1 && f.arguments.length == 1 &&
+                mergeable(f.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+              fns(i) = f
+              val k = f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+              Right(i -> (if (k == "min" || k == "max") k else s"${k}_distinct"))
             case _ => return None
           }
         }
@@ -4114,6 +4204,15 @@ final class SnapshotCatalog(
                 mergeable(f.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
               fns(i) = f
               i -> f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+            // global DISTINCT aggregates maintain from the same sidecar
+            // (keyed on the value alone — O(distinct values) state, the
+            // irreducible auxiliary for exact distinct maintenance)
+            case f: UnresolvedFunction if f.isDistinct && f.filter.isEmpty &&
+                f.nameParts.length == 1 && f.arguments.length == 1 &&
+                mergeable(f.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+              fns(i) = f
+              val k = f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+              i -> (if (k == "min" || k == "max") k else s"${k}_distinct")
             case _ => return None
           }
         }
@@ -4275,13 +4374,40 @@ final class SnapshotCatalog(
     // append-only merge
     val backingHasPartials = tableExists(db, mvT) &&
       currentSnapshot(db, mvT).schema.fieldNames.contains(MvPartialRows)
+    // DISTINCT-aggregate sidecars recorded at create time (per output
+    // position). The merge path requires every distinct position's
+    // sidecar present; a shape carrying distinct aggregates without its
+    // sidecars (or on the join path) stays full.
+    val dvTables: Map[Int, String] = docMeta.properties.collect {
+      case (k, v) if k.startsWith("mv.dv.") => k.stripPrefix("mv.dv.").toInt -> v
+    }
+    val hasDistinct = shapeOpt.exists(_.distinctPos.nonEmpty)
+    val distinctReady = !hasDistinct || shapeOpt.get.distinctPos.forall {
+      case (i, _) => dvTables.get(i).exists(tableExists(db, _)) }
+    def rebuildSidecars(pins: Map[(String, String), Long]): Unit =
+      shapeOpt.filter(_.retractable).foreach { sh =>
+        sh.distinctPos.groupBy(p => dvTables.get(p._1)).foreach {
+          case (Some(t), ps) =>
+            val lead = ps.map(_._1).min
+            val frame = pinnedBodyPlan(db, distinctSidecarPlan(sql, sh, lead), pins)
+            if (!tableExists(db, t)) createTable(db, t, frame.schema)
+            overwrite(db, t, frame)
+          case (None, _) => ()
+        }
+      }
     def runFull(): Long = {
       val out = shapeOpt.filter(_.retractable) match {
         case Some(sh) if backingHasPartials =>
           pinnedBodyPlan(db, augmentedAggPlan(sql, sh), cur)
         case _ => pinnedBody(db, sql, cur)
       }
-      overwrite(db, mvT, out).summary.get("added_records").map(_.toLong).getOrElse(-1L)
+      val n = overwrite(db, mvT, out)
+        .summary.get("added_records").map(_.toLong).getOrElse(-1L)
+      // the sidecars must land at the same pins as the backing — a full
+      // refresh that skipped them would leave the NEXT merge folding
+      // deltas into stale value counts
+      if (backingHasPartials) rebuildSidecars(cur)
+      n
     }
 
     val singleBase = bases.size == 1 && from(bases.head).isDefined
@@ -4346,7 +4472,16 @@ final class SnapshotCatalog(
       def cached(f: DataFrame): DataFrame = { val c = f.cache(); caches += c; c }
       def releasePartials(): Unit = { caches.foreach(_.unpersist()); () }
       try {
-      val plus = cached(plusOnly.getOrElse(bodyOver(augPlan, insRowsOpt.get)))
+      // distinct aggregates re-read the ins/del ROW sets for the sidecar
+      // deltas — cache them once so the main partials and every sidecar
+      // share the same churn-sized scan; the join caller cannot serve
+      // them (its plus frame is already aggregated), so distinct shapes
+      // refuse plusOnly and fall to full
+      val dv = shape.distinctPos
+      if (dv.nonEmpty && plusOnly.isDefined) return None
+      val insRows = insRowsOpt.map(f => if (dv.nonEmpty) cached(f) else f)
+      val delRows = delRowsOpt.map(f => if (dv.nonEmpty) cached(f) else f)
+      val plus = cached(plusOnly.getOrElse(bodyOver(augPlan, insRows.get)))
       val names = plus.schema.fieldNames
       val keyNames = shape.keyPos.map(names)
       val aggKind = shape.aggPos.toMap
@@ -4357,17 +4492,21 @@ final class SnapshotCatalog(
       def mvNeed(i: Int) = s"__mvneed_$i"
       def nullKeyed(f: DataFrame): Boolean = keyNames.nonEmpty &&
         !f.where(keyNames.map(k => col(s"`$k`").isNull).reduce(_ || _)).isEmpty
-      val minusOpt = delRowsOpt.map(f => cached(bodyOver(augPlan, f)))
+      val minusOpt = delRows.map(f => cached(bodyOver(augPlan, f)))
       if (nullKeyed(plus) || minusOpt.exists(nullKeyed)) return None
       // NET per-group contribution: plus full-outer minus, every
       // aggregate/partial column as (p - m) with 0-coalescing; avg
       // outputs carry a placeholder (recomputed from partials below);
       // min/max carry the INSERT-side extremum plus a `__mvdel_<i>`
       // column holding the delete-side extremum for the probe
-      val net = minusOpt match {
+      // distinct outputs carry placeholders through the net/merge like
+      // avg — their values re-derive from the sidecar post-state below
+      def placeholder(i: Int) = aggKind.get(i).exists(k =>
+        k == "avg" || k.endsWith("_distinct"))
+      val net0 = minusOpt match {
         case None =>
           plus.select((names.zipWithIndex.map { case (n, i) =>
-            if (aggKind.get(i).contains("avg")) lit(null).cast(plus.schema(i).dataType).as(n)
+            if (placeholder(i)) lit(null).cast(plus.schema(i).dataType).as(n)
             else col(s"`$n`").as(n)
           } ++ mm.map { case (i, _) =>
             lit(null).cast(plus.schema(i).dataType).as(mvDel(i)) }).toIndexedSeq: _*)
@@ -4378,13 +4517,95 @@ final class SnapshotCatalog(
           plus.join(m, cond, "full_outer").select((names.zipWithIndex.map { case (n, i) =>
             val p = col(s"`$n`"); val mmc = col(s"`__m_$n`")
             if (shape.keyPos.contains(i)) coalesce(p, mmc).as(n)
-            else if (aggKind.get(i).contains("avg"))
+            else if (placeholder(i))
               lit(null).cast(plus.schema(i).dataType).as(n)
             else if (aggKind.get(i).exists(k => k == "min" || k == "max"))
               p.as(n) // insert-side extremum (null when group only deleted from)
             else (coalesce(p, lit(0)) - coalesce(mmc, lit(0))).cast(plus.schema(i).dataType).as(n)
           } ++ mm.map { case (i, _) =>
             col(s"`__m_${names(i)}`").as(mvDel(i)) }).toIndexedSeq: _*)
+      }
+      // the net re-executes for the touched-group restriction of every
+      // sidecar — cache it alongside the partials when distinct is live
+      val net = if (dv.isEmpty) net0 else cached(net0)
+      // ---- DISTINCT-aggregate sidecar maintenance ----
+      // Fold the delta's per-(group, value) copy counts into each
+      // sidecar's stored state and re-derive the distinct outputs for
+      // exactly the groups this refresh rewrites. Every frame is churn-
+      // or touched-group-sized: the sidecar deltas aggregate the same
+      // cached ins/del rows the main partials read, the merge joins a
+      // touched-pair frame against the sidecar (keyed file skipping
+      // applies), and the recompute reads only the touched groups'
+      // sidecar rows (semi-join restriction; the GLOBAL case reads the
+      // whole sidecar — O(distinct values), never the base).
+      case class DvState(table: String, positions: Seq[(Int, String)],
+        dead: DataFrame, alive: DataFrame, rec: DataFrame)
+      val dvStates: Seq[DvState] = if (dv.isEmpty) Seq.empty else {
+        val touched =
+          if (keyNames.isEmpty) null
+          else net.select(keyNames.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct()
+        val sKeys = keyNames :+ MvDvValue
+        dv.groupBy(p => dvTables(p._1)).toSeq.sortBy(_._1).map { case (tbl, ps) =>
+          val dvPlan = distinctSidecarPlan(sql, shape, ps.map(_._1).min)
+          val plusS = bodyOver(dvPlan, insRows.get)
+          val netS = cached((delRows.map(f => bodyOver(dvPlan, f)) match {
+            case None => plusS
+            case Some(minusS) =>
+              val m = minusS.select((sKeys.map(k => col(s"`$k`").as(s"__m_$k")) :+
+                col(MvPartialRows).as(s"__m_$MvPartialRows")).toIndexedSeq: _*)
+              val c = sKeys.map(k => plusS(s"`$k`") <=> m(s"`__m_$k`")).reduce(_ && _)
+              plusS.join(m, c, "full_outer").select(
+                (sKeys.map(k => coalesce(plusS(s"`$k`"), m(s"`__m_$k`")).as(k)) :+
+                  (coalesce(plusS(MvPartialRows), lit(0L)) -
+                    coalesce(m(s"`__m_$MvPartialRows`"), lit(0L))).as(MvPartialRows)
+                ).toIndexedSeq: _*)
+          }).where(col(MvPartialRows) =!= 0L))
+          val backingS = readLatest(db, tbl)
+          val condS = sKeys.map(k => netS(s"`$k`") <=> backingS(s"`$k`")).reduce(_ && _)
+          val mrg = cached(netS.join(backingS, condS, "left").select(
+            (sKeys.map(k => netS(s"`$k`").as(k)) :+
+              (coalesce(backingS(s"`$MvPartialRows`"), lit(0L)) +
+                netS(s"`$MvPartialRows`")).cast("long").as(MvPartialRows)
+            ).toIndexedSeq: _*))
+          val dead = mrg.where(col(MvPartialRows) <= 0L)
+            .select(sKeys.map(k => col(s"`$k`")).toIndexedSeq: _*)
+          val alive = mrg.where(col(MvPartialRows) > 0L)
+          // post-merge sidecar state over the touched groups: stored rows
+          // of those groups with the net folded in, zero-count pairs gone
+          val storedTouched =
+            if (keyNames.isEmpty) backingS
+            else backingS.join(touched, keyNames.toIndexedSeq, "left_semi")
+          // both sides descend from the same cached delta rows — rename
+          // each side uniquely and join on plain column refs (dataset-
+          // resolved refs across the shared lineage trip Spark's
+          // ambiguous-self-join detection)
+          val sT = storedTouched.select(
+            (sKeys.map(k => col(s"`$k`").as(s"__s_$k")) :+
+              col(MvPartialRows).as("__s_n")).toIndexedSeq: _*)
+          val nS = netS.select(
+            (sKeys.map(k => col(s"`$k`").as(s"__p_$k")) :+
+              col(MvPartialRows).as("__p_n")).toIndexedSeq: _*)
+          val condP = sKeys.map(k =>
+            col(s"`__s_$k`") <=> col(s"`__p_$k`")).reduce(_ && _)
+          val post = sT.join(nS, condP, "full_outer")
+            .select((sKeys.map(k =>
+              coalesce(col(s"`__p_$k`"), col(s"`__s_$k`")).as(k)) :+
+              (coalesce(col("`__s_n`"), lit(0L)) +
+                coalesce(col("`__p_n`"), lit(0L))).as("__n")).toIndexedSeq: _*)
+            .where(col("__n") > 0L)
+          val recAggs = ps.map { case (i, kind) =>
+            (kind match {
+              case "count_distinct" => count(lit(1))
+              case "sum_distinct" => sum(col(s"`$MvDvValue`"))
+              case "avg_distinct" => avg(col(s"`$MvDvValue`"))
+            }).as(s"__rdv_$i")
+          }
+          val rec =
+            if (keyNames.isEmpty) post.agg(recAggs.head, recAggs.tail: _*)
+            else post.groupBy(keyNames.map(k => col(s"`$k`")).toIndexedSeq: _*)
+              .agg(recAggs.head, recAggs.tail: _*)
+          DvState(tbl, ps, dead, alive, rec)
+        }
       }
       // merge net against the stored state; every column exact by
       // partial bookkeeping
@@ -4422,6 +4643,8 @@ final class SnapshotCatalog(
               mergedPartial(mvPartialSum(i)) / mergedPartial(mvPartialCnt(i)))
               .otherwise(lit(null)).cast(plus.schema(i).dataType).as(n)
           case k @ ("min" | "max") => mmCand(i, k).as(n) // recompute splice below
+          case k if k.endsWith("_distinct") =>
+            backing(s"`$n`").as(n) // sidecar recompute splice below
         }
       } ++ mm.map { case (i, k) => mmNeed(i, k).as(mvNeed(i)) }
       val merged0 = joined.select(outCols.toIndexedSeq: _*)
@@ -4479,14 +4702,44 @@ final class SnapshotCatalog(
             }.toIndexedSeq: _*)
           }
         }
+      // DISTINCT-OUTPUT SPLICE: left-join each sidecar's recomputed
+      // frame on the group keys and take its values for the distinct
+      // positions — a group absent from the recompute has no non-null
+      // values left (count 0, sum/avg NULL)
+      val mergedFinal = dvStates.foldLeft(merged) { case (accF, st) =>
+        val tag = st.positions.map(_._1).min
+        val rr = st.rec.select((keyNames.map(k =>
+          col(s"`$k`").as(s"__rk${tag}_$k")) ++
+          st.positions.map { case (i, _) => col(s"`__rdv_$i`") }).toIndexedSeq: _*)
+        val c = keyNames.map(k => accF(s"`$k`") <=> rr(s"`__rk${tag}_$k`"))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val kindOf = st.positions.toMap
+        accF.join(rr, c, "left").select(names.zipWithIndex.map { case (n, i) =>
+          kindOf.get(i) match {
+            case Some("count_distinct") =>
+              coalesce(col(s"`__rdv_$i`"), lit(0L))
+                .cast(plus.schema(i).dataType).as(n)
+            case Some(_) =>
+              col(s"`__rdv_$i`").cast(plus.schema(i).dataType).as(n)
+            case None => accF(s"`$n`").as(n)
+          }
+        }.toIndexedSeq: _*)
+      }
+      // sidecar state commits adjacent to the backing commit (same
+      // failure discipline as the backing's own delete+upsert pair)
+      dvStates.foreach { st =>
+        if (minusOpt.isDefined && !st.dead.isEmpty) deleteMoREq(db, st.table, st.dead)
+        if (!st.alive.isEmpty)
+          upsertMoR(db, st.table, st.alive, keyNames :+ MvDvValue)
+      }
       if (keyNames.isEmpty) {
         // global aggregate: exactly one row, always present
-        Some(overwrite(db, mvT, merged)
+        Some(overwrite(db, mvT, mergedFinal)
           .summary.get("added_records").map(_.toLong).getOrElse(-1L))
       } else {
         // group death: a merged row count of zero means SQL would not
         // produce the group — delete it from the backing
-        val mergedC = cached(merged)
+        val mergedC = cached(mergedFinal)
         val dead = mergedC.where(col(MvPartialRows) <= 0)
           .select(keyNames.map(k => col(s"`$k`")): _*)
         val alive = mergedC.where(col(MvPartialRows) > 0)
@@ -4506,8 +4759,11 @@ final class SnapshotCatalog(
       joinBodyBases.exists(ks => ks.toSet == bases.toSet)
     // GROUP BY over the join: the aggregate's input delta is the join
     // delta; the partial-merge machinery applies unchanged
+    // distinct aggregates refuse the join path (the sidecar body is
+    // single-base) — those fall to full
     val joinAggIncremental = bothAppendOnly && !joinIncremental &&
-      shapeOpt.exists(_.retractable) && backingHasPartials && joinAggBodyOk
+      shapeOpt.exists(_.retractable) && backingHasPartials && !hasDistinct &&
+      joinAggBodyOk
 
     var mode =
       if (joinIncremental) "incremental_join"
@@ -4515,11 +4771,14 @@ final class SnapshotCatalog(
       else if (!singleBase) "full"
       else if (appendOnly && projectFilterOnly) "incremental"
       // partial-backed count/sum/avg family: maintainable under ANY
-      // range the changelog can diff (deletes/updates retract)
-      else if (shapeOpt.exists(_.retractable) && backingHasPartials) "incremental_agg"
-      // legacy merge (min/max shapes, DISTINCT, pre-augmentation
-      // backings): append-only ranges, no avg
-      else if (appendOnly && shapeOpt.isDefined &&
+      // range the changelog can diff (deletes/updates retract); distinct
+      // aggregates additionally need every sidecar present
+      else if (shapeOpt.exists(_.retractable) && backingHasPartials &&
+        distinctReady) "incremental_agg"
+      // legacy merge (min/max shapes, SELECT DISTINCT, pre-augmentation
+      // backings): append-only ranges, no avg, no distinct aggregates
+      // (their arithmetic does not fold without the sidecar)
+      else if (appendOnly && shapeOpt.isDefined && !hasDistinct &&
         !shapeOpt.get.aggPos.exists(_._2 == "avg")) "incremental_agg"
       else "full"
     val added = mode match {

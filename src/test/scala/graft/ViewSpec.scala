@@ -770,4 +770,103 @@ class ViewSpec extends AnyFunSuite {
     assert(!cat.viewExists("ns9", "mv"))
     assert(cat.listTablesRaw("ns9").isEmpty)
   }
+
+  test("DISTINCT-aggregate MV retraction: sidecar folds, touched groups recompute") {
+    val (cat, wh) = freshCat()
+    register(wh, "vdv")
+    val a = Seq(
+      (1L, "g0", Option(10L)), (2L, "g0", Option(10L)), (3L, "g0", Option(20L)),
+      (4L, "g1", Option(5L)), (5L, "g1", Option(7L)),
+      (6L, "g2", Option(9L))).toDF("id", "grp", "v")
+    cat.createTable("db", "base", a.schema)
+    cat.append("db", "base", a)
+    cat.createMaterializedView("db", "dv",
+      "SELECT grp, count(DISTINCT v) AS cd, sum(DISTINCT v) AS sd, " +
+        "count(*) AS n FROM vdv.db.base GROUP BY grp")
+    def expect() = spark.sql(
+      "SELECT grp, count(DISTINCT v) AS cd, sum(DISTINCT v) AS sd, " +
+        "count(*) AS n FROM vdv.db.base GROUP BY grp ORDER BY grp")
+      .as[(String, Long, Option[Long], Long)].collect().toSeq
+    def got() = spark.sql("SELECT * FROM vdv.db.dv ORDER BY grp")
+      .as[(String, Long, Option[Long], Long)].collect().toSeq
+    assert(got() == expect())
+    // the view serves visible outputs only; the sidecar table exists but
+    // is hidden from the user listing like the backing table
+    assert(spark.table("vdv.db.dv").columns.toSeq == Seq("grp", "cd", "sd", "n"))
+    assert(cat.listTables("db") == Seq("base"))
+    assert(cat.listTablesRaw("db").exists(_.startsWith("__mv_dv__dv")),
+      cat.listTablesRaw("db").toString)
+
+    def refresh() = cat.refreshMaterializedView("db", "dv")._1
+    // DUPLICATE of an existing value: distinct untouched, n moves
+    cat.append("db", "base", Seq((7L, "g0", Option(10L))).toDF("id", "grp", "v"))
+    assert(refresh() == "incremental_agg")
+    assert(got() == expect())
+    assert(got().find(_._1 == "g0").get._2 == 2L)
+
+    // NEW value: distinct count and distinct sum both move
+    cat.append("db", "base", Seq((8L, "g1", Option(11L))).toDF("id", "grp", "v"))
+    assert(refresh() == "incremental_agg")
+    assert(got() == expect())
+    assert(got().find(_._1 == "g1").get == (("g1", 3L, Some(23L), 3L)))
+
+    // delete ONE copy of a triplicated value: distinct stays (the
+    // sidecar count drops 3 -> 2, the value survives)
+    cat.deleteMoR("db", "base", col("id") === 1L)
+    assert(refresh() == "incremental_agg")
+    assert(got() == expect())
+    assert(got().find(_._1 == "g0").get._2 == 2L)
+
+    // delete the LAST copies of a value: it leaves the distinct set
+    cat.deleteMoR("db", "base", col("v") === 10L)
+    assert(refresh() == "incremental_agg")
+    assert(got() == expect())
+    assert(got().find(_._1 == "g0").get == (("g0", 1L, Some(20L), 1L)))
+
+    // UPDATE moving a value: pre-image retracts, post-image inserts
+    cat.updateMoR("db", "base", col("id") === 3L, Map("v" -> lit(21L)))
+    assert(refresh() == "incremental_agg")
+    assert(got() == expect())
+    assert(got().find(_._1 == "g0").get == (("g0", 1L, Some(21L), 1L)))
+
+    // NULL values are invisible to DISTINCT aggregates: a group of only
+    // nulls counts 0 with a NULL distinct sum, and n still counts rows
+    cat.append("db", "base",
+      Seq((9L, "g3", Option.empty[Long])).toDF("id", "grp", "v"))
+    assert(refresh() == "incremental_agg")
+    assert(got() == expect())
+    assert(got().find(_._1 == "g3").get == (("g3", 0L, None, 1L)))
+
+    // GROUP DEATH cleans both backing and sidecar state
+    cat.deleteMoR("db", "base", col("grp") === "g2")
+    assert(refresh() == "incremental_agg")
+    assert(got() == expect())
+    assert(!got().exists(_._1 == "g2"))
+
+    // GLOBAL distinct aggregates retract too: the recompute reads the
+    // sidecar (O(distinct values)), never the base
+    cat.createMaterializedView("db", "gdv",
+      "SELECT count(DISTINCT v) AS cd, avg(DISTINCT v) AS ad FROM vdv.db.base")
+    cat.deleteMoR("db", "base", col("id") === 8L) // g1's 11 dies
+    assert(cat.refreshMaterializedView("db", "gdv")._1 == "incremental_agg")
+    assert(spark.sql("SELECT * FROM vdv.db.gdv")
+      .as[(Long, Option[Double])].head() ==
+      spark.sql("SELECT count(DISTINCT v) AS cd, avg(DISTINCT v) AS ad " +
+        "FROM vdv.db.base").as[(Long, Option[Double])].head())
+    assert(cat.refreshMaterializedView("db", "dv")._1 == "incremental_agg")
+    assert(got() == expect())
+
+    // a MISSING sidecar disables the merge (falls back to full, stays
+    // correct) — the distinct state cannot be reconstructed from deltas
+    val side = cat.listTablesRaw("db").find(_.startsWith("__mv_dv__dv")).get
+    cat.dropTable("db", side)
+    cat.append("db", "base", Seq((10L, "g1", Option(7L))).toDF("id", "grp", "v"))
+    assert(refresh() == "full")
+    assert(got() == expect())
+
+    // dropping the view drops backing AND sidecars
+    cat.dropView("db", "dv")
+    cat.dropView("db", "gdv")
+    assert(cat.listTablesRaw("db") == Seq("base"), cat.listTablesRaw("db").toString)
+  }
 }
