@@ -1149,6 +1149,46 @@ object SparkEntry {
         "FROM snapdml.maint.dvstats ORDER BY o_orderstatus")
     }),
 
+    // AUTOMATIC MV QUERY REWRITE (r11, aggregate navigation): a plain
+    // aggregate over the BASE table — the query never names the view —
+    // is served from a fresh MV's backing: the group-subset rollup
+    // re-aggregates the stored per-group partials, the residual filter
+    // on a group-key column re-applies on the backing, and avg rebuilds
+    // as Σsum/Σcount. At 100 TB this replaces the fact-table scan +
+    // shuffle with a read of a few thousand pre-aggregated rows. The
+    // query REQUIRES the rewrite fired (plan reads the backing) against
+    // a MoR-churned, incrementally-refreshed MV; the oracle replays the
+    // aggregate from the raw surviving rows — so the rewrite path is
+    // held to exact-result parity with the from-scratch plan.
+    "q140_mv_autorewrite" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "arw_mv")) cat.dropView("maint", "arw_mv")
+      if (cat.tableExists("maint", "arw_orders")) cat.dropTable("maint", "arw_orders")
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      cat.createTable("maint", "arw_orders", base.schema)
+      cat.append("maint", "arw_orders", base)
+      cat.createMaterializedView("maint", "arw_mv",
+        "SELECT o_orderstatus, o_orderpriority, sum(cents) AS sc, " +
+          "count(*) AS n, avg(cents) AS ac, min(cents) AS mn, max(cents) AS mx " +
+          "FROM maint.arw_orders GROUP BY o_orderstatus, o_orderpriority")
+      // MoR churn + incremental refresh: the rewrite must hold against a
+      // delete-retracted backing, not a pristine materialization
+      cat.deleteMoR("maint", "arw_orders", col("o_orderkey") % 10 === 3)
+      val (mode, _) = cat.refreshMaterializedView("maint", "arw_mv")
+      require(mode == "incremental_agg", s"refresh took '$mode'")
+      val df = s.sql(
+        "SELECT o_orderstatus, sum(cents) AS sc, count(*) AS n, " +
+          "avg(cents) AS ac, min(cents) AS mn, max(cents) AS mx, " +
+          "count(cents) AS nc FROM snapdml.maint.arw_orders " +
+          "WHERE o_orderpriority <> '3-MEDIUM' " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+      require(df.queryExecution.optimizedPlan.toString.contains("__mv_arw_mv"),
+        "aggregate must be answered from the MV backing (automatic rewrite)")
+      df
+    }),
+
     // COLUMN DEFAULT VALUES (r11, the Iceberg-v3 defaults model): ALTER
     // TABLE ADD COLUMN ... DEFAULT freezes an INITIAL default that
     // pre-evolution files serve on read (Spark's parquet readers fill
@@ -3567,6 +3607,25 @@ object SparkEntry {
         |  CAST(sum(DISTINCT cents) AS BIGINT) AS sum_d,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the MV-rewritten aggregate replayed from the raw surviving rows:
+    // the rollup-from-partials answer must equal the from-scratch one
+    // exactly (integer cents keep every sum/avg bit-exact cross-engine)
+    "q140_mv_autorewrite" ->
+      """WITH state AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 10 <> 3
+        |)
+        |SELECT o_orderstatus,
+        |  CAST(sum(cents) AS BIGINT) AS sc,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(avg(cents) AS DOUBLE) AS ac,
+        |  CAST(min(cents) AS BIGINT) AS mn,
+        |  CAST(max(cents) AS BIGINT) AS mx,
+        |  CAST(count(cents) AS BIGINT) AS nc
+        |FROM state WHERE o_orderpriority <> '3-MEDIUM'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // post-churn min/max replayed from scratch: the global-max row and
     // the %10==4 batch are retracted; any group whose stored extremum

@@ -4028,9 +4028,11 @@ final class SnapshotCatalog(
   // carries alongside the visible outputs (never served through the
   // view redirect): group row count, per-sum non-null counts, per-avg
   // sum+count decompositions
-  private val MvPartialRows = "__mv_n"
-  private def mvPartialSum(i: Int) = s"__mv_s$i"
-  private def mvPartialCnt(i: Int) = s"__mv_c$i"
+  // (declared on the companion: MvRewriteRule derives rollups from the
+  // same partials without holding a catalog instance)
+  private val MvPartialRows = SnapshotCatalog.MvPartialRows
+  private def mvPartialSum(i: Int) = SnapshotCatalog.mvPartialSum(i)
+  private def mvPartialCnt(i: Int) = SnapshotCatalog.mvPartialCnt(i)
 
   /** The parsed body with the partial columns APPENDED to its aggregate
     * list: `count(1) AS __mv_n`, per `sum(x)` a `count(x) AS __mv_c<i>`,
@@ -4070,7 +4072,7 @@ final class SnapshotCatalog(
     * `i` of materialized view `name`. Starts with `__mv_` so the raw
     * listing hides it exactly like the backing table. */
   private def mvDvTableName(name: String, i: Int): String = s"__mv_${name}__dv$i"
-  private val MvDvValue = "__mv_v"
+  private val MvDvValue = SnapshotCatalog.MvDvValue
 
   /** The per-(group, value) COPY-COUNT sidecar body for the DISTINCT
     * aggregate at position `pos`: the view body's Aggregate re-grouped by
@@ -5803,6 +5805,17 @@ object SnapshotCatalog {
     * `_file`/`_pos` equivalent). */
   val MorFileCol = "__graft_mor_file"
   val MorPosCol = "__graft_mor_pos"
+
+  /** Hidden partial columns an augmented aggregate-MV backing carries
+    * alongside its visible outputs: group row count, per-sum non-null
+    * counts, per-avg sum+count decompositions (`i` = output position in
+    * the view's select list). Shared by the retraction merge and by
+    * [[graft.catalog.spark.MvRewriteRule]]'s rollup derivations. */
+  private[graft] val MvPartialRows = "__mv_n"
+  private[graft] def mvPartialSum(i: Int): String = s"__mv_s$i"
+  private[graft] def mvPartialCnt(i: Int): String = s"__mv_c$i"
+  /** Value column of a DISTINCT-aggregate copy-count sidecar. */
+  private[graft] val MvDvValue = "__mv_v"
 
   /** The two on-disk log formats. v1 (a bare JSON array of full snapshots,
     * rounds 1-3) is read transparently and migrated to v2 on the first

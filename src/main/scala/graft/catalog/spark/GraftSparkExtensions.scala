@@ -102,6 +102,11 @@ class MorReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .flatMap(_.toLongOption)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // MV-rewrite MATCHING analyses run with scan substitution suppressed:
+    // those plans exist only to be compared against a user query (never
+    // executed), and a substituted leaf would hide the relation identity
+    // the comparison needs. Every executed read keeps the MoR merge.
+    if (MvRewriteRule.substitutionSuppressed) return plan
     // DML write targets, by reference identity: they must keep their
     // relation shape for the row-level planners even when readable.
     // An aliased target (`DELETE FROM t AS x`, `MERGE INTO t x`) wraps the
@@ -462,6 +467,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => MetadataCountRule)
     e.injectResolutionRule(s => new ViewSubstitutionRule(s))
+    // MV rewrite runs FIRST: it must see the clean pre-MoR scan relation,
+    // and the backing read it emits re-enters the full pipeline anyway
+    e.injectPostHocResolutionRule(s => new MvRewriteRule(s))
     e.injectPostHocResolutionRule(s => new MorReadRule(s))
     e.injectPostHocResolutionRule(s => new MorDeltaScanRule(s))
     e.injectPostHocResolutionRule(s => new ChangelogReadRule(s))

@@ -1,0 +1,472 @@
+package graft.catalog.spark
+
+import scala.util.Try
+
+import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, KnownNotNull, Literal, PredicateHelper, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Sort, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.catalog.SnapshotCatalog
+
+/** Automatic MATERIALIZED-VIEW QUERY REWRITE (aggregate navigation): a
+  * user aggregate over a base table is answered from a FRESH materialized
+  * view's backing table instead — without the user referencing the view —
+  * whenever the backing provably contains the answer. The classic
+  * warehouse optimization (Oracle query rewrite, Calcite/BigQuery
+  * "materialized view smart tuning"): at 100 TB it turns a full fact-table
+  * scan + shuffle into a read of a few thousand pre-aggregated rows.
+  *
+  * Soundness model — a rewrite fires only when ALL of:
+  *  - the query is a single `Aggregate` over (attribute-only projections /
+  *    filters over) exactly ONE snapcat relation, deterministic, no
+  *    subqueries;
+  *  - a materialized view in the same namespace has a single-base
+  *    aggregate body over THE SAME relation, and its recorded base pin
+  *    (`mv.base.<db>.<t>`) equals BOTH the snapshot the query reads and
+  *    the table's current snapshot — i.e. the backing reflects exactly
+  *    the data the scan would see (the extra current-id check closes the
+  *    mid-refresh window where the backing is already ahead of the pins);
+  *  - the view body's filter conjuncts are a SUBSET of the query's
+  *    (matched semantically after re-basing the body onto the query's
+  *    relation), and every residual query conjunct references only the
+  *    view's group-key columns — those re-apply on the backing;
+  *  - the query's group columns are a subset of the view's group-key
+  *    OUTPUTS, and every query aggregate derives from the view's visible
+  *    outputs or its hidden `__mv_*` partials (sum/count decompositions):
+  *      exact group match  → served per-row from the backing;
+  *      strict subset      → re-aggregated (ROLLUP): count → sum of the
+  *        stored counts, sum → sum of sums, min/max → min/max of extrema,
+  *        avg → sum(__mv_s)/sum(__mv_c); DISTINCT aggregates roll up only
+  *        on exact group match (distinct state does not compose).
+  * Everything else passes through untouched — the rewrite is a pure
+  * optimization with no fallback semantics to reason about.
+  *
+  * Runs as the FIRST post-hoc resolution rule: the query's relation is
+  * still a clean V2 scan (pre-MoR-substitution), and the emitted backing
+  * read is analyzed through the normal pipeline, so a backing carrying
+  * its own merge-on-read shards from incremental refreshes still merges.
+  * Output attributes are re-aliased to the original aggregate's expr-ids,
+  * so parent operators (HAVING, ORDER BY, projections) resolve untouched.
+  * Session kill-switch: `spark.graft.mv.rewrite.enabled=false`.
+  */
+class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def enabled: Boolean = Try(spark.sessionState.conf
+    .getConfString("spark.graft.mv.rewrite.enabled", "true")).getOrElse("true") == "true"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvRewriteRule.substitutionSuppressed || !enabled) plan
+    else plan.transformUpWithSubqueries {
+      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+    }
+
+  /** The scan chain under an aggregate: conjuncts collected through
+    * filters and attribute-only projections down to a single V2 relation. */
+  private def scanChain(p: LogicalPlan): Option[(Seq[Expression], DataSourceV2Relation)] =
+    p match {
+      case SubqueryAlias(_, c) => scanChain(c)
+      case Filter(cond, c) =>
+        scanChain(c).map { case (cs, r) => (splitConjunctivePredicates(cond) ++ cs, r) }
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => scanChain(c)
+      case r: DataSourceV2Relation => Some((Seq.empty, r))
+      case _ => None
+    }
+
+  /** The snapshot id a relation's scan serves: the reader-option
+    * time-travel override, else the resolved table's own snapshot. */
+  private def servedSnapshotId(rel: DataSourceV2Relation): Option[Long] = {
+    val opt = Option(rel.options).flatMap(o =>
+      Option(o.get("snapshot-id")).orElse(Option(o.get("as_of_snapshot_id"))))
+      .flatMap(_.toLongOption)
+    opt.orElse(rel.table match {
+      case h: HasSnapshotIdentity =>
+        h.snapshotIdentity.split('@').lastOption.flatMap(_.toLongOption)
+      case _ => None
+    })
+  }
+
+  private def usable(e: Expression): Boolean =
+    e.deterministic && !e.exists(_.isInstanceOf[SubqueryExpression])
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    if (!agg.resolved) return None
+    val (userConj, rel) = scanChain(agg.child).getOrElse(return None)
+    val plugin = rel.catalog match {
+      case Some(p: SnapCatalogPlugin) => p
+      case _ => return None
+    }
+    val ident = rel.identifier.getOrElse(return None)
+    if (ident.namespace().length != 1) return None
+    val (db, tbl) = (ident.namespace()(0), ident.name())
+    // backing/sidecar tables never rewrite (the loop-free anchor), and
+    // changelog-windowed reads are not table-state scans
+    if (tbl.startsWith("__mv_")) return None
+    if (Option(rel.options).exists(o =>
+        o.containsKey("from-snapshot-id") || o.containsKey("to-snapshot-id"))) return None
+    if (!(userConj.forall(usable) && agg.groupingExpressions.forall(usable) &&
+        agg.aggregateExpressions.forall(usable))) return None
+    // metadata-served global aggregates (unfiltered count/min/max over the
+    // bare relation) are ALREADY O(1) via MetadataCountRule — stand aside
+    if (agg.groupingExpressions.isEmpty && userConj.isEmpty &&
+        agg.aggregateExpressions.forall(ne => strip(ne) match {
+          case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+            ae.aggregateFunction match {
+              case Count(Seq(Literal(_, _))) => true
+              case Min(_: Attribute) | Max(_: Attribute) => true
+              case _ => false
+            }
+          case _ => false
+        })) return None
+    val cat = plugin.snapViews
+    val views = Try(cat.listViews(db)).getOrElse(return None)
+    if (views.isEmpty) return None
+    val served = servedSnapshotId(rel).getOrElse(return None)
+    // freshness anchor: rewrites serve CURRENT-state scans only (a pin
+    // equal to a historical snapshot is not enough — see the scaladoc)
+    if (Try(cat.currentSnapshotId(db, tbl)).getOrElse(-1L) != served) return None
+
+    val candidates = views.flatMap { v =>
+      cat.loadView(db, v).flatMap { vm =>
+        val pins = vm.properties.collect {
+          case (k, value) if k.startsWith("mv.base.") => k.stripPrefix("mv.base.") -> value
+        }
+        val dv = vm.properties.collect {
+          case (k, t) if k.startsWith("mv.dv.") => k.stripPrefix("mv.dv.").toInt -> t
+        }
+        for {
+          mvT <- vm.properties.get("materialized")
+          if pins.size == 1 && pins.headOption.exists { case (k, p) =>
+            k == s"$db.$tbl" && p.toLongOption.contains(served) }
+        } yield (v, mvT, vm.currentVersion.sql, dv)
+      }
+    }
+    if (candidates.isEmpty) return None
+
+    val matches = candidates.flatMap { case (v, mvT, sql, dv) =>
+      tryMatch(agg, userConj, rel, plugin, db, tbl, v, mvT, sql, dv)
+    }
+    // smallest backing wins: fewer group keys = more pre-aggregation
+    matches.sortBy(_._1).headOption.map(_._2)
+  }
+
+  private def strip(e: Expression): Expression = e match {
+    case Alias(c, _) => c
+    case c => c
+  }
+
+  private def arg1Of(ae: AggregateExpression): Option[Expression] =
+    ae.aggregateFunction.children match { case Seq(c) => Some(c); case _ => None }
+
+  /** Attempt the match against one candidate MV; returns (group-key
+    * count, replacement plan) on success. */
+  private def tryMatch(agg: Aggregate, userConj: Seq[Expression],
+      rel: DataSourceV2Relation, plugin: SnapCatalogPlugin, db: String,
+      tbl: String, view: String, mvT: String, sql: String,
+      dvTables: Map[Int, String]): Option[(Int, LogicalPlan)] = Try {
+    val cat = plugin.snapViews
+    val backingSchema = cat.currentSnapshot(db, mvT).schema
+    val backingCols = backingSchema.fieldNames.toSet
+
+    // ---- analyze the view body (matching-only: scan substitution off) --
+    // Body relations resolve the way the catalog's own refresh machinery
+    // resolves them (`relKeyOf`): `d.t` and `cat.d.t` mean (d, t) of THIS
+    // catalog, a bare `t` means (viewDb, t) — fully qualified here so the
+    // analysis is independent of the session's current catalog.
+    val parsedBody = spark.sessionState.sqlParser.parsePlan(sql)
+      .transformUpWithSubqueries {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          val k = u.multipartIdentifier match {
+            case Seq(d, n) => Some((d, n))
+            case Seq(_, d, n) => Some((d, n))
+            case Seq(n) => Some((db, n))
+            case _ => None
+          }
+          k.filter { case (d, n) => Try(cat.tableExists(d, n)).getOrElse(false) }
+            .map { case (d, n) =>
+              u.copy(multipartIdentifier = Seq(plugin.name(), d, n)) }
+            .getOrElse(u)
+      }
+    val analyzedBody = MvRewriteRule.suppressingSubstitution {
+      GraftColumnBridge.ofRows(spark, parsedBody).queryExecution.analyzed
+    }
+    val bodyOut = analyzedBody.output
+    // visible backing columns are positionally the body's output list
+    val visible = backingSchema.fieldNames.filterNot(_.startsWith("__mv_"))
+    if (!visible.sameElements(bodyOut.map(_.name))) return None
+    def stripTop(p: LogicalPlan): LogicalPlan = p match {
+      case pr @ Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        val _ = pr; stripTop(c)
+      case s: Sort => stripTop(s.child)
+      case SubqueryAlias(_, c) => stripTop(c)
+      case other => other
+    }
+    val bodyAgg = stripTop(analyzedBody) match {
+      case a: Aggregate => a
+      case _ => return None
+    }
+    val (bodyConjRaw, bodyRel) = scanChain(bodyAgg.child).getOrElse(return None)
+    val sameTable = bodyRel.catalog.exists {
+      case p: SnapCatalogPlugin => p.name() == plugin.name()
+      case _ => false
+    } && bodyRel.identifier.exists(i =>
+      i.namespace().sameElements(Array(db)) && i.name() == tbl)
+    if (!sameTable) return None
+    if (!bodyConjRaw.forall(usable)) return None
+
+    // ---- rebase the body onto the query's relation ---------------------
+    val userByName = rel.output.map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+    val rebase = bodyRel.output.flatMap { a =>
+      userByName.get(a.name.toLowerCase(java.util.Locale.ROOT)).map(a.exprId -> _)
+    }.toMap
+    if (rebase.size != bodyRel.output.length) return None // schema drift
+    def reb(e: Expression): Expression = e.transform {
+      case a: AttributeReference if rebase.contains(a.exprId) => rebase(a.exprId)
+    }
+    val bodyConj = bodyConjRaw.map(reb)
+    if (bodyConj.exists(c => !c.references.subsetOf(rel.outputSet))) return None
+
+    // ---- filter subsumption --------------------------------------------
+    var remaining = userConj.toBuffer
+    bodyConj.foreach { bc =>
+      val i = remaining.indexWhere(_.semanticEquals(bc))
+      if (i < 0) return None // body is MORE restrictive than the query
+      remaining.remove(i)
+    }
+    val residual = remaining.toSeq
+
+    // ---- the view's group keys and aggregate outputs --------------------
+    val bodyGroupIds = bodyAgg.groupingExpressions.map {
+      case a: AttributeReference => a.exprId
+      case _ => return None // expression keys: not matchable
+    }.toSet
+    // defining expression per visible output position
+    val defs: Seq[(String, Expression)] = bodyOut.map { o =>
+      val d = bodyAgg.aggregateExpressions
+        .find(_.toAttribute.exprId == o.exprId).getOrElse(return None)
+      o.name -> strip(d)
+    }
+    // key outputs: rebased leaf attr expr-id -> backing column name
+    val keyCols: Map[Long, String] = defs.collect {
+      case (n, a: AttributeReference) if bodyGroupIds.contains(a.exprId) =>
+        reb(a) match {
+          case u: AttributeReference => u.exprId.id -> n
+          case _ => return None
+        }
+    }.toMap
+    // aggregate outputs: (position, rebased AggregateExpression, name)
+    val aggOuts: Seq[(Int, AggregateExpression, String)] = defs.zipWithIndex.collect {
+      case ((n, ae: AggregateExpression), i)
+          if ae.mode == Complete && ae.filter.isEmpty =>
+        (i, reb(ae).asInstanceOf[AggregateExpression], n)
+    }
+
+    // residual conjuncts must land on group-key columns of the backing
+    val residualCols = residual.map { r =>
+      if (!r.references.forall(a => keyCols.contains(a.exprId.id))) return None
+      r.transform { case a: AttributeReference => UnresolvedAttribute.quoted(keyCols(a.exprId.id)) }
+    }
+
+    // ---- group containment ----------------------------------------------
+    val userGroups = agg.groupingExpressions.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    if (!userGroups.forall(a => keyCols.contains(a.exprId.id))) return None
+    // exact = the query groups on EVERY view group key (so the backing is
+    // one row per query group); a view key absent from its own output can
+    // never be "covered", forcing the rollup path
+    val exact = bodyGroupIds.size == keyCols.size &&
+      userGroups.map(_.exprId.id).toSet == keyCols.keySet
+
+    // ---- derive each query output from the backing -----------------------
+    // (throws into the enclosing Try → no-match, never a user error)
+    def need(c: String): String = {
+      require(backingCols.contains(c), s"backing $mvT lacks $c"); c
+    }
+    def fnCol(name: String, args: Expression*): Expression =
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        Seq(name), args.toSeq, isDistinct = false)
+    def bcol(c: String): Expression = UnresolvedAttribute.quoted(need(c))
+    /** The backing expression for one user aggregate call, or None. */
+    def mapAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.mode != Complete || ae.filter.isDefined) return None
+      // a directly-matching visible output (function, args, distinct flag,
+      // eval mode — all via semantic equality)
+      val direct = aggOuts.find(_._2.semanticEquals(ae)).map(_._3)
+      def arg1(x: AggregateExpression): Option[Expression] =
+        x.aggregateFunction.children match { case Seq(c) => Some(c); case _ => None }
+      val a = ae.aggregateFunction
+      (a, direct) match {
+        case (_, Some(n)) if ae.isDistinct =>
+          if (exact) Some(bcol(n)) else None // distinct does not compose
+        case (_: Count, Some(n)) =>
+          Some(if (exact) bcol(n) else Coalesce(Seq(fnCol("sum", bcol(n)), Literal(0L))))
+        case (_: Sum, Some(n)) => Some(if (exact) bcol(n) else fnCol("sum", bcol(n)))
+        case (_: Min, Some(n)) => Some(if (exact) bcol(n) else fnCol("min", bcol(n)))
+        case (_: Max, Some(n)) => Some(if (exact) bcol(n) else fnCol("max", bcol(n)))
+        case (_: Average, Some(n)) if exact => Some(bcol(n))
+        case _ if ae.isDistinct => None
+        case (Average(e, _), _) if !ae.dataType.isInstanceOf[DecimalType] =>
+          // avg never folds as avg-of-avgs — rebuild Σsum/Σcount from the
+          // partials of a matching avg output, or from a sum output plus
+          // its count partial (decimal scale arithmetic differs — skip)
+          aggOuts.collectFirst {
+            case (i, o, n) if !o.isDistinct && arg1(o).exists(_.semanticEquals(e)) &&
+                (o.aggregateFunction.isInstanceOf[Average] ||
+                  o.aggregateFunction.isInstanceOf[Sum]) =>
+              val s: Expression = if (o.aggregateFunction.isInstanceOf[Average])
+                bcol(SnapshotCatalog.mvPartialSum(i)) else bcol(n)
+              val c: Expression = bcol(SnapshotCatalog.mvPartialCnt(i))
+              if (exact) fnCol("/", s, c)
+              else fnCol("/", fnCol("sum", s), fnCol("sum", c))
+          }
+        case (Count(Seq(Literal(_, _))), None) => // count(*) from __mv_n
+          val n = SnapshotCatalog.MvPartialRows
+          Some(if (exact) bcol(n) else Coalesce(Seq(fnCol("sum", bcol(n)), Literal(0L))))
+        case (Count(Seq(e)), None) => // count(x) from a sum/avg partial
+          aggOuts.collectFirst {
+            case (i, o, _) if !o.isDistinct &&
+                (o.aggregateFunction.isInstanceOf[Sum] ||
+                  o.aggregateFunction.isInstanceOf[Average]) &&
+                arg1(o).exists(_.semanticEquals(e)) =>
+              val n = SnapshotCatalog.mvPartialCnt(i)
+              if (exact) bcol(n) else Coalesce(Seq(fnCol("sum", bcol(n)), Literal(0L)))
+          }
+        case (Sum(e, _), None) => // sum(x) from an avg partial
+          aggOuts.collectFirst {
+            case (i, o, _) if !o.isDistinct && o.aggregateFunction.isInstanceOf[Average] &&
+                arg1(o).exists(_.semanticEquals(e)) =>
+              val n = SnapshotCatalog.mvPartialSum(i)
+              if (exact) bcol(n) else fnCol("sum", bcol(n))
+          }
+        case _ => None
+      }
+    }
+    /** A whole output expression: aggregate calls and group columns map to
+      * the backing; any arithmetic AROUND them carries over verbatim. */
+    def mapOut(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => mapAgg(ae)
+      case a: AttributeReference =>
+        keyCols.get(a.exprId.id).map(n => bcol(n))
+      case l: Literal => Some(l)
+      case _ if e.references.isEmpty && e.deterministic && e.children.isEmpty => Some(e)
+      case _ if e.children.nonEmpty =>
+        val kids = e.children.map(c => mapOut(c).getOrElse(return None))
+        Some(e.withNewChildren(kids))
+      case _ => None
+    }
+    val mappedOuts: Seq[Option[Expression]] =
+      agg.aggregateExpressions.map(ne => mapOut(strip(ne)))
+    def readTable(t: String) = spark.table(s"`${plugin.name()}`.`$db`.`$t`")
+    def withResiduals(df0: org.apache.spark.sql.DataFrame) = {
+      var df = df0
+      residualCols.foreach(r => df = df.where(GraftColumnBridge.column(r)))
+      df
+    }
+    def gCols = userGroups.map(a =>
+      org.apache.spark.sql.functions.col(s"`${keyCols(a.exprId.id)}`"))
+    def oCols = agg.aggregateExpressions.indices.map(j =>
+      org.apache.spark.sql.functions.col(s"__o_$j"))
+
+    // ---- build the replacement (normal analysis: MoR on the backing) ----
+    val result = if (mappedOuts.forall(_.isDefined)) {
+      val outCols = mappedOuts.map(_.get).zip(agg.aggregateExpressions)
+        .zipWithIndex.map { case ((m, ne), j) =>
+          GraftColumnBridge.column(m).cast(ne.dataType).alias(s"__o_$j") }
+      val df = withResiduals(readTable(mvT))
+      if (exact) df.select(outCols: _*)
+      else df.groupBy(gCols: _*).agg(outCols.head, outCols.tail: _*).select(oCols: _*)
+    } else {
+      // ---- DISTINCT-rollup fallback: serve from the copy-count SIDECAR --
+      // count/sum/avg(DISTINCT x) at a COARSER grouping re-aggregates the
+      // per-(group, value) sidecar (O(distinct pairs), still MV-sized —
+      // values shared across collapsed subgroups dedupe via the DISTINCT
+      // over the value column). The sidecar omits all-NULL groups, so
+      // group EXISTENCE comes from the backing: keys left-join the
+      // sidecar rollup, absent groups read count 0 / sum NULL — exactly
+      // the base semantics. Only pure outputs (keys + distinct aggs over
+      // the sidecar's argument) qualify; anything else stays unmatched.
+      if (dvTables.isEmpty) return None
+      val fn = org.apache.spark.sql.functions
+      import fn.{coalesce, col, lit}
+      // one sidecar whose argument covers EVERY user distinct aggregate
+      val (dvPos, dvTable) = dvTables.toSeq.sortBy(_._1).collectFirst {
+        case (i, t) if aggOuts.exists(_._1 == i) => (i, t)
+      }.getOrElse(return None)
+      val dvArg = aggOuts.find(_._1 == dvPos).flatMap(o => arg1Of(o._2))
+        .getOrElse(return None)
+      sealed trait Out
+      case class KeyOut(n: String) extends Out
+      case class DvOut(fname: String, isCount: Boolean) extends Out
+      val outs: Seq[Out] = agg.aggregateExpressions.map(ne => strip(ne) match {
+        case a: AttributeReference => KeyOut(keyCols.getOrElse(a.exprId.id, return None))
+        case ae: AggregateExpression if ae.isDistinct && ae.filter.isEmpty &&
+            ae.mode == Complete &&
+            ae.aggregateFunction.children.headOption.exists(_.semanticEquals(dvArg)) &&
+            ae.aggregateFunction.children.length == 1 =>
+          ae.aggregateFunction match {
+            case _: Count => DvOut("count", isCount = true)
+            case _: Sum => DvOut("sum", isCount = false)
+            case _: Average => DvOut("avg", isCount = false)
+            case _ => return None
+          }
+        case _ => return None
+      })
+      val v = s"`${SnapshotCatalog.MvDvValue}`"
+      val sideAgg = withResiduals(readTable(dvTable))
+        .groupBy(gCols: _*)
+        .agg(lit(1).as("__dv_one"), outs.zipWithIndex.collect {
+          case (DvOut(f, _), j) =>
+            fn.expr(s"$f(DISTINCT $v)").alias(s"__d_$j")
+        }: _*)
+      val finished =
+        if (userGroups.isEmpty) sideAgg // global: one row exists regardless
+        else {
+          // group existence from the backing (all-NULL groups have no
+          // sidecar rows but DO exist in the view / the base aggregate)
+          val keyNames = userGroups.map(a => keyCols(a.exprId.id))
+          val groups = withResiduals(readTable(mvT))
+            .select(keyNames.map(n => col(s"`$n`")): _*).distinct()
+          groups.join(sideAgg, keyNames.toIndexedSeq, "left")
+        }
+      finished.select(outs.zip(agg.aggregateExpressions).zipWithIndex.map {
+        case ((KeyOut(n), ne), j) => col(s"`$n`").cast(ne.dataType).alias(s"__o_$j")
+        case ((DvOut(_, isCount), ne), j) =>
+          val c = if (isCount) coalesce(col(s"__d_$j"), lit(0L)) else col(s"__d_$j")
+          c.cast(ne.dataType).alias(s"__o_$j")
+      }: _*)
+    }
+    val newPlan = result.queryExecution.analyzed
+    if (newPlan.output.length != agg.output.length) return None
+    if (newPlan.output.zip(agg.output).exists { case (n, o) => n.dataType != o.dataType })
+      return None
+    logInfo(s"MV rewrite: $db.$tbl aggregate served from $db.$view ($mvT, " +
+      s"${if (exact) "exact" else "rollup"})")
+    Some((bodyGroupIds.size, Project(agg.output.zip(newPlan.output).map { case (o, n0) =>
+      val n = if (!o.nullable && n0.nullable) KnownNotNull(n0) else (n0: Expression)
+      Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+    }, newPlan)))
+  }.recover { case e =>
+    // a failed match attempt is never a user error — but surface it for
+    // tuning (the analyzer exception says WHY the candidate was unusable)
+    logInfo(s"MV rewrite: candidate $db.$view did not match: ${e.getMessage}")
+    None
+  }.toOption.flatten
+}
+
+object MvRewriteRule {
+  private val suppressDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+  /** True while a matching-only analysis is in flight on this thread. */
+  def substitutionSuppressed: Boolean = suppressDepth.get() > 0
+  private[spark] def suppressingSubstitution[T](body: => T): T = {
+    suppressDepth.set(suppressDepth.get() + 1)
+    try body finally suppressDepth.set(suppressDepth.get() - 1)
+  }
+}

@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.SnapshotCatalog
+
+/** Automatic MV query rewrite (aggregate navigation): user aggregates
+  * over a base table are served from a FRESH materialized view's backing
+  * without the query referencing the view — exact group matches per-row,
+  * group subsets by rolling up the stored partials, residual filters on
+  * group keys re-applied on the backing. Staleness, non-subsumed filters,
+  * non-key residuals, distinct-rollups, and the kill switch all fall back
+  * to the base scan. Results must be IDENTICAL either way. */
+class MvRewriteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCat(name: String): SnapshotCatalog = {
+    val wh = Files.createTempDirectory("graft_mvr_").toString
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    var tick = 0L
+    new SnapshotCatalog(spark, wh, clock = () =>
+      { tick += 1; Instant.parse("2026-07-02T00:00:00Z").plusSeconds(tick * 60) })
+  }
+
+  /** Runs `q` with the rewrite off (ground truth) and on; returns
+    * (truth == rewritten-result, did-the-plan-read-a-backing-table). */
+  private def check(q: String): (Boolean, Boolean) = {
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val truth = spark.sql(q).collect().toSeq
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    val df = spark.sql(q)
+    val viaMv = df.queryExecution.optimizedPlan.toString.contains("__mv_")
+    val got = df.collect().toSeq
+    (truth.map(_.toString).sorted == got.map(_.toString).sorted, viaMv)
+  }
+  private def assertRewritten(q: String): Unit = {
+    val (same, via) = check(q)
+    assert(via, s"expected MV rewrite for: $q")
+    assert(same, s"rewritten result differs for: $q")
+  }
+  private def assertNotRewritten(q: String): Unit = {
+    val (same, via) = check(q)
+    assert(!via, s"expected NO rewrite for: $q")
+    assert(same)
+  }
+
+  test("exact, rollup, residual-filter, staleness, kill-switch") {
+    val cat = freshCat("mvr")
+    val rows = (1 to 400).map { i =>
+      (s"k${i % 4}", s"g${i % 3}",
+        if (i % 17 == 0) None else Some(i.toLong),
+        if (i % 23 == 0) None else Some((i % 7) * 0.5))
+    }
+    val df = rows.toDF("k1", "k2", "v", "w")
+    cat.createTable("db", "fact", df.schema)
+    cat.append("db", "fact", df)
+    cat.createMaterializedView("db", "rollup_mv",
+      "SELECT k1, k2, sum(v) AS sv, count(*) AS n, avg(w) AS aw, " +
+        "min(v) AS mn, max(v) AS mx FROM mvr.db.fact GROUP BY k1, k2")
+
+    // exact group match: served per-row from the backing
+    assertRewritten("SELECT k1, k2, sum(v) AS s, count(*) AS c, avg(w) AS a, " +
+      "min(v) AS lo, max(v) AS hi FROM mvr.db.fact GROUP BY k1, k2 ORDER BY k1, k2")
+    // rollup to a key subset: counts sum, sums sum, extrema fold, avg
+    // re-derives from the stored sum/count partials
+    assertRewritten("SELECT k1, sum(v) AS s, count(*) AS c, avg(w) AS a, " +
+      "min(v) AS lo, max(v) AS hi FROM mvr.db.fact GROUP BY k1 ORDER BY k1")
+    // global rollup (no GROUP BY; mixed aggregates dodge the
+    // metadata-count carve-out)
+    assertRewritten("SELECT sum(v) AS s, count(*) AS c, avg(w) AS a FROM mvr.db.fact")
+    // count(v) (non-null count) derives from sum(v)'s count partial;
+    // arithmetic AROUND aggregates carries over
+    assertRewritten("SELECT k2, count(v) AS cv, sum(v) / count(*) AS r " +
+      "FROM mvr.db.fact GROUP BY k2")
+    // residual filter on a group-key column re-applies on the backing
+    assertRewritten("SELECT k1, sum(v) AS s FROM mvr.db.fact " +
+      "WHERE k2 = 'g1' GROUP BY k1 ORDER BY k1")
+    // HAVING / ORDER BY parents resolve over the rewritten aggregate
+    assertRewritten("SELECT k1, count(*) AS c FROM mvr.db.fact GROUP BY k1 " +
+      "HAVING count(*) > 10 ORDER BY c DESC")
+
+    // unfiltered bare count(*) stays with the O(1) metadata-count path
+    assertNotRewritten("SELECT count(*) AS c FROM mvr.db.fact")
+    // a filter on a NON-key column cannot re-apply on the backing
+    assertNotRewritten("SELECT k1, count(*) AS c FROM mvr.db.fact " +
+      "WHERE v > 100 GROUP BY k1")
+    // grouping by a non-key column is not covered
+    assertNotRewritten("SELECT k1, v % 2 AS p, count(*) AS c FROM mvr.db.fact " +
+      "GROUP BY k1, v % 2")
+
+    // STALENESS: any base commit disables the rewrite until refresh
+    cat.append("db", "fact", Seq(("k9", "g9", Some(5L), Some(1.0)))
+      .toDF("k1", "k2", "v", "w"))
+    assertNotRewritten("SELECT k1, sum(v) AS s FROM mvr.db.fact GROUP BY k1")
+    assert(cat.refreshMaterializedView("db", "rollup_mv")._1 == "incremental_agg")
+    assertRewritten("SELECT k1, sum(v) AS s FROM mvr.db.fact GROUP BY k1")
+
+    // MoR delete churn: refresh restores rewritability and exactness
+    cat.deleteMoR("db", "fact", col("v") % 5 === 0)
+    assertNotRewritten("SELECT k1, sum(v) AS s FROM mvr.db.fact GROUP BY k1")
+    cat.refreshMaterializedView("db", "rollup_mv")
+    assertRewritten("SELECT k1, sum(v) AS s, count(*) AS c, avg(w) AS a " +
+      "FROM mvr.db.fact GROUP BY k1 ORDER BY k1")
+
+    // kill switch
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val plan = spark.sql("SELECT k1, sum(v) AS s FROM mvr.db.fact GROUP BY k1")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__mv_"))
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+  }
+
+  test("filtered-body subsumption picks the tighter MV; distinct is exact-only") {
+    val cat = freshCat("mvr2")
+    val df = (1 to 300).map(i =>
+      (s"k${i % 5}", s"g${i % 2}", (i % 11).toLong)).toDF("k1", "k2", "v")
+    cat.createTable("db2", "fact", df.schema)
+    cat.append("db2", "fact", df)
+    cat.createMaterializedView("db2", "wide",
+      "SELECT k1, k2, sum(v) AS sv, count(*) AS n FROM mvr2.db2.fact GROUP BY k1, k2")
+    cat.createMaterializedView("db2", "narrow",
+      "SELECT k1, sum(v) AS sv FROM mvr2.db2.fact WHERE k2 = 'g1' GROUP BY k1")
+    cat.createMaterializedView("db2", "dv",
+      "SELECT k1, count(DISTINCT v) AS cd FROM mvr2.db2.fact GROUP BY k1")
+
+    // both MVs cover this; the 1-key filtered one is the smaller backing
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    val q = "SELECT k1, sum(v) AS s FROM mvr2.db2.fact WHERE k2 = 'g1' GROUP BY k1"
+    val plan = spark.sql(q).queryExecution.optimizedPlan.toString
+    assert(plan.contains("__mv_narrow"), plan)
+    assertRewritten(q)
+    // the wide MV still serves the unfiltered rollup
+    assertRewritten("SELECT k2, sum(v) AS s FROM mvr2.db2.fact GROUP BY k2")
+
+    // DISTINCT: exact group match serves from the stored output…
+    assertRewritten("SELECT k1, count(DISTINCT v) AS c FROM mvr2.db2.fact GROUP BY k1")
+    // …and a COARSER grouping re-aggregates the copy-count SIDECAR
+    // (values shared across collapsed subgroups dedupe via the DISTINCT
+    // over the value column) — including aggregates the view itself
+    // never output (sum/avg DISTINCT from a count-DISTINCT view)
+    assertRewritten("SELECT count(DISTINCT v) AS c FROM mvr2.db2.fact")
+    assertRewritten("SELECT k1, sum(DISTINCT v) AS s, avg(DISTINCT v) AS a, " +
+      "count(DISTINCT v) AS c FROM mvr2.db2.fact GROUP BY k1")
+    // mixing a distinct agg with a non-distinct one the sidecar cannot
+    // serve → no rewrite, correct from base
+    assertNotRewritten("SELECT count(DISTINCT v) AS c, sum(v) AS s " +
+      "FROM mvr2.db2.fact")
+
+    // commutes/reorders still match semantically (filter written backwards)
+    assertRewritten("SELECT k1, sum(v) AS s FROM mvr2.db2.fact " +
+      "WHERE 'g1' = k2 GROUP BY k1")
+  }
+
+  test("sidecar rollup keeps all-NULL groups alive") {
+    val cat = freshCat("mvr3")
+    val df = (Seq(
+      ("a", "x", Option(1L)), ("a", "x", Option(1L)), ("a", "y", Option(2L)),
+      ("b", "x", Option(1L)), ("b", "y", Option(3L)),
+      // group c exists but every value is NULL: count(DISTINCT)=0,
+      // sum(DISTINCT)=NULL — the group must SURVIVE the sidecar rollup
+      ("c", "x", Option.empty[Long]), ("c", "y", Option.empty[Long])))
+      .toDF("k1", "k2", "v")
+    cat.createTable("db3", "fact", df.schema)
+    cat.append("db3", "fact", df)
+    cat.createMaterializedView("db3", "dv2",
+      "SELECT k1, k2, count(DISTINCT v) AS cd, count(*) AS n " +
+        "FROM mvr3.db3.fact GROUP BY k1, k2")
+    assertRewritten("SELECT k1, count(DISTINCT v) AS c, sum(DISTINCT v) AS s " +
+      "FROM mvr3.db3.fact GROUP BY k1")
+    // and the residual key filter applies on BOTH the sidecar and the
+    // group-existence read
+    assertRewritten("SELECT k1, count(DISTINCT v) AS c FROM mvr3.db3.fact " +
+      "WHERE k2 = 'x' GROUP BY k1")
+    // value shared across the collapsed k2 subgroups counts ONCE
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    val got = spark.sql("SELECT k1, count(DISTINCT v) AS c FROM mvr3.db3.fact " +
+      "GROUP BY k1 ORDER BY k1").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L), ("b", 2L), ("c", 0L)), got.toString)
+  }
+}
