@@ -1189,6 +1189,47 @@ object SparkEntry {
       df
     }),
 
+    // JOIN-MV NAVIGATION (r11): a fact-dim JOIN aggregate — written with
+    // the join condition in the WHERE clause and the tables in the
+    // OPPOSITE order from the view body — is answered from the join-MV's
+    // backing (inner joins normalize to σ(cond)(A × B), so conjunct
+    // placement and leaf order never matter), rolled up to the dim key
+    // with a residual filter on a fact group key. At 100 TB this removes
+    // the fact-side shuffle join entirely. REQUIRES the plan reads the
+    // backing; the oracle replays the join aggregate from raw.
+    "q141_mv_join_navigate" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "arwj_mv")) cat.dropView("maint", "arwj_mv")
+      if (cat.tableExists("maint", "arwj_orders")) cat.dropTable("maint", "arwj_orders")
+      if (cat.tableExists("maint", "arwj_cust")) cat.dropTable("maint", "arwj_cust")
+      val fact = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dim = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      cat.createTable("maint", "arwj_orders", fact.schema)
+      cat.append("maint", "arwj_orders", fact.where(col("o_orderkey") % 2 === 0))
+      cat.createTable("maint", "arwj_cust", dim.schema)
+      cat.append("maint", "arwj_cust", dim)
+      cat.createMaterializedView("maint", "arwj_mv",
+        "SELECT c.c_mktsegment, o.o_orderstatus, sum(o.cents) AS sc, " +
+          "count(*) AS n FROM maint.arwj_orders o JOIN maint.arwj_cust c " +
+          "ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment, o.o_orderstatus")
+      // append-only churn on the FACT side, then the incremental
+      // join-agg refresh — navigation must hold against a merged backing
+      cat.append("maint", "arwj_orders", fact.where(col("o_orderkey") % 2 === 1))
+      val (mode, _) = cat.refreshMaterializedView("maint", "arwj_mv")
+      require(mode == "incremental_join_agg", s"refresh took '$mode'")
+      val df = s.sql(
+        "SELECT c_mktsegment, sum(cents) AS sc, count(*) AS n, " +
+          "avg(cents) AS ac FROM snapdml.maint.arwj_cust c, " +
+          "snapdml.maint.arwj_orders o WHERE o.o_custkey = c.c_custkey " +
+          "AND o.o_orderstatus <> 'P' GROUP BY c_mktsegment ORDER BY c_mktsegment")
+      require(df.queryExecution.optimizedPlan.toString.contains("__mv_arwj_mv"),
+        "join aggregate must be answered from the join-MV backing")
+      df
+    }),
+
     // COLUMN DEFAULT VALUES (r11, the Iceberg-v3 defaults model): ALTER
     // TABLE ADD COLUMN ... DEFAULT freezes an INITIAL default that
     // pre-evolution files serve on read (Spark's parquet readers fill
@@ -3626,6 +3667,17 @@ object SparkEntry {
         |  CAST(count(cents) AS BIGINT) AS nc
         |FROM state WHERE o_orderpriority <> '3-MEDIUM'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the join-MV-navigated aggregate replayed as the raw fact-dim join:
+    // the rollup-from-backing answer must equal the from-scratch join
+    "q141_mv_join_navigate" ->
+      """SELECT c.c_mktsegment,
+        |  CAST(sum(CAST(FLOOR(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS sc,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(avg(CAST(FLOOR(o.o_totalprice*100) AS BIGINT)) AS DOUBLE) AS ac
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderstatus <> 'P'
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
 
     // post-churn min/max replayed from scratch: the global-max row and
     // the %10==4 batch are retracted; any group whose stored extremum

@@ -6,7 +6,8 @@ import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, KnownNotNull, Literal, PredicateHelper, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Sort, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Sort, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{DecimalType, LongType}
@@ -23,18 +24,21 @@ import graft.catalog.SnapshotCatalog
   *
   * Soundness model — a rewrite fires only when ALL of:
   *  - the query is a single `Aggregate` over (attribute-only projections /
-  *    filters over) exactly ONE snapcat relation, deterministic, no
-  *    subqueries;
-  *  - a materialized view in the same namespace has a single-base
-  *    aggregate body over THE SAME relation, and its recorded base pin
-  *    (`mv.base.<db>.<t>`) equals BOTH the snapshot the query reads and
-  *    the table's current snapshot — i.e. the backing reflects exactly
-  *    the data the scan would see (the extra current-id check closes the
-  *    mid-refresh window where the backing is already ahead of the pins);
-  *  - the view body's filter conjuncts are a SUBSET of the query's
-  *    (matched semantically after re-basing the body onto the query's
-  *    relation), and every residual query conjunct references only the
-  *    view's group-key columns — those re-apply on the backing;
+  *    filters over) ONE snapcat relation or one INNER JOIN of two distinct
+  *    snapcat relations (the fact-dim shape), deterministic, no
+  *    subqueries. An inner join reads as `σ(cond)(A × B)`, so ON-clause
+  *    vs WHERE vs pushed-down conjunct placement never matters — both
+  *    sides normalize into one conjunct set over the leaf pair;
+  *  - a materialized view over THE SAME relation set has its recorded
+  *    base pins (`mv.base.<db>.<t>`) equal to BOTH the snapshots the
+  *    query's scans serve and the tables' current snapshots — i.e. the
+  *    backing reflects exactly the data the scans would see (the extra
+  *    current-id check closes the mid-refresh window where the backing is
+  *    already ahead of the pins);
+  *  - the view body's conjuncts (join conditions included) are a SUBSET
+  *    of the query's (matched semantically after re-basing the body onto
+  *    the query's leaves), and every residual query conjunct references
+  *    only the view's group-key columns — those re-apply on the backing;
   *  - the query's group columns are a subset of the view's group-key
   *    OUTPUTS, and every query aggregate derives from the view's visible
   *    outputs or its hidden `__mv_*` partials (sum/count decompositions):
@@ -65,15 +69,25 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
       case agg: Aggregate => rewrite(agg).getOrElse(agg)
     }
 
-  /** The scan chain under an aggregate: conjuncts collected through
-    * filters and attribute-only projections down to a single V2 relation. */
-  private def scanChain(p: LogicalPlan): Option[(Seq[Expression], DataSourceV2Relation)] =
+  /** The scan forest under an aggregate: conjuncts collected through
+    * filters, attribute-only projections, and INNER joins (for which
+    * `σ(cond)(A × B)` is an equivalent reading — so ON-clause, WHERE, and
+    * pushed-down placements all normalize into ONE conjunct set) down to
+    * the V2 relation leaves. */
+  private def scanForest(p: LogicalPlan)
+      : Option[(Seq[Expression], Seq[DataSourceV2Relation])] =
     p match {
-      case SubqueryAlias(_, c) => scanChain(c)
+      case SubqueryAlias(_, c) => scanForest(c)
       case Filter(cond, c) =>
-        scanChain(c).map { case (cs, r) => (splitConjunctivePredicates(cond) ++ cs, r) }
-      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => scanChain(c)
-      case r: DataSourceV2Relation => Some((Seq.empty, r))
+        scanForest(c).map { case (cs, r) => (splitConjunctivePredicates(cond) ++ cs, r) }
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => scanForest(c)
+      case j: Join if j.joinType == Inner || j.joinType == Cross =>
+        for {
+          (lc, lr) <- scanForest(j.left)
+          (rc, rr) <- scanForest(j.right)
+        } yield (j.condition.toSeq.flatMap(splitConjunctivePredicates) ++ lc ++ rc,
+          lr ++ rr)
+      case r: DataSourceV2Relation => Some((Seq.empty, Seq(r)))
       case _ => None
     }
 
@@ -95,24 +109,35 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     if (!agg.resolved) return None
-    val (userConj, rel) = scanChain(agg.child).getOrElse(return None)
-    val plugin = rel.catalog match {
+    val (userConj, rels) = scanForest(agg.child).getOrElse(return None)
+    // one relation, or one inner join of two DISTINCT relations (the
+    // fact-dim shape — a self-join has no unambiguous rebase)
+    if (rels.isEmpty || rels.length > 2) return None
+    val plugin = rels.head.catalog match {
       case Some(p: SnapCatalogPlugin) => p
       case _ => return None
     }
-    val ident = rel.identifier.getOrElse(return None)
-    if (ident.namespace().length != 1) return None
-    val (db, tbl) = (ident.namespace()(0), ident.name())
+    if (!rels.forall(_.catalog.exists {
+      case p: SnapCatalogPlugin => p.name() == plugin.name()
+      case _ => false
+    })) return None
+    val keys: Seq[(String, String)] = rels.map { r =>
+      val ident = r.identifier.getOrElse(return None)
+      if (ident.namespace().length != 1) return None
+      (ident.namespace()(0), ident.name())
+    }
+    if (keys.distinct.length != keys.length) return None
     // backing/sidecar tables never rewrite (the loop-free anchor), and
     // changelog-windowed reads are not table-state scans
-    if (tbl.startsWith("__mv_")) return None
-    if (Option(rel.options).exists(o =>
-        o.containsKey("from-snapshot-id") || o.containsKey("to-snapshot-id"))) return None
+    if (keys.exists(_._2.startsWith("__mv_"))) return None
+    if (rels.exists(r => Option(r.options).exists(o =>
+        o.containsKey("from-snapshot-id") || o.containsKey("to-snapshot-id"))))
+      return None
     if (!(userConj.forall(usable) && agg.groupingExpressions.forall(usable) &&
         agg.aggregateExpressions.forall(usable))) return None
     // metadata-served global aggregates (unfiltered count/min/max over the
     // bare relation) are ALREADY O(1) via MetadataCountRule — stand aside
-    if (agg.groupingExpressions.isEmpty && userConj.isEmpty &&
+    if (rels.length == 1 && agg.groupingExpressions.isEmpty && userConj.isEmpty &&
         agg.aggregateExpressions.forall(ne => strip(ne) match {
           case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
             ae.aggregateFunction match {
@@ -123,32 +148,36 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
           case _ => false
         })) return None
     val cat = plugin.snapViews
-    val views = Try(cat.listViews(db)).getOrElse(return None)
-    if (views.isEmpty) return None
-    val served = servedSnapshotId(rel).getOrElse(return None)
     // freshness anchor: rewrites serve CURRENT-state scans only (a pin
     // equal to a historical snapshot is not enough — see the scaladoc)
-    if (Try(cat.currentSnapshotId(db, tbl)).getOrElse(-1L) != served) return None
+    val servedByKey: Map[(String, String), Long] = keys.zip(rels).map { case (k, r) =>
+      val served = servedSnapshotId(r).getOrElse(return None)
+      if (Try(cat.currentSnapshotId(k._1, k._2)).getOrElse(-1L) != served) return None
+      k -> served
+    }.toMap
+    val pinSet = servedByKey.map { case ((d, t), id) => s"$d.$t" -> id.toString }
 
-    val candidates = views.flatMap { v =>
-      cat.loadView(db, v).flatMap { vm =>
-        val pins = vm.properties.collect {
-          case (k, value) if k.startsWith("mv.base.") => k.stripPrefix("mv.base.") -> value
+    val candidates = keys.map(_._1).distinct.flatMap { vdb =>
+      Try(cat.listViews(vdb)).getOrElse(Seq.empty).flatMap { v =>
+        cat.loadView(vdb, v).flatMap { vm =>
+          val pins = vm.properties.collect {
+            case (k, value) if k.startsWith("mv.base.") =>
+              k.stripPrefix("mv.base.") -> value
+          }
+          val dv = vm.properties.collect {
+            case (k, t) if k.startsWith("mv.dv.") => k.stripPrefix("mv.dv.").toInt -> t
+          }
+          for {
+            mvT <- vm.properties.get("materialized")
+            if pins == pinSet // every base pinned at exactly what the scan serves
+          } yield (vdb, v, mvT, vm.currentVersion.sql, dv)
         }
-        val dv = vm.properties.collect {
-          case (k, t) if k.startsWith("mv.dv.") => k.stripPrefix("mv.dv.").toInt -> t
-        }
-        for {
-          mvT <- vm.properties.get("materialized")
-          if pins.size == 1 && pins.headOption.exists { case (k, p) =>
-            k == s"$db.$tbl" && p.toLongOption.contains(served) }
-        } yield (v, mvT, vm.currentVersion.sql, dv)
       }
     }
     if (candidates.isEmpty) return None
 
-    val matches = candidates.flatMap { case (v, mvT, sql, dv) =>
-      tryMatch(agg, userConj, rel, plugin, db, tbl, v, mvT, sql, dv)
+    val matches = candidates.flatMap { case (vdb, v, mvT, sql, dv) =>
+      tryMatch(agg, userConj, rels, plugin, vdb, v, mvT, sql, dv)
     }
     // smallest backing wins: fewer group keys = more pre-aggregation
     matches.sortBy(_._1).headOption.map(_._2)
@@ -165,8 +194,8 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
   /** Attempt the match against one candidate MV; returns (group-key
     * count, replacement plan) on success. */
   private def tryMatch(agg: Aggregate, userConj: Seq[Expression],
-      rel: DataSourceV2Relation, plugin: SnapCatalogPlugin, db: String,
-      tbl: String, view: String, mvT: String, sql: String,
+      rels: Seq[DataSourceV2Relation], plugin: SnapCatalogPlugin, db: String,
+      view: String, mvT: String, sql: String,
       dvTables: Map[Int, String]): Option[(Int, LogicalPlan)] = Try {
     val cat = plugin.snapViews
     val backingSchema = cat.currentSnapshot(db, mvT).schema
@@ -209,26 +238,39 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
       case a: Aggregate => a
       case _ => return None
     }
-    val (bodyConjRaw, bodyRel) = scanChain(bodyAgg.child).getOrElse(return None)
-    val sameTable = bodyRel.catalog.exists {
-      case p: SnapCatalogPlugin => p.name() == plugin.name()
-      case _ => false
-    } && bodyRel.identifier.exists(i =>
-      i.namespace().sameElements(Array(db)) && i.name() == tbl)
-    if (!sameTable) return None
+    val (bodyConjRaw, bodyRels) = scanForest(bodyAgg.child).getOrElse(return None)
     if (!bodyConjRaw.forall(usable)) return None
 
-    // ---- rebase the body onto the query's relation ---------------------
-    val userByName = rel.output.map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
-    val rebase = bodyRel.output.flatMap { a =>
-      userByName.get(a.name.toLowerCase(java.util.Locale.ROOT)).map(a.exprId -> _)
-    }.toMap
-    if (rebase.size != bodyRel.output.length) return None // schema drift
+    // ---- pair body leaves to query leaves by table identity, rebase ----
+    def keyOf(r: DataSourceV2Relation): Option[(String, String)] =
+      r.identifier.filter(_.namespace().length == 1)
+        .map(i => (i.namespace()(0), i.name()))
+        .filter(_ => r.catalog.exists {
+          case p: SnapCatalogPlugin => p.name() == plugin.name()
+          case _ => false
+        })
+    val userByKey = rels.map(r => keyOf(r).getOrElse(return None) -> r).toMap
+    val bodyKeys = bodyRels.map(r => keyOf(r).getOrElse(return None))
+    if (bodyKeys.toSet != userByKey.keySet ||
+        bodyKeys.distinct.length != bodyKeys.length) return None
+    val rebase: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Attribute] =
+      bodyRels.flatMap { br =>
+        val ur = userByKey(keyOf(br).get)
+        val byName = ur.output
+          .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+        val m = br.output.flatMap { a =>
+          byName.get(a.name.toLowerCase(java.util.Locale.ROOT)).map(a.exprId -> _)
+        }
+        if (m.length != br.output.length) return None // schema drift
+        m
+      }.toMap
+    val userOutputSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      rels.flatMap(_.output))
     def reb(e: Expression): Expression = e.transform {
       case a: AttributeReference if rebase.contains(a.exprId) => rebase(a.exprId)
     }
     val bodyConj = bodyConjRaw.map(reb)
-    if (bodyConj.exists(c => !c.references.subsetOf(rel.outputSet))) return None
+    if (bodyConj.exists(c => !c.references.subsetOf(userOutputSet))) return None
 
     // ---- filter subsumption --------------------------------------------
     var remaining = userConj.toBuffer
@@ -445,7 +487,8 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
     if (newPlan.output.length != agg.output.length) return None
     if (newPlan.output.zip(agg.output).exists { case (n, o) => n.dataType != o.dataType })
       return None
-    logInfo(s"MV rewrite: $db.$tbl aggregate served from $db.$view ($mvT, " +
+    logInfo(s"MV rewrite: aggregate over ${bodyKeys.map(k => s"${k._1}.${k._2}")
+      .mkString("⋈")} served from $db.$view ($mvT, " +
       s"${if (exact) "exact" else "rollup"})")
     Some((bodyGroupIds.size, Project(agg.output.zip(newPlan.output).map { case (o, n0) =>
       val n = if (!o.nullable && n0.nullable) KnownNotNull(n0) else (n0: Expression)

@@ -158,6 +158,50 @@ class MvRewriteSpec extends AnyFunSuite {
       "WHERE 'g1' = k2 GROUP BY k1")
   }
 
+  test("join-MV navigation: fact-dim aggregates served from the rollup backing") {
+    val cat = freshCat("mvrj")
+    val fact = (1 to 500).map(i =>
+      (i.toLong, (i % 20).toLong, s"s${i % 3}", (i % 13).toLong))
+      .toDF("id", "ck", "status", "v")
+    val dim = (0 until 20).map(k => (k.toLong, s"seg${k % 4}")).toDF("ck", "seg")
+    cat.createTable("dbj", "fact", fact.schema)
+    cat.append("dbj", "fact", fact)
+    cat.createTable("dbj", "dim", dim.schema)
+    cat.append("dbj", "dim", dim)
+    cat.createMaterializedView("dbj", "facts_by_seg",
+      "SELECT d.seg, f.status, sum(f.v) AS sv, count(*) AS n " +
+        "FROM mvrj.dbj.fact f JOIN mvrj.dbj.dim d ON f.ck = d.ck " +
+        "GROUP BY d.seg, f.status")
+
+    // exact join + groups, ON-clause form
+    assertRewritten("SELECT d.seg, f.status, sum(f.v) AS s, count(*) AS c " +
+      "FROM mvrj.dbj.fact f JOIN mvrj.dbj.dim d ON f.ck = d.ck " +
+      "GROUP BY d.seg, f.status ORDER BY 1, 2")
+    // rollup to one side's key; join condition in WHERE form (comma join
+    // = σ(cond)(A × B) — placement normalizes away); swapped table order
+    assertRewritten("SELECT seg, sum(v) AS s, count(*) AS c " +
+      "FROM mvrj.dbj.dim d, mvrj.dbj.fact f WHERE d.ck = f.ck " +
+      "GROUP BY seg ORDER BY seg")
+    // residual filter on a group-key column of the view
+    assertRewritten("SELECT seg, count(*) AS c FROM mvrj.dbj.fact f " +
+      "JOIN mvrj.dbj.dim d ON f.ck = d.ck WHERE f.status = 's1' GROUP BY seg")
+    // a filter on a non-key column cannot re-apply on the backing
+    assertNotRewritten("SELECT seg, count(*) AS c FROM mvrj.dbj.fact f " +
+      "JOIN mvrj.dbj.dim d ON f.ck = d.ck WHERE f.v > 5 GROUP BY seg")
+    // a DIFFERENT join condition is not subsumed
+    assertNotRewritten("SELECT seg, count(*) AS c FROM mvrj.dbj.fact f " +
+      "JOIN mvrj.dbj.dim d ON f.ck = d.ck AND f.v = d.ck GROUP BY seg")
+
+    // staleness on EITHER side disables until refresh
+    cat.append("dbj", "dim", Seq((99L, "seg9")).toDF("ck", "seg"))
+    assertNotRewritten("SELECT seg, sum(v) AS s FROM mvrj.dbj.fact f " +
+      "JOIN mvrj.dbj.dim d ON f.ck = d.ck GROUP BY seg")
+    assert(cat.refreshMaterializedView("dbj", "facts_by_seg")._1
+      == "incremental_join_agg")
+    assertRewritten("SELECT seg, sum(v) AS s FROM mvrj.dbj.fact f " +
+      "JOIN mvrj.dbj.dim d ON f.ck = d.ck GROUP BY seg")
+  }
+
   test("sidecar rollup keeps all-NULL groups alive") {
     val cat = freshCat("mvr3")
     val df = (Seq(
