@@ -1230,6 +1230,42 @@ object SparkEntry {
       df
     }),
 
+    // RETRACTABLE JOIN MVs (r11): a fact-dim rollup MV refreshes
+    // incrementally under DELETE churn on BOTH sides — the bilinear
+    // join-delta identity Δ± = ΔA± ⋈ B@cur ∪ A@from ⋈ ΔB± feeds the
+    // same partial merge (group death included); each term is churn ⋈
+    // one side, never a corpus-by-corpus rebuild. REQUIRES the merge
+    // path; the oracle replays the surviving join from raw.
+    "q142_mv_join_retract" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "jr_mv")) cat.dropView("maint", "jr_mv")
+      if (cat.tableExists("maint", "jr_orders")) cat.dropTable("maint", "jr_orders")
+      if (cat.tableExists("maint", "jr_cust")) cat.dropTable("maint", "jr_cust")
+      val fact = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dim = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      cat.createTable("maint", "jr_orders", fact.schema)
+      cat.append("maint", "jr_orders", fact)
+      cat.createTable("maint", "jr_cust", dim.schema)
+      cat.append("maint", "jr_cust", dim)
+      cat.createMaterializedView("maint", "jr_mv",
+        "SELECT c.c_mktsegment, o.o_orderstatus, sum(o.cents) AS sc, " +
+          "count(*) AS n, avg(o.cents) AS ac FROM maint.jr_orders o " +
+          "JOIN maint.jr_cust c ON o.o_custkey = c.c_custkey " +
+          "GROUP BY c.c_mktsegment, o.o_orderstatus")
+      // one range with a FACT-side MoR delete and a DIM-side MoR delete:
+      // joined rows retract on both paths through the bilinear identity
+      cat.deleteMoR("maint", "jr_orders", col("o_orderkey") % 7 === 2)
+      cat.deleteMoR("maint", "jr_cust", col("c_custkey") % 10 === 4)
+      val (mode, _) = cat.refreshMaterializedView("maint", "jr_mv")
+      require(mode == "incremental_join_agg",
+        s"join retraction must merge, took '$mode'")
+      s.sql("SELECT c_mktsegment, o_orderstatus, sc, n, ac " +
+        "FROM snapdml.maint.jr_mv ORDER BY c_mktsegment, o_orderstatus")
+    }),
+
     // COLUMN DEFAULT VALUES (r11, the Iceberg-v3 defaults model): ALTER
     // TABLE ADD COLUMN ... DEFAULT freezes an INITIAL default that
     // pre-evolution files serve on read (Spark's parquet readers fill
@@ -3678,6 +3714,24 @@ object SparkEntry {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE o.o_orderstatus <> 'P'
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
+    // post-churn fact-dim rollup replayed from the raw SURVIVING join:
+    // the bilinear-retracted backing must equal the from-scratch join
+    "q142_mv_join_retract" ->
+      """WITH f AS (
+        |  SELECT o_custkey, o_orderstatus,
+        |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 7 <> 2
+        |), d AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 10 <> 4
+        |)
+        |SELECT d.c_mktsegment, f.o_orderstatus,
+        |  CAST(sum(f.cents) AS BIGINT) AS sc,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(avg(f.cents) AS DOUBLE) AS ac
+        |FROM f JOIN d ON f.o_custkey = d.c_custkey
+        |GROUP BY d.c_mktsegment, f.o_orderstatus
+        |ORDER BY d.c_mktsegment, f.o_orderstatus""".stripMargin,
 
     // post-churn min/max replayed from scratch: the global-max row and
     // the %10==4 batch are retracted; any group whose stored extremum

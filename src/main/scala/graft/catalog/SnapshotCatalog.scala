@@ -4327,11 +4327,14 @@ final class SnapshotCatalog(
       }
     }
 
-    /** The AUGMENTED aggregate evaluated over the JOIN DELTA: the
+    /** The AUGMENTED aggregate evaluated over JOIN-DELTA terms: the
       * aggregate node's child is replaced by the UNION of the two
-      * substituted join terms, so ONE aggregation computes the delta's
-      * partials and the group-wise merge below applies untouched. */
-    def joinAggPlus(shape: AggShape): DataFrame = {
+      * substituted join terms (`rowsA ⋈ B@cur` and `A@from ⋈ rowsB`), so
+      * ONE aggregation computes the partials over that delta and the
+      * group-wise merge below applies untouched. `None` for a side
+      * contributes no term. */
+    def joinAggOver(shape: AggShape, rowsA: Option[DataFrame],
+        rowsB: Option[DataFrame]): Option[DataFrame] = {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
       import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Sort, SubqueryAlias, Union}
       val agg = (augmentedAggPlan(sql, shape) match {
@@ -4340,8 +4343,6 @@ final class SnapshotCatalog(
       }).asInstanceOf[Aggregate]
       val Seq(a, b) = bases
       def hid(x: (String, String)) = meta(x._1, x._2).hiddenCols.toSeq
-      def deltaOf(x: (String, String)) =
-        readIncremental(x._1, x._2, from(x).get, cur(x)).drop(hid(x): _*)
       def subst(child: LogicalPlan,
           repl: Map[(String, String), DataFrame]): LogicalPlan =
         child.transformUpWithSubqueries {
@@ -4350,16 +4351,72 @@ final class SnapshotCatalog(
             SubqueryAlias(Seq(k._1, k._2), repl(k).queryExecution.analyzed)
         }
       val parts = Seq.newBuilder[LogicalPlan]
-      if (from(a).get != cur(a))
-        parts += subst(agg.child, Map(a -> deltaOf(a),
+      rowsA.foreach { ra =>
+        parts += subst(agg.child, Map(a -> ra,
           b -> readAsOf(b._1, b._2, cur(b)).drop(hid(b): _*)))
-      if (from(b).get != cur(b))
+      }
+      rowsB.foreach { rb =>
         parts += subst(agg.child, Map(
           a -> readAsOf(a._1, a._2, from(a).get).drop(hid(a): _*),
-          b -> deltaOf(b)))
+          b -> rb))
+      }
       val ps = parts.result()
-      val child = if (ps.size == 1) ps.head else Union(ps.head, ps(1))
-      org.apache.spark.sql.GraftColumnBridge.ofRows(spark, agg.copy(child = child))
+      if (ps.isEmpty) None
+      else {
+        val child = if (ps.size == 1) ps.head else Union(ps.head, ps(1))
+        Some(org.apache.spark.sql.GraftColumnBridge.ofRows(spark, agg.copy(child = child)))
+      }
+    }
+
+    /** Per-base (insert, delete) row sets across the refresh range —
+      * append-only sides read the cheap incremental tail; MoR-family
+      * churn resolves from per-commit metadata; anything else falls to
+      * the changelog value diff. `None` = un-diffable (caller → full).
+      * An UNCHANGED side returns (None, None): it contributes no delta
+      * terms at all. */
+    def baseDeltas(x: (String, String))
+        : Option[(Option[DataFrame], Option[DataFrame])] = {
+      val (d, t) = x
+      val (lo, hi) = (from(x).get, cur(x))
+      val hidden = meta(d, t).hiddenCols.toSeq
+      if (lo == hi) Some((None, None))
+      else if (appendOnlyRange(d, t, lo, hi))
+        Some((Some(readIncremental(d, t, lo, hi).drop(hidden: _*)), None))
+      else (try changeSetsAcrossRange(d, t, lo, hi) catch {
+        case scala.util.control.NonFatal(_) => None
+      }) match {
+        case Some((i, dl)) => Some((Some(i.drop(hidden: _*)), Some(dl.drop(hidden: _*))))
+        case None =>
+          try {
+            val clean = readChangelog(d, t, lo, hi).drop(hidden: _*).drop("_row_id")
+            Some((
+              Some(clean.where(col("_change_type") === "insert").drop("_change_type")),
+              Some(clean.where(col("_change_type") === "delete").drop("_change_type"))))
+          } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+
+    /** The (plus, minus) pre-aggregated partial frames for a join-agg
+      * body across ANY diffable range — the bilinear join-delta identity
+      *   Δ⁺ = ΔA⁺ ⋈ B@cur  ∪  A@from ⋈ ΔB⁺
+      *   Δ⁻ = ΔA⁻ ⋈ B@cur  ∪  A@from ⋈ ΔB⁻
+      * (exact for multisets: A@cur ⋈ B@cur − A@from ⋈ B@from expands to
+      * exactly these four terms with the chosen pinnings). Every term is
+      * churn ⋈ one full side — AQE broadcasts the delta when it fits. */
+    def joinAggDeltas(shape: AggShape)
+        : Option[(DataFrame, Option[DataFrame])] = {
+      val Seq(a, _) = bases
+      for {
+        (ia, da) <- baseDeltas(a)
+        (ib, db2) <- baseDeltas(bases(1))
+        minus = joinAggOver(shape, da, db2)
+        // a delete-only range has no insert terms: aggregate over an
+        // empty A-delta so the merge still gets a (zero-group) plus frame
+        plus <- joinAggOver(shape, ia, ib).orElse(if (minus.isEmpty) None
+          else joinAggOver(shape,
+            Some(readAsOf(a._1, a._2, from(a).get)
+              .drop(meta(a._1, a._2).hiddenCols.toSeq: _*).limit(0)), None))
+      } yield (plus, minus)
     }
     def incrementalDelta(): DataFrame = {
       val (d, t) = bases.head
@@ -4430,11 +4487,13 @@ final class SnapshotCatalog(
       * the edges the merge cannot serve (null group keys in the delta;
       * an un-diffable range) — the caller falls back to full. */
     def mergePartials(shape: AggShape,
-        plusOnly: Option[DataFrame] = None): Option[Long] = {
+        preAgg: Option[(DataFrame, Option[DataFrame])] = None): Option[Long] = {
       val augPlan = augmentedAggPlan(sql, shape)
-      // single-base deltas extract here; the join-agg caller hands a
-      // pre-built plus frame (the aggregate over the join delta) and has
-      // no delete side (append-only ranges only)
+      val plusOnly = preAgg.map(_._1)
+      val minusPre = preAgg.flatMap(_._2)
+      // single-base deltas extract here; the join-agg caller hands
+      // PRE-AGGREGATED plus/minus frames (the augmented aggregate over
+      // the join-delta terms — [[joinAggDeltas]])
       val (insRowsOpt, delRowsOpt): (Option[DataFrame], Option[DataFrame]) =
         if (plusOnly.isDefined) (None, None)
         else {
@@ -4494,7 +4553,8 @@ final class SnapshotCatalog(
       def mvNeed(i: Int) = s"__mvneed_$i"
       def nullKeyed(f: DataFrame): Boolean = keyNames.nonEmpty &&
         !f.where(keyNames.map(k => col(s"`$k`").isNull).reduce(_ || _)).isEmpty
-      val minusOpt = delRows.map(f => cached(bodyOver(augPlan, f)))
+      val minusOpt = minusPre.map(cached)
+        .orElse(delRows.map(f => cached(bodyOver(augPlan, f))))
       if (nullKeyed(plus) || minusOpt.exists(nullKeyed)) return None
       // NET per-group contribution: plus full-outer minus, every
       // aggregate/partial column as (p - m) with 0-coalescing; avg
@@ -4666,8 +4726,20 @@ final class SnapshotCatalog(
             .select(keyNames.map(k => col(s"`$k`")).toIndexedSeq: _*)
           if (affected.isEmpty) m0.drop(needNames: _*)
           else {
-            // single-base only: a delete range never reaches here for the
-            // join-agg caller (its minusOpt is always None)
+            val rec = if (bases.size == 2) {
+              // JOIN body: recompute the affected groups by running the
+              // body at cur with a LITERAL group-key predicate — Catalyst
+              // pushes a grouping-column filter below the Aggregate and
+              // into the owning join side's scan, so each side reads only
+              // the affected keys' files. Bounded at 64 dead extrema per
+              // refresh; beyond that the full refresh is the honest cost
+              val few = affected.limit(65).collect()
+              if (few.length > 64) return None
+              val pred = few.map(r => keyNames.indices.map(j =>
+                col(s"`${keyNames(j)}`") <=> lit(r.get(j))).reduce(_ && _))
+                .reduce(_ || _)
+              pinnedBodyPlan(db, augPlan, cur).where(pred)
+            } else {
             val (d2, t2) = bases.head
             val hi = cur((d2, t2))
             val hidden = meta(d2, t2).hiddenCols.toSeq
@@ -4688,7 +4760,8 @@ final class SnapshotCatalog(
               val aff = affected.toDF(baseKeyNames: _*)
               readAsOf(d2, t2, hi).join(aff, baseKeyNames.toIndexedSeq, "left_semi")
             }.drop(hidden: _*)
-            val rec = bodyOver(augPlan, restricted)
+            bodyOver(augPlan, restricted)
+            }
             val recSel = rec.select((keyNames.map(k =>
               col(s"`$k`").as(s"__r_$k")) ++ mm.map { case (i, _) =>
               col(s"`${names(i)}`").as(s"__r_v$i") }).toIndexedSeq: _*)
@@ -4760,10 +4833,13 @@ final class SnapshotCatalog(
     val joinIncremental = bothAppendOnly &&
       joinBodyBases.exists(ks => ks.toSet == bases.toSet)
     // GROUP BY over the join: the aggregate's input delta is the join
-    // delta; the partial-merge machinery applies unchanged
-    // distinct aggregates refuse the join path (the sidecar body is
+    // delta; the partial-merge machinery applies unchanged. Since r11
+    // deletes/updates RETRACT too ([[joinAggDeltas]] — any range both
+    // sides can diff), so the gate is diffability, not append-only.
+    // Distinct aggregates refuse the join path (the sidecar body is
     // single-base) — those fall to full
-    val joinAggIncremental = bothAppendOnly && !joinIncremental &&
+    val joinAggIncremental = bases.size == 2 &&
+      bases.forall(b => from(b).isDefined) && !joinIncremental &&
       shapeOpt.exists(_.retractable) && backingHasPartials && !hasDistinct &&
       joinAggBodyOk
 
@@ -4815,9 +4891,13 @@ final class SnapshotCatalog(
           .summary.get("added_records").map(_.toLong).getOrElse(-1L)
       case "incremental_join_agg" =>
         // fact-dim rollup: the augmented aggregate runs over the UNION
-        // of the two join-delta terms, then the per-group partials merge
-        // into the backing exactly like the single-base path
-        mergePartials(shapeOpt.get, plusOnly = Some(joinAggPlus(shapeOpt.get))) match {
+        // of the join-delta terms — insert terms AND (r11) delete terms,
+        // by the bilinear identity in [[joinAggDeltas]] — then the
+        // per-group partials merge into the backing exactly like the
+        // single-base path (group death, extremum-death recompute and
+        // all)
+        joinAggDeltas(shapeOpt.get).flatMap(pm =>
+          mergePartials(shapeOpt.get, preAgg = Some(pm))) match {
           case Some(n) => n
           case None => mode = "full"; runFull()
         }
