@@ -2053,6 +2053,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // HARD-NEGATIVE MINING (r11, the DPR/sentence-transformers recipe):
+    // for each query, the top-k most-similar corpus vectors that are NOT
+    // its labeled positives — the negatives nearest the decision
+    // boundary, where the contrastive gradient lives. Same IVF index and
+    // params as q50 (so the oracle replays the identical candidate set),
+    // positives = the arithmetic pair set (q, n) with n % 17 = q,
+    // anti-joined BEFORE the rank window so each query still yields k
+    // full negatives.
+    "q143_hard_negatives" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val positives = emb
+        .select((col("vec_id") % 17).as("pq"), col("vec_id").as("pn"))
+        .where(col("pq") < 5)
+      Similarity.hardNegatives(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", positives, "pq", "pn",
+        k = 10, nlist = 8, nprobe = 3, iters = 2, sampleMod = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF-PQ ANN (r8): the same coarse index as q50 (so the q50 oracle
     // replay states the answer), candidates scored from m-BYTE product-
     // quantization codes via compiled ADC kernels, exact re-rank of the
@@ -4480,4 +4501,10 @@ object SparkEntry {
     // precisely what the q50 replay computes. PQ codebooks cannot affect
     // the answer, only which shortlist the exact re-rank sees.
     .pipe(m => m + ("q105_ann_ivfpq" -> m("q50_ann_ivf")))
+    // q143 replays q50's EXACT IVF candidate pass, with the labeled
+    // positives (n % 17 = q) anti-joined out of the candidates BEFORE
+    // ranking — precisely the hardNegatives semantics
+    .pipe(m => m + ("q143_hard_negatives" -> m("q50_ann_ivf").replace(
+      "WHERE ce.vec_id <> p.vec_id",
+      "WHERE ce.vec_id <> p.vec_id AND ce.vec_id % 17 <> p.vec_id")))
 }

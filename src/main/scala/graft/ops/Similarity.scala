@@ -507,18 +507,60 @@ object Similarity {
     // job at all); only an already-transformed corpus pays one count job.
     // Either way the mod is the same pure function of the corpus, so an
     // oracle replaying training derives it identically.
+    val sims = ivfCandidateSims(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, nlist, nprobe, iters, sampleMod)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** The IVF candidate pass shared by [[ivfTopK]] and [[hardNegatives]]:
+    * probe each query's `nprobe` nearest cells, exact-cosine every
+    * candidate in them. Returns (query_id, neighbor_id, sim). */
+  private def ivfCandidateSims(corpus: DataFrame, corpusId: String,
+      corpusVec: String, queries: DataFrame, queryId: String, queryVec: String,
+      nlist: Int, nprobe: Int, iters: Int, sampleMod: Long): DataFrame = {
     val mod = deriveSampleMod(corpus, corpusId, sampleMod)
     val cents = coarseCentroids(corpus, corpusId, corpusVec, nlist, iters, mod)
     val c = corpus.select(col(corpusId), col(corpusVec), norm(col(corpusVec)).as("_cn"),
       ivfCell(quantize(col(corpusVec)), cents).as("cell"))
     val q = queries.select(col(queryId), col(queryVec), norm(col(queryVec)).as("_qn"),
       explode(ivfProbes(quantize(col(queryVec)), cents, nprobe)).as("cell"))
-    val sims = c.join(broadcast(q), Seq("cell"))
+    c.join(broadcast(q), Seq("cell"))
       .where(col(corpusId) =!= col(queryId))
       .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
         (dot(col(corpusVec), col(queryVec)) / (col("_cn") * col("_qn"))).as("sim"))
+  }
+
+  /** HARD-NEGATIVE MINING for contrastive training (the DPR recipe —
+    * Karpukhin et al. 2020; sentence-transformers mines the same way):
+    * for each query, the top-k corpus items MOST similar to it that are
+    * NOT its labeled positives — negatives near the decision boundary,
+    * which carry most of the contrastive gradient. Candidates come from
+    * the IVF cell index (never all-pairs); positives drop via an
+    * anti-join BEFORE the rank window, so every query still yields k
+    * full negatives; `maxSim` additionally drops candidates nearly
+    * identical to the query — likely FALSE negatives / unlabeled
+    * duplicates (the standard mining filter). At 100 TB the cost shape
+    * is [[ivfTopK]]'s: one corpus scan for cell assignment, candidates
+    * bounded by nprobe/nlist of the corpus per query, positives a
+    * broadcast-sized pair list. Returns (query_id, neighbor_id, rank). */
+  def hardNegatives(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      positives: DataFrame, posQueryCol: String, posCorpusCol: String,
+      k: Int, nlist: Int = 8, nprobe: Int = 3, iters: Int = 2,
+      sampleMod: Long = 0, maxSim: Double = Double.MaxValue): DataFrame = {
+    val sims = ivfCandidateSims(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, nlist, nprobe, iters, sampleMod)
+    val pos = broadcast(positives.select(
+      col(posQueryCol).as("__hq"), col(posCorpusCol).as("__hn")).distinct())
+    val negs = sims
+      .join(pos, col("query_id") === col("__hq") &&
+        col("neighbor_id") === col("__hn"), "left_anti")
+      .where(col("sim") <= lit(maxSim))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
+    negs.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }

@@ -94,6 +94,43 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("hard-negative mining: positives excluded, near-dup band dropped, k kept") {
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val plain = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+      k = 10, nlist = 8, nprobe = 3, iters = 2, sampleMod = 3)
+      .as[(Long, Long, Long)].collect()
+    // positives: for each query q, its own plain top-2 neighbors — the
+    // hardest possible labels, guaranteed present in the candidate set
+    val posPairs = plain.filter(_._3 <= 2).map(r => (r._1, r._2)).toSet
+    val pos = posPairs.toSeq.toDF("pq", "pn")
+    val mined = Similarity.hardNegatives(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", pos, "pq", "pn",
+      k = 10, nlist = 8, nprobe = 3, iters = 2, sampleMod = 3)
+      .as[(Long, Long, Long)].collect()
+    // no positive survives, ranks stay 1..k contiguous, and every query
+    // STILL yields k negatives (the anti-join ran before the window)
+    assert(mined.forall(r => !posPairs.contains((r._1, r._2))))
+    mined.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to 10L), rs.mkString(","))
+    }
+    // and the negatives are exactly the plain candidates shifted past
+    // the removed positives: plain rank-3 becomes mined rank-1, etc.
+    val plainByQ = plain.groupBy(_._1)
+    mined.groupBy(_._1).foreach { case (q, rs) =>
+      val expect = plainByQ(q).sortBy(_._3).map(_._2)
+        .filterNot(n => posPairs.contains((q, n))).take(8)
+      val got = rs.sortBy(_._3).map(_._2).take(8).toSeq
+      assert(got == expect.toSeq, s"q=$q got=$got expect=${expect.toSeq}")
+    }
+    // maxSim drops the near-identical band: mining with maxSim = -1 can
+    // return nothing (every cosine here exceeds it)
+    val banded = Similarity.hardNegatives(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", pos, "pq", "pn",
+      k = 10, nlist = 8, nprobe = 3, iters = 2, sampleMod = 3, maxSim = -1.0)
+    assert(banded.isEmpty)
+  }
+
   test("IVF centroids cache per corpus content; snapshots invalidate (zero re-train)") {
     // bind ONE frame: emb is a def, and a fresh spark.read.parquet inside
     // the listener window runs a file-listing job that is not ivfTopK's
