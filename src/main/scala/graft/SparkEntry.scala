@@ -1266,6 +1266,40 @@ object SparkEntry {
         "FROM snapdml.maint.jr_mv ORDER BY c_mktsegment, o_orderstatus")
     }),
 
+    // UNION ALL MVs (r11, the multi-source ingestion shape): a view over
+    // UNION ALL of row-local arms maintains incrementally — each arm's
+    // body evaluates over ITS base's increment and the union of the arm
+    // deltas APPENDS (row-local bodies distribute over union); refresh
+    // cost is the day's increments across all sources, never a rebuild.
+    // REQUIRES the mode; the oracle replays the union from raw.
+    "q144_mv_union" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "un_mv")) cat.dropView("maint", "un_mv")
+      if (cat.tableExists("maint", "un_a")) cat.dropTable("maint", "un_a")
+      if (cat.tableExists("maint", "un_b")) cat.dropTable("maint", "un_b")
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      cat.createTable("maint", "un_a", base.schema)
+      cat.append("maint", "un_a", base.where(col("o_orderkey") % 3 === 0))
+      cat.createTable("maint", "un_b", base.schema)
+      cat.append("maint", "un_b", base.where(col("o_orderkey") % 3 === 1))
+      cat.createMaterializedView("maint", "un_mv",
+        "SELECT o_orderkey, o_orderstatus, cents, 'a' AS src " +
+          "FROM maint.un_a WHERE cents > 10000 " +
+          "UNION ALL SELECT o_orderkey, o_orderstatus, cents, 'b' " +
+          "FROM maint.un_b WHERE o_orderstatus <> 'P'")
+      // both sources ingest new batches; ONLY the increments evaluate
+      cat.append("maint", "un_a",
+        base.where(col("o_orderkey") % 3 === 2 && col("o_orderkey") % 2 === 0))
+      cat.append("maint", "un_b",
+        base.where(col("o_orderkey") % 3 === 2 && col("o_orderkey") % 2 === 1))
+      val (mode, _) = cat.refreshMaterializedView("maint", "un_mv")
+      require(mode == "incremental_union", s"union refresh took '$mode'")
+      s.sql("SELECT o_orderkey, o_orderstatus, cents, src " +
+        "FROM snapdml.maint.un_mv ORDER BY src, o_orderkey")
+    }),
+
     // COLUMN DEFAULT VALUES (r11, the Iceberg-v3 defaults model): ALTER
     // TABLE ADD COLUMN ... DEFAULT freezes an INITIAL default that
     // pre-evolution files serve on read (Spark's parquet readers fill
@@ -3753,6 +3787,28 @@ object SparkEntry {
         |FROM f JOIN d ON f.o_custkey = d.c_custkey
         |GROUP BY d.c_mktsegment, f.o_orderstatus
         |ORDER BY d.c_mktsegment, f.o_orderstatus""".stripMargin,
+
+    // the union MV replayed from raw: arm a = %3∈{0} ∪ (%3=2 ∧ even)
+    // keys filtered cents>10000; arm b = %3∈{1} ∪ (%3=2 ∧ odd) keys
+    // filtered status<>'P'
+    "q144_mv_union" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders
+        |), a AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey % 3 = 0 OR (o_orderkey % 3 = 2 AND o_orderkey % 2 = 0)
+        |), b AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey % 3 = 1 OR (o_orderkey % 3 = 2 AND o_orderkey % 2 = 1)
+        |)
+        |SELECT o_orderkey, o_orderstatus, cents, 'a' AS src FROM a
+        |WHERE cents > 10000
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, cents, 'b' FROM b
+        |WHERE o_orderstatus <> 'P'
+        |ORDER BY src, o_orderkey""".stripMargin,
 
     // post-churn min/max replayed from scratch: the global-max row and
     // the %10==4 batch are retracted; any group whose stored extremum

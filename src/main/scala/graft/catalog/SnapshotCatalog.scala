@@ -4281,6 +4281,40 @@ final class SnapshotCatalog(
       mainLineage(d, t).filter(e => e.snapshotId > lo && e.snapshotId <= hi)
         .forall(e => appendOnlyOps(e.operation))
 
+    /** UNION ALL of project/filter arms, each over exactly ONE base
+      * relation (bases may repeat across arms) — the multi-source
+      * ingestion shape. Row-local per arm, so the body distributes over
+      * each arm's delta: `Q(∪ armᵢ(Aᵢ + ΔAᵢ)) = Q(old) ∪ (∪ armᵢ(ΔAᵢ))`
+      * under append-only ranges. Returns each arm with its base key. */
+    def unionArms: Option[Seq[((String, String),
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]] = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+      import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Filter, LogicalPlan, Project, Sort, SubqueryAlias, Union}
+      val plan = spark.sessionState.sqlParser.parsePlan(sql)
+      if (hasSubqueryExpr(plan) || hasAggOrWindowExpr(plan)) return None
+      def armOf(p: LogicalPlan): Option[((String, String), LogicalPlan)] = {
+        val ok = p.collect {
+          case n => n match {
+            case _: Project | _: Filter | _: SubqueryAlias | _: UnresolvedRelation => true
+            case _ => false
+          }
+        }.forall(identity)
+        val rels = p.collect {
+          case u: UnresolvedRelation => relKeyOf(db, u)
+        }.flatten
+        if (ok && rels.length == 1) Some((rels.head, p)) else None
+      }
+      (plan match { case s: Sort => s.child; case p => p }) match {
+        // UNION DISTINCT parses as Distinct(Union) — dedup across arms
+        // is NOT row-local (a delta row may already exist), stays full
+        case _: Distinct => None
+        case u: Union =>
+          val arms = u.children.map(armOf)
+          if (arms.forall(_.isDefined)) Some(arms.map(_.get)) else None
+        case _ => None
+      }
+    }
+
     /** The body (or an augmented plan) with each listed base relation
       * swapped for its replacement frame — shared by every incremental
       * mode (single-base modes pass one entry; the join mode passes
@@ -4843,9 +4877,17 @@ final class SnapshotCatalog(
       shapeOpt.exists(_.retractable) && backingHasPartials && !hasDistinct &&
       joinAggBodyOk
 
+    // UNION ALL of row-local arms: every base append-only over its range
+    // → the delta is the union of each arm over its base's increment
+    lazy val unionIncremental = bases.forall(b => from(b).isDefined &&
+      appendOnlyRange(b._1, b._2, from(b).get, cur(b))) &&
+      bases.exists(b => from(b).get != cur(b)) && unionArms.isDefined
+
     var mode =
       if (joinIncremental) "incremental_join"
       else if (joinAggIncremental) "incremental_join_agg"
+      else if ((!singleBase || !projectFilterOnly) && unionIncremental)
+        "incremental_union"
       else if (!singleBase) "full"
       else if (appendOnly && projectFilterOnly) "incremental"
       // partial-backed count/sum/avg family: maintainable under ANY
@@ -4862,6 +4904,22 @@ final class SnapshotCatalog(
     val added = mode match {
       case "incremental" =>
         append(db, mvT, bodyOverDelta())
+          .summary.get("added_records").map(_.toLong).getOrElse(-1L)
+      case "incremental_union" =>
+        // each MOVED arm evaluates over its base's increment; arms whose
+        // base did not move contribute nothing. Positional union (SQL
+        // UNION ALL semantics — arm column names differ), renamed to the
+        // backing's columns for the append
+        val parts = unionArms.get.flatMap { case (key, arm) =>
+          if (from(key).get == cur(key)) None
+          else {
+            val delta = readIncremental(key._1, key._2, from(key).get, cur(key))
+              .drop(meta(key._1, key._2).hiddenCols.toSeq: _*)
+            Some(bodyOverBases(arm, Map(key -> delta)))
+          }
+        }
+        val names = currentSnapshot(db, mvT).schema.fieldNames.toIndexedSeq
+        append(db, mvT, parts.reduce(_ union _).toDF(names: _*))
           .summary.get("added_records").map(_.toLong).getOrElse(-1L)
       case "incremental_join" =>
         // the classic inner-join maintenance identity under insert-only

@@ -781,6 +781,68 @@ class ViewSpec extends AnyFunSuite {
     assert(got() == expect())
   }
 
+  test("UNION ALL MV: per-arm deltas append as incremental_union") {
+    val (cat, wh) = freshCat()
+    register(wh, "vun")
+    val t1 = Seq((1L, 10L), (2L, -5L)).toDF("id", "v")
+    val t2 = Seq((7L, 70L)).toDF("id", "w")
+    cat.createTable("db", "t1", t1.schema)
+    cat.createTable("db", "t2", t2.schema)
+    cat.append("db", "t1", t1)
+    cat.append("db", "t2", t2)
+    cat.createMaterializedView("db", "u",
+      "SELECT id, v AS x, 's1' AS src FROM vun.db.t1 WHERE v > 0 " +
+        "UNION ALL SELECT id, w, 's2' FROM vun.db.t2")
+    def expect() = noRewrite(spark.sql(
+      "SELECT id, v AS x, 's1' AS src FROM vun.db.t1 WHERE v > 0 " +
+        "UNION ALL SELECT id, w, 's2' FROM vun.db.t2")
+      .as[(Long, Long, String)].collect().toSeq.sorted)
+    def got() = spark.sql("SELECT * FROM vun.db.u")
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    assert(got() == expect())
+
+    // one arm moves: only ITS delta evaluates and appends
+    cat.append("db", "t1", Seq((3L, 30L), (4L, -1L)).toDF("id", "v"))
+    val (m1, _) = cat.refreshMaterializedView("db", "u")
+    assert(m1 == "incremental_union", m1)
+    assert(got() == expect())
+    assert(cat.currentSnapshot("db", "__mv_u").operation == "append",
+      "union refresh must append the arm deltas, not rebuild")
+
+    // both arms move in one range
+    cat.append("db", "t1", Seq((5L, 50L)).toDF("id", "v"))
+    cat.append("db", "t2", Seq((8L, 80L)).toDF("id", "w"))
+    assert(cat.refreshMaterializedView("db", "u")._1 == "incremental_union")
+    assert(got() == expect())
+
+    // a delete on either base forces full (a materialized row cannot be
+    // retracted from a plain union body), still exact
+    cat.deleteMoR("db", "t2", col("id") === 7L)
+    assert(cat.refreshMaterializedView("db", "u")._1 == "full")
+    assert(got() == expect())
+
+    // TWO ARMS over the SAME base maintain too (each arm gets the delta)
+    cat.createMaterializedView("db", "u2",
+      "SELECT id, v FROM vun.db.t1 WHERE v > 20 " +
+        "UNION ALL SELECT id, -v FROM vun.db.t1 WHERE v < 0")
+    cat.append("db", "t1", Seq((6L, 60L), (9L, -9L)).toDF("id", "v"))
+    assert(cat.refreshMaterializedView("db", "u2")._1 == "incremental_union")
+    assert(spark.sql("SELECT * FROM vun.db.u2").as[(Long, Long)]
+      .collect().toSeq.sorted ==
+      noRewrite(spark.sql("SELECT id, v FROM vun.db.t1 WHERE v > 20 " +
+        "UNION ALL SELECT id, -v FROM vun.db.t1 WHERE v < 0")
+        .as[(Long, Long)].collect().toSeq.sorted))
+
+    // UNION DISTINCT is not row-local — stays full, stays exact
+    cat.createMaterializedView("db", "ud",
+      "SELECT id FROM vun.db.t1 UNION SELECT id FROM vun.db.t2")
+    cat.append("db", "t1", Seq((8L, 1L)).toDF("id", "v")) // id 8 exists in t2
+    assert(cat.refreshMaterializedView("db", "ud")._1 == "full")
+    assert(spark.sql("SELECT * FROM vun.db.ud").as[Long].collect().toSeq.sorted ==
+      noRewrite(spark.sql("SELECT id FROM vun.db.t1 UNION SELECT id FROM vun.db.t2")
+        .as[Long].collect().toSeq.sorted))
+  }
+
   test("namespace lifecycle sees MV backing tables: emptiness + log cleanup") {
     val (cat, wh) = freshCat()
     register(wh, "vns")
