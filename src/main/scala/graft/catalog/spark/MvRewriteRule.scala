@@ -63,6 +63,17 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
   private def enabled: Boolean = Try(spark.sessionState.conf
     .getConfString("spark.graft.mv.rewrite.enabled", "true")).getOrElse("true") == "true"
 
+  /** Opt-in BOUNDED-STALENESS rewrites (the BigQuery `max_staleness`
+    * trade): when true, a CURRENT-state scan may be answered from an MV
+    * whose pins lag the table — the query reads the view's last
+    * refreshed state instead of live data. Exactness is deliberately
+    * given up by the session that sets this; time-travel scans still
+    * require the exact pin (a historical answer must be the historical
+    * truth). Default false: rewrites are invisible-correct. */
+  private def allowStale: Boolean = Try(spark.sessionState.conf
+    .getConfString("spark.graft.mv.rewrite.allow-stale", "false"))
+    .getOrElse("false") == "true"
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (MvRewriteRule.substitutionSuppressed || !enabled) plan
     else plan.transformUpWithSubqueries {
@@ -149,13 +160,19 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
         })) return None
     val cat = plugin.snapViews
     // freshness anchor: rewrites serve CURRENT-state scans only (a pin
-    // equal to a historical snapshot is not enough — see the scaladoc)
-    val servedByKey: Map[(String, String), Long] = keys.zip(rels).map { case (k, r) =>
-      val served = servedSnapshotId(r).getOrElse(return None)
-      if (Try(cat.currentSnapshotId(k._1, k._2)).getOrElse(-1L) != served) return None
-      k -> served
-    }.toMap
-    val pinSet = servedByKey.map { case ((d, t), id) => s"$d.$t" -> id.toString }
+    // equal to a historical snapshot is not enough — see the scaladoc).
+    // Under opted-in bounded staleness ([[allowStale]]) a current-state
+    // scan may match a LAGGING pin — the session chose view-refresh
+    // latency over live data; time-travel scans stay exact either way.
+    val stale = allowStale
+    val servedByKey: Map[(String, String), Option[Long]] =
+      keys.zip(rels).map { case (k, r) =>
+        val served = servedSnapshotId(r).getOrElse(return None)
+        val current = Try(cat.currentSnapshotId(k._1, k._2)).getOrElse(-1L)
+        if (current != served) return None // never rewrite historical scans
+        k -> (if (stale) None else Some(served))
+      }.toMap
+    val pinSet = servedByKey.map { case ((d, t), id) => s"$d.$t" -> id.map(_.toString) }
 
     val candidates = keys.map(_._1).distinct.flatMap { vdb =>
       Try(cat.listViews(vdb)).getOrElse(Seq.empty).flatMap { v =>
@@ -167,9 +184,15 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
           val dv = vm.properties.collect {
             case (k, t) if k.startsWith("mv.dv.") => k.stripPrefix("mv.dv.").toInt -> t
           }
+          // every base must be pinned; each pin must equal what the scan
+          // serves, unless this base's requirement was relaxed to
+          // "any pin" by the bounded-staleness opt-in (None)
+          val pinsOk = pins.keySet == pinSet.keySet && pinSet.forall {
+            case (k, req) => req.forall(pins(k) == _)
+          }
           for {
             mvT <- vm.properties.get("materialized")
-            if pins == pinSet // every base pinned at exactly what the scan serves
+            if pinsOk
           } yield (vdb, v, mvT, vm.currentVersion.sql, dv)
         }
       }

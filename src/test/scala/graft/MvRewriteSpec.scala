@@ -99,6 +99,14 @@ class MvRewriteSpec extends AnyFunSuite {
     cat.append("db", "fact", Seq(("k9", "g9", Some(5L), Some(1.0)))
       .toDF("k1", "k2", "v", "w"))
     assertNotRewritten("SELECT k1, sum(v) AS s FROM mvr.db.fact GROUP BY k1")
+    // …unless the session OPTS INTO bounded staleness: the stale MV
+    // answers, with its last-refreshed state (k9 not yet visible)
+    spark.conf.set("spark.graft.mv.rewrite.allow-stale", "true")
+    val staleDf = spark.sql("SELECT k1, sum(v) AS s FROM mvr.db.fact GROUP BY k1")
+    assert(staleDf.queryExecution.optimizedPlan.toString.contains("__mv_"))
+    assert(!staleDf.collect().exists(_.getString(0) == "k9"),
+      "stale rewrite must serve the LAST REFRESHED state")
+    spark.conf.set("spark.graft.mv.rewrite.allow-stale", "false")
     assert(cat.refreshMaterializedView("db", "rollup_mv")._1 == "incremental_agg")
     assertRewritten("SELECT k1, sum(v) AS s FROM mvr.db.fact GROUP BY k1")
 
