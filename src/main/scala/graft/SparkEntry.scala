@@ -1300,6 +1300,42 @@ object SparkEntry {
         "FROM snapdml.maint.un_mv ORDER BY src, o_orderkey")
     }),
 
+    // AGGREGATE-over-UNION-ALL MVs (r11): a rollup over multiple sources
+    // is LINEAR in every base — one evaluation of the augmented
+    // aggregate per delta side (all bases substituted at once) and the
+    // usual partial merge; deletes RETRACT through the same identity.
+    // REQUIRES the mode under a range carrying an append on one source
+    // and a MoR delete on the other; oracle replays the rollup from raw.
+    "q145_mv_union_agg" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "ua_mv")) cat.dropView("maint", "ua_mv")
+      if (cat.tableExists("maint", "ua_a")) cat.dropTable("maint", "ua_a")
+      if (cat.tableExists("maint", "ua_b")) cat.dropTable("maint", "ua_b")
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      cat.createTable("maint", "ua_a", base.schema)
+      cat.append("maint", "ua_a", base.where(col("o_orderkey") % 2 === 0))
+      cat.createTable("maint", "ua_b", base.schema)
+      cat.append("maint", "ua_b",
+        base.where(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 3 =!= 0))
+      cat.createMaterializedView("maint", "ua_mv",
+        "SELECT o_orderstatus, count(*) AS n, sum(cents) AS sc, " +
+          "max(cents) AS mx FROM (" +
+          "SELECT o_orderstatus, cents FROM maint.ua_a WHERE cents > 5000 " +
+          "UNION ALL SELECT o_orderstatus, cents FROM maint.ua_b) " +
+          "GROUP BY o_orderstatus")
+      // one range: source b ingests its missing batch, source a loses a
+      // slice to a MoR delete — insert AND retract fold in one merge
+      cat.append("maint", "ua_b",
+        base.where(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 3 === 0))
+      cat.deleteMoR("maint", "ua_a", col("o_orderkey") % 10 === 6)
+      val (mode, _) = cat.refreshMaterializedView("maint", "ua_mv")
+      require(mode == "incremental_union_agg", s"union-agg refresh took '$mode'")
+      s.sql("SELECT o_orderstatus, n, sc, mx " +
+        "FROM snapdml.maint.ua_mv ORDER BY o_orderstatus")
+    }),
+
     // COLUMN DEFAULT VALUES (r11, the Iceberg-v3 defaults model): ALTER
     // TABLE ADD COLUMN ... DEFAULT freezes an INITIAL default that
     // pre-evolution files serve on read (Spark's parquet readers fill
@@ -3809,6 +3845,24 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderstatus, cents, 'b' FROM b
         |WHERE o_orderstatus <> 'P'
         |ORDER BY src, o_orderkey""".stripMargin,
+
+    // the union-agg MV replayed from raw after the append+delete churn:
+    // arm a = even keys surviving %10<>6, filtered cents>5000; arm b =
+    // all odd keys (the %3 batch arrived in-range)
+    "q145_mv_union_agg" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders
+        |), u AS (
+        |  SELECT o_orderstatus, cents FROM base
+        |  WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 6 AND cents > 5000
+        |  UNION ALL
+        |  SELECT o_orderstatus, cents FROM base WHERE o_orderkey % 2 = 1
+        |)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sc, CAST(max(cents) AS BIGINT) AS mx
+        |FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // post-churn min/max replayed from scratch: the global-max row and
     // the %10==4 batch are retracted; any group whose stored extremum

@@ -3885,6 +3885,35 @@ final class SnapshotCatalog(
     if (ok && joins == 1 && rs.length == 2 && rs(0) != rs(1)) Some(rs) else None
   }
 
+  /** Is `p` a UNION ALL of project/filter arms, each over exactly ONE
+    * base relation (bases may repeat across arms)? The multi-source
+    * ingestion shape under an aggregate: each arm is row-local and
+    * single-base, so the body is LINEAR in every base — ins/del deltas
+    * substitute simultaneously and the partial machinery folds them. */
+  private def unionPfShape(db: String,
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias, Union}
+    def strip(q: LogicalPlan): LogicalPlan = q match {
+      case SubqueryAlias(_, c) => strip(c)
+      case other => other
+    }
+    def pfSingle(q: LogicalPlan): Boolean = {
+      val ok = q.collect {
+        case n => n match {
+          case _: Project | _: Filter | _: SubqueryAlias | _: UnresolvedRelation => true
+          case _ => false
+        }
+      }.forall(identity)
+      ok && q.collect { case u: UnresolvedRelation => relKeyOf(db, u) }
+        .flatten.length == 1
+    }
+    strip(p) match {
+      case u: Union => u.children.forall(pfSingle)
+      case _ => false
+    }
+  }
+
   /** The view body with every base-table relation swapped for a PINNED
     * snapshot read (analyzed subplan; `__bucket` layout columns hidden to
     * match the SQL surface) — materialization and refresh both run
@@ -4148,7 +4177,8 @@ final class SnapshotCatalog(
       // (the fact-dim rollup — its delta is the join delta, merged by
       // the identical partial machinery)
       case Aggregate(groupExprs, aggExprs, child, _)
-          if pfOnly(child) || innerJoinShape(db, child).isDefined =>
+          if pfOnly(child) || innerJoinShape(db, child).isDefined ||
+            unionPfShape(db, child) =>
         val keyNames = groupExprs.map {
           case a: UnresolvedAttribute => a.nameParts.last
           case _ => return None // expression keys: not recognized, stay full
@@ -4451,6 +4481,38 @@ final class SnapshotCatalog(
             Some(readAsOf(a._1, a._2, from(a).get)
               .drop(meta(a._1, a._2).hiddenCols.toSeq: _*).limit(0)), None))
       } yield (plus, minus)
+    }
+
+    /** AGGREGATE-over-UNION-ALL body ([[unionPfShape]] under the
+      * Aggregate): every arm is row-local and single-base, so the body is
+      * LINEAR in each base — the plus/minus partial frames are ONE
+      * evaluation each of the augmented aggregate with EVERY base
+      * simultaneously replaced by its insert (resp. delete) set; an
+      * unchanged or delete-free side substitutes an empty frame. */
+    def unionAggBody: Boolean = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Sort}
+      val plan = spark.sessionState.sqlParser.parsePlan(sql)
+      !hasSubqueryExpr(plan) &&
+        ((plan match { case s: Sort => s.child; case p => p }) match {
+          case Aggregate(_, _, child, _) => unionPfShape(db, child)
+          case _ => false
+        })
+    }
+    def unionAggDeltas(shape: AggShape)
+        : Option[(DataFrame, Option[DataFrame])] = {
+      val augPlan = augmentedAggPlan(sql, shape)
+      def emptyOf(b: (String, String)) = readAsOf(b._1, b._2, from(b).get)
+        .drop(meta(b._1, b._2).hiddenCols.toSeq: _*).limit(0)
+      val ds = bases.map(b => b -> baseDeltas(b))
+      if (ds.exists(_._2.isEmpty)) return None
+      val m = ds.map { case (b, d) => b -> d.get }.toMap
+      val plus = bodyOverBases(augPlan,
+        bases.map(b => b -> m(b)._1.getOrElse(emptyOf(b))).toMap)
+      val minus =
+        if (!m.values.exists(_._2.isDefined)) None
+        else Some(bodyOverBases(augPlan,
+          bases.map(b => b -> m(b)._2.getOrElse(emptyOf(b))).toMap))
+      Some((plus, minus))
     }
     def incrementalDelta(): DataFrame = {
       val (d, t) = bases.head
@@ -4760,7 +4822,7 @@ final class SnapshotCatalog(
             .select(keyNames.map(k => col(s"`$k`")).toIndexedSeq: _*)
           if (affected.isEmpty) m0.drop(needNames: _*)
           else {
-            val rec = if (bases.size == 2) {
+            val rec = if (bases.size == 2 || unionAggBody) {
               // JOIN body: recompute the affected groups by running the
               // body at cur with a LITERAL group-key predicate — Catalyst
               // pushes a grouping-column filter below the Aggregate and
@@ -4883,9 +4945,16 @@ final class SnapshotCatalog(
       appendOnlyRange(b._1, b._2, from(b).get, cur(b))) &&
       bases.exists(b => from(b).get != cur(b)) && unionArms.isDefined
 
+    // aggregate over UNION ALL: linear in every base → ins/del deltas
+    // substitute simultaneously, partials merge like any retractable MV
+    lazy val unionAggIncremental = bases.forall(b => from(b).isDefined) &&
+      shapeOpt.exists(_.retractable) && backingHasPartials && !hasDistinct &&
+      unionAggBody
+
     var mode =
       if (joinIncremental) "incremental_join"
       else if (joinAggIncremental) "incremental_join_agg"
+      else if (unionAggIncremental) "incremental_union_agg"
       else if ((!singleBase || !projectFilterOnly) && unionIncremental)
         "incremental_union"
       else if (!singleBase) "full"
@@ -4955,6 +5024,15 @@ final class SnapshotCatalog(
         // single-base path (group death, extremum-death recompute and
         // all)
         joinAggDeltas(shapeOpt.get).flatMap(pm =>
+          mergePartials(shapeOpt.get, preAgg = Some(pm))) match {
+          case Some(n) => n
+          case None => mode = "full"; runFull()
+        }
+      case "incremental_union_agg" =>
+        // multi-source rollup: ONE evaluation of the augmented aggregate
+        // per delta side (all bases substituted at once — linearity),
+        // then the identical group-wise partial merge
+        unionAggDeltas(shapeOpt.get).flatMap(pm =>
           mergePartials(shapeOpt.get, preAgg = Some(pm))) match {
           case Some(n) => n
           case None => mode = "full"; runFull()

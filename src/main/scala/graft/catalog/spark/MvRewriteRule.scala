@@ -159,6 +159,11 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
           case _ => false
         })) return None
     val cat = plugin.snapViews
+    // cheapest gate first: a namespace with no views at all (the common
+    // case) costs one directory listing, never a snapshot-log read
+    val viewsByDb = keys.map(_._1).distinct
+      .map(d => d -> Try(cat.listViews(d)).getOrElse(Seq.empty)).toMap
+    if (viewsByDb.values.forall(_.isEmpty)) return None
     // freshness anchor: rewrites serve CURRENT-state scans only (a pin
     // equal to a historical snapshot is not enough — see the scaladoc).
     // Under opted-in bounded staleness ([[allowStale]]) a current-state
@@ -175,7 +180,7 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
     val pinSet = servedByKey.map { case ((d, t), id) => s"$d.$t" -> id.map(_.toString) }
 
     val candidates = keys.map(_._1).distinct.flatMap { vdb =>
-      Try(cat.listViews(vdb)).getOrElse(Seq.empty).flatMap { v =>
+      viewsByDb(vdb).flatMap { v =>
         cat.loadView(vdb, v).flatMap { vm =>
           val pins = vm.properties.collect {
             case (k, value) if k.startsWith("mv.base.") =>

@@ -843,6 +843,68 @@ class ViewSpec extends AnyFunSuite {
         .as[Long].collect().toSeq.sorted))
   }
 
+  test("aggregate-over-UNION-ALL MV: per-base deltas fold as incremental_union_agg") {
+    val (cat, wh) = freshCat()
+    register(wh, "vua")
+    val t1 = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)).toDF("id", "g", "v")
+    val t2 = Seq((7L, "a", 7L), (8L, "c", 8L)).toDF("id", "grp", "w")
+    cat.createTable("db", "t1", t1.schema)
+    cat.createTable("db", "t2", t2.schema)
+    cat.append("db", "t1", t1)
+    cat.append("db", "t2", t2)
+    val body =
+      "SELECT g, count(*) AS n, sum(v) AS sv, max(v) AS mx FROM (" +
+        "SELECT g, v FROM vua.db.t1 WHERE v > 0 " +
+        "UNION ALL SELECT grp, w FROM vua.db.t2) GROUP BY g"
+    cat.createMaterializedView("db", "ua", body)
+    def expect() = noRewrite(spark.sql(body + " ORDER BY g")
+      .as[(String, Long, Long, Long)].collect().toSeq)
+    def got() = spark.sql("SELECT * FROM vua.db.ua ORDER BY g")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got() == expect())
+
+    def refresh() = cat.refreshMaterializedView("db", "ua")._1
+    // one source ingests: its arm's delta folds into the partials
+    cat.append("db", "t1", Seq((4L, "c", 40L)).toDF("id", "g", "v"))
+    assert(refresh() == "incremental_union_agg")
+    assert(got() == expect())
+    // both sources move in one range — one plus evaluation covers both
+    cat.append("db", "t1", Seq((5L, "d", 50L)).toDF("id", "g", "v"))
+    cat.append("db", "t2", Seq((9L, "d", 9L)).toDF("id", "grp", "w"))
+    assert(refresh() == "incremental_union_agg")
+    assert(got() == expect())
+
+    // DELETES RETRACT (linearity): a non-extremum delete on t2 folds
+    cat.deleteMoR("db", "t2", col("id") === 7L)
+    assert(refresh() == "incremental_union_agg")
+    assert(got() == expect())
+    // extremum death across arms: group d's max (50, from t1) dies —
+    // recompute runs the BODY at cur under a literal key predicate
+    cat.deleteMoR("db", "t1", col("v") === 50L)
+    assert(refresh() == "incremental_union_agg")
+    assert(got() == expect())
+    assert(got().find(_._1 == "d").get._4 == 9L)
+    // group death: c's rows vanish from both arms
+    cat.deleteMoR("db", "t1", col("g") === "c")
+    cat.deleteMoR("db", "t2", col("grp") === "c")
+    assert(refresh() == "incremental_union_agg")
+    assert(got() == expect())
+    assert(!got().exists(_._1 == "c"))
+
+    // SINGLE-base union-agg (two arms over the same table) maintains too
+    cat.createMaterializedView("db", "ua1",
+      "SELECT g, count(*) AS n FROM (SELECT g FROM vua.db.t1 WHERE v > 15 " +
+        "UNION ALL SELECT g FROM vua.db.t1 WHERE v < 0) GROUP BY g")
+    cat.append("db", "t1", Seq((6L, "a", 60L), (10L, "a", -1L)).toDF("id", "g", "v"))
+    assert(cat.refreshMaterializedView("db", "ua1")._1 == "incremental_union_agg")
+    assert(spark.sql("SELECT * FROM vua.db.ua1 ORDER BY g")
+      .as[(String, Long)].collect().toSeq ==
+      noRewrite(spark.sql(
+        "SELECT g, count(*) AS n FROM (SELECT g FROM vua.db.t1 WHERE v > 15 " +
+          "UNION ALL SELECT g FROM vua.db.t1 WHERE v < 0) GROUP BY g ORDER BY g")
+        .as[(String, Long)].collect().toSeq))
+  }
+
   test("namespace lifecycle sees MV backing tables: emptiness + log cleanup") {
     val (cat, wh) = freshCat()
     register(wh, "vns")
