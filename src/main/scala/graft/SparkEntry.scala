@@ -2144,6 +2144,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // TOPIC-BALANCED SUBSAMPLING (r11): cluster by embedding with the
+    // SAME deterministic coarse quantizer as q50, keep the top-40 rows
+    // per cluster by a deterministic quality surrogate (vec_id % 97) —
+    // head topics can no longer crowd out the tail. The oracle replays
+    // the identical k-means cells, then the per-cluster rank cut.
+    "q146_cluster_balance" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+        score = col("vec_id") % 97, nClusters = 8, perCluster = 40,
+        iters = 2, sampleMod = 3)
+        .select(col("vec_id"), col("cluster"), col("cluster_rank"))
+        .orderBy("cluster", "cluster_rank")
+    }),
+
     // IVF-PQ ANN (r8): the same coarse index as q50 (so the q50 oracle
     // replay states the answer), candidates scored from m-BYTE product-
     // quantization codes via compiled ADC kernels, exact re-rank of the
@@ -4617,4 +4631,18 @@ object SparkEntry {
     .pipe(m => m + ("q143_hard_negatives" -> m("q50_ann_ivf").replace(
       "WHERE ce.vec_id <> p.vec_id",
       "WHERE ce.vec_id <> p.vec_id AND ce.vec_id % 17 <> p.vec_id")))
+    // q146 replays q50's k-means cell assignment verbatim (the oracle's
+    // CTE prefix through `cells`), then applies the per-cluster rank cut
+    .pipe { m =>
+      val q50 = m("q50_ann_ivf")
+      val prefix = q50.substring(0, q50.indexOf("probes AS"))
+      m + ("q146_cluster_balance" -> (prefix +
+        """ranked AS (SELECT i.vec_id, ce.cid,
+          |    row_number() OVER (PARTITION BY ce.cid
+          |      ORDER BY i.vec_id % 97 DESC, i.vec_id) AS r
+          |  FROM iv i JOIN cells ce ON ce.vec_id = i.vec_id)
+          |SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+          |  CAST(r AS BIGINT) AS cluster_rank
+          |FROM ranked WHERE r <= 40 ORDER BY cluster, cluster_rank""".stripMargin))
+    }
 }

@@ -533,6 +533,28 @@ object Similarity {
         (dot(col(corpusVec), col(queryVec)) / (col("_cn") * col("_qn"))).as("sim"))
   }
 
+  /** TOPIC-BALANCED SUBSAMPLING (the cluster stage of SemDeDup-style
+    * curation; cluster-balanced selection generally): cluster rows by
+    * embedding with the IVF coarse quantizer (k-means over exact
+    * integer-quantized arithmetic — deterministic and oracle-replayable)
+    * and keep at most `perCluster` rows per cluster, highest `score`
+    * first (ties by id) — so head topics cannot crowd the tail out of a
+    * sampled corpus. One corpus scan assigns cells; the per-cluster cut
+    * is a rank window partitioned by cluster (state O(perCluster) per
+    * partition, fully distributed). Output: the input columns plus
+    * `cluster` and `cluster_rank`. */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String, vecCol: String,
+      score: Column, nClusters: Int, perCluster: Int,
+      iters: Int = 2, sampleMod: Long = 0): DataFrame = {
+    val mod = deriveSampleMod(corpus, idCol, sampleMod)
+    val cents = coarseCentroids(corpus, idCol, vecCol, nClusters, iters, mod)
+    val assigned = corpus.withColumn("cluster",
+      ivfCell(quantize(col(vecCol)), cents))
+    val w = Window.partitionBy("cluster").orderBy(score.desc, col(idCol))
+    assigned.withColumn("cluster_rank", row_number().over(w).cast("long"))
+      .where(col("cluster_rank") <= perCluster)
+  }
+
   /** HARD-NEGATIVE MINING for contrastive training (the DPR recipe —
     * Karpukhin et al. 2020; sentence-transformers mines the same way):
     * for each query, the top-k corpus items MOST similar to it that are

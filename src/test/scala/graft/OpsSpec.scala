@@ -131,6 +131,32 @@ class OpsSpec extends AnyFunSuite {
     assert(banded.isEmpty)
   }
 
+  test("cluster-balanced sampling: per-cluster cap, score-ordered, cells partition") {
+    val kept = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      score = col("vec_id") % 97, nClusters = 8, perCluster = 5,
+      iters = 2, sampleMod = 3)
+      .select(col("vec_id"), col("cluster"), col("cluster_rank"))
+      .as[(Long, Long, Long)].collect()
+    // at most 5 per cluster, ranks contiguous from 1
+    kept.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length))
+    }
+    // the kept rows per cluster are exactly the top-5 by (score desc, id)
+    // of that cluster's full membership
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nlist = 8, iters = 2, sampleMod = 3)
+    val all = emb.select(col("vec_id"), Similarity.ivfCell(
+        Similarity.quantize(col("embedding")), cents).as("cluster"))
+      .as[(Long, Long)].collect()
+    all.groupBy(_._2).foreach { case (c, members) =>
+      val expect = members.map(_._1)
+        .sortBy(id => (-(id % 97), id)).take(5).toSeq
+      val got = kept.filter(_._2 == c).sortBy(_._3).map(_._1).toSeq
+      assert(got == expect, s"cluster $c: $got vs $expect")
+    }
+  }
+
   test("IVF centroids cache per corpus content; snapshots invalidate (zero re-train)") {
     // bind ONE frame: emb is a def, and a fresh spark.read.parquet inside
     // the listener window runs a file-listing job that is not ivfTopK's
