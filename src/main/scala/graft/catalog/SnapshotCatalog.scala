@@ -4045,7 +4045,7 @@ final class SnapshotCatalog(
       * the known-minimal auxiliary for exact distinct maintenance
       * (self-maintainable-view literature). Global distinct is fine too:
       * its recompute reads the sidecar, never the base. */
-    def retractable: Boolean = aggPos.nonEmpty &&
+    def retractable: Boolean = (aggPos.nonEmpty || keyPos.nonEmpty) &&
       aggPos.forall(p => Set("count", "sum", "avg")(p._2) ||
         (keyPos.nonEmpty && Set("min", "max")(p._2)) ||
         Set("count_distinct", "sum_distinct", "avg_distinct")(p._2))
@@ -4089,6 +4089,16 @@ final class SnapshotCatalog(
       }
     def aug(p: LogicalPlan): LogicalPlan = p match {
       case a: Aggregate => a.copy(aggregateExpressions = a.aggregateExpressions ++ extras)
+      // SELECT DISTINCT: group by every select expression, carry the
+      // copy count — a distinct row survives while __mv_n > 0, which is
+      // exactly what makes the shape retractable under deletes
+      case org.apache.spark.sql.catalyst.plans.logical.Distinct(
+          Project(ps, src)) =>
+        Aggregate(ps.map {
+          case org.apache.spark.sql.catalyst.analysis.UnresolvedAlias(c, _) => c
+          case Alias(c, _) => c
+          case e => e
+        }, ps ++ extras, src)
       // global-aggregate form: parses as a Project of aggregate calls
       case pr: Project => pr.copy(projectList = pr.projectList ++ extras)
       case s: Sort => s.copy(child = aug(s.child))

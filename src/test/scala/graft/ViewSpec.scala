@@ -444,6 +444,47 @@ class ViewSpec extends AnyFunSuite {
       Seq("g0", "g1", "g2", "gNEW", "gOTHER"))
   }
 
+  test("SELECT DISTINCT MV retracts: rows die only with their LAST copy") {
+    val (cat, wh) = freshCat()
+    register(wh, "vsd")
+    val a = Seq((1L, "x", 1L), (2L, "x", 1L), (3L, "y", 2L), (4L, "z", 3L))
+      .toDF("id", "tag", "v")
+    cat.createTable("db", "base", a.schema)
+    cat.append("db", "base", a)
+    cat.createMaterializedView("db", "tags",
+      "SELECT DISTINCT tag, v FROM vsd.db.base")
+    def expect() = noRewrite(spark.sql(
+      "SELECT DISTINCT tag, v FROM vsd.db.base ORDER BY tag")
+      .as[(String, Long)].collect().toSeq)
+    def got() = spark.sql("SELECT * FROM vsd.db.tags ORDER BY tag")
+      .as[(String, Long)].collect().toSeq
+    assert(got() == expect())
+    assert(spark.table("vsd.db.tags").columns.toSeq == Seq("tag", "v"),
+      "the copy-count partial must never surface")
+
+    def refresh() = cat.refreshMaterializedView("db", "tags")._1
+    // delete ONE copy of a duplicated row: the distinct row SURVIVES
+    cat.deleteMoR("db", "base", col("id") === 1L)
+    assert(refresh() == "incremental_agg")
+    assert(got() == expect())
+    assert(got().contains(("x", 1L)))
+    // delete the LAST copy: the row dies
+    cat.deleteMoR("db", "base", col("id") === 2L)
+    assert(refresh() == "incremental_agg")
+    assert(got() == expect())
+    assert(!got().exists(_._1 == "x"))
+    // update moves a row's distinct identity; insert + delete in one range
+    cat.updateMoR("db", "base", col("id") === 3L, Map("v" -> lit(20L)))
+    cat.append("db", "base", Seq((5L, "z", 3L), (6L, "w", 9L)).toDF("id", "tag", "v"))
+    assert(refresh() == "incremental_agg")
+    assert(got() == expect())
+    // the duplicated ("z", 3) row survives one copy's death
+    cat.deleteMoR("db", "base", col("id") === 4L)
+    assert(refresh() == "incremental_agg")
+    assert(got() == expect())
+    assert(got().contains(("z", 3L)))
+  }
+
   test("retractable aggregate MV: deletes/updates in range MERGE, groups die exactly") {
     val (cat, wh) = freshCat()
     register(wh, "vret")
