@@ -1336,6 +1336,35 @@ object SparkEntry {
         "FROM snapdml.maint.ua_mv ORDER BY o_orderstatus")
     }),
 
+    // SELECT DISTINCT MV RETRACTION (r11): the distinct-row view carries
+    // a hidden copy count, so a distinct row dies exactly when its LAST
+    // copy does — deletes refresh through the partial merge, never a
+    // rebuild. REQUIRES the merge path under a range that kills some
+    // rows' every copy and only SOME copies of others; oracle replays
+    // the surviving distinct set.
+    "q147_mv_select_distinct_retract" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "sd_mv")) cat.dropView("maint", "sd_mv")
+      if (cat.tableExists("maint", "sd_orders")) cat.dropTable("maint", "sd_orders")
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          (col("o_custkey") % 50).as("bucket"))
+      cat.createTable("maint", "sd_orders", base.schema)
+      cat.append("maint", "sd_orders", base)
+      cat.createMaterializedView("maint", "sd_mv",
+        "SELECT DISTINCT o_orderstatus, o_orderpriority, bucket " +
+          "FROM maint.sd_orders")
+      // kill every P row (their distinct tuples die) and HALF the F rows
+      // (their tuples survive through remaining copies)
+      cat.deleteMoR("maint", "sd_orders",
+        col("o_orderstatus") === "P" ||
+          (col("o_orderstatus") === "F" && col("o_orderkey") % 2 === 0))
+      val (mode, _) = cat.refreshMaterializedView("maint", "sd_mv")
+      require(mode == "incremental_agg", s"distinct retraction took '$mode'")
+      s.sql("SELECT o_orderstatus, o_orderpriority, bucket FROM " +
+        "snapdml.maint.sd_mv ORDER BY o_orderstatus, o_orderpriority, bucket")
+    }),
+
     // COLUMN DEFAULT VALUES (r11, the Iceberg-v3 defaults model): ALTER
     // TABLE ADD COLUMN ... DEFAULT freezes an INITIAL default that
     // pre-evolution files serve on read (Spark's parquet readers fill
@@ -3877,6 +3906,16 @@ object SparkEntry {
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sc, CAST(max(cents) AS BIGINT) AS mx
         |FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the surviving distinct tuples replayed from raw: all P rows and
+    // the even-key F rows died; a tuple lives iff a copy survived
+    "q147_mv_select_distinct_retract" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority,
+        |  CAST(o_custkey % 50 AS BIGINT) AS bucket
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'P'
+        |  OR (o_orderstatus = 'F' AND o_orderkey % 2 = 0))
+        |ORDER BY o_orderstatus, o_orderpriority, bucket""".stripMargin,
 
     // post-churn min/max replayed from scratch: the global-max row and
     // the %10==4 batch are retracted; any group whose stored extremum
