@@ -289,6 +289,23 @@ object SnapProcedures {
         Seq(row(utf8(mode), rows))
       },
 
+      proc("refresh_materialized_views",
+        "bring EVERY materialized view of a namespace forward (the nightly-maintenance sweep): one row per MV with the mode its shape earned; plain views skip",
+        Seq(in("namespace", StringType)),
+        StructType(Seq(
+          StructField("view", StringType, nullable = false),
+          StructField("mode", StringType, nullable = false),
+          StructField("rows_added", LongType, nullable = false)))) { input =>
+        val db = str(input, 0).getOrElse(
+          throw new IllegalArgumentException("namespace must not be null"))
+        cat.listViews(db).flatMap { v =>
+          cat.loadView(db, v).filter(_.properties.contains("materialized")).map { _ =>
+            val (mode, rows) = cat.refreshMaterializedView(db, v)
+            row(utf8(s"$db.$v"), utf8(mode), rows)
+          }
+        }
+      },
+
       proc("drop_view",
         "drop a versioned SQL view (its whole history)",
         Seq(in("view", StringType)),

@@ -156,6 +156,29 @@ class ProcedureSpec extends AnyFunSuite {
     assert(cat.currentSnapshotId("db", "cw") == after.snapshotId)
   }
 
+  test("refresh_materialized_views sweeps every MV of a namespace") {
+    val c = cat
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "tag")
+    c.createTable("mvs", "base", a.schema)
+    c.append("mvs", "base", a)
+    c.createMaterializedView("mvs", "m1", "SELECT tag FROM proccat.mvs.base")
+    c.createMaterializedView("mvs", "m2",
+      "SELECT tag, count(*) AS n FROM proccat.mvs.base GROUP BY tag")
+    c.createView("mvs", "plain", "SELECT id FROM proccat.mvs.base") // skipped
+    c.append("mvs", "base", Seq((3L, "x")).toDF("id", "tag"))
+    val res = spark.sql(
+      "CALL proccat.system.refresh_materialized_views('mvs')").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(res == Seq(("mvs.m1", "incremental"), ("mvs.m2", "incremental_agg")), res)
+    // both views serve the post-append state; a second sweep is all-fresh
+    assert(spark.sql("SELECT count(*) FROM proccat.mvs.m1").head.getLong(0) == 3L)
+    assert(spark.sql("SELECT n FROM proccat.mvs.m2 WHERE tag = 'x'")
+      .head.getLong(0) == 2L)
+    val again = spark.sql(
+      "CALL proccat.system.refresh_materialized_views('mvs')").collect()
+    assert(again.forall(_.getString(1) == "fresh"), again.mkString(","))
+  }
+
   test("rewrite_small_files: no-op below two small files reports rewritten=false") {
     wh
     val t = Seq(1L).toDF("id")
