@@ -365,6 +365,35 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
     /** The backing expression for one user aggregate call, or None. */
     def mapAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.mode != Complete || ae.filter.isDefined) return None
+      // aggregates over a GROUP-KEY column serve straight off the backing:
+      // every surviving key combination appears there, so min/max fold
+      // over the key column, and DISTINCT count/sum/avg of a key dedupe
+      // over it — no partials, no sidecar (exact: the key is functionally
+      // a group column, so the per-row value IS the aggregate)
+      def keyArg: Option[String] = ae.aggregateFunction.children match {
+        case Seq(a: AttributeReference) => keyCols.get(a.exprId.id)
+        case _ => None
+      }
+      keyArg.foreach { kn =>
+        def dfn(name: String) = org.apache.spark.sql.catalyst.analysis
+          .UnresolvedFunction(Seq(name), Seq(bcol(kn)), isDistinct = true)
+        ae.aggregateFunction match {
+          case _: Min => return Some(if (exact) bcol(kn) else fnCol("min", bcol(kn)))
+          case _: Max => return Some(if (exact) bcol(kn) else fnCol("max", bcol(kn)))
+          // exact = the key is one of the query's own group columns, so
+          // the per-group distinct set is {k}: count is 1 (0 for NULL —
+          // distinct aggs ignore nulls), sum/avg are k itself
+          case _: Count if ae.isDistinct =>
+            return Some(if (exact)
+              fnCol("if", fnCol("isnull", bcol(kn)), Literal(0L), Literal(1L))
+            else dfn("count"))
+          case _: Sum if ae.isDistinct =>
+            return Some(if (exact) bcol(kn) else dfn("sum"))
+          case _: Average if ae.isDistinct =>
+            return Some(if (exact) bcol(kn) else dfn("avg"))
+          case _ => ()
+        }
+      }
       // a directly-matching visible output (function, args, distinct flag,
       // eval mode — all via semantic equality)
       val direct = aggOuts.find(_._2.semanticEquals(ae)).map(_._3)

@@ -164,6 +164,16 @@ class MvRewriteSpec extends AnyFunSuite {
     // commutes/reorders still match semantically (filter written backwards)
     assertRewritten("SELECT k1, sum(v) AS s FROM mvr2.db2.fact " +
       "WHERE 'g1' = k2 GROUP BY k1")
+
+    // aggregates over a GROUP-KEY column serve off the backing with no
+    // partials: every surviving key combo appears there, so distinct
+    // counts dedupe over the key column and extrema fold over it
+    assertRewritten("SELECT k1, count(DISTINCT k2) AS dk, min(k2) AS lo, " +
+      "max(k2) AS hi FROM mvr2.db2.fact GROUP BY k1 ORDER BY k1")
+    assertRewritten("SELECT count(DISTINCT k1) AS d FROM mvr2.db2.fact")
+    // exact group match: the distinct set of a grouped key is {k} per row
+    assertRewritten("SELECT k1, k2, count(DISTINCT k2) AS one, count(*) AS c " +
+      "FROM mvr2.db2.fact GROUP BY k1, k2")
   }
 
   test("join-MV navigation: fact-dim aggregates served from the rollup backing") {
