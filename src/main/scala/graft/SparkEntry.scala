@@ -1365,6 +1365,41 @@ object SparkEntry {
         "snapdml.maint.sd_mv ORDER BY o_orderstatus, o_orderpriority, bucket")
     }),
 
+    // PERSISTENT INCREMENTAL VECTOR INDEX (r12): the IVF coarse index as
+    // CATALOG TABLES — centroids trained once on the initial corpus and
+    // FROZEN, assignments hive-partitioned by cell so a probe reads
+    // nprobe/nlist of the index files (directory pruning, asserted in
+    // VectorIndexSpec). The base then churns (MoR delete + append) and
+    // the refresh advances from PER-COMMIT METADATA: deleted ids retract
+    // as an equality delete on the index, new vectors assign to the
+    // frozen centroids and append — one churn-sized pass, never a corpus
+    // rescan, never a retrain (both REQUIRED below). Top-k is served
+    // entirely from the index; the oracle replays training on the
+    // initial slice, frozen-centroid assignment of the churned corpus,
+    // probing, and the exact cosine re-rank.
+    "q148_vector_index" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      for (t <- Seq("vix_idx", "vix_idx_cent", "vix_emb"))
+        if (cat.tableExists("maint", t)) cat.dropTable("maint", t)
+      val emb = T(s, dir, "embeddings")
+      cat.createTable("maint", "vix_emb", emb.schema)
+      cat.append("maint", "vix_emb", emb.where(col("vec_id") % 2 === 0))
+      graft.ops.VectorIndex.create(cat, "maint", "vix_emb", "vix_idx",
+        "vec_id", "embedding", nlist = 8, iters = 2, sampleMod = 3)
+      cat.deleteMoR("maint", "vix_emb", col("vec_id") % 10 === 0)
+      cat.append("maint", "vix_emb", emb.where(col("vec_id") % 2 === 1))
+      val t0 = graft.ops.VectorIndex.trainingCount
+      val (mode, _) = graft.ops.VectorIndex.refresh(cat, "maint", "vix_idx")
+      require(mode == "incremental", s"index refresh took '$mode'")
+      require(graft.ops.VectorIndex.trainingCount == t0,
+        "index refresh must not retrain the coarse quantizer")
+      graft.ops.VectorIndex.topK(cat, "maint", "vix_idx",
+        emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 10, nprobe = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // COLUMN DEFAULT VALUES (r11, the Iceberg-v3 defaults model): ALTER
     // TABLE ADD COLUMN ... DEFAULT freezes an INITIAL default that
     // pre-evolution files serve on read (Spark's parquet readers fill
@@ -3916,6 +3951,50 @@ object SparkEntry {
         |WHERE NOT (o_orderstatus = 'P'
         |  OR (o_orderstatus = 'F' AND o_orderkey % 2 = 0))
         |ORDER BY o_orderstatus, o_orderpriority, bucket""".stripMargin,
+
+    // full persistent-index replay: train on the initial (even-id) slice
+    // — sample ids %6==0, both Lloyd iterations on the exact integer grid
+    // — then assign the CHURNED corpus (the %10 deletes hit only even
+    // ids, so current = ids %10<>0) to those frozen centroids, probe,
+    // and re-rank. Identical arithmetic to the q50 replay; only the
+    // training slice and the corpus differ.
+    "q148_vector_index" ->
+      s"""WITH iv AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    list_transform(embedding, x ->
+         |      floor((least(greatest(CAST(x AS DOUBLE), -2.0), 2.0) + 2.0) * 1048576.0)) AS q
+         |  FROM embeddings),
+         |samp AS (SELECT vec_id, q FROM iv WHERE vec_id % 6 = 0),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid, q AS c
+         |       FROM (SELECT vec_id, q FROM samp ORDER BY vec_id LIMIT 8)),
+         |${ivfIterCtes(1, "c0", 64)},
+         |${ivfIterCtes(2, "c1", 64)},
+         |cur AS (SELECT * FROM iv WHERE vec_id % 10 <> 0),
+         |cells AS (SELECT vec_id, cid FROM (
+         |    SELECT i.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY i.vec_id ORDER BY
+         |        list_inner_product(i.q, i.q) + list_inner_product(c.c, c.c)
+         |        - 2.0*list_inner_product(i.q, c.c), c.cid) AS rn
+         |    FROM cur i, c2 c) WHERE rn = 1),
+         |probes AS (SELECT vec_id, cid FROM (
+         |    SELECT i.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY i.vec_id ORDER BY
+         |        list_inner_product(i.q, i.q) + list_inner_product(c.c, c.c)
+         |        - 2.0*list_inner_product(i.q, c.c), c.cid) AS rn
+         |    FROM iv i, c2 c WHERE i.vec_id < 5) WHERE rn <= 3),
+         |cand AS (SELECT p.vec_id AS query_id, ce.vec_id AS neighbor_id
+         |         FROM probes p JOIN cells ce ON p.cid = ce.cid
+         |         WHERE ce.vec_id <> p.vec_id),
+         |sims AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      list_inner_product(cv.v, qv.v) /
+         |        (sqrt(list_inner_product(cv.v, cv.v)) * sqrt(list_inner_product(qv.v, qv.v))) DESC,
+         |      neighbor_id) AS rank
+         |  FROM cand JOIN cur cv ON cv.vec_id = neighbor_id
+         |            JOIN iv qv ON qv.vec_id = query_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM sims WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // post-churn min/max replayed from scratch: the global-max row and
     // the %10==4 batch are retracted; any group whose stored extremum

@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.SnapshotCatalog
+import graft.ops.{Similarity, VectorIndex}
+
+/** The persistent incremental vector index: parity with the per-query IVF
+  * operator, churn-only maintenance, frozen centroids, and the
+  * partition-pruned probe scan. */
+class VectorIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def newCat(): SnapshotCatalog = {
+    var tick = 0L
+    new SnapshotCatalog(spark, Files.createTempDirectory("graft_vix_").toString,
+      clock = () => { tick += 1; Instant.parse("2026-04-01T00:00:00Z").plusSeconds(tick * 60) })
+  }
+
+  private def queries = emb.where(col("vec_id") < 5)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("index topK equals the per-query IVF operator on the same corpus") {
+    val cat = newCat()
+    cat.createTable("ann", "base", emb.schema)
+    cat.append("ann", "base", emb)
+    VectorIndex.create(cat, "ann", "base", "idx", "vec_id", "embedding",
+      nlist = 8, iters = 2, sampleMod = 3)
+    val got = VectorIndex.topK(cat, "ann", "idx", queries, "qid", "qvec",
+      k = 10, nprobe = 3).as[(Long, Long, Long)].collect().toSet
+    val want = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+      k = 10, nlist = 8, nprobe = 3, iters = 2, sampleMod = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("refresh is incremental under append+delete+update churn, never retrains, stays exact") {
+    val cat = newCat()
+    val init = emb.where(col("vec_id") % 2 === 0)
+    cat.createTable("ann", "base", emb.schema)
+    cat.append("ann", "base", init)
+    VectorIndex.create(cat, "ann", "base", "idx", "vec_id", "embedding",
+      nlist = 8, iters = 2, sampleMod = 3)
+    assert(VectorIndex.refresh(cat, "ann", "idx") == ("fresh", 0L))
+
+    // churn: kill some ids, move one id's vector (update = del+ins of the
+    // same id), ingest the odd half
+    cat.deleteMoR("ann", "base", col("vec_id") % 10 === 0)
+    cat.updateMoR("ann", "base", col("vec_id") === 2,
+      Map("embedding" -> transform(col("embedding"), x => -x)))
+    cat.append("ann", "base", emb.where(col("vec_id") % 2 === 1))
+
+    val t0 = VectorIndex.trainingCount
+    val (mode, commits) = VectorIndex.refresh(cat, "ann", "idx")
+    assert(mode == "incremental", s"expected metadata-path refresh, got $mode")
+    assert(commits == 3L)
+    assert(VectorIndex.trainingCount == t0, "refresh must not retrain")
+
+    // the refreshed index holds exactly one assignment per live base row,
+    // equal to a from-scratch re-assignment under the SAME frozen centroids
+    val cents = VectorIndex.centroids(cat, "ann", "idx")
+    val want = cat.readLatest("ann", "base")
+      .select(col("vec_id"),
+        Similarity.ivfCell(Similarity.quantize(col("embedding")), cents).as("cell"))
+      .as[(Long, Long)].collect().toSet
+    val got = cat.readLatest("ann", "idx")
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toSet
+    assert(got == want)
+    // and the moved vector's stored copy is the NEW value
+    val moved = cat.readLatest("ann", "idx").where(col("vec_id") === 2)
+      .select(col("vec")).as[Seq[Double]].collect()
+    val base2 = cat.readLatest("ann", "base").where(col("vec_id") === 2)
+      .select(Similarity.toDouble(col("embedding"))).as[Seq[Double]].collect()
+    assert(moved.toSeq == base2.toSeq)
+  }
+
+  test("non-enumerable range (rollback) falls back to full re-assignment, centroids frozen") {
+    val cat = newCat()
+    cat.createTable("ann", "base", emb.schema)
+    cat.append("ann", "base", emb.where(col("vec_id") % 2 === 0))
+    VectorIndex.create(cat, "ann", "base", "idx", "vec_id", "embedding",
+      nlist = 8, iters = 2, sampleMod = 3)
+    val centsBefore = VectorIndex.centroids(cat, "ann", "idx").map(_.toSeq)
+    cat.deleteMoR("ann", "base", col("vec_id") % 6 === 0)
+    cat.rollback("ann", "base", toSnapshotId = 2)
+    val t0 = VectorIndex.trainingCount
+    val (mode, _) = VectorIndex.refresh(cat, "ann", "idx")
+    assert(mode == "full")
+    assert(VectorIndex.trainingCount == t0)
+    assert(VectorIndex.centroids(cat, "ann", "idx").map(_.toSeq) == centsBefore)
+    val n = cat.readLatest("ann", "idx").count()
+    assert(n == cat.readLatest("ann", "base").count())
+  }
+
+  test("probe scan reads only the probed cells' partitions") {
+    val cat = newCat()
+    cat.createTable("ann", "base", emb.schema)
+    cat.append("ann", "base", emb)
+    VectorIndex.create(cat, "ann", "base", "idx", "vec_id", "embedding",
+      nlist = 8, iters = 2, sampleMod = 3)
+    val cents = VectorIndex.centroids(cat, "ann", "idx")
+    val probed = queries
+      .select(explode(Similarity.ivfProbes(
+        Similarity.quantize(col("qvec")), cents, 3)).as("cell"))
+      .distinct().as[Long].collect().toSet
+    assert(probed.size < 8, "fixture should leave at least one unprobed cell")
+    val scan = cat.readLatestWhere("ann", "idx", col("cell").isin(probed.toSeq: _*))
+    val files = scan.inputFiles
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val cell = "cell=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toLong)
+      assert(cell.exists(probed), s"scan read an unprobed partition: $f")
+    }
+  }
+
+  test("rebuild retrains deliberately and re-pins") {
+    val cat = newCat()
+    cat.createTable("ann", "base", emb.schema)
+    cat.append("ann", "base", emb.where(col("vec_id") % 4 === 0))
+    VectorIndex.create(cat, "ann", "base", "idx", "vec_id", "embedding",
+      nlist = 8, iters = 2, sampleMod = 3)
+    cat.append("ann", "base", emb.where(col("vec_id") % 4 =!= 0))
+    val t0 = VectorIndex.trainingCount
+    VectorIndex.rebuild(cat, "ann", "idx")
+    assert(VectorIndex.trainingCount == t0 + 1)
+    assert(VectorIndex.refresh(cat, "ann", "idx") == ("fresh", 0L))
+    // rebuilt index serves the full corpus
+    assert(cat.readLatest("ann", "idx").count() == emb.count())
+  }
+}
