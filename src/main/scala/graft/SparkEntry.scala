@@ -1400,6 +1400,41 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // CONTINUOUS MV MAINTENANCE (r12, the streaming-MV / DLT shape): a
+    // Structured Streaming query tails the base table's CDC stream as a
+    // COMMIT SIGNAL (the batch frame is never acted on — no pre-image
+    // job) and folds every signal into refreshMaterializedView, whose
+    // pin-advancing refresh makes the maintainer exactly-once and
+    // restart-idempotent by construction. The query REQUIRES the drained
+    // maintenance took the incremental-agg path (never full) across a
+    // delete+append churn; the oracle replays the aggregate from raw.
+    "q149_mv_streaming" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "smv")) cat.dropView("maint", "smv")
+      if (cat.tableExists("maint", "smv_orders")) cat.dropTable("maint", "smv_orders")
+      val base = T(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      cat.createTable("maint", "smv_orders", base.schema)
+      cat.append("maint", "smv_orders", base.where(col("o_orderkey") % 2 === 0))
+      cat.createMaterializedView("maint", "smv",
+        "SELECT o_orderstatus, count(*) AS n, sum(cents) AS sc " +
+          "FROM maint.smv_orders GROUP BY o_orderstatus")
+      // churn AFTER the view materialized: a retraction and an ingest
+      cat.deleteMoR("maint", "smv_orders", col("o_orderkey") % 10 === 0)
+      cat.append("maint", "smv_orders", base.where(col("o_orderkey") % 2 === 1))
+      val modes = scala.collection.mutable.ArrayBuffer.empty[String]
+      val qs = graft.streaming.MvMaintainer.maintain(s, cat, "snapdml",
+        "maint", "smv", availableNow = true,
+        onRefresh = (m, _) => modes.synchronized { modes += m })
+      qs.foreach(q => require(q.awaitTermination(180000),
+        "MV maintainer did not drain under Trigger.AvailableNow"))
+      require(modes.contains("incremental_agg"),
+        s"streamed maintenance must merge incrementally, saw $modes")
+      require(!modes.contains("full"), s"saw a full refresh: $modes")
+      s.sql("SELECT o_orderstatus, n, sc FROM snapdml.maint.smv " +
+        "ORDER BY o_orderstatus")
+    }),
+
     // COLUMN DEFAULT VALUES (r11, the Iceberg-v3 defaults model): ALTER
     // TABLE ADD COLUMN ... DEFAULT freezes an INITIAL default that
     // pre-evolution files serve on read (Spark's parquet readers fill
@@ -3995,6 +4030,15 @@ object SparkEntry {
          |            JOIN iv qv ON qv.vec_id = query_id)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
          |FROM sims WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the continuously-maintained view replayed from raw: the %10 delete
+    // hit only even keys (the table held the even half), then the odd
+    // half appended — survivors are exactly the keys not divisible by 10
+    "q149_mv_streaming" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sc
+        |FROM orders WHERE o_orderkey % 10 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // post-churn min/max replayed from scratch: the global-max row and
     // the %10==4 batch are retracted; any group whose stored extremum

@@ -3845,6 +3845,17 @@ final class SnapshotCatalog(
     case _ => None
   }
 
+  /** The base tables a materialized view's body reads — the subscription
+    * set for continuous maintenance ([[graft.streaming.MvMaintainer]]):
+    * one CDC signal stream per base keeps the view fresh. */
+  def materializedViewBases(db: String, name: String): Seq[(String, String)] = {
+    val docMeta = loadView(db, name).getOrElse(
+      throw new NoSuchElementException(s"no such view: $db.$name"))
+    require(docMeta.properties.contains("materialized"),
+      s"$db.$name is not a materialized view")
+    baseTablesOf(db, docMeta.currentVersion.sql)
+  }
+
   private def baseTablesOf(db: String, sql: String): Seq[(String, String)] = {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
     plan.collectWithSubqueries {

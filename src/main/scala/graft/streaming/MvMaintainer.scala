@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.catalog.SnapshotCatalog
+
+/** CONTINUOUS MATERIALIZED-VIEW MAINTENANCE — the "streaming MV" /
+  * Delta-Live-Tables shape: instead of a nightly `refresh_materialized_
+  * views` sweep, a Structured Streaming query per base table keeps the
+  * view fresh commit-by-commit.
+  *
+  * The design hinges on what the stream is FOR. It is NOT the delta
+  * feed: [[SnapshotCatalog.refreshMaterializedView]] already derives its
+  * exact delta from the view's recorded pins (per-commit metadata change
+  * sets / incremental tails) and advances those pins transactionally
+  * under the view lock. Re-deriving the delta from stream batches would
+  * duplicate that machinery and break its exactness guarantees. So the
+  * CDC stream is tailed purely as a COMMIT SIGNAL: the per-commit
+  * micro-batch frame is never acted on — no action, so the pre-image
+  * scan behind a `.changes` batch never runs; the micro-batch costs
+  * offset bookkeeping only — and each signal folds into one
+  * `refreshMaterializedView` call, which does churn-sized work through
+  * whichever incremental mode the body's shape earned.
+  *
+  * Exactly-once falls out of the MV machinery, not sink bookkeeping: a
+  * replayed or coalesced signal finds the pins already advanced and
+  * returns mode "fresh" (a no-op). Restart from any checkpoint state is
+  * therefore safe, and several maintainers (or a concurrent manual
+  * refresh) serialize on the view lock without double-applying.
+  *
+  * At 100 TB this is the difference between freshness-lag = scheduler
+  * period and freshness-lag = one micro-batch: each base commit triggers
+  * exactly one churn-sized merge, and the signal stream itself moves
+  * per-commit METADATA, never table data.
+  */
+object MvMaintainer {
+
+  /** Start one maintenance stream per base table of `db.view`.
+    *
+    * `catalogName` must name a registered [[graft.catalog.spark.SnapCatalogPlugin]]
+    * over the same warehouse (it provides the streaming `.changes`
+    * source). Each stream starts from the view's recorded pin for its
+    * base — the first batch covers exactly the unmaintained backlog.
+    * `availableNow = true` drains the backlog and terminates (the
+    * catch-up form, also what a scheduled micro-batch job runs);
+    * `false` runs continuously. `onRefresh` observes every refresh's
+    * (mode, merged-rows) for monitoring/assertions. */
+  def maintain(spark: SparkSession, cat: SnapshotCatalog, catalogName: String,
+      db: String, view: String, availableNow: Boolean = true,
+      onRefresh: (String, Long) => Unit = (_, _) => ()): Seq[StreamingQuery] = {
+    val bases = cat.materializedViewBases(db, view)
+    require(bases.nonEmpty, s"$db.$view reads no base tables")
+    val props = cat.loadView(db, view).get.properties
+    bases.map { case (d, t) =>
+      // the pin is the snapshot the view already reflects for this base;
+      // `starting-snapshot-id` is an exclusive lower bound on both sides
+      val pin = props.getOrElse(s"mv.base.$d.$t", "1")
+      spark.readStream
+        .option("starting-snapshot-id", pin)
+        .table(s"$catalogName.$d.$t.changes")
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_mvm_ckpt_").toString)
+        .foreachBatch { (_: DataFrame, _: Long) =>
+          // signal only — the batch frame is deliberately untouched
+          val (mode, n) = cat.refreshMaterializedView(db, view)
+          onRefresh(mode, n)
+        }
+        .trigger(if (availableNow) Trigger.AvailableNow()
+          else Trigger.ProcessingTime(0L))
+        .start()
+    }
+  }
+}

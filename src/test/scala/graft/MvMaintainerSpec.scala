@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.SnapshotCatalog
+import graft.streaming.MvMaintainer
+
+/** Continuous MV maintenance: commit signals fold into incremental
+  * refreshes, replays are no-ops, multi-base views serialize on the view
+  * lock. */
+class MvMaintainerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newCat(name: String): (SnapshotCatalog, String) = {
+    val wh = Files.createTempDirectory("graft_mvm_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, wh,
+      clock = () => { tick += 1; Instant.parse("2026-05-01T00:00:00Z").plusSeconds(tick * 60) })
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    (cat, name)
+  }
+
+  private def drain(qs: Seq[org.apache.spark.sql.streaming.StreamingQuery]): Unit =
+    qs.foreach(q => assert(q.awaitTermination(180000), "maintainer did not drain"))
+
+  test("maintains an aggregate MV through delete+append churn, incrementally, idempotently") {
+    val (cat, cn) = newCat("snapmvm1")
+    val df0 = (1L to 40L).map(i => (i, if (i % 3 == 0) "a" else "b", i * 10)).toDF("k", "g", "v")
+    cat.createTable("db", "t", df0.schema)
+    cat.append("db", "t", df0)
+    cat.createMaterializedView("db", "mv",
+      "SELECT g, count(*) AS n, sum(v) AS sv FROM db.t GROUP BY g")
+    cat.deleteMoR("db", "t", col("k") % 4 === 0)
+    cat.append("db", "t", (41L to 50L).map(i => (i, "a", i * 10)).toDF("k", "g", "v"))
+
+    val modes = scala.collection.mutable.ArrayBuffer.empty[String]
+    drain(MvMaintainer.maintain(spark, cat, cn, "db", "mv",
+      onRefresh = (m, _) => modes.synchronized { modes += m }))
+    assert(modes.contains("incremental_agg"), modes.toString)
+    assert(!modes.contains("full"), modes.toString)
+
+    val got = spark.sql(s"SELECT g, n, sv FROM $cn.db.mv ORDER BY g")
+      .as[(String, Long, Long)].collect().toSeq
+    val want = cat.readLatest("db", "t").groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv")).orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == want)
+
+    // replaying the maintainer from scratch offsets is a pure no-op
+    val modes2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    drain(MvMaintainer.maintain(spark, cat, cn, "db", "mv",
+      onRefresh = (m, _) => modes2.synchronized { modes2 += m }))
+    assert(modes2.forall(_ == "fresh"), modes2.toString)
+  }
+
+  test("multi-base join MV: one signal stream per base, both drain, result exact") {
+    val (cat, cn) = newCat("snapmvm2")
+    val fact = (1L to 30L).map(i => (i, i % 5, i * 100)).toDF("k", "dk", "v")
+    val dim = (0L to 4L).map(d => (d, s"d$d")).toDF("dk", "name")
+    cat.createTable("db", "fact", fact.schema)
+    cat.append("db", "fact", fact)
+    cat.createTable("db", "dim", dim.schema)
+    cat.append("db", "dim", dim)
+    cat.createMaterializedView("db", "jmv",
+      "SELECT d.name, count(*) AS n, sum(f.v) AS sv " +
+        "FROM db.fact f JOIN db.dim d ON f.dk = d.dk GROUP BY d.name")
+    cat.append("db", "fact", Seq((31L, 2L, 7777L)).toDF("k", "dk", "v"))
+    cat.append("db", "dim", Seq((5L, "d5")).toDF("dk", "name"))
+    cat.append("db", "fact", Seq((32L, 5L, 8888L)).toDF("k", "dk", "v"))
+
+    val modes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val qs = MvMaintainer.maintain(spark, cat, cn, "db", "jmv",
+      onRefresh = (m, _) => modes.synchronized { modes += m })
+    assert(qs.length == 2, "one stream per base")
+    drain(qs)
+    assert(!modes.contains("full"), modes.toString)
+
+    val got = spark.sql(s"SELECT name, n, sv FROM $cn.db.jmv ORDER BY name")
+      .as[(String, Long, Long)].collect().toSeq
+    val f = cat.readLatest("db", "fact")
+    val d = cat.readLatest("db", "dim")
+    val want = f.join(d, "dk").groupBy("name")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv")).orderBy("name")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("refuses a plain (non-materialized) view") {
+    val (cat, cn) = newCat("snapmvm3")
+    val df0 = Seq((1L, "a")).toDF("k", "g")
+    cat.createTable("db", "t", df0.schema)
+    cat.append("db", "t", df0)
+    cat.createView("db", "pv", s"SELECT k FROM $cn.db.t")
+    val e = intercept[IllegalArgumentException] {
+      MvMaintainer.maintain(spark, cat, cn, "db", "pv")
+    }
+    assert(e.getMessage.contains("not a materialized view"))
+  }
+}
