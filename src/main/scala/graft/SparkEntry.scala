@@ -1435,6 +1435,53 @@ object SparkEntry {
         "ORDER BY o_orderstatus")
     }),
 
+    // PERCEPTUAL-HASH IMAGE NEAR-DUP (r12): DCT pHash over REAL decoded
+    // rasters, then the 4x16-bit banded Hamming self-join (exact recall
+    // at <= 3 bits by pigeonhole — never all-pairs). The fixture builds
+    // 100 groups x 3 renderings of the same pixel content — native size,
+    // an exact 2x pixel-doubled upscale, and a 4x upscale — so payload
+    // bytes differ in every pair while the box-downsampled luma grid is
+    // IDENTICAL (sums of 2^k equal ints divide exactly): the classic
+    // re-encoded/resized dup classes land at Hamming 0 by construction,
+    // and the oracle states the pair set from id arithmetic. A single
+    // cross-group collision or a single in-group bit flip breaks the
+    // match, so the whole decode->DCT->band->verify pipeline is held
+    // exact.
+    "q150_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select("doc_id").where(col("doc_id") < 300)
+        .as[Long].map { id =>
+          val g = id / 3
+          val scale = 1 << (id % 3).toInt // 1x, 2x, 4x renderings
+          val n = 32 * scale
+          val img = new java.awt.image.BufferedImage(n, n,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // group-dependent SPATIAL FREQUENCIES, not a brightness offset:
+          // pHash is deliberately invariant to constant shifts, so groups
+          // must differ structurally ((fx, fy) uniquely determines g for
+          // g < 112, plus a per-group xy cross term)
+          val fx = 7 + (g % 16)
+          val fy = 11 + (g / 16)
+          val fxy = 1 + (g % 7)
+          var y = 0
+          while (y < n) {
+            var x = 0
+            while (x < n) {
+              val (px, py) = (x / scale, y / scale)
+              val v = ((px * fx + py * fy + px * py * fxy) % 240).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, "image", bos.toByteArray)
+        }.toDF("doc_id", "modality", "payload")
+      graft.ops.Multimodal.phashNearDupPairs(s, media, maxHamming = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // COLUMN DEFAULT VALUES (r11, the Iceberg-v3 defaults model): ALTER
     // TABLE ADD COLUMN ... DEFAULT freezes an INITIAL default that
     // pre-evolution files serve on read (Spark's parquet readers fill
@@ -4030,6 +4077,17 @@ object SparkEntry {
          |            JOIN iv qv ON qv.vec_id = query_id)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
          |FROM sims WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the near-dup pair set from id arithmetic: the three renderings of
+    // each group share one pixel grid (hash-identical by construction),
+    // and no cross-group pattern may land within 2 bits — the oracle
+    // fails on any missed in-group pair OR any spurious cross-group one
+    "q150_phash_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 300)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+        |FROM ids a JOIN ids b
+        |  ON a.doc_id < b.doc_id AND a.doc_id // 3 = b.doc_id // 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the continuously-maintained view replayed from raw: the %10 delete
     // hit only even keys (the table held the even half), then the odd

@@ -325,10 +325,25 @@ object Dedup {
     * signature (pigeonhole: hamming distance <= 3 guarantees a shared
     * chunk). Exact hamming (bit_count of xor) filters candidates. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(df.select(col(idCol).as("doc_id"),
+      simhashColumn(col(textCol)).as("sig")), "doc_id", "sig", maxHamming)
+
+  /** All id pairs whose 64-bit signatures differ in at most `maxHamming`
+    * bits — the banded self-join shared by simhash text dedup and pHash
+    * image dedup: each signature splits into four 16-bit bands, pairs
+    * join per band (a pair at Hamming <= 3 leaves at least one band
+    * UNTOUCHED by pigeonhole, so candidate recall is EXACT, never a
+    * similarity estimate), and the exact bit_count filter verifies.
+    * Shuffle moves (band, id, sig) triples — never payloads; per-band
+    * bucket occupancy is the skew knob (near-identical corpora
+    * concentrate, which is inherent to the problem, not the plan). */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("doc_id"),
-      simhashColumn(col(textCol)).as("sig"))
-    val chunked = sigs.select(col("doc_id"), col("sig"), explode(array(
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val base = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("sig"))
+    val chunked = base.select(col("doc_id"), col("sig"), explode(array(
       (0 until 4).map(i => struct(lit(i).as("chunk_idx"),
         shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("c"))
       .select(col("doc_id"), col("sig"), col("c.chunk_idx"), col("c.chunk"))

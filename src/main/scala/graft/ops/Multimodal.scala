@@ -289,6 +289,159 @@ object Multimodal {
     bos.toByteArray
   }
 
+  final case class PHashRow(doc_id: Long, decoded: Boolean, phash: Long)
+
+  /** PERCEPTUAL IMAGE HASH (pHash, the DCT form): decode, box-downsample
+    * the integer luma grid to 32x32, 2D DCT-II (orthonormal), keep the
+    * 8x8 low-frequency block, and set bit i iff AC coefficient i exceeds
+    * the median of the 63 AC coefficients (DC is excluded — it is pure
+    * mean brightness). Two renderings of the SAME pixel content hash
+    * IDENTICALLY by construction: re-encodes are byte-different but
+    * raster-equal, and an exact k-times upscale (k a power of two)
+    * box-averages back to the identical grid (a sum of k^2 equal ints
+    * divided by a power of two is IEEE-exact) — so the classic
+    * re-encoded / resized near-dup classes land at Hamming distance 0,
+    * and small edits land within a few bits. Same batched
+    * `mapPartitions` shape as [[decodeImages]]; undecodable payloads
+    * degrade to `decoded = false` instead of failing the partition. */
+  def perceptualHash(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 256): Dataset[PHashRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) PHashRow(r.doc_id, decoded = false, 0L)
+          else PHashRow(r.doc_id, decoded = true, phashOf(img))
+        }
+      }
+    }
+  }
+
+  /** Integer luma (0..255, the decodeImages weights) row `y` of `img`
+    * into `out` — raster fast path for the standard sRGB layouts, bulk
+    * row-getRGB otherwise (same rationale as [[decodeImages]]). */
+  private def lumaRow(img: java.awt.image.BufferedImage, y: Int,
+      rowBuf: Array[Int], out: Array[Int]): Unit = {
+    import java.awt.image.BufferedImage._
+    val w = img.getWidth
+    val fastBands = img.getType match {
+      case TYPE_3BYTE_BGR | TYPE_INT_RGB   => 3
+      case TYPE_4BYTE_ABGR | TYPE_INT_ARGB => 4
+      case _                               => 0
+    }
+    if (fastBands > 0) {
+      img.getRaster.getPixels(0, y, w, 1, rowBuf)
+      var x = 0
+      while (x < w) {
+        val o = x * fastBands
+        out(x) = (rowBuf(o) * 299 + rowBuf(o + 1) * 587 + rowBuf(o + 2) * 114) / 1000
+        x += 1
+      }
+    } else {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = rowBuf(x)
+        out(x) = (((rgb >> 16) & 0xFF) * 299 +
+          ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+        x += 1
+      }
+    }
+  }
+
+  private val PhashN = 32
+
+  private[graft] def phashOf(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    // box-downsample to 32x32: block (i,j) covers x in [i*w/N,(i+1)*w/N)
+    // x y likewise (the standard integer partition — exact blocks when
+    // the dims are multiples of 32). Block sums accumulate as integers;
+    // the mean is one double division per block.
+    val sums = Array.ofDim[Long](PhashN, PhashN)
+    val cnts = Array.ofDim[Long](PhashN, PhashN)
+    val rowBuf = new Array[Int](w * 4)
+    val lum = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      lumaRow(img, y, rowBuf, lum)
+      val j = math.min(PhashN - 1, y * PhashN / h)
+      var x = 0
+      while (x < w) {
+        val i = math.min(PhashN - 1, x * PhashN / w)
+        sums(i)(j) += lum(x)
+        cnts(i)(j) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val grid = Array.ofDim[Double](PhashN, PhashN)
+    var i = 0
+    while (i < PhashN) {
+      var j = 0
+      while (j < PhashN) {
+        grid(i)(j) = if (cnts(i)(j) == 0) 0.0 else sums(i)(j).toDouble / cnts(i)(j)
+        j += 1
+      }
+      i += 1
+    }
+    // orthonormal 2D DCT-II, low-frequency 8x8 block only: rows first
+    // (8 x 32 partial sums), then columns — 8*32*32 + 8*8*32 mults
+    val cosT = Array.tabulate(8, PhashN)((u, x) =>
+      math.cos(math.Pi * (2 * x + 1) * u / (2.0 * PhashN)) *
+        (if (u == 0) math.sqrt(1.0 / PhashN) else math.sqrt(2.0 / PhashN)))
+    val tmp = Array.ofDim[Double](8, PhashN) // tmp(u)(y) = sum_x grid(x)(y) cos(u,x)
+    var u = 0
+    while (u < 8) {
+      var yy = 0
+      while (yy < PhashN) {
+        var s = 0.0
+        var x = 0
+        while (x < PhashN) { s += grid(x)(yy) * cosT(u)(x); x += 1 }
+        tmp(u)(yy) = s
+        yy += 1
+      }
+      u += 1
+    }
+    val ac = new Array[Double](63)
+    var bit = 0
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          var s = 0.0
+          var yy = 0
+          while (yy < PhashN) { s += tmp(u)(yy) * cosT(v)(yy); yy += 1 }
+          ac(bit) = s
+          bit += 1
+        }
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = ac.clone().sorted
+    val median = sorted(31) // 32nd smallest of 63
+    var hash = 0L
+    bit = 0
+    while (bit < 63) {
+      if (ac(bit) > median) hash |= 1L << bit
+      bit += 1
+    }
+    hash
+  }
+
+  /** Near-duplicate image pairs at `maxHamming` pHash bits: hash, then
+    * the 4x16-bit banded self-join ([[Dedup.hammingPairs]] — exact
+    * recall for maxHamming <= 3 by pigeonhole, never all-pairs). */
+  def phashNearDupPairs(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 2): DataFrame =
+    Dedup.hammingPairs(
+      perceptualHash(spark, media).toDF().where(col("decoded")),
+      "doc_id", "phash", maxHamming)
+
   /** Frame sampling: emit n evenly spaced byte-window "frames" per payload
     * (expression-level explode — the codec-free part of video sampling). */
   def frameSample(media: DataFrame, nFrames: Int, frameLen: Int): DataFrame =

@@ -1376,4 +1376,69 @@ class OpsSpec extends AnyFunSuite {
     assert(t.filter(_._4 == 1L).map(r => r._1 -> r._2).toSet ==
       Set("s1" -> "rare1", "s2" -> "rare2"))
   }
+
+  test("pHash: re-encode and power-of-two upscales hash identically, edits stay close, distinct images far") {
+    def render(seed: Long, n: Int, scale: Int,
+        edit: (Int, Int) => Int = (_, _) => 0): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(n * scale, n * scale,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until n * scale; x <- 0 until n * scale) {
+        val v0 = ((seed * 73 + (x / scale) * 151 + (y / scale) * 211) % 240).toInt
+        val v = math.max(0, math.min(255, v0 + edit(x / scale, y / scale)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = Multimodal.phashOf(render(7, 32, 1))
+    // pixel-identical content at 1x/2x/4x and through a JPEG-free
+    // re-decode: identical hash (the provable invariance the q150
+    // fixture leans on)
+    assert(Multimodal.phashOf(render(7, 32, 2)) == base)
+    assert(Multimodal.phashOf(render(7, 32, 4)) == base)
+    assert(Multimodal.phashOf(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png(render(7, 32, 1))))) == base)
+    // a small local edit moves few bits; a different pattern moves many
+    val edited = Multimodal.phashOf(render(7, 32, 1,
+      edit = (x, y) => if (x < 3 && y < 3) 40 else 0))
+    val editDist = java.lang.Long.bitCount(base ^ edited)
+    assert(editDist <= 12, s"local edit moved $editDist bits")
+    val other = Multimodal.phashOf(render(8, 32, 1))
+    val otherDist = java.lang.Long.bitCount(base ^ other)
+    assert(otherDist > 12, s"distinct patterns only $otherDist bits apart")
+
+    // corrupt payloads degrade, never throw; the pair op excludes them
+    val media = Seq(
+      (1L, "image", png(render(7, 32, 1))),
+      (2L, "image", png(render(7, 32, 2))),
+      (3L, "image", Array[Byte](1, 2, 3)),
+      (4L, "image", png(render(8, 32, 1))))
+      .toDF("doc_id", "modality", "payload")
+    val hashes = Multimodal.perceptualHash(spark, media)
+      .collect().map(r => r.doc_id -> r.decoded).toMap
+    assert(hashes == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true))
+    val pairs = Multimodal.phashNearDupPairs(spark, media, maxHamming = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("hammingPairs equals brute force and refuses unguaranteed thresholds") {
+    val sigs = Seq(0L, 1L, 3L, 0xFF00L, 0xFF03L, Long.MinValue, Long.MinValue | 1L)
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "sig")
+    val got = Dedup.hammingPairs(sigs, "id", "sig", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val raw = Seq(0L, 1L, 3L, 0xFF00L, 0xFF03L, Long.MinValue, Long.MinValue | 1L)
+    val brute = (for {
+      a <- raw.indices; b <- raw.indices if a < b
+      d = java.lang.Long.bitCount(raw(a) ^ raw(b)) if d <= 3
+    } yield (a.toLong, b.toLong, d.toLong)).toSet
+    assert(got == brute)
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(sigs, "id", "sig", maxHamming = 4)
+    }
+  }
 }
