@@ -1482,6 +1482,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // EXACT DISTRIBUTED HEAVY HITTERS (r12): one Misra-Gries sketch scan
+    // (O(k) state per partition, map-side combinable, carries exact n)
+    // whose frequent-items invariant guarantees no item above n/k is
+    // missed, then one exact-count scan over the <= k-1 candidates. The
+    // result is exactly {token : count*k > n} — vocabulary-sized shuffle
+    // replaced by k counters per partition — and DuckDB states the same
+    // set from a plain GROUP BY.
+    "q151_heavy_hitters" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      graft.ops.HeavyHitters.exact(toks, col("tok"), k = 50)
+    }),
+
     // COLUMN DEFAULT VALUES (r11, the Iceberg-v3 defaults model): ALTER
     // TABLE ADD COLUMN ... DEFAULT freezes an INITIAL default that
     // pre-evolution files serve on read (Spark's parquet readers fill
@@ -4077,6 +4090,15 @@ object SparkEntry {
          |            JOIN iv qv ON qv.vec_id = query_id)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
          |FROM sims WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the exact heavy-hitter set from a plain GROUP BY: every token
+    // strictly above a 1/50 frequency share, with its exact count
+    "q151_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT item, CAST(count(*) AS BIGINT) AS cnt
+        |FROM toks, tot GROUP BY item, n HAVING count(*) * 50 > n
+        |ORDER BY cnt DESC, item""".stripMargin,
 
     // the near-dup pair set from id arithmetic: the three renderings of
     // each group share one pixel grid (hash-identical by construction),

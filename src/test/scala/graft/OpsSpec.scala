@@ -1441,4 +1441,27 @@ class OpsSpec extends AnyFunSuite {
       Dedup.hammingPairs(sigs, "id", "sig", maxHamming = 4)
     }
   }
+
+  test("heavy hitters: exact set at several k, strict threshold, skew spread across partitions") {
+    import graft.ops.HeavyHitters
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val n = toks.count()
+    for (k <- Seq(10, 50, 200)) {
+      val got = HeavyHitters.exact(toks, col("tok"), k)
+        .as[(String, Long)].collect().toSet
+      val want = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") * k > n)
+        .as[(String, Long)].collect().toSet
+      assert(got == want, s"k=$k")
+      assert(want.nonEmpty || k == 10, s"k=$k fixture should have hitters")
+    }
+    // a heavy item diluted across many partitions still surfaces, and an
+    // item at EXACTLY n/k is excluded (strict >): n=1000, k=10 ->
+    // threshold 100; "hot" has 101 copies, "edge" exactly 100
+    val stream = ((1 to 101).map(_ => "hot") ++ (1 to 100).map(_ => "edge") ++
+      (1 to 799).map(i => s"cold$i")).toDF("item").repartition(16)
+    val got2 = HeavyHitters.exact(stream, col("item"), 10)
+      .as[(String, Long)].collect().toSet
+    assert(got2 == Set(("hot", 101L)))
+  }
 }
