@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, KnownNotNull, Literal, PredicateHelper, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Sort, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, Sort, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{DecimalType, LongType}
@@ -77,6 +77,8 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (MvRewriteRule.substitutionSuppressed || !enabled) plan
     else plan.transformUpWithSubqueries {
+      case agg: Aggregate if agg.child.isInstanceOf[Expand] =>
+        rewriteGroupingSets(agg).getOrElse(agg)
       case agg: Aggregate => rewrite(agg).getOrElse(agg)
     }
 
@@ -121,6 +123,241 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     if (!agg.resolved) return None
     val (userConj, rels) = scanForest(agg.child).getOrElse(return None)
+    if (!(userConj.forall(usable) && agg.groupingExpressions.forall(usable) &&
+        agg.aggregateExpressions.forall(usable))) return None
+    // metadata-served global aggregates (unfiltered count/min/max over the
+    // bare relation) are ALREADY O(1) via MetadataCountRule — stand aside
+    if (rels.length == 1 && agg.groupingExpressions.isEmpty && userConj.isEmpty &&
+        agg.aggregateExpressions.forall(ne => strip(ne) match {
+          case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+            ae.aggregateFunction match {
+              case Count(Seq(Literal(_, _))) => true
+              case Min(_: Attribute) | Max(_: Attribute) => true
+              case _ => false
+            }
+          case _ => false
+        })) return None
+    val (plugin, candidates) = freshCandidates(rels).getOrElse(return None)
+    val matches = candidates.flatMap { case (vdb, v, mvT, sql, dv) =>
+      tryMatch(agg, userConj, rels, plugin, vdb, v, mvT, sql, dv)
+    }
+    // smallest backing wins: fewer group keys = more pre-aggregation
+    matches.sortBy(_._1).headOption.map(_._2)
+  }
+
+  /** GROUPING-SETS NAVIGATION (ROLLUP / CUBE / GROUPING SETS answered
+    * from an MV backing): the analyzer lowers grouping analytics to
+    * `Aggregate(keys ++ gid, outs, Expand(projections, childOut ++
+    * maskedKeys ++ gid, Project(childOut ++ keyAliases, scanTree)))`.
+    * Grouping-set semantics is "aggregate per set over the input rows",
+    * and every merged-form aggregate composes over pre-aggregated rows —
+    * so when each grouping key is an MV key output and every aggregate
+    * derives in MERGED form, the whole analytic re-issues as the SAME
+    * grouping sets over the (churn-thin) backing: `grouping()` /
+    * `grouping_id()` arithmetic carries over verbatim because the
+    * rebuilt query lists the keys in the original bit order. At 100 TB a
+    * CUBE over the fact table becomes a CUBE over a few thousand
+    * pre-aggregated rows. */
+  private def rewriteGroupingSets(agg: Aggregate): Option[LogicalPlan] = {
+    if (!agg.resolved) return None
+    val expand = agg.child match { case e: Expand => e; case _ => return None }
+    val expOut = expand.output
+    if (expOut.isEmpty || expOut.last.name != "spark_grouping_id") return None
+    val gidAttr = expOut.last
+    // the alias Project the analyzer inserts under Expand: grouping keys
+    // aliased over the scan tree (expression keys refuse — not matchable
+    // to MV key OUTPUTS)
+    val (aliasBase, scanTree) = expand.child match {
+      case Project(pl, c) =>
+        val am = pl.collect {
+          case al @ Alias(a: AttributeReference, _) => al.exprId -> a
+        }.toMap
+        if (!pl.forall {
+          case _: AttributeReference => true
+          case al: Alias => al.child.isInstanceOf[AttributeReference]
+          case _ => false
+        }) return None
+        (am, c)
+      case c => (Map.empty[org.apache.spark.sql.catalyst.expressions.ExprId,
+        AttributeReference], c)
+    }
+    // Expand output = [pass-through scan columns..., fresh masked-key
+    // attrs..., gid]: the masked-key attrs are exactly the non-gid output
+    // attributes the child does NOT produce
+    val childOutIds = expand.child.output.map(_.exprId).toSet
+    val gsAttrs = expOut.init.filterNot(a => childOutIds.contains(a.exprId))
+    val nKeys = gsAttrs.length
+    if (nKeys <= 0) return None
+    val childLen = expOut.length - 1 - nKeys
+    if (!expOut.take(childLen).forall(a => childOutIds.contains(a.exprId)))
+      return None
+    if (!agg.groupingExpressions.forall(_.isInstanceOf[Attribute]) ||
+        agg.groupingExpressions.map { case a: Attribute => a.exprId }.toSet !=
+          (gsAttrs :+ gidAttr).map(_.exprId).toSet) return None
+    // per grouping-set projection: which keys are live, and the base
+    // (scan-tree) attribute behind each key slot
+    val baseOfKey = new Array[AttributeReference](nKeys)
+    val sets: Seq[Seq[Int]] = expand.projections.map { p =>
+      if (p.length != expOut.length) return None
+      p.last match { case Literal(_, LongType) => (); case _ => return None }
+      (0 until nKeys).flatMap { j =>
+        p(childLen + j) match {
+          case Literal(null, _) => None
+          case a: AttributeReference =>
+            val base = aliasBase.getOrElse(a.exprId,
+              a match { case b: AttributeReference => b })
+            if (baseOfKey(j) == null) baseOfKey(j) = base
+            else if (baseOfKey(j).exprId != base.exprId) return None
+            Some(j)
+          case _ => return None
+        }
+      }
+    }
+    if (baseOfKey.exists(_ == null)) return None // a never-live key
+    val (userConj, rels) = scanForest(scanTree).getOrElse(return None)
+    if (!(userConj.forall(usable) && agg.aggregateExpressions.forall(usable)))
+      return None
+    val (plugin, candidates) = freshCandidates(rels).getOrElse(return None)
+    val matches = candidates.flatMap { case (vdb, v, mvT, sql, _) =>
+      tryMatchGroupingSets(agg, baseOfKey.toIndexedSeq, gsAttrs, gidAttr, sets,
+        userConj, rels, plugin, vdb, v, mvT, sql)
+    }
+    matches.sortBy(_._1).headOption.map(_._2)
+  }
+
+  /** One candidate for the grouping-sets path: the shared body analysis,
+    * then the replacement built with `Dataset.groupingSets` over the
+    * backing — always MERGED form (coarser sets exist by construction,
+    * so per-row "exact" service is never sound; DISTINCT aggregates
+    * refuse for the same reason they refuse in the plain rollup path). */
+  private def tryMatchGroupingSets(agg: Aggregate,
+      baseOfKey: Seq[AttributeReference], gsAttrs: Seq[Attribute],
+      gidAttr: Attribute, sets: Seq[Seq[Int]], userConj: Seq[Expression],
+      rels: Seq[DataSourceV2Relation], plugin: SnapCatalogPlugin, db: String,
+      view: String, mvT: String, sql: String): Option[(Int, LogicalPlan)] = Try {
+    val ctx = analyzeBody(userConj, rels, plugin, db, mvT, sql).getOrElse(return None)
+    val BodyCtx(backingCols, nBodyGroups, keyCols, aggOuts, residualCols) = ctx
+    // every grouping key must be an MV group-key OUTPUT
+    val keyNames: Seq[String] =
+      baseOfKey.map(a => keyCols.getOrElse(a.exprId.id, return None))
+    def need(c: String): String = {
+      require(backingCols.contains(c), s"backing $mvT lacks $c"); c
+    }
+    def fnCol(name: String, args: Expression*): Expression =
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        Seq(name), args.toSeq, isDistinct = false)
+    def bcol(c: String): Expression = UnresolvedAttribute.quoted(need(c))
+    def arg1(x: AggregateExpression): Option[Expression] =
+      x.aggregateFunction.children match { case Seq(c) => Some(c); case _ => None }
+    // merged-form aggregate mapping — the non-exact projection of
+    // tryMatch's matrix (count → Σ stored counts, sum → Σ sums, min/max
+    // fold, avg = Σ__mv_s / Σ__mv_c, count(x)/sum(x) from partials)
+    def mapAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.mode != Complete || ae.filter.isDefined || ae.isDistinct) return None
+      val keyArg: Option[String] = ae.aggregateFunction.children match {
+        case Seq(a: AttributeReference) => keyCols.get(a.exprId.id)
+        case _ => None
+      }
+      keyArg.foreach { kn =>
+        ae.aggregateFunction match {
+          case _: Min => return Some(fnCol("min", bcol(kn)))
+          case _: Max => return Some(fnCol("max", bcol(kn)))
+          case _ => ()
+        }
+      }
+      val direct = aggOuts.find(_._2.semanticEquals(ae)).map(_._3)
+      val a = ae.aggregateFunction
+      (a, direct) match {
+        case (_: Count, Some(n)) =>
+          Some(Coalesce(Seq(fnCol("sum", bcol(n)), Literal(0L))))
+        case (_: Sum, Some(n)) => Some(fnCol("sum", bcol(n)))
+        case (_: Min, Some(n)) => Some(fnCol("min", bcol(n)))
+        case (_: Max, Some(n)) => Some(fnCol("max", bcol(n)))
+        case (Average(e, _), _) if !ae.dataType.isInstanceOf[DecimalType] =>
+          aggOuts.collectFirst {
+            case (i, o, n) if !o.isDistinct && arg1(o).exists(_.semanticEquals(e)) &&
+                (o.aggregateFunction.isInstanceOf[Average] ||
+                  o.aggregateFunction.isInstanceOf[Sum]) =>
+              val s: Expression = if (o.aggregateFunction.isInstanceOf[Average])
+                bcol(SnapshotCatalog.mvPartialSum(i)) else bcol(n)
+              val c: Expression = bcol(SnapshotCatalog.mvPartialCnt(i))
+              fnCol("/", fnCol("sum", s), fnCol("sum", c))
+          }
+        case (Count(Seq(Literal(_, _))), None) =>
+          Some(Coalesce(Seq(
+            fnCol("sum", bcol(SnapshotCatalog.MvPartialRows)), Literal(0L))))
+        case (Count(Seq(e)), None) =>
+          aggOuts.collectFirst {
+            case (i, o, _) if !o.isDistinct &&
+                (o.aggregateFunction.isInstanceOf[Sum] ||
+                  o.aggregateFunction.isInstanceOf[Average]) &&
+                arg1(o).exists(_.semanticEquals(e)) =>
+              Coalesce(Seq(
+                fnCol("sum", bcol(SnapshotCatalog.mvPartialCnt(i))), Literal(0L)))
+          }
+        case (Sum(e, _), None) =>
+          aggOuts.collectFirst {
+            case (i, o, _) if !o.isDistinct &&
+                o.aggregateFunction.isInstanceOf[Average] &&
+                arg1(o).exists(_.semanticEquals(e)) =>
+              fnCol("sum", bcol(SnapshotCatalog.mvPartialSum(i)))
+          }
+        case _ => None
+      }
+    }
+    val gsIndex: Map[Long, Int] =
+      gsAttrs.zipWithIndex.map { case (a, j) => a.exprId.id -> j }.toMap
+    // outputs: masked keys by name, gid arithmetic over a re-derived
+    // grouping_id() (same key order → same bit layout), merged aggregates,
+    // arithmetic around any of them verbatim
+    def mapOut(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => mapAgg(ae)
+      case a: AttributeReference if gsIndex.contains(a.exprId.id) =>
+        Some(bcol(keyNames(gsIndex(a.exprId.id))))
+      case a: AttributeReference if a.exprId == gidAttr.exprId =>
+        Some(fnCol("grouping_id"))
+      case l: Literal => Some(l)
+      case _ if e.references.isEmpty && e.deterministic && e.children.isEmpty => Some(e)
+      case _ if e.children.nonEmpty =>
+        val kids = e.children.map(c => mapOut(c).getOrElse(return None))
+        Some(e.withNewChildren(kids))
+      case _ => None
+    }
+    val mappedOuts = agg.aggregateExpressions.map(ne =>
+      mapOut(strip(ne)).getOrElse(return None))
+    val fn = org.apache.spark.sql.functions
+    var df = spark.table(s"`${plugin.name()}`.`$db`.`$mvT`")
+    residualCols.foreach(r => df = df.where(GraftColumnBridge.column(r)))
+    val keyColumns = keyNames.map(n => fn.col(s"`$n`"))
+    val setCols: Seq[Seq[Column]] = sets.map(_.map(keyColumns))
+    val outCols = mappedOuts.zip(agg.aggregateExpressions).zipWithIndex.map {
+      case ((m, ne), j) =>
+        GraftColumnBridge.column(m).cast(ne.dataType).alias(s"__o_$j") }
+    val result = df.groupingSets(setCols, keyColumns: _*)
+      .agg(outCols.head, outCols.tail: _*)
+      .select(agg.aggregateExpressions.indices.map(j => fn.col(s"__o_$j")): _*)
+    val newPlan = result.queryExecution.analyzed
+    if (newPlan.output.length != agg.output.length) return None
+    if (newPlan.output.zip(agg.output).exists { case (n, o) => n.dataType != o.dataType })
+      return None
+    logInfo(s"MV rewrite: ${sets.length}-set grouping analytic over " +
+      s"${rels.flatMap(_.identifier).mkString("⋈")} served from $db.$view ($mvT)")
+    Some((nBodyGroups, Project(agg.output.zip(newPlan.output).map { case (o, n0) =>
+      val n = if (!o.nullable && n0.nullable) KnownNotNull(n0) else (n0: Expression)
+      Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+    }, newPlan)))
+  }.recover { case e =>
+    logInfo(s"MV rewrite: grouping-sets candidate $db.$view did not match: ${e.getMessage}")
+    None
+  }.toOption.flatten
+
+  /** Shared candidate gate for both match paths: one relation or one
+    * inner join of two distinct snapcat relations, never a backing or a
+    * changelog window, every base pinned fresh (or staleness opted in) —
+    * returns the plugin and the pin-matched MV candidates. */
+  private def freshCandidates(rels: Seq[DataSourceV2Relation])
+      : Option[(SnapCatalogPlugin,
+        Seq[(String, String, String, String, Map[Int, String])])] = {
     // one relation, or one inner join of two DISTINCT relations (the
     // fact-dim shape — a self-join has no unambiguous rebase)
     if (rels.isEmpty || rels.length > 2) return None
@@ -144,20 +381,6 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
     if (rels.exists(r => Option(r.options).exists(o =>
         o.containsKey("from-snapshot-id") || o.containsKey("to-snapshot-id"))))
       return None
-    if (!(userConj.forall(usable) && agg.groupingExpressions.forall(usable) &&
-        agg.aggregateExpressions.forall(usable))) return None
-    // metadata-served global aggregates (unfiltered count/min/max over the
-    // bare relation) are ALREADY O(1) via MetadataCountRule — stand aside
-    if (rels.length == 1 && agg.groupingExpressions.isEmpty && userConj.isEmpty &&
-        agg.aggregateExpressions.forall(ne => strip(ne) match {
-          case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
-            ae.aggregateFunction match {
-              case Count(Seq(Literal(_, _))) => true
-              case Min(_: Attribute) | Max(_: Attribute) => true
-              case _ => false
-            }
-          case _ => false
-        })) return None
     val cat = plugin.snapViews
     // cheapest gate first: a namespace with no views at all (the common
     // case) costs one directory listing, never a snapshot-log read
@@ -203,12 +426,7 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
       }
     }
     if (candidates.isEmpty) return None
-
-    val matches = candidates.flatMap { case (vdb, v, mvT, sql, dv) =>
-      tryMatch(agg, userConj, rels, plugin, vdb, v, mvT, sql, dv)
-    }
-    // smallest backing wins: fewer group keys = more pre-aggregation
-    matches.sortBy(_._1).headOption.map(_._2)
+    Some((plugin, candidates))
   }
 
   private def strip(e: Expression): Expression = e match {
@@ -219,12 +437,22 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
   private def arg1Of(ae: AggregateExpression): Option[Expression] =
     ae.aggregateFunction.children match { case Seq(c) => Some(c); case _ => None }
 
-  /** Attempt the match against one candidate MV; returns (group-key
-    * count, replacement plan) on success. */
-  private def tryMatch(agg: Aggregate, userConj: Seq[Expression],
+  /** Everything about one candidate view that is independent of the USER
+    * aggregate's own output shape: the analyzed body rebased onto the
+    * query's leaves, filter subsumption, the group-key / aggregate-output
+    * maps, and the residual conjuncts transformed to backing column
+    * names. Shared by the plain-aggregate ([[tryMatch]]) and
+    * grouping-sets ([[tryMatchGroupingSets]]) paths. */
+  private final case class BodyCtx(
+      backingCols: Set[String],
+      nBodyGroups: Int,
+      keyCols: Map[Long, String],
+      aggOuts: Seq[(Int, AggregateExpression, String)],
+      residualCols: Seq[Expression])
+
+  private def analyzeBody(userConj: Seq[Expression],
       rels: Seq[DataSourceV2Relation], plugin: SnapCatalogPlugin, db: String,
-      view: String, mvT: String, sql: String,
-      dvTables: Map[Int, String]): Option[(Int, LogicalPlan)] = Try {
+      mvT: String, sql: String): Option[BodyCtx] = {
     val cat = plugin.snapViews
     val backingSchema = cat.currentSnapshot(db, mvT).schema
     val backingCols = backingSchema.fieldNames.toSet
@@ -340,6 +568,17 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
       if (!r.references.forall(a => keyCols.contains(a.exprId.id))) return None
       r.transform { case a: AttributeReference => UnresolvedAttribute.quoted(keyCols(a.exprId.id)) }
     }
+    Some(BodyCtx(backingCols, bodyGroupIds.size, keyCols, aggOuts, residualCols))
+  }
+
+  /** Attempt the match against one candidate MV; returns (group-key
+    * count, replacement plan) on success. */
+  private def tryMatch(agg: Aggregate, userConj: Seq[Expression],
+      rels: Seq[DataSourceV2Relation], plugin: SnapCatalogPlugin, db: String,
+      view: String, mvT: String, sql: String,
+      dvTables: Map[Int, String]): Option[(Int, LogicalPlan)] = Try {
+    val ctx = analyzeBody(userConj, rels, plugin, db, mvT, sql).getOrElse(return None)
+    val BodyCtx(backingCols, nBodyGroups, keyCols, aggOuts, residualCols) = ctx
 
     // ---- group containment ----------------------------------------------
     val userGroups = agg.groupingExpressions.map {
@@ -350,7 +589,7 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
     // exact = the query groups on EVERY view group key (so the backing is
     // one row per query group); a view key absent from its own output can
     // never be "covered", forcing the rollup path
-    val exact = bodyGroupIds.size == keyCols.size &&
+    val exact = nBodyGroups == keyCols.size &&
       userGroups.map(_.exprId.id).toSet == keyCols.keySet
 
     // ---- derive each query output from the backing -----------------------
@@ -544,10 +783,10 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
     if (newPlan.output.length != agg.output.length) return None
     if (newPlan.output.zip(agg.output).exists { case (n, o) => n.dataType != o.dataType })
       return None
-    logInfo(s"MV rewrite: aggregate over ${bodyKeys.map(k => s"${k._1}.${k._2}")
+    logInfo(s"MV rewrite: aggregate over ${rels.flatMap(_.identifier)
       .mkString("⋈")} served from $db.$view ($mvT, " +
       s"${if (exact) "exact" else "rollup"})")
-    Some((bodyGroupIds.size, Project(agg.output.zip(newPlan.output).map { case (o, n0) =>
+    Some((nBodyGroups, Project(agg.output.zip(newPlan.output).map { case (o, n0) =>
       val n = if (!o.nullable && n0.nullable) KnownNotNull(n0) else (n0: Expression)
       Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
     }, newPlan)))

@@ -125,6 +125,57 @@ class MvRewriteSpec extends AnyFunSuite {
     spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
   }
 
+  test("grouping-sets navigation: ROLLUP/CUBE/GROUPING SETS served from the backing") {
+    val cat = freshCat("mvrgs")
+    val rows = (1 to 300).map { i =>
+      (s"k${i % 4}", if (i % 11 == 0) None else Some(s"g${i % 3}"),
+        if (i % 17 == 0) None else Some(i.toLong),
+        (i % 7) * 0.5)
+    }
+    val df = rows.toDF("k1", "k2", "v", "w")
+    cat.createTable("db", "fact", df.schema)
+    cat.append("db", "fact", df)
+    cat.createMaterializedView("db", "gs_mv",
+      "SELECT k1, k2, sum(v) AS sv, count(*) AS n, avg(w) AS aw, " +
+        "min(v) AS mn FROM mvrgs.db.fact GROUP BY k1, k2")
+
+    // ROLLUP: every grouping level re-aggregates the stored partials,
+    // grouping()/grouping_id() arithmetic carries over (same key order =
+    // same bit layout); k2 carries DATA nulls, which gid must keep
+    // distinct from mask nulls
+    assertRewritten("SELECT k1, k2, count(*) AS c, sum(v) AS s, avg(w) AS a, " +
+      "min(v) AS lo, grouping(k1) AS g1, grouping_id() AS gid " +
+      "FROM mvrgs.db.fact GROUP BY ROLLUP(k1, k2) ORDER BY gid, k1, k2")
+    // CUBE and explicit GROUPING SETS (with the empty set)
+    assertRewritten("SELECT k1, k2, count(*) AS c, min(v) AS lo " +
+      "FROM mvrgs.db.fact GROUP BY CUBE(k1, k2)")
+    assertRewritten("SELECT k1, k2, sum(v) AS s " +
+      "FROM mvrgs.db.fact GROUP BY GROUPING SETS ((k1), (k2), ())")
+    // count(v) from the sum partial's count lane; residual key filter;
+    // HAVING parent over the rewritten analytic
+    assertRewritten("SELECT k1, k2, count(v) AS cv FROM mvrgs.db.fact " +
+      "WHERE k1 <> 'k3' GROUP BY ROLLUP(k1, k2) HAVING count(v) > 5")
+
+    // refusals: an aggregate the backing cannot derive (max has no
+    // stored extremum), a DISTINCT aggregate (does not compose across
+    // collapsed groups), a non-key grouping column
+    assertNotRewritten("SELECT k1, max(v) AS hi FROM mvrgs.db.fact " +
+      "GROUP BY ROLLUP(k1)")
+    assertNotRewritten("SELECT k1, count(DISTINCT v) AS dv FROM mvrgs.db.fact " +
+      "GROUP BY ROLLUP(k1)")
+    assertNotRewritten("SELECT w, count(*) AS c FROM mvrgs.db.fact " +
+      "GROUP BY ROLLUP(w)")
+
+    // staleness gates the analytic exactly like the plain paths
+    cat.append("db", "fact", Seq(("k9", Some("g9"), Some(5L), 1.0))
+      .toDF("k1", "k2", "v", "w"))
+    assertNotRewritten("SELECT k1, count(*) AS c FROM mvrgs.db.fact " +
+      "GROUP BY ROLLUP(k1)")
+    assert(cat.refreshMaterializedView("db", "gs_mv")._1 == "incremental_agg")
+    assertRewritten("SELECT k1, count(*) AS c FROM mvrgs.db.fact " +
+      "GROUP BY ROLLUP(k1)")
+  }
+
   test("filtered-body subsumption picks the tighter MV; distinct is exact-only") {
     val cat = freshCat("mvr2")
     val df = (1 to 300).map(i =>
