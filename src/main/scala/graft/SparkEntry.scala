@@ -1495,6 +1495,63 @@ object SparkEntry {
       graft.ops.HeavyHitters.exact(toks, col("tok"), k = 50)
     }),
 
+    // GROUPING-SETS MV NAVIGATION (r12): a ROLLUP over the BASE table —
+    // the query never names the view — is served from the MV backing:
+    // grouping-set semantics is "aggregate per set over the input", and
+    // every merged-form aggregate composes over pre-aggregated rows, so
+    // the whole analytic re-issues as the same ROLLUP over the
+    // churn-thin backing (count → Σn, sum → Σsums, avg → Σ__mv_s/Σ__mv_c,
+    // min folds; grouping() carries over bit-exactly). At 100 TB a CUBE
+    // over the fact table becomes a CUBE over a few thousand rows. The
+    // query REQUIRES the plan reads the backing against a MoR-churned,
+    // incrementally-refreshed MV; the oracle replays the ROLLUP raw.
+    "q152_mv_groupingsets" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "gs_mv")) cat.dropView("maint", "gs_mv")
+      if (cat.tableExists("maint", "gs_orders")) cat.dropTable("maint", "gs_orders")
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      cat.createTable("maint", "gs_orders", base.schema)
+      cat.append("maint", "gs_orders", base)
+      cat.createMaterializedView("maint", "gs_mv",
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+          "sum(cents) AS sc, avg(cents) AS ac, min(cents) AS mn " +
+          "FROM maint.gs_orders GROUP BY o_orderstatus, o_orderpriority")
+      cat.deleteMoR("maint", "gs_orders", col("o_orderkey") % 10 === 3)
+      val (mode, _) = cat.refreshMaterializedView("maint", "gs_mv")
+      require(mode == "incremental_agg", s"refresh took '$mode'")
+      val df = s.sql(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+          "sum(cents) AS sc, avg(cents) AS ac, min(cents) AS mn, " +
+          "CAST(grouping(o_orderstatus) AS BIGINT) AS g1, " +
+          "CAST(grouping(o_orderpriority) AS BIGINT) AS g2 " +
+          "FROM snapdml.maint.gs_orders " +
+          "GROUP BY ROLLUP(o_orderstatus, o_orderpriority) " +
+          "ORDER BY g1, g2, o_orderstatus, o_orderpriority")
+      require(df.queryExecution.optimizedPlan.toString.contains("__mv_gs_mv"),
+        "the ROLLUP must be answered from the MV backing (grouping-sets navigation)")
+      df
+    }),
+
+    // MULTILINGUAL TEMPERATURE SAMPLING (r12, the XLM-R/mT5 alpha-
+    // smoothing recipe at alpha=0.5): per-language weights derive from
+    // the corpus's own counts — tail languages upsample, the head
+    // downsamples, expected corpus size is preserved — and every step
+    // (sqrt is correctly rounded BY IEEE REQUIREMENT, the quantized
+    // grid sums exactly, the weight evaluates in one fixed shape) is
+    // engine-portable, so DuckDB replays the exact copy multiset.
+    "q153_temperature_sampling" -> ((s, dir) => {
+      ops.Sampling.temperatureResample(T(s, dir, "documents"),
+          col("lang"), col("doc_id"), alpha = 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("chars_out"),
+          max(col("copy_idx")).as("max_copy"))
+        .orderBy("lang")
+    }),
+
     // COLUMN DEFAULT VALUES (r11, the Iceberg-v3 defaults model): ALTER
     // TABLE ADD COLUMN ... DEFAULT freezes an INITIAL default that
     // pre-evolution files serve on read (Spark's parquet readers fill
@@ -4090,6 +4147,47 @@ object SparkEntry {
          |            JOIN iv qv ON qv.vec_id = query_id)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
          |FROM sims WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the full temperature-resample replay: per-language counts, the
+    // quantized sqrt grid, the fixed-shape weight (N/n)*(s/S), and the
+    // md5 fractional-copy rule — identical IEEE ops in both engines
+    "q153_temperature_sampling" ->
+      """WITH cnt AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+        |    floor(sqrt(CAST(count(*) AS DOUBLE)) * 1048576.0) AS s
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(n) AS nn, sum(s) AS ss FROM cnt),
+        |w AS (SELECT lang, (nn / n) * (s / ss) AS w FROM cnt, tot),
+        |d AS (SELECT dd.lang, doc_id, n_chars, w,
+        |    CAST(concat('0x', substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 8)) AS BIGINT) AS hp
+        |  FROM documents dd JOIN w USING (lang)),
+        |c AS (SELECT lang, doc_id, n_chars,
+        |    CAST(floor(w) AS BIGINT) +
+        |      CASE WHEN hp < CAST(floor((w - floor(w)) * 4294967296.0) AS BIGINT)
+        |           THEN 1 ELSE 0 END AS copies
+        |  FROM d)
+        |SELECT lang, CAST(sum(copies) AS BIGINT) AS n_copies,
+        |  CAST(count(CASE WHEN copies > 0 THEN 1 END) AS BIGINT) AS n_docs,
+        |  CAST(sum(copies * n_chars) AS BIGINT) AS chars_out,
+        |  CAST(max(copies) - 1 AS BIGINT) AS max_copy
+        |FROM c WHERE copies > 0 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the ROLLUP replayed from raw survivors — every grouping level's
+    // count/sum/avg/min plus the grouping flags (exact: all partial sums
+    // of integer cents stay below 2^53, so Σ-of-partials equals the raw
+    // aggregate bit-for-bit in either engine)
+    "q152_mv_groupingsets" ->
+      """WITH surv AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 10 <> 3)
+        |SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sc, avg(cents) AS ac,
+        |  CAST(min(cents) AS BIGINT) AS mn,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g1,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g2
+        |FROM surv GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY g1, g2, o_orderstatus, o_orderpriority""".stripMargin,
 
     // the exact heavy-hitter set from a plain GROUP BY: every token
     // strictly above a 1/50 frequency share, with its exact count

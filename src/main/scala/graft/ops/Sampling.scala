@@ -125,4 +125,41 @@ object Sampling {
     df.withColumn("copy_idx",
       explode(when(copies > lit(0L), sequence(lit(0L), copies - 1, lit(1L)))))
   }
+
+  /** MULTILINGUAL TEMPERATURE SAMPLING (the XLM-R / mT5 α-smoothing
+    * recipe): resample so group l's share moves from its empirical
+    * p_l = n_l/N toward q_l ∝ n_l^α — α < 1 upsamples tail languages
+    * and downsamples the head, keeping the EXPECTED corpus size at N
+    * (per-group expected copies c_l = N·q_l/n_l, realized per row by
+    * [[resampleWeighted]]'s deterministic fractional-copy rule, so the
+    * epoch mix is stable across retries and engines).
+    *
+    * Cross-engine exactness discipline: group sizes come from ONE count
+    * aggregation (one row per language — metadata-sized, but never
+    * collected: the weights BROADCAST-JOIN back onto the corpus); n_l^α
+    * quantizes to the integer grid floor(n_l^α · 2^20) BEFORE summing,
+    * so Σ is an exact integer in a double regardless of summation
+    * order; and the weight evaluates in the fixed shape
+    * (N/n_l)·(s_l/S) — every step a single correctly-rounded IEEE op,
+    * so an oracle replaying the identical expression lands on the
+    * identical copies. α = 0.5 computes via sqrt (correctly rounded BY
+    * REQUIREMENT of IEEE 754 — the portable-proof case the q153 gate
+    * uses); other α ride pow, correct but only almost-surely
+    * grid-identical across libms. */
+  def temperatureResample(df: DataFrame, group: Column, key: Column,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val tagged = df.withColumn("__tg", group)
+    val powOf = (n: Column) =>
+      if (alpha == 0.5) sqrt(n) else pow(n, lit(alpha))
+    val w = tagged.groupBy("__tg")
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__s", floor(powOf(col("__n")) * lit(1048576.0)))
+    val tot = w.agg(sum(col("__n")).as("__nn"), sum(col("__s")).as("__ss"))
+    val weights = w.crossJoin(broadcast(tot))
+      .select(col("__tg"),
+        ((col("__nn") / col("__n")) * (col("__s") / col("__ss"))).as("__w"))
+    resampleWeighted(tagged.join(broadcast(weights), Seq("__tg")), key, col("__w"))
+      .drop("__tg", "__w")
+  }
 }

@@ -1464,4 +1464,40 @@ class OpsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSet
     assert(got2 == Set(("hot", 101L)))
   }
+
+  test("temperature sampling: copies match the formula exactly, tail share rises, head falls") {
+    import graft.ops.Sampling
+    val out = Sampling.temperatureResample(docs, col("lang"), col("doc_id"), alpha = 0.5)
+    // exact replay of the copy rule in-test: quantized sqrt grid, fixed
+    // weight shape, md5 fractional copies — the same arithmetic the
+    // DuckDB oracle states
+    val counts = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val bigN = counts.values.sum.toDouble
+    val s = counts.map { case (l, n) => l -> math.floor(math.sqrt(n.toDouble) * 1048576.0) }
+    val bigS = s.values.sum
+    val w = counts.map { case (l, n) => l -> (bigN / n.toDouble) * (s(l) / bigS) }
+    val hp = docs.select(col("doc_id"), Sampling.hashPoint(col("doc_id")).as("hp"))
+      .as[(Long, Long)].collect().toMap
+    val wantCopies = docs.select("doc_id", "lang").as[(Long, String)].collect().map {
+      case (id, l) =>
+        val wl = w(l)
+        val c = wl.toLong + (if (hp(id) < math.floor((wl - math.floor(wl)) * 4294967296.0).toLong) 1L else 0L)
+        (id, c)
+    }.toMap
+    val gotCopies = out.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotCopies == wantCopies.filter(_._2 > 0L))
+    // alpha-smoothing direction: the most-common language's share falls,
+    // the rarest one's rises (expected corpus size preserved up to
+    // fractional-copy realization)
+    val before = counts.map { case (l, n) => l -> n.toDouble / bigN }
+    val outN = out.count().toDouble
+    val after = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+      .map { case (l, n) => l -> n / outN }
+    val head = counts.maxBy(_._2)._1
+    val tail = counts.minBy(_._2)._1
+    assert(after(head) < before(head), s"head $head share must fall")
+    assert(after(tail) > before(tail), s"tail $tail share must rise")
+    assert(math.abs(outN - bigN) / bigN < 0.05, s"expected-size preservation: $outN vs $bigN")
+  }
 }
