@@ -306,6 +306,53 @@ object SnapProcedures {
         }
       },
 
+      proc("create_vector_index",
+        "build a persistent IVF vector index over table's id/vector columns: " +
+          "frozen centroids in <name>_cent, assignments hive-partitioned by cell " +
+          "(probes read nprobe/nlist of the files); maintain with refresh_vector_index",
+        Seq(in("table", StringType), in("index", StringType),
+          in("id_col", StringType), in("vec_col", StringType),
+          inDefault("nlist", IntegerType, "64"),
+          inDefault("iters", IntegerType, "2"),
+          inDefault("sample_mod", LongType, "0")),
+        StructType(Seq(
+          StructField("index", StringType, nullable = false),
+          StructField("nlist", IntegerType, nullable = false)))) { input =>
+        val (db, t) = dbTable(input, 0)
+        val name = str(input, 1).getOrElse(
+          throw new IllegalArgumentException("index must not be null"))
+        val idCol = str(input, 2).getOrElse(
+          throw new IllegalArgumentException("id_col must not be null"))
+        val vecCol = str(input, 3).getOrElse(
+          throw new IllegalArgumentException("vec_col must not be null"))
+        val nlist = input.getInt(4)
+        graft.ops.VectorIndex.create(cat, db, t, name, idCol, vecCol,
+          nlist, input.getInt(5), input.getLong(6))
+        Seq(row(utf8(s"$db.$name"), nlist))
+      },
+
+      proc("refresh_vector_index",
+        "advance a vector index to its base table's current snapshot from per-commit " +
+          "metadata (churn-sized; never retrains): mode fresh|incremental|full",
+        Seq(in("index", StringType)),
+        StructType(Seq(
+          StructField("mode", StringType, nullable = false),
+          StructField("commits", LongType, nullable = false)))) { input =>
+        val (db, name) = dbTable(input, 0)
+        val (mode, commits) = graft.ops.VectorIndex.refresh(cat, db, name)
+        Seq(row(utf8(mode), commits))
+      },
+
+      proc("rebuild_vector_index",
+        "deliberate retrain-and-reassign at the base's current snapshot — the answer " +
+          "to centroid drift (watch cell occupancy skew via the index table itself)",
+        Seq(in("index", StringType)),
+        StructType(Seq(StructField("rebuilt", BooleanType, nullable = false)))) { input =>
+        val (db, name) = dbTable(input, 0)
+        graft.ops.VectorIndex.rebuild(cat, db, name)
+        Seq(row(true))
+      },
+
       proc("drop_view",
         "drop a versioned SQL view (its whole history)",
         Seq(in("view", StringType)),

@@ -486,4 +486,31 @@ class ProcedureSpec extends AnyFunSuite {
     assert(c.currentSnapshot("db", "sized").files.size >= 5)
     assert(c.readLatest("db", "sized").count() == 500)
   }
+
+  test("vector index lifecycle from SQL: create, refresh modes, rebuild") {
+    import org.apache.spark.sql.functions._
+    val c = cat
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c.createTable("db", "vemb", emb.schema)
+    c.append("db", "vemb", emb.where(col("vec_id") % 2 === 0))
+    val created = spark.sql("CALL proccat.system.create_vector_index(" +
+      "table => 'db.vemb', index => 'vix', id_col => 'vec_id', " +
+      "vec_col => 'embedding', nlist => 8, sample_mod => 3)").collect()
+    assert(created.head.getString(0) == "db.vix" && created.head.getInt(1) == 8)
+    assert(c.tableExists("db", "vix") && c.tableExists("db", "vix_cent"))
+    // fresh, then incremental across churn, commits counted
+    assert(spark.sql("CALL proccat.system.refresh_vector_index('db.vix')")
+      .head.getString(0) == "fresh")
+    c.deleteMoR("db", "vemb", col("vec_id") % 10 === 0)
+    c.append("db", "vemb", emb.where(col("vec_id") % 2 === 1))
+    val r = spark.sql("CALL proccat.system.refresh_vector_index('db.vix')").head
+    assert(r.getString(0) == "incremental" && r.getLong(1) == 2L)
+    assert(c.readLatest("db", "vix").count() ==
+      c.readLatest("db", "vemb").count())
+    // deliberate rebuild retrains and re-pins
+    assert(spark.sql("CALL proccat.system.rebuild_vector_index('db.vix')")
+      .head.getBoolean(0))
+    assert(spark.sql("CALL proccat.system.refresh_vector_index('db.vix')")
+      .head.getString(0) == "fresh")
+  }
 }
