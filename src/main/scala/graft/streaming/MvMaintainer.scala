@@ -74,4 +74,35 @@ object MvMaintainer {
         .start()
     }
   }
+
+  /** The same commit-signal discipline for a PERSISTENT VECTOR INDEX
+    * ([[graft.ops.VectorIndex]]): tail the base table's CDC stream, fold
+    * each signal into `VectorIndex.refresh` — which advances its own pin
+    * from per-commit metadata, so replays are no-ops and a restart
+    * resumes exactly. An ANN index that lags ingest by one micro-batch
+    * instead of one nightly rebuild is the difference between "search
+    * finds today's documents" and "search finds yesterday's". */
+  def maintainVectorIndex(spark: SparkSession, cat: SnapshotCatalog,
+      catalogName: String, db: String, index: String,
+      availableNow: Boolean = true,
+      onRefresh: (String, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val baseKey = cat.meta(db, index).properties.getOrElse(
+      graft.ops.VectorIndex.PropBase,
+      throw new IllegalArgumentException(s"$db.$index is not a vector index"))
+    val Array(bdb, btab) = baseKey.split("\\.", 2)
+    val pin = cat.meta(db, index).properties(graft.ops.VectorIndex.PropPin)
+    spark.readStream
+      .option("starting-snapshot-id", pin)
+      .table(s"$catalogName.$bdb.$btab.changes")
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_vixm_ckpt_").toString)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        val (mode, n) = graft.ops.VectorIndex.refresh(cat, db, index)
+        onRefresh(mode, n)
+      }
+      .trigger(if (availableNow) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(0L))
+      .start()
+  }
 }

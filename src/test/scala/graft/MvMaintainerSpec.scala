@@ -91,6 +91,46 @@ class MvMaintainerSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("vector index rides the same commit-signal maintenance") {
+    import graft.ops.{Similarity, VectorIndex}
+    val (cat, cn) = newCat("snapmvm4")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cat.createTable("db", "emb", emb.schema)
+    cat.append("db", "emb", emb.where(col("vec_id") % 2 === 0))
+    VectorIndex.create(cat, "db", "emb", "vix", "vec_id", "embedding",
+      nlist = 8, iters = 2, sampleMod = 3)
+    cat.deleteMoR("db", "emb", col("vec_id") % 10 === 0)
+    cat.append("db", "emb", emb.where(col("vec_id") % 2 === 1))
+
+    val modes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val t0 = VectorIndex.trainingCount
+    val q = MvMaintainer.maintainVectorIndex(spark, cat, cn, "db", "vix",
+      onRefresh = (m, _) => modes.synchronized { modes += m })
+    assert(q.awaitTermination(180000), "index maintainer did not drain")
+    assert(modes.contains("incremental") && !modes.contains("full"), modes.toString)
+    assert(VectorIndex.trainingCount == t0, "signal-driven refresh must not retrain")
+    // drained index state = from-scratch assignment under frozen centroids
+    val cents = VectorIndex.centroids(cat, "db", "vix")
+    val want = cat.readLatest("db", "emb")
+      .select(col("vec_id"),
+        Similarity.ivfCell(Similarity.quantize(col("embedding")), cents).as("cell"))
+      .as[(Long, Long)].collect().toSet
+    val got = cat.readLatest("db", "vix")
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toSet
+    assert(got == want)
+    // replay finds nothing to do
+    val modes2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q2 = MvMaintainer.maintainVectorIndex(spark, cat, cn, "db", "vix",
+      onRefresh = (m, _) => modes2.synchronized { modes2 += m })
+    assert(q2.awaitTermination(180000))
+    assert(modes2.forall(_ == "fresh"), modes2.toString)
+    // a non-index table refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      MvMaintainer.maintainVectorIndex(spark, cat, cn, "db", "emb")
+    }
+    assert(e.getMessage.contains("not a vector index"))
+  }
+
   test("refuses a plain (non-materialized) view") {
     val (cat, cn) = newCat("snapmvm3")
     val df0 = Seq((1L, "a")).toDF("k", "g")
