@@ -1534,6 +1534,44 @@ object SparkEntry {
       df
     }),
 
+    // PARTITIONED MV BACKING (r12): the materialization hive-lays the
+    // backing by a group key, every incremental refresh preserves the
+    // layout (the merge's upsert/delete are layout-aware writes), and a
+    // residual-filtered read — the automatic-rewrite path included —
+    // prunes to the key's DIRECTORY. At 100 TB an MV over a high-
+    // cardinality key is itself billions of rows; `WHERE key = x`
+    // should read one directory of it. The query REQUIRES the pruned
+    // data-file set, the incremental refresh, and the rewrite; the
+    // oracle replays the filtered aggregate from raw.
+    "q154_mv_partitioned" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "pmv")) cat.dropView("maint", "pmv")
+      if (cat.tableExists("maint", "pt_orders")) cat.dropTable("maint", "pt_orders")
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      cat.createTable("maint", "pt_orders", base.schema)
+      cat.append("maint", "pt_orders", base)
+      cat.createMaterializedView("maint", "pmv",
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, sum(cents) AS sc " +
+          "FROM maint.pt_orders GROUP BY o_orderstatus, o_orderpriority",
+        partitionBy = Seq("o_orderstatus"))
+      cat.deleteMoR("maint", "pt_orders", col("o_orderkey") % 10 === 7)
+      val (mode, _) = cat.refreshMaterializedView("maint", "pmv")
+      require(mode == "incremental_agg", s"refresh took '$mode'")
+      val pruned = cat.readLatestWhere("maint", "__mv_pmv",
+        col("o_orderstatus") === "F")
+      val dataFiles = pruned.inputFiles.filterNot(_.contains("/deletes/"))
+      require(dataFiles.nonEmpty && dataFiles.forall(_.contains("o_orderstatus=F")),
+        s"residual read must prune to the key's directory: ${dataFiles.mkString(",")}")
+      val df = s.sql("SELECT o_orderpriority, count(*) AS n, sum(cents) AS sc " +
+        "FROM snapdml.maint.pt_orders WHERE o_orderstatus = 'F' " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+      require(df.queryExecution.optimizedPlan.toString.contains("__mv_pmv"),
+        "the filtered aggregate must be served from the partitioned backing")
+      df
+    }),
+
     // MULTILINGUAL TEMPERATURE SAMPLING (r12, the XLM-R/mT5 alpha-
     // smoothing recipe at alpha=0.5): per-language weights derive from
     // the corpus's own counts — tail languages upsample, the head
@@ -4147,6 +4185,13 @@ object SparkEntry {
          |            JOIN iv qv ON qv.vec_id = query_id)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
          |FROM sims WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the residual-filtered rollup replayed from surviving raw rows
+    "q154_mv_partitioned" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sc
+        |FROM orders WHERE o_orderkey % 10 <> 7 AND o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // the full temperature-resample replay: per-language counts, the
     // quantized sqrt grid, the fixed-shape weight (N/n)*(s/S), and the

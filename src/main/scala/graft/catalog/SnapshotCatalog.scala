@@ -3971,7 +3971,8 @@ final class SnapshotCatalog(
     * the shape allows. Same versioned document as plain views: replace
     * keeps history. */
   def createMaterializedView(db: String, name: String, sql: String,
-      replace: Boolean = false): ViewMeta = withViewLock(db, name) {
+      replace: Boolean = false,
+      partitionBy: Seq[String] = Seq.empty): ViewMeta = withViewLock(db, name) {
     val bases = baseTablesOf(db, sql)
     require(bases.nonEmpty,
       s"materialized view $db.$name references no table of this catalog")
@@ -3995,8 +3996,22 @@ final class SnapshotCatalog(
     val out = if (shapeOpt.isDefined && !augOk) pinnedBody(db, sql, pins) else out0
     val partials = out.schema.fieldNames.filter(_.startsWith("__mv_")).toSeq
     val visibleOut = if (partials.isEmpty) out else out.drop(partials: _*)
+    // PARTITIONED BACKING: hive-lay the backing by visible output
+    // columns (group keys, in practice) so residual-filtered reads —
+    // the automatic-rewrite path included — prune whole directories. At
+    // 100 TB an MV over a high-cardinality key is itself billions of
+    // rows; a `WHERE key = x` rewrite should read one directory of it,
+    // not scan the backing. Every refresh path already lays recorded
+    // partition columns out (append/overwrite/upsert all honor
+    // partitionCols), so incremental merges keep the layout.
+    val unknownPt = partitionBy.filterNot(visibleOut.schema.fieldNames.contains)
+    require(unknownPt.isEmpty,
+      s"materialized view $db.$name: partitionBy columns not in the view's " +
+        s"visible outputs: ${unknownPt.mkString(",")}")
     val mvT = mvTableName(name)
-    if (!tableExists(db, mvT)) createTable(db, mvT, out.schema)
+    if (!tableExists(db, mvT)) createTable(db, mvT, out.schema, partitionCols = partitionBy)
+    else if (meta(db, mvT).partitionCols != partitionBy)
+      evolvePartitionSpec(db, mvT, partitionBy) // replace with a new layout
     overwrite(db, mvT, out)
     // DISTINCT-aggregate sidecars: one per distinct ARGUMENT (positions
     // sharing an argument share the state), populated at the same pins

@@ -264,7 +264,8 @@ object SnapProcedures {
       proc("create_materialized_view",
         "materialize a view body into a backing table with per-base snapshot high-waters; reads serve the table",
         Seq(in("view", StringType), in("sql", StringType),
-          inDefault("replace", BooleanType, "false")),
+          inDefault("replace", BooleanType, "false"),
+          inDefault("partition_by", StringType, "NULL")),
         StructType(Seq(
           StructField("view", StringType, nullable = false),
           StructField("version", IntegerType, nullable = false),
@@ -273,7 +274,9 @@ object SnapProcedures {
         val sql = str(input, 1).getOrElse(
           throw new IllegalArgumentException("sql must not be null"))
         val replace = !input.isNullAt(2) && input.getBoolean(2)
-        val meta = cat.createMaterializedView(db, v, sql, replace)
+        val pt = str(input, 3).toSeq
+          .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+        val meta = cat.createMaterializedView(db, v, sql, replace, pt)
         Seq(row(utf8(s"$db.$v"), meta.current,
           utf8(s"$db.${cat.mvTableName(v)}")))
       },

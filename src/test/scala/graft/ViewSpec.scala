@@ -1067,4 +1067,59 @@ class ViewSpec extends AnyFunSuite {
     cat.dropView("db", "gdv")
     assert(cat.listTablesRaw("db") == Seq("base"), cat.listTablesRaw("db").toString)
   }
+
+  test("partitioned MV backing: hive layout, pruned residual reads, layout survives incremental refresh") {
+    val (cat, wh) = freshCat()
+    register(wh, "vpt")
+    val df = (1 to 300).map(i => (s"k${i % 3}", s"g${i % 5}", i.toLong))
+      .toDF("k1", "k2", "v")
+    cat.createTable("db", "t", df.schema)
+    cat.append("db", "t", df)
+    cat.createMaterializedView("db", "pmv",
+      "SELECT k1, k2, count(*) AS n, sum(v) AS sv FROM db.t GROUP BY k1, k2",
+      partitionBy = Seq("k1"))
+    // hive layout on disk, and a residual-keyed read prunes to one dir
+    val backing = "__mv_pmv"
+    val scan0 = cat.readLatestWhere("db", backing, col("k1") === "k1")
+    assert(scan0.inputFiles.nonEmpty)
+    scan0.inputFiles.foreach(f => assert(f.contains("k1=k1"), f))
+    // churn + incremental refresh keeps BOTH the values and the layout
+    cat.deleteMoR("db", "t", col("v") % 4 === 0)
+    cat.append("db", "t", Seq(("k1", "g9", 7777L)).toDF("k1", "k2", "v"))
+    val (mode, _) = cat.refreshMaterializedView("db", "pmv")
+    assert(mode == "incremental_agg", mode)
+    val got = spark.sql("SELECT k1, k2, n, sv FROM vpt.db.pmv ORDER BY k1, k2")
+      .as[(String, String, Long, Long)].collect().toSeq
+    val want = noRewrite {
+      cat.readLatest("db", "t").groupBy("k1", "k2")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv")).orderBy("k1", "k2")
+        .as[(String, String, Long, Long)].collect().toSeq
+    }
+    assert(got == want)
+    // data files stay pruned to the key's directory; the incremental
+    // refresh's MoR delete shards (merged in-scan) are the only
+    // out-of-dir reads
+    val scan1 = cat.readLatestWhere("db", backing, col("k1") === "k1")
+    val dataFiles = scan1.inputFiles.filterNot(_.contains("/deletes/"))
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach(f => assert(f.contains("k1=k1"), f))
+    // the automatic rewrite with a residual filter reads the backing
+    val q = "SELECT k2, sum(sv2.v) AS s FROM (SELECT k1, k2, v FROM vpt.db.t) sv2 " +
+      "WHERE k1 = 'k1' GROUP BY k2"
+    val rdf = spark.sql(
+      "SELECT k2, count(*) AS c, sum(v) AS s FROM vpt.db.t WHERE k1 = 'k1' GROUP BY k2")
+    assert(rdf.queryExecution.optimizedPlan.toString.contains("__mv_pmv"))
+    val rOn = rdf.collect().map(_.toSeq).toSet
+    val rOff = noRewrite { spark.sql(
+      "SELECT k2, count(*) AS c, sum(v) AS s FROM vpt.db.t WHERE k1 = 'k1' GROUP BY k2")
+      .collect().map(_.toSeq).toSet }
+    assert(rOn == rOff)
+    val _ = q
+    // a non-output partition column refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      cat.createMaterializedView("db", "pmv2",
+        "SELECT k1, count(*) AS n FROM db.t GROUP BY k1", partitionBy = Seq("v"))
+    }
+    assert(e.getMessage.contains("partitionBy"))
+  }
 }
