@@ -1572,6 +1572,42 @@ object SparkEntry {
       df
     }),
 
+    // TRAINING-SHARD BUILD CAPSTONE (r12): the end-to-end data-build
+    // pipeline a pretraining run actually ships — Gopher quality gate →
+    // exact content dedup (min-id representative) → multilingual
+    // temperature mix (alpha=0.5) → BPE-ish token counts → GPT-style
+    // 2048-token sequence packing per language stream → shard
+    // assignment. Every stage is an already-gated operator; the capstone
+    // holds their COMPOSITION to one DuckDB replay (filter conditions,
+    // dedup choice, the quantized-sqrt mix, the md5 copy rule, the
+    // cumulative-offset chunk arithmetic, the shard residue — any drift
+    // anywhere breaks the hash). All stages are scans/window passes; the
+    // only shuffles are the dedup key-agg and the per-language pack
+    // window — the irreducible ones.
+    "q155_shard_build" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val kept = docs.join(
+        graft.ops.TextOps.gopherRules(docs, "doc_id", "text", minWords = 8L)
+          .where(col("passes")).select("doc_id"),
+        Seq("doc_id"))
+      val uniq = kept.join(
+        Dedup.exact(kept, "doc_id", Seq("text"))
+          .select(col("keep_id").as("doc_id")),
+        Seq("doc_id"))
+      val mixed = ops.Sampling.temperatureResample(
+        uniq.select("doc_id", "lang", "text"), col("lang"), col("doc_id"), alpha = 0.5)
+      val toks = mixed.select(col("lang"), col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).as("toks"),
+        (col("doc_id") * 100L + col("copy_idx")).as("ord"))
+      ops.Packing.packChunks(toks, Seq("lang"), "ord", col("toks"), 2048L)
+        .withColumn("shard", pmod(col("first_chunk"), lit(4L)))
+        .groupBy("lang", "shard")
+        .agg(count(lit(1)).as("n_rows"), sum(col("toks")).as("tokens"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(when(col("n_chunks") > 1, 1L).otherwise(0L)).as("n_straddling"))
+        .orderBy("lang", "shard")
+    }),
+
     // MULTILINGUAL TEMPERATURE SAMPLING (r12, the XLM-R/mT5 alpha-
     // smoothing recipe at alpha=0.5): per-language weights derive from
     // the corpus's own counts — tail languages upsample, the head
@@ -4185,6 +4221,62 @@ object SparkEntry {
          |            JOIN iv qv ON qv.vec_id = query_id)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
          |FROM sims WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the whole shard build replayed in one CTE chain: gopher conditions
+    // (q111), min-id content dedup, the quantized-sqrt temperature mix
+    // (q153), md5 fractional copies expanded via range(), the q71 chunk
+    // arithmetic over the copy-unique order key, and the shard residue
+    "q155_shard_build" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(ts, t -> len(t))), 0) AS BIGINT) AS swl,
+        |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS aw,
+        |    CAST(len(list_filter(ts, t -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], lower(t)))) AS BIGINT) AS sw,
+        |    CAST(len(regexp_extract_all(text, '#')) +
+        |      len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS sy
+        |  FROM toks0),
+        |kept AS (
+        |  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN m USING (doc_id)
+        |  WHERE n_words >= 8 AND n_words <= 100000
+        |    AND swl >= n_words * 3 AND swl <= n_words * 10
+        |    AND aw * 5 >= n_words * 4 AND sw >= 2 AND sy * 10 < n_words),
+        |reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+        |uniq AS (SELECT k.* FROM kept k JOIN reps USING (doc_id)),
+        |cnt AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+        |    floor(sqrt(CAST(count(*) AS DOUBLE)) * 1048576.0) AS s
+        |  FROM uniq GROUP BY lang),
+        |tot AS (SELECT sum(n) AS nn, sum(s) AS ss FROM cnt),
+        |w AS (SELECT lang, (nn / n) * (s / ss) AS w FROM cnt, tot),
+        |cop AS (SELECT u.lang, u.doc_id, u.text,
+        |    CAST(floor(w) AS BIGINT) +
+        |      CASE WHEN CAST(concat('0x', substr(md5(coalesce(CAST(u.doc_id AS VARCHAR), '')), 1, 8)) AS BIGINT)
+        |             < CAST(floor((w - floor(w)) * 4294967296.0) AS BIGINT)
+        |           THEN 1 ELSE 0 END AS copies
+        |  FROM uniq u JOIN w USING (lang)),
+        |ex AS (SELECT lang, doc_id, text, u2.ci AS copy_idx
+        |  FROM cop, unnest(range(copies)) AS u2(ci) WHERE copies > 0),
+        |tk AS (SELECT lang, doc_id, doc_id * 100 + copy_idx AS ord,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS toks
+        |  FROM ex),
+        |c AS (SELECT lang, doc_id, toks,
+        |    sum(toks) OVER (PARTITION BY lang ORDER BY ord
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS tok_start
+        |  FROM tk),
+        |p AS (SELECT lang, doc_id, toks, tok_start // 2048 AS first_chunk,
+        |    CASE WHEN toks = 0 THEN 0
+        |         ELSE (tok_start + toks - 1) // 2048 - tok_start // 2048 + 1 END AS n_chunks
+        |  FROM c)
+        |SELECT lang, CAST(first_chunk % 4 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(toks) AS BIGINT) AS tokens,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+        |FROM p GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
 
     // the residual-filtered rollup replayed from surviving raw rows
     "q154_mv_partitioned" ->
