@@ -1301,12 +1301,38 @@ final class SnapshotCatalog(
         out(MorFileCol) === d("_file") && out(MorPosCol) === d("_pos"), "left_anti")
     }
     eq.groupBy(_.eqCols).toSeq.sortBy(_._1.mkString(",")).foreach { case (cols, fs) =>
-      val keys = spark.read
-        .parquet(fs.map(d => root.resolve(d.path).toString): _*)
-        .dropDuplicates(cols)
-      val d = sized(keys, fs.map(_.rows).sum)
-      val cond = cols.map(c => out(s"`$c`") <=> d(s"`$c`")).reduce(_ && _)
-      out = out.join(d, cond, "left_anti")
+      // An EQUALITY delete applies ONLY to the files it covered at
+      // commit time (Iceberg's sequence-number rule): a key re-inserted
+      // AFTER the delete must NOT be retro-killed by it. Matching keys
+      // alone is therefore wrong — each shard gets an ordinal bit, ONE
+      // metadata-sized broadcast maps every covered file to its
+      // coverage MASK, and the anti-join additionally requires the
+      // matching shard's bit on the row's file. Exact for any covers
+      // topology (no nesting assumption), still one join per column
+      // set for up to 64 live shards; beyond that the shards chunk
+      // (several joins — honest cost for a pathological shard count).
+      fs.grouped(64).foreach { chunk =>
+        val keys = chunk.zipWithIndex.map { case (s, i) =>
+          spark.read.parquet(root.resolve(s.path).toString)
+            .dropDuplicates(cols)
+            .withColumn("__shard_bit", lit(1L << i))
+        }.reduce(_.unionByName(_))
+        val maskOf = scala.collection.mutable.HashMap.empty[String, Long]
+        chunk.zipWithIndex.foreach { case (s, i) =>
+          s.covers.keysIterator.foreach { f =>
+            maskOf(f) = maskOf.getOrElse(f, 0L) | (1L << i) }
+        }
+        val maskDf = broadcast(spark.createDataFrame(
+          maskOf.toSeq.sortBy(_._1)).toDF("__mask_file", "__mask"))
+        val tagged = out.join(maskDf,
+          out(MorFileCol) === maskDf("__mask_file"), "left")
+        val d = sized(keys, chunk.map(_.rows).sum)
+        val cond = cols.map(c => tagged(s"`$c`") <=> d(s"`$c`")).reduce(_ && _) &&
+          coalesce(tagged("__mask"), lit(0L))
+            .bitwiseAND(d("__shard_bit")) =!= lit(0L)
+        out = tagged.join(d, cond, "left_anti")
+          .drop("__mask_file", "__mask")
+      }
     }
     out
   }

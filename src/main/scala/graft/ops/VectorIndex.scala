@@ -136,10 +136,22 @@ object VectorIndex {
 
   /** Advance the index to the base table's current snapshot. Returns
     * (mode, commits advanced): "fresh" (nothing to do), "incremental"
-    * (per-commit metadata enumerated the exact insert/delete sets — the
-    * refresh touched only churn), or "full" (non-enumerable range:
-    * rollback / true rewrite / schema evolution — one full re-assignment
-    * under the FROZEN centroids). Never retrains. */
+    * (per-commit metadata enumerated the exact insert/delete sets), or
+    * "full" (non-enumerable range: rollback / true rewrite / schema
+    * evolution — one full re-assignment under the FROZEN centroids).
+    * Never retrains.
+    *
+    * The incremental discipline is MULTISET-exact: a pure-append range
+    * just assigns and appends the inserts; any range with deletes takes
+    * the TOUCHED-ID REPAIR — retract every id the churn names (an
+    * equality delete on the index), then re-assign those ids' rows as
+    * they stand in the base at cur (one semi-join pass, footer-stat
+    * file skipping applies). Id-level delete-then-append would be
+    * wrong twice over — an id added AND deleted inside the range would
+    * resurrect, and a pre-range duplicate copy of a partially-deleted
+    * id would vanish — the repair reads the base's own truth for
+    * exactly the churned ids instead (caught by the randomized battery
+    * in VectorIndexSpec). */
   def refresh(cat: SnapshotCatalog, db: String, name: String): (String, Long) = {
     val (bdb, btab, idCol, vecCol, pin) = state(cat, db, name)
     val cur = cat.currentSnapshotId(bdb, btab)
@@ -150,12 +162,20 @@ object VectorIndex {
       catch { case scala.util.control.NonFatal(_) => None }
     val mode = sets match {
       case Some((ins, del)) =>
-        // deletes FIRST: an updated id appears in both sets, and the
-        // retract-then-append order leaves exactly the new copy indexed
-        val delKeys = del.select(col(idCol)).distinct()
-        if (!delKeys.isEmpty) cat.deleteMoREq(db, name, delKeys)
-        val newRows = ins.select(col(idCol), col(vecCol))
-        if (!newRows.isEmpty) cat.append(db, name, assign(newRows, idCol, vecCol, cents))
+        val delIds = del.select(col(idCol))
+        if (delIds.isEmpty) {
+          val newRows = ins.select(col(idCol), col(vecCol))
+          if (!newRows.isEmpty)
+            cat.append(db, name, assign(newRows, idCol, vecCol, cents))
+        } else {
+          val touched = ins.select(col(idCol)).union(delIds).distinct()
+          cat.deleteMoREq(db, name, touched)
+          val fresh = cat.readLatest(bdb, btab)
+            .join(touched, Seq(idCol), "left_semi")
+            .select(col(idCol), col(vecCol))
+          if (!fresh.isEmpty)
+            cat.append(db, name, assign(fresh, idCol, vecCol, cents))
+        }
         "incremental"
       case None =>
         cat.overwrite(db, name, assign(cat.readLatest(bdb, btab)

@@ -807,4 +807,38 @@ class MorDeleteSpec extends AnyFunSuite {
       .select("n_nationkey", "n_name").as[(Int, String)].collect().toSeq
     assert(guarded == Seq((2, "ZZ")), guarded.toString)
   }
+
+  test("a key re-inserted AFTER an equality delete is not retro-killed (sequence-number rule)") {
+    val cat = freshCatalog()
+    withNation(cat)
+    // kill keys 3 and 7 by equality, then RE-INSERT key 3
+    cat.deleteMoREq("db", "nation",
+      Seq(3, 7).toDF("n_nationkey"))                              // snap 3
+    val back = nation.where(col("n_nationkey") === 3)
+    cat.append("db", "nation", back)                                // snap 4
+    val keys = cat.readLatest("db", "nation")
+      .select(col("n_nationkey").cast("long")).as[Long].collect().sorted.toSeq
+    assert(keys.contains(3L), "re-inserted key must survive the older eq shard")
+    assert(!keys.contains(7L))
+    assert(keys.count(_ == 3L) == 1)
+    // a SECOND eq delete of key 3 kills the re-inserted copy too (its
+    // shard covers the new file); key 5 re-inserted afterwards survives
+    cat.deleteMoREq("db", "nation",
+      Seq(3, 5).toDF("n_nationkey"))                              // snap 5
+    cat.append("db", "nation", nation.where(col("n_nationkey") === 5)) // snap 6
+    val keys2 = cat.readLatest("db", "nation")
+      .select(col("n_nationkey").cast("long")).as[Long].collect().sorted.toSeq
+    assert(!keys2.contains(3L) && !keys2.contains(7L))
+    assert(keys2.count(_ == 5L) == 1)
+    // time travel: at snap 3 both 3 and 7 are gone; at snap 4 key 3 is back
+    assert(!cat.readAsOf("db", "nation", 3).select(col("n_nationkey").cast("long"))
+      .as[Long].collect().contains(3L))
+    assert(cat.readAsOf("db", "nation", 4).select(col("n_nationkey").cast("long"))
+      .as[Long].collect().contains(3L))
+    // incremental/changelog stay exact across the interleaving
+    val chg = cat.readChangelog("db", "nation", 2, 6)
+      .select(col("_change_type"), col("n_nationkey").cast("long"))
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(chg.count(_ == ("delete", 3L)) - chg.count(_ == ("insert", 3L)) == 1)
+  }
 }

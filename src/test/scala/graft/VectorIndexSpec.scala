@@ -121,6 +121,44 @@ class VectorIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized churn battery: refresh parity holds under every interleaving") {
+    val cat = newCat()
+    cat.createTable("ann", "base", emb.schema)
+    cat.append("ann", "base", emb.where(col("vec_id") % 4 === 0))
+    VectorIndex.create(cat, "ann", "base", "idx", "vec_id", "embedding",
+      nlist = 8, iters = 2, sampleMod = 3)
+    val cents = VectorIndex.centroids(cat, "ann", "idx")
+    val rnd = new scala.util.Random(12)
+    val t0 = VectorIndex.trainingCount
+    for (step <- 1 to 12) {
+      rnd.nextInt(4) match {
+        case 0 => cat.append("ann", "base",
+          emb.where(col("vec_id") % 7 === rnd.nextInt(7).toLong))
+        case 1 => cat.deleteMoR("ann", "base",
+          col("vec_id") % 5 === rnd.nextInt(5).toLong)
+        case 2 => cat.updateMoR("ann", "base",
+          col("vec_id") % 11 === rnd.nextInt(11).toLong,
+          Map("embedding" -> transform(col("embedding"), x => -x)))
+        case 3 =>
+          val (mode, _) = VectorIndex.refresh(cat, "ann", "idx")
+          assert(mode != "full", s"step $step: metadata path must hold, got $mode")
+      }
+      // note: appends may re-add already-present ids (multiset growth) —
+      // the invariant below compares full (id, cell) MULTISETS
+      if (step % 4 == 0) {
+        VectorIndex.refresh(cat, "ann", "idx")
+        val want = cat.readLatest("ann", "base")
+          .select(col("vec_id"),
+            Similarity.ivfCell(Similarity.quantize(col("embedding")), cents).as("cell"))
+          .as[(Long, Long)].collect().sorted.toSeq
+        val got = cat.readLatest("ann", "idx")
+          .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().sorted.toSeq
+        assert(got == want, s"index diverged from base at step $step")
+      }
+    }
+    assert(VectorIndex.trainingCount == t0, "no interleaving may retrain")
+  }
+
   test("rebuild retrains deliberately and re-pins") {
     val cat = newCat()
     cat.createTable("ann", "base", emb.schema)
