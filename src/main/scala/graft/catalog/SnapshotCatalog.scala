@@ -5698,6 +5698,114 @@ final class SnapshotCatalog(
         Manifest.empty, Seq(shardName)))
     }
 
+  /** Convert EQUALITY delete shards into consolidated POSITIONAL deletes
+    * (Iceberg's `convert_equality_deletes` maintenance shape): per
+    * eq-column set, ONE scan of the union of the shards' covered files
+    * materializes the exact (file, pos) pairs the eq shards kill — keys
+    * tagged with their shard's coverage mask, the same per-file
+    * application rule as the read path — and the commit swaps the eq
+    * shards for one positional shard. Data files untouched (operation
+    * "compact": a row-preserving delete-maintenance rewrite, like
+    * [[compactDeleteFiles]]). Reads get cheaper twice over: position
+    * anti-joins replace key-hash joins, and the per-shard coverage
+    * bookkeeping collapses. Rows also dead under other shards just
+    * re-record — the position anti-join is idempotent. Run it like any
+    * compaction: steady-state maintenance after eq-heavy CDC ingest. */
+  def convertEqualityDeletes(db: String, table: String): Option[Snapshot] =
+    withTableLock(db, table) {
+      val entries = entriesForWrite(db, table)
+      requireNoPendingStage(db, table, entries)
+      val prevEntry = publishedEntry(entries)
+      val prev = materialize(db, table, prevEntry)
+      val (pos, eq) = prev.deleteFiles.partition(_.isPositional)
+      if (eq.isEmpty) return None
+      val newId = entries.last.snapshotId + 1
+      val tag = attemptTag()
+      val root = tablePath(db, table)
+      val deadFrames = eq.groupBy(_.eqCols).toSeq.sortBy(_._1.mkString(","))
+        .flatMap { case (cols, fs) =>
+          fs.grouped(64).map { chunk =>
+            val covered = chunk.flatMap(_.covers.keys).distinct.sorted
+            val scanned = readFilesWithPos(db, table, prev.schema, covered)
+            val keys = chunk.zipWithIndex.map { case (s, i) =>
+              spark.read.parquet(root.resolve(s.path).toString)
+                .dropDuplicates(cols)
+                .withColumn("__shard_bit", lit(1L << i))
+            }.reduce(_.unionByName(_))
+            val maskOf = scala.collection.mutable.HashMap.empty[String, Long]
+            chunk.zipWithIndex.foreach { case (s, i) =>
+              s.covers.keysIterator.foreach { f =>
+                maskOf(f) = maskOf.getOrElse(f, 0L) | (1L << i) }
+            }
+            val maskDf = broadcast(spark.createDataFrame(
+              maskOf.toSeq.sortBy(_._1)).toDF("__mask_file", "__mask"))
+            val tagged = scanned.join(maskDf,
+              scanned(MorFileCol) === maskDf("__mask_file"), "left")
+            val cond = cols.map(c => tagged(s"`$c`") <=> keys(s"`$c`")).reduce(_ && _) &&
+              coalesce(tagged("__mask"), lit(0L))
+                .bitwiseAND(keys("__shard_bit")) =!= lit(0L)
+            tagged.join(keys, cond, "left_semi")
+              .select(col(MorFileCol).as("_file"), col(MorPosCol).as("_pos"))
+          }
+        }
+      val delDirRel = s"deletes/s$newId$tag"
+      val delDir = root.resolve("deletes").resolve(s"s$newId$tag")
+      // positions already dead under an existing POSITIONAL shard must
+      // not re-record: positional shards are pairwise disjoint by the
+      // delete-writer invariant, and keeping the converted shard
+      // disjoint too lets per-file dead COUNTS stay additive (exact
+      // metadata record_count below, [[deadRows]] arithmetic)
+      val dead0 = deadFrames.reduce(_.unionByName(_))
+        .dropDuplicates("_file", "_pos")
+      val dead =
+        if (pos.isEmpty) dead0
+        else {
+          val already = spark.read.schema(deleteFileSchema)
+            .parquet(pos.map(d => root.resolve(d.path).toString): _*)
+            .select(col("_file").as("__af"), col("_pos").as("__ap"))
+          dead0.join(already,
+            dead0("_file") === col("__af") && dead0("_pos") === col("__ap"),
+            "left_anti")
+        }
+      dead.repartition(1)
+        .sortWithinPartitions("_file", "_pos")
+        .write.mode("overwrite").parquet(delDir.toString)
+      val written = listParquetFiles(delDir)
+      val relOf = written.map(p => p.getFileName.toString ->
+        (delDirRel + "/" + delDir.relativize(p).toString.replace('\\', '/'))).toMap
+      val counts = spark.read.schema(deleteFileSchema).parquet(delDir.toString)
+        .groupBy(col("_metadata.file_path").as("__dpath"), col("_file"))
+        .count().collect()
+      val converted = counts.groupBy(_.getString(0)).toSeq.map { case (dpath, rs) =>
+        val name = dpath.substring(dpath.lastIndexOf('/') + 1)
+        DeleteFile(relOf(name), rs.map(r => r.getString(1) -> r.getLong(2)).toMap)
+      }.sortBy(_.path)
+      if (converted.isEmpty) deleteRecursively(delDir) // eq shards killed nothing
+      val newDeletes = pos ++ converted
+      // with every shard positional AND pairwise disjoint, the visible
+      // count is pure metadata again: footer rows minus dead positions —
+      // the eq shards' "unknowable without a scan" debt retires here
+      val posDead = newDeletes.iterator.map(_.covers.values.sum).sum
+      val recordCount =
+        if (prev.files.forall(f => prev.fileStats.get(f).exists(_.contains("rows"))))
+          (prev.files.iterator.map(f => prev.fileStats(f)("rows").toLong).sum
+            - posDead).toString
+        else prev.recordCount.toString
+      val shardName = deleteShardName(newId, tag)
+      writeDeleteShard(db, table, shardName, newDeletes)
+      val snap = Snapshot(newId, clock().toString, "compact",
+        prev.summary ++ Map(
+          "record_count" -> recordCount,
+          "added_records" -> "0", "added_files" -> "0",
+          "deleted_records" -> "0",
+          "total_files" -> prev.files.size.toString,
+          "delete_files" -> newDeletes.size.toString,
+          "converted_delete_files" -> eq.size.toString),
+        prev.schemaDdl, prev.files, prev.fileStats, newDeletes)
+      Some(commitSnapshot(db, table, entries, snap, prevEntry.manifests,
+        Manifest.empty, Seq(shardName)))
+    }
+
   /** TARGETED small-file compaction (Iceberg `rewrite_data_files` bin-pack
     * strategy): rewrite only the current snapshot's files smaller than
     * `smallBytes`, coalescing them into ~`targetBytes` outputs; every file

@@ -171,6 +171,21 @@ object SnapProcedures {
         }
       },
 
+      proc("convert_equality_deletes",
+        "materialize equality-delete shards into one consolidated positional shard " +
+          "(coverage-exact); data files untouched, reads drop the key-hash joins",
+        Seq(in("table", StringType)),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = true),
+          StructField("converted_delete_files", IntegerType, nullable = false)))) { input =>
+        val (db, t) = dbTable(input, 0)
+        cat.convertEqualityDeletes(db, t) match {
+          case Some(s) => Seq(row(s.snapshotId,
+            s.summary("converted_delete_files").toInt))
+          case None => Seq(row(null, 0)) // no equality shards live
+        }
+      },
+
       proc("rewrite_manifests",
         "consolidate the current snapshot's manifest shards into one; stats-only commit, no data rewritten",
         Seq(in("table", StringType)),

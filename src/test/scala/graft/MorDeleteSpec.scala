@@ -841,4 +841,34 @@ class MorDeleteSpec extends AnyFunSuite {
       .as[(String, Long)].collect().sorted.toSeq
     assert(chg.count(_ == ("delete", 3L)) - chg.count(_ == ("insert", 3L)) == 1)
   }
+
+  test("convert_equality_deletes: coverage-exact positions, re-inserted keys stay alive, counts exact") {
+    val cat = freshCatalog()
+    withNation(cat)
+    cat.deleteMoR("db", "nation", col("n_nationkey") === 20)          // positional, snap 3
+    cat.deleteMoREq("db", "nation", Seq(3, 7, 20).toDF("n_nationkey")) // eq, snap 4 (20 doubly dead)
+    cat.append("db", "nation", nation.where(col("n_nationkey") === 3)) // re-insert 3, snap 5
+    cat.deleteMoREq("db", "nation", Seq(9).toDF("n_nationkey"))        // eq covering snap-5 file too
+    val before = cat.readLatest("db", "nation")
+      .select(col("n_nationkey").cast("long")).as[Long].collect().sorted.toSeq
+
+    val snap = cat.convertEqualityDeletes("db", "nation").get
+    assert(snap.summary("converted_delete_files").toInt == 2)
+    assert(snap.deleteFiles.nonEmpty && snap.deleteFiles.forall(_.isPositional),
+      "no equality shards may remain")
+    // reads identical before/after; the re-inserted key 3 still alive
+    val after = cat.readLatest("db", "nation")
+      .select(col("n_nationkey").cast("long")).as[Long].collect().sorted.toSeq
+    assert(after == before)
+    assert(after.contains(3L) && !after.contains(7L) &&
+      !after.contains(9L) && !after.contains(20L))
+    // positional shards stay pairwise disjoint -> metadata count is exact
+    assert(snap.summary("record_count").toLong == after.length.toLong)
+    assert(cat.readLatest("db", "nation").count() == after.length.toLong)
+    // a second convert is a no-op
+    assert(cat.convertEqualityDeletes("db", "nation").isEmpty)
+    // time travel to the pre-convert snapshot still serves the eq view
+    assert(cat.readAsOf("db", "nation", snap.snapshotId - 1)
+      .select(col("n_nationkey").cast("long")).as[Long].collect().sorted.toSeq == before)
+  }
 }
