@@ -1534,6 +1534,38 @@ object SparkEntry {
       df
     }),
 
+    // EQUALITY→POSITIONAL DELETE CONVERSION (r12, Iceberg
+    // convert_equality_deletes): after eq-heavy CDC ingest, one
+    // maintenance commit materializes each eq shard's kills as exact
+    // (file, pos) pairs under the shard's own COVERAGE — a key
+    // re-inserted after its delete stays alive through the convert (the
+    // sequence-number rule, exercised here by re-appending %7 keys
+    // after the eq delete) — and reads drop the key-hash joins. The
+    // query REQUIRES only positional shards remain; the oracle replays
+    // the merged survivors from raw.
+    "q156_convert_eq_deletes" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.tableExists("maint", "ceq_orders")) cat.dropTable("maint", "ceq_orders")
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      cat.createTable("maint", "ceq_orders", base.schema)
+      cat.append("maint", "ceq_orders", base.where(col("o_orderkey") % 2 === 0))
+      cat.deleteMoR("maint", "ceq_orders", col("o_orderkey") % 10 === 2)
+      cat.deleteMoREq("maint", "ceq_orders",
+        base.where(col("o_orderkey") % 7 === 0)
+          .select("o_orderkey").distinct())
+      cat.append("maint", "ceq_orders",
+        base.where(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 9 === 0))
+      val snap = cat.convertEqualityDeletes("maint", "ceq_orders")
+        .getOrElse(throw new IllegalStateException("nothing to convert"))
+      require(snap.deleteFiles.nonEmpty && snap.deleteFiles.forall(_.isPositional),
+        "conversion must leave only positional shards")
+      require(snap.summary("converted_delete_files").toInt == 1)
+      s.sql("SELECT o_orderstatus, count(*) AS n, sum(cents) AS sc " +
+        "FROM snapdml.maint.ceq_orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    }),
+
     // PARTITIONED MV BACKING (r12): the materialization hive-lays the
     // backing by a group key, every incremental refresh preserves the
     // layout (the merge's upsert/delete are layout-aware writes), and a
@@ -4221,6 +4253,19 @@ object SparkEntry {
          |            JOIN iv qv ON qv.vec_id = query_id)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
          |FROM sims WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the merged survivors from raw: evens minus the positional %10==2
+    // minus the eq-killed %7==0 EVENS, plus every %9==0 odd — including
+    // the %7==0 odds appended AFTER the eq delete (the sequence rule)
+    "q156_convert_eq_deletes" ->
+      """WITH surv AS (
+        |  SELECT o_orderstatus, CAST(FLOOR(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE (o_orderkey % 2 = 0 AND o_orderkey % 10 <> 2 AND o_orderkey % 7 <> 0)
+        |     OR (o_orderkey % 2 = 1 AND o_orderkey % 9 = 0))
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sc
+        |FROM surv GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // the whole shard build replayed in one CTE chain: gopher conditions
     // (q111), min-id content dedup, the quantized-sqrt temperature mix
