@@ -46,9 +46,18 @@ object HeavyHitters {
     if (cands.isEmpty)
       return items.toDF("item").limit(0)
         .select(col("item"), lit(0L).as("cnt"))
-    // pass 2: exact counts of the candidate sliver only
-    items.toDF("item")
-      .where(col("item").isin(cands: _*))
+    // pass 2: exact counts of the candidate sliver only. Small candidate
+    // sets ride an IN literal (pushes to the scan as a filter); large
+    // ones a broadcast semi-join (an IN over 10^5 strings bloats the
+    // plan and codegen instead of helping)
+    val sliver =
+      if (cands.length <= 1024) items.toDF("item").where(col("item").isin(cands: _*))
+      else {
+        val candDf = broadcast(items.sparkSession
+          .createDataset(cands)(org.apache.spark.sql.Encoders.STRING).toDF("item"))
+        items.toDF("item").join(candDf, Seq("item"), "left_semi")
+      }
+    sliver
       .groupBy("item")
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * k > s.n)

@@ -1463,6 +1463,13 @@ class OpsSpec extends AnyFunSuite {
     val got2 = HeavyHitters.exact(stream, col("item"), 10)
       .as[(String, Long)].collect().toSet
     assert(got2 == Set(("hot", 101L)))
+    // a candidate set past the IN-literal cutoff takes the broadcast
+    // semi-join path and stays exact
+    val wide = ((1 to 2999).map(i => s"u$i") ++ (1 to 50).map(_ => "hot"))
+      .toDF("item").repartition(8)
+    val got3 = HeavyHitters.exact(wide, col("item"), 3000)
+      .as[(String, Long)].collect().toSet
+    assert(got3 == Set(("hot", 50L)))
   }
 
   test("temperature sampling: copies match the formula exactly, tail share rises, head falls") {
