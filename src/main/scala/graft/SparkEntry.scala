@@ -1618,10 +1618,9 @@ object SparkEntry {
     // window — the irreducible ones.
     "q155_shard_build" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val kept = docs.join(
-        graft.ops.TextOps.gopherRules(docs, "doc_id", "text", minWords = 8L)
-          .where(col("passes")).select("doc_id"),
-        Seq("doc_id"))
+      // the quality gate is ONE row-local predicate riding the scan — no
+      // metrics frame, no join-back
+      val kept = docs.where(TextOps.gopherPasses(col("text"), minWords = 8L))
       val uniq = kept.join(
         Dedup.exact(kept, "doc_id", Seq("text"))
           .select(col("keep_id").as("doc_id")),

@@ -115,6 +115,29 @@ object TextOps {
         col("symbols") * 10L < col("n_words"))
   }
 
+  /** The [[gopherRules]] verdict as ONE row-local predicate Column — for
+    * pipelines that only need the gate, a `where(...)` on the corpus scan
+    * itself beats computing the metrics frame and joining it back (zero
+    * shuffle; the filter rides the scan). Same conditions, same
+    * SQL-replayable arithmetic. */
+  def gopherPasses(textCol: Column,
+      minWords: Long = 50L, maxWords: Long = 100000L): Column = {
+    val stops = Array("the", "be", "to", "of", "and", "that", "have", "with")
+    val ts = filter(split(textCol, "\\s+"), t => t =!= lit(""))
+    val nWords = size(ts).cast("long")
+    val sumWordLen = coalesce(aggregate(transform(ts, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x), lit(0L))
+    val alphaWords = size(filter(ts, t => t.rlike("[A-Za-z]"))).cast("long")
+    val stopWords = size(filter(ts, t =>
+      array_contains(array(stops.map(lit).toIndexedSeq: _*), lower(t)))).cast("long")
+    val symbols = (regexp_count(textCol, lit("#")) +
+      regexp_count(textCol, lit("\\.\\.\\."))).cast("long")
+    nWords >= minWords && nWords <= maxWords &&
+      sumWordLen >= nWords * 3L && sumWordLen <= nWords * 10L &&
+      alphaWords * 5L >= nWords * 4L && stopWords >= 2L &&
+      symbols * 10L < nWords
+  }
+
   /** Per-document word-repetition metrics — the Gopher/RefinedWeb-style
     * repetition quality signals (most-frequent-word share, duplicate
     * word-bigram share) that gate repetitious machine-generated text out of

@@ -155,7 +155,7 @@ class CatalogInvariantSpec extends AnyFunSuite {
       cat.append("db", t, frame(rng, 40))
       checkInvariants(cat, "db", t)
       (1 to 8).foreach { _ =>
-        rng.nextInt(19) match {
+        rng.nextInt(20) match {
           case 0 => cat.append("db", t, conform(cat, "db", t, frame(rng, 10 + rng.nextInt(40))))
           case 1 => cat.overwrite("db", t, conform(cat, "db", t, frame(rng, 10 + rng.nextInt(40))))
           case 2 => cat.delete("db", t, col("score") < (rng.nextInt(60).toLong + 20L))
@@ -226,6 +226,18 @@ class CatalogInvariantSpec extends AnyFunSuite {
                 "WHEN MATCHED THEN UPDATE SET * " +
                 "WHEN NOT MATCHED THEN INSERT *")
             } else cat.upsertMoR("db", t, src, Seq("id"))
+          case 19 =>
+            // EQUALITY delete by key — later random appends overlap the
+            // id space, so interleavings naturally re-insert eq-killed
+            // ids and must survive them (the per-file coverage rule);
+            // optionally the eq shards convert to positions right after
+            val victims = cat.readLatest("db", t)
+              .where(col("id") % 3 === rng.nextInt(3).toLong)
+              .select("id").distinct().limit(12)
+            if (!victims.isEmpty) {
+              cat.deleteMoREq("db", t, victims)
+              if (rng.nextInt(2) == 0) cat.convertEqualityDeletes("db", t)
+            } else { rng.nextInt(2); () } // keep RNG consumption uniform
         }
         checkInvariants(cat, "db", t)
       }
