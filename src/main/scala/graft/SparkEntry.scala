@@ -1534,6 +1534,18 @@ object SparkEntry {
       df
     }),
 
+    // PER-GROUP EXACT HEAVY HITTERS (r12): tokens above a 1/30 share of
+    // THEIR language's stream — one Misra-Gries sketch per group (typed
+    // aggregate with partial merge: per-partition state is O(groups×k),
+    // the shuffle moves sketches, never the token stream), then exact
+    // counts of the candidate sliver against each group's own exact n.
+    // DuckDB states the identical set from a full per-group GROUP BY.
+    "q157_heavy_hitters_grouped" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      graft.ops.HeavyHitters.exactPerGroup(toks, col("lang"), col("tok"), k = 30)
+    }),
+
     // EQUALITY→POSITIONAL DELETE CONVERSION (r12, Iceberg
     // convert_equality_deletes): after eq-heavy CDC ingest, one
     // maintenance commit materializes each eq shard's kills as exact
@@ -4252,6 +4264,16 @@ object SparkEntry {
          |            JOIN iv qv ON qv.vec_id = query_id)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
          |FROM sims WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the per-language heavy-hitter set from a plain grouped GROUP BY
+    "q157_heavy_hitters_grouped" ->
+      """WITH toks AS (
+        |  SELECT lang AS grp, unnest(string_split(text, ' ')) AS item FROM documents),
+        |tot AS (SELECT grp, count(*) AS n FROM toks GROUP BY grp),
+        |c AS (SELECT grp, item, count(*) AS cnt FROM toks GROUP BY grp, item)
+        |SELECT c.grp, item, CAST(cnt AS BIGINT) AS cnt
+        |FROM c JOIN tot USING (grp) WHERE cnt * 30 > n
+        |ORDER BY grp, cnt DESC, item""".stripMargin,
 
     // the merged survivors from raw: evens minus the positional %10==2
     // minus the eq-killed %7==0 EVENS, plus every %9==0 odd — including

@@ -24,19 +24,20 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 final case class MgSummary(n: Long, items: Map[String, Long])
 
-final class MisraGriesAgg(c: Int)
-    extends Aggregator[String, (Long, mutable.HashMap[String, Long]), MgSummary] {
+final class MisraGriesAgg[I](c: Int, item: I => String)
+    extends Aggregator[I, (Long, mutable.HashMap[String, Long]), MgSummary] {
   require(c > 0, s"counter capacity must be positive, got $c")
 
   override def zero: (Long, mutable.HashMap[String, Long]) =
     (0L, mutable.HashMap.empty[String, Long])
 
   override def reduce(b: (Long, mutable.HashMap[String, Long]),
-      item: String): (Long, mutable.HashMap[String, Long]) = {
+      in: I): (Long, mutable.HashMap[String, Long]) = {
+    val it = item(in)
     val m = b._2
-    m.get(item) match {
-      case Some(v) => m.update(item, v + 1L)
-      case None if m.size < c => m.update(item, 1L)
+    m.get(it) match {
+      case Some(v) => m.update(it, v + 1L)
+      case None if m.size < c => m.update(it, 1L)
       case None =>
         // decrement-all: one unit of the new item cancels against one
         // unit of each of the c tracked items. O(c), but each pass

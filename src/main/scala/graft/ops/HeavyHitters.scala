@@ -41,7 +41,7 @@ object HeavyHitters {
     val items = df.select(itemCol.cast("string").as("item")).as[String]
     // pass 1: sketch + exact n in ONE row on the driver (O(k) by the
     // aggregate's construction — never vocabulary-sized)
-    val s = items.select(new MisraGriesAgg(k - 1).toColumn).head()
+    val s = items.select(new MisraGriesAgg[String](k - 1, identity).toColumn).head()
     val cands = s.items.keys.toSeq.sorted
     if (cands.isEmpty)
       return items.toDF("item").limit(0)
@@ -62,5 +62,42 @@ object HeavyHitters {
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * k > s.n)
       .orderBy(col("cnt").desc, col("item"))
+  }
+
+  /** PER-GROUP exact heavy hitters — items exceeding a 1/k share of
+    * THEIR group's stream: (group, item, cnt) with exact counts,
+    * exactly `{(g, i) : count_g(i) * k > n_g}`.
+    *
+    * Same two-scan discipline, sharded by group: pass 1 folds one
+    * [[MisraGriesAgg]] PER GROUP (Spark plans the typed aggregate with
+    * partial merge, so per-partition state is O(groups-present × k) and
+    * the shuffle moves serialized sketches, never the token stream);
+    * the per-group frequent-items guarantee and the sketch's exact
+    * per-group n make pass 2's threshold exact. Pass 2 counts the
+    * candidate (group, item) sliver — a semi-join keyed on both columns
+    * (AQE broadcasts when the candidate set fits) — and filters by the
+    * group's own threshold. The SQL equivalent shuffles the full
+    * (group, item) vocabulary; this shuffles k counters per
+    * (partition, group). */
+  def exactPerGroup(df: DataFrame, groupCol: Column, itemCol: Column,
+      k: Int): DataFrame = {
+    require(k > 1 && k <= MaxK, s"k must be in [2, $MaxK], got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df.select(groupCol.cast("string").as("grp"),
+      itemCol.cast("string").as("item")).as[(String, String)]
+    val sketches = pairs.groupByKey(_._1)
+      .agg(new MisraGriesAgg[(String, String)](k - 1, _._2).toColumn.name("s"))
+      .toDF("grp", "s")
+    val cands = sketches.select(col("grp"), col("s.n").as("n"),
+      explode(map_keys(col("s.items"))).as("item"))
+    pairs.toDF("grp", "item")
+      .join(cands.select("grp", "item"), Seq("grp", "item"), "left_semi")
+      .groupBy("grp", "item")
+      .agg(count(lit(1)).as("cnt"))
+      .join(sketches.select(col("grp"), col("s.n").as("n")), Seq("grp"))
+      .where(col("cnt") * k > col("n"))
+      .select(col("grp"), col("item"), col("cnt"))
+      .orderBy(col("grp"), col("cnt").desc, col("item"))
   }
 }

@@ -1470,6 +1470,17 @@ class OpsSpec extends AnyFunSuite {
     val got3 = HeavyHitters.exact(wide, col("item"), 3000)
       .as[(String, Long)].collect().toSet
     assert(got3 == Set(("hot", 50L)))
+
+    // per-group form: each group's OWN threshold, exact vs brute force
+    val pairs = docs.select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val gotG = HeavyHitters.exactPerGroup(pairs, col("lang"), col("tok"), 30)
+      .as[(String, String, Long)].collect().toSet
+    val tot = pairs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val wantG = pairs.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      .as[(String, String, Long)].collect()
+      .filter { case (g, _, c) => c * 30 > tot(g) }.toSet
+    assert(gotG == wantG)
+    assert(wantG.map(_._1).toSet.size > 1, "fixture should span groups")
   }
 
   test("temperature sampling: copies match the formula exactly, tail share rises, head falls") {
