@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.SnapshotCatalog
+
+/** DIFFERENTIAL content model: drive random operation sequences against a
+  * catalog table while maintaining the expected ROW MULTISET in plain
+  * driver-side Scala, and compare the full contents after every commit
+  * (plus time travel against the recorded model history).
+  *
+  * This is strictly stronger than the metadata-exactness battery
+  * ([[CatalogInvariantSpec]]): a wrong-results bug whose effect is
+  * consistent between the count path and the read path — the round-12
+  * equality-delete retro-kill was exactly that class — slips past
+  * count/bounds checks but cannot slip past an independent model. The
+  * model implements each operation's SEMANTIC (filter, key-kill,
+  * update-map, overwrite, content-preserving maintenance), never the
+  * engine's mechanism.
+  */
+class ContentModelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private type R = (Long, Long, String)
+
+  private def readAll(cat: SnapshotCatalog): Seq[R] =
+    cat.readLatest("db", "t").select("id", "score", "name")
+      .as[R].collect().sorted.toSeq
+
+  test("random op sequences match the driver-side content model, time travel included") {
+    val rng = new Random(20260815L)
+    (1 to 3).foreach { trial =>
+      var tick = 0L
+      val cat = new SnapshotCatalog(spark,
+        Files.createTempDirectory(s"graft_cm_$trial").toString,
+        clock = () => { tick += 1; Instant.parse("2026-08-01T00:00:00Z").plusSeconds(tick) })
+      def frame(n: Int): Seq[R] = {
+        val base = rng.nextInt(60).toLong
+        (0 until n).map(i => (base + i, rng.nextInt(100).toLong, s"v${rng.nextInt(20)}"))
+      }
+      var model: Vector[R] = frame(30).toVector
+      cat.createTable("db", "t", model.toDF("id", "score", "name").schema)
+      cat.append("db", "t", model.toDF("id", "score", "name"))
+      // model state per snapshot id, for time-travel checks
+      val history = scala.collection.mutable.Map(
+        cat.currentSnapshotId("db", "t") -> model)
+
+      (1 to 14).foreach { step =>
+        val opn = rng.nextInt(9)
+        opn match {
+          case 0 => // append — ids overlap earlier (and eq-killed) ranges
+            val f = frame(5 + rng.nextInt(15))
+            cat.append("db", "t", f.toDF("id", "score", "name"))
+            model = model ++ f
+          case 1 => // CoW delete by predicate
+            val c = rng.nextInt(60).toLong + 20L
+            cat.delete("db", "t", col("score") < c)
+            model = model.filterNot(_._2 < c)
+          case 2 => // MoR positional delete by predicate
+            val c = rng.nextInt(40).toLong + 10L
+            cat.deleteMoR("db", "t", col("score") >= c)
+            model = model.filterNot(_._2 >= c)
+          case 3 => // MoR equality delete by key set
+            val m = rng.nextInt(4).toLong + 2L
+            val r = rng.nextInt(m.toInt).toLong
+            val victims = model.map(_._1).distinct.filter(id => id % m == r)
+            if (victims.nonEmpty) {
+              cat.deleteMoREq("db", "t", victims.toDF("id"))
+              model = model.filterNot(row => victims.contains(row._1))
+            }
+          case 4 => // CoW update
+            val c = rng.nextInt(80).toLong
+            val tag = s"u${rng.nextInt(10)}"
+            cat.update("db", "t", col("score") > c, Map("name" -> lit(tag)))
+            model = model.map(row => if (row._2 > c) (row._1, row._2, tag) else row)
+          case 5 => // MoR update
+            val c = rng.nextInt(80).toLong
+            val tag = s"m${rng.nextInt(10)}"
+            cat.updateMoR("db", "t", col("score") <= c, Map("name" -> lit(tag)))
+            model = model.map(row => if (row._2 <= c) (row._1, row._2, tag) else row)
+          case 6 => // content-preserving maintenance
+            rng.nextInt(3) match {
+              case 0 => cat.compact("db", "t", 1 + rng.nextInt(2))
+              case 1 => cat.convertEqualityDeletes("db", "t")
+              case 2 => cat.compactDeleteFiles("db", "t")
+            }
+          case 7 => // overwrite replaces everything
+            val f = frame(10 + rng.nextInt(20))
+            cat.overwrite("db", "t", f.toDF("id", "score", "name"))
+            model = f.toVector
+          case 8 => // re-insert EXACT copies of recently-removed rows (the
+            // sequence-rule stressor): rows in no-longer-visible state
+            val gone = history.values.flatten.toSet -- model.toSet
+            if (gone.nonEmpty) {
+              val back = gone.toSeq.sorted.take(1 + rng.nextInt(5))
+              cat.append("db", "t", back.toDF("id", "score", "name"))
+              model = model ++ back
+            }
+        }
+        val got = readAll(cat)
+        assert(got == model.sorted.toSeq,
+          s"trial $trial step $step op $opn: content diverged from the model " +
+            s"(${got.size} vs ${model.size} rows)")
+        history(cat.currentSnapshotId("db", "t")) = model
+        // time travel: one random recorded snapshot must reproduce ITS model
+        val (sid, m) = history.toSeq(rng.nextInt(history.size))
+        val tt = cat.readAsOf("db", "t", sid).select("id", "score", "name")
+          .as[R].collect().sorted.toSeq
+        assert(tt == m.sorted.toSeq,
+          s"trial $trial step $step: time travel to $sid diverged")
+      }
+    }
+  }
+}
