@@ -53,7 +53,7 @@ class ContentModelSpec extends AnyFunSuite {
         cat.currentSnapshotId("db", "t") -> model)
 
       (1 to 14).foreach { step =>
-        val opn = rng.nextInt(9)
+        val opn = rng.nextInt(11)
         opn match {
           case 0 => // append — ids overlap earlier (and eq-killed) ranges
             val f = frame(5 + rng.nextInt(15))
@@ -103,6 +103,19 @@ class ContentModelSpec extends AnyFunSuite {
               cat.append("db", "t", back.toDF("id", "score", "name"))
               model = model ++ back
             }
+          case 9 => // rollback to a random recorded snapshot: the model IS
+            // that snapshot's recorded state (pure pointer commit)
+            val sid = history.keys.toSeq.sorted.apply(rng.nextInt(history.size))
+            if (sid != cat.currentSnapshotId("db", "t")) {
+              cat.rollback("db", "t", toSnapshotId = sid)
+              model = history(sid)
+            }
+          case 10 => // MoR upsert keyed on id: every copy of a matched id
+            // dies, the source's single copy inserts
+            val src = frame(6).groupBy(_._1).map(_._2.head).toSeq.sorted
+            cat.upsertMoR("db", "t", src.toDF("id", "score", "name"), Seq("id"))
+            val srcIds = src.map(_._1).toSet
+            model = model.filterNot(r => srcIds.contains(r._1)) ++ src
         }
         val got = readAll(cat)
         assert(got == model.sorted.toSeq,
