@@ -5639,50 +5639,117 @@ final class SnapshotCatalog(
     commit(db, table, current.repartition(numFiles), "compact")
   }
 
+  /** Target positions per consolidated positional-delete shard. After
+    * eq-heavy CDC at 100 TB the table-wide accumulated dead set is
+    * billions of (file, pos) pairs; consolidating it through ONE task
+    * (the pre-r13 `repartition(1)` shape) is a single-core sort/write
+    * cliff and an OOM risk exactly where the maintenance matters most.
+    * ~4M pairs ≈ tens of MB of parquet per shard — small enough to open
+    * cheaply on the read path, large enough that shard count stays
+    * metadata-sized. Tunable per session (`graft.maintenance.
+    * deadRowsPerShard`) for operators with different object-store
+    * economics — and so specs can force the multi-shard path on small
+    * fixtures. */
+  private def deadRowsPerShard: Long =
+    spark.conf.getOption("graft.maintenance.deadRowsPerShard")
+      .map(_.toLong).filter(_ > 0).getOrElse(4L * 1000 * 1000)
+
+  /** Lay a (_file, _pos) dead set down as RANGE-PARTITIONED positional
+    * delete parquet under `delDir` and return one [[DeleteFile]] entry
+    * per written file with exact recomputed coverage. Ranging on
+    * (_file, _pos) keeps the written shards PAIRWISE DISJOINT by
+    * construction, so the additive dead-count arithmetic (record_count,
+    * per-file coverage sums) is unchanged from the single-shard shape —
+    * and the sort/write parallelizes across `approxRows/DeadRowsPerShard`
+    * tasks instead of one. `approxRows` only sizes the layout (an
+    * overestimate just yields smaller shards); the coverage recompute
+    * below is exact regardless. */
+  private def writeDeadShards(dead: DataFrame, delDir: Path,
+      delDirRel: String, approxRows: Long): Seq[DeleteFile] = {
+    val perShard = deadRowsPerShard
+    val n = math.min(4096L, math.max(1L,
+      (approxRows + perShard - 1) / perShard)).toInt
+    val laid =
+      if (n == 1) dead.repartition(1)
+      else dead.repartitionByRange(n, col("_file"), col("_pos"))
+    laid.sortWithinPartitions("_file", "_pos")
+      .write.mode("overwrite").parquet(delDir.toString)
+    val written = listParquetFiles(delDir)
+    val relOf = written.map(p => p.getFileName.toString ->
+      (delDirRel + "/" + delDir.relativize(p).toString.replace('\\', '/'))).toMap
+    // per-(shard, data-file) coverage rows — metadata-sized collect, the
+    // same discipline as the commit path's footer-stat harvest
+    val counts = spark.read.schema(deleteFileSchema).parquet(delDir.toString)
+      .groupBy(col("_metadata.file_path").as("__dpath"), col("_file"))
+      .count().collect()
+    counts.groupBy(_.getString(0)).toSeq.map { case (dpath, rs) =>
+      val name = dpath.substring(dpath.lastIndexOf('/') + 1)
+      DeleteFile(relOf(name), rs.map(r => r.getString(1) -> r.getLong(2)).toMap)
+    }.sortBy(_.path)
+  }
+
   /** Consolidate POSITION-delete files without touching data (Iceberg
     * `rewrite_position_delete_files`): the steady-state CDC writer leaves
     * one tiny delete file per commit, and every merged read of a covered
     * file opens all of its covering shards — at 100 TB that is thousands
-    * of KB-sized objects on the hot path. This folds every positional
-    * delete file into one sorted, deduplicated set (cost: the DELETE
-    * data, never the table), recomputes exact per-file coverage, and
-    * commits a snapshot with the SAME data files. Equality-delete files
-    * carry verbatim (their key semantics cannot merge with positions).
-    * The commit rides operation "compact": row-preserving by definition,
-    * so incremental walks, the streaming tail, and the CDC stream all
-    * treat it as the no-op it is. Returns None when there is nothing to
-    * fold (fewer than two positional delete files). Old delete parquet
-    * stays referenced by history until expire, then sweeps as usual. */
-  def compactDeleteFiles(db: String, table: String): Option[Snapshot] =
+    * of KB-sized objects on the hot path. This folds the admitted
+    * positional delete files into a sorted, deduplicated, RANGE-SHARDED
+    * set (cost: the DELETE data, never the table; see
+    * [[writeDeadShards]] for why the write parallelizes), recomputes
+    * exact per-file coverage, and commits a snapshot with the SAME data
+    * files. Equality-delete files carry verbatim (their key semantics
+    * cannot merge with positions). Positions naming files a partial
+    * rewrite already dropped are swept here too — reads never looked at
+    * them (dead files are never scanned) but carrying them forward
+    * perpetuates coverage debt. The commit rides operation "compact":
+    * row-preserving by definition, so incremental walks, the streaming
+    * tail, and the CDC stream all treat it as the no-op it is.
+    *
+    * `where` scopes the maintenance (Iceberg's `where =>` shape for
+    * delete maintenance): a shard is admitted iff it covers ANY file the
+    * predicate admits ([[pruneFiles]] — footer stats, bucket dirs and
+    * hidden-transform dirs all participate); out-of-scope shards carry
+    * VERBATIM. An eq-heavy CDC table wants "fold yesterday's partition",
+    * not a whole-table pass. Returns None when fewer than two positional
+    * shards are admitted. Old delete parquet stays referenced by history
+    * until expire, then sweeps as usual. */
+  def compactDeleteFiles(db: String, table: String,
+      where: Option[Column] = None): Option[Snapshot] =
     withTableLock(db, table) {
       val entries = entriesForWrite(db, table)
       requireNoPendingStage(db, table, entries)
       val prevEntry = publishedEntry(entries)
       val prev = materialize(db, table, prevEntry)
       val (pos, eq) = prev.deleteFiles.partition(_.isPositional)
-      if (pos.size < 2) return None
+      val live = prev.files.toSet
+      val (fold, carryPos) = where match {
+        case None => (pos, Seq.empty[DeleteFile])
+        case Some(cond) =>
+          val admitted = pruneFiles(db, table, prev.snapshotId, cond)._1.toSet
+          pos.partition(_.covers.keysIterator.exists(admitted))
+      }
+      if (fold.size < 2) return None
       val newId = entries.last.snapshotId + 1
       val tag = attemptTag()
       val root = tablePath(db, table)
       val delDirRel = s"deletes/s$newId$tag"
       val delDir = root.resolve("deletes").resolve(s"s$newId$tag")
-      spark.read.schema(deleteFileSchema)
-        .parquet(pos.map(d => root.resolve(d.path).toString): _*)
+      // drop positions on files no longer in the snapshot (a partial
+      // rewrite re-homed their rows; the stale names are read-path inert
+      // but pollute coverage) — live-file names are metadata-sized, AQE
+      // broadcasts the small side
+      val liveDf = spark.createDataFrame(
+        live.toSeq.sorted.map(Tuple1(_))).toDF("__live_file")
+      val dead = spark.read.schema(deleteFileSchema)
+        .parquet(fold.map(d => root.resolve(d.path).toString): _*)
         .dropDuplicates("_file", "_pos")
-        .repartition(1)
-        .sortWithinPartitions("_file", "_pos")
-        .write.mode("overwrite").parquet(delDir.toString)
-      val written = listParquetFiles(delDir)
-      val relOf = written.map(p => p.getFileName.toString ->
-        (delDirRel + "/" + delDir.relativize(p).toString.replace('\\', '/'))).toMap
-      val counts = spark.read.schema(deleteFileSchema).parquet(delDir.toString)
-        .groupBy(col("_metadata.file_path").as("__dpath"), col("_file"))
-        .count().collect()
-      val consolidated = counts.groupBy(_.getString(0)).toSeq.map { case (dpath, rs) =>
-        val name = dpath.substring(dpath.lastIndexOf('/') + 1)
-        DeleteFile(relOf(name), rs.map(r => r.getString(1) -> r.getLong(2)).toMap)
-      }.sortBy(_.path)
-      val newDeletes = consolidated ++ eq
+        .join(liveDf, col("_file") === col("__live_file"), "left_semi")
+      // positional shards are pairwise disjoint by the writer invariant,
+      // so the metadata coverage sum sizes the ranged write exactly
+      // (at worst an overestimate when stale positions drop) — no extra job
+      val consolidated = writeDeadShards(dead, delDir, delDirRel,
+        fold.iterator.map(_.covers.values.sum).sum)
+      val newDeletes = consolidated ++ carryPos ++ eq
       val shardName = deleteShardName(newId, tag)
       writeDeleteShard(db, table, shardName, newDeletes)
       val snap = Snapshot(newId, clock().toString, "compact",
@@ -5692,7 +5759,7 @@ final class SnapshotCatalog(
           "deleted_records" -> "0",
           "total_files" -> prev.files.size.toString,
           "delete_files" -> newDeletes.size.toString,
-          "rewritten_delete_files" -> pos.size.toString),
+          "rewritten_delete_files" -> fold.size.toString),
         prev.schemaDdl, prev.files, prev.fileStats, newDeletes)
       Some(commitSnapshot(db, table, entries, snap, prevEntry.manifests,
         Manifest.empty, Seq(shardName)))
@@ -5700,94 +5767,121 @@ final class SnapshotCatalog(
 
   /** Convert EQUALITY delete shards into consolidated POSITIONAL deletes
     * (Iceberg's `convert_equality_deletes` maintenance shape): per
-    * eq-column set, ONE scan of the union of the shards' covered files
-    * materializes the exact (file, pos) pairs the eq shards kill — keys
-    * tagged with their shard's coverage mask, the same per-file
+    * eq-column set, ONE scan of the union of the shards' covered LIVE
+    * files materializes the exact (file, pos) pairs the eq shards kill —
+    * keys tagged with their shard's coverage mask, the same per-file
     * application rule as the read path — and the commit swaps the eq
-    * shards for one positional shard. Data files untouched (operation
-    * "compact": a row-preserving delete-maintenance rewrite, like
-    * [[compactDeleteFiles]]). Reads get cheaper twice over: position
+    * shards for a range-sharded positional set ([[writeDeadShards]]).
+    * Coverage is intersected with the CURRENT snapshot's files first:
+    * `carryDeleteShards` keeps a shard if ANY covered file survives a
+    * partial rewrite, so covers can name rewritten-away files — scanning
+    * those would read parquet expire may have removed, and recording
+    * their positions would understate record_count. Data files untouched
+    * (operation "compact": a row-preserving delete-maintenance rewrite,
+    * like [[compactDeleteFiles]]). Reads get cheaper twice over: position
     * anti-joins replace key-hash joins, and the per-shard coverage
     * bookkeeping collapses. Rows also dead under other shards just
-    * re-record — the position anti-join is idempotent. Run it like any
-    * compaction: steady-state maintenance after eq-heavy CDC ingest. */
-  def convertEqualityDeletes(db: String, table: String): Option[Snapshot] =
+    * re-record — the position anti-join is idempotent.
+    *
+    * `where` scopes the conversion: an eq shard is admitted iff it covers
+    * ANY live file the predicate admits ([[pruneFiles]]); admitted shards
+    * convert WHOLE (their full live coverage scans, so the swap stays
+    * exactly semantics-preserving), out-of-scope shards carry VERBATIM.
+    * Run it like any compaction: steady-state maintenance after eq-heavy
+    * CDC ingest, partition-scoped where the ingest is. */
+  def convertEqualityDeletes(db: String, table: String,
+      where: Option[Column] = None): Option[Snapshot] =
     withTableLock(db, table) {
       val entries = entriesForWrite(db, table)
       requireNoPendingStage(db, table, entries)
       val prevEntry = publishedEntry(entries)
       val prev = materialize(db, table, prevEntry)
-      val (pos, eq) = prev.deleteFiles.partition(_.isPositional)
+      val (pos, eqAll) = prev.deleteFiles.partition(_.isPositional)
+      val live = prev.files.toSet
+      val (eq, carryEq) = where match {
+        case None => (eqAll, Seq.empty[DeleteFile])
+        case Some(cond) =>
+          val admitted = pruneFiles(db, table, prev.snapshotId, cond)._1.toSet
+          eqAll.partition(_.covers.keysIterator.filter(live).exists(admitted))
+      }
       if (eq.isEmpty) return None
       val newId = entries.last.snapshotId + 1
       val tag = attemptTag()
       val root = tablePath(db, table)
       val deadFrames = eq.groupBy(_.eqCols).toSeq.sortBy(_._1.mkString(","))
         .flatMap { case (cols, fs) =>
-          fs.grouped(64).map { chunk =>
-            val covered = chunk.flatMap(_.covers.keys).distinct.sorted
-            val scanned = readFilesWithPos(db, table, prev.schema, covered)
-            val keys = chunk.zipWithIndex.map { case (s, i) =>
-              spark.read.parquet(root.resolve(s.path).toString)
-                .dropDuplicates(cols)
-                .withColumn("__shard_bit", lit(1L << i))
-            }.reduce(_.unionByName(_))
-            val maskOf = scala.collection.mutable.HashMap.empty[String, Long]
-            chunk.zipWithIndex.foreach { case (s, i) =>
-              s.covers.keysIterator.foreach { f =>
-                maskOf(f) = maskOf.getOrElse(f, 0L) | (1L << i) }
+          fs.grouped(64).flatMap { chunk =>
+            // only LIVE covered files participate (rewritten-away names
+            // are read-path inert and may no longer exist on disk)
+            val covered = chunk.flatMap(_.covers.keys).distinct
+              .filter(live).sorted
+            if (covered.isEmpty) None
+            else Some {
+              val scanned = readFilesWithPos(db, table, prev.schema, covered)
+              val keys = chunk.zipWithIndex.map { case (s, i) =>
+                spark.read.parquet(root.resolve(s.path).toString)
+                  .dropDuplicates(cols)
+                  .withColumn("__shard_bit", lit(1L << i))
+              }.reduce(_.unionByName(_))
+              val maskOf = scala.collection.mutable.HashMap.empty[String, Long]
+              chunk.zipWithIndex.foreach { case (s, i) =>
+                s.covers.keysIterator.filter(live).foreach { f =>
+                  maskOf(f) = maskOf.getOrElse(f, 0L) | (1L << i) }
+              }
+              val maskDf = broadcast(spark.createDataFrame(
+                maskOf.toSeq.sortBy(_._1)).toDF("__mask_file", "__mask"))
+              val tagged = scanned.join(maskDf,
+                scanned(MorFileCol) === maskDf("__mask_file"), "left")
+              val cond = cols.map(c => tagged(s"`$c`") <=> keys(s"`$c`")).reduce(_ && _) &&
+                coalesce(tagged("__mask"), lit(0L))
+                  .bitwiseAND(keys("__shard_bit")) =!= lit(0L)
+              tagged.join(keys, cond, "left_semi")
+                .select(col(MorFileCol).as("_file"), col(MorPosCol).as("_pos"))
             }
-            val maskDf = broadcast(spark.createDataFrame(
-              maskOf.toSeq.sortBy(_._1)).toDF("__mask_file", "__mask"))
-            val tagged = scanned.join(maskDf,
-              scanned(MorFileCol) === maskDf("__mask_file"), "left")
-            val cond = cols.map(c => tagged(s"`$c`") <=> keys(s"`$c`")).reduce(_ && _) &&
-              coalesce(tagged("__mask"), lit(0L))
-                .bitwiseAND(keys("__shard_bit")) =!= lit(0L)
-            tagged.join(keys, cond, "left_semi")
-              .select(col(MorFileCol).as("_file"), col(MorPosCol).as("_pos"))
           }
         }
       val delDirRel = s"deletes/s$newId$tag"
       val delDir = root.resolve("deletes").resolve(s"s$newId$tag")
       // positions already dead under an existing POSITIONAL shard must
       // not re-record: positional shards are pairwise disjoint by the
-      // delete-writer invariant, and keeping the converted shard
+      // delete-writer invariant, and keeping the converted shards
       // disjoint too lets per-file dead COUNTS stay additive (exact
       // metadata record_count below, [[deadRows]] arithmetic)
-      val dead0 = deadFrames.reduce(_.unionByName(_))
-        .dropDuplicates("_file", "_pos")
-      val dead =
-        if (pos.isEmpty) dead0
+      val converted =
+        if (deadFrames.isEmpty) Seq.empty[DeleteFile] // no live coverage at all
         else {
-          val already = spark.read.schema(deleteFileSchema)
-            .parquet(pos.map(d => root.resolve(d.path).toString): _*)
-            .select(col("_file").as("__af"), col("_pos").as("__ap"))
-          dead0.join(already,
-            dead0("_file") === col("__af") && dead0("_pos") === col("__ap"),
-            "left_anti")
+          val dead0 = deadFrames.reduce(_.unionByName(_))
+            .dropDuplicates("_file", "_pos")
+          val dead =
+            if (pos.isEmpty) dead0
+            else {
+              val already = spark.read.schema(deleteFileSchema)
+                .parquet(pos.map(d => root.resolve(d.path).toString): _*)
+                .select(col("_file").as("__af"), col("_pos").as("__ap"))
+              dead0.join(already,
+                dead0("_file") === col("__af") && dead0("_pos") === col("__ap"),
+                "left_anti")
+            }
+          // size the ranged write from the materialized dead set — one
+          // cached pass, never a second scan of the covered files
+          dead.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val shards = writeDeadShards(dead, delDir, delDirRel, dead.count())
+            if (shards.isEmpty) deleteRecursively(delDir) // eq shards killed nothing
+            shards
+          } finally dead.unpersist()
         }
-      dead.repartition(1)
-        .sortWithinPartitions("_file", "_pos")
-        .write.mode("overwrite").parquet(delDir.toString)
-      val written = listParquetFiles(delDir)
-      val relOf = written.map(p => p.getFileName.toString ->
-        (delDirRel + "/" + delDir.relativize(p).toString.replace('\\', '/'))).toMap
-      val counts = spark.read.schema(deleteFileSchema).parquet(delDir.toString)
-        .groupBy(col("_metadata.file_path").as("__dpath"), col("_file"))
-        .count().collect()
-      val converted = counts.groupBy(_.getString(0)).toSeq.map { case (dpath, rs) =>
-        val name = dpath.substring(dpath.lastIndexOf('/') + 1)
-        DeleteFile(relOf(name), rs.map(r => r.getString(1) -> r.getLong(2)).toMap)
-      }.sortBy(_.path)
-      if (converted.isEmpty) deleteRecursively(delDir) // eq shards killed nothing
-      val newDeletes = pos ++ converted
+      val newDeletes = pos ++ converted ++ carryEq
       // with every shard positional AND pairwise disjoint, the visible
-      // count is pure metadata again: footer rows minus dead positions —
-      // the eq shards' "unknowable without a scan" debt retires here
-      val posDead = newDeletes.iterator.map(_.covers.values.sum).sum
+      // count is pure metadata again: footer rows minus LIVE dead
+      // positions — the eq shards' "unknowable without a scan" debt
+      // retires here. A scoped run that carries eq shards keeps the
+      // honest unknown.
+      val posDead = newDeletes.iterator.filter(_.isPositional)
+        .map(_.covers.iterator.filter(c => live(c._1)).map(_._2).sum).sum
       val recordCount =
-        if (prev.files.forall(f => prev.fileStats.get(f).exists(_.contains("rows"))))
+        if (carryEq.isEmpty &&
+            prev.files.forall(f => prev.fileStats.get(f).exists(_.contains("rows"))))
           (prev.files.iterator.map(f => prev.fileStats(f)("rows").toLong).sum
             - posDead).toString
         else prev.recordCount.toString

@@ -158,31 +158,37 @@ object SnapProcedures {
       },
 
       proc("rewrite_position_deletes",
-        "fold all positional delete files into one sorted deduplicated set; data files untouched",
-        Seq(in("table", StringType)),
+        "fold positional delete files into a sorted deduplicated range-sharded set; " +
+          "data files untouched; optional predicate scopes to shards covering admitted files",
+        Seq(in("table", StringType),
+          inDefault("predicate", StringType, "NULL")),
         StructType(Seq(
           StructField("snapshot_id", LongType, nullable = true),
           StructField("rewritten_delete_files", IntegerType, nullable = false)))) { input =>
         val (db, t) = dbTable(input, 0)
-        cat.compactDeleteFiles(db, t) match {
+        val scope = str(input, 1).map(org.apache.spark.sql.functions.expr)
+        cat.compactDeleteFiles(db, t, scope) match {
           case Some(s) => Seq(row(s.snapshotId,
             s.summary("rewritten_delete_files").toInt))
-          case None => Seq(row(null, 0)) // <2 positional delete files
+          case None => Seq(row(null, 0)) // <2 admitted positional delete files
         }
       },
 
       proc("convert_equality_deletes",
-        "materialize equality-delete shards into one consolidated positional shard " +
-          "(coverage-exact); data files untouched, reads drop the key-hash joins",
-        Seq(in("table", StringType)),
+        "materialize equality-delete shards into consolidated positional shards " +
+          "(coverage-exact); data files untouched, reads drop the key-hash joins; " +
+          "optional predicate scopes to shards covering admitted files",
+        Seq(in("table", StringType),
+          inDefault("predicate", StringType, "NULL")),
         StructType(Seq(
           StructField("snapshot_id", LongType, nullable = true),
           StructField("converted_delete_files", IntegerType, nullable = false)))) { input =>
         val (db, t) = dbTable(input, 0)
-        cat.convertEqualityDeletes(db, t) match {
+        val scope = str(input, 1).map(org.apache.spark.sql.functions.expr)
+        cat.convertEqualityDeletes(db, t, scope) match {
           case Some(s) => Seq(row(s.snapshotId,
             s.summary("converted_delete_files").toInt))
-          case None => Seq(row(null, 0)) // no equality shards live
+          case None => Seq(row(null, 0)) // no equality shards admitted
         }
       },
 

@@ -871,4 +871,159 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(cat.readAsOf("db", "nation", snap.snapshotId - 1)
       .select(col("n_nationkey").cast("long")).as[Long].collect().sorted.toSeq == before)
   }
+
+  test("delete consolidation writes RANGE-SHARDED parquet, never one task (r13)") {
+    // the 100-TB posture: a table-wide dead set consolidates across N
+    // disjoint range shards, not through repartition(1). Force the
+    // multi-shard path with a tiny per-shard target and assert >1 shard,
+    // pairwise-disjoint coverage, exact reads and changelog across it.
+    val cat = freshCatalog()
+    spark.conf.set("graft.maintenance.deadRowsPerShard", "4")
+    try {
+      withNation(cat)
+      val from = cat.currentSnapshot("db", "nation").snapshotId
+      cat.deleteMoR("db", "nation", col("n_nationkey") < 6)            // 6 dead
+      cat.deleteMoR("db", "nation", col("n_nationkey").between(10, 18)) // 9 dead
+      val before = cat.readLatest("db", "nation")
+        .select(col("n_nationkey").cast("long")).as[Long].collect().sorted.toSeq
+
+      val snap = cat.compactDeleteFiles("db", "nation").get
+      val shards = snap.deleteFiles
+      assert(shards.forall(_.isPositional))
+      assert(shards.size > 1, s"15 dead @ 4/shard must range-shard, got ${shards.size}")
+      // pairwise disjoint by range construction: per-(file,count) sums
+      // equal the true dead count with no overlap
+      assert(shards.map(_.covers.values.sum).sum == 15)
+      assert(snap.summary("rewritten_delete_files").toInt == 2)
+      assert(snap.summary("record_count").toLong == 10)
+      val after = cat.readLatest("db", "nation")
+        .select(col("n_nationkey").cast("long")).as[Long].collect().sorted.toSeq
+      assert(after == before)
+      // consolidation is changelog-invisible (row-preserving compact)
+      val chg = cat.readChangelog("db", "nation", snap.snapshotId - 1, snap.snapshotId)
+      assert(chg.count() == 0)
+      // incremental across the whole window still serves the survivors
+      assert(cat.readIncremental("db", "nation", from - 1, snap.snapshotId).count() == 10)
+    } finally spark.conf.unset("graft.maintenance.deadRowsPerShard")
+  }
+
+  test("convert_equality_deletes range-shards a large dead set (r13)") {
+    val cat = freshCatalog()
+    spark.conf.set("graft.maintenance.deadRowsPerShard", "4")
+    try {
+      withNation(cat)
+      cat.deleteMoREq("db", "nation",
+        (0 to 12).toDF("n_nationkey"))                                  // 13 dead
+      val before = cat.readLatest("db", "nation")
+        .select(col("n_nationkey").cast("long")).as[Long].collect().sorted.toSeq
+      val snap = cat.convertEqualityDeletes("db", "nation").get
+      val shards = snap.deleteFiles
+      assert(shards.forall(_.isPositional))
+      assert(shards.size > 1, s"13 dead @ 4/shard must range-shard, got ${shards.size}")
+      assert(shards.map(_.covers.values.sum).sum == 13)
+      assert(snap.summary("record_count").toLong == 12)
+      val after = cat.readLatest("db", "nation")
+        .select(col("n_nationkey").cast("long")).as[Long].collect().sorted.toSeq
+      assert(after == before && after.length == 12)
+    } finally spark.conf.unset("graft.maintenance.deadRowsPerShard")
+  }
+
+  test("scoped rewrite_position_deletes: out-of-scope shards carry VERBATIM (r13)") {
+    val cat = freshCatalog()
+    val schema = Seq((0L, "x")).toDF("k", "v").schema
+    cat.createTable("db", "scoped", schema)
+    cat.append("db", "scoped", (0L to 9L).map(k => (k, s"a$k")).toDF("k", "v").coalesce(1))
+    cat.append("db", "scoped", (100L to 109L).map(k => (k, s"b$k")).toDF("k", "v").coalesce(1))
+    cat.deleteMoR("db", "scoped", col("k") === 1)    // covers the low file
+    cat.deleteMoR("db", "scoped", col("k") === 2)    // covers the low file
+    cat.deleteMoR("db", "scoped", col("k") === 101)  // covers the high file
+    val prev = cat.currentSnapshot("db", "scoped")
+    val highShards = prev.deleteFiles.filter(
+      _.covers.keysIterator.exists(f => prev.fileStats(f).get("min.k").exists(_.toLong >= 100)))
+    assert(highShards.size == 1)
+
+    // scope admits only the low file (footer min/max prune): its two
+    // shards fold, the high shard carries byte-identical
+    val snap = cat.compactDeleteFiles("db", "scoped", Some(col("k") < 50)).get
+    assert(snap.summary("rewritten_delete_files").toInt == 2)
+    assert(snap.deleteFiles.map(_.path).contains(highShards.head.path),
+      "out-of-scope shard must carry verbatim")
+    assert(snap.deleteFiles.map(_.covers.values.sum).sum == 3)
+    assert(cat.readLatest("db", "scoped").select("k").as[Long].collect().sorted.toSeq ==
+      ((0L to 9L) ++ (100L to 109L)).filterNot(Set(1L, 2L, 101L)))
+    // a scope admitting only ONE shard folds nothing
+    assert(cat.compactDeleteFiles("db", "scoped", Some(col("k") >= 50)).isEmpty)
+  }
+
+  test("scoped convert_equality_deletes: out-of-scope eq shards carry VERBATIM (r13)") {
+    val cat = freshCatalog()
+    val schema = Seq((0L, "x")).toDF("k", "v").schema
+    cat.createTable("db", "eqscope", schema)
+    cat.append("db", "eqscope", (0L to 9L).map(k => (k, s"a$k")).toDF("k", "v").coalesce(1))
+    cat.deleteMoREq("db", "eqscope", Seq(1L).toDF("k"))   // covers low file only
+    cat.append("db", "eqscope", (100L to 109L).map(k => (k, s"b$k")).toDF("k", "v").coalesce(1))
+    cat.deleteMoREq("db", "eqscope", Seq(101L).toDF("k")) // covers both files
+    val prev = cat.currentSnapshot("db", "eqscope")
+    // eq coverage is footer-pruned at commit: each shard covers only the
+    // file that can hold its key
+    val lowOnly = prev.deleteFiles.filter(d => !d.isPositional &&
+      d.covers.keysIterator.forall(f =>
+        prev.fileStats(f).get("max.k").exists(_.toLong < 50)))
+    assert(lowOnly.size == 1, prev.deleteFiles.toString)
+
+    // scope admits only the high file: its covering shard converts
+    // WHOLE, the low-only shard carries
+    val snap = cat.convertEqualityDeletes("db", "eqscope", Some(col("k") >= 50)).get
+    assert(snap.summary("converted_delete_files").toInt == 1)
+    val (posS, eqS) = snap.deleteFiles.partition(_.isPositional)
+    assert(eqS.map(_.path) == lowOnly.map(_.path), "out-of-scope eq shard carries verbatim")
+    assert(posS.map(_.covers.values.sum).sum == 1) // key 101's position
+    // an eq shard remains -> record_count stays honestly unknown
+    assert(!snap.summary.get("record_count").exists(_.toLong >= 0))
+    val keys = cat.readLatest("db", "eqscope").select("k").as[Long].collect().sorted.toSeq
+    assert(keys == ((0L to 9L) ++ (100L to 109L)).filterNot(Set(1L, 101L)))
+    // the unscoped follow-up retires the remaining eq debt; count exact
+    val full = cat.convertEqualityDeletes("db", "eqscope").get
+    assert(full.deleteFiles.forall(_.isPositional))
+    assert(full.summary("record_count").toLong == 18)
+    assert(cat.readLatest("db", "eqscope").count() == 18)
+  }
+
+  test("convert after a partial rewrite ignores rewritten-away covers (r13 advice fix)") {
+    // carryDeleteShards keeps an eq shard if ANY covered file survives, so
+    // covers can name files a compact_where already rewrote away (their
+    // rows re-homed with deletes materialized). The conversion must scan
+    // and record positions for LIVE files only: stale names may not even
+    // exist on disk post-expire, and counting their positions would
+    // understate record_count.
+    val cat = freshCatalog()
+    val schema = Seq((0L, "x")).toDF("k", "v").schema
+    cat.createTable("db", "stale", schema)
+    cat.append("db", "stale", (0L to 24L).map(k => (k, s"a$k")).toDF("k", "v").coalesce(1))
+    cat.append("db", "stale", Seq((100L, "b0"), (101L, "b1")).toDF("k", "v").coalesce(1))
+    cat.append("db", "stale", Seq((200L, "c0"), (201L, "c1")).toDF("k", "v").coalesce(1))
+    cat.deleteMoREq("db", "stale", Seq(3L, 100L, 200L).toDF("k")) // covers all 3 files
+    // partial rewrite: the two high files fold into one, deletes
+    // materialized; the eq shard carries (still covers the low file)
+    // with two now-dead names in its covers
+    assert(cat.compactWhere("db", "stale", col("k") >= 100, numFiles = 1).isDefined)
+    val mid = cat.currentSnapshot("db", "stale")
+    val eqShard = mid.deleteFiles.filter(!_.isPositional)
+    assert(eqShard.size == 1)
+    assert(eqShard.head.covers.keysIterator.exists(f => !mid.files.contains(f)),
+      "fixture must exhibit stale covers")
+    // expire removes the rewritten-away parquet: the conversion must not
+    // try to open it
+    cat.expireSnapshots("db", "stale", keepLast = 1)
+
+    val snap = cat.convertEqualityDeletes("db", "stale").get
+    assert(snap.deleteFiles.forall(_.isPositional))
+    assert(snap.deleteFiles.flatMap(_.covers.keys).toSet.subsetOf(snap.files.toSet),
+      "converted coverage must name live files only")
+    // 25 + 2 + 2 rows, minus eq-killed {3,100,200} = 26 — exact again
+    assert(snap.summary("record_count").toLong == 26)
+    assert(cat.readLatest("db", "stale").count() == 26)
+    assert(cat.readLatest("db", "stale").select("k").as[Long].collect().sorted.toSeq ==
+      ((0L to 24L) ++ Seq(101L, 201L)).filterNot(_ == 3L))
+  }
 }
