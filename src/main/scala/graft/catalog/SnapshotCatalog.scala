@@ -1577,6 +1577,20 @@ final class SnapshotCatalog(
   def readLatestWhere(db: String, table: String, cond: Column): DataFrame =
     readWhere(db, table, currentSnapshot(db, table).snapshotId, cond)
 
+  /** Pruned read that does NOT re-apply the predicate: files whose
+    * stats/layout may satisfy `cond` read merged, nothing else — and the
+    * plan carries no trace of `cond`. For callers whose downstream
+    * operator already enforces exactness (e.g. an equi-join keyed on the
+    * pruned column), this keeps a LARGE literal predicate (a 10^4-value
+    * IN) out of the plan and codegen entirely: the pruning decision is
+    * driver-side metadata arithmetic, where a big literal costs nothing.
+    * Callers without such an enforcing operator want [[readLatestWhere]],
+    * which stays exact by construction. */
+  def readLatestPruned(db: String, table: String, cond: Column): DataFrame = {
+    val snap = currentSnapshot(db, table)
+    readVisible(db, table, snap, pruneFiles(db, table, snap.snapshotId, cond)._1)
+  }
+
   /** Incremental (changes-between-snapshots) read: the rows ADDED in
     * `(fromId, toId]` that are still visible at `toId` — Iceberg's
     * incremental-append scan, extended across merge-on-read commits.

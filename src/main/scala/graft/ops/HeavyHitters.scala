@@ -25,6 +25,14 @@ import graft.functions.MisraGriesAgg
   * `groupBy(item).count().filter(...)` equivalent shuffles the full
   * vocabulary (billions of keys in a crawl corpus); this shuffles k
   * counters per partition plus one sliver aggregation.
+  *
+  * NULL DISCIPLINE: a null item (or group) is a legitimate stream value
+  * and meets the same contract. Spark's typed aggregation silently skips
+  * null inputs (they would vanish from both n and the candidate set), so
+  * values are ESCAPED into a null-free string domain before the sketch —
+  * `\u0000` for null, `\u0001 + value` otherwise — which also keeps pass
+  * 2's IN literals and equi-joins exact without null-safe special cases.
+  * Outputs decode back at the end.
   */
 object HeavyHitters {
 
@@ -32,13 +40,26 @@ object HeavyHitters {
     * the second pass builds from it) lives on the driver. */
   val MaxK = 100000
 
+  private val NullTok = "\u0000"
+
+  /** Escape into the null-free domain: null -> NullTok, v -> '\u0001'+v.
+    * Injective (the prefix disambiguates a genuine "\u0000" value), so
+    * escaped-domain counts equal original-domain counts. */
+  private def esc(c: Column): Column =
+    when(c.isNull, lit(NullTok))
+      .otherwise(concat(lit("\u0001"), c.cast("string")))
+
+  private def unesc(c: Column): Column =
+    when(c === lit(NullTok), lit(null).cast("string"))
+      .otherwise(substring(c, 2, Int.MaxValue))
+
   /** Items of `itemCol` whose count strictly exceeds n/k, with their
     * exact counts: (item, cnt), descending. */
   def exact(df: DataFrame, itemCol: Column, k: Int): DataFrame = {
     require(k > 1 && k <= MaxK, s"k must be in [2, $MaxK], got $k")
     val spark = df.sparkSession
     import spark.implicits._
-    val items = df.select(itemCol.cast("string").as("item")).as[String]
+    val items = df.select(esc(itemCol.cast("string")).as("item")).as[String]
     // pass 1: sketch + exact n in ONE row on the driver (O(k) by the
     // aggregate's construction — never vocabulary-sized)
     val s = items.select(new MisraGriesAgg[String](k - 1, identity).toColumn).head()
@@ -61,6 +82,7 @@ object HeavyHitters {
       .groupBy("item")
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * k > s.n)
+      .select(unesc(col("item")).as("item"), col("cnt"))
       .orderBy(col("cnt").desc, col("item"))
   }
 
@@ -78,14 +100,15 @@ object HeavyHitters {
     * (AQE broadcasts when the candidate set fits) — and filters by the
     * group's own threshold. The SQL equivalent shuffles the full
     * (group, item) vocabulary; this shuffles k counters per
-    * (partition, group). */
+    * (partition, group). Null groups and null items participate via the
+    * same escaping. */
   def exactPerGroup(df: DataFrame, groupCol: Column, itemCol: Column,
       k: Int): DataFrame = {
     require(k > 1 && k <= MaxK, s"k must be in [2, $MaxK], got $k")
     val spark = df.sparkSession
     import spark.implicits._
-    val pairs = df.select(groupCol.cast("string").as("grp"),
-      itemCol.cast("string").as("item")).as[(String, String)]
+    val pairs = df.select(esc(groupCol.cast("string")).as("grp"),
+      esc(itemCol.cast("string")).as("item")).as[(String, String)]
     val sketches = pairs.groupByKey(_._1)
       .agg(new MisraGriesAgg[(String, String)](k - 1, _._2).toColumn.name("s"))
       .toDF("grp", "s")
@@ -97,7 +120,7 @@ object HeavyHitters {
       .agg(count(lit(1)).as("cnt"))
       .join(sketches.select(col("grp"), col("s.n").as("n")), Seq("grp"))
       .where(col("cnt") * k > col("n"))
-      .select(col("grp"), col("item"), col("cnt"))
+      .select(unesc(col("grp")).as("grp"), unesc(col("item")).as("item"), col("cnt"))
       .orderBy(col("grp"), col("cnt").desc, col("item"))
   }
 }

@@ -157,9 +157,14 @@ object Sampling {
       .withColumn("__s", floor(powOf(col("__n")) * lit(1048576.0)))
     val tot = w.agg(sum(col("__n")).as("__nn"), sum(col("__s")).as("__ss"))
     val weights = w.crossJoin(broadcast(tot))
-      .select(col("__tg"),
+      .select(col("__tg").as("__wtg"),
         ((col("__nn") / col("__n")) * (col("__s") / col("__ss"))).as("__w"))
-    resampleWeighted(tagged.join(broadcast(weights), Seq("__tg")), key, col("__w"))
-      .drop("__tg", "__w")
+    // NULL-SAFE join back: groupBy counts a null group like any other, so
+    // rows with a null tag must find their weight too — a plain equi-join
+    // would silently drop them from the epoch
+    resampleWeighted(
+      tagged.join(broadcast(weights), col("__tg") <=> col("__wtg")),
+      key, col("__w"))
+      .drop("__tg", "__wtg", "__w")
   }
 }

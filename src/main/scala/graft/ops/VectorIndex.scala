@@ -62,6 +62,14 @@ object VectorIndex {
     * = 10^5 sits exactly at this bound. */
   val MaxNlist = 100000
 
+  /** Probed-cell counts up to this ride an inline IN literal in the scan
+    * (static directory pruning, pushed filter); larger sets prune
+    * driver-side only ([[SnapshotCatalog.readLatestPruned]]) so a
+    * 10^4-value literal never bloats the plan. Tunable for specs. */
+  private def maxInlineCells(df: DataFrame): Int =
+    df.sparkSession.conf.getOption("graft.vecindex.maxInlineCells")
+      .map(_.toInt).getOrElse(1024)
+
   /** Index (re)trainings this JVM — lets callers assert a refresh stayed
     * incremental (no hidden retrain), mirroring `ivfTrainingCount`. */
   @volatile private[graft] var trainings: Long = 0L
@@ -92,7 +100,14 @@ object VectorIndex {
       idCol: String, vecCol: String, nlist: Int, iters: Int = 2,
       sampleMod: Long = 0): Unit = {
     require(nlist > 0 && nlist <= MaxNlist, s"nlist must be in [1, $MaxNlist], got $nlist")
+    // check BOTH tables up front: a create that failed between the two
+    // leaves an orphan _cent table, and a retry that only checked <name>
+    // would wedge on createTable(<name>_cent) — the pair-check plus the
+    // failure-path cleanup below makes create retryable
     require(!cat.tableExists(db, name), s"index $db.$name already exists")
+    require(!cat.tableExists(db, centTable(name)),
+      s"centroid table $db.${centTable(name)} already exists " +
+        "(orphan of an interrupted create?) - drop it to retry")
     val base = cat.readLatest(db, baseTable)
     val pin = cat.currentSnapshotId(db, baseTable)
     val mod =
@@ -109,16 +124,27 @@ object VectorIndex {
       StructField("cid", LongType, nullable = false),
       StructField("c", ArrayType(DoubleType, containsNull = false), nullable = false)))
     cat.createTable(db, centTable(name), centSchema)
-    cat.append(db, centTable(name),
-      spark.createDataFrame(spark.sparkContext.parallelize(centRows, 1), centSchema))
+    try {
+      cat.append(db, centTable(name),
+        spark.createDataFrame(spark.sparkContext.parallelize(centRows, 1), centSchema))
 
-    cat.createTable(db, name, indexSchema(base.schema(idCol)),
-      partitionCols = Seq("cell"),
-      properties = Map(
-        PropBase -> s"$db.$baseTable", PropIdCol -> idCol, PropVecCol -> vecCol,
-        PropNlist -> nlist.toString, PropIters -> iters.toString,
-        PropSampleMod -> mod.toString, PropPin -> pin.toString))
-    cat.append(db, name, assign(base, idCol, vecCol, cents))
+      cat.createTable(db, name, indexSchema(base.schema(idCol)),
+        partitionCols = Seq("cell"),
+        properties = Map(
+          PropBase -> s"$db.$baseTable", PropIdCol -> idCol, PropVecCol -> vecCol,
+          PropNlist -> nlist.toString, PropIters -> iters.toString,
+          PropSampleMod -> mod.toString, PropPin -> pin.toString))
+      cat.append(db, name, assign(base, idCol, vecCol, cents))
+    } catch {
+      case t: Throwable =>
+        // never strand a half-built index: drop whatever this attempt
+        // created so the same name can retry cleanly
+        try cat.dropTable(db, centTable(name))
+        catch { case scala.util.control.NonFatal(_) => () }
+        try if (cat.tableExists(db, name)) cat.dropTable(db, name)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw t
+    }
   }
 
   /** The frozen centroid set, cid-ordered. The collect is bounded by
@@ -206,9 +232,18 @@ object VectorIndex {
         Similarity.quantize(col(queryVec)), cents, nprobe)).as("cell"))
     // the union of probed cells is bounded by nlist <= MaxNlist — a
     // metadata-sized collect that becomes a STATIC partition predicate
-    // (directory pruning at plan time, no runtime filter needed)
+    // (directory pruning at plan time, no runtime filter needed). Below
+    // the inline threshold the literal IN is strictly best; above it the
+    // same IN would bloat the plan and codegen (the HeavyHitters lesson),
+    // so the literal is used for DRIVER-SIDE file pruning only and never
+    // enters the plan — the inner join on `cell` below enforces
+    // exactness either way.
     val probed = q.select("cell").distinct().collect().map(_.getLong(0))
-    val idx = cat.readLatestWhere(db, name, col("cell").isin(probed.toIndexedSeq: _*))
+      .toIndexedSeq.sorted
+    val cellPred = col("cell").isin(probed: _*)
+    val idx =
+      if (probed.length <= maxInlineCells(queries)) cat.readLatestWhere(db, name, cellPred)
+      else cat.readLatestPruned(db, name, cellPred)
     val self: Column =
       if (excludeSelf) idx(idCol) =!= col("query_id") else lit(true)
     val sims = idx.join(broadcast(q), Seq("cell"))

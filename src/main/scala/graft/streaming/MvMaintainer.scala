@@ -38,6 +38,25 @@ import graft.catalog.SnapshotCatalog
   */
 object MvMaintainer {
 
+  /** View/index property naming a DURABLE checkpoint root. Without it
+    * each `maintain` call checkpoints into a fresh temp dir — replays
+    * stay no-ops (pin-advancement idempotence) but a continuously
+    * restarted maintainer re-reads the stream tail from the pin every
+    * launch and leaks temp dirs. With it, a restart resumes from the
+    * recorded stream offsets: the drained tail is never re-read. One
+    * subdirectory per base stream keeps multi-base views safe. */
+  val PropCheckpoint = "maintainer.checkpoint"
+
+  private def checkpointDir(props: Map[String, String], tempPrefix: String,
+      streamKey: String): String =
+    props.get(PropCheckpoint) match {
+      case Some(root) =>
+        val p = java.nio.file.Paths.get(root, streamKey)
+        Files.createDirectories(p)
+        p.toString
+      case None => Files.createTempDirectory(tempPrefix).toString
+    }
+
   /** Start one maintenance stream per base table of `db.view`.
     *
     * `catalogName` must name a registered [[graft.catalog.spark.SnapCatalogPlugin]]
@@ -63,7 +82,7 @@ object MvMaintainer {
         .table(s"$catalogName.$d.$t.changes")
         .writeStream
         .option("checkpointLocation",
-          Files.createTempDirectory("graft_mvm_ckpt_").toString)
+          checkpointDir(props, "graft_mvm_ckpt_", s"$d.$t"))
         .foreachBatch { (_: DataFrame, _: Long) =>
           // signal only — the batch frame is deliberately untouched
           val (mode, n) = cat.refreshMaterializedView(db, view)
@@ -90,13 +109,14 @@ object MvMaintainer {
       graft.ops.VectorIndex.PropBase,
       throw new IllegalArgumentException(s"$db.$index is not a vector index"))
     val Array(bdb, btab) = baseKey.split("\\.", 2)
-    val pin = cat.meta(db, index).properties(graft.ops.VectorIndex.PropPin)
+    val props = cat.meta(db, index).properties
+    val pin = props(graft.ops.VectorIndex.PropPin)
     spark.readStream
       .option("starting-snapshot-id", pin)
       .table(s"$catalogName.$bdb.$btab.changes")
       .writeStream
       .option("checkpointLocation",
-        Files.createTempDirectory("graft_vixm_ckpt_").toString)
+        checkpointDir(props, "graft_vixm_ckpt_", s"$bdb.$btab"))
       .foreachBatch { (_: DataFrame, _: Long) =>
         val (mode, n) = graft.ops.VectorIndex.refresh(cat, db, index)
         onRefresh(mode, n)

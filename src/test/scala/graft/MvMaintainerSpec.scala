@@ -131,6 +131,47 @@ class MvMaintainerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a vector index"))
   }
 
+  test("durable checkpoint: a restarted maintainer never re-reads the drained tail (r13)") {
+    val (cat, cn) = newCat("snapmvm5")
+    val df0 = (1L to 20L).map(i => (i, if (i % 2 == 0) "x" else "y", i)).toDF("k", "g", "v")
+    cat.createTable("db", "t", df0.schema)
+    cat.append("db", "t", df0)
+    cat.createMaterializedView("db", "dmv",
+      "SELECT g, count(*) AS n FROM db.t GROUP BY g")
+    val ckpt = Files.createTempDirectory("graft_mvm_durable_").toString
+    cat.setViewProperties("db", "dmv",
+      Map(MvMaintainer.PropCheckpoint -> ckpt), Seq.empty)
+    cat.append("db", "t", Seq((21L, "x", 21L)).toDF("k", "g", "v"))
+    cat.deleteMoR("db", "t", col("k") === 1)
+
+    val modes1 = scala.collection.mutable.ArrayBuffer.empty[String]
+    drain(MvMaintainer.maintain(spark, cat, cn, "db", "dmv",
+      onRefresh = (m, _) => modes1.synchronized { modes1 += m }))
+    assert(modes1.nonEmpty, "first run must drain the backlog")
+    assert(Files.list(java.nio.file.Paths.get(ckpt)).count() > 0,
+      "checkpoint root must be populated")
+
+    // restart against the SAME checkpoint with nothing new: the stream
+    // resumes from recorded offsets — zero batches, zero refresh calls
+    // (a temp-dir maintainer would re-read the tail and log 'fresh'es)
+    val modes2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    drain(MvMaintainer.maintain(spark, cat, cn, "db", "dmv",
+      onRefresh = (m, _) => modes2.synchronized { modes2 += m }))
+    assert(modes2.isEmpty, s"drained tail was re-read: $modes2")
+
+    // new commits resume exactly where the checkpoint left off
+    cat.append("db", "t", Seq((22L, "y", 22L)).toDF("k", "g", "v"))
+    val modes3 = scala.collection.mutable.ArrayBuffer.empty[String]
+    drain(MvMaintainer.maintain(spark, cat, cn, "db", "dmv",
+      onRefresh = (m, _) => modes3.synchronized { modes3 += m }))
+    assert(modes3.nonEmpty && !modes3.contains("full"), modes3.toString)
+    val got = spark.sql(s"SELECT g, n FROM $cn.db.dmv ORDER BY g")
+      .as[(String, Long)].collect().toSeq
+    val want = cat.readLatest("db", "t").groupBy("g")
+      .agg(count(lit(1)).as("n")).orderBy("g").as[(String, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("refuses a plain (non-materialized) view") {
     val (cat, cn) = newCat("snapmvm3")
     val df0 = Seq((1L, "a")).toDF("k", "g")

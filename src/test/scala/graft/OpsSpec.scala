@@ -1483,6 +1483,41 @@ class OpsSpec extends AnyFunSuite {
     assert(wantG.map(_._1).toSet.size > 1, "fixture should span groups")
   }
 
+  test("heavy hitters: a null item meets the contract like any other value (r13)") {
+    import graft.ops.HeavyHitters
+    // null survives pass 1 (the sketch map accepts it) and must survive
+    // pass 2's candidate matching too: n=100, k=3 -> threshold 33.3
+    val items = ((1 to 35).map(_ => "a") ++ (1 to 40).map(_ => null: String) ++
+      (1 to 25).map(i => s"z$i")).toDF("item").repartition(8)
+    val got = HeavyHitters.exact(items, col("item"), 3)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 35L), (null, 40L)), got.toString)
+    // per-group form: null group and null item both participate
+    val pairs = (Seq.fill(30)((null: String, "x")) ++ Seq.fill(10)((null: String, "y")) ++
+      Seq.fill(5)((null: String, null: String)) ++
+      Seq.fill(20)(("g", null: String)) ++ Seq.fill(6)(("g", "w")))
+      .toDF("grp", "item").repartition(8)
+    val gotG = HeavyHitters.exactPerGroup(pairs, col("grp"), col("item"), 2)
+      .as[(String, String, Long)].collect().toSet
+    // null group: n=45, threshold 22.5 -> only "x"(30); group g: n=26,
+    // threshold 13 -> only null(20)
+    assert(gotG == Set((null, "x", 30L), ("g", null, 20L)), gotG.toString)
+  }
+
+  test("temperature sampling: a null group keeps its rows (r13)") {
+    import graft.ops.Sampling
+    // two equal-size groups -> w = (N/n)*(s/S) = 2 * 0.5 = 1.0 EXACTLY in
+    // IEEE arithmetic: every row emits exactly one copy. Pre-fix, the
+    // equi-join on the group tag silently dropped the null group.
+    val docs = ((1L to 50L).map(i => (i, "a")) ++
+      (51L to 100L).map(i => (i, null: String))).toDF("doc_id", "lang")
+    val out = Sampling.temperatureResample(docs, col("lang"), col("doc_id"), alpha = 0.5)
+    assert(out.count() == 100L)
+    val nullRows = out.where(col("lang").isNull).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(nullRows == (51L to 100L), "null-group rows must survive the weight join")
+  }
+
   test("temperature sampling: copies match the formula exactly, tail share rises, head falls") {
     import graft.ops.Sampling
     val out = Sampling.temperatureResample(docs, col("lang"), col("doc_id"), alpha = 0.5)

@@ -159,6 +159,54 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(VectorIndex.trainingCount == t0, "no interleaving may retrain")
   }
 
+  test("large probed sets prune driver-side: no giant IN literal in the plan (r13)") {
+    val cat = newCat()
+    cat.createTable("ann", "base", emb.schema)
+    cat.append("ann", "base", emb)
+    VectorIndex.create(cat, "ann", "base", "idx", "vec_id", "embedding",
+      nlist = 8, iters = 2, sampleMod = 3)
+    // inline path first (default threshold)
+    val inline = VectorIndex.topK(cat, "ann", "idx", queries, "qid", "qvec",
+      k = 10, nprobe = 3)
+    val want = inline.as[(Long, Long, Long)].collect().toSet
+    val inlineFiles = inline.inputFiles.filter(_.contains("cell=")).toSet
+    // now force the above-threshold path: the probed-cell literal must
+    // stay OUT of the plan while the pruned file set stays identical
+    spark.conf.set("graft.vecindex.maxInlineCells", "2")
+    try {
+      val pruned = VectorIndex.topK(cat, "ann", "idx", queries, "qid", "qvec",
+        k = 10, nprobe = 3)
+      val plan = pruned.queryExecution.executedPlan.toString
+      // a LITERAL value list (`cell#N IN (0,3,...)`) is the bloat; Spark's
+      // own `IN dynamicpruning#N` subquery is fine (and desirable)
+      assert(!plan.matches("(?s).*cell#\\d+L? IN \\(.*"),
+        s"probed-cell IN literal leaked into the plan:\n${plan.take(4000)}")
+      assert(pruned.inputFiles.filter(_.contains("cell=")).toSet == inlineFiles,
+        "driver-side pruning must read exactly the probed partitions")
+      assert(pruned.as[(Long, Long, Long)].collect().toSet == want)
+    } finally spark.conf.unset("graft.vecindex.maxInlineCells")
+  }
+
+  test("create refuses an orphan _cent table up front and retries after a drop (r13)") {
+    val cat = newCat()
+    cat.createTable("ann", "base", emb.schema)
+    cat.append("ann", "base", emb)
+    // simulate the wreckage of an interrupted create: _cent exists, idx doesn't
+    cat.createTable("ann", "idx_cent",
+      org.apache.spark.sql.types.StructType.fromDDL("cid BIGINT, c ARRAY<DOUBLE>"))
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.create(cat, "ann", "base", "idx", "vec_id", "embedding",
+        nlist = 8, iters = 2, sampleMod = 3)
+    }
+    assert(e.getMessage.contains("idx_cent"), e.getMessage)
+    // the prescribed manual drop unwedges the name; retry succeeds whole
+    cat.dropTable("ann", "idx_cent")
+    VectorIndex.create(cat, "ann", "base", "idx", "vec_id", "embedding",
+      nlist = 8, iters = 2, sampleMod = 3)
+    assert(cat.tableExists("ann", "idx") && cat.tableExists("ann", "idx_cent"))
+    assert(VectorIndex.refresh(cat, "ann", "idx") == ("fresh", 0L))
+  }
+
   test("rebuild retrains deliberately and re-pins") {
     val cat = newCat()
     cat.createTable("ann", "base", emb.schema)
