@@ -1578,6 +1578,50 @@ object SparkEntry {
         "FROM snapdml.maint.ceq_orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
     }),
 
+    // N-WAY STAR NAVIGATION (r13): a 3-table star rollup (fact ⋈ two
+    // dimensions) is served from a covering join-MV backing without the
+    // query referencing the view — the real-warehouse shape the 2-way
+    // matcher previously scanned the fact table for. The join conjuncts
+    // arrive in WHERE form with shuffled table order (σ(cond)(A×B×C)
+    // placement normalizes away), the grouping rolls up to ONE dimension
+    // key, and the residual o_orderstatus filter re-applies on the
+    // backing. Fact-side MoR churn + refresh first, so the navigation is
+    // asserted against a refreshed backing. REQUIRES the rewrite fires;
+    // the oracle replays the raw 3-way join.
+    "q158_mv_star_navigate" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "star_mv")) cat.dropView("maint", "star_mv")
+      for (t <- Seq("st_li", "st_ord", "st_part"))
+        if (cat.tableExists("maint", t)) cat.dropTable("maint", t)
+      val fact = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val ord = T(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      val part = T(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      cat.createTable("maint", "st_li", fact.schema)
+      cat.append("maint", "st_li", fact)
+      cat.createTable("maint", "st_ord", ord.schema)
+      cat.append("maint", "st_ord", ord)
+      cat.createTable("maint", "st_part", part.schema)
+      cat.append("maint", "st_part", part)
+      cat.createMaterializedView("maint", "star_mv",
+        "SELECT o.o_orderstatus, p.p_brand, sum(l.cents) AS sc, count(*) AS n " +
+          "FROM maint.st_li l JOIN maint.st_ord o ON l.l_orderkey = o.o_orderkey " +
+          "JOIN maint.st_part p ON l.l_partkey = p.p_partkey " +
+          "GROUP BY o.o_orderstatus, p.p_brand")
+      // MoR churn on the FACT, then refresh (a 3-base body re-pins via
+      // the honest full path; the rewrite only needs fresh pins)
+      cat.deleteMoR("maint", "st_li", col("l_orderkey") % 7 === 3)
+      cat.refreshMaterializedView("maint", "star_mv")
+      val df = s.sql(
+        "SELECT p_brand, sum(cents) AS sc, count(*) AS n " +
+          "FROM snapdml.maint.st_part p, snapdml.maint.st_li l, snapdml.maint.st_ord o " +
+          "WHERE l.l_orderkey = o.o_orderkey AND l.l_partkey = p.p_partkey " +
+          "AND o.o_orderstatus = 'F' GROUP BY p_brand ORDER BY p_brand")
+      require(df.queryExecution.optimizedPlan.toString.contains("__mv_star_mv"),
+        "3-way star aggregate must be answered from the join-MV backing")
+      df
+    }),
+
     // PARTITIONED MV BACKING (r12): the materialization hive-lays the
     // backing by a group key, every incremental refresh preserves the
     // layout (the merge's upsert/delete are layout-aware writes), and a
@@ -4287,6 +4331,21 @@ object SparkEntry {
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sc
         |FROM surv GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the 3-way star rollup replayed from the raw join over the
+    // surviving fact rows (the %7==3 MoR delete applied as a filter)
+    "q158_mv_star_navigate" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_partkey,
+        |    CAST(FLOOR(l_extendedprice*100) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_orderkey % 7 <> 3)
+        |SELECT p.p_brand,
+        |  CAST(sum(f.cents) AS BIGINT) AS sc,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM f JOIN orders o ON f.l_orderkey = o.o_orderkey
+        |JOIN part p ON f.l_partkey = p.p_partkey
+        |WHERE o.o_orderstatus = 'F'
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
 
     // the whole shard build replayed in one CTE chain: gopher conditions
     // (q111), min-id content dedup, the quantized-sqrt temperature mix

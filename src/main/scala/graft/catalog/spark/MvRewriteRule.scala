@@ -24,11 +24,13 @@ import graft.catalog.SnapshotCatalog
   *
   * Soundness model — a rewrite fires only when ALL of:
   *  - the query is a single `Aggregate` over (attribute-only projections /
-  *    filters over) ONE snapcat relation or one INNER JOIN of two distinct
-  *    snapcat relations (the fact-dim shape), deterministic, no
-  *    subqueries. An inner join reads as `σ(cond)(A × B)`, so ON-clause
-  *    vs WHERE vs pushed-down conjunct placement never matters — both
-  *    sides normalize into one conjunct set over the leaf pair;
+  *    filters over) an INNER-JOIN FOREST of up to [[MvRewriteRule.MaxJoinLeaves]]
+  *    DISTINCT snapcat relations (one relation, fact-dim, or an N-way
+  *    star/snowflake), deterministic, no subqueries. An inner join reads
+  *    as `σ(cond)(A × B)`, so ON-clause vs WHERE vs pushed-down conjunct
+  *    placement never matters — all placements normalize into ONE
+  *    conjunct set over the leaf multiset, and leaf pairing is by table
+  *    identity (which is why a self-join refuses: no unambiguous rebase);
   *  - a materialized view over THE SAME relation set has its recorded
   *    base pins (`mv.base.<db>.<t>`) equal to BOTH the snapshots the
   *    query's scans serve and the tables' current snapshots — i.e. the
@@ -351,16 +353,20 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
     None
   }.toOption.flatten
 
-  /** Shared candidate gate for both match paths: one relation or one
-    * inner join of two distinct snapcat relations, never a backing or a
-    * changelog window, every base pinned fresh (or staleness opted in) —
-    * returns the plugin and the pin-matched MV candidates. */
+  /** Shared candidate gate for both match paths: an inner-join forest of
+    * up to [[MvRewriteRule.MaxJoinLeaves]] distinct snapcat relations,
+    * never a backing or a changelog window, every base pinned fresh (or
+    * staleness opted in) — returns the plugin and the pin-matched MV
+    * candidates. */
   private def freshCandidates(rels: Seq[DataSourceV2Relation])
       : Option[(SnapCatalogPlugin,
         Seq[(String, String, String, String, Map[Int, String])])] = {
-    // one relation, or one inner join of two DISTINCT relations (the
-    // fact-dim shape — a self-join has no unambiguous rebase)
-    if (rels.isEmpty || rels.length > 2) return None
+    // one relation, or one inner-join forest of DISTINCT relations (a
+    // star/snowflake; a self-join has no unambiguous rebase). Real
+    // warehouse rollups are 3+-way star joins — the conjunct-subset
+    // machinery normalizes any inner forest, so the matcher admits them
+    // all; the leaf cap only bounds candidate-analysis work.
+    if (rels.isEmpty || rels.length > MvRewriteRule.MaxJoinLeaves) return None
     val plugin = rels.head.catalog match {
       case Some(p: SnapCatalogPlugin) => p
       case _ => return None
@@ -799,6 +805,12 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
 }
 
 object MvRewriteRule {
+  /** Join-forest width ceiling for rewrite matching: star schemas rarely
+    * exceed a fact plus a handful of dimensions, and each extra leaf
+    * only adds O(leaf) rebase work — the cap guards against degenerate
+    * 50-way join plans burning analysis time per candidate view. */
+  val MaxJoinLeaves = 8
+
   private val suppressDepth = new ThreadLocal[Integer] {
     override def initialValue(): Integer = 0
   }

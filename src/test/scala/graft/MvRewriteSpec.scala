@@ -271,6 +271,61 @@ class MvRewriteSpec extends AnyFunSuite {
       "JOIN mvrj.dbj.dim d ON f.ck = d.ck GROUP BY seg")
   }
 
+  test("N-way star navigation: 3-table join rollups served from the backing (r13)") {
+    val cat = freshCat("mvrs")
+    val fact = (1 to 600).map(i =>
+      (i.toLong, (i % 12).toLong, (i % 8).toLong, (i % 9).toLong))
+      .toDF("id", "ck", "pk", "v")
+    val cust = (0 until 12).map(k => (k.toLong, s"seg${k % 4}")).toDF("ck", "seg")
+    val prod = (0 until 8).map(k => (k.toLong, s"cat${k % 3}")).toDF("pk", "cat")
+    cat.createTable("dbs", "fact", fact.schema)
+    cat.append("dbs", "fact", fact)
+    cat.createTable("dbs", "cust", cust.schema)
+    cat.append("dbs", "cust", cust)
+    cat.createTable("dbs", "prod", prod.schema)
+    cat.append("dbs", "prod", prod)
+    cat.createMaterializedView("dbs", "star_mv",
+      "SELECT c.seg, p.cat, sum(f.v) AS sv, count(*) AS n " +
+        "FROM mvrs.dbs.fact f JOIN mvrs.dbs.cust c ON f.ck = c.ck " +
+        "JOIN mvrs.dbs.prod p ON f.pk = p.pk GROUP BY c.seg, p.cat")
+
+    // exact 3-way match, ON-clause form
+    assertRewritten("SELECT c.seg, p.cat, sum(f.v) AS s, count(*) AS n " +
+      "FROM mvrs.dbs.fact f JOIN mvrs.dbs.cust c ON f.ck = c.ck " +
+      "JOIN mvrs.dbs.prod p ON f.pk = p.pk GROUP BY c.seg, p.cat ORDER BY 1, 2")
+    // rollup to ONE dimension; all join conjuncts in WHERE form, shuffled
+    // table order — σ(cond)(A × B × C) normalization is order-free
+    assertRewritten("SELECT seg, sum(v) AS s, count(*) AS n " +
+      "FROM mvrs.dbs.prod p, mvrs.dbs.fact f, mvrs.dbs.cust c " +
+      "WHERE f.pk = p.pk AND c.ck = f.ck GROUP BY seg ORDER BY seg")
+    // global rollup + residual filter on a view key
+    assertRewritten("SELECT sum(v) AS s FROM mvrs.dbs.fact f " +
+      "JOIN mvrs.dbs.cust c ON f.ck = c.ck JOIN mvrs.dbs.prod p ON f.pk = p.pk " +
+      "WHERE p.cat = 'cat1'")
+
+    // negatives: a MISSING dimension (leaf sets differ — the 2-way query
+    // is NOT the 3-way body), an EXTRA join conjunct (not subsumed), an
+    // OUTER join (not an inner forest)
+    assertNotRewritten("SELECT seg, count(*) AS n FROM mvrs.dbs.fact f " +
+      "JOIN mvrs.dbs.cust c ON f.ck = c.ck GROUP BY seg")
+    assertNotRewritten("SELECT seg, count(*) AS n FROM mvrs.dbs.fact f " +
+      "JOIN mvrs.dbs.cust c ON f.ck = c.ck " +
+      "JOIN mvrs.dbs.prod p ON f.pk = p.pk AND f.v = p.pk GROUP BY seg")
+    assertNotRewritten("SELECT seg, count(*) AS n FROM mvrs.dbs.fact f " +
+      "LEFT JOIN mvrs.dbs.cust c ON f.ck = c.ck " +
+      "JOIN mvrs.dbs.prod p ON f.pk = p.pk GROUP BY seg")
+
+    // MoR churn on the fact: stale until refresh, rewritten after
+    cat.deleteMoR("dbs", "fact", col("v") === 3)
+    assertNotRewritten("SELECT seg, sum(v) AS s FROM mvrs.dbs.fact f " +
+      "JOIN mvrs.dbs.cust c ON f.ck = c.ck JOIN mvrs.dbs.prod p ON f.pk = p.pk " +
+      "GROUP BY seg")
+    cat.refreshMaterializedView("dbs", "star_mv")
+    assertRewritten("SELECT seg, sum(v) AS s, count(*) AS n " +
+      "FROM mvrs.dbs.fact f JOIN mvrs.dbs.cust c ON f.ck = c.ck " +
+      "JOIN mvrs.dbs.prod p ON f.pk = p.pk GROUP BY seg ORDER BY seg")
+  }
+
   test("sidecar rollup keeps all-NULL groups alive") {
     val cat = freshCat("mvr3")
     val df = (Seq(
