@@ -1622,6 +1622,46 @@ object SparkEntry {
       df
     }),
 
+    // GROUPING-SETS DISTINCT NAVIGATION (r13): a ROLLUP asking
+    // count(DISTINCT x) over the base is served from the MV's
+    // per-(group, value) copy-count SIDECAR — the same grouping sets
+    // re-issue over the sidecar (values shared across collapsed
+    // subgroups dedupe via the DISTINCT over the value column) and join
+    // back to the backing's sets null-safely on (keys, gid), while the
+    // non-distinct outputs merge from the backing as usual. Delete +
+    // append churn with an incremental refresh first, so the sidecar
+    // state asserted is the RETRACTED one. REQUIRES the merge mode and
+    // the rewrite; the oracle replays the raw rollup.
+    "q159_mv_gs_distinct" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "gsd_mv")) cat.dropView("maint", "gsd_mv")
+      if (cat.tableExists("maint", "gsd_orders")) cat.dropTable("maint", "gsd_orders")
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          col("o_custkey"))
+      cat.createTable("maint", "gsd_orders", base.schema)
+      cat.append("maint", "gsd_orders", base.where(col("o_orderkey") % 3 =!= 1))
+      cat.createMaterializedView("maint", "gsd_mv",
+        "SELECT o_orderstatus, o_orderpriority, count(DISTINCT o_custkey) AS cd, " +
+          "count(*) AS n FROM maint.gsd_orders GROUP BY o_orderstatus, o_orderpriority")
+      cat.deleteMoR("maint", "gsd_orders", col("o_orderkey") % 10 === 6)
+      cat.append("maint", "gsd_orders", base.where(col("o_orderkey") % 3 === 1))
+      val (mode, _) = cat.refreshMaterializedView("maint", "gsd_mv")
+      require(mode == "incremental_agg",
+        s"distinct MV must merge via the sidecar, took '$mode'")
+      val df = s.sql(
+        "SELECT o_orderstatus, o_orderpriority, " +
+          "count(DISTINCT o_custkey) AS cd, count(*) AS n, " +
+          "CAST(grouping(o_orderstatus) AS BIGINT) AS g1, " +
+          "CAST(grouping(o_orderpriority) AS BIGINT) AS g2 " +
+          "FROM snapdml.maint.gsd_orders " +
+          "GROUP BY ROLLUP(o_orderstatus, o_orderpriority) " +
+          "ORDER BY g1, g2, o_orderstatus, o_orderpriority")
+      require(df.queryExecution.optimizedPlan.toString.contains("__mv_gsd_mv"),
+        "the DISTINCT rollup must be answered from the MV sidecar + backing")
+      df
+    }),
+
     // PARTITIONED MV BACKING (r12): the materialization hive-lays the
     // backing by a group key, every incremental refresh preserves the
     // layout (the merge's upsert/delete are layout-aware writes), and a
@@ -4346,6 +4386,22 @@ object SparkEntry {
         |JOIN part p ON f.l_partkey = p.p_partkey
         |WHERE o.o_orderstatus = 'F'
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+
+    // the DISTINCT rollup replayed raw over the surviving rows: the
+    // %3<>1 initial slice minus the %10==6 deletes, plus every %3==1
+    // row appended after
+    "q159_mv_gs_distinct" ->
+      """WITH surv AS (
+        |  SELECT o_orderstatus, o_orderpriority, o_custkey FROM orders
+        |  WHERE (o_orderkey % 3 <> 1 AND o_orderkey % 10 <> 6)
+        |     OR o_orderkey % 3 = 1)
+        |SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS cd,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g1,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g2
+        |FROM surv GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY g1, g2, o_orderstatus, o_orderpriority""".stripMargin,
 
     // the whole shard build replayed in one CTE chain: gopher conditions
     // (q111), min-id content dedup, the quantized-sqrt temperature mix

@@ -47,8 +47,12 @@ import graft.catalog.SnapshotCatalog
   *      exact group match  → served per-row from the backing;
   *      strict subset      → re-aggregated (ROLLUP): count → sum of the
   *        stored counts, sum → sum of sums, min/max → min/max of extrema,
-  *        avg → sum(__mv_s)/sum(__mv_c); DISTINCT aggregates roll up only
-  *        on exact group match (distinct state does not compose).
+  *        avg → sum(__mv_s)/sum(__mv_c); DISTINCT aggregates serve
+  *        per-row on exact group match, and at coarser groupings (the
+  *        plain-rollup AND grouping-sets paths) from the per-(group,
+  *        value) copy-count SIDECAR — raw distinct state does not
+  *        compose, but the sidecar stores exactly the value sets a
+  *        distinct rollup unions; no sidecar → honest refusal.
   * Everything else passes through untouched — the rewrite is a pure
   * optimization with no fallback semantics to reason about.
   *
@@ -220,9 +224,9 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
     if (!(userConj.forall(usable) && agg.aggregateExpressions.forall(usable)))
       return None
     val (plugin, candidates) = freshCandidates(rels).getOrElse(return None)
-    val matches = candidates.flatMap { case (vdb, v, mvT, sql, _) =>
+    val matches = candidates.flatMap { case (vdb, v, mvT, sql, dv) =>
       tryMatchGroupingSets(agg, baseOfKey.toIndexedSeq, gsAttrs, gidAttr, sets,
-        userConj, rels, plugin, vdb, v, mvT, sql)
+        userConj, rels, plugin, vdb, v, mvT, sql, dv)
     }
     matches.sortBy(_._1).headOption.map(_._2)
   }
@@ -230,13 +234,21 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
   /** One candidate for the grouping-sets path: the shared body analysis,
     * then the replacement built with `Dataset.groupingSets` over the
     * backing — always MERGED form (coarser sets exist by construction,
-    * so per-row "exact" service is never sound; DISTINCT aggregates
-    * refuse for the same reason they refuse in the plain rollup path). */
+    * so per-row "exact" service is never sound). DISTINCT aggregates
+    * participate through two lanes (r13): a distinct over a view KEY
+    * column re-issues as the same distinct over the backing (every
+    * surviving key combination appears there), and a distinct over the
+    * view's sidecar ARGUMENT re-issues as the same grouping sets over
+    * the per-(group, value) copy-count sidecar — values shared across
+    * collapsed subgroups dedupe via the DISTINCT over the value column —
+    * joined back to the backing's sets null-safely on (keys, gid) so
+    * all-NULL groups (no sidecar rows) still exist with count 0. */
   private def tryMatchGroupingSets(agg: Aggregate,
       baseOfKey: Seq[AttributeReference], gsAttrs: Seq[Attribute],
       gidAttr: Attribute, sets: Seq[Seq[Int]], userConj: Seq[Expression],
       rels: Seq[DataSourceV2Relation], plugin: SnapCatalogPlugin, db: String,
-      view: String, mvT: String, sql: String): Option[(Int, LogicalPlan)] = Try {
+      view: String, mvT: String, sql: String,
+      dvTables: Map[Int, String]): Option[(Int, LogicalPlan)] = Try {
     val ctx = analyzeBody(userConj, rels, plugin, db, mvT, sql).getOrElse(return None)
     val BodyCtx(backingCols, nBodyGroups, keyCols, aggOuts, residualCols) = ctx
     // every grouping key must be an MV group-key OUTPUT
@@ -248,14 +260,18 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
     def fnCol(name: String, args: Expression*): Expression =
       org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
         Seq(name), args.toSeq, isDistinct = false)
+    def dfnCol(name: String, args: Expression*): Expression =
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        Seq(name), args.toSeq, isDistinct = true)
     def bcol(c: String): Expression = UnresolvedAttribute.quoted(need(c))
     def arg1(x: AggregateExpression): Option[Expression] =
       x.aggregateFunction.children match { case Seq(c) => Some(c); case _ => None }
     // merged-form aggregate mapping — the non-exact projection of
     // tryMatch's matrix (count → Σ stored counts, sum → Σ sums, min/max
-    // fold, avg = Σ__mv_s / Σ__mv_c, count(x)/sum(x) from partials)
+    // fold, avg = Σ__mv_s / Σ__mv_c, count(x)/sum(x) from partials).
+    // Computed over the BACKING ("main lane").
     def mapAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.mode != Complete || ae.filter.isDefined || ae.isDistinct) return None
+      if (ae.mode != Complete || ae.filter.isDefined) return None
       val keyArg: Option[String] = ae.aggregateFunction.children match {
         case Seq(a: AttributeReference) => keyCols.get(a.exprId.id)
         case _ => None
@@ -264,9 +280,16 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
         ae.aggregateFunction match {
           case _: Min => return Some(fnCol("min", bcol(kn)))
           case _: Max => return Some(fnCol("max", bcol(kn)))
+          // distinct over a KEY column: every surviving key combination
+          // appears in the backing, so the same distinct over the
+          // backing's rows is exact per grouping set
+          case _: Count if ae.isDistinct => return Some(dfnCol("count", bcol(kn)))
+          case _: Sum if ae.isDistinct => return Some(dfnCol("sum", bcol(kn)))
+          case _: Average if ae.isDistinct => return Some(dfnCol("avg", bcol(kn)))
           case _ => ()
         }
       }
+      if (ae.isDistinct) return None // non-key distinct: the sidecar lane
       val direct = aggOuts.find(_._2.semanticEquals(ae)).map(_._3)
       val a = ae.aggregateFunction
       (a, direct) match {
@@ -307,17 +330,54 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
         case _ => None
       }
     }
+    // SIDECAR lane ("side"): one sidecar whose recorded argument covers
+    // the user's non-key distinct aggregates (same single-sidecar
+    // discipline as the plain rollup path)
+    lazy val dvInfo: Option[(Expression, String)] =
+      dvTables.toSeq.sortBy(_._1).collectFirst {
+        case (i, t) if aggOuts.exists(_._1 == i) =>
+          aggOuts.find(_._1 == i).flatMap(o => arg1(o._2)).map(e => (e, t))
+      }.flatten
+    def sideFor(ae: AggregateExpression): Option[Expression] = {
+      if (!ae.isDistinct || ae.filter.isDefined || ae.mode != Complete) return None
+      val dvArg = dvInfo.map(_._1).getOrElse(return None)
+      if (ae.aggregateFunction.children.length != 1 ||
+          !ae.aggregateFunction.children.head.semanticEquals(dvArg)) return None
+      val v = UnresolvedAttribute.quoted(SnapshotCatalog.MvDvValue)
+      ae.aggregateFunction match {
+        case _: Count   => Some(dfnCol("count", v))
+        case _: Sum     => Some(dfnCol("sum", v))
+        case _: Average => Some(dfnCol("avg", v))
+        case _ => None
+      }
+    }
+    val mainAggs = scala.collection.mutable.ArrayBuffer.empty[(String, Expression)]
+    val sideAggs = scala.collection.mutable.ArrayBuffer.empty[(String, Expression)]
     val gsIndex: Map[Long, Int] =
       gsAttrs.zipWithIndex.map { case (a, j) => a.exprId.id -> j }.toMap
-    // outputs: masked keys by name, gid arithmetic over a re-derived
-    // grouping_id() (same key order → same bit layout), merged aggregates,
-    // arithmetic around any of them verbatim
+    // outputs: masked keys by name, gid arithmetic over the main lane's
+    // re-derived grouping_id() (same key order → same bit layout),
+    // aggregates as lane-slot references, arithmetic around any verbatim
     def mapOut(e: Expression): Option[Expression] = e match {
-      case ae: AggregateExpression => mapAgg(ae)
+      case ae: AggregateExpression =>
+        mapAgg(ae).map { ex =>
+          val slot = s"__m_${mainAggs.length}"
+          mainAggs += slot -> ex
+          UnresolvedAttribute.quoted(slot): Expression
+        }.orElse(sideFor(ae).map { ex =>
+          val slot = s"__d_${sideAggs.length}"
+          sideAggs += slot -> ex
+          val ref: Expression = UnresolvedAttribute.quoted(slot)
+          // a group whose values are all NULL has no sidecar rows: the
+          // left join yields NULL, which is count 0 / sum NULL — exactly
+          // the base semantics
+          if (ae.aggregateFunction.isInstanceOf[Count])
+            Coalesce(Seq(ref, Literal(0L))) else ref
+        })
       case a: AttributeReference if gsIndex.contains(a.exprId.id) =>
         Some(bcol(keyNames(gsIndex(a.exprId.id))))
       case a: AttributeReference if a.exprId == gidAttr.exprId =>
-        Some(fnCol("grouping_id"))
+        Some(UnresolvedAttribute.quoted("__gid"))
       case l: Literal => Some(l)
       case _ if e.references.isEmpty && e.deterministic && e.children.isEmpty => Some(e)
       case _ if e.children.nonEmpty =>
@@ -328,16 +388,41 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
     val mappedOuts = agg.aggregateExpressions.map(ne =>
       mapOut(strip(ne)).getOrElse(return None))
     val fn = org.apache.spark.sql.functions
-    var df = spark.table(s"`${plugin.name()}`.`$db`.`$mvT`")
-    residualCols.foreach(r => df = df.where(GraftColumnBridge.column(r)))
+    def withResiduals(df0: org.apache.spark.sql.DataFrame) =
+      residualCols.foldLeft(df0)((d, r) => d.where(GraftColumnBridge.column(r)))
     val keyColumns = keyNames.map(n => fn.col(s"`$n`"))
     val setCols: Seq[Seq[Column]] = sets.map(_.map(keyColumns))
+    val mainDf = withResiduals(spark.table(s"`${plugin.name()}`.`$db`.`$mvT`"))
+    val mainAggCols = fn.grouping_id().alias("__gid") +:
+      mainAggs.toSeq.map { case (n, ex) => GraftColumnBridge.column(ex).alias(n) }
+    val main = mainDf.groupingSets(setCols, keyColumns: _*)
+      .agg(mainAggCols.head, mainAggCols.tail: _*)
+    val joined =
+      if (sideAggs.isEmpty) main
+      else {
+        // the SAME grouping sets over the sidecar, joined back null-safely
+        // on (keys, gid): gid separates a MASK null from a genuine null
+        // key value, and <=> matches the genuine ones
+        val dvTable = dvInfo.get._2
+        val sideDf = withResiduals(
+          spark.table(s"`${plugin.name()}`.`$db`.`$dvTable`"))
+        val sideAggCols = fn.grouping_id().alias("__sgid") +:
+          sideAggs.toSeq.map { case (n, ex) => GraftColumnBridge.column(ex).alias(n) }
+        val side0 = sideDf.groupingSets(setCols, keyColumns: _*)
+          .agg(sideAggCols.head, sideAggCols.tail: _*)
+        val side = side0.select(
+          (keyNames.zipWithIndex.map { case (n, j) =>
+            fn.col(s"`$n`").alias(s"__sk_$j") } :+ fn.col("__sgid")) ++
+            sideAggs.map(x => fn.col(x._1)): _*)
+        val cond = keyNames.zipWithIndex
+          .map { case (n, j) => main.col(s"`$n`") <=> side.col(s"__sk_$j") }
+          .foldLeft(main.col("__gid") === side.col("__sgid"))(_ && _)
+        main.join(side, cond, "left")
+      }
     val outCols = mappedOuts.zip(agg.aggregateExpressions).zipWithIndex.map {
       case ((m, ne), j) =>
         GraftColumnBridge.column(m).cast(ne.dataType).alias(s"__o_$j") }
-    val result = df.groupingSets(setCols, keyColumns: _*)
-      .agg(outCols.head, outCols.tail: _*)
-      .select(agg.aggregateExpressions.indices.map(j => fn.col(s"__o_$j")): _*)
+    val result = joined.select(outCols: _*)
     val newPlan = result.queryExecution.analyzed
     if (newPlan.output.length != agg.output.length) return None
     if (newPlan.output.zip(agg.output).exists { case (n, o) => n.dataType != o.dataType })

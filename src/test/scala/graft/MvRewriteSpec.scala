@@ -157,8 +157,10 @@ class MvRewriteSpec extends AnyFunSuite {
       "WHERE k1 <> 'k3' GROUP BY ROLLUP(k1, k2) HAVING count(v) > 5")
 
     // refusals: an aggregate the backing cannot derive (max has no
-    // stored extremum), a DISTINCT aggregate (does not compose across
-    // collapsed groups), a non-key grouping column
+    // stored extremum), a DISTINCT aggregate with NO sidecar (gs_mv's
+    // body has no distinct, so no per-value state exists — honest
+    // refusal; the sidecar-served path is its own test), a non-key
+    // grouping column
     assertNotRewritten("SELECT k1, max(v) AS hi FROM mvrgs.db.fact " +
       "GROUP BY ROLLUP(k1)")
     assertNotRewritten("SELECT k1, count(DISTINCT v) AS dv FROM mvrgs.db.fact " +
@@ -174,6 +176,51 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(cat.refreshMaterializedView("db", "gs_mv")._1 == "incremental_agg")
     assertRewritten("SELECT k1, count(*) AS c FROM mvrgs.db.fact " +
       "GROUP BY ROLLUP(k1)")
+  }
+
+  test("grouping-sets DISTINCT aggregates served from the copy-count sidecar (r13)") {
+    val cat = freshCat("mvrgd")
+    val df = (1 to 240).map { i =>
+      (s"k${i % 4}", if (i % 11 == 0) None else Some(s"g${i % 3}"),
+        if (i % 13 == 0) None else Some((i % 9).toLong))
+    }.toDF("k1", "k2", "v")
+    cat.createTable("db", "fact", df.schema)
+    cat.append("db", "fact", df)
+    cat.createMaterializedView("db", "gsd_mv",
+      "SELECT k1, k2, count(DISTINCT v) AS cd, count(*) AS n " +
+        "FROM mvrgd.db.fact GROUP BY k1, k2")
+
+    // ROLLUP mixing sidecar-served distinct aggregates (count/sum
+    // DISTINCT — values shared across collapsed subgroups dedupe) with
+    // main-lane merged ones (count(*)) and gid arithmetic; k2 carries
+    // DATA nulls the null-safe (keys, gid) join must keep distinct from
+    // mask nulls, and v carries nulls (all-NULL groups exist with c=0)
+    assertRewritten("SELECT k1, k2, count(DISTINCT v) AS c, " +
+      "sum(DISTINCT v) AS sd, count(*) AS n, grouping_id() AS gid " +
+      "FROM mvrgd.db.fact GROUP BY ROLLUP(k1, k2) ORDER BY gid, k1, k2")
+    // CUBE (the empty set included) + residual filter on a view key
+    assertRewritten("SELECT k1, k2, count(DISTINCT v) AS c FROM mvrgd.db.fact " +
+      "WHERE k1 <> 'k3' GROUP BY CUBE(k1, k2)")
+    // a distinct over a KEY column rides the main lane (the backing
+    // holds every surviving key combination)
+    assertRewritten("SELECT k1, count(DISTINCT k2) AS dk, count(*) AS n " +
+      "FROM mvrgd.db.fact GROUP BY ROLLUP(k1)")
+    // a distinct over a column with NO sidecar still refuses
+    assertNotRewritten("SELECT k1, count(DISTINCT k2) || '' AS x, " +
+      "count(DISTINCT v + 1) AS dv FROM mvrgd.db.fact GROUP BY ROLLUP(k1)")
+
+    // delete churn + incremental refresh: the sidecar retracts dead
+    // values and the analytic stays exact against the refreshed state.
+    // (The churn avoids null-k2 rows: a null GROUP KEY in the delta is a
+    // documented merge edge that honestly falls back to full — the
+    // backing still carries its null-k2 groups from the create.)
+    cat.deleteMoR("db", "fact", col("v") === 4 && col("k2").isNotNull)
+    assertNotRewritten("SELECT k1, count(DISTINCT v) AS c FROM mvrgd.db.fact " +
+      "GROUP BY ROLLUP(k1)")
+    assert(cat.refreshMaterializedView("db", "gsd_mv")._1 == "incremental_agg")
+    assertRewritten("SELECT k1, k2, count(DISTINCT v) AS c, count(*) AS n, " +
+      "grouping_id() AS gid FROM mvrgd.db.fact " +
+      "GROUP BY GROUPING SETS ((k1, k2), (k2), ()) ORDER BY gid, k1, k2")
   }
 
   test("filtered-body subsumption picks the tighter MV; distinct is exact-only") {
