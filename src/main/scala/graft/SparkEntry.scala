@@ -1400,6 +1400,51 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // PERSISTENT IVF-PQ VECTOR INDEX (r13): the same index lifecycle as
+    // q148 with product-quantized storage — assignments hold m-BYTE
+    // codes + the row norm instead of d doubles (at 10^10 x d=768 a
+    // flat index is ~60 TB; PQ stores 16-64 B/row, the published FAISS
+    // IVFPQ serving shape), codebooks persist frozen beside the coarse
+    // centroids, the churn refresh carries over unchanged (codes are
+    // per-row values), and topK ADC-scores the probed cells then
+    // re-ranks an exact shortlist against the base AT THE PIN. REQUIRES
+    // the incremental refresh, zero retrains, and index bytes strictly
+    // below the equivalent flat index; refine covers the probed cells at
+    // this scale, so the q148 oracle states the answer VERBATIM.
+    "q160_vector_index_pq" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      for (t <- Seq("vpq_idx", "vpq_idx_cent", "vpq_idx_books",
+          "vpq_flat", "vpq_flat_cent", "vpq_emb"))
+        if (cat.tableExists("maint", t)) cat.dropTable("maint", t)
+      val emb = T(s, dir, "embeddings")
+      cat.createTable("maint", "vpq_emb", emb.schema)
+      cat.append("maint", "vpq_emb", emb.where(col("vec_id") % 2 === 0))
+      graft.ops.VectorIndex.create(cat, "maint", "vpq_emb", "vpq_idx",
+        "vec_id", "embedding", nlist = 8, iters = 2, sampleMod = 3,
+        pq = Some((16, 8)))
+      graft.ops.VectorIndex.create(cat, "maint", "vpq_emb", "vpq_flat",
+        "vec_id", "embedding", nlist = 8, iters = 2, sampleMod = 3)
+      def bytes(n: String): Long = {
+        val snap = cat.currentSnapshot("maint", n)
+        snap.files.map(f => snap.fileStats(f)("bytes").toLong).sum
+      }
+      require(bytes("vpq_idx") * 2 < bytes("vpq_flat"),
+        s"PQ index must be far smaller than flat: " +
+          s"${bytes("vpq_idx")}B vs ${bytes("vpq_flat")}B")
+      cat.deleteMoR("maint", "vpq_emb", col("vec_id") % 10 === 0)
+      cat.append("maint", "vpq_emb", emb.where(col("vec_id") % 2 === 1))
+      val t0 = graft.ops.VectorIndex.trainingCount
+      val (mode, _) = graft.ops.VectorIndex.refresh(cat, "maint", "vpq_idx")
+      require(mode == "incremental", s"PQ index refresh took '$mode'")
+      require(graft.ops.VectorIndex.trainingCount == t0,
+        "PQ index refresh must retrain neither quantizer")
+      graft.ops.VectorIndex.topK(cat, "maint", "vpq_idx",
+        emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 10, nprobe = 3, refine = 500)
+        .orderBy("query_id", "rank")
+    }),
+
     // CONTINUOUS MV MAINTENANCE (r12, the streaming-MV / DLT shape): a
     // Structured Streaming query tails the base table's CDC stream as a
     // COMMIT SIGNAL (the batch frame is never acted on — no pre-image
@@ -5283,6 +5328,10 @@ object SparkEntry {
     // precisely what the q50 replay computes. PQ codebooks cannot affect
     // the answer, only which shortlist the exact re-rank sees.
     .pipe(m => m + ("q105_ann_ivfpq" -> m("q50_ann_ivf")))
+    // q160 shares q148's oracle VERBATIM: identical coarse index params
+    // and churn; PQ only changes the STORAGE, and the covering refine's
+    // exact re-rank against the base-at-pin reproduces the flat answer
+    .pipe(m => m + ("q160_vector_index_pq" -> m("q148_vector_index")))
     // q143 replays q50's EXACT IVF candidate pass, with the labeled
     // positives (n % 17 = q) anti-joined out of the candidates BEFORE
     // ranking — precisely the hardNegatives semantics

@@ -363,6 +363,26 @@ object Similarity {
     lloydKMeans(samp, nlist, iters, floorMeans = true).toIndexedSeq
   }
 
+  /** Per-subspace PQ codebooks: Lloyd's over the bounded RAW training
+    * sample (codebooks need no oracle replay — PQ callers re-rank their
+    * shortlist exactly), `min(nCentsMax, sample)` entries each. Shared
+    * by [[ivfPqTopK]] and the persistent [[VectorIndex]] PQ mode. */
+  private[graft] def trainPqCodebooks(corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, nCentsMax: Int, pqIters: Int,
+      sampleMod: Long, maxSample: Int = 200000): Seq[Seq[Array[Double]]] = {
+    val samp = collectTrainingSample(corpus, idCol, vecCol, sampleMod,
+      maxSample, raw = true)
+    val dim = samp.head.length
+    require(dim % m == 0, s"vector dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    val nCents = math.min(nCentsMax, samp.length)
+    (0 until m).map { j =>
+      lloydKMeans(samp.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)),
+        nCents, pqIters, floorMeans = false).toSeq
+    }
+  }
+
   /** Bounded deterministic driver-side training sample. `raw = false`
     * quantizes to the exact integer grid (coarse-quantizer training must
     * be oracle-replayable); `raw = true` keeps the true double values
@@ -612,17 +632,8 @@ object Similarity {
       refine: Int = 4): DataFrame = {
     val mod = deriveSampleMod(corpus, corpusId, sampleMod)
     val cents = coarseCentroids(corpus, corpusId, corpusVec, nlist, iters, mod)
-    val samp = collectTrainingSample(corpus, corpusId, corpusVec, mod,
-      maxSample = 200000, raw = true)
-    val dim = samp.head.length
-    require(dim % m == 0, s"vector dim $dim must be divisible by m=$m")
-    val dsub = dim / m
-    val nCents = math.min(256, samp.length)
-    val books = (0 until m).map { j =>
-      lloydKMeans(samp.map(v =>
-        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)),
-        nCents, pqIters, floorMeans = false).toSeq
-    }
+    val books = trainPqCodebooks(corpus, corpusId, corpusVec, m, 256, pqIters, mod)
+    val nCents = books.head.size
     val cb = graft.functions.PqExprs.codebooksOf(books)
     import graft.functions.PqFunctions._
     // candidate pass: (id, cell, m-byte code, norm) — never the vector

@@ -54,6 +54,9 @@ object VectorIndex {
   val PropIters = "vecindex.iters"
   val PropSampleMod = "vecindex.sample-mod"
   val PropPin = "vecindex.pinned-snapshot"
+  val PropPqM = "vecindex.pq-m"
+  val PropPqBits = "vecindex.pq-bits"
+  val PropPqIters = "vecindex.pq-iters"
 
   /** Centroid-set size ceiling: [[topK]] collects the centroid table to
     * the driver (it is the probe arithmetic's literal operand) and folds
@@ -76,38 +79,78 @@ object VectorIndex {
   private[graft] def trainingCount: Long = trainings
 
   private def centTable(name: String): String = name + "_cent"
+  private def booksTable(name: String): String = name + "_books"
 
   private def indexSchema(idField: StructField): StructType = StructType(Seq(
     idField.copy(nullable = false),
     StructField("cell", LongType, nullable = false),
     StructField("vec", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
-  /** One assignment projection: id, frozen-centroid cell, and the vector
-    * widened to double (IEEE-exact, so the stored copy re-ranks
-    * identically to the base value). Codegen'd end to end — nlist dot
-    * products per row, no join, no shuffle beyond the partitioned write. */
-  private def assign(rows: DataFrame, idCol: String, vecCol: String,
-      cents: Seq[Array[Double]]): DataFrame =
-    rows.select(col(idCol),
-      Similarity.ivfCell(Similarity.quantize(col(vecCol)), cents).as("cell"),
-      Similarity.toDouble(col(vecCol)).as("vec"))
+  /** PQ-mode assignments store m-BYTE codes plus the L2 norm instead of
+    * the vector: at 10^10 × d=768 a flat index is ~60 TB of stored
+    * doubles where the published IVF-PQ design (Jégou et al. 2011 /
+    * FAISS IVFPQ serving) stores 16-64 B codes and re-ranks the
+    * shortlist against the base table. The norm makes the ADC score a
+    * cosine approximation without touching any vector. */
+  private def pqIndexSchema(idField: StructField): StructType = StructType(Seq(
+    idField.copy(nullable = false),
+    StructField("cell", LongType, nullable = false),
+    StructField("code", org.apache.spark.sql.types.BinaryType, nullable = false),
+    StructField("nrm", DoubleType, nullable = false)))
+
+  /** The frozen per-row state of an index: coarse centroids plus, in PQ
+    * mode, the codebooks and their live entry count. */
+  private final case class Assigner(cents: Seq[Array[Double]],
+      pq: Option[(graft.functions.PqExprs.Codebooks, Int)]) {
+    /** One assignment projection — codegen'd end to end (nlist dot
+      * products per row plus, in PQ mode, the m-subspace encode), no
+      * join, no shuffle beyond the partitioned write. Flat mode widens
+      * the vector to double (IEEE-exact, so the stored copy re-ranks
+      * identically to the base value). */
+    def assign(rows: DataFrame, idCol: String, vecCol: String): DataFrame = pq match {
+      case None =>
+        rows.select(col(idCol),
+          Similarity.ivfCell(Similarity.quantize(col(vecCol)), cents).as("cell"),
+          Similarity.toDouble(col(vecCol)).as("vec"))
+      case Some((cb, nCents)) =>
+        rows.select(col(idCol),
+          Similarity.ivfCell(Similarity.quantize(col(vecCol)), cents).as("cell"),
+          graft.functions.PqFunctions.pqEncode(
+            Similarity.toDouble(col(vecCol)), cb, nCents).as("code"),
+          Similarity.norm(col(vecCol)).as("nrm"))
+    }
+  }
 
   /** Build the index over `db.baseTable`'s CURRENT snapshot. `sampleMod`
     * bounds the driver-side training sample exactly as in
     * [[Similarity.trainIvfCentroids]] (scale it with the corpus; <= 0
-    * derives it from the metadata row count). */
+    * derives it from the metadata row count).
+    *
+    * `pq = Some((m, bits))` builds the IVF-PQ variant: assignments store
+    * m-byte product-quantization codes (2^bits entries per subspace
+    * codebook, bits <= 8) + the row's norm instead of the full vector —
+    * index bytes drop d*8/m-fold — and [[topK]] ADC-scores the probed
+    * cells then re-ranks an exact shortlist against the BASE table at
+    * the index's pin. Codebooks persist in `<name>_books` and are
+    * FROZEN like the coarse centroids (same comparability argument). */
   def create(cat: SnapshotCatalog, db: String, baseTable: String, name: String,
       idCol: String, vecCol: String, nlist: Int, iters: Int = 2,
-      sampleMod: Long = 0): Unit = {
+      sampleMod: Long = 0, pq: Option[(Int, Int)] = None,
+      pqIters: Int = 3): Unit = {
     require(nlist > 0 && nlist <= MaxNlist, s"nlist must be in [1, $MaxNlist], got $nlist")
-    // check BOTH tables up front: a create that failed between the two
-    // leaves an orphan _cent table, and a retry that only checked <name>
-    // would wedge on createTable(<name>_cent) — the pair-check plus the
-    // failure-path cleanup below makes create retryable
+    pq.foreach { case (m, bits) =>
+      require(m > 0 && bits >= 1 && bits <= 8,
+        s"pq wants m > 0 and bits in [1, 8], got (m=$m, bits=$bits)")
+    }
+    // check EVERY table up front: a create that failed partway leaves
+    // orphan _cent/_books tables, and a retry that only checked <name>
+    // would wedge on createTable — the checks plus the failure-path
+    // cleanup below make create retryable
     require(!cat.tableExists(db, name), s"index $db.$name already exists")
-    require(!cat.tableExists(db, centTable(name)),
-      s"centroid table $db.${centTable(name)} already exists " +
-        "(orphan of an interrupted create?) - drop it to retry")
+    for (t <- Seq(centTable(name)) ++ pq.map(_ => booksTable(name)))
+      require(!cat.tableExists(db, t),
+        s"index side table $db.$t already exists " +
+          "(orphan of an interrupted create?) - drop it to retry")
     val base = cat.readLatest(db, baseTable)
     val pin = cat.currentSnapshotId(db, baseTable)
     val mod =
@@ -115,6 +158,9 @@ object VectorIndex {
       else math.max(1L, (cat.recordCount(db, baseTable, pin) +
         Similarity.IvfTargetSample - 1) / Similarity.IvfTargetSample)
     val cents = Similarity.trainIvfCentroids(base, idCol, vecCol, nlist, iters, mod)
+    val books = pq.map { case (m, bits) =>
+      Similarity.trainPqCodebooks(base, idCol, vecCol, m, 1 << bits, pqIters, mod)
+    }
     trainings += 1
 
     val spark = base.sparkSession
@@ -127,24 +173,59 @@ object VectorIndex {
     try {
       cat.append(db, centTable(name),
         spark.createDataFrame(spark.sparkContext.parallelize(centRows, 1), centSchema))
-
-      cat.createTable(db, name, indexSchema(base.schema(idCol)),
+      books.foreach { bs =>
+        cat.createTable(db, booksTable(name), booksSchema)
+        cat.append(db, booksTable(name), booksFrame(spark, bs))
+      }
+      val pqProps = pq.map { case (m, bits) => Map(
+        PropPqM -> m.toString, PropPqBits -> bits.toString,
+        PropPqIters -> pqIters.toString) }.getOrElse(Map.empty)
+      val schema = if (pq.isDefined) pqIndexSchema(base.schema(idCol))
+        else indexSchema(base.schema(idCol))
+      cat.createTable(db, name, schema,
         partitionCols = Seq("cell"),
         properties = Map(
           PropBase -> s"$db.$baseTable", PropIdCol -> idCol, PropVecCol -> vecCol,
           PropNlist -> nlist.toString, PropIters -> iters.toString,
-          PropSampleMod -> mod.toString, PropPin -> pin.toString))
-      cat.append(db, name, assign(base, idCol, vecCol, cents))
+          PropSampleMod -> mod.toString, PropPin -> pin.toString) ++ pqProps)
+      val asg = Assigner(cents, books.map(bs =>
+        (graft.functions.PqExprs.codebooksOf(bs), bs.head.size)))
+      cat.append(db, name, asg.assign(base, idCol, vecCol))
     } catch {
       case t: Throwable =>
         // never strand a half-built index: drop whatever this attempt
         // created so the same name can retry cleanly
-        try cat.dropTable(db, centTable(name))
-        catch { case scala.util.control.NonFatal(_) => () }
-        try if (cat.tableExists(db, name)) cat.dropTable(db, name)
-        catch { case scala.util.control.NonFatal(_) => () }
+        for (t0 <- Seq(centTable(name), booksTable(name), name))
+          try if (cat.tableExists(db, t0)) cat.dropTable(db, t0)
+          catch { case scala.util.control.NonFatal(_) => () }
         throw t
     }
+  }
+
+  private def booksSchema: StructType = StructType(Seq(
+    StructField("sub", LongType, nullable = false),
+    StructField("code", LongType, nullable = false),
+    StructField("b", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  private def booksFrame(spark: org.apache.spark.sql.SparkSession,
+      bs: Seq[Seq[Array[Double]]]): DataFrame = {
+    val rows = for {
+      (book, j) <- bs.zipWithIndex
+      (c, i) <- book.zipWithIndex
+    } yield org.apache.spark.sql.Row(j.toLong, i.toLong, c.toSeq)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), booksSchema)
+  }
+
+  /** The frozen codebooks of a PQ index, (sub, code)-ordered. Bounded by
+    * m * 2^bits rows — index metadata, not data. */
+  private def loadBooks(cat: SnapshotCatalog, db: String,
+      name: String): (graft.functions.PqExprs.Codebooks, Int) = {
+    val rows = cat.readLatest(db, booksTable(name))
+      .orderBy("sub", "code").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val books = (0 until m).map(j => rows.filter(_._1 == j).map(_._2).toSeq)
+    (graft.functions.PqExprs.codebooksOf(books), books.head.size)
   }
 
   /** The frozen centroid set, cid-ordered. The collect is bounded by
@@ -158,6 +239,12 @@ object VectorIndex {
     val p = cat.meta(db, name).properties
     val Array(bdb, btab) = p(PropBase).split("\\.", 2)
     (bdb, btab, p(PropIdCol), p(PropVecCol), p(PropPin).toLong)
+  }
+
+  private def assignerOf(cat: SnapshotCatalog, db: String, name: String): Assigner = {
+    val p = cat.meta(db, name).properties
+    Assigner(centroids(cat, db, name),
+      if (p.contains(PropPqM)) Some(loadBooks(cat, db, name)) else None)
   }
 
   /** Advance the index to the base table's current snapshot. Returns
@@ -182,7 +269,7 @@ object VectorIndex {
     val (bdb, btab, idCol, vecCol, pin) = state(cat, db, name)
     val cur = cat.currentSnapshotId(bdb, btab)
     if (cur == pin) return ("fresh", 0L)
-    val cents = centroids(cat, db, name)
+    val asg = assignerOf(cat, db, name)
     val sets =
       try cat.changeSetsAcrossRange(bdb, btab, pin, cur)
       catch { case scala.util.control.NonFatal(_) => None }
@@ -192,7 +279,7 @@ object VectorIndex {
         if (delIds.isEmpty) {
           val newRows = ins.select(col(idCol), col(vecCol))
           if (!newRows.isEmpty)
-            cat.append(db, name, assign(newRows, idCol, vecCol, cents))
+            cat.append(db, name, asg.assign(newRows, idCol, vecCol))
         } else {
           val touched = ins.select(col(idCol)).union(delIds).distinct()
           cat.deleteMoREq(db, name, touched)
@@ -200,12 +287,12 @@ object VectorIndex {
             .join(touched, Seq(idCol), "left_semi")
             .select(col(idCol), col(vecCol))
           if (!fresh.isEmpty)
-            cat.append(db, name, assign(fresh, idCol, vecCol, cents))
+            cat.append(db, name, asg.assign(fresh, idCol, vecCol))
         }
         "incremental"
       case None =>
-        cat.overwrite(db, name, assign(cat.readLatest(bdb, btab)
-          .select(col(idCol), col(vecCol)), idCol, vecCol, cents))
+        cat.overwrite(db, name, asg.assign(cat.readLatest(bdb, btab)
+          .select(col(idCol), col(vecCol)), idCol, vecCol))
         "full"
     }
     cat.setProperty(db, name, PropPin, Some(cur.toString))
@@ -222,10 +309,13 @@ object VectorIndex {
     * (`excludeSelf`), ranks tie-break by neighbor id. */
   def topK(cat: SnapshotCatalog, db: String, name: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nprobe: Int, excludeSelf: Boolean = true): DataFrame = {
-    val (_, _, idCol, _, _) = state(cat, db, name)
+      k: Int, nprobe: Int, excludeSelf: Boolean = true,
+      refine: Int = 4): DataFrame = {
+    val (bdb, btab, idCol, vecCol, pin) = state(cat, db, name)
+    val props = cat.meta(db, name).properties
     val cents = centroids(cat, db, name)
-    val q = queries.select(col(queryId).as("query_id"),
+    val pqMode = props.contains(PropPqM)
+    val q0 = queries.select(col(queryId).as("query_id"),
       Similarity.toDouble(col(queryVec)).as("_qv"),
       Similarity.norm(col(queryVec)).as("_qn"),
       explode(Similarity.ivfProbes(
@@ -238,7 +328,7 @@ object VectorIndex {
     // so the literal is used for DRIVER-SIDE file pruning only and never
     // enters the plan — the inner join on `cell` below enforces
     // exactness either way.
-    val probed = q.select("cell").distinct().collect().map(_.getLong(0))
+    val probed = q0.select("cell").distinct().collect().map(_.getLong(0))
       .toIndexedSeq.sorted
     val cellPred = col("cell").isin(probed: _*)
     val idx =
@@ -246,15 +336,52 @@ object VectorIndex {
       else cat.readLatestPruned(db, name, cellPred)
     val self: Column =
       if (excludeSelf) idx(idCol) =!= col("query_id") else lit(true)
-    val sims = idx.join(broadcast(q), Seq("cell"))
-      .where(self)
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        (Similarity.dot(col("vec"), col("_qv")) /
-          (Similarity.norm(col("vec")) * col("_qn"))).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    if (!pqMode) {
+      val sims = idx.join(broadcast(q0), Seq("cell"))
+        .where(self)
+        .select(col("query_id"), col(idCol).as("neighbor_id"),
+          (Similarity.dot(col("vec"), col("_qv")) /
+            (Similarity.norm(col("vec")) * col("_qn"))).as("sim"))
+      sims.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    } else {
+      // IVF-PQ serving (the published FAISS shape): ADC-score the probed
+      // cells from m-byte codes — candidate IO is bytes, never vectors —
+      // take a k*refine shortlist per query, then re-rank the shortlist
+      // EXACTLY against the base table AT THE INDEX'S PIN (the state the
+      // codes reflect). The base scan joins against the broadcast
+      // shortlist, so it reads once and shuffles nothing.
+      val (cb, _) = loadBooks(cat, db, name)
+      val q = broadcast(q0.withColumn("_lut",
+        graft.functions.PqFunctions.pqLut(col("_qv"), cb)))
+      val scored = idx.join(q, Seq("cell"))
+        .where(self)
+        .select(col("query_id"), col(idCol).as("neighbor_id"),
+          (graft.functions.PqFunctions.pqAdc(col("code"), col("_lut")) /
+            (col("nrm") * col("_qn"))).as("asim"))
+      val wa = Window.partitionBy("query_id")
+        .orderBy(col("asim").desc, col("neighbor_id"))
+      val shortlist = scored.withColumn("ar", row_number().over(wa))
+        .where(col("ar") <= k * refine)
+        .select("query_id", "neighbor_id")
+      val baseV = cat.readAsOf(bdb, btab, pin).select(
+        col(idCol).as("neighbor_id"),
+        Similarity.toDouble(col(vecCol)).as("_cv"),
+        Similarity.norm(col(vecCol)).as("_cn"))
+      val qv = broadcast(queries.select(col(queryId).as("query_id"),
+        Similarity.toDouble(col(queryVec)).as("_qv2"),
+        Similarity.norm(col(queryVec)).as("_qn2")))
+      val exact = baseV.join(broadcast(shortlist), Seq("neighbor_id"))
+        .join(qv, Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (Similarity.dot(col("_cv"), col("_qv2")) /
+            (col("_cn") * col("_qn2"))).as("sim"))
+      exact.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    }
   }
 
   /** Per-cell occupancy — the drift monitor. When ingest shifts the data
@@ -264,7 +391,9 @@ object VectorIndex {
     cat.readLatest(db, name).groupBy("cell").agg(count(lit(1)).as("n"))
 
   /** Explicit retrain-and-reassign at the base's current snapshot — the
-    * deliberate answer to centroid drift. Same params as recorded. */
+    * deliberate answer to centroid drift. Same params as recorded; a PQ
+    * index retrains its codebooks too (codes from the old books would
+    * not be comparable to ADC tables from the new). */
   def rebuild(cat: SnapshotCatalog, db: String, name: String): Unit = {
     val p = cat.meta(db, name).properties
     val (bdb, btab, idCol, vecCol, _) = state(cat, db, name)
@@ -274,6 +403,10 @@ object VectorIndex {
     val base = cat.readLatest(bdb, btab)
     val cur = cat.currentSnapshotId(bdb, btab)
     val cents = Similarity.trainIvfCentroids(base, idCol, vecCol, nlist, iters, mod)
+    val books = p.get(PropPqM).map { mStr =>
+      Similarity.trainPqCodebooks(base, idCol, vecCol, mStr.toInt,
+        1 << p(PropPqBits).toInt, p(PropPqIters).toInt, mod)
+    }
     trainings += 1
     import org.apache.spark.sql.Row
     val spark = base.sparkSession
@@ -282,7 +415,10 @@ object VectorIndex {
       spark.sparkContext.parallelize(
         cents.zipWithIndex.map { case (c, i) => Row(i.toLong, c.toSeq) }, 1),
       centSchema))
-    cat.overwrite(db, name, assign(base, idCol, vecCol, cents))
+    books.foreach(bs => cat.overwrite(db, booksTable(name), booksFrame(spark, bs)))
+    val asg = Assigner(cents, books.map(bs =>
+      (graft.functions.PqExprs.codebooksOf(bs), bs.head.size)))
+    cat.overwrite(db, name, asg.assign(base, idCol, vecCol))
     cat.setProperty(db, name, PropPin, Some(cur.toString))
   }
 }

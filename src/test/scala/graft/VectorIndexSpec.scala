@@ -207,6 +207,61 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(VectorIndex.refresh(cat, "ann", "idx") == ("fresh", 0L))
   }
 
+  test("PQ index: bytes shrink d*8/m-fold, covering refine equals flat, churn refreshes (r13)") {
+    val cat = newCat()
+    cat.createTable("ann", "base", emb.schema)
+    cat.append("ann", "base", emb.where(col("vec_id") % 2 === 0))
+    VectorIndex.create(cat, "ann", "base", "flat", "vec_id", "embedding",
+      nlist = 8, iters = 2, sampleMod = 3)
+    VectorIndex.create(cat, "ann", "base", "pq", "vec_id", "embedding",
+      nlist = 8, iters = 2, sampleMod = 3, pq = Some((16, 8)))
+
+    def indexBytes(n: String): Long = {
+      val snap = cat.currentSnapshot("ann", n)
+      snap.files.map(f => snap.fileStats(f)("bytes").toLong).sum
+    }
+    // d=64 doubles -> 16 bytes + norm: the stored-payload drop is the
+    // whole point; parquet overhead eats some of it on a tiny fixture,
+    // so assert a conservative 2x
+    assert(indexBytes("pq") * 2 < indexBytes("flat"),
+      s"pq=${indexBytes("pq")}B flat=${indexBytes("flat")}B")
+
+    // churn: deletes + an update + ingest, refresh stays incremental and
+    // never retrains (codes are per-row values — the discipline carries)
+    cat.deleteMoR("ann", "base", col("vec_id") % 10 === 0)
+    cat.updateMoR("ann", "base", col("vec_id") === 2,
+      Map("embedding" -> transform(col("embedding"), x => -x)))
+    cat.append("ann", "base", emb.where(col("vec_id") % 2 === 1))
+    val t0 = VectorIndex.trainingCount
+    assert(VectorIndex.refresh(cat, "ann", "flat")._1 == "incremental")
+    assert(VectorIndex.refresh(cat, "ann", "pq")._1 == "incremental")
+    assert(VectorIndex.trainingCount == t0, "refresh must not retrain")
+
+    // with a refine that covers the probed cells, the PQ path's exact
+    // re-rank against the base-at-pin equals the flat index exactly
+    // (recall 1.0 by construction); production tunes refine down
+    val flatTop = VectorIndex.topK(cat, "ann", "flat", queries, "qid", "qvec",
+      k = 10, nprobe = 3).as[(Long, Long, Long)].collect().toSet
+    val pqTop = VectorIndex.topK(cat, "ann", "pq", queries, "qid", "qvec",
+      k = 10, nprobe = 3, refine = 500).as[(Long, Long, Long)].collect().toSet
+    assert(pqTop == flatTop)
+    // a production-sized refine keeps recall high (ADC ordering is
+    // approximate; the shortlist re-rank is exact)
+    val pqSmall = VectorIndex.topK(cat, "ann", "pq", queries, "qid", "qvec",
+      k = 10, nprobe = 3, refine = 4).as[(Long, Long, Long)].collect()
+      .map { case (q, n, _) => (q, n) }.toSet
+    val flatPairs = flatTop.map { case (q, n, _) => (q, n) }
+    val recall = flatPairs.count(pqSmall) .toDouble / flatPairs.size
+    assert(recall >= 0.8, s"recall@10 = $recall")
+
+    // rebuild retrains BOTH the coarse quantizer and the codebooks
+    VectorIndex.rebuild(cat, "ann", "pq")
+    assert(VectorIndex.trainingCount == t0 + 1)
+    assert(VectorIndex.refresh(cat, "ann", "pq") == ("fresh", 0L))
+    assert(cat.readLatest("ann", "pq").count() ==
+      cat.readLatest("ann", "base").count())
+  }
+
   test("rebuild retrains deliberately and re-pins") {
     val cat = newCat()
     cat.createTable("ann", "base", emb.schema)
