@@ -1653,10 +1653,13 @@ object SparkEntry {
           "FROM maint.st_li l JOIN maint.st_ord o ON l.l_orderkey = o.o_orderkey " +
           "JOIN maint.st_part p ON l.l_partkey = p.p_partkey " +
           "GROUP BY o.o_orderstatus, p.p_brand")
-      // MoR churn on the FACT, then refresh (a 3-base body re-pins via
-      // the honest full path; the rewrite only needs fresh pins)
+      // MoR churn on the FACT, then refresh — the N-way multilinear
+      // telescope (r13) retracts the deleted join rows incrementally:
+      // each term is churn ⋈ the pinned sides, never a 3-way rebuild
       cat.deleteMoR("maint", "st_li", col("l_orderkey") % 7 === 3)
-      cat.refreshMaterializedView("maint", "star_mv")
+      val (mode, _) = cat.refreshMaterializedView("maint", "star_mv")
+      require(mode == "incremental_join_agg",
+        s"3-way star refresh must ride the telescope, took '$mode'")
       val df = s.sql(
         "SELECT p_brand, sum(cents) AS sc, count(*) AS n " +
           "FROM snapdml.maint.st_part p, snapdml.maint.st_li l, snapdml.maint.st_ord o " +

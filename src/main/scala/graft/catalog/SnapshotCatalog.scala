@@ -3933,7 +3933,12 @@ final class SnapshotCatalog(
       case _ => ok = false
     }
     val rs = rels.result()
-    if (ok && joins == 1 && rs.length == 2 && rs(0) != rs(1)) Some(rs) else None
+    // a join FOREST over N >= 2 DISTINCT relations (N-1 inner joins —
+    // star/snowflake rollup bodies; self-joins refuse, the delta algebra
+    // needs distinguishable sides). Capped at 8 leaves like the rewrite
+    // matcher.
+    if (ok && joins == rs.length - 1 && rs.length >= 2 && rs.length <= 8 &&
+      rs.distinct.length == rs.length) Some(rs) else None
   }
 
   /** Is `p` a UNION ALL of project/filter arms, each over exactly ONE
@@ -4443,7 +4448,7 @@ final class SnapshotCatalog(
     def bodyOver(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         rows: DataFrame): DataFrame = bodyOverBases(plan, Map(bases.head -> rows))
 
-    /** TWO-BASE INNER-JOIN body shape (no aggregates/windows/subqueries)
+    /** N-BASE INNER-JOIN body shape (no aggregates/windows/subqueries)
       * — see [[innerJoinShape]]. */
     def joinBodyBases: Option[Seq[(String, String)]] = {
       import org.apache.spark.sql.catalyst.plans.logical.Sort
@@ -4452,10 +4457,11 @@ final class SnapshotCatalog(
       innerJoinShape(db, plan match { case s: Sort => s.child; case p => p })
     }
 
-    /** AGGREGATE-over-INNER-JOIN body: `GROUP BY` over exactly one inner
-      * join of the two bases — the fact-dim rollup MV. Under append-only
-      * ranges the aggregate's INPUT delta is the join delta (ΔA ⋈ B' ∪
-      * A ⋈ ΔB), so the partial-merge machinery applies unchanged. */
+    /** AGGREGATE-over-INNER-JOIN body: `GROUP BY` over one inner-join
+      * FOREST of the N distinct bases — the star rollup MV. The
+      * aggregate's INPUT delta is the join delta (the N-term telescope
+      * of [[joinAggOver]]), so the partial-merge machinery applies
+      * unchanged. */
     def joinAggBodyOk: Boolean = {
       import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Sort}
       val plan = spark.sessionState.sqlParser.parsePlan(sql)
@@ -4467,21 +4473,28 @@ final class SnapshotCatalog(
       }
     }
 
-    /** The AUGMENTED aggregate evaluated over JOIN-DELTA terms: the
-      * aggregate node's child is replaced by the UNION of the two
-      * substituted join terms (`rowsA ⋈ B@cur` and `A@from ⋈ rowsB`), so
-      * ONE aggregation computes the partials over that delta and the
-      * group-wise merge below applies untouched. `None` for a side
-      * contributes no term. */
-    def joinAggOver(shape: AggShape, rowsA: Option[DataFrame],
-        rowsB: Option[DataFrame]): Option[DataFrame] = {
+    /** The AUGMENTED aggregate evaluated over JOIN-DELTA terms — the
+      * MULTILINEAR telescope (r13, generalizing the two-base bilinear
+      * identity): with bases ordered b_1..b_n,
+      *   Q(cur_1..cur_n) − Q(from_1..from_n)
+      *     = Σ_i Q(from_1,..,from_{i-1}, Δ_i, cur_{i+1},..,cur_n)
+      * — exact for multisets (each term flips exactly one base from its
+      * `from` to its `cur` pinning, and inner joins are linear in every
+      * input). `rows(i) = None` contributes no term (that base's delta
+      * lane is empty). The aggregate node's child is replaced by the
+      * UNION of the substituted terms, so ONE aggregation computes the
+      * partials over the whole delta and the group-wise merge below
+      * applies untouched. Every term is churn ⋈ (n−1) pinned sides —
+      * AQE broadcasts the delta side when it fits — never a
+      * corpus-by-corpus rebuild. */
+    def joinAggOver(shape: AggShape,
+        rows: Seq[Option[DataFrame]]): Option[DataFrame] = {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
       import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Sort, SubqueryAlias, Union}
       val agg = (augmentedAggPlan(sql, shape) match {
         case s: Sort => s.child
         case p => p
       }).asInstanceOf[Aggregate]
-      val Seq(a, b) = bases
       def hid(x: (String, String)) = meta(x._1, x._2).hiddenCols.toSeq
       def subst(child: LogicalPlan,
           repl: Map[(String, String), DataFrame]): LogicalPlan =
@@ -4490,22 +4503,20 @@ final class SnapshotCatalog(
             val k = relKeyOf(db, u).get
             SubqueryAlias(Seq(k._1, k._2), repl(k).queryExecution.analyzed)
         }
-      val parts = Seq.newBuilder[LogicalPlan]
-      rowsA.foreach { ra =>
-        parts += subst(agg.child, Map(a -> ra,
-          b -> readAsOf(b._1, b._2, cur(b)).drop(hid(b): _*)))
+      val parts = bases.zipWithIndex.flatMap { case (_, i) =>
+        rows(i).map { ri =>
+          val repl = bases.zipWithIndex.map { case (bj, j) =>
+            bj -> (
+              if (j == i) ri
+              else if (j < i) readAsOf(bj._1, bj._2, from(bj).get).drop(hid(bj): _*)
+              else readAsOf(bj._1, bj._2, cur(bj)).drop(hid(bj): _*))
+          }.toMap
+          subst(agg.child, repl)
+        }
       }
-      rowsB.foreach { rb =>
-        parts += subst(agg.child, Map(
-          a -> readAsOf(a._1, a._2, from(a).get).drop(hid(a): _*),
-          b -> rb))
-      }
-      val ps = parts.result()
-      if (ps.isEmpty) None
-      else {
-        val child = if (ps.size == 1) ps.head else Union(ps.head, ps(1))
-        Some(org.apache.spark.sql.GraftColumnBridge.ofRows(spark, agg.copy(child = child)))
-      }
+      if (parts.isEmpty) None
+      else Some(org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
+        agg.copy(child = parts.reduceLeft(Union(_, _)))))
     }
 
     /** Per-base (insert, delete) row sets across the refresh range —
@@ -4537,26 +4548,25 @@ final class SnapshotCatalog(
     }
 
     /** The (plus, minus) pre-aggregated partial frames for a join-agg
-      * body across ANY diffable range — the bilinear join-delta identity
-      *   Δ⁺ = ΔA⁺ ⋈ B@cur  ∪  A@from ⋈ ΔB⁺
-      *   Δ⁻ = ΔA⁻ ⋈ B@cur  ∪  A@from ⋈ ΔB⁻
-      * (exact for multisets: A@cur ⋈ B@cur − A@from ⋈ B@from expands to
-      * exactly these four terms with the chosen pinnings). Every term is
-      * churn ⋈ one full side — AQE broadcasts the delta when it fits. */
+      * body across ANY diffable range — the multilinear telescope of
+      * [[joinAggOver]], applied once with every base's insert lane and
+      * once with every delete lane. Every term is churn ⋈ the pinned
+      * sides — AQE broadcasts the delta when it fits. */
     def joinAggDeltas(shape: AggShape)
         : Option[(DataFrame, Option[DataFrame])] = {
-      val Seq(a, _) = bases
-      for {
-        (ia, da) <- baseDeltas(a)
-        (ib, db2) <- baseDeltas(bases(1))
-        minus = joinAggOver(shape, da, db2)
-        // a delete-only range has no insert terms: aggregate over an
-        // empty A-delta so the merge still gets a (zero-group) plus frame
-        plus <- joinAggOver(shape, ia, ib).orElse(if (minus.isEmpty) None
-          else joinAggOver(shape,
-            Some(readAsOf(a._1, a._2, from(a).get)
-              .drop(meta(a._1, a._2).hiddenCols.toSeq: _*).limit(0)), None))
-      } yield (plus, minus)
+      val a = bases.head
+      val ds = bases.map(baseDeltas)
+      if (ds.exists(_.isEmpty)) return None
+      val m = ds.map(_.get)
+      val minus = joinAggOver(shape, m.map(_._2))
+      // a delete-only range has no insert terms: aggregate over an
+      // empty head-delta so the merge still gets a (zero-group) plus frame
+      val plus = joinAggOver(shape, m.map(_._1)).orElse(if (minus.isEmpty) None
+        else joinAggOver(shape,
+          Some(readAsOf(a._1, a._2, from(a).get)
+            .drop(meta(a._1, a._2).hiddenCols.toSeq: _*).limit(0)) +:
+            Seq.fill(bases.size - 1)(Option.empty[DataFrame])))
+      plus.map(p => (p, minus))
     }
 
     /** AGGREGATE-over-UNION-ALL body ([[unionPfShape]] under the
@@ -4898,13 +4908,14 @@ final class SnapshotCatalog(
             .select(keyNames.map(k => col(s"`$k`")).toIndexedSeq: _*)
           if (affected.isEmpty) m0.drop(needNames: _*)
           else {
-            val rec = if (bases.size == 2 || unionAggBody) {
-              // JOIN body: recompute the affected groups by running the
-              // body at cur with a LITERAL group-key predicate — Catalyst
-              // pushes a grouping-column filter below the Aggregate and
-              // into the owning join side's scan, so each side reads only
-              // the affected keys' files. Bounded at 64 dead extrema per
-              // refresh; beyond that the full refresh is the honest cost
+            val rec = if (bases.size >= 2 || unionAggBody) {
+              // MULTI-BASE (join/union) body: recompute the affected
+              // groups by running the body at cur with a LITERAL
+              // group-key predicate — Catalyst pushes a grouping-column
+              // filter below the Aggregate and into the owning side's
+              // scan, so each side reads only the affected keys' files.
+              // Bounded at 64 dead extrema per refresh; beyond that the
+              // full refresh is the honest cost
               val few = affected.limit(65).collect()
               if (few.length > 64) return None
               val pred = few.map(r => keyNames.indices.map(j =>
@@ -4997,20 +5008,22 @@ final class SnapshotCatalog(
       } finally releasePartials()
     }
 
-    // two-base inner-join bodies over append-only ranges on BOTH sides
-    // maintain incrementally: ΔA ⋈ B' ∪ A ⋈ ΔB (see the mode case)
-    val bothAppendOnly = bases.size == 2 &&
+    // N-base inner-join bodies over append-only ranges on ALL sides
+    // maintain incrementally via the multilinear telescope (see the
+    // mode case; 2-base reads as ΔA ⋈ B' ∪ A ⋈ ΔB)
+    val allAppendOnly = bases.size >= 2 &&
       bases.forall(b => from(b).isDefined) &&
       bases.forall(b => appendOnlyRange(b._1, b._2, from(b).get, cur(b)))
-    val joinIncremental = bothAppendOnly &&
+    val joinIncremental = allAppendOnly &&
       joinBodyBases.exists(ks => ks.toSet == bases.toSet)
     // GROUP BY over the join: the aggregate's input delta is the join
     // delta; the partial-merge machinery applies unchanged. Since r11
-    // deletes/updates RETRACT too ([[joinAggDeltas]] — any range both
-    // sides can diff), so the gate is diffability, not append-only.
+    // deletes/updates RETRACT too ([[joinAggDeltas]] — any range every
+    // side can diff), so the gate is diffability, not append-only; since
+    // r13 the body may be an N-way star, not just fact-dim.
     // Distinct aggregates refuse the join path (the sidecar body is
     // single-base) — those fall to full
-    val joinAggIncremental = bases.size == 2 &&
+    val joinAggIncremental = bases.size >= 2 &&
       bases.forall(b => from(b).isDefined) && !joinIncremental &&
       shapeOpt.exists(_.retractable) && backingHasPartials && !hasDistinct &&
       joinAggBodyOk
@@ -5067,30 +5080,31 @@ final class SnapshotCatalog(
         append(db, mvT, parts.reduce(_ union _).toDF(names: _*))
           .summary.get("added_records").map(_.toLong).getOrElse(-1L)
       case "incremental_join" =>
-        // the classic inner-join maintenance identity under insert-only
-        // deltas: Q(A+ΔA, B+ΔB) = Q(A,B) + Q(ΔA, B+ΔB) + Q(A, ΔB) —
+        // the inner-join maintenance identity under insert-only deltas —
+        // the multilinear telescope (2-base: Q(A+ΔA, B+ΔB) = Q(A,B) +
+        // Q(ΔA, B+ΔB) + Q(A, ΔB)): term i substitutes base i's delta
+        // with earlier bases pinned at `from` and later ones at `cur` —
         // multiset-exact because projections/filters are row-local and
-        // distribute over the union. Each term joins a CHURN-sized delta
-        // against one full side (the irreducible cost of incremental
-        // join maintenance; AQE broadcasts the delta side when it fits),
-        // and the result APPENDS — refresh cost is the day's increments,
-        // never |A| × |B|.
-        val Seq(a, b) = bases
+        // joins are linear in every input. Each term joins a CHURN-sized
+        // delta against the pinned sides (the irreducible cost of
+        // incremental join maintenance; AQE broadcasts the delta side
+        // when it fits), and the result APPENDS — refresh cost is the
+        // day's increments, never Π|bases|.
         val plan = spark.sessionState.sqlParser.parsePlan(sql)
         def hid(x: (String, String)) = meta(x._1, x._2).hiddenCols.toSeq
         def deltaOf(x: (String, String)) =
           readIncremental(x._1, x._2, from(x).get, cur(x)).drop(hid(x): _*)
-        val parts = Seq.newBuilder[DataFrame]
-        if (from(a).get != cur(a))
-          parts += bodyOverBases(plan, Map(
-            a -> deltaOf(a),
-            b -> readAsOf(b._1, b._2, cur(b)).drop(hid(b): _*)))
-        if (from(b).get != cur(b))
-          parts += bodyOverBases(plan, Map(
-            a -> readAsOf(a._1, a._2, from(a).get).drop(hid(a): _*),
-            b -> deltaOf(b)))
+        val parts = bases.zipWithIndex.flatMap { case (bi, i) =>
+          if (from(bi).get == cur(bi)) None
+          else Some(bodyOverBases(plan, bases.zipWithIndex.map { case (bj, j) =>
+            bj -> (
+              if (j == i) deltaOf(bi)
+              else if (j < i) readAsOf(bj._1, bj._2, from(bj).get).drop(hid(bj): _*)
+              else readAsOf(bj._1, bj._2, cur(bj)).drop(hid(bj): _*))
+          }.toMap))
+        }
         // not fresh, so at least one side moved
-        append(db, mvT, parts.result().reduce(_.unionByName(_)))
+        append(db, mvT, parts.reduce(_.unionByName(_)))
           .summary.get("added_records").map(_.toLong).getOrElse(-1L)
       case "incremental_join_agg" =>
         // fact-dim rollup: the augmented aggregate runs over the UNION

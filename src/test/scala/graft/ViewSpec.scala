@@ -744,6 +744,90 @@ class ViewSpec extends AnyFunSuite {
     assert(cat.refreshMaterializedView("db", "sjv")._1 == "full")
   }
 
+  test("N-way star MV: 3-base bodies refresh via the multilinear telescope (r13)") {
+    val (cat, wh) = freshCat()
+    register(wh, "vj3")
+    val cust = Seq((1L, "s1"), (2L, "s2")).toDF("ck", "seg")
+    val prod = Seq((10L, "pa"), (20L, "pb")).toDF("pk", "cat")
+    val fact = Seq((1L, 10L, 5L), (1L, 20L, 7L), (2L, 10L, 11L),
+      (3L, 10L, 99L), (1L, 30L, 50L)).toDF("ck", "pk", "v") // two dangling tails
+    cat.createTable("db", "cust", cust.schema)
+    cat.createTable("db", "prod", prod.schema)
+    cat.createTable("db", "fact", fact.schema)
+    cat.append("db", "cust", cust)
+    cat.append("db", "prod", prod)
+    cat.append("db", "fact", fact)
+    cat.createMaterializedView("db", "star",
+      "SELECT c.seg AS seg, p.cat AS cat, count(*) AS n, sum(f.v) AS sv, " +
+        "min(f.v) AS mn FROM vj3.db.fact f JOIN vj3.db.cust c ON f.ck = c.ck " +
+        "JOIN vj3.db.prod p ON f.pk = p.pk GROUP BY c.seg, p.cat")
+    def expect() = noRewrite(spark.sql(
+      "SELECT c.seg AS seg, p.cat AS cat, count(*) AS n, sum(f.v) AS sv, " +
+        "min(f.v) AS mn FROM vj3.db.fact f JOIN vj3.db.cust c ON f.ck = c.ck " +
+        "JOIN vj3.db.prod p ON f.pk = p.pk GROUP BY c.seg, p.cat " +
+        "ORDER BY seg, cat").as[(String, String, Long, Long, Long)].collect().toSeq)
+    def got() = spark.sql("SELECT * FROM vj3.db.star ORDER BY seg, cat")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got() == expect())
+
+    // Δfact only: the telescope's fact term joins both pinned dims
+    cat.append("db", "fact", Seq((2L, 20L, 4L)).toDF("ck", "pk", "v"))
+    val (m1, _) = cat.refreshMaterializedView("db", "star")
+    assert(m1 == "incremental_join_agg", m1)
+    assert(got() == expect())
+
+    // Δdim only: a new customer picks up its DANGLING fact rows (ck=3)
+    cat.append("db", "cust", Seq((3L, "s1")).toDF("ck", "seg"))
+    val (m2, _) = cat.refreshMaterializedView("db", "star")
+    assert(m2 == "incremental_join_agg", m2)
+    assert(got() == expect())
+
+    // ALL THREE bases move in ONE range: each cross term must appear
+    // exactly once (from/cur pinnings make the telescope multiset-exact)
+    cat.append("db", "cust", Seq((4L, "s2")).toDF("ck", "seg"))
+    cat.append("db", "prod", Seq((30L, "pc")).toDF("pk", "cat")) // picks up (1,30,50)
+    cat.append("db", "fact", Seq((4L, 30L, 6L), (3L, 20L, 8L)).toDF("ck", "pk", "v"))
+    val (m3, _) = cat.refreshMaterializedView("db", "star")
+    assert(m3 == "incremental_join_agg", m3)
+    assert(got() == expect())
+
+    // fact delete (non-extremum) retracts arithmetically
+    cat.deleteMoR("db", "fact", col("v") === 11L)
+    val (m4, _) = cat.refreshMaterializedView("db", "star")
+    assert(m4 == "incremental_join_agg", m4)
+    assert(got() == expect())
+
+    // extremum death THROUGH the 3-way join: the affected group
+    // recomputes from the body at cur under a literal key predicate
+    cat.deleteMoR("db", "fact", col("v") === 5L) // (s1, pa)'s stored min
+    val (m5, _) = cat.refreshMaterializedView("db", "star")
+    assert(m5 == "incremental_join_agg", m5)
+    assert(got() == expect())
+
+    // dim-side delete: every joined fact row retracts, groups die
+    cat.deleteMoR("db", "prod", col("cat") === "pc")
+    val (m6, _) = cat.refreshMaterializedView("db", "star")
+    assert(m6 == "incremental_join_agg", m6)
+    assert(got() == expect())
+    assert(!got().exists(_._2 == "pc"))
+
+    // plain (non-aggregate) 3-base join MV rides incremental_join under
+    // append-only deltas on any subset of sides
+    cat.createMaterializedView("db", "star_rows",
+      "SELECT c.seg AS seg, p.cat AS cat, f.v AS v FROM vj3.db.fact f " +
+        "JOIN vj3.db.cust c ON f.ck = c.ck JOIN vj3.db.prod p ON f.pk = p.pk")
+    cat.append("db", "fact", Seq((1L, 10L, 13L)).toDF("ck", "pk", "v"))
+    cat.append("db", "prod", Seq((40L, "pd")).toDF("pk", "cat"))
+    val (m7, _) = cat.refreshMaterializedView("db", "star_rows")
+    assert(m7 == "incremental_join", m7)
+    assert(spark.sql("SELECT * FROM vj3.db.star_rows ORDER BY seg, cat, v")
+      .as[(String, String, Long)].collect().toSeq ==
+      noRewrite(spark.sql("SELECT c.seg AS seg, p.cat AS cat, f.v AS v " +
+        "FROM vj3.db.fact f JOIN vj3.db.cust c ON f.ck = c.ck " +
+        "JOIN vj3.db.prod p ON f.pk = p.pk ORDER BY seg, cat, v")
+        .as[(String, String, Long)].collect().toSeq))
+  }
+
   test("aggregate-over-join MV: fact-dim rollup merges as incremental_join_agg") {
     val (cat, wh) = freshCat()
     register(wh, "vja")
