@@ -59,7 +59,13 @@ object HeavyHitters {
     require(k > 1 && k <= MaxK, s"k must be in [2, $MaxK], got $k")
     val spark = df.sparkSession
     import spark.implicits._
-    val items = df.select(esc(itemCol.cast("string")).as("item")).as[String]
+    // the escape costs one concat per stream item — skip it entirely
+    // when the column PROVABLY carries no nulls (the common tokenized
+    // corpus: at 100 TB the stream scan dominates and the escape would
+    // be pure overhead)
+    val nullable = df.select(itemCol.cast("string")).schema.head.nullable
+    val raw = itemCol.cast("string")
+    val items = df.select((if (nullable) esc(raw) else raw).as("item")).as[String]
     // pass 1: sketch + exact n in ONE row on the driver (O(k) by the
     // aggregate's construction — never vocabulary-sized)
     val s = items.select(new MisraGriesAgg[String](k - 1, identity).toColumn).head()
@@ -82,7 +88,8 @@ object HeavyHitters {
       .groupBy("item")
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * k > s.n)
-      .select(unesc(col("item")).as("item"), col("cnt"))
+      .select((if (nullable) unesc(col("item")) else col("item")).as("item"),
+        col("cnt"))
       .orderBy(col("cnt").desc, col("item"))
   }
 
@@ -107,8 +114,15 @@ object HeavyHitters {
     require(k > 1 && k <= MaxK, s"k must be in [2, $MaxK], got $k")
     val spark = df.sparkSession
     import spark.implicits._
-    val pairs = df.select(esc(groupCol.cast("string")).as("grp"),
-      esc(itemCol.cast("string")).as("item")).as[(String, String)]
+    // same nullability guard as [[exact]]: escape only columns that can
+    // actually carry nulls
+    val rawG = groupCol.cast("string")
+    val rawI = itemCol.cast("string")
+    val Seq(gNullable, iNullable) =
+      df.select(rawG, rawI).schema.map(_.nullable).toSeq
+    val pairs = df.select(
+      (if (gNullable) esc(rawG) else rawG).as("grp"),
+      (if (iNullable) esc(rawI) else rawI).as("item")).as[(String, String)]
     val sketches = pairs.groupByKey(_._1)
       .agg(new MisraGriesAgg[(String, String)](k - 1, _._2).toColumn.name("s"))
       .toDF("grp", "s")
@@ -120,7 +134,9 @@ object HeavyHitters {
       .agg(count(lit(1)).as("cnt"))
       .join(sketches.select(col("grp"), col("s.n").as("n")), Seq("grp"))
       .where(col("cnt") * k > col("n"))
-      .select(unesc(col("grp")).as("grp"), unesc(col("item")).as("item"), col("cnt"))
+      .select((if (gNullable) unesc(col("grp")) else col("grp")).as("grp"),
+        (if (iNullable) unesc(col("item")) else col("item")).as("item"),
+        col("cnt"))
       .orderBy(col("grp"), col("cnt").desc, col("item"))
   }
 }
