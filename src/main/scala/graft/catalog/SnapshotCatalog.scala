@@ -2963,7 +2963,8 @@ final class SnapshotCatalog(
   def upsertMoR(db: String, table: String, source: DataFrame,
       keys: Seq[String],
       extraSummary: Map[String, String] = Map.empty,
-      explicitRids: Boolean = false): Snapshot = withTableLock(db, table) {
+      explicitRids: Boolean = false,
+      nullSafeKeys: Boolean = false): Snapshot = withTableLock(db, table) {
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
     val prevEntry = publishedEntry(entries)
@@ -3001,23 +3002,42 @@ final class SnapshotCatalog(
         .mkString(", "))
     val badKeys = keys.filterNot(cols.contains)
     require(badKeys.isEmpty, s"upsert keys not in table: ${badKeys.mkString(",")}")
+    // NULL-SAFE key matching (opt-in): SQL MERGE semantics say a null
+    // key never matches — the default here — but the MV refresh
+    // machinery upserts GROUP rows, and a null group key is a real
+    // group that must REPLACE its stored row, not duplicate it.
+    val lineage = rowLineageEnabled(db, table)
+    require(!(nullSafeKeys && lineage),
+      s"null-safe upsert keys are not supported with row lineage on $db.$table")
     // candidate scope: for a single statable key, the source's [min,max]
     // (one tiny agg) bounds which target files can possibly match
     val cands = keys match {
       case Seq(k) if ColumnStats.statable(schema(k).dataType) =>
-        val mm = source.agg(min(col(s"`$k`")).as("mn"), max(col(s"`$k`")).as("mx")).head()
-        if (mm.isNullAt(0)) Seq.empty // empty/all-null source matches nothing
+        val mm = source.agg(min(col(s"`$k`")).as("mn"), max(col(s"`$k`")).as("mx"),
+          max(col(s"`$k`").isNull.cast("int")).as("hasNull")).head()
+        val srcHasNull = nullSafeKeys && !mm.isNullAt(2) && mm.getInt(2) == 1
+        // footer [min,max] ranges say nothing about null-keyed rows: a
+        // null-safe source carrying null keys scans every file (the rare
+        // null-group-churn refresh; range pruning resumes when it's absent)
+        if (srcHasNull) prev.files
+        else if (mm.isNullAt(0)) Seq.empty // empty/all-null source matches nothing
         else pruneFiles(db, table, prev.snapshotId,
           col(s"`$k`") >= lit(mm.get(0)) && col(s"`$k`") <= lit(mm.get(1)))._1
       case _ => prev.files
     }
     // pass 1: positions of target rows whose key appears in the source
     val srcKeys = source.select(keys.map(k => col(s"`$k`")): _*).dropDuplicates()
-    val lineage = rowLineageEnabled(db, table)
+    val scanned =
+      if (lineage) readVisibleWithPosAndRid(db, table, prev, cands)
+      else readVisibleWithPos(db, table, prev, cands)
     val matched =
-      (if (lineage) readVisibleWithPosAndRid(db, table, prev, cands)
-       else readVisibleWithPos(db, table, prev, cands))
-        .join(srcKeys, keys, "left_semi")
+      if (!nullSafeKeys) scanned.join(srcKeys, keys, "left_semi")
+      else {
+        val sk = srcKeys.select(keys.map(k => col(s"`$k`").as(s"__uk_$k")): _*)
+        scanned.join(sk,
+          keys.map(k => scanned(s"`$k`") <=> sk(s"`__uk_$k`")).reduce(_ && _),
+          "left_semi")
+      }
     val fileEntries = writePositionDeletes(db, table, newId, matched, tag)
     val deleted = fileEntries.map(_.rows).sum
     // pass 2: ALL source rows append as the delta (replacements + inserts);
@@ -4733,11 +4753,15 @@ final class SnapshotCatalog(
       if (mm.nonEmpty && keyNames.isEmpty) return None // global min/max: full
       def mvDel(i: Int) = s"__mvdel_$i"
       def mvNeed(i: Int) = s"__mvneed_$i"
-      def nullKeyed(f: DataFrame): Boolean = keyNames.nonEmpty &&
-        !f.where(keyNames.map(k => col(s"`$k`").isNull).reduce(_ || _)).isEmpty
+      // null GROUP KEYS in the delta merge like any other value (r13):
+      // every internal join already matches null-safely (<=>), the
+      // group-death eq delete is null-safe by the delete writer's
+      // contract, and the backing/sidecar upserts opt into null-safe key
+      // matching — a null group is a real group SQL produces, and it
+      // must replace its stored row, not duplicate it or force a full
+      // refresh
       val minusOpt = minusPre.map(cached)
         .orElse(delRows.map(f => cached(bodyOver(augPlan, f))))
-      if (nullKeyed(plus) || minusOpt.exists(nullKeyed)) return None
       // NET per-group contribution: plus full-outer minus, every
       // aggregate/partial column as (p - m) with 0-coalescing; avg
       // outputs carry a placeholder (recomputed from partials below);
@@ -4818,7 +4842,12 @@ final class SnapshotCatalog(
           // of those groups with the net folded in, zero-count pairs gone
           val storedTouched =
             if (keyNames.isEmpty) backingS
-            else backingS.join(touched, keyNames.toIndexedSeq, "left_semi")
+            else {
+              val t2 = touched.select(keyNames.map(k =>
+                col(s"`$k`").as(s"__t_$k")): _*)
+              backingS.join(t2, keyNames.map(k =>
+                backingS(s"`$k`") <=> t2(s"`__t_$k`")).reduce(_ && _), "left_semi")
+            }
           // both sides descend from the same cached delta rows — rename
           // each side uniquely and join on plain column refs (dataset-
           // resolved refs across the shared lineage trip Spark's
@@ -4940,8 +4969,10 @@ final class SnapshotCatalog(
                 Some(readWhere(d2, t2, hi, pred))
               } catch { case scala.util.control.NonFatal(_) => None }
             } else None).getOrElse {
-              val aff = affected.toDF(baseKeyNames: _*)
-              readAsOf(d2, t2, hi).join(aff, baseKeyNames.toIndexedSeq, "left_semi")
+              val aff = affected.toDF(baseKeyNames.map(k => s"__a_$k"): _*)
+              val base0 = readAsOf(d2, t2, hi)
+              base0.join(aff, baseKeyNames.map(k =>
+                base0(s"`$k`") <=> aff(s"`__a_$k`")).reduce(_ && _), "left_semi")
             }.drop(hidden: _*)
             bodyOver(augPlan, restricted)
             }
@@ -4988,7 +5019,8 @@ final class SnapshotCatalog(
       dvStates.foreach { st =>
         if (minusOpt.isDefined && !st.dead.isEmpty) deleteMoREq(db, st.table, st.dead)
         if (!st.alive.isEmpty)
-          upsertMoR(db, st.table, st.alive, keyNames :+ MvDvValue)
+          upsertMoR(db, st.table, st.alive, keyNames :+ MvDvValue,
+            nullSafeKeys = true)
       }
       if (keyNames.isEmpty) {
         // global aggregate: exactly one row, always present
@@ -5002,7 +5034,7 @@ final class SnapshotCatalog(
           .select(keyNames.map(k => col(s"`$k`")): _*)
         val alive = mergedC.where(col(MvPartialRows) > 0)
         if (minusOpt.isDefined && !dead.isEmpty) deleteMoREq(db, mvT, dead)
-        Some(upsertMoR(db, mvT, alive, keyNames)
+        Some(upsertMoR(db, mvT, alive, keyNames, nullSafeKeys = true)
           .summary.get("added_records").map(_.toLong).getOrElse(-1L))
       }
       } finally releasePartials()
@@ -5137,17 +5169,13 @@ final class SnapshotCatalog(
         val deltaAgg = bodyOverDelta()
         val names = deltaAgg.schema.fieldNames
         val keyNames = shape.keyPos.map(names)
-        // null group keys do not equality-match through the upsert's
-        // delete path — a null-keyed group would duplicate. Rare (and a
-        // one-small-job probe over the delta's GROUPS, not the delta):
-        // fall back to the always-correct full rebuild.
-        val nullKeyed = keyNames.nonEmpty &&
-          !deltaAgg.where(keyNames.map(k => col(s"`$k`").isNull).reduce(_ || _))
-            .isEmpty
-        if (nullKeyed) { mode = "full"; runFull() }
-        else if (shape.aggPos.isEmpty) {
+        // null group keys merge like any other value (r13): the stored-
+        // partial join below is null-safe (<=>) and the upserts opt into
+        // null-safe key matching, so a null-keyed group REPLACES its
+        // stored row instead of duplicating
+        if (shape.aggPos.isEmpty) {
           // DISTINCT body: delta rows upsert keyed on every column
-          upsertMoR(db, mvT, deltaAgg, keyNames)
+          upsertMoR(db, mvT, deltaAgg, keyNames, nullSafeKeys = true)
             .summary.get("added_records").map(_.toLong).getOrElse(-1L)
         } else {
           // merge each delta group against its stored partial: count/sum
@@ -5173,7 +5201,7 @@ final class SnapshotCatalog(
             overwrite(db, mvT, merged)
               .summary.get("added_records").map(_.toLong).getOrElse(-1L)
           else
-            upsertMoR(db, mvT, merged, keyNames)
+            upsertMoR(db, mvT, merged, keyNames, nullSafeKeys = true)
               .summary.get("added_records").map(_.toLong).getOrElse(-1L)
         }
       case _ => runFull()

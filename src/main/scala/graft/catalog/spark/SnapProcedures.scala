@@ -250,11 +250,17 @@ object SnapProcedures {
         val small = input.getLong(1)
         val target = input.getLong(2)
         val keep = input.getInt(3)
-        // ORDER MATTERS: bin-pack before delete-shard folding would
-        // re-home covered rows; folding first keeps coverage exact, then
-        // the pack sees the folded state; manifests consolidate the
-        // final shape; expire + orphan sweep reclaim everything the
-        // preceding commits stranded.
+        // ORDER MATTERS: equality shards convert to positions FIRST
+        // (record_count comes back exact, reads drop the key-hash joins
+        // — the eq-heavy CDC table is exactly the one running nightly
+        // maintenance), then positional folding consolidates the
+        // converted state; bin-pack before delete-shard folding would
+        // re-home covered rows; manifests consolidate the final shape;
+        // expire + orphan sweep reclaim everything the preceding commits
+        // stranded.
+        val converted = cat.convertEqualityDeletes(db, t)
+          .map(s => s"converted at snapshot ${s.snapshotId}")
+          .getOrElse("no equality shards")
         val folded = cat.compactDeleteFiles(db, t)
           .map(s => s"folded to snapshot ${s.snapshotId}").getOrElse("nothing to fold")
         val packed = cat.rewriteSmallFiles(db, t, small, target)
@@ -264,6 +270,7 @@ object SnapProcedures {
         val expired = s"${cat.expireSnapshots(db, t, keep)} data files reclaimed"
         val orphans = s"${cat.removeOrphanFiles(db, t).size} orphan files swept"
         Seq(
+          row(utf8("convert_equality_deletes"), utf8(converted)),
           row(utf8("rewrite_position_deletes"), utf8(folded)),
           row(utf8("rewrite_small_files"), utf8(packed)),
           row(utf8("rewrite_manifests"), utf8(manifests)),
@@ -333,12 +340,16 @@ object SnapProcedures {
       proc("create_vector_index",
         "build a persistent IVF vector index over table's id/vector columns: " +
           "frozen centroids in <name>_cent, assignments hive-partitioned by cell " +
-          "(probes read nprobe/nlist of the files); maintain with refresh_vector_index",
+          "(probes read nprobe/nlist of the files); pq_m > 0 stores m-byte " +
+          "product-quantization codes + codebooks instead of vectors (topK " +
+          "re-ranks against the base); maintain with refresh_vector_index",
         Seq(in("table", StringType), in("index", StringType),
           in("id_col", StringType), in("vec_col", StringType),
           inDefault("nlist", IntegerType, "64"),
           inDefault("iters", IntegerType, "2"),
-          inDefault("sample_mod", LongType, "0")),
+          inDefault("sample_mod", LongType, "0"),
+          inDefault("pq_m", IntegerType, "0"),
+          inDefault("pq_bits", IntegerType, "8")),
         StructType(Seq(
           StructField("index", StringType, nullable = false),
           StructField("nlist", IntegerType, nullable = false)))) { input =>
@@ -350,8 +361,10 @@ object SnapProcedures {
         val vecCol = str(input, 3).getOrElse(
           throw new IllegalArgumentException("vec_col must not be null"))
         val nlist = input.getInt(4)
+        val pq = if (input.getInt(7) > 0) Some((input.getInt(7), input.getInt(8)))
+          else None
         graft.ops.VectorIndex.create(cat, db, t, name, idCol, vecCol,
-          nlist, input.getInt(5), input.getLong(6))
+          nlist, input.getInt(5), input.getLong(6), pq)
         Seq(row(utf8(s"$db.$name"), nlist))
       },
 

@@ -210,11 +210,10 @@ class MvRewriteSpec extends AnyFunSuite {
       "count(DISTINCT v + 1) AS dv FROM mvrgd.db.fact GROUP BY ROLLUP(k1)")
 
     // delete churn + incremental refresh: the sidecar retracts dead
-    // values and the analytic stays exact against the refreshed state.
-    // (The churn avoids null-k2 rows: a null GROUP KEY in the delta is a
-    // documented merge edge that honestly falls back to full — the
-    // backing still carries its null-k2 groups from the create.)
-    cat.deleteMoR("db", "fact", col("v") === 4 && col("k2").isNotNull)
+    // values and the analytic stays exact against the refreshed state —
+    // including the NULL-k2 groups the churn touches (null group keys
+    // merge incrementally since r13)
+    cat.deleteMoR("db", "fact", col("v") === 4)
     assertNotRewritten("SELECT k1, count(DISTINCT v) AS c FROM mvrgd.db.fact " +
       "GROUP BY ROLLUP(k1)")
     assert(cat.refreshMaterializedView("db", "gsd_mv")._1 == "incremental_agg")

@@ -423,17 +423,25 @@ class ProcedureSpec extends AnyFunSuite {
     c.append("db", "mnt", (200 until 220).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
     c.deleteMoR("db", "mnt", col("id") % 7 === 0)
     c.deleteMoR("db", "mnt", col("id") === 3L)
+    // an eq-heavy CDC table is exactly the one running nightly maintain:
+    // the sweep must retire the eq debt too (r13)
+    c.deleteMoREq("db", "mnt", Seq(11L, 12L).toDF("id"))
     val before = c.readLatest("db", "mnt").select("id").as[Long].collect().sorted.toSeq
     val res = spark.sql("CALL proccat.system.maintain('db.mnt', keep_last => 1)")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(res.keySet == Set("rewrite_position_deletes", "rewrite_small_files",
-      "rewrite_manifests", "expire_snapshots", "remove_orphan_files"), res.toString)
+    assert(res.keySet == Set("convert_equality_deletes", "rewrite_position_deletes",
+      "rewrite_small_files", "rewrite_manifests", "expire_snapshots",
+      "remove_orphan_files"), res.toString)
+    assert(res("convert_equality_deletes").contains("converted"), res.toString)
     assert(res("rewrite_position_deletes").contains("folded"), res.toString)
     val after = c.readLatest("db", "mnt").select("id").as[Long].collect().sorted.toSeq
     assert(after == before, "maintenance must be row-invisible")
     assert(c.snapshotList("db", "mnt").size == 1, "expire kept only the head")
-    assert(c.currentSnapshot("db", "mnt").deleteFiles.isEmpty ||
-      c.currentSnapshot("db", "mnt").deleteFiles.count(_.isPositional) <= 1)
+    val finalDeletes = c.currentSnapshot("db", "mnt").deleteFiles
+    assert(finalDeletes.forall(_.isPositional), "eq debt must be retired")
+    assert(c.recordCount("db", "mnt",
+      c.currentSnapshot("db", "mnt").snapshotId) == before.length.toLong,
+      "record_count exact again after the conversion")
   }
 
   test("expect.mode=commit refuses a violating frame BEFORE any write; streaming inherits") {
@@ -512,5 +520,16 @@ class ProcedureSpec extends AnyFunSuite {
       .head.getBoolean(0))
     assert(spark.sql("CALL proccat.system.refresh_vector_index('db.vix')")
       .head.getString(0) == "fresh")
+    // PQ variant from SQL (r13): codes + codebooks persist, refresh rides
+    // the same lifecycle
+    spark.sql("CALL proccat.system.create_vector_index(" +
+      "table => 'db.vemb', index => 'vpq', id_col => 'vec_id', " +
+      "vec_col => 'embedding', nlist => 8, sample_mod => 3, pq_m => 16)")
+    assert(c.tableExists("db", "vpq_books"))
+    assert(c.readLatest("db", "vpq").schema.fieldNames.contains("code"))
+    c.append("db", "vemb", emb.where(col("vec_id") % 10 === 0))
+    assert(spark.sql("CALL proccat.system.refresh_vector_index('db.vpq')")
+      .head.getString(0) == "incremental")
+    assert(c.readLatest("db", "vpq").count() == c.readLatest("db", "vemb").count())
   }
 }

@@ -388,12 +388,12 @@ class ViewSpec extends AnyFunSuite {
     assert(m2 == "incremental_agg", m2)
     assert(got() == expect())
 
-    // a NULL group key in the delta falls back to full (upsert keys
-    // cannot equality-match null), result still exact
+    // a NULL group key in the delta merges like any other value (r13:
+    // null-safe upsert keys — pre-r13 this forced a full refresh)
     cat.append("db", "base",
       Seq((300L, null.asInstanceOf[String], 7L)).toDF("id", "grp", "v"))
     val (m3, _) = cat.refreshMaterializedView("db", "stats")
-    assert(m3 == "full", m3)
+    assert(m3 == "incremental_agg", m3)
     assert(spark.sql("SELECT n FROM vagg.db.stats WHERE grp IS NULL")
       .as[Long].head() == 1L)
 
@@ -585,9 +585,9 @@ class ViewSpec extends AnyFunSuite {
     assert(cat.refreshMaterializedView("db", "agg")._1 == "incremental_agg")
     assert(got() == expect())
 
-    // null group key arriving in the delta still falls back to full
+    // null group key arriving in the delta merges incrementally (r13)
     cat.append("db", "base", Seq((980L, null.asInstanceOf[String], 1L)).toDF("id", "grp", "v"))
-    assert(cat.refreshMaterializedView("db", "agg")._1 == "full")
+    assert(cat.refreshMaterializedView("db", "agg")._1 == "incremental_agg")
     assert(got() == expect())
 
     // KEYED min/max bodies are retractable too (r11): deletes merge,
@@ -742,6 +742,60 @@ class ViewSpec extends AnyFunSuite {
       "SELECT a.k AS k FROM vjn.db.ord a JOIN vjn.db.ord b ON a.k = b.k")
     cat.append("db", "ord", Seq((8L, 80L)).toDF("k", "v"))
     assert(cat.refreshMaterializedView("db", "sjv")._1 == "full")
+  }
+
+  test("null group keys merge incrementally: replace, retract, die, rebirth (r13)") {
+    val (cat, wh) = freshCat()
+    register(wh, "vnk")
+    val df0 = Seq((1L, Option("a"), 10L), (2L, Option("a"), 20L),
+      (3L, Option.empty[String], 5L), (4L, Option.empty[String], 7L))
+      .toDF("id", "g", "v")
+    cat.createTable("db", "t", df0.schema)
+    cat.append("db", "t", df0)
+    cat.createMaterializedView("db", "nkv",
+      "SELECT g, count(*) AS n, sum(v) AS sv, min(v) AS mn, " +
+        "count(DISTINCT v) AS cd FROM vnk.db.t GROUP BY g")
+    def expect() = noRewrite(spark.sql(
+      "SELECT g, count(*) AS n, sum(v) AS sv, min(v) AS mn, " +
+        "count(DISTINCT v) AS cd FROM vnk.db.t GROUP BY g ORDER BY g")
+      .as[(Option[String], Long, Long, Long, Long)].collect().toSeq)
+    def got() = spark.sql("SELECT * FROM vnk.db.nkv ORDER BY g")
+      .as[(Option[String], Long, Long, Long, Long)].collect().toSeq
+    assert(got() == expect())
+    assert(got().count(_._1.isEmpty) == 1, "exactly one null-group row")
+
+    // null-group INSERT in the delta: the stored row must REPLACE (the
+    // pre-r13 equality upsert would duplicate it; the pre-r13 guard
+    // forced a full refresh instead)
+    cat.append("db", "t", Seq((5L, Option.empty[String], 7L),
+      (6L, Option("a"), 1L)).toDF("id", "g", "v"))
+    val (m1, _) = cat.refreshMaterializedView("db", "nkv")
+    assert(m1 == "incremental_agg", m1)
+    assert(got() == expect())
+    assert(got().count(_._1.isEmpty) == 1, got().toString)
+
+    // null-group RETRACTION, including an extremum death (v=5 is the
+    // stored min) — the recompute's key predicate must match null <=>
+    cat.deleteMoR("db", "t", col("id") === 3L)
+    val (m2, _) = cat.refreshMaterializedView("db", "nkv")
+    assert(m2 == "incremental_agg", m2)
+    assert(got() == expect())
+    assert(got().find(_._1.isEmpty).get._4 == 7L, "null group min recomputed")
+
+    // GROUP DEATH: every null-group row dies (the eq delete of the
+    // backing row is null-safe by the delete writer's contract)
+    cat.deleteMoR("db", "t", col("g").isNull)
+    val (m3, _) = cat.refreshMaterializedView("db", "nkv")
+    assert(m3 == "incremental_agg", m3)
+    assert(got() == expect())
+    assert(!got().exists(_._1.isEmpty), got().toString)
+
+    // REBIRTH in a later range
+    cat.append("db", "t", Seq((7L, Option.empty[String], 42L)).toDF("id", "g", "v"))
+    val (m4, _) = cat.refreshMaterializedView("db", "nkv")
+    assert(m4 == "incremental_agg", m4)
+    assert(got() == expect())
+    assert(got().count(_._1.isEmpty) == 1)
   }
 
   test("N-way star MV: 3-base bodies refresh via the multilinear telescope (r13)") {
