@@ -361,6 +361,13 @@ class MvRewriteSpec extends AnyFunSuite {
       "LEFT JOIN mvrs.dbs.cust c ON f.ck = c.ck " +
       "JOIN mvrs.dbs.prod p ON f.pk = p.pk GROUP BY seg")
 
+    // grouping-sets navigation composes with the N-way matcher: a ROLLUP
+    // over the 3-way star re-issues over the join-MV backing
+    assertRewritten("SELECT seg, cat, sum(v) AS s, count(*) AS n, " +
+      "grouping_id() AS gid FROM mvrs.dbs.fact f " +
+      "JOIN mvrs.dbs.cust c ON f.ck = c.ck JOIN mvrs.dbs.prod p ON f.pk = p.pk " +
+      "GROUP BY ROLLUP(seg, cat) ORDER BY gid, seg, cat")
+
     // MoR churn on the fact: stale until refresh, rewritten after
     cat.deleteMoR("dbs", "fact", col("v") === 3)
     assertNotRewritten("SELECT seg, sum(v) AS s FROM mvrs.dbs.fact f " +
