@@ -384,6 +384,37 @@ object VectorIndex {
     }
   }
 
+  /** NEAR-DUP PAIRS SERVED FROM THE INDEX — the SemDeDup cell comparison
+    * (Abbas et al. 2023) as a maintained-index QUERY: pairs within each
+    * stored cell with exact cosine >= `tau` over the STORED vectors
+    * (exact double-widened copies, so the cosine equals the base
+    * table's). The per-call training + full-corpus assignment
+    * [[Similarity.semDedup]] pays every invocation is already
+    * materialized here — ingest maintains the index ([[refresh]]), so
+    * CONTINUOUS dedup costs the pair stage alone, reading the index's
+    * cell-partitioned files. Cross-cell near-dups are missed — the
+    * approximation SemDeDup itself makes (raise nlist for cost, lower
+    * for recall). PQ indexes refuse: codes cannot exact-compare, and
+    * re-ranking every candidate pair against the base would re-pay the
+    * full semDedup cost — keep a flat index for dedup duty. */
+  def nearDupPairs(cat: SnapshotCatalog, db: String, name: String,
+      tau: Double): DataFrame = {
+    val (_, _, idCol, _, _) = state(cat, db, name)
+    require(!cat.meta(db, name).properties.contains(PropPqM),
+      s"$db.$name stores PQ codes; near-dup pairs need a FLAT index " +
+        "(stored vectors) - or run Similarity.semDedup over the base")
+    val idx = cat.readLatest(db, name)
+    val a = idx.select(col("cell"), col(idCol).as("id_a"),
+      col("vec").as("_va"), Similarity.norm(col("vec")).as("_na"))
+    val b = idx.select(col("cell"), col(idCol).as("id_b"),
+      col("vec").as("_vb"), Similarity.norm(col("vec")).as("_nb"))
+    a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(Similarity.dot(col("_va"), col("_vb")) /
+        (col("_na") * col("_nb")) >= tau)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Per-cell occupancy — the drift monitor. When ingest shifts the data
     * distribution away from the frozen centroids, cells skew; a max/mean
     * ratio past ~8 is the operational cue to [[rebuild]]. O(nlist) rows. */

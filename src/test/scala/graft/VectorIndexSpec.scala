@@ -262,6 +262,44 @@ class VectorIndexSpec extends AnyFunSuite {
       cat.readLatest("ann", "base").count())
   }
 
+  test("nearDupPairs serves the SemDeDup cell comparison from the index (r13)") {
+    val cat = newCat()
+    cat.createTable("ann", "base", emb.schema)
+    cat.append("ann", "base", emb.where(col("vec_id") % 2 === 0))
+    VectorIndex.create(cat, "ann", "base", "idx", "vec_id", "embedding",
+      nlist = 8, iters = 2, sampleMod = 3)
+    cat.deleteMoR("ann", "base", col("vec_id") % 10 === 0)
+    cat.append("ann", "base", emb.where(col("vec_id") % 2 === 1))
+    VectorIndex.refresh(cat, "ann", "idx")
+    val got = VectorIndex.nearDupPairs(cat, "ann", "idx", tau = 0.35)
+      .as[(Long, Long)].collect().toSet
+    // brute force: frozen-cell assignment of the current corpus, exact
+    // pairwise cosine within cells
+    val cents = VectorIndex.centroids(cat, "ann", "idx")
+    val cur = cat.readLatest("ann", "base")
+      .select(col("vec_id"),
+        Similarity.ivfCell(Similarity.quantize(col("embedding")), cents).as("cell"),
+        Similarity.toDouble(col("embedding")).as("v"))
+      .as[(Long, Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = (for {
+      x <- cur; y <- cur
+      if x._2 == y._2 && x._1 < y._1 && cos(x._3, y._3) >= 0.35
+    } yield (x._1, y._1)).toSet
+    assert(want.nonEmpty, "fixture should contain near-dup pairs")
+    assert(got == want)
+    // a PQ index refuses honestly (codes cannot exact-compare)
+    VectorIndex.create(cat, "ann", "base", "pqi", "vec_id", "embedding",
+      nlist = 8, iters = 2, sampleMod = 3, pq = Some((16, 8)))
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.nearDupPairs(cat, "ann", "pqi", tau = 0.35)
+    }
+    assert(e.getMessage.contains("FLAT"), e.getMessage)
+  }
+
   test("rebuild retrains deliberately and re-pins") {
     val cat = newCat()
     cat.createTable("ann", "base", emb.schema)
