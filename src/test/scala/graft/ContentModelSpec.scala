@@ -85,11 +85,22 @@ class ContentModelSpec extends AnyFunSuite {
             val tag = s"m${rng.nextInt(10)}"
             cat.updateMoR("db", "t", col("score") <= c, Map("name" -> lit(tag)))
             model = model.map(row => if (row._2 <= c) (row._1, row._2, tag) else row)
-          case 6 => // content-preserving maintenance
-            rng.nextInt(3) match {
+          case 6 => // content-preserving maintenance (r13: the scoped and
+            // forced-multi-shard variants exercise the ranged writes and
+            // the out-of-scope carry — all must stay row-invisible)
+            rng.nextInt(5) match {
               case 0 => cat.compact("db", "t", 1 + rng.nextInt(2))
               case 1 => cat.convertEqualityDeletes("db", "t")
               case 2 => cat.compactDeleteFiles("db", "t")
+              case 3 =>
+                val c = rng.nextInt(100).toLong
+                cat.convertEqualityDeletes("db", "t", Some(col("score") < c))
+              case 4 =>
+                spark.conf.set("graft.maintenance.deadRowsPerShard",
+                  (1 + rng.nextInt(8)).toString)
+                try cat.compactDeleteFiles("db", "t",
+                  Some(col("score") >= rng.nextInt(100).toLong))
+                finally spark.conf.unset("graft.maintenance.deadRowsPerShard")
             }
           case 7 => // overwrite replaces everything
             val f = frame(10 + rng.nextInt(20))
