@@ -5970,10 +5970,17 @@ final class SnapshotCatalog(
     * filesystem listing); files committed before size recording fall back
     * to one `stat` each, on the driver, still zero data reads.
     *
+    * `where` scopes the pack the same way the delete-maintenance
+    * procedures scope theirs: only sub-threshold files the predicate
+    * ADMITS ([[pruneFiles]] — footer stats, bucket dirs, transform dirs)
+    * fold; everything else carries verbatim. "Pack yesterday's
+    * partition" instead of listing the lake's debris.
+    *
     * Returns None (no commit) when fewer than two files are below the
     * threshold — rewriting one small file into one small file is churn. */
   def rewriteSmallFiles(db: String, table: String, smallBytes: Long,
-      targetBytes: Long): Option[Snapshot] = withTableLock(db, table) {
+      targetBytes: Long,
+      where: Option[Column] = None): Option[Snapshot] = withTableLock(db, table) {
     require(smallBytes > 0 && targetBytes > 0,
       s"thresholds must be positive: smallBytes=$smallBytes targetBytes=$targetBytes")
     val snap = currentSnapshot(db, table)
@@ -5981,7 +5988,14 @@ final class SnapshotCatalog(
     def sizeOf(f: String): Long =
       snap.fileStats.get(f).flatMap(_.get("bytes")).map(_.toLong)
         .getOrElse(Files.size(root.resolve(f)))
-    val (small, big) = snap.files.partition(sizeOf(_) < smallBytes)
+    val (small0, big0) = snap.files.partition(sizeOf(_) < smallBytes)
+    val (small, big) = where match {
+      case None => (small0, big0)
+      case Some(cond) =>
+        val admitted = pruneFiles(db, table, snap.snapshotId, cond)._1.toSet
+        val (in, out) = small0.partition(admitted)
+        (in, big0 ++ out)
+    }
     if (small.size < 2) None
     else {
       val totalSmall = small.map(sizeOf).sum

@@ -125,14 +125,18 @@ object SnapProcedures {
       },
 
       proc("rewrite_small_files",
-        "bin-pack only sub-threshold files into ~target_bytes outputs; large files carry verbatim",
+        "bin-pack only sub-threshold files into ~target_bytes outputs; large files " +
+          "carry verbatim; optional predicate scopes the pack to admitted files",
         Seq(in("table", StringType), in("small_bytes", LongType),
-          in("target_bytes", LongType)),
+          in("target_bytes", LongType),
+          inDefault("predicate", StringType, "NULL")),
         StructType(Seq(
           StructField("snapshot_id", LongType, nullable = true),
           StructField("rewritten", BooleanType, nullable = false)))) { input =>
         val (db, t) = dbTable(input, 0)
-        cat.rewriteSmallFiles(db, t, input.getLong(1), input.getLong(2)) match {
+        val scope = str(input, 3).map(org.apache.spark.sql.functions.expr)
+        cat.rewriteSmallFiles(db, t, input.getLong(1), input.getLong(2),
+          scope) match {
           case Some(snap) => Seq(row(snap.snapshotId, true))
           case None       => Seq(row(null, false)) // <2 small files: no commit
         }
@@ -238,11 +242,15 @@ object SnapProcedures {
       },
 
       proc("maintain",
-        "one-call steady-state maintenance: bin-pack small files, fold delete shards, consolidate manifests, expire old snapshots, sweep orphans",
+        "one-call steady-state maintenance: convert eq deletes, fold delete shards, " +
+          "bin-pack small files, consolidate manifests, expire old snapshots, sweep " +
+          "orphans; optional predicate scopes the data/delete rewrites to admitted " +
+          "files (expire/orphans stay table-wide - they reclaim, never rewrite)",
         Seq(in("table", StringType),
           inDefault("small_bytes", LongType, "33554432"),      // 32 MB
           inDefault("target_bytes", LongType, "134217728"),    // 128 MB
-          inDefault("keep_last", IntegerType, "5")),
+          inDefault("keep_last", IntegerType, "5"),
+          inDefault("predicate", StringType, "NULL")),
         StructType(Seq(
           StructField("action", StringType, nullable = false),
           StructField("detail", StringType, nullable = false)))) { input =>
@@ -250,6 +258,7 @@ object SnapProcedures {
         val small = input.getLong(1)
         val target = input.getLong(2)
         val keep = input.getInt(3)
+        val scope = str(input, 4).map(org.apache.spark.sql.functions.expr)
         // ORDER MATTERS: equality shards convert to positions FIRST
         // (record_count comes back exact, reads drop the key-hash joins
         // — the eq-heavy CDC table is exactly the one running nightly
@@ -258,12 +267,12 @@ object SnapProcedures {
         // re-home covered rows; manifests consolidate the final shape;
         // expire + orphan sweep reclaim everything the preceding commits
         // stranded.
-        val converted = cat.convertEqualityDeletes(db, t)
+        val converted = cat.convertEqualityDeletes(db, t, scope)
           .map(s => s"converted at snapshot ${s.snapshotId}")
           .getOrElse("no equality shards")
-        val folded = cat.compactDeleteFiles(db, t)
+        val folded = cat.compactDeleteFiles(db, t, scope)
           .map(s => s"folded to snapshot ${s.snapshotId}").getOrElse("nothing to fold")
-        val packed = cat.rewriteSmallFiles(db, t, small, target)
+        val packed = cat.rewriteSmallFiles(db, t, small, target, scope)
           .map(s => s"packed to snapshot ${s.snapshotId}").getOrElse("no small files")
         val manifests = cat.rewriteManifests(db, t)
           .map(s => s"rewritten at snapshot ${s.snapshotId}").getOrElse("single shard already")

@@ -495,6 +495,37 @@ class ProcedureSpec extends AnyFunSuite {
     assert(c.readLatest("db", "sized").count() == 500)
   }
 
+  test("scoped maintain: rewrites touch only admitted files, out-of-scope carries verbatim (r13)") {
+    import org.apache.spark.sql.functions._
+    val c = cat
+    val a = (0 until 100).map(i => (i.toLong, if (i < 50) "p0" else "p1", s"v$i"))
+      .toDF("id", "part", "v")
+    c.createTable("db", "smnt", a.schema, partitionCols = Seq("part"))
+    c.append("db", "smnt", a.repartition(4)) // several small files per partition
+    c.deleteMoR("db", "smnt", col("id") === 3L)  // p0 positions
+    c.deleteMoR("db", "smnt", col("id") === 7L)  // p0 positions
+    c.deleteMoREq("db", "smnt", Seq(60L).toDF("id")) // p1 eq shard
+    c.deleteMoR("db", "smnt", col("id") === 61L) // p1 positions
+    val pre = c.currentSnapshot("db", "smnt")
+    val p1Files = pre.files.filter(_.contains("part=p1")).toSet
+    val before = c.readLatest("db", "smnt").select("id").as[Long].collect().sorted.toSeq
+
+    // scope to p0: p0's positional shards fold and its small files pack;
+    // p1's DATA files and its eq shard carry byte-identical
+    val res = spark.sql("CALL proccat.system.maintain('db.smnt', " +
+      "small_bytes => 33554432, keep_last => 100, predicate => 'part = \\'p0\\'')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(res("rewrite_position_deletes").contains("folded"), res.toString)
+    assert(res("rewrite_small_files").contains("packed"), res.toString)
+    val post = c.currentSnapshot("db", "smnt")
+    assert(p1Files.subsetOf(post.files.toSet),
+      "out-of-scope partition's data files must carry verbatim")
+    assert(post.deleteFiles.exists(!_.isPositional),
+      "out-of-scope eq shard must survive a p0-scoped maintain")
+    val after = c.readLatest("db", "smnt").select("id").as[Long].collect().sorted.toSeq
+    assert(after == before, "scoped maintenance must be row-invisible")
+  }
+
   test("vector index lifecycle from SQL: create, refresh modes, rebuild") {
     import org.apache.spark.sql.functions._
     val c = cat
