@@ -1260,4 +1260,80 @@ class ViewSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("partitionBy"))
   }
+
+  test("randomized MV battery: backings equal recomputes under every churn interleaving (r13)") {
+    // the differential-checker class that found r12's eq-delete bug,
+    // pointed at the MV machinery: random base/dim churn (null group
+    // keys included) interleaved with refreshes of four view shapes —
+    // plain partials, DISTINCT sidecar, keyed min/max, and a fact-dim
+    // join rollup — each refresh's backing compared against a
+    // rewrite-off recompute of the body.
+    val (cat, wh) = freshCat()
+    register(wh, "vmrb")
+    val rng = new scala.util.Random(77)
+    def gOf(i: Long): Option[String] =
+      if (i % 7 == 3) None else Some(s"g${i % 3}")
+    def rows(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i, gOf(i), i % 5, (i % 23) * 3)).toDF("id", "g", "k", "v")
+    var nextId = 0L
+    def batch(n: Int): org.apache.spark.sql.DataFrame = {
+      val ids = (nextId until nextId + n); nextId += n; rows(ids)
+    }
+    cat.createTable("db", "t", rows(Seq(0L)).schema)
+    cat.append("db", "t", batch(40))
+    val dim = Seq((0L, "s0"), (1L, "s0"), (2L, "s1"), (3L, "s1"), (4L, "s2"))
+      .toDF("k", "s")
+    cat.createTable("db", "d", dim.schema)
+    cat.append("db", "d", dim)
+
+    val bodies = Map(
+      "m1" -> ("SELECT g, count(*) AS n, sum(v) AS sv, avg(v) AS av " +
+        "FROM vmrb.db.t GROUP BY g"),
+      "m2" -> ("SELECT g, count(DISTINCT v) AS cd, count(*) AS n " +
+        "FROM vmrb.db.t GROUP BY g"),
+      "m3" -> ("SELECT g, min(v) AS mn, max(v) AS mx, count(*) AS n " +
+        "FROM vmrb.db.t GROUP BY g"),
+      "m4" -> ("SELECT d.s AS s, count(*) AS n, sum(t.v) AS sv " +
+        "FROM vmrb.db.t t JOIN vmrb.db.d d ON t.k = d.k GROUP BY d.s"))
+    bodies.foreach { case (m, sql) => cat.createMaterializedView("db", m, sql) }
+    val modes = scala.collection.mutable.Map.empty[String, List[String]]
+      .withDefaultValue(Nil)
+    def refreshAndCheck(m: String): Unit = {
+      val (mode, _) = cat.refreshMaterializedView("db", m)
+      modes(m) = mode :: modes(m)
+      val want = noRewrite(spark.sql(bodies(m) + " ORDER BY 1")
+        .collect().map(_.toString).toSeq)
+      val got = spark.sql(s"SELECT * FROM vmrb.db.$m ORDER BY 1")
+        .collect().map(_.toString).toSeq
+      assert(got == want, s"$m diverged after mode=$mode:\n got=$got\nwant=$want")
+    }
+
+    for (step <- 1 to 14) {
+      rng.nextInt(6) match {
+        case 0 => cat.append("db", "t", batch(3 + rng.nextInt(8)))
+        case 1 =>
+          val (m, r) = (2 + rng.nextInt(4), rng.nextInt(4))
+          cat.deleteMoR("db", "t", col("id") % m === r.toLong)
+        case 2 =>
+          val c = rng.nextInt(60).toLong
+          cat.updateMoR("db", "t", col("v") === c, Map("v" -> lit(c + 100L)))
+        case 3 => // dim churn: new key picks up dangling facts / key dies
+          if (rng.nextBoolean()) {
+            val k = 5L + rng.nextInt(3)
+            cat.append("db", "d", Seq((k, s"s${k % 3}")).toDF("k", "s"))
+          } else cat.deleteMoR("db", "d", col("k") === rng.nextInt(5).toLong)
+        case 4 => refreshAndCheck(Seq("m1", "m2", "m3", "m4")(rng.nextInt(4)))
+        case 5 => // eq delete by id (covers the sequence rule on bases)
+          val vic = (0 until 3).map(_ => rng.nextLong(math.max(1L, nextId)))
+          cat.deleteMoREq("db", "t", vic.toDF("id"))
+      }
+      if (step % 5 == 0) Seq("m1", "m2", "m3", "m4").foreach(refreshAndCheck)
+    }
+    Seq("m1", "m2", "m3", "m4").foreach(refreshAndCheck)
+    // the battery must actually exercise the incremental machinery —
+    // an all-full run would vacuously pass
+    for (m <- Seq("m1", "m2", "m3", "m4"))
+      assert(modes(m).exists(_.startsWith("incremental")),
+        s"$m never refreshed incrementally: ${modes(m).reverse}")
+  }
 }
