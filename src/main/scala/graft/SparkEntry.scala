@@ -1617,6 +1617,26 @@ object SparkEntry {
       graft.ops.HeavyHitters.exactPerGroup(toks, col("lang"), col("tok"), k = 30)
     }),
 
+    // EXACT EDIT-DISTANCE JOIN (r13): every pair within Levenshtein
+    // distance 2 over a short key column, via FastSS deletion-
+    // neighborhood banding (radius-2 variants equi-joined — exact recall
+    // by the alignment/pigeonhole argument, NEVER all-pairs) and the
+    // codegen'd thresholded levenshtein verify. The fixture derives keys
+    // with three per-group mutation classes (identity / 1-insert /
+    // substitute+insert) so in-group distances hit 1 and 2 and adjacent
+    // groups collide at distance 1-2 through digit edits; DuckDB replays
+    // the TRUE distance over all id-ordered pairs, so one missed or
+    // spurious pair (or one off-by-one distance) fails the hash.
+    "q162_fuzzy_join" -> ((s, dir) => {
+      val keyed = T(s, dir, "documents").select(col("doc_id"),
+        concat(lit("tok"), (col("doc_id") % 120).cast("string"),
+          when(col("doc_id") % 3 === 1, lit("x"))
+            .when(col("doc_id") % 3 === 2, lit("qz"))
+            .otherwise(lit(""))).as("s"))
+      graft.ops.FuzzyJoin.pairs(keyed, col("doc_id"), col("s"), k = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // EQUALITY→POSITIONAL DELETE CONVERSION (r12, Iceberg
     // convert_equality_deletes): after eq-heavy CDC ingest, one
     // maintenance commit materializes each eq shard's kills as exact
@@ -4462,6 +4482,19 @@ object SparkEntry {
         |SELECT c.grp, item, CAST(cnt AS BIGINT) AS cnt
         |FROM c JOIN tot USING (grp) WHERE cnt * 30 > n
         |ORDER BY grp, cnt DESC, item""".stripMargin,
+
+    // the true distance over every id-ordered pair of the derived keys
+    "q162_fuzzy_join" ->
+      """WITH s AS (
+        |  SELECT doc_id, 'tok' || CAST(doc_id % 120 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 1 THEN 'x'
+        |         WHEN doc_id % 3 = 2 THEN 'qz' ELSE '' END AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the merged survivors from raw: evens minus the positional %10==2
     // minus the eq-killed %7==0 EVENS, plus every %9==0 odd — including

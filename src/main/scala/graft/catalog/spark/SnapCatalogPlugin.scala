@@ -957,8 +957,21 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         // (the hidden __bucket layout column is not in the SQL-visible
         // schema — the DPP rule resolves filterAttributes against it, so
         // only the bucket SOURCE column may be advertised)
+        //
+        // Declared sort-order columns are advertised too (r13): every
+        // library commit range-clusters output on `write.sort-order`, so
+        // per-file footer bounds are tight — effectively DISJOINT on the
+        // leading column — and a runtime join-key IN skips files through
+        // the footer-stat tier the way partition columns skip dirs
+        // (Iceberg advertises only partition columns; clustered footer
+        // stats make data columns equally prunable here). Driver cost is
+        // bounded by the wrapper's large-IN range collapse.
         runtimeFilterCols =
-          tableMeta.partitionCols.filterNot(tableMeta.hiddenCols) ++ bucketSpec.map(_._1),
+          (tableMeta.partitionCols.filterNot(tableMeta.hiddenCols) ++
+            bucketSpec.map(_._1) ++
+            tableMeta.properties.get("write.sort-order").toSeq
+              .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+              .filter(c => snap.schema.fieldNames.contains(c))).distinct,
         wrapScan = (scan, keptFiles, pushedExprs, requiredSchema) => {
           // snapshot-exact statistics are only honest for an UNFILTERED
           // scan of the full file list; any pushed/runtime conjunct means

@@ -1,6 +1,6 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThanOrEqual, In, LessThanOrEqual, Literal}
 import org.apache.spark.sql.connector.expressions.{Expressions, LiteralValue, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
@@ -169,6 +169,13 @@ class GraftPruningScanBuilder(
   * Untranslatable predicates contribute no pruning (sound: the join above
   * re-evaluates everything). Statistics and plan-equality delegate to the
   * initial scan so AQE estimates and exchange/scan reuse are unaffected. */
+private[sql] object GraftRuntimeFilteredScan {
+  /** Above this arity a runtime IN is collapsed to its [min, max] range
+    * before entering the skip tiers — same plan-bloat threshold as
+    * graft.ops.HeavyHitters' literal-IN / semi-join switch. */
+  val MaxExactInArity = 1024
+}
+
 private[sql] final class GraftRuntimeFilteredScan(
     builder: GraftPruningScanBuilder,
     private[sql] val initial: Scan,
@@ -282,7 +289,27 @@ private[sql] final class GraftRuntimeFilteredScan(
           a <- attr(p.children().head)
           ls <- Some(p.children().tail.toSeq.map(lit))
           if ls.nonEmpty && ls.forall(_.exists(_.dataType.sameType(a.dataType)))
-        } yield In(a, ls.map(_.get))
+        } yield {
+          val values = ls.map(_.get)
+          // Large runtime IN sets (a low-selectivity build side, or a
+          // join key that is a SORT column rather than a partition
+          // column) would cost O(files x values) in the footer-stat tier
+          // and bloat the re-pushed parquet filter. Past the threshold,
+          // collapse to the set's [min, max] range — a strictly WEAKER
+          // conjunct (sound: the join above re-evaluates), and exactly
+          // the shape clustered footer bounds prune best. Null literals
+          // never match an equality, so they drop from the range.
+          val nonNull = values.filter(_.value != null)
+          if (values.size <= GraftRuntimeFilteredScan.MaxExactInArity ||
+              nonNull.isEmpty) In(a, values)
+          else {
+            val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+              .getInterpretedOrdering(a.dataType)
+            val vs = nonNull.map(_.value)
+            And(GreaterThanOrEqual(a, Literal(vs.min(ord), a.dataType)),
+              LessThanOrEqual(a, Literal(vs.max(ord), a.dataType)))
+          }
+        }
       case "=" => p.children() match {
         case Array(l, r) =>
           (attr(l), lit(r)) match {

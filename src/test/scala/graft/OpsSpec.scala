@@ -1553,4 +1553,66 @@ class OpsSpec extends AnyFunSuite {
     assert(after(tail) > before(tail), s"tail $tail share must rise")
     assert(math.abs(outN - bigN) / bigN < 0.05, s"expected-size preservation: $outN vs $bigN")
   }
+
+  test("fuzzy join: exact vs brute force on a seeded random corpus, k=1 and k=2") {
+    import graft.ops.FuzzyJoin
+    // small alphabet + short strings force dense collisions at every
+    // distance, so both recall and precision are exercised hard
+    val rnd = new scala.util.Random(20260815L)
+    val strs = (1L to 90L).map { id =>
+      val len = 1 + rnd.nextInt(7)
+      (id, (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val df = strs.toDF("id", "s")
+    def brute(k: Int): Set[(Long, Long, Long)] =
+      (for {
+        (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+        d = levDist(sa, sb) if d <= k
+      } yield (ia, ib, d.toLong)).toSet
+    for (k <- Seq(1, 2)) {
+      val got = FuzzyJoin.pairs(df, col("id"), col("s"), k)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == brute(k), s"k=$k: symmetric difference ${(got diff brute(k)) ++ (brute(k) diff got)}")
+    }
+  }
+
+  test("fuzzy join: nulls drop, empty strings band, unicode counts code points") {
+    import graft.ops.FuzzyJoin
+    val df = Seq((1L, ""), (2L, "ab"), (3L, null.asInstanceOf[String]),
+      (4L, "a"), (5L, "éb"), (6L, "xyzzy")).toDF("id", "s")
+    val got = FuzzyJoin.pairs(df, col("id"), col("s"), k = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // ed("","ab")=2, ed("","a")=1, ed("ab","a")=1, ed("ab","éb")=1,
+    // ed("a","éb")=2, ed("","éb")=2; null joins nothing; xyzzy is far
+    val want = Set((1L, 2L, 2L), (1L, 4L, 1L), (2L, 4L, 1L),
+      (2L, 5L, 1L), (4L, 5L, 2L), (1L, 5L, 2L))
+    assert(got == want)
+  }
+
+  test("fuzzy two-table join: linkage pairs exact vs brute force") {
+    import graft.ops.FuzzyJoin
+    val left = Seq((10L, "alpha"), (11L, "beta"), (12L, "gama")).toDF("lid", "ls")
+    val right = Seq((20L, "alpah"), (21L, "betta"), (22L, "gamma"), (23L, "delta"))
+      .toDF("rid", "rs")
+    val got = FuzzyJoin.join(left, col("lid"), col("ls"),
+        right, col("rid"), col("rs"), k = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      (il, sl) <- Seq((10L, "alpha"), (11L, "beta"), (12L, "gama"))
+      (ir, sr) <- Seq((20L, "alpah"), (21L, "betta"), (22L, "gamma"), (23L, "delta"))
+      d = levDist(sl, sr) if d <= 2
+    } yield (il, ir, d.toLong)).toSet
+    assert(got == want)
+    assert(want.contains((10L, 20L, 2L)) && want.contains((12L, 22L, 1L)),
+      "fixture sanity: transposition-as-2 and insert-as-1 pairs present")
+  }
+
+  /** Textbook unit-cost Levenshtein for the differential checks. */
+  private def levDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
