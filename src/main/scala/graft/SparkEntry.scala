@@ -1637,6 +1637,45 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // OUTER-JOIN MV NAVIGATION (r13): an aggregate over fact LEFT JOIN dim
+    // serves from a covering MV whose body is the IDENTICAL join tree —
+    // the strict shape lane (outer joins don't commute with filters, so
+    // unlike the inner lane the trees must match node for node; top-level
+    // residuals on group keys still re-apply). The dim drops every third
+    // customer so a genuine null-extended segment group exists — exactly
+    // the rows an inner-join MV could never answer. Fact-side MoR churn +
+    // refresh first; REQUIREs the rewrite fires; the oracle replays the
+    // raw LEFT JOIN over the survivors.
+    "q163_mv_outer_navigate" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "lo_mv")) cat.dropView("maint", "lo_mv")
+      for (t <- Seq("lo_fact", "lo_dim"))
+        if (cat.tableExists("maint", t)) cat.dropTable("maint", t)
+      val fact = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dim = T(s, dir, "customer").where(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      cat.createTable("maint", "lo_fact", fact.schema)
+      cat.append("maint", "lo_fact", fact)
+      cat.createTable("maint", "lo_dim", dim.schema)
+      cat.append("maint", "lo_dim", dim)
+      cat.createMaterializedView("maint", "lo_mv",
+        "SELECT d.c_mktsegment, f.o_orderstatus, count(*) AS n, sum(f.cents) AS sc " +
+          "FROM maint.lo_fact f LEFT JOIN maint.lo_dim d ON f.o_custkey = d.c_custkey " +
+          "GROUP BY d.c_mktsegment, f.o_orderstatus")
+      cat.deleteMoR("maint", "lo_fact", col("o_orderkey") % 7 === 3)
+      val (mode, _) = cat.refreshMaterializedView("maint", "lo_mv")
+      require(mode != "fresh", s"churn must force a refresh, saw '$mode'")
+      val df = s.sql(
+        "SELECT c_mktsegment, sum(cents) AS sc, count(*) AS n " +
+          "FROM snapdml.maint.lo_fact f LEFT JOIN snapdml.maint.lo_dim d " +
+          "ON f.o_custkey = d.c_custkey WHERE f.o_orderstatus = 'F' " +
+          "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+      require(df.queryExecution.optimizedPlan.toString.contains("__mv_lo_mv"),
+        "the LEFT JOIN rollup must be answered from the outer-join MV backing")
+      df
+    }),
+
     // EQUALITY→POSITIONAL DELETE CONVERSION (r12, Iceberg
     // convert_equality_deletes): after eq-heavy CDC ingest, one
     // maintenance commit materializes each eq shard's kills as exact
@@ -4495,6 +4534,20 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the raw LEFT JOIN rollup over the churn survivors (the %7==3 MoR
+    // delete as a filter; the dim keeps only c_custkey % 3 <> 0)
+    "q163_mv_outer_navigate" ->
+      """WITH f AS (
+        |  SELECT o_custkey, o_orderstatus,
+        |    CAST(FLOOR(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 7 <> 3),
+        |d AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0)
+        |SELECT d.c_mktsegment, CAST(sum(f.cents) AS BIGINT) AS sc,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM f LEFT JOIN d ON f.o_custkey = d.c_custkey
+        |WHERE f.o_orderstatus = 'F'
+        |GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment""".stripMargin,
 
     // the merged survivors from raw: evens minus the positional %10==2
     // minus the eq-killed %7==0 EVENS, plus every %9==0 odd — including

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, KnownNotNull, Literal, PredicateHelper, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, Sort, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -30,7 +30,15 @@ import graft.catalog.SnapshotCatalog
   *    as `σ(cond)(A × B)`, so ON-clause vs WHERE vs pushed-down conjunct
   *    placement never matters — all placements normalize into ONE
   *    conjunct set over the leaf multiset, and leaf pairing is by table
-  *    identity (which is why a self-join refuses: no unambiguous rebase);
+  *    identity (which is why a self-join refuses: no unambiguous rebase).
+  *    Trees containing an OUTER / SEMI / ANTI join (r13) take a STRICT
+  *    shape lane instead: filters do not commute with those joins, so the
+  *    query's join tree must be IDENTICAL to the view body's (structure,
+  *    join types, per-node ON conjunct sets, in-tree filters), with only
+  *    the filters ABOVE the top join subject to the usual subsumption —
+  *    once trees are equal the backing pre-aggregates the exact same
+  *    relational expression, and the service matrix below is join-type
+  *    agnostic;
   *  - a materialized view over THE SAME relation set has its recorded
   *    base pins (`mv.base.<db>.<t>`) equal to BOTH the snapshots the
   *    query's scans serve and the tables' current snapshots — i.e. the
@@ -110,6 +118,113 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
       case _ => None
     }
 
+  // ---- the OUTER-JOIN lane (r13): strict shape matching ------------------
+  //
+  // Inner conjuncts normalize (σ(cond)(A × B) placement-independence), but
+  // an outer/semi/anti join does NOT commute with its filters — so queries
+  // containing one match a view only when the two join TREES are IDENTICAL:
+  // same structure, same join types, same leaf tables position by position,
+  // per-node ON conjunct sets semantically equal, and any filter INSIDE the
+  // tree equal at the same node. Filters ABOVE the top join keep the usual
+  // subsumption rule (σ commutes with Γ through group-key residuals). Once
+  // trees are equal the backing is Γ_keys(σ_bodyTop(J)) for the exact same
+  // relational expression J the query computes — so the exact / rollup
+  // service matrix is join-type agnostic from here on.
+  private sealed trait JoinTree
+  private case class TLeaf(rel: DataSourceV2Relation) extends JoinTree
+  private case class TFilter(conj: Seq[Expression], child: JoinTree) extends JoinTree
+  private case class TNode(jt: JoinType, left: JoinTree, right: JoinTree,
+      cond: Seq[Expression]) extends JoinTree
+
+  private sealed trait QueryShape {
+    def rels: Seq[DataSourceV2Relation]
+    def allConjuncts: Seq[Expression]
+  }
+  private case class InnerShape(conj: Seq[Expression],
+      rels: Seq[DataSourceV2Relation]) extends QueryShape {
+    def allConjuncts: Seq[Expression] = conj
+  }
+  private case class OuterShape(topConj: Seq[Expression], tree: JoinTree,
+      rels: Seq[DataSourceV2Relation]) extends QueryShape {
+    def allConjuncts: Seq[Expression] = topConj ++ treeConjuncts(tree)
+  }
+
+  private def supportedJoinType(jt: JoinType): Boolean = jt match {
+    case Inner | Cross | LeftOuter | RightOuter | FullOuter |
+         LeftSemi | LeftAnti => true
+    case _ => false
+  }
+
+  private def buildTree(p: LogicalPlan): Option[JoinTree] = p match {
+    case SubqueryAlias(_, c) => buildTree(c)
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => buildTree(c)
+    case Filter(cond, c) =>
+      buildTree(c).map(TFilter(splitConjunctivePredicates(cond), _))
+    case j: Join if supportedJoinType(j.joinType) =>
+      for { l <- buildTree(j.left); r <- buildTree(j.right) }
+        yield TNode(j.joinType, l, r, j.condition.toSeq.flatMap(splitConjunctivePredicates))
+    case r: DataSourceV2Relation => Some(TLeaf(r))
+    case _ => None
+  }
+
+  /** Peel top-level filters/aliases/projections into the subsumable
+    * conjunct set, then build the strict join tree below. Only used when
+    * the tree actually contains a non-inner join — pure inner forests take
+    * the flexible [[scanForest]] lane. */
+  private def outerSplit(p: LogicalPlan): Option[(Seq[Expression], JoinTree)] =
+    p match {
+      case SubqueryAlias(_, c) => outerSplit(c)
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => outerSplit(c)
+      case Filter(cond, c) =>
+        outerSplit(c).map { case (cs, t) =>
+          (splitConjunctivePredicates(cond) ++ cs, t) }
+      case _ => buildTree(p).map((Seq.empty[Expression], _))
+    }
+
+  private def leavesOf(t: JoinTree): Seq[DataSourceV2Relation] = t match {
+    case TLeaf(r) => Seq(r)
+    case TFilter(_, c) => leavesOf(c)
+    case TNode(_, l, r, _) => leavesOf(l) ++ leavesOf(r)
+  }
+
+  private def treeConjuncts(t: JoinTree): Seq[Expression] = t match {
+    case TLeaf(_) => Seq.empty
+    case TFilter(cs, c) => cs ++ treeConjuncts(c)
+    case TNode(_, l, r, cs) => cs ++ treeConjuncts(l) ++ treeConjuncts(r)
+  }
+
+  private def hasOuter(t: JoinTree): Boolean = t match {
+    case TLeaf(_) => false
+    case TFilter(_, c) => hasOuter(c)
+    case TNode(jt, l, r, _) =>
+      (jt != Inner && jt != Cross) || hasOuter(l) || hasOuter(r)
+  }
+
+  /** Semantic multiset equality of two conjunct sets. */
+  private def conjSetEq(a: Seq[Expression], b: Seq[Expression]): Boolean = {
+    if (a.length != b.length) return false
+    val rem = b.toBuffer
+    a.forall { x =>
+      val i = rem.indexWhere(_.semanticEquals(x))
+      if (i < 0) false else { rem.remove(i); true }
+    }
+  }
+
+  /** Structural tree equality: query tree vs REBASED body tree. */
+  private def treeEq(q: JoinTree, b: JoinTree,
+      reb: Expression => Expression,
+      keyOf: DataSourceV2Relation => Option[(String, String)]): Boolean =
+    (q, b) match {
+      case (TLeaf(qr), TLeaf(br)) =>
+        keyOf(qr).isDefined && keyOf(qr) == keyOf(br)
+      case (TFilter(qc, qch), TFilter(bc, bch)) =>
+        conjSetEq(qc, bc.map(reb)) && treeEq(qch, bch, reb, keyOf)
+      case (TNode(qt, ql, qr, qc), TNode(bt, bl, br, bc)) =>
+        qt == bt && conjSetEq(qc, bc.map(reb)) &&
+          treeEq(ql, bl, reb, keyOf) && treeEq(qr, br, reb, keyOf)
+      case _ => false
+    }
+
   /** The snapshot id a relation's scan serves: the reader-option
     * time-travel override, else the resolved table's own snapshot. */
   private def servedSnapshotId(rel: DataSourceV2Relation): Option[Long] = {
@@ -128,7 +243,17 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     if (!agg.resolved) return None
-    val (userConj, rels) = scanForest(agg.child).getOrElse(return None)
+    // inner forests take the flexible conjunct-normalizing lane; a tree
+    // containing an outer/semi/anti join takes the strict shape lane
+    val shape: QueryShape = scanForest(agg.child)
+      .map { case (c, r) => InnerShape(c, r) }
+      .orElse(outerSplit(agg.child).collect {
+        case (top, tree) if hasOuter(tree) =>
+          OuterShape(top, tree, leavesOf(tree))
+      })
+      .getOrElse(return None)
+    val rels = shape.rels
+    val userConj = shape.allConjuncts
     if (!(userConj.forall(usable) && agg.groupingExpressions.forall(usable) &&
         agg.aggregateExpressions.forall(usable))) return None
     // metadata-served global aggregates (unfiltered count/min/max over the
@@ -145,7 +270,7 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
         })) return None
     val (plugin, candidates) = freshCandidates(rels).getOrElse(return None)
     val matches = candidates.flatMap { case (vdb, v, mvT, sql, dv) =>
-      tryMatch(agg, userConj, rels, plugin, vdb, v, mvT, sql, dv)
+      tryMatch(agg, shape, rels, plugin, vdb, v, mvT, sql, dv)
     }
     // smallest backing wins: fewer group keys = more pre-aggregation
     matches.sortBy(_._1).headOption.map(_._2)
@@ -249,7 +374,8 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
       rels: Seq[DataSourceV2Relation], plugin: SnapCatalogPlugin, db: String,
       view: String, mvT: String, sql: String,
       dvTables: Map[Int, String]): Option[(Int, LogicalPlan)] = Try {
-    val ctx = analyzeBody(userConj, rels, plugin, db, mvT, sql).getOrElse(return None)
+    val ctx = analyzeBody(InnerShape(userConj, rels), rels, plugin, db, mvT, sql)
+      .getOrElse(return None)
     val BodyCtx(backingCols, nBodyGroups, keyCols, aggOuts, residualCols) = ctx
     // every grouping key must be an MV group-key OUTPUT
     val keyNames: Seq[String] =
@@ -541,7 +667,7 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
       aggOuts: Seq[(Int, AggregateExpression, String)],
       residualCols: Seq[Expression])
 
-  private def analyzeBody(userConj: Seq[Expression],
+  private def analyzeBody(shape: QueryShape,
       rels: Seq[DataSourceV2Relation], plugin: SnapCatalogPlugin, db: String,
       mvT: String, sql: String): Option[BodyCtx] = {
     val cat = plugin.snapViews
@@ -585,10 +711,6 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
       case a: Aggregate => a
       case _ => return None
     }
-    val (bodyConjRaw, bodyRels) = scanForest(bodyAgg.child).getOrElse(return None)
-    if (!bodyConjRaw.forall(usable)) return None
-
-    // ---- pair body leaves to query leaves by table identity, rebase ----
     def keyOf(r: DataSourceV2Relation): Option[(String, String)] =
       r.identifier.filter(_.namespace().length == 1)
         .map(i => (i.namespace()(0), i.name()))
@@ -596,37 +718,70 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
           case p: SnapCatalogPlugin => p.name() == plugin.name()
           case _ => false
         })
-    val userByKey = rels.map(r => keyOf(r).getOrElse(return None) -> r).toMap
-    val bodyKeys = bodyRels.map(r => keyOf(r).getOrElse(return None))
-    if (bodyKeys.toSet != userByKey.keySet ||
-        bodyKeys.distinct.length != bodyKeys.length) return None
-    val rebase: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Attribute] =
-      bodyRels.flatMap { br =>
-        val ur = userByKey(keyOf(br).get)
-        val byName = ur.output
-          .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
-        val m = br.output.flatMap { a =>
-          byName.get(a.name.toLowerCase(java.util.Locale.ROOT)).map(a.exprId -> _)
-        }
-        if (m.length != br.output.length) return None // schema drift
-        m
-      }.toMap
+    /** body-leaf → query-leaf attribute rebase, leaves paired by `pairs`;
+      * None on schema drift (a body column absent on the query side). */
+    def mkRebase(pairs: Seq[(DataSourceV2Relation, DataSourceV2Relation)])
+        : Option[Expression => Expression] = {
+      val rebase: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Attribute] =
+        pairs.flatMap { case (br, ur) =>
+          val byName = ur.output
+            .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+          val m = br.output.flatMap { a =>
+            byName.get(a.name.toLowerCase(java.util.Locale.ROOT)).map(a.exprId -> _)
+          }
+          if (m.length != br.output.length) return None // schema drift
+          m
+        }.toMap
+      Some((e: Expression) => e.transform {
+        case a: AttributeReference if rebase.contains(a.exprId) => rebase(a.exprId)
+      })
+    }
     val userOutputSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(
       rels.flatMap(_.output))
-    def reb(e: Expression): Expression = e.transform {
-      case a: AttributeReference if rebase.contains(a.exprId) => rebase(a.exprId)
+    /** Subsume `bodyConj` into `userConj`: every body conjunct must appear
+      * in the query's set; what remains is the residual. */
+    def subsume(userConj: Seq[Expression], bodyConj: Seq[Expression])
+        : Option[Seq[Expression]] = {
+      val remaining = userConj.toBuffer
+      bodyConj.foreach { bc =>
+        val i = remaining.indexWhere(_.semanticEquals(bc))
+        if (i < 0) return None // body is MORE restrictive than the query
+        remaining.remove(i)
+      }
+      Some(remaining.toSeq)
     }
-    val bodyConj = bodyConjRaw.map(reb)
-    if (bodyConj.exists(c => !c.references.subsetOf(userOutputSet))) return None
 
-    // ---- filter subsumption --------------------------------------------
-    var remaining = userConj.toBuffer
-    bodyConj.foreach { bc =>
-      val i = remaining.indexWhere(_.semanticEquals(bc))
-      if (i < 0) return None // body is MORE restrictive than the query
-      remaining.remove(i)
+    val (residual, reb): (Seq[Expression], Expression => Expression) = shape match {
+      case InnerShape(userConj, _) =>
+        // ---- flexible lane: conjunct-set containment over the forest ----
+        val (bodyConjRaw, bodyRels) = scanForest(bodyAgg.child).getOrElse(return None)
+        if (!bodyConjRaw.forall(usable)) return None
+        // pair body leaves to query leaves by table identity
+        val userByKey = rels.map(r => keyOf(r).getOrElse(return None) -> r).toMap
+        val bodyKeys = bodyRels.map(r => keyOf(r).getOrElse(return None))
+        if (bodyKeys.toSet != userByKey.keySet ||
+            bodyKeys.distinct.length != bodyKeys.length) return None
+        val rebF = mkRebase(bodyRels.map(br => br -> userByKey(keyOf(br).get)))
+          .getOrElse(return None)
+        val bodyConj = bodyConjRaw.map(rebF)
+        if (bodyConj.exists(c => !c.references.subsetOf(userOutputSet))) return None
+        (subsume(userConj, bodyConj).getOrElse(return None), rebF)
+      case OuterShape(topConj, tree, _) =>
+        // ---- strict lane: identical join trees, top-filter subsumption --
+        val (bodyTop, bodyTree) = outerSplit(bodyAgg.child).getOrElse(return None)
+        if (!(bodyTop.forall(usable) && treeConjuncts(bodyTree).forall(usable)))
+          return None
+        val bodyLeaves = leavesOf(bodyTree)
+        val userLeaves = leavesOf(tree)
+        if (bodyLeaves.length != userLeaves.length) return None
+        // positional pairing — treeEq then verifies each position names
+        // the same table on both sides
+        val rebF = mkRebase(bodyLeaves.zip(userLeaves)).getOrElse(return None)
+        if (!treeEq(tree, bodyTree, rebF, keyOf)) return None
+        val bodyTopReb = bodyTop.map(rebF)
+        if (bodyTopReb.exists(c => !c.references.subsetOf(userOutputSet))) return None
+        (subsume(topConj, bodyTopReb).getOrElse(return None), rebF)
     }
-    val residual = remaining.toSeq
 
     // ---- the view's group keys and aggregate outputs --------------------
     val bodyGroupIds = bodyAgg.groupingExpressions.map {
@@ -664,11 +819,11 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
 
   /** Attempt the match against one candidate MV; returns (group-key
     * count, replacement plan) on success. */
-  private def tryMatch(agg: Aggregate, userConj: Seq[Expression],
+  private def tryMatch(agg: Aggregate, shape: QueryShape,
       rels: Seq[DataSourceV2Relation], plugin: SnapCatalogPlugin, db: String,
       view: String, mvT: String, sql: String,
       dvTables: Map[Int, String]): Option[(Int, LogicalPlan)] = Try {
-    val ctx = analyzeBody(userConj, rels, plugin, db, mvT, sql).getOrElse(return None)
+    val ctx = analyzeBody(shape, rels, plugin, db, mvT, sql).getOrElse(return None)
     val BodyCtx(backingCols, nBodyGroups, keyCols, aggOuts, residualCols) = ctx
 
     // ---- group containment ----------------------------------------------

@@ -317,6 +317,62 @@ class MvRewriteSpec extends AnyFunSuite {
       "JOIN mvrj.dbj.dim d ON f.ck = d.ck GROUP BY seg")
   }
 
+  test("outer-join MV navigation: identical LEFT JOIN trees serve from the backing (r13)") {
+    val cat = freshCat("mvro")
+    // ck 100-102 have no dim row, so the LEFT JOIN null-extends a seg=NULL
+    // group — the class of rows an inner-join MV could never answer
+    val fact = (1 to 400).map(i => (i.toLong,
+      if (i % 5 == 0) 100L + (i % 3) else (i % 10).toLong, (i % 7).toLong))
+      .toDF("id", "ck", "v")
+    val dim = (0 until 10).map(k => (k.toLong, s"seg${k % 4}")).toDF("ck", "seg")
+    cat.createTable("dbo", "fact", fact.schema)
+    cat.append("dbo", "fact", fact)
+    cat.createTable("dbo", "dim", dim.schema)
+    cat.append("dbo", "dim", dim)
+    cat.createMaterializedView("dbo", "lo_mv",
+      "SELECT d.seg, count(*) AS n, sum(f.v) AS sv " +
+        "FROM mvro.dbo.fact f LEFT JOIN mvro.dbo.dim d ON f.ck = d.ck " +
+        "GROUP BY d.seg")
+
+    val exactQ = "SELECT d.seg, count(*) AS c, sum(f.v) AS s " +
+      "FROM mvro.dbo.fact f LEFT JOIN mvro.dbo.dim d ON f.ck = d.ck " +
+      "GROUP BY d.seg ORDER BY d.seg"
+    // exact shape (null-extended group included) serves per-row
+    assertRewritten(exactQ)
+    // global rollup folds the stored partials
+    assertRewritten("SELECT count(*) AS c, sum(f.v) AS s " +
+      "FROM mvro.dbo.fact f LEFT JOIN mvro.dbo.dim d ON f.ck = d.ck")
+    // a residual filter ABOVE the join on a group key re-applies
+    assertRewritten("SELECT d.seg, count(*) AS c " +
+      "FROM mvro.dbo.fact f LEFT JOIN mvro.dbo.dim d ON f.ck = d.ck " +
+      "WHERE d.seg = 'seg1' GROUP BY d.seg")
+    // an INNER join over the same tables is a DIFFERENT tree (it drops
+    // the null-extended group) — must not serve from the outer backing
+    assertNotRewritten("SELECT d.seg, count(*) AS c " +
+      "FROM mvro.dbo.fact f JOIN mvro.dbo.dim d ON f.ck = d.ck " +
+      "GROUP BY d.seg")
+    // extra ON conjunct: not the same join
+    assertNotRewritten("SELECT d.seg, count(*) AS c " +
+      "FROM mvro.dbo.fact f LEFT JOIN mvro.dbo.dim d " +
+      "ON f.ck = d.ck AND f.v = 1 GROUP BY d.seg")
+    // a filter INSIDE the tree (below the join) is not the same tree —
+    // it does not commute with the outer join
+    assertNotRewritten("SELECT d.seg, count(*) AS c FROM mvro.dbo.fact f " +
+      "LEFT JOIN (SELECT * FROM mvro.dbo.dim WHERE ck < 5) d " +
+      "ON f.ck = d.ck GROUP BY d.seg")
+    // swapped sides under RIGHT JOIN: semantically equal but a different
+    // tree — the strict lane refuses (honest conservatism)
+    assertNotRewritten("SELECT d.seg, count(*) AS c " +
+      "FROM mvro.dbo.dim d RIGHT JOIN mvro.dbo.fact f ON f.ck = d.ck " +
+      "GROUP BY d.seg")
+
+    // churn on the FACT side disables until refresh re-pins
+    cat.append("dbo", "fact", Seq((401L, 3L, 5L)).toDF("id", "ck", "v"))
+    assertNotRewritten(exactQ)
+    cat.refreshMaterializedView("dbo", "lo_mv")
+    assertRewritten(exactQ)
+  }
+
   test("N-way star navigation: 3-table join rollups served from the backing (r13)") {
     val cat = freshCat("mvrs")
     val fact = (1 to 600).map(i =>
