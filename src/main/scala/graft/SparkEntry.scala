@@ -1665,7 +1665,8 @@ object SparkEntry {
           "GROUP BY d.c_mktsegment, f.o_orderstatus")
       cat.deleteMoR("maint", "lo_fact", col("o_orderkey") % 7 === 3)
       val (mode, _) = cat.refreshMaterializedView("maint", "lo_mv")
-      require(mode != "fresh", s"churn must force a refresh, saw '$mode'")
+      require(mode == "incremental_outer_agg",
+        s"fact-side churn must ride the outer telescope, took '$mode'")
       val df = s.sql(
         "SELECT c_mktsegment, sum(cents) AS sc, count(*) AS n " +
           "FROM snapdml.maint.lo_fact f LEFT JOIN snapdml.maint.lo_dim d " +

@@ -3961,6 +3961,82 @@ final class SnapshotCatalog(
       rs.distinct.length == rs.length) Some(rs) else None
   }
 
+  /** Is `p` a project/filter tree over exactly ONE `LEFT JOIN` of two
+    * DISTINCT bare base relations with a conjunctive EQUI ON clause?
+    * (The fact-enrichment shape: `fact LEFT JOIN dim ON fact.k = dim.k`.)
+    * Returns (left base, right base, key column pairs (leftCol,
+    * rightCol)) — the key pairs drive the affected-key recompute in
+    * [[refreshMaterializedView]]'s outer-join delta algebra. Filters are
+    * admitted only ABOVE the join (row-local in the join output, so the
+    * bracket decomposition sees them verbatim); a filtered/derived join
+    * SIDE declines — its delta is not the raw table delta. */
+  private def outerJoinShape(db: String,
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[((String, String), (String, String), Seq[(String, String)])] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias}
+    def peel(q: LogicalPlan): LogicalPlan = q match {
+      case Filter(_, c) => peel(c)
+      case Project(_, c) => peel(c)
+      case SubqueryAlias(_, c) => peel(c)
+      case other => other
+    }
+    // a side: aliases over exactly one base relation; the accepted
+    // attribute qualifiers are the alias chain plus the table name
+    def side(q: LogicalPlan): Option[((String, String), Set[String])] = q match {
+      case SubqueryAlias(ident, c) => side(c).map { case (k, qs) => (k, qs + ident.name) }
+      case u: UnresolvedRelation => relKeyOf(db, u).map(k => (k, Set(k._2)))
+      case _ => None
+    }
+    peel(p) match {
+      case j: Join if j.joinType == LeftOuter =>
+        for {
+          (lk, lq) <- side(j.left)
+          (rk, rq) <- side(j.right)
+          if lk != rk && (lq & rq).isEmpty
+          cond <- j.condition
+          pairs <- {
+            def colsOf(k: (String, String)): Set[String] =
+              scala.util.Try(currentSnapshot(k._1, k._2).schema.fieldNames.toSet)
+                .getOrElse(Set.empty)
+            val (lCols, rCols) = (colsOf(lk), colsOf(rk))
+            // true = left side; unqualified names resolve by unambiguous
+            // schema membership
+            def sideOf(a: UnresolvedAttribute): Option[Boolean] = a.nameParts match {
+              case Seq(q, _) =>
+                if (lq(q)) Some(true) else if (rq(q)) Some(false) else None
+              case Seq(c) =>
+                (lCols(c), rCols(c)) match {
+                  case (true, false) => Some(true)
+                  case (false, true) => Some(false)
+                  case _ => None
+                }
+              case _ => None
+            }
+            def conj(e: Expression): Seq[Expression] = e match {
+              case org.apache.spark.sql.catalyst.expressions.And(l, r) => conj(l) ++ conj(r)
+              case other => Seq(other)
+            }
+            val ps = conj(cond).map {
+              case EqualTo(x: UnresolvedAttribute, y: UnresolvedAttribute) =>
+                (sideOf(x), sideOf(y)) match {
+                  case (Some(true), Some(false)) =>
+                    Some((x.nameParts.last, y.nameParts.last))
+                  case (Some(false), Some(true)) =>
+                    Some((y.nameParts.last, x.nameParts.last))
+                  case _ => None
+                }
+              case _ => None
+            }
+            if (ps.nonEmpty && ps.forall(_.isDefined)) Some(ps.map(_.get)) else None
+          }
+        } yield (lk, rk, pairs)
+      case _ => None
+    }
+  }
+
   /** Is `p` a UNION ALL of project/filter arms, each over exactly ONE
     * base relation (bases may repeat across arms)? The multi-source
     * ingestion shape under an aggregate: each arm is row-local and
@@ -4276,10 +4352,17 @@ final class SnapshotCatalog(
       // the aggregate's input may be project/filter over ONE relation
       // (the single-base family) or over one INNER join of two bases
       // (the fact-dim rollup — its delta is the join delta, merged by
-      // the identical partial machinery)
+      // the identical partial machinery). The CHILD must additionally be
+      // free of aggregate/window EXPRESSIONS: pfOnly checks node types
+      // only, and a window function inside a FROM-subquery's Project (no
+      // Window node until analysis) makes the body non-row-local —
+      // Q(delta) is not the delta of Q, so an incremental merge answers
+      // WRONG (found by the windowed-body reproducer; every agg mode
+      // gates on this shape, so one refusal here covers them all)
       case Aggregate(groupExprs, aggExprs, child, _)
-          if pfOnly(child) || innerJoinShape(db, child).isDefined ||
-            unionPfShape(db, child) =>
+          if (pfOnly(child) || innerJoinShape(db, child).isDefined ||
+            unionPfShape(db, child) || outerJoinShape(db, child).isDefined) &&
+            !hasAggOrWindowExpr(child) =>
         val keyNames = groupExprs.map {
           case a: UnresolvedAttribute => a.nameParts.last
           case _ => return None // expression keys: not recognized, stay full
@@ -4620,6 +4703,85 @@ final class SnapshotCatalog(
           bases.map(b => b -> m(b)._2.getOrElse(emptyOf(b))).toMap))
       Some((plus, minus))
     }
+
+    /** AGGREGATE-over-LEFT-OUTER-JOIN deltas (r13). A left outer join is
+      * linear in its LEFT input only — a dim-side insert can RETRACT a
+      * null-extended fact row — so the telescope splits into two brackets
+      * (Larson & Zhou's outer-join view maintenance, ICDE 2007):
+      *
+      *   Q(A',B') − Q(A,B) = [Q(A',B) − Q(A,B)] + [Q(A',B') − Q(A',B)]
+      *
+      * Bracket 1 is LEFT-LINEARITY: each left row matches or
+      * null-extends independently of the rest of A, so the bracket
+      * equals Q(ΔA⁺,B) − Q(ΔA⁻,B) — churn-sized body evaluations.
+      * Bracket 2 is AFFECTED-KEY RECOMPUTE: a left row whose join key
+      * misses the dim churn's key set meets the SAME dim rows at both
+      * pins, so the bracket equals Q(A'_K, B') − Q(A'_K, B) with
+      * A'_K = A' ⋉ K and K the non-null key set of ΔB⁺ ∪ ΔB⁻ (a null
+      * left key never equals anything — those rows stay null-extended
+      * under ANY dim churn). Over-approximation is free: an A'_K row the
+      * churn did not actually affect contributes equal ± partials that
+      * cancel in the group-wise merge. Every term substitutes frames
+      * into the AUGMENTED body itself, so filters above the join and the
+      * null-extension arithmetic carry over verbatim, and ONE aggregation
+      * per lane computes the partials. Fact-only churn never touches
+      * bracket 2 (the common CDC case stays churn-sized); dim churn costs
+      * one fact semi-scan at `cur` — the irreducible price of maintaining
+      * non-linear joins, paid only when the dim actually moved. */
+    def outerJoinAggDeltas(shape: AggShape,
+        oj: ((String, String), (String, String), Seq[(String, String)]))
+        : Option[((DataFrame, Option[DataFrame]), () => Unit)] = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Sort, SubqueryAlias, Union}
+      val (a, b, keyPairs) = oj
+      val agg = (augmentedAggPlan(sql, shape) match {
+        case s: Sort => s.child
+        case p => p
+      }).asInstanceOf[Aggregate]
+      def hid(x: (String, String)) = meta(x._1, x._2).hiddenCols.toSeq
+      val da = baseDeltas(a).getOrElse(return None)
+      val dbx = baseDeltas(b).getOrElse(return None)
+      def bAt(id: Long) = readAsOf(b._1, b._2, id).drop(hid(b): _*)
+      def subst(repl: Map[(String, String), DataFrame]): LogicalPlan =
+        agg.child.transformUpWithSubqueries {
+          case u: UnresolvedRelation if relKeyOf(db, u).exists(repl.contains) =>
+            val k = relKeyOf(db, u).get
+            SubqueryAlias(Seq(k._1, k._2), repl(k).queryExecution.analyzed)
+        }
+      val plusTerms = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+      val minusTerms = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+      // bracket 1: left churn against the dim pinned at FROM
+      da._1.foreach(ins => plusTerms += subst(Map(a -> ins, b -> bAt(from(b).get))))
+      da._2.foreach(del => minusTerms += subst(Map(a -> del, b -> bAt(from(b).get))))
+      // bracket 2: the affected slice of the CURRENT left side, at both pins
+      var release: () => Unit = () => ()
+      if (from(b).get != cur(b)) {
+        val rCols = keyPairs.map(_._2)
+        val churn = (dbx._1.toSeq ++ dbx._2.toSeq)
+          .map(_.select(rCols.map(c => col(s"`$c`")): _*))
+        if (churn.isEmpty) return None // range moved but no diffable delta
+        val keys = churn.reduce(_ unionByName _).na.drop("any").distinct()
+        val aCur = readAsOf(a._1, a._2, cur(a)).drop(hid(a): _*)
+        val cond = keyPairs.map { case (lc, rc) =>
+          aCur(s"`$lc`") === keys(s"`$rc`") }.reduce(_ && _)
+        val aK = aCur.join(keys, cond, "left_semi").cache()
+        release = () => { aK.unpersist(); () }
+        plusTerms += subst(Map(a -> aK, b -> bAt(cur(b))))
+        minusTerms += subst(Map(a -> aK, b -> bAt(from(b).get)))
+      }
+      if (plusTerms.isEmpty && minusTerms.isEmpty) return None
+      def aggOver(terms: Seq[LogicalPlan]): DataFrame =
+        org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
+          agg.copy(child = terms.reduceLeft(Union(_, _))))
+      // a delete-only range still hands the merge a (zero-group) plus frame
+      val plus = if (plusTerms.nonEmpty) aggOver(plusTerms.toSeq)
+        else aggOver(Seq(subst(Map(
+          a -> readAsOf(a._1, a._2, from(a).get).drop(hid(a): _*).limit(0),
+          b -> bAt(from(b).get)))))
+      val minus = if (minusTerms.isEmpty) None else Some(aggOver(minusTerms.toSeq))
+      Some(((plus, minus), release))
+    }
+
     def incrementalDelta(): DataFrame = {
       val (d, t) = bases.head
       readIncremental(d, t, from((d, t)).get, cur((d, t)))
@@ -5060,6 +5222,27 @@ final class SnapshotCatalog(
       shapeOpt.exists(_.retractable) && backingHasPartials && !hasDistinct &&
       joinAggBodyOk
 
+    // GROUP BY over fact LEFT JOIN dim (r13): the two-bracket outer
+    // telescope of [[outerJoinAggDeltas]] — left-linearity for fact
+    // churn, affected-key recompute for dim churn. Distinct aggregates
+    // refuse (the sidecar deltas need row sets, not partial frames).
+    lazy val outerJoinAggInfo
+        : Option[((String, String), (String, String), Seq[(String, String)])] = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Sort}
+      val plan = spark.sessionState.sqlParser.parsePlan(sql)
+      if (hasSubqueryExpr(plan)) None
+      else (plan match { case s: Sort => s.child; case p => p }) match {
+        case Aggregate(_, _, child, _) if !hasAggOrWindowExpr(child) =>
+          outerJoinShape(db, child)
+            .filter { case (l, r, _) => Set(l, r) == bases.toSet }
+        case _ => None
+      }
+    }
+    val outerJoinAggIncremental = bases.size == 2 &&
+      bases.forall(b => from(b).isDefined) && !joinIncremental &&
+      !joinAggIncremental && shapeOpt.exists(_.retractable) &&
+      backingHasPartials && !hasDistinct && outerJoinAggInfo.isDefined
+
     // UNION ALL of row-local arms: every base append-only over its range
     // → the delta is the union of each arm over its base's increment
     lazy val unionIncremental = bases.forall(b => from(b).isDefined &&
@@ -5075,6 +5258,7 @@ final class SnapshotCatalog(
     var mode =
       if (joinIncremental) "incremental_join"
       else if (joinAggIncremental) "incremental_join_agg"
+      else if (outerJoinAggIncremental) "incremental_outer_agg"
       else if (unionAggIncremental) "incremental_union_agg"
       else if ((!singleBase || !projectFilterOnly) && unionIncremental)
         "incremental_union"
@@ -5148,6 +5332,19 @@ final class SnapshotCatalog(
         joinAggDeltas(shapeOpt.get).flatMap(pm =>
           mergePartials(shapeOpt.get, preAgg = Some(pm))) match {
           case Some(n) => n
+          case None => mode = "full"; runFull()
+        }
+      case "incremental_outer_agg" =>
+        // fact LEFT JOIN dim rollup: the two-bracket outer telescope
+        // hands the merge pre-aggregated ± partial frames like the
+        // inner-join path; the affected-key slice is cached across the
+        // two bracket-2 terms and released after the merge
+        outerJoinAggDeltas(shapeOpt.get, outerJoinAggInfo.get) match {
+          case Some((pm, release)) =>
+            try mergePartials(shapeOpt.get, preAgg = Some(pm)) match {
+              case Some(n) => n
+              case None => mode = "full"; runFull()
+            } finally release()
           case None => mode = "full"; runFull()
         }
       case "incremental_union_agg" =>

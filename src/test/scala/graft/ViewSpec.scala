@@ -1336,4 +1336,101 @@ class ViewSpec extends AnyFunSuite {
       assert(modes(m).exists(_.startsWith("incremental")),
         s"$m never refreshed incrementally: ${modes(m).reverse}")
   }
+
+  test("outer-join MV refreshes incrementally: fact churn, dim covers and uncovers (r13)") {
+    val (cat, wh) = freshCat()
+    register(wh, "ocat")
+    // fact keys: %5==0 rows carry UNCOVERED keys (null-extend), %11==7
+    // rows carry a NULL key (never match, under any dim churn)
+    def mkFact(ids: Seq[Long]) = ids.map { i =>
+      val ck: java.lang.Long =
+        if (i % 11 == 7) null
+        else if (i % 5 == 0) java.lang.Long.valueOf(1000L + i % 3)
+        else java.lang.Long.valueOf(i % 10)
+      (i, ck, i % 7)
+    }.toDF("id", "ck", "v")
+    val dim = (0L until 10L).map(k => (k, s"s${k % 3}")).toDF("ck", "seg")
+    cat.createTable("db", "fact", mkFact(Seq(1L)).schema)
+    cat.append("db", "fact", mkFact(1L to 300L))
+    cat.createTable("db", "dim", dim.schema)
+    cat.append("db", "dim", dim)
+    cat.createMaterializedView("db", "omv",
+      "SELECT d.seg, count(*) AS n, sum(f.v) AS sv, avg(f.v) AS av, max(f.v) AS mx " +
+        "FROM db.fact f LEFT JOIN db.dim d ON f.ck = d.ck GROUP BY d.seg")
+    def truth = noRewrite(spark.sql(
+      "SELECT d.seg, count(*) AS n, sum(f.v) AS sv, avg(f.v) AS av, max(f.v) AS mx " +
+        "FROM ocat.db.fact f LEFT JOIN ocat.db.dim d ON f.ck = d.ck " +
+        "GROUP BY d.seg ORDER BY d.seg").collect().toSeq)
+    def check(label: String): Unit = {
+      val (mode, _) = cat.refreshMaterializedView("db", "omv")
+      assert(mode == "incremental_outer_agg", s"$label took '$mode'")
+      val got = spark.sql("SELECT * FROM ocat.db.omv ORDER BY seg").collect().toSeq
+      assert(got == truth, s"$label: $got vs $truth")
+    }
+    // 1. fact-only churn (bracket 1 only): MoR delete + append, one range
+    cat.deleteMoR("db", "fact", col("id") % 9 === 2)
+    cat.append("db", "fact", mkFact(301L to 340L))
+    check("fact churn")
+    // 2. dim insert COVERING key 1000: its rows LEAVE the null-extended
+    //    group and surface under the new segment — the retraction an
+    //    insert-only delta algebra cannot express
+    cat.append("db", "dim", Seq((1000L, "sNEW")).toDF("ck", "seg"))
+    check("dim covers")
+    // 3. dim MoR delete UN-covering key 3: its fact rows fall back into
+    //    the null-extended group
+    cat.deleteMoR("db", "dim", col("ck") === 3)
+    check("dim uncovers")
+    // 4. both sides churn inside ONE refresh range
+    cat.append("db", "fact", mkFact(341L to 360L))
+    cat.deleteMoR("db", "fact", col("id") % 13 === 1)
+    cat.append("db", "dim", Seq((1001L, "sNEW2")).toDF("ck", "seg"))
+    cat.deleteMoR("db", "dim", col("ck") === 4)
+    check("both sides")
+    // 5. a fresh view is a no-op
+    assert(cat.refreshMaterializedView("db", "omv")._1 == "fresh")
+    // 6. a filtered JOIN SIDE declines to full (its delta is not the raw
+    //    table delta) — and full is still exact
+    cat.createMaterializedView("db", "omv2",
+      "SELECT d.seg, count(*) AS n FROM db.fact f LEFT JOIN " +
+        "(SELECT * FROM db.dim WHERE ck < 5) d ON f.ck = d.ck GROUP BY d.seg")
+    cat.append("db", "fact", mkFact(361L to 370L))
+    val (m2, _) = cat.refreshMaterializedView("db", "omv2")
+    assert(m2 == "full", s"filtered side must refuse the outer telescope, took '$m2'")
+  }
+
+  test("window inside a FROM-subquery refuses every incremental mode (full, exact)") {
+    // REGRESSION (r13): pfOnly checks node TYPES, and a window function
+    // inside a subquery's Project is no Window node until analysis — it
+    // slipped into incremental_agg and merged WRONG (a->140 instead of
+    // 300 here: the append changed every OLD row's window value, which
+    // no delta-substitution can see). The shape gate now refuses
+    // aggregate/window EXPRESSIONS in the aggregate's child outright.
+    val (cat, wh) = freshCat()
+    register(wh, "winh")
+    cat.createTable("db", "t", Seq((1L, "a", 1L)).toDF("id", "k", "v").schema)
+    cat.append("db", "t", Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("id", "k", "v"))
+    cat.createMaterializedView("db", "wmv",
+      "SELECT k, sum(m) AS s FROM " +
+        "(SELECT k, max(v) OVER (PARTITION BY k) AS m FROM db.t) GROUP BY k")
+    assert(spark.sql("SELECT * FROM winh.db.wmv ORDER BY k")
+      .as[(String, Long)].collect().toSeq == Seq(("a", 40L), ("b", 5L)))
+    // a new per-group max rewrites every old row's window value
+    cat.append("db", "t", Seq((4L, "a", 100L)).toDF("id", "k", "v"))
+    val (mode, _) = cat.refreshMaterializedView("db", "wmv")
+    assert(mode == "full", s"windowed bodies must refuse incremental, took '$mode'")
+    assert(spark.sql("SELECT * FROM winh.db.wmv ORDER BY k")
+      .as[(String, Long)].collect().toSeq == Seq(("a", 300L), ("b", 5L)))
+    // same hole family: a GLOBAL aggregate expression inside the subquery
+    cat.createMaterializedView("db", "gmv",
+      "SELECT k, sum(r) AS s FROM " +
+        "(SELECT k, v - (SELECT avg(v) FROM db.t) AS r FROM db.t) GROUP BY k")
+    cat.append("db", "t", Seq((5L, "b", 1000L)).toDF("id", "k", "v"))
+    val (mode2, _) = cat.refreshMaterializedView("db", "gmv")
+    assert(mode2 == "full", s"subquery bodies must refuse incremental, took '$mode2'")
+    val truth = noRewrite(spark.sql(
+      "SELECT k, sum(r) AS s FROM (SELECT k, v - (SELECT avg(v) FROM winh.db.t) AS r " +
+        "FROM winh.db.t) GROUP BY k ORDER BY k").collect().toSeq)
+    assert(spark.sql("SELECT * FROM winh.db.gmv ORDER BY k").collect().toSeq == truth)
+  }
 }
