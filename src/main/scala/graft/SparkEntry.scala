@@ -1677,6 +1677,48 @@ object SparkEntry {
       df
     }),
 
+    // MULTI-TABLE ATOMIC TRANSACTION (r13): two tables land together or
+    // not at all — the stage-everything / durable-intent / publish-all
+    // protocol over WAP staging. The first transaction commits half the
+    // fact plus the whole dim; the second VIOLATES the dim's declared
+    // expectation, so its fact rows must vanish with it (the discard
+    // leaves no pending stage and no intent debris). The join aggregate
+    // then sees exactly transaction 1's state — one leaked odd-key fact
+    // row doubles a group's count and fails the hash.
+    "q164_txn_atomic" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      for (t <- Seq("txn_fact", "txn_dim"))
+        if (cat.tableExists("maint", t)) cat.dropTable("maint", t)
+      val fact = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dim = T(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      cat.createTable("maint", "txn_fact", fact.schema)
+      cat.createTable("maint", "txn_dim", dim.schema)
+      cat.setProperty("maint", "txn_dim", "expect.seg_nonnull",
+        Some("c_mktsegment IS NOT NULL"))
+      val pins = cat.beginTransaction()
+        .append("maint", "txn_fact", fact.where(col("o_orderkey") % 2 === 0))
+        .append("maint", "txn_dim", dim)
+        .commit()
+      require(pins.size == 2, s"expected two pins, got $pins")
+      val refused = try {
+        cat.beginTransaction()
+          .append("maint", "txn_fact", fact.where(col("o_orderkey") % 2 === 1))
+          .append("maint", "txn_dim", dim.limit(5)
+            .withColumn("c_mktsegment", lit(null).cast("string")))
+          .commit()
+        false
+      } catch { case _: IllegalStateException => true }
+      require(refused, "the expectation-violating transaction must refuse")
+      require(cat.pendingStagedId("maint", "txn_fact").isEmpty &&
+        cat.pendingStagedId("maint", "txn_dim").isEmpty,
+        "an aborted transaction must leave no pending stage")
+      s.sql("SELECT c_mktsegment, count(*) AS n, sum(cents) AS sc " +
+        "FROM snapdml.maint.txn_fact f JOIN snapdml.maint.txn_dim d " +
+        "ON f.o_custkey = d.c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    }),
+
     // EQUALITY→POSITIONAL DELETE CONVERSION (r12, Iceberg
     // convert_equality_deletes): after eq-heavy CDC ingest, one
     // maintenance commit materializes each eq shard's kills as exact
@@ -4548,6 +4590,16 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM f LEFT JOIN d ON f.o_custkey = d.c_custkey
         |WHERE f.o_orderstatus = 'F'
+        |GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment""".stripMargin,
+
+    // only transaction 1's state: even-key fact rows joined to the dims
+    "q164_txn_atomic" ->
+      """WITH f AS (
+        |  SELECT o_custkey, CAST(FLOOR(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT d.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(f.cents) AS BIGINT) AS sc
+        |FROM f JOIN customer d ON f.o_custkey = d.c_custkey
         |GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment""".stripMargin,
 
     // the merged survivors from raw: evens minus the positional %10==2

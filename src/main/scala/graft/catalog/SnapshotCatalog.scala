@@ -5719,6 +5719,227 @@ final class SnapshotCatalog(
       Json.writePretty(tm.copy(partitionCols = partitionCols, properties = properties).toJson))
   }
 
+  // ---- multi-table transactions (atomic all-or-nothing commits) ----
+  //
+  // Iceberg v2 has no multi-table atomicity (the REST catalog spec added
+  // it; Delta has none) — yet a real pipeline constantly wants "land the
+  // fact rows AND the dim rows, or neither". This section composes one
+  // from primitives the catalog already trusts:
+  //
+  //   prepare:  every operation commits as a STAGED snapshot (the WAP
+  //             machinery) — durable, complete, INVISIBLE to all readers;
+  //   intent:   a durable `_txns/<id>.json` record flips "preparing" →
+  //             "prepared" once every stage landed and every table's
+  //             declared expectations passed over the staged states;
+  //   publish:  each staged snapshot publishes (a pointer commit) under
+  //             the tables' locks, taken in one canonical global order
+  //             (no deadlocks between transactions by construction);
+  //   recover:  a crash while "preparing" rolls BACK (recovery discards
+  //             exactly the staged ids the intent recorded — never a
+  //             bystander's pending stage); a crash while "prepared" or
+  //             mid-publish rolls FORWARD (publishing completes the
+  //             transaction — the data was already durable and audited).
+  //
+  // Failure atomicity is total: an error anywhere before the intent flip
+  // discards every staged snapshot and nothing was ever visible. After
+  // the flip the transaction is COMMITTED in the durability sense; the
+  // visibility flips are pointer commits that recovery can always finish.
+  // Readers that need a cross-table consistent cut use
+  // [[consistentSnapshotIds]] (and time-travel to it); individual table
+  // reads between two publish flips may see the first table ahead — the
+  // same read-committed visibility the Iceberg REST multi-table commit
+  // gives.
+
+  private sealed trait TxnOp { def db: String; def table: String }
+  private final case class TxnAppend(db: String, table: String,
+      df: DataFrame) extends TxnOp
+  private final case class TxnOverwrite(db: String, table: String,
+      df: DataFrame) extends TxnOp
+
+  /** An in-flight multi-table transaction. Collect operations (at most
+    * one per table — compose frames for more), then [[commit]] publishes
+    * all of them atomically. Instances are single-shot. */
+  final class Transaction private[catalog] () {
+    private val ops = scala.collection.mutable.ArrayBuffer.empty[TxnOp]
+    private var used = false
+    def append(db: String, table: String, df: DataFrame): this.type =
+      { ops += TxnAppend(db, table, df); this }
+    def overwrite(db: String, table: String, df: DataFrame): this.type =
+      { ops += TxnOverwrite(db, table, df); this }
+    /** All-or-nothing commit; returns each table's published snapshot id
+      * (a consistent cross-table cut, directly usable with readAsOf /
+      * `VERSION AS OF`). */
+    def commit(): Map[(String, String), Long] = {
+      require(!used, "transaction already committed")
+      used = true
+      commitTransaction(ops.toSeq)
+    }
+  }
+
+  /** Open a multi-table transaction. Runs [[recoverTransactions]] first
+    * so an interrupted predecessor never wedges the targets. */
+  def beginTransaction(): Transaction = { recoverTransactions(); new Transaction() }
+
+  private def txnsDir: Path = whPath.resolve("_txns")
+
+  /** Nested, canonically-ordered lock acquisition: every transaction
+    * sorts its table set the same way, so two transactions can never
+    * hold-and-wait in opposite orders. */
+  private def withTableLocks[T](keys: Seq[(String, String)])(body: => T): T =
+    keys match {
+      case Seq() => body
+      case k +: rest => withTableLock(k._1, k._2)(withTableLocks(rest)(body))
+    }
+
+  private def writeIntent(id: String, status: String,
+      ops: Seq[((String, String), Long)]): Unit =
+    writeString(txnsDir.resolve(s"$id.json"), Json.writePretty(Json.obj(
+      "status" -> JStr(status),
+      "ops" -> JArr(ops.map { case ((d, t), sid) =>
+        Json.obj("db" -> JStr(d), "table" -> JStr(t),
+          "staged" -> JNum(sid.toDouble)): JValue }.toVector))))
+
+  private def commitTransaction(ops: Seq[TxnOp]): Map[(String, String), Long] = {
+    require(ops.nonEmpty, "empty transaction")
+    val keys = ops.map(o => (o.db, o.table))
+    require(keys.distinct.length == keys.length,
+      "multi-table transactions take one operation per table — compose the frame")
+    keys.foreach { case (d, t) => require(tableExists(d, t), s"no such table: $d.$t") }
+    val order = keys.sorted
+    val txnId = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
+    val intentPath = txnsDir.resolve(s"$txnId.json")
+    withTableLocks(order) {
+      // single-lineage discipline: a pending staged snapshot on any
+      // target (someone's unfinished WAP audit) refuses loudly
+      order.foreach { case (d, t) =>
+        require(pendingStagedId(d, t).isEmpty,
+          s"$d.$t has a pending staged snapshot; publish or discard it first") }
+      // durable intent BEFORE any staging: a crash anywhere in the
+      // prepare phase rolls BACK. The intent re-records after each stage
+      // so recovery discards exactly OUR staged ids (a post-crash
+      // bystander's stage is never touched).
+      writeIntent(txnId, "preparing", Seq.empty)
+      val staged = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
+      try {
+        ops.foreach { op =>
+          val sid = op match {
+            case TxnAppend(d, t, df) => stageAppend(d, t, df).snapshotId
+            case TxnOverwrite(d, t, df) => stageOverwrite(d, t, df).snapshotId
+          }
+          staged((op.db, op.table)) = sid
+          writeIntent(txnId, "preparing", staged.toSeq)
+        }
+        // pre-audit EVERY table's expectations over its staged state
+        // BEFORE publishing ANY — publish-time surprises would break
+        // atomicity, so they must all pass here first
+        order.foreach { case (d, t) =>
+          val bad = auditExpectations(d, t, staged((d, t))).filter(_._2 > 0)
+          if (bad.nonEmpty) throw new IllegalStateException(
+            s"transaction $txnId refused: $d.$t expectation(s) violated over " +
+              s"the staged state: ${bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", ")}")
+        }
+      } catch {
+        case e: Throwable =>
+          staged.toSeq.reverse.foreach { case ((d, t), sid) =>
+            try discardStaged(d, t, sid)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+          Files.deleteIfExists(intentPath)
+          throw e
+      }
+      // the COMMIT POINT: from here recovery rolls FORWARD
+      writeIntent(txnId, "prepared", staged.toSeq)
+      try {
+        val pins = order.map { case (d, t) =>
+          (d, t) -> publishStaged(d, t, staged((d, t))).snapshotId }.toMap
+        Files.deleteIfExists(intentPath)
+        pins
+      } catch {
+        case e: Throwable =>
+          throw new IllegalStateException(
+            s"transaction $txnId interrupted mid-publish — durable and " +
+              "recoverable; run recoverTransactions() to complete it", e)
+      }
+    }
+  }
+
+  /** Complete or roll back transactions interrupted by a crash: intents
+    * still "preparing" discard their recorded staged snapshots (roll
+    * back — nothing was ever visible); "prepared" intents publish their
+    * remaining staged snapshots (roll forward — the commit point had
+    * passed). Returns the processed transaction ids. Idempotent; runs
+    * automatically at [[beginTransaction]]. */
+  def recoverTransactions(): Seq[String] = {
+    if (!Files.isDirectory(txnsDir)) return Seq.empty
+    val intents = {
+      val s = Files.list(txnsDir)
+      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".json"))
+        .toSeq.sortBy(_.toString)
+      finally s.close()
+    }
+    intents.flatMap { p =>
+      val j = Json.parse(readString(p)) match {
+        case o: JObj => o
+        case _ => return Seq.empty
+      }
+      val ops = j.arr("ops").collect { case o: JObj =>
+        ((o.str("db"), o.str("table")), o.long("staged")) }
+      val live = ops.filter { case ((d, t), _) => tableExists(d, t) }
+      withTableLocks(live.map(_._1).sorted) {
+        j.str("status") match {
+          case "preparing" =>
+            // roll back exactly OUR stages, newest first
+            live.reverse.foreach { case ((d, t), sid) =>
+              if (pendingStagedId(d, t).contains(sid)) discardStaged(d, t, sid) }
+          case "prepared" =>
+            // roll forward; a table whose pending is gone already published
+            live.foreach { case ((d, t), sid) =>
+              if (pendingStagedId(d, t).contains(sid)) publishStaged(d, t, sid) }
+          case _ => ()
+        }
+      }
+      Files.deleteIfExists(p)
+      Some(p.getFileName.toString.stripSuffix(".json"))
+    }
+  }
+
+  /** A cross-table CONSISTENT snapshot cut: current ids re-read until two
+    * consecutive scans agree and no "prepared" transaction overlaps the
+    * set (an in-flight publish could otherwise be captured half-applied —
+    * recovery is attempted once to clear a crashed one). Time-travel to
+    * the returned ids for a transactionally-consistent multi-table read. */
+  def consistentSnapshotIds(tables: Seq[(String, String)],
+      maxAttempts: Int = 16): Map[(String, String), Long] = {
+    def overlappingPrepared(): Boolean = Files.isDirectory(txnsDir) && {
+      val s = Files.list(txnsDir)
+      val intents = try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json")).toSeq finally s.close()
+      intents.exists { p =>
+        scala.util.Try(Json.parse(readString(p))).toOption.exists {
+          case o: JObj => o.str("status") == "prepared" &&
+            o.arr("ops").exists {
+              case op: JObj => tables.contains((op.str("db"), op.str("table")))
+              case _ => false
+            }
+          case _ => false
+        }
+      }
+    }
+    def scan(): Map[(String, String), Long] =
+      tables.sorted.map { case (d, t) => (d, t) -> currentSnapshotId(d, t) }.toMap
+    var prev = scan()
+    var attempts = 1
+    while (attempts < maxAttempts) {
+      if (overlappingPrepared()) recoverTransactions()
+      val next = scan()
+      if (next == prev && !overlappingPrepared()) return next
+      prev = next
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"no stable cross-table cut after $maxAttempts scans (continuous churn)")
+  }
+
   // ---- named snapshot references (Iceberg tags) ----
 
   /** Tag a snapshot with a stable name (Iceberg `create_tag`): an

@@ -605,6 +605,15 @@ object SnapProcedures {
         Seq(row(snap.snapshotId, utf8("discard_staged")))
       },
 
+      proc("recover_transactions",
+        "complete or roll back crash-interrupted multi-table transactions " +
+          "(prepared intents publish, preparing intents discard their stages)",
+        Seq.empty,
+        StructType(Seq(
+          StructField("transaction_id", StringType, nullable = false)))) { _ =>
+        cat.recoverTransactions().map(id => row(utf8(id)))
+      },
+
       proc("adopt_files",
         "adopt externally-written parquet by same-FS rename (zero copy); mode append|overwrite",
         Seq(in("table", StringType), in("source_dir", StringType),

@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.SnapshotCatalog
+
+/** Multi-table atomic transactions: stage-everything (WAP), durable
+  * intent, publish-all-or-discard-all, crash recovery in both directions
+  * (roll back while preparing, roll forward once prepared), and the
+  * consistent cross-table snapshot cut. */
+class TransactionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCat(): (SnapshotCatalog, String) = {
+    val wh = Files.createTempDirectory("graft_txn_").toString
+    var tick = 0L
+    (new SnapshotCatalog(spark, wh, clock = () =>
+      { tick += 1; Instant.parse("2026-08-01T00:00:00Z").plusSeconds(tick * 60) }), wh)
+  }
+
+  private def mkTables(cat: SnapshotCatalog): Unit = {
+    cat.createTable("db", "fact", Seq((1L, 1L)).toDF("id", "v").schema)
+    cat.createTable("db", "dim", Seq((1L, "x")).toDF("k", "s").schema)
+    cat.append("db", "fact", Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    cat.append("db", "dim", Seq((1L, "a")).toDF("k", "s"))
+  }
+
+  test("atomic success: both tables flip together, pins form a consistent cut") {
+    val (cat, _) = freshCat()
+    mkTables(cat)
+    val factBefore = cat.currentSnapshotId("db", "fact")
+    val pins = cat.beginTransaction()
+      .append("db", "fact", Seq((3L, 30L)).toDF("id", "v"))
+      .append("db", "dim", Seq((2L, "b")).toDF("k", "s"))
+      .commit()
+    assert(pins.keySet == Set(("db", "fact"), ("db", "dim")))
+    assert(cat.readLatest("db", "fact").count() == 3)
+    assert(cat.readLatest("db", "dim").count() == 2)
+    // the pins ARE the current cut, and time-travel serves them
+    assert(cat.consistentSnapshotIds(Seq(("db", "fact"), ("db", "dim"))) == pins)
+    assert(cat.readAsOf("db", "fact", pins(("db", "fact"))).count() == 3)
+    // no pending stage, no intent debris, next single-table commit works
+    assert(cat.pendingStagedId("db", "fact").isEmpty)
+    cat.append("db", "fact", Seq((4L, 40L)).toDF("id", "v"))
+    assert(cat.currentSnapshotId("db", "fact") > factBefore)
+  }
+
+  test("prepare failure rolls everything back: nothing visible, nothing wedged") {
+    val (cat, _) = freshCat()
+    mkTables(cat)
+    val before = (cat.currentSnapshotId("db", "fact"), cat.currentSnapshotId("db", "dim"))
+    // second op's frame has an incompatible schema — staging it throws
+    val e = intercept[Exception] {
+      cat.beginTransaction()
+        .append("db", "fact", Seq((3L, 30L)).toDF("id", "v"))
+        .append("db", "dim", Seq((2L, 2.5)).toDF("k", "wrong_col"))
+        .commit()
+    }
+    assert(e != null)
+    // the fact stage was discarded: current state unchanged, not staged
+    assert(cat.readLatest("db", "fact").count() == 2)
+    assert(cat.readLatest("db", "dim").count() == 1)
+    assert(cat.pendingStagedId("db", "fact").isEmpty)
+    assert(cat.pendingStagedId("db", "dim").isEmpty)
+    // visible heads moved only by the stage+discard pointer pair; a fresh
+    // cut still resolves and subsequent commits work on both tables
+    cat.append("db", "fact", Seq((9L, 90L)).toDF("id", "v"))
+    cat.append("db", "dim", Seq((9L, "z")).toDF("k", "s"))
+    assert(cat.currentSnapshotId("db", "fact") > before._1)
+    assert(cat.currentSnapshotId("db", "dim") > before._2)
+  }
+
+  test("a violated expectation on ANY table aborts the whole transaction") {
+    val (cat, _) = freshCat()
+    mkTables(cat)
+    cat.setProperty("db", "dim", "expect.nonempty_s", Some("s IS NOT NULL AND s <> ''"))
+    val e = intercept[IllegalStateException] {
+      cat.beginTransaction()
+        .append("db", "fact", Seq((3L, 30L)).toDF("id", "v"))
+        .append("db", "dim", Seq((2L, "")).toDF("k", "s"))
+        .commit()
+    }
+    assert(e.getMessage.contains("expectation"), e.getMessage)
+    assert(cat.readLatest("db", "fact").count() == 2, "fact must not surface")
+    assert(cat.readLatest("db", "dim").count() == 1)
+    assert(cat.pendingStagedId("db", "fact").isEmpty)
+    assert(cat.pendingStagedId("db", "dim").isEmpty)
+  }
+
+  test("crash roll-forward: a 'prepared' intent publishes the remaining stages") {
+    val (cat, wh) = freshCat()
+    mkTables(cat)
+    // simulate the crash window: both stages durable, intent at the
+    // commit point, process died before any publish
+    val s1 = cat.stageAppend("db", "fact", Seq((3L, 30L)).toDF("id", "v")).snapshotId
+    val s2 = cat.stageAppend("db", "dim", Seq((2L, "b")).toDF("k", "s")).snapshotId
+    val intent =
+      s"""{"status": "prepared", "ops": [
+         |  {"db": "db", "table": "fact", "staged": $s1},
+         |  {"db": "db", "table": "dim", "staged": $s2}]}""".stripMargin
+    val dir = Paths.get(wh, "_txns")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("txn-crashed1.json"), intent)
+    assert(cat.readLatest("db", "fact").count() == 2, "staged stays invisible")
+    val recovered = cat.recoverTransactions()
+    assert(recovered == Seq("txn-crashed1"))
+    assert(cat.readLatest("db", "fact").count() == 3)
+    assert(cat.readLatest("db", "dim").count() == 2)
+    assert(!Files.exists(dir.resolve("txn-crashed1.json")))
+    // idempotent: a second run finds nothing
+    assert(cat.recoverTransactions().isEmpty)
+  }
+
+  test("crash roll-back: a 'preparing' intent discards exactly its own stages") {
+    val (cat, wh) = freshCat()
+    mkTables(cat)
+    val s1 = cat.stageAppend("db", "fact", Seq((3L, 30L)).toDF("id", "v")).snapshotId
+    val dir = Paths.get(wh, "_txns")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("txn-crashed2.json"),
+      s"""{"status": "preparing", "ops": [{"db": "db", "table": "fact", "staged": $s1}]}""")
+    // a BYSTANDER's pending stage on another table, recorded under a
+    // WRONG id in a second stale intent — recovery must not touch it
+    val sBy = cat.stageAppend("db", "dim", Seq((7L, "q")).toDF("k", "s")).snapshotId
+    Files.writeString(dir.resolve("txn-stale.json"),
+      s"""{"status": "preparing", "ops": [{"db": "db", "table": "dim", "staged": ${sBy + 500}}]}""")
+    cat.recoverTransactions()
+    // fact's stage rolled back; the table is unwedged
+    assert(cat.pendingStagedId("db", "fact").isEmpty)
+    assert(cat.readLatest("db", "fact").count() == 2)
+    cat.append("db", "fact", Seq((5L, 50L)).toDF("id", "v"))
+    // dim's unrelated pending stage survived (id mismatch = not ours)
+    assert(cat.pendingStagedId("db", "dim").contains(sBy))
+    cat.publishStaged("db", "dim", sBy)
+    assert(cat.readLatest("db", "dim").count() == 2)
+  }
+
+  test("beginTransaction auto-recovers; a wedged target refuses loudly otherwise") {
+    val (cat, wh) = freshCat()
+    mkTables(cat)
+    val s1 = cat.stageAppend("db", "fact", Seq((3L, 30L)).toDF("id", "v")).snapshotId
+    val dir = Paths.get(wh, "_txns")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("txn-crashed3.json"),
+      s"""{"status": "prepared", "ops": [{"db": "db", "table": "fact", "staged": $s1}]}""")
+    // beginTransaction completes the predecessor, then this txn lands
+    val pins = cat.beginTransaction()
+      .append("db", "fact", Seq((4L, 40L)).toDF("id", "v"))
+      .commit()
+    assert(cat.readLatest("db", "fact").count() == 4) // 2 + crashed 1 + ours 1
+    assert(pins(("db", "fact")) == cat.currentSnapshotId("db", "fact"))
+    // a FOREIGN pending stage (no intent) refuses the transaction
+    val sBy = cat.stageAppend("db", "fact", Seq((8L, 80L)).toDF("id", "v")).snapshotId
+    val e = intercept[IllegalArgumentException] {
+      cat.beginTransaction().append("db", "fact", Seq((9L, 90L)).toDF("id", "v")).commit()
+    }
+    assert(e.getMessage.contains("pending staged"), e.getMessage)
+    cat.discardStaged("db", "fact", sBy)
+  }
+
+  test("one op per table and empty transactions refuse") {
+    val (cat, _) = freshCat()
+    mkTables(cat)
+    intercept[IllegalArgumentException](cat.beginTransaction().commit())
+    intercept[IllegalArgumentException] {
+      cat.beginTransaction()
+        .append("db", "fact", Seq((3L, 30L)).toDF("id", "v"))
+        .append("db", "fact", Seq((4L, 40L)).toDF("id", "v"))
+        .commit()
+    }
+    // both refusals left no debris
+    assert(cat.pendingStagedId("db", "fact").isEmpty)
+    assert(cat.readLatest("db", "fact").count() == 2)
+  }
+}
