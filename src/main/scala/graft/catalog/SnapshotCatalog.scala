@@ -3990,13 +3990,22 @@ final class SnapshotCatalog(
       case u: UnresolvedRelation => relKeyOf(db, u).map(k => (k, Set(k._2)))
       case _ => None
     }
-    peel(p) match {
+    // RIGHT OUTER is the same relational expression with sides swapped —
+    // normalize so `dim RIGHT JOIN fact` bodies refresh like LEFT ones
+    val (leftPlan, rightPlan, condOpt) = peel(p) match {
       case j: Join if j.joinType == LeftOuter =>
+        (j.left, j.right, j.condition)
+      case j: Join if j.joinType ==
+          org.apache.spark.sql.catalyst.plans.RightOuter =>
+        (j.right, j.left, j.condition)
+      case _ => return None
+    }
+    {
         for {
-          (lk, lq) <- side(j.left)
-          (rk, rq) <- side(j.right)
+          (lk, lq) <- side(leftPlan)
+          (rk, rq) <- side(rightPlan)
           if lk != rk && (lq & rq).isEmpty
-          cond <- j.condition
+          cond <- condOpt
           pairs <- {
             def colsOf(k: (String, String)): Set[String] =
               scala.util.Try(currentSnapshot(k._1, k._2).schema.fieldNames.toSet)
@@ -4033,7 +4042,6 @@ final class SnapshotCatalog(
             if (ps.nonEmpty && ps.forall(_.isDefined)) Some(ps.map(_.get)) else None
           }
         } yield (lk, rk, pairs)
-      case _ => None
     }
   }
 
@@ -5512,6 +5520,20 @@ final class SnapshotCatalog(
       extraSummary: Map[String, String] = Map.empty): Snapshot =
     overwrite(db, table, df, extraSummary + ("wap.staged" -> "true"))
 
+  /** Stage a MERGE-ON-READ DELETE for audit — the WAP gate for the
+    * O(matched-rows) delete shape (no data-file rewrite; the staged entry
+    * adds a position-delete shard). Same single-pending discipline;
+    * publish is the usual pointer commit, discard leaves the shard
+    * unreferenced for expire to reclaim. This is also the delete shape
+    * multi-table transactions stage ([[Transaction.deleteMoR]]). */
+  def stageDeleteMoR(db: String, table: String, cond: Column): Snapshot =
+    withTableLock(db, table) {
+      val entries = entriesForWrite(db, table)
+      requireNoPendingStage(db, table, entries)
+      deleteMoRFrom(db, table, entries, publishedEntry(entries), cond,
+        Map("wap.staged" -> "true"))
+    }
+
   /** Publish a staged snapshot: one pointer-log entry re-pointing current
     * state at the staged snapshot's manifests — O(KB) regardless of data
     * size, the property that makes audit-then-publish free at 100 TB. */
@@ -5755,6 +5777,8 @@ final class SnapshotCatalog(
       df: DataFrame) extends TxnOp
   private final case class TxnOverwrite(db: String, table: String,
       df: DataFrame) extends TxnOp
+  private final case class TxnDeleteMoR(db: String, table: String,
+      cond: Column) extends TxnOp
 
   /** An in-flight multi-table transaction. Collect operations (at most
     * one per table — compose frames for more), then [[commit]] publishes
@@ -5766,6 +5790,10 @@ final class SnapshotCatalog(
       { ops += TxnAppend(db, table, df); this }
     def overwrite(db: String, table: String, df: DataFrame): this.type =
       { ops += TxnOverwrite(db, table, df); this }
+    /** Merge-on-read delete as a transaction member — O(matched rows),
+      * no data-file rewrite, staged like every other op. */
+    def deleteMoR(db: String, table: String, cond: Column): this.type =
+      { ops += TxnDeleteMoR(db, table, cond); this }
     /** All-or-nothing commit; returns each table's published snapshot id
       * (a consistent cross-table cut, directly usable with readAsOf /
       * `VERSION AS OF`). */
@@ -5825,6 +5853,7 @@ final class SnapshotCatalog(
           val sid = op match {
             case TxnAppend(d, t, df) => stageAppend(d, t, df).snapshotId
             case TxnOverwrite(d, t, df) => stageOverwrite(d, t, df).snapshotId
+            case TxnDeleteMoR(d, t, cond) => stageDeleteMoR(d, t, cond).snapshotId
           }
           staged((op.db, op.table)) = sid
           writeIntent(txnId, "preparing", staged.toSeq)

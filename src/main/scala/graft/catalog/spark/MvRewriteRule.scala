@@ -160,6 +160,14 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => buildTree(c)
     case Filter(cond, c) =>
       buildTree(c).map(TFilter(splitConjunctivePredicates(cond), _))
+    // RIGHT OUTER normalizes to LEFT OUTER with swapped children — the
+    // same relational expression (output attribute set is by exprId, so
+    // column order is irrelevant) — so `dim RIGHT JOIN fact` matches a
+    // `fact LEFT JOIN dim` view body
+    case j: Join if j.joinType == RightOuter =>
+      for { l <- buildTree(j.left); r <- buildTree(j.right) }
+        yield TNode(LeftOuter, r, l,
+          j.condition.toSeq.flatMap(splitConjunctivePredicates))
     case j: Join if supportedJoinType(j.joinType) =>
       for { l <- buildTree(j.left); r <- buildTree(j.right) }
         yield TNode(j.joinType, l, r, j.condition.toSeq.flatMap(splitConjunctivePredicates))
@@ -345,13 +353,23 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
       }
     }
     if (baseOfKey.exists(_ == null)) return None // a never-live key
-    val (userConj, rels) = scanForest(scanTree).getOrElse(return None)
-    if (!(userConj.forall(usable) && agg.aggregateExpressions.forall(usable)))
+    // same two-lane dispatch as the plain path: inner forests match by
+    // conjunct containment, outer trees by strict shape equality — the
+    // grouping-sets service below is lane-agnostic (merged form always)
+    val shape: QueryShape = scanForest(scanTree)
+      .map { case (c, r) => InnerShape(c, r) }
+      .orElse(outerSplit(scanTree).collect {
+        case (top, tree) if hasOuter(tree) =>
+          OuterShape(top, tree, leavesOf(tree))
+      })
+      .getOrElse(return None)
+    val rels = shape.rels
+    if (!(shape.allConjuncts.forall(usable) && agg.aggregateExpressions.forall(usable)))
       return None
     val (plugin, candidates) = freshCandidates(rels).getOrElse(return None)
     val matches = candidates.flatMap { case (vdb, v, mvT, sql, dv) =>
       tryMatchGroupingSets(agg, baseOfKey.toIndexedSeq, gsAttrs, gidAttr, sets,
-        userConj, rels, plugin, vdb, v, mvT, sql, dv)
+        shape, rels, plugin, vdb, v, mvT, sql, dv)
     }
     matches.sortBy(_._1).headOption.map(_._2)
   }
@@ -370,11 +388,11 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
     * all-NULL groups (no sidecar rows) still exist with count 0. */
   private def tryMatchGroupingSets(agg: Aggregate,
       baseOfKey: Seq[AttributeReference], gsAttrs: Seq[Attribute],
-      gidAttr: Attribute, sets: Seq[Seq[Int]], userConj: Seq[Expression],
+      gidAttr: Attribute, sets: Seq[Seq[Int]], shape: QueryShape,
       rels: Seq[DataSourceV2Relation], plugin: SnapCatalogPlugin, db: String,
       view: String, mvT: String, sql: String,
       dvTables: Map[Int, String]): Option[(Int, LogicalPlan)] = Try {
-    val ctx = analyzeBody(InnerShape(userConj, rels), rels, plugin, db, mvT, sql)
+    val ctx = analyzeBody(shape, rels, plugin, db, mvT, sql)
       .getOrElse(return None)
     val BodyCtx(backingCols, nBodyGroups, keyCols, aggOuts, residualCols) = ctx
     // every grouping key must be an MV group-key OUTPUT

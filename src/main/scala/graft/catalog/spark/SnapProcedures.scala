@@ -614,6 +614,26 @@ object SnapProcedures {
         cat.recoverTransactions().map(id => row(utf8(id)))
       },
 
+      proc("consistent_cut",
+        "a cross-table transactionally-consistent snapshot cut (comma-" +
+          "separated db.table list); time-travel to the returned ids",
+        Seq(in("tables", StringType)),
+        StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false)))) { input =>
+        val list = str(input, 0).getOrElse(
+          throw new IllegalArgumentException("tables must not be null"))
+        val keys = list.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { s =>
+          s.split("\\.") match {
+            case Array(d, t) => (d, t)
+            case _ => throw new IllegalArgumentException(
+              s"expected db.table, got '$s'")
+          }
+        }
+        cat.consistentSnapshotIds(keys).toSeq.sorted.map { case ((d, t), id) =>
+          row(utf8(s"$d.$t"), id) }
+      },
+
       proc("adopt_files",
         "adopt externally-written parquet by same-FS rename (zero copy); mode append|overwrite",
         Seq(in("table", StringType), in("source_dir", StringType),

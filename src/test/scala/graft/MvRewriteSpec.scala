@@ -360,11 +360,18 @@ class MvRewriteSpec extends AnyFunSuite {
     assertNotRewritten("SELECT d.seg, count(*) AS c FROM mvro.dbo.fact f " +
       "LEFT JOIN (SELECT * FROM mvro.dbo.dim WHERE ck < 5) d " +
       "ON f.ck = d.ck GROUP BY d.seg")
-    // swapped sides under RIGHT JOIN: semantically equal but a different
-    // tree — the strict lane refuses (honest conservatism)
-    assertNotRewritten("SELECT d.seg, count(*) AS c " +
+    // RIGHT JOIN with swapped sides is the SAME relational expression —
+    // buildTree normalizes it to LEFT with swapped children, so it
+    // navigates to the LEFT-JOIN view body
+    assertRewritten("SELECT d.seg, count(*) AS c " +
       "FROM mvro.dbo.dim d RIGHT JOIN mvro.dbo.fact f ON f.ck = d.ck " +
       "GROUP BY d.seg")
+
+    // grouping-sets navigation rides the same strict lane: a ROLLUP over
+    // the identical LEFT JOIN re-issues over the backing (merged form)
+    assertRewritten("SELECT d.seg, count(*) AS c, sum(f.v) AS s " +
+      "FROM mvro.dbo.fact f LEFT JOIN mvro.dbo.dim d ON f.ck = d.ck " +
+      "GROUP BY ROLLUP(d.seg) ORDER BY d.seg")
 
     // churn on the FACT side disables until refresh re-pins
     cat.append("dbo", "fact", Seq((401L, 3L, 5L)).toDF("id", "ck", "v"))

@@ -163,6 +163,30 @@ class TransactionSpec extends AnyFunSuite {
     cat.discardStaged("db", "fact", sBy)
   }
 
+  test("deleteMoR participates: the CDC move shape lands atomically or not at all") {
+    val (cat, _) = freshCat()
+    mkTables(cat)
+    // the classic move: append the row to its destination AND delete it
+    // from the source, in one transaction
+    cat.beginTransaction()
+      .append("db", "dim", Seq((2L, "moved")).toDF("k", "s"))
+      .deleteMoR("db", "fact", col("id") === 2L)
+      .commit()
+    assert(cat.readLatest("db", "fact").as[(Long, Long)].collect().toSet
+      == Set((1L, 10L)))
+    assert(cat.readLatest("db", "dim").count() == 2)
+    // a failing member rolls the delete back too: rows stay visible
+    val e = intercept[Exception] {
+      cat.beginTransaction()
+        .deleteMoR("db", "fact", col("id") === 1L)
+        .append("db", "dim", Seq((3L, 9.9)).toDF("k", "bad_col"))
+        .commit()
+    }
+    assert(e != null)
+    assert(cat.readLatest("db", "fact").count() == 1, "the delete must not surface")
+    assert(cat.pendingStagedId("db", "fact").isEmpty)
+  }
+
   test("one op per table and empty transactions refuse") {
     val (cat, _) = freshCat()
     mkTables(cat)

@@ -1294,7 +1294,11 @@ class ViewSpec extends AnyFunSuite {
       "m3" -> ("SELECT g, min(v) AS mn, max(v) AS mx, count(*) AS n " +
         "FROM vmrb.db.t GROUP BY g"),
       "m4" -> ("SELECT d.s AS s, count(*) AS n, sum(t.v) AS sv " +
-        "FROM vmrb.db.t t JOIN vmrb.db.d d ON t.k = d.k GROUP BY d.s"))
+        "FROM vmrb.db.t t JOIN vmrb.db.d d ON t.k = d.k GROUP BY d.s"),
+      // outer-join shape (r13): null-extended groups live and die under
+      // the same random churn — the two-bracket telescope's battery
+      "m5" -> ("SELECT d.s AS s, count(*) AS n, sum(t.v) AS sv, avg(t.v) AS av " +
+        "FROM vmrb.db.t t LEFT JOIN vmrb.db.d d ON t.k = d.k GROUP BY d.s"))
     bodies.foreach { case (m, sql) => cat.createMaterializedView("db", m, sql) }
     val modes = scala.collection.mutable.Map.empty[String, List[String]]
       .withDefaultValue(Nil)
@@ -1322,17 +1326,17 @@ class ViewSpec extends AnyFunSuite {
             val k = 5L + rng.nextInt(3)
             cat.append("db", "d", Seq((k, s"s${k % 3}")).toDF("k", "s"))
           } else cat.deleteMoR("db", "d", col("k") === rng.nextInt(5).toLong)
-        case 4 => refreshAndCheck(Seq("m1", "m2", "m3", "m4")(rng.nextInt(4)))
+        case 4 => refreshAndCheck(Seq("m1", "m2", "m3", "m4", "m5")(rng.nextInt(5)))
         case 5 => // eq delete by id (covers the sequence rule on bases)
           val vic = (0 until 3).map(_ => rng.nextLong(math.max(1L, nextId)))
           cat.deleteMoREq("db", "t", vic.toDF("id"))
       }
-      if (step % 5 == 0) Seq("m1", "m2", "m3", "m4").foreach(refreshAndCheck)
+      if (step % 5 == 0) Seq("m1", "m2", "m3", "m4", "m5").foreach(refreshAndCheck)
     }
-    Seq("m1", "m2", "m3", "m4").foreach(refreshAndCheck)
+    Seq("m1", "m2", "m3", "m4", "m5").foreach(refreshAndCheck)
     // the battery must actually exercise the incremental machinery —
     // an all-full run would vacuously pass
-    for (m <- Seq("m1", "m2", "m3", "m4"))
+    for (m <- Seq("m1", "m2", "m3", "m4", "m5"))
       assert(modes(m).exists(_.startsWith("incremental")),
         s"$m never refreshed incrementally: ${modes(m).reverse}")
   }
@@ -1396,6 +1400,18 @@ class ViewSpec extends AnyFunSuite {
     cat.append("db", "fact", mkFact(361L to 370L))
     val (m2, _) = cat.refreshMaterializedView("db", "omv2")
     assert(m2 == "full", s"filtered side must refuse the outer telescope, took '$m2'")
+    // 7. a RIGHT JOIN body normalizes to LEFT with swapped sides and
+    //    rides the same telescope
+    cat.createMaterializedView("db", "omv_r",
+      "SELECT d.seg, count(*) AS n FROM db.dim d RIGHT JOIN db.fact f " +
+        "ON f.ck = d.ck GROUP BY d.seg")
+    cat.append("db", "fact", mkFact(371L to 380L))
+    val (mr, _) = cat.refreshMaterializedView("db", "omv_r")
+    assert(mr == "incremental_outer_agg", s"RIGHT-join body took '$mr'")
+    val tr = noRewrite(spark.sql(
+      "SELECT d.seg, count(*) AS n FROM ocat.db.dim d RIGHT JOIN ocat.db.fact f " +
+        "ON f.ck = d.ck GROUP BY d.seg ORDER BY d.seg").collect().toSeq)
+    assert(spark.sql("SELECT * FROM ocat.db.omv_r ORDER BY seg").collect().toSeq == tr)
   }
 
   test("window inside a FROM-subquery refuses every incremental mode (full, exact)") {
