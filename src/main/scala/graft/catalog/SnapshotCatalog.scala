@@ -3961,18 +3961,20 @@ final class SnapshotCatalog(
       rs.distinct.length == rs.length) Some(rs) else None
   }
 
-  /** Is `p` a project/filter tree over exactly ONE `LEFT JOIN` of two
-    * DISTINCT bare base relations with a conjunctive EQUI ON clause?
-    * (The fact-enrichment shape: `fact LEFT JOIN dim ON fact.k = dim.k`.)
+  /** Is `p` a project/filter tree over exactly ONE `LEFT JOIN` (or
+    * `FULL JOIN`) of two DISTINCT bare base relations with a conjunctive
+    * EQUI ON clause? (The fact-enrichment / reconciliation shapes:
+    * `fact LEFT JOIN dim ON fact.k = dim.k`, `a FULL JOIN b ON ...`.)
     * Returns (left base, right base, key column pairs (leftCol,
-    * rightCol)) — the key pairs drive the affected-key recompute in
-    * [[refreshMaterializedView]]'s outer-join delta algebra. Filters are
-    * admitted only ABOVE the join (row-local in the join output, so the
-    * bracket decomposition sees them verbatim); a filtered/derived join
-    * SIDE declines — its delta is not the raw table delta. */
+    * rightCol), isFullOuter) — the key pairs drive the affected-key
+    * recompute in [[refreshMaterializedView]]'s outer-join delta algebra.
+    * Filters are admitted only ABOVE the join (row-local in the join
+    * output, so the bracket decomposition sees them verbatim); a
+    * filtered/derived join SIDE declines — its delta is not the raw
+    * table delta. */
   private def outerJoinShape(db: String,
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-      : Option[((String, String), (String, String), Seq[(String, String)])] = {
+      : Option[((String, String), (String, String), Seq[(String, String)], Boolean)] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
     import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
     import org.apache.spark.sql.catalyst.plans.LeftOuter
@@ -3991,13 +3993,17 @@ final class SnapshotCatalog(
       case _ => None
     }
     // RIGHT OUTER is the same relational expression with sides swapped —
-    // normalize so `dim RIGHT JOIN fact` bodies refresh like LEFT ones
-    val (leftPlan, rightPlan, condOpt) = peel(p) match {
+    // normalize so `dim RIGHT JOIN fact` bodies refresh like LEFT ones.
+    // FULL OUTER is symmetric (no normalization needed).
+    val (leftPlan, rightPlan, condOpt, isFull) = peel(p) match {
       case j: Join if j.joinType == LeftOuter =>
-        (j.left, j.right, j.condition)
+        (j.left, j.right, j.condition, false)
       case j: Join if j.joinType ==
           org.apache.spark.sql.catalyst.plans.RightOuter =>
-        (j.right, j.left, j.condition)
+        (j.right, j.left, j.condition, false)
+      case j: Join if j.joinType ==
+          org.apache.spark.sql.catalyst.plans.FullOuter =>
+        (j.left, j.right, j.condition, true)
       case _ => return None
     }
     {
@@ -4041,7 +4047,7 @@ final class SnapshotCatalog(
             }
             if (ps.nonEmpty && ps.forall(_.isDefined)) Some(ps.map(_.get)) else None
           }
-        } yield (lk, rk, pairs)
+        } yield (lk, rk, pairs, isFull)
     }
   }
 
@@ -4737,11 +4743,11 @@ final class SnapshotCatalog(
       * one fact semi-scan at `cur` — the irreducible price of maintaining
       * non-linear joins, paid only when the dim actually moved. */
     def outerJoinAggDeltas(shape: AggShape,
-        oj: ((String, String), (String, String), Seq[(String, String)]))
+        oj: ((String, String), (String, String), Seq[(String, String)], Boolean))
         : Option[((DataFrame, Option[DataFrame]), () => Unit)] = {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
       import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Sort, SubqueryAlias, Union}
-      val (a, b, keyPairs) = oj
+      val (a, b, keyPairs, isFull) = oj
       val agg = (augmentedAggPlan(sql, shape) match {
         case s: Sort => s.child
         case p => p
@@ -4749,7 +4755,23 @@ final class SnapshotCatalog(
       def hid(x: (String, String)) = meta(x._1, x._2).hiddenCols.toSeq
       val da = baseDeltas(a).getOrElse(return None)
       val dbx = baseDeltas(b).getOrElse(return None)
+      def aAt(id: Long) = readAsOf(a._1, a._2, id).drop(hid(a): _*)
       def bAt(id: Long) = readAsOf(b._1, b._2, id).drop(hid(b): _*)
+      val (lCols, rCols) = (keyPairs.map(_._1), keyPairs.map(_._2))
+      // a row whose join key has ANY null component never equals anything
+      def nullKey(df: DataFrame, cols: Seq[String]): Column =
+        cols.map(c => df(s"`$c`").isNull).reduce(_ || _)
+      // distinct non-null key tuples of a churn side
+      def churnKeys(d: (Option[DataFrame], Option[DataFrame]),
+          cols: Seq[String]): Option[DataFrame] =
+        (d._1.toSeq ++ d._2.toSeq).map(_.select(cols.map(c => col(s"`$c`")): _*))
+          .reduceOption(_ unionByName _).map(_.na.drop("any").distinct())
+      def semiKeys(frame: DataFrame, frameCols: Seq[String], keys: DataFrame,
+          keyCols: Seq[String]): DataFrame = {
+        val cond = frameCols.zip(keyCols).map { case (fc, kc) =>
+          frame(s"`$fc`") === keys(s"`$kc`") }.reduce(_ && _)
+        frame.join(keys, cond, "left_semi")
+      }
       def subst(repl: Map[(String, String), DataFrame]): LogicalPlan =
         agg.child.transformUpWithSubqueries {
           case u: UnresolvedRelation if relKeyOf(db, u).exists(repl.contains) =>
@@ -4758,24 +4780,61 @@ final class SnapshotCatalog(
         }
       val plusTerms = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
       val minusTerms = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
-      // bracket 1: left churn against the dim pinned at FROM
-      da._1.foreach(ins => plusTerms += subst(Map(a -> ins, b -> bAt(from(b).get))))
-      da._2.foreach(del => minusTerms += subst(Map(a -> del, b -> bAt(from(b).get))))
-      // bracket 2: the affected slice of the CURRENT left side, at both pins
-      var release: () => Unit = () => ()
+      val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def cachedHere(f: DataFrame): DataFrame = { val c = f.cache(); caches += c; c }
+      // ---- bracket 1: left churn, right side pinned at FROM ----
+      if (!isFull) {
+        // LEFT OUTER is linear in its left input: the bracket is exactly
+        // the churn rows' own body evaluations
+        da._1.foreach(ins => plusTerms += subst(Map(a -> ins, b -> bAt(from(b).get))))
+        da._2.foreach(del => minusTerms += subst(Map(a -> del, b -> bAt(from(b).get))))
+      } else if (from(a).get != cur(a)) {
+        // FULL OUTER is linear in NEITHER side (a new left row retracts a
+        // right row's null-extension), so bracket 1 uses the same
+        // affected-key recompute as bracket 2, mirrored: both left pins
+        // restricted to the left churn's key set K_A, the right side
+        // restricted to K_A too (rows outside K_A cancel between the two
+        // terms — the restriction only bounds term volume). Null-keyed
+        // left churn never matches anything: its contribution is the body
+        // over (Δ_null, empty right), added directly.
+        val kA = churnKeys(da, lCols).getOrElse(return None)
+        val kAc = cachedHere(kA)
+        val bFromK = semiKeys(bAt(from(b).get), rCols, kAc, lCols)
+        plusTerms += subst(Map(a -> semiKeys(aAt(cur(a)), lCols, kAc, lCols),
+          b -> bFromK))
+        minusTerms += subst(Map(a -> semiKeys(aAt(from(a).get), lCols, kAc, lCols),
+          b -> bFromK))
+        val bEmpty = bAt(from(b).get).limit(0)
+        da._1.foreach(ins => plusTerms +=
+          subst(Map(a -> ins.where(nullKey(ins, lCols)), b -> bEmpty)))
+        da._2.foreach(del => minusTerms +=
+          subst(Map(a -> del.where(nullKey(del, lCols)), b -> bEmpty)))
+      }
+      // ---- bracket 2: right churn, left side pinned at CUR ----
+      val release: () => Unit = () => { caches.foreach(_.unpersist()); () }
       if (from(b).get != cur(b)) {
-        val rCols = keyPairs.map(_._2)
-        val churn = (dbx._1.toSeq ++ dbx._2.toSeq)
-          .map(_.select(rCols.map(c => col(s"`$c`")): _*))
-        if (churn.isEmpty) return None // range moved but no diffable delta
-        val keys = churn.reduce(_ unionByName _).na.drop("any").distinct()
-        val aCur = readAsOf(a._1, a._2, cur(a)).drop(hid(a): _*)
-        val cond = keyPairs.map { case (lc, rc) =>
-          aCur(s"`$lc`") === keys(s"`$rc`") }.reduce(_ && _)
-        val aK = aCur.join(keys, cond, "left_semi").cache()
-        release = () => { aK.unpersist(); () }
-        plusTerms += subst(Map(a -> aK, b -> bAt(cur(b))))
-        minusTerms += subst(Map(a -> aK, b -> bAt(from(b).get)))
+        val keys = churnKeys(dbx, rCols).getOrElse(return None)
+        val aCur = aAt(cur(a))
+        val aK = cachedHere(semiKeys(aCur, lCols, keys, rCols))
+        if (!isFull) {
+          plusTerms += subst(Map(a -> aK, b -> bAt(cur(b))))
+          minusTerms += subst(Map(a -> aK, b -> bAt(from(b).get)))
+        } else {
+          // restrict the right side to K_B as well: under FULL OUTER the
+          // unrestricted remainder would emit (cancelling but dim-sized)
+          // null-extension rows into both frames
+          val kBc = cachedHere(keys)
+          plusTerms += subst(Map(a -> aK,
+            b -> semiKeys(bAt(cur(b)), rCols, kBc, rCols)))
+          minusTerms += subst(Map(a -> aK,
+            b -> semiKeys(bAt(from(b).get), rCols, kBc, rCols)))
+          // null-keyed right churn rows only ever null-extend themselves
+          val aEmpty = aCur.limit(0)
+          dbx._1.foreach(ins => plusTerms +=
+            subst(Map(a -> aEmpty, b -> ins.where(nullKey(ins, rCols)))))
+          dbx._2.foreach(del => minusTerms +=
+            subst(Map(a -> aEmpty, b -> del.where(nullKey(del, rCols)))))
+        }
       }
       if (plusTerms.isEmpty && minusTerms.isEmpty) return None
       def aggOver(terms: Seq[LogicalPlan]): DataFrame =
@@ -5235,14 +5294,14 @@ final class SnapshotCatalog(
     // churn, affected-key recompute for dim churn. Distinct aggregates
     // refuse (the sidecar deltas need row sets, not partial frames).
     lazy val outerJoinAggInfo
-        : Option[((String, String), (String, String), Seq[(String, String)])] = {
+        : Option[((String, String), (String, String), Seq[(String, String)], Boolean)] = {
       import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Sort}
       val plan = spark.sessionState.sqlParser.parsePlan(sql)
       if (hasSubqueryExpr(plan)) None
       else (plan match { case s: Sort => s.child; case p => p }) match {
         case Aggregate(_, _, child, _) if !hasAggOrWindowExpr(child) =>
           outerJoinShape(db, child)
-            .filter { case (l, r, _) => Set(l, r) == bases.toSet }
+            .filter { case (l, r, _, _) => Set(l, r) == bases.toSet }
         case _ => None
       }
     }

@@ -1414,6 +1414,59 @@ class ViewSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM ocat.db.omv_r ORDER BY seg").collect().toSeq == tr)
   }
 
+  test("FULL OUTER MV refreshes incrementally: both brackets affected-key (r13)") {
+    val (cat, wh) = freshCat()
+    register(wh, "focat")
+    // reconciliation shape: two feeds keyed by k, both with NULL keys and
+    // keys the other side lacks — every FULL OUTER row class present
+    def feedA(ids: Seq[Long]) = ids.map { i =>
+      val k: java.lang.Long = if (i % 11 == 7) null
+        else java.lang.Long.valueOf(i % 17)
+      (i, k, i % 5)
+    }.toDF("ida", "ak", "va")
+    def feedB(ids: Seq[Long]) = ids.map { i =>
+      val k: java.lang.Long = if (i % 13 == 4) null
+        else java.lang.Long.valueOf(i % 23) // 17..22 never in A
+      (i, k, i % 3)
+    }.toDF("idb", "bk", "vb")
+    cat.createTable("db", "fa", feedA(Seq(1L)).schema)
+    cat.append("db", "fa", feedA(1L to 200L))
+    cat.createTable("db", "fb", feedB(Seq(1L)).schema)
+    cat.append("db", "fb", feedB(1L to 150L))
+    cat.createMaterializedView("db", "fomv",
+      "SELECT a.ak AS ka, b.bk AS kb, count(*) AS n, sum(a.va) AS sa, sum(b.vb) AS sb " +
+        "FROM db.fa a FULL JOIN db.fb b ON a.ak = b.bk GROUP BY a.ak, b.bk")
+    def truth = noRewrite(spark.sql(
+      "SELECT a.ak AS ka, b.bk AS kb, count(*) AS n, sum(a.va) AS sa, sum(b.vb) AS sb " +
+        "FROM focat.db.fa a FULL JOIN focat.db.fb b ON a.ak = b.bk " +
+        "GROUP BY a.ak, b.bk ORDER BY ka, kb").collect().toSeq)
+    def check(label: String): Unit = {
+      val (mode, _) = cat.refreshMaterializedView("db", "fomv")
+      assert(mode == "incremental_outer_agg", s"$label took '$mode'")
+      val got = spark.sql("SELECT * FROM focat.db.fomv ORDER BY ka, kb")
+        .collect().toSeq
+      assert(got == truth, s"$label:\n got=$got\nwant=$truth")
+    }
+    // 1. left-side churn alone (delete + append, null keys included)
+    cat.deleteMoR("db", "fa", col("ida") % 9 === 2)
+    cat.append("db", "fa", feedA(201L to 240L))
+    check("left churn")
+    // 2. right-side churn alone: covers keys 17..22's other direction and
+    //    retracts some of A's null-extensions
+    cat.append("db", "fb", feedB(151L to 190L))
+    check("right insert")
+    // 3. right delete UN-covers keys (A rows fall back to null-extended)
+    cat.deleteMoR("db", "fb", col("bk") === 3 || col("idb") % 8 === 1)
+    check("right delete")
+    // 4. both sides churn in one range, null-key rows on both
+    cat.append("db", "fa", feedA(241L to 260L))
+    cat.deleteMoR("db", "fa", col("ak") === 5)
+    cat.append("db", "fb", feedB(191L to 210L))
+    cat.deleteMoR("db", "fb", col("idb") % 10 === 6)
+    check("both sides")
+    assert(cat.refreshMaterializedView("db", "fomv")._1 == "fresh")
+  }
+
   test("window inside a FROM-subquery refuses every incremental mode (full, exact)") {
     // REGRESSION (r13): pfOnly checks node TYPES, and a window function
     // inside a subquery's Project is no Window node until analysis — it
