@@ -1723,6 +1723,47 @@ object SparkEntry {
         "GROUP BY c_mktsegment ORDER BY c_mktsegment")
     }),
 
+    // FULL OUTER MV, INCREMENTALLY MAINTAINED (r13): the reconciliation
+    // shape — two feeds with disjoint key gaps FULL JOINed, so matched,
+    // left-anti, and right-anti row classes all exist (the st=NULL group
+    // is the right-anti class). Churn hits BOTH sides in one range (a
+    // MoR delete on feed A, an append on feed B), which exercises both
+    // telescope brackets: full outer joins are linear in NEITHER input,
+    // so each bracket is an affected-key recompute. REQUIRES the
+    // incremental mode and the automatic rewrite; DuckDB replays the raw
+    // FULL JOIN over the final states.
+    "q165_mv_full_outer" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "fo_mv")) cat.dropView("maint", "fo_mv")
+      for (t <- Seq("fo_a", "fo_b"))
+        if (cat.tableExists("maint", t)) cat.dropTable("maint", t)
+      val a = T(s, dir, "orders").where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+      val b = T(s, dir, "lineitem").where(col("l_orderkey") % 4 =!= 0)
+        .select(col("l_orderkey").as("okey"),
+          col("l_quantity").cast("long").as("qty"))
+      cat.createTable("maint", "fo_a", a.schema)
+      cat.append("maint", "fo_a", a)
+      cat.createTable("maint", "fo_b", b.schema)
+      cat.append("maint", "fo_b", b.where(col("okey") % 4 =!= 3))
+      cat.createMaterializedView("maint", "fo_mv",
+        "SELECT a.o_orderstatus AS st, count(*) AS n, sum(b.qty) AS sq " +
+          "FROM maint.fo_a a FULL JOIN maint.fo_b b ON a.okey = b.okey " +
+          "GROUP BY a.o_orderstatus")
+      cat.deleteMoR("maint", "fo_a", col("okey") % 7 === 2)
+      cat.append("maint", "fo_b", b.where(col("okey") % 4 === 3))
+      val (mode, _) = cat.refreshMaterializedView("maint", "fo_mv")
+      require(mode == "incremental_outer_agg",
+        s"both-sides churn must ride the outer telescope, took '$mode'")
+      val df = s.sql(
+        "SELECT a.o_orderstatus AS st, count(*) AS n, sum(b.qty) AS sq " +
+          "FROM snapdml.maint.fo_a a FULL JOIN snapdml.maint.fo_b b " +
+          "ON a.okey = b.okey GROUP BY a.o_orderstatus ORDER BY st")
+      require(df.queryExecution.optimizedPlan.toString.contains("__mv_fo_mv"),
+        "the FULL JOIN rollup must be answered from the MV backing")
+      df
+    }),
+
     // EQUALITY→POSITIONAL DELETE CONVERSION (r12, Iceberg
     // convert_equality_deletes): after eq-heavy CDC ingest, one
     // maintenance commit materializes each eq shard's kills as exact
@@ -4605,6 +4646,20 @@ object SparkEntry {
         |  CAST(sum(f.cents) AS BIGINT) AS sc
         |FROM f JOIN customer d ON f.o_custkey = d.c_custkey
         |GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment""".stripMargin,
+
+    // the raw FULL JOIN over the final feed states (A minus the %7==2
+    // MoR delete; B complete after the second append)
+    "q165_mv_full_outer" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS okey, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 2),
+        |b AS (
+        |  SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_orderkey % 4 <> 0)
+        |SELECT a.o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(b.qty) AS BIGINT) AS sq
+        |FROM a FULL JOIN b ON a.okey = b.okey
+        |GROUP BY a.o_orderstatus ORDER BY st""".stripMargin,
 
     // the merged survivors from raw: evens minus the positional %10==2
     // minus the eq-killed %7==0 EVENS, plus every %9==0 odd — including

@@ -4377,10 +4377,16 @@ final class SnapshotCatalog(
           if (pfOnly(child) || innerJoinShape(db, child).isDefined ||
             unionPfShape(db, child) || outerJoinShape(db, child).isDefined) &&
             !hasAggOrWindowExpr(child) =>
-        val keyNames = groupExprs.map {
+        // group-key SOURCE names, as a SEQUENCE: `GROUP BY a.k, b.k` (the
+        // normal FULL OUTER reconciliation shape) legitimately repeats a
+        // last name across sides — the merge keys on the backing's unique
+        // OUTPUT names, so duplicates here are fine as long as every
+        // group expression is carried in the output
+        val keyNameSeq = groupExprs.map {
           case a: UnresolvedAttribute => a.nameParts.last
           case _ => return None // expression keys: not recognized, stay full
-        }.toSet
+        }
+        val keyNames = keyNameSeq.toSet
         val fns = scala.collection.mutable.Map.empty[Int, UnresolvedFunction]
         val keyBases = scala.collection.mutable.Map.empty[Int, String]
         val roles = aggExprs.zipWithIndex.map { case (ne: NamedExpression, i) =>
@@ -4410,7 +4416,7 @@ final class SnapshotCatalog(
           roles.collect { case Right(p) => p }, fns.toMap, keyBases.toMap)
         // every grouping column must be carried in the output (it is the
         // upsert key), and there must be something to merge
-        if (shape.keyPos.size == keyNames.size && shape.aggPos.nonEmpty) Some(shape)
+        if (shape.keyPos.size == keyNameSeq.length && shape.aggPos.nonEmpty) Some(shape)
         else None
       case Distinct(child) if pfOnly(child) =>
         // SELECT DISTINCT …: every column is a key, nothing merges — the

@@ -1417,29 +1417,31 @@ class ViewSpec extends AnyFunSuite {
   test("FULL OUTER MV refreshes incrementally: both brackets affected-key (r13)") {
     val (cat, wh) = freshCat()
     register(wh, "focat")
-    // reconciliation shape: two feeds keyed by k, both with NULL keys and
-    // keys the other side lacks — every FULL OUTER row class present
+    // reconciliation shape: two feeds keyed by the SAME column name k
+    // (the normal FULL OUTER spelling — exercises the duplicate-source-
+    // name shape relaxation), both with NULL keys and keys the other
+    // side lacks — every FULL OUTER row class present
     def feedA(ids: Seq[Long]) = ids.map { i =>
       val k: java.lang.Long = if (i % 11 == 7) null
         else java.lang.Long.valueOf(i % 17)
       (i, k, i % 5)
-    }.toDF("ida", "ak", "va")
+    }.toDF("ida", "k", "va")
     def feedB(ids: Seq[Long]) = ids.map { i =>
       val k: java.lang.Long = if (i % 13 == 4) null
         else java.lang.Long.valueOf(i % 23) // 17..22 never in A
       (i, k, i % 3)
-    }.toDF("idb", "bk", "vb")
+    }.toDF("idb", "k", "vb")
     cat.createTable("db", "fa", feedA(Seq(1L)).schema)
     cat.append("db", "fa", feedA(1L to 200L))
     cat.createTable("db", "fb", feedB(Seq(1L)).schema)
     cat.append("db", "fb", feedB(1L to 150L))
     cat.createMaterializedView("db", "fomv",
-      "SELECT a.ak AS ka, b.bk AS kb, count(*) AS n, sum(a.va) AS sa, sum(b.vb) AS sb " +
-        "FROM db.fa a FULL JOIN db.fb b ON a.ak = b.bk GROUP BY a.ak, b.bk")
+      "SELECT a.k AS ka, b.k AS kb, count(*) AS n, sum(a.va) AS sa, sum(b.vb) AS sb " +
+        "FROM db.fa a FULL JOIN db.fb b ON a.k = b.k GROUP BY a.k, b.k")
     def truth = noRewrite(spark.sql(
-      "SELECT a.ak AS ka, b.bk AS kb, count(*) AS n, sum(a.va) AS sa, sum(b.vb) AS sb " +
-        "FROM focat.db.fa a FULL JOIN focat.db.fb b ON a.ak = b.bk " +
-        "GROUP BY a.ak, b.bk ORDER BY ka, kb").collect().toSeq)
+      "SELECT a.k AS ka, b.k AS kb, count(*) AS n, sum(a.va) AS sa, sum(b.vb) AS sb " +
+        "FROM focat.db.fa a FULL JOIN focat.db.fb b ON a.k = b.k " +
+        "GROUP BY a.k, b.k ORDER BY ka, kb").collect().toSeq)
     def check(label: String): Unit = {
       val (mode, _) = cat.refreshMaterializedView("db", "fomv")
       assert(mode == "incremental_outer_agg", s"$label took '$mode'")
@@ -1456,11 +1458,11 @@ class ViewSpec extends AnyFunSuite {
     cat.append("db", "fb", feedB(151L to 190L))
     check("right insert")
     // 3. right delete UN-covers keys (A rows fall back to null-extended)
-    cat.deleteMoR("db", "fb", col("bk") === 3 || col("idb") % 8 === 1)
+    cat.deleteMoR("db", "fb", col("k") === 3 || col("idb") % 8 === 1)
     check("right delete")
     // 4. both sides churn in one range, null-key rows on both
     cat.append("db", "fa", feedA(241L to 260L))
-    cat.deleteMoR("db", "fa", col("ak") === 5)
+    cat.deleteMoR("db", "fa", col("k") === 5)
     cat.append("db", "fb", feedB(191L to 210L))
     cat.deleteMoR("db", "fb", col("idb") % 10 === 6)
     check("both sides")
