@@ -187,6 +187,104 @@ class TransactionSpec extends AnyFunSuite {
     assert(cat.pendingStagedId("db", "fact").isEmpty)
   }
 
+  test("randomized battery: visible state equals the successful-txn replay") {
+    // the differential-checker pattern pointed at transactions: a seeded
+    // interleaving of committing txns, failing txns (schema error /
+    // expectation violation), plain commits, MoR-delete members, and
+    // both crash-recovery directions — after every step each table's
+    // visible rows must equal a driver-side model that applies only the
+    // operations that were supposed to survive
+    val (cat, wh) = freshCat()
+    val tables = Seq("t1", "t2", "t3")
+    tables.foreach { t =>
+      cat.createTable("db", t, Seq((1L, 1L)).toDF("id", "v").schema)
+    }
+    cat.setProperty("db", "t2", "expect.v_nonneg", Some("v >= 0"))
+    val model = scala.collection.mutable.Map(
+      tables.map(t => t -> Vector.empty[(Long, Long)]): _*)
+    val rng = new scala.util.Random(20260815L)
+    var nextId = 0L
+    def batch(n: Int, bad: Boolean = false): Seq[(Long, Long)] = {
+      val rows = (nextId until nextId + n).map(i =>
+        (i, if (bad) -1L - i else i % 97))
+      nextId += n
+      rows
+    }
+    def checkAll(step: Int): Unit = tables.foreach { t =>
+      val got = cat.readLatest("db", t).as[(Long, Long)].collect().sorted.toSeq
+      assert(got == model(t).sorted,
+        s"step $step: $t diverged\n got=$got\nwant=${model(t).sorted}")
+      assert(cat.pendingStagedId("db", t).isEmpty, s"step $step: $t wedged")
+    }
+    for (step <- 1 to 24) {
+      rng.nextInt(7) match {
+        case 0 => // committing two-table txn
+          val Seq(x, y) = rng.shuffle(tables).take(2)
+          val (bx, by) = (batch(2 + rng.nextInt(4)), batch(1 + rng.nextInt(3)))
+          cat.beginTransaction()
+            .append("db", x, bx.toDF("id", "v"))
+            .append("db", y, by.toDF("id", "v"))
+            .commit()
+          model(x) ++= bx; model(y) ++= by
+        case 1 => // failing txn: second member has a bad schema
+          val Seq(x, y) = rng.shuffle(tables).take(2)
+          intercept[Exception] {
+            cat.beginTransaction()
+              .append("db", x, batch(3).toDF("id", "v"))
+              .append("db", y, Seq((nextId, "oops")).toDF("id", "wrong"))
+              .commit()
+          }
+        case 2 => // failing txn: t2's expectation violated
+          val x = tables(rng.nextInt(3))
+          val e = intercept[Exception] {
+            val txn = cat.beginTransaction()
+              .append("db", "t2", batch(2, bad = true).toDF("id", "v"))
+            (if (x == "t2") txn else txn.append("db", x, batch(2).toDF("id", "v")))
+              .commit()
+          }
+          assert(e.getMessage != null)
+        case 3 => // plain single-table commit (control)
+          val x = tables(rng.nextInt(3))
+          val b = batch(1 + rng.nextInt(5))
+          cat.append("db", x, b.toDF("id", "v"))
+          model(x) ++= b
+        case 4 => // txn with a MoR-delete member
+          val Seq(x, y) = rng.shuffle(tables).take(2)
+          val m = 3 + rng.nextInt(5)
+          val b = batch(2 + rng.nextInt(3))
+          cat.beginTransaction()
+            .deleteMoR("db", x, col("id") % m === 1)
+            .append("db", y, b.toDF("id", "v"))
+            .commit()
+          model(x) = model(x).filterNot(_._1 % m == 1); model(y) ++= b
+        case 5 => // crash roll-FORWARD: prepared intent left behind
+          val x = tables(rng.nextInt(3))
+          val b = batch(2)
+          val sid = cat.stageAppend("db", x, b.toDF("id", "v")).snapshotId
+          val dir = java.nio.file.Paths.get(wh, "_txns")
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.writeString(dir.resolve(s"txn-rf$step.json"),
+            s"""{"status": "prepared", "ops": [{"db": "db", "table": "$x", "staged": $sid}]}""")
+          cat.recoverTransactions()
+          model(x) ++= b
+        case 6 => // crash roll-BACK: preparing intent left behind
+          val x = tables(rng.nextInt(3))
+          val sid = cat.stageAppend("db", x, batch(2).toDF("id", "v")).snapshotId
+          val dir = java.nio.file.Paths.get(wh, "_txns")
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.writeString(dir.resolve(s"txn-rb$step.json"),
+            s"""{"status": "preparing", "ops": [{"db": "db", "table": "$x", "staged": $sid}]}""")
+          cat.recoverTransactions()
+      }
+      checkAll(step)
+    }
+    // the cut must be stable and serve exactly the model at the end
+    val cut = cat.consistentSnapshotIds(tables.map(t => ("db", t)))
+    tables.foreach { t =>
+      assert(cat.readAsOf("db", t, cut(("db", t))).count() == model(t).size)
+    }
+  }
+
   test("one op per table and empty transactions refuse") {
     val (cat, _) = freshCat()
     mkTables(cat)
