@@ -187,6 +187,40 @@ class TransactionSpec extends AnyFunSuite {
     assert(cat.pendingStagedId("db", "fact").isEmpty)
   }
 
+  test("concurrent transactions in OPPOSITE declared order serialize, never deadlock") {
+    val (cat, _) = freshCat()
+    cat.createTable("db", "ca", Seq((1L, 1L)).toDF("id", "v").schema)
+    cat.createTable("db", "cb", Seq((1L, 1L)).toDF("id", "v").schema)
+    // commit() sorts the table set canonically, so two writers declaring
+    // {ca, cb} and {cb, ca} acquire in ONE global order — hold-and-wait
+    // in opposite orders (the deadlock shape) is impossible by
+    // construction. A deadlock here would hang; the await bounds it.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = Seq(Seq("ca", "cb"), Seq("cb", "ca")).zipWithIndex.map {
+        case (order, w) =>
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            override def call(): Int = {
+              for (i <- 0 until 4) {
+                val id = w * 1000L + i
+                val txn = cat.beginTransaction()
+                order.foreach(t =>
+                  txn.append("db", t, Seq((id, id)).toDF("id", "v")))
+                txn.commit()
+              }
+              4
+            }
+          })
+      }
+      tasks.foreach(f => assert(
+        f.get(180, java.util.concurrent.TimeUnit.SECONDS) == 4))
+    } finally pool.shutdownNow()
+    assert(cat.readLatest("db", "ca").count() == 8)
+    assert(cat.readLatest("db", "cb").count() == 8)
+    assert(cat.pendingStagedId("db", "ca").isEmpty &&
+      cat.pendingStagedId("db", "cb").isEmpty)
+  }
+
   test("randomized battery: visible state equals the successful-txn replay") {
     // the differential-checker pattern pointed at transactions: a seeded
     // interleaving of committing txns, failing txns (schema error /
