@@ -3994,9 +3994,17 @@ final class SnapshotCatalog(
     }
     // RIGHT OUTER is the same relational expression with sides swapped —
     // normalize so `dim RIGHT JOIN fact` bodies refresh like LEFT ones.
-    // FULL OUTER is symmetric (no normalization needed).
+    // FULL OUTER is symmetric (no normalization needed). LEFT SEMI and
+    // LEFT ANTI (the blocklist / allowlist shapes) ride the LEFT lane
+    // verbatim: both are linear in their left input (each left row
+    // passes or not independently), and right-side churn flips left
+    // rows only within the churn's key set — exactly the affected-key
+    // bracket. Null-keyed left rows never match, so an ANTI keeps them
+    // always and a SEMI never, both constant under any right churn.
     val (leftPlan, rightPlan, condOpt, isFull) = peel(p) match {
-      case j: Join if j.joinType == LeftOuter =>
+      case j: Join if j.joinType == LeftOuter ||
+          j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
+          j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
         (j.left, j.right, j.condition, false)
       case j: Join if j.joinType ==
           org.apache.spark.sql.catalyst.plans.RightOuter =>

@@ -1298,7 +1298,11 @@ class ViewSpec extends AnyFunSuite {
       // outer-join shape (r13): null-extended groups live and die under
       // the same random churn — the two-bracket telescope's battery
       "m5" -> ("SELECT d.s AS s, count(*) AS n, sum(t.v) AS sv, avg(t.v) AS av " +
-        "FROM vmrb.db.t t LEFT JOIN vmrb.db.d d ON t.k = d.k GROUP BY d.s"))
+        "FROM vmrb.db.t t LEFT JOIN vmrb.db.d d ON t.k = d.k GROUP BY d.s"),
+      // blocklist anti-join shape (r13): rows leave and re-enter the
+      // counts as dim keys are born and die under the same churn
+      "m6" -> ("SELECT g, count(*) AS n, sum(v) AS sv " +
+        "FROM vmrb.db.t t LEFT ANTI JOIN vmrb.db.d d ON t.k = d.k GROUP BY g"))
     bodies.foreach { case (m, sql) => cat.createMaterializedView("db", m, sql) }
     val modes = scala.collection.mutable.Map.empty[String, List[String]]
       .withDefaultValue(Nil)
@@ -1326,17 +1330,17 @@ class ViewSpec extends AnyFunSuite {
             val k = 5L + rng.nextInt(3)
             cat.append("db", "d", Seq((k, s"s${k % 3}")).toDF("k", "s"))
           } else cat.deleteMoR("db", "d", col("k") === rng.nextInt(5).toLong)
-        case 4 => refreshAndCheck(Seq("m1", "m2", "m3", "m4", "m5")(rng.nextInt(5)))
+        case 4 => refreshAndCheck(Seq("m1", "m2", "m3", "m4", "m5", "m6")(rng.nextInt(6)))
         case 5 => // eq delete by id (covers the sequence rule on bases)
           val vic = (0 until 3).map(_ => rng.nextLong(math.max(1L, nextId)))
           cat.deleteMoREq("db", "t", vic.toDF("id"))
       }
-      if (step % 5 == 0) Seq("m1", "m2", "m3", "m4", "m5").foreach(refreshAndCheck)
+      if (step % 5 == 0) Seq("m1", "m2", "m3", "m4", "m5", "m6").foreach(refreshAndCheck)
     }
-    Seq("m1", "m2", "m3", "m4", "m5").foreach(refreshAndCheck)
+    Seq("m1", "m2", "m3", "m4", "m5", "m6").foreach(refreshAndCheck)
     // the battery must actually exercise the incremental machinery —
     // an all-full run would vacuously pass
-    for (m <- Seq("m1", "m2", "m3", "m4", "m5"))
+    for (m <- Seq("m1", "m2", "m3", "m4", "m5", "m6"))
       assert(modes(m).exists(_.startsWith("incremental")),
         s"$m never refreshed incrementally: ${modes(m).reverse}")
   }
@@ -1467,6 +1471,57 @@ class ViewSpec extends AnyFunSuite {
     cat.deleteMoR("db", "fb", col("idb") % 10 === 6)
     check("both sides")
     assert(cat.refreshMaterializedView("db", "fomv")._1 == "fresh")
+  }
+
+  test("blocklist ANTI-JOIN MV maintains incrementally as the blocklist churns (r13)") {
+    // the decontamination shape: per-language counts of documents NOT on
+    // a blocklist — blocklist growth must RETRACT counted docs, shrinkage
+    // must re-admit them, and doc churn folds linearly
+    val (cat, wh) = freshCat()
+    register(wh, "bcat")
+    def docs(ids: Seq[Long]) = ids.map(i =>
+      (i, s"lang${i % 4}", s"h${i % 50}")).toDF("doc_id", "lang", "h")
+    cat.createTable("db", "docs", docs(Seq(1L)).schema)
+    cat.append("db", "docs", docs(1L to 300L))
+    cat.createTable("db", "block", Seq(("h1", "seed")).toDF("h", "why").schema)
+    cat.append("db", "block", Seq(("h3", "seed"), ("h17", "seed")).toDF("h", "why"))
+    cat.createMaterializedView("db", "clean_counts",
+      "SELECT d.lang, count(*) AS n FROM db.docs d " +
+        "LEFT ANTI JOIN db.block b ON d.h = b.h GROUP BY d.lang")
+    def truth = noRewrite(spark.sql(
+      "SELECT d.lang, count(*) AS n FROM bcat.db.docs d " +
+        "LEFT ANTI JOIN bcat.db.block b ON d.h = b.h " +
+        "GROUP BY d.lang ORDER BY d.lang").collect().toSeq)
+    def check(label: String): Unit = {
+      val (mode, _) = cat.refreshMaterializedView("db", "clean_counts")
+      assert(mode == "incremental_outer_agg", s"$label took '$mode'")
+      assert(spark.sql("SELECT * FROM bcat.db.clean_counts ORDER BY lang")
+        .collect().toSeq == truth, s"$label diverged")
+    }
+    // doc churn alone (linear bracket)
+    cat.append("db", "docs", docs(301L to 360L))
+    cat.deleteMoR("db", "docs", col("doc_id") % 9 === 4)
+    check("doc churn")
+    // blocklist GROWS: every h7/h23 doc must leave the counts
+    cat.append("db", "block", Seq(("h7", "new"), ("h23", "new")).toDF("h", "why"))
+    check("blocklist growth")
+    // blocklist SHRINKS: h3 docs re-admit
+    cat.deleteMoR("db", "block", col("h") === "h3")
+    check("blocklist shrink")
+    // the SEMI twin: docs ON the blocklist, same machinery
+    cat.createMaterializedView("db", "dirty_counts",
+      "SELECT d.lang, count(*) AS n FROM db.docs d " +
+        "LEFT SEMI JOIN db.block b ON d.h = b.h GROUP BY d.lang")
+    cat.append("db", "block", Seq(("h30", "x")).toDF("h", "why"))
+    cat.append("db", "docs", docs(361L to 380L))
+    val (ms, _) = cat.refreshMaterializedView("db", "dirty_counts")
+    assert(ms == "incremental_outer_agg", s"semi body took '$ms'")
+    val wantS = noRewrite(spark.sql(
+      "SELECT d.lang, count(*) AS n FROM bcat.db.docs d " +
+        "LEFT SEMI JOIN bcat.db.block b ON d.h = b.h " +
+        "GROUP BY d.lang ORDER BY d.lang").collect().toSeq)
+    assert(spark.sql("SELECT * FROM bcat.db.dirty_counts ORDER BY lang")
+      .collect().toSeq == wantS)
   }
 
   test("window inside a FROM-subquery refuses every incremental mode (full, exact)") {
