@@ -1764,6 +1764,40 @@ object SparkEntry {
       df
     }),
 
+    // PERSISTENT INVERTED TEXT INDEX (r13 continuation): BM25 serving
+    // from a maintained catalog table — the lexical twin of the q148
+    // vector index. Postings hive-partition by term-hash bucket, so a
+    // query batch reads ONLY its own terms' bucket directories (the
+    // nprobe/nlist analogue, asserted in TextIndexSpec); the corpus
+    // scalars (N, total dl) fold EXACTLY from the multiset changelog at
+    // each refresh. The base churns (MoR delete + append) and the
+    // refresh advances from per-commit metadata — REQUIRED incremental:
+    // deleted ids retract as an equality delete on the index, new docs
+    // tokenize and append, never a corpus re-tokenization. The oracle
+    // replays the whole BM25 (tokenize → postings → df → score → rank)
+    // over the surviving corpus; any drift in stored postings, folded
+    // scalars, or pruning fails the hash.
+    "q166_text_index" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      for (t <- Seq("lex_idx", "lex_docs"))
+        if (cat.tableExists("maint", t)) cat.dropTable("maint", t)
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      cat.createTable("maint", "lex_docs", d.schema)
+      cat.append("maint", "lex_docs", d.where(col("doc_id") % 2 === 0))
+      graft.ops.TextIndex.create(cat, "maint", "lex_docs", "lex_idx",
+        "doc_id", "text", nbuckets = 16)
+      cat.deleteMoR("maint", "lex_docs", col("doc_id") % 10 === 0)
+      cat.append("maint", "lex_docs", d.where(col("doc_id") % 2 === 1))
+      val (mode, _) = graft.ops.TextIndex.refresh(cat, "maint", "lex_idx")
+      require(mode == "incremental", s"text-index refresh took '$mode'")
+      graft.ops.TextIndex.topK(cat, "maint", "lex_idx",
+        d.where(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"),
+            substring(col("text"), 1, 48).as("qtext")),
+        "qid", "qtext", k = 10, k1 = 1.5, b = 0.75)
+        .orderBy("query_id", "rank")
+    }),
+
     // EQUALITY→POSITIONAL DELETE CONVERSION (r12, Iceberg
     // convert_equality_deletes): after eq-heavy CDC ingest, one
     // maintenance commit materializes each eq shard's kills as exact
@@ -4660,6 +4694,45 @@ object SparkEntry {
         |  CAST(sum(b.qty) AS BIGINT) AS sq
         |FROM a FULL JOIN b ON a.okey = b.okey
         |GROUP BY a.o_orderstatus ORDER BY st""".stripMargin,
+
+    // full BM25 replay over the surviving corpus (evens %10==0 died —
+    // every %10==0 id is even — then every odd ingested): the q118
+    // pipeline with the churn applied as a corpus filter. Queries come
+    // from the RAW table (doc_id < 5), independent of the churn.
+    "q166_text_index" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+        |), tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM corpus
+        |), post AS (
+        |  SELECT doc_id, len(ts) AS dl, u.term AS term, count(*) AS tf
+        |  FROM tok, unnest(ts) AS u(term) GROUP BY 1, 2, 3
+        |), dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+        |        FROM (SELECT DISTINCT doc_id, dl FROM post)),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    list_filter(regexp_split_to_array(lower(substr(text, 1, 48)), '\s+'),
+        |      t -> t <> '') AS ts
+        |  FROM documents WHERE doc_id < 5
+        |), qterm AS (
+        |  SELECT DISTINCT query_id, u.term FROM q, unnest(ts) AS u(term)
+        |), scored AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |    CAST(floor(sum(
+        |      ln(1 + (t.n_docs - d.df + 0.5) / (d.df + 0.5)) * (p.tf * 2.5) /
+        |      (p.tf + 1.5 * (0.25 + 0.75 * p.dl / t.avgdl))) * 10000) AS BIGINT) AS score_q
+        |  FROM qterm qt JOIN dfreq d USING (term) JOIN post p USING (term), tot t
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT query_id, doc_id, score_q,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_q DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, doc_id, score_q, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // the merged survivors from raw: evens minus the positional %10==2
     // minus the eq-killed %7==0 EVENS, plus every %9==0 odd — including

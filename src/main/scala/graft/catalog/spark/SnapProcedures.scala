@@ -399,6 +399,42 @@ object SnapProcedures {
         Seq(row(true))
       },
 
+      proc("create_text_index",
+        "build a persistent inverted text index over table's id/text columns: " +
+          "postings hive-partitioned by term-hash bucket (a query reads only its " +
+          "own terms' bucket directories), BM25 corpus scalars folded as table " +
+          "properties; maintain with refresh_text_index",
+        Seq(in("table", StringType), in("index", StringType),
+          in("id_col", StringType), in("text_col", StringType),
+          inDefault("nbuckets", IntegerType, "256")),
+        StructType(Seq(
+          StructField("index", StringType, nullable = false),
+          StructField("nbuckets", IntegerType, nullable = false)))) { input =>
+        val (db, t) = dbTable(input, 0)
+        val name = str(input, 1).getOrElse(
+          throw new IllegalArgumentException("index must not be null"))
+        val idCol = str(input, 2).getOrElse(
+          throw new IllegalArgumentException("id_col must not be null"))
+        val textCol = str(input, 3).getOrElse(
+          throw new IllegalArgumentException("text_col must not be null"))
+        val nb = input.getInt(4)
+        graft.ops.TextIndex.create(cat, db, t, name, idCol, textCol, nb)
+        Seq(row(utf8(s"$db.$name"), nb))
+      },
+
+      proc("refresh_text_index",
+        "advance a text index to its base table's current snapshot from per-commit " +
+          "metadata (churn-sized; never re-tokenizes the unchanged corpus): " +
+          "mode fresh|incremental|full",
+        Seq(in("index", StringType)),
+        StructType(Seq(
+          StructField("mode", StringType, nullable = false),
+          StructField("commits", LongType, nullable = false)))) { input =>
+        val (db, name) = dbTable(input, 0)
+        val (mode, commits) = graft.ops.TextIndex.refresh(cat, db, name)
+        Seq(row(utf8(mode), commits))
+      },
+
       proc("drop_view",
         "drop a versioned SQL view (its whole history)",
         Seq(in("view", StringType)),

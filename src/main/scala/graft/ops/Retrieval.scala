@@ -31,8 +31,10 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   /** Whitespace tokens, lowercased, empty-dropped — one shared tokenizer
-    * so corpus and query agree on what a "term" is. */
-  private def toks(c: Column): Column =
+    * so corpus and query agree on what a "term" is (shared with the
+    * persistent [[TextIndex]], whose stored postings and query side must
+    * tokenize identically to both this module and each other). */
+  private[ops] def toks(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= lit(""))
 
   /** Inverted postings `(doc_id, term, tf)` plus per-document length

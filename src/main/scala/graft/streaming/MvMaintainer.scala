@@ -104,21 +104,47 @@ object MvMaintainer {
   def maintainVectorIndex(spark: SparkSession, cat: SnapshotCatalog,
       catalogName: String, db: String, index: String,
       availableNow: Boolean = true,
-      onRefresh: (String, Long) => Unit = (_, _) => ()): StreamingQuery = {
-    val baseKey = cat.meta(db, index).properties.getOrElse(
-      graft.ops.VectorIndex.PropBase,
-      throw new IllegalArgumentException(s"$db.$index is not a vector index"))
-    val Array(bdb, btab) = baseKey.split("\\.", 2)
+      onRefresh: (String, Long) => Unit = (_, _) => ()): StreamingQuery =
+    maintainIndex(spark, cat, catalogName, db, index, "vector index",
+      graft.ops.VectorIndex.PropBase, graft.ops.VectorIndex.PropPin,
+      "graft_vixm_ckpt_", () => graft.ops.VectorIndex.refresh(cat, db, index),
+      availableNow, onRefresh)
+
+  /** And for a PERSISTENT INVERTED TEXT INDEX ([[graft.ops.TextIndex]]):
+    * the same commit signal folds into `TextIndex.refresh`, so lexical
+    * search lags ingest by one micro-batch too — both retrieval paths of
+    * a hybrid (BM25 + ANN) stack stay fresh off the same CDC stream. */
+  def maintainTextIndex(spark: SparkSession, cat: SnapshotCatalog,
+      catalogName: String, db: String, index: String,
+      availableNow: Boolean = true,
+      onRefresh: (String, Long) => Unit = (_, _) => ()): StreamingQuery =
+    maintainIndex(spark, cat, catalogName, db, index, "text index",
+      graft.ops.TextIndex.PropBase, graft.ops.TextIndex.PropPin,
+      "graft_tixm_ckpt_", () => graft.ops.TextIndex.refresh(cat, db, index),
+      availableNow, onRefresh)
+
+  /** The shared commit-signal stream behind both index maintainers: the
+    * refresh thunk advances the index's own pin from per-commit metadata,
+    * so replays are no-ops and a restart resumes exactly (the MV
+    * discipline above, verbatim). */
+  private def maintainIndex(spark: SparkSession, cat: SnapshotCatalog,
+      catalogName: String, db: String, index: String, kind: String,
+      basePropKey: String, pinPropKey: String, tempPrefix: String,
+      refresh: () => (String, Long), availableNow: Boolean,
+      onRefresh: (String, Long) => Unit): StreamingQuery = {
     val props = cat.meta(db, index).properties
-    val pin = props(graft.ops.VectorIndex.PropPin)
+    val baseKey = props.getOrElse(basePropKey,
+      throw new IllegalArgumentException(s"$db.$index is not a $kind"))
+    val Array(bdb, btab) = baseKey.split("\\.", 2)
+    val pin = props(pinPropKey)
     spark.readStream
       .option("starting-snapshot-id", pin)
       .table(s"$catalogName.$bdb.$btab.changes")
       .writeStream
       .option("checkpointLocation",
-        checkpointDir(props, "graft_vixm_ckpt_", s"$bdb.$btab"))
+        checkpointDir(props, tempPrefix, s"$bdb.$btab"))
       .foreachBatch { (_: DataFrame, _: Long) =>
-        val (mode, n) = graft.ops.VectorIndex.refresh(cat, db, index)
+        val (mode, n) = refresh()
         onRefresh(mode, n)
       }
       .trigger(if (availableNow) Trigger.AvailableNow()

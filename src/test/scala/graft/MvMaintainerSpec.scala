@@ -183,4 +183,44 @@ class MvMaintainerSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("not a materialized view"))
   }
+
+  test("text index rides the same commit-signal maintenance (r13)") {
+    import graft.ops.{Retrieval, TextIndex}
+    val (cat, cn) = newCat("snapmvm6")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    cat.createTable("db", "docs", docs.schema)
+    cat.append("db", "docs", docs.where(col("doc_id") % 2 === 0))
+    TextIndex.create(cat, "db", "docs", "tix", "doc_id", "text", nbuckets = 16)
+    cat.deleteMoR("db", "docs", col("doc_id") % 10 === 0)
+    cat.append("db", "docs", docs.where(col("doc_id") % 2 === 1))
+
+    val modes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = MvMaintainer.maintainTextIndex(spark, cat, cn, "db", "tix",
+      onRefresh = (m, _) => modes.synchronized { modes += m })
+    assert(q.awaitTermination(180000), "index maintainer did not drain")
+    assert(modes.contains("incremental") && !modes.contains("full"), modes.toString)
+    // drained index serves exactly what the recompute operator scores
+    val queries = docs.where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), substring(col("text"), 1, 48).as("qtext"))
+    val got = TextIndex.topK(cat, "db", "tix", queries, "qid", "qtext",
+        k = 10, k1 = 1.5, b = 0.75)
+      .select("query_id", "doc_id", "score_q", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = Retrieval.bm25TopK(cat.readLatest("db", "docs"), "doc_id", "text",
+        queries, "qid", "qtext", k = 10, k1 = 1.5, b = 0.75)
+      .select("query_id", "doc_id", "score_q", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // replay finds nothing to do; a non-index table refuses loudly
+    val modes2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q2 = MvMaintainer.maintainTextIndex(spark, cat, cn, "db", "tix",
+      onRefresh = (m, _) => modes2.synchronized { modes2 += m })
+    assert(q2.awaitTermination(180000))
+    assert(modes2.forall(_ == "fresh"), modes2.toString)
+    val e = intercept[IllegalArgumentException] {
+      MvMaintainer.maintainTextIndex(spark, cat, cn, "db", "docs")
+    }
+    assert(e.getMessage.contains("not a text index"))
+  }
 }
