@@ -1798,6 +1798,43 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // DISTINCT AGGREGATES OVER A JOIN BODY (r13 continuation): a
+    // fact ⋈ dim rollup carrying count/sum(DISTINCT) maintains
+    // INCREMENTALLY — previously any multi-base body with a DISTINCT
+    // aggregate fell to full. The per-(group, value) copy-count sidecar
+    // folds the SAME join-delta telescope terms the main partials ride,
+    // re-aggregated under the sidecar's own plan (counts are additive
+    // over the telescope's multiset union), so copy death vs value
+    // death resolve exactly through the join. REQUIRES the telescope
+    // mode after a range carrying BOTH a fact MoR delete and an append;
+    // the oracle replays the raw join DISTINCT over the survivors.
+    "q167_mv_join_distinct" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "jd_mv")) cat.dropView("maint", "jd_mv")
+      for (t <- Seq("jd_fact", "jd_dim"))
+        if (cat.tableExists("maint", t)) cat.dropTable("maint", t)
+      val f = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"),
+          col("l_quantity").cast("long").as("qty"))
+      val d = T(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+      cat.createTable("maint", "jd_fact", f.schema)
+      cat.append("maint", "jd_fact", f.where(col("okey") % 3 =!= 0))
+      cat.createTable("maint", "jd_dim", d.schema)
+      cat.append("maint", "jd_dim", d)
+      cat.createMaterializedView("maint", "jd_mv",
+        "SELECT d.o_orderstatus AS st, count(DISTINCT f.qty) AS dq, " +
+          "sum(DISTINCT f.qty) AS sq, count(*) AS n " +
+          "FROM maint.jd_fact f JOIN maint.jd_dim d ON f.okey = d.okey " +
+          "GROUP BY d.o_orderstatus")
+      cat.deleteMoR("maint", "jd_fact", col("okey") % 7 === 2)
+      cat.append("maint", "jd_fact", f.where(col("okey") % 3 === 0))
+      val (mode, _) = cat.refreshMaterializedView("maint", "jd_mv")
+      require(mode == "incremental_join_agg",
+        s"join DISTINCT churn must ride the telescope, took '$mode'")
+      s.sql("SELECT st, dq, sq, n FROM snapdml.maint.jd_mv ORDER BY st")
+    }),
+
     // EQUALITY→POSITIONAL DELETE CONVERSION (r12, Iceberg
     // convert_equality_deletes): after eq-heavy CDC ingest, one
     // maintenance commit materializes each eq shard's kills as exact
@@ -4733,6 +4770,21 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, doc_id, score_q, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the raw join DISTINCT over the surviving fact rows: %7==2 keys
+    // deleted from the initial (non-%3) slice, then every %3==0 row
+    // appended AFTER the delete (those survive — order matters)
+    "q167_mv_join_distinct" ->
+      """WITH f AS (
+        |  SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem
+        |  WHERE l_orderkey % 3 = 0 OR l_orderkey % 7 <> 2)
+        |SELECT d.o_orderstatus AS st,
+        |  CAST(count(DISTINCT f.qty) AS BIGINT) AS dq,
+        |  CAST(sum(DISTINCT f.qty) AS BIGINT) AS sq,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM f JOIN orders d ON f.okey = d.o_orderkey
+        |GROUP BY d.o_orderstatus ORDER BY st""".stripMargin,
 
     // the merged survivors from raw: evens minus the positional %10==2
     // minus the eq-killed %7==0 EVENS, plus every %9==0 odd — including

@@ -4618,11 +4618,11 @@ final class SnapshotCatalog(
       * applies untouched. Every term is churn ⋈ (n−1) pinned sides —
       * AQE broadcasts the delta side when it fits — never a
       * corpus-by-corpus rebuild. */
-    def joinAggOver(shape: AggShape,
+    def joinAggOver(aggPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         rows: Seq[Option[DataFrame]]): Option[DataFrame] = {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
       import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Sort, SubqueryAlias, Union}
-      val agg = (augmentedAggPlan(sql, shape) match {
+      val agg = (aggPlan match {
         case s: Sort => s.child
         case p => p
       }).asInstanceOf[Aggregate]
@@ -4683,17 +4683,19 @@ final class SnapshotCatalog(
       * [[joinAggOver]], applied once with every base's insert lane and
       * once with every delete lane. Every term is churn ⋈ the pinned
       * sides — AQE broadcasts the delta when it fits. */
-    def joinAggDeltas(shape: AggShape)
+    def joinDeltaLanes(): Option[Seq[(Option[DataFrame], Option[DataFrame])]] = {
+      val ds = bases.map(baseDeltas)
+      if (ds.exists(_.isEmpty)) None else Some(ds.map(_.get))
+    }
+    def joinAggDeltas(aggPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        m: Seq[(Option[DataFrame], Option[DataFrame])])
         : Option[(DataFrame, Option[DataFrame])] = {
       val a = bases.head
-      val ds = bases.map(baseDeltas)
-      if (ds.exists(_.isEmpty)) return None
-      val m = ds.map(_.get)
-      val minus = joinAggOver(shape, m.map(_._2))
+      val minus = joinAggOver(aggPlan, m.map(_._2))
       // a delete-only range has no insert terms: aggregate over an
       // empty head-delta so the merge still gets a (zero-group) plus frame
-      val plus = joinAggOver(shape, m.map(_._1)).orElse(if (minus.isEmpty) None
-        else joinAggOver(shape,
+      val plus = joinAggOver(aggPlan, m.map(_._1)).orElse(if (minus.isEmpty) None
+        else joinAggOver(aggPlan,
           Some(readAsOf(a._1, a._2, from(a).get)
             .drop(meta(a._1, a._2).hiddenCols.toSeq: _*).limit(0)) +:
             Seq.fill(bases.size - 1)(Option.empty[DataFrame])))
@@ -4715,21 +4717,19 @@ final class SnapshotCatalog(
           case _ => false
         })
     }
-    def unionAggDeltas(shape: AggShape)
-        : Option[(DataFrame, Option[DataFrame])] = {
-      val augPlan = augmentedAggPlan(sql, shape)
+    def unionAggLanes(): Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+        Option[(DataFrame, Option[DataFrame])]] = {
       def emptyOf(b: (String, String)) = readAsOf(b._1, b._2, from(b).get)
         .drop(meta(b._1, b._2).hiddenCols.toSeq: _*).limit(0)
       val ds = bases.map(b => b -> baseDeltas(b))
       if (ds.exists(_._2.isEmpty)) return None
       val m = ds.map { case (b, d) => b -> d.get }.toMap
-      val plus = bodyOverBases(augPlan,
-        bases.map(b => b -> m(b)._1.getOrElse(emptyOf(b))).toMap)
-      val minus =
+      val plusMap = bases.map(b => b -> m(b)._1.getOrElse(emptyOf(b))).toMap
+      val minusMap =
         if (!m.values.exists(_._2.isDefined)) None
-        else Some(bodyOverBases(augPlan,
-          bases.map(b => b -> m(b)._2.getOrElse(emptyOf(b))).toMap))
-      Some((plus, minus))
+        else Some(bases.map(b => b -> m(b)._2.getOrElse(emptyOf(b))).toMap)
+      Some(p => Some((bodyOverBases(p, plusMap),
+        minusMap.map(bodyOverBases(p, _)))))
     }
 
     /** AGGREGATE-over-LEFT-OUTER-JOIN deltas (r13). A left outer join is
@@ -4758,14 +4758,13 @@ final class SnapshotCatalog(
       * non-linear joins, paid only when the dim actually moved. */
     def outerJoinAggDeltas(shape: AggShape,
         oj: ((String, String), (String, String), Seq[(String, String)], Boolean))
-        : Option[((DataFrame, Option[DataFrame]), () => Unit)] = {
+        : Option[((DataFrame, Option[DataFrame]),
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+              Option[(DataFrame, Option[DataFrame])],
+            () => Unit)] = {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
       import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Sort, SubqueryAlias, Union}
       val (a, b, keyPairs, isFull) = oj
-      val agg = (augmentedAggPlan(sql, shape) match {
-        case s: Sort => s.child
-        case p => p
-      }).asInstanceOf[Aggregate]
       def hid(x: (String, String)) = meta(x._1, x._2).hiddenCols.toSeq
       val da = baseDeltas(a).getOrElse(return None)
       val dbx = baseDeltas(b).getOrElse(return None)
@@ -4786,22 +4785,24 @@ final class SnapshotCatalog(
           frame(s"`$fc`") === keys(s"`$kc`") }.reduce(_ && _)
         frame.join(keys, cond, "left_semi")
       }
-      def subst(repl: Map[(String, String), DataFrame]): LogicalPlan =
-        agg.child.transformUpWithSubqueries {
-          case u: UnresolvedRelation if relKeyOf(db, u).exists(repl.contains) =>
-            val k = relKeyOf(db, u).get
-            SubqueryAlias(Seq(k._1, k._2), repl(k).queryExecution.analyzed)
-        }
-      val plusTerms = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
-      val minusTerms = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+      // terms collect as SUBSTITUTION MAPS (base → pinned/churn frame),
+      // not pre-substituted plans: the same maps then evaluate the main
+      // augmented aggregate AND (r13) each distinct sidecar's plan —
+      // one telescope, every consumer
+      val plusTerms =
+        scala.collection.mutable.ArrayBuffer.empty[Map[(String, String), DataFrame]]
+      val minusTerms =
+        scala.collection.mutable.ArrayBuffer.empty[Map[(String, String), DataFrame]]
       val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       def cachedHere(f: DataFrame): DataFrame = { val c = f.cache(); caches += c; c }
+      val release: () => Unit = () => { caches.foreach(_.unpersist()); () }
+      def bailOut: None.type = { release(); None }
       // ---- bracket 1: left churn, right side pinned at FROM ----
       if (!isFull) {
         // LEFT OUTER is linear in its left input: the bracket is exactly
         // the churn rows' own body evaluations
-        da._1.foreach(ins => plusTerms += subst(Map(a -> ins, b -> bAt(from(b).get))))
-        da._2.foreach(del => minusTerms += subst(Map(a -> del, b -> bAt(from(b).get))))
+        da._1.foreach(ins => plusTerms += Map(a -> ins, b -> bAt(from(b).get)))
+        da._2.foreach(del => minusTerms += Map(a -> del, b -> bAt(from(b).get)))
       } else if (from(a).get != cur(a)) {
         // FULL OUTER is linear in NEITHER side (a new left row retracts a
         // right row's null-extension), so bracket 1 uses the same
@@ -4811,56 +4812,71 @@ final class SnapshotCatalog(
         // terms — the restriction only bounds term volume). Null-keyed
         // left churn never matches anything: its contribution is the body
         // over (Δ_null, empty right), added directly.
-        val kA = churnKeys(da, lCols).getOrElse(return None)
+        val kA = churnKeys(da, lCols).getOrElse(return bailOut)
         val kAc = cachedHere(kA)
         val bFromK = semiKeys(bAt(from(b).get), rCols, kAc, lCols)
-        plusTerms += subst(Map(a -> semiKeys(aAt(cur(a)), lCols, kAc, lCols),
-          b -> bFromK))
-        minusTerms += subst(Map(a -> semiKeys(aAt(from(a).get), lCols, kAc, lCols),
-          b -> bFromK))
+        plusTerms += Map(a -> semiKeys(aAt(cur(a)), lCols, kAc, lCols),
+          b -> bFromK)
+        minusTerms += Map(a -> semiKeys(aAt(from(a).get), lCols, kAc, lCols),
+          b -> bFromK)
         val bEmpty = bAt(from(b).get).limit(0)
         da._1.foreach(ins => plusTerms +=
-          subst(Map(a -> ins.where(nullKey(ins, lCols)), b -> bEmpty)))
+          Map(a -> ins.where(nullKey(ins, lCols)), b -> bEmpty))
         da._2.foreach(del => minusTerms +=
-          subst(Map(a -> del.where(nullKey(del, lCols)), b -> bEmpty)))
+          Map(a -> del.where(nullKey(del, lCols)), b -> bEmpty))
       }
       // ---- bracket 2: right churn, left side pinned at CUR ----
-      val release: () => Unit = () => { caches.foreach(_.unpersist()); () }
       if (from(b).get != cur(b)) {
-        val keys = churnKeys(dbx, rCols).getOrElse(return None)
+        val keys = churnKeys(dbx, rCols).getOrElse(return bailOut)
         val aCur = aAt(cur(a))
         val aK = cachedHere(semiKeys(aCur, lCols, keys, rCols))
         if (!isFull) {
-          plusTerms += subst(Map(a -> aK, b -> bAt(cur(b))))
-          minusTerms += subst(Map(a -> aK, b -> bAt(from(b).get)))
+          plusTerms += Map(a -> aK, b -> bAt(cur(b)))
+          minusTerms += Map(a -> aK, b -> bAt(from(b).get))
         } else {
           // restrict the right side to K_B as well: under FULL OUTER the
           // unrestricted remainder would emit (cancelling but dim-sized)
           // null-extension rows into both frames
           val kBc = cachedHere(keys)
-          plusTerms += subst(Map(a -> aK,
-            b -> semiKeys(bAt(cur(b)), rCols, kBc, rCols)))
-          minusTerms += subst(Map(a -> aK,
-            b -> semiKeys(bAt(from(b).get), rCols, kBc, rCols)))
+          plusTerms += Map(a -> aK,
+            b -> semiKeys(bAt(cur(b)), rCols, kBc, rCols))
+          minusTerms += Map(a -> aK,
+            b -> semiKeys(bAt(from(b).get), rCols, kBc, rCols))
           // null-keyed right churn rows only ever null-extend themselves
           val aEmpty = aCur.limit(0)
           dbx._1.foreach(ins => plusTerms +=
-            subst(Map(a -> aEmpty, b -> ins.where(nullKey(ins, rCols)))))
+            Map(a -> aEmpty, b -> ins.where(nullKey(ins, rCols))))
           dbx._2.foreach(del => minusTerms +=
-            subst(Map(a -> aEmpty, b -> del.where(nullKey(del, rCols)))))
+            Map(a -> aEmpty, b -> del.where(nullKey(del, rCols))))
         }
       }
-      if (plusTerms.isEmpty && minusTerms.isEmpty) return None
-      def aggOver(terms: Seq[LogicalPlan]): DataFrame =
+      if (plusTerms.isEmpty && minusTerms.isEmpty) return bailOut
+      def aggOver(aggPlan: LogicalPlan,
+          terms: Seq[Map[(String, String), DataFrame]]): DataFrame = {
+        val ag = (aggPlan match {
+          case s: Sort => s.child
+          case p => p
+        }).asInstanceOf[Aggregate]
+        val parts = terms.map(repl => ag.child.transformUpWithSubqueries {
+          case u: UnresolvedRelation if relKeyOf(db, u).exists(repl.contains) =>
+            val k = relKeyOf(db, u).get
+            SubqueryAlias(Seq(k._1, k._2), repl(k).queryExecution.analyzed)
+        })
         org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
-          agg.copy(child = terms.reduceLeft(Union(_, _))))
+          ag.copy(child = parts.reduceLeft(Union(_, _))))
+      }
       // a delete-only range still hands the merge a (zero-group) plus frame
-      val plus = if (plusTerms.nonEmpty) aggOver(plusTerms.toSeq)
-        else aggOver(Seq(subst(Map(
-          a -> readAsOf(a._1, a._2, from(a).get).drop(hid(a): _*).limit(0),
-          b -> bAt(from(b).get)))))
-      val minus = if (minusTerms.isEmpty) None else Some(aggOver(minusTerms.toSeq))
-      Some(((plus, minus), release))
+      val emptyPlus = Map(
+        a -> readAsOf(a._1, a._2, from(a).get).drop(hid(a): _*).limit(0),
+        b -> bAt(from(b).get))
+      def lanes(aggPlan: LogicalPlan): Option[(DataFrame, Option[DataFrame])] = {
+        val plus = aggOver(aggPlan,
+          if (plusTerms.nonEmpty) plusTerms.toSeq else Seq(emptyPlus))
+        val minus = if (minusTerms.isEmpty) None
+          else Some(aggOver(aggPlan, minusTerms.toSeq))
+        Some((plus, minus))
+      }
+      lanes(augmentedAggPlan(sql, shape)).map(pm => (pm, lanes _, release))
     }
 
     def incrementalDelta(): DataFrame = {
@@ -4879,9 +4895,10 @@ final class SnapshotCatalog(
     val backingHasPartials = tableExists(db, mvT) &&
       currentSnapshot(db, mvT).schema.fieldNames.contains(MvPartialRows)
     // DISTINCT-aggregate sidecars recorded at create time (per output
-    // position). The merge path requires every distinct position's
+    // position). Every merge path — single-base AND (r13) the join/
+    // outer/union telescopes — requires every distinct position's
     // sidecar present; a shape carrying distinct aggregates without its
-    // sidecars (or on the join path) stays full.
+    // sidecars stays full.
     val dvTables: Map[Int, String] = docMeta.properties.collect {
       case (k, v) if k.startsWith("mv.dv.") => k.stripPrefix("mv.dv.").toInt -> v
     }
@@ -4932,7 +4949,9 @@ final class SnapshotCatalog(
       * the edges the merge cannot serve (null group keys in the delta;
       * an un-diffable range) — the caller falls back to full. */
     def mergePartials(shape: AggShape,
-        preAgg: Option[(DataFrame, Option[DataFrame])] = None): Option[Long] = {
+        preAgg: Option[(DataFrame, Option[DataFrame])] = None,
+        preAggUnder: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+          Option[(DataFrame, Option[DataFrame])]] = None): Option[Long] = {
       val augPlan = augmentedAggPlan(sql, shape)
       val plusOnly = preAgg.map(_._1)
       val minusPre = preAgg.flatMap(_._2)
@@ -4980,11 +4999,15 @@ final class SnapshotCatalog(
       try {
       // distinct aggregates re-read the ins/del ROW sets for the sidecar
       // deltas — cache them once so the main partials and every sidecar
-      // share the same churn-sized scan; the join caller cannot serve
-      // them (its plus frame is already aggregated), so distinct shapes
-      // refuse plusOnly and fall to full
+      // share the same churn-sized scan. Multi-base callers (join/outer/
+      // union telescopes, r13) hand PRE-AGGREGATED frames instead; their
+      // sidecar deltas come from re-aggregating the SAME delta terms
+      // under the sidecar's own plan via `preAggUnder` — exact because
+      // the sidecar is a row-local-filtered count, additive over the
+      // telescope's multiset-union of terms. A pre-agg caller without
+      // that evaluator falls to full honestly.
       val dv = shape.distinctPos
-      if (dv.nonEmpty && plusOnly.isDefined) return None
+      if (dv.nonEmpty && plusOnly.isDefined && preAggUnder.isEmpty) return None
       val insRows = insRowsOpt.map(f => if (dv.nonEmpty) cached(f) else f)
       val delRows = delRowsOpt.map(f => if (dv.nonEmpty) cached(f) else f)
       val plus = cached(plusOnly.getOrElse(bodyOver(augPlan, insRows.get)))
@@ -5058,8 +5081,15 @@ final class SnapshotCatalog(
         val sKeys = keyNames :+ MvDvValue
         dv.groupBy(p => dvTables(p._1)).toSeq.sortBy(_._1).map { case (tbl, ps) =>
           val dvPlan = distinctSidecarPlan(sql, shape, ps.map(_._1).min)
-          val plusS = bodyOver(dvPlan, insRows.get)
-          val netS = cached((delRows.map(f => bodyOver(dvPlan, f)) match {
+          // single-base: the sidecar plan runs over the cached ins/del
+          // row sets; pre-agg callers re-aggregate their delta terms
+          // under the sidecar plan instead (same telescope, same pins)
+          val (plusS, minusSOpt): (DataFrame, Option[DataFrame]) =
+            if (plusOnly.isDefined)
+              preAggUnder.get(dvPlan).getOrElse(return None)
+            else (bodyOver(dvPlan, insRows.get),
+              delRows.map(f => bodyOver(dvPlan, f)))
+          val netS = cached((minusSOpt match {
             case None => plusS
             case Some(minusS) =>
               val m = minusS.select((sKeys.map(k => col(s"`$k`").as(s"__m_$k")) :+
@@ -5295,18 +5325,18 @@ final class SnapshotCatalog(
     // delta; the partial-merge machinery applies unchanged. Since r11
     // deletes/updates RETRACT too ([[joinAggDeltas]] — any range every
     // side can diff), so the gate is diffability, not append-only; since
-    // r13 the body may be an N-way star, not just fact-dim.
-    // Distinct aggregates refuse the join path (the sidecar body is
-    // single-base) — those fall to full
+    // r13 the body may be an N-way star, not just fact-dim, and DISTINCT
+    // aggregates maintain too (the sidecar's per-(group, value) counts
+    // re-aggregate the same telescope terms — every sidecar must exist)
     val joinAggIncremental = bases.size >= 2 &&
       bases.forall(b => from(b).isDefined) && !joinIncremental &&
-      shapeOpt.exists(_.retractable) && backingHasPartials && !hasDistinct &&
+      shapeOpt.exists(_.retractable) && backingHasPartials && distinctReady &&
       joinAggBodyOk
 
     // GROUP BY over fact LEFT JOIN dim (r13): the two-bracket outer
     // telescope of [[outerJoinAggDeltas]] — left-linearity for fact
     // churn, affected-key recompute for dim churn. Distinct aggregates
-    // refuse (the sidecar deltas need row sets, not partial frames).
+    // ride the same brackets through the sidecar re-aggregation.
     lazy val outerJoinAggInfo
         : Option[((String, String), (String, String), Seq[(String, String)], Boolean)] = {
       import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Sort}
@@ -5322,7 +5352,7 @@ final class SnapshotCatalog(
     val outerJoinAggIncremental = bases.size == 2 &&
       bases.forall(b => from(b).isDefined) && !joinIncremental &&
       !joinAggIncremental && shapeOpt.exists(_.retractable) &&
-      backingHasPartials && !hasDistinct && outerJoinAggInfo.isDefined
+      backingHasPartials && distinctReady && outerJoinAggInfo.isDefined
 
     // UNION ALL of row-local arms: every base append-only over its range
     // → the delta is the union of each arm over its base's increment
@@ -5333,7 +5363,7 @@ final class SnapshotCatalog(
     // aggregate over UNION ALL: linear in every base → ins/del deltas
     // substitute simultaneously, partials merge like any retractable MV
     lazy val unionAggIncremental = bases.forall(b => from(b).isDefined) &&
-      shapeOpt.exists(_.retractable) && backingHasPartials && !hasDistinct &&
+      shapeOpt.exists(_.retractable) && backingHasPartials && distinctReady &&
       unionAggBody
 
     var mode =
@@ -5409,9 +5439,14 @@ final class SnapshotCatalog(
         // by the bilinear identity in [[joinAggDeltas]] — then the
         // per-group partials merge into the backing exactly like the
         // single-base path (group death, extremum-death recompute and
-        // all)
-        joinAggDeltas(shapeOpt.get).flatMap(pm =>
-          mergePartials(shapeOpt.get, preAgg = Some(pm))) match {
+        // all). DISTINCT aggregates (r13) ride the same lanes: the
+        // sidecar's per-(group, value) counts re-aggregate the identical
+        // delta terms under the sidecar plan via preAggUnder.
+        joinDeltaLanes().flatMap { m =>
+          joinAggDeltas(augmentedAggPlan(sql, shapeOpt.get), m).flatMap(pm =>
+            mergePartials(shapeOpt.get, preAgg = Some(pm),
+              preAggUnder = Some(p => joinAggDeltas(p, m))))
+        } match {
           case Some(n) => n
           case None => mode = "full"; runFull()
         }
@@ -5421,8 +5456,9 @@ final class SnapshotCatalog(
         // inner-join path; the affected-key slice is cached across the
         // two bracket-2 terms and released after the merge
         outerJoinAggDeltas(shapeOpt.get, outerJoinAggInfo.get) match {
-          case Some((pm, release)) =>
-            try mergePartials(shapeOpt.get, preAgg = Some(pm)) match {
+          case Some((pm, under, release)) =>
+            try mergePartials(shapeOpt.get, preAgg = Some(pm),
+              preAggUnder = Some(under)) match {
               case Some(n) => n
               case None => mode = "full"; runFull()
             } finally release()
@@ -5432,8 +5468,11 @@ final class SnapshotCatalog(
         // multi-source rollup: ONE evaluation of the augmented aggregate
         // per delta side (all bases substituted at once — linearity),
         // then the identical group-wise partial merge
-        unionAggDeltas(shapeOpt.get).flatMap(pm =>
-          mergePartials(shapeOpt.get, preAgg = Some(pm))) match {
+        unionAggLanes().flatMap { under =>
+          under(augmentedAggPlan(sql, shapeOpt.get)).flatMap(pm =>
+            mergePartials(shapeOpt.get, preAgg = Some(pm),
+              preAggUnder = Some(under)))
+        } match {
           case Some(n) => n
           case None => mode = "full"; runFull()
         }

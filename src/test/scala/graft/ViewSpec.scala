@@ -882,6 +882,134 @@ class ViewSpec extends AnyFunSuite {
         .as[(String, String, Long)].collect().toSeq))
   }
 
+  test("DISTINCT aggregates over JOIN bodies refresh incrementally via sidecar re-aggregation (r13)") {
+    val (cat, wh) = freshCat()
+    register(wh, "vjd")
+    val dim = Seq((1L, "s1"), (2L, "s1"), (3L, "s2")).toDF("k", "seg")
+    val fact = Seq((1L, 10L), (1L, 10L), (2L, 10L), (2L, 20L), (3L, 30L),
+      (7L, 70L)).toDF("k", "v") // duplicate (1,10): one copy's death must not drop the value
+    cat.createTable("db", "dim", dim.schema)
+    cat.createTable("db", "fact", fact.schema)
+    cat.append("db", "dim", dim)
+    cat.append("db", "fact", fact)
+    cat.createMaterializedView("db", "djr",
+      "SELECT d.seg AS seg, count(DISTINCT f.v) AS dv, sum(DISTINCT f.v) AS sv, " +
+        "count(*) AS n FROM vjd.db.dim d JOIN vjd.db.fact f ON d.k = f.k " +
+        "GROUP BY d.seg")
+    def expect() = noRewrite(spark.sql(
+      "SELECT d.seg AS seg, count(DISTINCT f.v) AS dv, sum(DISTINCT f.v) AS sv, " +
+        "count(*) AS n FROM vjd.db.dim d JOIN vjd.db.fact f ON d.k = f.k " +
+        "GROUP BY d.seg ORDER BY seg")
+      .as[(String, Long, Long, Long)].collect().toSeq)
+    def got() = spark.sql("SELECT * FROM vjd.db.djr ORDER BY seg")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got() == expect())
+
+    // Δfact: a brand-new value AND another copy of an existing one
+    cat.append("db", "fact", Seq((1L, 5L), (3L, 30L)).toDF("k", "v"))
+    val (m1, _) = cat.refreshMaterializedView("db", "djr")
+    assert(m1 == "incremental_join_agg", m1)
+    assert(got() == expect())
+
+    // PARTIAL COPY DEATH: one (1,10) dies, the other copy keeps value 10
+    // alive in s1's distinct set
+    cat.deleteMoREq("db", "fact", Seq((1L, 10L)).toDF("k", "v").limit(1)
+      .select("k", "v"))
+    val (m2, _) = cat.refreshMaterializedView("db", "djr")
+    assert(m2 == "incremental_join_agg", m2)
+    assert(got() == expect())
+
+    // Δdim: a new dim key picks up dangling fact rows — new group with
+    // its own distinct set (the cross term flows through the sidecar)
+    cat.append("db", "dim", Seq((7L, "s3")).toDF("k", "seg"))
+    val (m3, _) = cat.refreshMaterializedView("db", "djr")
+    assert(m3 == "incremental_join_agg", m3)
+    assert(got() == expect())
+
+    // FULL VALUE DEATH through the join: v=20 leaves s1's set entirely
+    cat.deleteMoR("db", "fact", col("v") === 20L)
+    val (m4, _) = cat.refreshMaterializedView("db", "djr")
+    assert(m4 == "incremental_join_agg", m4)
+    assert(got() == expect())
+
+    // dim-side delete retracts every joined copy: group s3 dies whole
+    cat.deleteMoR("db", "dim", col("seg") === "s3")
+    val (m5, _) = cat.refreshMaterializedView("db", "djr")
+    assert(m5 == "incremental_join_agg", m5)
+    assert(got() == expect())
+    assert(!got().exists(_._1 == "s3"))
+
+    // both sides churn in ONE range (update moves a value between dims)
+    cat.append("db", "dim", Seq((8L, "s2")).toDF("k", "seg"))
+    cat.updateMoR("db", "fact", col("k") === 3L, Map("v" -> lit(31L)))
+    cat.append("db", "fact", Seq((8L, 31L)).toDF("k", "v"))
+    val (m6, _) = cat.refreshMaterializedView("db", "djr")
+    assert(m6 == "incremental_join_agg", m6)
+    assert(got() == expect())
+  }
+
+  test("DISTINCT aggregates over OUTER-JOIN and UNION bodies ride their telescopes (r13)") {
+    val (cat, wh) = freshCat()
+    register(wh, "vod")
+    val dim = Seq((1L, "s1"), (2L, "s2")).toDF("k", "seg")
+    val fact = Seq((1L, 10L), (1L, 10L), (2L, 20L), (9L, 90L)).toDF("k", "v")
+    cat.createTable("db", "dim", dim.schema)
+    cat.createTable("db", "fact", fact.schema)
+    cat.append("db", "dim", dim)
+    cat.append("db", "fact", fact)
+    // LEFT JOIN: the null-extended group (k=9 has no dim) carries a
+    // distinct set too
+    cat.createMaterializedView("db", "odr",
+      "SELECT d.seg AS seg, count(DISTINCT f.v) AS dv, count(*) AS n " +
+        "FROM vod.db.fact f LEFT JOIN vod.db.dim d ON f.k = d.k GROUP BY d.seg")
+    def expectO() = noRewrite(spark.sql(
+      "SELECT d.seg AS seg, count(DISTINCT f.v) AS dv, count(*) AS n " +
+        "FROM vod.db.fact f LEFT JOIN vod.db.dim d ON f.k = d.k " +
+        "GROUP BY d.seg ORDER BY seg NULLS FIRST")
+      .as[(Option[String], Long, Long)].collect().toSeq)
+    def gotO() = spark.sql("SELECT * FROM vod.db.odr ORDER BY seg NULLS FIRST")
+      .as[(Option[String], Long, Long)].collect().toSeq
+    assert(gotO() == expectO())
+
+    // fact churn: copy death keeps the value, full death drops it
+    cat.deleteMoREq("db", "fact", Seq((1L, 10L)).toDF("k", "v"))
+    cat.append("db", "fact", Seq((1L, 11L), (9L, 90L)).toDF("k", "v"))
+    val (mo1, _) = cat.refreshMaterializedView("db", "odr")
+    assert(mo1 == "incremental_outer_agg", mo1)
+    assert(gotO() == expectO())
+
+    // dim churn COVERS a null-extended key: k=9 moves from the NULL
+    // group into s9 — both groups' distinct sets move through bracket 2
+    cat.append("db", "dim", Seq((9L, "s9")).toDF("k", "seg"))
+    val (mo2, _) = cat.refreshMaterializedView("db", "odr")
+    assert(mo2 == "incremental_outer_agg", mo2)
+    assert(gotO() == expectO())
+    assert(!gotO().exists(_._1.isEmpty), gotO().toString)
+
+    // UNION ALL body: distinct over two sources, deletes retract
+    cat.createMaterializedView("db", "udr",
+      "SELECT seg, count(DISTINCT v) AS dv FROM (" +
+        "SELECT 'a' AS seg, v FROM vod.db.fact UNION ALL " +
+        "SELECT 'b' AS seg, k AS v FROM vod.db.dim) u GROUP BY seg")
+    def expectU() = noRewrite(spark.sql(
+      "SELECT seg, count(DISTINCT v) AS dv FROM (" +
+        "SELECT 'a' AS seg, v FROM vod.db.fact UNION ALL " +
+        "SELECT 'b' AS seg, k AS v FROM vod.db.dim) u GROUP BY seg ORDER BY seg")
+      .as[(String, Long)].collect().toSeq)
+    def gotU() = spark.sql("SELECT * FROM vod.db.udr ORDER BY seg")
+      .as[(String, Long)].collect().toSeq
+    assert(gotU() == expectU())
+    cat.deleteMoR("db", "fact", col("v") === 20L)
+    cat.append("db", "fact", Seq((4L, 11L)).toDF("k", "v")) // duplicate value 11
+    val (mu1, _) = cat.refreshMaterializedView("db", "udr")
+    assert(mu1 == "incremental_union_agg", mu1)
+    assert(gotU() == expectU())
+    cat.deleteMoR("db", "dim", col("k") === 2L)
+    val (mu2, _) = cat.refreshMaterializedView("db", "udr")
+    assert(mu2 == "incremental_union_agg", mu2)
+    assert(gotU() == expectU())
+  }
+
   test("aggregate-over-join MV: fact-dim rollup merges as incremental_join_agg") {
     val (cat, wh) = freshCat()
     register(wh, "vja")
