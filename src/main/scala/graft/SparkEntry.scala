@@ -1835,6 +1835,52 @@ object SparkEntry {
       s.sql("SELECT st, dq, sq, n FROM snapdml.maint.jd_mv ORDER BY st")
     }),
 
+    // N-WAY LEFT-JOIN CHAIN MV (r13 continuation): the star with
+    // OPTIONAL dimensions — fact LEFT JOIN dim1 LEFT JOIN dim2, where
+    // dangling fact rows keep their rows with null-extended dim columns
+    // (an inner star would drop them) — refreshes INCREMENTALLY via the
+    // per-dim bracket telescope: fact churn rides left-linearity, a
+    // moved dim rides affected-key recompute against its own churn's
+    // key set (earlier relations pinned at cur, later at from; rows
+    // outside the key set contribute cancelling ± partials). Previously
+    // any 3+-base outer body fell to full. The range carries a fact MoR
+    // delete AND a dim append that COVERS previously null-extended keys;
+    // REQUIRES the outer telescope mode; the oracle replays the raw
+    // LEFT chain over the survivors.
+    "q168_mv_outer_chain" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "oc_mv")) cat.dropView("maint", "oc_mv")
+      for (t <- Seq("oc_fact", "oc_ord", "oc_part"))
+        if (cat.tableExists("maint", t)) cat.dropTable("maint", t)
+      val f = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"),
+          col("l_quantity").cast("long").as("qty"))
+      val d1 = T(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+      val d2 = T(s, dir, "part")
+        .select(col("p_partkey").as("pkey"), col("p_brand"))
+      cat.createTable("maint", "oc_fact", f.schema)
+      cat.append("maint", "oc_fact", f)
+      cat.createTable("maint", "oc_ord", d1.schema)
+      cat.append("maint", "oc_ord", d1.where(col("okey") % 5 =!= 0))
+      cat.createTable("maint", "oc_part", d2.schema)
+      cat.append("maint", "oc_part", d2.where(col("pkey") % 3 =!= 0))
+      cat.createMaterializedView("maint", "oc_mv",
+        "SELECT d1.o_orderstatus AS st, d2.p_brand AS brand, " +
+          "count(*) AS n, sum(f.qty) AS sq FROM maint.oc_fact f " +
+          "LEFT JOIN maint.oc_ord d1 ON f.okey = d1.okey " +
+          "LEFT JOIN maint.oc_part d2 ON f.pkey = d2.pkey " +
+          "GROUP BY d1.o_orderstatus, d2.p_brand")
+      cat.deleteMoR("maint", "oc_fact", col("okey") % 7 === 3)
+      cat.append("maint", "oc_ord",
+        d1.where(col("okey") % 5 === 0 && col("okey") % 2 === 0))
+      val (mode, _) = cat.refreshMaterializedView("maint", "oc_mv")
+      require(mode == "incremental_outer_agg",
+        s"chain churn must ride the per-dim brackets, took '$mode'")
+      s.sql("SELECT st, brand, n, sq FROM snapdml.maint.oc_mv " +
+        "ORDER BY st NULLS FIRST, brand NULLS FIRST")
+    }),
+
     // EQUALITY→POSITIONAL DELETE CONVERSION (r12, Iceberg
     // convert_equality_deletes): after eq-heavy CDC ingest, one
     // maintenance commit materializes each eq shard's kills as exact
@@ -4785,6 +4831,26 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM f JOIN orders d ON f.okey = d.o_orderkey
         |GROUP BY d.o_orderstatus ORDER BY st""".stripMargin,
+
+    // the raw LEFT chain over the survivors: fact minus the %7==3 MoR
+    // delete; orders dim = the non-%5 slice plus the even %5 keys
+    // appended by the churn; part dim = the non-%3 slice
+    "q168_mv_outer_chain" ->
+      """WITH f AS (
+        |  SELECT l_orderkey AS okey, l_partkey AS pkey,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_orderkey % 7 <> 3),
+        |d1 AS (
+        |  SELECT o_orderkey AS okey, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 5 <> 0 OR o_orderkey % 2 = 0),
+        |d2 AS (
+        |  SELECT p_partkey AS pkey, p_brand FROM part WHERE p_partkey % 3 <> 0)
+        |SELECT d1.o_orderstatus AS st, d2.p_brand AS brand,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(f.qty) AS BIGINT) AS sq
+        |FROM f LEFT JOIN d1 ON f.okey = d1.okey
+        |LEFT JOIN d2 ON f.pkey = d2.pkey
+        |GROUP BY d1.o_orderstatus, d2.p_brand
+        |ORDER BY st NULLS FIRST, brand NULLS FIRST""".stripMargin,
 
     // the merged survivors from raw: evens minus the positional %10==2
     // minus the eq-killed %7==0 EVENS, plus every %9==0 odd — including

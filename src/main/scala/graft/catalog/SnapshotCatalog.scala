@@ -4059,6 +4059,96 @@ final class SnapshotCatalog(
     }
   }
 
+  /** Is `p` a project/filter tree over a LEFT-DEEP CHAIN of `LEFT JOIN`s
+    * of N >= 3 distinct bare base relations with conjunctive equi ON
+    * clauses — `fact LEFT JOIN dim1 ON .. LEFT JOIN dim2 ON ..`, the
+    * standard star with OPTIONAL dimensions (r13; the 2-base form rides
+    * [[outerJoinShape]])? Returns the bases in chain order (head = the
+    * fact) plus, per dimension, the single earlier base OWNING the left
+    * key columns and the (ownerCol, dimCol) equi pairs.
+    *
+    * The owner-base requirement is what makes the affected-key bracket
+    * restrictable: join i's left key is a column of one base row,
+    * carried through the earlier left joins unchanged (or null-extended
+    * to a never-matching null), so semi-joining THAT base against the
+    * dim churn's key set retains every accumulated row whose key the
+    * churn could touch. ON clauses mixing owners decline. Filters are
+    * admitted only ABOVE the chain (same argument as the 2-base lane);
+    * filtered/derived join sides decline. */
+  private def outerChainShape(db: String,
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(Seq[(String, String)],
+          Seq[((String, String), Seq[(String, String)])])] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias}
+    def peel(q: LogicalPlan): LogicalPlan = q match {
+      case Filter(_, c) => peel(c)
+      case Project(_, c) => peel(c)
+      case SubqueryAlias(_, c) => peel(c)
+      case other => other
+    }
+    def side(q: LogicalPlan): Option[((String, String), Set[String])] = q match {
+      case SubqueryAlias(ident, c) => side(c).map { case (k, qs) => (k, qs + ident.name) }
+      case u: UnresolvedRelation => relKeyOf(db, u).map(k => (k, Set(k._2)))
+      case _ => None
+    }
+    // walk the left spine, collecting (dim side, ON cond) outermost-first
+    def spine(q: LogicalPlan): Option[(((String, String), Set[String]),
+        List[(((String, String), Set[String]), Expression)])] = q match {
+      case j: Join if j.joinType == LeftOuter =>
+        for {
+          (head, inner) <- spine(j.left)
+          d <- side(j.right)
+          c <- j.condition
+        } yield (head, inner :+ (d, c))
+      case other => side(other).map(s => (s, Nil))
+    }
+    val (head, joins) = spine(peel(p)).getOrElse(return None)
+    if (joins.length < 2) return None // 2-base stays in outerJoinShape's lane
+    val sides: Seq[((String, String), Set[String])] = head +: joins.map(_._1)
+    val bases = sides.map(_._1)
+    if (bases.length > 8 || bases.distinct.length != bases.length) return None
+    if (sides.map(_._2).reduce(_ ++ _).size != sides.map(_._2.size).sum)
+      return None // ambiguous qualifiers across sides
+    def colsOf(k: (String, String)): Set[String] =
+      scala.util.Try(currentSnapshot(k._1, k._2).schema.fieldNames.toSet)
+        .getOrElse(Set.empty)
+    def conj(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conj(l) ++ conj(r)
+      case other => Seq(other)
+    }
+    val dims = joins.zipWithIndex.map { case (((dimKey, dimQs), cond), i) =>
+      // resolution universe for join i: the head plus dims 0..i
+      val earlier = sides.take(i + 1)
+      def ownerOf(a: UnresolvedAttribute): Option[(String, String)] = a.nameParts match {
+        case Seq(q, _) => earlier.find(_._2(q)).map(_._1)
+        case Seq(c) =>
+          val owners = earlier.filter(s => colsOf(s._1)(c)).map(_._1)
+          if (owners.length == 1 && !colsOf(dimKey)(c)) Some(owners.head) else None
+        case _ => None
+      }
+      def isDim(a: UnresolvedAttribute): Boolean = a.nameParts match {
+        case Seq(q, _) => dimQs(q)
+        case Seq(c) => colsOf(dimKey)(c) && !earlier.exists(s => colsOf(s._1)(c))
+        case _ => false
+      }
+      val ps = conj(cond).map {
+        case EqualTo(x: UnresolvedAttribute, y: UnresolvedAttribute) =>
+          if (isDim(y)) ownerOf(x).map(o => (o, (x.nameParts.last, y.nameParts.last)))
+          else if (isDim(x)) ownerOf(y).map(o => (o, (y.nameParts.last, x.nameParts.last)))
+          else None
+        case _ => None
+      }
+      if (ps.isEmpty || ps.exists(_.isEmpty)) return None
+      val owners = ps.map(_.get._1).distinct
+      if (owners.length != 1) return None // mixed-owner ON: not restrictable
+      (owners.head, ps.map(_.get._2))
+    }
+    Some((bases, dims))
+  }
+
   /** Is `p` a UNION ALL of project/filter arms, each over exactly ONE
     * base relation (bases may repeat across arms)? The multi-source
     * ingestion shape under an aggregate: each arm is row-local and
@@ -4383,7 +4473,8 @@ final class SnapshotCatalog(
       // gates on this shape, so one refusal here covers them all)
       case Aggregate(groupExprs, aggExprs, child, _)
           if (pfOnly(child) || innerJoinShape(db, child).isDefined ||
-            unionPfShape(db, child) || outerJoinShape(db, child).isDefined) &&
+            unionPfShape(db, child) || outerJoinShape(db, child).isDefined ||
+            outerChainShape(db, child).isDefined) &&
             !hasAggOrWindowExpr(child) =>
         // group-key SOURCE names, as a SEQUENCE: `GROUP BY a.k, b.k` (the
         // normal FULL OUTER reconciliation shape) legitimately repeats a
@@ -4879,6 +4970,116 @@ final class SnapshotCatalog(
       lanes(augmentedAggPlan(sql, shape)).map(pm => (pm, lanes _, release))
     }
 
+    /** AGGREGATE-over-LEFT-JOIN-CHAIN deltas (r13): the N-way form of
+      * [[outerJoinAggDeltas]]'s LEFT lane. With the chain A LJ B_1 .. LJ
+      * B_m, the telescope flips one relation per bracket:
+      *
+      *   Q(A',B_1'..B_m') − Q(A,B_1..B_m)
+      *     = [Q(A',B_1..B_m) − Q(A,B_1..B_m)]                (fact)
+      *     + Σ_i [Q(A',B_1'..B_i',B_{i+1}..) − Q(A',B_1'..B_i,B_{i+1}..)]
+      *
+      * The fact bracket rides LEFT-LINEARITY (a chain of left joins is
+      * linear in its leftmost input — each fact row flows independently):
+      * Q(ΔA±, dims@from). Each dim bracket rides AFFECTED-KEY RECOMPUTE:
+      * both terms pin everything except B_i identically (earlier
+      * relations at cur, later at from) and differ only in B_i's pin, so
+      * any accumulated row whose join-i key misses the churn's non-null
+      * key set K_i meets the SAME B_i rows in both terms and cancels in
+      * the merge — restricting the key-OWNING base to K_i (a semi-join)
+      * only bounds term volume, never changes the bracket's value (rows
+      * the restriction null-extends or drops were cancelling anyway,
+      * because both terms share the same restricted frames). Null-keyed
+      * dim churn never joins a LEFT chain — invisible, correctly.
+      * Fact-only churn costs the fact bracket alone; each moved dim
+      * costs one owner semi-scan at cur — the same price the 2-base
+      * lane pays, per dimension that actually moved. */
+    def outerChainAggDeltas(shape: AggShape,
+        chain: (Seq[(String, String)],
+            Seq[((String, String), Seq[(String, String)])]))
+        : Option[((DataFrame, Option[DataFrame]),
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+              Option[(DataFrame, Option[DataFrame])],
+            () => Unit)] = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Sort, SubqueryAlias, Union}
+      val (bs, dims) = chain
+      val a = bs.head
+      def hid(x: (String, String)) = meta(x._1, x._2).hiddenCols.toSeq
+      def at(x: (String, String), id: Long) = readAsOf(x._1, x._2, id).drop(hid(x): _*)
+      val deltas = bs.map(b => baseDeltas(b).getOrElse(return None))
+      def churnKeys(d: (Option[DataFrame], Option[DataFrame]),
+          cols: Seq[String]): Option[DataFrame] =
+        (d._1.toSeq ++ d._2.toSeq).map(_.select(cols.map(c => col(s"`$c`")): _*))
+          .reduceOption(_ unionByName _).map(_.na.drop("any").distinct())
+      def semiKeys(frame: DataFrame, frameCols: Seq[String], keys: DataFrame,
+          keyCols: Seq[String]): DataFrame = {
+        val cond = frameCols.zip(keyCols).map { case (fc, kc) =>
+          frame(s"`$fc`") === keys(s"`$kc`") }.reduce(_ && _)
+        frame.join(keys, cond, "left_semi")
+      }
+      val plusTerms =
+        scala.collection.mutable.ArrayBuffer.empty[Map[(String, String), DataFrame]]
+      val minusTerms =
+        scala.collection.mutable.ArrayBuffer.empty[Map[(String, String), DataFrame]]
+      val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def cachedHere(f: DataFrame): DataFrame = { val c = f.cache(); caches += c; c }
+      val release: () => Unit = () => { caches.foreach(_.unpersist()); () }
+      // ---- fact bracket: ΔA±, every dim pinned at FROM ----
+      val dimsAtFrom: Map[(String, String), DataFrame] =
+        bs.tail.map(b => b -> at(b, from(b).get)).toMap
+      deltas.head._1.foreach(ins => plusTerms += (dimsAtFrom + (a -> ins)))
+      deltas.head._2.foreach(del => minusTerms += (dimsAtFrom + (a -> del)))
+      // ---- dim brackets, chain order: earlier at CUR, later at FROM ----
+      for (i <- dims.indices) {
+        val dimBase = bs(i + 1)
+        if (from(dimBase).get != cur(dimBase)) {
+          val (owner, pairs) = dims(i)
+          val (ownCols, dimCols) = (pairs.map(_._1), pairs.map(_._2))
+          val kI = churnKeys(deltas(i + 1), dimCols) match {
+            case Some(k) => cachedHere(k)
+            case None => release(); return None
+          }
+          def frameFor(b: (String, String), id: Long): DataFrame = {
+            val f = at(b, id)
+            if (b == owner) semiKeys(f, ownCols, kI, dimCols) else f
+          }
+          def termMap(dimId: Long): Map[(String, String), DataFrame] =
+            bs.zipWithIndex.map { case (b, j) =>
+              b -> (
+                if (j == i + 1) at(b, dimId)
+                else if (j <= i) frameFor(b, cur(b))
+                else frameFor(b, from(b).get))
+            }.toMap
+          plusTerms += termMap(cur(dimBase))
+          minusTerms += termMap(from(dimBase).get)
+        }
+      }
+      if (plusTerms.isEmpty && minusTerms.isEmpty) { release(); return None }
+      def aggOver(aggPlan: LogicalPlan,
+          terms: Seq[Map[(String, String), DataFrame]]): DataFrame = {
+        val ag = (aggPlan match {
+          case s: Sort => s.child
+          case p => p
+        }).asInstanceOf[Aggregate]
+        val parts = terms.map(repl => ag.child.transformUpWithSubqueries {
+          case u: UnresolvedRelation if relKeyOf(db, u).exists(repl.contains) =>
+            val k = relKeyOf(db, u).get
+            SubqueryAlias(Seq(k._1, k._2), repl(k).queryExecution.analyzed)
+        })
+        org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
+          ag.copy(child = parts.reduceLeft(Union(_, _))))
+      }
+      val emptyPlus = dimsAtFrom + (a -> at(a, from(a).get).limit(0))
+      def lanes(aggPlan: LogicalPlan): Option[(DataFrame, Option[DataFrame])] = {
+        val plus = aggOver(aggPlan,
+          if (plusTerms.nonEmpty) plusTerms.toSeq else Seq(emptyPlus))
+        val minus = if (minusTerms.isEmpty) None
+          else Some(aggOver(aggPlan, minusTerms.toSeq))
+        Some((plus, minus))
+      }
+      lanes(augmentedAggPlan(sql, shape)).map(pm => (pm, lanes _, release))
+    }
+
     def incrementalDelta(): DataFrame = {
       val (d, t) = bases.head
       readIncremental(d, t, from((d, t)).get, cur((d, t)))
@@ -5354,6 +5555,25 @@ final class SnapshotCatalog(
       !joinAggIncremental && shapeOpt.exists(_.retractable) &&
       backingHasPartials && distinctReady && outerJoinAggInfo.isDefined
 
+    // GROUP BY over a LEFT-JOIN CHAIN of N >= 3 bases (r13): the fact
+    // bracket rides left-linearity, each moved dim its own affected-key
+    // bracket — the star-with-optional-dimensions rollup
+    lazy val outerChainAggInfo: Option[(Seq[(String, String)],
+        Seq[((String, String), Seq[(String, String)])])] = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Sort}
+      val plan = spark.sessionState.sqlParser.parsePlan(sql)
+      if (hasSubqueryExpr(plan)) None
+      else (plan match { case s: Sort => s.child; case p => p }) match {
+        case Aggregate(_, _, child, _) if !hasAggOrWindowExpr(child) =>
+          outerChainShape(db, child).filter(_._1.toSet == bases.toSet)
+        case _ => None
+      }
+    }
+    val outerChainAggIncremental = bases.size >= 3 &&
+      bases.forall(b => from(b).isDefined) && !joinIncremental &&
+      !joinAggIncremental && shapeOpt.exists(_.retractable) &&
+      backingHasPartials && distinctReady && outerChainAggInfo.isDefined
+
     // UNION ALL of row-local arms: every base append-only over its range
     // → the delta is the union of each arm over its base's increment
     lazy val unionIncremental = bases.forall(b => from(b).isDefined &&
@@ -5369,7 +5589,8 @@ final class SnapshotCatalog(
     var mode =
       if (joinIncremental) "incremental_join"
       else if (joinAggIncremental) "incremental_join_agg"
-      else if (outerJoinAggIncremental) "incremental_outer_agg"
+      else if (outerJoinAggIncremental || outerChainAggIncremental)
+        "incremental_outer_agg"
       else if (unionAggIncremental) "incremental_union_agg"
       else if ((!singleBase || !projectFilterOnly) && unionIncremental)
         "incremental_union"
@@ -5453,9 +5674,12 @@ final class SnapshotCatalog(
       case "incremental_outer_agg" =>
         // fact LEFT JOIN dim rollup: the two-bracket outer telescope
         // hands the merge pre-aggregated ± partial frames like the
-        // inner-join path; the affected-key slice is cached across the
-        // two bracket-2 terms and released after the merge
-        outerJoinAggDeltas(shapeOpt.get, outerJoinAggInfo.get) match {
+        // inner-join path; the affected-key slices are cached across
+        // their brackets' terms and released after the merge. N-base
+        // chains ride their per-dim bracket generalization.
+        (if (bases.size == 2)
+          outerJoinAggDeltas(shapeOpt.get, outerJoinAggInfo.get)
+        else outerChainAggDeltas(shapeOpt.get, outerChainAggInfo.get)) match {
           case Some((pm, under, release)) =>
             try mergePartials(shapeOpt.get, preAgg = Some(pm),
               preAggUnder = Some(under)) match {

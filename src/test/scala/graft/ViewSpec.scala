@@ -882,6 +882,122 @@ class ViewSpec extends AnyFunSuite {
         .as[(String, String, Long)].collect().toSeq))
   }
 
+  test("LEFT-JOIN CHAIN MV: N-way outer bodies refresh via per-dim brackets (r13)") {
+    val (cat, wh) = freshCat()
+    register(wh, "vch")
+    val fact = Seq((1L, 10L, 5L), (2L, 20L, 7L), (9L, 99L, 11L),
+      (3L, 10L, 13L)).toDF("ck", "pk", "v") // ck=9 and pk=99 dangle
+    val cust = Seq((1L, "s1"), (2L, "s2"), (3L, "s1")).toDF("ck", "seg")
+    val prod = Seq((10L, "pa"), (20L, "pb")).toDF("pk", "cat")
+    cat.createTable("db", "fact", fact.schema)
+    cat.createTable("db", "cust", cust.schema)
+    cat.createTable("db", "prod", prod.schema)
+    cat.append("db", "fact", fact)
+    cat.append("db", "cust", cust)
+    cat.append("db", "prod", prod)
+    // star with OPTIONAL dimensions: dangling fact rows keep their rows
+    // with null-extended dim columns — an inner star would drop them
+    cat.createMaterializedView("db", "chain",
+      "SELECT c.seg AS seg, p.cat AS cat, count(*) AS n, sum(f.v) AS sv, " +
+        "min(f.v) AS mn FROM vch.db.fact f " +
+        "LEFT JOIN vch.db.cust c ON f.ck = c.ck " +
+        "LEFT JOIN vch.db.prod p ON f.pk = p.pk GROUP BY c.seg, p.cat")
+    def expect() = noRewrite(spark.sql(
+      "SELECT c.seg AS seg, p.cat AS cat, count(*) AS n, sum(f.v) AS sv, " +
+        "min(f.v) AS mn FROM vch.db.fact f " +
+        "LEFT JOIN vch.db.cust c ON f.ck = c.ck " +
+        "LEFT JOIN vch.db.prod p ON f.pk = p.pk GROUP BY c.seg, p.cat " +
+        "ORDER BY seg NULLS FIRST, cat NULLS FIRST")
+      .as[(Option[String], Option[String], Long, Long, Long)].collect().toSeq)
+    def got() = spark.sql(
+      "SELECT * FROM vch.db.chain ORDER BY seg NULLS FIRST, cat NULLS FIRST")
+      .as[(Option[String], Option[String], Long, Long, Long)].collect().toSeq
+    assert(got() == expect())
+    assert(got().exists(r => r._1.isEmpty && r._2.isEmpty), "dangling fixture")
+
+    // fact churn only: the fact bracket alone (left-linearity)
+    cat.append("db", "fact", Seq((2L, 10L, 3L), (8L, 88L, 17L)).toDF("ck", "pk", "v"))
+    cat.deleteMoR("db", "fact", col("v") === 13L)
+    val (m1, _) = cat.refreshMaterializedView("db", "chain")
+    assert(m1 == "incremental_outer_agg", m1)
+    assert(got() == expect())
+
+    // dim1 churn COVERS a null-extended key: ck=9 leaves the null group
+    cat.append("db", "cust", Seq((9L, "s9")).toDF("ck", "seg"))
+    val (m2, _) = cat.refreshMaterializedView("db", "chain")
+    assert(m2 == "incremental_outer_agg", m2)
+    assert(got() == expect())
+
+    // dim2 churn UNCOVERS keys: deleting pa null-extends its fact rows
+    cat.deleteMoR("db", "prod", col("cat") === "pa")
+    val (m3, _) = cat.refreshMaterializedView("db", "chain")
+    assert(m3 == "incremental_outer_agg", m3)
+    assert(got() == expect())
+
+    // ALL THREE bases move in ONE range, extremum death through the
+    // chain included (v=5 is (s1, null)'s stored min after pa died)
+    cat.append("db", "cust", Seq((8L, "s2")).toDF("ck", "seg"))
+    cat.append("db", "prod", Seq((99L, "pz"), (10L, "pa2")).toDF("pk", "cat"))
+    cat.deleteMoR("db", "fact", col("v") === 5L)
+    cat.append("db", "fact", Seq((9L, 20L, 2L)).toDF("ck", "pk", "v"))
+    val (m4, _) = cat.refreshMaterializedView("db", "chain")
+    assert(m4 == "incremental_outer_agg", m4)
+    assert(got() == expect())
+
+    // DISTINCT aggregates ride the chain's brackets through the sidecar
+    cat.createMaterializedView("db", "chain_d",
+      "SELECT c.seg AS seg, count(DISTINCT f.v) AS dv FROM vch.db.fact f " +
+        "LEFT JOIN vch.db.cust c ON f.ck = c.ck " +
+        "LEFT JOIN vch.db.prod p ON f.pk = p.pk GROUP BY c.seg")
+    def expectD() = noRewrite(spark.sql(
+      "SELECT c.seg AS seg, count(DISTINCT f.v) AS dv FROM vch.db.fact f " +
+        "LEFT JOIN vch.db.cust c ON f.ck = c.ck " +
+        "LEFT JOIN vch.db.prod p ON f.pk = p.pk GROUP BY c.seg " +
+        "ORDER BY seg NULLS FIRST")
+      .as[(Option[String], Long)].collect().toSeq)
+    cat.deleteMoR("db", "fact", col("v") === 7L)
+    cat.append("db", "fact", Seq((1L, 10L, 17L)).toDF("ck", "pk", "v"))
+    cat.append("db", "cust", Seq((4L, "s1")).toDF("ck", "seg"))
+    val (m5, _) = cat.refreshMaterializedView("db", "chain_d")
+    assert(m5 == "incremental_outer_agg", m5)
+    assert(noRewrite(spark.sql(
+      "SELECT * FROM vch.db.chain_d ORDER BY seg NULLS FIRST")
+      .as[(Option[String], Long)].collect().toSeq) == expectD())
+
+    // a SNOWFLAKE chain (dim2 keyed off dim1) maintains too: the second
+    // bracket's owner is dim1, restricted at CUR
+    val reg = Seq(("s1", "emea"), ("s2", "apac")).toDF("seg", "reg")
+    cat.createTable("db", "reg", reg.schema)
+    cat.append("db", "reg", reg)
+    cat.createMaterializedView("db", "snow",
+      "SELECT r.reg AS reg, count(*) AS n, sum(f.v) AS sv FROM vch.db.fact f " +
+        "LEFT JOIN vch.db.cust c ON f.ck = c.ck " +
+        "LEFT JOIN vch.db.reg r ON c.seg = r.seg GROUP BY r.reg")
+    def expectS() = noRewrite(spark.sql(
+      "SELECT r.reg AS reg, count(*) AS n, sum(f.v) AS sv FROM vch.db.fact f " +
+        "LEFT JOIN vch.db.cust c ON f.ck = c.ck " +
+        "LEFT JOIN vch.db.reg r ON c.seg = r.seg GROUP BY r.reg " +
+        "ORDER BY reg NULLS FIRST")
+      .as[(Option[String], Long, Long)].collect().toSeq)
+    cat.append("db", "reg", Seq(("s9", "amer")).toDF("seg", "reg")) // covers s9
+    cat.deleteMoR("db", "fact", col("v") === 17L)
+    val (m6, _) = cat.refreshMaterializedView("db", "snow")
+    assert(m6 == "incremental_outer_agg", m6)
+    assert(noRewrite(spark.sql(
+      "SELECT * FROM vch.db.snow ORDER BY reg NULLS FIRST")
+      .as[(Option[String], Long, Long)].collect().toSeq) == expectS())
+
+    // refusal: an ON clause mixing owner bases is not restrictable —
+    // the refresh falls to full, never answers wrong
+    cat.createMaterializedView("db", "mixed",
+      "SELECT p.cat AS cat, count(*) AS n FROM vch.db.fact f " +
+        "LEFT JOIN vch.db.cust c ON f.ck = c.ck " +
+        "LEFT JOIN vch.db.prod p ON f.pk = p.pk AND c.ck = p.pk GROUP BY p.cat")
+    cat.append("db", "fact", Seq((1L, 10L, 23L)).toDF("ck", "pk", "v"))
+    val (m7, _) = cat.refreshMaterializedView("db", "mixed")
+    assert(m7 == "full", m7)
+  }
+
   test("DISTINCT aggregates over JOIN bodies refresh incrementally via sidecar re-aggregation (r13)") {
     val (cat, wh) = freshCat()
     register(wh, "vjd")
