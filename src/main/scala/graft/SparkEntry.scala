@@ -1881,6 +1881,48 @@ object SparkEntry {
         "ORDER BY st NULLS FIRST, brand NULLS FIRST")
     }),
 
+    // HYBRID RETRIEVAL SERVED FROM MAINTAINED INDEXES (r13 continuation,
+    // the retrieval capstone): ONE corpus table carrying text AND an
+    // embedding, TWO persistent indexes over it — the q166 inverted text
+    // index and the q148 IVF vector index — maintained through the SAME
+    // churn (MoR delete + append) by their incremental refreshes (both
+    // REQUIRED), then one call fuses BM25 and ANN rankings by RRF.
+    // Neither leg touches the corpus at query time: the lexical leg
+    // reads the query terms' bucket directories, the semantic leg the
+    // probed cells' partitions. The oracle replays EVERYTHING in SQL —
+    // tokenize→postings→BM25, integer-grid Lloyd's→frozen assignment→
+    // probe→exact cosine, and the integer-quantized RRF fold — so drift
+    // in either index, either refresh, or the fusion fails the hash.
+    "q169_hybrid_index" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      for (t <- Seq("hy_tix", "hy_vix", "hy_vix_cent", "hy_base"))
+        if (cat.tableExists("maint", t)) cat.dropTable("maint", t)
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val e = T(s, dir, "embeddings")
+      val base = d.join(e, d("doc_id") === e("vec_id"))
+        .select(d("doc_id"), col("text"), col("embedding"))
+      cat.createTable("maint", "hy_base", base.schema)
+      cat.append("maint", "hy_base", base.where(col("doc_id") % 2 === 0))
+      graft.ops.TextIndex.create(cat, "maint", "hy_base", "hy_tix",
+        "doc_id", "text", nbuckets = 16)
+      graft.ops.VectorIndex.create(cat, "maint", "hy_base", "hy_vix",
+        "doc_id", "embedding", nlist = 8, iters = 2, sampleMod = 3)
+      cat.deleteMoR("maint", "hy_base", col("doc_id") % 10 === 0)
+      cat.append("maint", "hy_base", base.where(col("doc_id") % 2 === 1))
+      val (m1, _) = graft.ops.TextIndex.refresh(cat, "maint", "hy_tix")
+      require(m1 == "incremental", s"text leg refresh took '$m1'")
+      val (m2, _) = graft.ops.VectorIndex.refresh(cat, "maint", "hy_vix")
+      require(m2 == "incremental", s"vector leg refresh took '$m2'")
+      graft.ops.Retrieval.hybridIndexTopK(cat, "maint", "hy_tix", "hy_vix",
+        base.where(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"),
+            substring(col("text"), 1, 48).as("qtext"),
+            col("embedding").as("qvec")),
+        "qid", "qtext", "qvec", k = 10, nprobe = 3, fuseK = 60,
+        k1 = 1.5, b = 0.75)
+        .orderBy("query_id", "rank")
+    }),
+
     // EQUALITY→POSITIONAL DELETE CONVERSION (r12, Iceberg
     // convert_equality_deletes): after eq-heavy CDC ingest, one
     // maintenance commit materializes each eq shard's kills as exact
@@ -4851,6 +4893,91 @@ object SparkEntry {
         |LEFT JOIN d2 ON f.pkey = d2.pkey
         |GROUP BY d1.o_orderstatus, d2.p_brand
         |ORDER BY st NULLS FIRST, brand NULLS FIRST""".stripMargin,
+
+    // the full hybrid replay: the q166 BM25 pipeline and the q148 IVF
+    // pipeline over the SAME churned corpus (survivors = %10 <> 0),
+    // fused by the integer-quantized RRF fold (the q128 discipline)
+    "q169_hybrid_index" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+         |), tok AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ts
+         |  FROM corpus
+         |), post AS (
+         |  SELECT doc_id, len(ts) AS dl, u.term AS term, count(*) AS tf
+         |  FROM tok, unnest(ts) AS u(term) GROUP BY 1, 2, 3
+         |), dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+         |        FROM (SELECT DISTINCT doc_id, dl FROM post)),
+         |qq AS (
+         |  SELECT doc_id AS query_id,
+         |    list_filter(regexp_split_to_array(lower(substr(text, 1, 48)), '\\s+'),
+         |      t -> t <> '') AS ts
+         |  FROM documents WHERE doc_id < 5
+         |), qterm AS (
+         |  SELECT DISTINCT query_id, u.term FROM qq, unnest(ts) AS u(term)
+         |), bscored AS (
+         |  SELECT qt.query_id, p.doc_id,
+         |    CAST(floor(sum(
+         |      ln(1 + (t.n_docs - d.df + 0.5) / (d.df + 0.5)) * (p.tf * 2.5) /
+         |      (p.tf + 1.5 * (0.25 + 0.75 * p.dl / t.avgdl))) * 10000) AS BIGINT) AS score_q
+         |  FROM qterm qt JOIN dfreq d USING (term) JOIN post p USING (term), tot t
+         |  GROUP BY 1, 2
+         |), lex AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_q DESC, doc_id) AS rank
+         |  FROM bscored
+         |), iv AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    list_transform(embedding, x ->
+         |      floor((least(greatest(CAST(x AS DOUBLE), -2.0), 2.0) + 2.0) * 1048576.0)) AS q
+         |  FROM embeddings),
+         |samp AS (SELECT vec_id, q FROM iv WHERE vec_id % 6 = 0),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid, q AS c
+         |       FROM (SELECT vec_id, q FROM samp ORDER BY vec_id LIMIT 8)),
+         |${ivfIterCtes(1, "c0", 64)},
+         |${ivfIterCtes(2, "c1", 64)},
+         |cur AS (SELECT * FROM iv WHERE vec_id % 10 <> 0),
+         |cells AS (SELECT vec_id, cid FROM (
+         |    SELECT i.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY i.vec_id ORDER BY
+         |        list_inner_product(i.q, i.q) + list_inner_product(c.c, c.c)
+         |        - 2.0*list_inner_product(i.q, c.c), c.cid) AS rn
+         |    FROM cur i, c2 c) WHERE rn = 1),
+         |probes AS (SELECT vec_id, cid FROM (
+         |    SELECT i.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY i.vec_id ORDER BY
+         |        list_inner_product(i.q, i.q) + list_inner_product(c.c, c.c)
+         |        - 2.0*list_inner_product(i.q, c.c), c.cid) AS rn
+         |    FROM iv i, c2 c WHERE i.vec_id < 5) WHERE rn <= 3),
+         |cand AS (SELECT p.vec_id AS query_id, ce.vec_id AS doc_id
+         |         FROM probes p JOIN cells ce ON p.cid = ce.cid
+         |         WHERE ce.vec_id <> p.vec_id),
+         |sem AS (SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      list_inner_product(cv.v, qv.v) /
+         |        (sqrt(list_inner_product(cv.v, cv.v)) * sqrt(list_inner_product(qv.v, qv.v))) DESC,
+         |      doc_id) AS rank
+         |  FROM cand JOIN cur cv ON cv.vec_id = doc_id
+         |            JOIN iv qv ON qv.vec_id = query_id),
+         |uni AS (
+         |  SELECT query_id, doc_id, rank FROM lex WHERE rank <= 10
+         |  UNION ALL
+         |  SELECT query_id, doc_id, rank FROM sem WHERE rank <= 10
+         |), fused AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(sum(CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT)) AS BIGINT) AS rrf_q
+         |  FROM uni GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT query_id, doc_id, rrf_q,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_q DESC, doc_id) AS rank
+         |  FROM fused)
+         |SELECT query_id, doc_id, rrf_q, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // the merged survivors from raw: evens minus the positional %10==2
     // minus the eq-killed %7==0 EVENS, plus every %9==0 odd — including

@@ -121,6 +121,32 @@ object Retrieval {
       .select("group", "term", "tf", "tfidf_q", "rank")
   }
 
+  /** HYBRID RETRIEVAL SERVED FROM MAINTAINED INDEXES (r13): BM25 from a
+    * persistent [[TextIndex]] + cosine ANN from a persistent
+    * [[graft.ops.VectorIndex]] over the SAME corpus table, fused by
+    * [[rrfFuse]] — the production hybrid-search serving shape, where
+    * BOTH retrieval paths read churn-maintained index tables instead of
+    * re-deriving anything from the corpus. One CDC history maintains
+    * both indexes ([[graft.streaming.MvMaintainer]] tails it), so the
+    * whole hybrid stack lags ingest by one micro-batch: the lexical leg
+    * reads the query terms' bucket directories, the semantic leg the
+    * probed cells' partitions — at 10^10 docs neither leg touches the
+    * corpus. Returns `(query_id, doc_id, rrf_q, rank)`. */
+  def hybridIndexTopK(cat: graft.catalog.SnapshotCatalog, db: String,
+      textIndex: String, vecIndex: String, queries: DataFrame,
+      qIdCol: String, qTextCol: String, qVecCol: String,
+      k: Int, nprobe: Int, fuseK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lexId = cat.meta(db, textIndex).properties(TextIndex.PropIdCol)
+    val lex = TextIndex.topK(cat, db, textIndex, queries, qIdCol, qTextCol,
+        k, k1, b)
+      .select(col("query_id"), col(s"`$lexId`").as("doc_id"), col("rank"))
+    val sem = VectorIndex.topK(cat, db, vecIndex, queries, qIdCol, qVecCol,
+        k, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, sem), fuseK, k)
+  }
+
   /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009) — the
     * standard hybrid-retrieval combiner: fuse N per-query rankings (e.g.
     * BM25 lexical + embedding-cosine semantic) into one, scoring each

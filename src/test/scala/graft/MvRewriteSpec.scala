@@ -442,6 +442,41 @@ class MvRewriteSpec extends AnyFunSuite {
       "JOIN mvrs.dbs.prod p ON f.pk = p.pk GROUP BY seg ORDER BY seg")
   }
 
+  test("LEFT-JOIN CHAIN navigation: N-ary outer trees serve from the backing (r13)") {
+    val cat = freshCat("mvrc")
+    val fact = (1 to 300).map(i => (i.toLong, (i % 12).toLong,
+      (i % 9).toLong, (i % 5).toLong)).toDF("id", "ck", "pk", "v")
+    val cust = (0 until 8).map(k => (k.toLong, s"seg${k % 3}")).toDF("ck", "seg")
+    val prod = (0 until 6).map(k => (k.toLong, s"cat${k % 2}")).toDF("pk", "cat")
+    cat.createTable("dbc", "fact", fact.schema)
+    cat.append("dbc", "fact", fact)
+    cat.createTable("dbc", "cust", cust.schema)
+    cat.append("dbc", "cust", cust)
+    cat.createTable("dbc", "prod", prod.schema)
+    cat.append("dbc", "prod", prod)
+    cat.createMaterializedView("dbc", "ch_mv",
+      "SELECT c.seg, p.cat, count(*) AS n, sum(f.v) AS sv " +
+        "FROM mvrc.dbc.fact f LEFT JOIN mvrc.dbc.cust c ON f.ck = c.ck " +
+        "LEFT JOIN mvrc.dbc.prod p ON f.pk = p.pk GROUP BY c.seg, p.cat")
+    // the identical chain serves exactly (null-extended groups included)
+    assertRewritten("SELECT c.seg, p.cat, count(*) AS n, sum(f.v) AS sv " +
+      "FROM mvrc.dbc.fact f LEFT JOIN mvrc.dbc.cust c ON f.ck = c.ck " +
+      "LEFT JOIN mvrc.dbc.prod p ON f.pk = p.pk GROUP BY c.seg, p.cat " +
+      "ORDER BY c.seg, p.cat")
+    // a group-subset rollup folds the stored partials
+    assertRewritten("SELECT c.seg, count(*) AS n " +
+      "FROM mvrc.dbc.fact f LEFT JOIN mvrc.dbc.cust c ON f.ck = c.ck " +
+      "LEFT JOIN mvrc.dbc.prod p ON f.pk = p.pk GROUP BY c.seg")
+    // an inner chain is a different tree — never served from the outer
+    assertNotRewritten("SELECT c.seg, p.cat, count(*) AS n " +
+      "FROM mvrc.dbc.fact f JOIN mvrc.dbc.cust c ON f.ck = c.ck " +
+      "LEFT JOIN mvrc.dbc.prod p ON f.pk = p.pk GROUP BY c.seg, p.cat")
+    // a swapped dim order associates differently — not the same tree
+    assertNotRewritten("SELECT c.seg, p.cat, count(*) AS n " +
+      "FROM mvrc.dbc.fact f LEFT JOIN mvrc.dbc.prod p ON f.pk = p.pk " +
+      "LEFT JOIN mvrc.dbc.cust c ON f.ck = c.ck GROUP BY c.seg, p.cat")
+  }
+
   test("sidecar rollup keeps all-NULL groups alive") {
     val cat = freshCat("mvr3")
     val df = (Seq(
