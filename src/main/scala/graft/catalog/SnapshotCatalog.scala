@@ -4094,10 +4094,19 @@ final class SnapshotCatalog(
       case u: UnresolvedRelation => relKeyOf(db, u).map(k => (k, Set(k._2)))
       case _ => None
     }
-    // walk the left spine, collecting (dim side, ON cond) outermost-first
+    // walk the left spine, collecting (dim side, ON cond) outermost-first.
+    // INNER joins are admitted alongside LEFT (r13: the mixed star —
+    // `fact JOIN dim1 LEFT JOIN dim2`): the per-dim bracket's
+    // cancellation argument is join-type-agnostic for equi joins (both
+    // terms pin everything but B_i identically), and a mixed chain stays
+    // linear in its leftmost input. Pure-inner bodies never reach this
+    // lane — the multilinear telescope's mode outranks it.
+    var sawOuter = false
     def spine(q: LogicalPlan): Option[(((String, String), Set[String]),
         List[(((String, String), Set[String]), Expression)])] = q match {
-      case j: Join if j.joinType == LeftOuter =>
+      case j: Join if j.joinType == LeftOuter ||
+          j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+        if (j.joinType == LeftOuter) sawOuter = true
         for {
           (head, inner) <- spine(j.left)
           d <- side(j.right)
@@ -4107,6 +4116,7 @@ final class SnapshotCatalog(
     }
     val (head, joins) = spine(peel(p)).getOrElse(return None)
     if (joins.length < 2) return None // 2-base stays in outerJoinShape's lane
+    if (!sawOuter) return None // pure-inner: the multilinear telescope's lane
     val sides: Seq[((String, String), Set[String])] = head +: joins.map(_._1)
     val bases = sides.map(_._1)
     if (bases.length > 8 || bases.distinct.length != bases.length) return None

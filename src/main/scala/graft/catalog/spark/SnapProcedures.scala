@@ -422,6 +422,30 @@ object SnapProcedures {
         Seq(row(utf8(s"$db.$name"), nb))
       },
 
+      proc("refresh_indexes",
+        "bring EVERY persistent index of a namespace forward (the nightly-" +
+          "maintenance sweep, the index twin of refresh_materialized_views): " +
+          "one row per vector/text index with the mode its range earned",
+        Seq(in("namespace", StringType)),
+        StructType(Seq(
+          StructField("index", StringType, nullable = false),
+          StructField("kind", StringType, nullable = false),
+          StructField("mode", StringType, nullable = false),
+          StructField("commits", LongType, nullable = false)))) { input =>
+        val db = str(input, 0).getOrElse(
+          throw new IllegalArgumentException("namespace must not be null"))
+        cat.listTables(db).sorted.flatMap { t =>
+          val props = cat.meta(db, t).properties
+          if (props.contains(graft.ops.VectorIndex.PropBase)) {
+            val (mode, n) = graft.ops.VectorIndex.refresh(cat, db, t)
+            Some(row(utf8(s"$db.$t"), utf8("vector"), utf8(mode), n))
+          } else if (props.contains(graft.ops.TextIndex.PropBase)) {
+            val (mode, n) = graft.ops.TextIndex.refresh(cat, db, t)
+            Some(row(utf8(s"$db.$t"), utf8("text"), utf8(mode), n))
+          } else None
+        }
+      },
+
       proc("refresh_text_index",
         "advance a text index to its base table's current snapshot from per-commit " +
           "metadata (churn-sized; never re-tokenizes the unchanged corpus): " +

@@ -563,4 +563,36 @@ class ProcedureSpec extends AnyFunSuite {
       .head.getString(0) == "incremental")
     assert(c.readLatest("db", "vpq").count() == c.readLatest("db", "vemb").count())
   }
+
+  test("text index lifecycle from SQL + the refresh_indexes namespace sweep (r13)") {
+    import org.apache.spark.sql.functions._
+    val c = cat
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    c.createTable("db", "tdocs", docs.schema)
+    c.append("db", "tdocs", docs.where(col("doc_id") % 2 === 0))
+    val created = spark.sql("CALL proccat.system.create_text_index(" +
+      "table => 'db.tdocs', index => 'tix', id_col => 'doc_id', " +
+      "text_col => 'text', nbuckets => 16)").collect()
+    assert(created.head.getString(0) == "db.tix" && created.head.getInt(1) == 16)
+    assert(spark.sql("CALL proccat.system.refresh_text_index('db.tix')")
+      .head.getString(0) == "fresh")
+    // churn BOTH index bases, then one sweep advances everything
+    c.deleteMoR("db", "tdocs", col("doc_id") % 10 === 0)
+    c.append("db", "tdocs", docs.where(col("doc_id") % 2 === 1))
+    c.append("db", "vemb", spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(0))
+    val sweep = spark.sql("CALL proccat.system.refresh_indexes('db')")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(sweep.exists(_ == (("db.tix", "text", "incremental"))), sweep.toSeq)
+    assert(sweep.count(_._2 == "vector") >= 2, sweep.toSeq) // vix + vpq swept
+    assert(sweep.forall(r => r._3 == "fresh" || r._3 == "incremental"), sweep.toSeq)
+    // the sweep is idempotent: a second pass finds everything fresh
+    assert(spark.sql("CALL proccat.system.refresh_indexes('db')")
+      .collect().forall(_.getString(2) == "fresh"))
+    // index content equals a recount of the churned base
+    val n = c.readLatest("db", "tdocs")
+      .where(length(trim(col("text"))) > 0).count()
+    assert(c.readLatest("db", "tix").select("doc_id").distinct().count() == n)
+  }
 }

@@ -211,6 +211,9 @@ class TextIndexSpec extends AnyFunSuite {
           cat.updateMoR("lex", "base", col("doc_id") % m === r,
             Map("text" -> concat(col("text"), lit(s" churn$step churn$step"))))
         case 3 =>
+          // a COMPACTION in the range is row-preserving — the metadata
+          // walk sees through it and the refresh must stay incremental
+          if (step % 2 == 0) cat.compact("lex", "base", 2)
           val (mode, _) = TextIndex.refresh(cat, "lex", "idx")
           assert(mode != "full", s"step $step: metadata path must hold, got $mode")
       }

@@ -996,6 +996,27 @@ class ViewSpec extends AnyFunSuite {
     cat.append("db", "fact", Seq((1L, 10L, 23L)).toDF("ck", "pk", "v"))
     val (m7, _) = cat.refreshMaterializedView("db", "mixed")
     assert(m7 == "full", m7)
+
+    // a MIXED chain (inner then left — required dim, optional dim) rides
+    // the same brackets: the cancellation argument is join-type-agnostic
+    cat.createMaterializedView("db", "mixed_io",
+      "SELECT c.seg AS seg, p.cat AS cat, count(*) AS n, sum(f.v) AS sv " +
+        "FROM vch.db.fact f JOIN vch.db.cust c ON f.ck = c.ck " +
+        "LEFT JOIN vch.db.prod p ON f.pk = p.pk GROUP BY c.seg, p.cat")
+    def expectM() = noRewrite(spark.sql(
+      "SELECT c.seg AS seg, p.cat AS cat, count(*) AS n, sum(f.v) AS sv " +
+        "FROM vch.db.fact f JOIN vch.db.cust c ON f.ck = c.ck " +
+        "LEFT JOIN vch.db.prod p ON f.pk = p.pk GROUP BY c.seg, p.cat " +
+        "ORDER BY seg NULLS FIRST, cat NULLS FIRST")
+      .as[(String, Option[String], Long, Long)].collect().toSeq)
+    cat.deleteMoR("db", "fact", col("v") === 3L)
+    cat.append("db", "prod", Seq((88L, "pq")).toDF("pk", "cat")) // covers pk=88
+    cat.append("db", "fact", Seq((2L, 77L, 29L)).toDF("ck", "pk", "v"))
+    val (m8, _) = cat.refreshMaterializedView("db", "mixed_io")
+    assert(m8 == "incremental_outer_agg", m8)
+    assert(noRewrite(spark.sql(
+      "SELECT * FROM vch.db.mixed_io ORDER BY seg NULLS FIRST, cat NULLS FIRST")
+      .as[(String, Option[String], Long, Long)].collect().toSeq) == expectM())
   }
 
   test("DISTINCT aggregates over JOIN bodies refresh incrementally via sidecar re-aggregation (r13)") {
