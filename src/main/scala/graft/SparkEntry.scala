@@ -1923,6 +1923,42 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // RANKED TOP-K MATERIALIZED VIEW (r13 continuation): a top-5-per-
+    // group leaderboard body (`row_number() OVER (PARTITION BY ...) <=
+    // k`) maintains INCREMENTALLY — the one window shape with an exact
+    // incremental algebra. Inserts merge against the stored top-k (a
+    // row below the cutoff can never rise by an insertion), and a
+    // delete that hits a STORED row recomputes exactly that group from
+    // the base under a literal key predicate (rows below the cutoff may
+    // get promoted and only the base knows them — the extremum-death
+    // discipline generalized from k = 1). The churn range carries BOTH
+    // (a value-threshold MoR delete that kills every initial stored
+    // top AND an append that supplies new tops); REQUIRES the topk
+    // mode; the oracle replays the window + rank filter raw.
+    "q170_mv_topk" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "tk_li")) cat.dropView("maint", "tk_li")
+      if (cat.tableExists("maint", "tk_base")) cat.dropTable("maint", "tk_base")
+      val li = T(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+        col("l_orderkey").as("okey"),
+        col("l_linenumber").cast("long").as("line"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      cat.createTable("maint", "tk_base", li.schema)
+      cat.append("maint", "tk_base", li.where(col("okey") % 3 =!= 0))
+      cat.createMaterializedView("maint", "tk_li",
+        "SELECT flag, okey, line, cents, rn FROM (SELECT flag, okey, " +
+          "line, cents, row_number() OVER (PARTITION BY flag " +
+          "ORDER BY cents DESC, okey, line) AS rn " +
+          "FROM maint.tk_base) s WHERE rn <= 5")
+      cat.deleteMoR("maint", "tk_base", col("cents") > 9000000L)
+      cat.append("maint", "tk_base", li.where(col("okey") % 3 === 0))
+      val (mode, _) = cat.refreshMaterializedView("maint", "tk_li")
+      require(mode == "incremental_topk",
+        s"top-k churn must merge/recompute group-wise, took '$mode'")
+      s.sql("SELECT flag, okey, line, cents, CAST(rn AS BIGINT) AS rn " +
+        "FROM snapdml.maint.tk_li ORDER BY flag, rn")
+    }),
+
     // EQUALITY→POSITIONAL DELETE CONVERSION (r12, Iceberg
     // convert_equality_deletes): after eq-heavy CDC ingest, one
     // maintenance commit materializes each eq shard's kills as exact
@@ -4978,6 +5014,24 @@ object SparkEntry {
          |  FROM fused)
          |SELECT query_id, doc_id, rrf_q, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the window + rank filter replayed raw over the survivors: the
+    // value-threshold delete hits the initial (non-%3) slice only; the
+    // %3==0 rows appended AFTER the delete survive, high cents included
+    "q170_mv_topk" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS flag, l_orderkey AS okey,
+        |    CAST(l_linenumber AS BIGINT) AS line,
+        |    CAST(floor(l_extendedprice*100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  WHERE l_orderkey % 3 = 0 OR floor(l_extendedprice*100) <= 9000000
+        |), ranked AS (
+        |  SELECT flag, okey, line, cents,
+        |    row_number() OVER (PARTITION BY flag
+        |      ORDER BY cents DESC, okey, line) AS rn
+        |  FROM base)
+        |SELECT flag, okey, line, cents, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 5 ORDER BY flag, rn""".stripMargin,
 
     // the merged survivors from raw: evens minus the positional %10==2
     // minus the eq-killed %7==0 EVENS, plus every %9==0 odd — including

@@ -4566,6 +4566,165 @@ final class SnapshotCatalog(
     }
   }
 
+  /** The merge recipe for a RANKED (top-k per group) view body: the
+    * canonical SQL spelling
+    * {{{
+    *   SELECT <cols...> FROM (
+    *     SELECT <cols...>, row_number() OVER (
+    *       PARTITION BY <keys> ORDER BY <sorts>) AS rn
+    *     FROM base [WHERE ...]) s
+    *   WHERE rn <= k
+    * }}}
+    * `keyOut`/`sortOut` are BACKING-schema column names (the inner
+    * projection's aliases applied), `keyBase` the base-table names the
+    * affected-group recompute restricts on; `rowPlan` evaluates the
+    * de-windowed body (visible non-rank columns) over raw base rows;
+    * `fullPlan` is the parsed body for group recomputes. */
+  private final case class TopKShape(k: Long,
+      keyOut: Seq[String], keyBase: Seq[String],
+      sortOut: Seq[(String, Boolean, Boolean)], // (name, asc, nullsFirst)
+      rankOut: Option[String], visibleMinusRank: Seq[String],
+      rowPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      fullPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+
+  /** Classify a view body as an incrementally-maintainable TOP-K-PER-
+    * GROUP ranking (the leaderboard / per-query-retrieval-cache shape).
+    * The window makes the body non-row-local, so no aggregate mode
+    * admits it — but top-k has its own exact maintenance algebra
+    * ([[refreshMaterializedView]]'s `incremental_topk`): inserts merge
+    * against the stored top-k (new rows can only push stored rows OUT —
+    * a row that was below the cutoff can never rise by an insertion),
+    * and a delete that hits a stored row recomputes exactly that group
+    * from the base (rows below the stored cutoff may get promoted, and
+    * only the base knows them) — the extremum-death discipline
+    * generalized from k = 1. Requirements: one bare base under
+    * project/filter, plain-attribute partition/sort columns all carried
+    * in the visible output, `row_number` (ties under a non-total ORDER
+    * BY are arbitrary-but-valid, exactly as in SQL), a literal rank
+    * bound. Anything else stays full. */
+  private def topKShape(db: String, sql: String): Option[TopKShape] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Expression, LessThan, LessThanOrEqual, Literal, NamedExpression, NullsFirst, SortOrder, WindowExpression, WindowSpecDefinition}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort, SubqueryAlias}
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    if (hasSubqueryExpr(parsed)) return None
+    val top = parsed match { case s: Sort => s.child; case p => p }
+    // outer projection over the rank filter over the windowed subquery
+    val (outerList, cond, sub) = top match {
+      case Project(ps, Filter(c, s)) => (Some(ps), c, s)
+      case Filter(c, s) => (None, c, s) // SELECT * spelled without a Project
+      case _ => return None
+    }
+    def peelAlias(q: LogicalPlan): LogicalPlan = q match {
+      case SubqueryAlias(_, c) => peelAlias(c)
+      case other => other
+    }
+    val (innerList, innerChild) = peelAlias(sub) match {
+      case Project(ps, c) => (ps, c)
+      case _ => return None
+    }
+    // the base: project/filter over exactly one relation
+    val pfOk = innerChild.collect {
+      case n => n match {
+        case _: Project | _: Filter | _: SubqueryAlias | _: UnresolvedRelation => true
+        case _ => false
+      }
+    }.forall(identity)
+    if (!pfOk || innerChild.collect { case u: UnresolvedRelation => u }.length != 1)
+      return None
+    if (hasAggOrWindowExpr(innerChild)) return None
+    // exactly one window entry: row_number() OVER (PARTITION BY keys
+    // ORDER BY sorts) AS rn; every other inner entry a plain attr/alias
+    def strip(e: Expression): Expression = e match {
+      case Alias(c, _) => c
+      case UnresolvedAlias(c, _) => c
+      case c => c
+    }
+    def outName(ne: NamedExpression): Option[String] = ne match {
+      case a: Alias => Some(a.name)
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case UnresolvedAlias(a: UnresolvedAttribute, _) => Some(a.nameParts.last)
+      case _ => None
+    }
+    val winEntries = innerList.filter(ne => strip(ne).isInstanceOf[WindowExpression])
+    if (winEntries.length != 1) return None
+    val (rankName, winExpr) = winEntries.head match {
+      case a @ Alias(w: WindowExpression, _) => (a.name, w)
+      case _ => return None
+    }
+    val (keyBase, sortBase) = winExpr match {
+      case WindowExpression(f: UnresolvedFunction, WindowSpecDefinition(parts, order, _))
+          if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("row_number") &&
+            f.arguments.isEmpty && !f.isDistinct =>
+        val ks = parts.map {
+          case a: UnresolvedAttribute => a.nameParts.last
+          case _ => return None
+        }
+        val ss = order.map {
+          case SortOrder(a: UnresolvedAttribute, dir, no, _) =>
+            (a.nameParts.last, dir == Ascending, no == NullsFirst)
+          case _ => return None
+        }
+        (ks, ss)
+      case _ => return None
+    }
+    if (sortBase.isEmpty) return None
+    // inner base->output name map (plain attrs and attr aliases only)
+    val innerPlain = innerList.filterNot(_ eq winEntries.head)
+    val baseToOut: Map[String, String] = innerPlain.flatMap { ne =>
+      (strip(ne), outName(ne)) match {
+        case (a: UnresolvedAttribute, Some(n)) => Some(a.nameParts.last -> n)
+        case _ => return None
+      }
+    }.toMap
+    val innerOutNames = innerPlain.flatMap(outName)
+    // rank bound: rn <= k or rn < k
+    val k: Long = cond match {
+      case LessThanOrEqual(a: UnresolvedAttribute, Literal(v, _))
+          if a.nameParts.last == rankName => toLongLit(v).getOrElse(return None)
+      case LessThan(a: UnresolvedAttribute, Literal(v, _))
+          if a.nameParts.last == rankName =>
+        toLongLit(v).map(_ - 1).getOrElse(return None)
+      case _ => return None
+    }
+    if (k <= 0) return None
+    // visible outputs: the outer projection's plain attrs (or the sub's
+    // own outputs when SELECT *); partition + sort columns must survive
+    val visible: Seq[String] = outerList match {
+      case None => innerOutNames :+ rankName
+      case Some(ps) if ps.exists(_.isInstanceOf[UnresolvedStar]) &&
+          ps.length == 1 => innerOutNames :+ rankName
+      case Some(ps) => ps.map {
+        case a: UnresolvedAttribute => a.nameParts.last
+        case UnresolvedAlias(a: UnresolvedAttribute, _) => a.nameParts.last
+        case _ => return None
+      }
+    }
+    if (visible.distinct.length != visible.length) return None
+    val keyOut = keyBase.map(b => baseToOut.getOrElse(b, return None))
+    val sortOut = sortBase.map { case (b, asc, nf) =>
+      (baseToOut.getOrElse(b, return None), asc, nf) }
+    if (!keyOut.forall(visible.contains) || !sortOut.forall(s => visible.contains(s._1)))
+      return None
+    val rankOut = if (visible.contains(rankName)) Some(rankName) else None
+    val visNR = visible.filterNot(_ == rankName)
+    if (!visNR.forall(innerOutNames.contains)) return None
+    // de-windowed row plan: the visible non-rank columns over raw base rows
+    val rowPlan = Project(
+      visNR.map(n => innerPlain.find(outName(_).contains(n)).get), innerChild)
+    Some(TopKShape(k, keyOut, keyBase, sortOut, rankOut, visNR, rowPlan, top))
+  }
+
+  private def toLongLit(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case d: java.math.BigDecimal if d.scale == 0 => Some(d.longValueExact())
+    case d: org.apache.spark.sql.types.Decimal if d.scale == 0 => Some(d.toLong)
+    case _ => None
+  }
+
   /** Refresh a materialized view. Returns (mode, rowsAdded):
     *  - `"fresh"`: every base already at its high-water — zero work;
     *  - `"incremental"`: single-base project/filter body over an
@@ -5596,6 +5755,12 @@ final class SnapshotCatalog(
       shapeOpt.exists(_.retractable) && backingHasPartials && distinctReady &&
       unionAggBody
 
+    // RANKED top-k views carry their own maintenance algebra — the one
+    // window shape with an exact incremental story (see [[topKShape]])
+    lazy val topKShapeOpt = topKShape(db, sql)
+    val topKIncremental = singleBase && tableExists(db, mvT) &&
+      topKShapeOpt.isDefined
+
     var mode =
       if (joinIncremental) "incremental_join"
       else if (joinAggIncremental) "incremental_join_agg"
@@ -5605,6 +5770,7 @@ final class SnapshotCatalog(
       else if ((!singleBase || !projectFilterOnly) && unionIncremental)
         "incremental_union"
       else if (!singleBase) "full"
+      else if (topKIncremental) "incremental_topk"
       else if (appendOnly && projectFilterOnly) "incremental"
       // partial-backed count/sum/avg family: maintainable under ANY
       // range the changelog can diff (deletes/updates retract); distinct
@@ -5617,10 +5783,144 @@ final class SnapshotCatalog(
       else if (appendOnly && shapeOpt.isDefined && !hasDistinct &&
         !shapeOpt.get.aggPos.exists(_._2 == "avg")) "incremental_agg"
       else "full"
+    /** Exact top-k maintenance (mode `incremental_topk`): inserts merge
+      * against the stored top-k — candidates = stored rows of the
+      * touched groups ∪ the net new rows (in-range add+delete pairs
+      * cancel by multiset `exceptAll`; a surviving delete of an unstored
+      * row hit below the cutoff and cannot change the ranking) — while a
+      * delete matching a STORED row (all visible non-rank columns,
+      * null-safe) recomputes exactly that group from the base, because
+      * rows below the stored cutoff may get promoted and only the base
+      * knows them. Cost: merge groups pay O(stored k + churn); recompute
+      * groups one key-restricted base pass (literal predicate under the
+      * 64-group bound — footer-stat file skipping — else a semi-join).
+      * Global top-k (no PARTITION BY) merges inserts the same way and
+      * falls to full when a stored row dies (the one "group" IS the
+      * table — same honesty as global min/max). */
+    def sortCols(tk: TopKShape): Seq[Column] = tk.sortOut.map { case (n, asc, nf) =>
+      (asc, nf) match {
+        case (true, true) => col(s"`$n`").asc_nulls_first
+        case (true, false) => col(s"`$n`").asc_nulls_last
+        case (false, true) => col(s"`$n`").desc_nulls_first
+        case (false, false) => col(s"`$n`").desc_nulls_last
+      }
+    }
+    def topKMerge(tk: TopKShape): Option[Long] = {
+      val (d2, t2) = bases.head
+      val (insOpt, delOpt) = baseDeltas(bases.head).getOrElse(return None)
+      val visNR = tk.visibleMinusRank
+      def visSel(f: DataFrame) = f.select(visNR.map(n => col(s"`$n`")).toIndexedSeq: _*)
+      val emptyRows = readAsOf(d2, t2, from(bases.head).get)
+        .drop(meta(d2, t2).hiddenCols.toSeq: _*).limit(0)
+      val ins0 = visSel(bodyOver(tk.rowPlan, insOpt.getOrElse(emptyRows)))
+      val del0 = delOpt.map(f => visSel(bodyOver(tk.rowPlan, f)))
+      val backing = readLatest(db, mvT)
+      // groups whose stored rows were hit (null-safe value match)
+      val deadKeys: Option[DataFrame] = del0.map { dl =>
+        val m = dl.select(visNR.map(n => col(s"`$n`").as(s"__d_$n")).toIndexedSeq: _*)
+        val c = visNR.map(n => backing(s"`$n`") <=> m(s"`__d_$n`")).reduce(_ && _)
+        backing.join(m, c, "left_semi")
+          .select(tk.keyOut.map(n => col(s"`$n`")).toIndexedSeq: _*).distinct()
+      }
+      if (tk.keyOut.isEmpty) {
+        // global: any stored-row death needs the whole table — full
+        if (deadKeys.exists(!_.isEmpty)) return None
+        val netIns = del0.map(dl => ins0.exceptAll(dl)).getOrElse(ins0)
+        if (netIns.isEmpty) return Some(0L)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(sortCols(tk): _*)
+        val merged = visSel(backing).unionByName(netIns)
+          .withColumn("__tkr", row_number().over(w))
+          .where(col("__tkr") <= tk.k)
+        val out = tk.rankOut match {
+          case Some(rn) => merged.withColumnRenamed("__tkr", rn)
+          case None => merged.drop("__tkr")
+        }
+        return Some(overwrite(db, mvT,
+          out.select(backing.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*))
+          .summary.get("added_records").map(_.toLong).getOrElse(-1L))
+      }
+      val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def cached(f: DataFrame): DataFrame = { val c = f.cache(); caches += c; c }
+      try {
+        val rKeys = cached(deadKeys.getOrElse(ins0.limit(0)
+          .select(tk.keyOut.map(n => col(s"`$n`")).toIndexedSeq: _*)))
+        def keyedAnti(f: DataFrame): DataFrame = {
+          val r2 = rKeys.select(tk.keyOut.map(n => col(s"`$n`").as(s"__r_$n")).toIndexedSeq: _*)
+          f.join(r2, tk.keyOut.map(n => f(s"`$n`") <=> r2(s"`__r_$n`")).reduce(_ && _),
+            "left_anti")
+        }
+        def keyedSemi(f: DataFrame, keys: DataFrame): DataFrame = {
+          val r2 = keys.select(tk.keyOut.map(n => col(s"`$n`").as(s"__s_$n")).toIndexedSeq: _*)
+          f.join(r2, tk.keyOut.map(n => f(s"`$n`") <=> r2(s"`__s_$n`")).reduce(_ && _),
+            "left_semi")
+        }
+        // merge groups: insert-touched, minus the recompute set
+        val iKeys = cached(keyedAnti(
+          ins0.select(tk.keyOut.map(n => col(s"`$n`")).toIndexedSeq: _*).distinct()))
+        val insI = keyedSemi(ins0, iKeys)
+        val netInsI = del0.map(dl => insI.exceptAll(keyedSemi(dl, iKeys)))
+          .getOrElse(insI)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(tk.keyOut.map(n => col(s"`$n`")).toIndexedSeq: _*)
+          .orderBy(sortCols(tk): _*)
+        val mergedI = keyedSemi(visSel(backing), iKeys).unionByName(netInsI)
+          .withColumn("__tkr", row_number().over(w))
+          .where(col("__tkr") <= tk.k)
+        val mergedOut = tk.rankOut match {
+          case Some(rn) => mergedI.withColumnRenamed("__tkr", rn)
+          case None => mergedI.drop("__tkr")
+        }
+        // recompute groups: the body over the base restricted to exactly
+        // those keys (literal predicate when few — file skipping — else
+        // a null-safe semi-join)
+        val recompOut: Option[DataFrame] =
+          if (deadKeys.isEmpty) None
+          else {
+            val few = rKeys.limit(65).collect()
+            if (few.isEmpty) None
+            else {
+              val hi = cur(bases.head)
+              val hidden = meta(d2, t2).hiddenCols.toSeq
+              val restricted = (if (few.length <= 64) {
+                try {
+                  val pred = few.map(r => tk.keyBase.indices.map(j =>
+                    col(s"`${tk.keyBase(j)}`") <=> lit(r.get(j))).reduce(_ && _))
+                    .reduce(_ || _)
+                  Some(readWhere(d2, t2, hi, pred))
+                } catch { case scala.util.control.NonFatal(_) => None }
+              } else None).getOrElse {
+                val aff = rKeys.toDF(tk.keyBase.map(n => s"__a_$n"): _*)
+                val base0 = readAsOf(d2, t2, hi)
+                base0.join(aff, tk.keyBase.map(n =>
+                  base0(s"`$n`") <=> aff(s"`__a_$n`")).reduce(_ && _), "left_semi")
+              }.drop(hidden: _*)
+              Some(bodyOver(tk.fullPlan, restricted))
+            }
+          }
+        val newRows = recompOut match {
+          case Some(r) => mergedOut.unionByName(
+            r.select(mergedOut.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*))
+          case None => mergedOut
+        }
+        val touched = iKeys.unionByName(rKeys).distinct()
+        if (touched.isEmpty) return Some(0L)
+        deleteMoREq(db, mvT, touched)
+        Some(append(db, mvT, newRows
+          .select(backing.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*))
+          .summary.get("added_records").map(_.toLong).getOrElse(-1L))
+      } finally caches.foreach(_.unpersist())
+    }
+
     val added = mode match {
       case "incremental" =>
         append(db, mvT, bodyOverDelta())
           .summary.get("added_records").map(_.toLong).getOrElse(-1L)
+      case "incremental_topk" =>
+        topKMerge(topKShapeOpt.get) match {
+          case Some(n) => n
+          case None => mode = "full"; runFull()
+        }
       case "incremental_union" =>
         // each MOVED arm evaluates over its base's increment; arms whose
         // base did not move contribute nothing. Positional union (SQL

@@ -882,6 +882,88 @@ class ViewSpec extends AnyFunSuite {
         .as[(String, String, Long)].collect().toSeq))
   }
 
+  test("RANKED top-k MV: inserts merge, stored-row deaths recompute the group (r13)") {
+    val (cat, wh) = freshCat()
+    register(wh, "vtk")
+    val t0 = Seq(("a", 1L, 50L), ("a", 2L, 40L), ("a", 3L, 30L), ("a", 4L, 20L),
+      ("b", 5L, 9L), ("b", 6L, 8L)).toDF("g", "id", "v")
+    cat.createTable("db", "t", t0.schema)
+    cat.append("db", "t", t0)
+    val body = "SELECT g, id, v, rn FROM (SELECT g, id, v, " +
+      "row_number() OVER (PARTITION BY g ORDER BY v DESC, id) AS rn " +
+      "FROM vtk.db.t) s WHERE rn <= 3"
+    cat.createMaterializedView("db", "tk", body)
+    def expect() = noRewrite(spark.sql(body + " ORDER BY g, rn")
+      .as[(String, Long, Long, Long)].collect().toSeq)
+    def got() = noRewrite(spark.sql("SELECT * FROM vtk.db.tk ORDER BY g, rn")
+      .as[(String, Long, Long, Long)].collect().toSeq)
+    assert(got() == expect())
+    def refresh(expectMode: String): Unit = {
+      val (m, _) = cat.refreshMaterializedView("db", "tk")
+      assert(m == expectMode, m)
+      assert(got() == expect())
+    }
+
+    // insert-only: a new top row displaces, a below-cutoff row no-ops,
+    // and a brand-new group is born
+    cat.append("db", "t", Seq(("a", 7L, 45L), ("a", 8L, 1L), ("c", 9L, 5L))
+      .toDF("g", "id", "v"))
+    refresh("incremental_topk")
+
+    // delete BELOW the cutoff: stored top-3 untouched
+    cat.deleteMoR("db", "t", col("id") === 8L)
+    refresh("incremental_topk")
+
+    // delete a STORED row: v=30 (id=3, pushed below by the 45 insert)
+    // gets promoted from below — only the base knows it, so the group
+    // recomputes
+    cat.deleteMoR("db", "t", col("id") === 2L)
+    refresh("incremental_topk")
+    assert(got().exists(r => r._1 == "a" && r._2 == 3L), got().toString)
+
+    // GROUP DEATH: every b row dies
+    cat.deleteMoR("db", "t", col("g") === "b")
+    refresh("incremental_topk")
+    assert(!got().exists(_._1 == "b"))
+
+    // update MOVES a row between groups (del+ins in one range)
+    cat.updateMoR("db", "t", col("id") === 9L, Map("g" -> lit("a")))
+    refresh("incremental_topk")
+
+    // in-range add+delete of the same row nets out (exceptAll)
+    cat.append("db", "t", Seq(("a", 10L, 99L)).toDF("g", "id", "v"))
+    cat.deleteMoR("db", "t", col("id") === 10L)
+    refresh("incremental_topk")
+    assert(!got().exists(_._2 == 10L), got().toString)
+
+    // GLOBAL top-k (no PARTITION BY): inserts merge; a stored death
+    // falls to full honestly
+    val gbody = "SELECT id, v FROM (SELECT id, v, " +
+      "row_number() OVER (ORDER BY v DESC, id) AS rn FROM vtk.db.t) s " +
+      "WHERE rn <= 2"
+    cat.createMaterializedView("db", "gtk", gbody)
+    def gotG() = noRewrite(spark.sql("SELECT * FROM vtk.db.gtk ORDER BY v DESC, id")
+      .as[(Long, Long)].collect().toSeq)
+    def expectG() = noRewrite(spark.sql(gbody + " ORDER BY v DESC, id")
+      .as[(Long, Long)].collect().toSeq)
+    cat.append("db", "t", Seq(("z", 11L, 77L)).toDF("g", "id", "v"))
+    val (gm1, _) = cat.refreshMaterializedView("db", "gtk")
+    assert(gm1 == "incremental_topk", gm1)
+    assert(gotG() == expectG())
+    cat.deleteMoR("db", "t", col("id") === 11L) // kills the stored global top
+    val (gm2, _) = cat.refreshMaterializedView("db", "gtk")
+    assert(gm2 == "full", gm2)
+    assert(gotG() == expectG())
+
+    // rank() is NOT row_number: the shape refuses, refresh stays full
+    cat.createMaterializedView("db", "rk",
+      "SELECT g, v FROM (SELECT g, v, rank() OVER (PARTITION BY g " +
+        "ORDER BY v DESC) AS rn FROM vtk.db.t) s WHERE rn <= 2")
+    cat.append("db", "t", Seq(("a", 12L, 60L)).toDF("g", "id", "v"))
+    val (rm, _) = cat.refreshMaterializedView("db", "rk")
+    assert(rm == "full", rm)
+  }
+
   test("LEFT-JOIN CHAIN MV: N-way outer bodies refresh via per-dim brackets (r13)") {
     val (cat, wh) = freshCat()
     register(wh, "vch")
