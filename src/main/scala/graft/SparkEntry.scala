@@ -1955,8 +1955,16 @@ object SparkEntry {
       val (mode, _) = cat.refreshMaterializedView("maint", "tk_li")
       require(mode == "incremental_topk",
         s"top-k churn must merge/recompute group-wise, took '$mode'")
-      s.sql("SELECT flag, okey, line, cents, CAST(rn AS BIGINT) AS rn " +
-        "FROM snapdml.maint.tk_li ORDER BY flag, rn")
+      // NAVIGATION: the raw window query (never naming the view) must be
+      // served from the ranked backing — groups x 5 stored rows instead
+      // of a full sort-heavy window over the fact table
+      val df = s.sql("SELECT flag, okey, line, cents, CAST(rn AS BIGINT) AS rn " +
+        "FROM (SELECT flag, okey, line, cents, row_number() OVER " +
+        "(PARTITION BY flag ORDER BY cents DESC, okey, line) AS rn " +
+        "FROM snapdml.maint.tk_base) s WHERE rn <= 5 ORDER BY flag, rn")
+      require(df.queryExecution.optimizedPlan.toString.contains("__mv_tk_li"),
+        "the rank-filtered window must be answered from the ranked backing")
+      df
     }),
 
     // EQUALITY→POSITIONAL DELETE CONVERSION (r12, Iceberg

@@ -94,6 +94,7 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
       case agg: Aggregate if agg.child.isInstanceOf[Expand] =>
         rewriteGroupingSets(agg).getOrElse(agg)
       case agg: Aggregate => rewrite(agg).getOrElse(agg)
+      case f: Filter => rewriteTopK(f).getOrElse(f)
     }
 
   /** The scan forest under an aggregate: conjuncts collected through
@@ -248,6 +249,208 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with Predicat
 
   private def usable(e: Expression): Boolean =
     e.deterministic && !e.exists(_.isInstanceOf[SubqueryExpression])
+
+  /** TOP-K NAVIGATION (r13): `row_number() OVER (PARTITION BY keys ORDER
+    * BY sorts) AS rn ... WHERE rn <= q` over a base table serves from a
+    * RANKED view's backing — without the query naming the view — when
+    * the window (same partition multiset, same order SEQUENCE), the
+    * below-window conjunct set, and the base relation all match and
+    * q <= the view's k: the backing holds the top-k rows per group, so
+    * the query's top-q is its rank-filtered prefix. Ranks come from the
+    * stored rank column when the view exposes one, else from a window
+    * re-run over the (MV-sized) backing. Filters BELOW a window do not
+    * commute with ranking — a tighter filter changes every rank — so the
+    * conjunct sets must be semantically EQUAL, never subsumed. At 100 TB
+    * this turns a full sort-heavy window over the fact table into a read
+    * of groups x k stored rows. */
+  private def rewriteTopK(f: Filter): Option[LogicalPlan] = {
+    if (!f.resolved) return None
+    import org.apache.spark.sql.catalyst.expressions.{LessThan, LessThanOrEqual, RowNumber, SortOrder, WindowExpression, WindowSpecDefinition}
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    // cheap shape probe before any catalog work: rank-attr <= literal
+    def bound(e: Expression): Option[(AttributeReference, Long)] = e match {
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        longLit(v).map(a -> _)
+      case LessThan(a: AttributeReference, Literal(v, _)) =>
+        longLit(v).map(k => a -> (k - 1))
+      case _ => None
+    }
+    val (rankAttr, qk) = bound(f.condition).getOrElse(return None)
+    if (qk <= 0) return None
+    def stripA(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => stripA(c)
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => stripA(c)
+      case other => other
+    }
+    def winOf(p: LogicalPlan): Option[(Window, Seq[Expression], Seq[SortOrder], Long)] =
+      stripA(p) match {
+        case wn: Window => wn.windowExpressions match {
+          case Seq(al @ Alias(WindowExpression(_: RowNumber,
+              WindowSpecDefinition(ps, os, _)), _)) =>
+            Some((wn, ps, os, al.exprId.id))
+          case _ => None
+        }
+        case _ => None
+      }
+    val (w, parts, order, rnId) = winOf(f.child).getOrElse(return None)
+    if (rnId != rankAttr.exprId.id) return None
+    if (!parts.forall(_.isInstanceOf[AttributeReference])) return None
+    if (!order.forall(_.child.isInstanceOf[AttributeReference])) return None
+    val (userConj, rels) = scanForest(w.child).getOrElse(return None)
+    if (rels.length != 1 || !userConj.forall(usable)) return None
+    val (plugin, candidates) = freshCandidates(rels).getOrElse(return None)
+    val hits = candidates.flatMap { case (vdb, v, mvT, sql, _) =>
+      tryMatchTopK(f, rankAttr, qk, parts, order, userConj, rels.head,
+        plugin, vdb, v, mvT, sql, bound, winOf)
+    }
+    hits.sortBy(_._1).headOption.map(_._2) // smallest stored k wins
+  }
+
+  private def longLit(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  private def tryMatchTopK(f: Filter, rankAttr: AttributeReference, qk: Long,
+      parts: Seq[Expression],
+      order: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder],
+      userConj: Seq[Expression], rel: DataSourceV2Relation,
+      plugin: SnapCatalogPlugin, db: String, view: String, mvT: String,
+      sql: String,
+      bound: Expression => Option[(AttributeReference, Long)],
+      winOf: LogicalPlan => Option[(org.apache.spark.sql.catalyst.plans.logical.Window,
+        Seq[Expression], Seq[org.apache.spark.sql.catalyst.expressions.SortOrder], Long)])
+      : Option[(Long, LogicalPlan)] = Try {
+    val cat = plugin.snapViews
+    val backingSchema = cat.currentSnapshot(db, mvT).schema
+    if (backingSchema.fieldNames.exists(_.startsWith("__mv_"))) return None
+    // analyze the body exactly like analyzeBody does (qualified, no scan
+    // substitution), then demand the same Filter-over-Window shape
+    val parsedBody = spark.sessionState.sqlParser.parsePlan(sql)
+      .transformUpWithSubqueries {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          val k = u.multipartIdentifier match {
+            case Seq(d, n) => Some((d, n))
+            case Seq(_, d, n) => Some((d, n))
+            case Seq(n) => Some((db, n))
+            case _ => None
+          }
+          k.filter { case (d, n) => Try(cat.tableExists(d, n)).getOrElse(false) }
+            .map { case (d, n) =>
+              u.copy(multipartIdentifier = Seq(plugin.name(), d, n)) }
+            .getOrElse(u)
+      }
+    val analyzedBody = MvRewriteRule.suppressingSubstitution {
+      GraftColumnBridge.ofRows(spark, parsedBody).queryExecution.analyzed
+    }
+    val bodyOut = analyzedBody.output
+    if (!backingSchema.fieldNames.sameElements(bodyOut.map(_.name))) return None
+    def stripS(p: LogicalPlan): LogicalPlan = p match {
+      case s: Sort => stripS(s.child)
+      case SubqueryAlias(_, c) => stripS(c)
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => stripS(c)
+      case other => other
+    }
+    val bodyF = stripS(analyzedBody) match {
+      case bf: Filter => bf
+      case _ => return None
+    }
+    val (bRank, bkRaw) = bound(bodyF.condition).getOrElse(return None)
+    val (bw, bParts, bOrder, bRnId) = winOf(bodyF.child).getOrElse(return None)
+    if (bRnId != bRank.exprId.id) return None
+    if (qk > bkRaw) return None
+    val (bodyConj, bodyRels) = scanForest(bw.child).getOrElse(return None)
+    if (bodyRels.length != 1 || !bodyConj.forall(usable)) return None
+    // same base table, rebased body attrs
+    def keyOf(r: DataSourceV2Relation): Option[(String, String)] =
+      r.identifier.filter(_.namespace().length == 1)
+        .map(i => (i.namespace()(0), i.name()))
+        .filter(_ => r.catalog.exists {
+          case p: SnapCatalogPlugin => p.name() == plugin.name()
+          case _ => false
+        })
+    if (keyOf(bodyRels.head).isEmpty ||
+      keyOf(bodyRels.head) != keyOf(rel)) return None
+    val byName = rel.output
+      .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+    val rebase = bodyRels.head.output.flatMap { a =>
+      byName.get(a.name.toLowerCase(java.util.Locale.ROOT)).map(a.exprId -> _)
+    }.toMap
+    if (rebase.size != bodyRels.head.output.length) return None // schema drift
+    def reb(e: Expression): Expression = e.transform {
+      case a: AttributeReference if rebase.contains(a.exprId) => rebase(a.exprId)
+    }
+    // EXACT conjunct-set equality (no subsumption below a window) and
+    // identical ranking: partition multiset, order sequence
+    if (!conjSetEq(userConj, bodyConj.map(reb))) return None
+    if (!conjSetEq(parts, bParts.map(reb))) return None
+    if (order.length != bOrder.length) return None
+    if (!order.zip(bOrder).forall { case (qo, bo) =>
+      qo.direction == bo.direction && qo.nullOrdering == bo.nullOrdering &&
+        qo.child.semanticEquals(reb(bo.child))
+    }) return None
+    // output mapping: query attr expr-id -> backing column name
+    val rankCol: Option[String] =
+      bodyOut.find(_.exprId.id == bRnId).map(_.name)
+    val baseColOf: Map[Long, String] = bodyOut.flatMap { o =>
+      if (o.exprId.id == bRnId) None
+      else reb(o) match {
+        case u: AttributeReference => Some(u.exprId.id -> o.name)
+        case _ => return None
+      }
+    }.toMap
+    val fn = org.apache.spark.sql.functions
+    import fn.{col, row_number}
+    val partCols = parts.map { case a: AttributeReference =>
+      baseColOf.getOrElse(a.exprId.id, return None) }
+    val sortCs = order.map { so =>
+      val n = so.child match {
+        case a: AttributeReference => baseColOf.getOrElse(a.exprId.id, return None)
+        case _ => return None
+      }
+      import org.apache.spark.sql.catalyst.expressions.{Ascending, NullsFirst}
+      (so.direction == Ascending, so.nullOrdering == NullsFirst) match {
+        case (true, true) => col(s"`$n`").asc_nulls_first
+        case (true, false) => col(s"`$n`").asc_nulls_last
+        case (false, true) => col(s"`$n`").desc_nulls_first
+        case (false, false) => col(s"`$n`").desc_nulls_last
+      }
+    }
+    val backing = spark.table(s"`${plugin.name()}`.`$db`.`$mvT`")
+    // rank source: the stored column (the body's own row_number over the
+    // base — exactly the query's), else a re-run over the tiny backing
+    val rankSrc = "__tknav_rank"
+    val ranked = rankCol match {
+      case Some(rc) => backing.withColumn(rankSrc, col(s"`$rc`"))
+      case None =>
+        val spec0 = org.apache.spark.sql.expressions.Window
+          .partitionBy(partCols.map(n => col(s"`$n`")): _*)
+        backing.withColumn(rankSrc, row_number().over(spec0.orderBy(sortCs: _*)))
+    }
+    val served = ranked.where(col(rankSrc) <= qk)
+    // every attribute the Filter emits must come off the backing
+    val outCols = f.output.map { o =>
+      if (o.exprId.id == rankAttr.exprId.id) col(rankSrc).alias(s"__o_${o.exprId.id}")
+      else col(s"`${baseColOf.getOrElse(o.exprId.id, return None)}`")
+        .alias(s"__o_${o.exprId.id}")
+    }
+    val newPlan = served.select(outCols: _*).queryExecution.analyzed
+    if (newPlan.output.length != f.output.length) return None
+    if (newPlan.output.zip(f.output).exists { case (n, o) => n.dataType != o.dataType })
+      return None
+    logInfo(s"MV rewrite: top-$qk window over ${rel.identifier.mkString} " +
+      s"served from $db.$view ($mvT, stored k=$bkRaw)")
+    Some((bkRaw, Project(f.output.zip(newPlan.output).map { case (o, n0) =>
+      val n = if (!o.nullable && n0.nullable) KnownNotNull(n0) else (n0: Expression)
+      Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+    }, newPlan)))
+  }.recover { case e =>
+    logInfo(s"MV rewrite: top-k candidate $db.$view did not match: ${e.getMessage}")
+    None
+  }.toOption.flatten
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     if (!agg.resolved) return None

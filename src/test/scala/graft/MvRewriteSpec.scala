@@ -477,6 +477,48 @@ class MvRewriteSpec extends AnyFunSuite {
       "LEFT JOIN mvrc.dbc.cust c ON f.ck = c.ck GROUP BY c.seg, p.cat")
   }
 
+  test("TOP-K navigation: rank-filtered windows serve from the ranked backing (r13)") {
+    val cat = freshCat("mvtk")
+    val t = (1 to 500).map(i => ((i % 7).toString, i.toLong, (i * 37 % 101).toLong))
+      .toDF("g", "id", "v")
+    cat.createTable("dbt", "t", t.schema)
+    cat.append("dbt", "t", t)
+    cat.createMaterializedView("dbt", "top5",
+      "SELECT g, id, v, rn FROM (SELECT g, id, v, row_number() OVER " +
+        "(PARTITION BY g ORDER BY v DESC, id) AS rn FROM mvtk.dbt.t) s " +
+        "WHERE rn <= 5")
+    // the exact window serves; so does a TIGHTER bound (top-3 is the
+    // stored top-5's rank-filtered prefix)
+    assertRewritten("SELECT g, id, v, rn FROM (SELECT g, id, v, " +
+      "row_number() OVER (PARTITION BY g ORDER BY v DESC, id) AS rn " +
+      "FROM mvtk.dbt.t) s WHERE rn <= 5 ORDER BY g, rn")
+    assertRewritten("SELECT g, id FROM (SELECT g, id, v, " +
+      "row_number() OVER (PARTITION BY g ORDER BY v DESC, id) AS rn " +
+      "FROM mvtk.dbt.t) s WHERE rn <= 3 ORDER BY g, id")
+    // a LOOSER bound needs rows the backing never stored
+    assertNotRewritten("SELECT g, id FROM (SELECT g, id, v, " +
+      "row_number() OVER (PARTITION BY g ORDER BY v DESC, id) AS rn " +
+      "FROM mvtk.dbt.t) s WHERE rn <= 7")
+    // a different ORDER BY is a different ranking
+    assertNotRewritten("SELECT g, id FROM (SELECT g, id, v, " +
+      "row_number() OVER (PARTITION BY g ORDER BY v ASC, id) AS rn " +
+      "FROM mvtk.dbt.t) s WHERE rn <= 3")
+    // a filter BELOW the window changes every rank — never subsumed
+    assertNotRewritten("SELECT g, id FROM (SELECT g, id, v, " +
+      "row_number() OVER (PARTITION BY g ORDER BY v DESC, id) AS rn " +
+      "FROM mvtk.dbt.t WHERE v > 50) s WHERE rn <= 3")
+    // navigation survives churn + the incremental refresh
+    cat.deleteMoR("dbt", "t", col("v") > 95L)
+    cat.append("dbt", "t",
+      Seq(("1", 1001L, 100L), ("2", 1002L, 100L)).toDF("g", "id", "v"))
+    val (m, _) = cat.refreshMaterializedView("dbt", "top5")
+    assert(m == "incremental_topk", m)
+    val q = "SELECT g, id, v, rn FROM (SELECT g, id, v, row_number() OVER " +
+      "(PARTITION BY g ORDER BY v DESC, id) AS rn FROM mvtk.dbt.t) s " +
+      "WHERE rn <= 4 ORDER BY g, rn"
+    assertRewritten(q) // result-compared against the rewrite-off truth
+  }
+
   test("sidecar rollup keeps all-NULL groups alive") {
     val cat = freshCat("mvr3")
     val df = (Seq(

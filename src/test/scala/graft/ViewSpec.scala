@@ -1649,17 +1649,25 @@ class ViewSpec extends AnyFunSuite {
       // blocklist anti-join shape (r13): rows leave and re-enter the
       // counts as dim keys are born and die under the same churn
       "m6" -> ("SELECT g, count(*) AS n, sum(v) AS sv " +
-        "FROM vmrb.db.t t LEFT ANTI JOIN vmrb.db.d d ON t.k = d.k GROUP BY g"))
+        "FROM vmrb.db.t t LEFT ANTI JOIN vmrb.db.d d ON t.k = d.k GROUP BY g"),
+      // ranked top-k shape (r13): stored tops die and get promoted-into
+      // under the same churn; the total (v DESC, id) order keeps ranks
+      // deterministic for the differential compare
+      "m7" -> ("SELECT g, id, v, rn FROM (SELECT g, id, v, row_number() " +
+        "OVER (PARTITION BY g ORDER BY v DESC, id) AS rn FROM vmrb.db.t) s " +
+        "WHERE rn <= 3"))
     bodies.foreach { case (m, sql) => cat.createMaterializedView("db", m, sql) }
     val modes = scala.collection.mutable.Map.empty[String, List[String]]
       .withDefaultValue(Nil)
     def refreshAndCheck(m: String): Unit = {
       val (mode, _) = cat.refreshMaterializedView("db", m)
       modes(m) = mode :: modes(m)
-      val want = noRewrite(spark.sql(bodies(m) + " ORDER BY 1")
-        .collect().map(_.toString).toSeq)
-      val got = spark.sql(s"SELECT * FROM vmrb.db.$m ORDER BY 1")
-        .collect().map(_.toString).toSeq
+      // sorted-string compare: m1-m6 are one row per group, m7 carries
+      // k rows per group — a full row sort keeps the diff deterministic
+      val want = noRewrite(spark.sql(bodies(m))
+        .collect().map(_.toString).sorted.toSeq)
+      val got = spark.sql(s"SELECT * FROM vmrb.db.$m")
+        .collect().map(_.toString).sorted.toSeq
       assert(got == want, s"$m diverged after mode=$mode:\n got=$got\nwant=$want")
     }
 
@@ -1677,17 +1685,17 @@ class ViewSpec extends AnyFunSuite {
             val k = 5L + rng.nextInt(3)
             cat.append("db", "d", Seq((k, s"s${k % 3}")).toDF("k", "s"))
           } else cat.deleteMoR("db", "d", col("k") === rng.nextInt(5).toLong)
-        case 4 => refreshAndCheck(Seq("m1", "m2", "m3", "m4", "m5", "m6")(rng.nextInt(6)))
+        case 4 => refreshAndCheck(Seq("m1", "m2", "m3", "m4", "m5", "m6", "m7")(rng.nextInt(7)))
         case 5 => // eq delete by id (covers the sequence rule on bases)
           val vic = (0 until 3).map(_ => rng.nextLong(math.max(1L, nextId)))
           cat.deleteMoREq("db", "t", vic.toDF("id"))
       }
-      if (step % 5 == 0) Seq("m1", "m2", "m3", "m4", "m5", "m6").foreach(refreshAndCheck)
+      if (step % 5 == 0) Seq("m1", "m2", "m3", "m4", "m5", "m6", "m7").foreach(refreshAndCheck)
     }
-    Seq("m1", "m2", "m3", "m4", "m5", "m6").foreach(refreshAndCheck)
+    Seq("m1", "m2", "m3", "m4", "m5", "m6", "m7").foreach(refreshAndCheck)
     // the battery must actually exercise the incremental machinery —
     // an all-full run would vacuously pass
-    for (m <- Seq("m1", "m2", "m3", "m4", "m5", "m6"))
+    for (m <- Seq("m1", "m2", "m3", "m4", "m5", "m6", "m7"))
       assert(modes(m).exists(_.startsWith("incremental")),
         s"$m never refreshed incrementally: ${modes(m).reverse}")
   }
