@@ -1967,6 +1967,64 @@ object SparkEntry {
       df
     }),
 
+    // PERSISTENT MINHASH NEAR-DUP INDEX (r13 continuation): the dedup
+    // leg of the maintained-index trilogy. The corpus's banded MinHash
+    // sketch is a DURABLE bucket-partitioned table maintained
+    // churn-sized from per-commit metadata (REQUIRED incremental across
+    // a MoR delete + append range — never a corpus re-sketch), and the
+    // continuous-ingest flagship runs against it: sketch ONLY the probe
+    // batch, read ONLY its band hashes' bucket directories, verify
+    // candidates with exact integer Jaccard against the base at the
+    // pin. With 32 bands of 2 rows candidate recall at J >= 9/10 is
+    // total (miss <= 10^-23), so the DuckDB oracle states the result as
+    // plain all-pairs Jaccard between batch and corpus.
+    "q171_dedup_index" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      for (t <- Seq("dd_idx", "dd_docs"))
+        if (cat.tableExists("maint", t)) cat.dropTable("maint", t)
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      cat.createTable("maint", "dd_docs", d.schema)
+      cat.append("maint", "dd_docs", d.where(col("doc_id") % 2 === 0))
+      graft.ops.DedupIndex.create(cat, "maint", "dd_docs", "dd_idx",
+        "doc_id", "text", nbuckets = 16)
+      cat.deleteMoR("maint", "dd_docs", col("doc_id") % 10 === 0)
+      cat.append("maint", "dd_docs",
+        d.where(col("doc_id") % 2 === 1 && col("doc_id") % 3 === 0))
+      val (mode, _) = graft.ops.DedupIndex.refresh(cat, "maint", "dd_idx")
+      require(mode == "incremental", s"dedup-index refresh took '$mode'")
+      graft.ops.DedupIndex.pairsAgainst(cat, "maint", "dd_idx",
+        d.where(col("doc_id") % 2 === 1 && col("doc_id") % 3 =!= 0),
+        "doc_id", "text")
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    // METADATA-SERVED GROUP-BY-PARTITION COUNT (r13 continuation):
+    // `SELECT p, count(*) ... GROUP BY p` over a hive-laid table answers
+    // from per-file partition values + exact footer row counts — zero
+    // tasks, zero files read ("rows per day" over a 100-TB table as a
+    // driver-side metadata fold). REQUIRED: the optimized plan's only
+    // leaf is the LocalRelation the rule materialized (the multi-append
+    // fixture spans snapshot dirs, so a scan would be a real union).
+    // Soundness gates (MoR deletes, flat rewrite files, transforms)
+    // refuse to the scan path — spec-asserted in SnapCatalogPluginSpec.
+    "q172_meta_partition_count" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.tableExists("maint", "pc_orders")) cat.dropTable("maint", "pc_orders")
+      val o = T(s, dir, "orders").select(col("o_orderstatus").as("status"),
+        col("o_orderkey").as("okey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      cat.createTable("maint", "pc_orders", o.schema,
+        partitionCols = Seq("status"))
+      cat.append("maint", "pc_orders", o.where(col("okey") % 3 =!= 0))
+      cat.append("maint", "pc_orders", o.where(col("okey") % 3 === 0))
+      val df = s.sql("SELECT status, count(*) AS n " +
+        "FROM snapdml.maint.pc_orders GROUP BY status ORDER BY status")
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      require(leaves.nonEmpty && leaves.forall(_.nodeName == "LocalRelation"),
+        s"partition count must serve from metadata, scanned: $leaves")
+      df
+    }),
+
     // EQUALITY→POSITIONAL DELETE CONVERSION (r12, Iceberg
     // convert_equality_deletes): after eq-heavy CDC ingest, one
     // maintenance commit materializes each eq shard's kills as exact
@@ -5040,6 +5098,35 @@ object SparkEntry {
         |  FROM base)
         |SELECT flag, okey, line, cents, CAST(rn AS BIGINT) AS rn
         |FROM ranked WHERE rn <= 5 ORDER BY flag, rn""".stripMargin,
+
+    // batch-vs-corpus near-dups as plain all-pairs Jaccard: corpus =
+    // evens surviving the %10 MoR delete plus the %3 odds appended by
+    // the churn; batch = the remaining odds. Total candidate recall at
+    // 9/10 (32 bands x 2 rows) lets the oracle skip the banding.
+    "q171_dedup_index" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')
+        |  )) AS shingles FROM documents
+        |), corpus AS (
+        |  SELECT * FROM sh WHERE (doc_id % 2 = 0 AND doc_id % 10 <> 0)
+        |     OR (doc_id % 2 = 1 AND doc_id % 3 = 0)
+        |), batch AS (
+        |  SELECT * FROM sh WHERE doc_id % 2 = 1 AND doc_id % 3 <> 0
+        |)
+        |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |  CAST(len(list_intersect(b.shingles, c.shingles)) AS BIGINT) AS inter_sz,
+        |  CAST(len(b.shingles) + len(c.shingles) - len(list_intersect(b.shingles, c.shingles)) AS BIGINT) AS union_sz
+        |FROM batch b, corpus c
+        |WHERE len(list_intersect(b.shingles, c.shingles)) * 10 >=
+        |      9 * (len(b.shingles) + len(c.shingles) - len(list_intersect(b.shingles, c.shingles)))
+        |ORDER BY batch_id, corpus_id""".stripMargin,
+
+    // the two appends cover every orders row exactly once
+    "q172_meta_partition_count" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
 
     // the merged survivors from raw: evens minus the positional %10==2
     // minus the eq-killed %7==0 EVENS, plus every %9==0 odd — including

@@ -2,9 +2,9 @@ package graft.catalog.spark
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
@@ -23,6 +23,22 @@ trait HasRecordCount {
 trait HasColumnStats {
   /** Canonical stat string for a `min.<col>` / `max.<col>` key, if known. */
   def columnStat(key: String): Option[String]
+}
+
+/** Table implementations that can enumerate exact per-file (identity
+  * partition values, row count) pairs from commit-time metadata — the
+  * inputs of a metadata-served `GROUP BY <partition cols>` count.
+  * `None` whenever the serve would be unsound: live merge-on-read
+  * deletes (a file's footer count overstates its visible rows), any
+  * file not hive-laid on ALL the identity partition columns (compaction
+  * rewrites are flat; partition-spec evolution leaves older dirs keyed
+  * differently), hidden-transform or bucket layouts (the SQL-visible
+  * source column is not layout-exact there), or a missing footer count. */
+trait HasPartitionRowCounts {
+  /** (identity partition column names, one entry per data file: the
+    * file's partition-value path tokens — hive-unescaped, `None` for the
+    * null partition — in column order, plus its exact footer row count). */
+  def partitionRowCounts: Option[(Seq[String], Seq[(Seq[Option[String]], Long)])]
 }
 
 /** Table implementations whose content is identified by a stable token
@@ -250,6 +266,7 @@ object MetadataCountRule extends Rule[LogicalPlan] {
     // the `Nil` pattern only matches scala.Nil).
     case agg: Aggregate
         if agg.groupingExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+          !hasFilterChild(agg.child) &&
           agg.aggregateExpressions.forall {
             case Alias(ae: AggregateExpression, _) => servableShape(ae)
             case _ => false
@@ -266,6 +283,133 @@ object MetadataCountRule extends Rule[LogicalPlan] {
           else agg
         case None => agg
       }
+
+    // GROUP BY <identity partition cols> and/or a partition-column-only
+    // WHERE + COUNT(*): served from per-file partition values + footer
+    // row counts — zero tasks for "rows per day" or "rows in day X" over
+    // a 100-TB table. Sound because every row of a hive-laid file shares
+    // its directory's partition values exactly, so a partition-only
+    // predicate admits files row-exactly (the table refuses with None on
+    // any layout that breaks that: live MoR deletes, flat rewrite files,
+    // evolved specs, transforms).
+    case agg: Aggregate
+        if agg.aggregateExpressions.nonEmpty &&
+          (agg.groupingExpressions.nonEmpty || hasFilterChild(agg.child)) =>
+      serveGrouped(agg).getOrElse(agg)
+  }
+
+  /** Projections never change cardinality — is there a Filter between the
+    * aggregate and its relation? (Gates the grouped case so the global
+    * unfiltered shape keeps its original min/max-capable path.) */
+  private def hasFilterChild(p: LogicalPlan): Boolean = p match {
+    case Project(_, g) => hasFilterChild(g)
+    case _: Filter => true
+    case _ => false
+  }
+
+  /** Peel projections and at most one Filter off the aggregate child —
+    * the shapes between an Aggregate and its relation at this phase
+    * (CombineFilters has already merged stacked filters). */
+  private def peelFilter(p: LogicalPlan, cond: Option[Expression])
+      : (LogicalPlan, Option[Expression]) = p match {
+    case Project(_, g) => peelFilter(g, cond)
+    case Filter(c, g) if cond.isEmpty => peelFilter(g, Some(c))
+    case rel => (rel, cond)
+  }
+
+  /** The grouped/filtered serve, or None when any piece falls outside the
+    * sound shape (grouping or filtering on non-partition columns,
+    * aggregates beyond COUNT(*), non-deterministic predicates,
+    * unparseable path tokens, ...). */
+  private def serveGrouped(agg: Aggregate): Option[LogicalPlan] = {
+    val (rel, cond) = peelFilter(agg.child, None)
+    val (table, attrs) = metadataTable(rel).getOrElse(return None)
+    val (pcols, files) = Some(table)
+      .collect { case p: HasPartitionRowCounts => p }
+      .flatMap(_.partitionRowCounts).getOrElse(return None)
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    val groupCols = groupAttrs.map(a =>
+      attrs.get(a.exprId).map(_._1).getOrElse(return None))
+    if (!groupCols.forall(pcols.contains)) return None
+    // outputs: grouped attributes (possibly aliased) and COUNT(*) only
+    val groupIdx = groupAttrs.map(_.exprId).zipWithIndex.toMap
+    val outs: Seq[Either[Int, Unit]] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        Left(groupIdx.getOrElse(a.exprId, return None))
+      case Alias(a: AttributeReference, _) =>
+        Left(groupIdx.getOrElse(a.exprId, return None))
+      case Alias(AggregateExpression(
+        Count(Seq(Literal(1, _))), Complete, false, None, _), _) => Right(())
+      case _ => return None
+    }
+    val colPos = groupCols.map(pcols.indexOf)
+    val dts = groupAttrs.map(a => attrs(a.exprId)._2)
+    // one token -> internal value, exactly as Spark's read-time partition
+    // inference casts the directory string (session-zone Cast); a token
+    // the cast cannot parse makes the whole serve refuse — the scan path
+    // would surface the same value differently, so never guess. Memoized
+    // per (type, token): a 10^6-file table has ~10^3 distinct partition
+    // values, so the driver pays one interpreted Cast per VALUE, not per
+    // file
+    val castMemo = scala.collection.mutable.HashMap.empty[(DataType, String), Option[Any]]
+    def castTok(tok: Option[String], dt: DataType): Option[Any] = tok match {
+      case None => Some(null)
+      case Some(s) => castMemo.getOrElseUpdate((dt, s), {
+        val lit = Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          org.apache.spark.sql.types.StringType)
+        if (dt == org.apache.spark.sql.types.StringType) Some(lit.value)
+        else Option(org.apache.spark.sql.catalyst.expressions.Cast(
+          lit, dt, Some(conf.sessionLocalTimeZone)).eval(null))
+      })
+    }
+    // a WHERE over partition columns only admits whole files row-exactly:
+    // bind it against the referenced partition attributes and evaluate on
+    // each file's partition values (SQL semantics fall out — a null value
+    // evaluates the predicate to null, which excludes the file's rows)
+    val admit: Seq[Option[String]] => Boolean = cond match {
+      case None => _ => true
+      case Some(c) =>
+        if (!c.deterministic) return None
+        val refs = c.references.toSeq
+        val refCols = refs.map(r =>
+          attrs.get(r.exprId).map(_._1).getOrElse(return None))
+        if (!refCols.forall(pcols.contains)) return None
+        val refPos = refCols.map(pcols.indexOf)
+        val pred = org.apache.spark.sql.catalyst.expressions.Predicate
+          .createInterpreted(org.apache.spark.sql.catalyst.expressions
+            .BindReferences.bindReference(c,
+              org.apache.spark.sql.catalyst.expressions.AttributeSeq(refs)))
+        pred.initialize(0)
+        vals => pred.eval(InternalRow(refPos.zip(refs).map { case (i, r) =>
+          castTok(vals(i), r.dataType).getOrElse(return None)
+        }: _*))
+    }
+    val grouped = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
+    files.foreach { case (vals, rows) =>
+      if (admit(vals)) {
+        val key = colPos.zip(dts).map { case (i, dt) =>
+          castTok(vals(i), dt).getOrElse(return None)
+        }
+        grouped(key) = grouped.getOrElse(key, 0L) + rows
+      }
+    }
+    // global aggregate (filter-only shape): exactly one row, count 0 when
+    // nothing is admitted; grouped shape: one row per surviving group
+    val rows = if (agg.groupingExpressions.isEmpty)
+      Seq(InternalRow(outs.map {
+        case Right(_) => grouped.getOrElse(Seq.empty, 0L)
+        case Left(_) => return None
+      }: _*))
+    else grouped.toSeq.map { case (key, n) =>
+      InternalRow(outs.map {
+        case Left(g) => key(g)
+        case Right(_) => n
+      }: _*)
+    }
+    Some(LocalRelation(agg.output.map(_.toAttribute), rows))
   }
 
   private def serve(table: HasRecordCount, attrs: Map[ExprId, (String, DataType)],

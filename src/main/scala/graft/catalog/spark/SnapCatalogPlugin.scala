@@ -413,7 +413,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       with SupportsRowLevelOperations
       with SupportsMetadataColumns
       with HasRecordCount with HasColumnStats with MorMergeable
-      with HasSnapshotIdentity {
+      with HasSnapshotIdentity with HasPartitionRowCounts {
 
     override def snapshotIdentity: String = s"$tableName@${snap.snapshotId}"
 
@@ -697,6 +697,39 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
 
     override val recordCount: Long = snap.recordCount
     override def columnStat(key: String): Option[String] = snap.summary.get(key)
+
+    /** Per-file identity-partition values + exact footer row counts — the
+      * inputs of [[MetadataCountRule]]'s GROUP-BY-partition serve. `None`
+      * (refuse) on anything that breaks "every row of the file shares its
+      * directory's partition values and the footer count is the visible
+      * count": live MoR deletes, hidden-transform or bucket layouts (the
+      * SQL-visible source column is not layout-exact there), any file not
+      * hive-laid on ALL the partition columns (compaction rewrites are
+      * flat; partition-spec evolution leaves older dirs keyed
+      * differently), or a missing footer count. */
+    override def partitionRowCounts
+        : Option[(Seq[String], Seq[(Seq[Option[String]], Long)])] = {
+      val pcols = tableMeta.partitionCols.filterNot(tableMeta.hiddenCols)
+      if (pcols.isEmpty || tableMeta.bucketSpec.isDefined ||
+          tableMeta.transformSpec.isDefined || tableMeta.hiddenCols.nonEmpty ||
+          snap.deleteFiles.nonEmpty) return None
+      val perFile = snap.files.map { f =>
+        val kv = f.split('/').iterator.flatMap { seg =>
+          val i = seg.indexOf('=')
+          if (i <= 0) Iterator.empty
+          else Iterator(seg.substring(0, i) ->
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(seg.substring(i + 1)))
+        }.toMap
+        val vals = pcols.map(c => kv.get(c).map(v =>
+          if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v)))
+        val rows = snap.fileStats.get(f).flatMap(_.get("rows")).map(_.toLong)
+        (vals, rows)
+      }
+      if (perFile.exists { case (vs, r) => vs.exists(_.isEmpty) || r.isEmpty })
+        None
+      else Some((pcols, perFile.map { case (vs, r) => (vs.map(_.get), r.get) }))
+    }
 
     /** Snapshot-exact V2 statistics, served from metadata alone: numRows
       * from the log's record_count, numeric column min/max from the

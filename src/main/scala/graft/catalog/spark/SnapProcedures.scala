@@ -422,10 +422,47 @@ object SnapProcedures {
         Seq(row(utf8(s"$db.$name"), nb))
       },
 
+      proc("create_dedup_index",
+        "build a persistent MinHash near-dup index over table's id/text columns: " +
+          "banded signature rows hive-partitioned by band-hash bucket (a probe " +
+          "batch reads only its own sketches' bucket directories; the corpus is " +
+          "never re-sketched per call); maintain with refresh_dedup_index",
+        Seq(in("table", StringType), in("index", StringType),
+          in("id_col", StringType), in("text_col", StringType),
+          inDefault("nbuckets", IntegerType, "64")),
+        StructType(Seq(
+          StructField("index", StringType, nullable = false),
+          StructField("nbuckets", IntegerType, nullable = false)))) { input =>
+        val (db, t) = dbTable(input, 0)
+        val name = str(input, 1).getOrElse(
+          throw new IllegalArgumentException("index must not be null"))
+        val idCol = str(input, 2).getOrElse(
+          throw new IllegalArgumentException("id_col must not be null"))
+        val textCol = str(input, 3).getOrElse(
+          throw new IllegalArgumentException("text_col must not be null"))
+        val nb = input.getInt(4)
+        graft.ops.DedupIndex.create(cat, db, t, name, idCol, textCol,
+          nbuckets = nb)
+        Seq(row(utf8(s"$db.$name"), nb))
+      },
+
+      proc("refresh_dedup_index",
+        "advance a MinHash near-dup index to its base table's current snapshot " +
+          "from per-commit metadata (churn-sized; never re-sketches the " +
+          "unchanged corpus): mode fresh|incremental|full",
+        Seq(in("index", StringType)),
+        StructType(Seq(
+          StructField("mode", StringType, nullable = false),
+          StructField("commits", LongType, nullable = false)))) { input =>
+        val (db, name) = dbTable(input, 0)
+        val (mode, commits) = graft.ops.DedupIndex.refresh(cat, db, name)
+        Seq(row(utf8(mode), commits))
+      },
+
       proc("refresh_indexes",
         "bring EVERY persistent index of a namespace forward (the nightly-" +
           "maintenance sweep, the index twin of refresh_materialized_views): " +
-          "one row per vector/text index with the mode its range earned",
+          "one row per vector/text/dedup index with the mode its range earned",
         Seq(in("namespace", StringType)),
         StructType(Seq(
           StructField("index", StringType, nullable = false),
@@ -442,6 +479,9 @@ object SnapProcedures {
           } else if (props.contains(graft.ops.TextIndex.PropBase)) {
             val (mode, n) = graft.ops.TextIndex.refresh(cat, db, t)
             Some(row(utf8(s"$db.$t"), utf8("text"), utf8(mode), n))
+          } else if (props.contains(graft.ops.DedupIndex.PropBase)) {
+            val (mode, n) = graft.ops.DedupIndex.refresh(cat, db, t)
+            Some(row(utf8(s"$db.$t"), utf8("dedup"), utf8(mode), n))
           } else None
         }
       },

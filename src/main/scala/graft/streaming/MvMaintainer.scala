@@ -123,6 +123,19 @@ object MvMaintainer {
       "graft_tixm_ckpt_", () => graft.ops.TextIndex.refresh(cat, db, index),
       availableNow, onRefresh)
 
+  /** And for a PERSISTENT MINHASH NEAR-DUP INDEX ([[graft.ops.DedupIndex]]):
+    * the commit signal folds into `DedupIndex.refresh`, so continuous
+    * ingest dedup ("does this batch near-duplicate the corpus?") probes
+    * a sketch that lags the corpus by one micro-batch. */
+  def maintainDedupIndex(spark: SparkSession, cat: SnapshotCatalog,
+      catalogName: String, db: String, index: String,
+      availableNow: Boolean = true,
+      onRefresh: (String, Long) => Unit = (_, _) => ()): StreamingQuery =
+    maintainIndex(spark, cat, catalogName, db, index, "dedup index",
+      graft.ops.DedupIndex.PropBase, graft.ops.DedupIndex.PropPin,
+      "graft_dixm_ckpt_", () => graft.ops.DedupIndex.refresh(cat, db, index),
+      availableNow, onRefresh)
+
   /** The shared commit-signal stream behind both index maintainers: the
     * refresh thunk advances the index's own pin from per-commit metadata,
     * so replays are no-ops and a restart resumes exactly (the MV

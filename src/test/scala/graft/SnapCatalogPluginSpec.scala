@@ -127,8 +127,11 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     spark.sql("INSERT INTO snapcat.dbp.p VALUES (3, 'a')")   // 3 dirs
     // multi-snapshot-dir partitioned reads assemble one pushed+pruned V2
     // sub-scan per dir (UnionDirScan) — no compaction required, and the
-    // plan keeps scan-level pushdown (the round-3 V1 bridge lost it)
-    val filtered = spark.sql("SELECT count(*) AS c FROM snapcat.dbp.p WHERE flag = 'a'")
+    // plan keeps scan-level pushdown (the round-3 V1 bridge lost it).
+    // sum(id) forces the scan: a bare partition-filtered count(*) now
+    // serves from per-file metadata (r13, MetadataCountRule)
+    val filtered = spark.sql(
+      "SELECT count(*) AS c, sum(id) AS s FROM snapcat.dbp.p WHERE flag = 'a'")
     assert(filtered.head.getLong(0) == 2)
     val plan = filtered.queryExecution.executedPlan.toString
     assert(!plan.contains("RowDataSourceScan"), plan.take(1500)) // no V1 bridge
@@ -1235,5 +1238,106 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
       spark.sql("ALTER NAMESPACE snapcat.nsprops SET LOCATION '/elsewhere'")
     }
     assert(e.getMessage.contains("derived"), e.getMessage)
+  }
+
+  test("GROUP BY partition count(*) serves from metadata; unsound shapes refuse") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    // INT partition col (exercises the token cast), two appends = two
+    // snapshot dirs — a scan would be a real multi-dir union
+    val d1 = Seq((1, 10L), (1, 11L), (2, 20L)).toDF("grp", "v")
+    val d2 = Seq((2, 21L), (3, 30L)).toDF("grp", "v")
+    cat.createTable("dbpc", "t", d1.schema, partitionCols = Seq("grp"))
+    cat.append("dbpc", "t", d1)
+    cat.append("dbpc", "t", d2)
+    def served(sql: String): Boolean = {
+      val p = spark.sql(sql).queryExecution.optimizedPlan.toString
+      p.contains("LocalRelation") && !p.contains("RelationV2")
+    }
+    val q = "SELECT grp, count(*) AS n FROM snapcat.dbpc.t GROUP BY grp ORDER BY grp"
+    assert(served(q), "partition-grouped count must serve from metadata")
+    assert(spark.sql(q).as[(Int, Long)].collect().toSeq ==
+      Seq((1, 2L), (2, 2L), (3, 1L)))
+    // refusals — each keeps the scan and stays exact
+    val byV = "SELECT v, count(*) AS n FROM snapcat.dbpc.t GROUP BY v ORDER BY v"
+    assert(!served(byV), "non-partition grouping must scan")
+    assert(spark.sql(byV).count() == 5)
+    val withSum = "SELECT grp, count(*) AS n, sum(v) AS s FROM snapcat.dbpc.t GROUP BY grp ORDER BY grp"
+    assert(!served(withSum), "a non-count aggregate must scan")
+    assert(spark.sql(withSum).as[(Int, Long, Long)].collect().toSeq ==
+      Seq((1, 2L, 21L), (2, 2L, 41L), (3, 1L, 30L)))
+    val filtered = "SELECT grp, count(*) AS n FROM snapcat.dbpc.t WHERE v > 10 GROUP BY grp"
+    assert(!served(filtered), "a non-partition-column filter must scan")
+    // a PARTITION-column-only filter admits whole files row-exactly:
+    // global and grouped forms both serve from metadata
+    val globalF = "SELECT count(*) AS n FROM snapcat.dbpc.t WHERE grp = 2"
+    assert(served(globalF), "partition-filtered global count must serve")
+    assert(spark.sql(globalF).head.getLong(0) == 2L)
+    val groupedF = "SELECT grp, count(*) AS n FROM snapcat.dbpc.t " +
+      "WHERE grp >= 2 GROUP BY grp ORDER BY grp"
+    assert(served(groupedF), "partition-filtered grouped count must serve")
+    assert(spark.sql(groupedF).as[(Int, Long)].collect().toSeq ==
+      Seq((2, 2L), (3, 1L)))
+    // an all-excluding filter still yields the global count-0 row
+    val none = "SELECT count(*) AS n FROM snapcat.dbpc.t WHERE grp = 99"
+    assert(served(none) && spark.sql(none).head.getLong(0) == 0L)
+    // live MoR deletes make footer counts overstate visible rows: refuse
+    cat.deleteMoR("dbpc", "t", col("v") === 11L)
+    assert(!served(q), "live MoR deletes must force the scan")
+    assert(spark.sql(q).as[(Int, Long)].collect().toSeq ==
+      Seq((1, 1L), (2, 2L), (3, 1L)))
+    // compaction folds the deletes into plain hive-laid files: the serve
+    // resumes, now over the post-delete footer counts
+    cat.compact("dbpc", "t", 1)
+    assert(served(q), "post-compaction the metadata serve must resume")
+    assert(spark.sql(q).as[(Int, Long)].collect().toSeq ==
+      Seq((1, 1L), (2, 2L), (3, 1L)))
+  }
+
+  test("randomized layout battery: partition counts always equal scan truth") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    val df0 = (0 until 120).map(i => (i % 7, i.toLong)).toDF("grp", "v")
+    cat.createTable("dbpc", "fuzz", df0.schema, partitionCols = Seq("grp"))
+    cat.append("dbpc", "fuzz", df0.where(col("v") % 2 === 0))
+    val rnd = new scala.util.Random(13)
+    var servedSteps = 0
+    for (step <- 1 to 12) {
+      rnd.nextInt(3) match {
+        case 0 => // duplicate rows are fine — counts are the invariant
+          cat.append("dbpc", "fuzz", df0.where(col("v") % 5 === rnd.nextInt(5)))
+        case 1 =>
+          cat.deleteMoR("dbpc", "fuzz", col("v") % (2 + rnd.nextInt(5)) === 0)
+        case 2 =>
+          cat.compact("dbpc", "fuzz", 1 + rnd.nextInt(3))
+      }
+      val thresh = if (rnd.nextBoolean()) Some(rnd.nextInt(7)) else None
+      val sqlq = "SELECT grp, count(*) AS n FROM snapcat.dbpc.fuzz" +
+        thresh.map(t => s" WHERE grp >= $t").getOrElse("") + " GROUP BY grp"
+      val df = spark.sql(sqlq)
+      val got = df.as[(Int, Long)].collect().toMap
+      val base = cat.readLatest("dbpc", "fuzz")
+      val truth = thresh.map(t => base.where(col("grp") >= t)).getOrElse(base)
+        .groupBy("grp").count().as[(Int, Long)].collect().toMap
+      assert(got == truth, s"step $step ($sqlq): got $got want $truth")
+      val p = df.queryExecution.optimizedPlan.toString
+      if (p.contains("LocalRelation") && !p.contains("RelationV2")) servedSteps += 1
+    }
+    assert(servedSteps > 0, "battery never exercised the metadata serve (vacuous)")
+  }
+
+  test("GROUP BY partition count serves the null partition exactly") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    val rows = Seq(("a", 1L), ("a", 2L), (null, 3L), ("b", 4L), (null, 5L))
+      .toDF("tag", "v")
+    cat.createTable("dbpc", "tnull", rows.schema, partitionCols = Seq("tag"))
+    cat.append("dbpc", "tnull", rows)
+    val df = spark.sql(
+      "SELECT tag, count(*) AS n FROM snapcat.dbpc.tnull GROUP BY tag")
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("LocalRelation") && !p.contains("RelationV2"), p)
+    assert(df.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toSet ==
+      Set(Some("a") -> 2L, Some("b") -> 1L, None -> 2L))
   }
 }
