@@ -2025,6 +2025,35 @@ object SparkEntry {
       df
     }),
 
+    // METADATA-SERVED PARTITION STATS (r13 continuation): the full
+    // daily-stats shape — partition-only WHERE + GROUP BY partition +
+    // COUNT(*), COUNT(col) (footer null counts), MIN/MAX(col) (integral
+    // footer bounds; all-null files contribute nothing, the SQL
+    // semantics) — answers with ZERO tasks from per-file commit
+    // metadata. REQUIRED: LocalRelation-only optimized plan. The
+    // nullable column exercises the null-count arithmetic end to end.
+    "q173_meta_partition_stats" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.tableExists("maint", "ps_orders")) cat.dropTable("maint", "ps_orders")
+      val o = T(s, dir, "orders").select(col("o_orderstatus").as("status"),
+        col("o_orderkey").as("okey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("o_orderkey") * 2).as("bonus"))
+      cat.createTable("maint", "ps_orders", o.schema,
+        partitionCols = Seq("status"))
+      cat.append("maint", "ps_orders", o.where(col("okey") % 3 =!= 0))
+      cat.append("maint", "ps_orders", o.where(col("okey") % 3 === 0))
+      val df = s.sql("SELECT status, count(*) AS n, count(bonus) AS nb, " +
+        "min(cents) AS mn, max(cents) AS mx, max(bonus) AS mb " +
+        "FROM snapdml.maint.ps_orders WHERE status <> 'P' " +
+        "GROUP BY status ORDER BY status")
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      require(leaves.nonEmpty && leaves.forall(_.nodeName == "LocalRelation"),
+        s"partition stats must serve from metadata, scanned: $leaves")
+      df
+    }),
+
     // EQUALITY→POSITIONAL DELETE CONVERSION (r12, Iceberg
     // convert_equality_deletes): after eq-heavy CDC ingest, one
     // maintenance commit materializes each eq shard's kills as exact
@@ -5127,6 +5156,19 @@ object SparkEntry {
     "q172_meta_partition_count" ->
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // same coverage; bonus replicates the fixture's nullable projection
+    "q173_meta_partition_stats" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE o_orderkey * 2 END AS bonus
+        |  FROM orders)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(bonus) AS BIGINT) AS nb,
+        |  min(cents) AS mn, max(cents) AS mx, CAST(max(bonus) AS BIGINT) AS mb
+        |FROM t WHERE status <> 'P' GROUP BY status ORDER BY status""".stripMargin,
 
     // the merged survivors from raw: evens minus the positional %10==2
     // minus the eq-killed %7==0 EVENS, plus every %9==0 odd — including

@@ -37,8 +37,11 @@ trait HasColumnStats {
 trait HasPartitionRowCounts {
   /** (identity partition column names, one entry per data file: the
     * file's partition-value path tokens — hive-unescaped, `None` for the
-    * null partition — in column order, plus its exact footer row count). */
-  def partitionRowCounts: Option[(Seq[String], Seq[(Seq[Option[String]], Long)])]
+    * null partition — in column order, its exact footer row count, and
+    * its commit-time footer stat map (`min.<c>`/`max.<c>`/`nulls.<c>`,
+    * for the per-group min/max/count(col) serve)). */
+  def partitionRowCounts
+      : Option[(Seq[String], Seq[(Seq[Option[String]], Long, Map[String, String])])]
 }
 
 /** Table implementations whose content is identified by a stable token
@@ -334,15 +337,55 @@ object MetadataCountRule extends Rule[LogicalPlan] {
     val groupCols = groupAttrs.map(a =>
       attrs.get(a.exprId).map(_._1).getOrElse(return None))
     if (!groupCols.forall(pcols.contains)) return None
-    // outputs: grouped attributes (possibly aliased) and COUNT(*) only
+    // outputs: grouped attributes (possibly aliased), COUNT(*),
+    // COUNT(col), and MIN/MAX(col) where per-file metadata answers
+    // exactly. Data columns serve from footer stats — integral types
+    // only (float/double bounds go missing under NaN and fold -0.0/0.0
+    // ambiguously; string bounds may be writer-truncated — valid for
+    // pruning, never for answers); partition columns serve from their
+    // path tokens, which are full values (integral + string admitted —
+    // the types [[ColumnStats.gt]] orders canonically).
     val groupIdx = groupAttrs.map(_.exprId).zipWithIndex.toMap
-    val outs: Seq[Either[Int, Unit]] = agg.aggregateExpressions.map {
+    sealed trait Out
+    case class GroupCol(pos: Int) extends Out
+    case object CountStar extends Out
+    case class CountCol(col: String, partIdx: Option[Int]) extends Out
+    case class MinMaxCol(col: String, dt: DataType, isMin: Boolean,
+      partIdx: Option[Int]) extends Out
+    def integral(dt: DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    def resolve(a: AttributeReference): Option[(String, DataType, Option[Int])] =
+      attrs.get(a.exprId).map { case (n, dt) =>
+        (n, dt, Some(pcols.indexOf(n)).filter(_ >= 0)) }
+    val outs: Seq[Out] = agg.aggregateExpressions.map {
       case a: AttributeReference =>
-        Left(groupIdx.getOrElse(a.exprId, return None))
+        GroupCol(groupIdx.getOrElse(a.exprId, return None))
       case Alias(a: AttributeReference, _) =>
-        Left(groupIdx.getOrElse(a.exprId, return None))
-      case Alias(AggregateExpression(
-        Count(Seq(Literal(1, _))), Complete, false, None, _), _) => Right(())
+        GroupCol(groupIdx.getOrElse(a.exprId, return None))
+      case Alias(AggregateExpression(af, Complete, false, None, _), _) => af match {
+        case Count(Seq(Literal(1, _))) => CountStar
+        case Count(Seq(a: AttributeReference)) =>
+          val (n, _, pi) = resolve(a).getOrElse(return None)
+          CountCol(n, pi)
+        case Min(a: AttributeReference) =>
+          val (n, dt, pi) = resolve(a).getOrElse(return None)
+          val ok = if (pi.isDefined)
+            integral(dt) || dt == org.apache.spark.sql.types.StringType
+          else integral(dt)
+          if (!ok) return None
+          MinMaxCol(n, dt, isMin = true, pi)
+        case Max(a: AttributeReference) =>
+          val (n, dt, pi) = resolve(a).getOrElse(return None)
+          val ok = if (pi.isDefined)
+            integral(dt) || dt == org.apache.spark.sql.types.StringType
+          else integral(dt)
+          if (!ok) return None
+          MinMaxCol(n, dt, isMin = false, pi)
+        case _ => return None
+      }
       case _ => return None
     }
     val colPos = groupCols.map(pcols.indexOf)
@@ -387,29 +430,90 @@ object MetadataCountRule extends Rule[LogicalPlan] {
           castTok(vals(i), r.dataType).getOrElse(return None)
         }: _*))
     }
-    val grouped = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
-    files.foreach { case (vals, rows) =>
+    // fold per-group state from the admitted files: exact row counts,
+    // per-column non-null counts (footer null counts / token nullness),
+    // canonical extremum strings (all-null files contribute nothing, the
+    // SQL min/max semantics; a file that can't PROVE its contribution —
+    // missing bound without a covering all-null proof — refuses the serve)
+    final class GState {
+      var n = 0L
+      val cc = scala.collection.mutable.HashMap.empty[String, Long]
+      val mm = scala.collection.mutable.HashMap.empty[(String, Boolean), String]
+    }
+    val grouped = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], GState]
+    files.foreach { case (vals, rows, stats) =>
       if (admit(vals)) {
         val key = colPos.zip(dts).map { case (i, dt) =>
           castTok(vals(i), dt).getOrElse(return None)
         }
-        grouped(key) = grouped.getOrElse(key, 0L) + rows
+        val st = grouped.getOrElseUpdate(key, new GState)
+        st.n += rows
+        outs.foreach {
+          case CountCol(c, pi) =>
+            val nn = pi match {
+              case Some(i) => if (vals(i).isDefined) rows else 0L
+              case None =>
+                val nulls = stats.get(s"nulls.$c").map(_.toLong)
+                  .getOrElse(return None)
+                rows - nulls
+            }
+            st.cc(c) = st.cc.getOrElse(c, 0L) + nn
+          case MinMaxCol(c, dt, isMin, pi) =>
+            val tok: Option[String] = pi match {
+              case Some(i) => vals(i)
+              case None =>
+                val key0 = (if (isMin) "min." else "max.") + c
+                stats.get(key0) match {
+                  case some @ Some(_) => some
+                  case None =>
+                    // no bound: sound only when the file provably holds
+                    // no values (empty, or footer-proven all-null)
+                    val allNull = rows == 0L ||
+                      stats.get(s"nulls.$c").map(_.toLong).contains(rows)
+                    if (!allNull) return None
+                    None
+                }
+            }
+            tok.foreach { t =>
+              st.mm((c, isMin)) = st.mm.get((c, isMin)) match {
+                case None => t
+                case Some(prev) =>
+                  val takeNew =
+                    if (isMin) ColumnStats.gt(dt, prev, t)
+                    else ColumnStats.gt(dt, t, prev)
+                  if (takeNew) t else prev
+              }
+            }
+          case _ => ()
+        }
       }
     }
-    // global aggregate (filter-only shape): exactly one row, count 0 when
-    // nothing is admitted; grouped shape: one row per surviving group
-    val rows = if (agg.groupingExpressions.isEmpty)
-      Seq(InternalRow(outs.map {
-        case Right(_) => grouped.getOrElse(Seq.empty, 0L)
-        case Left(_) => return None
-      }: _*))
-    else grouped.toSeq.map { case (key, n) =>
-      InternalRow(outs.map {
-        case Left(g) => key(g)
-        case Right(_) => n
-      }: _*)
+    object Refused extends RuntimeException
+    def outVal(st: GState, key: Seq[Any], o: Out): Any = o match {
+      case GroupCol(g) => key(g)
+      case CountStar => st.n
+      case CountCol(c, _) => st.cc.getOrElse(c, 0L)
+      case MinMaxCol(c, dt, isMin, pi) => st.mm.get((c, isMin)) match {
+        case None => null // no admitted file held a value: SQL min/max = null
+        case Some(s) =>
+          // partition tokens cast like group keys; footer canonicals
+          // parse through the stat layer — unparseable refuses the serve
+          (if (pi.isDefined) castTok(Some(s), dt)
+           else ColumnStats.internalValue(dt, s)).getOrElse(throw Refused)
+      }
     }
-    Some(LocalRelation(agg.output.map(_.toAttribute), rows))
+    // global aggregate (filter-only shape): exactly one row — count 0 /
+    // null extrema when nothing is admitted; grouped shape: one row per
+    // surviving group
+    try {
+      val rows = if (agg.groupingExpressions.isEmpty) {
+        val st = grouped.getOrElse(Seq.empty, new GState)
+        Seq(InternalRow(outs.map(outVal(st, Seq.empty, _)): _*))
+      } else grouped.toSeq.map { case (key, st) =>
+        InternalRow(outs.map(outVal(st, key, _)): _*)
+      }
+      Some(LocalRelation(agg.output.map(_.toAttribute), rows))
+    } catch { case Refused => None }
   }
 
   private def serve(table: HasRecordCount, attrs: Map[ExprId, (String, DataType)],

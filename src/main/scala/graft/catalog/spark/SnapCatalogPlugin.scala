@@ -708,7 +708,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       * flat; partition-spec evolution leaves older dirs keyed
       * differently), or a missing footer count. */
     override def partitionRowCounts
-        : Option[(Seq[String], Seq[(Seq[Option[String]], Long)])] = {
+        : Option[(Seq[String], Seq[(Seq[Option[String]], Long, Map[String, String])])] = {
       val pcols = tableMeta.partitionCols.filterNot(tableMeta.hiddenCols)
       if (pcols.isEmpty || tableMeta.bucketSpec.isDefined ||
           tableMeta.transformSpec.isDefined || tableMeta.hiddenCols.nonEmpty ||
@@ -728,7 +728,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       }
       if (perFile.exists { case (vs, r) => vs.exists(_.isEmpty) || r.isEmpty })
         None
-      else Some((pcols, perFile.map { case (vs, r) => (vs.map(_.get), r.get) }))
+      else Some((pcols, perFile.zip(snap.files).map { case ((vs, r), f) =>
+        (vs.map(_.get), r.get, snap.fileStats.getOrElse(f, Map.empty)) }))
     }
 
     /** Snapshot-exact V2 statistics, served from metadata alone: numRows

@@ -1294,6 +1294,44 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
       Seq((1, 1L), (2, 2L), (3, 1L)))
   }
 
+  test("per-group min/max/count(col) serve from footer stats; unsafe types refuse") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    val d1 = Seq((1, 10L, Option(5L), "x", 1.5), (1, 11L, Option.empty[Long], "y", 2.5),
+      (2, 20L, Option.empty[Long], "z", 0.5)).toDF("grp", "v", "b", "s", "f")
+    val d2 = Seq((2, 21L, Option(9L), "w", 3.5), (3, 30L, Option.empty[Long], "q", 4.5))
+      .toDF("grp", "v", "b", "s", "f")
+    cat.createTable("dbpc", "stats", d1.schema, partitionCols = Seq("grp"))
+    cat.append("dbpc", "stats", d1)
+    cat.append("dbpc", "stats", d2)
+    def served(sql: String): Boolean = {
+      val p = spark.sql(sql).queryExecution.optimizedPlan.toString
+      p.contains("LocalRelation") && !p.contains("RelationV2")
+    }
+    val q = "SELECT grp, count(*) AS n, count(b) AS nb, min(v) AS mn, " +
+      "max(v) AS mx, max(b) AS mb FROM snapcat.dbpc.stats GROUP BY grp ORDER BY grp"
+    assert(served(q), "integral per-group stats must serve from metadata")
+    val got = spark.sql(q).collect().map(r => (r.getInt(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4),
+      if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    assert(got == Seq((1, 2L, 1L, 10L, 11L, Some(5L)),
+      (2, 2L, 1L, 20L, 21L, Some(9L)), (3, 1L, 0L, 30L, 30L, None)),
+      s"got $got")
+    // a partition-filtered GLOBAL extremum serves too
+    val g = "SELECT min(v) AS mn, max(b) AS mb FROM snapcat.dbpc.stats WHERE grp = 2"
+    assert(served(g))
+    assert(spark.sql(g).collect().head.getLong(0) == 20L)
+    // string and floating-point data columns refuse (truncation / NaN
+    // ambiguity) — the scan stays and the values stay exact
+    val sMin = "SELECT grp, min(s) AS ms FROM snapcat.dbpc.stats GROUP BY grp ORDER BY grp"
+    assert(!served(sMin), "string footer bounds must not serve as answers")
+    assert(spark.sql(sMin).collect().map(_.getString(1)).toSeq == Seq("x", "w", "q"))
+    val fMin = "SELECT grp, min(f) AS mf FROM snapcat.dbpc.stats GROUP BY grp"
+    assert(!served(fMin), "float footer bounds must not serve as answers")
+    // sum still refuses wholesale
+    assert(!served("SELECT grp, sum(v) AS sv FROM snapcat.dbpc.stats GROUP BY grp"))
+  }
+
   test("randomized layout battery: partition counts always equal scan truth") {
     wh
     val cat = new SnapshotCatalog(spark, wh)
