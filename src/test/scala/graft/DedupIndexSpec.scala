@@ -171,6 +171,68 @@ class DedupIndexSpec extends AnyFunSuite {
       Seq("batch_id", "corpus_id", "inter_sz", "union_sz"))
   }
 
+  test("randomized churn battery: stored bands track the base exactly") {
+    val cat = newCat()
+    cat.createTable("dd", "base", docs.schema)
+    cat.append("dd", "base", docs.where(col("doc_id") % 3 === 0))
+    DedupIndex.create(cat, "dd", "base", "idx", "doc_id", "text", nbuckets = 16)
+    // the index id-keys its repair, so the battery keeps ids UNIQUE (the
+    // documented contract): appends re-ingest only currently-dead ids
+    var live = docs.where(col("doc_id") % 3 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    val allIds = docs.select("doc_id").as[Long].collect().toSet
+    // full-state parity: the stored (id, band_idx, band_hash) multiset
+    // must equal a FRESH sketch of the base as it stands — a stricter
+    // invariant than pair parity (any stale/duplicated/lost band fails)
+    def assertBandsExact(step: Int): Unit = {
+      val stored = cat.readLatest("dd", "idx")
+        .groupBy("doc_id", "band_idx", "band_hash").count()
+        .as[(Long, Int, Int, Long)].collect().toSet
+      val fresh = Dedup.lshBands(
+        cat.readLatest("dd", "base")
+          .select(col("doc_id"), Dedup.wordShingles(col("text"), 5).as("sh"))
+          .select(col("doc_id"), Dedup.minhashSignature(col("sh"), 64).as("sig")),
+        "doc_id", col("sig"), 32, 2)
+        .groupBy("doc_id", "band_idx", "band_hash").count()
+        .as[(Long, Int, Int, Long)].collect().toSet
+      assert(stored == fresh, s"stored bands diverged from base at step $step")
+    }
+    val rnd = new scala.util.Random(11)
+    for (step <- 1 to 10) {
+      rnd.nextInt(4) match {
+        case 0 =>
+          val m = 2 + rnd.nextInt(6); val r = rnd.nextInt(m)
+          val dead = (allIds -- live).filter(_ % m == r)
+          if (dead.nonEmpty) {
+            cat.append("dd", "base",
+              docs.where(col("doc_id").isin(dead.toSeq: _*)))
+            live ++= dead
+          }
+        case 1 =>
+          val m = 2 + rnd.nextInt(6); val r = rnd.nextInt(m)
+          cat.deleteMoR("dd", "base", col("doc_id") % m === r)
+          live --= live.filter(_ % m == r)
+        case 2 =>
+          val m = 2 + rnd.nextInt(9); val r = rnd.nextInt(m)
+          cat.updateMoR("dd", "base", col("doc_id") % m === r,
+            Map("text" -> concat(col("text"), lit(s" churn$step churn$step"))))
+        case 3 =>
+          // a COMPACTION in the range is row-preserving — the metadata
+          // walk sees through it and the refresh must stay incremental
+          if (step % 2 == 0) cat.compact("dd", "base", 2)
+          val (mode, _) = DedupIndex.refresh(cat, "dd", "idx")
+          assert(mode != "full", s"step $step: metadata path must hold, got $mode")
+      }
+      if (step % 3 == 0) {
+        DedupIndex.refresh(cat, "dd", "idx")
+        assertBandsExact(step)
+      }
+    }
+    DedupIndex.refresh(cat, "dd", "idx")
+    assertBandsExact(99)
+    assert(fromIndex(cat) == recomputed(cat.readLatest("dd", "base")))
+  }
+
   test("create is retryable: a failed attempt never strands the name") {
     val cat = newCat()
     cat.createTable("dd", "base", docs.schema)
