@@ -2054,6 +2054,38 @@ object SparkEntry {
       df
     }),
 
+    // METADATA-SERVED DAILY COUNTS ON A HIDDEN-TRANSFORM TABLE (r13
+    // continuation): `GROUP BY date_trunc('DAY', ts)` over a days(ts)
+    // table answers from per-file `__pt` ordinals + footer row counts —
+    // the single most common query on a time-partitioned lake ("rows
+    // ingested per day"), zero tasks, and the user never names a
+    // partition column (hidden-partitioning's whole point). Sound
+    // because the layout is UTC-fixed epoch arithmetic and the
+    // expression's zone resolves to UTC; the plan REQUIRE is gated on a
+    // UTC session (elsewhere the serve correctly refuses and scans).
+    "q174_meta_daily_counts" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.tableExists("maint", "tc_events")) cat.dropTable("maint", "tc_events")
+      val ev = T(s, dir, "events").select("event_id", "ts")
+      cat.createTransformPartitionedTable("maint", "tc_events", ev.schema,
+        "ts", "day")
+      cat.appendTransformed("maint", "tc_events", ev.where(col("event_id") % 2 === 0))
+      cat.appendTransformed("maint", "tc_events", ev.where(col("event_id") % 2 === 1))
+      // CAST(ts AS DATE) rides the same __pt serve as date_trunc('DAY')
+      // (spec-asserted for both); DATE round-trips tz-free through
+      // parquet on both engines, which the oracle compare needs
+      val df = s.sql("SELECT CAST(ts AS DATE) AS d, count(*) AS n, " +
+        "count(ts) AS nt FROM snapdml.maint.tc_events GROUP BY 1 ORDER BY d")
+      val utcSession = java.time.ZoneId.of(s.sessionState.conf.sessionLocalTimeZone)
+        .normalized() == java.time.ZoneOffset.UTC
+      if (utcSession) {
+        val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+        require(leaves.nonEmpty && leaves.forall(_.nodeName == "LocalRelation"),
+          s"daily counts must serve from __pt metadata, scanned: $leaves")
+      }
+      df
+    }),
+
     // EQUALITY→POSITIONAL DELETE CONVERSION (r12, Iceberg
     // convert_equality_deletes): after eq-heavy CDC ingest, one
     // maintenance commit materializes each eq shard's kills as exact
@@ -5169,6 +5201,12 @@ object SparkEntry {
         |  CAST(count(bonus) AS BIGINT) AS nb,
         |  min(cents) AS mn, max(cents) AS mx, CAST(max(bonus) AS BIGINT) AS mb
         |FROM t WHERE status <> 'P' GROUP BY status ORDER BY status""".stripMargin,
+
+    // the two appends cover every events row exactly once
+    "q174_meta_daily_counts" ->
+      """SELECT CAST(ts AS DATE) AS d,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(count(ts) AS BIGINT) AS nt
+        |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
 
     // the merged survivors from raw: evens minus the positional %10==2
     // minus the eq-killed %7==0 EVENS, plus every %9==0 odd — including

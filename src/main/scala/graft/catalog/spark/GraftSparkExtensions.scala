@@ -44,6 +44,23 @@ trait HasPartitionRowCounts {
       : Option[(Seq[String], Seq[(Seq[Option[String]], Long, Map[String, String])])]
 }
 
+/** Table implementations laid out by a HIDDEN time transform
+  * (`days(ts)`/`hours(ts)`/...) that can enumerate exact per-file
+  * (partition unit, row count) pairs from commit-time metadata — the
+  * inputs of a metadata-served `GROUP BY date_trunc(...)` count. The
+  * unit is the transform's UTC-fixed `__pt` ordinal (`None` for the
+  * null-timestamp partition); `None` overall whenever the serve would
+  * be unsound (live MoR deletes, an un-laid file, a missing footer
+  * count). */
+trait HasTransformRowCounts {
+  /** (source column name, transform kind hour|day|month|year, one
+    * (`__pt` ordinal, exact rows) per data file). Implementations refuse
+    * any snapshot where an ordinal could hide null-source rows (the
+    * write path folds nulls into ordinal 0), so in a served table every
+    * row's source timestamp is non-null and bucketed exactly. */
+  def transformRowCounts: Option[(String, String, Seq[(Long, Long)])]
+}
+
 /** Table implementations whose content is identified by a stable token
   * that CHANGES whenever the visible data changes (table + snapshot id
   * here). Derived-artifact caches (e.g. IVF coarse-quantizer centroids)
@@ -298,7 +315,137 @@ object MetadataCountRule extends Rule[LogicalPlan] {
     case agg: Aggregate
         if agg.aggregateExpressions.nonEmpty &&
           (agg.groupingExpressions.nonEmpty || hasFilterChild(agg.child)) =>
-      serveGrouped(agg).getOrElse(agg)
+      serveGrouped(agg).orElse(serveTransformGrouped(agg)).getOrElse(agg)
+  }
+
+  /** `GROUP BY date_trunc(level, ts)` / `CAST(ts AS DATE)` + COUNT over a
+    * HIDDEN-time-transform table (`days(ts)`/`hours(ts)`/...): served
+    * from per-file `__pt` ordinals + exact footer row counts — the
+    * daily-ingest-counts query on a time-partitioned lake, zero tasks.
+    * Sound because the layout is UTC-fixed epoch arithmetic: when the
+    * grouping expression's time zone resolves to UTC it buckets rows
+    * exactly as `__pt` does, and coarser levels fold by exact integer /
+    * UTC-calendar arithmetic (an hours(ts) table serves daily and
+    * monthly counts too). COUNT(ts) is exact as well: null timestamps
+    * land in precisely the null partition directory. Filters refuse (a
+    * timestamp predicate admits a unit's files only may-exactly);
+    * non-UTC zones refuse (their calendar days differ from the layout);
+    * finer-than-layout groupings refuse. */
+  private def serveTransformGrouped(agg: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, TruncTimestamp}
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    // projections compose alias maps (PullOutGroupingExpressions names
+    // the grouping expression in a Project below the aggregate); ANY
+    // filter refuses
+    def collect(p: LogicalPlan, acc: Map[ExprId, Expression])
+        : Option[(LogicalPlan, Map[ExprId, Expression])] = p match {
+      case Project(pl, g) =>
+        collect(g, acc ++ pl.collect { case al @ Alias(e, _) => al.exprId -> e })
+      case _: Filter => None
+      case rel => Some((rel, acc))
+    }
+    val (rel, aliases) = collect(agg.child, Map.empty).getOrElse(return None)
+    def deref(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference if aliases.contains(a.exprId) =>
+        deref(aliases(a.exprId))
+    }
+    val (table, attrs) = metadataTable(rel).getOrElse(return None)
+    val (srcCol, kind, files) = Some(table)
+      .collect { case t: HasTransformRowCounts => t }
+      .flatMap(_.transformRowCounts).getOrElse(return None)
+    def utc(tz: Option[String]): Boolean = tz.exists(z =>
+      scala.util.Try(java.time.ZoneId.of(z).normalized() ==
+        java.time.ZoneOffset.UTC).getOrElse(false))
+    import org.apache.spark.sql.types.TimestampNTZType
+    def srcOf(a: AttributeReference, dts: org.apache.spark.sql.types.DataType*)
+        : Boolean = attrs.get(a.exprId).exists { case (n, dt) =>
+      n == srcCol && dts.contains(dt) }
+    // the source column reference, optionally through the analyzer's
+    // NTZ→TIMESTAMP cast: the layout reads an NTZ wall time AS UTC
+    // (TimeTransform.ptColumn), and casting NTZ to TIMESTAMP under a UTC
+    // zone is the same reading — the composition stays bucket-exact.
+    // Yields whether the resulting operand is zone-SENSITIVE (a true
+    // TIMESTAMP needs the consuming expression's zone to be UTC; a bare
+    // NTZ operand is a literal field read, zone-free).
+    def srcOperand(e: Expression): Option[Boolean] = e match {
+      case a: AttributeReference if srcOf(a, TimestampType) => Some(true)
+      case a: AttributeReference if srcOf(a, TimestampNTZType) => Some(false)
+      case c @ Cast(a: AttributeReference, TimestampType, _, _)
+          if srcOf(a, TimestampNTZType) && utc(c.timeZoneId) => Some(true)
+      case _ => None
+    }
+    val groupExpr = agg.groupingExpressions match {
+      case Seq(g) => deref(g)
+      case _ => return None
+    }
+    val levelOf = Map("HOUR" -> "hour", "DAY" -> "day", "DD" -> "day",
+      "MONTH" -> "month", "MON" -> "month", "MM" -> "month",
+      "YEAR" -> "year", "YYYY" -> "year", "YY" -> "year")
+    val (level, asDate): (String, Boolean) = groupExpr match {
+      case c @ Cast(inner, DateType, _, _) =>
+        srcOperand(inner) match {
+          case Some(zoned) if !zoned || utc(c.timeZoneId) => ("day", true)
+          case _ => return None
+        }
+      case t @ TruncTimestamp(Literal(fmt, _), inner, _) if fmt != null =>
+        srcOperand(inner) match {
+          case Some(zoned) if !zoned || utc(t.timeZoneId) =>
+            (levelOf.getOrElse(
+              String.valueOf(fmt).toUpperCase(java.util.Locale.ROOT),
+              return None), false)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    // the requested level must be a (non-strict) coarsening of the layout
+    val order = Seq("hour", "day", "month", "year")
+    if (order.indexOf(level) < order.indexOf(kind)) return None
+    def epochDayOf(pt: Long): Long =
+      if (kind == "hour") Math.floorDiv(pt, 24L) else pt
+    def monthIdxOf(pt: Long): Long = kind match {
+      case "month" => pt
+      case "year" => pt * 12L
+      case _ =>
+        val ld = java.time.LocalDate.ofEpochDay(epochDayOf(pt))
+        (ld.getYear - 1970).toLong * 12L + (ld.getMonthValue - 1)
+    }
+    def monthStartMicros(m: Long): Long =
+      java.time.LocalDateTime.of((1970 + Math.floorDiv(m, 12L)).toInt,
+        (Math.floorMod(m, 12L) + 1).toInt, 1, 0, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    def valueOf(pt: Long): Any = level match {
+      case "hour" => pt * 3600000000L // level >= kind, so kind == hour here
+      case "day" =>
+        if (asDate) epochDayOf(pt).toInt else epochDayOf(pt) * 86400000000L
+      case "month" => monthStartMicros(monthIdxOf(pt))
+      case "year" =>
+        monthStartMicros(Math.floorDiv(monthIdxOf(pt), 12L) * 12L)
+    }
+    sealed trait Out
+    case object G extends Out; case object N extends Out
+    val outs: Seq[Out] = agg.aggregateExpressions.map { e =>
+      val d = e match { case Alias(x, _) => deref(x); case x => deref(x) }
+      d match {
+        case x if x.semanticEquals(groupExpr) => G
+        case AggregateExpression(
+          Count(Seq(Literal(1, _))), Complete, false, None, _) => N
+        // a served table provably holds no null source timestamps (the
+        // ordinal-0 refusal), so count(ts) degenerates to count(*)
+        case AggregateExpression(
+          Count(Seq(a: AttributeReference)), Complete, false, None, _)
+            if srcOf(a, TimestampType, TimestampNTZType) => N
+        case _ => return None
+      }
+    }
+    val grouped = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+    files.foreach { case (pt, rows) =>
+      val key: Any = valueOf(pt)
+      grouped(key) = grouped.getOrElse(key, 0L) + rows
+    }
+    val rows = grouped.toSeq.map { case (key, n) =>
+      InternalRow(outs.map { case G => key; case N => n }: _*)
+    }
+    Some(LocalRelation(agg.output.map(_.toAttribute), rows))
   }
 
   /** Projections never change cardinality — is there a Filter between the

@@ -413,7 +413,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       with SupportsRowLevelOperations
       with SupportsMetadataColumns
       with HasRecordCount with HasColumnStats with MorMergeable
-      with HasSnapshotIdentity with HasPartitionRowCounts {
+      with HasSnapshotIdentity with HasPartitionRowCounts
+      with HasTransformRowCounts {
 
     override def snapshotIdentity: String = s"$tableName@${snap.snapshotId}"
 
@@ -731,6 +732,35 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       else Some((pcols, perFile.zip(snap.files).map { case ((vs, r), f) =>
         (vs.map(_.get), r.get, snap.fileStats.getOrElse(f, Map.empty)) }))
     }
+
+    /** Per-file hidden-transform units + exact footer row counts — the
+      * inputs of [[MetadataCountRule]]'s `GROUP BY date_trunc` serve on
+      * time-transform tables. Same refusal discipline as
+      * [[partitionRowCounts]]: live MoR deletes, any file not `__pt`-laid
+      * (adopted flat files), or a missing footer count return None.
+      * CRITICAL null discipline: the write path COALESCES a null source
+      * timestamp into ordinal 0 ([[SnapshotCatalog.transformize]]), so a
+      * `__pt=0` file may mix genuine epoch-0 rows with null-timestamp
+      * rows indistinguishably — any file at ordinal 0 refuses the whole
+      * serve (real time-partitioned data never brushes 1970, so the
+      * serve survives everywhere it matters). */
+    override def transformRowCounts
+        : Option[(String, String, Seq[(Long, Long)])] =
+      tableMeta.transformSpec match {
+        case Some((src, kind))
+            if graft.catalog.TimeTransform.Kinds(kind) &&
+              snap.deleteFiles.isEmpty =>
+          val perFile = snap.files.map { f =>
+            val pt = graft.catalog.TimeTransform.ptIdOf(f)
+            val rows = snap.fileStats.get(f).flatMap(_.get("rows")).map(_.toLong)
+            (pt, rows)
+          }
+          if (perFile.exists { case (pt, r) =>
+              pt.isEmpty || pt.contains(0L) || r.isEmpty }) None
+          else Some((src, kind,
+            perFile.map { case (pt, r) => (pt.get, r.get) }))
+        case _ => None
+      }
 
     /** Snapshot-exact V2 statistics, served from metadata alone: numRows
       * from the log's record_count, numeric column min/max from the

@@ -1364,6 +1364,72 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(servedSteps > 0, "battery never exercised the metadata serve (vacuous)")
   }
 
+  test("GROUP BY date_trunc over a days(ts) table serves from __pt metadata") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS snapcat.dbtt")
+    spark.sql("CREATE TABLE snapcat.dbtt.ev (id BIGINT, t TIMESTAMP) " +
+      "PARTITIONED BY (days(t))")
+    spark.sql("INSERT INTO snapcat.dbtt.ev VALUES " +
+      "(1, TIMESTAMP'2024-01-01 03:00:00'), (2, TIMESTAMP'2024-01-01 23:59:59'), " +
+      "(3, TIMESTAMP'2024-01-02 00:00:00')")
+    spark.sql("INSERT INTO snapcat.dbtt.ev VALUES (5, TIMESTAMP'2024-02-05 12:00:00')")
+    def served(sql: String): Boolean = {
+      val p = spark.sql(sql).queryExecution.optimizedPlan.toString
+      p.contains("LocalRelation") && !p.contains("RelationV2")
+    }
+    def rows(sql: String): Seq[(String, Long, Long)] =
+      spark.sql(sql).collect()
+        .map(r => (String.valueOf(r.get(0)), r.getLong(1), r.getLong(2))).toSeq
+    val q = "SELECT date_trunc('DAY', t) AS d, count(*) AS n, count(t) AS nt " +
+      "FROM snapcat.dbtt.ev GROUP BY 1 ORDER BY d"
+    assert(served(q), "daily counts over days(ts) must serve from metadata")
+    assert(rows(q) == Seq(
+      ("2024-01-01 00:00:00.0", 2L, 2L), ("2024-01-02 00:00:00.0", 1L, 1L),
+      ("2024-02-05 00:00:00.0", 1L, 1L)))
+    // CAST(t AS DATE) is the same day bucketing
+    val qd = "SELECT CAST(t AS DATE) AS d, count(*) AS n, count(t) AS nt " +
+      "FROM snapcat.dbtt.ev GROUP BY 1 ORDER BY d"
+    assert(served(qd))
+    assert(rows(qd) == Seq(("2024-01-01", 2L, 2L),
+      ("2024-01-02", 1L, 1L), ("2024-02-05", 1L, 1L)))
+    // monthly rollup is a coarsening of the day layout: still served
+    val qm = "SELECT date_trunc('MONTH', t) AS m, count(*) AS n, count(t) AS nt " +
+      "FROM snapcat.dbtt.ev GROUP BY 1 ORDER BY m"
+    assert(served(qm))
+    assert(rows(qm) == Seq(
+      ("2024-01-01 00:00:00.0", 3L, 3L), ("2024-02-01 00:00:00.0", 1L, 1L)))
+    // hourly is FINER than the layout: refuse, scan stays exact
+    val qh = "SELECT date_trunc('HOUR', t) AS h, count(*) AS n " +
+      "FROM snapcat.dbtt.ev GROUP BY 1"
+    assert(!served(qh), "finer-than-layout grouping must scan")
+    assert(spark.sql(qh).count() == 4)
+    // a filter refuses (timestamp predicates admit files only may-exactly)
+    assert(!served("SELECT date_trunc('DAY', t) AS d, count(*) AS n " +
+      "FROM snapcat.dbtt.ev WHERE id > 1 GROUP BY 1"))
+    // a non-UTC session's calendar days differ from the UTC layout: refuse
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try assert(!served(q), "non-UTC session must scan")
+    finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // NULL source timestamps fold into ordinal 0 on write — a table whose
+    // snapshot touches __pt=0 must refuse wholesale (the 1970 bucket
+    // could hide null rows), and the scan must give the null group
+    spark.sql("CREATE TABLE snapcat.dbtt.evnull (id BIGINT, t TIMESTAMP) " +
+      "PARTITIONED BY (days(t))")
+    spark.sql("INSERT INTO snapcat.dbtt.evnull VALUES " +
+      "(1, TIMESTAMP'2024-01-01 03:00:00'), (2, NULL)")
+    val qn = "SELECT date_trunc('DAY', t) AS d, count(*) AS n, count(t) AS nt " +
+      "FROM snapcat.dbtt.evnull GROUP BY 1 ORDER BY d"
+    assert(!served(qn), "a snapshot touching ordinal 0 must scan")
+    assert(rows(qn) == Seq(("null", 1L, 0L), ("2024-01-01 00:00:00.0", 1L, 1L)))
+    // live MoR deletes refuse; the scan stays exact
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.deleteMoR("dbtt", "ev", col("id") === 2L)
+    assert(!served(q), "live MoR deletes must force the scan")
+    assert(rows(q) == Seq(
+      ("2024-01-01 00:00:00.0", 1L, 1L), ("2024-01-02 00:00:00.0", 1L, 1L),
+      ("2024-02-05 00:00:00.0", 1L, 1L)))
+  }
+
   test("GROUP BY partition count serves the null partition exactly") {
     wh
     val cat = new SnapshotCatalog(spark, wh)
