@@ -44,6 +44,16 @@ trait HasPartitionRowCounts {
       : Option[(Seq[String], Seq[(Seq[Option[String]], Long, Map[String, String])])]
 }
 
+/** Table implementations that can answer a column's exact TOTAL null
+  * count from commit-time per-file footer stats — what turns a global
+  * `COUNT(col)` into metadata arithmetic (`recordCount - nulls`). */
+trait HasNullCounts {
+  /** Exact null count of `col` across the current snapshot, or None when
+    * the fold cannot be proven (live merge-on-read deletes, any file
+    * missing the stat). */
+  def nullCount(col: String): Option[Long]
+}
+
 /** Table implementations laid out by a HIDDEN time transform
   * (`days(ts)`/`hours(ts)`/...) that can enumerate exact per-file
   * (partition unit, row count) pairs from commit-time metadata — the
@@ -275,6 +285,7 @@ object MetadataCountRule extends Rule[LogicalPlan] {
 
   private def servableShape(e: AggregateExpression): Boolean = e match {
     case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _) => true
+    case AggregateExpression(Count(Seq(_: AttributeReference)), Complete, false, None, _) => true
     case AggregateExpression(Min(_: AttributeReference), Complete, false, None, _) => true
     case AggregateExpression(Max(_: AttributeReference), Complete, false, None, _) => true
     case _ => false
@@ -673,7 +684,17 @@ object MetadataCountRule extends Rule[LogicalPlan] {
         v <- ColumnStats.internalValue(dt, raw)
       } yield v
     ae.aggregateFunction match {
-      case Count(_) if table.recordCount >= 0 => Some(table.recordCount)
+      case Count(Seq(Literal(1, _))) if table.recordCount >= 0 =>
+        Some(table.recordCount)
+      // COUNT(col) = rows minus the column's folded footer null count —
+      // exact whenever the table can prove the fold (no live deletes,
+      // every file carrying the nulls stat)
+      case Count(Seq(a: AttributeReference)) if table.recordCount >= 0 =>
+        for {
+          (name, _) <- attrs.get(a.exprId)
+          nc <- Some(table).collect { case s: HasNullCounts => s }
+          nulls <- nc.nullCount(name)
+        } yield table.recordCount - nulls
       case Min(a: AttributeReference) => stat(a, "min")
       case Max(a: AttributeReference) => stat(a, "max")
       case _ => None

@@ -414,7 +414,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       with SupportsMetadataColumns
       with HasRecordCount with HasColumnStats with MorMergeable
       with HasSnapshotIdentity with HasPartitionRowCounts
-      with HasTransformRowCounts {
+      with HasTransformRowCounts with HasNullCounts {
 
     override def snapshotIdentity: String = s"$tableName@${snap.snapshotId}"
 
@@ -731,6 +731,18 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         None
       else Some((pcols, perFile.zip(snap.files).map { case ((vs, r), f) =>
         (vs.map(_.get), r.get, snap.fileStats.getOrElse(f, Map.empty)) }))
+    }
+
+    /** Exact snapshot-wide null count of a column, folded from per-file
+      * footer stats — [[MetadataCountRule]]'s global `COUNT(col)` input.
+      * Refuses (None) under live MoR deletes (a dead row's nullness is
+      * unknowable from footers) or any file missing the stat (schema
+      * evolution's null-filled old files legitimately lack it). */
+    override def nullCount(col: String): Option[Long] = {
+      if (snap.deleteFiles.nonEmpty) return None
+      val per = snap.files.map(f =>
+        snap.fileStats.get(f).flatMap(_.get(s"nulls.$col")).map(_.toLong))
+      if (per.exists(_.isEmpty)) None else Some(per.map(_.get).sum)
     }
 
     /** Per-file hidden-transform units + exact footer row counts — the

@@ -1294,6 +1294,29 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
       Seq((1, 1L), (2, 2L), (3, 1L)))
   }
 
+  test("unfiltered count(col) serves from folded footer null counts") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    val d = Seq((1L, Option(5L)), (2L, Option.empty[Long]), (3L, Option(7L)))
+      .toDF("id", "b")
+    cat.createTable("dbnc", "t", d.schema)
+    cat.append("dbnc", "t", d)
+    cat.append("dbnc", "t", Seq((4L, Option.empty[Long])).toDF("id", "b"))
+    val q = "SELECT count(b) AS nb, count(*) AS n FROM snapcat.dbnc.t"
+    val df = spark.sql(q)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("LocalRelation") && !p.contains("RelationV2"),
+      s"count(col) must serve from folded null counts, got:\n$p")
+    assert(df.collect().head.toSeq == Seq(2L, 4L))
+    // live MoR deletes make the fold unprovable: refuse (the plan keeps
+    // the MoR-merged scan — no LocalRelation leaf), stay exact
+    cat.deleteMoR("dbnc", "t", col("id") === 1L)
+    val df2 = spark.sql(q)
+    assert(!df2.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+      "live MoR deletes must force the scan")
+    assert(df2.collect().head.toSeq == Seq(1L, 3L))
+  }
+
   test("per-group min/max/count(col) serve from footer stats; unsafe types refuse") {
     wh
     val cat = new SnapshotCatalog(spark, wh)
