@@ -2073,9 +2073,13 @@ object SparkEntry {
       cat.appendTransformed("maint", "tc_events", ev.where(col("event_id") % 2 === 1))
       // CAST(ts AS DATE) rides the same __pt serve as date_trunc('DAY')
       // (spec-asserted for both); DATE round-trips tz-free through
-      // parquet on both engines, which the oracle compare needs
+      // parquet on both engines, which the oracle compare needs. The
+      // UNIT-ALIGNED half-open range admits whole day units row-exactly
+      // — "daily counts for a date range" stays a zero-task serve.
       val df = s.sql("SELECT CAST(ts AS DATE) AS d, count(*) AS n, " +
-        "count(ts) AS nt FROM snapdml.maint.tc_events GROUP BY 1 ORDER BY d")
+        "count(ts) AS nt FROM snapdml.maint.tc_events " +
+        "WHERE ts >= TIMESTAMP'2024-01-05 00:00:00' " +
+        "AND ts < TIMESTAMP'2024-01-25 00:00:00' GROUP BY 1 ORDER BY d")
       val utcSession = java.time.ZoneId.of(s.sessionState.conf.sessionLocalTimeZone)
         .normalized() == java.time.ZoneOffset.UTC
       if (utcSession) {
@@ -5206,7 +5210,10 @@ object SparkEntry {
     "q174_meta_daily_counts" ->
       """SELECT CAST(ts AS DATE) AS d,
         |  CAST(count(*) AS BIGINT) AS n, CAST(count(ts) AS BIGINT) AS nt
-        |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-25 00:00:00'
+        |GROUP BY 1 ORDER BY d""".stripMargin,
 
     // the merged survivors from raw: evens minus the positional %10==2
     // minus the eq-killed %7==0 EVENS, plus every %9==0 odd — including

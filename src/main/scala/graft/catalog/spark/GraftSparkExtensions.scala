@@ -346,16 +346,21 @@ object MetadataCountRule extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.expressions.{Cast, TruncTimestamp}
     import org.apache.spark.sql.types.{DateType, TimestampType}
     // projections compose alias maps (PullOutGroupingExpressions names
-    // the grouping expression in a Project below the aggregate); ANY
-    // filter refuses
-    def collect(p: LogicalPlan, acc: Map[ExprId, Expression])
-        : Option[(LogicalPlan, Map[ExprId, Expression])] = p match {
-      case Project(pl, g) =>
-        collect(g, acc ++ pl.collect { case al @ Alias(e, _) => al.exprId -> e })
-      case _: Filter => None
-      case rel => Some((rel, acc))
-    }
-    val (rel, aliases) = collect(agg.child, Map.empty).getOrElse(return None)
+    // the grouping expression in a Project below the aggregate); at most
+    // one Filter is captured for the unit-aligned-range check below
+    def collect(p: LogicalPlan, acc: Map[ExprId, Expression],
+        cond: Option[Expression])
+        : Option[(LogicalPlan, Map[ExprId, Expression], Option[Expression])] =
+      p match {
+        case Project(pl, g) =>
+          collect(g, acc ++ pl.collect { case al @ Alias(e, _) => al.exprId -> e },
+            cond)
+        case Filter(c, g) if cond.isEmpty => collect(g, acc, Some(c))
+        case _: Filter => None
+        case rel => Some((rel, acc, cond))
+      }
+    val (rel, aliases, cond) =
+      collect(agg.child, Map.empty, None).getOrElse(return None)
     def deref(e: Expression): Expression = e.transformUp {
       case a: AttributeReference if aliases.contains(a.exprId) =>
         deref(aliases(a.exprId))
@@ -385,14 +390,16 @@ object MetadataCountRule extends Rule[LogicalPlan] {
           if srcOf(a, TimestampNTZType) && utc(c.timeZoneId) => Some(true)
       case _ => None
     }
-    val groupExpr = agg.groupingExpressions match {
-      case Seq(g) => deref(g)
+    // the grouping expression: absent for the filter-only global count
+    val groupExprOpt: Option[Expression] = agg.groupingExpressions match {
+      case Seq() if cond.isDefined => None
+      case Seq(g) => Some(deref(g))
       case _ => return None
     }
     val levelOf = Map("HOUR" -> "hour", "DAY" -> "day", "DD" -> "day",
       "MONTH" -> "month", "MON" -> "month", "MM" -> "month",
       "YEAR" -> "year", "YYYY" -> "year", "YY" -> "year")
-    val (level, asDate): (String, Boolean) = groupExpr match {
+    val levelAsDate: Option[(String, Boolean)] = groupExprOpt.map {
       case c @ Cast(inner, DateType, _, _) =>
         srcOperand(inner) match {
           case Some(zoned) if !zoned || utc(c.timeZoneId) => ("day", true)
@@ -410,7 +417,8 @@ object MetadataCountRule extends Rule[LogicalPlan] {
     }
     // the requested level must be a (non-strict) coarsening of the layout
     val order = Seq("hour", "day", "month", "year")
-    if (order.indexOf(level) < order.indexOf(kind)) return None
+    levelAsDate.foreach { case (level, _) =>
+      if (order.indexOf(level) < order.indexOf(kind)) return None }
     def epochDayOf(pt: Long): Long =
       if (kind == "hour") Math.floorDiv(pt, 24L) else pt
     def monthIdxOf(pt: Long): Long = kind match {
@@ -424,20 +432,21 @@ object MetadataCountRule extends Rule[LogicalPlan] {
       java.time.LocalDateTime.of((1970 + Math.floorDiv(m, 12L)).toInt,
         (Math.floorMod(m, 12L) + 1).toInt, 1, 0, 0)
         .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
-    def valueOf(pt: Long): Any = level match {
-      case "hour" => pt * 3600000000L // level >= kind, so kind == hour here
-      case "day" =>
+    def valueOf(pt: Long): Any = levelAsDate match {
+      case Some(("hour", _)) => pt * 3600000000L // level >= kind: kind == hour
+      case Some(("day", asDate)) =>
         if (asDate) epochDayOf(pt).toInt else epochDayOf(pt) * 86400000000L
-      case "month" => monthStartMicros(monthIdxOf(pt))
-      case "year" =>
+      case Some(("month", _)) => monthStartMicros(monthIdxOf(pt))
+      case Some(("year", _)) =>
         monthStartMicros(Math.floorDiv(monthIdxOf(pt), 12L) * 12L)
+      case _ => throw new IllegalStateException("valueOf without grouping")
     }
     sealed trait Out
     case object G extends Out; case object N extends Out
     val outs: Seq[Out] = agg.aggregateExpressions.map { e =>
       val d = e match { case Alias(x, _) => deref(x); case x => deref(x) }
       d match {
-        case x if x.semanticEquals(groupExpr) => G
+        case x if groupExprOpt.exists(x.semanticEquals) => G
         case AggregateExpression(
           Count(Seq(Literal(1, _))), Complete, false, None, _) => N
         // a served table provably holds no null source timestamps (the
@@ -448,14 +457,74 @@ object MetadataCountRule extends Rule[LogicalPlan] {
         case _ => return None
       }
     }
-    val grouped = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
-    files.foreach { case (pt, rows) =>
-      val key: Any = valueOf(pt)
-      grouped(key) = grouped.getOrElse(key, 0L) + rows
+    // UNIT-ALIGNED time-range admission: a WHERE of >=/< bounds on the
+    // source timestamp admits whole layout units row-exactly when every
+    // bound lands exactly on a unit boundary ("rows per day in January"
+    // — the canonical half-open range spelling). A bound inside a unit
+    // could split that unit's rows, which metadata cannot count: refuse.
+    // IsNotNull(ts) is vacuous on a served table (the ordinal-0 refusal
+    // proves no nulls). Anything else refuses.
+    def uStartMicros(pt: Long): Long = kind match {
+      case "hour" => pt * 3600000000L
+      case "day" => pt * 86400000000L
+      case "month" => monthStartMicros(pt)
+      case "year" => monthStartMicros(pt * 12L)
     }
-    val rows = grouped.toSeq.map { case (key, n) =>
-      InternalRow(outs.map { case G => key; case N => n }: _*)
+    val admit: Long => Boolean = cond match {
+      case None => _ => true
+      case Some(c0) =>
+        import org.apache.spark.sql.catalyst.expressions.{And, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+        def conjs(e: Expression): Seq[Expression] = e match {
+          case And(l, r) => conjs(l) ++ conjs(r)
+          case other => Seq(other)
+        }
+        def aligned(l: Long): Boolean = kind match {
+          case "hour" => Math.floorMod(l, 3600000000L) == 0L
+          case "day" => Math.floorMod(l, 86400000000L) == 0L
+          case k =>
+            if (Math.floorMod(l, 1000000L) != 0L) false
+            else {
+              val ldt = java.time.LocalDateTime.ofEpochSecond(
+                Math.floorDiv(l, 1000000L), 0, java.time.ZoneOffset.UTC)
+              ldt.getDayOfMonth == 1 && ldt.getHour == 0 &&
+                ldt.getMinute == 0 && ldt.getSecond == 0 &&
+                (k == "month" || ldt.getMonthValue == 1)
+            }
+        }
+        var lo = Long.MinValue; var hi = Long.MaxValue
+        conjs(deref(c0)).foreach {
+          case IsNotNull(e) if srcOperand(e).isDefined => ()
+          case GreaterThanOrEqual(e, Literal(l: Long, _))
+              if srcOperand(e).isDefined =>
+            if (!aligned(l)) return None; lo = math.max(lo, l)
+          case LessThanOrEqual(Literal(l: Long, _), e)
+              if srcOperand(e).isDefined =>
+            if (!aligned(l)) return None; lo = math.max(lo, l)
+          case LessThan(e, Literal(l: Long, _)) if srcOperand(e).isDefined =>
+            if (!aligned(l)) return None; hi = math.min(hi, l)
+          case GreaterThan(Literal(l: Long, _), e) if srcOperand(e).isDefined =>
+            if (!aligned(l)) return None; hi = math.min(hi, l)
+          case _ => return None
+        }
+        pt => uStartMicros(pt) >= lo && uStartMicros(pt + 1) <= hi
     }
+    val rows =
+      if (groupExprOpt.isEmpty) {
+        var n = 0L
+        files.foreach { case (pt, r) => if (admit(pt)) n += r }
+        Seq(InternalRow(outs.map { case N => n; case G => return None }: _*))
+      } else {
+        val grouped = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        files.foreach { case (pt, rows0) =>
+          if (admit(pt)) {
+            val key: Any = valueOf(pt)
+            grouped(key) = grouped.getOrElse(key, 0L) + rows0
+          }
+        }
+        grouped.toSeq.map { case (key, n) =>
+          InternalRow(outs.map { case G => key; case N => n }: _*)
+        }
+      }
     Some(LocalRelation(agg.output.map(_.toAttribute), rows))
   }
 

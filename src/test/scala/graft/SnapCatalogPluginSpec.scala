@@ -1426,9 +1426,29 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
       "FROM snapcat.dbtt.ev GROUP BY 1"
     assert(!served(qh), "finer-than-layout grouping must scan")
     assert(spark.sql(qh).count() == 4)
-    // a filter refuses (timestamp predicates admit files only may-exactly)
+    // a non-timestamp filter refuses
     assert(!served("SELECT date_trunc('DAY', t) AS d, count(*) AS n " +
       "FROM snapcat.dbtt.ev WHERE id > 1 GROUP BY 1"))
+    // a UNIT-ALIGNED half-open time range admits whole day units exactly:
+    // grouped and global forms both serve
+    val qr = "SELECT date_trunc('DAY', t) AS d, count(*) AS n, count(t) AS nt " +
+      "FROM snapcat.dbtt.ev WHERE t >= TIMESTAMP'2024-01-01 00:00:00' " +
+      "AND t < TIMESTAMP'2024-01-02 00:00:00' GROUP BY 1"
+    assert(served(qr), "aligned day range must serve")
+    assert(rows(qr) == Seq(("2024-01-01 00:00:00.0", 2L, 2L)))
+    val qg = "SELECT count(*) AS n FROM snapcat.dbtt.ev " +
+      "WHERE t >= TIMESTAMP'2024-01-01 00:00:00' AND t < TIMESTAMP'2024-02-01 00:00:00'"
+    assert(served(qg), "aligned global range must serve")
+    assert(spark.sql(qg).head.getLong(0) == 3L)
+    // an all-excluding aligned range still yields the count-0 row
+    val qz = "SELECT count(*) AS n FROM snapcat.dbtt.ev " +
+      "WHERE t >= TIMESTAMP'2030-01-01 00:00:00'"
+    assert(served(qz) && spark.sql(qz).head.getLong(0) == 0L)
+    // a bound INSIDE a unit could split that unit's rows: refuse, exact
+    val qmis = "SELECT count(*) AS n FROM snapcat.dbtt.ev " +
+      "WHERE t >= TIMESTAMP'2024-01-01 12:00:00'"
+    assert(!served(qmis), "a mid-unit bound must scan")
+    assert(spark.sql(qmis).head.getLong(0) == 3L)
     // a non-UTC session's calendar days differ from the UTC layout: refuse
     spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
     try assert(!served(q), "non-UTC session must scan")
