@@ -1998,6 +1998,34 @@ object SparkEntry {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // INGEST-DEDUP GATE CAPSTONE (r13 continuation): the persistent
+    // MinHash index doing its production job — a new batch is probed
+    // against the corpus BEFORE ingestion (sketch only the batch, read
+    // only its band hashes' buckets, verify with exact Jaccard against
+    // the base at the pin), batch docs with any corpus near-dup at
+    // J >= 9/10 are rejected, survivors append, and the index advances
+    // incrementally (REQUIRED — never a corpus re-sketch). The oracle
+    // replays the whole gate as one CTE chain: evens plus the odds
+    // without an all-pairs-Jaccard near-dup among the evens.
+    "q175_ingest_dedup_gate" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      for (t <- Seq("ig_idx", "ig_docs"))
+        if (cat.tableExists("maint", t)) cat.dropTable("maint", t)
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      cat.createTable("maint", "ig_docs", d.schema)
+      cat.append("maint", "ig_docs", d.where(col("doc_id") % 2 === 0))
+      graft.ops.DedupIndex.create(cat, "maint", "ig_docs", "ig_idx",
+        "doc_id", "text", nbuckets = 16)
+      val batch = d.where(col("doc_id") % 2 === 1)
+      val dupIds = graft.ops.DedupIndex.pairsAgainst(cat, "maint", "ig_idx",
+        batch, "doc_id", "text")
+        .select(col("batch_id").as("doc_id")).distinct()
+      cat.append("maint", "ig_docs", batch.join(dupIds, Seq("doc_id"), "left_anti"))
+      val (mode, _) = graft.ops.DedupIndex.refresh(cat, "maint", "ig_idx")
+      require(mode == "incremental", s"post-gate refresh took '$mode'")
+      cat.readLatest("maint", "ig_docs").select("doc_id").orderBy("doc_id")
+    }),
+
     // METADATA-SERVED GROUP-BY-PARTITION COUNT (r13 continuation):
     // `SELECT p, count(*) ... GROUP BY p` over a hive-laid table answers
     // from per-file partition values + exact footer row counts — zero
@@ -5187,6 +5215,27 @@ object SparkEntry {
         |WHERE len(list_intersect(b.shingles, c.shingles)) * 10 >=
         |      9 * (len(b.shingles) + len(c.shingles) - len(list_intersect(b.shingles, c.shingles)))
         |ORDER BY batch_id, corpus_id""".stripMargin,
+
+    // the gate replayed raw: evens, plus every odd doc with NO even
+    // near-dup at 9/10 true Jaccard (candidate recall is total at that
+    // threshold — the q171 banding argument)
+    "q175_ingest_dedup_gate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')
+        |  )) AS shingles FROM documents
+        |), evens AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+        |odds AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+        |kept_odds AS (
+        |  SELECT o.doc_id FROM odds o WHERE NOT EXISTS (
+        |    SELECT 1 FROM evens e
+        |    WHERE len(list_intersect(o.shingles, e.shingles)) * 10 >=
+        |      9 * (len(o.shingles) + len(e.shingles) - len(list_intersect(o.shingles, e.shingles)))
+        |  ))
+        |SELECT doc_id FROM evens
+        |UNION ALL SELECT doc_id FROM kept_odds
+        |ORDER BY doc_id""".stripMargin,
 
     // the two appends cover every orders row exactly once
     "q172_meta_partition_count" ->
