@@ -223,4 +223,35 @@ class MvMaintainerSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("not a text index"))
   }
+
+  test("dedup index rides the same commit-signal maintenance (r13)") {
+    import graft.ops.{Dedup, DedupIndex}
+    val (cat, cn) = newCat("snapmvm7")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    cat.createTable("db", "docs", docs.schema)
+    cat.append("db", "docs", docs.where(col("doc_id") % 2 === 0))
+    DedupIndex.create(cat, "db", "docs", "dix", "doc_id", "text", nbuckets = 16)
+    cat.deleteMoR("db", "docs", col("doc_id") % 10 === 0)
+    cat.append("db", "docs", docs.where(col("doc_id") % 2 === 1))
+
+    val modes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = MvMaintainer.maintainDedupIndex(spark, cat, cn, "db", "dix",
+      onRefresh = (m, _) => modes.synchronized { modes += m })
+    assert(q.awaitTermination(180000), "index maintainer did not drain")
+    assert(modes.contains("incremental") && !modes.contains("full"), modes.toString)
+    // the drained index's pairs equal the recompute operator on the base
+    val got = DedupIndex.pairs(cat, "db", "dix")
+      .select("id_a", "id_b", "inter_sz", "union_sz")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = Dedup.minhashVerifiedPairs(cat.readLatest("db", "docs"),
+        "doc_id", "text", w = 5, num = 9, den = 10, numHashes = 64, bands = 32)
+      .select("id_a", "id_b", "inter_sz", "union_sz")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    val e = intercept[IllegalArgumentException] {
+      MvMaintainer.maintainDedupIndex(spark, cat, cn, "db", "docs")
+    }
+    assert(e.getMessage.contains("not a dedup index"))
+  }
 }

@@ -595,4 +595,31 @@ class ProcedureSpec extends AnyFunSuite {
       .where(length(trim(col("text"))) > 0).count()
     assert(c.readLatest("db", "tix").select("doc_id").distinct().count() == n)
   }
+
+  test("dedup index lifecycle from SQL + the refresh_indexes sweep (r13)") {
+    import org.apache.spark.sql.functions._
+    val c = cat
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    c.createTable("db", "ddocs", docs.schema)
+    c.append("db", "ddocs", docs.where(col("doc_id") % 2 === 0))
+    val created = spark.sql("CALL proccat.system.create_dedup_index(" +
+      "table => 'db.ddocs', index => 'dix', id_col => 'doc_id', " +
+      "text_col => 'text', nbuckets => 16)").collect()
+    assert(created.head.getString(0) == "db.dix" && created.head.getInt(1) == 16)
+    assert(spark.sql("CALL proccat.system.refresh_dedup_index('db.dix')")
+      .head.getString(0) == "fresh")
+    c.deleteMoR("db", "ddocs", col("doc_id") % 10 === 0)
+    c.append("db", "ddocs", docs.where(col("doc_id") % 2 === 1))
+    assert(spark.sql("CALL proccat.system.refresh_dedup_index('db.dix')")
+      .head.getString(0) == "incremental")
+    // the namespace sweep reports it as a dedup index and is idempotent
+    val sweep = spark.sql("CALL proccat.system.refresh_indexes('db')")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(sweep.exists(r => r._1 == "db.dix" && r._2 == "dedup" && r._3 == "fresh"),
+      sweep.toSeq)
+    // one banded row set per live doc: 32 bands each
+    val live = c.readLatest("db", "ddocs").count()
+    assert(c.readLatest("db", "dix").count() == live * 32)
+  }
 }
