@@ -2026,6 +2026,38 @@ object SparkEntry {
       cat.readLatest("maint", "ig_docs").select("doc_id").orderBy("doc_id")
     }),
 
+    // LIMIT PUSHDOWN (r13 continuation): an unfiltered preview over the
+    // catalog plans a row-covering FILE PREFIX instead of the table —
+    // SupportsPushDownLimit truncates the scanned list by exact footer
+    // row counts (armed only with no live MoR deletes; filters disable
+    // it). REQUIRED: the limited scan reads strictly fewer files than
+    // the table holds. The count-over-limit shape keeps the oracle
+    // deterministic (any 1234-row prefix counts to 1234).
+    "q176_limit_pushdown" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.tableExists("maint", "lim_li")) cat.dropTable("maint", "lim_li")
+      val li = T(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      cat.createTable("maint", "lim_li", li.schema)
+      cat.append("maint", "lim_li", li.where(col("l_orderkey") % 2 === 0).repartition(4))
+      cat.append("maint", "lim_li", li.where(col("l_orderkey") % 2 === 1).repartition(4))
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def scanned(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectFirst {
+          case b: BatchScanExec => b.inputPartitions.flatMap {
+            case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+            case _ => Seq.empty[String]
+          }.distinct.size
+        }.getOrElse(0)
+      val total = cat.currentSnapshot("maint", "lim_li").files.size
+      val lim = s.sql("SELECT * FROM snapdml.maint.lim_li LIMIT 1234")
+      require(scanned(lim) > 0 && scanned(lim) < total,
+        s"limit must plan a file prefix: ${scanned(lim)} of $total")
+      s.sql("SELECT CAST(count(*) AS BIGINT) AS n " +
+        "FROM (SELECT * FROM snapdml.maint.lim_li LIMIT 1234) t")
+    }),
+
     // METADATA-SERVED GROUP-BY-PARTITION COUNT (r13 continuation):
     // `SELECT p, count(*) ... GROUP BY p` over a hive-laid table answers
     // from per-file partition values + exact footer row counts — zero
@@ -5236,6 +5268,11 @@ object SparkEntry {
         |SELECT doc_id FROM evens
         |UNION ALL SELECT doc_id FROM kept_odds
         |ORDER BY doc_id""".stripMargin,
+
+    // any 1234-row prefix of the table counts to 1234
+    "q176_limit_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT * FROM lineitem LIMIT 1234) t""".stripMargin,
 
     // the two appends cover every orders row exactly once
     "q172_meta_partition_count" ->

@@ -1048,6 +1048,10 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             tableMeta.properties.get("write.sort-order").toSeq
               .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
               .filter(c => snap.schema.fieldNames.contains(c))).distinct,
+        // LIMIT pushdown truncates the file list by exact footer counts —
+        // armed only when no live MoR deletes make counts overstate the
+        // visible rows (a preview of a 100-TB table plans one file's task)
+        limitRowsExact = snap.deleteFiles.isEmpty,
         wrapScan = (scan, keptFiles, pushedExprs, requiredSchema) => {
           // snapshot-exact statistics are only honest for an UNFILTERED
           // scan of the full file list; any pushed/runtime conjunct means

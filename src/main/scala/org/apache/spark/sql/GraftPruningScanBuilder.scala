@@ -94,10 +94,31 @@ class GraftPruningScanBuilder(
     // the runtime conjuncts added. Iceberg's convention: partition-level
     // columns only — a runtime IN list can be large, and per-file stat
     // checks against it should stay a driver triviality.
-    runtimeFilterCols: Seq[String] = Nil)
+    runtimeFilterCols: Seq[String] = Nil,
+    // true ONLY when every file's recorded `rows` stat is its exact
+    // VISIBLE row count (no live merge-on-read deletes): arms the LIMIT
+    // pushdown below. Library-internal reads keep the default — the
+    // plugin's table scan is the one caller that can prove it.
+    limitRowsExact: Boolean = false)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+
+  /** LIMIT pushdown ([[SupportsPushDownLimit]], partial mode — Spark
+    * keeps the Limit operator above, so returning a superset of `limit`
+    * rows is always sound): an unfiltered preview (`SELECT * ... LIMIT
+    * n`) truncates the scanned file list to the minimal prefix whose
+    * exact footer row counts cover n — on a 100-TB table the scan plans
+    * one file's task instead of the lake's. Armed only when
+    * `limitRowsExact` proves footer counts are visible counts; any
+    * pushed or runtime filter disables truncation (matching rows per
+    * file are unknowable from metadata). */
+  private var limitOpt: Option[Int] = None
+  override def pushLimit(limit: Int): Boolean = {
+    if (limitRowsExact && limit > 0) { limitOpt = Some(limit); true }
+    else false
+  }
 
   private var pushedExprs: Seq[Expression] = Nil
   private var required: Option[StructType] = None
@@ -134,8 +155,27 @@ class GraftPruningScanBuilder(
   private[sql] def buildWith(extra: Seq[Expression]): Scan = {
     val all = pushedExprs ++ extra
     val pathOk = keepByPath(all)
-    val kept = files.collect {
+    val kept0 = files.collect {
       case (p, st) if pathOk(p) && st.forall(m => mayMatch(m, all)) => p
+    }
+    // pushed-LIMIT file truncation: only on a FILTERLESS scan with every
+    // file's exact row count in hand (see pushLimit above)
+    val kept = limitOpt match {
+      case Some(lim) if all.isEmpty =>
+        val rowsOf = files.toMap
+        def rows(p: String): Option[Long] =
+          rowsOf.getOrElse(p, None).flatMap(_.get("rows")).map(_.toLong)
+        if (kept0.exists(rows(_).isEmpty)) kept0 // unprovable: keep all
+        else {
+          var acc = 0L
+          val prefix = kept0.takeWhile { p =>
+            val take = acc < lim
+            if (take) acc += rows(p).get
+            take
+          }
+          prefix
+        }
+      case _ => kept0
     }
     val inner = mkInner(planFiles(kept))
     inner.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(all)

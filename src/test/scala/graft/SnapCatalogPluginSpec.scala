@@ -1294,6 +1294,42 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
       Seq((1, 1L), (2, 2L), (3, 1L)))
   }
 
+  test("LIMIT truncates the scan to a row-covering file prefix") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    val d = (0L until 90L).map(i => (i, s"r$i")).toDF("id", "s")
+    cat.createTable("dblim", "t", d.schema)
+    for (k <- 0 until 3)
+      cat.append("dblim", "t", d.where(col("id") % 3 === k).repartition(3))
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.inputPartitions.flatMap {
+          case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+          case _ => Seq.empty[String]
+        }.distinct.size
+      }.getOrElse(sys.error("no BatchScanExec in plan"))
+    val full = scannedFiles(spark.sql("SELECT * FROM snapcat.dblim.t"))
+    assert(full >= 9, s"fixture should span many files, got $full")
+    // an unfiltered preview plans a row-covering PREFIX, not the table
+    val lim = spark.sql("SELECT * FROM snapcat.dblim.t LIMIT 3")
+    assert(scannedFiles(lim) < full,
+      s"limit must truncate the file list: ${scannedFiles(lim)} of $full")
+    assert(lim.count() == 3)
+    // a bigger-than-prefix limit covers exactly enough files
+    val lim40 = spark.sql("SELECT * FROM snapcat.dblim.t LIMIT 40")
+    assert(scannedFiles(lim40) < full && lim40.count() == 40)
+    // a limit past the table keeps everything and returns everything
+    assert(spark.sql("SELECT * FROM snapcat.dblim.t LIMIT 500").count() == 90)
+    // a filter disables truncation (matching rows per file unknowable)
+    val f = spark.sql("SELECT * FROM snapcat.dblim.t WHERE id >= 30 LIMIT 7")
+    assert(f.count() == 7)
+    // live MoR deletes disarm it: footer counts overstate visible rows
+    cat.deleteMoR("dblim", "t", col("id") < 45)
+    assert(spark.sql("SELECT * FROM snapcat.dblim.t LIMIT 50").count() == 45)
+  }
+
   test("unfiltered count(col) serves from folded footer null counts") {
     wh
     val cat = new SnapshotCatalog(spark, wh)
