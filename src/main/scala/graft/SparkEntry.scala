@@ -2058,6 +2058,38 @@ object SparkEntry {
         "FROM (SELECT * FROM snapdml.maint.lim_li LIMIT 1234) t")
     }),
 
+    // TOP-N PUSHDOWN (r13 continuation): `ORDER BY uid LIMIT n` over a
+    // range-clustered table prunes to the files whose footer BOUNDS can
+    // hold the top-n — a leaderboard over a 100-TB clustered table
+    // reads its extreme files, not the lake (sound for ANY layout: on
+    // overlapping bounds everything stays; SnapCatalogPluginSpec's
+    // randomized battery holds exactness on unclustered data). The
+    // unique sort key keeps the result deterministic for the oracle.
+    "q177_topn_pushdown" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.tableExists("maint", "tn_li")) cat.dropTable("maint", "tn_li")
+      val li = T(s, dir, "lineitem")
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("uid"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      cat.createTable("maint", "tn_li", li.schema)
+      cat.append("maint", "tn_li", li.repartitionByRange(8, col("uid")))
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def scanned(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectFirst {
+          case b: BatchScanExec => b.inputPartitions.flatMap {
+            case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+            case _ => Seq.empty[String]
+          }.distinct.size
+        }.getOrElse(0)
+      val total = cat.currentSnapshot("maint", "tn_li").files.size
+      val df = s.sql("SELECT uid, cents FROM snapdml.maint.tn_li " +
+        "ORDER BY uid DESC LIMIT 25")
+      require(scanned(df) > 0 && scanned(df) < total,
+        s"top-n must prune bound-excluded files: ${scanned(df)} of $total")
+      df
+    }),
+
     // METADATA-SERVED GROUP-BY-PARTITION COUNT (r13 continuation):
     // `SELECT p, count(*) ... GROUP BY p` over a hive-laid table answers
     // from per-file partition values + exact footer row counts — zero
@@ -5273,6 +5305,12 @@ object SparkEntry {
     "q176_limit_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT * FROM lineitem LIMIT 1234) t""".stripMargin,
+
+    // the unique sort key makes the top-25 deterministic
+    "q177_topn_pushdown" ->
+      """SELECT l_orderkey * 10 + l_linenumber AS uid,
+        |  CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |FROM lineitem ORDER BY uid DESC LIMIT 25""".stripMargin,
 
     // the two appends cover every orders row exactly once
     "q172_meta_partition_count" ->

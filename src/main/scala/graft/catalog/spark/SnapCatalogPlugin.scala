@@ -1048,10 +1048,16 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             tableMeta.properties.get("write.sort-order").toSeq
               .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
               .filter(c => snap.schema.fieldNames.contains(c))).distinct,
-        // LIMIT pushdown truncates the file list by exact footer counts —
-        // armed only when no live MoR deletes make counts overstate the
-        // visible rows (a preview of a 100-TB table plans one file's task)
+        // LIMIT/TopN pushdown truncate or bound-prune the file list from
+        // exact footer metadata — armed only when no live MoR deletes
+        // make counts overstate the visible rows (a preview or top-k of
+        // a 100-TB table plans a handful of files, not the lake)
         limitRowsExact = snap.deleteFiles.isEmpty,
+        statCompare = colName => snap.schema.fields
+          .find(_.name == colName).map(_.dataType)
+          .filter(graft.catalog.ColumnStats.statable)
+          .map(dt => (a: String, b: String) =>
+            graft.catalog.ColumnStats.gt(dt, a, b)),
         wrapScan = (scan, keptFiles, pushedExprs, requiredSchema) => {
           // snapshot-exact statistics are only honest for an UNFILTERED
           // scan of the full file list; any pushed/runtime conjunct means

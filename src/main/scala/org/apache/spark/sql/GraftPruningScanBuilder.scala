@@ -97,13 +97,18 @@ class GraftPruningScanBuilder(
     runtimeFilterCols: Seq[String] = Nil,
     // true ONLY when every file's recorded `rows` stat is its exact
     // VISIBLE row count (no live merge-on-read deletes): arms the LIMIT
-    // pushdown below. Library-internal reads keep the default — the
-    // plugin's table scan is the one caller that can prove it.
-    limitRowsExact: Boolean = false)
+    // and TopN pushdowns below. Library-internal reads keep the default —
+    // the plugin's table scan is the one caller that can prove it.
+    limitRowsExact: Boolean = false,
+    // canonical-string ordering for a column's footer bounds (None for
+    // non-statable columns) — arms the TopN pushdown. Supplied by the
+    // plugin (the canonical comparator lives beside the stat encoding).
+    statCompare: String => Option[(String, String) => Boolean] = _ => None)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   /** LIMIT pushdown ([[SupportsPushDownLimit]], partial mode — Spark
     * keeps the Limit operator above, so returning a superset of `limit`
@@ -118,6 +123,105 @@ class GraftPruningScanBuilder(
   override def pushLimit(limit: Int): Boolean = {
     if (limitRowsExact && limit > 0) { limitOpt = Some(limit); true }
     else false
+  }
+
+  // both pushdown traits carry this default; partial mode throughout —
+  // Spark always keeps the Limit / TakeOrderedAndProject above, so the
+  // scan may return any superset
+  override def isPartiallyPushed(): Boolean = true
+
+  /** TopN pushdown ([[org.apache.spark.sql.connector.read.SupportsPushDownTopN]],
+    * partial mode — Spark keeps TakeOrderedAndProject above, so returning
+    * a superset is always sound): `ORDER BY c LIMIT n` prunes to the
+    * files that can hold the top-n by footer BOUNDS — on a table
+    * range-clustered on c (any `write.sort-order` commit) this reads the
+    * few extreme files instead of the lake; on unclustered data bounds
+    * overlap and most files stay (sound, just not helpful).
+    *
+    * The bound argument survives writer-TRUNCATED string stats because
+    * only outer-bound validity is needed (stored min <= true min,
+    * stored max >= true max): a file is excluded only when every row it
+    * could hold provably sits beyond a cutoff that already covers n
+    * rows. Nulls follow the query's null ordering: with nulls FIRST
+    * every null row is a top candidate (a file refuses exclusion unless
+    * its null count is provably zero); with nulls LAST nulls only
+    * matter when the table's non-null rows cannot fill n (then
+    * everything is kept). Single-column orderings only; armed only
+    * with exact visible row counts (no live MoR deletes); any pushed or
+    * runtime filter disables the pruning. */
+  private var topNOpt: Option[(String, Boolean, Boolean, Int)] = None
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    if (!limitRowsExact || limit <= 0 || orders.length != 1) return false
+    val o = orders.head
+    val col = o.expression match {
+      case n: NamedReference if n.fieldNames.length == 1 => n.fieldNames.head
+      case _ => return false
+    }
+    if (statCompare(col).isEmpty) return false
+    topNOpt = Some((col,
+      o.direction == SortDirection.ASCENDING,
+      o.nullOrdering == NullOrdering.NULLS_FIRST, limit))
+    true
+  }
+
+  /** The TopN file pruning itself — see [[pushTopN]] for the argument. */
+  private def pruneTopN(kept0: Seq[String],
+      colName: String, asc: Boolean, nullsFirst: Boolean, n: Int): Seq[String] = {
+    val gt = statCompare(colName).getOrElse(return kept0)
+    val statOf = files.toMap
+    final case class F(path: String, lo: Option[String], hi: Option[String],
+      nulls: Option[Long], rows: Long)
+    val fs = kept0.map { p =>
+      val st = statOf.getOrElse(p, None).getOrElse(Map.empty)
+      val rows = st.get("rows").map(_.toLong).getOrElse(return kept0)
+      // orient bounds along the ORDER: lo = first-sorting bound
+      val (mn, mx) = (st.get(s"min.$colName"), st.get(s"max.$colName"))
+      if (asc) F(p, mn, mx, st.get(s"nulls.$colName").map(_.toLong), rows)
+      else F(p, mx, mn, st.get(s"nulls.$colName").map(_.toLong), rows)
+    }
+    // before(a, b): a sorts strictly before b along the query order
+    def before(a: String, b: String): Boolean = if (asc) gt(b, a) else gt(a, b)
+    if (!nullsFirst) {
+      // nulls sort LAST: they reach the top-n only when non-null rows
+      // cannot fill it — then prune nothing (needs all null counts known)
+      val nonNull = fs.map(f => f.nulls.map(f.rows - _).getOrElse(return kept0))
+      if (nonNull.sum < n) return kept0
+    }
+    // global null contribution (nulls-first: every null row is a top
+    // candidate wherever it lives; unknown counts contribute 0 — sound,
+    // coverage only shrinks)
+    val n0 = if (nullsFirst) fs.flatMap(_.nulls).sum else 0L
+    // candidate cutoffs: the files' far bounds, walked in query order;
+    // covered(T) = null candidates + non-null rows provably at-or-before
+    // T (file hi at-or-before T => every non-null row is)
+    val bounded = fs.filter(f => f.lo.isDefined && f.hi.isDefined)
+      .sortWith((a, b) => before(a.hi.get, b.hi.get))
+    var acc = n0
+    var cutoff: Option[String] = None
+    val it = bounded.iterator
+    while (cutoff.isEmpty && it.hasNext) {
+      val f = it.next()
+      val nonNull = f.nulls.map(f.rows - _).getOrElse(0L)
+      acc += nonNull
+      if (acc >= n) cutoff = Some(f.hi.get)
+    }
+    cutoff match {
+      case None => kept0 // the table cannot prove n rows before any bound
+      case Some(t) =>
+        // exclude only files whose EVERY possible row sits strictly
+        // beyond the cutoff: lo after T, and (nulls-first) provably no
+        // null rows that would leapfrog it
+        val fMap = fs.map(f => f.path -> f).toMap
+        kept0.filter { p =>
+          val f = fMap(p)
+          val boundOut = f.lo.exists(lo => before(t, lo))
+          val nullSafe = !nullsFirst || f.nulls.contains(0L)
+          !(boundOut && nullSafe)
+        }
+    }
   }
 
   private var pushedExprs: Seq[Expression] = Nil
@@ -159,9 +263,10 @@ class GraftPruningScanBuilder(
       case (p, st) if pathOk(p) && st.forall(m => mayMatch(m, all)) => p
     }
     // pushed-LIMIT file truncation: only on a FILTERLESS scan with every
-    // file's exact row count in hand (see pushLimit above)
-    val kept = limitOpt match {
-      case Some(lim) if all.isEmpty =>
+    // file's exact row count in hand (see pushLimit above); pushed TopN
+    // prunes by footer bounds under the same filterless condition
+    val kept = (limitOpt, topNOpt) match {
+      case (Some(lim), _) if all.isEmpty =>
         val rowsOf = files.toMap
         def rows(p: String): Option[Long] =
           rowsOf.getOrElse(p, None).flatMap(_.get("rows")).map(_.toLong)
@@ -175,6 +280,8 @@ class GraftPruningScanBuilder(
           }
           prefix
         }
+      case (_, Some((c, asc, nf, n))) if all.isEmpty =>
+        pruneTopN(kept0, c, asc, nf, n)
       case _ => kept0
     }
     val inner = mkInner(planFiles(kept))

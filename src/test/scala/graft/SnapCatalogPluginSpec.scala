@@ -1330,6 +1330,84 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM snapcat.dblim.t LIMIT 50").count() == 45)
   }
 
+  test("ORDER BY + LIMIT prunes files by footer bounds, stays exact") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    // v tracks id (clustered once range-partitioned); nulls only in the
+    // first range so later files carry provably-zero null counts
+    val d = (0L until 90L)
+      .map(i => (i, if (i == 5L || i == 23L) Option.empty[Long] else Option(i * 3)))
+      .toDF("id", "v")
+    cat.createTable("dbtn", "t", d.schema)
+    for (r <- Seq((0L, 30L), (30L, 60L), (60L, 90L)))
+      cat.append("dbtn", "t",
+        d.where(col("id") >= r._1 && col("id") < r._2)
+          .repartitionByRange(3, col("id")))
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.inputPartitions.flatMap {
+          case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+          case _ => Seq.empty[String]
+        }.distinct.size
+      }.getOrElse(sys.error("no BatchScanExec in plan"))
+    def vals(df: org.apache.spark.sql.DataFrame): Seq[Option[Long]] =
+      df.select("v").as[Option[Long]].collect().toSeq
+    val full = scannedFiles(spark.sql("SELECT v FROM snapcat.dbtn.t"))
+    assert(full >= 9, s"fixture should span many files, got $full")
+    // ASC (nulls FIRST): the two nulls + the two smallest values — the
+    // later ranges' files are bound-excluded (null counts provably zero)
+    val asc = spark.sql("SELECT v FROM snapcat.dbtn.t ORDER BY v LIMIT 4")
+    assert(scannedFiles(asc) < full,
+      s"top-n must prune bound-excluded files: ${scannedFiles(asc)} of $full")
+    assert(vals(asc) == Seq(None, None, Some(0L), Some(3L)))
+    // DESC (nulls LAST): the four largest values from the tail files
+    val desc = spark.sql("SELECT v FROM snapcat.dbtn.t ORDER BY v DESC LIMIT 4")
+    assert(scannedFiles(desc) < full)
+    assert(vals(desc) == Seq(Some(267L), Some(264L), Some(261L), Some(258L)))
+    // a filter disables the pruning; values stay exact
+    assert(vals(spark.sql("SELECT v FROM snapcat.dbtn.t WHERE id >= 10 " +
+      "ORDER BY v LIMIT 3")) == Seq(None, Some(30L), Some(33L)))
+    // live MoR deletes disarm it (footer bounds describe dead rows too)
+    cat.deleteMoR("dbtn", "t", col("id") < 2L)
+    assert(vals(spark.sql("SELECT v FROM snapcat.dbtn.t ORDER BY v LIMIT 4"))
+      == Seq(None, None, Some(6L), Some(9L)))
+  }
+
+  test("randomized top-n battery: pruned results equal sort truth") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    val rnd = new scala.util.Random(23)
+    // UNCLUSTERED values + random nulls: bounds overlap heavily, so
+    // pruning rarely helps — exactness must hold regardless
+    val rows = (0L until 120L).map { i =>
+      (i, if (rnd.nextInt(10) == 0) Option.empty[Long]
+          else Option(rnd.nextInt(1000).toLong))
+    }
+    val d = rows.toDF("id", "v")
+    cat.createTable("dbtn", "fuzz", d.schema)
+    for (k <- 0 until 4)
+      cat.append("dbtn", "fuzz", d.where(col("id") % 4 === k).repartition(2))
+    val vs = rows.map(_._2)
+    def truth(asc: Boolean, n: Int): Seq[Option[Long]] = {
+      val (nulls, defined) = vs.partition(_.isEmpty)
+      val sorted = defined.sortBy(_.get)
+      val ord = if (asc) nulls ++ sorted else sorted.reverse ++ nulls
+      ord.take(n)
+    }
+    for (trial <- 1 to 8) {
+      val n = 1 + rnd.nextInt(30)
+      val asc = rnd.nextBoolean()
+      val got = spark.sql(s"SELECT v FROM snapcat.dbtn.fuzz ORDER BY v " +
+          s"${if (asc) "" else "DESC "}LIMIT $n")
+        .select("v").as[Option[Long]].collect().toSeq
+      // ties make row choice nondeterministic; the VALUE multiset is exact
+      assert(got.sorted == truth(asc, n).sorted,
+        s"trial $trial (asc=$asc n=$n): $got vs ${truth(asc, n)}")
+    }
+  }
+
   test("unfiltered count(col) serves from folded footer null counts") {
     wh
     val cat = new SnapshotCatalog(spark, wh)
