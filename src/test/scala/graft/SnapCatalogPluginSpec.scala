@@ -1487,18 +1487,64 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
           cat.compact("dbpc", "fuzz", 1 + rnd.nextInt(3))
       }
       val thresh = if (rnd.nextBoolean()) Some(rnd.nextInt(7)) else None
-      val sqlq = "SELECT grp, count(*) AS n FROM snapcat.dbpc.fuzz" +
-        thresh.map(t => s" WHERE grp >= $t").getOrElse("") + " GROUP BY grp"
+      val where = thresh.map(t => s" WHERE grp >= $t").getOrElse("")
+      val sqlq = "SELECT grp, count(*) AS n, count(v) AS nv, min(v) AS mn, " +
+        s"max(v) AS mx FROM snapcat.dbpc.fuzz$where GROUP BY grp"
       val df = spark.sql(sqlq)
-      val got = df.as[(Int, Long)].collect().toMap
+      val got = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
       val base = cat.readLatest("dbpc", "fuzz")
       val truth = thresh.map(t => base.where(col("grp") >= t)).getOrElse(base)
-        .groupBy("grp").count().as[(Int, Long)].collect().toMap
+        .groupBy("grp").agg(count(lit(1)), count(col("v")), min("v"), max("v"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
       assert(got == truth, s"step $step ($sqlq): got $got want $truth")
       val p = df.queryExecution.optimizedPlan.toString
       if (p.contains("LocalRelation") && !p.contains("RelationV2")) servedSteps += 1
     }
     assert(servedSteps > 0, "battery never exercised the metadata serve (vacuous)")
+  }
+
+  test("randomized transform battery: date_trunc counts always equal scan truth") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    // events over ~20 days; unique ids so deleteMoR churn is clean
+    val base = (0L until 400L).map(i =>
+      (i, java.sql.Timestamp.valueOf(f"2024-03-${1 + (i % 20).toInt}%02d " +
+        f"${(i % 24).toInt}%02d:00:00")))
+    val df0 = base.toDF("id", "t")
+    cat.createTransformPartitionedTable("dbtt", "fuzz", df0.schema, "t", "day")
+    cat.appendTransformed("dbtt", "fuzz", df0.where(col("id") % 2 === 0))
+    val rnd = new scala.util.Random(31)
+    var servedSteps = 0
+    for (step <- 1 to 10) {
+      rnd.nextInt(3) match {
+        case 0 =>
+          cat.appendTransformed("dbtt", "fuzz",
+            df0.where(col("id") % 7 === rnd.nextInt(7)))
+        case 1 =>
+          cat.deleteMoR("dbtt", "fuzz", col("id") % (3 + rnd.nextInt(5)) === 0)
+        case 2 =>
+          cat.compact("dbtt", "fuzz", 1 + rnd.nextInt(3))
+      }
+      val ranged = rnd.nextBoolean()
+      val where = if (ranged)
+        " WHERE t >= TIMESTAMP'2024-03-05 00:00:00' AND t < TIMESTAMP'2024-03-15 00:00:00'"
+      else ""
+      val sqlq = "SELECT date_trunc('DAY', t) AS d, count(*) AS n " +
+        s"FROM snapcat.dbtt.fuzz$where GROUP BY 1"
+      val df = spark.sql(sqlq)
+      val got = df.collect().map(r => (String.valueOf(r.get(0)), r.getLong(1))).toSet
+      val b = cat.readLatest("dbtt", "fuzz")
+      val truth = (if (ranged) b.where(col("t") >= lit("2024-03-05 00:00:00").cast("timestamp")
+          && col("t") < lit("2024-03-15 00:00:00").cast("timestamp")) else b)
+        .groupBy(date_trunc("DAY", col("t")).as("d")).count()
+        .collect().map(r => (String.valueOf(r.get(0)), r.getLong(1))).toSet
+      assert(got == truth, s"step $step ($sqlq): got $got want $truth")
+      val p = df.queryExecution.optimizedPlan.toString
+      if (p.contains("LocalRelation") && !p.contains("RelationV2")) servedSteps += 1
+    }
+    assert(servedSteps > 0, "battery never exercised the transform serve (vacuous)")
   }
 
   test("GROUP BY date_trunc over a days(ts) table serves from __pt metadata") {
