@@ -2090,6 +2090,45 @@ object SparkEntry {
       df
     }),
 
+    // WRITE DISTRIBUTION MODES (r13 continuation): Iceberg's
+    // `write.distribution-mode` table property. `hash` clusters every
+    // commit's rows on the layout columns before the partitioned write,
+    // so an append lands exactly ONE file per occupied partition dir —
+    // the default mode fans each writer task across every partition
+    // value it holds (W tasks x P values files), the small-files
+    // explosion that wrecks 100-TB scan planning on daily-partitioned
+    // ingest. REQUIREs the contrast: the hash table's commit writes one
+    // file per status dir while the default-mode twin of the SAME 8-task
+    // input writes strictly more; the oracle replays the per-status
+    // aggregate raw, proving the clustering changed only the layout.
+    "q178_write_distribution" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      for (t <- Seq("wd_hash", "wd_none"))
+        if (cat.tableExists("maint", t)) cat.dropTable("maint", t)
+      val o = T(s, dir, "orders").select(col("o_orderstatus").as("status"),
+        col("o_orderkey").as("okey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      cat.createTable("maint", "wd_none", o.schema, partitionCols = Seq("status"))
+      cat.append("maint", "wd_none", o.repartition(8))
+      cat.createTable("maint", "wd_hash", o.schema, partitionCols = Seq("status"),
+        properties = Map("write.distribution-mode" -> "hash"))
+      cat.append("maint", "wd_hash", o.repartition(8))
+      def perDir(t: String): Map[String, Int] = {
+        val sn = cat.currentSnapshot("maint", t)
+        sn.files.groupBy(_.split("/")(2)).view.mapValues(_.size).toMap
+      }
+      val h = perDir("wd_hash")
+      val n = perDir("wd_none")
+      require(h.values.forall(_ == 1) && h.keySet == n.keySet,
+        s"hash distribution must write one file per occupied dir: $h vs $n")
+      require(n.values.sum > h.values.sum,
+        s"default mode must keep task fan-out (none=$n hash=$h)")
+      cat.readLatest("maint", "wd_hash")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+        .orderBy("status")
+    }),
+
     // METADATA-SERVED GROUP-BY-PARTITION COUNT (r13 continuation):
     // `SELECT p, count(*) ... GROUP BY p` over a hive-laid table answers
     // from per-file partition values + exact footer row counts — zero
@@ -5311,6 +5350,13 @@ object SparkEntry {
       """SELECT l_orderkey * 10 + l_linenumber AS uid,
         |  CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
         |FROM lineitem ORDER BY uid DESC LIMIT 25""".stripMargin,
+
+    // the hash-distributed write changed only the file layout
+    "q178_write_distribution" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
 
     // the two appends cover every orders row exactly once
     "q172_meta_partition_count" ->

@@ -615,9 +615,15 @@ final class SnapshotCatalog(
     val flat = spark.read.schema(visible).parquet(flatDir.toString)
     val laid = tm.bucketSpec match {
       // one file per occupied bucket; plain partitions keep the writer's
-      // task parallelism (partitionBy splits per task per dir)
+      // task parallelism (partitionBy splits per task per dir) unless the
+      // table declares hash write distribution — then the re-laid subset
+      // clusters on the layout columns like every library commit does
       case Some((_, n)) => bucketize(db, table, flat).repartition(n, col("__bucket"))
-      case None         => deriveLayout(db, table, flat) // __pt when transformed
+      case None =>
+        val derived = deriveLayout(db, table, flat) // __pt when transformed
+        if (tm.properties.get("write.distribution-mode").contains("hash"))
+          derived.repartition(tm.partitionCols.map(c => col(s"`$c`")): _*)
+        else derived
     }
     laid.write.mode("overwrite").partitionBy(tm.partitionCols: _*)
       .parquet(outDir.toString)
@@ -2281,15 +2287,62 @@ final class SnapshotCatalog(
     // extra range shuffle per commit, opt-in by property. compact() flows
     // through here too, so it doubles as the re-cluster action (SQL
     // row-level rewrites bypass this layout; compact restores it).
-    val laid = tm.properties.get("write.sort-order") match {
+    val sortCols: Seq[String] = tm.properties.get("write.sort-order") match {
       case Some(spec) if spec.trim.nonEmpty =>
-        val sortCols = spec.split(",").map(_.trim).filter(_.nonEmpty)
-        val unknown = sortCols.filterNot(df.schema.fieldNames.contains)
+        val cs = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = cs.filterNot(df.schema.fieldNames.contains)
         require(unknown.isEmpty,
           s"write.sort-order of $db.$table names unknown columns: ${unknown.mkString(",")}")
-        val exprs = sortCols.map(c => col(s"`$c`"))
-        df.repartitionByRange(exprs.toIndexedSeq: _*).sortWithinPartitions(exprs.toIndexedSeq: _*)
-      case _ => df
+        cs
+      case _ => Seq.empty
+    }
+    // `write.distribution-mode` (Iceberg's write-clustering property):
+    // how every library commit's rows shuffle before a PARTITIONED write.
+    // Without clustering, `partitionBy` fans each writer task out across
+    // every partition value it holds — W tasks x P occupied values =
+    // W*P files per commit, the small-files explosion that wrecks scan
+    // planning on a 100-TB daily-partitioned table.
+    //   none  (default) keep the writer's task layout (plus the
+    //         sort-order range-cluster when declared — behavior identical
+    //         to every prior round);
+    //   hash  cluster on the layout columns (`repartition(partCols)`): all
+    //         rows of one partition value land in ONE task, so each
+    //         occupied dir receives exactly one file per commit (a fat
+    //         partition still splits at `write.target-records-per-file`;
+    //         skew beyond that salts upstream — documented tradeoff);
+    //   range global `repartitionByRange(partCols ++ sortCols)` — the
+    //         sorted-write shape: dirs get few files AND files inside a
+    //         dir carry disjoint sort-key ranges.
+    // Both modes keep the per-file sort when a sort order is declared, so
+    // footer bounds stay tight. compact() flows through here too, making
+    // it the re-layout action for pre-property commits.
+    val distMode = tm.properties.getOrElse("write.distribution-mode", "none")
+    val sortExprs = sortCols.map(c => col(s"`$c`"))
+    val laid = distMode match {
+      case "none" =>
+        if (sortExprs.nonEmpty)
+          df.repartitionByRange(sortExprs.toIndexedSeq: _*)
+            .sortWithinPartitions(sortExprs.toIndexedSeq: _*)
+        else df
+      case "hash" =>
+        require(tm.partitionCols.nonEmpty,
+          s"write.distribution-mode=hash on $db.$table requires a " +
+            "partitioned (or bucketed/transform-partitioned) table")
+        val partExprs = tm.partitionCols.map(c => col(s"`$c`"))
+        val h = df.repartition(partExprs.toIndexedSeq: _*)
+        if (sortExprs.nonEmpty)
+          h.sortWithinPartitions((partExprs ++ sortExprs).toIndexedSeq: _*)
+        else h
+      case "range" =>
+        val exprs = (tm.partitionCols ++ sortCols.filterNot(tm.partitionCols.contains))
+          .map(c => col(s"`$c`"))
+        require(exprs.nonEmpty,
+          s"write.distribution-mode=range on $db.$table requires partition " +
+            "columns and/or a declared write.sort-order")
+        df.repartitionByRange(exprs.toIndexedSeq: _*)
+          .sortWithinPartitions(exprs.toIndexedSeq: _*)
+      case other => throw new IllegalArgumentException(
+        s"write.distribution-mode of $db.$table must be none|hash|range, got '$other'")
     }
     val observed = laid.observe(obs, count(lit(1)).as("rows"),
       (statAggs.toIndexedSeq ++ ndvAggs): _*)

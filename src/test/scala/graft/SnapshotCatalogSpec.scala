@@ -844,6 +844,65 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
+  test("write.distribution-mode clusters partitioned commits (hash: one file per dir)") {
+    val cat = freshCatalog()
+    val df = spark.range(0, 3000).toDF("id")
+      .withColumn("grp", concat(lit("g"), (col("id") % 3).cast("string")))
+      .repartition(4)
+    // CONTRAST table, default mode=none: each of the 4 writer tasks fans
+    // out across all 3 partition values — W x P files
+    cat.createTable("db", "dn", df.schema, partitionCols = Seq("grp"))
+    val saved = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val sn = cat.append("db", "dn", df)
+      val perDirNone = sn.files.groupBy(_.split("/")(2)).view.mapValues(_.size).toMap
+      assert(perDirNone.values.exists(_ > 1),
+        s"mode=none must keep task fan-out (got $perDirNone)")
+
+      // hash mode: every occupied dir receives exactly ONE file per commit
+      cat.createTable("db", "dh", df.schema, partitionCols = Seq("grp"),
+        properties = Map("write.distribution-mode" -> "hash"))
+      val sh = cat.append("db", "dh", df)
+      val perDirHash = sh.files.groupBy(_.split("/")(2)).view.mapValues(_.size).toMap
+      assert(perDirHash.keySet == Set("grp=g0", "grp=g1", "grp=g2"), s"$perDirHash")
+      assert(perDirHash.values.forall(_ == 1),
+        s"hash distribution must cluster each partition into one file: $perDirHash")
+      // data identical across layouts
+      assert(cat.readLatest("db", "dh").except(cat.readLatest("db", "dn")).isEmpty
+        && cat.readLatest("db", "dn").except(cat.readLatest("db", "dh")).isEmpty)
+
+      // range mode + sort order: files inside a dir carry DISJOINT sort
+      // ranges (footer-bound contract), dirs stay few-file
+      cat.createTable("db", "dr", df.schema, partitionCols = Seq("grp"),
+        properties = Map("write.distribution-mode" -> "range",
+          "write.sort-order" -> "id"))
+      val sr = cat.append("db", "dr", df)
+      sr.files.groupBy(_.split("/")(2)).foreach { case (_, fs) =>
+        val bounds = fs.map { f =>
+          val st = sr.fileStats(f)
+          (st("min.id").toLong, st("max.id").toLong)
+        }.sortBy(_._1)
+        bounds.sliding(2).foreach {
+          case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $bounds")
+          case _ =>
+        }
+      }
+      assert(cat.readLatest("db", "dr").except(cat.readLatest("db", "dn")).isEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", saved)
+
+    // hash on an unpartitioned table refuses before any write
+    cat.createTable("db", "du", df.schema,
+      properties = Map("write.distribution-mode" -> "hash"))
+    val e1 = intercept[IllegalArgumentException](cat.append("db", "du", df))
+    assert(e1.getMessage.contains("requires a"), e1.getMessage)
+    // unknown mode refuses loudly
+    cat.createTable("db", "dx", df.schema, partitionCols = Seq("grp"),
+      properties = Map("write.distribution-mode" -> "shuffle"))
+    val e2 = intercept[IllegalArgumentException](cat.append("db", "dx", df))
+    assert(e2.getMessage.contains("none|hash|range"), e2.getMessage)
+  }
+
   test("readChangelog: row-level +/- across deletes, updates, appends; compact is silent") {
     import spark.implicits._
     val cat = new SnapshotCatalog(spark, Files.createTempDirectory("graft_cdc_").toString)
