@@ -2129,6 +2129,44 @@ object SparkEntry {
         .orderBy("status")
     }),
 
+    // DYNAMIC PARTITION OVERWRITE (r13 continuation): Iceberg's
+    // `replacePartitions` / Spark's INSERT OVERWRITE under
+    // `partitionOverwriteMode=dynamic` — replace exactly the partitions
+    // the incoming frame touches, carry every other partition's files
+    // VERBATIM (the late-data restatement shape; a full overwrite turns
+    // it into a 100-TB rewrite). The fixture restates the F partition
+    // (doubled cents for a key slice) and introduces a new X partition
+    // over a table whose carried O partition holds live MoR deletes —
+    // REQUIREs the op tag, verbatim carry of untouched partition files,
+    // and that the carried delete shard stays in force; the oracle
+    // replays survivors + restatement raw.
+    "q179_dynamic_overwrite" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.tableExists("maint", "dyn_orders")) cat.dropTable("maint", "dyn_orders")
+      val o = T(s, dir, "orders").select(col("o_orderstatus").as("status"),
+        col("o_orderkey").as("okey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      cat.createTable("maint", "dyn_orders", o.schema, partitionCols = Seq("status"))
+      cat.append("maint", "dyn_orders", o)
+      cat.deleteMoR("maint", "dyn_orders",
+        col("status") === "O" && col("okey") % 10 === 0)
+      val restated = o.where(col("status") === "F" && col("okey") % 3 === 0)
+        .withColumn("cents", col("cents") * 2)
+        .unionByName(o.where(col("okey") % 97 === 0).withColumn("status", lit("X")))
+      val snap = cat.overwriteDynamic("maint", "dyn_orders", restated)
+      require(snap.operation == "dynamic-overwrite", s"took '${snap.operation}'")
+      val before = cat.snapshotAt("maint", "dyn_orders", snap.snapshotId - 1)
+      require(before.files.filterNot(_.contains("status=F"))
+          .forall(snap.files.contains),
+        "untouched partitions must carry verbatim (no rewrite)")
+      require(!snap.files.exists(f => before.files.contains(f) && f.contains("status=F")),
+        "the replaced partition's files must not carry")
+      cat.readLatest("maint", "dyn_orders")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+        .orderBy("status")
+    }),
+
     // METADATA-SERVED GROUP-BY-PARTITION COUNT (r13 continuation):
     // `SELECT p, count(*) ... GROUP BY p` over a hive-laid table answers
     // from per-file partition values + exact footer row counts — zero
@@ -5357,6 +5395,24 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS total_cents
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // survivors of the carried partitions (O minus its MoR-deleted slice,
+    // all of P) plus the F restatement and the new X partition
+    "q179_dynamic_overwrite" ->
+      """WITH o AS (SELECT o_orderstatus AS status, o_orderkey AS okey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |survivors AS (
+        |  SELECT * FROM o
+        |  WHERE status <> 'F' AND NOT (status = 'O' AND okey % 10 = 0)),
+        |restated AS (
+        |  SELECT status, okey, cents * 2 AS cents FROM o
+        |  WHERE status = 'F' AND okey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'X' AS status, okey, cents FROM o WHERE okey % 97 = 0),
+        |final AS (SELECT * FROM survivors UNION ALL SELECT * FROM restated)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM final GROUP BY 1 ORDER BY status""".stripMargin,
 
     // the two appends cover every orders row exactly once
     "q172_meta_partition_count" ->

@@ -1990,6 +1990,131 @@ final class SnapshotCatalog(
       extraSummary: Map[String, String] = Map.empty): Snapshot =
     commit(db, table, df, "overwrite", extraSummary = extraSummary)
 
+  /** DYNAMIC PARTITION OVERWRITE (Iceberg's `replacePartitions` / Spark's
+    * `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic`): replace
+    * exactly the partitions the incoming frame TOUCHES, carry every other
+    * partition's files verbatim — the late-data restatement shape ("re-run
+    * yesterday's pipeline output") that a full overwrite turns into a
+    * 100-TB rewrite and a static overwrite makes the caller enumerate.
+    *
+    * Cost: one partitioned write of the incoming rows plus a METADATA
+    * classification of the previous snapshot's files by their hive
+    * partition directories — untouched partitions never move. Replaced
+    * partitions' rows die with their files (their MoR delete shards go
+    * inert; carried files keep theirs — [[carryDeleteShards]]). Identity
+    * and hidden time/truncate transforms both work (the layout column is
+    * derived here); BUCKETED tables refuse — replacing a hash bucket
+    * replaces unrelated keys, not a data partition. An empty frame
+    * replaces nothing (the snapshot carries whole).
+    *
+    * Classification compares raw `k=v` directory segments between old and
+    * new files — both sides were written by this catalog's writer, so
+    * value escaping is identical by construction and null partitions
+    * (`__HIVE_DEFAULT_PARTITION__`) match exactly. A previous file not
+    * hive-laid on the CURRENT spec (partition evolution leftovers) cannot
+    * be classified and refuses loudly — compact() first. */
+  def overwriteDynamic(db: String, table: String, df: DataFrame): Snapshot = {
+    val tm = meta(db, table)
+    require(tm.partitionCols.nonEmpty,
+      s"dynamic overwrite of $db.$table requires a partitioned table - " +
+        "use overwrite for a full replace")
+    require(tm.bucketSpec.isEmpty,
+      s"dynamic overwrite of $db.$table: bucketed layouts partition by key " +
+        "HASH - replacing a bucket replaces unrelated keys; use overwrite " +
+        "or row-level DML")
+    val frame = deriveLayout(db, table, df)
+    // append-style schema gate BEFORE any bytes land (carried files must
+    // stay readable under the unchanged table schema)
+    val cur = currentSnapshot(db, table)
+    val missing = cur.schema.fieldNames.filterNot(frame.schema.fieldNames.contains)
+    val extra = frame.schema.fieldNames.filterNot(cur.schema.fieldNames.contains)
+    require(missing.isEmpty && extra.isEmpty,
+      s"dynamic overwrite schema mismatch for $db.$table: " +
+        s"missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
+    val retyped = cur.schema.fields
+      .filterNot(f => f.dataType.sql == frame.schema(f.name).dataType.sql)
+    require(retyped.isEmpty,
+      s"dynamic overwrite type mismatch for $db.$table: " +
+        retyped.map(f => s"${f.name}: table=${f.dataType.sql} " +
+          s"frame=${frame.schema(f.name).dataType.sql}").mkString(", "))
+    val dirName = s"dyn-${java.util.UUID.randomUUID().toString.take(12)}"
+    val outDir = tablePath(db, table).resolve("data").resolve(dirName)
+    // hash write distribution composes (one file per replaced partition)
+    val distributed =
+      if (tm.properties.get("write.distribution-mode").contains("hash"))
+        frame.repartition(tm.partitionCols.map(c => col(s"`$c`")): _*)
+      else frame
+    val w = tm.properties.get("write.target-records-per-file") match {
+      case Some(n) => distributed.write.mode("overwrite").option("maxRecordsPerFile", n.toLong)
+      case None => distributed.write.mode("overwrite")
+    }
+    w.partitionBy(tm.partitionCols: _*).parquet(outDir.toString)
+    adoptDynamicOverwrite(db, table, dirName)
+  }
+
+  /** Commit an already-written hive-laid data dir as a dynamic partition
+    * overwrite: classify the previous snapshot's files by partition dir,
+    * carry the untouched ones, adopt the new dir's files — the terminal
+    * step [[overwriteDynamic]] and the SQL `INSERT OVERWRITE` (dynamic
+    * mode) V2 write share. Runs under the table lock; classification
+    * happens against the snapshot current AT COMMIT, so a concurrent
+    * append to an untouched partition carries through correctly. */
+  def adoptDynamicOverwrite(db: String, table: String,
+      dataDirName: String): Snapshot = withTableLock(db, table) {
+    val tm = meta(db, table)
+    require(tm.bucketSpec.isEmpty,
+      s"dynamic overwrite of $db.$table refuses bucketed layouts")
+    val entries = entriesForWrite(db, table)
+    requireNoPendingStage(db, table, entries)
+    val prevEntry = publishedEntry(entries)
+    val prev = materialize(db, table, prevEntry)
+    val root = tablePath(db, table)
+    val snapDir = root.resolve("data").resolve(dataDirName)
+    val pk = tm.partitionCols
+    // the `k=v` dir segments between the snapshot dir and the file name;
+    // raw-string comparison is exact because both sides came out of this
+    // catalog's writer (identical escaping, identical null-partition dir)
+    def partTuple(rel: String, what: String): Seq[String] = {
+      val s = rel.split('/').toSeq.drop(2).dropRight(1)
+      require(s.size == pk.size &&
+          pk.indices.forall(i => s(i).startsWith(pk(i) + "=")),
+        s"dynamic overwrite of $db.$table: $what file $rel is not hive-laid " +
+          s"on the current partition spec (${pk.mkString(",")}) - compact() " +
+          "the table first")
+      s
+    }
+    val newFiles = listParquetFiles(snapDir).map(p =>
+      s"data/$dataDirName/" + snapDir.relativize(p).toString.replace('\\', '/'))
+    // expect.mode=commit gates the INCOMING rows, like append/overwrite
+    // (carried partitions predate the batch and never re-validate). One
+    // read-back of only the new files; a refusal deletes the staged dir —
+    // nothing committed, nothing orphaned.
+    if (newFiles.nonEmpty && tm.properties.get("expect.mode").contains("commit")) {
+      val exps = expectationsOf(db, table)
+      if (exps.nonEmpty) {
+        val written = spark.read.schema(prev.schema)
+          .option("basePath", snapDir.toString).parquet(snapDir.toString)
+        val bad = expectationViolations(written, exps).filter(_._2 > 0)
+        if (bad.nonEmpty) {
+          deleteRecursively(snapDir)
+          throw new IllegalStateException(
+            s"dynamic overwrite to $db.$table refused (expect.mode=commit): " +
+              bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+        }
+      }
+    }
+    // an UNPARTITIONED table has no partitions to replace: dynamic mode
+    // degenerates to the full overwrite (Iceberg's semantics — the SQL
+    // path reaches here whenever the session conf is dynamic)
+    if (tm.partitionCols.isEmpty)
+      return adoptDir(db, table, "overwrite", dataDirName, Seq.empty,
+        Map.empty, Map.empty, entries, prevEntry, prev)
+    val touched = newFiles.map(f => partTuple(f, "incoming")).toSet
+    val carries = prev.files.filter(f => !touched.contains(partTuple(f, "existing")))
+    adoptDir(db, table, "dynamic-overwrite", dataDirName, carries,
+      prev.fileStats, Map.empty, entries, prevEntry, prev)
+  }
+
   /** ZERO-COPY file adoption (Iceberg `add_files`; the migration data plane
     * without the rewrite): move externally-written parquet files into the
     * table as ONE commit. Per-file cost is a same-filesystem RENAME plus one

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.InsertableRelation
@@ -271,10 +271,41 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * write is one new snapshot, exactly like the library API. */
   private final class SnapWriteBuilder(db: String, table: String,
       startTruncated: Boolean, info: LogicalWriteInfo)
-      extends WriteBuilder with SupportsTruncate {
+      extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
     private var overwriteAll = startTruncated
+    private var dynamic = false
     override def truncate(): WriteBuilder = { overwriteAll = true; this }
-    override def build(): Write = new V1Write {
+
+    /** DYNAMIC partition overwrite (`INSERT OVERWRITE` under
+      * `spark.sql.sources.partitionOverwriteMode=dynamic`, or
+      * `df.writeTo(t).overwritePartitions()`): Spark plans
+      * OverwritePartitionsDynamicExec — a REAL V2 batch write (no V1
+      * fallback exists for it), so [[build]] returns the write-then-adopt
+      * protocol instead of the V1 InsertableRelation. Refusals (bucketed,
+      * unpartitioned, WAP-armed) fire at plan time, before any bytes. */
+    override def overwriteDynamicPartitions(): WriteBuilder = {
+      val tm = cat.meta(db, table)
+      // a session-wide partitionOverwriteMode=dynamic plans this node for
+      // EVERY overwritten table — an unpartitioned one has no partitions
+      // to replace, so dynamic degenerates to the full replace (Iceberg's
+      // behavior; refusing would break plain INSERT OVERWRITE under the
+      // session conf). Spark still executes OverwritePartitionsDynamicExec
+      // (a real batch write), so the degradation happens in the adopt step
+      // ([[SnapshotCatalog.adoptDynamicOverwrite]]), not by falling back
+      // to the V1 truncate path.
+      require(tm.bucketSpec.isEmpty,
+        s"dynamic partition overwrite of $catalogName.$db.$table: bucketed " +
+          "layouts partition by key hash - replacing a bucket replaces " +
+          "unrelated keys; use a static overwrite or row-level DML")
+      require(!tm.properties.get("write.wap.enabled").contains("true"),
+        s"dynamic partition overwrite of $catalogName.$db.$table cannot stage " +
+          "under write.wap.enabled - publish via a static INSERT OVERWRITE, " +
+          "or disable WAP for this write")
+      dynamic = true
+      this
+    }
+
+    override def build(): Write = if (dynamic) buildDynamic() else new V1Write {
       override def toInsertableRelation: InsertableRelation =
         new InsertableRelation {
           override def insert(data: DataFrame, ignored: Boolean): Unit = {
@@ -305,6 +336,42 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         new SnapStreamingWrite(db, table,
           if (overwriteAll) "overwrite" else "append", info,
           laidHidden = cat.meta(db, table).hiddenCols.nonEmpty)
+    }
+
+    /** The dynamic-overwrite batch write: rows land flat (visible schema)
+      * in a fresh uniquely-named data dir via the stock V2 parquet writer,
+      * the driver commit re-lays them into the table's hive layout
+      * ([[SnapshotCatalog.relayoutLaid]] — identity dirs, hidden `__pt`
+      * derivation, hash distribution all honored) and
+      * [[SnapshotCatalog.adoptDynamicOverwrite]] classifies + carries the
+      * untouched partitions under the table lock. A crash before the
+      * adopt leaves only an orphan dir (removeOrphanFiles sweeps). */
+    private def buildDynamic(): Write = new Write {
+      import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+      override def description(): String = s"snapcat dynamic overwrite of $db.$table"
+      override def toBatch: BatchWrite = {
+        val dirName = s"dyn-${java.util.UUID.randomUUID().toString.take(12)}"
+        val snapDir = java.nio.file.Paths.get(warehouse, db, table, "data", dirName)
+        java.nio.file.Files.createDirectories(snapDir)
+        val inner = ParquetTable(s"$db.$table dynamic overwrite", spark,
+          CaseInsensitiveStringMap.empty(), Seq(snapDir.toString),
+          Some(info.schema), classOf[ParquetFileFormat])
+          .newWriteBuilder(info).build().toBatch
+        new BatchWrite {
+          override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+            inner.createBatchWriterFactory(p)
+          override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+            inner.onDataWriterCommit(message)
+          override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            inner.commit(messages)
+            val laidDir = cat.relayoutLaid(db, table, dirName)
+            cat.adoptDynamicOverwrite(db, table, laidDir)
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            inner.abort(messages)
+        }
+      }
     }
   }
 
@@ -924,6 +991,10 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        // dynamic partition overwrite is a REAL V2 batch write (no V1
+        // fallback plan exists) — BATCH_WRITE advertises only that path;
+        // plain INSERTs still route through the V1 InsertableRelation
+        TableCapability.BATCH_WRITE, TableCapability.OVERWRITE_DYNAMIC,
         TableCapability.STREAMING_WRITE)
 
     /** Scan over THIS table's snapshot (reader options already resolved).

@@ -1647,4 +1647,63 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(df.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toSet ==
       Set(Some("a") -> 2L, Some("b") -> 1L, None -> 2L))
   }
+
+  test("INSERT OVERWRITE: dynamic mode replaces touched partitions, static replaces all") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    val init = Seq((1L, "g0"), (2L, "g0"), (11L, "g1"), (21L, "g2")).toDF("id", "grp")
+    cat.createTable("dyno", "t", init.schema, partitionCols = Seq("grp"))
+    cat.append("dyno", "t", init)
+    val before = cat.currentSnapshot("dyno", "t")
+    val saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.sql("INSERT OVERWRITE snapcat.dyno.t VALUES " +
+        "(CAST(100 AS BIGINT), 'g2'), (CAST(200 AS BIGINT), 'g3')")
+      val after = cat.currentSnapshot("dyno", "t")
+      assert(after.operation == "dynamic-overwrite")
+      // untouched partitions carried verbatim (same file paths)
+      assert(before.files.filterNot(_.contains("grp=g2")).toSet
+        .subsetOf(after.files.toSet))
+      assert(spark.sql("SELECT id FROM snapcat.dyno.t ORDER BY id")
+        .as[Long].collect().toSeq == Seq(1L, 2L, 11L, 100L, 200L))
+
+      // writeTo().overwritePartitions() — the DataFrameWriterV2 spelling
+      Seq((300L, "g3")).toDF("id", "grp")
+        .writeTo("snapcat.dyno.t").overwritePartitions()
+      assert(spark.sql("SELECT id FROM snapcat.dyno.t ORDER BY id")
+        .as[Long].collect().toSeq == Seq(1L, 2L, 11L, 100L, 300L))
+
+      // an UNPARTITIONED table under the dynamic session conf degrades to
+      // the full replace instead of refusing
+      cat.createTable("dyno", "flat", init.schema)
+      cat.append("dyno", "flat", init)
+      spark.sql("INSERT OVERWRITE snapcat.dyno.flat VALUES (CAST(7 AS BIGINT), 'x')")
+      assert(spark.sql("SELECT id FROM snapcat.dyno.flat").as[Long].collect().toSeq
+        == Seq(7L))
+
+      // hidden-transform layout: dynamic overwrite replaces whole DAYS
+      spark.sql("CREATE TABLE snapcat.dyno.ev (id BIGINT, t TIMESTAMP) " +
+        "PARTITIONED BY (days(t))")
+      spark.sql("INSERT INTO snapcat.dyno.ev VALUES " +
+        "(CAST(1 AS BIGINT), TIMESTAMP'2026-01-01 05:00:00')," +
+        "(CAST(2 AS BIGINT), TIMESTAMP'2026-01-02 06:00:00')")
+      spark.sql("INSERT OVERWRITE snapcat.dyno.ev VALUES " +
+        "(CAST(9 AS BIGINT), TIMESTAMP'2026-01-02 23:00:00')")
+      assert(spark.sql("SELECT id FROM snapcat.dyno.ev ORDER BY id")
+        .as[Long].collect().toSeq == Seq(1L, 9L),
+        "day 2026-01-02 replaced, day 2026-01-01 carried")
+
+      // bucketed layouts refuse dynamic overwrite loudly
+      cat.createBucketedTable("dyno", "bkt", init.schema, bucketCol = "id", nBuckets = 2)
+      val e = intercept[Exception](
+        spark.sql("INSERT OVERWRITE snapcat.dyno.bkt VALUES (CAST(1 AS BIGINT), 'g0')"))
+      assert(e.getMessage.contains("bucket"), e.getMessage)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    // static mode (the default) keeps full-replace semantics
+    spark.sql("INSERT OVERWRITE snapcat.dyno.t VALUES (CAST(42 AS BIGINT), 'only')")
+    assert(spark.sql("SELECT id FROM snapcat.dyno.t").as[Long].collect().toSeq
+      == Seq(42L))
+  }
 }

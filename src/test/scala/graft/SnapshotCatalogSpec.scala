@@ -903,6 +903,60 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("none|hash|range"), e2.getMessage)
   }
 
+  test("dynamic partition overwrite: touched partitions replace, the rest carry") {
+    val cat = freshCatalog()
+    def rows(ids: Range, g: Int) = spark.createDataFrame(
+      ids.map(i => (i.toLong, s"g$g", i * 10L))).toDF("id", "grp", "v")
+    val init = rows(1 to 10, 0).union(rows(11 to 20, 1)).union(rows(21 to 30, 2))
+    cat.createTable("db", "t", init.schema, partitionCols = Seq("grp"))
+    cat.append("db", "t", init)                                         // snap 2
+    cat.append("db", "t", rows(31 to 35, 0))                            // snap 3: more g0
+    // MoR deletes: one in a partition that will CARRY (g1) and one in a
+    // partition that will be REPLACED (g2)
+    cat.deleteMoR("db", "t", col("id") === 11L || col("id") === 21L)    // snap 4
+    val before = cat.currentSnapshot("db", "t")
+
+    // replace g2, introduce g3; g0/g1 untouched
+    val incoming = rows(100 to 104, 2).union(rows(200 to 203, 3))
+    val snap = cat.overwriteDynamic("db", "t", incoming)
+    assert(snap.operation == "dynamic-overwrite")
+
+    // carried files are the SAME paths (no rewrite of untouched partitions)
+    val carriedBefore = before.files.filterNot(_.contains("grp=g2")).toSet
+    assert(carriedBefore.subsetOf(snap.files.toSet),
+      s"untouched partitions must carry verbatim")
+    assert(!snap.files.exists(f => before.files.contains(f) && f.contains("grp=g2")),
+      "replaced partition files must not carry")
+
+    // content: old g0 (both commits), old g1 minus the MoR-deleted row
+    // (the carried delete shard stays live), new g2, new g3
+    val got = cat.readLatest("db", "t").select("id").as[Long].collect().toSet
+    val want = (1 to 10).map(_.toLong).toSet ++ (31 to 35).map(_.toLong) ++
+      (12 to 20).map(_.toLong) ++ (100 to 104).map(_.toLong) ++
+      (200 to 203).map(_.toLong)
+    assert(got == want, s"diff: extra=${got.diff(want)} missing=${want.diff(got)}")
+    // metadata record count stays exact through carry + dead-row arithmetic
+    assert(snap.recordCount == want.size.toLong)
+
+    // time travel to the pre-overwrite state is intact
+    assert(cat.readAsOf("db", "t", before.snapshotId).count() ==
+      (30 + 5 - 2).toLong)
+
+    // an EMPTY incoming frame replaces nothing
+    val snap2 = cat.overwriteDynamic("db", "t", incoming.limit(0))
+    assert(snap2.files.toSet == snap.files.toSet && snap2.recordCount == snap.recordCount)
+
+    // refusals: unpartitioned and bucketed tables
+    cat.createTable("db", "flat", init.schema)
+    val e1 = intercept[IllegalArgumentException](
+      cat.overwriteDynamic("db", "flat", incoming))
+    assert(e1.getMessage.contains("partitioned"), e1.getMessage)
+    cat.createBucketedTable("db", "bkt", init.schema, bucketCol = "id", nBuckets = 4)
+    val e2 = intercept[IllegalArgumentException](
+      cat.overwriteDynamic("db", "bkt", incoming))
+    assert(e2.getMessage.contains("bucket"), e2.getMessage)
+  }
+
   test("readChangelog: row-level +/- across deletes, updates, appends; compact is silent") {
     import spark.implicits._
     val cat = new SnapshotCatalog(spark, Files.createTempDirectory("graft_cdc_").toString)
