@@ -2167,6 +2167,42 @@ object SparkEntry {
         .orderBy("status")
     }),
 
+    // ZERO-COPY TABLE CLONE (r13 continuation): Iceberg's `snapshot`
+    // procedure / Delta's shallow CLONE, hardened — the clone's data
+    // files are HARD LINKS of the source's at the same relative paths
+    // (REQUIRED: same inode — zero bytes copied), live MoR delete shards
+    // carry in force, and the two tables diverge with fully independent
+    // lifecycles (append to the clone, CoW-delete from the source).
+    // The oracle replays BOTH end states from raw; a retro-leak in either
+    // direction fails the hash.
+    "q180_clone_table" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      for (t <- Seq("cl_dst", "cl_src"))
+        if (cat.tableExists("maint", t)) cat.dropTable("maint", t)
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      cat.createTable("maint", "cl_src", o.schema)
+      cat.append("maint", "cl_src", o.where(col("okey") % 2 === 0))
+      cat.deleteMoR("maint", "cl_src", col("okey") % 10 === 0)
+      val snap = cat.cloneTable("maint", "cl_src", "maint", "cl_dst")
+      require(snap.operation == "clone", s"took '${snap.operation}'")
+      val rel = snap.files.head
+      val wh = java.nio.file.Paths.get(cat.warehouse, "maint")
+      require(java.nio.file.Files.getAttribute(wh.resolve("cl_src").resolve(rel), "unix:ino")
+          == java.nio.file.Files.getAttribute(wh.resolve("cl_dst").resolve(rel), "unix:ino"),
+        "clone must hard-link (same inode), never copy bytes")
+      cat.append("maint", "cl_dst",
+        o.where(col("okey") % 2 === 1 && col("okey") % 7 === 0))
+      cat.delete("maint", "cl_src", col("status") === "O")
+      val src = cat.readLatest("maint", "cl_src").withColumn("side", lit("src"))
+      val dst = cat.readLatest("maint", "cl_dst").withColumn("side", lit("dst"))
+      src.unionByName(dst)
+        .groupBy("side")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+        .orderBy("side")
+    }),
+
     // METADATA-SERVED GROUP-BY-PARTITION COUNT (r13 continuation):
     // `SELECT p, count(*) ... GROUP BY p` over a hive-laid table answers
     // from per-file partition values + exact footer row counts — zero
@@ -5413,6 +5449,21 @@ object SparkEntry {
         |SELECT status, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS total_cents
         |FROM final GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // both divergent end states replayed raw: the clone keeps the MoR
+    // survivors plus its own append; the source loses its O rows
+    "q180_clone_table" ->
+      """WITH o AS (SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |base AS (SELECT * FROM o WHERE okey % 2 = 0 AND okey % 10 <> 0),
+        |src AS (SELECT 'src' AS side, cents FROM base WHERE status <> 'O'),
+        |dst AS (SELECT 'dst' AS side, cents FROM base
+        |  UNION ALL
+        |  SELECT 'dst' AS side, cents FROM o WHERE okey % 2 = 1 AND okey % 7 = 0)
+        |SELECT side, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM (SELECT * FROM src UNION ALL SELECT * FROM dst) u
+        |GROUP BY 1 ORDER BY side""".stripMargin,
 
     // the two appends cover every orders row exactly once
     "q172_meta_partition_count" ->

@@ -1990,6 +1990,86 @@ final class SnapshotCatalog(
       extraSummary: Map[String, String] = Map.empty): Snapshot =
     commit(db, table, df, "overwrite", extraSummary = extraSummary)
 
+  /** ZERO-COPY TABLE CLONE (Iceberg's `snapshot` procedure / Delta's
+    * shallow CLONE, hardened for independent lifecycles): materialize the
+    * source's CURRENT PUBLISHED snapshot as a brand-new table whose data
+    * files are HARD LINKS at the same table-relative paths — O(files)
+    * metadata operations, zero data movement, zero bytes duplicated.
+    * Unlike Iceberg's snapshot tables (which read the source's files in
+    * place and must disable GC to stay safe), hard links give each table
+    * an independent inode reference: `expireSnapshots`/`removeOrphanFiles`
+    * on EITHER side unlinks only its own name and can never corrupt the
+    * other — both tables keep full maintenance rights from birth. On a
+    * filesystem without hard links (or across devices) the clone degrades
+    * to a per-file copy, still one pass of I/O with identical semantics.
+    *
+    * What carries: the current file list + footer stats (verbatim
+    * manifest), live MoR delete shards (dead-position parquet hardlinked,
+    * shard docs re-written), bloom sidecars, the NDV sidecar, schema,
+    * partition spec, and table properties. What does NOT: history (the
+    * clone's log has exactly one entry — time travel starts here), tags,
+    * branches, and staged WAP snapshots. The clone entry KEEPS the
+    * source's snapshot id so future commits on the clone (ids strictly
+    * above it) can never collide with a cloned `data/s<id>`/`deletes/s<id>`
+    * directory or `m<id>`/`d<id>` shard name — the naming invariant that
+    * makes verbatim shard reuse safe. Row-lineage high-waters ride the
+    * copied summary, so cloned ids stay stable and fresh ids never
+    * collide. */
+  def cloneTable(srcDb: String, srcTable: String,
+      dstDb: String, dstTable: String): Snapshot = withTableLock(srcDb, srcTable) {
+    require(tableExists(srcDb, srcTable), s"no such table: $srcDb.$srcTable")
+    require(!tableExists(dstDb, dstTable),
+      s"clone target $dstDb.$dstTable already exists")
+    require(!viewExists(dstDb, dstTable),
+      s"clone target $dstDb.$dstTable collides with a view")
+    val entries = entriesForWrite(srcDb, srcTable)
+    val prevEntry = publishedEntry(entries)
+    val prev = materialize(srcDb, srcTable, prevEntry)
+    val tm = meta(srcDb, srcTable)
+    val srcRoot = tablePath(srcDb, srcTable)
+    val dstRoot = tablePath(dstDb, dstTable)
+    createNamespace(dstDb)
+    Files.createDirectories(dataPath(dstDb, dstTable))
+    Files.createDirectories(logPath(dstDb, dstTable).getParent)
+    // hard-link every referenced artifact at its table-relative path:
+    // data files, dead-position parquet, bloom sidecars, the NDV sidecar
+    val bloomRels = prev.fileStats.valuesIterator
+      .flatMap(_.collect { case (k, v) if k.startsWith("bloom.") => v }).toSeq
+    val ndvRels = prev.summary.get("ndv.snapshot").map(_.toLong)
+      .map(NdvStats.sidecarRel).filter(r => Files.exists(srcRoot.resolve(r))).toSeq
+    val rels = (prev.files ++ prev.deleteFiles.map(_.path) ++ bloomRels ++ ndvRels).distinct
+    rels.foreach { rel =>
+      val from = srcRoot.resolve(rel)
+      val to = dstRoot.resolve(rel)
+      Files.createDirectories(to.getParent)
+      try Files.createLink(to, from)
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(from, to) // cross-device / linkless FS: one-pass copy
+      }
+    }
+    // table doc: schema/partition spec/properties carry; refs, branches
+    // and any staged state do not (fresh lineage)
+    writeString(metaPath(dstDb, dstTable), Json.writePretty(
+      TableMeta(dstDb, dstTable, tm.partitionCols, tm.properties).toJson))
+    SnapshotCatalog.purgeManifestCache(dstRoot)
+    // one fresh manifest shard (same name discipline as a normal commit at
+    // this id) + re-written delete shard docs, then the single log entry
+    val tag = attemptTag()
+    val shard = s"m${prev.snapshotId}$tag.json"
+    writeManifest(dstDb, dstTable, shard, Manifest(prev.files, prev.fileStats))
+    val delShards = prevEntry.deletes.zipWithIndex.map { case (name, i) =>
+      val dn = s"d${prev.snapshotId}$tag-c$i.json"
+      writeDeleteShard(dstDb, dstTable, dn, loadDeleteShard(srcDb, srcTable, name))
+      dn
+    }
+    writeEntries(dstDb, dstTable, Seq(SnapshotEntry(prev.snapshotId,
+      clock().toString, "clone",
+      prev.summary + ("clone.source" -> s"$srcDb.$srcTable"),
+      prevEntry.schemaDdl, Seq(shard), delShards)))
+    currentSnapshot(dstDb, dstTable)
+  }
+
   /** DYNAMIC PARTITION OVERWRITE (Iceberg's `replacePartitions` / Spark's
     * `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic`): replace
     * exactly the partitions the incoming frame TOUCHES, carry every other

@@ -196,6 +196,21 @@ object SnapProcedures {
         }
       },
 
+      proc("clone_table",
+        "zero-copy clone of the source's current snapshot as a new table: " +
+          "data files hard-link at the same relative paths (independent " +
+          "lifecycles - expire/GC on either side never corrupts the other); " +
+          "history, tags, branches do not carry",
+        Seq(in("source", StringType), in("target", StringType)),
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("files", LongType, nullable = false)))) { input =>
+        val (sdb, st) = dbTable(input, 0)
+        val (tdb, tt) = dbTable(input, 1)
+        val snap = cat.cloneTable(sdb, st, tdb, tt)
+        Seq(row(snap.snapshotId, snap.files.size.toLong))
+      },
+
       proc("rewrite_manifests",
         "consolidate the current snapshot's manifest shards into one; stats-only commit, no data rewritten",
         Seq(in("table", StringType)),

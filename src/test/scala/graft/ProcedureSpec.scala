@@ -622,4 +622,28 @@ class ProcedureSpec extends AnyFunSuite {
     val live = c.readLatest("db", "ddocs").count()
     assert(c.readLatest("db", "dix").count() == live * 32)
   }
+
+  test("clone_table: zero-copy clone via CALL, readable and independent") {
+    wh
+    val c = cat
+    val res = spark.sql(
+      "CALL proccat.system.clone_table('db.nation', 'db.nation_clone')").collect()
+    assert(res.length == 1 && res.head.getLong(1) > 0)
+    assert(spark.sql("SELECT sum(n_nationkey) AS s FROM proccat.db.nation_clone")
+      .head.getLong(0) ==
+      spark.sql("SELECT sum(n_nationkey) AS s FROM proccat.db.nation").head.getLong(0))
+    // divergence: inserts into the clone never reach the source
+    val matched = spark.sql(
+      "SELECT count(*) AS c FROM proccat.db.nation WHERE n_nationkey < 2")
+      .head.getLong(0)
+    spark.sql("INSERT INTO proccat.db.nation_clone " +
+      "SELECT n_nationkey + 100, n_name, n_regionkey " +
+      "FROM proccat.db.nation WHERE n_nationkey < 2")
+    assert(spark.sql("SELECT count(*) AS c FROM proccat.db.nation_clone").head.getLong(0)
+      == spark.sql("SELECT count(*) AS c FROM proccat.db.nation").head.getLong(0) + matched)
+    // existing target refuses
+    val e = intercept[Exception](
+      spark.sql("CALL proccat.system.clone_table('db.nation', 'db.nation_clone')").collect())
+    assert(e.getMessage.contains("exists"), e.getMessage)
+  }
 }

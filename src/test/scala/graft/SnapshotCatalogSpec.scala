@@ -903,6 +903,57 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("none|hash|range"), e2.getMessage)
   }
 
+  test("zero-copy clone: hardlinked files, independent lifecycles") {
+    val cat = freshCatalog()
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("v", (col("id") * 7) % 100)
+    cat.createTable("db", "src", df.schema)
+    cat.append("db", "src", df.where(col("id") < 500).repartition(2))
+    cat.append("db", "src", df.where(col("id") >= 500).repartition(2))
+    cat.deleteMoR("db", "src", col("id") % 10 === 0)       // live delete shard
+    cat.createTag("db", "src", "audit", cat.currentSnapshotId("db", "src"))
+
+    val snap = cat.cloneTable("db", "src", "db2", "dst")
+    assert(snap.operation == "clone"
+      && snap.summary("clone.source") == "db.src")
+    // contents identical, MoR deletes in force on the clone
+    val expect = (0L until 1000L).filter(_ % 10 != 0).toSet
+    assert(cat.readLatest("db2", "dst").select("id").as[Long].collect().toSet == expect)
+    assert(snap.recordCount == expect.size.toLong)
+    // ZERO-COPY: same inode (hard link), not a byte copy
+    val rel = snap.files.head
+    def ino(p: java.nio.file.Path): Any = Files.getAttribute(p, "unix:ino")
+    assert(ino(java.nio.file.Paths.get(cat.warehouse, "db", "src").resolve(rel))
+      == ino(java.nio.file.Paths.get(cat.warehouse, "db2", "dst").resolve(rel)))
+    // tags/branches do not carry; history starts at the clone
+    assert(cat.meta("db2", "dst").refs.isEmpty)
+    assert(cat.snapshotList("db2", "dst").size == 1)
+
+    // diverge both sides: fully independent
+    cat.append("db2", "dst", df.where(col("id") < 10)
+      .withColumn("id", col("id") + 5000))
+    cat.delete("db", "src", col("id") >= 100)
+    assert(cat.readLatest("db", "src").count() == (0L until 100L).count(_ % 10 != 0))
+    assert(cat.readLatest("db2", "dst").select("id").as[Long].collect().toSet ==
+      expect ++ (5000L until 5010L))
+    // clone-side maintenance works (MoR shard materializes; new ids never
+    // collide with cloned dirs because they start above the cloned id)
+    cat.compact("db2", "dst", numFiles = 1)
+    assert(cat.readLatest("db2", "dst").count() == expect.size + 10L)
+
+    // GC independence: expiring the source's history (its old files die)
+    // never touches the clone's hardlinked copies. Drop the tag first —
+    // named refs protect their targets from retention sweeps.
+    cat.dropTag("db", "src", "audit")
+    val srcDead = cat.expireSnapshots("db", "src", keepLast = 1)
+    assert(srcDead > 0, "source expire must actually delete files")
+    assert(cat.readLatest("db2", "dst").count() == expect.size + 10L)
+
+    // refusals: existing target, missing source
+    intercept[IllegalArgumentException](cat.cloneTable("db", "src", "db2", "dst"))
+    intercept[IllegalArgumentException](cat.cloneTable("db", "nope", "db2", "x"))
+  }
+
   test("dynamic partition overwrite: touched partitions replace, the rest carry") {
     val cat = freshCatalog()
     def rows(ids: Range, g: Int) = spark.createDataFrame(
