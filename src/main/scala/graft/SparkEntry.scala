@@ -2203,6 +2203,38 @@ object SparkEntry {
         .orderBy("side")
     }),
 
+    // SCHEMA AUTO-MERGE ON INGEST (r13 continuation): with
+    // `write.merge-schema=true` an append whose frame carries a NEW
+    // column auto-evolves the table (older files null-fill it through
+    // the schema'd read), and a frame MISSING columns null-fills them
+    // for the batch — the open-schema ingest shape (Spark mergeSchema /
+    // Iceberg accept-any-schema) where producers add fields without a
+    // coordinated DDL step. Three appends with three different shapes;
+    // REQUIREs the evolved schema; the oracle replays the projections
+    // with explicit NULLs, so a mis-filled batch fails the hash.
+    "q181_schema_merge" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.tableExists("maint", "sm_orders")) cat.dropTable("maint", "sm_orders")
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val narrow = o.select("okey", "status")
+      cat.createTable("maint", "sm_orders", narrow.schema,
+        properties = Map("write.merge-schema" -> "true"))
+      cat.append("maint", "sm_orders", narrow.where(col("okey") % 3 === 0))
+      cat.append("maint", "sm_orders", o.where(col("okey") % 3 === 1))
+      cat.append("maint", "sm_orders",
+        o.select("okey", "cents").where(col("okey") % 3 === 2))
+      require(cat.currentSnapshot("maint", "sm_orders").schema.fieldNames.toSeq
+          == Seq("okey", "status", "cents"),
+        "the second append must auto-evolve the cents column")
+      cat.readLatest("maint", "sm_orders")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), count(col("cents")).as("nc"),
+          sum("cents").as("total_cents"))
+        .orderBy("status")
+    }),
+
     // METADATA-SERVED GROUP-BY-PARTITION COUNT (r13 continuation):
     // `SELECT p, count(*) ... GROUP BY p` over a hive-laid table answers
     // from per-file partition values + exact footer row counts — zero
@@ -5464,6 +5496,22 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS total_cents
         |FROM (SELECT * FROM src UNION ALL SELECT * FROM dst) u
         |GROUP BY 1 ORDER BY side""".stripMargin,
+
+    // the three ingest shapes replayed with explicit NULLs: batch 1 has
+    // no cents column yet, batch 3 arrived without status
+    "q181_schema_merge" ->
+      """WITH o AS (SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |f AS (
+        |  SELECT okey, status, CAST(NULL AS BIGINT) AS cents FROM o
+        |  WHERE okey % 3 = 0
+        |  UNION ALL SELECT okey, status, cents FROM o WHERE okey % 3 = 1
+        |  UNION ALL SELECT okey, CAST(NULL AS VARCHAR) AS status, cents FROM o
+        |  WHERE okey % 3 = 2)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(cents) AS BIGINT) AS nc,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM f GROUP BY 1 ORDER BY status""".stripMargin,
 
     // the two appends cover every orders row exactly once
     "q172_meta_partition_count" ->

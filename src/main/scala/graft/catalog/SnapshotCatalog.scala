@@ -2378,7 +2378,7 @@ final class SnapshotCatalog(
     * file, not the lake. Their per-file stats (`carryStats`) ride along;
     * snapshot-level numeric min/max fold carried footer bounds with the
     * rewrite's Observation stats. */
-  private def commit(db: String, table: String, df: DataFrame, operation: String,
+  private def commit(db: String, table: String, df0: DataFrame, operation: String,
       carryFiles: Seq[String] = Seq.empty,
       carryStats: Map[String, Map[String, String]] = Map.empty,
       extraSummary: Map[String, String] = Map.empty,
@@ -2416,26 +2416,45 @@ final class SnapshotCatalog(
     // the TABLE schema — explicit-schema reads simply ignore the extra
     // physical columns
     val lineageCols = Set("__rid", "__rseq")
-    val hasRid = df.columns.contains("__rid")
-    val snapSchema = operation match {
+    val hasRid = df0.columns.contains("__rid")
+    // `write.merge-schema=true` (Spark's mergeSchema / Iceberg's
+    // accept-any-schema, the schemaless-ingest shape): an APPEND whose
+    // frame carries NEW top-level columns auto-evolves the table schema
+    // (new columns land nullable — older files null-fill them through the
+    // schema'd read, the proven additive-evolution machinery), and a frame
+    // MISSING table columns null-fills them for this batch. Type changes
+    // still refuse — widening is the explicit [[evolveSchema]] act, never
+    // an ingest side effect. Off by default: a typo'd producer column
+    // should fail loudly unless the table opted into open-schema ingest.
+    val mergeSchema = operation == "append" &&
+      tm.properties.get("write.merge-schema").contains("true")
+    val (df, snapSchema) = operation match {
       case "append" | "compact" =>
         val prevSchema = prev.schema
-        val missing = prevSchema.fieldNames.filterNot(df.schema.fieldNames.contains)
-        val extra = df.schema.fieldNames
+        val missing = prevSchema.fieldNames.filterNot(df0.schema.fieldNames.contains)
+        val extra = df0.schema.fieldNames
           .filterNot(prevSchema.fieldNames.contains).filterNot(lineageCols)
-        require(missing.isEmpty && extra.isEmpty,
+        require(mergeSchema || (missing.isEmpty && extra.isEmpty),
           s"append schema mismatch for $db.$table: missing=${missing.mkString(",")} " +
             s"extra=${extra.mkString(",")}")
-        val retyped = prevSchema.fields
-          .filterNot(f => f.dataType.sql == df.schema(f.name).dataType.sql)
+        val retyped = prevSchema.fields.filter(f => df0.schema.fieldNames.contains(f.name))
+          .filterNot(f => f.dataType.sql == df0.schema(f.name).dataType.sql)
         require(retyped.isEmpty,
           s"append type mismatch for $db.$table: " +
             retyped.map(f => s"${f.name}: table=${f.dataType.sql} " +
-              s"frame=${df.schema(f.name).dataType.sql}").mkString(", "))
-        StructType(prevSchema.fields.map { f =>
-          f.copy(nullable = f.nullable || df.schema(f.name).nullable)
+              s"frame=${df0.schema(f.name).dataType.sql}").mkString(", "))
+        val kept = StructType(prevSchema.fields.map { f =>
+          f.copy(nullable = f.nullable ||
+            !df0.schema.fieldNames.contains(f.name) || df0.schema(f.name).nullable)
         })
-      case _ => StructType(df.schema.fields.filterNot(f => lineageCols(f.name)))
+        val evolved =
+          if (extra.isEmpty) kept
+          else StructType(kept.fields ++
+            extra.map(c => df0.schema(c).copy(nullable = true)))
+        val filled = missing.foldLeft(df0)((d, c) =>
+          d.withColumn(c, lit(null).cast(prevSchema(c).dataType)))
+        (filled, evolved)
+      case _ => (df0, StructType(df0.schema.fields.filterNot(f => lineageCols(f.name))))
     }
 
     // `expect.mode=commit`: validate the INCOMING frame before any bytes

@@ -903,6 +903,40 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("none|hash|range"), e2.getMessage)
   }
 
+  test("write.merge-schema: appends auto-evolve new columns, null-fill missing ones") {
+    val cat = freshCatalog()
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    cat.createTable("db", "m", base.schema)
+    cat.append("db", "m", base)
+    // without the property a new column refuses loudly
+    val wide = Seq((3L, "c", 30L)).toDF("id", "v", "w")
+    val e0 = intercept[IllegalArgumentException](cat.append("db", "m", wide))
+    assert(e0.getMessage.contains("extra=w"), e0.getMessage)
+
+    cat.setProperty("db", "m", "write.merge-schema", Some("true"))
+    cat.append("db", "m", wide) // auto-evolves: w BIGINT, nullable
+    assert(cat.currentSnapshot("db", "m").schema.fieldNames.toSeq == Seq("id", "v", "w"))
+    // older files null-fill the evolved column
+    val rows1 = cat.readLatest("db", "m").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSeq
+    assert(rows1 == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(30L))))
+
+    // a frame MISSING table columns null-fills them for the batch
+    cat.append("db", "m", Seq((4L, 40L)).toDF("id", "w"))
+    val rows2 = cat.readLatest("db", "m").where(col("id") === 4L)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(rows2 == Seq((4L, None, Some(40L))))
+
+    // type changes still refuse — widening is the explicit evolveSchema act
+    val e1 = intercept[IllegalArgumentException](
+      cat.append("db", "m", Seq((5, "e")).toDF("id", "v")
+        .withColumn("id", col("id").cast("int"))))
+    assert(e1.getMessage.contains("type mismatch"), e1.getMessage)
+    // compact never merges: the full surviving state re-observes exactly
+    cat.compact("db", "m", numFiles = 1)
+    assert(cat.readLatest("db", "m").count() == 4)
+  }
+
   test("zero-copy clone: hardlinked files, independent lifecycles") {
     val cat = freshCatalog()
     val df = spark.range(0, 1000).toDF("id")
