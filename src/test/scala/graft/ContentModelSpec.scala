@@ -29,6 +29,7 @@ class ContentModelSpec extends AnyFunSuite {
   import spark.implicits._
 
   private type R = (Long, Long, String)
+  private type P = (Long, Option[String], Long) // (id, grp, score)
 
   private def readAll(cat: SnapshotCatalog): Seq[R] =
     cat.readLatest("db", "t").select("id", "score", "name")
@@ -139,6 +140,85 @@ class ContentModelSpec extends AnyFunSuite {
           .as[R].collect().sorted.toSeq
         assert(tt == m.sorted.toSeq,
           s"trial $trial step $step: time travel to $sid diverged")
+      }
+    }
+  }
+
+  /** The partitioned-table battery: DYNAMIC PARTITION OVERWRITE composed
+    * with every delete flavor, maintenance, and the null partition — the
+    * model replaces exactly the grp values the incoming frame touches.
+    * Trial 2 runs the whole sequence under `write.distribution-mode=hash`
+    * (clustered writes must change only the layout, never content). */
+  test("partitioned content model: dynamic overwrite composes with DML + maintenance") {
+    val rng = new Random(20260816L)
+    (1 to 3).foreach { trial =>
+      var tick = 0L
+      val cat = new SnapshotCatalog(spark,
+        Files.createTempDirectory(s"graft_pcm_$trial").toString,
+        clock = () => { tick += 1; Instant.parse("2026-08-02T00:00:00Z").plusSeconds(tick) })
+      var nextId = 0L
+      def frame(n: Int): Seq[P] = (0 until n).map { _ =>
+        nextId += 1
+        val grp = if (rng.nextInt(10) == 0) None else Some(s"g${rng.nextInt(4)}")
+        (nextId, grp, rng.nextInt(100).toLong)
+      }
+      var model: Vector[P] = frame(25).toVector
+      val props = if (trial == 2) Map("write.distribution-mode" -> "hash")
+        else Map.empty[String, String]
+      cat.createTable("db", "p", model.toDF("id", "grp", "score").schema,
+        partitionCols = Seq("grp"), properties = props)
+      cat.append("db", "p", model.toDF("id", "grp", "score"))
+      val history = scala.collection.mutable.Map(
+        cat.currentSnapshotId("db", "p") -> model)
+      def readAllP(): Seq[P] = cat.readLatest("db", "p")
+        .select("id", "grp", "score").as[P].collect().sorted.toSeq
+
+      (1 to 12).foreach { step =>
+        val opn = rng.nextInt(7)
+        opn match {
+          case 0 => // append across partitions (incl. the null one)
+            val f = frame(4 + rng.nextInt(10))
+            cat.append("db", "p", f.toDF("id", "grp", "score"))
+            model = model ++ f
+          case 1 => // MoR positional delete
+            val c = rng.nextInt(60).toLong + 20L
+            cat.deleteMoR("db", "p", col("score") >= c)
+            model = model.filterNot(_._3 >= c)
+          case 2 => // MoR equality delete by id (covers span partitions)
+            val m = rng.nextInt(4).toLong + 2L
+            val victims = model.map(_._1).distinct.filter(_ % m == 0L)
+            if (victims.nonEmpty) {
+              cat.deleteMoREq("db", "p", victims.toDF("id"))
+              model = model.filterNot(r => victims.contains(r._1))
+            }
+          case 3 => // DYNAMIC OVERWRITE: touched grp values replace wholesale
+            val f = frame(3 + rng.nextInt(8))
+            cat.overwriteDynamic("db", "p", f.toDF("id", "grp", "score"))
+            val touched = f.map(_._2).toSet
+            model = model.filterNot(r => touched.contains(r._2)) ++ f
+          case 4 => // content-preserving maintenance
+            rng.nextInt(3) match {
+              case 0 => cat.compact("db", "p", 1 + rng.nextInt(2))
+              case 1 => cat.convertEqualityDeletes("db", "p")
+              case 2 => cat.compactDeleteFiles("db", "p")
+            }
+          case 5 => // CoW delete
+            val c = rng.nextInt(40).toLong
+            cat.delete("db", "p", col("score") < c)
+            model = model.filterNot(_._3 < c)
+          case 6 => // EMPTY dynamic overwrite replaces nothing
+            cat.overwriteDynamic("db", "p",
+              model.take(0).toDF("id", "grp", "score"))
+        }
+        val got = readAllP()
+        assert(got == model.sorted,
+          s"trial $trial step $step op $opn: content diverged " +
+            s"(${got.size} vs ${model.size} rows)")
+        history(cat.currentSnapshotId("db", "p")) = model
+        val (sid, m) = history.toSeq(rng.nextInt(history.size))
+        val tt = cat.readAsOf("db", "p", sid).select("id", "grp", "score")
+          .as[P].collect().sorted.toSeq
+        assert(tt == m.sorted, s"trial $trial step $step: time travel to $sid diverged")
       }
     }
   }
