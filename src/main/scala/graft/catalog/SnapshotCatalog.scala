@@ -2016,14 +2016,28 @@ final class SnapshotCatalog(
     * copied summary, so cloned ids stay stable and fresh ids never
     * collide. */
   def cloneTable(srcDb: String, srcTable: String,
-      dstDb: String, dstTable: String): Snapshot = withTableLock(srcDb, srcTable) {
+      dstDb: String, dstTable: String,
+      asOfSnapshotId: Option[Long] = None): Snapshot = withTableLock(srcDb, srcTable) {
     require(tableExists(srcDb, srcTable), s"no such table: $srcDb.$srcTable")
     require(!tableExists(dstDb, dstTable),
       s"clone target $dstDb.$dstTable already exists")
     require(!viewExists(dstDb, dstTable),
       s"clone target $dstDb.$dstTable collides with a view")
     val entries = entriesForWrite(srcDb, srcTable)
-    val prevEntry = publishedEntry(entries)
+    // asOfSnapshotId clones a HISTORICAL state ("reproduce yesterday's
+    // training set as a live table") — any retained main-lineage snapshot,
+    // staged/branch entries excluded like every published read
+    val prevEntry = asOfSnapshotId match {
+      case None => publishedEntry(entries)
+      case Some(id) =>
+        val e = entries.find(_.snapshotId == id).getOrElse(
+          throw new NoSuchElementException(
+            s"snapshot $id not found for $srcDb.$srcTable"))
+        require(!isBranchEntry(e) && !isStagedEntry(e),
+          s"snapshot $id of $srcDb.$srcTable is a branch/staged commit - " +
+            "clone a published state (fastForward/publish first)")
+        e
+    }
     val prev = materialize(srcDb, srcTable, prevEntry)
     val tm = meta(srcDb, srcTable)
     val srcRoot = tablePath(srcDb, srcTable)

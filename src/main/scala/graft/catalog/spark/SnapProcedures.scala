@@ -197,17 +197,19 @@ object SnapProcedures {
       },
 
       proc("clone_table",
-        "zero-copy clone of the source's current snapshot as a new table: " +
-          "data files hard-link at the same relative paths (independent " +
-          "lifecycles - expire/GC on either side never corrupts the other); " +
-          "history, tags, branches do not carry",
-        Seq(in("source", StringType), in("target", StringType)),
+        "zero-copy clone of the source's current (or as-of historical) " +
+          "snapshot as a new table: data files hard-link at the same " +
+          "relative paths (independent lifecycles - expire/GC on either " +
+          "side never corrupts the other); history, tags, branches do not carry",
+        Seq(in("source", StringType), in("target", StringType),
+          inDefault("as_of_snapshot_id", LongType, "NULL")),
         StructType(Seq(
           StructField("snapshot_id", LongType, nullable = false),
           StructField("files", LongType, nullable = false)))) { input =>
         val (sdb, st) = dbTable(input, 0)
         val (tdb, tt) = dbTable(input, 1)
-        val snap = cat.cloneTable(sdb, st, tdb, tt)
+        val asOf = if (input.isNullAt(2)) None else Some(input.getLong(2))
+        val snap = cat.cloneTable(sdb, st, tdb, tt, asOf)
         Seq(row(snap.snapshotId, snap.files.size.toLong))
       },
 

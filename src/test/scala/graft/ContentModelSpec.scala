@@ -222,4 +222,78 @@ class ContentModelSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** The open-schema ingest battery (`write.merge-schema=true`): random
+    * appends each carrying a random SUBSET of known columns plus possibly
+    * a brand-new one; the model tracks the evolving column set and each
+    * row as a name->value map (absent = NULL). Interleaved MoR deletes and
+    * compaction prove the evolved reads stay exact through maintenance. */
+  test("schema-merge content model: random wide and narrow appends") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val rng = new Random(20260817L)
+    (1 to 3).foreach { trial =>
+      var tick = 0L
+      val cat = new SnapshotCatalog(spark,
+        Files.createTempDirectory(s"graft_smcm_$trial").toString,
+        clock = () => { tick += 1; Instant.parse("2026-08-03T00:00:00Z").plusSeconds(tick) })
+      var cols: Vector[String] = Vector("c1", "c2")
+      var pending = 3 // next fresh column index
+      // model: one map per row; absent key = NULL in the evolved schema
+      var model: Vector[Map[String, Long]] = Vector.empty
+      def mkDf(rows: Seq[Map[String, Long]], rowCols: Seq[String]) = {
+        val schema = StructType(rowCols.map(c => StructField(c, LongType, nullable = true)))
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](rows.map(m =>
+            Row.fromSeq(rowCols.map(c => m(c)))).asJava), schema)
+      }
+      val first = (1 to 10).map(i =>
+        Map("c1" -> i.toLong, "c2" -> rng.nextInt(50).toLong))
+      cat.createTable("db", "s", mkDf(first, cols).schema,
+        properties = Map("write.merge-schema" -> "true"))
+      cat.append("db", "s", mkDf(first, cols))
+      model = first.toVector
+
+      def readAllS(): Seq[Map[String, Long]] = {
+        val snapCols = cat.currentSnapshot("db", "s").schema.fieldNames.toSeq
+        cat.readLatest("db", "s").collect().toSeq.map { r =>
+          snapCols.zipWithIndex.flatMap { case (c, i) =>
+            Option(r.get(i)).map(v => c -> v.asInstanceOf[Long]) }.toMap
+        }
+      }
+      def sortedRows(rs: Seq[Map[String, Long]]): Seq[String] =
+        rs.map(m => m.toSeq.sorted.mkString(",")).sorted
+
+      (1 to 10).foreach { step =>
+        rng.nextInt(4) match {
+          case 0 | 1 => // append a random projection, maybe with a NEW column
+            val newCol = if (rng.nextInt(3) == 0) {
+              val c = s"c$pending"; pending += 1; Some(c)
+            } else None
+            val keep = cols.filter(_ => rng.nextBoolean())
+            val rowCols = (keep ++ newCol).distinct
+            if (rowCols.nonEmpty) {
+              val rows = (1 to 3 + rng.nextInt(6)).map(_ =>
+                rowCols.map(c => c -> rng.nextInt(100).toLong).toMap)
+              cat.append("db", "s", mkDf(rows, rowCols))
+              cols = cols ++ newCol
+              model = model ++ rows
+            }
+          case 2 => // MoR delete on the oldest column (always present)
+            val c = rng.nextInt(80).toLong
+            cat.deleteMoR("db", "s", col("c1") >= c)
+            model = model.filterNot(_.get("c1").exists(_ >= c))
+          case 3 =>
+            cat.compact("db", "s", 1 + rng.nextInt(2))
+        }
+        assert(cat.currentSnapshot("db", "s").schema.fieldNames.toSeq == cols,
+          s"trial $trial step $step: schema diverged")
+        val got = sortedRows(readAllS())
+        val want = sortedRows(model)
+        assert(got == want,
+          s"trial $trial step $step: content diverged (${got.size} vs ${want.size})")
+      }
+    }
+  }
 }

@@ -963,6 +963,19 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(cat.meta("db2", "dst").refs.isEmpty)
     assert(cat.snapshotList("db2", "dst").size == 1)
 
+    // AS-OF clone: a historical state becomes a live table ("reproduce
+    // yesterday's training set"). Snapshot 2 = first append only,
+    // predating the MoR delete.
+    val asOf = cat.cloneTable("db", "src", "db2", "dst2", asOfSnapshotId = Some(2L))
+    assert(asOf.snapshotId == 2L && asOf.operation == "clone")
+    assert(cat.readLatest("db2", "dst2").select("id").as[Long].collect().toSet ==
+      (0L until 500L).toSet)
+    // its next commit takes id 3 with no dir collision against cloned state
+    cat.append("db2", "dst2", df.limit(1))
+    assert(cat.readLatest("db2", "dst2").count() == 501L)
+    intercept[NoSuchElementException](
+      cat.cloneTable("db", "src", "db2", "x2", asOfSnapshotId = Some(99L)))
+
     // diverge both sides: fully independent
     cat.append("db2", "dst", df.where(col("id") < 10)
       .withColumn("id", col("id") + 5000))
