@@ -2235,6 +2235,39 @@ object SparkEntry {
         .orderBy("status")
     }),
 
+    // FILTER-SCOPED OVERWRITE (r13 continuation): Spark's
+    // OverwriteByExpression — `INSERT OVERWRITE ... PARTITION (p='x')`
+    // in static mode / `writeTo().overwrite(cond)` — delete-matching +
+    // insert as ONE prune-aware commit: files proven clean by partition
+    // dirs/footer stats carry verbatim (REQUIRED), MoR deletes on
+    // carried partitions stay in force, and restating one partition of
+    // a 100-TB table rewrites that partition, not the lake. The oracle
+    // replays survivors + restatement raw.
+    "q182_overwrite_where" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.tableExists("maint", "ow_orders")) cat.dropTable("maint", "ow_orders")
+      val o = T(s, dir, "orders").select(col("o_orderstatus").as("status"),
+        col("o_orderkey").as("okey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      cat.createTable("maint", "ow_orders", o.schema, partitionCols = Seq("status"))
+      cat.append("maint", "ow_orders", o)
+      cat.deleteMoR("maint", "ow_orders",
+        col("status") === "O" && col("okey") % 10 === 0)
+      val restated = o.where(col("status") === "P" && col("okey") % 2 === 0)
+        .withColumn("cents", col("cents") + 1)
+      val snap = cat.overwriteWhere("maint", "ow_orders",
+        col("status") === "P", restated)
+      require(snap.operation == "overwrite-where", s"took '${snap.operation}'")
+      val before = cat.snapshotAt("maint", "ow_orders", snap.snapshotId - 1)
+      require(before.files.filterNot(_.contains("status=P"))
+          .forall(snap.files.contains),
+        "files proven clean by their partition dir must carry verbatim")
+      cat.readLatest("maint", "ow_orders")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+        .orderBy("status")
+    }),
+
     // METADATA-SERVED GROUP-BY-PARTITION COUNT (r13 continuation):
     // `SELECT p, count(*) ... GROUP BY p` over a hive-laid table answers
     // from per-file partition values + exact footer row counts — zero
@@ -5510,6 +5543,21 @@ object SparkEntry {
         |  WHERE okey % 3 = 2)
         |SELECT status, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(cents) AS BIGINT) AS nc,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM f GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // survivors of the untouched partitions (O minus its MoR slice, all
+    // of F) plus the P restatement (even keys, cents + 1)
+    "q182_overwrite_where" ->
+      """WITH o AS (SELECT o_orderstatus AS status, o_orderkey AS okey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |f AS (
+        |  SELECT status, cents FROM o
+        |  WHERE status <> 'P' AND NOT (status = 'O' AND okey % 10 = 0)
+        |  UNION ALL
+        |  SELECT status, cents + 1 AS cents FROM o
+        |  WHERE status = 'P' AND okey % 2 = 0)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS total_cents
         |FROM f GROUP BY 1 ORDER BY status""".stripMargin,
 

@@ -1990,6 +1990,50 @@ final class SnapshotCatalog(
       extraSummary: Map[String, String] = Map.empty): Snapshot =
     commit(db, table, df, "overwrite", extraSummary = extraSummary)
 
+  /** FILTER-SCOPED OVERWRITE (Spark's OverwriteByExpression — the plan
+    * behind `INSERT OVERWRITE t PARTITION (p = 'x')` in static mode and
+    * `df.writeTo(t).overwrite(cond)`): atomically delete the rows matching
+    * `cond` AND insert `df`, as ONE commit. PRUNE-AWARE like [[delete]]:
+    * files whose footer stats/partition dirs prove no match carry over
+    * verbatim, so restating one partition of a 100-TB table rewrites that
+    * partition's files, not the lake. Existing MoR deletes are applied to
+    * the rewritten candidates (no resurrection) and shards still covering
+    * a carried file ride along. Rows the insert supplies are NOT validated
+    * against `cond` (Iceberg's non-validating overwrite — the SQL
+    * PARTITION form is analyzer-constrained anyway). Row-lineage tables
+    * keep survivors' ids and mint fresh ones for the insert (the CoW-merge
+    * mixed-commit discipline). */
+  def overwriteWhere(db: String, table: String, cond: Column,
+      df: DataFrame): Snapshot = withTableLock(db, table) {
+    val lineage = rowLineageEnabled(db, table)
+    val snap = currentSnapshot(db, table)
+    val frame = deriveLayout(db, table, df)
+    val cols = snap.schema.fieldNames.toSeq
+    val missing = cols.filterNot(frame.schema.fieldNames.contains)
+    val extra = frame.schema.fieldNames.filterNot(cols.contains)
+    require(missing.isEmpty && extra.isEmpty,
+      s"overwriteWhere schema mismatch for $db.$table: " +
+        s"missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
+    val retyped = snap.schema.fields
+      .filterNot(f => f.dataType.sql == frame.schema(f.name).dataType.sql)
+    require(retyped.isEmpty,
+      s"overwriteWhere type mismatch for $db.$table: " + retyped.map(f =>
+        s"${f.name}: table=${f.dataType.sql} frame=${frame.schema(f.name).dataType.sql}")
+        .mkString(", "))
+    val (cands, untouched) = pruneFiles(db, table, snap.snapshotId, cond)
+    val survivors =
+      (if (lineage) readVisibleWithRidSeq(db, table, snap, cands)
+       else readVisible(db, table, snap, cands))
+        .where(!coalesce(cond, lit(false)))
+    val aligned = frame.select(cols.map(c => col(s"`$c`")): _*)
+    val incoming =
+      if (!lineage) aligned
+      else aligned.withColumn("__rid", lit(null).cast("long"))
+        .withColumn("__rseq", lit(null).cast("long"))
+    commit(db, table, survivors.unionByName(incoming), "overwrite-where",
+      carryFiles = untouched, carryStats = snap.fileStats, ridMixed = lineage)
+  }
+
   /** ZERO-COPY TABLE CLONE (Iceberg's `snapshot` procedure / Delta's
     * shallow CLONE, hardened for independent lifecycles): materialize the
     * source's CURRENT PUBLISHED snapshot as a brand-new table whose data

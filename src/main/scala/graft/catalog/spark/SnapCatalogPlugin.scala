@@ -271,10 +271,32 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * write is one new snapshot, exactly like the library API. */
   private final class SnapWriteBuilder(db: String, table: String,
       startTruncated: Boolean, info: LogicalWriteInfo)
-      extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
+      extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
     private var overwriteAll = startTruncated
     private var dynamic = false
+    private var overwriteFilters = Array.empty[org.apache.spark.sql.sources.Filter]
     override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+    /** FILTER-scoped overwrite (`INSERT OVERWRITE t PARTITION (p='x')` in
+      * static mode, `df.writeTo(t).overwrite(cond)`): delete-matching +
+      * insert as one commit ([[SnapshotCatalog.overwriteWhere]]). A
+      * trivially-true filter set is the full truncate. */
+    override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+        : WriteBuilder = {
+      if (filters.isEmpty ||
+          filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+        overwriteAll = true
+      else {
+        val bad = filters.filterNot(FilterToColumn.translatable)
+        require(bad.isEmpty,
+          s"overwrite-by-filter on $catalogName.$db.$table: condition " +
+            s"${bad.mkString(", ")} is not translatable to a column predicate - " +
+            "use DELETE FROM + INSERT INTO, or a full INSERT OVERWRITE")
+        overwriteFilters = filters
+      }
+      this
+    }
 
     /** DYNAMIC partition overwrite (`INSERT OVERWRITE` under
       * `spark.sql.sources.partitionOverwriteMode=dynamic`, or
@@ -320,7 +342,19 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             // addressable by id, invisible to every current-state reader
             // until CALL system.publish_staged
             val wap = tm.properties.get("write.wap.enabled").contains("true")
-            if (overwriteAll) {
+            if (overwriteFilters.nonEmpty) {
+              // filter-scoped overwrite: delete-matching + insert, one
+              // commit. No WAP staging shape exists for it (a staged
+              // classification would go stale against later commits) —
+              // refuse toward the supported spellings.
+              require(!wap,
+                s"filter-scoped INSERT OVERWRITE on $db.$table cannot stage " +
+                  "under write.wap.enabled - use a full INSERT OVERWRITE " +
+                  "(stages + publishes) or disable WAP for this write")
+              cat.overwriteWhere(db, table,
+                overwriteFilters.map(FilterToColumn(_)).reduce(_ && _), data)
+            }
+            else if (overwriteAll) {
               if (wap) cat.stageOverwrite(db, table, frame)
               else cat.overwrite(db, table, frame)
             }
@@ -995,6 +1029,9 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         // fallback plan exists) — BATCH_WRITE advertises only that path;
         // plain INSERTs still route through the V1 InsertableRelation
         TableCapability.BATCH_WRITE, TableCapability.OVERWRITE_DYNAMIC,
+        // filter-scoped overwrite (static INSERT OVERWRITE ... PARTITION,
+        // writeTo().overwrite(cond)) rides the V1 path via SupportsOverwrite
+        TableCapability.OVERWRITE_BY_FILTER,
         TableCapability.STREAMING_WRITE)
 
     /** Scan over THIS table's snapshot (reader options already resolved).

@@ -1706,4 +1706,28 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     assert(spark.sql("SELECT id FROM snapcat.dyno.t").as[Long].collect().toSeq
       == Seq(42L))
   }
+
+  test("static INSERT OVERWRITE ... PARTITION replaces only the named partition") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    val init = Seq((1L, "g0"), (11L, "g1"), (21L, "g2")).toDF("id", "grp")
+    cat.createTable("dyno", "sow", init.schema, partitionCols = Seq("grp"))
+    cat.append("dyno", "sow", init)
+    val before = cat.currentSnapshot("dyno", "sow")
+    spark.sql("INSERT OVERWRITE snapcat.dyno.sow PARTITION (grp = 'g1') " +
+      "VALUES (CAST(100 AS BIGINT))")
+    val after = cat.currentSnapshot("dyno", "sow")
+    assert(after.operation == "overwrite-where")
+    assert(before.files.filterNot(_.contains("grp=g1")).forall(after.files.contains),
+      "untouched partitions carry verbatim through the static partition overwrite")
+    assert(spark.sql("SELECT id FROM snapcat.dyno.sow ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 21L, 100L))
+
+    // the DataFrameWriterV2 spelling: overwrite(condition)
+    Seq((200L, "g2"), (201L, "g3")).toDF("id", "grp")
+      .writeTo("snapcat.dyno.sow").overwrite(col("grp") === "g2")
+    assert(spark.sql("SELECT id FROM snapcat.dyno.sow ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 100L, 200L, 201L),
+      "condition rows replaced; insert is not constrained to the condition")
+  }
 }

@@ -937,6 +937,47 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(cat.readLatest("db", "m").count() == 4)
   }
 
+  test("overwriteWhere: delete-matching + insert as one prune-aware commit") {
+    val cat = freshCatalog()
+    val df = Seq((1L, "g0", 10L), (2L, "g0", 95L), (11L, "g1", 20L),
+      (21L, "g2", 30L)).toDF("id", "grp", "score")
+    cat.createTable("db", "ow", df.schema, partitionCols = Seq("grp"))
+    cat.append("db", "ow", df)
+    cat.deleteMoR("db", "ow", col("id") === 1L) // dead row in a CARRIED partition
+    val before = cat.currentSnapshot("db", "ow")
+
+    // partition-aligned predicate: only g1's files rewrite
+    val snap = cat.overwriteWhere("db", "ow", col("grp") === "g1",
+      Seq((99L, "g1", 70L)).toDF("id", "grp", "score"))
+    assert(snap.operation == "overwrite-where")
+    assert(before.files.filterNot(_.contains("grp=g1")).forall(snap.files.contains),
+      "files proven clean by partition dirs must carry verbatim")
+    assert(cat.readLatest("db", "ow").select("id").as[Long].collect().toSet ==
+      Set(2L, 21L, 99L), "g1 replaced; MoR delete on carried g0 stays in force")
+
+    // value predicate: candidates rewrite minus matches, insert lands
+    cat.overwriteWhere("db", "ow", col("score") > 90L,
+      Seq((3L, "g0", 50L)).toDF("id", "grp", "score"))
+    assert(cat.readLatest("db", "ow").select("id").as[Long].collect().toSet ==
+      Set(3L, 21L, 99L))
+
+    // row lineage: survivors keep their ids, the insert mints fresh ones
+    val li = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    cat.createTable("db", "owl", li.schema,
+      properties = Map("row.lineage" -> "true"))
+    cat.append("db", "owl", li)
+    val idsBefore = cat.readWithRowIds("db", "owl")
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    cat.overwriteWhere("db", "owl", col("k") === 2L,
+      Seq((20L, "x")).toDF("k", "v"))
+    val idsAfter = cat.readWithRowIds("db", "owl")
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    assert(idsAfter(1L) == idsBefore(1L) && idsAfter(3L) == idsBefore(3L),
+      "survivors keep their row ids across the rewrite")
+    assert(!idsBefore.values.toSet.contains(idsAfter(20L)),
+      "the inserted row must mint a fresh id")
+  }
+
   test("zero-copy clone: hardlinked files, independent lifecycles") {
     val cat = freshCatalog()
     val df = spark.range(0, 1000).toDF("id")
