@@ -2096,16 +2096,23 @@ final class SnapshotCatalog(
     val ndvRels = prev.summary.get("ndv.snapshot").map(_.toLong)
       .map(NdvStats.sidecarRel).filter(r => Files.exists(srcRoot.resolve(r))).toSeq
     val rels = (prev.files ++ prev.deleteFiles.map(_.path) ++ bloomRels ++ ndvRels).distinct
-    rels.foreach { rel =>
-      val from = srcRoot.resolve(rel)
-      val to = dstRoot.resolve(rel)
-      Files.createDirectories(to.getParent)
-      try Files.createLink(to, from)
-      catch {
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          Files.copy(from, to) // cross-device / linkless FS: one-pass copy
-      }
+    // O(files) driver-side metadata syscalls; parallelized so a 10^6-file
+    // clone is bounded by filesystem throughput, not a serial loop
+    // (createDirectories is idempotent under contention)
+    val linkErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    rels.asJava.parallelStream().forEach { rel =>
+      try {
+        val from = srcRoot.resolve(rel)
+        val to = dstRoot.resolve(rel)
+        Files.createDirectories(to.getParent)
+        try Files.createLink(to, from)
+        catch {
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            Files.copy(from, to) // cross-device / linkless FS: one-pass copy
+        }
+      } catch { case t: Throwable => linkErr.compareAndSet(null, t) }
     }
+    Option(linkErr.get()).foreach(t => throw t)
     // table doc: schema/partition spec/properties carry; refs, branches
     // and any staged state do not (fresh lineage)
     writeString(metaPath(dstDb, dstTable), Json.writePretty(

@@ -174,7 +174,7 @@ class ContentModelSpec extends AnyFunSuite {
         .select("id", "grp", "score").as[P].collect().sorted.toSeq
 
       (1 to 12).foreach { step =>
-        val opn = rng.nextInt(7)
+        val opn = rng.nextInt(8)
         opn match {
           case 0 => // append across partitions (incl. the null one)
             val f = frame(4 + rng.nextInt(10))
@@ -209,6 +209,19 @@ class ContentModelSpec extends AnyFunSuite {
           case 6 => // EMPTY dynamic overwrite replaces nothing
             cat.overwriteDynamic("db", "p",
               model.take(0).toDF("id", "grp", "score"))
+          case 7 => // FILTER-scoped overwrite: predicate rows die, frame inserts
+            val f = frame(2 + rng.nextInt(6))
+            if (rng.nextBoolean()) {
+              val g = Some(s"g${rng.nextInt(4)}")
+              cat.overwriteWhere("db", "p", col("grp") === g.get,
+                f.toDF("id", "grp", "score"))
+              model = model.filterNot(_._2 == g) ++ f
+            } else {
+              val c = rng.nextInt(60).toLong + 20L
+              cat.overwriteWhere("db", "p", col("score") >= c,
+                f.toDF("id", "grp", "score"))
+              model = model.filterNot(_._3 >= c) ++ f
+            }
         }
         val got = readAllP()
         assert(got == model.sorted,
