@@ -2189,9 +2189,20 @@ final class SnapshotCatalog(
       if (tm.properties.get("write.distribution-mode").contains("hash"))
         frame.repartition(tm.partitionCols.map(c => col(s"`$c`")): _*)
       else frame
+    // a declared sort order clusters the replaced partitions' files like
+    // every library commit (this write bypasses commit()'s laid block)
+    val clustered = tm.properties.get("write.sort-order") match {
+      case Some(spec) if spec.trim.nonEmpty =>
+        val exprs = spec.split(",").map(_.trim).filter(_.nonEmpty)
+          .filter(frame.schema.fieldNames.contains).map(c => col(s"`$c`"))
+        if (exprs.isEmpty) distributed
+        else distributed.sortWithinPartitions(
+          (tm.partitionCols.map(c => col(s"`$c`")) ++ exprs).toIndexedSeq: _*)
+      case _ => distributed
+    }
     val w = tm.properties.get("write.target-records-per-file") match {
-      case Some(n) => distributed.write.mode("overwrite").option("maxRecordsPerFile", n.toLong)
-      case None => distributed.write.mode("overwrite")
+      case Some(n) => clustered.write.mode("overwrite").option("maxRecordsPerFile", n.toLong)
+      case None => clustered.write.mode("overwrite")
     }
     w.partitionBy(tm.partitionCols: _*).parquet(outDir.toString)
     adoptDynamicOverwrite(db, table, dirName)

@@ -1094,6 +1094,20 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       cat.overwriteDynamic("db", "bkt", incoming))
     assert(e2.getMessage.contains("bucket"), e2.getMessage)
+
+    // sort-order + hash distribution compose: the replaced partition gets
+    // ONE file whose footer bounds are the exact data bounds (clustered
+    // write parity with commit()'s laid block)
+    cat.createTable("db", "tsorted", init.schema, partitionCols = Seq("grp"),
+      properties = Map("write.sort-order" -> "id",
+        "write.distribution-mode" -> "hash"))
+    cat.append("db", "tsorted", init)
+    val s2 = cat.overwriteDynamic("db", "tsorted",
+      rows(300 to 320, 2).repartition(4))
+    val g2files = s2.files.filter(_.contains("grp=g2"))
+    assert(g2files.size == 1, s"hash-distributed dynamic write: $g2files")
+    val st = s2.fileStats(g2files.head)
+    assert(st("min.id").toLong == 300L && st("max.id").toLong == 320L)
   }
 
   test("readChangelog: row-level +/- across deletes, updates, appends; compact is silent") {
