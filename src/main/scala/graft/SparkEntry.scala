@@ -2268,6 +2268,44 @@ object SparkEntry {
         .orderBy("status")
     }),
 
+    // LATE-DATA RESTATEMENT CAPSTONE (r13 continuation): the operational
+    // sequence the new write surface exists for — a days(ts)
+    // hidden-partitioned events table with a maintained aggregate MV, a
+    // correction batch DYNAMICALLY OVERWRITING one day (half the rows,
+    // shifted uids), the MV refreshing INCREMENTALLY (REQUIRED: the
+    // replaced files' rows retract, the restatement's insert — the
+    // refresh is sized by the restated day, never the table), and the
+    // raw aggregate query auto-navigating to the refreshed backing
+    // (REQUIRED). One DuckDB CTE chain replays the restatement + rollup;
+    // drift anywhere in the layout derivation, day classification,
+    // retraction arithmetic, or rewrite fails the hash.
+    "q183_restatement_capstone" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.viewExists("maint", "rs_daily")) cat.dropView("maint", "rs_daily")
+      if (cat.tableExists("maint", "rs_ev")) cat.dropTable("maint", "rs_ev")
+      val ev = T(s, dir, "events").select(col("event_id").as("eid"), col("ts"),
+        col("user_id").as("uid"),
+        floor(col("value") * 100).cast("long").as("vc"))
+      cat.createTransformPartitionedTable("maint", "rs_ev", ev.schema, "ts", "day")
+      cat.appendTransformed("maint", "rs_ev", ev)
+      cat.createMaterializedView("maint", "rs_daily",
+        "SELECT uid, count(*) AS n, sum(vc) AS sv FROM maint.rs_ev GROUP BY uid")
+      val (lo, hi) = ("2024-01-10 00:00:00", "2024-01-11 00:00:00")
+      val restated = ev
+        .where(col("ts") >= lit(lo).cast("timestamp")
+          && col("ts") < lit(hi).cast("timestamp") && col("eid") % 2 === 0)
+        .withColumn("uid", col("uid") + 1000000L)
+      cat.overwriteDynamic("maint", "rs_ev", restated)
+      val (mode, _) = cat.refreshMaterializedView("maint", "rs_daily")
+      require(mode == "incremental_agg",
+        s"the restatement must refresh churn-sized via retraction, took '$mode'")
+      val df = s.sql("SELECT uid, count(*) AS n, sum(vc) AS sv " +
+        "FROM snapdml.maint.rs_ev GROUP BY uid ORDER BY uid")
+      require(df.queryExecution.optimizedPlan.toString.contains("__mv_rs_daily"),
+        "the aggregate must auto-navigate to the refreshed backing")
+      df
+    }),
+
     // METADATA-SERVED GROUP-BY-PARTITION COUNT (r13 continuation):
     // `SELECT p, count(*) ... GROUP BY p` over a hive-laid table answers
     // from per-file partition values + exact footer row counts — zero
@@ -5545,6 +5583,23 @@ object SparkEntry {
         |  CAST(count(cents) AS BIGINT) AS nc,
         |  CAST(sum(cents) AS BIGINT) AS total_cents
         |FROM f GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // the restatement replayed raw: day 2024-01-10 replaced by its even
+    // half with shifted uids, everything else carried; then the rollup
+    "q183_restatement_capstone" ->
+      """WITH e AS (SELECT event_id AS eid, ts, user_id AS uid,
+        |    CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+        |f AS (
+        |  SELECT uid, vc FROM e
+        |  WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-11 00:00:00')
+        |  UNION ALL
+        |  SELECT uid + 1000000 AS uid, vc FROM e
+        |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-11 00:00:00' AND eid % 2 = 0)
+        |SELECT uid, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(vc) AS BIGINT) AS sv
+        |FROM f GROUP BY uid ORDER BY uid""".stripMargin,
 
     // survivors of the untouched partitions (O minus its MoR slice, all
     // of F) plus the P restatement (even keys, cents + 1)
