@@ -173,8 +173,14 @@ class ContentModelSpec extends AnyFunSuite {
       def readAllP(): Seq[P] = cat.readLatest("db", "p")
         .select("id", "grp", "score").as[P].collect().sorted.toSeq
 
+      // mid-sequence zero-copy clones: each records the model at clone
+      // time and must still serve it EXACTLY after every later source
+      // mutation and a final source-history expiry (hard-link GC
+      // independence under randomized histories)
+      val clones = scala.collection.mutable.ListBuffer.empty[(String, Vector[P])]
+
       (1 to 12).foreach { step =>
-        val opn = rng.nextInt(8)
+        val opn = rng.nextInt(9)
         opn match {
           case 0 => // append across partitions (incl. the null one)
             val f = frame(4 + rng.nextInt(10))
@@ -222,6 +228,10 @@ class ContentModelSpec extends AnyFunSuite {
                 f.toDF("id", "grp", "score"))
               model = model.filterNot(_._3 >= c) ++ f
             }
+          case 8 => // zero-copy clone pins the current model
+            val name = s"c$step"
+            cat.cloneTable("db", "p", "db2", name)
+            clones += ((name, model))
         }
         val got = readAllP()
         assert(got == model.sorted,
@@ -232,6 +242,16 @@ class ContentModelSpec extends AnyFunSuite {
         val tt = cat.readAsOf("db", "p", sid).select("id", "grp", "score")
           .as[P].collect().sorted.toSeq
         assert(tt == m.sorted, s"trial $trial step $step: time travel to $sid diverged")
+      }
+
+      // expire the source down to its head (old files unlink), then every
+      // clone must still serve exactly the model it pinned
+      cat.expireSnapshots("db", "p", keepLast = 1)
+      clones.foreach { case (name, m) =>
+        val got = cat.readLatest("db2", name).select("id", "grp", "score")
+          .as[P].collect().sorted.toSeq
+        assert(got == m.sorted,
+          s"trial $trial clone $name diverged after source churn + expiry")
       }
     }
   }
