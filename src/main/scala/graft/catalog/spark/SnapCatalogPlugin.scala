@@ -2072,7 +2072,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       case "partitions" => StructType(Seq(
         StructField("partition", StringType), // null for an unpartitioned table
         StructField("file_count", LongType, nullable = false),
-        StructField("record_count", LongType))) // null if any file lacks a row count
+        StructField("record_count", LongType), // null if any file lacks a row count
+        StructField("total_bytes", LongType))) // null if any file lacks a size
       case "manifests" => StructType(Seq(
         StructField("path", StringType, nullable = false),
         StructField("file_count", LongType, nullable = false),
@@ -2195,10 +2196,13 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             }.toSeq.sortBy(_._1).map { case (part, fs) =>
               val rows = fs.map(f =>
                 snap.fileStats.get(f).flatMap(_.get("rows")).map(_.toLong))
+              val bytes = fs.map(f =>
+                snap.fileStats.get(f).flatMap(_.get("bytes")).map(_.toLong))
               InternalRow(
                 if (part.isEmpty) null else UTF8String.fromString(part),
                 fs.size.toLong,
-                if (rows.forall(_.isDefined)) Long.box(rows.flatten.sum) else null)
+                if (rows.forall(_.isDefined)) Long.box(rows.flatten.sum) else null,
+                if (bytes.forall(_.isDefined)) Long.box(bytes.flatten.sum) else null)
             }.toArray
           case "manifests" =>
             // shard-reuse accounting (Iceberg's `manifests` table): one row

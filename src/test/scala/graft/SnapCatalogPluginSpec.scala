@@ -1168,6 +1168,14 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     // par=A holds files from both snapshot dirs
     assert(rows.head._2 >= 2)
 
+    // total_bytes folds per-file footer sizes (sums to the real on-disk total)
+    val bytes = spark.sql(
+      "SELECT sum(total_bytes) AS b FROM snapcat.db1.part_m.partitions")
+      .head.getLong(0)
+    val snap = cat.currentSnapshot("db1", "part_m")
+    assert(bytes == snap.files
+      .map(f => snap.fileStats(f)("bytes").toLong).sum && bytes > 0)
+
     // unpartitioned table: one NULL-partition row covering everything
     cat.createTable("db1", "part_u", df.schema)
     cat.append("db1", "part_u", df)
