@@ -645,5 +645,16 @@ class ProcedureSpec extends AnyFunSuite {
     val e = intercept[Exception](
       spark.sql("CALL proccat.system.clone_table('db.nation', 'db.nation_clone')").collect())
     assert(e.getMessage.contains("exists"), e.getMessage)
+
+    // as-of clone via CALL: a historical snapshot becomes a live table
+    val t = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    c.createTable("db", "clsrc", t.schema)          // snap 1
+    c.append("db", "clsrc", t)                      // snap 2
+    c.append("db", "clsrc", Seq((3L, "c")).toDF("id", "v")) // snap 3
+    val asOf = spark.sql("CALL proccat.system.clone_table('db.clsrc', " +
+      "'db.clsrc_v2', as_of_snapshot_id => 2)").collect()
+    assert(asOf.head.getLong(0) == 2L)
+    assert(spark.sql("SELECT id FROM proccat.db.clsrc_v2 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
   }
 }
