@@ -769,7 +769,13 @@ final class SnapshotCatalog(
         } // else: mid-body refresh — keep the etag the body derives from
         Json.parse(txt) match {
           case JArr(vs) => LegacyLog(vs.map(v => Snapshot.fromJson(v.asInstanceOf[JObj])))
-          case o: JObj  => V2Log(o.arr("entries").map(v => SnapshotEntry.fromJson(v.asInstanceOf[JObj])))
+          case o: JObj  => V2Log(
+            o.arr("entries").map(v => SnapshotEntry.fromJson(v.asInstanceOf[JObj])),
+            o.get("shard_summaries") match {
+              case Some(s: JObj) => s.fields.map { case (name, v) =>
+                name -> ShardSummary.fromJson(v.asInstanceOf[JObj]) }.toMap
+              case _ => Map.empty
+            })
           case other    => throw new IllegalStateException(s"bad snapshot log: $other")
         }
     }
@@ -782,7 +788,7 @@ final class SnapshotCatalog(
     */
   private def entryMeta(db: String, table: String): Seq[SnapshotEntry] =
     loadRepr(db, table) match {
-      case V2Log(es) => es
+      case V2Log(es, _) => es
       case LegacyLog(snaps) => snaps.map(s => SnapshotEntry(
         s.snapshotId, s.committedAt, s.operation, s.summary, s.schemaDdl, Seq.empty))
     }
@@ -800,15 +806,24 @@ final class SnapshotCatalog(
   private def loadManifest(db: String, table: String, name: String): Manifest = {
     val p = manifestPath(db, table, name).toAbsolutePath.normalize()
     val key = p.toString
+    SnapshotCatalog.manifestOpens.incrementAndGet()
     val cached = SnapshotCatalog.manifestCache.get(key)
     if (cached != null) cached
     else {
       // racing parses of the same immutable shard are harmless (last put wins)
+      SnapshotCatalog.manifestParses.incrementAndGet()
       val m = Manifest.fromJson(Json.parse(readString(p)).asInstanceOf[JObj])
       SnapshotCatalog.manifestCache.put(key, m)
       m
     }
   }
+
+  /** Cache peek WITHOUT counting as a planner open (and without disk I/O):
+    * the summary fill uses it to compute summaries opportunistically for
+    * shards the session already parsed. */
+  private def peekManifest(db: String, table: String, name: String): Option[Manifest] =
+    Option(SnapshotCatalog.manifestCache.get(
+      manifestPath(db, table, name).toAbsolutePath.normalize().toString))
 
   // ---- position-delete shards (merge-on-read; Iceberg v2 delete files) ----
 
@@ -867,7 +882,7 @@ final class SnapshotCatalog(
   def snapshotList(db: String, table: String): Seq[Snapshot] =
     loadRepr(db, table) match {
       case LegacyLog(snaps) => snaps
-      case V2Log(es)        => es.map(materialize(db, table, _))
+      case V2Log(es, _)     => es.map(materialize(db, table, _))
     }
 
   /** Per-shard manifest inventory (the `manifests` metadata table): one row
@@ -880,7 +895,7 @@ final class SnapshotCatalog(
   def manifestInventory(db: String, table: String): Seq[ManifestInfo] =
     loadRepr(db, table) match {
       case LegacyLog(_) => Seq.empty
-      case V2Log(es) =>
+      case V2Log(es, _) =>
         val firstRef = scala.collection.mutable.LinkedHashMap.empty[String, Long]
         val refCount = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
         es.foreach { e =>
@@ -942,14 +957,14 @@ final class SnapshotCatalog(
   def currentSnapshot(db: String, table: String): Snapshot =
     loadRepr(db, table) match {
       case LegacyLog(snaps) => snaps.last // legacy logs predate staging
-      case V2Log(es)        => materialize(db, table, publishedEntry(es))
+      case V2Log(es, _)     => materialize(db, table, publishedEntry(es))
     }
 
   def snapshotAt(db: String, table: String, snapshotId: Long): Snapshot =
     loadRepr(db, table) match {
       case LegacyLog(snaps) => snaps.find(_.snapshotId == snapshotId).getOrElse(
         throw new NoSuchElementException(s"snapshot $snapshotId not found for $db.$table"))
-      case V2Log(es) => es.find(_.snapshotId == snapshotId)
+      case V2Log(es, _) => es.find(_.snapshotId == snapshotId)
         .map(materialize(db, table, _)).getOrElse(
           throw new NoSuchElementException(s"snapshot $snapshotId not found for $db.$table"))
     }
@@ -961,7 +976,7 @@ final class SnapshotCatalog(
     * cost that every later commit's O(new files) write pays back). */
   private def entriesForWrite(db: String, table: String): Seq[SnapshotEntry] =
     loadRepr(db, table) match {
-      case V2Log(es) => es
+      case V2Log(es, _) => es
       case LegacyLog(snaps) =>
         val entries = snaps.map { s =>
           val name = manifestName(s.snapshotId)
@@ -989,11 +1004,59 @@ final class SnapshotCatalog(
     * temp+atomic-rename as ever. */
   private def writeEntries(db: String, table: String, entries: Seq[SnapshotEntry]): Unit = {
     val key = logKey(db, table)
+    val sums = fillShardSummaries(db, table, entries)
     val expected = Option(SnapshotCatalog.observedLogEtag.get().get(key)).map(_.longValue)
     val newEtag = log.writeIf(key, Json.writePretty(Json.obj(
-      "format_version" -> Json.num(2L),
-      "entries"        -> JArr(entries.toVector.map(_.toJson)))), expected)
+      (Vector(
+        "format_version" -> (Json.num(2L): JValue),
+        "entries"        -> (JArr(entries.toVector.map(_.toJson)): JValue)) ++
+        (if (sums.isEmpty) Vector.empty
+         else Vector("shard_summaries" -> (JObj(sums.toVector.sortBy(_._1)
+           .map { case (n, s) => n -> (s.toJson: JValue) }): JValue)))): _*)), expected)
     SnapshotCatalog.observedLogEtag.get().put(key, newEtag)
+  }
+
+  /** The `shard_summaries` map the log being published should carry: one
+    * [[ShardSummary]] per shard name any entry references. Carried
+    * summaries come from the on-disk log (write-once shards — a summary
+    * never changes); missing ones are computed from the shard inventory —
+    * always for the TAIL entry's shards (the commit being published; its
+    * shards were just written and sit in the parse cache), and for older
+    * shards only when the cache already holds them (no I/O amplification
+    * on long histories — coverage completes opportunistically as shards
+    * get read). Names no entry references any more (history expiry,
+    * manifest consolidation) drop out here, so the map GCs itself. */
+  private def fillShardSummaries(db: String, table: String,
+      entries: Seq[SnapshotEntry]): Map[String, ShardSummary] = {
+    val prev: Map[String, ShardSummary] =
+      try loadRepr(db, table) match {
+        case V2Log(_, s) => s
+        case _ => Map.empty
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val pcols =
+      try meta(db, table).partitionCols
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    // schema for stat folding: the first entry referencing the shard (the
+    // schema the committing writer recorded its stats under)
+    val firstSchema = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    entries.foreach(e => e.manifests.foreach(n =>
+      if (!firstSchema.contains(n)) firstSchema(n) = e.schemaDdl))
+    val tailShards: Set[String] =
+      entries.lastOption.map(_.manifests.toSet).getOrElse(Set.empty)
+    val schemaCache = scala.collection.mutable.Map.empty[String, StructType]
+    firstSchema.iterator.flatMap { case (name, ddl) =>
+      prev.get(name).map(name -> _).orElse {
+        val mOpt = peekManifest(db, table, name).orElse(
+          if (tailShards(name))
+            try Some(loadManifest(db, table, name))
+            catch { case scala.util.control.NonFatal(_) => None }
+          else None)
+        mOpt.map { m =>
+          val sch = schemaCache.getOrElseUpdate(ddl, StructType.fromDDL(ddl))
+          name -> ShardSummary.of(m, sch, pcols)
+        }
+      }
+    }.toMap
   }
 
   /** Manifest plan for a carry commit (partial rewrites: prune-aware
@@ -1483,7 +1546,27 @@ final class SnapshotCatalog(
   def pruneFiles(db: String, table: String, snapshotId: Long,
       cond: Column): (Seq[String], Seq[String]) = {
     val snap = snapshotAt(db, table, snapshotId)
-    val schema = snap.schema
+    val ctx = pruneCtx(db, table, snap.schema, cond)
+    snap.files.partition(f =>
+      fileMayMatch(db, table, ctx, f, snap.fileStats.getOrElse(f, Map.empty)))
+  }
+
+  /** Driver-side pruning context for one (schema, predicate) pair: the
+    * resolved conjuncts plus every path-level admissibility the table's
+    * layout supports. Shared by the file tier ([[pruneFiles]]) and the
+    * shard tier ([[resolveWhere]]) so both skip on identical logic. */
+  private final case class PruneCtx(
+      schema: StructType,
+      preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      buckets: Option[Set[Int]],
+      // hidden-transform admissibility over the RAW `__pt=` token (shared
+      // shape for time and truncate transforms; a file/shard without a
+      // token is never excluded by it)
+      ptToken: Option[String => Boolean],
+      partCols: Set[String])
+
+  private def pruneCtx(db: String, table: String, schema: StructType,
+      cond: Column): PruneCtx = {
     // resolve the user Column against the snapshot schema (an unresolved
     // Column is a lazy node tree, not catalyst) — analyze a filter over an
     // empty frame and harvest its typed condition
@@ -1502,24 +1585,30 @@ final class SnapshotCatalog(
     // to `__pt=<v>/` directory constraints — at 100 TB, `WHERE ts >=
     // yesterday` (or `WHERE brand LIKE 'BR42%'` under truncate) must
     // plan the matching dirs, not the lake
-    val ptKeep: Option[String => Boolean] = tm.transformSpec.map {
+    val ptToken: Option[String => Boolean] = tm.transformSpec.map {
       case (srcCol, kind) if kind == TruncateTransform.Kind =>
         val width = tm.transformWidth.getOrElse(1)
         val dt = schema.fields.find(_.name == srcCol).map(_.dataType)
           .getOrElse(org.apache.spark.sql.types.StringType)
-        val adm = TruncateTransform.admissible(preds, srcCol, width, dt)
-        (f: String) => TruncateTransform.ptTokenOf(f).forall(adm)
+        TruncateTransform.admissible(preds, srcCol, width, dt)
       case (tsCol, kind) =>
-        val r = TimeTransform.admissibleRange(preds, tsCol, kind)
-        (f: String) => TimeTransform.admits(r, f)
+        val (lo, hi) = TimeTransform.admissibleRange(preds, tsCol, kind)
+        (tok: String) => tok.toLongOption.forall(p =>
+          lo.forall(p >= _) && hi.forall(p <= _))
     }
-    // hive-laid files carry partition VALUES in the path, not the footer
-    // (partitionBy drops the column from the file): parse `col=value`
-    // segments into exact min=max bounds so partition predicates prune by
-    // directory — at 100 TB, `WHERE day = X` must plan only day=X's files
-    val partCols = tm.partitionCols.toSet
-    def pathStats(f: String): Map[String, String] =
-      if (partCols.isEmpty) Map.empty
+    PruneCtx(schema, preds, buckets, ptToken, tm.partitionCols.toSet)
+  }
+
+  /** The file tier's keep test: bucket-dir admissibility, hidden-transform
+    * token admissibility, then [[FileStats.mayMatch]] over the file's
+    * footer stats merged with its hive `col=value` path bounds (partition
+    * values live in the PATH, not the footer — partitionBy drops the
+    * column from the file). Bloom sidecars participate here (per-file
+    * equality skipping), never at the shard tier. */
+  private def fileMayMatch(db: String, table: String, ctx: PruneCtx,
+      f: String, stats: Map[String, String]): Boolean = {
+    def pathStats: Map[String, String] =
+      if (ctx.partCols.isEmpty) Map.empty
       else f.split('/').iterator.flatMap { seg =>
         val i = seg.indexOf('=')
         if (i <= 0) Iterator.empty
@@ -1527,19 +1616,57 @@ final class SnapshotCatalog(
           val k = seg.substring(0, i)
           val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(seg.substring(i + 1))
-          if (partCols.contains(k) && schema.fieldNames.contains(k) &&
+          if (ctx.partCols.contains(k) && ctx.schema.fieldNames.contains(k) &&
               v != "__HIVE_DEFAULT_PARTITION__")
             Iterator(s"min.$k" -> v, s"max.$k" -> v)
           else Iterator.empty
         }
       }.toMap
-    snap.files.partition { f =>
-      val st = snap.fileStats.getOrElse(f, Map.empty) ++ pathStats(f)
-      buckets.forall(adm => BucketPruning.bucketIdOf(f).forall(adm.contains)) &&
-        ptKeep.forall(_(f)) &&
-        (st.isEmpty || preds.forall(FileStats.mayMatch(st, schema, _,
-          rel => BloomStats.load(tablePath(db, table).resolve(rel)))))
-    }
+    val st = stats ++ pathStats
+    ctx.buckets.forall(adm => BucketPruning.bucketIdOf(f).forall(adm.contains)) &&
+      ctx.ptToken.forall(adm => TruncateTransform.ptTokenOf(f).forall(adm)) &&
+      (st.isEmpty || ctx.preds.forall(FileStats.mayMatch(st, ctx.schema, _,
+        rel => BloomStats.load(tablePath(db, table).resolve(rel)))))
+  }
+
+  /** TWO-LEVEL pruned scan resolution of a v2 pointer entry — the
+    * 10^6-file planning path. Tier 1: shards whose recorded
+    * [[ShardSummary]] provably excludes `cond` are SKIPPED UNREAD (their
+    * JSON inventories are never parsed — at the many-shard regime the
+    * first plan per JVM stops being an O(all files) driver parse). Tier
+    * 2: the surviving shards load and their files take the usual per-file
+    * keep test. Shards without a summary (older logs, opportunistic fill
+    * not yet complete) always load — pruning degrades, never breaks.
+    *
+    * Returns the partial snapshot view (only the LOADED shards' files and
+    * stats — exactly what the read needs; delete shards load in full,
+    * they are the merge correctness layer) plus the kept files and the
+    * shard accounting for spec gates. */
+  private[graft] final case class ScanResolution(snap: Snapshot, kept: Seq[String],
+      shardsTotal: Int, shardsOpened: Int)
+
+  private[graft] def resolveWhere(db: String, table: String, snapshotId: Long,
+      cond: Column): ScanResolution = loadRepr(db, table) match {
+    case SnapshotCatalog.LegacyLog(_) =>
+      val snap = snapshotAt(db, table, snapshotId)
+      val kept = pruneFiles(db, table, snapshotId, cond)._1
+      ScanResolution(snap, kept, 1, 1)
+    case SnapshotCatalog.V2Log(es, sums) =>
+      val e = es.find(_.snapshotId == snapshotId).getOrElse(
+        throw new NoSuchElementException(
+          s"snapshot $snapshotId not found for $db.$table"))
+      val schema = e.schema
+      val ctx = pruneCtx(db, table, schema, cond)
+      val open = e.manifests.filter(name => sums.get(name).forall(s =>
+        ShardSummary.mayMatch(s, schema, ctx.preds, ctx.buckets, ctx.ptToken)))
+      val ms = open.map(loadManifest(db, table, _))
+      val files = ms.flatMap(_.files)
+      val stats = ms.foldLeft(Map.empty[String, Map[String, String]])(_ ++ _.fileStats)
+      val snap = Snapshot(e.snapshotId, e.committedAt, e.operation, e.summary,
+        e.schemaDdl, files, stats, e.deletes.flatMap(loadDeleteShard(db, table, _)))
+      val kept = files.filter(f =>
+        fileMayMatch(db, table, ctx, f, stats.getOrElse(f, Map.empty)))
+      ScanResolution(snap, kept, e.manifests.size, open.size)
   }
 
   /** The SQL SupportsDelta rewrite's candidate scan: position-tagged
@@ -1555,12 +1682,20 @@ final class SnapshotCatalog(
     * target-attribute conditions) degrades to a full candidate list. */
   def readDeltaScan(db: String, table: String, snapshotId: Long,
       cond: Option[Column]): DataFrame = {
-    val snap = snapshotAt(db, table, snapshotId)
-    val files = cond match {
+    // two-level when a condition scopes the scan (shards the condition
+    // provably cannot touch are never opened — the delta commit only ADDS
+    // delete positions and data files, so the scan never needs their
+    // names); full materialization only on an unscoped DML
+    val (snap, files) = cond match {
       case Some(c) =>
-        try pruneFiles(db, table, snapshotId, c)._1
-        catch { case scala.util.control.NonFatal(_) => snap.files }
-      case None => snap.files
+        try {
+          val r = resolveWhere(db, table, snapshotId, c)
+          (r.snap, r.kept)
+        } catch { case scala.util.control.NonFatal(_) =>
+          val s = snapshotAt(db, table, snapshotId); (s, s.files)
+        }
+      case None =>
+        val s = snapshotAt(db, table, snapshotId); (s, s.files)
     }
     // lineage tables additionally serve each candidate row's stable
     // `__rid` (requested by the operation as a metadata attribute): the
@@ -1571,17 +1706,18 @@ final class SnapshotCatalog(
     else readVisibleWithPos(db, table, snap, files)
   }
 
-  /** Filtered read with file-level skipping: only files whose stats may
-    * satisfy `cond` are scanned; the predicate is then applied exactly (the
-    * skip layer affects which files are READ, never the result). */
+  /** Filtered read with TWO-LEVEL skipping ([[resolveWhere]]): shards the
+    * predicate provably excludes are never parsed, files within surviving
+    * shards take the footer-stat keep test; the predicate is then applied
+    * exactly (the skip layers affect which metadata and files are READ,
+    * never the result). */
   def readWhere(db: String, table: String, snapshotId: Long, cond: Column): DataFrame = {
-    val snap = snapshotAt(db, table, snapshotId)
-    val (kept, _) = pruneFiles(db, table, snapshotId, cond)
-    readVisible(db, table, snap, kept).where(cond)
+    val r = resolveWhere(db, table, snapshotId, cond)
+    readVisible(db, table, r.snap, r.kept).where(cond)
   }
 
   def readLatestWhere(db: String, table: String, cond: Column): DataFrame =
-    readWhere(db, table, currentSnapshot(db, table).snapshotId, cond)
+    readWhere(db, table, currentSnapshotId(db, table), cond)
 
   /** Pruned read that does NOT re-apply the predicate: files whose
     * stats/layout may satisfy `cond` read merged, nothing else — and the
@@ -1593,8 +1729,8 @@ final class SnapshotCatalog(
     * Callers without such an enforcing operator want [[readLatestWhere]],
     * which stays exact by construction. */
   def readLatestPruned(db: String, table: String, cond: Column): DataFrame = {
-    val snap = currentSnapshot(db, table)
-    readVisible(db, table, snap, pruneFiles(db, table, snap.snapshotId, cond)._1)
+    val r = resolveWhere(db, table, currentSnapshotId(db, table), cond)
+    readVisible(db, table, r.snap, r.kept)
   }
 
   /** Incremental (changes-between-snapshots) read: the rows ADDED in
@@ -7818,7 +7954,22 @@ object SnapshotCatalog {
     * write; v2 is the sharded format described in the class doc. */
   private sealed trait LogRepr
   private final case class LegacyLog(snaps: Seq[Snapshot]) extends LogRepr
-  private final case class V2Log(entries: Seq[SnapshotEntry]) extends LogRepr
+  /** v2 log: pointer entries plus the table-level `shard_summaries` map
+    * (one [[ShardSummary]] per live shard NAME — stored once at log level,
+    * not per entry, so shard reuse across entries costs nothing). Absent
+    * summaries (older logs) simply never skip. */
+  private final case class V2Log(entries: Seq[SnapshotEntry],
+      summaries: Map[String, ShardSummary] = Map.empty) extends LogRepr
+
+  /** Planning instrumentation: total [[loadManifest]] calls ("opens") and
+    * cache-miss JSON parses — the two-level planner's spec gates assert a
+    * pinned-partition plan opens only the matching shards. Test-visible,
+    * never consulted by product logic. */
+  private[graft] val manifestOpens = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val manifestParses = new java.util.concurrent.atomic.AtomicLong
+  /** Drop the JVM-wide parse cache (spec-only): cold-cache parse counts
+    * are how the shard-skip gates prove skipped shards were never read. */
+  private[graft] def clearManifestCacheForTest(): Unit = manifestCache.clear()
 
   /** Lock paths held by the current thread (reentrancy). */
   private val heldLocks: ThreadLocal[java.util.HashSet[String]] =
