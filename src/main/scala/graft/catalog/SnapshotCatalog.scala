@@ -872,6 +872,10 @@ final class SnapshotCatalog(
     * manifest shards (file order is manifest order — an append's files come
     * after every carried file, exactly the monolithic log's order). */
   private def materialize(db: String, table: String, e: SnapshotEntry): Snapshot = {
+    if (sys.env.contains("GRAFT_DEBUG_MATERIALIZE") && e.manifests.size > 1)
+      System.err.println(s"[materialize] $db.$table@${e.snapshotId} " +
+        s"${e.manifests.size} shards\n" +
+        new Exception().getStackTrace.take(14).mkString("\n"))
     val ms = e.manifests.map(loadManifest(db, table, _))
     Snapshot(e.snapshotId, e.committedAt, e.operation, e.summary, e.schemaDdl,
       ms.flatMap(_.files),
@@ -1574,6 +1578,14 @@ final class SnapshotCatalog(
     val preds = empty.where(cond).queryExecution.analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
+    pruneCtxOf(db, table, schema, preds)
+  }
+
+  /** [[PruneCtx]] from ALREADY-ANALYZED conjuncts — the SQL scan path's
+    * entry (its pushed filters are resolved catalyst expressions; no
+    * Column analysis round trip). */
+  private def pruneCtxOf(db: String, table: String, schema: StructType,
+      preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): PruneCtx = {
     // bucketed tables: a predicate pinning the bucket key to literals
     // admits only those keys' buckets — prunes by the __bucket=b/ path
     // alone, where min/max can't help (every bucket spans the key range)
@@ -1668,6 +1680,51 @@ final class SnapshotCatalog(
         fileMayMatch(db, table, ctx, f, stats.getOrElse(f, Map.empty)))
       ScanResolution(snap, kept, e.manifests.size, open.size)
   }
+
+  /** Shard-tier-only resolution for the SQL SCAN path: given the scan's
+    * already-analyzed pushed conjuncts, return the PARTIAL snapshot of the
+    * shards the predicate may touch — skipped shards' inventories are
+    * never parsed. File-tier skipping stays with the caller (the scan
+    * builder runs it with bloom sidecars and runtime filters folded in).
+    * Legacy logs and shards without summaries load in full — degrade,
+    * never break. */
+  private[graft] def resolveScanShards(db: String, table: String, snapshotId: Long,
+      preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Snapshot =
+    loadRepr(db, table) match {
+      case SnapshotCatalog.LegacyLog(_) => snapshotAt(db, table, snapshotId)
+      case SnapshotCatalog.V2Log(es, sums) =>
+        val e = es.find(_.snapshotId == snapshotId).getOrElse(
+          throw new NoSuchElementException(
+            s"snapshot $snapshotId not found for $db.$table"))
+        val schema = e.schema
+        val ctx = pruneCtxOf(db, table, schema, preds)
+        val open = e.manifests.filter(name => sums.get(name).forall(s =>
+          ShardSummary.mayMatch(s, schema, ctx.preds, ctx.buckets, ctx.ptToken)))
+        val ms = open.map(loadManifest(db, table, _))
+        Snapshot(e.snapshotId, e.committedAt, e.operation, e.summary,
+          e.schemaDdl, ms.flatMap(_.files),
+          ms.foldLeft(Map.empty[String, Map[String, String]])(_ ++ _.fileStats),
+          e.deletes.flatMap(loadDeleteShard(db, table, _)))
+    }
+
+  /** Pointer-log entry by id — O(log) metadata, no manifest opened. For a
+    * legacy log the synthesized entry has no manifests (callers that need
+    * files materialize via [[snapshotAt]]). */
+  private[graft] def entryAt(db: String, table: String, snapshotId: Long): SnapshotEntry =
+    entryMeta(db, table).find(_.snapshotId == snapshotId).getOrElse(
+      throw new NoSuchElementException(
+        s"snapshot $snapshotId not found for $db.$table"))
+
+  /** Current PUBLISHED pointer-log entry — the metadata-only form of
+    * [[currentSnapshot]]. */
+  private[graft] def currentEntry(db: String, table: String): SnapshotEntry =
+    publishedEntry(entryMeta(db, table))
+
+  /** The [[DeleteFile]] entries of one pointer entry's delete shards —
+    * KB-sized metadata (cache-served), no data manifest opened. */
+  private[graft] def entryDeleteFiles(db: String, table: String,
+      e: SnapshotEntry): Seq[DeleteFile] =
+    e.deletes.flatMap(loadDeleteShard(db, table, _))
 
   /** The SQL SupportsDelta rewrite's candidate scan: position-tagged
     * VISIBLE rows of the snapshot (existing merge-on-read deletes merged

@@ -16,7 +16,7 @@ import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.catalog.{SchemaEvolve, Snapshot, SnapshotCatalog, TableMeta}
+import graft.catalog.{SchemaEvolve, Snapshot, SnapshotCatalog, SnapshotEntry, TableMeta}
 
 /** Spark V2 `TableCatalog` over [[graft.catalog.SnapshotCatalog]] — gives
   * the engine the reference's exact SQL operating surface without an
@@ -505,7 +505,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * are exposed so SQL `DESCRIBE TABLE EXTENDED` shows the partitioning /
     * provider / location rows the reference string-parses
     * (`2_collect_database_schema_info.py:186-214`). */
-  private final class SnapTable(tableName: String, snap: Snapshot,
+  private final class SnapTable(tableName: String, entry: SnapshotEntry,
       tableMeta: TableMeta, db: String, table: String,
       branch: Option[String] = None)
       extends Table with SupportsRead
@@ -517,7 +517,20 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       with HasSnapshotIdentity with HasPartitionRowCounts
       with HasTransformRowCounts with HasNullCounts {
 
-    override def snapshotIdentity: String = s"$tableName@${snap.snapshotId}"
+    /** Full file inventory — materialized LAZILY: loading a table for
+      * DESCRIBE, schema resolution, a write, or a summary-pruned scan must
+      * not parse every manifest shard (the 10^6-file first-plan cost the
+      * two-level planner exists to avoid). Forced only by paths that
+      * genuinely consume the inventory (metadata-served aggregates, DML
+      * rewrites, unpruned scans). */
+    private lazy val snap: Snapshot = cat.snapshotAt(db, table, entry.snapshotId)
+
+    /** Live delete-file entries — KB-sized pointer metadata, never forces
+      * the data inventory. */
+    private lazy val liveDeletes: Seq[graft.catalog.DeleteFile] =
+      cat.entryDeleteFiles(db, table, entry)
+
+    override def snapshotIdentity: String = s"$tableName@${entry.snapshotId}"
 
     /** The merge-on-read row identity, exposed as V2 metadata columns so
       * the SupportsDelta rewrite can resolve its row id against the
@@ -569,7 +582,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     /** Effective snapshot of a read: the reader-option time-travel
       * override, or this table's own. */
     private def morSnap(snapshotId: Option[Long]): Snapshot =
-      snapshotId.filter(_ != snap.snapshotId)
+      snapshotId.filter(_ != entry.snapshotId)
         .map(cat.snapshotAt(db, table, _)).getOrElse(snap)
 
     /** Can the V2 scan itself merge this snapshot's deletes (reader-level,
@@ -582,22 +595,32 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       * columns into the sub-scan and matches normalized tuples task-side.
       * Exotic-typed keys fall back to the logical rewrite, which is
       * always correct. */
-    private def eqMergeableInScan(s: Snapshot, d: graft.catalog.DeleteFile): Boolean =
+    private def eqMergeableInScan(schema: StructType,
+        d: graft.catalog.DeleteFile): Boolean =
       d.eqCols.nonEmpty && d.eqCols.forall(c =>
-        s.schema.fieldNames.contains(c) &&
-          (s.schema(c).dataType match {
+        schema.fieldNames.contains(c) &&
+          (schema(c).dataType match {
             case org.apache.spark.sql.types.IntegerType |
                  org.apache.spark.sql.types.LongType |
                  org.apache.spark.sql.types.StringType => true
             case _ => false
           }))
+    private def scanMergesDeletes(schema: StructType,
+        deletes: Seq[graft.catalog.DeleteFile]): Boolean =
+      tableMeta.bucketSpec.isDefined && deletes.nonEmpty &&
+        deletes.forall(d => d.isPositional || eqMergeableInScan(schema, d))
     private def scanMergesDeletes(s: Snapshot): Boolean =
-      tableMeta.bucketSpec.isDefined && s.deleteFiles.nonEmpty &&
-        s.deleteFiles.forall(d => d.isPositional || eqMergeableInScan(s, d))
+      scanMergesDeletes(s.schema, s.deleteFiles)
 
+    /** Probed by [[MorReadRule]] on EVERY snapcat relation in a plan —
+      * must stay pointer-log-sized (delete-shard metadata only, never the
+      * data inventory; a plain SELECT on a delete-free million-file table
+      * must not parse its manifests here). */
     override def morHasDeletes(snapshotId: Option[Long]): Boolean = {
-      val s = morSnap(snapshotId)
-      s.deleteFiles.nonEmpty && !scanMergesDeletes(s)
+      val e = snapshotId.filter(_ != entry.snapshotId)
+        .map(cat.entryAt(db, table, _)).getOrElse(entry)
+      val dels = cat.entryDeleteFiles(db, table, e)
+      dels.nonEmpty && !scanMergesDeletes(e.schema, dels)
     }
 
     /** The merged read (position deletes anti-joined), projected to the
@@ -644,12 +667,12 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       // Row-lineage tables ALWAYS route delta: it is the identity-
       // preserving path (the CoW rewrite re-reads candidate files raw and
       // would re-mint every rewritten row's id).
-      val wantsDelta = branch.isEmpty && (snap.deleteFiles.nonEmpty ||
+      val wantsDelta = branch.isEmpty && (liveDeletes.nonEmpty ||
         tableMeta.properties.get(s"write.$opName.mode").contains("merge-on-read") ||
         lineageOn)
       if (wantsDelta && deltaRuleActive)
         return () => new SnapDeltaOperation(spark, warehouse, db, table,
-          snap.snapshotId, info.command, opName, schema(), lineageOn)
+          entry.snapshotId, info.command, opName, schema(), lineageOn)
       () => new RowLevelOperation {
         override def command: RowLevelOperation.Command = info.command
         override def description(): String = s"snapcat copy-on-write $opName"
@@ -683,7 +706,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           // resurrect dead rows into the rewritten state. Refuse loudly;
           // translatable DELETEs never get here (the metadata-delete
           // downgrade routes them to deleteWhere first).
-          require(snap.deleteFiles.isEmpty,
+          require(liveDeletes.isEmpty,
             s"$opName on $catalogName.$db.$table: group-based row-level SQL " +
               "over live merge-on-read delete files would resurrect deleted " +
               "rows; compact() the table first (or use the library " +
@@ -797,8 +820,12 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       }
     }
 
-    override val recordCount: Long = snap.recordCount
-    override def columnStat(key: String): Option[String] = snap.summary.get(key)
+    // pointer-entry metadata only — the record count and snapshot-level
+    // column stats ride the entry summary; forcing the file inventory
+    // here would defeat lazy table loading for every query
+    override val recordCount: Long =
+      entry.summary.get("record_count").map(_.toLong).getOrElse(-1L)
+    override def columnStat(key: String): Option[String] = entry.summary.get(key)
 
     /** Per-file identity-partition values + exact footer row counts — the
       * inputs of [[MetadataCountRule]]'s GROUP-BY-partition serve. `None`
@@ -987,8 +1014,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     override def schema(): StructType = {
       val hidden = tableMeta.hiddenCols
       val visible =
-        if (hidden.isEmpty) snap.schema
-        else StructType(snap.schema.fields.filterNot(f => hidden(f.name)))
+        if (hidden.isEmpty) entry.schema
+        else StructType(entry.schema.fields.filterNot(f => hidden(f.name)))
       // column-default metadata rides the served schema: CURRENT_DEFAULT
       // lets the analyzer fill INSERTs that omit the column, and
       // EXISTS_DEFAULT makes the parquet readers serve the frozen
@@ -1016,12 +1043,12 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       (tableMeta.properties ++ Map(
         "provider" -> "snapcat",
         "location" -> java.nio.file.Paths.get(warehouse, db, table).toString,
-        "current-snapshot-id" -> snap.snapshotId.toString,
+        "current-snapshot-id" -> entry.snapshotId.toString,
         "record-count" -> snap.recordCount.toString) ++
         // surfaced only when live, so DESCRIBE shows the MoR state at a
         // glance without widening the default property set
-        (if (snap.deleteFiles.isEmpty) Map.empty[String, String]
-         else Map("delete-files" -> snap.deleteFiles.size.toString))).asJava
+        (if (liveDeletes.isEmpty) Map.empty[String, String]
+         else Map("delete-files" -> liveDeletes.size.toString))).asJava
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
@@ -1048,7 +1075,75 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       * replaces. Bucketed tables get the same per-dir treatment inside
       * each bucket's batch, so storage-partitioned joins survive appends
       * (no more compact()-before-SPJ requirement). */
-    private[spark] def ownScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    /** Eager scan builder over the FULL inventory — the delta/rewrite
+      * paths' form (their commit logic needs the complete file list
+      * anyway). Plain reads go through [[lazyScan]] instead. */
+    private[spark] def ownScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      scanBuilderOver(snap, options)
+
+    /** TWO-LEVEL lazy scan builder: the candidate inventory is resolved
+      * when the pushed filters arrive ([[SnapshotCatalog.resolveScanShards]]
+      * — manifest shards whose pointer-log summary provably excludes the
+      * conjuncts are never parsed), and the regular pruning builder is
+      * constructed over that partial snapshot. A scan with no pushed
+      * filters resolves everything (identical to the eager path). Every
+      * downstream layer — per-file footer skipping, bloom sidecars,
+      * LIMIT/TopN truncation, runtime (DPP) re-pruning, bucketed SPJ,
+      * MoR merge — operates on the candidates exactly as before: the
+      * shard tier only removes files the file tier would have removed
+      * one by one. */
+    private[spark] def lazyScan(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder
+        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+        with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
+        import org.apache.spark.sql.catalyst.expressions.Expression
+        private var inner: ScanBuilder = null
+        // Spark pushes filters FIRST (V2ScanRelationPushDown), so the
+        // builder constructed here serves every later pushdown call; a
+        // scan whose plan has no Filter never calls pushFilters and
+        // resolves the full inventory on first touch instead
+        private def innerFor(preds: Seq[Expression]): ScanBuilder = {
+          if (inner == null) {
+            if (sys.env.contains("GRAFT_DEBUG_LAZYSCAN"))
+              System.err.println(s"[lazyScan] innerFor preds=${preds.size}: " +
+                preds.mkString(" && ") + "\n" +
+                new Exception().getStackTrace.take(12).mkString("\n"))
+            val part =
+              try cat.resolveScanShards(db, table, entry.snapshotId, preds)
+              catch { case scala.util.control.NonFatal(_) =>
+                cat.snapshotAt(db, table, entry.snapshotId) }
+            inner = scanBuilderOver(part, options)
+          }
+          inner
+        }
+        private def catalystInner(preds: Seq[Expression]) = innerFor(preds)
+          .asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
+        override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+          catalystInner(filters).pushFilters(filters)
+        override def pushedFilters()
+            : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+          catalystInner(Nil).pushedFilters
+        override def pruneColumns(requiredSchema: StructType): Unit =
+          innerFor(Nil).asInstanceOf[
+            org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+            .pruneColumns(requiredSchema)
+        override def pushLimit(limit: Int): Boolean =
+          innerFor(Nil).asInstanceOf[
+            org.apache.spark.sql.connector.read.SupportsPushDownLimit].pushLimit(limit)
+        override def pushTopN(
+            orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+            limit: Int): Boolean =
+          innerFor(Nil).asInstanceOf[
+            org.apache.spark.sql.connector.read.SupportsPushDownTopN]
+            .pushTopN(orders, limit)
+        override def isPartiallyPushed(): Boolean = true
+        override def build(): Scan = innerFor(Nil).build()
+      }
+
+    private def scanBuilderOver(snap: Snapshot,
+        options: CaseInsensitiveStringMap): ScanBuilder = {
       val root = java.nio.file.Paths.get(warehouse, db, table)
       val dirs = snap.files.map(_.split("/").take(2).mkString("/")).distinct
       val partitioned = tableMeta.partitionCols.nonEmpty
@@ -1300,9 +1395,9 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             case _: NumberFormatException => throw new IllegalArgumentException(
               s"snapshot-id option must be numeric, got '$v'")
           }
-          snapshotTable(Identifier.of(Array(db), table), cat.snapshotAt(db, table, snapId))
-            .asInstanceOf[SnapTable].ownScanBuilder(options)
-        case None => ownScanBuilder(options)
+          snapshotTable(Identifier.of(Array(db), table), cat.entryAt(db, table, snapId))
+            .asInstanceOf[SnapTable].lazyScan(options)
+        case None => lazyScan(options)
       }
     }
 
@@ -1991,10 +2086,10 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     }
   }
 
-  private def snapshotTable(ident: Identifier, snap: Snapshot): Table = {
+  private def snapshotTable(ident: Identifier, entry: SnapshotEntry): Table = {
     val db = ident.namespace().head
     val table = ident.name()
-    new SnapTable(s"$catalogName.$db.$table", snap, cat.meta(db, table), db, table)
+    new SnapTable(s"$catalogName.$db.$table", entry, cat.meta(db, table), db, table)
   }
 
   /** The `<table>.snapshots` metadata relation the reference scans
@@ -2355,11 +2450,11 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       val headId = cat.resolveBranch(db, table, name).getOrElse(
         throw new NoSuchTableException(ident))
       return new SnapTable(s"$catalogName.$db.$table.branch_$name",
-        cat.snapshotAt(db, table, headId), cat.meta(db, table), db, table,
+        cat.entryAt(db, table, headId), cat.meta(db, table), db, table,
         branch = Some(name))
     }
     checkExists(ident)
-    snapshotTable(ident, cat.currentSnapshot(ident.namespace().head, ident.name()))
+    snapshotTable(ident, cat.currentEntry(ident.namespace().head, ident.name()))
   }
 
   /** VERSION AS OF <snapshotId | 'tag' | 'branch'>
@@ -2379,7 +2474,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           cat.meta(db, table).refs.keys.toSeq.sorted.mkString(",") +
           "; branches: " +
           cat.meta(db, table).branches.keys.toSeq.sorted.mkString(",") + ")"))
-    snapshotTable(ident, cat.snapshotAt(db, table, snapId))
+    snapshotTable(ident, cat.entryAt(db, table, snapId))
   }
 
   /** TIMESTAMP AS OF — micros since epoch (Spark converts literals). */
@@ -2387,11 +2482,11 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     checkExists(ident)
     val ts = java.time.Instant.EPOCH.plusNanos(timestamp * 1000L)
     val db = ident.namespace().head
-    val snap = cat.snapshotList(db, ident.name())
+    val e = cat.entryLog(db, ident.name())
       .filter(s => !java.time.Instant.parse(s.committedAt).isAfter(ts))
       .maxByOption(_.snapshotId)
       .getOrElse(throw new NoSuchTableException(ident))
-    snapshotTable(ident, snap)
+    snapshotTable(ident, e)
   }
 
   private def checkExists(ident: Identifier): Unit = {

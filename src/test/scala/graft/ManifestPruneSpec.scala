@@ -305,6 +305,39 @@ class ManifestPruneSpec extends AnyFunSuite {
       s"pinned cold plan ${coldMs}ms vs full materialize ${fullMs}ms")
   }
 
+  test("SQL scan path: pinned-partition SELECT parses only the matching shards (cold cache)") {
+    val wh = Files.createTempDirectory("graft_mp_sql_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, wh, clock = () =>
+      { tick += 1; Instant.parse("2026-08-10T00:00:00Z").plusSeconds(tick * 60) })
+    cat.createTable("db", "p", StructType.fromDDL("id BIGINT, day STRING, v DOUBLE"),
+      partitionCols = Seq("day"))
+    (1 to 8).foreach { d =>
+      cat.append("db", "p", (0 until 20).map(i =>
+        (i.toLong + d * 100, f"2024-01-$d%02d", i * 1.5)).toDF("id", "day", "v"))
+    }
+    spark.conf.set("spark.sql.catalog.mpsql", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.mpsql.warehouse", wh)
+    // warm the non-manifest constants (catalog wiring, analysis)
+    spark.sql("SELECT id, v FROM mpsql.db.p WHERE day = '2024-01-01'").collect()
+    SnapshotCatalog.clearManifestCacheForTest()
+    val p0 = SnapshotCatalog.manifestParses.get()
+    val got = spark.sql("SELECT id, v FROM mpsql.db.p WHERE day = '2024-01-05'")
+      .as[(Long, Double)].collect().toSet
+    val parsed = SnapshotCatalog.manifestParses.get() - p0
+    assert(got == (0 until 20).map(i => (i.toLong + 500, i * 1.5)).toSet)
+    assert(parsed == 1, s"pinned SQL plan parsed $parsed of 8 shards (expected 1)")
+    // time-travel reader option rides the same two-level lane
+    SnapshotCatalog.clearManifestCacheForTest()
+    val p1 = SnapshotCatalog.manifestParses.get()
+    val tt = spark.read.option("snapshot-id",
+        cat.currentSnapshotId("db", "p").toString)
+      .table("mpsql.db.p").where(col("day") === "2024-01-03").count()
+    assert(tt == 20L)
+    val parsedTt = SnapshotCatalog.manifestParses.get() - p1
+    assert(parsedTt <= 2, s"time-travel pinned plan parsed $parsedTt shards")
+  }
+
   test("summaries survive the log round trip and GC with expired shards") {
     val cat = freshCat()
     cat.createTable("db", "g", StructType.fromDDL("id BIGINT, v STRING"))
