@@ -2090,6 +2090,46 @@ object SparkEntry {
       df
     }),
 
+    // COMPOSITE TOP-N PUSHDOWN (r14): `ORDER BY day DESC, uid DESC LIMIT
+    // n` prunes files through per-file BOX bounds — each column's footer
+    // bounds oriented along its direction lower/upper-bound the row's
+    // TUPLE in lexicographic order, so no clustering assumption is
+    // needed for soundness; the table's `write.sort-order` matching the
+    // ordering prefix is what makes the boxes disjoint enough to prune
+    // (a composite leaderboard reads the extreme files, not the lake —
+    // the r13 single-column refusal, closed). REQUIRED: strictly fewer
+    // files scanned than the table holds. uid is unique, so the top-25
+    // is deterministic for the oracle.
+    "q184_topn_composite" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      if (cat.tableExists("maint", "tnc_li")) cat.dropTable("maint", "tnc_li")
+      val li = T(s, dir, "lineitem")
+        .select(col("l_shipdate").cast("date").cast("string").as("day"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("uid"))
+      cat.createTable("maint", "tnc_li", li.schema,
+        properties = Map("write.sort-order" -> "day,uid",
+          // split the sorted write into several files so the box bounds
+          // have something to exclude at this SF (each split is a
+          // consecutive sorted run — bounds stay tight and disjoint)
+          "write.target-records-per-file" -> "2000"))
+      cat.append("maint", "tnc_li", li)
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def scanned(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectFirst {
+          case b: BatchScanExec => b.inputPartitions.flatMap {
+            case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+            case _ => Seq.empty[String]
+          }.distinct.size
+        }.getOrElse(0)
+      val total = cat.currentSnapshot("maint", "tnc_li").files.size
+      val df = s.sql("SELECT day, uid FROM snapdml.maint.tnc_li " +
+        "ORDER BY day DESC, uid DESC LIMIT 25")
+      require(total > 1 && scanned(df) > 0 && scanned(df) < total,
+        s"composite top-n must prune box-excluded files: ${scanned(df)} of $total")
+      df
+    }),
+
     // WRITE DISTRIBUTION MODES (r13 continuation): Iceberg's
     // `write.distribution-mode` table property. `hash` clusters every
     // commit's rows on the layout columns before the partitioned write,
@@ -5527,6 +5567,12 @@ object SparkEntry {
       """SELECT l_orderkey * 10 + l_linenumber AS uid,
         |  CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
         |FROM lineitem ORDER BY uid DESC LIMIT 25""".stripMargin,
+
+    // uid is unique, so the composite top-25 is deterministic
+    "q184_topn_composite" ->
+      """SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS day,
+        |  l_orderkey * 10 + l_linenumber AS uid
+        |FROM lineitem ORDER BY day DESC, uid DESC LIMIT 25""".stripMargin,
 
     // the hash-distributed write changed only the file layout
     "q178_write_distribution" ->

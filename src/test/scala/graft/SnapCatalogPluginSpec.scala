@@ -1416,6 +1416,86 @@ class SnapCatalogPluginSpec extends AnyFunSuite {
     }
   }
 
+  test("COMPOSITE ORDER BY + LIMIT prunes files through box bounds, stays exact") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    // (day, v) clustered on BOTH columns: each day spans two files split
+    // by v, so a composite leaderboard needs the tuple-bound argument —
+    // a single-column day bound alone cannot separate the two files of
+    // the top day
+    val d = (0L until 90L).map(i => (i, i / 30L, i % 30L)).toDF("id", "day", "v")
+    cat.createTable("dbtn", "comp", d.schema)
+    cat.append("dbtn", "comp", d.repartitionByRange(6, col("day"), col("v")))
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.inputPartitions.flatMap {
+          case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+          case _ => Seq.empty[String]
+        }.distinct.size
+      }.getOrElse(sys.error("no BatchScanExec in plan"))
+    val full = scannedFiles(spark.sql("SELECT v FROM snapcat.dbtn.comp"))
+    assert(full >= 6, s"fixture should span many files, got $full")
+    val top = spark.sql("SELECT day, v FROM snapcat.dbtn.comp " +
+      "ORDER BY day DESC, v DESC LIMIT 5")
+    assert(scannedFiles(top) < full,
+      s"composite top-n must prune: ${scannedFiles(top)} of $full")
+    assert(top.as[(Long, Long)].collect().toSeq ==
+      (0 until 5).map(i => (2L, (29 - i).toLong)))
+    // mixed directions stay exact (and sound on any clustering)
+    val mixed = spark.sql("SELECT day, v FROM snapcat.dbtn.comp " +
+      "ORDER BY day DESC, v ASC LIMIT 5")
+    assert(mixed.as[(Long, Long)].collect().toSeq ==
+      (0 until 5).map(i => (2L, i.toLong)))
+  }
+
+  test("randomized COMPOSITE top-n battery: any direction/null-order mix equals sort truth") {
+    wh
+    val cat = new SnapshotCatalog(spark, wh)
+    val rnd = new scala.util.Random(471)
+    // unclustered, tie-heavy small domains + random nulls in BOTH columns:
+    // the null-discipline corners (nulls-last escaping the hi bound,
+    // nulls-first leapfrogging the lo bound, tail-column nulls) must all
+    // stay exact regardless of what the pruning does
+    val rows = (0L until 150L).map { i =>
+      (i,
+        if (rnd.nextInt(8) == 0) Option.empty[Long] else Option(rnd.nextInt(5).toLong),
+        if (rnd.nextInt(8) == 0) Option.empty[Long] else Option(rnd.nextInt(40).toLong))
+    }
+    val d = rows.toDF("id", "a", "b")
+    cat.createTable("dbtn", "cfuzz", d.schema)
+    for (k <- 0 until 5)
+      cat.append("dbtn", "cfuzz", d.where(col("id") % 5 === k)
+        .repartitionByRange(2, col("a"), col("b")))
+    def cmp1(x: Option[Long], y: Option[Long], asc: Boolean, nf: Boolean): Int =
+      (x, y) match {
+        case (None, None) => 0
+        case (None, _) => if (nf) -1 else 1
+        case (_, None) => if (nf) 1 else -1
+        case (Some(p), Some(q)) => if (asc) p.compare(q) else q.compare(p)
+      }
+    for (trial <- 1 to 10) {
+      val n = 1 + rnd.nextInt(25)
+      val (ascA, nfA) = (rnd.nextBoolean(), rnd.nextBoolean())
+      val (ascB, nfB) = (rnd.nextBoolean(), rnd.nextBoolean())
+      def dir(asc: Boolean, nf: Boolean) =
+        (if (asc) "ASC" else "DESC") + (if (nf) " NULLS FIRST" else " NULLS LAST")
+      val got = spark.sql("SELECT a, b FROM snapcat.dbtn.cfuzz ORDER BY " +
+          s"a ${dir(ascA, nfA)}, b ${dir(ascB, nfB)} LIMIT $n")
+        .as[(Option[Long], Option[Long])].collect().toSeq
+      val truth = rows.map(r => (r._2, r._3)).sortWith { (x, y) =>
+        val c = cmp1(x._1, y._1, ascA, nfA)
+        (if (c != 0) c else cmp1(x._2, y._2, ascB, nfB)) < 0
+      }.take(n)
+      // ties beyond (a, b) make row choice nondeterministic; the value
+      // multiset is exact
+      assert(got.sorted == truth.sorted,
+        s"trial $trial (a ${dir(ascA, nfA)}, b ${dir(ascB, nfB)}, n=$n): " +
+          s"$got vs $truth")
+    }
+  }
+
   test("unfiltered count(col) serves from folded footer null counts") {
     wh
     val cat = new SnapshotCatalog(spark, wh)
