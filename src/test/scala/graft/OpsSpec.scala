@@ -1282,6 +1282,42 @@ class OpsSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.collect().take(3).mkString(","))
   }
 
+  test("grouped percentiles: distributed rank-location lane equals the driver lane exactly") {
+    import graft.ops.Percentiles
+    val rnd = new scala.util.Random(58)
+    // random group sizes, tie-heavy values, a NULL group — every corner
+    // the rank arithmetic has
+    val rows = (0 until 400).flatMap { g =>
+      val key = if (g == 0) null else f"g$g%04d"
+      (0 until 1 + rnd.nextInt(40)).map(_ => (key, rnd.nextInt(50).toDouble))
+    }.toDF("g", "v")
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val names = Seq("p0", "p25", "p50", "p90", "p100")
+    // driver lane (cap far above the cardinality)
+    val drv = Percentiles.groupedQuantiles(rows, "g", "v", qs, names,
+      nBuckets = 32, maxDriverCells = 1L << 30)
+    // distributed lane (cap of one cell forces it)
+    val dist = Percentiles.groupedQuantiles(rows, "g", "v", qs, names,
+      nBuckets = 32, maxDriverCells = 1L)
+    // the distributed lane must be a PLAN, not a collected LocalRelation:
+    // its rank location is the cumulative-count window, and no
+    // O(groups x buckets) histogram ever reaches the driver
+    assert(dist.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.nonEmpty, "distributed lane must locate ranks with a window pass")
+    assert(drv.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, "driver lane result is a located LocalRelation, no window")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => Option(r.getString(0)) ->
+        names.indices.map(i => r.getDouble(i + 1))).toMap
+    val (a, b) = (m(drv), m(dist))
+    assert(a.keySet == b.keySet, s"${a.keySet.size} vs ${b.keySet.size} groups")
+    a.keys.foreach { g =>
+      assert(a(g) == b(g), s"group $g: driver ${a(g)} vs distributed ${b(g)}")
+    }
+  }
+
   test("PCA guards: ragged and oversized dimensions refuse; training is run-stable") {
     import graft.ops.Pca
     // ragged vectors refuse loudly (wrapped in Spark's task failure)
