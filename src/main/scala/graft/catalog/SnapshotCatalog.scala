@@ -2289,22 +2289,42 @@ final class SnapshotCatalog(
     val ndvRels = prev.summary.get("ndv.snapshot").map(_.toLong)
       .map(NdvStats.sidecarRel).filter(r => Files.exists(srcRoot.resolve(r))).toSeq
     val rels = (prev.files ++ prev.deleteFiles.map(_.path) ++ bloomRels ++ ndvRels).distinct
-    // O(files) driver-side metadata syscalls; parallelized so a 10^6-file
-    // clone is bounded by filesystem throughput, not a serial loop
-    // (createDirectories is idempotent under contention)
+    // O(files) driver-side metadata syscalls; parallelized on a DEDICATED
+    // bounded pool — never the JVM-common ForkJoinPool, which a 10^6-file
+    // clone would otherwise starve for every other parallel user of this
+    // driver (createDirectories is idempotent under contention). Sized by
+    // `graft.clone.ioThreads` (links are syscall-bound, so the default
+    // caps at 32 regardless of core count).
+    val ioThreads = math.max(1, spark.conf.getOption("graft.clone.ioThreads")
+      .map(_.toInt)
+      .getOrElse(math.min(32, Runtime.getRuntime.availableProcessors())))
+    val threadSeq = new java.util.concurrent.atomic.AtomicInteger()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(ioThreads, r => {
+      val t = new Thread(r, s"graft-clone-io-${threadSeq.incrementAndGet()}")
+      t.setDaemon(true)
+      t
+    })
     val linkErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-    rels.asJava.parallelStream().forEach { rel =>
-      try {
-        val from = srcRoot.resolve(rel)
-        val to = dstRoot.resolve(rel)
-        Files.createDirectories(to.getParent)
-        try Files.createLink(to, from)
-        catch {
-          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-            Files.copy(from, to) // cross-device / linkless FS: one-pass copy
-        }
-      } catch { case t: Throwable => linkErr.compareAndSet(null, t) }
-    }
+    val usedThreads = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    try {
+      rels.map { rel =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try {
+              usedThreads.add(Thread.currentThread().getName)
+              val from = srcRoot.resolve(rel)
+              val to = dstRoot.resolve(rel)
+              Files.createDirectories(to.getParent)
+              try Files.createLink(to, from)
+              catch {
+                case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+                  Files.copy(from, to) // cross-device / linkless FS: one-pass copy
+              }
+            } catch { case t: Throwable => linkErr.compareAndSet(null, t) }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    SnapshotCatalog.lastCloneThreads = usedThreads.asScala.toSet
     Option(linkErr.get()).foreach(t => throw t)
     // table doc: schema/partition spec/properties carry; refs, branches
     // and any staged state do not (fresh lineage)
@@ -8027,6 +8047,11 @@ object SnapshotCatalog {
   /** Drop the JVM-wide parse cache (spec-only): cold-cache parse counts
     * are how the shard-skip gates prove skipped shards were never read. */
   private[graft] def clearManifestCacheForTest(): Unit = manifestCache.clear()
+
+  /** Thread names the LAST clone's link pass ran on (spec-only): the
+    * pool-isolation gate asserts they are the dedicated clone pool's,
+    * never common-ForkJoinPool workers. */
+  @volatile private[graft] var lastCloneThreads: Set[String] = Set.empty
 
   /** Lock paths held by the current thread (reentrancy). */
   private val heldLocks: ThreadLocal[java.util.HashSet[String]] =

@@ -272,4 +272,33 @@ object DedupIndex {
       cand.select(col("corpus_id").as(idCol)))
     verify(cand, leftSh, rightSh, "batch_id", "corpus_id", num, den)
   }
+
+  /** SCOPED audit form of [[pairs]]: every verified near-dup pair with AT
+    * LEAST ONE side admitted by `where` (evaluated against the base at
+    * the index's pin) — "which of THIS partition's documents duplicate
+    * anything in the corpus" without the corpus-wide candidate
+    * self-join. The scope resolves through the base's pruned read (footer
+    * stats / partition dirs admit the files, nothing else is fetched),
+    * the scoped docs re-sketch through the frozen hash family (bit-equal
+    * to their stored index rows), and the probe lane's bucket pruning
+    * reads only the index directories those bands route to —
+    * out-of-scope candidates are never read. Output matches [[pairs]]
+    * (`id_a < id_b, inter_sz, union_sz`), equal to the unscoped result
+    * filtered to scope-touching pairs (DedupIndexSpec differential). */
+  def pairs(cat: SnapshotCatalog, db: String, name: String, where: Column,
+      num: Int, den: Int): DataFrame = {
+    val (bdb, btab, idCol, textCol, _, _, _, _, pin) = state(cat, db, name)
+    val scoped = cat.readWhere(bdb, btab, pin, where)
+      .select(col(idCol), col(textCol))
+    pairsAgainst(cat, db, name, scoped, idCol, textCol, num, den)
+      .where(col("batch_id") =!= col("corpus_id"))
+      .select(least(col("batch_id"), col("corpus_id")).as("id_a"),
+        greatest(col("batch_id"), col("corpus_id")).as("id_b"),
+        col("inter_sz"), col("union_sz"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** [[pairs]] scoped, at the default 9/10 Jaccard threshold. */
+  def pairs(cat: SnapshotCatalog, db: String, name: String,
+      where: Column): DataFrame = pairs(cat, db, name, where, 9, 10)
 }

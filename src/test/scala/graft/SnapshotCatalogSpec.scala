@@ -991,6 +991,18 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     val snap = cat.cloneTable("db", "src", "db2", "dst")
     assert(snap.operation == "clone"
       && snap.summary("clone.source") == "db.src")
+    // the link pass runs on the DEDICATED clone pool, never the JVM-common
+    // ForkJoinPool (a 10^6-file clone must not starve other parallel work)
+    assert(SnapshotCatalog.lastCloneThreads.nonEmpty &&
+      SnapshotCatalog.lastCloneThreads.forall(_.startsWith("graft-clone-io-")),
+      SnapshotCatalog.lastCloneThreads.toString)
+    // and the pool size honors its conf
+    spark.conf.set("graft.clone.ioThreads", "2")
+    try {
+      cat.cloneTable("db", "src", "db2", "dst_sized")
+      assert(SnapshotCatalog.lastCloneThreads.size <= 2,
+        SnapshotCatalog.lastCloneThreads.toString)
+    } finally spark.conf.unset("graft.clone.ioThreads")
     // contents identical, MoR deletes in force on the clone
     val expect = (0L until 1000L).filter(_ % 10 != 0).toSet
     assert(cat.readLatest("db2", "dst").select("id").as[Long].collect().toSet == expect)
