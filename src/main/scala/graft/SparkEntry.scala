@@ -1923,6 +1923,46 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // HYBRID RETRIEVAL, PQ LEG (r14): the q169 stack with the vector leg
+    // a PQ-CODED index — the ANN side stores m-byte codes instead of
+    // vectors, ADC-scores the probed cells, and the covering refine's
+    // exact re-rank against the base at the pin reproduces the flat
+    // leg's ranking exactly (the q160 argument, now through the hybrid
+    // surface). Both legs' refreshes REQUIRED incremental across the
+    // same churn; the oracle is q169's full SQL replay VERBATIM — the
+    // fused ranking must match the flat fixture bit-for-bit.
+    "q185_hybrid_pq" -> ((s, dir) => {
+      val cat = WarehouseFixture.forDir(s, dir).src
+      for (t <- Seq("hyp_tix", "hyp_vix", "hyp_vix_cent", "hyp_vix_books",
+          "hyp_base"))
+        if (cat.tableExists("maint", t)) cat.dropTable("maint", t)
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      val e = T(s, dir, "embeddings")
+      val base = d.join(e, d("doc_id") === e("vec_id"))
+        .select(d("doc_id"), col("text"), col("embedding"))
+      cat.createTable("maint", "hyp_base", base.schema)
+      cat.append("maint", "hyp_base", base.where(col("doc_id") % 2 === 0))
+      graft.ops.TextIndex.create(cat, "maint", "hyp_base", "hyp_tix",
+        "doc_id", "text", nbuckets = 16)
+      graft.ops.VectorIndex.create(cat, "maint", "hyp_base", "hyp_vix",
+        "doc_id", "embedding", nlist = 8, iters = 2, sampleMod = 3,
+        pq = Some((16, 8)))
+      cat.deleteMoR("maint", "hyp_base", col("doc_id") % 10 === 0)
+      cat.append("maint", "hyp_base", base.where(col("doc_id") % 2 === 1))
+      val (m1, _) = graft.ops.TextIndex.refresh(cat, "maint", "hyp_tix")
+      require(m1 == "incremental", s"text leg refresh took '$m1'")
+      val (m2, _) = graft.ops.VectorIndex.refresh(cat, "maint", "hyp_vix")
+      require(m2 == "incremental", s"PQ vector leg refresh took '$m2'")
+      graft.ops.Retrieval.hybridIndexTopK(cat, "maint", "hyp_tix", "hyp_vix",
+        base.where(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"),
+            substring(col("text"), 1, 48).as("qtext"),
+            col("embedding").as("qvec")),
+        "qid", "qtext", "qvec", k = 10, nprobe = 3, fuseK = 60,
+        k1 = 1.5, b = 0.75, refine = 500)
+        .orderBy("query_id", "rank")
+    }),
+
     // RANKED TOP-K MATERIALIZED VIEW (r13 continuation): a top-5-per-
     // group leaderboard body (`row_number() OVER (PARTITION BY ...) <=
     // k`) maintains INCREMENTALLY — the one window shape with an exact
@@ -6617,6 +6657,10 @@ object SparkEntry {
     // and churn; PQ only changes the STORAGE, and the covering refine's
     // exact re-rank against the base-at-pin reproduces the flat answer
     .pipe(m => m + ("q160_vector_index_pq" -> m("q148_vector_index")))
+    // q185 shares q169's oracle VERBATIM: same fixture, same churn, same
+    // fusion — the PQ leg's covering refine re-ranks exactly against the
+    // base at the pin, so the fused ranking equals the flat leg's
+    .pipe(m => m + ("q185_hybrid_pq" -> m("q169_hybrid_index")))
     // q143 replays q50's EXACT IVF candidate pass, with the labeled
     // positives (n % 17 = q) anti-joined out of the candidates BEFORE
     // ranking — precisely the hardNegatives semantics

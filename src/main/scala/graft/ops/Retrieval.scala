@@ -136,13 +136,19 @@ object Retrieval {
       textIndex: String, vecIndex: String, queries: DataFrame,
       qIdCol: String, qTextCol: String, qVecCol: String,
       k: Int, nprobe: Int, fuseK: Int = 60,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, refine: Int = 4): DataFrame = {
     val lexId = cat.meta(db, textIndex).properties(TextIndex.PropIdCol)
     val lex = TextIndex.topK(cat, db, textIndex, queries, qIdCol, qTextCol,
         k, k1, b)
       .select(col("query_id"), col(s"`$lexId`").as("doc_id"), col("rank"))
+    // `refine` rides into the ANN leg so a PQ-coded vector index composes
+    // here exactly like a flat one: the ADC shortlist widens by the
+    // factor and the exact re-rank against the base at the pin decides
+    // the leg's ranking (a covering refine reproduces the flat answer
+    // bit-for-bit — the q160 exactness argument, now reachable from the
+    // hybrid surface). Flat indexes ignore it.
     val sem = VectorIndex.topK(cat, db, vecIndex, queries, qIdCol, qVecCol,
-        k, nprobe)
+        k, nprobe, refine = refine)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(Seq(lex, sem), fuseK, k)
   }
