@@ -114,8 +114,8 @@ object ShardSummary {
     * result is computed once at commit and never revisited. */
   def of(m: Manifest, schema: StructType, partitionCols: Seq[String]): ShardSummary = {
     val n = m.files.size
-    if (n == 0)
-      return ShardSummary(0, Map.empty, Some(Nil), Some(Nil), Some(Nil))
+    if (n == 0) // rows=0 keeps the LIMIT/TopN coverage walks provable
+      return ShardSummary(0, Map("rows" -> "0"), Some(Nil), Some(Nil), Some(Nil))
     val pcols = partitionCols.toSet
     val perFile: Seq[Map[String, String]] =
       m.files.map(f => m.fileStats.getOrElse(f, Map.empty) ++ pathVals(f, pcols, schema))

@@ -1707,6 +1707,75 @@ final class SnapshotCatalog(
           e.deletes.flatMap(loadDeleteShard(db, table, _)))
     }
 
+  /** Shard-tier LIMIT resolution: the shortest manifest PREFIX whose
+    * recorded row counts provably cover `limit` rows — an unfiltered
+    * `SELECT * LIMIT n` on a million-file table parses the first shard,
+    * not the inventory, before the file tier truncates further. A shard
+    * without a summed `rows` contributes nothing to the proof (the walk
+    * keeps including shards until coverage is provable; never provable =
+    * everything loads). Armed by the caller only with NO live deletes
+    * (footer counts must be visible counts — the file tier's own rule). */
+  private[graft] def resolveScanLimitShards(db: String, table: String,
+      snapshotId: Long, limit: Int): Snapshot = loadRepr(db, table) match {
+    case SnapshotCatalog.LegacyLog(_) => snapshotAt(db, table, snapshotId)
+    case SnapshotCatalog.V2Log(es, sums) =>
+      val e = es.find(_.snapshotId == snapshotId).getOrElse(
+        throw new NoSuchElementException(
+          s"snapshot $snapshotId not found for $db.$table"))
+      var acc = 0L
+      var covered = false
+      val open = Seq.newBuilder[String]
+      e.manifests.foreach { name =>
+        if (!covered) {
+          open += name
+          sums.get(name).flatMap(_.stats.get("rows")).foreach { r =>
+            acc += r.toLong
+            if (acc >= limit) covered = true
+          }
+        }
+      }
+      materializePartial(db, table, e, open.result())
+  }
+
+  /** Shard-tier TOP-N resolution: the shared box-bound walk
+    * ([[TopNPruning]]) over per-shard summary folds — shards whose bound
+    * tuples provably sit beyond a coverage cutoff are never parsed, so a
+    * clustered `ORDER BY ... LIMIT n` reads the extreme shards, then the
+    * file tier prunes within them. Sound for any layout (a shard's fold
+    * boxes all its files); a shard without a summary keeps and, if its
+    * `rows` is unknown, the walk keeps everything (coverage unprovable —
+    * degrade, never break). */
+  private[graft] def resolveScanTopNShards(db: String, table: String,
+      snapshotId: Long, cols: Seq[(String, Boolean, Boolean)],
+      limit: Int): Snapshot = loadRepr(db, table) match {
+    case SnapshotCatalog.LegacyLog(_) => snapshotAt(db, table, snapshotId)
+    case SnapshotCatalog.V2Log(es, sums) =>
+      val e = es.find(_.snapshotId == snapshotId).getOrElse(
+        throw new NoSuchElementException(
+          s"snapshot $snapshotId not found for $db.$table"))
+      val schema = e.schema
+      def gtOf(c: String): Option[(String, String) => Boolean] =
+        schema.fields.find(_.name == c).map(_.dataType)
+          .filter(ColumnStats.statable)
+          .map(dt => (a: String, b: String) => ColumnStats.gt(dt, a, b))
+      val items = e.manifests.map(name =>
+        name -> sums.get(name).map(_.stats).getOrElse(Map.empty[String, String]))
+      val keep = TopNPruning.prune(items, cols, limit, gtOf).toSet
+      materializePartial(db, table, e, e.manifests.filter(keep))
+  }
+
+  /** Partial materialization: the entry's view restricted to `open`
+    * shards (delete shards always load in full — they are the merge
+    * correctness layer). */
+  private def materializePartial(db: String, table: String, e: SnapshotEntry,
+      open: Seq[String]): Snapshot = {
+    val ms = open.map(loadManifest(db, table, _))
+    Snapshot(e.snapshotId, e.committedAt, e.operation, e.summary,
+      e.schemaDdl, ms.flatMap(_.files),
+      ms.foldLeft(Map.empty[String, Map[String, String]])(_ ++ _.fileStats),
+      e.deletes.flatMap(loadDeleteShard(db, table, _)))
+  }
+
   /** Pointer-log entry by id — O(log) metadata, no manifest opened. For a
     * legacy log the synthesized entry has no manifests (callers that need
     * files materialize via [[snapshotAt]]). */

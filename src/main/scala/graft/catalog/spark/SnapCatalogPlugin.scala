@@ -1100,16 +1100,21 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
         import org.apache.spark.sql.catalyst.expressions.Expression
         private var inner: ScanBuilder = null
-        // Spark pushes filters FIRST (V2ScanRelationPushDown), so the
-        // builder constructed here serves every later pushdown call; a
-        // scan whose plan has no Filter never calls pushFilters and
-        // resolves the full inventory on first touch instead
+        // pushdowns recorded BEFORE the inner builder exists (a
+        // filterless LIMIT / ORDER-BY-LIMIT scan): they pick the SHARD
+        // resolution at build() — LIMIT loads a row-covering shard
+        // prefix, TopN box-prunes shards ([[TopNPruning]] over summary
+        // folds) — and then replay into the inner builder so the file
+        // tier prunes within the loaded candidates as ever.
+        private var pendingRequired: Option[StructType] = None
+        private var pendingLimit: Option[Int] = None
+        private var pendingTopN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None
+        // Spark pushes filters FIRST (V2ScanRelationPushDown), so a scan
+        // with filters resolves here and later calls forward directly;
+        // filters also disarm the LIMIT/TopN file tier, so the deferred
+        // lanes and this one never mix
         private def innerFor(preds: Seq[Expression]): ScanBuilder = {
           if (inner == null) {
-            if (sys.env.contains("GRAFT_DEBUG_LAZYSCAN"))
-              System.err.println(s"[lazyScan] innerFor preds=${preds.size}: " +
-                preds.mkString(" && ") + "\n" +
-                new Exception().getStackTrace.take(12).mkString("\n"))
             val part =
               try cat.resolveScanShards(db, table, entry.snapshotId, preds)
               catch { case scala.util.control.NonFatal(_) =>
@@ -1124,26 +1129,97 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           catalystInner(filters).pushFilters(filters)
         override def pushedFilters()
             : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
-          catalystInner(Nil).pushedFilters
+          if (inner == null) Array.empty
+          else inner.asInstanceOf[
+            org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
+            .pushedFilters
         override def pruneColumns(requiredSchema: StructType): Unit =
-          innerFor(Nil).asInstanceOf[
-            org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
-            .pruneColumns(requiredSchema)
+          if (inner != null)
+            inner.asInstanceOf[
+              org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+              .pruneColumns(requiredSchema)
+          else pendingRequired = Some(requiredSchema)
         override def pushLimit(limit: Int): Boolean =
-          innerFor(Nil).asInstanceOf[
-            org.apache.spark.sql.connector.read.SupportsPushDownLimit].pushLimit(limit)
+          if (inner != null)
+            inner.asInstanceOf[
+              org.apache.spark.sql.connector.read.SupportsPushDownLimit].pushLimit(limit)
+          else if (limit > 0 && liveDeletes.isEmpty) {
+            pendingLimit = Some(limit); true
+          } else false
         override def pushTopN(
             orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
             limit: Int): Boolean =
-          innerFor(Nil).asInstanceOf[
-            org.apache.spark.sql.connector.read.SupportsPushDownTopN]
-            .pushTopN(orders, limit)
+          if (inner != null)
+            inner.asInstanceOf[
+              org.apache.spark.sql.connector.read.SupportsPushDownTopN]
+              .pushTopN(orders, limit)
+          else {
+            val cols = translateOrders(orders)
+            if (limit > 0 && liveDeletes.isEmpty && cols.isDefined) {
+              pendingTopN = Some((cols.get, limit)); true
+            } else false
+          }
         override def isPartiallyPushed(): Boolean = true
-        override def build(): Scan = innerFor(Nil).build()
+        override def build(): Scan = {
+          if (inner == null) {
+            // filterless scan: pick the shard resolution from the
+            // deferred pushdowns (limit-first mirrors the file tier)
+            val part = try {
+              (pendingLimit, pendingTopN) match {
+                case (Some(n), _) =>
+                  cat.resolveScanLimitShards(db, table, entry.snapshotId, n)
+                case (_, Some((cols, n))) =>
+                  cat.resolveScanTopNShards(db, table, entry.snapshotId, cols, n)
+                case _ => cat.resolveScanShards(db, table, entry.snapshotId, Nil)
+              }
+            } catch { case scala.util.control.NonFatal(_) =>
+              cat.snapshotAt(db, table, entry.snapshotId) }
+            val partial = pendingLimit.isDefined || pendingTopN.isDefined
+            inner = scanBuilderOver(part, options, fullInventory = !partial)
+            // replay the deferred pushdowns so the FILE tier prunes
+            // within the loaded candidates exactly as before
+            pendingLimit.foreach(n => inner.asInstanceOf[
+              org.apache.spark.sql.connector.read.SupportsPushDownLimit].pushLimit(n))
+            pendingTopN.foreach { case (cols, n) =>
+              inner.asInstanceOf[org.apache.spark.sql.GraftPruningScanBuilder]
+                .adoptTopN(cols, n)
+            }
+            pendingRequired.foreach(s => inner.asInstanceOf[
+              org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+              .pruneColumns(s))
+          }
+          inner.build()
+        }
       }
 
+    /** Connector sort orders -> the (column, ascending, nullsFirst)
+      * triples the TopN pruning tiers consume; None when any order is
+      * untranslatable or its column unprunable (same arming rules as
+      * [[org.apache.spark.sql.GraftPruningScanBuilder.pushTopN]]). */
+    private def translateOrders(
+        orders: Array[org.apache.spark.sql.connector.expressions.SortOrder])
+        : Option[Seq[(String, Boolean, Boolean)]] = {
+      import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+      if (orders.length < 1 || orders.length > 4) return None
+      val cols = orders.toSeq.map { o =>
+        val c = o.expression match {
+          case n: NamedReference if n.fieldNames.length == 1 => n.fieldNames.head
+          case _ => return None
+        }
+        val statable = entry.schema.fields.find(_.name == c).map(_.dataType)
+          .exists(graft.catalog.ColumnStats.statable)
+        if (!statable) return None
+        (c, o.direction == SortDirection.ASCENDING,
+          o.nullOrdering == NullOrdering.NULLS_FIRST)
+      }
+      Some(cols)
+    }
+
     private def scanBuilderOver(snap: Snapshot,
-        options: CaseInsensitiveStringMap): ScanBuilder = {
+        options: CaseInsensitiveStringMap,
+        // false when `snap` is a LIMIT/TopN-partial shard resolution: an
+        // unfiltered scan over it must not claim snapshot-exact stats
+        fullInventory: Boolean = true): ScanBuilder = {
       val root = java.nio.file.Paths.get(warehouse, db, table)
       val dirs = snap.files.map(_.split("/").take(2).mkString("/")).distinct
       val partitioned = tableMeta.partitionCols.nonEmpty
@@ -1265,7 +1341,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
           // snapshot-exact statistics are only honest for an UNFILTERED
           // scan of the full file list; any pushed/runtime conjunct means
           // the delegate's size-tracking estimate is the right one
-          val exactStats = pushedExprs.isEmpty && keptFiles.size == snap.files.size
+          val exactStats = fullInventory && pushedExprs.isEmpty &&
+            keptFiles.size == snap.files.size
           bucketSpec match {
           // bucketed table: report key-grouped partitioning and emit one
           // keyed partition group per __bucket=b, so co-bucketed joins

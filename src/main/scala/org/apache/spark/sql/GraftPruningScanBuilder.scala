@@ -169,108 +169,25 @@ class GraftPruningScanBuilder(
     true
   }
 
-  /** The TopN file pruning itself — see [[pushTopN]]. MULTI-column
-    * orderings prune through per-file BOX bounds: with each column's
-    * footer bounds oriented along its sort direction, any fully-non-null
-    * row of a file sits between the file's lo tuple and hi tuple in the
-    * LEXICOGRAPHIC query order (coordinate-wise bounds imply tuple
-    * bounds — if a_1 > lo_1 the tuple is already past lo regardless of
-    * the tail; equality recurses). No clustering assumption is needed
-    * for soundness; a `write.sort-order` matching the ordering prefix is
-    * what makes the boxes disjoint enough to prune (a composite
-    * leaderboard on a sort-ordered table reads its extreme files, not
-    * the lake).
-    *
-    * Null discipline per column: a NULLS LAST column's null rows escape
-    * the hi-tuple bound, so they are deducted from the file's coverage
-    * contribution (unknown counts contribute 0 — coverage only shrinks);
-    * leading-column nulls keep the single-column rules (nulls-first rows
-    * are global top candidates; nulls-last rows need the global
-    * feasibility check). A NULLS FIRST column's null rows sort earlier
-    * than the bounded tuple, so the hi bound still covers them — but the
-    * lo bound does not, so exclusion additionally requires every
-    * nulls-first column's null count to be provably zero. */
+  /** Adopt an ALREADY-TRANSLATED TopN (the lazy two-level builder defers
+    * pushTopN past shard resolution and replays it here) — same arming
+    * rules as [[pushTopN]]. */
+  def adoptTopN(cols: Seq[(String, Boolean, Boolean)], limit: Int): Unit =
+    if (limitRowsExact && limit > 0 && cols.nonEmpty && cols.size <= 4 &&
+        cols.forall(c => statCompare(c._1).isDefined))
+      topNOpt = Some((cols, limit))
+
+  /** The TopN FILE-tier pruning — the shared box-bound walk
+    * ([[graft.catalog.TopNPruning]], where the full soundness argument
+    * lives) over the kept files' footer stats. The same walk runs at the
+    * SHARD tier inside the two-level planner, so a clustered leaderboard
+    * skips whole manifest shards before this tier sees a stat. */
   private def pruneTopN(kept0: Seq[String],
       cols: Seq[(String, Boolean, Boolean)], n: Int): Seq[String] = {
-    val k = cols.size
-    val gts = cols.map { case (c, _, _) => statCompare(c).getOrElse(return kept0) }
     val statOf = files.toMap
-    final case class F(path: String, lo: Option[Seq[String]], hi: Option[Seq[String]],
-      nulls: Seq[Option[Long]], rows: Long)
-    val fs = kept0.map { p =>
-      val st = statOf.getOrElse(p, None).getOrElse(Map.empty)
-      val rows = st.get("rows").map(_.toLong).getOrElse(return kept0)
-      // orient bounds along each column's ORDER: lo_i = first-sorting bound
-      val los = cols.map { case (c, asc, _) =>
-        st.get(if (asc) s"min.$c" else s"max.$c") }
-      val his = cols.map { case (c, asc, _) =>
-        st.get(if (asc) s"max.$c" else s"min.$c") }
-      F(p,
-        if (los.forall(_.isDefined)) Some(los.map(_.get)) else None,
-        if (his.forall(_.isDefined)) Some(his.map(_.get)) else None,
-        cols.map { case (c, _, _) => st.get(s"nulls.$c").map(_.toLong) }, rows)
-    }
-    // before(a, b): tuple a sorts strictly before tuple b in query order
-    def before(a: Seq[String], b: Seq[String]): Boolean = {
-      var i = 0
-      while (i < k) {
-        val asc = cols(i)._2
-        val gt = gts(i)
-        if (if (asc) gt(b(i), a(i)) else gt(a(i), b(i))) return true
-        if (if (asc) gt(a(i), b(i)) else gt(b(i), a(i))) return false
-        i += 1
-      }
-      false
-    }
-    if (!cols.head._3) {
-      // leading nulls sort LAST: they reach the top-n only when non-null
-      // rows cannot fill it — then prune nothing (needs all counts known)
-      val nonNull = fs.map(f => f.nulls.head.map(f.rows - _).getOrElse(return kept0))
-      if (nonNull.sum < n) return kept0
-    }
-    // global null contribution (leading nulls-first: every such row is a
-    // top candidate wherever it lives; unknown counts contribute 0)
-    val n0 = if (cols.head._3) fs.flatMap(_.nulls.head).sum else 0L
-    // coverage contribution: rows provably at-or-before the file's hi
-    // tuple — leading nulls deducted always (first-rows live in n0,
-    // last-rows escape hi), tail NULLS LAST nulls deducted (they escape
-    // hi), tail NULLS FIRST nulls covered (they sort before the bound).
-    // Over-deduction of multi-null rows only shrinks coverage: sound.
-    def contribution(f: F): Long = {
-      var c = f.nulls.head.map(f.rows - _).getOrElse(0L)
-      var i = 1
-      while (i < k) {
-        if (!cols(i)._3) c -= f.nulls(i).getOrElse(return 0L)
-        i += 1
-      }
-      math.max(c, 0L)
-    }
-    // candidate cutoffs: the files' far bound tuples, walked in query order
-    val bounded = fs.filter(f => f.lo.isDefined && f.hi.isDefined)
-      .sortWith((a, b) => before(a.hi.get, b.hi.get))
-    var acc = n0
-    var cutoff: Option[Seq[String]] = None
-    val it = bounded.iterator
-    while (cutoff.isEmpty && it.hasNext) {
-      val f = it.next()
-      acc += contribution(f)
-      if (acc >= n) cutoff = Some(f.hi.get)
-    }
-    cutoff match {
-      case None => kept0 // the table cannot prove n rows before any bound
-      case Some(t) =>
-        // exclude only files whose EVERY possible row sits strictly
-        // beyond the cutoff: lo tuple after T, and provably no null rows
-        // in any nulls-first column that would leapfrog it
-        val fMap = fs.map(f => f.path -> f).toMap
-        val nullsFirstIdx = cols.zipWithIndex.collect { case ((_, _, true), i) => i }
-        kept0.filter { p =>
-          val f = fMap(p)
-          val boundOut = f.lo.exists(lo => before(t, lo))
-          val nullSafe = nullsFirstIdx.forall(i => f.nulls(i).contains(0L))
-          !(boundOut && nullSafe)
-        }
-    }
+    graft.catalog.TopNPruning.prune(
+      kept0.map(p => p -> statOf.getOrElse(p, None).getOrElse(Map.empty)),
+      cols, n, statCompare)
   }
 
   private var pushedExprs: Seq[Expression] = Nil

@@ -338,6 +338,50 @@ class ManifestPruneSpec extends AnyFunSuite {
     assert(parsedTt <= 2, s"time-travel pinned plan parsed $parsedTt shards")
   }
 
+  test("shard-tier LIMIT and TopN: filterless pushdowns parse only covering/extreme shards") {
+    val wh = Files.createTempDirectory("graft_mp_tn_").toString
+    var tick = 0L
+    val cat = new SnapshotCatalog(spark, wh, clock = () =>
+      { tick += 1; Instant.parse("2026-08-10T00:00:00Z").plusSeconds(tick * 60) })
+    // 10 appends of disjoint ascending id ranges — the time-series shape
+    // where shard summaries are disjoint on the sort column
+    cat.createTable("db", "t", StructType.fromDDL("id BIGINT, v BIGINT"))
+    (0 until 10).foreach { i =>
+      cat.append("db", "t",
+        (i * 100 until i * 100 + 60).map(j => (j.toLong, j.toLong * 3)).toDF("id", "v"))
+    }
+    spark.conf.set("spark.sql.catalog.mptn", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.mptn.warehouse", wh)
+    spark.sql("SELECT id FROM mptn.db.t LIMIT 1").collect() // warm wiring
+    // bare LIMIT: the first shard's 60 recorded rows cover n=25 — one
+    // shard parses cold, and the scan serves exactly 25 rows
+    SnapshotCatalog.clearManifestCacheForTest()
+    val p0 = SnapshotCatalog.manifestParses.get()
+    assert(spark.sql("SELECT id, v FROM mptn.db.t LIMIT 25").count() == 25L)
+    val limitParsed = SnapshotCatalog.manifestParses.get() - p0
+    assert(limitParsed == 1, s"LIMIT parsed $limitParsed of 10 shards (expected 1)")
+    // ORDER BY id DESC LIMIT: only the TOP shard's range can hold the
+    // top-5; every other shard is box-excluded unread
+    SnapshotCatalog.clearManifestCacheForTest()
+    val p1 = SnapshotCatalog.manifestParses.get()
+    val top = spark.sql("SELECT id FROM mptn.db.t ORDER BY id DESC LIMIT 5")
+      .as[Long].collect().toSeq
+    val topParsed = SnapshotCatalog.manifestParses.get() - p1
+    assert(top == (0 until 5).map(i => (959 - i).toLong), top.toString)
+    assert(topParsed == 1, s"TopN parsed $topParsed of 10 shards (expected 1)")
+    // ascending leaderboard reads the BOTTOM shard only
+    SnapshotCatalog.clearManifestCacheForTest()
+    val bottom = spark.sql("SELECT id FROM mptn.db.t ORDER BY id ASC LIMIT 5")
+      .as[Long].collect().toSeq
+    assert(bottom == (0 until 5).map(_.toLong))
+    // a live MoR delete disarms both shard tiers (counts overstate
+    // visible rows) — results stay exact
+    cat.deleteMoR("db", "t", col("id") === 959L)
+    assert(spark.sql("SELECT id FROM mptn.db.t ORDER BY id DESC LIMIT 2")
+      .as[Long].collect().toSeq == Seq(958L, 957L))
+    assert(spark.sql("SELECT id FROM mptn.db.t LIMIT 25").count() == 25L)
+  }
+
   test("summaries survive the log round trip and GC with expired shards") {
     val cat = freshCat()
     cat.createTable("db", "g", StructType.fromDDL("id BIGINT, v STRING"))
