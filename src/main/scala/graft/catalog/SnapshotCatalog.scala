@@ -1905,6 +1905,29 @@ final class SnapshotCatalog(
     *    tool). */
   def readIncremental(db: String, table: String, fromId: Long, toId: Long): DataFrame = {
     require(fromId <= toId, s"fromId $fromId > toId $toId")
+    // SHARD-DIFF fast path: write-once shards make the pointer log prove
+    // a pure-append range by NAME — `from`'s manifests all reused by `to`
+    // means every in-range commit only added files, and the added files
+    // are exactly the EXTRA shards' (shards within an entry are disjoint,
+    // and from's shards being present in to means the extras cannot
+    // overlap them). Only the extra shards' inventories are parsed: a
+    // day's increment on a 10^6-file table costs the day's metadata,
+    // never the lake's. Anything else (rewrites, consolidation) takes
+    // the full-materialize lanes below, unchanged.
+    loadRepr(db, table) match {
+      case SnapshotCatalog.V2Log(es, _) =>
+        val feo = es.find(_.snapshotId == fromId)
+        val teo = es.find(_.snapshotId == toId)
+        (feo, teo) match {
+          case (Some(fe), Some(te)) if fe.manifests.forall(te.manifests.toSet) =>
+            val fset = fe.manifests.toSet
+            val part = materializePartial(db, table, te,
+              te.manifests.filterNot(fset))
+            return readVisible(db, table, part, part.files)
+          case _ => ()
+        }
+      case _ => ()
+    }
     val from = snapshotAt(db, table, fromId)
     val to = snapshotAt(db, table, toId)
     val fromFiles = from.files.toSet

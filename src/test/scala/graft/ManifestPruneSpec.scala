@@ -382,6 +382,42 @@ class ManifestPruneSpec extends AnyFunSuite {
     assert(spark.sql("SELECT id FROM mptn.db.t LIMIT 25").count() == 25L)
   }
 
+  test("incremental read shard-diff: a pure-append range parses only the delta shards") {
+    val cat = freshCat()
+    cat.createTable("db", "i", StructType.fromDDL("id BIGINT, v STRING"))
+    (0 until 8).foreach { i =>
+      cat.append("db", "i",
+        (i * 10 until i * 10 + 10).map(j => (j.toLong, s"v$j")).toDF("id", "v"))
+    }
+    val ids = cat.entryLog("db", "i").map(_.snapshotId)
+    val (fromId, toId) = (ids(4), ids(6)) // appends 4 and 5 in range
+    // cold cache: only the TWO delta shards parse — from/to are never
+    // materialized for a range the pointer log proves pure-append
+    SnapshotCatalog.clearManifestCacheForTest()
+    val p0 = SnapshotCatalog.manifestParses.get()
+    val got = cat.readIncremental("db", "i", fromId, toId)
+      .select("id").as[Long].collect().toSet
+    val parsed = SnapshotCatalog.manifestParses.get() - p0
+    assert(got == (40L until 60L).toSet, got.toString)
+    assert(parsed == 2, s"pure-append increment parsed $parsed shards (expected 2)")
+    // a MoR delete inside the range still rides the fast path (delete
+    // shards are pointer metadata) and the added rows read MERGED
+    cat.deleteMoR("db", "i", col("id") === 65L)
+    cat.append("db", "i",
+      (80 until 90).map(j => (j.toLong, s"v$j")).toDF("id", "v"))
+    val head = cat.currentSnapshotId("db", "i")
+    val got2 = cat.readIncremental("db", "i", ids(5), head)
+      .select("id").as[Long].collect().toSet
+    assert(got2 == ((50L until 80L).toSet - 65L) ++ (80L until 90L), got2.toString)
+    // a rewrite in range falls off the fast path and stays exact
+    cat.compact("db", "i", 2)
+    cat.append("db", "i",
+      (90 until 95).map(j => (j.toLong, s"v$j")).toDF("id", "v"))
+    val got3 = cat.readIncremental("db", "i", head, cat.currentSnapshotId("db", "i"))
+      .select("id").as[Long].collect().toSet
+    assert(got3 == (90L until 95L).toSet, got3.toString)
+  }
+
   test("summaries survive the log round trip and GC with expired shards") {
     val cat = freshCat()
     cat.createTable("db", "g", StructType.fromDDL("id BIGINT, v STRING"))
