@@ -1776,6 +1776,28 @@ final class SnapshotCatalog(
       e.deletes.flatMap(loadDeleteShard(db, table, _)))
   }
 
+  /** Files a commit ADDED when the pointer log PROVES it pure-additive —
+    * `prev`'s shards all reused by `e` means the commit only added files,
+    * and they are exactly the extra shards' (shards within an entry are
+    * disjoint, and prev's shards being present in e means the extras
+    * cannot overlap them). Parses ONLY the extra shards. None for legacy
+    * logs (no shard names to compare) and shard-removing commits
+    * (rewrites/consolidation — callers take their file-granular lanes).
+    * The streaming tail's per-commit walk and [[readIncremental]] ride
+    * this: a trigger over a 10^6-file table parses the trigger's shards,
+    * never the inventory. */
+  private[graft] def addedFilesIfAdditive(db: String, table: String,
+      prevE: SnapshotEntry, e: SnapshotEntry): Option[Seq[String]] =
+    loadRepr(db, table) match {
+      case SnapshotCatalog.V2Log(_, _) =>
+        val prevSet = prevE.manifests.toSet
+        if (prevSet.subsetOf(e.manifests.toSet))
+          Some(e.manifests.filterNot(prevSet)
+            .flatMap(loadManifest(db, table, _).files))
+        else None
+      case _ => None
+    }
+
   /** Pointer-log entry by id — O(log) metadata, no manifest opened. For a
     * legacy log the synthesized entry has no manifests (callers that need
     * files materialize via [[snapshotAt]]). */

@@ -1533,6 +1533,24 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * the snapshot a resumed checkpoint's high-water points at, and the
     * raw not-found error gives an operator nothing to act on. The message
     * names the earliest retained snapshot and both recovery paths. */
+  /** [[resolveStreamStart]], pointer-entry form — the append tail's walk
+    * never needs the start snapshot's file inventory. */
+  private def resolveStreamStartEntry(db: String, table: String, id: Long,
+      what: String): SnapshotEntry =
+    try cat.entryAt(db, table, id)
+    catch {
+      case _: NoSuchElementException =>
+        val retained = cat.entryLog(db, table).map(_.snapshotId)
+        throw new IllegalStateException(
+          s"$what of $db.$table: checkpointed offset points at snapshot $id, " +
+            s"which has been EXPIRED (earliest retained: " +
+            s"${retained.headOption.getOrElse(-1L)}, current head: " +
+            s"${retained.lastOption.getOrElse(-1L)}). Restart the stream " +
+            "from the current snapshot with a FRESH checkpoint, or full-" +
+            "backfill first (batch-read the table, then stream from the " +
+            "snapshot that read served)")
+    }
+
   private def resolveStreamStart(db: String, table: String, id: Long,
       what: String): Snapshot =
     try cat.snapshotAt(db, table, id)
@@ -1679,13 +1697,19 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       // row appended and deleted inside ONE batch range is never emitted;
       // a delete landing in a LATER range (or after an in-range compact
       // re-homed the row) is skipped — the row was already served. The
-      // walk materializes each in-range lineage entry (manifest-shard
-      // reads, O(commits in range) — a trigger typically spans one).
-      val toSnap = cat.snapshotAt(db, table, e)
+      // walk resolves each commit from the POINTER LOG where it can: a
+      // pure-additive commit (prev's shards all reused — every
+      // append-family commit's shape) emits exactly its extra shards'
+      // files, parsing only those inventories; shard-removing commits
+      // (the compact/rewrite lanes) and legacy logs take the
+      // file-granular lane below. Delete coverage is pointer-level
+      // throughout, so a trigger over a 10^6-file table parses the
+      // trigger's shards, never the inventory.
+      val toDeletes = cat.entryDeleteFiles(db, table, cat.entryAt(db, table, e))
       val inRange = cat.mainLineage(db, table)
         .filter(en => en.snapshotId > s && en.snapshotId <= e)
-      var prevSnap = resolveStreamStart(db, table, s, "streaming read")
-      var prevFiles = prevSnap.files.toSet
+      var prevEntry = resolveStreamStartEntry(db, table, s, "streaming read")
+      var prevDeletes = cat.entryDeleteFiles(db, table, prevEntry)
       val emit = scala.collection.mutable.ArrayBuffer.empty[String]
       val emitSet = scala.collection.mutable.HashSet.empty[String]
       val frozenCov = scala.collection.mutable.HashMap
@@ -1695,24 +1719,38 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       // reads of the originals — the one exactness hole the walk has
       val tainted = scala.collection.mutable.HashSet.empty[String]
       for (en <- inRange) {
-        val snap = cat.snapshotAt(db, table, en.snapshotId)
-        val files = snap.files.toSet
-        val goneHere = prevFiles.diff(files)
-        if (goneHere.nonEmpty) {
-          require(snap.operation == "compact",
-            s"streaming read of $db.$table ($s, $e]: commit ${en.snapshotId} " +
-              s"(${snap.operation}) rewrote existing rows (${goneHere.size} " +
-              s"file(s) gone, e.g. ${goneHere.take(2).mkString(", ")}) - an " +
-              "append tail cannot represent rewritten visibility; restart " +
-              "the stream from the current snapshot")
-          for (f <- goneHere if emitSet.contains(f))
-            frozenCov(f) = prevSnap.deleteFiles.filter(_.covers.contains(f))
-          if (goneHere.exists(f => emitSet.contains(f) || tainted.contains(f)))
-            tainted ++= files.diff(prevFiles) // this compact's outputs
-        } else if (snap.operation != "compact") {
-          val addedHere = snap.files.filterNot(prevFiles)
-          emit ++= addedHere
-          emitSet ++= addedHere
+        val enDeletes = cat.entryDeleteFiles(db, table, en)
+        cat.addedFilesIfAdditive(db, table, prevEntry, en) match {
+          case Some(addedHere) =>
+            // pure-additive by shard reuse: nothing gone, the extras are
+            // the commit's added files (compact outputs never emit)
+            if (en.operation != "compact") {
+              emit ++= addedHere
+              emitSet ++= addedHere
+            }
+          case None =>
+            // file-granular lane: rewrites/consolidation (and legacy
+            // logs) — materialize both endpoints (cache-served)
+            val snap = cat.snapshotAt(db, table, en.snapshotId)
+            val files = snap.files.toSet
+            val prevFiles = cat.snapshotAt(db, table, prevEntry.snapshotId).files.toSet
+            val goneHere = prevFiles.diff(files)
+            if (goneHere.nonEmpty) {
+              require(snap.operation == "compact",
+                s"streaming read of $db.$table ($s, $e]: commit ${en.snapshotId} " +
+                  s"(${snap.operation}) rewrote existing rows (${goneHere.size} " +
+                  s"file(s) gone, e.g. ${goneHere.take(2).mkString(", ")}) - an " +
+                  "append tail cannot represent rewritten visibility; restart " +
+                  "the stream from the current snapshot")
+              for (f <- goneHere if emitSet.contains(f))
+                frozenCov(f) = prevDeletes.filter(_.covers.contains(f))
+              if (goneHere.exists(f => emitSet.contains(f) || tainted.contains(f)))
+                tainted ++= files.diff(prevFiles) // this compact's outputs
+            } else if (snap.operation != "compact") {
+              val addedHere = snap.files.filterNot(prevFiles)
+              emit ++= addedHere
+              emitSet ++= addedHere
+            }
         }
         // delete-after-compact guard (the stream face of the batch
         // appendDeltaAcrossCompacts exactness rule, r8): a delete commit
@@ -1725,8 +1763,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         // exact and keep flowing. The batch path silently falls back to
         // the exact row diff; a stream cannot, so fail loudly.
         if (tainted.nonEmpty) {
-          val prevShards = prevSnap.deleteFiles.map(_.path).toSet
-          val newShards = snap.deleteFiles.filterNot(d => prevShards(d.path))
+          val prevShards = prevDeletes.map(_.path).toSet
+          val newShards = enDeletes.filterNot(d => prevShards(d.path))
           if (newShards.exists(_.covers.keysIterator.exists(tainted)))
             throw new IllegalStateException(
               s"streaming read of $db.$table ($s, $e]: commit ${en.snapshotId} " +
@@ -1735,8 +1773,8 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
                 "visibility; restart the stream from the current snapshot " +
                 "(or consume the batch db.t.changes diff for this range)")
         }
-        prevSnap = snap
-        prevFiles = files
+        prevEntry = en
+        prevDeletes = enDeletes
       }
       val added = emit.toSeq
       // deletes covering emitted files merge READER-LEVEL (MorScanMerge;
@@ -1745,7 +1783,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
       // sane workload); coverage comes from the END snapshot unless a
       // compact froze it earlier
       def covFor(rel: String): Seq[graft.catalog.DeleteFile] =
-        frozenCov.getOrElse(rel, toSnap.deleteFiles.filter(_.covers.contains(rel)))
+        frozenCov.getOrElse(rel, toDeletes.filter(_.covers.contains(rel)))
       val liveDeletes = added.flatMap(covFor).distinct
       require(liveDeletes.forall(_.isPositional),
         s"streaming read of $db.$table ($s, $e]: EQUALITY delete files " +
