@@ -6772,17 +6772,28 @@ final class SnapshotCatalog(
     walk(refsOf(sql))
   }
 
-  /** Consolidate the current snapshot's manifest SHARDS into one
-    * (Iceberg `rewrite_manifests`): a long append lineage accumulates one
-    * shard per commit — the design that makes each commit O(its own
-    * files) — so materializing the snapshot eventually pays O(commits)
-    * shard opens. This writes the full current file list + stats as ONE
-    * shard and lands a stats-only pointer commit: same files, same
-    * delete shards, row-identical, so incremental/changelog/streaming
-    * consumers see nothing across it. Older snapshots keep resolving
-    * their original shards (time travel untouched); expire reclaims
-    * shards no surviving snapshot references. Returns None when the
-    * current snapshot already rides a single shard. */
+  /** Consolidate the current snapshot's manifest SHARDS, PARTITION-ALIGNED
+    * (Iceberg `rewrite_manifests` with its cluster-by-partition option): a
+    * long append lineage accumulates one shard per commit — the design
+    * that makes each commit O(its own files) — so materializing the
+    * snapshot eventually pays O(commits) shard opens. Consolidating into
+    * ONE shard would fix that but destroy the TWO-LEVEL planner: a single
+    * shard spans every partition, its summary excludes nothing, and every
+    * pinned query is back to parsing the whole inventory. So files group
+    * by their LAYOUT TOKEN — the `k=v` path segments (hive partitions,
+    * `__pt` transforms, `__bucket` dirs; unlaid files share one group) —
+    * and each group becomes one shard whose summary stays TIGHT: after
+    * consolidation a `day = X` pin still parses one shard. Guards:
+    * token-count past `graft.manifest.maxShards` (default 1024) hash-folds
+    * groups (pointer-log size stays bounded); groups past
+    * `graft.manifest.maxFilesPerShard` (default 100k) split, ordered by
+    * the leading declared sort column's min so split shards carry disjoint
+    * ranges on sort-ordered tables. Lands a stats-only pointer commit:
+    * same files, same delete shards, row-identical, so incremental/
+    * changelog/streaming consumers see nothing across it. Older snapshots
+    * keep resolving their original shards (time travel untouched); expire
+    * reclaims shards no surviving snapshot references. Returns None when
+    * the current sharding already equals the target (idempotent). */
   def rewriteManifests(db: String, table: String): Option[Snapshot] = withTableLock(db, table) {
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
@@ -6790,12 +6801,61 @@ final class SnapshotCatalog(
     if (prevEntry.manifests.size <= 1) return None
     val prev = materialize(db, table, prevEntry)
     val newId = entries.last.snapshotId + 1
+    val tag = attemptTag()
+    def token(f: String): String =
+      f.split('/').iterator.filter(_.contains('=')).mkString("/")
+    val maxShards = spark.conf.getOption("graft.manifest.maxShards")
+      .map(_.toInt).getOrElse(1024)
+    val maxFiles = spark.conf.getOption("graft.manifest.maxFilesPerShard")
+      .map(_.toInt).getOrElse(100000)
+    val byToken = prev.files.groupBy(token)
+    val groups: Seq[Seq[String]] =
+      if (byToken.size <= maxShards) byToken.toSeq.sortBy(_._1).map(_._2)
+      else byToken.toSeq
+        .groupBy { case (t, _) => math.floorMod(t.hashCode, maxShards) }
+        .toSeq.sortBy(_._1).map(_._2.sortBy(_._1).flatMap(_._2))
+    // leading declared sort column: order a group's files by its recorded
+    // min before splitting, so split shards carry disjoint ranges
+    val sortKey: Option[(String, org.apache.spark.sql.types.DataType)] =
+      meta(db, table).properties.get("write.sort-order")
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty).headOption)
+        .flatMap(c => prev.schema.fields.find(_.name == c)
+          .filter(f => ColumnStats.statable(f.dataType)).map(f => (c, f.dataType)))
+    def ordered(g: Seq[String]): Seq[String] = sortKey match {
+      case Some((c, dt)) =>
+        val mn = g.map(f => f -> prev.fileStats.get(f).flatMap(_.get(s"min.$c"))).toMap
+        g.sortWith { (a, b) =>
+          (mn(a), mn(b)) match {
+            case (Some(x), Some(y)) => try ColumnStats.gt(dt, y, x)
+              catch { case _: Exception => a < b }
+            case (Some(_), None) => true
+            case (None, Some(_)) => false
+            case _ => a < b
+          }
+        }
+      case None => g
+    }
+    val target: Seq[Seq[String]] =
+      groups.flatMap(g => ordered(g).grouped(math.max(1, maxFiles)))
+    // idempotence: the current sharding already partitions the inventory
+    // exactly as the target would -> nothing to do
+    val currentSets = prevEntry.manifests
+      .map(n => loadManifest(db, table, n).files.toSet).toSet
+    if (target.map(_.toSet).toSet == currentSets) return None
+    val names = target.zipWithIndex.map { case (fs, i) =>
+      // attempt-unique under a conditional pointer log, like every shard
+      val name = s"m$newId$tag-p$i.json"
+      writeManifest(db, table, name,
+        Manifest(fs, fs.flatMap(f => prev.fileStats.get(f).map(f -> _)).toMap))
+      name
+    }
     val snap = Snapshot(newId, clock().toString, "rewrite_manifests",
       prev.summary + ("added_records" -> "0", "added_files" -> "0",
-        "rewritten_manifests" -> prevEntry.manifests.size.toString),
+        "rewritten_manifests" -> prevEntry.manifests.size.toString,
+        "manifest_shards" -> names.size.toString),
       prevEntry.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles)
-    Some(commitSnapshot(db, table, entries, snap, Seq.empty,
-      Manifest(prev.files, prev.fileStats), prevEntry.deletes))
+    Some(commitSnapshot(db, table, entries, snap, names, Manifest.empty,
+      prevEntry.deletes))
   }
 
   // ---- write-audit-publish (Iceberg's WAP pattern, single-lineage form) ----

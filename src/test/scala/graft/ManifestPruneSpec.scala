@@ -382,6 +382,48 @@ class ManifestPruneSpec extends AnyFunSuite {
     assert(spark.sql("SELECT id FROM mptn.db.t LIMIT 25").count() == 25L)
   }
 
+  test("partition-aligned manifest consolidation keeps pinned plans one-shard") {
+    val cat = freshCat()
+    cat.createTable("db", "c", StructType.fromDDL("id BIGINT, day STRING, v DOUBLE"),
+      partitionCols = Seq("day"))
+    // two appends per day -> 2 shards/day; consolidation must fold them
+    // BY PARTITION, not into one all-spanning shard
+    (1 to 6).foreach { d =>
+      (0 until 2).foreach { half =>
+        cat.append("db", "c", (0 until 10).map(i =>
+          (i.toLong + half * 100, f"2024-02-$d%02d", i * 1.0)).toDF("id", "day", "v"))
+      }
+    }
+    assert(cat.rewriteManifests("db", "c").isDefined)
+    val cur = cat.currentSnapshotId("db", "c")
+    val r = cat.resolveWhere("db", "c", cur, col("day") === "2024-02-04")
+    assert(r.shardsTotal == 6, s"expected one shard per day, got ${r.shardsTotal}")
+    assert(r.shardsOpened == 1, s"opened ${r.shardsOpened}")
+    assert(cat.readLatestWhere("db", "c", col("day") === "2024-02-04").count() == 20L)
+    // idempotent: the sharding already matches the target
+    assert(cat.rewriteManifests("db", "c").isEmpty)
+    // content identical across the consolidation
+    assert(cat.readLatest("db", "c").count() == 120L)
+    // an unpartitioned sort-ordered table consolidates into range-disjoint
+    // splits (summary bounds stay tight for TopN/limit tiers)
+    val cat2 = freshCat()
+    cat2.createTable("db", "u", StructType.fromDDL("id BIGINT, v BIGINT"),
+      properties = Map("write.sort-order" -> "id"))
+    (0 until 6).foreach { i =>
+      cat2.append("db", "u",
+        (i * 10 until i * 10 + 10).map(j => (j.toLong, j.toLong)).toDF("id", "v"))
+    }
+    spark.conf.set("graft.manifest.maxFilesPerShard", "2")
+    try {
+      assert(cat2.rewriteManifests("db", "u").isDefined)
+      val cur2 = cat2.currentSnapshotId("db", "u")
+      val r2 = cat2.resolveWhere("db", "u", cur2, col("id") === 5L)
+      assert(r2.shardsTotal > 1 && r2.shardsOpened == 1,
+        s"${r2.shardsOpened}/${r2.shardsTotal}")
+      assert(cat2.readLatest("db", "u").count() == 60L)
+    } finally spark.conf.unset("graft.manifest.maxFilesPerShard")
+  }
+
   test("incremental read shard-diff: a pure-append range parses only the delta shards") {
     val cat = freshCat()
     cat.createTable("db", "i", StructType.fromDDL("id BIGINT, v STRING"))
