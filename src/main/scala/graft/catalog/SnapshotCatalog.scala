@@ -872,10 +872,6 @@ final class SnapshotCatalog(
     * manifest shards (file order is manifest order — an append's files come
     * after every carried file, exactly the monolithic log's order). */
   private def materialize(db: String, table: String, e: SnapshotEntry): Snapshot = {
-    if (sys.env.contains("GRAFT_DEBUG_MATERIALIZE") && e.manifests.size > 1)
-      System.err.println(s"[materialize] $db.$table@${e.snapshotId} " +
-        s"${e.manifests.size} shards\n" +
-        new Exception().getStackTrace.take(14).mkString("\n"))
     val ms = e.manifests.map(loadManifest(db, table, _))
     Snapshot(e.snapshotId, e.committedAt, e.operation, e.summary, e.schemaDdl,
       ms.flatMap(_.files),
