@@ -879,6 +879,45 @@ final class SnapshotCatalog(
       e.deletes.flatMap(loadDeleteShard(db, table, _)))
   }
 
+  /** Exact data-file count of a pointer entry WITHOUT materializing it:
+    * the recorded `total_files` summary first (every commit funnel writes
+    * one), then the shard-summary sum (shards within an entry are
+    * disjoint), and only an entry carrying neither — a pre-summary log —
+    * pays the forced materialization. Keeps pointer-level commits'
+    * `total_files` arithmetic O(1). */
+  private def entryFileCount(db: String, table: String, e: SnapshotEntry): Long =
+    e.summary.get("total_files").map(_.toLong).getOrElse {
+      loadRepr(db, table) match {
+        case V2Log(_, sums) if e.manifests.forall(sums.contains) =>
+          e.manifests.iterator.map(sums(_).fileCount.toLong).sum
+        case _ => materialize(db, table, e).files.size.toLong
+      }
+    }
+
+  /** Which of `probe` are NOT data files of entry `e` — the membership
+    * check behind delete-adoption sanity gates, two-level: only shards
+    * whose recorded [[ShardSummary]] dir set intersects the probes'
+    * snapshot dirs are parsed (a shard without a recorded dir set loads —
+    * degrade, never break). A probe set touching one partition of a
+    * 10^6-file table opens that partition's shards, not the inventory. */
+  private def unknownFiles(db: String, table: String, e: SnapshotEntry,
+      probe: Seq[String]): Seq[String] =
+    if (probe.isEmpty) Seq.empty
+    else {
+      val dirs = probe.map(_.split("/").take(2).mkString("/")).toSet
+      val shards = loadRepr(db, table) match {
+        case V2Log(_, sums) =>
+          e.manifests.filter(n => sums.get(n).flatMap(_.dirs) match {
+            case Some(ds) => ds.exists(dirs.contains)
+            case None => true
+          })
+        case _ => e.manifests
+      }
+      val known = shards.iterator
+        .flatMap(n => loadManifest(db, table, n).files).toSet
+      probe.filterNot(known)
+    }
+
   def snapshotList(db: String, table: String): Seq[Snapshot] =
     loadRepr(db, table) match {
       case LegacyLog(snaps) => snaps
@@ -1067,28 +1106,49 @@ final class SnapshotCatalog(
     * files land in the delta shard. Commit metadata cost is
     * O(rewrite + touched shards), never O(table): a DELETE pruned to one
     * file of a 10⁵-file table re-lists that file's shard-mates, not the
-    * lake. (Shard loads here hit the process-wide cache — materialize()
-    * already opened them to build the prev snapshot.)
+    * lake. Shards in `carryShards` were two-level-proven untouched and
+    * reuse by name UNPARSED; the rest load (cache-served when the caller's
+    * scan resolution already opened them).
     *
-    * Returns (reused shard names, delta manifest, snapshot file list,
-    * snapshot file stats) with the file list in MATERIALIZATION order
-    * (reused shards first, delta last) so the recorded snapshot and a later
-    * materialize() agree element-for-element. */
+    * Returns (reused shard names, delta manifest, lazy snapshot file list,
+    * lazy snapshot file stats, exact total file count) with the file list
+    * in MATERIALIZATION order (reused shards first, delta last) so the
+    * recorded snapshot and a later materialize() agree
+    * element-for-element. */
   private def planCarryManifests(db: String, table: String, prevEntry: SnapshotEntry,
       carryFiles: Seq[String], carryStats: Map[String, Map[String, String]],
-      newFiles: Seq[String], newFileStats: Map[String, Map[String, String]])
-    : (Seq[String], Manifest, Seq[String], Map[String, Map[String, String]]) = {
+      newFiles: Seq[String], newFileStats: Map[String, Map[String, String]],
+      // shards the caller PROVED fully carried (two-level pruning said no
+      // file in them could match the rewrite predicate): reused BY NAME,
+      // never parsed; their file counts come from the recorded summaries
+      carryShards: Seq[String] = Seq.empty,
+      carryShardCount: String => Long = _ => 0L)
+    : (Seq[String], Manifest, Seq[String], Map[String, Map[String, String]], Long) = {
+    val carryShardSet = carryShards.toSet
     val carrySet = carryFiles.toSet
-    val shards = prevEntry.manifests.map(n => n -> loadManifest(db, table, n))
-    val full = shards.filter(_._2.files.forall(carrySet))
-    val reusedFiles = full.flatMap(_._2.files)
-    val reusedSet = reusedFiles.toSet
-    val leftover = carryFiles.filterNot(reusedSet)
+    val opened = prevEntry.manifests.filterNot(carryShardSet)
+      .map(n => n -> loadManifest(db, table, n))
+    val full = opened.filter(_._2.files.forall(carrySet))
+    val fullNames = full.map(_._1).toSet
+    // entry order preserved so the recorded snapshot and a later
+    // materialize() agree element-for-element
+    val reuse = prevEntry.manifests.filter(n => carryShardSet(n) || fullNames(n))
+    val reusedOpenedSet = full.iterator.flatMap(_._2.files).toSet
+    val leftover = carryFiles.filterNot(reusedOpenedSet)
     val delta = Manifest(leftover ++ newFiles,
       carryStats.view.filterKeys(leftover.contains).toMap ++ newFileStats)
-    (full.map(_._1), delta,
-      reusedFiles ++ delta.files,
-      full.flatMap(_._2.fileStats).toMap ++ delta.fileStats)
+    val exactCount = carryShards.iterator.map(carryShardCount).sum +
+      full.iterator.map(_._2.files.size.toLong).sum + delta.files.size
+    // the snapshot's inventory view DEFERS: with never-opened carries it
+    // must not force their parse just to be returned; without them the
+    // forcing cost is nil (every reused shard is already cache-resident)
+    def loadReuse = reuse.map(loadManifest(db, table, _))
+    (reuse, delta,
+      new DeferredSeq(() => loadReuse.flatMap(_.files) ++ delta.files),
+      new DeferredMap(() => loadReuse
+        .foldLeft(Map.empty[String, Map[String, String]])(_ ++ _.fileStats) ++
+        delta.fileStats),
+      exactCount)
   }
 
   /** Commit one snapshot: write its delta shard — the ONLY O(files)
@@ -1162,7 +1222,9 @@ final class SnapshotCatalog(
           ("next-row-id" -> next.toString)
         (Manifest(delta.files, assigned),
           snap.copy(summary = summary2,
-            fileStats = snap.fileStats ++ assigned))
+            // deferred so a pointer-level lineage append stays O(delta):
+            // `snap.fileStats` may itself be lazy and must not force here
+            fileStats = new DeferredMap(() => snap.fileStats ++ assigned)))
       }
     val manifests =
       if (delta2.files.isEmpty) reuse
@@ -1651,7 +1713,12 @@ final class SnapshotCatalog(
     * they are the merge correctness layer) plus the kept files and the
     * shard accounting for spec gates. */
   private[graft] final case class ScanResolution(snap: Snapshot, kept: Seq[String],
-      shardsTotal: Int, shardsOpened: Int)
+      shardsTotal: Int, shardsOpened: Int,
+      // names of the shards that were opened (empty for a legacy log,
+      // where there are no shard names) — the write path's carry planner
+      // diffs these against the entry's manifests to reuse skipped shards
+      // BY NAME without ever parsing them
+      openedNames: Seq[String] = Seq.empty)
 
   private[graft] def resolveWhere(db: String, table: String, snapshotId: Long,
       cond: Column): ScanResolution = loadRepr(db, table) match {
@@ -1674,7 +1741,7 @@ final class SnapshotCatalog(
         e.schemaDdl, files, stats, e.deletes.flatMap(loadDeleteShard(db, table, _)))
       val kept = files.filter(f =>
         fileMayMatch(db, table, ctx, f, stats.getOrElse(f, Map.empty)))
-      ScanResolution(snap, kept, e.manifests.size, open.size)
+      ScanResolution(snap, kept, e.manifests.size, open.size, open)
   }
 
   /** Shard-tier-only resolution for the SQL SCAN path: given the scan's
@@ -2309,21 +2376,26 @@ final class SnapshotCatalog(
   def overwriteWhere(db: String, table: String, cond: Column,
       df: DataFrame): Snapshot = withTableLock(db, table) {
     val lineage = rowLineageEnabled(db, table)
-    val snap = currentSnapshot(db, table)
+    // TWO-LEVEL like [[delete]]: excluded shards carry by name unparsed
+    val e = currentEntry(db, table)
     val frame = deriveLayout(db, table, df)
-    val cols = snap.schema.fieldNames.toSeq
+    val cols = e.schema.fieldNames.toSeq
     val missing = cols.filterNot(frame.schema.fieldNames.contains)
     val extra = frame.schema.fieldNames.filterNot(cols.contains)
     require(missing.isEmpty && extra.isEmpty,
       s"overwriteWhere schema mismatch for $db.$table: " +
         s"missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
-    val retyped = snap.schema.fields
+    val retyped = e.schema.fields
       .filterNot(f => f.dataType.sql == frame.schema(f.name).dataType.sql)
     require(retyped.isEmpty,
       s"overwriteWhere type mismatch for $db.$table: " + retyped.map(f =>
         s"${f.name}: table=${f.dataType.sql} frame=${frame.schema(f.name).dataType.sql}")
         .mkString(", "))
-    val (cands, untouched) = pruneFiles(db, table, snap.snapshotId, cond)
+    val res = resolveWhere(db, table, e.snapshotId, cond)
+    val cands = res.kept
+    val untouched = res.snap.files.filterNot(cands.toSet)
+    val skipped = e.manifests.filterNot(res.openedNames.toSet)
+    val snap = res.snap
     val survivors =
       (if (lineage) readVisibleWithRidSeq(db, table, snap, cands)
        else readVisible(db, table, snap, cands))
@@ -2334,7 +2406,8 @@ final class SnapshotCatalog(
       else aligned.withColumn("__rid", lit(null).cast("long"))
         .withColumn("__rseq", lit(null).cast("long"))
     commit(db, table, survivors.unionByName(incoming), "overwrite-where",
-      carryFiles = untouched, carryStats = snap.fileStats, ridMixed = lineage)
+      carryFiles = untouched, carryStats = snap.fileStats,
+      carryShards = skipped, ridMixed = lineage)
   }
 
   /** ZERO-COPY TABLE CLONE (Iceberg's `snapshot` procedure / Delta's
@@ -2587,11 +2660,11 @@ final class SnapshotCatalog(
     // path reaches here whenever the session conf is dynamic)
     if (tm.partitionCols.isEmpty)
       return adoptDir(db, table, "overwrite", dataDirName, Seq.empty,
-        Map.empty, Map.empty, entries, prevEntry, prev)
+        Map.empty, Map.empty, entries, prevEntry)
     val touched = newFiles.map(f => partTuple(f, "incoming")).toSet
     val carries = prev.files.filter(f => !touched.contains(partTuple(f, "existing")))
     adoptDir(db, table, "dynamic-overwrite", dataDirName, carries,
-      prev.fileStats, Map.empty, entries, prevEntry, prev)
+      prev.fileStats, Map.empty, entries, prevEntry)
   }
 
   /** ZERO-COPY file adoption (Iceberg `add_files`; the migration data plane
@@ -2618,7 +2691,10 @@ final class SnapshotCatalog(
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
     val prevEntry = publishedEntry(entries)
-    val prev = materialize(db, table, prevEntry)
+    // pointer-level: the previous inventory resolves lazily (only the
+    // returned Snapshot's deferred view walks it); schema/summary
+    // arithmetic runs off the log entry
+    lazy val prev = materialize(db, table, prevEntry)
     val newId = entries.last.snapshotId + 1
     val src = listParquetFiles(srcDir)
     require(src.nonEmpty, s"no parquet files to adopt under $srcDir")
@@ -2627,7 +2703,7 @@ final class SnapshotCatalog(
     // + types against the table (nullability relaxed — parquet read-back is
     // nullable anyway)…
     val incoming = spark.read.parquet(srcDir.toString).schema
-    val prevSchema = prev.schema
+    val prevSchema = prevEntry.schema
     val missing = prevSchema.fieldNames.filterNot(incoming.fieldNames.contains)
     val extra = incoming.fieldNames.filterNot(prevSchema.fieldNames.contains)
     require(missing.isEmpty && extra.isEmpty,
@@ -2692,8 +2768,8 @@ final class SnapshotCatalog(
         // an all-null evolved column); a prev-side bound survives alone
         // when the ADOPTED files are provably all-null for the column.
         snapSchema.fields.filter(f => ColumnStats.statable(f.dataType)).flatMap { f =>
-          val prevEmpty = prev.recordCount == 0 ||
-            prev.summary.contains(s"nullcol.${f.name}")
+          val prevEmpty = prevEntry.summary.get("record_count").contains("0") ||
+            prevEntry.summary.contains(s"nullcol.${f.name}")
           val adoptedAllNull = newFiles.forall { nf =>
             val st = newFileStats(nf)
             (st.get(s"nulls.${f.name}"), st.get("rows")) match {
@@ -2703,7 +2779,7 @@ final class SnapshotCatalog(
           }
           Seq(s"min.${f.name}" -> true, s"max.${f.name}" -> false).flatMap {
             case (k, isMin) =>
-              (prev.summary.get(k), adopted.get(k)) match {
+              (prevEntry.summary.get(k), adopted.get(k)) match {
                 case (Some(p), Some(n)) =>
                   val takeP = if (isMin) !ColumnStats.gt(f.dataType, p, n)
                   else ColumnStats.gt(f.dataType, p, n)
@@ -2715,15 +2791,20 @@ final class SnapshotCatalog(
           }
         }.toMap
     }
-    val (reuse, delta, allFiles, allFileStats) = operation match {
+    // pointer-level like [[commit]]: an adopt-append reuses prior shards
+    // BY NAME and the returned Snapshot's inventory view defers
+    val (reuse, delta, allFiles, allFileStats, totalFileCount) = operation match {
       case "append" =>
         (prevEntry.manifests, Manifest(newFiles, newFileStats),
-          prev.files ++ newFiles, prev.fileStats ++ newFileStats)
+          new DeferredSeq(() => prev.files ++ newFiles): Seq[String],
+          new DeferredMap(() => prev.fileStats ++ newFileStats):
+            Map[String, Map[String, String]],
+          entryFileCount(db, table, prevEntry) + newFiles.size)
       case _ =>
-        (Seq.empty[String], Manifest(newFiles, newFileStats), newFiles,
-          newFileStats)
+        (Seq.empty[String], Manifest(newFiles, newFileStats), newFiles: Seq[String],
+          newFileStats, newFiles.size.toLong)
     }
-    val prevRows = prev.recordCount
+    val prevRows = prevEntry.summary.get("record_count").map(_.toLong).getOrElse(-1L)
     val totalRows = operation match {
       case "append" => if (prevRows >= 0 && rows >= 0) prevRows + rows else -1L
       case _        => rows
@@ -2732,7 +2813,7 @@ final class SnapshotCatalog(
     // existing merge-on-read delete files keep covering the carried files
     // on append and die with the replaced state on overwrite
     val (deleteShards, carriedDeletes) = operation match {
-      case "append" => (prevEntry.deletes, prev.deleteFiles)
+      case "append" => (prevEntry.deletes, entryDeleteFiles(db, table, prevEntry))
       case _        => (Seq.empty[String], Seq.empty[DeleteFile])
     }
     // the renames are the LAST fallible step before the log commit: every
@@ -2750,9 +2831,9 @@ final class SnapshotCatalog(
         "record_count" -> totalRows.toString,
         "added_records" -> rows.toString,
         "added_files" -> newFiles.size.toString,
-        "total_files" -> allFiles.size.toString,
+        "total_files" -> totalFileCount.toString,
         "adopted" -> "true") ++ stats
-        ++ streamEpochTags(prev.summary),
+        ++ streamEpochTags(prevEntry.summary),
       snapSchema.toDDL, allFiles, allFileStats, carriedDeletes)
     try commitSnapshot(db, table, entries, snap, reuse, delta, deleteShards)
     catch {
@@ -2780,6 +2861,7 @@ final class SnapshotCatalog(
   private def commit(db: String, table: String, df0: DataFrame, operation: String,
       carryFiles: Seq[String] = Seq.empty,
       carryStats: Map[String, Map[String, String]] = Map.empty,
+      carryShards: Seq[String] = Seq.empty,
       extraSummary: Map[String, String] = Map.empty,
       base: Option[SnapshotEntry] = None,
       ridMixed: Boolean = false): Snapshot = withTableLock(db, table) {
@@ -2790,7 +2872,44 @@ final class SnapshotCatalog(
     // head (appendBranch); the log TAIL may be a branch commit, which must
     // never become a main commit's parent. Ids stay globally monotone.
     val prevEntry = base.getOrElse(publishedEntry(entries))
-    val prev = materialize(db, table, prevEntry)
+    // POINTER-LEVEL previous state: schema / summary / record count live on
+    // the log entry itself. The full inventory (`prev.files`) resolves
+    // LAZILY — an append never parses a manifest shard at commit time (its
+    // entry is prev shards + the delta BY NAME), so the streaming-ingest
+    // hot path stays O(delta) even at the 10^6-file regime. Forcing `prev`
+    // off the lock is sound: the entry's shards are write-once.
+    lazy val prev = materialize(db, table, prevEntry)
+    val prevSummary = prevEntry.summary
+    val prevRecordCount = prevSummary.get("record_count").map(_.toLong).getOrElse(-1L)
+    // ---- carry-shard admission (two-level partial rewrites) ----
+    // `carryShards` names shards the caller PROVED fully carried (no file
+    // in them was a rewrite candidate). They stay pointer-level — reused
+    // by name, never parsed — when (a) every one has a recorded summary
+    // with a summed row count (the bound/row/count arithmetic below runs
+    // off the fold) and (b) the table has no live delete shards (exact
+    // dead-row accounting intersects file-level covers). Otherwise they
+    // fold into the file-granular carry: identical semantics, the
+    // pre-summary cost.
+    val (cf, cs, cshards, cshardSums) =
+      if (carryShards.isEmpty)
+        (carryFiles, carryStats, Seq.empty[String], Map.empty[String, ShardSummary])
+      else {
+        val sumsOpt = loadRepr(db, table) match {
+          case V2Log(_, sums)
+            if carryShards.forall(n => sums.get(n).exists(_.stats.contains("rows"))) =>
+            Some(carryShards.map(n => n -> sums(n)).toMap)
+          case _ => None
+        }
+        sumsOpt match {
+          case Some(ss) if prevEntry.deletes.isEmpty =>
+            (carryFiles, carryStats, carryShards, ss)
+          case _ =>
+            val ms = carryShards.map(n => loadManifest(db, table, n))
+            (carryFiles ++ ms.flatMap(_.files),
+              carryStats ++ ms.iterator.flatMap(_.fileStats).toMap,
+              Seq.empty[String], Map.empty[String, ShardSummary])
+        }
+      }
     val newId = entries.last.snapshotId + 1
     val tag = attemptTag()
     val snapDirRel = s"data/s$newId$tag"
@@ -2829,7 +2948,7 @@ final class SnapshotCatalog(
       tm.properties.get("write.merge-schema").contains("true")
     val (df, snapSchema) = operation match {
       case "append" | "compact" =>
-        val prevSchema = prev.schema
+        val prevSchema = prevEntry.schema
         val missing = prevSchema.fieldNames.filterNot(df0.schema.fieldNames.contains)
         val extra = df0.schema.fieldNames
           .filterNot(prevSchema.fieldNames.contains).filterNot(lineageCols)
@@ -2996,10 +3115,14 @@ final class SnapshotCatalog(
         // merge's prev-empty branch must only fire on a PROVABLY empty
         // previous snapshot (clamping -1 to 0 would adopt fresh-only
         // bounds over files that actually contain rows)
-        ColumnStats.merge(prev.summary, freshStats, df.schema,
-          prevRowCount = prev.recordCount)
-      case _ if carryFiles.nonEmpty =>
-        ColumnStats.mergeWithFileBounds(freshStats, carryFiles, carryStats, df.schema)
+        ColumnStats.merge(prevSummary, freshStats, df.schema,
+          prevRowCount = prevRecordCount)
+      case _ if cf.nonEmpty || cshards.nonEmpty =>
+        // never-opened carry shards contribute their SUMMARY fold as one
+        // pseudo-entry each — the fold is a sound widening of its files'
+        // bounds under the same key scheme, so the merge is unchanged
+        ColumnStats.mergeWithFileBounds(freshStats, cf ++ cshards,
+          cs ++ cshards.iterator.map(n => n -> cshardSums(n).stats).toMap, df.schema)
       // compact rewrites the FULL current state through the Observation
       // pass, so fresh stats are exact and complete — taking them (not
       // merging) makes compact() the recovery action that restores summary
@@ -3007,7 +3130,7 @@ final class SnapshotCatalog(
       // provenance survives: compact preserves data, so a column marked
       // provably-all-null stays so (and fresh can have no bounds for it).
       case "compact" =>
-        freshStats ++ prev.summary.view.filterKeys(k =>
+        freshStats ++ prevSummary.view.filterKeys(k =>
           k.startsWith("nullcol.") &&
             !freshStats.contains("min." + k.stripPrefix("nullcol."))).toMap
       case _ => freshStats
@@ -3037,12 +3160,24 @@ final class SnapshotCatalog(
     // append reuses every prior shard and writes O(new files) metadata; a
     // carry commit reuses every UNTOUCHED shard (see planCarryManifests);
     // a clean rewrite's state is its own single shard
-    val (reuse, delta, allFiles, allFileStats) = operation match {
+    val (reuse, delta, allFiles, allFileStats, totalFileCount) = operation match {
       case "append" =>
+        // pointer-level: prior shards reuse BY NAME; the full inventory
+        // view on the returned Snapshot defers until actually walked, and
+        // the exact file count comes off the pointer log
         (prevEntry.manifests, Manifest(newFiles, newFileStats),
-          prev.files ++ newFiles, prev.fileStats ++ newFileStats)
+          new DeferredSeq(() => prev.files ++ newFiles): Seq[String],
+          new DeferredMap(() => prev.fileStats ++ newFileStats):
+            Map[String, Map[String, String]],
+          entryFileCount(db, table, prevEntry) + newFiles.size)
+      case _ if cf.isEmpty && cshards.isEmpty =>
+        // full rewrite (overwrite/compact): the new files ARE the state —
+        // nothing carries, so the previous inventory is never consulted
+        (Seq.empty[String], Manifest(newFiles, newFileStats),
+          newFiles: Seq[String], newFileStats, newFiles.size.toLong)
       case _ => planCarryManifests(db, table, prevEntry,
-        carryFiles, carryStats, newFiles, newFileStats)
+        cf, cs, newFiles, newFileStats, cshards,
+        n => cshardSums(n).fileCount.toLong)
     }
     // merge-on-read delete shards: an append cannot be covered by existing
     // deletes, so prior shards carry wholesale; a partial rewrite keeps the
@@ -3051,22 +3186,27 @@ final class SnapshotCatalog(
     // (overwrite/compact/merge) materializes every delete — none carry
     val deleteShards = operation match {
       case "append" => prevEntry.deletes
-      case _        => carryDeleteShards(db, table, prevEntry, carryFiles)
+      // cshards nonEmpty implies prevEntry.deletes is empty (the
+      // admission gate above), so the file-granular test stays exact
+      case _        => carryDeleteShards(db, table, prevEntry, cf)
     }
     val carriedDeletes = deleteShards.flatMap(loadDeleteShard(db, table, _))
-    val carriedDead = deadRows(carriedDeletes, carryFiles)
+    val carriedDead = deadRows(carriedDeletes, cf)
     val totalRows = operation match {
       // an unknown previous count (equality deletes, statless adoption)
       // must propagate as unknown, never clamp to zero
-      case "append" => if (prev.recordCount >= 0) prev.recordCount + rows else -1L
-      case _ if carryFiles.nonEmpty =>
-        // carried rows come from per-file footer counts minus their exact
-        // position-deleted dead rows; a carried file without a footer count
-        // (or an equality delete, whose dead count is unknowable) makes the
-        // total honestly unknown (-1), never wrong
-        val carried = carryFiles.map(f => carryStats.get(f).flatMap(_.get("rows")).map(_.toLong))
-        if (carried.forall(_.isDefined) && carriedDead.isDefined)
-          carried.flatten.sum - carriedDead.get + rows
+      case "append" => if (prevRecordCount >= 0) prevRecordCount + rows else -1L
+      case _ if cf.nonEmpty || cshards.nonEmpty =>
+        // carried rows come from per-file footer counts (summary-folded
+        // counts for never-opened carry shards) minus their exact
+        // position-deleted dead rows; a carried file without a footer
+        // count (or an equality delete, whose dead count is unknowable)
+        // makes the total honestly unknown (-1), never wrong
+        val carried = cf.map(f => cs.get(f).flatMap(_.get("rows")).map(_.toLong))
+        val shardRows = cshards.map(n => cshardSums(n).stats.get("rows").map(_.toLong))
+        if (carried.forall(_.isDefined) && shardRows.forall(_.isDefined) &&
+            carriedDead.isDefined)
+          carried.flatten.sum + shardRows.flatten.sum - carriedDead.get + rows
         else -1L
       case _ => rows
     }
@@ -3093,15 +3233,15 @@ final class SnapshotCatalog(
             .getOrElse(NdvStats.emptySketch(ndvLgK))
         }.toMap
         def unionParent: Option[Map[String, Array[Byte]]] =
-          if (prev.recordCount == 0L) Some(freshNdv)
-          else prev.summary.get("ndv.snapshot").map(_.toLong)
+          if (prevRecordCount == 0L) Some(freshNdv)
+          else prevSummary.get("ndv.snapshot").map(_.toLong)
             .flatMap(id => NdvStats.loadSidecar(root, id))
             .filter(par => ndvCols.forall(par.contains))
             .map(par => ndvCols.map(c =>
               c -> NdvStats.union(ndvLgK, Seq(par(c), freshNdv(c)))).toMap)
         val unioned = operation match {
           case "append" => unionParent
-          case _ if carryFiles.nonEmpty => unionParent
+          case _ if cf.nonEmpty || cshards.nonEmpty => unionParent
           case _ => Some(freshNdv) // overwrite / compact: full state observed
         }
         unioned.fold(Map.empty[String, String]) { sk =>
@@ -3117,18 +3257,18 @@ final class SnapshotCatalog(
     // replaces the data wholesale. Re-run analyze_histogram to refresh.
     val histCarry = operation match {
       case "overwrite" => Map.empty[String, String]
-      case _ => prev.summary.view.filterKeys(_.startsWith("hist.")).toMap
+      case _ => prevSummary.view.filterKeys(_.startsWith("hist.")).toMap
     }
     val snap = Snapshot(newId, clock().toString, operation,
       Map(
         "record_count" -> totalRows.toString,
         "added_records" -> rows.toString,
         "added_files" -> newFiles.size.toString,
-        "total_files" -> allFiles.size.toString) ++ honestStats ++ ndvSummary ++ histCarry
+        "total_files" -> totalFileCount.toString) ++ honestStats ++ ndvSummary ++ histCarry
         // streaming-sink high-water marks survive EVERY commit kind (a
         // compact/overwrite between stream batches must not reopen the
         // replay window); the committing batch's own tag overrides
-        ++ streamEpochTags(prev.summary)
+        ++ streamEpochTags(prevSummary)
         ++ extraSummary,
       snapSchema.toDDL, allFiles, allFileStats, carriedDeletes)
     commitSnapshot(db, table, entries, snap, reuse, delta, deleteShards)
@@ -3147,19 +3287,27 @@ final class SnapshotCatalog(
     * costs the candidate files, not the lake. Prior snapshots stay
     * time-travelable. */
   def delete(db: String, table: String, cond: Column): Snapshot = withTableLock(db, table) {
-    val snap = currentSnapshot(db, table)
-    val (cands, untouched) = pruneFiles(db, table, snap.snapshotId, cond)
+    // TWO-LEVEL: shards the predicate provably excludes are never parsed —
+    // they carry BY NAME through the commit (carryShards); only opened
+    // shards take the file-granular carry split. A pinned-partition delete
+    // on a 10^6-file table parses the matching shards, not the inventory.
+    val e = currentEntry(db, table)
+    val res = resolveWhere(db, table, e.snapshotId, cond)
+    val candSet = res.kept.toSet
+    val untouched = res.snap.files.filterNot(candSet)
+    val skipped = e.manifests.filterNot(res.openedNames.toSet)
     // candidates read VISIBLE (existing merge-on-read deletes applied):
     // a copy-on-write rewrite over a MoR table must not resurrect rows.
     // Lineage tables read WITH their identity + last-updated columns so
     // the rewrite materializes them — survivors keep both (v3: a delete
     // must not re-mint the rows it did NOT touch)
     val rewrite =
-      (if (rowLineageEnabled(db, table)) readVisibleWithRidSeq(db, table, snap, cands)
-       else readVisible(db, table, snap, cands))
+      (if (rowLineageEnabled(db, table)) readVisibleWithRidSeq(db, table, res.snap, res.kept)
+       else readVisible(db, table, res.snap, res.kept))
         .where(!coalesce(cond, lit(false)))
     commit(db, table, rewrite, "delete",
-      carryFiles = untouched, carryStats = snap.fileStats)
+      carryFiles = untouched, carryStats = res.snap.fileStats,
+      carryShards = skipped)
   }
 
   /** MERGE-ON-READ DELETE (Iceberg v2 position-delete semantics): commit
@@ -3217,24 +3365,29 @@ final class SnapshotCatalog(
   private def deleteMoRFrom(db: String, table: String, entries: Seq[SnapshotEntry],
       prevEntry: SnapshotEntry, cond: Column,
       extraSummary: Map[String, String]): Snapshot = {
-    val prev = materialize(db, table, prevEntry)
     val newId = entries.last.snapshotId + 1
     val tag = attemptTag()
-    // footer-stat pruning scopes the position scan to candidate files,
-    // exactly like the CoW path — a selective delete scans the candidates,
-    // not the lake (and files it provably cannot touch are never read)
-    val (cands, _) = pruneFiles(db, table, prev.snapshotId, cond)
+    // TWO-LEVEL candidate resolution, like the read path: shards whose
+    // recorded summary provably excludes `cond` are never parsed, then
+    // footer-stat pruning scopes the position scan to candidate files — a
+    // selective delete on a 10^6-file table parses the matching shards'
+    // metadata and scans the candidate files, never the lake. The commit
+    // itself is pointer-level: every manifest shard reuses by name and the
+    // returned Snapshot's inventory defers until actually walked.
+    val res = resolveWhere(db, table, prevEntry.snapshotId, cond)
+    val cands = res.kept
     val fileEntries = writePositionDeletes(db, table, newId,
-      readVisibleWithPos(db, table, prev, cands)
+      readVisibleWithPos(db, table, res.snap, cands)
         .where(coalesce(cond, lit(false))), tag)
     val deleted = fileEntries.map(_.rows).sum
     val shards =
       if (fileEntries.isEmpty) prevEntry.deletes
       else prevEntry.deletes :+ deleteShardName(newId, tag)
-    val prevRows = prev.recordCount
+    val prevRows = prevEntry.summary.get("record_count").map(_.toLong).getOrElse(-1L)
+    val prevDeletes = res.snap.deleteFiles // delete shards always load in full
     val carriedSummary =
-      if (deleted == 0) prev.summary
-      else prev.summary.view.filterKeys(k =>
+      if (deleted == 0) prevEntry.summary
+      else prevEntry.summary.view.filterKeys(k =>
         !k.startsWith("min.") && !k.startsWith("max.")).toMap
     val snap = Snapshot(newId, clock().toString, "delete",
       carriedSummary ++ Map(
@@ -3242,10 +3395,13 @@ final class SnapshotCatalog(
         "added_records" -> "0",
         "added_files" -> "0",
         "deleted_records" -> deleted.toString,
-        "total_files" -> prev.files.size.toString,
-        "delete_files" -> (prev.deleteFiles.size + fileEntries.size).toString) ++
+        "total_files" -> entryFileCount(db, table, prevEntry).toString,
+        "delete_files" -> (prevDeletes.size + fileEntries.size).toString) ++
         extraSummary,
-      prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles ++ fileEntries)
+      prevEntry.schemaDdl,
+      new DeferredSeq(() => materialize(db, table, prevEntry).files),
+      new DeferredMap(() => materialize(db, table, prevEntry).fileStats),
+      prevDeletes ++ fileEntries)
     // pure pointer commit on the data side: every manifest shard reuses
     commitSnapshot(db, table, entries, snap, prevEntry.manifests, Manifest.empty, shards)
   }
@@ -3270,10 +3426,18 @@ final class SnapshotCatalog(
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
     val prevEntry = publishedEntry(entries)
-    val prev = materialize(db, table, prevEntry)
+    // pointer-level like every MoR commit: the inventory materializes only
+    // when coverage genuinely spans every file (multi-column or null keys —
+    // the covers map then lists the corpus by design); the ranged
+    // single-key case resolves TWO-LEVEL and the returned Snapshot's file
+    // view defers
+    lazy val prev = materialize(db, table, prevEntry)
+    val prevSummary = prevEntry.summary
+    val prevRecordCount = prevSummary.get("record_count").map(_.toLong).getOrElse(-1L)
+    val prevDeletes = entryDeleteFiles(db, table, prevEntry)
     val newId = entries.last.snapshotId + 1
     val tag = attemptTag()
-    val schema = prev.schema
+    val schema = prevEntry.schema
     val eqCols = keys.schema.fieldNames.toSeq
     require(eqCols.nonEmpty, "equality delete needs at least one key column")
     val unknown = eqCols.filterNot(schema.fieldNames.contains)
@@ -3294,24 +3458,31 @@ final class SnapshotCatalog(
         if (mm.getLong(2) == 0) Seq.empty // empty key frame: nothing dies
         else if (mm.isNullAt(0)) prev.files // all-null keys: stats can't scope
         else {
-          val ranged = pruneFiles(db, table, prev.snapshotId,
-            col(s"`$k`") >= lit(mm.get(0)) && col(s"`$k`") <= lit(mm.get(1)))._1
+          // two-level: shards the key range provably excludes never parse
+          // (the file-tier keep set is identical — a skipped shard's fold
+          // excludes each of its files for the same range predicate)
+          val ranged = resolveWhere(db, table, prevEntry.snapshotId,
+            col(s"`$k`") >= lit(mm.get(0)) && col(s"`$k`") <= lit(mm.get(1))).kept
           // null keys match null-keyed rows anywhere — widen to all files
           if (mm.getLong(3) < mm.getLong(2)) prev.files else ranged
         }
       case _ => prev.files
     }
-    if (covers.isEmpty) {
+    def pointerNoOp(): Snapshot = {
       val snap = Snapshot(newId, clock().toString, "delete",
-        prev.summary ++ Map(
-          "record_count" -> prev.recordCount.toString,
+        prevSummary ++ Map(
+          "record_count" -> prevRecordCount.toString,
           "added_records" -> "0", "added_files" -> "0",
           "deleted_records" -> "0",
-          "total_files" -> prev.files.size.toString) ++ extraSummary,
-        prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles)
-      return commitSnapshot(db, table, entries, snap, prevEntry.manifests,
+          "total_files" -> entryFileCount(db, table, prevEntry).toString) ++ extraSummary,
+        prevEntry.schemaDdl,
+        new DeferredSeq(() => materialize(db, table, prevEntry).files),
+        new DeferredMap(() => materialize(db, table, prevEntry).fileStats),
+        prevDeletes)
+      commitSnapshot(db, table, entries, snap, prevEntry.manifests,
         Manifest.empty, prevEntry.deletes)
     }
+    if (covers.isEmpty) return pointerNoOp()
     val delDirRel = s"deletes/s$newId$tag"
     val delDir = tablePath(db, table).resolve("deletes").resolve(s"s$newId$tag")
     keys.dropDuplicates(eqCols).coalesce(1)
@@ -3326,27 +3497,22 @@ final class SnapshotCatalog(
     }.filter(_.eqTuples > 0)
     if (fileEntries.isEmpty) {
       deleteRecursively(delDir)
-      val snap = Snapshot(newId, clock().toString, "delete",
-        prev.summary ++ Map(
-          "record_count" -> prev.recordCount.toString,
-          "added_records" -> "0", "added_files" -> "0",
-          "deleted_records" -> "0",
-          "total_files" -> prev.files.size.toString) ++ extraSummary,
-        prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles)
-      return commitSnapshot(db, table, entries, snap, prevEntry.manifests,
-        Manifest.empty, prevEntry.deletes)
+      return pointerNoOp()
     }
     writeDeleteShard(db, table, deleteShardName(newId, tag), fileEntries)
     val snap = Snapshot(newId, clock().toString, "delete",
-      prev.summary.view.filterKeys(k =>
+      prevSummary.view.filterKeys(k =>
         !k.startsWith("min.") && !k.startsWith("max.")).toMap ++ Map(
         "record_count" -> "-1", // unknowable without a scan — never guessed
         "added_records" -> "0", "added_files" -> "0",
         "deleted_records" -> "-1",
-        "total_files" -> prev.files.size.toString,
-        "delete_files" -> (prev.deleteFiles.size + fileEntries.size).toString) ++
+        "total_files" -> entryFileCount(db, table, prevEntry).toString,
+        "delete_files" -> (prevDeletes.size + fileEntries.size).toString) ++
         extraSummary,
-      prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles ++ fileEntries)
+      prevEntry.schemaDdl,
+      new DeferredSeq(() => materialize(db, table, prevEntry).files),
+      new DeferredMap(() => materialize(db, table, prevEntry).fileStats),
+      prevDeletes ++ fileEntries)
     commitSnapshot(db, table, entries, snap, prevEntry.manifests, Manifest.empty,
       prevEntry.deletes :+ deleteShardName(newId, tag))
   }
@@ -3501,23 +3667,30 @@ final class SnapshotCatalog(
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
     val prevEntry = publishedEntry(entries)
-    val prev = materialize(db, table, prevEntry)
+    val prevSummary = prevEntry.summary
+    val prevRecordCount = prevSummary.get("record_count").map(_.toLong).getOrElse(-1L)
     val newId = entries.last.snapshotId + 1
     val tag = attemptTag()
     val tm = meta(db, table)
-    val schema = prev.schema
+    val schema = prevEntry.schema
     require(tm.hiddenCols.forall(h => !set.contains(h)),
       "__bucket/__pt are derived layout columns — assign the source column instead")
     val unknown = set.keys.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"UPDATE of unknown columns: ${unknown.mkString(",")}")
-    val (cands, _) = pruneFiles(db, table, prev.snapshotId, cond)
+    // TWO-LEVEL candidate resolution (shards the predicate provably
+    // excludes are never parsed) + pointer-level commit, like
+    // [[deleteMoRFrom]]: a selective MoR update touches the matching
+    // shards' metadata, never the inventory
+    val res = resolveWhere(db, table, prevEntry.snapshotId, cond)
+    val cands = res.kept
+    val prevDeletes = res.snap.deleteFiles
     // ROW LINEAGE: scan WITH each matched row's stable id so the updated
     // copy can carry it — Iceberg-v3 semantics, an update preserves
     // identity (the post-image is the same row, changed)
     val lineage = rowLineageEnabled(db, table)
     val matched =
-      (if (lineage) readVisibleWithPosAndRid(db, table, prev, cands)
-       else readVisibleWithPos(db, table, prev, cands))
+      (if (lineage) readVisibleWithPosAndRid(db, table, res.snap, cands)
+       else readVisibleWithPos(db, table, res.snap, cands))
         .where(coalesce(cond, lit(false)))
     // pass 1: the matched rows' positions become a delete shard
     val fileEntries = writePositionDeletes(db, table, newId, matched, tag)
@@ -3525,12 +3698,15 @@ final class SnapshotCatalog(
     if (fileEntries.isEmpty) {
       // nothing matched: pointer-only commit, mirror of a no-match delete
       val snap = Snapshot(newId, clock().toString, "update",
-        prev.summary ++ Map(
-          "record_count" -> prev.recordCount.toString,
+        prevSummary ++ Map(
+          "record_count" -> prevRecordCount.toString,
           "added_records" -> "0", "added_files" -> "0",
           "deleted_records" -> "0",
-          "total_files" -> prev.files.size.toString),
-        prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles)
+          "total_files" -> entryFileCount(db, table, prevEntry).toString),
+        prevEntry.schemaDdl,
+        new DeferredSeq(() => materialize(db, table, prevEntry).files),
+        new DeferredMap(() => materialize(db, table, prevEntry).fileStats),
+        prevDeletes)
       return commitSnapshot(db, table, entries, snap, prevEntry.manifests,
         Manifest.empty, prevEntry.deletes)
     }
@@ -3572,16 +3748,18 @@ final class SnapshotCatalog(
       s"updateMoR invariant violated on $db.$table: $deleted positions " +
         s"deleted but ${added.flatten.sum} rows re-inserted")
     val snap = Snapshot(newId, clock().toString, "update",
-      prev.summary.view.filterKeys(k =>
+      prevSummary.view.filterKeys(k =>
         !k.startsWith("min.") && !k.startsWith("max.")).toMap ++ Map(
-        "record_count" -> prev.recordCount.toString,
+        "record_count" -> prevRecordCount.toString,
         "added_records" -> deleted.toString,
         "added_files" -> newFiles.size.toString,
         "deleted_records" -> deleted.toString,
-        "total_files" -> (prev.files.size + newFiles.size).toString,
-        "delete_files" -> (prev.deleteFiles.size + fileEntries.size).toString),
-      prev.schemaDdl, prev.files ++ newFiles, prev.fileStats ++ newFileStats,
-      prev.deleteFiles ++ fileEntries)
+        "total_files" -> (entryFileCount(db, table, prevEntry) + newFiles.size).toString,
+        "delete_files" -> (prevDeletes.size + fileEntries.size).toString),
+      prevEntry.schemaDdl,
+      new DeferredSeq(() => materialize(db, table, prevEntry).files ++ newFiles),
+      new DeferredMap(() => materialize(db, table, prevEntry).fileStats ++ newFileStats),
+      prevDeletes ++ fileEntries)
     commitSnapshot(db, table, entries, snap, prevEntry.manifests,
       Manifest(newFiles, newFileStats), prevEntry.deletes :+ deleteShardName(newId, tag))
   }
@@ -3593,11 +3771,16 @@ final class SnapshotCatalog(
     * matching row carry over without a rewrite. */
   def update(db: String, table: String, cond: Column,
       set: Map[String, Column]): Snapshot = withTableLock(db, table) {
-    val snap = currentSnapshot(db, table)
-    val schema = snap.schema
+    // TWO-LEVEL like [[delete]]: excluded shards carry by name unparsed
+    val e = currentEntry(db, table)
+    val schema = e.schema
     val unknown = set.keys.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"UPDATE of unknown columns: ${unknown.mkString(",")}")
-    val (cands, untouched) = pruneFiles(db, table, snap.snapshotId, cond)
+    val res = resolveWhere(db, table, e.snapshotId, cond)
+    val cands = res.kept
+    val untouched = res.snap.files.filterNot(cands.toSet)
+    val skipped = e.manifests.filterNot(res.openedNames.toSet)
+    val snap = res.snap
     val c = coalesce(cond, lit(false))
     val lineage = rowLineageEnabled(db, table)
     val base =
@@ -3616,7 +3799,8 @@ final class SnapshotCatalog(
       when(c, lit(null).cast("long")).otherwise(col("`__rseq`")).as("__rseq"))
     else Nil)).toIndexedSeq: _*)
     commit(db, table, updated, "update",
-      carryFiles = untouched, carryStats = snap.fileStats)
+      carryFiles = untouched, carryStats = snap.fileStats,
+      carryShards = skipped)
   }
 
   /** MERGE-ON-READ MERGE/upsert: source rows REPLACE target rows sharing
@@ -3644,11 +3828,11 @@ final class SnapshotCatalog(
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
     val prevEntry = publishedEntry(entries)
-    val prev = materialize(db, table, prevEntry)
+    val prevSummary = prevEntry.summary
     val newId = entries.last.snapshotId + 1
     val tag = attemptTag()
     val tm = meta(db, table)
-    val schema = prev.schema
+    val schema = prevEntry.schema
     // EXPLICIT row identity (`explicitRids`): the source carries each
     // row's id in a `__rid` column — the CDC apply sink replicating a
     // lineage source table's identity onto a replica. The delta writes
@@ -3686,8 +3870,12 @@ final class SnapshotCatalog(
     require(!(nullSafeKeys && lineage),
       s"null-safe upsert keys are not supported with row lineage on $db.$table")
     // candidate scope: for a single statable key, the source's [min,max]
-    // (one tiny agg) bounds which target files can possibly match
-    val cands = keys match {
+    // (one tiny agg) bounds which target files can possibly match — and
+    // the resolution is TWO-LEVEL: shards the range provably excludes are
+    // never parsed. Multi-column keys (and null-safe sources carrying null
+    // keys) must semi-join every file anyway, so the full materialization
+    // is proportionate to the scan they already pay.
+    val (scanSnap, cands) = keys match {
       case Seq(k) if ColumnStats.statable(schema(k).dataType) =>
         val mm = source.agg(min(col(s"`$k`")).as("mn"), max(col(s"`$k`")).as("mx"),
           max(col(s"`$k`").isNull.cast("int")).as("hasNull")).head()
@@ -3695,17 +3883,22 @@ final class SnapshotCatalog(
         // footer [min,max] ranges say nothing about null-keyed rows: a
         // null-safe source carrying null keys scans every file (the rare
         // null-group-churn refresh; range pruning resumes when it's absent)
-        if (srcHasNull) prev.files
-        else if (mm.isNullAt(0)) Seq.empty // empty/all-null source matches nothing
-        else pruneFiles(db, table, prev.snapshotId,
-          col(s"`$k`") >= lit(mm.get(0)) && col(s"`$k`") <= lit(mm.get(1)))._1
-      case _ => prev.files
+        if (srcHasNull) { val p = materialize(db, table, prevEntry); (p, p.files) }
+        else if (mm.isNullAt(0)) // empty/all-null source matches nothing
+          (materializePartial(db, table, prevEntry, Seq.empty), Seq.empty[String])
+        else {
+          val res = resolveWhere(db, table, prevEntry.snapshotId,
+            col(s"`$k`") >= lit(mm.get(0)) && col(s"`$k`") <= lit(mm.get(1)))
+          (res.snap, res.kept)
+        }
+      case _ => val p = materialize(db, table, prevEntry); (p, p.files)
     }
+    val prevDeletes = scanSnap.deleteFiles // delete shards always load in full
     // pass 1: positions of target rows whose key appears in the source
     val srcKeys = source.select(keys.map(k => col(s"`$k`")): _*).dropDuplicates()
     val scanned =
-      if (lineage) readVisibleWithPosAndRid(db, table, prev, cands)
-      else readVisibleWithPos(db, table, prev, cands)
+      if (lineage) readVisibleWithPosAndRid(db, table, scanSnap, cands)
+      else readVisibleWithPos(db, table, scanSnap, cands)
     val matched =
       if (!nullSafeKeys) scanned.join(srcKeys, keys, "left_semi")
       else {
@@ -3760,7 +3953,7 @@ final class SnapshotCatalog(
       f -> (FileStats.fromFooter(root.resolve(f), schema, conf) ++ ridMark)).toMap, schema)
     val addedRows = newFiles.map(f => newFileStats(f).get("rows").map(_.toLong))
     val added = if (addedRows.forall(_.isDefined)) addedRows.flatten.sum else -1L
-    val prevRows = prev.recordCount
+    val prevRows = prevSummary.get("record_count").map(_.toLong).getOrElse(-1L)
     val total = if (prevRows >= 0 && added >= 0) prevRows - deleted + added else -1L
     val shards =
       if (fileEntries.isEmpty) prevEntry.deletes
@@ -3773,18 +3966,20 @@ final class SnapshotCatalog(
         case r if r.isNullAt(0) => Map.empty
         case r => Map("lineage.id-floor" -> (r.getLong(0) + 1L).toString)
       }
-    val foldedSummary = foldDeltaBounds(prev, schema, newFiles, newFileStats, deleted)
+    val foldedSummary = foldDeltaBounds(prevSummary, schema, newFiles, newFileStats, deleted)
     val snap = Snapshot(newId, clock().toString, "merge",
       foldedSummary ++ Map(
         "record_count" -> total.toString,
         "added_records" -> added.toString,
         "added_files" -> newFiles.size.toString,
         "deleted_records" -> deleted.toString,
-        "total_files" -> (prev.files.size + newFiles.size).toString,
-        "delete_files" -> (prev.deleteFiles.size + fileEntries.size).toString) ++
+        "total_files" -> (entryFileCount(db, table, prevEntry) + newFiles.size).toString,
+        "delete_files" -> (prevDeletes.size + fileEntries.size).toString) ++
         floorSummary ++ extraSummary,
-      prev.schemaDdl, prev.files ++ newFiles, prev.fileStats ++ newFileStats,
-      prev.deleteFiles ++ fileEntries)
+      prevEntry.schemaDdl,
+      new DeferredSeq(() => materialize(db, table, prevEntry).files ++ newFiles),
+      new DeferredMap(() => materialize(db, table, prevEntry).fileStats ++ newFileStats),
+      prevDeletes ++ fileEntries)
     commitSnapshot(db, table, entries, snap, prevEntry.manifests,
       Manifest(newFiles, newFileStats), shards)
   }
@@ -3794,10 +3989,10 @@ final class SnapshotCatalog(
     * honest, wrong is not; compact() recomputes exactly); a pure-insert
     * delta folds the new files' footer bounds with the previous summary (a
     * bound survives only when both sides have one). */
-  private def foldDeltaBounds(prev: Snapshot, schema: StructType,
+  private def foldDeltaBounds(prevSummary: Map[String, String], schema: StructType,
       newFiles: Seq[String], newFileStats: Map[String, Map[String, String]],
       deleted: Long): Map[String, String] = {
-    val nonBounds = prev.summary.view.filterKeys(k =>
+    val nonBounds = prevSummary.view.filterKeys(k =>
       !k.startsWith("min.") && !k.startsWith("max.")).toMap
     if (deleted > 0) nonBounds
     else {
@@ -3807,7 +4002,7 @@ final class SnapshotCatalog(
         .flatMap { f =>
           Seq((s"min.${f.name}", true), (s"max.${f.name}", false)).flatMap {
             case (k, isMin) =>
-              (prev.summary.get(k), newBounds.get(k)) match {
+              (prevSummary.get(k), newBounds.get(k)) match {
                 case (Some(p), Some(n)) =>
                   val takeP = if (isMin) !ColumnStats.gt(f.dataType, p, n)
                   else ColumnStats.gt(f.dataType, p, n)
@@ -3847,15 +4042,15 @@ final class SnapshotCatalog(
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
     val prevEntry = publishedEntry(entries)
-    val prev = materialize(db, table, prevEntry)
-    require(prev.snapshotId == expectSnapshotId,
+    val prevSummary = prevEntry.summary
+    require(prevEntry.snapshotId == expectSnapshotId,
       s"concurrent commit on $db.$table: the delta rewrite read snapshot " +
-        s"$expectSnapshotId but the table is now at ${prev.snapshotId}; " +
+        s"$expectSnapshotId but the table is now at ${prevEntry.snapshotId}; " +
         "retry the statement")
     val newId = entries.last.snapshotId + 1
     val tag = attemptTag()
     val root = tablePath(db, table)
-    val schema = prev.schema
+    val schema = prevEntry.schema
     val conf = spark.sessionState.newHadoopConf()
     val tm = meta(db, table)
 
@@ -3907,29 +4102,35 @@ final class SnapshotCatalog(
       }
     val deleted = fileEntries.map(_.rows).sum
     // every recorded position must target a file of the scanned snapshot —
-    // anything else means the rewrite scan and this commit disagree
-    val foreign = fileEntries.flatMap(_.covers.keys).distinct
-      .filterNot(prev.files.contains)
+    // anything else means the rewrite scan and this commit disagree. The
+    // membership probe is TWO-LEVEL: only shards whose recorded dir set
+    // intersects the covered files' snapshot dirs are parsed
+    val foreign = unknownFiles(db, table, prevEntry,
+      fileEntries.flatMap(_.covers.keys).distinct)
     require(foreign.isEmpty,
       s"delta commit on $db.$table records deletes against unknown files: " +
         foreign.take(3).mkString(","))
+    val prevDeletes = entryDeleteFiles(db, table, prevEntry)
 
     if (newFiles.isEmpty && fileEntries.isEmpty) {
       // nothing matched and nothing inserted: pointer-only commit
       deleteRecursively(dataDir)
       val snap = Snapshot(newId, clock().toString, operation,
-        prev.summary ++ Map(
-          "record_count" -> prev.recordCount.toString,
+        prevSummary ++ Map(
+          "record_count" -> prevSummary.getOrElse("record_count", "-1"),
           "added_records" -> "0", "added_files" -> "0",
           "deleted_records" -> "0",
-          "total_files" -> prev.files.size.toString),
-        prev.schemaDdl, prev.files, prev.fileStats, prev.deleteFiles)
+          "total_files" -> entryFileCount(db, table, prevEntry).toString),
+        prevEntry.schemaDdl,
+        new DeferredSeq(() => materialize(db, table, prevEntry).files),
+        new DeferredMap(() => materialize(db, table, prevEntry).fileStats),
+        prevDeletes)
       return commitSnapshot(db, table, entries, snap, prevEntry.manifests,
         Manifest.empty, prevEntry.deletes)
     }
-    val prevRows = prev.recordCount
+    val prevRows = prevSummary.get("record_count").map(_.toLong).getOrElse(-1L)
     val total = if (prevRows >= 0 && added >= 0) prevRows - deleted + added else -1L
-    val foldedSummary = foldDeltaBounds(prev, schema, newFiles, newFileStats, deleted)
+    val foldedSummary = foldDeltaBounds(prevSummary, schema, newFiles, newFileStats, deleted)
     val shards =
       if (fileEntries.isEmpty) prevEntry.deletes
       else prevEntry.deletes :+ deleteShardName(newId, tag)
@@ -3939,10 +4140,12 @@ final class SnapshotCatalog(
         "added_records" -> added.toString,
         "added_files" -> newFiles.size.toString,
         "deleted_records" -> deleted.toString,
-        "total_files" -> (prev.files.size + newFiles.size).toString,
-        "delete_files" -> (prev.deleteFiles.size + fileEntries.size).toString),
-      prev.schemaDdl, prev.files ++ newFiles, prev.fileStats ++ newFileStats,
-      prev.deleteFiles ++ fileEntries)
+        "total_files" -> (entryFileCount(db, table, prevEntry) + newFiles.size).toString,
+        "delete_files" -> (prevDeletes.size + fileEntries.size).toString),
+      prevEntry.schemaDdl,
+      new DeferredSeq(() => materialize(db, table, prevEntry).files ++ newFiles),
+      new DeferredMap(() => materialize(db, table, prevEntry).fileStats ++ newFileStats),
+      prevDeletes ++ fileEntries)
     commitSnapshot(db, table, entries, snap, prevEntry.manifests,
       Manifest(newFiles, newFileStats), shards)
   }
@@ -4022,24 +4225,25 @@ final class SnapshotCatalog(
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
     val prevEntry = publishedEntry(entries)
-    val prev = materialize(db, table, prevEntry)
-    expectSnapshotId.foreach(id => require(prev.snapshotId == id,
+    expectSnapshotId.foreach(id => require(prevEntry.snapshotId == id,
       s"concurrent commit on $db.$table: the rewrite read snapshot $id but " +
-        s"the table is now at ${prev.snapshotId}; retry the statement"))
+        s"the table is now at ${prevEntry.snapshotId}; retry the statement"))
     // the SQL group-based rewrite scan reads data files RAW (stock V2
     // parquet batches) — over live position deletes it would resurrect
     // dead rows into the rewritten state. The plugin rejects row-level SQL
     // on such tables before planning; this guard keeps the invariant for
     // any other caller.
-    require(prev.deleteFiles.isEmpty,
+    require(prevEntry.deletes.isEmpty,
       s"adoptRewrite on $db.$table with live merge-on-read delete files " +
         "would resurrect deleted rows: compact() the table first")
-    val missingCarry = carryFiles.filterNot(prev.files.contains)
+    // two-level membership probe: only shards whose recorded dir set
+    // intersects the carried files' snapshot dirs are parsed
+    val missingCarry = unknownFiles(db, table, prevEntry, carryFiles)
     require(missingCarry.isEmpty,
       s"carry files not in current snapshot of $db.$table: " +
         missingCarry.take(3).mkString(","))
     adoptDir(db, table, operation, dataDirName, carryFiles, carryStats,
-      Map.empty, entries, prevEntry, prev)
+      Map.empty, entries, prevEntry)
   }
 
   /** Commit a data directory populated by the NATIVE streaming write
@@ -4066,34 +4270,61 @@ final class SnapshotCatalog(
       deleteRecursively(tablePath(db, table).resolve("data").resolve(dataDirName))
       None
     } else {
-      val prev = materialize(db, table, prevEntry)
-      val missing = prev.schema.fieldNames.filterNot(writeSchema.fieldNames.contains)
-      val extra = writeSchema.fieldNames.filterNot(prev.schema.fieldNames.contains)
+      val prevSchema = prevEntry.schema
+      val missing = prevSchema.fieldNames.filterNot(writeSchema.fieldNames.contains)
+      val extra = writeSchema.fieldNames.filterNot(prevSchema.fieldNames.contains)
       require(missing.isEmpty && extra.isEmpty,
         s"streaming write schema mismatch for $db.$table: " +
           s"missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
-      val (carry, carrySt) =
-        if (operation == "append") (prev.files, prev.fileStats)
-        else (Seq.empty[String], Map.empty[String, Map[String, String]])
-      Some(adoptDir(db, table, operation, dataDirName, carry, carrySt,
-        Map(key -> epochId.toString), entries, prevEntry, prev))
+      // append epochs carry every prior shard BY NAME (pointer-level when
+      // summarized — each trigger commits O(epoch files), the inventory is
+      // never parsed); complete mode replaces state, nothing carries
+      val carryShards =
+        if (operation == "append") prevEntry.manifests else Seq.empty[String]
+      Some(adoptDir(db, table, operation, dataDirName, Seq.empty, Map.empty,
+        Map(key -> epochId.toString), entries, prevEntry, carryShards))
     }
   }
 
   /** Shared adoption core (lock already held): list the external writer's
     * files, fold footer stats with the carried files', commit one log
-    * entry. */
+    * entry. `carryShards` names shards the caller proved fully carried —
+    * admitted pointer-level (reused by name, never parsed) under the same
+    * gate as [[commit]]: every one summarized with a row count and no live
+    * delete shards; otherwise they fold into the file-granular carry. The
+    * streaming append epoch rides this with carryShards = ALL prior
+    * shards, making every epoch commit O(epoch files). */
   private def adoptDir(db: String, table: String, operation: String,
       dataDirName: String, carryFiles: Seq[String],
       carryStats: Map[String, Map[String, String]],
       extraSummary: Map[String, String],
       entries: Seq[SnapshotEntry], prevEntry: SnapshotEntry,
-      prev: Snapshot): Snapshot = {
+      carryShards: Seq[String] = Seq.empty): Snapshot = {
     val newId = entries.last.snapshotId + 1
     val snapDirRel = s"data/$dataDirName"
     val root = tablePath(db, table)
     val snapDir = root.resolve("data").resolve(dataDirName)
-    val schema = prev.schema
+    val schema = prevEntry.schema
+    val (cf, cs, cshards, cshardSums) =
+      if (carryShards.isEmpty)
+        (carryFiles, carryStats, Seq.empty[String], Map.empty[String, ShardSummary])
+      else {
+        val sumsOpt = loadRepr(db, table) match {
+          case V2Log(_, sums)
+            if carryShards.forall(n => sums.get(n).exists(_.stats.contains("rows"))) =>
+            Some(carryShards.map(n => n -> sums(n)).toMap)
+          case _ => None
+        }
+        sumsOpt match {
+          case Some(ss) if prevEntry.deletes.isEmpty =>
+            (carryFiles, carryStats, carryShards, ss)
+          case _ =>
+            val ms = carryShards.map(n => loadManifest(db, table, n))
+            (carryFiles ++ ms.flatMap(_.files),
+              carryStats ++ ms.iterator.flatMap(_.fileStats).toMap,
+              Seq.empty[String], Map.empty[String, ShardSummary])
+        }
+      }
     val newFiles = listParquetFiles(snapDir).map(p =>
       snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/'))
     val conf = spark.sessionState.newHadoopConf()
@@ -4103,23 +4334,32 @@ final class SnapshotCatalog(
     // a FULL carry (streaming append epochs) reuses every prior shard; a
     // partial carry (prune-aware SQL rewrite) reuses every untouched shard
     // and delta-lists only the rewrite plus its shard-mates
-    val (reuse, delta, allFiles, allFileStats) = planCarryManifests(
-      db, table, prevEntry, carryFiles, carryStats, newFiles, newFileStats)
+    val (reuse, delta, allFiles, allFileStats, totalFileCount) = planCarryManifests(
+      db, table, prevEntry, cf, cs, newFiles, newFileStats, cshards,
+      n => cshardSums(n).fileCount.toLong)
     // merge-on-read delete shards still covering a carried file ride along
     // (streaming appends carry the full file set; adoptRewrite requires no
-    // live deletes, so the partial-carry path never sees them)
-    val deleteShards = carryDeleteShards(db, table, prevEntry, carryFiles)
+    // live deletes; cshards nonEmpty implies no live deletes — the gate)
+    val deleteShards = carryDeleteShards(db, table, prevEntry, cf)
     val carriedDeletes = deleteShards.flatMap(loadDeleteShard(db, table, _))
-    val carriedDead = deadRows(carriedDeletes, carryFiles)
-    // carried rows come from per-file footer counts minus their recorded
-    // position-deleted dead rows; a carried file without a footer count
-    // (or an equality delete) makes the total honestly unknown (-1)
-    val carriedRows = carryFiles.map(f => carryStats.get(f).flatMap(_.get("rows")).map(_.toLong))
+    val carriedDead = deadRows(carriedDeletes, cf)
+    // carried rows come from per-file footer counts (summary sums for
+    // never-opened carry shards) minus their recorded position-deleted
+    // dead rows; a carried file without a footer count (or an equality
+    // delete) makes the total honestly unknown (-1)
+    val carriedRows = cf.map(f => cs.get(f).flatMap(_.get("rows")).map(_.toLong))
+    val shardRows = cshards.map(n => cshardSums(n).stats.get("rows").map(_.toLong))
     val rows =
-      if (carriedRows.forall(_.isDefined) && carriedDead.isDefined)
-        carriedRows.flatten.sum - carriedDead.get + newRows
+      if (carriedRows.forall(_.isDefined) && shardRows.forall(_.isDefined) &&
+          carriedDead.isDefined)
+        carriedRows.flatten.sum + shardRows.flatten.sum - carriedDead.get + newRows
       else -1L
-    val folded = ColumnStats.mergeWithFileBounds(Map.empty, allFiles, allFileStats, schema)
+    // never-opened carry shards contribute their summary fold as one
+    // pseudo-entry each (a sound widening under the same key scheme)
+    val folded = ColumnStats.mergeWithFileBounds(Map.empty,
+      cf ++ cshards ++ newFiles,
+      cs ++ cshards.iterator.map(n => n -> cshardSums(n).stats).toMap ++ newFileStats,
+      schema)
     // footer bounds are OUTER bounds once carried files may have dead rows
     val stats =
       if (!carriedDead.contains(0L))
@@ -4130,8 +4370,8 @@ final class SnapshotCatalog(
         "record_count" -> rows.toString,
         "added_records" -> newRows.toString,
         "added_files" -> newFiles.size.toString,
-        "total_files" -> allFiles.size.toString) ++ stats
-        ++ streamEpochTags(prev.summary)
+        "total_files" -> totalFileCount.toString) ++ stats
+        ++ streamEpochTags(prevEntry.summary)
         ++ extraSummary,
       schema.toDDL, allFiles, allFileStats, carriedDeletes)
     commitSnapshot(db, table, entries, snap, reuse, delta, deleteShards)
@@ -4156,19 +4396,21 @@ final class SnapshotCatalog(
     require(!isBranchEntry(targetEntry),
       s"snapshot $toSnapshotId is a branch commit " +
         s"(branch '${targetEntry.summary("branch.ref")}'): use fastForward to publish it")
-    val target = materialize(db, table, targetEntry)
     val snap = Snapshot(entries.last.snapshotId + 1, clock().toString, "rollback",
-      target.summary
+      targetEntry.summary
         // the rolled-back-FROM head carries the streaming high-water
         // marks; losing them to the older summary would reopen the
         // replay window
         ++ streamEpochTags(publishedEntry(entries).summary)
         + ("rolled_back_to" -> toSnapshotId.toString,
           "added_records" -> "0", "added_files" -> "0"),
-      target.schemaDdl, target.files, target.fileStats, target.deleteFiles)
+      targetEntry.schemaDdl,
+      new DeferredSeq(() => materialize(db, table, targetEntry).files),
+      new DeferredMap(() => materialize(db, table, targetEntry).fileStats),
+      entryDeleteFiles(db, table, targetEntry))
     // pure pointer commit: re-point at the target's shards (data AND
     // position-delete), write no O(files) metadata at all — rollback of a
-    // petabyte table is a KB rename
+    // petabyte table IS a KB rename (the inventory view above defers)
     commitSnapshot(db, table, entries, snap, targetEntry.manifests, Manifest.empty,
       targetEntry.deletes)
   }
@@ -6941,12 +7183,14 @@ final class SnapshotCatalog(
         s"publish of $db.$table snapshot $snapshotId refused: " +
           s"expectation(s) violated: $bad. Fix and re-stage, or discard.")
     }
-    val full = materialize(db, table, staged)
     val snap = Snapshot(staged.snapshotId + 1, clock().toString, "publish",
-      full.summary - "wap.staged" +
+      staged.summary - "wap.staged" +
         ("wap.source" -> snapshotId.toString,
           "added_records" -> "0", "added_files" -> "0"),
-      staged.schemaDdl, full.files, full.fileStats, full.deleteFiles)
+      staged.schemaDdl,
+      new DeferredSeq(() => materialize(db, table, staged).files),
+      new DeferredMap(() => materialize(db, table, staged).fileStats),
+      entryDeleteFiles(db, table, staged))
     commitSnapshot(db, table, entries, snap, staged.manifests, Manifest.empty,
       staged.deletes)
   }
@@ -6996,16 +7240,18 @@ final class SnapshotCatalog(
       s"snapshot $snapshotId is not the pending staged snapshot of $db.$table" +
         (if (isStagedEntry(staged)) s" (pending is ${staged.snapshotId})" else ""))
     val headEntry = publishedEntry(entries)
-    val head = materialize(db, table, headEntry)
     val snap = Snapshot(staged.snapshotId + 1, clock().toString, "discard",
-      head.summary
+      headEntry.summary
         // the staged append carried the streaming high-water marks
         // forward; the restored head's copy is identical by construction,
         // but take the staged tail's to keep the invariant local
         ++ streamEpochTags(staged.summary)
         + ("wap.discarded" -> snapshotId.toString,
           "added_records" -> "0", "added_files" -> "0"),
-      headEntry.schemaDdl, head.files, head.fileStats, head.deleteFiles)
+      headEntry.schemaDdl,
+      new DeferredSeq(() => materialize(db, table, headEntry).files),
+      new DeferredMap(() => materialize(db, table, headEntry).fileStats),
+      entryDeleteFiles(db, table, headEntry))
     commitSnapshot(db, table, entries, snap, headEntry.manifests, Manifest.empty,
       headEntry.deletes)
   }
@@ -7022,8 +7268,11 @@ final class SnapshotCatalog(
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
     val prevEntry = publishedEntry(entries)
-    val prev = materialize(db, table, prevEntry)
-    val dropped = prev.schema.fieldNames.filterNot(newSchema.fieldNames.contains)
+    // pointer-level DDL: schema arithmetic runs off the log entry; the
+    // inventory materializes ONLY for the rare re-add probe below, and the
+    // committed snapshot's file view defers until actually walked
+    val prevSchema = prevEntry.schema
+    val dropped = prevSchema.fieldNames.filterNot(newSchema.fieldNames.contains)
     // Dropping a column is SAFE with name-based mapping: readers project
     // the narrower schema and simply never read the column's pages (data
     // files are untouched; time travel to pre-drop snapshots still serves
@@ -7046,8 +7295,8 @@ final class SnapshotCatalog(
     // outright), and the nullcol provenance below would be a lie. Iceberg
     // dodges this with field-ids; here the safe path is compact() first
     // (the rewrite lands files under the post-drop schema).
-    val added = newSchema.fieldNames.filterNot(prev.schema.fieldNames.contains)
-    val curFiles = prev.files.toSet
+    val added = newSchema.fieldNames.filterNot(prevSchema.fieldNames.contains)
+    lazy val curFiles = materialize(db, table, prevEntry).files.toSet
     // the schema probe is pointer-only; only schema-matching historical
     // snapshots (rare) materialize their file lists
     val resurfacing = added.filter(name =>
@@ -7064,12 +7313,15 @@ final class SnapshotCatalog(
     // columns (the "prev has rows but no stat" case is ambiguous WITHOUT
     // provenance, provably-all-null WITH it).
     val addedStatable = newSchema.fields
-      .filterNot(f => prev.schema.fieldNames.contains(f.name))
+      .filterNot(f => prevSchema.fieldNames.contains(f.name))
       .filter(f => ColumnStats.statable(f.dataType))
       .map(f => s"nullcol.${f.name}" -> "true")
     val snap = Snapshot(entries.last.snapshotId + 1, clock().toString, "evolve",
-      prev.summary ++ addedStatable + ("added_records" -> "0", "added_files" -> "0"),
-      newSchema.toDDL, prev.files, prev.fileStats, prev.deleteFiles)
+      prevEntry.summary ++ addedStatable + ("added_records" -> "0", "added_files" -> "0"),
+      newSchema.toDDL,
+      new DeferredSeq(() => materialize(db, table, prevEntry).files),
+      new DeferredMap(() => materialize(db, table, prevEntry).fileStats),
+      entryDeleteFiles(db, table, prevEntry))
     // pure pointer commit: same shards (data and delete), new schema DDL
     commitSnapshot(db, table, entries, snap, prevEntry.manifests, Manifest.empty,
       prevEntry.deletes)
@@ -7485,14 +7737,16 @@ final class SnapshotCatalog(
         s"${published.snapshotId} is not an ancestor of the branch head $headId " +
         "(main advanced since the fork, or the fork ancestry was expired)")
     val branchEntry = entries.find(_.snapshotId == headId).get
-    val target = materialize(db, table, branchEntry)
     val snap = Snapshot(entries.last.snapshotId + 1, clock().toString, "fastforward",
-      target.summary -- Seq("branch.ref", "branch.parent")
+      branchEntry.summary -- Seq("branch.ref", "branch.parent")
         // main's stream high-water marks are the authoritative ones
-        ++ streamEpochTags(target.summary) ++ streamEpochTags(published.summary)
+        ++ streamEpochTags(branchEntry.summary) ++ streamEpochTags(published.summary)
         + ("branch.forwarded" -> name,
           "added_records" -> "0", "added_files" -> "0"),
-      branchEntry.schemaDdl, target.files, target.fileStats, target.deleteFiles)
+      branchEntry.schemaDdl,
+      new DeferredSeq(() => materialize(db, table, branchEntry).files),
+      new DeferredMap(() => materialize(db, table, branchEntry).fileStats),
+      entryDeleteFiles(db, table, branchEntry))
     commitSnapshot(db, table, entries, snap, branchEntry.manifests, Manifest.empty,
       branchEntry.deletes)
   }
@@ -7855,15 +8109,21 @@ final class SnapshotCatalog(
   def compactWhere(db: String, table: String, cond: Column,
       numFiles: Int): Option[Snapshot] = withTableLock(db, table) {
     require(numFiles >= 1, s"numFiles must be positive, got $numFiles")
-    val snap = currentSnapshot(db, table)
-    val (cands, untouched) = pruneFiles(db, table, snap.snapshotId, cond)
+    // TWO-LEVEL like [[delete]]: out-of-scope shards carry by name unparsed
+    val e = currentEntry(db, table)
+    val res = resolveWhere(db, table, e.snapshotId, cond)
+    val cands = res.kept
     if (cands.size < 2) None
     else {
+      val untouched = res.snap.files.filterNot(cands.toSet)
+      val skipped = e.manifests.filterNot(res.openedNames.toSet)
+      val snap = res.snap
       val rows =
         if (rowLineageEnabled(db, table)) readVisibleWithRidSeq(db, table, snap, cands)
         else readVisible(db, table, snap, cands)
       Some(commit(db, table, rows.repartition(numFiles), "compact",
-        carryFiles = untouched, carryStats = snap.fileStats))
+        carryFiles = untouched, carryStats = snap.fileStats,
+        carryShards = skipped))
     }
   }
 

@@ -303,6 +303,19 @@ class ManifestPruneSpec extends AnyFunSuite {
     val (_, fullMs) = timed(cat.snapshotAt("db", "big", 2L))
     assert(coldMs * 5 < math.max(fullMs, 250L),
       s"pinned cold plan ${coldMs}ms vs full materialize ${fullMs}ms")
+    // WRITE PATH at the same scale: an append to the million-file table is
+    // pointer-level — zero shard parses on a cold cache, and the commit's
+    // file-count arithmetic comes off the recorded summaries
+    SnapshotCatalog.clearManifestCacheForTest()
+    val ap0 = SnapshotCatalog.manifestParses.get()
+    val snap = cat.append("db", "big",
+      Seq((999999999L, "2024-03-125", 1.0)).toDF("id", "day", "v"))
+    val appendParsed = SnapshotCatalog.manifestParses.get() - ap0
+    assert(appendParsed == 0,
+      s"append to the million-file table parsed $appendParsed shards (expected 0)")
+    assert(snap.summary("total_files").toLong ==
+      nShards.toLong * filesPerShard + snap.summary("added_files").toLong)
+    assert(snap.recordCount == nShards.toLong * filesPerShard * 100 + 1)
   }
 
   test("SQL scan path: pinned-partition SELECT parses only the matching shards (cold cache)") {
