@@ -4221,7 +4221,8 @@ final class SnapshotCatalog(
       dataDirName: String,
       carryFiles: Seq[String] = Seq.empty,
       carryStats: Map[String, Map[String, String]] = Map.empty,
-      expectSnapshotId: Option[Long] = None): Snapshot = withTableLock(db, table) {
+      expectSnapshotId: Option[Long] = None,
+      carryShards: Seq[String] = Seq.empty): Snapshot = withTableLock(db, table) {
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
     val prevEntry = publishedEntry(entries)
@@ -4242,8 +4243,15 @@ final class SnapshotCatalog(
     require(missingCarry.isEmpty,
       s"carry files not in current snapshot of $db.$table: " +
         missingCarry.take(3).mkString(","))
+    // carry shards must be shards of the snapshot the rewrite scanned —
+    // a name drift would silently resurrect or drop whole shards
+    val prevShardSet = prevEntry.manifests.toSet
+    val foreignShards = carryShards.filterNot(prevShardSet)
+    require(foreignShards.isEmpty,
+      s"carry shards not in current snapshot of $db.$table: " +
+        foreignShards.take(3).mkString(","))
     adoptDir(db, table, operation, dataDirName, carryFiles, carryStats,
-      Map.empty, entries, prevEntry)
+      Map.empty, entries, prevEntry, carryShards)
   }
 
   /** Commit a data directory populated by the NATIVE streaming write

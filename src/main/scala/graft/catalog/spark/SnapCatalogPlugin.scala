@@ -677,9 +677,12 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         override def command: RowLevelOperation.Command = info.command
         override def description(): String = s"snapcat copy-on-write $opName"
         // set at scan build() time, read at write commit time: the snapshot
-        // the rewrite scan was planned against and the files of it that the
-        // operation provably cannot touch (they carry over un-rewritten)
-        @volatile private var rewriteCarry: Option[(Long, Seq[String])] = None
+        // the rewrite scan was planned against, the opened-shard files the
+        // operation provably cannot touch (they carry over un-rewritten,
+        // with their stats), and the shard names the TWO-LEVEL resolution
+        // skipped entirely (they carry by name, never parsed)
+        @volatile private var rewriteCarry
+          : Option[(Long, Seq[String], Map[String, Map[String, String]], Seq[String])] = None
 
         /** The rewrite's scan, FILE granularity: Spark's group-based scan
           * planning pushes the operation's condition here
@@ -725,26 +728,40 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
               val bucketed = tableMeta.bucketSpec.isDefined
               val laidHidden = tableMeta.hiddenCols.nonEmpty
               val cond = pushable.map(FilterToColumn(_)).reduceOption(_ && _)
-              val untouched = cond match {
-                case None => Seq.empty[String]
-                case Some(c) => cat.pruneFiles(db, table, snap.snapshotId, c)._2
+              // TWO-LEVEL candidate resolution, like the library DML:
+              // shards the condition provably excludes are never parsed —
+              // they carry through the adoption BY NAME; only opened
+              // shards split file-granularly. A conditionless rewrite
+              // (full replace) computes no carries and never forces the
+              // inventory here (the full scan below does, inherently).
+              val (untouched, carryStats, carryShards, candsOpt) = cond match {
+                case None => (Seq.empty[String],
+                  Map.empty[String, Map[String, String]], Seq.empty[String],
+                  None)
+                case Some(c) =>
+                  val res = cat.resolveWhere(db, table, entry.snapshotId, c)
+                  val keptSet = res.kept.toSet
+                  (res.snap.files.filterNot(keptSet), res.snap.fileStats,
+                    entry.manifests.filterNot(res.openedNames.toSet),
+                    Some(res.kept))
               }
-              rewriteCarry = Some((snap.snapshotId, untouched))
-              if (untouched.isEmpty && !laidHidden)
+              rewriteCarry = Some((entry.snapshotId, untouched, carryStats, carryShards))
+              if (untouched.isEmpty && carryShards.isEmpty && !laidHidden)
                 new PlainBatchScan(ownScanBuilder(options).build())
               else {
                 val root = java.nio.file.Paths.get(warehouse, db, table)
-                val cands = snap.files.filterNot(untouched.contains)
+                val cands = candsOpt.getOrElse(snap.files)
                 // BUCKETED rewrite: the operation table's schema is the
                 // SQL-visible one (no __bucket), so the candidate files are
                 // scanned FLAT — no basePath means the __bucket=b layout
                 // dirs resolve to nothing and the scan emits exactly the
                 // visible columns; the write side re-derives the layout
                 // ([[SnapshotCatalog.relayoutBucketed]])
+                val entrySchema = entry.schema
                 val scanSchema =
-                  if (laidHidden) StructType(snap.schema.fields.filterNot(f =>
+                  if (laidHidden) StructType(entrySchema.fields.filterNot(f =>
                     tableMeta.hiddenCols(f.name)))
-                  else snap.schema
+                  else entrySchema
                 // stock vectorized scan over the candidate files, NO row
                 // filters (every row of a candidate file must reach the
                 // rewrite query) and no column pruning (full table schema);
@@ -789,7 +806,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
         }
         override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
           new RewriteWriteBuilder(db, table, opName, writeInfo,
-            () => rewriteCarry, snap.fileStats,
+            () => rewriteCarry,
             laidHidden = tableMeta.hiddenCols.nonEmpty)
       }
     }
@@ -2146,8 +2163,7 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
     * ([[SnapshotCatalog.removeOrphanFiles]] sweeps it). */
   private final class RewriteWriteBuilder(db: String, table: String,
       opName: String, info: LogicalWriteInfo,
-      carry: () => Option[(Long, Seq[String])],
-      scanFileStats: Map[String, Map[String, String]],
+      carry: () => Option[(Long, Seq[String], Map[String, Map[String, String]], Seq[String])],
       laidHidden: Boolean = false) extends WriteBuilder {
     import org.apache.spark.sql.connector.write._
     override def build(): Write = new Write {
@@ -2184,13 +2200,15 @@ class SnapCatalogPlugin extends TableCatalog with SupportsNamespaces
             val adoptDir = if (laidHidden)
               cat.relayoutLaid(db, table, dirName) else dirName
             carry() match {
-              // partial adoption: untouched files carry over verbatim, and
-              // the pinned snapshot id fails the commit if a concurrent
-              // write moved the table under the rewrite
-              case Some((snapId, untouched)) =>
+              // partial adoption: untouched files of opened shards carry
+              // verbatim with their stats, two-level-skipped shards carry
+              // BY NAME unparsed, and the pinned snapshot id fails the
+              // commit if a concurrent write moved the table under the
+              // rewrite
+              case Some((snapId, untouched, st, shards)) =>
                 cat.adoptRewrite(db, table, opName, adoptDir,
-                  carryFiles = untouched, carryStats = scanFileStats,
-                  expectSnapshotId = Some(snapId))
+                  carryFiles = untouched, carryStats = st,
+                  expectSnapshotId = Some(snapId), carryShards = shards)
               case None => cat.adoptRewrite(db, table, opName, adoptDir)
             }
           }

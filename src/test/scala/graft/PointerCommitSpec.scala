@@ -193,6 +193,41 @@ class PointerCommitSpec extends AnyFunSuite {
     assert(snap.files.toSet == cat.snapshotAt("db", "ev", snap.snapshotId).files.toSet)
   }
 
+  test("SQL group-based UPDATE parses only the matching shard; skipped shards carry by name") {
+    val wh = Files.createTempDirectory("graft_pcsql_").toString
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.createTable("db", "sq", StructType.fromDDL("id BIGINT, day STRING, v DOUBLE"),
+      partitionCols = Seq("day"))
+    (1 to 6).foreach { d =>
+      cat.append("db", "sq", (0 until 10).map(i =>
+        (i.toLong, f"2024-04-$d%02d", i * 1.0)).toDF("id", "day", "v"))
+    }
+    spark.conf.set("spark.sql.catalog.pcsql", "graft.catalog.spark.SnapCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.pcsql.warehouse", wh)
+    val before = cat.currentSnapshotId("db", "sq")
+    val prevManifests = cat.entryLog("db", "sq")
+      .find(_.snapshotId == before).get.manifests.toSet
+    // warm the non-manifest constants (catalog wiring, analysis)
+    spark.sql("SELECT sum(v) FROM pcsql.db.sq WHERE day = '2024-04-01'").collect()
+    SnapshotCatalog.clearManifestCacheForTest()
+    val p0 = SnapshotCatalog.manifestParses.get()
+    spark.sql("UPDATE pcsql.db.sq SET v = v + 100 WHERE day = '2024-04-03'")
+    val parsed = SnapshotCatalog.manifestParses.get() - p0
+    assert(parsed == 1, s"cold SQL UPDATE parsed $parsed of 6 shards (expected 1)")
+    // the five excluded shards rode into the adopted entry BY NAME
+    val newEntry = cat.entryLog("db", "sq").last
+    assert(newEntry.snapshotId > before)
+    assert(newEntry.manifests.count(prevManifests.contains) == 5,
+      s"expected 5 carried shard names in ${newEntry.manifests}")
+    // exactness: only the pinned day moved, totals and counts hold
+    assert(cat.readLatest("db", "sq").count() == 60L)
+    assert(newEntry.summary("record_count").toLong == 60L)
+    assert(spark.sql("SELECT sum(v) FROM pcsql.db.sq WHERE day = '2024-04-03'")
+      .as[Double].head() == 45.0 + 1000.0)
+    assert(spark.sql("SELECT sum(v) FROM pcsql.db.sq WHERE day <> '2024-04-03'")
+      .as[Double].head() == 5 * 45.0)
+  }
+
   test("carry commits on a table WITH live MoR deletes stay exact (degrade lane)") {
     val cat = freshCat()
     cat.createTable("db", "dg", StructType.fromDDL("id BIGINT, day STRING, v DOUBLE"),
