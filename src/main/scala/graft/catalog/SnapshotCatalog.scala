@@ -2565,14 +2565,15 @@ final class SnapshotCatalog(
         "or row-level DML")
     val frame = deriveLayout(db, table, df)
     // append-style schema gate BEFORE any bytes land (carried files must
-    // stay readable under the unchanged table schema)
-    val cur = currentSnapshot(db, table)
-    val missing = cur.schema.fieldNames.filterNot(frame.schema.fieldNames.contains)
-    val extra = frame.schema.fieldNames.filterNot(cur.schema.fieldNames.contains)
+    // stay readable under the unchanged table schema) — pointer-level,
+    // the entry carries the DDL
+    val curSchema = currentEntry(db, table).schema
+    val missing = curSchema.fieldNames.filterNot(frame.schema.fieldNames.contains)
+    val extra = frame.schema.fieldNames.filterNot(curSchema.fieldNames.contains)
     require(missing.isEmpty && extra.isEmpty,
       s"dynamic overwrite schema mismatch for $db.$table: " +
         s"missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
-    val retyped = cur.schema.fields
+    val retyped = curSchema.fields
       .filterNot(f => f.dataType.sql == frame.schema(f.name).dataType.sql)
     require(retyped.isEmpty,
       s"dynamic overwrite type mismatch for $db.$table: " +
@@ -2610,7 +2611,17 @@ final class SnapshotCatalog(
     * step [[overwriteDynamic]] and the SQL `INSERT OVERWRITE` (dynamic
     * mode) V2 write share. Runs under the table lock; classification
     * happens against the snapshot current AT COMMIT, so a concurrent
-    * append to an untouched partition carries through correctly. */
+    * append to an untouched partition carries through correctly.
+    *
+    * TWO-LEVEL: shards whose recorded summary excludes every replaced
+    * tuple carry BY NAME unparsed (restating one day parses that day's
+    * shards, never the inventory). That admits one behavior refinement
+    * over the exhaustive classification: a non-hive-laid file (compaction
+    * output) whose shard bounds PROVE it intersects no replaced partition
+    * now carries silently — sound, since outer bounds refuting every
+    * replaced tuple refute membership — where the old path refused the
+    * whole commit; flat files that MAY intersect still refuse via the
+    * opened-shard classification. */
   def adoptDynamicOverwrite(db: String, table: String,
       dataDirName: String): Snapshot = withTableLock(db, table) {
     val tm = meta(db, table)
@@ -2619,7 +2630,10 @@ final class SnapshotCatalog(
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
     val prevEntry = publishedEntry(entries)
-    val prev = materialize(db, table, prevEntry)
+    // TWO-LEVEL classification below: shards whose recorded summary proves
+    // no file lies in a replaced partition carry BY NAME unparsed; the
+    // full inventory materializes only on the degrade lanes
+    lazy val prev = materialize(db, table, prevEntry)
     val root = tablePath(db, table)
     val snapDir = root.resolve("data").resolve(dataDirName)
     val pk = tm.partitionCols
@@ -2644,7 +2658,7 @@ final class SnapshotCatalog(
     if (newFiles.nonEmpty && tm.properties.get("expect.mode").contains("commit")) {
       val exps = expectationsOf(db, table)
       if (exps.nonEmpty) {
-        val written = spark.read.schema(prev.schema)
+        val written = spark.read.schema(prevEntry.schema)
           .option("basePath", snapDir.toString).parquet(snapDir.toString)
         val bad = expectationViolations(written, exps).filter(_._2 > 0)
         if (bad.nonEmpty) {
@@ -2662,9 +2676,41 @@ final class SnapshotCatalog(
       return adoptDir(db, table, "overwrite", dataDirName, Seq.empty,
         Map.empty, Map.empty, entries, prevEntry)
     val touched = newFiles.map(f => partTuple(f, "incoming")).toSet
-    val carries = prev.files.filter(f => !touched.contains(partTuple(f, "existing")))
-    adoptDir(db, table, "dynamic-overwrite", dataDirName, carries,
-      prev.fileStats, Map.empty, entries, prevEntry)
+    // one equality conjunction per replaced tuple; a null-partition tuple
+    // (`__HIVE_DEFAULT_PARTITION__`) has no admissible predicate form, so
+    // its presence degrades to the full classification
+    def tupleCond(t: Seq[String]): Option[Column] = {
+      val parts = t.map { seg =>
+        val i = seg.indexOf('=')
+        val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.substring(i + 1))
+        if (v == "__HIVE_DEFAULT_PARTITION__") None
+        else Some(col(s"`${seg.substring(0, i)}`") === lit(v))
+      }
+      if (parts.exists(_.isEmpty)) None else Some(parts.flatten.reduce(_ && _))
+    }
+    val conds = touched.toSeq.flatMap(tupleCond)
+    if (touched.isEmpty) {
+      // empty incoming frame: nothing replaced — a pure carry-all commit,
+      // every prior shard reuses by name
+      adoptDir(db, table, "dynamic-overwrite", dataDirName, Seq.empty,
+        Map.empty, Map.empty, entries, prevEntry, prevEntry.manifests)
+    } else if (conds.size != touched.size) {
+      // degrade: a replaced null partition — classify every file exactly
+      val carries = prev.files.filter(f => !touched.contains(partTuple(f, "existing")))
+      adoptDir(db, table, "dynamic-overwrite", dataDirName, carries,
+        prev.fileStats, Map.empty, entries, prevEntry)
+    } else {
+      // shards the replaced tuples provably cannot touch are never parsed
+      // (summaries fold hive path values as exact bounds); opened shards
+      // classify file-by-file exactly as before — restating one day of a
+      // 10^6-file table parses that day's shards, not the inventory
+      val res = resolveWhere(db, table, prevEntry.snapshotId, conds.reduce(_ || _))
+      val carries = res.snap.files.filter(f => !touched.contains(partTuple(f, "existing")))
+      val skipped = prevEntry.manifests.filterNot(res.openedNames.toSet)
+      adoptDir(db, table, "dynamic-overwrite", dataDirName, carries,
+        res.snap.fileStats, Map.empty, entries, prevEntry, skipped)
+    }
   }
 
   /** ZERO-COPY file adoption (Iceberg `add_files`; the migration data plane

@@ -228,6 +228,36 @@ class PointerCommitSpec extends AnyFunSuite {
       .as[Double].head() == 5 * 45.0)
   }
 
+  test("dynamic overwrite of one day parses only that day's shards") {
+    val cat = freshCat()
+    cat.createTable("db", "dyn", StructType.fromDDL("id BIGINT, day STRING, v DOUBLE"),
+      partitionCols = Seq("day"))
+    (1 to 6).foreach { d =>
+      cat.append("db", "dyn", (0 until 10).map(i =>
+        (i.toLong, f"2024-05-$d%02d", i * 1.0)).toDF("id", "day", "v"))
+    }
+    val before = cat.currentSnapshotId("db", "dyn")
+    val prevManifests = cat.entryLog("db", "dyn")
+      .find(_.snapshotId == before).get.manifests.toSet
+    val restated = (100 until 103).map(i =>
+      (i.toLong, "2024-05-04", i * 2.0)).toDF("id", "day", "v")
+    val (snap, parsed) = coldParses {
+      cat.overwriteDynamic("db", "dyn", restated)
+    }
+    assert(parsed == 1L,
+      s"cold dynamic overwrite parsed $parsed of 6 shards (expected 1)")
+    val newEntry = cat.entryLog("db", "dyn").last
+    assert(newEntry.snapshotId == snap.snapshotId)
+    assert(newEntry.manifests.count(prevManifests.contains) == 5,
+      s"expected 5 carried shard names in ${newEntry.manifests}")
+    // the restated day holds exactly the new rows; every other day intact
+    assert(cat.readLatest("db", "dyn").count() == 53L)
+    assert(snap.recordCount == 53L)
+    assert(cat.readLatest("db", "dyn").where(col("day") === "2024-05-04")
+      .select("id").as[Long].collect().toSet == Set(100L, 101L, 102L))
+    assert(cat.readLatest("db", "dyn").where(col("day") === "2024-05-02").count() == 10L)
+  }
+
   test("carry commits on a table WITH live MoR deletes stay exact (degrade lane)") {
     val cat = freshCat()
     cat.createTable("db", "dg", StructType.fromDDL("id BIGINT, day STRING, v DOUBLE"),
