@@ -8306,25 +8306,47 @@ final class SnapshotCatalog(
       (reallyExpired, rescued ++ k)
     }
     val kept = kept0.sortBy(_.snapshotId)
-    val keptSnaps = kept.map(materialize(db, table, _))
-    val expiredSnaps = expired.map(materialize(db, table, _))
-    val keptFiles = keptSnaps.flatMap(_.files).toSet
     val root = tablePath(db, table)
-    val doomed = expiredSnaps.flatMap(_.files)
-      .distinct.filterNot(keptFiles.contains)
-    // position-delete files follow the same rule: reclaim those only
-    // expired snapshots reference
-    val keptDeletes = keptSnaps.flatMap(_.deleteFiles.map(_.path)).toSet
-    val doomedDeletes = expiredSnaps.flatMap(_.deleteFiles.map(_.path))
-      .distinct.filterNot(keptDeletes.contains)
-    // manifest + delete shards referenced only by expired entries go too —
-    // shard garbage must not outlive the pointer entries that own it
+    // TWO-LEVEL GC: shard reuse means most of an expired entry's shards
+    // are still referenced by kept entries — those never parse. Only
+    // shards referenced EXCLUSIVELY by expired entries (the doomed ones)
+    // enumerate their files, and the kept-side subtraction (a file can be
+    // re-listed by several shards: partial-carry deltas repeat carried
+    // files) parses only kept shards whose recorded dir set overlaps a
+    // doomed file's dir — disjoint dir sets cannot share a file. Expiring
+    // a short tail of a 10^6-file history parses the tail's shards, never
+    // the inventory.
     val keptManifests = kept.flatMap(_.manifests).toSet
     val doomedManifests = expired.flatMap(_.manifests)
       .distinct.filterNot(keptManifests.contains)
     val keptDelShards = kept.flatMap(_.deletes).toSet
     val doomedDelShards = expired.flatMap(_.deletes)
       .distinct.filterNot(keptDelShards.contains)
+    val doomedShardFiles = doomedManifests
+      .flatMap(loadManifest(db, table, _).files).distinct
+    val doomedDirs = doomedShardFiles.map(_.split("/").take(2).mkString("/")).toSet
+    val sums: Map[String, ShardSummary] = loadRepr(db, table) match {
+      case V2Log(_, s) => s
+      case _ => Map.empty
+    }
+    val overlappingKept =
+      if (doomedDirs.isEmpty) Seq.empty // nothing doomed: nothing to subtract
+      else keptManifests.toSeq.filter(n =>
+        sums.get(n).flatMap(_.dirs) match {
+          case Some(ds) => ds.exists(doomedDirs.contains)
+          case None => true // no recorded dirs: parse — degrade, never break
+        })
+    val keptFiles = overlappingKept
+      .flatMap(loadManifest(db, table, _).files).toSet
+    val doomed = doomedShardFiles.filterNot(keptFiles.contains)
+    // position-delete files follow the same rule: reclaim those only
+    // expired snapshots reference (delete shards are KB-sized metadata —
+    // they load in full, as everywhere)
+    val keptDeletes = kept.flatMap(_.deletes).distinct
+      .flatMap(loadDeleteShard(db, table, _)).map(_.path).toSet
+    val doomedDeletes = expired.flatMap(_.deletes).distinct
+      .flatMap(loadDeleteShard(db, table, _)).map(_.path)
+      .distinct.filterNot(keptDeletes.contains)
     // commit the trimmed log FIRST (atomic rename), then delete unreferenced
     // files — Iceberg-style ordering. A crash mid-delete leaves only harmless
     // orphan files a re-run can sweep; the reverse order would leave live log

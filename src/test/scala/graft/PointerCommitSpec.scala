@@ -258,6 +258,43 @@ class PointerCommitSpec extends AnyFunSuite {
     assert(cat.readLatest("db", "dyn").where(col("day") === "2024-05-02").count() == 10L)
   }
 
+  test("expire parses only the doomed shards; append-only histories parse nothing") {
+    // overwrite histories: each overwrite's shard is referenced only by its
+    // own entry, so expiring old entries dooms exactly their shards
+    val cat = freshCat()
+    cat.createTable("db", "ex", StructType.fromDDL("id BIGINT, v STRING"))
+    (0 until 4).foreach { i =>
+      cat.overwrite("db", "ex",
+        (i * 10 until i * 10 + 10).map(j => (j.toLong, s"v$j")).toDF("id", "v"))
+    }
+    val (deleted, parsed) = coldParses {
+      cat.expireSnapshots("db", "ex", keepLast = 2)
+    }
+    // 3 entries dropped (create + 2 oldest overwrites); the two old
+    // overwrite shards are doomed and parse; kept shards live in other
+    // s<id> dirs, so none of them parses
+    assert(parsed == 2L, s"cold expire parsed $parsed shards (expected 2)")
+    assert(deleted > 0)
+    assert(cat.readLatest("db", "ex").select("id").as[Long].collect().toSet ==
+      (30L until 40L).toSet)
+    assert(cat.entryLog("db", "ex").size == 2)
+
+    // append-only history: every shard is still referenced by the kept
+    // tail — the expire is pure pointer trimming, zero parses
+    val cat2 = freshCat()
+    cat2.createTable("db", "ap", StructType.fromDDL("id BIGINT, v STRING"))
+    (0 until 6).foreach { i =>
+      cat2.append("db", "ap",
+        (i * 10 until i * 10 + 10).map(j => (j.toLong, s"v$j")).toDF("id", "v"))
+    }
+    val (deleted2, parsed2) = coldParses {
+      cat2.expireSnapshots("db", "ap", keepLast = 3)
+    }
+    assert(parsed2 == 0L, s"append-only expire parsed $parsed2 shards (expected 0)")
+    assert(deleted2 == 0)
+    assert(cat2.readLatest("db", "ap").count() == 60L)
+  }
+
   test("carry commits on a table WITH live MoR deletes stay exact (degrade lane)") {
     val cat = freshCat()
     cat.createTable("db", "dg", StructType.fromDDL("id BIGINT, day STRING, v DOUBLE"),
