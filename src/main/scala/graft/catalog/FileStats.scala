@@ -69,6 +69,44 @@ object FileStats {
     schema.getFields.asScala.map(f => f.getName -> sig(f)).toMap
   }
 
+  /** Shared bounded I/O pool for batch footer harvesting. Footer reads
+    * are independent metadata-only reads (KB each), so a commit of N
+    * files harvests them concurrently instead of serially on the driver
+    * — at a 300-file commit the serial walk is the single largest
+    * post-write driver stall, and on an object store it is N round
+    * trips. Dedicated daemon threads, never the JVM-common ForkJoinPool
+    * (the clone-pool discipline); capped by `graft.footer.ioThreads`
+    * (default min(16, cores)) because the reads are I/O-bound. */
+  private lazy val footerPool = {
+    val n = math.max(1, sys.props.get("graft.footer.ioThreads").map(_.toInt)
+      .getOrElse(math.min(16, Runtime.getRuntime.availableProcessors())))
+    val seq = new java.util.concurrent.atomic.AtomicInteger()
+    java.util.concurrent.Executors.newFixedThreadPool(n, r => {
+      val t = new Thread(r, s"graft-footer-io-${seq.incrementAndGet()}")
+      t.setDaemon(true)
+      t
+    })
+  }
+
+  /** Harvest [[fromFooter]] stats for many files concurrently on the
+    * dedicated footer pool, preserving the input keying. Strict: every
+    * read completes or the first failure rethrows (unwrapped). */
+  def fromFooters[K](files: Seq[K], resolve: K => Path, schema: StructType,
+      conf: Configuration): Map[K, Map[String, String]] =
+    if (files.sizeIs <= 1)
+      files.map(f => f -> fromFooter(resolve(f), schema, conf)).toMap
+    else {
+      val futs = files.map(f => f -> footerPool.submit(
+        new java.util.concurrent.Callable[Map[String, String]] {
+          override def call(): Map[String, String] =
+            fromFooter(resolve(f), schema, conf)
+        }))
+      try futs.map { case (f, fut) => f -> fut.get() }.toMap
+      catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    }
+
   /** Harvest the stats of one parquet file from its footer. Columns whose
     * chunk statistics are absent/unusable in ANY row group simply get no
     * min/max keys (missing stats disable pruning, never break it). */

@@ -2793,8 +2793,9 @@ final class SnapshotCatalog(
     // data/s<id> dir on failure)
     val relBySrc = src.map(p =>
       p -> (snapDirRel + "/" + srcDir.relativize(p).toString.replace('\\', '/'))).toMap
-    val newFileStats = src.map(p =>
-      relBySrc(p) -> FileStats.fromFooter(p, snapSchema, conf)).toMap
+    val newFileStats = FileStats.fromFooters(src,
+      (p: java.nio.file.Path) => p, snapSchema, conf)
+      .map { case (p, st) => relBySrc(p) -> st }
     val newFiles = src.map(relBySrc).sorted
 
     val rowsPerFile = newFiles.map(f => newFileStats(f).get("rows").map(_.toLong))
@@ -3148,7 +3149,9 @@ final class SnapshotCatalog(
     }
     val partitioned =
       if (tm.partitionCols.nonEmpty) writer.partitionBy(tm.partitionCols: _*) else writer
-    partitioned.parquet(snapDir.toString)
+    SnapshotCatalog.timed(s"commit.write $db.$table#$newId") {
+      partitioned.parquet(snapDir.toString)
+    }
     val metrics = obs.get
     val rows = metrics("rows").asInstanceOf[Long]
     // append/compact snapshots still contain the previous files, so their
@@ -3190,9 +3193,12 @@ final class SnapshotCatalog(
     // files' entries forward.
     val conf = spark.sessionState.newHadoopConf()
     val root = tablePath(db, table)
-    val newFileStats0 = withBloomStats(db, table, newFiles.map(f =>
-      f -> FileStats.fromFooter(root.resolve(f), snapSchema, conf)).toMap,
-      snapSchema)
+    val newFileStats0 = SnapshotCatalog.timed(
+        s"commit.footers $db.$table#$newId n=${newFiles.size}") {
+      withBloomStats(db, table,
+        FileStats.fromFooters(newFiles, (f: String) => root.resolve(f),
+          snapSchema, conf), snapSchema)
+    }
     // files carrying materialized row ids are marked so the lineage
     // funnel never re-mints identity for rewritten rows. A MIXED frame
     // (`ridMixed` — the CoW upsert: retained rows carry physical ids,
@@ -3317,7 +3323,9 @@ final class SnapshotCatalog(
         ++ streamEpochTags(prevSummary)
         ++ extraSummary,
       snapSchema.toDDL, allFiles, allFileStats, carriedDeletes)
-    commitSnapshot(db, table, entries, snap, reuse, delta, deleteShards)
+    SnapshotCatalog.timed(s"commit.log $db.$table#$newId") {
+      commitSnapshot(db, table, entries, snap, reuse, delta, deleteShards)
+    }
   }
 
   // ---- row-level operations (Iceberg DELETE/UPDATE/MERGE surface,
@@ -3785,8 +3793,9 @@ final class SnapshotCatalog(
     // re-mints (the same contract as compact's rewrite outputs)
     val ridMark: Map[String, String] =
       if (lineage) Map("rid_materialized" -> "true") else Map.empty
-    val newFileStats = withBloomStats(db, table, newFiles.map(f =>
-      f -> (FileStats.fromFooter(root.resolve(f), schema, conf) ++ ridMark)).toMap, schema)
+    val newFileStats = withBloomStats(db, table,
+      FileStats.fromFooters(newFiles, (f: String) => root.resolve(f), schema, conf)
+        .map { case (f, st) => f -> (st ++ ridMark) }, schema)
     val added = newFiles.map(f => newFileStats(f).get("rows").map(_.toLong))
     // every killed position re-inserts exactly once — assert the invariant
     // from the two writes' own footers rather than assuming it
@@ -3995,8 +4004,9 @@ final class SnapshotCatalog(
       snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/'))
     val ridMark: Map[String, String] =
       if (explicitRids) Map("rid_materialized" -> "true") else Map.empty
-    val newFileStats = withBloomStats(db, table, newFiles.map(f =>
-      f -> (FileStats.fromFooter(root.resolve(f), schema, conf) ++ ridMark)).toMap, schema)
+    val newFileStats = withBloomStats(db, table,
+      FileStats.fromFooters(newFiles, (f: String) => root.resolve(f), schema, conf)
+        .map { case (f, st) => f -> (st ++ ridMark) }, schema)
     val addedRows = newFiles.map(f => newFileStats(f).get("rows").map(_.toLong))
     val added = if (addedRows.forall(_.isDefined)) addedRows.flatten.sum else -1L
     val prevRows = prevSummary.get("record_count").map(_.toLong).getOrElse(-1L)
@@ -4121,8 +4131,9 @@ final class SnapshotCatalog(
       s"data/$laidDataDir/" + dataDir.relativize(p).toString.replace('\\', '/'))
       .sorted
     if (newFiles.isEmpty) deleteRecursively(dataDir)
-    val newFileStats = withBloomStats(db, table, newFiles.map(f =>
-      f -> FileStats.fromFooter(root.resolve(f), schema, conf)).toMap, schema)
+    val newFileStats = withBloomStats(db, table,
+      FileStats.fromFooters(newFiles, (f: String) => root.resolve(f),
+        schema, conf), schema)
     val addedPerFile = newFiles.map(f => newFileStats(f).get("rows").map(_.toLong))
     val added = if (addedPerFile.forall(_.isDefined)) addedPerFile.flatten.sum else -1L
 
@@ -4382,8 +4393,9 @@ final class SnapshotCatalog(
     val newFiles = listParquetFiles(snapDir).map(p =>
       snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/'))
     val conf = spark.sessionState.newHadoopConf()
-    val newFileStats = withBloomStats(db, table, newFiles.map(f =>
-      f -> FileStats.fromFooter(root.resolve(f), schema, conf)).toMap, schema)
+    val newFileStats = withBloomStats(db, table,
+      FileStats.fromFooters(newFiles, (f: String) => root.resolve(f),
+        schema, conf), schema)
     val newRows = newFiles.map(f => newFileStats(f)("rows").toLong).sum
     // a FULL carry (streaming append epochs) reuses every prior shard; a
     // partial carry (prune-aware SQL rewrite) reuses every untouched shard
@@ -8520,6 +8532,21 @@ object SnapshotCatalog {
     * `_file`/`_pos` equivalent). */
   val MorFileCol = "__graft_mor_file"
   val MorPosCol = "__graft_mor_pos"
+
+  /** Wall-clock phase timing for the commit path, gated on
+    * `-Dgraft.debug.timing=true` — measurement scaffolding (guide §1:
+    * measure first), zero cost when off. */
+  private[catalog] val debugTiming: Boolean =
+    sys.props.get("graft.debug.timing").contains("true")
+  @inline private[catalog] def timed[A](tag: => String)(f: => A): A =
+    if (!debugTiming) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[timing] $tag ${(System.nanoTime() - t0) / 1e6}%.1fms")
+      r
+    }
 
   /** Hidden partial columns an augmented aggregate-MV backing carries
     * alongside its visible outputs: group row count, per-sum non-null
