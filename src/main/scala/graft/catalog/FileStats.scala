@@ -78,7 +78,10 @@ object FileStats {
     * (the clone-pool discipline); capped by `graft.footer.ioThreads`
     * (default min(16, cores)) because the reads are I/O-bound. */
   private lazy val footerPool = {
-    val n = math.max(1, sys.props.get("graft.footer.ioThreads").map(_.toInt)
+    // a malformed property degrades to the default thread count — it must
+    // never fail every multi-file commit (ADVICE r14)
+    val n = math.max(1, sys.props.get("graft.footer.ioThreads")
+      .flatMap(_.toIntOption)
       .getOrElse(math.min(16, Runtime.getRuntime.availableProcessors())))
     val seq = new java.util.concurrent.atomic.AtomicInteger()
     java.util.concurrent.Executors.newFixedThreadPool(n, r => {
@@ -103,7 +106,11 @@ object FileStats {
         }))
       try futs.map { case (f, fut) => f -> fut.get() }.toMap
       catch {
-        case e: java.util.concurrent.ExecutionException => throw e.getCause
+        case e: java.util.concurrent.ExecutionException =>
+          // cancel the not-yet-finished reads before rethrowing — abandoned
+          // footer I/O must not keep occupying the shared pool (ADVICE r14)
+          futs.foreach(_._2.cancel(true))
+          throw e.getCause
       }
     }
 

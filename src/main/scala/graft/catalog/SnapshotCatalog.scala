@@ -872,11 +872,19 @@ final class SnapshotCatalog(
     * manifest shards (file order is manifest order — an append's files come
     * after every carried file, exactly the monolithic log's order). */
   private def materialize(db: String, table: String, e: SnapshotEntry): Snapshot = {
-    val ms = e.manifests.map(loadManifest(db, table, _))
+    // LAZY (r15, two-level sweep): the inventory parses only when a caller
+    // actually walks files/stats/deletes. Schema- and summary-only callers
+    // — `currentSnapshot(...).schema` in the SQL plugin's per-analysis
+    // table resolution, `snapshotList` for the metadata tables, the
+    // snapshotId reads — previously parsed EVERY manifest shard to return
+    // fields that live on the pointer entry itself. Shards are write-once,
+    // so deferring is exact (same resolution whenever it runs).
+    lazy val ms = e.manifests.map(loadManifest(db, table, _))
     Snapshot(e.snapshotId, e.committedAt, e.operation, e.summary, e.schemaDdl,
-      ms.flatMap(_.files),
-      ms.foldLeft(Map.empty[String, Map[String, String]])(_ ++ _.fileStats),
-      e.deletes.flatMap(loadDeleteShard(db, table, _)))
+      new DeferredSeq(() => ms.flatMap(_.files)),
+      new DeferredMap(() =>
+        ms.foldLeft(Map.empty[String, Map[String, String]])(_ ++ _.fileStats)),
+      new DeferredSeq(() => e.deletes.flatMap(loadDeleteShard(db, table, _))))
   }
 
   /** Exact data-file count of a pointer entry WITHOUT materializing it:
@@ -3879,7 +3887,8 @@ final class SnapshotCatalog(
       keys: Seq[String],
       extraSummary: Map[String, String] = Map.empty,
       explicitRids: Boolean = false,
-      nullSafeKeys: Boolean = false): Snapshot = withTableLock(db, table) {
+      nullSafeKeys: Boolean = false,
+      alsoDeleteKeys: Option[DataFrame] = None): Snapshot = withTableLock(db, table) {
     val entries = entriesForWrite(db, table)
     requireNoPendingStage(db, table, entries)
     val prevEntry = publishedEntry(entries)
@@ -3917,6 +3926,21 @@ final class SnapshotCatalog(
         .mkString(", "))
     val badKeys = keys.filterNot(cols.contains)
     require(badKeys.isEmpty, s"upsert keys not in table: ${badKeys.mkString(",")}")
+    // `alsoDeleteKeys` (r15): extra key tuples whose rows DIE in this same
+    // commit without replacement — they ride the position-delete pass the
+    // upsert already pays (same candidate scan, same delete shard), so a
+    // delete+upsert pair costs ONE commit instead of two. The MV refresh
+    // merge (group death + group upsert, backing and sidecars) is the
+    // caller; a separate equality-delete commit would double the commit
+    // count and leave readers the costlier eq-delete merge.
+    alsoDeleteKeys.foreach { dk =>
+      require(dk.schema.fieldNames.sorted.sameElements(keys.sorted),
+        s"alsoDeleteKeys columns ${dk.schema.fieldNames.mkString(",")} " +
+          s"!= upsert keys ${keys.mkString(",")}")
+      val rety = keys.filterNot(k =>
+        dk.schema(k).dataType.sql == schema(k).dataType.sql)
+      require(rety.isEmpty, "alsoDeleteKeys type mismatch: " + rety.mkString(","))
+    }
     // NULL-SAFE key matching (opt-in): SQL MERGE semantics say a null
     // key never matches — the default here — but the MV refresh
     // machinery upserts GROUP rows, and a null group key is a real
@@ -3930,10 +3954,20 @@ final class SnapshotCatalog(
     // never parsed. Multi-column keys (and null-safe sources carrying null
     // keys) must semi-join every file anyway, so the full materialization
     // is proportionate to the scan they already pay.
+    // the key frame driving the position-delete pass: the source's keys
+    // plus any caller-supplied delete-only keys — both families' rows die
+    // in the same shard, so the scoping below must cover both ranges
+    val allKeys = {
+      val sk = srcVisible.select(keys.map(k => col(s"`$k`")): _*)
+      alsoDeleteKeys.fold(sk)(dk =>
+        sk.unionByName(dk.select(keys.map(k => col(s"`$k`")): _*)))
+    }
     val (scanSnap, cands) = keys match {
       case Seq(k) if ColumnStats.statable(schema(k).dataType) =>
-        val mm = source.agg(min(col(s"`$k`")).as("mn"), max(col(s"`$k`")).as("mx"),
-          max(col(s"`$k`").isNull.cast("int")).as("hasNull")).head()
+        val mm = SnapshotCatalog.timed(s"upsert.scope $db.$table") {
+          allKeys.agg(min(col(s"`$k`")).as("mn"), max(col(s"`$k`")).as("mx"),
+            max(col(s"`$k`").isNull.cast("int")).as("hasNull")).head()
+        }
         val srcHasNull = nullSafeKeys && !mm.isNullAt(2) && mm.getInt(2) == 1
         // footer [min,max] ranges say nothing about null-keyed rows: a
         // null-safe source carrying null keys scans every file (the rare
@@ -3950,7 +3984,8 @@ final class SnapshotCatalog(
     }
     val prevDeletes = scanSnap.deleteFiles // delete shards always load in full
     // pass 1: positions of target rows whose key appears in the source
-    val srcKeys = source.select(keys.map(k => col(s"`$k`")): _*).dropDuplicates()
+    // (replaced) or in alsoDeleteKeys (die without replacement)
+    val srcKeys = allKeys.dropDuplicates()
     val scanned =
       if (lineage) readVisibleWithPosAndRid(db, table, scanSnap, cands)
       else readVisibleWithPos(db, table, scanSnap, cands)
@@ -3962,7 +3997,9 @@ final class SnapshotCatalog(
           keys.map(k => scanned(s"`$k`") <=> sk(s"`__uk_$k`")).reduce(_ && _),
           "left_semi")
       }
-    val fileEntries = writePositionDeletes(db, table, newId, matched, tag)
+    val fileEntries = SnapshotCatalog.timed(s"upsert.posdel $db.$table#$newId") {
+      writePositionDeletes(db, table, newId, matched, tag)
+    }
     val deleted = fileEntries.map(_.rows).sum
     // pass 2: ALL source rows append as the delta (replacements + inserts);
     // bucketed tables derive the layout column so the delta lands in
@@ -3995,18 +4032,22 @@ final class SnapshotCatalog(
       }
     }
     val delta = deriveLayout(db, table, delta0)
-    val writer = delta.write.mode("overwrite")
-    (if (tm.partitionCols.nonEmpty) writer.partitionBy(tm.partitionCols: _*) else writer)
-      .parquet(snapDir.toString)
+    SnapshotCatalog.timed(s"upsert.delta $db.$table#$newId") {
+      val writer = delta.write.mode("overwrite")
+      (if (tm.partitionCols.nonEmpty) writer.partitionBy(tm.partitionCols: _*) else writer)
+        .parquet(snapDir.toString)
+    }
     val conf = spark.sessionState.newHadoopConf()
     val root = tablePath(db, table)
     val newFiles = listParquetFiles(snapDir).map(p =>
       snapDirRel + "/" + snapDir.relativize(p).toString.replace('\\', '/'))
     val ridMark: Map[String, String] =
       if (explicitRids) Map("rid_materialized" -> "true") else Map.empty
-    val newFileStats = withBloomStats(db, table,
-      FileStats.fromFooters(newFiles, (f: String) => root.resolve(f), schema, conf)
-        .map { case (f, st) => f -> (st ++ ridMark) }, schema)
+    val newFileStats = SnapshotCatalog.timed(s"upsert.footers $db.$table#$newId") {
+      withBloomStats(db, table,
+        FileStats.fromFooters(newFiles, (f: String) => root.resolve(f), schema, conf)
+          .map { case (f, st) => f -> (st ++ ridMark) }, schema)
+    }
     val addedRows = newFiles.map(f => newFileStats(f).get("rows").map(_.toLong))
     val added = if (addedRows.forall(_.isDefined)) addedRows.flatten.sum else -1L
     val prevRows = prevSummary.get("record_count").map(_.toLong).getOrElse(-1L)
@@ -4036,8 +4077,10 @@ final class SnapshotCatalog(
       new DeferredSeq(() => materialize(db, table, prevEntry).files ++ newFiles),
       new DeferredMap(() => materialize(db, table, prevEntry).fileStats ++ newFileStats),
       prevDeletes ++ fileEntries)
-    commitSnapshot(db, table, entries, snap, prevEntry.manifests,
-      Manifest(newFiles, newFileStats), shards)
+    SnapshotCatalog.timed(s"upsert.log $db.$table#$newId") {
+      commitSnapshot(db, table, entries, snap, prevEntry.manifests,
+        Manifest(newFiles, newFileStats), shards)
+    }
   }
 
   /** Snapshot-summary bounds after a MoR delta commit: dead rows may have
@@ -5961,19 +6004,30 @@ final class SnapshotCatalog(
           case _ => false
         })
     }
-    def unionAggLanes(): Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
-        Option[(DataFrame, Option[DataFrame])]] = {
+    def unionAggLanes(): Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+        Option[(DataFrame, Option[DataFrame])], () => Unit)] = {
       def emptyOf(b: (String, String)) = readAsOf(b._1, b._2, from(b).get)
         .drop(meta(b._1, b._2).hiddenCols.toSeq: _*).limit(0)
       val ds = bases.map(b => b -> baseDeltas(b))
       if (ds.exists(_._2.isEmpty)) return None
+      // cache the churn lanes for the evaluator's scope (r15, guide §5):
+      // the main augmented aggregate AND every distinct sidecar's
+      // re-aggregation substitute the same frames — each evaluation
+      // re-read the churn files otherwise. Empty placeholders stay
+      // uncached (nothing to materialize).
+      val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      // localCheckpoint, not cache (r15, guide §5): see mergePartials
+      def cachedHere(f: DataFrame): DataFrame = { val c = f.localCheckpoint(); caches += c; c }
       val m = ds.map { case (b, d) => b -> d.get }.toMap
-      val plusMap = bases.map(b => b -> m(b)._1.getOrElse(emptyOf(b))).toMap
+      val plusMap = bases.map(b =>
+        b -> m(b)._1.map(cachedHere).getOrElse(emptyOf(b))).toMap
       val minusMap =
         if (!m.values.exists(_._2.isDefined)) None
-        else Some(bases.map(b => b -> m(b)._2.getOrElse(emptyOf(b))).toMap)
-      Some(p => Some((bodyOverBases(p, plusMap),
-        minusMap.map(bodyOverBases(p, _)))))
+        else Some(bases.map(b =>
+          b -> m(b)._2.map(cachedHere).getOrElse(emptyOf(b))).toMap)
+      Some((p => Some((bodyOverBases(p, plusMap),
+        minusMap.map(bodyOverBases(p, _)))),
+        () => { caches.foreach(_.unpersist()); () }))
     }
 
     /** AGGREGATE-over-LEFT-OUTER-JOIN deltas (r13). A left outer join is
@@ -6038,7 +6092,8 @@ final class SnapshotCatalog(
       val minusTerms =
         scala.collection.mutable.ArrayBuffer.empty[Map[(String, String), DataFrame]]
       val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      def cachedHere(f: DataFrame): DataFrame = { val c = f.cache(); caches += c; c }
+      // localCheckpoint, not cache (r15, guide §5): see mergePartials
+      def cachedHere(f: DataFrame): DataFrame = { val c = f.localCheckpoint(); caches += c; c }
       val release: () => Unit = () => { caches.foreach(_.unpersist()); () }
       def bailOut: None.type = { release(); None }
       // ---- bracket 1: left churn, right side pinned at FROM ----
@@ -6175,7 +6230,8 @@ final class SnapshotCatalog(
       val minusTerms =
         scala.collection.mutable.ArrayBuffer.empty[Map[(String, String), DataFrame]]
       val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      def cachedHere(f: DataFrame): DataFrame = { val c = f.cache(); caches += c; c }
+      // localCheckpoint, not cache (r15, guide §5): see mergePartials
+      def cachedHere(f: DataFrame): DataFrame = { val c = f.localCheckpoint(); caches += c; c }
       val release: () => Unit = () => { caches.foreach(_.unpersist()); () }
       // ---- fact bracket: ΔA±, every dim pinned at FROM ----
       val dimsAtFrom: Map[(String, String), DataFrame] =
@@ -6348,7 +6404,17 @@ final class SnapshotCatalog(
       // exception mid-merge (a failed probe job, an analysis error) must
       // not leak the cached frames for the session.
       val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      def cached(f: DataFrame): DataFrame = { val c = f.cache(); caches += c; c }
+      // localCheckpoint, not cache (r15, guide §5): the merge frames are
+      // churn-/touched-group-sized but their LINEAGE is the whole
+      // delta-resolution tree — every downstream action (scoping agg,
+      // position-delete pass, delta write, per-sidecar merges) re-analyzes
+      // that tree when the frame is merely cached. Checkpointing truncates
+      // the plan to an in-memory leaf: one eager materialization each,
+      // then every consumer plans against a leaf. Fault tolerance of the
+      // intermediates is not needed (a failed refresh re-runs whole);
+      // blocks release via the context cleaner after the refresh drops
+      // its references.
+      def cached(f: DataFrame): DataFrame = { val c = f.localCheckpoint(); caches += c; c }
       def releasePartials(): Unit = { caches.foreach(_.unpersist()); () }
       try {
       // distinct aggregates re-read the ins/del ROW sets for the sidecar
@@ -6427,7 +6493,7 @@ final class SnapshotCatalog(
       // sidecar rows (semi-join restriction; the GLOBAL case reads the
       // whole sidecar — O(distinct values), never the base).
       case class DvState(table: String, positions: Seq[(Int, String)],
-        dead: DataFrame, alive: DataFrame, rec: DataFrame)
+        dead: DataFrame, alive: DataFrame, rec: DataFrame, netAny: DataFrame)
       val dvStates: Seq[DvState] = if (dv.isEmpty) Seq.empty else {
         val touched =
           if (keyNames.isEmpty) null
@@ -6443,7 +6509,10 @@ final class SnapshotCatalog(
               preAggUnder.get(dvPlan).getOrElse(return None)
             else (bodyOver(dvPlan, insRows.get),
               delRows.map(f => bodyOver(dvPlan, f)))
-          val netS = cached((minusSOpt match {
+          // not cached: netS feeds exactly one consumer now (the postAll
+          // full-outer below, itself cached) — caching it would only add
+          // a materialization pass
+          val netS = (minusSOpt match {
             case None => plusS
             case Some(minusS) =>
               val m = minusS.select((sKeys.map(k => col(s"`$k`").as(s"__m_$k")) :+
@@ -6454,19 +6523,18 @@ final class SnapshotCatalog(
                   (coalesce(plusS(MvPartialRows), lit(0L)) -
                     coalesce(m(s"`__m_$MvPartialRows`"), lit(0L))).as(MvPartialRows)
                 ).toIndexedSeq: _*)
-          }).where(col(MvPartialRows) =!= 0L))
+          }).where(col(MvPartialRows) =!= 0L)
           val backingS = readLatest(db, tbl)
-          val condS = sKeys.map(k => netS(s"`$k`") <=> backingS(s"`$k`")).reduce(_ && _)
-          val mrg = cached(netS.join(backingS, condS, "left").select(
-            (sKeys.map(k => netS(s"`$k`").as(k)) :+
-              (coalesce(backingS(s"`$MvPartialRows`"), lit(0L)) +
-                netS(s"`$MvPartialRows`")).cast("long").as(MvPartialRows)
-            ).toIndexedSeq: _*))
-          val dead = mrg.where(col(MvPartialRows) <= 0L)
-            .select(sKeys.map(k => col(s"`$k`")).toIndexedSeq: _*)
-          val alive = mrg.where(col(MvPartialRows) > 0L)
-          // post-merge sidecar state over the touched groups: stored rows
-          // of those groups with the net folded in, zero-count pairs gone
+          // ONE join pipeline for the whole sidecar merge (r15, guide §2):
+          // the stored rows of the touched groups full-outer the net delta
+          // pairs, and the SAME cached frame yields all three consumers —
+          // the dead pairs (net-touched, merged count <= 0), the upsert
+          // rows (net-touched, > 0) and the recompute input (every
+          // surviving pair of a touched group). A net pair's group is
+          // always a touched group (the net derives from the same delta),
+          // so restricting the stored side to the touched groups loses
+          // nothing; previously the net joined the backing TWICE (once per
+          // consumer family) — one shuffle join per refresh saved.
           val storedTouched =
             if (keyNames.isEmpty) backingS
             else {
@@ -6487,12 +6555,20 @@ final class SnapshotCatalog(
               col(MvPartialRows).as("__p_n")).toIndexedSeq: _*)
           val condP = sKeys.map(k =>
             col(s"`__s_$k`") <=> col(s"`__p_$k`")).reduce(_ && _)
-          val post = sT.join(nS, condP, "full_outer")
+          val postAll = cached(sT.join(nS, condP, "full_outer")
             .select((sKeys.map(k =>
               coalesce(col(s"`__p_$k`"), col(s"`__s_$k`")).as(k)) :+
               (coalesce(col("`__s_n`"), lit(0L)) +
-                coalesce(col("`__p_n`"), lit(0L))).as("__n")).toIndexedSeq: _*)
-            .where(col("__n") > 0L)
+                coalesce(col("`__p_n`"), lit(0L))).as("__n") :+
+              col("`__p_n`").isNotNull.as("__net")).toIndexedSeq: _*))
+          val dead = postAll.where(col("__net") && col("__n") <= 0L)
+            .select(sKeys.map(k => col(s"`$k`")).toIndexedSeq: _*)
+          val alive = postAll.where(col("__net") && col("__n") > 0L)
+            .select((sKeys.map(k => col(s"`$k`")) :+
+              col("__n").cast("long").as(MvPartialRows)).toIndexedSeq: _*)
+          // post-merge sidecar state over the touched groups: stored rows
+          // of those groups with the net folded in, zero-count pairs gone
+          val post = postAll.where(col("__n") > 0L)
           val recAggs = ps.map { case (i, kind) =>
             (kind match {
               case "count_distinct" => count(lit(1))
@@ -6504,7 +6580,7 @@ final class SnapshotCatalog(
             if (keyNames.isEmpty) post.agg(recAggs.head, recAggs.tail: _*)
             else post.groupBy(keyNames.map(k => col(s"`$k`")).toIndexedSeq: _*)
               .agg(recAggs.head, recAggs.tail: _*)
-          DvState(tbl, ps, dead, alive, rec)
+          DvState(tbl, ps, dead, alive, rec, postAll.where(col("__net")))
         }
       }
       // merge net against the stored state; every column exact by
@@ -6642,27 +6718,40 @@ final class SnapshotCatalog(
         }.toIndexedSeq: _*)
       }
       // sidecar state commits adjacent to the backing commit (same
-      // failure discipline as the backing's own delete+upsert pair)
-      dvStates.foreach { st =>
-        if (minusOpt.isDefined && !st.dead.isEmpty) deleteMoREq(db, st.table, st.dead)
-        if (!st.alive.isEmpty)
-          upsertMoR(db, st.table, st.alive, keyNames :+ MvDvValue,
-            nullSafeKeys = true)
+      // failure discipline as the backing merge). ONE commit per sidecar
+      // (r15, guide §6): the dead pairs ride the upsert's own
+      // position-delete pass (alsoDeleteKeys) instead of paying a
+      // separate equality-delete commit — same rows die, half the
+      // commits, and readers apply position deletes (cheaper than the
+      // eq-delete anti-join merge).
+      SnapshotCatalog.timed(s"refresh.sidecar.commits $db.$name") {
+        dvStates.foreach { st =>
+          // one probe over the cached merge frame (was two): a sidecar
+          // the delta never touched commits nothing, as before
+          if (!st.netAny.isEmpty)
+            upsertMoR(db, st.table, st.alive, keyNames :+ MvDvValue,
+              nullSafeKeys = true,
+              alsoDeleteKeys = if (minusOpt.isDefined) Some(st.dead) else None)
+        }
       }
+      SnapshotCatalog.timed(s"refresh.backing.merge $db.$name") {
       if (keyNames.isEmpty) {
         // global aggregate: exactly one row, always present
         Some(overwrite(db, mvT, mergedFinal)
           .summary.get("added_records").map(_.toLong).getOrElse(-1L))
       } else {
         // group death: a merged row count of zero means SQL would not
-        // produce the group — delete it from the backing
+        // produce the group — those keys ride the upsert's own
+        // position-delete pass (r15: one commit for death + merge, and no
+        // emptiness probe — an empty dead frame adds nothing to the scan)
         val mergedC = cached(mergedFinal)
         val dead = mergedC.where(col(MvPartialRows) <= 0)
           .select(keyNames.map(k => col(s"`$k`")): _*)
         val alive = mergedC.where(col(MvPartialRows) > 0)
-        if (minusOpt.isDefined && !dead.isEmpty) deleteMoREq(db, mvT, dead)
-        Some(upsertMoR(db, mvT, alive, keyNames, nullSafeKeys = true)
+        Some(upsertMoR(db, mvT, alive, keyNames, nullSafeKeys = true,
+          alsoDeleteKeys = if (minusOpt.isDefined) Some(dead) else None)
           .summary.get("added_records").map(_.toLong).getOrElse(-1L))
+      }
       }
       } finally releasePartials()
     }
@@ -6825,7 +6914,10 @@ final class SnapshotCatalog(
           .summary.get("added_records").map(_.toLong).getOrElse(-1L))
       }
       val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      def cached(f: DataFrame): DataFrame = { val c = f.cache(); caches += c; c }
+      // localCheckpoint, not cache (r15, guide §5): truncates the frames'
+      // delta-resolution lineage so every downstream action plans against
+      // an in-memory leaf — see mergePartials for the measurement
+      def cached(f: DataFrame): DataFrame = { val c = f.localCheckpoint(); caches += c; c }
       try {
         val rKeys = cached(deadKeys.getOrElse(ins0.limit(0)
           .select(tk.keyOut.map(n => col(s"`$n`")).toIndexedSeq: _*)))
@@ -6889,9 +6981,18 @@ final class SnapshotCatalog(
         }
         val touched = iKeys.unionByName(rKeys).distinct()
         if (touched.isEmpty) return Some(0L)
-        deleteMoREq(db, mvT, touched)
-        Some(append(db, mvT, newRows
+        // ONE commit (r15, guide §6): every touched group's stored rows
+        // die through the upsert's position-delete pass (alsoDeleteKeys
+        // covers groups whose recompute produced no rows) and the merged/
+        // recomputed rows land in the same snapshot — previously an
+        // equality-delete commit followed by an append commit. The merged
+        // frame caches first: the upsert evaluates its source for key
+        // scoping, the position semi-join AND the delta write, and the
+        // window+recompute plan must not re-run per consumer (§5).
+        val newRowsC = cached(newRows
           .select(backing.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*))
+        Some(upsertMoR(db, mvT, newRowsC,
+          tk.keyOut, nullSafeKeys = true, alsoDeleteKeys = Some(touched))
           .summary.get("added_records").map(_.toLong).getOrElse(-1L))
       } finally caches.foreach(_.unpersist())
     }
@@ -6957,10 +7058,20 @@ final class SnapshotCatalog(
         // all). DISTINCT aggregates (r13) ride the same lanes: the
         // sidecar's per-(group, value) counts re-aggregate the identical
         // delta terms under the sidecar plan via preAggUnder.
-        joinDeltaLanes().flatMap { m =>
-          joinAggDeltas(augmentedAggPlan(sql, shapeOpt.get), m).flatMap(pm =>
+        joinDeltaLanes().flatMap { m0 =>
+          // checkpoint each base's churn lanes for the telescope's scope
+          // (r15, guide §5): the same ins/del frames feed the main
+          // augmented aggregate AND every distinct sidecar's
+          // re-aggregation — each evaluation re-read the churn files
+          // otherwise, and the truncated lineage keeps every downstream
+          // plan leaf-sized
+          val m = m0.map { case (i, d) =>
+            (i.map(_.localCheckpoint()), d.map(_.localCheckpoint())) }
+          try joinAggDeltas(augmentedAggPlan(sql, shapeOpt.get), m).flatMap(pm =>
             mergePartials(shapeOpt.get, preAgg = Some(pm),
               preAggUnder = Some(p => joinAggDeltas(p, m))))
+          finally m.foreach { case (i, d) =>
+            i.foreach(_.unpersist()); d.foreach(_.unpersist()) }
         } match {
           case Some(n) => n
           case None => mode = "full"; runFull()
@@ -6986,10 +7097,11 @@ final class SnapshotCatalog(
         // multi-source rollup: ONE evaluation of the augmented aggregate
         // per delta side (all bases substituted at once — linearity),
         // then the identical group-wise partial merge
-        unionAggLanes().flatMap { under =>
-          under(augmentedAggPlan(sql, shapeOpt.get)).flatMap(pm =>
+        unionAggLanes().flatMap { case (under, release) =>
+          try under(augmentedAggPlan(sql, shapeOpt.get)).flatMap(pm =>
             mergePartials(shapeOpt.get, preAgg = Some(pm),
               preAggUnder = Some(under)))
+          finally release()
         } match {
           case Some(n) => n
           case None => mode = "full"; runFull()

@@ -164,19 +164,29 @@ object DedupIndex {
       try cat.changeSetsAcrossRange(bdb, btab, pin, cur)
       catch { case scala.util.control.NonFatal(_) => None }
     val mode = sets match {
-      case Some((ins, del)) =>
-        val delIds = del.select(col(idCol))
-        if (delIds.isEmpty) {
-          if (!ins.isEmpty)
-            cat.append(db, name, bandsOf(ins, idCol, textCol, w, nh, nb, nbk))
-        } else {
-          val touched = ins.select(col(idCol)).union(delIds).distinct()
-          cat.deleteMoREq(db, name, touched)
-          val fresh = cat.readLatest(bdb, btab)
-            .join(touched, Seq(idCol), "left_semi")
-          if (!fresh.isEmpty)
-            cat.append(db, name, bandsOf(fresh, idCol, textCol, w, nh, nb, nbk))
-        }
+      case Some((ins0, del0)) =>
+        // churn-sized frames re-execute for every probe/commit below —
+        // cache them for the refresh's scope (r15, guide §5: the ins/del
+        // sets re-read the churn files on each action otherwise)
+        val ins = ins0.localCheckpoint(); val del = del0.localCheckpoint()
+        try {
+          val delIds = del.select(col(idCol))
+          if (delIds.isEmpty) {
+            if (!ins.isEmpty)
+              cat.append(db, name, bandsOf(ins, idCol, textCol, w, nh, nb, nbk))
+          } else {
+            val touched = ins.select(col(idCol)).union(delIds).distinct().localCheckpoint()
+            try {
+              cat.deleteMoREq(db, name, touched)
+              val fresh = cat.readLatest(bdb, btab)
+                .join(touched, Seq(idCol), "left_semi").localCheckpoint()
+              try {
+                if (!fresh.isEmpty)
+                  cat.append(db, name, bandsOf(fresh, idCol, textCol, w, nh, nb, nbk))
+              } finally fresh.unpersist()
+            } finally touched.unpersist()
+          }
+        } finally { ins.unpersist(); del.unpersist() }
         "incremental"
       case None =>
         cat.overwrite(db, name,

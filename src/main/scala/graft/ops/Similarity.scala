@@ -383,6 +383,49 @@ object Similarity {
     }
   }
 
+  /** Both training projections of the SAME bounded sample in ONE pass
+    * (r15, guide §1.2: the PQ create previously scanned the base twice —
+    * once for the quantized coarse-quantizer sample, once for the raw PQ
+    * sample — for byte-identical row sets). Returns (quantized, raw),
+    * row-aligned, under the identical filter/order/limit discipline as
+    * [[collectTrainingSample]], so both trainings see exactly the arrays
+    * the two separate collects produced. */
+  private[graft] def collectTrainingSampleBoth(corpus: DataFrame, idCol: String,
+      vecCol: String, sampleMod: Long, maxSample: Int = 200000)
+      : (Array[Array[Double]], Array[Array[Double]]) = {
+    val samp = corpus.where(col(idCol) % sampleMod === 0)
+      .select(col(idCol), quantize(col(vecCol)).as("q"), toDouble(col(vecCol)).as("r"))
+      .orderBy(idCol)
+      .limit(maxSample + 1)
+      .collect()
+    require(samp.length <= maxSample,
+      s"IVF training sample exceeds maxSample=$maxSample rows: raise sampleMod " +
+        s"(currently $sampleMod) so the driver-side sample stays bounded")
+    (samp.map(_.getSeq[Double](1).toArray), samp.map(_.getSeq[Double](2).toArray))
+  }
+
+  /** [[trainIvfCentroids]] over a pre-collected quantized sample. */
+  private[graft] def trainIvfCentroidsFromSample(samp: Array[Array[Double]],
+      nlist: Int, iters: Int): Seq[Array[Double]] = {
+    require(samp.length >= nlist,
+      s"sample (${samp.length}) smaller than nlist ($nlist): lower sampleMod")
+    lloydKMeans(samp, nlist, iters, floorMeans = true).toIndexedSeq
+  }
+
+  /** [[trainPqCodebooks]] over a pre-collected raw sample. */
+  private[graft] def trainPqCodebooksFromSample(samp: Array[Array[Double]],
+      m: Int, nCentsMax: Int, pqIters: Int): Seq[Seq[Array[Double]]] = {
+    val dim = samp.head.length
+    require(dim % m == 0, s"vector dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    val nCents = math.min(nCentsMax, samp.length)
+    (0 until m).map { j =>
+      lloydKMeans(samp.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)),
+        nCents, pqIters, floorMeans = false).toSeq
+    }
+  }
+
   /** Bounded deterministic driver-side training sample. `raw = false`
     * quantizes to the exact integer grid (coarse-quantizer training must
     * be oracle-replayable); `raw = true` keeps the true double values

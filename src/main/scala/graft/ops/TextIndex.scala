@@ -177,25 +177,35 @@ object TextIndex {
       try cat.changeSetsAcrossRange(bdb, btab, pin, cur)
       catch { case scala.util.control.NonFatal(_) => None }
     val mode = sets match {
-      case Some((ins, del)) =>
-        val (inN, inDl) = tokStats(ins, textCol)
-        val (deN, deDl) = tokStats(del, textCol)
-        val delIds = del.select(col(idCol))
-        if (delIds.isEmpty) {
-          if (!ins.isEmpty)
-            cat.append(db, name, postingsOf(ins, idCol, textCol, nb))
-        } else {
-          val touched = ins.select(col(idCol)).union(delIds).distinct()
-          cat.deleteMoREq(db, name, touched)
-          val fresh = cat.readLatest(bdb, btab)
-            .join(touched, Seq(idCol), "left_semi")
-          if (!fresh.isEmpty)
-            cat.append(db, name, postingsOf(fresh, idCol, textCol, nb))
-        }
-        cat.setProperty(db, name, PropNDocs,
-          Some((p(PropNDocs).toLong + inN - deN).toString))
-        cat.setProperty(db, name, PropTotalDl,
-          Some((p(PropTotalDl).toLong + inDl - deDl).toString))
+      case Some((ins0, del0)) =>
+        // churn-sized frames re-execute for every probe/stat/commit below
+        // — cache them for the refresh's scope (r15, guide §5: the
+        // ins/del sets re-read the churn files on each action otherwise)
+        val ins = ins0.localCheckpoint(); val del = del0.localCheckpoint()
+        try {
+          val (inN, inDl) = tokStats(ins, textCol)
+          val (deN, deDl) = tokStats(del, textCol)
+          val delIds = del.select(col(idCol))
+          if (delIds.isEmpty) {
+            if (!ins.isEmpty)
+              cat.append(db, name, postingsOf(ins, idCol, textCol, nb))
+          } else {
+            val touched = ins.select(col(idCol)).union(delIds).distinct().localCheckpoint()
+            try {
+              cat.deleteMoREq(db, name, touched)
+              val fresh = cat.readLatest(bdb, btab)
+                .join(touched, Seq(idCol), "left_semi").localCheckpoint()
+              try {
+                if (!fresh.isEmpty)
+                  cat.append(db, name, postingsOf(fresh, idCol, textCol, nb))
+              } finally fresh.unpersist()
+            } finally touched.unpersist()
+          }
+          cat.setProperty(db, name, PropNDocs,
+            Some((p(PropNDocs).toLong + inN - deN).toString))
+          cat.setProperty(db, name, PropTotalDl,
+            Some((p(PropTotalDl).toLong + inDl - deDl).toString))
+        } finally { ins.unpersist(); del.unpersist() }
         "incremental"
       case None =>
         val base = cat.readLatest(bdb, btab)

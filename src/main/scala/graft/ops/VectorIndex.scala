@@ -157,9 +157,16 @@ object VectorIndex {
       if (sampleMod > 0) sampleMod
       else math.max(1L, (cat.recordCount(db, baseTable, pin) +
         Similarity.IvfTargetSample - 1) / Similarity.IvfTargetSample)
-    val cents = Similarity.trainIvfCentroids(base, idCol, vecCol, nlist, iters, mod)
-    val books = pq.map { case (m, bits) =>
-      Similarity.trainPqCodebooks(base, idCol, vecCol, m, 1 << bits, pqIters, mod)
+    // PQ mode collects BOTH training projections in one base pass (r15,
+    // guide §1.2 — previously two byte-identical sample scans); flat mode
+    // keeps the single quantized collect
+    val (cents, books) = pq match {
+      case Some((m, bits)) =>
+        val (q, r) = Similarity.collectTrainingSampleBoth(base, idCol, vecCol, mod)
+        (Similarity.trainIvfCentroidsFromSample(q, nlist, iters),
+          Some(Similarity.trainPqCodebooksFromSample(r, m, 1 << bits, pqIters)))
+      case None =>
+        (Similarity.trainIvfCentroids(base, idCol, vecCol, nlist, iters, mod), None)
     }
     trainings += 1
 
@@ -274,21 +281,31 @@ object VectorIndex {
       try cat.changeSetsAcrossRange(bdb, btab, pin, cur)
       catch { case scala.util.control.NonFatal(_) => None }
     val mode = sets match {
-      case Some((ins, del)) =>
-        val delIds = del.select(col(idCol))
-        if (delIds.isEmpty) {
-          val newRows = ins.select(col(idCol), col(vecCol))
-          if (!newRows.isEmpty)
-            cat.append(db, name, asg.assign(newRows, idCol, vecCol))
-        } else {
-          val touched = ins.select(col(idCol)).union(delIds).distinct()
-          cat.deleteMoREq(db, name, touched)
-          val fresh = cat.readLatest(bdb, btab)
-            .join(touched, Seq(idCol), "left_semi")
-            .select(col(idCol), col(vecCol))
-          if (!fresh.isEmpty)
-            cat.append(db, name, asg.assign(fresh, idCol, vecCol))
-        }
+      case Some((ins0, del0)) =>
+        // churn-sized frames re-execute for every probe/commit below —
+        // cache them for the refresh's scope (r15, guide §5: the ins/del
+        // sets re-read the churn files on each action otherwise)
+        val ins = ins0.localCheckpoint(); val del = del0.localCheckpoint()
+        try {
+          val delIds = del.select(col(idCol))
+          if (delIds.isEmpty) {
+            val newRows = ins.select(col(idCol), col(vecCol))
+            if (!newRows.isEmpty)
+              cat.append(db, name, asg.assign(newRows, idCol, vecCol))
+          } else {
+            val touched = ins.select(col(idCol)).union(delIds).distinct().localCheckpoint()
+            try {
+              cat.deleteMoREq(db, name, touched)
+              val fresh = cat.readLatest(bdb, btab)
+                .join(touched, Seq(idCol), "left_semi")
+                .select(col(idCol), col(vecCol)).localCheckpoint()
+              try {
+                if (!fresh.isEmpty)
+                  cat.append(db, name, asg.assign(fresh, idCol, vecCol))
+              } finally fresh.unpersist()
+            } finally touched.unpersist()
+          }
+        } finally { ins.unpersist(); del.unpersist() }
         "incremental"
       case None =>
         cat.overwrite(db, name, asg.assign(cat.readLatest(bdb, btab)

@@ -298,11 +298,26 @@ class ManifestPruneSpec extends AnyFunSuite {
     assert(r2.shardsOpened == 1 && r2.kept.size == 1, s"${r2.kept.size} files")
     // and the pinned plan is an order of magnitude cheaper than full
     // materialization of the same inventory (both cold) — the relative
-    // assertion is machine-drift-proof
+    // assertion is machine-drift-proof. Since r15 `materialize` is LAZY
+    // (snapshot fields defer until walked), so the comparison must FORCE
+    // the full inventory — `.files.size` walks every shard.
     SnapshotCatalog.clearManifestCacheForTest()
-    val (_, fullMs) = timed(cat.snapshotAt("db", "big", 2L))
+    val (_, fullMs) = timed(cat.snapshotAt("db", "big", 2L).files.size)
     assert(coldMs * 5 < math.max(fullMs, 250L),
       s"pinned cold plan ${coldMs}ms vs full materialize ${fullMs}ms")
+    // LAZY MATERIALIZE (r15): schema/summary/snapshot-id access through
+    // the Snapshot surface — the SQL plugin's per-analysis table
+    // resolution shape — parses ZERO shards on a cold cache; only walking
+    // the inventory pays for it
+    SnapshotCatalog.clearManifestCacheForTest()
+    val lz0 = SnapshotCatalog.manifestParses.get()
+    val curSnap = cat.currentSnapshot("db", "big")
+    assert(curSnap.schema.fieldNames.sameElements(Seq("id", "day", "v")))
+    assert(curSnap.recordCount == nShards.toLong * filesPerShard * 100)
+    assert(cat.snapshotList("db", "big").map(_.snapshotId).nonEmpty)
+    val lazyParsed = SnapshotCatalog.manifestParses.get() - lz0
+    assert(lazyParsed == 0,
+      s"schema/summary reads parsed $lazyParsed shards (expected 0)")
     // WRITE PATH at the same scale: an append to the million-file table is
     // pointer-level — zero shard parses on a cold cache, and the commit's
     // file-count arithmetic comes off the recorded summaries
