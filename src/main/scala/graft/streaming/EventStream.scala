@@ -153,7 +153,10 @@ object EventStream {
     // 1) within-batch dedup, exact-verified, min-id representative
     val pairs = Dedup.minhashVerifiedPairs(batch, idCol, textCol,
       w, num, den, numHashes, bands)
-    val batchU = Dedup.dropNearDuplicates(batch, idCol, pairs).cache()
+    // localCheckpoint, not cache (r15, guide §5): the epoch's frames are
+    // batch-sized but their lineage spans the whole dedup pipeline —
+    // truncating it keeps every downstream action's plan leaf-sized
+    val batchU = Dedup.dropNearDuplicates(batch, idCol, pairs).localCheckpoint()
     try {
       val sh = batchU.select(col(idCol).as("doc_id"),
         Dedup.wordShingles(col(textCol), w).as("shingles"))
@@ -197,7 +200,7 @@ object EventStream {
         }
 
       // 4) survivors: bands first, then corpus (see crash protocol above)
-      val survivors = batchU.join(dropIds, Seq(idCol), "left_anti").cache()
+      val survivors = batchU.join(dropIds, Seq(idCol), "left_anti").localCheckpoint()
       try {
         val survBands = batchBands
           .join(survivors.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
